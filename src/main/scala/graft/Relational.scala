@@ -1,30 +1,40 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Standard relational surface (SURVEY.md §2.6): scans, projections,
   * filters, joins (broadcast + shuffle), aggregations, window functions,
   * sorts/top-k, set ops — expressed declaratively so Catalyst handles
   * pushdown, pruning and join strategy.
+  *
+  * Oracle-parity conventions (applied on BOTH the Spark and DuckDB side):
+  *  - float aggregates rounded to 4 decimals (summation-order ulp noise);
+  *  - dates emitted as 'yyyy-MM-dd' strings (no engine-specific temporal
+  *    encodings in the compared output);
+  *  - every query deterministically ordered with a unique tiebreak.
   */
 object Relational {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg _
-  )
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> q1Agg _,
+    "q2_join_nation"    -> q2JoinNation _,
+    "q3_topk_orders"    -> q3TopkOrders _,
+    "q4_semi_join"      -> q4SemiJoin _,
+    "q5_anti_join"      -> q5AntiJoin _,
+    "q6_window_topn"    -> q6WindowTopn _,
+    "q7_running_sum"    -> q7RunningSum _,
+    "q8_lag_delta"      -> q8LagDelta _,
+    "q9_set_ops"        -> q9SetOps _,
+    "q10_distinct_agg"  -> q10DistinctAgg _,
+    "q11_cond_agg"      -> q11CondAgg _,
+    "q12_string_funcs"  -> q12StringFuncs _,
+    "q13_rollup"        -> q13Rollup _,
+    "q14_date_funcs"    -> q14DateFuncs _,
+    "q15_having"        -> q15Having _
   )
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): grouped sums/avg/count
@@ -35,9 +45,280 @@ object Relational {
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
         round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("sum_disc_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-way join star query (TPC-H Q5 shape). The dimension chain
+    * customer⋈nation⋈region is tiny at every SF — broadcast it so the only
+    * shuffle is lineitem⋈orders; at 100 TB that one co-partitions on
+    * orderkey and the dims still broadcast. */
+  private def q2JoinNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(revenue), 4).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Filtered join + top-k by aggregate (TPC-H Q3 shape): sort + limit
+    * is a TakeOrderedAndProject — no full sort at scale. */
+  private def q3TopkOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(revenue), 4).as("order_revenue"))
+      .orderBy(col("order_revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join: orders having at least one returned line (EXISTS). */
+  private def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val ret = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join: customers with no finished ('F') order (NOT EXISTS). */
+  private def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    c.join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window: top-2 parts per supplier by revenue (row_number over
+    * partitioned window — one shuffle on l_suppkey). */
+  private def q6WindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(round(sum(revenue), 4).as("part_revenue"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("part_revenue").desc, col("l_partkey"))
+    perPart.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Running-total window: cumulative quantity per supplier in
+    * (shipdate, orderkey, linenumber) order. */
+  private def q7RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** lag() window: days between a customer's consecutive orders
+    * (same shape as the reference's ublox-counter delta, SURVEY §2.2 R4). */
+  private def q8LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev_date")))
+          .cast("long").as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set ops: customers with both open and finished orders, minus any
+    * with a pending ('P') order — INTERSECT then EXCEPT. */
+  private def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keys(st: String) =
+      o.filter(col("o_orderstatus") === st).select("o_custkey").distinct()
+    keys("O").intersect(keys("F")).except(keys("P")).orderBy("o_custkey")
+  }
+
+  /** Distinct aggregation: per order status, distinct customers vs rows. */
+  private def q10DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+
+  /** Conditional (pivot-style) aggregation: per return flag, quantity
+    * split by line status via CASE WHEN — map-side combinable. */
+  private def q11CondAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_linestatus") === "F", col("l_quantity"))
+          .otherwise(lit(0.0))), 4).as("qty_f"),
+        round(sum(when(col("l_linestatus") === "O", col("l_quantity"))
+          .otherwise(lit(0.0))), 4).as("qty_o"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** String scalar functions: upper/substring/length/concat/replace —
+    * all codegen'd builtins, no UDFs. */
+  private def q12StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_pref"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"))
+      .orderBy("p_partkey")
+
+  /** Rollup (hierarchical grouping sets) over order status × priority;
+    * group markers coalesced to 'ALL' for engine-neutral output. */
+  private def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Temporal scalar functions: year/month/quarter extraction and
+    * month truncation, grouped counts. */
+  private def q14DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        col("o_totalprice"))
+      .groupBy("y", "m", "q", "month_start")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("y", "m")
+
+  /** HAVING: parts whose total shipped quantity exceeds a threshold. */
+  private def q15Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(round(sum("l_quantity"), 4).as("total_qty"),
+           count(lit(1)).as("n"))
+      .filter(col("total_qty") > 100.0)
+      .orderBy("l_partkey")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_topk_orders" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS order_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderkey
+        |ORDER BY order_revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_window_topn" ->
+      """SELECT l_suppkey, l_partkey, part_revenue, rn FROM (
+        |  SELECT l_suppkey, l_partkey, part_revenue,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |                       ORDER BY part_revenue DESC, l_partkey) AS rn
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |          round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+        |        FROM lineitem GROUP BY l_suppkey, l_partkey))
+        |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q8_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day',
+        |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q9_set_ops" ->
+      """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q11_cond_agg" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_o,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name_pref,
+        |  length(p_name) AS name_len,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_u
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q14_date_funcs" ->
+      """SELECT date_part('year', o_orderdate) AS y,
+        |  date_part('month', o_orderdate) AS m,
+        |  date_part('quarter', o_orderdate) AS q,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, m""".stripMargin,
+    "q15_having" ->
+      """SELECT l_partkey, round(sum(l_quantity), 4) AS total_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING round(sum(l_quantity), 4) > 100.0
+        |ORDER BY l_partkey""".stripMargin
+  )
 }
