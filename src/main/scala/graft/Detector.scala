@@ -1,12 +1,189 @@
 package graft
 
+import graft.operators.Sessionize
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Detector-network analytics (SURVEY.md §2.2–§2.5) over the `events`
-  * table mapped onto the hit stream: user_id = station key, ts = event
-  * time (µs-truncated to match Spark's parquet nanos→micros read).
+  * table mapped onto the hit stream: `user_id` = station key, `ts` = event
+  * time in raw i64 nanoseconds (Tables.events reads nanos-as-long).
+  *
+  * Clustering uses the canonical deterministic batch semantics (SURVEY.md
+  * §7.3): a coincidence cluster is a maximal run of time-ordered events
+  * with consecutive gaps ≤ GapNs (the simple criterion,
+  * reference src/analysis/simplecoincidence.cpp:12-15, scaled to this
+  * dataset's event cadence), envelope-merged per reference
+  * src/messages/event.cpp:23-44, with `true_e` = count of valid pair edges
+  * and `conflicting` = a station appearing twice (reference
+  * src/analysis/coincidencefilter.cpp:94-143, criterion.cpp:7-57).
   */
 object Detector {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** Session gap (ns): the simple-criterion window scaled to the synthetic
+    * event cadence (30 s — the reference's 100 µs window at ~Hz hit rates
+    * corresponds to the same occupancy at this table's ~minute spacing). */
+  final val GapNs: Long = 30L * 1000000000L
+
+  /** Time-bucket width for distributed sessionization (>> GapNs). */
+  final val BucketNs: Long = 3600L * 1000000000L
+
+  /** Pair-histogram bin width (ns): 1 s. */
+  final val BinNs: Double = 1e9
+
+  /** Timebase clamp bounds, ns (reference include/supervision/timebase.h:38-40). */
+  final val BaseMinNs: Long = 800000000L
+  final val BaseMaxNs: Long = 120L * 1000000000L
+
+  /** events → canonical hit columns. The engine's canonical time is i64
+    * nanos; for oracle parity the nanos are truncated to µs precision here
+    * because DuckDB (1.0) reads parquet TIMESTAMP_NS as µs TIMESTAMP. */
+  private def hits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"))  // integer div: 1.7e18 exceeds double's 2^53
+
+  private def clustered(s: SparkSession, dir: String): DataFrame =
+    Sessionize.withClusterKey(hits(s, dir), GapNs, BucketNs)
+
+  /** All-pairs within each cluster (a.event_id < b.event_id), the batch
+    * form of the reference's per-cluster pair loops (criterion.cpp:33-44,
+    * stationcoincidence.cpp:43-80). Cluster sizes are gap-bounded, so the
+    * per-cluster quadratic stays small; the join is co-partitioned on
+    * cluster_key (one shuffle, no broadcast of the big side). */
+  private def clusterPairs(c: DataFrame): DataFrame = {
+    val a = c.select(col("cluster_key"), col("event_id").as("eid_a"),
+      col("start_ns").as("start_a"), col("station").as("station_a"))
+    val b = c.select(col("cluster_key"), col("event_id").as("eid_b"),
+      col("start_ns").as("start_b"), col("station").as("station_b"))
+    a.join(b, Seq("cluster_key")).filter(col("eid_a") < col("eid_b"))
+  }
+
+  /** L1 coincidence events (n ≥ 2): envelope, multiplicity, conflicting
+    * flag, valid-edge count and plausibility — the O2/O3 sink shape
+    * (reference include/sink/database.h:135-165). */
+  private def coincidenceL1(s: SparkSession, dir: String): DataFrame = {
+    val c = clustered(s, dir)
+    val agg = c.groupBy("cluster_key").agg(
+      min("start_ns").as("cluster_start"),
+      max("start_ns").as("cluster_end"),
+      count(lit(1)).as("n"),
+      countDistinct(col("station")).as("_ndist"))
+    val trueE = clusterPairs(c)
+      .filter(abs(col("start_a") - col("start_b")) <= GapNs)
+      .groupBy("cluster_key").agg(count(lit(1)).as("_te"))
+    agg.filter(col("n") >= 2)
+      .join(trueE, Seq("cluster_key"), "left")
+      .select(
+        col("cluster_start"), col("cluster_end"), col("n"),
+        (col("n") > col("_ndist")).as("conflicting"),
+        coalesce(col("_te"), lit(0L)).as("true_e"),
+        round(coalesce(col("_te"), lit(0L)) /
+          (col("n") * (col("n") - 1) / lit(2.0)), 6).as("plausibility"))
+      .orderBy("cluster_start")
+  }
+
+  /** Station-pair time-difference histogram (reference
+    * src/analysis/stationcoincidence.cpp:43-80): for every unordered
+    * station pair inside a coincidence, Δstart sign-normalized with the
+    * larger station key first, 1 s bins. */
+  private def pairTimediffHist(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(clustered(s, dir))
+      .filter(col("station_a") =!= col("station_b"))
+      .select(
+        least(col("station_a"), col("station_b")).as("station_lo"),
+        greatest(col("station_a"), col("station_b")).as("station_hi"),
+        when(col("station_a") > col("station_b"),
+          col("start_a") - col("start_b"))
+          .otherwise(col("start_b") - col("start_a")).as("_dt"))
+      .withColumn("bin", floor(col("_dt") / BinNs).cast("long"))
+      .groupBy("station_lo", "station_hi", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("station_lo", "station_hi", "bin")
+
+  /** Multiplicity histogram of emitted coincidences (reference
+    * src/supervision/state.cpp:113-126; n=1 suppressed as at every sink). */
+  private def multiplicityHist(s: SparkSession, dir: String): DataFrame =
+    clustered(s, dir)
+      .groupBy("cluster_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .groupBy("n").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n")
+
+  /** Timebase sampling (reference src/supervision/timebase.cpp:27-45):
+    * per 10-minute window, event-time spread clamped to [0.8 s, 2 min]. */
+  private def timebase(s: SparkSession, dir: String): DataFrame =
+    hits(s, dir)
+      .withColumn("w", floor(col("start_ns") / (600L * 1000000000L)))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_events"),
+           (max("start_ns") - min("start_ns")).as("spread_ns"))
+      .withColumn("base_ns",
+        greatest(least(col("spread_ns"), lit(BaseMaxNs)), lit(BaseMinNs)))
+      .orderBy("w")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "coincidence_l1"     -> coincidenceL1 _,
+    "pair_timediff_hist" -> pairTimediffHist _,
+    "multiplicity_hist"  -> multiplicityHist _,
+    "timebase"           -> timebase _
+  )
+
+  def oracleSql: Map[String, String] = {
+    val gap = GapNs.toString
+    val sessionCte =
+      s"""WITH h AS (
+         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+         |    OR start_ns - lag(start_ns) OVER w > $gap THEN 1 ELSE 0 END AS nb
+         |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+         |c AS (
+         |  SELECT event_id, station, start_ns,
+         |    sum(nb) OVER (ORDER BY start_ns, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cid
+         |  FROM s)""".stripMargin
+    Map(
+      "coincidence_l1" ->
+        s"""$sessionCte,
+           |agg AS (
+           |  SELECT cid, min(start_ns) AS cluster_start,
+           |    max(start_ns) AS cluster_end, count(*) AS n,
+           |    count(DISTINCT station) AS ndist
+           |  FROM c GROUP BY cid),
+           |pairs AS (
+           |  SELECT a.cid, count(*) AS te FROM c a JOIN c b
+           |    ON a.cid = b.cid AND a.event_id < b.event_id
+           |   AND abs(a.start_ns - b.start_ns) <= $gap
+           |  GROUP BY a.cid)
+           |SELECT cluster_start, cluster_end, n, (n > ndist) AS conflicting,
+           |  coalesce(te, 0) AS true_e,
+           |  round(coalesce(te, 0) / (n * (n - 1) / 2.0), 6) AS plausibility
+           |FROM agg LEFT JOIN pairs USING (cid)
+           |WHERE n >= 2 ORDER BY cluster_start""".stripMargin,
+      "pair_timediff_hist" ->
+        s"""$sessionCte
+           |SELECT least(a.station, b.station) AS station_lo,
+           |  greatest(a.station, b.station) AS station_hi,
+           |  CAST(floor((CASE WHEN a.station > b.station
+           |    THEN a.start_ns - b.start_ns
+           |    ELSE b.start_ns - a.start_ns END) / 1000000000.0) AS BIGINT) AS bin,
+           |  count(*) AS cnt
+           |FROM c a JOIN c b
+           |  ON a.cid = b.cid AND a.event_id < b.event_id
+           | AND a.station <> b.station
+           |GROUP BY 1, 2, 3 ORDER BY station_lo, station_hi, bin""".stripMargin,
+      "multiplicity_hist" ->
+        s"""$sessionCte
+           |SELECT n, count(*) AS n_clusters FROM (
+           |  SELECT cid, count(*) AS n FROM c GROUP BY cid)
+           |WHERE n >= 2 GROUP BY n ORDER BY n""".stripMargin,
+      "timebase" ->
+        s"""SELECT epoch_ns(ts) // 600000000000 AS w, count(*) AS n_events,
+           |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS spread_ns,
+           |  greatest(least(max(epoch_ns(ts)) - min(epoch_ns(ts)),
+           |    ${BaseMaxNs}), ${BaseMinNs}) AS base_ns
+           |FROM events GROUP BY 1 ORDER BY w""".stripMargin
+    )
+  }
 }

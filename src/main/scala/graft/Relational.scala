@@ -10,12 +10,23 @@ import org.apache.spark.sql.functions._
   * pushdown, pruning and join strategy.
   *
   * Oracle-parity conventions (applied on BOTH the Spark and DuckDB side):
-  *  - float aggregates rounded to 4 decimals (summation-order ulp noise);
-  *  - dates emitted as 'yyyy-MM-dd' strings (no engine-specific temporal
-  *    encodings in the compared output);
-  *  - every query deterministically ordered with a unique tiebreak.
+  *  - money/quantity sums use fixed-point integer arithmetic
+  *    (`round(x·10^k)` per row, summed as BIGINT) — double summation order
+  *    differs between engines and across parallelism levels, so plain
+  *    `sum(double)` is not reproducible at scale;
+  *  - dates emitted as 'yyyy-MM-dd' strings;
+  *  - every query deterministically ordered, with unique tiebreaks.
   */
 object Relational {
+
+  /** Fixed-point encode: x → round(x·10^scale) as i64 (exact, associative,
+    * order-independent — safe under any partial-aggregation schedule). */
+  private def fx(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale).toLong).cast("long")
+
+  /** Sum in fixed-point, present as double with 4-decimal rounding. */
+  private def sumFx(c: Column, scale: Int): Column =
+    round(sum(fx(c, scale)) / math.pow(10, scale), 4)
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
@@ -43,10 +54,11 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(revenue), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        sumFx(col("l_quantity"), 2).as("sum_qty"),
+        sumFx(col("l_extendedprice"), 2).as("sum_base_price"),
+        sumFx(revenue, 4).as("sum_disc_price"),
+        round((sum(fx(col("l_quantity"), 2)) / 100.0) / count(lit(1)), 4)
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -65,7 +77,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(revenue), 4).as("revenue"),
+      .agg(sumFx(revenue, 4).as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
@@ -77,7 +89,7 @@ object Relational {
     val o  = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(revenue), 4).as("order_revenue"))
+      .agg(sumFx(revenue, 4).as("order_revenue"))
       .orderBy(col("order_revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -105,7 +117,7 @@ object Relational {
   private def q6WindowTopn(s: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.lineitem(s, dir)
       .groupBy("l_suppkey", "l_partkey")
-      .agg(round(sum(revenue), 4).as("part_revenue"))
+      .agg(sumFx(revenue, 4).as("part_revenue"))
     val w = Window.partitionBy("l_suppkey")
       .orderBy(col("part_revenue").desc, col("l_partkey"))
     perPart.withColumn("rn", row_number().over(w))
@@ -113,16 +125,20 @@ object Relational {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** Running-total window: cumulative quantity per supplier in
-    * (shipdate, orderkey, linenumber) order. */
+  /** Running-total window: cumulative quantity per supplier. The sort key
+    * includes quantity/price tiebreaks because (orderkey, linenumber) is
+    * NOT unique in this corpus, and the accumulator is fixed-point so tied
+    * rows commute. */
   private def q7RunningSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+               col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
-      .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
+      .withColumn("running_qty",
+        round(sum(fx(col("l_quantity"), 2)).over(w) / 100.0, 4))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
   /** lag() window: days between a customer's consecutive orders
@@ -153,7 +169,7 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(countDistinct(col("o_custkey")).as("n_cust"),
            count(lit(1)).as("n_orders"),
-           round(sum("o_totalprice"), 4).as("total"))
+           sumFx(col("o_totalprice"), 2).as("total"))
       .orderBy("o_orderstatus")
 
   /** Conditional (pivot-style) aggregation: per return flag, quantity
@@ -162,10 +178,10 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(sum(when(col("l_linestatus") === "F", col("l_quantity"))
-          .otherwise(lit(0.0))), 4).as("qty_f"),
-        round(sum(when(col("l_linestatus") === "O", col("l_quantity"))
-          .otherwise(lit(0.0))), 4).as("qty_o"),
+        round(sum(when(col("l_linestatus") === "F", fx(col("l_quantity"), 2))
+          .otherwise(lit(0L))) / 100.0, 4).as("qty_f"),
+        round(sum(when(col("l_linestatus") === "O", fx(col("l_quantity"), 2))
+          .otherwise(lit(0L))) / 100.0, 4).as("qty_o"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -187,7 +203,7 @@ object Relational {
   private def q13Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n"), sumFx(col("o_totalprice"), 2).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -206,14 +222,14 @@ object Relational {
           .as("month_start"),
         col("o_totalprice"))
       .groupBy("y", "m", "q", "month_start")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n"), sumFx(col("o_totalprice"), 2).as("total"))
       .orderBy("y", "m")
 
   /** HAVING: parts whose total shipped quantity exceeds a threshold. */
   private def q15Having(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_partkey")
-      .agg(round(sum("l_quantity"), 4).as("total_qty"),
+      .agg(sumFx(col("l_quantity"), 2).as("total_qty"),
            count(lit(1)).as("n"))
       .filter(col("total_qty") > 100.0)
       .orderBy("l_partkey")
@@ -221,16 +237,16 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_nation" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -240,7 +256,7 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q3_topk_orders" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS order_revenue
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS order_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderkey
@@ -262,15 +278,17 @@ object Relational {
         |    row_number() OVER (PARTITION BY l_suppkey
         |                       ORDER BY part_revenue DESC, l_partkey) AS rn
         |  FROM (SELECT l_suppkey, l_partkey,
-        |          round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+        |          round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS part_revenue
         |        FROM lineitem GROUP BY l_suppkey, l_partkey))
         |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
     "q7_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q8_lag_delta" ->
       """SELECT o_custkey, o_orderkey,
         |  date_diff('day',
@@ -287,12 +305,15 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin,
     "q10_distinct_agg" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q11_cond_agg" ->
       """SELECT l_returnflag,
-        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_f,
-        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_o,
+        |  round(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) / 100.0, 4) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) / 100.0, 4) AS qty_o,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q12_string_funcs" ->
@@ -305,7 +326,8 @@ object Relational {
     "q13_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q14_date_funcs" ->
@@ -313,12 +335,15 @@ object Relational {
         |  date_part('month', o_orderdate) AS m,
         |  date_part('quarter', o_orderdate) AS q,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, m""".stripMargin,
     "q15_having" ->
-      """SELECT l_partkey, round(sum(l_quantity), 4) AS total_qty, count(*) AS n
+      """SELECT l_partkey,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS total_qty,
+        |  count(*) AS n
         |FROM lineitem GROUP BY l_partkey
-        |HAVING round(sum(l_quantity), 4) > 100.0
+        |HAVING round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) > 100.0
         |ORDER BY l_partkey""".stripMargin
   )
 }
