@@ -77,8 +77,8 @@ object Detector {
         col("cluster_start"), col("cluster_end"), col("n"),
         (col("n") > col("_ndist")).as("conflicting"),
         coalesce(col("_te"), lit(0L)).as("true_e"),
-        round(coalesce(col("_te"), lit(0L)) /
-          (col("n") * (col("n") - 1) / lit(2.0)), 6).as("plausibility"))
+        (coalesce(col("_te"), lit(0L)) /
+          (col("n") * (col("n") - 1) / lit(2.0))).as("plausibility"))
       .orderBy("cluster_start")
   }
 
@@ -158,7 +158,7 @@ object Detector {
            |  GROUP BY a.cid)
            |SELECT cluster_start, cluster_end, n, (n > ndist) AS conflicting,
            |  coalesce(te, 0) AS true_e,
-           |  round(coalesce(te, 0) / (n * (n - 1) / 2.0), 6) AS plausibility
+           |  coalesce(te, 0) / (n * (n - 1) / 2.0) AS plausibility
            |FROM agg LEFT JOIN pairs USING (cid)
            |WHERE n >= 2 ORDER BY cluster_start""".stripMargin,
       "pair_timediff_hist" ->

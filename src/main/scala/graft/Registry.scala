@@ -1,0 +1,300 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Station-registry / telemetry analytics (SURVEY.md §2.2 R2–R11 and §2.4
+  * A1–A4) as batch queries over the events-as-hits mapping.
+  *
+  * Determinism rules: rates/stddev are computed from exact integer window
+  * counts via the closed-form sqrt((nΣx²−(Σx)²)/(n(n−1))) so both engines
+  * evaluate the identical double expression; per-event means go through
+  * fixed-point sums (see Relational).
+  */
+object Registry {
+
+  private val WindowNs = 1800L * 1000000000L   // 30-min rate windows (R2)
+  private val DayNs    = 86400L * 1000000000L  // summary/log interval
+  final val CounterMod = 65536L                // u16 ublox counter (R4)
+
+  private def hits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"),
+      col("event_type"), col("value"))
+
+  /** R2: per-station event-rate mean/stddev over 30-min windows
+    * (reference include/analysis/detectorstation.h:123-132 rate rings). */
+  private def stationRates(s: SparkSession, dir: String): DataFrame =
+    ratesRaw(s, dir)
+      .select(col("station"), col("n_windows"),
+        col("mean_rate"), col("stddev_rate"))
+      .orderBy("station")
+
+  /** Unrounded rate stats, shared with the reliability classifier. */
+  private def ratesRaw(s: SparkSession, dir: String): DataFrame =
+    hits(s, dir)
+      .withColumn("w", floor(col("start_ns") / WindowNs))
+      .groupBy("station", "w").agg(count(lit(1)).as("c"))
+      .groupBy("station").agg(
+        count(lit(1)).as("n_windows"),
+        sum("c").as("_sc"),
+        sum(col("c") * col("c")).as("_sc2"))
+      .select(col("station"), col("n_windows"),
+        (col("_sc") / col("n_windows")).as("mean_rate"),
+        when(col("n_windows") > 1,
+          sqrt((col("n_windows") * col("_sc2") - col("_sc") * col("_sc")) /
+            (col("n_windows") * (col("n_windows") - 1))))
+          .as("stddev_rate"))
+
+  /** R4: u16 hardware-counter progress with wraparound correction
+    * (reference src/analysis/detectorstation.cpp:37-48: when the counter is
+    * non-increasing, delta = current + (65535 − last)). */
+  private def counterDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("station").orderBy("start_ns", "event_id")
+    hits(s, dir)
+      .withColumn("ctr", col("event_id") % CounterMod)
+      .withColumn("prev", lag(col("ctr"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(0L))
+          .when(col("ctr") > col("prev"), col("ctr") - col("prev"))
+          .otherwise(col("ctr") + (CounterMod - 1) - col("prev")))
+  }
+
+  private def counterWrap(s: SparkSession, dir: String): DataFrame =
+    counterDeltas(s, dir)
+      .groupBy("station")
+      .agg(count(lit(1)).as("n_events"), sum("delta").as("progress"))
+      .orderBy("station")
+
+  /** R5: event accept gate (reference detectorstation.cpp:57-61
+    * `time_acc ≤ 1000 && fix == 1`, mapped to this corpus's columns). */
+  private def acceptGate(s: SparkSession, dir: String): DataFrame =
+    hits(s, dir)
+      .groupBy("station")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") <= 50.0 && col("event_type") =!= "error", 1L)
+          .otherwise(0L)).as("n_accepted"))
+      .withColumn("accept_ratio", col("n_accepted") / col("n_total"))
+      .orderBy("station")
+
+  /** R6: reliability classifier (reference detectorstation.cpp:89-107):
+    * factor > 1.15 ⇒ unreliable, all factors < 0.85 ⇒ reliable, else
+    * hysteresis keeps the previous state — batch canonical form reports
+    * the in-between band as 'marginal'. */
+  private def reliability(s: SparkSession, dir: String): DataFrame = {
+    val rates = ratesRaw(s, dir)
+    val quality = hits(s, dir).groupBy("station")
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0 /
+        count(lit(1))).as("_mean_value"))
+    rates.join(quality, Seq("station"))
+      .withColumn("f_time", col("_mean_value") / 50.0)
+      .withColumn("f_rate",
+        coalesce(col("stddev_rate") / (col("mean_rate") * 0.75), lit(0.0)))
+      .withColumn("status",
+        when(col("f_time") > 1.15 || col("f_rate") > 1.15, "unreliable")
+          .when(col("f_time") < 0.85 && col("f_rate") < 0.85, "reliable")
+          .otherwise("marginal"))
+      .select(col("station"), col("f_time"), col("f_rate"), col("status"))
+      .orderBy("station")
+  }
+
+  /** R11: periodic per-station summary — incoming count, mean value,
+    * counter progress and deadtime = 1 − incoming/progress (1.0 when no
+    * progress; reference src/supervision/station.cpp:89-102). */
+  private def detectorSummary(s: SparkSession, dir: String): DataFrame =
+    counterDeltas(s, dir)
+      .withColumn("day", floor(col("start_ns") / DayNs))
+      .groupBy("station", "day")
+      .agg(count(lit(1)).as("incoming"),
+        sum("delta").as("progress"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0 /
+          count(lit(1))).as("mean_value"))
+      .withColumn("deadtime",
+        when(col("progress") > 0,
+          lit(1.0) - col("incoming") / col("progress"))
+          .otherwise(lit(1.0)))
+      .orderBy("station", "day")
+
+  /** A1+A3+A4: cluster-wide daily health log — incoming singles, outgoing
+    * coincidences, max multiplicity, mean plausibility (reference
+    * src/supervision/state.cpp:44-131). */
+  private def clusterLog(s: SparkSession, dir: String): DataFrame = {
+    val h = hits(s, dir).select("event_id", "station", "start_ns")
+    val incoming = h.withColumn("day", floor(col("start_ns") / DayNs))
+      .groupBy("day").agg(count(lit(1)).as("incoming"))
+    val clustered = Sessionize.withClusterKey(h, Detector.GapNs, Detector.BucketNs)
+    val cl = clustered.groupBy("cluster_key")
+      .agg(min("start_ns").as("cs"), count(lit(1)).as("n"))
+    val pairs = {
+      val a = clustered.select(col("cluster_key"), col("event_id").as("ea"),
+        col("start_ns").as("sa"))
+      val b = clustered.select(col("cluster_key"), col("event_id").as("eb"),
+        col("start_ns").as("sb"))
+      a.join(b, Seq("cluster_key"))
+        .filter(col("ea") < col("eb") &&
+          abs(col("sa") - col("sb")) <= Detector.GapNs)
+        .groupBy("cluster_key").agg(count(lit(1)).as("te"))
+    }
+    val out = cl.filter(col("n") >= 2)
+      .join(pairs, Seq("cluster_key"), "left")
+      .withColumn("p6",
+        coalesce(col("te"), lit(0L)) /
+          (col("n") * (col("n") - 1) / lit(2.0)))
+      .withColumn("day", floor(col("cs") / DayNs))
+      .groupBy("day").agg(
+        count(lit(1)).as("outgoing"),
+        max("n").as("max_n"),
+        (sum(floor(col("p6") * 1000000).cast("long")) / 1000000.0 /
+          count(lit(1))).as("mean_plausibility"))
+    incoming.join(out, Seq("day"), "left")
+      .select(col("day"), col("incoming"),
+        coalesce(col("outgoing"), lit(0L)).as("outgoing"),
+        coalesce(col("max_n"), lit(0L)).as("max_n"),
+        col("mean_plausibility"))
+      .orderBy("day")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "station_rates"    -> stationRates _,
+    "counter_wrap"     -> counterWrap _,
+    "accept_gate"      -> acceptGate _,
+    "reliability"      -> reliability _,
+    "detector_summary" -> detectorSummary _,
+    "cluster_log"      -> clusterLog _
+  )
+
+  def oracleSql: Map[String, String] = {
+    val hCte =
+      """WITH h AS (
+        |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+        |         event_type, value
+        |  FROM events)""".stripMargin
+    val ratesCte =
+      s"""$hCte,
+         |wc AS (
+         |  SELECT station, start_ns // ${WindowNs} AS w, count(*) AS c
+         |  FROM h GROUP BY 1, 2),
+         |r AS (
+         |  SELECT station, count(*) AS n_windows, sum(c) AS sc,
+         |         sum(c * c) AS sc2
+         |  FROM wc GROUP BY station),
+         |rates AS (
+         |  SELECT station, n_windows,
+         |    sc / n_windows AS mean_rate,
+         |    CASE WHEN n_windows > 1 THEN
+         |      sqrt((n_windows * sc2 - sc * sc) /
+         |           (n_windows * (n_windows - 1)))
+         |    END AS stddev_rate
+         |  FROM r)""".stripMargin
+    Map(
+      "station_rates" ->
+        s"""$ratesCte
+           |SELECT station, n_windows, mean_rate, stddev_rate
+           |FROM rates ORDER BY station""".stripMargin,
+      "counter_wrap" ->
+        s"""$hCte,
+           |d AS (
+           |  SELECT station, event_id % ${CounterMod} AS ctr,
+           |    lag(event_id % ${CounterMod}) OVER
+           |      (PARTITION BY station ORDER BY start_ns, event_id) AS prev
+           |  FROM h)
+           |SELECT station, count(*) AS n_events,
+           |  sum(CASE WHEN prev IS NULL THEN 0
+           |           WHEN ctr > prev THEN ctr - prev
+           |           ELSE ctr + ${CounterMod - 1} - prev END) AS progress
+           |FROM d GROUP BY station ORDER BY station""".stripMargin,
+      "accept_gate" ->
+        s"""$hCte
+           |SELECT station, count(*) AS n_total,
+           |  sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
+           |      THEN 1 ELSE 0 END) AS n_accepted,
+           |  sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
+           |      THEN 1 ELSE 0 END) / (1.0 * count(*)) AS accept_ratio
+           |FROM h GROUP BY station ORDER BY station""".stripMargin,
+      "reliability" ->
+        s"""$ratesCte,
+           |q AS (
+           |  SELECT station,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+           |      AS mean_value
+           |  FROM h GROUP BY station),
+           |f AS (
+           |  SELECT rates.station AS station,
+           |    q.mean_value / 50.0 AS f_time,
+           |    coalesce(rates.stddev_rate / (rates.mean_rate * 0.75), 0.0)
+           |      AS f_rate
+           |  FROM rates JOIN q ON rates.station = q.station)
+           |SELECT station, f_time, f_rate,
+           |  CASE WHEN f_time > 1.15 OR f_rate > 1.15 THEN 'unreliable'
+           |       WHEN f_time < 0.85 AND f_rate < 0.85 THEN 'reliable'
+           |       ELSE 'marginal' END AS status
+           |FROM f ORDER BY station""".stripMargin,
+      "detector_summary" ->
+        s"""$hCte,
+           |d AS (
+           |  SELECT station, start_ns, value,
+           |    event_id % ${CounterMod} AS ctr,
+           |    lag(event_id % ${CounterMod}) OVER
+           |      (PARTITION BY station ORDER BY start_ns, event_id) AS prev
+           |  FROM h),
+           |e AS (
+           |  SELECT station, start_ns // ${DayNs} AS day, value,
+           |    CASE WHEN prev IS NULL THEN 0
+           |         WHEN ctr > prev THEN ctr - prev
+           |         ELSE ctr + ${CounterMod - 1} - prev END AS delta
+           |  FROM d),
+           |g AS (
+           |  SELECT station, day, count(*) AS incoming, sum(delta) AS progress,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+           |          / count(*) AS mean_value
+           |  FROM e GROUP BY station, day)
+           |SELECT station, day, incoming, progress, mean_value,
+           |  CASE WHEN progress > 0
+           |       THEN 1.0 - incoming / (1.0 * progress)
+           |       ELSE 1.0 END AS deadtime
+           |FROM g ORDER BY station, day""".stripMargin,
+      "cluster_log" ->
+        s"""WITH h AS (
+           |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns
+           |  FROM events),
+           |s AS (
+           |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+           |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+           |    THEN 1 ELSE 0 END AS nb
+           |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+           |c AS (
+           |  SELECT event_id, station, start_ns,
+           |    sum(nb) OVER (ORDER BY start_ns, event_id
+           |                  ROWS UNBOUNDED PRECEDING) AS cid
+           |  FROM s),
+           |agg AS (
+           |  SELECT cid, min(start_ns) AS cs, count(*) AS n
+           |  FROM c GROUP BY cid),
+           |pairs AS (
+           |  SELECT a.cid, count(*) AS te FROM c a JOIN c b
+           |    ON a.cid = b.cid AND a.event_id < b.event_id
+           |   AND abs(a.start_ns - b.start_ns) <= ${Detector.GapNs}
+           |  GROUP BY a.cid),
+           |cl AS (
+           |  SELECT cs // ${DayNs} AS day, n,
+           |    coalesce(te, 0) / (n * (n - 1) / 2.0) AS p6
+           |  FROM agg LEFT JOIN pairs USING (cid) WHERE n >= 2),
+           |outg AS (
+           |  SELECT day, count(*) AS outgoing, max(n) AS max_n,
+           |    sum(CAST(floor(p6 * 1000000) AS BIGINT)) / 1000000.0
+           |          / count(*) AS mean_plausibility
+           |  FROM cl GROUP BY day),
+           |inc AS (
+           |  SELECT start_ns // ${DayNs} AS day, count(*) AS incoming
+           |  FROM h GROUP BY 1)
+           |SELECT inc.day AS day, incoming,
+           |  coalesce(outgoing, 0) AS outgoing,
+           |  coalesce(max_n, 0) AS max_n, mean_plausibility
+           |FROM inc LEFT JOIN outg ON inc.day = outg.day
+           |ORDER BY day""".stripMargin
+    )
+  }
+}

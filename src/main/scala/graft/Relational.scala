@@ -57,7 +57,7 @@ object Relational {
         sumFx(col("l_quantity"), 2).as("sum_qty"),
         sumFx(col("l_extendedprice"), 2).as("sum_base_price"),
         sumFx(revenue, 4).as("sum_disc_price"),
-        round((sum(fx(col("l_quantity"), 2)) / 100.0) / count(lit(1)), 4)
+        ((sum(fx(col("l_quantity"), 2)) / 100.0) / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -240,7 +240,7 @@ object Relational {
         |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
         |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
         |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
-        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
