@@ -1,0 +1,303 @@
+package graft
+
+import graft.functions.Criterion
+import graft.operators.Sessionize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geodesic (time-AND-space) coincidence detection — the reference's core
+  * query (SURVEY.md §2.3): pairwise criterion C1 (WGS84 chord distance,
+  * time-of-flight window; reference src/analysis/coincidence.cpp:14-27) and
+  * transitive clustering C4 (reference coincidencefilter.cpp:94-143) in the
+  * canonical batch form: connected components over the valid-pair graph,
+  * evaluated inside gap-bounded sessions so component search never holds
+  * unbounded state (SURVEY.md §7.3 cross-key partitioning).
+  *
+  * Station positions derive deterministically from the station key (a grid
+  * around 50°N 10°E); the pairwise criterion for the `events` corpus uses a
+  * scaled signal speed so time-of-flight windows are commensurate with the
+  * table's event cadence — the operator itself is parameterized, and
+  * `distance_matrix` exercises the true physical constants.
+  *
+  * ECEF coordinates are computed with built-in column expressions (sin/cos/
+  * sqrt), keeping the whole pair-scoring pipeline inside whole-stage
+  * codegen; Java's Math.sin/cos agree bit-for-bit with DuckDB's libm on
+  * this grid (verified), so the oracle compares exactly.
+  */
+/** One session-scoped hit with precomputed ECEF coordinates. */
+case class SessHit(cluster_key: Long, event_id: Long, station: Long,
+                   start_ns: Long, x: Double, y: Double, z: Double)
+
+/** One geodesic coincidence component (cluster). */
+case class GeoComp(cluster_start: Long, cluster_end: Long, n: Long,
+                   n_stations: Long, conflicting: Boolean)
+
+object Geodesic {
+
+  /** Scaled criterion for the events corpus. */
+  final val SpeedMPerNs: Double = 1e-7            // "slow light": tof(2.2km) ≈ 22 s
+  final val MinTofNs: Double = 5000000000.0       // 5 s floor  (C1 s_minimum_time)
+  final val MaxTimeNs: Long = 60000000000L        // 60 s cut   (C1 s_maximum_time)
+
+  // ---- deterministic station grid ------------------------------------
+
+  private def stationLat(st: Column): Column = lit(50.0) + (st % 10) * lit(0.02)
+  private def stationLon(st: Column): Column =
+    lit(10.0) + (expr("station div 10") % 10) * lit(0.03)
+  private def stationH(st: Column): Column = lit(100.0) + (st % 7) * lit(10.0)
+
+  /** WGS84 geodetic → ECEF as column expressions (mirrors
+    * functions.Geo.toEcef; term order matches the oracle SQL exactly). */
+  private def withEcef(df: DataFrame): DataFrame = {
+    val a = graft.functions.Geo.SemiMajorA
+    val e2 = graft.functions.Geo.EccSq
+    val latR = radians(col("lat")); val lonR = radians(col("lon"))
+    val nn = lit(a) / sqrt(lit(1.0) - lit(e2) * sin(latR) * sin(latR))
+    df.withColumn("x", (nn + col("h")) * cos(latR) * cos(lonR))
+      .withColumn("y", (nn + col("h")) * cos(latR) * sin(lonR))
+      .withColumn("z", (nn * (lit(1.0) - lit(e2)) + col("h")) * sin(latR))
+  }
+
+  private def hitsWithCoords(s: SparkSession, dir: String): DataFrame =
+    withEcef(Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"))
+      .withColumn("lat", stationLat(col("station")))
+      .withColumn("lon", stationLon(col("station")))
+      .withColumn("h", stationH(col("station"))))
+
+  private def sessioned(s: SparkSession, dir: String): DataFrame =
+    Sessionize.withClusterKey(hitsWithCoords(s, dir),
+      Detector.GapNs, Detector.BucketNs)
+
+  private def pairDist(pre: String = ""): Column = {
+    val dx = col("xa") - col("xb"); val dy = col("ya") - col("yb")
+    val dz = col("za") - col("zb")
+    sqrt(dx * dx + dy * dy + dz * dz)
+  }
+
+  /** Valid pair edges (score > 0 ⇔ Δt < ToF) inside sessions: the C1
+    * criterion as a co-partitioned self-join — the session key bounds the
+    * candidate set, so no O(N²) blowup at scale. */
+  private def geoEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = sessioned(s, dir)
+    val a = c.select(col("cluster_key"), col("event_id").as("eid_a"),
+      col("start_ns").as("sa"), col("x").as("xa"), col("y").as("ya"),
+      col("z").as("za"))
+    val b = c.select(col("cluster_key"), col("event_id").as("eid_b"),
+      col("start_ns").as("sb"), col("x").as("xb"), col("y").as("yb"),
+      col("z").as("zb"))
+    a.join(b, Seq("cluster_key"))
+      .filter(col("eid_a") < col("eid_b"))
+      .withColumn("delta_ns", abs(col("sa") - col("sb")))
+      .withColumn("dist", pairDist())
+      .filter(col("delta_ns") <= MaxTimeNs &&
+        col("delta_ns") < greatest(col("dist") / SpeedMPerNs, lit(MinTofNs)))
+      .select(col("eid_a"), col("eid_b"), col("delta_ns"),
+        (floor(col("dist") * 1e6) / 1e6).as("dist_m"))
+      .orderBy("eid_a", "eid_b")
+  }
+
+  // ---- connected components inside sessions ---------------------------
+
+  /** Union-find over one session's hits (bounded by the session gap —
+    * dozens of events, not millions). */
+  private def components(hits: Array[SessHit]): Iterator[GeoComp] = {
+    val n = hits.length
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); var c = i
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    def union(i: Int, j: Int): Unit = { val ri = find(i); val rj = find(j)
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = hits(i); val b = hits(j)
+        val delta = math.abs(a.start_ns - b.start_ns)
+        if (delta <= MaxTimeNs) {
+          val dx = a.x - b.x; val dy = a.y - b.y; val dz = a.z - b.z
+          val dist = math.sqrt(dx * dx + dy * dy + dz * dz)
+          if (delta.toDouble < math.max(dist / SpeedMPerNs, MinTofNs)) union(i, j)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    hits.indices.groupBy(find).valuesIterator.collect {
+      case idx if idx.size >= 2 =>
+        val hs = idx.map(hits)
+        GeoComp(hs.map(_.start_ns).min, hs.map(_.start_ns).max,
+          hs.size.toLong, hs.map(_.station).distinct.size.toLong,
+          hs.size > hs.map(_.station).distinct.size)
+    }
+  }
+
+  /** L1 coincidences under the geodesic criterion: connected components of
+    * the valid-pair graph, per session (n ≥ 2 only, as at every reference
+    * sink). */
+  private def coincidenceGeo(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    sessioned(s, dir)
+      .select("cluster_key", "event_id", "station", "start_ns", "x", "y", "z")
+      .as[SessHit]
+      .groupByKey(_.cluster_key)
+      .flatMapGroups((_: Long, it: Iterator[SessHit]) =>
+        components(it.toArray.sortBy(_.event_id)))
+      .toDF()
+      .orderBy("cluster_start", "cluster_end", "n")
+  }
+
+  /** Station distance matrix with the TRUE physical constants (reference
+    * include/analysis/coincidence.h:25-27): chord distance and
+    * time-of-flight floor over every station pair. */
+  private def distanceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.events(s, dir).select(col("user_id").as("station"))
+      .distinct()
+      .withColumn("lat", stationLat(col("station")))
+      .withColumn("lon", stationLon(col("station")))
+      .withColumn("h", stationH(col("station")))
+    val e = withEcef(st)
+    val a = e.select(col("station").as("st_a"), col("x").as("xa"),
+      col("y").as("ya"), col("z").as("za"))
+    val b = e.select(col("station").as("st_b"), col("x").as("xb"),
+      col("y").as("yb"), col("z").as("zb"))
+    a.join(b, col("st_a") < col("st_b"))
+      .withColumn("dist", pairDist())
+      .select(col("st_a"), col("st_b"),
+        (floor(col("dist") * 1e6) / 1e6).as("dist_m"),
+        (floor(greatest(col("dist") / Criterion.CMetersPerNano,
+          lit(Criterion.MinTofNanos)) * 1e6) / 1e6).as("tof_ns"),
+        (col("dist") <= Criterion.MaxDistanceMeters).as("in_range"))
+      .orderBy("st_a", "st_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_edges"       -> geoEdges _,
+    "coincidence_geo" -> coincidenceGeo _,
+    "distance_matrix" -> distanceMatrix _
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  private val A = graft.functions.Geo.SemiMajorA
+  private val E2 = graft.functions.Geo.EccSq
+
+  /** Shared SQL: events with station grid coords and ECEF. */
+  private def ecefCte: String =
+    s"""WITH g AS (
+       |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+       |    50.0 + (user_id % 10) * 0.02 AS lat,
+       |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
+       |    100.0 + (user_id % 7) * 10.0 AS h
+       |  FROM events),
+       |h AS (
+       |  SELECT event_id, station, start_ns,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+       |      * cos(radians(lat)) * cos(radians(lon)) AS x,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+       |      * cos(radians(lat)) * sin(radians(lon)) AS y,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
+       |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
+       |  FROM g),
+       |s AS (
+       |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+       |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+       |    THEN 1 ELSE 0 END AS nb
+       |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+       |c AS (
+       |  SELECT event_id, station, start_ns, x, y, z,
+       |    sum(nb) OVER (ORDER BY start_ns, event_id
+       |                  ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM s)""".stripMargin
+
+  private val edgeCond =
+    s"""abs(a.start_ns - b.start_ns) <= ${MaxTimeNs}
+       | AND abs(a.start_ns - b.start_ns) < greatest(
+       |   sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs},
+       |   ${MinTofNs})""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "geo_edges" ->
+      s"""$ecefCte
+         |SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+         |  abs(a.start_ns - b.start_ns) AS delta_ns,
+         |  floor(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    + (a.z - b.z) * (a.z - b.z)) * 1e6) / 1e6 AS dist_m
+         |FROM c a JOIN c b ON a.cid = b.cid AND a.event_id < b.event_id
+         |WHERE $edgeCond
+         |ORDER BY eid_a, eid_b""".stripMargin,
+    "coincidence_geo" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+         |    50.0 + (user_id % 10) * 0.02 AS lat,
+         |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
+         |    100.0 + (user_id % 7) * 10.0 AS h
+         |  FROM events),
+         |h AS (
+         |  SELECT event_id, station, start_ns,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * cos(radians(lon)) AS x,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * sin(radians(lon)) AS y,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
+         |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
+         |  FROM g),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+         |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+         |    THEN 1 ELSE 0 END AS nb
+         |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+         |c AS (
+         |  SELECT event_id, station, start_ns, x, y, z,
+         |    sum(nb) OVER (ORDER BY start_ns, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cid
+         |  FROM s),
+         |e AS (
+         |  SELECT a.event_id AS src, b.event_id AS dst
+         |  FROM c a JOIN c b ON a.cid = b.cid AND a.event_id <> b.event_id
+         |  WHERE $edgeCond),
+         |reach(node, lbl) AS (
+         |  SELECT event_id, event_id FROM c
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+         |SELECT min(start_ns) AS cluster_start, max(start_ns) AS cluster_end,
+         |  count(*) AS n, count(DISTINCT station) AS n_stations,
+         |  (count(*) > count(DISTINCT station)) AS conflicting
+         |FROM c JOIN comp ON c.event_id = comp.node
+         |GROUP BY comp HAVING count(*) >= 2
+         |ORDER BY cluster_start, cluster_end, n""".stripMargin,
+    "distance_matrix" ->
+      s"""WITH st AS (
+         |  SELECT DISTINCT user_id AS station,
+         |    50.0 + (user_id % 10) * 0.02 AS lat,
+         |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
+         |    100.0 + (user_id % 7) * 10.0 AS h
+         |  FROM events),
+         |e AS (
+         |  SELECT station,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * cos(radians(lon)) AS x,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * sin(radians(lon)) AS y,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
+         |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
+         |  FROM st)
+         |SELECT a.station AS st_a, b.station AS st_b,
+         |  floor(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    + (a.z - b.z) * (a.z - b.z)) * 1e6) / 1e6 AS dist_m,
+         |  floor(greatest(sqrt((a.x - b.x) * (a.x - b.x)
+         |    + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z))
+         |    / ${Criterion.CMetersPerNano}, ${Criterion.MinTofNanos}) * 1e6)
+         |    / 1e6 AS tof_ns,
+         |  (sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    + (a.z - b.z) * (a.z - b.z)) <= ${Criterion.MaxDistanceMeters})
+         |    AS in_range
+         |FROM e a JOIN e b ON a.station < b.station
+         |ORDER BY st_a, st_b""".stripMargin
+  )
+}
