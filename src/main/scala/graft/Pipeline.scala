@@ -1,12 +1,465 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Large-scale training-data pipeline operators: deduplication,
-  * similarity search, text analysis, multimodal plumbing — over the
-  * `documents` and `embeddings` tables.
+/** Large-scale training-data pipeline operators over `documents` and
+  * `embeddings`: deduplication (exact / fingerprint / MinHash-LSH / SimHash
+  * / n-gram Jaccard / embedding cosine), similarity search (brute-force
+  * top-k, LSH-bucketed ANN), and text analysis (token stats, quality
+  * scoring, fingerprinting, language ID).
+  *
+  * Cross-engine hashing: Spark's xxhash64 has no DuckDB twin, so every
+  * hash here is an explicit polynomial fold ((acc·31 + code) mod P) built
+  * from higher-order array functions — identical integer arithmetic in
+  * both engines, and in Spark it stays inside codegen (no UDFs).
+  *
+  * Note Spark's `split(s, '')` keeps a trailing '' (Java regex, limit -1)
+  * while DuckDB's `string_split(s, '')` does not — char folds filter it.
   */
 object Pipeline {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  final val P = 1000000007L
+
+  /** Polynomial char-fold hash of a string column (Spark side). */
+  private def charFold(colName: String): String =
+    s"aggregate(filter(split($colName, ''), ch -> ch <> ''), 0L, " +
+      s"(a, ch) -> (a * 31 + ascii(ch)) % $P)"
+
+  /** Same fold in DuckDB SQL. */
+  private def charFoldDuck(colName: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($colName, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Exact deduplication: hash-group on full text, keep the smallest id
+    * (the classic exact-dedup shuffle: one hash partition per text). */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text")
+    Tables.documents(s, dir)
+      .withColumn("keeper", min("doc_id").over(w))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, distinct tokens, characters. */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS n_tokens",
+      "size(array_distinct(split(text, ' '))) AS n_unique",
+      "length(text) AS n_chars_m")
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, mean token length, class label —
+    * the length/punctuation/stopword heuristics of a pretraining filter. */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS n_tokens",
+      "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
+      .selectExpr(
+        "doc_id", "n_tokens",
+        "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio",
+        "CASE WHEN n_tokens < 20 THEN 'short' " +
+          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
+          "ELSE 'good' END AS quality")
+      .orderBy("doc_id")
+
+  /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"${charFold("text")} AS fp")
+      .withColumn("keeper", min("doc_id").over(w))
+      .select(col("doc_id"), col("fp"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ---- embedding similarity ---------------------------------------------
+
+  /** embeddings + double-cast vector and L2 norm (explicit in-order fold so
+    * DuckDB reproduces the exact double). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).selectExpr(
+      "vec_id",
+      "cast(embedding AS array<double>) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0 AS double), (s, t) -> s + t)) AS nrm")
+
+  private def cosExpr: String =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 AS double), (s, t) -> s + t) " +
+      "/ (na * nb)"
+
+  /** Brute-force cosine top-k: the exact baseline for similarity search.
+    * The (tiny) query set broadcasts; the scan side stays partitioned —
+    * at 100 TB this is one pass over the corpus per query batch. */
+  private def embeddingTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val c = all
+      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(c, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
+    * (Exact quadratic form — the LSH-bucketed scale path is `ann_lsh`.) */
+  private def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val a = all.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(cosExpr))
+      .filter(col("cosine") >= 0.3)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- MinHash / SimHash / n-gram dedup --------------------------------
+
+  /** documents → distinct-token polynomial hash sets (the MinHash input). */
+  private def tokenHashSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      s"array_distinct(transform(array_distinct(split(text, ' ')), " +
+        s"t -> aggregate(filter(split(t, ''), ch -> ch <> ''), 0L, " +
+        s"(a, ch) -> (a * 31 + ascii(ch)) % $P))) AS th")
+
+  /** Token 3-gram shingle hash sets — the MinHash input. (Unigram token
+    * sets are degenerate on this corpus: the vocabulary is ~30 words, so
+    * every long document's token SET converges to the full vocabulary and
+    * all-pairs similarity ≈ 1. Shingles keep the space sparse, which is
+    * also the realistic choice for web-scale dedup.) */
+  private def shingleHashSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).selectExpr("doc_id",
+      s"transform(split(text, ' '), t -> aggregate(filter(split(t, ''), " +
+        s"ch -> ch <> ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % $P)) AS tk")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sequence(1, size(tk) - 2), " +
+          s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
+          s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
+          s"+ element_at(tk, cast(i + 2 AS int))) % $P)) AS th")
+
+  /** MinHash + LSH banding near-dup detection over shingle sets: K=16
+    * permutations (affine (2k+3)·h + 99991k + 7 mod P), 2 bands × 8 rows,
+    * band-bucket join for candidates, exact Jaccard verification at
+    * τ = 0.5. Candidates are deduped on bare id pairs BEFORE re-attaching
+    * the hash sets — array columns never go through the distinct shuffle.
+    * This is the shape that scales: no all-pairs comparison anywhere. */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val th = shingleHashSets(s, dir)
+    val sig = th.selectExpr("doc_id",
+      s"transform(sequence(0, 15), k -> array_min(transform(th, " +
+        s"h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig")
+    val bands = sig.selectExpr("doc_id",
+      s"explode(transform(sequence(0, 1), b -> struct(b AS band, " +
+        s"aggregate(slice(sig, cast(b * 8 + 1 AS int), 8), 0L, " +
+        s"(a, x) -> (a * 31 + x) % $P) AS bv))) AS e")
+      .selectExpr("doc_id", "e.band AS band", "e.bv AS bv")
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")), Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")), Seq("doc_b"))
+      .withColumn("jaccard", expr(
+        "size(array_intersect(tha, thb)) / " +
+          "CAST(size(array_union(tha, thb)) AS double)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit) signatures from token-hash sets: bit b set iff the
+    * ±1 vote over member hashes is positive. */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    tokenHashSets(s, dir).selectExpr("doc_id",
+      "aggregate(sequence(0, 15), 0L, (acc, b) -> acc + " +
+        "IF(aggregate(th, 0L, (s, h) -> s + " +
+        "IF((shiftright(h, cast(b AS int)) & 1) = 1, 1L, -1L)) > 0, " +
+        "shiftleft(1L, cast(b AS int)), 0L)) AS simhash16")
+      .orderBy("doc_id")
+
+  /** Token 3-gram (shingle) Jaccard within a source block: top-20 most
+    * similar pairs. Blocking bounds the pair count; shingle hashes are
+    * combined from the per-token fold, so no re-hash of characters. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir).selectExpr("doc_id", "source",
+      s"transform(split(text, ' '), t -> aggregate(filter(split(t, ''), " +
+        s"ch -> ch <> ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % $P)) AS th")
+      .selectExpr("doc_id", "source",
+        s"array_distinct(transform(sequence(1, size(th) - 2), " +
+          s"i -> ((element_at(th, cast(i AS int)) * 31 " +
+          s"+ element_at(th, cast(i + 1 AS int))) % $P * 31 " +
+          s"+ element_at(th, cast(i + 2 AS int))) % $P)) AS sh")
+    val a = sh.select(col("source"), col("doc_id").as("doc_a"),
+      col("sh").as("sha"))
+    val b = sh.select(col("source"), col("doc_id").as("doc_b"),
+      col("sh").as("shb"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", expr(
+        "size(array_intersect(sha, shb)) / " +
+          "CAST(size(array_union(sha, shb)) AS double)"))
+      .select("source", "doc_a", "doc_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** LSH-bucketed approximate nearest neighbor — the scale path for
+    * similarity search: 8 deterministic hyperplanes → 256 buckets →
+    * within-bucket top-1 by cosine. One shuffle on the bucket key instead
+    * of an all-pairs join. */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(s, dir).withColumn("bucket", expr(
+      "aggregate(sequence(0, 7), 0L, (acc, k) -> acc + " +
+        "IF(aggregate(sequence(1, 64), cast(0 AS double), (s, d) -> s + " +
+        "CAST((k * 64 + d - 1) * 2654435761 % 1000 - 500 AS double) " +
+        "* element_at(v, cast(d AS int))) >= 0, " +
+        "shiftleft(1L, cast(k AS int)), 0L))"))
+    val a = bucketed.select(col("bucket"), col("vec_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("nn_cosine").desc, col("nn_id"))
+    a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("nn_cosine", expr(cosExpr))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "bucket", "nn_id", "nn_cosine")
+      .orderBy("vec_id")
+  }
+
+  /** Language ID: char-trigram profile classifier (library kernel; the
+    * synthetic corpus text is English-shaped regardless of its `lang`
+    * label, so the prediction column is the deliverable, not accuracy).
+    * No SQL oracle — driver records the rows-only check. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val detect = udf((t: String) => graft.functions.TextFunctions.detectLang(t))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), detect(col("text")).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal feature extraction: text bytes stand in for media payloads
+    * (decode step stubbed — operators.Multimodal); byte plumbing, per-
+    * partition batching and the feature schema are real. */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "text/plain", t.getBytes("UTF-8")) }
+    graft.operators.Multimodal.extractFeatures(media)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id"             -> langId _,
+    "multimodal_features" -> multimodalFeatures _,
+    "dedup_exact"       -> dedupExact _,
+    "token_stats"       -> tokenStats _,
+    "text_quality"      -> textQuality _,
+    "doc_fingerprint"   -> docFingerprint _,
+    "embedding_topk"    -> embeddingTopk _,
+    "embedding_neardup" -> embeddingNeardup _,
+    "minhash_lsh"       -> minhashLsh _,
+    "simhash"           -> simhash _,
+    "ngram_jaccard"     -> ngramJaccard _,
+    "ann_lsh"           -> annLsh _
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  private val vecsCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(v, x -> x * x)), (s, t) -> s + t)) AS nrm
+      |  FROM e)""".stripMargin
+
+  /** documents → distinct token-hash sets (DuckDB side). */
+  private val thCte =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_distinct(list_transform(toks,
+       |    t -> ${charFoldDuck("t")})) AS th
+       |  FROM t)""".stripMargin
+
+  /** documents → distinct shingle-hash sets (DuckDB side). */
+  private val shCte =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    t -> ${charFoldDuck("t")}) AS tk
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(tk) - 1), i ->
+       |      ((tk[i] * 31 + tk[i + 1]) % $P * 31 + tk[i + 2]) % $P)) AS th
+       |  FROM t)""".stripMargin
+
+  private val cosDuck =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+      |    (s, t) -> s + t) / (a.nrm * b.nrm)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
+         |  length(text) AS n_bytes,
+         |  substring(text, 1, 8) AS head8,
+         |  ${charFoldDuck("text")} AS content_hash,
+         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_stats" ->
+      """SELECT doc_id,
+        |  length(string_split(text, ' ')) AS n_tokens,
+        |  length(list_distinct(string_split(text, ' '))) AS n_unique,
+        |  length(text) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(string_split(text, ' ')) AS n_tokens,
+        |  length(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a'))) / CAST(length(string_split(text, ' '))
+        |    AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN length(string_split(text, ' ')) < 20 THEN 'short'
+        |    WHEN length(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) / CAST(length(string_split(text, ' '))
+        |      AS DOUBLE) > 0.15 THEN 'stopwordy'
+        |    ELSE 'good' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, ${charFoldDuck("text")} AS fp FROM documents)
+         |SELECT doc_id, fp,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "embedding_topk" ->
+      s"""$vecsCte,
+         |p AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |    $cosDuck AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM p)
+         |SELECT qid, rank, vec_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "embedding_neardup" ->
+      s"""$vecsCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosDuck AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE $cosDuck >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_lsh" ->
+      s"""$shCte,
+         |sig AS (
+         |  SELECT doc_id, th,
+         |    list_transform(range(0, 16), k -> list_min(list_transform(th,
+         |      h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig
+         |  FROM th),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      sig[b * 8 + 1 : b * 8 + 8]), (a, x) -> (a * 31 + x) % $P) AS bv
+         |  FROM sig, range(0, 2) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    length(list_intersect(ta.th, tb.th))
+         |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN th ta ON cand.doc_a = ta.doc_id
+         |            JOIN th tb ON cand.doc_b = tb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM v
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash" ->
+      s"""$thCte
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 16), b ->
+         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(th, h ->
+         |          CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+         |               ELSE CAST(-1 AS BIGINT) END)),
+         |        (s, t) -> s + t) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |    (a, x) -> a + x) AS simhash16
+         |FROM th ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${charFoldDuck("t")}) AS th
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, length(th) - 1), i ->
+         |      ((th[i] * 31 + th[i + 1]) % $P * 31 + th[i + 2]) % $P)) AS sh
+         |  FROM t)
+         |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  length(list_intersect(a.sh, b.sh))
+         |    / CAST(length(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "ann_lsh" ->
+      s"""$vecsCte,
+         |bk AS (
+         |  SELECT vec_id, v, nrm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 8), k ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 65), d ->
+         |            CAST((k * 64 + d - 1) * 2654435761 % 1000 - 500
+         |              AS DOUBLE) * v[CAST(d AS INT)])),
+         |          (s, t) -> s + t) >= 0
+         |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a + x) AS bucket
+         |  FROM n),
+         |p AS (
+         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+         |    b.vec_id AS nn_id, $cosDuck AS nn_cosine
+         |  FROM bk a JOIN bk b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
+         |SELECT vec_id, bucket, nn_id, nn_cosine FROM r
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  )
 }
