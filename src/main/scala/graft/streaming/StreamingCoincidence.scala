@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.Detector
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One hit on the stream (event time = startNs, i64 nanos). */
+case class StreamHit(eventId: Long, station: Long, startNs: Long)
+
+/** One open (not yet emitted) coincidence cluster. */
+case class OpenCluster(minStart: Long, maxStart: Long,
+                       stations: List[Long], eventIds: List[Long])
+
+/** Keyed state: the open clusters of one time bucket. */
+case class BucketState(clusters: List[OpenCluster])
+
+/** An emitted L1 coincidence (n ≥ 2 enforced at the sink filter). */
+case class EmittedCluster(clusterStart: Long, clusterEnd: Long, n: Long,
+                          nStations: Long, conflicting: Boolean)
+
+/** Structured-Streaming coincidence clustering — the event-time lift of the
+  * reference's greedy online filter (reference
+  * src/analysis/coincidencefilter.cpp:94-143 buffers open clusters and
+  * emits on timeout, reference :40-59): `flatMapGroupsWithState` keyed by
+  * time bucket, clusters merged incrementally (an event bridging two open
+  * clusters merges them — the transitive-closure behavior of C4), emission
+  * driven by the event-time watermark instead of wall clock (SURVEY.md
+  * §7.3: a deliberate upgrade — replays become reproducible).
+  *
+  * Scale: state is per-bucket and gap-bounded; no global buffer. Clusters
+  * that touch a bucket boundary can be compacted by the same tiny
+  * boundary-merge pass as the batch sessionizer (operators.Sessionize) in
+  * a downstream foreachBatch; within-bucket output is exact.
+  */
+object StreamingCoincidence {
+
+  def clusterStream(hits: Dataset[StreamHit],
+                    gapNs: Long = Detector.GapNs,
+                    bucketNs: Long = Detector.BucketNs,
+                    watermarkDelay: String = "30 seconds"): Dataset[EmittedCluster] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    hits
+      .withColumn("ts", timestamp_micros(expr("startNs div 1000")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, _, startNs, _) => startNs / bucketNs }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(processBucket(gapNs))
+  }
+
+  /** Merge an event into the open-cluster set: every cluster whose
+    * [min−gap, max+gap] envelope covers the event start is unioned with it
+    * (maintains exact gap-session components under out-of-order arrival). */
+  private[streaming] def addEvent(clusters: List[OpenCluster], e: StreamHit,
+                                  gapNs: Long): List[OpenCluster] = {
+    val (touching, rest) = clusters.partition(c =>
+      e.startNs >= c.minStart - gapNs && e.startNs <= c.maxStart + gapNs)
+    val merged = touching.foldLeft(
+      OpenCluster(e.startNs, e.startNs, List(e.station), List(e.eventId))) {
+      (acc, c) =>
+        OpenCluster(math.min(acc.minStart, c.minStart),
+          math.max(acc.maxStart, c.maxStart),
+          acc.stations ++ c.stations, acc.eventIds ++ c.eventIds)
+    }
+    merged :: rest
+  }
+
+  private def emit(c: OpenCluster): EmittedCluster = {
+    val nStations = c.stations.distinct.size.toLong
+    EmittedCluster(c.minStart, c.maxStart, c.eventIds.size.toLong,
+      nStations, c.eventIds.size > nStations)
+  }
+
+  private def processBucket(gapNs: Long)(
+      key: Long,
+      events: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      state: GroupState[BucketState]): Iterator[EmittedCluster] = {
+    val wmNs = state.getCurrentWatermarkMs() * 1000000L
+    var clusters = state.getOption.map(_.clusters).getOrElse(Nil)
+
+    if (!state.hasTimedOut) {
+      for ((eid, st, startNs, _) <- events)
+        clusters = addEvent(clusters, StreamHit(eid, st, startNs), gapNs)
+    }
+
+    // Emit every cluster the watermark has sealed (no event can extend it).
+    val (closed, open) = clusters.partition(_.maxStart + gapNs < wmNs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(BucketState(open))
+      // earliest deadline among open clusters, strictly above the watermark
+      val deadlineMs = open.map(_.maxStart + gapNs).min / 1000000L + 1
+      state.setTimeoutTimestamp(math.max(deadlineMs,
+        state.getCurrentWatermarkMs() + 1))
+    }
+    closed.filter(_.eventIds.size >= 2).sortBy(_.minStart).map(emit).iterator
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One telemetry event for the registry (valueCents = fixed-point value). */
+case class StationEvent(station: Long, startNs: Long, valueCents: Long,
+                        counter: Long)
+
+/** Persistent per-station state: running aggregates + reliability status
+  * with hysteresis (the part batch queries cannot express — R6 keeps the
+  * previous status inside the dead band; reference
+  * src/analysis/detectorstation.cpp:89-107). */
+case class StationState(nEvents: Long, sumValueCents: Long, lastCounter: Long,
+                        progress: Long, lastSeenNs: Long, status: String)
+
+/** Registry output row (detector_summary shape, SURVEY §2.2 R11). */
+case class StationUpdate(station: Long, nEvents: Long, meanValue: Double,
+                         progress: Long, status: String)
+
+/** Streaming station registry: `mapGroupsWithState` keyed by station hash —
+  * the keyed-upsert + per-key aggregate machine of the reference's
+  * supervision::station (SURVEY §2.2 R1–R8). Processing-time timeouts model
+  * the liveness ladder (90 s unreliable / 270 s offline / 48 h delete,
+  * reference include/analysis/detectorstation.h:123-125) — kept on
+  * processing time deliberately, matching the reference's wall-clock
+  * semantics for liveness (SURVEY §7.3 item 4).
+  */
+object StreamingRegistry {
+
+  final val CounterMod = 65536L
+  final val FTimeDivisor = 50.0
+  final val UpperBand = 1.15
+  final val LowerBand = 0.85
+
+  /** `timeout = ProcessingTimeTimeout` enables the liveness ladder; pass
+    * `NoTimeout` in synchronous tests — a processing-time timeout keeps the
+    * micro-batch engine triggering empty batches, which stalls
+    * processAllAvailable-style drivers. */
+  def registryStream(events: Dataset[StationEvent],
+                     livenessTimeoutMs: Long = 90000L,
+                     timeout: GroupStateTimeout =
+                       GroupStateTimeout.ProcessingTimeTimeout): Dataset[StationUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val arm = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.station)
+      .mapGroupsWithState(timeout)(update(livenessTimeoutMs, arm))
+  }
+
+  /** Fold one event into the state (u16 wraparound per reference
+    * detectorstation.cpp:37-48, hysteresis classification per :89-107). */
+  private[streaming] def fold(s: StationState, e: StationEvent): StationState = {
+    val delta =
+      if (s.nEvents == 0) 0L
+      else if (e.counter > s.lastCounter) e.counter - s.lastCounter
+      else e.counter + (CounterMod - 1) - s.lastCounter
+    val n = s.nEvents + 1
+    val sum = s.sumValueCents + e.valueCents
+    val fTime = (sum / 100.0 / n) / FTimeDivisor
+    val status =
+      if (fTime > UpperBand) "unreliable"
+      else if (fTime < LowerBand) "reliable"
+      else s.status // dead band: hysteresis keeps the previous state
+    StationState(n, sum, e.counter, s.progress + delta,
+      math.max(s.lastSeenNs, e.startNs), status)
+  }
+
+  private def update(livenessTimeoutMs: Long, armTimeout: Boolean)(
+      station: Long, events: Iterator[StationEvent],
+      state: GroupState[StationState]): StationUpdate = {
+    if (state.hasTimedOut) {
+      // liveness ladder: no data within the deadline ⇒ unreliable
+      val s = state.get
+      val down = s.copy(status = "unreliable")
+      state.update(down)
+      if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
+      StationUpdate(station, down.nEvents, down.sumValueCents / 100.0 /
+        math.max(down.nEvents, 1), down.progress, "unreliable")
+    } else {
+      val init = state.getOption.getOrElse(
+        StationState(0L, 0L, 0L, 0L, 0L, "created"))
+      val s = events.toSeq.sortBy(e => (e.startNs, e.counter)).foldLeft(init)(fold)
+      state.update(s)
+      if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
+      StationUpdate(station, s.nEvents,
+        s.sumValueCents / 100.0 / math.max(s.nEvents, 1), s.progress, s.status)
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream/batch parity: the streaming coincidence operator must reproduce
+  * the batch gap-sessionization on the same data once the watermark seals
+  * the clusters. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def runStream(hits: Seq[StreamHit], gapNs: Long): Seq[EmittedCluster] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamHit]
+    val out = StreamingCoincidence.clusterStream(mem.toDS(), gapNs,
+      bucketNs = 1000000000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("clusters").start()
+    try {
+      mem.addData(hits)
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark → flush all
+      mem.addData(StreamHit(999999L, 999L, hits.map(_.startNs).max + gapNs * 1000))
+      q.processAllAvailable()
+      // one more empty-ish batch so event-time timeouts fire post-watermark
+      mem.addData(StreamHit(999998L, 999L, hits.map(_.startNs).max + gapNs * 2000))
+      q.processAllAvailable()
+      spark.table("clusters").as[EmittedCluster].collect().toSeq
+    } finally q.stop()
+  }
+
+  private val S = 1000000000L // 1 s in ns (watermarks are ms-granular)
+  // Fixtures sit well above epoch 0: the stateful op drops rows with
+  // ts <= watermark, and the initial watermark is 0.
+  private val B = 1000L * S
+
+  test("streaming clusters match batch gap sessions (in-order arrival)") {
+    val gap = 10L * S
+    // clusters: {0,5,12} (chain), {40,45}, {100} (seconds, offset by B)
+    val hits = Seq(
+      StreamHit(1, 10, B), StreamHit(2, 11, B + 5 * S), StreamHit(3, 10, B + 12 * S),
+      StreamHit(4, 12, B + 40 * S), StreamHit(5, 13, B + 45 * S),
+      StreamHit(6, 14, B + 100 * S))
+    val got = runStream(hits, gap).sortBy(_.clusterStart)
+    assert(got.map(c => (c.clusterStart, c.clusterEnd, c.n)) ==
+      Seq((B, B + 12 * S, 3L), (B + 40 * S, B + 45 * S, 2L)))
+    // conflicting: station 10 appears twice in the first cluster
+    assert(got.head.conflicting && got.head.nStations == 2)
+    assert(!got(1).conflicting)
+  }
+
+  test("out-of-order arrival: bridging event merges two open clusters") {
+    val gap = 10L * S
+    // B and B+20s open separately; B+10s arrives later and bridges them
+    val hits = Seq(
+      StreamHit(1, 1, B), StreamHit(2, 2, B + 20 * S), StreamHit(3, 3, B + 10 * S),
+      StreamHit(4, 4, B + 200 * S))
+    val got = runStream(hits, gap).sortBy(_.clusterStart)
+    assert(got.map(c => (c.clusterStart, c.clusterEnd, c.n, c.nStations)) ==
+      Seq((B, B + 20 * S, 3L, 3L)))
+  }
+
+  test("registry fold: wraparound, mean, hysteresis dead band") {
+    val s0 = StationState(0, 0, 0, 0, 0, "created")
+    val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
+    assert(s1.progress == 0 && s1.nEvents == 1)
+    // wraparound: 65530 -> 3 ⇒ delta = 3 + 65535 - 65530 = 8
+    val s2 = StreamingRegistry.fold(s1, StationEvent(1, 200, 10000, 3))
+    assert(s2.progress == 8)
+    // mean value 100.0 ⇒ f_time = 2.0 > 1.15 ⇒ unreliable
+    assert(s2.status == "unreliable")
+    // drive mean into the dead band: status must KEEP previous value
+    var s = s2
+    var i = 0
+    while (i < 2) { s = StreamingRegistry.fold(s, StationEvent(1, 300, 0, 10 + i)); i += 1 }
+    val fTime = (s.sumValueCents / 100.0 / s.nEvents) / 50.0
+    assert(fTime > 0.85 && fTime < 1.15, s"dead band expected, got $fTime")
+    assert(s.status == "unreliable") // hysteresis held
+  }
+
+  test("streaming registry end-to-end over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StationEvent]
+    val out = StreamingRegistry.registryStream(mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("registry").start()
+    try {
+      mem.addData(
+        StationEvent(7, 100, 2000, 1), StationEvent(7, 200, 2000, 5),
+        StationEvent(8, 100, 9000, 1))
+      q.processAllAvailable()
+      val rows = spark.table("registry").as[StationUpdate].collect()
+        .groupBy(_.station).view.mapValues(_.last).toMap
+      assert(rows(7).nEvents == 2 && rows(7).progress == 4)
+      assert(rows(7).meanValue == 20.0 && rows(7).status == "reliable")
+      assert(rows(8).status == "unreliable") // 90 > 50·1.15
+    } finally q.stop()
+  }
+}
