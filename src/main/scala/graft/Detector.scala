@@ -45,56 +45,61 @@ object Detector {
   private def clustered(s: SparkSession, dir: String): DataFrame =
     Sessionize.withClusterKey(hits(s, dir), GapNs, BucketNs)
 
-  /** All-pairs within each cluster (a.event_id < b.event_id), the batch
-    * form of the reference's per-cluster pair loops (criterion.cpp:33-44,
-    * stationcoincidence.cpp:43-80). Cluster sizes are gap-bounded, so the
-    * per-cluster quadratic stays small; the join is co-partitioned on
-    * cluster_key (one shuffle, no broadcast of the big side). */
-  private def clusterPairs(c: DataFrame): DataFrame = {
-    val a = c.select(col("cluster_key"), col("event_id").as("eid_a"),
-      col("start_ns").as("start_a"), col("station").as("station_a"))
-    val b = c.select(col("cluster_key"), col("event_id").as("eid_b"),
-      col("start_ns").as("start_b"), col("station").as("station_b"))
-    a.join(b, Seq("cluster_key")).filter(col("eid_a") < col("eid_b"))
-  }
+  /** One row per cluster with the (start-sorted) hit array — a SINGLE
+    * scan + shuffle for the whole coincidence family; pair math happens
+    * with higher-order array functions on gap-bounded arrays instead of a
+    * second sessionize + self-join branch (the naive plan scanned the
+    * parquet four times). */
+  private def clusterAgg(s: SparkSession, dir: String): DataFrame =
+    clustered(s, dir)
+      .groupBy("cluster_key")
+      .agg(sort_array(collect_list(struct(
+        col("start_ns"), col("event_id"), col("station")))).as("hits"))
+      .withColumn("n", size(col("hits")).cast("long"))
+
+  /** All unordered in-cluster pairs (i < j over the sorted hit array),
+    * exploded — the batch form of the reference's per-cluster pair loops
+    * (criterion.cpp:33-44, stationcoincidence.cpp:43-80). */
+  private def pairsExpr: String =
+    "flatten(transform(sequence(1, size(hits) - 1), i -> " +
+      "transform(slice(hits, cast(i + 1 AS int), size(hits) - cast(i AS int)), " +
+      "y -> struct(element_at(hits, cast(i AS int)) AS a, y AS b))))"
 
   /** L1 coincidence events (n ≥ 2): envelope, multiplicity, conflicting
     * flag, valid-edge count and plausibility — the O2/O3 sink shape
     * (reference include/sink/database.h:135-165). */
-  private def coincidenceL1(s: SparkSession, dir: String): DataFrame = {
-    val c = clustered(s, dir)
-    val agg = c.groupBy("cluster_key").agg(
-      min("start_ns").as("cluster_start"),
-      max("start_ns").as("cluster_end"),
-      count(lit(1)).as("n"),
-      countDistinct(col("station")).as("_ndist"))
-    val trueE = clusterPairs(c)
-      .filter(abs(col("start_a") - col("start_b")) <= GapNs)
-      .groupBy("cluster_key").agg(count(lit(1)).as("_te"))
-    agg.filter(col("n") >= 2)
-      .join(trueE, Seq("cluster_key"), "left")
+  private def coincidenceL1(s: SparkSession, dir: String): DataFrame =
+    clusterAgg(s, dir)
+      .filter(col("n") >= 2)
+      .selectExpr("n",
+        "element_at(hits, 1).start_ns AS cluster_start",
+        "element_at(hits, cast(n AS int)).start_ns AS cluster_end",
+        "size(array_distinct(transform(hits, h -> h.station))) AS _ndist",
+        s"size(filter($pairsExpr, " +
+          s"p -> abs(p.a.start_ns - p.b.start_ns) <= ${GapNs}L)) AS _te")
       .select(
         col("cluster_start"), col("cluster_end"), col("n"),
         (col("n") > col("_ndist")).as("conflicting"),
-        coalesce(col("_te"), lit(0L)).as("true_e"),
-        (coalesce(col("_te"), lit(0L)) /
-          (col("n") * (col("n") - 1) / lit(2.0))).as("plausibility"))
+        col("_te").cast("long").as("true_e"),
+        (col("_te") / (col("n") * (col("n") - 1) / lit(2.0)))
+          .as("plausibility"))
       .orderBy("cluster_start")
-  }
 
   /** Station-pair time-difference histogram (reference
     * src/analysis/stationcoincidence.cpp:43-80): for every unordered
     * station pair inside a coincidence, Δstart sign-normalized with the
     * larger station key first, 1 s bins. */
   private def pairTimediffHist(s: SparkSession, dir: String): DataFrame =
-    clusterPairs(clustered(s, dir))
-      .filter(col("station_a") =!= col("station_b"))
+    clusterAgg(s, dir)
+      .filter(col("n") >= 2)
+      .selectExpr(s"explode($pairsExpr) AS p")
+      .filter(col("p.a.station") =!= col("p.b.station"))
       .select(
-        least(col("station_a"), col("station_b")).as("station_lo"),
-        greatest(col("station_a"), col("station_b")).as("station_hi"),
-        when(col("station_a") > col("station_b"),
-          col("start_a") - col("start_b"))
-          .otherwise(col("start_b") - col("start_a")).as("_dt"))
+        least(col("p.a.station"), col("p.b.station")).as("station_lo"),
+        greatest(col("p.a.station"), col("p.b.station")).as("station_hi"),
+        when(col("p.a.station") > col("p.b.station"),
+          col("p.a.start_ns") - col("p.b.start_ns"))
+          .otherwise(col("p.b.start_ns") - col("p.a.start_ns")).as("_dt"))
       .withColumn("bin", floor(col("_dt") / BinNs).cast("long"))
       .groupBy("station_lo", "station_hi", "bin")
       .agg(count(lit(1)).as("cnt"))
@@ -103,8 +108,7 @@ object Detector {
   /** Multiplicity histogram of emitted coincidences (reference
     * src/supervision/state.cpp:113-126; n=1 suppressed as at every sink). */
   private def multiplicityHist(s: SparkSession, dir: String): DataFrame =
-    clustered(s, dir)
-      .groupBy("cluster_key").agg(count(lit(1)).as("n"))
+    clusterAgg(s, dir)
       .filter(col("n") >= 2)
       .groupBy("n").agg(count(lit(1)).as("n_clusters"))
       .orderBy("n")

@@ -125,24 +125,21 @@ object Registry {
     val h = hits(s, dir).select("event_id", "station", "start_ns")
     val incoming = h.withColumn("day", floor(col("start_ns") / DayNs))
       .groupBy("day").agg(count(lit(1)).as("incoming"))
-    val clustered = Sessionize.withClusterKey(h, Detector.GapNs, Detector.BucketNs)
-    val cl = clustered.groupBy("cluster_key")
-      .agg(min("start_ns").as("cs"), count(lit(1)).as("n"))
-    val pairs = {
-      val a = clustered.select(col("cluster_key"), col("event_id").as("ea"),
-        col("start_ns").as("sa"))
-      val b = clustered.select(col("cluster_key"), col("event_id").as("eb"),
-        col("start_ns").as("sb"))
-      a.join(b, Seq("cluster_key"))
-        .filter(col("ea") < col("eb") &&
-          abs(col("sa") - col("sb")) <= Detector.GapNs)
-        .groupBy("cluster_key").agg(count(lit(1)).as("te"))
-    }
-    val out = cl.filter(col("n") >= 2)
-      .join(pairs, Seq("cluster_key"), "left")
-      .withColumn("p6",
-        coalesce(col("te"), lit(0L)) /
-          (col("n") * (col("n") - 1) / lit(2.0)))
+    // single-pass cluster stats (see Detector.clusterAgg): sorted hit
+    // array per cluster, pair edges via higher-order functions
+    val out = Sessionize.withClusterKey(h, Detector.GapNs, Detector.BucketNs)
+      .groupBy("cluster_key")
+      .agg(sort_array(collect_list(struct(col("start_ns"), col("event_id"))))
+        .as("hits"))
+      .withColumn("n", size(col("hits")).cast("long"))
+      .filter(col("n") >= 2)
+      .selectExpr("n", "element_at(hits, 1).start_ns AS cs",
+        "size(filter(flatten(transform(sequence(1, size(hits) - 1), i -> " +
+          "transform(slice(hits, cast(i + 1 AS int), " +
+          "size(hits) - cast(i AS int)), y -> " +
+          "abs(element_at(hits, cast(i AS int)).start_ns - y.start_ns)))), " +
+          s"d -> d <= ${Detector.GapNs}L)) AS te")
+      .withColumn("p6", col("te") / (col("n") * (col("n") - 1) / lit(2.0)))
       .withColumn("day", floor(col("cs") / DayNs))
       .groupBy("day").agg(
         count(lit(1)).as("outgoing"),

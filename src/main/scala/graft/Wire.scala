@@ -1,0 +1,149 @@
+package graft
+
+import graft.sources.MqttParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wire-format surface: MQTT line parsing (SURVEY §2.1 S1/S2), sink
+  * formatting (§2.5 O3/O4), and telemetry-bag assembly (§2.1 S5) —
+  * exercised as a round trip: synthesize wire lines from the events table
+  * (including deliberately malformed ones), parse them back with the
+  * reference's rejection rules, and format cluster/log output lines.
+  */
+object Wire {
+
+  /** events → synthetic MQTT wire lines. Every 97th event gets a payload
+    * starting with '.', every 89th a "cluster" user — both must be
+    * rejected by the parser (reference include/source/mqtt.h:218-223,
+    * 391-395). */
+  private def wireLines(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      (expr("ts div 1000") * 1000).as("start_ns"),
+      col("event_type"), col("value"))
+      .withColumn("end_ns", col("start_ns") + (col("event_id") % 1000) * 1000)
+      .withColumn("topic",
+        when(col("event_id") % 89 === 0,
+          lit("muonpi/data/cluster/st0"))
+          .otherwise(concat(lit("muonpi/data/u"), col("user_id"),
+            lit("/st"), col("user_id") % 3)))
+      .withColumn("f0",
+        when(col("event_id") % 97 === 0, lit(".12345678901234567"))
+          .otherwise(format_string("%d.%09d",
+            expr("start_ns div 1000000000"), col("start_ns") % 1000000000L)))
+      .withColumn("f1", format_string("%d.%09d",
+        expr("end_ns div 1000000000"), col("end_ns") % 1000000000L))
+      .withColumn("payload", concat_ws(" ",
+        col("f0"), col("f1"),
+        round(col("value") * 10).cast("long"),
+        col("event_id") % 65536,
+        when(col("event_type") === "error", 0).otherwise(1),
+        lit(1), lit(1)))
+      .select("topic", "payload")
+
+  /** Round trip: wire lines → parser → typed hits (S1+S2). */
+  private def parseHits(s: SparkSession, dir: String): DataFrame =
+    MqttParser.parseHits(wireLines(s, dir))
+      .select("hash", "user", "station_id", "start_ns", "end_ns",
+        "time_acc", "ublox_counter", "fix")
+      .orderBy("start_ns", "ublox_counter")
+
+  /** O4-shape ASCII line per emitted coincidence (reference
+    * include/sink/ascii.h:51-81: multiplicity, plausibility as true_e out
+    * of max pairs, conflict flag, coincidence time). */
+  private def l1AsciiFormat(s: SparkSession, dir: String): DataFrame =
+    Detector.queries("coincidence_l1")(s, dir)
+      .select(col("cluster_start"),
+        format_string("Event: n=%d %d/%d %s dt=%d",
+          col("n"), col("true_e"), expr("(n * (n - 1)) div 2"),
+          when(col("conflicting"), "C").otherwise("V"),
+          col("cluster_end") - col("cluster_start")).as("line"))
+      .orderBy("cluster_start")
+
+  /** S5-shape telemetry bag: per station per hour, the sorted item list
+    * (name=value pairs) assembled into one record — collect_list +
+    * sort_array presented as a string for engine-neutral comparison. */
+  private def logAssembly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"),
+      concat(col("event_type"), lit("="),
+        round(col("value") * 100).cast("long")).as("item"))
+      .withColumn("hour", expr("start_ns div 3600000000000"))
+      .groupBy("station", "hour")
+      .agg(count(lit(1)).as("n_items"),
+        concat_ws(";", sort_array(collect_list(col("item")))).as("items_str"))
+      .orderBy("station", "hour")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parse_hits"      -> parseHits _,
+    "l1_ascii_format" -> l1AsciiFormat _,
+    "log_assembly"    -> logAssembly _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "parse_hits" ->
+      """WITH raw AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS start_ns,
+        |    epoch_ns(ts) + (event_id % 1000) * 1000 AS end_ns,
+        |    event_type, value
+        |  FROM events),
+        |lines AS (
+        |  SELECT
+        |    CASE WHEN event_id % 89 = 0 THEN 'muonpi/data/cluster/st0'
+        |      ELSE 'muonpi/data/u' || user_id || '/st' || (user_id % 3) END
+        |      AS topic,
+        |    CASE WHEN event_id % 97 = 0 THEN '.12345678901234567'
+        |      ELSE printf('%d.%09d', start_ns // 1000000000,
+        |                  start_ns % 1000000000) END AS f0,
+        |    printf('%d.%09d', end_ns // 1000000000, end_ns % 1000000000) AS f1,
+        |    CAST(round(value * 10) AS BIGINT) AS time_acc,
+        |    event_id % 65536 AS ublox,
+        |    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS fix
+        |  FROM raw),
+        |tok AS (
+        |  SELECT string_split(topic, '/') AS t,
+        |    f0, f1, time_acc, ublox, fix FROM lines),
+        |ok AS (
+        |  SELECT t[3] AS user, t[4] AS station_id, f0, f1, time_acc,
+        |    ublox, fix
+        |  FROM tok
+        |  WHERE length(t) >= 4 AND t[3] <> '' AND t[3] <> 'cluster'
+        |    AND length(f0) >= 17 AND length(f1) >= 17
+        |    AND substring(f0, 1, 1) <> '.' AND substring(f1, 1, 1) <> '.'),
+        |parsed AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(user || station_id, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS hash,
+        |    user, station_id,
+        |    CAST(CAST(f0 AS DECIMAL(30,9)) * 1000000000 AS BIGINT) AS start_ns,
+        |    CAST(CAST(f1 AS DECIMAL(30,9)) * 1000000000 AS BIGINT) AS end_ns,
+        |    time_acc, CAST(ublox AS INT) AS ublox_counter, CAST(fix AS INT) AS fix
+        |  FROM ok)
+        |SELECT * FROM parsed WHERE start_ns <= end_ns
+        |ORDER BY start_ns, ublox_counter""".stripMargin,
+    "l1_ascii_format" -> {
+      // reuse the coincidence_l1 session pipeline, then format
+      val base = Detector.oracleSql("coincidence_l1")
+        .replace("ORDER BY cluster_start", "")
+      s"""WITH l1 AS ($base)
+         |SELECT cluster_start,
+         |  printf('Event: n=%d %d/%d %s dt=%d', n, true_e,
+         |    (n * (n - 1)) // 2,
+         |    CASE WHEN conflicting THEN 'C' ELSE 'V' END,
+         |    cluster_end - cluster_start) AS line
+         |FROM l1 ORDER BY cluster_start""".stripMargin
+    },
+    "log_assembly" ->
+      """WITH i AS (
+        |  SELECT user_id AS station, epoch_ns(ts) AS start_ns,
+        |    event_type || '=' || CAST(round(value * 100) AS BIGINT) AS item
+        |  FROM events)
+        |SELECT station, start_ns // 3600000000000 AS hour,
+        |  count(*) AS n_items,
+        |  array_to_string(list_sort(list(item)), ';') AS items_str
+        |FROM i GROUP BY 1, 2 ORDER BY station, hour""".stripMargin
+  )
+}

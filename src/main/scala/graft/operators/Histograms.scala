@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Histogram snapshot + rollup (SURVEY §2.4 A7/A8): the reference writes
+  * per-station-pair `.hist` files every 24 h and a standalone tool sums
+  * them per bin (reference src/analysis/stationcoincidence.cpp:111-212,
+  * src/aggregation.cpp:125-203). Spark-native form: partitioned columnar
+  * snapshots + a grouped-sum rollup — `groupBy(pair, bin).sum` replaces
+  * the per-directory file walk, and scales by partitioning on the pair.
+  */
+object Histograms {
+
+  /** Snapshot a (station_lo, station_hi, bin, cnt) histogram table,
+    * partitioned by pair for pruned rollups. */
+  def save(hist: DataFrame, dir: String): Unit =
+    hist.write.mode(SaveMode.Append)
+      .partitionBy("station_lo", "station_hi")
+      .parquet(dir)
+
+  /** Roll up all snapshots: per pair and bin, total counts (A8's
+    * `groupBy(bin).sum(count)` over every file in the directory). */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("station_lo", "station_hi", "bin")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Rollup metadata (A8: sums of totals, last-write-wins is replaced by
+    * deterministic max for the scalar fields). */
+  def rollupMeta(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("station_lo", "station_hi")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("n_bins_rows"),
+        min("bin").as("min_bin"), max("bin").as("max_bin"))
+}
