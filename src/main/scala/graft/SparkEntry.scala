@@ -13,16 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The domain core: L1 coincidence clusters from the event stream. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("coincidence_l1")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Detector.queries ++ Registry.queries ++ Geodesic.queries ++ Pipeline.queries ++ Wire.queries
+    Relational.queries ++ Detector.queries ++ Registry.queries ++ Geodesic.queries ++ Pipeline.queries ++ Wire.queries ++ Assembly.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Detector.oracleSql ++ Registry.oracleSql ++ Geodesic.oracleSql ++ Pipeline.oracleSql ++ Wire.oracleSql
+    Relational.oracleSql ++ Detector.oracleSql ++ Registry.oracleSql ++ Geodesic.oracleSql ++ Pipeline.oracleSql ++ Wire.oracleSql ++ Assembly.oracleSql
 }
