@@ -84,6 +84,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.status == "unreliable") // hysteresis held
   }
 
+  test("stream/batch parity on the real sf0.001 events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = graft.Detector.GapNs
+    // batch canonical clusters (n >= 2) over the same hit set
+    val hits = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "user_id AS station", "ts AS start_ns")
+    val batch = graft.operators.Sessionize
+      .withClusterKey(hits, gap)
+      .groupBy("cluster_key")
+      .agg(org.apache.spark.sql.functions.min("start_ns").as("s"),
+        org.apache.spark.sql.functions.max("start_ns").as("e"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") >= 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, st, en, n) => (st, en, n) }.toSet
+
+    val rows = hits.as[(Long, Long, Long)].collect()
+      .map { case (id, st, t) => StreamHit(id, st, t) }.toSeq
+    val mem = MemoryStream[StreamHit]
+    // one giant bucket: parity check isolates the clustering rule itself
+    val out = StreamingCoincidence.clusterStream(mem.toDS(), gap,
+      bucketNs = Long.MaxValue / 4, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("parity").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      mem.addData(StreamHit(-1L, 999L, rows.map(_.startNs).max + gap * 1000))
+      q.processAllAvailable()
+      mem.addData(StreamHit(-2L, 999L, rows.map(_.startNs).max + gap * 2000))
+      q.processAllAvailable()
+      val got = spark.table("parity").as[EmittedCluster].collect()
+        .map(c => (c.clusterStart, c.clusterEnd, c.n)).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming registry end-to-end over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
