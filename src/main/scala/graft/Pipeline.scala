@@ -22,10 +22,17 @@ object Pipeline {
 
   final val P = 1000000007L
 
-  /** Polynomial char-fold hash of a string column (Spark side). */
-  private def charFold(colName: String): String =
-    s"aggregate(filter(split($colName, ''), ch -> ch <> ''), 0L, " +
-      s"(a, ch) -> (a * 31 + ascii(ch)) % $P)"
+  /** documents with the native poly_hash function registered. */
+  private def registered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(s)
+    Tables.documents(s, dir)
+  }
+
+  /** Polynomial hash of a string column (Spark side): the native
+    * codegen'd expression functions.PolyHash — byte-fold identical to the
+    * portable char fold for ASCII corpora (the DuckDB oracle keeps the
+    * char-fold form). */
+  private def charFold(colName: String): String = s"poly_hash($colName)"
 
   /** Same fold in DuckDB SQL. */
   private def charFoldDuck(colName: String): String =
@@ -73,7 +80,7 @@ object Pipeline {
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
-    Tables.documents(s, dir)
+    registered(s, dir)
       .selectExpr("doc_id", s"${charFold("text")} AS fp")
       .withColumn("keeper", min("doc_id").over(w))
       .select(col("doc_id"), col("fp"),
@@ -133,11 +140,10 @@ object Pipeline {
 
   /** documents → distinct-token polynomial hash sets (the MinHash input). */
   private def tokenHashSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).selectExpr(
+    registered(s, dir).selectExpr(
       "doc_id",
-      s"array_distinct(transform(array_distinct(split(text, ' ')), " +
-        s"t -> aggregate(filter(split(t, ''), ch -> ch <> ''), 0L, " +
-        s"(a, ch) -> (a * 31 + ascii(ch)) % $P))) AS th")
+      "array_distinct(transform(array_distinct(split(text, ' ')), " +
+        "t -> poly_hash(t))) AS th")
 
   /** Token 3-gram shingle hash sets — the MinHash input. (Unigram token
     * sets are degenerate on this corpus: the vocabulary is ~30 words, so
@@ -145,9 +151,8 @@ object Pipeline {
     * all-pairs similarity ≈ 1. Shingles keep the space sparse, which is
     * also the realistic choice for web-scale dedup.) */
   private def shingleHashSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).selectExpr("doc_id",
-      s"transform(split(text, ' '), t -> aggregate(filter(split(t, ''), " +
-        s"ch -> ch <> ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % $P)) AS tk")
+    registered(s, dir).selectExpr("doc_id",
+      "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
       .selectExpr("doc_id",
         s"array_distinct(transform(sequence(1, size(tk) - 2), " +
           s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
@@ -200,9 +205,8 @@ object Pipeline {
     * similar pairs. Blocking bounds the pair count; shingle hashes are
     * combined from the per-token fold, so no re-hash of characters. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir).selectExpr("doc_id", "source",
-      s"transform(split(text, ' '), t -> aggregate(filter(split(t, ''), " +
-        s"ch -> ch <> ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % $P)) AS th")
+    val sh = registered(s, dir).selectExpr("doc_id", "source",
+      "transform(split(text, ' '), t -> poly_hash(t)) AS th")
       .selectExpr("doc_id", "source",
         s"array_distinct(transform(sequence(1, size(th) - 2), " +
           s"i -> ((element_at(th, cast(i AS int)) * 31 " +

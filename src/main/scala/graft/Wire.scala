@@ -43,7 +43,7 @@ object Wire {
 
   /** Round trip: wire lines → parser → typed hits (S1+S2). */
   private def parseHits(s: SparkSession, dir: String): DataFrame =
-    MqttParser.parseHits(wireLines(s, dir))
+    MqttParser.parseHits({ graft.functions.PolyHash.register(s); wireLines(s, dir) })
       .select("hash", "user", "station_id", "start_ns", "end_ns",
         "time_acc", "ublox_counter", "fix")
       .orderBy("start_ns", "ublox_counter")

@@ -44,9 +44,7 @@ object MqttParser {
       .filter(col("start_ns") <= col("end_ns"))
       .select(
         col("user"), col("station_id"),
-        expr("aggregate(filter(split(concat(user, station_id), ''), " +
-          "ch -> ch <> ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007)")
-          .as("hash"),
+        expr("poly_hash(concat(user, station_id))").as("hash"),
         col("start_ns"), col("end_ns"),
         col("p").getItem(2).cast("long").as("time_acc"),
         col("p").getItem(3).cast("int").as("ublox_counter"),
