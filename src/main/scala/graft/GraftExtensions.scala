@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.{DotProduct, PolyHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing the engine's native functions into the
+  * Catalyst function registry, so any session built with
+  * `.withExtensions(new GraftExtensions)` — or configured with
+  * `spark.sql.extensions=graft.GraftExtensions` — can call `poly_hash`
+  * and `dot_p` from SQL.
+  *
+  * No planner strategies or rules are injected: SURVEY.md §4 concluded
+  * every reference operator is expressible in the public Dataset API, and
+  * the custom work is scalar kernels only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_p"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_p"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

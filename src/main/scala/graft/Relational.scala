@@ -45,7 +45,9 @@ object Relational {
     "q12_string_funcs"  -> q12StringFuncs _,
     "q13_rollup"        -> q13Rollup _,
     "q14_date_funcs"    -> q14DateFuncs _,
-    "q15_having"        -> q15Having _
+    "q15_having"        -> q15Having _,
+    "q16_scalar_subq"   -> q16ScalarSubq _,
+    "q17_in_subq"       -> q17InSubq _
   )
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): grouped sums/avg/count
@@ -234,7 +236,56 @@ object Relational {
       .filter(col("total_qty") > 100.0)
       .orderBy("l_partkey")
 
+  /** Correlated scalar subquery shape: each order vs its customer's
+    * average order value (decorrelated by Catalyst into an aggregate +
+    * join — no per-row subquery execution at scale). */
+  private def q16ScalarSubq(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.as("o").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  round(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0D, 4) AS total,
+        |  (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / 100.0D
+        |            / count(*)
+        |   FROM orders_v i WHERE i.o_custkey = orders_v.o_custkey) AS cust_avg
+        |FROM orders_v
+        |WHERE o_totalprice > 5000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN-subquery + CTE shape: lineitems of the top-priority orders. */
+  private def q17InSubq(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_w")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_w")
+    s.sql(
+      """WITH urgent AS (
+        |  SELECT o_orderkey FROM orders_w WHERE o_orderpriority = '1-URGENT')
+        |SELECT l_orderkey, count(*) AS n_lines,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0D, 4)
+        |    AS qty
+        |FROM lineitem_w
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q16_scalar_subq" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0, 4) AS total,
+        |  (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / 100.0
+        |            / count(*)
+        |   FROM orders i WHERE i.o_custkey = o.o_custkey) AS cust_avg
+        |FROM orders o
+        |WHERE o_totalprice > 5000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_in_subq" ->
+      """WITH urgent AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT l_orderkey, count(*) AS n_lines,
+        |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
