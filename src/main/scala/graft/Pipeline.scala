@@ -25,6 +25,7 @@ object Pipeline {
   /** documents with the native poly_hash function registered. */
   private def registered(s: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(s)
+    graft.functions.JaccardSorted.register(s)
     Tables.documents(s, dir)
   }
 
@@ -147,8 +148,8 @@ object Pipeline {
   private def tokenHashSets(s: SparkSession, dir: String): DataFrame =
     registered(s, dir).selectExpr(
       "doc_id",
-      "array_distinct(transform(array_distinct(split(text, ' ')), " +
-        "t -> poly_hash(t))) AS th")
+      "sort_array(array_distinct(transform(array_distinct(split(text, ' ')), " +
+        "t -> poly_hash(t)))) AS th")
 
   /** Token 3-gram shingle hash sets — the MinHash input. (Unigram token
     * sets are degenerate on this corpus: the vocabulary is ~30 words, so
@@ -159,10 +160,10 @@ object Pipeline {
     registered(s, dir).selectExpr("doc_id",
       "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
       .selectExpr("doc_id",
-        s"array_distinct(transform(sequence(1, size(tk) - 2), " +
+        s"sort_array(array_distinct(transform(sequence(1, size(tk) - 2), " +
           s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
           s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
-          s"+ element_at(tk, cast(i + 2 AS int))) % $P)) AS th")
+          s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
 
   /** MinHash + LSH banding near-dup detection over shingle sets: K=16
     * permutations (affine (2k+3)·h + 99991k + 7 mod P), 2 bands × 8 rows,
@@ -188,9 +189,7 @@ object Pipeline {
     cand
       .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")), Seq("doc_a"))
       .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")), Seq("doc_b"))
-      .withColumn("jaccard", expr(
-        "size(array_intersect(tha, thb)) / " +
-          "CAST(size(array_union(tha, thb)) AS double)"))
+      .withColumn("jaccard", expr("jaccard_sorted(tha, thb)"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -213,18 +212,16 @@ object Pipeline {
     val sh = registered(s, dir).selectExpr("doc_id", "source",
       "transform(split(text, ' '), t -> poly_hash(t)) AS th")
       .selectExpr("doc_id", "source",
-        s"array_distinct(transform(sequence(1, size(th) - 2), " +
+        s"sort_array(array_distinct(transform(sequence(1, size(th) - 2), " +
           s"i -> ((element_at(th, cast(i AS int)) * 31 " +
           s"+ element_at(th, cast(i + 1 AS int))) % $P * 31 " +
-          s"+ element_at(th, cast(i + 2 AS int))) % $P)) AS sh")
+          s"+ element_at(th, cast(i + 2 AS int))) % $P))) AS sh")
     val a = sh.select(col("source"), col("doc_id").as("doc_a"),
       col("sh").as("sha"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"),
       col("sh").as("shb"))
     a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", expr(
-        "size(array_intersect(sha, shb)) / " +
-          "CAST(size(array_union(sha, shb)) AS double)"))
+      .withColumn("jaccard", expr("jaccard_sorted(sha, shb)"))
       .select("source", "doc_a", "doc_b", "jaccard")
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
