@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
 case class SessHit(cluster_key: Long, event_id: Long, station: Long,
                    start_ns: Long, x: Double, y: Double, z: Double)
 
-/** One geodesic coincidence component (cluster). */
+/** One geodesic coincidence component (cluster) with its C3 cluster
+  * score: all-pairs average criterion score (fixed-point summed for
+  * order-independence), valid-edge count, and the Valid/Conflicting/
+  * Invalid classification (reference src/analysis/criterion.cpp:46-55). */
 case class GeoComp(cluster_start: Long, cluster_end: Long, n: Long,
-                   n_stations: Long, conflicting: Boolean)
+                   n_stations: Long, conflicting: Boolean,
+                   score_e9: Long, n_valid: Long, score_type: String)
 
 object Geodesic {
 
@@ -127,16 +131,41 @@ object Geodesic {
     hits.indices.groupBy(find).valuesIterator.collect {
       case idx if idx.size >= 2 =>
         val hs = idx.map(hits)
+        // C3 all-pairs score (criterion.cpp:33-44): every unordered pair,
+        // score fixed-pointed (floor·1e9) so the sum is order-independent
+        // and the SQL oracle reproduces it exactly.
+        var sumE9 = 0L
+        var valid = 0L
+        for (ii <- hs.indices; jj <- ii + 1 until hs.size) {
+          val a = hs(ii); val b = hs(jj)
+          val delta = math.abs(a.start_ns - b.start_ns).toDouble
+          val sc =
+            if (delta > MaxTimeNs) -1.0
+            else {
+              val dx = a.x - b.x; val dy = a.y - b.y; val dz = a.z - b.z
+              val dist = math.sqrt(dx * dx + dy * dy + dz * dz)
+              math.max(1.0 - delta / math.max(dist / SpeedMPerNs, MinTofNs), -1.0)
+            }
+          sumE9 += math.floor(sc * 1e9).toLong
+          if (sc > 0.0) valid += 1
+        }
+        val nPairs = hs.size.toLong * (hs.size - 1) / 2
+        val avg = sumE9 / 1e9 / nPairs
+        val tpe =
+          if (avg < Criterion.MaxFalse) "invalid"
+          else if (avg > Criterion.MinTrue && valid == nPairs) "valid"
+          else "conflicting"
         GeoComp(hs.map(_.start_ns).min, hs.map(_.start_ns).max,
           hs.size.toLong, hs.map(_.station).distinct.size.toLong,
-          hs.size > hs.map(_.station).distinct.size)
+          hs.size > hs.map(_.station).distinct.size,
+          sumE9, valid, tpe)
     }
   }
 
   /** L1 coincidences under the geodesic criterion: connected components of
     * the valid-pair graph, per session (n ≥ 2 only, as at every reference
     * sink). */
-  private def coincidenceGeo(s: SparkSession, dir: String): DataFrame = {
+  private def geoComps(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     sessioned(s, dir)
@@ -146,8 +175,22 @@ object Geodesic {
       .flatMapGroups((_: Long, it: Iterator[SessHit]) =>
         components(it.toArray.sortBy(_.event_id)))
       .toDF()
-      .orderBy("cluster_start", "cluster_end", "n")
   }
+
+  private def coincidenceGeo(s: SparkSession, dir: String): DataFrame =
+    geoComps(s, dir)
+      .select("cluster_start", "cluster_end", "n", "n_stations", "conflicting")
+      .orderBy("cluster_start", "cluster_end", "n")
+
+  /** C3 cluster-score classification per geodesic component (reference
+    * criterion.cpp:46-55 thresholds −0.3 / 0.5 with the all-valid gate). */
+  private def componentScore(s: SparkSession, dir: String): DataFrame =
+    geoComps(s, dir)
+      .withColumn("avg_score",
+        col("score_e9") / 1e9 / (col("n") * (col("n") - 1) / lit(2.0)))
+      .select("cluster_start", "cluster_end", "n", "n_valid", "avg_score",
+        "score_type")
+      .orderBy("cluster_start", "cluster_end", "n")
 
   /** Station distance matrix with the TRUE physical constants (reference
     * include/analysis/coincidence.h:25-27): chord distance and
@@ -176,6 +219,7 @@ object Geodesic {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_edges"       -> geoEdges _,
     "coincidence_geo" -> coincidenceGeo _,
+    "component_score" -> componentScore _,
     "distance_matrix" -> distanceMatrix _
   )
 
@@ -218,6 +262,52 @@ object Geodesic {
        |   sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs},
        |   ${MinTofNs})""".stripMargin
+
+  private val scoreSql =
+    s"""CASE WHEN abs(a.start_ns - b.start_ns) > ${MaxTimeNs} THEN -1.0
+       | ELSE greatest(1.0 - abs(a.start_ns - b.start_ns) / greatest(
+       |   sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs},
+       |   ${MinTofNs}), -1.0) END""".stripMargin
+
+  /** Shared oracle prefix: grid coords → ECEF → sessions → valid-edge
+    * graph → recursive connected components (`comp(node, comp)`). */
+  private def oracleGeoCommon: String =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+       |    50.0 + (user_id % 10) * 0.02 AS lat,
+       |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
+       |    100.0 + (user_id % 7) * 10.0 AS h
+       |  FROM events),
+       |h AS (
+       |  SELECT event_id, station, start_ns,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+       |      * cos(radians(lat)) * cos(radians(lon)) AS x,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+       |      * cos(radians(lat)) * sin(radians(lon)) AS y,
+       |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
+       |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
+       |  FROM g),
+       |s AS (
+       |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+       |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+       |    THEN 1 ELSE 0 END AS nb
+       |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+       |c AS (
+       |  SELECT event_id, station, start_ns, x, y, z,
+       |    sum(nb) OVER (ORDER BY start_ns, event_id
+       |                  ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM s),
+       |e AS (
+       |  SELECT a.event_id AS src, b.event_id AS dst
+       |  FROM c a JOIN c b ON a.cid = b.cid AND a.event_id <> b.event_id
+       |  WHERE $edgeCond),
+       |reach(node, lbl) AS (
+       |  SELECT event_id, event_id FROM c
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
+       |  WHERE r.lbl < e.dst),
+       |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "geo_edges" ->
@@ -270,6 +360,56 @@ object Geodesic {
          |  (count(*) > count(DISTINCT station)) AS conflicting
          |FROM c JOIN comp ON c.event_id = comp.node
          |GROUP BY comp HAVING count(*) >= 2
+         |ORDER BY cluster_start, cluster_end, n""".stripMargin,
+    "component_score" -> {
+      val base = oracleGeoCommon
+      s"""$base,
+         |p AS (
+         |  SELECT ca.comp AS comp, $scoreSql AS sc
+         |  FROM c a JOIN comp ca ON a.event_id = ca.node
+         |  JOIN c b ON a.event_id < b.event_id
+         |  JOIN comp cb ON b.event_id = cb.node AND ca.comp = cb.comp),
+         |sc AS (
+         |  SELECT comp, sum(CAST(floor(sc * 1e9) AS BIGINT)) AS se9,
+         |    count(*) FILTER (sc > 0.0) AS nv
+         |  FROM p GROUP BY comp),
+         |ag AS (
+         |  SELECT comp.comp AS comp, min(start_ns) AS cluster_start,
+         |    max(start_ns) AS cluster_end, count(*) AS n
+         |  FROM c JOIN comp ON c.event_id = comp.node
+         |  GROUP BY comp.comp HAVING count(*) >= 2)
+         |SELECT cluster_start, cluster_end, n, nv AS n_valid,
+         |  se9 / 1e9 / (n * (n - 1) / 2.0) AS avg_score,
+         |  CASE WHEN se9 / 1e9 / (n * (n - 1) / 2.0) < -0.3 THEN 'invalid'
+         |    WHEN se9 / 1e9 / (n * (n - 1) / 2.0) > 0.5
+         |      AND nv = n * (n - 1) // 2 THEN 'valid'
+         |    ELSE 'conflicting' END AS score_type
+         |FROM ag JOIN sc USING (comp)
+         |ORDER BY cluster_start, cluster_end, n""".stripMargin
+    },
+    "component_score" ->
+      s"""$oracleGeoCommon,
+         |p AS (
+         |  SELECT ca.comp AS comp, $scoreSql AS sc
+         |  FROM c a JOIN comp ca ON a.event_id = ca.node
+         |  JOIN c b ON a.event_id < b.event_id
+         |  JOIN comp cb ON b.event_id = cb.node AND ca.comp = cb.comp),
+         |sc AS (
+         |  SELECT comp, sum(CAST(floor(sc * 1e9) AS BIGINT)) AS se9,
+         |    count(*) FILTER (sc > 0.0) AS nv
+         |  FROM p GROUP BY comp),
+         |ag AS (
+         |  SELECT comp.comp AS comp, min(start_ns) AS cluster_start,
+         |    max(start_ns) AS cluster_end, count(*) AS n
+         |  FROM c JOIN comp ON c.event_id = comp.node
+         |  GROUP BY comp.comp HAVING count(*) >= 2)
+         |SELECT cluster_start, cluster_end, n, nv AS n_valid,
+         |  se9 / 1e9 / (n * (n - 1) / 2.0) AS avg_score,
+         |  CASE WHEN se9 / 1e9 / (n * (n - 1) / 2.0) < -0.3 THEN 'invalid'
+         |    WHEN se9 / 1e9 / (n * (n - 1) / 2.0) > 0.5
+         |      AND nv = n * (n - 1) // 2 THEN 'valid'
+         |    ELSE 'conflicting' END AS score_type
+         |FROM ag JOIN sc USING (comp)
          |ORDER BY cluster_start, cluster_end, n""".stripMargin,
     "distance_matrix" ->
       s"""WITH st AS (
