@@ -33,4 +33,46 @@ object Histograms {
       .groupBy("station_lo", "station_hi")
       .agg(sum("cnt").as("total"), count(lit(1)).as("n_bins_rows"),
         min("bin").as("min_bin"), max("bin").as("max_bin"))
+
+  // ---- reference text formats (S6): `<bin> <count>` lines in *.hist,
+  // ---- `<key> <value> [unit]` lines in *.meta (aggregation.cpp:96-174)
+
+  /** Scan a directory tree of `*.hist` files: one (file, bin, count) row
+    * per line — `spark.read.csv` with a space delimiter replaces the
+    * reference's recursive directory walk. */
+  def readHistFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("delimiter", " ")
+      .schema("bin DOUBLE, cnt LONG")
+      .csv(s"$dir/*.hist")
+      .withColumn("file", input_file_name())
+
+  /** A8 rollup over text histograms: sum counts per bin across all files
+    * (reference src/aggregation.cpp:125-160 accumulates `bins[bin] +=
+    * count` per directory). */
+  def rollupHistFiles(spark: SparkSession, dir: String): DataFrame =
+    readHistFiles(spark, dir)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+
+  /** Scan `*.meta` files (`key value [unit]`), typed as strings — the
+    * reference sums total/uptime/sample_time and keeps the last
+    * distance/bin_width (aggregation.cpp:161-203); rollupMetaFiles sums
+    * the numeric keys and takes max for the scalar ones
+    * (deterministic replacement for last-write-wins). */
+  def readMetaFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("delimiter", " ")
+      .schema("key STRING, value DOUBLE, unit STRING")
+      .csv(s"$dir/*.meta")
+      .withColumn("file", input_file_name())
+
+  def rollupMetaFiles(spark: SparkSession, dir: String): DataFrame =
+    readMetaFiles(spark, dir)
+      .groupBy("key")
+      .agg(
+        sum(when(col("key").isin("total", "uptime", "sample_time"),
+          col("value"))).as("summed"),
+        max(when(!col("key").isin("total", "uptime", "sample_time"),
+          col("value"))).as("kept"))
+      .select(col("key"), coalesce(col("summed"), col("kept")).as("value"))
 }

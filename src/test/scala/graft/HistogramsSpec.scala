@@ -29,4 +29,26 @@ class HistogramsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(meta == Set((1L, 2L, 10L, 3L, 0L, 1L), (2L, 3L, 8L, 2L, 0L, 5L)))
   }
+
+  test("reference text .hist/.meta format scan and rollup (S6/A8)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histtxt")
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        String.join("\n", lines: _*).getBytes)
+    write("a.hist", Seq("-1.5 4", "0.5 10", "2.5 1"))
+    write("b.hist", Seq("0.5 6", "2.5 2"))
+    write("a.meta", Seq("bin_width 1.0 ns", "distance 1303.6 m",
+      "total 15 ", "uptime 120 min", "sample_time 86400 s"))
+    write("b.meta", Seq("bin_width 1.0 ns", "distance 1303.6 m",
+      "total 8 ", "uptime 60 min", "sample_time 86400 s"))
+    val rolled = Histograms.rollupHistFiles(spark, dir.toString)
+      .as[(Double, Long)].collect().toSet
+    assert(rolled == Set((-1.5, 4L), (0.5, 16L), (2.5, 3L)))
+    val meta = Histograms.rollupMetaFiles(spark, dir.toString)
+      .as[(String, Double)].collect().toMap
+    assert(meta("total") == 23.0 && meta("uptime") == 180.0)
+    assert(meta("sample_time") == 172800.0)
+    assert(meta("bin_width") == 1.0 && meta("distance") == 1303.6)
+  }
 }

@@ -124,6 +124,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch fan-out: one cluster stream to two sinks (O1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10L * S
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[StreamHit]
+    val out = StreamingCoincidence.clusterStream(mem.toDS(), gap,
+      bucketNs = 1000000000000L, watermarkDelay = "0 seconds")
+    // the reference multicasts each record to N sinks (sink::collection);
+    // Spark shape: one foreachBatch writing to both a parquet sink and an
+    // in-memory accumulator
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EmittedCluster], _: Long) =>
+        val cached = batch.cache()
+        cached.write.mode("append").parquet(dir)
+        cached.collect().foreach(c => seen.add(c.n))
+        cached.unpersist()
+        ()
+      }
+      .start()
+    try {
+      mem.addData(StreamHit(1, 1, B), StreamHit(2, 2, B + 5 * S),
+        StreamHit(3, 3, B + 100 * S))
+      q.processAllAvailable()
+      mem.addData(StreamHit(4, 9, B + 100000 * S))
+      q.processAllAvailable()
+      mem.addData(StreamHit(5, 9, B + 200000 * S))
+      q.processAllAvailable()
+      val fromParquet = spark.read.parquet(dir).as[EmittedCluster].collect()
+      assert(fromParquet.map(_.n).toSeq == Seq(2L))
+      assert(seen.size() == 1 && seen.peek() == 2L)
+    } finally q.stop()
+  }
+
   test("streaming registry end-to-end over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
