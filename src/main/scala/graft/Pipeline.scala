@@ -26,6 +26,7 @@ object Pipeline {
   private def registered(s: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(s)
     graft.functions.JaccardSorted.register(s)
+    graft.functions.MinHashSig.register(s)
     Tables.documents(s, dir)
   }
 
@@ -173,9 +174,7 @@ object Pipeline {
     * This is the shape that scales: no all-pairs comparison anywhere. */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val th = shingleHashSets(s, dir)
-    val sig = th.selectExpr("doc_id",
-      s"transform(sequence(0, 15), k -> array_min(transform(th, " +
-        s"h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig")
+    val sig = th.selectExpr("doc_id", "minhash16(th) AS sig")
     val bands = sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, 1), b -> struct(b AS band, " +
         s"aggregate(slice(sig, cast(b * 8 + 1 AS int), 8), 0L, " +
