@@ -12,7 +12,8 @@ case class StationEvent(station: Long, startNs: Long, valueCents: Long,
   * previous status inside the dead band; reference
   * src/analysis/detectorstation.cpp:89-107). */
 case class StationState(nEvents: Long, sumValueCents: Long, lastCounter: Long,
-                        progress: Long, lastSeenNs: Long, status: String)
+                        progress: Long, lastSeenNs: Long, status: String,
+                        lastWallMs: Long = 0L)
 
 /** Registry output row (detector_summary shape, SURVEY §2.2 R11). */
 case class StationUpdate(station: Long, nEvents: Long, meanValue: Double,
@@ -32,6 +33,21 @@ object StreamingRegistry {
   final val FTimeDivisor = 50.0
   final val UpperBand = 1.15
   final val LowerBand = 0.85
+
+  /** Liveness ladder deadlines (reference
+    * include/analysis/detectorstation.h:123-125): 90 s to unreliable,
+    * 270 s to offline, 48 h to deletion. */
+  final val UnreliableMs = 90000L
+  final val OfflineMs = 270000L
+  final val DeleteMs = 48L * 3600 * 1000
+
+  /** Pure ladder rule: status after `elapsedMs` of silence; None ⇒ the
+    * station is deleted (state removed, reference station.cpp:84-87). */
+  def livenessStatus(elapsedMs: Long, current: String): Option[String] =
+    if (elapsedMs >= DeleteMs) None
+    else if (elapsedMs >= OfflineMs) Some("offline")
+    else if (elapsedMs >= UnreliableMs) Some("unreliable")
+    else Some(current)
 
   /** `timeout = ProcessingTimeTimeout` enables the liveness ladder; pass
     * `NoTimeout` in synchronous tests — a processing-time timeout keeps the
@@ -71,17 +87,26 @@ object StreamingRegistry {
       station: Long, events: Iterator[StationEvent],
       state: GroupState[StationState]): StationUpdate = {
     if (state.hasTimedOut) {
-      // liveness ladder: no data within the deadline ⇒ unreliable
+      // liveness ladder driven by silence duration since the last event
       val s = state.get
-      val down = s.copy(status = "unreliable")
-      state.update(down)
-      if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
-      StationUpdate(station, down.nEvents, down.sumValueCents / 100.0 /
-        math.max(down.nEvents, 1), down.progress, "unreliable")
+      val elapsed = state.getCurrentProcessingTimeMs() - s.lastWallMs
+      livenessStatus(elapsed, s.status) match {
+        case None =>
+          state.remove()
+          StationUpdate(station, s.nEvents, s.sumValueCents / 100.0 /
+            math.max(s.nEvents, 1), s.progress, "deleted")
+        case Some(st) =>
+          val down = s.copy(status = st)
+          state.update(down)
+          if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
+          StationUpdate(station, down.nEvents, down.sumValueCents / 100.0 /
+            math.max(down.nEvents, 1), down.progress, st)
+      }
     } else {
       val init = state.getOption.getOrElse(
         StationState(0L, 0L, 0L, 0L, 0L, "created"))
       val s = events.toSeq.sortBy(e => (e.startNs, e.counter)).foldLeft(init)(fold)
+        .copy(lastWallMs = state.getCurrentProcessingTimeMs())
       state.update(s)
       if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
       StationUpdate(station, s.nEvents,

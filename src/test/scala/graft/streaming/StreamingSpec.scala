@@ -159,6 +159,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("liveness ladder rungs (R7: 90 s / 270 s / 48 h)") {
+    import StreamingRegistry._
+    assert(livenessStatus(10000L, "reliable") == Some("reliable"))
+    assert(livenessStatus(90000L, "reliable") == Some("unreliable"))
+    assert(livenessStatus(269999L, "reliable") == Some("unreliable"))
+    assert(livenessStatus(270000L, "reliable") == Some("offline"))
+    assert(livenessStatus(48L * 3600 * 1000 - 1, "x") == Some("offline"))
+    assert(livenessStatus(48L * 3600 * 1000, "x") == None) // deleted
+  }
+
   test("streaming registry end-to-end over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
