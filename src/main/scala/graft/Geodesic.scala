@@ -74,6 +74,10 @@ object Geodesic {
     Sessionize.withClusterKey(hitsWithCoords(s, dir),
       Detector.GapNs, Detector.BucketNs)
 
+  /** Sessioned hits with grid coordinates, for sink-formatting queries. */
+  private[graft] def sessionedForSinks(s: SparkSession, dir: String): DataFrame =
+    sessioned(s, dir)
+
   private def pairDist(pre: String = ""): Column = {
     val dx = col("xa") - col("xb"); val dy = col("ya") - col("yb")
     val dz = col("za") - col("zb")

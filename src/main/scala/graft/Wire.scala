@@ -75,9 +75,36 @@ object Wire {
         concat_ws(";", sort_array(collect_list(col("item")))).as("items_str"))
       .orderBy("station", "hour")
 
+  /** O3-shape MQTT broadcast message per cluster member (reference
+    * include/sink/mqtt.h:147-184): uuid from the cluster key, 16-digit
+    * zero-padded hex station hash, geohash of the station position
+    * TRUNCATED to 6 chars (the reference's anonymization), relative time
+    * within the cluster. Geohash has no DuckDB twin → rows-only check. */
+  private def l1MqttFormat(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kernel
+    Geodesic.sessionedForSinks(s, dir)
+      .select(col("cluster_key"), col("event_id"), col("station"),
+        col("start_ns"), col("lat"), col("lon"))
+      .withColumn("_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_key")))
+      .filter(col("_n") >= 2)
+      .withColumn("_min", org.apache.spark.sql.functions.min("start_ns")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_key")))
+      .select(
+        col("cluster_key").as("uuid"),
+        concat_ws(" ",
+          format_string("%016x", col("station")),
+          Kernel.geohash_enc(col("lat"), col("lon"), lit(6)),
+          col("_n"),
+          col("start_ns") - col("_min"),
+          col("start_ns")).as("msg"))
+      .orderBy("uuid", "msg")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parse_hits"      -> parseHits _,
     "l1_ascii_format" -> l1AsciiFormat _,
+    "l1_mqtt_format"  -> l1MqttFormat _,
     "log_assembly"    -> logAssembly _
   )
 
