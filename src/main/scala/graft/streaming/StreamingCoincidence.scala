@@ -15,9 +15,14 @@ case class OpenCluster(minStart: Long, maxStart: Long,
 /** Keyed state: the open clusters of one time bucket. */
 case class BucketState(clusters: List[OpenCluster])
 
-/** An emitted L1 coincidence (n ≥ 2 enforced at the sink filter). */
+/** An emitted coincidence cluster. Singletons ARE emitted (a bucket-
+  * boundary singleton may merge into a neighbor during compaction);
+  * sinks filter n ≥ 2, exactly as the reference's sinks do. `stations`
+  * carries the constituent station keys (sorted, with duplicates) so
+  * compaction can recompute distinctness exactly. */
 case class EmittedCluster(clusterStart: Long, clusterEnd: Long, n: Long,
-                          nStations: Long, conflicting: Boolean)
+                          nStations: Long, conflicting: Boolean,
+                          stations: List[Long])
 
 /** Structured-Streaming coincidence clustering — the event-time lift of the
   * reference's greedy online filter (reference
@@ -70,7 +75,33 @@ object StreamingCoincidence {
   private def emit(c: OpenCluster): EmittedCluster = {
     val nStations = c.stations.distinct.size.toLong
     EmittedCluster(c.minStart, c.maxStart, c.eventIds.size.toLong,
-      nStations, c.eventIds.size > nStations)
+      nStations, c.eventIds.size > nStations, c.stations.sorted)
+  }
+
+  /** Bucket-boundary compaction (run inside foreachBatch, or over the
+    * final output): clusters are keyed per time bucket, so a cluster
+    * chain crossing a boundary is emitted as adjacent fragments. Sorted
+    * by start, fragments merge when the gap rule holds across their
+    * envelopes — the same session-level path-graph merge as the batch
+    * sessionizer's boundary pass (operators.Sessionize). Pure function;
+    * per micro-batch the fragment count is tiny. */
+  def compactClusters(clusters: Seq[EmittedCluster],
+                      gapNs: Long): Seq[EmittedCluster] = {
+    if (clusters.isEmpty) return Nil
+    val sorted = clusters.sortBy(c => (c.clusterStart, c.clusterEnd))
+    val out = scala.collection.mutable.ArrayBuffer[EmittedCluster]()
+    var cur = sorted.head
+    for (c <- sorted.tail) {
+      if (c.clusterStart - cur.clusterEnd <= gapNs) {
+        val st = (cur.stations ++ c.stations).sorted
+        val nd = st.distinct.size.toLong
+        cur = EmittedCluster(cur.clusterStart,
+          math.max(cur.clusterEnd, c.clusterEnd),
+          cur.n + c.n, nd, cur.n + c.n > nd, st)
+      } else { out += cur; cur = c }
+    }
+    out += cur
+    out.toSeq
   }
 
   private def processBucket(gapNs: Long)(
@@ -95,6 +126,6 @@ object StreamingCoincidence {
       state.setTimeoutTimestamp(math.max(deadlineMs,
         state.getCurrentWatermarkMs() + 1))
     }
-    closed.filter(_.eventIds.size >= 2).sortBy(_.minStart).map(emit).iterator
+    closed.sortBy(_.minStart).map(emit).iterator
   }
 }

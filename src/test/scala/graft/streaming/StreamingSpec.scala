@@ -32,6 +32,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(StreamHit(999998L, 999L, hits.map(_.startNs).max + gapNs * 2000))
       q.processAllAvailable()
       spark.table("clusters").as[EmittedCluster].collect().toSeq
+        .filter(c => c.n >= 2 && c.stations.head != 999L) // sink filter; drop sentinels
     } finally q.stop()
   }
 
@@ -118,6 +119,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(StreamHit(-2L, 999L, rows.map(_.startNs).max + gap * 2000))
       q.processAllAvailable()
       val got = spark.table("parity").as[EmittedCluster].collect()
+        .filter(c => c.n >= 2 && !c.stations.contains(999L))
         .map(c => (c.clusterStart, c.clusterEnd, c.n)).toSet
       assert(got == batch)
       assert(got.nonEmpty)
@@ -140,7 +142,7 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[EmittedCluster], _: Long) =>
         val cached = batch.cache()
         cached.write.mode("append").parquet(dir)
-        cached.collect().foreach(c => seen.add(c.n))
+        cached.collect().filter(_.n >= 2).foreach(c => seen.add(c.n))
         cached.unpersist()
         ()
       }
@@ -154,8 +156,8 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(StreamHit(5, 9, B + 200000 * S))
       q.processAllAvailable()
       val fromParquet = spark.read.parquet(dir).as[EmittedCluster].collect()
-      assert(fromParquet.map(_.n).toSeq == Seq(2L))
-      assert(seen.size() == 1 && seen.peek() == 2L)
+      assert(fromParquet.filter(_.n >= 2).map(_.n).toSeq == Seq(2L))
+      assert(seen.contains(2L))
     } finally q.stop()
   }
 
@@ -167,6 +169,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(livenessStatus(270000L, "reliable") == Some("offline"))
     assert(livenessStatus(48L * 3600 * 1000 - 1, "x") == Some("offline"))
     assert(livenessStatus(48L * 3600 * 1000, "x") == None) // deleted
+  }
+
+  test("boundary compaction: tiny buckets + compact == batch sessions (real data)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = graft.Detector.GapNs
+    val hits = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "user_id AS station", "ts AS start_ns")
+    val batch = graft.operators.Sessionize
+      .withClusterKey(hits, gap)
+      .groupBy("cluster_key")
+      .agg(org.apache.spark.sql.functions.min("start_ns").as("s"),
+        org.apache.spark.sql.functions.max("start_ns").as("e"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") >= 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, st, en, n) => (st, en, n) }.toSet
+
+    val rows = hits.as[(Long, Long, Long)].collect()
+      .map { case (id, st, t) => StreamHit(id, st, t) }.toSeq
+    val mem = MemoryStream[StreamHit]
+    // 90-second buckets deliberately SPLIT many clusters at boundaries
+    val out = StreamingCoincidence.clusterStream(mem.toDS(), gap,
+      bucketNs = 3 * gap, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("frags").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      mem.addData(StreamHit(-1L, 999L, rows.map(_.startNs).max + gap * 1000))
+      q.processAllAvailable()
+      mem.addData(StreamHit(-2L, 999L, rows.map(_.startNs).max + gap * 2000))
+      q.processAllAvailable()
+      val frags = spark.table("frags").as[EmittedCluster].collect()
+        .filter(c => !c.stations.contains(999L))
+      val compacted = StreamingCoincidence.compactClusters(frags.toSeq, gap)
+        .filter(_.n >= 2)
+        .map(c => (c.clusterStart, c.clusterEnd, c.n)).toSet
+      assert(compacted == batch)
+      // and the fragments alone (pre-compaction) do NOT match — the pass matters
+      assert(frags.filter(_.n >= 2)
+        .map(c => (c.clusterStart, c.clusterEnd, c.n)).toSet != batch)
+    } finally q.stop()
   }
 
   test("streaming registry end-to-end over MemoryStream") {
