@@ -215,6 +215,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked windowed aggregation matches batch grouping (R11 stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      StationEvent(1, B, 1000, 1), StationEvent(1, B + 3600 * S, 3000, 2),
+      StationEvent(2, B + 100 * S, 5000, 1),
+      // second day
+      StationEvent(1, B + 90000L * S, 7000, 3))
+    val mem = MemoryStream[StationEvent]
+    val out = StreamingSummary.summaryStream(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("summaries").start()
+    try {
+      mem.addData(events)
+      q.processAllAvailable()
+      // sentinel two days later seals both day windows
+      mem.addData(StationEvent(9, B + 300000L * S, 0, 1))
+      q.processAllAvailable()
+      val got = spark.table("summaries")
+        .as[(Long, Long, Long, Double)].collect()
+        .filter(_._2 != 9L).map { case (_, st, n, mv) => (st, n, mv) }.toSet
+      // batch equivalent on the same rows
+      val want = events.toDF("station", "startNs", "valueCents", "counter")
+        .withColumn("day", org.apache.spark.sql.functions.expr(
+          "(startNs div 1000) div 86400000000"))
+        .groupBy("station", "day")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          (org.apache.spark.sql.functions.sum("valueCents") / 100.0 /
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))).as("mv"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (st, _, n, mv) => (st, n, mv) }.toSet
+      assert(got == want)
+      assert(got.size == 3) // (st1,day1) merges both same-day events; (st2,day1); (st1,day2)
+    } finally q.stop()
+  }
+
   test("streaming registry end-to-end over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
