@@ -47,7 +47,7 @@ object Geodesic {
 
   private def stationLat(st: Column): Column = lit(50.0) + (st % 10) * lit(0.02)
   private def stationLon(st: Column): Column =
-    lit(10.0) + (expr("station div 10") % 10) * lit(0.03)
+    lit(10.0) + (floor(st / 10) % 10) * lit(0.03)
   private def stationH(st: Column): Column = lit(100.0) + (st % 7) * lit(10.0)
 
   /** WGS84 geodetic → ECEF as column expressions (mirrors
@@ -365,32 +365,6 @@ object Geodesic {
          |FROM c JOIN comp ON c.event_id = comp.node
          |GROUP BY comp HAVING count(*) >= 2
          |ORDER BY cluster_start, cluster_end, n""".stripMargin,
-    "component_score" -> {
-      val base = oracleGeoCommon
-      s"""$base,
-         |p AS (
-         |  SELECT ca.comp AS comp, $scoreSql AS sc
-         |  FROM c a JOIN comp ca ON a.event_id = ca.node
-         |  JOIN c b ON a.event_id < b.event_id
-         |  JOIN comp cb ON b.event_id = cb.node AND ca.comp = cb.comp),
-         |sc AS (
-         |  SELECT comp, sum(CAST(floor(sc * 1e9) AS BIGINT)) AS se9,
-         |    count(*) FILTER (sc > 0.0) AS nv
-         |  FROM p GROUP BY comp),
-         |ag AS (
-         |  SELECT comp.comp AS comp, min(start_ns) AS cluster_start,
-         |    max(start_ns) AS cluster_end, count(*) AS n
-         |  FROM c JOIN comp ON c.event_id = comp.node
-         |  GROUP BY comp.comp HAVING count(*) >= 2)
-         |SELECT cluster_start, cluster_end, n, nv AS n_valid,
-         |  se9 / 1e9 / (n * (n - 1) / 2.0) AS avg_score,
-         |  CASE WHEN se9 / 1e9 / (n * (n - 1) / 2.0) < -0.3 THEN 'invalid'
-         |    WHEN se9 / 1e9 / (n * (n - 1) / 2.0) > 0.5
-         |      AND nv = n * (n - 1) // 2 THEN 'valid'
-         |    ELSE 'conflicting' END AS score_type
-         |FROM ag JOIN sc USING (comp)
-         |ORDER BY cluster_start, cluster_end, n""".stripMargin
-    },
     "component_score" ->
       s"""$oracleGeoCommon,
          |p AS (

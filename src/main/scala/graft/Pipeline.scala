@@ -42,6 +42,15 @@ object Pipeline {
     * char-fold form). */
   private def charFold(colName: String): String = s"poly_hash($colName)"
 
+  /** Shingle start indices 1..size-2, EMPTY for <3 tokens. Spark's
+    * sequence(1, n) with n < 1 generates a DESCENDING [1, 0, ...] (and
+    * element_at(, 0) then throws), while the DuckDB oracle's
+    * range(1, len-1) yields an empty list — so clamp the upper bound to 1
+    * and filter out-of-range indices away. */
+  private[graft] def shingleIdx(tk: String): String =
+    s"filter(sequence(1, greatest(size($tk) - 2, 1)), " +
+      s"i -> i <= size($tk) - 2)"
+
   /** Same fold in DuckDB SQL. */
   private def charFoldDuck(colName: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -161,7 +170,7 @@ object Pipeline {
     registered(s, dir).selectExpr("doc_id",
       "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
       .selectExpr("doc_id",
-        s"sort_array(array_distinct(transform(sequence(1, size(tk) - 2), " +
+        s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +
           s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
           s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
           s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
@@ -211,7 +220,7 @@ object Pipeline {
     val sh = registered(s, dir).selectExpr("doc_id", "source",
       "transform(split(text, ' '), t -> poly_hash(t)) AS th")
       .selectExpr("doc_id", "source",
-        s"sort_array(array_distinct(transform(sequence(1, size(th) - 2), " +
+        s"sort_array(array_distinct(transform(${shingleIdx("th")}, " +
           s"i -> ((element_at(th, cast(i AS int)) * 31 " +
           s"+ element_at(th, cast(i + 1 AS int))) % $P * 31 " +
           s"+ element_at(th, cast(i + 2 AS int))) % $P))) AS sh")

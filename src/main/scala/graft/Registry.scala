@@ -199,15 +199,16 @@ object Registry {
            |      (PARTITION BY station ORDER BY start_ns, event_id) AS prev
            |  FROM h)
            |SELECT station, count(*) AS n_events,
-           |  sum(CASE WHEN prev IS NULL THEN 0
+           |  CAST(sum(CASE WHEN prev IS NULL THEN 0
            |           WHEN ctr > prev THEN ctr - prev
-           |           ELSE ctr + ${CounterMod - 1} - prev END) AS progress
+           |           ELSE ctr + ${CounterMod - 1} - prev END) AS BIGINT)
+           |    AS progress
            |FROM d GROUP BY station ORDER BY station""".stripMargin,
       "accept_gate" ->
         s"""$hCte
            |SELECT station, count(*) AS n_total,
-           |  sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
-           |      THEN 1 ELSE 0 END) AS n_accepted,
+           |  CAST(sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
            |  sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
            |      THEN 1 ELSE 0 END) / (1.0 * count(*)) AS accept_ratio
            |FROM h GROUP BY station ORDER BY station""".stripMargin,
@@ -244,7 +245,8 @@ object Registry {
            |         ELSE ctr + ${CounterMod - 1} - prev END AS delta
            |  FROM d),
            |g AS (
-           |  SELECT station, day, count(*) AS incoming, sum(delta) AS progress,
+           |  SELECT station, day, count(*) AS incoming,
+           |    CAST(sum(delta) AS BIGINT) AS progress,
            |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
            |          / count(*) AS mean_value
            |  FROM e GROUP BY station, day)

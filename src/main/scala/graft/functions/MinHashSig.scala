@@ -19,6 +19,10 @@ case class MinHashSig(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // A signature over an empty set is meaningless (the all-MaxValue vector
+  // would silently diverge from the oracle's NULL list_min) — return null.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -30,17 +34,21 @@ case class MinHashSig(child: Expression)
     val n = arr.numElements()
     val sig = Array.fill(MinHashSig.K)(Long.MaxValue)
     var i = 0
+    var seen = false
     while (i < n) {
-      val h = arr.getLong(i)
-      var k = 0
-      while (k < MinHashSig.K) {
-        val v = ((2L * k + 3) * h + k * 99991L + 7) % MinHashSig.P
-        if (v < sig(k)) sig(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) { // skip null elements, don't read them as 0
+        seen = true
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < MinHashSig.K) {
+          val v = ((2L * k + 3) * h + k * 99991L + 7) % MinHashSig.P
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    if (!seen) null else new GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
