@@ -101,6 +101,43 @@ object Registry {
       .orderBy("station")
   }
 
+  /** R9: event enrichment join + reliability gate (reference
+    * src/supervision/station.cpp:28-46): an event whose station hash is
+    * unknown is dropped; `det->process(event)` applies the R5 accept gate;
+    * the survivor gets the station's location and userinfo attached and is
+    * forwarded ONLY while the station is classified reliable.
+    *
+    * Spark shape: the per-station registry (known set = stations whose
+    * detector-info assembled completely on every active day, S4 mask 63;
+    * status = the R6 classifier) is tiny relative to the event stream, so
+    * it BROADCASTS — the 100 TB event scan never shuffles. */
+  private def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
+    val known = Tables.events(s, dir).select(
+        col("user_id").as("station"),
+        (expr("ts div 1000") * 1000).as("start_ns"),
+        (col("event_id") % 6).as("field_id"))
+      .withColumn("day", expr("start_ns div 86400000000000"))
+      .groupBy("station", "day")
+      .agg(expr("bit_or(shiftleft(1L, cast(field_id AS int)))").as("mask"))
+      .groupBy("station")
+      .agg(expr("bool_and(mask = 63)").as("known"))
+      .filter(col("known"))
+      .select("station")
+    val registry = known
+      .join(reliability(s, dir).select("station", "status"), Seq("station"))
+      .filter(col("status") === "reliable")
+      .withColumn("lat", lit(50.0) + (col("station") % 10) * lit(0.02))
+      .withColumn("lon", lit(10.0) + (floor(col("station") / 10) % 10) * lit(0.03))
+      .withColumn("h", lit(100.0) + (col("station") % 7) * lit(10.0))
+      .withColumn("user_name", concat(lit("user_"), col("station")))
+    hits(s, dir)
+      .filter(col("value") <= 50.0 && col("event_type") =!= "error") // R5 gate
+      .join(broadcast(registry), Seq("station"))
+      .select("event_id", "station", "start_ns",
+        "lat", "lon", "h", "user_name")
+      .orderBy("event_id")
+  }
+
   /** R11: periodic per-station summary — incoming count, mean value,
     * counter progress and deadtime = 1 − incoming/progress (1.0 when no
     * progress; reference src/supervision/station.cpp:89-102). */
@@ -159,6 +196,7 @@ object Registry {
     "counter_wrap"     -> counterWrap _,
     "accept_gate"      -> acceptGate _,
     "reliability"      -> reliability _,
+    "enriched_events"  -> enrichedEvents _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _
   )
@@ -230,6 +268,39 @@ object Registry {
            |       WHEN f_time < 0.85 AND f_rate < 0.85 THEN 'reliable'
            |       ELSE 'marginal' END AS status
            |FROM f ORDER BY station""".stripMargin,
+      "enriched_events" ->
+        s"""$ratesCte,
+           |q AS (
+           |  SELECT station,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+           |      AS mean_value
+           |  FROM h GROUP BY station),
+           |f AS (
+           |  SELECT rates.station AS station,
+           |    q.mean_value / 50.0 AS f_time,
+           |    coalesce(rates.stddev_rate / (rates.mean_rate * 0.75), 0.0)
+           |      AS f_rate
+           |  FROM rates JOIN q ON rates.station = q.station),
+           |st AS (
+           |  SELECT station FROM f
+           |  WHERE NOT (f_time > 1.15 OR f_rate > 1.15)
+           |    AND f_time < 0.85 AND f_rate < 0.85),
+           |di AS (
+           |  SELECT station, start_ns // 86400000000000 AS day,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(event_id % 6 AS INT)) AS mask
+           |  FROM h GROUP BY 1, 2),
+           |kn AS (
+           |  SELECT station FROM di GROUP BY station
+           |  HAVING bool_and(mask = 63))
+           |SELECT e.event_id AS event_id, e.station AS station,
+           |  e.start_ns AS start_ns,
+           |  50.0 + (e.station % 10) * 0.02 AS lat,
+           |  10.0 + ((e.station // 10) % 10) * 0.03 AS lon,
+           |  100.0 + (e.station % 7) * 10.0 AS h,
+           |  'user_' || e.station AS user_name
+           |FROM h e JOIN kn USING (station) JOIN st USING (station)
+           |WHERE e.value <= 50.0 AND e.event_type <> 'error'
+           |ORDER BY event_id""".stripMargin,
       "detector_summary" ->
         s"""$hCte,
            |d AS (
