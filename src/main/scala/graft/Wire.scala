@@ -75,6 +75,35 @@ object Wire {
         concat_ws(";", sort_array(collect_list(col("item")))).as("items_str"))
       .orderBy("station", "hour")
 
+  /** S5/O8 typed bag: synthesize per-item log lines from events (names
+    * drawn from the reference's parameter vocabulary incl. one unknown
+    * name for the String fallback), run them through the typed assembly
+    * (sources.DetectorLog), then project the bag back to per-item rows —
+    * the oracle query exercises the full chain: name→type mapping,
+    * tagged-union fields, bag collect, O8 explode. */
+  private def logAssemblyTyped(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DetectorLog
+    val items = Tables.events(s, dir).select(
+      col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"),
+      col("event_id"), col("value"))
+      .withColumn("hour", expr("start_ns div 3600000000000"))
+      .withColumn("name", element_at(
+        typedlit(DetectorLog.wireNames),
+        (col("event_id") % 8).cast("int") + 1))
+      .withColumn("v", round(col("value") * 100).cast("long"))
+      .withColumn("value_str",
+        when(col("name").isin("gainSwitch", "systemNrCPUs"),
+          (col("v") % 1000).cast("string"))
+          .otherwise(format_string("%d.%02d",
+            expr("v div 100"), col("v") % 100)))
+      .select("station", "hour", "name", "value_str")
+    DetectorLog.explodeItems(DetectorLog.assemble(DetectorLog.typed(items)))
+      .orderBy(col("station"), col("hour"), col("name"),
+        col("value_s").asc_nulls_last, col("value_i").asc_nulls_last,
+        col("value_d").asc_nulls_last)
+  }
+
   /** O3-shape MQTT broadcast message per cluster member (reference
     * include/sink/mqtt.h:147-184): uuid from the cluster key, 16-digit
     * zero-padded hex station hash, geohash of the station position
@@ -102,10 +131,11 @@ object Wire {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "parse_hits"      -> parseHits _,
-    "l1_ascii_format" -> l1AsciiFormat _,
-    "l1_mqtt_format"  -> l1MqttFormat _,
-    "log_assembly"    -> logAssembly _
+    "parse_hits"         -> parseHits _,
+    "l1_ascii_format"    -> l1AsciiFormat _,
+    "l1_mqtt_format"     -> l1MqttFormat _,
+    "log_assembly"       -> logAssembly _,
+    "log_assembly_typed" -> logAssemblyTyped _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +192,46 @@ object Wire {
          |    CASE WHEN conflicting THEN 'C' ELSE 'V' END,
          |    cluster_end - cluster_start) AS line
          |FROM l1 ORDER BY cluster_start""".stripMargin
+    },
+    "log_assembly_typed" -> {
+      import graft.sources.DetectorLog
+      val intNames = DetectorLog.typeMapping.filter(_._2 == "int")
+        .map(n => s"'${n._1}'").mkString(", ")
+      val dblNames = DetectorLog.typeMapping.filter(_._2 == "double")
+        .map(n => s"'${n._1}'").mkString(", ")
+      val unitCase = DetectorLog.unitMapping
+        .map { case (k, u) => s"WHEN '$k' THEN '$u'" }.mkString(" ")
+      val wireArr = DetectorLog.wireNames
+        .map(n => s"'$n'").mkString("[", ", ", "]")
+      s"""WITH i AS (
+         |  SELECT user_id AS station, epoch_ns(ts) // 3600000000000 AS hour,
+         |    $wireArr[CAST(event_id % 8 AS INT) + 1] AS name,
+         |    CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |t AS (
+         |  SELECT station, hour, name,
+         |    CASE WHEN name IN ($intNames) THEN 'int'
+         |         WHEN name IN ($dblNames) THEN 'double'
+         |         ELSE 'string' END AS type,
+         |    CASE WHEN name IN ($intNames) THEN CAST(v % 1000 AS VARCHAR)
+         |         ELSE printf('%d.%02d', v // 100, v % 100) END AS value_str
+         |  FROM i),
+         |x AS (
+         |  SELECT station, hour, name, type,
+         |    CASE WHEN type = 'string' THEN value_str END AS value_s,
+         |    CASE WHEN type = 'int' THEN CAST(value_str AS INTEGER)
+         |      END AS value_i,
+         |    CASE WHEN type = 'double' THEN CAST(value_str AS DOUBLE)
+         |      END AS value_d,
+         |    CASE name $unitCase ELSE '' END AS unit
+         |  FROM t),
+         |b AS (SELECT station, hour, count(*) AS n_items
+         |      FROM x GROUP BY 1, 2)
+         |SELECT x.station AS station, x.hour AS hour, n_items, name,
+         |  value_s, value_i, value_d, unit, type
+         |FROM x JOIN b USING (station, hour)
+         |ORDER BY station, hour, name, value_s NULLS LAST,
+         |  value_i NULLS LAST, value_d NULLS LAST""".stripMargin
     },
     "log_assembly" ->
       """WITH i AS (
