@@ -101,6 +101,33 @@ object Registry {
       .orderBy("station")
   }
 
+  /** R3/A2: last-N ring-buffer means as bounded row windows (reference
+    * include/analysis/detectorstation.h:137-139: data_series<double>
+    * pulselength{100}, time_acc{100}, reliability_time_acc{5}) — the
+    * canonical Spark form is rowsBetween(-(N-1), 0) per station ordered
+    * by event time. Means go through exact integer window sums (values
+    * are centi/deci fixed-point) so both engines divide the identical
+    * exact total — no summation-order ulp drift. */
+  private def stationLastN(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("start_ns"), col("event_id"))
+    val w100 = Window.partitionBy("station").orderBy(order: _*)
+      .rowsBetween(-99, 0)
+    val w5 = Window.partitionBy("station").orderBy(order: _*)
+      .rowsBetween(-4, 0)
+    hits(s, dir)
+      .withColumn("pl_c", round(col("value") * 100).cast("long"))
+      .withColumn("ta_d", round(col("value") * 10).cast("long"))
+      .select(col("station"), col("event_id"), col("start_ns"),
+        count(lit(1)).over(w100).as("n100"),
+        (sum("pl_c").over(w100) / 100.0 / count(lit(1)).over(w100))
+          .as("mean_pulselength"),
+        (sum("ta_d").over(w100) / 10.0 / count(lit(1)).over(w100))
+          .as("mean_time_acc"),
+        (sum("ta_d").over(w5) / 10.0 / count(lit(1)).over(w5))
+          .as("rel_time_acc"))
+      .orderBy("station", "start_ns", "event_id")
+  }
+
   /** R9: event enrichment join + reliability gate (reference
     * src/supervision/station.cpp:28-46): an event whose station hash is
     * unknown is dropped; `det->process(event)` applies the R5 accept gate;
@@ -196,6 +223,7 @@ object Registry {
     "counter_wrap"     -> counterWrap _,
     "accept_gate"      -> acceptGate _,
     "reliability"      -> reliability _,
+    "station_lastn"    -> stationLastN _,
     "enriched_events"  -> enrichedEvents _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _
@@ -268,6 +296,22 @@ object Registry {
            |       WHEN f_time < 0.85 AND f_rate < 0.85 THEN 'reliable'
            |       ELSE 'marginal' END AS status
            |FROM f ORDER BY station""".stripMargin,
+      "station_lastn" ->
+        s"""$hCte
+           |SELECT station, event_id, start_ns,
+           |  count(*) OVER w100 AS n100,
+           |  sum(CAST(round(value * 100) AS BIGINT)) OVER w100 / 100.0
+           |    / count(*) OVER w100 AS mean_pulselength,
+           |  sum(CAST(round(value * 10) AS BIGINT)) OVER w100 / 10.0
+           |    / count(*) OVER w100 AS mean_time_acc,
+           |  sum(CAST(round(value * 10) AS BIGINT)) OVER w5 / 10.0
+           |    / count(*) OVER w5 AS rel_time_acc
+           |FROM h
+           |WINDOW w100 AS (PARTITION BY station ORDER BY start_ns, event_id
+           |  ROWS BETWEEN 99 PRECEDING AND CURRENT ROW),
+           |w5 AS (PARTITION BY station ORDER BY start_ns, event_id
+           |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           |ORDER BY station, start_ns, event_id""".stripMargin,
       "enriched_events" ->
         s"""$ratesCte,
            |q AS (
