@@ -18,6 +18,7 @@ object Registry {
   private val WindowNs = 1800L * 1000000000L   // 30-min rate windows (R2)
   private val DayNs    = 86400L * 1000000000L  // summary/log interval
   final val CounterMod = 65536L                // u16 ublox counter (R4)
+  private val ExtremeValue = 300.0             // R5 extreme-timing threshold
 
   private def hits(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -165,6 +166,80 @@ object Registry {
       .orderBy("event_id")
   }
 
+  /** R8/O7: status-transition trigger emission with reason enum (reference
+    * src/analysis/detectorstation.cpp:89-123 + set_status at :71-77: a
+    * trigger fires only when the status CHANGES, carrying one of the
+    * reason strings of include/messages/detectorstatus.h:18-25).
+    *
+    * Classifier precedence per (station, day):
+    *   any extreme-timing event  → unreliable / time_accuracy_extreme
+    *     (the R5 side effect at detectorstation.cpp:57-61; the reference
+    *      threshold is 100× max_timing_error — scaled here to the corpus
+    *      value range, which tops out at ~490)
+    *   f_location > 1.15         → unreliable / location_precision
+    *   f_time     > 1.15         → unreliable / time_accuracy
+    *   f_rate     > 1.15         → unreliable / rate_unstable
+    *   all three  < 0.85         → reliable   / miscellaneous
+    *   otherwise                 → hysteresis hold (carry previous state)
+    * The hold is a last(ignoreNulls) carry-forward window; transitions are
+    * lag() deltas seeded with the 'online' (created) state. O7 columns:
+    * per-station topic and the sink line "<date> <status> <reason>". */
+  private def statusTriggers(s: SparkSession, dir: String): DataFrame = {
+    val h = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
+    val daily = h.groupBy("station", "day").agg(
+      (sum(round(col("value") * 100).cast("long")) / 100.0 /
+        count(lit(1)) / 50.0).as("f_time"),
+      (max("value") > ExtremeValue).as("extreme"))
+    val frate = h.withColumn("w", floor(col("start_ns") / WindowNs))
+      .groupBy("station", "day", "w").agg(count(lit(1)).as("c"))
+      .groupBy("station", "day").agg(
+        count(lit(1)).as("nw"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("station"), col("day"),
+        when(col("nw") > 1,
+          sqrt((col("nw") * col("sc2") - col("sc") * col("sc")) /
+            (col("nw") * (col("nw") - 1))) / (col("sc") / col("nw")) / 0.75)
+          .otherwise(lit(0.0)).as("f_rate"))
+    val dop = lit(1.0) + (col("station") % 5).cast("double") * lit(0.25)
+    val acc2 = ((lit(2) + col("station") % 11) * (lit(2) + col("station") % 11) +
+      (lit(3) + col("station") % 13) * (lit(3) + col("station") % 13))
+      .cast("double")
+    val classified = daily.join(frate, Seq("station", "day"))
+      .withColumn("f_location", dop * sqrt(acc2) / lit(15.0))
+      .withColumn("d_status",
+        when(col("extreme"), "unreliable")
+          .when(col("f_location") > 1.15, "unreliable")
+          .when(col("f_time") > 1.15, "unreliable")
+          .when(col("f_rate") > 1.15, "unreliable")
+          .when(col("f_location") < 0.85 && col("f_time") < 0.85 &&
+            col("f_rate") < 0.85, "reliable"))
+      .withColumn("d_reason",
+        when(col("extreme"), "time_accuracy_extreme")
+          .when(col("f_location") > 1.15, "location_precision")
+          .when(col("f_time") > 1.15, "time_accuracy")
+          .when(col("f_rate") > 1.15, "rate_unstable")
+          .when(col("f_location") < 0.85 && col("f_time") < 0.85 &&
+            col("f_rate") < 0.85, "miscellaneous"))
+    val w = Window.partitionBy("station").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy("station").orderBy("day")
+    classified
+      .withColumn("status",
+        coalesce(last("d_status", ignoreNulls = true).over(w), lit("online")))
+      .withColumn("prev_status",
+        coalesce(lag("status", 1).over(wl), lit("online")))
+      .filter(col("status") =!= col("prev_status"))
+      .select(col("station"), col("day"), col("prev_status"), col("status"),
+        col("d_reason").as("reason"),
+        concat(lit("u"), col("station"), lit("/st"), col("station") % 3)
+          .as("topic"),
+        concat(date_format(date_add(to_date(lit("1970-01-01")),
+            col("day").cast("int")), "yyyy-MM-dd"),
+          lit("_00-00-00 UTC "), col("status"), lit(" "),
+          col("d_reason")).as("msg"))
+      .orderBy("station", "day")
+  }
+
   /** R11: periodic per-station summary — incoming count, mean value,
     * counter progress and deadtime = 1 − incoming/progress (1.0 when no
     * progress; reference src/supervision/station.cpp:89-102). */
@@ -225,6 +300,7 @@ object Registry {
     "reliability"      -> reliability _,
     "station_lastn"    -> stationLastN _,
     "enriched_events"  -> enrichedEvents _,
+    "status_triggers"  -> statusTriggers _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _
   )
@@ -345,6 +421,68 @@ object Registry {
            |FROM h e JOIN kn USING (station) JOIN st USING (station)
            |WHERE e.value <= 50.0 AND e.event_type <> 'error'
            |ORDER BY event_id""".stripMargin,
+      "status_triggers" ->
+        s"""$hCte,
+           |hd AS (
+           |  SELECT *, start_ns // ${DayNs} AS day FROM h),
+           |daily AS (
+           |  SELECT station, day,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+           |      / 50.0 AS f_time,
+           |    max(value) > ${ExtremeValue} AS extreme
+           |  FROM hd GROUP BY 1, 2),
+           |wc AS (
+           |  SELECT station, day, start_ns // ${WindowNs} AS w, count(*) AS c
+           |  FROM hd GROUP BY 1, 2, 3),
+           |fr AS (
+           |  SELECT station, day, count(*) AS nw, sum(c) AS sc,
+           |         sum(c * c) AS sc2
+           |  FROM wc GROUP BY 1, 2),
+           |frate AS (
+           |  SELECT station, day,
+           |    CASE WHEN nw > 1 THEN
+           |      sqrt((nw * sc2 - sc * sc) / (nw * (nw - 1)))
+           |        / (sc / nw) / 0.75
+           |    ELSE 0.0 END AS f_rate
+           |  FROM fr),
+           |cf AS (
+           |  SELECT station, day, f_time, f_rate, extreme,
+           |    (1.0 + (station % 5) * 0.25) *
+           |      sqrt(CAST((2 + station % 11) * (2 + station % 11) +
+           |                (3 + station % 13) * (3 + station % 13) AS DOUBLE))
+           |      / 15.0 AS f_location
+           |  FROM daily JOIN frate USING (station, day)),
+           |cls AS (
+           |  SELECT station, day,
+           |    CASE WHEN extreme THEN 'unreliable'
+           |         WHEN f_location > 1.15 THEN 'unreliable'
+           |         WHEN f_time > 1.15 THEN 'unreliable'
+           |         WHEN f_rate > 1.15 THEN 'unreliable'
+           |         WHEN f_location < 0.85 AND f_time < 0.85
+           |           AND f_rate < 0.85 THEN 'reliable' END AS d_status,
+           |    CASE WHEN extreme THEN 'time_accuracy_extreme'
+           |         WHEN f_location > 1.15 THEN 'location_precision'
+           |         WHEN f_time > 1.15 THEN 'time_accuracy'
+           |         WHEN f_rate > 1.15 THEN 'rate_unstable'
+           |         WHEN f_location < 0.85 AND f_time < 0.85
+           |           AND f_rate < 0.85 THEN 'miscellaneous' END AS d_reason
+           |  FROM cf),
+           |st AS (
+           |  SELECT *, coalesce(last_value(d_status IGNORE NULLS) OVER
+           |      (PARTITION BY station ORDER BY day
+           |       ROWS UNBOUNDED PRECEDING), 'online') AS status
+           |  FROM cls),
+           |tr AS (
+           |  SELECT *, coalesce(lag(status) OVER
+           |      (PARTITION BY station ORDER BY day), 'online')
+           |      AS prev_status
+           |  FROM st)
+           |SELECT station, day, prev_status, status, d_reason AS reason,
+           |  'u' || station || '/st' || (station % 3) AS topic,
+           |  strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+           |    || '_00-00-00 UTC ' || status || ' ' || d_reason AS msg
+           |FROM tr WHERE status <> prev_status
+           |ORDER BY station, day""".stripMargin,
       "detector_summary" ->
         s"""$hCte,
            |d AS (

@@ -13,11 +13,20 @@ case class StationEvent(station: Long, startNs: Long, valueCents: Long,
   * src/analysis/detectorstation.cpp:89-107). */
 case class StationState(nEvents: Long, sumValueCents: Long, lastCounter: Long,
                         progress: Long, lastSeenNs: Long, status: String,
+                        reason: String = "miscellaneous",
                         lastWallMs: Long = 0L)
 
-/** Registry output row (detector_summary shape, SURVEY §2.2 R11). */
+/** Registry output row (detector_summary shape, SURVEY §2.2 R11).
+  * `reason` carries the detector_status::reason enum string of the last
+  * status assignment (reference include/messages/detectorstatus.h:18-25);
+  * `triggered` marks rows where the status CHANGED this batch — the R8/O7
+  * trigger stream is `registryStream(...).filter(_.triggered)`, matching
+  * set_status's emit-on-change (reference
+  * src/analysis/detectorstation.cpp:71-77). */
 case class StationUpdate(station: Long, nEvents: Long, meanValue: Double,
-                         progress: Long, status: String)
+                         progress: Long, status: String,
+                         reason: String = "miscellaneous",
+                         triggered: Boolean = false)
 
 /** Streaming station registry: `mapGroupsWithState` keyed by station hash —
   * the keyed-upsert + per-key aggregate machine of the reference's
@@ -33,6 +42,10 @@ object StreamingRegistry {
   final val FTimeDivisor = 50.0
   final val UpperBand = 1.15
   final val LowerBand = 0.85
+  /** R5 side effect (reference detectorstation.cpp:57-61): a single event
+    * beyond the extreme-timing bound downgrades immediately. Fixed-point
+    * cents of Registry's ExtremeValue = 300.0. */
+  final val ExtremeCents = 30000L
 
   /** Liveness ladder deadlines (reference
     * include/analysis/detectorstation.h:123-125): 90 s to unreliable,
@@ -75,12 +88,13 @@ object StreamingRegistry {
     val n = s.nEvents + 1
     val sum = s.sumValueCents + e.valueCents
     val fTime = (sum / 100.0 / n) / FTimeDivisor
-    val status =
-      if (fTime > UpperBand) "unreliable"
-      else if (fTime < LowerBand) "reliable"
-      else s.status // dead band: hysteresis keeps the previous state
+    val (status, reason) =
+      if (e.valueCents > ExtremeCents) ("unreliable", "time_accuracy_extreme")
+      else if (fTime > UpperBand) ("unreliable", "time_accuracy")
+      else if (fTime < LowerBand) ("reliable", "miscellaneous")
+      else (s.status, s.reason) // dead band: hysteresis keeps previous state
     StationState(n, sum, e.counter, s.progress + delta,
-      math.max(s.lastSeenNs, e.startNs), status)
+      math.max(s.lastSeenNs, e.startNs), status, reason)
   }
 
   private def update(livenessTimeoutMs: Long, armTimeout: Boolean)(
@@ -94,13 +108,18 @@ object StreamingRegistry {
         case None =>
           state.remove()
           StationUpdate(station, s.nEvents, s.sumValueCents / 100.0 /
-            math.max(s.nEvents, 1), s.progress, "deleted")
+            math.max(s.nEvents, 1), s.progress, "deleted",
+            "missed_log_interval", triggered = true)
         case Some(st) =>
-          val down = s.copy(status = st)
+          // silence downgrades carry missed_log_interval (reference
+          // detectorstation.cpp:115-121); an unchanged status is no trigger
+          val changed = st != s.status
+          val down = s.copy(status = st,
+            reason = if (changed) "missed_log_interval" else s.reason)
           state.update(down)
           if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
           StationUpdate(station, down.nEvents, down.sumValueCents / 100.0 /
-            math.max(down.nEvents, 1), down.progress, st)
+            math.max(down.nEvents, 1), down.progress, st, down.reason, changed)
       }
     } else {
       val init = state.getOption.getOrElse(
@@ -110,7 +129,8 @@ object StreamingRegistry {
       state.update(s)
       if (armTimeout) state.setTimeoutDuration(livenessTimeoutMs)
       StationUpdate(station, s.nEvents,
-        s.sumValueCents / 100.0 / math.max(s.nEvents, 1), s.progress, s.status)
+        s.sumValueCents / 100.0 / math.max(s.nEvents, 1), s.progress, s.status,
+        s.reason, s.status != init.status)
     }
   }
 }

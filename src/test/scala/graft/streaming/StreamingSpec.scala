@@ -85,6 +85,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.status == "unreliable") // hysteresis held
   }
 
+  test("trigger reasons: extreme side effect, dead-band hold, ladder reason") {
+    val s0 = StationState(0, 0, 0, 0, 0, "created")
+    // single extreme event → unreliable/time_accuracy_extreme (R5 side
+    // effect, reference detectorstation.cpp:57-61)
+    val ex = StreamingRegistry.fold(s0, StationEvent(1, 100, 40000, 1))
+    assert(ex.status == "unreliable" && ex.reason == "time_accuracy_extreme")
+    // high running mean → time_accuracy
+    val hi = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 1))
+    assert(hi.status == "unreliable" && hi.reason == "time_accuracy")
+    // dead band keeps status AND reason
+    var s = hi
+    var i = 0
+    while (i < 2) { s = StreamingRegistry.fold(s, StationEvent(1, 300, 2500, 2 + i)); i += 1 }
+    val ft = (s.sumValueCents / 100.0 / s.nEvents) / 50.0
+    assert(ft > 0.85 && ft < 1.15)
+    assert(s.status == "unreliable" && s.reason == "time_accuracy")
+  }
+
   test("stream/batch parity on the real sf0.001 events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -270,7 +288,15 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(_.station).view.mapValues(_.last).toMap
       assert(rows(7).nEvents == 2 && rows(7).progress == 4)
       assert(rows(7).meanValue == 20.0 && rows(7).status == "reliable")
+      assert(rows(7).triggered) // created → reliable is a status change
       assert(rows(8).status == "unreliable") // 90 > 50·1.15
+      assert(rows(8).reason == "time_accuracy" && rows(8).triggered)
+      // a second batch that leaves the status unchanged must NOT trigger
+      mem.addData(StationEvent(8, 300, 9000, 2))
+      q.processAllAvailable()
+      val r8 = spark.table("registry").as[StationUpdate].collect()
+        .filter(_.station == 8L).last
+      assert(r8.status == "unreliable" && !r8.triggered)
     } finally q.stop()
   }
 }
