@@ -199,6 +199,48 @@ object Geodesic {
   /** Station distance matrix with the TRUE physical constants (reference
     * include/analysis/coincidence.h:25-27): chord distance and
     * time-of-flight floor over every station pair. */
+  /** A5 ToF binning constants (reference
+    * src/analysis/stationcoincidence.cpp:232-236): 2000 bins centered on
+    * 0; per-pair width clamp(2·tof/bins, min, max) where max =
+    * total_width/bins and total_width = 2·MaxTimeNs (the reference's
+    * 200 µs total at its 100 µs window, scaled to this corpus's window),
+    * min = max/100 (the reference's 1 ns at a 100 ns cap). */
+  final val TofBins = 2000
+  final val TofMaxWidthNs: Double = 2.0 * MaxTimeNs / TofBins
+  final val TofMinWidthNs: Double = TofMaxWidthNs / 100.0
+
+  /** A5: per-pair Δt histogram with DATA-DEPENDENT bin width — each
+    * station pair's width scales with its chord-distance time-of-flight
+    * (clamped), so nearby pairs get fine bins and distant pairs coarse
+    * ones; out-of-range samples land in the ±(bins/2) boundary bins.
+    * Positions derive from the station key, so the width is computed
+    * inline per pair row (codegen scalar math — no extra join/shuffle;
+    * the only shuffle is the final groupBy on the pair key). */
+  private def pairTimediffHistTof(s: SparkSession, dir: String): DataFrame = {
+    val c = sessioned(s, dir)
+    val a = c.select(col("cluster_key"), col("event_id").as("eid_a"),
+      col("station").as("st_a"), col("start_ns").as("sa"),
+      col("x").as("xa"), col("y").as("ya"), col("z").as("za"))
+    val b = c.select(col("cluster_key"), col("event_id").as("eid_b"),
+      col("station").as("st_b"), col("start_ns").as("sb"),
+      col("x").as("xb"), col("y").as("yb"), col("z").as("zb"))
+    a.join(b, Seq("cluster_key"))
+      .filter(col("eid_a") < col("eid_b") && col("st_a") =!= col("st_b"))
+      .withColumn("bw", floor(least(greatest(
+          lit(2.0) * (pairDist() / lit(SpeedMPerNs)) / lit(TofBins.toDouble),
+          lit(TofMinWidthNs)), lit(TofMaxWidthNs))))
+      .withColumn("dt",
+        when(col("st_a") > col("st_b"), col("sa") - col("sb"))
+          .otherwise(col("sb") - col("sa")))
+      .withColumn("bin", least(greatest(floor(col("dt") / col("bw")),
+        lit(-(TofBins / 2).toLong)), lit((TofBins / 2 - 1).toLong)))
+      .groupBy(least(col("st_a"), col("st_b")).as("station_lo"),
+        greatest(col("st_a"), col("st_b")).as("station_hi"),
+        col("bw").as("bin_width"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("station_lo", "station_hi", "bin")
+  }
+
   private def distanceMatrix(s: SparkSession, dir: String): DataFrame = {
     val st = Tables.events(s, dir).select(col("user_id").as("station"))
       .distinct()
@@ -224,7 +266,8 @@ object Geodesic {
     "geo_edges"       -> geoEdges _,
     "coincidence_geo" -> coincidenceGeo _,
     "component_score" -> componentScore _,
-    "distance_matrix" -> distanceMatrix _
+    "distance_matrix" -> distanceMatrix _,
+    "pair_timediff_hist_tof" -> pairTimediffHistTof _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -314,6 +357,27 @@ object Geodesic {
        |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "pair_timediff_hist_tof" ->
+      s"""$ecefCte,
+         |p AS (
+         |  SELECT least(a.station, b.station) AS station_lo,
+         |    greatest(a.station, b.station) AS station_hi,
+         |    CAST(floor(least(greatest(
+         |      2.0 * (sqrt((a.x - b.x) * (a.x - b.x)
+         |        + (a.y - b.y) * (a.y - b.y)
+         |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs})
+         |        / ${TofBins.toDouble},
+         |      ${TofMinWidthNs}), ${TofMaxWidthNs})) AS BIGINT) AS bin_width,
+         |    CASE WHEN a.station > b.station THEN a.start_ns - b.start_ns
+         |         ELSE b.start_ns - a.start_ns END AS dt
+         |  FROM c a JOIN c b ON a.cid = b.cid AND a.event_id < b.event_id
+         |  WHERE a.station <> b.station)
+         |SELECT station_lo, station_hi, bin_width,
+         |  least(greatest(CAST(floor(dt / bin_width) AS BIGINT),
+         |    ${-(TofBins / 2)}), ${TofBins / 2 - 1}) AS bin,
+         |  count(*) AS cnt
+         |FROM p GROUP BY 1, 2, 3, 4
+         |ORDER BY station_lo, station_hi, bin""".stripMargin,
     "geo_edges" ->
       s"""$ecefCte
          |SELECT a.event_id AS eid_a, b.event_id AS eid_b,
