@@ -59,11 +59,21 @@ object Pipeline {
 
   // ---- text analysis ---------------------------------------------------
 
-  /** Exact deduplication: hash-group on full text, keep the smallest id
-    * (the classic exact-dedup shuffle: one hash partition per text). */
+  /** Exact deduplication, shuffle-lean: group on a compound content
+    * fingerprint (forward poly-hash, reverse poly-hash, byte length)
+    * instead of the raw text, so the exchange carries 32 bytes per row —
+    * at 100 TB the full documents never shuffle (the previous
+    * partitionBy(text) shipped and sorted entire documents). Two
+    * independent 1e9-space folds + exact length make a ~2^60 keyspace
+    * per length class; a strict engine would add one content compare
+    * within each fingerprint group, which stays cheap because groups are
+    * true-duplicate-sized. */
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("text")
-    Tables.documents(s, dir)
+    val w = Window.partitionBy("h1", "h2", "len")
+    registered(s, dir)
+      .select(col("doc_id"), expr("poly_hash(text)").as("h1"),
+        expr("poly_hash(reverse(text))").as("h2"),
+        length(col("text")).as("len"))
       .withColumn("keeper", min("doc_id").over(w))
       .select(col("doc_id"), col("keeper"),
         (col("doc_id") =!= col("keeper")).as("is_dup"))
@@ -354,9 +364,15 @@ object Pipeline {
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
-      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
-        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH fp AS (
+         |  SELECT doc_id, ${charFoldDuck("text")} AS h1,
+         |    ${charFoldDuck("reverse(text)")} AS h2,
+         |    length(text) AS len
+         |  FROM documents)
+         |SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY h1, h2, len) AS keeper,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, len) AS is_dup
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         |  length(string_split(text, ' ')) AS n_tokens,

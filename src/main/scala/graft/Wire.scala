@@ -108,7 +108,10 @@ object Wire {
     * include/sink/mqtt.h:147-184): uuid from the cluster key, 16-digit
     * zero-padded hex station hash, geohash of the station position
     * TRUNCATED to 6 chars (the reference's anonymization), relative time
-    * within the cluster. Geohash has no DuckDB twin → rows-only check. */
+    * within the cluster. The oracle reproduces the geohash with a 30-step
+    * bisection recursive CTE over the distinct stations — the same
+    * midpoint arithmetic as functions.Geo.geohash, so the strings compare
+    * exactly. */
   private def l1MqttFormat(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Kernel
     Geodesic.sessionedForSinks(s, dir)
@@ -139,6 +142,64 @@ object Wire {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "l1_mqtt_format" -> {
+      def ch(shift: Int): String =
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST(((bits >> $shift) & 31) AS INT) + 1, 1)"
+      s"""WITH RECURSIVE g AS (
+         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+         |    50.0 + (user_id % 10) * 0.02 AS lat,
+         |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+         |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+         |    THEN 1 ELSE 0 END AS nb
+         |  FROM g WINDOW w AS (ORDER BY start_ns, event_id)),
+         |c AS (
+         |  SELECT station, start_ns,
+         |    sum(nb) OVER (ORDER BY start_ns, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cid
+         |  FROM s),
+         |k AS (
+         |  SELECT station, start_ns,
+         |    min(start_ns) OVER (PARTITION BY cid) AS ck,
+         |    count(*) OVER (PARTITION BY cid) AS n
+         |  FROM c),
+         |st AS (SELECT DISTINCT station, lat, lon FROM g),
+         |bis(station, lat, lon, step, latlo, lathi, lonlo, lonhi, bits) AS (
+         |  SELECT station, CAST(lat AS DOUBLE), CAST(lon AS DOUBLE), 0,
+         |    CAST(-90.0 AS DOUBLE), CAST(90.0 AS DOUBLE),
+         |    CAST(-180.0 AS DOUBLE), CAST(180.0 AS DOUBLE),
+         |    CAST(0 AS BIGINT)
+         |  FROM st
+         |  UNION ALL
+         |  SELECT station, lat, lon, step + 1,
+         |    CASE WHEN step % 2 = 1 AND lat >= (latlo + lathi) / 2
+         |      THEN (latlo + lathi) / 2 ELSE latlo END,
+         |    CASE WHEN step % 2 = 1 AND lat < (latlo + lathi) / 2
+         |      THEN (latlo + lathi) / 2 ELSE lathi END,
+         |    CASE WHEN step % 2 = 0 AND lon >= (lonlo + lonhi) / 2
+         |      THEN (lonlo + lonhi) / 2 ELSE lonlo END,
+         |    CASE WHEN step % 2 = 0 AND lon < (lonlo + lonhi) / 2
+         |      THEN (lonlo + lonhi) / 2 ELSE lonhi END,
+         |    bits * 2 + CASE WHEN step % 2 = 0
+         |      THEN CASE WHEN lon >= (lonlo + lonhi) / 2 THEN 1 ELSE 0 END
+         |      ELSE CASE WHEN lat >= (latlo + lathi) / 2 THEN 1 ELSE 0 END
+         |      END
+         |  FROM bis WHERE step < 30),
+         |ghs AS (
+         |  SELECT station,
+         |    ${ch(25)} || ${ch(20)} || ${ch(15)} || ${ch(10)}
+         |      || ${ch(5)} || ${ch(0)} AS gh
+         |  FROM bis WHERE step = 30)
+         |SELECT k.ck AS uuid,
+         |  printf('%016x', k.station) || ' ' || ghs.gh || ' ' || k.n || ' '
+         |    || (k.start_ns - k.ck) || ' ' || k.start_ns AS msg
+         |FROM k JOIN ghs ON k.station = ghs.station
+         |WHERE k.n >= 2
+         |ORDER BY uuid, msg""".stripMargin
+    },
     "parse_hits" ->
       """WITH raw AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS start_ns,
