@@ -274,6 +274,85 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Independent hash tables for the widened ANN (ann_lsh_multi). */
+  final val AnnTables = 2
+  /** Build-side bucket membership cap (skew bound). */
+  final val AnnBucketCap = 32
+  /** Max hyperplane bits per table; plane ids index t*AnnMaxBits + k so
+    * planes are stable as the adaptive bit count grows. */
+  final val AnnMaxBits = 24
+
+  /** Smallest b in [8, AnnMaxBits] with 4·2^b ≥ n — expected bucket
+    * population ≤ 4 at any corpus size. Pure integer compares so the
+    * DuckDB oracle (a generated CASE chain) lands on the identical value
+    * (a float log2 could differ by 1 ulp at exact powers of two). */
+  private[graft] def annBits(n: Long): Int =
+    (8 to AnnMaxBits).find(b => n <= (4L << b)).getOrElse(AnnMaxBits)
+
+  private def planeWeight(plane: Int, d: Int): Double =
+    ((plane.toLong * 64 + d - 1) * 2654435761L % 1000 - 500).toDouble
+
+  /** Widened LSH ANN — the 100 TB-shape similarity search:
+    *
+    *   - bit count ADAPTS to the corpus (annBits), so expected bucket
+    *     population stays ~4 and within-bucket candidate pairs grow
+    *     LINEARLY with the corpus, never quadratically (the fixed 8-bit
+    *     `ann_lsh` keeps its O(N²/256) buckets and remains as the simple
+    *     oracle variant);
+    *   - AnnTables independent hyperplane tables, unioned, recover the
+    *     recall a single fine-grained table loses;
+    *   - Hamming-1 multi-probe: each vector probes its own bucket plus
+    *     all bits-flipped-by-one neighbors, catching near-boundary misses
+    *     without extra tables;
+    *   - candidate (vec_id, nn_id) pairs are DEDUPED as bare 16-byte id
+    *     rows before the 64-dim vectors re-attach for scoring — the same
+    *     shuffle-volume move as minhash_lsh;
+    *   - the BUILD side of each bucket is capped at AnnBucketCap members
+    *     (deterministic: lowest vec_ids) — embedding clusters make bucket
+    *     population skewed at any bit count (measured: max bucket grew
+    *     3.2× for a 4× corpus), and without a cap the hot buckets alone
+    *     push total candidates superlinear. Every vector still PROBES, so
+    *     nothing loses its nearest-neighbor row; dense near-dup clusters
+    *     just score against their cluster's lowest-id representatives.
+    */
+  private def annLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val bits = annBits(all.count())
+    def bucketExpr(t: Int): String = (0 until bits).map { k =>
+      val hp = (1 to 64).map(d => s"${planeWeight(t * AnnMaxBits + k, d)}D")
+        .mkString("array(", ", ", ")")
+      s"IF(dot_p(v, $hp) >= 0, ${1L << k}L, 0L)"
+    }.mkString(" + ")
+    val bucketed = (0 until AnnTables).map { t =>
+      all.withColumn("tbl", lit(t)).withColumn("bucket", expr(bucketExpr(t)))
+    }.reduce(_ unionByName _)
+    val probeList = ("bucket" +: (0 until bits)
+      .map(j => s"bucket ^ ${1L << j}L")).mkString(", ")
+    val probes = bucketed.selectExpr("tbl", "vec_id",
+      s"explode(array($probeList)) AS pk")
+    val wb = Window.partitionBy("tbl", "bucket").orderBy("nn_id")
+    val ids = bucketed.select(col("tbl"), col("vec_id").as("nn_id"),
+      col("bucket"))
+      .withColumn("br", row_number().over(wb))
+      .filter(col("br") <= AnnBucketCap)
+      .drop("br")
+    val cand = probes
+      .join(ids, probes("pk") === ids("bucket") &&
+        probes("tbl") === ids("tbl") && col("vec_id") =!= col("nn_id"))
+      .select("vec_id", "nn_id").distinct()
+    val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("nn_cosine").desc, col("nn_id"))
+    cand.join(a, Seq("vec_id")).join(b, Seq("nn_id"))
+      .withColumn("nn_cosine", expr(cosExpr))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "nn_id", "nn_cosine")
+      .orderBy("vec_id")
+  }
+
   /** Language ID: char-trigram profile classifier (library kernel; the
     * synthetic corpus text is English-shaped regardless of its `lang`
     * label, so the prediction column is the deliverable, not accuracy).
@@ -313,7 +392,8 @@ object Pipeline {
     "minhash_lsh"       -> minhashLsh _,
     "simhash"           -> simhash _,
     "ngram_jaccard"     -> ngramJaccard _,
-    "ann_lsh"           -> annLsh _
+    "ann_lsh"           -> annLsh _,
+    "ann_lsh_multi"     -> annLshMulti _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -471,6 +551,50 @@ object Pipeline {
          |FROM sh a JOIN sh b
          |  ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "ann_lsh_multi" -> {
+      val bitsCase = (8 to AnnMaxBits).map(b => s"WHEN cnt <= ${4L << b} THEN $b")
+        .mkString("CASE ", " ", s" ELSE $AnnMaxBits END")
+      s"""$vecsCte,
+         |params AS (
+         |  SELECT ($bitsCase) AS bits
+         |  FROM (SELECT count(*) AS cnt FROM n)),
+         |bk AS (
+         |  SELECT vec_id, t, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, bits), k ->
+         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, 65), d ->
+         |          CAST(((t * $AnnMaxBits + k) * 64 + d - 1) * 2654435761
+         |            % 1000 - 500 AS DOUBLE) * v[CAST(d AS INT)])),
+         |        (s, u) -> s + u) >= 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+         |      ELSE CAST(0 AS BIGINT) END)),
+         |    (a, x) -> a + x) AS bucket
+         |  FROM n, params, range(0, $AnnTables) r(t)),
+         |pr AS (
+         |  SELECT vec_id, t, unnest(list_prepend(bucket,
+         |    list_transform(range(0, bits), j ->
+         |      xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))))) AS pk
+         |  FROM bk, params),
+         |bkc AS (
+         |  SELECT vec_id, t, bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t, bucket
+         |      ORDER BY vec_id) AS br FROM bk)
+         |  WHERE br <= $AnnBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+         |  FROM pr a JOIN bkc b ON a.t = b.t AND a.pk = b.bucket
+         |    AND a.vec_id <> b.vec_id),
+         |p AS (
+         |  SELECT c.vec_id AS vec_id, c.nn_id AS nn_id,
+         |    $cosDuck AS nn_cosine
+         |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
+         |    JOIN n b ON c.nn_id = b.vec_id),
+         |r2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
+         |SELECT vec_id, nn_id, nn_cosine FROM r2
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
     "ann_lsh" ->
       s"""$vecsCte,
          |bk AS (
