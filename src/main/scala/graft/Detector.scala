@@ -34,6 +34,11 @@ object Detector {
   final val BaseMinNs: Long = 800000000L
   final val BaseMaxNs: Long = 120L * 1000000000L
 
+  /** Dynamic cluster-timeout clamp, ns (reference
+    * include/messages/event.h:16-17: 2 s minimum, 30 min maximum). */
+  final val TimeoutMinNs: Long = 2L * 1000000000L
+  final val TimeoutMaxNs: Long = 1800L * 1000000000L
+
   /** events → canonical hit columns. The engine's canonical time is i64
     * nanos; for oracle parity the nanos are truncated to µs precision here
     * because DuckDB (1.0) reads parquet TIMESTAMP_NS as µs TIMESTAMP. */

@@ -8,9 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One hit on the stream (event time = startNs, i64 nanos). */
 case class StreamHit(eventId: Long, station: Long, startNs: Long)
 
-/** One open (not yet emitted) coincidence cluster. */
+/** One open (not yet emitted) coincidence cluster. `timeoutNs` is the
+  * cluster's emission deadline distance (T1 feedback): it starts at the
+  * dynamic timeout current when the cluster opens and only ever GROWS
+  * (reference src/analysis/eventconstructor.cpp:7-13 ignores smaller
+  * values), so a timebase spike can hold a cluster open longer but a
+  * later calm sample never retracts the wait. */
 case class OpenCluster(minStart: Long, maxStart: Long,
-                       stations: List[Long], eventIds: List[Long])
+                       stations: List[Long], eventIds: List[Long],
+                       timeoutNs: Long = Detector.GapNs)
 
 /** Keyed state: the open clusters of one time bucket. */
 case class BucketState(clusters: List[OpenCluster])
@@ -40,10 +46,25 @@ case class EmittedCluster(clusterStart: Long, clusterEnd: Long, n: Long,
   */
 object StreamingCoincidence {
 
+  /** T1 feedback (reference src/supervision/timebase.cpp:27-45 +
+    * src/messages/event.cpp:7-11): `dynamicTimeout = true` makes each
+    * micro-batch a timebase sample — base = clamp(event-time spread,
+    * BaseMin, BaseMax), timeout = clamp(base × rateFactor, TimeoutMin,
+    * TimeoutMax) — and seals a cluster only when the watermark passes
+    * maxStart + its per-cluster (only-grow) timeout instead of
+    * maxStart + gap. `rateFactor` is the reference's largest station
+    * rate-dip factor (R10, src/supervision/station.cpp:74-79); it is a
+    * parameter because in a deployment it arrives on a side channel
+    * (the registry stream). Membership stays gap-based (the criterion
+    * decides WHO joins; the timeout decides how long to WAIT — exactly
+    * the reference's split), so emitted content is identical to the
+    * static path; only emission timing adapts. */
   def clusterStream(hits: Dataset[StreamHit],
                     gapNs: Long = Detector.GapNs,
                     bucketNs: Long = Detector.BucketNs,
-                    watermarkDelay: String = "30 seconds"): Dataset[EmittedCluster] = {
+                    watermarkDelay: String = "30 seconds",
+                    dynamicTimeout: Boolean = false,
+                    rateFactor: Double = 1.0): Dataset[EmittedCluster] = {
     val spark = hits.sparkSession
     import spark.implicits._
     hits
@@ -52,22 +73,37 @@ object StreamingCoincidence {
       .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey { case (_, _, startNs, _) => startNs / bucketNs }
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(processBucket(gapNs))
+        GroupStateTimeout.EventTimeTimeout)(
+        processBucket(gapNs, dynamicTimeout, rateFactor))
+  }
+
+  /** One timebase sample → dynamic timeout (never below the gap). */
+  private[streaming] def dynTimeout(spreadNs: Long, rateFactor: Double,
+                                    gapNs: Long): Long = {
+    val base = math.max(Detector.BaseMinNs,
+      math.min(Detector.BaseMaxNs, spreadNs))
+    math.max(gapNs, math.min(Detector.TimeoutMaxNs,
+      math.max(Detector.TimeoutMinNs, (base * rateFactor).toLong)))
   }
 
   /** Merge an event into the open-cluster set: every cluster whose
     * [min−gap, max+gap] envelope covers the event start is unioned with it
-    * (maintains exact gap-session components under out-of-order arrival). */
+    * (maintains exact gap-session components under out-of-order arrival).
+    * The merged cluster's timeout is the max of its constituents' and the
+    * current dynamic timeout — only-grow. */
   private[streaming] def addEvent(clusters: List[OpenCluster], e: StreamHit,
-                                  gapNs: Long): List[OpenCluster] = {
+                                  gapNs: Long,
+                                  dynNs: Long = Detector.GapNs): List[OpenCluster] = {
     val (touching, rest) = clusters.partition(c =>
       e.startNs >= c.minStart - gapNs && e.startNs <= c.maxStart + gapNs)
     val merged = touching.foldLeft(
-      OpenCluster(e.startNs, e.startNs, List(e.station), List(e.eventId))) {
+      OpenCluster(e.startNs, e.startNs, List(e.station), List(e.eventId),
+        dynNs)) {
       (acc, c) =>
         OpenCluster(math.min(acc.minStart, c.minStart),
           math.max(acc.maxStart, c.maxStart),
-          acc.stations ++ c.stations, acc.eventIds ++ c.eventIds)
+          acc.stations ++ c.stations, acc.eventIds ++ c.eventIds,
+          math.max(acc.timeoutNs, c.timeoutNs))
     }
     merged :: rest
   }
@@ -104,7 +140,8 @@ object StreamingCoincidence {
     out.toSeq
   }
 
-  private def processBucket(gapNs: Long)(
+  private def processBucket(gapNs: Long, dynamic: Boolean,
+                            rateFactor: Double)(
       key: Long,
       events: Iterator[(Long, Long, Long, java.sql.Timestamp)],
       state: GroupState[BucketState]): Iterator[EmittedCluster] = {
@@ -112,17 +149,28 @@ object StreamingCoincidence {
     var clusters = state.getOption.map(_.clusters).getOrElse(Nil)
 
     if (!state.hasTimedOut) {
-      for ((eid, st, startNs, _) <- events)
-        clusters = addEvent(clusters, StreamHit(eid, st, startNs), gapNs)
+      val batch = events.toSeq
+      // this micro-batch is one timebase sample (the reference samples on
+      // a processing cadence, timebase.cpp:27-33)
+      val dynNs =
+        if (!dynamic || batch.isEmpty) gapNs
+        else {
+          val starts = batch.map(_._3)
+          dynTimeout(starts.max - starts.min, rateFactor, gapNs)
+        }
+      for ((eid, st, startNs, _) <- batch)
+        clusters = addEvent(clusters, StreamHit(eid, st, startNs), gapNs,
+          dynNs)
     }
 
-    // Emit every cluster the watermark has sealed (no event can extend it).
-    val (closed, open) = clusters.partition(_.maxStart + gapNs < wmNs)
+    // Emit every cluster whose per-cluster deadline the watermark passed
+    // (static path: timeoutNs == gapNs, byte-identical behavior).
+    val (closed, open) = clusters.partition(c => c.maxStart + c.timeoutNs < wmNs)
     if (open.isEmpty) state.remove()
     else {
       state.update(BucketState(open))
       // earliest deadline among open clusters, strictly above the watermark
-      val deadlineMs = open.map(_.maxStart + gapNs).min / 1000000L + 1
+      val deadlineMs = open.map(c => c.maxStart + c.timeoutNs).min / 1000000L + 1
       state.setTimeoutTimestamp(math.max(deadlineMs,
         state.getCurrentWatermarkMs() + 1))
     }

@@ -67,6 +67,47 @@ class StreamingSpec extends AnyFunSuite {
       Seq((B, B + 20 * S, 3L, 3L)))
   }
 
+  test("T1 feedback: grown per-cluster timeout delays sealing (only-grow)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10L * S
+    val mem = MemoryStream[StreamHit]
+    val out = StreamingCoincidence.clusterStream(mem.toDS(), gap,
+      bucketNs = 1000000000000L, watermarkDelay = "0 seconds",
+      dynamicTimeout = true, rateFactor = 10.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dynclusters").start()
+    try {
+      // one cluster; batch spread 5 s → timebase sample 5 s ×10 = 50 s
+      mem.addData(StreamHit(1, 10, B), StreamHit(2, 11, B + 5 * S))
+      q.processAllAvailable()
+      mem.addData(StreamHit(9001, 999, B + 30 * S)) // wm B+5 → B+30
+      q.processAllAvailable()
+      // wm settles at B+40: past the static deadline (maxStart+gap = B+15)
+      // but short of the grown one (B+5+50) — the cluster must stay open
+      mem.addData(StreamHit(9002, 999, B + 40 * S))
+      q.processAllAvailable()
+      assert(spark.table("dynclusters").as[EmittedCluster].collect()
+        .count(c => c.n >= 2 && !c.stations.contains(999L)) == 0)
+      mem.addData(StreamHit(9003, 999, B + 200 * S)) // wm → past B+55
+      q.processAllAvailable()
+      val got = spark.table("dynclusters").as[EmittedCluster].collect()
+        .filter(c => c.n >= 2 && !c.stations.contains(999L))
+      assert(got.map(c => (c.clusterStart, c.clusterEnd, c.n)).toSeq ==
+        Seq((B, B + 5 * S, 2L)))
+    } finally q.stop()
+
+    // only-grow: merging under a smaller current sample keeps the timeout
+    val held = StreamingCoincidence.addEvent(
+      List(OpenCluster(B, B + 5 * S, List(10L), List(1L), 50L * S)),
+      StreamHit(2, 11, B + 6 * S), gap, dynNs = 20L * S)
+    assert(held.head.timeoutNs == 50L * S)
+    // clamp ladder: huge spread → base capped at 120 s, ×10 → 1200 s
+    assert(StreamingCoincidence.dynTimeout(700L * S, 10.0, gap) == 1200L * S)
+    // tiny spread at factor 1 clamps to TimeoutMin, then the gap floor wins
+    assert(StreamingCoincidence.dynTimeout(S / 10, 1.0, gap) == gap)
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
