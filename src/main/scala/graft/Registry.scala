@@ -293,6 +293,38 @@ object Registry {
       .orderBy("day")
   }
 
+  /** O5 `outgoing` multiplicity map (reference
+    * include/messages/clusterlog.h:22 map<level, count>; the DB sink at
+    * include/sink/database.h:79-93 SKIPS level 1 and appends the total):
+    * a real MapType column built with map_from_entries, the level-1 skip
+    * expressed as map_filter, presented as a sorted "n:count" join +
+    * total for the engine-neutral compare. */
+  private def clusterLogMap(s: SparkSession, dir: String): DataFrame = {
+    val h = hits(s, dir).select("event_id", "station", "start_ns")
+    val byN = Sessionize.withClusterKey(h, Detector.GapNs, Detector.BucketNs)
+      .groupBy("cluster_key")
+      .agg(count(lit(1)).as("n"), min("start_ns").as("cs"))
+      .withColumn("day", floor(col("cs") / DayNs))
+      .groupBy("day", "n").agg(count(lit(1)).as("cnt"))
+    val m = byN.groupBy("day")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("n"), col("cnt"))))).as("outgoing_all"))
+      .selectExpr("day",
+        "map_filter(outgoing_all, (k, v) -> k != 1) AS outgoing")
+      .selectExpr("day",
+        "array_join(transform(sort_array(map_entries(outgoing)), " +
+          "e -> concat(e.key, ':', e.value)), ';') AS outgoing_str",
+        "aggregate(map_values(outgoing), 0L, (a, x) -> a + x) " +
+          "AS outgoing_total")
+    hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
+      .groupBy("day").agg(count(lit(1)).as("incoming"))
+      .join(m, Seq("day"), "left")
+      .select(col("day"), col("incoming"),
+        coalesce(col("outgoing_str"), lit("")).as("outgoing_str"),
+        coalesce(col("outgoing_total"), lit(0L)).as("outgoing_total"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "station_rates"    -> stationRates _,
     "counter_wrap"     -> counterWrap _,
@@ -302,7 +334,8 @@ object Registry {
     "enriched_events"  -> enrichedEvents _,
     "status_triggers"  -> statusTriggers _,
     "detector_summary" -> detectorSummary _,
-    "cluster_log"      -> clusterLog _
+    "cluster_log"      -> clusterLog _,
+    "cluster_log_map"  -> clusterLogMap _
   )
 
   def oracleSql: Map[String, String] = {
@@ -508,6 +541,41 @@ object Registry {
            |       THEN 1.0 - incoming / (1.0 * progress)
            |       ELSE 1.0 END AS deadtime
            |FROM g ORDER BY station, day""".stripMargin,
+      "cluster_log_map" ->
+        s"""WITH h AS (
+           |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns
+           |  FROM events),
+           |s AS (
+           |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+           |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+           |    THEN 1 ELSE 0 END AS nb
+           |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+           |c AS (
+           |  SELECT event_id, start_ns,
+           |    sum(nb) OVER (ORDER BY start_ns, event_id
+           |                  ROWS UNBOUNDED PRECEDING) AS cid
+           |  FROM s),
+           |agg AS (
+           |  SELECT cid, count(*) AS n, min(start_ns) AS cs
+           |  FROM c GROUP BY cid),
+           |byn AS (
+           |  SELECT cs // ${DayNs} AS day, n, count(*) AS cnt
+           |  FROM agg GROUP BY 1, 2),
+           |m AS (
+           |  SELECT day,
+           |    string_agg(n || ':' || cnt, ';' ORDER BY n)
+           |      FILTER (WHERE n <> 1) AS outgoing_str,
+           |    CAST(sum(cnt) FILTER (WHERE n <> 1) AS BIGINT)
+           |      AS outgoing_total
+           |  FROM byn GROUP BY day),
+           |inc AS (
+           |  SELECT start_ns // ${DayNs} AS day, count(*) AS incoming
+           |  FROM h GROUP BY 1)
+           |SELECT inc.day AS day, incoming,
+           |  coalesce(outgoing_str, '') AS outgoing_str,
+           |  coalesce(outgoing_total, 0) AS outgoing_total
+           |FROM inc LEFT JOIN m ON inc.day = m.day
+           |ORDER BY day""".stripMargin,
       "cluster_log" ->
         s"""WITH h AS (
            |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns
