@@ -108,6 +108,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingCoincidence.dynTimeout(S / 10, 1.0, gap) == gap)
   }
 
+  test("S4 abort: partial detinfo group resets after the 5 s window") {
+    import StreamingDetInfo.{fold, AbortNs}
+    // complete within the window: 6 fields → one complete emission
+    var st: Option[DetInfoState] = None
+    var emitted = List.empty[DetInfoOut]
+    for (f <- 0 until 6) {
+      val (n, e) = fold(st, DetInfoItem(1, B + f * S, f), AbortNs)
+      st = n; emitted ++= e
+    }
+    assert(emitted.map(o => (o.mask, o.nMsgs, o.complete)) == List((63, 6L, true)))
+    assert(st.isEmpty) // collector resets after Finished
+
+    // 5 fields, then a 6th AFTER the window → abort + fresh collection
+    st = None; emitted = Nil
+    for (f <- 0 until 5) {
+      val (n, e) = fold(st, DetInfoItem(2, B + f * S, f), AbortNs)
+      st = n; emitted ++= e
+    }
+    val (n2, e2) = fold(st, DetInfoItem(2, B + 6 * S, 5), AbortNs)
+    st = n2; emitted ++= e2
+    assert(emitted.map(o => (o.mask, o.complete)) == List((31, false)))
+    assert(st.contains(DetInfoState(B + 6 * S, 32, 1L))) // late item re-opens
+
+    // end-to-end over MemoryStream incl. stale-partial wipe on silence
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DetInfoItem]
+    val out = StreamingDetInfo.assemblyStream(mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("detinfo").start()
+    try {
+      mem.addData((0 until 6).map(f => DetInfoItem(7, B + f * S, f)) :+
+        DetInfoItem(8, B, 0) :+ DetInfoItem(8, B + 7 * S, 1): _*)
+      q.processAllAvailable()
+      val rows = spark.table("detinfo").as[DetInfoOut].collect()
+      assert(rows.filter(_.station == 7).map(o => (o.mask, o.complete)).toSeq ==
+        Seq((63, true)))
+      // station 8's first field aborted when the late second field arrived
+      assert(rows.filter(_.station == 8).map(o => (o.mask, o.complete)).toSeq ==
+        Seq((1, false)))
+    } finally q.stop()
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
