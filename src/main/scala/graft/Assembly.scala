@@ -77,13 +77,131 @@ object Assembly {
       .orderBy("st_a", "st_b")
   }
 
+  /** A6 trigger-interval uptime (reference
+    * src/analysis/stationcoincidence.cpp:82-108: per pair, an `online`
+    * counter follows the two stations' reliable/unreliable TRIGGERS and
+    * uptime accrues minutes only while it is 2): per-station reliability
+    * intervals are cut at event-granular status transitions (the R3 last-5
+    * rolling mean crossing the accept threshold — the same rolling state
+    * R6's streaming classifier uses), then both-reliable time = interval
+    * intersection, summed per pair.
+    *
+    * Scale shape: intervals are transition-COMPRESSED (one row per status
+    * flip, not per event), and the pair dimension is pruned to C1-range
+    * pairs (chord distance ≤ MaxDistanceMeters — the pair matrix a
+    * physical deployment would ever populate) and broadcast. */
+  private def pairUptimeIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("start_ns"), col("event_id"))
+    val w5 = Window.partitionBy("station").orderBy(order: _*).rowsBetween(-4, 0)
+    val wl = Window.partitionBy("station").orderBy(order: _*)
+    val flagged = Tables.events(s, dir).select(
+        col("event_id"), col("user_id").as("station"),
+        (expr("ts div 1000") * 1000).as("start_ns"), col("value"))
+      .withColumn("ta_d", round(col("value") * 10).cast("long"))
+      .withColumn("up",
+        sum("ta_d").over(w5) / 10.0 / count(lit(1)).over(w5) <= 50.0)
+      .withColumn("last_ns", max("start_ns").over(Window.partitionBy("station")))
+    val trans = flagged
+      .withColumn("pup", lag("up", 1).over(wl))
+      .filter(col("pup").isNull || col("pup") =!= col("up"))
+    val intervals = trans
+      .withColumn("e_ns", coalesce(lead("start_ns", 1).over(wl), col("last_ns")))
+      .filter(col("up"))
+      .select(col("station"), col("start_ns").as("s_ns"), col("e_ns"))
+    val st = Tables.events(s, dir).select(col("user_id").as("station"))
+      .distinct()
+      .withColumn("lat", Geodesic.stationLat(col("station")))
+      .withColumn("lon", Geodesic.stationLon(col("station")))
+      .withColumn("h", Geodesic.stationH(col("station")))
+    val e = Geodesic.withEcef(st)
+    val pa = e.select(col("station").as("st_a"), col("x").as("xa"),
+      col("y").as("ya"), col("z").as("za"))
+    val pb = e.select(col("station").as("st_b"), col("x").as("xb"),
+      col("y").as("yb"), col("z").as("zb"))
+    val pairs = pa.join(pb, col("st_a") < col("st_b"))
+      .filter(Geodesic.pairDist() <= graft.functions.Criterion.MaxDistanceMeters)
+      .select("st_a", "st_b")
+    val ia = intervals.select(col("station").as("st_a"),
+      col("s_ns").as("sa"), col("e_ns").as("ea"))
+    val ib = intervals.select(col("station").as("st_b"),
+      col("s_ns").as("sb"), col("e_ns").as("eb"))
+    broadcast(pairs).join(ia, Seq("st_a")).join(ib, Seq("st_b"))
+      .withColumn("ov",
+        least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+      .filter(col("ov") > 0)
+      .groupBy("st_a", "st_b")
+      .agg(count(lit(1)).as("n_overlaps"), sum("ov").as("_t"))
+      .select(col("st_a"), col("st_b"), col("n_overlaps"),
+        expr("_t div 60000000000").as("uptime_min"))
+      .orderBy("st_a", "st_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_reassembly"    -> l1Reassembly _,
     "detinfo_assembly" -> detinfoAssembly _,
-    "pair_uptime"      -> pairUptime _
+    "pair_uptime"      -> pairUptime _,
+    "pair_uptime_intervals" -> pairUptimeIntervals _
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pair_uptime_intervals" -> {
+      val A = graft.functions.Geo.SemiMajorA
+      val E2 = graft.functions.Geo.EccSq
+      s"""WITH h AS (
+         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+         |    value
+         |  FROM events),
+         |f AS (
+         |  SELECT station, event_id, start_ns,
+         |    sum(CAST(round(value * 10) AS BIGINT)) OVER w5 / 10.0
+         |      / count(*) OVER w5 <= 50.0 AS up,
+         |    max(start_ns) OVER (PARTITION BY station) AS last_ns
+         |  FROM h
+         |  WINDOW w5 AS (PARTITION BY station ORDER BY start_ns, event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         |t AS (
+         |  SELECT * FROM (
+         |    SELECT *, lag(up) OVER (PARTITION BY station
+         |      ORDER BY start_ns, event_id) AS pup FROM f)
+         |  WHERE pup IS NULL OR pup <> up),
+         |iv AS (
+         |  SELECT station, start_ns AS s_ns,
+         |    coalesce(lead(start_ns) OVER (PARTITION BY station
+         |      ORDER BY start_ns, event_id), last_ns) AS e_ns, up
+         |  FROM t),
+         |r AS (SELECT station, s_ns, e_ns FROM iv WHERE up),
+         |st AS (
+         |  SELECT DISTINCT user_id AS station,
+         |    50.0 + (user_id % 10) * 0.02 AS lat,
+         |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
+         |    100.0 + (user_id % 7) * 10.0 AS h
+         |  FROM events),
+         |e AS (
+         |  SELECT station,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * cos(radians(lon)) AS x,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
+         |      * cos(radians(lat)) * sin(radians(lon)) AS y,
+         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
+         |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
+         |  FROM st),
+         |p AS (
+         |  SELECT a.station AS st_a, b.station AS st_b
+         |  FROM e a JOIN e b ON a.station < b.station
+         |  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    + (a.z - b.z) * (a.z - b.z))
+         |    <= ${graft.functions.Criterion.MaxDistanceMeters}),
+         |o AS (
+         |  SELECT st_a, st_b,
+         |    least(x.e_ns, y.e_ns) - greatest(x.s_ns, y.s_ns) AS ov
+         |  FROM p JOIN r x ON p.st_a = x.station
+         |    JOIN r y ON p.st_b = y.station)
+         |SELECT st_a, st_b, count(*) AS n_overlaps,
+         |  CAST(sum(ov) AS BIGINT) // 60000000000 AS uptime_min
+         |FROM o WHERE ov > 0 GROUP BY 1, 2
+         |ORDER BY st_a, st_b""".stripMargin
+    },
     "l1_reassembly" ->
       """WITH l AS (
         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,

@@ -45,14 +45,14 @@ object Geodesic {
 
   // ---- deterministic station grid ------------------------------------
 
-  private def stationLat(st: Column): Column = lit(50.0) + (st % 10) * lit(0.02)
-  private def stationLon(st: Column): Column =
+  private[graft] def stationLat(st: Column): Column = lit(50.0) + (st % 10) * lit(0.02)
+  private[graft] def stationLon(st: Column): Column =
     lit(10.0) + (floor(st / 10) % 10) * lit(0.03)
-  private def stationH(st: Column): Column = lit(100.0) + (st % 7) * lit(10.0)
+  private[graft] def stationH(st: Column): Column = lit(100.0) + (st % 7) * lit(10.0)
 
   /** WGS84 geodetic → ECEF as column expressions (mirrors
     * functions.Geo.toEcef; term order matches the oracle SQL exactly). */
-  private def withEcef(df: DataFrame): DataFrame = {
+  private[graft] def withEcef(df: DataFrame): DataFrame = {
     val a = graft.functions.Geo.SemiMajorA
     val e2 = graft.functions.Geo.EccSq
     val latR = radians(col("lat")); val lonR = radians(col("lon"))
@@ -78,7 +78,7 @@ object Geodesic {
   private[graft] def sessionedForSinks(s: SparkSession, dir: String): DataFrame =
     sessioned(s, dir)
 
-  private def pairDist(pre: String = ""): Column = {
+  private[graft] def pairDist(pre: String = ""): Column = {
     val dx = col("xa") - col("xb"); val dy = col("ya") - col("yb")
     val dz = col("za") - col("zb")
     sqrt(dx * dx + dy * dy + dz * dz)
