@@ -166,6 +166,21 @@ object Registry {
       .orderBy("event_id")
   }
 
+  /** R2/A3 sliding form (reference rate_measurement rings: overlapping
+    * fixed-length intervals advancing by a sub-multiple,
+    * include/analysis/detectorstation.h:123-132): Spark's native sliding
+    * `window(ts, 2h, 30m)` — each event lands in len/slide = 4 windows;
+    * the cluster-wide incoming rate in Hz per window. */
+  private def slidingRates(s: SparkSession, dir: String): DataFrame =
+    hits(s, dir)
+      .withColumn("ts", timestamp_micros(expr("start_ns div 1000")))
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select((unix_micros(col("window.start")) * 1000).as("w_start_ns"),
+        col("n_events"),
+        (col("n_events") / 7200.0).as("rate_hz"))
+      .orderBy("w_start_ns")
+
   /** R8/O7: status-transition trigger emission with reason enum (reference
     * src/analysis/detectorstation.cpp:89-123 + set_status at :71-77: a
     * trigger fires only when the status CHANGES, carrying one of the
@@ -327,6 +342,7 @@ object Registry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "station_rates"    -> stationRates _,
+    "sliding_rates"    -> slidingRates _,
     "counter_wrap"     -> counterWrap _,
     "accept_gate"      -> acceptGate _,
     "reliability"      -> reliability _,
@@ -366,6 +382,15 @@ object Registry {
         s"""$ratesCte
            |SELECT station, n_windows, mean_rate, stddev_rate
            |FROM rates ORDER BY station""".stripMargin,
+      "sliding_rates" ->
+        s"""$hCte,
+           |w AS (
+           |  SELECT ((start_ns // 1800000000000) - k) * 1800000000000
+           |    AS w_start_ns
+           |  FROM h, range(0, 4) r(k))
+           |SELECT w_start_ns, count(*) AS n_events,
+           |  count(*) / 7200.0 AS rate_hz
+           |FROM w GROUP BY 1 ORDER BY w_start_ns""".stripMargin,
       "counter_wrap" ->
         s"""$hCte,
            |d AS (

@@ -34,6 +34,41 @@ object Histograms {
       .agg(sum("cnt").as("total"), count(lit(1)).as("n_bins_rows"),
         min("bin").as("min_bin"), max("bin").as("max_bin"))
 
+  /** A7 `.adj` adjacency matrix (reference
+    * src/analysis/stationcoincidence.cpp:198-211 writes a dense symmetric
+    * station×station matrix of per-pair histogram totals): symmetrize the
+    * sparse (station_lo, station_hi, total) pair rows and pivot stations
+    * to columns. The matrix is dense only in the station dimension (tiny);
+    * the 100 TB-scale input stays sparse pair rows. */
+  def adjacency(pairTotals: DataFrame): DataFrame = {
+    val sym = pairTotals
+      .select(col("station_lo").as("a"), col("station_hi").as("b"),
+        col("total"))
+      .unionByName(pairTotals.select(col("station_hi").as("a"),
+        col("station_lo").as("b"), col("total")))
+    sym.groupBy("a").pivot("b").agg(first("total"))
+      .na.fill(0L)
+      .orderBy("a")
+  }
+
+  /** The `.adj` text lines: header `;hex;hex;…`, then one
+    * `hex;n;n;…` row per station (stationcoincidence.cpp:198-206). */
+  def adjacencyLines(adj: DataFrame): Seq[String] = {
+    val cols = adj.columns.drop(1)
+    val header = cols.map(c => f";${c.toLong}%x").mkString
+    val rows = adj.orderBy("a").collect().map { r =>
+      f"${r.getLong(0)}%x" + cols.indices.map(i => s";${r.getLong(i + 1)}").mkString
+    }
+    header +: rows.toSeq
+  }
+
+  /** The `.stations` list lines `hex;site;lat;lon;h`
+    * (stationcoincidence.cpp:140-145). */
+  def stationLines(stations: DataFrame): DataFrame =
+    stations.select(concat_ws(";",
+      lower(hex(col("station"))), concat(lit("site_"), col("station")),
+      col("lat"), col("lon"), col("h")).as("line"))
+
   // ---- reference text formats (S6): `<bin> <count>` lines in *.hist,
   // ---- `<key> <value> [unit]` lines in *.meta (aggregation.cpp:96-174)
 

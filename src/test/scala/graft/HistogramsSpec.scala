@@ -30,6 +30,24 @@ class HistogramsSpec extends AnyFunSuite {
     assert(meta == Set((1L, 2L, 10L, 3L, 0L, 1L), (2L, 3L, 8L, 2L, 0L, 5L)))
   }
 
+  test("A7 adjacency matrix: symmetric pivot of pair totals + .adj lines") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 10L), (1L, 3L, 4L), (2L, 3L, 7L))
+      .toDF("station_lo", "station_hi", "total")
+    val adj = Histograms.adjacency(pairs)
+    // symmetric with zero diagonal (self-pairs never exist)
+    val m = adj.orderBy("a").collect().map(r =>
+      (0 until r.length).map(i => r.getLong(i)))
+    assert(adj.columns.toSeq == Seq("a", "1", "2", "3"))
+    assert(m.map(_.head).toSeq == Seq(1L, 2L, 3L))
+    assert(m(0).drop(1) == Seq(0L, 10L, 4L))
+    assert(m(1).drop(1) == Seq(10L, 0L, 7L))
+    assert(m(2).drop(1) == Seq(4L, 7L, 0L))
+    val lines = Histograms.adjacencyLines(adj)
+    assert(lines.head == ";1;2;3")
+    assert(lines(1) == "1;0;10;4" && lines(3) == "3;4;7;0")
+  }
+
   test("reference text .hist/.meta format scan and rollup (S6/A8)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("histtxt")
