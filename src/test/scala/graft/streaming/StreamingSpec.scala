@@ -152,6 +152,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S5 bag commit: late item commits the bag and seeds the next epoch") {
+    import StreamingLogBag.{fold, CommitNs}
+    var st: Option[LogBagState] = None
+    var out = List.empty[LogBagOut]
+    for ((n, v, t) <- Seq(("a", "1", B), ("b", "2", B + S), ("c", "3", B + 2 * S))) {
+      val (nx, e) = fold(st, LogItem(1, t, n, v), CommitNs)
+      st = nx; out ++= e
+    }
+    assert(out.isEmpty && st.exists(_.names.size == 3))
+    // late item: COMMIT (emit, unlike S4's abort) + NewEpoch reseed
+    val (nx, e) = fold(st, LogItem(1, B + 7 * S, "d", "4"), CommitNs)
+    st = nx; out ++= e
+    assert(out.map(o => (o.nItems, o.itemsStr)) == List((3L, "a=1;b=2;c=3")))
+    assert(st.contains(LogBagState(B + 7 * S, List("d"), List("4"))))
+
+    // end-to-end: same sequence over MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LogItem]
+    val q = StreamingLogBag.bagStream(mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("logbags").start()
+    try {
+      mem.addData(LogItem(5, B, "a", "1"), LogItem(5, B + S, "b", "2"),
+        LogItem(5, B + 7 * S, "c", "3"))
+      q.processAllAvailable()
+      val rows = spark.table("logbags").as[LogBagOut].collect()
+      assert(rows.map(o => (o.station, o.nItems, o.itemsStr)).toSeq ==
+        Seq((5L, 2L, "a=1;b=2")))
+    } finally q.stop()
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
