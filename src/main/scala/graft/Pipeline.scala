@@ -453,6 +453,42 @@ object Pipeline {
          |  min(doc_id) OVER (PARTITION BY h1, h2, len) AS keeper,
          |  doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, len) AS is_dup
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      // the trigram classifier transliterated to SQL from the SAME
+      // profile data (functions.TextFunctions.Profiles): integer rank
+      // scores, argmax folded in sorted-language order with the > 0 /
+      // strictly-greater tie rule of detectLang
+      val profiles = graft.functions.TextFunctions.Profiles.toSeq.sortBy(_._1)
+      val scoreCols = profiles.map { case (lang, p) =>
+        val terms = p.zipWithIndex.map { case (g, r) =>
+          s"CASE WHEN list_contains(grams, '${g.replace("'", "''")}') " +
+            s"THEN ${p.size - r} ELSE 0 END"
+        }.mkString(" + ")
+        s"($terms) AS s_$lang"
+      }.mkString(",\n    ")
+      val argmax = profiles.foldLeft(("'und'", "0")) {
+        case ((bestExpr, valExpr), (lang, _)) =>
+          (s"CASE WHEN s_$lang > $valExpr THEN '$lang' ELSE $bestExpr END",
+            s"greatest($valExpr, s_$lang)")
+      }._1
+      s"""WITH p AS (
+         |  SELECT doc_id, lang, text,
+         |    ' ' || lower(text) || ' ' AS pad
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_concat(
+         |      list_transform(range(0, greatest(length(pad) - 2, 0)),
+         |        i -> substr(pad, CAST(i AS INT) + 1, 3)),
+         |      string_split(text, ''))) AS grams
+         |  FROM p),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM g)
+         |SELECT doc_id, lang, $argmax AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "token_stats" ->
       """SELECT doc_id,
         |  length(string_split(text, ' ')) AS n_tokens,
