@@ -130,8 +130,28 @@ object Detector {
         greatest(least(col("spread_ns"), lit(BaseMaxNs)), lit(BaseMinNs)))
       .orderBy("w")
 
+  /** A2 last-100 ring: mean plausibility over the last 100 emitted
+    * coincidences (reference src/supervision/state.cpp:127-130 ring).
+    * The ring is a GLOBAL sequential state in the reference (one cluster
+    * process), so the window is unpartitioned — cardinality here is
+    * emitted clusters (orders of magnitude below events), not the event
+    * stream, so the single-partition window is not a scale hazard.
+    * Fixed-point (floor·1e6) sums keep both engines order-exact. */
+  private def plausibilityRing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("cluster_start").rowsBetween(-99, 0)
+    coincidenceL1(s, dir)
+      .select(col("cluster_start"), col("plausibility"))
+      .withColumn("p6m", floor(col("plausibility") * 1000000).cast("long"))
+      .select(col("cluster_start"),
+        (sum("p6m").over(w) / 1000000.0 / count(lit(1)).over(w))
+          .as("ring_mean"))
+      .orderBy("cluster_start")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "coincidence_l1"     -> coincidenceL1 _,
+    "plausibility_ring"  -> plausibilityRing _,
     "pair_timediff_hist" -> pairTimediffHist _,
     "multiplicity_hist"  -> multiplicityHist _,
     "timebase"           -> timebase _
@@ -153,6 +173,30 @@ object Detector {
          |                  ROWS UNBOUNDED PRECEDING) AS cid
          |  FROM s)""".stripMargin
     Map(
+      "plausibility_ring" -> {
+        val base =
+          s"""$sessionCte,
+             |agg AS (
+             |  SELECT cid, min(start_ns) AS cluster_start, count(*) AS n
+             |  FROM c GROUP BY cid),
+             |pairs AS (
+             |  SELECT a.cid, count(*) AS te FROM c a JOIN c b
+             |    ON a.cid = b.cid AND a.event_id < b.event_id
+             |   AND abs(a.start_ns - b.start_ns) <= $gap
+             |  GROUP BY a.cid),
+             |l1 AS (
+             |  SELECT cluster_start,
+             |    coalesce(te, 0) / (n * (n - 1) / 2.0) AS plausibility
+             |  FROM agg LEFT JOIN pairs USING (cid) WHERE n >= 2)""".stripMargin
+        s"""$base
+           |SELECT cluster_start,
+           |  sum(CAST(floor(plausibility * 1000000) AS BIGINT)) OVER w
+           |    / 1000000.0 / count(*) OVER w AS ring_mean
+           |FROM l1
+           |WINDOW w AS (ORDER BY cluster_start
+           |  ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+           |ORDER BY cluster_start""".stripMargin
+      },
       "coincidence_l1" ->
         s"""$sessionCte,
            |agg AS (

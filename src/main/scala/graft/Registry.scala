@@ -255,6 +255,46 @@ object Registry {
       .orderBy("station", "day")
   }
 
+  /** R10 → T1 link (reference src/analysis/detectorstation.cpp:127-135 +
+    * src/supervision/station.cpp:69-81 + src/messages/event.cpp:7-11):
+    * per sample day, each RELIABLE station contributes a rate-dip factor
+    * (((mean − current)/stddev + 1)·2 when the current rate dips below
+    * mean − stddev, else 1.0); the largest factor is truncated to int64
+    * and scales the day's timebase into the dynamic cluster timeout,
+    * clamped to [2 s, 30 min] — the batch form of the value
+    * StreamingCoincidence's dynamicTimeout consumes. */
+  private def timebaseTimeout(s: SparkSession, dir: String): DataFrame = {
+    val h = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
+    val rel = reliability(s, dir).select("station", "status")
+    val rates = ratesRaw(s, dir).select("station", "mean_rate", "stddev_rate")
+    val cur = h.withColumn("w", floor(col("start_ns") / WindowNs))
+      .groupBy("station", "day", "w").agg(count(lit(1)).as("c"))
+      .groupBy("station", "day")
+      .agg((sum("c") / count(lit(1))).as("cur_rate"))
+    val factors = cur.join(rates, Seq("station")).join(rel, Seq("station"))
+      .filter(col("status") === "reliable")
+      .withColumn("factor",
+        when(col("stddev_rate").isNotNull &&
+            col("cur_rate") < col("mean_rate") - col("stddev_rate"),
+          ((col("mean_rate") - col("cur_rate")) / col("stddev_rate") + 1.0)
+            * 2.0)
+          .otherwise(lit(1.0)))
+      .groupBy("day").agg(max("factor").as("largest"))
+    h.groupBy("day")
+      .agg((max("start_ns") - min("start_ns")).as("spread"))
+      .withColumn("base_ns",
+        greatest(least(col("spread"), lit(Detector.BaseMaxNs)),
+          lit(Detector.BaseMinNs)))
+      .join(factors, Seq("day"), "left")
+      .withColumn("factor_i",
+        floor(coalesce(col("largest"), lit(1.0))).cast("long"))
+      .withColumn("timeout_ns",
+        greatest(least(col("base_ns") * col("factor_i"),
+          lit(Detector.TimeoutMaxNs)), lit(Detector.TimeoutMinNs)))
+      .select("day", "base_ns", "factor_i", "timeout_ns")
+      .orderBy("day")
+  }
+
   /** R11: periodic per-station summary — incoming count, mean value,
     * counter progress and deadtime = 1 − incoming/progress (1.0 when no
     * progress; reference src/supervision/station.cpp:89-102). */
@@ -349,6 +389,7 @@ object Registry {
     "station_lastn"    -> stationLastN _,
     "enriched_events"  -> enrichedEvents _,
     "status_triggers"  -> statusTriggers _,
+    "timebase_timeout" -> timebaseTimeout _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _,
     "cluster_log_map"  -> clusterLogMap _
@@ -479,6 +520,54 @@ object Registry {
            |FROM h e JOIN kn USING (station) JOIN st USING (station)
            |WHERE e.value <= 50.0 AND e.event_type <> 'error'
            |ORDER BY event_id""".stripMargin,
+      "timebase_timeout" ->
+        s"""$ratesCte,
+           |q AS (
+           |  SELECT station,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+           |      AS mean_value
+           |  FROM h GROUP BY station),
+           |f AS (
+           |  SELECT rates.station AS station,
+           |    q.mean_value / 50.0 AS f_time,
+           |    coalesce(rates.stddev_rate / (rates.mean_rate * 0.75), 0.0)
+           |      AS f_rate
+           |  FROM rates JOIN q ON rates.station = q.station),
+           |rel AS (
+           |  SELECT station FROM f
+           |  WHERE NOT (f_time > 1.15 OR f_rate > 1.15)
+           |    AND f_time < 0.85 AND f_rate < 0.85),
+           |hd AS (
+           |  SELECT station, start_ns, start_ns // ${DayNs} AS day FROM h),
+           |wc2 AS (
+           |  SELECT station, day, start_ns // ${WindowNs} AS w,
+           |    count(*) AS c
+           |  FROM hd GROUP BY 1, 2, 3),
+           |cur AS (
+           |  SELECT station, day,
+           |    CAST(sum(c) AS BIGINT) / count(*) AS cur_rate
+           |  FROM wc2 GROUP BY 1, 2),
+           |fac AS (
+           |  SELECT day, max(CASE WHEN rates.stddev_rate IS NOT NULL
+           |      AND cur.cur_rate < rates.mean_rate - rates.stddev_rate
+           |    THEN ((rates.mean_rate - cur.cur_rate) / rates.stddev_rate
+           |      + 1.0) * 2.0
+           |    ELSE 1.0 END) AS largest
+           |  FROM cur JOIN rates ON cur.station = rates.station
+           |    JOIN rel ON cur.station = rel.station
+           |  GROUP BY day),
+           |base AS (
+           |  SELECT day, greatest(least(max(start_ns) - min(start_ns),
+           |    ${Detector.BaseMaxNs}), ${Detector.BaseMinNs}) AS base_ns
+           |  FROM hd GROUP BY day)
+           |SELECT base.day AS day, base_ns,
+           |  CAST(floor(coalesce(largest, 1.0)) AS BIGINT) AS factor_i,
+           |  greatest(least(base_ns *
+           |    CAST(floor(coalesce(largest, 1.0)) AS BIGINT),
+           |    ${Detector.TimeoutMaxNs}), ${Detector.TimeoutMinNs})
+           |    AS timeout_ns
+           |FROM base LEFT JOIN fac ON base.day = fac.day
+           |ORDER BY day""".stripMargin,
       "status_triggers" ->
         s"""$hCte,
            |hd AS (
