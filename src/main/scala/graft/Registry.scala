@@ -263,6 +263,15 @@ object Registry {
     * and scales the day's timebase into the dynamic cluster timeout,
     * clamped to [2 s, 30 min] — the batch form of the value
     * StreamingCoincidence's dynamicTimeout consumes. */
+  /** R10 rate-dip factor column (reference detectorstation.cpp:127-135);
+    * the synthetic corpus never dips below mean − stddev, so the branch
+    * is pinned by RegistryFactorSpec on a fixture rather than the oracle. */
+  private[graft] def rateDipFactor(cur: org.apache.spark.sql.Column,
+                                   mean: org.apache.spark.sql.Column,
+                                   sd: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sd.isNotNull && cur < mean - sd,
+      ((mean - cur) / sd + 1.0) * 2.0).otherwise(lit(1.0))
+
   private def timebaseTimeout(s: SparkSession, dir: String): DataFrame = {
     val h = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
     val rel = reliability(s, dir).select("station", "status")
@@ -273,12 +282,8 @@ object Registry {
       .agg((sum("c") / count(lit(1))).as("cur_rate"))
     val factors = cur.join(rates, Seq("station")).join(rel, Seq("station"))
       .filter(col("status") === "reliable")
-      .withColumn("factor",
-        when(col("stddev_rate").isNotNull &&
-            col("cur_rate") < col("mean_rate") - col("stddev_rate"),
-          ((col("mean_rate") - col("cur_rate")) / col("stddev_rate") + 1.0)
-            * 2.0)
-          .otherwise(lit(1.0)))
+      .withColumn("factor", rateDipFactor(col("cur_rate"),
+        col("mean_rate"), col("stddev_rate")))
       .groupBy("day").agg(max("factor").as("largest"))
     h.groupBy("day")
       .agg((max("start_ns") - min("start_ns")).as("spread"))
