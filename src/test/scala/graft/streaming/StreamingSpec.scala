@@ -185,6 +185,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("R9 streaming form: stream-static broadcast enrichment join + gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static registry snapshot: station 1 reliable, 2 unreliable; 3 unknown
+    val registry = Seq((1L, "reliable", 50.0, 10.0, "user_1"),
+      (2L, "unreliable", 50.02, 10.03, "user_2"))
+      .toDF("station", "status", "lat", "lon", "user_name")
+    val mem = MemoryStream[StreamHit]
+    val enriched = mem.toDS().toDF("event_id", "station", "start_ns")
+      .join(org.apache.spark.sql.functions.broadcast(registry), Seq("station"))
+      .filter(org.apache.spark.sql.functions.col("status") === "reliable")
+      .select("event_id", "station", "start_ns", "lat", "lon", "user_name")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      mem.addData(StreamHit(101, 1, B), StreamHit(102, 2, B + S),
+        StreamHit(103, 3, B + 2 * S))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      // unknown station 3 dropped by the inner join, unreliable 2 by the
+      // gate; the survivor carries location + userinfo
+      assert(rows.map(_.getLong(0)).toSeq == Seq(101L))
+      assert(rows.head.getString(5) == "user_1")
+    } finally q.stop()
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
