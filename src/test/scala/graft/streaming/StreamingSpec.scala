@@ -211,6 +211,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A6 streaming: trigger stream drives per-pair online counter/uptime") {
+    import StreamingPairUptime.fold
+    // pure fold: 1 up, 2 up (both online, clock starts), 2 down after 120 s
+    var s = PairUptimeState(0, 0L, 0L)
+    s = fold(s, StationTrigger(1, B, "reliable"))
+    assert(s.online == 1 && s.uptimeNs == 0)
+    s = fold(s, StationTrigger(2, B + 10 * S, "reliable"))
+    assert(s.online == 2 && s.lastOnlineNs == B + 10 * S)
+    s = fold(s, StationTrigger(2, B + 130 * S, "unreliable"))
+    assert(s.online == 1 && s.uptimeNs == 120 * S)
+    // duplicate downgrade cannot wrap the counter
+    s = fold(fold(s, StationTrigger(1, B + 131 * S, "unreliable")),
+      StationTrigger(1, B + 132 * S, "unreliable"))
+    assert(s.online == 0 && s.uptimeNs == 120 * S)
+
+    // end-to-end: fan-out over the partner map + keyed state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StationTrigger]
+    val out = StreamingPairUptime.uptimeStream(mem.toDS(),
+      partners = Map(1L -> Seq(2L), 2L -> Seq(1L)))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("pairup").start()
+    try {
+      mem.addData(StationTrigger(1, B, "reliable"),
+        StationTrigger(2, B + 10 * S, "reliable"))
+      q.processAllAvailable()
+      mem.addData(StationTrigger(2, B + 130 * S, "unreliable"))
+      q.processAllAvailable()
+      val last = spark.table("pairup").as[PairUptimeOut].collect().last
+      assert(last == PairUptimeOut(1, 2, 1, 2L)) // 120 s = 2 min both-online
+    } finally q.stop()
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
