@@ -245,6 +245,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: registry state survives a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[StationEvent]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[StationUpdate]()
+    def start() = StreamingRegistry.registryStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StationUpdate],
+                       _: Long) =>
+        batch.collect().foreach(seen.add)
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData(StationEvent(4, 100, 2000, 1), StationEvent(4, 200, 2000, 3))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: per-station counters must CONTINUE
+    val q2 = start()
+    try {
+      mem.addData(StationEvent(4, 300, 2000, 7))
+      q2.processAllAvailable()
+      val last = seen.toArray(Array.empty[StationUpdate])
+        .filter(_.station == 4L).last
+      // 3 events total (2 before restart), progress = (3-1) + (7-3) = 6
+      assert(last.nEvents == 3 && last.progress == 6)
+      assert(last.meanValue == 20.0 && last.status == "reliable")
+    } finally q2.stop()
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
