@@ -353,6 +353,21 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Frame sampling over media payloads (the video → keyframe pattern):
+    * one row fans out to its every-3rd 64-byte frame with per-frame
+    * features — generator semantics inside the partition, so decode
+    * runs where the bytes live (operators.Multimodal.frameSample). */
+  private def frameSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "text/plain", t.getBytes("UTF-8")) }
+    graft.operators.Multimodal.frameSample(media, 3).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Language ID: char-trigram profile classifier (library kernel; the
     * synthetic corpus text is English-shaped regardless of its `lang`
     * label, so the prediction column is the deliverable, not accuracy).
@@ -393,7 +408,8 @@ object Pipeline {
     "simhash"           -> simhash _,
     "ngram_jaccard"     -> ngramJaccard _,
     "ann_lsh"           -> annLsh _,
-    "ann_lsh_multi"     -> annLshMulti _
+    "ann_lsh_multi"     -> annLshMulti _,
+    "frame_sample"      -> frameSampleQ _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -453,6 +469,18 @@ object Pipeline {
          |  min(doc_id) OVER (PARTITION BY h1, h2, len) AS keeper,
          |  doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, len) AS is_dup
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id, i AS frame_idx,
+         |    substr(text, CAST(i AS INT) * 64 + 1, 64) AS frame
+         |  FROM documents,
+         |    LATERAL unnest(range(0, (length(text) + 63) // 64)) AS u(i)
+         |  WHERE i % 3 = 0)
+         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         |  CAST(length(frame) AS INT) AS frame_len,
+         |  ${charFoldDuck("frame")} AS frame_hash,
+         |  substr(frame, 1, 8) AS frame_head
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "lang_id" -> {
       // the trigram classifier transliterated to SQL from the SAME
       // profile data (functions.TextFunctions.Profiles): integer rank

@@ -13,6 +13,10 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                          head8: String, content_hash: Long,
                          decoded_w: Int, decoded_h: Int)
 
+/** One sampled frame from a media payload (frame-sample generator). */
+case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int,
+                    frame_hash: Long, frame_head: String)
+
 /** Multimodal column plumbing: schema, partition-parallel feature
   * extraction (`mapPartitions` — one decoder instance per partition, the
   * shape a JNI/FFmpeg-backed decoder needs), and a STUB decode step.
@@ -58,5 +62,50 @@ object Multimodal {
           new String(r.data.take(8), "UTF-8"), contentHash(r.data), w, h)
       }
     }
+  }
+
+  /** Frame size for the frame-sample generator (bytes per "frame"). */
+  final val FrameBytes = 64
+
+  /** Frame sampling: one media row generates its every-`stride`th frame
+    * (the video → keyframe pattern). Generator semantics — one input row
+    * fans out to many frame rows inside the same partition; at 100 TB
+    * this runs frame decode where the bytes already live, and only the
+    * sampled frames' features (length, hash, head) materialize wide.
+    * Frame content itself is a byte slice (decode STUBBED like
+    * decodeStub — the slicing/fan-out/feature plumbing is real). */
+  def frameSample(rows: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.flatMap { r =>
+        val nFrames = (r.data.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames).filter(_ % stride == 0).map { i =>
+          val frame = r.data.slice(i * FrameBytes,
+            math.min((i + 1) * FrameBytes, r.data.length))
+          FrameRow(r.media_id, i, frame.length, contentHash(frame),
+            new String(frame.take(8), "UTF-8"))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: byte-stride downsample to a w×h payload — stands in
+    * for an image resampler; per-partition execution shape identical to
+    * extractFeatures. */
+  def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h)
+    if (data.length <= target) data
+    else {
+      val step = data.length.toDouble / target
+      Array.tabulate(target)(i => data((i * step).toInt))
+    }
+  }
+
+  /** Partition-parallel resize: binary in, smaller binary out. */
+  def resize(rows: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      r.copy(data = resizeStub(r.data, w, h))))
   }
 }

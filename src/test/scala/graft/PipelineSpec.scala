@@ -37,4 +37,13 @@ class PipelineSpec extends AnyFunSuite {
     val expected = ((0L * 31 + 'a'.toLong) * 31 + 'b'.toLong) % Multimodal.P
     assert(Multimodal.contentHash("ab".getBytes("UTF-8")) == expected)
   }
+
+  test("resize stub: byte-stride downsample to the target payload size") {
+    val d = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    val r = Multimodal.resizeStub(d, 8, 8)
+    assert(r.length == 64)
+    assert(r(0) == d(0)) // stride sampling keeps the leading byte
+    // payloads already below target pass through untouched
+    assert(Multimodal.resizeStub(d, 100, 100) sameElements d)
+  }
 }
