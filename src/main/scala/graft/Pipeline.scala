@@ -390,6 +390,46 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** IVF coarse-quantizer cells for ann_ivf. */
+  final val IvfCells = 16
+  /** Probed cells per query vector (multi-probe recall lever). */
+  final val IvfProbes = 2
+
+  /** IVF-style ANN — the third similarity-search family (brute force /
+    * LSH / inverted-file): a deterministic coarse quantizer (the first
+    * IvfCells vectors stand in for trained centroids — k-means is a
+    * refinement, not a structural change) assigns every vector to its
+    * best cell by cosine; a query probes its IvfProbes best cells and
+    * scores only the vectors POSTED to those cells. The posting-list
+    * join is the scale shape: assignment is one broadcast N×K pass, and
+    * search touches probes/cells of the corpus instead of all of it. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val cents = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("_cs").desc, col("cell"))
+    val ranked = all.join(broadcast(cents))
+      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
+      .withColumn("rk", row_number().over(w))
+    val posted = ranked.filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id").as("nn_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val probes = ranked.filter(col("rk") <= IvfProbes)
+      .select(col("cell"), col("vec_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(col("nn_cosine").desc, col("nn_id"))
+    probes.join(posted, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("nn_cosine", expr(cosExpr))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select("vec_id", "nn_id", "nn_cosine")
+      .orderBy("vec_id")
+  }
+
   /** Frame sampling over media payloads (the video → keyframe pattern):
     * one row fans out to its every-3rd 64-byte frame with per-frame
     * features — generator semantics inside the partition, so decode
@@ -447,7 +487,8 @@ object Pipeline {
     "ann_lsh"           -> annLsh _,
     "ann_lsh_multi"     -> annLshMulti _,
     "frame_sample"      -> frameSampleQ _,
-    "simhash_neardup"   -> simhashNeardup _
+    "simhash_neardup"   -> simhashNeardup _,
+    "ann_ivf"           -> annIvf _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -688,6 +729,36 @@ object Pipeline {
          |FROM sh a JOIN sh b
          |  ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "ann_ivf" ->
+      s"""$vecsCte,
+         |cents AS (
+         |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
+         |  WHERE vec_id < $IvfCells),
+         |rk AS (
+         |  SELECT n.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, 65), i ->
+         |          n.v[CAST(i AS INT)] * cents.cv[CAST(i AS INT)])),
+         |        (s, t) -> s + t) / (n.nrm * cents.cn) DESC,
+         |      cents.cell) AS rk
+         |  FROM n, cents),
+         |posted AS (
+         |  SELECT cell, vec_id AS nn_id FROM rk WHERE rk = 1),
+         |probes AS (
+         |  SELECT cell, vec_id FROM rk WHERE rk <= $IvfProbes),
+         |p AS (
+         |  SELECT pr.vec_id AS vec_id, po.nn_id AS nn_id,
+         |    $cosDuck AS nn_cosine
+         |  FROM probes pr JOIN posted po ON pr.cell = po.cell
+         |    AND pr.vec_id <> po.nn_id
+         |    JOIN n a ON pr.vec_id = a.vec_id
+         |    JOIN n b ON po.nn_id = b.vec_id),
+         |r2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
+         |SELECT vec_id, nn_id, nn_cosine FROM r2
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "ann_lsh_multi" -> {
       val bitsCase = (8 to AnnMaxBits).map(b => s"WHEN cnt <= ${4L << b} THEN $b")
         .mkString("CASE ", " ", s" ELSE $AnnMaxBits END")
