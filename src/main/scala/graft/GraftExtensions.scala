@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, PolyHash, SimHashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_p"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_p"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimHashSig(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

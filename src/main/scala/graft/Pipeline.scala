@@ -27,6 +27,7 @@ object Pipeline {
     graft.functions.PolyHash.register(s)
     graft.functions.JaccardSorted.register(s)
     graft.functions.MinHashSig.register(s)
+    graft.functions.SimHashSig.register(s)
     Tables.documents(s, dir)
   }
 
@@ -216,11 +217,8 @@ object Pipeline {
   /** SimHash (16-bit) signatures from token-hash sets: bit b set iff the
     * ±1 vote over member hashes is positive. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    tokenHashSets(s, dir).selectExpr("doc_id",
-      "aggregate(sequence(0, 15), 0L, (acc, b) -> acc + " +
-        "IF(aggregate(th, 0L, (s, h) -> s + " +
-        "IF((shiftright(h, cast(b AS int)) & 1) = 1, 1L, -1L)) > 0, " +
-        "shiftleft(1L, cast(b AS int)), 0L)) AS simhash16")
+    tokenHashSets(s, dir)
+      .selectExpr("doc_id", "simhash_sig(th, 16) AS simhash16")
       .orderBy("doc_id")
 
   /** SimHash near-dup via BANDING — the scale path the signature enables:
@@ -238,11 +236,7 @@ object Pipeline {
   private def simhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val sig = registered(s, dir).selectExpr("doc_id",
       "transform(split(text, ' '), t -> poly_hash(t)) AS th")
-      .selectExpr("doc_id",
-      "aggregate(sequence(0, 29), 0L, (acc, b) -> acc + " +
-        "IF(aggregate(th, 0L, (s, h) -> s + " +
-        "IF((shiftright(h, cast(b AS int)) & 1) = 1, 1L, -1L)) > 0, " +
-        "shiftleft(1L, cast(b AS int)), 0L)) AS sig30")
+      .selectExpr("doc_id", "simhash_sig(th, 30) AS sig30")
     val bands = sig.selectExpr("doc_id", "sig30",
       "explode(array(" +
         "struct(0 AS band, sig30 & 32767L AS key), " +
