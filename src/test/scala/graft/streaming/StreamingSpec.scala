@@ -278,6 +278,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("RocksDB state store backs the stateful registry unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StationEvent]
+      val q = StreamingRegistry.registryStream(mem.toDS(),
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("reg_rocks").start()
+      try {
+        mem.addData(StationEvent(11, 100, 2000, 1),
+          StationEvent(11, 200, 2000, 5))
+        q.processAllAvailable()
+        mem.addData(StationEvent(11, 300, 2000, 9))
+        q.processAllAvailable()
+        val last = spark.table("reg_rocks").as[StationUpdate].collect()
+          .filter(_.station == 11L).last
+        // state persisted across micro-batches in RocksDB: counters continue
+        assert(last.nEvents == 3 && last.progress == 8)
+        assert(last.status == "reliable")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("registry fold: wraparound, mean, hysteresis dead band") {
     val s0 = StationState(0, 0, 0, 0, 0, "created")
     val s1 = StreamingRegistry.fold(s0, StationEvent(1, 100, 10000, 65530))
