@@ -38,6 +38,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.contentHash("ab".getBytes("UTF-8")) == expected)
   }
 
+  test("simhash_sig kernel matches the portable fold on random arrays") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    graft.functions.SimHashSig.register(spark)
+    val rnd = new scala.util.Random(20260812L)
+    val rows = Seq.fill(50)(
+      Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % 1000000007L))
+    def portable(th: Seq[Long], bits: Int): Long =
+      (0 until bits).map { b =>
+        val votes = th.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    val got = rows.toDF("th")
+      .selectExpr("simhash_sig(th, 30) AS s").as[Long].collect()
+    assert(got.toSeq == rows.map(portable(_, 30)))
+  }
+
+  test("ann bit schedule: integer compares, clamped to [8, 24]") {
+    assert(Pipeline.annBits(1) == 8 && Pipeline.annBits(1024) == 8)
+    assert(Pipeline.annBits(1025) == 9)
+    assert(Pipeline.annBits(4096) == 10 && Pipeline.annBits(4097) == 11)
+    assert(Pipeline.annBits(Long.MaxValue) == 24)
+  }
+
   test("resize stub: byte-stride downsample to the target payload size") {
     val d = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
     val r = Multimodal.resizeStub(d, 8, 8)
