@@ -24,6 +24,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_p(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(d == 11.0)
+      // simhash_sig: single element 5L = 0b101 → all its bits win the vote
+      val sh = spark.sql("SELECT simhash_sig(array(5L), 16) AS s")
+        .collect().head.getLong(0)
+      assert(sh == 5L)
     } finally spark.stop()
   }
 }
