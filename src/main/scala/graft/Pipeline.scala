@@ -384,6 +384,24 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** BPE-ish pretokenizer regex (the GPT-2 pattern family, restricted to
+    * constructs Java regex and RE2 treat identically — no lookarounds, no
+    * \\s class): contraction suffixes, space-prefixed letter/digit runs,
+    * punctuation runs. */
+  private val BpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token counting, BPE-ish: pretokenize with the regex (vs the plain
+    * whitespace split of token_stats) — the shape a tokenizer-aware
+    * pipeline counts with. */
+  private def tokenStatsBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_unique")
+      .orderBy("doc_id")
+
   /** IVF coarse-quantizer cells for ann_ivf. */
   final val IvfCells = 16
   /** Probed cells per query vector (multi-probe recall lever). */
@@ -482,7 +500,8 @@ object Pipeline {
     "ann_lsh_multi"     -> annLshMulti _,
     "frame_sample"      -> frameSampleQ _,
     "simhash_neardup"   -> simhashNeardup _,
-    "ann_ivf"           -> annIvf _
+    "ann_ivf"           -> annIvf _,
+    "token_stats_bpe"   -> tokenStatsBpe _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -609,6 +628,15 @@ object Pipeline {
         |  length(list_distinct(string_split(text, ' '))) AS n_unique,
         |  length(text) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_stats_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, '${BpePattern.replace("'", "''")}')
+         |      AS toks
+         |  FROM documents)
+         |SELECT doc_id, length(toks) AS n_tokens,
+         |  length(list_distinct(toks)) AS n_unique
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(string_split(text, ' ')) AS n_tokens,
