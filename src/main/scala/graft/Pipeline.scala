@@ -60,25 +60,33 @@ object Pipeline {
 
   // ---- text analysis ---------------------------------------------------
 
-  /** Exact deduplication, shuffle-lean: group on a compound content
-    * fingerprint (forward poly-hash, reverse poly-hash, byte length)
-    * instead of the raw text, so the exchange carries 32 bytes per row —
-    * at 100 TB the full documents never shuffle (the previous
-    * partitionBy(text) shipped and sorted entire documents). Two
-    * independent 1e9-space folds + exact length make a ~2^60 keyspace
-    * per length class; a strict engine would add one content compare
-    * within each fingerprint group, which stays cheap because groups are
-    * true-duplicate-sized. */
+  /** Exact deduplication, shuffle-lean AND truly exact: phase 1 groups a
+    * 32-byte compound fingerprint (forward poly-hash, reverse poly-hash,
+    * byte length) — the full documents never shuffle for the singleton
+    * majority (the naive partitionBy(text) ships and sorts entire
+    * documents). Phase 2 joins text back ONLY for multi-member
+    * fingerprint groups (true-duplicate-sized) and re-keys on the content
+    * itself, so a fingerprint collision can never merge distinct texts —
+    * the result is identical to partitioning by raw text, which is
+    * exactly what the oracle does. */
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("h1", "h2", "len")
-    registered(s, dir)
+    val docs = registered(s, dir)
+    val wf = Window.partitionBy("h1", "h2", "len")
+    val fp = docs
       .select(col("doc_id"), expr("poly_hash(text)").as("h1"),
         expr("poly_hash(reverse(text))").as("h2"),
         length(col("text")).as("len"))
-      .withColumn("keeper", min("doc_id").over(w))
+      .withColumn("gsize", count(lit(1)).over(wf))
+    val singles = fp.filter(col("gsize") === 1)
+      .select(col("doc_id"), col("doc_id").as("keeper"),
+        lit(false).as("is_dup"))
+    val wt = Window.partitionBy("h1", "h2", "len", "text")
+    val multis = fp.filter(col("gsize") > 1)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("keeper", min("doc_id").over(wt))
       .select(col("doc_id"), col("keeper"),
         (col("doc_id") =!= col("keeper")).as("is_dup"))
-      .orderBy("doc_id")
+    singles.unionByName(multis).orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens, distinct tokens, characters. */
@@ -565,15 +573,9 @@ object Pipeline {
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
-      s"""WITH fp AS (
-         |  SELECT doc_id, ${charFoldDuck("text")} AS h1,
-         |    ${charFoldDuck("reverse(text)")} AS h2,
-         |    length(text) AS len
-         |  FROM documents)
-         |SELECT doc_id,
-         |  min(doc_id) OVER (PARTITION BY h1, h2, len) AS keeper,
-         |  doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, len) AS is_dup
-         |FROM fp ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "frame_sample" ->
       s"""WITH f AS (
          |  SELECT doc_id AS media_id, i AS frame_idx,
