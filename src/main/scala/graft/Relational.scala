@@ -47,7 +47,8 @@ object Relational {
     "q14_date_funcs"    -> q14DateFuncs _,
     "q15_having"        -> q15Having _,
     "q16_scalar_subq"   -> q16ScalarSubq _,
-    "q17_in_subq"       -> q17InSubq _
+    "q17_in_subq"       -> q17InSubq _,
+    "q18_cube"          -> q18Cube _
   )
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): grouped sums/avg/count
@@ -205,6 +206,19 @@ object Relational {
   private def q13Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumFx(col("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** CUBE grouping sets: every (status, priority) combination including
+    * both one-dimension margins — the grouping-set family beyond q13's
+    * ROLLUP. */
+  private def q18Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), sumFx(col("o_totalprice"), 2).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -374,6 +388,13 @@ object Relational {
         |  p_brand || '|' || p_type AS brand_type,
         |  replace(p_type, ' ', '_') AS type_u
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q18_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q13_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
