@@ -300,6 +300,40 @@ object Registry {
       .orderBy("day")
   }
 
+  /** AS-OF join, composed: each event carries the station's status AS OF
+    * the event's day — the reference's gate consults the LIVE status at
+    * processing time (src/supervision/station.cpp:36-44), which
+    * enriched_events flattens to the whole-corpus classification; here
+    * the R8 transition stream gives the status timeline and a
+    * union + carry-forward window attaches the in-effect value. Spark
+    * has no ASOF JOIN operator; this composition is the canonical scale
+    * form — ONE shuffle on the station key, no range join, state
+    * carried by a running window (transitions sort before same-day
+    * events). The DuckDB oracle uses its native ASOF JOIN, proving the
+    * composition implements exactly those semantics. */
+  private def eventStatusAsof(s: SparkSession, dir: String): DataFrame = {
+    val tr = statusTriggers(s, dir)
+      .select(col("station"), col("day"), col("status"))
+    val ev = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
+    val tagged = tr
+      .select(col("station"), col("day"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("start_ns"), col("status"))
+      .unionByName(ev.select(col("station"), col("day"), lit(1).as("kind"),
+        col("event_id"), col("start_ns"),
+        lit(null).cast("string").as("status")))
+    val w = Window.partitionBy("station")
+      .orderBy(col("day"), col("kind"), col("start_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("status_asof",
+        coalesce(last("status", ignoreNulls = true).over(w), lit("online")))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("station"), col("start_ns"),
+        col("status_asof"))
+      .orderBy("event_id")
+  }
+
   /** R11: periodic per-station summary — incoming count, mean value,
     * counter progress and deadtime = 1 − incoming/progress (1.0 when no
     * progress; reference src/supervision/station.cpp:89-102). */
@@ -395,6 +429,7 @@ object Registry {
     "enriched_events"  -> enrichedEvents _,
     "status_triggers"  -> statusTriggers _,
     "timebase_timeout" -> timebaseTimeout _,
+    "event_status_asof" -> eventStatusAsof _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _,
     "cluster_log_map"  -> clusterLogMap _
@@ -423,6 +458,62 @@ object Registry {
          |           (n_windows * (n_windows - 1)))
          |    END AS stddev_rate
          |  FROM r)""".stripMargin
+    val statusCtes =
+      s"""$hCte,
+           |hd AS (
+           |  SELECT *, start_ns // ${DayNs} AS day FROM h),
+           |daily AS (
+           |  SELECT station, day,
+           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+           |      / 50.0 AS f_time,
+           |    max(value) > ${ExtremeValue} AS extreme
+           |  FROM hd GROUP BY 1, 2),
+           |wc AS (
+           |  SELECT station, day, start_ns // ${WindowNs} AS w, count(*) AS c
+           |  FROM hd GROUP BY 1, 2, 3),
+           |fr AS (
+           |  SELECT station, day, count(*) AS nw, sum(c) AS sc,
+           |         sum(c * c) AS sc2
+           |  FROM wc GROUP BY 1, 2),
+           |frate AS (
+           |  SELECT station, day,
+           |    CASE WHEN nw > 1 THEN
+           |      sqrt((nw * sc2 - sc * sc) / (nw * (nw - 1)))
+           |        / (sc / nw) / 0.75
+           |    ELSE 0.0 END AS f_rate
+           |  FROM fr),
+           |cf AS (
+           |  SELECT station, day, f_time, f_rate, extreme,
+           |    (1.0 + (station % 5) * 0.25) *
+           |      sqrt(CAST((2 + station % 11) * (2 + station % 11) +
+           |                (3 + station % 13) * (3 + station % 13) AS DOUBLE))
+           |      / 15.0 AS f_location
+           |  FROM daily JOIN frate USING (station, day)),
+           |cls AS (
+           |  SELECT station, day,
+           |    CASE WHEN extreme THEN 'unreliable'
+           |         WHEN f_location > 1.15 THEN 'unreliable'
+           |         WHEN f_time > 1.15 THEN 'unreliable'
+           |         WHEN f_rate > 1.15 THEN 'unreliable'
+           |         WHEN f_location < 0.85 AND f_time < 0.85
+           |           AND f_rate < 0.85 THEN 'reliable' END AS d_status,
+           |    CASE WHEN extreme THEN 'time_accuracy_extreme'
+           |         WHEN f_location > 1.15 THEN 'location_precision'
+           |         WHEN f_time > 1.15 THEN 'time_accuracy'
+           |         WHEN f_rate > 1.15 THEN 'rate_unstable'
+           |         WHEN f_location < 0.85 AND f_time < 0.85
+           |           AND f_rate < 0.85 THEN 'miscellaneous' END AS d_reason
+           |  FROM cf),
+           |st AS (
+           |  SELECT *, coalesce(last_value(d_status IGNORE NULLS) OVER
+           |      (PARTITION BY station ORDER BY day
+           |       ROWS UNBOUNDED PRECEDING), 'online') AS status
+           |  FROM cls),
+           |tr AS (
+           |  SELECT *, coalesce(lag(status) OVER
+           |      (PARTITION BY station ORDER BY day), 'online')
+           |      AS prev_status
+           |  FROM st)""".stripMargin
     Map(
       "station_rates" ->
         s"""$ratesCte
@@ -574,67 +665,28 @@ object Registry {
            |FROM base LEFT JOIN fac ON base.day = fac.day
            |ORDER BY day""".stripMargin,
       "status_triggers" ->
-        s"""$hCte,
-           |hd AS (
-           |  SELECT *, start_ns // ${DayNs} AS day FROM h),
-           |daily AS (
-           |  SELECT station, day,
-           |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
-           |      / 50.0 AS f_time,
-           |    max(value) > ${ExtremeValue} AS extreme
-           |  FROM hd GROUP BY 1, 2),
-           |wc AS (
-           |  SELECT station, day, start_ns // ${WindowNs} AS w, count(*) AS c
-           |  FROM hd GROUP BY 1, 2, 3),
-           |fr AS (
-           |  SELECT station, day, count(*) AS nw, sum(c) AS sc,
-           |         sum(c * c) AS sc2
-           |  FROM wc GROUP BY 1, 2),
-           |frate AS (
-           |  SELECT station, day,
-           |    CASE WHEN nw > 1 THEN
-           |      sqrt((nw * sc2 - sc * sc) / (nw * (nw - 1)))
-           |        / (sc / nw) / 0.75
-           |    ELSE 0.0 END AS f_rate
-           |  FROM fr),
-           |cf AS (
-           |  SELECT station, day, f_time, f_rate, extreme,
-           |    (1.0 + (station % 5) * 0.25) *
-           |      sqrt(CAST((2 + station % 11) * (2 + station % 11) +
-           |                (3 + station % 13) * (3 + station % 13) AS DOUBLE))
-           |      / 15.0 AS f_location
-           |  FROM daily JOIN frate USING (station, day)),
-           |cls AS (
-           |  SELECT station, day,
-           |    CASE WHEN extreme THEN 'unreliable'
-           |         WHEN f_location > 1.15 THEN 'unreliable'
-           |         WHEN f_time > 1.15 THEN 'unreliable'
-           |         WHEN f_rate > 1.15 THEN 'unreliable'
-           |         WHEN f_location < 0.85 AND f_time < 0.85
-           |           AND f_rate < 0.85 THEN 'reliable' END AS d_status,
-           |    CASE WHEN extreme THEN 'time_accuracy_extreme'
-           |         WHEN f_location > 1.15 THEN 'location_precision'
-           |         WHEN f_time > 1.15 THEN 'time_accuracy'
-           |         WHEN f_rate > 1.15 THEN 'rate_unstable'
-           |         WHEN f_location < 0.85 AND f_time < 0.85
-           |           AND f_rate < 0.85 THEN 'miscellaneous' END AS d_reason
-           |  FROM cf),
-           |st AS (
-           |  SELECT *, coalesce(last_value(d_status IGNORE NULLS) OVER
-           |      (PARTITION BY station ORDER BY day
-           |       ROWS UNBOUNDED PRECEDING), 'online') AS status
-           |  FROM cls),
-           |tr AS (
-           |  SELECT *, coalesce(lag(status) OVER
-           |      (PARTITION BY station ORDER BY day), 'online')
-           |      AS prev_status
-           |  FROM st)
+        s"""$statusCtes
            |SELECT station, day, prev_status, status, d_reason AS reason,
            |  'u' || station || '/st' || (station % 3) AS topic,
            |  strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
            |    || '_00-00-00 UTC ' || status || ' ' || d_reason AS msg
            |FROM tr WHERE status <> prev_status
            |ORDER BY station, day""".stripMargin,
+      "event_status_asof" ->
+        s"""$statusCtes,
+           |trans AS (
+           |  SELECT station, day, status FROM tr
+           |  WHERE status <> prev_status),
+           |ev AS (
+           |  SELECT event_id, station, start_ns,
+           |    start_ns // ${DayNs} AS day
+           |  FROM h)
+           |SELECT ev.event_id AS event_id, ev.station AS station,
+           |  ev.start_ns AS start_ns,
+           |  coalesce(trans.status, 'online') AS status_asof
+           |FROM ev ASOF LEFT JOIN trans
+           |  ON ev.station = trans.station AND ev.day >= trans.day
+           |ORDER BY event_id""".stripMargin,
       "detector_summary" ->
         s"""$hCte,
            |d AS (
