@@ -90,7 +90,12 @@ object Assembly {
     * flip, not per event), and the pair dimension is pruned to C1-range
     * pairs (chord distance ≤ MaxDistanceMeters — the pair matrix a
     * physical deployment would ever populate) and broadcast. */
-  private def pairUptimeIntervals(s: SparkSession, dir: String): DataFrame = {
+  /** Per-station reliability intervals [s_ns, e_ns): maximal spans where
+    * the last-5 rolling mean sits under the accept threshold, cut at
+    * event-granular transitions (shared by pair_uptime_intervals and the
+    * banded range join). */
+  private[graft] def reliabilityIntervals(s: SparkSession,
+                                          dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Seq(col("start_ns"), col("event_id"))
     val w5 = Window.partitionBy("station").orderBy(order: _*).rowsBetween(-4, 0)
@@ -105,10 +110,14 @@ object Assembly {
     val trans = flagged
       .withColumn("pup", lag("up", 1).over(wl))
       .filter(col("pup").isNull || col("pup") =!= col("up"))
-    val intervals = trans
+    trans
       .withColumn("e_ns", coalesce(lead("start_ns", 1).over(wl), col("last_ns")))
       .filter(col("up"))
       .select(col("station"), col("start_ns").as("s_ns"), col("e_ns"))
+  }
+
+  private def pairUptimeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val intervals = reliabilityIntervals(s, dir)
     val st = Tables.events(s, dir).select(col("user_id").as("station"))
       .distinct()
       .withColumn("lat", Geodesic.stationLat(col("station")))
@@ -137,14 +146,67 @@ object Assembly {
       .orderBy("st_a", "st_b")
   }
 
+  /** Banded range join exercised on real data: every event joined to the
+    * reliability interval containing it (operators.RangeJoin — a plain
+    * equi-join on (station, day-bucket) + containment filter instead of
+    * an inequality join), aggregated per station. */
+  private def eventIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("station"),
+      (expr("ts div 1000") * 1000).as("start_ns"))
+    graft.operators.RangeJoin.pointInInterval(
+        pts, reliabilityIntervals(s, dir),
+        bucketWidth = 86400L * 1000000000L, keyCols = Seq("station"),
+        tCol = "start_ns", startCol = "s_ns", endCol = "e_ns")
+      .groupBy("station")
+      .agg(count(lit(1)).as("n_in"),
+        countDistinct("s_ns").as("n_intervals"))
+      .orderBy("station")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_reassembly"    -> l1Reassembly _,
     "detinfo_assembly" -> detinfoAssembly _,
     "pair_uptime"      -> pairUptime _,
-    "pair_uptime_intervals" -> pairUptimeIntervals _
+    "pair_uptime_intervals" -> pairUptimeIntervals _,
+    "event_interval_join" -> eventIntervalJoin _
   )
 
+  /** Shared oracle CTEs: reliability intervals (last-5 rolling flag →
+    * transitions → [s_ns, e_ns) spans), as table `r`. */
+  private val intervalsCte: String =
+    """WITH h AS (
+      |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+      |    value
+      |  FROM events),
+      |f AS (
+      |  SELECT station, event_id, start_ns,
+      |    sum(CAST(round(value * 10) AS BIGINT)) OVER w5 / 10.0
+      |      / count(*) OVER w5 <= 50.0 AS up,
+      |    max(start_ns) OVER (PARTITION BY station) AS last_ns
+      |  FROM h
+      |  WINDOW w5 AS (PARTITION BY station ORDER BY start_ns, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |t AS (
+      |  SELECT * FROM (
+      |    SELECT *, lag(up) OVER (PARTITION BY station
+      |      ORDER BY start_ns, event_id) AS pup FROM f)
+      |  WHERE pup IS NULL OR pup <> up),
+      |iv AS (
+      |  SELECT station, start_ns AS s_ns,
+      |    coalesce(lead(start_ns) OVER (PARTITION BY station
+      |      ORDER BY start_ns, event_id), last_ns) AS e_ns, up
+      |  FROM t),
+      |r AS (SELECT station, s_ns, e_ns FROM iv WHERE up)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "event_interval_join" ->
+      s"""$intervalsCte
+         |SELECT h.station AS station, count(*) AS n_in,
+         |  count(DISTINCT r.s_ns) AS n_intervals
+         |FROM h JOIN r ON h.station = r.station
+         |  AND h.start_ns >= r.s_ns AND h.start_ns < r.e_ns
+         |GROUP BY 1 ORDER BY station""".stripMargin,
     "pair_uptime_intervals" -> {
       val A = graft.functions.Geo.SemiMajorA
       val E2 = graft.functions.Geo.EccSq
