@@ -392,6 +392,36 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** KMV sketch size — small enough that this corpus's ~31-token
+    * per-source vocabularies exercise the ESTIMATION branch, not just the
+    * exact small-set path. */
+  final val KmvK = 16
+
+  /** K-minimum-values distinct-count sketch — a sketch with an EXACT
+    * cross-engine oracle (HLL estimates are engine-specific; KMV is a
+    * pure function of the hash set): per group keep the K smallest
+    * distinct hashes; estimate = (K−1)·P / h_K, exact count when the
+    * group has fewer than K distinct values. The sketch state is K longs
+    * per group — mergeable, so at 100 TB it behaves like any partial
+    * aggregate. True distinct is computed alongside to expose the
+    * estimation error. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame =
+    registered(s, dir)
+      .selectExpr("source",
+        // scramble the fold: raw poly hashes of SHORT tokens are small
+        // (bounded by 31^len·255), nowhere near uniform in [0, P) — and
+        // KMV's estimator needs uniformity (measured: 135× off unmixed)
+        "explode(transform(split(text, ' '), " +
+          s"t -> poly_hash(t) * 2654435761L % ${P}L)) AS h")
+      .groupBy("source")
+      .agg(countDistinct("h").as("true_distinct"),
+        expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("ks"))
+      .selectExpr("source", "true_distinct",
+        s"CASE WHEN size(ks) < $KmvK THEN CAST(size(ks) AS DOUBLE) " +
+          s"ELSE ${KmvK - 1}.0D * ${P}L " +
+          s"/ greatest(element_at(ks, $KmvK), 1L) END AS kmv_estimate")
+      .orderBy("source")
+
   /** BPE-ish pretokenizer regex (the GPT-2 pattern family, restricted to
     * constructs Java regex and RE2 treat identically — no lookarounds, no
     * \\s class): contraction suffixes, space-prefixed letter/digit runs,
@@ -509,7 +539,8 @@ object Pipeline {
     "frame_sample"      -> frameSampleQ _,
     "simhash_neardup"   -> simhashNeardup _,
     "ann_ivf"           -> annIvf _,
-    "token_stats_bpe"   -> tokenStatsBpe _
+    "token_stats_bpe"   -> tokenStatsBpe _,
+    "kmv_distinct"      -> kmvDistinct _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -630,6 +661,20 @@ object Pipeline {
         |  length(list_distinct(string_split(text, ' '))) AS n_unique,
         |  length(text) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "kmv_distinct" ->
+      s"""WITH e AS (
+         |  SELECT source, unnest(list_transform(string_split(text, ' '),
+         |    t -> ${charFoldDuck("t")} * 2654435761 % $P)) AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, count(DISTINCT h) AS true_distinct,
+         |    list_sort(list_distinct(list(h))) AS hs
+         |  FROM e GROUP BY source)
+         |SELECT source, true_distinct,
+         |  CASE WHEN length(hs) < $KmvK THEN CAST(length(hs) AS DOUBLE)
+         |    ELSE ${KmvK - 1}.0 * $P / greatest(hs[$KmvK], 1) END
+         |    AS kmv_estimate
+         |FROM g ORDER BY source""".stripMargin,
     "token_stats_bpe" ->
       s"""WITH t AS (
          |  SELECT doc_id,
