@@ -113,6 +113,52 @@ object Pipeline {
           "ELSE 'good' END AS quality")
       .orderBy("doc_id")
 
+  /** Full quality panel — the length/punct/stopword triad of a
+    * pretraining filter (the compact `text_quality` stays as the oracle
+    * for the classifier shape): token count, mean token length,
+    * punctuation ratio (non-alphanumeric-non-space chars over all
+    * chars), stopword ratio, and the resulting keep/flag label. */
+  private def textQualityFull(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS n_tokens",
+      "length(text) AS n_chars",
+      "length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_punct",
+      "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
+      .selectExpr("doc_id", "n_tokens", "n_chars",
+        "n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio",
+        "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio",
+        "(n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)" +
+          " AS mean_tok_len",
+        "CASE WHEN n_tokens < 20 THEN 'short' " +
+          "WHEN n_punct / CAST(n_chars AS DOUBLE) > 0.1 THEN 'punct_heavy' " +
+          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
+          "ELSE 'keep' END AS label")
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprints (the rolling-hash document signature of
+    * Schleimer et al.'s MOSS): k-gram ROLLING hashes over the char
+    * stream, then each sliding window of w consecutive hashes
+    * contributes its minimum — near-identical documents share most
+    * selected fingerprints even under edits, which a whole-document
+    * fold (doc_fingerprint) cannot offer. Selected set presented as
+    * distinct count + min/max for the engine-neutral compare. */
+  private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val k = 8  // k-gram length
+    val w = 4  // winnowing window
+    registered(s, dir)
+      .selectExpr("doc_id",
+        // rolling k-gram hashes: poly fold of each 8-char substring
+        s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+          s"i -> poly_hash(substring(text, cast(i AS int), $k))) AS kg")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sequence(1, greatest(size(kg) - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(kg, cast(j AS int), $w)))) AS fps")
+      .selectExpr("doc_id", "size(fps) AS n_fps",
+        "array_min(fps) AS min_fp", "array_max(fps) AS max_fp")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
@@ -540,7 +586,9 @@ object Pipeline {
     "simhash_neardup"   -> simhashNeardup _,
     "ann_ivf"           -> annIvf _,
     "token_stats_bpe"   -> tokenStatsBpe _,
-    "kmv_distinct"      -> kmvDistinct _
+    "kmv_distinct"      -> kmvDistinct _,
+    "text_quality_full" -> textQualityFull _,
+    "winnow_fingerprint" -> winnowFingerprint _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -661,6 +709,44 @@ object Pipeline {
         |  length(list_distinct(string_split(text, ' '))) AS n_unique,
         |  length(text) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_full" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |    length(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars,
+        |  n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  (n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)
+        |    AS mean_tok_len,
+        |  CASE WHEN n_tokens < 20 THEN 'short'
+        |       WHEN n_punct / CAST(n_chars AS DOUBLE) > 0.1
+        |         THEN 'punct_heavy'
+        |       WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15
+        |         THEN 'stopwordy'
+        |       ELSE 'keep' END AS label
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprint" ->
+      s"""WITH kg AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text) - 6, 2)),
+         |      i -> ${charFoldDuck("substr(text, CAST(i AS INT), 8)")})
+         |      AS kg
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(length(kg) - 2, 2)),
+         |      j -> list_min(kg[CAST(j AS INT):CAST(j + 3 AS INT)])))
+         |      AS fps
+         |  FROM kg)
+         |SELECT doc_id, length(fps) AS n_fps,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "kmv_distinct" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_transform(string_split(text, ' '),
