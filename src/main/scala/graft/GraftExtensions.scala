@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{DotProduct, PolyHash, SimHashSig}
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -29,7 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (children: Seq[Expression]) => SimHashSig(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        // bits must be a literal: it sizes the signature at plan time.
+        if (children.length != 2)
+          throw new AnalysisException("USER_RAISED_EXCEPTION", Map(
+            "errorMessage" ->
+              s"simhash_sig(text, bits) takes 2 arguments, got ${children.length}"))
+        if (!children(1).foldable)
+          throw new AnalysisException("USER_RAISED_EXCEPTION", Map(
+            "errorMessage" ->
+              "simhash_sig bits argument must be a foldable literal"))
+        SimHashSig(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

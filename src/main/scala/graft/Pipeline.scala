@@ -125,13 +125,16 @@ object Pipeline {
       "length(text) AS n_chars",
       "length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_punct",
       "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
+      // n_chars guarded by greatest(...,1): an empty document must yield
+      // ratio 0, not Spark-NULL-vs-DuckDB-NaN (engines disagree on 0/0)
       .selectExpr("doc_id", "n_tokens", "n_chars",
-        "n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio",
+        "n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio",
         "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio",
         "(n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)" +
           " AS mean_tok_len",
         "CASE WHEN n_tokens < 20 THEN 'short' " +
-          "WHEN n_punct / CAST(n_chars AS DOUBLE) > 0.1 THEN 'punct_heavy' " +
+          "WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1 " +
+          "THEN 'punct_heavy' " +
           "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
           "ELSE 'keep' END AS label")
       .orderBy("doc_id")
@@ -536,7 +539,7 @@ object Pipeline {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        graft.operators.MediaRow(id, "text/plain", t.getBytes("UTF-8")) }
+        graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
     graft.operators.Multimodal.frameSample(media, 3).toDF()
       .orderBy("media_id", "frame_idx")
   }
@@ -552,6 +555,18 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Text → media-payload bytes for the multimodal fixtures. The engine
+    * slices and hashes BYTES while the DuckDB oracle slices characters
+    * (substr) — identical only for ASCII, so the assumption is enforced
+    * here at the query boundary rather than left coincidental. */
+  private def asciiBytes(id: Long, t: String): Array[Byte] = {
+    val b = t.getBytes("UTF-8")
+    require(b.length == t.length,
+      s"multimodal text fixture doc_id=$id is non-ASCII: byte slicing " +
+        "would diverge from the character-based oracle")
+    b
+  }
+
   /** Multimodal feature extraction: text bytes stand in for media payloads
     * (decode step stubbed — operators.Multimodal); byte plumbing, per-
     * partition batching and the feature schema are real. */
@@ -562,7 +577,7 @@ object Pipeline {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        graft.operators.MediaRow(id, "text/plain", t.getBytes("UTF-8")) }
+        graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
     graft.operators.Multimodal.extractFeatures(media)
       .toDF()
       .orderBy("media_id")
@@ -719,12 +734,12 @@ object Pipeline {
         |      t -> t IN ('the', 'a'))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_tokens, n_chars,
-        |  n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |  n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
         |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
         |  (n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)
         |    AS mean_tok_len,
         |  CASE WHEN n_tokens < 20 THEN 'short'
-        |       WHEN n_punct / CAST(n_chars AS DOUBLE) > 0.1
+        |       WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
         |         THEN 'punct_heavy'
         |       WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15
         |         THEN 'stopwordy'

@@ -136,20 +136,18 @@ object Registry {
     * forwarded ONLY while the station is classified reliable.
     *
     * Spark shape: the per-station registry (known set = stations whose
-    * detector-info assembled completely on every active day, S4 mask 63;
-    * status = the R6 classifier) is tiny relative to the event stream, so
-    * it BROADCASTS — the 100 TB event scan never shuffles. */
+    * detector-info S4 mask has assembled completely at least once over the
+    * corpus — the reference registry keeps a station once `detectorinfo`
+    * fully arrives, src/supervision/station.cpp:28-34; status = the R6
+    * classifier) is tiny relative to the event stream, so it BROADCASTS —
+    * the 100 TB event scan never shuffles. */
   private def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
     val known = Tables.events(s, dir).select(
         col("user_id").as("station"),
-        (expr("ts div 1000") * 1000).as("start_ns"),
         (col("event_id") % 6).as("field_id"))
-      .withColumn("day", expr("start_ns div 86400000000000"))
-      .groupBy("station", "day")
-      .agg(expr("bit_or(shiftleft(1L, cast(field_id AS int)))").as("mask"))
       .groupBy("station")
-      .agg(expr("bool_and(mask = 63)").as("known"))
-      .filter(col("known"))
+      .agg(expr("bit_or(shiftleft(1L, cast(field_id AS int)))").as("mask"))
+      .filter(col("mask") === 63)
       .select("station")
     val registry = known
       .join(reliability(s, dir).select("station", "status"), Seq("station"))
@@ -600,13 +598,10 @@ object Registry {
            |  SELECT station FROM f
            |  WHERE NOT (f_time > 1.15 OR f_rate > 1.15)
            |    AND f_time < 0.85 AND f_rate < 0.85),
-           |di AS (
-           |  SELECT station, start_ns // 86400000000000 AS day,
-           |    bit_or(CAST(1 AS BIGINT) << CAST(event_id % 6 AS INT)) AS mask
-           |  FROM h GROUP BY 1, 2),
            |kn AS (
-           |  SELECT station FROM di GROUP BY station
-           |  HAVING bool_and(mask = 63))
+           |  SELECT station FROM h GROUP BY station
+           |  HAVING bit_or(CAST(1 AS BIGINT) << CAST(event_id % 6 AS INT))
+           |    = 63)
            |SELECT e.event_id AS event_id, e.station AS station,
            |  e.start_ns AS start_ns,
            |  50.0 + (e.station % 10) * 0.02 AS lat,

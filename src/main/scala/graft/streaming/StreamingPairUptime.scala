@@ -42,7 +42,10 @@ object StreamingPairUptime {
   /** Fold one trigger into the pair state (reference
     * stationcoincidence.cpp:92-106; the reference's size_t counter relies
     * on trigger discipline — we clamp at 0 so a duplicate downgrade
-    * cannot wrap). */
+    * cannot wrap, and at 2 so a replayed upgrade cannot overshoot (an
+    * online=3 state would absorb one later downgrade and silently corrupt
+    * all subsequent uptime accrual). lastOnlineNs is (re)seeded only on
+    * the real 1→2 edge. */
   private[streaming] def fold(s: PairUptimeState,
                               t: StationTrigger): PairUptimeState =
     t.status match {
@@ -53,7 +56,7 @@ object StreamingPairUptime {
         s.copy(online = math.max(0, s.online - 1), uptimeNs = up)
       case "reliable" =>
         val last = if (s.online == 1) t.tsNs else s.lastOnlineNs
-        s.copy(online = s.online + 1, lastOnlineNs = last)
+        s.copy(online = math.min(2, s.online + 1), lastOnlineNs = last)
       case _ => s // other transitions don't touch the counter
     }
 
