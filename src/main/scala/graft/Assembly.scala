@@ -116,21 +116,25 @@ object Assembly {
       .select(col("station"), col("start_ns").as("s_ns"), col("e_ns"))
   }
 
-  private def pairUptimeIntervals(s: SparkSession, dir: String): DataFrame = {
-    val intervals = reliabilityIntervals(s, dir)
+  /** Candidate pairs within `radiusMeters`, generated via geo-cell
+    * bucketing (operators.GeoCells) — output-sensitive: the candidate set
+    * scales with stations actually in range, never materializing the
+    * C(S,2) matrix. The synthetic grid tops out at 50.18°N. */
+  private[graft] def rangedPairs(s: SparkSession, dir: String,
+                                 radiusMeters: Double): DataFrame = {
     val st = Tables.events(s, dir).select(col("user_id").as("station"))
       .distinct()
       .withColumn("lat", Geodesic.stationLat(col("station")))
       .withColumn("lon", Geodesic.stationLon(col("station")))
       .withColumn("h", Geodesic.stationH(col("station")))
-    val e = Geodesic.withEcef(st)
-    val pa = e.select(col("station").as("st_a"), col("x").as("xa"),
-      col("y").as("ya"), col("z").as("za"))
-    val pb = e.select(col("station").as("st_b"), col("x").as("xb"),
-      col("y").as("yb"), col("z").as("zb"))
-    val pairs = pa.join(pb, col("st_a") < col("st_b"))
-      .filter(Geodesic.pairDist() <= graft.functions.Criterion.MaxDistanceMeters)
-      .select("st_a", "st_b")
+    graft.operators.GeoCells.candidatePairs(st, radiusMeters,
+      maxAbsLatDeg = 50.2)
+  }
+
+  private def pairUptimeByRadius(s: SparkSession, dir: String,
+                                 radiusMeters: Double): DataFrame = {
+    val intervals = reliabilityIntervals(s, dir)
+    val pairs = rangedPairs(s, dir, radiusMeters).select("st_a", "st_b")
     val ia = intervals.select(col("station").as("st_a"),
       col("s_ns").as("sa"), col("e_ns").as("ea"))
     val ib = intervals.select(col("station").as("st_b"),
@@ -145,6 +149,18 @@ object Assembly {
         expr("_t div 60000000000").as("uptime_min"))
       .orderBy("st_a", "st_b")
   }
+
+  private def pairUptimeIntervals(s: SparkSession, dir: String): DataFrame =
+    pairUptimeByRadius(s, dir, graft.functions.Criterion.MaxDistanceMeters)
+
+  /** The same uptime surface at a 5 km search radius — the configuration
+    * where the geo-cell pruning is observable on the synthetic ~20 km
+    * grid (the reference's 62.3 km C1 radius covers the whole grid, so
+    * `pair_uptime_intervals` legitimately keeps every pair). */
+  private def pairUptimeRanged(s: SparkSession, dir: String): DataFrame =
+    pairUptimeByRadius(s, dir, RangedRadiusMeters)
+
+  private[graft] val RangedRadiusMeters = 5000.0
 
   /** Banded range join exercised on real data: every event joined to the
     * reliability interval containing it (operators.RangeJoin — a plain
@@ -169,6 +185,7 @@ object Assembly {
     "detinfo_assembly" -> detinfoAssembly _,
     "pair_uptime"      -> pairUptime _,
     "pair_uptime_intervals" -> pairUptimeIntervals _,
+    "pair_uptime_ranged" -> pairUptimeRanged _,
     "event_interval_join" -> eventIntervalJoin _
   )
 
@@ -207,10 +224,48 @@ object Assembly {
          |FROM h JOIN r ON h.station = r.station
          |  AND h.start_ns >= r.s_ns AND h.start_ns < r.e_ns
          |GROUP BY 1 ORDER BY station""".stripMargin,
-    "pair_uptime_intervals" -> {
-      val A = graft.functions.Geo.SemiMajorA
-      val E2 = graft.functions.Geo.EccSq
-      s"""WITH h AS (
+    "pair_uptime_intervals" ->
+      pairUptimeOracle(graft.functions.Criterion.MaxDistanceMeters),
+    "pair_uptime_ranged" -> pairUptimeOracle(RangedRadiusMeters),
+    "l1_reassembly" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+        |    event_id // 3 AS uuid, 3 AS n,
+        |    (event_id % 500) * 1000 AS duration
+        |  FROM events)
+        |SELECT uuid, min(start_ns) AS start_ns,
+        |  min(start_ns) + max(duration) AS end_ns,
+        |  count(*) AS n_got, count(DISTINCT station) AS n_stations
+        |FROM l GROUP BY uuid HAVING count(*) = max(n)
+        |ORDER BY uuid""".stripMargin,
+    "detinfo_assembly" ->
+      """WITH m AS (
+        |  SELECT user_id AS station, epoch_ns(ts) // 86400000000000 AS day,
+        |    event_id % 6 AS field_id
+        |  FROM events)
+        |SELECT station, day, count(*) AS n_msgs,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(field_id AS INT)) AS mask,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(field_id AS INT)) = 63 AS complete
+        |FROM m GROUP BY station, day ORDER BY station, day""".stripMargin,
+    "pair_uptime" ->
+      """WITH daily AS (
+        |  SELECT user_id AS station,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |rel AS (SELECT station, day FROM daily WHERE mv <= 55.0)
+        |SELECT a.station AS st_a, b.station AS st_b,
+        |  count(*) AS days_both, count(*) * 1440 AS uptime_min
+        |FROM rel a JOIN rel b ON a.day = b.day AND a.station < b.station
+        |GROUP BY 1, 2 ORDER BY st_a, st_b""".stripMargin
+  )
+
+  /** Interval-uptime oracle at a given pair radius (shared by the C1-radius
+    * and 5 km variants — identical chord-distance formula both engines). */
+  private def pairUptimeOracle(radiusMeters: Double): String = {
+    val A = graft.functions.Geo.SemiMajorA
+    val E2 = graft.functions.Geo.EccSq
+    s"""WITH h AS (
          |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
          |    value
          |  FROM events),
@@ -252,8 +307,7 @@ object Assembly {
          |  SELECT a.station AS st_a, b.station AS st_b
          |  FROM e a JOIN e b ON a.station < b.station
          |  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-         |    + (a.z - b.z) * (a.z - b.z))
-         |    <= ${graft.functions.Criterion.MaxDistanceMeters}),
+         |    + (a.z - b.z) * (a.z - b.z)) <= $radiusMeters),
          |o AS (
          |  SELECT st_a, st_b,
          |    least(x.e_ns, y.e_ns) - greatest(x.s_ns, y.s_ns) AS ov
@@ -263,37 +317,5 @@ object Assembly {
          |  CAST(sum(ov) AS BIGINT) // 60000000000 AS uptime_min
          |FROM o WHERE ov > 0 GROUP BY 1, 2
          |ORDER BY st_a, st_b""".stripMargin
-    },
-    "l1_reassembly" ->
-      """WITH l AS (
-        |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
-        |    event_id // 3 AS uuid, 3 AS n,
-        |    (event_id % 500) * 1000 AS duration
-        |  FROM events)
-        |SELECT uuid, min(start_ns) AS start_ns,
-        |  min(start_ns) + max(duration) AS end_ns,
-        |  count(*) AS n_got, count(DISTINCT station) AS n_stations
-        |FROM l GROUP BY uuid HAVING count(*) = max(n)
-        |ORDER BY uuid""".stripMargin,
-    "detinfo_assembly" ->
-      """WITH m AS (
-        |  SELECT user_id AS station, epoch_ns(ts) // 86400000000000 AS day,
-        |    event_id % 6 AS field_id
-        |  FROM events)
-        |SELECT station, day, count(*) AS n_msgs,
-        |  bit_or(CAST(1 AS BIGINT) << CAST(field_id AS INT)) AS mask,
-        |  bit_or(CAST(1 AS BIGINT) << CAST(field_id AS INT)) = 63 AS complete
-        |FROM m GROUP BY station, day ORDER BY station, day""".stripMargin,
-    "pair_uptime" ->
-      """WITH daily AS (
-        |  SELECT user_id AS station,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mv
-        |  FROM events GROUP BY 1, 2),
-        |rel AS (SELECT station, day FROM daily WHERE mv <= 55.0)
-        |SELECT a.station AS st_a, b.station AS st_b,
-        |  count(*) AS days_both, count(*) * 1440 AS uptime_min
-        |FROM rel a JOIN rel b ON a.day = b.day AND a.station < b.station
-        |GROUP BY 1, 2 ORDER BY st_a, st_b""".stripMargin
-  )
+  }
 }

@@ -20,12 +20,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm scan so JVM/codegen warmup isn't billed to the first query
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
+    // Deliberate quadratic BASELINES kept for oracle cross-checks only —
+    // each has a scale-correct replacement in the headline suite
+    // (pair_uptime → pair_uptime_intervals/_ranged; ann_lsh 8-bit →
+    // ann_lsh_multi; embedding_neardup O(N²) → minhash/simhash/LSH).
+    // They stay in Verify's correctness gate but out of the scale story.
+    val oracleOnly = Set("pair_uptime", "ann_lsh", "embedding_neardup")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => oracleOnly(q._1))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
     // a failed query reports -1 so the output can't mistake it for a timing
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0) }
@@ -33,7 +41,17 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // pair-candidate evidence: the geo-cell generator is output-sensitive
+    // (in-range pairs, not C(S,2)); the 5 km radius shows the pruning the
+    // reference's 62.3 km C1 radius cannot on the ~20 km synthetic grid
+    val nSt = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val cand5 = Assembly.rangedPairs(spark, sfDir,
+      Assembly.RangedRadiusMeters).count()
+    val pairsJson = s"""{"stations":$nSt,"all_pairs":${nSt * (nSt - 1) / 2},""" +
+      s""""in_range_5km":$cand5}"""
+    val oo = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"oracle_only":$oo,"pair_candidates":$pairsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
