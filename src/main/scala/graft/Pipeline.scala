@@ -635,9 +635,49 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder image path: documents encode into actual 24-bit BMP
+    * containers (dims derived from text length), and the extractor
+    * parses the real BITMAPINFOHEADER back out — the oracle predicts
+    * dims and container size arithmetically, so a header-layout bug
+    * fails the hash check. */
+  private def multimodalDecodeBmp(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "image/bmp",
+          graft.operators.Multimodal.encodeBmp(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
+  /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
+    * 8-bit mono PCM (one sample per char), and the extractor walks the
+    * chunk list and folds whole-stream amplitude statistics. */
+  private def multimodalDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/wav",
+          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractAudioFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_decode_bmp" -> multimodalDecodeBmp _,
+    "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
@@ -719,6 +759,23 @@ object Pipeline {
          |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_bmp" ->
+      """SELECT doc_id AS media_id, 'image/bmp' AS kind,
+        |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        |  CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h
+        |FROM (SELECT doc_id, 1 + length(text) % 64 AS w,
+        |        1 + (length(text) // 64) % 64 AS h FROM documents)
+        |ORDER BY media_id""".stripMargin,
+    "multimodal_decode_wav" ->
+      """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(length(text) AS BIGINT) AS n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(text, ''),
+        |      ch -> ch <> ''), ch -> CAST(128 - ascii(ch) AS BIGINT))),
+        |    (a, x) -> a + x)
+        |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
+        |FROM documents ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup

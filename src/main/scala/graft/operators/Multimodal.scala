@@ -19,23 +19,164 @@ case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int,
 
 /** Multimodal column plumbing: schema, partition-parallel feature
   * extraction (`mapPartitions` — one decoder instance per partition, the
-  * shape a JNI/FFmpeg-backed decoder needs), and a STUB decode step.
+  * shape a JNI/FFmpeg-backed decoder needs), and the decode step.
   *
-  * The decode itself is a clearly-marked deterministic fake — image/audio
-  * libraries are not available in this environment — but the Spark-side
-  * contract (binary column in, fixed-width feature struct out, per-
-  * partition batching) is real and tested.
+  * Decoders are REAL for the container formats a pure JVM can parse —
+  * BMP and binary PPM image headers ([[decodeBmp]]/[[decodePpm]]) and
+  * RIFF/WAVE PCM audio ([[wavStats]], full-stream sample statistics, not
+  * just the header. Compressed codecs (JPEG/MP3/H.264) stay behind the
+  * clearly-marked [[decodeStub]] — those libraries are not available in
+  * this environment — but the Spark-side contract (binary column in,
+  * fixed-width feature struct out, per-partition batching) is identical
+  * for both, so swapping the stub for a JNI binding changes no plan.
   */
 object Multimodal {
 
   final val P = 1000000007L
 
-  /** STUB decoder: stands in for e.g. JPEG dimension extraction. Derives
-    * deterministic pseudo-dimensions from the payload; replace with a real
-    * decoder binding in production. */
+  /** STUB decoder: stands in for compressed-codec dimension extraction
+    * (JPEG etc.). Derives deterministic pseudo-dimensions from the
+    * payload; replace with a real decoder binding in production. */
   def decodeStub(data: Array[Byte]): (Int, Int) = {
     val n = data.length
     (1 + n % 64, 1 + (n / 64) % 64)
+  }
+
+  // ---- real decoders ---------------------------------------------------
+
+  /** Minimal 24-bit BI_RGB BMP writer (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER), used by fixtures and the decode queries: pixel
+    * rows pad to 4 bytes, pixel content cycles over `pixels`. */
+  def encodeBmp(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var i = 0
+    while (i < dataSize) {
+      b.put(if (pixels.nonEmpty) pixels(i % pixels.length) else 0.toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL BMP header decode: (width, height) from the BITMAPINFOHEADER.
+    * None on malformed input (short buffer, wrong magic, non-positive
+    * width); negative height (top-down rows) decodes to its magnitude. */
+  def decodeBmp(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 26 || data(0) != 'B' || data(1) != 'M') return None
+    val b = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    if (w <= 0 || h == 0 || h == Int.MinValue) None
+    else Some((w, math.abs(h)))
+  }
+
+  /** REAL binary-PPM (P6) header decode: ASCII "P6", then width, height,
+    * maxval tokens separated by whitespace, '#' comments allowed — the
+    * grammar of the Netpbm format. None on malformed input. */
+  def decodePpm(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 2 || data(0) != 'P' || data(1) != '6') return None
+    var i = 2
+    def nextInt(): Option[Int] = {
+      // skip whitespace and # comments
+      var run = true
+      while (run && i < data.length) {
+        val c = data(i).toChar
+        if (c == '#') { while (i < data.length && data(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else run = false
+      }
+      val start = i
+      while (i < data.length && data(i).toChar.isDigit) i += 1
+      if (i == start) None
+      else Some(new String(data, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); _ <- nextInt()
+      if w > 0 && h > 0
+    } yield (w, h)
+  }
+
+  /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
+    * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
+    * integer, so the derived mean is one exact division. */
+  final case class WavInfo(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int, nSamples: Long, sumAbs: Long)
+
+  /** Minimal RIFF/WAVE writer: 8-bit unsigned mono PCM. */
+  def encodeWavPcm8(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate).putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(samples.length).put(samples)
+    b.array()
+  }
+
+  /** REAL RIFF/WAVE PCM decode: walks the chunk list (fmt may precede or
+    * follow other chunks), returns format fields plus whole-stream sample
+    * statistics. None on malformed input (bad magic, truncated chunks,
+    * missing fmt/data, non-PCM, unsupported depth). */
+  def wavStats(data: Array[Byte]): Option[WavInfo] = {
+    if (data.length < 12) return None
+    val b = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      if (off + 4 > data.length) "" else new String(data, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataAt = -1
+    var dataLen = -1
+    while (off + 8 <= data.length) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      if (len < 0 || off + 8 + len > data.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val audioFormat = b.getShort(off + 8).toInt
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),
+          b.getShort(off + 22).toInt))
+      } else if (id == "data") { dataAt = off + 8; dataLen = len }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((ch, rate, bits)) if dataAt >= 0 && ch > 0 =>
+        val bytesPer = bits / 8
+        if (bits != 8 && bits != 16) return None
+        val n = dataLen / (bytesPer * ch)
+        var sum = 0L
+        var i = dataAt
+        val end = dataAt + dataLen - (bytesPer - 1)
+        while (i < end) {
+          sum += (if (bits == 8) math.abs((data(i) & 0xff) - 128)
+                  else math.abs(b.getShort(i).toLong))
+          i += bytesPer
+        }
+        Some(WavInfo(rate, ch, bits, n.toLong, sum))
+      case _ => None
+    }
+  }
+
+  /** Kind-dispatched decode: real parsers for the self-describing
+    * formats, the stub for everything else; malformed payloads decode to
+    * (−1, −1) so a poisoned record flags itself instead of killing the
+    * partition (the behavior a 100 TB ingest needs). */
+  def decode(kind: String, data: Array[Byte]): (Int, Int) = kind match {
+    case "image/bmp" => decodeBmp(data).getOrElse((-1, -1))
+    case "image/x-portable-pixmap" => decodePpm(data).getOrElse((-1, -1))
+    case _ => decodeStub(data)
   }
 
   /** Polynomial content hash over raw bytes (matches the engine's char
@@ -51,17 +192,37 @@ object Multimodal {
   }
 
   /** Partition-parallel feature extraction: decoder state is created once
-    * per partition (mapPartitions), rows stream through it. */
+    * per partition (mapPartitions), rows stream through it; dims come
+    * from the kind-dispatched [[decode]] (real for BMP/PPM). */
   def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // per-partition decoder init would go here (JNI handle, model, ...)
       it.map { r =>
-        val (w, h) = decodeStub(r.data)
+        val (w, h) = decode(r.kind, r.data)
         MediaFeatures(r.media_id, r.kind, r.data.length.toLong,
           new String(r.data.take(8), "UTF-8"), contentHash(r.data), w, h)
       }
     }
+  }
+
+  /** Audio features for one media row (WAV PCM decode output). */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 channels: Int, bits_per_sample: Int,
+                                 n_samples: Long, mean_abs: Double)
+
+  /** Partition-parallel audio feature extraction via the REAL WAV
+    * decoder; malformed payloads yield the −1 sentinel row. */
+  def extractAudioFeatures(rows: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      wavStats(r.data) match {
+        case Some(i) => AudioFeatures(r.media_id, i.sampleRate, i.channels,
+          i.bitsPerSample, i.nSamples,
+          i.sumAbs.toDouble / math.max(i.nSamples, 1L))
+        case None => AudioFeatures(r.media_id, -1, -1, -1, -1L, -1.0)
+      }
+    })
   }
 
   /** Frame size for the frame-sample generator (bytes per "frame"). */
