@@ -101,6 +101,66 @@ object Histograms {
       .csv(s"$dir/*.meta")
       .withColumn("file", input_file_name())
 
+  /** Write reference-format `.hist` text files: one `<lo>_<hi>.hist` per
+    * station pair holding `<bin> <count>` lines sorted by bin — the
+    * layout stationcoincidence.cpp:179-186 emits and
+    * aggregation.cpp:133-147 parses back. Driver-side text renderer like
+    * [[adjacencyLines]] (the pair×bin dimension is tiny — ≤ 2000 bins per
+    * pair); the 100 TB path stays the [[save]]/[[rollup]] parquet pair.
+    * Bin values use Java double round-trip formatting, so
+    * `readHistFiles` recovers them bit-exactly. */
+  def writeHistFiles(hist: DataFrame, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    hist.select(col("station_lo").cast("long"),
+        col("station_hi").cast("long"), col("bin").cast("double"),
+        col("cnt").cast("long"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case ((lo, hi), rows) =>
+        val lines = rows.map(r => (r.getDouble(2), r.getLong(3)))
+          .sortBy(_._1)
+          .map { case (b, c) => s"${fmt(b)} $c" }
+        java.nio.file.Files.write(d.resolve(s"${lo}_$hi.hist"),
+          (lines.mkString("\n") + "\n").getBytes("US-ASCII"))
+      }
+  }
+
+  /** Write reference-format `.meta` text files (`<key> <value> <unit>`,
+    * the aggregator's canonical 3-token form — aggregation.cpp:150-174
+    * skips any line that is not exactly 3 tokens, including the
+    * `sample_time …min` spacing quirk stationcoincidence emits, so the
+    * canonical form is the faithful one). Expects one row per pair with
+    * columns station_lo, station_hi, bin_width, distance_m, total,
+    * uptime_min, sample_time_min. */
+  def writeMetaFiles(meta: DataFrame, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    meta.select(col("station_lo").cast("long"),
+        col("station_hi").cast("long"), col("bin_width").cast("double"),
+        col("distance_m").cast("double"), col("total").cast("long"),
+        col("uptime_min").cast("long"), col("sample_time_min").cast("long"))
+      .collect()
+      .foreach { r =>
+        val content =
+          s"bin_width ${fmt(r.getDouble(2))} ns\n" +
+          s"distance ${fmt(r.getDouble(3))} m\n" +
+          s"total ${r.getLong(4)} 1\n" +
+          s"uptime ${r.getLong(5)} min\n" +
+          s"sample_time ${r.getLong(6)} min\n"
+        java.nio.file.Files.write(
+          d.resolve(s"${r.getLong(0)}_${r.getLong(1)}.meta"),
+          content.getBytes("US-ASCII"))
+      }
+  }
+
+  /** Integral doubles print without the trailing `.0` (the reference
+    * writes ints via std::to_string); everything else uses Java's
+    * round-trippable shortest form. */
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
   def rollupMetaFiles(spark: SparkSession, dir: String): DataFrame =
     readMetaFiles(spark, dir)
       .groupBy("key")

@@ -69,4 +69,46 @@ class HistogramsSpec extends AnyFunSuite {
     assert(meta("sample_time") == 172800.0)
     assert(meta("bin_width") == 1.0 && meta("distance") == 1303.6)
   }
+
+  test("A7 text round-trip: readHistFiles(writeHistFiles(x)) == x") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histrt").toString
+    // fractional bin centers AND integral bins; multiple pairs
+    val hist = Seq(
+      (1L, 2L, -1.5, 4L), (1L, 2L, 0.5, 10L), (1L, 2L, 2.5, 1L),
+      (2L, 3L, -1000L.toDouble, 6L), (2L, 3L, 0.0, 2L))
+      .toDF("station_lo", "station_hi", "bin", "cnt")
+    Histograms.writeHistFiles(hist, dir)
+    val back = Histograms.readHistFiles(spark, dir)
+    // per-pair file names carry the pair; content must round-trip exactly
+    val got = back.select("bin", "cnt").as[(Double, Long)].collect().toSet
+    assert(got == hist.select("bin", "cnt")
+      .as[(Double, Long)].collect().toSet)
+    assert(back.select("file").distinct().count() == 2) // one file per pair
+    // and the reference aggregator semantics compose on the written files
+    val rolled = Histograms.rollupHistFiles(spark, dir)
+      .as[(Double, Long)].collect().toSet
+    assert(rolled.contains((0.5, 10L)) && rolled.contains((-1000.0, 6L)))
+  }
+
+  test("A7 meta round-trip + rollup over written files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("metart").toString
+    val meta = Seq(
+      (1L, 2L, 1.0, 1303.6, 15L, 120L, 1440L),
+      (2L, 3L, 1.0, 207.25, 8L, 60L, 1440L))
+      .toDF("station_lo", "station_hi", "bin_width", "distance_m",
+        "total", "uptime_min", "sample_time_min")
+    Histograms.writeMetaFiles(meta, dir)
+    // the written lines are the aggregator's canonical 3-token form
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "1_2.meta")), "US-ASCII")
+    assert(raw == "bin_width 1 ns\ndistance 1303.6 m\ntotal 15 1\n" +
+      "uptime 120 min\nsample_time 1440 min\n")
+    val rolled = Histograms.rollupMetaFiles(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(rolled("total") == 23.0 && rolled("uptime") == 180.0)
+    assert(rolled("sample_time") == 2880.0)
+    assert(rolled("distance") == 1303.6) // max-kept scalar
+  }
 }
