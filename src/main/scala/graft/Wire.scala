@@ -107,11 +107,14 @@ object Wire {
   /** O3-shape MQTT broadcast message per cluster member (reference
     * include/sink/mqtt.h:147-184): uuid from the cluster key, 16-digit
     * zero-padded hex station hash, geohash of the station position
-    * TRUNCATED to 6 chars (the reference's anonymization), relative time
-    * within the cluster. The oracle reproduces the geohash with a 30-step
-    * bisection recursive CTE over the distinct stations — the same
-    * midpoint arithmetic as functions.Geo.geohash, so the strings compare
-    * exactly. */
+    * TRUNCATED to the station's OWN `max_geohash_length` (the per-station
+    * anonymization budget of include/messages/detectorinfo.h:46 — here
+    * derived from the station key as 4 + station % 3, standing in for the
+    * detector-info field), relative time within the cluster. The oracle
+    * reproduces the geohash with a 30-step bisection recursive CTE over
+    * the distinct stations — the same midpoint arithmetic as
+    * functions.Geo.geohash, so the strings compare exactly; truncation is
+    * a prefix, so per-station lengths just substr the 6-char hash. */
   private def l1MqttFormat(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Kernel
     Geodesic.sessionedForSinks(s, dir)
@@ -122,11 +125,12 @@ object Wire {
       .filter(col("_n") >= 2)
       .withColumn("_min", org.apache.spark.sql.functions.min("start_ns")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_key")))
+      .withColumn("_ghlen", (lit(4) + col("station") % 3).cast("int"))
       .select(
         col("cluster_key").as("uuid"),
         concat_ws(" ",
           format_string("%016x", col("station")),
-          Kernel.geohash_enc(col("lat"), col("lon"), lit(6)),
+          Kernel.geohash_enc(col("lat"), col("lon"), col("_ghlen")),
           col("_n"),
           col("start_ns") - col("_min"),
           col("start_ns")).as("msg"))
@@ -190,8 +194,9 @@ object Wire {
          |  FROM bis WHERE step < 30),
          |ghs AS (
          |  SELECT station,
-         |    ${ch(25)} || ${ch(20)} || ${ch(15)} || ${ch(10)}
-         |      || ${ch(5)} || ${ch(0)} AS gh
+         |    substr(${ch(25)} || ${ch(20)} || ${ch(15)} || ${ch(10)}
+         |      || ${ch(5)} || ${ch(0)},
+         |      1, CAST(4 + station % 3 AS INT)) AS gh
          |  FROM bis WHERE step = 30)
          |SELECT k.ck AS uuid,
          |  printf('%016x', k.station) || ' ' || ghs.gh || ' ' || k.n || ' '
