@@ -178,12 +178,22 @@ object Pipeline {
   /** embeddings + double-cast vector and L2 norm. dot_p is the native
     * codegen'd in-order dot product (functions.DotProduct) — bit-identical
     * to the DuckDB list_reduce fold, ~10× faster than the interpreted
-    * higher-order-function form. */
+    * higher-order-function form.
+    *
+    * PERSISTED per (session, dir): six similarity queries branch off this
+    * scan (topk, the near-dup pair, both LSH variants, IVF, recall), so
+    * the cast + norm pass runs once per Verify/Bench session. */
+  private val vecsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    registeredVecs(s, dir).selectExpr(
-      "vec_id",
-      "cast(embedding AS array<double>) AS v")
-      .selectExpr("vec_id", "v", "sqrt(dot_p(v, v)) AS nrm")
+    vecsCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      registeredVecs(sess, d).selectExpr(
+        "vec_id",
+        "cast(embedding AS array<double>) AS v")
+        .selectExpr("vec_id", "v", "sqrt(dot_p(v, v)) AS nrm")
+        .persist()
+    })
 
   private def cosExpr: String = "dot_p(va, vb) / (na * nb)"
 
@@ -403,7 +413,11 @@ object Pipeline {
     *     nothing loses its nearest-neighbor row; dense near-dup clusters
     *     just score against their cluster's lowest-id representatives.
     */
-  private def annLshMulti(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate (vec_id, nn_id) pairs from the multi-table adaptive-bit
+    * LSH index — the shared front half of `ann_lsh_multi` and
+    * `embedding_neardup_lsh`: bucket per table, Hamming-1 multi-probe,
+    * skew-capped build side, id-pair dedup before any vector re-attach. */
+  private def annCandidates(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     val bits = annBits(all.count())
     def bucketExpr(t: Int): String = (0 until bits).map { k =>
@@ -424,10 +438,15 @@ object Pipeline {
       .withColumn("br", row_number().over(wb))
       .filter(col("br") <= AnnBucketCap)
       .drop("br")
-    val cand = probes
+    probes
       .join(ids, probes("pk") === ids("bucket") &&
         probes("tbl") === ids("tbl") && col("vec_id") =!= col("nn_id"))
       .select("vec_id", "nn_id").distinct()
+  }
+
+  private def annLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val cand = annCandidates(s, dir)
     val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
       col("nrm").as("nb"))
@@ -536,6 +555,29 @@ object Pipeline {
       .filter(col("rk") === 1)
       .select("vec_id", "nn_id", "nn_cosine")
       .orderBy("vec_id")
+  }
+
+  /** Embedding near-duplicate pairs, LSH-BUCKETED — the 100 TB scale path
+    * for `embedding_neardup` (which stays a deliberately-quadratic
+    * oracle-only baseline): candidates come from the shared multi-table
+    * index ([[annCandidates]] — linear in the corpus), then the exact
+    * cosine verifies at the same τ = 0.3. Found pairs are exact (the
+    * verify step guarantees no false positives); coverage against the
+    * exact baseline is asserted in PipelineSpec rather than prose. */
+  private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val pairs = annCandidates(s, dir)
+      .filter(col("vec_id") < col("nn_id"))
+      .select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
+    val a = all.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cosine", expr(cosExpr))
+      .filter(col("cosine") >= 0.3)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
   }
 
   /** Measured ANN quality: recall@1 of each approximate index
@@ -690,6 +732,7 @@ object Pipeline {
     "ann_lsh"           -> annLsh _,
     "ann_lsh_multi"     -> annLshMulti _,
     "ann_recall"        -> annRecall _,
+    "embedding_neardup_lsh" -> embeddingNeardupLsh _,
     "frame_sample"      -> frameSampleQ _,
     "simhash_neardup"   -> simhashNeardup _,
     "ann_ivf"           -> annIvf _,
@@ -1011,6 +1054,7 @@ object Pipeline {
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_lsh_multi" -> annLshMultiOracle,
+    "embedding_neardup_lsh" -> embeddingNeardupLshOracle,
     "ann_recall" ->
       s"""$vecsCte,
          |p0 AS (
@@ -1095,8 +1139,10 @@ object Pipeline {
          |SELECT vec_id, nn_id, nn_cosine FROM r2
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
-  /** ann_lsh_multi oracle (also a derived table inside ann_recall). */
-  private def annLshMultiOracle: String = {
+  /** Shared LSH candidate CTEs (through `cand`) — the SQL twin of
+    * [[annCandidates]], used by the ann_lsh_multi and
+    * embedding_neardup_lsh oracles. */
+  private def annCandCtes: String = {
     val bitsCase = (8 to AnnMaxBits).map(b => s"WHEN cnt <= ${4L << b} THEN $b")
       .mkString("CASE ", " ", s" ELSE $AnnMaxBits END")
     s"""$vecsCte,
@@ -1128,16 +1174,31 @@ object Pipeline {
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
          |  FROM pr a JOIN bkc b ON a.t = b.t AND a.pk = b.bucket
-         |    AND a.vec_id <> b.vec_id),
-         |p AS (
-         |  SELECT c.vec_id AS vec_id, c.nn_id AS nn_id,
-         |    $cosDuck AS nn_cosine
-         |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
-         |    JOIN n b ON c.nn_id = b.vec_id),
-         |r2 AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
-         |SELECT vec_id, nn_id, nn_cosine FROM r2
-         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+         |    AND a.vec_id <> b.vec_id)""".stripMargin
   }
+
+  /** ann_lsh_multi oracle (also a derived table inside ann_recall). */
+  private def annLshMultiOracle: String =
+    s"""$annCandCtes,
+       |p AS (
+       |  SELECT c.vec_id AS vec_id, c.nn_id AS nn_id,
+       |    $cosDuck AS nn_cosine
+       |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
+       |    JOIN n b ON c.nn_id = b.vec_id),
+       |r2 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
+       |SELECT vec_id, nn_id, nn_cosine FROM r2
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  /** embedding_neardup_lsh oracle: bucketed candidates + exact verify. */
+  private def embeddingNeardupLshOracle: String =
+    s"""$annCandCtes,
+       |pp AS (
+       |  SELECT c.vec_id AS id_a, c.nn_id AS id_b, $cosDuck AS cosine
+       |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
+       |    JOIN n b ON c.nn_id = b.vec_id
+       |  WHERE c.vec_id < c.nn_id)
+       |SELECT id_a, id_b, cosine FROM pp
+       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
 }

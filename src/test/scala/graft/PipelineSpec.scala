@@ -74,4 +74,30 @@ class PipelineSpec extends AnyFunSuite {
     // payloads already below target pass through untouched
     assert(Multimodal.resizeStub(d, 100, 100) sameElements d)
   }
+
+  test("embedding_neardup_lsh: verified subset of the exact pairs") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.001"
+    val exact = Pipeline.queries("embedding_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = Pipeline.queries("embedding_neardup_lsh")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // the verify step makes every found pair exact — no false positives,
+    // bit-identical cosines
+    lsh.foreach { case (ids, cos) =>
+      assert(exact.get(ids).contains(cos), s"pair $ids not in exact set")
+    }
+    // coverage on this corpus is similarity-bounded (no pair above 0.52
+    // cosine exists; at τ = 0.3 ≈ 72° sign-LSH collides rarely) — the
+    // floor documents the measured regime rather than aspiration
+    val coverage = lsh.size.toDouble / exact.size
+    assert(coverage > 0.1 && coverage < 1.0,
+      s"coverage $coverage outside the expected regime")
+  }
 }
