@@ -89,6 +89,46 @@ object Pipeline {
     singles.unionByName(multis).orderBy("doc_id")
   }
 
+  /** Near-duplicate CLUSTERING with keeper assignment — the step a
+    * dedup pipeline runs after pair generation: transitive closure over
+    * the MinHash-LSH near-dup pairs (a chain A~B~C collapses to ONE
+    * keeper even when A~C itself scores below τ), every document mapped
+    * to its component's minimum doc_id.
+    *
+    * Scale shape: iterative min-label propagation — per round, one join
+    * of the label set to the (tiny, near-dup-pair-sized) edge list and a
+    * min-aggregate; rounds needed = component diameter (near-dup chains
+    * are shallow), each round is shuffle-on-key work with no driver-side
+    * graph. The classic alternative (collect + union-find) dies at 100 TB;
+    * the recursive-CTE oracle proves this converges to exactly the
+    * connected components. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    var lbl = registered(s, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(lbl, edges("src") === lbl("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = lbl.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl")).persist()
+      changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter(col("lbl") =!= col("old")).count()
+      lbl.unpersist()
+      lbl = next
+      rounds += 1
+    }
+    edges.unpersist()
+    lbl.select(col("node").as("doc_id"), col("lbl").as("keeper"),
+        (col("node") =!= col("lbl")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, characters. */
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).selectExpr(
@@ -721,6 +761,7 @@ object Pipeline {
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
+    "dedup_clusters"    -> dedupClusters _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
     "doc_fingerprint"   -> docFingerprint _,
@@ -774,6 +815,33 @@ object Pipeline {
        |    list_distinct(list_transform(range(1, length(tk) - 1), i ->
        |      ((tk[i] * 31 + tk[i + 1]) % $P * 31 + tk[i + 2]) % $P)) AS th
        |  FROM t)""".stripMargin
+
+  /** MinHash-LSH near-dup pair CTEs through `v` (scored candidates) and
+    * `mp` (kept pairs) — shared by the minhash_lsh and dedup_clusters
+    * oracles. */
+  private def minhashPairsCtes: String =
+    s"""$shCte,
+       |sig AS (
+       |  SELECT doc_id, th,
+       |    list_transform(range(0, 16), k -> list_min(list_transform(th,
+       |      h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig
+       |  FROM th),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      sig[b * 8 + 1 : b * 8 + 8]), (a, x) -> (a * 31 + x) % $P) AS bv
+       |  FROM sig, range(0, 2) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    length(list_intersect(ta.th, tb.th))
+       |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN th ta ON cand.doc_a = ta.doc_id
+       |            JOIN th tb ON cand.doc_b = tb.doc_id),
+       |mp AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5)""".stripMargin
 
   /** 16-bit simhash fold in DuckDB SQL (shared by simhash +
     * simhash_neardup oracles). */
@@ -976,30 +1044,24 @@ object Pipeline {
          |WHERE $cosDuck >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "minhash_lsh" ->
-      s"""$shCte,
-         |sig AS (
-         |  SELECT doc_id, th,
-         |    list_transform(range(0, 16), k -> list_min(list_transform(th,
-         |      h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig
-         |  FROM th),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      sig[b * 8 + 1 : b * 8 + 8]), (a, x) -> (a * 31 + x) % $P) AS bv
-         |  FROM sig, range(0, 2) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |v AS (
-         |  SELECT doc_a, doc_b,
-         |    length(list_intersect(ta.th, tb.th))
-         |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE) AS jaccard
-         |  FROM cand JOIN th ta ON cand.doc_a = ta.doc_id
-         |            JOIN th tb ON cand.doc_b = tb.doc_id)
+      s"""$minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM v
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mp
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM mp),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
+         |  WHERE r.lbl < e.dst)
+         |SELECT node AS doc_id, min(lbl) AS keeper,
+         |  min(lbl) <> node AS is_dup
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "simhash" ->
       s"""$thCte
          |SELECT doc_id, $simhashDuck AS simhash16
