@@ -94,8 +94,21 @@ object Assembly {
     * the last-5 rolling mean sits under the accept threshold, cut at
     * event-granular transitions (shared by pair_uptime_intervals and the
     * banded range join). */
+  /** PERSISTED per (session, dir): consumed twice per uptime query (both
+    * join branches) and by three queries total — one event scan + window
+    * pass instead of five. Interval rows are transition-compressed
+    * (∝ status flips), so the cached set is tiny. */
+  private val intervalsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def reliabilityIntervals(s: SparkSession,
-                                          dir: String): DataFrame = {
+                                          dir: String): DataFrame =
+    intervalsCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      reliabilityIntervalsUncached(sess, d).persist()
+    })
+
+  private def reliabilityIntervalsUncached(s: SparkSession,
+                                           dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Seq(col("start_ns"), col("event_id"))
     val w5 = Window.partitionBy("station").orderBy(order: _*).rowsBetween(-4, 0)
