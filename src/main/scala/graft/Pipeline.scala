@@ -129,6 +129,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic content-hash sampling — the reproducible corpus
+    * subsample a training pipeline uses: keep a document iff its
+    * scrambled content hash lands under the rate threshold (seed-free
+    * Bernoulli that survives re-sharding, replays, and engine moves —
+    * unlike RNG-based TABLESAMPLE, two runs and two engines always keep
+    * the same documents). Aggregated per source so the oracle checks the
+    * kept counts and the realized rate; the same scramble as the KMV
+    * sketch de-biases the short-token poly hashes. */
+  private def sampleHash(s: SparkSession, dir: String): DataFrame =
+    registered(s, dir)
+      .selectExpr("source",
+        s"CASE WHEN poly_hash(text) * 2654435761L % ${P}L % 1000 < 100 " +
+          "THEN 1L ELSE 0L END AS kept")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "n_kept / CAST(n_docs AS DOUBLE) AS rate")
+      .orderBy("source")
+
   /** Token counting: whitespace tokens, distinct tokens, characters. */
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).selectExpr(
@@ -762,6 +781,7 @@ object Pipeline {
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
+    "sample_hash"       -> sampleHash _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
     "doc_fingerprint"   -> docFingerprint _,
@@ -887,6 +907,15 @@ object Pipeline {
         |    (a, x) -> a + x)
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761
+         |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761
+         |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / CAST(count(*) AS BIGINT) AS rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup

@@ -48,8 +48,44 @@ object Relational {
     "q15_having"        -> q15Having _,
     "q16_scalar_subq"   -> q16ScalarSubq _,
     "q17_in_subq"       -> q17InSubq _,
-    "q18_cube"          -> q18Cube _
+    "q18_cube"          -> q18Cube _,
+    "q19_percentile"    -> q19Percentile _,
+    "q20_pivot"         -> q20Pivot _
   )
+
+  /** Pivot (long → wide): order counts by priority with one column per
+    * order status. The status domain is declared (`pivot(col, values)`),
+    * so Spark skips the extra distinct-values job and the plan is a
+    * single grouped conditional aggregation — exactly how the DuckDB
+    * oracle (FILTER clauses) states it. */
+  private def q20Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Exact discrete percentiles per group (the DISC family): value at
+    * 1-indexed rank ceil(p·n) of the sorted group — an explicitly-indexed
+    * formula instead of `percentile`/`quantile_cont`, whose interpolation
+    * expressions differ between engines in the last ulp. The sorted-array
+    * pick is exact and order-independent; group arrays are the group's
+    * row count (bounded by the grouping key's selectivity — the pattern
+    * to avoid on an unbounded key). */
+  private def q19Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list("q")).as("arr"),
+        count(lit(1)).as("n"))
+      .selectExpr("l_returnflag", "n",
+        "element_at(arr, cast(ceil(n * 0.25D) AS int)) AS p25",
+        "element_at(arr, cast(ceil(n * 0.5D) AS int)) AS p50",
+        "element_at(arr, cast(ceil(n * 0.9D) AS int)) AS p90",
+        "element_at(arr, cast(n AS int)) AS p100")
+      .orderBy("l_returnflag")
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): grouped sums/avg/count
     * with map-side partial aggregation; one shuffle on the group keys. */
@@ -388,6 +424,25 @@ object Relational {
         |  p_brand || '|' || p_type AS brand_type,
         |  replace(p_type, ' ', '_') AS type_u
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q19_percentile" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    list(CAST(round(l_quantity) AS BIGINT)
+        |      ORDER BY CAST(round(l_quantity) AS BIGINT)) AS arr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  arr[CAST(ceil(n * 0.25) AS INT)] AS p25,
+        |  arr[CAST(ceil(n * 0.5) AS INT)] AS p50,
+        |  arr[CAST(ceil(n * 0.9) AS INT)] AS p90,
+        |  arr[CAST(n AS INT)] AS p100
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q18_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
