@@ -148,6 +148,25 @@ object Pipeline {
         "n_kept / CAST(n_docs AS DOUBLE) AS rate")
       .orderBy("source")
 
+  /** Balanced per-source resampling: keep each source's K documents with
+    * the lowest scrambled content hash — a deterministic reservoir that
+    * caps any one source's share of the training mixture. Hash order
+    * (not doc_id order) keeps the selection stable under re-sharding and
+    * corpus growth: a newly-arrived document displaces at most one kept
+    * document, instead of shifting the whole prefix. */
+  private def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    registered(s, dir)
+      .selectExpr("doc_id", "source",
+        s"poly_hash(text) * 2654435761L % ${P}L AS h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("h"))
+      .orderBy("source", "rk")
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, characters. */
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).selectExpr(
@@ -782,6 +801,7 @@ object Pipeline {
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "sample_hash"       -> sampleHash _,
+    "sample_balanced"   -> sampleBalanced _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
     "doc_fingerprint"   -> docFingerprint _,
@@ -907,6 +927,17 @@ object Pipeline {
         |    (a, x) -> a + x)
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+    "sample_balanced" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${charFoldDuck("text")} * 2654435761 % 1000000007 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, rk, doc_id, h FROM r
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "sample_hash" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761
