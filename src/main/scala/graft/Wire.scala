@@ -16,6 +16,10 @@ object Wire {
     * starting with '.', every 89th a "cluster" user — both must be
     * rejected by the parser (reference include/source/mqtt.h:218-223,
     * 391-395). */
+  /** Probe access for ParseProbe (stage-cost tooling). */
+  private[graft] def wireLinesPublic(s: SparkSession, dir: String): DataFrame =
+    wireLines(s, dir)
+
   private def wireLines(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"), col("user_id"),

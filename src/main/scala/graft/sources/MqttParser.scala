@@ -23,32 +23,33 @@ object MqttParser {
     * (stands in for the reference's std::hash of site_id — SURVEY §1.2
     * requires only determinism + injectivity-in-practice).
     * Output: parsed + validity-filtered hits. */
-  def parseHits(lines: DataFrame): DataFrame =
+  def parseHits(lines: DataFrame): DataFrame = {
+    graft.functions.ParseHitPayload.register(lines.sparkSession)
     lines
+      // Payload decode is ONE native single-pass kernel
+      // (functions.ParseHitPayload): the previous split()+getItem+cast
+      // chain re-evaluated split(payload) ~10× per row after Catalyst's
+      // projection collapse re-inlined the array column through the
+      // filter boundaries (verified in the plan). The struct is NULL
+      // exactly when the reference's payload guards (≥ 7 tokens, time
+      // fields ≥ 17 chars, no leading '.') reject the line.
+      .select(col("topic"), expr("parse_hit_payload(payload)").as("ph"))
+      .filter(col("ph").isNotNull)
       .withColumn("t", split(col("topic"), "/"))
-      .withColumn("p", split(col("payload"), " "))
       // topic guards (mqtt.h:391-395)
       .filter(size(col("t")) >= 4 &&
         col("t").getItem(2) =!= "" && col("t").getItem(2) =!= "cluster")
       .withColumn("user", col("t").getItem(2))
       .withColumn("station_id", col("t").getItem(3))
-      // payload guards: field width and leading '.' (mqtt.h:218-223)
-      .filter(size(col("p")) >= 7 &&
-        length(col("p").getItem(0)) >= 17 && length(col("p").getItem(1)) >= 17 &&
-        substring(col("p").getItem(0), 1, 1) =!= "." &&
-        substring(col("p").getItem(1), 1, 1) =!= ".")
-      .withColumn("start_ns",
-        (col("p").getItem(0).cast("decimal(30,9)") * 1000000000L).cast("long"))
-      .withColumn("end_ns",
-        (col("p").getItem(1).cast("decimal(30,9)") * 1000000000L).cast("long"))
-      .filter(col("start_ns") <= col("end_ns"))
+      .filter(col("ph.start_ns") <= col("ph.end_ns"))
       .select(
         col("user"), col("station_id"),
         expr("poly_hash(concat(user, station_id))").as("hash"),
-        col("start_ns"), col("end_ns"),
-        col("p").getItem(2).cast("long").as("time_acc"),
-        col("p").getItem(3).cast("int").as("ublox_counter"),
-        col("p").getItem(4).cast("int").as("fix"),
-        col("p").getItem(5).cast("int").as("gnss_time_grid"),
-        col("p").getItem(6).cast("int").as("utc"))
+        col("ph.start_ns").as("start_ns"), col("ph.end_ns").as("end_ns"),
+        col("ph.time_acc").as("time_acc"),
+        col("ph.ublox_counter").as("ublox_counter"),
+        col("ph.fix").as("fix"),
+        col("ph.gnss_time_grid").as("gnss_time_grid"),
+        col("ph.utc").as("utc"))
+  }
 }

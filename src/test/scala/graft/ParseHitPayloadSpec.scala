@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.ParseHitPayload
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-pass wire-decoder kernel must agree with the decimal-cast
+  * column formulation it replaced, and reject exactly what the
+  * reference's guards reject. */
+class ParseHitPayloadSpec extends AnyFunSuite {
+
+  private def parse(s: String) =
+    Option(ParseHitPayload.parse(UTF8String.fromString(s)))
+
+  test("well-formed payload parses to the exact nanos and ints") {
+    val r = parse("1723460000.123456789 1723460001.000000002 37 514 1 1 1").get
+    assert(r.getLong(0) == 1723460000123456789L)
+    assert(r.getLong(1) == 1723460001000000002L)
+    assert(r.getLong(2) == 37L)
+    assert(r.getInt(3) == 514 && r.getInt(4) == 1)
+  }
+
+  test("guards: token count, field width, leading dot") {
+    assert(parse("1.0 2.0 3 4 5 6").isEmpty) // 6 tokens
+    assert(parse("1.000000000 1723460001.000000000 3 4 5 6 7").isEmpty) // short f0
+    assert(parse(".123456789012345678 1723460001.000000000 3 4 5 6 7").isEmpty)
+    assert(parse("1723460000.123456789 .12345678901234567 3 4 5 6 7").isEmpty)
+  }
+
+  test("malformed fields null the record") {
+    assert(parse("1723460000.12345678x 1723460001.000000000 3 4 5 6 7").isEmpty)
+    assert(parse("1723460000.123456789 1723460001.000000000 x 4 5 6 7").isEmpty)
+    assert(parse("1723460000.123456789 1723460001.000000000 3 4 5 6 -").isEmpty)
+    assert(parse("1723460000. 1723460001.0000000000 3 4 5 6 7").isEmpty) // empty frac
+  }
+
+  test("extra tokens ignored; negative ints parse; sub-9 fraction pads") {
+    val r = parse("1723460000.12345678 1723460001.000000000000 -3 4 5 6 7 extra").get
+    assert(r.getLong(0) == 1723460000123456780L)
+    assert(r.getLong(2) == -3L)
+  }
+
+  test("10th fraction digit rounds HALF_UP like CAST(DECIMAL(30,9))") {
+    val a = parse("1723460000.1234567895 1723460001.0000000004 3 4 5 6 7").get
+    assert(a.getLong(0) == 1723460000123456790L) // .5 at digit 10 rounds up
+    assert(a.getLong(1) == 1723460001000000000L) // .4 truncates
+  }
+
+  test("parity with the decimal-cast formula on random payloads") {
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 500) {
+      val sec = 1000000000L + rnd.nextLong(1000000000L)
+      val frac = rnd.nextLong(1000000000L)
+      val s = f"$sec%d.$frac%09d"
+      val expect = (BigDecimal(s).setScale(9) * 1000000000L).toLongExact
+      val r = parse(s"$s $s 1 2 3 4 5").get
+      assert(r.getLong(0) == expect, s)
+    }
+  }
+}
