@@ -359,6 +359,41 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Boilerplate shingle detection — the heavy-hitter quality filter a
+    * pretraining pipeline runs before dedup: a token 3-gram shared by
+    * many documents is boilerplate (headers, footers, templates); each
+    * document reports its boilerplate fraction and a flag. Thresholds
+    * are scaled to the synthetic corpus like the other scaled constants
+    * (real web corpora use ~5% df): df ≥ max(5, 1% of docs) — the
+    * measured df distribution tops out at 1.4% here — and flag at
+    * fraction > 0.1 (11 genuinely template-heavy docs at sf0.01, so the
+    * check validates real rows, not an empty set).
+    *
+    * Exact document frequency (not a sketch): two grouped aggregations —
+    * shingle→df, then doc→overlap — both order-independent integer
+    * counts, so the result is parallelism-invariant and exactly
+    * oracle-able. The explode stays on DISTINCT per-doc shingles, so
+    * shuffle volume is corpus vocabulary, not corpus length. */
+  private def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val th = shingleHashSets(s, dir)
+    val exploded = th.selectExpr("doc_id", "explode(th) AS sh")
+    val nDocs = th.count()
+    val minDf = math.max(5L, math.ceil(nDocs * 0.01).toLong)
+    val boiler = exploded.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("sh")
+    exploded
+      .join(broadcast(boiler).withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      .selectExpr("doc_id", "n_shingles", "n_boiler",
+        "n_boiler / CAST(n_shingles AS DOUBLE) AS boiler_frac",
+        "n_boiler / CAST(n_shingles AS DOUBLE) > 0.1 AS flagged")
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit) signatures from token-hash sets: bit b set iff the
     * ±1 vote over member hashes is positive. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
@@ -802,6 +837,7 @@ object Pipeline {
     "dedup_clusters"    -> dedupClusters _,
     "sample_hash"       -> sampleHash _,
     "sample_balanced"   -> sampleBalanced _,
+    "boilerplate_ngrams" -> boilerplateNgrams _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
     "doc_fingerprint"   -> docFingerprint _,
@@ -927,6 +963,23 @@ object Pipeline {
         |    (a, x) -> a + x)
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      s"""$shCte,
+         |ex AS (SELECT doc_id, unnest(th) AS sh FROM th),
+         |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+         |bo AS (SELECT sh FROM df
+         |  WHERE df >= greatest(5,
+         |    ceil((SELECT count(*) FROM documents) * 0.01))),
+         |agg AS (
+         |  SELECT ex.doc_id AS doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN bo.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM ex LEFT JOIN bo ON ex.sh = bo.sh
+         |  GROUP BY ex.doc_id)
+         |SELECT doc_id, n_shingles, n_boiler,
+         |  n_boiler / CAST(n_shingles AS DOUBLE) AS boiler_frac,
+         |  n_boiler / CAST(n_shingles AS DOUBLE) > 0.1 AS flagged
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "sample_balanced" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,
