@@ -6,10 +6,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One station status trigger (the R8 stream, event-time). */
 case class StationTrigger(station: Long, tsNs: Long, status: String)
 
-/** Per-pair uptime state: the reference's `online` counter (how many of
-  * the two stations are currently reliable) + accumulated both-online
-  * time (reference src/analysis/stationcoincidence.cpp:82-108). */
-case class PairUptimeState(online: Int, lastOnlineNs: Long, uptimeNs: Long)
+/** Per-pair uptime state: WHICH of the two stations is currently
+  * reliable (relA/relB for the lower/higher station key) + accumulated
+  * both-online time. The reference keeps a bare counter
+  * (src/analysis/stationcoincidence.cpp:82-108) and relies on trigger
+  * discipline; per-station booleans are strictly stronger — a replayed
+  * trigger is idempotent, and a downgrade for a station that never
+  * upgraded cannot steal the partner's contribution (a counter
+  * decrements regardless of WHICH station the trigger names, measured
+  * off-by-a-day against the interval truth on the real corpus). */
+case class PairUptimeState(relA: Boolean, relB: Boolean,
+                           lastOnlineNs: Long, uptimeNs: Long)
 
 /** Per-pair uptime snapshot after a batch of triggers. */
 case class PairUptimeOut(stA: Long, stB: Long, online: Int, uptimeMin: Long)
@@ -40,33 +47,37 @@ object StreamingPairUptime {
   }
 
   /** Fold one trigger into the pair state (reference
-    * stationcoincidence.cpp:92-106; the reference's size_t counter relies
-    * on trigger discipline — we clamp at 0 so a duplicate downgrade
-    * cannot wrap, and at 2 so a replayed upgrade cannot overshoot (an
-    * online=3 state would absorb one later downgrade and silently corrupt
-    * all subsequent uptime accrual). lastOnlineNs is (re)seeded only on
-    * the real 1→2 edge. */
-  private[streaming] def fold(s: PairUptimeState,
-                              t: StationTrigger): PairUptimeState =
-    t.status match {
-      case "unreliable" =>
-        val up =
-          if (s.online == 2) s.uptimeNs + (t.tsNs - s.lastOnlineNs)
-          else s.uptimeNs
-        s.copy(online = math.max(0, s.online - 1), uptimeNs = up)
-      case "reliable" =>
-        val last = if (s.online == 1) t.tsNs else s.lastOnlineNs
-        s.copy(online = math.min(2, s.online + 1), lastOnlineNs = last)
-      case _ => s // other transitions don't touch the counter
+    * stationcoincidence.cpp:92-106, upgraded from its counter to
+    * per-station booleans): uptime accrues exactly over the spans where
+    * BOTH flags hold, seeded on the rising both-edge and banked on the
+    * falling one. Idempotent under trigger replay. */
+  private[streaming] def fold(key: (Long, Long))(s: PairUptimeState,
+                              t: StationTrigger): PairUptimeState = {
+    val rel = t.status match {
+      case "reliable" => true
+      case "unreliable" => false
+      case _ => return s // other transitions don't touch the flags
     }
+    val was2 = s.relA && s.relB
+    val next = if (t.station == key._1) s.copy(relA = rel)
+               else if (t.station == key._2) s.copy(relB = rel)
+               else return s
+    val is2 = next.relA && next.relB
+    if (!was2 && is2) next.copy(lastOnlineNs = t.tsNs)
+    else if (was2 && !is2)
+      next.copy(uptimeNs = s.uptimeNs + (t.tsNs - s.lastOnlineNs))
+    else next
+  }
 
   private def update(key: (Long, Long),
                      rows: Iterator[(Long, Long, StationTrigger)],
                      state: GroupState[PairUptimeState]): PairUptimeOut = {
-    val init = state.getOption.getOrElse(PairUptimeState(0, 0L, 0L))
+    val init = state.getOption.getOrElse(
+      PairUptimeState(relA = false, relB = false, 0L, 0L))
     val s = rows.map(_._3).toSeq.sortBy(t => (t.tsNs, t.station))
-      .foldLeft(init)(fold)
+      .foldLeft(init)(fold(key))
     state.update(s)
-    PairUptimeOut(key._1, key._2, s.online, s.uptimeNs / 60000000000L)
+    val online = (if (s.relA) 1 else 0) + (if (s.relB) 1 else 0)
+    PairUptimeOut(key._1, key._2, online, s.uptimeNs / 60000000000L)
   }
 }

@@ -212,19 +212,31 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("A6 streaming: trigger stream drives per-pair online counter/uptime") {
-    import StreamingPairUptime.fold
+    val fold = StreamingPairUptime.fold((1L, 2L)) _
     // pure fold: 1 up, 2 up (both online, clock starts), 2 down after 120 s
-    var s = PairUptimeState(0, 0L, 0L)
+    var s = PairUptimeState(relA = false, relB = false, 0L, 0L)
     s = fold(s, StationTrigger(1, B, "reliable"))
-    assert(s.online == 1 && s.uptimeNs == 0)
+    assert(s.relA && !s.relB && s.uptimeNs == 0)
     s = fold(s, StationTrigger(2, B + 10 * S, "reliable"))
-    assert(s.online == 2 && s.lastOnlineNs == B + 10 * S)
+    assert(s.relA && s.relB && s.lastOnlineNs == B + 10 * S)
     s = fold(s, StationTrigger(2, B + 130 * S, "unreliable"))
-    assert(s.online == 1 && s.uptimeNs == 120 * S)
-    // duplicate downgrade cannot wrap the counter
+    assert(s.relA && !s.relB && s.uptimeNs == 120 * S)
+    // replayed downgrades and upgrades are idempotent (per-station flags,
+    // not a counter — a replay can neither wrap nor overshoot)
     s = fold(fold(s, StationTrigger(1, B + 131 * S, "unreliable")),
       StationTrigger(1, B + 132 * S, "unreliable"))
-    assert(s.online == 0 && s.uptimeNs == 120 * S)
+    assert(!s.relA && !s.relB && s.uptimeNs == 120 * S)
+    s = fold(fold(s, StationTrigger(1, B + 133 * S, "reliable")),
+      StationTrigger(1, B + 134 * S, "reliable"))
+    assert(s.relA && !s.relB && s.uptimeNs == 120 * S)
+    // a downgrade for a station that never upgraded cannot steal the
+    // partner's contribution (the counter formulation failed this)
+    var s2 = PairUptimeState(relA = false, relB = false, 0L, 0L)
+    s2 = fold(s2, StationTrigger(2, B, "reliable"))
+    s2 = fold(s2, StationTrigger(1, B + 5 * S, "unreliable"))
+    s2 = fold(s2, StationTrigger(1, B + 10 * S, "reliable"))
+    s2 = fold(s2, StationTrigger(2, B + 70 * S, "unreliable"))
+    assert(s2.uptimeNs == 60 * S) // both-reliable only over [10 s, 70 s)
 
     // end-to-end: fan-out over the partner map + keyed state
     import spark.implicits._
