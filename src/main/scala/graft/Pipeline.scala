@@ -321,15 +321,25 @@ object Pipeline {
     * sets are degenerate on this corpus: the vocabulary is ~30 words, so
     * every long document's token SET converges to the full vocabulary and
     * all-pairs similarity ≈ 1. Shingles keep the space sparse, which is
-    * also the realistic choice for web-scale dedup.) */
+    * also the realistic choice for web-scale dedup.)
+    *
+    * PERSISTED per (session, dir): minhash_lsh, dedup_clusters, and
+    * boilerplate_ngrams (twice — df aggregation and the per-doc join
+    * back) all branch off this scan. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def shingleHashSets(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir).selectExpr("doc_id",
-      "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
-      .selectExpr("doc_id",
-        s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +
-          s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
-          s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
-          s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
+    shingleCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      registered(sess, d).selectExpr("doc_id",
+        "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
+        .selectExpr("doc_id",
+          s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +
+            s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
+            s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
+            s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
+        .persist()
+    })
 
   /** MinHash + LSH banding near-dup detection over shingle sets: K=16
     * permutations (affine (2k+3)·h + 99991k + 7 mod P), 2 bands × 8 rows,
@@ -377,7 +387,7 @@ object Pipeline {
   private def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     val th = shingleHashSets(s, dir)
     val exploded = th.selectExpr("doc_id", "explode(th) AS sh")
-    val nDocs = th.count()
+    val nDocs = Tables.documents(s, dir).count() // plain count-star scan
     val minDf = math.max(5L, math.ceil(nDocs * 0.01).toLong)
     val boiler = exploded.groupBy("sh")
       .agg(count(lit(1)).as("df"))
