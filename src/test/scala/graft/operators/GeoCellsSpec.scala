@@ -56,6 +56,24 @@ class GeoCellsSpec extends AnyFunSuite {
       s"expected strong pruning, got $n of ${200 * 199 / 2}")
   }
 
+  test("southern hemisphere + meridian-crossing longitudes") {
+    // lat around -50 (cells index negative), lon spanning 0 (cells cross
+    // the floor(0) boundary) — signs must not break neighbor coverage
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 150).map { i =>
+      (i.toLong, -50.3 + rnd.nextDouble() * 0.5,
+        -0.25 + rnd.nextDouble() * 0.5, 100.0 + rnd.nextInt(100))
+    }
+    val st = spark.createDataFrame(rows).toDF("station", "lat", "lon", "h")
+    for (radius <- Seq(5000.0, 15000.0)) {
+      val got = GeoCells.candidatePairs(st, radius, maxAbsLatDeg = 50.8)
+        .select("st_a", "st_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteForce(st, radius), s"radius $radius")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("dist_m column carries the exact chord distance") {
     val st = scatter(50, 0.1)
     val rows = GeoCells.candidatePairs(st, 20000.0, maxAbsLatDeg = 50.2)

@@ -125,6 +125,48 @@ class GeoStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpoint recovery: open geodesic sessions survive a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("geockpt").toString
+    val mem = MemoryStream[StreamHit]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[EmittedGeoCluster]()
+    def start() = StreamingGeoCoincidence.clusterStream(mem.toDS(),
+        gapNs = gap, bucketNs = Long.MaxValue / 4,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EmittedGeoCluster],
+                       _: Long) =>
+        batch.collect().foreach(seen.add)
+      }
+      .start()
+    val q1 = start()
+    try {
+      // open a session with two criterion-valid members, leave it open
+      mem.addData(StreamHit(1, 0, B), StreamHit(2, 1, B + 10 * S))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // after restart, a third member must land in the SAME component
+      // (state restored), then a far sentinel seals it
+      mem.addData(StreamHit(3, 1, B + 15 * S))
+      q2.processAllAvailable()
+      mem.addData(StreamHit(-1L, 999L, B + 100000 * S))
+      q2.processAllAvailable()
+      mem.addData(StreamHit(-2L, 999L, B + 200000 * S))
+      q2.processAllAvailable()
+      val got = seen.toArray(Array.empty[EmittedGeoCluster])
+        .filter(c => !c.members.exists(_.station == 999L) && c.n >= 2)
+      // e3: Δt to e1 = 15 s < ToF(0,1) ≈ 22.2 s valid; to e2 same-station
+      // Δt 5 s = MinTof floor 5 s → NOT strictly below → invalid edge,
+      // but transitivity through e1 holds the component together
+      assert(got.map(c => (c.n, c.members.map(_.eventId).sorted)).toSeq ==
+        Seq((3L, List(1L, 2L, 3L))))
+    } finally q2.stop()
+  }
+
   test("bucket-boundary compaction restores batch geodesic components") {
     val dir = "/root/testdata/sf0.001"
     val batch = batchGeo(dir)
