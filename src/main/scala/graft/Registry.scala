@@ -197,7 +197,10 @@ object Registry {
     * The hold is a last(ignoreNulls) carry-forward window; transitions are
     * lag() deltas seeded with the 'online' (created) state. O7 columns:
     * per-station topic and the sink line "<date> <status> <reason>". */
-  private def statusTriggers(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(station, active-day) R6 classifier decision (nullable
+    * d_status/d_reason inside the dead band) — shared by statusTriggers
+    * and clusterLogDetectors. */
+  private def dailyClassified(s: SparkSession, dir: String): DataFrame = {
     val h = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
     val daily = h.groupBy("station", "day").agg(
       (sum(round(col("value") * 100).cast("long")) / 100.0 /
@@ -217,7 +220,7 @@ object Registry {
     val acc2 = ((lit(2) + col("station") % 11) * (lit(2) + col("station") % 11) +
       (lit(3) + col("station") % 13) * (lit(3) + col("station") % 13))
       .cast("double")
-    val classified = daily.join(frate, Seq("station", "day"))
+    daily.join(frate, Seq("station", "day"))
       .withColumn("f_location", dop * sqrt(acc2) / lit(15.0))
       .withColumn("d_status",
         when(col("extreme"), "unreliable")
@@ -233,6 +236,10 @@ object Registry {
           .when(col("f_rate") > 1.15, "rate_unstable")
           .when(col("f_location") < 0.85 && col("f_time") < 0.85 &&
             col("f_rate") < 0.85, "miscellaneous"))
+  }
+
+  private def statusTriggers(s: SparkSession, dir: String): DataFrame = {
+    val classified = dailyClassified(s, dir)
     val w = Window.partitionBy("station").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wl = Window.partitionBy("station").orderBy("day")
@@ -251,6 +258,39 @@ object Registry {
           lit("_00-00-00 UTC "), col("status"), lit(" "),
           col("d_reason")).as("msg"))
       .orderBy("station", "day")
+  }
+
+  /** Cluster-log detector counters (reference
+    * include/messages/clusterlog.h:24-25 + supervision/state.cpp:24-42:
+    * every interval reports the TOTAL tracked detectors and how many are
+    * currently reliable): a station×day dimension grid carries each
+    * station's last classifier decision forward (online before its first
+    * classified day), counted per day. The grid is dimension-sized
+    * (stations × days), so the as-of carry-forward is tiny regardless of
+    * event volume. */
+  private def clusterLogDetectors(s: SparkSession, dir: String): DataFrame = {
+    val hd = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
+    val days = hd.agg(min("day").as("d0"), max("day").as("d1"))
+      .selectExpr("explode(sequence(d0, d1)) AS day")
+    val fs = hd.groupBy("station").agg(min("day").as("first_day"))
+    val grid = fs.crossJoin(broadcast(days))
+    val cx = dailyClassified(s, dir).filter(col("d_status").isNotNull)
+      .select(col("station").as("cst"), col("day").as("cday"),
+        col("d_status"))
+    val w = Window.partitionBy("station", "day").orderBy(col("cday").desc)
+    grid.join(cx,
+        grid("station") === cx("cst") && col("cday") <= col("day"), "left")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .withColumn("status", coalesce(col("d_status"), lit("online")))
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") >= col("first_day"), 1L).otherwise(0L))
+          .as("total_detectors"),
+        sum(when(col("day") >= col("first_day") &&
+          col("status") === "reliable", 1L).otherwise(0L))
+          .as("reliable_detectors"))
+      .orderBy("day")
   }
 
   /** R10 → T1 link (reference src/analysis/detectorstation.cpp:127-135 +
@@ -430,6 +470,7 @@ object Registry {
     "event_status_asof" -> eventStatusAsof _,
     "detector_summary" -> detectorSummary _,
     "cluster_log"      -> clusterLog _,
+    "cluster_log_detectors" -> clusterLogDetectors _,
     "cluster_log_map"  -> clusterLogMap _
   )
 
@@ -659,6 +700,26 @@ object Registry {
            |    AS timeout_ns
            |FROM base LEFT JOIN fac ON base.day = fac.day
            |ORDER BY day""".stripMargin,
+      "cluster_log_detectors" ->
+        s"""$statusCtes,
+           |dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM hd),
+           |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM dr),
+           |fs AS (SELECT station, min(day) AS first_day FROM hd GROUP BY 1),
+           |grid AS (SELECT fs.station, fs.first_day, days.day
+           |  FROM fs, days),
+           |cx AS (SELECT station, day AS cday, d_status FROM cls
+           |  WHERE d_status IS NOT NULL),
+           |cur AS (
+           |  SELECT g.station, g.day, g.first_day,
+           |    coalesce(cx.d_status, 'online') AS status
+           |  FROM grid g ASOF LEFT JOIN cx
+           |    ON g.station = cx.station AND g.day >= cx.cday)
+           |SELECT day,
+           |  CAST(count(*) FILTER (day >= first_day) AS BIGINT)
+           |    AS total_detectors,
+           |  CAST(count(*) FILTER (day >= first_day AND status = 'reliable')
+           |    AS BIGINT) AS reliable_detectors
+           |FROM cur GROUP BY day ORDER BY day""".stripMargin,
       "status_triggers" ->
         s"""$statusCtes
            |SELECT station, day, prev_status, status, d_reason AS reason,
