@@ -421,7 +421,12 @@ object Registry {
       .select(col("day"), col("incoming"),
         coalesce(col("outgoing"), lit(0L)).as("outgoing"),
         coalesce(col("max_n"), lit(0L)).as("max_n"),
-        col("mean_plausibility"))
+        col("mean_plausibility"),
+        // clusterlog.h:19 frequency struct: interval counts as Hz (one
+        // exact division — engine-portable)
+        (col("incoming") / 86400.0).as("frequency_in_hz"),
+        (coalesce(col("outgoing"), lit(0L)) / 86400.0)
+          .as("frequency_out_hz"))
       .orderBy("day")
   }
 
@@ -839,7 +844,9 @@ object Registry {
            |  FROM h GROUP BY 1)
            |SELECT inc.day AS day, incoming,
            |  coalesce(outgoing, 0) AS outgoing,
-           |  coalesce(max_n, 0) AS max_n, mean_plausibility
+           |  coalesce(max_n, 0) AS max_n, mean_plausibility,
+           |  incoming / 86400.0 AS frequency_in_hz,
+           |  coalesce(outgoing, 0) / 86400.0 AS frequency_out_hz
            |FROM inc LEFT JOIN outg ON inc.day = outg.day
            |ORDER BY day""".stripMargin
     )
