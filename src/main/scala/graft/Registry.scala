@@ -274,14 +274,18 @@ object Registry {
       .selectExpr("explode(sequence(d0, d1)) AS day")
     val fs = hd.groupBy("station").agg(min("day").as("first_day"))
     val grid = fs.crossJoin(broadcast(days))
-    val cx = dailyClassified(s, dir).filter(col("d_status").isNotNull)
+    // piecewise-constant status spans [cday, next_cday): each grid day
+    // matches exactly one span (or none → online), so the join output is
+    // station×days — not the triangular all-priors join
+    val wl = Window.partitionBy("cst").orderBy("cday")
+    val iv = dailyClassified(s, dir).filter(col("d_status").isNotNull)
       .select(col("station").as("cst"), col("day").as("cday"),
         col("d_status"))
-    val w = Window.partitionBy("station", "day").orderBy(col("cday").desc)
-    grid.join(cx,
-        grid("station") === cx("cst") && col("cday") <= col("day"), "left")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .withColumn("next_cday", lead("cday", 1).over(wl))
+    grid.join(broadcast(iv),
+        grid("station") === iv("cst") && col("day") >= col("cday") &&
+          (col("next_cday").isNull || col("day") < col("next_cday")),
+        "left")
       .withColumn("status", coalesce(col("d_status"), lit("online")))
       .groupBy("day")
       .agg(
