@@ -282,7 +282,7 @@ object Registry {
       .select(col("station").as("cst"), col("day").as("cday"),
         col("d_status"))
       .withColumn("next_cday", lead("cday", 1).over(wl))
-    grid.join(broadcast(iv),
+    val counts = grid.join(broadcast(iv),
         grid("station") === iv("cst") && col("day") >= col("cday") &&
           (col("next_cday").isNull || col("day") < col("next_cday")),
         "left")
@@ -294,6 +294,30 @@ object Registry {
         sum(when(col("day") >= col("first_day") &&
           col("status") === "reliable", 1L).otherwise(0L))
           .as("reliable_detectors"))
+    // clusterlog.h:23 buffer_length: constructors still open at a log
+    // boundary = sessions whose last hit lies within one gap of it
+    // (their timeout has not yet expired there). Sampled at HOURLY
+    // boundaries — the reference logs on a minutes-scale cadence, and
+    // day boundaries observe an always-zero buffer on this corpus —
+    // summed per day (open-cluster observations that day). Each session
+    // end can satisfy at most one hourly boundary (gap << hour), so the
+    // boundary test is a cheap per-session expression, no boundary join.
+    val HourNs = 3600L * 1000000000L
+    // a boundary B (multiple of an hour) satisfies ce <= B < ce + gap
+    // iff (ce-1) div H < (ce+gap-1) div H; B is then ((ce+gap-1) div H)·H
+    val buf = Sessionize.withClusterKey(
+        hits(s, dir).select("event_id", "station", "start_ns"),
+        Detector.GapNs, Detector.BucketNs)
+      .groupBy("cluster_key").agg(max("start_ns").as("ce"))
+      .filter(expr(s"(ce - 1) div ${HourNs}L") <
+        expr(s"(ce + ${Detector.GapNs}L - 1) div ${HourNs}L"))
+      .withColumn("day",
+        expr(s"((ce + ${Detector.GapNs}L - 1) div ${HourNs}L) * ${HourNs}L" +
+          s" div ${DayNs}L"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("buffer_length"))
+    counts.join(buf, Seq("day"), "left")
+      .withColumn("buffer_length", coalesce(col("buffer_length"), lit(0L)))
       .orderBy("day")
   }
 
@@ -722,13 +746,34 @@ object Registry {
            |  SELECT g.station, g.day, g.first_day,
            |    coalesce(cx.d_status, 'online') AS status
            |  FROM grid g ASOF LEFT JOIN cx
-           |    ON g.station = cx.station AND g.day >= cx.cday)
-           |SELECT day,
-           |  CAST(count(*) FILTER (day >= first_day) AS BIGINT)
+           |    ON g.station = cx.station AND g.day >= cx.cday),
+           |sb AS (
+           |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
+           |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
+           |    THEN 1 ELSE 0 END AS nb
+           |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
+           |cb AS (
+           |  SELECT sum(nb) OVER (ORDER BY start_ns, event_id
+           |                       ROWS UNBOUNDED PRECEDING) AS cid,
+           |    start_ns
+           |  FROM sb),
+           |ce AS (SELECT cid, max(start_ns) AS ce FROM cb GROUP BY cid),
+           |bl AS (
+           |  SELECT ((ce + ${Detector.GapNs} - 1) // 3600000000000)
+           |      * 3600000000000 // ${DayNs} AS day,
+           |    count(*) AS buffer_length
+           |  FROM ce
+           |  WHERE (ce - 1) // 3600000000000
+           |    < (ce + ${Detector.GapNs} - 1) // 3600000000000
+           |  GROUP BY 1)
+           |SELECT cur.day AS day,
+           |  CAST(count(*) FILTER (cur.day >= first_day) AS BIGINT)
            |    AS total_detectors,
-           |  CAST(count(*) FILTER (day >= first_day AND status = 'reliable')
-           |    AS BIGINT) AS reliable_detectors
-           |FROM cur GROUP BY day ORDER BY day""".stripMargin,
+           |  CAST(count(*) FILTER (cur.day >= first_day
+           |    AND status = 'reliable') AS BIGINT) AS reliable_detectors,
+           |  coalesce(any_value(bl.buffer_length), 0) AS buffer_length
+           |FROM cur LEFT JOIN bl ON cur.day = bl.day
+           |GROUP BY cur.day ORDER BY day""".stripMargin,
       "status_triggers" ->
         s"""$statusCtes
            |SELECT station, day, prev_status, status, d_reason AS reason,
