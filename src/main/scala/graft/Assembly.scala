@@ -98,14 +98,11 @@ object Assembly {
     * join branches) and by three queries total — one event scan + window
     * pass instead of five. Interval rows are transition-compressed
     * (∝ status flips), so the cached set is tiny. */
-  private val intervalsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private[graft] def reliabilityIntervals(s: SparkSession,
                                           dir: String): DataFrame =
-    intervalsCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      reliabilityIntervalsUncached(sess, d).persist()
-    })
+    ScanCache.get(s, s"reliability-intervals:$dir") {
+      reliabilityIntervalsUncached(s, dir)
+    }
 
   private def reliabilityIntervalsUncached(s: SparkSession,
                                            dir: String): DataFrame = {

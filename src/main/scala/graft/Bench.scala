@@ -34,9 +34,12 @@ object Bench {
                  catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    // a failed query reports -1 so the output can't mistake it for a timing
+    // a failed query reports -1 so the output can't mistake it for a timing;
+    // ms precision keeps the whole line short enough for tail-buffer
+    // capture (raw doubles overflowed it and the driver's parse failed)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0) }
+      "\"" + k + "\":" + (if (ok) f3(v) else "-1") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -51,7 +54,7 @@ object Bench {
     val pairsJson = s"""{"stations":$nSt,"all_pairs":${nSt * (nSt - 1) / 2},""" +
       s""""in_range_5km":$cand5}"""
     val oo = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"oracle_only":$oo,"pair_candidates":$pairsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"oracle_only":$oo,"pair_candidates":$pairsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,18 +62,14 @@ object Detector {
     * sessionize + collect_list shuffle now runs once instead of four
     * times. Cluster rows are ~3 orders smaller than the event scan, so
     * the cached footprint is negligible. */
-  private val aggCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def clusterAgg(s: SparkSession, dir: String): DataFrame =
-    aggCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      clustered(sess, d)
+    ScanCache.get(s, s"cluster-agg:$dir") {
+      clustered(s, dir)
         .groupBy("cluster_key")
         .agg(sort_array(collect_list(struct(
           col("start_ns"), col("event_id"), col("station")))).as("hits"))
         .withColumn("n", size(col("hits")).cast("long"))
-        .persist()
-    })
+    }
 
   /** All unordered in-cluster pairs (i < j over the sorted hit array),
     * exploded — the batch form of the reference's per-cluster pair loops

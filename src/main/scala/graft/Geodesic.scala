@@ -74,14 +74,11 @@ object Geodesic {
     * + ECEF scan (geo_edges, coincidence_geo, component_score,
     * pair_timediff_hist_tof, and the l1 sink formatters) — one scan +
     * sessionize shuffle per Verify/Bench run instead of one per query. */
-  private val sessCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def sessioned(s: SparkSession, dir: String): DataFrame =
-    sessCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      Sessionize.withClusterKey(hitsWithCoords(sess, d),
-        Detector.GapNs, Detector.BucketNs).persist()
-    })
+    ScanCache.get(s, s"geo-sessioned:$dir") {
+      Sessionize.withClusterKey(hitsWithCoords(s, dir),
+        Detector.GapNs, Detector.BucketNs)
+    }
 
   /** Sessioned hits with grid coordinates, for sink-formatting queries. */
   private[graft] def sessionedForSinks(s: SparkSession, dir: String): DataFrame =

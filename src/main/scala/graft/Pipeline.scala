@@ -112,7 +112,10 @@ object Pipeline {
       .select(col("doc_id").as("node"), col("doc_id").as("lbl")).persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    // diameter bound: near-dup chains are shallow, but a deeper graph
+    // must fail loudly below, never return an unconverged labeling
+    val maxRounds = 25
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(lbl, edges("src") === lbl("node"))
         .select(col("dst").as("node"), col("lbl"))
       val next = lbl.unionByName(prop)
@@ -124,6 +127,11 @@ object Pipeline {
       rounds += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation still moving after " +
+          s"$maxRounds rounds (component diameter > $maxRounds) — " +
+          "refusing to return an unconverged keeper labeling")
     lbl.select(col("node").as("doc_id"), col("lbl").as("keeper"),
         (col("node") =!= col("lbl")).as("is_dup"))
       .orderBy("doc_id")
@@ -261,17 +269,13 @@ object Pipeline {
     * PERSISTED per (session, dir): six similarity queries branch off this
     * scan (topk, the near-dup pair, both LSH variants, IVF, recall), so
     * the cast + norm pass runs once per Verify/Bench session. */
-  private val vecsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    vecsCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      registeredVecs(sess, d).selectExpr(
+    ScanCache.get(s, s"vecs:$dir") {
+      registeredVecs(s, dir).selectExpr(
         "vec_id",
         "cast(embedding AS array<double>) AS v")
         .selectExpr("vec_id", "v", "sqrt(dot_p(v, v)) AS nrm")
-        .persist()
-    })
+    }
 
   private def cosExpr: String = "dot_p(va, vb) / (na * nb)"
 
@@ -326,20 +330,16 @@ object Pipeline {
     * PERSISTED per (session, dir): minhash_lsh, dedup_clusters, and
     * boilerplate_ngrams (twice — df aggregation and the per-doc join
     * back) all branch off this scan. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def shingleHashSets(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      registered(sess, d).selectExpr("doc_id",
+    ScanCache.get(s, s"shingles:$dir") {
+      registered(s, dir).selectExpr("doc_id",
         "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
         .selectExpr("doc_id",
           s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +
             s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
             s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
             s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
-        .persist()
-    })
+    }
 
   /** MinHash + LSH banding near-dup detection over shingle sets: K=16
     * permutations (affine (2k+3)·h + 99991k + 7 mod P), 2 bands × 8 rows,

@@ -102,6 +102,14 @@ object ParseHitPayload {
       timeAcc == Long.MinValue || ublox == Long.MinValue ||
       fix == Long.MinValue || gnss == Long.MinValue ||
       utc == Long.MinValue) return null
+    // the four i32 fields must actually fit i32 — the reference catches
+    // std::out_of_range from stoul and drops the message; silently
+    // truncating with .toInt would parse corrupt wire input to a wrong
+    // value instead of rejecting it
+    if (ublox < Int.MinValue || ublox > Int.MaxValue ||
+      fix < Int.MinValue || fix > Int.MaxValue ||
+      gnss < Int.MinValue || gnss > Int.MaxValue ||
+      utc < Int.MinValue || utc > Int.MaxValue) return null
     InternalRow(startNs, endNs, timeAcc,
       ublox.toInt, fix.toInt, gnss.toInt, utc.toInt)
   }
@@ -116,6 +124,9 @@ object ParseHitPayload {
     while (i < to && b(i) != '.') {
       val c = b(i) - '0'
       if (c < 0 || c > 9) return Long.MinValue
+      // reject rather than wrap on overflow (the final value must also
+      // survive the ×1e9 below, so cap at MaxValue/1e9 seconds)
+      if (sec > (Long.MaxValue / 1000000000L - c) / 10) return Long.MinValue
       sec = sec * 10 + c
       seenDigit = true
       i += 1
@@ -147,6 +158,8 @@ object ParseHitPayload {
       }
     }
     while (fd < 9) { frac *= 10; fd += 1 }
+    // frac can reach 1e9 after HALF_UP carry (nine 9s rounded up)
+    if (sec > (Long.MaxValue - frac) / 1000000000L) return Long.MinValue
     sec * 1000000000L + frac
   }
 
@@ -161,6 +174,8 @@ object ParseHitPayload {
     while (i < to) {
       val c = b(i) - '0'
       if (c < 0 || c > 9) return Long.MinValue
+      // reject rather than wrap: out-of-range wire fields drop the record
+      if (v > (Long.MaxValue - c) / 10) return Long.MinValue
       v = v * 10 + c
       i += 1
     }

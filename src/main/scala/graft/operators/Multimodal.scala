@@ -96,7 +96,9 @@ object Multimodal {
       }
       val start = i
       while (i < data.length && data(i).toChar.isDigit) i += 1
-      if (i == start) None
+      // cap the digit run at 9 so an adversarial header can't blow up
+      // String.toInt — malformed stays malformed, the task survives
+      if (i == start || i - start > 9) None
       else Some(new String(data, start, i - start, "US-ASCII").toInt)
     }
     for {
@@ -107,7 +109,9 @@ object Multimodal {
 
   /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
     * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
-    * integer, so the derived mean is one exact division. */
+    * integer, so the derived mean is one exact division. `nSamples`
+    * counts individual samples (frames × channels), matching the unit
+    * sumAbs accumulates in. */
   final case class WavInfo(sampleRate: Int, channels: Int,
                            bitsPerSample: Int, nSamples: Long, sumAbs: Long)
 
@@ -155,7 +159,10 @@ object Multimodal {
       case Some((ch, rate, bits)) if dataAt >= 0 && ch > 0 =>
         val bytesPer = bits / 8
         if (bits != 8 && bits != 16) return None
-        val n = dataLen / (bytesPer * ch)
+        // nSamples counts individual samples (frames × channels), the
+        // same unit sumAbs accumulates in — so mean_abs = sumAbs/nSamples
+        // is the per-sample mean for any channel count, not ch× inflated
+        val n = dataLen / bytesPer
         var sum = 0L
         var i = dataAt
         val end = dataAt + dataLen - (bytesPer - 1)

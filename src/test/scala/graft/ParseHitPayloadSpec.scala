@@ -46,6 +46,24 @@ class ParseHitPayloadSpec extends AnyFunSuite {
     assert(a.getLong(1) == 1723460001000000000L) // .4 truncates
   }
 
+  test("out-of-range fields reject instead of wrapping or truncating") {
+    // 20-digit integer would wrap a Long accumulator
+    val big = "98765432109876543210"
+    assert(parse(s"1723460000.123456789 1723460001.000000000 $big 4 5 6 7").isEmpty)
+    // i32 fields larger than Int.MaxValue must drop the record, not
+    // silently truncate via .toInt
+    assert(parse("1723460000.123456789 1723460001.000000000 3 4294967296 5 6 7").isEmpty)
+    assert(parse("1723460000.123456789 1723460001.000000000 3 4 5 6 2147483648").isEmpty)
+    // Int.MaxValue itself still parses
+    val ok = parse("1723460000.123456789 1723460001.000000000 3 2147483647 5 6 7").get
+    assert(ok.getInt(3) == Int.MaxValue)
+    // seconds too large for the ×1e9 nanos representation reject
+    assert(parse("99999999999.000000000 1723460001.000000000 3 4 5 6 7").isEmpty)
+    // time_acc is a Long field: values above i32 are fine there
+    val ta = parse("1723460000.123456789 1723460001.000000000 9999999999 4 5 6 7").get
+    assert(ta.getLong(2) == 9999999999L)
+  }
+
   test("parity with the decimal-cast formula on random payloads") {
     val rnd = new scala.util.Random(7L)
     for (_ <- 1 to 500) {

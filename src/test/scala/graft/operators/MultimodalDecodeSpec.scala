@@ -44,6 +44,11 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm("P5 2 3 255 ".getBytes).isEmpty) // not P6
     assert(Multimodal.decodePpm("P6\n640".getBytes).isEmpty) // truncated
     assert(Multimodal.decodePpm("P6 0 3 255 ".getBytes).isEmpty) // zero dim
+    // adversarial digit run longer than any valid dimension must decode
+    // to None, not throw NumberFormatException and kill the task
+    assert(Multimodal.decodePpm("P6 99999999999999 3 255 ".getBytes).isEmpty)
+    assert(Multimodal.decode("image/x-portable-pixmap",
+      "P6 99999999999999 3 255 ".getBytes) == ((-1, -1)))
   }
 
   test("WAV round-trip: encode 8-bit PCM, decode format + sample stats") {
