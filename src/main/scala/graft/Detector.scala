@@ -1,6 +1,5 @@
 package graft
 
-import graft.operators.Sessionize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,8 +46,13 @@ object Detector {
       col("event_id"), col("user_id").as("station"),
       (expr("ts div 1000") * 1000).as("start_ns"))  // integer div: 1.7e18 exceeds double's 2^53
 
+  /** Sessionized hits, branched off the SHARED persisted sessionize in
+    * [[Geodesic]] (same gap/bucket, same hit projection — the extra ECEF
+    * columns are dropped here): one sessionize shuffle serves both the
+    * simple-criterion and the geodesic coincidence families per session. */
   private def clustered(s: SparkSession, dir: String): DataFrame =
-    Sessionize.withClusterKey(hits(s, dir), GapNs, BucketNs)
+    Geodesic.sessionedForSinks(s, dir)
+      .select("event_id", "station", "start_ns", "cluster_key")
 
   /** One row per cluster with the (start-sorted) hit array — a SINGLE
     * scan + shuffle for the whole coincidence family; pair math happens

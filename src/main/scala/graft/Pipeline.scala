@@ -95,12 +95,15 @@ object Pipeline {
     * keeper even when A~C itself scores below τ), every document mapped
     * to its component's minimum doc_id.
     *
-    * Scale shape: iterative min-label propagation — per round, one join
-    * of the label set to the (tiny, near-dup-pair-sized) edge list and a
+    * Scale shape: iterative min-label propagation restricted to the
+    * nodes the near-dup graph actually touches — per round, one join of
+    * the (near-dup-pair-sized) label set to the edge list and a
     * min-aggregate; rounds needed = component diameter (near-dup chains
     * are shallow), each round is shuffle-on-key work with no driver-side
-    * graph. The classic alternative (collect + union-find) dies at 100 TB;
-    * the recursive-CTE oracle proves this converges to exactly the
+    * graph and NO pass over the full corpus (isolated documents join the
+    * result exactly once at the end, as their own keeper). The classic
+    * alternative (collect + union-find) dies at 100 TB; the
+    * recursive-CTE oracle proves this converges to exactly the
     * connected components. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
@@ -108,8 +111,11 @@ object Pipeline {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist()
-    var lbl = registered(s, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("lbl")).persist()
+    // edges carry both directions, so distinct src covers every touched
+    // node; the propagation state never exceeds 2×|pairs| rows.
+    var persisted = edges.select(col("src").as("node"))
+      .distinct().withColumn("lbl", col("node")).persist()
+    var lbl = persisted
     var changed = 1L
     var rounds = 0
     // diameter bound: near-dup chains are shallow, but a deeper graph
@@ -118,22 +124,33 @@ object Pipeline {
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(lbl, edges("src") === lbl("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val next = lbl.unionByName(prop)
-        .groupBy("node").agg(min("lbl").as("lbl")).persist()
-      changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter(col("lbl") =!= col("old")).count()
-      lbl.unpersist()
-      lbl = next
+      // change detection rides INSIDE the round's aggregation: every node
+      // has exactly one row in lbl (prop targets are edge nodes), so
+      // min(old) recovers the previous label without a second join/action
+      val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
+        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
+        .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
+        .persist()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      persisted.unpersist()
+      persisted = next
+      lbl = next.select("node", "lbl")
       rounds += 1
     }
     edges.unpersist()
+    System.err.println(s"dedupClusters: converged in $rounds rounds")
     if (changed > 0)
       throw new IllegalStateException(
         s"dedupClusters: min-label propagation still moving after " +
           s"$maxRounds rounds (component diameter > $maxRounds) — " +
           "refusing to return an unconverged keeper labeling")
-    lbl.select(col("node").as("doc_id"), col("lbl").as("keeper"),
-        (col("node") =!= col("lbl")).as("is_dup"))
+    // no broadcast hint: in a real web corpus the near-dup node set can
+    // be a large fraction of the corpus — let AQE pick the join side
+    registered(s, dir).select(col("doc_id"))
+      .join(lbl, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("keeper"),
+        coalesce(col("doc_id") =!= col("lbl"), lit(false)).as("is_dup"))
       .orderBy("doc_id")
   }
 
@@ -347,27 +364,27 @@ object Pipeline {
     * τ = 0.5. Candidates are deduped on bare id pairs BEFORE re-attaching
     * the hash sets — array columns never go through the distinct shuffle.
     * This is the shape that scales: no all-pairs comparison anywhere. */
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val th = shingleHashSets(s, dir)
-    val sig = th.selectExpr("doc_id", "minhash16(th) AS sig")
-    val bands = sig.selectExpr("doc_id",
-      s"explode(transform(sequence(0, 1), b -> struct(b AS band, " +
-        s"aggregate(slice(sig, cast(b * 8 + 1 AS int), 8), 0L, " +
-        s"(a, x) -> (a * 31 + x) % $P) AS bv))) AS e")
-      .selectExpr("doc_id", "e.band AS band", "e.bv AS bv")
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bv")),
-        Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")), Seq("doc_a"))
-      .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")), Seq("doc_b"))
-      .withColumn("jaccard", expr("jaccard_sorted(tha, thb)"))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"minhash-pairs:$dir") {
+      val th = shingleHashSets(s, dir)
+      val sig = th.selectExpr("doc_id", "minhash16(th) AS sig")
+      val bands = sig.selectExpr("doc_id",
+        s"explode(transform(sequence(0, 1), b -> struct(b AS band, " +
+          s"aggregate(slice(sig, cast(b * 8 + 1 AS int), 8), 0L, " +
+          s"(a, x) -> (a * 31 + x) % $P) AS bv))) AS e")
+        .selectExpr("doc_id", "e.band AS band", "e.bv AS bv")
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")), Seq("doc_a"))
+        .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")), Seq("doc_b"))
+        .withColumn("jaccard", expr("jaccard_sorted(tha, thb)"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    }.orderBy("doc_a", "doc_b")
 
   /** Boilerplate shingle detection — the heavy-hitter quality filter a
     * pretraining pipeline runs before dedup: a token 3-gram shared by
@@ -448,13 +465,11 @@ object Pipeline {
     * similar pairs. Blocking bounds the pair count; shingle hashes are
     * combined from the per-token fold, so no re-hash of characters. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = registered(s, dir).selectExpr("doc_id", "source",
-      "transform(split(text, ' '), t -> poly_hash(t)) AS th")
-      .selectExpr("doc_id", "source",
-        s"sort_array(array_distinct(transform(${shingleIdx("th")}, " +
-          s"i -> ((element_at(th, cast(i AS int)) * 31 " +
-          s"+ element_at(th, cast(i + 1 AS int))) % $P * 31 " +
-          s"+ element_at(th, cast(i + 2 AS int))) % $P))) AS sh")
+    // shingle sets come from the SHARED persisted scan; only the source
+    // block key is joined on (doc_id → source is a tiny projection)
+    val sh = shingleHashSets(s, dir)
+      .join(registered(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("th").as("sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"),
       col("sh").as("sha"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"),
