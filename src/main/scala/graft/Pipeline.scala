@@ -265,6 +265,121 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ---- retrieval / corpus prep ------------------------------------------
+
+  /** BM25 keyword retrieval (Robertson/Sparck Jones, the Okapi form used
+    * by every pretraining-corpus search index): score each document
+    * against a fixed query-term set, return the top 20.
+    *
+    * 100 TB shape: per-document term frequencies are array folds over the
+    * token list (codegen, zero shuffle); the corpus statistics (N, Σdl,
+    * per-term document frequency) are ONE single-row aggregate broadcast
+    * back via cross join; the top-k is a TakeOrdered, not a global sort.
+    * No explode, no token-level shuffle — the inverted-index build is
+    * deliberately avoided because the query set is a handful of terms.
+    *
+    * Cross-engine determinism: the only libm call (ln in idf) is rounded
+    * to 6 dp before scoring, so a last-ulp ln difference between the JVM
+    * and DuckDB cannot propagate; everything else is IEEE +,*,/ on
+    * integer-derived doubles (exactly rounded, engine-identical). Final
+    * score rounded to 4 dp with doc_id tiebreak. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    // explicit DOUBLE literals: a bare 1.2 parses as DECIMAL in both
+    // engines, and decimal-vs-double intermediates round differently
+    val k1 = "CAST(1.2 AS DOUBLE)"
+    val b  = "CAST(0.75 AS DOUBLE)"
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"size(filter(tk, x -> x = '$t')) AS tf$i" }
+    val d = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr(Seq("doc_id", "size(tk) AS dl") ++ tfCols: _*)
+    val statAggs = Seq("count(*) AS n_docs", "sum(dl) AS sum_dl") ++
+      Bm25Terms.indices.map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+    val stats = d.selectExpr(statAggs: _*)
+    val idfCols = Bm25Terms.indices.map(i =>
+      s"round(ln(1.0d + (n_docs - df$i + 0.5d) / (df$i + 0.5d)), 6) AS idf$i")
+    val scoreTerms = Bm25Terms.indices.map(i =>
+      s"idf$i * (tf$i * ($k1 + 1)) / " +
+        s"(tf$i + $k1 * (1 - $b + $b * dl / avgdl))").mkString(" + ")
+    d.crossJoin(broadcast(
+        stats.selectExpr(
+          Seq("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl") ++
+            idfCols: _*)))
+      .selectExpr("doc_id", "dl AS n_tokens",
+        s"round($scoreTerms, 4) AS score")
+      .where("score > 0")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Token-window chunking — the context-window prep step of a training
+    * pipeline: each document becomes fixed 64-token windows with a
+    * 16-token overlap (stride 48); the tail window may be short.
+    * Embarrassingly parallel: sequence+explode per row, no shuffle. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val (win, stride, overlap) = (64, 48, 16)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr("doc_id", "tk", "size(tk) AS n")
+      .selectExpr("doc_id", "tk",
+        s"explode(sequence(0, greatest(CAST(ceil((n - $overlap) / $stride.0) AS INT), 1) - 1)) AS chunk_id")
+      .selectExpr("doc_id", "chunk_id",
+        s"chunk_id * $stride AS start_tok",
+        s"size(slice(tk, chunk_id * $stride + 1, $win)) AS n_tok",
+        s"array_join(slice(tk, chunk_id * $stride + 1, $win), ' ') AS chunk_text")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Greedy sequence packing, GPT-style concat-then-split: documents are
+    * concatenated in deterministic order within each source shard and cut
+    * at a 256-token budget; a document whose token span crosses a cut
+    * belongs to the sequence where it starts and is flagged
+    * `spans_boundary` (the split the trainer will make).
+    *
+    * 100 TB shape: the running offset is a prefix sum windowed PER SOURCE
+    * SHARD (partitionBy source), so packing is embarrassingly parallel
+    * across shards — never a global unpartitioned window. */
+  private def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tokens")
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .selectExpr("source", "doc_id", "n_tokens",
+        "end_off - n_tokens AS start_off")
+      .selectExpr("source", "doc_id", "n_tokens", "start_off",
+        s"start_off div $budget AS seq_id",
+        s"(start_off + n_tokens - 1) div $budget <> start_off div $budget AS spans_boundary")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Composite corpus filter — the keep/drop verdict a pretraining
+    * ingest applies, with the FIRST failing rule as the drop reason:
+    * exact-duplicate (poly-hash fingerprint keeper), language allowlist,
+    * length floor, punctuation ceiling, stopword ceiling. One fingerprint
+    * shuffle; every other signal is a per-row expression. */
+  private def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    registered(s, dir)
+      .selectExpr("doc_id", "lang", s"${charFold("text")} AS fp",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(text) AS n_chars",
+        "length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_punct",
+        "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
+      .withColumn("keeper", min("doc_id").over(w))
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id <> keeper THEN 'duplicate' " +
+          "WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang' " +
+          "WHEN n_tokens < 20 THEN 'too_short' " +
+          "WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1 THEN 'punct_heavy' " +
+          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
+          "ELSE 'keep' END AS reason")
+      .selectExpr("doc_id", "reason = 'keep' AS keep", "reason")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
@@ -884,7 +999,11 @@ object Pipeline {
     "token_stats_bpe"   -> tokenStatsBpe _,
     "kmv_distinct"      -> kmvDistinct _,
     "text_quality_full" -> textQualityFull _,
-    "winnow_fingerprint" -> winnowFingerprint _
+    "winnow_fingerprint" -> winnowFingerprint _,
+    "bm25"              -> bm25 _,
+    "doc_chunks"        -> docChunks _,
+    "seq_pack"          -> seqPack _,
+    "corpus_filter"     -> corpusFilter _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1124,6 +1243,94 @@ object Pipeline {
          |SELECT doc_id, length(fps) AS n_fps,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "bm25" -> {
+      val tf = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"length(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n|    ")
+      val df = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n|    ")
+      val idf = Bm25Terms.indices.map(i =>
+        s"round(ln(CAST(1 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / " +
+          s"(df$i + CAST(0.5 AS DOUBLE))), 6) AS idf$i").mkString(",\n|    ")
+      val score = Bm25Terms.indices.map(i =>
+        s"idf$i * (tf$i * (CAST(1.2 AS DOUBLE) + 1)) / " +
+          s"(tf$i + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    length(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, dl,
+         |    $tf
+         |  FROM d),
+         |raw AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |    $df
+         |  FROM t),
+         |st AS (
+         |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
+         |    $idf
+         |  FROM raw),
+         |scored AS (
+         |  SELECT doc_id, dl AS n_tokens,
+         |    round($score, 4) AS score
+         |  FROM t, st)
+         |SELECT doc_id, n_tokens, score FROM scored
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    length(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    UNNEST(range(0, greatest(CAST(ceil((n - 16) / 48.0) AS BIGINT), 1)))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  length(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tok,
+        |  array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "seq_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    length(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, start_off,
+        |  start_off // 256 AS seq_id,
+        |  (start_off + n_tokens - 1) // 256 <> start_off // 256 AS spans_boundary
+        |FROM o ORDER BY source, doc_id""".stripMargin,
+    "corpus_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, ${charFoldDuck("text")} AS fp,
+         |    length(string_split(text, ' ')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         |    length(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the', 'a'))) AS n_stop
+         |  FROM documents),
+         |k AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id <> keeper THEN 'duplicate'
+         |      WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+         |      WHEN n_tokens < 20 THEN 'too_short'
+         |      WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
+         |        THEN 'punct_heavy'
+         |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy'
+         |      ELSE 'keep' END AS reason
+         |  FROM k)
+         |SELECT doc_id, reason = 'keep' AS keep, reason
+         |FROM r ORDER BY doc_id""".stripMargin,
     "kmv_distinct" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_transform(string_split(text, ' '),

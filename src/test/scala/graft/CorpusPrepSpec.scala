@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-prep operators (retrieval, chunking, packing, composite
+  * filter) against the sf0.001 corpus, cross-checked by plain-Scala
+  * reimplementations of the same arithmetic. */
+class CorpusPrepSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs: Seq[(Long, String, String, String)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("doc_chunks: stride/overlap geometry and exact reconstruction") {
+    val rows = run("doc_chunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getInt(3).toLong, r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == docs.size)
+    for ((docId, text, _, _) <- docs) {
+      val tk = text.split(" ", -1).toSeq
+      val chunks = byDoc(docId).sortBy(_._2)
+      val expected = math.max(math.ceil((tk.size - 16) / 48.0).toInt, 1)
+      assert(chunks.size == expected, s"doc $docId chunk count")
+      for ((_, cid, start, nTok, ctext) <- chunks) {
+        assert(start == cid * 48)
+        val want = tk.slice(start.toInt, start.toInt + 64)
+        assert(nTok == want.size && ctext == want.mkString(" "),
+          s"doc $docId chunk $cid")
+      }
+      // full coverage: chunk starts stride the whole token range
+      assert(chunks.last._3 + chunks.last._4 == tk.size)
+    }
+  }
+
+  test("seq_pack: per-source prefix offsets and boundary flags") {
+    val rows = run("seq_pack")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == docs.size)
+    for ((src, group) <- rows.groupBy(_._1)) {
+      var off = 0L
+      for ((_, docId, n, start, seqId, spans) <- group.sortBy(_._2)) {
+        val nTok = docs.find(_._1 == docId).get._2.split(" ", -1).length
+        assert(n == nTok && start == off, s"doc $docId offset in $src")
+        assert(seqId == start / 256)
+        assert(spans == ((start + n - 1) / 256 != start / 256))
+        off += n
+      }
+    }
+  }
+
+  test("bm25: matches a plain-Scala Okapi BM25 over the same corpus") {
+    val terms = Seq("spark", "join", "window")
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs.map { case (id, text, _, _) => id -> text.split(" ", -1).toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)))
+    def round(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfs = dfs.map(df => round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 6))
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.size
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = tk.count(_ == t)
+        idfs(i) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+      }.sum
+      (id, round(score, 4))
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = run("bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("corpus_filter: first-failing-rule priority recomputed in Scala") {
+    val fps = docs.map { case (id, text, _, _) =>
+      id -> text.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + c) % Pipeline.P)
+    }.toMap
+    val keeper = fps.groupBy(_._2).values
+      .flatMap(g => g.keys.map(_ -> g.keys.min)).toMap
+    val expected = docs.map { case (id, text, lang, _) =>
+      val tk = text.split(" ", -1).toSeq
+      // ASCII class, matching the engine's [A-Za-z0-9 ] (isLetterOrDigit
+      // would admit non-ASCII letters the regex strips as "punctuation")
+      val nPunct = text.count(c => !(c >= '0' && c <= '9' ||
+        c >= 'A' && c <= 'Z' || c >= 'a' && c <= 'z' || c == ' '))
+      val stop = tk.count(t => t == "the" || t == "a")
+      val reason =
+        if (id != keeper(id)) "duplicate"
+        else if (!Set("en", "de", "fr", "es")(lang)) "lang"
+        else if (tk.size < 20) "too_short"
+        else if (nPunct.toDouble / math.max(text.length, 1) > 0.1) "punct_heavy"
+        else if (stop.toDouble / tk.size > 0.15) "stopwordy"
+        else "keep"
+      (id, reason == "keep", reason)
+    }
+    val got = run("corpus_filter").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(!_._2) && got.exists(_._2), "filter should split the corpus")
+  }
+}
