@@ -17,7 +17,10 @@ object PlanProbe {
       else Seq("q2_join_nation", "q3_topk_orders", "coincidence_l1")
     for (n <- names) {
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (sys.env.contains("SPARK_GRAFT_PLAN_RAW"))
+        println(df.queryExecution.sparkPlan.toString)
+      else df.explain("formatted")
     }
     spark.stop()
   }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-enforcing plan audits: the scale-shape claims in SCALE.md as
+  * assertions over the physical plan, so a refactor that silently
+  * reintroduces a cartesian product, drops a broadcast, or widens a scan
+  * fails CI instead of surviving until someone re-reads an explain.
+  *
+  * Asserts on `queryExecution.sparkPlan` (pre-AQE physical plan — AQE
+  * re-planning only ever REPLACES an exchange with something cheaper, so
+  * the static plan is the worst case). */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // leave the shared test session the way other suites expect it
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // set as RUNTIME confs: getOrCreate may hand back another suite's
+    // session in the shared test JVM, silently dropping builder configs.
+    // AQE off to audit the STATIC plan — AdaptiveSparkPlanExec hides its
+    // children from collect, and AQE only ever replaces exchanges with
+    // cheaper ones at runtime, so the static shape is the worst case.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    s
+  }
+
+  // executedPlan, not sparkPlan: EnsureRequirements has inserted the
+  // exchanges by then, which is what half these audits are about
+  private def physical(name: String) =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+  private def plan(name: String): String = physical(name).toString
+
+  /** Quadratic baselines, deliberately retained as oracle-only variants —
+    * every other query must be free of unbounded cross products. */
+  private val quadraticBaselines =
+    Set("embedding_neardup", "ann_lsh", "pair_uptime")
+
+  /** Queries whose only nested-loop join is a broadcast of a SINGLE-ROW
+    * corpus-stats aggregate (a legal scalar broadcast, not a blowup). */
+  private val scalarBroadcasts =
+    Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
+      "dedup_clusters", "boilerplate_ngrams")
+
+  /** Queries that broadcast a small FIXED-CARDINALITY dimension against
+    * the fact side with no equi-key (every row must meet every dimension
+    * member by the operator's semantics): ann_ivf/embedding_topk score
+    * against K centroids / Q query vectors, distance_matrix IS the S×S
+    * matrix, cluster_log_detectors fans a station dimension over days.
+    * The build side is bounded by the dimension, never by the corpus. */
+  private val boundedDimBroadcasts =
+    Set("ann_ivf", "embedding_topk", "distance_matrix",
+      "cluster_log_detectors")
+
+  test("no headline query contains an unbounded cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(quadraticBaselines)
+      .filterNot(scalarBroadcasts)
+      .filterNot(boundedDimBroadcasts)
+      .filter { n =>
+        val p = plan(n)
+        p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty,
+      s"cartesian/nested-loop joins appeared in: $offenders")
+  }
+
+  test("enriched_events joins the registry by broadcast, never sort-merge") {
+    val p = plan("enriched_events")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dimension chain of q2_join_nation broadcasts") {
+    val p = plan("q2_join_nation")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("top-k queries use TakeOrdered, not a global sort") {
+    for (n <- Seq("q3_topk_orders", "bm25", "ngram_jaccard")) {
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"), s"$n should take-order")
+    }
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    // q3's order-status literal and enriched_events' gate predicates
+    // must reach their scans as PushedFilters
+    for (n <- Seq("q3_topk_orders", "enriched_events")) {
+      val scans = plan(n).linesIterator
+        .filter(_.contains("PushedFilters")).toSeq
+      assert(scans.exists(l =>
+          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")),
+        s"$n scan lost its pushed filters:\n${scans.mkString("\n")}")
+    }
+  }
+
+  test("scans are column-pruned to what the query needs") {
+    // token_stats touches only doc_id + text of a 5-column table
+    val p = plan("token_stats")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"token_stats reads more than it projects: $read")
+  }
+
+  test("dedup_exact shuffles fingerprints; text only after the gsize gate") {
+    // main path shuffles the 32-byte compound fingerprint; document text
+    // may enter a shuffle ONLY on the multi-member branch, downstream of
+    // the gsize > 1 filter (true dups + collisions — tiny at scale)
+    val shuffles = physical("dedup_exact").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    val textShuffles = shuffles.filter(_.output.exists(_.name == "text"))
+    assert(textShuffles.size < shuffles.size,
+      "every shuffle carries text — the fingerprint path is gone")
+    for (e <- textShuffles) {
+      val gated = e.child.collect {
+        case f: FilterExec if f.condition.toString.contains("gsize") => f
+      }
+      assert(gated.nonEmpty,
+        s"text shuffle not gated by the multi-member filter:\n$e")
+    }
+  }
+
+  test("seq_pack windows per source shard — no global-order exchange") {
+    val p = plan("seq_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing collapsed to a single partition")
+  }
+
+  test("doc_chunks is scan → explode with no mid-plan shuffle") {
+    val p = plan("doc_chunks")
+    // exactly the presentation-sort exchange, nothing upstream of Generate
+    val n = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Exchange rangepartitioning"))
+    assert(n == 0, s"unexpected shuffle in doc_chunks:\n$p")
+  }
+}
