@@ -64,7 +64,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * matrix, cluster_log_detectors fans a station dimension over days.
     * The build side is bounded by the dimension, never by the corpus. */
   private val boundedDimBroadcasts =
-    Set("ann_ivf", "embedding_topk", "distance_matrix",
+    Set("ann_ivf", "ann_ivf_trained", "embedding_topk", "distance_matrix",
       "cluster_log_detectors")
 
   test("no headline query contains an unbounded cartesian product") {
