@@ -50,8 +50,30 @@ object Relational {
     "q17_in_subq"       -> q17InSubq _,
     "q18_cube"          -> q18Cube _,
     "q19_percentile"    -> q19Percentile _,
-    "q20_pivot"         -> q20Pivot _
+    "q20_pivot"         -> q20Pivot _,
+    "q21_range_window"  -> q21RangeWindow _
   )
+
+  /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
+    * 10-minute event count + fixed-point value sum over the nanosecond
+    * event-time axis — the telemetry "rate over trailing window" shape
+    * where the frame is TIME, not row count, so bursts and gaps weigh
+    * correctly. One shuffle on the station key; the frame scan is a
+    * per-partition two-pointer pass, never quadratic. */
+  private def q21RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val tenMinNs = 600000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-tenMinNs, 0L)
+    Tables.events(s, dir)
+      // µs-truncate: DuckDB reads the ns parquet as µs TIMESTAMP
+      .select(col("user_id"), col("event_id"),
+        (expr("ts div 1000") * 1000).as("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v100"))
+      .withColumn("cnt_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", round(sum("v100").over(w) / 100.0, 4))
+      .select("user_id", "event_id", "ts", "cnt_10m", "sum_10m")
+      .orderBy("user_id", "ts", "event_id")
+  }
 
   /** Pivot (long → wide): order counts by priority with one column per
     * order status. The status domain is declared (`pivot(col, values)`),
@@ -424,6 +446,17 @@ object Relational {
         |  p_brand || '|' || p_type AS brand_type,
         |  replace(p_type, ' ', '_') AS type_u
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q21_range_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts, value FROM events)
+        |SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS cnt_10m,
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+        |    / 100.0, 4) AS sum_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
