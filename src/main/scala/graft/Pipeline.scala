@@ -803,17 +803,23 @@ object Pipeline {
   private def ivfSearch(all: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("_cs").desc, col("cell"))
+    // rank over BARE (vec_id, cell, score) rows — the 64-dim payload
+    // stays out of the rank shuffle and re-attaches by id afterwards
+    // (the same shuffle-volume move as the LSH candidate front)
     val ranked = all.join(broadcast(cents))
       .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
+      .select("vec_id", "cell", "_cs")
       .withColumn("rk", row_number().over(w))
     val posted = ranked.filter(col("rk") <= IvfPost)
-      .select(col("cell"), col("vec_id").as("nn_id"), col("v").as("vb"),
-        col("nrm").as("nb"))
+      .select(col("cell"), col("vec_id").as("nn_id"))
     val probes = ranked.filter(col("rk") <= IvfProbes)
-      .select(col("cell"), col("vec_id"), col("v").as("va"),
-        col("nrm").as("na"))
+      .select("cell", "vec_id")
+    val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
     probes.join(posted, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_id"))
+      .join(a, Seq("vec_id")).join(b, Seq("nn_id"))
       .withColumn("nn_cosine", expr(cosExpr))
       .groupBy("vec_id")
       .agg(max_by(struct(col("nn_id"), col("nn_cosine")),
