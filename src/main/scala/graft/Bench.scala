@@ -65,10 +65,25 @@ object Bench {
     } catch { case _: Throwable => () } // read-only checkout: stdout still has it
     println(full)
     // LAST line = the driver-parsed one; keep it inside the tail window
-    // (2000 chars minus sbt's ~70-char success trailer).
-    def compact(dp: Int) =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qsLine(dp)},"sf":"${new java.io.File(sfDir).getName}"}"""
-    val line = { val l2 = compact(2); if (l2.length <= 1900) l2 else compact(1) }
+    // (2000 chars minus sbt's ~70-char success trailer). Precision drops
+    // 2dp → 1dp if the map grows; if even that overflows, the map keeps
+    // only the slowest 40 queries plus a truncation marker — a parseable
+    // partial map beats an unparseable full one (full record is in
+    // BENCH_FULL.json either way). BenchLineSpec proves the last
+    // fallback always fits.
+    val sfName = new java.io.File(sfDir).getName
+    def compact(dp: Int, keep: Set[String]): String = {
+      val qs = results.filter(r => keep(r._1)).map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) fmt(v, dp) else "-1") }
+        .mkString("{", ",", "}")
+      val trunc = if (keep.size < results.size)
+        s""","truncated":${results.size - keep.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$trunc,"sf":"$sfName"}"""
+    }
+    val allNames = results.map(_._1).toSet
+    val top40 = results.sortBy(-_._2).take(40).map(_._1).toSet
+    val line = Seq(compact(2, allNames), compact(1, allNames),
+      compact(1, top40)).find(_.length <= 1900).get
     println(line)
     spark.stop()
   }
