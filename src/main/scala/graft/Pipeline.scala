@@ -380,6 +380,46 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model quality score — perplexity filtering, the
+    * KenLM-style gate of a pretraining pipeline, self-trained on the
+    * corpus: per-document mean log-probability of its token bigrams under
+    * an add-one-smoothed bigram model estimated from the whole corpus.
+    * Low-probability documents (gibberish, boilerplate soup, wrong-domain
+    * text) score far below the corpus mode.
+    *
+    * 100 TB shape: bigram/unigram counts are ONE token-explode shuffle
+    * each; scoring joins each document's bigrams to the count tables on
+    * the bigram/unigram key (shuffle joins — the model tables are
+    * corpus-vocabulary-sized, deliberately NOT broadcast). Per-document
+    * aggregation sums FIXED-POINT log-probs (round(ln·1e6) as LONG), so
+    * the mean is order-independent and the DuckDB twin is exact. */
+  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+    val bigrams = docs.selectExpr("doc_id",
+      "explode(transform(sequence(1, greatest(size(tk) - 1, 1)), " +
+        "i -> IF(i <= size(tk) - 1, struct(element_at(tk, CAST(i AS INT)) AS w1, " +
+        "element_at(tk, CAST(i + 1 AS INT)) AS w2), NULL))) AS bg")
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val uni = docs.selectExpr("explode(tk) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count()
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .selectExpr("doc_id",
+        s"CAST(round(ln((c2 + CAST(1 AS DOUBLE)) / (c1 + CAST($vocab AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .selectExpr("doc_id", "n_bigrams",
+        "round(CAST(slp AS DOUBLE) / n_bigrams / CAST(1000000 AS DOUBLE), 4) " +
+          "AS avg_logp")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
@@ -1066,6 +1106,7 @@ object Pipeline {
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
+    "bigram_lm"         -> bigramLm _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _
@@ -1344,6 +1385,31 @@ object Pipeline {
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
+        |    tk[CAST(i + 1 AS INT)] AS w2
+        |  FROM d, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln((bi.c2 + CAST(1 AS DOUBLE))
+        |      / (uni.c1 + CAST(v.vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
+        |  FROM bg
+        |  JOIN (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2) bi
+        |    ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+        |  JOIN uni ON bg.w1 = uni.w
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / count(*)
+        |    / CAST(1000000 AS DOUBLE), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,
