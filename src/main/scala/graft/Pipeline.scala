@@ -431,6 +431,218 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ---- corpus quality / safety -------------------------------------------
+
+  /** Token n-gram string array (Spark side): grams of `n` consecutive
+    * tokens joined by a space; EMPTY for documents shorter than n tokens
+    * (same clamp-and-filter move as [[shingleIdx]]). */
+  private def gramsExpr(tk: String, n: Int): String =
+    s"transform(filter(sequence(1, greatest(size($tk) - ${n - 1}, 1)), " +
+      s"i -> i <= size($tk) - ${n - 1}), " +
+      s"i -> array_join(slice($tk, i, $n), ' '))"
+
+  /** Same n-gram array in DuckDB SQL (range end is exclusive; list slice
+    * is inclusive 1-based). */
+  private def gramsDuck(tk: String, n: Int): String =
+    s"list_transform(range(1, greatest(len($tk) - ${n - 2}, 1)), " +
+      s"i -> array_to_string($tk[i:i+${n - 1}], ' '))"
+
+  /** Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): the
+    * fraction of characters inside the most frequent 2-gram and the
+    * fraction of n-gram positions covered by duplicated 3-grams, with the
+    * document flagged when either exceeds its threshold. Thresholds are
+    * calibrated so both rules fire on this corpus (the paper's dup-10-gram
+    * rule is vacuously zero on short synthetic documents — 3-grams carry
+    * the same signal here).
+    *
+    * 100 TB shape: both statistics are computed ENTIRELY within the row
+    * via higher-order functions — no explode, no shuffle, a pure map over
+    * the document scan (the per-row n² gram comparison is bounded by
+    * document token count, not corpus size). */
+  private def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS n_chars", "split(text, ' ') AS tk")
+      .selectExpr("doc_id", "n_chars", "size(tk) AS n_tokens",
+        s"${gramsExpr("tk", 2)} AS g2", s"${gramsExpr("tk", 3)} AS g3")
+      .selectExpr("doc_id", "n_tokens", "n_chars",
+        // chars covered by the top REPEATED 2-gram (count × gram chars);
+        // a document whose 2-grams are all unique scores 0 — the rule
+        // measures repetition, so singletons must not contribute (a long
+        // once-only gram in a short doc would otherwise trip the flag).
+        // Max over count·len is deterministic under count ties.
+        "CAST(coalesce(array_max(transform(g2, " +
+          "g -> IF(size(filter(g2, x -> x = g)) >= 2, " +
+          "size(filter(g2, x -> x = g)) * length(g), 0))), 0) AS BIGINT) " +
+          "AS top2_chars",
+        "CAST(size(g3) AS BIGINT) AS n_3grams",
+        "CAST(size(filter(g3, g -> size(filter(g3, x -> x = g)) >= 2)) " +
+          "AS BIGINT) AS dup3_pos")
+      .selectExpr("doc_id", "n_tokens", "n_chars", "top2_chars",
+        "top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS top2_frac",
+        "n_3grams", "dup3_pos",
+        "dup3_pos / CAST(greatest(n_3grams, 1) AS DOUBLE) AS dup3_frac",
+        "top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.12 " +
+          "OR dup3_pos > 0 AS flagged")
+      .orderBy("doc_id")
+
+  /** Exact-substring window length (chars). Any substring shared between
+    * two documents with length ≥ 2·EsK − 1 is guaranteed detected: the
+    * lower-id document's copy then contains a fully-aligned stride-EsK
+    * anchor window, which equals some stride-1 probe window of the other
+    * document. */
+  final val EsK = 48
+
+  /** Cross-document EXACT substring detection — the dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed as a Spark hash join instead of a distributed
+    * suffix array: the lower-id side contributes stride-EsK ANCHOR windows
+    * (with payload), every document contributes stride-1 PROBE windows
+    * projected to (doc, pos, poly_hash) ONLY, and candidates from the
+    * hash equi-join are verified by re-reading the probe document and
+    * comparing the actual substring — hash collisions cannot produce a
+    * false pair.
+    *
+    * 100 TB shape: the probe side shuffles one (id, pos, hash) row per
+    * character — the inherent cost of exactness at stride 1 (a suffix
+    * array pays the same Θ(corpus) index); widening the probe stride to s
+    * trades that volume for a 2·EsK+s−1 minimum detectable length. The
+    * verify re-join touches only candidate rows, so collision verification
+    * is output-sized, not corpus-sized. */
+  private def exactSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = registered(s, dir).select(col("doc_id"), col("text"))
+    val anchors = docs
+      .selectExpr("doc_id AS doc_a", "text AS ta")
+      .selectExpr("doc_a", "ta",
+        s"explode(filter(sequence(0, greatest(CAST(length(ta) / $EsK AS INT), 1)), " +
+          s"i -> (i + 1) * $EsK <= length(ta))) AS ia")
+      .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
+        s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
+      .withColumn("h", expr("poly_hash(w)"))
+    val probes = docs
+      .selectExpr("doc_id AS doc_b", "text AS tb")
+      .selectExpr("doc_b", "tb",
+        s"explode(filter(sequence(1, greatest(length(tb) - $EsK + 1, 1)), " +
+          s"p -> p <= length(tb) - $EsK + 1)) AS pos_b")
+      .selectExpr("doc_b", "pos_b",
+        s"poly_hash(substring(tb, CAST(pos_b AS INT), $EsK)) AS h")
+    val verified = anchors.join(probes, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(docs.selectExpr("doc_id AS doc_b", "text AS tb"), Seq("doc_b"))
+      .filter(expr(s"substring(tb, CAST(pos_b AS INT), $EsK) = w"))
+    verified.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("pos_a"), col("pos_b"), col("w"))).as("f"))
+      .selectExpr("doc_a", "doc_b", "n_matches",
+        "CAST(f.pos_a AS BIGINT) AS pos_a", "CAST(f.pos_b AS BIGINT) AS pos_b",
+        "f.w AS win")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SemDeDup cosine threshold — matches the corpus's near-duplicate
+    * τ (embedding_neardup / embedding_neardup_lsh use the same 0.3), so
+    * the within-cluster prune is non-vacuous on this embedding table. */
+  final val SemTau = 0.3
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication inside the
+    * cells of the TRAINED coarse quantizer — a vector is dropped when a
+    * lower-id vector in the SAME cell is closer than cos τ (the
+    * deterministic min-id variant of the paper's keep-one-per-ε-ball).
+    *
+    * 100 TB shape: this is the whole point of SemDeDup — the quadratic
+    * similarity test runs per-CELL, not per-corpus; the k-means assignment
+    * is the same broadcast N×K pass as IVF search, and the within-cell
+    * self-join is bounded by (N/K)² per cell. Reuses [[ivfTrainedCents]]
+    * (shared ScanCache entry with ann_ivf_trained). */
+  private def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val assigned = all.join(broadcast(ivfTrainedCents(s, dir)))
+      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("_cs"), -col("cell"))).as("cell"))
+    val m = assigned.join(all, Seq("vec_id"))
+    val a = m.select(col("cell"), col("vec_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("nn_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("nn_id") < col("vec_id"))
+      .filter(expr(s"$cosExpr > $SemTau"))
+      .select("vec_id").distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell", "dup IS NULL AS kept")
+      .orderBy("vec_id")
+  }
+
+  /** Decontamination n-gram length and the deterministic eval-set rule
+    * (doc_id ≡ EvalRes mod EvalMod plays the held-out benchmark). */
+  final val DecontN = 8
+  final val EvalMod = 17L
+  final val EvalRes = 3L
+
+  /** Eval-set decontamination — the n-gram overlap check every training
+    * pipeline runs before a corpus ships (PaLM/GPT-3 style 8-gram rule):
+    * a training document is contaminated when any of its DecontN-gram
+    * hashes appears in the eval set's gram set. Documents shorter than
+    * DecontN tokens have no grams and drop out (both engines agree).
+    *
+    * 100 TB shape: the eval gram set is benchmark-sized (tiny) and
+    * BROADCASTS — the corpus side is one map-side hash probe per gram,
+    * no shuffle of training text at all; the per-doc aggregation groups
+    * on the already-partitioned doc_id. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = registered(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr("doc_id", s"explode(${gramsExpr("tk", DecontN)}) AS g")
+      .selectExpr("doc_id", "poly_hash(g) AS gh")
+    val evalSet = grams.filter(s"doc_id % $EvalMod = $EvalRes")
+      .select("gh").distinct().withColumn("hit", lit(1))
+    grams.filter(s"doc_id % $EvalMod <> $EvalRes")
+      .join(broadcast(evalSet), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .selectExpr("doc_id", "n_grams", "CAST(hits AS BIGINT) AS n_hit",
+        "hits / CAST(n_grams AS DOUBLE) AS contam_frac",
+        "hits > 0 AS contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction: emails, NANP-style phone numbers, and
+    * private-range IPv4 literals, counted and replaced with typed
+    * placeholder tags. The corpus is synthetic prose with no PII, so each
+    * document deterministically injects its own (presence varies by
+    * doc_id residue — absent-PII rows are part of the check); patterns
+    * avoid regex escapes so the Spark (java.util.regex) and DuckDB (RE2)
+    * forms are char-identical.
+    *
+    * 100 TB shape: pure per-row map over the scan — regexp_extract_all /
+    * regexp_replace are codegen'd built-ins, no UDF, no shuffle. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val phone = "[+]1-555-[0-9]{4}"
+    val ip = "10[.][0-9]{1,3}[.]0[.]1"
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "concat(text, " +
+          "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', " +
+          "  CAST(doc_id AS STRING), '@mail.example.com') ELSE '' END, " +
+          "CASE WHEN doc_id % 4 = 1 THEN concat(' call +1-555-', " +
+          "  lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END, " +
+          "CASE WHEN doc_id % 5 = 2 THEN concat(' from 10.', " +
+          "  CAST(doc_id % 256 AS STRING), '.0.1') ELSE '' END) AS t2")
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(t2, '$email', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(t2, '$phone', 0)) AS BIGINT) AS n_phones",
+        s"CAST(size(regexp_extract_all(t2, '$ip', 0)) AS BIGINT) AS n_ips",
+        s"regexp_replace(regexp_replace(regexp_replace(t2, " +
+          s"'$email', '<EMAIL>'), '$phone', '<PHONE>'), '$ip', '<IP>') " +
+          "AS redacted")
+      .selectExpr("doc_id", "n_emails", "n_phones", "n_ips",
+        "CAST(length(redacted) AS BIGINT) AS red_len", "redacted")
+      .orderBy("doc_id")
+  }
+
   // ---- embedding similarity ---------------------------------------------
 
   /** embeddings + double-cast vector and L2 norm. dot_p is the native
@@ -1109,7 +1321,12 @@ object Pipeline {
     "bigram_lm"         -> bigramLm _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
-    "corpus_filter"     -> corpusFilter _
+    "corpus_filter"     -> corpusFilter _,
+    "gopher_repetition" -> gopherRepetition _,
+    "exact_substring"   -> exactSubstring _,
+    "semdedup"          -> semdedup _,
+    "decontaminate"     -> decontaminate _,
+    "pii_scrub"         -> piiScrub _
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1191,6 +1408,109 @@ object Pipeline {
       |    (s, t) -> s + t) / (a.nrm * b.nrm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "gopher_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    string_split(text, ' ') AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         |    ${gramsDuck("tk", 2)} AS g2,
+         |    ${gramsDuck("tk", 3)} AS g3
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, n_tokens, n_chars,
+         |    CAST(coalesce(list_max(list_transform(g2,
+         |      g -> CASE WHEN len(list_filter(g2, x -> x = g)) >= 2
+         |        THEN len(list_filter(g2, x -> x = g)) * length(g)
+         |        ELSE 0 END)), 0)
+         |      AS BIGINT) AS top2_chars,
+         |    CAST(len(g3) AS BIGINT) AS n_3grams,
+         |    CAST(len(list_filter(g3,
+         |      g -> len(list_filter(g3, x -> x = g)) >= 2)) AS BIGINT)
+         |      AS dup3_pos
+         |  FROM g)
+         |SELECT doc_id, n_tokens, n_chars, top2_chars,
+         |  top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS top2_frac,
+         |  n_3grams, dup3_pos,
+         |  dup3_pos / CAST(greatest(n_3grams, 1) AS DOUBLE) AS dup3_frac,
+         |  top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.12
+         |    OR dup3_pos > 0 AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "exact_substring" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |a AS (
+         |  SELECT doc_id AS doc_a, CAST(i * $EsK + 1 AS BIGINT) AS pos_a,
+         |    substr(text, CAST(i * $EsK + 1 AS INT), $EsK) AS w
+         |  FROM d, LATERAL unnest(range(0,
+         |    greatest((length(text) - $EsK) // $EsK + 1, 0))) AS u(i)
+         |  WHERE length(text) >= $EsK),
+         |p AS (
+         |  SELECT doc_id AS doc_b, CAST(i AS BIGINT) AS pos_b,
+         |    substr(text, CAST(i AS INT), $EsK) AS w
+         |  FROM d, LATERAL unnest(range(1,
+         |    greatest(length(text) - $EsK + 2, 1))) AS u(i)
+         |  WHERE length(text) >= $EsK),
+         |mm AS (
+         |  SELECT a.doc_a, p.doc_b, a.pos_a, p.pos_b, a.w
+         |  FROM a JOIN p ON a.w = p.w AND a.doc_a < p.doc_b),
+         |gg AS (
+         |  SELECT doc_a, doc_b, count(*) AS n_matches
+         |  FROM mm GROUP BY doc_a, doc_b),
+         |f AS (
+         |  SELECT doc_a, doc_b, pos_a, pos_b, w,
+         |    row_number() OVER (PARTITION BY doc_a, doc_b
+         |      ORDER BY pos_a, pos_b, w) AS rk
+         |  FROM mm)
+         |SELECT gg.doc_a, gg.doc_b, gg.n_matches,
+         |  f.pos_a, f.pos_b, f.w AS win
+         |FROM gg JOIN f ON gg.doc_a = f.doc_a AND gg.doc_b = f.doc_b
+         |  AND f.rk = 1
+         |ORDER BY gg.doc_a, gg.doc_b""".stripMargin,
+    "semdedup" -> semdedupOracle,
+    "decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${charFoldDuck("g")} AS gh FROM (
+         |    SELECT doc_id, unnest(${gramsDuck("tk", DecontN)}) AS g
+         |    FROM t)),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $EvalMod = $EvalRes),
+         |tr AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM g LEFT JOIN ev ON g.gh = ev.gh
+         |  WHERE g.doc_id % $EvalMod <> $EvalRes GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_hit,
+         |  n_hit / CAST(n_grams AS DOUBLE) AS contam_frac,
+         |  n_hit > 0 AS contaminated
+         |FROM tr ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+        |      CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 1 THEN concat(' call +1-555-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 2 THEN concat(' from 10.',
+        |      CAST(doc_id % 256 AS VARCHAR), '.0.1') ELSE '' END) AS t2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t2,
+        |    regexp_replace(regexp_replace(regexp_replace(t2,
+        |      '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[+]1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '10[.][0-9]{1,3}[.]0[.]1', '<IP>', 'g') AS redacted
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[a-z0-9]+@[a-z0-9.]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[+]1-555-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, '10[.][0-9]{1,3}[.]0[.]1'))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(length(redacted) AS BIGINT) AS red_len, redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
          |  length(text) AS n_bytes,
@@ -1728,14 +2048,41 @@ object Pipeline {
          |    FROM s$t GROUP BY cell))""".stripMargin
   }
 
-  private def annIvfTrainedOracle: String =
+  /** Trained-quantizer CTEs through `cents` — shared by the
+    * ann_ivf_trained and semdedup oracles. */
+  private def ivfTrainedCentsCtes: String =
     s"""$vecsCte,
        |c0 AS (
          |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
          |  WHERE vec_id < $IvfCells),
          |${(1 to IvfIters).map(ivfIterSql).mkString(",\n")},
-         |cents AS (SELECT cell, cv, cn FROM c$IvfIters),
-         |$ivfSearchSql""".stripMargin
+         |cents AS (SELECT cell, cv, cn FROM c$IvfIters)""".stripMargin
+
+  private def annIvfTrainedOracle: String =
+    s"""$ivfTrainedCentsCtes,
+       |$ivfSearchSql""".stripMargin
+
+  /** semdedup oracle: trained cents → min-id-wins assignment (the same
+    * fold/tiebreak as Spark's max_by) → within-cell lower-id cos prune. */
+  private def semdedupOracle: String =
+    s"""$ivfTrainedCentsCtes,
+       |asn AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cents.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${ivfDotFold("cents.cv")} / (n.nrm * cents.cn) DESC,
+       |        cents.cell) AS ark
+       |    FROM n, cents) WHERE ark = 1),
+       |m AS (
+       |  SELECT asn.vec_id, asn.cell, n.v, n.nrm
+       |  FROM asn JOIN n USING (vec_id)),
+       |d AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id
+       |  FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE $cosDuck > $SemTau)
+       |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
+       |FROM m LEFT JOIN d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 
   /** Shared LSH candidate CTEs (through `cand`) — the SQL twin of
     * [[annCandidates]], used by the ann_lsh_multi and

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus quality / safety operators (Gopher repetition rules, exact
+  * substring detection, SemDeDup, decontamination, PII scrub) on crafted
+  * fixtures where the expected verdicts are known by construction. */
+class CorpusSafetySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Write a crafted documents table (and optionally embeddings) to a
+    * temp dir shaped like the driver's sf dirs. */
+  private def fixture(docs: Seq[(Long, String)],
+                      vecs: Seq[(Long, Seq[Float])] = Nil): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("safety").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    if (vecs.nonEmpty)
+      vecs.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding",
+          "CAST(0 AS INT) AS label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("gopher_repetition: repeated 2-/3-grams flag, diverse text passes") {
+    val dir = fixture(Seq(
+      (1L, "a b a b a b"),             // top2 'a b'×3 ⇒ 9/11 chars; dup 3-grams
+      (2L, "one two three four five"), // all grams unique
+      (3L, "x")))                      // too short for any gram
+    val rows = run("gopher_repetition", dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(3) == 9L)        // top2_chars = 3 × len("a b")
+    assert(rows(1L).getLong(6) == 4L)        // all four 3-gram slots duplicated
+    assert(rows(1L).getBoolean(8))
+    assert(rows(2L).getLong(6) == 0L && !rows(2L).getBoolean(8))
+    assert(rows(3L).getLong(3) == 0L && rows(3L).getLong(5) == 0L
+      && !rows(3L).getBoolean(8))
+  }
+
+  test("exact_substring: shared run ≥ 2K−1 is always found, and verified") {
+    val k = Pipeline.EsK
+    val rnd = new scala.util.Random(7L)
+    def blob(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(2 * k - 1) // minimum guaranteed-detectable length
+    // plant at misaligned offsets inside otherwise-unrelated noise
+    val docs = Seq(
+      (10L, blob(31) + shared + blob(17)),
+      (20L, blob(5) + shared + blob(40)),
+      (30L, blob(200))) // control: no shared window
+    val dir = fixture(docs)
+    val rows = run("exact_substring", dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(rows.keySet == Set((10L, 20L)))
+    val (n, posA, posB, win) = rows((10L, 20L))
+    assert(n >= 1L)
+    val byId = docs.toMap
+    assert(byId(10L).substring(posA.toInt - 1, posA.toInt - 1 + k) == win)
+    assert(byId(20L).substring(posB.toInt - 1, posB.toInt - 1 + k) == win)
+  }
+
+  test("decontaminate: a training doc lifting an eval passage is caught") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (3L, evalText),                              // 3 % 17 = 3 ⇒ eval set
+      (1L, "clean words only nothing shared here at all with anyone else"),
+      (2L, "prefix " + evalText + " suffix"))      // lifts ≥8 eval tokens
+    val rows = run("decontaminate", fixture(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.keySet == Set(1L, 2L))             // eval doc excluded
+    assert(rows(1L) == ((0L, false)))
+    assert(rows(2L)._1 > 0L && rows(2L)._2)
+  }
+
+  test("semdedup: an identical lower-id twin drops the copy, one survivor") {
+    val rnd = new scala.util.Random(11L)
+    def unit(): Seq[Float] = {
+      val v = Seq.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 24 distinct random vectors (cos ≈ 0 pairwise at d=64 ≫ τ misses)
+    // plus exact duplicates of ids 0 and 5 at high ids
+    val base = (0L until 24L).map(i => i -> unit())
+    val vecs = base ++ Seq(100L -> base(0)._2, 101L -> base(5)._2)
+    val dir = fixture(Seq((1L, "x")), vecs)
+    val rows = run("semdedup", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == vecs.size)
+    assert(!rows(100L)._2 && !rows(101L)._2)       // copies dropped…
+    assert(rows(0L)._2 && rows(5L)._2)             // …originals kept
+    assert(rows(100L)._1 == rows(0L)._1)           // same cell as the twin
+    assert(rows(101L)._1 == rows(5L)._1)
+  }
+
+  test("pii_scrub: counts match injection residues and nothing leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = run("pii_scrub", dir).collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 1L else 0L), s"email $id")
+      assert(r.getLong(2) == (if (id % 4 == 1) 1L else 0L), s"phone $id")
+      assert(r.getLong(3) == (if (id % 5 == 2) 1L else 0L), s"ip $id")
+      val red = r.getString(5)
+      assert(!red.contains("@mail.example.com") && !red.contains("+1-555-"))
+      if (id % 3 == 0) assert(red.contains("<EMAIL>"))
+      if (id % 4 == 1) assert(red.contains("<PHONE>"))
+      if (id % 5 == 2) assert(red.contains("<IP>"))
+    }
+  }
+}

@@ -65,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * The build side is bounded by the dimension, never by the corpus. */
   private val boundedDimBroadcasts =
     Set("ann_ivf", "ann_ivf_trained", "embedding_topk", "distance_matrix",
-      "cluster_log_detectors")
+      "cluster_log_detectors", "semdedup")
 
   test("no headline query contains an unbounded cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -144,6 +144,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("seq_pack")
     assert(!p.contains("Exchange SinglePartition"),
       "packing collapsed to a single partition")
+  }
+
+  test("gopher_repetition and pii_scrub are pure map passes") {
+    // both compute per-row; the only exchange allowed is the
+    // presentation sort's range partitioning
+    for (n <- Seq("gopher_repetition", "pii_scrub")) {
+      val p = plan(n)
+      val bad = p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Exchange rangepartitioning"))
+      assert(bad == 0, s"unexpected shuffle in $n:\n$p")
+    }
+  }
+
+  test("decontaminate probes the eval gram set by broadcast") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "eval set fell out of the broadcast — corpus grams would shuffle")
+  }
+
+  test("exact_substring ships bare (id, pos, hash) probes into the join") {
+    // the corpus-volume probe side must enter its shuffle WITHOUT the
+    // document text; text may only rejoin for candidate verification
+    val shuffles = physical("exact_substring").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    val probeShuffles = shuffles.filter(_.output.exists(_.name == "pos_b"))
+    assert(probeShuffles.nonEmpty, "probe side lost its shuffle audit hook")
+    assert(probeShuffles.forall(!_.output.exists(a =>
+        a.name == "tb" || a.name == "text")),
+      "probe shuffle carries document text — stride-1 volume × text size")
   }
 
   test("doc_chunks is scan → explode with no mid-plan shuffle") {
