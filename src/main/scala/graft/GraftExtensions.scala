@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ParseHitPayload, PolyHash, SimHashSig}
+import graft.functions.{DotProduct, ParseHitPayload, PolyHash, PolyHashWindows, SimHashSig}
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_p"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_p"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash_windows"),
+      new ExpressionInfo(classOf[PolyHashWindows].getName, "poly_hash_windows"),
+      (children: Seq[Expression]) =>
+        PolyHashWindows(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("parse_hit_payload"),
       new ExpressionInfo(classOf[ParseHitPayload].getName, "parse_hit_payload"),

@@ -25,6 +25,7 @@ object Pipeline {
   /** documents with the native poly_hash function registered. */
   private def registered(s: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(s)
+    graft.functions.PolyHashWindows.register(s)
     graft.functions.JaccardSorted.register(s)
     graft.functions.MinHashSig.register(s)
     graft.functions.SimHashSig.register(s)
@@ -254,9 +255,12 @@ object Pipeline {
     val w = 4  // winnowing window
     registered(s, dir)
       .selectExpr("doc_id",
-        // rolling k-gram hashes: poly fold of each 8-char substring
-        s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
-          s"i -> poly_hash(substring(text, cast(i AS int), $k))) AS kg")
+        // rolling k-gram hashes in one O(len) pass (same values as the
+        // per-substring poly_hash fold — PolyHashWindowsSpec pins it);
+        // sub-k documents keep the legacy whole-text hash the oracle's
+        // clamped range produces
+        s"CASE WHEN length(text) >= $k THEN poly_hash_windows(text, $k) " +
+          "ELSE array(poly_hash(text)) END AS kg")
       .selectExpr("doc_id",
         s"array_distinct(transform(sequence(1, greatest(size(kg) - ${w - 1}, 1)), " +
           s"j -> array_min(slice(kg, cast(j AS int), $w)))) AS fps")
@@ -518,13 +522,13 @@ object Pipeline {
       .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
         s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
       .withColumn("h", expr("poly_hash(w)"))
+    // stride-1 probes via the ROLLING kernel: one O(len) pass per doc
+    // (poly_hash_windows(s,k)[i] == poly_hash(substring(s,i+1,k)), so the
+    // hash-join keys agree with the anchor side's per-window folds)
     val probes = docs
-      .selectExpr("doc_id AS doc_b", "text AS tb")
-      .selectExpr("doc_b", "tb",
-        s"explode(filter(sequence(1, greatest(length(tb) - $EsK + 1, 1)), " +
-          s"p -> p <= length(tb) - $EsK + 1)) AS pos_b")
-      .selectExpr("doc_b", "pos_b",
-        s"poly_hash(substring(tb, CAST(pos_b AS INT), $EsK)) AS h")
+      .selectExpr("doc_id AS doc_b",
+        s"posexplode(poly_hash_windows(text, $EsK)) AS (p0, h)")
+      .selectExpr("doc_b", "p0 + 1 AS pos_b", "h")
     val verified = anchors.join(probes, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .join(docs.selectExpr("doc_id AS doc_b", "text AS tb"), Seq("doc_b"))
