@@ -659,7 +659,14 @@ object Pipeline {
     * the cast + norm pass runs once per Verify/Bench session. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"vecs:$dir") {
-      registeredVecs(s, dir).selectExpr(
+      // spread BEFORE the persist: the driver's single-row-group parquet
+      // would otherwise pin every downstream N×K scoring pass and
+      // candidate join to one core (one tiny exchange here, paid once per
+      // session, parallelizes the whole similarity family; on a real
+      // multi-file corpus the scan arrives pre-split and this is a no-op
+      // cost — the shuffle ships each vector exactly once, far below the
+      // K-fold scoring work it unlocks)
+      registeredVecs(s, dir).repartition(col("vec_id")).selectExpr(
         "vec_id",
         "cast(embedding AS array<double>) AS v")
         .selectExpr("vec_id", "v", "sqrt(dot_p(v, v)) AS nrm")
@@ -1022,8 +1029,22 @@ object Pipeline {
         "size(array_distinct(toks)) AS n_unique")
       .orderBy("doc_id")
 
-  /** IVF coarse-quantizer cells for ann_ivf. */
+  /** IVF coarse-quantizer cell floor (the cell count at sf0.01 and
+    * below, where the measured recall numbers were taken). */
   final val IvfCells = 16
+  /** Target posting-list size: cells scale as ~n/64 so the per-cell
+    * candidate join stays CONSTANT-sized as the corpus grows — a fixed
+    * cell count makes total candidates N²·post·probes/K, i.e. quadratic
+    * (measured: 16 cells at N=5000 ⇒ 12.5 M cosine evaluations where
+    * 128 cells ⇒ 1.6 M). Same corpus-adaptive move as [[annBits]]. */
+  final val IvfBucketTarget = 64L
+  final val IvfMaxCells = 4096
+  /** Smallest power-of-two cell count ≥ 16 with expected bucket ≤
+    * IvfBucketTarget; the oracle computes the identical ladder in SQL
+    * ([[ivfCellsCase]]). */
+  def ivfCellsFor(n: Long): Int =
+    (0 to 8).map(16 << _)
+      .find(c => n <= c * IvfBucketTarget).getOrElse(IvfMaxCells)
   /** Probed cells per query vector (multi-probe recall lever). */
   final val IvfProbes = 4
   /** Cells each vector is POSTED to (multi-assignment recall lever —
@@ -1047,7 +1068,7 @@ object Pipeline {
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"ann-ivf:$dir") {
       val all = vecs(s, dir)
-      val cents = all.filter(col("vec_id") < IvfCells)
+      val cents = all.filter(col("vec_id") < ivfCellsFor(all.count()))
         .select(col("vec_id").as("cell"), col("v").as("cv"),
           col("nrm").as("cn"))
       ivfSearch(all, cents)
@@ -1103,7 +1124,7 @@ object Pipeline {
   private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"ivf-trained-cents:$dir") {
       val all = vecs(s, dir)
-      var cents = all.filter(col("vec_id") < IvfCells)
+      var cents = all.filter(col("vec_id") < ivfCellsFor(all.count()))
         .select(col("vec_id").as("cell"), col("v").as("cv"),
           col("nrm").as("cn"))
       for (_ <- 1 to IvfIters) {
@@ -2016,11 +2037,24 @@ object Pipeline {
          |SELECT vec_id, nn_id, nn_cosine FROM r2
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  /** The [[ivfCellsFor]] ladder in SQL (0 to 7 then the cap — the i = 8
+    * rung and the ELSE coincide at IvfMaxCells). */
+  private def ivfCellsCase: String =
+    (0 to 7).map(16 << _)
+      .map(c => s"WHEN cnt <= ${c * IvfBucketTarget} THEN $c")
+      .mkString("CASE ", " ", s" ELSE $IvfMaxCells END")
+
+  private def ivfPrmCte: String =
+    s"""prm AS (
+       |  SELECT ($ivfCellsCase) AS cells
+       |  FROM (SELECT count(*) AS cnt FROM n))""".stripMargin
+
   private def annIvfOracle: String =
     s"""$vecsCte,
+       |$ivfPrmCte,
        |cents AS (
          |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id < $IvfCells),
+         |  WHERE vec_id < (SELECT cells FROM prm)),
          |$ivfSearchSql""".stripMargin
 
   /** One Lloyd round in SQL: assignment (same fold/tiebreak as Spark's
@@ -2056,9 +2090,10 @@ object Pipeline {
     * ann_ivf_trained and semdedup oracles. */
   private def ivfTrainedCentsCtes: String =
     s"""$vecsCte,
+       |$ivfPrmCte,
        |c0 AS (
          |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id < $IvfCells),
+         |  WHERE vec_id < (SELECT cells FROM prm)),
          |${(1 to IvfIters).map(ivfIterSql).mkString(",\n")},
          |cents AS (SELECT cell, cv, cn FROM c$IvfIters)""".stripMargin
 
