@@ -496,6 +496,16 @@ object Pipeline {
     * document. */
   final val EsK = 48
 
+  /** Boilerplate guard for the exact-substring join: an anchor window
+    * present in more than this many distinct documents is excluded —
+    * its candidate pairs grow quadratically in document frequency (the
+    * classic hot-key blowup: a license header shared by 1 M documents is
+    * 10¹² join rows), and "which documents share boilerplate" is
+    * [[boilerplateNgrams]]'s job, not pair detection's. Grouped by the
+    * window STRING, not its hash, so a hash collision can't push a
+    * near-cap window over the edge in one engine only. */
+  final val EsDocCap = 64
+
   /** Cross-document EXACT substring detection — the dedup signal of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"), re-expressed as a Spark hash join instead of a distributed
@@ -511,7 +521,9 @@ object Pipeline {
     * array pays the same Θ(corpus) index); widening the probe stride to s
     * trades that volume for a 2·EsK+s−1 minimum detectable length. The
     * verify re-join touches only candidate rows, so collision verification
-    * is output-sized, not corpus-sized. */
+    * is output-sized, not corpus-sized. Anchor windows in more than
+    * [[EsDocCap]] distinct documents are excluded as boilerplate before
+    * the join — see the cap's scaladoc for the quadratic-hot-key rationale. */
   private def exactSubstring(s: SparkSession, dir: String): DataFrame = {
     val docs = registered(s, dir).select(col("doc_id"), col("text"))
     val anchors = docs
@@ -522,6 +534,9 @@ object Pipeline {
       .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
         s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
       .withColumn("h", expr("poly_hash(w)"))
+    val boiler = anchors.groupBy("w")
+      .agg(countDistinct("doc_a").as("df"))
+      .filter(col("df") > EsDocCap).select("w")
     // stride-1 probes via the ROLLING kernel: one O(len) pass per doc
     // (poly_hash_windows(s,k)[i] == poly_hash(substring(s,i+1,k)), so the
     // hash-join keys agree with the anchor side's per-window folds)
@@ -529,7 +544,8 @@ object Pipeline {
       .selectExpr("doc_id AS doc_b",
         s"posexplode(poly_hash_windows(text, $EsK)) AS (p0, h)")
       .selectExpr("doc_b", "p0 + 1 AS pos_b", "h")
-    val verified = anchors.join(probes, Seq("h"))
+    val verified = anchors.join(boiler, Seq("w"), "left_anti")
+      .join(probes, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .join(docs.selectExpr("doc_id AS doc_b", "text AS tb"), Seq("doc_b"))
       .filter(expr(s"substring(tb, CAST(pos_b AS INT), $EsK) = w"))
@@ -1469,6 +1485,13 @@ object Pipeline {
          |  FROM d, LATERAL unnest(range(0,
          |    greatest((length(text) - $EsK) // $EsK + 1, 0))) AS u(i)
          |  WHERE length(text) >= $EsK),
+         |boil AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(DISTINCT doc_a) AS df FROM a GROUP BY w)
+         |  WHERE df > $EsDocCap),
+         |a2 AS (
+         |  SELECT a.* FROM a LEFT JOIN boil ON a.w = boil.w
+         |  WHERE boil.w IS NULL),
          |p AS (
          |  SELECT doc_id AS doc_b, CAST(i AS BIGINT) AS pos_b,
          |    substr(text, CAST(i AS INT), $EsK) AS w
@@ -1476,8 +1499,8 @@ object Pipeline {
          |    greatest(length(text) - $EsK + 2, 1))) AS u(i)
          |  WHERE length(text) >= $EsK),
          |mm AS (
-         |  SELECT a.doc_a, p.doc_b, a.pos_a, p.pos_b, a.w
-         |  FROM a JOIN p ON a.w = p.w AND a.doc_a < p.doc_b),
+         |  SELECT a2.doc_a, p.doc_b, a2.pos_a, p.pos_b, a2.w
+         |  FROM a2 JOIN p ON a2.w = p.w AND a2.doc_a < p.doc_b),
          |gg AS (
          |  SELECT doc_a, doc_b, count(*) AS n_matches
          |  FROM mm GROUP BY doc_a, doc_b),

@@ -73,6 +73,22 @@ class CorpusSafetySpec extends AnyFunSuite {
     assert(byId(20L).substring(posB.toInt - 1, posB.toInt - 1 + k) == win)
   }
 
+  test("exact_substring: a window shared by > EsDocCap docs is boilerplate") {
+    val k = Pipeline.EsK
+    val rnd = new scala.util.Random(13L)
+    def blob(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // blob(60) at offset 0 in every doc: the aligned 1..48 anchor window
+    // is identical across docs (df = n docs > cap ⇒ excluded) and the
+    // 49..96 window is 12 shared + 36 per-doc random chars, so no OTHER
+    // genuine 48-char overlap exists to report
+    val shared = blob(60)
+    val docs = (1L to (Pipeline.EsDocCap + 6L)).map(i => i -> (shared + blob(60)))
+    assert(run("exact_substring", fixture(docs)).count() == 0L)
+    // below the cap the same construction reports every ordered pair
+    val few = (1L to 5L).map(i => i -> docs(i.toInt - 1)._2)
+    assert(run("exact_substring", fixture(few)).count() == 10L)
+  }
+
   test("decontaminate: a training doc lifting an eval passage is caught") {
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
