@@ -108,43 +108,7 @@ object Pipeline {
     * connected components. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
-      .persist()
-    // edges carry both directions, so distinct src covers every touched
-    // node; the propagation state never exceeds 2×|pairs| rows.
-    var persisted = edges.select(col("src").as("node"))
-      .distinct().withColumn("lbl", col("node")).persist()
-    var lbl = persisted
-    var changed = 1L
-    var rounds = 0
-    // diameter bound: near-dup chains are shallow, but a deeper graph
-    // must fail loudly below, never return an unconverged labeling
-    val maxRounds = 25
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(lbl, edges("src") === lbl("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      // change detection rides INSIDE the round's aggregation: every node
-      // has exactly one row in lbl (prop targets are edge nodes), so
-      // min(old) recovers the previous label without a second join/action
-      val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
-        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
-        .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
-        .persist()
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      persisted.unpersist()
-      persisted = next
-      lbl = next.select("node", "lbl")
-      rounds += 1
-    }
-    edges.unpersist()
-    System.err.println(s"dedupClusters: converged in $rounds rounds")
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"dedupClusters: min-label propagation still moving after " +
-          s"$maxRounds rounds (component diameter > $maxRounds) — " +
-          "refusing to return an unconverged keeper labeling")
+    val lbl = minLabelComponents(pairs)
     // no broadcast hint: in a real web corpus the near-dup node set can
     // be a large fraction of the corpus — let AQE pick the join side
     registered(s, dir).select(col("doc_id"))
@@ -153,6 +117,63 @@ object Pipeline {
         coalesce(col("lbl"), col("doc_id")).as("keeper"),
         coalesce(col("doc_id") =!= col("lbl"), lit(false)).as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected pair list by min-label
+    * propagation WITH pointer jumping: each round a node takes the
+    * minimum of its neighbors' labels (one edge step) AND its label's
+    * label (the doubling step — distance to the component minimum
+    * halves), so convergence is O(log diameter), not O(diameter): 25
+    * rounds cover any graph a real corpus can produce (2^25 diameter).
+    * State stays (node, lbl) rows — no driver-side graph; still fails
+    * loudly rather than return an unconverged labeling. Returns one
+    * (node, lbl) row per touched node, lbl = component minimum. */
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.toDF("doc_a", "doc_b")
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // edges carry both directions, so distinct src covers every touched
+    // node; the propagation state never exceeds 2×|pairs| rows.
+    var lbl = edges.select(col("src").as("node"))
+      .distinct().withColumn("lbl", col("node"))
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 25
+    while (changed > 0 && rounds < maxRounds) {
+      val prop = edges.join(lbl, edges("src") === lbl("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      // pointer jump: labels are always node ids of the same component,
+      // so the inner self-join is total
+      val ptr = lbl.join(
+          lbl.select(col("node").as("pnode"), col("lbl").as("plbl")),
+          col("lbl") === col("pnode"))
+        .select(col("node"), col("plbl").as("lbl"))
+      // change detection rides INSIDE the round's aggregation: every node
+      // has exactly one row in lbl (prop targets are edge nodes), so
+      // min(old) recovers the previous label without a second join/action.
+      // localCheckpoint (eager) TRUNCATES LINEAGE: the round's plan
+      // references the previous round three times, so without truncation
+      // the logical tree grows 3^rounds and the driver, not the data,
+      // becomes the bottleneck.
+      val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
+        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
+        .unionByName(ptr.withColumn("old", lit(Long.MaxValue)))
+        .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      lbl = next.select("node", "lbl")
+      rounds += 1
+    }
+    edges.unpersist()
+    System.err.println(s"minLabelComponents: converged in $rounds rounds")
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"minLabelComponents: still moving after $maxRounds doubling " +
+          "rounds (diameter > 2^25) — refusing to return an unconverged " +
+          "labeling")
+    lbl
   }
 
   /** Deterministic content-hash sampling — the reproducible corpus

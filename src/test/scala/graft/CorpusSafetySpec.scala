@@ -123,6 +123,20 @@ class CorpusSafetySpec extends AnyFunSuite {
     assert(rows(101L)._1 == rows(5L)._1)
   }
 
+  test("minLabelComponents: a 300-link chain converges (doubling rounds)") {
+    import spark.implicits._
+    // diameter 300 ≫ the 25-round budget: only the pointer-jumping
+    // doubling step can converge this inside the cap — plain one-edge
+    // min-label propagation would fail loudly at round 25
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val other = Seq((1000L, 1001L), (1001L, 1002L))
+    val lbl = Pipeline.minLabelComponents((chain ++ other).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == 304)
+    assert((0L to 300L).forall(lbl(_) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(lbl(_) == 1000L))
+  }
+
   test("pii_scrub: counts match injection residues and nothing leaks") {
     val dir = "/root/testdata/sf0.001"
     val rows = run("pii_scrub", dir).collect()
