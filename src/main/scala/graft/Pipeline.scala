@@ -167,7 +167,6 @@ object Pipeline {
       rounds += 1
     }
     edges.unpersist()
-    System.err.println(s"minLabelComponents: converged in $rounds rounds")
     if (changed > 0)
       throw new IllegalStateException(
         s"minLabelComponents: still moving after $maxRounds doubling " +
@@ -429,13 +428,17 @@ object Pipeline {
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
     val uni = docs.selectExpr("explode(tk) AS w")
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.count()
+    // vocab rides a broadcast single-row aggregate (the bm25 stats
+    // shape) — an eager uni.count() here would run a full corpus job at
+    // plan-CONSTRUCTION time, even for explain-only callers
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     bigrams
       .join(bi, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .selectExpr("doc_id",
-        s"CAST(round(ln((c2 + CAST(1 AS DOUBLE)) / (c1 + CAST($vocab AS DOUBLE))) " +
+        "CAST(round(ln((c2 + CAST(1 AS DOUBLE)) / (c1 + CAST(vocab AS DOUBLE))) " +
           "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
@@ -473,12 +476,14 @@ object Pipeline {
       s"i -> array_to_string($tk[i:i+${n - 1}], ' '))"
 
   /** Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): the
-    * fraction of characters inside the most frequent 2-gram and the
-    * fraction of n-gram positions covered by duplicated 3-grams, with the
-    * document flagged when either exceeds its threshold. Thresholds are
-    * calibrated so both rules fire on this corpus (the paper's dup-10-gram
-    * rule is vacuously zero on short synthetic documents — 3-grams carry
-    * the same signal here).
+    * fraction of characters inside the most frequent REPEATED 2-gram
+    * (flag above 0.12) and duplicated 3-grams (ANY duplicated 3-gram
+    * flags — dup3_frac is reported as a diagnostic, not thresholded).
+    * Both calibrated so the rules fire on this corpus (the paper's
+    * dup-10-gram rule is vacuously zero on short synthetic documents —
+    * 3-grams carry the same signal here). The streaming mirror is
+    * `StreamingSafetyGate.repetitionFlagged`; change all three
+    * implementations (Spark, oracle SQL, Scala) together.
     *
     * 100 TB shape: both statistics are computed ENTIRELY within the row
     * via higher-order functions — no explode, no shuffle, a pure map over
@@ -547,14 +552,19 @@ object Pipeline {
     * the join — see the cap's scaladoc for the quadratic-hot-key rationale. */
   private def exactSubstring(s: SparkSession, dir: String): DataFrame = {
     val docs = registered(s, dir).select(col("doc_id"), col("text"))
-    val anchors = docs
-      .selectExpr("doc_id AS doc_a", "text AS ta")
-      .selectExpr("doc_a", "ta",
-        s"explode(filter(sequence(0, greatest(CAST(length(ta) / $EsK AS INT), 1)), " +
-          s"i -> (i + 1) * $EsK <= length(ta))) AS ia")
-      .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
-        s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
-      .withColumn("h", expr("poly_hash(w)"))
+    // persisted per session: the anchor scan feeds both the boilerplate
+    // df-aggregation and the candidate join — two physical subtrees that
+    // would otherwise each pay the scan + substring + hash pass
+    val anchors = ScanCache.get(s, s"es-anchors:$dir") {
+      docs
+        .selectExpr("doc_id AS doc_a", "text AS ta")
+        .selectExpr("doc_a", "ta",
+          s"explode(filter(sequence(0, greatest(CAST(length(ta) / $EsK AS INT), 1)), " +
+            s"i -> (i + 1) * $EsK <= length(ta))) AS ia")
+        .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
+          s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
+        .withColumn("h", expr("poly_hash(w)"))
+    }
     val boiler = anchors.groupBy("w")
       .agg(countDistinct("doc_a").as("df"))
       .filter(col("df") > EsDocCap).select("w")
@@ -596,10 +606,7 @@ object Pipeline {
     * (shared ScanCache entry with ann_ivf_trained). */
   private def semdedup(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
-    val assigned = all.join(broadcast(ivfTrainedCents(s, dir)))
-      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("_cs"), -col("cell"))).as("cell"))
+    val assigned = assignCells(all, ivfTrainedCents(s, dir))
     val m = assigned.join(all, Seq("vec_id"))
     val a = m.select(col("cell"), col("vec_id"),
       col("v").as("va"), col("nrm").as("na"))
@@ -616,10 +623,19 @@ object Pipeline {
   }
 
   /** Decontamination n-gram length and the deterministic eval-set rule
-    * (doc_id ≡ EvalRes mod EvalMod plays the held-out benchmark). */
+    * (doc_id ≡ EvalRes mod EvalMod, bounded by EvalMaxId, plays the
+    * held-out benchmark). */
   final val DecontN = 8
   final val EvalMod = 17L
   final val EvalRes = 3L
+  /** Upper doc_id bound of the eval universe. Without it the residue
+    * rule makes the eval set 1/17 OF THE CORPUS — a broadcast side that
+    * grows linearly with the data and eventually OOMs the driver. A real
+    * eval set is a FIXED benchmark; the cap models that: beyond id
+    * 10 000 the eval set stops growing no matter how large the corpus
+    * gets (both test scale factors sit entirely below the cap, so
+    * results there are unchanged). */
+  final val EvalMaxId = 10000L
 
   /** Eval-set decontamination — the n-gram overlap check every training
     * pipeline runs before a corpus ships (PaLM/GPT-3 style 8-gram rule):
@@ -636,9 +652,10 @@ object Pipeline {
       .selectExpr("doc_id", "split(text, ' ') AS tk")
       .selectExpr("doc_id", s"explode(${gramsExpr("tk", DecontN)}) AS g")
       .selectExpr("doc_id", "poly_hash(g) AS gh")
-    val evalSet = grams.filter(s"doc_id % $EvalMod = $EvalRes")
+    val evalSet = grams
+      .filter(s"doc_id % $EvalMod = $EvalRes AND doc_id <= $EvalMaxId")
       .select("gh").distinct().withColumn("hit", lit(1))
-    grams.filter(s"doc_id % $EvalMod <> $EvalRes")
+    grams.filter(s"doc_id % $EvalMod <> $EvalRes OR doc_id > $EvalMaxId")
       .join(broadcast(evalSet), Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -1080,7 +1097,7 @@ object Pipeline {
     * IvfBucketTarget; the oracle computes the identical ladder in SQL
     * ([[ivfCellsCase]]). */
   def ivfCellsFor(n: Long): Int =
-    (0 to 8).map(16 << _)
+    (0 to 8).map(IvfCells << _)
       .find(c => n <= c * IvfBucketTarget).getOrElse(IvfMaxCells)
   /** Probed cells per query vector (multi-probe recall lever). */
   final val IvfProbes = 4
@@ -1165,11 +1182,7 @@ object Pipeline {
         .select(col("vec_id").as("cell"), col("v").as("cv"),
           col("nrm").as("cn"))
       for (_ <- 1 to IvfIters) {
-        val assign = all.join(broadcast(cents))
-          .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
-          .groupBy("vec_id")
-          .agg(max_by(col("cell"), struct(col("_cs"), -col("cell")))
-            .as("cell"))
+        val assign = assignCells(all, cents)
         cents = all.join(assign, Seq("vec_id"))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
@@ -1183,6 +1196,15 @@ object Pipeline {
       }
       cents
     }
+
+  /** Nearest-cell assignment: one broadcast N×K scoring pass, ties to
+    * the LOWEST cell — the single source of the max_by tiebreak that the
+    * Lloyd loop, semdedup and both SQL twins must mirror exactly. */
+  private def assignCells(all: DataFrame, cents: DataFrame): DataFrame =
+    all.join(broadcast(cents))
+      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("_cs"), -col("cell"))).as("cell"))
 
   /** IVF with the TRAINED quantizer — same search, better cells; recall
     * lift is measured by `ann_recall` (ivf_trained row). */
@@ -1543,13 +1565,15 @@ object Pipeline {
          |  SELECT doc_id, ${charFoldDuck("g")} AS gh FROM (
          |    SELECT doc_id, unnest(${gramsDuck("tk", DecontN)}) AS g
          |    FROM t)),
-         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $EvalMod = $EvalRes),
+         |ev AS (SELECT DISTINCT gh FROM g
+         |  WHERE doc_id % $EvalMod = $EvalRes AND doc_id <= $EvalMaxId),
          |tr AS (
          |  SELECT g.doc_id, count(*) AS n_grams,
          |    CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_hit
          |  FROM g LEFT JOIN ev ON g.gh = ev.gh
-         |  WHERE g.doc_id % $EvalMod <> $EvalRes GROUP BY g.doc_id)
+         |  WHERE g.doc_id % $EvalMod <> $EvalRes OR g.doc_id > $EvalMaxId
+         |  GROUP BY g.doc_id)
          |SELECT doc_id, n_grams, n_hit,
          |  n_hit / CAST(n_grams AS DOUBLE) AS contam_frac,
          |  n_hit > 0 AS contaminated
@@ -2084,7 +2108,7 @@ object Pipeline {
   /** The [[ivfCellsFor]] ladder in SQL (0 to 7 then the cap — the i = 8
     * rung and the ELSE coincide at IvfMaxCells). */
   private def ivfCellsCase: String =
-    (0 to 7).map(16 << _)
+    (0 to 7).map(IvfCells << _)
       .map(c => s"WHEN cnt <= ${c * IvfBucketTarget} THEN $c")
       .mkString("CASE ", " ", s" ELSE $IvfMaxCells END")
 

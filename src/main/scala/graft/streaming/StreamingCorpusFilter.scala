@@ -22,6 +22,14 @@ case class FilterVerdict(docId: Long, keep: Boolean, reason: String)
   * docId, TTL eviction against the watermark). Rule priority matches the
   * batch CASE order: duplicate wins over every stateless reason.
   *
+  * Keeper IDENTITY is therefore causal — first by event time — not the
+  * batch pass's min(doc_id) canonicalization (a stream cannot know a
+  * lower id is still coming). On out-of-order ingest the two passes
+  * agree that exactly ONE row survives per fingerprint but may elect
+  * different representatives; the real-corpus parity spec replays in
+  * order, where the rules coincide, and a dedicated spec case pins the
+  * out-of-order election.
+  *
   * State is one (keeper, firstTs) pair per LIVE fingerprint — identical
   * bound to StreamingDedup, nothing grows with the stream. */
 object StreamingCorpusFilter {

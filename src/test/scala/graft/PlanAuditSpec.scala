@@ -11,9 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * reintroduces a cartesian product, drops a broadcast, or widens a scan
   * fails CI instead of surviving until someone re-reads an explain.
   *
-  * Asserts on `queryExecution.sparkPlan` (pre-AQE physical plan — AQE
-  * re-planning only ever REPLACES an exchange with something cheaper, so
-  * the static plan is the worst case). */
+  * Asserts on `queryExecution.executedPlan` with AQE disabled — the
+  * static physical plan AFTER EnsureRequirements has inserted exchanges
+  * (half the audits are about exactly those); AQE re-planning only ever
+  * REPLACES an exchange with something cheaper, so this is the worst
+  * case. */
 class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
@@ -55,7 +57,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * corpus-stats aggregate (a legal scalar broadcast, not a blowup). */
   private val scalarBroadcasts =
     Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
-      "dedup_clusters", "boilerplate_ngrams")
+      "dedup_clusters", "boilerplate_ngrams", "bigram_lm")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension

@@ -51,6 +51,30 @@ class StreamingCorpusFilterSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order ingest: keeper is first-seen by EVENT time, not min id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FilterDoc]
+    val q = StreamingCorpusFilter.verdicts(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cfo").start()
+    try {
+      // the HIGHER id carries the EARLIER event time: the stream must
+      // elect it (causal first-seen), where the batch pass would
+      // canonicalize to min(doc_id) — the documented, deliberate
+      // divergence under out-of-order arrival
+      mem.addData(FilterDoc(7, B, good, "en"))
+      q.processAllAvailable()
+      mem.addData(FilterDoc(3, B + S, good, "en"))
+      q.processAllAvailable()
+      val got = spark.table("cfo").as[FilterVerdict].collect()
+        .map(v => v.docId -> ((v.keep, v.reason))).toMap
+      assert(got(7L) == ((true, "keep")))
+      assert(got(3L) == ((false, "duplicate")))
+    } finally q.stop()
+  }
+
   test("stream/batch parity on the real corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

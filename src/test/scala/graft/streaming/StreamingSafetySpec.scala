@@ -63,8 +63,9 @@ class StreamingSafetySpec extends AnyFunSuite {
       val i = if (id % 5 == 2) s" from 10.${id % 256}.0.1" else ""
       t + e + p + i
     }
-    val evalGrams = corpus.filter(_._1 % graft.Pipeline.EvalMod ==
-        graft.Pipeline.EvalRes)
+    val evalGrams = corpus.filter(d =>
+        d._1 % graft.Pipeline.EvalMod == graft.Pipeline.EvalRes &&
+          d._1 <= graft.Pipeline.EvalMaxId)
       .flatMap(d => StreamingSafetyGate.gramHashes(d._2)).toSet
 
     // pass 1 — PII-injected text, the exact input batch pii_scrub scans
