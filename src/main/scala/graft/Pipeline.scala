@@ -589,6 +589,64 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Number of BPE merges bpe_train learns. */
+  final val BpeMerges = 6
+
+  /** BPE vocabulary induction — tokenizer TRAINING, the step upstream of
+    * token_stats_bpe's tokenization: learn the first BpeMerges byte-pair
+    * merges from corpus word frequencies (Sennrich et al. 2016). Each
+    * step counts adjacent symbol pairs weighted by word frequency, takes
+    * the argmax (ties to the lexicographically smallest pair, so both
+    * engines agree), and applies the merge to every word
+    * representation.
+    *
+    * Merge application is space-padded string replacement — leftmost
+    * non-overlapping, identical semantics in Spark and DuckDB. Relative
+    * to reference BPE this under-merges a length-≥3 run of the SAME
+    * pair inside one word (the middle occurrence loses its shared
+    * delimiter); natural-language vocabularies don't produce such runs,
+    * and exact greedy would need a per-word list fold that DuckDB's
+    * list_reduce cannot express — documented trade, pinned by spec.
+    *
+    * 100 TB shape: the state is the WORD FREQUENCY table (vocabulary-
+    * sized, not corpus-sized — one explode+groupBy over the corpus,
+    * after which iterations never touch the corpus again); each step is
+    * one pair-count aggregation over the vocab plus a broadcast of the
+    * single winning pair. */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .filter("word <> ''")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    // localCheckpoint per step: the training loop is inherently
+    // iterative — without truncation each step re-derives the corpus
+    // explode through every previous step's lineage (the state being
+    // checkpointed is the vocabulary-sized repr table plus a 1-row
+    // winner, so the materialization cost is trivial)
+    var repr = words.selectExpr("c", "array_join(split(word, ''), ' ') AS repr")
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (step <- 1 to BpeMerges) {
+      val pairs = repr.selectExpr("c", "split(repr, ' ') AS sym")
+        .selectExpr("c",
+          "explode(transform(filter(sequence(1, greatest(size(sym) - 1, 1)), " +
+            "i -> i <= size(sym) - 1), " +
+            "i -> concat(element_at(sym, CAST(i AS INT)), ' ', " +
+            "element_at(sym, CAST(i + 1 AS INT))))) AS pair")
+        .groupBy("pair").agg(sum("c").as("pc"))
+      val top = pairs.orderBy(col("pc").desc, col("pair")).limit(1)
+        .withColumn("step", lit(step))
+        .localCheckpoint()
+      merges = if (merges == null) top else merges.unionByName(top)
+      repr = repr.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .selectExpr("c",
+          "trim(replace(concat(' ', repr, ' '), concat(' ', mp, ' '), " +
+            "concat(' ', replace(mp, ' ', ''), ' '))) AS repr")
+        .localCheckpoint()
+    }
+    merges.select(col("step"), col("pair"), col("pc")).orderBy("step")
+  }
+
   /** SemDeDup cosine threshold — matches the corpus's near-duplicate
     * τ (embedding_neardup / embedding_neardup_lsh use the same 0.3), so
     * the within-cluster prune is non-vacuous on this embedding table. */
@@ -1407,6 +1465,7 @@ object Pipeline {
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
     "gopher_repetition" -> gopherRepetition _,
+    "bpe_train"         -> bpeTrain _,
     "exact_substring"   -> exactSubstring _,
     "semdedup"          -> semdedup _,
     "decontaminate"     -> decontaminate _,
@@ -1491,7 +1550,40 @@ object Pipeline {
       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
       |    (s, t) -> s + t) / (a.nrm * b.nrm)""".stripMargin
 
+  /** One BPE step in SQL: pair counts over r{t−1}, argmax with the
+    * lex-smallest tiebreak, padded-replace merge — the twin of one
+    * [[bpeTrain]] loop iteration. */
+  private def bpeStepSql(t: Int): String = {
+    val prev = s"r${t - 1}"
+    s"""p$t AS (
+       |  SELECT pair, sum(c) AS pc FROM (
+       |    SELECT c, sym[i] || ' ' || sym[i+1] AS pair
+       |    FROM (SELECT c, string_split(repr, ' ') AS sym FROM $prev),
+       |      LATERAL unnest(range(1, greatest(len(sym), 1))) AS u(i))
+       |  GROUP BY pair),
+       |m$t AS (SELECT $t AS step, pair, pc FROM p$t
+       |  ORDER BY pc DESC, pair LIMIT 1),
+       |r$t AS (
+       |  SELECT c, trim(replace(' ' || repr || ' ',
+       |    ' ' || (SELECT pair FROM m$t) || ' ',
+       |    ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ')) AS repr
+       |  FROM $prev)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" ->
+      s"""WITH w AS (
+         |  SELECT t AS word, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY t),
+         |r0 AS (
+         |  SELECT c, array_to_string(string_split(word, ''), ' ') AS repr
+         |  FROM w),
+         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
+         |SELECT step, pair, pc FROM (
+         |  ${(1 to BpeMerges).map(t => s"SELECT * FROM m$t")
+              .mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin,
     "gopher_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, length(text) AS n_chars,

@@ -51,7 +51,8 @@ object Relational {
     "q18_cube"          -> q18Cube _,
     "q19_percentile"    -> q19Percentile _,
     "q20_pivot"         -> q20Pivot _,
-    "q21_range_window"  -> q21RangeWindow _
+    "q21_range_window"  -> q21RangeWindow _,
+    "q22_json"          -> q22Json _
   )
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -74,6 +75,20 @@ object Relational {
       .select("user_id", "event_id", "ts", "cnt_10m", "sum_10m")
       .orderBy("user_id", "ts", "event_id")
   }
+
+  /** JSON property extraction — the semi-structured column every event
+    * pipeline carries: `props` is a JSON document per row;
+    * get_json_object pulls the typed field inside the scan stage
+    * (codegen'd built-in, no UDF) and only the small grouped aggregate
+    * shuffles. At 100 TB the parse is per-row map work at scan speed. */
+  private def q22Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr("event_type",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
 
   /** Pivot (long → wide): order counts by priority with one column per
     * order status. The status domain is declared (`pivot(col, values)`),
@@ -457,6 +472,12 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q22_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",

@@ -123,6 +123,18 @@ class CorpusSafetySpec extends AnyFunSuite {
     assert(rows(101L)._1 == rows(5L)._1)
   }
 
+  test("bpe_train: learns the textbook low/lower/newest merge sequence") {
+    // Sennrich et al.'s running example: low×3, lower×2, newest×1.
+    // step 1: 'l o' and 'o w' tie at 5 → lex-smallest 'l o' wins;
+    // step 2: 'lo w' at 5; step 3: 'e r' and 'low e' tie at 2 → 'e r'.
+    val dir = fixture(Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest")))
+    val merges = run("bpe_train", dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(merges.take(3) == Seq((1, "l o", 5L), (2, "lo w", 5L),
+      (3, "e r", 2L)))
+  }
+
   test("minLabelComponents: a 300-link chain converges (doubling rounds)") {
     import spark.implicits._
     // diameter 300 ≫ the 25-round budget: only the pointer-jumping
