@@ -589,6 +589,40 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The whole ingest DAG as ONE plan — what "a user of the reference
+    * switches their pipeline to": corpus_filter's keep verdict gates the
+    * documents, survivors chunk into 64/16 training windows, and chunks
+    * pack greedily into 256-token sequences per source shard. Composes
+    * the three operators' exact semantics (same constants, same oracles'
+    * CTEs composed on the DuckDB side).
+    *
+    * 100 TB shape: one fingerprint shuffle (the dup rule), one inner
+    * join on doc_id (AQE picks the side), chunking stays inside the map
+    * stage, and the pack offset is a per-source-shard prefix sum — no
+    * global window anywhere; the output's (source, seq_id) is the
+    * training shard key downstream. */
+  private def prepareCorpus(s: SparkSession, dir: String): DataFrame = {
+    val (win, stride, overlap, budget) = (64, 48, 16, 256)
+    val kept = corpusFilter(s, dir).filter(col("keep")).select("doc_id")
+    val chunks = Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"))
+      .selectExpr("source", "doc_id", "split(text, ' ') AS tk")
+      .selectExpr("source", "doc_id", "tk", "size(tk) AS n")
+      .selectExpr("source", "doc_id", "tk",
+        s"explode(sequence(0, greatest(CAST(ceil((n - $overlap) / $stride.0) AS INT), 1) - 1)) AS chunk_id")
+      .selectExpr("source", "doc_id", "chunk_id",
+        s"size(slice(tk, chunk_id * $stride + 1, $win)) AS n_tok")
+    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+    chunks.withColumn("end_off", sum("n_tok").over(w))
+      .selectExpr("source", "doc_id", "chunk_id", "n_tok",
+        "end_off - n_tok AS start_off")
+      .selectExpr("source", "doc_id", "chunk_id", "n_tok", "start_off",
+        s"start_off div $budget AS seq_id",
+        s"(start_off + n_tok - 1) div $budget <> start_off div $budget " +
+          "AS spans_boundary")
+      .orderBy("source", "doc_id", "chunk_id")
+  }
+
   /** Number of BPE merges bpe_train learns. */
   final val BpeMerges = 6
 
@@ -1466,6 +1500,7 @@ object Pipeline {
     "corpus_filter"     -> corpusFilter _,
     "gopher_repetition" -> gopherRepetition _,
     "bpe_train"         -> bpeTrain _,
+    "prepare_corpus"    -> prepareCorpus _,
     "exact_substring"   -> exactSubstring _,
     "semdedup"          -> semdedup _,
     "decontaminate"     -> decontaminate _,
@@ -1549,6 +1584,30 @@ object Pipeline {
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
       |    (s, t) -> s + t) / (a.nrm * b.nrm)""".stripMargin
+
+  /** Corpus-filter verdict CTEs through `r(doc_id, reason)` — shared by
+    * the corpus_filter and prepare_corpus oracles. */
+  private def corpusFilterCtes: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, ${charFoldDuck("text")} AS fp,
+       |    length(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+       |    length(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the', 'a'))) AS n_stop
+       |  FROM documents),
+       |k AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id <> keeper THEN 'duplicate'
+       |      WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+       |      WHEN n_tokens < 20 THEN 'too_short'
+       |      WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
+       |        THEN 'punct_heavy'
+       |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy'
+       |      ELSE 'keep' END AS reason
+       |  FROM k)""".stripMargin
 
   /** One BPE step in SQL: pair counts over r{t−1}, argmax with the
     * lex-smallest tiebreak, padded-replace merge — the twin of one
@@ -1945,28 +2004,32 @@ object Pipeline {
         |  (start_off + n_tokens - 1) // 256 <> start_off // 256 AS spans_boundary
         |FROM o ORDER BY source, doc_id""".stripMargin,
     "corpus_filter" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lang, ${charFoldDuck("text")} AS fp,
-         |    length(string_split(text, ' ')) AS n_tokens,
-         |    length(text) AS n_chars,
-         |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
-         |    length(list_filter(string_split(text, ' '),
-         |      t -> t IN ('the', 'a'))) AS n_stop
-         |  FROM documents),
-         |k AS (
-         |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d),
-         |r AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id <> keeper THEN 'duplicate'
-         |      WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
-         |      WHEN n_tokens < 20 THEN 'too_short'
-         |      WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
-         |        THEN 'punct_heavy'
-         |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy'
-         |      ELSE 'keep' END AS reason
-         |  FROM k)
+      s"""$corpusFilterCtes
          |SELECT doc_id, reason = 'keep' AS keep, reason
          |FROM r ORDER BY doc_id""".stripMargin,
+    "prepare_corpus" ->
+      s"""$corpusFilterCtes,
+         |kept AS (
+         |  SELECT d2.doc_id, d2.source, string_split(d2.text, ' ') AS tk
+         |  FROM documents d2 JOIN r ON d2.doc_id = r.doc_id
+         |  WHERE r.reason = 'keep'),
+         |ch AS (
+         |  SELECT source, doc_id, CAST(i AS INT) AS chunk_id,
+         |    CAST(len(tk[CAST(i * 48 + 1 AS INT) : CAST(i * 48 + 64 AS INT)])
+         |      AS INT) AS n_tok
+         |  FROM kept, LATERAL unnest(range(0,
+         |    greatest(CAST(ceil((len(tk) - 16) / 48.0) AS INT), 1))) AS u(i)),
+         |p AS (
+         |  SELECT source, doc_id, chunk_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) - n_tok AS start_off
+         |  FROM ch)
+         |SELECT source, doc_id, chunk_id, n_tok, start_off,
+         |  start_off // 256 AS seq_id,
+         |  (start_off + n_tok - 1) // 256 <> start_off // 256
+         |    AS spans_boundary
+         |FROM p ORDER BY source, doc_id, chunk_id""".stripMargin,
     "kmv_distinct" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_transform(string_split(text, ' '),

@@ -114,4 +114,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.exists(!_._2) && got.exists(_._2), "filter should split the corpus")
   }
+
+  test("prepare_corpus: filter gates, chunks match, offsets pack contiguously") {
+    import org.apache.spark.sql.Row
+    val kept = run("corpus_filter").filter("keep")
+      .collect().map(_.getLong(0)).toSet
+    val rows = run("prepare_corpus").collect().map {
+      case Row(src: String, id: Long, cid: Int, n: Int, off: Long,
+          seq: Long, spans: Boolean) => (src, id, cid, n, off, seq, spans)
+    }
+    // only kept documents contribute, and EVERY kept document does
+    assert(rows.map(_._2).toSet == kept)
+    // chunk geometry identical to doc_chunks restricted to kept docs
+    val chunkRef = run("doc_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(3)).toMap
+    for ((_, id, cid, n, _, _, _) <- rows)
+      assert(chunkRef((id, cid)) == n, s"chunk ($id,$cid)")
+    assert(rows.count(r => kept(r._2)) ==
+      chunkRef.keys.count(k => kept(k._1)))
+    // per source: start offsets are the exact running sum, seq ids the cut
+    for ((_, group) <- rows.groupBy(_._1)) {
+      var off = 0L
+      for ((_, id, cid, n, start, seq, spans) <- group.sortBy(g => (g._2, g._3))) {
+        assert(start == off, s"offset at ($id,$cid)")
+        assert(seq == start / 256 && spans == ((start + n - 1) / 256 != seq))
+        off += n
+      }
+    }
+  }
 }
