@@ -1196,10 +1196,10 @@ object Pipeline {
   /** Cells each vector is POSTED to (multi-assignment recall lever —
     * boundary vectors appear in both their near cells, so a probe from
     * either side finds them). Measured recall@1 vs brute-force truth at
-    * sf0.01 (the `ann_recall` query): post=1/probes=2 → 0.334;
-    * post=2/probes=4 → 0.722 — past the 0.7 bar while scanning ~half the
-    * posting volume; the untrained first-K centroids, not the probe
-    * budget, are the remaining recall ceiling. */
+    * sf0.01 (the `ann_recall` query, 128-query panel): post=1/probes=2
+    * → ~0.33; post=2/probes=4 → 0.727 — past the 0.7 bar while scanning
+    * ~half the posting volume; the untrained first-K centroids, not the
+    * probe budget, are the remaining recall ceiling. */
   final val IvfPost = 2
 
   /** IVF-style ANN — the third similarity-search family (brute force /
@@ -1335,9 +1335,10 @@ object Pipeline {
     * vectors the index returned no candidate for (they count as misses),
     * so the recall cannot be flattered by dropped queries.
     *
-    * Measured at sf0.01: ivf 0.722 (the IvfPost/IvfProbes levers),
-    * ivf_trained 0.832 (two Lloyd rounds on the same post/probe budget),
-    * lsh_multi 0.256. The LSH number is the corpus, not a bug: the mean
+    * Measured at sf0.01 over the 128-query panel: ivf 0.727 (the
+    * IvfPost/IvfProbes levers), ivf_trained 0.891 (two Lloyd rounds on
+    * the same post/probe budget),
+    * lsh_multi 0.203. The LSH number is the corpus, not a bug: the mean
     * true-NN cosine is 0.37 (68°) and NO query has a neighbor above 0.6,
     * so per-bit sign-collision probability is 1−θ/π ≈ 0.62 and the
     * 2-table Hamming-1 index analytically lands at ≈0.25 — raising it
@@ -1347,12 +1348,21 @@ object Pipeline {
     * deliberately lacks; IVF, which partitions by region instead of by
     * angle-collision, is the right index for mid-similarity corpora —
     * exactly what the measured split shows. */
+  /** Query-sample size for the recall measurement: brute-force truth is
+    * O(N) PER QUERY, so truth over all N queries is quadratic and the
+    * measurement would outgrow the algorithms it measures. A fixed
+    * 128-query panel keeps truth linear in the corpus (the
+    * embedding_topk idiom); first-K ids is the deterministic stand-in
+    * for the scrambled-hash sample a production corpus would draw. */
+  final val RecallQueries = 128
+
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
-    val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val a = all.filter(col("vec_id") < RecallQueries)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
       col("nrm").as("nb"))
-    val truth = a.join(b, col("vec_id") =!= col("nn_id"))
+    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
       .withColumn("c", expr(cosExpr))
       .groupBy("vec_id")
       .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
@@ -2169,7 +2179,8 @@ object Pipeline {
       s"""$vecsCte,
          |p0 AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cosDuck AS c
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $RecallQueries),
          |tr AS (
          |  SELECT vec_id, nn_id AS true_nn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
