@@ -149,6 +149,34 @@ class CorpusSafetySpec extends AnyFunSuite {
     assert(Seq(1000L, 1001L, 1002L).forall(lbl(_) == 1000L))
   }
 
+  test("minLabelComponents equals a reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(120)
+      val ids = Seq.fill(n)(rnd.nextLong().abs % 10000L).distinct
+      val edges = Seq.fill(n) {
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter(e => e._1 != e._2)
+      // reference union-find attaching the larger root under the smaller,
+      // so every tree's root is its component minimum
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Pipeline.minLabelComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, edges=${edges.size})")
+    }
+  }
+
   test("pii_scrub: counts match injection residues and nothing leaks") {
     val dir = "/root/testdata/sf0.001"
     val rows = run("pii_scrub", dir).collect()
