@@ -647,12 +647,17 @@ object Pipeline {
     val withT = bySrc.crossJoin(broadcast(tot))
       .withColumn("cap", expr("n_docs * sum_raw div w_raw"))
     val t = withT.agg(min("cap").as("t_total"))
-    val rates = withT.crossJoin(broadcast(t))
-      .selectExpr("source", "n_docs", "w_raw", "sum_raw",
-        "w_raw * t_total div sum_raw AS k_target")
-      .selectExpr("source", "n_docs", "w_raw",
-        "w_raw * 1000000L div sum_raw AS w_ppm", "k_target",
-        "k_target * 1000000L div n_docs AS rate_ppm")
+    // persisted per session: `rates` is referenced twice below (the
+    // corpus-side filter join and the final right join); without the
+    // cache each reference re-runs the per-source corpus aggregates
+    val rates = ScanCache.get(s, s"mixture-rates:$dir") {
+      withT.crossJoin(broadcast(t))
+        .selectExpr("source", "n_docs", "w_raw", "sum_raw",
+          "w_raw * t_total div sum_raw AS k_target")
+        .selectExpr("source", "n_docs", "w_raw",
+          "w_raw * 1000000L div sum_raw AS w_ppm", "k_target",
+          "k_target * 1000000L div n_docs AS rate_ppm")
+    }
     docs.select("source", "text")
       .join(broadcast(rates), Seq("source"))
       .filter(s"poly_hash(text) * 2654435761L % ${P}L % 1000000 < rate_ppm")
@@ -676,11 +681,14 @@ object Pipeline {
     *
     * Merge application is space-padded string replacement — leftmost
     * non-overlapping, identical semantics in Spark and DuckDB. Relative
-    * to reference BPE this under-merges a length-≥3 run of the SAME
-    * pair inside one word (the middle occurrence loses its shared
-    * delimiter); natural-language vocabularies don't produce such runs,
-    * and exact greedy would need a per-word list fold that DuckDB's
-    * list_reduce cannot express — documented trade, pinned by spec.
+    * to reference BPE this under-merges when the SAME pair occurs twice
+    * in immediate succession inside one word (XYXY — 'coco', 'murmur':
+    * the first replacement consumes the shared delimiter space, so the
+    * second occurrence survives that step), which skews later steps'
+    * pair counts on corpora rich in reduplicated words. Exact greedy
+    * needs a per-word list fold that DuckDB's list_reduce cannot
+    * express — a documented trade (both engines implement the identical
+    * rule, so the oracle stays exact), pinned by spec.
     *
     * 100 TB shape: the state is the WORD FREQUENCY table (vocabulary-
     * sized, not corpus-sized — one explode+groupBy over the corpus,
@@ -692,13 +700,15 @@ object Pipeline {
       .selectExpr("explode(split(text, ' ')) AS word")
       .filter("word <> ''")
       .groupBy("word").agg(count(lit(1)).as("c"))
-    // localCheckpoint per step: the training loop is inherently
+    // LAZY localCheckpoint per step: the training loop is inherently
     // iterative — without truncation each step re-derives the corpus
-    // explode through every previous step's lineage (the state being
-    // checkpointed is the vocabulary-sized repr table plus a 1-row
-    // winner, so the materialization cost is trivial)
+    // explode through every previous step's lineage. Lazy (not eager)
+    // keeps plan construction job-free for explain-only callers while
+    // still flattening the Catalyst plan; the checkpointed state is the
+    // vocabulary-sized repr table plus a 1-row winner, cached on first
+    // action.
     var repr = words.selectExpr("c", "array_join(split(word, ''), ' ') AS repr")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var merges: DataFrame = null
     for (step <- 1 to BpeMerges) {
       val pairs = repr.selectExpr("c", "split(repr, ' ') AS sym")
@@ -710,13 +720,13 @@ object Pipeline {
         .groupBy("pair").agg(sum("c").as("pc"))
       val top = pairs.orderBy(col("pc").desc, col("pair")).limit(1)
         .withColumn("step", lit(step))
-        .localCheckpoint()
+        .localCheckpoint(false)
       merges = if (merges == null) top else merges.unionByName(top)
       repr = repr.crossJoin(broadcast(top.select(col("pair").as("mp"))))
         .selectExpr("c",
           "trim(replace(concat(' ', repr, ' '), concat(' ', mp, ' '), " +
             "concat(' ', replace(mp, ' ', ''), ' '))) AS repr")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     merges.select(col("step"), col("pair"), col("pc")).orderBy("step")
   }
@@ -1368,12 +1378,21 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Query-sample size for the recall measurement: brute-force truth is
+    * O(N) PER QUERY, so truth over all N queries is quadratic and the
+    * measurement would outgrow the algorithms it measures. A fixed
+    * 128-query panel keeps truth linear in the corpus (the
+    * embedding_topk idiom); first-K ids is the deterministic stand-in
+    * for the scrambled-hash sample a production corpus would draw. */
+  final val RecallQueries = 128
+
   /** Measured ANN quality: recall@1 of each approximate index
     * (`ann_lsh_multi`, `ann_ivf`) against the brute-force nearest
-    * neighbor of EVERY corpus vector — the number the prose claims,
-    * computed and oracle-checked instead of asserted. A LEFT join keeps
-    * vectors the index returned no candidate for (they count as misses),
-    * so the recall cannot be flattered by dropped queries.
+    * neighbor of each of the [[RecallQueries]] panel queries — the
+    * number the prose claims, computed and oracle-checked instead of
+    * asserted. A LEFT join keeps panel queries the index returned no
+    * candidate for (they count as misses), so the recall cannot be
+    * flattered by dropped queries.
     *
     * Measured at sf0.01 over the 128-query panel: ivf 0.727 (the
     * IvfPost/IvfProbes levers), ivf_trained 0.891 (two Lloyd rounds on
@@ -1388,14 +1407,6 @@ object Pipeline {
     * deliberately lacks; IVF, which partitions by region instead of by
     * angle-collision, is the right index for mid-similarity corpora —
     * exactly what the measured split shows. */
-  /** Query-sample size for the recall measurement: brute-force truth is
-    * O(N) PER QUERY, so truth over all N queries is quadratic and the
-    * measurement would outgrow the algorithms it measures. A fixed
-    * 128-query panel keeps truth linear in the corpus (the
-    * embedding_topk idiom); first-K ids is the deterministic stand-in
-    * for the scrambled-hash sample a production corpus would draw. */
-  final val RecallQueries = 128
-
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     val a = all.filter(col("vec_id") < RecallQueries)

@@ -41,13 +41,16 @@ object StreamingMixture {
     val bc = spark.sparkContext.broadcast(rates)
     docs.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout)(process(bc.value))
+        GroupStateTimeout.NoTimeout)(process(bc))
   }
 
-  private def process(rates: Map[String, (Long, Long)])(
+  private def process(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, (Long, Long)]])(
       source: String, rows: Iterator[MixtureDoc],
       state: GroupState[Long]): Iterator[MixtureVerdict] = {
-    val (ratePpm, kTarget) = rates.getOrElse(source, (0L, 0L))
+    // .value INSIDE the task closure — dereferencing on the driver would
+    // capture the raw map and ship it per task, making the broadcast dead
+    val (ratePpm, kTarget) = bc.value.getOrElse(source, (0L, 0L))
     var kept = state.getOption.getOrElse(0L)
     val out = rows.toSeq.sortBy(d => (d.tsNs, d.docId)).map { d =>
       if (hashPpm(d.text) >= ratePpm)
