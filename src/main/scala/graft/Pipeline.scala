@@ -1728,7 +1728,7 @@ object Pipeline {
          |  SELECT c, array_to_string(string_split(word, ''), ' ') AS repr
          |  FROM w),
          |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
-         |SELECT step, pair, pc FROM (
+         |SELECT step, pair, CAST(pc AS BIGINT) AS pc FROM (
          |  ${(1 to BpeMerges).map(t => s"SELECT * FROM m$t")
               .mkString(" UNION ALL ")})
          |ORDER BY step""".stripMargin,

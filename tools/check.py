@@ -59,6 +59,18 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in e_n.columns:
         a, b = e_n[c], g_n[c]
+        # Dtype-strict: the driver hashes values as-typed, so a DuckDB
+        # HUGEINT surfacing as float64 against a Spark int64 column is a
+        # real mismatch (hash sees 99111.0 vs 99111) even though the
+        # numeric values agree. Reproduce that verdict here instead of
+        # silently coercing. (Round-5 judge finding #2.)
+        kinds = {a.dtype.kind, b.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            print(f"FAIL {name}: col {c} dtype drift: exp={a.dtype} got={b.dtype} "
+                  f"(cast the oracle sum to BIGINT)")
+            ok = False
+            fails.append(name)
+            break
         try:
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 bad = ~((a == b) | (a.isna() & b.isna()))
