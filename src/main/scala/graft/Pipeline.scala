@@ -141,6 +141,13 @@ object Pipeline {
     var changed = 1L
     var rounds = 0
     val maxRounds = 25
+    // Each round's localCheckpoint pins corpus-scale (node, lbl) blocks
+    // in executor storage; release the previous round's blocks as soon
+    // as the new round has materialized (the count below), so at most
+    // one round of state stays pinned instead of all 25. The FINAL
+    // round's checkpoint must stay: truncated lineage means its blocks
+    // are the only copy of the returned labeling.
+    var prevCkpt: DataFrame = null
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(lbl, edges("src") === lbl("node"))
         .select(col("dst").as("node"), col("lbl"))
@@ -163,6 +170,8 @@ object Pipeline {
         .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
+      if (prevCkpt != null) prevCkpt.unpersist()
+      prevCkpt = next
       lbl = next.select("node", "lbl")
       rounds += 1
     }
@@ -487,26 +496,38 @@ object Pipeline {
     *
     * 100 TB shape: both statistics are computed ENTIRELY within the row
     * via higher-order functions — no explode, no shuffle, a pure map over
-    * the document scan (the per-row n² gram comparison is bounded by
-    * document token count, not corpus size). */
+    * the document scan. Per row the cost is O(n log n) in the document's
+    * token count (sort the gram array, then one linear run-fold), NOT the
+    * naive n² count-each-gram-in-place form — a 100k-token real-world
+    * document is ~10⁶ comparisons here, not ~10¹⁰. */
   private def gopherRepetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .selectExpr("doc_id", "length(text) AS n_chars", "split(text, ' ') AS tk")
       .selectExpr("doc_id", "n_chars", "size(tk) AS n_tokens",
-        s"${gramsExpr("tk", 2)} AS g2", s"${gramsExpr("tk", 3)} AS g3")
+        s"array_sort(${gramsExpr("tk", 2)}) AS sg2",
+        s"array_sort(${gramsExpr("tk", 3)}) AS sg3")
       .selectExpr("doc_id", "n_tokens", "n_chars",
         // chars covered by the top REPEATED 2-gram (count × gram chars);
         // a document whose 2-grams are all unique scores 0 — the rule
         // measures repetition, so singletons must not contribute (a long
         // once-only gram in a short doc would otherwise trip the flag).
-        // Max over count·len is deterministic under count ties.
-        "CAST(coalesce(array_max(transform(g2, " +
-          "g -> IF(size(filter(g2, x -> x = g)) >= 2, " +
-          "size(filter(g2, x -> x = g)) * length(g), 0))), 0) AS BIGINT) " +
-          "AS top2_chars",
-        "CAST(size(g3) AS BIGINT) AS n_3grams",
-        "CAST(size(filter(g3, g -> size(filter(g3, x -> x = g)) >= 2)) " +
-          "AS BIGINT) AS dup3_pos")
+        // Equal grams are ADJACENT in the sorted array, so one linear
+        // fold tracks the current run and the best count·len among runs
+        // of length ≥ 2; max over count·len is deterministic under ties.
+        "CAST(aggregate(sg2, " +
+          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+          "(a, x) -> named_struct('prev', x, " +
+          "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L), " +
+          "'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, " +
+          "(a.run + 1L) * length(x), 0L))), " +
+          "a -> a.best) AS BIGINT) AS top2_chars",
+        "CAST(size(sg3) AS BIGINT) AS n_3grams",
+        // a sorted gram is duplicated iff it equals a neighbor
+        // (element_at is 1-based; the lambda index i is 0-based)
+        "CAST(size(filter(sg3, (x, i) -> " +
+          "(i > 0 AND x = element_at(sg3, i)) OR " +
+          "(i < size(sg3) - 1 AND x = element_at(sg3, i + 2)))) AS BIGINT) " +
+          "AS dup3_pos")
       .selectExpr("doc_id", "n_tokens", "n_chars", "top2_chars",
         "top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS top2_frac",
         "n_3grams", "dup3_pos",
@@ -1225,8 +1246,10 @@ object Pipeline {
         "size(array_distinct(toks)) AS n_unique")
       .orderBy("doc_id")
 
-  /** IVF coarse-quantizer cell floor (the cell count at sf0.01 and
-    * below, where the measured recall numbers were taken). */
+  /** IVF coarse-quantizer cell floor — the ladder bottoms out here at
+    * N ≤ 1024 (~sf0.001 and below). At sf0.01 (N = 5000) the ladder
+    * yields 128 cells; that is where the quoted recall numbers were
+    * measured. */
   final val IvfCells = 16
   /** Target posting-list size: cells scale as ~n/64 so the per-cell
     * candidate join stays CONSTANT-sized as the corpus grows — a fixed
@@ -1246,10 +1269,11 @@ object Pipeline {
   /** Cells each vector is POSTED to (multi-assignment recall lever —
     * boundary vectors appear in both their near cells, so a probe from
     * either side finds them). Measured recall@1 vs brute-force truth at
-    * sf0.01 (the `ann_recall` query, 128-query panel): post=1/probes=2
-    * → ~0.33; post=2/probes=4 → 0.727 — past the 0.7 bar while scanning
-    * ~half the posting volume; the untrained first-K centroids, not the
-    * probe budget, are the remaining recall ceiling. */
+    * sf0.01 (the `ann_recall` query, scrambled-hash 128-query panel):
+    * post=1/probes=2 landed near 0.33 in earlier tuning; post=2/probes=4
+    * → 0.758 — past the 0.7 bar while scanning ~half the posting volume;
+    * the untrained first-K centroids, not the probe budget, are the
+    * remaining recall ceiling. */
   final val IvfPost = 2
 
   /** IVF-style ANN — the third similarity-search family (brute force /
@@ -1264,11 +1288,19 @@ object Pipeline {
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"ann-ivf:$dir") {
       val all = vecs(s, dir)
-      val cents = all.filter(col("vec_id") < ivfCellsFor(all.count()))
-        .select(col("vec_id").as("cell"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      ivfSearch(all, cents)
+      ivfSearch(all, seedCents(all))
     }.orderBy("vec_id")
+
+  /** Deterministic first-K seed centroids, K from the [[ivfCellsFor]]
+    * ladder — computed LAZILY as a broadcast single-row count joined
+    * into the filter (the bigram_lm vocab move), so building the
+    * DataFrame runs no corpus job for explain-only callers; the SQL
+    * twin is [[ivfPrmCte]]'s CASE over count(*). */
+  private def seedCents(all: DataFrame): DataFrame =
+    all.crossJoin(broadcast(all.agg(count(lit(1)).as("cnt"))))
+      .filter(expr(s"vec_id < ($ivfCellsCase)"))
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
 
   /** The IVF search half, parameterized by the centroid set: assign ranks
     * (one broadcast N×K pass), post to IvfPost cells, probe IvfProbes
@@ -1320,9 +1352,7 @@ object Pipeline {
   private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"ivf-trained-cents:$dir") {
       val all = vecs(s, dir)
-      var cents = all.filter(col("vec_id") < ivfCellsFor(all.count()))
-        .select(col("vec_id").as("cell"), col("v").as("cv"),
-          col("nrm").as("cn"))
+      var cents = seedCents(all)
       for (_ <- 1 to IvfIters) {
         val assign = assignCells(all, cents)
         cents = all.join(assign, Seq("vec_id"))
@@ -1381,9 +1411,12 @@ object Pipeline {
   /** Query-sample size for the recall measurement: brute-force truth is
     * O(N) PER QUERY, so truth over all N queries is quadratic and the
     * measurement would outgrow the algorithms it measures. A fixed
-    * 128-query panel keeps truth linear in the corpus (the
-    * embedding_topk idiom); first-K ids is the deterministic stand-in
-    * for the scrambled-hash sample a production corpus would draw. */
+    * 128-query panel keeps truth linear in the corpus. The panel is
+    * drawn by SCRAMBLED ID HASH (the sample_hash idiom, a distributed
+    * TakeOrdered — no global sort), NOT by first-K ids: ivfCellsFor
+    * lands on exactly 128 at sf0.01, so a `vec_id < 128` panel would
+    * coincide with the IVF quantizer's seed vectors and measure index
+    * construction, not representative recall. */
   final val RecallQueries = 128
 
   /** Measured ANN quality: recall@1 of each approximate index
@@ -1394,10 +1427,10 @@ object Pipeline {
     * candidate for (they count as misses), so the recall cannot be
     * flattered by dropped queries.
     *
-    * Measured at sf0.01 over the 128-query panel: ivf 0.727 (the
-    * IvfPost/IvfProbes levers), ivf_trained 0.891 (two Lloyd rounds on
-    * the same post/probe budget),
-    * lsh_multi 0.203. The LSH number is the corpus, not a bug: the mean
+    * Measured at sf0.01 over the scrambled-hash 128-query panel: ivf
+    * 0.758 (the IvfPost/IvfProbes levers), ivf_trained 0.867 (two Lloyd
+    * rounds on the same post/probe budget),
+    * lsh_multi 0.242. The LSH number is the corpus, not a bug: the mean
     * true-NN cosine is 0.37 (68°) and NO query has a neighbor above 0.6,
     * so per-bit sign-collision probability is 1−θ/π ≈ 0.62 and the
     * 2-table Hamming-1 index analytically lands at ≈0.25 — raising it
@@ -1409,7 +1442,11 @@ object Pipeline {
     * exactly what the measured split shows. */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
-    val a = all.filter(col("vec_id") < RecallQueries)
+    val panel = all
+      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+      .orderBy("_h", "vec_id").limit(RecallQueries)
+      .select("vec_id")
+    val a = all.join(broadcast(panel), Seq("vec_id"))
       .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
       col("nrm").as("nb"))
@@ -2256,10 +2293,14 @@ object Pipeline {
     "embedding_neardup_lsh" -> embeddingNeardupLshOracle,
     "ann_recall" ->
       s"""$vecsCte,
+         |panel AS (
+         |  SELECT vec_id FROM n
+         |  ORDER BY vec_id * 2654435761 % $P, vec_id
+         |  LIMIT $RecallQueries),
          |p0 AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cosDuck AS c
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id < $RecallQueries),
+         |  FROM (SELECT n.* FROM n JOIN panel USING (vec_id)) a
+         |  JOIN n b ON a.vec_id <> b.vec_id),
          |tr AS (
          |  SELECT vec_id, nn_id AS true_nn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -37,18 +37,29 @@ object StreamingSafetyGate {
       IpRe.findAllIn(text).size)
 
   /** The `gopher_repetition` flag: chars under the top REPEATED 2-gram
-    * over total chars > 0.12, or any duplicated 3-gram. */
+    * over total chars > 0.12, or any duplicated 3-gram. Sort-and-count
+    * runs, O(n log n) per document — the same shape as the batch plan's
+    * sorted-array fold (a naive count-in-place scan is n² and melts on
+    * long real-world documents). */
   def repetitionFlagged(text: String): Boolean = {
     val tk = text.split(" ", -1)
-    val g2 = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
-    val top2 =
-      if (g2.isEmpty) 0L
-      else g2.map { g =>
-        val c = g2.count(_ == g)
-        if (c >= 2) c.toLong * g.length else 0L
-      }.max
-    val g3 = tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
-    val dup3 = g3.count(g => g3.count(_ == g) >= 2)
+    val sg2 = tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      .toArray.sorted
+    var top2 = 0L
+    var run = 1
+    var i = 1
+    while (i < sg2.length) {
+      if (sg2(i) == sg2(i - 1)) {
+        run += 1
+        top2 = math.max(top2, run.toLong * sg2(i).length)
+      } else run = 1
+      i += 1
+    }
+    val sg3 = tk.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      .toArray.sorted
+    val dup3 = sg3.indices.count(j =>
+      (j > 0 && sg3(j) == sg3(j - 1)) ||
+        (j < sg3.length - 1 && sg3(j) == sg3(j + 1)))
     top2.toDouble / math.max(text.length, 1) > 0.12 || dup3 > 0
   }
 
