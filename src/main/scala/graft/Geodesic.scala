@@ -116,7 +116,14 @@ object Geodesic {
 
   /** Union-find over one session's hits (bounded by the session gap —
     * dozens of events, not millions). */
-  private def components(hits: Array[SessHit]): Iterator[GeoComp] = {
+  private def components(hits: Array[SessHit]): Iterator[GeoComp] =
+    componentsWithMembers(hits).map(_._1)
+
+  /** [[components]] with each component's member hits attached (sorted by
+    * event_id) — the composed detector DAG's sink formatters need the
+    * per-member rows (streaming.DetectorApp). */
+  private[graft] def componentsWithMembers(hits: Array[SessHit])
+      : Iterator[(GeoComp, Seq[SessHit])] = {
     val n = hits.length
     val parent = Array.tabulate(n)(identity)
     def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); var c = i
@@ -165,10 +172,10 @@ object Geodesic {
           if (avg < Criterion.MaxFalse) "invalid"
           else if (avg > Criterion.MinTrue && valid == nPairs) "valid"
           else "conflicting"
-        GeoComp(hs.map(_.start_ns).min, hs.map(_.start_ns).max,
+        (GeoComp(hs.map(_.start_ns).min, hs.map(_.start_ns).max,
           hs.size.toLong, hs.map(_.station).distinct.size.toLong,
           hs.size > hs.map(_.station).distinct.size,
-          sumE9, valid, tpe)
+          sumE9, valid, tpe), hs)
     }
   }
 
@@ -309,30 +316,36 @@ object Geodesic {
        |                  ROWS UNBOUNDED PRECEDING) AS cid
        |  FROM s)""".stripMargin
 
-  private val edgeCond =
+  private[graft] val edgeCond =
     s"""abs(a.start_ns - b.start_ns) <= ${MaxTimeNs}
        | AND abs(a.start_ns - b.start_ns) < greatest(
        |   sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs},
        |   ${MinTofNs})""".stripMargin
 
-  private val scoreSql =
+  private[graft] val scoreSql =
     s"""CASE WHEN abs(a.start_ns - b.start_ns) > ${MaxTimeNs} THEN -1.0
        | ELSE greatest(1.0 - abs(a.start_ns - b.start_ns) / greatest(
        |   sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |        + (a.z - b.z) * (a.z - b.z)) / ${SpeedMPerNs},
        |   ${MinTofNs}), -1.0) END""".stripMargin
 
-  /** Shared oracle prefix: grid coords → ECEF → sessions → valid-edge
-    * graph → recursive connected components (`comp(node, comp)`). */
-  private def oracleGeoCommon: String =
-    s"""WITH RECURSIVE g AS (
-       |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
+  /** Grid-coordinate `g` CTE body over the raw events table (the default
+    * input of the geo family; the composed DAG substitutes its gated set). */
+  private[graft] def defaultGeoG: String =
+    s"""SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
        |    50.0 + (user_id % 10) * 0.02 AS lat,
        |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
        |    100.0 + (user_id % 7) * 10.0 AS h
-       |  FROM events),
-       |h AS (
+       |  FROM events""".stripMargin
+
+  /** The geo component chain AFTER a `g(event_id, station, start_ns,
+    * lat, lon, h)` CTE: ECEF → gap sessions → valid-edge graph →
+    * recursive connected components (`comp(node, comp)`). Parameterized
+    * so the composed detector DAG (streaming.DetectorApp) can run the
+    * identical pipeline over its GATED event set. */
+  private[graft] def geoChainCtes: String =
+    s"""h AS (
        |  SELECT event_id, station, start_ns,
        |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
        |      * cos(radians(lat)) * cos(radians(lon)) AS x,
@@ -361,6 +374,23 @@ object Geodesic {
        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
        |  WHERE r.lbl < e.dst),
        |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)""".stripMargin
+
+  /** The n ≥ 2 component-envelope SELECT over `c` + `comp` (the
+    * coincidence_geo final stage; shared with the composed DAG oracle). */
+  private[graft] def geoClusterSelect: String =
+    s"""SELECT min(start_ns) AS cluster_start, max(start_ns) AS cluster_end,
+       |  count(*) AS n, count(DISTINCT station) AS n_stations,
+       |  (count(*) > count(DISTINCT station)) AS conflicting
+       |FROM c JOIN comp ON c.event_id = comp.node
+       |GROUP BY comp HAVING count(*) >= 2
+       |ORDER BY cluster_start, cluster_end, n""".stripMargin
+
+  /** Shared oracle prefix: grid coords → ECEF → sessions → valid-edge
+    * graph → recursive connected components (`comp(node, comp)`). */
+  private def oracleGeoCommon: String =
+    s"""WITH RECURSIVE g AS (
+       |  $defaultGeoG),
+       |$geoChainCtes""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pair_timediff_hist_tof" ->
@@ -394,47 +424,8 @@ object Geodesic {
          |WHERE $edgeCond
          |ORDER BY eid_a, eid_b""".stripMargin,
     "coincidence_geo" ->
-      s"""WITH RECURSIVE g AS (
-         |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns,
-         |    50.0 + (user_id % 10) * 0.02 AS lat,
-         |    10.0 + ((user_id // 10) % 10) * 0.03 AS lon,
-         |    100.0 + (user_id % 7) * 10.0 AS h
-         |  FROM events),
-         |h AS (
-         |  SELECT event_id, station, start_ns,
-         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
-         |      * cos(radians(lat)) * cos(radians(lon)) AS x,
-         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat))) + h)
-         |      * cos(radians(lat)) * sin(radians(lon)) AS y,
-         |    ($A / sqrt(1.0 - $E2 * sin(radians(lat)) * sin(radians(lat)))
-         |      * (1.0 - $E2) + h) * sin(radians(lat)) AS z
-         |  FROM g),
-         |s AS (
-         |  SELECT *, CASE WHEN lag(start_ns) OVER w IS NULL
-         |    OR start_ns - lag(start_ns) OVER w > ${Detector.GapNs}
-         |    THEN 1 ELSE 0 END AS nb
-         |  FROM h WINDOW w AS (ORDER BY start_ns, event_id)),
-         |c AS (
-         |  SELECT event_id, station, start_ns, x, y, z,
-         |    sum(nb) OVER (ORDER BY start_ns, event_id
-         |                  ROWS UNBOUNDED PRECEDING) AS cid
-         |  FROM s),
-         |e AS (
-         |  SELECT a.event_id AS src, b.event_id AS dst
-         |  FROM c a JOIN c b ON a.cid = b.cid AND a.event_id <> b.event_id
-         |  WHERE $edgeCond),
-         |reach(node, lbl) AS (
-         |  SELECT event_id, event_id FROM c
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
-         |  WHERE r.lbl < e.dst),
-         |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
-         |SELECT min(start_ns) AS cluster_start, max(start_ns) AS cluster_end,
-         |  count(*) AS n, count(DISTINCT station) AS n_stations,
-         |  (count(*) > count(DISTINCT station)) AS conflicting
-         |FROM c JOIN comp ON c.event_id = comp.node
-         |GROUP BY comp HAVING count(*) >= 2
-         |ORDER BY cluster_start, cluster_end, n""".stripMargin,
+      s"""$oracleGeoCommon
+         |$geoClusterSelect""".stripMargin,
     "component_score" ->
       s"""$oracleGeoCommon,
          |p AS (
