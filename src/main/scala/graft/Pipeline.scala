@@ -1545,6 +1545,30 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder compressed-image path: documents encode into real
+    * JPEG containers (SOI/APP0/COM/SOF0/SOS/EOI marker stream; the COM
+    * segment carries the text bytes, so the SOF sits after a
+    * variable-length segment) and the extractor walks the marker list to
+    * the frame header — JPEG DIMENSIONS without a codec library. The
+    * oracle predicts dims and container size arithmetically, so a
+    * marker-walk bug fails the hash check. */
+  private def multimodalDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "image/jpeg",
+          graft.operators.Multimodal.encodeJpegHeader(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
     * 8-bit mono PCM (one sample per char), and the extractor walks the
     * chunk list and folds whole-stream amplitude statistics. */
@@ -1565,6 +1589,7 @@ object Pipeline {
     "lang_id"             -> langId _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
+    "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -1896,6 +1921,12 @@ object Pipeline {
         |FROM (SELECT doc_id, 1 + length(text) % 64 AS w,
         |        1 + (length(text) // 64) % 64 AS h FROM documents)
         |ORDER BY media_id""".stripMargin,
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
+        |  CAST(59 + length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_decode_wav" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,

@@ -21,14 +21,17 @@ case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int,
   * extraction (`mapPartitions` — one decoder instance per partition, the
   * shape a JNI/FFmpeg-backed decoder needs), and the decode step.
   *
-  * Decoders are REAL for the container formats a pure JVM can parse —
-  * BMP and binary PPM image headers ([[decodeBmp]]/[[decodePpm]]) and
-  * RIFF/WAVE PCM audio ([[wavStats]], full-stream sample statistics, not
-  * just the header. Compressed codecs (JPEG/MP3/H.264) stay behind the
-  * clearly-marked [[decodeStub]] — those libraries are not available in
-  * this environment — but the Spark-side contract (binary column in,
-  * fixed-width feature struct out, per-partition batching) is identical
-  * for both, so swapping the stub for a JNI binding changes no plan.
+  * Decoders are REAL for everything a pure JVM can parse — BMP and
+  * binary PPM image headers ([[decodeBmp]]/[[decodePpm]]), RIFF/WAVE PCM
+  * audio ([[wavStats]], full-stream sample statistics, not just the
+  * header), and JPEG DIMENSIONS via a real marker-segment walk to the
+  * SOF frame header ([[decodeJpegDims]] — no codec library needed for
+  * dims). Only full compressed-pixel/audio decode (JPEG entropy data,
+  * MP3, H.264) stays behind the clearly-marked [[decodeStub]] — those
+  * libraries are not available in this environment — but the Spark-side
+  * contract (binary column in, fixed-width feature struct out,
+  * per-partition batching) is identical for both, so swapping the stub
+  * for a JNI binding changes no plan.
   */
 object Multimodal {
 
@@ -107,6 +110,71 @@ object Multimodal {
     } yield (w, h)
   }
 
+  /** Minimal baseline-JPEG container writer for fixtures: SOI → JFIF
+    * APP0 → a COM segment carrying the payload bytes → SOF0 with the
+    * given dimensions → SOS → EOI. The SOF sits AFTER variable-length
+    * segments, so decoding the dims requires the real marker walk.
+    * Total size: 59 + payload bytes. */
+  def encodeJpegHeader(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"bad dimensions ${w}x$h")
+    require(payload.length <= 65533, "COM segment cap")
+    val b = java.nio.ByteBuffer.allocate(59 + payload.length) // big-endian
+    def marker(m: Int): Unit = { b.put(0xFF.toByte); b.put(m.toByte) }
+    marker(0xD8)                                   // SOI
+    marker(0xE0); b.putShort(16)                   // APP0/JFIF
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(1.toByte).put(1.toByte).put(0.toByte)    // version 1.1, units 0
+    b.putShort(1).putShort(1)                      // density 1×1
+    b.put(0.toByte).put(0.toByte)                  // no thumbnail
+    marker(0xFE); b.putShort((2 + payload.length).toShort); b.put(payload)
+    marker(0xC0); b.putShort(17); b.put(8.toByte)  // SOF0, precision 8
+    b.putShort(h.toShort).putShort(w.toShort)      // lines, samples/line
+    b.put(3.toByte)                                // 3 components
+    for (c <- 1 to 3) {
+      b.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    marker(0xDA); b.putShort(12); b.put(3.toByte)  // SOS
+    for (c <- 1 to 3) { b.put(c.toByte).put(0.toByte) }
+    b.put(0.toByte).put(63.toByte).put(0.toByte)
+    marker(0xD9)                                   // EOI
+    b.array()
+  }
+
+  /** REAL JPEG dimension decode — a marker-segment walk to the first
+    * frame header (SOF0/SOF1/SOF2/... per ITU T.81 §B.2.2: any FFC0–FFCF
+    * except DHT/JPG/DAC), reading lines/samples-per-line big-endian.
+    * Handles FF fill bytes and the length-free markers (SOI/EOI/RSTn/
+    * TEM). None on malformed input: bad magic, truncated or overrunning
+    * segment, EOI or SOS before any SOF, zero dimensions. Entropy data
+    * after SOS is never scanned — dimensions are a header property, so
+    * this needs no codec library. */
+  def decodeJpegDims(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 4 || (data(0) & 0xff) != 0xFF ||
+      (data(1) & 0xff) != 0xD8) return None
+    var i = 2
+    while (i + 1 < data.length) {
+      if ((data(i) & 0xff) != 0xFF) return None
+      var m = data(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < data.length) { i += 1; m = data(i + 1) & 0xff }
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before SOF
+      else {
+        if (i + 3 >= data.length) return None
+        val len = ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > data.length) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (len < 7) return None
+          val h = ((data(i + 5) & 0xff) << 8) | (data(i + 6) & 0xff)
+          val w = ((data(i + 7) & 0xff) << 8) | (data(i + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
     * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
     * integer, so the derived mean is one exact division. `nSamples`
@@ -183,6 +251,7 @@ object Multimodal {
   def decode(kind: String, data: Array[Byte]): (Int, Int) = kind match {
     case "image/bmp" => decodeBmp(data).getOrElse((-1, -1))
     case "image/x-portable-pixmap" => decodePpm(data).getOrElse((-1, -1))
+    case "image/jpeg" => decodeJpegDims(data).getOrElse((-1, -1))
     case _ => decodeStub(data)
   }
 

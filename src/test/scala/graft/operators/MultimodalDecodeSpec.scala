@@ -85,6 +85,47 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.wavStats(nonPcm).isEmpty)
   }
 
+  test("JPEG round-trip: SOF marker walk finds dims after variable " +
+    "segments") {
+    val j = Multimodal.encodeJpegHeader(640, 480, "payload bytes".getBytes)
+    assert(Multimodal.decodeJpegDims(j).contains((640, 480)))
+    // empty COM payload still parses
+    assert(Multimodal.decodeJpegDims(
+      Multimodal.encodeJpegHeader(1, 65535, Array.empty)).contains((1, 65535)))
+  }
+
+  test("JPEG: progressive SOF2 and fill bytes are handled") {
+    val j = Multimodal.encodeJpegHeader(12, 34, Array[Byte](1, 2))
+    // rewrite SOF0 (FFC0) to SOF2 (FFC2): same frame-header layout
+    val sofAt = j.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    val prog = j.clone(); prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpegDims(prog).contains((12, 34)))
+    // FF fill bytes before a marker (T.81 §B.1.1.2)
+    val filled = (j.take(2) :+ 0xFF.toByte) ++ j.drop(2)
+    assert(Multimodal.decodeJpegDims(filled).contains((12, 34)))
+  }
+
+  test("JPEG malformed: bad magic, truncation, overrun, SOS/EOI first, " +
+    "zero dims") {
+    val j = Multimodal.encodeJpegHeader(8, 9, "xy".getBytes)
+    assert(Multimodal.decodeJpegDims("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeJpegDims(j.take(3)).isEmpty)
+    assert(Multimodal.decodeJpegDims(j.take(25)).isEmpty) // mid-segment cut
+    // segment length running past the buffer
+    val overrun = j.clone()
+    val comAt = overrun.indexOfSlice(Seq(0xFF.toByte, 0xFE.toByte))
+    overrun(comAt + 2) = 0x7F.toByte
+    assert(Multimodal.decodeJpegDims(overrun).isEmpty)
+    // EOI immediately after SOI: no SOF ever seen
+    assert(Multimodal.decodeJpegDims(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    // zero width in the frame header
+    val zero = j.clone()
+    val sofAt = zero.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    zero(sofAt + 7) = 0; zero(sofAt + 8) = 0
+    assert(Multimodal.decodeJpegDims(zero).isEmpty)
+  }
+
   test("kind dispatch: real decoders for BMP/PPM, stub otherwise, " +
     "sentinel on malformed") {
     val bmp = Multimodal.encodeBmp(3, 2, Array[Byte](5))
@@ -92,6 +133,9 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decode("image/bmp", "garbage".getBytes) == ((-1, -1)))
     val ppm = "P6 4 5 255 ".getBytes
     assert(Multimodal.decode("image/x-portable-pixmap", ppm) == ((4, 5)))
+    val jpg = Multimodal.encodeJpegHeader(20, 30, Array[Byte](1))
+    assert(Multimodal.decode("image/jpeg", jpg) == ((20, 30)))
+    assert(Multimodal.decode("image/jpeg", "notajpeg".getBytes) == ((-1, -1)))
     val blob = Array.fill[Byte](130)(7)
     assert(Multimodal.decode("application/octet-stream", blob) ==
       Multimodal.decodeStub(blob))
