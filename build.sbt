@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally echoes through sbt's logger with an
+// "[info] " prefix, so no stdout line starts with "{" and the driver's
+// bench-line parser never matches (BENCH_r01..r05 parsed:null). Inherit
+// the parent stdout instead: Bench's JSON line lands verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

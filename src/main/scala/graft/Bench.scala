@@ -59,11 +59,15 @@ object Bench {
     val full = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsLine(3)},"errors":$errs,"oracle_only":$oo,"pair_candidates":$pairsJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
-    try {
+    val wrote = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // read-only checkout: stdout still has it
-    println(full)
+      true
+    } catch { case _: Throwable => false }
+    // Only echo the full record when the file write failed (read-only
+    // checkout): the ~2.8k-char line otherwise eats most of the driver's
+    // 2000-char stdout tail window and crowds out the parseable line below.
+    if (!wrote) println(full)
     // LAST line = the driver-parsed one; keep it inside the tail window
     // (2000 chars minus sbt's ~70-char success trailer). Precision drops
     // 2dp → 1dp if the map grows; if even that overflows, the map keeps

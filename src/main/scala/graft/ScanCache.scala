@@ -40,6 +40,14 @@ object ScanCache {
     }
   }
 
+  /** Test access: live entries owned by `sc` (ScanCacheSpec). */
+  private[graft] def entriesOwnedBy(sc: SparkContext): Int = {
+    var n = 0
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext eq sc) n += 1
+    n
+  }
+
   /** Drop every entry owned by `sc` once that context ends. */
   private def hook(s: SparkSession): Unit = {
     val sc = s.sparkContext
