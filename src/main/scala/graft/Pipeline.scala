@@ -692,6 +692,21 @@ object Pipeline {
   /** Number of BPE merges bpe_train learns. */
   final val BpeMerges = 6
 
+  /** Exact greedy application of merge pair `mp` ("X Y") to the
+    * space-separated symbol string `repr`: a left-to-right fold that
+    * merges when the last accumulated symbol is X and the incoming one
+    * is Y. try_element_at keeps the empty-accumulator probe NULL-safe
+    * under ANSI mode (the IF condition then falls through to append).
+    * Exposed for BpeMergeSpec; [[bpeTrain]] uses it per step. */
+  private[graft] val BpeMergeExpr: String =
+    "array_join(aggregate(split(repr, ' '), " +
+      "cast(array() as array<string>), " +
+      "(acc, s) -> IF(size(acc) > 0 " +
+      "AND try_element_at(acc, -1) = split(mp, ' ')[0] " +
+      "AND s = split(mp, ' ')[1], " +
+      "concat(slice(acc, 1, size(acc) - 1), array(replace(mp, ' ', ''))), " +
+      "concat(acc, array(s)))), ' ')"
+
   /** BPE vocabulary induction — tokenizer TRAINING, the step upstream of
     * token_stats_bpe's tokenization: learn the first BpeMerges byte-pair
     * merges from corpus word frequencies (Sennrich et al. 2016). Each
@@ -700,27 +715,36 @@ object Pipeline {
     * engines agree), and applies the merge to every word
     * representation.
     *
-    * Merge application is space-padded string replacement — leftmost
-    * non-overlapping, identical semantics in Spark and DuckDB. Relative
-    * to reference BPE this under-merges when the SAME pair occurs twice
-    * in immediate succession inside one word (XYXY — 'coco', 'murmur':
-    * the first replacement consumes the shared delimiter space, so the
-    * second occurrence survives that step), which skews later steps'
-    * pair counts on corpora rich in reduplicated words. Exact greedy
-    * needs a per-word list fold that DuckDB's list_reduce cannot
-    * express — a documented trade (both engines implement the identical
-    * rule, so the oracle stays exact), pinned by spec.
+    * Merge application is EXACT greedy (Sennrich semantics): leftmost,
+    * non-overlapping, one left-to-right pass — a fold over the symbol
+    * list that merges when the accumulator's last symbol is X and the
+    * incoming one is Y. A merged token never re-participates in the
+    * same step (XY = X would need an empty Y), so the fold equals the
+    * reference scan on every input, including the XYXY reduplication
+    * runs ('coco', 'murmur') the earlier padded-string replace
+    * under-merged and the X=Y runs ('a a a a a' → 'aa aa a') where
+    * replace-to-fixpoint picks the wrong positions. The DuckDB twin
+    * iterates leftmost single-occurrence replacement to fixpoint via a
+    * per-step recursive CTE — repeated leftmost merge is greedy by
+    * induction (each step merges the leftmost remaining adjacency,
+    * exactly what the one-pass scan does first). BpeMergeSpec pins the
+    * parity cases on both engines' semantics.
     *
     * 100 TB shape: the state is the WORD FREQUENCY table (vocabulary-
     * sized, not corpus-sized — one explode+groupBy over the corpus,
     * after which iterations never touch the corpus again); each step is
     * one pair-count aggregation over the vocab plus a broadcast of the
     * single winning pair. */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainFromWords(Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       .filter("word <> ''")
-      .groupBy("word").agg(count(lit(1)).as("c"))
+      .groupBy("word").agg(count(lit(1)).as("c")))
+
+  /** Training loop on a (word, c) frequency table — factored out so
+    * BpeMergeSpec can drive it on synthetic corpora against a plain-Scala
+    * reference-BPE model. */
+  private[graft] def bpeTrainFromWords(words: DataFrame): DataFrame = {
     // LAZY localCheckpoint per step: the training loop is inherently
     // iterative — without truncation each step re-derives the corpus
     // explode through every previous step's lineage. Lazy (not eager)
@@ -744,9 +768,7 @@ object Pipeline {
         .localCheckpoint(false)
       merges = if (merges == null) top else merges.unionByName(top)
       repr = repr.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .selectExpr("c",
-          "trim(replace(concat(' ', repr, ' '), concat(' ', mp, ' '), " +
-            "concat(' ', replace(mp, ' ', ''), ' '))) AS repr")
+        .selectExpr("c", s"$BpeMergeExpr AS repr")
         .localCheckpoint(false)
     }
     merges.select(col("step"), col("pair"), col("pc")).orderBy("step")
@@ -1734,8 +1756,16 @@ object Pipeline {
        |  FROM k)""".stripMargin
 
   /** One BPE step in SQL: pair counts over r{t−1}, argmax with the
-    * lex-smallest tiebreak, padded-replace merge — the twin of one
-    * [[bpeTrain]] loop iteration. */
+    * lex-smallest tiebreak, EXACT greedy merge — the twin of one
+    * [[bpeTrain]] loop iteration. The merge iterates leftmost
+    * single-occurrence replacement to fixpoint (recursive CTE x$t):
+    * repeated leftmost merge equals the reference's one-pass greedy
+    * scan (each iteration merges the leftmost remaining adjacency —
+    * precisely what the scan does first — and the inserted token XY can
+    * never form a new (X, Y) adjacency since XY ≠ X and XY ≠ Y). The
+    * remainder substring starts AT the matched trailing space so
+    * delimiters are preserved; each merge shrinks the string by one
+    * char, so the recursion terminates. */
   private def bpeStepSql(t: Int): String = {
     val prev = s"r${t - 1}"
     s"""p$t AS (
@@ -1746,11 +1776,18 @@ object Pipeline {
        |  GROUP BY pair),
        |m$t AS (SELECT $t AS step, pair, pc FROM p$t
        |  ORDER BY pc DESC, pair LIMIT 1),
-       |r$t AS (
-       |  SELECT c, trim(replace(' ' || repr || ' ',
-       |    ' ' || (SELECT pair FROM m$t) || ' ',
-       |    ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ')) AS repr
-       |  FROM $prev)""".stripMargin
+       |x$t AS (
+       |  SELECT c, ' ' || repr || ' ' AS s, false AS done FROM $prev
+       |  UNION ALL
+       |  SELECT c,
+       |    CASE WHEN p = 0 THEN s
+       |      ELSE substr(s, 1, p - 1) || ' ' || replace(mp, ' ', '') ||
+       |        substr(s, p + length(mp) + 1) END,
+       |    p = 0
+       |  FROM (
+       |    SELECT c, s, strpos(s, ' ' || mp || ' ') AS p, mp
+       |    FROM x$t, (SELECT pair AS mp FROM m$t) WHERE NOT done) z$t),
+       |r$t AS (SELECT c, trim(s) AS repr FROM x$t WHERE done)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1782,7 +1819,7 @@ object Pipeline {
          |FROM rates r LEFT JOIN kept k ON r.source = k.source
          |ORDER BY r.source""".stripMargin,
     "bpe_train" ->
-      s"""WITH w AS (
+      s"""WITH RECURSIVE w AS (
          |  SELECT t AS word, count(*) AS c FROM (
          |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          |  WHERE t <> '' GROUP BY t),
