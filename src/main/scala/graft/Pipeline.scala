@@ -1591,6 +1591,51 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder PNG path: documents encode into real PNG containers
+    * (signature → IHDR with true CRC32s → a payload-carrying ancillary
+    * chunk → IEND) and the extractor validates the signature + first
+    * chunk and reads the big-endian IHDR dims. Oracle predicts dims and
+    * the 57 + len container size arithmetically. */
+  private def multimodalDecodePng(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "image/png",
+          graft.operators.Multimodal.encodePng(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
+  /** REAL-decoder GIF path: documents encode into real GIF89a streams
+    * (logical screen descriptor + a comment extension carrying the text
+    * in ≤255-byte sub-blocks) and the extractor reads the little-endian
+    * screen dims. Container size is 17 + len + ceil(len/255) — the
+    * sub-block framing makes the size prediction non-trivial on both
+    * sides. */
+  private def multimodalDecodeGif(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "image/gif",
+          graft.operators.Multimodal.encodeGif(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
     * 8-bit mono PCM (one sample per char), and the extractor walks the
     * chunk list and folds whole-stream amplitude statistics. */
@@ -1612,6 +1657,8 @@ object Pipeline {
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
+    "multimodal_decode_png" -> multimodalDecodePng _,
+    "multimodal_decode_gif" -> multimodalDecodeGif _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -1961,6 +2008,19 @@ object Pipeline {
     "multimodal_decode_jpeg" ->
       """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
         |  CAST(59 + length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_png" ->
+      """SELECT doc_id AS media_id, 'image/png' AS kind,
+        |  CAST(57 + length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_gif" ->
+      """SELECT doc_id AS media_id, 'image/gif' AS kind,
+        |  CAST(17 + length(text) + (length(text) + 254) // 255 AS BIGINT)
+        |    AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents ORDER BY media_id""".stripMargin,

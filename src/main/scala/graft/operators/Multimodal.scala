@@ -24,10 +24,13 @@ case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int,
   * Decoders are REAL for everything a pure JVM can parse — BMP and
   * binary PPM image headers ([[decodeBmp]]/[[decodePpm]]), RIFF/WAVE PCM
   * audio ([[wavStats]], full-stream sample statistics, not just the
-  * header), and JPEG DIMENSIONS via a real marker-segment walk to the
-  * SOF frame header ([[decodeJpegDims]] — no codec library needed for
-  * dims). Only full compressed-pixel/audio decode (JPEG entropy data,
-  * MP3, H.264) stays behind the clearly-marked [[decodeStub]] — those
+  * header), and the DIMENSIONS of every common compressed image
+  * container: JPEG via a real marker-segment walk to the SOF frame
+  * header ([[decodeJpegDims]]), PNG via the signature + IHDR chunk
+  * ([[decodePngDims]]), GIF via the logical screen descriptor
+  * ([[decodeGifDims]]) — no codec library needed for dims. Only full
+  * compressed-pixel/audio decode (JPEG/PNG entropy data, MP3, H.264)
+  * stays behind the clearly-marked [[decodeStub]] — those
   * libraries are not available in this environment — but the Spark-side
   * contract (binary column in, fixed-width feature struct out,
   * per-partition batching) is identical for both, so swapping the stub
@@ -175,6 +178,96 @@ object Multimodal {
     None
   }
 
+  /** Minimal PNG container writer for fixtures: signature → IHDR
+    * (8-bit truecolor, real CRC32s) → one private ancillary chunk
+    * ("prVt") carrying the payload bytes → IEND. Total size:
+    * 57 + payload bytes. */
+  def encodePng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val b = java.nio.ByteBuffer.allocate(57 + payload.length) // big-endian
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      b.putInt(crc.getValue.toInt)
+    }
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)                // bit depth
+      .put(2.toByte)                // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array())
+    chunk("prVt", payload)
+    chunk("IEND", Array.emptyByteArray)
+    b.array()
+  }
+
+  /** REAL PNG dimension decode: the 8-byte signature, then the IHDR
+    * chunk the spec requires FIRST (PNG §5.6) — length must be 13, type
+    * "IHDR", width/height big-endian, bit depth one of {1,2,4,8,16}.
+    * None on malformed input (bad magic, short buffer, wrong first
+    * chunk, zero dims, bogus depth). The IHDR CRC is present but not
+    * recomputed — dimension decode, like the JPEG SOF walk, is a
+    * header-structure property, not an integrity pass. */
+  def decodePngDims(data: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A)
+    if (data.length < 33) return None
+    var i = 0
+    while (i < 8) { if ((data(i) & 0xff) != sig(i)) return None; i += 1 }
+    val b = java.nio.ByteBuffer.wrap(data) // PNG is big-endian
+    if (b.getInt(8) != 13) return None
+    if (new String(data, 12, 4, "US-ASCII") != "IHDR") return None
+    val w = b.getInt(16)
+    val h = b.getInt(20)
+    val depth = data(24) & 0xff
+    if (w <= 0 || h <= 0) return None
+    if (depth != 1 && depth != 2 && depth != 4 && depth != 8 && depth != 16)
+      return None
+    Some((w, h))
+  }
+
+  /** Minimal GIF89a writer for fixtures: header + logical screen
+    * descriptor, a comment extension carrying the payload in ≤255-byte
+    * sub-blocks, trailer. Size: 17 + payload + ceil(payload/255). */
+  def encodeGif(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"bad dimensions ${w}x$h")
+    val nBlocks = (payload.length + 254) / 255
+    val b = java.nio.ByteBuffer.allocate(17 + payload.length + nBlocks)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort) // logical screen w × h
+    b.put(0.toByte)                 // no global color table
+    b.put(0.toByte)                 // background color index
+    b.put(0.toByte)                 // pixel aspect ratio
+    b.put(0x21.toByte).put(0xFE.toByte) // comment extension
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      b.put(n.toByte).put(payload, off, n)
+      off += n
+    }
+    b.put(0.toByte)                 // block terminator
+    b.put(0x3B.toByte)              // trailer
+    b.array()
+  }
+
+  /** REAL GIF dimension decode: "GIF87a"/"GIF89a" magic, then the
+    * logical screen descriptor's little-endian 16-bit width/height at
+    * fixed offsets 6/8. None on malformed input. */
+  def decodeGifDims(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 13) return None
+    val magic = new String(data, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = (data(6) & 0xff) | ((data(7) & 0xff) << 8)
+    val h = (data(8) & 0xff) | ((data(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
   /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
     * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
     * integer, so the derived mean is one exact division. `nSamples`
@@ -252,6 +345,8 @@ object Multimodal {
     case "image/bmp" => decodeBmp(data).getOrElse((-1, -1))
     case "image/x-portable-pixmap" => decodePpm(data).getOrElse((-1, -1))
     case "image/jpeg" => decodeJpegDims(data).getOrElse((-1, -1))
+    case "image/png" => decodePngDims(data).getOrElse((-1, -1))
+    case "image/gif" => decodeGifDims(data).getOrElse((-1, -1))
     case _ => decodeStub(data)
   }
 

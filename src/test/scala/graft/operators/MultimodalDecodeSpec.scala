@@ -126,6 +126,52 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegDims(zero).isEmpty)
   }
 
+  test("PNG round-trip: signature + IHDR decode, container size") {
+    for ((w, h) <- Seq((1, 1), (64, 13), (1920, 1080))) {
+      val png = Multimodal.encodePng(w, h, "payload".getBytes)
+      assert(Multimodal.decodePngDims(png).contains((w, h)), s"${w}x$h")
+      assert(png.length == 57 + "payload".length)
+    }
+  }
+
+  test("PNG malformed: bad magic, short buffer, wrong first chunk, " +
+    "zero dims, bogus depth") {
+    val png = Multimodal.encodePng(10, 20, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePngDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodePngDims(png.take(20)).isEmpty)
+    val badMagic = png.clone(); badMagic(1) = 'Q'.toByte
+    assert(Multimodal.decodePngDims(badMagic).isEmpty)
+    val wrongChunk = png.clone(); wrongChunk(12) = 'X'.toByte
+    assert(Multimodal.decodePngDims(wrongChunk).isEmpty)
+    val zeroW = png.clone()
+    java.nio.ByteBuffer.wrap(zeroW).putInt(16, 0)
+    assert(Multimodal.decodePngDims(zeroW).isEmpty)
+    val badDepth = png.clone(); badDepth(24) = 3.toByte
+    assert(Multimodal.decodePngDims(badDepth).isEmpty)
+  }
+
+  test("GIF round-trip: logical screen dims, sub-block container size") {
+    for ((w, h) <- Seq((1, 1), (320, 200), (65535, 65535))) {
+      val gif = Multimodal.encodeGif(w, h, "some comment".getBytes)
+      assert(Multimodal.decodeGifDims(gif).contains((w, h)), s"${w}x$h")
+    }
+    // sub-block framing: 255-byte blocks + length prefixes
+    for (n <- Seq(0, 1, 255, 256, 700)) {
+      val gif = Multimodal.encodeGif(2, 2, Array.fill[Byte](n)(7))
+      assert(gif.length == 17 + n + (n + 254) / 255, s"payload $n")
+      assert(Multimodal.decodeGifDims(gif).contains((2, 2)))
+    }
+  }
+
+  test("GIF malformed: bad magic, short buffer, zero dims") {
+    assert(Multimodal.decodeGifDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeGifDims("GIF89a".getBytes).isEmpty)
+    assert(Multimodal.decodeGifDims("GIF88a0123456789".getBytes).isEmpty)
+    val gif = Multimodal.encodeGif(3, 4, Array[Byte](1))
+    val zeroW = gif.clone(); zeroW(6) = 0; zeroW(7) = 0
+    assert(Multimodal.decodeGifDims(zeroW).isEmpty)
+  }
+
   test("kind dispatch: real decoders for BMP/PPM, stub otherwise, " +
     "sentinel on malformed") {
     val bmp = Multimodal.encodeBmp(3, 2, Array[Byte](5))
@@ -136,6 +182,12 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     val jpg = Multimodal.encodeJpegHeader(20, 30, Array[Byte](1))
     assert(Multimodal.decode("image/jpeg", jpg) == ((20, 30)))
     assert(Multimodal.decode("image/jpeg", "notajpeg".getBytes) == ((-1, -1)))
+    val png = Multimodal.encodePng(6, 7, Array[Byte](1))
+    assert(Multimodal.decode("image/png", png) == ((6, 7)))
+    assert(Multimodal.decode("image/png", "notapng".getBytes) == ((-1, -1)))
+    val gif = Multimodal.encodeGif(8, 9, Array[Byte](1))
+    assert(Multimodal.decode("image/gif", gif) == ((8, 9)))
+    assert(Multimodal.decode("image/gif", "notagif".getBytes) == ((-1, -1)))
     val blob = Array.fill[Byte](130)(7)
     assert(Multimodal.decode("application/octet-stream", blob) ==
       Multimodal.decodeStub(blob))
