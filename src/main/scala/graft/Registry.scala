@@ -417,6 +417,45 @@ object Registry {
           .otherwise(lit(1.0)))
       .orderBy("station", "day")
 
+  /** O6 wire shape: the detector_summary measurement rendered as an
+    * InfluxDB line-protocol string (reference include/sink/database.h:
+    * 97-113 — measurement name, user/detector/site_id tags, float
+    * fields, i-suffixed integer fields, nanosecond timestamp; the
+    * site_id tag is username+station_id per userinfo.site_id()). Float
+    * fields are rendered via INTEGER arithmetic (value cents × 10⁴ /
+    * count; deadtime ppm) formatted as %d.%06d — both engines format
+    * the same integers, so float-to-text divergence cannot occur. The
+    * deadtime numerator is clamped at 0 on both sides (progress <
+    * incoming would otherwise hit the truncate-vs-floor division
+    * difference between the engines on a negative numerator). Tag
+    * values here are [a-z0-9] so no line-protocol escaping applies. */
+  private def influxLineFormat(s: SparkSession, dir: String): DataFrame =
+    counterDeltas(s, dir)
+      .withColumn("day", floor(col("start_ns") / DayNs))
+      .groupBy("station", "day")
+      .agg(count(lit(1)).as("incoming"),
+        sum("delta").as("progress"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("rate6", expr("cents * 10000 div incoming"))
+      .withColumn("dead6", expr("CASE WHEN progress > 0 THEN " +
+        "greatest(progress - incoming, 0L) * 1000000 div progress " +
+        "ELSE 1000000L END"))
+      .select(col("station"), col("day"),
+        concat(
+          lit("detector_summary,user=u"), col("station"),
+          lit(",detector=st"), col("station") % 3,
+          lit(",site_id=u"), col("station"), lit("st"), col("station") % 3,
+          lit(" eventrate="),
+          format_string("%d.%06d", expr("rate6 div 1000000"),
+            expr("rate6 % 1000000")),
+          lit(",incoming="), col("incoming"), lit("i"),
+          lit(",ublox_counter_progress="), col("progress"), lit("i"),
+          lit(",deadtime_factor="),
+          format_string("%d.%06d", expr("dead6 div 1000000"),
+            expr("dead6 % 1000000")),
+          lit(" "), col("day") * DayNs).as("line"))
+      .orderBy("station", "day")
+
   /** A1+A3+A4: cluster-wide daily health log — incoming singles, outgoing
     * coincidences, max multiplicity, mean plausibility (reference
     * src/supervision/state.cpp:44-131). */
@@ -502,6 +541,7 @@ object Registry {
     "timebase_timeout" -> timebaseTimeout _,
     "event_status_asof" -> eventStatusAsof _,
     "detector_summary" -> detectorSummary _,
+    "influx_line_format" -> influxLineFormat _,
     "cluster_log"      -> clusterLog _,
     "cluster_log_detectors" -> clusterLogDetectors _,
     "cluster_log_map"  -> clusterLogMap _
@@ -822,6 +862,46 @@ object Registry {
            |       THEN 1.0 - incoming / (1.0 * progress)
            |       ELSE 1.0 END AS deadtime
            |FROM g ORDER BY station, day""".stripMargin,
+      "influx_line_format" ->
+        s"""$hCte,
+           |d AS (
+           |  SELECT station, start_ns, value,
+           |    event_id % ${CounterMod} AS ctr,
+           |    lag(event_id % ${CounterMod}) OVER
+           |      (PARTITION BY station ORDER BY start_ns, event_id) AS prev
+           |  FROM h),
+           |e AS (
+           |  SELECT station, start_ns // ${DayNs} AS day, value,
+           |    CASE WHEN prev IS NULL THEN 0
+           |         WHEN ctr > prev THEN ctr - prev
+           |         ELSE ctr + ${CounterMod - 1} - prev END AS delta
+           |  FROM d),
+           |g AS (
+           |  SELECT station, day, count(*) AS incoming,
+           |    CAST(sum(delta) AS BIGINT) AS progress,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS cents
+           |  FROM e GROUP BY station, day),
+           |f AS (
+           |  SELECT station, day, incoming, progress,
+           |    cents * 10000 // incoming AS rate6,
+           |    CASE WHEN progress > 0
+           |         THEN greatest(progress - incoming, 0) * 1000000
+           |           // progress
+           |         ELSE 1000000 END AS dead6
+           |  FROM g)
+           |SELECT station, day,
+           |  'detector_summary,user=u' || station
+           |    || ',detector=st' || (station % 3)
+           |    || ',site_id=u' || station || 'st' || (station % 3)
+           |    || ' eventrate='
+           |    || printf('%d.%06d', rate6 // 1000000, rate6 % 1000000)
+           |    || ',incoming=' || incoming || 'i'
+           |    || ',ublox_counter_progress=' || progress || 'i'
+           |    || ',deadtime_factor='
+           |    || printf('%d.%06d', dead6 // 1000000, dead6 % 1000000)
+           |    || ' ' || (day * ${DayNs}) AS line
+           |FROM f ORDER BY station, day""".stripMargin,
       "cluster_log_map" ->
         s"""WITH h AS (
            |  SELECT event_id, user_id AS station, epoch_ns(ts) AS start_ns
