@@ -1636,6 +1636,27 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder compressed-audio path: documents encode into valid
+    * MPEG1 Layer III frame streams (1 + len % 16 frames at
+    * 128 kbps / 44100 Hz; bodies carry the text bytes) and the
+    * extractor walks the frame headers — stream format, frame count
+    * and exact integer duration without a codec library. The oracle
+    * predicts every field arithmetically (frame length 417, duration
+    * frames × 1152000 // 44100). */
+  private def multimodalDecodeMp3(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/mpeg",
+          graft.operators.Multimodal.encodeMp3(
+            1 + (t.length % 16), asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractMp3Features(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
     * 8-bit mono PCM (one sample per char), and the extractor walks the
     * chunk list and folds whole-stream amplitude statistics. */
@@ -1659,6 +1680,7 @@ object Pipeline {
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
+    "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -2023,6 +2045,16 @@ object Pipeline {
         |    AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_mp3" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((1 + length(text) % 16) * 417 AS BIGINT) AS n_bytes,
+        |  CAST(3 AS INT) AS version,
+        |  CAST(44100 AS INT) AS sample_rate,
+        |  CAST(128 AS INT) AS bitrate_kbps,
+        |  CAST(1 + length(text) % 16 AS INT) AS n_frames,
+        |  CAST((1 + length(text) % 16) * 1152000 // 44100 AS BIGINT)
+        |    AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_decode_wav" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,

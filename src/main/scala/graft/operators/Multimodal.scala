@@ -268,6 +268,111 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some((w, h))
   }
 
+  /** Parsed MPEG-audio (MP3) stream facts from the frame-header walk:
+    * format fields from the first frame, frame count and the exact
+    * integer duration over the whole stream. */
+  final case class Mp3Info(version: Int, sampleRate: Int, bitrateKbps: Int,
+                           nFrames: Int, durationMs: Long)
+
+  /** MPEG1 Layer III bitrate table (kbps, index 1–14) and per-version
+    * sample rates (ISO 11172-3 / 13818-3). */
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+  private val Mp3RateV2 = Array(22050, 24000, 16000, 0)
+  private val Mp3RateV25 = Array(11025, 12000, 8000, 0)
+
+  /** Layer III frame byte length for one header (ISO 11172-3 §2.4.3.1:
+    * 144 × bitrate / samplerate + padding; the 144 halves to 72 for
+    * MPEG2/2.5's 576-sample frames). */
+  private def mp3FrameLen(version: Int, bitrateBps: Int, rate: Int,
+                          padding: Int): Int = {
+    val factor = if (version == 3) 144 else 72
+    factor * bitrateBps / rate + padding
+  }
+
+  /** Minimal MP3 writer for fixtures: `nFrames` MPEG1 Layer III frames
+    * at 128 kbps / 44100 Hz, no padding (frame length 417); frame
+    * bodies cycle over `payload`. Size: nFrames × 417. */
+  def encodeMp3(nFrames: Int, payload: Array[Byte]): Array[Byte] = {
+    require(nFrames > 0, s"bad frame count $nFrames")
+    val frameLen = mp3FrameLen(3, 128000, 44100, 0) // 417
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      out(base) = 0xFF.toByte
+      out(base + 1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+      out(base + 2) = 0x90.toByte // bitrate idx 9 (128k), 44100, no pad
+      out(base + 3) = 0x00.toByte // stereo
+      var i = 4
+      while (i < frameLen) {
+        out(base + i) =
+          if (payload.nonEmpty) payload((base + i) % payload.length)
+          else 0.toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** REAL MPEG-audio frame-header walk (no codec library — stream
+    * facts are a header property, like the JPEG SOF dims): optional
+    * ID3v2 skip (syncsafe size), then Layer III frames for MPEG1/2/2.5,
+    * each validated (sync, known bitrate/samplerate indexes, no
+    * free-format) and stepped over by its computed length; an optional
+    * trailing 128-byte ID3v1 "TAG" block is allowed. None on malformed
+    * input: bad sync, reserved indexes, truncated frame, version/rate
+    * mismatch mid-stream, trailing garbage. Duration is exact integer
+    * arithmetic: frames × samples-per-frame × 1000 / rate. */
+  def mp3Stats(data: Array[Byte]): Option[Mp3Info] = {
+    var i = 0
+    if (data.length >= 10 && data(0) == 'I' && data(1) == 'D' &&
+      data(2) == '3') {
+      val size = ((data(6) & 0x7f) << 21) | ((data(7) & 0x7f) << 14) |
+        ((data(8) & 0x7f) << 7) | (data(9) & 0x7f)
+      i = 10 + size
+    }
+    var version = -1
+    var rate = 0
+    var bitrate0 = 0
+    var nFrames = 0
+    while (i + 4 <= data.length) {
+      if ((data(i) & 0xff) == 'T' && i + 128 == data.length &&
+        data(i + 1) == 'A' && data(i + 2) == 'G' && nFrames > 0) {
+        i = data.length // ID3v1 trailer
+      } else {
+        if ((data(i) & 0xff) != 0xFF || (data(i + 1) & 0xE0) != 0xE0)
+          return None
+        val ver = (data(i + 1) >> 3) & 3     // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val layer = (data(i + 1) >> 1) & 3   // 1 = Layer III
+        if (ver == 1 || layer != 1) return None
+        val brIdx = (data(i + 2) >> 4) & 0xf
+        val srIdx = (data(i + 2) >> 2) & 3
+        val padding = (data(i + 2) >> 1) & 1
+        val br = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+        val sr = (if (ver == 3) Mp3RateV1
+                  else if (ver == 2) Mp3RateV2 else Mp3RateV25)(srIdx)
+        if (br == 0 || sr == 0) return None  // free-format/reserved
+        if (version == -1) { version = ver; rate = sr; bitrate0 = br }
+        else if (ver != version || sr != rate) return None
+        val len = mp3FrameLen(ver, br * 1000, sr, padding)
+        if (i + len > data.length) return None
+        nFrames += 1
+        i += len
+      }
+    }
+    if (nFrames == 0 || i != data.length) None
+    else {
+      val spf = if (version == 3) 1152L else 576L
+      Some(Mp3Info(version, rate, bitrate0, nFrames,
+        nFrames * spf * 1000L / rate))
+    }
+  }
+
   /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
     * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
     * integer, so the derived mean is one exact division. `nSamples`
@@ -392,6 +497,25 @@ object Multimodal {
           i.bitsPerSample, i.nSamples,
           i.sumAbs.toDouble / math.max(i.nSamples, 1L))
         case None => AudioFeatures(r.media_id, -1, -1, -1, -1L, -1.0)
+      }
+    })
+  }
+
+  /** MP3 stream facts for one media row (frame-header walk output). */
+  final case class Mp3Features(media_id: Long, n_bytes: Long, version: Int,
+                               sample_rate: Int, bitrate_kbps: Int,
+                               n_frames: Int, duration_ms: Long)
+
+  /** Partition-parallel MP3 feature extraction via the REAL frame
+    * walk; malformed payloads yield the −1 sentinel row. */
+  def extractMp3Features(rows: Dataset[MediaRow]): Dataset[Mp3Features] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      mp3Stats(r.data) match {
+        case Some(i) => Mp3Features(r.media_id, r.data.length.toLong,
+          i.version, i.sampleRate, i.bitrateKbps, i.nFrames, i.durationMs)
+        case None => Mp3Features(r.media_id, r.data.length.toLong,
+          -1, -1, -1, -1, -1L)
       }
     })
   }

@@ -172,6 +172,57 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifDims(zeroW).isEmpty)
   }
 
+  test("MP3 round-trip: frame walk counts frames, exact duration") {
+    for (n <- Seq(1, 3, 16)) {
+      val mp3 = Multimodal.encodeMp3(n, "audio payload".getBytes)
+      val i = Multimodal.mp3Stats(mp3).get
+      assert(i.version == 3 && i.sampleRate == 44100 && i.bitrateKbps == 128)
+      assert(i.nFrames == n)
+      assert(i.durationMs == n * 1152L * 1000 / 44100)
+      assert(mp3.length == n * 417)
+    }
+  }
+
+  test("MP3: ID3v2 prefix (syncsafe size) and ID3v1 trailer are skipped") {
+    val body = Multimodal.encodeMp3(2, Array[Byte](5))
+    // ID3v2 header: "ID3", version, flags, syncsafe size 200
+    val id3v2 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 1, 72) ++
+      Array.fill[Byte](200)(9)
+    assert(Multimodal.mp3Stats(id3v2 ++ body).exists(_.nFrames == 2))
+    val id3v1 = "TAG".getBytes ++ Array.fill[Byte](125)(0)
+    assert(Multimodal.mp3Stats(body ++ id3v1).exists(_.nFrames == 2))
+  }
+
+  test("MP3: padded frames and MPEG2 (576-sample) streams decode") {
+    val mp3 = Multimodal.encodeMp3(3, Array[Byte](1))
+    // set the padding bit on frame 0: length 418, shift the rest
+    val padded = mp3.clone(); padded(2) = (padded(2) | 2).toByte
+    val grown = padded.take(417) ++ Array[Byte](0) ++ padded.drop(417)
+    assert(Multimodal.mp3Stats(grown).exists(_.nFrames == 3))
+    // one MPEG2 Layer III frame: 64 kbps idx 8, 22050 Hz idx 0 →
+    // 72 * 64000 / 22050 = 208 bytes, 576 samples
+    val v2 = new Array[Byte](208)
+    v2(0) = 0xFF.toByte; v2(1) = 0xF3.toByte; v2(2) = 0x80.toByte
+    val i = Multimodal.mp3Stats(v2).get
+    assert(i.version == 2 && i.sampleRate == 22050 && i.nFrames == 1)
+    assert(i.durationMs == 576L * 1000 / 22050)
+  }
+
+  test("MP3 malformed: bad sync, truncated frame, free-format, " +
+    "reserved rate, mid-stream rate switch, trailing garbage") {
+    val mp3 = Multimodal.encodeMp3(2, Array[Byte](1))
+    assert(Multimodal.mp3Stats(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.mp3Stats("nosync".getBytes).isEmpty)
+    assert(Multimodal.mp3Stats(mp3.dropRight(10)).isEmpty)
+    val free = mp3.clone(); free(2) = 0x00.toByte // bitrate idx 0
+    assert(Multimodal.mp3Stats(free).isEmpty)
+    val badRate = mp3.clone(); badRate(2) = 0x9C.toByte // rate idx 3
+    assert(Multimodal.mp3Stats(badRate).isEmpty)
+    val switched = mp3.clone(); switched(417 + 2) = 0x94.toByte // 48 kHz
+    assert(Multimodal.mp3Stats(switched).isEmpty)
+    assert(Multimodal.mp3Stats(mp3 ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("kind dispatch: real decoders for BMP/PPM, stub otherwise, " +
     "sentinel on malformed") {
     val bmp = Multimodal.encodeBmp(3, 2, Array[Byte](5))
