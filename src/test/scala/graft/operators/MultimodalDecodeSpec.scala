@@ -223,6 +223,36 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.mp3Stats(mp3 ++ Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("fuzz: no decoder ever throws on arbitrary bytes") {
+    // the 100 TB ingest property: a poisoned payload must reject to
+    // None/sentinel, never kill the task. Random blobs, random
+    // truncations of VALID containers (the nastier case — prefixes
+    // pass magic checks), and bit-flipped valid containers.
+    val rnd = new scala.util.Random(1234L)
+    val valid = Seq(
+      Multimodal.encodeBmp(9, 4, Array[Byte](1, 2)),
+      "P6 123 45 255 pixels".getBytes,
+      Multimodal.encodeJpegHeader(31, 17, Array.fill[Byte](40)(3)),
+      Multimodal.encodePng(31, 17, Array.fill[Byte](40)(3)),
+      Multimodal.encodeGif(31, 17, Array.fill[Byte](300)(3)),
+      Multimodal.encodeMp3(3, Array.fill[Byte](50)(3)),
+      Multimodal.encodeWavPcm8(8000, Array.fill[Byte](60)(3)))
+    val blobs =
+      (1 to 200).map(_ => Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      valid.flatMap(v => (1 to 50).map(_ => v.take(rnd.nextInt(v.length + 1)))) ++
+      valid.flatMap(v => (1 to 50).map { _ =>
+        val m = v.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt.toByte
+        m
+      })
+    blobs.foreach { b =>
+      Multimodal.decodeBmp(b); Multimodal.decodePpm(b)
+      Multimodal.decodeJpegDims(b); Multimodal.decodePngDims(b)
+      Multimodal.decodeGifDims(b); Multimodal.mp3Stats(b)
+      Multimodal.wavStats(b)
+    }
+  }
+
   test("kind dispatch: real decoders for BMP/PPM, stub otherwise, " +
     "sentinel on malformed") {
     val bmp = Multimodal.encodeBmp(3, 2, Array[Byte](5))
