@@ -426,13 +426,17 @@ object Geodesic {
     "coincidence_geo" ->
       s"""$oracleGeoCommon
          |$geoClusterSelect""".stripMargin,
+    // pair CTE joins comp=comp BEFORE the id inequality (see
+    // DetectorApp.oracleSql: the inequality-first shape made DuckDB
+    // run an O(n²) inequality join ahead of the component filter)
     "component_score" ->
       s"""$oracleGeoCommon,
          |p AS (
          |  SELECT ca.comp AS comp, $scoreSql AS sc
-         |  FROM c a JOIN comp ca ON a.event_id = ca.node
-         |  JOIN c b ON a.event_id < b.event_id
-         |  JOIN comp cb ON b.event_id = cb.node AND ca.comp = cb.comp),
+         |  FROM comp ca JOIN comp cb ON ca.comp = cb.comp
+         |    AND ca.node < cb.node
+         |  JOIN c a ON a.event_id = ca.node
+         |  JOIN c b ON b.event_id = cb.node),
          |sc AS (
          |  SELECT comp, sum(CAST(floor(sc * 1e9) AS BIGINT)) AS se9,
          |    count(*) FILTER (sc > 0.0) AS nv
