@@ -1636,6 +1636,29 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** FULL-pixel-decode path: documents encode into real DEFLATE-
+    * compressed truecolor PNGs whose scanlines cycle through all five
+    * PNG filter types, and the extractor actually inflates (JDK
+    * java.util.zip) and defilters to recover the pixels. The oracle
+    * predicts the per-channel sums from first principles (pixel bytes
+    * are the text bytes cycled over w×3×h positions), so any filter or
+    * inflate bug fails the hash check — the container size itself is
+    * compression-dependent and deliberately NOT part of the contract. */
+  private def multimodalDecodePngPixels(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.operators.MediaRow(id, "image/png",
+          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder compressed-audio path: documents encode into valid
     * MPEG1 Layer III frame streams (1 + len % 16 frames at
     * 128 kbps / 44100 Hz; bodies carry the text bytes) and the
@@ -1680,6 +1703,7 @@ object Pipeline {
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
+    "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
@@ -2046,6 +2070,26 @@ object Pipeline {
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_png_pixels" -> {
+      // channel c pixels sit at byte positions ≡ c (mod 3) of the
+      // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
+      def chSum(c: Int): String =
+        s"""CAST(list_sum(list_transform(range(0, n),
+           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, n AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_mp3" ->
       """SELECT doc_id AS media_id,
         |  CAST((1 + length(text) % 16) * 417 AS BIGINT) AS n_bytes,

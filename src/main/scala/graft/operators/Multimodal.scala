@@ -230,6 +230,131 @@ object Multimodal {
     Some((w, h))
   }
 
+  /** FULL PNG writer for fixtures: a real, decoder-valid 8-bit
+    * truecolor PNG — scanlines are filtered with type (y mod 5), so a
+    * decode exercises every PNG filter (None/Sub/Up/Average/Paeth),
+    * then DEFLATE-compressed into IDAT via java.util.zip.Deflater.
+    * Pixel bytes cycle over `pixels`. */
+  def encodePngPixels(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val stride = w * 3
+    val raw = Array.tabulate(h * stride)(i =>
+      if (pixels.nonEmpty) pixels(i % pixels.length) else 0.toByte)
+    def px(x: Int, y: Int, c: Int): Int =
+      if (x < 0 || y < 0) 0 else raw(y * stride + x * 3 + c) & 0xff
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered(y * (1 + stride)) = f.toByte
+      for (x <- 0 until w; c <- 0 until 3) {
+        val cur = px(x, y, c)
+        val a = px(x - 1, y, c); val b = px(x, y - 1, c)
+        val cc = px(x - 1, y - 1, c)
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        filtered(y * (1 + stride) + 1 + x * 3 + c) = (cur - pred).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val idat = buf.toByteArray
+    val out = java.nio.ByteBuffer.allocate(57 + idat.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** FULL PNG pixel decode, pure JVM (DEFLATE ships in java.util.zip —
+    * no codec library): IHDR validation (8-bit truecolor), IDAT chunk
+    * concatenation + Inflater, then per-scanline DEFILTERING of all
+    * five PNG filter types (spec §9: None/Sub/Up/Average/Paeth).
+    * Returns (w, h, rgb bytes row-major). None on malformed input:
+    * anything decodePngDims rejects, unsupported color/depth, bad
+    * chunk framing, corrupt DEFLATE stream, wrong decompressed
+    * length, reserved filter type. */
+  def decodePngPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    decodePngDims(data).flatMap { case (w, h) =>
+      if ((data(24) & 0xff) != 8 || (data(25) & 0xff) != 2) return None
+      // walk chunks from the end of IHDR, concatenating IDAT payloads
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 33
+      val b = java.nio.ByteBuffer.wrap(data)
+      while (i + 8 <= data.length) {
+        val len = b.getInt(i)
+        if (len < 0 || i + 12 + len > data.length) return None
+        val typ = new String(data, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(data, i + 8, len)
+        i += 12 + len
+      }
+      val stride = w * 3
+      val expect = h * (1 + stride)
+      val filtered = new Array[Byte](expect)
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < expect && !inf.finished()) {
+          val n = inf.inflate(filtered, off, expect - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+        val done = off == expect && (inf.finished() ||
+          inf.inflate(new Array[Byte](1)) == 0)
+        inf.end()
+        if (!done) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      val out = new Array[Byte](h * stride)
+      def o(x: Int, y: Int, c: Int): Int =
+        if (x < 0 || y < 0) 0 else out(y * stride + x * 3 + c) & 0xff
+      for (y <- 0 until h) {
+        val f = filtered(y * (1 + stride)) & 0xff
+        if (f > 4) return None
+        for (x <- 0 until w; c <- 0 until 3) {
+          val v = filtered(y * (1 + stride) + 1 + x * 3 + c) & 0xff
+          val a = o(x - 1, y, c); val up = o(x, y - 1, c)
+          val cc = o(x - 1, y - 1, c)
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case _ =>
+              val p = a + up - cc
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
+          }
+          out(y * stride + x * 3 + c) = ((v + pred) & 0xff).toByte
+        }
+      }
+      Some((w, h, out))
+    }
+  }
+
   /** Minimal GIF89a writer for fixtures: header + logical screen
     * descriptor, a comment extension carrying the payload in ≤255-byte
     * sub-blocks, trailer. Size: 17 + payload + ceil(payload/255). */
@@ -497,6 +622,33 @@ object Multimodal {
           i.bitsPerSample, i.nSamples,
           i.sumAbs.toDouble / math.max(i.nSamples, 1L))
         case None => AudioFeatures(r.media_id, -1, -1, -1, -1L, -1.0)
+      }
+    })
+  }
+
+  /** Decoded-pixel features for one media row: dimensions plus exact
+    * per-channel integer sums — the cheap whole-image statistics a
+    * vision-data pipeline materializes wide. */
+  final case class PixelFeatures(media_id: Long, width: Int, height: Int,
+                                 n_pixels: Long, sum_r: Long, sum_g: Long,
+                                 sum_b: Long)
+
+  /** Partition-parallel FULL pixel decode (PNG: inflate + defilter);
+    * malformed payloads yield the −1 sentinel row. */
+  def extractPixelFeatures(rows: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      decodePngPixels(r.data) match {
+        case Some((w, h, px)) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            sr += px(i) & 0xff; sg += px(i + 1) & 0xff
+            sb += px(i + 2) & 0xff
+            i += 3
+          }
+          PixelFeatures(r.media_id, w, h, w.toLong * h, sr, sg, sb)
+        case None => PixelFeatures(r.media_id, -1, -1, -1L, -1L, -1L, -1L)
       }
     })
   }

@@ -150,6 +150,43 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodePngDims(badDepth).isEmpty)
   }
 
+  test("PNG FULL pixel decode: inflate + defilter recovers the exact " +
+    "bytes across all five filter types") {
+    val rnd = new scala.util.Random(99L)
+    // h ≥ 5 so the fixture's (y mod 5) filter schedule uses every type
+    for ((w, h) <- Seq((1, 5), (7, 6), (32, 9), (3, 1))) {
+      val pixels = Array.fill[Byte](w * 3 * h)(rnd.nextInt.toByte)
+      val png = Multimodal.encodePngPixels(w, h, pixels)
+      val (dw, dh, got) = Multimodal.decodePngPixels(png).get
+      assert(dw == w && dh == h)
+      assert(got.toSeq == pixels.toSeq, s"${w}x$h pixel mismatch")
+    }
+    // cycling: payload shorter than the raster repeats
+    val png = Multimodal.encodePngPixels(4, 7, Array[Byte](10, 20, 30, 40))
+    val (_, _, px) = Multimodal.decodePngPixels(png).get
+    assert(px.zipWithIndex.forall { case (v, i) =>
+      v == Seq(10, 20, 30, 40)(i % 4).toByte })
+  }
+
+  test("PNG pixel decode malformed: truncated IDAT, corrupt DEFLATE, " +
+    "reserved filter, dims-only container has no IDAT") {
+    val good = Multimodal.encodePngPixels(5, 5, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePngPixels(good).isDefined)
+    // chop the container mid-IDAT: chunk framing fails
+    assert(Multimodal.decodePngPixels(good.dropRight(20)).isEmpty)
+    // flip bytes inside IDAT: either the DEFLATE stream or the filter
+    // bytes go bad — must reject, never throw
+    for (off <- 41 until math.min(good.length - 12, 61)) {
+      val bad = good.clone(); bad(off) = (bad(off) ^ 0x55).toByte
+      Multimodal.decodePngPixels(bad) // no exception is the assertion
+    }
+    // the dims-only fixture (payload in a private chunk) has no IDAT:
+    // dims still decode, pixels reject on the length check
+    val dimsOnly = Multimodal.encodePng(6, 7, Array[Byte](9))
+    assert(Multimodal.decodePngDims(dimsOnly).contains((6, 7)))
+    assert(Multimodal.decodePngPixels(dimsOnly).isEmpty)
+  }
+
   test("GIF round-trip: logical screen dims, sub-block container size") {
     for ((w, h) <- Seq((1, 1), (320, 200), (65535, 65535))) {
       val gif = Multimodal.encodeGif(w, h, "some comment".getBytes)
