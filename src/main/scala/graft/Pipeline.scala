@@ -1680,6 +1680,29 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder video-container path: documents encode into valid
+    * ISO-BMFF (MP4) structures — ftyp → moov(mvhd + trak(tkhd)) →
+    * mdat carrying the text — and the extractor walks the box tree for
+    * the movie facts: mvhd timescale/duration, tkhd 16.16 fixed-point
+    * dimensions. The oracle predicts every field arithmetically
+    * (container size 240 + len; duration len × 40 ms at timescale
+    * 1000). */
+  private def multimodalDecodeMp4(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "video/mp4",
+          graft.operators.Multimodal.encodeMp4(w, h, 1000, t.length * 40,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractMp4Features(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
     * 8-bit mono PCM (one sample per char), and the extractor walks the
     * chunk list and folds whole-stream amplitude statistics. */
@@ -1705,6 +1728,7 @@ object Pipeline {
     "multimodal_decode_gif" -> multimodalDecodeGif _,
     "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
+    "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -2099,6 +2123,14 @@ object Pipeline {
         |  CAST(1 + length(text) % 16 AS INT) AS n_frames,
         |  CAST((1 + length(text) % 16) * 1152000 // 44100 AS BIGINT)
         |    AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_mp4" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(240 + length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1000 AS INT) AS timescale,
+        |  CAST(length(text) * 40 AS BIGINT) AS duration_ms,
+        |  CAST(1 + length(text) % 64 AS INT) AS width,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_decode_wav" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,

@@ -498,6 +498,102 @@ object Multimodal {
     }
   }
 
+  /** Parsed MP4/ISO-BMFF movie facts from the box walk: mvhd
+    * timescale/duration and the first video track's tkhd dimensions. */
+  final case class Mp4Info(timescale: Int, durationMs: Long,
+                           width: Int, height: Int)
+
+  /** Minimal ISO-BMFF writer for fixtures: ftyp('isom') → moov(mvhd +
+    * trak(tkhd)) → mdat carrying the payload. mvhd/tkhd are version-0
+    * boxes; tkhd width/height are 16.16 fixed point per the spec.
+    * Size: 240 + payload bytes. */
+  def encodeMp4(w: Int, h: Int, timescale: Int, duration: Int,
+                payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0, s"bad mp4 params ${w}x$h")
+    val b = java.nio.ByteBuffer.allocate(240 + payload.length) // big-endian
+    def box(size: Int, typ: String): Unit = {
+      b.putInt(size).put(typ.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp")
+    b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    box(8 + 108 + 8 + 92, "moov")
+    box(108, "mvhd")
+    b.putInt(0)                       // version 0 + flags
+    b.putInt(0).putInt(0)             // ctime, mtime
+    b.putInt(timescale).putInt(duration)
+    b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+    b.putInt(0).putInt(0)             // reserved
+    for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+      b.putInt(m)                     // unity matrix
+    for (_ <- 1 to 6) b.putInt(0)     // pre_defined
+    b.putInt(2)                       // next_track_ID
+    box(8 + 92, "trak")
+    box(92, "tkhd")
+    b.putInt(7)                       // version 0 + flags (enabled)
+    b.putInt(0).putInt(0)             // ctime, mtime
+    b.putInt(1).putInt(0)             // track_ID, reserved
+    b.putInt(duration)
+    b.putInt(0).putInt(0)             // reserved
+    b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/vol/res
+    for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+      b.putInt(m)
+    b.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+    box(8 + payload.length, "mdat")
+    b.put(payload)
+    b.array()
+  }
+
+  /** REAL MP4/ISO-BMFF box walk (ISO 14496-12): validates the box
+    * framing (32-bit sizes; size≥8; exact top-level consume; ftyp
+    * first), descends into moov for mvhd (timescale, duration) and the
+    * first trak's tkhd (16.16 fixed-point width/height). Version-1
+    * (64-bit) mvhd/tkhd variants are read with their wider offsets.
+    * None on malformed input: bad framing, missing ftyp/moov/mvhd/
+    * tkhd, zero timescale, zero dims. Media data (mdat) is never
+    * parsed — movie facts are a header property. */
+  def mp4Stats(data: Array[Byte]): Option[Mp4Info] = {
+    val b = java.nio.ByteBuffer.wrap(data)
+    def typ(off: Int): String =
+      if (off + 8 > data.length) "" else new String(data, off + 4, 4, "US-ASCII")
+    // walk children of [from, to); return offset+size of box `name`
+    def find(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = b.getInt(i)
+        if (size < 8 || i + size > to) return None
+        if (typ(i) == name) return Some((i, size))
+        i += size
+      }
+      None
+    }
+    if (data.length < 16 || typ(0) != "ftyp") return None
+    // top-level framing must consume the buffer exactly
+    var i = 0
+    while (i + 8 <= data.length) {
+      val size = b.getInt(i)
+      if (size < 8 || i + size > data.length) return None
+      i += size
+    }
+    if (i != data.length) return None
+    for {
+      (moov, msz) <- find(0, data.length, "moov")
+      (mvhd, mvsz) <- find(moov + 8, moov + msz, "mvhd")
+      (trak, tsz) <- find(moov + 8, moov + msz, "trak")
+      (tkhd, tksz) <- find(trak + 8, trak + tsz, "tkhd")
+      if mvsz >= 12 && tksz >= 12      // version byte is readable
+      mv = b.get(mvhd + 8) & 0xff      // mvhd version
+      if mvsz >= (if (mv == 1) 40 else 28) // fields read below fit
+      ts = b.getInt(mvhd + (if (mv == 1) 28 else 20))
+      dur = if (mv == 1) b.getLong(mvhd + 32) else b.getInt(mvhd + 24).toLong
+      tv = b.get(tkhd + 8) & 0xff      // tkhd version
+      if tksz >= (if (tv == 1) 104 else 92)
+      wOff = tkhd + (if (tv == 1) 96 else 84)
+      w = b.getInt(wOff) >>> 16
+      h = b.getInt(wOff + 4) >>> 16
+      if ts > 0 && dur >= 0 && w > 0 && h > 0
+    } yield Mp4Info(ts, dur * 1000L / ts, w, h)
+  }
+
   /** Decoded audio-stream statistics (WAV PCM). `sumAbs` is the summed
     * absolute amplitude (8-bit: |code − 128|; 16-bit: |sample|) — an
     * integer, so the derived mean is one exact division. `nSamples`
@@ -668,6 +764,24 @@ object Multimodal {
           i.version, i.sampleRate, i.bitrateKbps, i.nFrames, i.durationMs)
         case None => Mp3Features(r.media_id, r.data.length.toLong,
           -1, -1, -1, -1, -1L)
+      }
+    })
+  }
+
+  /** MP4 movie facts for one media row (box walk output). */
+  final case class Mp4Features(media_id: Long, n_bytes: Long, timescale: Int,
+                               duration_ms: Long, width: Int, height: Int)
+
+  /** Partition-parallel MP4 feature extraction via the REAL box walk;
+    * malformed payloads yield the −1 sentinel row. */
+  def extractMp4Features(rows: Dataset[MediaRow]): Dataset[Mp4Features] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      mp4Stats(r.data) match {
+        case Some(i) => Mp4Features(r.media_id, r.data.length.toLong,
+          i.timescale, i.durationMs, i.width, i.height)
+        case None => Mp4Features(r.media_id, r.data.length.toLong,
+          -1, -1L, -1, -1)
       }
     })
   }

@@ -286,8 +286,65 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Multimodal.decodeBmp(b); Multimodal.decodePpm(b)
       Multimodal.decodeJpegDims(b); Multimodal.decodePngDims(b)
       Multimodal.decodeGifDims(b); Multimodal.mp3Stats(b)
+      Multimodal.decodePngPixels(b); Multimodal.mp4Stats(b)
       Multimodal.wavStats(b)
     }
+  }
+
+  test("MP4 round-trip: box walk finds mvhd timescale/duration and " +
+    "tkhd 16.16 dims") {
+    for ((w, h, ts, dur) <- Seq((1, 1, 1000, 0), (640, 360, 90000, 123456),
+      (65535, 480, 1, 7))) {
+      val mp4 = Multimodal.encodeMp4(w, h, ts, dur, "movie data".getBytes)
+      val i = Multimodal.mp4Stats(mp4).get
+      assert(i.width == w && i.height == h && i.timescale == ts)
+      assert(i.durationMs == dur * 1000L / ts)
+      assert(mp4.length == 240 + "movie data".length)
+    }
+  }
+
+  test("MP4: version-1 (64-bit) mvhd/tkhd offsets are honored") {
+    val b = java.nio.ByteBuffer.allocate(16 + 8 + 40 + 8 + 104)
+    b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    b.putInt(8 + 40 + 8 + 104).put("moov".getBytes)
+    b.putInt(40).put("mvhd".getBytes)
+    b.putInt(0x01000000)                  // version 1
+    b.putLong(0).putLong(0)               // ctime, mtime (64-bit)
+    b.putInt(48000)                       // timescale at +28
+    b.putLong(96000)                      // duration at +32 (64-bit)
+    b.putInt(8 + 104).put("trak".getBytes)
+    b.putInt(104).put("tkhd".getBytes)
+    b.putInt(0x01000007)                  // version 1 + enabled
+    b.putLong(0).putLong(0)               // ctime, mtime
+    b.putInt(1).putInt(0)                 // track_ID, reserved
+    b.putLong(96000)                      // duration (64-bit)
+    b.putLong(0)                          // reserved
+    b.putShort(0).putShort(0).putShort(0).putShort(0)
+    for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+      b.putInt(m)
+    b.putInt(320 << 16).putInt(240 << 16) // width, height at +96/+100
+    val i = Multimodal.mp4Stats(b.array()).get
+    assert(i.timescale == 48000 && i.durationMs == 2000)
+    assert(i.width == 320 && i.height == 240)
+  }
+
+  test("MP4 malformed: no ftyp, bad box framing, missing moov/tkhd, " +
+    "zero timescale or dims") {
+    val mp4 = Multimodal.encodeMp4(10, 20, 1000, 500, Array[Byte](1, 2))
+    assert(Multimodal.mp4Stats(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.mp4Stats("notanmp4box".getBytes).isEmpty)
+    assert(Multimodal.mp4Stats(mp4.dropRight(1)).isEmpty) // framing off
+    val noMoov = mp4.clone()
+    noMoov(16 + 5) = 'x'.toByte // moov → mxov
+    assert(Multimodal.mp4Stats(noMoov).isEmpty)
+    val zeroTs = mp4.clone()
+    // mvhd box starts at 24 (ftyp 16 + moov header 8); timescale +20
+    java.nio.ByteBuffer.wrap(zeroTs).putInt(24 + 20, 0)
+    assert(Multimodal.mp4Stats(zeroTs).isEmpty)
+    val zeroW = mp4.clone()
+    // tkhd box starts at 140 (… + mvhd 108 + trak header 8); width +84
+    java.nio.ByteBuffer.wrap(zeroW).putInt(140 + 84, 0)
+    assert(Multimodal.mp4Stats(zeroW).isEmpty)
   }
 
   test("kind dispatch: real decoders for BMP/PPM, stub otherwise, " +
