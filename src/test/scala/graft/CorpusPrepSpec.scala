@@ -165,4 +165,44 @@ class CorpusPrepSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("corpus_split: disjoint, exhaustive, content-determined, " +
+    "majority-train") {
+    val rows = run("corpus_split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == docs.size, "every document assigned exactly once")
+    // the label is the pinned function of the bucket, the bucket the
+    // pinned scrambled fold of the text — recomputed here in plain Scala
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    for ((id, _, bucket, split) <- rows) {
+      val fold = byId(id).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Pipeline.P)
+      assert(bucket == fold * 2654435761L % Pipeline.P % 1000, s"doc $id")
+      val want =
+        if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(split == want, s"doc $id")
+    }
+    // 80/10/10 in expectation; at 50 docs just pin the gross shape
+    val n = rows.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(n.getOrElse("train", 0) > rows.length / 2, s"shares $n")
+    assert(n.values.sum == rows.length)
+  }
+
+  test("quantile_sketch: exact from the sort, estimate within one bin") {
+    val rows = run("quantile_sketch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(500000L, 900000L, 990000L))
+    val xs = docs.map(_._2.split(" ", -1).length.toLong).sorted
+    val (mn, mx, cnt) = (xs.head, xs.last, xs.size)
+    val binW = (mx - mn + 1 + Pipeline.QsBins - 1) / Pipeline.QsBins
+    var lastEst = Long.MinValue
+    for ((q, est, exact, err) <- rows) {
+      val kidx = ((q * cnt + 999999) / 1000000).toInt
+      assert(exact == xs(kidx - 1), s"exact quantile at $q ppm")
+      assert(err == est - exact, s"err column at $q ppm")
+      assert(err >= 0 && err < binW,
+        s"estimate at $q ppm off by $err (bin width $binW)")
+      assert(est >= lastEst, "estimates monotone in q")
+      lastEst = est
+    }
+  }
 }

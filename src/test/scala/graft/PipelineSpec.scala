@@ -100,4 +100,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(coverage > 0.1 && coverage < 1.0,
       s"coverage $coverage outside the expected regime")
   }
+
+  test("embedding_rp: sparse projection preserves cosine within the " +
+    "JL budget of 16 dims") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.001"
+    val rows = Pipeline.queries("embedding_rp")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 120, "all-pairs panel of the first 16 vectors")
+    rows.foreach { case (a, b, f, rp) =>
+      assert(a < b && f.abs <= 1.0 + 1e-9 && rp.abs <= 1.0 + 1e-9)
+    }
+    // distortion: dense-JL std at K=16 is 1/sqrt(16) = 0.25; the 1/3
+    // density inflates it ~20%, and the measured mean abs error here is
+    // 0.298 — pin the regime (clearly informative, clearly not exact)
+    val diffs = rows.map { case (_, _, f, rp) => math.abs(f - rp) }
+    val mean = diffs.sum / diffs.length
+    assert(mean < 0.35, s"mean |cos_full - cos_rp| = $mean")
+    assert(mean > 0.05, s"suspiciously exact for 16 dims: $mean")
+    // the projection carries signal: corr(cos_full, cos_rp) measured
+    // 0.30 here / 0.38 at sf0.01 — right on the analytic
+    // signal/(signal²+noise²)^½ ≈ 0.35 for this corpus's near-orthogonal
+    // pairs (cos_full std 0.12 vs JL noise std ~0.3); sign agreement
+    // would be a coin flip around cos 0, so correlation is the signal
+    val mf = rows.map(_._3).sum / rows.length
+    val mr = rows.map(_._4).sum / rows.length
+    val cov = rows.map(r => (r._3 - mf) * (r._4 - mr)).sum
+    val corr = cov / math.sqrt(
+      rows.map(r => (r._3 - mf) * (r._3 - mf)).sum *
+        rows.map(r => (r._4 - mr) * (r._4 - mr)).sum)
+    assert(corr > 0.1, s"corr(cos_full, cos_rp) = $corr")
+  }
 }
