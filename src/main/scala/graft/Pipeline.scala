@@ -802,16 +802,60 @@ object Pipeline {
     * after which iterations never touch the corpus again); each step is
     * one pair-count aggregation over the vocab plus a broadcast of the
     * single winning pair. */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainFromWords(Tables.documents(s, dir)
+  /** One trained-BPE state per (session, dir): the 6-step loop runs
+    * once and BOTH its outputs (merge list, per-word repr) land in the
+    * ScanCache from the same call, sharing the loop's checkpointed
+    * lineage — bpe_train and bpe_encode split one training pass the
+    * same way the ANN family splits one vecs scan. */
+  private def bpeState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    lazy val st = bpeTrainState(Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       .filter("word <> ''")
       .groupBy("word").agg(count(lit(1)).as("c")))
+    (ScanCache.get(s, s"bpe-merges:$dir")(st._1),
+      ScanCache.get(s, s"bpe-repr:$dir")(st._2))
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeState(s, dir)._1
+
+  /** Corpus-wide tokenizer APPLICATION — the step after [[bpeTrain]]:
+    * per-document token counts under the trained vocabulary (whitespace
+    * words before merging, BPE symbols after). The expensive greedy
+    * merge fold runs once per unique WORD (the trained repr table is
+    * vocabulary-sized); documents contribute only (doc_id, word, k)
+    * count rows — pre-aggregated so the join input is distinct words
+    * per document, not raw occurrences, and the Zipf head ("the" in
+    * every document) arrives as ONE row per document, not hundreds.
+    * The vocab join deliberately SHUFFLES rather than broadcasts: like
+    * bigram_lm's model tables, the vocabulary grows with the corpus and
+    * must not be pinned to one executor's memory; AQE's skew split
+    * covers the head words. */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .filter("word <> ''")
+    val reprN = bpeState(s, dir)._2
+      .selectExpr("word", "size(split(repr, ' ')) AS n_sym")
+    words.groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+      .join(reprN, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_words"),
+        sum(col("k") * col("n_sym")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
 
   /** Training loop on a (word, c) frequency table — factored out so
     * BpeMergeSpec can drive it on synthetic corpora against a plain-Scala
     * reference-BPE model. */
-  private[graft] def bpeTrainFromWords(words: DataFrame): DataFrame = {
+  private[graft] def bpeTrainFromWords(words: DataFrame): DataFrame =
+    bpeTrainState(words)._1
+
+  /** The training loop's full state: (merge list, final per-word
+    * symbolization). The repr table is what ENCODING needs — the greedy
+    * merge fold runs once per unique WORD (vocabulary-sized work), never
+    * per occurrence. */
+  private[graft] def bpeTrainState(words: DataFrame): (DataFrame, DataFrame) = {
     // LAZY localCheckpoint per step: the training loop is inherently
     // iterative — without truncation each step re-derives the corpus
     // explode through every previous step's lineage. Lazy (not eager)
@@ -819,7 +863,8 @@ object Pipeline {
     // still flattening the Catalyst plan; the checkpointed state is the
     // vocabulary-sized repr table plus a 1-row winner, cached on first
     // action.
-    var repr = words.selectExpr("c", "array_join(split(word, ''), ' ') AS repr")
+    var repr = words
+      .selectExpr("word", "c", "array_join(split(word, ''), ' ') AS repr")
       .localCheckpoint(false)
     var merges: DataFrame = null
     for (step <- 1 to BpeMerges) {
@@ -835,10 +880,10 @@ object Pipeline {
         .localCheckpoint(false)
       merges = if (merges == null) top else merges.unionByName(top)
       repr = repr.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .selectExpr("c", s"$BpeMergeExpr AS repr")
+        .selectExpr("word", "c", s"$BpeMergeExpr AS repr")
         .localCheckpoint(false)
     }
-    merges.select(col("step"), col("pair"), col("pc")).orderBy("step")
+    (merges.select(col("step"), col("pair"), col("pc")).orderBy("step"), repr)
   }
 
   /** SemDeDup cosine threshold — matches the corpus's near-duplicate
@@ -1878,6 +1923,7 @@ object Pipeline {
     "corpus_filter"     -> corpusFilter _,
     "gopher_repetition" -> gopherRepetition _,
     "bpe_train"         -> bpeTrain _,
+    "bpe_encode"        -> bpeEncode _,
     "prepare_corpus"    -> prepareCorpus _,
     "mixture_sample"    -> mixtureSample _,
     "exact_substring"   -> exactSubstring _,
@@ -2010,17 +2056,17 @@ object Pipeline {
        |m$t AS (SELECT $t AS step, pair, pc FROM p$t
        |  ORDER BY pc DESC, pair LIMIT 1),
        |x$t AS (
-       |  SELECT c, ' ' || repr || ' ' AS s, false AS done FROM $prev
+       |  SELECT word, c, ' ' || repr || ' ' AS s, false AS done FROM $prev
        |  UNION ALL
-       |  SELECT c,
+       |  SELECT word, c,
        |    CASE WHEN p = 0 THEN s
        |      ELSE substr(s, 1, p - 1) || ' ' || replace(mp, ' ', '') ||
        |        substr(s, p + length(mp) + 1) END,
        |    p = 0
        |  FROM (
-       |    SELECT c, s, strpos(s, ' ' || mp || ' ') AS p, mp
+       |    SELECT word, c, s, strpos(s, ' ' || mp || ' ') AS p, mp
        |    FROM x$t, (SELECT pair AS mp FROM m$t) WHERE NOT done) z$t),
-       |r$t AS (SELECT c, trim(s) AS repr FROM x$t WHERE done)""".stripMargin
+       |r$t AS (SELECT word, c, trim(s) AS repr FROM x$t WHERE done)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2057,13 +2103,33 @@ object Pipeline {
          |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          |  WHERE t <> '' GROUP BY t),
          |r0 AS (
-         |  SELECT c, array_to_string(string_split(word, ''), ' ') AS repr
+         |  SELECT word, c,
+         |    array_to_string(string_split(word, ''), ' ') AS repr
          |  FROM w),
          |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
          |SELECT step, pair, CAST(pc AS BIGINT) AS pc FROM (
          |  ${(1 to BpeMerges).map(t => s"SELECT * FROM m$t")
               .mkString(" UNION ALL ")})
          |ORDER BY step""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT t AS word, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY t),
+         |r0 AS (
+         |  SELECT word, c,
+         |    array_to_string(string_split(word, ''), ' ') AS repr
+         |  FROM w),
+         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")},
+         |dw AS (
+         |  SELECT doc_id, word, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY doc_id, word)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+         |  CAST(sum(k * len(string_split(repr, ' '))) AS BIGINT) AS n_bpe
+         |FROM dw JOIN r$BpeMerges USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "gopher_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, length(text) AS n_chars,

@@ -109,4 +109,24 @@ class BpeMergeSpec extends AnyFunSuite {
       .toSeq
     assert(got == want, s"\n got: $got\nwant: $want")
   }
+
+  test("encode: the trained repr table is the reference merges applied " +
+    "in order per word") {
+    import spark.implicits._
+    val corpus = Map(
+      "coco" -> 7L, "cocoa" -> 4L, "murmur" -> 5L,
+      "banana" -> 3L, "cocoon" -> 2L, "aaaa" -> 6L)
+    val merges = refTrain(corpus, Pipeline.BpeMerges).map { case (_, p, _) =>
+      val Array(x, y) = p.split(" "); (x, y)
+    }
+    val want = corpus.keys.map { w =>
+      var syms = w.split("").toList
+      for ((x, y) <- merges) syms = refMerge(syms, x, y)
+      w -> syms
+    }.toMap
+    val got = Pipeline.bpeTrainState(corpus.toSeq.toDF("word", "c"))._2
+      .select("word", "repr").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toList).toMap
+    assert(got == want, s"\n got: $got\nwant: $want")
+  }
 }
