@@ -244,44 +244,54 @@ object Pipeline {
 
   /** Mergeable equi-width histogram quantiles over the per-document
     * token count — what a 100 TB corpus profiler runs instead of a
-    * global sort: one broadcast (min, max, n) scalar aggregate fixes
-    * the bin domain, the histogram is a ≤[[QsBins]]-group aggregate
-    * with full map-side combine (the shuffle carries at most
-    * [[QsBins]] rows per task), and each quantile estimate is the
-    * upper edge of the first bin whose cumulative count reaches
-    * ceil(q·n). All arithmetic is integer, so the estimate is
-    * engine-exact and the histogram state is mergeable across
-    * partitions/shards by plain addition (the same property KMV gives
-    * the distinct sketch). The EXACT quantile rides beside it
-    * (sorted-array pick — linear only at test scale, like
-    * `ann_recall`'s ground truth) so the sketch error is measured,
-    * not asserted: `err` is bounded by one bin width by
-    * construction. */
+    * global sort. The corpus is touched ONCE: a (value → count)
+    * histogram aggregate with full map-side combine, whose output is
+    * DOMAIN-sized (distinct token-count values), not corpus-sized.
+    * Everything downstream reads that histogram: the (min, max, n)
+    * bounds are one broadcast single-row aggregate over it, the
+    * [[QsBins]]-bin equi-width sketch is a second domain-sized
+    * aggregate (the mergeable-by-addition state a shard/stream would
+    * keep), each quantile estimate is the upper edge of the first bin
+    * whose cumulative count reaches ceil(q·n), and the EXACT quantile
+    * is the first VALUE whose cumulative count reaches it — exact
+    * because the values are integers, and scale-safe because the
+    * cumulative windows run over the domain, never the corpus (no
+    * corpus-sized collect, no global sort). All arithmetic is
+    * integer, so both columns are engine-exact and `err` is a
+    * measured column bounded by one bin width by construction. */
   private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = QsBins
-    val v = Tables.documents(s, dir)
+    // the ONE corpus pass: value histogram, domain-sized output
+    val vh = Tables.documents(s, dir)
       .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS x")
-    val bounds = v.agg(
-      min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"),
-      sort_array(collect_list(col("x"))).as("srt"))
-    val hist = v.crossJoin(broadcast(bounds.select("mn", "mx")))
-      .selectExpr(s"(x - mn) * $B DIV (mx - mn + 1) AS bin")
-      .groupBy("bin").agg(count(lit(1)).as("c"))
-    // ≤ B rows from here on: the single-partition window is over the
-    // sketch, not the corpus
-    val wc = Window.orderBy("bin")
+      .groupBy("x").agg(count(lit(1)).as("c"))
+    val bounds = vh.agg(min("x").as("mn"), max("x").as("mx"),
+      sum("c").as("n"))
+    // domain-sized windows: cumulative count by value (exact side) and
+    // by bin (sketch side)
+    val wx = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum("c").over(wc))
-    val qbin = Seq(500000L, 900000L, 990000L).toDF("q_ppm")
+    val cumV = vh.withColumn("cum", sum("c").over(wx))
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = vh.crossJoin(broadcast(bounds.select("mn", "mx")))
+      .selectExpr(s"(x - mn) * $B DIV (mx - mn + 1) AS bin", "c")
+      .groupBy("bin").agg(sum("c").as("c"))
+      .withColumn("cum", sum("c").over(wb))
+    val k = Seq(500000L, 900000L, 990000L).toDF("q_ppm")
       .crossJoin(broadcast(bounds.select("n")))
       .selectExpr("q_ppm", "(q_ppm * n + 999999) DIV 1000000 AS kidx")
-      .join(cum, col("cum") >= col("kidx"))
+    val est = k.join(cumB, col("cum") >= col("kidx"))
       .groupBy("q_ppm", "kidx").agg(min("bin").as("qbin"))
-    qbin.crossJoin(broadcast(bounds))
+    val exact = k.select("q_ppm", "kidx")
+      .join(cumV, col("cum") >= col("kidx"))
+      .groupBy("q_ppm").agg(min("x").as("exact"))
+    est.join(exact, Seq("q_ppm"))
+      .crossJoin(broadcast(bounds.select("mn", "mx")))
       .selectExpr("q_ppm",
         s"mn + ((qbin + 1) * (mx - mn + 1) + ${B - 1}) DIV $B - 1 AS est",
-        "element_at(srt, CAST(kidx AS INT)) AS exact")
+        "exact")
       .selectExpr("q_ppm", "est", "exact", "est - exact AS err")
       .orderBy("q_ppm")
   }
