@@ -52,8 +52,51 @@ object Relational {
     "q19_percentile"    -> q19Percentile _,
     "q20_pivot"         -> q20Pivot _,
     "q21_range_window"  -> q21RangeWindow _,
-    "q22_json"          -> q22Json _
+    "q22_json"          -> q22Json _,
+    "q23_lateral"       -> q23Lateral _,
+    "q24_session_window" -> q24SessionWindow _
   )
+
+  /** Correlated LATERAL join: top-2 customers by balance PER NATION as
+    * a lateral subquery with ORDER BY + LIMIT — the "for each row of
+    * the left, run this parameterized query" shape. Catalyst
+    * DECORRELATES it (DecorrelateInnerQuery rewrites the per-row limit
+    * into a rank window over one join), so the plan is one shuffle on
+    * the correlation key — not nation-count sequential scans, which is
+    * what a literal reading would execute at 100 TB. */
+  private def q23Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n.n_name, t.c_name,
+        |  round(CAST(round(t.c_acctbal * 100) AS BIGINT) / 100.0D, 2)
+        |    AS bal
+        |FROM nation_v n JOIN LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+  }
+
+  /** Native event-time SESSION windows (5-minute inactivity gap) per
+    * user — Spark's `session_window` grouping, where the window widens
+    * with each in-gap event. Bounds exposed as epoch-µs integers (the
+    * engines' timestamp types differ on this nanosecond corpus). The
+    * oracle derives the identical sessions by gaps-and-islands (lag +
+    * running break sum); the break rule is `>= gap` because Spark
+    * merges only on STRICT window overlap. One shuffle on user_id;
+    * session state is gap-bounded — the same property the streaming
+    * clusterer leans on. */
+  private def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("tsx"))
+      .groupBy(col("user_id"),
+        expr("session_window(tsx, '5 minutes')").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id", "unix_micros(sw.start) AS session_start",
+        "unix_micros(sw.end) AS session_end", "n_events")
+      .orderBy("user_id", "session_start")
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
     * 10-minute event count + fixed-point value sum over the nanosecond
@@ -478,6 +521,34 @@ object Relational {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_lateral" ->
+      """SELECT n.n_name, t.c_name,
+        |  round(CAST(round(t.c_acctbal * 100) AS BIGINT) / 100.0, 2)
+        |    AS bal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin,
+    "q24_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts) >= 300000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS session_start,
+        |  max(us) + 300000000 AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
