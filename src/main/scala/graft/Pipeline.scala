@@ -262,10 +262,16 @@ object Pipeline {
   private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = QsBins
-    // the ONE corpus pass: value histogram, domain-sized output
-    val vh = Tables.documents(s, dir)
-      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS x")
-      .groupBy("x").agg(count(lit(1)).as("c"))
+    // the ONE corpus pass: value histogram, domain-sized output —
+    // persisted per (session, dir) so the three consumers below (bounds,
+    // exact cumulative, bin cumulative) read the cached histogram
+    // instead of re-deriving it from the scan (PlanAuditSpec pins the
+    // single corpus read)
+    val vh = ScanCache.get(s, s"qsketch-vh:$dir") {
+      Tables.documents(s, dir)
+        .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS x")
+        .groupBy("x").agg(count(lit(1)).as("c"))
+    }
     val bounds = vh.agg(min("x").as("mn"), max("x").as("mx"),
       sum("c").as("n"))
     // domain-sized windows: cumulative count by value (exact side) and
@@ -837,10 +843,12 @@ object Pipeline {
     * count rows — pre-aggregated so the join input is distinct words
     * per document, not raw occurrences, and the Zipf head ("the" in
     * every document) arrives as ONE row per document, not hundreds.
-    * The vocab join deliberately SHUFFLES rather than broadcasts: like
-    * bigram_lm's model tables, the vocabulary grows with the corpus and
-    * must not be pinned to one executor's memory; AQE's skew split
-    * covers the head words. */
+    * The vocab join carries NO hint on purpose: the checkpointed repr
+    * table reports accurate size statistics, so Catalyst broadcasts
+    * while the trained vocabulary fits (it does at test scale) and
+    * degrades to a shuffle join exactly when a corpus-scale vocabulary
+    * outgrows the threshold — the bigram_lm situation — with AQE's
+    * skew split covering the Zipf head. */
   private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(text, ' ')) AS word")

@@ -68,7 +68,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * The build side is bounded by the dimension, never by the corpus. */
   private val boundedDimBroadcasts =
     Set("ann_ivf", "ann_ivf_trained", "embedding_topk", "distance_matrix",
-      "cluster_log_detectors", "semdedup")
+      "cluster_log_detectors", "semdedup",
+      // embedding_rp: the whole query is the FIXED 16-vector panel
+      // (filter vec_id < 16 precedes the pair join) — 120 pairs at any
+      // corpus size; quantile_sketch: its nested loops join the 3-row
+      // quantile spec against the ≤64-row sketch / single-row bounds —
+      // domain-sized, never corpus-sized (pinned below)
+      "embedding_rp", "quantile_sketch")
 
   test("no headline query contains an unbounded cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -186,5 +192,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = p.linesIterator.count(l => l.contains("Exchange") &&
       !l.contains("Exchange rangepartitioning"))
     assert(n == 0, s"unexpected shuffle in doc_chunks:\n$p")
+  }
+
+  test("corpus_split is a pure map pass — the split needs no shuffle") {
+    val p = plan("corpus_split")
+    val bad = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Exchange rangepartitioning"))
+    assert(bad == 0, s"unexpected shuffle in corpus_split:\n$p")
+    assert(!p.contains("Join"), "the split joined something")
+  }
+
+  test("quantile_sketch touches the corpus at most once") {
+    // the single-pass claim: ONE parquet scan builds the (persisted)
+    // value histogram; bounds, bins, estimates and exact all read the
+    // cached domain-sized result (0 live scans once cached)
+    val scans = physical("quantile_sketch").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length <= 1,
+      s"quantile_sketch scanned the corpus ${scans.length} times")
+  }
+
+  test("bpe_encode joins the vocab against PRE-AGGREGATED doc-words") {
+    // the Zipf-head claim: the document side enters the vocab join via
+    // its own (doc_id, word) aggregate — one row per distinct word per
+    // doc — never as raw occurrence rows. (The join itself is unhinted:
+    // the checkpointed vocab reports real stats, so Catalyst broadcasts
+    // while it fits and shuffles when a corpus-scale vocab outgrows it.)
+    val p = plan("bpe_encode")
+    val i = p.indexOf("Join")
+    assert(i >= 0, "vocab join missing")
+    assert(p.substring(i).contains("HashAggregate(keys=[doc_id"),
+      "doc side reaches the vocab join without its per-doc aggregate")
   }
 }
