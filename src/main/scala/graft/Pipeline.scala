@@ -1097,18 +1097,29 @@ object Pipeline {
     * near-orthogonal pairs (cos_full std 0.12), exactly as the analytic
     * predicts; on a corpus with real near-dup structure (|cos| near 1)
     * the same budget preserves ranking. PipelineSpec pins the regime. */
+  /** s(i,j) ∈ {−1, 0, +1} w.p. {1/6, 1/6, 2/3} from the cell hash —
+    * the deterministic Achlioptas sign draw (Spark side). */
+  private def rpSignExpr(i: String, j: String): String =
+    s"CAST(CASE (($i * $RpDim + $j + 1) * 2654435761L) % ${P}L % 6 " +
+      "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)"
+
+  /** The 64 → RpDim projection of column `v` (Spark side). */
+  private def rpProjExpr: String =
+    s"transform(sequence(0, ${RpDim - 1}), j -> " +
+      "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
+      s"(acc, i) -> acc + element_at(v, i + 1) * ${rpSignExpr("i", "j")}))"
+
+  /** Reduced vectors for the WHOLE corpus — the pure-map projection the
+    * RP search path scores against; persisted per (session, dir). */
+  private def rpVecs(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"rpvecs:$dir") {
+      vecs(s, dir).selectExpr("vec_id", s"$rpProjExpr AS r")
+        .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
+    }
+
   private def embeddingRp(s: SparkSession, dir: String): DataFrame = {
-    val K = RpDim
-    // s(i,j) ∈ {−1, 0, +1} w.p. {1/6, 1/6, 2/3} from the cell hash
-    val signExpr = (i: String, j: String) =>
-      s"CAST(CASE (($i * $K + $j + 1) * 2654435761L) % ${P}L % 6 " +
-        "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)"
-    val rExpr =
-      s"transform(sequence(0, ${K - 1}), j -> " +
-        "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
-        s"(acc, i) -> acc + element_at(v, i + 1) * ${signExpr("i", "j")}))"
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
-      .selectExpr("vec_id", "v", "nrm", s"$rExpr AS r")
+      .selectExpr("vec_id", "v", "nrm", s"$rpProjExpr AS r")
       .selectExpr("vec_id", "v", "nrm", "r", "sqrt(dot_p(r, r)) AS rn")
     val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
@@ -1664,7 +1675,43 @@ object Pipeline {
     recallOf(annLshMulti(s, dir), "lsh_multi")
       .unionByName(recallOf(annIvf(s, dir), "ivf"))
       .unionByName(recallOf(annIvfTrained(s, dir), "ivf_trained"))
+      .unionByName(recallOf(annRpBrute(s, dir), "rp_brute"))
       .orderBy("method")
+  }
+
+  /** Brute-force top-1 search in the REDUCED (RpDim-dim) space over the
+    * same panel — not a new index, a measurement: what the 4× cheaper
+    * per-candidate scoring arithmetic of [[embeddingRp]]'s projection
+    * costs in recall when it replaces the full 64-dim cosine. Feeds
+    * `ann_recall` as the `rp_brute` method row.
+    *
+    * Measured: recall@1 0.031 at sf0.01 — 150× chance (1/4999) yet far
+    * below the index methods, and exactly what the distortion analytic
+    * predicts: winning top-1 needs the true NN's cosine MARGIN over the
+    * runner-up to exceed the JL noise, and this corpus's margins
+    * (~0.01–0.05 on near-orthogonal vectors) sit far inside the ~0.3
+    * noise std at K=16. The honest conclusion, measured rather than
+    * asserted: RP at this budget is a pre-filter/bucketing device
+    * (candidate generation, where its 150× lift over chance is the
+    * relevant number), not a scoring replacement — rank candidates in
+    * the full space, as embedding_neardup_lsh's verify step does. */
+  private def annRpBrute(s: SparkSession, dir: String): DataFrame = {
+    val all = rpVecs(s, dir)
+    val panel = all
+      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+      .orderBy("_h", "vec_id").limit(RecallQueries)
+      .select("vec_id")
+    val a = all.join(broadcast(panel), Seq("vec_id"))
+      .select(col("vec_id"), col("r").as("ra"), col("rn").as("rna"))
+    val b = all.select(col("vec_id").as("nn_id"), col("r").as("rb"),
+      col("rn").as("rnb"))
+    broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
+      .withColumn("c",
+        expr("CASE WHEN rna * rnb = CAST(0 AS DOUBLE) " +
+          "THEN CAST(0 AS DOUBLE) ELSE dot_p(ra, rb) / (rna * rnb) END"))
+      .groupBy("vec_id")
+      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
+        .as("nn_id"))
   }
 
   /** Frame sampling over media payloads (the video → keyframe pattern):
@@ -2022,6 +2069,16 @@ object Pipeline {
       |        (s, t) -> s + t) > 0
       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
       |    (a, x) -> a + x)""".stripMargin
+
+  /** The 64 → RpDim Achlioptas projection of list column `src`
+    * (DuckDB side — identical fold order to [[rpProjExpr]]). */
+  private def rpListDuck(src: String): String =
+    s"list_transform(range(0, $RpDim), j -> " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(0, 64), i -> $src[CAST(i + 1 AS INT)] * " +
+      s"CAST(CASE ((i * $RpDim + j + 1) * 2654435761) % $P % 6 " +
+      "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE))), " +
+      "(s, t) -> s + t))"
 
   private val cosDuck =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2416,17 +2473,9 @@ object Pipeline {
          |    // $QsBins - 1 - srt[CAST(kidx AS INT)] AS BIGINT) AS err
          |FROM e, b ORDER BY q_ppm""".stripMargin,
     "embedding_rp" -> {
-      val sign = (i: String, j: String) =>
-        s"CAST(CASE (($i * $RpDim + $j + 1) * 2654435761) % $P % 6 " +
-          "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)"
       s"""$vecsCte,
          |rp AS (
-         |  SELECT vec_id, v, nrm,
-         |    list_transform(range(0, $RpDim), j ->
-         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(range(0, 64), i ->
-         |          v[CAST(i + 1 AS INT)] * ${sign("i", "j")})),
-         |        (s, t) -> s + t)) AS r
+         |  SELECT vec_id, v, nrm, ${rpListDuck("v")} AS r
          |  FROM n WHERE vec_id < 16),
          |rr AS (
          |  SELECT vec_id, v, nrm, r,
@@ -2810,7 +2859,27 @@ object Pipeline {
          |  WHERE rk = 1),
          |lsh AS (SELECT vec_id, nn_id FROM ($annLshMultiOracle)),
          |ivf AS (SELECT vec_id, nn_id FROM ($annIvfOracle)),
-         |ivft AS (SELECT vec_id, nn_id FROM ($annIvfTrainedOracle))
+         |ivft AS (SELECT vec_id, nn_id FROM ($annIvfTrainedOracle)),
+         |rpv AS (SELECT vec_id, ${rpListDuck("v")} AS r FROM n),
+         |rpn AS (
+         |  SELECT vec_id, r,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(r, x -> x * x)), (s, t) -> s + t)) AS rn
+         |  FROM rpv),
+         |rp0 AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, ${RpDim + 1}),
+         |          i -> a.r[i] * b.r[i])), (s, t) -> s + t)
+         |        / (a.rn * b.rn) END AS c
+         |  FROM (SELECT rpn.* FROM rpn JOIN panel USING (vec_id)) a
+         |  JOIN rpn b ON a.vec_id <> b.vec_id),
+         |rp AS (
+         |  SELECT vec_id, nn_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nn_id) AS rk FROM rp0)
+         |  WHERE rk = 1)
          |SELECT 'ivf' AS method, count(*) AS n_queries,
          |  CAST(sum(CASE WHEN i.nn_id = tr.true_nn THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -2831,6 +2900,13 @@ object Pipeline {
          |  CAST(sum(CASE WHEN l.nn_id = tr.true_nn THEN 1 ELSE 0 END)
          |    AS BIGINT) / count(*) AS recall_at_1
          |FROM tr LEFT JOIN lsh l USING (vec_id)
+         |UNION ALL
+         |SELECT 'rp_brute' AS method, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN r3.nn_id = tr.true_nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN r3.nn_id = tr.true_nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) / count(*) AS recall_at_1
+         |FROM tr LEFT JOIN rp r3 USING (vec_id)
          |ORDER BY method""".stripMargin,
     "ann_lsh" ->
       s"""$vecsCte,
