@@ -1903,6 +1903,28 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL-decoder TIFF path: documents encode into valid baseline TIFF
+    * (byte-order mark, magic 42, one IFD with LONG-typed dimension
+    * tags) — ENDIANNESS ALTERNATES by document parity, so every corpus
+    * pass exercises both II and MM reads of the same IFD walk. */
+  private def multimodalDecodeTiff(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        graft.operators.MediaRow(id, "image/tiff",
+          graft.operators.Multimodal.encodeTiff(w, h, id % 2 == 0,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder video-container path: documents encode into valid
     * ISO-BMFF (MP4) structures — ftyp → moov(mvhd + trak(tkhd)) →
     * mdat carrying the text — and the extractor walks the box tree for
@@ -1949,6 +1971,7 @@ object Pipeline {
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
+    "multimodal_decode_tiff" -> multimodalDecodeTiff _,
     "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
@@ -2348,6 +2371,12 @@ object Pipeline {
       """SELECT doc_id AS media_id, 'image/gif' AS kind,
         |  CAST(17 + length(text) + (length(text) + 254) // 255 AS BIGINT)
         |    AS n_bytes,
+        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode_tiff" ->
+      """SELECT doc_id AS media_id, 'image/tiff' AS kind,
+        |  CAST(38 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents ORDER BY media_id""".stripMargin,

@@ -384,6 +384,67 @@ object Multimodal {
   /** REAL GIF dimension decode: "GIF87a"/"GIF89a" magic, then the
     * logical screen descriptor's little-endian 16-bit width/height at
     * fixed offsets 6/8. None on malformed input. */
+  /** Minimal baseline-TIFF writer for fixtures (TIFF 6.0 §2): header in
+    * the chosen byte order, one IFD at offset 8 with LONG-typed
+    * ImageWidth (256) / ImageLength (257), payload appended after.
+    * Size: 38 + payload bytes. */
+  def encodeTiff(w: Int, h: Int, littleEndian: Boolean,
+                 payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val b = java.nio.ByteBuffer.allocate(38 + payload.length)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)                        // magic, IFD @ 8
+    b.putShort(2)                                   // 2 entries
+    b.putShort(256).putShort(4).putInt(1).putInt(w) // ImageWidth, LONG
+    b.putShort(257).putShort(4).putInt(1).putInt(h) // ImageLength, LONG
+    b.putInt(0)                                     // no next IFD
+    b.put(payload)
+    b.array()
+  }
+
+  /** REAL TIFF dimension decode (TIFF 6.0): byte-order mark (II/MM),
+    * magic 42, then a walk of the FIRST IFD's 12-byte entries for
+    * ImageWidth/ImageLength — SHORT values read left-justified from the
+    * inline value field, LONG values whole, both under the file's
+    * declared endianness. None on malformed input: bad mark/magic,
+    * IFD out of bounds, entry table truncated, missing or non-positive
+    * dimensions, non-SHORT/LONG dimension types. */
+  def decodeTiffDims(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 8) return None
+    val le = data(0) == 'I' && data(1) == 'I'
+    val be = data(0) == 'M' && data(1) == 'M'
+    if (!le && !be) return None
+    val b = java.nio.ByteBuffer.wrap(data)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    if (b.getShort(2) != 42) return None
+    val ifd = b.getInt(4)
+    if (ifd < 8 || ifd + 2 > data.length) return None
+    val n = b.getShort(ifd) & 0xffff
+    if (ifd + 2 + n * 12 + 4 > data.length) return None
+    var w = -1L
+    var h = -1L
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      val tag = b.getShort(e) & 0xffff
+      val typ = b.getShort(e + 2) & 0xffff
+      val cnt = b.getInt(e + 4)
+      if ((tag == 256 || tag == 257) && cnt == 1) {
+        val v: Long = typ match {
+          case 3 => (b.getShort(e + 8) & 0xffff).toLong // SHORT, left-just
+          case 4 => b.getInt(e + 8) & 0xffffffffL       // LONG
+          case _ => -1L
+        }
+        if (tag == 256) w = v else h = v
+      }
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
   def decodeGifDims(data: Array[Byte]): Option[(Int, Int)] = {
     if (data.length < 13) return None
     val magic = new String(data, 0, 6, "US-ASCII")
@@ -673,6 +734,7 @@ object Multimodal {
     case "image/jpeg" => decodeJpegDims(data).getOrElse((-1, -1))
     case "image/png" => decodePngDims(data).getOrElse((-1, -1))
     case "image/gif" => decodeGifDims(data).getOrElse((-1, -1))
+    case "image/tiff" => decodeTiffDims(data).getOrElse((-1, -1))
     case _ => decodeStub(data)
   }
 

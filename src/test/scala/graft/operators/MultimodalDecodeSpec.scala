@@ -287,8 +287,58 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Multimodal.decodeJpegDims(b); Multimodal.decodePngDims(b)
       Multimodal.decodeGifDims(b); Multimodal.mp3Stats(b)
       Multimodal.decodePngPixels(b); Multimodal.mp4Stats(b)
+      Multimodal.decodeTiffDims(b)
       Multimodal.wavStats(b)
     }
+  }
+
+  test("TIFF round-trip: IFD walk under both byte orders") {
+    for (le <- Seq(true, false); (w, h) <- Seq((1, 1), (640, 480), (70000, 3)))
+      assert(Multimodal.decodeTiffDims(
+        Multimodal.encodeTiff(w, h, le, "pix".getBytes)).contains((w, h)),
+        s"${w}x$h le=$le")
+    assert(Multimodal.encodeTiff(2, 3, true, Array[Byte](9)).length == 39)
+  }
+
+  test("TIFF: SHORT-typed dimension entries read left-justified in " +
+    "both byte orders") {
+    for (le <- Seq(true, false)) {
+      val b = java.nio.ByteBuffer.allocate(38)
+        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      b.put((if (le) "II" else "MM").getBytes)
+      b.putShort(42).putInt(8).putShort(2)
+      b.putShort(256).putShort(3).putInt(1).putShort(321.toShort).putShort(0)
+      b.putShort(257).putShort(3).putInt(1).putShort(123.toShort).putShort(0)
+      b.putInt(0)
+      assert(Multimodal.decodeTiffDims(b.array()).contains((321, 123)),
+        s"le=$le")
+    }
+  }
+
+  test("TIFF malformed: bad mark/magic, IFD out of bounds, truncated " +
+    "entry table, missing or zero dims, unknown value type") {
+    val ok = Multimodal.encodeTiff(4, 5, true, Array[Byte](1))
+    assert(Multimodal.decodeTiffDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeTiffDims("XX *....".getBytes).isEmpty)
+    val badMagic = ok.clone(); badMagic(2) = 41
+    assert(Multimodal.decodeTiffDims(badMagic).isEmpty)
+    val farIfd = ok.clone()
+    java.nio.ByteBuffer.wrap(farIfd)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, 10000)
+    assert(Multimodal.decodeTiffDims(farIfd).isEmpty)
+    val manyEntries = ok.clone()
+    java.nio.ByteBuffer.wrap(manyEntries)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(8, 500.toShort)
+    assert(Multimodal.decodeTiffDims(manyEntries).isEmpty)
+    val zeroW = ok.clone()
+    java.nio.ByteBuffer.wrap(zeroW)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10 + 8, 0)
+    assert(Multimodal.decodeTiffDims(zeroW).isEmpty)
+    val badType = ok.clone()
+    java.nio.ByteBuffer.wrap(badType)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(10 + 2, 5.toShort)
+    assert(Multimodal.decodeTiffDims(badType).isEmpty)
   }
 
   test("MP4 round-trip: box walk finds mvhd timescale/duration and " +
