@@ -305,6 +305,43 @@ object Pipeline {
   /** Histogram resolution of [[quantileSketch]]. */
   final val QsBins = 64
 
+  /** Per-source corpus report — the dashboard a curator reads before a
+    * training run, as ONE query: volume (docs/tokens/chars), the
+    * quality-label mix of the text_quality classifier, language
+    * spread, and the exact-duplicate rate. Dup detection uses the
+    * compound fingerprint of [[dedupExact]] (forward + reverse hash +
+    * length) so the report shuffles 24-byte keys, never text — a
+    * report is fingerprint-grade; `dedup_exact` remains the
+    * collision-proof path. One fingerprint window + one groupBy
+    * source; token/char/label columns fold map-side. */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val base = registered(s, dir)
+      .selectExpr("doc_id", "source", "lang",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(text) AS n_chars",
+        "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop",
+        "poly_hash(text) AS h1", "poly_hash(reverse(text)) AS h2")
+    val wf = Window.partitionBy("h1", "h2", "n_chars")
+    base
+      .withColumn("is_dup", col("doc_id") =!= min("doc_id").over(wf))
+      .selectExpr("source", "lang", "n_tokens", "n_chars", "is_dup",
+        "CASE WHEN n_tokens < 20 THEN 'short' " +
+          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
+          "ELSE 'good' END AS q")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("q") === "good", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("q") === "short", 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("q") === "stopwordy", 1L).otherwise(0L))
+          .as("n_stopwordy"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_rate", col("n_dups") / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, characters. */
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).selectExpr(
@@ -1981,6 +2018,7 @@ object Pipeline {
     "sample_hash"       -> sampleHash _,
     "sample_balanced"   -> sampleBalanced _,
     "corpus_split"      -> corpusSplit _,
+    "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
     "embedding_rp"      -> embeddingRp _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
@@ -2465,6 +2503,40 @@ object Pipeline {
          |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
          |    / CAST(count(*) AS BIGINT) AS rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, lang,
+         |    length(string_split(text, ' ')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    length(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the', 'a'))) AS n_stop,
+         |    ${charFoldDuck("text")} AS h1,
+         |    ${charFoldDuck("reverse(text)")} AS h2
+         |  FROM documents),
+         |e AS (
+         |  SELECT source, lang, n_tokens, n_chars,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, n_chars)
+         |      AS is_dup,
+         |    CASE WHEN n_tokens < 20 THEN 'short'
+         |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15
+         |        THEN 'stopwordy'
+         |      ELSE 'good' END AS q
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN q = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_good,
+         |  CAST(sum(CASE WHEN q = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_short,
+         |  CAST(sum(CASE WHEN q = 'stopwordy' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_stopwordy,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dups,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    / CAST(count(*) AS BIGINT) AS dup_rate
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "corpus_split" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
