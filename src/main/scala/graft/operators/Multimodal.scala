@@ -304,11 +304,13 @@ object Multimodal {
       var i = 33
       val b = java.nio.ByteBuffer.wrap(data)
       while (i + 8 <= data.length) {
-        val len = b.getInt(i)
+        // length checks in Long: a crafted 31-bit chunk length must not
+        // wrap the bound negative and sneak past it
+        val len = b.getInt(i).toLong
         if (len < 0 || i + 12 + len > data.length) return None
         val typ = new String(data, i + 4, 4, "US-ASCII")
-        if (typ == "IDAT") idat.write(data, i + 8, len)
-        i += 12 + len
+        if (typ == "IDAT") idat.write(data, i + 8, len.toInt)
+        i += 12 + len.toInt
       }
       val stride = w * 3
       val expect = h * (1 + stride)
@@ -420,14 +422,18 @@ object Multimodal {
       .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
              else java.nio.ByteOrder.BIG_ENDIAN)
     if (b.getShort(2) != 42) return None
-    val ifd = b.getInt(4)
+    // offset/size arithmetic in Long: the IFD offset is a 32-bit
+    // unsigned field, and a crafted value near 2^31 must not wrap the
+    // bound checks negative
+    val ifd = b.getInt(4).toLong & 0xffffffffL
     if (ifd < 8 || ifd + 2 > data.length) return None
-    val n = b.getShort(ifd) & 0xffff
-    if (ifd + 2 + n * 12 + 4 > data.length) return None
+    val ifdI = ifd.toInt
+    val n = b.getShort(ifdI) & 0xffff
+    if (ifd + 2 + n * 12L + 4 > data.length) return None
     var w = -1L
     var h = -1L
     for (i <- 0 until n) {
-      val e = ifd + 2 + i * 12
+      val e = ifdI + 2 + i * 12
       val tag = b.getShort(e) & 0xffff
       val typ = b.getShort(e + 2) & 0xffff
       val cnt = b.getInt(e + 4)
@@ -617,13 +623,16 @@ object Multimodal {
     def typ(off: Int): String =
       if (off + 8 > data.length) "" else new String(data, off + 4, 4, "US-ASCII")
     // walk children of [from, to); return offset+size of box `name`
+    // box sizes compare in Long: a crafted 31-bit size must not wrap
+    // the bound checks negative (the .toInt after the check is safe —
+    // size ≤ to − i ≤ Int.MaxValue)
     def find(from: Int, to: Int, name: String): Option[(Int, Int)] = {
       var i = from
       while (i + 8 <= to) {
-        val size = b.getInt(i)
+        val size = b.getInt(i).toLong
         if (size < 8 || i + size > to) return None
-        if (typ(i) == name) return Some((i, size))
-        i += size
+        if (typ(i) == name) return Some((i, size.toInt))
+        i += size.toInt
       }
       None
     }
@@ -631,9 +640,9 @@ object Multimodal {
     // top-level framing must consume the buffer exactly
     var i = 0
     while (i + 8 <= data.length) {
-      val size = b.getInt(i)
+      val size = b.getInt(i).toLong
       if (size < 8 || i + size > data.length) return None
-      i += size
+      i += size.toInt
     }
     if (i != data.length) return None
     for {
@@ -692,7 +701,8 @@ object Multimodal {
     var dataLen = -1
     while (off + 8 <= data.length) {
       val id = tag(off)
-      val len = b.getInt(off + 4)
+      // Long bound check: a crafted 31-bit chunk length must not wrap
+      val len = b.getInt(off + 4).toLong
       if (len < 0 || off + 8 + len > data.length) return None
       if (id == "fmt ") {
         if (len < 16) return None
@@ -700,8 +710,8 @@ object Multimodal {
         if (audioFormat != 1) return None // PCM only
         fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),
           b.getShort(off + 22).toInt))
-      } else if (id == "data") { dataAt = off + 8; dataLen = len }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      } else if (id == "data") { dataAt = off + 8; dataLen = len.toInt }
+      off += (8 + len + (len & 1)).toInt // chunks are word-aligned
     }
     fmt match {
       case Some((ch, rate, bits)) if dataAt >= 0 && ch > 0 =>

@@ -292,6 +292,31 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted 31-bit length fields cannot wrap the bounds checks") {
+    // single bit flips (the fuzz pin) can't produce sizes near 2^31 from
+    // small fixtures; these payloads plant them deliberately — each one
+    // crashed the walk with IndexOutOfBounds before the Long-bound fix
+    val mp4 = Multimodal.encodeMp4(4, 5, 1000, 100, Array[Byte](1, 2, 3))
+    val evilMp4 = mp4.clone()
+    java.nio.ByteBuffer.wrap(evilMp4).putInt(16 + 216, Int.MaxValue) // mdat
+    assert(Multimodal.mp4Stats(evilMp4).isEmpty)
+    val tiff = Multimodal.encodeTiff(4, 5, true, Array[Byte](1))
+    val evilTiff = tiff.clone()
+    java.nio.ByteBuffer.wrap(evilTiff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, Int.MaxValue - 1)
+    assert(Multimodal.decodeTiffDims(evilTiff).isEmpty)
+    val png = Multimodal.encodePngPixels(2, 2, Array.fill[Byte](12)(7))
+    val evilPng = png.clone()
+    java.nio.ByteBuffer.wrap(evilPng).putInt(33, Int.MaxValue - 9) // IDAT len
+    assert(Multimodal.decodePngPixels(evilPng).isEmpty)
+    val wav = Multimodal.encodeWavPcm8(8000, Array[Byte](1, 2, 3, 4))
+    val evilWav = wav.clone()
+    java.nio.ByteBuffer.wrap(evilWav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 9) // fmt chunk len
+    assert(Multimodal.wavStats(evilWav).isEmpty)
+  }
+
   test("TIFF round-trip: IFD walk under both byte orders") {
     for (le <- Seq(true, false); (w, h) <- Seq((1, 1), (640, 480), (70000, 3)))
       assert(Multimodal.decodeTiffDims(
