@@ -342,6 +342,47 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** HELD-OUT perplexity gate — the composition a quality pipeline
+    * actually runs: the bigram model trains ONLY on [[corpusSplit]]'s
+    * train bucket and scores the val bucket, so the score measures
+    * generalization instead of memorization (bigram_lm's self-scoring
+    * twin). Unseen val bigrams/unigrams survive via LEFT joins with
+    * zero counts — exactly what add-one smoothing is for; the split
+    * predicate is a map-side filter on the same scan (no extra pass),
+    * and the model tables keep bigram_lm's deliberate shuffle-join
+    * shape (vocabulary-sized, corpus-growing, never broadcast). */
+  private def bigramLmHeldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = registered(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk",
+        s"poly_hash(text) * 2654435761L % ${P}L % 1000 AS bucket")
+    val train = docs.filter(col("bucket") < 800)
+    val valD = docs.filter(col("bucket") >= 800 && col("bucket") < 900)
+    def bigramsOf(d: DataFrame): DataFrame = d.selectExpr("doc_id",
+      "explode(transform(sequence(1, greatest(size(tk) - 1, 1)), " +
+        "i -> IF(i <= size(tk) - 1, struct(element_at(tk, CAST(i AS INT)) AS w1, " +
+        "element_at(tk, CAST(i + 1 AS INT)) AS w2), NULL))) AS bg")
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val uni = train.selectExpr("explode(tk) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val bi = bigramsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigramsOf(valD)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id",
+        "CAST(round(ln((coalesce(c2, CAST(0 AS BIGINT)) + CAST(1 AS DOUBLE)) " +
+          "/ (coalesce(c1, CAST(0 AS BIGINT)) + CAST(vocab AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .selectExpr("doc_id", "n_bigrams",
+        "round(CAST(slp AS DOUBLE) / n_bigrams / CAST(1000000 AS DOUBLE), 4) " +
+          "AS avg_logp")
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, characters. */
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).selectExpr(
@@ -2044,6 +2085,7 @@ object Pipeline {
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
     "bigram_lm"         -> bigramLm _,
+    "bigram_lm_heldout" -> bigramLmHeldout _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -2503,6 +2545,40 @@ object Pipeline {
          |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
          |    / CAST(count(*) AS BIGINT) AS rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "bigram_lm_heldout" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    ${charFoldDuck("text")} * 2654435761 % $P % 1000 AS bucket
+         |  FROM documents),
+         |tr AS (SELECT doc_id, tk FROM d WHERE bucket < 800),
+         |va AS (SELECT doc_id, tk FROM d
+         |  WHERE bucket >= 800 AND bucket < 900),
+         |bgt AS (
+         |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
+         |    tk[CAST(i + 1 AS INT)] AS w2
+         |  FROM tr, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
+         |bgv AS (
+         |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
+         |    tk[CAST(i + 1 AS INT)] AS w2
+         |  FROM va, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
+         |uni AS (
+         |  SELECT w, count(*) AS c1
+         |  FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+         |v AS (SELECT count(*) AS vocab FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY w1, w2),
+         |lp AS (
+         |  SELECT bgv.doc_id,
+         |    CAST(round(ln((coalesce(bi.c2, 0) + CAST(1 AS DOUBLE))
+         |      / (coalesce(uni.c1, 0) + CAST(v.vocab AS DOUBLE)))
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
+         |  FROM bgv
+         |  LEFT JOIN bi ON bgv.w1 = bi.w1 AND bgv.w2 = bi.w2
+         |  LEFT JOIN uni ON bgv.w1 = uni.w
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / count(*)
+         |    / CAST(1000000 AS DOUBLE), 4) AS avg_logp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, lang,

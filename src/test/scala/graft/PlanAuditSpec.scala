@@ -57,8 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * corpus-stats aggregate (a legal scalar broadcast, not a blowup). */
   private val scalarBroadcasts =
     Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
-      "dedup_clusters", "boilerplate_ngrams", "bigram_lm", "bpe_train",
-      "mixture_sample")
+      "dedup_clusters", "boilerplate_ngrams", "bigram_lm", "bigram_lm_heldout",
+      "bpe_train", "mixture_sample")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
