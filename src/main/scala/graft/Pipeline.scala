@@ -618,6 +618,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Naive-Bayes quality classifier — the reference-corpus similarity
+    * filter of GPT-3/LLaMA-style pipelines (score every crawl document by
+    * how much it looks like a trusted corpus), here self-contained: the
+    * "reference" class is the deterministic source split `src#%4 == 0`
+    * and the model is multinomial NB with add-one smoothing over
+    * whitespace tokens. Each document gets the total log-likelihood
+    * ratio `ln P(doc|ref) − ln P(doc|rest)` plus the class-prior term;
+    * `pred_ref` is the NB decision `score > 0`.
+    *
+    * 100 TB shape: training is ONE token-explode shuffle (two
+    * conditional sums per word — the bigram_lm unigram pass with a class
+    * axis); token totals / vocabulary and the doc-count prior are
+    * single-row broadcast aggregates; scoring joins tokens to the model
+    * on the word key (shuffle join — the model is corpus-vocabulary-
+    * sized and corpus-growing, deliberately NOT broadcast, exactly
+    * bigram_lm's justification). Per-word lns are rounded to 1e-6
+    * FIXED-POINT before the class subtraction and per-doc sums run on
+    * BIGINTs, so scores are order-independent and the DuckDB twin is
+    * exact. */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk",
+        "CAST(substring(source, 4) AS INT) % 4 = 0 AS ref")
+    val tok = docs.selectExpr("doc_id", "ref", "explode(tk) AS w")
+    val cnt = tok.groupBy("w").agg(
+      sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("cp"),
+      sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("cn"))
+    val tot = cnt.agg(sum("cp").as("tp"), sum("cn").as("tn"),
+      count(lit(1)).as("vocab"))
+    val pri = docs.groupBy().agg(
+      sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("np"),
+      sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("nn"))
+      .selectExpr("CAST(round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) " +
+        "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp")
+    val model = cnt.crossJoin(broadcast(tot)).selectExpr("w",
+      "CAST(round(ln((cp + CAST(1 AS DOUBLE)) / (tp + CAST(vocab AS DOUBLE))) " +
+        "* CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+        "- CAST(round(ln((cn + CAST(1 AS DOUBLE)) / (tn + CAST(vocab AS DOUBLE))) " +
+        "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr")
+    tok.join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sllr"))
+      .crossJoin(broadcast(pri))
+      .selectExpr("doc_id", "n_tokens",
+        "round(CAST(sllr + prior_fp AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) " +
+          "AS score",
+        "sllr + prior_fp > 0 AS pred_ref")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
@@ -2086,6 +2136,7 @@ object Pipeline {
     "bm25"              -> bm25 _,
     "bigram_lm"         -> bigramLm _,
     "bigram_lm_heldout" -> bigramLmHeldout _,
+    "quality_classifier" -> qualityClassifier _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -2579,6 +2630,45 @@ object Pipeline {
          |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / count(*)
          |    / CAST(1000000 AS DOUBLE), 4) AS avg_logp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
+        |  FROM documents),
+        |tok AS (SELECT doc_id, ref, unnest(tk) AS w FROM d),
+        |cnt AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tok GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT CAST(round(ln(
+        |      CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS DOUBLE))
+        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp
+        |  FROM d),
+        |m AS (
+        |  SELECT w,
+        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
+        |        / (tp + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
+        |        / (tn + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT tok.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(m.llr) AS BIGINT) AS sllr
+        |  FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sllr + pri.prior_fp AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE), 4) AS score,
+        |  sllr + pri.prior_fp > 0 AS pred_ref
+        |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, lang,

@@ -205,4 +205,33 @@ class CorpusPrepSpec extends AnyFunSuite {
       lastEst = est
     }
   }
+
+  test("quality_classifier: plain-Scala NB with fixed-point lns agrees") {
+    val rows = run("quality_classifier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val toks = docs.map { case (id, text, _, source) =>
+      (id, text.split(" ", -1).toSeq, source.drop(3).toInt % 4 == 0) }
+    val cp = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cn = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, tk, ref) <- toks; w <- tk)
+      if (ref) cp(w) += 1 else cn(w) += 1
+    val vocab = (cp.keySet ++ cn.keySet).size.toDouble
+    val (tp, tn) = (cp.values.sum, cn.values.sum)
+    val (np, nn) = (toks.count(_._3), toks.count(!_._3))
+    val priorFp = math.round(math.log(np.toDouble / nn) * 1e6)
+    def lnFp(c: Long, t: Long): Long =
+      math.round(math.log((c + 1.0) / (t + vocab)) * 1e6)
+    val expected = toks.map { case (id, tk, _) =>
+      val sllr = tk.iterator
+        .map(w => lnFp(cp(w), tp) - lnFp(cn(w), tn)).sum
+      (id, tk.size.toLong,
+        BigDecimal(sllr + priorFp).setScale(-2, BigDecimal.RoundingMode.HALF_UP)
+          .toLong / 1e6,
+        sllr + priorFp > 0)
+    }.sortBy(_._1)
+    // both classes occur in the predictions (the decision is non-trivial)
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+    assert(rows.toSeq == expected)
+  }
 }
