@@ -1565,6 +1565,86 @@ object Pipeline {
           s"/ greatest(element_at(ks, $KmvK), 1L) END AS kmv_estimate")
       .orderBy("source")
 
+  /** Cross-source overlap matrix — the contamination panel a curator
+    * reads before mixing corpora: for every source pair with any shared
+    * vocabulary, the EXACT token-hash Jaccard next to its KMV
+    * union-sketch estimate (K smallest of the union, counted against
+    * both sketches — Beyer et al.'s K-minimum-values estimator), so the
+    * sketch's quality is measured, not asserted (the quantile_sketch /
+    * ann_recall pattern).
+    *
+    * 100 TB shape: the exact intersection NEVER self-joins the corpus —
+    * distinct (source, hash) rows group by hash and each hash explodes
+    * only the pairs of sources containing it (bounded by S² per hash, S
+    * = dozens of sources), so truth is linear in distinct hashes; the
+    * per-source sketches come from the same distinct pass and the final
+    * pair join touches source-cardinality tables only (broadcast). The
+    * full-set `collect_set` sketch build shares kmv_distinct's
+    * documented test-scale shape — at real scale the K-bounded
+    * mergeable buffer replaces it and the exact columns are dropped
+    * with the truth harness. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = registered(s, dir).selectExpr("source",
+      "explode(transform(split(text, ' '), " +
+        s"t -> poly_hash(t) * 2654435761L % ${P}L)) AS h")
+      .distinct()
+    val perSrc = e.groupBy("source").agg(
+      count(lit(1)).as("nd"),
+      expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("ks"))
+    val inter = e.groupBy("h")
+      .agg(expr("array_sort(collect_set(source))").as("ss"))
+      .selectExpr("explode(flatten(transform(ss, " +
+        "a -> transform(filter(ss, b -> b > a), " +
+        "b -> struct(a AS src_a, b AS src_b))))) AS p")
+      .groupBy("p.src_a", "p.src_b").agg(count(lit(1)).as("common"))
+    val pa = perSrc.selectExpr("source AS src_a", "nd AS nd_a", "ks AS ks_a")
+    val pb = perSrc.selectExpr("source AS src_b", "nd AS nd_b", "ks AS ks_b")
+    inter.join(broadcast(pa), Seq("src_a")).join(broadcast(pb), Seq("src_b"))
+      .selectExpr("src_a", "src_b", "common", "nd_a", "nd_b", "ks_a", "ks_b",
+        s"slice(array_sort(array_union(ks_a, ks_b)), 1, $KmvK) AS uk")
+      .selectExpr("src_a", "src_b", "common", "nd_a", "nd_b", "size(uk) AS kmv_k",
+        "size(filter(uk, x -> array_contains(ks_a, x) " +
+          "AND array_contains(ks_b, x))) AS kmv_common")
+      .selectExpr("src_a", "src_b",
+        "round(CAST(common AS DOUBLE) / (nd_a + nd_b - common), 4) " +
+          "AS jacc_exact",
+        "kmv_common", "kmv_k",
+        "round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** TF-IDF top terms — per-document keyword extraction, the classic
+    * tf·idf ranking (Sparck Jones idf, raw tf) with the top 3 terms per
+    * document; the per-doc keyword panel a corpus browser or topic
+    * labeler reads.
+    *
+    * 100 TB shape: term frequencies are ONE (doc, word) shuffle;
+    * document frequency is a second aggregation OVER THE TF TABLE (rows
+    * are already distinct per doc, so df = count, no second corpus
+    * pass); N rides a single-row broadcast; scoring joins tf to the
+    * vocab-sized df table on the word key (shuffle join, corpus-growing,
+    * not broadcast); top-k is a rank window partitioned by doc_id —
+    * per-group size bounded by the doc's vocabulary, massive
+    * parallelism, never a global sort. idf is rounded to 6 dp before the
+    * tf multiply (the bm25 move) so the one libm call cannot drift
+    * across engines; (score, term) is unique per doc so the rank is
+    * fully deterministic. */
+  private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nd))
+      .selectExpr("doc_id", "w AS term", "tf",
+        "round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 4) AS score")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))))
+      .where("rnk <= 3")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** BPE-ish pretokenizer regex (the GPT-2 pattern family, restricted to
     * constructs Java regex and RE2 treat identically — no lookarounds, no
     * \\s class): contraction suffixes, space-prefixed letter/digit runs,
@@ -2131,6 +2211,8 @@ object Pipeline {
     "ann_ivf_trained"   -> annIvfTrained _,
     "token_stats_bpe"   -> tokenStatsBpe _,
     "kmv_distinct"      -> kmvDistinct _,
+    "tfidf_terms"       -> tfidfTerms _,
+    "source_overlap"    -> sourceOverlap _,
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
@@ -2988,6 +3070,56 @@ object Pipeline {
          |    ELSE ${KmvK - 1}.0 * $P / greatest(hs[$KmvK], 1) END
          |    AS kmv_estimate
          |FROM g ORDER BY source""".stripMargin,
+    "source_overlap" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT source, h FROM (
+         |    SELECT source, unnest(list_transform(string_split(text, ' '),
+         |      t -> ${charFoldDuck("t")} * 2654435761 % $P)) AS h
+         |    FROM documents)),
+         |ps AS (
+         |  SELECT source, count(*) AS nd,
+         |    (list_sort(list(h)))[1:$KmvK] AS ks
+         |  FROM e GROUP BY source),
+         |it AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+         |  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |kv AS (
+         |  SELECT it.src_a, it.src_b, it.common, pa.nd AS nd_a,
+         |    pb.nd AS nd_b, pa.ks AS ks_a, pb.ks AS ks_b,
+         |    (list_sort(list_distinct(list_concat(pa.ks, pb.ks))))[1:$KmvK]
+         |      AS uk
+         |  FROM it JOIN ps pa ON it.src_a = pa.source
+         |          JOIN ps pb ON it.src_b = pb.source),
+         |k2 AS (
+         |  SELECT src_a, src_b, common, nd_a, nd_b, length(uk) AS kmv_k,
+         |    length(list_filter(uk, x -> list_contains(ks_a, x)
+         |      AND list_contains(ks_b, x))) AS kmv_common
+         |  FROM kv)
+         |SELECT src_a, src_b,
+         |  round(CAST(common AS DOUBLE) / (nd_a + nd_b - common), 4)
+         |    AS jacc_exact,
+         |  kmv_common, kmv_k,
+         |  round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est
+         |FROM k2 ORDER BY src_a, src_b""".stripMargin,
+    "tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.w AS term, tf.tf,
+        |    round(tf.tf * round(ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6), 4)
+        |      AS score
+        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN nd)
+        |SELECT doc_id, term, tf, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "token_stats_bpe" ->
       s"""WITH t AS (
          |  SELECT doc_id,
