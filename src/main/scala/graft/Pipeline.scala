@@ -637,7 +637,8 @@ object Pipeline {
     * FIXED-POINT before the class subtraction and per-doc sums run on
     * BIGINTs, so scores are order-independent and the DuckDB twin is
     * exact. */
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  private def nbModelParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS tk",
         "CAST(substring(source, 4) AS INT) % 4 = 0 AS ref")
@@ -657,6 +658,27 @@ object Pipeline {
         "* CAST(1000000 AS DOUBLE)) AS BIGINT) " +
         "- CAST(round(ln((cn + CAST(1 AS DOUBLE)) / (tn + CAST(vocab AS DOUBLE))) " +
         "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr")
+    (tok, model, pri)
+  }
+
+  /** Frozen NB model for the streaming gate: the (word → fixed-point
+    * llr) table plus the prior, collected. Shipping a trained scorer to
+    * ingest workers is how every deployed quality filter works (CCNet
+    * ships its KenLM); the collect is of the MODEL, not the corpus —
+    * deployment caps the vocabulary at the top [[QcGateVocab]] words by
+    * |llr| (the most discriminative ones), the same capped-broadcast
+    * move as decontaminate's eval gram set. Absent words score 0
+    * (neutral) at the gate. */
+  final val QcGateVocab = 1 << 20
+  def nbFrozen(s: SparkSession, dir: String): (Map[String, Long], Long) = {
+    val (_, model, pri) = nbModelParts(s, dir)
+    val m = model.orderBy(abs(col("llr")).desc, col("w")).limit(QcGateVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m, pri.collect().head.getLong(0))
+  }
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (tok, model, pri) = nbModelParts(s, dir)
     tok.join(model, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sllr"))
