@@ -54,7 +54,9 @@ object Relational {
     "q21_range_window"  -> q21RangeWindow _,
     "q22_json"          -> q22Json _,
     "q23_lateral"       -> q23Lateral _,
-    "q24_session_window" -> q24SessionWindow _
+    "q24_session_window" -> q24SessionWindow _,
+    "q25_funnel"        -> q25Funnel _,
+    "q26_streaks"       -> q26Streaks _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -97,6 +99,63 @@ object Relational {
       .selectExpr("user_id", "unix_micros(sw.start) AS session_start",
         "unix_micros(sw.end) AS session_end", "n_events")
       .orderBy("user_id", "session_start")
+
+  /** Staged conversion funnel (view → click → purchase, each stage
+    * strictly after the user's previous-stage time) — the sequential
+    * event-pattern aggregate of product analytics, expressed as chained
+    * min-time reductions rather than per-user event replays: stage N is
+    * a filter + join-to-stage-(N−1) + min, so per-user state is one
+    * timestamp, never the event list. Three shuffles, all on user_id —
+    * one co-partitioned key end to end. The 3-row readout assembles from
+    * single-row count aggregates (broadcast scalars). */
+  private def q25Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("u1"))
+    val n2 = s2.agg(count(lit(1)).as("u2"))
+    val n3 = s3.agg(count(lit(1)).as("u3"))
+    n1.crossJoin(n2).crossJoin(n3).selectExpr(
+      "stack(3, " +
+        "'1_view', u1, CAST(NULL AS DOUBLE), " +
+        "'2_click', u2, round(u2 / CAST(u1 AS DOUBLE), 4), " +
+        "'3_purchase', u3, round(u3 / CAST(u2 AS DOUBLE), 4)) " +
+        "AS (stage, users, conv)")
+      .orderBy("stage")
+  }
+
+  /** Gaps-and-islands: each user's longest run of consecutive
+    * same-type events (the row_number-difference island id — the
+    * classic streak idiom), tie-broken by earliest start then type.
+    * One shuffle on user_id; every window is user-partitioned, so
+    * parallelism is user-cardinality and no global sort exists. The
+    * order key includes event_id because timestamps alone are not
+    * unique per user. */
+  private def q26Streaks(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us", "event_id")
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val isl = e
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("streak"), min("us").as("start_us"))
+    isl.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(desc("streak"), asc("start_us"), asc("event_type"))))
+      .where("rk = 1")
+      .select("user_id", "event_type", "streak", "start_us")
+      .orderBy("user_id")
+  }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
     * 10-minute event count + fixed-point value sum over the nanosecond
@@ -549,6 +608,47 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q25_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT stage, users, conv FROM (
+        |  SELECT '1_view' AS stage, u1 AS users,
+        |    CAST(NULL AS DOUBLE) AS conv FROM n
+        |  UNION ALL
+        |  SELECT '2_click', u2, round(u2 / CAST(u1 AS DOUBLE), 4) FROM n
+        |  UNION ALL
+        |  SELECT '3_purchase', u3, round(u3 / CAST(u2 AS DOUBLE), 4) FROM n)
+        |ORDER BY stage""".stripMargin,
+    "q26_streaks" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY us, event_id) AS grp
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_type, grp, count(*) AS streak,
+        |    min(us) AS start_us
+        |  FROM i GROUP BY user_id, event_type, grp)
+        |SELECT user_id, event_type, streak, start_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY streak DESC, start_us, event_type) AS rk
+        |  FROM g)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",

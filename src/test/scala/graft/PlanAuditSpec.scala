@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val scalarBroadcasts =
     Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
       "dedup_clusters", "boilerplate_ngrams", "bigram_lm", "bigram_lm_heldout",
-      "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms")
+      "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
+      "q25_funnel")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
