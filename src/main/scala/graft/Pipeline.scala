@@ -106,9 +106,17 @@ object Pipeline {
     * alternative (collect + union-find) dies at 100 TB; the
     * recursive-CTE oracle proves this converges to exactly the
     * connected components. */
+  /** Near-dup component labels (min-label CC over the MinHash+LSH pair
+    * graph), shared by dedup_clusters and dedup_keep_best through the
+    * session scan cache — the iterative propagation runs once per
+    * (session, corpus). */
+  private def dedupLabels(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"dedup-lbl:$dir") {
+      minLabelComponents(minhashLsh(s, dir).select("doc_a", "doc_b"))
+    }
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
-    val lbl = minLabelComponents(pairs)
+    val lbl = dedupLabels(s, dir)
     // no broadcast hint: in a real web corpus the near-dup node set can
     // be a large fraction of the corpus — let AQE pick the join side
     registered(s, dir).select(col("doc_id"))
@@ -116,6 +124,36 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("keeper"),
         coalesce(col("doc_id") =!= col("lbl"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-retaining dedup — the keeper policy production pipelines
+    * actually use: within each near-dup cluster keep the BEST document
+    * (longest by token count, doc_id tie-break), not the arbitrary
+    * min-id (Lee et al. 2022 keep the longest of each duplicate pair;
+    * min-id keepers silently bias the surviving corpus toward whatever
+    * crawled first). Composes the shared component labels with a
+    * quality metric; swap `n_tokens` for any scored column
+    * (quality_classifier's llr, textQualityFull's panel) without
+    * touching the cluster side.
+    *
+    * 100 TB shape: same pair graph + label propagation as
+    * dedup_clusters (shared via [[dedupLabels]] — the iteration runs
+    * once per session), then one cluster-keyed first_value window;
+    * cluster sizes are near-dup-bounded, so no skew beyond what LSH
+    * banding already caps. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val lbl = dedupLabels(s, dir)
+    registered(s, dir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+      .join(lbl, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .selectExpr("doc_id", "n_tokens", "cluster",
+        "first_value(doc_id) OVER (PARTITION BY cluster " +
+          "ORDER BY n_tokens DESC, doc_id) AS best_doc")
+      .selectExpr("doc_id", "cluster", "n_tokens", "best_doc",
+        "doc_id = best_doc AS keep")
       .orderBy("doc_id")
   }
 
@@ -2208,6 +2246,7 @@ object Pipeline {
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
+    "dedup_keep_best"   -> dedupKeepBest _,
     "sample_hash"       -> sampleHash _,
     "sample_balanced"   -> sampleBalanced _,
     "corpus_split"      -> corpusSplit _,
@@ -3193,6 +3232,32 @@ object Pipeline {
          |SELECT doc_a, doc_b, jaccard FROM v
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mp
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM mp),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
+         |  WHERE r.lbl < e.dst),
+         |c AS (
+         |  SELECT node AS doc_id, min(lbl) AS cluster
+         |  FROM reach GROUP BY node),
+         |q AS (
+         |  SELECT doc_id, length(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |j AS (
+         |  SELECT q.doc_id, q.n_tokens, c.cluster
+         |  FROM q JOIN c ON q.doc_id = c.doc_id)
+         |SELECT doc_id, cluster, n_tokens,
+         |  first_value(doc_id) OVER (PARTITION BY cluster
+         |    ORDER BY n_tokens DESC, doc_id) AS best_doc,
+         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster
+         |    ORDER BY n_tokens DESC, doc_id) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
          |e AS (

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * corpus-stats aggregate (a legal scalar broadcast, not a blowup). */
   private val scalarBroadcasts =
     Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
-      "dedup_clusters", "boilerplate_ngrams", "bigram_lm", "bigram_lm_heldout",
+      "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
+      "bigram_lm", "bigram_lm_heldout",
       "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
       "q25_funnel")
 
