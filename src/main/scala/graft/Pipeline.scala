@@ -1600,14 +1600,23 @@ object Pipeline {
     * exact small-set path. */
   final val KmvK = 16
 
+  /** The bounded K-minimum-values aggregator (shared by kmv_distinct,
+    * source_overlap): per-group state is at most KmvK sorted longs with
+    * map-side combine — see [[graft.functions.KMinValues]]. */
+  private lazy val kminAgg =
+    udaf(new graft.functions.KMinValues(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+
   /** K-minimum-values distinct-count sketch — a sketch with an EXACT
     * cross-engine oracle (HLL estimates are engine-specific; KMV is a
     * pure function of the hash set): per group keep the K smallest
     * distinct hashes; estimate = (K−1)·P / h_K, exact count when the
-    * group has fewer than K distinct values. The sketch state is K longs
-    * per group — mergeable, so at 100 TB it behaves like any partial
-    * aggregate. True distinct is computed alongside to expose the
-    * estimation error. */
+    * group has fewer than K distinct values. The sketch build is the
+    * BOUNDED [[graft.functions.KMinValues]] aggregator — K longs per
+    * group at every stage including the map side, mergeable like any
+    * partial aggregate, so at 100 TB no executor ever holds a group's
+    * full distinct set. True distinct is computed alongside to expose
+    * the estimation error. */
   private def kmvDistinct(s: SparkSession, dir: String): DataFrame =
     registered(s, dir)
       .selectExpr("source",
@@ -1618,7 +1627,7 @@ object Pipeline {
           s"t -> poly_hash(t) * 2654435761L % ${P}L)) AS h")
       .groupBy("source")
       .agg(countDistinct("h").as("true_distinct"),
-        expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("ks"))
+        kminAgg(col("h")).as("ks"))
       .selectExpr("source", "true_distinct",
         s"CASE WHEN size(ks) < $KmvK THEN CAST(size(ks) AS DOUBLE) " +
           s"ELSE ${KmvK - 1}.0D * ${P}L " +
@@ -1637,12 +1646,11 @@ object Pipeline {
     * distinct (source, hash) rows group by hash and each hash explodes
     * only the pairs of sources containing it (bounded by S² per hash, S
     * = dozens of sources), so truth is linear in distinct hashes; the
-    * per-source sketches come from the same distinct pass and the final
-    * pair join touches source-cardinality tables only (broadcast). The
-    * full-set `collect_set` sketch build shares kmv_distinct's
-    * documented test-scale shape — at real scale the K-bounded
-    * mergeable buffer replaces it and the exact columns are dropped
-    * with the truth harness. */
+    * per-source sketches come from the same distinct pass through the
+    * BOUNDED [[graft.functions.KMinValues]] aggregator (K longs per
+    * group, map-side combine) and the final pair join touches
+    * source-cardinality tables only (broadcast). At real scale only
+    * the exact columns retire, with the truth harness. */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val e = registered(s, dir).selectExpr("source",
       "explode(transform(split(text, ' '), " +
@@ -1650,7 +1658,7 @@ object Pipeline {
       .distinct()
     val perSrc = e.groupBy("source").agg(
       count(lit(1)).as("nd"),
-      expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("ks"))
+      kminAgg(col("h")).as("ks"))
     val inter = e.groupBy("h")
       .agg(expr("array_sort(collect_set(source))").as("ss"))
       .selectExpr("explode(flatten(transform(ss, " +
