@@ -689,7 +689,11 @@ object Pipeline {
     val pri = docs.groupBy().agg(
       sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("np"),
       sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("nn"))
-      .selectExpr("CAST(round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) " +
+      // add-one on BOTH class doc counts: a corpus with an empty class
+      // (every crafted single-source fixture) must yield a finite prior,
+      // not ±Inf → BIGINT overflow
+      .selectExpr("CAST(round(ln((np + CAST(1 AS DOUBLE)) " +
+        "/ (nn + CAST(1 AS DOUBLE))) " +
         "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp")
     val model = cnt.crossJoin(broadcast(tot)).selectExpr("w",
       "CAST(round(ln((cp + CAST(1 AS DOUBLE)) / (tp + CAST(vocab AS DOUBLE))) " +
@@ -2798,8 +2802,8 @@ object Pipeline {
         |  FROM cnt),
         |pri AS (
         |  SELECT CAST(round(ln(
-        |      CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS DOUBLE))
+        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
+        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp
         |  FROM d),
         |m AS (

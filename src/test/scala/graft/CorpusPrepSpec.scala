@@ -219,7 +219,7 @@ class CorpusPrepSpec extends AnyFunSuite {
     val vocab = (cp.keySet ++ cn.keySet).size.toDouble
     val (tp, tn) = (cp.values.sum, cn.values.sum)
     val (np, nn) = (toks.count(_._3), toks.count(!_._3))
-    val priorFp = math.round(math.log(np.toDouble / nn) * 1e6)
+    val priorFp = math.round(math.log((np + 1.0) / (nn + 1.0)) * 1e6)
     def lnFp(c: Long, t: Long): Long =
       math.round(math.log((c + 1.0) / (t + vocab)) * 1e6)
     val expected = toks.map { case (id, tk, _) =>
