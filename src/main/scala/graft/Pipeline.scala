@@ -1717,6 +1717,35 @@ object Pipeline {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing readout (what
+    * fraction of all token occurrences do the top-N vocabulary entries
+    * cover?), read before choosing a BPE vocab budget.
+    *
+    * 100 TB shape: unigram counts are one token-explode shuffle; the
+    * curve only needs the TOP-64 entries, so the global order is a
+    * TakeOrderedAndProject (64 rows), never a vocab-wide sort; the
+    * cumulative window then runs over those ≤64 rows and the corpus
+    * total rides a single-row broadcast. Ranks beyond the vocabulary
+    * simply don't appear — identically in both engines. */
+  private val VocabRanks = Seq(1, 2, 4, 8, 16, 32, 64)
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val uni = Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("total"))
+    val w = Window.orderBy(desc("c"), asc("w"))
+    uni.orderBy(desc("c"), asc("w")).limit(VocabRanks.max)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rk").isin(VocabRanks.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(tot))
+      .selectExpr("rk AS vocab_rank", "cum AS covered_tokens",
+        "total AS total_tokens",
+        "round(CAST(cum AS DOUBLE) / total, 4) AS coverage")
+      .orderBy("vocab_rank")
+  }
+
   /** BPE-ish pretokenizer regex (the GPT-2 pattern family, restricted to
     * constructs Java regex and RE2 treat identically — no lookarounds, no
     * \\s class): contraction suffixes, space-prefixed letter/digit runs,
@@ -2286,6 +2315,7 @@ object Pipeline {
     "kmv_distinct"      -> kmvDistinct _,
     "tfidf_terms"       -> tfidfTerms _,
     "source_overlap"    -> sourceOverlap _,
+    "vocab_coverage"    -> vocabCoverage _,
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
@@ -3175,6 +3205,23 @@ object Pipeline {
          |  kmv_common, kmv_k,
          |  round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est
          |FROM k2 ORDER BY src_a, src_b""".stripMargin,
+    "vocab_coverage" ->
+      """WITH uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+        |top AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
+        |r AS (
+        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM top)
+        |SELECT rk AS vocab_rank, cum AS covered_tokens,
+        |  total AS total_tokens,
+        |  round(CAST(cum AS DOUBLE) / total, 4) AS coverage
+        |FROM r CROSS JOIN tot
+        |WHERE rk IN (1, 2, 4, 8, 16, 32, 64) ORDER BY rk""".stripMargin,
     "tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, w, count(*) AS tf

@@ -56,7 +56,8 @@ object Relational {
     "q23_lateral"       -> q23Lateral _,
     "q24_session_window" -> q24SessionWindow _,
     "q25_funnel"        -> q25Funnel _,
-    "q26_streaks"       -> q26Streaks _
+    "q26_streaks"       -> q26Streaks _,
+    "q27_full_outer"    -> q27FullOuter _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -155,6 +156,30 @@ object Relational {
       .where("rk = 1")
       .select("user_id", "event_type", "streak", "start_us")
       .orderBy("user_id")
+  }
+
+  /** FULL OUTER join — the reconciliation shape (which nations have
+    * deep-debt customers but no deep-debt suppliers, and vice versa?):
+    * both inputs pre-aggregate to nation cardinality before the join,
+    * so the full-outer operates on two dimension-sized tables (at any
+    * corpus scale), with unmatched rows surviving from BOTH sides and
+    * a presence tag making the outer semantics observable. Thresholds
+    * chosen so sf0.01 produces customer-only AND supplier-only rows. */
+  private def q27FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).where("c_acctbal < -800")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("cust_debt"))
+    val sp = Tables.supplier(s, dir).where("s_acctbal < -600")
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("supp_debt"))
+    c.join(sp, Seq("nk"), "full_outer")
+      .selectExpr("nk AS nationkey",
+        "coalesce(cust_debt, CAST(0 AS BIGINT)) AS cust_debt",
+        "coalesce(supp_debt, CAST(0 AS BIGINT)) AS supp_debt",
+        "CASE WHEN cust_debt IS NULL THEN 'supplier_only' " +
+          "WHEN supp_debt IS NULL THEN 'customer_only' " +
+          "ELSE 'both' END AS presence")
+      .orderBy("nationkey")
   }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -608,6 +633,21 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q27_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(*) AS cust_debt
+        |  FROM customer WHERE c_acctbal < -800 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nk, count(*) AS supp_debt
+        |  FROM supplier WHERE s_acctbal < -600 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(cust_debt, CAST(0 AS BIGINT)) AS cust_debt,
+        |  coalesce(supp_debt, CAST(0 AS BIGINT)) AS supp_debt,
+        |  CASE WHEN cust_debt IS NULL THEN 'supplier_only'
+        |    WHEN supp_debt IS NULL THEN 'customer_only'
+        |    ELSE 'both' END AS presence
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
     "q25_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

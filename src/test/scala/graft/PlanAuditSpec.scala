@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
       "bigram_lm", "bigram_lm_heldout",
       "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
-      "q25_funnel")
+      "q25_funnel", "vocab_coverage")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
@@ -104,7 +104,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("top-k queries use TakeOrdered, not a global sort") {
-    for (n <- Seq("q3_topk_orders", "bm25", "ngram_jaccard")) {
+    for (n <- Seq("q3_topk_orders", "bm25", "ngram_jaccard",
+        "vocab_coverage")) {
       val p = plan(n)
       assert(p.contains("TakeOrderedAndProject"), s"$n should take-order")
     }
