@@ -29,6 +29,7 @@ object Pipeline {
     graft.functions.JaccardSorted.register(s)
     graft.functions.MinHashSig.register(s)
     graft.functions.SimHashSig.register(s)
+    graft.functions.NfcNormalize.register(s)
     Tables.documents(s, dir)
   }
 
@@ -1717,6 +1718,60 @@ object Pipeline {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Decomposed probe (NFC-sensitive): "café Å" with the accents as
+    * COMBINING characters (e+U+0301, A+U+030A) — canonical composition
+    * rewrites both to precomposed forms, shrinking the string by 2. */
+  private val NfcProbe = " caf" + "é" + " Å"
+
+  /** Unicode NFC normalization — the canonicalization pass a text
+    * pipeline runs before any hashing or dedup (decomposed e+◌́ and
+    * precomposed é must not count as distinct content). The corpus is
+    * ASCII by construction, so NFC-sensitive sequences are INJECTED by
+    * doc_id residue (the pii_scrub move — absent-case rows stay part of
+    * the check) and the normalized text itself is emitted, making the
+    * cross-engine comparison a full content equality, not just counts.
+    *
+    * 100 TB shape: a pure map over the scan — the [[graft.functions
+    * .NfcNormalize]] expression runs inside whole-stage codegen with an
+    * allocation-free already-normalized fast path (the common case).
+    * DuckDB's nfc_normalize implements the same canonical algorithm. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    registered(s, dir)
+      .selectExpr("doc_id",
+        s"concat(text, CASE WHEN doc_id % 5 = 0 THEN '$NfcProbe' " +
+          "ELSE '' END) AS txt")
+      .selectExpr("doc_id", "doc_id % 5 = 0 AS injected",
+        "length(txt) AS n_before", "nfc_normalize(txt) AS norm_text")
+      .selectExpr("doc_id", "injected", "n_before",
+        "length(norm_text) AS n_after",
+        "n_before <> length(norm_text) AS changed", "norm_text")
+      .orderBy("doc_id")
+
+  /** Deflate compression ratio — the repetitive-junk signal of
+    * RefinedWeb/FineWeb-class pipelines (machine-generated boilerplate
+    * compresses far better than natural text; a ratio near 0 flags it).
+    * No SQL twin exists (DuckDB has no compression function), so this
+    * is a rows-only query pinned by a plain-Scala recompute spec plus
+    * crafted monotonicity cases instead of the DuckDB oracle.
+    *
+    * 100 TB shape: a pure map — [[graft.functions.DeflateLen]] runs the
+    * JDK Deflater per row inside codegen, no shuffle, no state. */
+  private def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    registered2(s, dir)
+      .selectExpr("doc_id",
+        "CAST(length(text) AS BIGINT) AS n_bytes",
+        "CAST(deflate_len(text) AS BIGINT) AS n_deflate")
+      .selectExpr("doc_id", "n_bytes", "n_deflate",
+        "round(n_deflate / CAST(greatest(n_bytes, 1) AS DOUBLE), 4) " +
+          "AS ratio")
+      .orderBy("doc_id")
+
+  /** documents with the deflate_len kernel registered. */
+  private def registered2(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DeflateLen.register(s)
+    Tables.documents(s, dir)
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout (what
     * fraction of all token occurrences do the top-N vocabulary entries
     * cover?), read before choosing a BPE vocab budget.
@@ -2316,6 +2371,8 @@ object Pipeline {
     "tfidf_terms"       -> tfidfTerms _,
     "source_overlap"    -> sourceOverlap _,
     "vocab_coverage"    -> vocabCoverage _,
+    "text_normalize"    -> textNormalize _,
+    "compression_ratio" -> compressionRatio _,
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
@@ -3205,6 +3262,18 @@ object Pipeline {
          |  kmv_common, kmv_k,
          |  round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est
          |FROM k2 ORDER BY src_a, src_b""".stripMargin,
+    "text_normalize" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 5 = 0 THEN '$NfcProbe'
+         |      ELSE '' END AS txt
+         |  FROM documents)
+         |SELECT doc_id, doc_id % 5 = 0 AS injected,
+         |  length(txt) AS n_before,
+         |  length(nfc_normalize(txt)) AS n_after,
+         |  length(txt) <> length(nfc_normalize(txt)) AS changed,
+         |  nfc_normalize(txt) AS norm_text
+         |FROM t ORDER BY doc_id""".stripMargin,
     "vocab_coverage" ->
       """WITH uni AS (
         |  SELECT w, count(*) AS c

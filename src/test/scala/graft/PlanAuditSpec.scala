@@ -161,7 +161,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("gopher_repetition and pii_scrub are pure map passes") {
     // both compute per-row; the only exchange allowed is the
     // presentation sort's range partitioning
-    for (n <- Seq("gopher_repetition", "pii_scrub")) {
+    for (n <- Seq("gopher_repetition", "pii_scrub", "text_normalize",
+        "compression_ratio")) {
       val p = plan(n)
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
         !l.contains("Exchange rangepartitioning"))
