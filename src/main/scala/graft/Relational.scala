@@ -57,7 +57,9 @@ object Relational {
     "q24_session_window" -> q24SessionWindow _,
     "q25_funnel"        -> q25Funnel _,
     "q26_streaks"       -> q26Streaks _,
-    "q27_full_outer"    -> q27FullOuter _
+    "q27_full_outer"    -> q27FullOuter _,
+    "q28_grouping_sets" -> q28GroupingSets _,
+    "q29_set_ops_all"   -> q29SetOpsAll _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -180,6 +182,45 @@ object Relational {
           "WHEN supp_debt IS NULL THEN 'customer_only' " +
           "ELSE 'both' END AS presence")
       .orderBy("nationkey")
+  }
+
+  /** Explicit GROUPING SETS — the irregular grouping-set list neither
+    * ROLLUP (q13) nor CUBE (q18) can express: per-status totals,
+    * per-priority totals, and the grand total, WITHOUT the (status,
+    * priority) cross detail. One aggregation pass (Catalyst expands the
+    * sets into a single Expand + hash aggregate, not one scan per
+    * set). */
+  private def q28GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
+        |    AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL, the
+    * duplicate-preserving variants q9's distinct set ops can't express:
+    * comparing supplier DELIVERY WORKLOADS (one row per lineitem, so a
+    * supplier appearing 5× in one half and 3× in the other contributes
+    * min(5,3) to the intersection and 2 to the difference — counts, not
+    * membership). Both engines implement SQL bag semantics. */
+  private def q29SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val h1 = l.where(col("l_shipdate") < "1998-07-01").select("l_suppkey")
+    val h2 = l.where(col("l_shipdate") >= "1998-07-01").select("l_suppkey")
+    h1.intersectAll(h2).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_common"))
+      .join(h1.exceptAll(h2).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_only_early")), Seq("l_suppkey"), "full_outer")
+      .selectExpr("l_suppkey",
+        "coalesce(n_common, CAST(0 AS BIGINT)) AS n_common",
+        "coalesce(n_only_early, CAST(0 AS BIGINT)) AS n_only_early")
+      .orderBy("l_suppkey")
   }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -633,6 +674,33 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        |    AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q29_set_ops_all" ->
+      """WITH h1 AS (
+        |  SELECT l_suppkey FROM lineitem WHERE l_shipdate < '1998-07-01'),
+        |h2 AS (
+        |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= '1998-07-01'),
+        |c AS (
+        |  SELECT l_suppkey, count(*) AS n_common
+        |  FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+        |  GROUP BY l_suppkey),
+        |e AS (
+        |  SELECT l_suppkey, count(*) AS n_only_early
+        |  FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+        |  GROUP BY l_suppkey)
+        |SELECT coalesce(c.l_suppkey, e.l_suppkey) AS l_suppkey,
+        |  coalesce(n_common, CAST(0 AS BIGINT)) AS n_common,
+        |  coalesce(n_only_early, CAST(0 AS BIGINT)) AS n_only_early
+        |FROM c FULL OUTER JOIN e ON c.l_suppkey = e.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
     "q27_full_outer" ->
       """WITH c AS (
         |  SELECT c_nationkey AS nk, count(*) AS cust_debt
