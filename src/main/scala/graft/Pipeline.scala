@@ -1383,6 +1383,52 @@ object Pipeline {
         .select("doc_a", "doc_b", "jaccard")
     }.orderBy("doc_a", "doc_b")
 
+  /** Measured MinHash-LSH recall — the dedup twin of `ann_recall`: how
+    * many TRUE near-dup pairs (exact shingle Jaccard ≥ τ) does the
+    * banded index actually surface? Truth shares the inverted-index
+    * shape of source_overlap: distinct (doc, shingle) rows group BY
+    * SHINGLE and explode only the doc pairs sharing that shingle (a
+    * pair with J ≥ 0.5 always shares one), so truth is linear in
+    * Σ C(df, 2), never an all-pairs join — at web scale the boilerplate
+    * df-cap (exact_substring's EsDocCap move) bounds the hot shingles;
+    * uncapped here where df tops out at 1.4%. The verified LSH pair set
+    * rides its ScanCache entry. `expected_recall` is the banding
+    * analytic E[1 − (1 − J^rows)^bands] averaged over true pairs —
+    * powers computed by exact IEEE multiply chains (no libm pow) and
+    * averaged in 1e-6 fixed point, so both engines agree bit-for-bit. */
+  private def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val th = shingleHashSets(s, dir)
+    val truth = th.selectExpr("doc_id", "explode(th) AS sh")
+      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
+      .selectExpr("explode(flatten(transform(ds, " +
+        "a -> transform(filter(ds, b -> b > a), " +
+        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
+      .select("p.doc_a", "p.doc_b").distinct()
+      .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")),
+        Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", expr("jaccard_sorted(tha, thb)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+    val lsh = minhashLsh(s, dir).select("doc_a", "doc_b")
+      .withColumn("hit", lit(1L))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j2", col("jaccard") * col("jaccard"))
+      .withColumn("j4", col("j2") * col("j2"))
+      .withColumn("j8", col("j4") * col("j4"))
+      .selectExpr("coalesce(hit, 0L) AS hit",
+        "CAST(round((CAST(1 AS DOUBLE) - (CAST(1 AS DOUBLE) - j8) " +
+          "* (CAST(1 AS DOUBLE) - j8)) * CAST(1000000 AS DOUBLE)) " +
+          "AS BIGINT) AS p_fp")
+      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_caught"),
+        sum("p_fp").as("sp"))
+      .selectExpr("n_true", "n_caught",
+        "round(n_caught / CAST(n_true AS DOUBLE), 4) AS recall",
+        "round(CAST(sp AS DOUBLE) / n_true / CAST(1000000 AS DOUBLE), 4) " +
+          "AS expected_recall")
+  }
+
   /** Boilerplate shingle detection — the heavy-hitter quality filter a
     * pretraining pipeline runs before dedup: a token 3-gram shared by
     * many documents is boilerplate (headers, footers, templates); each
@@ -2356,6 +2402,7 @@ object Pipeline {
     "embedding_topk"    -> embeddingTopk _,
     "embedding_neardup" -> embeddingNeardup _,
     "minhash_lsh"       -> minhashLsh _,
+    "minhash_recall"    -> minhashRecall _,
     "simhash"           -> simhash _,
     "ngram_jaccard"     -> ngramJaccard _,
     "ann_lsh"           -> annLsh _,
@@ -3355,6 +3402,42 @@ object Pipeline {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE $cosDuck >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_recall" ->
+      s"""$minhashPairsCtes,
+         |e2 AS (SELECT doc_id, unnest(th) AS sh FROM th),
+         |tp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM e2 a JOIN e2 b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |tr AS (
+         |  SELECT tp.doc_a, tp.doc_b,
+         |    length(list_intersect(ta.th, tb.th))
+         |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE)
+         |      AS jaccard
+         |  FROM tp JOIN th ta ON tp.doc_a = ta.doc_id
+         |          JOIN th tb ON tp.doc_b = tb.doc_id),
+         |tj AS (SELECT * FROM tr WHERE jaccard >= 0.5),
+         |sc AS (
+         |  SELECT t.jaccard,
+         |    CASE WHEN mp.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM tj t LEFT JOIN mp
+         |    ON t.doc_a = mp.doc_a AND t.doc_b = mp.doc_b),
+         |pw AS (
+         |  SELECT hit, jaccard * jaccard AS j2 FROM sc),
+         |pw2 AS (SELECT hit, j2 * j2 AS j4 FROM pw),
+         |pw3 AS (SELECT hit, j4 * j4 AS j8 FROM pw2),
+         |fp AS (
+         |  SELECT hit,
+         |    CAST(round((CAST(1 AS DOUBLE) - (CAST(1 AS DOUBLE) - j8)
+         |      * (CAST(1 AS DOUBLE) - j8)) * CAST(1000000 AS DOUBLE))
+         |      AS BIGINT) AS p_fp
+         |  FROM pw3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_caught,
+         |  round(CAST(sum(hit) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+         |    AS recall,
+         |  round(CAST(CAST(sum(p_fp) AS BIGINT) AS DOUBLE) / count(*)
+         |    / CAST(1000000 AS DOUBLE), 4) AS expected_recall
+         |FROM fp""".stripMargin,
     "minhash_lsh" ->
       s"""$minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM v

@@ -43,6 +43,18 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(dl > 0.5, s"diverse ratio $dl")
   }
 
+  test("kernels are total on arbitrary input: no throw, nfc idempotent") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 300) {
+      val s = new String(Array.fill(rnd.nextInt(64))(
+        rnd.nextInt(0xFFFF).toChar)) // arbitrary UTF-16, incl. lone surrogates
+      val once = nfc(s)
+      assert(nfc(once) == once, "nfc idempotent")
+      assert(DeflateLen.deflatedSize(s.getBytes("UTF-8")) > 0 ||
+        s.isEmpty)
+    }
+  }
+
   test("compression_ratio query equals the plain-Scala recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("compression_ratio")(spark, dir)
