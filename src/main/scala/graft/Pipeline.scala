@@ -726,9 +726,15 @@ object Pipeline {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sllr"))
       .crossJoin(broadcast(pri))
+      // Round to 4 decimals ON THE INTEGER SIDE: fp/100.0 is exact at the
+      // only ambiguous points (an integer ending in 50 gives an exactly
+      // representable x.5), so Spark's decimal-string HALF_UP and DuckDB's
+      // binary-double round agree; round(fp/1e6, 4) does NOT (the double
+      // nearest -2.45055 prints as -2.4505499…, splitting the engines —
+      // observed at sf0.001).
       .selectExpr("doc_id", "n_tokens",
-        "round(CAST(sllr + prior_fp AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) " +
-          "AS score",
+        "round(CAST(sllr + prior_fp AS DOUBLE) / CAST(100 AS DOUBLE)) " +
+          "/ CAST(10000 AS DOUBLE) AS score",
         "sllr + prior_fp > 0 AS pred_ref")
       .orderBy("doc_id")
   }
@@ -2955,7 +2961,7 @@ object Pipeline {
         |  FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id)
         |SELECT doc_id, n_tokens,
         |  round(CAST(sllr + pri.prior_fp AS DOUBLE)
-        |    / CAST(1000000 AS DOUBLE), 4) AS score,
+        |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
