@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the station-graph analytics: the oracle gate
+  * proves value parity with DuckDB; these pin the graph-theoretic
+  * identities and the exact-arithmetic determinism claims that the SQL
+  * comparison alone would not distinguish from coincidence. */
+class GraphSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("cell-pruned edge list equals the all-pairs distance filter") {
+    val nodes = Tables.events(spark, dir)
+      .select(col("user_id").as("station")).distinct()
+      .withColumn("lat", Geodesic.stationLat(col("station")))
+      .withColumn("lon", Geodesic.stationLon(col("station")))
+      .withColumn("h", Geodesic.stationH(col("station")))
+    val e = Geodesic.withEcef(nodes)
+    val a = e.select(col("station").as("st_a"), col("x").as("xa"),
+      col("y").as("ya"), col("z").as("za"))
+    val b = e.select(col("station").as("st_b"), col("x").as("xb"),
+      col("y").as("yb"), col("z").as("zb"))
+    val allPairs = a.join(b, col("st_a") < col("st_b"))
+      .filter(Geodesic.pairDist() <= Graph.NeighborRadiusMeters)
+      .select("st_a", "st_b")
+    val pruned = Graph.stationEdges(spark, dir).select("st_a", "st_b")
+    assert(pruned.exceptAll(allPairs).isEmpty &&
+      allPairs.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+  }
+
+  test("triangle and degree identities hold") {
+    val tc = SparkEntry.queries("triangle_count")(spark, dir)
+      .select("station", "degree", "n_tri").collect()
+    val nEdges = Graph.stationEdges(spark, dir).count()
+    // handshake: Σ degree = 2|E|
+    assert(tc.map(_.getLong(1)).sum == 2 * nEdges)
+    // each triangle credits exactly its three corners
+    assert(tc.map(_.getLong(2)).sum % 3 == 0)
+    assert(tc.map(_.getLong(2)).sum > 0, "triangle count must be non-vacuous")
+    // a station's triangles are at most C(deg, 2) wedges closed
+    tc.foreach { r =>
+      val d = r.getLong(1)
+      assert(r.getLong(2) <= d * (d - 1) / 2,
+        s"station ${r.getLong(0)}: n_tri ${r.getLong(2)} > C($d,2)")
+    }
+  }
+
+  test("pagerank conserves mass up to integer truncation and is deterministic") {
+    val pr1 = SparkEntry.queries("pagerank")(spark, dir).collect()
+    val n = pr1.length
+    val total = pr1.map(_.getLong(1)).sum
+    // truncating integer division only ever DROPS mass: per round each
+    // station loses < deg remainders plus < 1 from the damping division,
+    // so the stationary total stays within iters · (2|E| + n) of scale
+    val nEdges = Graph.stationEdges(spark, dir).count()
+    val slack = Graph.PrIters * (2 * nEdges + n + 1)
+    assert(total <= Graph.PrScale && total >= Graph.PrScale - slack,
+      s"mass $total outside [${Graph.PrScale - slack}, ${Graph.PrScale}]")
+    // every station keeps at least the teleport base
+    val base = Graph.PrScale / Graph.PrDampDen *
+      (Graph.PrDampDen - Graph.PrDampNum) / n
+    assert(pr1.forall(_.getLong(1) >= base))
+    // exact integer arithmetic → bit-identical on re-run
+    val pr2 = SparkEntry.queries("pagerank")(spark, dir).collect()
+    assert(pr1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      pr2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}

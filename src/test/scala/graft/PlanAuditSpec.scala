@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
       "bigram_lm", "bigram_lm_heldout",
       "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
-      "q25_funnel", "vocab_coverage")
+      "q25_funnel", "vocab_coverage", "pagerank")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
