@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation analytics that sit beside the detector operators:
+  * statistical outlier detection over the event stream and fuzzy
+  * entity resolution over dimension names. Both are exact-arithmetic
+  * designs — every flag is an integer comparison, so the DuckDB oracle
+  * reproduces the result bit-for-bit and the answer is independent of
+  * partitioning and summation order. */
+object Analytics {
+
+  /** Statistical outliers in the event `value` stream, per event type,
+    * by BOTH the classical z-test and the robust MAD test.
+    *
+    * Values are centi-units (`round(value·100)` — the generator emits 2
+    * decimals, so this is lossless). The two flags:
+    *
+    *  - `z_flag`: |v − μ| > 3σ (population), cleared of denominators:
+    *    (n·v − S)² > 9·(n·SS − S²) — all BIGINT. Exact but the clearing
+    *    costs n² in magnitude: headroom runs out near n ≈ 6·10⁴ rows per
+    *    type at this value range (documented ceiling; at corpus scale
+    *    μ, σ have long converged and a production gate would freeze them
+    *    the way the streaming quality gate freezes its NB model).
+    *  - `mad_flag`: |v − median| > 3·MAD, derived entirely from two
+    *    value HISTOGRAMS (count by (type, value), then a windowed
+    *    cumulative walk picks the middle positions) — the
+    *    quantile_sketch move. Doubled/quadrupled units keep the
+    *    even-count midpoints integer: med2 = lower+upper middle value,
+    *    d = |2v − med2|, mad4 = 2·median(d), flag iff 2·d > 3·mad4.
+    *    Magnitude stays bounded by the VALUE DOMAIN, not the row count,
+    *    so this variant survives any corpus size — and per-group state
+    *    is the distinct-value histogram, never the row set.
+    *
+    * Output: only the flagged events (either test), with both verdicts.
+    * On the exponential-ish synthetic values the tests disagree
+    * visibly — MAD flags ~6× more rows (long right tail inflates σ) —
+    * which is the point of shipping both. */
+  private def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).selectExpr("event_id", "event_type",
+      "CAST(round(value * 100) AS BIGINT) AS value_c")
+    val zStats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("value_c").as("sv"),
+      sum(expr("value_c * value_c")).as("svv"))
+    // median from the value histogram: k1/k2 are the 1-based middle
+    // positions; value_at(k) = min value whose cumulative count ≥ k
+    def hist2med(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val h = df.groupBy("event_type", valCol)
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(valCol)))
+        .withColumn("nn", max("cum").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      h.filter(expr("cum >= (nn + 1) div 2"))
+        .groupBy("event_type").agg(min(valCol).as("lo"))
+        .join(h.filter(expr("cum >= (nn + 2) div 2"))
+          .groupBy("event_type").agg(min(valCol).as("hi")), "event_type")
+        .selectExpr("event_type", s"lo + hi AS $outCol")
+    }
+    val med = hist2med(ev, "value_c", "med2")
+    val withD = ev.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("value_c") * 2 - col("med2")))
+    val mad = hist2med(withD, "d", "mad4")
+    withD.join(broadcast(mad), "event_type")
+      .join(broadcast(zStats), "event_type")
+      .selectExpr("event_id", "event_type", "value_c",
+        "(n * value_c - sv) * (n * value_c - sv) > 9 * (n * svv - sv * sv) " +
+          "AS z_flag",
+        "2 * d > 3 * mad4 AS mad_flag")
+      .filter(col("z_flag") || col("mad_flag"))
+      .orderBy("event_id")
+  }
+
+  /** Fuzzy entity resolution over part names: candidate generation by
+    * BLOCKING on the entity-type token (the name's last word), then
+    * exact Levenshtein verification within the block — the standard
+    * two-phase ER shape. The quadratic step is confined to a block
+    * (names sharing a noun), and runs over the DISTINCT-NAME dimension,
+    * never the part table itself: candidate pairs scale with vocabulary
+    * size, not corpus size, and each name carries its occurrence count
+    * from a pre-aggregation, so the expensive edit distance runs once
+    * per name pair. */
+  final val FuzzyMaxDistance = 2
+
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).groupBy("p_name")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"),
+      col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"),
+      col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= FuzzyMaxDistance)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_outliers" -> valueOutliers _,
+    "fuzzy_join" -> fuzzyJoin _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "value_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |zs AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(value_c) AS BIGINT) AS sv,
+        |    CAST(sum(value_c * value_c) AS BIGINT) AS svv
+        |  FROM ev GROUP BY 1),
+        |h1 AS (
+        |  SELECT event_type, value_c, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT event_type, value_c,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY value_c)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM h1),
+        |med AS (
+        |  SELECT lo.event_type, lo.lo + hi.hi AS med2 FROM
+        |    (SELECT event_type, min(value_c) AS lo FROM c1
+        |     WHERE cum >= (nn + 1) // 2 GROUP BY 1) lo
+        |  JOIN
+        |    (SELECT event_type, min(value_c) AS hi FROM c1
+        |     WHERE cum >= (nn + 2) // 2 GROUP BY 1) hi
+        |  ON lo.event_type = hi.event_type),
+        |wd AS (
+        |  SELECT ev.*, abs(ev.value_c * 2 - med.med2) AS d
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |h2 AS (
+        |  SELECT event_type, d, count(*) AS cnt FROM wd GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM h2),
+        |mad AS (
+        |  SELECT lo.event_type, lo.lo + hi.hi AS mad4 FROM
+        |    (SELECT event_type, min(d) AS lo FROM c2
+        |     WHERE cum >= (nn + 1) // 2 GROUP BY 1) lo
+        |  JOIN
+        |    (SELECT event_type, min(d) AS hi FROM c2
+        |     WHERE cum >= (nn + 2) // 2 GROUP BY 1) hi
+        |  ON lo.event_type = hi.event_type)
+        |SELECT wd.event_id, wd.event_type, wd.value_c,
+        |  (zs.n * wd.value_c - zs.sv) * (zs.n * wd.value_c - zs.sv)
+        |    > 9 * (zs.n * zs.svv - zs.sv * zs.sv) AS z_flag,
+        |  2 * wd.d > 3 * mad.mad4 AS mad_flag
+        |FROM wd
+        |JOIN mad ON wd.event_type = mad.event_type
+        |JOIN zs ON wd.event_type = zs.event_type
+        |WHERE (zs.n * wd.value_c - zs.sv) * (zs.n * wd.value_c - zs.sv)
+        |    > 9 * (zs.n * zs.svv - zs.sv * zs.sv)
+        |  OR 2 * wd.d > 3 * mad.mad4
+        |ORDER BY wd.event_id""".stripMargin,
+    "fuzzy_join" ->
+      s"""WITH names AS (
+         |  SELECT p_name, count(*) AS n,
+         |    string_split(p_name, ' ')[2] AS block
+         |  FROM part GROUP BY 1)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         |  a.n AS n_a, b.n AS n_b
+         |FROM names a JOIN names b
+         |  ON a.block = b.block AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance
+         |ORDER BY name_a, name_b""".stripMargin
+  )
+}

@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Detector.queries ++ Registry.queries ++ Geodesic.queries ++ Pipeline.queries ++ Wire.queries ++ Assembly.queries ++ streaming.DetectorApp.queries ++ Graph.queries
+    Relational.queries ++ Detector.queries ++ Registry.queries ++ Geodesic.queries ++ Pipeline.queries ++ Wire.queries ++ Assembly.queries ++ streaming.DetectorApp.queries ++ Graph.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Detector.oracleSql ++ Registry.oracleSql ++ Geodesic.oracleSql ++ Pipeline.oracleSql ++ Wire.oracleSql ++ Assembly.oracleSql ++ streaming.DetectorApp.oracleSql ++ Graph.oracleSql
+    Relational.oracleSql ++ Detector.oracleSql ++ Registry.oracleSql ++ Geodesic.oracleSql ++ Pipeline.oracleSql ++ Wire.oracleSql ++ Assembly.oracleSql ++ streaming.DetectorApp.oracleSql ++ Graph.oracleSql ++ Analytics.oracleSql
 }
