@@ -37,9 +37,17 @@ object Analytics {
     * On the exponential-ish synthetic values the tests disagree
     * visibly — MAD flags ~6× more rows (long right tail inflates σ) —
     * which is the point of shipping both. */
-  private def valueOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).selectExpr("event_id", "event_type",
+  private def centiEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).selectExpr("event_id", "event_type",
       "CAST(round(value * 100) AS BIGINT) AS value_c")
+
+  /** Per-type thresholds (n, sv, svv, med2, mad4) — the MODEL the gate
+    * needs, one row per event type. The streaming twin freezes exactly
+    * this table ([[streaming.StreamingOutlierGate]]), the same
+    * train-batch / score-stream split as the NB quality gate. */
+  private[graft] def outlierThresholds(s: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = centiEvents(s, dir)
     val zStats = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("value_c").as("sv"),
       sum(expr("value_c * value_c")).as("svv"))
@@ -60,18 +68,21 @@ object Analytics {
         .selectExpr("event_type", s"lo + hi AS $outCol")
     }
     val med = hist2med(ev, "value_c", "med2")
-    val withD = ev.join(broadcast(med), "event_type")
-      .withColumn("d", abs(col("value_c") * 2 - col("med2")))
-    val mad = hist2med(withD, "d", "mad4")
-    withD.join(broadcast(mad), "event_type")
-      .join(broadcast(zStats), "event_type")
+    val mad = hist2med(
+      ev.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("value_c") * 2 - col("med2"))), "d", "mad4")
+    zStats.join(med, "event_type").join(mad, "event_type")
+  }
+
+  private def valueOutliers(s: SparkSession, dir: String): DataFrame =
+    centiEvents(s, dir)
+      .join(broadcast(outlierThresholds(s, dir)), "event_type")
       .selectExpr("event_id", "event_type", "value_c",
         "(n * value_c - sv) * (n * value_c - sv) > 9 * (n * svv - sv * sv) " +
           "AS z_flag",
-        "2 * d > 3 * mad4 AS mad_flag")
+        "2 * abs(2 * value_c - med2) > 3 * mad4 AS mad_flag")
       .filter(col("z_flag") || col("mad_flag"))
       .orderBy("event_id")
-  }
 
   /** Fuzzy entity resolution over part names: candidate generation by
     * BLOCKING on the entity-type token (the name's last word), then
