@@ -547,6 +547,59 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60) and
+    * the fixed-point scale: each list contributes `1e9 div (60 + rank)`,
+    * an exact BIGINT, so fused scores and the final ordering are
+    * engine-identical with no float summation anywhere. */
+  final val RrfK = 60L
+  final val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion of two retrieval signals over the SAME
+    * corpus and query (the [[Bm25Terms]]): the saturating BM25 ranker
+    * and a plain tf·idf dot-product ranker. RRF is the standard way to
+    * merge heterogeneous rankers without score calibration — only RANKS
+    * cross lists, so the two incomparable score scales never meet.
+    *
+    * Both input rankers are top-20 TakeOrdered heads over broadcast
+    * corpus stats (the bm25 plan shape); the fusion itself is a full
+    * outer join of two ≤20-row lists — driver-trivial, corpus-free.
+    * Documents missing from one list contribute nothing for it (the
+    * rank term is 0, the RRF convention), surfacing documents that
+    * only one signal found. */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    def ranked(df: DataFrame, rankCol: String): DataFrame =
+      df.withColumn(rankCol, row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select("doc_id", rankCol)
+    val bm = ranked(bm25(s, dir), "rank_bm")
+    // tf·idf ranker over the same terms: Σ tf·round(ln(N/df), 6),
+    // rounded idf for cross-engine ln stability (the tfidf_terms move)
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"size(filter(tk, x -> x = '$t')) AS tf$i" }
+    val d = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr("doc_id" +: tfCols: _*)
+    val statAggs = Seq("count(*) AS n_docs") ++ Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+    val idfCols = Bm25Terms.indices.map(i =>
+      s"round(ln(CAST(n_docs AS DOUBLE) / df$i), 6) AS idf$i")
+    val score = Bm25Terms.indices.map(i => s"tf$i * idf$i").mkString(" + ")
+    val tfidf = d.crossJoin(broadcast(
+        d.selectExpr(statAggs: _*).selectExpr(idfCols: _*)))
+      .selectExpr("doc_id", s"round($score, 4) AS score")
+      .where("score > 0")
+      .orderBy(desc("score"), asc("doc_id")).limit(20)
+    bm.join(ranked(tfidf, "rank_tf"), Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "coalesce(rank_bm, CAST(0 AS BIGINT)) AS rank_bm",
+        "coalesce(rank_tf, CAST(0 AS BIGINT)) AS rank_tf",
+        s"coalesce(CAST($RrfScale AS BIGINT) div ($RrfK + rank_bm), " +
+          "CAST(0 AS BIGINT)) " +
+          s"+ coalesce(CAST($RrfScale AS BIGINT) div ($RrfK + rank_tf), " +
+          "CAST(0 AS BIGINT)) AS rrf_fp")
+      .orderBy(desc("rrf_fp"), asc("doc_id"))
+  }
+
   /** Token-window chunking — the context-window prep step of a training
     * pipeline: each document becomes fixed 64-token windows with a
     * 16-token overlap (stride 48); the tail window may be short.
@@ -2429,6 +2482,7 @@ object Pipeline {
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
+    "rrf_fusion"        -> rrfFusion _,
     "bigram_lm"         -> bigramLm _,
     "bigram_lm_heldout" -> bigramLmHeldout _,
     "quality_classifier" -> qualityClassifier _,
@@ -3187,6 +3241,60 @@ object Pipeline {
          |SELECT doc_id, n_tokens, score FROM scored
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "rrf_fusion" -> {
+      val tf = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"length(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n|    ")
+      val df = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n|    ")
+      val bmIdf = Bm25Terms.indices.map(i =>
+        s"round(ln(CAST(1 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / " +
+          s"(df$i + CAST(0.5 AS DOUBLE))), 6) AS idf$i").mkString(",\n|    ")
+      val bmScore = Bm25Terms.indices.map(i =>
+        s"idf$i * (tf$i * (CAST(1.2 AS DOUBLE) + 1)) / " +
+          s"(tf$i + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))")
+        .mkString(" + ")
+      val tfIdf = Bm25Terms.indices.map(i =>
+        s"round(ln(CAST(n_docs AS DOUBLE) / df$i), 6) AS jdf$i").mkString(",\n|    ")
+      val tfScore = Bm25Terms.indices.map(i => s"tf$i * jdf$i").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    length(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, dl,
+         |    $tf
+         |  FROM d),
+         |raw AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |    $df
+         |  FROM t),
+         |st AS (
+         |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
+         |    $bmIdf,
+         |    $tfIdf
+         |  FROM raw),
+         |bm AS (
+         |  SELECT doc_id, rank_bm FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS rank_bm
+         |    FROM (SELECT doc_id, round($bmScore, 4) AS score FROM t, st
+         |          WHERE round($bmScore, 4) > 0
+         |          ORDER BY score DESC, doc_id LIMIT 20))),
+         |tfr AS (
+         |  SELECT doc_id, rank_tf FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS rank_tf
+         |    FROM (SELECT doc_id, round($tfScore, 4) AS score FROM t, st
+         |          WHERE round($tfScore, 4) > 0
+         |          ORDER BY score DESC, doc_id LIMIT 20)))
+         |SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+         |  coalesce(bm.rank_bm, 0) AS rank_bm,
+         |  coalesce(tfr.rank_tf, 0) AS rank_tf,
+         |  coalesce($RrfScale // ($RrfK + bm.rank_bm), 0)
+         |    + coalesce($RrfScale // ($RrfK + tfr.rank_tf), 0) AS rrf_fp
+         |FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id
+         |ORDER BY rrf_fp DESC, doc_id""".stripMargin
     },
     "bigram_lm" ->
       """WITH d AS (
