@@ -112,9 +112,37 @@ object Analytics {
       .orderBy("name_a", "name_b")
   }
 
+  /** First-order Markov transition matrix of each user's event-type
+    * sequence: counts of consecutive (from → to) pairs plus the
+    * row-normalized transition probability in exact ppm fixed point
+    * (`n·10⁶ div row_total` — truncating div, engine-identical).
+    * Ordering within a user is (ts, event_id) — the id tiebreak makes
+    * the sequence, and therefore the matrix, deterministic.
+    *
+    * 100 TB shape: one window pass partitioned by user (the
+    * sessionize/funnel shuffle), then an aggregation over the tiny
+    * type×type key space; nothing is ever driver-side. */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("tot", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .selectExpr("from_type", "to_type", "n",
+        "n * CAST(1000000 AS BIGINT) div tot AS p_ppm")
+      .orderBy("from_type", "to_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "value_outliers" -> valueOutliers _,
-    "fuzzy_join" -> fuzzyJoin _
+    "fuzzy_join" -> fuzzyJoin _,
+    "event_transitions" -> eventTransitions _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +213,23 @@ object Analytics {
          |FROM names a JOIN names b
          |  ON a.block = b.block AND a.p_name < b.p_name
          |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance
-         |ORDER BY name_a, name_b""".stripMargin
+         |ORDER BY name_a, name_b""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    count(*) AS n
+        |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin
   )
 }

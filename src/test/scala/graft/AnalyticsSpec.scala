@@ -52,6 +52,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.count(_._5) > got.count(_._4))
   }
 
+  test("event_transitions is row-stochastic up to ppm truncation") {
+    val rows = SparkEntry.queries("event_transitions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val total = ts.map(_._3).sum
+      // each truncating div drops < 1 ppm; k cells lose < k ppm total
+      assert(total <= 1000000L && total > 1000000L - ts.length,
+        s"row $from sums to $total ppm")
+    }
+    // transitions must cover the full type×type space on this corpus
+    assert(rows.length == 25)
+  }
+
   test("fuzzy_join blocking is lossless on this name vocabulary") {
     val names = Tables.part(spark, dir).select("p_name").distinct()
       .collect().map(_.getString(0)).toSeq
