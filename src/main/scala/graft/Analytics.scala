@@ -139,13 +139,134 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Nanoseconds per day — `events.ts` is a raw i64 nanos column on both
+    * engines (Tables.events / DuckDB epoch_ns), so calendar bucketing is
+    * pure integer arithmetic: no timezone, no date-function drift. */
+  final val NsPerDay = 86400000000000L
+
+  /** Weekly cohort retention matrix over the event stream: users are
+    * cohorted by their first active ISO week (Monday-aligned — epoch day
+    * 0 was a Thursday, hence the +3), and each later active week counts
+    * toward (cohort_week, week_offset). Retention is exact ppm by
+    * truncating div.
+    *
+    * The distinct (user, week) activity set makes the final count a plain
+    * `count(*)`: a user contributes one row per active week and has ONE
+    * cohort week, so (cohort_wk, offset) pairs are already unique per
+    * user — no countDistinct expand is ever needed.
+    *
+    * 100 TB shape: activity dedup and the cohort min are both user-keyed
+    * shuffles with map-side partials (the sessionize partitioning); the
+    * activity↔cohort join deliberately shuffles on user_id — the cohort
+    * table is user-dimension-sized and NOT broadcastable at corpus scale
+    * (bigram_lm's justification). Everything after lives on the tiny
+    * week×offset key space; cohort sizes broadcast back onto it. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .selectExpr("user_id", s"(ts div $NsPerDay + 3) div 7 AS wk")
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("n_cohort"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .selectExpr("cohort_wk", "week_offset", "n_active", "n_cohort",
+        "n_active * CAST(1000000 AS BIGINT) div n_cohort AS retention_ppm")
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** CUSUM level-shift detection over the per-type daily event counts —
+    * the classical changepoint chart, in EXACT integer arithmetic via its
+    * prefix-extremum closed form.
+    *
+    * With x_d the day-d count, D the type's day count and T its total,
+    * the mean-cleared residual r_d = D·x_d − T (= D·(x_d − T/D), no
+    * division). The one-sided CUSUM recursions
+    * S⁺_d = max(0, S⁺_{d−1} + r_d) and S⁻_d = max(0, S⁻_{d−1} − r_d)
+    * have the closed form S⁺_d = P_d − min(0, min_{j≤d} P_j) over the
+    * residual prefix sum P — so a cumulative-sum window plus a running
+    * min/max computes the exact recursion with NO sequential loop.
+    *
+    * Flag threshold: 3·T in cleared units — T = D·mean, so a flag means
+    * the accumulated one-sided deviation reached three mean-days.
+    * Everything is BIGINT on a types×days key space; magnitudes are
+    * bounded by D·T (documented: at 10⁶ events/day/type over a decade,
+    * ~10¹³ — orders of magnitude inside i64).
+    *
+    * 100 TB shape: ONE (type, day)-keyed count with map-side combine
+    * collapses the corpus to the tiny series; every window after runs
+    * per type over its days. */
+  private def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    Tables.events(s, dir)
+      .selectExpr("event_type", s"ts div $NsPerDay AS day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("x").over(wAll))
+      .withColumn("p", sum(expr("nd * x - tot")).over(wOrd))
+      .withColumn("cusum_pos",
+        col("p") - least(lit(0L), min("p").over(wOrd)))
+      .withColumn("cusum_neg",
+        greatest(lit(0L), max("p").over(wOrd)) - col("p"))
+      .selectExpr("event_type", "day", "x", "cusum_pos", "cusum_neg",
+        "cusum_pos > 3 * tot AS shift_up",
+        "cusum_neg > 3 * tot AS shift_down")
+      .orderBy("event_type", "day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "value_outliers" -> valueOutliers _,
     "fuzzy_join" -> fuzzyJoin _,
-    "event_transitions" -> eventTransitions _
+    "event_transitions" -> eventTransitions _,
+    "cohort_retention" -> cohortRetention _,
+    "cusum_shift" -> cusumShift _
   )
 
   def oracleSql: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 86400000000000 + 3) // 7 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1),
+        |sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+        |    count(*) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_wk, r.week_offset, r.n_active, sz.n_cohort,
+        |  r.n_active * 1000000 // sz.n_cohort AS retention_ppm
+        |FROM r JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "cusum_shift" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, count(*) AS nd, CAST(sum(x) AS BIGINT) AS tot
+        |  FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, d.day, d.x, t.tot,
+        |    CAST(sum(t.nd * d.x - t.tot) OVER w AS BIGINT) AS p
+        |  FROM d JOIN t USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+        |c AS (
+        |  SELECT event_type, day, x, tot,
+        |    p - least(CAST(0 AS BIGINT), min(p) OVER w) AS cusum_pos,
+        |    greatest(CAST(0 AS BIGINT), max(p) OVER w) - p AS cusum_neg
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, x, cusum_pos, cusum_neg,
+        |  cusum_pos > 3 * tot AS shift_up,
+        |  cusum_neg > 3 * tot AS shift_down
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "value_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

@@ -1744,6 +1744,57 @@ object Pipeline {
           s"/ greatest(element_at(ks, $KmvK), 1L) END AS kmv_estimate")
       .orderBy("source")
 
+  /** Count-min sketch geometry: d=4 rows × w=512 buckets — 2048 BIGINT
+    * counters total, at ANY corpus size. Row multipliers are the public
+    * xxhash/Knuth mixing primes; bucket_r(t) = h·M_r mod P mod w over the
+    * scrambled token fold h. */
+  final val CmsD = 4
+  final val CmsW = 512
+  final val CmsMul = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  /** Heavy hitters with a count-min sketch beside the exact truth — the
+    * point-query companion of [[kmvDistinct]] (KMV answers "how many
+    * distinct", CMS answers "how often is THIS one").
+    *
+    * The sketch is built from the RAW token stream: each occurrence
+    * increments d=4 (row, bucket) cells, so the corpus collapses onto
+    * d·w = 2048 counters with map-side combine — no vocabulary-keyed
+    * shuffle, mergeable by addition across shards/batches (the property
+    * the streaming twin exploits). The exact top-20 panel (one
+    * vocab-keyed count — the shuffle the sketch exists to avoid at
+    * corpus scale) is kept as measured truth: each panel token's
+    * estimate is the min of its d cells, `err` the overestimate. CMS
+    * never underestimates (est ≥ n by construction, spec-pinned); with
+    * ~58k occurrences over 2048 cells the expected collision mass per
+    * cell is ~n_tot/w per row, and the min over 4 independent rows
+    * drives the observed error to ≈0 on heavy tokens.
+    *
+    * The oracle builds the same cells from the per-token counts (cell
+    * count = Σ n over tokens landing there — the same sum by
+    * associativity), which keeps the SQL linear in the vocabulary. */
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = registered(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS tok")
+    val cells = CmsMul.zipWithIndex.map { case (m, i) =>
+      s"named_struct('r', ${i}L, " +
+        s"'b', poly_hash(tok) % ${P}L * ${m}L % ${P}L % $CmsW)" }
+    val sketch = toks
+      .selectExpr(s"explode(array(${cells.mkString(", ")})) AS cell")
+      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val mulArr = s"array(${CmsMul.map(m => s"${m}L").mkString(", ")})"
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(20)
+      .selectExpr("tok", "n", "poly_hash(tok) % " + P + "L AS h",
+        s"explode(sequence(0L, ${CmsD - 1}L)) AS r")
+      .selectExpr("tok", "n", "r",
+        s"h * element_at($mulArr, CAST(r + 1 AS INT)) % ${P}L % $CmsW AS b")
+    probes.join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("tok", "n").agg(min("c").as("cms_est"))
+      .selectExpr("tok", "n", "cms_est", "cms_est - n AS err")
+      .orderBy(desc("n"), asc("tok"))
+  }
+
   /** Cross-source overlap matrix — the contamination panel a curator
     * reads before mixing corpora: for every source pair with any shared
     * vocabulary, the EXACT token-hash Jaccard next to its KMV
@@ -2474,6 +2525,7 @@ object Pipeline {
     "ann_ivf_trained"   -> annIvfTrained _,
     "token_stats_bpe"   -> tokenStatsBpe _,
     "kmv_distinct"      -> kmvDistinct _,
+    "cms_heavy_hitters" -> cmsHeavyHitters _,
     "tfidf_terms"       -> tfidfTerms _,
     "source_overlap"    -> sourceOverlap _,
     "vocab_coverage"    -> vocabCoverage _,
@@ -3377,6 +3429,35 @@ object Pipeline {
          |  (start_off + n_tok - 1) // 256 <> start_off // 256
          |    AS spans_boundary
          |FROM p ORDER BY source, doc_id, chunk_id""".stripMargin,
+    "cms_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (
+         |  SELECT tok, count(*) AS n, ${charFoldDuck("tok")} % $P AS h
+         |  FROM tk GROUP BY tok),
+         |cell AS (
+         |  SELECT u.r,
+         |    c.h * CASE u.r ${CmsMul.zipWithIndex.map { case (m, i) =>
+                 s"WHEN $i THEN $m" }.mkString(" ")} ELSE 0 END
+         |      % $P % $CmsW AS b,
+         |    c.n
+         |  FROM c, (VALUES (0), (1), (2), (3)) u(r)),
+         |sk AS (
+         |  SELECT r, b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM cell GROUP BY r, b),
+         |top AS (
+         |  SELECT tok, n, h FROM c ORDER BY n DESC, tok LIMIT 20),
+         |probe AS (
+         |  SELECT t.tok, t.n, u.r,
+         |    t.h * CASE u.r ${CmsMul.zipWithIndex.map { case (m, i) =>
+                 s"WHEN $i THEN $m" }.mkString(" ")} ELSE 0 END
+         |      % $P % $CmsW AS b
+         |  FROM top t, (VALUES (0), (1), (2), (3)) u(r))
+         |SELECT p.tok, p.n, min(sk.cnt) AS cms_est,
+         |  min(sk.cnt) - p.n AS err
+         |FROM probe p JOIN sk USING (r, b)
+         |GROUP BY p.tok, p.n
+         |ORDER BY n DESC, tok""".stripMargin,
     "kmv_distinct" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_transform(string_split(text, ' '),

@@ -90,4 +90,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(blocked == full)
     assert(blocked.nonEmpty)
   }
+
+  test("cohort_retention matches a plain-Scala cohort recompute") {
+    val act = Tables.events(spark, dir)
+      .selectExpr("user_id", s"(ts div ${Analytics.NsPerDay} + 3) div 7 AS wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val cohort = act.groupBy(_._1).map { case (u, ws) =>
+      u -> ws.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (w, us) => w -> us.size }
+    val expected = act.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case ((cw, off), rows) =>
+        val nAct = rows.size.toLong
+        val nCoh = sizes(cw).toLong
+        (cw, off, nAct, nCoh, nAct * 1000000L / nCoh)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("cohort_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // offset 0 is by definition the whole cohort
+    got.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1000000L)
+    }
+    // no offset can retain more users than the cohort holds
+    got.foreach(r => assert(r._3 <= r._4))
+  }
+
+  test("cusum_shift closed form equals the direct max(0, ...) recursion") {
+    val got = SparkEntry.queries("cusum_shift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSeq
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, series) =>
+      val days = series.sortBy(_._2)
+      val nd = days.length.toLong
+      val tot = days.map(_._3).sum
+      // the textbook recursion the window closed form must reproduce
+      var (sPos, sNeg) = (0L, 0L)
+      days.foreach { case (_, _, x, cp, cn, up, down) =>
+        val r = nd * x - tot
+        sPos = math.max(0L, sPos + r)
+        sNeg = math.max(0L, sNeg - r)
+        assert(cp == sPos && cn == sNeg)
+        assert(up == (cp > 3 * tot) && down == (cn > 3 * tot))
+      }
+    }
+    // a crafted level shift must trip the chart: 10 days at 100/day then
+    // 10 days at 200/day — the post-shift CUSUM crosses 3·T well before
+    // the series ends (pure-Scala form of the same integer ladder)
+    val xs = Seq.fill(10)(100L) ++ Seq.fill(10)(200L)
+    val (nd2, tot2) = (xs.length.toLong, xs.sum)
+    var s = 0L
+    val fired = xs.map { x =>
+      s = math.max(0L, s + (nd2 * x - tot2)); s > 3 * tot2 }
+    assert(fired.contains(true), "crafted shift must raise shift_up")
+  }
 }

@@ -60,7 +60,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
       "bigram_lm", "bigram_lm_heldout",
       "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
-      "q25_funnel", "vocab_coverage", "pagerank")
+      "q25_funnel", "vocab_coverage", "pagerank",
+      // rrf_fusion: its two rankers each crossJoin the broadcast
+      // single-row corpus-stats aggregate (the bm25 shape); the fusion
+      // itself is a SortMergeJoin on doc_id over two ≤20-row lists
+      "rrf_fusion")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
