@@ -59,7 +59,8 @@ object Relational {
     "q26_streaks"       -> q26Streaks _,
     "q27_full_outer"    -> q27FullOuter _,
     "q28_grouping_sets" -> q28GroupingSets _,
-    "q29_set_ops_all"   -> q29SetOpsAll _
+    "q29_set_ops_all"   -> q29SetOpsAll _,
+    "q30_bloom_join"    -> q30BloomJoin _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -221,6 +222,31 @@ object Relational {
         "coalesce(n_common, CAST(0 AS BIGINT)) AS n_common",
         "coalesce(n_only_early, CAST(0 AS BIGINT)) AS n_only_early")
       .orderBy("l_suppkey")
+  }
+
+  /** The manual runtime-Bloom join ([[graft.operators.BloomPrune]]):
+    * lineitem joined to the URGENT slice of orders, with the fact side
+    * pruned by the build side's 1 KiB Bloom bitset BEFORE the orderkey
+    * shuffle. At 100 TB neither side broadcasts — the bitset rides a
+    * broadcast scalar while the join itself shuffles only (matches +
+    * measured ~0.1% false positives) instead of the whole fact table.
+    * The filter is semantically transparent (the inner join removes
+    * false positives), so the oracle is the PLAIN join — the pruning is
+    * proven by BloomPruneSpec (superset + measured FP rate vs the
+    * (1−e^{−kn/m})^k analytic) and the plan audit. */
+  private def q30BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val fact = graft.operators.BloomPrune.pruned(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag",
+        "l_quantity"),
+      "l_orderkey", urgent, "o_orderkey")
+    fact.join(urgent, fact("l_orderkey") === urgent("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+      .orderBy("l_returnflag")
   }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -716,6 +742,13 @@ object Relational {
         |    ELSE 'both' END AS presence
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
+    "q30_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q25_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

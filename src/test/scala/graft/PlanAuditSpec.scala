@@ -64,7 +64,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // rrf_fusion: its two rankers each crossJoin the broadcast
       // single-row corpus-stats aggregate (the bm25 shape); the fusion
       // itself is a SortMergeJoin on doc_id over two ≤20-row lists
-      "rrf_fusion")
+      "rrf_fusion",
+      // q30_bloom_join: the Bloom bitset is BY DESIGN a broadcast
+      // single-row scalar (1 KiB, constant in build cardinality) — the
+      // actual join is an equi-join after the prune
+      "q30_bloom_join")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
