@@ -60,7 +60,8 @@ object Relational {
     "q27_full_outer"    -> q27FullOuter _,
     "q28_grouping_sets" -> q28GroupingSets _,
     "q29_set_ops_all"   -> q29SetOpsAll _,
-    "q30_bloom_join"    -> q30BloomJoin _
+    "q30_bloom_join"    -> q30BloomJoin _,
+    "q31_zorder_layout" -> q31ZorderLayout _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -247,6 +248,36 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
       .orderBy("l_returnflag")
+  }
+
+  /** Z-order layout readout ([[graft.operators.ZOrder]]): lineitem
+    * clustered into 16 Morton-key buckets of (l_partkey, l_suppkey) and
+    * reduced to the per-bucket min/max footer stats a clustered writer
+    * would produce — the observable artifact of the layout. The key is
+    * a pure map-pass bit interleave; the only shuffle is the 16-key
+    * stats aggregation with map-side combine. ZOrderSpec measures the
+    * point of it: under this layout BOTH dimensions' per-bucket spans
+    * are tight, vs the insertion-order layout where one dimension spans
+    * the full domain in every bucket. */
+  private def q31ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val zed = Tables.lineitem(s, dir)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "l_partkey % 65536 AS x", "l_suppkey % 65536 AS y")
+      .selectExpr("l_orderkey", "l_linenumber", "x", "y",
+        s"(${graft.operators.ZOrder.zKeySql("x", "y")}) AS z")
+    // 16 equal-frequency z-buckets — the deterministic, oracle-able
+    // stand-in for repartitionByRange(16, $"z") + sortWithinPartitions,
+    // which is how a writer lays the files out at 100 TB (sampled range
+    // bounds instead of this bench-scale global ntile); the unique
+    // (z, orderkey, linenumber) order makes tie assignment
+    // engine-identical
+    zed.withColumn("bucket", ntile(16).over(
+        Window.orderBy("z", "l_orderkey", "l_linenumber")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("bucket")
   }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -742,6 +773,23 @@ object Relational {
         |    ELSE 'both' END AS presence
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
+    "q31_zorder_layout" ->
+      s"""WITH d AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT l_orderkey, l_linenumber, x, y,
+         |    (${graft.operators.ZOrder.zKeyDuck("x", "y")}) AS z
+         |  FROM d),
+         |b AS (
+         |  SELECT x, y, CAST(ntile(16) OVER (
+         |    ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+         |  FROM z)
+         |SELECT bucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q30_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
