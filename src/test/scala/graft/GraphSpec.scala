@@ -76,4 +76,34 @@ class GraphSpec extends AnyFunSuite {
     assert(pr1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       pr2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("bfs_hops equals a plain-Scala BFS and reached fixpoint in budget") {
+    val edges = Graph.stationEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.events(spark, dir).select("user_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    // reference BFS to TRUE fixpoint (queue-based, no round budget)
+    val dist = collection.mutable.Map(nodes.head -> 0L)
+    val queue = collection.mutable.Queue(nodes.head)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue += v }
+      }
+    }
+    val expected = nodes.map(v => (v, dist.getOrElse(v, -1L))).toSeq
+    val got = SparkEntry.queries("bfs_hops")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // equality vs the UNBOUNDED reference proves the 12-round ladder
+    // reached fixpoint — a budget short of the true eccentricity would
+    // leave some station's hop count above its true distance
+    assert(got == expected)
+    // the proximity graph is connected: everything is reached, inside
+    // the documented position-grid diameter bound
+    assert(got.forall(_._2 >= 0))
+    assert(got.map(_._2).max <= 10)
+    assert(got.count(_._2 == 0L) == 1)
+  }
 }

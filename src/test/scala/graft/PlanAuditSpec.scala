@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
       "bigram_lm", "bigram_lm_heldout",
       "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
-      "q25_funnel", "vocab_coverage", "pagerank",
+      "q25_funnel", "vocab_coverage", "pagerank", "bfs_hops",
       // rrf_fusion: its two rankers each crossJoin the broadcast
       // single-row corpus-stats aggregate (the bm25 shape); the fusion
       // itself is a SortMergeJoin on doc_id over two ≤20-row lists
