@@ -242,6 +242,29 @@ object Pipeline {
         "n_kept / CAST(n_docs AS DOUBLE) AS rate")
       .orderBy("source")
 
+  /** Priority-sampling size. */
+  final val WsK = 100
+
+  /** Weighted sampling without replacement — Duffield–Lund–Thorup
+    * priority sampling, integer-exact and seed-free: each document gets
+    * priority `h div w` (h = scrambled content hash, uniform on [0, P);
+    * w = token count), and the sample is the K smallest priorities.
+    * Inclusion probability rises with w (a document of twice the weight
+    * halves its priority), the estimator properties are DLT's, and the
+    * selection is a pure function of content — reproducible across
+    * re-sharding, replays, and engines, the sample_hash property.
+    *
+    * 100 TB shape: priorities are a map pass over the scan; the K-pick
+    * is TakeOrdered (per-partition heads + driver merge of K rows),
+    * never a global sort. */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    registered(s, dir)
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        s"poly_hash(text) * 2654435761L % ${P}L AS h")
+      .selectExpr("doc_id", "w", "h div w AS pri")
+      .orderBy(asc("pri"), asc("doc_id")).limit(WsK)
+
   /** Balanced per-source resampling: keep each source's K documents with
     * the lowest scrambled content hash — a deterministic reservoir that
     * caps any one source's share of the training mixture. Hash order
@@ -2501,6 +2524,7 @@ object Pipeline {
     "dedup_keep_best"   -> dedupKeepBest _,
     "sample_hash"       -> sampleHash _,
     "sample_balanced"   -> sampleBalanced _,
+    "sample_weighted"   -> sampleWeighted _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -2988,6 +3012,13 @@ object Pipeline {
          |  FROM h)
          |SELECT source, rk, doc_id, h FROM r
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |  (${charFoldDuck("text")} * 2654435761 % $P)
+         |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS pri
+         |FROM documents
+         |ORDER BY pri, doc_id LIMIT $WsK""".stripMargin,
     "sample_hash" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761

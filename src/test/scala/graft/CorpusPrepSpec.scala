@@ -234,4 +234,27 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4))
     assert(rows.toSeq == expected)
   }
+
+  test("sample_weighted: DLT priorities recompute; weighting biases long") {
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val p = graft.functions.PolyHash.P
+    val pris = docs.map { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val h = graft.functions.PolyHash.hashBytes(text.getBytes("UTF-8")) *
+        2654435761L % p
+      (id, w, h / w)
+    }
+    val expected = pris.sortBy(r => (r._3, r._1)).take(Pipeline.WsK).toSeq
+    val got = SparkEntry.queries("sample_weighted")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // priority sampling must bias toward heavy (long) documents: the
+    // sample's mean weight exceeds the corpus mean
+    val corpusMean = pris.map(_._2).sum.toDouble / pris.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }

@@ -77,6 +77,24 @@ class GraphSpec extends AnyFunSuite {
       pr2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("clustering coefficients are consistent with triangle_count") {
+    val tc = SparkEntry.queries("triangle_count")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cc = SparkEntry.queries("clustering_coeff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(cc.map(r => (r._1, r._2, r._3)) == tc)
+    cc.foreach { case (st, deg, tri, ppm) =>
+      val expect = if (deg < 2) 0L else 2L * tri * 1000000L / (deg * (deg - 1))
+      assert(ppm == expect, s"station $st")
+      assert(ppm >= 0L && ppm <= 1000000L,
+        s"station $st cc $ppm outside [0, 1e6]")
+    }
+    // the 8-neighborhood grid is locally dense: interior stations must
+    // show strong clustering, so the readout is non-vacuous
+    assert(cc.exists(_._4 > 300000L))
+  }
+
   test("bfs_hops equals a plain-Scala BFS and reached fixpoint in budget") {
     val edges = Graph.stationEdges(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
