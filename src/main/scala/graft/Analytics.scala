@@ -220,7 +220,35 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the operations
+    * dashboard triple. The sliding DISTINCT is computed scalably by the
+    * cover-set trick: each distinct (user, day) activity row explodes to
+    * the 7 report days it covers, and WAU(d) is a plain count of the
+    * re-deduplicated (user, cover_day) set — the explode factor is the
+    * WINDOW LENGTH (constant 7), never the corpus, and both distincts
+    * take map-side partial aggregation. No per-day distinct-set state,
+    * no window over users. Days are reported where any activity
+    * occurred; stickiness is exact ppm (DAU ≤ WAU always, spec-pinned).
+    *
+    * 100 TB shape: two (user/day)-keyed dedup shuffles plus day-keyed
+    * counts — the same partitioning the retention matrix pays; nothing
+    * scales with users × days beyond the activity set itself. */
+  private def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .selectExpr("user_id", s"ts div $NsPerDay AS day").distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = act
+      .selectExpr("user_id", "explode(sequence(day, day + 6)) AS cday")
+      .distinct()
+      .groupBy(col("cday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .selectExpr("day", "dau", "wau",
+        "dau * CAST(1000000 AS BIGINT) div wau AS stickiness_ppm")
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "active_users" -> activeUsers _,
     "value_outliers" -> valueOutliers _,
     "fuzzy_join" -> fuzzyJoin _,
     "event_transitions" -> eventTransitions _,
@@ -229,6 +257,20 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + u.i AS day
+        |  FROM a, LATERAL unnest(range(0, 7)) AS u(i)),
+        |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  dau * 1000000 // wau AS stickiness_ppm
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "cohort_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

@@ -242,6 +242,48 @@ object Pipeline {
         "n_kept / CAST(n_docs AS DOUBLE) AS rate")
       .orderBy("source")
 
+  /** PMI panel width: the top-N document-frequency tokens. */
+  final val PmiTop = 16
+
+  /** Pointwise mutual information of token co-occurrence within
+    * documents, over the [[PmiTop]] highest-df tokens — the
+    * collocation/association readout of a text pipeline (which heavy
+    * terms travel together, which repel).
+    *
+    * Shape: one df pass (the vocab-keyed count every text analytic
+    * pays) + a TakeOrdered head picks the panel; the 16-row panel
+    * broadcast-joins back onto the corpus by `array_contains` (a
+    * bounded-dimension nested-loop — N×16 presence rows, never N×V);
+    * pair counts self-join presence on doc_id (≤ C(16,2)=120 rows per
+    * doc) and aggregate onto the constant 120-pair key space. PMI's
+    * lone libm call is rounded to 6 dp pre-emission (the bm25/tfidf
+    * cross-engine convention). Only co-occurring pairs emit. */
+  private def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = registered(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+    val df = docs
+      .select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("tok")).limit(PmiTop)
+      .withColumn("i", row_number().over(
+        Window.orderBy(desc("df"), asc("tok"))).cast("long"))
+    val pres = docs.join(broadcast(df),
+      array_contains(col("toks"), col("tok")))
+      .select("doc_id", "tok", "i", "df")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val a = pres.select(col("doc_id"), col("tok").as("tok_a"),
+      col("i").as("ia"), col("df").as("n_a"))
+    val b = pres.select(col("doc_id"), col("tok").as("tok_b"),
+      col("i").as("ib"), col("df").as("n_b"))
+    a.join(b, Seq("doc_id")).filter(col("ia") < col("ib"))
+      .groupBy("tok_a", "tok_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("tok_a", "tok_b", "n_a", "n_b", "n_ab",
+        "round(ln(CAST(n_docs AS DOUBLE) * n_ab / (n_a * n_b)), 6) AS pmi")
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** Priority-sampling size. */
   final val WsK = 100
 
@@ -2525,6 +2567,7 @@ object Pipeline {
     "sample_hash"       -> sampleHash _,
     "sample_balanced"   -> sampleBalanced _,
     "sample_weighted"   -> sampleWeighted _,
+    "token_pmi"         -> tokenPmi _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -3012,6 +3055,30 @@ object Pipeline {
          |  FROM h)
          |SELECT source, rk, doc_id, h FROM r
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "token_pmi" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk)
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS i
+         |  FROM df ORDER BY df DESC, tok LIMIT $PmiTop),
+         |pres AS (
+         |  SELECT t.doc_id, p.tok, p.i, p.df
+         |  FROM tk t JOIN top p ON list_contains(t.toks, p.tok)),
+         |n AS (SELECT count(*) AS n_docs FROM tk),
+         |pair AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |    a.df AS n_a, b.df AS n_b, count(*) AS n_ab
+         |  FROM pres a JOIN pres b
+         |    ON a.doc_id = b.doc_id AND a.i < b.i
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tok_a, tok_b, n_a, n_b, n_ab,
+         |  round(ln(CAST(n.n_docs AS DOUBLE) * n_ab / (n_a * n_b)), 6)
+         |    AS pmi
+         |FROM pair, n ORDER BY tok_a, tok_b""".stripMargin,
     "sample_weighted" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,

@@ -84,7 +84,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // corpus size; quantile_sketch: its nested loops join the 3-row
       // quantile spec against the ≤64-row sketch / single-row bounds —
       // domain-sized, never corpus-sized (pinned below)
-      "embedding_rp", "quantile_sketch")
+      "embedding_rp", "quantile_sketch",
+      // token_pmi: the 16-row top-df panel joins the corpus by
+      // array_contains (bounded-dimension NLJ — N×16 presence rows,
+      // never N×V), plus the broadcast single-row n_docs scalar
+      "token_pmi")
 
   test("no headline query contains an unbounded cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
