@@ -91,6 +91,54 @@ object Pipeline {
     singles.unionByName(multis).orderBy("doc_id")
   }
 
+  /** Incremental cross-snapshot deduplication — the shape a GROWING
+    * corpus runs nightly: an arriving batch (here the lexicographically
+    * last source, a deterministic stand-in for "today's crawl") is
+    * checked against the EXISTING store without ever re-deduplicating
+    * the store against itself. Same exactness contract as
+    * [[dedupExact]]: the join key is the 24-byte compound fingerprint
+    * (forward + reverse poly-hash + length) so neither side shuffles
+    * text; actual text travels ONLY for fingerprint-equal candidate
+    * pairs (true-duplicate-sized) and a full text-equality verify makes
+    * collisions unable to fabricate matches — which is why the oracle
+    * can join on raw text. Each new doc reports its smallest matching
+    * store doc, or −1 when genuinely new.
+    *
+    * 100 TB shape: the store's fingerprint table is what a production
+    * run would keep materialized between snapshots (the streaming twin
+    * [[streaming.StreamingDedup]] holds exactly this as state); the
+    * batch-side scan is the only per-snapshot corpus touch. */
+  /** The incremental-dedup core over (doc_id, text) frames — separated
+    * so the spec can drive it with planted duplicates (the real corpus
+    * has cross-source exact dups only at sf0.1, where the real-corpus
+    * spec run finds them; the gate SF proves the no-dup path). */
+  private[graft] def incrementalVerdicts(batch: DataFrame,
+      store: DataFrame): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      df.selectExpr("doc_id", "text", "poly_hash(text) AS h1",
+        "poly_hash(reverse(text)) AS h2", "length(text) AS len")
+    val cand = fp(batch)
+      .join(fp(store).select(col("h1"), col("h2"), col("len"),
+        col("doc_id").as("store_id"), col("text").as("store_text")),
+        Seq("h1", "h2", "len"))
+      .filter(col("text") === col("store_text"))
+      .groupBy("doc_id").agg(min("store_id").as("dup_of"))
+    batch.select("doc_id")
+      .join(cand, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "dup_of IS NOT NULL AS is_dup",
+        "coalesce(dup_of, CAST(-1 AS BIGINT)) AS dup_of")
+      .orderBy("doc_id")
+  }
+
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = registered(s, dir)
+    val lastSource = docs.agg(max("source").as("batch_src"))
+    val tagged = docs.crossJoin(broadcast(lastSource))
+      .selectExpr("doc_id", "text", "source = batch_src AS is_batch")
+    incrementalVerdicts(tagged.filter(col("is_batch")),
+      tagged.filter(!col("is_batch")))
+  }
+
   /** Near-duplicate CLUSTERING with keeper assignment — the step a
     * dedup pipeline runs after pair generation: transitive closure over
     * the MinHash-LSH near-dup pairs (a chain A~B~C collapses to ONE
@@ -2568,6 +2616,7 @@ object Pipeline {
     "sample_balanced"   -> sampleBalanced _,
     "sample_weighted"   -> sampleWeighted _,
     "token_pmi"         -> tokenPmi _,
+    "dedup_incremental" -> dedupIncremental _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -3055,6 +3104,20 @@ object Pipeline {
          |  FROM h)
          |SELECT source, rk, doc_id, h FROM r
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "dedup_incremental" ->
+      """WITH b AS (SELECT max(source) AS batch_src FROM documents),
+        |n AS (
+        |  SELECT doc_id, text FROM documents, b WHERE source = b.batch_src),
+        |st AS (
+        |  SELECT doc_id, text FROM documents, b WHERE source <> b.batch_src),
+        |m AS (
+        |  SELECT n.doc_id, min(st.doc_id) AS dup_of
+        |  FROM n JOIN st ON n.text = st.text
+        |  GROUP BY n.doc_id)
+        |SELECT n.doc_id, m.dup_of IS NOT NULL AS is_dup,
+        |  coalesce(m.dup_of, -1) AS dup_of
+        |FROM n LEFT JOIN m ON m.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "token_pmi" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

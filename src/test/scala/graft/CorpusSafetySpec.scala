@@ -192,4 +192,46 @@ class CorpusSafetySpec extends AnyFunSuite {
       if (id % 5 == 2) assert(red.contains("<IP>"))
     }
   }
+
+  test("dedup_incremental: planted dups caught, min store id, no false hits") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val batch = Seq(
+      (100L, "alpha beta gamma"),     // dup of store 1 AND 3 → min 1
+      (101L, "unique new document"),  // genuinely new
+      (102L, "delta epsilon"),        // dup of store 7
+      (103L, "ablho  etagamma")       // same length as store 1, ≠ text
+    ).toDF("doc_id", "text")
+    val store = Seq(
+      (1L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),
+      (7L, "delta epsilon"),
+      (9L, "some other store doc")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.incrementalVerdicts(batch, store).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(got == Seq((100L, true, 1L), (101L, false, -1L),
+      (102L, true, 7L), (103L, false, -1L)))
+  }
+
+  test("dedup_incremental: real-corpus run at sf0.1 is non-vacuous") {
+    // the synthetic corpus plants exact duplicates only at sf0.1; the
+    // full query there must find the batch-vs-store ones, agreeing with
+    // a direct text-equality recompute
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batchSrc = docs.map(_._2).max
+    val store = docs.filterNot(_._2 == batchSrc)
+    val expected = docs.filter(_._2 == batchSrc).map { case (id, _, t) =>
+      val hits = store.filter(_._3 == t).map(_._1)
+      (id, hits.nonEmpty, if (hits.isEmpty) -1L else hits.min)
+    }.sortBy(_._1).toSeq
+    val got = run("dedup_incremental", dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2), "sf0.1 must surface a real cross-source dup")
+    assert(got.exists(!_._2))
+  }
 }
