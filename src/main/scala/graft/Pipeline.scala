@@ -290,6 +290,80 @@ object Pipeline {
         "n_kept / CAST(n_docs AS DOUBLE) AS rate")
       .orderBy("source")
 
+  /** Postings kept per term in the inverted-index artifact. */
+  final val IdxPostings = 4
+
+  /** Inverted-index build — the retrieval-index ARTIFACT a corpus
+    * pipeline materializes (BM25 answers queries; this emits the index
+    * itself): per term its document frequency, total term frequency,
+    * and the top-[[IdxPostings]] postings by tf (doc_id-tiebroken),
+    * exploded to scalar rows so the gate hash-compares exactly.
+    *
+    * Shape: ONE token-explode pass → (term, doc) tf with map-side
+    * combine; term stats aggregate OVER the tf table (no second corpus
+    * pass — the tfidf_terms move); the postings cap is a rank window
+    * partitioned by term, never a global sort. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = registered(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    tf.withColumn("rank", row_number().over(
+        Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= IdxPostings)
+      .join(stats, "term")
+      .select("term", "df", "total_tf", "rank", "doc_id", "tf")
+      .orderBy("term", "rank")
+  }
+
+  /** KL panel width: the top-N corpus tokens. */
+  final val KlVocab = 64
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * restricted distribution on the top-[[KlVocab]] corpus tokens —
+    * the curator's "which source stopped looking like the corpus"
+    * readout (CCNet measures exactly this against a reference corpus).
+    *
+    * Exactness: the source side is add-one smoothed over the panel
+    * (p_s(w) = (c_s+1)/(n_s+64), a proper distribution, no ln(0));
+    * both logs are rounded to 6 dp pre-multiply (the bm25 convention)
+    * and each term's contribution lands in 1e-9 fixed point BEFORE the
+    * per-source sum, so the total is BIGINT and order-independent.
+    *
+    * Shape: one vocab-keyed count picks the panel (TakeOrdered); the
+    * corpus re-scan probes the 64-token panel by broadcast hash join —
+    * per-source counts then live on a (sources × 64) key space. */
+  private def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = registered(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(KlVocab)
+    val tot = top.agg(sum("c").as("ct"))
+    val probed = toks.join(broadcast(top.select("tok")), Seq("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    // the FULL sources × panel grid: a panel token a source never emits
+    // still contributes its smoothed (0+1)/(n_s+64) mass — dropping
+    // those rows would understate the divergence exactly where it is
+    // largest
+    val sc = toks.select("source").distinct()
+      .crossJoin(broadcast(top))
+      .join(probed, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+    val ns = sc.groupBy("source").agg(sum("cs").as("n_s"))
+    sc.join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("source", "n_s",
+        s"CAST(round((cs + 1) / (n_s + $KlVocab.0D) * " +
+          s"(round(ln((cs + 1) / (n_s + $KlVocab.0D)), 6) - " +
+          "round(ln(c / CAST(ct AS DOUBLE)), 6)) * 1000000000) AS BIGINT) " +
+          "AS contrib")
+      .groupBy("source", "n_s").agg(sum("contrib").as("kl_e9"))
+      .select("source", "n_s", "kl_e9")
+      .orderBy("source")
+  }
+
   /** PMI panel width: the top-N document-frequency tokens. */
   final val PmiTop = 16
 
@@ -2617,6 +2691,8 @@ object Pipeline {
     "sample_weighted"   -> sampleWeighted _,
     "token_pmi"         -> tokenPmi _,
     "dedup_incremental" -> dedupIncremental _,
+    "inverted_index"    -> invertedIndex _,
+    "source_kl"         -> sourceKl _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -3104,6 +3180,51 @@ object Pipeline {
          |  FROM h)
          |SELECT source, rk, doc_id, h FROM r
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "inverted_index" ->
+      s"""WITH tf AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+         |  FROM tf GROUP BY 1),
+         |rk AS (
+         |  SELECT term, doc_id, tf, CAST(row_number() OVER (
+         |    PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM tf)
+         |SELECT r.term, s.df, s.total_tf, r.rank, r.doc_id, r.tf
+         |FROM rk r JOIN st s USING (term)
+         |WHERE r.rank <= $IdxPostings
+         |ORDER BY term, rank""".stripMargin,
+    "source_kl" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |top AS (
+         |  SELECT tok, count(*) AS c FROM tk GROUP BY 1
+         |  ORDER BY c DESC, tok LIMIT $KlVocab),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM top),
+         |probed AS (
+         |  SELECT source, tok, count(*) AS cs FROM tk
+         |  WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.source, t.tok, t.c,
+         |    CAST(coalesce(p.cs, 0) AS BIGINT) AS cs
+         |  FROM (SELECT DISTINCT source FROM tk) s
+         |  CROSS JOIN top t
+         |  LEFT JOIN probed p ON p.source = s.source AND p.tok = t.tok),
+         |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s
+         |  FROM grid GROUP BY 1),
+         |ctr AS (
+         |  SELECT g.source, n.n_s,
+         |    CAST(round((g.cs + 1) / (n.n_s + $KlVocab.0) *
+         |      (round(ln((g.cs + 1) / (n.n_s + $KlVocab.0)), 6) -
+         |       round(ln(g.c / CAST(t.ct AS DOUBLE)), 6))
+         |      * 1000000000) AS BIGINT) AS contrib
+         |  FROM grid g JOIN ns n USING (source), tot t)
+         |SELECT source, n_s, CAST(sum(contrib) AS BIGINT) AS kl_e9
+         |FROM ctr GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "dedup_incremental" ->
       """WITH b AS (SELECT max(source) AS batch_src FROM documents),
         |n AS (

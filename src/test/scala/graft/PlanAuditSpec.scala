@@ -68,7 +68,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // q30_bloom_join: the Bloom bitset is BY DESIGN a broadcast
       // single-row scalar (1 KiB, constant in build cardinality) — the
       // actual join is an equi-join after the prune
-      "q30_bloom_join")
+      "q30_bloom_join",
+      // dedup_incremental: the batch-source marker is a broadcast
+      // single-row max(source) aggregate; the dedup join itself is an
+      // equi-join on the compound fingerprint
+      "dedup_incremental")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
@@ -88,7 +92,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // token_pmi: the 16-row top-df panel joins the corpus by
       // array_contains (bounded-dimension NLJ — N×16 presence rows,
       // never N×V), plus the broadcast single-row n_docs scalar
-      "token_pmi")
+      "token_pmi",
+      // source_kl: the source dimension crossJoins the broadcast
+      // 64-token panel to build the smoothing grid (sources × 64)
+      "source_kl")
 
   test("no headline query contains an unbounded cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
