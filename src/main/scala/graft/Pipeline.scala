@@ -1675,6 +1675,48 @@ object Pipeline {
           "AS expected_recall")
   }
 
+  /** Containment panel size. */
+  final val CtTop = 20
+
+  /** Asymmetric containment pairs — the quote/subset case symmetric
+    * near-dup misses: a short document living INSIDE a long one scores
+    * high containment C(A,B) = |A∩B| / min(|A|,|B|) while its Jaccard
+    * stays low (the union is dominated by the long side), so a τ = 0.5
+    * Jaccard dedup never sees it (Broder's containment vs resemblance
+    * distinction). Reports the top-[[CtTop]] shingle-set containments
+    * ordered most-Jaccard-missed first; all ratios exact ppm.
+    *
+    * Shape: the [[shingleHashSets]] inverted index explodes pairs per
+    * shingle — linear in Σ C(df,2), never all-pairs (the minhash_recall
+    * truth machinery; a production corpus runs boilerplate_ngrams'
+    * heavy-shingle cap first, same argument as exact_substring's
+    * EsDocCap); arrays re-attach AFTER the bare-id pair dedup. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val th = shingleHashSets(s, dir)
+    val cand = th.selectExpr("doc_id", "explode(th) AS sh")
+      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
+      .selectExpr("explode(flatten(transform(ds, " +
+        "a -> transform(filter(ds, b -> b > a), " +
+        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
+      .select("p.doc_a", "p.doc_b").distinct()
+    cand
+      .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")),
+        Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")),
+        Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(size(tha) AS BIGINT) AS n_a",
+        "CAST(size(thb) AS BIGINT) AS n_b",
+        "CAST(size(array_intersect(tha, thb)) AS BIGINT) AS inter")
+      .selectExpr("doc_a", "doc_b", "n_a", "n_b", "inter",
+        "inter * CAST(1000000 AS BIGINT) div least(n_a, n_b) AS cont_ppm",
+        "inter * CAST(1000000 AS BIGINT) div (n_a + n_b - inter) " +
+          "AS jac_ppm")
+      .orderBy(desc("cont_ppm"), asc("jac_ppm"), asc("doc_a"),
+        asc("doc_b"))
+      .limit(CtTop)
+  }
+
   /** Boilerplate shingle detection — the heavy-hitter quality filter a
     * pretraining pipeline runs before dedup: a token 3-gram shared by
     * many documents is boilerplate (headers, footers, templates); each
@@ -2693,6 +2735,7 @@ object Pipeline {
     "dedup_incremental" -> dedupIncremental _,
     "inverted_index"    -> invertedIndex _,
     "source_kl"         -> sourceKl _,
+    "containment_pairs" -> containmentPairs _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -3180,6 +3223,24 @@ object Pipeline {
          |  FROM h)
          |SELECT source, rk, doc_id, h FROM r
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "containment_pairs" ->
+      s"""$shCte,
+         |e2 AS (SELECT doc_id, unnest(th) AS sh FROM th),
+         |tp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM e2 a JOIN e2 b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT tp.doc_a, tp.doc_b,
+         |    CAST(length(ta.th) AS BIGINT) AS n_a,
+         |    CAST(length(tb.th) AS BIGINT) AS n_b,
+         |    CAST(length(list_intersect(ta.th, tb.th)) AS BIGINT) AS inter
+         |  FROM tp JOIN th ta ON tp.doc_a = ta.doc_id
+         |          JOIN th tb ON tp.doc_b = tb.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, inter,
+         |  inter * 1000000 // least(n_a, n_b) AS cont_ppm,
+         |  inter * 1000000 // (n_a + n_b - inter) AS jac_ppm
+         |FROM m
+         |ORDER BY cont_ppm DESC, jac_ppm, doc_a, doc_b LIMIT $CtTop""".stripMargin,
     "inverted_index" ->
       s"""WITH tf AS (
          |  SELECT term, doc_id, count(*) AS tf FROM (

@@ -193,6 +193,30 @@ class CorpusSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("containment_pairs: an embedded quote is caught where Jaccard fails") {
+    // doc 11 is a contiguous 8-token slice of doc 10's 80 tokens: every
+    // shingle of 11 is a shingle of 10 → containment 1e6, while Jaccard
+    // stays far under the 0.5 dedup threshold (union dominated by 10) —
+    // the asymmetric case the symmetric near-dup family cannot see.
+    // (On the driver's synthetic corpus the top containments are
+    // near-twins — this fixture proves the low-Jaccard catch.)
+    val big = (0 until 80).map(i => s"w$i").mkString(" ")
+    val quote = (30 until 38).map(i => s"w$i").mkString(" ")
+    val dir = fixture(Seq(
+      (10L, big), (11L, quote),
+      (12L, "completely different content with no shared shingles at all")))
+    val rows = run("containment_pairs", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val hit = rows.find(r => r._1 == 10L && r._2 == 11L)
+    assert(hit.isDefined, s"embedded quote not surfaced: ${rows.toSeq}")
+    assert(hit.get._3 == 1000000L, "containment must be total")
+    assert(hit.get._4 < 500000L,
+      s"jaccard ${hit.get._4} not below the dedup threshold — " +
+        "fixture no longer demonstrates the asymmetric catch")
+    assert(!rows.exists(r => r._1 == 12L || r._2 == 12L))
+  }
+
   test("dedup_incremental: planted dups caught, min store id, no false hits") {
     import spark.implicits._
     graft.functions.PolyHash.register(spark)
