@@ -136,4 +136,31 @@ class PipelineSpec extends AnyFunSuite {
         rows.map(r => (r._4 - mr) * (r._4 - mr)).sum)
     assert(corr > 0.1, s"corr(cos_full, cos_rp) = $corr")
   }
+
+  test("embedding_q8: int8 grid costs ~nothing on cosine (unlike RP)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.001"
+    val rows = Pipeline.queries("embedding_q8")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 120)
+    // measured: mean abs err 0.0009, max 0.0033, corr 0.99995 at sf0.01
+    // — pinned with margin; SQ8 keeps all 64 dims and only coarsens the
+    // grid, so it must sit orders of magnitude under the 16-dim RP's
+    // JL-noise regime (mean ~0.3) pinned above
+    val diffs = rows.map { case (_, _, f, q) => math.abs(f - q) }
+    assert(diffs.sum / diffs.length < 0.005,
+      s"mean q8 distortion ${diffs.sum / diffs.length}")
+    assert(diffs.max < 0.02, s"max q8 distortion ${diffs.max}")
+    val mf = rows.map(_._3).sum / rows.length
+    val mq = rows.map(_._4).sum / rows.length
+    val corr = rows.map(r => (r._3 - mf) * (r._4 - mq)).sum / math.sqrt(
+      rows.map(r => (r._3 - mf) * (r._3 - mf)).sum *
+        rows.map(r => (r._4 - mq) * (r._4 - mq)).sum)
+    assert(corr > 0.999, s"corr(cos_full, cos_q8) = $corr")
+  }
 }

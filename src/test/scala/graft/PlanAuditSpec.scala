@@ -89,6 +89,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // quantile spec against the ≤64-row sketch / single-row bounds —
       // domain-sized, never corpus-sized (pinned below)
       "embedding_rp", "quantile_sketch",
+      // embedding_q8: the 16-vector panel pair join (120 pairs at any
+      // corpus size) plus the broadcast single-row [lo, hi] grid
+      "embedding_q8",
       // token_pmi: the 16-row top-df panel joins the corpus by
       // array_contains (bounded-dimension NLJ — N×16 presence rows,
       // never N×V), plus the broadcast single-row n_docs scalar
