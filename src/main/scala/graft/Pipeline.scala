@@ -2479,6 +2479,56 @@ object Pipeline {
       .orderBy("method")
   }
 
+  /** 1-NN label accuracy over the embedding space — the intrinsic
+    * quality eval an embedding pipeline runs against labeled data (here
+    * the table's ground-truth `label` column): for each of the 128
+    * scrambled-panel queries, does the exact nearest neighbor carry the
+    * same label? Reported per true label with exact-ppm accuracy, so
+    * class-level structure (or its absence) is visible, not averaged
+    * away.
+    *
+    * Shape: the ann_recall truth machinery — the 128-query panel
+    * broadcasts against the corpus (bounded-dim N×128 scoring, bare
+    * triples into the rank shuffle), argmax by (cos, −id) is
+    * deterministic; labels join on the tiny panel and NN ids.
+    *
+    * Measured at sf0.01: overall ≈ 0.10 — chance for 10 balanced
+    * labels, correctly read: the synthetic embeddings are drawn
+    * label-independently (the lang_confusion situation — the eval
+    * measures the data, and on this corpus the truth is "no label
+    * geometry exists"). */
+  private def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val labels = registeredVecs(s, dir).select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val panel = all
+      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+      .orderBy("_h", "vec_id").limit(RecallQueries)
+      .select("vec_id")
+    val a = all.join(broadcast(panel), Seq("vec_id"))
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
+      .withColumn("c", expr(cosExpr))
+      .groupBy("vec_id")
+      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
+        .as("true_nn"))
+    // the label table is corpus-sized — the 128-row truth side carries
+    // the broadcast hint, twice (query label, then NN label)
+    val withQ = labels.join(broadcast(truth), Seq("vec_id"))
+    labels.select(col("vec_id").as("true_nn"),
+        col("label").as("nn_label"))
+      .join(broadcast(withQ), Seq("true_nn"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_q"),
+        sum(when(col("nn_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .selectExpr("label", "n_q", "n_correct",
+        "n_correct * CAST(1000000 AS BIGINT) div n_q AS acc_ppm")
+      .orderBy("label")
+  }
+
   /** Brute-force top-1 search in the REDUCED (RpDim-dim) space over the
     * same panel — not a new index, a measurement: what the 4× cheaper
     * per-candidate scoring arithmetic of [[embeddingRp]]'s projection
@@ -2538,6 +2588,33 @@ object Pipeline {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), detect(col("text")).as("predicted"))
       .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the classifier's MEASURED quality
+    * against the corpus's ground-truth `lang` column (the ann_recall /
+    * minhash_recall move applied to text classification): per
+    * (true, predicted) cell the count and the exact-ppm row fraction,
+    * so per-class recall sits on the diagonal. One classify pass + an
+    * aggregation over the ≤ |langs|² key space.
+    *
+    * Measured at sf0.01: en recall 0.73, other labels near-chance with
+    * mass pulled toward en — correct behavior, honestly read: the
+    * synthetic corpus draws TEXT from one English-like word model for
+    * every `lang` label, so there is no cross-language trigram signal
+    * to find (the ann_lsh-recall situation: the measurement documents a
+    * property of the data, not a defect of the classifier — which the
+    * crafted-text spec in PipelineSpec shows detecting real language
+    * profiles correctly). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val detect = udf((t: String) => graft.functions.TextFunctions.detectLang(t))
+    val cm = Tables.documents(s, dir)
+      .select(col("lang"), detect(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    cm.withColumn("n_true", sum("n").over(
+        Window.partitionBy("lang")))
+      .selectExpr("lang", "predicted", "n", "n_true",
+        "n * CAST(1000000 AS BIGINT) div n_true AS frac_ppm")
+      .orderBy("lang", "predicted")
   }
 
   /** Text → media-payload bytes for the multimodal fixtures. The engine
@@ -2766,6 +2843,8 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
+    "lang_confusion"      -> langConfusion _,
+    "knn_label_acc"       -> knnLabelAcc _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
@@ -2840,6 +2919,46 @@ object Pipeline {
   )
 
   // ---- oracles ---------------------------------------------------------
+
+  /** The trigram language classifier transliterated to SQL from the
+    * SAME profile data (functions.TextFunctions.Profiles): integer rank
+    * scores, argmax folded in sorted-language order with the > 0 /
+    * strictly-greater tie rule of detectLang. Shared by the lang_id and
+    * lang_confusion oracles. */
+  private lazy val langIdProfiles =
+    graft.functions.TextFunctions.Profiles.toSeq.sortBy(_._1)
+
+  private lazy val langIdArgmax: String =
+    langIdProfiles.foldLeft(("'und'", "0")) {
+      case ((bestExpr, valExpr), (lang, _)) =>
+        (s"CASE WHEN s_$lang > $valExpr THEN '$lang' ELSE $bestExpr END",
+          s"greatest($valExpr, s_$lang)")
+    }._1
+
+  private lazy val langIdSqlCtes: String = {
+    val scoreCols = langIdProfiles.map { case (lang, p) =>
+      val terms = p.zipWithIndex.map { case (g, r) =>
+        s"CASE WHEN list_contains(grams, '${g.replace("'", "''")}') " +
+          s"THEN ${p.size - r} ELSE 0 END"
+      }.mkString(" + ")
+      s"($terms) AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, text,
+       |    ' ' || lower(text) || ' ' AS pad
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_concat(
+       |      list_transform(range(0, greatest(length(pad) - 2, 0)),
+       |        i -> substr(pad, CAST(i AS INT) + 1, 3)),
+       |      string_split(text, ''))) AS grams
+       |  FROM p),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM g)""".stripMargin
+  }
 
   private val vecsCte =
     """WITH e AS (
@@ -3605,42 +3724,22 @@ object Pipeline {
          |  ${charFoldDuck("frame")} AS frame_hash,
          |  substr(frame, 1, 8) AS frame_head
          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    "lang_id" -> {
-      // the trigram classifier transliterated to SQL from the SAME
-      // profile data (functions.TextFunctions.Profiles): integer rank
-      // scores, argmax folded in sorted-language order with the > 0 /
-      // strictly-greater tie rule of detectLang
-      val profiles = graft.functions.TextFunctions.Profiles.toSeq.sortBy(_._1)
-      val scoreCols = profiles.map { case (lang, p) =>
-        val terms = p.zipWithIndex.map { case (g, r) =>
-          s"CASE WHEN list_contains(grams, '${g.replace("'", "''")}') " +
-            s"THEN ${p.size - r} ELSE 0 END"
-        }.mkString(" + ")
-        s"($terms) AS s_$lang"
-      }.mkString(",\n    ")
-      val argmax = profiles.foldLeft(("'und'", "0")) {
-        case ((bestExpr, valExpr), (lang, _)) =>
-          (s"CASE WHEN s_$lang > $valExpr THEN '$lang' ELSE $bestExpr END",
-            s"greatest($valExpr, s_$lang)")
-      }._1
-      s"""WITH p AS (
-         |  SELECT doc_id, lang, text,
-         |    ' ' || lower(text) || ' ' AS pad
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(list_concat(
-         |      list_transform(range(0, greatest(length(pad) - 2, 0)),
-         |        i -> substr(pad, CAST(i AS INT) + 1, 3)),
-         |      string_split(text, ''))) AS grams
-         |  FROM p),
-         |sc AS (
-         |  SELECT doc_id, lang,
-         |    $scoreCols
-         |  FROM g)
-         |SELECT doc_id, lang, $argmax AS predicted
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""$langIdSqlCtes
+         |SELECT doc_id, lang, $langIdArgmax AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "lang_confusion" ->
+      s"""$langIdSqlCtes,
+         |pred AS (
+         |  SELECT lang, $langIdArgmax AS predicted FROM sc),
+         |cm AS (
+         |  SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+         |  FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.predicted, cm.n, tot.n_true,
+         |  cm.n * 1000000 // tot.n_true AS frac_ppm
+         |FROM cm JOIN tot USING (lang)
+         |ORDER BY lang, predicted""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         |  length(string_split(text, ' ')) AS n_tokens,
@@ -4161,6 +4260,31 @@ object Pipeline {
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "ann_lsh_multi" -> annLshMultiOracle,
     "embedding_neardup_lsh" -> embeddingNeardupLshOracle,
+    "knn_label_acc" ->
+      s"""$vecsCte,
+         |lb AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |panel AS (
+         |  SELECT vec_id FROM n
+         |  ORDER BY vec_id * 2654435761 % $P, vec_id
+         |  LIMIT $RecallQueries),
+         |p0 AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cosDuck AS c
+         |  FROM (SELECT n.* FROM n JOIN panel USING (vec_id)) a
+         |  JOIN n b ON a.vec_id <> b.vec_id),
+         |tr AS (
+         |  SELECT vec_id, nn_id AS true_nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nn_id) AS rk FROM p0)
+         |  WHERE rk = 1),
+         |j AS (
+         |  SELECT ql.label,
+         |    CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS ok
+         |  FROM tr JOIN lb ql ON ql.vec_id = tr.vec_id
+         |          JOIN lb nl ON nl.vec_id = tr.true_nn)
+         |SELECT label, count(*) AS n_q, CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST(sum(ok) AS BIGINT) * 1000000 // count(*) AS acc_ppm
+         |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
     "ann_recall" ->
       s"""$vecsCte,
          |panel AS (

@@ -89,6 +89,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // quantile spec against the ≤64-row sketch / single-row bounds —
       // domain-sized, never corpus-sized (pinned below)
       "embedding_rp", "quantile_sketch",
+      // knn_label_acc: the ann_recall truth shape — the 128-query
+      // panel broadcasts against the corpus, then the 128-row truth
+      // carries the broadcast into the corpus-sized label joins
+      "knn_label_acc",
       // embedding_q8: the 16-vector panel pair join (120 pairs at any
       // corpus size) plus the broadcast single-row [lo, hi] grid
       "embedding_q8",
