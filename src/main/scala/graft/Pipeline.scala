@@ -1620,6 +1620,116 @@ object Pipeline {
         .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
     }
 
+  /** Product-quantization geometry: M = 8 subspaces × 8 dims, K = 16
+    * centroids each (4-bit codes — 8 codes = 4 bytes/vector, 64×
+    * compression), PqIters fixed-point Lloyd rounds per subspace. Seeds
+    * are the first K vectors under a scramble constant DIFFERENT from
+    * the recall panel's (2246822519 vs 2654435761), so the measurement
+    * panel never coincides with quantizer construction (the round-5
+    * ADVICE trap). */
+  final val PqM = 8
+  final val PqSub = 8
+  final val PqK = 16
+  final val PqIters = 2
+
+  /** Per-subspace squared-L2 between two 8-dim arrays — zip_with then a
+    * left fold, the op order the DuckDB twin replays exactly. */
+  private val pqDist =
+    "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+
+  /** (vec_id, j, sv): every vector split into its M subvectors. */
+  private def pqSubvectors(all: DataFrame): DataFrame =
+    all.selectExpr("vec_id",
+      s"explode(transform(sequence(0, ${PqM - 1}), " +
+        s"j -> struct(j AS j, slice(v, j * $PqSub + 1, $PqSub) AS sv))) " +
+        "AS e")
+      .selectExpr("vec_id", "CAST(e.j AS BIGINT) AS j", "e.sv AS sv")
+
+  /** Trained per-subspace codebooks (j, k, c) — k-means with the
+    * ivf_trained discipline: deterministic seeds, argmin assignment
+    * with ties to the lowest code, per-(subspace, code, dim)
+    * FIXED-POINT member sums so both engines land on bit-identical
+    * centroids; codes that lose all members drop out. At 100 TB one
+    * trains on a hash-sample (the ivf note); encoding stays a
+    * broadcast map pass. */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"pq-books:$dir") {
+      val all = vecs(s, dir)
+      val sub = pqSubvectors(all)
+      val seedIds = all
+        .select(col("vec_id"),
+          expr(s"vec_id * 2246822519L % ${P}L").as("_h"))
+        .withColumn("k", row_number().over(
+          Window.orderBy("_h", "vec_id")).cast("long") - 1)
+        .filter(col("k") < PqK).select("vec_id", "k")
+      var books = pqSubvectors(all.join(seedIds, Seq("vec_id")))
+        .join(seedIds, Seq("vec_id"))
+        .select(col("j"), col("k"), col("sv").as("c"))
+      for (_ <- 1 to PqIters) {
+        val assign = sub.join(broadcast(books), Seq("j"))
+          .withColumn("_d", expr(pqDist))
+          .groupBy("vec_id", "j")
+          .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
+        books = sub.join(assign, Seq("vec_id", "j"))
+          .select(col("j"), col("k"), posexplode(col("sv"))
+            .as(Seq("pos", "x")))
+          .groupBy("j", "k", "pos")
+          .agg(sum(expr(
+            s"CAST(round(x * CAST($IvfScale AS DOUBLE)) AS BIGINT)"))
+            .as("sx"), count(lit(1)).as("cnt"))
+          .groupBy("j", "k")
+          .agg(expr("transform(array_sort(collect_list(" +
+            "struct(pos, sx, cnt))), " +
+            s"p -> CAST(p.sx AS DOUBLE) / p.cnt " +
+            s"/ CAST($IvfScale AS DOUBLE))").as("c"))
+      }
+      books
+    }
+
+  /** PQ-reconstructed vectors + norms (decode of the 4-byte code). */
+  private def pqVecs(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"pq-vecs:$dir") {
+      val sub = pqSubvectors(vecs(s, dir))
+      sub.join(broadcast(pqCodebooks(s, dir)), Seq("j"))
+        .withColumn("_d", expr(pqDist))
+        .groupBy("vec_id", "j")
+        .agg(max_by(col("c"), struct(-col("_d"), -col("k"))).as("c"))
+        .groupBy("vec_id")
+        .agg(expr("flatten(transform(array_sort(collect_list(" +
+          "struct(j, c))), p -> p.c))").as("r"))
+        .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
+    }
+
+  /** Product quantization with MEASURED cosine distortion — the deep
+    * end of the compression ladder beside [[embeddingQ8]]: 4 bytes per
+    * vector (64×) instead of SQ8's 64 bytes (4×). Same panel, same
+    * readout: exact cosine vs the PQ-reconstructed cosine per pair —
+    * the number an ANN serving tier trades against memory when it
+    * stores codes and runs asymmetric-distance scans.
+    *
+    * Measured at sf0.01 (PipelineSpec pins the regime): mean abs
+    * cosine error 0.108, max 0.383, corr 0.34 — the compression
+    * ladder's honest far end on THIS corpus: i.i.d.-random vectors are
+    * PQ's worst case (no cluster structure for the per-subspace
+    * codebooks to exploit; real embedding manifolds sit far closer to
+    * the SQ8 end). Between SQ8 (4×, err 0.0009) and PQ (64×,
+    * err 0.108) the ladder brackets the serving design space. */
+  private def embeddingPq(s: SparkSession, dir: String): DataFrame = {
+    val panel = vecs(s, dir).filter(col("vec_id") < 16)
+      .join(pqVecs(s, dir), Seq("vec_id"))
+    val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
+    val b = panel.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("r").as("rb"), col("rn").as("rnb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .selectExpr("id_a", "id_b",
+        "dot_p(va, vb) / (na * nb) AS cos_full",
+        "CASE WHEN rna * rnb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          "ELSE dot_p(ra, rb) / (rna * rnb) END AS cos_pq")
+      .orderBy("id_a", "id_b")
+  }
+
   private def embeddingQ8(s: SparkSession, dir: String): DataFrame = {
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
       .join(q8Vecs(s, dir), Seq("vec_id"))
@@ -2906,6 +3016,7 @@ object Pipeline {
     "source_kl"         -> sourceKl _,
     "containment_pairs" -> containmentPairs _,
     "embedding_q8"      -> embeddingQ8 _,
+    "embedding_pq"      -> embeddingPq _,
     "corpus_split"      -> corpusSplit _,
     "corpus_report"     -> corpusReport _,
     "quantile_sketch"   -> quantileSketch _,
@@ -3712,6 +3823,75 @@ object Pipeline {
          |      list_transform(range(1, ${RpDim + 1}),
          |        i -> a.r[i] * b.r[i])),
          |      (s, t) -> s + t) / (a.rn * b.rn) END AS cos_rp
+         |FROM rr a JOIN rr b ON a.vec_id < b.vec_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "embedding_pq" -> {
+      // same zip_with-then-left-fold op order as the Spark pqDist
+      def dist(svc: String, cc: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 9), i -> ($svc[CAST(i AS INT)] - " +
+          s"$cc[CAST(i AS INT)]) * ($svc[CAST(i AS INT)] - " +
+          s"$cc[CAST(i AS INT)]))), (a, b) -> a + b)"
+      val iters = (1 to PqIters).map { t =>
+        val prev = s"b${t - 1}"
+        s"""a$t AS (
+           |  SELECT vec_id, j, k FROM (
+           |    SELECT sv.vec_id, sv.j, b.k,
+           |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+           |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
+           |    FROM sv JOIN $prev b USING (j)) WHERE rk = 1),
+           |s$t AS (
+           |  SELECT a.j, a.k, r.i,
+           |    CAST(sum(CAST(round(sv.sv[CAST(r.i AS INT)]
+           |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
+           |    count(*) AS cnt
+           |  FROM a$t a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
+           |    range(1, 9) r(i)
+           |  GROUP BY a.j, a.k, r.i),
+           |b$t AS (
+           |  SELECT j, k, list(CAST(sx AS DOUBLE) / cnt
+           |    / CAST($IvfScale AS DOUBLE) ORDER BY i) AS c
+           |  FROM s$t GROUP BY j, k)""".stripMargin
+      }.mkString(",\n")
+      s"""$vecsCte,
+         |sv AS (
+         |  SELECT vec_id, jj.j AS j,
+         |    list_transform(range(1, 9),
+         |      i -> v[CAST(8 * jj.j + i AS INT)]) AS sv
+         |  FROM n, range(0, $PqM) jj(j)),
+         |sd AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY vec_id * 2246822519 % $P, vec_id) - 1 AS k
+         |    FROM n) WHERE k < $PqK),
+         |b0 AS (
+         |  SELECT s.j, sd.k, s.sv AS c
+         |  FROM sv s JOIN sd ON sd.vec_id = s.vec_id),
+         |$iters,
+         |af AS (
+         |  SELECT vec_id, j, k FROM (
+         |    SELECT sv.vec_id, sv.j, b.k,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
+         |    FROM sv JOIN b$PqIters b USING (j)) WHERE rk = 1),
+         |rec AS (
+         |  SELECT af.vec_id, flatten(list(b.c ORDER BY af.j)) AS r
+         |  FROM af JOIN b$PqIters b ON b.j = af.j AND b.k = af.k
+         |  GROUP BY af.vec_id),
+         |rr AS (
+         |  SELECT n.vec_id, n.v, n.nrm, rec.r,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(rec.r, x -> x * x)), (s, t) -> s + t)) AS rn
+         |  FROM n JOIN rec USING (vec_id) WHERE n.vec_id < 16)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+         |    (s, t) -> s + t) / (a.nrm * b.nrm) AS cos_full,
+         |  CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> a.r[i] * b.r[i])),
+         |      (s, t) -> s + t) / (a.rn * b.rn) END AS cos_pq
          |FROM rr a JOIN rr b ON a.vec_id < b.vec_id
          |ORDER BY id_a, id_b""".stripMargin
     },

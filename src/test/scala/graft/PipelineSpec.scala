@@ -163,4 +163,31 @@ class PipelineSpec extends AnyFunSuite {
         rows.map(r => (r._4 - mq) * (r._4 - mq)).sum)
     assert(corr > 0.999, s"corr(cos_full, cos_q8) = $corr")
   }
+
+  test("embedding_pq: 64x codes sit between SQ8 and RP on distortion") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.001"
+    val rows = Pipeline.queries("embedding_pq")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 120)
+    val diffs = rows.map { case (_, _, f, q) => math.abs(f - q) }
+    val mean = diffs.sum / diffs.length
+    // measured 0.098 at sf0.001 / 0.108 at sf0.01 — the 4-bit worst
+    // case on i.i.d. vectors: clearly lossier than SQ8 (0.0009),
+    // clearly tighter than the 16-dim RP (~0.3)
+    assert(mean < 0.2, s"mean pq distortion $mean")
+    assert(mean > 0.01, s"suspiciously exact for 4-bit codes: $mean")
+    // reconstruction must still carry signal
+    val mf = rows.map(_._3).sum / rows.length
+    val mq = rows.map(_._4).sum / rows.length
+    val corr = rows.map(r => (r._3 - mf) * (r._4 - mq)).sum / math.sqrt(
+      rows.map(r => (r._3 - mf) * (r._3 - mf)).sum *
+        rows.map(r => (r._4 - mq) * (r._4 - mq)).sum)
+    assert(corr > 0.2, s"corr(cos_full, cos_pq) = $corr")
+  }
 }

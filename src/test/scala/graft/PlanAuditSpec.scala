@@ -93,9 +93,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // panel broadcasts against the corpus, then the 128-row truth
       // carries the broadcast into the corpus-sized label joins
       "knn_label_acc",
-      // embedding_q8: the 16-vector panel pair join (120 pairs at any
-      // corpus size) plus the broadcast single-row [lo, hi] grid
-      "embedding_q8",
+      // embedding_q8 / embedding_pq: the 16-vector panel pair join
+      // (120 pairs at any corpus size) plus broadcast quantizer state
+      // (single-row [lo, hi] grid / the 128-row codebook)
+      "embedding_q8", "embedding_pq",
       // token_pmi: the 16-row top-df panel joins the corpus by
       // array_contains (bounded-dimension NLJ — N×16 presence rows,
       // never N×V), plus the broadcast single-row n_docs scalar
