@@ -247,8 +247,36 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Exact per-type value percentiles (p50/p95/p99) — the ops-latency
+    * readout, by the value-HISTOGRAM walk the MAD test uses: count by
+    * (type, value), cumulative window over the DISTINCT-VALUE domain,
+    * percentile = min value whose cumulative count reaches
+    * ceil(q·n/100) (the discrete type-1 quantile, exactly integer).
+    * Per-group state is the distinct-value histogram — never the row
+    * set — so the walk survives any corpus size; this is the per-group
+    * form of quantile_sketch's exact column. */
+  private def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    val h = centiEvents(s, dir)
+      .groupBy("event_type", "value_c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("value_c")))
+      .withColumn("nn", max("cum").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    def pick(q: Int): DataFrame =
+      h.filter(expr(s"cum >= (nn * $q + 99) div 100"))
+        .groupBy("event_type").agg(min("value_c").as(s"p$q"))
+    pick(50)
+      .join(pick(95), "event_type")
+      .join(pick(99), "event_type")
+      .join(h.groupBy("event_type").agg(max("nn").as("n")), "event_type")
+      .select("event_type", "n", "p50", "p95", "p99")
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "active_users" -> activeUsers _,
+    "value_percentiles" -> valuePercentiles _,
     "value_outliers" -> valueOutliers _,
     "fuzzy_join" -> fuzzyJoin _,
     "event_transitions" -> eventTransitions _,
@@ -257,6 +285,30 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "value_percentiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, value_c, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, value_c,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY value_c) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM h),
+        |p50 AS (SELECT event_type, min(value_c) AS p50 FROM c
+        |  WHERE cum >= (nn * 50 + 99) // 100 GROUP BY 1),
+        |p95 AS (SELECT event_type, min(value_c) AS p95 FROM c
+        |  WHERE cum >= (nn * 95 + 99) // 100 GROUP BY 1),
+        |p99 AS (SELECT event_type, min(value_c) AS p99 FROM c
+        |  WHERE cum >= (nn * 99 + 99) // 100 GROUP BY 1),
+        |n AS (SELECT event_type, max(nn) AS n FROM c GROUP BY 1)
+        |SELECT event_type, n, p50.p50, p95.p95, p99.p99
+        |FROM n JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+        |JOIN p99 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

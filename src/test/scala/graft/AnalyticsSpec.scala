@@ -117,6 +117,24 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach(r => assert(r._3 <= r._4))
   }
 
+  test("value_percentiles equals the sorted-array type-1 quantile pick") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS vc")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val s = rows.map(_._2).sorted
+      def pick(q: Int): Long = s(((s.length.toLong * q + 99) / 100).toInt - 1)
+      (t, s.length.toLong, pick(50), pick(95), pick(99))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("value_percentiles")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (t, _, p50, p95, p99) =>
+      assert(p50 <= p95 && p95 <= p99, s"non-monotone percentiles for $t")
+    }
+  }
+
   test("cusum_shift closed form equals the direct max(0, ...) recursion") {
     val got = SparkEntry.queries("cusum_shift")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
