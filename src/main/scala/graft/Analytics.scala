@@ -37,9 +37,15 @@ object Analytics {
     * On the exponential-ish synthetic values the tests disagree
     * visibly — MAD flags ~6× more rows (long right tail inflates σ) —
     * which is the point of shipping both. */
+  /** PERSISTED per (session, dir): value_outliers derives three
+    * aggregates from it (z-stats + two histogram-median walks) plus the
+    * per-event flag join, and value_percentiles walks it again — one
+    * scan+round pass serves all of them. */
   private def centiEvents(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).selectExpr("event_id", "event_type",
-      "CAST(round(value * 100) AS BIGINT) AS value_c")
+    ScanCache.get(s, s"centi_events:$dir") {
+      Tables.events(s, dir).selectExpr("event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS value_c")
+    }
 
   /** Per-type thresholds (n, sv, svv, med2, mad4) — the MODEL the gate
     * needs, one row per event type. The streaming twin freezes exactly
