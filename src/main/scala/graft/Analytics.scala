@@ -280,8 +280,54 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Data-quality expectations over the lake — the dbt-tests /
+    * Great-Expectations layer as ONE query: key uniqueness, referential
+    * integrity, null and domain checks, each an exact violation count
+    * with a pass verdict. Every check is a grouped count or an anti-join
+    * (leftanti — the violation set itself, counted), so the suite costs
+    * one aggregation per table scan and parallelizes like any other
+    * plan; at 100 TB this runs as the nightly gate in front of the
+    * training pipeline.
+    *
+    * Checks: orders/documents key uniqueness; lineitem→orders and
+    * orders→customer referential integrity; events.value domain
+    * (non-negative); lineitem quantity domain (1..50). */
+  private def dataQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val customer = Tables.customer(s, dir)
+    val docs = Tables.documents(s, dir)
+    val events = Tables.events(s, dir)
+    def check(name: String, nChecked: DataFrame, viol: DataFrame)
+        : DataFrame =
+      nChecked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(viol.agg(count(lit(1)).as("n_violations")))
+        .selectExpr(s"'$name' AS check_name", "n_checked", "n_violations",
+          "n_violations = CAST(0 AS BIGINT) AS pass")
+    def dups(df: DataFrame, key: String): DataFrame =
+      df.groupBy(key).agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    check("documents_key_unique", docs, dups(docs, "doc_id"))
+      .unionByName(check("events_value_nonnegative", events,
+        events.filter(col("value") < 0 || col("value").isNull)))
+      .unionByName(check("lineitem_orderkey_refs_orders", lineitem,
+        lineitem.select("l_orderkey").join(
+          orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "leftanti")))
+      .unionByName(check("lineitem_quantity_domain", lineitem,
+        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+      .unionByName(check("orders_custkey_refs_customer", orders,
+        orders.select("o_custkey").join(
+          customer.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "leftanti")))
+      .unionByName(check("orders_key_unique", orders,
+        dups(orders, "o_orderkey")))
+      .orderBy("check_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "active_users" -> activeUsers _,
+    "data_quality" -> dataQuality _,
     "value_percentiles" -> valuePercentiles _,
     "value_outliers" -> valueOutliers _,
     "fuzzy_join" -> fuzzyJoin _,
@@ -291,6 +337,40 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "data_quality" ->
+      """WITH checks AS (
+        |  SELECT 'documents_key_unique' AS check_name,
+        |    (SELECT count(*) FROM documents) AS n_checked,
+        |    (SELECT count(*) FROM (SELECT doc_id FROM documents
+        |      GROUP BY doc_id HAVING count(*) > 1)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'events_value_nonnegative',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events
+        |     WHERE value < 0 OR value IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_refs_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_domain',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_refs_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'orders_key_unique',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |      GROUP BY o_orderkey HAVING count(*) > 1)))
+        |SELECT check_name, n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
     "value_percentiles" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c

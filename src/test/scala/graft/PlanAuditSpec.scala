@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // dedup_incremental: the batch-source marker is a broadcast
       // single-row max(source) aggregate; the dedup join itself is an
       // equi-join on the compound fingerprint
-      "dedup_incremental")
+      "dedup_incremental",
+      // data_quality: each check row assembles from two single-row
+      // count aggregates (n_checked × n_violations)
+      "data_quality")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
