@@ -46,6 +46,27 @@ class BloomPruneSpec extends AnyFunSuite {
       s"prune kept ${pruned.length} of ${all.length}")
   }
 
+  test("randomized: no false negatives on arbitrary key sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      // adversarial domains: negatives, Long extremes, dense ranges
+      val keys = Seq.fill(50 + rnd.nextInt(200))(rnd.nextInt(4) match {
+        case 0 => rnd.nextLong()
+        case 1 => -math.abs(rnd.nextLong() % 1000000L)
+        case 2 => Long.MaxValue - rnd.nextInt(1000)
+        case _ => rnd.nextInt(500).toLong
+      }).distinct
+      val probeKeys = keys ++ Seq.fill(500)(rnd.nextLong()).distinct
+      val build = keys.toDF("k")
+      val pruned = BloomPrune.pruned(probeKeys.toDF("k"), "k", build, "k")
+        .collect().map(_.getLong(0)).toSet
+      val missed = keys.filterNot(pruned)
+      assert(missed.isEmpty,
+        s"trial $trial: false negatives for ${missed.take(5)}")
+    }
+  }
+
   test("the bitset is independent of build-side partitioning") {
     val urgent = Tables.orders(spark, dir)
       .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")

@@ -33,6 +33,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrder.zKey(65535, 65535) == 0xFFFFFFFFL)
   }
 
+  test("randomized: the interleave is injective on the 16-bit square") {
+    val rnd = new scala.util.Random(20260813L)
+    val pairs = Seq.fill(20000)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong)).distinct
+    val zs = pairs.map { case (x, y) => ZOrder.zKey(x, y) }
+    assert(zs.distinct.size == pairs.size, "collision in the Morton key")
+    // prefix locality, the property file skipping rests on: z-bit 2i is
+    // x's bit i and z-bit 2i+1 is y's bit i, so sharing a top z-prefix
+    // means agreeing on the top bits of BOTH dimensions
+    pairs.take(500).foreach { case (x, y) =>
+      val z = ZOrder.zKey(x, y)
+      (0 until 16).foreach { i =>
+        assert((z >> (2 * i) & 1) == (x >> i & 1))
+        assert((z >> (2 * i + 1) & 1) == (y >> i & 1))
+      }
+    }
+  }
+
   test("z-buckets bound BOTH dimensions; insertion order does not") {
     val rows = Tables.lineitem(spark, dir)
       .selectExpr("l_orderkey", "l_partkey % 65536 AS x",
