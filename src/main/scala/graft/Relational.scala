@@ -61,7 +61,8 @@ object Relational {
     "q28_grouping_sets" -> q28GroupingSets _,
     "q29_set_ops_all"   -> q29SetOpsAll _,
     "q30_bloom_join"    -> q30BloomJoin _,
-    "q31_zorder_layout" -> q31ZorderLayout _
+    "q31_zorder_layout" -> q31ZorderLayout _,
+    "q32_attribution"   -> q32Attribution _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -278,6 +279,28 @@ object Relational {
         min("x").as("min_x"), max("x").as("max_x"),
         min("y").as("min_y"), max("y").as("max_y"))
       .orderBy("bucket")
+  }
+
+  /** Conversion attribution — the marketing-analytics windowed idiom:
+    * each purchase is attributed to the user's FIRST preceding view
+    * (first-touch) and the MOST RECENT preceding view (last-touch) by
+    * IGNORE-NULLS carry-forward windows over the (ts, event_id)-pinned
+    * per-user order; purchases with no preceding view attribute to −1.
+    * One user-keyed window shuffle — the sessionize partitioning — and
+    * both engines run the identical ignore-nulls frame. */
+  private def q32Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("first_touch", first(
+        when(col("event_type") === "view", col("event_id")), true).over(w))
+      .withColumn("last_touch", last(
+        when(col("event_type") === "view", col("event_id")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id AS purchase_id",
+        "coalesce(first_touch, CAST(-1 AS BIGINT)) AS first_touch",
+        "coalesce(last_touch, CAST(-1 AS BIGINT)) AS last_touch")
+      .orderBy("user_id", "purchase_id")
   }
 
   /** Value-based RANGE frame (vs q7's ROWS frame): per-station rolling
@@ -773,6 +796,40 @@ object Relational {
         |    ELSE 'both' END AS presence
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
+    "q32_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, event_type,
+        |    first_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
+        |SELECT user_id, event_id AS purchase_id,
+        |  coalesce(first_touch, CAST(-1 AS BIGINT)) AS first_touch,
+        |  coalesce(last_touch, CAST(-1 AS BIGINT)) AS last_touch
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q32_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, event_type,
+        |    first_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
+        |SELECT user_id, event_id AS purchase_id,
+        |  coalesce(first_touch, CAST(-1 AS BIGINT)) AS first_touch,
+        |  coalesce(last_touch, CAST(-1 AS BIGINT)) AS last_touch
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "q31_zorder_layout" ->
       s"""WITH d AS (
          |  SELECT l_orderkey, l_linenumber,
