@@ -53,4 +53,44 @@ class StreamingRetentionSpec extends AnyFunSuite {
       assert(got((cw, 0L)) == n, s"cohort $cw size")
     }
   }
+
+  test("transformWithState form emits the identical increment multiset") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts").collect()
+      .map(r => RetainEvent(r.getLong(0), r.getLong(1))).toSeq
+      .sortBy(_.tsNs)
+    // the new API requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[RetainEvent]
+      val name = s"rtx${System.nanoTime()}"
+      val q = RetentionProcessor.retentionStream(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      val got = try {
+        val cuts = Seq(0, 1, 23, 500, events.size / 2, events.size)
+        for (Seq(a, b) <- cuts.sliding(2)) {
+          mem.addData(events.slice(a, b): _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[(Long, Long)].collect().toSeq
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      } finally q.stop()
+      val batch = graft.SparkEntry.queries("cohort_retention")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
