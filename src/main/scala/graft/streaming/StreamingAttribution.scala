@@ -54,4 +54,33 @@ object StreamingAttribution {
       .select(col("p_user").as("user_id"), col("purchaseId"),
         col("viewId"), col("p_ns"), col("v_ns"))
   }
+
+  /** LEFT OUTER form: purchases with NO in-window view also emit,
+    * exactly once, with a null view — but only after the view-side
+    * watermark passes the purchase's window (before that a matching
+    * view could still arrive, so the engine must hold the row back;
+    * the unmatched rows' latency IS the watermark delay, the outer
+    * stream-stream join contract). The view-less rows are the
+    * `first_touch = −1` population of the batch q32. */
+  def attributionStreamOuter(views: Dataset[ViewEvent],
+      purchases: Dataset[PurchaseEvent],
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val v = views.toDF()
+      .withColumn("vts", timestamp_micros(expr("tsNs div 1000")))
+      .withWatermark("vts", watermarkDelay)
+      .select(col("userId").as("v_user"), col("viewId"),
+        col("tsNs").as("v_ns"), col("vts"))
+    val p = purchases.toDF()
+      .withColumn("pts", timestamp_micros(expr("tsNs div 1000")))
+      .withWatermark("pts", watermarkDelay)
+      .select(col("userId").as("p_user"), col("purchaseId"),
+        col("tsNs").as("p_ns"), col("pts"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchaseId"),
+        col("viewId"), col("p_ns"), col("v_ns"))
+  }
 }

@@ -90,4 +90,56 @@ class StreamingAttributionSpec extends AnyFunSuite {
     }
     assert(checked > 0, "no purchase exercised the q32 cross-check")
   }
+
+  test("left outer: view-less purchases emit exactly once after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._3)
+    val views = ev.filter(_._4 == "view")
+      .map(r => ViewEvent(r._1, r._2, r._3)).toSeq
+    val purchases = ev.filter(_._4 == "purchase")
+      .map(r => PurchaseEvent(r._1, r._2, r._3)).toSeq
+
+    val vm = MemoryStream[ViewEvent]
+    val pm = MemoryStream[PurchaseEvent]
+    val name = s"atl${System.nanoTime()}"
+    val q = StreamingAttribution
+      .attributionStreamOuter(vm.toDS(), pm.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    val rows = try {
+      vm.addData(views: _*)
+      pm.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the data so every held-back
+      // unmatched purchase seals and emits its null-view row
+      val far = ev.last._3 + 3600L * 1000000000L
+      vm.addData(ViewEvent(-1L, -1L, far))
+      pm.addData(PurchaseEvent(-1L, -2L, far))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      spark.table(name)
+        .selectExpr("purchaseId", "viewId").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+          else Some(r.getLong(1))))
+        .filter(_._1 >= 0) // drop the sentinel's own row
+    } finally q.stop()
+
+    def us(ns: Long) = ns / 1000
+    val matched = purchases.filter(p => views.exists(v =>
+      v.userId == p.userId && us(v.tsNs) <= us(p.tsNs) &&
+        us(v.tsNs) >= us(p.tsNs) -
+          StreamingAttribution.WindowNs / 1000)).map(_.purchaseId).toSet
+    val unmatchedEmits = rows.filter(_._2.isEmpty).map(_._1)
+    // every view-less purchase emits exactly once with a null view
+    assert(unmatchedEmits.sorted.toSeq ==
+      purchases.map(_.purchaseId).filterNot(matched).sorted)
+    assert(unmatchedEmits.nonEmpty)
+    // and no matched purchase ever emits a null-view row
+    assert(!unmatchedEmits.exists(matched))
+  }
 }
