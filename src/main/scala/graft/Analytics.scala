@@ -36,8 +36,9 @@ object Analytics {
     * Output: only the flagged events (either test), with both verdicts.
     * On the exponential-ish synthetic values the tests disagree
     * visibly — MAD flags ~6× more rows (long right tail inflates σ) —
-    * which is the point of shipping both. */
-  /** PERSISTED per (session, dir): value_outliers derives three
+    * which is the point of shipping both.
+    *
+    * PERSISTED per (session, dir): value_outliers derives three
     * aggregates from it (z-stats + two histogram-median walks) plus the
     * per-event flag join, and value_percentiles walks it again — one
     * scan+round pass serves all of them. */
