@@ -117,6 +117,39 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach(r => assert(r._3 <= r._4))
   }
 
+  test("ams_join_size: plain-Scala sketch recompute; errors in regime") {
+    val P = Analytics.AmsP
+    def sign(k: Long, i: Int): Long = {
+      val h1 = ((k % P) + i.toLong * 97561L) % P
+      if ((h1 * h1 % P * 2654435761L + h1) % P % 2 == 0) 1L else -1L
+    }
+    val lk = Tables.lineitem(spark, dir).select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val ok = Tables.orders(spark, dir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val za = (0 until Analytics.AmsN).map(i => lk.map(sign(_, i)).sum)
+    val zb = (0 until Analytics.AmsN).map(i => ok.map(sign(_, i)).sum)
+    def mom(prods: Seq[Long]): Long = {
+      val g = Analytics.AmsGroup
+      val means = prods.grouped(g).map(_.sum / g).toSeq.sorted
+      means(means.size / 2)
+    }
+    val jEst = mom(za.zip(zb).map { case (a, b) => a * b })
+    val fEst = mom(za.map(a => a * a))
+    val okSet = ok.toSet
+    val jExact = lk.count(okSet).toLong
+    val fExact = lk.groupBy(identity).values
+      .map(v => v.size.toLong * v.size).sum
+    val got = SparkEntry.queries("ams_join_size")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("join_size") == ((jExact, jEst)))
+    assert(got("self_join_f2") == ((fExact, fEst)))
+    // the sketch must be informative: within the ±1/sqrt(group) regime,
+    // nowhere near the degenerate collapse the linear hash produced
+    assert(math.abs(jEst - jExact).toDouble / jExact < 0.5)
+    assert(math.abs(fEst - fExact).toDouble / fExact < 0.5)
+  }
+
   test("value_percentiles equals the sorted-array type-1 quantile pick") {
     val ev = Tables.events(spark, dir)
       .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS vc")

@@ -75,7 +75,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_incremental",
       // data_quality: each check row assembles from two single-row
       // count aggregates (n_checked × n_violations)
-      "data_quality")
+      "data_quality",
+      // ams_join_size: the readout crossJoins four single-row frames
+      // (two 48-counter sketches + the two exact truths)
+      "ams_join_size")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
