@@ -24,12 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's TimestampType
-    * (µs) rejects; read it as a raw i64 nanos column instead — nanosecond
-    * longs are the engine's canonical event time (SURVEY.md §1.2). */
+  /** Nanosecond longs are the engine's canonical event time (SURVEY.md
+    * §1.2), matching the DuckDB oracles' `epoch_ns(ts)`. Driver data has
+    * shipped `ts` both as nanosecond-precision parquet (which Spark's µs
+    * TimestampType rejects — hence `nanosAsLong`) and as a plain µs
+    * timestamp; normalize either to an i64 nanos column so every consumer
+    * sees one type. The conversion is a scan-stage projection — column
+    * pruning and `ts` range pushdown still reach the parquet reader. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        // NTZ-safe: the session TZ is pinned to UTC, matching DuckDB's
+        // treatment of naive timestamps in epoch_ns().
+        "unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
