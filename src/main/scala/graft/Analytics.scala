@@ -407,7 +407,38 @@ object Analytics {
       .orderBy("metric")
   }
 
+  /** Join-key skew diagnostics — the measurement that decides between a
+    * plain shuffle join, AQE skew splitting, and explicit salting
+    * ([[operators.SkewJoin]], `q33_skew_salted`). Per candidate key:
+    * row/key counts, the hottest key's row count and ppm share, and the
+    * salt factor that spreads the hottest key down to the mean key load
+    * (`ceil(max_cnt · n_keys / n_rows)`) — all exact BIGINT arithmetic.
+    * `events.event_type` (5 keys, ~200 000 rows each per key at 100 TB
+    * scale proportions) reports rec_salts ≈ 5; `events.user_id` (uniform)
+    * reports 2-3.
+    *
+    * 100 TB shape: one map-side-combinable count per key followed by a
+    * single-row aggregate per candidate — the per-key count table is the
+    * only shuffle, and it is exactly the table a salting decision needs
+    * to inspect anyway. */
+  private def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def report(keyName: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .selectExpr(s"'$keyName' AS key_col", "n_rows", "n_keys", "max_cnt",
+          "max_cnt * 1000000 div n_rows AS top_share_ppm",
+          "CASE WHEN max_cnt * n_keys <= n_rows THEN CAST(1 AS BIGINT) " +
+            "ELSE (max_cnt * n_keys + n_rows - 1) div n_rows END AS rec_salts")
+    report("event_type", ev.select(col("event_type").as("k")))
+      .unionAll(report("user_id",
+        ev.selectExpr("CAST(user_id AS STRING) AS k")))
+      .orderBy("key_col")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> skewReport _,
     "active_users" -> activeUsers _,
     "ams_join_size" -> amsJoinSize _,
     "data_quality" -> dataQuality _,
@@ -420,6 +451,24 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH c1 AS (
+        |  SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |r1 AS (
+        |  SELECT 'event_type' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys, max(cnt) AS max_cnt FROM c1),
+        |c2 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |r2 AS (
+        |  SELECT 'user_id' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys, max(cnt) AS max_cnt FROM c2),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT key_col, n_rows, n_keys, max_cnt,
+        |  max_cnt * 1000000 // n_rows AS top_share_ppm,
+        |  CASE WHEN max_cnt * n_keys <= n_rows THEN CAST(1 AS BIGINT)
+        |    ELSE (max_cnt * n_keys + n_rows - 1) // n_rows END AS rec_salts
+        |FROM u ORDER BY key_col""".stripMargin,
     "ams_join_size" ->
       """WITH za AS (
         |  SELECT

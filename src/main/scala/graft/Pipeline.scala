@@ -659,6 +659,33 @@ object Pipeline {
           "ELSE 'keep' END AS label")
       .orderBy("doc_id")
 
+  /** Per-document character-distribution Shannon entropy — the classic
+    * gibberish/encoded-blob detector beside the ratio panel: natural
+    * text sits near the language's characteristic ~2.5-4 nats/char
+    * band, base64/hex blobs and repeated-char spam fall far outside it.
+    * H = Σ (cnt/n)·ln(n/cnt) over the document's character histogram,
+    * accumulated in integer micro-nats with the repo's round-to-6dp ln
+    * convention (a last-ulp libm difference between engines dies in the
+    * rounding), one double division at the end.
+    *
+    * 100 TB shape: a pure map over the scan — the histogram is built
+    * per row with array expressions (O(len·|alphabet|) per document,
+    * alphabet-bounded), ZERO shuffle, and the output is one narrow row
+    * per document. */
+  private def charEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS n", "split(text, '') AS chs")
+      .selectExpr("doc_id", "n",
+        "transform(array_distinct(chs), ch -> " +
+          "size(filter(chs, c -> c = ch))) AS cnts")
+      .selectExpr("doc_id", "n", "size(cnts) AS n_distinct",
+        "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * " +
+          "CAST(round(ln(n / CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT)) " +
+          "AS micro_nats")
+      .selectExpr("doc_id", "n", "n_distinct",
+        "round(CAST(micro_nats AS DOUBLE) / n / 1000000.0, 4) AS entropy")
+      .orderBy("doc_id")
+
   /** Winnowing fingerprints (the rolling-hash document signature of
     * Schleimer et al.'s MOSS): k-gram ROLLING hashes over the char
     * stream, then each sliding window of w consecutive hashes
@@ -3024,6 +3051,7 @@ object Pipeline {
     "boilerplate_ngrams" -> boilerplateNgrams _,
     "token_stats"       -> tokenStats _,
     "text_quality"      -> textQuality _,
+    "char_entropy"      -> charEntropy _,
     "doc_fingerprint"   -> docFingerprint _,
     "embedding_topk"    -> embeddingTopk _,
     "embedding_neardup" -> embeddingNeardup _,
@@ -4305,6 +4333,20 @@ object Pipeline {
          |SELECT doc_id, length(toks) AS n_tokens,
          |  length(list_distinct(toks)) AS n_unique
          |FROM t ORDER BY doc_id""".stripMargin,
+    "char_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n, string_split(text, '') AS chs
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    list_transform(list_distinct(chs), ch ->
+        |      len(list_filter(chs, c -> c = ch))) AS cnts
+        |  FROM t)
+        |SELECT doc_id, n, len(cnts) AS n_distinct,
+        |  round(CAST(list_sum(list_transform(cnts, c -> c *
+        |    CAST(round(ln(n / CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT)))
+        |    AS DOUBLE) / n / 1000000.0, 4) AS entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(string_split(text, ' ')) AS n_tokens,

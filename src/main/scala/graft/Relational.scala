@@ -62,7 +62,8 @@ object Relational {
     "q29_set_ops_all"   -> q29SetOpsAll _,
     "q30_bloom_join"    -> q30BloomJoin _,
     "q31_zorder_layout" -> q31ZorderLayout _,
-    "q32_attribution"   -> q32Attribution _
+    "q32_attribution"   -> q32Attribution _,
+    "q33_skew_salted"   -> q33SkewSalted _
   )
 
   /** Correlated LATERAL join: top-2 customers by balance PER NATION as
@@ -288,6 +289,31 @@ object Relational {
     * per-user order; purchases with no preceding view attribute to −1.
     * One user-keyed window shuffle — the sessionize partitioning — and
     * both engines run the identical ignore-nulls frame. */
+  /** Salted skew join, oracle-proven transparent: `event_type` carries
+    * 1/5 of the fact table per key — the classic hot-key shape that
+    * sends a whole key to one task in a plain shuffle join. The fact
+    * side joins the per-type aggregate (the aggregate-then-join
+    * pipeline where AQE's runtime skew splitting does not apply: the
+    * dimension is derived, not scanned), salted 8 ways on the
+    * `event_id` discriminator via [[operators.SkewJoin.saltedJoin]].
+    * Salting is an equality-preserving refinement, so the oracle is
+    * the UNsalted join — the gate proves the rewrite changes the
+    * partitioning, never the rows. At 100 TB the dimension is
+    * key-cardinality-sized (not broadcastable) and each hot key's
+    * billions of fact rows spread across `salts` tasks. */
+  private def q33SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).selectExpr("event_id", "event_type",
+      "CAST(round(value * 100) AS BIGINT) AS value_c")
+    val dim = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_type"), sum("value_c").as("sv"))
+    operators.SkewJoin.saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value_c") * col("n_type") > col("sv"), 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy("event_type")
+  }
+
   private def q32Attribution(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, dir)
@@ -796,23 +822,18 @@ object Relational {
         |    ELSE 'both' END AS presence
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
-    "q32_attribution" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
-        |  FROM events),
-        |a AS (
-        |  SELECT user_id, event_id, event_type,
-        |    first_value(CASE WHEN event_type = 'view' THEN event_id END
-        |      IGNORE NULLS) OVER w AS first_touch,
-        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
-        |      IGNORE NULLS) OVER w AS last_touch
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
-        |SELECT user_id, event_id AS purchase_id,
-        |  coalesce(first_touch, CAST(-1 AS BIGINT)) AS first_touch,
-        |  coalesce(last_touch, CAST(-1 AS BIGINT)) AS last_touch
-        |FROM a WHERE event_type = 'purchase'
-        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q33_skew_salted" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |d AS (
+        |  SELECT event_type, count(*) AS n_type,
+        |    CAST(sum(value_c) AS BIGINT) AS sv FROM ev GROUP BY 1)
+        |SELECT ev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value_c * n_type > sv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above
+        |FROM ev JOIN d ON ev.event_type = d.event_type
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
     "q32_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
