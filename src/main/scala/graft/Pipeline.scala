@@ -2843,6 +2843,61 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Perceptual image hash (aHash) over REAL decoded BMP containers —
+    * the image-side near-dup primitive (pHash/aHash dedup is the
+    * multimodal twin of minhash/simhash for text): 8×8
+    * nearest-neighbor luminance samples, mean-thresholded into a 64-bit
+    * signature, emitted as two 32-bit halves (bit 63 in one BIGINT
+    * would wrap signed on both engines). The Spark side walks the real
+    * container (magic, pixel-array offset and dims read from the
+    * BITMAPINFOHEADER it just encoded; samples fetched from the actual
+    * pixel bytes, rows in file order); the oracle reproduces every
+    * sampled byte arithmetically from the text fixture, so a header,
+    * stride, or sampling bug fails the hash check. Luminance is the
+    * integer mean of the three channels; the threshold compare
+    * `64·lum > Σlum` stays in exact integers.
+    *
+    * 100 TB shape: pure map over the media scan (constant 64 samples
+    * per image regardless of resolution), hash-equality or band joins
+    * downstream — never pixel joins. */
+  private def imageAhash(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        val bmp = graft.operators.Multimodal.encodeBmp(w, h,
+          asciiBytes(id, t))
+        val bb = java.nio.ByteBuffer.wrap(bmp)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte, s"bad BMP $id")
+        val off = bb.getInt(10)
+        val dw = bb.getInt(18)
+        val dh = math.abs(bb.getInt(22))
+        val rowSize = ((dw * 3 + 3) / 4) * 4
+        val lum = Array.tabulate(64) { k =>
+          val x = (k % 8) * dw / 8
+          val y = (k / 8) * dh / 8
+          val base = off + y * rowSize + x * 3
+          ((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
+            (bmp(base + 2) & 0xff)) / 3
+        }
+        val tot = lum.map(_.toLong).sum
+        var hi = 0L; var lo = 0L
+        var k = 0
+        while (k < 64) {
+          val bit = if (64L * lum(k) > tot) 1L else 0L
+          if (k < 32) lo |= bit << k else hi |= bit << (k - 32)
+          k += 1
+        }
+        (id, dw, dh, hi, lo)
+      }
+      .toDF("media_id", "decoded_w", "decoded_h", "ahash_hi", "ahash_lo")
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder compressed-image path: documents encode into real
     * JPEG containers (SOI/APP0/COM/SOF0/SOS/EOI marker stream; the COM
     * segment carries the text bytes, so the SOF sits after a
@@ -3023,6 +3078,7 @@ object Pipeline {
     "knn_label_acc"       -> knnLabelAcc _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
+    "image_ahash"       -> imageAhash _,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
@@ -3464,6 +3520,46 @@ object Pipeline {
          |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents ORDER BY media_id""".stripMargin,
+    "image_ahash" -> {
+      // sampled pixel byte c of grid cell k: the BMP pixel area is the
+      // text bytes cycled, so byte (y·rowSize + x·3 + c) mod len — with
+      // x = (k%8)·w//8, y = (k//8)·h//8, rowSize = 4-padded 3·w
+      def lumK: String =
+        """(ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+          |      + ((k % 8) * w // 8) * 3 + 0)) % len AS INT) + 1, 1))
+          | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+          |      + ((k % 8) * w // 8) * 3 + 1)) % len AS INT) + 1, 1))
+          | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+          |      + ((k % 8) * w // 8) * 3 + 2)) % len AS INT) + 1, 1))) // 3"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(0, 64), k -> $lumK) AS lum
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, w, h, lum,
+         |    CAST(list_sum(lum) AS BIGINT) AS tot FROM p),
+         |b AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(0, 64), k ->
+         |      CASE WHEN 64 * lum[CAST(k AS INT) + 1] > tot
+         |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+         |  FROM s)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
+         |  CAST(h AS INT) AS decoded_h,
+         |  CAST(list_sum(list_transform(range(32, 64), k ->
+         |    bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << (k - 32))))
+         |    AS BIGINT) AS ahash_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), k ->
+         |    bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << k)))
+         |    AS BIGINT) AS ahash_lo
+         |FROM b ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_bmp" ->
       """SELECT doc_id AS media_id, 'image/bmp' AS kind,
         |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
