@@ -52,32 +52,49 @@ object Analytics {
     * needs, one row per event type. The streaming twin freezes exactly
     * this table ([[streaming.StreamingOutlierGate]]), the same
     * train-batch / score-stream split as the NB quality gate. */
+  /** Per-type distinct-value histogram — the ONE corpus-sized shuffle
+    * the whole outlier/percentile family performs. Persisted per
+    * (session, dir): zStats, both median walks, and the percentile
+    * walks are all value-DOMAIN-sized reductions over it (the MAD
+    * distance histogram is derived from this histogram too — two
+    * values folding onto one |2v−med2| merge their counts — so the
+    * second median never re-shuffles the corpus). */
+  private def valueHist(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"value_hist:$dir") {
+      centiEvents(s, dir).groupBy("event_type", "value_c")
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Weighted median walk over an (event_type, v, cnt) histogram:
+    * k1/k2 are the 1-based middle positions; value_at(k) = min value
+    * whose cumulative count ≥ k; emits lower+upper middle as one
+    * integer (`med2`-style, exact for even counts). */
+  private def histMed(h0: DataFrame, valCol: String, outCol: String)
+      : DataFrame = {
+    val h = h0
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(valCol)))
+      .withColumn("nn", max("cum").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    h.filter(expr("cum >= (nn + 1) div 2"))
+      .groupBy("event_type").agg(min(valCol).as("lo"))
+      .join(h.filter(expr("cum >= (nn + 2) div 2"))
+        .groupBy("event_type").agg(min(valCol).as("hi")), "event_type")
+      .selectExpr("event_type", s"lo + hi AS $outCol")
+  }
+
   private[graft] def outlierThresholds(s: SparkSession, dir: String)
       : DataFrame = {
-    val ev = centiEvents(s, dir)
-    val zStats = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"), sum("value_c").as("sv"),
-      sum(expr("value_c * value_c")).as("svv"))
-    // median from the value histogram: k1/k2 are the 1-based middle
-    // positions; value_at(k) = min value whose cumulative count ≥ k
-    def hist2med(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-      val h = df.groupBy("event_type", valCol)
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("event_type").orderBy(valCol)))
-        .withColumn("nn", max("cum").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-      h.filter(expr("cum >= (nn + 1) div 2"))
-        .groupBy("event_type").agg(min(valCol).as("lo"))
-        .join(h.filter(expr("cum >= (nn + 2) div 2"))
-          .groupBy("event_type").agg(min(valCol).as("hi")), "event_type")
-        .selectExpr("event_type", s"lo + hi AS $outCol")
-    }
-    val med = hist2med(ev, "value_c", "med2")
-    val mad = hist2med(
-      ev.join(broadcast(med), "event_type")
-        .withColumn("d", abs(col("value_c") * 2 - col("med2"))), "d", "mad4")
+    val h = valueHist(s, dir)
+    val zStats = h.groupBy("event_type").agg(
+      sum("cnt").as("n"), sum(expr("value_c * cnt")).as("sv"),
+      sum(expr("value_c * value_c * cnt")).as("svv"))
+    val med = histMed(h, "value_c", "med2")
+    val dHist = h.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("value_c") * 2 - col("med2")))
+      .groupBy("event_type", "d").agg(sum("cnt").as("cnt"))
+    val mad = histMed(dHist, "d", "mad4")
     zStats.join(med, "event_type").join(mad, "event_type")
   }
 
@@ -263,8 +280,7 @@ object Analytics {
     * set — so the walk survives any corpus size; this is the per-group
     * form of quantile_sketch's exact column. */
   private def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
-    val h = centiEvents(s, dir)
-      .groupBy("event_type", "value_c").agg(count(lit(1)).as("cnt"))
+    val h = valueHist(s, dir)
       .withColumn("cum", sum("cnt").over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("event_type").orderBy("value_c")))
