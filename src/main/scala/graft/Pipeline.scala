@@ -1890,24 +1890,29 @@ object Pipeline {
     * shingle — linear in Σ C(df,2), never all-pairs (the minhash_recall
     * truth machinery; a production corpus runs boilerplate_ngrams'
     * heavy-shingle cap first, same argument as exact_substring's
-    * EsDocCap); arrays re-attach AFTER the bare-id pair dedup. */
+    * EsDocCap). `th` is a SET (array_distinct), so |A∩B| is exactly the
+    * number of shingles whose posting list contains both docs — the
+    * pair COUNT aggregation computes every intersection in the same
+    * map-side-combinable shuffle that dedupes the candidates, and the
+    * per-pair array_intersect over re-attached shingle arrays
+    * disappears; only the two tiny size joins touch the doc dimension
+    * (2.8 → 2.0 s at sf0.1 — the residual is the Σ C(df,2) candidate
+    * explosion itself, which the boilerplate cap governs). */
   private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val th = shingleHashSets(s, dir)
-    val cand = th.selectExpr("doc_id", "explode(th) AS sh")
+    val inter = th.selectExpr("doc_id", "explode(th) AS sh")
       .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
       .selectExpr("explode(flatten(transform(ds, " +
         "a -> transform(filter(ds, b -> b > a), " +
         "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
-      .select("p.doc_a", "p.doc_b").distinct()
-    cand
-      .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")),
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = th.selectExpr("doc_id", "CAST(size(th) AS BIGINT) AS n")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
-      .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")),
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b",
-        "CAST(size(tha) AS BIGINT) AS n_a",
-        "CAST(size(thb) AS BIGINT) AS n_b",
-        "CAST(size(array_intersect(tha, thb)) AS BIGINT) AS inter")
       .selectExpr("doc_a", "doc_b", "n_a", "n_b", "inter",
         "inter * CAST(1000000 AS BIGINT) div least(n_a, n_b) AS cont_ppm",
         "inter * CAST(1000000 AS BIGINT) div (n_a + n_b - inter) " +
