@@ -2752,8 +2752,7 @@ object Pipeline {
   private def frameSampleQ(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
     graft.operators.Multimodal.frameSample(media, 3).toDF()
@@ -2802,6 +2801,22 @@ object Pipeline {
     * slices and hashes BYTES while the DuckDB oracle slices characters
     * (substr) — identical only for ASCII, so the assumption is enforced
     * here at the query boundary rather than left coincidental. */
+  /** ASCII-safe media fixture source: multimodal payloads are built by
+    * byte-slicing text while the oracles mirror them with per-CHARACTER
+    * arithmetic, so both sides restrict to rows where chars and bytes
+    * coincide (Spark: `length = octet_length`; DuckDB `length =
+    * strlen`). On ASCII corpora the filter keeps every row; a future
+    * data rotation to non-ASCII text narrows the fixture set on BOTH
+    * engines identically instead of throwing mid-stage. */
+  private def asciiDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text)"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+  }
+
   private def asciiBytes(id: Long, t: String): Array[Byte] = {
     val b = t.getBytes("UTF-8")
     require(b.length == t.length,
@@ -2816,9 +2831,7 @@ object Pipeline {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
     graft.operators.Multimodal.extractFeatures(media)
@@ -2834,8 +2847,7 @@ object Pipeline {
   private def multimodalDecodeBmp(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -2868,8 +2880,7 @@ object Pipeline {
   private def imageAhash(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 32)
         val h = 1 + ((t.length / 32) % 32)
@@ -2913,8 +2924,7 @@ object Pipeline {
   private def multimodalDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -2935,8 +2945,7 @@ object Pipeline {
   private def multimodalDecodePng(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -2958,8 +2967,7 @@ object Pipeline {
   private def multimodalDecodeGif(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -2983,8 +2991,7 @@ object Pipeline {
   private def multimodalDecodePngPixels(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 32)
         val h = 1 + ((t.length / 32) % 32)
@@ -3005,8 +3012,7 @@ object Pipeline {
   private def multimodalDecodeMp3(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         graft.operators.MediaRow(id, "audio/mpeg",
           graft.operators.Multimodal.encodeMp3(
@@ -3023,8 +3029,7 @@ object Pipeline {
   private def multimodalDecodeTiff(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -3048,8 +3053,7 @@ object Pipeline {
   private def multimodalDecodeMp4(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         val w = 1 + (t.length % 64)
         val h = 1 + ((t.length / 64) % 64)
@@ -3067,8 +3071,7 @@ object Pipeline {
   private def multimodalDecodeWav(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = asciiDocs(s, dir)
       .map { case (id, t) =>
         graft.operators.MediaRow(id, "audio/wav",
           graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
@@ -3524,7 +3527,8 @@ object Pipeline {
          |  ${charFoldDuck("text")} AS content_hash,
          |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-         |FROM documents ORDER BY media_id""".stripMargin,
+         |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "image_ahash" -> {
       // sampled pixel byte c of grid cell k: the BMP pixel area is the
       // text bytes cycled, so byte (y·rowSize + x·3 + c) mod len — with
@@ -3541,7 +3545,7 @@ object Pipeline {
          |  SELECT doc_id, text, length(text) AS len,
          |    1 + length(text) % 32 AS w,
          |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents),
+         |  FROM documents WHERE length(text) = strlen(text)),
          |p AS (
          |  SELECT doc_id, w, h,
          |    list_transform(range(0, 64), k -> $lumK) AS lum
@@ -3570,33 +3574,38 @@ object Pipeline {
         |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
         |  CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h
         |FROM (SELECT doc_id, 1 + length(text) % 64 AS w,
-        |        1 + (length(text) // 64) % 64 AS h FROM documents)
+        |        1 + (length(text) // 64) % 64 AS h FROM documents
+         |WHERE length(text) = strlen(text))
         |ORDER BY media_id""".stripMargin,
     "multimodal_decode_jpeg" ->
       """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
         |  CAST(59 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_png" ->
       """SELECT doc_id AS media_id, 'image/png' AS kind,
         |  CAST(57 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_gif" ->
       """SELECT doc_id AS media_id, 'image/gif' AS kind,
         |  CAST(17 + length(text) + (length(text) + 254) // 255 AS BIGINT)
         |    AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_tiff" ->
       """SELECT doc_id AS media_id, 'image/tiff' AS kind,
         |  CAST(38 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_png_pixels" -> {
       // channel c pixels sit at byte positions ≡ c (mod 3) of the
       // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
@@ -3608,7 +3617,7 @@ object Pipeline {
          |  SELECT doc_id, text, length(text) AS len,
          |    1 + length(text) % 32 AS w,
          |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents),
+         |  FROM documents WHERE length(text) = strlen(text)),
          |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
          |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
          |  CAST(h AS INT) AS height, n AS n_pixels,
@@ -3626,7 +3635,8 @@ object Pipeline {
         |  CAST(1 + length(text) % 16 AS INT) AS n_frames,
         |  CAST((1 + length(text) % 16) * 1152000 // 44100 AS BIGINT)
         |    AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_mp4" ->
       """SELECT doc_id AS media_id,
         |  CAST(240 + length(text) AS BIGINT) AS n_bytes,
@@ -3634,7 +3644,8 @@ object Pipeline {
         |  CAST(length(text) * 40 AS BIGINT) AS duration_ms,
         |  CAST(1 + length(text) % 64 AS INT) AS width,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "multimodal_decode_wav" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
@@ -3644,7 +3655,8 @@ object Pipeline {
         |      ch -> ch <> ''), ch -> CAST(128 - ascii(ch) AS BIGINT))),
         |    (a, x) -> a + x)
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
     "boilerplate_ngrams" ->
       s"""$shCte,
          |ex AS (SELECT doc_id, unnest(th) AS sh FROM th),
@@ -4066,7 +4078,7 @@ object Pipeline {
          |    substr(text, CAST(i AS INT) * 64 + 1, 64) AS frame
          |  FROM documents,
          |    LATERAL unnest(range(0, (length(text) + 63) // 64)) AS u(i)
-         |  WHERE i % 3 = 0)
+         |  WHERE i % 3 = 0 AND length(text) = strlen(text))
          |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
          |  CAST(length(frame) AS INT) AS frame_len,
          |  ${charFoldDuck("frame")} AS frame_hash,

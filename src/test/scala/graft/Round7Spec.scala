@@ -60,6 +60,16 @@ class Round7Spec extends AnyFunSuite {
     assert(tex.getInt(1) == 1 + 80 % 32 && tex.getInt(2) == 1 + (80 / 32) % 32)
   }
 
+  test("media fixtures narrow on non-ASCII text instead of throwing") {
+    val dir = fixtureDir(Seq(0L -> "plain ascii", 1L -> "café latte"))
+    val ids = Pipeline.queries("image_ahash")(spark, dir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L), s"non-ASCII doc must be filtered, got $ids")
+    val feats = Pipeline.queries("multimodal_features")(spark, dir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(feats == Set(0L))
+  }
+
   test("skew_report: hot key salt recommendation is exact") {
     val ev = (0 until 8).map(i =>
       (i.toLong, i.toLong * 1000L, i.toLong, "hot", 1.0, "{}")) ++
