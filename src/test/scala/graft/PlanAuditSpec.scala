@@ -262,4 +262,39 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.substring(i).contains("HashAggregate(keys=[doc_id"),
       "doc side reaches the vocab join without its per-doc aggregate")
   }
+
+  test("char_entropy and image_ahash are pure map passes") {
+    // both compute per-row from the document scan; the only exchange
+    // allowed is the presentation sort's range partitioning
+    for (n <- Seq("char_entropy", "image_ahash")) {
+      val p = plan(n)
+      val bad = p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Exchange rangepartitioning"))
+      assert(bad == 0, s"unexpected shuffle in $n:\n$p")
+      assert(!p.contains("Join"), s"$n joined something")
+    }
+  }
+
+  test("skew_report shuffles only per-key counts, never raw rows twice") {
+    // per candidate key: one hash-partitioned count aggregate (with a
+    // map-side partial), then single-row reductions — 2 keys → at most
+    // 2 count-exchange pairs plus the final single-partition gathers
+    val shuffles = physical("skew_report").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    val hashed = shuffles.filter(_.outputPartitioning.toString
+      .contains("hashpartitioning"))
+    assert(hashed.length <= 2,
+      s"skew_report hash-shuffled ${hashed.length} times — keyed counts " +
+        "should shuffle once per candidate key")
+  }
+
+  test("q33_skew_salted joins on (key, salt) — the salt reaches the join") {
+    val p = plan("q33_skew_salted")
+    val i = p.indexOf("Join")
+    assert(i >= 0, "salted join missing")
+    assert(p.substring(i, math.min(p.length, i + 400)).contains("_salt"),
+      "the salt column fell out of the join keys — hot keys re-collapse " +
+        "onto single tasks")
+  }
 }
