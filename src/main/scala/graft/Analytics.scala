@@ -453,7 +453,39 @@ object Analytics {
       .orderBy("key_col")
   }
 
+  /** Seasonal-baseline anomaly detection — the hour-of-day profile
+    * monitor beside [[cusumShift]]'s level-shift detector: each
+    * (type, day, hour) count is judged against the seasonal profile of
+    * its OWN hour-of-day across days, flagging cells more than 3σ from
+    * the hourly mean. The z² > 9 test runs in exact cross-multiplied
+    * integers — `(H·cnt − tot)² > 9·(H·ss − tot²)` — the
+    * [[valueOutliers]] convention, so both engines agree bit-for-bit
+    * (σ = 0 hours flag nothing: both sides are zero). Hours with no
+    * events contribute no cell; the profile is over OBSERVED cells,
+    * the right semantics for rate monitoring where absence is its own
+    * signal ([[cusumShift]] covers it).
+    *
+    * 100 TB shape: one map-combinable count shuffle on the
+    * (type, day, hour) grid (cardinality = types × days × 24, NOT
+    * corpus-sized), a 24×types profile aggregate, then a broadcast
+    * profile join back — events are touched once. */
+  private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir).selectExpr("event_type",
+      "ts div 86400000000000 AS day",
+      "(ts div 3600000000000) % 24 AS hour")
+      .groupBy("event_type", "day", "hour").agg(count(lit(1)).as("cnt"))
+    val prof = cells.groupBy("event_type", "hour").agg(
+      count(lit(1)).as("n_cells"), sum("cnt").as("tot"),
+      sum(expr("cnt * cnt")).as("ss"))
+    cells.join(broadcast(prof), Seq("event_type", "hour"))
+      .filter(expr("(n_cells * cnt - tot) * (n_cells * cnt - tot) " +
+        "> 9 * (n_cells * ss - tot * tot)"))
+      .selectExpr("event_type", "day", "hour", "cnt", "n_cells")
+      .orderBy("event_type", "day", "hour")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonal_anomaly" -> seasonalAnomaly _,
     "skew_report" -> skewReport _,
     "active_users" -> activeUsers _,
     "ams_join_size" -> amsJoinSize _,
@@ -467,6 +499,24 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "seasonal_anomaly" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |prof AS (
+        |  SELECT event_type, hour, count(*) AS n_cells,
+        |    CAST(sum(cnt) AS BIGINT) AS tot,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, c.hour, c.cnt, n_cells
+        |FROM cells c
+        |JOIN prof p ON c.event_type = p.event_type AND c.hour = p.hour
+        |WHERE (n_cells * c.cnt - tot) * (n_cells * c.cnt - tot)
+        |  > 9 * (n_cells * ss - tot * tot)
+        |ORDER BY c.event_type, c.day, c.hour""".stripMargin,
     "skew_report" ->
       """WITH c1 AS (
         |  SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
