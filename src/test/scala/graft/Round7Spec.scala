@@ -70,6 +70,20 @@ class Round7Spec extends AnyFunSuite {
     assert(feats == Set(0L))
   }
 
+  test("driver embeddings are 64-dim (canary for the next data rotation)") {
+    // The RP projection (Pipeline ~1575/3281) and SQ8 reconstruction
+    // (q8RecSql) hard-code the 64-dim width on BOTH engines. The ts
+    // rotation broke 44 queries silently-at-a-distance; if the
+    // embedding width rotates, fail HERE with a pointer instead of as
+    // scattered nulls in the quantization family.
+    val dims = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("size(embedding) AS d").distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"embedding dim rotated to ${dims.mkString(",")} — update the " +
+        "sequence(0,63)/sequence(1,64)/range(0,64) sites in Pipeline " +
+        "(Spark + DuckDB oracle) in lockstep")
+  }
+
   test("skew_report: hot key salt recommendation is exact") {
     val ev = (0 until 8).map(i =>
       (i.toLong, i.toLong * 1000L, i.toLong, "hot", 1.0, "{}")) ++
