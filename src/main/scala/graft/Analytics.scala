@@ -469,14 +469,27 @@ object Analytics {
     * (type, day, hour) grid (cardinality = types × days × 24, NOT
     * corpus-sized), a 24×types profile aggregate, then a broadcast
     * profile join back — events are touched once. */
-  private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(s, dir).selectExpr("event_type",
+  /** (type, day, hour) cell counts — the calendar-grid aggregate both
+    * the anomaly query and the frozen streaming profile reduce. */
+  private def seasonalCells(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).selectExpr("event_type",
       "ts div 86400000000000 AS day",
       "(ts div 3600000000000) % 24 AS hour")
       .groupBy("event_type", "day", "hour").agg(count(lit(1)).as("cnt"))
-    val prof = cells.groupBy("event_type", "hour").agg(
+
+  /** The hour-of-day MODEL: one row per (type, hour) —
+    * (n_cells, Σcnt, Σcnt²). The streaming gate freezes exactly this
+    * table ([[streaming.StreamingSeasonalGate]]), the same train-batch /
+    * score-stream split as the outlier and NB quality gates. */
+  private[graft] def seasonalProfile(s: SparkSession, dir: String)
+      : DataFrame =
+    seasonalCells(s, dir).groupBy("event_type", "hour").agg(
       count(lit(1)).as("n_cells"), sum("cnt").as("tot"),
       sum(expr("cnt * cnt")).as("ss"))
+
+  private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = seasonalCells(s, dir)
+    val prof = seasonalProfile(s, dir)
     cells.join(broadcast(prof), Seq("event_type", "hour"))
       .filter(expr("(n_cells * cnt - tot) * (n_cells * cnt - tot) " +
         "> 9 * (n_cells * ss - tot * tot)"))
