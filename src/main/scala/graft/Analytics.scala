@@ -497,7 +497,44 @@ object Analytics {
       .orderBy("event_type", "day", "hour")
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic behavioral scoring over an event stream: per user, days
+    * since last activity (against the corpus max day, so the score is
+    * data-relative and reproducible), event count, and centi-value
+    * total, each quintiled into 1–5 by `ntile` over a fully-tied-down
+    * order (metric, then user_id — both engines agree on every
+    * boundary). High r_score = recent. The composite RFM cell is the
+    * usual 3-digit code.
+    *
+    * 100 TB shape: one map-combinable per-user aggregate (the user
+    * dimension), then three window passes over that dimension — never
+    * the event stream; ntile's single-partition window runs on USERS,
+    * which at planet scale would switch to the percentile-histogram
+    * walk (`value_percentiles`) — same 1–5 output, documented
+    * trade. */
+  private def userRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir).selectExpr("user_id",
+      "ts div 86400000000000 AS day",
+      "CAST(round(value * 100) AS BIGINT) AS value_c")
+      .groupBy("user_id").agg(max("day").as("last_day"),
+        count(lit(1)).as("f"), sum("value_c").as("m_c"))
+    val w = (c: String) => org.apache.spark.sql.expressions.Window
+      .orderBy(col(c), col("user_id"))
+    per.crossJoin(broadcast(per.agg(max("last_day").as("max_day"))))
+      .selectExpr("user_id", "max_day - last_day AS r_days", "f", "m_c")
+      .withColumn("r_score", lit(6) - ntile(5).over(w("r_days")))
+      .withColumn("f_score", ntile(5).over(w("f")))
+      .withColumn("m_score", ntile(5).over(w("m_c")))
+      .selectExpr("user_id", "r_days", "f", "m_c",
+        "CAST(r_score AS BIGINT) AS r_score",
+        "CAST(f_score AS BIGINT) AS f_score",
+        "CAST(m_score AS BIGINT) AS m_score",
+        "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm")
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_rfm" -> userRfm _,
     "seasonal_anomaly" -> seasonalAnomaly _,
     "skew_report" -> skewReport _,
     "active_users" -> activeUsers _,
@@ -512,6 +549,29 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "user_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(epoch_ns(ts) // 86400000000000) AS last_day,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_c
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(last_day) AS max_day FROM per),
+        |b AS (
+        |  SELECT user_id, max_day - last_day AS r_days, f, m_c
+        |  FROM per, mx),
+        |sc AS (
+        |  SELECT user_id, r_days, f, m_c,
+        |    6 - ntile(5) OVER (ORDER BY r_days, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY f, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY m_c, user_id) AS m_score
+        |  FROM b)
+        |SELECT user_id, r_days, f, m_c,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM sc ORDER BY user_id""".stripMargin,
     "seasonal_anomaly" ->
       """WITH cells AS (
         |  SELECT event_type,
