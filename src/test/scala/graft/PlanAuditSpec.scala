@@ -73,6 +73,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // single-row max(source) aggregate; the dedup join itself is an
       // equi-join on the compound fingerprint
       "dedup_incremental",
+      // user_rfm: the corpus max-day anchor is a broadcast single-row
+      // max aggregate; scoring windows run over the user dimension
+      "user_rfm",
       // data_quality: each check row assembles from two single-row
       // count aggregates (n_checked × n_violations)
       "data_quality",
