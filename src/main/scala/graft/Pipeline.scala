@@ -2877,7 +2877,12 @@ object Pipeline {
     * 100 TB shape: pure map over the media scan (constant 64 samples
     * per image regardless of resolution), hash-equality or band joins
     * downstream — never pixel joins. */
-  private def imageAhash(s: SparkSession, dir: String): DataFrame = {
+  private def imageAhash(s: SparkSession, dir: String): DataFrame =
+    ahashRows(s, dir).orderBy("media_id")
+
+  /** The unordered aHash table (media_id, dims, hi/lo halves) shared by
+    * the per-image readout and the banded near-dup join. */
+  private def ahashRows(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     asciiDocs(s, dir)
@@ -2911,7 +2916,88 @@ object Pipeline {
         (id, dw, dh, hi, lo)
       }
       .toDF("media_id", "decoded_w", "decoded_h", "ahash_hi", "ahash_lo")
-      .orderBy("media_id")
+  }
+
+  /** How many of the 64 aHash bits may differ for a candidate pair to
+    * surface in the near-dup panel (random signatures center on 32,
+    * σ = 4 — the panel reports the left tail). */
+  final val AhashPanelTop = 20
+
+  /** Shared oracle CTE chain ending in
+    * `hx(media_id, decoded_w, decoded_h, ahash_hi, ahash_lo)` — the
+    * DuckDB twin of [[ahashRows]]: sampled pixel byte c of grid cell k
+    * is text byte (y·rowSize + x·3 + c) mod len, with x = (k%8)·w//8,
+    * y = (k//8)·h//8, rowSize = 4-padded 3·w. */
+  private def ahashOracleCtes: String = {
+    def lumK: String =
+      """(ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+        |      + ((k % 8) * w // 8) * 3 + 0)) % len AS INT) + 1, 1))
+        | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+        |      + ((k % 8) * w // 8) * 3 + 1)) % len AS INT) + 1, 1))
+        | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
+        |      + ((k % 8) * w // 8) * 3 + 2)) % len AS INT) + 1, 1))) // 3"""
+        .stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    1 + length(text) % 32 AS w,
+       |    1 + (length(text) // 32) % 32 AS h
+       |  FROM documents WHERE length(text) = strlen(text)),
+       |p AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, 64), k -> $lumK) AS lum
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, w, h, lum,
+       |    CAST(list_sum(lum) AS BIGINT) AS tot FROM p),
+       |b AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, 64), k ->
+       |      CASE WHEN 64 * lum[CAST(k AS INT) + 1] > tot
+       |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM s),
+       |hx AS (
+       |  SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
+       |    CAST(h AS INT) AS decoded_h,
+       |    CAST(list_sum(list_transform(range(32, 64), k ->
+       |      bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << (k - 32))))
+       |      AS BIGINT) AS ahash_hi,
+       |    CAST(list_sum(list_transform(range(0, 32), k ->
+       |      bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << k)))
+       |      AS BIGINT) AS ahash_lo
+       |  FROM b)""".stripMargin
+  }
+
+  /** Banded aHash near-dup — the image twin of [[minhashLsh]]'s
+    * band-bucket candidate generation: the 64-bit signature splits into
+    * four 16-bit bands; images sharing ANY band value become
+    * candidates (a shuffle on (band, value) buckets — sub-quadratic by
+    * construction, candidates ∝ Σ C(bucket, 2), never C(N, 2)), and
+    * each candidate pair is verified by exact Hamming distance
+    * (`bit_count(xor)` on the two halves — codegen'd integer ops). The
+    * top-[[AhashPanelTop]] closest pairs ship as the review panel via
+    * TakeOrdered, never a global sort. On this corpus the signatures
+    * are effectively random (distinct images), so the panel documents
+    * the EXPECTED collision background — distances cluster at 32±4 —
+    * exactly what a curator needs to see before trusting a threshold. */
+  private def imageNeardupAhash(s: SparkSession, dir: String): DataFrame = {
+    val h = ahashRows(s, dir).selectExpr("media_id", "ahash_hi", "ahash_lo")
+    val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(
+        expr("ahash_lo & 65535"), expr("shiftright(ahash_lo, 16) & 65535"),
+        expr("ahash_hi & 65535"), expr("shiftright(ahash_hi, 16) & 65535")))
+        .as(Seq("band", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
+        col("b.ahash_hi").as("hi_b"), col("b.ahash_lo").as("lo_b"))
+      .distinct()
+      .selectExpr("id_a", "id_b",
+        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT) " +
+          "AS hamming")
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+      .limit(AhashPanelTop)
   }
 
   /** REAL-decoder compressed-image path: documents encode into real
@@ -3087,6 +3173,7 @@ object Pipeline {
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
     "image_ahash"       -> imageAhash _,
+    "image_neardup_ahash" -> imageNeardupAhash _,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
@@ -3529,46 +3616,28 @@ object Pipeline {
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents
          |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
-    "image_ahash" -> {
-      // sampled pixel byte c of grid cell k: the BMP pixel area is the
-      // text bytes cycled, so byte (y·rowSize + x·3 + c) mod len — with
-      // x = (k%8)·w//8, y = (k//8)·h//8, rowSize = 4-padded 3·w
-      def lumK: String =
-        """(ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-          |      + ((k % 8) * w // 8) * 3 + 0)) % len AS INT) + 1, 1))
-          | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-          |      + ((k % 8) * w // 8) * 3 + 1)) % len AS INT) + 1, 1))
-          | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-          |      + ((k % 8) * w // 8) * 3 + 2)) % len AS INT) + 1, 1))) // 3"""
-          .stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents WHERE length(text) = strlen(text)),
-         |p AS (
-         |  SELECT doc_id, w, h,
-         |    list_transform(range(0, 64), k -> $lumK) AS lum
-         |  FROM d),
-         |s AS (
-         |  SELECT doc_id, w, h, lum,
-         |    CAST(list_sum(lum) AS BIGINT) AS tot FROM p),
-         |b AS (
-         |  SELECT doc_id, w, h,
-         |    list_transform(range(0, 64), k ->
-         |      CASE WHEN 64 * lum[CAST(k AS INT) + 1] > tot
-         |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
-         |  FROM s)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
-         |  CAST(h AS INT) AS decoded_h,
-         |  CAST(list_sum(list_transform(range(32, 64), k ->
-         |    bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << (k - 32))))
-         |    AS BIGINT) AS ahash_hi,
-         |  CAST(list_sum(list_transform(range(0, 32), k ->
-         |    bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << k)))
-         |    AS BIGINT) AS ahash_lo
-         |FROM b ORDER BY media_id""".stripMargin
-    },
+    "image_ahash" ->
+      s"""$ahashOracleCtes
+         |SELECT media_id, decoded_w, decoded_h, ahash_hi, ahash_lo
+         |FROM hx ORDER BY media_id""".stripMargin,
+    "image_neardup_ahash" ->
+      s"""$ahashOracleCtes,
+         |bands AS (
+         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
+         |    unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
+         |      ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bv,
+         |    unnest([0, 1, 2, 3]) AS band
+         |  FROM hx),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |    AS BIGINT) AS hamming
+         |FROM cand ORDER BY hamming, id_a, id_b LIMIT $AhashPanelTop"""
+        .stripMargin,
     "multimodal_decode_bmp" ->
       """SELECT doc_id AS media_id, 'image/bmp' AS kind,
         |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
