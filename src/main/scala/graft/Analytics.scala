@@ -443,10 +443,17 @@ object Analytics {
       keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
           max("cnt").as("max_cnt"))
+        // ppm share and salt factor in DECIMAL(38,0): max_cnt·10⁶ and
+        // max_cnt·n_keys overflow BIGINT past ~9·10¹² hot-key rows /
+        // high key cardinality — widened, the report stays exact for
+        // any corpus whose per-key counts fit i64
         .selectExpr(s"'$keyName' AS key_col", "n_rows", "n_keys", "max_cnt",
-          "max_cnt * 1000000 div n_rows AS top_share_ppm",
-          "CASE WHEN max_cnt * n_keys <= n_rows THEN CAST(1 AS BIGINT) " +
-            "ELSE (max_cnt * n_keys + n_rows - 1) div n_rows END AS rec_salts")
+          "CAST(max_cnt AS DECIMAL(38,0)) * 1000000 div n_rows " +
+            "AS top_share_ppm",
+          "CASE WHEN CAST(max_cnt AS DECIMAL(38,0)) * n_keys <= n_rows " +
+            "THEN CAST(1 AS BIGINT) " +
+            "ELSE (CAST(max_cnt AS DECIMAL(38,0)) * n_keys + n_rows - 1) " +
+            "div n_rows END AS rec_salts")
     report("event_type", ev.select(col("event_type").as("k")))
       .unionAll(report("user_id",
         ev.selectExpr("CAST(user_id AS STRING) AS k")))
@@ -480,19 +487,27 @@ object Analytics {
   /** The hour-of-day MODEL: one row per (type, hour) —
     * (n_cells, Σcnt, Σcnt²). The streaming gate freezes exactly this
     * table ([[streaming.StreamingSeasonalGate]]), the same train-batch /
-    * score-stream split as the outlier and NB quality gates. */
+    * score-stream split as the outlier and NB quality gates. Σcnt² is
+    * WIDENED to DECIMAL(38,0) (HUGEINT on the oracle side): per-cell
+    * counts square, so a BIGINT ss overflows once counts pass ~3·10⁹ —
+    * the widened model and the widened z² filter below stay exact up to
+    * per-cell counts of ~10¹⁶ (dev² and tot² below 10³⁸), far beyond
+    * the 100 TB grid. */
   private[graft] def seasonalProfile(s: SparkSession, dir: String)
       : DataFrame =
     seasonalCells(s, dir).groupBy("event_type", "hour").agg(
       count(lit(1)).as("n_cells"), sum("cnt").as("tot"),
-      sum(expr("cnt * cnt")).as("ss"))
+      sum(expr("CAST(cnt AS DECIMAL(19,0)) * cnt")).as("ss"))
 
   private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
     val cells = seasonalCells(s, dir)
     val prof = seasonalProfile(s, dir)
+    // z² in DECIMAL(38,0): dev stays BIGINT (n_cells·cnt ≤ grid·count,
+    // inside i64 to ~10¹⁶ counts), its square and tot² widen
     cells.join(broadcast(prof), Seq("event_type", "hour"))
-      .filter(expr("(n_cells * cnt - tot) * (n_cells * cnt - tot) " +
-        "> 9 * (n_cells * ss - tot * tot)"))
+      .filter(expr(
+        "CAST(n_cells * cnt - tot AS DECIMAL(38,0)) * (n_cells * cnt - tot) " +
+          "> 9 * (n_cells * ss - CAST(tot AS DECIMAL(38,0)) * tot)"))
       .selectExpr("event_type", "day", "hour", "cnt", "n_cells")
       .orderBy("event_type", "day", "hour")
   }
@@ -501,35 +516,68 @@ object Analytics {
     * classic behavioral scoring over an event stream: per user, days
     * since last activity (against the corpus max day, so the score is
     * data-relative and reproducible), event count, and centi-value
-    * total, each quintiled into 1–5 by `ntile` over a fully-tied-down
-    * order (metric, then user_id — both engines agree on every
-    * boundary). High r_score = recent. The composite RFM cell is the
-    * usual 3-digit code.
+    * total, each quintiled into 1–5 with EXACT `ntile(5)` semantics
+    * over the fully-tied-down order (metric, then user_id). High
+    * r_score = recent. The composite RFM cell is the usual 3-digit
+    * code.
+    *
+    * NO single-partition window anywhere (the r7 verdict's one named
+    * scale-killer): each user's global rank under (metric, user_id)
+    * decomposes as rank = below + tie_rank, where `below` comes from a
+    * cumulative walk over the per-metric VALUE HISTOGRAM (the
+    * [[valuePercentiles]] move — per-group state is the distinct-value
+    * domain, never the user set) and `tie_rank` is a row_number over
+    * the (metric, value) TIE GROUP ordered by user_id. The quintile
+    * is then assigned MAP-SIDE from ntile's closed form: with n users,
+    * bucket b ends at position b·(n div 5) + min(b, n mod 5), so
+    * score = 1 + #boundaries strictly below the rank — bit-identical
+    * to the oracle's ntile.
     *
     * 100 TB shape: one map-combinable per-user aggregate (the user
-    * dimension), then three window passes over that dimension — never
-    * the event stream; ntile's single-partition window runs on USERS,
-    * which at planet scale would switch to the percentile-histogram
-    * walk (`value_percentiles`) — same 1–5 output, documented
-    * trade. */
+    * dimension), ONE (metric, v)-keyed shuffle that serves both the
+    * histogram join and the tie-rank window, and a per-user pivot
+    * aggregate. The histogram walk partitions by metric — its frame is
+    * the metric's value DOMAIN (days / count classes / centi-sums),
+    * the documented trade of every walk in this file; a near-continuous
+    * metric would coarsen through a two-level bucket walk, same
+    * answer. */
   private def userRfm(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(s, dir).selectExpr("user_id",
       "ts div 86400000000000 AS day",
       "CAST(round(value * 100) AS BIGINT) AS value_c")
       .groupBy("user_id").agg(max("day").as("last_day"),
         count(lit(1)).as("f"), sum("value_c").as("m_c"))
-    val w = (c: String) => org.apache.spark.sql.expressions.Window
-      .orderBy(col(c), col("user_id"))
-    per.crossJoin(broadcast(per.agg(max("last_day").as("max_day"))))
-      .selectExpr("user_id", "max_day - last_day AS r_days", "f", "m_c")
-      .withColumn("r_score", lit(6) - ntile(5).over(w("r_days")))
-      .withColumn("f_score", ntile(5).over(w("f")))
-      .withColumn("m_score", ntile(5).over(w("m_c")))
+    val base = per
+      .crossJoin(broadcast(per.agg(max("last_day").as("max_day"),
+        count(lit(1)).as("n_users"))))
+      .selectExpr("user_id", "max_day - last_day AS r_days", "f", "m_c",
+        "n_users")
+    val longF = base.selectExpr("user_id", "n_users",
+      "stack(3, 'r', r_days, 'f', f, 'm', m_c) AS (metric, v)")
+    val hist = longF.groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("below", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("metric").orderBy("v")) - col("cnt"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("metric", "v").orderBy("user_id")
+    val boundary = (b: Int) =>
+      s"CAST(rnk > $b * (n_users div 5) + least($b, n_users % 5) AS INT)"
+    val scored = longF
+      .join(hist.select("metric", "v", "below"), Seq("metric", "v"))
+      .withColumn("rnk", col("below") + row_number().over(tieW))
+      .selectExpr("user_id", "metric",
+        s"1 + ${boundary(1)} + ${boundary(2)} + ${boundary(3)} " +
+          s"+ ${boundary(4)} AS tile")
+    val wide = scored.groupBy("user_id").agg(
+      max(when(col("metric") === "r", col("tile"))).as("r_tile"),
+      max(when(col("metric") === "f", col("tile"))).as("f_tile"),
+      max(when(col("metric") === "m", col("tile"))).as("m_tile"))
+    base.join(wide, "user_id")
       .selectExpr("user_id", "r_days", "f", "m_c",
-        "CAST(r_score AS BIGINT) AS r_score",
-        "CAST(f_score AS BIGINT) AS f_score",
-        "CAST(m_score AS BIGINT) AS m_score",
-        "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm")
+        "CAST(6 - r_tile AS BIGINT) AS r_score",
+        "CAST(f_tile AS BIGINT) AS f_score",
+        "CAST(m_tile AS BIGINT) AS m_score",
+        "CAST((6 - r_tile) * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm")
       .orderBy("user_id")
   }
 
@@ -582,13 +630,13 @@ object Analytics {
         |prof AS (
         |  SELECT event_type, hour, count(*) AS n_cells,
         |    CAST(sum(cnt) AS BIGINT) AS tot,
-        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |    sum(CAST(cnt AS HUGEINT) * cnt) AS ss
         |  FROM cells GROUP BY 1, 2)
         |SELECT c.event_type, c.day, c.hour, c.cnt, n_cells
         |FROM cells c
         |JOIN prof p ON c.event_type = p.event_type AND c.hour = p.hour
-        |WHERE (n_cells * c.cnt - tot) * (n_cells * c.cnt - tot)
-        |  > 9 * (n_cells * ss - tot * tot)
+        |WHERE CAST(n_cells * c.cnt - tot AS HUGEINT) * (n_cells * c.cnt - tot)
+        |  > 9 * (n_cells * ss - CAST(tot AS HUGEINT) * tot)
         |ORDER BY c.event_type, c.day, c.hour""".stripMargin,
     "skew_report" ->
       """WITH c1 AS (
@@ -604,9 +652,12 @@ object Analytics {
         |    count(*) AS n_keys, max(cnt) AS max_cnt FROM c2),
         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
         |SELECT key_col, n_rows, n_keys, max_cnt,
-        |  max_cnt * 1000000 // n_rows AS top_share_ppm,
-        |  CASE WHEN max_cnt * n_keys <= n_rows THEN CAST(1 AS BIGINT)
-        |    ELSE (max_cnt * n_keys + n_rows - 1) // n_rows END AS rec_salts
+        |  CAST(CAST(max_cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+        |    AS top_share_ppm,
+        |  CASE WHEN CAST(max_cnt AS HUGEINT) * n_keys <= n_rows
+        |    THEN CAST(1 AS BIGINT)
+        |    ELSE CAST((CAST(max_cnt AS HUGEINT) * n_keys + n_rows - 1)
+        |      // n_rows AS BIGINT) END AS rec_salts
         |FROM u ORDER BY key_col""".stripMargin,
     "ams_join_size" ->
       """WITH za AS (

@@ -679,8 +679,12 @@ object Pipeline {
         "transform(array_distinct(chs), ch -> " +
           "size(filter(chs, c -> c = ch))) AS cnts")
       .selectExpr("doc_id", "n", "size(cnts) AS n_distinct",
+        // integer round BEFORE the cast: round(x·1e6, 0) is an exact
+        // integer-valued double, so Spark's truncating and DuckDB's
+        // rounding long-cast agree by construction (round(x,6)·1e6 can
+        // land a hair under the integer and split the engines)
         "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * " +
-          "CAST(round(ln(n / CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT)) " +
+          "CAST(round(ln(n / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)) " +
           "AS micro_nats")
       .selectExpr("doc_id", "n", "n_distinct",
         "round(CAST(micro_nats AS DOUBLE) / n / 1000000.0, 4) AS entropy")
@@ -2341,12 +2345,17 @@ object Pipeline {
     * RefinedWeb/FineWeb-class pipelines (machine-generated boilerplate
     * compresses far better than natural text; a ratio near 0 flags it).
     * No SQL twin exists (DuckDB has no compression function), so this
-    * is a rows-only query pinned by a plain-Scala recompute spec plus
-    * crafted monotonicity cases instead of the DuckDB oracle.
+    * deliberately lives OUTSIDE the `SparkEntry.queries` gate — every
+    * gate entry promises a DuckDB-checkable oracle, and this one
+    * structurally can't. Coverage instead: TextKernelsSpec replays the
+    * query against a plain-Scala recompute plus crafted
+    * repetitive-vs-diverse monotonicity cases, and PlanAuditSpec pins
+    * the pure-map plan. The function remains a first-class corpus
+    * filter signal (COVERAGE.md).
     *
     * 100 TB shape: a pure map — [[graft.functions.DeflateLen]] runs the
     * JDK Deflater per row inside codegen, no shuffle, no state. */
-  private def compressionRatio(s: SparkSession, dir: String): DataFrame =
+  private[graft] def compressionRatio(s: SparkSession, dir: String): DataFrame =
     registered2(s, dir)
       .selectExpr("doc_id",
         "CAST(length(text) AS BIGINT) AS n_bytes",
@@ -2808,12 +2817,18 @@ object Pipeline {
     * strlen`). On ASCII corpora the filter keeps every row; a future
     * data rotation to non-ASCII text narrows the fixture set on BOTH
     * engines identically instead of throwing mid-stage. */
+  /** ASCII, NON-EMPTY documents — the multimodal fixture base. The
+    * `length > 0` guard keeps both engines' narrowing identical: a
+    * zero-length payload would zero-pad on the Spark side while the
+    * oracle's `% len` sampling turns NULL (advisor-flagged parity
+    * hazard), so empty docs are excluded from the media corpus
+    * outright. */
   private def asciiDocs(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, String)] = {
     val spark = s
     import spark.implicits._
     Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text)"))
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
   }
 
@@ -2941,7 +2956,7 @@ object Pipeline {
        |  SELECT doc_id, text, length(text) AS len,
        |    1 + length(text) % 32 AS w,
        |    1 + (length(text) // 32) % 32 AS h
-       |  FROM documents WHERE length(text) = strlen(text)),
+       |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
        |p AS (
        |  SELECT doc_id, w, h,
        |    list_transform(range(0, 64), k -> $lumK) AS lum
@@ -3225,7 +3240,6 @@ object Pipeline {
     "source_overlap"    -> sourceOverlap _,
     "vocab_coverage"    -> vocabCoverage _,
     "text_normalize"    -> textNormalize _,
-    "compression_ratio" -> compressionRatio _,
     "text_quality_full" -> textQualityFull _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "bm25"              -> bm25 _,
@@ -3615,7 +3629,7 @@ object Pipeline {
          |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
          |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
          |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "image_ahash" ->
       s"""$ahashOracleCtes
          |SELECT media_id, decoded_w, decoded_h, ahash_hi, ahash_lo
@@ -3644,7 +3658,7 @@ object Pipeline {
         |  CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h
         |FROM (SELECT doc_id, 1 + length(text) % 64 AS w,
         |        1 + (length(text) // 64) % 64 AS h FROM documents
-         |WHERE length(text) = strlen(text))
+         |WHERE length(text) = strlen(text) AND length(text) > 0)
         |ORDER BY media_id""".stripMargin,
     "multimodal_decode_jpeg" ->
       """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
@@ -3652,14 +3666,14 @@ object Pipeline {
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_png" ->
       """SELECT doc_id AS media_id, 'image/png' AS kind,
         |  CAST(57 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_gif" ->
       """SELECT doc_id AS media_id, 'image/gif' AS kind,
         |  CAST(17 + length(text) + (length(text) + 254) // 255 AS BIGINT)
@@ -3667,14 +3681,14 @@ object Pipeline {
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_tiff" ->
       """SELECT doc_id AS media_id, 'image/tiff' AS kind,
         |  CAST(38 + length(text) AS BIGINT) AS n_bytes,
         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_png_pixels" -> {
       // channel c pixels sit at byte positions ≡ c (mod 3) of the
       // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
@@ -3686,7 +3700,7 @@ object Pipeline {
          |  SELECT doc_id, text, length(text) AS len,
          |    1 + length(text) % 32 AS w,
          |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents WHERE length(text) = strlen(text)),
+         |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
          |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
          |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
          |  CAST(h AS INT) AS height, n AS n_pixels,
@@ -3705,7 +3719,7 @@ object Pipeline {
         |  CAST((1 + length(text) % 16) * 1152000 // 44100 AS BIGINT)
         |    AS duration_ms
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_mp4" ->
       """SELECT doc_id AS media_id,
         |  CAST(240 + length(text) AS BIGINT) AS n_bytes,
@@ -3714,7 +3728,7 @@ object Pipeline {
         |  CAST(1 + length(text) % 64 AS INT) AS width,
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "multimodal_decode_wav" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
@@ -3725,7 +3739,7 @@ object Pipeline {
         |    (a, x) -> a + x)
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
         |FROM documents
-         |WHERE length(text) = strlen(text) ORDER BY media_id""".stripMargin,
+         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
     "boilerplate_ngrams" ->
       s"""$shCte,
          |ex AS (SELECT doc_id, unnest(th) AS sh FROM th),
@@ -4147,7 +4161,7 @@ object Pipeline {
          |    substr(text, CAST(i AS INT) * 64 + 1, 64) AS frame
          |  FROM documents,
          |    LATERAL unnest(range(0, (length(text) + 63) // 64)) AS u(i)
-         |  WHERE i % 3 = 0 AND length(text) = strlen(text))
+         |  WHERE i % 3 = 0 AND length(text) = strlen(text) AND length(text) > 0)
          |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
          |  CAST(length(frame) AS INT) AS frame_len,
          |  ${charFoldDuck("frame")} AS frame_hash,
@@ -4526,7 +4540,7 @@ object Pipeline {
         |  FROM t)
         |SELECT doc_id, n, len(cnts) AS n_distinct,
         |  round(CAST(list_sum(list_transform(cnts, c -> c *
-        |    CAST(round(ln(n / CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT)))
+        |    CAST(round(ln(n / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)))
         |    AS DOUBLE) / n / 1000000.0, 4) AS entropy
         |FROM h ORDER BY doc_id""".stripMargin,
     "text_quality" ->

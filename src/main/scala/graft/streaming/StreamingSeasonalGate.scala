@@ -29,14 +29,19 @@ case class CellStatus(eventType: String, day: Long, hour: Long,
 object StreamingSeasonalGate {
 
   /** Frozen per-(type, hour-of-day) profile, exactly as the batch side
-    * computes it. */
-  case class HourProfile(nCells: Long, tot: Long, ss: Long)
+    * computes it. `ss` (Σcnt²) is a BigInt — the batch profile widens
+    * it to DECIMAL(38,0), since counts square past i64 at ~3·10⁹ per
+    * cell. */
+  case class HourProfile(nCells: Long, tot: Long, ss: BigInt)
 
   /** Integer verdict shared with the parity spec:
-    * (H·cnt − tot)² > 9·(H·ss − tot²). */
+    * (H·cnt − tot)² > 9·(H·ss − tot²) — evaluated in arbitrary
+    * precision so the gate matches the batch side's widened DECIMAL
+    * arithmetic at any count magnitude (model-sized work: one BigInt
+    * product chain per scored cell). */
   def flag(cnt: Long, p: HourProfile): Boolean = {
-    val dev = p.nCells * cnt - p.tot
-    dev * dev > 9 * (p.nCells * p.ss - p.tot * p.tot)
+    val dev = BigInt(p.nCells) * cnt - p.tot
+    dev * dev > 9 * (BigInt(p.nCells) * p.ss - BigInt(p.tot) * p.tot)
   }
 
   /** Collect the profile MODEL (one row per (type, hour)) for shipment
@@ -44,7 +49,7 @@ object StreamingSeasonalGate {
   def frozen(s: SparkSession, dir: String): Map[(String, Long), HourProfile] =
     graft.Analytics.seasonalProfile(s, dir).collect().map { r =>
       (r.getString(0), r.getLong(1)) -> HourProfile(r.getLong(2),
-        r.getLong(3), r.getLong(4))
+        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger))
     }.toMap
 
   def statuses(events: Dataset[CellEvent],

@@ -27,10 +27,10 @@ class BenchLineSpec extends AnyFunSuite {
   test("every query has an oracle entry or a documented rows-only check") {
     // queries without oracleSql get a weaker rows-only gate; keep that
     // set explicit so a forgotten oracle is a test failure, not a silent
-    // downgrade of the correctness story
-    // compression_ratio: deflate has no SQL twin in DuckDB; pinned by
-    // TextKernelsSpec's plain-Scala recompute instead (scaladoc'd).
-    val documented = Set("compression_ratio")
+    // downgrade of the correctness story. (compression_ratio moved OUT
+    // of the gate map entirely in r8 — no DuckDB twin exists; it is
+    // pinned by TextKernelsSpec + PlanAuditSpec instead.)
+    val documented = Set.empty[String]
     val rowsOnly =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- documented
     assert(rowsOnly.isEmpty,

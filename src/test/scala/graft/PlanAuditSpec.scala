@@ -196,10 +196,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("gopher_repetition and pii_scrub are pure map passes") {
     // both compute per-row; the only exchange allowed is the
-    // presentation sort's range partitioning
-    for (n <- Seq("gopher_repetition", "pii_scrub", "text_normalize",
-        "compression_ratio")) {
-      val p = plan(n)
+    // presentation sort's range partitioning. compression_ratio lives
+    // outside the gate map (no DuckDB twin) but keeps its plan audit.
+    val mapPasses = Seq("gopher_repetition", "pii_scrub", "text_normalize")
+      .map(n => n -> physical(n)) :+
+      ("compression_ratio" ->
+        Pipeline.compressionRatio(spark, dir).queryExecution.executedPlan)
+    for ((n, phys) <- mapPasses) {
+      val p = phys.toString
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
         !l.contains("Exchange rangepartitioning"))
       assert(bad == 0, s"unexpected shuffle in $n:\n$p")
@@ -290,6 +294,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashed.length <= 2,
       s"skew_report hash-shuffled ${hashed.length} times — keyed counts " +
         "should shuffle once per candidate key")
+  }
+
+  /** Queries whose plans legitimately contain an UNPARTITIONED window.
+    * Every entry is one of:
+    *  - a LIMIT-capped / domain-sized frame (≤ ~120 rows at any corpus
+    *    size): quantile_sketch (64-bin histogram), rrf_fusion (two
+    *    ≤20-row rank lists), token_pmi (top-120 panel), vocab_coverage
+    *    (top-64 TakeOrdered result);
+    *  - the Sessionize BOUNDARY chain-merge (Sessionize.scala:64-72): a
+    *    deliberate single-partition pass over the first/last-session set
+    *    — 2 rows per time bucket, never the event stream — that stitches
+    *    per-bucket sessions (cluster_log, cluster_log_detectors,
+    *    cluster_log_map call Sessionize outside the shared persisted
+    *    clusterAgg scan, so its two tiny windows stay visible);
+    *  - plausibility_ring: the reference's single global last-100 ring
+    *    (src/supervision/state.cpp:127-130) — inherent semantics,
+    *    adjudicated r7; SCALE.md documents the partition-bucketed
+    *    alternative;
+    *  - q31_zorder_layout: the deterministic bench-scale stand-in for
+    *    repartitionByRange file layout (scaladoc'd at the query). */
+  private val cappedGlobalWindows = Set(
+    "quantile_sketch", "rrf_fusion", "token_pmi", "vocab_coverage",
+    "cluster_log", "cluster_log_detectors", "cluster_log_map",
+    "plausibility_ring", "q31_zorder_layout")
+
+  test("no headline plan windows an uncapped frame on a single partition") {
+    // the r7 verdict's named scale-killer class (user_rfm's ntile over
+    // the whole user dimension) — any NEW unpartitioned WindowExec
+    // outside the justified set above fails here instead of surviving
+    // to a 100× corpus
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(cappedGlobalWindows)
+      .filter { n =>
+        physical(n).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned corpus-frame windows appeared in: $offenders — " +
+        "partition the window or justify a capped frame in the allowlist")
   }
 
   test("q33_skew_salted joins on (key, salt) — the salt reaches the join") {

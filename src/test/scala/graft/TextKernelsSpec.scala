@@ -57,7 +57,7 @@ class TextKernelsSpec extends AnyFunSuite {
 
   test("compression_ratio query equals the plain-Scala recompute") {
     import spark.implicits._
-    val got = SparkEntry.queries("compression_ratio")(spark, dir)
+    val got = Pipeline.compressionRatio(spark, dir)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val docs = Tables.documents(spark, dir)
