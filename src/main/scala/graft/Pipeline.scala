@@ -2994,14 +2994,83 @@ object Pipeline {
     * are effectively random (distinct images), so the panel documents
     * the EXPECTED collision background — distances cluster at 32±4 —
     * exactly what a curator needs to see before trusting a threshold. */
-  private def imageNeardupAhash(s: SparkSession, dir: String): DataFrame = {
+  /** The production 4×16-bit band candidate pairs with their
+    * signatures, deduped on bare id pairs. PERSISTED per (session,
+    * dir): the near-dup panel and the recall readout both ride it. */
+  private def ahashCandPairs(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ahash-cands:$dir") {
+      val h = ahashRows(s, dir).selectExpr("media_id", "ahash_hi", "ahash_lo")
+      val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        posexplode(array(
+          expr("ahash_lo & 65535"), expr("shiftright(ahash_lo, 16) & 65535"),
+          expr("ahash_hi & 65535"), expr("shiftright(ahash_hi, 16) & 65535")))
+          .as(Seq("band", "bv")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
+          col("b.ahash_hi").as("hi_b"), col("b.ahash_lo").as("lo_b"))
+        .distinct()
+    }
+
+  private def imageNeardupAhash(s: SparkSession, dir: String): DataFrame =
+    ahashCandPairs(s, dir)
+      .selectExpr("id_a", "id_b",
+        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT) " +
+          "AS hamming")
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+      .limit(AhashPanelTop)
+
+  /** Exact-truth radius for the recall readout: 8 bands of 8 bits make
+    * the truth candidate set COMPLETE for Hamming ≤ 7 by pigeonhole
+    * (7 differing bits cannot touch all 8 bands). */
+  final val AhashRecallRadius = 7
+
+  /** Analytic recall of the 4×16 banding per Hamming distance d, under
+    * uniform random placement of the d differing bits, in exact ppm:
+    * P(≥1 band clean) = Σ_{k=1..4} (−1)^(k+1)·C(4,k)·C(64−16k,d)/C(64,d)
+    * (inclusion–exclusion over clean-band subsets). Computed once in
+    * BigInt rationals and embedded as the same literal CASE table in
+    * BOTH engines, so no runtime arithmetic can diverge. */
+  private lazy val ahashRecallCase: String = {
+    def comb(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0 until k).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+    val ppm = (0 to AhashRecallRadius).map { d =>
+      val den = comb(64, d)
+      val num = (1 to 4).foldLeft(BigInt(0)) { (a, k) =>
+        val t = comb(4, k) * comb(64 - 16 * k, d)
+        if (k % 2 == 1) a + t else a - t
+      }
+      ((num * 1000000 + den / 2) / den).toLong
+    }
+    "CASE hamming " + ppm.zipWithIndex.map { case (p, d) =>
+      s"WHEN $d THEN CAST($p AS BIGINT) " }.mkString +
+      "ELSE CAST(0 AS BIGINT) END"
+  }
+
+  /** MEASURED recall of the banded image near-dup — the
+    * [[minhashRecall]] twin for the multimodal family: how many TRUE
+    * close pairs (exact Hamming ≤ [[AhashRecallRadius]]) does the
+    * production 4×16 banding actually surface? Truth candidates come
+    * from a FINER 8×8-bit banding, which pigeonhole makes complete at
+    * this radius — a band-bucket shuffle, never an all-pairs join
+    * (candidates ∝ Σ C(bucket, 2); at corpus scale 8-bit buckets run
+    * hot, so a production measurement would sample the table first —
+    * the minhash_recall df-cap argument). `expected_recall` is the
+    * inclusion–exclusion analytic averaged over true pairs, embedded
+    * as an identical literal table in both engines
+    * ([[ahashRecallCase]]); the measured number sits beside it exactly
+    * as minhash_recall's does. */
+  private def imageNeardupRecall(s: SparkSession, dir: String): DataFrame = {
     val h = ahashRows(s, dir).selectExpr("media_id", "ahash_hi", "ahash_lo")
-    val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
-      posexplode(array(
-        expr("ahash_lo & 65535"), expr("shiftright(ahash_lo, 16) & 65535"),
-        expr("ahash_hi & 65535"), expr("shiftright(ahash_hi, 16) & 65535")))
-        .as(Seq("band", "bv")))
-    bands.as("a").join(bands.as("b"),
+    val tBands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array((0 until 8).map { b =>
+        if (b < 4) expr(s"shiftright(ahash_lo, ${8 * b}) & 255")
+        else expr(s"shiftright(ahash_hi, ${8 * (b - 4)}) & 255")
+      }: _*)).as(Seq("band", "bv")))
+    val truth = tBands.as("a").join(tBands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
@@ -3011,8 +3080,21 @@ object Pipeline {
       .selectExpr("id_a", "id_b",
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT) " +
           "AS hamming")
-      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
-      .limit(AhashPanelTop)
+      .filter(col("hamming") <= AhashRecallRadius)
+    val found = ahashCandPairs(s, dir).select("id_a", "id_b")
+      .withColumn("hit", lit(1L))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .selectExpr("hamming", "coalesce(hit, CAST(0 AS BIGINT)) AS hit",
+        s"$ahashRecallCase AS p_ppm")
+      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_caught"),
+        sum("p_ppm").as("sp"))
+      // greatest(n_true, 1): an empty truth set reads 0/0 → 0.0
+      // deterministically on both engines, never NaN
+      .selectExpr("n_true", "coalesce(n_caught, CAST(0 AS BIGINT)) AS n_caught",
+        "round(coalesce(n_caught, CAST(0 AS BIGINT)) " +
+          "/ CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall",
+        "round(CAST(coalesce(sp, CAST(0 AS BIGINT)) AS DOUBLE) " +
+          "/ greatest(n_true, 1) / 1000000.0, 4) AS expected_recall")
   }
 
   /** REAL-decoder compressed-image path: documents encode into real
@@ -3098,6 +3180,52 @@ object Pipeline {
         val h = 1 + ((t.length / 32) % 32)
         graft.operators.MediaRow(id, "image/png",
           graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
+  /** FULL GIF pixel decode path: documents become real GIF89a images —
+    * 256-entry global color table on three different affine ramps
+    * (index i → (i, 2i mod 256, 3i mod 256)), indexed pixels = the text
+    * bytes cycled, LZW-compressed by a REAL greedy encoder — and the
+    * extractor runs the full GIF LZW decoder (variable-width codes,
+    * table growth, KwKwK) plus the palette map. The oracle predicts the
+    * per-channel sums from first principles through the palette ramps,
+    * so an LZW or color-table bug fails the hash check; a grayscale
+    * table would hide a channel swap, the ramps don't. */
+  private def multimodalDecodeGifPixels(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.operators.MediaRow(id, "image/gif",
+          graft.operators.Multimodal.encodeGifPixels(w, h, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
+  /** FULL TIFF pixel decode path: documents become real baseline
+    * Compression=1 RGB TIFFs (IFD with the nine baseline tags, external
+    * value arrays, 4-row strips so every fixture beyond 4 rows walks
+    * multiple StripOffsets/ByteCounts) — ENDIANNESS ALTERNATES by
+    * document parity — and the extractor re-walks the IFD, validates
+    * the format tags and reassembles the strips. Pixel bytes cycle the
+    * text over (3k+c) positions, the PNG-pixels convention, so the same
+    * first-principles channel-sum oracle applies. */
+  private def multimodalDecodeTiffPixels(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.operators.MediaRow(id, "image/tiff",
+          graft.operators.Multimodal.encodeTiffPixels(w, h, id % 2 == 0,
+            asciiBytes(id, t)))
       }
     graft.operators.Multimodal.extractPixelFeatures(media).toDF()
       .orderBy("media_id")
@@ -3189,11 +3317,14 @@ object Pipeline {
     "multimodal_decode_bmp" -> multimodalDecodeBmp _,
     "image_ahash"       -> imageAhash _,
     "image_neardup_ahash" -> imageNeardupAhash _,
+    "image_neardup_recall" -> imageNeardupRecall _,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg _,
     "multimodal_decode_png" -> multimodalDecodePng _,
     "multimodal_decode_gif" -> multimodalDecodeGif _,
     "multimodal_decode_tiff" -> multimodalDecodeTiff _,
     "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
+    "multimodal_decode_gif_pixels" -> multimodalDecodeGifPixels _,
+    "multimodal_decode_tiff_pixels" -> multimodalDecodeTiffPixels _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
@@ -3652,6 +3783,55 @@ object Pipeline {
          |    AS BIGINT) AS hamming
          |FROM cand ORDER BY hamming, id_a, id_b LIMIT $AhashPanelTop"""
         .stripMargin,
+    "image_neardup_recall" ->
+      s"""$ahashOracleCtes,
+         |bands AS (
+         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
+         |    unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
+         |      ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bv,
+         |    unnest([0, 1, 2, 3]) AS band
+         |  FROM hx),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+         |tb AS (
+         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
+         |    unnest([ahash_lo & 255, (ahash_lo >> 8) & 255,
+         |      (ahash_lo >> 16) & 255, (ahash_lo >> 24) & 255,
+         |      ahash_hi & 255, (ahash_hi >> 8) & 255,
+         |      (ahash_hi >> 16) & 255, (ahash_hi >> 24) & 255]) AS bv,
+         |    unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band
+         |  FROM hx),
+         |tpairs AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+         |  FROM tb a JOIN tb b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+         |truth AS (
+         |  SELECT id_a, id_b,
+         |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |      AS BIGINT) AS hamming
+         |  FROM tpairs
+         |  WHERE CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |    AS BIGINT) <= $AhashRecallRadius),
+         |scored AS (
+         |  SELECT t.hamming,
+         |    CASE WHEN c.id_a IS NULL THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) END AS hit,
+         |    $ahashRecallCase AS p_ppm
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         |agg AS (
+         |  SELECT count(*) AS n_true,
+         |    CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_caught,
+         |    CAST(coalesce(sum(p_ppm), 0) AS BIGINT) AS sp
+         |  FROM scored)
+         |SELECT n_true, n_caught,
+         |  round(n_caught / CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall,
+         |  round(CAST(sp AS DOUBLE) / greatest(n_true, 1) / 1000000.0, 4)
+         |    AS expected_recall
+         |FROM agg""".stripMargin,
     "multimodal_decode_bmp" ->
       """SELECT doc_id AS media_id, 'image/bmp' AS kind,
         |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
@@ -3701,6 +3881,50 @@ object Pipeline {
          |    1 + length(text) % 32 AS w,
          |    1 + (length(text) // 32) % 32 AS h
          |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, n AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_gif_pixels" -> {
+      // pixel k's color index is text byte (k mod len); the palette
+      // ramps map index i → (i, 2i mod 256, 3i mod 256)
+      def chSum(mul: Int): String = {
+        val a = s"ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
+        val term = if (mul == 1) a else s"($mul * $a) % 256"
+        s"""CAST(list_sum(list_transform(range(0, n), k -> $term))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, n AS n_pixels,
+         |  ${chSum(1)} AS sum_r,
+         |  ${chSum(2)} AS sum_g,
+         |  ${chSum(3)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_tiff_pixels" -> {
+      // raw RGB bytes cycle the text: channel c of pixel k is text byte
+      // (3k+c) mod len — the png_pixels convention
+      def chSum(c: Int): String =
+        s"""CAST(list_sum(list_transform(range(0, n),
+           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
          |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
          |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
          |  CAST(h AS INT) AS height, n AS n_pixels,

@@ -24,17 +24,20 @@ case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int,
   * Decoders are REAL for everything a pure JVM can parse — BMP and
   * binary PPM image headers ([[decodeBmp]]/[[decodePpm]]), RIFF/WAVE PCM
   * audio ([[wavStats]], full-stream sample statistics, not just the
-  * header), and the DIMENSIONS of every common compressed image
+  * header), FULL PIXEL decode of three raster formats — PNG
+  * ([[decodePngPixels]]: Inflater + all five filters), GIF
+  * ([[decodeGifPixels]]: the complete GIF LZW algorithm + palette),
+  * baseline TIFF ([[decodeTiffPixels]]: strip reassembly under both
+  * byte orders) — and the DIMENSIONS of every common compressed image
   * container: JPEG via a real marker-segment walk to the SOF frame
   * header ([[decodeJpegDims]]), PNG via the signature + IHDR chunk
   * ([[decodePngDims]]), GIF via the logical screen descriptor
-  * ([[decodeGifDims]]) — no codec library needed for dims. Only full
-  * compressed-pixel/audio decode (JPEG/PNG entropy data, MP3, H.264)
-  * stays behind the clearly-marked [[decodeStub]] — those
-  * libraries are not available in this environment — but the Spark-side
-  * contract (binary column in, fixed-width feature struct out,
-  * per-partition batching) is identical for both, so swapping the stub
-  * for a JNI binding changes no plan.
+  * ([[decodeGifDims]]). Only entropy-coded codec decode (JPEG DCT
+  * data, MP3 audio frames, H.264) stays behind the clearly-marked
+  * [[decodeStub]] — those libraries are not available in this
+  * environment — but the Spark-side contract (binary column in,
+  * fixed-width feature struct out, per-partition batching) is identical
+  * for both, so swapping the stub for a JNI binding changes no plan.
   */
 object Multimodal {
 
@@ -460,6 +463,446 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some((w, h))
   }
 
+  // ---- GIF LZW (pure JVM — the codec needs no library) -----------------
+
+  /** GIF-variant LZW encoder (GIF89a spec appendix F): variable-width
+    * codes starting at minCodeSize+1 bits, LSB-first bit packing, CLEAR
+    * emitted first, EOI last; the code width grows one code EARLIER than
+    * the table fills on the decoder side (the encoder's dictionary runs
+    * one entry ahead), and the table freezes at 4096 entries. A real
+    * greedy longest-match encoder — not a literal-only stream — so
+    * decoding exercises the decoder's table growth on every fixture. */
+  def lzwEncode(minCodeSize: Int, data: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nbits = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) {
+        out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    if (data.nonEmpty) {
+      var s = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = (s << 8) | c
+        val e = dict.get(key)
+        if (e != null) s = e
+        else {
+          emit(s)
+          if (next < 4096) {
+            dict.put(key, next); next += 1
+            // decoder adds this entry one code later: bump width when
+            // ITS table (next − 1) reaches the current width's capacity
+            if (next - 1 == (1 << width) && width < 12) width += 1
+          }
+          s = c
+        }
+        i += 1
+      }
+      emit(s)
+    }
+    emit(eoi)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decoder: the full algorithm — variable-width codes
+    * read LSB-first, CLEAR resets, the KwKwK case (code == next free
+    * slot), table growth with width bumps at 2^width, 4096-entry freeze.
+    * Returns exactly `expected` bytes on success. None on malformed
+    * input: code beyond the table, first code non-literal, output
+    * over/underrun, bits exhausted before EOI. */
+  def lzwDecode(minCodeSize: Int, data: Array[Byte],
+                expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var n = 0
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val p = bitPos + i
+        if (((data((p >> 3).toInt) >> (p & 7).toInt) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // expansion of `code` appended to out; returns the first byte
+    def expand(code: Int): Int = {
+      var len = 0
+      var c = code
+      while (c >= eoi + 1) { len += 1; c = prefix(c) }
+      val root = c
+      if (n + len + 1 > expected) return -1 // overrun
+      var w = n + len
+      c = code
+      while (c >= eoi + 1) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      out(w) = root.toByte
+      n += len + 1
+      root
+    }
+    var code = read()
+    while (true) {
+      if (code < 0) return None
+      if (code == clear) {
+        next = eoi + 1; width = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (n == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        if (expand(code) < 0) return None
+        prev = code
+      } else {
+        var first = 0
+        if (code < next) {
+          first = expand(code)
+          if (first < 0) return None
+        } else if (code == next) {
+          // KwKwK: expansion = expand(prev) + firstByte(expand(prev))
+          var c = prev
+          while (c >= eoi + 1) c = prefix(c)
+          val f = c
+          if (expand(prev) < 0) return None
+          if (n + 1 > expected) return None
+          out(n) = f.toByte; n += 1
+          first = f
+        } else return None // code beyond the table
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      code = read()
+    }
+    None
+  }
+
+  /** The pixel-fixture palette: color index i maps to
+    * (i, 2i mod 256, 3i mod 256) — three DIFFERENT affine ramps, so a
+    * palette-indexing bug shows in the per-channel sums (a grayscale
+    * table would hide a channel swap). */
+  def gifPaletteEntry(i: Int): (Int, Int, Int) =
+    (i, (2 * i) % 256, (3 * i) % 256)
+
+  /** FULL GIF writer for fixtures: a real, decoder-valid GIF89a — a
+    * 256-entry global color table on the [[gifPaletteEntry]] ramps and
+    * one non-interlaced full-frame image whose indexed pixels (cycling
+    * over `pixels`) are LZW-compressed by the real [[lzwEncode]]. */
+  def encodeGifPixels(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"bad dimensions ${w}x$h")
+    val idx = Array.tabulate(w * h)(k =>
+      if (pixels.nonEmpty) pixels(k % pixels.length) else 0.toByte)
+    val lzw = lzwEncode(8, idx)
+    val nBlocks = (lzw.length + 254) / 255
+    val b = java.nio.ByteBuffer
+      .allocate(13 + 768 + 10 + 1 + lzw.length + nBlocks + 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0xF7.toByte)              // GCT present, 8 bpp, 256 entries
+    b.put(0.toByte).put(0.toByte)   // background index, aspect
+    for (i <- 0 until 256) {
+      val (r, g, bl) = gifPaletteEntry(i)
+      b.put(r.toByte).put(g.toByte).put(bl.toByte)
+    }
+    b.put(0x2C.toByte)              // image descriptor
+    b.putShort(0).putShort(0)       // left, top
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte)                 // no LCT, not interlaced
+    b.put(8.toByte)                 // LZW minimum code size
+    var off = 0
+    while (off < lzw.length) {
+      val m = math.min(255, lzw.length - off)
+      b.put(m.toByte).put(lzw, off, m)
+      off += m
+    }
+    b.put(0.toByte)                 // block terminator
+    b.put(0x3B.toByte)              // trailer
+    b.array()
+  }
+
+  /** FULL GIF pixel decode, pure JVM: signature + logical screen
+    * descriptor, global color table, extension-block skipping, the
+    * first image descriptor (local color table honored, interlace
+    * de-passed), sub-block reassembly, real [[lzwDecode]], and the
+    * palette map to row-major RGB. Returns the FIRST frame. None on
+    * malformed input: anything decodeGifDims rejects, missing color
+    * table, bad block framing, LZW errors, pixel count mismatch,
+    * out-of-palette index. */
+  def decodeGifPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    decodeGifDims(data).flatMap { _ =>
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val flags = data(10) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((flags & 0x80) != 0) {
+        val nc = 2 << (flags & 7)
+        if (13 + 3 * nc > data.length) return None
+        gct = java.util.Arrays.copyOfRange(data, 13, 13 + 3 * nc)
+        i = 13 + 3 * nc
+      }
+      // skip sub-block chains (extension payloads); Long-safe bounds
+      def skipSubBlocks(from: Int): Int = {
+        var j = from
+        while (j < data.length) {
+          val m = data(j) & 0xff
+          j += 1
+          if (m == 0) return j
+          if (j + m > data.length) return -1
+          j += m
+        }
+        -1
+      }
+      while (i < data.length) {
+        (data(i) & 0xff) match {
+          case 0x3B => return None // trailer before any image
+          case 0x21 =>             // extension: introducer + label + blocks
+            i = skipSubBlocks(i + 2)
+            if (i < 0) return None
+          case 0x2C =>
+            if (i + 10 > data.length) return None
+            val iw = bb.getShort(i + 5) & 0xffff
+            val ih = bb.getShort(i + 7) & 0xffff
+            val ifl = data(i + 9) & 0xff
+            i += 10
+            var ct = gct
+            if ((ifl & 0x80) != 0) {
+              val nc = 2 << (ifl & 7)
+              if (i + 3 * nc > data.length) return None
+              ct = java.util.Arrays.copyOfRange(data, i, i + 3 * nc)
+              i += 3 * nc
+            }
+            if (ct == null || iw <= 0 || ih <= 0) return None
+            if (iw.toLong * ih > (1L << 26)) return None // 64 Mpx cap
+            if (i >= data.length) return None
+            val minCode = data(i) & 0xff
+            i += 1
+            if (minCode < 2 || minCode > 8) return None
+            val lzw = new java.io.ByteArrayOutputStream()
+            var done = false
+            while (!done) {
+              if (i >= data.length) return None
+              val m = data(i) & 0xff
+              i += 1
+              if (m == 0) done = true
+              else {
+                if (i + m > data.length) return None
+                lzw.write(data, i, m); i += m
+              }
+            }
+            val idx = lzwDecode(minCode, lzw.toByteArray, iw * ih)
+              .getOrElse(return None)
+            val nColors = ct.length / 3
+            val rgb = new Array[Byte](iw * ih * 3)
+            val interlaced = (ifl & 0x40) != 0
+            // interlace passes (GIF89a §20): row starts 0/4/2/1, steps
+            // 8/8/4/2
+            val rowOf: Int => Int =
+              if (!interlaced) identity
+              else {
+                val order = new Array[Int](ih)
+                var r = 0
+                for ((st, sp) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                     y <- st.until(ih, sp)) { order(r) = y; r += 1 }
+                (sr: Int) => order(sr)
+              }
+            var sr = 0
+            while (sr < ih) {
+              val y = rowOf(sr)
+              var x = 0
+              while (x < iw) {
+                val ci = idx(sr * iw + x) & 0xff
+                if (ci >= nColors) return None
+                val o = (y * iw + x) * 3
+                rgb(o) = ct(3 * ci)
+                rgb(o + 1) = ct(3 * ci + 1)
+                rgb(o + 2) = ct(3 * ci + 2)
+                x += 1
+              }
+              sr += 1
+            }
+            return Some((iw, ih, rgb))
+          case _ => return None
+        }
+      }
+      None
+    }
+  }
+
+  // ---- TIFF baseline strips (pure JVM) ---------------------------------
+
+  /** Rows per strip in pixel fixtures — small enough that every fixture
+    * beyond 4 rows exercises the multi-strip walk. */
+  final val TiffRowsPerStrip = 4
+
+  /** FULL baseline-TIFF writer for fixtures (TIFF 6.0 §3: Compression=1
+    * RGB): header in the chosen byte order, one IFD with the nine
+    * baseline tags (dims, BitsPerSample [8,8,8], Compression 1,
+    * Photometric RGB, StripOffsets/ByteCounts, SamplesPerPixel 3,
+    * RowsPerStrip [[TiffRowsPerStrip]]), external value arrays, then
+    * the uncompressed strips — pixel bytes cycle over `pixels`. */
+  def encodeTiffPixels(w: Int, h: Int, littleEndian: Boolean,
+                       pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val rps = TiffRowsPerStrip
+    val nStrips = (h + rps - 1) / rps
+    val nEntries = 9
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4       // = 122
+    val bpsAt = ifdEnd                            // 3 SHORTs = 6 bytes
+    val offsAt = bpsAt + 6
+    val cntsAt = offsAt + 4 * nStrips
+    val dataAt = cntsAt + 4 * nStrips
+    val rowBytes = w * 3
+    val b = java.nio.ByteBuffer.allocate(dataAt + h * rowBytes)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(nEntries.toShort)
+    // SHORT values with count 1 sit LEFT-JUSTIFIED in the value field
+    def entryShort1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3).putInt(1)
+      b.putShort(v.toShort).putShort(0)
+    }
+    def entryLong1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    def entryOff(tag: Int, typ: Int, cnt: Int, off: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(off)
+    }
+    entryLong1(256, w)                            // ImageWidth
+    entryLong1(257, h)                            // ImageLength
+    entryOff(258, 3, 3, bpsAt)                    // BitsPerSample → ext
+    entryShort1(259, 1)                           // Compression: none
+    entryShort1(262, 2)                           // Photometric: RGB
+    // values that fit the 4-byte field must sit INLINE (TIFF 6.0 §2);
+    // a single-strip image therefore inlines its offset/count
+    if (nStrips == 1) entryLong1(273, dataAt)
+    else entryOff(273, 4, nStrips, offsAt)        // StripOffsets → ext
+    entryShort1(277, 3)                           // SamplesPerPixel
+    entryLong1(278, rps)                          // RowsPerStrip
+    if (nStrips == 1) entryLong1(279, h * rowBytes)
+    else entryOff(279, 4, nStrips, cntsAt)        // StripByteCounts → ext
+    b.putInt(0)                                   // no next IFD
+    b.putShort(8).putShort(8).putShort(8)         // BitsPerSample values
+    // external arrays written regardless (dead padding when inline —
+    // gaps between IFD data and strips are legal TIFF)
+    var acc = dataAt
+    for (s <- 0 until nStrips) {
+      b.putInt(acc)
+      acc += math.min(rps, h - s * rps) * rowBytes
+    }
+    for (s <- 0 until nStrips)
+      b.putInt(math.min(rps, h - s * rps) * rowBytes)
+    var k = 0
+    while (k < h * rowBytes) {
+      b.put(if (pixels.nonEmpty) pixels(k % pixels.length) else 0.toByte)
+      k += 1
+    }
+    b.array()
+  }
+
+  /** FULL TIFF pixel decode for baseline Compression=1 RGB images, pure
+    * JVM, both byte orders: the IFD walk of [[decodeTiffDims]] extended
+    * to the strip tags — BitsPerSample must be [8,8,8], Photometric 2,
+    * SamplesPerPixel 3; StripOffsets/StripByteCounts (inline or
+    * external, SHORT or LONG) drive the strip reads, each verified
+    * against rows·w·3 and the buffer bounds. RowsPerStrip defaults to
+    * one full-height strip when absent (TIFF 6.0 default 2³²−1).
+    * None on malformed input. */
+  def decodeTiffPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (data.length < 8) return None
+    val le = data(0) == 'I' && data(1) == 'I'
+    val be = data(0) == 'M' && data(1) == 'M'
+    if (!le && !be) return None
+    val b = java.nio.ByteBuffer.wrap(data)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    if (b.getShort(2) != 42) return None
+    val ifd = b.getInt(4).toLong & 0xffffffffL
+    if (ifd < 8 || ifd + 2 > data.length) return None
+    val ifdI = ifd.toInt
+    val n = b.getShort(ifdI) & 0xffff
+    if (ifd + 2 + n * 12L + 4 > data.length) return None
+    // tag → value list (SHORT/LONG, inline when ≤4 bytes else external)
+    def values(e: Int): Option[IndexedSeq[Long]] = {
+      val typ = b.getShort(e + 2) & 0xffff
+      val cnt = b.getInt(e + 4).toLong & 0xffffffffL
+      val unit = typ match {
+        case 3 => 2L
+        case 4 => 4L
+        case _ => return None
+      }
+      if (cnt > (1 << 20)) return None // sanity cap on array tags
+      val total = cnt * unit
+      val at: Long =
+        if (total <= 4) e + 8
+        else b.getInt(e + 8).toLong & 0xffffffffL
+      if (at < 0 || at + total > data.length) return None
+      Some((0L until cnt).map { j =>
+        val p = (at + j * unit).toInt
+        if (typ == 3) (b.getShort(p) & 0xffff).toLong
+        else b.getInt(p).toLong & 0xffffffffL
+      })
+    }
+    var tags = Map.empty[Int, IndexedSeq[Long]]
+    for (j <- 0 until n) {
+      val e = ifdI + 2 + j * 12
+      val tag = b.getShort(e) & 0xffff
+      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279)(tag))
+        tags += tag -> values(e).getOrElse(return None)
+    }
+    def one(tag: Int, default: Long = -1L): Long =
+      tags.get(tag).flatMap(_.headOption).getOrElse(default)
+    val w = one(256)
+    val h = one(257)
+    if (w <= 0 || h <= 0 || w * h > (1 << 26)) return None
+    if (one(259, 1L) != 1L) return None            // uncompressed only
+    if (one(262) != 2L) return None                // RGB only
+    if (one(277, 1L) != 3L) return None
+    if (!tags.get(258).exists(v => v.length == 3 && v.forall(_ == 8L)))
+      return None
+    val rps = one(278, h)                          // default: one strip
+    if (rps <= 0) return None
+    val nStrips = ((h + rps - 1) / rps).toInt
+    val offs = tags.getOrElse(273, return None)
+    val cnts = tags.getOrElse(279, return None)
+    if (offs.length != nStrips || cnts.length != nStrips) return None
+    val rowBytes = (w * 3).toInt
+    val rgb = new Array[Byte]((h * rowBytes).toInt)
+    for (s <- 0 until nStrips) {
+      val rows = math.min(rps, h - s * rps).toInt
+      if (cnts(s) != rows.toLong * rowBytes) return None
+      if (offs(s) < 0 || offs(s) + cnts(s) > data.length) return None
+      System.arraycopy(data, offs(s).toInt, rgb,
+        s * (rps * rowBytes).toInt, cnts(s).toInt)
+    }
+    Some((w.toInt, h.toInt, rgb))
+  }
+
   /** Parsed MPEG-audio (MP3) stream facts from the frame-header walk:
     * format fields from the first frame, frame count and the exact
     * integer duration over the whole stream. */
@@ -801,12 +1244,24 @@ object Multimodal {
                                  n_pixels: Long, sum_r: Long, sum_g: Long,
                                  sum_b: Long)
 
-  /** Partition-parallel FULL pixel decode (PNG: inflate + defilter);
+  /** Kind-dispatched FULL pixel decode: PNG (inflate + defilter), GIF
+    * (LZW + palette), TIFF (baseline strips) — all real pure-JVM
+    * decoders; other kinds decode to None (sentinel row). */
+  def decodePixels(kind: String,
+                   data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    kind match {
+      case "image/png"  => decodePngPixels(data)
+      case "image/gif"  => decodeGifPixels(data)
+      case "image/tiff" => decodeTiffPixels(data)
+      case _            => None
+    }
+
+  /** Partition-parallel FULL pixel decode (kind-dispatched PNG/GIF/TIFF);
     * malformed payloads yield the −1 sentinel row. */
   def extractPixelFeatures(rows: Dataset[MediaRow]): Dataset[PixelFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions(_.map { r =>
-      decodePngPixels(r.data) match {
+      decodePixels(r.kind, r.data) match {
         case Some((w, h, px)) =>
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0

@@ -209,6 +209,137 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifDims(zeroW).isEmpty)
   }
 
+  test("LZW round-trip: greedy encoder vs full decoder, growth + KwKwK") {
+    val rnd = new scala.util.Random(77L)
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      Array[Byte](65, 65, 65, 65, 65, 65),           // KwKwK chains
+      Array.tabulate[Byte](5000)(i => (i % 3).toByte), // deep table
+      Array.fill[Byte](3000)(rnd.nextInt(256).toByte),
+      Array.tabulate[Byte](70000)(i => (i % 7).toByte)) // past 4096 freeze
+    for ((d, i) <- cases.zipWithIndex) {
+      val enc = Multimodal.lzwEncode(8, d)
+      val dec = Multimodal.lzwDecode(8, enc, d.length)
+      assert(dec.exists(_.sameElements(d)), s"case $i min=8")
+    }
+    // narrow code size: roots must stay below the clear code (< 4)
+    for (d <- Seq(Array[Byte](0, 1, 2, 3, 0, 1, 2, 3),
+        Array.tabulate[Byte](9000)(i => (i % 4).toByte))) {
+      val enc = Multimodal.lzwEncode(2, d)
+      assert(Multimodal.lzwDecode(2, enc, d.length)
+        .exists(_.sameElements(d)), "min=2")
+    }
+    // wrong expected length must reject, not pad or truncate
+    val enc = Multimodal.lzwEncode(8, Array[Byte](1, 2, 3))
+    assert(Multimodal.lzwDecode(8, enc, 2).isEmpty)
+    assert(Multimodal.lzwDecode(8, enc, 4).isEmpty)
+    // truncated code stream: bits run out before EOI
+    assert(Multimodal.lzwDecode(8, enc.take(2), 3).isEmpty)
+  }
+
+  test("GIF FULL pixel decode: LZW + palette recovers the exact indexed " +
+    "pixels through the color ramps") {
+    for ((w, h) <- Seq((1, 1), (9, 5), (32, 32))) {
+      val idx = Array.tabulate[Byte](math.min(w * h, 97))(i =>
+        ((i * 13) % 128).toByte)
+      val gif = Multimodal.encodeGifPixels(w, h, idx)
+      val (dw, dh, rgb) = Multimodal.decodeGifPixels(gif).get
+      assert(dw == w && dh == h)
+      for (k <- 0 until w * h) {
+        val ci = idx(k % idx.length) & 0xff
+        val (r, g, b) = Multimodal.gifPaletteEntry(ci)
+        assert((rgb(3 * k) & 0xff) == r && (rgb(3 * k + 1) & 0xff) == g &&
+          (rgb(3 * k + 2) & 0xff) == b, s"pixel $k of ${w}x$h")
+      }
+    }
+  }
+
+  test("GIF pixel decode: extensions are skipped, interlace de-passed") {
+    val gif = Multimodal.encodeGifPixels(4, 8, Array[Byte](1, 2, 3, 4, 5))
+    // splice a graphic-control extension before the image descriptor
+    val at = 13 + 768
+    val gce = Array(0x21, 0xF9, 4, 0, 0, 0, 0, 0).map(_.toByte)
+    val spliced = gif.take(at) ++ gce ++ gif.drop(at)
+    assert(Multimodal.decodeGifPixels(spliced).isDefined)
+    // interlaced flag: rows land permuted but the SET of rows is equal
+    val straight = Multimodal.decodeGifPixels(gif).get._3
+    val inter = gif.clone()
+    inter(13 + 768 + 9) = 0x40.toByte // image descriptor flags
+    val irgb = Multimodal.decodeGifPixels(inter).get._3
+    val rows = (0 until 8).map(y => straight.slice(y * 12, y * 12 + 12).toSeq)
+    val irows = (0 until 8).map(y => irgb.slice(y * 12, y * 12 + 12).toSeq)
+    // pass order 0,8.. 4.. 2,6.. 1,3..: stream row r goes to target row
+    val order = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    for ((src, dst) <- order.zipWithIndex.map(p => (p._2, p._1)))
+      assert(irows(dst) == rows(src), s"interlace row $dst")
+  }
+
+  test("GIF pixel decode malformed: truncation, bad LZW, trailer-first, " +
+    "missing color table, out-of-palette index") {
+    val gif = Multimodal.encodeGifPixels(6, 6, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodeGifPixels(gif).isDefined)
+    assert(Multimodal.decodeGifPixels(gif.dropRight(5)).isEmpty)
+    // dims-only fixture has no image descriptor at all
+    assert(Multimodal.decodeGifPixels(
+      Multimodal.encodeGif(6, 6, Array[Byte](1))).isEmpty)
+    // no global color table and no local one
+    val noGct = gif.clone(); noGct(10) = 0x07.toByte
+    assert(Multimodal.decodeGifPixels(noGct).isEmpty)
+    // corrupt LZW bytes: reject or survive, never throw
+    for (off <- (13 + 768 + 11) until math.min(gif.length - 2, 13 + 768 + 40)) {
+      val bad = gif.clone(); bad(off) = (bad(off) ^ 0x5A).toByte
+      Multimodal.decodeGifPixels(bad)
+    }
+  }
+
+  test("TIFF FULL pixel decode: multi-strip reassembly, both byte orders") {
+    for (le <- Seq(true, false); (w, h) <- Seq((1, 1), (5, 4), (7, 11))) {
+      val px = Array.tabulate[Byte](31)(i => (i * 11).toByte)
+      val t = Multimodal.encodeTiffPixels(w, h, le, px)
+      val (dw, dh, rgb) = Multimodal.decodeTiffPixels(t).get
+      assert(dw == w && dh == h, s"${w}x$h le=$le")
+      assert(rgb.indices.forall(i => rgb(i) == px(i % px.length)),
+        s"${w}x$h le=$le pixels")
+      // h > 4 really uses several strips
+      if (h > Multimodal.TiffRowsPerStrip) {
+        val b = java.nio.ByteBuffer.wrap(t).order(
+          if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+        // StripOffsets entry (tag 273) carries count = nStrips
+        val n = b.getShort(8) & 0xffff
+        val cnt = (0 until n).map(j => 10 + j * 12)
+          .find(e => (b.getShort(e) & 0xffff) == 273)
+          .map(e => b.getInt(e + 4)).get
+        assert(cnt == (h + 3) / 4, s"strip count $cnt")
+      }
+    }
+  }
+
+  test("TIFF pixel decode malformed: wrong compression/photometric/bits, " +
+    "strip overrun, byte-count mismatch") {
+    val t = Multimodal.encodeTiffPixels(5, 6, true, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodeTiffPixels(t).isDefined)
+    def patched(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val c = t.clone()
+      f(java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      c
+    }
+    // entries start at 10; entry j value field at 10 + j*12 + 8
+    // order: 256,257,258,259,262,273,277,278,279
+    assert(Multimodal.decodeTiffPixels(
+      patched(_.putShort(10 + 3 * 12 + 8, 5))).isEmpty)  // LZW compression
+    assert(Multimodal.decodeTiffPixels(
+      patched(_.putShort(10 + 4 * 12 + 8, 1))).isEmpty)  // grayscale
+    assert(Multimodal.decodeTiffPixels(
+      patched(_.putShort(10 + 6 * 12 + 8, 1))).isEmpty)  // 1 sample/px
+    assert(Multimodal.decodeTiffPixels(t.dropRight(3)).isEmpty) // overrun
+    // dims-only fixture (no strip tags) decodes dims but not pixels
+    val dimsOnly = Multimodal.encodeTiff(5, 6, true, Array[Byte](9))
+    assert(Multimodal.decodeTiffDims(dimsOnly).contains((5, 6)))
+    assert(Multimodal.decodeTiffPixels(dimsOnly).isEmpty)
+  }
+
   test("MP3 round-trip: frame walk counts frames, exact duration") {
     for (n <- Seq(1, 3, 16)) {
       val mp3 = Multimodal.encodeMp3(n, "audio payload".getBytes)
@@ -272,6 +403,9 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Multimodal.encodeJpegHeader(31, 17, Array.fill[Byte](40)(3)),
       Multimodal.encodePng(31, 17, Array.fill[Byte](40)(3)),
       Multimodal.encodeGif(31, 17, Array.fill[Byte](300)(3)),
+      Multimodal.encodeGifPixels(9, 7, Array.fill[Byte](30)(3)),
+      Multimodal.encodeTiffPixels(9, 7, true, Array.fill[Byte](30)(3)),
+      Multimodal.encodeTiffPixels(9, 7, false, Array.fill[Byte](30)(3)),
       Multimodal.encodeMp3(3, Array.fill[Byte](50)(3)),
       Multimodal.encodeWavPcm8(8000, Array.fill[Byte](60)(3)))
     val blobs =
@@ -288,6 +422,8 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Multimodal.decodeGifDims(b); Multimodal.mp3Stats(b)
       Multimodal.decodePngPixels(b); Multimodal.mp4Stats(b)
       Multimodal.decodeTiffDims(b)
+      Multimodal.decodeGifPixels(b); Multimodal.decodeTiffPixels(b)
+      Multimodal.lzwDecode(8, b, 64)
       Multimodal.wavStats(b)
     }
   }
