@@ -3231,6 +3231,30 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** FULL JPEG pixel decode path: documents become real interleaved
+    * baseline JPEGs (SOF0, 4:4:4, quantizer 1, generated canonical
+    * Huffman tables) whose Y blocks are the text bytes as per-8×8-block
+    * constants, Cb=128, Cr=133 — the operators.Jpeg scaladoc proves the
+    * round trip is bit-exact with no FP rounding ties, so the oracle
+    * predicts per-channel sums as 64·Σ(v+7 | v−4 | v) in pure integer
+    * arithmetic while the decoder runs the whole baseline pipeline:
+    * marker walk, DHT canonical Huffman, DC prediction, byte
+    * unstuffing, dequant, IDCT, BT.601 color convert. A Huffman, IDCT,
+    * predictor or channel-order bug fails the hash check. */
+  private def multimodalDecodeJpegPixels(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val bw = 1 + (t.length % 8)
+        val bh = 1 + ((t.length / 8) % 8)
+        graft.operators.MediaRow(id, "image/jpeg",
+          graft.operators.Jpeg.encodePixels(bw, bh, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder compressed-audio path: documents encode into valid
     * MPEG1 Layer III frame streams (1 + len % 16 frames at
     * 128 kbps / 44100 Hz; bodies carry the text bytes) and the
@@ -3325,6 +3349,7 @@ object Pipeline {
     "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
     "multimodal_decode_gif_pixels" -> multimodalDecodeGifPixels _,
     "multimodal_decode_tiff_pixels" -> multimodalDecodeTiffPixels _,
+    "multimodal_decode_jpeg_pixels" -> multimodalDecodeJpegPixels _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
@@ -3931,6 +3956,30 @@ object Pipeline {
          |  ${chSum(0)} AS sum_r,
          |  ${chSum(1)} AS sum_g,
          |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_jpeg_pixels" -> {
+      // Y block k (raster) is the constant text byte k mod len; fixed
+      // chroma (Cb=128, Cr=133) makes every decoded pixel exactly
+      // (v+7, v−4, v), so each channel sum is 64·Σ_blocks(v+off)
+      def chSum(off: Int): String = {
+        val v = "ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
+        val term = if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
+        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 8 AS wb,
+         |    1 + (length(text) // 8) % 8 AS hb
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d)
+         |SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+         |  CAST(8 * hb AS INT) AS height, CAST(64 * nb AS BIGINT) AS n_pixels,
+         |  ${chSum(7)} AS sum_r,
+         |  ${chSum(-4)} AS sum_g,
+         |  ${chSum(0)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
     },
     "multimodal_decode_mp3" ->

@@ -1177,6 +1177,151 @@ object Multimodal {
     }
   }
 
+  // ---- G.711 companded audio (ITU-T G.711 — pure arithmetic) -----------
+
+  /** µ-law byte → 16-bit linear PCM (G.711 Table 2; the classic
+    * complement / bias-132 / segment-shift expansion). Closed-form per
+    * byte, so a DuckDB oracle can predict exact sample sums. */
+  def ulawExpand(code: Int): Int = {
+    val c = ~code & 0xff
+    val t = (((c & 0x0f) << 3) + 0x84) << ((c & 0x70) >> 4)
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → 16-bit linear PCM (G.711 Table 1; even-bit inversion
+    * 0x55, 13-bit magnitude, sign bit 0x80 = positive). */
+  def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val q = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) q + 8
+      else if (seg == 1) q + 0x108
+      else (q + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Whole-stream stats of a companded G.711 WAV: format (6=A-law,
+    * 7=µ-law), rate, sample count, signed sum, abs sum, peak |sample|. */
+  final case class G711Info(format: Int, sampleRate: Int, nSamples: Long,
+                            sumPcm: Long, sumAbs: Long, peak: Int)
+
+  /** RIFF/WAVE writer for companded mono 8-bit G.711 streams: format
+    * code 6 (A-law) or 7 (µ-law), the codes byte array as the data
+    * chunk. */
+  def encodeWavG711(sampleRate: Int, aLaw: Boolean,
+                    codes: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (aLaw) 6 else 7).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate).putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(codes.length).put(codes)
+    b.array()
+  }
+
+  /** FULL G.711 sample decode: the same RIFF chunk walk as wavStats but
+    * for format codes 6/7, expanding every byte to linear PCM. None on
+    * malformed input or any other format code (PCM goes through
+    * wavStats — the two gates stay disjoint). */
+  def g711Stats(data: Array[Byte]): Option[G711Info] = {
+    if (data.length < 12) return None
+    val b = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      if (off + 4 > data.length) "" else new String(data, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (code, channels, rate, bits)
+    var dataAt = -1
+    var dataLen = -1
+    while (off + 8 <= data.length) {
+      val id = tag(off)
+      val len = b.getInt(off + 4).toLong
+      if (len < 0 || off + 8 + len > data.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        fmt = Some((b.getShort(off + 8).toInt, b.getShort(off + 10).toInt,
+          b.getInt(off + 12), b.getShort(off + 22).toInt))
+      } else if (id == "data") { dataAt = off + 8; dataLen = len.toInt }
+      off += (8 + len + (len & 1)).toInt
+    }
+    fmt match {
+      case Some((code, ch, rate, bits))
+        if (code == 6 || code == 7) && dataAt >= 0 && ch > 0 && bits == 8 =>
+        var sum = 0L
+        var abs = 0L
+        var peak = 0
+        var i = dataAt
+        while (i < dataAt + dataLen) {
+          val s = if (code == 7) ulawExpand(data(i) & 0xff)
+                  else alawExpand(data(i) & 0xff)
+          sum += s
+          val a = math.abs(s)
+          abs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some(G711Info(code, rate, dataLen.toLong, sum, abs, peak))
+      case _ => None
+    }
+  }
+
+  // ---- real image resize (box filter over decoded pixels) --------------
+
+  /** Floor-average f×f box downsample of an RGB buffer; None when the
+    * image has no complete block in either dimension. */
+  def boxDownsample(w: Int, h: Int, rgb: Array[Byte],
+                    f: Int): Option[(Int, Int, Array[Byte])] = {
+    require(f > 0)
+    val w2 = w / f
+    val h2 = h / f
+    if (w2 == 0 || h2 == 0) return None
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        var c = 0
+        while (c < 3) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              s += rgb(((y2 * f + dy) * w + x2 * f + dx) * 3 + c) & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y2 * w2 + x2) * 3 + c) = (s / (f * f)).toByte
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    Some((w2, h2, out))
+  }
+
+  /** REAL image resize operator: kind-dispatched pixel decode → box
+    * downsample → re-encode as PNG (the decoded formats normalize to
+    * one output container, the shape a 100 TB image pipeline wants).
+    * Rows that fail to decode or have no complete box are dropped —
+    * a resize pass filters, it must not crash. Pure map, no shuffle. */
+  def resizeBox(rows: Dataset[MediaRow], f: Int): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.flatMap { r =>
+      decodePixels(r.kind, r.data).flatMap { case (w, h, rgb) =>
+        boxDownsample(w, h, rgb, f).map { case (w2, h2, out) =>
+          MediaRow(r.media_id, "image/png", encodePngPixels(w2, h2, out))
+        }
+      }
+    })
+  }
+
   /** Kind-dispatched decode: real parsers for the self-describing
     * formats, the stub for everything else; malformed payloads decode to
     * (−1, −1) so a poisoned record flags itself instead of killing the
@@ -1253,6 +1398,7 @@ object Multimodal {
       case "image/png"  => decodePngPixels(data)
       case "image/gif"  => decodeGifPixels(data)
       case "image/tiff" => decodeTiffPixels(data)
+      case "image/jpeg" => Jpeg.decodePixels(data)
       case _            => None
     }
 
