@@ -3333,6 +3333,128 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** FULL µ-law sample decode path: documents become companded G.711
+    * WAVs (format code 7, the text bytes as the code stream) and the
+    * extractor expands every byte to linear PCM through the real
+    * complement/bias/segment-shift formula. The expansion is closed-
+    * form per byte, so the oracle recomputes the identical arithmetic
+    * in DuckDB — exact signed sum, abs sum and peak, no tolerance. */
+  private def multimodalDecodeUlaw(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/basic",
+          graft.operators.Multimodal.encodeWavG711(8000, aLaw = false,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractG711Features(media).toDF()
+      .orderBy("media_id")
+  }
+
+  /** FULL A-law sample decode path: the G.711 twin with format code 6
+    * and the even-bit-inversion segment expansion. */
+  private def multimodalDecodeAlaw(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/basic",
+          graft.operators.Multimodal.encodeWavG711(8000, aLaw = true,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractG711Features(media).toDF()
+      .orderBy("media_id")
+  }
+
+  /** REAL image resize path: PNG pixel fixtures → full pixel decode →
+    * 2×2 floor-average box downsample → PNG re-encode → decode AGAIN
+    * for the feature row, so the query proves the whole resize round
+    * trip (two codec passes bracketing the kernel). Images without a
+    * complete 2×2 block drop out on both engines. The oracle recomputes
+    * every output pixel from first principles: the four cycled text
+    * bytes of each box, floor-averaged in integer arithmetic. */
+  private def imageResizeBox(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.operators.MediaRow(id, "image/png",
+          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
+      }
+    val resized = graft.operators.Multimodal.resizeBox(media, 2)
+    graft.operators.Multimodal.extractPixelFeatures(resized).toDF()
+      .orderBy("media_id")
+  }
+
+  /** TYPED METADATA path (images): fixtures carry a real EXIF APP1
+    * segment (Exif header + embedded TIFF IFD with the Orientation
+    * SHORT) and the extractor walks marker → APP1 → IFD under either
+    * byte order. Orientation drives mirror/rotate decisions in any
+    * image ingest; the oracle predicts it arithmetically. */
+  private def multimodalExifOrientation(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        val bytes = graft.operators.Multimodal.encodeJpegExif(
+          w, h, 1 + (t.length % 8), asciiBytes(id, t))
+        val (dw, dh) = graft.operators.Multimodal.decodeJpegDims(bytes)
+          .getOrElse((-1, -1))
+        val ori = graft.operators.Multimodal.jpegExifOrientation(bytes)
+          .getOrElse(-1)
+        (id, ori, dw, dh)
+      }
+      .toDF("media_id", "orientation", "decoded_w", "decoded_h")
+      .orderBy("media_id")
+  }
+
+  /** TYPED METADATA path (audio): fixtures prepend a real ID3v2.3 block
+    * (syncsafe size, ISO-8859-1 T-frames) to a real MPEG frame stream;
+    * the extractor walks the frame list for TIT2/TPE1 while the
+    * EXISTING mp3 frame walk still sees the audio through the ID3 skip
+    * — one fixture, two independent decoders. */
+  private def multimodalId3Tags(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val title = t.substring(0, math.min(16, t.length))
+        val artist = t.substring(math.max(0, t.length - 8))
+        val bytes = graft.operators.Multimodal.encodeId3v2(
+          Seq("TIT2" -> title, "TPE1" -> artist),
+          graft.operators.Multimodal.encodeMp3(
+            1 + (t.length % 16), asciiBytes(id, t)))
+        val tags = graft.operators.Multimodal.id3v2TextFrames(bytes)
+        val frames = graft.operators.Multimodal.mp3Stats(bytes)
+          .map(_.nFrames).getOrElse(-1)
+        (id, tags.getOrElse("TIT2", ""), tags.getOrElse("TPE1", ""), frames)
+      }
+      .toDF("media_id", "title", "artist", "n_frames")
+      .orderBy("media_id")
+  }
+
+  /** VAD-style activity gate: 256-sample frame energies over decoded
+    * PCM, integer activity rule (mean |amplitude| > 20), so the oracle
+    * reproduces the gate exactly. The corpus-filter shape: a pure map
+    * emitting per-document activity stats a training pipeline keys
+    * retention on. */
+  private def audioFrameEnergy(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/wav",
+          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFrameEnergy(media, 256).toDF()
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
     "lang_confusion"      -> langConfusion _,
@@ -3353,6 +3475,12 @@ object Pipeline {
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
+    "multimodal_decode_ulaw" -> multimodalDecodeUlaw _,
+    "multimodal_decode_alaw" -> multimodalDecodeAlaw _,
+    "image_resize_box" -> imageResizeBox _,
+    "multimodal_exif_orientation" -> multimodalExifOrientation _,
+    "multimodal_id3_tags" -> multimodalId3Tags _,
+    "audio_frame_energy" -> audioFrameEnergy _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4013,6 +4141,125 @@ object Pipeline {
         |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
         |FROM documents
          |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
+    "multimodal_decode_ulaw" -> {
+      // the G.711 µ-law magnitude of code byte b: complement, bias 132,
+      // segment shift — recomputed per byte in DuckDB integer bit math.
+      // ASCII codes all carry the complemented sign bit, so every
+      // sample is −magnitude.
+      val mag =
+        """(((((255 - b) & 15) * 8 + 132) << (((255 - b) >> 4) & 7)) - 132)"""
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |m AS (SELECT doc_id, len,
+         |  list_transform(
+         |    list_transform(range(0, len),
+         |      k -> ascii(substr(text, CAST(k AS INT) + 1, 1))),
+         |    b -> $mag) AS mags
+         |  FROM d)
+         |SELECT doc_id AS media_id, CAST(7 AS INT) AS format,
+         |  CAST(8000 AS INT) AS sample_rate,
+         |  CAST(len AS BIGINT) AS n_samples,
+         |  CAST(-list_sum(mags) AS BIGINT) AS sum_pcm,
+         |  CAST(list_sum(mags) AS BIGINT) AS sum_abs,
+         |  CAST(list_max(mags) AS INT) AS peak
+         |FROM m ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_alaw" -> {
+      // A-law: even-bit inversion then the three-branch segment expand;
+      // ASCII codes have the positive bit clear, so samples are −t.
+      val mag =
+        """CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
+          |     WHEN ((a >> 4) & 7) = 1 THEN ((a & 15) << 4) + 264
+          |     ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1)
+          |END""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |m AS (SELECT doc_id, len,
+         |  list_transform(
+         |    list_transform(range(0, len),
+         |      k -> xor(ascii(substr(text, CAST(k AS INT) + 1, 1)), 85)),
+         |    a -> $mag) AS mags
+         |  FROM d)
+         |SELECT doc_id AS media_id, CAST(6 AS INT) AS format,
+         |  CAST(8000 AS INT) AS sample_rate,
+         |  CAST(len AS BIGINT) AS n_samples,
+         |  CAST(-list_sum(mags) AS BIGINT) AS sum_pcm,
+         |  CAST(list_sum(mags) AS BIGINT) AS sum_abs,
+         |  CAST(list_max(mags) AS INT) AS peak
+         |FROM m ORDER BY media_id""".stripMargin
+    },
+    "image_resize_box" -> {
+      // output pixel (x2,y2) channel c = floor-average of the four
+      // cycled text bytes at (2x2..2x2+1, 2y2..2y2+1); source pixel
+      // byte (x,y,c) = text[(3(yw+x)+c) mod len] (the PNG convention)
+      def px(xe: String, ye: String, c: Int): String =
+        s"ascii(substr(text, CAST((3 * (($ye) * w + ($xe)) + $c) % len AS INT) + 1, 1))"
+      def chSum(c: Int): String = {
+        val x0 = "2 * (k % w2)"
+        val y0 = "2 * (k // w2)"
+        s"""CAST(list_sum(list_transform(range(0, CAST(w2 * h2 AS BIGINT)),
+           |  k -> (${px(x0, y0, c)} + ${px(s"$x0 + 1", y0, c)}
+           |      + ${px(x0, s"$y0 + 1", c)} + ${px(s"$x0 + 1", s"$y0 + 1", c)}) // 4))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, w // 2 AS w2, h // 2 AS h2 FROM d
+         |  WHERE w >= 2 AND h >= 2)
+         |SELECT doc_id AS media_id, CAST(w2 AS INT) AS width,
+         |  CAST(h2 AS INT) AS height, CAST(w2 * h2 AS BIGINT) AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_exif_orientation" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + length(text) % 8 AS INT) AS orientation,
+        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY media_id""".stripMargin,
+    "multimodal_id3_tags" ->
+      """SELECT doc_id AS media_id,
+        |  substr(text, 1, 16) AS title,
+        |  substr(text, greatest(length(text) - 8, 0) + 1, 8) AS artist,
+        |  CAST(1 + length(text) % 16 AS INT) AS n_frames
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY media_id""".stripMargin,
+    "audio_frame_energy" -> {
+      // frame f covers samples [256f, min(256(f+1), len)); energy =
+      // Σ|v−128|; a frame is active when 2·energy > 40·samples
+      val frames =
+        """list_transform(range(0, (len + 255) // 256), f ->
+          |  {'fl': least(256, len - f * 256),
+          |   'e': list_sum(list_transform(
+          |     range(f * 256, least((f + 1) * 256, len)),
+          |     k -> abs(128 - ascii(substr(text, CAST(k AS INT) + 1, 1)))))})"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |m AS (SELECT doc_id, len, $frames AS fr FROM d)
+         |SELECT doc_id AS media_id,
+         |  CAST((len + 255) // 256 AS INT) AS n_frames,
+         |  CAST(list_sum(list_transform(fr,
+         |    s -> CASE WHEN 2 * s.e > 40 * s.fl THEN 1 ELSE 0 END))
+         |    AS INT) AS active_frames,
+         |  CAST(list_max(list_transform(fr, s -> s.e)) AS BIGINT)
+         |    AS max_energy,
+         |  CAST(list_sum(list_transform(fr, s -> s.e)) AS BIGINT)
+         |    AS total_energy
+         |FROM m ORDER BY media_id""".stripMargin
+    },
     "boilerplate_ngrams" ->
       s"""$shCte,
          |ex AS (SELECT doc_id, unnest(th) AS sh FROM th),

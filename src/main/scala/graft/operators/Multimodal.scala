@@ -1269,6 +1269,216 @@ object Multimodal {
     }
   }
 
+  /** G.711 companded-stream features for the gate schema. */
+  final case class G711Features(media_id: Long, format: Int,
+                                sample_rate: Int, n_samples: Long,
+                                sum_pcm: Long, sum_abs: Long, peak: Int)
+
+  /** Partition-parallel FULL G.711 sample decode; malformed payloads
+    * yield the −1 sentinel row. Pure map, no shuffle. */
+  def extractG711Features(rows: Dataset[MediaRow]): Dataset[G711Features] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      g711Stats(r.data) match {
+        case Some(i) => G711Features(r.media_id, i.format, i.sampleRate,
+          i.nSamples, i.sumPcm, i.sumAbs, i.peak)
+        case None => G711Features(r.media_id, -1, -1, -1L, -1L, -1L, -1)
+      }
+    })
+  }
+
+  // ---- EXIF orientation (JPEG APP1 → embedded TIFF IFD) ----------------
+
+  /** JPEG writer with a real EXIF APP1 segment: "Exif\0\0" + a little-
+    * endian TIFF header + IFD0 carrying Orientation (0x0112) SHORT —
+    * then the usual COM-payload + SOF0 tail so dimension decode still
+    * works on the same fixture. */
+  def encodeJpegExif(w: Int, h: Int, orientation: Int,
+                     payload: Array[Byte]): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "EXIF orientation 1-8")
+    val base = encodeJpegHeader(w, h, payload)
+    // APP1 body: Exif\0\0 + TIFF(II, 42, IFD@8) + one-entry IFD0
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1) // entry count
+    tiff.putShort(0x0112.toShort).putShort(3).putInt(1) // SHORT ×1
+    tiff.putShort(orientation.toShort).putShort(0)      // value, pad
+    tiff.putInt(0) // next-IFD offset: none
+    val app1 = java.nio.ByteBuffer.allocate(10 + 26)
+    app1.put(0xFF.toByte).put(0xE1.toByte)
+    app1.putShort((8 + 26).toShort)
+    app1.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    app1.put(tiff.array())
+    // splice after SOI
+    val out = new Array[Byte](base.length + app1.capacity())
+    System.arraycopy(base, 0, out, 0, 2)
+    System.arraycopy(app1.array(), 0, out, 2, app1.capacity())
+    System.arraycopy(base, 2, out, 2 + app1.capacity(), base.length - 2)
+    out
+  }
+
+  /** REAL EXIF orientation decode: marker walk to APP1, validate the
+    * Exif header, then a TIFF IFD walk UNDER EITHER BYTE ORDER to tag
+    * 0x0112. None when absent or malformed — callers default to 1. */
+  def jpegExifOrientation(data: Array[Byte]): Option[Int] = {
+    if (data.length < 4 || (data(0) & 0xff) != 0xFF ||
+      (data(1) & 0xff) != 0xD8) return None
+    var i = 2
+    while (i + 3 < data.length) {
+      if ((data(i) & 0xff) != 0xFF) return None
+      val m = data(i + 1) & 0xff
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+      else if (m == 0xD9 || m == 0xDA) return None
+      else {
+        val len = ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > data.length) return None
+        if (m == 0xE1 && len >= 10 &&
+          new String(data, i + 4, 4, "US-ASCII") == "Exif" &&
+          data(i + 8) == 0 && data(i + 9) == 0) {
+          val t0 = i + 10 // TIFF header origin
+          if (t0 + 8 > data.length) return None
+          val little = data(t0) == 'I' && data(t0 + 1) == 'I'
+          val big = data(t0) == 'M' && data(t0 + 1) == 'M'
+          if (!little && !big) return None
+          def u16(o: Int): Int =
+            if (little) (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8)
+            else ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (little) (u16(o).toLong | (u16(o + 2).toLong << 16))
+            else ((u16(o).toLong << 16) | u16(o + 2).toLong)
+          if (u16(t0 + 2) != 42) return None
+          val ifd = t0 + u32(t0 + 4).toInt
+          if (ifd + 2 > i + 2 + len) return None
+          val n = u16(ifd)
+          var e = 0
+          while (e < n) {
+            val o = ifd + 2 + 12 * e
+            if (o + 12 > i + 2 + len) return None
+            if (u16(o) == 0x0112 && u16(o + 2) == 3 && u32(o + 4) == 1L) {
+              val v = u16(o + 8) // SHORT left-justified in the value field
+              return if (v >= 1 && v <= 8) Some(v) else None
+            }
+            e += 1
+          }
+          return None // APP1 present but no orientation tag
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  // ---- ID3v2 text frames (MP3 metadata) --------------------------------
+
+  /** ID3v2.3 writer: header with syncsafe size + T-frames (ISO-8859-1
+    * encoding byte 0) — prepended to a real MPEG frame stream so the
+    * same fixture still walks as audio. */
+  def encodeId3v2(frames: Seq[(String, String)],
+                  mp3: Array[Byte]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- frames) {
+      require(id.length == 4)
+      val payload = text.getBytes("ISO-8859-1")
+      body.write(id.getBytes("US-ASCII"))
+      val sz = 1 + payload.length
+      body.write((sz >> 24) & 0xff); body.write((sz >> 16) & 0xff)
+      body.write((sz >> 8) & 0xff); body.write(sz & 0xff)
+      body.write(0); body.write(0) // frame flags
+      body.write(0)                // encoding: ISO-8859-1
+      body.write(payload)
+    }
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0) // v2.3.0, no flags
+    // syncsafe size (7 bits per byte)
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b)
+    out.write(mp3)
+    out.toByteArray
+  }
+
+  /** REAL ID3v2 text-frame decode: validates the header, walks frames
+    * to the padding/end, returns the ISO-8859-1 T-frame texts. Stops
+    * cleanly at malformed frames (partial map beats none — tag soup is
+    * the norm in a web-scale audio corpus). */
+  def id3v2TextFrames(data: Array[Byte]): Map[String, String] = {
+    if (data.length < 10 || new String(data, 0, 3, "US-ASCII") != "ID3")
+      return Map.empty
+    val size = ((data(6) & 0x7f) << 21) | ((data(7) & 0x7f) << 14) |
+      ((data(8) & 0x7f) << 7) | (data(9) & 0x7f)
+    val end = math.min(10 + size, data.length)
+    var i = 10
+    val out = Map.newBuilder[String, String]
+    while (i + 10 <= end && data(i) != 0) {
+      val id = new String(data, i, 4, "US-ASCII")
+      val sz = ((data(i + 4) & 0xff) << 24) | ((data(i + 5) & 0xff) << 16) |
+        ((data(i + 6) & 0xff) << 8) | (data(i + 7) & 0xff)
+      if (sz < 1 || i + 10 + sz > end) return out.result()
+      if (id.startsWith("T") && data(i + 10) == 0)
+        out += id -> new String(data, i + 11, sz - 1, "ISO-8859-1")
+      i += 10 + sz
+    }
+    out.result()
+  }
+
+  // ---- audio frame energy (VAD-style activity gate) --------------------
+
+  /** Per-frame energy over a PCM8 WAV: frames of frameLen samples (the
+    * final frame may be partial), energy = Σ|sample−128|. The activity
+    * rule is integer-exact — a frame is active when 2·energy >
+    * 40·samples (mean abs > 20) — so a DuckDB oracle reproduces the
+    * gate bit-for-bit. The 100 TB shape: pure map over the binary
+    * column, no shuffle, no state. */
+  final case class FrameEnergy(media_id: Long, n_frames: Int,
+                               active_frames: Int, max_energy: Long,
+                               total_energy: Long)
+
+  def extractFrameEnergy(rows: Dataset[MediaRow],
+                         frameLen: Int): Dataset[FrameEnergy] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      wavStats(r.data) match {
+        case Some(info) if info.bitsPerSample == 8 =>
+          // re-walk to the data chunk for per-sample access
+          val b = java.nio.ByteBuffer.wrap(r.data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var off = 12
+          var dataAt = -1
+          var dataLen = 0
+          while (off + 8 <= r.data.length && dataAt < 0) {
+            val id = new String(r.data, off, 4, "US-ASCII")
+            val len = b.getInt(off + 4)
+            if (id == "data") { dataAt = off + 8; dataLen = len }
+            else off += 8 + len + (len & 1)
+          }
+          var nf = 0
+          var active = 0
+          var maxE = 0L
+          var totE = 0L
+          var i = 0
+          while (i < dataLen) {
+            val fl = math.min(frameLen, dataLen - i)
+            var e = 0L
+            var k = 0
+            while (k < fl) {
+              e += math.abs((r.data(dataAt + i + k) & 0xff) - 128)
+              k += 1
+            }
+            nf += 1
+            if (2 * e > 40L * fl) active += 1
+            if (e > maxE) maxE = e
+            totE += e
+            i += frameLen
+          }
+          FrameEnergy(r.media_id, nf, active, maxE, totE)
+        case _ => FrameEnergy(r.media_id, -1, -1, -1L, -1L)
+      }
+    })
+  }
+
   // ---- real image resize (box filter over decoded pixels) --------------
 
   /** Floor-average f×f box downsample of an RGB buffer; None when the
@@ -1485,8 +1695,10 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: byte-stride downsample to a w×h payload — stands in
-    * for an image resampler; per-partition execution shape identical to
+  /** Resize stub: byte-stride downsample to a w×h payload — the
+    * fallback for container kinds WITHOUT a real pixel decoder (the
+    * decodable formats go through resizeBox, the real box-filter
+    * resampler above); per-partition execution shape identical to
     * extractFeatures. */
   def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, w * h)
