@@ -3255,6 +3255,32 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** FULL PROGRESSIVE JPEG pixel decode path: the same constant-block
+    * color construction as the baseline twin but re-encoded as an
+    * 8-scan SOF2 stream — DC quantizer 8 keeps live low bits flowing
+    * through TWO successive-approximation DC refinement scans, and the
+    * split AC bands decode as spectral-selection EOBn runs. Decoded
+    * pixels are exactly (v+7, v−4, v), so the oracle stays pure
+    * integer arithmetic while the decoder exercises the whole
+    * progressive path: multi-scan coefficient accumulation, DC
+    * first/refine, AC first with EOBRUN, dequant, IDCT, color
+    * convert. Dims run on /6 arithmetic so the two JPEG fixtures
+    * don't share shapes. */
+  private def multimodalDecodeJpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val bw = 1 + (t.length % 6)
+        val bh = 1 + ((t.length / 6) % 6)
+        graft.operators.MediaRow(id, "image/jpeg",
+          graft.operators.Jpeg.encodeProgressivePixels(bw, bh,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL-decoder compressed-audio path: documents encode into valid
     * MPEG1 Layer III frame streams (1 + len % 16 frames at
     * 128 kbps / 44100 Hz; bodies carry the text bytes) and the
@@ -3472,6 +3498,7 @@ object Pipeline {
     "multimodal_decode_gif_pixels" -> multimodalDecodeGifPixels _,
     "multimodal_decode_tiff_pixels" -> multimodalDecodeTiffPixels _,
     "multimodal_decode_jpeg_pixels" -> multimodalDecodeJpegPixels _,
+    "multimodal_decode_jpeg_progressive" -> multimodalDecodeJpegProgressive _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
@@ -4217,6 +4244,29 @@ object Pipeline {
          |  ${chSum(0)} AS sum_r,
          |  ${chSum(1)} AS sum_g,
          |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_jpeg_progressive" -> {
+      // identical pixel arithmetic to the baseline JPEG oracle, on the
+      // /6 block grid of the progressive fixture
+      def chSum(off: Int): String = {
+        val v = "ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
+        val term = if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
+        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 6 AS wb,
+         |    1 + (length(text) // 6) % 6 AS hb
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d)
+         |SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+         |  CAST(8 * hb AS INT) AS height, CAST(64 * nb AS BIGINT) AS n_pixels,
+         |  ${chSum(7)} AS sum_r,
+         |  ${chSum(-4)} AS sum_g,
+         |  ${chSum(0)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
     },
     "multimodal_exif_orientation" ->

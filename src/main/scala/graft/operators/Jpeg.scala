@@ -1,28 +1,28 @@
 package graft.operators
 
-/** Pure-JVM baseline JPEG (ITU-T T.81 sequential DCT, SOF0) — the last
-  * of the three dominant web image formats to get FULL pixel decode
-  * (PNG proved the Inflater pattern, GIF the LZW pattern; JPEG needs
-  * Huffman entropy decode + IDCT, both implemented here from the public
-  * spec, no codec library).
+/** Pure-JVM JPEG (ITU-T T.81) — baseline sequential (SOF0) AND
+  * progressive (SOF2) FULL pixel decode, no codec library.
   *
-  * Encoder — fixture-grade but REAL: writes a valid interleaved
-  * baseline stream (SOI, APP0, DQT×2, SOF0, DHT×4, optional DRI, SOS,
-  * entropy-coded segment with byte stuffing and restart markers, EOI)
-  * from caller-supplied QUANTIZED zigzag coefficient blocks. Huffman
-  * tables are generated canonically (all DC categories at one code
-  * length, all 162 AC run/size symbols at one code length — valid
-  * per §C.2 since the all-ones code stays unassigned, so 1-padding
-  * can never alias a symbol).
+  * Encoders — fixture-grade but REAL: valid interleaved baseline
+  * streams and multi-scan progressive streams (spectral selection +
+  * successive approximation for DC and AC) from caller-supplied
+  * QUANTIZED zigzag coefficient blocks. Huffman tables are generated
+  * canonically (all DC categories at one code length, all 162 AC
+  * run/size symbols at one code length — valid per §C.2 since the
+  * all-ones code stays unassigned, so 1-padding can never alias a
+  * symbol).
   *
-  * Decoder — general baseline: marker walk (DQT 8/16-bit, DHT, SOF0/1,
-  * DRI, SOS), canonical Huffman decode per §F.2.2 (MINCODE/MAXCODE/
-  * VALPTR), interleaved MCU scan with per-component DC prediction,
-  * 0xFF00 unstuffing, RSTn handling, dequantization, inverse zigzag,
-  * separable double-precision IDCT, level shift + clamp, nearest
-  * chroma upsampling for subsampled components, BT.601 YCbCr→RGB.
-  * Returns None on malformed input (progressive SOF2, missing tables,
-  * truncated entropy data, coefficient overrun...).
+  * Decoder — general: marker walk (DQT 8/16-bit, DHT, SOF0/1/2, DRI,
+  * SOS), canonical Huffman decode per §F.2.2 (MINCODE/MAXCODE/VALPTR),
+  * a per-component QUANTIZED-coefficient store refined scan by scan —
+  * sequential full-band scans, progressive DC first/refinement
+  * (point transform = arithmetic shift), progressive AC first/
+  * refinement (point transform = integer divide; EOBRUN; correction
+  * bits per §G.1.2.3) — with per-scan DC prediction, 0xFF00
+  * unstuffing and RSTn restarts; then dequantization, separable
+  * double-precision IDCT, nearest chroma upsampling, BT.601
+  * YCbCr→RGB. Returns None on malformed input (arithmetic coding,
+  * missing tables, truncated entropy data, coefficient overrun...).
   *
   * Scale: decode is a pure per-row map over the binary column —
   * embarrassingly parallel, no shuffle; the same 100 TB shape as the
@@ -43,15 +43,18 @@ object Jpeg {
     * all-ones code free). Code for symbol s is simply s. */
   private val DcSymbols: Array[Int] = (0 to 11).toArray
 
-  /** AC: EOB, ZRL and every (run,size) pair — 162 symbols, all at code
-    * length 8 (162 ≤ 2⁸−1). Code = index in this list. */
+  /** AC: EOB/EOBn (run 0–14, size 0 — the n>1 codes are progressive-
+    * only), ZRL and every (run,size) pair — 176 symbols, all at code
+    * length 8 (176 ≤ 2⁸−1). Code = index in this list. */
   private val AcSymbols: Array[Int] = {
     val b = Array.newBuilder[Int]
-    b += 0x00 // EOB
+    for (r <- 0 to 14) b += (r << 4) // EOB1..EOB32767
     b += 0xF0 // ZRL
     for (r <- 0 to 15; s <- 1 to 10) b += (r << 4) | s
     b.result()
   }
+
+  private val AcCode: Map[Int, Int] = AcSymbols.zipWithIndex.toMap
 
   private def huffSpec(symbols: Array[Int], len: Int): (Array[Int], Array[Int]) = {
     require(symbols.length < (1 << len), "all-ones code must stay unassigned")
@@ -126,12 +129,19 @@ object Jpeg {
         (data(i + 1) & 0xff) != (0xD0 | expected)) throw new Malformed
       i += 2
     }
+    /** Byte-align after the last decoded unit and return the offset of
+      * the next marker (skipping any stuffed pad byte). */
+    def endOfScan(): Int = {
+      nb = 0
+      while (i + 1 < data.length && (data(i) & 0xff) == 0xFF &&
+        (data(i + 1) & 0xff) == 0x00) i += 2
+      i
+    }
   }
 
   // ---- canonical Huffman decode tables (§F.2.2.1) ----------------------
 
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
-    // mincode/maxcode/valptr indexed by code length 1..16
     private val minCode = new Array[Int](17)
     private val maxCode = Array.fill(17)(-1)
     private val valPtr = new Array[Int](17)
@@ -170,7 +180,41 @@ object Jpeg {
     s
   }
 
-  // ---- encoder ---------------------------------------------------------
+  // ---- shared segment writer -------------------------------------------
+
+  private def writeHeaders(out: java.io.ByteArrayOutputStream,
+                           sofMarker: Int, w: Int, h: Int,
+                           samp: Seq[(Int, Int)], quant: Seq[Array[Int]],
+                           qsel: Seq[Int], restartInterval: Int): Unit = {
+    val nc = samp.length
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16) // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    for ((q, tq) <- quant.zipWithIndex) { // DQT, 8-bit precision
+      marker(0xDB); u16(67); u8(tq)
+      q.foreach(u8)
+    }
+    marker(sofMarker); u16(8 + 3 * nc); u8(8)
+    u16(h); u16(w); u8(nc)
+    for (c <- 0 until nc) {
+      u8(c + 1); u8((samp(c)._1 << 4) | samp(c)._2); u8(qsel(c))
+    }
+    val (dcBits, dcVals) = huffSpec(DcSymbols, 4)
+    val (acBits, acVals) = huffSpec(AcSymbols, 8)
+    for ((cls, id, bits, vals) <- Seq(
+      (0, 0, dcBits, dcVals), (1, 0, acBits, acVals),
+      (0, 1, dcBits, dcVals), (1, 1, acBits, acVals))) {
+      marker(0xC4); u16(19 + vals.length); u8((cls << 4) | id)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+  }
+
+  // ---- baseline encoder ------------------------------------------------
 
   /** Encode an interleaved baseline JPEG from quantized zigzag blocks.
     *
@@ -194,36 +238,13 @@ object Jpeg {
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xFF); u8(m) }
-    marker(0xD8) // SOI
-    marker(0xE0); u16(16) // APP0/JFIF
-    out.write("JFIF".getBytes("US-ASCII")); u8(0)
-    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
-    for ((q, tq) <- quant.zipWithIndex) { // DQT, 8-bit precision
-      marker(0xDB); u16(67); u8(tq)
-      q.foreach(u8)
-    }
-    marker(0xC0); u16(8 + 3 * nc); u8(8) // SOF0
-    u16(h); u16(w); u8(nc)
-    for (c <- 0 until nc) {
-      u8(c + 1); u8((samp(c)._1 << 4) | samp(c)._2); u8(qsel(c))
-    }
-    val (dcBits, dcVals) = huffSpec(DcSymbols, 4)
-    val (acBits, acVals) = huffSpec(AcSymbols, 8)
-    for ((cls, id, bits, vals) <- Seq(
-      (0, 0, dcBits, dcVals), (1, 0, acBits, acVals),
-      (0, 1, dcBits, dcVals), (1, 1, acBits, acVals))) {
-      marker(0xC4); u16(19 + vals.length); u8((cls << 4) | id)
-      bits.foreach(u8); vals.foreach(u8)
-    }
-    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    writeHeaders(out, 0xC0, w, h, samp, quant, qsel, restartInterval)
     marker(0xDA); u16(6 + 2 * nc); u8(nc) // SOS
     for (c <- 0 until nc) {
       val t = if (c == 0) 0 else 1
       u8(c + 1); u8((t << 4) | t)
     }
     u8(0); u8(63); u8(0)
-    // entropy-coded segment
-    val acCode = AcSymbols.zipWithIndex.toMap
     val bw = new BitWriter
     val hmax = samp.map(_._1).max
     val vmax = samp.map(_._2).max
@@ -253,21 +274,215 @@ object Jpeg {
         while (k <= 63) {
           if (zz(k) == 0) run += 1
           else {
-            while (run > 15) { bw.put(acCode(0xF0), 8); run -= 16 }
+            while (run > 15) { bw.put(AcCode(0xF0), 8); run -= 16 }
             val sz = category(zz(k))
             require(sz <= 10, "AC coefficient too large for baseline fixture")
-            bw.put(acCode((run << 4) | sz), 8)
+            bw.put(AcCode((run << 4) | sz), 8)
             bw.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << sz) - 1, sz)
             run = 0
           }
           k += 1
         }
-        if (run > 0) bw.put(acCode(0x00), 8) // EOB
+        if (run > 0) bw.put(AcCode(0x00), 8) // EOB
       }
       mcu += 1
     }
     out.write(bw.bytes)
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---- progressive encoder ---------------------------------------------
+
+  /** One progressive scan: which components (indices into samp), the
+    * spectral band [ss, se] and the successive-approximation bits
+    * (ah = previous Al or 0 for a first scan; al = this scan's low
+    * bit). DC scans have ss=se=0 and may interleave components; AC
+    * scans cover one component. */
+  final case class ScanSpec(comps: Seq[Int], ss: Int, se: Int,
+                            ah: Int, al: Int)
+
+  /** Encode a multi-scan progressive (SOF2) JPEG from quantized zigzag
+    * blocks — spectral selection and successive approximation for both
+    * DC (point transform = arithmetic shift, §G.1.2.1) and AC (point
+    * transform = integer divide toward zero, §G.1.2.2; EOBRUN with
+    * buffered correction bits in refinement scans, mirroring the
+    * decoder's §G.1.2.3). blocks(comp, seq) always indexes blocks in
+    * MCU scan order (the baseline encoder's convention); AC scans walk
+    * the component's raster grid and map back to that order. */
+  def encodeProgressive(w: Int, h: Int,
+                        samp: Seq[(Int, Int)],
+                        quant: Seq[Array[Int]],
+                        qsel: Seq[Int],
+                        blocks: (Int, Int) => Array[Int],
+                        scans: Seq[ScanSpec]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535)
+    require(samp.length == 1 || samp.length == 3)
+    val nc = samp.length
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // exact (non-padded) block grid per component for AC scans
+    def nbx(c: Int): Int = (((w * samp(c)._1 + hmax - 1) / hmax) + 7) / 8
+    def nby(c: Int): Int = (((h * samp(c)._2 + vmax - 1) / vmax) + 7) / 8
+    // raster grid position → the provider's MCU-scan-order sequence
+    def rasterSeq(c: Int, b: Int): Int = {
+      val (ch, cv) = samp(c)
+      val bx = b % nbx(c)
+      val by = b / nbx(c)
+      val mcu = (by / cv) * mcusX + (bx / ch)
+      mcu * ch * cv + (by % cv) * ch + (bx % ch)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    writeHeaders(out, 0xC2, w, h, samp, quant, qsel, 0)
+    for (scan <- scans) {
+      val ScanSpec(sc, ss, se, ah, al) = scan
+      require(ss >= 0 && se <= 63 && ss <= se)
+      require(if (ss == 0) se == 0 else sc.length == 1,
+        "progressive: DC alone; AC single-component")
+      marker(0xDA); u16(6 + 2 * sc.length); u8(sc.length)
+      for (c <- sc) {
+        val t = if (c == 0) 0 else 1
+        u8(c + 1); u8((t << 4) | t)
+      }
+      u8(ss); u8(se); u8((ah << 4) | al)
+      val bw = new BitWriter
+      if (ss == 0 && ah == 0) { // DC first scan
+        val pred = new Array[Int](nc)
+        val seq = new Array[Int](nc)
+        var mcu = 0
+        while (mcu < mcusX * mcusY) {
+          for (c <- sc; _ <- 0 until samp(c)._1 * samp(c)._2) {
+            val v = blocks(c, seq(c))(0) >> al // arithmetic shift
+            seq(c) += 1
+            val diff = v - pred(c)
+            pred(c) = v
+            val s = category(diff)
+            bw.put(s, 4)
+            if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          }
+          mcu += 1
+        }
+      } else if (ss == 0) { // DC refinement: one bit per block
+        val seq = new Array[Int](nc)
+        var mcu = 0
+        while (mcu < mcusX * mcusY) {
+          for (c <- sc; _ <- 0 until samp(c)._1 * samp(c)._2) {
+            bw.put((blocks(c, seq(c))(0) >> al) & 1, 1)
+            seq(c) += 1
+          }
+          mcu += 1
+        }
+      } else if (ah == 0) { // AC first scan (single component)
+        val c = sc.head
+        val n = nbx(c) * nby(c)
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(AcCode(r << 4), 8)
+          if (r > 0) bw.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        var b = 0
+        while (b < n) {
+          val zz = blocks(c, rasterSeq(c, b))
+          // point-transformed band values (integer divide toward zero)
+          var k = ss
+          var run = 0
+          var any = false
+          while (k <= se) {
+            val vt = zz(k) / (1 << al)
+            if (vt == 0) run += 1
+            else {
+              if (!any) { flushEob(); any = true }
+              while (run > 15) { bw.put(AcCode(0xF0), 8); run -= 16 }
+              val s = category(vt)
+              require(s <= 10)
+              bw.put(AcCode((run << 4) | s), 8)
+              bw.put(if (vt >= 0) vt else vt + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (!any) {
+            eobrun += 1
+            if (eobrun == 0x7FFF) flushEob()
+          } else if (run > 0) bw.put(AcCode(0x00), 8) // in-block EOB
+          b += 1
+        }
+        flushEob()
+      } else { // AC refinement scan (§G.1.2.3 mirror)
+        require(ah == al + 1, "successive approximation refines one bit")
+        val c = sc.head
+        val n = nbx(c) * nby(c)
+        val p1 = 1 << al
+        var eobrun = 0
+        val pending = new scala.collection.mutable.ArrayBuffer[Int]()
+        def flushEob(): Unit = {
+          if (eobrun > 0) {
+            val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+            bw.put(AcCode(r << 4), 8)
+            if (r > 0) bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+          }
+          pending.foreach(bw.put(_, 1))
+          pending.clear()
+        }
+        var b = 0
+        while (b < n) {
+          val zz = blocks(c, rasterSeq(c, b))
+          val absT = new Array[Int](64)
+          var eobPos = ss - 1 // last newly-significant index
+          var k = ss
+          while (k <= se) {
+            absT(k) = math.abs(zz(k)) >> al
+            if (absT(k) == 1) eobPos = k
+            k += 1
+          }
+          var run = 0
+          val corr = new scala.collection.mutable.ArrayBuffer[Int]()
+          k = ss
+          while (k <= se) {
+            val t = absT(k)
+            if (t == 0) run += 1
+            else {
+              // ZRL drain happens at EVERY nonzero position so no
+              // buffered correction bit ever sits more than 15 zeros
+              // deep — that keeps the decoder's walk (which reads a
+              // ZRL's correction bits only up to its 16th zero slot)
+              // in sync. Runs past the last placement fold into EOB.
+              while (run > 15 && k <= eobPos) {
+                flushEob()
+                bw.put(AcCode(0xF0), 8); run -= 16
+                corr.foreach(bw.put(_, 1)); corr.clear()
+              }
+              if (t > 1) corr += (t & 1) // already-significant: bit
+              else { // newly significant (|Vt| == 1)
+                flushEob()
+                bw.put(AcCode((run << 4) | 1), 8)
+                bw.put(if (zz(k) >= 0) 1 else 0, 1) // sign bit
+                corr.foreach(bw.put(_, 1)); corr.clear()
+                run = 0
+              }
+            }
+            k += 1
+          }
+          if (run > 0 || corr.nonEmpty) {
+            eobrun += 1
+            pending ++= corr
+            if (eobrun == 0x7FFF) flushEob()
+          }
+          b += 1
+        }
+        flushEob()
+      }
+      out.write(bw.bytes)
+    }
+    marker(0xD9)
     out.toByteArray
   }
 
@@ -317,10 +532,12 @@ object Jpeg {
     }
   }
 
-  /** Full baseline decode → (width, height, RGB bytes). None on any
-    * malformed structure. */
+  /** Full decode (baseline or progressive) → (width, height, RGB
+    * bytes). None on any malformed structure. */
   def decodePixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    try decode0(data) catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
+    try decode0(data) catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException => None
+    }
 
   private def decode0(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data.length < 4 || (data(0) & 0xff) != 0xFF ||
@@ -329,24 +546,35 @@ object Jpeg {
     val huffDC = new Array[HuffTable](4)
     val huffAC = new Array[HuffTable](4)
     var comps: Array[Comp] = null
+    var progressive = false
     var w = 0
     var h = 0
     var restartInterval = 0
+    // per-component quantized coefficient stores (MCU-padded grids)
+    var coefs: Array[Array[Int]] = null
+    var bwBlocks: Array[Int] = null // padded blocks per line, per comp
+    var bhBlocks: Array[Int] = null
+    var hmax = 0
+    var vmax = 0
+    var mcusX = 0
+    var mcusY = 0
+    var nScans = 0
     var i = 2
-    var scanStart = -1
-    while (scanStart < 0) {
+    var done = false
+    while (!done) {
       if (i + 1 >= data.length) return None
       if ((data(i) & 0xff) != 0xFF) return None
       var m = data(i + 1) & 0xff
       while (m == 0xFF && i + 2 < data.length) { i += 1; m = data(i + 1) & 0xff }
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
-      else if (m == 0xD9) return None // EOI before SOS
+      else if (m == 0xD9) { done = true } // EOI
       else {
         if (i + 3 >= data.length) return None
         val len = ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
         if (len < 2 || i + 2 + len > data.length) return None
         val seg = i + 4
         val segEnd = i + 2 + len
+        var next = segEnd
         m match {
           case 0xDB => // DQT: one or more tables per segment
             var p = seg
@@ -382,8 +610,9 @@ object Jpeg {
               if (cls == 0) huffDC(id) = t else huffAC(id) = t
               p += 17 + n
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
             if (comps != null || len < 11) return None
+            progressive = m == 0xC2
             if ((data(seg) & 0xff) != 8) return None // precision
             h = ((data(seg + 1) & 0xff) << 8) | (data(seg + 2) & 0xff)
             w = ((data(seg + 3) & 0xff) << 8) | (data(seg + 4) & 0xff)
@@ -398,109 +627,96 @@ object Jpeg {
                 return None
               cc
             }
-          case 0xC2 => return None // progressive: not baseline
+            hmax = comps.map(_.h).max
+            vmax = comps.map(_.v).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            bwBlocks = comps.map(c => mcusX * c.h)
+            bhBlocks = comps.map(c => mcusY * c.v)
+            coefs = comps.indices.map(c =>
+              new Array[Int](bwBlocks(c) * bhBlocks(c) * 64)).toArray
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF =>
+            return None // lossless / arithmetic / hierarchical
           case 0xDD =>
             if (len != 4) return None
             restartInterval = ((data(seg) & 0xff) << 8) | (data(seg + 1) & 0xff)
           case 0xDA =>
             if (comps == null) return None
             val ns = data(seg) & 0xff
-            if (ns != comps.length || len != 6 + 2 * ns) return None
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+            val scanComps = new Array[Int](ns)
             for (k <- 0 until ns) {
               val cid = data(seg + 1 + 2 * k) & 0xff
               val tt = data(seg + 2 + 2 * k) & 0xff
-              val comp = comps.find(_.id == cid).getOrElse(return None)
-              comp.td = tt >> 4
-              comp.ta = tt & 0x0f
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).td = tt >> 4
+              comps(ci).ta = tt & 0x0f
+              scanComps(k) = ci
             }
-            // Ss/Se/Ah-Al must be 0/63/0 for sequential
-            if ((data(segEnd - 3) & 0xff) != 0 ||
-              (data(segEnd - 2) & 0xff) != 63 ||
-              (data(segEnd - 1) & 0xff) != 0) return None
-            scanStart = segEnd
+            val ss = data(segEnd - 3) & 0xff
+            val se = data(segEnd - 2) & 0xff
+            val ah = (data(segEnd - 1) & 0xff) >> 4
+            val al = data(segEnd - 1) & 0x0f
+            if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
+              return None
+            if (progressive) {
+              if (ss == 0 && se != 0) return None // DC scans are DC-only
+              if (ss > 0 && (se > 63 || ss > se || ns != 1)) return None
+              if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            }
+            next = decodeScan(data, segEnd, comps, scanComps, ss, se, ah, al,
+              quant, huffDC, huffAC, restartInterval, w, h, hmax, vmax,
+              mcusX, mcusY, coefs, bwBlocks, progressive)
+            nScans += 1
           case _ => // APPn/COM/unknown: skip
         }
-        if (scanStart < 0) i = segEnd
+        if (!done) i = next
       }
     }
-    // entropy-coded scan
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // full MCU-padded planes per component
-    val planeW = comps.map(c => mcusX * 8 * c.h)
-    val planeH = comps.map(c => mcusY * 8 * c.v)
+    if (comps == null || nScans == 0) return None
+    for (c <- comps) if (quant(c.tq) == null) return None
+    // dequantize + IDCT every stored block into MCU-padded planes
+    val planeW = bwBlocks.map(_ * 8)
     val planes = comps.indices.map(c =>
-      new Array[Byte](planeW(c) * planeH(c))).toArray
-    for (c <- comps) {
-      if (quant(c.tq) == null || huffDC(c.td) == null || huffAC(c.ta) == null)
-        return None
-    }
-    val r = new BitReader(data, scanStart)
-    val pred = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
+      new Array[Byte](planeW(c) * bhBlocks(c) * 8)).toArray
+    val nat = new Array[Int](64)
     val px = new Array[Int](64)
-    var rst = 0
-    var mcu = 0
-    while (mcu < mcusX * mcusY) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        r.restart(rst)
-        rst = (rst + 1) % 8
-        java.util.Arrays.fill(pred, 0)
-      }
-      val mx = mcu % mcusX
-      val my = mcu / mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val q = quant(c.tq)
-        val dc = huffDC(c.td)
-        val ac = huffAC(c.ta)
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            java.util.Arrays.fill(coef, 0)
-            val t = dc.decode(r)
-            if (t > 11) throw new Malformed
-            pred(ci) += extend(r.bits(t), t)
-            coef(0) = pred(ci) * q(0)
-            var k = 1
-            var eob = false
-            while (k <= 63 && !eob) {
-              val rs = ac.decode(r)
-              val run = rs >> 4
-              val sz = rs & 0x0f
-              if (sz == 0) {
-                if (run == 15) k += 16 else eob = true
-              } else {
-                k += run
-                if (k > 63) throw new Malformed
-                coef(Zigzag(k)) = extend(r.bits(sz), sz) * q(k)
-                k += 1
-              }
+    // quant table in natural order per comp
+    val qNat = comps.map { c =>
+      val q = new Array[Int](64)
+      var k = 0
+      while (k < 64) { q(Zigzag(k)) = quant(c.tq)(k); k += 1 }
+      q
+    }
+    var ci = 0
+    while (ci < comps.length) {
+      val cf = coefs(ci)
+      val pw = planeW(ci)
+      var by = 0
+      while (by < bhBlocks(ci)) {
+        var bx = 0
+        while (bx < bwBlocks(ci)) {
+          val base = (by * bwBlocks(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { nat(k) = cf(base + k) * qNat(ci)(k); k += 1 }
+          idct(nat, px)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) =
+                px(yy * 8 + xx).toByte
+              xx += 1
             }
-            idct(coef, px)
-            val ox = (mx * c.h + bx) * 8
-            val oy = (my * c.v + by) * 8
-            val pw = planeW(ci)
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                planes(ci)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx).toByte
-                xx += 1
-              }
-              yy += 1
-            }
-            bx += 1
+            yy += 1
           }
-          by += 1
+          bx += 1
         }
-        ci += 1
+        by += 1
       }
-      mcu += 1
+      ci += 1
     }
     // compose RGB (nearest upsampling of subsampled components)
     val rgb = new Array[Byte](w * h * 3)
@@ -547,18 +763,215 @@ object Jpeg {
     Some((w, h, rgb))
   }
 
-  // ---- fixture encoder for the oracle query ----------------------------
+  /** Decode one entropy-coded scan into the coefficient stores; returns
+    * the offset of the marker that follows the scan data. */
+  private def decodeScan(data: Array[Byte], start: Int, comps: Array[Comp],
+                         scanComps: Array[Int], ss: Int, se: Int,
+                         ah: Int, al: Int, quant: Array[Array[Int]],
+                         huffDC: Array[HuffTable], huffAC: Array[HuffTable],
+                         restartInterval: Int, w: Int, h: Int,
+                         hmax: Int, vmax: Int, mcusX: Int, mcusY: Int,
+                         coefs: Array[Array[Int]], bwBlocks: Array[Int],
+                         progressive: Boolean): Int = {
+    val r = new BitReader(data, start)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    val dcScan = ss == 0
+    val needDC = dcScan
+    val needAC = !dcScan || !progressive
+    for (ci <- scanComps) {
+      val c = comps(ci)
+      if (needDC && ah == 0 && huffDC(c.td) == null) throw new Malformed
+      if (needAC && huffAC(c.ta) == null) throw new Malformed
+    }
 
-  /** Oracle-exact fixture: a bw×bh-block 4:4:4 color JPEG where Y block
-    * k (raster order) is the CONSTANT payload byte k mod len, Cb is
-    * constant 128 and Cr constant 133, all quantizers 1. Constant
-    * blocks are DC-only, DC = 8·(v−128) is a multiple of 8, so the
-    * double IDCT reconstructs v bit-exactly; the fixed chroma offsets
-    * make the BT.601 conversion land at exactly (v+7, v−4, v) per
-    * pixel (fractions .01 and .43 — no rounding ties), so the DuckDB
-    * oracle predicts per-channel sums in pure integer arithmetic while
-    * the decode still runs the whole baseline path: Huffman, DC
-    * prediction, stuffing, dequant, IDCT, color convert. */
+    // ---- per-block decoders (store QUANTIZED coefficients) -------------
+    def seqBlock(ci: Int, base: Int): Unit = {
+      val c = comps(ci)
+      val cf = coefs(ci)
+      val t = huffDC(c.td).decode(r)
+      if (t > 11) throw new Malformed
+      pred(ci) += extend(r.bits(t), t)
+      cf(base) = pred(ci)
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val rs = huffAC(c.ta).decode(r)
+        val run = rs >> 4
+        val sz = rs & 0x0f
+        if (sz == 0) {
+          if (run == 15) k += 16 else eob = true
+        } else {
+          k += run
+          if (k > 63) throw new Malformed
+          cf(base + Zigzag(k)) = extend(r.bits(sz), sz)
+          k += 1
+        }
+      }
+    }
+
+    def dcFirst(ci: Int, base: Int): Unit = {
+      val c = comps(ci)
+      val t = huffDC(c.td).decode(r)
+      if (t > 11) throw new Malformed
+      pred(ci) += extend(r.bits(t), t)
+      coefs(ci)(base) = pred(ci) << al
+    }
+
+    def dcRefine(ci: Int, base: Int): Unit =
+      if (r.bit() == 1) coefs(ci)(base) += (1 << al)
+
+    def acFirst(ci: Int, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val cf = coefs(ci)
+      val ac = huffAC(comps(ci).ta)
+      var k = ss
+      var eob = false
+      while (k <= se && !eob) {
+        val rs = ac.decode(r)
+        val run = rs >> 4
+        val sz = rs & 0x0f
+        if (sz == 0) {
+          if (run < 15) {
+            eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0) - 1
+            eob = true
+          } else k += 16
+        } else {
+          k += run
+          if (k > se) throw new Malformed
+          cf(base + Zigzag(k)) = extend(r.bits(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+
+    /** §G.1.2.3 AC refinement (structure mirrors the public IJG
+      * decode_mcu_AC_refine): newly-significant coefficients arrive as
+      * ±1<<Al at zero-history positions; every nonzero-history
+      * coefficient passed — including during ZRL runs and EOB runs —
+      * absorbs one correction bit. */
+    def acRefine(ci: Int, base: Int): Unit = {
+      val cf = coefs(ci)
+      val ac = huffAC(comps(ci).ta)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var eob = false
+        while (k <= se && !eob) {
+          val rs = ac.decode(r)
+          var run = rs >> 4
+          val sz = rs & 0x0f
+          var newval = 0
+          if (sz == 0) {
+            if (run < 15) {
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              eob = true // remaining band handled below; eobrun-- there
+            }
+            // run == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (sz != 1) throw new Malformed
+            newval = if (r.bit() == 1) p1 else m1
+          }
+          if (!eob) {
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = base + Zigzag(k)
+              if (cf(idx) != 0) {
+                if (r.bit() == 1 && (cf(idx) & p1) == 0)
+                  cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+              } else {
+                if (run == 0) placed = true
+                else run -= 1
+              }
+              if (!placed) k += 1
+            }
+            if (sz != 0) {
+              if (k > se) throw new Malformed
+              cf(base + Zigzag(k)) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // correction bits for every remaining nonzero coefficient
+        while (k <= se) {
+          val idx = base + Zigzag(k)
+          if (cf(idx) != 0) {
+            if (r.bit() == 1 && (cf(idx) & p1) == 0)
+              cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(ci: Int, bx: Int, by: Int): Unit = {
+      val base = (by * bwBlocks(ci) + bx) * 64
+      if (!progressive) seqBlock(ci, base)
+      else if (dcScan) { if (ah == 0) dcFirst(ci, base) else dcRefine(ci, base) }
+      else { if (ah == 0) acFirst(ci, base) else acRefine(ci, base) }
+    }
+
+    // ---- scan loop: interleaved MCUs or single-component raster --------
+    var rst = 0
+    def maybeRestart(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        r.restart(rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+    if (scanComps.length > 1) { // interleaved (MCU order)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        maybeRestart(mcu)
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        for (ci <- scanComps) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeBlock(ci, mx * c.h + bx, my * c.v + by)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mcu += 1
+      }
+    } else { // single component: raster over its exact block grid
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val nx = (((w * c.h + hmax - 1) / hmax) + 7) / 8
+      val ny = (((h * c.v + vmax - 1) / vmax) + 7) / 8
+      var b = 0
+      while (b < nx * ny) {
+        maybeRestart(b)
+        decodeBlock(ci, b % nx, b / nx)
+        b += 1
+      }
+    }
+    r.endOfScan()
+  }
+
+  // ---- fixture encoders for the oracle queries -------------------------
+
+  /** Oracle-exact BASELINE fixture: a bw×bh-block 4:4:4 color JPEG
+    * where Y block k (raster order) is the CONSTANT payload byte
+    * k mod len, Cb is constant 128 and Cr constant 133, all
+    * quantizers 1. Constant blocks are DC-only, DC = 8·(v−128) is a
+    * multiple of 8, so the double IDCT reconstructs v bit-exactly; the
+    * fixed chroma offsets make the BT.601 conversion land at exactly
+    * (v+7, v−4, v) per pixel (fractions .01 and .43 — no rounding
+    * ties), so the DuckDB oracle predicts per-channel sums in pure
+    * integer arithmetic while the decode still runs the whole baseline
+    * path: Huffman, DC prediction, stuffing, dequant, IDCT, color
+    * convert. */
   def encodePixels(bw: Int, bh: Int, payload: Array[Byte]): Array[Byte] = {
     require(bw > 0 && bh > 0 && payload.nonEmpty)
     val ones = Array.fill(64)(1)
@@ -576,5 +989,43 @@ object Jpeg {
         case 1 => cb
         case _ => cr
       })
+  }
+
+  /** Oracle-exact PROGRESSIVE fixture: the same constant-block color
+    * construction re-expressed as a 7-scan SOF2 stream — but with DC
+    * quantizer 8 (stored DC = v−128, dequant restores 8·(v−128)
+    * exactly) so the DC values carry live low bits through TWO
+    * successive-approximation refinement scans, and split AC bands so
+    * spectral selection and EOBRUN decode are on the oracle path too.
+    * Scans: DC first Al=2 (all comps interleaved), DC refine Al=1,
+    * DC refine Al=0, then per-component AC 1–5 and 6–63 first scans
+    * (all-zero bands → pure EOBn runs). Decoded pixels are exactly
+    * (v+7, v−4, v) — the baseline oracle arithmetic. */
+  def encodeProgressivePixels(bw: Int, bh: Int,
+                              payload: Array[Byte]): Array[Byte] = {
+    require(bw > 0 && bh > 0 && payload.nonEmpty)
+    val q = Array.tabulate(64)(k => if (k == 0) 8 else 1)
+    def dcOnly(dc: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = dc
+      a
+    }
+    val cb = dcOnly(0)
+    val cr = dcOnly(5) // ×8 → 40 → Cr = 133
+    encodeProgressive(8 * bw, 8 * bh, Seq((1, 1), (1, 1), (1, 1)),
+      Seq(q, q), Seq(0, 1, 1),
+      (c, seq) => c match {
+        case 0 => dcOnly((payload(seq % payload.length) & 0xff) - 128)
+        case 1 => cb
+        case _ => cr
+      },
+      Seq(
+        ScanSpec(Seq(0, 1, 2), 0, 0, 0, 2),
+        ScanSpec(Seq(0, 1, 2), 0, 0, 2, 1),
+        ScanSpec(Seq(0, 1, 2), 0, 0, 1, 0),
+        ScanSpec(Seq(0), 1, 5, 0, 0),
+        ScanSpec(Seq(0), 6, 63, 0, 0),
+        ScanSpec(Seq(1), 1, 63, 0, 0),
+        ScanSpec(Seq(2), 1, 63, 0, 0)))
   }
 }

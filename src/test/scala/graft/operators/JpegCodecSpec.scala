@@ -215,6 +215,102 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(Jpeg.decodePixels(good).nonEmpty)
   }
 
+  test("progressive constant-block fixture round-trips bit-exactly") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 40) {
+      val bw = 1 + rnd.nextInt(8)
+      val bh = 1 + rnd.nextInt(8)
+      val payload = Array.fill(1 + rnd.nextInt(40))((32 + rnd.nextInt(95)).toByte)
+      val jpg = Jpeg.encodeProgressivePixels(bw, bh, payload)
+      // really SOF2, with 8 SOS segments
+      def countMarker(m: Int): Int = jpg.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == m)
+      assert(countMarker(0xC2) >= 1 && countMarker(0xC0) == 0)
+      val Some((w, h, rgb)) = Jpeg.decodePixels(jpg)
+      assert(w == 8 * bw && h == 8 * bh, s"trial $trial dims")
+      assert(rgb.sameElements(expectedRgb(bw, bh, payload)),
+        s"trial $trial ${bw}x$bh len=${payload.length}")
+    }
+  }
+
+  test("progressive AC successive approximation equals baseline decode") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 10) {
+      val nb = 2 + rnd.nextInt(6)
+      val blocks = Array.fill(nb) {
+        val zz = new Array[Int](64)
+        zz(0) = rnd.nextInt(400) - 200
+        for (_ <- 0 until 14) zz(1 + rnd.nextInt(63)) = rnd.nextInt(401) - 200
+        zz
+      }
+      val ones = Array.fill(64)(1)
+      val base = Jpeg.encodeBaseline(8 * nb, 8, Seq((1, 1)),
+        Seq(ones, ones), Seq(0), (_, s) => blocks(s))
+      val prog = Jpeg.encodeProgressive(8 * nb, 8, Seq((1, 1)),
+        Seq(ones, ones), Seq(0), (_, s) => blocks(s),
+        Seq(
+          Jpeg.ScanSpec(Seq(0), 0, 0, 0, 2),   // DC first, Al=2
+          Jpeg.ScanSpec(Seq(0), 0, 0, 2, 1),   // DC refine
+          Jpeg.ScanSpec(Seq(0), 0, 0, 1, 0),   // DC refine
+          Jpeg.ScanSpec(Seq(0), 1, 20, 0, 1),  // AC band 1 first, Al=1
+          Jpeg.ScanSpec(Seq(0), 21, 63, 0, 1), // AC band 2 first, Al=1
+          Jpeg.ScanSpec(Seq(0), 1, 20, 1, 0),  // AC band 1 refine
+          Jpeg.ScanSpec(Seq(0), 21, 63, 1, 0)))// AC band 2 refine
+      val b = Jpeg.decodePixels(base)
+      val p = Jpeg.decodePixels(prog)
+      assert(b.nonEmpty && p.nonEmpty, s"trial $trial decode")
+      assert(b.get._3.sameElements(p.get._3),
+        s"trial $trial: progressive must reconstruct the same coefficients")
+    }
+  }
+
+  test("progressive color with subsampling equals its baseline twin") {
+    val rnd = new scala.util.Random(23)
+    val ones = Array.fill(64)(1)
+    // 2 MCUs of 4:2:0: Y has 8 blocks, chroma 2 each; random sparse coefs
+    def mk() = {
+      val zz = new Array[Int](64)
+      zz(0) = rnd.nextInt(200) - 100
+      for (_ <- 0 until 6) zz(1 + rnd.nextInt(63)) = rnd.nextInt(101) - 50
+      zz
+    }
+    val y = Array.fill(8)(mk())
+    val cbb = Array.fill(2)(mk())
+    val crb = Array.fill(2)(mk())
+    def pick(c: Int, s: Int) = c match {
+      case 0 => y(s); case 1 => cbb(s); case _ => crb(s)
+    }
+    val base = Jpeg.encodeBaseline(32, 16, Seq((2, 2), (1, 1), (1, 1)),
+      Seq(ones, ones), Seq(0, 1, 1), pick)
+    val prog = Jpeg.encodeProgressive(32, 16, Seq((2, 2), (1, 1), (1, 1)),
+      Seq(ones, ones), Seq(0, 1, 1), pick,
+      Seq(
+        Jpeg.ScanSpec(Seq(0, 1, 2), 0, 0, 0, 1),
+        Jpeg.ScanSpec(Seq(0, 1, 2), 0, 0, 1, 0),
+        Jpeg.ScanSpec(Seq(0), 1, 63, 0, 0),
+        Jpeg.ScanSpec(Seq(1), 1, 63, 0, 0),
+        Jpeg.ScanSpec(Seq(2), 1, 63, 0, 0)))
+    val b = Jpeg.decodePixels(base)
+    val p = Jpeg.decodePixels(prog)
+    assert(b.nonEmpty && p.nonEmpty)
+    assert(b.get._3.sameElements(p.get._3))
+  }
+
+  test("progressive malformed: truncation and bad scan headers reject") {
+    val good = Jpeg.encodeProgressivePixels(3, 3, "abcdefgh".getBytes)
+    assert(Jpeg.decodePixels(good).nonEmpty)
+    assert(Jpeg.decodePixels(good.take(good.length / 3)).isEmpty)
+    assert(Jpeg.decodePixels(good.take(good.length - 3)).isEmpty,
+      "missing EOI after final scan")
+    // an AC scan over >1 component is illegal
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeProgressive(8, 8, Seq((1, 1), (1, 1), (1, 1)),
+        Seq(Array.fill(64)(1), Array.fill(64)(1)), Seq(0, 1, 1),
+        (_, _) => new Array[Int](64),
+        Seq(Jpeg.ScanSpec(Seq(0, 1), 1, 63, 0, 0)))
+    }
+  }
+
   test("grayscale single-component stream replicates into RGB") {
     val zz = new Array[Int](64)
     zz(0) = 8 * (200 - 128)
