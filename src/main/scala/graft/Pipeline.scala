@@ -3481,6 +3481,26 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Batch audit pass of the streaming media gate: the SAME verdict
+    * function (streaming/StreamingMediaGate — full pixel decode +
+    * integer luma/contrast gate) over PNG pixel fixtures, with the
+    * DuckDB oracle recomputing the whole gate from first principles.
+    * keep = decoded ∧ w≥8 ∧ h≥8 ∧ 16≤mean≤240 ∧ contrast≥8. */
+  private def imageQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.streaming.MediaDoc(id, 0L, "image/png",
+          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
+      }
+    graft.streaming.StreamingMediaGate.verdicts(media).toDF()
+      .withColumnRenamed("mediaId", "media_id")
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
     "lang_confusion"      -> langConfusion _,
@@ -3508,6 +3528,7 @@ object Pipeline {
     "multimodal_exif_orientation" -> multimodalExifOrientation _,
     "multimodal_id3_tags" -> multimodalId3Tags _,
     "audio_frame_energy" -> audioFrameEnergy _,
+    "image_quality_gate" -> imageQualityGate _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4268,6 +4289,33 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
+    },
+    "image_quality_gate" -> {
+      // per-pixel luma = (r+g+b)//3 over the cycled text bytes; mean,
+      // contrast and the keep rule all in integer arithmetic
+      val lumas =
+        """list_transform(range(0, n), k ->
+          |  ( ascii(substr(text, CAST((3*k)     % len AS INT) + 1, 1))
+          |  + ascii(substr(text, CAST((3*k + 1) % len AS INT) + 1, 1))
+          |  + ascii(substr(text, CAST((3*k + 2) % len AS INT) + 1, 1))) // 3)"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d),
+         |m AS (SELECT doc_id, w, h,
+         |  CAST(list_sum(l) // n AS INT) AS mean_luma,
+         |  CAST(list_max(l) - list_min(l) AS INT) AS contrast
+         |  FROM (SELECT *, $lumas AS l FROM e))
+         |SELECT doc_id AS media_id, 'image/png' AS kind,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  mean_luma, contrast, TRUE AS decode_ok,
+         |  (w >= 8 AND h >= 8 AND mean_luma BETWEEN 16 AND 240
+         |    AND contrast >= 8) AS keep
+         |FROM m ORDER BY media_id""".stripMargin
     },
     "multimodal_exif_orientation" ->
       """SELECT doc_id AS media_id,
