@@ -3481,6 +3481,37 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** ANIMATED GIF path: documents become real multi-frame GIF89a
+    * streams (per-frame graphic-control extensions with centisecond
+    * delays, full-rect frames whose indices shift by one text position
+    * per frame, the standard 256-ramp palette) and the extractor runs
+    * the full animation walk — LZW per frame, compositing, delay fold.
+    * The oracle recomputes frame count, total delay and the per-frame
+    * channel sums through the palette ramps in nested integer list
+    * arithmetic. */
+  private def multimodalGifFrames(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        val nf = 1 + (t.length % 8)
+        val bytes0 = asciiBytes(id, t)
+        val gif = graft.operators.Multimodal.encodeGifFrames(w, h, nf,
+          (f, k) => bytes0((k + f) % bytes0.length) & 0xff,
+          f => 2 + f % 5)
+        val a = graft.operators.Multimodal.decodeGifFrames(gif)
+          .getOrElse(graft.operators.Multimodal.GifAnim(-1, -1, -1, -1L,
+            -1L, -1L, -1L))
+        (id, a.width, a.height, a.nFrames, a.totalDelayCs,
+          a.sumR, a.sumG, a.sumB)
+      }
+      .toDF("media_id", "width", "height", "n_frames", "total_delay_cs",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** Batch audit pass of the streaming media gate: the SAME verdict
     * function (streaming/StreamingMediaGate — full pixel decode +
     * integer luma/contrast gate) over PNG pixel fixtures, with the
@@ -3529,6 +3560,7 @@ object Pipeline {
     "multimodal_id3_tags" -> multimodalId3Tags _,
     "audio_frame_energy" -> audioFrameEnergy _,
     "image_quality_gate" -> imageQualityGate _,
+    "multimodal_gif_frames" -> multimodalGifFrames _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4288,6 +4320,33 @@ object Pipeline {
          |  ${chSum(7)} AS sum_r,
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_gif_frames" -> {
+      // frame f pixel k has color index text[(k+f) mod len]; palette
+      // ramps i → (i, 2i mod 256, 3i mod 256); delays 2 + f mod 5
+      def chSum(mul: Int): String = {
+        val a = "ascii(substr(text, CAST((k + f) % len AS INT) + 1, 1))"
+        val term = if (mul == 1) a else s"($mul * $a) % 256"
+        s"""CAST(list_sum(list_transform(range(0, CAST(nf AS BIGINT)),
+           |  f -> list_sum(list_transform(range(0, n), k -> $term))))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h,
+         |    1 + length(text) % 8 AS nf
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
+         |  CAST(list_sum(list_transform(range(0, CAST(nf AS BIGINT)),
+         |    f -> 2 + f % 5)) AS BIGINT) AS total_delay_cs,
+         |  ${chSum(1)} AS sum_r,
+         |  ${chSum(2)} AS sum_g,
+         |  ${chSum(3)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
     },
     "image_quality_gate" -> {

@@ -752,6 +752,248 @@ object Multimodal {
     }
   }
 
+  // ---- animated GIF (multi-frame walk + compositing) -------------------
+
+  /** Decoded animation facts: frame count, total GCE delay and the
+    * per-channel sums of the COMPOSITED canvas after every frame (the
+    * quantity a video-ish sampling pipeline aggregates). */
+  final case class GifAnim(width: Int, height: Int, nFrames: Int,
+                           totalDelayCs: Long, sumR: Long, sumG: Long,
+                           sumB: Long)
+
+  /** One frame's indexed pixels + color table + geometry, decoded from
+    * an image descriptor at offset `from`; returns the next offset. */
+  private def gifImageData(data: Array[Byte], from: Int,
+                           gct: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Byte], Array[Byte], Boolean, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = from
+    if (i + 10 > data.length) return None
+    val ix = bb.getShort(i + 1) & 0xffff
+    val iy = bb.getShort(i + 3) & 0xffff
+    val iw = bb.getShort(i + 5) & 0xffff
+    val ih = bb.getShort(i + 7) & 0xffff
+    val ifl = data(i + 9) & 0xff
+    i += 10
+    var ct = gct
+    if ((ifl & 0x80) != 0) {
+      val nc = 2 << (ifl & 7)
+      if (i + 3 * nc > data.length) return None
+      ct = java.util.Arrays.copyOfRange(data, i, i + 3 * nc)
+      i += 3 * nc
+    }
+    if (ct == null || iw <= 0 || ih <= 0) return None
+    if (iw.toLong * ih > (1L << 26)) return None // 64 Mpx cap
+    if (i >= data.length) return None
+    val minCode = data(i) & 0xff
+    i += 1
+    if (minCode < 2 || minCode > 8) return None
+    val lzw = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (i >= data.length) return None
+      val m = data(i) & 0xff
+      i += 1
+      if (m == 0) done = true
+      else {
+        if (i + m > data.length) return None
+        lzw.write(data, i, m); i += m
+      }
+    }
+    val idx = lzwDecode(minCode, lzw.toByteArray, iw * ih)
+      .getOrElse(return None)
+    Some((ix, iy, iw, ih, idx, ct, (ifl & 0x40) != 0, i))
+  }
+
+  /** FULL animated-GIF decode: walks every graphic-control extension +
+    * image descriptor, LZW-decodes each frame (local color tables and
+    * interlace honored), composites sub-rect frames onto the canvas
+    * (disposal 0/1 = draw over; 2 = restore to the LSD background
+    * color after accounting), and folds per-frame channel sums over
+    * the composited canvas. None on malformed input or zero frames. */
+  def decodeGifFrames(data: Array[Byte]): Option[GifAnim] = {
+    decodeGifDims(data).flatMap { case (w, h) =>
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val flags = data(10) & 0xff
+      val bgIndex = data(11) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((flags & 0x80) != 0) {
+        val nc = 2 << (flags & 7)
+        if (13 + 3 * nc > data.length) return None
+        gct = java.util.Arrays.copyOfRange(data, 13, 13 + 3 * nc)
+        i = 13 + 3 * nc
+      }
+      def skipSubBlocks(from: Int): Int = {
+        var j = from
+        while (j < data.length) {
+          val m = data(j) & 0xff
+          j += 1
+          if (m == 0) return j
+          if (j + m > data.length) return -1
+          j += m
+        }
+        -1
+      }
+      val canvas = new Array[Byte](w * h * 3) // starts black
+      var nFrames = 0
+      var totalDelay = 0L
+      var pendingDelay = 0
+      var pendingDisposal = 0
+      var sr = 0L
+      var sg = 0L
+      var sb = 0L
+      while (i < data.length) {
+        (data(i) & 0xff) match {
+          case 0x3B => // trailer
+            return if (nFrames > 0)
+              Some(GifAnim(w, h, nFrames, totalDelay, sr, sg, sb))
+            else None
+          case 0x21 =>
+            if (i + 1 >= data.length) return None
+            if ((data(i + 1) & 0xff) == 0xF9) { // graphic control
+              if (i + 7 >= data.length || (data(i + 2) & 0xff) != 4)
+                return None
+              pendingDisposal = ((data(i + 3) & 0xff) >> 2) & 7
+              pendingDelay = bb.getShort(i + 4) & 0xffff
+              i = skipSubBlocks(i + 2)
+            } else i = skipSubBlocks(i + 2)
+            if (i < 0) return None
+          case 0x2C =>
+            val (ix, iy, iw, ih, idx, ct, interlaced, next) =
+              gifImageData(data, i, gct).getOrElse(return None)
+            if (ix + iw > w || iy + ih > h) return None
+            val nColors = ct.length / 3
+            val rowOf: Int => Int =
+              if (!interlaced) identity
+              else {
+                val order = new Array[Int](ih)
+                var r = 0
+                for ((st, sp) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                     y <- st.until(ih, sp)) { order(r) = y; r += 1 }
+                (s: Int) => order(s)
+              }
+            var srow = 0
+            while (srow < ih) {
+              val y = iy + rowOf(srow)
+              var x = 0
+              while (x < iw) {
+                val ci = idx(srow * iw + x) & 0xff
+                if (ci >= nColors) return None
+                val o = (y * w + ix + x) * 3
+                canvas(o) = ct(3 * ci)
+                canvas(o + 1) = ct(3 * ci + 1)
+                canvas(o + 2) = ct(3 * ci + 2)
+                x += 1
+              }
+              srow += 1
+            }
+            // account the composited canvas after this frame
+            var p = 0
+            while (p < canvas.length) {
+              sr += canvas(p) & 0xff
+              sg += canvas(p + 1) & 0xff
+              sb += canvas(p + 2) & 0xff
+              p += 3
+            }
+            nFrames += 1
+            totalDelay += pendingDelay
+            if (pendingDisposal == 2) { // restore rect to background
+              if (gct == null || bgIndex >= gct.length / 3) return None
+              var y = iy
+              while (y < iy + ih) {
+                var x = ix
+                while (x < ix + iw) {
+                  val o = (y * w + x) * 3
+                  canvas(o) = gct(3 * bgIndex)
+                  canvas(o + 1) = gct(3 * bgIndex + 1)
+                  canvas(o + 2) = gct(3 * bgIndex + 2)
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            pendingDelay = 0
+            pendingDisposal = 0
+            i = next
+          case _ => return None
+        }
+      }
+      None // no trailer
+    }
+  }
+
+  /** Animated-GIF fixture writer: GIF89a with the standard 256-ramp
+    * global color table, one graphic-control extension (disposal 1,
+    * the given centisecond delay) per frame, and full- or sub-rect
+    * frames LZW-coded by the REAL greedy encoder. */
+  def encodeGifFrames(w: Int, h: Int, nFrames: Int,
+                      pixelAt: (Int, Int) => Int,
+                      delayOf: Int => Int,
+                      rectOf: Int => (Int, Int, Int, Int) = null,
+                      interlaceFrame: Int => Boolean = _ => false)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) } // little-endian
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    u8(0x80 | 7) // GCT present, 256 entries
+    u8(0); u8(0) // background index, aspect
+    for (ci <- 0 until 256) {
+      val (r, g, b) = gifPaletteEntry(ci)
+      u8(r); u8(g); u8(b)
+    }
+    for (f <- 0 until nFrames) {
+      u8(0x21); u8(0xF9); u8(4) // GCE
+      u8(1 << 2) // disposal 1 (do not dispose), no transparency
+      u16(delayOf(f))
+      u8(0); u8(0) // transparent index, terminator
+      val (ix, iy, iw, ih) =
+        if (rectOf == null) (0, 0, w, h) else rectOf(f)
+      require(ix + iw <= w && iy + ih <= h && iw > 0 && ih > 0)
+      u8(0x2C)
+      u16(ix); u16(iy); u16(iw); u16(ih)
+      val inter = interlaceFrame(f)
+      u8(if (inter) 0x40 else 0)
+      // frame pixels in storage (interlace) order
+      val rowOf: Int => Int =
+        if (!inter) identity
+        else {
+          val order = new Array[Int](ih)
+          var r = 0
+          for ((st, sp) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+               y <- st.until(ih, sp)) { order(r) = y; r += 1 }
+          (s: Int) => order(s)
+        }
+      val indices = new Array[Byte](iw * ih)
+      var srow = 0
+      while (srow < ih) {
+        val y = rowOf(srow)
+        var x = 0
+        while (x < iw) {
+          indices(srow * iw + x) = (pixelAt(f, y * iw + x) & 0xff).toByte
+          x += 1
+        }
+        srow += 1
+      }
+      u8(8) // LZW min code size
+      val lzw = lzwEncode(8, indices)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        u8(n); out.write(lzw, off, n)
+        off += n
+      }
+      u8(0) // block terminator
+    }
+    u8(0x3B)
+    out.toByteArray
+  }
+
   // ---- TIFF baseline strips (pure JVM) ---------------------------------
 
   /** Rows per strip in pixel fixtures — small enough that every fixture
