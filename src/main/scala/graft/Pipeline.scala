@@ -3512,6 +3512,40 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL video frame sampling: documents become Motion-JPEG AVI files
+    * (RIFF hdrl/avih/strl + movi of complete baseline JPEGs — 1+len%5
+    * frames, frame f's Y blocks = the text bytes rotated by f) and the
+    * sampler walks the container, decodes every 2nd frame through the
+    * FULL baseline JPEG pipeline and folds per-channel raster sums —
+    * the video twin of multimodal_gif_frames, with a real inter-frame
+    * stride like a vision-encoder ingest pipeline. The constant-block
+    * construction keeps decoded pixels at exactly (v+7, v−4, v), so
+    * the oracle predicts every sampled frame's sums in pure integer
+    * arithmetic; a container-walk, stride or JPEG bug fails the hash.
+    *
+    * 100 TB shape: one flatMap over the binary scan — narrow per-frame
+    * rows out, zero shuffle; decode cost is embarrassingly parallel. */
+  private def videoFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val bw = 1 + (t.length % 8)
+        val bh = 1 + ((t.length / 8) % 8)
+        val nf = 1 + (t.length % 5)
+        val b = asciiBytes(id, t)
+        val frames = (0 until nf).map { f =>
+          val rot = Array.tabulate(b.length)(i => b((i + f) % b.length))
+          graft.operators.Jpeg.encodePixels(bw, bh, rot)
+        }
+        graft.operators.MediaRow(id, "video/x-msvideo",
+          graft.operators.Multimodal.encodeAviMjpeg(8 * bw, 8 * bh,
+            40000, frames))
+      }
+    graft.operators.Multimodal.sampleVideoFrames(media, 2).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Batch audit pass of the streaming media gate: the SAME verdict
     * function (streaming/StreamingMediaGate — full pixel decode +
     * integer luma/contrast gate) over PNG pixel fixtures, with the
@@ -3561,6 +3595,7 @@ object Pipeline {
     "audio_frame_energy" -> audioFrameEnergy _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
+    "video_frame_sample" -> videoFrameSample _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4348,6 +4383,36 @@ object Pipeline {
          |  ${chSum(2)} AS sum_g,
          |  ${chSum(3)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
+    },
+    "video_frame_sample" -> {
+      // sampled frame fi (stride 2): Y block k = text[(k+fi) mod len],
+      // decoded pixels (v+7, v−4, v) per 64-pixel block — the baseline
+      // JPEG oracle arithmetic, once per sampled frame
+      def chSum(off: Int): String = {
+        val v = "ascii(substr(text, CAST((k + fi) % len AS INT) + 1, 1))"
+        val term =
+          if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
+        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 8 AS wb,
+         |    1 + (length(text) // 8) % 8 AS hb,
+         |    1 + length(text) % 5 AS nf
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
+         |f AS (SELECT doc_id, text, len, wb, hb, nb, nf,
+         |        unnest(range(0, CAST(nf AS BIGINT))) AS fi FROM e)
+         |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+         |  CAST(nf AS INT) AS n_frames,
+         |  CAST(nf * 40 AS BIGINT) AS duration_ms,
+         |  CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+         |  ${chSum(7)} AS sum_r,
+         |  ${chSum(-4)} AS sum_g,
+         |  ${chSum(0)} AS sum_b
+         |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
     },
     "image_quality_gate" -> {
       // per-pixel luma = (r+g+b)//3 over the cycled text bytes; mean,
