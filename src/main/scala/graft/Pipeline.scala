@@ -3546,6 +3546,30 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** HTML → text extraction (operators/HtmlText): documents are
+    * embedded — entity-escaped — in a full HTML page with a title, a
+    * style block, a script whose STRING LITERALS contain close tags,
+    * a quoted attribute containing '>', a comment containing markup
+    * and heading/paragraph structure; the extractor's state machine
+    * must drop script/style content and comments, treat tags as word
+    * boundaries, decode the entities back and collapse whitespace to
+    * recover exactly `Doc {id} Header {id%10} {text}` — which the
+    * oracle rebuilds with one `\s+` collapse. A tag-scan, raw-text,
+    * entity or collapse bug breaks the string hash. */
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val html =
+          s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
+        val x = graft.operators.HtmlText.extractText(html)
+        (id, x, x.length, x.count(_ == ' ') + 1)
+      }
+      .toDF("doc_id", "extracted", "n_chars", "n_words")
+      .orderBy("doc_id")
+  }
+
   /** Batch audit pass of the streaming media gate: the SAME verdict
     * function (streaming/StreamingMediaGate — full pixel decode +
     * integer luma/contrast gate) over PNG pixel fixtures, with the
@@ -3596,6 +3620,7 @@ object Pipeline {
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
+    "html_extract" -> htmlExtract _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4413,6 +4438,23 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "html_extract" -> {
+      // the fixture page reduces to 'Doc {id} Header {id%10} {text}'
+      // under extraction; one \s+ collapse + trim rebuilds it exactly
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    'Doc ' || doc_id || ' Header ' || (doc_id % 10) || ' ' || text,
+        |    '\s+', ' ', 'g')) AS extracted
+        |  FROM d)
+        |SELECT doc_id, extracted,
+        |  CAST(length(extracted) AS INT) AS n_chars,
+        |  CAST(length(extracted)
+        |    - length(replace(extracted, ' ', '')) + 1 AS INT) AS n_words
+        |FROM e ORDER BY doc_id""".stripMargin
     },
     "image_quality_gate" -> {
       // per-pixel luma = (r+g+b)//3 over the cycled text bytes; mean,
