@@ -3546,6 +3546,26 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL audio resample path: documents become 8 kHz 8-bit PCM WAV
+    * files and resample to 6 kHz through exact rational linear
+    * interpolation — output i at source position i·4/3, sample =
+    * (a·(d−f) + b·f)/d in pure integer arithmetic — so the oracle
+    * recomputes every interpolated value from the text bytes; an
+    * index, weight or rounding bug fails the hash. The audio twin of
+    * image_resize_box: one map pass over the binary scan, no
+    * shuffle. */
+  private def audioResample(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/wav",
+          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.resampleWav(media, 6000).toDF()
+      .orderBy("media_id")
+  }
+
   /** HTML → text extraction (operators/HtmlText): documents are
     * embedded — entity-escaped — in a full HTML page with a title, a
     * style block, a script whose STRING LITERALS contain close tags,
@@ -3621,6 +3641,7 @@ object Pipeline {
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
     "html_extract" -> htmlExtract _,
+    "audio_resample" -> audioResample _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4438,6 +4459,28 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "audio_resample" -> {
+      // output i at source position i·8000/6000: idx/frac from exact
+      // rational division, clamped at the tail; every value integer
+      val v =
+        """((ascii(substr(text, CAST(least((i*8000)//6000, len-1) AS INT) + 1, 1))
+          |    * (6000 - (i*8000)%6000)
+          |  + ascii(substr(text, CAST(least((i*8000)//6000 + 1, len-1) AS INT) + 1, 1))
+          |    * ((i*8000)%6000)) // 6000)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |r AS (SELECT doc_id, text, len,
+         |  greatest(len * 6000 // 8000, 1) AS n_out FROM d),
+         |x AS (SELECT doc_id, len, n_out,
+         |  list_transform(range(0, n_out), i -> $v) AS vals FROM r)
+         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS src_rate,
+         |  CAST(6000 AS INT) AS dst_rate, CAST(len AS BIGINT) AS n_in,
+         |  CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(list_sum(vals) AS BIGINT) AS sum_out,
+         |  CAST(list_max(vals) AS INT) AS peak_out
+         |FROM x ORDER BY media_id""".stripMargin
     },
     "html_extract" -> {
       // the fixture page reduces to 'Doc {id} Header {id%10} {text}'

@@ -1958,6 +1958,75 @@ object Multimodal {
       r.copy(data = resizeStub(r.data, w, h))))
   }
 
+  // ---- audio resampling (integer-exact linear interpolation) -----------
+
+  /** Resampled-stream facts: rates, in/out sample counts and the
+    * whole-output fold that lets an integer oracle pin every
+    * interpolated value. */
+  final case class ResampledAudio(media_id: Long, src_rate: Int,
+                                  dst_rate: Int, n_in: Long, n_out: Long,
+                                  sum_out: Long, peak_out: Int)
+
+  /** Linear-interpolation resample in EXACT rational arithmetic:
+    * output i sits at source position i·src/dst, so with
+    * idx = ⌊i·src/dst⌋ and frac = (i·src) mod dst the sample is
+    * (s[idx]·(dst−frac) + s[idx+1]·frac) / dst — all integer, clamped
+    * at the stream tail, truncating division on a non-negative
+    * numerator (so floor == trunc and any SQL integer division
+    * convention reproduces it). A non-empty input always yields at
+    * least one output sample. */
+  def resampleLinear(s: Array[Int], srcRate: Int, dstRate: Int)
+      : Array[Int] = {
+    require(srcRate > 0 && dstRate > 0 && s.nonEmpty)
+    val nOut = math.max(1L, s.length.toLong * dstRate / srcRate).toInt
+    Array.tabulate(nOut) { i =>
+      val p = i.toLong * srcRate
+      val idx = math.min((p / dstRate).toInt, s.length - 1)
+      val frac = (p % dstRate).toInt
+      val a = s(idx)
+      val b = s(math.min(idx + 1, s.length - 1))
+      ((a.toLong * (dstRate - frac) + b.toLong * frac) / dstRate).toInt
+    }
+  }
+
+  /** Partition-parallel WAV resample: walks the RIFF chunks of each
+    * 8-bit PCM stream, resamples to `dstRate` and folds output stats —
+    * one map pass, no shuffle; the audio twin of resizeBox. Streams
+    * that fail the WAV walk (or aren't 8-bit PCM) report −1 counts. */
+  def resampleWav(rows: Dataset[MediaRow],
+                  dstRate: Int): Dataset[ResampledAudio] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      val decoded = wavStats(r.data).filter(_.bitsPerSample == 8)
+        .flatMap { info =>
+          val b = java.nio.ByteBuffer.wrap(r.data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var off = 12
+          var found: Option[Array[Int]] = None
+          while (off + 8 <= r.data.length && found.isEmpty) {
+            val id = new String(r.data, off, 4, "US-ASCII")
+            val len = b.getInt(off + 4)
+            if (id == "data")
+              found = Some(Array.tabulate(len)(k =>
+                r.data(off + 8 + k) & 0xff))
+            else off += 8 + len + (len & 1)
+          }
+          found.filter(_.nonEmpty).map(s => (info.sampleRate, s))
+        }
+      decoded match {
+        case Some((srcRate, s)) =>
+          val out = resampleLinear(s, srcRate, dstRate)
+          var sum = 0L
+          var peak = 0
+          out.foreach { v => sum += v; if (v > peak) peak = v }
+          ResampledAudio(r.media_id, srcRate, dstRate, s.length.toLong,
+            out.length.toLong, sum, peak)
+        case None =>
+          ResampledAudio(r.media_id, -1, dstRate, -1L, -1L, -1L, -1)
+      }
+    })
+  }
+
   // ---- AVI / Motion-JPEG (real video container + frame sampling) -------
 
   /** One SAMPLED, fully decoded video frame: container facts (frame
