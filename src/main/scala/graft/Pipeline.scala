@@ -3546,6 +3546,32 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** PACKBITS TIFF pixel decode path: pixels repeat each text byte 4×
+    * (real runs, so the run-length coder genuinely compresses) and the
+    * strips are PackBits-compressed — StripByteCounts now carry the
+    * COMPRESSED sizes, so the decoder must decompress each strip to
+    * exactly rows·w·3 bytes; endianness still alternates by document
+    * parity. The oracle predicts channel sums via the (3k+c)/4 index
+    * map in integer list arithmetic; an RLE, strip-size or IFD bug
+    * fails the hash. */
+  private def multimodalDecodeTiffPackbits(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 24)
+        val h = 1 + ((t.length / 24) % 24)
+        val b = asciiBytes(id, t)
+        val px = Array.tabulate(w * h * 3)(k => b((k / 4) % b.length))
+        graft.operators.MediaRow(id, "image/tiff",
+          graft.operators.Multimodal.encodeTiffPixelsPackBits(w, h,
+            id % 2 == 0, px))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL audio resample path: documents become 8 kHz 8-bit PCM WAV
     * files and resample to 6 kHz through exact rational linear
     * interpolation — output i at source position i·4/3, sample =
@@ -3642,6 +3668,7 @@ object Pipeline {
     "video_frame_sample" -> videoFrameSample _,
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
+    "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4459,6 +4486,29 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "multimodal_decode_tiff_packbits" -> {
+      // pixel byte k = text[(k/4) mod len]; channel c of pixel p is
+      // byte 3p+c, so sum_c = Σ_p text[((3p+c)/4) mod len]
+      def chSum(c: Int): String = {
+        val idx = if (c == 0) "(3*k)//4" else s"(3*k + $c)//4"
+        s"""CAST(list_sum(list_transform(range(0, n), k ->
+           |  ascii(substr(text, CAST(($idx) % len AS INT) + 1, 1))))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 24 AS w,
+         |    1 + (length(text) // 24) % 24 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
     },
     "audio_resample" -> {
       // output i at source position i·8000/6000: idx/frac from exact

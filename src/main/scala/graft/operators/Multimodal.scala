@@ -1067,6 +1067,119 @@ object Multimodal {
     b.array()
   }
 
+  /** PackBits compression (TIFF 6.0 §9): greedy run-length — runs of
+    * ≥3 equal bytes become (257−count, byte), everything else literal
+    * groups of ≤128. */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && run < 128 &&
+        raw(i + run) == raw(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run) // = -(run-1) as unsigned byte
+        out.write(raw(i))
+        i += run
+      } else {
+        // literal group: extend until a ≥3 run starts or cap at 128
+        var lit = run
+        while (i + lit < raw.length && lit < 128 &&
+          !(i + lit + 2 < raw.length && raw(i + lit) == raw(i + lit + 1)
+            && raw(i + lit) == raw(i + lit + 2))) lit += 1
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits decompression of `len` bytes at `from`, expecting exactly
+    * `expected` output bytes; None on overruns, truncation or a length
+    * mismatch. The −128 control byte is a no-op per the spec. */
+  def packBitsDecode(src: Array[Byte], from: Int, len: Int,
+                     expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var i = from
+    val end = from + len
+    var o = 0
+    while (i < end) {
+      val n = src(i).toInt // signed control byte
+      i += 1
+      if (n >= 0) {
+        if (i + n + 1 > end || o + n + 1 > expected) return None
+        System.arraycopy(src, i, out, o, n + 1)
+        i += n + 1
+        o += n + 1
+      } else if (n != -128) {
+        if (i >= end || o + (1 - n) > expected) return None
+        java.util.Arrays.fill(out, o, o + 1 - n, src(i))
+        i += 1
+        o += 1 - n
+      }
+    }
+    if (o == expected) Some(out) else None
+  }
+
+  /** [[encodeTiffPixels]] with PackBits-compressed strips
+    * (Compression = 32773): same nine-tag IFD, strip offsets/byte
+    * counts describe the COMPRESSED strip lengths. */
+  def encodeTiffPixelsPackBits(w: Int, h: Int, littleEndian: Boolean,
+                               pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val rps = TiffRowsPerStrip
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = w * 3
+    val raw = Array.tabulate(h * rowBytes)(k =>
+      if (pixels.nonEmpty) pixels(k % pixels.length) else 0.toByte)
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      packBitsEncode(java.util.Arrays.copyOfRange(raw,
+        s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes))
+    }
+    val nEntries = 9
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4
+    val bpsAt = ifdEnd
+    val offsAt = bpsAt + 6
+    val cntsAt = offsAt + 4 * nStrips
+    val dataAt = cntsAt + 4 * nStrips
+    val b = java.nio.ByteBuffer.allocate(dataAt + strips.map(_.length).sum)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(nEntries.toShort)
+    def entryShort1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3).putInt(1)
+      b.putShort(v.toShort).putShort(0)
+    }
+    def entryLong1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    def entryOff(tag: Int, typ: Int, cnt: Int, off: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(off)
+    }
+    entryLong1(256, w)
+    entryLong1(257, h)
+    entryOff(258, 3, 3, bpsAt)
+    entryShort1(259, 32773) // PackBits
+    entryShort1(262, 2)
+    if (nStrips == 1) entryLong1(273, dataAt)
+    else entryOff(273, 4, nStrips, offsAt)
+    entryShort1(277, 3)
+    entryLong1(278, rps)
+    if (nStrips == 1) entryLong1(279, strips.head.length)
+    else entryOff(279, 4, nStrips, cntsAt)
+    b.putInt(0)
+    b.putShort(8).putShort(8).putShort(8)
+    var acc = dataAt
+    strips.foreach { st => b.putInt(acc); acc += st.length }
+    strips.foreach(st => b.putInt(st.length))
+    strips.foreach(st => b.put(st))
+    b.array()
+  }
+
   /** FULL TIFF pixel decode for baseline Compression=1 RGB images, pure
     * JVM, both byte orders: the IFD walk of [[decodeTiffDims]] extended
     * to the strip tags — BitsPerSample must be [8,8,8], Photometric 2,
@@ -1122,7 +1235,8 @@ object Multimodal {
     val w = one(256)
     val h = one(257)
     if (w <= 0 || h <= 0 || w * h > (1 << 26)) return None
-    if (one(259, 1L) != 1L) return None            // uncompressed only
+    val compression = one(259, 1L)
+    if (compression != 1L && compression != 32773L) return None
     if (one(262) != 2L) return None                // RGB only
     if (one(277, 1L) != 3L) return None
     if (!tags.get(258).exists(v => v.length == 3 && v.forall(_ == 8L)))
@@ -1137,10 +1251,17 @@ object Multimodal {
     val rgb = new Array[Byte]((h * rowBytes).toInt)
     for (s <- 0 until nStrips) {
       val rows = math.min(rps, h - s * rps).toInt
-      if (cnts(s) != rows.toLong * rowBytes) return None
       if (offs(s) < 0 || offs(s) + cnts(s) > data.length) return None
-      System.arraycopy(data, offs(s).toInt, rgb,
-        s * (rps * rowBytes).toInt, cnts(s).toInt)
+      if (compression == 1L) {
+        if (cnts(s) != rows.toLong * rowBytes) return None
+        System.arraycopy(data, offs(s).toInt, rgb,
+          s * (rps * rowBytes).toInt, cnts(s).toInt)
+      } else { // PackBits: byte counts are the COMPRESSED strip sizes
+        val strip = packBitsDecode(data, offs(s).toInt, cnts(s).toInt,
+          rows * rowBytes).getOrElse(return None)
+        System.arraycopy(strip, 0, rgb,
+          s * (rps * rowBytes).toInt, strip.length)
+      }
     }
     Some((w.toInt, h.toInt, rgb))
   }
