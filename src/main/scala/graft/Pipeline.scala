@@ -3546,6 +3546,36 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
+    * containers cycling ALL THREE dimension-bearing chunk layouts by
+    * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
+    * 14-bit dims), VP8L lossless (0x2F + packed dims−1) and VP8X
+    * extended (24-bit canvas dims−1) — and the extractor walks the
+    * chunk list and reads whichever header it finds. The oracle
+    * predicts dims and the variant-dependent container size
+    * arithmetically. */
+  private def multimodalDecodeWebp(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 64)
+        val h = 1 + ((t.length / 64) % 64)
+        val variant = (id % 3) match {
+          case 0 => "VP8 "
+          case 1 => "VP8L"
+          case _ => "VP8X"
+        }
+        graft.operators.MediaRow(id, "image/webp",
+          graft.operators.Multimodal.encodeWebp(variant, w, h,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"))
+      .orderBy("media_id")
+  }
+
   /** PACKBITS TIFF pixel decode path: pixels repeat each text byte 4×
     * (real runs, so the run-length coder genuinely compresses) and the
     * strips are PackBits-compressed — StripByteCounts now carry the
@@ -3669,6 +3699,7 @@ object Pipeline {
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
+    "multimodal_decode_webp" -> multimodalDecodeWebp _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4486,6 +4517,22 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "multimodal_decode_webp" -> {
+      // chunk body = variant header (10 B for VP8 /VP8X, 5 B for VP8L)
+      // + text; container = 12 B RIFF/WEBP + 8 B chunk header + body,
+      // word-aligned
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 10 END + length(text)
+        |      AS chunk
+        |  FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id AS media_id, 'image/webp' AS kind,
+        |  CAST(20 + chunk + (chunk % 2) AS BIGINT) AS n_bytes,
+        |  CAST(1 + len % 64 AS INT) AS decoded_w,
+        |  CAST(1 + (len // 64) % 64 AS INT) AS decoded_h
+        |FROM d ORDER BY media_id""".stripMargin
     },
     "multimodal_decode_tiff_packbits" -> {
       // pixel byte k = text[(k/4) mod len]; channel c of pixel p is

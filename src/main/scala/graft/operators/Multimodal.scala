@@ -1906,7 +1906,98 @@ object Multimodal {
     case "image/png" => decodePngDims(data).getOrElse((-1, -1))
     case "image/gif" => decodeGifDims(data).getOrElse((-1, -1))
     case "image/tiff" => decodeTiffDims(data).getOrElse((-1, -1))
+    case "image/webp" => decodeWebpDims(data).getOrElse((-1, -1))
     case _ => decodeStub(data)
+  }
+
+  // ---- WebP (RIFF container; VP8 / VP8L / VP8X header walks) -----------
+
+  /** Encode a WebP whose dimension-bearing header is REAL for the
+    * chosen `variant` — "VP8 " (lossy: frame tag + 0x9D012A start code
+    * + 14-bit dims), "VP8L" (lossless: 0x2F signature + packed
+    * 14-bit dims−1) or "VP8X" (extended: flag byte + 24-bit canvas
+    * dims−1) — with `payload` as the remaining chunk body. */
+  def encodeWebp(variant: String, w: Int, h: Int,
+                 payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w < (1 << 14) && h < (1 << 14))
+    val body = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = body.write(v & 0xff)
+    variant match {
+      case "VP8 " =>
+        // keyframe frame tag (bit0 = 0) with first-partition size 0
+        u8(0); u8(0); u8(0)
+        u8(0x9D); u8(0x01); u8(0x2A)
+        u8(w); u8(w >> 8) // 14-bit width, 2-bit scale = 0
+        u8(h); u8(h >> 8)
+      case "VP8L" =>
+        u8(0x2F)
+        val bits = (w - 1) | ((h - 1) << 14) // then alpha=0, version=0
+        u8(bits); u8(bits >> 8); u8(bits >> 16); u8(bits >> 24)
+      case "VP8X" =>
+        u8(0); u8(0); u8(0); u8(0) // feature flags + reserved
+        val cw = w - 1; val ch = h - 1
+        u8(cw); u8(cw >> 8); u8(cw >> 16)
+        u8(ch); u8(ch >> 8); u8(ch >> 16)
+      case other => throw new IllegalArgumentException(other)
+    }
+    body.write(payload, 0, payload.length)
+    val chunk = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def o8(v: Int): Unit = out.write(v & 0xff)
+    def o32(v: Int): Unit = { o8(v); o8(v >> 8); o8(v >> 16); o8(v >> 24) }
+    out.write("RIFF".getBytes("US-ASCII"))
+    o32(4 + 8 + chunk.length + (chunk.length & 1))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(variant.getBytes("US-ASCII"))
+    o32(chunk.length)
+    out.write(chunk, 0, chunk.length)
+    if ((chunk.length & 1) != 0) o8(0)
+    out.toByteArray
+  }
+
+  /** WebP dimension decode: validates the RIFF/WEBP signature, walks
+    * the chunk list and reads dimensions from the first VP8 (lossy
+    * keyframe start code + 14-bit dims), VP8L (0x2F signature +
+    * packed dims−1) or VP8X (24-bit canvas dims−1) chunk. None on
+    * malformed containers or a non-keyframe VP8 chunk. */
+  def decodeWebpDims(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 20) return None
+    def tag(off: Int): String =
+      if (off + 4 <= data.length) new String(data, off, 4, "US-ASCII")
+      else ""
+    def u8(o: Int): Int = data(o) & 0xff
+    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    val riffEnd = math.min(data.length.toLong,
+      8L + (u8(4) | (u8(5) << 8) | (u8(6) << 16) | (u8(7) << 24))).toInt
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val id = tag(off)
+      val len = u8(off + 4) | (u8(off + 5) << 8) | (u8(off + 6) << 16) |
+        (u8(off + 7) << 24)
+      if (len < 0 || off + 8 + len > riffEnd) return None
+      val p = off + 8
+      id match {
+        case "VP8 " if len >= 10 =>
+          if ((u8(p) & 1) != 0) return None // inter frame: no dims
+          if (u8(p + 3) != 0x9D || u8(p + 4) != 0x01 ||
+            u8(p + 5) != 0x2A) return None
+          val w = (u8(p + 6) | (u8(p + 7) << 8)) & 0x3FFF
+          val h = (u8(p + 8) | (u8(p + 9) << 8)) & 0x3FFF
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        case "VP8L" if len >= 5 =>
+          if (u8(p) != 0x2F) return None
+          val bits = u8(p + 1) | (u8(p + 2) << 8) | (u8(p + 3) << 16) |
+            (u8(p + 4) << 24)
+          return Some((1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)))
+        case "VP8X" if len >= 10 =>
+          val w = 1 + (u8(p + 4) | (u8(p + 5) << 8) | (u8(p + 6) << 16))
+          val h = 1 + (u8(p + 7) | (u8(p + 8) << 8) | (u8(p + 9) << 16))
+          return Some((w, h))
+        case _ => // skip unknown chunks (word-aligned)
+      }
+      off += 8 + len + (len & 1)
+    }
+    None
   }
 
   /** Polynomial content hash over raw bytes (matches the engine's char
