@@ -3546,6 +3546,51 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** URL canonicalization (operators/UrlNorm): every document gets a
+    * deliberately messy URL — uppercase scheme/host, explicit default
+    * or non-default port, ./ and ../ dot-segments, a %61 escape of an
+    * unreserved char, unsorted query with a utm_ tracking param, a
+    * fragment — and the normalizer must produce the exact canonical
+    * form the oracle constructs analytically: scheme/host lowercased,
+    * :80 dropped but :8080 kept, dot-segments removed, %61→a, params
+    * sorted with utm_ dropped, fragment gone. The web-dedup key op. */
+  private def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val port = if (id % 2 == 0) ":80" else ":8080"
+        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
+          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
+        (id, graft.operators.UrlNorm.normalize(messy),
+          graft.operators.UrlNorm.hostKey(messy))
+      }
+      .toDF("doc_id", "norm_url", "host_key")
+      .orderBy("doc_id")
+  }
+
+  /** Per-site quota readout over the canonical keys: URL dedup's
+    * aggregation shape — group by registered-domain key, count pages
+    * and distinct canonical URLs. One hash shuffle on the (tiny) host
+    * dimension; the canonicalization itself stays map-side. */
+  private def urlHostCounts(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val port = if (id % 2 == 0) ":80" else ":8080"
+        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
+          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
+        (graft.operators.UrlNorm.hostKey(messy),
+          graft.operators.UrlNorm.normalize(messy))
+      }
+      .toDF("host_key", "norm_url")
+      .groupBy("host_key")
+      .agg(count("*").as("n_urls"),
+        countDistinct("norm_url").as("n_unique"))
+      .orderBy("host_key")
+  }
+
   /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
     * containers cycling ALL THREE dimension-bearing chunk layouts by
     * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
@@ -3700,6 +3745,8 @@ object Pipeline {
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
+    "url_normalize" -> urlNormalize _,
+    "url_host_counts" -> urlHostCounts _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4517,6 +4564,31 @@ object Pipeline {
          |  ${chSum(-4)} AS sum_g,
          |  ${chSum(0)} AS sum_b
          |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "url_normalize" -> {
+      // the canonical form constructed analytically from the fixture
+      """SELECT doc_id,
+        |  'http://www.ex' || (doc_id % 7) || '.com' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        |    '/Dir' || (length(text) % 5) || '/page?a=1&b=' ||
+        |    (length(text) % 9) AS norm_url,
+        |  'ex' || (doc_id % 7) || '.com' AS host_key
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin
+    },
+    "url_host_counts" -> {
+      """WITH u AS (
+        |  SELECT 'ex' || (doc_id % 7) || '.com' AS host_key,
+        |    'http://www.ex' || (doc_id % 7) || '.com' ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        |      '/Dir' || (length(text) % 5) || '/page?a=1&b=' ||
+        |      (length(text) % 9) AS norm_url
+        |  FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT host_key, count(*) AS n_urls,
+        |  count(DISTINCT norm_url) AS n_unique
+        |FROM u GROUP BY host_key ORDER BY host_key""".stripMargin
     },
     "multimodal_decode_webp" -> {
       // chunk body = variant header (10 B for VP8 /VP8X, 5 B for VP8L)

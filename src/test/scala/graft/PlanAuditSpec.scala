@@ -282,6 +282,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-8 media/text queries are pure map passes") {
+    // fixture-encode → decode → fold, all per-row from the document
+    // scan; the only exchange allowed is the presentation sort's range
+    // partitioning — a join or hash shuffle here means the decode path
+    // stopped being embarrassingly parallel
+    for (n <- Seq("video_frame_sample", "html_extract", "audio_resample",
+      "multimodal_decode_tiff_packbits", "multimodal_decode_webp")) {
+      val p = plan(n)
+      val bad = p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Exchange rangepartitioning"))
+      assert(bad == 0, s"unexpected shuffle in $n:\n$p")
+      assert(!p.contains("Join"), s"$n joined something")
+    }
+  }
+
   test("skew_report shuffles only per-key counts, never raw rows twice") {
     // per candidate key: one hash-partitioned count aggregate (with a
     // map-side partial), then single-row reductions — 2 keys → at most
