@@ -3591,6 +3591,87 @@ object Pipeline {
       .orderBy("host_key")
   }
 
+  /** The line dimension for C4/RefinedWeb-style line-level dedup: the
+    * corpus has no newlines, so "lines" are deterministic 3-word
+    * chunks of each document (the fixture defines the boundary; the
+    * dedup machinery is what's under test). Chunking is pure map-side
+    * array slicing — `sequence` over chunk indices + `slice` — no
+    * explode-regroup shuffle. */
+  private val LineWords = 3
+  private def docLines(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id",
+        s"""posexplode(transform(
+           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
+           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
+           |    ' '))) AS (line_no, line)""".stripMargin)
+
+  /** C4-style GLOBAL exact line dedup: every distinct line survives
+    * only at its first occurrence under the total order
+    * (doc_id, line_no); all later copies are dropped, and each doc is
+    * reconstructed from its surviving lines in order. The keeper is a
+    * `min(struct(doc_id, line_no))` aggregate per distinct line — the
+    * keeper ROW IS the kept instance, so no re-join of the line text
+    * back onto the corpus is needed. Output per doc: line counts and
+    * the md5 of the reconstructed text, which the oracle recomputes
+    * from its own first-occurrence walk — any keeper-policy or
+    * reconstruction-order bug flips the hash.
+    *
+    * 100 TB shape: one map-combinable min-aggregate shuffled on the
+    * line dimension (hot boilerplate lines partial-combine to one row
+    * per map task — no skew), one doc_id shuffle for reconstruction,
+    * and a broadcast-size NOTHING: the corpus text is shuffled once as
+    * (line, keeper) pairs, never re-attached. The per-doc left join is
+    * doc-dimension sized on both sides. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = docLines(s, dir)
+    val kept = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.line_no").as("line_no"),
+        col("line"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws("\n", expr(
+        "transform(array_sort(collect_list(struct(line_no, line))), " +
+          "x -> x.line)"))).as("out_md5"))
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        s"((size(split(text, ' ')) - 1) div $LineWords) + 1 AS n_lines")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_lines",
+        "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+        "coalesce(out_md5, md5('')) AS out_md5")
+      .orderBy("doc_id")
+  }
+
+  /** RefinedWeb-style boilerplate line removal: any line appearing in
+    * ≥ 3 DISTINCT documents is boilerplate and is removed from EVERY
+    * document (unlike [[lineDedup]], which keeps the first copy).
+    * Per doc: total lines, removed count, md5 of the remaining text.
+    *
+    * 100 TB shape: the line-frequency table is a map-side
+    * partial-distinct aggregate on the line dimension; re-attaching
+    * the verdict is a self-join on the SAME line key, so the shuffle
+    * partitioning is reused, then one doc_id shuffle reconstructs.
+    * Only (line, doc-frequency) pairs cross the wire twice — the doc
+    * frequency table is distinct-line sized, not corpus sized. */
+  private def lineBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lines = docLines(s, dir)
+    val freq = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+    lines.join(freq, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN df < 3 THEN struct(line_no, line) END)), " +
+            "x -> x.line)"))).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
   /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
     * containers cycling ALL THREE dimension-bearing chunk layouts by
     * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
@@ -3747,6 +3828,8 @@ object Pipeline {
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
     "url_normalize" -> urlNormalize _,
     "url_host_counts" -> urlHostCounts _,
+    "line_dedup"        -> lineDedup _,
+    "line_boilerplate"  -> lineBoilerplate _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4589,6 +4672,47 @@ object Pipeline {
         |SELECT host_key, count(*) AS n_urls,
         |  count(DISTINCT norm_url) AS n_unique
         |FROM u GROUP BY host_key ORDER BY host_key""".stripMargin
+    },
+    "line_dedup" -> {
+      // the oracle's first-occurrence walk: row_number over each line's
+      // occurrences under (doc_id, line_no); rn=1 is the keeper
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.j AS line_no,
+        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
+        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
+        |k AS (
+        |  SELECT doc_id, line_no, line FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY line
+        |      ORDER BY doc_id, line_no) AS rn FROM l) WHERE rn = 1),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY line_no) AS txt
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, (len(ws) - 1) // 3 + 1 AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  md5(coalesce(ka.txt, '')) AS out_md5
+        |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    "line_boilerplate" -> {
+      // boilerplate = a line present in >= 3 DISTINCT docs, removed
+      // from every doc
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.j AS line_no,
+        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
+        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+        |SELECT l.doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN f.df < 3 THEN l.line END,
+        |    chr(10) ORDER BY l.line_no), '')) AS out_md5
+        |FROM l JOIN f ON l.line = f.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
     },
     "multimodal_decode_webp" -> {
       // chunk body = variant header (10 B for VP8 /VP8X, 5 B for VP8L)
