@@ -3672,6 +3672,57 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** WARC (ISO 28500) build + parse — the Common Crawl ingestion path.
+    * Documents become WARC/1.0 response records (HTTP 200 envelope,
+    * exact Content-Length framing), 16 records concatenate into each
+    * archive in doc_id order, and [[operators.Warc.parseArchive]]
+    * walks the archives back out: header block, Content-Length payload
+    * read, HTTP status + body extraction, `\r\n\r\n` separator. The
+    * oracle predicts every output — record position within the
+    * archive, the WARC Content-Length (63-byte envelope + digits +
+    * body), body byte length and body md5 — purely from `documents`,
+    * so any framing, walk-order or payload-boundary bug flips a row.
+    *
+    * 100 TB shape: in production the archives are the INPUT — the
+    * parse side is a flatMap over binary file rows, embarrassingly
+    * parallel, payloads fingerprinted in place and never shuffled.
+    * The build side here adds the one archive-keyed shuffle that
+    * archive ASSEMBLY inherently needs (16-record groups). */
+  private def warcParse(s: SparkSession, dir: String, gzip: Boolean)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id % 16, id, graft.operators.Warc.buildRecord(
+          id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val archive = graft.operators.Warc.buildArchive(
+          it.toSeq.sortBy(_._2).map(_._3), gzip)
+        graft.operators.Warc.parseArchive(archive).zipWithIndex.map {
+          case (r, i) =>
+            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
+              aid, i.toLong, r.uri, r.warcType, r.contentLength,
+              r.httpStatus, r.bodyLen, r.bodyMd5)
+        }
+      }
+      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
+        "content_length", "http_status", "body_len", "body_md5")
+      .orderBy("doc_id")
+  }
+
+  private def warcParsePlain(s: SparkSession, dir: String): DataFrame =
+    warcParse(s, dir, gzip = false)
+
+  /** The `.warc.gz` layout: every record its own gzip member, members
+    * concatenated — identical parsed output proves the decompression
+    * layer is transparent to the record walk. */
+  private def warcParseGzip(s: SparkSession, dir: String): DataFrame =
+    warcParse(s, dir, gzip = true)
+
   /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
     * containers cycling ALL THREE dimension-bearing chunk layouts by
     * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
@@ -3830,6 +3881,8 @@ object Pipeline {
     "url_host_counts" -> urlHostCounts _,
     "line_dedup"        -> lineDedup _,
     "line_boilerplate"  -> lineBoilerplate _,
+    "warc_parse"        -> warcParsePlain _,
+    "warc_parse_gzip"   -> warcParseGzip _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4713,6 +4766,39 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "warc_parse" -> {
+      // WARC Content-Length = HTTP envelope (63 fixed bytes + the
+      // body-length digits) + body bytes; rec_pos = doc rank within
+      // its 16-doc archive
+      """SELECT doc_id,
+        |  doc_id % 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+        |    - 1 AS rec_pos,
+        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
+        |    AS content_length,
+        |  CAST(200 AS INT) AS http_status,
+        |  strlen(text) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "warc_parse_gzip" -> {
+      // identical facts — the per-record-gzip-member layout must be
+      // transparent to the record walk
+      """SELECT doc_id,
+        |  doc_id % 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+        |    - 1 AS rec_pos,
+        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
+        |    AS content_length,
+        |  CAST(200 AS INT) AS http_status,
+        |  strlen(text) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
     },
     "multimodal_decode_webp" -> {
       // chunk body = variant header (10 B for VP8 /VP8X, 5 B for VP8L)
