@@ -3626,11 +3626,19 @@ object Pipeline {
     * doc-dimension sized on both sides. */
   private def lineDedup(s: SparkSession, dir: String): DataFrame = {
     val lines = docLines(s, dir)
+    // keeper key packed as doc_id·10¹⁰ + line_no in DECIMAL(38,0):
+    // min over a struct falls back to SortAggregate (per-partition
+    // corpus sort of the exploded lines), while a fixed-width decimal
+    // min stays in hash aggregation with map-side combine. Safe for
+    // any i64 doc_id (≤ 9.2·10¹⁸ · 10¹⁰ < 10³⁸) and any document
+    // under 10¹⁰ lines (a 3-word line is ≥ ~6 bytes — that is a
+    // ≥ 60 GB single document before the bound bites).
     val kept = lines
-      .groupBy("line")
-      .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
-      .select(col("k.doc_id").as("doc_id"), col("k.line_no").as("line_no"),
-        col("line"))
+      .selectExpr("line",
+        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + line_no AS pk")
+      .groupBy("line").agg(min("pk").as("pk"))
+      .selectExpr("CAST(pk div 10000000000 AS BIGINT) AS doc_id",
+        "CAST(pk % 10000000000 AS BIGINT) AS line_no", "line")
     val keptAgg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       md5(concat_ws("\n", expr(

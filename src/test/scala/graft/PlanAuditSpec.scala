@@ -297,6 +297,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("line_dedup keeper aggregates in hash mode — no corpus sort") {
+    // the packed-decimal keeper key exists exactly so the per-line min
+    // stays a HashAggregate with map-side combine; a SortAggregate here
+    // means the exploded line stream is being sorted per partition
+    val p = plan("line_dedup")
+    assert(!p.contains("SortAggregate"),
+      s"line_dedup fell back to sort aggregation:\n$p")
+    assert(p.contains("Generate"), "map-side chunk explode disappeared")
+  }
+
+  test("warc_parse shuffles once for archive assembly, then only sorts") {
+    // parse side must stay a flatMap: one hash exchange (the 16-record
+    // groupByKey) + the presentation sort's range partitioning
+    for (n <- Seq("warc_parse", "warc_parse_gzip")) {
+      val hashed = physical(n).collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashed.length <= 1,
+        s"$n hash-shuffled ${hashed.length} times — archive assembly " +
+          "needs exactly one grouping exchange")
+      assert(!plan(n).contains("Join"), s"$n joined something")
+    }
+  }
+
   test("skew_report shuffles only per-key counts, never raw rows twice") {
     // per candidate key: one hash-partitioned count aggregate (with a
     // map-side partial), then single-row reductions — 2 keys → at most
