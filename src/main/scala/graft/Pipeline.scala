@@ -1333,6 +1333,127 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM tokenizer (SentencePiece-style inference) — the OTHER
+    * tokenizer family beside BPE: a vocabulary of scored pieces and a
+    * per-word Viterbi segmentation maximizing the summed piece
+    * log-probs. Vocabulary is deterministic and corpus-derived: every
+    * single character plus the top-[[UnigramTopPieces]] substrings of
+    * length 2..[[UnigramMaxPiece]] by occurrence count (occurrences
+    * weighted by word frequency, ties cut lexicographically — a
+    * TakeOrdered, never a vocab-wide sort). Scores are fixed-point
+    * integer micro-nats (`round(ln(cnt/total)·10⁶, 0)` — the repo's
+    * cast-stable convention), so DP sums compare exactly across
+    * engines.
+    *
+    * 100 TB shape: counting shuffles are (piece)-keyed map-combinable
+    * aggregates over the DISTINCT-WORD table (vocabulary-sized, the
+    * bpe move); the vocab itself is model-sized and collected like the
+    * NB gate's model; Viterbi runs once per unique word. Documents are
+    * only touched by `unigram_doc_tokens`, which joins PRE-AGGREGATED
+    * (doc_id, word, k) rows against the word-level DP results. */
+  final val UnigramMaxPiece = 4
+  final val UnigramTopPieces = 16
+
+  private def unigramVocabDf(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"unigram-vocab:$dir") {
+      val wc = Tables.documents(s, dir)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val chars = wc.selectExpr(
+        "explode(transform(sequence(1, length(w)), i -> substring(w, i, 1))) AS p",
+        "c")
+        .groupBy("p").agg(sum("c").as("cnt"))
+      val multi = wc.selectExpr("w", "c",
+        "explode(flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(2, $UnigramMaxPiece), k -> " +
+          "struct(i AS i, k AS k))))) AS ik")
+        .filter(expr("ik.i + ik.k - 1 <= length(w)"))
+        .selectExpr("substring(w, ik.i, ik.k) AS p", "c")
+        .groupBy("p").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(UnigramTopPieces)
+      val voc = chars.unionAll(multi)
+      voc.crossJoin(broadcast(voc.agg(sum("cnt").as("t"))))
+        .selectExpr("p", "cnt",
+          "CAST(round(ln(cnt / CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT) " +
+            "AS score")
+    }
+
+  private def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    unigramVocabDf(s, dir).orderBy("p")
+
+  /** Packed Viterbi DP value: P = 64·Σscore − #pieces. Scores are ≥ 1
+    * apart when they differ, so maximizing P maximizes the score sum
+    * first and minimizes the piece count on ties; both engines decode
+    * `np = (−P) mod 64` (piece counts stay < 64 — words would need
+    * ≥ 64 chars to exceed it, and the vocab always contains every
+    * single character, so a word of length L segments into ≤ L
+    * pieces). */
+  private[graft] def viterbiPacked(w: String,
+      score: collection.Map[String, Long]): Long = {
+    val n = w.length
+    val dp = Array.fill(n + 1)(Long.MinValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var k = 1
+      val kMax = math.min(UnigramMaxPiece, i)
+      while (k <= kMax) {
+        if (dp(i - k) != Long.MinValue) {
+          score.get(w.substring(i - k, i)).foreach { sc =>
+            val cand = dp(i - k) + 64L * sc - 1L
+            if (cand > dp(i)) dp(i) = cand
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** Word-level DP results: (word, corpus count, best score sum,
+    * piece count of the best segmentation). */
+  private def unigramWordTable(s: SparkSession, dir: String)
+      : DataFrame =
+    ScanCache.get(s, s"unigram-words:$dir") {
+      val spark = s
+      import spark.implicits._
+      // model-sized collect — chars + UnigramTopPieces rows, the NB-gate
+      // pattern (the MODEL is collected, never the corpus)
+      val voc = unigramVocabDf(s, dir).select("p", "score")
+        .as[(String, Long)].collect().toMap
+      Tables.documents(s, dir)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .as[(String, Long)]
+        .map { case (w, c) =>
+          val pk = viterbiPacked(w, voc)
+          val np = java.lang.Math.floorMod(-pk, 64L)
+          (w, c, (pk + np) / 64L, np)
+        }
+        .toDF("word", "wcnt", "best_score", "n_pieces")
+    }
+
+  private def unigramEncode(s: SparkSession, dir: String): DataFrame =
+    unigramWordTable(s, dir).orderBy("word")
+
+  /** Per-document unigram token counts — the [[bpeEncode]] shape over
+    * the unigram segmentation: documents contribute pre-aggregated
+    * (doc_id, word, k) rows; the word-level DP table joins broadcast
+    * while vocabulary-sized. */
+  private def unigramDocTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .filter("word <> ''")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+      .join(unigramWordTable(s, dir), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("n_pieces")).as("n_tokens"),
+        sum(col("k") * col("best_score")).as("score_sum"))
+      .orderBy("doc_id")
+
   /** Training loop on a (word, c) frequency table — factored out so
     * BpeMergeSpec can drive it on synthetic corpora against a plain-Scala
     * reference-BPE model. */
@@ -3851,6 +3972,57 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Shared oracle CTE block for the unigram tokenizer family: the
+    * deterministic vocabulary (chars + top-16 scored pieces) and the
+    * per-word Viterbi DP as a recursive CTE — positions advance one
+    * per iteration, the dp vector rides along as a list, and the four
+    * bounded-lookback candidates (piece length 1..4) compare through
+    * the same packed `64·score − pieces` value the Spark side
+    * maximizes. An absent piece coalesces to a −2⁶² sentinel; single
+    * characters are always in the vocabulary, so every position stays
+    * reachable and the sentinel never wins. */
+  private def unigramCtes: String =
+    """WITH RECURSIVE
+      |wc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |ch AS (
+      |  SELECT substr(w, CAST(u.i AS INT), 1) AS p,
+      |    CAST(sum(c) AS BIGINT) AS cnt
+      |  FROM wc, LATERAL unnest(range(1, length(w) + 1)) AS u(i)
+      |  GROUP BY 1),
+      |mu AS (
+      |  SELECT p, cnt FROM (
+      |    SELECT substr(w, CAST(u.i AS INT), CAST(v.k AS INT)) AS p,
+      |      CAST(sum(c) AS BIGINT) AS cnt
+      |    FROM wc, LATERAL unnest(range(1, length(w) + 1)) AS u(i),
+      |      LATERAL unnest(range(2, 5)) AS v(k)
+      |    WHERE u.i + v.k - 1 <= length(w) GROUP BY 1)
+      |  ORDER BY cnt DESC, p LIMIT 16),
+      |voc AS (SELECT * FROM ch UNION ALL SELECT * FROM mu),
+      |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc),
+      |sv AS (
+      |  SELECT p, cnt,
+      |    CAST(round(ln(cnt / t) * 1000000, 0) AS BIGINT) AS score
+      |  FROM voc, tt),
+      |dp AS (
+      |  SELECT w, c, 0 AS i, [CAST(0 AS BIGINT)] AS ps FROM wc
+      |  UNION ALL
+      |  SELECT w, c, i + 1, list_append(ps, greatest(
+      |    coalesce((SELECT ps[i + 1] + 64 * score - 1 FROM sv
+      |      WHERE p = substr(w, i + 1, 1)), -4611686018427387904),
+      |    coalesce(CASE WHEN i >= 1 THEN (SELECT ps[i] + 64 * score - 1
+      |      FROM sv WHERE p = substr(w, i, 2)) END, -4611686018427387904),
+      |    coalesce(CASE WHEN i >= 2 THEN (SELECT ps[i - 1] + 64 * score - 1
+      |      FROM sv WHERE p = substr(w, i - 1, 3)) END, -4611686018427387904),
+      |    coalesce(CASE WHEN i >= 3 THEN (SELECT ps[i - 2] + 64 * score - 1
+      |      FROM sv WHERE p = substr(w, i - 2, 4)) END, -4611686018427387904)))
+      |  FROM dp WHERE i < length(w)),
+      |res AS (
+      |  SELECT w, c, ps[CAST(length(w) AS INT) + 1] AS pk
+      |  FROM dp WHERE i = length(w))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
     "lang_confusion"      -> langConfusion _,
@@ -3891,6 +4063,9 @@ object Pipeline {
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
     "warc_parse_gzip"   -> warcParseGzip _,
+    "unigram_vocab"     -> unigramVocab _,
+    "unigram_encode"    -> unigramEncode _,
+    "unigram_doc_tokens" -> unigramDocTokens _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4775,6 +4950,25 @@ object Pipeline {
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
     },
+    "unigram_vocab" -> s"$unigramCtes SELECT p, cnt, score FROM sv ORDER BY p",
+    "unigram_encode" -> s"""$unigramCtes
+      |SELECT w AS word, c AS wcnt,
+      |  (pk + (-pk) % 64) // 64 AS best_score,
+      |  (-pk) % 64 AS n_pieces
+      |FROM res ORDER BY word""".stripMargin,
+    "unigram_doc_tokens" -> s"""$unigramCtes,
+      |dw AS (
+      |  SELECT doc_id, w, count(*) AS k FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+      |enc AS (
+      |  SELECT w, (-pk) % 64 AS np,
+      |    (pk + (-pk) % 64) // 64 AS s FROM res)
+      |SELECT doc_id,
+      |  CAST(sum(k * np) AS BIGINT) AS n_tokens,
+      |  CAST(sum(k * s) AS BIGINT) AS score_sum
+      |FROM dw JOIN enc USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "warc_parse" -> {
       // WARC Content-Length = HTTP envelope (63 fixed bytes + the
       // body-length digits) + body bytes; rec_pos = doc rank within
