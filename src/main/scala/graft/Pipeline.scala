@@ -1708,6 +1708,142 @@ object Pipeline {
         .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
     }
 
+  // ---- PCA: covariance + fixed-point power iteration --------------------
+
+  /** Half-away-from-zero rounding — the semantics of SQL `round` in
+    * BOTH engines (Spark HALF_UP / DuckDB away-from-zero agree on all
+    * signs), so driver-side math can mirror oracle arithmetic
+    * exactly. */
+  private def rndAway(d: Double): Long =
+    (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+
+  /** One-pass corpus moments for the embedding covariance: values
+    * quantize to integer milli-units with the SQL `round` (the
+    * IvfScale convention), partitions accumulate (n, Σq, Σq·qᵀ) upper
+    * triangles locally, and the driver folds the ≤ #partitions partial
+    * rows — the corpus is never exploded to d² rows and nothing wider
+    * than a 2 144-long array crosses the wire per partition. Integer
+    * sums are exact while per-pair Σq_iq_j < 2⁶³ (~3·10¹³ rows at
+    * milli-scale); beyond, widen the accumulators — the skew_report
+    * move. */
+  private def embMoments(s: SparkSession, dir: String)
+      : (Long, Array[Long], Array[Long]) = {
+    val spark = s
+    import spark.implicits._
+    val parts = vecs(s, dir)
+      .selectExpr("transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q")
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        var n = 0L
+        val sx = new Array[Long](64)
+        val sxy = new Array[Long](2080)
+        it.foreach { qs =>
+          val a = qs.toArray
+          n += 1
+          var i = 0
+          var idx = 0
+          while (i < 64) {
+            sx(i) += a(i)
+            var j = i
+            while (j < 64) { sxy(idx) += a(i) * a(j); idx += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sx.toSeq, sxy.toSeq))
+      }.collect()
+    val sx = new Array[Long](64)
+    val sxy = new Array[Long](2080)
+    var n = 0L
+    parts.foreach { case (pn, psx, psxy) =>
+      n += pn
+      var i = 0
+      while (i < 64) { sx(i) += psx(i); i += 1 }
+      var k = 0
+      while (k < 2080) { sxy(k) += psxy(k); k += 1 }
+    }
+    (n, sx, sxy)
+  }
+
+  /** Mean-centered covariance in integer micro-units:
+    * c_ij = round((n·Σq_iq_j − Σq_iΣq_j) / n²) — the milli-scale
+    * quantization squares to exactly the 10⁶ output scale. Model-sized
+    * (2 080 rows) driver arithmetic over the one-pass moments. */
+  private def embCovRows(s: SparkSession, dir: String)
+      : (Long, Array[Array[Long]]) = {
+    val (n, sx, sxy) = embMoments(s, dir)
+    val c = Array.ofDim[Long](64, 64)
+    var idx = 0
+    var i = 0
+    while (i < 64) {
+      var j = i
+      while (j < 64) {
+        val num = n * sxy(idx) - sx(i) * sx(j)
+        val v = rndAway(num.toDouble / (n * n).toDouble)
+        c(i)(j) = v
+        c(j)(i) = v
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    (n, c)
+  }
+
+  /** Embedding covariance matrix — PCA's scalable half and the
+    * data-driven decorrelation readout beside [[embeddingRp]]'s
+    * oblivious projection. 2 080 upper-triangle rows in exact integer
+    * micro-units; the oracle recomputes every entry from its own
+    * d²-exploded self-join (quadratic only oracle-side). */
+  private def embeddingCovariance(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (_, c) = embCovRows(s, dir)
+    val rows = for (i <- 0 until 64; j <- i until 64)
+      yield (i + 1L, j + 1L, c(i)(j))
+    rows.toDF("i", "j", "cov_micro").orderBy("i", "j")
+  }
+
+  /** Top principal component via THREE fixed-point power iterations
+    * over the integer covariance — every step is exact cross-engine
+    * arithmetic: w = C·v in integers, ∞-norm renormalization to
+    * milli-units via the shared `round(w·1000/max|w|)` (max is
+    * order-independent, unlike a float L2 sum), and a Rayleigh
+    * quotient in pure integer division. The oracle unrolls the same
+    * three iterations as CTEs (the Lloyd-oracle pattern). Driver-side
+    * model math; the corpus is touched once by the moments pass. */
+  private def embeddingTopEig(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (_, c) = embCovRows(s, dir)
+    def mul(v: Array[Long]): Array[Long] =
+      Array.tabulate(64) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < 64) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(64)(1000L)
+    for (_ <- 1 to 3) {
+      val w = mul(v)
+      val m = w.map(math.abs).max
+      v = w.map(x => rndAway(x * 1000.0 / m))
+    }
+    val w4 = mul(v)
+    val lambda = (0 until 64).map(i => v(i) * w4(i)).sum /
+      (0 until 64).map(i => v(i) * v(i)).sum
+    // explained-variance share: λ/trace in ppm — on this corpus's
+    // near-isotropic spectrum an honest "no dominant axis" readout
+    // (the RP-distortion honesty pattern); 3 rounds make the Rayleigh
+    // a documented LOWER bound of λ₁ (gap ratio ~0.93 at sf0.001 —
+    // PcaSpec pins the envelope, the crafted-fixture eig is exact)
+    val trace = (0 until 64).map(i => c(i)(i)).sum
+    val share = lambda * 1000000L / trace
+    (0 until 64).map(i => (i + 1L, v(i), lambda, share))
+      .toDF("pos", "v_milli", "lambda_micro", "share_ppm").orderBy("pos")
+  }
+
   private def embeddingRp(s: SparkSession, dir: String): DataFrame = {
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
       .selectExpr("vec_id", "v", "nrm", s"$rpProjExpr AS r")
@@ -3972,6 +4108,46 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Shared oracle CTE block for the PCA family: milli-quantized
+    * embedding entries (the Spark-side `round(x·1000)` convention),
+    * per-dimension sums, the d²-exploded pair products (quadratic
+    * ORACLE-side only — the engine accumulates upper triangles
+    * map-side), and the mean-centered covariance in integer
+    * micro-units. */
+  private def pcaCovCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, u.i AS i,
+      |    CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, LATERAL unnest(range(1, 65)) AS u(i)),
+      |st AS (
+      |  SELECT i, CAST(sum(q) AS BIGINT) AS sx, count(*) AS n
+      |  FROM e GROUP BY i),
+      |pr AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i),
+      |cv AS (
+      |  SELECT pr.i, pr.j,
+      |    CAST(round((sa.n * pr.sxy - sa.sx * sb.sx)
+      |      / CAST(sa.n * sa.n AS DOUBLE)) AS BIGINT) AS cov_micro
+      |  FROM pr JOIN st sa ON pr.i = sa.i JOIN st sb ON pr.j = sb.i)"""
+      .stripMargin
+
+  /** One power-iteration round in SQL: integer matrix·vector, ∞-norm
+    * renormalization to milli-units — the [[pcaCovCtes]] twin of the
+    * Spark driver loop. */
+  private def pcaIterSql(t: Int): String = {
+    val prev = s"v${t - 1}"
+    s"""w$t AS (
+       |  SELECT cm.i AS pos, CAST(sum(cm.c * $prev.v) AS BIGINT) AS w
+       |  FROM cm JOIN $prev ON cm.j = $prev.pos GROUP BY cm.i),
+       |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+       |v$t AS (
+       |  SELECT pos, CAST(round(w * 1000.0 / m) AS BIGINT) AS v
+       |  FROM w$t, m$t)""".stripMargin
+  }
+
   /** Shared oracle CTE block for the unigram tokenizer family: the
     * deterministic vocabulary (chars + top-16 scored pieces) and the
     * per-word Viterbi DP as a recursive CTE — positions advance one
@@ -4066,6 +4242,8 @@ object Pipeline {
     "unigram_vocab"     -> unigramVocab _,
     "unigram_encode"    -> unigramEncode _,
     "unigram_doc_tokens" -> unigramDocTokens _,
+    "embedding_covariance" -> embeddingCovariance _,
+    "embedding_top_eig" -> embeddingTopEig _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -4950,6 +5128,30 @@ object Pipeline {
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
     },
+    "embedding_covariance" ->
+      s"$pcaCovCtes SELECT i, j, cov_micro FROM cv ORDER BY i, j",
+    "embedding_top_eig" -> s"""$pcaCovCtes,
+      |cm AS (
+      |  SELECT i, j, cov_micro AS c FROM cv
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, cov_micro AS c FROM cv WHERE i <> j),
+      |v0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
+      |${pcaIterSql(1)},
+      |${pcaIterSql(2)},
+      |${pcaIterSql(3)},
+      |w4 AS (
+      |  SELECT cm.i AS pos, CAST(sum(cm.c * v3.v) AS BIGINT) AS w
+      |  FROM cm JOIN v3 ON cm.j = v3.pos GROUP BY cm.i),
+      |ray AS (
+      |  SELECT CAST(sum(v3.v * w4.w) AS BIGINT)
+      |    // CAST(sum(v3.v * v3.v) AS BIGINT) AS lambda_micro
+      |  FROM v3 JOIN w4 ON v3.pos = w4.pos),
+      |tr AS (
+      |  SELECT CAST(sum(cov_micro) AS BIGINT) AS trace
+      |  FROM cv WHERE i = j)
+      |SELECT v3.pos, v3.v AS v_milli, ray.lambda_micro,
+      |  ray.lambda_micro * 1000000 // tr.trace AS share_ppm
+      |FROM v3, ray, tr ORDER BY pos""".stripMargin,
     "unigram_vocab" -> s"$unigramCtes SELECT p, cnt, score FROM sv ORDER BY p",
     "unigram_encode" -> s"""$unigramCtes
       |SELECT w AS word, c AS wcnt,
