@@ -3848,6 +3848,26 @@ object Pipeline {
       .orderBy("host_key")
   }
 
+  /** SURT ordering keys (operators/UrlNorm.surtKey) over the same
+    * messy-URL fixture as [[urlNormalize]]: host labels reversed and
+    * comma-joined so sorting clusters each domain's pages contiguously
+    * — the CDX web-archive index convention. The query ORDERS BY the
+    * SURT itself (the key's whole point); the oracle constructs every
+    * key analytically and applies the same ordering. */
+  private def urlSurt(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val port = if (id % 2 == 0) ":80" else ":8080"
+        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
+          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
+        (id, graft.operators.UrlNorm.surtKey(messy))
+      }
+      .toDF("doc_id", "surt")
+      .orderBy("surt", "doc_id")
+  }
+
   /** The line dimension for C4/RefinedWeb-style line-level dedup: the
     * corpus has no newlines, so "lines" are deterministic 3-word
     * chunks of each document (the fixture defines the boundary; the
@@ -4235,6 +4255,7 @@ object Pipeline {
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
     "url_normalize" -> urlNormalize _,
     "url_host_counts" -> urlHostCounts _,
+    "url_surt"          -> urlSurt _,
     "line_dedup"        -> lineDedup _,
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
@@ -5073,6 +5094,18 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY doc_id""".stripMargin
+    },
+    "url_surt" -> {
+      // SURT of the canonical form: reversed host labels, non-default
+      // port kept, ')' then path?query — ordered by the key itself
+      """SELECT doc_id,
+        |  'com,ex' || (doc_id % 7) || ',www' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        |    ')/dir' || (length(text) % 5) || '/page?a=1&b=' ||
+        |    (length(text) % 9) AS surt
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY surt, doc_id""".stripMargin
     },
     "url_host_counts" -> {
       """WITH u AS (

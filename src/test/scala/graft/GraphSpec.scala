@@ -124,4 +124,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._2).max <= 10)
     assert(got.count(_._2 == 0L) == 1)
   }
+
+  test("lpa_communities equals a plain-Scala synchronous LPA") {
+    val edges = Graph.stationEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val nbr = nodes.map(v => v -> edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSeq).toMap
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      lbl = nodes.map { v =>
+        val votes = nbr(v).map(lbl).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        v -> (if (votes.isEmpty) v
+              else votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    val got = SparkEntry.queries("lpa_communities")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // isolated stations (if any) self-label on both sides
+    val sizes = lbl.values.groupBy(identity).map { case (l, vs) =>
+      (l, vs.size.toLong) }
+    got.foreach { case (v, (c, sz)) =>
+      val exp = lbl.getOrElse(v, v)
+      assert(c == exp, s"station $v: community $c vs reference $exp")
+      assert(sz == sizes.getOrElse(exp,
+        got.count { case (u, (cu, _)) => cu == exp }.toLong))
+    }
+    // non-vacuous: propagation actually merged labels
+    assert(got.values.map(_._1).toSet.size < got.size)
+  }
 }

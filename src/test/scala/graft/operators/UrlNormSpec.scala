@@ -67,4 +67,17 @@ class UrlNormSpec extends AnyFunSuite {
     assert(hostKey("http://localhost/x") == "localhost")
     assert(hostKey("not a url") == "")
   }
+
+  test("surtKey: reversed labels, kept port, full lowercase, sorts by domain") {
+    assert(UrlNorm.surtKey("HTTP://WWW.Example.COM/A/b?Z=1") ==
+      "com,example,www)/a/b?z=1")
+    assert(UrlNorm.surtKey("http://a.b.c.d:8080/p") == "d,c,b,a:8080)/p")
+    assert(UrlNorm.surtKey("http://ex.com:80/") == "com,ex)/") // :80 dropped
+    assert(UrlNorm.surtKey("not a url") == "")
+    // the ordering property: one domain's pages cluster contiguously
+    val keys = Seq("http://www.ex3.com/z", "http://ex4.com/a",
+      "http://ex3.com/a", "http://www.ex3.com/a").map(UrlNorm.surtKey)
+    assert(keys.sorted == Seq("com,ex3)/a", "com,ex3,www)/a",
+      "com,ex3,www)/z", "com,ex4)/a"))
+  }
 }
