@@ -836,6 +836,64 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective example
+    * builder: tokens group into spans of 3, every 5th span (20% token
+    * mask rate at span length 3, the T5 regime) is replaced in the
+    * INPUT by a numbered `<extra_id_k>` sentinel, and the TARGET is
+    * the sentinel-prefixed concatenation of the masked spans. The
+    * schedule is positional and deterministic — reproducible across
+    * engines, replays and re-sharding (the corpus_split property,
+    * which a random mask cannot give). Per doc: token/mask/span counts
+    * and md5s of both sides. Pure map pass, zero shuffle. */
+  private def spanCorrupt(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws",
+        "sequence(0, CAST((size(ws) - 1) div 3 AS INT)) AS gs")
+      .selectExpr("doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_tokens",
+        "aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + " +
+          "(CASE WHEN g % 5 = 0 THEN size(slice(ws, g * 3 + 1, 3)) " +
+          "ELSE 0 END)) AS n_masked",
+        "CAST(size(filter(gs, g -> g % 5 = 0)) AS BIGINT) AS n_spans",
+        "md5(array_join(transform(gs, g -> CASE WHEN g % 5 = 0 " +
+          "THEN concat('<extra_id_', CAST(g div 5 AS STRING), '>') " +
+          "ELSE array_join(slice(ws, g * 3 + 1, 3), ' ') END), ' ')) " +
+          "AS input_md5",
+        "md5(array_join(transform(filter(gs, g -> g % 5 = 0), " +
+          "g -> concat('<extra_id_', CAST(g div 5 AS STRING), '> ', " +
+          "array_join(slice(ws, g * 3 + 1, 3), ' '))), ' ')) " +
+          "AS target_md5")
+      .orderBy("doc_id")
+
+  /** Fill-in-middle transform (code-LM preprocessing): deterministic
+    * thirds split at ⌊n/3⌋ and ⌊2n/3⌋, emitted in both PSM
+    * (prefix-suffix-middle) and SPM sentinel orders. Same
+    * reproducibility contract as [[spanCorrupt]]; pure map pass. */
+  private def fimTransform(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws", "size(ws) AS n",
+        "size(ws) div 3 AS p1", "(2 * size(ws)) div 3 AS p2")
+      .selectExpr("doc_id", "CAST(n AS BIGINT) AS n_tokens",
+        "p1 AS prefix_len",
+        "p2 - p1 AS middle_len",
+        "md5(concat('<fim_pre> ', " +
+          "array_join(slice(ws, 1, CAST(p1 AS INT)), ' '), " +
+          "' <fim_suf> ', " +
+          "array_join(slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)), ' '), " +
+          "' <fim_mid> ', " +
+          "array_join(slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)), ' '))) " +
+          "AS psm_md5",
+        "md5(concat('<fim_suf> ', " +
+          "array_join(slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)), ' '), " +
+          "' <fim_pre> ', " +
+          "array_join(slice(ws, 1, CAST(p1 AS INT)), ' '), " +
+          "' <fim_mid> ', " +
+          "array_join(slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)), ' '))) " +
+          "AS spm_md5")
+      .orderBy("doc_id")
+
   /** Greedy sequence packing, GPT-style concat-then-split: documents are
     * concatenated in deterministic order within each source shard and cut
     * at a 256-token budget; a document whose token span crosses a cut
@@ -4256,6 +4314,8 @@ object Pipeline {
     "url_normalize" -> urlNormalize _,
     "url_host_counts" -> urlHostCounts _,
     "url_surt"          -> urlSurt _,
+    "span_corrupt"      -> spanCorrupt _,
+    "fim_transform"     -> fimTransform _,
     "line_dedup"        -> lineDedup _,
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
@@ -5160,6 +5220,55 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "span_corrupt" -> {
+      // every 5th 3-token span masked; input carries numbered
+      // sentinels, target carries sentinel-prefixed masked spans
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws, u.g
+        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(g)),
+        |parts AS (
+        |  SELECT doc_id, g,
+        |    CASE WHEN g % 5 = 0 THEN '<extra_id_' || (g // 5) || '>'
+        |      ELSE array_to_string(ws[(g * 3 + 1):(g * 3 + 3)], ' ')
+        |      END AS inp,
+        |    CASE WHEN g % 5 = 0 THEN '<extra_id_' || (g // 5) || '> '
+        |      || array_to_string(ws[(g * 3 + 1):(g * 3 + 3)], ' ')
+        |      END AS tgt,
+        |    CASE WHEN g % 5 = 0 THEN len(ws[(g * 3 + 1):(g * 3 + 3)])
+        |      ELSE 0 END AS msk
+        |  FROM g),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(msk) AS BIGINT) AS n_masked,
+        |    CAST(sum(CASE WHEN g % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_spans,
+        |    md5(string_agg(inp, ' ' ORDER BY g)) AS input_md5,
+        |    md5(coalesce(string_agg(tgt, ' ' ORDER BY g), ''))
+        |      AS target_md5
+        |  FROM parts GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.ws) AS n_tokens, agg.n_masked,
+        |  agg.n_spans, agg.input_md5, agg.target_md5
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "fim_transform" -> {
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |f AS (
+        |  SELECT doc_id, ws, len(ws) AS n, len(ws) // 3 AS p1,
+        |    (2 * len(ws)) // 3 AS p2 FROM d)
+        |SELECT doc_id, n AS n_tokens, p1 AS prefix_len,
+        |  p2 - p1 AS middle_len,
+        |  md5('<fim_pre> ' || array_to_string(ws[1:p1], ' ')
+        |    || ' <fim_suf> ' || array_to_string(ws[(p2 + 1):n], ' ')
+        |    || ' <fim_mid> ' || array_to_string(ws[(p1 + 1):p2], ' '))
+        |    AS psm_md5,
+        |  md5('<fim_suf> ' || array_to_string(ws[(p2 + 1):n], ' ')
+        |    || ' <fim_pre> ' || array_to_string(ws[1:p1], ' ')
+        |    || ' <fim_mid> ' || array_to_string(ws[(p1 + 1):p2], ' '))
+        |    AS spm_md5
+        |FROM f ORDER BY doc_id""".stripMargin
     },
     "embedding_covariance" ->
       s"$pcaCovCtes SELECT i, j, cov_micro FROM cv ORDER BY i, j",
