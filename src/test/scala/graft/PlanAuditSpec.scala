@@ -81,7 +81,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "data_quality",
       // ams_join_size: the readout crossJoins four single-row frames
       // (two 48-counter sketches + the two exact truths)
-      "ams_join_size")
+      "ams_join_size",
+      // unigram_vocab: the piece table crossJoins the broadcast
+      // single-row Σcnt total for the log-prob scores (the bm25 shape)
+      "unigram_vocab")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
@@ -288,7 +291,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitioning — a join or hash shuffle here means the decode path
     // stopped being embarrassingly parallel
     for (n <- Seq("video_frame_sample", "html_extract", "audio_resample",
-      "multimodal_decode_tiff_packbits", "multimodal_decode_webp")) {
+      "multimodal_decode_tiff_packbits", "multimodal_decode_webp",
+      "span_corrupt", "fim_transform", "url_surt")) {
       val p = plan(n)
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
         !l.contains("Exchange rangepartitioning"))
