@@ -1497,6 +1497,45 @@ object Pipeline {
   private def unigramEncode(s: SparkSession, dir: String): DataFrame =
     unigramWordTable(s, dir).orderBy("word")
 
+  /** Greedy longest-match-first segmentation (WordPiece-style
+    * inference, maximal munch) over the SAME scored vocabulary —
+    * the third tokenizer family beside BPE's learned merges and
+    * unigram's optimal DP: at each position take the longest piece in
+    * the vocabulary, fall back to the single character. [[UnigramSpec]]
+    * proves greedy ⊑ optimal on the shared score. */
+  private[graft] def greedyPieces(w: String,
+      score: collection.Map[String, Long]): (Long, Long) = {
+    var pos = 0
+    var np = 0L
+    var sc = 0L
+    while (pos < w.length) {
+      var k = math.min(UnigramMaxPiece, w.length - pos)
+      while (k > 1 && !score.contains(w.substring(pos, pos + k))) k -= 1
+      sc += score(w.substring(pos, pos + k))
+      np += 1
+      pos += k
+    }
+    (np, sc)
+  }
+
+  private def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val voc = unigramVocabDf(s, dir).select("p", "score")
+      .as[(String, Long)].collect().toMap
+    Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        val (np, sc) = greedyPieces(w, voc)
+        (w, c, np, sc)
+      }
+      .toDF("word", "wcnt", "n_pieces_wp", "score_wp")
+      .orderBy("word")
+  }
+
   /** Per-document unigram token counts — the [[bpeEncode]] shape over
     * the unigram segmentation: documents contribute pre-aggregated
     * (doc_id, word, k) rows; the word-level DP table joins broadcast
@@ -4325,6 +4364,7 @@ object Pipeline {
     "unigram_doc_tokens" -> unigramDocTokens _,
     "embedding_covariance" -> embeddingCovariance _,
     "embedding_top_eig" -> embeddingTopEig _,
+    "wordpiece_encode"  -> wordpieceEncode _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -5294,6 +5334,28 @@ object Pipeline {
       |SELECT v3.pos, v3.v AS v_milli, ray.lambda_micro,
       |  ray.lambda_micro * 1000000 // tr.trace AS share_ppm
       |FROM v3, ray, tr ORDER BY pos""".stripMargin,
+    "wordpiece_encode" -> s"""$unigramCtes,
+      |wp AS (
+      |  SELECT w, c, 1 AS pos, CAST(0 AS BIGINT) AS np,
+      |    CAST(0 AS BIGINT) AS sc
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT w, c, pos + k, np + 1,
+      |    sc + (SELECT score FROM sv WHERE p = substr(w, pos, k))
+      |  FROM (
+      |    SELECT w, c, pos, np, sc,
+      |      CASE
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 4)
+      |          AND length(p) > 1) THEN least(4, length(w) - pos + 1)
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 3)
+      |          AND length(p) > 1) THEN least(3, length(w) - pos + 1)
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 2)
+      |          AND length(p) > 1) THEN least(2, length(w) - pos + 1)
+      |        ELSE 1 END AS k
+      |    FROM wp WHERE pos <= length(w))),
+      |done AS (SELECT w, c, np, sc FROM wp WHERE pos = length(w) + 1)
+      |SELECT w AS word, c AS wcnt, np AS n_pieces_wp, sc AS score_wp
+      |FROM done ORDER BY word""".stripMargin,
     "unigram_vocab" -> s"$unigramCtes SELECT p, cnt, score FROM sv ORDER BY p",
     "unigram_encode" -> s"""$unigramCtes
       |SELECT w AS word, c AS wcnt,

@@ -69,6 +69,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(doc.getLong(2) == 3L * s(3) + s(4))    // summed scores
   }
 
+  test("greedyPieces: maximal munch, char fallback, greedy <= optimal score") {
+    // greedy takes "ab" then "c"; optimal DP can choose [a, bc] when
+    // that scores higher — the classic maximal-munch pessimization
+    val m = Map("a" -> -100L, "b" -> -100L, "c" -> -100L,
+      "ab" -> -180L, "bc" -> -50L)
+    assert(Pipeline.greedyPieces("abc", m) == ((2L, -280L))) // [ab, c]
+    val opt = Pipeline.viterbiPacked("abc", m)
+    val np = java.lang.Math.floorMod(-opt, 64L)
+    assert(((opt + np) / 64L, np) == ((-150L, 2L))) // [a, bc]
+    // char fallback when nothing longer matches
+    assert(Pipeline.greedyPieces("ca", Map("c" -> -1L, "a" -> -2L)) ==
+      ((2L, -3L)))
+  }
+
+  test("wordpiece vs unigram on the driver corpus: greedy never beats the DP") {
+    val dir = "/root/testdata/sf0.001"
+    val wp = Pipeline.queries("wordpiece_encode")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val un = Pipeline.queries("unigram_encode")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(2)))).toMap
+    assert(wp.keySet == un.keySet)
+    wp.foreach { case (w, (_, scG)) =>
+      assert(scG <= un(w)._2, s"greedy beat the optimal DP on '$w'")
+    }
+  }
+
   test("driver corpus: multi-char pieces actually fire (non-vacuous)") {
     val rows = Pipeline.queries("unigram_encode")(
       spark, "/root/testdata/sf0.001").collect()
