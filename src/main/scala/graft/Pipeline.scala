@@ -4054,6 +4054,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** MPEG-1 Audio Layer I REAL bitstream decode
+    * (operators/MpegAudio): per doc a multi-frame mono stream encodes
+    * with per-subband allocations (2–4 sample bits), power-of-two
+    * scalefactors (indices at multiples of 3 — the closed-form
+    * geometric table needs no spec data) and text-derived sample
+    * codes; the decoder walks headers, allocations, scalefactors and
+    * the interleaved 12×32 sample grid, requantizing with the Layer I
+    * formula. The oracle recomputes EVERYTHING analytically from the
+    * document text — frame/subband schedules, raw code sums and the
+    * per-sample requantized micro-unit amplitudes (every factor a
+    * power of two or a single IEEE division, so both engines agree
+    * bit-for-bit). One flatMap over the scan, zero shuffle. */
+  private def multimodalDecodeMp1(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val bl = t.length
+        val b = asciiBytes(id, t)
+        val frames = (0 until (1 + bl % 3)).map { f =>
+          val nsb = 1 + ((bl + f) % 4)
+          val allocs = Array.tabulate(32)(sb =>
+            if (sb < nsb) 1 + (sb % 3) else 0)
+          val scf = Array.tabulate(32)(sb => 3 * ((sb + f) % 5))
+          val codes = Array.tabulate(32)(sb => Array.tabulate(12)(s0 =>
+            if (sb < nsb)
+              (b((f * 97 + sb * 12 + s0) % bl) & 0xff) %
+                (1 << (2 + sb % 3))
+            else 0))
+          graft.operators.MpegAudio.encodeFrame(allocs, scf, codes)
+        }
+        val dec = graft.operators.MpegAudio.decode(
+          frames.foldLeft(Array.emptyByteArray)(_ ++ _))
+        (id, dec.length.toLong, dec.map(_.nActive.toLong).sum,
+          dec.map(_.sumCodes).sum, dec.map(_.ampMicro).sum)
+      }
+      .toDF("media_id", "n_frames", "n_active", "sum_codes", "amp_micro")
+      .orderBy("media_id")
+  }
+
   /** WARC (ISO 28500) build + parse — the Common Crawl ingestion path.
     * Documents become WARC/1.0 response records (HTTP 200 envelope,
     * exact Content-Length framing), 16 records concatenate into each
@@ -4335,6 +4376,7 @@ object Pipeline {
     "multimodal_decode_jpeg_pixels" -> multimodalDecodeJpegPixels _,
     "multimodal_decode_jpeg_progressive" -> multimodalDecodeJpegProgressive _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
+    "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "multimodal_decode_ulaw" -> multimodalDecodeUlaw _,
@@ -5375,6 +5417,44 @@ object Pipeline {
       |  CAST(sum(k * s) AS BIGINT) AS score_sum
       |FROM dw JOIN enc USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_decode_mp1" -> {
+      // full analytic recompute of the Layer I decode: frame/subband
+      // schedules from the text length, codes from text bytes, and the
+      // requantization chain in exact power-of-two arithmetic
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS bl FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id, text, bl, u.f
+        |  FROM d, LATERAL unnest(range(0, 1 + bl % 3)) AS u(f)),
+        |sbv AS (
+        |  SELECT doc_id, text, bl, f, v.sb
+        |  FROM fr, LATERAL unnest(range(0, 1 + (bl + f) % 4)) AS v(sb)),
+        |smp AS (
+        |  SELECT doc_id, f, sb, w.s, 2 + sb % 3 AS nb, (sb + f) % 5 AS k,
+        |    ascii(substr(text,
+        |      CAST((f * 97 + sb * 12 + w.s) % bl + 1 AS INT), 1)) AS byte
+        |  FROM sbv, LATERAL unnest(range(0, 12)) AS w(s)),
+        |val AS (
+        |  SELECT doc_id,
+        |    byte % (CASE nb WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS c,
+        |    CASE nb WHEN 2 THEN 4.0 WHEN 3 THEN 8.0 ELSE 16.0 END AS p2,
+        |    CASE k WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+        |      WHEN 3 THEN 0.25 ELSE 0.125 END AS sf
+        |  FROM smp),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_codes,
+        |    CAST(sum(CAST(round((c / (p2 / 2) - 1 + 2 / p2)
+        |      * (p2 / (p2 - 1)) * sf * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS amp_micro
+        |  FROM val GROUP BY doc_id),
+        |act AS (
+        |  SELECT doc_id, count(*) AS n_active FROM sbv GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
+        |  act.n_active, agg.sum_codes, agg.amp_micro
+        |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
+        |ORDER BY media_id""".stripMargin
+    },
     "warc_parse" -> {
       // WARC Content-Length = HTTP envelope (63 fixed bytes + the
       // body-length digits) + body bytes; rec_pos = doc rank within
