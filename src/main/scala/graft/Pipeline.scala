@@ -4054,6 +4054,65 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** THE COMPOSED WEB-INGEST DAG — the whole round-8 web family as
+    * one query, the CorpusApp/DetectorApp move for the web side:
+    * documents wrap into full HTML pages (the html_extract fixture,
+    * entity-escaped, script/style/comment traps), pack into 16-record
+    * per-record-gzip WARC archives (the Common Crawl layout), then the
+    * pipeline runs archives → record walk → HTML text extraction →
+    * token gate → GLOBAL line-level dedup, ending in a per-document
+    * keep verdict: `n_tokens ≥ 24 AND n_kept·2 ≥ n_lines`. The oracle
+    * recomputes the whole chain analytically (the wrap+extract pair
+    * must be exactly invertible — any WARC framing, gzip, entity,
+    * collapse or keeper bug flips a verdict).
+    *
+    * 100 TB shape: build side pays the one archive-assembly shuffle;
+    * from archives on, it is the warc_parse flatMap + the line_dedup
+    * shuffle pair — nothing new beyond the parts it composes. */
+  private def webIngestDag(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val extracted = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val html =
+          s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
+        (id % 16, id, graft.operators.Warc.buildRecord(
+          id, s"http://ex${id % 7}.com/doc/$id", html.getBytes("UTF-8")))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val archive = graft.operators.Warc.buildArchive(
+          it.toSeq.sortBy(_._2).map(_._3), gzip = true)
+        graft.operators.Warc.parseArchiveBodies(archive).map {
+          case (uri, body) =>
+            (uri.substring(uri.lastIndexOf('/') + 1).toLong,
+              graft.operators.HtmlText.extractText(body))
+        }
+      }
+      .toDF("doc_id", "xt")
+    val lines = extracted
+      .selectExpr("doc_id", "split(xt, ' ') AS ws")
+      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens",
+        s"""posexplode(transform(
+           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
+           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
+           |    ' '))) AS (line_no, line)""".stripMargin)
+    val kept = lines
+      .selectExpr("line",
+        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + line_no AS pk")
+      .groupBy("line").agg(min("pk").as("pk"))
+      .selectExpr("CAST(pk div 10000000000 AS BIGINT) AS doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    lines.groupBy("doc_id")
+      .agg(first("n_tokens").as("n_tokens"), count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens", "n_lines",
+        "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+        "n_tokens >= 24 AND coalesce(n_kept, CAST(0 AS BIGINT)) * 2 " +
+          ">= n_lines AS keep")
+      .orderBy("doc_id")
+  }
+
   /** MPEG-1 Audio Layer I REAL bitstream decode
     * (operators/MpegAudio): per doc a multi-frame mono stream encodes
     * with per-subband allocations (2–4 sample bits), power-of-two
@@ -4401,6 +4460,7 @@ object Pipeline {
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
     "warc_parse_gzip"   -> warcParseGzip _,
+    "web_ingest_dag"    -> webIngestDag _,
     "unigram_vocab"     -> unigramVocab _,
     "unigram_encode"    -> unigramEncode _,
     "unigram_doc_tokens" -> unigramDocTokens _,
@@ -5417,6 +5477,33 @@ object Pipeline {
       |  CAST(sum(k * s) AS BIGINT) AS score_sum
       |FROM dw JOIN enc USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "web_ingest_dag" -> {
+      // analytic recompute of the whole chain: the wrap+extract pair
+      // is exactly invertible, so the extracted text is
+      // 'Doc {id} Header {id%10} {text}' and the rest is the
+      // line_dedup walk plus the token/retention gate
+      """WITH x AS (
+        |  SELECT doc_id, 'Doc ' || doc_id || ' Header ' || (doc_id % 10)
+        |    || ' ' || text AS xt
+        |  FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |d AS (SELECT doc_id, string_split(xt, ' ') AS ws FROM x),
+        |l AS (
+        |  SELECT doc_id, u.j AS line_no,
+        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
+        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
+        |k AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY line
+        |      ORDER BY doc_id, line_no) AS rn FROM l) WHERE rn = 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, len(ws) AS n_tokens,
+        |  (len(ws) - 1) // 3 + 1 AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  (len(ws) >= 24 AND coalesce(ka.n_kept, 0) * 2
+        |    >= (len(ws) - 1) // 3 + 1) AS keep
+        |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "multimodal_decode_mp1" -> {
       // full analytic recompute of the Layer I decode: frame/subband
       // schedules from the text length, codes from text bytes, and the

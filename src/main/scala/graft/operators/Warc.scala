@@ -53,9 +53,11 @@ object Warc {
     }
 
   /** Parsed facts of one record: enough to identify, route and
-    * fingerprint the payload without carrying it. */
+    * fingerprint the payload without carrying it (`bodyOff` indexes
+    * into the decompressed archive for consumers that do want it). */
   final case class WarcRecord(uri: String, warcType: String,
-      contentLength: Long, httpStatus: Int, bodyLen: Long, bodyMd5: String)
+      contentLength: Long, httpStatus: Int, bodyLen: Long, bodyMd5: String,
+      bodyOff: Int)
 
   private def md5hex(b: Array[Byte], off: Int, len: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -66,7 +68,18 @@ object Warc {
   /** Walk an archive — plain or multi-member gzip (sniffed by the
     * 0x1f8b magic) — and parse every record until the bytes run out or
     * a malformed header block ends the walk. */
-  def parseArchive(bytes: Array[Byte]): Seq[WarcRecord] = {
+  def parseArchive(bytes: Array[Byte]): Seq[WarcRecord] =
+    walk(bytes)._1
+
+  /** The ingest-pipeline form: (target URI, payload body as UTF-8) per
+    * record — what a WARC → extract → gate DAG consumes. */
+  def parseArchiveBodies(bytes: Array[Byte]): Seq[(String, String)] = {
+    val (recs, plain) = walk(bytes)
+    recs.map(r => r.uri ->
+      new String(plain, r.bodyOff, r.bodyLen.toInt, "UTF-8"))
+  }
+
+  private def walk(bytes: Array[Byte]): (Seq[WarcRecord], Array[Byte]) = {
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b) {
@@ -120,7 +133,7 @@ object Warc {
                 hdrs.getOrElse("warc-target-uri", ""),
                 hdrs.getOrElse("warc-type", ""),
                 cl, status, bodyLen,
-                md5hex(plain, bodyOff, bodyLen))
+                md5hex(plain, bodyOff, bodyLen), bodyOff)
               // record separator after the payload
               p = payloadOff + clInt
               if (p + 4 <= plain.length && plain(p) == '\r' &&
@@ -131,7 +144,7 @@ object Warc {
         }
       }
     }
-    recs.result()
+    (recs.result(), plain)
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
