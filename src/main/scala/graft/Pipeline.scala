@@ -3965,6 +3965,40 @@ object Pipeline {
       .orderBy("surt", "doc_id")
   }
 
+  /** robots.txt decisions (operators/Robots, RFC 9309): every doc
+    * carries a crawl policy with a `*` group and a GraftBot group
+    * (comments, stacked user-agents, a wildcard+anchor Allow), and the
+    * evaluator must pick the right group and apply
+    * most-specific-wins — the oracle enumerates the closed-form
+    * outcome per path class. Exercises: group selection shadowing the
+    * `*` rules, longest-match with `*`/`$` patterns, Allow-beats-
+    * Disallow on specificity. */
+  private def robotsDecisions(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).selectExpr("doc_id", "length(text) AS len")
+      .as[(Long, Long)]
+      .map { case (id, len) =>
+        val robots =
+          s"""# crawl policy for ex${id % 7}
+             |User-agent: *
+             |Disallow: /Dir2
+             |Disallow: /Dir4
+             |
+             |User-agent: GraftBot
+             |Disallow: /Dir1
+             |Disallow: /Dir3
+             |Allow: /Dir3/pa*e$$""".stripMargin
+        val groups = graft.operators.Robots.parse(robots)
+        val path = s"/Dir${len % 5}/page"
+        (id, path,
+          graft.operators.Robots.allowed(groups, "graftbot/1.0", path),
+          graft.operators.Robots.allowed(groups, "otherbot", path))
+      }
+      .toDF("doc_id", "path", "graft_allowed", "other_allowed")
+      .orderBy("doc_id")
+  }
+
   /** The line dimension for C4/RefinedWeb-style line-level dedup: the
     * corpus has no newlines, so "lines" are deterministic 3-word
     * chunks of each document (the fixture defines the boundary; the
@@ -4454,6 +4488,7 @@ object Pipeline {
     "url_normalize" -> urlNormalize _,
     "url_host_counts" -> urlHostCounts _,
     "url_surt"          -> urlSurt _,
+    "robots_decisions"  -> robotsDecisions _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
     "line_dedup"        -> lineDedup _,
@@ -5362,6 +5397,16 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "robots_decisions" -> {
+      // closed-form outcomes: GraftBot's group shadows '*' entirely —
+      // /Dir1,/Dir3 disallowed but /Dir3/page re-allowed by the longer
+      // wildcard Allow; otherbot sees only the '*' group (/Dir2,/Dir4)
+      """SELECT doc_id,
+        |  '/Dir' || (length(text) % 5) || '/page' AS path,
+        |  (length(text) % 5) <> 1 AS graft_allowed,
+        |  (length(text) % 5) NOT IN (2, 4) AS other_allowed
+        |FROM documents ORDER BY doc_id""".stripMargin
     },
     "span_corrupt" -> {
       // every 5th 3-token span masked; input carries numbered
