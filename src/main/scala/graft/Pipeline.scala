@@ -4106,7 +4106,19 @@ object Pipeline {
   private def webIngestDag(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val extracted = asciiDocs(s, dir)
+    // persisted: the WARC-build → parse → extract chain feeds BOTH the
+    // keeper aggregate and the per-doc stats branch — without the
+    // cache the whole gzip/extract chain would compute twice
+    val extracted = ScanCache.get(s, s"web-ingest-extracted:$dir") {
+      webIngestExtracted(s, dir) }
+    webIngestVerdicts(extracted)
+  }
+
+  private def webIngestExtracted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
       .map { case (id, t) =>
         val html =
           s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
@@ -4124,6 +4136,9 @@ object Pipeline {
         }
       }
       .toDF("doc_id", "xt")
+  }
+
+  private def webIngestVerdicts(extracted: DataFrame): DataFrame = {
     val lines = extracted
       .selectExpr("doc_id", "split(xt, ' ') AS ws")
       .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens",
