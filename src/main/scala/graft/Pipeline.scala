@@ -3999,6 +3999,63 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Crawl frontier — the crawler-side composition of the web family:
+    * every document "discovers" three messy URLs (two canonicalize to
+    * the SAME target — the dup the frontier must catch, including
+    * cross-document collisions — and one to a sibling page), each URL
+    * canonicalizes (UrlNorm), passes the robots gate
+    * (operators/Robots, the robots_decisions policy) and dedups by
+    * FIRST discovery under the total order (doc_id, variant); fetch =
+    * allowed ∧ first-seen. The oracle constructs canonical forms and
+    * robots outcomes analytically and replays the keeper walk.
+    *
+    * 100 TB shape: canonicalization and robots are map-side; the only
+    * shuffle is the first-seen keeper aggregate on the canonical-URL
+    * dimension (the line_dedup packed-decimal move — hash-mode,
+    * map-combinable, hot URLs cannot skew it). */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val urls = asciiDocs(s, dir)
+      .flatMap { case (id, t) =>
+        val port = if (id % 2 == 0) ":80" else ":8080"
+        val k = id % 7
+        val m = t.length % 5
+        val q = t.length % 9
+        Seq(
+          (id, 0L, s"HTTP://WWW.Ex$k.COM$port/Dir$m" +
+            s"/./skip/../p%61ge?utm_campaign=c&b=$q&a=1#top"),
+          (id, 1L, s"http://www.ex$k.com$port/Dir$m/page?a=1&b=$q&utm_source=z"),
+          (id, 2L, s"http://www.ex$k.com$port/Dir$m/page2?a=1&b=$q"))
+      }
+      .map { case (id, v, messy) =>
+        val canon = graft.operators.UrlNorm.normalize(messy)
+        val path = canon.substring(canon.indexOf('/', 8))
+          .takeWhile(c => c != '?' && c != '#')
+        val robots = graft.operators.Robots.parse(
+          s"""User-agent: *
+             |Disallow: /Dir2
+             |Disallow: /Dir4
+             |User-agent: GraftBot
+             |Disallow: /Dir1
+             |Disallow: /Dir3
+             |Allow: /Dir3/pa*e$$""".stripMargin)
+        (id, v, canon,
+          graft.operators.Robots.allowed(robots, "graftbot/1.0", path))
+      }
+      .toDF("doc_id", "variant", "canon", "allowed")
+    val keeper = urls
+      .selectExpr("canon",
+        "CAST(doc_id AS DECIMAL(28,0)) * 4 + variant AS pk")
+      .groupBy("canon").agg(min("pk").as("pk"))
+    urls.join(keeper, "canon")
+      .selectExpr("doc_id", "variant", "canon", "allowed",
+        "CAST(doc_id AS DECIMAL(28,0)) * 4 + variant <> pk AS is_dup",
+        "allowed AND CAST(doc_id AS DECIMAL(28,0)) * 4 + variant = pk " +
+          "AS fetch")
+      .orderBy("doc_id", "variant")
+  }
+
   /** The line dimension for C4/RefinedWeb-style line-level dedup: the
     * corpus has no newlines, so "lines" are deterministic 3-word
     * chunks of each document (the fixture defines the boundary; the
@@ -4504,6 +4561,7 @@ object Pipeline {
     "url_host_counts" -> urlHostCounts _,
     "url_surt"          -> urlSurt _,
     "robots_decisions"  -> robotsDecisions _,
+    "crawl_frontier"    -> crawlFrontier _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
     "line_dedup"        -> lineDedup _,
@@ -5412,6 +5470,31 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "crawl_frontier" -> {
+      // canonical forms constructed analytically (v0/v1 collide by
+      // design), robots outcome per path class (GraftBot's group
+      // shadows '*'), keeper = first (doc_id, variant) per canonical
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |u AS (
+        |  SELECT doc_id, v.v AS variant, len,
+        |    'http://www.ex' || (doc_id % 7) || '.com' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        |    '/Dir' || (len % 5) ||
+        |    (CASE WHEN v.v = 2 THEN '/page2' ELSE '/page' END) ||
+        |    '?a=1&b=' || (len % 9) AS canon
+        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY canon
+        |    ORDER BY doc_id, variant) AS rn FROM u)
+        |SELECT doc_id, variant, canon,
+        |  NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2)) AS allowed,
+        |  rn > 1 AS is_dup,
+        |  NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2)) AND rn = 1
+        |    AS fetch
+        |FROM r ORDER BY doc_id, variant""".stripMargin
     },
     "robots_decisions" -> {
       // closed-form outcomes: GraftBot's group shadows '*' entirely —
