@@ -4260,6 +4260,44 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Content sniffing over every container this library encodes: each
+    * document encodes into one of ten REAL containers by id rotation —
+    * plus one deliberately MISLABELED class (raw text declared as
+    * image/png) — and [[operators.Multimodal.sniffKind]] must dispatch
+    * on magic bytes alone. The oracle predicts the sniffed type (and
+    * the mismatch flag) purely from `doc_id % 11`. The
+    * trust-the-bytes-not-the-label gate of a multimodal pipeline;
+    * pure map pass. */
+  private def contentSniff(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val b = asciiBytes(id, t)
+        val w = 1 + (t.length % 16)
+        val h = 1 + ((t.length / 16) % 16)
+        val M = graft.operators.Multimodal
+        val (declared, bytes) = (id % 11) match {
+          case 0 => ("image/bmp", M.encodeBmp(w, h, b))
+          case 1 => ("image/png", M.encodePng(w, h, b))
+          case 2 => ("image/gif", M.encodeGif(w, h, b))
+          case 3 => ("image/jpeg", M.encodeJpegHeader(w, h, b))
+          case 4 => ("image/tiff", M.encodeTiff(w, h, id % 2 == 0, b))
+          case 5 => ("audio/wav", M.encodeWavPcm8(8000, b))
+          case 6 => ("image/webp", M.encodeWebp("VP8 ", w, h, b))
+          case 7 => ("video/mp4", M.encodeMp4(w, h, 1000, 400, b))
+          case 8 => ("audio/mpeg", M.encodeMp3(2, b))
+          case 9 => ("application/warc", graft.operators.Warc
+            .buildRecord(id, s"http://ex.com/$id", b))
+          case _ => ("image/png", b) // mislabeled raw text
+        }
+        val sniffed = M.sniffKind(bytes)
+        (id, declared, sniffed, declared == sniffed)
+      }
+      .toDF("media_id", "declared", "sniffed", "label_ok")
+      .orderBy("media_id")
+  }
+
   /** WARC (ISO 28500) build + parse — the Common Crawl ingestion path.
     * Documents become WARC/1.0 response records (HTTP 200 envelope,
     * exact Content-Length framing), 16 records concatenate into each
@@ -4542,6 +4580,7 @@ object Pipeline {
     "multimodal_decode_jpeg_progressive" -> multimodalDecodeJpegProgressive _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
+    "content_sniff" -> contentSniff _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "multimodal_decode_ulaw" -> multimodalDecodeUlaw _,
@@ -5646,6 +5685,27 @@ object Pipeline {
         |  (len(ws) >= 24 AND coalesce(ka.n_kept, 0) * 2
         |    >= (len(ws) - 1) // 3 + 1) AS keep
         |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "content_sniff" -> {
+      // sniffed type predicted purely from the container rotation;
+      // class 10 is the deliberate mislabel (raw text declared png)
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 11 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
+        |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
+        |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
+        |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
+        |    ELSE 'image/png' END AS declared,
+        |  CASE doc_id % 11 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
+        |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
+        |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
+        |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
+        |    ELSE 'application/octet-stream' END AS sniffed,
+        |  doc_id % 11 <> 10 AS label_ok
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY media_id""".stripMargin
     },
     "multimodal_decode_mp1" -> {
       // full analytic recompute of the Layer I decode: frame/subband

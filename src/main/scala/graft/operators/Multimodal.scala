@@ -43,6 +43,33 @@ object Multimodal {
 
   final val P = 1000000007L
 
+  /** Content sniffing by magic bytes — the dispatch a pipeline trusts
+    * over declared types (mislabeled corpora are the norm at crawl
+    * scale). Recognizes every container this module encodes plus gzip
+    * and WARC; unknown → application/octet-stream. */
+  def sniffKind(b: Array[Byte]): String = {
+    def at(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + s.length &&
+        s.indices.forall(i => at(off + i) == s.charAt(i).toInt)
+    if (ascii(0, "BM")) "image/bmp"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "image/png"
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) "image/gif"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
+    else if ((ascii(0, "II") && at(2) == 42 && at(3) == 0) ||
+      (ascii(0, "MM") && at(2) == 0 && at(3) == 42)) "image/tiff"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "image/webp"
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "video/x-msvideo"
+    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (ascii(0, "ID3") ||
+      (at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) "audio/mpeg"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
+    else if (ascii(0, "WARC/")) "application/warc"
+    else if (ascii(0, "P6")) "image/x-portable-pixmap"
+    else "application/octet-stream"
+  }
+
   /** STUB decoder: stands in for compressed-codec dimension extraction
     * (JPEG etc.). Derives deterministic pseudo-dimensions from the
     * payload; replace with a real decoder binding in production. */

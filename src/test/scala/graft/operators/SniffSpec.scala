@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Magic-byte dispatch pins: every encoded container sniffs to its
+  * type, RIFF disambiguates by form type, and short/garbage buffers
+  * fall through to octet-stream. */
+class SniffSpec extends AnyFunSuite {
+  private val M = Multimodal
+  private val b = "payload bytes".getBytes("UTF-8")
+
+  test("every encoder's output sniffs to its own type") {
+    assert(M.sniffKind(M.encodeBmp(3, 3, b)) == "image/bmp")
+    assert(M.sniffKind(M.encodePng(3, 3, b)) == "image/png")
+    assert(M.sniffKind(M.encodeGif(3, 3, b)) == "image/gif")
+    assert(M.sniffKind(M.encodeJpegHeader(3, 3, b)) == "image/jpeg")
+    assert(M.sniffKind(M.encodeTiff(3, 3, true, b)) == "image/tiff")
+    assert(M.sniffKind(M.encodeTiff(3, 3, false, b)) == "image/tiff")
+    assert(M.sniffKind(M.encodeWavPcm8(8000, b)) == "audio/wav")
+    assert(M.sniffKind(M.encodeWebp("VP8 ", 3, 3, b)) == "image/webp")
+    assert(M.sniffKind(M.encodeAviMjpeg(8, 8, 40000,
+      Seq(Jpeg.encodePixels(1, 1, Array[Byte](1, 2, 3))))) ==
+      "video/x-msvideo")
+    assert(M.sniffKind(M.encodeMp4(3, 3, 1000, 400, b)) == "video/mp4")
+    assert(M.sniffKind(M.encodeMp3(2, b)) == "audio/mpeg")
+    assert(M.sniffKind(Warc.buildRecord(1, "http://x/1", b)) ==
+      "application/warc")
+    assert(M.sniffKind(Warc.buildArchive(
+      Seq(Warc.buildRecord(1, "http://x/1", b)), gzip = true)) ==
+      "application/gzip")
+  }
+
+  test("short, empty and text buffers fall through") {
+    assert(M.sniffKind(Array.emptyByteArray) ==
+      "application/octet-stream")
+    assert(M.sniffKind("B".getBytes) == "application/octet-stream")
+    assert(M.sniffKind("plain words here".getBytes) ==
+      "application/octet-stream")
+    // RIFF with an unknown form type is NOT a known container
+    assert(M.sniffKind("RIFF1234JUNK".getBytes) ==
+      "application/octet-stream")
+    // MP3 sync byte pair without a full header still sniffs (stream tail)
+    assert(M.sniffKind(Array(0xff.toByte, 0xfb.toByte)) == "audio/mpeg")
+  }
+}
