@@ -3999,6 +3999,61 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (Rabin-style CDC) — the storage-dedup /
+    * delta-sync operator: chunk boundaries land where the rolling
+    * 8-byte window hash ([[functions.PolyHashWindows]], the
+    * exact-substring kernel) is divisible by 64, so INSERTIONS SHIFT
+    * BYTES BUT NOT BOUNDARIES beyond the touched chunk — the property
+    * fixed-size blocking lacks and the reason every dedup store (and
+    * rsync) chunks this way. Basic Rabin form: no min/max clamp
+    * (FastCDC's clamps add a sequential dependency; the pure
+    * divisibility rule keeps both engines closed-form). Boundary
+    * detection, chunk slicing and per-chunk fingerprints are ALL
+    * map-side higher-order array ops — zero shuffle for the per-doc
+    * readout. */
+  private def cdcChunked(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashWindows.register(s)
+    asciiDocs(s, dir).toDF("doc_id", "text")
+      .withColumn("hw", expr("poly_hash_windows(text, 8)"))
+      .selectExpr("doc_id", "text",
+        """array_distinct(concat(array(CAST(0 AS BIGINT)),
+          |  filter(transform(hw,
+          |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), NULL)),
+          |    x -> x IS NOT NULL),
+          |  array(CAST(length(text) AS BIGINT)))) AS bs""".stripMargin)
+      .selectExpr("doc_id",
+        """transform(sequence(0, size(bs) - 2), j -> substring(text,
+          |  CAST(element_at(bs, j + 1) + 1 AS INT),
+          |  CAST(element_at(bs, j + 2) - element_at(bs, j + 1) AS INT)))
+          |  AS chunks""".stripMargin)
+  }
+
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunked(s, dir)
+      .selectExpr("doc_id",
+        "CAST(size(chunks) AS BIGINT) AS n_chunks",
+        "CAST(aggregate(chunks, 0, (a, c) -> a + length(c)) AS BIGINT) " +
+          "AS total_bytes",
+        "md5(array_join(transform(chunks, c -> md5(c)), ' ')) " +
+          "AS chunks_md5")
+      .orderBy("doc_id")
+
+  /** Corpus-wide CDC dedup summary — the storage readout: total vs
+    * distinct chunks and bytes. One map-combinable shuffle on the
+    * chunk dimension. */
+  private def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    cdcChunked(s, dir)
+      .selectExpr("explode(chunks) AS chunk")
+      .groupBy("chunk").agg(count(lit(1)).as("copies"))
+      .selectExpr("chunk", "copies")
+      .agg(sum("copies").as("total_chunks"),
+        count(lit(1)).as("unique_chunks"),
+        sum(expr("copies * length(chunk)")).as("total_bytes"),
+        sum(expr("length(chunk)")).as("unique_bytes"))
+      .selectExpr("total_chunks", "unique_chunks",
+        "CAST(total_bytes AS BIGINT) AS total_bytes",
+        "CAST(unique_bytes AS BIGINT) AS unique_bytes")
+
   /** Crawl frontier — the crawler-side composition of the web family:
     * every document "discovers" three messy URLs (two canonicalize to
     * the SAME target — the dup the frontier must catch, including
@@ -4581,6 +4636,8 @@ object Pipeline {
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
     "content_sniff" -> contentSniff _,
+    "cdc_chunks"        -> cdcChunks _,
+    "cdc_dedup"         -> cdcDedup _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "multimodal_decode_ulaw" -> multimodalDecodeUlaw _,
@@ -5686,6 +5743,57 @@ object Pipeline {
         |    >= (len(ws) - 1) // 3 + 1) AS keep
         |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "cdc_chunks" -> s"""WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |w AS (
+      |  SELECT doc_id, u.i,
+      |    ${charFoldDuck("substr(text, CAST(u.i + 1 AS INT), 8)")} AS h
+      |  FROM d, LATERAL unnest(range(0, greatest(n - 7, 0))) AS u(i)),
+      |c AS (SELECT doc_id, i + 8 AS cut FROM w WHERE h % 64 = 0),
+      |b AS (
+      |  SELECT d.doc_id, d.text,
+      |    list_sort(list_distinct(list_append(list_prepend(
+      |      CAST(0 AS BIGINT),
+      |      coalesce(list(c.cut ORDER BY c.cut), [])),
+      |      CAST(d.n AS BIGINT)))) AS bs
+      |  FROM d LEFT JOIN c USING (doc_id) GROUP BY d.doc_id, d.text, d.n),
+      |ch AS (
+      |  SELECT doc_id, u.j,
+      |    substr(text, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
+      |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
+      |        AS INT)) AS chunk
+      |  FROM b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j))
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(length(chunk)) AS BIGINT) AS total_bytes,
+      |  md5(string_agg(md5(chunk), ' ' ORDER BY j)) AS chunks_md5
+      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cdc_dedup" -> s"""WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |w AS (
+      |  SELECT doc_id, u.i,
+      |    ${charFoldDuck("substr(text, CAST(u.i + 1 AS INT), 8)")} AS h
+      |  FROM d, LATERAL unnest(range(0, greatest(n - 7, 0))) AS u(i)),
+      |c AS (SELECT doc_id, i + 8 AS cut FROM w WHERE h % 64 = 0),
+      |b AS (
+      |  SELECT d.doc_id, d.text,
+      |    list_sort(list_distinct(list_append(list_prepend(
+      |      CAST(0 AS BIGINT),
+      |      coalesce(list(c.cut ORDER BY c.cut), [])),
+      |      CAST(d.n AS BIGINT)))) AS bs
+      |  FROM d LEFT JOIN c USING (doc_id) GROUP BY d.doc_id, d.text, d.n),
+      |ch AS (
+      |  SELECT substr(text, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
+      |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
+      |        AS INT)) AS chunk
+      |  FROM b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j)),
+      |g AS (SELECT chunk, count(*) AS copies FROM ch GROUP BY chunk)
+      |SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
+      |  count(*) AS unique_chunks,
+      |  CAST(sum(copies * length(chunk)) AS BIGINT) AS total_bytes,
+      |  CAST(sum(length(chunk)) AS BIGINT) AS unique_bytes
+      |FROM g""".stripMargin,
     "content_sniff" -> {
       // sniffed type predicted purely from the container rotation;
       // class 10 is the deliberate mislabel (raw text declared png)
