@@ -1068,6 +1068,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Calibration curve of the NB quality classifier — the evaluation
+    * every deployed filter needs before its threshold is trusted: docs
+    * bin by their fixed-point log-odds (ten one-nat bins clamped to
+    * [−5, +5)), and each bin reports its EMPIRICAL reference rate in
+    * exact ppm beside the count. A calibrated scorer shows ref_ppm
+    * rising monotonically through the bins; the clamp happens BEFORE
+    * the integer division so trunc-vs-floor never bites on negative
+    * log-odds. Model-sized arithmetic over [[nbModelParts]]'s existing
+    * aggregates — the corpus is touched once, by the same token join
+    * the classifier already pays. */
+  private def classifierCalibration(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (tok, model, pri) = nbModelParts(s, dir)
+    tok.join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(first("ref").as("ref"), sum("llr").as("sllr"))
+      .crossJoin(broadcast(pri))
+      .selectExpr(
+        "(least(greatest(sllr + prior_fp, -5000000), 4999999) " +
+          "+ 5000000) div 1000000 AS bin",
+        "ref")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("n_ref"))
+      .selectExpr("bin", "n_docs", "CAST(n_ref AS BIGINT) AS n_ref",
+        "CAST(n_ref AS BIGINT) * 1000000 div n_docs AS ref_ppm")
+      .orderBy("bin")
+  }
+
   /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
@@ -4721,6 +4750,7 @@ object Pipeline {
     "bigram_lm"         -> bigramLm _,
     "bigram_lm_heldout" -> bigramLmHeldout _,
     "quality_classifier" -> qualityClassifier _,
+    "classifier_calibration" -> classifierCalibration _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -6250,6 +6280,49 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "classifier_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
+        |  FROM documents),
+        |tok AS (SELECT doc_id, ref, unnest(tk) AS w FROM d),
+        |cnt AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tok GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT CAST(round(ln(
+        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
+        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
+        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp
+        |  FROM d),
+        |m AS (
+        |  SELECT w,
+        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
+        |        / (tp + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
+        |        / (tn + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT tok.doc_id, bool_or(tok.ref) AS ref,
+        |    CAST(sum(m.llr) AS BIGINT) AS sllr
+        |  FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id),
+        |bn AS (
+        |  SELECT (least(greatest(sllr + pri.prior_fp, -5000000), 4999999)
+        |    + 5000000) // 1000000 AS bin, ref
+        |  FROM sc CROSS JOIN pri)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS ref_ppm
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
     "corpus_report" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, lang,
