@@ -4040,9 +4040,16 @@ object Pipeline {
     * detection, chunk slicing and per-chunk fingerprints are ALL
     * map-side higher-order array ops — zero shuffle for the per-doc
     * readout. */
-  private def cdcChunked(s: SparkSession, dir: String): DataFrame = {
+  private def cdcChunked(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"cdc-chunked:$dir") {
     graft.functions.PolyHashWindows.register(s)
+    // spread the single-row-group driver parquet before the per-char
+    // array work (the vecs move): one tiny exchange parallelizes the
+    // whole chunking pass; a real multi-file corpus arrives pre-split
+    // and this is a no-op cost. Persisted: cdc_chunks and cdc_dedup
+    // both branch off this chunk table
     asciiDocs(s, dir).toDF("doc_id", "text")
+      .repartition(col("doc_id"))
       .withColumn("hw", expr("poly_hash_windows(text, 8)"))
       .selectExpr("doc_id", "text",
         """array_distinct(concat(array(CAST(0 AS BIGINT)),

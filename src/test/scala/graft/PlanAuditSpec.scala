@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Set("bm25", "kmv_distinct", "timebase", "ann_recall", "sample_balanced",
       "dedup_clusters", "dedup_keep_best", "boilerplate_ngrams",
       "bigram_lm", "bigram_lm_heldout",
-      "bpe_train", "mixture_sample", "quality_classifier", "tfidf_terms",
+      "bpe_train", "mixture_sample", "quality_classifier",
+      // classifier_calibration: the same two single-row broadcasts as
+      // quality_classifier (vocab totals + the prior)
+      "classifier_calibration", "tfidf_terms",
       "q25_funnel", "vocab_coverage", "pagerank", "bfs_hops",
       // rrf_fusion: its two rankers each crossJoin the broadcast
       // single-row corpus-stats aggregate (the bm25 shape); the fusion
