@@ -4147,6 +4147,32 @@ object Pipeline {
       .orderBy("doc_id", "variant")
   }
 
+  /** Per-host politeness scheduling (Crawl-delay) — the last crawler
+    * op beside the frontier: each host's fetches must be ≥ D ms
+    * apart, so request i (in desired-time order) schedules at
+    * `s_i = max(t_i, s_{i−1} + D)`. The recurrence has the closed
+    * form `s_i = D·i + prefixmax(t_j − D·j)`, which turns the
+    * sequential dependency into ONE running-max window per host —
+    * exact integers, no recursion, and the window partitions by host
+    * (the politeness key IS the parallelism key; no host's schedule
+    * depends on another's). */
+  final val CrawlDelayMs = 1000L
+  private def politeSchedule(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("host_key")
+      .orderBy("t_ms", "doc_id")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "concat('ex', doc_id % 7, '.com') AS host_key",
+        "(doc_id div 7) * 800 + (length(text) % 400) AS t_ms")
+      .withColumn("rn", row_number().over(w) - lit(1))
+      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
+      .withColumn("sched_ms",
+        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
+      .selectExpr("doc_id", "host_key", "t_ms", "sched_ms",
+        "sched_ms - t_ms AS delay_ms")
+      .orderBy("doc_id")
+  }
+
   /** The line dimension for C4/RefinedWeb-style line-level dedup: the
     * corpus has no newlines, so "lines" are deterministic 3-word
     * chunks of each document (the fixture defines the boundary; the
@@ -4694,6 +4720,7 @@ object Pipeline {
     "url_surt"          -> urlSurt _,
     "robots_decisions"  -> robotsDecisions _,
     "crawl_frontier"    -> crawlFrontier _,
+    "polite_schedule"   -> politeSchedule _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
     "line_dedup"        -> lineDedup _,
@@ -5603,6 +5630,24 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "polite_schedule" -> {
+      // s_i = max(t_i, s_{i-1} + D) via the closed form
+      // D*i + prefixmax(t_j - D*j)
+      """WITH d AS (
+        |  SELECT doc_id, 'ex' || (doc_id % 7) || '.com' AS host_key,
+        |    (doc_id // 7) * 800 + (length(text) % 400) AS t_ms
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host_key
+        |    ORDER BY t_ms, doc_id) - 1 AS rn FROM d),
+        |m AS (
+        |  SELECT *, 1000 * rn + max(t_ms - 1000 * rn)
+        |    OVER (PARTITION BY host_key ORDER BY t_ms, doc_id)
+        |    AS sched_ms FROM r)
+        |SELECT doc_id, host_key, t_ms, sched_ms,
+        |  sched_ms - t_ms AS delay_ms
+        |FROM m ORDER BY doc_id""".stripMargin
     },
     "crawl_frontier" -> {
       // canonical forms constructed analytically (v0/v1 collide by
