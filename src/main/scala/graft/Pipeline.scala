@@ -4147,6 +4147,39 @@ object Pipeline {
       .orderBy("doc_id", "variant")
   }
 
+  /** Sitemap parsing (operators/Sitemap): every doc carries a 3-entry
+    * urlset — one loc with an `&amp;`-escaped query (the decode the
+    * protocol requires), one with lastmod + priority, one bare — and
+    * the parser must extract loc/lastmod/changefreq/priority with the
+    * spec defaults (priority absent → 0.5). The oracle rebuilds every
+    * field analytically; priorities parse with integer arithmetic so
+    * ppm values are engine-exact. */
+  private def sitemapParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).selectExpr("doc_id", "length(text) AS len")
+      .as[(Long, Long)]
+      .flatMap { case (id, len) =>
+        val k = id % 7
+        val d = 1 + (len % 28)
+        val pr = (len % 10).toInt
+        val xml =
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |<url><loc>http://ex$k.com/p?a=1&amp;b=$len</loc></url>
+             |<url><loc>http://ex$k.com/q</loc><lastmod>2026-01-${"%02d".format(d)}</lastmod><priority>0.$pr</priority></url>
+             |<url><loc>http://ex$k.com/r</loc><changefreq>daily</changefreq></url>
+             |</urlset>""".stripMargin
+        graft.operators.Sitemap.parseUrlset(xml).zipWithIndex.map {
+          case (u, i) =>
+            (id, i.toLong, u.loc, u.lastmod, u.changefreq, u.priorityPpm)
+        }
+      }
+      .toDF("doc_id", "pos", "loc", "lastmod", "changefreq",
+        "priority_ppm")
+      .orderBy("doc_id", "pos")
+  }
+
   /** Per-host politeness scheduling (Crawl-delay) — the last crawler
     * op beside the frontier: each host's fetches must be ≥ D ms
     * apart, so request i (in desired-time order) schedules at
@@ -4721,6 +4754,7 @@ object Pipeline {
     "robots_decisions"  -> robotsDecisions _,
     "crawl_frontier"    -> crawlFrontier _,
     "polite_schedule"   -> politeSchedule _,
+    "sitemap_parse"     -> sitemapParse _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
     "line_dedup"        -> lineDedup _,
@@ -5630,6 +5664,28 @@ object Pipeline {
         |    chr(10) ORDER BY l.line_no), '')) AS out_md5
         |FROM l JOIN f ON l.line = f.line
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+    "sitemap_parse" -> {
+      // each entry rebuilt analytically: pos 0 has the entity-decoded
+      // query, pos 1 lastmod+priority, pos 2 the changefreq default
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents),
+        |u AS (
+        |  SELECT doc_id, len, v.pos
+        |  FROM d, LATERAL unnest(range(0, 3)) AS v(pos))
+        |SELECT doc_id, pos,
+        |  CASE pos
+        |    WHEN 0 THEN 'http://ex' || (doc_id % 7) || '.com/p?a=1&b='
+        |      || len
+        |    WHEN 1 THEN 'http://ex' || (doc_id % 7) || '.com/q'
+        |    ELSE 'http://ex' || (doc_id % 7) || '.com/r' END AS loc,
+        |  CASE pos WHEN 1 THEN '2026-01-' ||
+        |    lpad(CAST(1 + len % 28 AS VARCHAR), 2, '0')
+        |    ELSE '' END AS lastmod,
+        |  CASE pos WHEN 2 THEN 'daily' ELSE '' END AS changefreq,
+        |  CASE pos WHEN 1 THEN (len % 10) * 100000
+        |    ELSE 500000 END AS priority_ppm
+        |FROM u ORDER BY doc_id, pos""".stripMargin
     },
     "polite_schedule" -> {
       // s_i = max(t_i, s_{i-1} + D) via the closed form
