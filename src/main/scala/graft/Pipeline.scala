@@ -1970,6 +1970,55 @@ object Pipeline {
       .toDF("pos", "v_milli", "lambda_micro", "share_ppm").orderBy("pos")
   }
 
+  /** Second principal component via integer Hotelling deflation:
+    * C' = C − round(λ·v·vᵀ / ‖v‖²-scale) entry-by-entry in the same
+    * micro-unit fixed point, then the SAME three power iterations on
+    * C'. Every deflation entry is one IEEE multiply-divide-round on
+    * integers both engines share, so the second eigenpair is
+    * engine-exact too. Output adds the v₁ᵀv₂ alignment in ppm — the
+    * orthogonality readout (exactly 0 only in exact arithmetic; the
+    * fixed-point residual is REPORTED, not asserted away). */
+  private def embeddingEig2(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (_, c) = embCovRows(s, dir)
+    def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
+      Array.tabulate(64) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+    def power(m: Array[Array[Long]]): (Array[Long], Long) = {
+      var v = Array.fill(64)(1000L)
+      for (_ <- 1 to 3) {
+        val w = mul(m, v)
+        val mx = w.map(math.abs).max
+        v = w.map(x => rndAway(x * 1000.0 / mx))
+      }
+      val w4 = mul(m, v)
+      val lam = (0 until 64).map(i => v(i) * w4(i)).sum /
+        (0 until 64).map(i => v(i) * v(i)).sum
+      (v, lam)
+    }
+    val (v1, lam1) = power(c)
+    val vv = (0 until 64).map(i => v1(i) * v1(i)).sum
+    // deflate: c2_ij = c_ij − round(lam1·v1_i·v1_j / ‖v1‖²) — the
+    // numerator is an EXACT Long (≤ ~2.5e11), so both engines perform
+    // one identical double division + round
+    val c2 = Array.tabulate(64, 64)((i, j) =>
+      c(i)(j) - rndAway((lam1 * v1(i) * v1(j)).toDouble / vv.toDouble))
+    val (v2, lam2) = power(c2)
+    val alignNum = (0 until 64).map(i => v1(i) * v2(i)).sum * 1000000L
+    // signed positive-operand division — Spark/Scala truncation vs
+    // DuckDB floor differ on negatives
+    val align = if (alignNum >= 0) alignNum / vv else -((-alignNum) / vv)
+    (0 until 64).map(i => (i + 1L, v2(i), lam2, lam1, align))
+      .toDF("pos", "v2_milli", "lambda2_micro", "lambda1_micro",
+        "align_ppm")
+      .orderBy("pos")
+  }
+
   private def embeddingRp(s: SparkSession, dir: String): DataFrame = {
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
       .selectExpr("vec_id", "v", "nrm", s"$rpProjExpr AS r")
@@ -4638,26 +4687,51 @@ object Pipeline {
       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY a.i, b.i),
-      |cv AS (
+      |cv AS MATERIALIZED (
       |  SELECT pr.i, pr.j,
       |    CAST(round((sa.n * pr.sxy - sa.sx * sb.sx)
       |      / CAST(sa.n * sa.n AS DOUBLE)) AS BIGINT) AS cov_micro
       |  FROM pr JOIN st sa ON pr.i = sa.i JOIN st sb ON pr.j = sb.i)"""
       .stripMargin
+      // cv is MATERIALIZED: DuckDB inlines plain CTEs, and the
+      // power-iteration chains reference the covariance many times —
+      // inlined, each reference re-expands the d²-exploded self-join
+      // down to the parquet scan (observed: fd exhaustion on the
+      // deflation oracle)
 
   /** One power-iteration round in SQL: integer matrix·vector, ∞-norm
     * renormalization to milli-units — the [[pcaCovCtes]] twin of the
     * Spark driver loop. */
-  private def pcaIterSql(t: Int): String = {
-    val prev = s"v${t - 1}"
-    s"""w$t AS (
-       |  SELECT cm.i AS pos, CAST(sum(cm.c * $prev.v) AS BIGINT) AS w
-       |  FROM cm JOIN $prev ON cm.j = $prev.pos GROUP BY cm.i),
-       |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-       |v$t AS (
+  private def pcaIterSql(t: Int, mat: String = "cm",
+      vp: String = "v"): String = {
+    val prev = s"$vp${t - 1}"
+    s"""${vp}w$t AS (
+       |  SELECT $mat.i AS pos, CAST(sum($mat.c * $prev.v) AS BIGINT) AS w
+       |  FROM $mat JOIN $prev ON $mat.j = $prev.pos GROUP BY $mat.i),
+       |${vp}m$t AS (SELECT max(abs(w)) AS m FROM ${vp}w$t),
+       |$vp$t AS (
        |  SELECT pos, CAST(round(w * 1000.0 / m) AS BIGINT) AS v
-       |  FROM w$t, m$t)""".stripMargin
+       |  FROM ${vp}w$t, ${vp}m$t)""".stripMargin
   }
+
+  /** Shared first-eigenpair CTE chain (cm, v0..v3, w4, ray) on top of
+    * [[pcaCovCtes]]. */
+  private def pcaEig1Ctes: String =
+    s"""cm AS MATERIALIZED (
+       |  SELECT i, j, cov_micro AS c FROM cv
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov_micro AS c FROM cv WHERE i <> j),
+       |v0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
+       |${pcaIterSql(1)},
+       |${pcaIterSql(2)},
+       |${pcaIterSql(3)},
+       |w4 AS (
+       |  SELECT cm.i AS pos, CAST(sum(cm.c * v3.v) AS BIGINT) AS w
+       |  FROM cm JOIN v3 ON cm.j = v3.pos GROUP BY cm.i),
+       |ray AS (
+       |  SELECT CAST(sum(v3.v * w4.w) AS BIGINT)
+       |    // CAST(sum(v3.v * v3.v) AS BIGINT) AS lambda_micro
+       |  FROM v3 JOIN w4 ON v3.pos = w4.pos)""".stripMargin
 
   /** Shared oracle CTE block for the unigram tokenizer family: the
     * deterministic vocabulary (chars + top-16 scored pieces) and the
@@ -4767,6 +4841,7 @@ object Pipeline {
     "unigram_doc_tokens" -> unigramDocTokens _,
     "embedding_covariance" -> embeddingCovariance _,
     "embedding_top_eig" -> embeddingTopEig _,
+    "embedding_eig2"    -> embeddingEig2 _,
     "wordpiece_encode"  -> wordpieceEncode _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -5792,27 +5867,42 @@ object Pipeline {
     "embedding_covariance" ->
       s"$pcaCovCtes SELECT i, j, cov_micro FROM cv ORDER BY i, j",
     "embedding_top_eig" -> s"""$pcaCovCtes,
-      |cm AS (
-      |  SELECT i, j, cov_micro AS c FROM cv
-      |  UNION ALL
-      |  SELECT j AS i, i AS j, cov_micro AS c FROM cv WHERE i <> j),
-      |v0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
-      |${pcaIterSql(1)},
-      |${pcaIterSql(2)},
-      |${pcaIterSql(3)},
-      |w4 AS (
-      |  SELECT cm.i AS pos, CAST(sum(cm.c * v3.v) AS BIGINT) AS w
-      |  FROM cm JOIN v3 ON cm.j = v3.pos GROUP BY cm.i),
-      |ray AS (
-      |  SELECT CAST(sum(v3.v * w4.w) AS BIGINT)
-      |    // CAST(sum(v3.v * v3.v) AS BIGINT) AS lambda_micro
-      |  FROM v3 JOIN w4 ON v3.pos = w4.pos),
+      |$pcaEig1Ctes,
       |tr AS (
       |  SELECT CAST(sum(cov_micro) AS BIGINT) AS trace
       |  FROM cv WHERE i = j)
       |SELECT v3.pos, v3.v AS v_milli, ray.lambda_micro,
       |  ray.lambda_micro * 1000000 // tr.trace AS share_ppm
       |FROM v3, ray, tr ORDER BY pos""".stripMargin,
+    "embedding_eig2" -> s"""$pcaCovCtes,
+      |$pcaEig1Ctes,
+      |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
+      |cm2 AS (
+      |  SELECT cm.i, cm.j, cm.c - CAST(round(
+      |    CAST(ray.lambda_micro * a.v * b.v AS DOUBLE) / vv.vv)
+      |    AS BIGINT) AS c
+      |  FROM cm JOIN v3 a ON cm.i = a.pos JOIN v3 b ON cm.j = b.pos,
+      |    ray, vv),
+      |u0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
+      |${pcaIterSql(1, "cm2", "u")},
+      |${pcaIterSql(2, "cm2", "u")},
+      |${pcaIterSql(3, "cm2", "u")},
+      |x4 AS (
+      |  SELECT cm2.i AS pos, CAST(sum(cm2.c * u3.v) AS BIGINT) AS w
+      |  FROM cm2 JOIN u3 ON cm2.j = u3.pos GROUP BY cm2.i),
+      |ray2 AS (
+      |  SELECT CAST(sum(u3.v * x4.w) AS BIGINT)
+      |    // CAST(sum(u3.v * u3.v) AS BIGINT) AS lambda_micro
+      |  FROM u3 JOIN x4 ON u3.pos = x4.pos),
+      |al AS (
+      |  SELECT CAST(sum(a.v * b.v) AS BIGINT) * 1000000 AS num
+      |  FROM v3 a JOIN u3 b ON a.pos = b.pos)
+      |SELECT u3.pos, u3.v AS v2_milli,
+      |  ray2.lambda_micro AS lambda2_micro,
+      |  ray.lambda_micro AS lambda1_micro,
+      |  CASE WHEN al.num >= 0 THEN al.num // vv.vv
+      |    ELSE -((-al.num) // vv.vv) END AS align_ppm
+      |FROM u3, ray, ray2, al, vv ORDER BY pos""".stripMargin,
     "wordpiece_encode" -> s"""$unigramCtes,
       |wp AS (
       |  SELECT w, c, 1 AS pos, CAST(0 AS BIGINT) AS np,

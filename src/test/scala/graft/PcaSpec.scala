@@ -42,6 +42,25 @@ class PcaSpec extends AnyFunSuite {
     assert(eig.head.getLong(3) == 1000000L) // one axis carries ALL variance
   }
 
+  test("eig2: deflation finds the exact second axis on a separable corpus") {
+    // two orthogonal axes with a WELL-SEPARATED spectrum (ratio
+    // 4e-4), so the ∞-norm iteration rounds the minor component to
+    // exactly zero in one step and every output is closed-form
+    val a = Array.fill(64)(0f); a(0) = 0.2f
+    val b = Array.fill(64)(0f); b(0) = -0.2f
+    val c = Array.fill(64)(0f); c(1) = 0.004f
+    val d = Array.fill(64)(0f); d(1) = -0.004f
+    val dir = fixtureDir(Seq(a, b, c, d))
+    val rows = Pipeline.queries("embedding_eig2")(spark, dir).collect()
+    val byPos = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = rows.head
+    assert(h.getLong(3) == 20000L) // lambda1: 2*(200^2)*4/16 micro
+    assert(h.getLong(2) == 8L)     // lambda2: 2*(4^2)*4/16 micro
+    assert(math.abs(byPos(2L)) == 1000L) // second axis, full milli scale
+    assert((1L to 64L).filter(_ != 2L).forall(p => byPos(p) == 0L))
+    assert(h.getLong(4) == 0L) // exactly orthogonal
+  }
+
   test("driver corpus: Rayleigh matches a double-precision reference") {
     val dir = "/root/testdata/sf0.001"
     val cov = Pipeline.queries("embedding_covariance")(spark, dir)
