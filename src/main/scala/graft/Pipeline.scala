@@ -866,6 +866,54 @@ object Pipeline {
           "AS target_md5")
       .orderBy("doc_id")
 
+  /** BERT-style MLM masking with the 80/10/10 rule — the third
+    * objective builder beside [[spanCorrupt]] and [[fimTransform]]:
+    * every 7th token masks (≈14%); of the masked, positions cycle
+    * 8-1-1 between `[MASK]`, a vocabulary replacement (picked
+    * deterministically from the SORTED corpus vocabulary by
+    * `(pos + doc_id) mod V` — reproducible, unlike a sampled token)
+    * and left-unchanged. Labels are the original tokens at masked
+    * positions. The vocabulary is model-sized and collected (the NB
+    * pattern); everything else is a map pass. */
+  private def mlmMask(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val voc = Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("w <> ''").distinct()
+      .as[String].collect().sorted
+    val v = voc.length
+    Tables.documents(s, dir).selectExpr("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        var nMask = 0L
+        var nRep = 0L
+        var nSame = 0L
+        val labels = Seq.newBuilder[String]
+        val out = ws.zipWithIndex.map { case (w, i0) =>
+          val pos = i0 + 1
+          if (pos % 7 != 0) w
+          else {
+            labels += w
+            val r = (pos / 7) % 10
+            if (r < 8) { nMask += 1; "[MASK]" }
+            else if (r == 8) { nRep += 1; voc(((pos + id) % v).toInt) }
+            else { nSame += 1; w }
+          }
+        }
+        (id, ws.length.toLong, nMask + nRep + nSame, nMask, nRep, nSame,
+          md5utf(out.mkString(" ")), md5utf(labels.result().mkString(" ")))
+      }
+      .toDF("doc_id", "n_tokens", "n_masked", "n_mask_tok", "n_replaced",
+        "n_unchanged", "input_md5", "labels_md5")
+      .orderBy("doc_id")
+  }
+
+  private def md5utf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Fill-in-middle transform (code-LM preprocessing): deterministic
     * thirds split at ⌊n/3⌋ and ⌊2n/3⌋, emitted in both PSM
     * (prefix-suffix-middle) and SPM sentinel orders. Same
@@ -4831,6 +4879,7 @@ object Pipeline {
     "sitemap_parse"     -> sitemapParse _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
+    "mlm_mask"          -> mlmMask _,
     "line_dedup"        -> lineDedup _,
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
@@ -5863,6 +5912,43 @@ object Pipeline {
         |    || ' <fim_mid> ' || array_to_string(ws[(p1 + 1):p2], ' '))
         |    AS spm_md5
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "mlm_mask" -> {
+      // every 7th token; the per-doc mask counter cycles 8-1-1 between
+      // [MASK], a sorted-vocab replacement at (pos+doc_id) mod V, and
+      // left-unchanged; labels = originals at masked positions
+      """WITH voc AS MATERIALIZED (
+        |  SELECT list(w ORDER BY w) AS vs FROM (
+        |    SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tk AS (
+        |  SELECT doc_id, u.pos, ws[CAST(u.pos AS INT)] AS w
+        |  FROM d, LATERAL unnest(range(1, len(ws) + 1)) AS u(pos)),
+        |o AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN pos % 7 <> 0 THEN w
+        |      WHEN (pos // 7) % 10 < 8 THEN '[MASK]'
+        |      WHEN (pos // 7) % 10 = 8 THEN (SELECT
+        |        vs[CAST((pos + doc_id) % len(vs) + 1 AS INT)] FROM voc)
+        |      ELSE w END AS ow,
+        |    pos % 7 = 0 AS msk,
+        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 < 8
+        |      THEN 1 ELSE 0 END AS c_mask,
+        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 = 8
+        |      THEN 1 ELSE 0 END AS c_rep,
+        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 = 9
+        |      THEN 1 ELSE 0 END AS c_same
+        |  FROM tk)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(c_mask + c_rep + c_same) AS BIGINT) AS n_masked,
+        |  CAST(sum(c_mask) AS BIGINT) AS n_mask_tok,
+        |  CAST(sum(c_rep) AS BIGINT) AS n_replaced,
+        |  CAST(sum(c_same) AS BIGINT) AS n_unchanged,
+        |  md5(string_agg(ow, ' ' ORDER BY pos)) AS input_md5,
+        |  md5(coalesce(string_agg(CASE WHEN msk THEN w END, ' '
+        |    ORDER BY pos), '')) AS labels_md5
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "embedding_covariance" ->
       s"$pcaCovCtes SELECT i, j, cov_micro FROM cv ORDER BY i, j",

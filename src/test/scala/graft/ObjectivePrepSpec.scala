@@ -63,6 +63,33 @@ class ObjectivePrepSpec extends AnyFunSuite {
     assert(d1.getString(4) == md5hex("<fim_pre>  <fim_suf> x <fim_mid> "))
   }
 
+  test("mlm_mask: 80/10/10 split, deterministic replacement, labels") {
+    // 70 tokens → masked at 7,14,...,70; counters r = 1..10 → r<8 x7
+    // as [MASK], r=8 replacement, r=9 unchanged... r cycles (pos/7)%10
+    val words = (1 to 70).map(i => s"w$i")
+    val dir = fixtureDir(Seq(0L -> words.mkString(" ")))
+    val r = Pipeline.queries("mlm_mask")(spark, dir).collect()(0)
+    assert(r.getLong(1) == 70L)
+    assert(r.getLong(2) == 10L) // 70/7 masked
+    // counters (pos/7)%10 for pos=7k, k=1..10 → 1..9,0 → eight <8
+    assert(r.getLong(3) == 8L && r.getLong(4) == 1L && r.getLong(5) == 1L)
+    // replacement at k=8 (pos 56): vocab sorted = w1,w10,...,w9; index
+    // (56+0)%70 = 56 → vocab(56); unchanged at k=9 (pos 63)
+    val voc = words.sorted
+    val expect = words.zipWithIndex.map { case (w, i0) =>
+      val pos = i0 + 1
+      if (pos % 7 != 0) w
+      else (pos / 7) % 10 match {
+        case k if k < 8 => "[MASK]"
+        case 8 => voc((pos + 0) % 70)
+        case _ => w
+      }
+    }.mkString(" ")
+    assert(r.getString(6) == md5hex(expect))
+    val labels = (1 to 10).map(k => s"w${7 * k}").mkString(" ")
+    assert(r.getString(7) == md5hex(labels))
+  }
+
   test("mask rate sits at the designed 20% on the driver corpus") {
     val agg = Pipeline.queries("span_corrupt")(
       spark, "/root/testdata/sf0.001")
