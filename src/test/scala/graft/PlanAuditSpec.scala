@@ -64,6 +64,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // quality_classifier (vocab totals + the prior)
       "classifier_calibration", "tfidf_terms",
       "q25_funnel", "vocab_coverage", "pagerank", "bfs_hops",
+      // lpa_modularity: the single-row edge-count aggregate broadcasts
+      // into the community-dimension readout
+      "lpa_modularity",
       // rrf_fusion: its two rankers each crossJoin the broadcast
       // single-row corpus-stats aggregate (the bm25 shape); the fusion
       // itself is a SortMergeJoin on doc_id over two ≤20-row lists
