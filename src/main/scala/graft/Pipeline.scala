@@ -2067,6 +2067,57 @@ object Pipeline {
       .orderBy("pos")
   }
 
+  /** PCA APPLIED — the 64→2 projection every pipeline actually runs
+    * with its components: each vector's exact integer dot products
+    * with the two fixed-point axes (milli-quantized vector × milli
+    * axes → coordinates in micro-units of the original scale). The
+    * axes are model-sized driver state; the projection is one map
+    * pass. The 2-D result is what feeds visualization, coarse
+    * bucketing, or a first-stage ANN partition — the data-driven twin
+    * of embedding_rp's 64→16 oblivious reduce. */
+  private def embeddingProject2(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (_, c) = embCovRows(s, dir)
+    def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
+      Array.tabulate(64) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+    def power(m: Array[Array[Long]]): (Array[Long], Long) = {
+      var v = Array.fill(64)(1000L)
+      for (_ <- 1 to 3) {
+        val w = mul(m, v)
+        val mx = w.map(math.abs).max
+        v = w.map(x => rndAway(x * 1000.0 / mx))
+      }
+      val w4 = mul(m, v)
+      ((v, (0 until 64).map(i => v(i) * w4(i)).sum /
+        (0 until 64).map(i => v(i) * v(i)).sum))
+    }
+    val (v1, lam1) = power(c)
+    val vv = (0 until 64).map(i => v1(i) * v1(i)).sum
+    val c2 = Array.tabulate(64, 64)((i, j) =>
+      c(i)(j) - rndAway((lam1 * v1(i) * v1(j)).toDouble / vv.toDouble))
+    val (v2, _) = power(c2)
+    val a1 = v1.toSeq
+    val a2 = v2.toSeq
+    vecs(s, dir)
+      .selectExpr("vec_id",
+        "transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q")
+      .as[(Long, Seq[Long])]
+      .map { case (id, q) =>
+        (id,
+          (0 until 64).map(i => q(i) * a1(i)).sum,
+          (0 until 64).map(i => q(i) * a2(i)).sum)
+      }
+      .toDF("vec_id", "c1_micro", "c2_micro")
+      .orderBy("vec_id")
+  }
+
   private def embeddingRp(s: SparkSession, dir: String): DataFrame = {
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
       .selectExpr("vec_id", "v", "nrm", s"$rpProjExpr AS r")
@@ -4891,6 +4942,7 @@ object Pipeline {
     "embedding_covariance" -> embeddingCovariance _,
     "embedding_top_eig" -> embeddingTopEig _,
     "embedding_eig2"    -> embeddingEig2 _,
+    "embedding_project2" -> embeddingProject2 _,
     "wordpiece_encode"  -> wordpieceEncode _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
@@ -6011,6 +6063,24 @@ object Pipeline {
       |done AS (SELECT w, c, np, sc FROM wp WHERE pos = length(w) + 1)
       |SELECT w AS word, c AS wcnt, np AS n_pieces_wp, sc AS score_wp
       |FROM done ORDER BY word""".stripMargin,
+    "embedding_project2" -> s"""$pcaCovCtes,
+      |$pcaEig1Ctes,
+      |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
+      |cm2 AS (
+      |  SELECT cm.i, cm.j, cm.c - CAST(round(
+      |    CAST(ray.lambda_micro * a.v * b.v AS DOUBLE) / vv.vv)
+      |    AS BIGINT) AS c
+      |  FROM cm JOIN v3 a ON cm.i = a.pos JOIN v3 b ON cm.j = b.pos,
+      |    ray, vv),
+      |u0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
+      |${pcaIterSql(1, "cm2", "u")},
+      |${pcaIterSql(2, "cm2", "u")},
+      |${pcaIterSql(3, "cm2", "u")}
+      |SELECT e.vec_id,
+      |  CAST(sum(e.q * v3.v) AS BIGINT) AS c1_micro,
+      |  CAST(sum(e.q * u3.v) AS BIGINT) AS c2_micro
+      |FROM e JOIN v3 ON e.i = v3.pos JOIN u3 ON e.i = u3.pos
+      |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
     "unigram_vocab" -> s"$unigramCtes SELECT p, cnt, score FROM sv ORDER BY p",
     "unigram_encode" -> s"""$unigramCtes
       |SELECT w AS word, c AS wcnt,
