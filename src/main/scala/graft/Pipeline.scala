@@ -4295,6 +4295,28 @@ object Pipeline {
       .orderBy("doc_id", "variant")
   }
 
+  /** THE COMPOSED CRAWLER LOOP — frontier ∘ politeness as one query:
+    * discovered URLs canonicalize, pass robots, dedup by first
+    * discovery (the [[crawlFrontier]] stage), and the surviving
+    * fetches schedule under the per-host Crawl-delay closed form
+    * (the [[politeSchedule]] window). The oracle recomputes the whole
+    * chain. Shuffles: the frontier's canonical-URL keeper + one
+    * host-partitioned window — nothing beyond the parts composed. */
+  private def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("host_key")
+      .orderBy("t_ms", "doc_id", "variant")
+    crawlFrontier(s, dir).filter(col("fetch"))
+      .selectExpr("doc_id", "variant",
+        "concat('ex', doc_id % 7, '.com') AS host_key",
+        "(doc_id div 7) * 800 + variant * 50 AS t_ms")
+      .withColumn("rn", row_number().over(w) - lit(1))
+      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
+      .withColumn("sched_ms",
+        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
+      .selectExpr("doc_id", "variant", "host_key", "t_ms", "sched_ms")
+      .orderBy("doc_id", "variant")
+  }
+
   /** Sitemap parsing (operators/Sitemap): every doc carries a 3-entry
     * urlset — one loc with an `&amp;`-escaped query (the decode the
     * protocol requires), one with lastmod + priority, one bare — and
@@ -4927,6 +4949,7 @@ object Pipeline {
     "robots_decisions"  -> robotsDecisions _,
     "crawl_frontier"    -> crawlFrontier _,
     "polite_schedule"   -> politeSchedule _,
+    "crawl_schedule"    -> crawlSchedule _,
     "sitemap_parse"     -> sitemapParse _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
@@ -5862,6 +5885,40 @@ object Pipeline {
         |  CASE pos WHEN 1 THEN (len % 10) * 100000
         |    ELSE 500000 END AS priority_ppm
         |FROM u ORDER BY doc_id, pos""".stripMargin
+    },
+    "crawl_schedule" -> {
+      // the frontier walk (fetchable survivors) feeding the per-host
+      // closed-form schedule
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |u AS (
+        |  SELECT doc_id, v.v AS variant, len,
+        |    'http://www.ex' || (doc_id % 7) || '.com' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        |    '/Dir' || (len % 5) ||
+        |    (CASE WHEN v.v = 2 THEN '/page2' ELSE '/page' END) ||
+        |    '?a=1&b=' || (len % 9) AS canon
+        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY canon
+        |    ORDER BY doc_id, variant) AS rn FROM u),
+        |f AS (
+        |  SELECT doc_id, variant,
+        |    'ex' || (doc_id % 7) || '.com' AS host_key,
+        |    (doc_id // 7) * 800 + variant * 50 AS t_ms
+        |  FROM r
+        |  WHERE NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2))
+        |    AND rn = 1),
+        |g AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host_key
+        |    ORDER BY t_ms, doc_id, variant) - 1 AS k FROM f),
+        |m AS (
+        |  SELECT *, 1000 * k + max(t_ms - 1000 * k)
+        |    OVER (PARTITION BY host_key
+        |      ORDER BY t_ms, doc_id, variant) AS sched_ms FROM g)
+        |SELECT doc_id, variant, host_key, t_ms, sched_ms
+        |FROM m ORDER BY doc_id, variant""".stripMargin
     },
     "polite_schedule" -> {
       // s_i = max(t_i, s_{i-1} + D) via the closed form
