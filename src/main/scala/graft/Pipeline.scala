@@ -1116,6 +1116,74 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** THE CURATOR FUNNEL — four dedup/quality stages COMPOSED, each
+    * running on the previous stage's survivors (the composition is
+    * the point: line-level boilerplate frequencies CHANGE once exact
+    * dups are gone, and the funnel measures the real marginal cost of
+    * every stage):
+    *   1. exact    — compound-fingerprint keeper (forward + reverse
+    *                 char fold + length, the dedup_exact key)
+    *   2. boiler   — drop docs retaining < 50% of their lines after
+    *                 the df≥3 boilerplate rule ON SURVIVORS
+    *   3. short    — ≥ 20 tokens
+    *   4. quality  — NB log-odds > 0 (model trained on the FULL
+    *                 corpus — deployment freezes the model before
+    *                 filtering, so survivors are scored, not
+    *                 retrained)
+    * One row per stage: docs in/out and surviving token volume — the
+    * readout every corpus curation meeting starts from. */
+  private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val docs = registered(s, dir).selectExpr("doc_id", "text",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
+      s"${charFold("text")} AS h1",
+      s"${charFold("reverse(text)")} AS h2",
+      "length(text) AS len")
+    // stage 1: exact
+    val keep1 = docs
+      .withColumn("keeper",
+        min("doc_id").over(Window.partitionBy("h1", "h2", "len")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "ntok")
+    // stage 2: boilerplate lines over SURVIVORS
+    val lines1 = keep1.selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id",
+        s"""posexplode(transform(
+           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
+           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
+           |    ' '))) AS (line_no, line)""".stripMargin)
+    val df1 = lines1.groupBy("line").agg(countDistinct("doc_id").as("df"))
+    val keep2 = lines1.join(df1, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nl"),
+        sum(when(col("df") < 3, 1L).otherwise(0L)).as("nk"))
+      .filter(col("nk") * 2 >= col("nl"))
+      .join(keep1, "doc_id")
+      .select("doc_id", "text", "ntok")
+    // stage 3: short-doc filter
+    val keep3 = keep2.filter(col("ntok") >= 20)
+    // stage 4: NB quality (full-corpus model scores the survivors)
+    val (tok, model, pri) = nbModelParts(s, dir)
+    val scored = tok.join(model, Seq("w"))
+      .groupBy("doc_id").agg(sum("llr").as("sllr"))
+      .crossJoin(broadcast(pri))
+      .filter(expr("sllr + prior_fp > 0"))
+      .select("doc_id")
+    val keep4 = keep3.join(scored, "doc_id")
+    def stat(name: String, in: DataFrame, out: DataFrame): DataFrame =
+      in.agg(count(lit(1)).as("docs_in")).crossJoin(
+        out.agg(count(lit(1)).as("docs_out"),
+          coalesce(sum("ntok"), lit(0L)).as("tokens_out")))
+        .selectExpr(s"'$name' AS stage", "docs_in", "docs_out",
+          "tokens_out")
+    stat("1_exact", docs, keep1)
+      .unionAll(stat("2_boiler", keep1, keep2))
+      .unionAll(stat("3_short", keep2, keep3))
+      .unionAll(stat("4_quality", keep3, keep4))
+      .orderBy("stage")
+  }
+
   /** Calibration curve of the NB quality classifier — the evaluation
     * every deployed filter needs before its threshold is trusted: docs
     * bin by their fixed-point log-odds (ten one-nat bins clamped to
@@ -5018,6 +5086,7 @@ object Pipeline {
     "bigram_lm_heldout" -> bigramLmHeldout _,
     "quality_classifier" -> qualityClassifier _,
     "classifier_calibration" -> classifierCalibration _,
+    "dedup_funnel"      -> dedupFunnel _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -6691,6 +6760,80 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "dedup_funnel" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    ${charFoldDuck("text")} AS h1,
+        |    ${charFoldDuck("reverse(text)")} AS h2,
+        |    length(text) AS len
+        |  FROM documents),
+        |k1 AS MATERIALIZED (
+        |  SELECT doc_id, text, ntok FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY h1, h2, len) AS kp
+        |    FROM docs) WHERE doc_id = kp),
+        |l1 AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(
+        |    ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM k1) d,
+        |  LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
+        |f1 AS (SELECT line, count(DISTINCT doc_id) AS df
+        |       FROM l1 GROUP BY line),
+        |k2 AS MATERIALIZED (
+        |  SELECT k1.doc_id, k1.text, k1.ntok FROM k1 JOIN (
+        |    SELECT l1.doc_id FROM l1 JOIN f1 USING (line)
+        |    GROUP BY l1.doc_id
+        |    HAVING CAST(sum(CASE WHEN f1.df < 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 2 >= count(*)) sv USING (doc_id)),
+        |k3 AS MATERIALIZED (SELECT * FROM k2 WHERE ntok >= 20),
+        |dq AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |       FROM documents),
+        |tq AS (SELECT doc_id, unnest(tk) AS w FROM dq),
+        |dr AS (SELECT doc_id,
+        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
+        |  FROM documents),
+        |cq AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN dr.ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN dr.ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tq JOIN dr USING (doc_id) GROUP BY w),
+        |tt AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab FROM cq),
+        |pq AS (
+        |  SELECT CAST(round(ln(
+        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
+        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
+        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp FROM dr),
+        |mq AS (
+        |  SELECT w,
+        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
+        |        / (tp + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
+        |        / (tn + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
+        |  FROM cq CROSS JOIN tt),
+        |pos AS MATERIALIZED (
+        |  SELECT tq.doc_id FROM tq JOIN mq ON tq.w = mq.w
+        |  CROSS JOIN pq GROUP BY tq.doc_id, pq.prior_fp
+        |  HAVING CAST(sum(mq.llr) AS BIGINT) + pq.prior_fp > 0),
+        |k4 AS (SELECT k3.* FROM k3 JOIN pos USING (doc_id))
+        |SELECT '1_exact' AS stage,
+        |  (SELECT count(*) FROM docs) AS docs_in,
+        |  (SELECT count(*) FROM k1) AS docs_out,
+        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k1)
+        |    AS tokens_out
+        |UNION ALL SELECT '2_boiler',
+        |  (SELECT count(*) FROM k1), (SELECT count(*) FROM k2),
+        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k2)
+        |UNION ALL SELECT '3_short',
+        |  (SELECT count(*) FROM k2), (SELECT count(*) FROM k3),
+        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k3)
+        |UNION ALL SELECT '4_quality',
+        |  (SELECT count(*) FROM k3), (SELECT count(*) FROM k4),
+        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k4)
+        |ORDER BY stage""".stripMargin,
     "classifier_calibration" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,

@@ -63,6 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // classifier_calibration: the same two single-row broadcasts as
       // quality_classifier (vocab totals + the prior)
       "classifier_calibration", "tfidf_terms",
+      // dedup_funnel: each stage row assembles from single-row
+      // docs_in/docs_out count aggregates (the data_quality shape),
+      // plus the NB scalar broadcasts
+      "dedup_funnel",
       "q25_funnel", "vocab_coverage", "pagerank", "bfs_hops",
       // lpa_modularity: the single-row edge-count aggregate broadcasts
       // into the community-dimension readout
