@@ -4256,6 +4256,49 @@ object Pipeline {
     * detection, chunk slicing and per-chunk fingerprints are ALL
     * map-side higher-order array ops — zero shuffle for the per-doc
     * readout. */
+  /** The CDC chunk rule in plain Scala (shared with [[cdcDelta]] and
+    * CdcSpec): cuts where the 8-byte rolling hash divides 64. */
+  private[graft] def cdcChunksOf(t: String): Seq[String] = {
+    val hs = functions.PolyHashWindows.windows(t.getBytes("UTF-8"), 8)
+    val cuts = hs.zipWithIndex.collect {
+      case (h, i) if h % 64 == 0 => (i + 8).toLong }
+    val bs = (0L +: cuts.toSeq :+ t.length.toLong).distinct
+    bs.sliding(2).map(p => t.substring(p(0).toInt, p(1).toInt)).toSeq
+  }
+
+  /** CDC DELTA — the incremental-sync readout the chunking exists
+    * for: version 2 of every third document gains a 4-byte HEAD
+    * insertion (the worst case for fixed-size blocking), and the
+    * delta counts, per doc, how many v2 chunks already exist in v1
+    * (multiset match) and how many bytes actually need transferring.
+    * Unchanged docs transfer zero; edited docs transfer ONLY their
+    * head chunk(s) — the shift-invariance property measured
+    * corpus-wide, not just asserted on a fixture. Pure map pass. */
+  private def cdcDelta(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    graft.functions.PolyHashWindows.register(s)
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val t2 = if (id % 3 == 0) "upd " + t else t
+        val c1 = cdcChunksOf(t).groupBy(identity)
+          .map { case (c, xs) => (c, xs.size) }
+        val c2 = cdcChunksOf(t2)
+        val counts = scala.collection.mutable.Map[String, Int]()
+        var shared = 0L
+        var transfer = 0L
+        c2.foreach { c =>
+          val used = counts.getOrElse(c, 0)
+          if (used < c1.getOrElse(c, 0)) { shared += 1; counts(c) = used + 1 }
+          else transfer += c.length
+        }
+        (id, id % 3 == 0, c2.size.toLong, shared, transfer)
+      }
+      .toDF("doc_id", "changed", "n_chunks_v2", "shared_chunks",
+        "transfer_bytes")
+      .orderBy("doc_id")
+  }
+
   private def cdcChunked(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"cdc-chunked:$dir") {
     graft.functions.PolyHashWindows.register(s)
@@ -4857,6 +4900,33 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** CDC chunk-extraction CTE chain for oracle SQL: chunks of column
+    * `col` of CTE `d`, emitted as `{p}ch(doc_id, j, chunk)`. The
+    * rolling-hash, cut and slicing conventions of the cdc_chunks
+    * oracle, parameterized for multi-version deltas. */
+  private def cdcChunkSql(col: String, p: String): String =
+    s"""${p}w AS (
+       |  SELECT doc_id, u.i,
+       |    ${charFoldDuck(s"substr($col, CAST(u.i + 1 AS INT), 8)")} AS h
+       |  FROM d, LATERAL unnest(range(0,
+       |    greatest(length($col) - 7, 0))) AS u(i)),
+       |${p}c AS (SELECT doc_id, i + 8 AS cut FROM ${p}w WHERE h % 64 = 0),
+       |${p}b AS (
+       |  SELECT d.doc_id, d.$col AS t,
+       |    list_sort(list_distinct(list_append(list_prepend(
+       |      CAST(0 AS BIGINT),
+       |      coalesce(list(${p}c.cut ORDER BY ${p}c.cut), [])),
+       |      CAST(length(d.$col) AS BIGINT)))) AS bs
+       |  FROM d LEFT JOIN ${p}c USING (doc_id)
+       |  GROUP BY d.doc_id, d.$col),
+       |${p}ch AS (
+       |  SELECT doc_id, u.j,
+       |    substr(t, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
+       |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
+       |        AS INT)) AS chunk
+       |  FROM ${p}b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j))"""
+      .stripMargin
+
   /** Shared oracle CTE block for the PCA family: milli-quantized
     * embedding entries (the Spark-side `round(x·1000)` convention),
     * per-dimension sums, the d²-exploded pair products (quadratic
@@ -4996,6 +5066,7 @@ object Pipeline {
     "content_sniff" -> contentSniff _,
     "cdc_chunks"        -> cdcChunks _,
     "cdc_dedup"         -> cdcDedup _,
+    "cdc_delta"         -> cdcDelta _,
     "multimodal_decode_mp4" -> multimodalDecodeMp4 _,
     "multimodal_decode_wav" -> multimodalDecodeWav _,
     "multimodal_decode_ulaw" -> multimodalDecodeUlaw _,
@@ -6253,6 +6324,27 @@ object Pipeline {
         |    >= (len(ws) - 1) // 3 + 1) AS keep
         |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "cdc_delta" -> s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'upd ' || text ELSE text END
+      |      AS text2
+      |  FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |${cdcChunkSql("text", "a")},
+      |${cdcChunkSql("text2", "b")},
+      |g1 AS (SELECT doc_id, chunk, count(*) AS n1 FROM ach
+      |       GROUP BY doc_id, chunk),
+      |g2 AS (SELECT doc_id, chunk, count(*) AS n2 FROM bch
+      |       GROUP BY doc_id, chunk),
+      |j AS (
+      |  SELECT g2.doc_id, g2.chunk, g2.n2, coalesce(g1.n1, 0) AS n1
+      |  FROM g2 LEFT JOIN g1 USING (doc_id, chunk))
+      |SELECT doc_id, doc_id % 3 = 0 AS changed,
+      |  CAST(sum(n2) AS BIGINT) AS n_chunks_v2,
+      |  CAST(sum(least(n1, n2)) AS BIGINT) AS shared_chunks,
+      |  CAST(sum((n2 - least(n1, n2)) * length(chunk)) AS BIGINT)
+      |    AS transfer_bytes
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cdc_chunks" -> s"""WITH d AS (
       |  SELECT doc_id, text, length(text) AS n FROM documents
       |  WHERE length(text) = strlen(text) AND length(text) > 0),

@@ -73,4 +73,22 @@ class CdcSpec extends AnyFunSuite {
     // no-cut degenerate: "short" is one chunk
     assert(got(1L)._1 == 1L)
   }
+
+  test("cdc_delta: unchanged docs transfer zero; edits stay head-local") {
+    val rows = Pipeline.queries("cdc_delta")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val (changed, same) = rows.partition(_._1)
+    assert(changed.nonEmpty && same.nonEmpty)
+    // identical versions: every chunk matches, nothing transfers
+    same.foreach { case (_, n2, shared, xfer) =>
+      assert(shared == n2 && xfer == 0L)
+    }
+    // head-inserted versions: most chunks survive the shift (the CDC
+    // property, measured), and something real transfers
+    val survived = changed.map(_._3).sum.toDouble / changed.map(_._2).sum
+    assert(survived > 0.5, s"only ${survived * 100}% chunks survived")
+    assert(changed.map(_._4).sum > 0L)
+  }
 }
