@@ -1696,6 +1696,25 @@ object Pipeline {
         sum(col("k") * col("best_score")).as("score_sum"))
       .orderBy("doc_id")
 
+  /** Per-document token counts under the GREEDY segmentation — the
+    * [[unigramDocTokens]] shape for WordPiece, so the two tokenizer
+    * families compare at the granularity that matters for a context
+    * budget: tokens per document. */
+  private def wordpieceDocTokens(s: SparkSession, dir: String)
+      : DataFrame = {
+    val wp = wordpieceEncode(s, dir)
+      .selectExpr("word", "n_pieces_wp", "score_wp")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .filter("word <> ''")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+      .join(wp, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("n_pieces_wp")).as("n_tokens_wp"),
+        sum(col("k") * col("score_wp")).as("score_sum_wp"))
+      .orderBy("doc_id")
+  }
+
   /** Training loop on a (word, c) frequency table — factored out so
     * BpeMergeSpec can drive it on synthetic corpora against a plain-Scala
     * reference-BPE model. */
@@ -5106,6 +5125,7 @@ object Pipeline {
     "embedding_eig2"    -> embeddingEig2 _,
     "embedding_project2" -> embeddingProject2 _,
     "wordpiece_encode"  -> wordpieceEncode _,
+    "wordpiece_doc_tokens" -> wordpieceDocTokens _,
     "dedup_exact"       -> dedupExact _,
     "dedup_clusters"    -> dedupClusters _,
     "dedup_keep_best"   -> dedupKeepBest _,
@@ -6260,6 +6280,35 @@ object Pipeline {
       |done AS (SELECT w, c, np, sc FROM wp WHERE pos = length(w) + 1)
       |SELECT w AS word, c AS wcnt, np AS n_pieces_wp, sc AS score_wp
       |FROM done ORDER BY word""".stripMargin,
+    "wordpiece_doc_tokens" -> s"""$unigramCtes,
+      |wp AS (
+      |  SELECT w, c, 1 AS pos, CAST(0 AS BIGINT) AS np,
+      |    CAST(0 AS BIGINT) AS sc
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT w, c, pos + k, np + 1,
+      |    sc + (SELECT score FROM sv WHERE p = substr(w, pos, k))
+      |  FROM (
+      |    SELECT w, c, pos, np, sc,
+      |      CASE
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 4)
+      |          AND length(p) > 1) THEN least(4, length(w) - pos + 1)
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 3)
+      |          AND length(p) > 1) THEN least(3, length(w) - pos + 1)
+      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 2)
+      |          AND length(p) > 1) THEN least(2, length(w) - pos + 1)
+      |        ELSE 1 END AS k
+      |    FROM wp WHERE pos <= length(w))),
+      |done AS (SELECT w, np, sc FROM wp WHERE pos = length(w) + 1),
+      |dw AS (
+      |  SELECT doc_id, w, count(*) AS k FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w)
+      |SELECT doc_id,
+      |  CAST(sum(dw.k * done.np) AS BIGINT) AS n_tokens_wp,
+      |  CAST(sum(dw.k * done.sc) AS BIGINT) AS score_sum_wp
+      |FROM dw JOIN done ON dw.w = done.w
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "embedding_project2" -> s"""$pcaCovCtes,
       |$pcaEig1Ctes,
       |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
