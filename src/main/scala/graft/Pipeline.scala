@@ -866,22 +866,35 @@ object Pipeline {
           "AS target_md5")
       .orderBy("doc_id")
 
+  /** Cap on the MLM replacement vocabulary: top-K tokens by corpus
+    * frequency (deterministic tie-break on the token). Keeps the
+    * driver-side collect model-sized on ANY corpus — a web-scale
+    * corpus has billions of distinct tokens, so an uncapped
+    * `distinct().collect()` is a driver OOM; the cap is mirrored in
+    * the DuckDB oracle. */
+  val MlmVocabCap = 4096
+
   /** BERT-style MLM masking with the 80/10/10 rule — the third
     * objective builder beside [[spanCorrupt]] and [[fimTransform]]:
     * every 7th token masks (≈14%); of the masked, positions cycle
     * 8-1-1 between `[MASK]`, a vocabulary replacement (picked
-    * deterministically from the SORTED corpus vocabulary by
-    * `(pos + doc_id) mod V` — reproducible, unlike a sampled token)
-    * and left-unchanged. Labels are the original tokens at masked
-    * positions. The vocabulary is model-sized and collected (the NB
-    * pattern); everything else is a map pass. */
+    * deterministically from the alphabetically SORTED top-K-by-
+    * frequency vocabulary by `(pos + doc_id) mod V` — reproducible,
+    * unlike a sampled token) and left-unchanged. Labels are the
+    * original tokens at masked positions. The vocabulary collect is
+    * bounded at [[MlmVocabCap]] rows (the NB-gate pattern —
+    * frequency ranking is a partial-combine groupBy, never a full
+    * distinct to the driver); everything else is a map pass. */
   private def mlmMask(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val voc = Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS w")
-      .filter("w <> ''").distinct()
-      .as[String].collect().sorted
+      .filter("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(MlmVocabCap)
+      .select("w").as[String].collect().sorted
     val v = voc.length
     Tables.documents(s, dir).selectExpr("doc_id", "text")
       .as[(Long, String)]
@@ -6186,10 +6199,13 @@ object Pipeline {
       // every 7th token; the per-doc mask counter cycles 8-1-1 between
       // [MASK], a sorted-vocab replacement at (pos+doc_id) mod V, and
       // left-unchanged; labels = originals at masked positions
-      """WITH voc AS MATERIALIZED (
+      s"""WITH voc AS MATERIALIZED (
         |  SELECT list(w ORDER BY w) AS vs FROM (
-        |    SELECT DISTINCT unnest(string_split(text, ' ')) AS w
-        |    FROM documents) WHERE w <> ''),
+        |    SELECT w FROM (
+        |      SELECT w, count(*) AS c FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents) WHERE w <> '' GROUP BY w)
+        |    ORDER BY c DESC, w LIMIT ${MlmVocabCap})),
         |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |tk AS (
         |  SELECT doc_id, u.pos, ws[CAST(u.pos AS INT)] AS w

@@ -90,6 +90,45 @@ class ObjectivePrepSpec extends AnyFunSuite {
     assert(r.getString(7) == md5hex(labels))
   }
 
+  test("mlm_mask: replacement vocabulary is capped at top-K by frequency") {
+    // 4096 common words (freq 2, names c….) + 1000 rare words (freq 1,
+    // names a…. — alphabetically FIRST, so an uncapped sorted vocab
+    // would differ). The cap keeps only the c-words; replacement for
+    // doc 2 therefore indexes into c0000..c4095, not a0000…
+    val common = (0 until Pipeline.MlmVocabCap).map(i => f"c$i%04d")
+    val rare = (0 until 1000).map(i => f"a$i%04d")
+    val dir = fixtureDir(Seq(
+      1L -> (common ++ common).mkString(" "),
+      2L -> rare.mkString(" ")))
+    val r = Pipeline.queries("mlm_mask")(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val voc = common.sorted // capped vocab: the 4096 freq-2 words
+    val expect2 = rare.zipWithIndex.map { case (w, i0) =>
+      val pos = i0 + 1
+      if (pos % 7 != 0) w
+      else (pos / 7) % 10 match {
+        case k if k < 8 => "[MASK]"
+        case 8 => voc(((pos + 2) % voc.length).toInt) // a c-word, never a-
+        case _ => w
+      }
+    }.mkString(" ")
+    assert(r(2L).getString(6) == md5hex(expect2))
+    // the uncapped vocabulary (a-words included, |V| = 5096) indexes
+    // differently at every replacement site — hash inequality pins
+    // that the cap is actually applied
+    val unVoc = (common ++ rare).sorted
+    val unExpect2 = rare.zipWithIndex.map { case (w, i0) =>
+      val pos = i0 + 1
+      if (pos % 7 != 0) w
+      else (pos / 7) % 10 match {
+        case k if k < 8 => "[MASK]"
+        case 8 => unVoc(((pos + 2) % unVoc.length).toInt)
+        case _ => w
+      }
+    }.mkString(" ")
+    assert(r(2L).getString(6) != md5hex(unExpect2))
+  }
+
   test("mask rate sits at the designed 20% on the driver corpus") {
     val agg = Pipeline.queries("span_corrupt")(
       spark, "/root/testdata/sf0.001")
