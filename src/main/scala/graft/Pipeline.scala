@@ -4642,7 +4642,7 @@ object Pipeline {
       .map { case (id, t) =>
         val html =
           s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
-        (id % 16, id, graft.operators.Warc.buildRecord(
+        (id / 16, id, graft.operators.Warc.buildRecord(
           id, s"http://ex${id % 7}.com/doc/$id", html.getBytes("UTF-8")))
       }
       .groupByKey(_._1)
@@ -4784,7 +4784,7 @@ object Pipeline {
     Tables.documents(s, dir).select("doc_id", "text")
       .as[(Long, String)]
       .map { case (id, t) =>
-        (id % 16, id, graft.operators.Warc.buildRecord(
+        (id / 16, id, graft.operators.Warc.buildRecord(
           id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
       }
       .groupByKey(_._1)
@@ -6525,8 +6525,8 @@ object Pipeline {
       // body-length digits) + body bytes; rec_pos = doc rank within
       // its 16-doc archive
       """SELECT doc_id,
-        |  doc_id % 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+        |  doc_id // 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
         |    - 1 AS rec_pos,
         |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
         |  'response' AS warc_type,
@@ -6541,8 +6541,8 @@ object Pipeline {
       // identical facts — the per-record-gzip-member layout must be
       // transparent to the record walk
       """SELECT doc_id,
-        |  doc_id % 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+        |  doc_id // 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
         |    - 1 AS rec_pos,
         |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
         |  'response' AS warc_type,

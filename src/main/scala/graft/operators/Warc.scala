@@ -42,8 +42,11 @@ object Warc {
     * `.warc.gz` layout (one gzip member per record, members
     * concatenated). */
   def buildArchive(records: Seq[Array[Byte]], gzip: Boolean): Array[Byte] =
-    if (!gzip) records.foldLeft(Array.emptyByteArray)(_ ++ _)
-    else {
+    if (!gzip) {
+      val out = new ByteArrayOutputStream()
+      records.foreach(out.write)
+      out.toByteArray
+    } else {
       val out = new ByteArrayOutputStream()
       records.foreach { r =>
         val gz = new GZIPOutputStream(out)
