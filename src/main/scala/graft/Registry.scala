@@ -200,7 +200,12 @@ object Registry {
   /** Per-(station, active-day) R6 classifier decision (nullable
     * d_status/d_reason inside the dead band) — shared by statusTriggers
     * and clusterLogDetectors. */
-  private def dailyClassified(s: SparkSession, dir: String): DataFrame = {
+  private def dailyClassified(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"daily-classified:$dir") {
+      dailyClassifiedUncached(s, dir) }
+
+  private def dailyClassifiedUncached(s: SparkSession, dir: String)
+      : DataFrame = {
     val h = hits(s, dir).withColumn("day", floor(col("start_ns") / DayNs))
     val daily = h.groupBy("station", "day").agg(
       (sum(round(col("value") * 100).cast("long")) / 100.0 /

@@ -63,6 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // classifier_calibration: the same two single-row broadcasts as
       // quality_classifier (vocab totals + the prior)
       "classifier_calibration", "tfidf_terms",
+      // token_pmi (r9): the only remaining nested-loop is the
+      // broadcast single-row n_docs crossJoin — the 16-row panel
+      // probe itself is a broadcast hash equi-join on the term key
+      "token_pmi",
       // dedup_funnel: each stage row assembles from single-row
       // docs_in/docs_out count aggregates (the data_quality shape),
       // plus the NB scalar broadcasts
@@ -119,10 +123,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (120 pairs at any corpus size) plus broadcast quantizer state
       // (single-row [lo, hi] grid / the 128-row codebook)
       "embedding_q8", "embedding_pq",
-      // token_pmi: the 16-row top-df panel joins the corpus by
-      // array_contains (bounded-dimension NLJ — N×16 presence rows,
-      // never N×V), plus the broadcast single-row n_docs scalar
-      "token_pmi",
+      // token_pmi left this set in r9: the panel probe is now a
+      // broadcast HASH equi-join on the term key — an NLJ reappearing
+      // in its plan should fail the sweep
       // source_kl: the source dimension crossJoins the broadcast
       // 64-token panel to build the smoothing grid (sources × 64)
       "source_kl")
