@@ -4812,6 +4812,91 @@ object Pipeline {
   private def warcParsePlain(s: SparkSession, dir: String): DataFrame =
     warcParse(s, dir, gzip = false)
 
+  /** Once-per-corpus materialization of REAL `.warc.gz` archive files
+    * (one file per id-div-16 group, the warc_parse_gzip layout) under
+    * the JVM temp dir; returns the directory. Files are written from
+    * the EXECUTORS (mapGroups side effect — the production writer
+    * shape; on a cluster the same code writes to any mounted shared
+    * store), never collected to the driver. The directory is keyed by
+    * the corpus dir plus a recursive (length + mtime) signature of
+    * documents.parquet, so a driver-side testdata regeneration
+    * invalidates the fixture; a _SUCCESS marker makes the build
+    * idempotent across queries and sessions. */
+  private[graft] def warcFixtureDir(s: SparkSession, dir: String): String = {
+    val spark = s
+    import spark.implicits._
+    def sig(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sig).sum
+      else f.length() + f.lastModified()
+    val ident = s"$dir:${sig(new java.io.File(s"$dir/documents.parquet"))}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_warc_$key")
+    val marker = new java.io.File(root, "_SUCCESS")
+    if (!marker.exists()) Pipeline.synchronized {
+      if (!marker.exists()) {
+        root.mkdirs()
+        val outPath = root.getAbsolutePath
+        Tables.documents(s, dir).select("doc_id", "text")
+          .as[(Long, String)]
+          .map { case (id, t) =>
+            (id / 16, id, graft.operators.Warc.buildRecord(
+              id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
+          }
+          .groupByKey(_._1)
+          .mapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+            val archive = graft.operators.Warc.buildArchive(
+              it.toSeq.sortBy(_._2).map(_._3), gzip = true)
+            java.nio.file.Files.write(java.nio.file.Paths.get(
+              outPath, f"arch-$aid%06d.warc.gz"), archive)
+            aid
+          }
+          .count()
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    root.getAbsolutePath
+  }
+
+  /** The PRODUCTION WARC input path, end-to-end: real `.warc.gz` files
+    * on disk → `spark.read.format("binaryFile")` → [[operators.Warc
+    * .parseArchive]] flatMap. Identical output contract (and oracle) to
+    * warc_parse_gzip — proving the file layer is transparent — but here
+    * the archives are genuine FILES, the Common Crawl shape: one task
+    * per archive file, payloads parsed and fingerprinted in place,
+    * never shuffled. */
+  private def warcParseFiles(s: SparkSession, dir: String): DataFrame = {
+    val files = warcFixtureDir(s, dir)
+    parseWarcFileRows(
+      s.read.format("binaryFile").load(s"$files/*.warc.gz"))
+      .orderBy("doc_id")
+  }
+
+  /** The archive-file parse stage shared by the batch query and its
+    * file-streaming twin (WarcFileStreamSpec): (path, content) binary
+    * rows → per-record facts, one flatMap, archives never shuffled.
+    * Works unchanged on a `readStream` input — the streaming source
+    * shares the plan. */
+  private[graft] def parseWarcFileRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val aid = name.stripPrefix("arch-").stripSuffix(".warc.gz").toLong
+        graft.operators.Warc.parseArchive(bytes).zipWithIndex.map {
+          case (r, i) =>
+            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
+              aid, i.toLong, r.uri, r.warcType, r.contentLength,
+              r.httpStatus, r.bodyLen, r.bodyMd5)
+        }
+      }
+      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
+        "content_length", "http_status", "body_len", "body_md5")
+  }
+
   /** The `.warc.gz` layout: every record its own gzip member, members
     * concatenated — identical parsed output proves the decompression
     * layer is transparent to the record walk. */
@@ -5135,6 +5220,7 @@ object Pipeline {
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
     "warc_parse_gzip"   -> warcParseGzip _,
+    "warc_parse_files"  -> warcParseFiles _,
     "web_ingest_dag"    -> webIngestDag _,
     "unigram_vocab"     -> unigramVocab _,
     "unigram_encode"    -> unigramEncode _,
@@ -6546,6 +6632,22 @@ object Pipeline {
     "warc_parse_gzip" -> {
       // identical facts — the per-record-gzip-member layout must be
       // transparent to the record walk
+      """SELECT doc_id,
+        |  doc_id // 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
+        |    - 1 AS rec_pos,
+        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
+        |    AS content_length,
+        |  CAST(200 AS INT) AS http_status,
+        |  strlen(text) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "warc_parse_files" -> {
+      // identical facts again — real .warc.gz FILES through the
+      // binaryFile source must parse exactly like in-query archives
       """SELECT doc_id,
         |  doc_id // 16 AS arch_id,
         |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)

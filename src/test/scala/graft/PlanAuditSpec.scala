@@ -163,6 +163,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("warc_parse_files reads real archive FILES via the binaryFile source") {
+    // the production WARC input shape: the scan is a binaryFile file
+    // scan (one task per archive file), not a parquet-derived fixture
+    val p = plan("warc_parse_files")
+    assert(p.toLowerCase.contains("binaryfile"),
+      "warc_parse_files should scan .warc.gz files through binaryFile")
+  }
+
   test("filters reach the parquet scan (predicate pushdown)") {
     // q3's order-status literal and enriched_events' gate predicates
     // must reach their scans as PushedFilters
