@@ -1577,6 +1577,13 @@ object Pipeline {
     * only touched by `unigram_doc_tokens`, which joins PRE-AGGREGATED
     * (doc_id, word, k) rows against the word-level DP results. */
   final val UnigramMaxPiece = 4
+
+  /** Score charged for a character absent from the tokenizer
+    * vocabulary (the `<unk>` piece) — keeps [[greedyPieces]] total on
+    * out-of-corpus input instead of throwing; same-corpus callers
+    * never hit it (every corpus character is in the vocabulary by
+    * construction). */
+  final val UnkScore = -1000000L
   final val UnigramTopPieces = 16
 
   private def unigramVocabDf(s: SparkSession, dir: String): DataFrame =
@@ -1678,7 +1685,9 @@ object Pipeline {
     while (pos < w.length) {
       var k = math.min(UnigramMaxPiece, w.length - pos)
       while (k > 1 && !score.contains(w.substring(pos, pos + k))) k -= 1
-      sc += score(w.substring(pos, pos + k))
+      // the k == 1 fallback may still be out-of-vocabulary for
+      // out-of-corpus input — charge the <unk> score, never throw
+      sc += score.getOrElse(w.substring(pos, pos + k), UnkScore)
       np += 1
       pos += k
     }
@@ -1997,6 +2006,16 @@ object Pipeline {
     * BOTH engines (Spark HALF_UP / DuckDB away-from-zero agree on all
     * signs), so driver-side math can mirror oracle arithmetic
     * exactly. */
+  /** Signed positive-operand integer division: both engines divide
+    * positive operands (where truncation and floor agree) and re-apply
+    * the sign — Scala truncates toward zero while DuckDB's `//` floors,
+    * so a bare `/` on a negative numerator diverges cross-engine. The
+    * oracle mirrors this as `CASE WHEN num >= 0 THEN num // den ELSE
+    * -((-num) // den) END` (denominators here are sums of squares /
+    * traces, always positive). */
+  private def divSigned(num: Long, den: Long): Long =
+    if (num >= 0) num / den else -((-num) / den)
+
   private def rndAway(d: Double): Long =
     (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
 
@@ -2114,15 +2133,15 @@ object Pipeline {
       v = w.map(x => rndAway(x * 1000.0 / m))
     }
     val w4 = mul(v)
-    val lambda = (0 until 64).map(i => v(i) * w4(i)).sum /
-      (0 until 64).map(i => v(i) * v(i)).sum
+    val lambda = divSigned((0 until 64).map(i => v(i) * w4(i)).sum,
+      (0 until 64).map(i => v(i) * v(i)).sum)
     // explained-variance share: λ/trace in ppm — on this corpus's
     // near-isotropic spectrum an honest "no dominant axis" readout
     // (the RP-distortion honesty pattern); 3 rounds make the Rayleigh
     // a documented LOWER bound of λ₁ (gap ratio ~0.93 at sf0.001 —
     // PcaSpec pins the envelope, the crafted-fixture eig is exact)
     val trace = (0 until 64).map(i => c(i)(i)).sum
-    val share = lambda * 1000000L / trace
+    val share = divSigned(lambda * 1000000L, trace)
     (0 until 64).map(i => (i + 1L, v(i), lambda, share))
       .toDF("pos", "v_milli", "lambda_micro", "share_ppm").orderBy("pos")
   }
@@ -2154,8 +2173,8 @@ object Pipeline {
         v = w.map(x => rndAway(x * 1000.0 / mx))
       }
       val w4 = mul(m, v)
-      val lam = (0 until 64).map(i => v(i) * w4(i)).sum /
-        (0 until 64).map(i => v(i) * v(i)).sum
+      val lam = divSigned((0 until 64).map(i => v(i) * w4(i)).sum,
+        (0 until 64).map(i => v(i) * v(i)).sum)
       (v, lam)
     }
     val (v1, lam1) = power(c)
@@ -4297,11 +4316,19 @@ object Pipeline {
   /** The CDC chunk rule in plain Scala (shared with [[cdcDelta]] and
     * CdcSpec): cuts where the 8-byte rolling hash divides 64. */
   private[graft] def cdcChunksOf(t: String): Seq[String] = {
-    val hs = functions.PolyHashWindows.windows(t.getBytes("UTF-8"), 8)
+    // whole pipeline in BYTE space: the rolling-hash windows index
+    // UTF-8 bytes, so the slices must too (a char-indexed substring
+    // would mis-cut any non-ASCII input). Chunks come back as
+    // ISO-8859-1 strings — the lossless byte↔char mapping — so the
+    // multiset matching and length arithmetic stay byte-exact;
+    // identical to the old char path on the ASCII corpus.
+    val bytes = t.getBytes("UTF-8")
+    val hs = functions.PolyHashWindows.windows(bytes, 8)
     val cuts = hs.zipWithIndex.collect {
-      case (h, i) if h % 64 == 0 => (i + 8).toLong }
-    val bs = (0L +: cuts.toSeq :+ t.length.toLong).distinct
-    bs.sliding(2).map(p => t.substring(p(0).toInt, p(1).toInt)).toSeq
+      case (h, i) if h % 64 == 0 => i + 8 }
+    val bs = (0 +: cuts.toSeq :+ bytes.length).distinct
+    bs.sliding(2)
+      .map(p => new String(bytes, p(0), p(1) - p(0), "ISO-8859-1")).toSeq
   }
 
   /** CDC DELTA — the incremental-sync readout the chunking exists
@@ -4758,7 +4785,10 @@ object Pipeline {
           case 8 => ("audio/mpeg", M.encodeMp3(2, b))
           case 9 => ("application/warc", graft.operators.Warc
             .buildRecord(id, s"http://ex.com/$id", b))
-          case _ => ("image/png", b) // mislabeled raw text
+          // mislabeled raw text; the 0x20 prefix matches no container
+          // magic, so the sniff verdict cannot depend on whether the
+          // fixture text happens to start with 'BM', 'RIFF', 'ID3', …
+          case _ => ("image/png", 0x20.toByte +: b)
         }
         val sniffed = M.sniffKind(bytes)
         (id, declared, sniffed, declared == sniffed)
@@ -5111,9 +5141,11 @@ object Pipeline {
        |  SELECT cm.i AS pos, CAST(sum(cm.c * v3.v) AS BIGINT) AS w
        |  FROM cm JOIN v3 ON cm.j = v3.pos GROUP BY cm.i),
        |ray AS (
-       |  SELECT CAST(sum(v3.v * w4.w) AS BIGINT)
-       |    // CAST(sum(v3.v * v3.v) AS BIGINT) AS lambda_micro
-       |  FROM v3 JOIN w4 ON v3.pos = w4.pos)""".stripMargin
+       |  SELECT CASE WHEN num >= 0 THEN num // den
+       |    ELSE -((-num) // den) END AS lambda_micro
+       |  FROM (SELECT CAST(sum(v3.v * w4.w) AS BIGINT) AS num,
+       |      CAST(sum(v3.v * v3.v) AS BIGINT) AS den
+       |    FROM v3 JOIN w4 ON v3.pos = w4.pos))""".stripMargin
 
   /** Shared oracle CTE block for the unigram tokenizer family: the
     * deterministic vocabulary (chars + top-16 scored pieces) and the
@@ -6335,7 +6367,10 @@ object Pipeline {
       |  SELECT CAST(sum(cov_micro) AS BIGINT) AS trace
       |  FROM cv WHERE i = j)
       |SELECT v3.pos, v3.v AS v_milli, ray.lambda_micro,
-      |  ray.lambda_micro * 1000000 // tr.trace AS share_ppm
+      |  CASE WHEN ray.lambda_micro >= 0
+      |    THEN ray.lambda_micro * 1000000 // tr.trace
+      |    ELSE -((-(ray.lambda_micro * 1000000)) // tr.trace)
+      |    END AS share_ppm
       |FROM v3, ray, tr ORDER BY pos""".stripMargin,
     "embedding_eig2" -> s"""$pcaCovCtes,
       |$pcaEig1Ctes,
@@ -6354,9 +6389,11 @@ object Pipeline {
       |  SELECT cm2.i AS pos, CAST(sum(cm2.c * u3.v) AS BIGINT) AS w
       |  FROM cm2 JOIN u3 ON cm2.j = u3.pos GROUP BY cm2.i),
       |ray2 AS (
-      |  SELECT CAST(sum(u3.v * x4.w) AS BIGINT)
-      |    // CAST(sum(u3.v * u3.v) AS BIGINT) AS lambda_micro
-      |  FROM u3 JOIN x4 ON u3.pos = x4.pos),
+      |  SELECT CASE WHEN num >= 0 THEN num // den
+      |    ELSE -((-num) // den) END AS lambda_micro
+      |  FROM (SELECT CAST(sum(u3.v * x4.w) AS BIGINT) AS num,
+      |      CAST(sum(u3.v * u3.v) AS BIGINT) AS den
+      |    FROM u3 JOIN x4 ON u3.pos = x4.pos)),
       |al AS (
       |  SELECT CAST(sum(a.v * b.v) AS BIGINT) * 1000000 AS num
       |  FROM v3 a JOIN u3 b ON a.pos = b.pos)

@@ -89,12 +89,20 @@ object Robots {
   }
 
   /** Pick the agent's group (longest matching product token wins,
-    * `*` as fallback), then decide by most-specific rule. */
+    * `*` as fallback), then decide by most-specific rule. Only groups
+    * whose matching token ties the LONGEST match apply (RFC 9309 §2.2.1
+    * most-specific user-agent; equal-token groups combine) — a policy
+    * with both `graft` and `graftbot` groups must apply only the
+    * `graftbot` rules to a graftbot agent. */
   def allowed(groups: Seq[Group], agent: String, path: String): Boolean = {
     val a = agent.toLowerCase
-    val specific = groups.filter(_.agents.exists(t => t != "*" && a.contains(t)))
+    val matchLen = groups.map(
+      _.agents.filter(t => t != "*" && a.contains(t))
+        .map(_.length).maxOption.getOrElse(-1))
+    val best = if (matchLen.isEmpty) -1 else matchLen.max
     val g =
-      if (specific.nonEmpty) specific
+      if (best >= 0)
+        groups.zip(matchLen).collect { case (gr, l) if l == best => gr }
       else groups.filter(_.agents.contains("*"))
     val rules = g.flatMap(_.rules)
     val hits = rules.filter(r => matches(r.pattern, path))

@@ -41,6 +41,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(g, "crawler", "/a/c"))
   }
 
+  test("only the longest-token matching group applies (RFC 9309 §2.2.1)") {
+    val layered = Robots.parse(
+      """User-agent: graft
+        |Disallow: /short
+        |
+        |User-agent: graftbot
+        |Disallow: /long
+        |
+        |User-agent: *
+        |Disallow: /star
+        |""".stripMargin)
+    // a graftbot agent matches BOTH tokens; only the longer
+    // ('graftbot') group may apply — the 'graft' group's rules must not
+    assert(Robots.allowed(layered, "GraftBot/1.0", "/short"))
+    assert(!Robots.allowed(layered, "GraftBot/1.0", "/long"))
+    assert(Robots.allowed(layered, "GraftBot/1.0", "/star"))
+    // an agent matching only the shorter token gets that group
+    assert(!Robots.allowed(layered, "graft-indexer", "/short"))
+    assert(Robots.allowed(layered, "graft-indexer", "/long"))
+    // equal-length token groups combine
+    val twin = Robots.parse(
+      "User-agent: bot\nDisallow: /a\n\nUser-agent: bot\nDisallow: /b\n")
+    assert(!Robots.allowed(twin, "mybot", "/a"))
+    assert(!Robots.allowed(twin, "mybot", "/b"))
+  }
+
   test("wildcard and anchor matching") {
     assert(Robots.matches("/x*y$", "/xy"))
     assert(Robots.matches("/x*y$", "/x123y"))
