@@ -4756,6 +4756,55 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** MPEG-1 Audio Layer II REAL bitstream decode
+    * (operators/MpegAudio.decodeL2) — the dominant broadcast layer,
+    * extending the Layer I walk with everything Layer II adds: the
+    * Table 3-B.2a bit allocation (active subbands 0/4/12/24 hit all
+    * four nbal classes), SCFSI scalefactor sharing (the fixture
+    * cycles all four modes), GROUPED quantizers (3/5/9-step triples
+    * in one 5/7/10-bit codeword) and the C·(s+D) requantization with
+    * closed-form constants. Scalefactor indices stay at multiples of
+    * 3 (power-of-two factors), so every amplitude is the same
+    * exact-or-single-rounded IEEE chain the oracle reproduces. One
+    * flatMap over the scan, zero shuffle. */
+  private def multimodalDecodeMp2(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val Mp = graft.operators.MpegAudio
+        val bl = t.length
+        val b = asciiBytes(id, t)
+        val activeSbs = Array(0, 4, 12, 24)
+        val frames = (0 until (1 + bl % 3)).map { f =>
+          val act = activeSbs.take(1 + ((bl + f) % 4))
+          val allocIdx = Array.fill(Mp.L2SbLimit)(0)
+          val scfsi = Array.fill(Mp.L2SbLimit)(0)
+          val scf = Array.ofDim[Int](Mp.L2SbLimit, 3)
+          val samples = Array.ofDim[Int](Mp.L2SbLimit, 36)
+          act.foreach { sb =>
+            val cap = if (sb == 24) 2 else 4
+            allocIdx(sb) = 1 + ((bl + sb + f) % cap)
+            scfsi(sb) = (bl + sb + f) % 4
+            for (k <- 0 until 3) scf(sb)(k) = 3 * ((sb + f + k) % 5)
+            val m = Mp.l2Steps(sb, allocIdx(sb))
+            for (i <- 0 until 36)
+              samples(sb)(i) = (b((f * 89 + sb * 36 + i) % bl) & 0xff) % m
+          }
+          Mp.encodeFrameL2(allocIdx, scfsi, scf, samples)
+        }
+        val dec = Mp.decodeL2(
+          frames.foldLeft(Array.emptyByteArray)(_ ++ _))
+        (id, dec.length.toLong, dec.map(_.nActive.toLong).sum,
+          dec.map(_.nGrouped).sum, dec.map(_.sumCodes).sum,
+          dec.map(_.ampMicro).sum)
+      }
+      .toDF("media_id", "n_frames", "n_active", "n_grouped",
+        "sum_codes", "amp_micro")
+      .orderBy("media_id")
+  }
+
   /** Content sniffing over every container this library encodes: each
     * document encodes into one of ten REAL containers by id rotation —
     * plus one deliberately MISLABELED class (raw text declared as
@@ -5218,6 +5267,7 @@ object Pipeline {
     "multimodal_decode_jpeg_progressive" -> multimodalDecodeJpegProgressive _,
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
+    "multimodal_decode_mp2" -> multimodalDecodeMp2 _,
     "content_sniff" -> contentSniff _,
     "cdc_chunks"        -> cdcChunks _,
     "cdc_dedup"         -> cdcDedup _,
@@ -6646,6 +6696,66 @@ object Pipeline {
         |  SELECT doc_id, count(*) AS n_active FROM sbv GROUP BY doc_id)
         |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
         |  act.n_active, agg.sum_codes, agg.amp_micro
+        |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
+        |ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_mp2" -> {
+      // full analytic recompute of the Layer II decode: the fixture's
+      // active subbands 0/4/12/24 map into Table 3-B.2a step lists,
+      // scfsi selects the effective per-part scalefactor slot, and the
+      // requantization chain is the same power-of-two-exact arithmetic
+      // as mp1 with C = g/m and D = 0.5 (grouped) / 2/g (ungrouped)
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS bl FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id, text, bl, u.f
+        |  FROM d, LATERAL unnest(range(0, 1 + bl % 3)) AS u(f)),
+        |sbv AS (
+        |  SELECT doc_id, text, bl, f, v.sb,
+        |    1 + (bl + v.sb + f) % (CASE WHEN v.sb = 24 THEN 2 ELSE 4 END)
+        |      AS idx,
+        |    (bl + v.sb + f) % 4 AS scfsi
+        |  FROM fr, LATERAL unnest([0, 4, 12, 24]) AS v(sb)
+        |  WHERE v.sb < CASE (bl + f) % 4 WHEN 0 THEN 1 WHEN 1 THEN 5
+        |    WHEN 2 THEN 13 ELSE 25 END),
+        |sbq AS (
+        |  SELECT *, CASE WHEN sb = 0 THEN ([3, 7, 15, 31])[idx]
+        |      WHEN sb = 24 THEN ([3, 5])[idx]
+        |      ELSE ([3, 5, 7, 9])[idx] END AS m
+        |  FROM sbv),
+        |smp AS (
+        |  SELECT doc_id, f, sb, m, scfsi, w.i, w.i // 12 AS part,
+        |    ascii(substr(text,
+        |      CAST((f * 89 + sb * 36 + w.i) % bl + 1 AS INT), 1)) % m
+        |      AS c
+        |  FROM sbq, LATERAL unnest(range(0, 36)) AS w(i)),
+        |val AS (
+        |  SELECT doc_id, c, m,
+        |    CASE m WHEN 3 THEN 4.0 WHEN 5 THEN 8.0 WHEN 7 THEN 8.0
+        |      WHEN 9 THEN 16.0 WHEN 15 THEN 16.0 ELSE 32.0 END AS g,
+        |    CASE (sb + f + (CASE scfsi
+        |        WHEN 0 THEN part
+        |        WHEN 1 THEN CASE WHEN part = 2 THEN 2 ELSE 0 END
+        |        WHEN 2 THEN 0
+        |        ELSE CASE WHEN part = 0 THEN 0 ELSE 1 END END)) % 5
+        |      WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+        |      WHEN 3 THEN 0.25 ELSE 0.125 END AS sf
+        |  FROM smp),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_codes,
+        |    CAST(sum(CAST(round((c / (g / 2) - 1
+        |      + CASE WHEN m IN (3, 5, 9) THEN 0.5 ELSE 2 / g END)
+        |      * (g / m) * sf * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS amp_micro
+        |  FROM val GROUP BY doc_id),
+        |act AS (
+        |  SELECT doc_id, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN m IN (3, 5, 9) THEN 12 ELSE 0 END)
+        |      AS BIGINT) AS n_grouped
+        |  FROM sbq GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
+        |  act.n_active, act.n_grouped, agg.sum_codes, agg.amp_micro
         |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
         |ORDER BY media_id""".stripMargin
     },
