@@ -4493,6 +4493,76 @@ object Pipeline {
       .orderBy("doc_id", "variant")
   }
 
+  /** THE CRAWLER LOOP WITH DISCOVERY — sitemap ∘ frontier ∘
+    * politeness, the three-stage composition a crawler actually runs:
+    * every document carries a 3-entry sitemap (one messy loc that
+    * canonicalizes onto its sibling — the dup the frontier must
+    * catch — plus a sibling-directory loc), discovery parses the
+    * urlset ([[operators.Sitemap]]), each loc canonicalizes
+    * (UrlNorm), passes the robots gate, dedups by first discovery,
+    * and the surviving fetches schedule under the per-host
+    * Crawl-delay closed form. The oracle replays the entire chain
+    * analytically.
+    *
+    * 100 TB shape: discovery + canonicalization + robots are one
+    * map-side flatMap; then exactly the [[crawlSchedule]] shuffles —
+    * the canonical-URL keeper aggregate and one host-partitioned
+    * window. Nothing beyond the parts composed. */
+  private def crawlLoopSitemap(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val urls = Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS len")
+      .as[(Long, Long)]
+      .flatMap { case (id, len) =>
+        val k = id % 7
+        val m = len % 5
+        val m2 = (m + 1) % 5
+        val q = len % 9
+        val xml =
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |<url><loc>http://ex$k.com/Dir$m/page?b=$q&amp;a=1</loc></url>
+             |<url><loc>HTTP://Ex$k.COM:80/Dir$m/./page?a=1&amp;b=$q</loc></url>
+             |<url><loc>http://ex$k.com/Dir$m2/page?a=1&amp;b=$q</loc></url>
+             |</urlset>""".stripMargin
+        graft.operators.Sitemap.parseUrlset(xml).zipWithIndex.map {
+          case (u, i) =>
+            val canon = graft.operators.UrlNorm.normalize(u.loc)
+            val path = canon.substring(canon.indexOf('/', 8))
+              .takeWhile(c => c != '?' && c != '#')
+            val robots = graft.operators.Robots.parse(
+              s"""User-agent: *
+                 |Disallow: /Dir2
+                 |Disallow: /Dir4
+                 |User-agent: GraftBot
+                 |Disallow: /Dir1
+                 |Disallow: /Dir3
+                 |Allow: /Dir3/pa*e$$""".stripMargin)
+            (id, i.toLong, canon,
+              graft.operators.Robots.allowed(robots, "graftbot/1.0", path))
+        }
+      }
+      .toDF("doc_id", "pos", "canon", "allowed")
+    val keeper = urls
+      .selectExpr("canon",
+        "CAST(doc_id AS DECIMAL(28,0)) * 4 + pos AS pk")
+      .groupBy("canon").agg(min("pk").as("pk"))
+    val w = Window.partitionBy("host_key").orderBy("t_ms", "doc_id", "pos")
+    urls.join(keeper, "canon")
+      .filter(col("allowed") &&
+        expr("CAST(doc_id AS DECIMAL(28,0)) * 4 + pos = pk"))
+      .selectExpr("doc_id", "pos", "canon",
+        "concat('ex', doc_id % 7, '.com') AS host_key",
+        "(doc_id div 7) * 800 + pos * 50 AS t_ms")
+      .withColumn("rn", row_number().over(w) - lit(1))
+      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
+      .withColumn("sched_ms",
+        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
+      .selectExpr("doc_id", "pos", "host_key", "canon", "t_ms", "sched_ms")
+      .orderBy("doc_id", "pos")
+  }
+
   /** Sitemap parsing (operators/Sitemap): every doc carries a 3-entry
     * urlset — one loc with an `&amp;`-escaped query (the decode the
     * protocol requires), one with lastmod + priority, one bare — and
@@ -5295,6 +5365,7 @@ object Pipeline {
     "polite_schedule"   -> politeSchedule _,
     "crawl_schedule"    -> crawlSchedule _,
     "sitemap_parse"     -> sitemapParse _,
+    "crawl_loop_sitemap" -> crawlLoopSitemap _,
     "span_corrupt"      -> spanCorrupt _,
     "fim_transform"     -> fimTransform _,
     "mlm_mask"          -> mlmMask _,
@@ -6266,6 +6337,40 @@ object Pipeline {
         |      ORDER BY t_ms, doc_id, variant) AS sched_ms FROM g)
         |SELECT doc_id, variant, host_key, t_ms, sched_ms
         |FROM m ORDER BY doc_id, variant""".stripMargin
+    },
+    "crawl_loop_sitemap" -> {
+      // the whole discovery chain replayed analytically: canonical
+      // forms (v0/v1 collide by design, v2 lands in the sibling dir),
+      // robots per dir class (GraftBot's group shadows '*'; /page
+      // always re-allowed in Dir3), keeper = first (doc_id, pos) per
+      // canonical, then the per-host closed-form schedule
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents),
+        |u AS (
+        |  SELECT doc_id, v.v AS pos, len,
+        |    CASE WHEN v.v = 2 THEN (len % 5 + 1) % 5 ELSE len % 5 END
+        |      AS dir,
+        |    'http://ex' || (doc_id % 7) || '.com/Dir' ||
+        |    (CASE WHEN v.v = 2 THEN (len % 5 + 1) % 5 ELSE len % 5 END) ||
+        |    '/page?a=1&b=' || (len % 9) AS canon
+        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY canon
+        |    ORDER BY doc_id, pos) AS rn FROM u),
+        |f AS (
+        |  SELECT doc_id, pos, canon,
+        |    'ex' || (doc_id % 7) || '.com' AS host_key,
+        |    (doc_id // 7) * 800 + pos * 50 AS t_ms
+        |  FROM r WHERE rn = 1 AND dir <> 1),
+        |g AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host_key
+        |    ORDER BY t_ms, doc_id, pos) - 1 AS k FROM f),
+        |m AS (
+        |  SELECT *, 1000 * k + max(t_ms - 1000 * k)
+        |    OVER (PARTITION BY host_key
+        |      ORDER BY t_ms, doc_id, pos) AS sched_ms FROM g)
+        |SELECT doc_id, pos, host_key, canon, t_ms, sched_ms
+        |FROM m ORDER BY doc_id, pos""".stripMargin
     },
     "polite_schedule" -> {
       // s_i = max(t_i, s_{i-1} + D) via the closed form
