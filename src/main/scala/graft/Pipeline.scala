@@ -3299,6 +3299,55 @@ object Pipeline {
       .orderBy("method")
   }
 
+  /** Near-dup recall thresholds (cosine, in percent). */
+  final val NeardupTauPcts = Seq(30, 35, 40)
+
+  /** Measured recall ladder for the embedding NEAR-DUP index — the
+    * `ann_recall` measurement applied to [[embeddingNeardupLsh]]'s
+    * coverage question (image_neardup_recall's twin, so the
+    * similarity family's recall story is uniform): over the
+    * [[RecallQueries]] scrambled-hash panel, the exact-verify truth is
+    * every (panel, corpus) pair with cosine ≥ τ, and the index's catch
+    * is the [[annCandidates]] candidate set, measured at each τ of
+    * [[NeardupTauPcts]]. LEFT joins both ways: uncaught truth pairs
+    * count as misses and a τ with an empty truth set still emits its
+    * row (recall 0/0 → 0.0 deterministically).
+    *
+    * 100 TB shape: truth is panel-bounded (128 × N broadcast probe,
+    * the ann_recall move — never all-pairs); the τ ladder is a 3-row
+    * dimension broadcast. */
+  private def embeddingNeardupRecall(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val all = vecs(s, dir)
+    val panel = all
+      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+      .orderBy("_h", "vec_id").limit(RecallQueries)
+      .select("vec_id")
+    val a = all.join(broadcast(panel), Seq("vec_id"))
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", expr(cosExpr))
+      .filter(col("cosine") >= lit(NeardupTauPcts.min) / 100.0)
+      .select("vec_id", "nn_id", "cosine")
+    val caught = annCandidates(s, dir).withColumn("hit", lit(1L))
+    val j = truth.join(caught, Seq("vec_id", "nn_id"), "left")
+      .select(col("cosine"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val taus = NeardupTauPcts.toDF("tau_pct")
+    broadcast(taus)
+      .join(j, j("cosine") >= taus("tau_pct") / 100.0, "left")
+      .groupBy("tau_pct")
+      .agg(count(col("cosine")).as("n_true"), sum("hit").as("n_caught"))
+      .selectExpr("tau_pct", "n_true",
+        "coalesce(n_caught, CAST(0 AS BIGINT)) AS n_caught",
+        "round(coalesce(n_caught, CAST(0 AS BIGINT)) " +
+          "/ CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall")
+      .orderBy("tau_pct")
+  }
+
   /** Brute-force top-1 in the SQ8-reconstructed space over the same
     * panel — what serving from the 4×-compressed index costs in recall
     * (the rp_brute measurement applied to [[embeddingQ8]]'s quantizer;
@@ -5416,6 +5465,7 @@ object Pipeline {
     "ann_lsh_multi"     -> annLshMulti _,
     "ann_recall"        -> annRecall _,
     "embedding_neardup_lsh" -> embeddingNeardupLsh _,
+    "embedding_neardup_recall" -> embeddingNeardupRecall _,
     "frame_sample"      -> frameSampleQ _,
     "simhash_neardup"   -> simhashNeardup _,
     "ann_ivf"           -> annIvf _,
@@ -8153,6 +8203,7 @@ object Pipeline {
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "ann_lsh_multi" -> annLshMultiOracle,
     "embedding_neardup_lsh" -> embeddingNeardupLshOracle,
+    "embedding_neardup_recall" -> embeddingNeardupRecallOracle,
     "knn_label_acc" ->
       s"""$vecsCte,
          |lb AS (
@@ -8493,4 +8544,32 @@ object Pipeline {
        |  WHERE c.vec_id < c.nn_id)
        |SELECT id_a, id_b, cosine FROM pp
        |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  /** embedding_neardup_recall oracle: panel truth pairs at the lowest
+    * τ once, then the 3-row τ dimension re-filters them. */
+  private def embeddingNeardupRecallOracle: String =
+    s"""$annCandCtes,
+       |pan AS (
+       |  SELECT vec_id FROM n
+       |  ORDER BY vec_id * 2654435761 % $P, vec_id
+       |  LIMIT $RecallQueries),
+       |tr AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+       |    $cosDuck AS cosine
+       |  FROM n a JOIN pan USING (vec_id), n b
+       |  WHERE a.vec_id <> b.vec_id
+       |    AND $cosDuck >= ${NeardupTauPcts.min} / 100.0),
+       |j AS (
+       |  SELECT tr.cosine,
+       |    CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM tr LEFT JOIN cand c
+       |    ON tr.vec_id = c.vec_id AND tr.nn_id = c.nn_id),
+       |taus AS (SELECT unnest([${NeardupTauPcts.mkString(", ")}])
+       |  AS tau_pct)
+       |SELECT taus.tau_pct, count(j.cosine) AS n_true,
+       |  CAST(coalesce(sum(j.hit), 0) AS BIGINT) AS n_caught,
+       |  round(coalesce(sum(j.hit), 0)
+       |    / CAST(greatest(count(j.cosine), 1) AS DOUBLE), 4) AS recall
+       |FROM taus LEFT JOIN j ON j.cosine >= taus.tau_pct / 100.0
+       |GROUP BY taus.tau_pct ORDER BY taus.tau_pct""".stripMargin
 }

@@ -119,6 +119,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // panel broadcasts against the corpus, then the 128-row truth
       // carries the broadcast into the corpus-sized label joins
       "knn_label_acc",
+      // embedding_neardup_recall: the same 128-query panel truth
+      // probe plus the 3-row τ-ladder dimension broadcast
+      "embedding_neardup_recall",
       // embedding_q8 / embedding_pq: the 16-vector panel pair join
       // (120 pairs at any corpus size) plus broadcast quantizer state
       // (single-row [lo, hi] grid / the 128-row codebook)
