@@ -4924,6 +4924,44 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** H.264 Annex B stream walk + REAL SPS parse
+    * (operators/H264): per doc a baseline-profile elementary stream —
+    * SPS (Exp-Golomb frame-size fields with 4:2:0 cropping for
+    * non-multiple-of-16 dims), PPS, one IDR and a text-derived count
+    * of non-IDR slices — and the parser start-code-walks the NAL
+    * units, strips emulation-prevention bytes and Exp-Golomb-decodes
+    * the SPS down to the cropped dimensions. ASCII payload bytes are
+    * never 0x00, so no false start codes arise and the oracle
+    * predicts every fact arithmetically. Pixel reconstruction
+    * (CAVLC/CABAC) stays out of scope — the WebP/MP4 honesty level.
+    * Pure map pass, zero shuffle. */
+  private def multimodalDecodeH264(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val H = graft.operators.H264
+        val bl = t.length
+        val b = asciiBytes(id, t)
+        val w = 2 * (1 + bl % 32)
+        val h = 2 * (1 + (bl / 64) % 32)
+        val nVcl = 1 + bl % 7
+        val stream = H.buildNal(3, 7, H.buildSps(w, h)) ++
+          H.buildNal(3, 8, H.buildPps()) ++
+          (0 until nVcl).toArray.flatMap { i =>
+            val payload = Array.tabulate(8)(j => b((i * 13 + j) % bl))
+            H.buildNal(if (i == 0) 3 else 2, if (i == 0) 5 else 1,
+              payload)
+          }
+        val f = H.parse(stream)
+        (id, f.width, f.height, f.nNals, f.nIdr, f.nVcl)
+      }
+      .toDF("media_id", "decoded_w", "decoded_h", "n_nals", "n_idr",
+        "n_vcl")
+      .orderBy("media_id")
+  }
+
   /** Content sniffing over every container this library encodes: each
     * document encodes into one of ten REAL containers by id rotation —
     * plus one deliberately MISLABELED class (raw text declared as
@@ -5387,6 +5425,7 @@ object Pipeline {
     "multimodal_decode_mp3" -> multimodalDecodeMp3 _,
     "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
     "multimodal_decode_mp2" -> multimodalDecodeMp2 _,
+    "multimodal_decode_h264" -> multimodalDecodeH264 _,
     "content_sniff" -> contentSniff _,
     "cdc_chunks"        -> cdcChunks _,
     "cdc_dedup"         -> cdcDedup _,
@@ -6852,6 +6891,19 @@ object Pipeline {
         |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
         |  act.n_active, agg.sum_codes, agg.amp_micro
         |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
+        |ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_h264" -> {
+      // dims are the fixture's even targets (SPS cropping recovers
+      // them exactly); NAL counts from the text-driven slice schedule
+      """SELECT doc_id AS media_id,
+        |  CAST(2 * (1 + length(text) % 32) AS INT) AS decoded_w,
+        |  CAST(2 * (1 + (length(text) // 64) % 32) AS INT) AS decoded_h,
+        |  CAST(3 + length(text) % 7 AS INT) AS n_nals,
+        |  CAST(1 AS INT) AS n_idr,
+        |  CAST(1 + length(text) % 7 AS INT) AS n_vcl
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin
     },
     "multimodal_decode_mp2" -> {
