@@ -85,7 +85,7 @@ object Analytics {
   }
 
   private[graft] def outlierThresholds(s: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = ScanCache.get(s, s"outlier-thresholds:$dir") {
     val h = valueHist(s, dir)
     val zStats = h.groupBy("event_type").agg(
       sum("cnt").as("n"), sum(expr("value_c * cnt")).as("sv"),

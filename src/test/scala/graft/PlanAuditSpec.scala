@@ -314,13 +314,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scan; the only exchange allowed is the presentation sort's range
     // partitioning — a join or hash shuffle here means the decode path
     // stopped being embarrassingly parallel
-    for (n <- Seq("video_frame_sample", "html_extract", "audio_resample",
+    for (n <- Seq("html_extract", "audio_resample",
       "multimodal_decode_tiff_packbits", "multimodal_decode_webp",
       "span_corrupt", "fim_transform", "url_surt")) {
       val p = plan(n)
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
         !l.contains("Exchange rangepartitioning"))
       assert(bad == 0, s"unexpected shuffle in $n:\n$p")
+      assert(!p.contains("Join"), s"$n joined something")
+    }
+  }
+
+  test("heavy codec passes spread the scan once, then stay map-only") {
+    // the driver parquet is a single row group → one input split; the
+    // per-row JPEG encode/decode chains (the three most CPU-expensive
+    // fixtures) pay ONE doc_id hash exchange of the tiny text table to
+    // parallelize, then must remain join-free map passes
+    for (n <- Seq("video_frame_sample", "multimodal_decode_jpeg_pixels",
+      "multimodal_decode_jpeg_progressive")) {
+      val p = plan(n)
+      val hashed = p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Exchange rangepartitioning"))
+      assert(hashed == 1, s"$n should spread exactly once:\n$p")
       assert(!p.contains("Join"), s"$n joined something")
     }
   }
