@@ -5124,8 +5124,13 @@ object Pipeline {
     * never shuffled. */
   private def warcParseFiles(s: SparkSession, dir: String): DataFrame = {
     val files = warcFixtureDir(s, dir)
+    // binaryFile packs all the small archives into one input split
+    // (size-based packing); spread by path so the gunzip+md5 walk
+    // parallelizes — on a real crawl the archives are ≥ 1 GB each and
+    // arrive one-per-split, making this a no-op cost
     parseWarcFileRows(
-      s.read.format("binaryFile").load(s"$files/*.warc.gz"))
+      s.read.format("binaryFile").load(s"$files/*.warc.gz")
+        .repartition(col("path")))
       .orderBy("doc_id")
   }
 
