@@ -380,6 +380,10 @@ object Analytics {
     }
     def signs(df: DataFrame, key: String): DataFrame =
       df.selectExpr(key)
+        // spread the single-row-group scan before the 48-counter sign
+        // fold (~29M modular CASE evaluations on lineitem — otherwise
+        // one task); the shuffle moves bare 8-byte keys only
+        .repartition(col(key))
         .selectExpr((0 until AmsN).map(i => signExpr(key, i)): _*)
     val za = signs(Tables.lineitem(s, dir), "l_orderkey")
     val zb = signs(Tables.orders(s, dir), "o_orderkey")
