@@ -5115,6 +5115,65 @@ object Pipeline {
     root.getAbsolutePath
   }
 
+  /** WebDataset-style tar shards (operators/Tar): 8 documents per
+    * shard, each sample a basename-keyed file group — `{id}.txt` (the
+    * text), `{id}.cls` (the label) and `{id}.json` (metadata) as
+    * adjacent ustar entries; every 11th document OMITS its `.cls`
+    * (the incomplete sample a loader must drop). The parse walk
+    * verifies every header checksum and emits per-entry facts the
+    * oracle predicts entirely from `documents` — names, octal-coded
+    * sizes, payload md5s and entry positions (which SHIFT at each
+    * missing file, so a walk bug flips rows corpus-wide).
+    *
+    * 100 TB shape: the build side pays the one shard-keyed shuffle
+    * archive assembly inherently needs; the parse side is a flatMap
+    * over shard rows — in production the shards are the INPUT (the
+    * warc_parse_files pattern applies verbatim). */
+  private def tarShardEntries(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val files = Seq(
+          Some(s"$id.txt" -> t.getBytes("UTF-8")),
+          if (id % 11 == 10) None
+          else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
+          Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        ).flatten
+        (id / 8, id,
+          files.map { case (n, d) => graft.operators.Tar.buildEntry(n, d) })
+      }
+      .groupByKey(_._1)
+      .flatMapGroups {
+        (sid: Long, it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
+          val entries = it.toSeq.sortBy(_._2).flatMap(_._3)
+          graft.operators.Tar.parse(
+              graft.operators.Tar.buildArchive(entries))
+            .zipWithIndex.map { case (e, i) =>
+              (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
+                e.name, e.size, e.md5)
+            }
+      }
+      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
+  }
+
+  private def tarParse(s: SparkSession, dir: String): DataFrame =
+    tarShardEntries(s, dir).orderBy("doc_id", "name")
+
+  /** WebDataset SAMPLE assembly over the parsed shard entries: group
+    * by the basename key, count modalities and bytes, and emit the
+    * completeness verdict (the drop-incomplete gate every WebDataset
+    * loader runs). One map-combinable aggregate on the sample key. */
+  private def webdatasetPairs(s: SparkSession, dir: String): DataFrame =
+    tarShardEntries(s, dir)
+      .withColumn("ext", expr("substring_index(name, '.', -1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_files"), sum("size").as("total_bytes"),
+        max(when(col("ext") === "cls", 1L).otherwise(0L)).as("has_cls"))
+      .selectExpr("doc_id", "n_files", "total_bytes",
+        "n_files = 3 AS complete")
+      .orderBy("doc_id")
+
   /** The PRODUCTION WARC input path, end-to-end: real `.warc.gz` files
     * on disk → `spark.read.format("binaryFile")` → [[operators.Warc
     * .parseArchive]] flatMap. Identical output contract (and oracle) to
@@ -5487,6 +5546,8 @@ object Pipeline {
     "warc_parse"        -> warcParsePlain _,
     "warc_parse_gzip"   -> warcParseGzip _,
     "warc_parse_files"  -> warcParseFiles _,
+    "tar_parse"         -> tarParse _,
+    "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
     "unigram_vocab"     -> unigramVocab _,
     "unigram_encode"    -> unigramEncode _,
@@ -7023,6 +7084,44 @@ object Pipeline {
         |  strlen(text) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "tar_parse" -> {
+      // names/sizes/md5s predicted per file class; positions are the
+      // shard-local rank over EXISTING files (they shift at every
+      // omitted .cls, so the walk order is fully pinned)
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (
+        |  SELECT doc_id, doc_id || '.txt' AS name,
+        |    strlen(text) AS size, md5(text) AS md5, 0 AS rk FROM d
+        |  UNION ALL
+        |  SELECT doc_id, doc_id || '.cls', 6,
+        |    md5('label' || (doc_id % 10)), 1 FROM d
+        |  WHERE doc_id % 11 <> 10
+        |  UNION ALL
+        |  SELECT doc_id, doc_id || '.json',
+        |    length('{"id":' || doc_id || '}'),
+        |    md5('{"id":' || doc_id || '}'), 2 FROM d)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  row_number() OVER (PARTITION BY doc_id // 8
+        |    ORDER BY doc_id, rk) - 1 AS pos,
+        |  name, CAST(size AS BIGINT) AS size, md5
+        |FROM e ORDER BY doc_id, name""".stripMargin
+    },
+    "webdataset_pairs" -> {
+      // completeness = the .cls file exists; byte totals fold the
+      // three file classes
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 11 = 10 THEN 2 ELSE 3 END AS BIGINT)
+        |    AS n_files,
+        |  CAST(strlen(text) + length('{"id":' || doc_id || '}')
+        |    + CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 6 END AS BIGINT)
+        |    AS total_bytes,
+        |  doc_id % 11 <> 10 AS complete
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin
     },
     "warc_parse_files" -> {
       // identical facts again — real .warc.gz FILES through the

@@ -1,0 +1,115 @@
+package graft.operators
+
+/** POSIX ustar tar archives (IEEE 1003.1) — the container behind
+  * WebDataset-style training shards: samples live as adjacent files
+  * sharing a basename key inside plain tar archives, streamed
+  * sequentially at training time. Pure-JVM build + parse: the
+  * 512-byte header block (name, octal size, checksum over the header
+  * with the checksum field blanked, typeflag, ustar magic), content
+  * blocks padded to 512, and the two-zero-block terminator. The
+  * checksum is VERIFIED on parse — a corrupted header ends the walk
+  * instead of inventing entries (the Warc malformed-input rule).
+  *
+  * No reference analogue (north-star ingestion surface); the layout
+  * is the public POSIX spec. */
+object Tar {
+
+  final val Block = 512
+
+  /** Parsed facts of one entry: name, size, content md5, and the
+    * offset of its data (for consumers that want the payload). */
+  final case class TarEntry(name: String, size: Long, md5: String,
+      dataOff: Int)
+
+  private def md5hex(b: Array[Byte], off: Int, len: Int): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(b, off, len)
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  /** One ustar entry: header block + data padded to a block
+    * multiple. */
+  def buildEntry(name: String, data: Array[Byte]): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"name too long: $name")
+    val hdr = new Array[Byte](Block)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, hdr, off, b.length)
+    }
+    put(0, name)                                  // name[100]
+    put(100, "0000644\u0000")                     // mode[8]
+    put(108, "0000000\u0000")                     // uid[8]
+    put(116, "0000000\u0000")                     // gid[8]
+    put(124, f"${data.length}%011o\u0000")        // size[12], octal
+    put(136, "00000000000\u0000")                 // mtime[12]
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum: spaces
+    hdr(156) = '0'                                // typeflag: regular
+    put(257, "ustar\u000000")                     // magic + version
+    val sum = hdr.map(_ & 0xff).sum
+    put(148, f"$sum%06o\u0000 ")                  // chksum[8]
+    val padded = (data.length + Block - 1) / Block * Block
+    val out = new Array[Byte](Block + padded)
+    System.arraycopy(hdr, 0, out, 0, Block)
+    System.arraycopy(data, 0, out, Block, data.length)
+    out
+  }
+
+  /** Entries + the two-zero-block terminator. */
+  def buildArchive(entries: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach(out.write)
+    out.write(new Array[Byte](2 * Block))
+    out.toByteArray
+  }
+
+  private def cString(b: Array[Byte], off: Int, max: Int): String = {
+    var end = off
+    while (end < off + max && b(end) != 0) end += 1
+    new String(b, off, end - off, "UTF-8")
+  }
+
+  private def octal(b: Array[Byte], off: Int, max: Int): Long = {
+    var v = 0L
+    var i = off
+    var seen = false
+    while (i < off + max) {
+      val c = b(i) & 0xff
+      if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+      else if (seen || (c != ' ' && c != 0)) i = off + max // stop
+      i += 1
+    }
+    if (seen) v else -1L
+  }
+
+  /** Walk an archive: verify each header checksum, read the octal
+    * size, emit entry facts; the walk ends at the zero terminator, a
+    * failed checksum, a bad magic, or truncation. */
+  def parse(data: Array[Byte]): Seq[TarEntry] = {
+    val out = Seq.newBuilder[TarEntry]
+    var p = 0
+    var ok = true
+    while (ok && p + Block <= data.length) {
+      if (data.slice(p, p + Block).forall(_ == 0)) ok = false // terminator
+      else {
+        val magic = cString(data, p + 257, 6)
+        val stored = octal(data, p + 148, 8)
+        var sum = 0L
+        var i = 0
+        while (i < Block) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+            else data(p + i) & 0xff)
+          i += 1
+        }
+        val size = octal(data, p + 124, 12)
+        if (magic != "ustar" || stored != sum || size < 0 ||
+          p + Block + size > data.length) ok = false
+        else {
+          out += TarEntry(cString(data, p, 100), size,
+            md5hex(data, p + Block, size.toInt), p + Block)
+          p += Block + ((size + Block - 1) / Block * Block).toInt
+        }
+      }
+    }
+    out.result()
+  }
+}
