@@ -166,6 +166,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q34 prunes the hive-partitioned layout to one type directory") {
+    // the one-type predicate must land in PartitionFilters (directory
+    // pruning — no I/O on the other four types), not merely
+    // PushedFilters (row-group pruning after the read)
+    val p = plan("q34_partition_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"event_type predicate missing from PartitionFilters:\n$p")
+    assert(!pf.contains("PartitionFilters: []"),
+      s"empty PartitionFilters — the layout is not pruning:\n$p")
+  }
+
   test("warc_parse_files reads real archive FILES via the binaryFile source") {
     // the production WARC input shape: the scan is a binaryFile file
     // scan (one task per archive file), not a parquet-derived fixture
