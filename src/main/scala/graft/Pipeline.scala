@@ -5160,6 +5160,39 @@ object Pipeline {
   private def tarParse(s: SparkSession, dir: String): DataFrame =
     tarShardEntries(s, dir).orderBy("doc_id", "name")
 
+  /** ZIP archive walk (operators/Zip): 8-document archives, each doc
+    * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
+    * must locate the end-of-central-directory record, walk the
+    * central directory, inflate the deflated payloads and verify
+    * every CRC-32. Facts are compressor-independent (method, true
+    * size, md5 of the INFLATED content), so the oracle predicts them
+    * from `documents` even though the deflated byte stream itself is
+    * Deflater-version-specific. Same shuffle shape as tar_parse. */
+  private def zipParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val meta = s"""{"id":$id,"n":${t.length}}"""
+        (id / 8, id, Seq(
+          (s"$id.txt", t.getBytes("UTF-8"), false),
+          (s"$id.meta", meta.getBytes("UTF-8"), true)))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Seq[(String, Array[Byte], Boolean)])]) =>
+        val files = it.toSeq.sortBy(_._2).flatMap(_._3)
+        graft.operators.Zip.parse(
+            graft.operators.Zip.buildArchive(files))
+          .map { e =>
+            (e.name.takeWhile(_ != '.').toLong, sid, e.name,
+              e.method, e.size, e.md5)
+          }
+      }
+      .toDF("doc_id", "shard_id", "name", "method", "size", "md5")
+      .orderBy("doc_id", "name")
+  }
+
   /** WebDataset SAMPLE assembly over the parsed shard entries: group
     * by the basename key, count modalities and bytes, and emit the
     * completeness verdict (the drop-incomplete gate every WebDataset
@@ -5547,6 +5580,7 @@ object Pipeline {
     "warc_parse_gzip"   -> warcParseGzip _,
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
+    "zip_parse"         -> zipParse _,
     "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
     "unigram_vocab"     -> unigramVocab _,
@@ -7107,6 +7141,26 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY doc_id // 8
         |    ORDER BY doc_id, rk) - 1 AS pos,
         |  name, CAST(size AS BIGINT) AS size, md5
+        |FROM e ORDER BY doc_id, name""".stripMargin
+    },
+    "zip_parse" -> {
+      // compressor-independent facts: method, true size, md5 of the
+      // INFLATED content (the deflated byte stream is Deflater-
+      // specific; the CRC verify happens engine-side)
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (
+        |  SELECT doc_id, doc_id || '.txt' AS name, 0 AS method,
+        |    strlen(text) AS size, md5(text) AS md5 FROM d
+        |  UNION ALL
+        |  SELECT doc_id, doc_id || '.meta', 8, length(j), md5(j)
+        |  FROM (SELECT doc_id,
+        |    '{"id":' || doc_id || ',"n":' || strlen(text) || '}' AS j
+        |    FROM d))
+        |SELECT doc_id, doc_id // 8 AS shard_id, name,
+        |  CAST(method AS INT) AS method, CAST(size AS BIGINT) AS size,
+        |  md5
         |FROM e ORDER BY doc_id, name""".stripMargin
     },
     "webdataset_pairs" -> {
