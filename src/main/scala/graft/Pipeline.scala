@@ -5207,6 +5207,111 @@ object Pipeline {
         "n_files = 3 AS complete")
       .orderBy("doc_id")
 
+  /** Signature-keyed once-per-corpus fixture directory under the JVM
+    * temp dir (the warcFixtureDir pattern, generalized for the
+    * CSV/JSONL/ORC source fixtures): `build` runs once per corpus
+    * identity; the marker makes it idempotent; the key folds the
+    * source table's recursive (length + mtime) signature so a
+    * driver-side testdata regeneration invalidates the fixture. */
+  private def formatFixtureDir(dir: String, tag: String, table: String)(
+      build: String => Unit): String = {
+    def sig(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sig).sum
+      else f.length() + f.lastModified()
+    val ident = s"$dir:${sig(new java.io.File(s"$dir/$table.parquet"))}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$key")
+    val marker = new java.io.File(root, "_GRAFT_READY")
+    if (!marker.exists()) Pipeline.synchronized {
+      if (!marker.exists()) {
+        build(root.getAbsolutePath)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    root.getAbsolutePath
+  }
+
+  /** CSV ingest with PERMISSIVE malformed-row handling — the messy-
+    * delivery reality of ad-hoc corpora: every 13th row carries a
+    * non-numeric n_chars (a type violation the schema rejects), and
+    * the reader must route it to the corrupt-record column instead of
+    * failing the job or silently nulling. Facts: row/corrupt/good
+    * counts and the good-row n_chars sum; the oracle predicts all
+    * four from `documents`. The fixture writes REAL .csv text files
+    * through Spark's text writer (executor-side). */
+  private def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val p = formatFixtureDir(dir, "csv", "documents") { root =>
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)]
+        .map { case (id, lang, n) =>
+          if (id % 13 == 0) s"$id,$lang,NOTANUMBER" else s"$id,$lang,$n"
+        }
+        .write.mode("overwrite").text(root)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(p)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L))
+          .as("sum_chars"))
+  }
+
+  /** JSONL ingest with schema-on-read — the interchange format most
+    * corpora actually arrive in: every 7th row omits the `lang` field
+    * (schema evolution in the wild), and the explicit-schema read
+    * must surface it as a null, not an error. The fixture writes REAL
+    * .jsonl text files; the oracle predicts the counts and the
+    * per-language sums from `documents`. */
+  private def jsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val p = formatFixtureDir(dir, "jsonl", "documents") { root =>
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)]
+        .map { case (id, lang, n) =>
+          if (id % 7 == 0) s"""{"doc_id":$id,"n_chars":$n}"""
+          else s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
+        }
+        .write.mode("overwrite").text(root)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, lang STRING, n_chars LONG")
+    s.read.schema(schema).json(p)
+      .groupBy(coalesce(col("lang"), lit("<missing>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** ORC round trip — the OTHER columnar warehouse format Spark ships
+    * natively: documents (minus text) write once as ORC, and a
+    * filtered aggregate reads back through the ORC scan, whose
+    * predicate pushdown the plan audit pins (PushedFilters reach the
+    * ORC reader exactly as they do parquet). Oracle answers off the
+    * parquet table — format transparency proven by value equality. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = formatFixtureDir(dir, "orc", "documents") { root =>
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(root)
+    }
+    s.read.orc(p)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** The PRODUCTION WARC input path, end-to-end: real `.warc.gz` files
     * on disk → `spark.read.format("binaryFile")` → [[operators.Warc
     * .parseArchive]] flatMap. Identical output contract (and oracle) to
@@ -5581,6 +5686,9 @@ object Pipeline {
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
     "zip_parse"         -> zipParse _,
+    "csv_ingest"        -> csvIngest _,
+    "jsonl_ingest"      -> jsonlIngest _,
+    "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
     "unigram_vocab"     -> unigramVocab _,
@@ -7142,6 +7250,34 @@ object Pipeline {
         |    ORDER BY doc_id, rk) - 1 AS pos,
         |  name, CAST(size AS BIGINT) AS size, md5
         |FROM e ORDER BY doc_id, name""".stripMargin
+    },
+    "csv_ingest" -> {
+      // every 13th row's n_chars is the type-violating token → routed
+      // to the corrupt-record column, excluded from the good sums
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin
+    },
+    "jsonl_ingest" -> {
+      // every 7th row omits lang → the schema-on-read null bucket
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '<missing>' ELSE lang END
+        |    AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    "orc_roundtrip" -> {
+      // format transparency: the ORC-side answer must equal the flat
+      // parquet answer
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin
     },
     "zip_parse" -> {
       // compressor-independent facts: method, true size, md5 of the

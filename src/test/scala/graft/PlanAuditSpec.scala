@@ -178,6 +178,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"empty PartitionFilters — the layout is not pruning:\n$p")
   }
 
+  test("orc_roundtrip pushes its predicate into the ORC scan") {
+    val scans = plan("orc_roundtrip").linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("PushedFilters: [") &&
+        !l.contains("PushedFilters: []") && l.contains("lang")),
+      s"lang predicate did not reach the ORC reader")
+  }
+
   test("warc_parse_files reads real archive FILES via the binaryFile source") {
     // the production WARC input shape: the scan is a binaryFile file
     // scan (one task per archive file), not a parquet-derived fixture
