@@ -5160,6 +5160,98 @@ object Pipeline {
   private def tarParse(s: SparkSession, dir: String): DataFrame =
     tarShardEntries(s, dir).orderBy("doc_id", "name")
 
+  /** The WebDataset deployment shape made real: the same 8-document
+    * tar shards as [[tarShardEntries]], materialized as `.tar` FILES
+    * (executor-written, signature-keyed) and read back through
+    * `binaryFile` → the checksum-verifying parse flatMap. Identical
+    * oracle to tar_parse — the file layer must be transparent. Spread
+    * by path (binaryFile packs small files into one split; real
+    * WebDataset shards are ~1 GB and split-sized). */
+  private def tarParseFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "tarshard", "documents") { out =>
+      asciiDocs(s, dir)
+        .map { case (id, t) =>
+          val files = Seq(
+            Some(s"$id.txt" -> t.getBytes("UTF-8")),
+            if (id % 11 == 10) None
+            else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
+            Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+          ).flatten
+          (id / 8, id,
+            files.map { case (n, d) =>
+              graft.operators.Tar.buildEntry(n, d) })
+        }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
+          val arch = graft.operators.Tar.buildArchive(
+            it.toSeq.sortBy(_._2).flatMap(_._3))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.tar"), arch)
+          sid
+        }
+        .count(): Unit
+    }
+    parseTarFileRows(
+      s.read.format("binaryFile").load(s"$root/*.tar")
+        .repartition(col("path")))
+      .orderBy("doc_id", "name")
+  }
+
+  /** tar_parse / tar_parse_files shared oracle: names/sizes/md5s
+    * predicted per file class; positions are the shard-local rank
+    * over EXISTING files (they shift at every omitted .cls, so the
+    * walk order is fully pinned). */
+  private def tarParseOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |e AS (
+      |  SELECT doc_id, doc_id || '.txt' AS name,
+      |    strlen(text) AS size, md5(text) AS md5, 0 AS rk FROM d
+      |  UNION ALL
+      |  SELECT doc_id, doc_id || '.cls', 6,
+      |    md5('label' || (doc_id % 10)), 1 FROM d
+      |  WHERE doc_id % 11 <> 10
+      |  UNION ALL
+      |  SELECT doc_id, doc_id || '.json',
+      |    length('{"id":' || doc_id || '}'),
+      |    md5('{"id":' || doc_id || '}'), 2 FROM d)
+      |SELECT doc_id, doc_id // 8 AS shard_id,
+      |  row_number() OVER (PARTITION BY doc_id // 8
+      |    ORDER BY doc_id, rk) - 1 AS pos,
+      |  name, CAST(size AS BIGINT) AS size, md5
+      |FROM e ORDER BY doc_id, name""".stripMargin
+
+  /** Test access (TarFileStreamSpec): the shard-file fixture root the
+    * batch query materializes — building it if absent. */
+  private[graft] def tarFixtureRoot(s: SparkSession, dir: String): String = {
+    tarParseFiles(s, dir) // constructing the query builds the fixture
+    formatFixtureDir(dir, "tarshard", "documents")(_ => ())
+  }
+
+  /** The shard-file parse stage shared by the batch query and its
+    * file-streaming twin (TarFileStreamSpec): (path, content) binary
+    * rows → per-entry facts, one flatMap. */
+  private[graft] def parseTarFileRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val sid = name.stripPrefix("shard-").stripSuffix(".tar").toLong
+        graft.operators.Tar.parse(bytes).zipWithIndex.map {
+          case (e, i) =>
+            (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
+              e.name, e.size, e.md5)
+        }
+      }
+      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
+  }
+
   /** ZIP archive walk (operators/Zip): 8-document archives, each doc
     * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
     * must locate the end-of-central-directory record, walk the
@@ -5226,6 +5318,7 @@ object Pipeline {
     val marker = new java.io.File(root, "_GRAFT_READY")
     if (!marker.exists()) Pipeline.synchronized {
       if (!marker.exists()) {
+        root.mkdirs()
         build(root.getAbsolutePath)
         java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       }
@@ -5685,6 +5778,7 @@ object Pipeline {
     "warc_parse_gzip"   -> warcParseGzip _,
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
+    "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
     "csv_ingest"        -> csvIngest _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -7227,30 +7321,10 @@ object Pipeline {
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin
     },
-    "tar_parse" -> {
-      // names/sizes/md5s predicted per file class; positions are the
-      // shard-local rank over EXISTING files (they shift at every
-      // omitted .cls, so the walk order is fully pinned)
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (
-        |  SELECT doc_id, doc_id || '.txt' AS name,
-        |    strlen(text) AS size, md5(text) AS md5, 0 AS rk FROM d
-        |  UNION ALL
-        |  SELECT doc_id, doc_id || '.cls', 6,
-        |    md5('label' || (doc_id % 10)), 1 FROM d
-        |  WHERE doc_id % 11 <> 10
-        |  UNION ALL
-        |  SELECT doc_id, doc_id || '.json',
-        |    length('{"id":' || doc_id || '}'),
-        |    md5('{"id":' || doc_id || '}'), 2 FROM d)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  row_number() OVER (PARTITION BY doc_id // 8
-        |    ORDER BY doc_id, rk) - 1 AS pos,
-        |  name, CAST(size AS BIGINT) AS size, md5
-        |FROM e ORDER BY doc_id, name""".stripMargin
-    },
+    "tar_parse" -> tarParseOracleSql,
+    // the file layer must be transparent: identical facts through
+    // real .tar shard files + the binaryFile scan
+    "tar_parse_files" -> tarParseOracleSql,
     "csv_ingest" -> {
       // every 13th row's n_chars is the type-violating token → routed
       // to the corrupt-record column, excluded from the good sums
