@@ -1154,7 +1154,11 @@ object Pipeline {
     *                 retrained)
     * One row per stage: docs in/out and surviving token volume — the
     * readout every corpus curation meeting starts from. */
-  private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The four funnel stages (docs → exact → boilerplate → short →
+    * quality), shared by [[dedupFunnel]]'s stage stats and the
+    * [[webdatasetExport]] composition. */
+  private def funnelStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
     val docs = registered(s, dir).selectExpr("doc_id", "text",
@@ -1193,6 +1197,11 @@ object Pipeline {
       .filter(expr("sllr + prior_fp > 0"))
       .select("doc_id")
     val keep4 = keep3.join(scored, "doc_id")
+    (docs, keep1, keep2, keep3, keep4)
+  }
+
+  private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val (docs, keep1, keep2, keep3, keep4) = funnelStages(s, dir)
     def stat(name: String, in: DataFrame, out: DataFrame): DataFrame =
       in.agg(count(lit(1)).as("docs_in")).crossJoin(
         out.agg(count(lit(1)).as("docs_out"),
@@ -1204,6 +1213,49 @@ object Pipeline {
       .unionAll(stat("3_short", keep2, keep3))
       .unionAll(stat("4_quality", keep3, keep4))
       .orderBy("stage")
+  }
+
+  /** THE EXPORT COMPOSITION — curated corpus to training shards as
+    * one query: the four-stage funnel's survivors shard by id range
+    * (doc_id div 64 — writer-local assignment, no global rank; real
+    * exporters shard per writer partition the same way), each sample
+    * becomes the `{id}.txt` + `{id}.cls` WebDataset pair inside a
+    * real ustar archive, and the emitted facts come from PARSING the
+    * archive back (checksum-verified walk) — so a funnel bug, a
+    * framing bug, or a walk-order bug each flips the per-shard md5
+    * chain the oracle replays analytically.
+    *
+    * Shape: the funnel's shuffles + ONE shard-keyed assembly shuffle;
+    * survivors are ScanCached (dedup_funnel branches off the same
+    * chain). */
+  private def webdatasetExport(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val survivors = ScanCache.get(s, s"funnel-survivors:$dir") {
+      funnelStages(s, dir)._5 }
+    survivors.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        (id / 64, id,
+          graft.operators.Tar.buildEntry(s"$id.txt", t.getBytes("UTF-8")),
+          graft.operators.Tar.buildEntry(s"$id.cls",
+            s"label${id % 10}".getBytes("UTF-8")))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Byte], Array[Byte])]) =>
+        val samples = it.toSeq.sortBy(_._2)
+        val arch = graft.operators.Tar.buildArchive(
+          samples.flatMap(x => Seq(x._3, x._4)))
+        val entries = graft.operators.Tar.parse(arch)
+        val md5s = entries.map(_.md5).mkString(" ")
+        (sid, samples.length.toLong, entries.length.toLong,
+          entries.map(_.size).sum,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(md5s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+      .toDF("shard_id", "n_docs", "n_entries", "total_bytes",
+        "entries_md5")
+      .orderBy("shard_id")
   }
 
   /** Calibration curve of the NB quality classifier — the evaluation
@@ -5200,6 +5252,66 @@ object Pipeline {
       .orderBy("doc_id", "name")
   }
 
+  private def funnelCtesSql: String =
+    s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    ${charFoldDuck("text")} AS h1,
+        |    ${charFoldDuck("reverse(text)")} AS h2,
+        |    length(text) AS len
+        |  FROM documents),
+        |k1 AS MATERIALIZED (
+        |  SELECT doc_id, text, ntok FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY h1, h2, len) AS kp
+        |    FROM docs) WHERE doc_id = kp),
+        |l1 AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(
+        |    ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM k1) d,
+        |  LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
+        |f1 AS (SELECT line, count(DISTINCT doc_id) AS df
+        |       FROM l1 GROUP BY line),
+        |k2 AS MATERIALIZED (
+        |  SELECT k1.doc_id, k1.text, k1.ntok FROM k1 JOIN (
+        |    SELECT l1.doc_id FROM l1 JOIN f1 USING (line)
+        |    GROUP BY l1.doc_id
+        |    HAVING CAST(sum(CASE WHEN f1.df < 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 2 >= count(*)) sv USING (doc_id)),
+        |k3 AS MATERIALIZED (SELECT * FROM k2 WHERE ntok >= 20),
+        |dq AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |       FROM documents),
+        |tq AS (SELECT doc_id, unnest(tk) AS w FROM dq),
+        |dr AS (SELECT doc_id,
+        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
+        |  FROM documents),
+        |cq AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN dr.ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN dr.ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tq JOIN dr USING (doc_id) GROUP BY w),
+        |tt AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab FROM cq),
+        |pq AS (
+        |  SELECT CAST(round(ln(
+        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
+        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
+        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp FROM dr),
+        |mq AS (
+        |  SELECT w,
+        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
+        |        / (tp + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
+        |        / (tn + CAST(vocab AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
+        |  FROM cq CROSS JOIN tt),
+        |pos AS MATERIALIZED (
+        |  SELECT tq.doc_id FROM tq JOIN mq ON tq.w = mq.w
+        |  CROSS JOIN pq GROUP BY tq.doc_id, pq.prior_fp
+        |  HAVING CAST(sum(mq.llr) AS BIGINT) + pq.prior_fp > 0),
+        |k4 AS (SELECT k3.* FROM k3 JOIN pos USING (doc_id))""".stripMargin
+
   /** tar_parse / tar_parse_files shared oracle: names/sizes/md5s
     * predicted per file class; positions are the shard-local rank
     * over EXISTING files (they shift at every omitted .cls, so the
@@ -5847,6 +5959,7 @@ object Pipeline {
     "quality_classifier" -> qualityClassifier _,
     "classifier_calibration" -> classifierCalibration _,
     "dedup_funnel"      -> dedupFunnel _,
+    "webdataset_export" -> webdatasetExport _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -7767,65 +7880,24 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "webdataset_export" ->
+      // the funnel survivors re-derived, then the per-shard facts:
+      // entries walk txt-then-cls per doc in ascending id order, so
+      // the md5 chain is string_agg over that exact order
+      s"""$funnelCtesSql,
+        |ex AS (
+        |  SELECT doc_id, strlen(text) AS tlen, md5(text) AS m1,
+        |    md5('label' || (doc_id % 10)) AS m2
+        |  FROM k4)
+        |SELECT doc_id // 64 AS shard_id,
+        |  count(*) AS n_docs,
+        |  CAST(2 * count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(tlen + 6) AS BIGINT) AS total_bytes,
+        |  md5(string_agg(m1 || ' ' || m2, ' ' ORDER BY doc_id))
+        |    AS entries_md5
+        |FROM ex GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "dedup_funnel" ->
-      s"""WITH docs AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-        |    ${charFoldDuck("text")} AS h1,
-        |    ${charFoldDuck("reverse(text)")} AS h2,
-        |    length(text) AS len
-        |  FROM documents),
-        |k1 AS MATERIALIZED (
-        |  SELECT doc_id, text, ntok FROM (
-        |    SELECT *, min(doc_id) OVER (PARTITION BY h1, h2, len) AS kp
-        |    FROM docs) WHERE doc_id = kp),
-        |l1 AS MATERIALIZED (
-        |  SELECT doc_id, array_to_string(
-        |    ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM k1) d,
-        |  LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
-        |f1 AS (SELECT line, count(DISTINCT doc_id) AS df
-        |       FROM l1 GROUP BY line),
-        |k2 AS MATERIALIZED (
-        |  SELECT k1.doc_id, k1.text, k1.ntok FROM k1 JOIN (
-        |    SELECT l1.doc_id FROM l1 JOIN f1 USING (line)
-        |    GROUP BY l1.doc_id
-        |    HAVING CAST(sum(CASE WHEN f1.df < 3 THEN 1 ELSE 0 END)
-        |      AS BIGINT) * 2 >= count(*)) sv USING (doc_id)),
-        |k3 AS MATERIALIZED (SELECT * FROM k2 WHERE ntok >= 20),
-        |dq AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |       FROM documents),
-        |tq AS (SELECT doc_id, unnest(tk) AS w FROM dq),
-        |dr AS (SELECT doc_id,
-        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
-        |  FROM documents),
-        |cq AS (
-        |  SELECT w,
-        |    CAST(sum(CASE WHEN dr.ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-        |    CAST(sum(CASE WHEN dr.ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
-        |  FROM tq JOIN dr USING (doc_id) GROUP BY w),
-        |tt AS (
-        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
-        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab FROM cq),
-        |pq AS (
-        |  SELECT CAST(round(ln(
-        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
-        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
-        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp FROM dr),
-        |mq AS (
-        |  SELECT w,
-        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
-        |        / (tp + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
-        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
-        |        / (tn + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
-        |  FROM cq CROSS JOIN tt),
-        |pos AS MATERIALIZED (
-        |  SELECT tq.doc_id FROM tq JOIN mq ON tq.w = mq.w
-        |  CROSS JOIN pq GROUP BY tq.doc_id, pq.prior_fp
-        |  HAVING CAST(sum(mq.llr) AS BIGINT) + pq.prior_fp > 0),
-        |k4 AS (SELECT k3.* FROM k3 JOIN pos USING (doc_id))
+      s"""$funnelCtesSql
         |SELECT '1_exact' AS stage,
         |  (SELECT count(*) FROM docs) AS docs_in,
         |  (SELECT count(*) FROM k1) AS docs_out,
