@@ -1080,7 +1080,12 @@ object Pipeline {
     val docs = Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS tk",
         "CAST(substring(source, 4) AS INT) % 4 = 0 AS ref")
-    val tok = docs.selectExpr("doc_id", "ref", "explode(tk) AS w")
+    // ScanCached per (session, dir): the token explode and the trained
+    // model serve four query families (quality gate, calibration, the
+    // funnel's stage 4, the frozen streaming gate) — r9 bench showed
+    // each re-deriving the corpus token counts
+    val tok = ScanCache.get(s, s"nb-tok:$dir") {
+      docs.selectExpr("doc_id", "ref", "explode(tk) AS w") }
     val cnt = tok.groupBy("w").agg(
       sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("cp"),
       sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("cn"))
@@ -1095,11 +1100,12 @@ object Pipeline {
       .selectExpr("CAST(round(ln((np + CAST(1 AS DOUBLE)) " +
         "/ (nn + CAST(1 AS DOUBLE))) " +
         "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp")
-    val model = cnt.crossJoin(broadcast(tot)).selectExpr("w",
-      "CAST(round(ln((cp + CAST(1 AS DOUBLE)) / (tp + CAST(vocab AS DOUBLE))) " +
-        "* CAST(1000000 AS DOUBLE)) AS BIGINT) " +
-        "- CAST(round(ln((cn + CAST(1 AS DOUBLE)) / (tn + CAST(vocab AS DOUBLE))) " +
-        "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr")
+    val model = ScanCache.get(s, s"nb-model:$dir") {
+      cnt.crossJoin(broadcast(tot)).selectExpr("w",
+        "CAST(round(ln((cp + CAST(1 AS DOUBLE)) / (tp + CAST(vocab AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+          "- CAST(round(ln((cn + CAST(1 AS DOUBLE)) / (tn + CAST(vocab AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr") }
     (tok, model, pri)
   }
 
@@ -1166,12 +1172,13 @@ object Pipeline {
       s"${charFold("text")} AS h1",
       s"${charFold("reverse(text)")} AS h2",
       "length(text) AS len")
-    // stage 1: exact
-    val keep1 = docs
+    // stage 1: exact (stages ScanCached: the funnel and the export
+    // composition branch off the same chain)
+    val keep1 = ScanCache.get(s, s"funnel-keep1:$dir") { docs
       .withColumn("keeper",
         min("doc_id").over(Window.partitionBy("h1", "h2", "len")))
       .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "ntok")
+      .select("doc_id", "text", "ntok") }
     // stage 2: boilerplate lines over SURVIVORS
     val lines1 = keep1.selectExpr("doc_id", "split(text, ' ') AS ws")
       .selectExpr("doc_id",
@@ -1180,13 +1187,14 @@ object Pipeline {
            |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
            |    ' '))) AS (line_no, line)""".stripMargin)
     val df1 = lines1.groupBy("line").agg(countDistinct("doc_id").as("df"))
-    val keep2 = lines1.join(df1, "line")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("nl"),
-        sum(when(col("df") < 3, 1L).otherwise(0L)).as("nk"))
-      .filter(col("nk") * 2 >= col("nl"))
-      .join(keep1, "doc_id")
-      .select("doc_id", "text", "ntok")
+    val keep2 = ScanCache.get(s, s"funnel-keep2:$dir") {
+      lines1.join(df1, "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nl"),
+          sum(when(col("df") < 3, 1L).otherwise(0L)).as("nk"))
+        .filter(col("nk") * 2 >= col("nl"))
+        .join(keep1, "doc_id")
+        .select("doc_id", "text", "ntok") }
     // stage 3: short-doc filter
     val keep3 = keep2.filter(col("ntok") >= 20)
     // stage 4: NB quality (full-corpus model scores the survivors)
@@ -1196,7 +1204,8 @@ object Pipeline {
       .crossJoin(broadcast(pri))
       .filter(expr("sllr + prior_fp > 0"))
       .select("doc_id")
-    val keep4 = keep3.join(scored, "doc_id")
+    val keep4 = ScanCache.get(s, s"funnel-survivors:$dir") {
+      keep3.join(scored, "doc_id") }
     (docs, keep1, keep2, keep3, keep4)
   }
 
@@ -1231,8 +1240,7 @@ object Pipeline {
   private def webdatasetExport(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val survivors = ScanCache.get(s, s"funnel-survivors:$dir") {
-      funnelStages(s, dir)._5 }
+    val survivors = funnelStages(s, dir)._5 // ScanCached inside
     survivors.select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
         (id / 64, id,

@@ -71,6 +71,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // docs_in/docs_out count aggregates (the data_quality shape),
       // plus the NB scalar broadcasts
       "dedup_funnel",
+      // webdataset_export: composes the funnel → inherits exactly its
+      // single-row NB prior broadcast; everything downstream is one
+      // shard-keyed groupByKey
+      "webdataset_export",
       "q25_funnel", "vocab_coverage", "pagerank", "bfs_hops",
       // lpa_modularity: the single-row edge-count aggregate broadcasts
       // into the community-dimension readout
