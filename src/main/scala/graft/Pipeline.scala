@@ -1160,6 +1160,42 @@ object Pipeline {
     *                 retrained)
     * One row per stage: docs in/out and surviving token volume — the
     * readout every corpus curation meeting starts from. */
+  /** Batch size for length-bucketed assembly. */
+  final val LenBatch = 16
+
+  /** Power-of-two CASE ladder shared verbatim by both engines —
+    * integer-exact (a float log2 flips at exact powers). */
+  private def pow2CaseSql(col: String): String =
+    (0 to 11).map(k => s"WHEN $col <= ${1 << k} THEN ${1 << k}")
+      .mkString("CASE ", " ", " ELSE 4096 END")
+
+  /** Length-bucketed batch assembly — the padding-efficiency step of
+    * a training loader (batches of similar-length sequences waste the
+    * least pad): documents bucket by next-power-of-two token count,
+    * batches of [[LenBatch]] assemble within (source, bucket) in
+    * (ntok, doc_id) order, and each batch reports its padded-token
+    * waste in exact ppm. Batches never cross sources — writer-local
+    * assembly, so the rank window partitions by (source, bucket) and
+    * parallelism scales with shards, never a corpus-wide rank. */
+  private def lengthBucketBatches(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source", "bucket").orderBy("ntok", "doc_id")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok")
+      .selectExpr("doc_id", "source", "ntok",
+        s"${pow2CaseSql("ntok")} AS bucket")
+      .withColumn("batch_id", ((row_number().over(w) - 1) /
+        LenBatch).cast("long"))
+      .groupBy("source", "bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("ntok").as("max_len"),
+        sum("ntok").as("sum_len"))
+      .selectExpr("source", "bucket", "batch_id", "n_docs", "max_len",
+        "sum_len",
+        "(n_docs * max_len - sum_len) * 1000000 div (n_docs * max_len) " +
+          "AS pad_ppm")
+      .orderBy("source", "bucket", "batch_id")
+  }
+
   /** The four funnel stages (docs → exact → boilerplate → short →
     * quality), shared by [[dedupFunnel]]'s stage stats and the
     * [[webdatasetExport]] composition. */
@@ -5968,6 +6004,7 @@ object Pipeline {
     "classifier_calibration" -> classifierCalibration _,
     "dedup_funnel"      -> dedupFunnel _,
     "webdataset_export" -> webdatasetExport _,
+    "length_bucket_batches" -> lengthBucketBatches _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -7888,6 +7925,27 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "length_bucket_batches" -> {
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, ntok,
+        |    ${pow2CaseSql("ntok")} AS bucket
+        |  FROM d),
+        |r AS (
+        |  SELECT *, (row_number() OVER (PARTITION BY source, bucket
+        |    ORDER BY ntok, doc_id) - 1) // $LenBatch AS batch_id
+        |  FROM b)
+        |SELECT source, bucket, batch_id, count(*) AS n_docs,
+        |  CAST(max(ntok) AS BIGINT) AS max_len,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_len,
+        |  CAST((count(*) * max(ntok) - sum(ntok)) * 1000000
+        |    // (count(*) * max(ntok)) AS BIGINT) AS pad_ppm
+        |FROM r GROUP BY source, bucket, batch_id
+        |ORDER BY source, bucket, batch_id""".stripMargin
+    },
     "webdataset_export" ->
       // the funnel survivors re-derived, then the per-shard facts:
       // entries walk txt-then-cls per doc in ascending id order, so
