@@ -1160,6 +1160,38 @@ object Pipeline {
     *                 retrained)
     * One row per stage: docs in/out and surviving token volume — the
     * readout every corpus curation meeting starts from. */
+  /** Epochs measured by the reshuffle readout. */
+  final val ShuffleEpochs = 3
+
+  /** Deterministic per-epoch reshuffle — the reproducible loader
+    * shuffle (a torn run must resume with the SAME epoch order, so
+    * real loaders derive it from a seed, never from partition
+    * arrival): within each source shard, epoch e orders documents by
+    * the scrambled mix of (doc_id, e), and the readout emits each
+    * (epoch, source)'s order fingerprint (md5 chain) plus the rank
+    * displacement of the first document — proof the epochs genuinely
+    * differ while each is exactly reproducible. Windows partition by
+    * (epoch, source): shard-local shuffling, the loader reality, and
+    * the parallelism key at any scale. */
+  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("epoch", "source").orderBy("h", "doc_id")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        s"explode(sequence(0, ${ShuffleEpochs - 1})) AS epoch")
+      .selectExpr("doc_id", "source", "epoch",
+        s"(doc_id * 2654435761L + epoch * 40503L) % ${P}L AS h")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("epoch", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("md5(array_join(transform(array_sort(" +
+          "collect_list(struct(rk, doc_id))), x -> x.doc_id), ' '))")
+          .as("order_md5"),
+        max(when(col("rk") === 1, col("doc_id"))).as("first_doc"))
+      .selectExpr("CAST(epoch AS BIGINT) AS epoch", "source", "n_docs",
+        "order_md5", "first_doc")
+      .orderBy("epoch", "source")
+  }
+
   /** Batch size for length-bucketed assembly. */
   final val LenBatch = 16
 
@@ -6005,6 +6037,7 @@ object Pipeline {
     "dedup_funnel"      -> dedupFunnel _,
     "webdataset_export" -> webdatasetExport _,
     "length_bucket_batches" -> lengthBucketBatches _,
+    "epoch_shuffle"     -> epochShuffle _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -7925,6 +7958,24 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "epoch_shuffle" -> {
+      s"""WITH d AS (
+        |  SELECT doc_id, source, u.e AS epoch
+        |  FROM documents, LATERAL unnest(range(0, $ShuffleEpochs))
+        |    AS u(e)),
+        |h AS (
+        |  SELECT *, (doc_id * 2654435761 + epoch * 40503) % $P AS h
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY epoch, source
+        |    ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT epoch, source, count(*) AS n_docs,
+        |  md5(string_agg(doc_id, ' ' ORDER BY rk)) AS order_md5,
+        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+        |    AS first_doc
+        |FROM r GROUP BY epoch, source
+        |ORDER BY epoch, source""".stripMargin
+    },
     "length_bucket_batches" -> {
       s"""WITH d AS (
         |  SELECT doc_id, source,
