@@ -4029,6 +4029,29 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Adam7-INTERLACED PNG decode path: the same raster content as
+    * multimodal_decode_png_pixels, emitted as the seven progressive
+    * passes — the decoder must walk the pass geometry, defilter each
+    * sub-image independently (filters reference only the pass's own
+    * scanlines) and scatter pixels back into the full raster. The
+    * oracle is IDENTICAL to the sequential query's: the decoded
+    * raster must not depend on the interlace layout. ImageIO
+    * cross-validates exactness (ImageIoDifferentialSpec). */
+  private def multimodalDecodePngAdam7(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 32)
+        val h = 1 + ((t.length / 32) % 32)
+        graft.operators.MediaRow(id, "image/png",
+          graft.operators.Multimodal.encodePngPixelsAdam7(w, h,
+            asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** FULL GIF pixel decode path: documents become real GIF89a images —
     * 256-entry global color table on three different affine ramps
     * (index i → (i, 2i mod 256, 3i mod 256)), indexed pixels = the text
@@ -5328,6 +5351,29 @@ object Pipeline {
       .orderBy("doc_id", "name")
   }
 
+  /** Shared oracle for the sequential and Adam7 PNG pixel
+    * queries — identical raster, identical facts. */
+  private def pngPixelsOracleSql: String = {
+      // channel c pixels sit at byte positions ≡ c (mod 3) of the
+      // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
+      def chSum(c: Int): String =
+        s"""CAST(list_sum(list_transform(range(0, n),
+           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, n AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+  }
+
   private def funnelCtesSql: String =
     s"""WITH docs AS (
         |  SELECT doc_id, text,
@@ -5921,6 +5967,7 @@ object Pipeline {
     "multimodal_decode_gif" -> multimodalDecodeGif _,
     "multimodal_decode_tiff" -> multimodalDecodeTiff _,
     "multimodal_decode_png_pixels" -> multimodalDecodePngPixels _,
+    "multimodal_decode_png_adam7" -> multimodalDecodePngAdam7 _,
     "multimodal_decode_gif_pixels" -> multimodalDecodeGifPixels _,
     "multimodal_decode_tiff_pixels" -> multimodalDecodeTiffPixels _,
     "multimodal_decode_jpeg_pixels" -> multimodalDecodeJpegPixels _,
@@ -6529,26 +6576,10 @@ object Pipeline {
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
         |FROM documents
          |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_png_pixels" -> {
-      // channel c pixels sit at byte positions ≡ c (mod 3) of the
-      // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
-      def chSum(c: Int): String =
-        s"""CAST(list_sum(list_transform(range(0, n),
-           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
-           |  AS BIGINT)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, n AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
+    // the Adam7 layout must be invisible in the decoded raster:
+    // identical oracle to the sequential PNG query
+    "multimodal_decode_png_adam7" -> pngPixelsOracleSql,
+    "multimodal_decode_png_pixels" -> pngPixelsOracleSql,
     "multimodal_decode_gif_pixels" -> {
       // pixel k's color index is text byte (k mod len); the palette
       // ramps map index i → (i, 2i mod 256, 3i mod 256)

@@ -326,9 +326,48 @@ object Multimodal {
     * anything decodePngDims rejects, unsupported color/depth, bad
     * chunk framing, corrupt DEFLATE stream, wrong decompressed
     * length, reserved filter type. */
+  /** Adam7 pass grid (PNG spec §8.2): xStart, yStart, xStep, yStep. */
+  private val Adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Defilter one (sub-)image of `pw`×`ph` RGB scanlines starting at
+    * `off` in the filtered stream (PNG §9 filters reference only the
+    * CURRENT pass's scanlines); None on a reserved filter type. */
+  private def defilter(filtered: Array[Byte], off: Int, pw: Int,
+      ph: Int): Option[Array[Byte]] = {
+    val stride = pw * 3
+    val out = new Array[Byte](ph * stride)
+    def o(x: Int, y: Int, c: Int): Int =
+      if (x < 0 || y < 0) 0 else out(y * stride + x * 3 + c) & 0xff
+    for (y <- 0 until ph) {
+      val f = filtered(off + y * (1 + stride)) & 0xff
+      if (f > 4) return None
+      for (x <- 0 until pw; c <- 0 until 3) {
+        val v = filtered(off + y * (1 + stride) + 1 + x * 3 + c) & 0xff
+        val a = o(x - 1, y, c); val up = o(x, y - 1, c)
+        val cc = o(x - 1, y - 1, c)
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case _ =>
+            val p = a + up - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
+        }
+        out(y * stride + x * 3 + c) = ((v + pred) & 0xff).toByte
+      }
+    }
+    Some(out)
+  }
+
   def decodePngPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     decodePngDims(data).flatMap { case (w, h) =>
       if ((data(24) & 0xff) != 8 || (data(25) & 0xff) != 2) return None
+      val interlace = data(28) & 0xff
+      if (interlace > 1) return None
       // walk chunks from the end of IHDR, concatenating IDAT payloads
       val idat = new java.io.ByteArrayOutputStream()
       var i = 33
@@ -342,8 +381,15 @@ object Multimodal {
         if (typ == "IDAT") idat.write(data, i + 8, len.toInt)
         i += 12 + len.toInt
       }
-      val stride = w * 3
-      val expect = h * (1 + stride)
+      // pass geometry: the whole image for interlace 0, the seven
+      // Adam7 sub-images (empty passes contribute nothing) for 1
+      val passes =
+        if (interlace == 0) Seq(((0, 0, 1, 1), (w, h)))
+        else Adam7.map { case p @ (x0, y0, dx, dy) =>
+          (p, ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy))
+        }.filter { case (_, (pw, ph)) => pw > 0 && ph > 0 }
+      val expect = passes.map { case (_, (pw, ph)) =>
+        ph * (1 + pw * 3) }.sum
       val filtered = new Array[Byte](expect)
       try {
         val inf = new java.util.zip.Inflater()
@@ -359,32 +405,90 @@ object Multimodal {
         inf.end()
         if (!done) return None
       } catch { case _: java.util.zip.DataFormatException => return None }
+      val stride = w * 3
       val out = new Array[Byte](h * stride)
-      def o(x: Int, y: Int, c: Int): Int =
-        if (x < 0 || y < 0) 0 else out(y * stride + x * 3 + c) & 0xff
-      for (y <- 0 until h) {
-        val f = filtered(y * (1 + stride)) & 0xff
-        if (f > 4) return None
-        for (x <- 0 until w; c <- 0 until 3) {
-          val v = filtered(y * (1 + stride) + 1 + x * 3 + c) & 0xff
-          val a = o(x - 1, y, c); val up = o(x, y - 1, c)
-          val cc = o(x - 1, y - 1, c)
-          val pred = f match {
-            case 0 => 0
-            case 1 => a
-            case 2 => up
-            case 3 => (a + up) / 2
-            case _ =>
-              val p = a + up - cc
-              val pa = math.abs(p - a); val pb = math.abs(p - up)
-              val pc = math.abs(p - cc)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
-          }
-          out(y * stride + x * 3 + c) = ((v + pred) & 0xff).toByte
+      var off = 0
+      passes.foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+        defilter(filtered, off, pw, ph) match {
+          case None => return None
+          case Some(sub) =>
+            for (py <- 0 until ph; px <- 0 until pw; c <- 0 until 3)
+              out((y0 + py * dy) * stride + (x0 + px * dx) * 3 + c) =
+                sub(py * pw * 3 + px * 3 + c)
         }
+        off += ph * (1 + pw * 3)
       }
       Some((w, h, out))
     }
+  }
+
+  /** Adam7-INTERLACED truecolor PNG writer: the same raster content
+    * as [[encodePngPixels]], emitted as the seven progressive passes
+    * (per-pass scanline filtering, filter cycling inside each pass) —
+    * the layout every early-web PNG and many exporters still use. */
+  def encodePngPixelsAdam7(w: Int, h: Int, pixels: Array[Byte])
+      : Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val stride = w * 3
+    val raw = Array.tabulate(h * stride)(i =>
+      if (pixels.nonEmpty) pixels(i % pixels.length) else 0.toByte)
+    val filtered = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = (w - x0 + dx - 1) / dx
+      val ph = (h - y0 + dy - 1) / dy
+      if (pw > 0 && ph > 0) {
+        // materialize the pass's sub-image, then filter its scanlines
+        val sub = new Array[Byte](ph * pw * 3)
+        for (py <- 0 until ph; px <- 0 until pw; c <- 0 until 3)
+          sub(py * pw * 3 + px * 3 + c) =
+            raw((y0 + py * dy) * stride + (x0 + px * dx) * 3 + c)
+        def px0(x: Int, y: Int, c: Int): Int =
+          if (x < 0 || y < 0) 0 else sub(y * pw * 3 + x * 3 + c) & 0xff
+        for (y <- 0 until ph) {
+          val f = y % 5
+          filtered.write(f)
+          for (x <- 0 until pw; c <- 0 until 3) {
+            val cur = px0(x, y, c)
+            val a = px0(x - 1, y, c); val up = px0(x, y - 1, c)
+            val cc = px0(x - 1, y - 1, c)
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => up
+              case 3 => (a + up) / 2
+              case _ =>
+                val p = a + up - cc
+                val pa = math.abs(p - a); val pb = math.abs(p - up)
+                val pc = math.abs(p - cc)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
+            }
+            filtered.write((cur - pred) & 0xff)
+          }
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val idat = buf.toByteArray
+    val out = java.nio.ByteBuffer.allocate(57 + idat.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte) // interlace: Adam7
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
   }
 
   /** Minimal GIF89a writer for fixtures: header + logical screen

@@ -55,6 +55,31 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 PNG: interlaced streams decode exactly — ours and ImageIO's") {
+    for (seed <- 1 to 8) {
+      // spans sub-pass-grid sizes (w or h < 8 empties some passes)
+      val (w, h) = (1 + seed * 3 % 19, 1 + seed * 5 % 13)
+      val src = pix(w * h * 3, 50 + seed)
+      val png = Multimodal.encodePngPixelsAdam7(w, h, src)
+      val Some((dw, dh, rgb)) = Multimodal.decodePngPixels(png)
+      assert(dw == w && dh == h)
+      // the interlace layout must be invisible: same raster as the
+      // sequential encoder's
+      val Some((_, _, seq0)) =
+        Multimodal.decodePngPixels(Multimodal.encodePngPixels(w, h, src))
+      assert(rgb.toSeq == seq0.toSeq, s"seed $seed raster drift")
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        assert(((p >> 16) & 0xff) == (rgb(i) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(i + 1) & 0xff) &&
+          (p & 0xff) == (rgb(i + 2) & 0xff), s"seed $seed px ($x,$y)")
+      }
+    }
+  }
+
   test("GIF: our palette streams decode pixel-identically under ImageIO") {
     for (seed <- 1 to 8) {
       val (w, h) = (6 + seed, 4 + seed % 6)
