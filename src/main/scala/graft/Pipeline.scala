@@ -5560,6 +5560,37 @@ object Pipeline {
     root.getAbsolutePath
   }
 
+  /** S6/A8 through REAL FILES — the reference's `.hist` text format
+    * (`<bin> <count>` lines, one snapshot directory per period,
+    * aggregation.cpp's recursive walk) materialized as an actual
+    * partitioned text-file tree (two snapshot generations per
+    * station, day-parity split) and ROLLED UP through the csv scan +
+    * grouped sum, gate-checked against the oracle recomputing the
+    * same histogram from `events` directly. Upgrades the
+    * spec-pinned histogram file ops to an oracle-green row: any
+    * formatting, scan, partition-discovery or summing bug flips
+    * counts. */
+  private def histFileRollup(s: SparkSession, dir: String): DataFrame = {
+    val root = formatFixtureDir(dir, "hist", "events") { out =>
+      Tables.events(s, dir)
+        .selectExpr("user_id AS station",
+          "CAST(floor(value) AS INT) AS bin",
+          "CAST((ts div 86400000000000) % 2 AS INT) AS snap")
+        .groupBy("station", "snap", "bin")
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("station", "snap", "concat(bin, ' ', cnt) AS value")
+        .write.partitionBy("station", "snap").mode("overwrite").text(out)
+    }
+    s.read.option("delimiter", " ")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "bin INT, cnt LONG"))
+      .csv(root)
+      .groupBy("station", "bin")
+      .agg(sum("cnt").as("cnt"))
+      .selectExpr("CAST(station AS BIGINT) AS station", "bin", "cnt")
+      .orderBy("station", "bin")
+  }
+
   /** CSV ingest with PERMISSIVE malformed-row handling — the messy-
     * delivery reality of ad-hoc corpora: every 13th row carries a
     * non-numeric n_chars (a type violation the schema rejects), and
@@ -6016,6 +6047,7 @@ object Pipeline {
     "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
     "csv_ingest"        -> csvIngest _,
+    "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
     "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
@@ -7547,6 +7579,15 @@ object Pipeline {
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,
+    "hist_file_rollup" -> {
+      // the same histogram recomputed straight off events — the file
+      // tree, partition discovery and snapshot summing must be
+      // transparent
+      """SELECT user_id AS station,
+        |  CAST(floor(value) AS INT) AS bin,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY station, bin""".stripMargin
+    },
     "csv_ingest" -> {
       // every 13th row's n_chars is the type-violating token → routed
       // to the corrupt-record column, excluded from the good sums
