@@ -1178,8 +1178,12 @@ object Pipeline {
     Tables.documents(s, dir)
       .selectExpr("doc_id", "source",
         s"explode(sequence(0, ${ShuffleEpochs - 1})) AS epoch")
+      // the epoch must enter BEFORE the multiply: an additive term
+      // after the scramble shifts every hash by a constant, which
+      // preserves the order except at the rare mod wrap (caught by
+      // Round9Spec — epochs came out identical)
       .selectExpr("doc_id", "source", "epoch",
-        s"(doc_id * 2654435761L + epoch * 40503L) % ${P}L AS h")
+        s"((doc_id + epoch * 40503L) * 2654435761L) % ${P}L AS h")
       .withColumn("rk", row_number().over(w))
       .groupBy("epoch", "source")
       .agg(count(lit(1)).as("n_docs"),
@@ -8036,7 +8040,7 @@ object Pipeline {
         |  FROM documents, LATERAL unnest(range(0, $ShuffleEpochs))
         |    AS u(e)),
         |h AS (
-        |  SELECT *, (doc_id * 2654435761 + epoch * 40503) % $P AS h
+        |  SELECT *, ((doc_id + epoch * 40503) * 2654435761) % $P AS h
         |  FROM d),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY epoch, source
