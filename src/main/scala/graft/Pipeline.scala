@@ -5575,23 +5575,30 @@ object Pipeline {
     * formatting, scan, partition-discovery or summing bug flips
     * counts. */
   private def histFileRollup(s: SparkSession, dir: String): DataFrame = {
-    val root = formatFixtureDir(dir, "hist", "events") { out =>
+    // file-count discipline: partition dirs are station BUCKETS (×2
+    // snapshot generations = 32 dirs), one file per dir via the
+    // pre-write repartition on the partition keys, with the station
+    // in the line — per-station dirs measured 6 849 tiny files and a
+    // 70 s listing+read at sf0.1 (1 500 stations), the small-files
+    // anti-pattern this library's own SCALE.md warns about
+    val root = formatFixtureDir(dir, "histv2", "events") { out =>
       Tables.events(s, dir)
         .selectExpr("user_id AS station",
           "CAST(floor(value) AS INT) AS bin",
           "CAST((ts div 86400000000000) % 2 AS INT) AS snap")
         .groupBy("station", "snap", "bin")
         .agg(count(lit(1)).as("cnt"))
-        .selectExpr("station", "snap", "concat(bin, ' ', cnt) AS value")
-        .write.partitionBy("station", "snap").mode("overwrite").text(out)
+        .selectExpr("CAST(station % 16 AS INT) AS bucket", "snap",
+          "concat(station, ' ', bin, ' ', cnt) AS value")
+        .repartition(col("bucket"), col("snap"))
+        .write.partitionBy("bucket", "snap").mode("overwrite").text(out)
     }
     s.read.option("delimiter", " ")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "bin INT, cnt LONG"))
+        "station LONG, bin INT, cnt LONG"))
       .csv(root)
       .groupBy("station", "bin")
       .agg(sum("cnt").as("cnt"))
-      .selectExpr("CAST(station AS BIGINT) AS station", "bin", "cnt")
       .orderBy("station", "bin")
   }
 
