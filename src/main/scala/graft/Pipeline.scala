@@ -1160,6 +1160,32 @@ object Pipeline {
     *                 retrained)
     * One row per stage: docs in/out and surviving token volume — the
     * readout every corpus curation meeting starts from. */
+  /** Temperature-scaled source mixture weights — the sampling-weight
+    * computation every multi-source training mix runs (α = 0.5
+    * square-root scaling: large sources are down-weighted, small
+    * sources up-weighted, the standard multilingual/multi-corpus
+    * move): per source the token count, the α-scaled mass in 1e-6
+    * fixed point (ONE IEEE sqrt, rounded before anything sums — both
+    * engines produce the identical BIGINT), and the normalized
+    * sampling weight in exact ppm via positive-operand integer
+    * division. One map-combinable aggregate on the source dimension +
+    * a single-row broadcast total. */
+  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .selectExpr("source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) " +
+          "AS BIGINT) AS mass_fp")
+    val total = perSource.agg(sum("mass_fp").as("total_fp"))
+    perSource.crossJoin(broadcast(total))
+      .selectExpr("source", "n_docs", "n_tokens", "mass_fp",
+        "mass_fp * 1000000 div total_fp AS weight_ppm")
+      .orderBy("source")
+  }
+
   /** Epochs measured by the reshuffle readout. */
   final val ShuffleEpochs = 3
 
@@ -6128,6 +6154,7 @@ object Pipeline {
     "webdataset_export" -> webdatasetExport _,
     "length_bucket_batches" -> lengthBucketBatches _,
     "epoch_shuffle"     -> epochShuffle _,
+    "mixture_weights"   -> mixtureWeights _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -8041,6 +8068,22 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "mixture_weights" -> {
+      // α=0.5 scaling: mass = round(sqrt(tokens)·1e6) BIGINT before
+      // any summation, weights in exact ppm off the BIGINT total
+      """WITH p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS mass_fp FROM p),
+        |t AS (SELECT CAST(sum(mass_fp) AS BIGINT) AS total_fp FROM m)
+        |SELECT source, n_docs, n_tokens, mass_fp,
+        |  mass_fp * 1000000 // total_fp AS weight_ppm
+        |FROM m, t ORDER BY source""".stripMargin
+    },
     "epoch_shuffle" -> {
       s"""WITH d AS (
         |  SELECT doc_id, source, u.e AS epoch

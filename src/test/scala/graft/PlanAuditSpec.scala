@@ -102,7 +102,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ams_join_size",
       // unigram_vocab: the piece table crossJoins the broadcast
       // single-row Σcnt total for the log-prob scores (the bm25 shape)
-      "unigram_vocab")
+      "unigram_vocab",
+      // mixture_weights: the source-dimension masses crossJoin the
+      // broadcast single-row total for the ppm normalization
+      "mixture_weights")
 
   /** Queries that broadcast a small FIXED-CARDINALITY dimension against
     * the fact side with no equi-key (every row must meet every dimension
