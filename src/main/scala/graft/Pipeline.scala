@@ -4370,6 +4370,30 @@ object Pipeline {
     * reproduces the gate exactly. The corpus-filter shape: a pure map
     * emitting per-document activity stats a training pipeline keys
     * retention on. */
+  /** Pitch detection over REAL WAV containers
+    * (operators/Multimodal.extractPitchAutocorr): each doc becomes a
+    * 128-sample 8-bit PCM square wave of period 2·(1 + len mod 8),
+    * and the extractor must recover that period as the smallest even
+    * lag with PERFECT integer autocorrelation (exact: a square wave
+    * is lag-invariant iff the lag is a multiple of its period). The
+    * oracle predicts the period and the correlation mass at it in
+    * closed form. Pure map pass. */
+  private def audioPitchAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS len").as[(Long, Long)]
+      .map { case (id, len) =>
+        val q = (1 + len % 8).toInt
+        val pcm = Array.tabulate(128)(i =>
+          (if ((i / q) % 2 == 0) 228 else 28).toByte)
+        graft.operators.MediaRow(id, "audio/wav",
+          graft.operators.Multimodal.encodeWavPcm8(8000, pcm))
+      }
+    graft.operators.Multimodal.extractPitchAutocorr(media, 16).toDF()
+      .orderBy("media_id")
+  }
+
   private def audioFrameEnergy(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -6155,6 +6179,7 @@ object Pipeline {
     "length_bucket_batches" -> lengthBucketBatches _,
     "epoch_shuffle"     -> epochShuffle _,
     "mixture_weights"   -> mixtureWeights _,
+    "audio_pitch_autocorr" -> audioPitchAutocorr _,
     "doc_chunks"        -> docChunks _,
     "seq_pack"          -> seqPack _,
     "corpus_filter"     -> corpusFilter _,
@@ -8068,6 +8093,15 @@ object Pipeline {
         |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
         |  sllr + pri.prior_fp > 0 AS pred_ref
         |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    "audio_pitch_autocorr" -> {
+      // square wave of period p = 2(1 + len%8): the smallest perfect
+      // lag IS p, and every centered sample squares to 100² = 10000
+      """SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_samples,
+        |  CAST(2 * (1 + length(text) % 8) AS INT) AS period,
+        |  CAST((128 - 2 * (1 + length(text) % 8)) * 10000 AS BIGINT)
+        |    AS corr_at_period
+        |FROM documents ORDER BY media_id""".stripMargin
+    },
     "mixture_weights" -> {
       // α=0.5 scaling: mass = round(sqrt(tokens)·1e6) BIGINT before
       // any summation, weights in exact ppm off the BIGINT total

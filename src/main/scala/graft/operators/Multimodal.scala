@@ -1930,6 +1930,59 @@ object Multimodal {
                                active_frames: Int, max_energy: Long,
                                total_energy: Long)
 
+  /** Pitch facts of one media row: detected period (smallest lag with
+    * PERFECT autocorrelation — exact integers, no normalization
+    * heuristics) and the correlation mass at it. */
+  final case class PitchFeatures(media_id: Long, n_samples: Long,
+      period: Int, corr_at_period: Long)
+
+  /** Pitch detection by integer autocorrelation over real 8-bit WAV
+    * containers: the data chunk's centered samples v_i correlate at
+    * even lags 2..`maxLag`, and the detected period is the SMALLEST
+    * lag whose correlation is perfect (Σ v_i·v_{i+lag} equals
+    * Σ v_i² over the overlap — true iff the signal is lag-periodic).
+    * Exact integer arithmetic end to end; −1 when nothing is
+    * periodic within the window or the container is malformed. */
+  def extractPitchAutocorr(rows: Dataset[MediaRow],
+      maxLag: Int): Dataset[PitchFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      wavStats(r.data) match {
+        case Some(info) if info.bitsPerSample == 8 =>
+          val b = java.nio.ByteBuffer.wrap(r.data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var off = 12
+          var dataAt = -1
+          var dataLen = 0
+          while (off + 8 <= r.data.length && dataAt < 0) {
+            val id = new String(r.data, off, 4, "US-ASCII")
+            val len = b.getInt(off + 4)
+            if (id == "data") { dataAt = off + 8; dataLen = len }
+            else off += 8 + len + (len & 1)
+          }
+          val v = Array.tabulate(dataLen)(i =>
+            ((r.data(dataAt + i) & 0xff) - 128).toLong)
+          var period = -1
+          var corrAt = -1L
+          var lag = 2
+          while (lag <= maxLag && period < 0) {
+            var corr = 0L
+            var self = 0L
+            var i = 0
+            while (i < dataLen - lag) {
+              corr += v(i) * v(i + lag)
+              self += v(i) * v(i)
+              i += 1
+            }
+            if (corr == self && self > 0) { period = lag; corrAt = corr }
+            lag += 2
+          }
+          PitchFeatures(r.media_id, dataLen.toLong, period, corrAt)
+        case _ => PitchFeatures(r.media_id, -1L, -1, -1L)
+      }
+    })
+  }
+
   def extractFrameEnergy(rows: Dataset[MediaRow],
                          frameLen: Int): Dataset[FrameEnergy] = {
     import rows.sparkSession.implicits._
