@@ -5685,6 +5685,13 @@ object Pipeline {
           .as("sum_chars"))
   }
 
+  /** Test access (CsvStreamIngestSpec): the csv fixture root the
+    * batch query materializes — building it if absent. */
+  private[graft] def csvFixtureRoot(s: SparkSession, dir: String): String = {
+    csvIngest(s, dir) // constructing the query builds the fixture
+    formatFixtureDir(dir, "csv", "documents")(_ => ())
+  }
+
   /** JSONL ingest with schema-on-read — the interchange format most
     * corpora actually arrive in: every 7th row omits the `lang` field
     * (schema evolution in the wild), and the explicit-schema read
