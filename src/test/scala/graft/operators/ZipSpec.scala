@@ -40,6 +40,31 @@ class ZipSpec extends AnyFunSuite {
     assert(seen == files.map(f => (f._1, f._2)))
   }
 
+  test("our decoder reads JDK-ZipOutputStream-written archives") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for ((n, d, defl) <- files) {
+      val e = new java.util.zip.ZipEntry(n)
+      if (!defl) {
+        // STORED entries need sizes/crc up front
+        val bytes = d.getBytes("UTF-8")
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        e.setCompressedSize(bytes.length.toLong)
+        e.setCrc(crc.getValue)
+      }
+      zos.putNextEntry(e)
+      zos.write(d.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val out = Zip.parse(bos.toByteArray)
+    assert(out.map(_.name) == files.map(_._1))
+    assert(out.map(_.size) == files.map(_._2.length.toLong))
+    assert(out.map(_.md5) == files.map(f => md5hex(f._2)))
+  }
+
   test("CRC corruption ends the walk; garbage and no-EOCD yield empty") {
     val a = arch
     // clobber a byte of a.txt's stored payload (after its 30+5 header)
