@@ -5540,6 +5540,32 @@ object Pipeline {
       .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
   }
 
+  /** TFRecord shard walk (operators/TfRecord) — the third standard
+    * training-shard container beside WebDataset tar and ZIP: 8
+    * documents frame into one shard, the parse verifies BOTH masked
+    * CRC32Cs per record, and record positions identify samples (the
+    * format carries no names — order IS identity, which is why the
+    * oracle pins pos exactly). Same shuffle shape as tar_parse. */
+  private def tfrecordParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        (id / 8, id, graft.operators.TfRecord.buildRecord(
+          t.getBytes("UTF-8")))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val recs = it.toSeq.sortBy(_._2)
+        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
+        graft.operators.TfRecord.parse(shard).zipWithIndex.map {
+          case (r, i) => (recs(i)._2, sid, i.toLong, r.length, r.md5)
+        }
+      }
+      .toDF("doc_id", "shard_id", "pos", "length", "md5")
+      .orderBy("doc_id")
+  }
+
   /** ZIP archive walk (operators/Zip): 8-document archives, each doc
     * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
     * must locate the end-of-central-directory record, walk the
@@ -6114,6 +6140,7 @@ object Pipeline {
     "tar_parse"         -> tarParse _,
     "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
+    "tfrecord_parse"    -> tfrecordParse _,
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -7685,6 +7712,18 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "tfrecord_parse" -> {
+      // order IS identity in TFRecord: pos = rank within the 8-doc
+      // shard over EXISTING (ascii) docs
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    - 1 AS pos,
+        |  strlen(text) AS length, md5(text) AS md5
+        |FROM d ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> {
       // compressor-independent facts: method, true size, md5 of the

@@ -76,6 +76,17 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tfrecord: arbitrary binary payloads round-trip exactly") {
+    val r = rng
+    for (_ <- 1 to Cases) {
+      val bodies = Seq.fill(1 + r.nextInt(3))(bytes(r))
+      val out = TfRecord.parse(
+        TfRecord.buildShard(bodies.map(TfRecord.buildRecord)))
+      assert(out.map(_.length) == bodies.map(_.length.toLong))
+      assert(out.map(_.md5) == bodies.map(md5hex))
+    }
+  }
+
   test("garbage never throws and never invents entries") {
     val r = rng
     for (_ <- 1 to Cases) {
@@ -86,6 +97,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
       H264.parse(junk)
       MpegAudio.decode(junk)
       MpegAudio.decodeL2(junk)
+      TfRecord.parse(junk)
       assert(Tar.parse(junk).forall(_.size >= 0))
     }
   }
