@@ -2535,19 +2535,25 @@ object Pipeline {
       books
     }
 
-  /** PQ-reconstructed vectors + norms (decode of the 4-byte code). */
-  private def pqVecs(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"pq-vecs:$dir") {
-      val sub = pqSubvectors(vecs(s, dir))
-      sub.join(broadcast(pqCodebooks(s, dir)), Seq("j"))
-        .withColumn("_d", expr(pqDist))
-        .groupBy("vec_id", "j")
-        .agg(max_by(col("c"), struct(-col("_d"), -col("k"))).as("c"))
-        .groupBy("vec_id")
-        .agg(expr("flatten(transform(array_sort(collect_list(" +
-          "struct(j, c))), p -> p.c))").as("r"))
-        .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
-    }
+  /** PQ-reconstructed vectors + norms (decode of the 4-byte code) for
+    * ONE bounded panel of ids. The codebooks stay corpus-trained
+    * ([[pqCodebooks]]), but the decode is pruned to the measurement
+    * panel BEFORE the assignment join — a fixed-size readout must
+    * never trigger a full-corpus reconstruction at 100 TB, and a
+    * cache around the full decode would have blocked Catalyst from
+    * pushing the panel filter into the scan. */
+  private def pqVecsFor(s: SparkSession, dir: String,
+      panelMax: Int): DataFrame = {
+    val sub = pqSubvectors(vecs(s, dir).filter(col("vec_id") < panelMax))
+    sub.join(broadcast(pqCodebooks(s, dir)), Seq("j"))
+      .withColumn("_d", expr(pqDist))
+      .groupBy("vec_id", "j")
+      .agg(max_by(col("c"), struct(-col("_d"), -col("k"))).as("c"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "struct(j, c))), p -> p.c))").as("r"))
+      .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
+  }
 
   /** Product quantization with MEASURED cosine distortion — the deep
     * end of the compression ladder beside [[embeddingQ8]]: 4 bytes per
@@ -2565,7 +2571,7 @@ object Pipeline {
     * err 0.108) the ladder brackets the serving design space. */
   private def embeddingPq(s: SparkSession, dir: String): DataFrame = {
     val panel = vecs(s, dir).filter(col("vec_id") < 16)
-      .join(pqVecs(s, dir), Seq("vec_id"))
+      .join(pqVecsFor(s, dir, 16), Seq("vec_id"))
     val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
     val b = panel.select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -3465,6 +3471,7 @@ object Pipeline {
       .unionByName(recallOf(annIvfTrained(s, dir), "ivf_trained"))
       .unionByName(recallOf(annRpBrute(s, dir), "rp_brute"))
       .unionByName(recallOf(annQ8Brute(s, dir), "q8_brute"))
+      .unionByName(recallOf(annPqAdc(s, dir), "pq_adc"))
       .orderBy("method")
   }
 
@@ -3539,6 +3546,62 @@ object Pipeline {
         expr("CASE WHEN rna * rnb = CAST(0 AS DOUBLE) " +
           "THEN CAST(0 AS DOUBLE) ELSE dot_p(ra, rb) / (rna * rnb) END"))
       .groupBy("vec_id")
+      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
+        .as("nn_id"))
+  }
+
+  /** Brute-force top-1 by PQ ASYMMETRIC distance (ADC) over the same
+    * panel — how a serving tier actually scans PQ codes: the query
+    * stays full-precision, each subspace's dot products against all
+    * [[PqK]] centroids are tabulated ONCE per query (an M×K lookup
+    * table, 128 doubles), and scoring a corpus vector is M table
+    * lookups summed — no reconstruction. Completes the compression
+    * ladder's recall story beside `q8_brute` (distortion alone only
+    * implied PQ's recall). Approximate cosine = ADC inner product
+    * / (‖q‖ · ‖reconstruction‖), where the reconstructed norm is
+    * exact from centroid energies (subspaces are disjoint
+    * coordinates, so ‖r‖² = Σ_j ‖c_{j,code_j}‖²).
+    *
+    * 100 TB shape: codes are the serving index (4 B/vector); the LUT
+    * is panel×M×K (tiny, broadcast); the scan is one map-side join +
+    * a (query, vector) partial-aggregable groupBy — linear in the
+    * corpus like any ADC scan, never a reconstruction. Folds are
+    * j-ordered so both engines accumulate identically. */
+  private def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val panel = all
+      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+      .orderBy("_h", "vec_id").limit(RecallQueries)
+      .select("vec_id")
+    val books = pqCodebooks(s, dir)
+    // the serving index: 1 code per (vector, subspace)
+    val codes = pqSubvectors(all)
+      .join(broadcast(books), Seq("j"))
+      .withColumn("_d", expr(pqDist))
+      .groupBy("vec_id", "j")
+      .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
+      .select(col("vec_id").as("nn_id"), col("j"), col("k"))
+    // per-query distance table: dot(q_j, c_jk) + centroid energy
+    val lut = pqSubvectors(all.join(broadcast(panel), Seq("vec_id")))
+      .select(col("vec_id").as("qid"), col("j"), col("sv"))
+      .join(broadcast(books), Seq("j"))
+      .selectExpr("qid", "j", "k", "dot_p(sv, c) AS qd",
+        "dot_p(c, c) AS cn2")
+    val qn = all.join(broadcast(panel), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"))
+    codes.join(broadcast(lut), Seq("j", "k"))
+      .groupBy("qid", "nn_id")
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(j, qd))), " +
+          "CAST(0 AS DOUBLE), (s, p) -> s + p.qd)").as("ip"),
+        expr("aggregate(array_sort(collect_list(struct(j, cn2))), " +
+          "CAST(0 AS DOUBLE), (s, p) -> s + p.cn2)").as("rn2"))
+      .filter(col("nn_id") =!= col("qid"))
+      .join(broadcast(qn), Seq("qid"))
+      .withColumn("c",
+        expr("CASE WHEN rn2 <= CAST(0 AS DOUBLE) OR qn = CAST(0 AS DOUBLE) " +
+          "THEN CAST(0 AS DOUBLE) ELSE ip / (qn * sqrt(rn2)) END"))
+      .groupBy(col("qid").as("vec_id"))
       .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
         .as("nn_id"))
   }
@@ -5187,6 +5250,55 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** H.264 I_PCM PIXEL decode (operators/H264.decodeIPcmPixels) — the
+    * one entropy-free pixel path in the codec (§7.3.5: mb_type 25,
+    * byte-aligned raw 4:2:0 samples), upgrading the h264 row from
+    * facts-only to real reconstructed planes: per doc an IDR frame of
+    * text-derived I_PCM macroblocks is built, streamed through Annex B
+    * (start codes + emulation prevention), and decoded back through
+    * the REAL slice-header + macroblock bit parse into raster planes.
+    * The position-weighted luma checksum pins the MB→plane scatter
+    * (a transposed or mis-tiled plane flips it); plain sums pin the
+    * sample values. CAVLC intra prediction remains the documented
+    * honest gap (COVERAGE.md). Pure map pass, zero shuffle. */
+  private def multimodalDecodeH264Pixels(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val H = graft.operators.H264
+        val bl = t.length
+        val b = asciiBytes(id, t)
+        val wMbs = 1 + bl % 4
+        val hMbs = 1 + (bl / 4) % 4
+        val slice = H.buildIPcmSlice(wMbs, hMbs,
+          k => b((k * 31 + 7) % bl) & 0xff,
+          (m, j) => b(((m * 64 + j) * 13) % bl) & 0xff,
+          (m, j) => b(((m * 64 + j) * 17 + 3) % bl) & 0xff)
+        val stream = H.buildNal(3, 7, H.buildSps(16 * wMbs, 16 * hMbs)) ++
+          H.buildNal(3, 8, H.buildPps()) ++
+          H.buildNal(3, 5, slice)
+        val f = H.decodeIPcmPixels(stream).get
+        // checksums over the DECODED planes, not the write stream
+        var sumY = 0L
+        var wsumY = 0L
+        var px = 0
+        while (px < f.y.length) {
+          val v = f.y(px) & 0xff
+          sumY += v
+          wsumY += (px % f.width + 3L * (px / f.width) + 1L) * v
+          px += 1
+        }
+        (id, f.width, f.height, sumY, wsumY,
+          f.cb.map(v => (v & 0xff).toLong).sum,
+          f.cr.map(v => (v & 0xff).toLong).sum)
+      }
+      .toDF("media_id", "decoded_w", "decoded_h", "sum_y", "wsum_y",
+        "sum_cb", "sum_cr")
+      .orderBy("media_id")
+  }
+
   /** Content sniffing over every container this library encodes: each
     * document encodes into one of ten REAL containers by id rotation —
     * plus one deliberately MISLABELED class (raw text declared as
@@ -5513,6 +5625,27 @@ object Pipeline {
       |  name, CAST(size AS BIGINT) AS size, md5
       |FROM e ORDER BY doc_id, name""".stripMargin
 
+  /** zip_parse / zip_parse_files shared oracle: compressor-independent
+    * facts (method, true size, md5 of the INFLATED content — the
+    * deflated byte stream is Deflater-specific; the CRC verify happens
+    * engine-side). */
+  private def zipParseOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |e AS (
+      |  SELECT doc_id, doc_id || '.txt' AS name, 0 AS method,
+      |    strlen(text) AS size, md5(text) AS md5 FROM d
+      |  UNION ALL
+      |  SELECT doc_id, doc_id || '.meta', 8, length(j), md5(j)
+      |  FROM (SELECT doc_id,
+      |    '{"id":' || doc_id || ',"n":' || strlen(text) || '}' AS j
+      |    FROM d))
+      |SELECT doc_id, doc_id // 8 AS shard_id, name,
+      |  CAST(method AS INT) AS method, CAST(size AS BIGINT) AS size,
+      |  md5
+      |FROM e ORDER BY doc_id, name""".stripMargin
+
   /** Test access (TarFileStreamSpec): the shard-file fixture root the
     * batch query materializes — building it if absent. */
   private[graft] def tarFixtureRoot(s: SparkSession, dir: String): String = {
@@ -5597,6 +5730,122 @@ object Pipeline {
       }
       .toDF("doc_id", "shard_id", "name", "method", "size", "md5")
       .orderBy("doc_id", "name")
+  }
+
+  /** ZIP shards through REAL FILES — [[zipParse]]'s build+parse walk
+    * upgraded to the tar_parse_files shape: 8-document `.zip` archives
+    * are written once per corpus to a fixture tree, read back through
+    * the distributed binaryFile source, and walked per file on
+    * executors ([[parseZipFileRows]], shared verbatim with the
+    * streaming twin in ZipFileStreamSpec). Facts are compressor-
+    * independent (method, true size, md5 of INFLATED content), so the
+    * oracle predicts them from `documents` without touching a byte of
+    * the Deflater-specific stream. */
+  private def zipParseFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "zipshard", "documents") { out =>
+      asciiDocs(s, dir)
+        .map { case (id, t) =>
+          val meta = s"""{"id":$id,"n":${t.length}}"""
+          (id / 8, id, Seq(
+            (s"$id.txt", t.getBytes("UTF-8"), false),
+            (s"$id.meta", meta.getBytes("UTF-8"), true)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, Seq[(String, Array[Byte], Boolean)])]) =>
+          val arch = graft.operators.Zip.buildArchive(
+            it.toSeq.sortBy(_._2).flatMap(_._3))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.zip"), arch)
+          sid
+        }
+        .count(): Unit
+    }
+    parseZipFileRows(
+      s.read.format("binaryFile").load(s"$root/*.zip")
+        .repartition(col("path")))
+      .orderBy("doc_id", "name")
+  }
+
+  private[graft] def zipFixtureRoot(s: SparkSession, dir: String): String = {
+    zipParseFiles(s, dir) // constructing the query builds the fixture
+    formatFixtureDir(dir, "zipshard", "documents")(_ => ())
+  }
+
+  /** The per-file ZIP walk shared by the batch query and the
+    * binaryFile STREAM twin (ZipFileStreamSpec): central-directory
+    * walk + inflate + CRC verify per archive row. */
+  private[graft] def parseZipFileRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val sid = name.stripPrefix("shard-").stripSuffix(".zip").toLong
+        graft.operators.Zip.parse(bytes).map { e =>
+          (e.name.takeWhile(_ != '.').toLong, sid, e.name,
+            e.method, e.size, e.md5)
+        }
+      }
+      .toDF("doc_id", "shard_id", "name", "method", "size", "md5")
+  }
+
+  /** TFRecord shards through REAL FILES — the [[tfrecordParse]] walk
+    * over a written `.tfrecord` fixture tree via the binaryFile
+    * source. TFRecord carries no names, so order IS identity: the
+    * query reports (shard, pos, length, md5) and the oracle predicts
+    * pos by rank within the 8-doc shard. Parse verifies both masked
+    * CRC32Cs per record ([[graft.operators.TfRecord]]). */
+  private def tfrecordParseFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "tfrecshard", "documents") { out =>
+      asciiDocs(s, dir)
+        .map { case (id, t) =>
+          (id / 8, id,
+            graft.operators.TfRecord.buildRecord(t.getBytes("UTF-8")))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+          val shard = graft.operators.TfRecord.buildShard(
+            it.toSeq.sortBy(_._2).map(_._3))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.tfrecord"), shard)
+          sid
+        }
+        .count(): Unit
+    }
+    parseTfRecordFileRows(
+      s.read.format("binaryFile").load(s"$root/*.tfrecord")
+        .repartition(col("path")))
+      .orderBy("shard_id", "pos")
+  }
+
+  private[graft] def tfrecordFixtureRoot(s: SparkSession, dir: String)
+      : String = {
+    tfrecordParseFiles(s, dir) // constructing the query builds the fixture
+    formatFixtureDir(dir, "tfrecshard", "documents")(_ => ())
+  }
+
+  /** The per-file TFRecord walk shared by the batch query and the
+    * binaryFile STREAM twin (TfRecordFileStreamSpec). */
+  private[graft] def parseTfRecordFileRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val sid = name.stripPrefix("shard-")
+          .stripSuffix(".tfrecord").toLong
+        graft.operators.TfRecord.parse(bytes).zipWithIndex.map {
+          case (r, i) => (sid, i.toLong, r.length, r.md5)
+        }
+      }
+      .toDF("shard_id", "pos", "length", "md5")
   }
 
   /** WebDataset SAMPLE assembly over the parsed shard entries: group
@@ -6101,6 +6350,7 @@ object Pipeline {
     "multimodal_decode_mp1" -> multimodalDecodeMp1 _,
     "multimodal_decode_mp2" -> multimodalDecodeMp2 _,
     "multimodal_decode_h264" -> multimodalDecodeH264 _,
+    "multimodal_decode_h264_pixels" -> multimodalDecodeH264Pixels _,
     "content_sniff" -> contentSniff _,
     "cdc_chunks"        -> cdcChunks _,
     "cdc_dedup"         -> cdcDedup _,
@@ -6140,7 +6390,9 @@ object Pipeline {
     "tar_parse"         -> tarParse _,
     "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
+    "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
+    "tfrecord_parse_files" -> tfrecordParseFiles _,
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -7579,6 +7831,38 @@ object Pipeline {
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin
     },
+    "multimodal_decode_h264_pixels" -> {
+      // every sample is predicted from its WRITE index; the weighted
+      // luma sum replays the MB raster scatter: sample k lands at
+      // x = (mb % wmb)·16 + k%16, y = (mb // wmb)·16 + (k%256)//16
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 4 AS wmb,
+        |    1 + (length(text) // 4) % 4 AS hmb
+        |  FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (
+        |  SELECT *, CAST(16 * wmb AS INT) AS w, CAST(16 * hmb AS INT) AS h,
+        |    CAST(256 * wmb * hmb AS BIGINT) AS ny,
+        |    CAST(64 * wmb * hmb AS BIGINT) AS nc
+        |  FROM d)
+        |SELECT doc_id AS media_id, w AS decoded_w, h AS decoded_h,
+        |  CAST(list_sum(list_transform(range(0, ny), k ->
+        |    ascii(substr(text, CAST((k * 31 + 7) % len AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_y,
+        |  CAST(list_sum(list_transform(range(0, ny), k ->
+        |    (((k // 256) % wmb) * 16 + (k % 256) % 16
+        |      + 3 * (((k // 256) // wmb) * 16 + (k % 256) // 16) + 1)
+        |    * ascii(substr(text, CAST((k * 31 + 7) % len AS INT) + 1, 1))))
+        |    AS BIGINT) AS wsum_y,
+        |  CAST(list_sum(list_transform(range(0, nc), u ->
+        |    ascii(substr(text, CAST((u * 13) % len AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_cb,
+        |  CAST(list_sum(list_transform(range(0, nc), u ->
+        |    ascii(substr(text, CAST((u * 17 + 3) % len AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_cr
+        |FROM e ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_mp2" -> {
       // full analytic recompute of the Layer II decode: the fixture's
       // active subbands 0/4/12/24 map into Table 3-B.2a step lists,
@@ -7725,25 +8009,21 @@ object Pipeline {
         |  strlen(text) AS length, md5(text) AS md5
         |FROM d ORDER BY doc_id""".stripMargin
     },
-    "zip_parse" -> {
-      // compressor-independent facts: method, true size, md5 of the
-      // INFLATED content (the deflated byte stream is Deflater-
-      // specific; the CRC verify happens engine-side)
+    "zip_parse" -> zipParseOracleSql,
+    // same facts through the written .zip fixture tree + binaryFile
+    "zip_parse_files" -> zipParseOracleSql,
+    "tfrecord_parse_files" -> {
+      // no names in the format and no build-side doc list available to
+      // the FILE walk, so identity is (shard, pos) — rank within the
+      // 8-doc shard
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (
-        |  SELECT doc_id, doc_id || '.txt' AS name, 0 AS method,
-        |    strlen(text) AS size, md5(text) AS md5 FROM d
-        |  UNION ALL
-        |  SELECT doc_id, doc_id || '.meta', 8, length(j), md5(j)
-        |  FROM (SELECT doc_id,
-        |    '{"id":' || doc_id || ',"n":' || strlen(text) || '}' AS j
-        |    FROM d))
-        |SELECT doc_id, doc_id // 8 AS shard_id, name,
-        |  CAST(method AS INT) AS method, CAST(size AS BIGINT) AS size,
-        |  md5
-        |FROM e ORDER BY doc_id, name""".stripMargin
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id // 8 AS shard_id,
+        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    - 1 AS pos,
+        |  strlen(text) AS length, md5(text) AS md5
+        |FROM d ORDER BY shard_id, pos""".stripMargin
     },
     "webdataset_pairs" -> {
       // completeness = the .cls file exists; byte totals fold the
@@ -8372,54 +8652,8 @@ object Pipeline {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "embedding_pq" -> {
-      // same zip_with-then-left-fold op order as the Spark pqDist
-      def dist(svc: String, cc: String) =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(1, 9), i -> ($svc[CAST(i AS INT)] - " +
-          s"$cc[CAST(i AS INT)]) * ($svc[CAST(i AS INT)] - " +
-          s"$cc[CAST(i AS INT)]))), (a, b) -> a + b)"
-      val iters = (1 to PqIters).map { t =>
-        val prev = s"b${t - 1}"
-        s"""a$t AS (
-           |  SELECT vec_id, j, k FROM (
-           |    SELECT sv.vec_id, sv.j, b.k,
-           |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
-           |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-           |    FROM sv JOIN $prev b USING (j)) WHERE rk = 1),
-           |s$t AS (
-           |  SELECT a.j, a.k, r.i,
-           |    CAST(sum(CAST(round(sv.sv[CAST(r.i AS INT)]
-           |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
-           |    count(*) AS cnt
-           |  FROM a$t a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
-           |    range(1, 9) r(i)
-           |  GROUP BY a.j, a.k, r.i),
-           |b$t AS (
-           |  SELECT j, k, list(CAST(sx AS DOUBLE) / cnt
-           |    / CAST($IvfScale AS DOUBLE) ORDER BY i) AS c
-           |  FROM s$t GROUP BY j, k)""".stripMargin
-      }.mkString(",\n")
       s"""$vecsCte,
-         |sv AS (
-         |  SELECT vec_id, jj.j AS j,
-         |    list_transform(range(1, 9),
-         |      i -> v[CAST(8 * jj.j + i AS INT)]) AS sv
-         |  FROM n, range(0, $PqM) jj(j)),
-         |sd AS (
-         |  SELECT vec_id, k FROM (
-         |    SELECT vec_id, row_number() OVER (
-         |      ORDER BY vec_id * 2246822519 % $P, vec_id) - 1 AS k
-         |    FROM n) WHERE k < $PqK),
-         |b0 AS (
-         |  SELECT s.j, sd.k, s.sv AS c
-         |  FROM sv s JOIN sd ON sd.vec_id = s.vec_id),
-         |$iters,
-         |af AS (
-         |  SELECT vec_id, j, k FROM (
-         |    SELECT sv.vec_id, sv.j, b.k,
-         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
-         |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-         |    FROM sv JOIN b$PqIters b USING (j)) WHERE rk = 1),
+         |$pqAfCtes,
          |rec AS (
          |  SELECT af.vec_id, flatten(list(b.c ORDER BY af.j)) AS r
          |  FROM af JOIN b$PqIters b ON b.j = af.j AND b.k = af.k
@@ -9134,6 +9368,38 @@ object Pipeline {
          |  SELECT vec_id, nn_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY c DESC, nn_id) AS rk FROM q80)
+         |  WHERE rk = 1),
+         |$pqAfCtes,
+         |adclut AS (
+         |  SELECT q.vec_id AS qid, q.j, b.k,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> q.sv[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
+         |      (s, t) -> s + t) AS qd,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> b.c[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
+         |      (s, t) -> s + t) AS cn2
+         |  FROM (SELECT sv.* FROM sv JOIN panel USING (vec_id)) q
+         |  JOIN b$PqIters b USING (j)),
+         |adc0 AS (
+         |  SELECT l.qid, af.vec_id AS nn_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(l.qd ORDER BY l.j)), (s, t) -> s + t) AS ip,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(l.cn2 ORDER BY l.j)), (s, t) -> s + t) AS rn2
+         |  FROM af JOIN adclut l ON l.j = af.j AND l.k = af.k
+         |  GROUP BY l.qid, af.vec_id),
+         |adc1 AS (
+         |  SELECT adc0.qid AS vec_id, adc0.nn_id,
+         |    CASE WHEN adc0.rn2 <= 0 OR qn.nrm = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE adc0.ip / (qn.nrm * sqrt(adc0.rn2)) END AS c
+         |  FROM adc0 JOIN n qn ON qn.vec_id = adc0.qid
+         |  WHERE adc0.nn_id <> adc0.qid),
+         |pqa AS (
+         |  SELECT vec_id, nn_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nn_id) AS rk FROM adc1)
          |  WHERE rk = 1)
          |SELECT 'ivf' AS method, count(*) AS n_queries,
          |  CAST(sum(CASE WHEN i.nn_id = tr.true_nn THEN 1 ELSE 0 END)
@@ -9169,6 +9435,13 @@ object Pipeline {
          |  CAST(sum(CASE WHEN q4.nn_id = tr.true_nn THEN 1 ELSE 0 END)
          |    AS BIGINT) / count(*) AS recall_at_1
          |FROM tr LEFT JOIN q8 q4 USING (vec_id)
+         |UNION ALL
+         |SELECT 'pq_adc' AS method, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN p5.nn_id = tr.true_nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN p5.nn_id = tr.true_nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) / count(*) AS recall_at_1
+         |FROM tr LEFT JOIN pqa p5 USING (vec_id)
          |ORDER BY method""".stripMargin,
     "ann_lsh" ->
       s"""$vecsCte,
@@ -9242,6 +9515,61 @@ object Pipeline {
     s"""prm AS (
        |  SELECT ($ivfCellsCase) AS cells
        |  FROM (SELECT count(*) AS cnt FROM n))""".stripMargin
+
+  /** PQ codebook training + final per-(vector, subspace) assignment as
+    * a DuckDB CTE chain (`sv`, `sd`, `b0`, `a1..b$PqIters`, `af`) —
+    * the SQL twin of [[pqCodebooks]] + the code-assignment step,
+    * shared by the `embedding_pq` and `ann_recall` (pq_adc row)
+    * oracles. Expects the `n` CTE from `vecsCte` in scope; uses the
+    * same zip_with-then-left-fold op order as the Spark [[pqDist]]. */
+  private def pqAfCtes: String = {
+    def dist(svc: String, cc: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 9), i -> ($svc[CAST(i AS INT)] - " +
+        s"$cc[CAST(i AS INT)]) * ($svc[CAST(i AS INT)] - " +
+        s"$cc[CAST(i AS INT)]))), (a, b) -> a + b)"
+    val iters = (1 to PqIters).map { t =>
+      val prev = s"b${t - 1}"
+      s"""a$t AS (
+         |  SELECT vec_id, j, k FROM (
+         |    SELECT sv.vec_id, sv.j, b.k,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
+         |    FROM sv JOIN $prev b USING (j)) WHERE rk = 1),
+         |s$t AS (
+         |  SELECT a.j, a.k, r.i,
+         |    CAST(sum(CAST(round(sv.sv[CAST(r.i AS INT)]
+         |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
+         |    count(*) AS cnt
+         |  FROM a$t a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
+         |    range(1, 9) r(i)
+         |  GROUP BY a.j, a.k, r.i),
+         |b$t AS (
+         |  SELECT j, k, list(CAST(sx AS DOUBLE) / cnt
+         |    / CAST($IvfScale AS DOUBLE) ORDER BY i) AS c
+         |  FROM s$t GROUP BY j, k)""".stripMargin
+    }.mkString(",\n")
+    s"""sv AS (
+       |  SELECT vec_id, jj.j AS j,
+       |    list_transform(range(1, 9),
+       |      i -> v[CAST(8 * jj.j + i AS INT)]) AS sv
+       |  FROM n, range(0, $PqM) jj(j)),
+       |sd AS (
+       |  SELECT vec_id, k FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY vec_id * 2246822519 % $P, vec_id) - 1 AS k
+       |    FROM n) WHERE k < $PqK),
+       |b0 AS (
+       |  SELECT s.j, sd.k, s.sv AS c
+       |  FROM sv s JOIN sd ON sd.vec_id = s.vec_id),
+       |$iters,
+       |af AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT sv.vec_id, sv.j, b.k,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+       |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
+       |    FROM sv JOIN b$PqIters b USING (j)) WHERE rk = 1)""".stripMargin
+  }
 
   private def annIvfOracle: String =
     s"""$vecsCte,

@@ -60,6 +60,19 @@ object H264 {
       else if (k % 2 == 0) -(k / 2)
       else (k + 1) / 2
     }
+    /** pcm_alignment_zero_bit consumption: skip to the next byte
+      * boundary (§7.3.5: the bits MUST be zero; a set bit is a
+      * malformed stream). Returns false on a non-zero pad bit. */
+    def alignZero(): Boolean = {
+      var ok = true
+      while (bit != 0 && pos < data.length) ok &= (u(1) == 0)
+      ok && pos <= data.length
+    }
+    /** One raw byte at a byte-aligned position (I_PCM samples);
+      * −1 past the end. */
+    def byte(): Int =
+      if (bit != 0 || pos >= data.length) -1
+      else { val v = data(pos) & 0xff; pos += 1; v }
   }
 
   private final class BitWriter {
@@ -81,6 +94,10 @@ object H264 {
       u(0, bits - 1)
       u(code, bits)
     }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit emission: zero-pad to a byte boundary
+      * (NOT the rbsp stop bit — I_PCM samples follow). */
+    def alignZero(): Unit = while (nb != 0) u(0, 1)
     /** rbsp_trailing_bits: stop bit + zero pad to a byte boundary. */
     def trailing(): Array[Byte] = {
       u(1, 1)
@@ -162,10 +179,14 @@ object H264 {
     r.u(8) // level
     r.ue() // sps id
     // High profiles (100, 110, 122, 244, 44, 83, 86, 118, 128) carry
-    // chroma/bit-depth/scaling fields before the frame-size fields
+    // chroma/bit-depth/scaling fields before the frame-size fields.
+    // chroma_format_idc defaults to 1 (4:2:0) when absent.
+    var chroma = 1
+    var separateColourPlane = 0
     if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile)) {
-      val chroma = r.ue()
-      if (chroma == 3) r.u(1)
+      chroma = r.ue()
+      if (chroma < 0 || chroma > 3) return (-1, -1)
+      if (chroma == 3) separateColourPlane = r.u(1)
       r.ue(); r.ue(); r.u(1)
       val scaling = r.u(1)
       if (scaling == 1) return (-1, -1) // scaling lists: not carried
@@ -190,9 +211,20 @@ object H264 {
     var (cl, cr, ct, cb) = (0, 0, 0, 0)
     if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
     if (cl < 0 || cr < 0 || ct < 0 || cb < 0) return (-1, -1)
-    // 4:2:0, frame_mbs_only=1: SubWidthC = 2, CropUnitY = 2
-    val width = (mbW + 1) * 16 - 2 * (cl + cr)
-    val height = (2 - frameMbsOnly) * (mbH + 1) * 16 - 2 * (ct + cb)
+    // Crop units per H.264 7.4.2.1.1 / Table 6-1: ChromaArrayType 0
+    // (monochrome or separate colour planes) crops in luma samples;
+    // otherwise in SubWidthC × SubHeightC chroma sample units.
+    val chromaArrayType = if (separateColourPlane == 1) 0 else chroma
+    val (subW, subH) = chroma match {
+      case 1 => (2, 2) // 4:2:0
+      case 2 => (2, 1) // 4:2:2
+      case _ => (1, 1) // 4:4:4 (and unused for monochrome)
+    }
+    val cropUnitX = if (chromaArrayType == 0) 1 else subW
+    val cropUnitY =
+      (if (chromaArrayType == 0) 1 else subH) * (2 - frameMbsOnly)
+    val width = (mbW + 1) * 16 - cropUnitX * (cl + cr)
+    val height = (2 - frameMbsOnly) * (mbH + 1) * 16 - cropUnitY * (ct + cb)
     (width, height)
   }
 
@@ -264,5 +296,124 @@ object H264 {
       }
     }
     H264Facts(w, h, starts.length, nSps, nPps, nIdr, nVcl)
+  }
+
+  // ── I_PCM pixels (§7.3.5 / §8.3.5) ──────────────────────────────
+
+  /** A decoded I_PCM frame: full 4:2:0 planes in raster order.
+    * `y` is width×height; `cb`/`cr` are (width/2)×(height/2). */
+  final case class IPcmFrame(width: Int, height: Int, y: Array[Byte],
+      cb: Array[Byte], cr: Array[Byte])
+
+  /** Build an IDR slice RBSP in which EVERY macroblock is I_PCM —
+    * the one entropy-free pixel path in H.264 (mb_type 25 in an I
+    * slice: byte-align, then 256 luma + 64 Cb + 64 Cr raw samples
+    * per MB). Slice-header fields match [[buildSps]]/[[buildPps]]
+    * (log2_max_frame_num 4 bits, poc type 2, CAVLC, no deblocking
+    * override). Sample generators are indexed by WRITE order: `luma`
+    * by the running luma-sample counter, `cb`/`cr` by
+    * (macroblock, sample-in-block). */
+  def buildIPcmSlice(wMbs: Int, hMbs: Int, luma: Int => Int,
+      cb: (Int, Int) => Int, cr: (Int, Int) => Int): Array[Byte] = {
+    require(wMbs > 0 && hMbs > 0)
+    val w = new BitWriter
+    w.ue(0)      // first_mb_in_slice
+    w.ue(7)      // slice_type: I (all slices of the picture are I)
+    w.ue(0)      // pic_parameter_set_id
+    w.u(0, 4)    // frame_num (log2_max_frame_num_minus4 = 0)
+    w.ue(0)      // idr_pic_id (IDR NAL)
+    w.u(0, 1)    // no_output_of_prior_pics_flag
+    w.u(0, 1)    // long_term_reference_flag
+    w.se(0)      // slice_qp_delta (ignored by I_PCM anyway)
+    var k = 0
+    for (m <- 0 until wMbs * hMbs) {
+      w.ue(25)   // mb_type: I_PCM
+      w.alignZero()
+      var i = 0
+      while (i < 256) { w.u(luma(k), 8); k += 1; i += 1 }
+      var j = 0
+      while (j < 64) { w.u(cb(m, j), 8); j += 1 }
+      j = 0
+      while (j < 64) { w.u(cr(m, j), 8); j += 1 }
+    }
+    w.trailing()
+  }
+
+  /** Decode an Annex B stream whose IDR slice is all-I_PCM into full
+    * pixel planes: SPS → dimensions (must be uncropped MB multiples
+    * — I_PCM carries whole macroblocks), IDR slice → header parse +
+    * per-MB raw-sample scatter into raster planes. None on any
+    * malformation (no SPS, cropped dims, a non-I_PCM mb_type, short
+    * stream, set alignment bit) — never throws. */
+  def decodeIPcmPixels(data: Array[Byte]): Option[IPcmFrame] = {
+    var sps: Array[Byte] = null
+    var idr: Array[Byte] = null
+    // the parse() start-code walk, keeping payloads this time
+    val starts = collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < data.length) {
+      if (data(i) == 0 && data(i + 1) == 0 && data(i + 2) == 1) {
+        starts += i + 3
+        i += 3
+      } else i += 1
+    }
+    val bounds = starts.toSeq :+ (data.length + 3)
+    bounds.sliding(2).filter(_.size == 2).foreach { win =>
+      val a = win(0)
+      var end = win(1) - 3
+      while (end > a && data(end - 1) == 0) end -= 1
+      if (a < end) {
+        val nalType = data(a) & 0x1f
+        if (nalType == 7 && sps == null)
+          sps = unescape(data.slice(a + 1, end))
+        if (nalType == 5 && idr == null)
+          idr = unescape(data.slice(a + 1, end))
+      }
+    }
+    if (sps == null || idr == null) return None
+    val (w, h) = parseSps(sps)
+    if (w <= 0 || h <= 0 || w % 16 != 0 || h % 16 != 0) return None
+    val (wMbs, hMbs) = (w / 16, h / 16)
+    val y = new Array[Byte](w * h)
+    val cbP = new Array[Byte]((w / 2) * (h / 2))
+    val crP = new Array[Byte]((w / 2) * (h / 2))
+    val r = new BitReader(idr)
+    // slice header, mirroring buildIPcmSlice's field schedule
+    if (r.ue() != 0) return None            // first_mb_in_slice
+    val st = r.ue()                         // slice_type ∈ {2, 7}: I
+    if (st != 2 && st != 7) return None
+    if (r.ue() < 0) return None             // pps id
+    if (r.u(4) < 0) return None             // frame_num
+    if (r.ue() < 0) return None             // idr_pic_id
+    if (r.u(2) < 0) return None             // dec_ref_pic_marking
+    if (r.se() == Int.MinValue) return None // slice_qp_delta
+    for (m <- 0 until wMbs * hMbs) {
+      if (r.ue() != 25) return None         // mb_type must be I_PCM
+      if (!r.alignZero()) return None
+      val mbX = (m % wMbs) * 16
+      val mbY = (m / wMbs) * 16
+      var i2 = 0
+      while (i2 < 256) {
+        val v = r.byte()
+        if (v < 0) return None
+        y((mbY + i2 / 16) * w + mbX + i2 % 16) = v.toByte
+        i2 += 1
+      }
+      var j = 0
+      while (j < 64) {
+        val v = r.byte()
+        if (v < 0) return None
+        cbP((mbY / 2 + j / 8) * (w / 2) + mbX / 2 + j % 8) = v.toByte
+        j += 1
+      }
+      j = 0
+      while (j < 64) {
+        val v = r.byte()
+        if (v < 0) return None
+        crP((mbY / 2 + j / 8) * (w / 2) + mbX / 2 + j % 8) = v.toByte
+        j += 1
+      }
+    }
+    Some(IPcmFrame(w, h, y, cbP, crP))
   }
 }

@@ -49,16 +49,17 @@ object Zip {
 
   private def inflateRaw(data: Array[Byte], size: Int): Array[Byte] = {
     val inf = new Inflater(true)
-    inf.setInput(data)
-    val out = new Array[Byte](size)
-    var done = 0
-    while (done < size && !inf.finished()) {
-      val n = inf.inflate(out, done, size - done)
-      if (n == 0 && inf.needsInput()) return null // truncated
-      done += n
-    }
-    inf.end()
-    if (done == size) out else null
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](size)
+      var done = 0
+      while (done < size && !inf.finished()) {
+        val n = inf.inflate(out, done, size - done)
+        if (n == 0 && inf.needsInput()) return null // truncated
+        done += n
+      }
+      if (done == size) out else null
+    } finally inf.end() // release native memory on the truncated path too
   }
 
   /** Build an archive from (name, data, deflate?) triples: local
@@ -124,29 +125,43 @@ object Zip {
     }
     if (eocd < 0) return Seq.empty
     val n = rd16(data, eocd + 10)
-    var p = rd32(data, eocd + 16).toInt // CD offset
+    val cdL = rd32(data, eocd + 16) // CD offset (untrusted 32-bit)
+    var p = if (cdL > Int.MaxValue) -1 else cdL.toInt
     val out = Seq.newBuilder[ZipEntry]
     var k = 0
     var ok = true
     while (ok && k < n) {
-      if (p + 46 > data.length || rd32(data, p) != 0x02014b50L) ok = false
+      if (p < 0 || p + 46 > data.length ||
+        rd32(data, p) != 0x02014b50L) ok = false
       else {
         val method = rd16(data, p + 10)
         val crcStored = rd32(data, p + 16)
-        val csize = rd32(data, p + 20).toInt
-        val usize = rd32(data, p + 24).toInt
+        val csizeL = rd32(data, p + 20)
+        val usizeL = rd32(data, p + 24)
         val nameLen = rd16(data, p + 28)
         val extraLen = rd16(data, p + 30)
         val cmtLen = rd16(data, p + 32)
-        val lho = rd32(data, p + 42).toInt
-        if (p + 46 + nameLen > data.length || lho + 30 > data.length ||
+        val lhoL = rd32(data, p + 42)
+        val lho = if (lhoL > Int.MaxValue) -1 else lhoL.toInt
+        // A 32-bit size field read from untrusted bytes can be
+        // anything; DEFLATE expands at most ~1032:1, so a claimed
+        // uncompressed size far beyond csize*1040 is a crafted bomb,
+        // and either size beyond the archive/Int range would wrap or
+        // over-allocate. Any of these ends the walk (never throws).
+        val sizesSane = csizeL >= 0 && csizeL <= data.length &&
+          usizeL >= 0 && usizeL <= math.min(Int.MaxValue.toLong - 8,
+            csizeL * 1040L + 4096L)
+        if (!sizesSane || p + 46 + nameLen > data.length ||
+          lho < 0 || lho + 30 > data.length ||
           rd32(data, lho) != 0x04034b50L) ok = false
         else {
+          val csize = csizeL.toInt
+          val usize = usizeL.toInt
           val name = new String(data, p + 46, nameLen, "UTF-8")
           val lNameLen = rd16(data, lho + 26)
           val lExtraLen = rd16(data, lho + 28)
           val dataOff = lho + 30 + lNameLen + lExtraLen
-          if (dataOff + csize > data.length) ok = false
+          if (dataOff.toLong + csize > data.length) ok = false
           else {
             val payload = data.slice(dataOff, dataOff + csize)
             val content =

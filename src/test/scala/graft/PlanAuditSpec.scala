@@ -154,6 +154,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cartesian/nested-loop joins appeared in: $offenders")
   }
 
+  test("embedding_pq's PQ reconstruction decodes ONLY the 16-vector panel") {
+    // the r9 verdict's one scale-killer: a full-corpus PQ decode feeding
+    // a 120-pair readout. The decode aggregate (the flatten-collect of
+    // per-subspace centroids) must sit above a vec_id < 16 filter on its
+    // PROBE side — codebook training (the broadcast build side) stays
+    // corpus-wide by design, so broadcast subtrees are excluded.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // the decode agg: collect_list of (subspace, centroid) structs keyed
+    // by vec_id (the flatten/array_sort fold is projected away in the
+    // physical rendering; codebook training's collect_list is keyed by
+    // (j, k) and so does not match)
+    val recoAggs = physical("embedding_pq").collect {
+      case n if n.nodeName.contains("Aggregate") && {
+        val s = n.simpleString(Int.MaxValue)
+        s.contains("collect_list(struct(j, j#") && s.contains("keys=[vec_id#")
+      } => n
+    }
+    assert(recoAggs.nonEmpty, "PQ reconstruction aggregate not found")
+    def probeSide(n: SparkPlan): Seq[SparkPlan] = n match {
+      case _: BroadcastExchangeExec => Seq.empty
+      case _ => n +: n.children.flatMap(probeSide)
+    }
+    for (agg <- recoAggs) {
+      val filters = probeSide(agg).collect {
+        case f: FilterExec if f.condition.toString.contains("< 16") => f
+      }
+      assert(filters.nonEmpty,
+        "PQ decode subtree must filter to the measurement panel " +
+          "before the assignment join — full-corpus reconstruction " +
+          "is the 100 TB scale-killer this pin fences")
+    }
+  }
+
   test("enriched_events joins the registry by broadcast, never sort-merge") {
     val p = plan("enriched_events")
     assert(p.contains("BroadcastHashJoin"))

@@ -54,6 +54,100 @@ class H264Spec extends AnyFunSuite {
     assert(f.nSps == 2 && f.width == 32 && f.height == 32)
   }
 
+  test("I_PCM pixels round-trip exactly through the Annex B stream") {
+    for ((wMbs, hMbs) <- Seq((1, 1), (3, 2), (4, 4))) {
+      def luma(k: Int) = (k * 37 + 11) % 256
+      def cb(m: Int, j: Int) = (m * 64 + j * 5 + 1) % 256
+      def cr(m: Int, j: Int) = (m * 17 + j * 3 + 2) % 256
+      val stream =
+        H264.buildNal(3, 7, H264.buildSps(16 * wMbs, 16 * hMbs)) ++
+        H264.buildNal(3, 8, H264.buildPps()) ++
+        H264.buildNal(3, 5, H264.buildIPcmSlice(wMbs, hMbs, luma, cb, cr))
+      val f = H264.decodeIPcmPixels(stream).get
+      assert(f.width == 16 * wMbs && f.height == 16 * hMbs)
+      // scatter check: sample k of MB m sits at the MB-raster position
+      var k = 0
+      for (m <- 0 until wMbs * hMbs; i <- 0 until 256) {
+        val x = (m % wMbs) * 16 + i % 16
+        val y = (m / wMbs) * 16 + i / 16
+        assert((f.y(y * f.width + x) & 0xff) == luma(k), s"y($x,$y)")
+        k += 1
+      }
+      for (m <- 0 until wMbs * hMbs; j <- 0 until 64) {
+        val x = (m % wMbs) * 8 + j % 8
+        val y = (m / wMbs) * 8 + j / 8
+        assert((f.cb(y * (f.width / 2) + x) & 0xff) == cb(m, j))
+        assert((f.cr(y * (f.width / 2) + x) & 0xff) == cr(m, j))
+      }
+      // PCM bytes include 0x00 runs: emulation prevention must be
+      // exercised by construction (a 00 00 0x triple exists in the
+      // raw samples whenever luma hits 0..3 after two zeros) — at
+      // minimum the round trip above proves escape/unescape held.
+    }
+  }
+
+  test("I_PCM decode refuses malformed streams, never throws") {
+    val good = H264.buildNal(3, 7, H264.buildSps(16, 16)) ++
+      H264.buildNal(3, 8, H264.buildPps()) ++
+      H264.buildNal(3, 5,
+        H264.buildIPcmSlice(1, 1, _ => 7, (_, _) => 8, (_, _) => 9))
+    assert(H264.decodeIPcmPixels(good).isDefined)
+    // no IDR
+    assert(H264.decodeIPcmPixels(
+      H264.buildNal(3, 7, H264.buildSps(16, 16))).isEmpty)
+    // no SPS
+    assert(H264.decodeIPcmPixels(
+      H264.buildNal(3, 5, Array[Byte](0x41))).isEmpty)
+    // cropped (non-MB-multiple) dims cannot carry I_PCM planes
+    val cropped = H264.buildNal(3, 7, H264.buildSps(62, 34)) ++
+      H264.buildNal(3, 5,
+        H264.buildIPcmSlice(4, 3, _ => 7, (_, _) => 8, (_, _) => 9))
+    assert(H264.decodeIPcmPixels(cropped).isEmpty)
+    // truncated samples
+    assert(H264.decodeIPcmPixels(good.dropRight(40)).isEmpty)
+    assert(H264.decodeIPcmPixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("high-profile SPS crop units follow chroma_format_idc") {
+    // hand-build a profile-100 SPS: 4:4:4 (chroma 3, no separate
+    // planes) crops in 1-px units; 4:2:2 (chroma 2) crops X by 2,
+    // Y by 1; monochrome (chroma 0) crops in luma samples
+    def raw(chroma: Int, cropR: Int, cropB: Int): Array[Byte] = {
+      val bits = new scala.collection.mutable.ArrayBuffer[Int]
+      def u(v: Int, n: Int): Unit =
+        for (k <- (n - 1) to 0 by -1) bits += ((v >> k) & 1)
+      def ue(v: Int): Unit = {
+        val code = v + 1
+        val nb = 32 - Integer.numberOfLeadingZeros(code)
+        u(0, nb - 1); u(code, nb)
+      }
+      u(100, 8); u(0, 8); u(30, 8) // profile 100, flags, level
+      ue(0)                        // sps id
+      ue(chroma)
+      if (chroma == 3) u(0, 1)     // separate_colour_plane: no
+      ue(0); ue(0); u(0, 1)        // bit depths, transform bypass
+      u(0, 1)                      // no scaling lists
+      ue(0); ue(2); ue(1); u(0, 1) // frame_num, poc 2, refs, gaps
+      ue(3); ue(1)                 // 64×32 in MBs
+      u(1, 1); u(0, 1)             // frame_mbs_only, direct_8x8
+      u(1, 1)                      // frame_cropping_flag
+      ue(0); ue(cropR); ue(0); ue(cropB)
+      u(0, 1)                      // vui
+      u(1, 1)                      // stop bit
+      while (bits.size % 8 != 0) bits += 0
+      bits.grouped(8).map(g => g.foldLeft(0)((a, b) => (a << 1) | b)
+        .toByte).toArray
+    }
+    // 4:4:4: crop units are 1 px each way
+    assert(H264.parseSps(raw(3, 2, 2)) == (62, 30))
+    // 4:2:2: SubWidthC=2, SubHeightC=1 → x crops ×2, y crops ×1
+    assert(H264.parseSps(raw(2, 2, 2)) == (60, 30))
+    // monochrome: luma-sample crop units
+    assert(H264.parseSps(raw(0, 2, 2)) == (62, 30))
+    // 4:2:0 (the default path): both ×2
+    assert(H264.parseSps(raw(1, 2, 2)) == (60, 28))
+  }
+
   test("no SPS or malformed SPS reports -1 dims; walk never throws") {
     val f = H264.parse(H264.buildNal(2, 1, Array[Byte](9)))
     assert(f.width == -1 && f.height == -1 && f.nVcl == 1)
