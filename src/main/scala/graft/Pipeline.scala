@@ -3388,6 +3388,73 @@ object Pipeline {
       ivfSearch(vecs(s, dir), ivfTrainedCents(s, dir))
     }.orderBy("vec_id")
 
+  /** IVF-PQ — the FAISS "IVFADC" serving shape, composing the two
+    * halves this library already measures separately: the TRAINED
+    * coarse quantizer prunes candidates to the probed cells
+    * ([[ivfTrainedCents]], the ann_ivf_trained machinery), and the
+    * candidates are scored by PQ ASYMMETRIC distance over their
+    * 4-byte codes ([[pqCodebooks]], the pq_adc machinery) instead of
+    * exact cosine. This is THE 100 TB ANN architecture: raw vectors
+    * never enter the scan — the cell index bounds the candidate set,
+    * the codes bound memory (4 B/vector), and the per-query distance
+    * table (M×K = 128 doubles) turns each candidate into M lookups.
+    * Recall vs the exact truth is measured by `ann_recall` (ivfpq
+    * row); this query emits the served top-1 with its ADC score.
+    *
+    * Plan shape: one broadcast N×K rank pass (bounded by the cell
+    * ladder), candidate join keyed on cell, a (query, j, k)-keyed
+    * equi-join against the LUT, and j-ordered folds so both engines
+    * accumulate identically. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ann-ivfpq:$dir") {
+      val all = vecs(s, dir)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("_cs").desc, col("cell"))
+      val ranked = all.join(broadcast(ivfTrainedCents(s, dir)))
+        .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
+        .select("vec_id", "cell", "_cs")
+        .withColumn("rk", row_number().over(w))
+      val posted = ranked.filter(col("rk") <= IvfPost)
+        .select(col("cell"), col("vec_id").as("nn_id"))
+      val probes = ranked.filter(col("rk") <= IvfProbes)
+        .select("cell", "vec_id")
+      val cand = probes.join(posted, Seq("cell"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .select("vec_id", "nn_id")
+      val books = pqCodebooks(s, dir)
+      val codes = pqSubvectors(all)
+        .join(broadcast(books), Seq("j"))
+        .withColumn("_d", expr(pqDist))
+        .groupBy("vec_id", "j")
+        .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
+        .select(col("vec_id").as("nn_id"), col("j"), col("k"))
+      val lut = pqSubvectors(all)
+        .select(col("vec_id").as("qid"), col("j"), col("sv"))
+        .join(broadcast(books), Seq("j"))
+        .selectExpr("qid", "j AS lj", "k AS lk", "dot_p(sv, c) AS qd",
+          "dot_p(c, c) AS cn2")
+      val qn = all.select(col("vec_id").as("qid"), col("nrm").as("qn"))
+      cand.join(codes, Seq("nn_id"))
+        .join(lut, col("vec_id") === col("qid") &&
+          col("j") === col("lj") && col("k") === col("lk"))
+        .groupBy("vec_id", "nn_id")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(j, qd))), " +
+            "CAST(0 AS DOUBLE), (s, p) -> s + p.qd)").as("ip"),
+          expr("aggregate(array_sort(collect_list(struct(j, cn2))), " +
+            "CAST(0 AS DOUBLE), (s, p) -> s + p.cn2)").as("rn2"))
+        .join(qn, col("vec_id") === col("qid"))
+        .withColumn("nn_adc",
+          expr("CASE WHEN rn2 <= CAST(0 AS DOUBLE) " +
+            "OR qn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+            "ELSE ip / (qn * sqrt(rn2)) END"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("nn_id"), col("nn_adc")),
+          struct(col("nn_adc"), -col("nn_id"))).as("top"))
+        .select(col("vec_id"), col("top.nn_id").as("nn_id"),
+          col("top.nn_adc").as("nn_adc"))
+    }.orderBy("vec_id")
+
   /** Embedding near-duplicate pairs, LSH-BUCKETED — the 100 TB scale path
     * for `embedding_neardup` (which stays a deliberately-quadratic
     * oracle-only baseline): candidates come from the shared multi-table
@@ -5250,6 +5317,50 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** WebP lossless PIXEL decode (operators/Vp8l) — the full VP8L
+    * bitstream round trip upgrading WebP from "dims only" to real
+    * rasters: per doc a text-derived RGBA image (first row solid to
+    * force an LZ77 run, the rest cycled text bytes) is encoded into a
+    * REAL `.webp` file — canonical prefix codes, distance-1
+    * backreferences, and per-id feature rotation (subtract-green on
+    * even ids, a 16-entry color cache on ids ≡ 0 mod 3) — and decoded
+    * back through the real bit parse (code-length codes, LZ77 copy,
+    * cache state, inverse transform). Channel sums over the DECODED
+    * raster must equal the oracle's arithmetic over the text. Pure
+    * map pass, zero shuffle. */
+  private def multimodalDecodeWebpPixels(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val bl = t.length
+        val b = asciiBytes(id, t)
+        val w = 1 + bl % 32
+        val h = 1 + (bl / 32) % 32
+        val px = Array.tabulate(w * h) { k =>
+          def ch(c: Int): Int =
+            if (k < w) b(c % bl) & 0xff
+            else b((3 * (k - w) + c) % bl) & 0xff
+          0xff000000 | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+        }
+        val webp = graft.operators.Vp8l.encode(w, h, px,
+          subtractGreen = id % 2 == 0,
+          cacheBits = if (id % 3 == 0) 4 else 0)
+        val (dw, dh, out) = graft.operators.Vp8l.decode(webp).get
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        out.foreach { p =>
+          sr += (p >>> 16) & 0xff
+          sg += (p >>> 8) & 0xff
+          sb += p & 0xff
+        }
+        (id, dw, dh, out.length.toLong, sr, sg, sb)
+      }
+      .toDF("media_id", "decoded_w", "decoded_h", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** H.264 I_PCM PIXEL decode (operators/H264.decodeIPcmPixels) — the
     * one entropy-free pixel path in the codec (§7.3.5: mb_type 25,
     * byte-aligned raw 4:2:0 samples), upgrading the h264 row from
@@ -6370,6 +6481,7 @@ object Pipeline {
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
+    "multimodal_decode_webp_pixels" -> multimodalDecodeWebpPixels _,
     "url_normalize" -> urlNormalize _,
     "url_host_counts" -> urlHostCounts _,
     "url_surt"          -> urlSurt _,
@@ -8071,6 +8183,30 @@ object Pipeline {
         |  CAST(1 + (len // 64) % 64 AS INT) AS decoded_h
         |FROM d ORDER BY media_id""".stripMargin
     },
+    "multimodal_decode_webp_pixels" -> {
+      // channel c of pixel k: first row repeats text[c], the rest
+      // cycle the text bytes 3-at-a-time — the encode features
+      // (subtract-green / cache / LZ77) must be invisible after decode
+      def chSum(c: Int): String =
+        s"""CAST(w * ascii(substr(text, CAST($c % len AS INT) + 1, 1))
+           |  + list_sum(list_prepend(0, list_transform(range(0, n - w),
+           |      j -> ascii(substr(text,
+           |        CAST((3 * j + $c) % len AS INT) + 1, 1)))))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 32 AS w,
+         |    1 + (length(text) // 32) % 32 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
+         |  CAST(h AS INT) AS decoded_h, n AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_tiff_packbits" -> {
       // pixel byte k = text[(k/4) mod len]; channel c of pixel p is
       // byte 3p+c, so sum_c = Σ_p text[((3p+c)/4) mod len]
@@ -8653,7 +8789,7 @@ object Pipeline {
     },
     "embedding_pq" -> {
       s"""$vecsCte,
-         |$pqAfCtes,
+         |${pqAfCtes()},
          |rec AS (
          |  SELECT af.vec_id, flatten(list(b.c ORDER BY af.j)) AS r
          |  FROM af JOIN b$PqIters b ON b.j = af.j AND b.k = af.k
@@ -9369,7 +9505,7 @@ object Pipeline {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY c DESC, nn_id) AS rk FROM q80)
          |  WHERE rk = 1),
-         |$pqAfCtes,
+         |${pqAfCtes()},
          |adclut AS (
          |  SELECT q.vec_id AS qid, q.j, b.k,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -9522,53 +9658,54 @@ object Pipeline {
     * shared by the `embedding_pq` and `ann_recall` (pq_adc row)
     * oracles. Expects the `n` CTE from `vecsCte` in scope; uses the
     * same zip_with-then-left-fold op order as the Spark [[pqDist]]. */
-  private def pqAfCtes: String = {
+  private def pqAfCtes(p: String = ""): String = {
     def dist(svc: String, cc: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, 9), i -> ($svc[CAST(i AS INT)] - " +
         s"$cc[CAST(i AS INT)]) * ($svc[CAST(i AS INT)] - " +
         s"$cc[CAST(i AS INT)]))), (a, b) -> a + b)"
     val iters = (1 to PqIters).map { t =>
-      val prev = s"b${t - 1}"
-      s"""a$t AS (
+      val prev = s"${p}b${t - 1}"
+      s"""${p}a$t AS (
          |  SELECT vec_id, j, k FROM (
          |    SELECT sv.vec_id, sv.j, b.k,
          |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
          |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-         |    FROM sv JOIN $prev b USING (j)) WHERE rk = 1),
-         |s$t AS (
+         |    FROM ${p}sv sv JOIN $prev b USING (j)) WHERE rk = 1),
+         |${p}s$t AS (
          |  SELECT a.j, a.k, r.i,
          |    CAST(sum(CAST(round(sv.sv[CAST(r.i AS INT)]
          |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
          |    count(*) AS cnt
-         |  FROM a$t a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
+         |  FROM ${p}a$t a JOIN ${p}sv sv
+         |    ON sv.vec_id = a.vec_id AND sv.j = a.j,
          |    range(1, 9) r(i)
          |  GROUP BY a.j, a.k, r.i),
-         |b$t AS (
+         |${p}b$t AS (
          |  SELECT j, k, list(CAST(sx AS DOUBLE) / cnt
          |    / CAST($IvfScale AS DOUBLE) ORDER BY i) AS c
-         |  FROM s$t GROUP BY j, k)""".stripMargin
+         |  FROM ${p}s$t GROUP BY j, k)""".stripMargin
     }.mkString(",\n")
-    s"""sv AS (
+    s"""${p}sv AS (
        |  SELECT vec_id, jj.j AS j,
        |    list_transform(range(1, 9),
        |      i -> v[CAST(8 * jj.j + i AS INT)]) AS sv
        |  FROM n, range(0, $PqM) jj(j)),
-       |sd AS (
+       |${p}sd AS (
        |  SELECT vec_id, k FROM (
        |    SELECT vec_id, row_number() OVER (
        |      ORDER BY vec_id * 2246822519 % $P, vec_id) - 1 AS k
        |    FROM n) WHERE k < $PqK),
-       |b0 AS (
+       |${p}b0 AS (
        |  SELECT s.j, sd.k, s.sv AS c
-       |  FROM sv s JOIN sd ON sd.vec_id = s.vec_id),
+       |  FROM ${p}sv s JOIN ${p}sd sd ON sd.vec_id = s.vec_id),
        |$iters,
-       |af AS (
+       |${p}af AS (
        |  SELECT vec_id, j, k FROM (
        |    SELECT sv.vec_id, sv.j, b.k,
        |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
        |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-       |    FROM sv JOIN b$PqIters b USING (j)) WHERE rk = 1)""".stripMargin
+       |    FROM ${p}sv sv JOIN ${p}b$PqIters b USING (j)) WHERE rk = 1)""".stripMargin
   }
 
   private def annIvfOracle: String =

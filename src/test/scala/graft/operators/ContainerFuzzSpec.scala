@@ -95,11 +95,39 @@ class ContainerFuzzSpec extends AnyFunSuite {
       Zip.parse(junk)
       Warc.parseArchive(junk)
       H264.parse(junk)
+      H264.decodeIPcmPixels(junk)
       MpegAudio.decode(junk)
       MpegAudio.decodeL2(junk)
       TfRecord.parse(junk)
+      Vp8l.decode(junk)
       assert(Tar.parse(junk).forall(_.size >= 0))
     }
+  }
+
+  test("zip: crafted huge/negative central-directory sizes end the walk") {
+    // r9 ADVICE: usize >= 2^31 used to wrap negative into the inflate
+    // allocation; any claimed size far beyond DEFLATE's 1032:1 bound
+    // is a decompression bomb. Both must end the walk, never throw.
+    val base = Zip.buildArchive(Seq(("f.txt", "hello zip".getBytes, true)))
+    // locate the central directory entry (PK\1\2) and patch usize
+    var cd = -1
+    for (i <- 0 until base.length - 3 if cd < 0)
+      if (base(i) == 'P' && base(i + 1) == 'K' && base(i + 2) == 1 &&
+        base(i + 3) == 2) cd = i
+    assert(cd > 0)
+    for (usize <- Seq(0x80000000L, 0xffffffffL, 0x40000000L)) {
+      val m = base.clone()
+      var k = 0
+      while (k < 4) {
+        m(cd + 24 + k) = ((usize >> (8 * k)) & 0xff).toByte
+        k += 1
+      }
+      assert(Zip.parse(m).isEmpty) // ended, not thrown, nothing invented
+    }
+    // and a wrapped local-header offset must not index out of bounds
+    val m2 = base.clone()
+    for (k <- 0 until 4) m2(cd + 42 + k) = 0xfe.toByte
+    assert(Zip.parse(m2).isEmpty)
   }
 
   test("single corrupted byte in a tar header is always detected") {
