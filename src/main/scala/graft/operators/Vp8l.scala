@@ -13,12 +13,18 @@ import scala.collection.mutable.ArrayBuffer
   * are canonical (RFC 1951 style) and read MSB-of-code-first through
   * that stream — both directions implemented here.
   *
+  * Round 11 closed the two spec edges the r10 subset rejected: the
+  * PREDICTOR transform (type 0 — block-mode sub-image decoded as its
+  * own entropy-coded image, all 14 spatial predictors, residual
+  * add-back in scan order) and the 2-D LZ77 distance map (codes
+  * 1..120 → close neighbor offsets). The encoder emits both
+  * (uniform-mode predictor blocks, vertical runs via map code 1) so
+  * each direction round-trips against the other.
+  *
   * Honest subset (documented, decode returns None outside it):
-  *  - transforms: SUBTRACT_GREEN (type 2) only; PREDICTOR / COLOR /
-  *    COLOR_INDEXING streams are rejected, not mis-decoded
+  *  - transforms: SUBTRACT_GREEN (type 2) and PREDICTOR (type 0);
+  *    COLOR / COLOR_INDEXING streams are rejected, not mis-decoded
   *  - no meta-prefix (entropy image) support — single code group
-  *  - LZ77 distance codes ≤ 120 (the 2-D neighbor map) are rejected;
-  *    the direct codes (> 120) that this encoder emits decode fully
   * JDK ImageIO cannot read or write WebP, so validation is the exact
   * encoder↔decoder round trip plus hand-pinned bitstreams
   * (Vp8lSpec) and the container fuzz walk (never throws).
@@ -233,6 +239,142 @@ object Vp8l {
   private def cacheHash(px: Int, bits: Int): Int =
     (0x1e35a7bd * px) >>> (32 - bits)
 
+  // ── 2-D LZ77 distance map ───────────────────────────────────────
+
+  /** Distance codes 1..120 denote close 2-D neighbors (dx, dy) with
+    * dy ∈ [0, 7], dx ∈ [-7, 8] (dy = 0 only with dx > 0): the spec's
+    * 120-entry table, reproduced here by its generating order —
+    * increasing squared Euclidean distance, ties broken by larger dy
+    * then positive-before-negative dx. The 1-D distance is
+    * dy·width + dx, clamped to ≥ 1; codes > 120 are direct 1-D
+    * distances of (code − 120). Packed as (dy << 8) | (dx + 8). */
+  private val DistMap: Array[Int] = {
+    val cand = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if !(dy == 0 && dx <= 0)
+    } yield (dx, dy)
+    cand.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
+      .map { case (dx, dy) => (dy << 8) | (dx + 8) }
+      .toArray
+  }
+
+  /** dcode (1-based) → 1-D distance for an image of width `w`. */
+  private def mapDistance(dcode: Int, w: Int): Int =
+    if (dcode > 120) dcode - 120
+    else {
+      val e = DistMap(dcode - 1)
+      val d = (e >> 8) * w + ((e & 0xff) - 8)
+      if (d < 1) 1 else d
+    }
+
+  // ── predictor transform (type 0) ────────────────────────────────
+
+  /** Per-channel average (floor) of two ARGB pixels. */
+  private def av2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** ClampAddSubtractFull: per channel clamp(a + b − c). */
+  private def casFull(a: Int, b: Int, c: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val v = clamp255(((a >>> sh) & 0xff) + ((b >>> sh) & 0xff) -
+        ((c >>> sh) & 0xff))
+      out |= v << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** ClampAddSubtractHalf: per channel clamp(a + (a − b) / 2), the
+    * division truncating toward zero. */
+  private def casHalf(a: Int, b: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val av = (a >>> sh) & 0xff
+      val bv = (b >>> sh) & 0xff
+      out |= clamp255(av + (av - bv) / 2) << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** Select: Manhattan distance of each of L/T to the per-channel
+    * gradient estimate L + T − TL; the closer one wins (L on ties). */
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    var pL = 0
+    var pT = 0
+    var sh = 0
+    while (sh < 32) {
+      val lv = (l >>> sh) & 0xff
+      val tv = (t >>> sh) & 0xff
+      val p = lv + tv - ((tl >>> sh) & 0xff)
+      pL += math.abs(p - lv)
+      pT += math.abs(p - tv)
+      sh += 8
+    }
+    if (pL < pT) l else t
+  }
+
+  /** The 14 spatial predictors (spec §4.2.1 numbering). */
+  private def predictPx(mode: Int, l: Int, t: Int, tl: Int,
+      tr: Int): Int = mode match {
+    case 0  => 0xff000000
+    case 1  => l
+    case 2  => t
+    case 3  => tr
+    case 4  => tl
+    case 5  => av2(av2(l, tr), t)
+    case 6  => av2(l, tl)
+    case 7  => av2(l, t)
+    case 8  => av2(tl, t)
+    case 9  => av2(t, tr)
+    case 10 => av2(av2(l, tl), av2(t, tr))
+    case 11 => select(l, t, tl)
+    case 12 => casFull(l, t, tl)
+    case _  => casHalf(av2(l, t), tl)
+  }
+
+  /** Per-channel add / subtract mod 256 (residual coding). */
+  private def addPx(a: Int, b: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      out |= ((((a >>> sh) & 0xff) + ((b >>> sh) & 0xff)) & 0xff) << sh
+      sh += 8
+    }
+    out
+  }
+  private def subPx(a: Int, b: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      out |= ((((a >>> sh) & 0xff) - ((b >>> sh) & 0xff)) & 0xff) << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** The predictor for position (x, y) given the reconstructed raster
+    * so far: fixed BLACK/L/T on the first row/column, the block's
+    * mode elsewhere. TR is the linear-scan neighbor `pos − w + 1` —
+    * at the right edge that is the CURRENT row's leftmost pixel
+    * (already reconstructed), the spec's linear-array semantics. */
+  private def predictAt(out: Array[Int], w: Int, x: Int, y: Int,
+      mode: Int): Int = {
+    val pos = y * w + x
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) out(pos - 1)
+    else if (x == 0) out(pos - w)
+    else predictPx(mode, out(pos - 1), out(pos - w), out(pos - w - 1),
+      out(pos - w + 1))
+  }
+
   // ── code (de)serialization ──────────────────────────────────────
 
   private def readCode(r: BitReader, alphabet: Int): Option[Huff] = {
@@ -371,28 +513,19 @@ object Vp8l {
 
   private sealed trait Tok
   private final case class Lit(px: Int) extends Tok
-  private final case class Run(len: Int) extends Tok
+  /** LZ77 run; `dval` is the DISTANCE PREFIX VALUE — 121 is the
+    * direct 1-D distance 1 (horizontal run), 1 is 2-D map entry
+    * (0, 1) = the pixel directly above (vertical run). */
+  private final case class Run(len: Int, dval: Int) extends Tok
   private final case class CacheRef(idx: Int) extends Tok
 
-  /** Encode ARGB pixels into a complete `.webp` file (RIFF + VP8L
-    * chunk): optional subtract-green transform, distance-1 LZ77 runs
-    * (emitted as direct distance codes), optional color cache. The
-    * stream decodes with [[decode]] AND with any spec-complete
-    * decoder. */
-  def encode(w: Int, h: Int, argb: Array[Int],
-      subtractGreen: Boolean = false, cacheBits: Int = 0): Array[Byte] = {
-    require(w >= 1 && h >= 1 && w <= (1 << 14) && h <= (1 << 14))
-    require(argb.length == w * h)
-    require(cacheBits >= 0 && cacheBits <= 11)
-    val px =
-      if (!subtractGreen) argb
-      else argb.map { p =>
-        val g = (p >>> 8) & 0xff
-        val r2 = (((p >>> 16) & 0xff) - g) & 0xff
-        val b2 = ((p & 0xff) - g) & 0xff
-        (p & 0xff000000) | (r2 << 16) | (g << 8) | b2
-      }
-    // tokenize
+  /** Tokenize one image's pixels: color-cache hits, LZ77 runs
+    * (horizontal dist-1 AND vertical dist-width via the 2-D map —
+    * the longer match wins), literals. The cache model mirrors the
+    * decoder exactly: every emitted pixel inserts, including each
+    * pixel of a copied run. */
+  private def tokenize(px: Array[Int], w: Int,
+      cacheBits: Int): ArrayBuffer[Tok] = {
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = new Array[Int](math.max(cacheSize, 1))
     val cacheValid = new Array[Boolean](math.max(cacheSize, 1))
@@ -403,14 +536,21 @@ object Vp8l {
     val toks = ArrayBuffer.empty[Tok]
     var i = 0
     while (i < px.length) {
-      var run = 0
+      var hrun = 0
       if (i > 0 && px(i) == px(i - 1)) {
-        while (i + run < px.length && px(i + run) == px(i - 1) &&
-          run < 4096) run += 1
+        while (i + hrun < px.length && px(i + hrun) == px(i - 1) &&
+          hrun < 4096) hrun += 1
       }
+      var vrun = 0
+      if (i >= w) {
+        while (i + vrun < px.length && px(i + vrun) == px(i + vrun - w) &&
+          vrun < 4096) vrun += 1
+      }
+      val run = math.max(hrun, vrun)
       if (run >= 3) {
-        toks += Run(run)
-        insert(px(i - 1))
+        toks += Run(run, if (vrun > hrun) 1 else 121)
+        var k = 0
+        while (k < run) { insert(px(i + k)); k += 1 }
         i += run
       } else {
         val p = px(i)
@@ -422,49 +562,116 @@ object Vp8l {
         i += 1
       }
     }
-    // used-symbol sets
+    toks
+  }
+
+  /** Write one entropy-coded image: color-cache info, (main only) the
+    * meta-prefix bit, the five prefix codes, and the token stream.
+    * Shared by the main image and transform sub-images. */
+  private def encodeImageBody(bw: BitWriter, w: Int, px: Array[Int],
+      cacheBits: Int, isMain: Boolean): Unit = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val toks = tokenize(px, w, cacheBits)
+    if (cacheBits > 0) { bw.u(1, 1); bw.u(cacheBits, 4) }
+    else bw.u(0, 1)
+    if (isMain) bw.u(0, 1) // no meta-prefix image
     val greenUsed = toks.collect {
       case Lit(p) => (p >>> 8) & 0xff
-      case Run(len) => 256 + prefixEncode(len)._1
+      case Run(len, _) => 256 + prefixEncode(len)._1
       case CacheRef(idx) => 256 + 24 + idx
     }
     val redUsed = toks.collect { case Lit(p) => (p >>> 16) & 0xff }
     val blueUsed = toks.collect { case Lit(p) => p & 0xff }
     val alphaUsed = toks.collect { case Lit(p) => (p >>> 24) & 0xff }
-    val distUsed =
-      if (toks.exists(_.isInstanceOf[Run])) Seq(prefixEncode(121)._1)
-      else Seq(0)
-    val bw = new BitWriter
-    bw.u(0x2F, 8)
-    bw.u(w - 1, 14); bw.u(h - 1, 14)
-    bw.u(0, 1) // alpha hint
-    bw.u(0, 3) // version
-    if (subtractGreen) { bw.u(1, 1); bw.u(2, 2) }
-    bw.u(0, 1) // no (more) transforms
-    if (cacheBits > 0) { bw.u(1, 1); bw.u(cacheBits, 4) }
-    else bw.u(0, 1)
-    bw.u(0, 1) // no meta-prefix image
+    val distUsed: Seq[Int] = {
+      val d = toks.collect { case Run(_, dv) => prefixEncode(dv)._1 }.toSeq
+      if (d.isEmpty) Seq(0) else d
+    }
     val gC = makeCode(bw, 256 + 24 + cacheSize, greenUsed.toSeq)
     val rC = makeCode(bw, 256, redUsed.toSeq)
     val bC = makeCode(bw, 256, blueUsed.toSeq)
     val aC = makeCode(bw, 256, alphaUsed.toSeq)
-    val dC = makeCode(bw, 40, distUsed)
+    val dC = makeCode(bw, 40, distUsed.distinct)
     toks.foreach {
       case Lit(p) =>
         gC.write(bw, (p >>> 8) & 0xff)
         rC.write(bw, (p >>> 16) & 0xff)
         bC.write(bw, p & 0xff)
         aC.write(bw, (p >>> 24) & 0xff)
-      case Run(len) =>
+      case Run(len, dval) =>
         val (s, eb, ex) = prefixEncode(len)
         gC.write(bw, 256 + s)
         bw.u(ex, eb)
-        val (ds, deb, dex) = prefixEncode(121) // distance 1, direct
+        val (ds, deb, dex) = prefixEncode(dval)
         dC.write(bw, ds)
         bw.u(dex, deb)
       case CacheRef(idx) =>
         gC.write(bw, 256 + 24 + idx)
     }
+  }
+
+  /** Encode ARGB pixels into a complete `.webp` file (RIFF + VP8L
+    * chunk): optional subtract-green and PREDICTOR transforms,
+    * distance-1/vertical LZ77 runs, optional color cache. The stream
+    * decodes with [[decode]] AND with any spec-complete decoder.
+    *
+    * `predictorMode` ≥ 0 applies the predictor transform with that
+    * single mode (0–13) for every block (`predictorBits` sets the
+    * block size exponent, 2–9): residuals go in the stream, the mode
+    * image is written as its own entropy-coded sub-image. Forward
+    * order is subtract-green THEN predictor, matching the decoder's
+    * reverse-read inverse application. */
+  def encode(w: Int, h: Int, argb: Array[Int],
+      subtractGreen: Boolean = false, cacheBits: Int = 0,
+      predictorMode: Int = -1, predictorBits: Int = 4): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= (1 << 14) && h <= (1 << 14))
+    // the decoder (and any sane one) bounds the raster it will
+    // allocate; never emit a file our own decoder refuses
+    require(w.toLong * h <= (1L << 24))
+    require(argb.length == w * h)
+    require(cacheBits >= 0 && cacheBits <= 11)
+    require(predictorMode >= -1 && predictorMode <= 13)
+    require(predictorBits >= 2 && predictorBits <= 9)
+    val px1 =
+      if (!subtractGreen) argb
+      else argb.map { p =>
+        val g = (p >>> 8) & 0xff
+        val r2 = (((p >>> 16) & 0xff) - g) & 0xff
+        val b2 = ((p & 0xff) - g) & 0xff
+        (p & 0xff000000) | (r2 << 16) | (g << 8) | b2
+      }
+    // predictor residuals: reconstruction is lossless, so the
+    // "previously decoded" neighbors are exactly the px1 values
+    val px = if (predictorMode < 0) px1 else {
+      val res = new Array[Int](px1.length)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          res(y * w + x) =
+            subPx(px1(y * w + x), predictAt(px1, w, x, y, predictorMode))
+          x += 1
+        }
+        y += 1
+      }
+      res
+    }
+    val bw = new BitWriter
+    bw.u(0x2F, 8)
+    bw.u(w - 1, 14); bw.u(h - 1, 14)
+    bw.u(0, 1) // alpha hint
+    bw.u(0, 3) // version
+    if (subtractGreen) { bw.u(1, 1); bw.u(2, 2) }
+    if (predictorMode >= 0) {
+      bw.u(1, 1); bw.u(0, 2) // PREDICTOR_TRANSFORM
+      bw.u(predictorBits - 2, 3)
+      val subW = (w + (1 << predictorBits) - 1) >> predictorBits
+      val subH = (h + (1 << predictorBits) - 1) >> predictorBits
+      val modes = Array.fill(subW * subH)(0xff000000 | (predictorMode << 8))
+      encodeImageBody(bw, subW, modes, 0, isMain = false)
+    }
+    bw.u(0, 1) // no (more) transforms
+    encodeImageBody(bw, w, px, cacheBits, isMain = true)
     val body = bw.result()
     // RIFF container
     val out = new java.io.ByteArrayOutputStream()
@@ -515,22 +722,75 @@ object Vp8l {
     r.u(1) // alpha hint
     if (r.u(3) != 0 || r.fail) return None
     if (w.toLong * h > (1L << 24)) return None // decode-bomb guard
-    // transforms
+    // transforms, prepended as read → list order = inverse-apply order
+    // (the spec applies inverses in reverse read order)
     var subtractGreen = false
+    var sawPredictor = false
+    var inverses = List.empty[Array[Int] => Unit]
     var more = r.u(1)
     while (more == 1) {
-      val t = r.u(2)
-      if (t != 2 || subtractGreen) return None // subset: SUBTRACT_GREEN once
-      subtractGreen = true
+      r.u(2) match {
+        case 2 =>
+          if (subtractGreen) return None
+          subtractGreen = true
+          inverses ::= { out =>
+            var i = 0
+            while (i < out.length) {
+              val p = out(i)
+              val gg = (p >>> 8) & 0xff
+              val r2 = (((p >>> 16) & 0xff) + gg) & 0xff
+              val b2 = ((p & 0xff) + gg) & 0xff
+              out(i) = (p & 0xff000000) | (r2 << 16) | (gg << 8) | b2
+              i += 1
+            }
+          }
+        case 0 => // PREDICTOR: block-mode sub-image + spatial inverse
+          if (sawPredictor) return None
+          sawPredictor = true
+          val sizeBits = r.u(3) + 2
+          if (r.fail) return None
+          val subW = (w + (1 << sizeBits) - 1) >> sizeBits
+          val subH = (h + (1 << sizeBits) - 1) >> sizeBits
+          val modes = decodeImageData(r, subW, subH).getOrElse(return None)
+          if (modes.exists(m => ((m >>> 8) & 0xff) > 13)) return None
+          inverses ::= { out =>
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val mode = (modes((y >> sizeBits) * subW +
+                  (x >> sizeBits)) >>> 8) & 0xff
+                val pos = y * w + x
+                out(pos) = addPx(out(pos), predictAt(out, w, x, y, mode))
+                x += 1
+              }
+              y += 1
+            }
+          }
+        case _ => return None // COLOR / COLOR_INDEXING: out of subset
+      }
       more = r.u(1)
     }
     if (more < 0) return None
+    val out = decodeImageData(r, w, h, isMain = true).getOrElse(return None)
+    inverses.foreach(f => f(out))
+    Some((w, h, out))
+  }
+
+  /** One entropy-coded image: color-cache info, (main only) the
+    * meta-prefix flag — rejected, out of subset — the five prefix
+    * codes, and the LZ77/cache/literal pixel stream. Distance codes
+    * 1..120 resolve through the 2-D neighbor map against THIS
+    * image's width; codes > 120 are direct distances. Used for the
+    * main image and for transform sub-images. */
+  private def decodeImageData(r: BitReader, w: Int, h: Int,
+      isMain: Boolean = false): Option[Array[Int]] = {
     var cacheBits = 0
     if (r.u(1) == 1) {
       cacheBits = r.u(4)
       if (cacheBits < 1 || cacheBits > 11) return None
     }
-    if (r.u(1) == 1) return None // meta-prefix image: out of subset
+    if (isMain && r.u(1) == 1) return None // meta-prefix: out of subset
     if (r.fail) return None
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val gH = readCode(r, 256 + 24 + cacheSize).getOrElse(return None)
@@ -560,8 +820,7 @@ object Vp8l {
         val ds = dH.read(r)
         val dcode = prefixValue(r, ds)
         if (len < 1 || dcode < 1 || r.fail) return None
-        if (dcode <= 120) return None // neighbor-map codes: out of subset
-        val d = dcode - 120
+        val d = mapDistance(dcode, w)
         if (d > pos || pos + len > w * h) return None
         var k = 0
         while (k < len) { push(out(pos - d)); k += 1 }
@@ -571,17 +830,6 @@ object Vp8l {
         push(cache(idx))
       }
     }
-    if (subtractGreen) {
-      var i = 0
-      while (i < out.length) {
-        val p = out(i)
-        val gg = (p >>> 8) & 0xff
-        val r2 = (((p >>> 16) & 0xff) + gg) & 0xff
-        val b2 = ((p & 0xff) + gg) & 0xff
-        out(i) = (p & 0xff000000) | (r2 << 16) | (gg << 8) | b2
-        i += 1
-      }
-    }
-    Some((w, h, out))
+    Some(out)
   }
 }

