@@ -5348,7 +5348,8 @@ object Pipeline {
     * mapped backreferences, and per-id feature rotation
     * (subtract-green on even ids, a 16-entry color cache on ids ≡ 0
     * mod 3, the PREDICTOR transform cycling all 14 modes on ids ≡ 0
-    * mod 5) — and decoded back through the real bit parse
+    * mod 5, the COLOR transform with id-derived signed multipliers
+    * on ids ≡ 0 mod 7) — and decoded back through the real bit parse
     * (code-length codes, LZ77 copy, cache state, transform-image
     * decode, inverse transforms). Channel sums over the DECODED
     * raster must equal the oracle's arithmetic over the text. Pure
@@ -5372,7 +5373,9 @@ object Pipeline {
         val webp = graft.operators.Vp8l.encode(w, h, px,
           subtractGreen = id % 2 == 0,
           cacheBits = if (id % 3 == 0) 4 else 0,
-          predictorMode = if (id % 5 == 0) (id % 14).toInt else -1)
+          predictorMode = if (id % 5 == 0) (id % 14).toInt else -1,
+          colorCte = if (id % 7 == 0) ((id * 0x9e3779b1L) & 0xffffff).toInt
+                     else -1)
         val (dw, dh, out) = graft.operators.Vp8l.decode(webp).get
         var (sr, sg, sb) = (0L, 0L, 0L)
         out.foreach { p =>

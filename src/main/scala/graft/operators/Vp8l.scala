@@ -13,18 +13,21 @@ import scala.collection.mutable.ArrayBuffer
   * are canonical (RFC 1951 style) and read MSB-of-code-first through
   * that stream — both directions implemented here.
   *
-  * Round 11 closed the two spec edges the r10 subset rejected: the
-  * PREDICTOR transform (type 0 — block-mode sub-image decoded as its
-  * own entropy-coded image, all 14 spatial predictors, residual
-  * add-back in scan order) and the 2-D LZ77 distance map (codes
-  * 1..120 → close neighbor offsets). The encoder emits both
-  * (uniform-mode predictor blocks, vertical runs via map code 1) so
-  * each direction round-trips against the other.
+  * Round 11 closed the spec edges the r10 subset rejected: ALL FOUR
+  * transforms now decode — PREDICTOR (type 0: block-mode sub-image
+  * decoded as its own entropy-coded image, all 14 spatial
+  * predictors, residual add-back in scan order), COLOR (type 1:
+  * per-block signed cross-channel multipliers), SUBTRACT_GREEN
+  * (type 2), COLOR_INDEXING (type 3: delta-coded palette + pixel
+  * bundling) — plus the 2-D LZ77 distance map (codes 1..120 → close
+  * neighbor offsets). The encoder emits every one of them so each
+  * direction round-trips against the other.
   *
   * Honest subset (documented, decode returns None outside it):
-  *  - transforms: SUBTRACT_GREEN (type 2) and PREDICTOR (type 0);
-  *    COLOR / COLOR_INDEXING streams are rejected, not mis-decoded
   *  - no meta-prefix (entropy image) support — single code group
+  *  - COLOR_INDEXING combined with the spatial/color transforms
+  *    (legal per spec, never emitted by real encoders) is rejected,
+  *    not mis-decoded; out-of-palette indices likewise
   * JDK ImageIO cannot read or write WebP, so validation is the exact
   * encoder↔decoder round trip plus hand-pinned bitstreams
   * (Vp8lSpec) and the container fuzz walk (never throws).
@@ -375,6 +378,51 @@ object Vp8l {
       out(pos - w + 1))
   }
 
+  // ── color transform (type 1) ────────────────────────────────────
+
+  /** ColorTransformDelta: signed-8-bit multiplier × signed-8-bit
+    * channel, arithmetic-shifted right 5. */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** Inverse color transform of one pixel against its transform
+    * element (green_to_red in the BLUE channel, green_to_blue in
+    * GREEN, red_to_blue in RED): red recovers first, then blue uses
+    * the RECOVERED red. */
+  private def ctInverse(p: Int, cte: Int): Int = {
+    val g2r = cte & 0xff
+    val g2b = (cte >>> 8) & 0xff
+    val r2b = (cte >>> 16) & 0xff
+    val g = (p >>> 8) & 0xff
+    val r = (((p >>> 16) & 0xff) + ctDelta(g2r, g)) & 0xff
+    val b = ((p & 0xff) + ctDelta(g2b, g) + ctDelta(r2b, r)) & 0xff
+    (p & 0xff00ff00) | (r << 16) | b
+  }
+
+  /** Forward color transform (encoder): subtract the deltas the
+    * inverse adds — the red_to_blue term keyed on the ORIGINAL red,
+    * which is exactly what the decoder has recovered by then. */
+  private def ctForward(p: Int, cte: Int): Int = {
+    val g2r = cte & 0xff
+    val g2b = (cte >>> 8) & 0xff
+    val r2b = (cte >>> 16) & 0xff
+    val g = (p >>> 8) & 0xff
+    val r0 = (p >>> 16) & 0xff
+    val r = (r0 - ctDelta(g2r, g)) & 0xff
+    val b = ((p & 0xff) - ctDelta(g2b, g) - ctDelta(r2b, r0)) & 0xff
+    (p & 0xff00ff00) | (r << 16) | b
+  }
+
+  // ── color-indexing transform (type 3) ───────────────────────────
+
+  /** Pixel-bundling width: palettes ≤ 2/4/16 colors pack 8/4/2
+    * indices per green byte (low bits first); larger palettes pack
+    * one. */
+  private def bundleBits(paletteSize: Int): Int =
+    if (paletteSize <= 2) 3
+    else if (paletteSize <= 4) 2
+    else if (paletteSize <= 16) 1
+    else 0
+
   // ── code (de)serialization ──────────────────────────────────────
 
   private def readCode(r: BitReader, alphabet: Int): Option[Huff] = {
@@ -618,12 +666,20 @@ object Vp8l {
     * `predictorMode` ≥ 0 applies the predictor transform with that
     * single mode (0–13) for every block (`predictorBits` sets the
     * block size exponent, 2–9): residuals go in the stream, the mode
-    * image is written as its own entropy-coded sub-image. Forward
-    * order is subtract-green THEN predictor, matching the decoder's
-    * reverse-read inverse application. */
+    * image is written as its own entropy-coded sub-image.
+    * `colorCte` ≥ 0 applies the color transform with that uniform
+    * 24-bit element (red_to_blue << 16 | green_to_blue << 8 |
+    * green_to_red). `palette = true` writes the color-indexing
+    * transform instead (≤ 256 distinct colors required; ≤ 16 bundle
+    * several indices per green byte) — exclusive of the other
+    * transforms, matching the decoder's subset. Forward transform
+    * order is subtract-green → color → predictor, the exact reverse
+    * of the decoder's reverse-read inverse application. */
   def encode(w: Int, h: Int, argb: Array[Int],
       subtractGreen: Boolean = false, cacheBits: Int = 0,
-      predictorMode: Int = -1, predictorBits: Int = 4): Array[Byte] = {
+      predictorMode: Int = -1, predictorBits: Int = 4,
+      colorCte: Int = -1, colorBits: Int = 4,
+      palette: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= (1 << 14) && h <= (1 << 14))
     // the decoder (and any sane one) bounds the raster it will
     // allocate; never emit a file our own decoder refuses
@@ -632,46 +688,93 @@ object Vp8l {
     require(cacheBits >= 0 && cacheBits <= 11)
     require(predictorMode >= -1 && predictorMode <= 13)
     require(predictorBits >= 2 && predictorBits <= 9)
-    val px1 =
-      if (!subtractGreen) argb
-      else argb.map { p =>
-        val g = (p >>> 8) & 0xff
-        val r2 = (((p >>> 16) & 0xff) - g) & 0xff
-        val b2 = ((p & 0xff) - g) & 0xff
-        (p & 0xff000000) | (r2 << 16) | (g << 8) | b2
-      }
-    // predictor residuals: reconstruction is lossless, so the
-    // "previously decoded" neighbors are exactly the px1 values
-    val px = if (predictorMode < 0) px1 else {
-      val res = new Array[Int](px1.length)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          res(y * w + x) =
-            subPx(px1(y * w + x), predictAt(px1, w, x, y, predictorMode))
-          x += 1
-        }
-        y += 1
-      }
-      res
-    }
+    require(colorCte >= -1 && colorCte <= 0xffffff)
+    require(colorBits >= 2 && colorBits <= 9)
+    require(!palette || (!subtractGreen && predictorMode < 0 &&
+      colorCte < 0), "color indexing excludes the other transforms")
     val bw = new BitWriter
     bw.u(0x2F, 8)
     bw.u(w - 1, 14); bw.u(h - 1, 14)
     bw.u(0, 1) // alpha hint
     bw.u(0, 3) // version
-    if (subtractGreen) { bw.u(1, 1); bw.u(2, 2) }
-    if (predictorMode >= 0) {
-      bw.u(1, 1); bw.u(0, 2) // PREDICTOR_TRANSFORM
-      bw.u(predictorBits - 2, 3)
-      val subW = (w + (1 << predictorBits) - 1) >> predictorBits
-      val subH = (h + (1 << predictorBits) - 1) >> predictorBits
-      val modes = Array.fill(subW * subH)(0xff000000 | (predictorMode << 8))
-      encodeImageBody(bw, subW, modes, 0, isMain = false)
+    if (palette) {
+      val colors = {
+        val seen = new java.util.LinkedHashSet[Int]()
+        argb.foreach(seen.add(_))
+        seen.toArray(Array.empty[Integer]).map(_.intValue)
+      }
+      require(colors.length <= 256, "palette encode needs <= 256 colors")
+      val n = colors.length
+      val idxOf = colors.zipWithIndex.toMap
+      val wb = bundleBits(n)
+      val bitsPer = 8 >> wb
+      val packedW = (w + (1 << wb) - 1) >> wb
+      val packed = new Array[Int](packedW * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val at = y * packedW + (x >> wb)
+          val g = ((packed(at) >>> 8) & 0xff) |
+            (idxOf(argb(y * w + x)) << ((x & ((1 << wb) - 1)) * bitsPer))
+          packed(at) = 0xff000000 | (g << 8)
+          x += 1
+        }
+        y += 1
+      }
+      bw.u(1, 1); bw.u(3, 2) // COLOR_INDEXING_TRANSFORM
+      bw.u(n - 1, 8)
+      val deltas = Array.tabulate(n)(i =>
+        if (i == 0) colors(0) else subPx(colors(i), colors(i - 1)))
+      encodeImageBody(bw, n, deltas, 0, isMain = false)
+      bw.u(0, 1) // no more transforms
+      encodeImageBody(bw, packedW, packed, cacheBits, isMain = true)
+    } else {
+      val px1 =
+        if (!subtractGreen) argb
+        else argb.map { p =>
+          val g = (p >>> 8) & 0xff
+          val r2 = (((p >>> 16) & 0xff) - g) & 0xff
+          val b2 = ((p & 0xff) - g) & 0xff
+          (p & 0xff000000) | (r2 << 16) | (g << 8) | b2
+        }
+      val px2 = if (colorCte < 0) px1 else px1.map(ctForward(_, colorCte))
+      // predictor residuals: reconstruction is lossless, so the
+      // "previously decoded" neighbors are exactly the px2 values
+      val px = if (predictorMode < 0) px2 else {
+        val res = new Array[Int](px2.length)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            res(y * w + x) =
+              subPx(px2(y * w + x), predictAt(px2, w, x, y, predictorMode))
+            x += 1
+          }
+          y += 1
+        }
+        res
+      }
+      if (subtractGreen) { bw.u(1, 1); bw.u(2, 2) }
+      if (colorCte >= 0) {
+        bw.u(1, 1); bw.u(1, 2) // COLOR_TRANSFORM
+        bw.u(colorBits - 2, 3)
+        val subW = (w + (1 << colorBits) - 1) >> colorBits
+        val subH = (h + (1 << colorBits) - 1) >> colorBits
+        val ctes = Array.fill(subW * subH)(0xff000000 | colorCte)
+        encodeImageBody(bw, subW, ctes, 0, isMain = false)
+      }
+      if (predictorMode >= 0) {
+        bw.u(1, 1); bw.u(0, 2) // PREDICTOR_TRANSFORM
+        bw.u(predictorBits - 2, 3)
+        val subW = (w + (1 << predictorBits) - 1) >> predictorBits
+        val subH = (h + (1 << predictorBits) - 1) >> predictorBits
+        val modes = Array.fill(subW * subH)(0xff000000 | (predictorMode << 8))
+        encodeImageBody(bw, subW, modes, 0, isMain = false)
+      }
+      bw.u(0, 1) // no (more) transforms
+      encodeImageBody(bw, w, px, cacheBits, isMain = true)
     }
-    bw.u(0, 1) // no (more) transforms
-    encodeImageBody(bw, w, px, cacheBits, isMain = true)
     val body = bw.result()
     // RIFF container
     val out = new java.io.ByteArrayOutputStream()
@@ -722,11 +825,16 @@ object Vp8l {
     r.u(1) // alpha hint
     if (r.u(3) != 0 || r.fail) return None
     if (w.toLong * h > (1L << 24)) return None // decode-bomb guard
-    // transforms, prepended as read → list order = inverse-apply order
-    // (the spec applies inverses in reverse read order)
+    // transforms, prepended as read → list order = inverse-apply
+    // order (the spec applies inverses in reverse read order); each
+    // inverse maps the raster (possibly RESIZING it — color indexing
+    // widens the bundled image back out), null = malformed
     var subtractGreen = false
     var sawPredictor = false
-    var inverses = List.empty[Array[Int] => Unit]
+    var sawColor = false
+    var sawIndex = false
+    var mainW = w // color indexing shrinks the coded width
+    var inverses = List.empty[Array[Int] => Array[Int]]
     var more = r.u(1)
     while (more == 1) {
       r.u(2) match {
@@ -743,6 +851,7 @@ object Vp8l {
               out(i) = (p & 0xff000000) | (r2 << 16) | (gg << 8) | b2
               i += 1
             }
+            out
           }
         case 0 => // PREDICTOR: block-mode sub-image + spatial inverse
           if (sawPredictor) return None
@@ -766,14 +875,79 @@ object Vp8l {
               }
               y += 1
             }
+            out
           }
-        case _ => return None // COLOR / COLOR_INDEXING: out of subset
+        case 1 => // COLOR: per-block cross-channel multipliers
+          if (sawColor) return None
+          sawColor = true
+          val sizeBits = r.u(3) + 2
+          if (r.fail) return None
+          val subW = (w + (1 << sizeBits) - 1) >> sizeBits
+          val subH = (h + (1 << sizeBits) - 1) >> sizeBits
+          val ctes = decodeImageData(r, subW, subH).getOrElse(return None)
+          inverses ::= { out =>
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val pos = y * w + x
+                out(pos) = ctInverse(out(pos),
+                  ctes((y >> sizeBits) * subW + (x >> sizeBits)))
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        case _ => // COLOR_INDEXING: palette + pixel bundling
+          if (sawIndex) return None
+          sawIndex = true
+          val n = r.u(8) + 1
+          if (r.fail) return None
+          val deltas = decodeImageData(r, n, 1).getOrElse(return None)
+          val pal = new Array[Int](n)
+          var i = 0
+          var acc = 0
+          while (i < n) { // palette entries are delta-coded
+            acc = addPx(acc, deltas(i)); pal(i) = acc; i += 1
+          }
+          val wb = bundleBits(n)
+          val packedW = (w + (1 << wb) - 1) >> wb
+          mainW = packedW
+          val bitsPer = 8 >> wb
+          inverses ::= { out =>
+            val full = new Array[Int](w * h)
+            var y = 0
+            var bad = false
+            while (y < h && !bad) {
+              var x = 0
+              while (x < w && !bad) {
+                val packed = out(y * packedW + (x >> wb))
+                val idx = (packed >>> (8 + (x & ((1 << wb) - 1)) *
+                  bitsPer)) & ((1 << bitsPer) - 1)
+                if (idx >= n) bad = true // out-of-palette: malformed
+                else full(y * w + x) = pal(idx)
+                x += 1
+              }
+              y += 1
+            }
+            if (bad) null else full
+          }
       }
       more = r.u(1)
     }
     if (more < 0) return None
-    val out = decodeImageData(r, w, h, isMain = true).getOrElse(return None)
-    inverses.foreach(f => f(out))
+    // indexing redefines the coded raster's geometry; combining it
+    // with the spatial/color transforms is legal per spec but never
+    // emitted by real encoders — rejected, not mis-decoded
+    if (sawIndex && (sawPredictor || sawColor || subtractGreen))
+      return None
+    var out = decodeImageData(r, mainW, h, isMain = true)
+      .getOrElse(return None)
+    inverses.foreach { f =>
+      out = f(out)
+      if (out == null) return None
+    }
     Some((w, h, out))
   }
 

@@ -175,6 +175,49 @@ class Vp8lSpec extends AnyFunSuite {
       dy >= 0 && dy <= 7 && dx >= -7 && dx <= 8 && !(dy == 0 && dx <= 0) })
   }
 
+  test("color transform round-trips (uniform cross-channel elements)") {
+    val (w, h) = (29, 17)
+    val px = pix(w * h, 41)
+    // green_to_red / green_to_blue / red_to_blue multipliers across
+    // the signed range (0x80 = −128, 0x7f = +127) and both block sizes
+    for {
+      cte <- Seq(0x000000, 0x7f7f7f, 0x808080, 0x123456, 0xed19c3)
+      bits <- Seq(2, 6)
+    } {
+      val webp = Vp8l.encode(w, h, px, colorCte = cte, colorBits = bits)
+      val got = Vp8l.decode(webp)
+      assert(got.isDefined, f"cte=$cte%06x bits=$bits")
+      assert(got.get._3.toSeq == px.toSeq, f"cte=$cte%06x bits=$bits")
+    }
+  }
+
+  test("color transform composes with subtract-green and predictor") {
+    val (w, h) = (21, 11)
+    val px = pix(w * h, 55)
+    val webp = Vp8l.encode(w, h, px, subtractGreen = true,
+      cacheBits = 3, predictorMode = 7, colorCte = 0x40e020)
+    assert(Vp8l.decode(webp).get._3.toSeq == px.toSeq)
+  }
+
+  test("color-indexing round-trips at every bundling width") {
+    // palette sizes straddling the 2/4/16/256 bundling thresholds;
+    // odd widths exercise the partial last bundle of each row
+    for (n <- Seq(2, 3, 4, 5, 16, 17, 200)) {
+      val colors = Array.tabulate(n)(i =>
+        0xff000000 | (i * 2654435761L).toInt & 0xffffff)
+      val (w, h) = (23, 9)
+      val px = Array.tabulate(w * h)(i => colors((i * 7 + i / w) % n))
+      val webp = Vp8l.encode(w, h, px, palette = true)
+      val got = Vp8l.decode(webp)
+      assert(got.isDefined, s"n=$n")
+      assert(got.get._3.toSeq == px.toSeq, s"n=$n")
+    }
+    // 1-color images: the degenerate palette still needs a valid code
+    val solid = Array.fill(40)(0xff31337a)
+    assert(Vp8l.decode(Vp8l.encode(8, 5, solid, palette = true))
+      .get._3.toSeq == solid.toSeq)
+  }
+
   test("seeded mutation fuzz: decode never throws, wrong bits reject") {
     val good = Vp8l.encode(16, 8, pix(128, 4), cacheBits = 4)
     val rnd = new scala.util.Random(1234)
