@@ -3089,6 +3089,77 @@ object Pipeline {
       .orderBy(desc("n"), asc("tok"))
   }
 
+  /** Bloom-filter geometries for [[bloomDedup]]: a deliberately
+    * UNDERSIZED 1024-bit filter next to a right-sized 65536-bit one
+    * (8 KiB at ANY corpus size), k = 4 probes reusing the CMS row
+    * multipliers over the scrambled content fingerprint. */
+  final val BloomMs = Seq(1024, 65536)
+
+  /** Bloom membership pre-filter for incremental dedup — the third
+    * sketch in the family (KMV: how many distinct; CMS: how often is
+    * this one; Bloom: might THIS key already exist?), applying
+    * [[graft.operators.BloomPrune]]'s bitset to the dedup problem.
+    * Docs split into an existing corpus (doc_id % 10 < 8) and an
+    * incoming batch (doc_id % 10 ≥ 6 — the {6,7} overlap guarantees
+    * real duplicates); the corpus's content fingerprints build one
+    * bitset PER GEOMETRY through the BOUNDED
+    * [[graft.functions.BloomBits]] typed Aggregator (m/64 longs per
+    * state at every stage incl. the map side, merge = OR — at 100 TB
+    * the corpus collapses map-side onto a single 1-row array with no
+    * fingerprint shuffle), and every incoming doc probes its k = 4
+    * bit positions against the BROADCAST bitsets — pure codegen'd
+    * bit arithmetic, no UDF. The exact fingerprint join (what the
+    * filter exists to avoid at scale) is kept as measured truth, so
+    * the panel reads like a sizing meeting: the undersized 1024-bit
+    * row shows real measured false positives (saturating as the
+    * corpus grows), the 8 KiB row stays clean, and the
+    * no-false-negative guarantee is pinned IN the gate (`false_neg`
+    * must hash-compare as 0 on BOTH rows). The oracle mirrors each
+    * bitset as its distinct position set — identical membership
+    * semantics by construction. */
+  private def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = registered(s, dir).selectExpr(
+      "doc_id", "source",
+      s"poly_hash(text) * 2654435761L % ${P}L AS h",
+      "doc_id % 10 < 8 AS in_corpus",
+      "doc_id % 10 >= 6 AS incoming")
+    val aggs = BloomMs.map { m =>
+      udaf(new graft.functions.BloomBits(m, CmsMul, P),
+        org.apache.spark.sql.Encoders.scalaLong)(col("h"))
+        .as(s"bits_$m")
+    }
+    val bits = fp.where("in_corpus").agg(aggs.head, aggs.tail: _*)
+    val corpusFp = fp.where("in_corpus").select("h").distinct()
+      .withColumn("dup", lit(1L))
+    def probe(m: Int): String = CmsMul.map { mu =>
+      val e = s"h * ${mu}L % ${P}L % $m"
+      s"(shiftright(element_at(bits_$m, CAST($e / 64 AS INT) + 1), " +
+        s"CAST($e % 64 AS INT)) & 1L) = 1L"
+    }.mkString(" AND ")
+    val probed = fp.where("incoming")
+      .crossJoin(broadcast(bits)) // 1-row bitsets ride every probe
+      .join(corpusFp, Seq("h"), "left")
+      .na.fill(0L, Seq("dup"))
+    val panels = BloomMs.map { m =>
+      probed
+        .withColumn("bloom_hit", expr(probe(m)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum("dup").as("true_dup"),
+          sum(expr("CAST(bloom_hit AS BIGINT)")).as("bloom_pos"),
+          sum(expr("CASE WHEN bloom_hit AND dup = 0 THEN 1L ELSE 0L END"))
+            .as("false_pos"),
+          sum(expr(
+            "CASE WHEN NOT bloom_hit AND dup = 1 THEN 1L ELSE 0L END"))
+            .as("false_neg"))
+        .selectExpr("source", s"${m}L AS m_bits", "n_in", "true_dup",
+          "bloom_pos", "false_pos", "false_neg",
+          "false_pos * 1000000L DIV greatest(n_in - true_dup, 1L)" +
+            " AS fp_ppm")
+    }
+    panels.reduce(_.unionAll(_)).orderBy("m_bits", "source")
+  }
+
   /** Cross-source overlap matrix — the contamination panel a curator
     * reads before mixing corpora: for every source pair with any shared
     * vocabulary, the EXACT token-hash Jaccard next to its KMV
@@ -5349,7 +5420,9 @@ object Pipeline {
     * (subtract-green on even ids, a 16-entry color cache on ids ≡ 0
     * mod 3, the PREDICTOR transform cycling all 14 modes on ids ≡ 0
     * mod 5, the COLOR transform with id-derived signed multipliers
-    * on ids ≡ 0 mod 7) — and decoded back through the real bit parse
+    * on ids ≡ 0 mod 7, a META-PREFIX entropy image with 1–4 prefix
+    * groups on ids ≡ 0 mod 11) — and decoded back through the real
+    * bit parse
     * (code-length codes, LZ77 copy, cache state, transform-image
     * decode, inverse transforms). Channel sums over the DECODED
     * raster must equal the oracle's arithmetic over the text. Pure
@@ -5375,7 +5448,9 @@ object Pipeline {
           cacheBits = if (id % 3 == 0) 4 else 0,
           predictorMode = if (id % 5 == 0) (id % 14).toInt else -1,
           colorCte = if (id % 7 == 0) ((id * 0x9e3779b1L) & 0xffffff).toInt
-                     else -1)
+                     else -1,
+          metaBits = if (id % 11 == 0) 3 else -1,
+          metaGroups = if (id % 11 == 0) 1 + (id % 4).toInt else 1)
         val (dw, dh, out) = graft.operators.Vp8l.decode(webp).get
         var (sr, sg, sb) = (0L, 0L, 0L)
         out.foreach { p =>
@@ -6258,6 +6333,34 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** The LZW twin of [[multimodalDecodeTiffPackbits]]: the same
+    * text-derived pixel rasters encoded as Compression=5 TIFFs
+    * through the real TIFF-variant LZW coder (MSB-first, early
+    * width change, 4094-entry clears), with the horizontal-
+    * differencing predictor on ids ≡ 0 mod 3 and byte order
+    * rotating on id parity — then decoded back through the real
+    * strip walk + LZW + inverse predictor. Channel sums over the
+    * DECODED raster must equal the oracle's arithmetic over the
+    * text (lossless round trip), so a bit-order, width-schedule or
+    * predictor bug fails the hash. One map pass per row. */
+  private def multimodalDecodeTiffLzw(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 24)
+        val h = 1 + ((t.length / 24) % 24)
+        val b = asciiBytes(id, t)
+        val px = Array.tabulate(w * h * 3)(k => b((k / 4) % b.length))
+        graft.operators.MediaRow(id, "image/tiff",
+          graft.operators.Multimodal.encodeTiffPixelsLzw(w, h,
+            id % 2 == 0, px, predictor = if (id % 3 == 0) 2 else 1))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL audio resample path: documents become 8 kHz 8-bit PCM WAV
     * files and resample to 6 kHz through exact rational linear
     * interpolation — output i at source position i·4/3, sample =
@@ -6509,6 +6612,7 @@ object Pipeline {
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
+    "multimodal_decode_tiff_lzw" -> multimodalDecodeTiffLzw _,
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
     "multimodal_decode_webp_pixels" -> multimodalDecodeWebpPixels _,
     "url_normalize" -> urlNormalize _,
@@ -6590,6 +6694,7 @@ object Pipeline {
     "token_stats_bpe"   -> tokenStatsBpe _,
     "kmv_distinct"      -> kmvDistinct _,
     "cms_heavy_hitters" -> cmsHeavyHitters _,
+    "bloom_dedup"       -> bloomDedup _,
     "tfidf_terms"       -> tfidfTerms _,
     "source_overlap"    -> sourceOverlap _,
     "vocab_coverage"    -> vocabCoverage _,
@@ -8260,6 +8365,30 @@ object Pipeline {
          |  ${chSum(2)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
     },
+    "multimodal_decode_tiff_lzw" -> {
+      // the LZW round trip is lossless, so the oracle is the same
+      // raster arithmetic as the packbits twin — any LZW bit-order /
+      // width-schedule / predictor bug breaks the channel sums
+      def chSum(c: Int): String = {
+        val idx = if (c == 0) "(3*k)//4" else s"(3*k + $c)//4"
+        s"""CAST(list_sum(list_transform(range(0, n), k ->
+           |  ascii(substr(text, CAST(($idx) % len AS INT) + 1, 1))))
+           |  AS BIGINT)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 24 AS w,
+         |    1 + (length(text) // 24) % 24 AS h
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
+         |  ${chSum(0)} AS sum_r,
+         |  ${chSum(1)} AS sum_g,
+         |  ${chSum(2)} AS sum_b
+         |FROM e ORDER BY media_id""".stripMargin
+    },
     "audio_resample" -> {
       // output i at source position i·8000/6000: idx/frac from exact
       // rational division, clamped at the tail; every value integer
@@ -9148,6 +9277,47 @@ object Pipeline {
          |FROM probe p JOIN sk USING (r, b)
          |GROUP BY p.tok, p.n
          |ORDER BY n DESC, tok""".stripMargin,
+    "bloom_dedup" -> {
+      def panelSql(m: Int): String =
+        s"""SELECT source, CAST($m AS BIGINT) AS m_bits,
+           |  count(*) AS n_in,
+           |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS true_dup,
+           |  CAST(sum(CASE WHEN hit_$m THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS bloom_pos,
+           |  CAST(sum(CASE WHEN hit_$m AND NOT dup THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS false_pos,
+           |  CAST(sum(CASE WHEN dup AND NOT hit_$m THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS false_neg,
+           |  CAST(sum(CASE WHEN hit_$m AND NOT dup THEN 1 ELSE 0 END)
+           |    * 1000000 // greatest(count(*) -
+           |    sum(CASE WHEN dup THEN 1 ELSE 0 END), 1) AS BIGINT)
+           |    AS fp_ppm
+           |FROM inc GROUP BY source""".stripMargin
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |    ${charFoldDuck("text")} * 2654435761 % $P AS h,
+         |    doc_id % 10 < 8 AS in_corpus,
+         |    doc_id % 10 >= 6 AS incoming
+         |  FROM documents),
+         |${BloomMs.map(m =>
+            s"""pos_$m AS (
+               |  SELECT DISTINCT p FROM (
+               |    SELECT unnest([${CmsMul.map(mu =>
+                      s"h * $mu % $P % $m").mkString(", ")}]) AS p
+               |    FROM fp WHERE in_corpus))""".stripMargin)
+            .mkString(",\n")},
+         |cset AS (SELECT DISTINCT h FROM fp WHERE in_corpus),
+         |inc AS (
+         |  SELECT source, h,
+         |    ${BloomMs.map(m => CmsMul.map(mu =>
+                s"(h * $mu % $P % $m IN (SELECT p FROM pos_$m))")
+                .mkString("(", " AND ", s") AS hit_$m")).mkString(",\n    ")},
+         |    h IN (SELECT h FROM cset) AS dup
+         |  FROM fp WHERE incoming)
+         |${BloomMs.map(panelSql).mkString("\nUNION ALL\n")}
+         |ORDER BY m_bits, source""".stripMargin
+    },
     "kmv_distinct" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_transform(string_split(text, ' '),

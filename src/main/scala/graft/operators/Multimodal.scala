@@ -1311,14 +1311,253 @@ object Multimodal {
     b.array()
   }
 
-  /** FULL TIFF pixel decode for baseline Compression=1 RGB images, pure
-    * JVM, both byte orders: the IFD walk of [[decodeTiffDims]] extended
-    * to the strip tags — BitsPerSample must be [8,8,8], Photometric 2,
-    * SamplesPerPixel 3; StripOffsets/StripByteCounts (inline or
-    * external, SHORT or LONG) drive the strip reads, each verified
-    * against rows·w·3 and the buffer bounds. RowsPerStrip defaults to
-    * one full-height strip when absent (TIFF 6.0 default 2³²−1).
-    * None on malformed input. */
+  /** TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first bit packing,
+    * 9-bit initial width, Clear = 256 / EOI = 257 / first dynamic code
+    * 258, and the EARLY code-width change (the decoder bumps when its
+    * NEXT free slot reaches 2^width − 1 because EOI reserves a slot —
+    * one code earlier than GIF). The width schedule here tracks a
+    * simulated DECODER table (`dNext`, one add per emitted code after
+    * the first since the last Clear) rather than the encoder's own
+    * dictionary, so the bit widths are right by construction even at
+    * the capacity-boundary tail. Clears are emitted when the table
+    * reaches 4094 entries, matching the common writers. */
+  def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      cur = (cur << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        out.write(((cur >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+      cur &= (1L << nbits) - 1
+    }
+    var dNext = 258
+    var firstSinceClear = true
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (firstSinceClear) firstSinceClear = false
+      else {
+        dNext += 1
+        if (dNext == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    emit(256) // Clear
+    if (data.nonEmpty) {
+      var s = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = (s << 12) | c
+        val e = dict.get(key)
+        if (e != null) s = e
+        else {
+          emitData(s)
+          dict.put(key, next); next += 1
+          if (next == 4094) { // table nearly full: reset both sides
+            emit(256)
+            dict.clear(); next = 258; dNext = 258; width = 9
+            firstSinceClear = true
+          }
+          s = c
+        }
+        i += 1
+      }
+      emitData(s)
+    }
+    emit(257) // EOI
+    if (nbits > 0) out.write(((cur << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW decoder over `len` bytes at `from`: MSB-first
+    * reads, Clear resets, the KwKwK case, and the early width change
+    * (bump when the next free slot reaches 2^width − 1, cap 12).
+    * Returns exactly `expected` bytes. None on malformed input: code
+    * beyond the table, first code non-literal, output over/underrun,
+    * bits exhausted before EOI. */
+  def tiffLzwDecode(src: Array[Byte], from: Int, len: Int,
+                    expected: Int): Option[Array[Byte]] = {
+    if (from < 0 || len < 0 || from + len > src.length) return None
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var n = 0
+    var width = 9
+    var next = 258
+    var prev = -1
+    var bitPos = 0L
+    val nBits = len.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val p = bitPos + i
+        v <<= 1
+        if (((src(from + (p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1) != 0)
+          v |= 1
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code: Int): Int = {
+      var cLen = 0
+      var c = code
+      while (c >= 258) { cLen += 1; c = prefix(c) }
+      val root = c
+      if (n + cLen + 1 > expected) return -1 // overrun
+      var w = n + cLen
+      c = code
+      while (c >= 258) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      out(w) = root.toByte
+      n += cLen + 1
+      root
+    }
+    var code = read()
+    while (true) {
+      if (code < 0) return None
+      if (code == 256) {
+        next = 258; width = 9; prev = -1
+      } else if (code == 257) {
+        return if (n == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= 256) return None // first code must be a literal
+        if (expand(code) < 0) return None
+        prev = code
+      } else {
+        var first = 0
+        if (code < next) {
+          first = expand(code)
+          if (first < 0) return None
+        } else if (code == next) {
+          var c = prev
+          while (c >= 258) c = prefix(c)
+          val f = c
+          if (expand(prev) < 0) return None
+          if (n + 1 > expected) return None
+          out(n) = f.toByte; n += 1
+          first = f
+        } else return None // code beyond the table
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+      code = read()
+    }
+    None
+  }
+
+  /** Horizontal-differencing predictor (TIFF 6.0 §14, Predictor = 2)
+    * over RGB888 rows: forward replaces each sample with its delta to
+    * the same channel one pixel left. In place. */
+  def tiffPredict(row: Array[Byte], rowBytes: Int): Unit = {
+    var r0 = 0
+    while (r0 < row.length) {
+      var i = math.min(rowBytes, row.length - r0) - 1
+      while (i >= 3) {
+        row(r0 + i) = (row(r0 + i) - row(r0 + i - 3)).toByte
+        i -= 1
+      }
+      r0 += rowBytes
+    }
+  }
+
+  /** Inverse of [[tiffPredict]]. In place. */
+  def tiffUnpredict(row: Array[Byte], rowBytes: Int): Unit = {
+    var r0 = 0
+    while (r0 < row.length) {
+      val end = math.min(rowBytes, row.length - r0)
+      var i = 3
+      while (i < end) {
+        row(r0 + i) = (row(r0 + i) + row(r0 + i - 3)).toByte
+        i += 1
+      }
+      r0 += rowBytes
+    }
+  }
+
+  /** [[encodeTiffPixels]] with LZW-compressed strips (Compression = 5)
+    * and the optional horizontal-differencing predictor (tag 317 = 2):
+    * ten-tag IFD, strip offsets/byte counts describe the COMPRESSED
+    * strip lengths. */
+  def encodeTiffPixelsLzw(w: Int, h: Int, littleEndian: Boolean,
+                          pixels: Array[Byte],
+                          predictor: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(predictor == 1 || predictor == 2, s"predictor $predictor")
+    val rps = TiffRowsPerStrip
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = w * 3
+    val raw = Array.tabulate(h * rowBytes)(k =>
+      if (pixels.nonEmpty) pixels(k % pixels.length) else 0.toByte)
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val strip = java.util.Arrays.copyOfRange(raw,
+        s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
+      if (predictor == 2) tiffPredict(strip, rowBytes)
+      tiffLzwEncode(strip)
+    }
+    val nEntries = 10
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4
+    val bpsAt = ifdEnd
+    val offsAt = bpsAt + 6
+    val cntsAt = offsAt + 4 * nStrips
+    val dataAt = cntsAt + 4 * nStrips
+    val b = java.nio.ByteBuffer.allocate(dataAt + strips.map(_.length).sum)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(nEntries.toShort)
+    def entryShort1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3).putInt(1)
+      b.putShort(v.toShort).putShort(0)
+    }
+    def entryLong1(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    def entryOff(tag: Int, typ: Int, cnt: Int, off: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(off)
+    }
+    entryLong1(256, w)
+    entryLong1(257, h)
+    entryOff(258, 3, 3, bpsAt)
+    entryShort1(259, 5) // LZW
+    entryShort1(262, 2)
+    if (nStrips == 1) entryLong1(273, dataAt)
+    else entryOff(273, 4, nStrips, offsAt)
+    entryShort1(277, 3)
+    entryLong1(278, rps)
+    if (nStrips == 1) entryLong1(279, strips.head.length)
+    else entryOff(279, 4, nStrips, cntsAt)
+    entryShort1(317, predictor)
+    b.putInt(0)
+    b.putShort(8).putShort(8).putShort(8)
+    var acc = dataAt
+    strips.foreach { st => b.putInt(acc); acc += st.length }
+    strips.foreach(st => b.putInt(st.length))
+    strips.foreach(st => b.put(st))
+    b.array()
+  }
+
+  /** FULL TIFF pixel decode for RGB images at Compression 1 (none),
+    * 5 (LZW, with the optional Predictor=2 horizontal differencing)
+    * and 32773 (PackBits), pure JVM, both byte orders: the IFD walk
+    * of [[decodeTiffDims]] extended to the strip tags — BitsPerSample
+    * must be [8,8,8], Photometric 2, SamplesPerPixel 3;
+    * StripOffsets/StripByteCounts (inline or external, SHORT or LONG)
+    * drive the strip reads, each verified against rows·w·3 and the
+    * buffer bounds. RowsPerStrip defaults to one full-height strip
+    * when absent (TIFF 6.0 default 2³²−1). None on malformed
+    * input. */
   def decodeTiffPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data.length < 8) return None
     val le = data(0) == 'I' && data(1) == 'I'
@@ -1358,7 +1597,7 @@ object Multimodal {
     for (j <- 0 until n) {
       val e = ifdI + 2 + j * 12
       val tag = b.getShort(e) & 0xffff
-      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279)(tag))
+      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317)(tag))
         tags += tag -> values(e).getOrElse(return None)
     }
     def one(tag: Int, default: Long = -1L): Long =
@@ -1367,7 +1606,11 @@ object Multimodal {
     val h = one(257)
     if (w <= 0 || h <= 0 || w * h > (1 << 26)) return None
     val compression = one(259, 1L)
-    if (compression != 1L && compression != 32773L) return None
+    if (compression != 1L && compression != 5L && compression != 32773L)
+      return None
+    val predictor = one(317, 1L)
+    if (predictor != 1L && (predictor != 2L || compression != 5L))
+      return None // differencing only defined alongside LZW here
     if (one(262) != 2L) return None                // RGB only
     if (one(277, 1L) != 3L) return None
     if (!tags.get(258).exists(v => v.length == 3 && v.forall(_ == 8L)))
@@ -1387,6 +1630,12 @@ object Multimodal {
         if (cnts(s) != rows.toLong * rowBytes) return None
         System.arraycopy(data, offs(s).toInt, rgb,
           s * (rps * rowBytes).toInt, cnts(s).toInt)
+      } else if (compression == 5L) { // LZW (+optional differencing)
+        val strip = tiffLzwDecode(data, offs(s).toInt, cnts(s).toInt,
+          rows * rowBytes).getOrElse(return None)
+        if (predictor == 2L) tiffUnpredict(strip, rowBytes)
+        System.arraycopy(strip, 0, rgb,
+          s * (rps * rowBytes).toInt, strip.length)
       } else { // PackBits: byte counts are the COMPRESSED strip sizes
         val strip = packBitsDecode(data, offs(s).toInt, cnts(s).toInt,
           rows * rowBytes).getOrElse(return None)

@@ -23,8 +23,14 @@ import scala.collection.mutable.ArrayBuffer
   * neighbor offsets). The encoder emits every one of them so each
   * direction round-trips against the other.
   *
+  * Round 11 also closed the META-PREFIX entropy image: the main
+  * image may carry a sub-image assigning one of N prefix-code
+  * groups to each 2^bits block ((red << 8) | green of the entropy
+  * pixel), symbols read with the group of their start position —
+  * both directions, with the color cache correctly global across
+  * groups.
+  *
   * Honest subset (documented, decode returns None outside it):
-  *  - no meta-prefix (entropy image) support — single code group
   *  - COLOR_INDEXING combined with the spatial/color transforms
   *    (legal per spec, never emitted by real encoders) is rejected,
   *    not mis-decoded; out-of-palette indices likewise
@@ -614,47 +620,112 @@ object Vp8l {
   }
 
   /** Write one entropy-coded image: color-cache info, (main only) the
-    * meta-prefix bit, the five prefix codes, and the token stream.
-    * Shared by the main image and transform sub-images. */
+    * meta-prefix bit — and with `metaBits` ≥ 2 the ENTROPY IMAGE
+    * assigning prefix-code group `block_index % metaGroups` to each
+    * block — then the per-group five prefix codes (group-major, the
+    * spec's storage order) and the token stream, each symbol coded
+    * with the group of the pixel position where it starts. Shared by
+    * the main image and transform sub-images (which never carry a
+    * meta-prefix). */
   private def encodeImageBody(bw: BitWriter, w: Int, px: Array[Int],
-      cacheBits: Int, isMain: Boolean): Unit = {
+      cacheBits: Int, isMain: Boolean, metaBits: Int = -1,
+      metaGroups: Int = 1): Unit = {
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val toks = tokenize(px, w, cacheBits)
     if (cacheBits > 0) { bw.u(1, 1); bw.u(cacheBits, 4) }
     else bw.u(0, 1)
-    if (isMain) bw.u(0, 1) // no meta-prefix image
-    val greenUsed = toks.collect {
-      case Lit(p) => (p >>> 8) & 0xff
-      case Run(len, _) => 256 + prefixEncode(len)._1
-      case CacheRef(idx) => 256 + 24 + idx
+    val useMeta = isMain && metaBits >= 2
+    val h = px.length / w
+    val subW = if (useMeta) (w + (1 << metaBits) - 1) >> metaBits else 1
+    val subH = if (useMeta) (h + (1 << metaBits) - 1) >> metaBits else 1
+    // the decoder reads (max meta code + 1) groups — with block i
+    // carrying code i % metaGroups, that is min(groups, block count)
+    val nG = if (useMeta) math.min(metaGroups, subW * subH) else 1
+    if (isMain) {
+      if (useMeta) {
+        bw.u(1, 1)
+        bw.u(metaBits - 2, 3)
+        // meta code = (red << 8) | green of the entropy-image pixel
+        val entropy = Array.tabulate(subW * subH) { i =>
+          val code = i % nG
+          0xff000000 | (((code >>> 8) & 0xff) << 16) | ((code & 0xff) << 8)
+        }
+        encodeImageBody(bw, subW, entropy, 0, isMain = false)
+      } else bw.u(0, 1) // no meta-prefix image
     }
-    val redUsed = toks.collect { case Lit(p) => (p >>> 16) & 0xff }
-    val blueUsed = toks.collect { case Lit(p) => p & 0xff }
-    val alphaUsed = toks.collect { case Lit(p) => (p >>> 24) & 0xff }
-    val distUsed: Seq[Int] = {
-      val d = toks.collect { case Run(_, dv) => prefixEncode(dv)._1 }.toSeq
-      if (d.isEmpty) Seq(0) else d
+    def groupAt(pos: Int): Int =
+      if (!useMeta) 0
+      else (((pos / w) >> metaBits) * subW + ((pos % w) >> metaBits)) % nG
+    // token start positions → per-group used-symbol sets
+    val starts = new Array[Int](toks.length)
+    var p0 = 0
+    var ti = 0
+    while (ti < toks.length) {
+      starts(ti) = p0
+      toks(ti) match {
+        case Run(len, _) => p0 += len
+        case _ => p0 += 1
+      }
+      ti += 1
     }
-    val gC = makeCode(bw, 256 + 24 + cacheSize, greenUsed.toSeq)
-    val rC = makeCode(bw, 256, redUsed.toSeq)
-    val bC = makeCode(bw, 256, blueUsed.toSeq)
-    val aC = makeCode(bw, 256, alphaUsed.toSeq)
-    val dC = makeCode(bw, 40, distUsed.distinct)
-    toks.foreach {
-      case Lit(p) =>
-        gC.write(bw, (p >>> 8) & 0xff)
-        rC.write(bw, (p >>> 16) & 0xff)
-        bC.write(bw, p & 0xff)
-        aC.write(bw, (p >>> 24) & 0xff)
-      case Run(len, dval) =>
-        val (s, eb, ex) = prefixEncode(len)
-        gC.write(bw, 256 + s)
-        bw.u(ex, eb)
-        val (ds, deb, dex) = prefixEncode(dval)
-        dC.write(bw, ds)
-        bw.u(dex, deb)
-      case CacheRef(idx) =>
-        gC.write(bw, 256 + 24 + idx)
+    val greenUsed = Array.fill(nG)(ArrayBuffer.empty[Int])
+    val redUsed = Array.fill(nG)(ArrayBuffer.empty[Int])
+    val blueUsed = Array.fill(nG)(ArrayBuffer.empty[Int])
+    val alphaUsed = Array.fill(nG)(ArrayBuffer.empty[Int])
+    val distUsed = Array.fill(nG)(ArrayBuffer.empty[Int])
+    ti = 0
+    while (ti < toks.length) {
+      val grp = groupAt(starts(ti))
+      toks(ti) match {
+        case Lit(p) =>
+          greenUsed(grp) += (p >>> 8) & 0xff
+          redUsed(grp) += (p >>> 16) & 0xff
+          blueUsed(grp) += p & 0xff
+          alphaUsed(grp) += (p >>> 24) & 0xff
+        case Run(len, dv) =>
+          greenUsed(grp) += 256 + prefixEncode(len)._1
+          distUsed(grp) += prefixEncode(dv)._1
+        case CacheRef(idx) =>
+          greenUsed(grp) += 256 + 24 + idx
+      }
+      ti += 1
+    }
+    def orZero(s: ArrayBuffer[Int]): Seq[Int] =
+      if (s.isEmpty) Seq(0) else s.toSeq
+    val gC = new Array[WCode](nG)
+    val rC = new Array[WCode](nG)
+    val bC = new Array[WCode](nG)
+    val aC = new Array[WCode](nG)
+    val dC = new Array[WCode](nG)
+    var grp = 0
+    while (grp < nG) { // group-major: all five codes of group k, then k+1
+      gC(grp) = makeCode(bw, 256 + 24 + cacheSize, orZero(greenUsed(grp)))
+      rC(grp) = makeCode(bw, 256, orZero(redUsed(grp)))
+      bC(grp) = makeCode(bw, 256, orZero(blueUsed(grp)))
+      aC(grp) = makeCode(bw, 256, orZero(alphaUsed(grp)))
+      dC(grp) = makeCode(bw, 40, orZero(distUsed(grp)).distinct)
+      grp += 1
+    }
+    ti = 0
+    while (ti < toks.length) {
+      val k = groupAt(starts(ti))
+      toks(ti) match {
+        case Lit(p) =>
+          gC(k).write(bw, (p >>> 8) & 0xff)
+          rC(k).write(bw, (p >>> 16) & 0xff)
+          bC(k).write(bw, p & 0xff)
+          aC(k).write(bw, (p >>> 24) & 0xff)
+        case Run(len, dval) =>
+          val (s, eb, ex) = prefixEncode(len)
+          gC(k).write(bw, 256 + s)
+          bw.u(ex, eb)
+          val (ds, deb, dex) = prefixEncode(dval)
+          dC(k).write(bw, ds)
+          bw.u(dex, deb)
+        case CacheRef(idx) =>
+          gC(k).write(bw, 256 + 24 + idx)
+      }
+      ti += 1
     }
   }
 
@@ -674,12 +745,17 @@ object Vp8l {
     * several indices per green byte) — exclusive of the other
     * transforms, matching the decoder's subset. Forward transform
     * order is subtract-green → color → predictor, the exact reverse
-    * of the decoder's reverse-read inverse application. */
+    * of the decoder's reverse-read inverse application.
+    * `metaBits` ≥ 2 writes a META-PREFIX entropy image over the main
+    * image: blocks of 2^metaBits pixels cycle through `metaGroups`
+    * prefix-code groups (block_index mod metaGroups), each group its
+    * own five codes — composable with every transform. */
   def encode(w: Int, h: Int, argb: Array[Int],
       subtractGreen: Boolean = false, cacheBits: Int = 0,
       predictorMode: Int = -1, predictorBits: Int = 4,
       colorCte: Int = -1, colorBits: Int = 4,
-      palette: Boolean = false): Array[Byte] = {
+      palette: Boolean = false, metaBits: Int = -1,
+      metaGroups: Int = 1): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= (1 << 14) && h <= (1 << 14))
     // the decoder (and any sane one) bounds the raster it will
     // allocate; never emit a file our own decoder refuses
@@ -690,6 +766,8 @@ object Vp8l {
     require(predictorBits >= 2 && predictorBits <= 9)
     require(colorCte >= -1 && colorCte <= 0xffffff)
     require(colorBits >= 2 && colorBits <= 9)
+    require(metaBits == -1 || (metaBits >= 2 && metaBits <= 9))
+    require(metaGroups >= 1 && metaGroups <= 65536)
     require(!palette || (!subtractGreen && predictorMode < 0 &&
       colorCte < 0), "color indexing excludes the other transforms")
     val bw = new BitWriter
@@ -728,7 +806,8 @@ object Vp8l {
         if (i == 0) colors(0) else subPx(colors(i), colors(i - 1)))
       encodeImageBody(bw, n, deltas, 0, isMain = false)
       bw.u(0, 1) // no more transforms
-      encodeImageBody(bw, packedW, packed, cacheBits, isMain = true)
+      encodeImageBody(bw, packedW, packed, cacheBits, isMain = true,
+        metaBits = metaBits, metaGroups = metaGroups)
     } else {
       val px1 =
         if (!subtractGreen) argb
@@ -773,7 +852,8 @@ object Vp8l {
         encodeImageBody(bw, subW, modes, 0, isMain = false)
       }
       bw.u(0, 1) // no (more) transforms
-      encodeImageBody(bw, w, px, cacheBits, isMain = true)
+      encodeImageBody(bw, w, px, cacheBits, isMain = true,
+        metaBits = metaBits, metaGroups = metaGroups)
     }
     val body = bw.result()
     // RIFF container
@@ -952,11 +1032,17 @@ object Vp8l {
   }
 
   /** One entropy-coded image: color-cache info, (main only) the
-    * meta-prefix flag — rejected, out of subset — the five prefix
-    * codes, and the LZ77/cache/literal pixel stream. Distance codes
-    * 1..120 resolve through the 2-D neighbor map against THIS
-    * image's width; codes > 120 are direct distances. Used for the
-    * main image and for transform sub-images. */
+    * meta-prefix flag — when set, the ENTROPY IMAGE (its own
+    * entropy-coded sub-image at 1/2^bits resolution whose pixels
+    * carry the prefix-group id as (red << 8) | green) — then
+    * max_id + 1 groups of five prefix codes, and the
+    * LZ77/cache/literal pixel stream, each symbol read with the
+    * group of the block its start position falls in. The color cache
+    * is GLOBAL across groups (it sizes every group's green
+    * alphabet). Distance codes 1..120 resolve through the 2-D
+    * neighbor map against THIS image's width; codes > 120 are direct
+    * distances. Used for the main image and for transform
+    * sub-images. */
   private def decodeImageData(r: BitReader, w: Int, h: Int,
       isMain: Boolean = false): Option[Array[Int]] = {
     var cacheBits = 0
@@ -964,14 +1050,36 @@ object Vp8l {
       cacheBits = r.u(4)
       if (cacheBits < 1 || cacheBits > 11) return None
     }
-    if (isMain && r.u(1) == 1) return None // meta-prefix: out of subset
+    var metaBits = 0
+    var metaCodes: Array[Int] = null
+    var metaW = 1
+    var nGroups = 1
+    if (isMain && r.u(1) == 1) { // meta-prefix entropy image
+      metaBits = r.u(3) + 2
+      if (r.fail) return None
+      metaW = (w + (1 << metaBits) - 1) >> metaBits
+      val metaH = (h + (1 << metaBits) - 1) >> metaBits
+      val img = decodeImageData(r, metaW, metaH).getOrElse(return None)
+      metaCodes = img.map(p => (((p >>> 16) & 0xff) << 8) |
+        ((p >>> 8) & 0xff))
+      nGroups = metaCodes.max + 1
+    }
     if (r.fail) return None
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val gH = readCode(r, 256 + 24 + cacheSize).getOrElse(return None)
-    val rH = readCode(r, 256).getOrElse(return None)
-    val bH = readCode(r, 256).getOrElse(return None)
-    val aH = readCode(r, 256).getOrElse(return None)
-    val dH = readCode(r, 40).getOrElse(return None)
+    val gH = new Array[Huff](nGroups)
+    val rH = new Array[Huff](nGroups)
+    val bH = new Array[Huff](nGroups)
+    val aH = new Array[Huff](nGroups)
+    val dH = new Array[Huff](nGroups)
+    var gi = 0
+    while (gi < nGroups) { // group-major storage order
+      gH(gi) = readCode(r, 256 + 24 + cacheSize).getOrElse(return None)
+      rH(gi) = readCode(r, 256).getOrElse(return None)
+      bH(gi) = readCode(r, 256).getOrElse(return None)
+      aH(gi) = readCode(r, 256).getOrElse(return None)
+      dH(gi) = readCode(r, 40).getOrElse(return None)
+      gi += 1
+    }
     val out = new Array[Int](w * h)
     val cache = new Array[Int](math.max(cacheSize, 1))
     var pos = 0
@@ -980,24 +1088,28 @@ object Vp8l {
       pos += 1
       if (cacheSize > 0) cache(cacheHash(p, cacheBits)) = p
     }
+    def grpAt(p: Int): Int =
+      if (metaCodes == null) 0
+      else metaCodes(((p / w) >> metaBits) * metaW + ((p % w) >> metaBits))
     while (pos < w * h) {
-      val g = gH.read(r)
+      val k = grpAt(pos)
+      val g = gH(k).read(r)
       if (g < 0 || r.fail) return None
       if (g < 256) {
-        val rr = rH.read(r)
-        val bb = bH.read(r)
-        val aa = aH.read(r)
+        val rr = rH(k).read(r)
+        val bb = bH(k).read(r)
+        val aa = aH(k).read(r)
         if (rr < 0 || bb < 0 || aa < 0 || r.fail) return None
         push((aa << 24) | (rr << 16) | (g << 8) | bb)
       } else if (g < 256 + 24) {
         val len = prefixValue(r, g - 256)
-        val ds = dH.read(r)
+        val ds = dH(k).read(r)
         val dcode = prefixValue(r, ds)
         if (len < 1 || dcode < 1 || r.fail) return None
         val d = mapDistance(dcode, w)
         if (d > pos || pos + len > w * h) return None
-        var k = 0
-        while (k < len) { push(out(pos - d)); k += 1 }
+        var k2 = 0
+        while (k2 < len) { push(out(pos - d)); k2 += 1 }
       } else {
         val idx = g - 256 - 24
         if (idx >= cacheSize) return None

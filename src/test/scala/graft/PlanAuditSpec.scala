@@ -107,6 +107,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // single-row scalar (1 KiB, constant in build cardinality) — the
       // actual join is an equi-join after the prune
       "q30_bloom_join",
+      // bloom_dedup: the same single-row bitset broadcast (both
+      // geometries ride ONE 1-row frame); truth is an equi-join on
+      // the fingerprint
+      "bloom_dedup",
       // dedup_incremental: the batch-source marker is a broadcast
       // single-row max(source) aggregate; the dedup join itself is an
       // equi-join on the compound fingerprint

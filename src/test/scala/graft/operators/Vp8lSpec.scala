@@ -218,6 +218,56 @@ class Vp8lSpec extends AnyFunSuite {
       .get._3.toSeq == solid.toSeq)
   }
 
+  test("meta-prefix entropy image round-trips across group counts") {
+    val rng = new scala.util.Random(42)
+    for {
+      mg <- Seq(1, 2, 3, 4, 7, 16)
+      mb <- Seq(2, 3, 5)
+      (w, h) <- Seq((1, 1), (7, 5), (64, 64), (130, 37))
+    } {
+      val px = Array.fill(w * h)(0xff000000 | rng.nextInt(1 << 24))
+      // mix in runs so LZ77 copies cross group boundaries
+      var i = 1
+      while (i < px.length) {
+        if (rng.nextInt(3) == 0) px(i) = px(i - 1); i += 1
+      }
+      val enc = Vp8l.encode(w, h, px, cacheBits = if (mg % 2 == 0) 4 else 0,
+        metaBits = mb, metaGroups = mg)
+      val got = Vp8l.decode(enc)
+      assert(got.isDefined, s"mg=$mg mb=$mb $w x $h")
+      assert(got.get._3.sameElements(px), s"mg=$mg mb=$mb $w x $h")
+    }
+  }
+
+  test("meta-prefix composes with every transform (and with palette)") {
+    val rng = new scala.util.Random(7)
+    val (w, h) = (50, 40)
+    for ((mg, pm) <- Seq((2, 0), (5, 11))) {
+      val px = Array.fill(w * h)(0xff000000 | rng.nextInt(1 << 24))
+      val enc = Vp8l.encode(w, h, px, subtractGreen = true, cacheBits = 3,
+        predictorMode = pm, colorCte = 0x102030, metaBits = 3,
+        metaGroups = mg)
+      assert(Vp8l.decode(enc).exists(_._3.sameElements(px)),
+        s"mg=$mg pm=$pm")
+    }
+    val pal = Array.tabulate(7)(i => 0xff000000 | (i * 0x212121))
+    val px = Array.fill(33 * 21)(pal(rng.nextInt(7)))
+    val enc = Vp8l.encode(33, 21, px, palette = true, metaBits = 2,
+      metaGroups = 4)
+    assert(Vp8l.decode(enc).exists(_._3.sameElements(px)))
+  }
+
+  test("meta-prefix stream actually carries distinct per-group codes") {
+    // groups-of-1 vs groups-of-4 must differ in the bitstream, and a
+    // single-group meta image must still round-trip (degenerate case)
+    val px = pix(64 * 16, 5)
+    val one = Vp8l.encode(64, 16, px, metaBits = 3, metaGroups = 1)
+    val four = Vp8l.encode(64, 16, px, metaBits = 3, metaGroups = 4)
+    assert(!one.sameElements(four))
+    assert(Vp8l.decode(one).exists(_._3.sameElements(px)))
+    assert(Vp8l.decode(four).exists(_._3.sameElements(px)))
+  }
+
   test("seeded mutation fuzz: decode never throws, wrong bits reject") {
     val good = Vp8l.encode(16, 8, pix(128, 4), cacheBits = 4)
     val rnd = new scala.util.Random(1234)
