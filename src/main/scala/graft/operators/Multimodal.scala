@@ -619,6 +619,21 @@ object Multimodal {
     }
     val dict = new java.util.HashMap[Integer, Integer]()
     var next = eoi + 1
+    // the code widths must follow the DECODER's table, which adds one
+    // entry per code read after the first — including after the FINAL
+    // data code, where a capacity-boundary bump changes EOI's width;
+    // tracking a simulated decoder table (dNext) instead of our own
+    // dictionary makes the schedule exact at that tail too
+    var dNext = eoi + 1
+    var firstCode = true
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (firstCode) firstCode = false
+      else if (dNext < 4096) {
+        dNext += 1
+        if (dNext == (1 << width) && width < 12) width += 1
+      }
+    }
     emit(clear)
     if (data.nonEmpty) {
       var s = data(0) & 0xff
@@ -629,18 +644,13 @@ object Multimodal {
         val e = dict.get(key)
         if (e != null) s = e
         else {
-          emit(s)
-          if (next < 4096) {
-            dict.put(key, next); next += 1
-            // decoder adds this entry one code later: bump width when
-            // ITS table (next − 1) reaches the current width's capacity
-            if (next - 1 == (1 << width) && width < 12) width += 1
-          }
+          emitData(s)
+          if (next < 4096) { dict.put(key, next); next += 1 }
           s = c
         }
         i += 1
       }
-      emit(s)
+      emitData(s)
     }
     emit(eoi)
     if (nbits > 0) out.write((cur & 0xff).toInt)

@@ -236,6 +236,18 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.lzwDecode(8, enc, 4).isEmpty)
     // truncated code stream: bits run out before EOI
     assert(Multimodal.lzwDecode(8, enc.take(2), 3).isEmpty)
+    // capacity-boundary TAIL: the decoder adds an entry after the
+    // FINAL data code too — when that add lands exactly on 2^width
+    // the EOI is read one bit wider, so the encoder's schedule must
+    // track the decoder's table, not its own. All-miss inputs (no
+    // repeated byte pair) sweep the 512-entry boundary length by
+    // length; a schedule off by one at the tail fails one of these.
+    for (len <- 248 to 264) {
+      val d = Array.tabulate[Byte](len)(i => ((i * 7) % 256).toByte)
+      val e = Multimodal.lzwEncode(8, d)
+      assert(Multimodal.lzwDecode(8, e, len).exists(_.sameElements(d)),
+        s"tail boundary len=$len")
+    }
   }
 
   test("GIF FULL pixel decode: LZW + palette recovers the exact indexed " +
