@@ -3118,11 +3118,16 @@ object Pipeline {
     * bitset as its distinct position set — identical membership
     * semantics by construction. */
   private def bloomDedup(s: SparkSession, dir: String): DataFrame = {
-    val fp = registered(s, dir).selectExpr(
-      "doc_id", "source",
-      s"poly_hash(text) * 2654435761L % ${P}L AS h",
-      "doc_id % 10 < 8 AS in_corpus",
-      "doc_id % 10 >= 6 AS incoming")
+    // persisted per session: referenced three times below (corpus
+    // bitset build, exact-truth distinct, incoming probe) — without
+    // the cache each reference re-runs the full-text poly_hash pass
+    val fp = ScanCache.get(s, s"bloom-fp:$dir") {
+      registered(s, dir).selectExpr(
+        "doc_id", "source",
+        s"poly_hash(text) * 2654435761L % ${P}L AS h",
+        "doc_id % 10 < 8 AS in_corpus",
+        "doc_id % 10 >= 6 AS incoming")
+    }
     val aggs = BloomMs.map { m =>
       udaf(new graft.functions.BloomBits(m, CmsMul, P),
         org.apache.spark.sql.Encoders.scalaLong)(col("h"))
