@@ -3520,12 +3520,7 @@ object Pipeline {
         .filter(col("vec_id") =!= col("nn_id"))
         .select("vec_id", "nn_id")
       val books = pqCodebooks(s, dir)
-      val codes = pqSubvectors(all)
-        .join(broadcast(books), Seq("j"))
-        .withColumn("_d", expr(pqDist))
-        .groupBy("vec_id", "j")
-        .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
-        .select(col("vec_id").as("nn_id"), col("j"), col("k"))
+      val codes = pqCodes(s, dir)
       val lut = pqSubvectors(all)
         .select(col("vec_id").as("qid"), col("j"), col("sv"))
         .join(broadcast(books), Seq("j"))
@@ -3733,6 +3728,21 @@ object Pipeline {
     * a (query, vector) partial-aggregable groupBy — linear in the
     * corpus like any ADC scan, never a reconstruction. Folds are
     * j-ordered so both engines accumulate identically. */
+  /** The PQ SERVING INDEX — 1 code per (vector, subspace), the 4 B/vec
+    * artifact an ADC scan reads. Built once per (session, dir) and
+    * shared by [[annPqAdc]] and [[annIvfPq]], which previously each
+    * re-ran the corpus-wide encode (the round-11 bench's largest
+    * remaining first-touch). */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"pq-codes:$dir") {
+      pqSubvectors(vecs(s, dir))
+        .join(broadcast(pqCodebooks(s, dir)), Seq("j"))
+        .withColumn("_d", expr(pqDist))
+        .groupBy("vec_id", "j")
+        .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
+        .select(col("vec_id").as("nn_id"), col("j"), col("k"))
+    }
+
   private def annPqAdc(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     val panel = all
@@ -3741,12 +3751,7 @@ object Pipeline {
       .select("vec_id")
     val books = pqCodebooks(s, dir)
     // the serving index: 1 code per (vector, subspace)
-    val codes = pqSubvectors(all)
-      .join(broadcast(books), Seq("j"))
-      .withColumn("_d", expr(pqDist))
-      .groupBy("vec_id", "j")
-      .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
-      .select(col("vec_id").as("nn_id"), col("j"), col("k"))
+    val codes = pqCodes(s, dir)
     // per-query distance table: dot(q_j, c_jk) + centroid energy
     val lut = pqSubvectors(all.join(broadcast(panel), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("j"), col("sv"))
