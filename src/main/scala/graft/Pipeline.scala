@@ -5610,6 +5610,42 @@ object Pipeline {
   private def warcParsePlain(s: SparkSession, dir: String): DataFrame =
     warcParse(s, dir, gzip = false)
 
+  /** CDX index build over the real WARC archives — the web-archive
+    * LOOKUP artifact (what wayback-style replay and per-domain scans
+    * seek through): per record, the SURT ordering key, archive id,
+    * byte offset and length of the WHOLE record within the archive,
+    * payload digest and HTTP status. Offsets come from the record
+    * WALK (`WarcRecord.recOff`/`recLen`), so a framing bug anywhere —
+    * header arithmetic, envelope parse, separator handling — shifts
+    * every subsequent offset in the archive and fails the hash
+    * against the oracle's closed-form envelope sums. Ordered by SURT,
+    * the convention that makes a domain's records one contiguous
+    * range. Same scale shape as warc_parse: archives build and parse
+    * inside one flatMapGroups pass, only index rows shuffle. */
+  private def warcCdx(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id / 16, id, graft.operators.Warc.buildRecord(
+          id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val archive = graft.operators.Warc.buildArchive(
+          it.toSeq.sortBy(_._2).map(_._3), gzip = false)
+        graft.operators.Warc.parseArchive(archive).map { r =>
+          (graft.operators.UrlNorm.surtKey(r.uri), aid,
+            r.recOff.toLong, r.recLen.toLong, r.bodyMd5,
+            r.httpStatus)
+        }
+      }
+      .toDF("surt", "arch_id", "rec_off", "rec_len", "digest",
+        "http_status")
+      .orderBy("surt", "arch_id")
+  }
+
   /** Once-per-corpus materialization of REAL `.warc.gz` archive files
     * (one file per id-div-16 group, the warc_parse_gzip layout) under
     * the JVM temp dir; returns the directory. Files are written from
@@ -6640,6 +6676,7 @@ object Pipeline {
     "line_dedup"        -> lineDedup _,
     "line_boilerplate"  -> lineBoilerplate _,
     "warc_parse"        -> warcParsePlain _,
+    "warc_cdx"          -> warcCdx _,
     "warc_parse_gzip"   -> warcParseGzip _,
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
@@ -8196,6 +8233,30 @@ object Pipeline {
         |  strlen(text) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "warc_cdx" -> {
+      // closed-form record framing (verified byte-exact against the
+      // builder): http envelope = 63 + digits(body) + body bytes;
+      // whole record = 173 + 2*digits(doc_id) + digits(clen) + clen;
+      // offsets are the running sum of earlier records in the archive
+      """WITH r AS (
+        |  SELECT doc_id, doc_id // 16 AS arch_id, text,
+        |    63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
+        |      AS clen
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, arch_id, text,
+        |    173 + 2 * length(CAST(doc_id AS VARCHAR))
+        |      + length(CAST(clen AS VARCHAR)) + clen AS rec_len
+        |  FROM r)
+        |SELECT 'com,ex' || (doc_id % 7) || ')/doc/' || doc_id AS surt,
+        |  arch_id,
+        |  CAST(COALESCE(sum(rec_len) OVER (PARTITION BY arch_id
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS rec_off,
+        |  rec_len, md5(text) AS digest, CAST(200 AS INT) AS http_status
+        |FROM f ORDER BY surt, arch_id""".stripMargin
     },
     "warc_parse_gzip" -> {
       // identical facts — the per-record-gzip-member layout must be

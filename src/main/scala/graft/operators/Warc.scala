@@ -57,10 +57,13 @@ object Warc {
 
   /** Parsed facts of one record: enough to identify, route and
     * fingerprint the payload without carrying it (`bodyOff` indexes
-    * into the decompressed archive for consumers that do want it). */
+    * into the decompressed archive for consumers that do want it;
+    * `recOff`/`recLen` frame the WHOLE record — header block through
+    * trailing CRLFCRLF — which is exactly what a CDX index stores so
+    * a replay can seek straight to the record). */
   final case class WarcRecord(uri: String, warcType: String,
       contentLength: Long, httpStatus: Int, bodyLen: Long, bodyMd5: String,
-      bodyOff: Int)
+      bodyOff: Int, recOff: Int = 0, recLen: Int = 0)
 
   private def md5hex(b: Array[Byte], off: Int, len: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -132,17 +135,19 @@ object Warc {
                   (st, httpEnd + 4)
                 } else (-1, payloadOff)
               val bodyLen = payloadOff + clInt - bodyOff
-              recs += WarcRecord(
-                hdrs.getOrElse("warc-target-uri", ""),
-                hdrs.getOrElse("warc-type", ""),
-                cl, status, bodyLen,
-                md5hex(plain, bodyOff, bodyLen), bodyOff)
+              val recOff = p
               // record separator after the payload
               p = payloadOff + clInt
               if (p + 4 <= plain.length && plain(p) == '\r' &&
                 plain(p + 1) == '\n' && plain(p + 2) == '\r' &&
                 plain(p + 3) == '\n') p += 4
               else ok = p == plain.length
+              recs += WarcRecord(
+                hdrs.getOrElse("warc-target-uri", ""),
+                hdrs.getOrElse("warc-type", ""),
+                cl, status, bodyLen,
+                md5hex(plain, bodyOff, bodyLen), bodyOff,
+                recOff, p - recOff)
           }
         }
       }

@@ -100,6 +100,9 @@ class ContainerFuzzSpec extends AnyFunSuite {
       MpegAudio.decodeL2(junk)
       TfRecord.parse(junk)
       Vp8l.decode(junk)
+      Multimodal.decodeTiffPixels(junk)
+      Multimodal.tiffLzwDecode(junk, 0, junk.length,
+        math.min(junk.length * 4, 1 << 16))
       assert(Tar.parse(junk).forall(_.size >= 0))
     }
   }
