@@ -4677,6 +4677,25 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Voice-activity SEGMENTATION over the same real 8 kHz WAVs as
+    * audio_frame_energy — the utterance-level readout a speech-corpus
+    * curation pass keeps (how many utterances, the longest one, the
+    * speech ratio), with single-frame dips bridged so one quiet frame
+    * doesn't split an utterance. The oracle replays the 4-int fold
+    * state verbatim as a list_reduce, so every segment boundary is
+    * hash-pinned. */
+  private def audioVadSegments(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        graft.operators.MediaRow(id, "audio/wav",
+          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
+      }
+    graft.operators.Multimodal.extractVadSegments(media, 256).toDF()
+      .orderBy("media_id")
+  }
+
   /** ANIMATED GIF path: documents become real multi-frame GIF89a
     * streams (per-frame graphic-control extensions with centisecond
     * delays, full-rect frames whose indices shift by one text position
@@ -6689,6 +6708,7 @@ object Pipeline {
     "multimodal_exif_orientation" -> multimodalExifOrientation _,
     "multimodal_id3_tags" -> multimodalId3Tags _,
     "audio_frame_energy" -> audioFrameEnergy _,
+    "audio_vad_segments" -> audioVadSegments _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -8580,6 +8600,46 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
+    "audio_vad_segments" -> {
+      // activity per frame as in audio_frame_energy; then the bridge-1
+      // fold replayed verbatim: state [n_segs, cur_len, max_len, gap]
+      val acts =
+        """list_transform(range(0, (len + 255) // 256), f ->
+          |  CASE WHEN 2 * list_sum(list_transform(
+          |    range(f * 256, least((f + 1) * 256, len)),
+          |    k -> abs(128 - ascii(substr(text, CAST(k AS INT) + 1, 1)))))
+          |    > 40 * least(256, len - f * 256) THEN 1 ELSE 0 END)"""
+          .stripMargin
+      // list_reduce's seed must share the element type, so each
+      // activity rides as a 1-element BIGINT list and the state is a
+      // 4-element one
+      val fold =
+        """list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+          |  list_transform(acts, a -> [CAST(a AS BIGINT)])), (st, e) ->
+          |  CASE
+          |    WHEN e[1] = 1 THEN
+          |      [st[1] + CASE WHEN st[2] = 0 THEN 1 ELSE 0 END,
+          |       st[2] + st[4] + 1, st[3], CAST(0 AS BIGINT)]
+          |    WHEN st[2] > 0 AND st[4] = 0 THEN
+          |      [st[1], st[2], st[3], CAST(1 AS BIGINT)]
+          |    WHEN st[2] > 0 THEN
+          |      [st[1], CAST(0 AS BIGINT), greatest(st[3], st[2]),
+          |       CAST(0 AS BIGINT)]
+          |    ELSE st END)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |m AS (SELECT doc_id, len, (len + 255) // 256 AS nf,
+         |  $acts AS acts FROM d),
+         |f AS (SELECT doc_id, nf, acts, $fold AS st FROM m)
+         |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+         |  CAST(st[1] AS INT) AS n_segments,
+         |  CAST(greatest(st[3], st[2]) AS INT) AS max_seg_frames,
+         |  CAST(list_sum(acts) AS INT) AS active_frames,
+         |  CAST(list_sum(acts) * 1000000 // nf AS BIGINT) AS speech_ppm
+         |FROM f ORDER BY media_id""".stripMargin
+    },
     "audio_frame_energy" -> {
       // frame f covers samples [256f, min(256(f+1), len)); energy =
       // Σ|v−128|; a frame is active when 2·energy > 40·samples

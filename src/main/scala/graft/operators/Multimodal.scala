@@ -2285,6 +2285,80 @@ object Multimodal {
     })
   }
 
+  /** VAD readout of one media row: frames as in [[FrameEnergy]],
+    * speech SEGMENTS from the bridge-1 fold, longest segment, raw
+    * active-frame count and the exact-ppm speech ratio. */
+  final case class VadSegments(media_id: Long, n_frames: Int,
+                               n_segments: Int, max_seg_frames: Int,
+                               active_frames: Int, speech_ppm: Long)
+
+  /** Voice-activity SEGMENTATION — the speech-corpus curation step
+    * after [[extractFrameEnergy]]'s per-frame gate: maximal runs of
+    * active frames with single inactive frames BRIDGED (hangover 1,
+    * so a one-frame dip doesn't split an utterance), reported as
+    * segment count, longest segment and exact-ppm speech ratio. The
+    * fold is a single pass with a 4-int state (segments, current run,
+    * max run, pending gap) that the DuckDB oracle replays verbatim as
+    * a list_reduce — same state transitions, bit-identical outputs.
+    * Same frame/activity arithmetic as the energy gate (Σ|v−128|,
+    * active iff 2·energy > 40·samples). Pure map over the binary
+    * column, no shuffle, no state. */
+  def extractVadSegments(rows: Dataset[MediaRow],
+                         frameLen: Int): Dataset[VadSegments] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      wavStats(r.data) match {
+        case Some(info) if info.bitsPerSample == 8 =>
+          val b = java.nio.ByteBuffer.wrap(r.data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var off = 12
+          var dataAt = -1
+          var dataLen = 0
+          while (off + 8 <= r.data.length && dataAt < 0) {
+            val id = new String(r.data, off, 4, "US-ASCII")
+            val len = b.getInt(off + 4)
+            if (id == "data") { dataAt = off + 8; dataLen = len }
+            else off += 8 + len + (len & 1)
+          }
+          var nf = 0
+          var active = 0
+          var nSegs = 0
+          var curLen = 0
+          var maxLen = 0
+          var gap = 0
+          var i = 0
+          while (i < dataLen) {
+            val fl = math.min(frameLen, dataLen - i)
+            var e = 0L
+            var k = 0
+            while (k < fl) {
+              e += math.abs((r.data(dataAt + i + k) & 0xff) - 128)
+              k += 1
+            }
+            nf += 1
+            val a = 2 * e > 40L * fl
+            if (a) {
+              active += 1
+              if (curLen == 0) nSegs += 1
+              curLen += gap + 1 // bridged gap counts into the run
+              gap = 0
+            } else if (curLen > 0) {
+              if (gap == 0) gap = 1 // first dip: hold the segment open
+              else { // second consecutive dip closes it
+                if (curLen > maxLen) maxLen = curLen
+                curLen = 0; gap = 0
+              }
+            }
+            i += frameLen
+          }
+          if (curLen > maxLen) maxLen = curLen
+          VadSegments(r.media_id, nf, nSegs, maxLen, active,
+            if (nf > 0) active.toLong * 1000000L / nf else 0L)
+        case _ => VadSegments(r.media_id, -1, -1, -1, -1, -1L)
+      }
+    })
+  }
+
   // ---- real image resize (box filter over decoded pixels) --------------
 
   /** Floor-average f×f box downsample of an RGB buffer; None when the

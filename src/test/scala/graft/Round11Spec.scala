@@ -40,6 +40,35 @@ class Round11Spec extends AnyFunSuite {
     assert(loads.max <= 3 * loads.min, s"skewed loads $loads")
   }
 
+  test("vad fold: bridge-1 keeps a dip open, two dips split, tail closes") {
+    import spark.implicits._
+    // frames: L L L s L L s s L L L L  (L = loud, s = silent)
+    //          └─ seg 1: 3+1+2 = 6 ─┘      └─ seg 2: 4 ─┘
+    def frame(loud: Boolean): Array[Byte] =
+      Array.fill[Byte](256)(if (loud) 200.toByte else 128.toByte)
+    val pattern = Seq(true, true, true, false, true, true, false, false,
+      true, true, true, true)
+    val pcm = pattern.flatMap(frame(_)).toArray
+    val wav = graft.operators.Multimodal.encodeWavPcm8(8000, pcm)
+    val rows = graft.operators.Multimodal.extractVadSegments(
+      Seq(graft.operators.MediaRow(1L, "audio/wav", wav)).toDS(), 256)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.n_frames == 12)
+    assert(r.n_segments == 2, s"segments ${r.n_segments}")
+    assert(r.max_seg_frames == 6, s"max ${r.max_seg_frames}") // bridged dip counts
+    assert(r.active_frames == 9)
+    assert(r.speech_ppm == 9L * 1000000L / 12L)
+    // all-silence and silence-leading edge cases
+    val quiet = graft.operators.Multimodal.extractVadSegments(
+      Seq(graft.operators.MediaRow(2L, "audio/wav",
+        graft.operators.Multimodal.encodeWavPcm8(8000, frame(false))))
+        .toDS(), 256).collect().head
+    assert(quiet.n_segments == 0 && quiet.max_seg_frames == 0 &&
+      quiet.active_frames == 0 && quiet.speech_ppm == 0L)
+  }
+
   test("bloom panel: zero false negatives, undersized strictly noisier") {
     import spark.implicits._
     val rows = SparkEntry.queries("bloom_dedup")(spark, dir)
