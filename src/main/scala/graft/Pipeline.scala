@@ -4766,6 +4766,37 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Shot-boundary detection over real MJPEG AVI: frames hold STATIC
+    * SCENES (blocks shift by 7 text positions every 3 frames), so
+    * within a scene the inter-frame L1 delta is exactly 0 and at each
+    * scene boundary it is 192·Σ|b(k+7s)−b(k+7s′)| — the channel
+    * offsets of the DC-only JPEG arithmetic cancel in the diff. The
+    * decode path is the full AVI walk + JPEG decode per frame; the
+    * oracle recomputes every boundary delta from the text, so a codec
+    * or container bug flips cut flags and fails the hash. */
+  private def videoShotCuts(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir).repartition(col("doc_id"))
+      .map { case (id, t) =>
+        val bw = 1 + (t.length % 8)
+        val bh = 1 + ((t.length / 8) % 8)
+        val nf = 4 + (t.length % 5)
+        val b = asciiBytes(id, t)
+        val frames = (0 until nf).map { f =>
+          val sc = f / 3
+          val payload = Array.tabulate(b.length)(i =>
+            b((i + sc * 7) % b.length))
+          graft.operators.Jpeg.encodePixels(bw, bh, payload)
+        }
+        graft.operators.MediaRow(id, "video/x-msvideo",
+          graft.operators.Multimodal.encodeAviMjpeg(8 * bw, 8 * bh,
+            40000, frames))
+      }
+    graft.operators.Multimodal.extractShotCuts(media, 0L).toDF()
+      .orderBy("media_id")
+  }
+
   /** URL canonicalization (operators/UrlNorm): every document gets a
     * deliberately messy URL — uppercase scheme/host, explicit default
     * or non-default port, ./ and ../ dot-segments, a %61 escape of an
@@ -6712,6 +6743,7 @@ object Pipeline {
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
+    "video_shot_cuts"   -> videoShotCuts _,
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
@@ -7539,6 +7571,39 @@ object Pipeline {
          |  ${chSum(2)} AS sum_g,
          |  ${chSum(3)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
+    },
+    "video_shot_cuts" -> {
+      // frame f's block k decodes to (v+7, v−4, v) with
+      // v = text[(k + 7·(f div 3)) mod len]; the offsets cancel in the
+      // inter-frame diff, so boundary delta = 192·Σ_k |v_f − v_f′|
+      // over the wb·hb blocks (64 pixels × 3 channels), 0 within a
+      // scene
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 8 AS wb,
+         |    1 + (length(text) // 8) % 8 AS hb,
+         |    4 + length(text) % 5 AS nf
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
+         |del AS (
+         |  SELECT doc_id, nf, f,
+         |    CASE WHEN f // 3 = (f - 1) // 3 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(192 * list_sum(list_transform(range(0, nb), k ->
+         |      abs(ascii(substr(text,
+         |            CAST((k + 7 * (f // 3)) % len AS INT) + 1, 1))
+         |        - ascii(substr(text,
+         |            CAST((k + 7 * ((f - 1) // 3)) % len AS INT) + 1, 1)))))
+         |      AS BIGINT) END AS delta
+         |  FROM e, LATERAL unnest(range(1, CAST(nf AS BIGINT))) AS u(f))
+         |SELECT doc_id AS media_id, CAST(any_value(nf) AS INT) AS n_frames,
+         |  CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS INT)
+         |    AS n_cuts,
+         |  CAST(COALESCE(min(CASE WHEN delta > 0 THEN f END), -1) AS INT)
+         |    AS first_cut,
+         |  CAST(max(delta) AS BIGINT) AS max_delta,
+         |  CAST(sum(delta) AS BIGINT) AS total_delta
+         |FROM del GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
     "video_frame_sample" -> {
       // sampled frame fi (stride 2): Y block k = text[(k+fi) mod len],

@@ -2890,6 +2890,112 @@ object Multimodal {
     outRows.result()
   }
 
+  /** Shot-cut readout of one media row: decoded frame count, cut
+    * count, first cut's frame index (−1 when none), and the max/total
+    * inter-frame L1 distances. −1 sentinels on malformed containers. */
+  final case class ShotCuts(media_id: Long, n_frames: Int, n_cuts: Int,
+                            first_cut: Int, max_delta: Long,
+                            total_delta: Long)
+
+  /** Shot-BOUNDARY detection over Motion-JPEG AVI — the video-corpus
+    * curation step after frame sampling (scene segmentation decides
+    * where clips start, which frames are redundant, what a "scene"
+    * sample is): the same RIFF/AVI walk as [[aviFrameSample]], but
+    * EVERY frame decodes and consecutive decoded rasters diff under
+    * the L1 distance; any delta above `threshold` is a cut. The
+    * measurement rides the REAL decode path end to end — container
+    * walk, JPEG entropy decode, dequant, IDCT — so a codec bug
+    * anywhere shifts the deltas and flips cut flags. Frames that fail
+    * to decode or contradict the header geometry break the diff chain
+    * (prev resets), mirroring how a real reader skips bad frames. */
+  def aviShotCuts(mediaId: Long, data: Array[Byte],
+                  threshold: Long): ShotCuts = {
+    if (data.length < 24) return ShotCuts(mediaId, -1, -1, -1, -1L, -1L)
+    def tag(off: Int): String =
+      if (off + 4 <= data.length) new String(data, off, 4, "US-ASCII")
+      else ""
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ")
+      return ShotCuts(mediaId, -1, -1, -1, -1L, -1L)
+    val riffEnd = math.min(data.length.toLong, 8L + bb.getInt(4)).toInt
+    var off = 12
+    var avihAt = -1
+    var moviAt = -1
+    var moviEnd = -1
+    while (off + 8 <= riffEnd && (avihAt < 0 || moviAt < 0)) {
+      val id = tag(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > riffEnd)
+        return ShotCuts(mediaId, -1, -1, -1, -1L, -1L)
+      if (id == "LIST" && len >= 4) {
+        val kind = tag(off + 8)
+        if (kind == "hdrl") {
+          if (tag(off + 12) == "avih" && off + 20 <= riffEnd)
+            avihAt = off + 20
+        } else if (kind == "movi") {
+          moviAt = off + 12
+          moviEnd = off + 8 + len
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (avihAt < 0 || moviAt < 0 || avihAt + 40 > riffEnd)
+      return ShotCuts(mediaId, -1, -1, -1, -1L, -1L)
+    val w = bb.getInt(avihAt + 32)
+    val h = bb.getInt(avihAt + 36)
+    if (w <= 0 || h <= 0) return ShotCuts(mediaId, -1, -1, -1, -1L, -1L)
+    var i = moviAt
+    var frameIdx = 0
+    var decoded = 0
+    var cuts = 0
+    var firstCut = -1
+    var maxD = 0L
+    var totD = 0L
+    var prev: Array[Byte] = null
+    while (i + 8 <= moviEnd) {
+      val id = tag(i)
+      val len = bb.getInt(i + 4)
+      if (len < 0 || i + 8 + len > moviEnd)
+        return ShotCuts(mediaId, decoded, cuts, firstCut, maxD, totD)
+      if (id.endsWith("dc") || id.endsWith("db")) {
+        val frame = java.util.Arrays.copyOfRange(data, i + 8, i + 8 + len)
+        Jpeg.decodePixels(frame) match {
+          case Some((fw, fh, rgb)) if fw == w && fh == h =>
+            if (prev != null) {
+              var d = 0L
+              var p = 0
+              while (p < rgb.length) {
+                d += math.abs((rgb(p) & 0xff) - (prev(p) & 0xff))
+                p += 1
+              }
+              if (d > threshold) {
+                cuts += 1
+                if (firstCut < 0) firstCut = frameIdx
+              }
+              if (d > maxD) maxD = d
+              totD += d
+            }
+            prev = rgb
+            decoded += 1
+          case _ => prev = null // bad frame breaks the diff chain
+        }
+        frameIdx += 1
+      }
+      i += 8 + len + (len & 1)
+    }
+    ShotCuts(mediaId, decoded, cuts, firstCut, maxD, totD)
+  }
+
+  /** Partition-parallel shot detection: one map pass, binary column
+    * in, one summary row out — no shuffle, JPEG-decode bound like
+    * [[sampleVideoFrames]]. */
+  def extractShotCuts(rows: Dataset[MediaRow],
+                      threshold: Long): Dataset[ShotCuts] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r => aviShotCuts(r.media_id, r.data, threshold)))
+  }
+
   /** Partition-parallel video frame sampling: one flatMap pass, binary
     * column in, narrow per-frame feature rows out — no shuffle; at
     * 100 TB the cost is the JPEG decode itself, embarrassingly
