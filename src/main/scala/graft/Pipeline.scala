@@ -4797,6 +4797,48 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Caption sidecar QA over real SubRip files (operators/Srt): each
+    * doc renders a deterministic .srt (cue i at [1700i,
+    * 1700i + 1200 + len%800), text cycled from the doc), the REAL
+    * parser walks it back, and the readout is what a captions QA pass
+    * checks — cue count, talk time, span, text volume, and the
+    * OVERLAP count (cues starting before the previous one ends — the
+    * classic broken-subtitle defect; by construction present exactly
+    * when len%800 > 500, so both engines predict it). Any timestamp
+    * format/parse bug shifts talk/span/overlap and fails the hash. */
+  private def srtParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val nc = 1 + (t.length % 6)
+        val cues = (0 until nc).map { i =>
+          val start = i * 1700L
+          val dur = 1200L + (t.length % 800)
+          val txt = t.substring(
+            (i * 5) % t.length,
+            math.min((i * 5) % t.length + 4, t.length))
+          (start, start + dur, txt)
+        }
+        val parsed = graft.operators.Srt.parse(
+          graft.operators.Srt.build(cues))
+        val overlaps = parsed.sliding(2).count {
+          case Seq(a, b) => b.startMs < a.endMs
+          case _ => false
+        }
+        (id, parsed.size.toLong,
+          parsed.map(c => c.endMs - c.startMs).sum,
+          if (parsed.isEmpty) 0L
+          else parsed.last.endMs - parsed.head.startMs,
+          parsed.map(_.text.length.toLong).sum,
+          if (parsed.isEmpty) 0L else parsed.map(_.text.length.toLong).max,
+          overlaps.toLong)
+      }
+      .toDF("media_id", "n_cues", "talk_ms", "span_ms", "total_chars",
+        "max_cue_chars", "overlap_cues")
+      .orderBy("media_id")
+  }
+
   /** URL canonicalization (operators/UrlNorm): every document gets a
     * deliberately messy URL — uppercase scheme/host, explicit default
     * or non-default port, ./ and ../ dot-segments, a %61 escape of an
@@ -6744,6 +6786,7 @@ object Pipeline {
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
     "video_shot_cuts"   -> videoShotCuts _,
+    "srt_parse"         -> srtParse _,
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
@@ -7571,6 +7614,29 @@ object Pipeline {
          |  ${chSum(2)} AS sum_g,
          |  ${chSum(3)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
+    },
+    "srt_parse" -> {
+      // cue i: [1700i, 1700i + dur), dur = 1200 + len%800; text =
+      // 4 chars cycled from position 5i mod len; overlaps exist
+      // exactly when dur > 1700 (len%800 > 500) — nc−1 of them
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 6 AS nc,
+         |    1200 + length(text) % 800 AS dur
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |c AS (SELECT *, list_transform(range(0, CAST(nc AS BIGINT)),
+         |    i -> CAST(length(substr(text,
+         |      CAST((i * 5) % len AS INT) + 1, 4)) AS BIGINT)) AS cl
+         |  FROM d)
+         |SELECT doc_id AS media_id, CAST(nc AS BIGINT) AS n_cues,
+         |  CAST(nc * dur AS BIGINT) AS talk_ms,
+         |  CAST((nc - 1) * 1700 + dur AS BIGINT) AS span_ms,
+         |  CAST(list_sum(cl) AS BIGINT) AS total_chars,
+         |  CAST(list_max(cl) AS BIGINT) AS max_cue_chars,
+         |  CAST(CASE WHEN len % 800 > 500 THEN nc - 1 ELSE 0 END
+         |    AS BIGINT) AS overlap_cues
+         |FROM c ORDER BY media_id""".stripMargin
     },
     "video_shot_cuts" -> {
       // frame f's block k decodes to (v+7, v−4, v) with
