@@ -4839,6 +4839,56 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Caption-to-scene alignment — the CROSS-MODAL composition a video
+    * curation pipeline actually runs (which captions belong to which
+    * shot): per doc, a 1 s-per-frame MJPEG AVI with static scenes
+    * (the video_shot_cuts construction) is decoded to SCENE INTERVALS
+    * through the real cut detector ([[graft.operators.Multimodal
+    * .aviScenes]] — scenes with identical boundary content MERGE, as
+    * a real detector would), a deterministic SubRip file is parsed
+    * back through the real [[graft.operators.Srt]] walk, and cues
+    * interval-join onto scenes (strict overlap). Both modalities ride
+    * their full decode paths inside ONE flatMap — no shuffle — and
+    * the oracle recomputes scene merging, cue framing and the
+    * interval join analytically, so a bug in either decoder OR the
+    * overlap logic fails the hash. */
+  private def captionSceneAlign(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir).repartition(col("doc_id"))
+      .flatMap { case (id, t) =>
+        val bw = 1 + (t.length % 8)
+        val bh = 1 + ((t.length / 8) % 8)
+        val nf = 4 + (t.length % 5)
+        val b = asciiBytes(id, t)
+        val frames = (0 until nf).map { f =>
+          val sc = f / 3
+          graft.operators.Jpeg.encodePixels(bw, bh,
+            Array.tabulate(b.length)(i => b((i + sc * 7) % b.length)))
+        }
+        val avi = graft.operators.Multimodal.encodeAviMjpeg(
+          8 * bw, 8 * bh, 1000000, frames)
+        val scenes = graft.operators.Multimodal.aviScenes(id, avi, 0L)
+        val nc = 1 + (t.length % 6)
+        val dur = 1200L + (t.length % 800)
+        val cues = graft.operators.Srt.parse(graft.operators.Srt.build(
+          (0 until nc).map { i =>
+            val at = (i * 5) % t.length
+            (i * 1700L, i * 1700L + dur,
+              t.substring(at, math.min(at + 4, t.length)))
+          }))
+        scenes.map { sc =>
+          val ov = cues.filter(c =>
+            c.startMs < sc.end_ms && sc.start_ms < c.endMs)
+          (id, sc.scene_idx.toLong, sc.start_ms, sc.end_ms,
+            ov.size.toLong, ov.map(_.text.length.toLong).sum)
+        }
+      }
+      .toDF("media_id", "scene_idx", "start_ms", "end_ms", "n_cues",
+        "cue_chars")
+      .orderBy("media_id", "scene_idx")
+  }
+
   /** URL canonicalization (operators/UrlNorm): every document gets a
     * deliberately messy URL — uppercase scheme/host, explicit default
     * or non-default port, ./ and ../ dot-segments, a %61 escape of an
@@ -6787,6 +6837,7 @@ object Pipeline {
     "video_frame_sample" -> videoFrameSample _,
     "video_shot_cuts"   -> videoShotCuts _,
     "srt_parse"         -> srtParse _,
+    "caption_scene_align" -> captionSceneAlign _,
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
@@ -7614,6 +7665,54 @@ object Pipeline {
          |  ${chSum(2)} AS sum_g,
          |  ${chSum(3)} AS sum_b
          |FROM e ORDER BY media_id""".stripMargin
+    },
+    "caption_scene_align" -> {
+      // scene boundaries at f ∈ {3,6,…} whose block content actually
+      // differs (the video_shot_cuts delta > 0); scenes = runs between
+      // real cuts, timed at 1 s/frame; cues as in srt_parse; strict
+      // interval overlap joins them
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 8 AS wb,
+         |    1 + (length(text) // 8) % 8 AS hb,
+         |    4 + length(text) % 5 AS nf,
+         |    1 + length(text) % 6 AS nc,
+         |    1200 + length(text) % 800 AS dur
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
+         |fr AS (SELECT doc_id, text, len, nb, u.f
+         |  FROM e, LATERAL unnest(range(0, CAST(nf AS BIGINT))) AS u(f)),
+         |fl AS (SELECT doc_id, f,
+         |  CASE WHEN f > 0 AND f % 3 = 0 AND
+         |    list_sum(list_transform(range(0, nb), k ->
+         |      abs(ascii(substr(text,
+         |            CAST((k + 7 * (f // 3)) % len AS INT) + 1, 1))
+         |        - ascii(substr(text,
+         |            CAST((k + 7 * (f // 3 - 1)) % len AS INT) + 1, 1)))))
+         |    > 0 THEN 1 ELSE 0 END AS cut
+         |  FROM fr),
+         |g AS (SELECT doc_id, f,
+         |  sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS grp FROM fl),
+         |sc AS (SELECT doc_id, CAST(grp AS BIGINT) AS scene_idx,
+         |  CAST(min(f) * 1000 AS BIGINT) AS start_ms,
+         |  CAST((max(f) + 1) * 1000 AS BIGINT) AS end_ms
+         |  FROM g GROUP BY doc_id, grp),
+         |cu AS (SELECT doc_id, u.i AS i,
+         |  CAST(u.i * 1700 AS BIGINT) AS cs,
+         |  CAST(u.i * 1700 + dur AS BIGINT) AS ce,
+         |  CAST(length(substr(text, CAST((u.i * 5) % len AS INT) + 1, 4))
+         |    AS BIGINT) AS chars
+         |  FROM d, LATERAL unnest(range(0, CAST(nc AS BIGINT))) AS u(i))
+         |SELECT sc.doc_id AS media_id, sc.scene_idx, sc.start_ms,
+         |  sc.end_ms,
+         |  CAST(count(cu.i) AS BIGINT) AS n_cues,
+         |  CAST(COALESCE(sum(cu.chars), 0) AS BIGINT) AS cue_chars
+         |FROM sc LEFT JOIN cu
+         |  ON cu.doc_id = sc.doc_id AND cu.cs < sc.end_ms
+         |  AND sc.start_ms < cu.ce
+         |GROUP BY sc.doc_id, sc.scene_idx, sc.start_ms, sc.end_ms
+         |ORDER BY media_id, scene_idx""".stripMargin
     },
     "srt_parse" -> {
       // cue i: [1700i, 1700i + dur), dur = 1200 + len%800; text =

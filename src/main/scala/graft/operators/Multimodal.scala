@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.collection.mutable.ArrayBuffer
 
 /** One multimodal record: an opaque binary payload plus typed metadata —
   * the storage shape for image/audio/video columns at 100 TB (binary stays
@@ -2985,6 +2986,88 @@ object Multimodal {
       i += 8 + len + (len & 1)
     }
     ShotCuts(mediaId, decoded, cuts, firstCut, maxD, totD)
+  }
+
+  /** One detected scene: [startMs, endMs) in stream time, derived
+    * from the DECODED cut positions and the container frame period. */
+  final case class SceneRow(media_id: Long, scene_idx: Int,
+                            start_ms: Long, end_ms: Long)
+
+  /** Scene intervals of an MJPEG AVI — [[aviShotCuts]]' cut positions
+    * turned into time ranges: frames between consecutive cuts form
+    * one scene, timed by the container's frame period. Scenes whose
+    * boundary content happens to be identical MERGE (no decoded cut
+    * exists), exactly like a real detector. Nil on malformed
+    * containers. */
+  def aviScenes(mediaId: Long, data: Array[Byte],
+                threshold: Long): Seq[SceneRow] = {
+    if (data.length < 24) return Nil
+    def tag(off: Int): String =
+      if (off + 4 <= data.length) new String(data, off, 4, "US-ASCII")
+      else ""
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
+    val riffEnd = math.min(data.length.toLong, 8L + bb.getInt(4)).toInt
+    var off = 12
+    var avihAt = -1
+    var moviAt = -1
+    var moviEnd = -1
+    while (off + 8 <= riffEnd && (avihAt < 0 || moviAt < 0)) {
+      val id = tag(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > riffEnd) return Nil
+      if (id == "LIST" && len >= 4) {
+        val kind = tag(off + 8)
+        if (kind == "hdrl") {
+          if (tag(off + 12) == "avih" && off + 20 <= riffEnd)
+            avihAt = off + 20
+        } else if (kind == "movi") {
+          moviAt = off + 12
+          moviEnd = off + 8 + len
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (avihAt < 0 || moviAt < 0 || avihAt + 40 > riffEnd) return Nil
+    val usPerFrame = bb.getInt(avihAt)
+    val w = bb.getInt(avihAt + 32)
+    val h = bb.getInt(avihAt + 36)
+    if (w <= 0 || h <= 0 || usPerFrame <= 0) return Nil
+    val cutAt = ArrayBuffer.empty[Int]
+    var i = moviAt
+    var frameIdx = 0
+    var prev: Array[Byte] = null
+    while (i + 8 <= moviEnd) {
+      val id = tag(i)
+      val len = bb.getInt(i + 4)
+      if (len < 0 || i + 8 + len > moviEnd) return Nil
+      if (id.endsWith("dc") || id.endsWith("db")) {
+        val frame = java.util.Arrays.copyOfRange(data, i + 8, i + 8 + len)
+        Jpeg.decodePixels(frame) match {
+          case Some((fw, fh, rgb)) if fw == w && fh == h =>
+            if (prev != null) {
+              var d = 0L
+              var p = 0
+              while (p < rgb.length) {
+                d += math.abs((rgb(p) & 0xff) - (prev(p) & 0xff))
+                p += 1
+              }
+              if (d > threshold) cutAt += frameIdx
+            }
+            prev = rgb
+          case _ => prev = null
+        }
+        frameIdx += 1
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (frameIdx == 0) return Nil
+    val bounds = (0 +: cutAt.toSeq) :+ frameIdx
+    bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), si) =>
+      SceneRow(mediaId, si, a.toLong * usPerFrame / 1000L,
+        b.toLong * usPerFrame / 1000L)
+    }.toSeq
   }
 
   /** Partition-parallel shot detection: one map pass, binary column
