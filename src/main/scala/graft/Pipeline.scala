@@ -5917,6 +5917,41 @@ object Pipeline {
   private def tarParse(s: SparkSession, dir: String): DataFrame =
     tarShardEntries(s, dir).orderBy("doc_id", "name")
 
+  /** The `.tgz` twin of [[tarParse]]: the same 8-document shards
+    * gzip-wrapped whole (the `.tar.gz` convention) and walked back
+    * through the sniffing [[graft.operators.Tar.parseAuto]] — the
+    * compression layer must be transparent to every entry fact, so
+    * the oracle is IDENTICAL to tar_parse. */
+  private def tarParseGz(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val files = Seq(
+          Some(s"$id.txt" -> t.getBytes("UTF-8")),
+          if (id % 11 == 10) None
+          else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
+          Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        ).flatten
+        (id / 8, id,
+          files.map { case (n, d) => graft.operators.Tar.buildEntry(n, d) })
+      }
+      .groupByKey(_._1)
+      .flatMapGroups {
+        (sid: Long, it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
+          val entries = it.toSeq.sortBy(_._2).flatMap(_._3)
+          graft.operators.Tar.parseAuto(
+              graft.operators.Tar.gzipArchive(
+                graft.operators.Tar.buildArchive(entries)))
+            .zipWithIndex.map { case (e, i) =>
+              (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
+                e.name, e.size, e.md5)
+            }
+      }
+      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
+      .orderBy("doc_id", "name")
+  }
+
   /** The WebDataset deployment shape made real: the same 8-document
     * tar shards as [[tarShardEntries]], materialized as `.tar` FILES
     * (executor-written, signature-keyed) and read back through
@@ -6863,6 +6898,7 @@ object Pipeline {
     "warc_parse_gzip"   -> warcParseGzip _,
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
+    "tar_parse_gz"      -> tarParseGz _,
     "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
     "zip_parse_files"   -> zipParseFiles _,
@@ -8563,6 +8599,8 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "tar_parse" -> tarParseOracleSql,
+    // .tgz transparency: identical facts through the gzip wrap
+    "tar_parse_gz" -> tarParseOracleSql,
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,

@@ -81,6 +81,36 @@ object Tar {
     if (seen) v else -1L
   }
 
+  /** [[parse]] with `.tgz` transparency: a gzip-wrapped archive (the
+    * common `.tar.gz` shard layout — one member, though multi-member
+    * streams inflate too) is inflated first, bounded at 2^28 bytes so
+    * a crafted bomb stops instead of exhausting memory, then walked
+    * identically. Nil on a corrupt gzip stream — never throws. */
+  def parseAuto(data: Array[Byte]): Seq[TarEntry] =
+    if (data.length >= 2 && (data(0) & 0xff) == 0x1f &&
+      (data(1) & 0xff) == 0x8b) {
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(data))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0 && out.size() <= (1 << 28)) {
+          out.write(buf, 0, n); n = in.read(buf)
+        }
+        if (out.size() > (1 << 28)) Nil // decompression-bomb guard
+        else parse(out.toByteArray)
+      } catch { case _: java.io.IOException => Nil }
+    } else parse(data)
+
+  /** Gzip-wrap an archive (single member — the `.tgz` convention). */
+  def gzipArchive(tar: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(tar); gz.finish()
+    out.toByteArray
+  }
+
   /** Walk an archive: verify each header checksum, read the octal
     * size, emit entry facts; the walk ends at the zero terminator, a
     * failed checksum, a bad magic, or truncation. */

@@ -99,6 +99,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
       MpegAudio.decode(junk)
       MpegAudio.decodeL2(junk)
       TfRecord.parse(junk)
+      Tar.parseAuto(junk) // incl. 0x1f8b-prefixed corrupt gzip
       Vp8l.decode(junk)
       Multimodal.decodeTiffPixels(junk)
       Multimodal.tiffLzwDecode(junk, 0, junk.length,

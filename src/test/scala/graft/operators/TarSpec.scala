@@ -25,6 +25,23 @@ class TarSpec extends AnyFunSuite {
     assert(out.map(_.md5) == files.map(f => md5hex(f._2)))
   }
 
+  test(".tgz transparency: gzip wrap parses identically, bombs stop") {
+    val files = Seq("a.txt" -> "hello", "b.bin" -> "y" * 700)
+    val arch = Tar.buildArchive(files.map { case (n, d) =>
+      Tar.buildEntry(n, d.getBytes("UTF-8")) })
+    val viaGz = Tar.parseAuto(Tar.gzipArchive(arch))
+    assert(viaGz == Tar.parse(arch))
+    // plain archives pass through parseAuto untouched
+    assert(Tar.parseAuto(arch) == Tar.parse(arch))
+    // corrupt gzip rejects cleanly
+    val broken = Tar.gzipArchive(arch)
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x55).toByte
+    Tar.parseAuto(broken) // must not throw
+    // an all-zero inflated payload is the tar terminator: no entries,
+    // no throw (and the 2^28 inflation cap bounds crafted bombs)
+    assert(Tar.parseAuto(Tar.gzipArchive(new Array[Byte](1 << 20))).isEmpty)
+  }
+
   test("data offsets index the payload in place") {
     val arch = Tar.buildArchive(Seq(
       Tar.buildEntry("x.txt", "payload".getBytes("UTF-8"))))
