@@ -4677,6 +4677,37 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL FLAC round trip: documents become 16-bit mono PCM (sample
+    * i = (byte−79)·400, exercising negative values and both FIXED
+    * predictors and Rice parameters across docs), encode to a real
+    * .flac stream (STREAMINFO + fixed-blocksize frames, CRC-8/16),
+    * and decode back through the full frame walk. The codec is
+    * LOSSLESS, so the oracle computes every readout straight from the
+    * text — any bit-layout, predictor, Rice or CRC bug breaks the
+    * round trip and fails the hash. One map pass per row. */
+  private def multimodalDecodeFlac(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir).repartition(col("doc_id"))
+      .map { case (id, t) =>
+        val b = asciiBytes(id, t)
+        val samples = Array.tabulate(b.length)(i => ((b(i) & 0xff) - 79) * 400)
+        val flac = graft.operators.Flac.encode(8000, samples)
+        graft.operators.Flac.decode(flac) match {
+          case Some((info, out)) =>
+            (id, info.sampleRate, out.length.toLong,
+              out.map(_.toLong).sum,
+              if (out.isEmpty) 0L else out.min.toLong,
+              if (out.isEmpty) 0L else out.max.toLong)
+          case None => (id, -1, -1L, -1L, -1L, -1L)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s",
+        "max_s")
+      .orderBy("media_id")
+  }
+
   /** Voice-activity SEGMENTATION over the same real 8 kHz WAVs as
     * audio_frame_energy — the utterance-level readout a speech-corpus
     * curation pass keeps (how many utterances, the longest one, the
@@ -6867,6 +6898,7 @@ object Pipeline {
     "multimodal_id3_tags" -> multimodalId3Tags _,
     "audio_frame_energy" -> audioFrameEnergy _,
     "audio_vad_segments" -> audioVadSegments _,
+    "multimodal_decode_flac" -> multimodalDecodeFlac _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -8868,6 +8900,23 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
+    "multimodal_decode_flac" -> {
+      // lossless round trip: sample i = (ascii − 79)·400, so every
+      // readout computes straight from the text
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    list_transform(range(0, length(text)), i ->
+         |      (ascii(substr(text, CAST(i AS INT) + 1, 1)) - 79) * 400)
+         |      AS sm
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0)
+         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(len AS BIGINT) AS n_samples,
+         |  CAST(list_sum(sm) AS BIGINT) AS sum_s,
+         |  CAST(list_min(sm) AS BIGINT) AS min_s,
+         |  CAST(list_max(sm) AS BIGINT) AS max_s
+         |FROM d ORDER BY media_id""".stripMargin
+    },
     "audio_vad_segments" -> {
       // activity per frame as in audio_frame_energy; then the bridge-1
       // fold replayed verbatim: state [n_segs, cur_len, max_len, gap]

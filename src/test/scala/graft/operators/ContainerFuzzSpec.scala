@@ -101,6 +101,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
       TfRecord.parse(junk)
       Tar.parseAuto(junk) // incl. 0x1f8b-prefixed corrupt gzip
       Vp8l.decode(junk)
+      Flac.decode(junk)
       Multimodal.decodeTiffPixels(junk)
       Multimodal.tiffLzwDecode(junk, 0, junk.length,
         math.min(junk.length * 4, 1 << 16))
