@@ -4708,6 +4708,46 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL Ogg container round trip: each doc becomes a single-stream
+    * Ogg (one packet per page, the Opus layout) whose packet sizes
+    * derive from the text — with a 70 000-byte packet on ids ≡ 0
+    * mod 7 forcing true multi-page CONTINUATION (a 255×255-byte page
+    * plus the remainder page) — built, then walked back through the
+    * CRC-verifying page parse and the cross-page packet reassembly.
+    * The oracle predicts page counts, continuation counts, payload
+    * volume and the final granule in closed form, so a lacing, CRC
+    * or continuation bug fails the hash. One map pass per row. */
+  private def oggParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir).repartition(col("doc_id"))
+      .map { case (id, t) =>
+        val b = asciiBytes(id, t)
+        val np = 1 + (t.length % 5)
+        val packets = (0 until np).map { i =>
+          val li = if (i == 0 && id % 7 == 0) 70000
+                   else 1 + ((t.length + i * 13) % 300)
+          Array.tabulate(li)(k => b((k + i) % b.length))
+        }
+        val granules = (0 until np).map(i => (i + 1) * 960L)
+        val ogg = graft.operators.Ogg.build(id, packets, granules)
+        val pages = graft.operators.Ogg.parsePages(ogg)
+        val got = graft.operators.Ogg.parsePackets(ogg)
+        val intact = got.size == np &&
+          got.zipWithIndex.forall { case ((pb, g), i) =>
+            java.util.Arrays.equals(pb, packets(i)) && g == granules(i)
+          }
+        (id, pages.size.toLong, got.size.toLong,
+          pages.map(_.payloadLen.toLong).sum,
+          if (got.isEmpty) -1L else got.last._2,
+          pages.count(_.continued).toLong,
+          if (intact) 1L else 0L)
+      }
+      .toDF("media_id", "n_pages", "n_packets", "total_payload",
+        "last_granule", "continued_pages", "intact")
+      .orderBy("media_id")
+  }
+
   /** Voice-activity SEGMENTATION over the same real 8 kHz WAVs as
     * audio_frame_energy — the utterance-level readout a speech-corpus
     * curation pass keeps (how many utterances, the longest one, the
@@ -6899,6 +6939,7 @@ object Pipeline {
     "audio_frame_energy" -> audioFrameEnergy _,
     "audio_vad_segments" -> audioVadSegments _,
     "multimodal_decode_flac" -> multimodalDecodeFlac _,
+    "ogg_parse"         -> oggParse _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -8900,6 +8941,32 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
+    "ogg_parse" -> {
+      // np = 1 + len%5 packets; packet i is 1 + (len + 13i) % 300
+      // bytes — except packet 0 on doc_id ≡ 0 (mod 7), which is
+      // 70 000 bytes and spans 2 pages (65 025 + 4 975); granule of
+      // packet i is 960(i+1); reassembly is lossless → intact = 1
+      s"""WITH d AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    1 + length(text) % 5 AS np,
+         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS big
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *,
+         |  CAST(list_sum(list_transform(range(0, CAST(np AS BIGINT)),
+         |    i -> CASE WHEN i = 0 AND big = 1 THEN 70000
+         |         ELSE 1 + (len + i * 13) % 300 END)) AS BIGINT)
+         |    AS total_payload
+         |  FROM d)
+         |SELECT doc_id AS media_id,
+         |  CAST(np + big AS BIGINT) AS n_pages,
+         |  CAST(np AS BIGINT) AS n_packets,
+         |  total_payload,
+         |  CAST(np * 960 AS BIGINT) AS last_granule,
+         |  CAST(big AS BIGINT) AS continued_pages,
+         |  CAST(1 AS BIGINT) AS intact
+         |FROM e ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_flac" -> {
       // lossless round trip: sample i = (ascii − 79)·400, so every
       // readout computes straight from the text

@@ -1,0 +1,192 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Ogg page framing (RFC 3533), pure JVM, both directions — the
+  * transport container Vorbis/Opus audio ships in. Everything is
+  * closed-form: the capture pattern walk, 255-lacing segmentation,
+  * and the page CRC-32 (poly 0x04C11DB7, init 0, NO reflection, no
+  * final xor — Ogg's variant) computed bitwise from the polynomial.
+  * Codec payloads stay opaque bytes, the multimodal-column stance.
+  *
+  * The builder emits one packet per page (the common Opus layout),
+  * splitting packets over 255×255 bytes across continued pages; the
+  * parser handles ANY lacing — multiple packets per page and
+  * continued packets across pages — verifies every page CRC, and
+  * ends the walk at the first malformed page without inventing
+  * data. */
+object Ogg {
+
+  /** Facts of one parsed page. */
+  final case class OggPage(seqNo: Long, granule: Long, serial: Long,
+                           bos: Boolean, eos: Boolean, continued: Boolean,
+                           nSegs: Int, payloadLen: Int)
+
+  /** Ogg CRC-32: poly 0x04C11DB7, init 0, not reflected, xorout 0. */
+  def crc32(b: Array[Byte], from: Int, len: Int): Long = {
+    var crc = 0L
+    var i = from
+    while (i < from + len) {
+      crc ^= (b(i) & 0xffL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0)
+          ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
+        else (crc << 1) & 0xffffffffL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def buildPage(serial: Long, seqNo: Long, granule: Long,
+                        headerType: Int,
+                        lacing: Seq[Int], payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0) // version
+    out.write(headerType)
+    var g = granule
+    var i = 0
+    while (i < 8) { out.write((g & 0xff).toInt); g >>= 8; i += 1 }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    u32(serial)
+    u32(seqNo)
+    u32(0) // CRC placeholder
+    out.write(lacing.length)
+    lacing.foreach(out.write)
+    out.write(payload, 0, payload.length)
+    val page = out.toByteArray
+    val crc = crc32(page, 0, page.length)
+    page(22) = (crc & 0xff).toByte
+    page(23) = ((crc >> 8) & 0xff).toByte
+    page(24) = ((crc >> 16) & 0xff).toByte
+    page(25) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
+  /** Build a single-stream Ogg: one packet per page (packets larger
+    * than 255·255 bytes continue onto following pages), BOS on the
+    * first page, EOS on the last, `granules(i)` stamped on packet i's
+    * FINAL page (−1 on continued intermediates, the spec's marker). */
+  def build(serial: Long, packets: Seq[Array[Byte]],
+            granules: Seq[Long]): Array[Byte] = {
+    require(packets.length == granules.length)
+    val out = new java.io.ByteArrayOutputStream()
+    var seqNo = 0L
+    for ((pkt, pi) <- packets.zipWithIndex) {
+      var off = 0
+      var first = true
+      // emit ≥1 page; a packet of exactly k·255 bytes needs a final
+      // 0-lacing terminator segment
+      var done = false
+      while (!done) {
+        val maxBytes = 255 * 255
+        val take = math.min(pkt.length - off, maxBytes)
+        val full = take / 255
+        val rem = take % 255
+        val lacing = ArrayBuffer.fill(full)(255)
+        // a full 255×255 page cannot also terminate (256 lacings
+        // don't fit) — the packet ends on a later page, possibly a
+        // [0]-lacing terminator when the length is an exact multiple
+        val lastChunk = off + take == pkt.length && take < maxBytes
+        if (rem > 0 || (lastChunk && rem == 0))
+          lacing += rem
+        val headerType =
+          (if (!first) 0x01 else 0) |
+          (if (pi == 0 && first) 0x02 else 0) |
+          (if (pi == packets.length - 1 && lastChunk) 0x04 else 0)
+        out.write(buildPage(serial, seqNo,
+          if (lastChunk) granules(pi) else -1L, headerType,
+          lacing.toSeq,
+          java.util.Arrays.copyOfRange(pkt, off, off + take)))
+        seqNo += 1
+        off += take
+        first = false
+        done = lastChunk
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Walk pages, verifying every CRC; the walk ends at truncation, a
+    * bad capture pattern, a bad version or a CRC mismatch — never
+    * inventing pages. */
+  def parsePages(data: Array[Byte]): Seq[OggPage] = {
+    val out = ArrayBuffer.empty[OggPage]
+    var p = 0
+    var ok = true
+    while (ok && p + 27 <= data.length) {
+      if (!(data(p) == 'O' && data(p + 1) == 'g' && data(p + 2) == 'g' &&
+        data(p + 3) == 'S' && data(p + 4) == 0)) ok = false
+      else {
+        val headerType = data(p + 5) & 0xff
+        var granule = 0L
+        var i = 7
+        while (i >= 0) {
+          granule = (granule << 8) | (data(p + 6 + i) & 0xffL); i -= 1
+        }
+        def u32(at: Int): Long =
+          (data(at) & 0xffL) | ((data(at + 1) & 0xffL) << 8) |
+            ((data(at + 2) & 0xffL) << 16) | ((data(at + 3) & 0xffL) << 24)
+        val serial = u32(p + 14)
+        val seqNo = u32(p + 18)
+        val storedCrc = u32(p + 22)
+        val nSegs = data(p + 26) & 0xff
+        if (p + 27 + nSegs > data.length) ok = false
+        else {
+          var payloadLen = 0
+          var j = 0
+          while (j < nSegs) { payloadLen += data(p + 27 + j) & 0xff; j += 1 }
+          val pageLen = 27 + nSegs + payloadLen
+          if (p + pageLen > data.length) ok = false
+          else {
+            // CRC verifies over the page with the CRC field zeroed
+            val copy = java.util.Arrays.copyOfRange(data, p, p + pageLen)
+            copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+            if (crc32(copy, 0, copy.length) != storedCrc) ok = false
+            else {
+              out += OggPage(seqNo, granule, serial,
+                bos = (headerType & 0x02) != 0,
+                eos = (headerType & 0x04) != 0,
+                continued = (headerType & 0x01) != 0,
+                nSegs, payloadLen)
+              p += pageLen
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Reassemble PACKETS across pages (lacing 255 = continues, <255
+    * ends; a packet may span pages via the continued flag). Returns
+    * (packet bytes, granule of its final page). */
+  def parsePackets(data: Array[Byte]): Seq[(Array[Byte], Long)] = {
+    val out = ArrayBuffer.empty[(Array[Byte], Long)]
+    var pending = new java.io.ByteArrayOutputStream()
+    var p = 0
+    for (page <- parsePages(data)) {
+      val headLen = 27 + page.nSegs
+      var off = p + headLen
+      var j = 0
+      while (j < page.nSegs) {
+        val lace = data(p + 27 + j) & 0xff
+        pending.write(data, off, lace)
+        off += lace
+        if (lace < 255) {
+          out += ((pending.toByteArray, page.granule))
+          pending = new java.io.ByteArrayOutputStream()
+        }
+        j += 1
+      }
+      p += headLen + page.payloadLen
+    }
+    out.toSeq
+  }
+}

@@ -102,6 +102,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
       Tar.parseAuto(junk) // incl. 0x1f8b-prefixed corrupt gzip
       Vp8l.decode(junk)
       Flac.decode(junk)
+      Ogg.parsePackets(junk)
       Multimodal.decodeTiffPixels(junk)
       Multimodal.tiffLzwDecode(junk, 0, junk.length,
         math.min(junk.length * 4, 1 << 16))
