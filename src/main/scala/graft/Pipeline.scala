@@ -4708,6 +4708,59 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** PNG COLOR-TYPE rotation: docs cycle through the three 8-bit
+    * color types — grayscale (ids ≡ 0 mod 3: pixel = (v, v, v)),
+    * truecolor (≡ 1), palette (≡ 2: 64 ramp entries (e, 2e mod 256,
+    * 3e mod 256) — the gifPaletteEntry ramps, so a channel swap or
+    * palette-indexing bug shows in the sums) — encoded by the real
+    * writers and decoded back through the shared defilter at each
+    * type's bytes-per-pixel. Channel sums over the DECODED raster
+    * must equal the oracle's closed-form arithmetic per type. */
+  private def multimodalDecodePngTypes(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 24)
+        val h = 1 + ((t.length / 24) % 24)
+        val b = asciiBytes(id, t)
+        val M = graft.operators.Multimodal
+        val png = (id % 3) match {
+          case 0 =>
+            M.encodePngGray(w, h,
+              Array.tabulate(w * h)(k => b(k % b.length)))
+          case 1 =>
+            M.encodePngPixels(w, h,
+              Array.tabulate(w * h * 3)(k => b(k % b.length)))
+          case _ =>
+            val pal = Array.tabulate[Byte](64 * 3) { k =>
+              val e = k / 3
+              (k % 3 match {
+                case 0 => e
+                case 1 => (2 * e) % 256
+                case _ => (3 * e) % 256
+              }).toByte
+            }
+            M.encodePngPalette(w, h, pal,
+              Array.tabulate(w * h)(k => ((b(k % b.length) & 0xff) % 64)
+                .toByte))
+        }
+        val (dw, dh, rgb) = M.decodePngPixels(png).get
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var p = 0
+        while (p + 2 < rgb.length) {
+          sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+          sb += rgb(p + 2) & 0xff
+          p += 3
+        }
+        (id, (id % 3).toInt, dw, dh, dw.toLong * dh, sr, sg, sb)
+      }
+      .toDF("media_id", "color_type", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** REAL Ogg container round trip: each doc becomes a single-stream
     * Ogg (one packet per page, the Opus layout) whose packet sizes
     * derive from the text — with a 70 000-byte packet on ids ≡ 0
@@ -6940,6 +6993,7 @@ object Pipeline {
     "audio_vad_segments" -> audioVadSegments _,
     "multimodal_decode_flac" -> multimodalDecodeFlac _,
     "ogg_parse"         -> oggParse _,
+    "multimodal_decode_png_types" -> multimodalDecodePngTypes _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -8941,6 +8995,47 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
+    "multimodal_decode_png_types" -> {
+      // gray (id%3=0): v = text[k mod len] replicated; truecolor (1):
+      // rgb byte j = text[j mod len]; palette (2): e = v mod 64 →
+      // (e, 2e mod 256, 3e mod 256)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 24 AS w,
+         |    1 + (length(text) // 24) % 24 AS h,
+         |    doc_id % 3 AS ct
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d),
+         |v AS (SELECT doc_id, ct, w, h, n,
+         |  CASE WHEN ct = 1 THEN NULL
+         |       ELSE list_transform(range(0, n), k ->
+         |         ascii(substr(text, CAST(k % len AS INT) + 1, 1))) END
+         |    AS px,
+         |  text, len FROM e)
+         |SELECT doc_id AS media_id, CAST(ct AS INT) AS color_type,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  n AS n_pixels,
+         |  CAST(CASE ct
+         |    WHEN 0 THEN list_sum(px)
+         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
+         |      ascii(substr(text, CAST((3 * k) % len AS INT) + 1, 1))))
+         |    ELSE list_sum(list_transform(px, x -> x % 64)) END
+         |    AS BIGINT) AS sum_r,
+         |  CAST(CASE ct
+         |    WHEN 0 THEN list_sum(px)
+         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
+         |      ascii(substr(text, CAST((3 * k + 1) % len AS INT) + 1, 1))))
+         |    ELSE list_sum(list_transform(px, x -> (2 * (x % 64)) % 256))
+         |    END AS BIGINT) AS sum_g,
+         |  CAST(CASE ct
+         |    WHEN 0 THEN list_sum(px)
+         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
+         |      ascii(substr(text, CAST((3 * k + 2) % len AS INT) + 1, 1))))
+         |    ELSE list_sum(list_transform(px, x -> (3 * (x % 64)) % 256))
+         |    END AS BIGINT) AS sum_b
+         |FROM v ORDER BY media_id""".stripMargin
+    },
     "ogg_parse" -> {
       // np = 1 + len%5 packets; packet i is 1 + (len + 13i) % 300
       // bytes — except packet 0 on doc_id ≡ 0 (mod 7), which is

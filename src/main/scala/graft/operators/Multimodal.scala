@@ -319,32 +319,110 @@ object Multimodal {
     out.array()
   }
 
+  /** One-byte-per-pixel PNG writer shared by the grayscale and
+    * palette forms: same (y mod 5) filter cycling as the truecolor
+    * writer, one PLTE chunk when a palette is present. */
+  private def encodePng1bpp(w: Int, h: Int, colorType: Int,
+                            plte: Array[Byte],
+                            samples: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val raw = Array.tabulate(h * w)(i =>
+      if (samples.nonEmpty) samples(i % samples.length) else 0.toByte)
+    def px(x: Int, y: Int): Int =
+      if (x < 0 || y < 0) 0 else raw(y * w + x) & 0xff
+    val filtered = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered(y * (1 + w)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = px(x, y)
+        val a = px(x - 1, y); val b = px(x, y - 1)
+        val cc = px(x - 1, y - 1)
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        filtered(y * (1 + w) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val idat = buf.toByteArray
+    val plteLen = if (plte == null) 0 else 12 + plte.length
+    val out = java.nio.ByteBuffer.allocate(57 + plteLen + idat.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    if (plte != null) chunk("PLTE", plte)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** 8-bit GRAYSCALE PNG writer (color type 0) — gray expands to
+    * (g, g, g) on decode. */
+  def encodePngGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
+    encodePng1bpp(w, h, 0, null, gray)
+
+  /** 8-bit PALETTE PNG writer (color type 3): `palette` is the PLTE
+    * payload ((r, g, b) triplets, ≤ 256 entries), `indices` the
+    * per-pixel entries. */
+  def encodePngPalette(w: Int, h: Int, palette: Array[Byte],
+                       indices: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.nonEmpty &&
+      palette.length <= 256 * 3, "bad palette")
+    encodePng1bpp(w, h, 3, palette, indices)
+  }
+
   /** FULL PNG pixel decode, pure JVM (DEFLATE ships in java.util.zip —
-    * no codec library): IHDR validation (8-bit truecolor), IDAT chunk
-    * concatenation + Inflater, then per-scanline DEFILTERING of all
-    * five PNG filter types (spec §9: None/Sub/Up/Average/Paeth).
+    * no codec library): IHDR validation (8-bit grayscale / truecolor /
+    * palette — PLTE lookup with out-of-range rejection, gray expands
+    * to (g, g, g)), IDAT chunk concatenation + Inflater, then
+    * per-scanline DEFILTERING of all five PNG filter types (spec §9:
+    * None/Sub/Up/Average/Paeth) at the color type's bytes-per-pixel.
     * Returns (w, h, rgb bytes row-major). None on malformed input:
     * anything decodePngDims rejects, unsupported color/depth, bad
-    * chunk framing, corrupt DEFLATE stream, wrong decompressed
-    * length, reserved filter type. */
+    * chunk framing, missing PLTE, corrupt DEFLATE stream, wrong
+    * decompressed length, reserved filter type. */
   /** Adam7 pass grid (PNG spec §8.2): xStart, yStart, xStep, yStep. */
   private val Adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
     (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-  /** Defilter one (sub-)image of `pw`×`ph` RGB scanlines starting at
-    * `off` in the filtered stream (PNG §9 filters reference only the
-    * CURRENT pass's scanlines); None on a reserved filter type. */
+  /** Defilter one (sub-)image of `pw`×`ph` scanlines of `bpp` bytes
+    * per pixel starting at `off` in the filtered stream (PNG §9
+    * filters reference only the CURRENT pass's scanlines; the `a`/`c`
+    * neighbors are `bpp` bytes left); None on a reserved filter
+    * type. */
   private def defilter(filtered: Array[Byte], off: Int, pw: Int,
-      ph: Int): Option[Array[Byte]] = {
-    val stride = pw * 3
+      ph: Int, bpp: Int = 3): Option[Array[Byte]] = {
+    val stride = pw * bpp
     val out = new Array[Byte](ph * stride)
     def o(x: Int, y: Int, c: Int): Int =
-      if (x < 0 || y < 0) 0 else out(y * stride + x * 3 + c) & 0xff
+      if (x < 0 || y < 0) 0 else out(y * stride + x * bpp + c) & 0xff
     for (y <- 0 until ph) {
       val f = filtered(off + y * (1 + stride)) & 0xff
       if (f > 4) return None
-      for (x <- 0 until pw; c <- 0 until 3) {
-        val v = filtered(off + y * (1 + stride) + 1 + x * 3 + c) & 0xff
+      for (x <- 0 until pw; c <- 0 until bpp) {
+        val v = filtered(off + y * (1 + stride) + 1 + x * bpp + c) & 0xff
         val a = o(x - 1, y, c); val up = o(x, y - 1, c)
         val cc = o(x - 1, y - 1, c)
         val pred = f match {
@@ -358,7 +436,7 @@ object Multimodal {
             val pc = math.abs(p - cc)
             if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
         }
-        out(y * stride + x * 3 + c) = ((v + pred) & 0xff).toByte
+        out(y * stride + x * bpp + c) = ((v + pred) & 0xff).toByte
       }
     }
     Some(out)
@@ -366,11 +444,17 @@ object Multimodal {
 
   def decodePngPixels(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     decodePngDims(data).flatMap { case (w, h) =>
-      if ((data(24) & 0xff) != 8 || (data(25) & 0xff) != 2) return None
+      // 8-bit grayscale (0), truecolor (2) or palette (3)
+      val colorType = data(25) & 0xff
+      if ((data(24) & 0xff) != 8 ||
+        (colorType != 0 && colorType != 2 && colorType != 3)) return None
+      val bpp = if (colorType == 2) 3 else 1
       val interlace = data(28) & 0xff
       if (interlace > 1) return None
       // walk chunks from the end of IHDR, concatenating IDAT payloads
+      // (and collecting the PLTE for palette images)
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
       var i = 33
       val b = java.nio.ByteBuffer.wrap(data)
       while (i + 8 <= data.length) {
@@ -380,8 +464,13 @@ object Multimodal {
         if (len < 0 || i + 12 + len > data.length) return None
         val typ = new String(data, i + 4, 4, "US-ASCII")
         if (typ == "IDAT") idat.write(data, i + 8, len.toInt)
+        else if (typ == "PLTE") {
+          if (len % 3 != 0 || len > 256 * 3 || len == 0) return None
+          plte = java.util.Arrays.copyOfRange(data, i + 8, i + 8 + len.toInt)
+        }
         i += 12 + len.toInt
       }
+      if (colorType == 3 && plte == null) return None
       // pass geometry: the whole image for interlace 0, the seven
       // Adam7 sub-images (empty passes contribute nothing) for 1
       val passes =
@@ -390,7 +479,7 @@ object Multimodal {
           (p, ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy))
         }.filter { case (_, (pw, ph)) => pw > 0 && ph > 0 }
       val expect = passes.map { case (_, (pw, ph)) =>
-        ph * (1 + pw * 3) }.sum
+        ph * (1 + pw * bpp) }.sum
       val filtered = new Array[Byte](expect)
       try {
         val inf = new java.util.zip.Inflater()
@@ -410,14 +499,30 @@ object Multimodal {
       val out = new Array[Byte](h * stride)
       var off = 0
       passes.foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
-        defilter(filtered, off, pw, ph) match {
+        defilter(filtered, off, pw, ph, bpp) match {
           case None => return None
           case Some(sub) =>
-            for (py <- 0 until ph; px <- 0 until pw; c <- 0 until 3)
-              out((y0 + py * dy) * stride + (x0 + px * dx) * 3 + c) =
-                sub(py * pw * 3 + px * 3 + c)
+            for (py <- 0 until ph; px <- 0 until pw) {
+              val at = (y0 + py * dy) * stride + (x0 + px * dx) * 3
+              colorType match {
+                case 2 =>
+                  var c = 0
+                  while (c < 3) {
+                    out(at + c) = sub(py * pw * 3 + px * 3 + c); c += 1
+                  }
+                case 0 => // grayscale: replicate across channels
+                  val g = sub(py * pw + px)
+                  out(at) = g; out(at + 1) = g; out(at + 2) = g
+                case _ => // palette lookup; out-of-range rejects
+                  val idx = sub(py * pw + px) & 0xff
+                  if (idx * 3 + 2 >= plte.length) return None
+                  out(at) = plte(idx * 3)
+                  out(at + 1) = plte(idx * 3 + 1)
+                  out(at + 2) = plte(idx * 3 + 2)
+              }
+            }
         }
-        off += ph * (1 + pw * 3)
+        off += ph * (1 + pw * bpp)
       }
       Some((w, h, out))
     }

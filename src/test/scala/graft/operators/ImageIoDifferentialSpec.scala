@@ -55,6 +55,73 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("gray/palette PNG: ours read by ImageIO; ImageIO's read by ours") {
+    // our grayscale PNG under ImageIO
+    val (w, h) = (9, 7)
+    val gray = Array.tabulate[Byte](w * h)(i => ((i * 37) % 256).toByte)
+    val gpng = Multimodal.encodePngGray(w, h, gray)
+    val gimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gpng))
+    assert(gimg != null && gimg.getWidth == w && gimg.getHeight == h)
+    // raw raster samples — getRGB would run the gray→sRGB conversion
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gimg.getRaster.getSample(x, y, 0) == (gray(y * w + x) & 0xff),
+        s"gray ($x,$y)")
+    // our palette PNG under ImageIO
+    val pal = Array.tabulate[Byte](7 * 3) { k =>
+      val e = k / 3
+      (k % 3 match {
+        case 0 => e * 30
+        case 1 => (e * 60) % 256
+        case _ => (e * 90) % 256
+      }).toByte
+    }
+    val idx = Array.tabulate[Byte](w * h)(i => (i % 7).toByte)
+    val ppng = Multimodal.encodePngPalette(w, h, pal, idx)
+    val pimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ppng))
+    assert(pimg != null && pimg.getWidth == w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = idx(y * w + x) * 3
+      val want = 0xff000000 | ((pal(e) & 0xff) << 16) |
+        ((pal(e + 1) & 0xff) << 8) | (pal(e + 2) & 0xff)
+      assert(pimg.getRGB(x, y) == want, s"palette ($x,$y)")
+    }
+    // ImageIO-written grayscale under OUR decoder
+    val gb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) // raw samples, no conversion
+      gb.getRaster.setSample(x, y, 0, (x * 29 + y * 53) % 256)
+    val gout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gb, "png", gout))
+    val got = Multimodal.decodePngPixels(gout.toByteArray)
+    assert(got.isDefined, "our decoder rejected an ImageIO gray PNG")
+    val (dw, dh, rgb) = got.get
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 29 + y * 53) % 256
+      val at = (y * w + x) * 3
+      assert(v == (rgb(at) & 0xff) && v == (rgb(at + 1) & 0xff) &&
+        v == (rgb(at + 2) & 0xff), s"io-gray ($x,$y)")
+    }
+    // ImageIO-written INDEXED (palette) under OUR decoder
+    val ib = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      ib.setRGB(x, y, ((x * 40) << 16) | ((y * 36 % 256) << 8) | 128)
+    val iout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(ib, "png", iout))
+    val got2 = Multimodal.decodePngPixels(iout.toByteArray)
+    assert(got2.isDefined, "our decoder rejected an ImageIO indexed PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = ib.getRGB(x, y) // already palette-quantized
+      val at = (y * w + x) * 3
+      assert(((want >> 16) & 0xff) == (got2.get._3(at) & 0xff) &&
+        ((want >> 8) & 0xff) == (got2.get._3(at + 1) & 0xff) &&
+        (want & 0xff) == (got2.get._3(at + 2) & 0xff), s"io-idx ($x,$y)")
+    }
+  }
+
   test("Adam7 PNG: interlaced streams decode exactly — ours and ImageIO's") {
     for (seed <- 1 to 8) {
       // spans sub-pass-grid sizes (w or h < 8 empties some passes)
