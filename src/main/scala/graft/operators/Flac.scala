@@ -188,6 +188,21 @@ object Flac {
     bk
   }
 
+  /** MD5 of the raw 16-bit little-endian sample stream (the
+    * STREAMINFO signature). */
+  def sampleMd5(samples: Array[Int]): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val b = new Array[Byte](2)
+    var i = 0
+    while (i < samples.length) {
+      b(0) = (samples(i) & 0xff).toByte
+      b(1) = ((samples(i) >> 8) & 0xff).toByte
+      d.update(b)
+      i += 1
+    }
+    d.digest()
+  }
+
   /** Encode mono 16-bit samples into a complete `.flac` stream:
     * fLaC magic, STREAMINFO, then fixed-blocksize frames whose
     * subframe is the cheapest of CONSTANT / FIXED(0..2 single-
@@ -205,7 +220,10 @@ object Flac {
     si.u(0, 3)  // channels − 1 (mono)
     si.u(15, 5) // bits per sample − 1 (16)
     si.u(samples.length.toLong, 36)
-    si.u(0, 64); si.u(0, 64)                 // MD5 unset (16 zero bytes)
+    // MD5 of the UNENCODED audio (16-bit little-endian stream) — the
+    // end-to-end integrity signature decoders verify after decode
+    val md5 = sampleMd5(samples)
+    md5.foreach(b => si.u(b & 0xffL, 8))
     val siB = si.result()
     out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
     out.write(siB)
@@ -308,6 +326,7 @@ object Flac {
     if (new String(data, 0, 4, "US-ASCII") != "fLaC") return None
     var p = 4
     var info: FlacInfo = null
+    var md5: Array[Byte] = null
     var last = false
     // metadata blocks
     while (!last) {
@@ -328,6 +347,7 @@ object Flac {
         val total = r.u(36)
         if (r.fail) return None
         info = FlacInfo(rate, ch, bits, total)
+        md5 = java.util.Arrays.copyOfRange(data, p + 4 + 18, p + 4 + 34)
       }
       p += 4 + len
     }
@@ -341,6 +361,10 @@ object Flac {
         case None => return None
       }
     }
+    // STREAMINFO MD5 (when set) must match the DECODED audio — the
+    // end-to-end integrity check real decoders run
+    if (md5 != null && md5.exists(_ != 0) &&
+      !java.util.Arrays.equals(md5, sampleMd5(out.toArray))) return None
     Some((info, out.toArray))
   }
 

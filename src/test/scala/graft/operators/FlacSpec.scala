@@ -43,6 +43,18 @@ class FlacSpec extends AnyFunSuite {
     rt(Array.tabulate(130 * 4096)(i => (i / 4096) % 256))
   }
 
+  test("STREAMINFO MD5 signs the decoded audio end to end") {
+    val samples = Array.tabulate(300)(i => (i * 17) % 1000 - 500)
+    val enc = Flac.encode(8000, samples)
+    // the stored MD5 is the raw LE16 digest
+    val stored = java.util.Arrays.copyOfRange(enc, 8 + 18, 8 + 34)
+    assert(stored.toSeq == Flac.sampleMd5(samples).toSeq)
+    // flipping one stored-MD5 byte makes decode reject
+    val m = enc.clone()
+    m(8 + 20) = (m(8 + 20) ^ 1).toByte
+    assert(Flac.decode(m).isEmpty)
+  }
+
   test("CRC-8 and CRC-16 match the standard check vectors") {
     val check = "123456789".getBytes("US-ASCII")
     assert(Flac.crc8(check, 0, check.length) == 0xF4)   // CRC-8 (0x07)
