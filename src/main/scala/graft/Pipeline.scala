@@ -4898,26 +4898,44 @@ object Pipeline {
     * decode path is the full AVI walk + JPEG decode per frame; the
     * oracle recomputes every boundary delta from the text, so a codec
     * or container bug flips cut flags and fails the hash. */
+  /** Shared MJPEG scene fixture: static scenes shifting every 3
+    * frames at 1 s/frame. The per-frame JPEG ENCODE runs once per
+    * (session, dir) through the ScanCache — video_shot_cuts and
+    * caption_scene_align both decode from the same cached bytes (the
+    * r11 bench's two heaviest new entries were each paying the full
+    * encode pass). */
+  private def videoSceneMedia(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    ScanCache.get(s, s"video-scenes:$dir") {
+      asciiDocs(s, dir).repartition(col("doc_id"))
+        .map { case (id, t) =>
+          val bw = 1 + (t.length % 8)
+          val bh = 1 + ((t.length / 8) % 8)
+          val nf = 4 + (t.length % 5)
+          val b = asciiBytes(id, t)
+          val frames = (0 until nf).map { f =>
+            val sc = f / 3
+            val payload = Array.tabulate(b.length)(i =>
+              b((i + sc * 7) % b.length))
+            graft.operators.Jpeg.encodePixels(bw, bh, payload)
+          }
+          (id, graft.operators.Multimodal.encodeAviMjpeg(
+            8 * bw, 8 * bh, 1000000, frames), t)
+        }
+        .toDF("media_id", "avi", "text")
+    }
+  }
+
   private def videoShotCuts(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val media = asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val bw = 1 + (t.length % 8)
-        val bh = 1 + ((t.length / 8) % 8)
-        val nf = 4 + (t.length % 5)
-        val b = asciiBytes(id, t)
-        val frames = (0 until nf).map { f =>
-          val sc = f / 3
-          val payload = Array.tabulate(b.length)(i =>
-            b((i + sc * 7) % b.length))
-          graft.operators.Jpeg.encodePixels(bw, bh, payload)
-        }
-        graft.operators.MediaRow(id, "video/x-msvideo",
-          graft.operators.Multimodal.encodeAviMjpeg(8 * bw, 8 * bh,
-            40000, frames))
+    videoSceneMedia(s, dir).select("media_id", "avi")
+      .as[(Long, Array[Byte])]
+      .map { case (id, avi) =>
+        graft.operators.Multimodal.aviShotCuts(id, avi, 0L)
       }
-    graft.operators.Multimodal.extractShotCuts(media, 0L).toDF()
+      .toDF()
       .orderBy("media_id")
   }
 
@@ -4979,19 +4997,9 @@ object Pipeline {
   private def captionSceneAlign(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    asciiDocs(s, dir).repartition(col("doc_id"))
-      .flatMap { case (id, t) =>
-        val bw = 1 + (t.length % 8)
-        val bh = 1 + ((t.length / 8) % 8)
-        val nf = 4 + (t.length % 5)
-        val b = asciiBytes(id, t)
-        val frames = (0 until nf).map { f =>
-          val sc = f / 3
-          graft.operators.Jpeg.encodePixels(bw, bh,
-            Array.tabulate(b.length)(i => b((i + sc * 7) % b.length)))
-        }
-        val avi = graft.operators.Multimodal.encodeAviMjpeg(
-          8 * bw, 8 * bh, 1000000, frames)
+    videoSceneMedia(s, dir)
+      .as[(Long, Array[Byte], String)]
+      .flatMap { case (id, avi, t) =>
         val scenes = graft.operators.Multimodal.aviScenes(id, avi, 0L)
         val nc = 1 + (t.length % 6)
         val dur = 1200L + (t.length % 800)

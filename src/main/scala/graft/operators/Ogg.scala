@@ -22,19 +22,29 @@ object Ogg {
                            bos: Boolean, eos: Boolean, continued: Boolean,
                            nSegs: Int, payloadLen: Int)
 
+  /** CRC table generated at class init from the polynomial — still
+    * closed-form (no transcribed constants beyond the poly itself);
+    * the bitwise single-step form lives in OggSpec as the
+    * independent cross-check. ~8× the byte rate of bit-at-a-time,
+    * which matters: the bench's Ogg pass CRCs hundreds of MB. */
+  private val CrcTable: Array[Long] = Array.tabulate(256) { n =>
+    var c = n.toLong << 24
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 0x80000000L) != 0) ((c << 1) ^ 0x04C11DB7L) & 0xffffffffL
+          else (c << 1) & 0xffffffffL
+      k += 1
+    }
+    c
+  }
+
   /** Ogg CRC-32: poly 0x04C11DB7, init 0, not reflected, xorout 0. */
   def crc32(b: Array[Byte], from: Int, len: Int): Long = {
     var crc = 0L
     var i = from
     while (i < from + len) {
-      crc ^= (b(i) & 0xffL) << 24
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x80000000L) != 0)
-          ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
-        else (crc << 1) & 0xffffffffL
-        k += 1
-      }
+      crc = ((crc << 8) & 0xffffffffL) ^
+        CrcTable((((crc >> 24) ^ (b(i) & 0xffL)) & 0xff).toInt)
       i += 1
     }
     crc
