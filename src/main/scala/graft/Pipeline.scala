@@ -4708,6 +4708,82 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Composed MEDIA-INGEST DAG — the multimodal counterpart of
+    * web_ingest_dag: docs become REAL media files (PNG / GIF /
+    * TIFF-LZW / WAV rotating by id mod 4), pack into `.tgz`
+    * WebDataset-style shards of 8, and ONE pass walks everything
+    * back — gunzip → checksum-verified tar walk → MAGIC-BYTE sniff
+    * (trust the bytes, not the extension) → kind-dispatched FULL
+    * decode (PNG defilter, GIF LZW+palette, TIFF LZW, WAV PCM) →
+    * per-doc keep verdict (decoded ∧ ≥ 64 pixels-or-samples). The
+    * oracle recomputes the whole chain analytically per kind, so a
+    * container, sniff or codec bug anywhere flips sums or verdicts
+    * and fails the hash. Archives build and decode inside one
+    * flatMapGroups — only readout rows shuffle. */
+  private def mediaIngestDag(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val b = asciiBytes(id, t)
+        val w = 1 + (t.length % 16)
+        val h = 1 + ((t.length / 16) % 16)
+        val M = graft.operators.Multimodal
+        val (ext, bytes) = (id % 4) match {
+          case 0 => ("png", M.encodePngPixels(w, h,
+            Array.tabulate(w * h * 3)(k => b(k % b.length))))
+          case 1 => ("gif", M.encodeGifPixels(w, h,
+            Array.tabulate(w * h)(k => b(k % b.length))))
+          case 2 => ("tiff", M.encodeTiffPixelsLzw(w, h, id % 2 == 0,
+            Array.tabulate(w * h * 3)(k => b(k % b.length))))
+          case _ => ("wav", M.encodeWavPcm8(8000, b))
+        }
+        (id / 8, id, graft.operators.Tar.buildEntry(s"$id.$ext", bytes))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val T = graft.operators.Tar
+        val M = graft.operators.Multimodal
+        val shard = T.gzipArchive(
+          T.buildArchive(it.toSeq.sortBy(_._2).map(_._3)))
+        val plain = T.gunzip(shard).getOrElse(Array.emptyByteArray)
+        T.parse(plain).map { e =>
+          val docId = e.name.takeWhile(_ != '.').toLong
+          val ext = e.name.dropWhile(_ != '.').drop(1)
+          val bytes = java.util.Arrays.copyOfRange(plain, e.dataOff,
+            e.dataOff + e.size.toInt)
+          val sniffed = M.sniffKind(bytes)
+          sniffed match {
+            case "image/png" | "image/gif" | "image/tiff" =>
+              M.decodePixels(sniffed, bytes) match {
+                case Some((w, h, px)) =>
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var i = 0
+                  while (i < px.length) {
+                    sr += px(i) & 0xff; sg += px(i + 1) & 0xff
+                    sb += px(i + 2) & 0xff
+                    i += 3
+                  }
+                  (docId, ext, sniffed, w.toLong * h, sr, sg, sb,
+                    if (w.toLong * h >= 64L) 1L else 0L)
+                case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+              }
+            case "audio/wav" =>
+              M.wavStats(bytes) match {
+                case Some(wi) =>
+                  (docId, ext, sniffed, wi.nSamples, wi.sumAbs, 0L, 0L,
+                    if (wi.nSamples >= 64L) 1L else 0L)
+                case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+              }
+            case _ => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
+        "sum_b", "keep")
+      .orderBy("media_id")
+  }
+
   /** PNG COLOR-TYPE rotation: docs cycle through the three 8-bit
     * color types — grayscale (ids ≡ 0 mod 3: pixel = (v, v, v)),
     * truecolor (≡ 1), palette (≡ 2: 64 ramp entries (e, 2e mod 256,
@@ -7002,6 +7078,7 @@ object Pipeline {
     "multimodal_decode_flac" -> multimodalDecodeFlac _,
     "ogg_parse"         -> oggParse _,
     "multimodal_decode_png_types" -> multimodalDecodePngTypes _,
+    "media_ingest_dag"  -> mediaIngestDag _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -9003,6 +9080,48 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
+    "media_ingest_dag" -> {
+      // kind = doc_id%4: png/tiff pixel byte j = text[j mod len]
+      // (channel c of pixel p is byte 3p+c); gif palette ramps
+      // (e, 2e mod 256, 3e mod 256) on index text[k mod len]; wav is
+      // Σ|v−128| over the raw bytes; keep = ≥64 pixels-or-samples
+      def s3(c: Int): String =
+        s"""list_sum(list_transform(range(0, n), k ->
+           |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))"""
+          .stripMargin
+      def gifS(mul: Int): String =
+        s"""list_sum(list_transform(range(0, n), k ->
+           |  ($mul * ascii(substr(text, CAST(k % len AS INT) + 1, 1)))
+           |  % 256))""".stripMargin
+      val wavS =
+        """list_sum(list_transform(range(0, len), i ->
+          |  abs(128 - ascii(substr(text, CAST(i AS INT) + 1, 1)))))"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 16 AS w,
+         |    1 + (length(text) // 16) % 16 AS h,
+         |    doc_id % 4 AS kind
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id,
+         |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+         |    WHEN 2 THEN 'tiff' ELSE 'wav' END AS ext,
+         |  CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         |    WHEN 2 THEN 'image/tiff' ELSE 'audio/wav' END AS sniffed,
+         |  CAST(CASE WHEN kind = 3 THEN len ELSE n END AS BIGINT)
+         |    AS units,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(1)} WHEN 3 THEN $wavS
+         |    ELSE ${s3(0)} END AS BIGINT) AS sum_r,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(2)} WHEN 3 THEN 0
+         |    ELSE ${s3(1)} END AS BIGINT) AS sum_g,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(3)} WHEN 3 THEN 0
+         |    ELSE ${s3(2)} END AS BIGINT) AS sum_b,
+         |  CAST(CASE WHEN (CASE WHEN kind = 3 THEN len ELSE n END) >= 64
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM e ORDER BY media_id""".stripMargin
+    },
     "multimodal_decode_png_types" -> {
       // gray (id%3=0): v = text[k mod len] replicated; truecolor (1):
       // rgb byte j = text[j mod len]; palette (2): e = v mod 64 →

@@ -87,21 +87,28 @@ object Tar {
     * a crafted bomb stops instead of exhausting memory, then walked
     * identically. Nil on a corrupt gzip stream — never throws. */
   def parseAuto(data: Array[Byte]): Seq[TarEntry] =
-    if (data.length >= 2 && (data(0) & 0xff) == 0x1f &&
-      (data(1) & 0xff) == 0x8b) {
-      try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(data))
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n > 0 && out.size() <= (1 << 28)) {
-          out.write(buf, 0, n); n = in.read(buf)
-        }
-        if (out.size() > (1 << 28)) Nil // decompression-bomb guard
-        else parse(out.toByteArray)
-      } catch { case _: java.io.IOException => Nil }
-    } else parse(data)
+    if (isGzip(data)) gunzip(data).map(parse).getOrElse(Nil)
+    else parse(data)
+
+  /** gzip magic sniff. */
+  def isGzip(data: Array[Byte]): Boolean =
+    data.length >= 2 && (data(0) & 0xff) == 0x1f && (data(1) & 0xff) == 0x8b
+
+  /** Inflate a gzip stream under the 2^28 decompression-bomb cap;
+    * None on corruption or the cap. Never throws. */
+  def gunzip(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0 && out.size() <= (1 << 28)) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
+      if (out.size() > (1 << 28)) None // decompression-bomb guard
+      else Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
 
   /** Gzip-wrap an archive (single member — the `.tgz` convention). */
   def gzipArchive(tar: Array[Byte]): Array[Byte] = {
