@@ -4724,61 +4724,105 @@ object Pipeline {
     val spark = s
     import spark.implicits._
     asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val b = asciiBytes(id, t)
-        val w = 1 + (t.length % 16)
-        val h = 1 + ((t.length / 16) % 16)
-        val M = graft.operators.Multimodal
-        val (ext, bytes) = (id % 4) match {
-          case 0 => ("png", M.encodePngPixels(w, h,
-            Array.tabulate(w * h * 3)(k => b(k % b.length))))
-          case 1 => ("gif", M.encodeGifPixels(w, h,
-            Array.tabulate(w * h)(k => b(k % b.length))))
-          case 2 => ("tiff", M.encodeTiffPixelsLzw(w, h, id % 2 == 0,
-            Array.tabulate(w * h * 3)(k => b(k % b.length))))
-          case _ => ("wav", M.encodeWavPcm8(8000, b))
-        }
-        (id / 8, id, graft.operators.Tar.buildEntry(s"$id.$ext", bytes))
-      }
+      .map { case (id, t) => mediaEntry(id, t) }
       .groupByKey(_._1)
       .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
         val T = graft.operators.Tar
-        val M = graft.operators.Multimodal
         val shard = T.gzipArchive(
           T.buildArchive(it.toSeq.sortBy(_._2).map(_._3)))
-        val plain = T.gunzip(shard).getOrElse(Array.emptyByteArray)
-        T.parse(plain).map { e =>
-          val docId = e.name.takeWhile(_ != '.').toLong
-          val ext = e.name.dropWhile(_ != '.').drop(1)
-          val bytes = java.util.Arrays.copyOfRange(plain, e.dataOff,
-            e.dataOff + e.size.toInt)
-          val sniffed = M.sniffKind(bytes)
-          sniffed match {
-            case "image/png" | "image/gif" | "image/tiff" =>
-              M.decodePixels(sniffed, bytes) match {
-                case Some((w, h, px)) =>
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  var i = 0
-                  while (i < px.length) {
-                    sr += px(i) & 0xff; sg += px(i + 1) & 0xff
-                    sb += px(i + 2) & 0xff
-                    i += 3
-                  }
-                  (docId, ext, sniffed, w.toLong * h, sr, sg, sb,
-                    if (w.toLong * h >= 64L) 1L else 0L)
-                case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-              }
-            case "audio/wav" =>
-              M.wavStats(bytes) match {
-                case Some(wi) =>
-                  (docId, ext, sniffed, wi.nSamples, wi.sumAbs, 0L, 0L,
-                    if (wi.nSamples >= 64L) 1L else 0L)
-                case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-              }
-            case _ => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-          }
-        }
+        mediaShardReadout(T.gunzip(shard).getOrElse(Array.emptyByteArray))
       }
+      .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
+        "sum_b", "keep")
+      .orderBy("media_id")
+  }
+
+  /** The sniff → decode → verdict readout over one PLAIN media shard,
+    * shared by [[mediaIngestDag]] and [[mediaIngestFiles]]. */
+  private def mediaShardReadout(plain: Array[Byte])
+      : Seq[(Long, String, String, Long, Long, Long, Long, Long)] = {
+    val M = graft.operators.Multimodal
+    graft.operators.Tar.parse(plain).map { e =>
+      val docId = e.name.takeWhile(_ != '.').toLong
+      val ext = e.name.dropWhile(_ != '.').drop(1)
+      val bytes = java.util.Arrays.copyOfRange(plain, e.dataOff,
+        e.dataOff + e.size.toInt)
+      val sniffed = M.sniffKind(bytes)
+      sniffed match {
+        case "image/png" | "image/gif" | "image/tiff" =>
+          M.decodePixels(sniffed, bytes) match {
+            case Some((w, h, px)) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                sr += px(i) & 0xff; sg += px(i + 1) & 0xff
+                sb += px(i + 2) & 0xff
+                i += 3
+              }
+              (docId, ext, sniffed, w.toLong * h, sr, sg, sb,
+                if (w.toLong * h >= 64L) 1L else 0L)
+            case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+          }
+        case "audio/wav" =>
+          M.wavStats(bytes) match {
+            case Some(wi) =>
+              (docId, ext, sniffed, wi.nSamples, wi.sumAbs, 0L, 0L,
+                if (wi.nSamples >= 64L) 1L else 0L)
+            case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+          }
+        case _ => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
+      }
+    }
+  }
+
+  /** One media entry's tar bytes (the mediaIngestDag construction),
+    * shared with the `.tgz`-file fixture. */
+  private def mediaEntry(id: Long, t: String): (Long, Long, Array[Byte]) = {
+    val b = asciiBytes(id, t)
+    val w = 1 + (t.length % 16)
+    val h = 1 + ((t.length / 16) % 16)
+    val M = graft.operators.Multimodal
+    val (ext, bytes) = (id % 4) match {
+      case 0 => ("png", M.encodePngPixels(w, h,
+        Array.tabulate(w * h * 3)(k => b(k % b.length))))
+      case 1 => ("gif", M.encodeGifPixels(w, h,
+        Array.tabulate(w * h)(k => b(k % b.length))))
+      case 2 => ("tiff", M.encodeTiffPixelsLzw(w, h, id % 2 == 0,
+        Array.tabulate(w * h * 3)(k => b(k % b.length))))
+      case _ => ("wav", M.encodeWavPcm8(8000, b))
+    }
+    (id / 8, id, graft.operators.Tar.buildEntry(s"$id.$ext", bytes))
+  }
+
+  /** [[mediaIngestDag]] through REAL `.tgz` shard FILES: the fixture
+    * writes the identical shards from the executors (the
+    * warc/tar_parse_files pattern), the query reads them back through
+    * `binaryFile` → gunzip → the shared readout — the file AND
+    * compression layers must be transparent, so the oracle is
+    * IDENTICAL to media_ingest_dag. */
+  private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "mediashard", "documents") { out =>
+      asciiDocs(s, dir)
+        .map { case (id, t) => mediaEntry(id, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+          val shard = graft.operators.Tar.gzipArchive(
+            graft.operators.Tar.buildArchive(
+              it.toSeq.sortBy(_._2).map(_._3)))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.tgz"), shard)
+          sid
+        }
+        .count(): Unit
+    }
+    s.read.format("binaryFile").load(s"$root/*.tgz")
+      .select(col("path"), col("content"))
+      .repartition(col("path")) // spread the packed small-file split
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => mediaShardReadout(
+        graft.operators.Tar.gunzip(bytes).getOrElse(Array.emptyByteArray)) }
       .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
         "sum_b", "keep")
       .orderBy("media_id")
@@ -7079,6 +7123,7 @@ object Pipeline {
     "ogg_parse"         -> oggParse _,
     "multimodal_decode_png_types" -> multimodalDecodePngTypes _,
     "media_ingest_dag"  -> mediaIngestDag _,
+    "media_ingest_files" -> mediaIngestFiles _,
     "image_quality_gate" -> imageQualityGate _,
     "multimodal_gif_frames" -> multimodalGifFrames _,
     "video_frame_sample" -> videoFrameSample _,
@@ -7391,6 +7436,51 @@ object Pipeline {
        |    SELECT word, c, s, strpos(s, ' ' || mp || ' ') AS p, mp
        |    FROM x$t, (SELECT pair AS mp FROM m$t) WHERE NOT done) z$t),
        |r$t AS (SELECT word, c, trim(s) AS repr FROM x$t WHERE done)""".stripMargin
+  }
+
+  /** Shared oracle for the batch and file-backed media-ingest DAG
+    * (the file and gzip layers must be invisible to every fact). */
+  private lazy val MediaDagOracle: String = {
+      // kind = doc_id%4: png/tiff pixel byte j = text[j mod len]
+      // (channel c of pixel p is byte 3p+c); gif palette ramps
+      // (e, 2e mod 256, 3e mod 256) on index text[k mod len]; wav is
+      // Σ|v−128| over the raw bytes; keep = ≥64 pixels-or-samples
+      def s3(c: Int): String =
+        s"""list_sum(list_transform(range(0, n), k ->
+           |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))"""
+          .stripMargin
+      def gifS(mul: Int): String =
+        s"""list_sum(list_transform(range(0, n), k ->
+           |  ($mul * ascii(substr(text, CAST(k % len AS INT) + 1, 1)))
+           |  % 256))""".stripMargin
+      val wavS =
+        """list_sum(list_transform(range(0, len), i ->
+          |  abs(128 - ascii(substr(text, CAST(i AS INT) + 1, 1)))))"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 16 AS w,
+         |    1 + (length(text) // 16) % 16 AS h,
+         |    doc_id % 4 AS kind
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id,
+         |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+         |    WHEN 2 THEN 'tiff' ELSE 'wav' END AS ext,
+         |  CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         |    WHEN 2 THEN 'image/tiff' ELSE 'audio/wav' END AS sniffed,
+         |  CAST(CASE WHEN kind = 3 THEN len ELSE n END AS BIGINT)
+         |    AS units,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(1)} WHEN 3 THEN $wavS
+         |    ELSE ${s3(0)} END AS BIGINT) AS sum_r,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(2)} WHEN 3 THEN 0
+         |    ELSE ${s3(1)} END AS BIGINT) AS sum_g,
+         |  CAST(CASE kind WHEN 1 THEN ${gifS(3)} WHEN 3 THEN 0
+         |    ELSE ${s3(2)} END AS BIGINT) AS sum_b,
+         |  CAST(CASE WHEN (CASE WHEN kind = 3 THEN len ELSE n END) >= 64
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM e ORDER BY media_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -9080,48 +9170,9 @@ object Pipeline {
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin,
-    "media_ingest_dag" -> {
-      // kind = doc_id%4: png/tiff pixel byte j = text[j mod len]
-      // (channel c of pixel p is byte 3p+c); gif palette ramps
-      // (e, 2e mod 256, 3e mod 256) on index text[k mod len]; wav is
-      // Σ|v−128| over the raw bytes; keep = ≥64 pixels-or-samples
-      def s3(c: Int): String =
-        s"""list_sum(list_transform(range(0, n), k ->
-           |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))"""
-          .stripMargin
-      def gifS(mul: Int): String =
-        s"""list_sum(list_transform(range(0, n), k ->
-           |  ($mul * ascii(substr(text, CAST(k % len AS INT) + 1, 1)))
-           |  % 256))""".stripMargin
-      val wavS =
-        """list_sum(list_transform(range(0, len), i ->
-          |  abs(128 - ascii(substr(text, CAST(i AS INT) + 1, 1)))))"""
-          .stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 16 AS w,
-         |    1 + (length(text) // 16) % 16 AS h,
-         |    doc_id % 4 AS kind
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id,
-         |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-         |    WHEN 2 THEN 'tiff' ELSE 'wav' END AS ext,
-         |  CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-         |    WHEN 2 THEN 'image/tiff' ELSE 'audio/wav' END AS sniffed,
-         |  CAST(CASE WHEN kind = 3 THEN len ELSE n END AS BIGINT)
-         |    AS units,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(1)} WHEN 3 THEN $wavS
-         |    ELSE ${s3(0)} END AS BIGINT) AS sum_r,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(2)} WHEN 3 THEN 0
-         |    ELSE ${s3(1)} END AS BIGINT) AS sum_g,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(3)} WHEN 3 THEN 0
-         |    ELSE ${s3(2)} END AS BIGINT) AS sum_b,
-         |  CAST(CASE WHEN (CASE WHEN kind = 3 THEN len ELSE n END) >= 64
-         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM e ORDER BY media_id""".stripMargin
-    },
+    // the file + gzip layers must be transparent: identical facts
+    "media_ingest_files" -> MediaDagOracle,
+    "media_ingest_dag" -> MediaDagOracle,
     "multimodal_decode_png_types" -> {
       // gray (id%3=0): v = text[k mod len] replicated; truecolor (1):
       // rgb byte j = text[j mod len]; palette (2): e = v mod 64 →
