@@ -4800,10 +4800,12 @@ object Pipeline {
     * `binaryFile` → gunzip → the shared readout — the file AND
     * compression layers must be transparent, so the oracle is
     * IDENTICAL to media_ingest_dag. */
-  private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
+  /** Builds (idempotently) and returns the `.tgz` media-shard fixture
+    * directory — shared with the streaming parity spec. */
+  private[graft] def mediaFixtureRoot(s: SparkSession, dir: String): String = {
     val spark = s
     import spark.implicits._
-    val root = formatFixtureDir(dir, "mediashard", "documents") { out =>
+    formatFixtureDir(dir, "mediashard", "documents") { out =>
       asciiDocs(s, dir)
         .map { case (id, t) => mediaEntry(id, t) }
         .groupByKey(_._1)
@@ -4817,14 +4819,26 @@ object Pipeline {
         }
         .count(): Unit
     }
-    s.read.format("binaryFile").load(s"$root/*.tgz")
-      .select(col("path"), col("content"))
-      .repartition(col("path")) // spread the packed small-file split
+  }
+
+  /** gunzip + the shared media readout over `binaryFile` rows — the
+    * stage both the batch file query and its streaming twin run. */
+  private[graft] def parseMediaShardRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) => mediaShardReadout(
         graft.operators.Tar.gunzip(bytes).getOrElse(Array.emptyByteArray)) }
       .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
         "sum_b", "keep")
+  }
+
+  private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
+    val root = mediaFixtureRoot(s, dir)
+    parseMediaShardRows(
+      s.read.format("binaryFile").load(s"$root/*.tgz")
+        .repartition(col("path"))) // spread the packed small-file split
       .orderBy("media_id")
   }
 
