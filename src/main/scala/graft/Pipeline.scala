@@ -4842,6 +4842,49 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** Opus METADATA extraction through the full Ogg stack — the
+    * license/language metadata read a curation pipeline runs before
+    * admitting audio (RFC 7845: the OpusHead identification packet
+    * and the OpusTags Vorbis-comment packet are the first two packets
+    * of the stream): each doc builds a real Ogg whose head/tags
+    * derive from the doc (a LICENSE=CC0 tag on ids ≡ 0 mod 3 — the
+    * filterable-license case), plus opaque audio packets, and the
+    * readout goes CRC-verified pages → packet reassembly → header
+    * parses. Closed-form oracle; a framing or field-layout bug
+    * anywhere flips the facts. */
+  private def oggOpusMeta(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val O = graft.operators.Ogg
+        val b = asciiBytes(id, t)
+        val head = O.buildOpusHead(1 + (id % 2).toInt, 312,
+          if (t.length % 2 == 0) 48000L else 24000L, 0)
+        val title = t.substring(0, math.min(8, t.length))
+        val tags = Seq(s"LANGUAGE=l${t.length % 3}", s"TITLE=$title") ++
+          (if (id % 3 == 0) Seq("LICENSE=CC0") else Nil)
+        val opusTags = O.buildOpusTags("graft 1.0", tags)
+        val audio = (0 until 2).map(i =>
+          Array.tabulate(40 + (t.length % 50))(k => b((k + i) % b.length)))
+        val ogg = O.build(id, Seq(head, opusTags) ++ audio,
+          Seq(0L, 0L, 960L, 1920L))
+        val pkts = O.parsePackets(ogg)
+        (O.parseOpusHead(pkts.head._1), O.parseOpusTags(pkts(1)._1)) match {
+          case (Some(h), Some((vendor, tg))) =>
+            (id, h.channels, h.preSkip, h.inputRate, vendor,
+              tg.size.toLong,
+              if (tg.exists(_.startsWith("LICENSE="))) 1L else 0L,
+              tg.find(_.startsWith("TITLE="))
+                .map(_.length - 6L).getOrElse(-1L))
+          case _ => (id, -1, -1, -1L, "", -1L, -1L, -1L)
+        }
+      }
+      .toDF("media_id", "channels", "pre_skip", "input_rate", "vendor",
+        "n_tags", "has_license", "title_chars")
+      .orderBy("media_id")
+  }
+
   /** PNG COLOR-TYPE rotation: docs cycle through the three 8-bit
     * color types — grayscale (ids ≡ 0 mod 3: pixel = (v, v, v)),
     * truecolor (≡ 1), palette (≡ 2: 64 ramp entries (e, 2e mod 256,
@@ -7135,6 +7178,7 @@ object Pipeline {
     "audio_vad_segments" -> audioVadSegments _,
     "multimodal_decode_flac" -> multimodalDecodeFlac _,
     "ogg_parse"         -> oggParse _,
+    "ogg_opus_meta"     -> oggOpusMeta _,
     "multimodal_decode_png_types" -> multimodalDecodePngTypes _,
     "media_ingest_dag"  -> mediaIngestDag _,
     "media_ingest_files" -> mediaIngestFiles _,
@@ -9227,6 +9271,25 @@ object Pipeline {
          |    ELSE list_sum(list_transform(px, x -> (3 * (x % 64)) % 256))
          |    END AS BIGINT) AS sum_b
          |FROM v ORDER BY media_id""".stripMargin
+    },
+    "ogg_opus_meta" -> {
+      // closed-form header facts: channels = 1 + id%2, preskip 312,
+      // rate by len parity, 2 tags + LICENSE on ids ≡ 0 (mod 3),
+      // title = first min(8, len) chars
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(312 AS INT) AS pre_skip,
+        |  CAST(CASE WHEN length(text) % 2 = 0 THEN 48000 ELSE 24000 END
+        |    AS BIGINT) AS input_rate,
+        |  'graft 1.0' AS vendor,
+        |  CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_tags,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has_license,
+        |  CAST(least(8, length(text)) AS BIGINT) AS title_chars
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY media_id""".stripMargin
     },
     "ogg_parse" -> {
       // np = 1 + len%5 packets; packet i is 1 + (len + 13i) % 300

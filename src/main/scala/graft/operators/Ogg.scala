@@ -174,6 +174,98 @@ object Ogg {
     out.toSeq
   }
 
+  /** Opus identification header facts (RFC 7845 §5.1). */
+  final case class OpusHead(version: Int, channels: Int, preSkip: Int,
+                            inputRate: Long, gainQ8: Int,
+                            mappingFamily: Int)
+
+  /** Build the "OpusHead" identification packet (mapping family 0 —
+    * no channel mapping table). */
+  def buildOpusHead(channels: Int, preSkip: Int, inputRate: Long,
+                    gainQ8: Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 2, "family-0 channels")
+    val b = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OpusHead".getBytes("US-ASCII"))
+    b.put(1.toByte).put(channels.toByte)
+    b.putShort(preSkip.toShort)
+    b.putInt(inputRate.toInt)
+    b.putShort(gainQ8.toShort)
+    b.put(0.toByte)
+    b.array()
+  }
+
+  /** Parse an "OpusHead" packet; None on bad magic/version/length or
+    * a family-0 stream with more than 2 channels. */
+  def parseOpusHead(pkt: Array[Byte]): Option[OpusHead] = {
+    if (pkt.length < 19) return None
+    if (new String(pkt, 0, 8, "US-ASCII") != "OpusHead") return None
+    val b = java.nio.ByteBuffer.wrap(pkt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = pkt(8) & 0xff
+    if (version != 1) return None
+    val channels = pkt(9) & 0xff
+    val preSkip = b.getShort(10) & 0xffff
+    val rate = b.getInt(12).toLong & 0xffffffffL
+    val gain = b.getShort(16).toInt
+    val family = pkt(18) & 0xff
+    if (channels < 1) return None
+    if (family == 0 && (channels > 2 || pkt.length != 19)) return None
+    Some(OpusHead(version, channels, preSkip, rate, gain, family))
+  }
+
+  /** Build the "OpusTags" comment packet (the Vorbis-comment layout:
+    * vendor string + KEY=value entries, all lengths 32-bit LE). */
+  def buildOpusTags(vendor: String, tags: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("OpusTags".getBytes("US-ASCII"))
+    val vb = vendor.getBytes("UTF-8")
+    u32(vb.length); out.write(vb)
+    u32(tags.length)
+    tags.foreach { t =>
+      val tb = t.getBytes("UTF-8")
+      u32(tb.length); out.write(tb)
+    }
+    out.toByteArray
+  }
+
+  /** Parse an "OpusTags" packet to (vendor, comments); None on bad
+    * magic or any length running past the packet — never inventing
+    * entries. */
+  def parseOpusTags(pkt: Array[Byte]): Option[(String, Seq[String])] = {
+    if (pkt.length < 16) return None
+    if (new String(pkt, 0, 8, "US-ASCII") != "OpusTags") return None
+    val b = java.nio.ByteBuffer.wrap(pkt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = 8
+    def u32(): Long = {
+      val v = b.getInt(p).toLong & 0xffffffffL; p += 4; v
+    }
+    if (p + 4 > pkt.length) return None
+    val vl = u32()
+    if (vl > pkt.length - p) return None
+    val vendor = new String(pkt, p, vl.toInt, "UTF-8")
+    p += vl.toInt
+    if (p + 4 > pkt.length) return None
+    val n = u32()
+    if (n > (pkt.length - p) / 4) return None // each entry needs ≥4 bytes
+    val tags = Seq.newBuilder[String]
+    var i = 0L
+    while (i < n) {
+      if (p + 4 > pkt.length) return None
+      val tl = u32()
+      if (tl > pkt.length - p) return None
+      tags += new String(pkt, p, tl.toInt, "UTF-8")
+      p += tl.toInt
+      i += 1
+    }
+    Some((vendor, tags.result()))
+  }
+
   /** Reassemble PACKETS across pages (lacing 255 = continues, <255
     * ends; a packet may span pages via the continued flag). Returns
     * (packet bytes, granule of its final page). */

@@ -67,6 +67,32 @@ class OggSpec extends AnyFunSuite {
     }
   }
 
+  test("OpusHead/OpusTags round-trip; malformed packets reject") {
+    val head = Ogg.buildOpusHead(2, 312, 48000L, -256)
+    val h = Ogg.parseOpusHead(head)
+    assert(h.contains(Ogg.OpusHead(1, 2, 312, 48000L, -256, 0)))
+    val tags = Ogg.buildOpusTags("vendor é",
+      Seq("TITLE=x", "LICENSE=CC0", "LANGUAGE=en"))
+    val t = Ogg.parseOpusTags(tags)
+    assert(t.contains(("vendor é",
+      Seq("TITLE=x", "LICENSE=CC0", "LANGUAGE=en"))))
+    // malformed: bad magic, truncation at every length, crafted
+    // overlong vendor/comment lengths never invent entries
+    assert(Ogg.parseOpusHead("OpusHeadX".getBytes("US-ASCII")).isEmpty)
+    assert(Ogg.parseOpusTags("OpusTagsFF".getBytes("US-ASCII")).isEmpty)
+    for (cut <- 0 until tags.length)
+      Ogg.parseOpusTags(java.util.Arrays.copyOfRange(tags, 0, cut))
+    val evil = tags.clone()
+    evil(8) = -1; evil(9) = -1; evil(10) = -1; evil(11) = -1 // vendor len
+    assert(Ogg.parseOpusTags(evil).isEmpty)
+    val evil2 = tags.clone()
+    // comment count absurdly large must reject, not loop
+    val ncAt = 8 + 4 + "vendor é".getBytes("UTF-8").length
+    evil2(ncAt) = -1; evil2(ncAt + 1) = -1
+    evil2(ncAt + 2) = -1; evil2(ncAt + 3) = -1
+    assert(Ogg.parseOpusTags(evil2).isEmpty)
+  }
+
   test("single-bit corruption rejects via the page CRC; never throws") {
     val ogg = Ogg.build(9L, Seq(pkt(400, 1), pkt(300, 2)), Seq(100L, 200L))
     assert(Ogg.parsePages(ogg).size == 2)
