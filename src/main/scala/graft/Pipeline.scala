@@ -6231,7 +6231,29 @@ object Pipeline {
     * through the sniffing [[graft.operators.Tar.parseAuto]] — the
     * compression layer must be transparent to every entry fact, so
     * the oracle is IDENTICAL to tar_parse. */
-  private def tarParseGz(s: SparkSession, dir: String): DataFrame = {
+  private def tarParseGz(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir, graft.operators.Tar.gzipArchive)
+
+  /** The `.tar.lz4` twin: the same shards wrapped in our own
+    * LZ4 FRAME (operators/Lz4 — 64 KiB independent blocks, content
+    * checksum) and walked back through the sniffing parseAuto. The
+    * oracle is IDENTICAL to tar_parse: the lz4 layer — compressor,
+    * frame writer, frame reader, block decoder, xxh32 — must be
+    * jointly invisible to every entry fact. */
+  private def tarParseLz4(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir, graft.operators.Tar.lz4Archive)
+
+  /** The `.tar.sz` twin: the same shards through our Snappy FRAMING
+    * wrap (operators/SnappyCodec — 64 KiB chunks, masked CRC-32C per
+    * chunk). Identical oracle, same transparency contract. */
+  private def tarParseSnappy(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir, graft.operators.Tar.snappyArchive)
+
+  /** Shared walk for the compressed-tar twins: build the tar_parse
+    * shards, wrap each whole archive with `wrap`, parse back through
+    * [[graft.operators.Tar.parseAuto]]'s magic-byte sniff. */
+  private def tarParseWrapped(s: SparkSession, dir: String,
+      wrap: Array[Byte] => Array[Byte]): DataFrame = {
     val spark = s
     import spark.implicits._
     asciiDocs(s, dir)
@@ -6250,8 +6272,7 @@ object Pipeline {
         (sid: Long, it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
           val entries = it.toSeq.sortBy(_._2).flatMap(_._3)
           graft.operators.Tar.parseAuto(
-              graft.operators.Tar.gzipArchive(
-                graft.operators.Tar.buildArchive(entries)))
+              wrap(graft.operators.Tar.buildArchive(entries)))
             .zipWithIndex.map { case (e, i) =>
               (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
                 e.name, e.size, e.md5)
@@ -7214,6 +7235,8 @@ object Pipeline {
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
     "tar_parse_gz"      -> tarParseGz _,
+    "tar_parse_lz4"     -> tarParseLz4 _,
+    "tar_parse_snappy"  -> tarParseSnappy _,
     "tar_parse_files"   -> tarParseFiles _,
     "zip_parse"         -> zipParse _,
     "zip_parse_files"   -> zipParseFiles _,
@@ -8961,6 +8984,12 @@ object Pipeline {
     "tar_parse" -> tarParseOracleSql,
     // .tgz transparency: identical facts through the gzip wrap
     "tar_parse_gz" -> tarParseOracleSql,
+    // .tar.lz4 / .tar.sz transparency: identical facts through our
+    // own LZ4 frame and Snappy framing codecs (operators/Lz4,
+    // operators/SnappyCodec) — compressor, checksums and decoder
+    // must be jointly invisible
+    "tar_parse_lz4" -> tarParseOracleSql,
+    "tar_parse_snappy" -> tarParseOracleSql,
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,

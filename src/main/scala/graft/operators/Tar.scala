@@ -81,13 +81,19 @@ object Tar {
     if (seen) v else -1L
   }
 
-  /** [[parse]] with `.tgz` transparency: a gzip-wrapped archive (the
-    * common `.tar.gz` shard layout — one member, though multi-member
-    * streams inflate too) is inflated first, bounded at 2^28 bytes so
-    * a crafted bomb stops instead of exhausting memory, then walked
-    * identically. Nil on a corrupt gzip stream — never throws. */
+  /** [[parse]] with compression transparency: a gzip-wrapped archive
+    * (the common `.tar.gz` shard layout — one member, though
+    * multi-member streams inflate too), an LZ4-framed `.tar.lz4`, or
+    * a Snappy-framed `.tar.sz` is unwrapped first — every layer
+    * bounded at 2^28 bytes so a crafted bomb stops instead of
+    * exhausting memory — then walked identically. Nil on a corrupt
+    * wrapper — never throws. */
   def parseAuto(data: Array[Byte]): Seq[TarEntry] =
     if (isGzip(data)) gunzip(data).map(parse).getOrElse(Nil)
+    else if (Lz4.isLz4(data))
+      Lz4.frameDecompress(data).map(parse).getOrElse(Nil)
+    else if (SnappyCodec.isFramed(data))
+      SnappyCodec.frameDecompress(data).map(parse).getOrElse(Nil)
     else parse(data)
 
   /** gzip magic sniff. */
@@ -109,6 +115,14 @@ object Tar {
       if (out.size() > (1 << 28)) None // decompression-bomb guard
       else Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
+
+  /** LZ4-frame-wrap an archive (the `.tar.lz4` convention). */
+  def lz4Archive(tar: Array[Byte]): Array[Byte] =
+    Lz4.frameCompress(tar)
+
+  /** Snappy-frame-wrap an archive (the `.tar.sz` convention). */
+  def snappyArchive(tar: Array[Byte]): Array[Byte] =
+    SnappyCodec.frameCompress(tar)
 
   /** Gzip-wrap an archive (single member — the `.tgz` convention). */
   def gzipArchive(tar: Array[Byte]): Array[Byte] = {
