@@ -4710,9 +4710,11 @@ object Pipeline {
 
   /** Composed MEDIA-INGEST DAG — the multimodal counterpart of
     * web_ingest_dag: docs become REAL media files (PNG / GIF /
-    * TIFF-LZW / WAV rotating by id mod 4), pack into `.tgz`
-    * WebDataset-style shards of 8, and ONE pass walks everything
-    * back — gunzip → checksum-verified tar walk → MAGIC-BYTE sniff
+    * TIFF-LZW / WAV rotating by id mod 4), pack into WebDataset-style
+    * shards of 8 under a compression wrapper rotating by SHARD
+    * (`.tgz` / `.tar.lz4` / `.tar.sz` — [[mediaWrap]]), and ONE pass
+    * walks everything back — magic-byte unwrap
+    * ([[unwrapMediaShard]]) → checksum-verified tar walk → MAGIC-BYTE sniff
     * (trust the bytes, not the extension) → kind-dispatched FULL
     * decode (PNG defilter, GIF LZW+palette, TIFF LZW, WAV PCM) →
     * per-doc keep verdict (decoded ∧ ≥ 64 pixels-or-samples). The
@@ -4727,14 +4729,48 @@ object Pipeline {
       .map { case (id, t) => mediaEntry(id, t) }
       .groupByKey(_._1)
       .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val T = graft.operators.Tar
-        val shard = T.gzipArchive(
-          T.buildArchive(it.toSeq.sortBy(_._2).map(_._3)))
-        mediaShardReadout(T.gunzip(shard).getOrElse(Array.emptyByteArray))
+        val shard = mediaWrap(sid,
+          graft.operators.Tar.buildArchive(it.toSeq.sortBy(_._2).map(_._3)))
+        mediaShardReadout(unwrapMediaShard(shard))
       }
       .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
         "sum_b", "keep")
       .orderBy("media_id")
+  }
+
+  /** Shard wrapper rotation: gzip / LZ4 frame / Snappy framing by
+    * shard id — the three compression wrappers real WebDataset-style
+    * corpora ship under. The readout facts are wrapper-independent,
+    * so the SAME oracle pins all three codecs as jointly transparent
+    * end-to-end (wrap here, sniff+unwrap in [[unwrapMediaShard]]). */
+  private def mediaWrap(sid: Long, tar: Array[Byte]): Array[Byte] =
+    (sid % 3) match {
+      case 0 => graft.operators.Tar.gzipArchive(tar)
+      case 1 => graft.operators.Tar.lz4Archive(tar)
+      case _ => graft.operators.Tar.snappyArchive(tar)
+    }
+
+  /** The wrapper extension [[mediaWrap]] implies (fixture naming). */
+  private def mediaWrapExt(sid: Long): String =
+    (sid % 3) match {
+      case 0 => "tgz"
+      case 1 => "tar.lz4"
+      case _ => "tar.sz"
+    }
+
+  /** Magic-byte sniff + unwrap of one media shard back to plain tar
+    * bytes; empty on a corrupt wrapper (the walk then yields no
+    * entries — drop, never invent). */
+  private[graft] def unwrapMediaShard(bytes: Array[Byte]): Array[Byte] = {
+    val T = graft.operators.Tar
+    if (T.isGzip(bytes)) T.gunzip(bytes).getOrElse(Array.emptyByteArray)
+    else if (graft.operators.Lz4.isLz4(bytes))
+      graft.operators.Lz4.frameDecompress(bytes)
+        .getOrElse(Array.emptyByteArray)
+    else if (graft.operators.SnappyCodec.isFramed(bytes))
+      graft.operators.SnappyCodec.frameDecompress(bytes)
+        .getOrElse(Array.emptyByteArray)
+    else bytes
   }
 
   /** The sniff → decode → verdict readout over one PLAIN media shard,
@@ -4805,16 +4841,17 @@ object Pipeline {
   private[graft] def mediaFixtureRoot(s: SparkSession, dir: String): String = {
     val spark = s
     import spark.implicits._
-    formatFixtureDir(dir, "mediashard", "documents") { out =>
+    // tag v2: round-11 wrapper rotation (gzip/lz4/snappy by shard) —
+    // a new tag regenerates fixtures built before the rotation
+    formatFixtureDir(dir, "mediashard2", "documents") { out =>
       asciiDocs(s, dir)
         .map { case (id, t) => mediaEntry(id, t) }
         .groupByKey(_._1)
         .mapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-          val shard = graft.operators.Tar.gzipArchive(
-            graft.operators.Tar.buildArchive(
-              it.toSeq.sortBy(_._2).map(_._3)))
+          val shard = mediaWrap(sid, graft.operators.Tar.buildArchive(
+            it.toSeq.sortBy(_._2).map(_._3)))
           java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.tgz"), shard)
+            out, f"shard-$sid%06d.${mediaWrapExt(sid)}"), shard)
           sid
         }
         .count(): Unit
@@ -4828,8 +4865,8 @@ object Pipeline {
     import spark.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (_, bytes) => mediaShardReadout(
-        graft.operators.Tar.gunzip(bytes).getOrElse(Array.emptyByteArray)) }
+      .flatMap { case (_, bytes) =>
+        mediaShardReadout(unwrapMediaShard(bytes)) }
       .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
         "sum_b", "keep")
   }
@@ -4837,7 +4874,7 @@ object Pipeline {
   private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
     val root = mediaFixtureRoot(s, dir)
     parseMediaShardRows(
-      s.read.format("binaryFile").load(s"$root/*.tgz")
+      s.read.format("binaryFile").load(s"$root/shard-*")
         .repartition(col("path"))) // spread the packed small-file split
       .orderBy("media_id")
   }
@@ -6029,7 +6066,7 @@ object Pipeline {
         val w = 1 + (t.length % 16)
         val h = 1 + ((t.length / 16) % 16)
         val M = graft.operators.Multimodal
-        val (declared, bytes) = (id % 11) match {
+        val (declared, bytes) = (id % 17) match {
           case 0 => ("image/bmp", M.encodeBmp(w, h, b))
           case 1 => ("image/png", M.encodePng(w, h, b))
           case 2 => ("image/gif", M.encodeGif(w, h, b))
@@ -6044,7 +6081,21 @@ object Pipeline {
           // mislabeled raw text; the 0x20 prefix matches no container
           // magic, so the sniff verdict cannot depend on whether the
           // fixture text happens to start with 'BM', 'RIFF', 'ID3', …
-          case _ => ("image/png", 0x20.toByte +: b)
+          case 10 => ("image/png", 0x20.toByte +: b)
+          case 11 => ("application/avro", graft.operators.Avro.build(
+            "doc", Seq(graft.operators.Avro.Field(
+              "text", "string", nullable = false)),
+            Seq(Seq(Some(t))), "deflate"))
+          case 12 => ("application/zip", graft.operators.Zip
+            .buildArchive(Seq((s"$id.txt", b, true))))
+          case 13 => ("application/x-lz4",
+            graft.operators.Lz4.frameCompress(b))
+          case 14 => ("application/x-snappy-framed",
+            graft.operators.SnappyCodec.frameCompress(b))
+          case 15 => ("audio/flac", graft.operators.Flac.encode(
+            8000, b.map(v => ((v & 0xff) - 128) * 256)))
+          case _ => ("application/ogg", graft.operators.Ogg.build(
+            1L, Seq(b), Seq(0L)))
         }
         val sniffed = M.sniffKind(bytes)
         (id, declared, sniffed, declared == sniffed)
@@ -6405,6 +6456,24 @@ object Pipeline {
         |  HAVING CAST(sum(mq.llr) AS BIGINT) + pq.prior_fp > 0),
         |k4 AS (SELECT k3.* FROM k3 JOIN pos USING (doc_id))""".stripMargin
 
+  /** avro_parse / avro_parse_files shared oracle: every fact the
+    * Spark side re-derives from decoded rows, predicted straight
+    * from `documents` — the codec rotation by shard, the null union
+    * branch every 11th doc, the quarter-step score (exact in binary,
+    * no rounding needed). */
+  private def avroParseOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0)
+      |SELECT doc_id, doc_id // 8 AS shard_id,
+      |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'deflate' ELSE 'null' END
+      |    AS codec,
+      |  strlen(text) AS len, md5(text) AS md5,
+      |  CASE WHEN doc_id % 11 = 10 THEN NULL
+      |    ELSE 'label' || (doc_id % 4) END AS label,
+      |  strlen(text) * 0.25 AS score
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** tar_parse / tar_parse_files shared oracle: names/sizes/md5s
     * predicted per file class; positions are the shard-local rank
     * over EXISTING files (they shift at every omitted .cls, so the
@@ -6572,6 +6641,108 @@ object Pipeline {
       s.read.format("binaryFile").load(s"$root/*.zip")
         .repartition(col("path")))
       .orderBy("doc_id", "name")
+  }
+
+  /** Avro Object Container walk (operators/Avro): 8-document
+    * containers — fields `id` long / `text` string / `label` nullable
+    * string (every 11th doc takes the null union branch) / `score`
+    * double — 4-row blocks so every shard crosses a sync boundary,
+    * codec rotating deflate/null by shard. The walk builds, parses
+    * back (sync markers verified, schema re-interpreted from the
+    * embedded JSON) and emits facts computed from the PARSED values,
+    * so the whole encode→decode stack must be value-transparent; the
+    * oracle predicts every fact from `documents`. Same shuffle shape
+    * as tar_parse: build pays the one shard-keyed shuffle archive
+    * assembly needs, parse is flatMap work. */
+  private def avroParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    avroShardRows(avroShards(s, dir)).orderBy("doc_id")
+  }
+
+  /** The per-shard Avro containers: (shard_id, bytes). */
+  private def avroShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val fields = Seq(
+          graft.operators.Avro.Field("id", "long", nullable = false),
+          graft.operators.Avro.Field("text", "string", nullable = false),
+          graft.operators.Avro.Field("label", "string", nullable = true),
+          graft.operators.Avro.Field("score", "double", nullable = false))
+        val rows = docs.map { case (_, id, t) =>
+          Seq[Option[Any]](Some(id), Some(t),
+            if (id % 11 == 10) None else Some(s"label${id % 4}"),
+            Some(t.length * 0.25))
+        }
+        val codec = if (sid % 2 == 0) "deflate" else "null"
+        (sid, graft.operators.Avro.build("doc", fields, rows, codec,
+          blockRows = 4))
+      }
+  }
+
+  /** The per-container parse shared by the batch query, the file
+    * query and the binaryFile STREAM twin: parse, re-derive every
+    * fact from the decoded values. */
+  private[graft] def avroShardRows(
+      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards
+      .flatMap { case (sid, bytes) =>
+        graft.operators.Avro.parse(bytes).toSeq.flatMap { f =>
+          f.rows.map { r =>
+            val id = r(0).get.asInstanceOf[Long]
+            val text = r(1).get.asInstanceOf[String]
+            val d = java.security.MessageDigest.getInstance("MD5")
+            (id, sid, f.codec, text.length.toLong,
+              d.digest(text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString,
+              r(2).map(_.asInstanceOf[String]),
+              r(3).get.asInstanceOf[Double])
+          }
+        }
+      }
+      .toDF("doc_id", "shard_id", "codec", "len", "md5", "label", "score")
+  }
+
+  /** [[avroParse]] through REAL `.avro` FILES: the containers written
+    * once per corpus to a fixture tree (executor-side), read back
+    * through the distributed binaryFile source and parsed per file.
+    * Identical oracle — the file layer must be transparent. */
+  private def avroParseFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "avroshard", "documents") { out =>
+      avroShards(s, dir)
+        .map { case (sid, bytes) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.avro"), bytes)
+          sid
+        }
+        .count(): Unit
+    }
+    avroShardRows(
+      s.read.format("binaryFile").load(s"$root/*.avro")
+        .repartition(col("path"))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          (name.stripPrefix("shard-").stripSuffix(".avro").toLong, bytes)
+        })
+      .orderBy("doc_id")
+  }
+
+  private[graft] def avroFixtureRoot(s: SparkSession, dir: String): String = {
+    avroParseFiles(s, dir) // constructing the query builds the fixture
+    formatFixtureDir(dir, "avroshard", "documents")(_ => ())
   }
 
   private[graft] def zipFixtureRoot(s: SparkSession, dir: String): String = {
@@ -7238,6 +7409,8 @@ object Pipeline {
     "tar_parse_lz4"     -> tarParseLz4 _,
     "tar_parse_snappy"  -> tarParseSnappy _,
     "tar_parse_files"   -> tarParseFiles _,
+    "avro_parse"        -> avroParse _,
+    "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
@@ -8762,21 +8935,32 @@ object Pipeline {
       |FROM g""".stripMargin,
     "content_sniff" -> {
       // sniffed type predicted purely from the container rotation;
-      // class 10 is the deliberate mislabel (raw text declared png)
+      // class 10 is the deliberate mislabel (raw text declared png);
+      // classes 11-16 are the round-11 container/codec formats
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 11 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |  CASE doc_id % 17 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
         |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
-        |    ELSE 'image/png' END AS declared,
-        |  CASE doc_id % 11 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 10 THEN 'image/png'
+        |    WHEN 11 THEN 'application/avro' WHEN 12 THEN 'application/zip'
+        |    WHEN 13 THEN 'application/x-lz4'
+        |    WHEN 14 THEN 'application/x-snappy-framed'
+        |    WHEN 15 THEN 'audio/flac'
+        |    ELSE 'application/ogg' END AS declared,
+        |  CASE doc_id % 17 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
         |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
-        |    ELSE 'application/octet-stream' END AS sniffed,
-        |  doc_id % 11 <> 10 AS label_ok
+        |    WHEN 10 THEN 'application/octet-stream'
+        |    WHEN 11 THEN 'application/avro' WHEN 12 THEN 'application/zip'
+        |    WHEN 13 THEN 'application/x-lz4'
+        |    WHEN 14 THEN 'application/x-snappy-framed'
+        |    WHEN 15 THEN 'audio/flac'
+        |    ELSE 'application/ogg' END AS sniffed,
+        |  doc_id % 17 <> 10 AS label_ok
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin
@@ -9045,6 +9229,11 @@ object Pipeline {
     "zip_parse" -> zipParseOracleSql,
     // same facts through the written .zip fixture tree + binaryFile
     "zip_parse_files" -> zipParseOracleSql,
+    // Avro container: every fact re-derived from PARSED values, so
+    // the zigzag/union/sync/deflate stack must be value-transparent
+    "avro_parse" -> avroParseOracleSql,
+    // same facts through the written .avro fixture tree + binaryFile
+    "avro_parse_files" -> avroParseOracleSql,
     "tfrecord_parse_files" -> {
       // no names in the format and no build-side doc list available to
       // the FILE walk, so identity is (shard, pos) — rank within the

@@ -68,6 +68,15 @@ object Multimodal {
     else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
     else if (ascii(0, "WARC/")) "application/warc"
     else if (ascii(0, "P6")) "image/x-portable-pixmap"
+    else if (ascii(0, "fLaC")) "audio/flac"
+    else if (ascii(0, "OggS")) "application/ogg"
+    else if (ascii(0, "PK") && (at(2) == 3 || at(2) == 5) &&
+      at(3) == at(2) + 1) "application/zip"
+    else if (ascii(0, "Obj") && at(3) == 1) "application/avro"
+    else if (at(0) == 0x04 && at(1) == 0x22 && at(2) == 0x4d &&
+      at(3) == 0x18) "application/x-lz4"
+    else if (at(0) == 0xff && at(1) == 0x06 && at(2) == 0 && at(3) == 0 &&
+      ascii(4, "sNaPpY")) "application/x-snappy-framed"
     else "application/octet-stream"
   }
 

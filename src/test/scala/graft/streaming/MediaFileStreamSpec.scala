@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Mixed-media `.tgz` shards, streamed: real files arrive through
-  * `readStream.format("binaryFile")` and flow through the SAME
-  * gunzip → tar walk → sniff → decode → verdict stage as the batch
+/** Mixed-media shards (gzip/LZ4/Snappy wrappers rotating by shard),
+  * streamed: real files arrive through `readStream.format("binaryFile")`
+  * and flow through the SAME unwrap → tar walk → sniff → decode →
+  * verdict stage as the batch
   * media_ingest_files query — stream output must equal the batch
   * readout row-for-row (the Tar/WarcFileStreamSpec pattern over the
   * full multimodal decode dispatch). */
@@ -38,7 +39,7 @@ class MediaFileStreamSpec extends AnyFunSuite {
     val dir = graft.Pipeline.mediaFixtureRoot(spark, SfDir)
     val q = graft.Pipeline.parseMediaShardRows(
         spark.readStream.format("binaryFile").schema(BinSchema)
-          .load(s"$dir/*.tgz"))
+          .load(s"$dir/shard-*"))
       .writeStream.format("memory").queryName("media_stream")
       .outputMode("append").start()
     try {
