@@ -6300,6 +6300,13 @@ object Pipeline {
   private def tarParseSnappy(s: SparkSession, dir: String): DataFrame =
     tarParseWrapped(s, dir, graft.operators.Tar.snappyArchive)
 
+  /** The `.tar.bz2` twin: the same shards through our bzip2 codec
+    * (operators/Bzip2 — BWT + MTF + Huffman, block and stream CRCs
+    * verified on the way back). Identical oracle, same transparency
+    * contract: every byte of the tar must survive the round trip. */
+  private def tarParseBz2(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir, graft.operators.Tar.bzip2Archive)
+
   /** Shared walk for the compressed-tar twins: build the tar_parse
     * shards, wrap each whole archive with `wrap`, parse back through
     * [[graft.operators.Tar.parseAuto]]'s magic-byte sniff. */
@@ -6570,6 +6577,61 @@ object Pipeline {
         }
       }
       .toDF("doc_id", "shard_id", "pos", "length", "md5")
+      .orderBy("doc_id")
+  }
+
+  /** tf.train.Example payloads INSIDE TFRecord framing
+    * (operators/Protobuf + operators/TfRecord) — the full training-
+    * shard stack as TensorFlow ships it: each document serializes to
+    * an Example proto (int64 `id`, bytes `text`, a packed 3-element
+    * int64 list `marks`, a float `score`), frames into a
+    * double-CRC32C TFRecord, and 8-doc shards are parsed back —
+    * framing CRCs verified, then the protobuf wire walk re-derives
+    * every fact from the DECODED feature values, so varints, packed
+    * lists, map entries and IEEE-754 floats must all be
+    * value-transparent. `score` is (id % 256)/2 — exactly
+    * representable in float32, so the float→double widening matches
+    * the oracle's DOUBLE arithmetic bit-for-bit. Same shuffle shape
+    * as tar_parse: one shard-keyed shuffle to assemble, flatMap to
+    * parse. */
+  private def tfexampleParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Protobuf
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val ex = Protobuf.buildExample(Seq(
+          "id" -> Protobuf.IntVals(Seq(id)),
+          "text" -> Protobuf.BytesVals(Seq(t.getBytes("UTF-8"))),
+          "marks" -> Protobuf.IntVals(Seq(id, t.length.toLong, id % 7)),
+          "score" -> Protobuf.FloatVals(Seq((id % 256).toFloat / 2f))))
+        (id / 8, id, graft.operators.TfRecord.buildRecord(ex))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val recs = it.toSeq.sortBy(_._2)
+        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
+        val bytes = shard // one pass: framing walk, then proto walk
+        graft.operators.TfRecord.parse(bytes).zipWithIndex.map {
+          case (r, i) =>
+            val payload = java.util.Arrays.copyOfRange(
+              bytes, r.dataOff, r.dataOff + r.length.toInt)
+            val feats = Protobuf.parseExample(payload)
+              .getOrElse(sys.error(s"bad Example in shard $sid pos $i"))
+            val m = feats.toMap
+            val docId = m("id").asInstanceOf[Protobuf.IntVals].vs.head
+            val text = m("text").asInstanceOf[Protobuf.BytesVals].vs.head
+            val marks = m("marks").asInstanceOf[Protobuf.IntVals].vs
+            val score = m("score").asInstanceOf[Protobuf.FloatVals].vs.head
+            val d = java.security.MessageDigest.getInstance("MD5")
+            (docId, sid, i.toLong, feats.length,
+              text.length.toLong,
+              d.digest(text).map("%02x".format(_)).mkString,
+              marks.sum, score.toDouble)
+        }
+      }
+      .toDF("doc_id", "shard_id", "pos", "n_feats", "text_len",
+        "text_md5", "marks_sum", "score")
       .orderBy("doc_id")
   }
 
@@ -7094,6 +7156,114 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** QOI raster round trip (operators/Qoi): pixel p channel c =
+    * text[(3p+c) mod len]; the greedy op ladder (run/index/diff/
+    * luma/rgb) must be invisible after decode — the readout is
+    * [[graft.operators.Multimodal.extractPixelFeatures]]'s channel
+    * sums over the DECODED raster, the same contract as the
+    * PNG/GIF/TIFF/WebP decode gates. */
+  private def multimodalDecodeQoiPixels(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val media = asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 24)
+        val h = 1 + ((t.length / 24) % 24)
+        val b = asciiBytes(id, t)
+        val px = Array.tabulate(w * h * 3)(k => b(k % b.length))
+        graft.operators.MediaRow(id, "image/qoi",
+          graft.operators.Qoi.encode(w, h, px))
+      }
+    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
+      .orderBy("media_id")
+  }
+
+  /** WebVTT caption QA (operators/WebVtt) — the [[srtParse]] twin in
+    * the format web caption tracks actually arrive in: cue i at
+    * [2100i, 2100i + 1500 + len%900), odd cues carry an id, every
+    * third cue carries settings, and a NOTE block is spliced in
+    * front so the walk must skip non-cue blocks. Readout counts
+    * cues, ids, settings, talk/span time, text volume and OVERLAPS
+    * (present exactly when len%900 > 600). */
+  private def vttParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val nc = 1 + (t.length % 5)
+        val dur = 1500L + (t.length % 900)
+        val cues = (0 until nc).map { i =>
+          val start = i * 2100L
+          val txt = t.substring(
+            (i * 5) % t.length,
+            math.min((i * 5) % t.length + 4, t.length))
+          val cid = if (i % 2 == 1) s"c$i" else ""
+          val set = if (i % 3 == 0) "align:start" else ""
+          (cid, start, start + dur, set, txt)
+        }
+        val doc = "WEBVTT\n\nNOTE machine generated\n\n" +
+          graft.operators.WebVtt.build(cues).stripPrefix("WEBVTT\n\n")
+        val parsed = graft.operators.WebVtt.parse(doc)
+          .getOrElse(sys.error(s"vtt parse rejected doc $id"))
+        val overlaps = parsed.sliding(2).count {
+          case Seq(a, b) => b.startMs < a.endMs
+          case _ => false
+        }
+        (id, parsed.size.toLong,
+          parsed.count(_.id.nonEmpty).toLong,
+          parsed.count(_.settings.nonEmpty).toLong,
+          parsed.map(c => c.endMs - c.startMs).sum,
+          if (parsed.isEmpty) 0L
+          else parsed.last.endMs - parsed.head.startMs,
+          parsed.map(_.text.length.toLong).sum,
+          overlaps.toLong)
+      }
+      .toDF("media_id", "n_cues", "id_cues", "settings_cues", "talk_ms",
+        "span_ms", "total_chars", "overlap_cues")
+      .orderBy("media_id")
+  }
+
+  /** Y4M raw-video readout (operators/Y4m): per doc a Cmono stream —
+    * frame f's luma byte j = text[(j + 11f) mod len] — is built,
+    * parsed back (sizes verified), and the readout is what a raw
+    * video QA pass computes: frame count, dims, total luma, and the
+    * INTER-FRAME absolute delta sum (the scene-cut signal the AVI
+    * shot detector thresholds). Any header/frame-walk bug shifts
+    * every fact. */
+  private def y4mFrameStats(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val w = 1 + (t.length % 16)
+        val h = 1 + ((t.length / 16) % 16)
+        val nf = 2 + (t.length % 4)
+        val b = asciiBytes(id, t)
+        val n = w * h
+        val frames = (0 until nf).map { f =>
+          graft.operators.Y4m.Y4mFrame("",
+            Array.tabulate(n)(j => b((j + 11 * f) % b.length)))
+        }
+        val hdr = graft.operators.Y4m.Y4mHeader(w, h, 25, 1, "p", "",
+          "mono")
+        val (gh, gf) = graft.operators.Y4m.parse(
+          graft.operators.Y4m.build(hdr, frames))
+          .getOrElse(sys.error(s"y4m parse rejected doc $id"))
+        val luma = gf.map(_.planes.map(x => (x & 0xff).toLong).sum).sum
+        val delta = gf.sliding(2).collect {
+          case Seq(a, c) =>
+            a.planes.zip(c.planes)
+              .map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)).toLong }
+              .sum
+        }.sum
+        (id, gh.w, gh.h, gf.size.toLong, luma, delta)
+      }
+      .toDF("media_id", "width", "height", "n_frames", "luma_sum",
+        "delta_sum")
+      .orderBy("media_id")
+  }
+
   /** The LZW twin of [[multimodalDecodeTiffPackbits]]: the same
     * text-derived pixel rasters encoded as Compression=5 TIFFs
     * through the real TIFF-variant LZW coder (MSB-first, early
@@ -7379,10 +7549,13 @@ object Pipeline {
     "video_frame_sample" -> videoFrameSample _,
     "video_shot_cuts"   -> videoShotCuts _,
     "srt_parse"         -> srtParse _,
+    "vtt_parse"         -> vttParse _,
+    "y4m_frame_stats"   -> y4mFrameStats _,
     "caption_scene_align" -> captionSceneAlign _,
     "html_extract" -> htmlExtract _,
     "audio_resample" -> audioResample _,
     "multimodal_decode_tiff_packbits" -> multimodalDecodeTiffPackbits _,
+    "multimodal_decode_qoi_pixels" -> multimodalDecodeQoiPixels _,
     "multimodal_decode_tiff_lzw" -> multimodalDecodeTiffLzw _,
     "multimodal_decode_webp" -> multimodalDecodeWebp _,
     "multimodal_decode_webp_pixels" -> multimodalDecodeWebpPixels _,
@@ -7408,6 +7581,7 @@ object Pipeline {
     "tar_parse_gz"      -> tarParseGz _,
     "tar_parse_lz4"     -> tarParseLz4 _,
     "tar_parse_snappy"  -> tarParseSnappy _,
+    "tar_parse_bz2"     -> tarParseBz2 _,
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
     "avro_parse_files"  -> avroParseFiles _,
@@ -7415,6 +7589,7 @@ object Pipeline {
     "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
     "tfrecord_parse_files" -> tfrecordParseFiles _,
+    "tfexample_parse"   -> tfexampleParse _,
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -8329,6 +8504,80 @@ object Pipeline {
          |    AS BIGINT) AS overlap_cues
          |FROM c ORDER BY media_id""".stripMargin
     },
+    "vtt_parse" -> {
+      // cue i: [2100i, 2100i + dur), dur = 1500 + len%900; ids on odd
+      // cues (nc//2 of them), settings on every third (ceil(nc/3));
+      // overlaps exist exactly when dur > 2100 (len%900 > 600)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 5 AS nc,
+         |    1500 + length(text) % 900 AS dur
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |c AS (SELECT *, list_transform(range(0, CAST(nc AS BIGINT)),
+         |    i -> CAST(length(substr(text,
+         |      CAST((i * 5) % len AS INT) + 1, 4)) AS BIGINT)) AS cl
+         |  FROM d)
+         |SELECT doc_id AS media_id, CAST(nc AS BIGINT) AS n_cues,
+         |  CAST(nc // 2 AS BIGINT) AS id_cues,
+         |  CAST((nc + 2) // 3 AS BIGINT) AS settings_cues,
+         |  CAST(nc * dur AS BIGINT) AS talk_ms,
+         |  CAST((nc - 1) * 2100 + dur AS BIGINT) AS span_ms,
+         |  CAST(list_sum(cl) AS BIGINT) AS total_chars,
+         |  CAST(CASE WHEN len % 900 > 600 THEN nc - 1 ELSE 0 END
+         |    AS BIGINT) AS overlap_cues
+         |FROM c ORDER BY media_id""".stripMargin
+    },
+    "y4m_frame_stats" -> {
+      // frame f's luma byte j = text[(j + 11f) mod len]; luma_sum
+      // folds all nf frames, delta_sum the nf−1 inter-frame |diff|s
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    1 + length(text) % 16 AS w,
+         |    1 + (length(text) // 16) % 16 AS h,
+         |    2 + length(text) % 4 AS nf
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND length(text) > 0),
+         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(list_sum(list_prepend(0, list_transform(
+         |    range(0, nf * n), k ->
+         |      ascii(substr(text,
+         |        CAST((k % n + 11 * (k // n)) % len AS INT) + 1, 1)))))
+         |    AS BIGINT) AS luma_sum,
+         |  CAST(list_sum(list_prepend(0, list_transform(
+         |    range(0, (nf - 1) * n), k ->
+         |      abs(ascii(substr(text,
+         |          CAST((k % n + 11 * (k // n + 1)) % len AS INT) + 1, 1))
+         |        - ascii(substr(text,
+         |          CAST((k % n + 11 * (k // n)) % len AS INT) + 1, 1))))))
+         |    AS BIGINT) AS delta_sum
+         |FROM e ORDER BY media_id""".stripMargin
+    },
+    "multimodal_decode_qoi_pixels" -> {
+      // pixel byte k = text[k mod len]; channel c of pixel p is byte
+      // 3p+c — the QOI op ladder must be invisible after decode
+      {
+        def chSum(c: Int): String =
+          s"""CAST(list_sum(list_transform(range(0, n), k ->
+             |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))
+             |  AS BIGINT)""".stripMargin
+        s"""WITH d AS (
+           |  SELECT doc_id, text, length(text) AS len,
+           |    1 + length(text) % 24 AS w,
+           |    1 + (length(text) // 24) % 24 AS h
+           |  FROM documents
+           |  WHERE length(text) = strlen(text) AND length(text) > 0),
+           |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
+           |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+           |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
+           |  ${chSum(0)} AS sum_r,
+           |  ${chSum(1)} AS sum_g,
+           |  ${chSum(2)} AS sum_b
+           |FROM e ORDER BY media_id""".stripMargin
+      }
+    },
     "video_shot_cuts" -> {
       // frame f's block k decodes to (v+7, v−4, v) with
       // v = text[(k + 7·(f div 3)) mod len]; the offsets cancel in the
@@ -9174,6 +9423,8 @@ object Pipeline {
     // must be jointly invisible
     "tar_parse_lz4" -> tarParseOracleSql,
     "tar_parse_snappy" -> tarParseOracleSql,
+    // the .tar.bz2 twin: BWT/MTF/Huffman must be byte-transparent
+    "tar_parse_bz2" -> tarParseOracleSql,
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,
@@ -9224,6 +9475,23 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
         |    - 1 AS pos,
         |  strlen(text) AS length, md5(text) AS md5
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "tfexample_parse" -> {
+      // every fact re-derived from DECODED tf.train.Example features,
+      // so the varint/packed-list/map-entry/IEEE-float stack must be
+      // value-transparent; score = (id % 256)/2 is float32-exact so
+      // DOUBLE arithmetic agrees bit-for-bit
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    - 1 AS pos,
+        |  CAST(4 AS INT) AS n_feats,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id + strlen(text) + doc_id % 7 AS marks_sum,
+        |  CAST(doc_id % 256 AS DOUBLE) / 2 AS score
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,

@@ -77,6 +77,11 @@ object Multimodal {
       at(3) == 0x18) "application/x-lz4"
     else if (at(0) == 0xff && at(1) == 0x06 && at(2) == 0 && at(3) == 0 &&
       ascii(4, "sNaPpY")) "application/x-snappy-framed"
+    else if (ascii(0, "BZh") && at(3) >= '1' && at(3) <= '9')
+      "application/x-bzip2"
+    else if (ascii(0, "qoif")) "image/qoi"
+    else if (ascii(0, "YUV4MPEG2 ")) "video/x-yuv4mpeg"
+    else if (ascii(0, "WEBVTT")) "text/vtt"
     else "application/octet-stream"
   }
 
@@ -2695,6 +2700,7 @@ object Multimodal {
       case "image/gif"  => decodeGifPixels(data)
       case "image/tiff" => decodeTiffPixels(data)
       case "image/jpeg" => Jpeg.decodePixels(data)
+      case "image/qoi"  => Qoi.decode(data)
       case _            => None
     }
 

@@ -94,6 +94,8 @@ object Tar {
       Lz4.frameDecompress(data).map(parse).getOrElse(Nil)
     else if (SnappyCodec.isFramed(data))
       SnappyCodec.frameDecompress(data).map(parse).getOrElse(Nil)
+    else if (Bzip2.isBzip2(data))
+      Bzip2.decode(data).map(parse).getOrElse(Nil)
     else parse(data)
 
   /** gzip magic sniff. */
@@ -123,6 +125,10 @@ object Tar {
   /** Snappy-frame-wrap an archive (the `.tar.sz` convention). */
   def snappyArchive(tar: Array[Byte]): Array[Byte] =
     SnappyCodec.frameCompress(tar)
+
+  /** bzip2-wrap an archive (the `.tar.bz2` convention). */
+  def bzip2Archive(tar: Array[Byte]): Array[Byte] =
+    Bzip2.encode(tar)
 
   /** Gzip-wrap an archive (single member — the `.tgz` convention). */
   def gzipArchive(tar: Array[Byte]): Array[Byte] = {

@@ -8,9 +8,9 @@ package graft.operators
   * (java.util.zip.CRC32C ships with the JDK); BOTH checksums are
   * verified on parse, so a truncated or bit-flipped shard stops the
   * walk instead of yielding a corrupt sample. The payload layer
-  * (tf.Example protobuf) stays out of scope — the framing is what an
-  * ingest engine routes and fingerprints; payloads stay opaque bytes
-  * (the multimodal binary-column contract). */
+  * (tf.train.Example protobuf) is decoded by [[Protobuf]] — the
+  * `tfexample_parse` gate query runs the full stack: framing CRCs,
+  * then the wire-format walk over each record's Example. */
 object TfRecord {
 
   private final val MaskDelta = 0xa282ead8L

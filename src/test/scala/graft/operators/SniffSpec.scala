@@ -28,6 +28,13 @@ class SniffSpec extends AnyFunSuite {
     assert(M.sniffKind(Warc.buildArchive(
       Seq(Warc.buildRecord(1, "http://x/1", b)), gzip = true)) ==
       "application/gzip")
+    assert(M.sniffKind(Bzip2.encode(b)) == "application/x-bzip2")
+    assert(M.sniffKind(Qoi.encode(2, 2, (b ++ b).take(12))) == "image/qoi")
+    assert(M.sniffKind(Y4m.build(
+      Y4m.Y4mHeader(1, 3, 25, 1, "", "", "mono"),
+      Seq(Y4m.Y4mFrame("", b.take(3))))) == "video/x-yuv4mpeg")
+    assert(M.sniffKind(WebVtt.build(
+      Seq(("", 0L, 1000L, "", "x"))).getBytes("UTF-8")) == "text/vtt")
   }
 
   test("short, empty and text buffers fall through") {
