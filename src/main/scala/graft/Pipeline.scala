@@ -6307,6 +6307,16 @@ object Pipeline {
   private def tarParseBz2(s: SparkSession, dir: String): DataFrame =
     tarParseWrapped(s, dir, graft.operators.Tar.bzip2Archive)
 
+  /** The `.tar.zst` twin, and a live differential in the gate: the
+    * wrap side is zstd-jni (the C zstd Spark itself loads, level 9 —
+    * REAL entropy-coded frames: FSE tables, 4-stream Huffman,
+    * repeated offsets), the decode side is OUR pure-JVM RFC 8878
+    * walk (operators/Zstd). Identical oracle: the whole codec must
+    * be byte-transparent or every downstream fact shifts. */
+  private def tarParseZst(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir,
+      tar => com.github.luben.zstd.Zstd.compress(tar, 9))
+
   /** Shared walk for the compressed-tar twins: build the tar_parse
     * shards, wrap each whole archive with `wrap`, parse back through
     * [[graft.operators.Tar.parseAuto]]'s magic-byte sniff. */
@@ -7582,6 +7592,7 @@ object Pipeline {
     "tar_parse_lz4"     -> tarParseLz4 _,
     "tar_parse_snappy"  -> tarParseSnappy _,
     "tar_parse_bz2"     -> tarParseBz2 _,
+    "tar_parse_zst"     -> tarParseZst _,
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
     "avro_parse_files"  -> avroParseFiles _,
@@ -9425,6 +9436,9 @@ object Pipeline {
     "tar_parse_snappy" -> tarParseOracleSql,
     // the .tar.bz2 twin: BWT/MTF/Huffman must be byte-transparent
     "tar_parse_bz2" -> tarParseOracleSql,
+    // the .tar.zst twin: zstd-jni compresses, OUR RFC 8878 decoder
+    // reads — a full-codec differential inside the gate
+    "tar_parse_zst" -> tarParseOracleSql,
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,

@@ -79,6 +79,8 @@ object Multimodal {
       ascii(4, "sNaPpY")) "application/x-snappy-framed"
     else if (ascii(0, "BZh") && at(3) >= '1' && at(3) <= '9')
       "application/x-bzip2"
+    else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
+      at(3) == 0xfd) "application/zstd"
     else if (ascii(0, "qoif")) "image/qoi"
     else if (ascii(0, "YUV4MPEG2 ")) "video/x-yuv4mpeg"
     else if (ascii(0, "WEBVTT")) "text/vtt"

@@ -96,6 +96,8 @@ object Tar {
       SnappyCodec.frameDecompress(data).map(parse).getOrElse(Nil)
     else if (Bzip2.isBzip2(data))
       Bzip2.decode(data).map(parse).getOrElse(Nil)
+    else if (Zstd.isZstd(data))
+      Zstd.decode(data).map(parse).getOrElse(Nil)
     else parse(data)
 
   /** gzip magic sniff. */
@@ -129,6 +131,12 @@ object Tar {
   /** bzip2-wrap an archive (the `.tar.bz2` convention). */
   def bzip2Archive(tar: Array[Byte]): Array[Byte] =
     Bzip2.encode(tar)
+
+  /** zstd-wrap an archive (the `.tar.zst` convention) — store-mode
+    * frame from our own writer; [[parseAuto]] reads ANY zstd frame
+    * through operators/Zstd, including entropy-coded ones. */
+  def zstdArchive(tar: Array[Byte]): Array[Byte] =
+    Zstd.encodeStore(tar)
 
   /** Gzip-wrap an archive (single member — the `.tgz` convention). */
   def gzipArchive(tar: Array[Byte]): Array[Byte] = {

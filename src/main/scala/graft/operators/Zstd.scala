@@ -1,0 +1,898 @@
+package graft.operators
+
+/** Zstandard (RFC 8878) — THE compression format modern training
+  * corpora ship in (`.jsonl.zst`, `.tar.zst`, zstd-compressed WARC
+  * and parquet). Pure-JVM DECODER for the full single-thread format:
+  * frame header (all FCS/window/single-segment shapes), raw/RLE/
+  * compressed blocks, Huffman-coded literals (direct AND
+  * FSE-compressed weights, 1- and 4-stream, treeless repeats), the
+  * three interleaved-FSE sequence streams (predefined / RLE /
+  * FSE-compressed / repeat modes), repeated-offset history with the
+  * litLen-0 shift rule, sliding-window matches, skippable frames,
+  * frame concatenation, and the xxHash64 content checksum —
+  * verified when present, like every other CRC in this repo. Any
+  * malformation (reserved bits, dictionary IDs — unsupported by
+  * policy, overruns, bad states, unconsumed bits, checksum
+  * mismatch) returns None: drop, never invent.
+  *
+  * The predefined literals-length/match-length/offset FSE
+  * distributions and the LL/ML baseline tables are transcribed from
+  * RFC 8878 §3.1.1.3.2.2 (≈120 small integers with strong internal
+  * structure — the "physical constants" class, NOT the hundreds of
+  * VLC rows that keep MP3 Layer III out); the differential tests
+  * exercise every one of them against two INDEPENDENT bundled
+  * implementations: zstd-jni (the C library Spark itself loads) and
+  * aircompressor (airlift's pure-Java port). Our ENCODER emits the
+  * spec's store mode (raw/RLE blocks + checksum) — valid frames any
+  * zstd reads; entropy-coded compression stays on the C side where
+  * Spark already runs it.
+  *
+  * No reference analogue (north-star ingestion surface); validated
+  * in ZstdSpec by both differentials at several levels (high levels
+  * exercise FSE-compressed tables, low levels the predefined ones),
+  * mutation/garbage fuzz, and the `tar_parse_zst` gate query, which
+  * decodes REAL zstd-jni-compressed tar shards through this walk. */
+object Zstd {
+
+  /** `.zst` frame sniff (magic 0xFD2FB528, little-endian). */
+  def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+
+  private def isSkippable(b: Array[Byte], off: Int): Boolean =
+    off + 4 <= b.length && ((b(off) & 0xf0) == 0x50) &&
+      (b(off + 1) & 0xff) == 0x2a && (b(off + 2) & 0xff) == 0x4d &&
+      (b(off + 3) & 0xff) == 0x18
+
+  // ---------------------------------------------------------------
+  // xxHash64 (the spec's five primes; zstd checksums are its low 32)
+  // ---------------------------------------------------------------
+
+  private final val P1 = 0x9e3779b185ebca87L
+  private final val P2 = 0xc2b2ae3d27d4eb4fL
+  private final val P3 = 0x165667b19e3779f9L
+  private final val P4 = 0x85ebca77c2b2ae63L
+  private final val P5 = 0x27d4eb2f165667c5L
+
+  private def rotl(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
+
+  private def le64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** xxHash64 over a byte range (seed 0 — what zstd frames use). */
+  def xxh64(b: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0L
+    var p = off
+    val end = off + len
+    if (len >= 32) {
+      var v1 = P1 + P2
+      var v2 = P2
+      var v3 = 0L
+      var v4 = -P1
+      while (p + 32 <= end) {
+        v1 = rotl(v1 + le64(b, p) * P2, 31) * P1
+        v2 = rotl(v2 + le64(b, p + 8) * P2, 31) * P1
+        v3 = rotl(v3 + le64(b, p + 16) * P2, 31) * P1
+        v4 = rotl(v4 + le64(b, p + 24) * P2, 31) * P1
+        p += 32
+      }
+      h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      def merge(acc: Long, v: Long): Long =
+        (acc ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+      h = merge(h, v1); h = merge(h, v2); h = merge(h, v3); h = merge(h, v4)
+    } else h = P5
+    h += len.toLong
+    while (p + 8 <= end) {
+      h = rotl(h ^ (rotl(le64(b, p) * P2, 31) * P1), 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= end) {
+      h = rotl(h ^ (le32(b, p) * P1), 23) * P2 + P3
+      p += 4
+    }
+    while (p < end) {
+      h = rotl(h ^ ((b(p) & 0xffL) * P5), 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // ---------------------------------------------------------------
+  // Bit I/O: forward little-endian (FSE table headers) and the
+  // backward stream (everything entropy-coded)
+  // ---------------------------------------------------------------
+
+  /** Forward LE bit reader over [start, end). */
+  private final class FwdBits(b: Array[Byte], start: Int, end: Int) {
+    var ok = true
+    private var pos = 0L // bit index from start*8
+    private val lim = (end - start).toLong * 8
+    def read(n: Int): Int = {
+      if (!ok || pos + n > lim) { ok = false; 0 }
+      else {
+        var v = 0
+        var k = 0
+        while (k < n) {
+          val bit = pos + k
+          v |= ((b(start + (bit >>> 3).toInt) >>> (bit & 7).toInt) & 1) << k
+          k += 1
+        }
+        pos += n
+        v
+      }
+    }
+    def peek(n: Int): Int = {
+      val save = pos
+      val v = read(n)
+      if (ok) pos = save
+      v
+    }
+    def skip(n: Int): Unit = { pos += n; if (pos > lim) ok = false }
+    /** Bytes consumed (ceil). */
+    def byteLen: Int = ((pos + 7) >>> 3).toInt
+  }
+
+  /** Backward reader over [start, end): bits indexed little-endian;
+    * the highest set bit of the last byte is the sentinel. `peek`
+    * zero-fills past the origin (the Huffman tail rule); `read`
+    * fails on underrun (the FSE rule). */
+  private final class RevBits(b: Array[Byte], start: Int, end: Int) {
+    var ok = start < end && b(end - 1) != 0
+    var bitsLeft: Int = if (!ok) 0 else {
+      var hb = 7
+      while (((b(end - 1) >>> hb) & 1) == 0) hb -= 1
+      (end - 1 - start) * 8 + hb
+    }
+    private def bitAt(i: Int): Int =
+      if (i < 0) 0 else (b(start + (i >>> 3)) >>> (i & 7)) & 1
+    def read(n: Int): Int = {
+      if (!ok || n > bitsLeft) { ok = false; 0 }
+      else {
+        bitsLeft -= n
+        var v = 0
+        var k = 0
+        while (k < n) { v |= bitAt(bitsLeft + k) << k; k += 1 }
+        v
+      }
+    }
+    /** Zero-filled peek of the top n bits (may reach below bit 0). */
+    def peek(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v |= bitAt(bitsLeft - n + k) << k; k += 1 }
+      v
+    }
+    def consume(n: Int): Unit = {
+      bitsLeft -= n
+      if (bitsLeft < 0) bitsLeft = 0
+    }
+  }
+
+  private def highBit(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  // ---------------------------------------------------------------
+  // FSE: normalized-count header + decode table
+  // ---------------------------------------------------------------
+
+  private final class FseTable(val log: Int, val symbol: Array[Int],
+      val nbBits: Array[Int], val newState: Array[Int])
+
+  /** RFC 8878 §4.1.1: read a normalized-count table header from a
+    * FORWARD bitstream. Returns (counts padded to maxSym+1, log). */
+  private def readNCount(f: FwdBits, maxSym: Int, maxLog: Int)
+      : Option[(Array[Int], Int)] = {
+    val log = f.read(4) + 5
+    if (!f.ok || log > maxLog) return None
+    val tableSize = 1 << log
+    val norm = new Array[Int](maxSym + 1)
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = log + 1
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1 && charnum <= maxSym && f.ok) {
+      if (previous0) {
+        // runs of zero counts: 2-bit repeat flags
+        var n0 = 0
+        var rep = f.read(2)
+        while (rep == 3 && f.ok) { n0 += 3; rep = f.read(2) }
+        n0 += rep
+        if (charnum + n0 > maxSym + 1) return None
+        charnum += n0 // counts already zero-initialized
+        previous0 = false
+      } else {
+        val max = (2 * threshold - 1) - remaining
+        val low = f.peek(nbBits) & (threshold - 1)
+        val value =
+          if (low < max) { f.skip(nbBits - 1); low }
+          else {
+            val v = f.read(nbBits)
+            if (v >= threshold) v - max else v
+          }
+        if (!f.ok) return None
+        val count = value - 1 // -1 encodes "less than one"
+        remaining -= (if (count < 0) 1 else count)
+        if (remaining < 1) return None
+        norm(charnum) = count
+        charnum += 1
+        if (count == 0) previous0 = true
+        while (remaining > 1 && remaining < threshold) {
+          nbBits -= 1; threshold >>= 1
+        }
+      }
+    }
+    if (!f.ok || remaining != 1) None else Some((norm, log))
+  }
+
+  /** RFC 8878 FSE decode table: spread symbols with the standard
+    * step, "less than one" symbols at the high end. */
+  private def fseTable(norm: Array[Int], log: Int): Option[FseTable] = {
+    val size = 1 << log
+    val symbol = new Array[Int](size)
+    val symNext = new Array[Int](norm.length)
+    var highThreshold = size - 1
+    var s = 0
+    while (s < norm.length) {
+      if (norm(s) == -1) {
+        if (highThreshold < 0) return None
+        symbol(highThreshold) = s
+        highThreshold -= 1
+        symNext(s) = 1
+      } else symNext(s) = norm(s)
+      s += 1
+    }
+    val step = (size >>> 1) + (size >>> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    s = 0
+    while (s < norm.length) {
+      var i = 0
+      while (i < norm(s)) {
+        symbol(pos) = s
+        pos = (pos + step) & mask
+        while (pos > highThreshold) pos = (pos + step) & mask
+        i += 1
+      }
+      s += 1
+    }
+    if (pos != 0) return None // spec: spread must land back on zero
+    val nbBits = new Array[Int](size)
+    val newState = new Array[Int](size)
+    var u = 0
+    while (u < size) {
+      val sym = symbol(u)
+      val next = symNext(sym)
+      symNext(sym) += 1
+      val nb = log - highBit(next)
+      if (nb < 0 || nb > log) return None
+      nbBits(u) = nb
+      newState(u) = (next << nb) - size
+      u += 1
+    }
+    Some(new FseTable(log, symbol, nbBits, newState))
+  }
+
+  /** An RLE "table": one symbol, zero bits. */
+  private def rleTable(sym: Int): FseTable =
+    new FseTable(0, Array(sym), Array(0), Array(0))
+
+  // ---------------------------------------------------------------
+  // Huffman (huf0) literals
+  // ---------------------------------------------------------------
+
+  private final class HufTable(val log: Int, val symbol: Array[Int],
+      val nbBits: Array[Int])
+
+  /** Parse a Huffman tree description at `off`; returns the decode
+    * table and bytes consumed. */
+  private def readHufTree(b: Array[Byte], off: Int, end: Int)
+      : Option[(HufTable, Int)] = {
+    if (off >= end) return None
+    val hByte = b(off) & 0xff
+    var weights: Array[Int] = null
+    var consumed = 0
+    if (hByte >= 128) { // direct 4-bit weights
+      val num = hByte - 127
+      val nBytes = (num + 1) / 2
+      if (off + 1 + nBytes > end) return None
+      weights = new Array[Int](num)
+      var i = 0
+      while (i < num) {
+        val by = b(off + 1 + i / 2) & 0xff
+        weights(i) = if (i % 2 == 0) by >>> 4 else by & 15
+        i += 1
+      }
+      consumed = 1 + nBytes
+    } else { // FSE-compressed weights
+      val cSize = hByte
+      if (off + 1 + cSize > end) return None
+      val f = new FwdBits(b, off + 1, off + 1 + cSize)
+      val nc = readNCount(f, 255, 6).getOrElse(return None)
+      val table = fseTable(nc._1.take(256), nc._2).getOrElse(return None)
+      val hdrBytes = f.byteLen
+      val r = new RevBits(b, off + 1 + hdrBytes, off + 1 + cSize)
+      if (!r.ok) return None
+      var s1 = r.read(table.log)
+      var s2 = r.read(table.log)
+      if (!r.ok) return None
+      val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+      var done = false
+      while (!done && out.length <= 255) {
+        out += table.symbol(s1)
+        if (table.nbBits(s1) > r.bitsLeft) { out += table.symbol(s2); done = true }
+        else {
+          s1 = table.newState(s1) + r.read(table.nbBits(s1))
+          out += table.symbol(s2)
+          if (table.nbBits(s2) > r.bitsLeft) { out += table.symbol(s1); done = true }
+          else s2 = table.newState(s2) + r.read(table.nbBits(s2))
+        }
+      }
+      if (!done || !r.ok) return None // weight stream never converged
+      weights = out.toArray
+      consumed = 1 + cSize
+    }
+    // implied last weight: total must complete a power of two
+    if (weights.length < 1 || weights.length > 255) return None
+    var sum = 0L
+    var i = 0
+    while (i < weights.length) {
+      if (weights(i) > 11) return None
+      if (weights(i) > 0) sum += 1L << (weights(i) - 1)
+      i += 1
+    }
+    if (sum == 0) return None
+    val log = highBit(sum.toInt) + 1
+    if (log > 11) return None
+    val rest = (1L << log) - sum
+    if (rest <= 0 || (rest & (rest - 1)) != 0) return None
+    val lastWeight = highBit(rest.toInt) + 1
+    val allW = weights :+ lastWeight
+    // fill: symbols sorted by weight ascending (ties: symbol order),
+    // each occupying 2^(w-1) consecutive cells
+    val size = 1 << log
+    val symbol = new Array[Int](size)
+    val nbBits = new Array[Int](size)
+    var posIdx = 0
+    var w = 1
+    while (w <= log) {
+      var sym = 0
+      while (sym < allW.length) {
+        if (allW(sym) == w) {
+          val span = 1 << (w - 1)
+          val nb = log + 1 - w
+          var k = 0
+          while (k < span) {
+            if (posIdx >= size) return None
+            symbol(posIdx) = sym
+            nbBits(posIdx) = nb
+            posIdx += 1
+            k += 1
+          }
+        }
+        sym += 1
+      }
+      w += 1
+    }
+    if (posIdx != size) return None
+    Some((new HufTable(log, symbol, nbBits), consumed))
+  }
+
+  /** Decode `n` literals from one backward Huffman stream. */
+  private def hufDecodeStream(b: Array[Byte], start: Int, end: Int,
+      t: HufTable, n: Int, out: Array[Byte], outOff: Int): Boolean = {
+    val r = new RevBits(b, start, end)
+    if (!r.ok) return false
+    var i = 0
+    while (i < n) {
+      val idx = r.peek(t.log)
+      val nb = t.nbBits(idx)
+      if (nb > r.bitsLeft) return false // would consume phantom bits
+      r.consume(nb)
+      out(outOff + i) = t.symbol(idx).toByte
+      i += 1
+    }
+    r.bitsLeft == 0 // stream must be exactly exhausted
+  }
+
+  // ---------------------------------------------------------------
+  // Sequence code tables (RFC 8878 §3.1.1.3.2.1)
+  // ---------------------------------------------------------------
+
+  private val LlBase: Array[Int] = (0 to 15).toArray ++ Array(
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536)
+  private val LlBits: Array[Int] = Array.fill(16)(0) ++ Array(
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  private val MlBase: Array[Int] = (3 to 34).toArray ++ Array(
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MlBits: Array[Int] = Array.fill(32)(0) ++ Array(
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  // predefined distributions (RFC 8878 §3.1.1.3.2.2)
+  private val LlDefault: Array[Int] = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
+  private val MlDefault: Array[Int] = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1)
+  private val OfDefault: Array[Int] = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1)
+
+  private lazy val LlDefaultTable = fseTable(LlDefault, 6).get
+  private lazy val MlDefaultTable = fseTable(MlDefault, 6).get
+  private lazy val OfDefaultTable = fseTable(OfDefault, 5).get
+
+  /** Growable frame-output buffer with a hard byte cap. The whole
+    * frame lives in ONE array so sequence matches (which may reach
+    * any earlier frame byte) read and write the same storage. */
+  private final class FrameBuf(initial: Int, capIn: Int) {
+    val cap: Int = math.max(capIn, 0)
+    var a = new Array[Byte](
+      math.max(16, math.min(math.max(initial, 16), math.max(cap, 16))))
+    var len = 0
+    def ensure(n: Int): Boolean = {
+      if (n < 0 || len.toLong + n > cap) false
+      else {
+        if (len + n > a.length) {
+          var nl = math.max(a.length.toLong * 2, len.toLong + n)
+          if (nl > cap) nl = cap.toLong
+          a = java.util.Arrays.copyOf(a, nl.toInt)
+        }
+        true
+      }
+    }
+    def write(src: Array[Byte], off: Int, n: Int): Boolean =
+      if (!ensure(n)) false
+      else { System.arraycopy(src, off, a, len, n); len += n; true }
+    def fill(v: Byte, n: Int): Boolean =
+      if (!ensure(n)) false
+      else { java.util.Arrays.fill(a, len, len + n, v); len += n; true }
+  }
+
+  // ---------------------------------------------------------------
+  // Frame decoding
+  // ---------------------------------------------------------------
+
+  /** Decompress a .zst file: every frame (skippables skipped),
+    * outputs concatenated. None on any malformation, dictionary
+    * requirement, checksum mismatch, or output beyond `maxOut`. */
+  def decode(data: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    if (data.isEmpty) return None
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var sawFrame = false
+    while (off < data.length) {
+      if (isSkippable(data, off)) {
+        if (off + 8 > data.length) return None
+        val sz = le32(data, off + 4)
+        if (off + 8 + sz > data.length) return None
+        off = off + 8 + sz.toInt
+      } else {
+        off = decodeFrame(data, off, out, maxOut).getOrElse(return None)
+        sawFrame = true
+      }
+    }
+    if (sawFrame) Some(out.toByteArray) else None
+  }
+
+  /** One zstd frame at `off`; appends to `out`, returns next offset. */
+  private def decodeFrame(data: Array[Byte], off0: Int,
+      out: java.io.ByteArrayOutputStream, maxOut: Int): Option[Int] = {
+    var p = off0
+    if (p + 4 > data.length ||
+      !isZstd(java.util.Arrays.copyOfRange(data, p, p + 4))) return None
+    p += 4
+    if (p >= data.length) return None
+    val fhd = data(p) & 0xff
+    p += 1
+    val fcsFlag = fhd >>> 6
+    val singleSegment = (fhd & 0x20) != 0
+    if ((fhd & 0x08) != 0) return None // reserved bit
+    val hasChecksum = (fhd & 0x04) != 0
+    val dictFlag = fhd & 0x03
+    var window = 0L
+    if (!singleSegment) {
+      if (p >= data.length) return None
+      val wd = data(p) & 0xff
+      p += 1
+      val base = 1L << (10 + (wd >>> 3))
+      window = base + (base / 8) * (wd & 7)
+    }
+    val dictBytes = Array(0, 1, 2, 4)(dictFlag)
+    if (p + dictBytes > data.length) return None
+    var dictId = 0L
+    var i = 0
+    while (i < dictBytes) { dictId |= (data(p + i) & 0xffL) << (8 * i); i += 1 }
+    p += dictBytes
+    if (dictId != 0) return None // dictionaries unsupported by policy
+    val fcsBytes = fcsFlag match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case 3 => 8
+    }
+    if (p + fcsBytes > data.length) return None
+    var contentSize = -1L
+    if (fcsBytes > 0) {
+      contentSize = 0L
+      i = 0
+      while (i < fcsBytes) {
+        contentSize |= (data(p + i) & 0xffL) << (8 * i); i += 1
+      }
+      if (fcsBytes == 2) contentSize += 256
+      p += fcsBytes
+    }
+    if (singleSegment) window = contentSize max 0L
+    if (window > (1L << 27)) return None // window bomb cap
+    if (contentSize > maxOut - out.size()) return None
+    val blockMax = math.min(if (window > 0) window else (1L << 17), 1L << 17).toInt
+
+    // frame-local output in ONE growable array: matches may reach
+    // anywhere in the frame, so history and current block share it
+    val frame = new FrameBuf(
+      if (contentSize >= 0) contentSize.toInt + 16 else 1 << 16,
+      maxOut - out.size())
+    var hufPrev: HufTable = null
+    var llPrev: FseTable = null
+    var mlPrev: FseTable = null
+    var ofPrev: FseTable = null
+    val rep = Array(1L, 4L, 8L)
+
+    var last = false
+    while (!last) {
+      if (p + 3 > data.length) return None
+      val bh = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
+        ((data(p + 2) & 0xff) << 16)
+      p += 3
+      last = (bh & 1) != 0
+      val btype = (bh >>> 1) & 3
+      val bsize = bh >>> 3
+      btype match {
+        case 0 => // raw
+          if (bsize > blockMax || p + bsize > data.length ||
+            !frame.write(data, p, bsize)) return None
+          p += bsize
+        case 1 => // RLE
+          if (bsize > blockMax || p >= data.length) return None
+          val v = data(p)
+          p += 1
+          if (!frame.fill(v, bsize)) return None
+        case 2 => // compressed
+          if (bsize > blockMax || p + bsize > data.length) return None
+          decodeBlock(data, p, p + bsize, frame, blockMax,
+            hufPrev, llPrev, mlPrev, ofPrev, rep) match {
+            case Some((h2, l2, m2, o2)) =>
+              hufPrev = h2; llPrev = l2; mlPrev = m2; ofPrev = o2
+            case None => return None
+          }
+          p += bsize
+        case _ => return None // reserved
+      }
+    }
+    if (contentSize >= 0 && frame.len != contentSize) return None
+    if (hasChecksum) {
+      if (p + 4 > data.length) return None
+      val want = le32(data, p)
+      p += 4
+      if ((xxh64(frame.a, 0, frame.len) & 0xffffffffL) != want)
+        return None
+    }
+    out.write(frame.a, 0, frame.len)
+    Some(p)
+  }
+
+  /** One compressed block: literals section + sequences. Returns the
+    * carried-over Huffman/FSE tables on success. */
+  private def decodeBlock(b: Array[Byte], start: Int, end: Int,
+      frame: FrameBuf, blockMax: Int, hufPrev: HufTable,
+      llPrev: FseTable, mlPrev: FseTable, ofPrev: FseTable,
+      rep: Array[Long])
+      : Option[(HufTable, FseTable, FseTable, FseTable)] = {
+    val blockStart = frame.len // per-block decompressed-size cap
+    var p = start
+    if (p >= end) return None
+    // ----- literals section
+    val lh = b(p) & 0xff
+    val litType = lh & 3
+    val sizeFormat = (lh >>> 2) & 3
+    var litRegen = 0
+    var litComp = 0
+    var streams4 = false
+    litType match {
+      case 0 | 1 => // raw | RLE
+        sizeFormat match {
+          case 0 | 2 => litRegen = lh >>> 3; p += 1
+          case 1 =>
+            if (p + 2 > end) return None
+            litRegen = (lh >>> 4) | ((b(p + 1) & 0xff) << 4); p += 2
+          case _ =>
+            if (p + 3 > end) return None
+            litRegen = (lh >>> 4) | ((b(p + 1) & 0xff) << 4) |
+              ((b(p + 2) & 0xff) << 12)
+            p += 3
+        }
+      case _ => // compressed | treeless
+        sizeFormat match {
+          case 0 | 1 =>
+            if (p + 3 > end) return None
+            val h = lh | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+            litRegen = (h >>> 4) & 0x3ff
+            litComp = (h >>> 14) & 0x3ff
+            streams4 = sizeFormat == 1
+            p += 3
+          case 2 =>
+            if (p + 4 > end) return None
+            val h = lh | ((b(p + 1) & 0xff) << 8) |
+              ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+            litRegen = (h >>> 4) & 0x3fff
+            litComp = (h >>> 18) & 0x3fff
+            streams4 = true
+            p += 4
+          case _ =>
+            if (p + 5 > end) return None
+            val h = (lh.toLong) | ((b(p + 1) & 0xffL) << 8) |
+              ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24) |
+              ((b(p + 4) & 0xffL) << 32)
+            litRegen = ((h >>> 4) & 0x3ffff).toInt
+            litComp = ((h >>> 22) & 0x3ffff).toInt
+            streams4 = true
+            p += 5
+        }
+    }
+    if (litRegen > blockMax) return None
+    val literals = new Array[Byte](litRegen)
+    var hufOut = hufPrev
+    litType match {
+      case 0 =>
+        if (p + litRegen > end) return None
+        System.arraycopy(b, p, literals, 0, litRegen)
+        p += litRegen
+      case 1 =>
+        if (p >= end) return None
+        java.util.Arrays.fill(literals, b(p))
+        p += 1
+      case t =>
+        if (p + litComp > end) return None
+        val litEnd = p + litComp
+        var table = hufPrev
+        if (t == 2) {
+          val (ht, used) = readHufTree(b, p, litEnd).getOrElse(return None)
+          table = ht
+          hufOut = ht
+          p += used
+        } else if (table == null) return None // treeless with no prior
+        if (!streams4) {
+          if (!hufDecodeStream(b, p, litEnd, table, litRegen, literals, 0))
+            return None
+        } else {
+          if (p + 6 > litEnd) return None
+          val s1 = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+          val s2 = (b(p + 2) & 0xff) | ((b(p + 3) & 0xff) << 8)
+          val s3 = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8)
+          val o1 = p + 6
+          val o2 = o1 + s1
+          val o3 = o2 + s2
+          val o4 = o3 + s3
+          if (o4 > litEnd) return None
+          val per = (litRegen + 3) / 4
+          val n4 = litRegen - 3 * per
+          if (n4 < 0) return None
+          if (!hufDecodeStream(b, o1, o2, table, per, literals, 0))
+            return None
+          if (!hufDecodeStream(b, o2, o3, table, per, literals, per))
+            return None
+          if (!hufDecodeStream(b, o3, o4, table, per, literals, 2 * per))
+            return None
+          if (!hufDecodeStream(b, o4, litEnd, table, n4, literals, 3 * per))
+            return None
+        }
+        p = litEnd
+    }
+    // ----- sequences section
+    if (p >= end) return None
+    var nbSeq = 0
+    val s0 = b(p) & 0xff
+    p += 1
+    if (s0 == 0) nbSeq = 0
+    else if (s0 < 128) nbSeq = s0
+    else if (s0 < 255) {
+      if (p >= end) return None
+      nbSeq = ((s0 - 128) << 8) | (b(p) & 0xff)
+      p += 1
+    } else {
+      if (p + 2 > end) return None
+      nbSeq = ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)) + 0x7f00
+      p += 2
+    }
+    if (nbSeq == 0) {
+      if (p != end) return None // nothing may follow
+      if (!frame.write(literals, 0, litRegen)) return None
+      return Some((hufOut, llPrev, mlPrev, ofPrev))
+    }
+    if (p >= end) return None
+    val modes = b(p) & 0xff
+    p += 1
+    if ((modes & 3) != 0) return None // reserved bits
+    def loadTable(mode: Int, maxSym: Int, maxLog: Int,
+        default: FseTable, prev: FseTable): Option[FseTable] = mode match {
+      case 0 => Some(default)
+      case 1 =>
+        if (p >= end) None
+        else {
+          val sym = b(p) & 0xff
+          p += 1
+          if (sym > maxSym) None else Some(rleTable(sym))
+        }
+      case 2 =>
+        val f = new FwdBits(b, p, end)
+        readNCount(f, maxSym, maxLog).flatMap { case (norm, log) =>
+          p += f.byteLen
+          fseTable(norm, log)
+        }
+      case _ => Option(prev)
+    }
+    val llT = loadTable((modes >>> 6) & 3, 35, 9, LlDefaultTable, llPrev)
+      .getOrElse(return None)
+    val ofT = loadTable((modes >>> 4) & 3, 31, 8, OfDefaultTable, ofPrev)
+      .getOrElse(return None)
+    val mlT = loadTable((modes >>> 2) & 3, 52, 9, MlDefaultTable, mlPrev)
+      .getOrElse(return None)
+    // ----- the interleaved bitstream
+    val r = new RevBits(b, p, end)
+    if (!r.ok) return None
+    var llS = r.read(llT.log)
+    var ofS = r.read(ofT.log)
+    var mlS = r.read(mlT.log)
+    if (!r.ok) return None
+    var litPos = 0
+    // sequence output goes straight into the frame buffer; the
+    // per-block decompressed cap rides on blockStart
+    def room(n: Long): Boolean =
+      n >= 0 && frame.len - blockStart + n <= blockMax &&
+        n <= Int.MaxValue && frame.ensure(n.toInt)
+    var seq = 0
+    var bad = false
+    while (seq < nbSeq && !bad) {
+      val ofCode = ofT.symbol(ofS)
+      val mlCode = mlT.symbol(mlS)
+      val llCode = llT.symbol(llS)
+      if (ofCode > 31 || mlCode > 52 || llCode > 35) { bad = true }
+      else {
+        val ofVal = (1L << ofCode) + (if (ofCode > 0) r.read(ofCode).toLong
+          else 0L)
+        val ml = MlBase(mlCode).toLong + (if (MlBits(mlCode) > 0)
+          r.read(MlBits(mlCode)).toLong else 0L)
+        val ll = LlBase(llCode).toLong + (if (LlBits(llCode) > 0)
+          r.read(LlBits(llCode)).toLong else 0L)
+        if (!r.ok) bad = true
+        else {
+          // repeated-offset resolution
+          var offset = 0L
+          if (ofVal > 3) {
+            offset = ofVal - 3
+            rep(2) = rep(1); rep(1) = rep(0); rep(0) = offset
+          } else {
+            var idx = ofVal.toInt
+            if (ll == 0) idx += 1
+            idx match {
+              case 1 => offset = rep(0)
+              case 2 =>
+                offset = rep(1); rep(1) = rep(0); rep(0) = offset
+              case 3 =>
+                offset = rep(2); rep(2) = rep(1); rep(1) = rep(0)
+                rep(0) = offset
+              case _ =>
+                offset = rep(0) - 1
+                if (offset <= 0) bad = true
+                else {
+                  rep(2) = rep(1); rep(1) = rep(0); rep(0) = offset
+                }
+            }
+          }
+          if (!bad) {
+            // literals copy, then the (possibly overlapping) match
+            // copy — both straight into the frame buffer
+            if (litPos + ll > litRegen || !room(ll + ml)) bad = true
+            else {
+              System.arraycopy(literals, litPos, frame.a, frame.len,
+                ll.toInt)
+              litPos += ll.toInt
+              frame.len += ll.toInt
+              if (offset > frame.len) bad = true
+              else {
+                var src = (frame.len - offset).toInt
+                var k = 0L
+                while (k < ml) {
+                  frame.a(frame.len) = frame.a(src)
+                  frame.len += 1
+                  src += 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (!bad && seq < nbSeq - 1) {
+            llS = llT.newState(llS) + r.read(llT.nbBits(llS))
+            mlS = mlT.newState(mlS) + r.read(mlT.nbBits(mlS))
+            ofS = ofT.newState(ofS) + r.read(ofT.nbBits(ofS))
+            if (!r.ok) bad = true
+          }
+        }
+      }
+      seq += 1
+    }
+    if (bad || !r.ok || r.bitsLeft != 0) return None
+    // trailing literals
+    val remLit = litRegen - litPos
+    if (remLit < 0 || !room(remLit.toLong)) return None
+    System.arraycopy(literals, litPos, frame.a, frame.len, remLit)
+    frame.len += remLit
+    Some((hufOut, llT, mlT, ofT))
+  }
+
+  // ---------------------------------------------------------------
+  // Encoder: the spec's store mode (raw/RLE blocks) + checksum
+  // ---------------------------------------------------------------
+
+  /** Emit a valid zstd frame in store mode: single-segment header
+    * with exact content size, raw blocks (RLE where a whole block is
+    * one byte), xxHash64 checksum. Any conformant zstd reads it. */
+  def encodeStore(data: Array[Byte], withChecksum: Boolean = true)
+      : Array[Byte] = {
+    require(data.length <= (1 << 26), "zstd encode bomb guard")
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    val n = data.length
+    val fcsFlag = if (n < 256) 0 else if (n < 65536 + 256) 1 else 2
+    out.write((fcsFlag << 6) | 0x20 | (if (withChecksum) 4 else 0))
+    fcsFlag match {
+      case 0 => out.write(n & 0xff)
+      case 1 =>
+        val v = n - 256
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      case _ =>
+        out.write(n & 0xff); out.write((n >>> 8) & 0xff)
+        out.write((n >>> 16) & 0xff); out.write((n >>> 24) & 0xff)
+    }
+    val blockMax = math.min(math.max(n, 1), 1 << 17)
+    var off = 0
+    if (n == 0) out.write(1) // empty raw last block: header 0x000001
+    if (n == 0) { out.write(0); out.write(0) }
+    while (off < n) {
+      val len = math.min(blockMax, n - off)
+      val lastBit = if (off + len >= n) 1 else 0
+      val allSame = {
+        var same = true
+        var k = off + 1
+        while (same && k < off + len) { same = data(k) == data(off); k += 1 }
+        same && len >= 2
+      }
+      val btype = if (allSame) 1 else 0
+      val bh = lastBit | (btype << 1) | (len << 3)
+      out.write(bh & 0xff); out.write((bh >>> 8) & 0xff)
+      out.write((bh >>> 16) & 0xff)
+      if (allSame) out.write(data(off))
+      else out.write(data, off, len)
+      off += len
+    }
+    if (withChecksum) {
+      val cs = xxh64(data, 0, data.length) & 0xffffffffL
+      out.write((cs & 0xff).toInt); out.write(((cs >>> 8) & 0xff).toInt)
+      out.write(((cs >>> 16) & 0xff).toInt)
+      out.write(((cs >>> 24) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}

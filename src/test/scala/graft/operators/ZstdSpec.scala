@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zstandard pins: FULL differentials against TWO independent
+  * bundled implementations — zstd-jni (the C library Spark loads for
+  * parquet/shuffle codecs) and aircompressor (airlift's pure-Java
+  * port) — across compression levels (low levels exercise the RFC's
+  * predefined FSE distributions, high levels the FSE-compressed
+  * tables and 4-stream Huffman), our store-mode writer read by both
+  * of them (which also differentials our xxHash64 through their
+  * checksum verification), skippable frames, concatenation,
+  * dictionary rejection, checksum-mismatch rejection, and
+  * mutation + garbage fuzz. */
+class ZstdSpec extends AnyFunSuite {
+
+  private def fixtures: Seq[Array[Byte]] = Seq(
+    Array.empty[Byte],
+    "a".getBytes,
+    "abcbabcbabcbabcb".getBytes, // short repeats
+    ("the quick brown fox jumps over the lazy dog. " * 200).getBytes,
+    Array.fill[Byte](10000)('x'),
+    Array.tabulate[Byte](65536)(i => (i % 251).toByte),
+    {
+      val rnd = new scala.util.Random(42)
+      Array.fill[Byte](150000)(rnd.nextInt(4).toByte) // multi-block
+    },
+    {
+      val rnd = new scala.util.Random(7)
+      Array.fill[Byte](8192)(rnd.nextInt().toByte) // incompressible
+    },
+    {
+      // structured: repeated records with drifting fields — the
+      // jsonl.zst shape; long matches at many distances
+      val sb = new StringBuilder
+      for (i <- 0 until 3000)
+        sb.append(s"""{"id":$i,"label":"cat${i % 7}","text":"sample sample sample $i"}\n""")
+      sb.toString.getBytes
+    })
+
+  test("differential: zstd-jni writer -> our reader, levels 1/3/9/19") {
+    for (data <- fixtures; level <- Seq(1, 3, 9, 19)) {
+      val comp = com.github.luben.zstd.Zstd.compress(data, level)
+      val got = Zstd.decode(comp)
+      assert(got.isDefined,
+        s"rejected zstd-jni level $level, ${data.length} bytes")
+      assert(got.get.sameElements(data),
+        s"mis-decoded zstd-jni level $level, ${data.length} bytes")
+    }
+  }
+
+  test("differential: zstd-jni with checksum and long window") {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(5)
+    ctx.setChecksum(true)
+    for (data <- fixtures) {
+      val comp = ctx.compress(data)
+      val got = Zstd.decode(comp)
+      assert(got.isDefined && got.get.sameElements(data))
+      // flip a content byte: the xxh64 check must catch it (find a
+      // mutable byte inside the frame body, past the 6-byte header)
+      if (data.length >= 32) {
+        val bad = comp.clone()
+        bad(comp.length / 2) = (bad(comp.length / 2) ^ 1).toByte
+        Zstd.decode(bad) match {
+          case None      => // rejected — checksum or structure caught it
+          case Some(out) => assert(out.sameElements(data),
+            "corruption survived BOTH structure and checksum")
+        }
+      }
+    }
+  }
+
+  test("differential: aircompressor writer -> our reader") {
+    val c = new io.airlift.compress.zstd.ZstdCompressor()
+    for (data <- fixtures) {
+      val buf = new Array[Byte](c.maxCompressedLength(data.length))
+      val n = c.compress(data, 0, data.length, buf, 0, buf.length)
+      val got = Zstd.decode(java.util.Arrays.copyOf(buf, n))
+      assert(got.isDefined && got.get.sameElements(data),
+        s"aircompressor stream mis-handled (${data.length} bytes)")
+    }
+  }
+
+  test("differential: our store-mode writer -> both their readers") {
+    for (data <- fixtures; checksum <- Seq(true, false)) {
+      val enc = Zstd.encodeStore(data, withChecksum = checksum)
+      // zstd-jni (verifies our frame header + checksum arithmetic)
+      val theirs = com.github.luben.zstd.Zstd.decompress(
+        enc, math.max(data.length, 1))
+      assert(theirs.sameElements(data),
+        s"zstd-jni rejected our store frame (${data.length} bytes)")
+      // aircompressor
+      if (data.nonEmpty) {
+        val d = new io.airlift.compress.zstd.ZstdDecompressor()
+        val out = new Array[Byte](data.length)
+        val n = d.decompress(enc, 0, enc.length, out, 0, out.length)
+        assert(n == data.length && out.sameElements(data),
+          "aircompressor rejected our store frame")
+      }
+      // and our own round trip
+      assert(Zstd.decode(enc).get.sameElements(data))
+    }
+  }
+
+  test("skippable frames and concatenation") {
+    val a = com.github.luben.zstd.Zstd.compress("first ".getBytes, 3)
+    val b = Zstd.encodeStore("second".getBytes)
+    val skip = Array[Byte](0x52, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
+    val got = Zstd.decode(skip ++ a ++ skip ++ b ++ skip)
+    assert(got.isDefined && got.get.sameElements("first second".getBytes))
+    // a lone skippable frame has no content frame: reject
+    assert(Zstd.decode(skip).isEmpty)
+    // trailing garbage rejects
+    assert(Zstd.decode(a :+ 0x00.toByte).isEmpty)
+  }
+
+  test("dictionary frames reject (unsupported by policy)") {
+    val cdict = new com.github.luben.zstd.ZstdDictTrainer(1 << 16, 1 << 12)
+    for (i <- 0 until 64)
+      cdict.addSample(s"sample text number $i with shared structure"
+        .getBytes)
+    val dict = cdict.trainSamples()
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3)
+    ctx.loadDict(dict)
+    val comp = ctx.compress("sample text number 99 with shared structure"
+      .getBytes)
+    assert(Zstd.decode(comp).isEmpty, "dictionary frame must reject")
+  }
+
+  test("mutation fuzz: single-byte corruptions reject or decode exactly") {
+    val data = ("banana banana banana! " * 50).getBytes
+    val comp = com.github.luben.zstd.Zstd.compress(data, 3)
+    for (i <- comp.indices; delta <- Seq(1, 0x80)) {
+      val bad = comp.clone()
+      bad(i) = (bad(i) + delta).toByte
+      Zstd.decode(bad) match {
+        case None      => // rejected: good
+        case Some(out) =>
+          // no checksum in this frame — a surviving mutation must at
+          // least not crash; content may differ ONLY if the flipped
+          // byte was inside entropy payloads that still parse. What
+          // we pin: dims of the contract — never an exception, and
+          // never output beyond the declared content size
+          assert(out.length == data.length,
+            s"mutation at $i changed the declared content size")
+      }
+    }
+  }
+
+  test("garbage fuzz never throws") {
+    val rnd = new scala.util.Random(0x25d)
+    for (_ <- 0 until 3000) {
+      val junk = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+      Zstd.decode(junk)
+    }
+    for (_ <- 0 until 1000) {
+      val junk = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte) ++
+        Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      Zstd.decode(junk)
+    }
+  }
+
+  test("bomb guard: output cap enforced") {
+    val big = Array.fill[Byte](200000)('z')
+    val comp = com.github.luben.zstd.Zstd.compress(big, 3)
+    assert(Zstd.decode(comp, maxOut = 1000).isEmpty)
+    assert(Zstd.decode(comp, maxOut = 200000).isDefined)
+  }
+
+  test("xxh64 agrees with zstd-jni through checksum round trips") {
+    // zstd-jni VERIFIES checksums on decompress: our store frames
+    // with checksums already passed above. Pin a few known shapes
+    // through our own decode too (reject on flipped checksum byte).
+    val enc = Zstd.encodeStore("checksum pinned payload".getBytes)
+    val bad = enc.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x40).toByte
+    assert(Zstd.decode(bad).isEmpty)
+  }
+
+  test("sniff") {
+    assert(Zstd.isZstd(Zstd.encodeStore("x".getBytes)))
+    assert(Zstd.isZstd(com.github.luben.zstd.Zstd.compress("x".getBytes, 1)))
+    assert(!Zstd.isZstd("PK".getBytes))
+  }
+}
