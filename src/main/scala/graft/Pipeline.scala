@@ -6317,6 +6317,20 @@ object Pipeline {
     tarParseWrapped(s, dir,
       tar => com.github.luben.zstd.Zstd.compress(tar, 9))
 
+  /** The `.tar.xz` twin, and the second live in-gate differential:
+    * the wrap side is the tukaani xz library Spark bundles (preset 6
+    * — REAL LZMA2 range-coded chunks, CRC64 block checks), the
+    * decode side is OUR pure-JVM LZMA/XZ walk (operators/Xz).
+    * Identical oracle: the codec must be byte-transparent. */
+  private def tarParseXz(s: SparkSession, dir: String): DataFrame =
+    tarParseWrapped(s, dir, { tar =>
+      val buf = new java.io.ByteArrayOutputStream()
+      val z = new org.tukaani.xz.XZOutputStream(buf,
+        new org.tukaani.xz.LZMA2Options(6))
+      z.write(tar); z.finish(); z.close()
+      buf.toByteArray
+    })
+
   /** Shared walk for the compressed-tar twins: build the tar_parse
     * shards, wrap each whole archive with `wrap`, parse back through
     * [[graft.operators.Tar.parseAuto]]'s magic-byte sniff. */
@@ -7593,6 +7607,7 @@ object Pipeline {
     "tar_parse_snappy"  -> tarParseSnappy _,
     "tar_parse_bz2"     -> tarParseBz2 _,
     "tar_parse_zst"     -> tarParseZst _,
+    "tar_parse_xz"      -> tarParseXz _,
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
     "avro_parse_files"  -> avroParseFiles _,
@@ -9439,6 +9454,9 @@ object Pipeline {
     // the .tar.zst twin: zstd-jni compresses, OUR RFC 8878 decoder
     // reads — a full-codec differential inside the gate
     "tar_parse_zst" -> tarParseOracleSql,
+    // the .tar.xz twin: tukaani compresses (real LZMA2), OUR decoder
+    // reads — the second in-gate codec differential
+    "tar_parse_xz" -> tarParseOracleSql,
     // the file layer must be transparent: identical facts through
     // real .tar shard files + the binaryFile scan
     "tar_parse_files" -> tarParseOracleSql,

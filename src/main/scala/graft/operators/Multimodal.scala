@@ -81,6 +81,8 @@ object Multimodal {
       "application/x-bzip2"
     else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) "application/zstd"
+    else if (at(0) == 0xfd && ascii(1, "7zXZ") && at(5) == 0)
+      "application/x-xz"
     else if (ascii(0, "qoif")) "image/qoi"
     else if (ascii(0, "YUV4MPEG2 ")) "video/x-yuv4mpeg"
     else if (ascii(0, "WEBVTT")) "text/vtt"

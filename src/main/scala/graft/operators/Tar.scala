@@ -98,6 +98,8 @@ object Tar {
       Bzip2.decode(data).map(parse).getOrElse(Nil)
     else if (Zstd.isZstd(data))
       Zstd.decode(data).map(parse).getOrElse(Nil)
+    else if (Xz.isXz(data))
+      Xz.decode(data).map(parse).getOrElse(Nil)
     else parse(data)
 
   /** gzip magic sniff. */
@@ -137,6 +139,12 @@ object Tar {
     * through operators/Zstd, including entropy-coded ones. */
   def zstdArchive(tar: Array[Byte]): Array[Byte] =
     Zstd.encodeStore(tar)
+
+  /** xz-wrap an archive (the `.tar.xz` convention) — store-shape
+    * stream from our own writer; [[parseAuto]] reads ANY xz stream
+    * through operators/Xz, including LZMA-coded ones. */
+  def xzArchive(tar: Array[Byte]): Array[Byte] =
+    Xz.encodeStore(tar)
 
   /** Gzip-wrap an archive (single member — the `.tgz` convention). */
   def gzipArchive(tar: Array[Byte]): Array[Byte] = {

@@ -30,6 +30,7 @@ class SniffSpec extends AnyFunSuite {
       "application/gzip")
     assert(M.sniffKind(Bzip2.encode(b)) == "application/x-bzip2")
     assert(M.sniffKind(Zstd.encodeStore(b)) == "application/zstd")
+    assert(M.sniffKind(Xz.encodeStore(b)) == "application/x-xz")
     assert(M.sniffKind(Qoi.encode(2, 2, (b ++ b).take(12))) == "image/qoi")
     assert(M.sniffKind(Y4m.build(
       Y4m.Y4mHeader(1, 3, 25, 1, "", "", "mono"),

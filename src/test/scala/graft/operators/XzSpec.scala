@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** XZ/LZMA2 pins: FULL differentials against the tukaani xz-1.10
+  * implementation Spark bundles — their writer at several presets
+  * (preset 0 keeps chunks simple, 6 is the default, 9 exercises big
+  * dictionaries and dense rep-distance use) and under ALL FOUR check
+  * types → our reader; our store-shape writer → their reader; plus
+  * concatenation, stream padding, dictionary-of-presets over varied
+  * data shapes, mutation/garbage fuzz and the bomb guard. */
+class XzSpec extends AnyFunSuite {
+
+  private def fixtures: Seq[Array[Byte]] = Seq(
+    Array.empty[Byte],
+    "a".getBytes,
+    "abcbabcbabcbabcb".getBytes,
+    ("the quick brown fox jumps over the lazy dog. " * 200).getBytes,
+    Array.fill[Byte](10000)('x'),
+    Array.tabulate[Byte](65536)(i => (i % 251).toByte),
+    {
+      val rnd = new scala.util.Random(42)
+      Array.fill[Byte](150000)(rnd.nextInt(4).toByte)
+    },
+    {
+      val rnd = new scala.util.Random(7)
+      Array.fill[Byte](8192)(rnd.nextInt().toByte)
+    },
+    {
+      val sb = new StringBuilder
+      for (i <- 0 until 3000)
+        sb.append(s"""{"id":$i,"label":"cat${i % 7}","text":"sample sample sample $i"}\n""")
+      sb.toString.getBytes
+    })
+
+  private def xzCompress(data: Array[Byte], preset: Int,
+      check: Int = org.tukaani.xz.XZ.CHECK_CRC64): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val opt = new org.tukaani.xz.LZMA2Options(preset)
+    val z = new org.tukaani.xz.XZOutputStream(buf, opt, check)
+    z.write(data); z.finish(); z.close()
+    buf.toByteArray
+  }
+
+  test("differential: tukaani writer -> our reader, presets 0/3/6/9") {
+    for (data <- fixtures; preset <- Seq(0, 3, 6, 9)) {
+      val comp = xzCompress(data, preset)
+      val got = Xz.decode(comp)
+      assert(got.isDefined,
+        s"rejected tukaani preset $preset, ${data.length} bytes")
+      assert(got.get.sameElements(data),
+        s"mis-decoded tukaani preset $preset, ${data.length} bytes")
+    }
+  }
+
+  test("all four check types verify") {
+    import org.tukaani.xz.XZ._
+    val data = ("integrity " * 500).getBytes
+    for (check <- Seq(CHECK_NONE, CHECK_CRC32, CHECK_CRC64, CHECK_SHA256)) {
+      val comp = xzCompress(data, 6, check)
+      assert(Xz.decode(comp).get.sameElements(data),
+        s"check type $check failed")
+      // flip one byte of the decoded-content region: the check (when
+      // present) or structure must catch it
+      val bad = comp.clone()
+      bad(comp.length / 2) = (bad(comp.length / 2) ^ 1).toByte
+      Xz.decode(bad) match {
+        case None      => // rejected
+        case Some(out) => assert(out.sameElements(data))
+      }
+    }
+  }
+
+  test("differential: our store writer -> tukaani reader") {
+    for (data <- fixtures) {
+      val enc = Xz.encodeStore(data)
+      val in = new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(enc))
+      val got = in.readAllBytes()
+      in.close()
+      assert(got.sameElements(data),
+        s"tukaani rejected our store stream (${data.length} bytes)")
+      assert(Xz.decode(enc).get.sameElements(data))
+    }
+  }
+
+  test("concatenated streams with 4-byte stream padding") {
+    val a = xzCompress("first ".getBytes, 6)
+    val b = Xz.encodeStore("second".getBytes)
+    val pad = Array.fill[Byte](8)(0)
+    val got = Xz.decode(a ++ pad ++ b)
+    assert(got.isDefined && got.get.sameElements("first second".getBytes))
+    // misaligned padding rejects
+    assert(Xz.decode(a ++ Array.fill[Byte](3)(0) ++ b).isEmpty)
+    // trailing garbage rejects
+    assert(Xz.decode(a :+ 0x77.toByte).isEmpty)
+  }
+
+  test("mutation fuzz: single-byte corruptions reject or decode exactly") {
+    val data = ("banana banana banana! " * 50).getBytes
+    val comp = xzCompress(data, 6) // CRC64 check
+    for (i <- comp.indices; delta <- Seq(1, 0x80)) {
+      val bad = comp.clone()
+      bad(i) = (bad(i) + delta).toByte
+      Xz.decode(bad) match {
+        case None      => // rejected
+        case Some(out) => assert(out.sameElements(data),
+          s"corruption at byte $i survived the CRC64 check")
+      }
+    }
+  }
+
+  test("garbage fuzz never throws") {
+    val rnd = new scala.util.Random(0x997)
+    for (_ <- 0 until 3000) {
+      val junk = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+      Xz.decode(junk)
+    }
+    val magic = Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0)
+    for (_ <- 0 until 1000) {
+      val junk = magic ++ Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      Xz.decode(junk)
+    }
+  }
+
+  test("bomb guard and sniff") {
+    val big = Array.fill[Byte](200000)('z')
+    val comp = xzCompress(big, 6)
+    assert(Xz.decode(comp, maxOut = 1000).isEmpty)
+    assert(Xz.decode(comp, maxOut = 200000).isDefined)
+    assert(Xz.isXz(comp) && Xz.isXz(Xz.encodeStore("x".getBytes)))
+    assert(!Xz.isXz("PK".getBytes))
+  }
+}
