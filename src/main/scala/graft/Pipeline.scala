@@ -4744,18 +4744,31 @@ object Pipeline {
     * so the SAME oracle pins all three codecs as jointly transparent
     * end-to-end (wrap here, sniff+unwrap in [[unwrapMediaShard]]). */
   private def mediaWrap(sid: Long, tar: Array[Byte]): Array[Byte] =
-    (sid % 3) match {
+    (sid % 6) match {
       case 0 => graft.operators.Tar.gzipArchive(tar)
       case 1 => graft.operators.Tar.lz4Archive(tar)
-      case _ => graft.operators.Tar.snappyArchive(tar)
+      case 2 => graft.operators.Tar.snappyArchive(tar)
+      case 3 => graft.operators.Tar.bzip2Archive(tar)
+      // the zstd/xz wraps compress with the PLATFORM libraries so the
+      // unwrap exercises our decoders on real entropy-coded streams
+      case 4 => com.github.luben.zstd.Zstd.compress(tar, 3)
+      case _ =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val z = new org.tukaani.xz.XZOutputStream(buf,
+          new org.tukaani.xz.LZMA2Options(3))
+        z.write(tar); z.finish(); z.close()
+        buf.toByteArray
     }
 
   /** The wrapper extension [[mediaWrap]] implies (fixture naming). */
   private def mediaWrapExt(sid: Long): String =
-    (sid % 3) match {
+    (sid % 6) match {
       case 0 => "tgz"
       case 1 => "tar.lz4"
-      case _ => "tar.sz"
+      case 2 => "tar.sz"
+      case 3 => "tar.bz2"
+      case 4 => "tar.zst"
+      case _ => "tar.xz"
     }
 
   /** Magic-byte sniff + unwrap of one media shard back to plain tar
@@ -4770,6 +4783,12 @@ object Pipeline {
     else if (graft.operators.SnappyCodec.isFramed(bytes))
       graft.operators.SnappyCodec.frameDecompress(bytes)
         .getOrElse(Array.emptyByteArray)
+    else if (graft.operators.Bzip2.isBzip2(bytes))
+      graft.operators.Bzip2.decode(bytes).getOrElse(Array.emptyByteArray)
+    else if (graft.operators.Zstd.isZstd(bytes))
+      graft.operators.Zstd.decode(bytes).getOrElse(Array.emptyByteArray)
+    else if (graft.operators.Xz.isXz(bytes))
+      graft.operators.Xz.decode(bytes).getOrElse(Array.emptyByteArray)
     else bytes
   }
 
@@ -4841,9 +4860,9 @@ object Pipeline {
   private[graft] def mediaFixtureRoot(s: SparkSession, dir: String): String = {
     val spark = s
     import spark.implicits._
-    // tag v2: round-11 wrapper rotation (gzip/lz4/snappy by shard) —
-    // a new tag regenerates fixtures built before the rotation
-    formatFixtureDir(dir, "mediashard2", "documents") { out =>
+    // tag v3: six-way wrapper rotation (gzip/lz4/snappy/bzip2/zstd/xz
+    // by shard) — a new tag regenerates fixtures built before it
+    formatFixtureDir(dir, "mediashard3", "documents") { out =>
       asciiDocs(s, dir)
         .map { case (id, t) => mediaEntry(id, t) }
         .groupByKey(_._1)
