@@ -6511,6 +6511,84 @@ object Pipeline {
     * from `documents` — the codec rotation by shard, the null union
     * branch every 11th doc, the quarter-step score (exact in binary,
     * no rounding needed). */
+  /** Arrow IPC shard walk (operators/ArrowIpc) — the HuggingFace-
+    * datasets interchange format as a live in-gate differential: the
+    * WRITE side is arrow-java (the columnar runtime Spark itself uses
+    * for pandas interop), 8-doc files with int64/utf8/nullable-utf8/
+    * float64 columns; the READ side is OUR from-scratch flatbuffer
+    * walker + columnar decode. Every fact re-derived from DECODED
+    * values, so vtables, validity bitmaps, offset buffers and IEEE
+    * floats must all be value-transparent. Same shuffle shape as
+    * tar_parse. */
+  private def arrowIpcParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val bytes = buildArrowShard(docs.map { case (_, id, t) => (id, t) })
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow parse rejected shard $sid"))
+        require(cols.map(_.tag) ==
+          Seq("int64", "utf8", "utf8", "float64"))
+        rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val text = r(1).get.asInstanceOf[String]
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (id, sid, text.length.toLong,
+            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+              .mkString,
+            r(2).map(_.asInstanceOf[String]).orNull,
+            r(3).get.asInstanceOf[Double])
+        }
+      }
+      .toDF("doc_id", "shard_id", "len", "md5", "label", "score")
+      .orderBy("doc_id")
+  }
+
+  /** One 8-doc Arrow file via the bundled arrow-java writer. */
+  private def buildArrowShard(docs: Seq[(Long, String)]): Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector._
+    import scala.jdk.CollectionConverters._
+    def f(name: String, t: ArrowType, nullable: Boolean) =
+      new Field(name, new FieldType(nullable, t, null), null)
+    val schema = new ASchema(Seq(
+      f("id", new ArrowType.Int(64, true), nullable = false),
+      f("text", ArrowType.Utf8.INSTANCE, nullable = false),
+      f("label", ArrowType.Utf8.INSTANCE, nullable = true),
+      f("score", new ArrowType.FloatingPoint(
+        FloatingPointPrecision.DOUBLE), nullable = false)).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector("id").asInstanceOf[BigIntVector]
+        val txt = root.getVector("text").asInstanceOf[VarCharVector]
+        val lab = root.getVector("label").asInstanceOf[VarCharVector]
+        val sc = root.getVector("score").asInstanceOf[Float8Vector]
+        docs.zipWithIndex.foreach { case ((id, t), i) =>
+          ids.setSafe(i, id)
+          txt.setSafe(i, t.getBytes("UTF-8"))
+          if (id % 11 == 10) lab.setNull(i)
+          else lab.setSafe(i, s"label${id % 4}".getBytes("UTF-8"))
+          sc.setSafe(i, t.length * 0.25)
+        }
+        root.setRowCount(docs.length)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          null, java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
+
   private def avroParseOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -7629,6 +7707,7 @@ object Pipeline {
     "tar_parse_xz"      -> tarParseXz _,
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
+    "arrow_ipc_parse"   -> arrowIpcParse _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "zip_parse_files"   -> zipParseFiles _,
@@ -9551,6 +9630,19 @@ object Pipeline {
     // Avro container: every fact re-derived from PARSED values, so
     // the zigzag/union/sync/deflate stack must be value-transparent
     "avro_parse" -> avroParseOracleSql,
+    "arrow_ipc_parse" -> {
+      // arrow-java writes, our flatbuffer walker reads; facts from
+      // DECODED values only (no codec column — Arrow IPC is uncoded)
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  strlen(text) AS len, md5(text) AS md5,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL
+        |    ELSE 'label' || (doc_id % 4) END AS label,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     // same facts through the written .avro fixture tree + binaryFile
     "avro_parse_files" -> avroParseOracleSql,
     "tfrecord_parse_files" -> {
