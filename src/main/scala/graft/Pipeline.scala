@@ -6520,15 +6520,32 @@ object Pipeline {
     * values, so vtables, validity bitmaps, offset buffers and IEEE
     * floats must all be value-transparent. Same shuffle shape as
     * tar_parse. */
-  private def arrowIpcParse(s: SparkSession, dir: String): DataFrame = {
+  private def arrowIpcParse(s: SparkSession, dir: String): DataFrame =
+    arrowShardRows(arrowShards(s, dir)).orderBy("doc_id")
+
+  /** The per-shard Arrow files: (shard_id, bytes), arrow-java-built. */
+  private def arrowShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
     import spark.implicits._
     asciiDocs(s, dir)
       .map { case (id, t) => (id / 8, id, t) }
       .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
         val docs = it.toSeq.sortBy(_._2)
-        val bytes = buildArrowShard(docs.map { case (_, id, t) => (id, t) })
+        (sid, buildArrowShard(docs.map { case (_, id, t) => (id, t) }))
+      }
+  }
+
+  /** Shared parse stage: our flatbuffer walker over (shard, bytes)
+    * rows — reused verbatim by the batch, file and streaming paths. */
+  private[graft] def arrowShardRows(
+      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards
+      .flatMap { case (sid, bytes) =>
         val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
           .getOrElse(sys.error(s"arrow parse rejected shard $sid"))
         require(cols.map(_.tag) ==
@@ -6540,11 +6557,47 @@ object Pipeline {
           (id, sid, text.length.toLong,
             d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
               .mkString,
-            r(2).map(_.asInstanceOf[String]).orNull,
+            r(2).map(_.asInstanceOf[String]),
             r(3).get.asInstanceOf[Double])
         }
       }
       .toDF("doc_id", "shard_id", "len", "md5", "label", "score")
+  }
+
+  /** Builds (idempotently) and returns the `.arrow` shard fixture
+    * directory — shared with the streaming parity spec. */
+  private[graft] def arrowFixtureRoot(s: SparkSession, dir: String)
+      : String = {
+    val spark = s
+    import spark.implicits._
+    formatFixtureDir(dir, "arrowshard", "documents") { out =>
+      arrowShards(s, dir)
+        .map { case (sid, bytes) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.arrow"), bytes)
+          sid
+        }
+        .count(): Unit
+    }
+  }
+
+  /** [[arrowIpcParse]] through REAL `.arrow` FILES: written once per
+    * corpus to a fixture tree (executor-side), read back through the
+    * distributed binaryFile source and walked per file. Identical
+    * oracle — the file layer must be transparent. */
+  private def arrowIpcFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = arrowFixtureRoot(s, dir)
+    arrowShardRows(
+      s.read.format("binaryFile").load(s"$root/*.arrow")
+        .repartition(col("path"))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          (name.stripPrefix("shard-").stripSuffix(".arrow").toLong, bytes)
+        })
       .orderBy("doc_id")
   }
 
@@ -6588,6 +6641,70 @@ object Pipeline {
       } finally root.close()
     } finally alloc.close()
   }
+
+  /** `.jsonl.zst` corpus ingest — the EXACT shape public text
+    * corpora ship in (one JSON object per line, zstd frames): 8-doc
+    * JSONL shards are compressed by zstd-jni (level 3) and read back
+    * through OUR RFC 8878 decoder, line-split, and strictly parsed
+    * (the fields are rendered in a fixed order, so the parse is a
+    * byte-exact walk, not a lenient JSON guess — any codec or
+    * framing bug corrupts a line and fails the oracle hash). All
+    * distributed: one shard-keyed shuffle, flatMap decode. */
+  private def jsonlZstIngest(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, lang, n) =>
+        val line =
+          if (id % 7 == 0) s"""{"doc_id":$id,"n_chars":$n}"""
+          else s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
+        (id / 8, id, line)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val jsonl = it.toSeq.sortBy(_._2).map(_._3).mkString("", "\n", "\n")
+        val zst = com.github.luben.zstd.Zstd.compress(
+          jsonl.getBytes("UTF-8"), 3)
+        val back = graft.operators.Zstd.decode(zst)
+          .getOrElse(sys.error(s"zstd rejected shard $sid"))
+        new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
+          .map { line =>
+            // strict parse of the fixed field order
+            def grab(key: String): Option[String] = {
+              val k = "\"" + key + "\":"
+              val i = line.indexOf(k)
+              if (i < 0) None
+              else {
+                val v0 = i + k.length
+                val raw =
+                  if (line.charAt(v0) == '"') {
+                    val e = line.indexOf('"', v0 + 1)
+                    line.substring(v0 + 1, e)
+                  } else line.substring(v0).takeWhile(c =>
+                    c != ',' && c != '}')
+                Some(raw)
+              }
+            }
+            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
+              grab("n_chars").get.toLong)
+          }
+      }
+      .toDF("doc_id", "shard_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private def arrowIpcOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0)
+      |SELECT doc_id, doc_id // 8 AS shard_id,
+      |  strlen(text) AS len, md5(text) AS md5,
+      |  CASE WHEN doc_id % 11 = 10 THEN NULL
+      |    ELSE 'label' || (doc_id % 4) END AS label,
+      |  strlen(text) * 0.25 AS score
+      |FROM d ORDER BY doc_id""".stripMargin
 
   private def avroParseOracleSql: String =
     """WITH d AS (
@@ -7708,6 +7825,7 @@ object Pipeline {
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
     "arrow_ipc_parse"   -> arrowIpcParse _,
+    "arrow_ipc_files"   -> arrowIpcFiles _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "zip_parse_files"   -> zipParseFiles _,
@@ -7717,6 +7835,7 @@ object Pipeline {
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
+    "jsonl_zst_ingest"  -> jsonlZstIngest _,
     "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
@@ -9630,19 +9749,19 @@ object Pipeline {
     // Avro container: every fact re-derived from PARSED values, so
     // the zigzag/union/sync/deflate stack must be value-transparent
     "avro_parse" -> avroParseOracleSql,
-    "arrow_ipc_parse" -> {
-      // arrow-java writes, our flatbuffer walker reads; facts from
-      // DECODED values only (no codec column — Arrow IPC is uncoded)
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  strlen(text) AS len, md5(text) AS md5,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL
-        |    ELSE 'label' || (doc_id % 4) END AS label,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
+    "jsonl_zst_ingest" -> {
+      // zstd-jni compresses 8-doc JSONL shards, OUR decoder reads;
+      // lang is omitted from every 7th line (NULL on both sides)
+      """SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // arrow-java writes, our flatbuffer walker reads; facts from
+    // DECODED values only (no codec column — Arrow IPC is uncoded)
+    "arrow_ipc_parse" -> arrowIpcOracleSql,
+    // same facts through the written .arrow fixture tree + binaryFile
+    "arrow_ipc_files" -> arrowIpcOracleSql,
     // same facts through the written .avro fixture tree + binaryFile
     "avro_parse_files" -> avroParseOracleSql,
     "tfrecord_parse_files" -> {
