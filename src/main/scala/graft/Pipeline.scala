@@ -6695,6 +6695,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** MessagePack record round trip (operators/Msgpack): each doc
+    * renders to the map {"id": int, "text": str, "tags": [int, int],
+    * "note": nil | str, "score": float64}, encodes minimal-size,
+    * decodes back, and every fact is re-derived from the DECODED
+    * value tree — int-width selection, UTF-8 strings, nested arrays
+    * and the nil branch must all be value-transparent. Pure map
+    * pass; no shuffle beyond the presentation sort. */
+  private def msgpackParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Msgpack._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val v = MpMap(Seq(
+          MpStr("id") -> MpInt(id * 1000003L),
+          MpStr("text") -> MpStr(t),
+          MpStr("tags") -> MpArr(Seq(MpInt(id % 7), MpInt(t.length.toLong))),
+          MpStr("note") -> (if (id % 7 == 0) MpNil
+            else MpStr(s"n${id % 5}")),
+          MpStr("score") -> MpDouble(t.length * 0.25)))
+        val MpMap(kvs) = decode(encode(v)).getOrElse(
+          sys.error(s"msgpack rejected doc $id")): @unchecked
+        val m = kvs.map { case (MpStr(k), x) => (k, x) }.toMap
+        val MpInt(bigId) = m("id"): @unchecked
+        val MpStr(text) = m("text"): @unchecked
+        val MpArr(tags) = m("tags"): @unchecked
+        val tagSum = tags.map { case MpInt(x) => x
+          case _ => sys.error("tag type") }.sum
+        val note = m("note") match {
+          case MpNil => null
+          case MpStr(x) => x
+          case _ => sys.error("note type")
+        }
+        val MpDouble(score) = m("score"): @unchecked
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (bigId / 1000003L, kvs.length, text.length.toLong,
+          d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+            .mkString,
+          tagSum, note, score)
+      }
+      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
+        "note", "score")
+      .orderBy("doc_id")
+  }
+
   private def arrowIpcOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -7836,6 +7881,7 @@ object Pipeline {
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
+    "msgpack_parse"     -> msgpackParse _,
     "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
@@ -9756,6 +9802,19 @@ object Pipeline {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "msgpack_parse" -> {
+      // every fact from the DECODED value tree; note nil on every 7th
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, CAST(5 AS INT) AS n_fields,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id % 7 + strlen(text) AS tag_sum,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE 'n' || (doc_id % 5) END AS note,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
     },
     // arrow-java writes, our flatbuffer walker reads; facts from
     // DECODED values only (no codec column — Arrow IPC is uncoded)
