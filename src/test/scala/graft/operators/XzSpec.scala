@@ -84,6 +84,21 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: tiny dictionary forces mid-stream LZMA2 resets") {
+    // a 64 KiB dict over 150 KB of repetitive data makes tukaani cut
+    // multiple LZMA2 chunks with dict/state resets — the chunk-layer
+    // paths a single-chunk stream never visits
+    val rnd = new scala.util.Random(9)
+    val data = Array.fill[Byte](150000)(('a' + rnd.nextInt(3)).toByte)
+    val buf = new java.io.ByteArrayOutputStream()
+    val opt = new org.tukaani.xz.LZMA2Options(3)
+    opt.setDictSize(1 << 16)
+    val z = new org.tukaani.xz.XZOutputStream(buf, opt)
+    z.write(data); z.finish(); z.close()
+    val got = Xz.decode(buf.toByteArray)
+    assert(got.isDefined && got.get.sameElements(data))
+  }
+
   test("concatenated streams with 4-byte stream padding") {
     val a = xzCompress("first ".getBytes, 6)
     val b = Xz.encodeStore("second".getBytes)
