@@ -4754,8 +4754,11 @@ object Pipeline {
       case 4 => com.github.luben.zstd.Zstd.compress(tar, 3)
       case _ =>
         val buf = new java.io.ByteArrayOutputStream()
-        val z = new org.tukaani.xz.XZOutputStream(buf,
-          new org.tukaani.xz.LZMA2Options(3))
+        // shard-sized dict — the tarParseXz allocation lesson
+        val opt = new org.tukaani.xz.LZMA2Options(3)
+        opt.setDictSize(math.max(1 << 16,
+          java.lang.Integer.highestOneBit(math.max(tar.length - 1, 1)) * 2))
+        val z = new org.tukaani.xz.XZOutputStream(buf, opt)
         z.write(tar); z.finish(); z.close()
         buf.toByteArray
     }
@@ -6344,8 +6347,16 @@ object Pipeline {
   private def tarParseXz(s: SparkSession, dir: String): DataFrame =
     tarParseWrapped(s, dir, { tar =>
       val buf = new java.io.ByteArrayOutputStream()
-      val z = new org.tukaani.xz.XZOutputStream(buf,
-        new org.tukaani.xz.LZMA2Options(6))
+      // preset 6 coding with a SHARD-SIZED dictionary: the default
+      // 8 MiB dict allocates a ~40 MB match finder PER SHARD (measured
+      // 58 ms/shard of pure allocation — 8× the whole compress at
+      // 64 KiB; XzPerfProbe pins the split). Matches still span the
+      // entire archive, so the coded stream our decoder reads is as
+      // real as the default's.
+      val opt = new org.tukaani.xz.LZMA2Options(6)
+      opt.setDictSize(math.max(1 << 16,
+        java.lang.Integer.highestOneBit(math.max(tar.length - 1, 1)) * 2))
+      val z = new org.tukaani.xz.XZOutputStream(buf, opt)
       z.write(tar); z.finish(); z.close()
       buf.toByteArray
     })
@@ -6737,6 +6748,121 @@ object Pipeline {
       }
       .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
         "note", "score")
+      .orderBy("doc_id")
+  }
+
+  /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
+    * ebooks are a standard corpus source and an EPUB is exactly a ZIP
+    * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
+    * chapters: the composition runs the verified central-directory
+    * walk, checks the mimetype contract, extracts every chapter
+    * through the real HTML state machine and re-joins the book text.
+    * Chapter i reduces to `Ch {i} {slice}` under extraction, so the
+    * oracle rebuilds the full book string analytically. */
+  private def epubTextExtract(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val nch = 1 + (t.length % 3)
+        val chapters = (0 until nch).map { i =>
+          val st = (i * 7) % t.length
+          val slice = t.substring(st, math.min(st + 10, t.length))
+          (f"OEBPS/ch$i%03d.xhtml",
+            ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              s"<html><body><h1>Ch $i</h1><p>$slice</p></body></html>")
+              .getBytes("UTF-8"), true)
+        }
+        val files = Seq(
+          ("mimetype", "application/epub+zip".getBytes("UTF-8"), false),
+          ("META-INF/container.xml",
+            ("<?xml version=\"1.0\"?><container version=\"1.0\">" +
+              "<rootfiles><rootfile full-path=\"OEBPS/content.opf\"/>" +
+              "</rootfiles></container>").getBytes("UTF-8"), true)
+        ) ++ chapters
+        val entries = graft.operators.Zip.parseWithData(
+          graft.operators.Zip.buildArchive(files))
+        val mimeOk = entries.headOption.exists { case (e, c) =>
+          e.name == "mimetype" && e.method == 0 &&
+            new String(c, "UTF-8") == "application/epub+zip"
+        }
+        val chaps = entries.filter(_._1.name.endsWith(".xhtml"))
+          .sortBy(_._1.name)
+        val book = chaps.map { case (_, c) =>
+          graft.operators.HtmlText.extractText(new String(c, "UTF-8"))
+        }.mkString(" ")
+        (id, entries.length, mimeOk, chaps.length.toLong, book,
+          book.length)
+      }
+      .toDF("doc_id", "n_entries", "mimetype_ok", "n_chapters",
+        "book_text", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DOCX text extraction — the other office container corpora carry:
+    * a ZIP whose `word/document.xml` holds the text in `<w:t>` runs.
+    * The composition walks the verified ZIP, counts paragraphs in the
+    * raw XML, and extracts the text through the same tag-stripping
+    * state machine (the XML declaration and every `w:` element drop
+    * as tags). */
+  private def docxTextExtract(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val np = 1 + (t.length % 4)
+        val paras = (0 until np).map { j =>
+          val st = (j * 11) % t.length
+          val slice = t.substring(st, math.min(st + 8, t.length))
+          s"<w:p><w:r><w:t>$slice</w:t></w:r></w:p>"
+        }
+        val docXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<w:document><w:body>" + paras.mkString + "</w:body></w:document>"
+        val files = Seq(
+          ("[Content_Types].xml",
+            ("<?xml version=\"1.0\"?><Types><Default Extension=\"xml\"" +
+              " ContentType=\"application/xml\"/></Types>")
+              .getBytes("UTF-8"), true),
+          ("word/document.xml", docXml.getBytes("UTF-8"), true))
+        val entries = graft.operators.Zip.parseWithData(
+          graft.operators.Zip.buildArchive(files))
+        val doc = entries.collectFirst {
+          case (e, c) if e.name == "word/document.xml" =>
+            new String(c, "UTF-8")
+        }.getOrElse(sys.error(s"docx walk lost document.xml for $id"))
+        val nParas = "<w:p>".r.findAllIn(doc).length.toLong
+        val text = graft.operators.HtmlText.extractText(doc)
+        (id, entries.length, nParas, text, text.length)
+      }
+      .toDF("doc_id", "n_entries", "n_paras", "doc_text", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** PDF text extraction (operators/Pdf): per doc a multi-page PDF —
+    * page j shows `Pg {j}` via `Tj` and a 12-char slice via a
+    * kerned `TJ` array; even docs Flate-compress every content
+    * stream — built, then extracted through the REAL parser (xref
+    * walk, object resolution, page tree, stream decode, content
+    * tokenizer). The oracle rebuilds the extracted text EXACTLY
+    * (PDF literal strings round-trip byte-exact; no whitespace
+    * collapse), so the full writer→parser stack must be value-
+    * transparent. Pure map pass. */
+  private def pdfTextExtract(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val np = 1 + (t.length % 3)
+        val pages = (0 until np).map { j =>
+          val st = (j * 13) % t.length
+          (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
+        }
+        val pdf = graft.operators.Pdf.build(pages, flate = id % 2 == 0)
+        val text = graft.operators.Pdf.extractText(pdf)
+          .getOrElse(sys.error(s"pdf extract rejected doc $id"))
+        (id, np.toLong, text, text.length)
+      }
+      .toDF("doc_id", "n_pages", "doc_text", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -7882,6 +8008,9 @@ object Pipeline {
     "jsonl_ingest"      -> jsonlIngest _,
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
     "msgpack_parse"     -> msgpackParse _,
+    "epub_text_extract" -> epubTextExtract _,
+    "docx_text_extract" -> docxTextExtract _,
+    "pdf_text_extract"  -> pdfTextExtract _,
     "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
     "web_ingest_dag"    -> webIngestDag _,
@@ -9802,6 +9931,62 @@ object Pipeline {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "pdf_text_extract" -> {
+      // page j reduces to 'Pg {j} {slice_j}'; pages join with \n;
+      // literal strings round-trip byte-exact so NO collapse is
+      // applied — the reconstruction is exact string arithmetic
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 3 AS np FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (SELECT doc_id, np,
+        |  array_to_string(
+        |    list_transform(range(0, CAST(np AS BIGINT)), j ->
+        |      'Pg ' || j || ' ' ||
+        |      substr(text, CAST((j * 13) % len AS INT) + 1, 12)),
+        |    chr(10)) AS doc
+        |  FROM d)
+        |SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
+        |  doc AS doc_text, CAST(length(doc) AS INT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin
+    },
+    "epub_text_extract" -> {
+      // chapter i reduces to 'Ch {i} {slice_i}' under extraction;
+      // array_to_string rebuilds the book, one \s+ collapse + trim
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 3 AS nch FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (SELECT doc_id, nch,
+        |  trim(regexp_replace(array_to_string(
+        |    list_transform(range(0, CAST(nch AS BIGINT)), i ->
+        |      'Ch ' || i || ' ' ||
+        |      substr(text, CAST((i * 7) % len AS INT) + 1, 10)),
+        |    ' '), '\s+', ' ', 'g')) AS book
+        |  FROM d)
+        |SELECT doc_id, CAST(nch + 2 AS INT) AS n_entries,
+        |  TRUE AS mimetype_ok, CAST(nch AS BIGINT) AS n_chapters,
+        |  book AS book_text, CAST(length(book) AS INT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin
+    },
+    "docx_text_extract" -> {
+      // paragraph j reduces to 'slice_j'; the XML declaration and all
+      // w: elements drop as tags
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 4 AS np FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (SELECT doc_id, np,
+        |  trim(regexp_replace(array_to_string(
+        |    list_transform(range(0, CAST(np AS BIGINT)), j ->
+        |      substr(text, CAST((j * 11) % len AS INT) + 1, 8)),
+        |    ' '), '\s+', ' ', 'g')) AS doc
+        |  FROM d)
+        |SELECT doc_id, CAST(2 AS INT) AS n_entries,
+        |  CAST(np AS BIGINT) AS n_paras,
+        |  doc AS doc_text, CAST(length(doc) AS INT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin
     },
     "msgpack_parse" -> {
       // every fact from the DECODED value tree; note nil on every 7th

@@ -86,6 +86,7 @@ object Multimodal {
     else if (ascii(0, "qoif")) "image/qoi"
     else if (ascii(0, "YUV4MPEG2 ")) "video/x-yuv4mpeg"
     else if (ascii(0, "WEBVTT")) "text/vtt"
+    else if (ascii(0, "%PDF-")) "application/pdf"
     else "application/octet-stream"
   }
 

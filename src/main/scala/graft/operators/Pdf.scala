@@ -1,0 +1,539 @@
+package graft.operators
+
+/** PDF text extraction (the public PDF 1.7 spec, ISO 32000-1) — the
+  * highest-volume document format corpora are mined from. Pure-JVM
+  * BUILDER (deterministic minimal documents: catalog → page tree →
+  * pages with Helvetica text content streams, optionally
+  * FlateDecode-compressed, classic xref table + trailer) and a real
+  * PARSER: byte lexer (names, numbers, literal strings with the full
+  * escape set incl. octal and line continuations, hex strings,
+  * dicts, arrays, refs), `startxref` → xref TABLE chain (`/Prev`
+  * walked, caps enforced), lazy object resolution, the Catalog →
+  * /Pages → /Kids tree walk, /Contents (single or array) with
+  * FlateDecode, and a content-stream walk that extracts the text
+  * operators — `Tj`, `'`, `"`, and `TJ` arrays (kern numbers
+  * dropped, strings concatenated, per the simple-extractor
+  * convention); text shows join with single spaces, pages with
+  * newlines.
+  *
+  * Honest-subset rejections (None, never mis-extract): encrypted
+  * documents (/Encrypt), PDF 1.5 cross-reference STREAMS (the
+  * `N 0 obj` form at startxref), filters beyond FlateDecode, and
+  * any malformation — bad offsets, missing endstream, unresolved
+  * refs, recursion/size caps. No bundled JVM PDF library exists to
+  * differential against; validation is build→parse round trips with
+  * an analytic oracle (`pdf_text_extract`), hand-pinned byte
+  * constructs, and fuzz — PdfSpec. */
+object Pdf {
+
+  /** `.pdf` sniff. */
+  def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-'
+
+  // ---------------------------------------------------------------
+  // Object model
+  // ---------------------------------------------------------------
+
+  sealed trait PVal
+  case object PNull extends PVal
+  final case class PBool(v: Boolean) extends PVal
+  final case class PNum(v: Double) extends PVal
+  final case class PStr(v: Array[Byte]) extends PVal
+  final case class PName(v: String) extends PVal
+  final case class PArr(vs: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+
+  // ---------------------------------------------------------------
+  // Builder
+  // ---------------------------------------------------------------
+
+  /** Escape a literal string's specials. */
+  private def escapeLit(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    }
+
+  /** One page's content: a heading shown with `Tj` and a body shown
+    * as a 2-part `TJ` array (kern between the halves). */
+  private def pageContent(heading: String, bodyA: String,
+      bodyB: String): String =
+    "BT /F1 12 Tf 72 720 Td (" + escapeLit(heading) + ") Tj " +
+      "0 -14 Td [(" + escapeLit(bodyA) + ") -50 (" +
+      escapeLit(bodyB) + ")] TJ ET"
+
+  /** Build a deterministic PDF: page j shows `headings(j)` then
+    * `bodies(j)` (split in two for the TJ path). `flate` compresses
+    * every content stream. */
+  def build(pages: Seq[(String, String)], flate: Boolean): Array[Byte] = {
+    require(pages.nonEmpty && pages.length <= 4096)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    val nPages = pages.length
+    val fontObj = 3 + 2 * nPages
+    def obj(body: => Unit): Unit = { offsets += out.size(); body }
+    obj { w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n") }
+    obj {
+      val kids = (0 until nPages).map(j => s"${3 + 2 * j} 0 R")
+        .mkString(" ")
+      w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> " +
+        "endobj\n")
+    }
+    pages.zipWithIndex.foreach { case ((heading, body), j) =>
+      val pageNum = 3 + 2 * j
+      val contNum = 4 + 2 * j
+      obj {
+        w(s"$pageNum 0 obj << /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
+          s"/Contents $contNum 0 R >> endobj\n")
+      }
+      val half = body.length / 2
+      val content = pageContent(heading, body.substring(0, half),
+        body.substring(half)).getBytes("ISO-8859-1")
+      val payload =
+        if (!flate) content
+        else {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content); d.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          buf.toByteArray
+        }
+      obj {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"$contNum 0 obj << /Length ${payload.length}$filter >> " +
+          "stream\n")
+        out.write(payload)
+        w("\nendstream endobj\n")
+      }
+    }
+    obj {
+      w(s"$fontObj 0 obj << /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >> endobj\n")
+    }
+    val xrefOff = out.size()
+    val n = offsets.length + 1
+    w(s"xref\n0 $n\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Lexer
+  // ---------------------------------------------------------------
+
+  private object Bad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class Lex(val b: Array[Byte], var p: Int) {
+    def fail(): Nothing = throw Bad
+    private def ws(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+        c == 0
+    private def delim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+        c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (p < b.length && ws(b(p) & 0xff)) p += 1
+        if (p < b.length && b(p) == '%') {
+          while (p < b.length && b(p) != '\n' && b(p) != '\r') p += 1
+        } else go = false
+      }
+    }
+    def peek: Int = if (p < b.length) b(p) & 0xff else -1
+
+    /** Next raw token as a string for keywords/numbers/names. */
+    def bareToken(): String = {
+      skipWs()
+      if (p >= b.length) fail()
+      val start = p
+      while (p < b.length && !ws(b(p) & 0xff) && !delim(b(p) & 0xff))
+        p += 1
+      if (p == start) fail()
+      new String(b, start, p - start, "ISO-8859-1")
+    }
+
+    /** One VALUE (not refs — those are folded by the caller). */
+    def value(depth: Int): PVal = {
+      if (depth > 48) fail()
+      skipWs()
+      peek match {
+        case -1  => fail()
+        case '/' =>
+          p += 1
+          val start = p
+          while (p < b.length && !ws(b(p) & 0xff) && !delim(b(p) & 0xff))
+            p += 1
+          PName(new String(b, start, p - start, "ISO-8859-1"))
+        case '(' => PStr(litString())
+        case '<' =>
+          if (p + 1 < b.length && b(p + 1) == '<') dict(depth)
+          else PStr(hexString())
+        case '[' =>
+          p += 1
+          val vs = Vector.newBuilder[PVal]
+          skipWs()
+          var n = 0
+          while (peek != ']') {
+            vs += valueWithRefs(depth + 1)
+            skipWs()
+            n += 1
+            if (n > 65536) fail()
+          }
+          p += 1
+          PArr(vs.result())
+        case c if c == '+' || c == '-' || c == '.' ||
+            (c >= '0' && c <= '9') =>
+          val t = bareToken()
+          PNum(java.lang.Double.parseDouble(t))
+        case _ =>
+          bareToken() match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case _       => fail()
+          }
+      }
+    }
+
+    /** A value, folding `N G R` reference triples. */
+    def valueWithRefs(depth: Int): PVal = {
+      val v = value(depth)
+      v match {
+        case PNum(n) if n >= 0 && n == math.floor(n) =>
+          val save = p
+          try {
+            skipWs()
+            val v2 = value(depth)
+            v2 match {
+              case PNum(g) if g >= 0 && g == math.floor(g) =>
+                skipWs()
+                val save2 = p
+                if (bareToken() == "R") PRef(n.toInt, g.toInt)
+                else { p = save2; p = save; v }
+              case _ => p = save; v
+            }
+          } catch { case Bad => p = save; v }
+        case _ => v
+      }
+    }
+
+    private def dict(depth: Int): PVal = {
+      p += 2 // <<
+      val m = Map.newBuilder[String, PVal]
+      skipWs()
+      var n = 0
+      while (!(peek == '>' && p + 1 < b.length && b(p + 1) == '>')) {
+        val k = value(depth + 1) match {
+          case PName(x) => x
+          case _        => fail()
+        }
+        m += ((k, valueWithRefs(depth + 1)))
+        skipWs()
+        n += 1
+        if (n > 4096) fail()
+      }
+      p += 2
+      PDict(m.result())
+    }
+
+    private def litString(): Array[Byte] = {
+      p += 1 // (
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      var n = 0
+      while (depth > 0) {
+        if (p >= b.length || n > (1 << 20)) fail()
+        val c = b(p) & 0xff
+        p += 1
+        n += 1
+        c match {
+          case '(' => depth += 1; out.write(c)
+          case ')' => depth -= 1; if (depth > 0) out.write(c)
+          case '\\' =>
+            if (p >= b.length) fail()
+            val e = b(p) & 0xff
+            p += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (p < b.length && b(p) == '\n') p += 1
+              case '\n' => // line continuation: nothing
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && p < b.length && b(p) >= '0' &&
+                  b(p) <= '7') {
+                  v = v * 8 + (b(p) - '0'); p += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // spec: backslash dropped
+            }
+          case _ => out.write(c)
+        }
+      }
+      out.toByteArray
+    }
+
+    private def hexString(): Array[Byte] = {
+      p += 1 // <
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (p >= b.length || out.size() > (1 << 20)) fail()
+        val c = b(p) & 0xff
+        p += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd count: pad 0
+          done = true
+        } else if (!ws(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail()
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Document parse
+  // ---------------------------------------------------------------
+
+  /** Extract the document text: pages joined with '\n', text shows
+    * within a page joined with ' ' (TJ arrays concatenate). None on
+    * anything outside the supported subset. */
+  def extractText(data: Array[Byte], maxObjects: Int = 65536)
+      : Option[String] =
+    try {
+      if (!isPdf(data)) return None
+      // startxref: search the last 2 KiB
+      val tailStr = new String(data,
+        math.max(0, data.length - 2048),
+        math.min(2048, data.length), "ISO-8859-1")
+      val sx = tailStr.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val lx = new Lex(data, math.max(0, data.length - 2048) + sx + 9)
+      val xrefOff = lx.bareToken().toLong
+      if (xrefOff < 0 || xrefOff >= data.length) return None
+      // xref table chain -> object offsets + trailer
+      val offsets = scala.collection.mutable.Map.empty[Int, Int]
+      var trailer: PDict = null
+      var next = xrefOff.toInt
+      var hops = 0
+      while (next >= 0) {
+        hops += 1
+        if (hops > 32) return None
+        val l = new Lex(data, next)
+        val kw = l.bareToken()
+        if (kw != "xref") return None // xref STREAMS: honest rejection
+        l.skipWs()
+        while (l.peek != 't') { // until "trailer"
+          val start = l.bareToken().toInt
+          val count = l.bareToken().toInt
+          if (start < 0 || count < 0 || start + count > maxObjects)
+            return None
+          var i = 0
+          while (i < count) {
+            val off = l.bareToken().toLong
+            l.bareToken() // generation: ignored (no incremental updates)
+            val tpe = l.bareToken()
+            if (tpe == "n" && !offsets.contains(start + i) &&
+              off >= 0 && off < data.length)
+              offsets(start + i) = off.toInt
+            else if (tpe != "n" && tpe != "f") return None
+            i += 1
+          }
+          l.skipWs()
+        }
+        if (l.bareToken() != "trailer") return None
+        val t = l.valueWithRefs(0) match {
+          case d: PDict => d
+          case _        => return None
+        }
+        if (trailer == null) trailer = t
+        if (t.m.contains("Encrypt")) return None
+        next = t.m.get("Prev") match {
+          case Some(PNum(v)) if v >= 0 && v < data.length => v.toInt
+          case Some(_) => return None
+          case None => -1
+        }
+      }
+      if (trailer == null) return None
+      val cache = scala.collection.mutable.Map.empty[Int, PVal]
+      def resolve(v: PVal, depth: Int): PVal = {
+        if (depth > 32) throw Bad
+        v match {
+          case PRef(num, _) =>
+            cache.getOrElseUpdate(num, {
+              val off = offsets.getOrElse(num, throw Bad)
+              val l = new Lex(data, off)
+              if (l.bareToken().toInt != num) throw Bad
+              l.bareToken() // gen
+              if (l.bareToken() != "obj") throw Bad
+              val body = l.valueWithRefs(0)
+              l.skipWs()
+              val save = l.p
+              val kw = try l.bareToken() catch { case Bad => "" }
+              if (kw == "stream") {
+                val d = body match {
+                  case x: PDict => x
+                  case _        => throw Bad
+                }
+                // EOL after `stream`: CRLF or LF
+                var q = l.p
+                if (q < data.length && data(q) == '\r') q += 1
+                if (q < data.length && data(q) == '\n') q += 1
+                val len = resolve(d.m.getOrElse("Length", throw Bad),
+                  depth + 1) match {
+                  case PNum(x) if x >= 0 && x <= (1 << 24) => x.toInt
+                  case _ => throw Bad
+                }
+                if (q + len > data.length) throw Bad
+                PStream(d, java.util.Arrays.copyOfRange(data, q, q + len))
+              } else { l.p = save; body }
+            })
+          case _ => v
+        }
+      }
+      def decodeStream(s: PStream): Array[Byte] =
+        s.dict.m.get("Filter") match {
+          case None => s.raw
+          case Some(PName("FlateDecode")) =>
+            val inf = new java.util.zip.Inflater()
+            try {
+              inf.setInput(s.raw)
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              while (!inf.finished()) {
+                val n = inf.inflate(buf)
+                if (n == 0 && inf.needsInput()) throw Bad
+                out.write(buf, 0, n)
+                if (out.size() > (1 << 26)) throw Bad
+              }
+              out.toByteArray
+            } catch {
+              case _: java.util.zip.DataFormatException => throw Bad
+            } finally inf.end()
+          case Some(_) => throw Bad // other filters: honest rejection
+        }
+      // catalog -> pages tree -> page contents
+      val root = resolve(trailer.m.getOrElse("Root", throw Bad), 0) match {
+        case d: PDict => d
+        case _        => throw Bad
+      }
+      val pagesRoot = resolve(root.m.getOrElse("Pages", throw Bad), 0)
+      val pageTexts = Vector.newBuilder[String]
+      var nPages = 0
+      def walk(node: PVal, depth: Int): Unit = {
+        if (depth > 32) throw Bad
+        resolve(node, depth) match {
+          case d: PDict =>
+            d.m.get("Type") match {
+              case Some(PName("Pages")) =>
+                d.m.get("Kids") match {
+                  case Some(PArr(kids)) =>
+                    kids.foreach(walk(_, depth + 1))
+                  case _ => throw Bad
+                }
+              case Some(PName("Page")) =>
+                nPages += 1
+                if (nPages > 4096) throw Bad
+                val streams: Seq[Array[Byte]] =
+                  d.m.get("Contents") match {
+                    case None => Seq.empty
+                    case Some(c) => resolve(c, depth + 1) match {
+                      case s: PStream => Seq(decodeStream(s))
+                      case PArr(cs) => cs.map(x =>
+                        resolve(x, depth + 1) match {
+                          case s: PStream => decodeStream(s)
+                          case _          => throw Bad
+                        })
+                      case _ => throw Bad
+                    }
+                  }
+                val whole = streams.foldLeft(Array.emptyByteArray)(_ ++ _)
+                pageTexts += contentText(whole)
+              case _ => throw Bad
+            }
+          case _ => throw Bad
+        }
+      }
+      walk(pagesRoot, 0)
+      Some(pageTexts.result().mkString("\n"))
+    } catch {
+      case Bad => None
+      case _: NumberFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Walk one page's content stream for the text-show operators. */
+  private def contentText(content: Array[Byte]): String = {
+    val l = new Lex(content, 0)
+    val shows = Vector.newBuilder[String]
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    def strOf(v: PVal): String = v match {
+      case PStr(bs) => new String(bs, "ISO-8859-1")
+      case _        => ""
+    }
+    var steps = 0
+    var done = false
+    while (!done) {
+      l.skipWs()
+      steps += 1
+      if (steps > (1 << 20)) throw Bad
+      if (l.peek == -1) done = true
+      else {
+        val c = l.peek
+        if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          operands += l.value(0)
+        } else l.bareToken() match {
+          case "Tj" | "'" =>
+            if (operands.nonEmpty) shows += strOf(operands.last)
+            operands.clear()
+          case "\"" =>
+            if (operands.nonEmpty) shows += strOf(operands.last)
+            operands.clear()
+          case "TJ" =>
+            operands.lastOption match {
+              case Some(PArr(vs)) =>
+                shows += vs.collect { case PStr(bs) =>
+                  new String(bs, "ISO-8859-1") }.mkString
+              case _ =>
+            }
+            operands.clear()
+          case "BI" =>
+            throw Bad // inline images: out of subset
+          case _ =>
+            operands.clear() // any other operator consumes its operands
+        }
+      }
+    }
+    shows.result().filter(_.nonEmpty).mkString(" ")
+  }
+}

@@ -158,7 +158,13 @@ object Zip {
     * each CD entry, seek its local header, inflate if deflated, and
     * verify the CRC-32. Any inconsistency (bad signature, size
     * overrun, CRC mismatch, truncated stream) ends the walk. */
-  def parse(data: Array[Byte]): Seq[ZipEntry] = {
+  def parse(data: Array[Byte]): Seq[ZipEntry] =
+    parseWithData(data).map(_._1)
+
+  /** The same verified walk, also yielding each entry's INFLATED
+    * content — what container compositions (EPUB/DOCX extraction)
+    * consume. Same never-throw, drop-never-invent discipline. */
+  def parseWithData(data: Array[Byte]): Seq[(ZipEntry, Array[Byte])] = {
     // EOCD: last occurrence of the signature in the final 64 KiB + 22
     var eocd = -1
     var i = data.length - 22
@@ -188,7 +194,7 @@ object Zip {
       if (n < 0 || cdL < 0) return Seq.empty
     }
     var p = if (cdL > Int.MaxValue) -1 else cdL.toInt
-    val out = Seq.newBuilder[ZipEntry]
+    val out = Seq.newBuilder[(ZipEntry, Array[Byte])]
     var k = 0L
     var ok = true
     while (ok && k < n) {
@@ -260,8 +266,8 @@ object Zip {
             else {
               val crc = new CRC32(); crc.update(content)
               if (crc.getValue != crcStored) ok = false
-              else out += ZipEntry(name, method, usize.toLong,
-                md5hex(content))
+              else out += ((ZipEntry(name, method, usize.toLong,
+                md5hex(content)), content))
             }
           }
         }

@@ -37,6 +37,8 @@ class SniffSpec extends AnyFunSuite {
       Seq(Y4m.Y4mFrame("", b.take(3))))) == "video/x-yuv4mpeg")
     assert(M.sniffKind(WebVtt.build(
       Seq(("", 0L, 1000L, "", "x"))).getBytes("UTF-8")) == "text/vtt")
+    assert(M.sniffKind(Pdf.build(Seq(("H", "pdf body")),
+      flate = false)) == "application/pdf")
   }
 
   test("short, empty and text buffers fall through") {
