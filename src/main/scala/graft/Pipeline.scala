@@ -6661,7 +6661,13 @@ object Pipeline {
     * byte-exact walk, not a lenient JSON guess — any codec or
     * framing bug corrupts a line and fails the oracle hash). All
     * distributed: one shard-keyed shuffle, flatMap decode. */
-  private def jsonlZstIngest(s: SparkSession, dir: String): DataFrame = {
+  private def jsonlZstIngest(s: SparkSession, dir: String): DataFrame =
+    jsonlZstRows(jsonlZstShards(s, dir)).orderBy("doc_id")
+
+  /** The per-shard `.jsonl.zst` blobs: (shard_id, zstd bytes),
+    * compressed by zstd-jni (the write side of the differential). */
+  private def jsonlZstShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
     import spark.implicits._
     Tables.documents(s, dir)
@@ -6674,10 +6680,23 @@ object Pipeline {
         (id / 8, id, line)
       }
       .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val jsonl = it.toSeq.sortBy(_._2).map(_._3).mkString("", "\n", "\n")
-        val zst = com.github.luben.zstd.Zstd.compress(
-          jsonl.getBytes("UTF-8"), 3)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val jsonl = it.toSeq.sortBy(_._2).map(_._3)
+          .mkString("", "\n", "\n")
+        (sid, com.github.luben.zstd.Zstd.compress(
+          jsonl.getBytes("UTF-8"), 3))
+      }
+  }
+
+  /** Shared decode+parse stage: OUR RFC 8878 walk, line split, strict
+    * fixed-order field parse — reused by batch, file and streaming. */
+  private[graft] def jsonlZstRows(
+      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards
+      .flatMap { case (sid, zst) =>
         val back = graft.operators.Zstd.decode(zst)
           .getOrElse(sys.error(s"zstd rejected shard $sid"))
         new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
@@ -6703,6 +6722,42 @@ object Pipeline {
           }
       }
       .toDF("doc_id", "shard_id", "lang", "n_chars")
+  }
+
+  /** Builds (idempotently) and returns the `.jsonl.zst` fixture
+    * directory — shared with the streaming parity spec. */
+  private[graft] def jsonlZstFixtureRoot(s: SparkSession, dir: String)
+      : String = {
+    val spark = s
+    import spark.implicits._
+    formatFixtureDir(dir, "jsonlzst", "documents") { out =>
+      jsonlZstShards(s, dir)
+        .map { case (sid, bytes) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.jsonl.zst"), bytes)
+          sid
+        }
+        .count(): Unit
+    }
+  }
+
+  /** [[jsonlZstIngest]] through REAL `.jsonl.zst` FILES — the exact
+    * layout public corpora publish — read back through binaryFile.
+    * Identical oracle: the file layer must be transparent. */
+  private def jsonlZstFiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = jsonlZstFixtureRoot(s, dir)
+    jsonlZstRows(
+      s.read.format("binaryFile").load(s"$root/*.zst")
+        .repartition(col("path"))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          (name.stripPrefix("shard-").stripSuffix(".jsonl.zst").toLong,
+            bytes)
+        })
       .orderBy("doc_id")
   }
 
@@ -6865,6 +6920,14 @@ object Pipeline {
       .toDF("doc_id", "n_pages", "doc_text", "n_chars")
       .orderBy("doc_id")
   }
+
+  /** zstd-jni compresses 8-doc JSONL shards, OUR decoder reads; lang
+    * is omitted from every 7th line (NULL on both sides). */
+  private def jsonlZstOracleSql: String =
+    """SELECT doc_id, doc_id // 8 AS shard_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private def arrowIpcOracleSql: String =
     """WITH d AS (
@@ -8007,6 +8070,7 @@ object Pipeline {
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
+    "jsonl_zst_files"   -> jsonlZstFiles _,
     "msgpack_parse"     -> msgpackParse _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
@@ -9924,14 +9988,9 @@ object Pipeline {
     // Avro container: every fact re-derived from PARSED values, so
     // the zigzag/union/sync/deflate stack must be value-transparent
     "avro_parse" -> avroParseOracleSql,
-    "jsonl_zst_ingest" -> {
-      // zstd-jni compresses 8-doc JSONL shards, OUR decoder reads;
-      // lang is omitted from every 7th line (NULL on both sides)
-      """SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
-        |  n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "jsonl_zst_ingest" -> jsonlZstOracleSql,
+    // same facts through real .jsonl.zst files + binaryFile
+    "jsonl_zst_files" -> jsonlZstOracleSql,
     "pdf_text_extract" -> {
       // page j reduces to 'Pg {j} {slice_j}'; pages join with \n;
       // literal strings round-trip byte-exact so NO collapse is
