@@ -6912,7 +6912,13 @@ object Pipeline {
           val st = (j * 13) % t.length
           (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
         }
-        val pdf = graft.operators.Pdf.build(pages, flate = id % 2 == 0)
+        val pdf = (id % 3) match {
+          case 0 => graft.operators.Pdf.build(pages, flate = false)
+          case 1 => graft.operators.Pdf.build(pages, flate = true)
+          case _ => // PDF 1.5: ObjStm + xref stream, predictor rotating
+            graft.operators.Pdf.buildModern(pages,
+              xrefPredictor = id % 2 == 0)
+        }
         val text = graft.operators.Pdf.extractText(pdf)
           .getOrElse(sys.error(s"pdf extract rejected doc $id"))
         (id, np.toLong, text, text.length)

@@ -16,14 +16,21 @@ package graft.operators
   * convention); text shows join with single spaces, pages with
   * newlines.
   *
+  * MODERN (PDF 1.5+) files are covered too: cross-reference STREAMS
+  * (/Type /XRef, W-array typed entries, /Index, the PNG predictors
+  * they ship with — all five filter rows at bpp 1) and OBJECT
+  * streams (/Type /ObjStm member resolution through the N-pair
+  * header) — the shape practically every current writer emits; the
+  * builder has a `buildModern` twin so both forms round-trip.
+  *
   * Honest-subset rejections (None, never mis-extract): encrypted
-  * documents (/Encrypt), PDF 1.5 cross-reference STREAMS (the
-  * `N 0 obj` form at startxref), filters beyond FlateDecode, and
-  * any malformation — bad offsets, missing endstream, unresolved
+  * documents (/Encrypt), filters beyond FlateDecode, inline images,
+  * and any malformation — bad offsets, missing endstream, unresolved
   * refs, recursion/size caps. No bundled JVM PDF library exists to
   * differential against; validation is build→parse round trips with
-  * an analytic oracle (`pdf_text_extract`), hand-pinned byte
-  * constructs, and fuzz — PdfSpec. */
+  * an analytic oracle (`pdf_text_extract`, classic AND modern forms
+  * rotating per doc), hand-pinned byte constructs, and fuzz —
+  * PdfSpec. */
 object Pdf {
 
   /** `.pdf` sniff. */
@@ -129,6 +136,134 @@ object Pdf {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer << /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Build the PDF 1.5+ form of the same document: the non-stream
+    * objects (catalog, page tree, pages, font) live in ONE
+    * /ObjStm object stream, the cross-reference is an /XRef STREAM
+    * with W=[1,4,2] typed entries, optionally PNG-Up-predicted
+    * (/Predictor 12) — the shape practically every modern PDF writer
+    * emits. Content streams stay regular objects (Flate). */
+  def buildModern(pages: Seq[(String, String)],
+      xrefPredictor: Boolean): Array[Byte] = {
+    require(pages.nonEmpty && pages.length <= 4096)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def flate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    val np = pages.length
+    // numbering: 1..np content; np+1 catalog; np+2 pages tree;
+    // np+3..2np+2 page dicts; 2np+3 font; 2np+4 ObjStm; 2np+5 XRef
+    val catalogN = np + 1
+    val pagesN = np + 2
+    val fontN = 2 * np + 3
+    val objStmN = 2 * np + 4
+    val xrefN = 2 * np + 5
+    w("%PDF-1.5\n")
+    val offsets = new Array[Int](xrefN + 1)
+    // content streams (regular objects, Flate)
+    pages.zipWithIndex.foreach { case ((heading, body), j) =>
+      val half = body.length / 2
+      val content = pageContent(heading, body.substring(0, half),
+        body.substring(half)).getBytes("ISO-8859-1")
+      val payload = flate(content)
+      offsets(1 + j) = out.size()
+      w(s"${1 + j} 0 obj << /Length ${payload.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(payload)
+      w("\nendstream endobj\n")
+    }
+    // the object stream holding every dict object
+    val members: Seq[(Int, String)] =
+      Seq(catalogN -> s"<< /Type /Catalog /Pages $pagesN 0 R >>",
+        pagesN -> (s"<< /Type /Pages /Kids [" +
+          (0 until np).map(j => s"${np + 3 + j} 0 R").mkString(" ") +
+          s"] /Count $np >>")) ++
+        (0 until np).map { j =>
+          (np + 3 + j) -> (s"<< /Type /Page /Parent $pagesN 0 R " +
+            "/MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $fontN 0 R >> >> " +
+            s"/Contents ${1 + j} 0 R >>")
+        } ++
+        Seq(fontN -> ("<< /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >>"))
+    val bodyParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val header = new StringBuilder
+    var bodyOff = 0
+    members.foreach { case (num, src) =>
+      header.append(s"$num $bodyOff ")
+      bodyParts += src + " "
+      bodyOff += src.length + 1
+    }
+    val stmPlain = (header.toString + bodyParts.mkString)
+      .getBytes("ISO-8859-1")
+    val stmFlate = flate(stmPlain)
+    offsets(objStmN) = out.size()
+    w(s"$objStmN 0 obj << /Type /ObjStm /N ${members.length} " +
+      s"/First ${header.length} /Length ${stmFlate.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(stmFlate)
+    w("\nendstream endobj\n")
+    // the xref stream
+    offsets(xrefN) = out.size()
+    val entryW = 7 // W = [1, 4, 2]
+    val entries = new Array[Byte]((xrefN + 1) * entryW)
+    def putEntry(num: Int, tpe: Int, f2: Long, f3: Int): Unit = {
+      val o = num * entryW
+      entries(o) = tpe.toByte
+      entries(o + 1) = ((f2 >>> 24) & 0xff).toByte
+      entries(o + 2) = ((f2 >>> 16) & 0xff).toByte
+      entries(o + 3) = ((f2 >>> 8) & 0xff).toByte
+      entries(o + 4) = (f2 & 0xff).toByte
+      entries(o + 5) = ((f3 >>> 8) & 0xff).toByte
+      entries(o + 6) = (f3 & 0xff).toByte
+    }
+    putEntry(0, 0, 0, 0xffff)
+    (0 until np).foreach(j => putEntry(1 + j, 1, offsets(1 + j), 0))
+    members.zipWithIndex.foreach { case ((num, _), idx) =>
+      putEntry(num, 2, objStmN.toLong, idx)
+    }
+    putEntry(objStmN, 1, offsets(objStmN), 0)
+    putEntry(xrefN, 1, offsets(xrefN), 0)
+    val xrefBody =
+      if (!xrefPredictor) entries
+      else {
+        // PNG Up filter per row (predictor 12), columns = entryW
+        val rows = xrefN + 1
+        val outB = new Array[Byte](rows * (entryW + 1))
+        var r = 0
+        while (r < rows) {
+          outB(r * (entryW + 1)) = 2 // Up
+          var c = 0
+          while (c < entryW) {
+            val cur = entries(r * entryW + c) & 0xff
+            val up = if (r > 0) entries((r - 1) * entryW + c) & 0xff
+              else 0
+            outB(r * (entryW + 1) + 1 + c) = ((cur - up) & 0xff).toByte
+            c += 1
+          }
+          r += 1
+        }
+        outB
+      }
+    val xrefFlate = flate(xrefBody)
+    val parms =
+      if (xrefPredictor) s" /DecodeParms << /Predictor 12 /Columns $entryW >>"
+      else ""
+    w(s"$xrefN 0 obj << /Type /XRef /Size ${xrefN + 1} /W [1 4 2]" +
+      parms + s" /Root $catalogN 0 R /Length ${xrefFlate.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(xrefFlate)
+    w("\nendstream endobj\n")
+    w(s"startxref\n${offsets(xrefN)}\n%%EOF\n")
     out.toByteArray
   }
 
@@ -340,8 +475,11 @@ object Pdf {
       val lx = new Lex(data, math.max(0, data.length - 2048) + sx + 9)
       val xrefOff = lx.bareToken().toLong
       if (xrefOff < 0 || xrefOff >= data.length) return None
-      // xref table chain -> object offsets + trailer
+      // xref chain (classic TABLES and PDF 1.5 xref STREAMS) ->
+      // object locations + trailer. A location is a direct offset or
+      // (object stream, index) for /ObjStm members.
       val offsets = scala.collection.mutable.Map.empty[Int, Int]
+      val inStm = scala.collection.mutable.Map.empty[Int, (Int, Int)]
       var trailer: PDict = null
       var next = xrefOff.toInt
       var hops = 0
@@ -349,32 +487,40 @@ object Pdf {
         hops += 1
         if (hops > 32) return None
         val l = new Lex(data, next)
-        val kw = l.bareToken()
-        if (kw != "xref") return None // xref STREAMS: honest rejection
         l.skipWs()
-        while (l.peek != 't') { // until "trailer"
-          val start = l.bareToken().toInt
-          val count = l.bareToken().toInt
-          if (start < 0 || count < 0 || start + count > maxObjects)
-            return None
-          var i = 0
-          while (i < count) {
-            val off = l.bareToken().toLong
-            l.bareToken() // generation: ignored (no incremental updates)
-            val tpe = l.bareToken()
-            if (tpe == "n" && !offsets.contains(start + i) &&
-              off >= 0 && off < data.length)
-              offsets(start + i) = off.toInt
-            else if (tpe != "n" && tpe != "f") return None
-            i += 1
+        val t: PDict =
+          if (l.peek == 'x') {
+            if (l.bareToken() != "xref") return None
+            l.skipWs()
+            while (l.peek != 't') { // until "trailer"
+              val start = l.bareToken().toInt
+              val count = l.bareToken().toInt
+              if (start < 0 || count < 0 || start + count > maxObjects)
+                return None
+              var i = 0
+              while (i < count) {
+                val off = l.bareToken().toLong
+                l.bareToken() // generation (no incremental updates)
+                val tpe = l.bareToken()
+                if (tpe == "n" && !offsets.contains(start + i) &&
+                  !inStm.contains(start + i) &&
+                  off >= 0 && off < data.length)
+                  offsets(start + i) = off.toInt
+                else if (tpe != "n" && tpe != "f") return None
+                i += 1
+              }
+              l.skipWs()
+            }
+            if (l.bareToken() != "trailer") return None
+            l.valueWithRefs(0) match {
+              case d: PDict => d
+              case _        => return None
+            }
+          } else {
+            // xref STREAM: "N G obj << ... >> stream"
+            parseXrefStream(data, next, maxObjects, offsets, inStm)
+              .getOrElse(return None)
           }
-          l.skipWs()
-        }
-        if (l.bareToken() != "trailer") return None
-        val t = l.valueWithRefs(0) match {
-          case d: PDict => d
-          case _        => return None
-        }
         if (trailer == null) trailer = t
         if (t.m.contains("Encrypt")) return None
         next = t.m.get("Prev") match {
@@ -390,57 +536,53 @@ object Pdf {
         v match {
           case PRef(num, _) =>
             cache.getOrElseUpdate(num, {
-              val off = offsets.getOrElse(num, throw Bad)
-              val l = new Lex(data, off)
-              if (l.bareToken().toInt != num) throw Bad
-              l.bareToken() // gen
-              if (l.bareToken() != "obj") throw Bad
-              val body = l.valueWithRefs(0)
-              l.skipWs()
-              val save = l.p
-              val kw = try l.bareToken() catch { case Bad => "" }
-              if (kw == "stream") {
-                val d = body match {
-                  case x: PDict => x
-                  case _        => throw Bad
-                }
-                // EOL after `stream`: CRLF or LF
-                var q = l.p
-                if (q < data.length && data(q) == '\r') q += 1
-                if (q < data.length && data(q) == '\n') q += 1
-                val len = resolve(d.m.getOrElse("Length", throw Bad),
-                  depth + 1) match {
-                  case PNum(x) if x >= 0 && x <= (1 << 24) => x.toInt
-                  case _ => throw Bad
-                }
-                if (q + len > data.length) throw Bad
-                PStream(d, java.util.Arrays.copyOfRange(data, q, q + len))
-              } else { l.p = save; body }
+              offsets.get(num) match {
+                case Some(off) => parseObjectAt(data, off, num,
+                  x => resolve(x, depth + 1))
+                case None =>
+                  // an /ObjStm member: decode the container, seek the
+                  // member by the N-pair header
+                  val (stmNum, idx) = inStm.getOrElse(num, throw Bad)
+                  val container = resolve(PRef(stmNum, 0), depth + 1)
+                  container match {
+                    case s: PStream
+                        if s.dict.m.get("Type").contains(PName("ObjStm")) =>
+                      val body = decodeStreamBytes(s, x =>
+                        resolve(x, depth + 1))
+                      val nObjs = s.dict.m.get("N") match {
+                        case Some(PNum(x)) if x >= 0 && x <= 65536 =>
+                          x.toInt
+                        case _ => throw Bad
+                      }
+                      val first = s.dict.m.get("First") match {
+                        case Some(PNum(x)) if x >= 0 && x <= body.length =>
+                          x.toInt
+                        case _ => throw Bad
+                      }
+                      if (idx < 0 || idx >= nObjs) throw Bad
+                      val hl = new Lex(body, 0)
+                      var objOff = -1
+                      var i = 0
+                      while (i <= idx) {
+                        val on = hl.bareToken().toInt
+                        val oo = hl.bareToken().toInt
+                        if (i == idx) {
+                          if (on != num) throw Bad
+                          objOff = first + oo
+                        }
+                        i += 1
+                      }
+                      if (objOff < 0 || objOff > body.length) throw Bad
+                      new Lex(body, objOff).valueWithRefs(0)
+                    case _ => throw Bad
+                  }
+              }
             })
           case _ => v
         }
       }
       def decodeStream(s: PStream): Array[Byte] =
-        s.dict.m.get("Filter") match {
-          case None => s.raw
-          case Some(PName("FlateDecode")) =>
-            val inf = new java.util.zip.Inflater()
-            try {
-              inf.setInput(s.raw)
-              val out = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](8192)
-              while (!inf.finished()) {
-                val n = inf.inflate(buf)
-                if (n == 0 && inf.needsInput()) throw Bad
-                out.write(buf, 0, n)
-                if (out.size() > (1 << 26)) throw Bad
-              }
-              out.toByteArray
-            } catch {
-              case _: java.util.zip.DataFormatException => throw Bad
-            } finally inf.end()
-          case Some(_) => throw Bad // other filters: honest rejection
-        }
+        decodeStreamBytes(s, x => resolve(x, 0))
       // catalog -> pages tree -> page contents
       val root = resolve(trailer.m.getOrElse("Root", throw Bad), 0) match {
         case d: PDict => d
@@ -485,6 +627,205 @@ object Pdf {
       }
       walk(pagesRoot, 0)
       Some(pageTexts.result().mkString("\n"))
+    } catch {
+      case Bad => None
+      case _: NumberFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Parse the indirect object at `off` (expected number `num`),
+    * including an attached stream (length resolved via `resolve`). */
+  private def parseObjectAt(data: Array[Byte], off: Int, num: Int,
+      resolve: PVal => PVal): PVal = {
+    val l = new Lex(data, off)
+    if (l.bareToken().toInt != num) throw Bad
+    l.bareToken() // gen
+    if (l.bareToken() != "obj") throw Bad
+    val body = l.valueWithRefs(0)
+    l.skipWs()
+    val save = l.p
+    val kw = try l.bareToken() catch { case Bad => "" }
+    if (kw == "stream") {
+      val d = body match {
+        case x: PDict => x
+        case _        => throw Bad
+      }
+      // EOL after `stream`: CRLF or LF
+      var q = l.p
+      if (q < data.length && data(q) == '\r') q += 1
+      if (q < data.length && data(q) == '\n') q += 1
+      val len = resolve(d.m.getOrElse("Length", throw Bad)) match {
+        case PNum(x) if x >= 0 && x <= (1 << 24) => x.toInt
+        case _ => throw Bad
+      }
+      if (q + len > data.length) throw Bad
+      PStream(d, java.util.Arrays.copyOfRange(data, q, q + len))
+    } else { l.p = save; body }
+  }
+
+  /** Decode a stream's bytes: no filter or FlateDecode, plus the PNG
+    * predictors xref streams commonly carry (/DecodeParms
+    * /Predictor >= 10, /Columns; bpp = 1). Others reject. */
+  private def decodeStreamBytes(s: PStream,
+      resolve: PVal => PVal): Array[Byte] = {
+    val raw = s.dict.m.get("Filter") match {
+      case None => s.raw
+      case Some(PName("FlateDecode")) =>
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(s.raw)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) throw Bad
+            out.write(buf, 0, n)
+            if (out.size() > (1 << 26)) throw Bad
+          }
+          out.toByteArray
+        } catch {
+          case _: java.util.zip.DataFormatException => throw Bad
+        } finally inf.end()
+      case Some(_) => throw Bad // other filters: honest rejection
+    }
+    resolve(s.dict.m.getOrElse("DecodeParms", PNull)) match {
+      case PNull => raw
+      case d: PDict =>
+        val pred = d.m.get("Predictor") match {
+          case None          => 1
+          case Some(PNum(x)) => x.toInt
+          case _             => throw Bad
+        }
+        if (pred == 1) raw
+        else if (pred >= 10 && pred <= 15) {
+          val cols = d.m.get("Columns") match {
+            case None => 1
+            case Some(PNum(x)) if x >= 1 && x <= 65536 => x.toInt
+            case _ => throw Bad
+          }
+          pngDefilter(raw, cols)
+        } else throw Bad // TIFF predictor 2: not emitted for xref
+      case _ => throw Bad
+    }
+  }
+
+  /** PNG row defilter at bpp=1 (the xref-stream shape): each row is
+    * [filterType][cols bytes]; all five filter types supported. */
+  private def pngDefilter(raw: Array[Byte], cols: Int): Array[Byte] = {
+    if (raw.length % (cols + 1) != 0) throw Bad
+    val rows = raw.length / (cols + 1)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val ft = raw(r * (cols + 1)) & 0xff
+      var c = 0
+      while (c < cols) {
+        val x = raw(r * (cols + 1) + 1 + c) & 0xff
+        val a = if (c > 0) out(r * cols + c - 1) & 0xff else 0
+        val b = if (r > 0) out((r - 1) * cols + c) & 0xff else 0
+        val pc = if (r > 0 && c > 0) out((r - 1) * cols + c - 1) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - pc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pcc = math.abs(p - pc)
+            x + (if (pa <= pb && pa <= pcc) a
+              else if (pb <= pcc) b else pc)
+          case _ => throw Bad
+        }
+        out(r * cols + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Parse a PDF 1.5 cross-reference STREAM at `off`: W-array typed
+    * entries fill `offsets` (type 1) and `inStm` (type 2); returns
+    * the stream dict (it IS the trailer). */
+  private def parseXrefStream(data: Array[Byte], off: Int,
+      maxObjects: Int, offsets: scala.collection.mutable.Map[Int, Int],
+      inStm: scala.collection.mutable.Map[Int, (Int, Int)])
+      : Option[PDict] =
+    try {
+      // /Length must be direct here (nothing is resolvable yet)
+      val obj = parseObjectAt(data, off, {
+        new Lex(data, off).bareToken().toInt
+      }, {
+        case n: PNum => n
+        case _       => throw Bad
+      })
+      val s = obj match {
+        case x: PStream
+            if x.dict.m.get("Type").contains(PName("XRef")) => x
+        case _ => throw Bad
+      }
+      val body = decodeStreamBytes(s, {
+        case n: PNum => n
+        case PNull   => PNull
+        case d: PDict => d
+        case _       => throw Bad
+      })
+      val w = s.dict.m.get("W") match {
+        case Some(PArr(Vector(PNum(a), PNum(b), PNum(c))))
+            if a >= 0 && a <= 4 && b >= 1 && b <= 8 && c >= 0 && c <= 4 =>
+          (a.toInt, b.toInt, c.toInt)
+        case _ => throw Bad
+      }
+      val size = s.dict.m.get("Size") match {
+        case Some(PNum(x)) if x >= 0 && x <= maxObjects => x.toInt
+        case _ => throw Bad
+      }
+      val index: Seq[(Int, Int)] = s.dict.m.get("Index") match {
+        case None => Seq((0, size))
+        case Some(PArr(vs)) if vs.length % 2 == 0 && vs.length <= 128 =>
+          vs.grouped(2).map {
+            case Vector(PNum(a), PNum(b))
+                if a >= 0 && b >= 0 && a + b <= maxObjects =>
+              (a.toInt, b.toInt)
+            case _ => throw Bad
+          }.toSeq
+        case _ => throw Bad
+      }
+      val entryW = w._1 + w._2 + w._3
+      var p = 0
+      def field(n: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < n) { v = (v << 8) | (body(p) & 0xffL); p += 1; i += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count) {
+          if (p + entryW > body.length) throw Bad
+          val tpe = if (w._1 == 0) 1L else field(w._1)
+          val f2 = field(w._2)
+          val f3 = field(w._3)
+          locally(f3)
+          val num = start + i
+          tpe match {
+            case 0 => // free
+            case 1 =>
+              if (!offsets.contains(num) && !inStm.contains(num) &&
+                f2 >= 0 && f2 < data.length) offsets(num) = f2.toInt
+            case 2 =>
+              if (!offsets.contains(num) && !inStm.contains(num) &&
+                f2 >= 0 && f2 <= maxObjects && f3 >= 0 && f3 <= 65536)
+                inStm(num) = (f2.toInt, f3.toInt)
+            case _ => throw Bad
+          }
+          i += 1
+        }
+      }
+      Some(s.dict)
     } catch {
       case Bad => None
       case _: NumberFormatException => None

@@ -65,6 +65,42 @@ class PdfSpec extends AnyFunSuite {
       "first second")
   }
 
+  test("modern form: xref stream + ObjStm, predictor on and off") {
+    for (pred <- Seq(false, true)) {
+      val pages = Seq(
+        ("Pg 0", "modern body with (parens) here"),
+        ("Pg 1", "second page text"),
+        ("Pg 2", "third"))
+      val pdf = Pdf.buildModern(pages, xrefPredictor = pred)
+      assert(new String(pdf.take(9), "ISO-8859-1") == "%PDF-1.5\n")
+      val got = Pdf.extractText(pdf).get
+      val want = pages.map { case (h, b) => s"$h $b" }.mkString("\n")
+      assert(got == want, s"predictor=$pred")
+    }
+  }
+
+  test("classic and modern forms of the same document extract equally") {
+    val pages = Seq(("H1", "same content either way"),
+      ("H2", "pages two"))
+    val classic = Pdf.extractText(Pdf.build(pages, flate = true)).get
+    val modern = Pdf.extractText(
+      Pdf.buildModern(pages, xrefPredictor = true)).get
+    assert(classic == modern)
+  }
+
+  test("modern-form mutation fuzz never throws") {
+    val good = Pdf.buildModern(Seq(("A", "fuzz body")),
+      xrefPredictor = true)
+    val rnd = new scala.util.Random(0x5df)
+    for (_ <- 0 until 1500) {
+      val bad = good.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      Pdf.extractText(bad) // must not throw
+    }
+    for (n <- 0 until good.length by 5)
+      Pdf.extractText(good.take(n))
+  }
+
   test("rejections: encryption, xref streams, unknown filters") {
     val good = Pdf.build(Seq(("H", "body text")), flate = false)
     val s = new String(good, "ISO-8859-1")
