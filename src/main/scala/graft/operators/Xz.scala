@@ -236,8 +236,11 @@ object Xz {
     * (the whole output so far; dictStart marks the reset origin). */
   private def lzmaDecode(r: RangeDec, st: LzmaState, dict: FrameBuf,
       dictStart: Int, unpacked: Int): Boolean = {
-    val limit = dict.len + unpacked
-    if (!dict.ensure(unpacked)) return false
+    // unpacked < 0 = size unknown (the .lzma-alone EOS-terminated
+    // form): the limit is the buffer cap and the EOS marker ends it
+    val known = unpacked >= 0
+    val limit = if (known) dict.len + unpacked else dict.cap
+    if (known && !dict.ensure(unpacked)) return false
     val pbMask = (1 << st.pb) - 1
     val lpMask = (1 << st.lp) - 1
     while (dict.len < limit && r.ok) {
@@ -267,6 +270,7 @@ object Xz {
         }
         while (sym < 0x100) sym = (sym << 1) | r.decodeBit(st.lit,
           litState + sym)
+        if (!known && !dict.ensure(1)) return false
         dict.a(dict.len) = sym.toByte
         dict.len += 1
         st.state = if (st.state < 4) 0 else if (st.state < 10)
@@ -292,7 +296,7 @@ object Xz {
             st.rep0 = dist
           }
           if (st.rep0 == 0xffffffff)
-            return r.ok && dict.len == limit // end-of-stream marker
+            return r.ok && (!known || dict.len == limit) // EOS marker
           st.state = if (st.state < 7) 7 else 10
         } else {
           // rep match: which of the four distances?
@@ -302,7 +306,8 @@ object Xz {
               // short rep: exactly one byte at rep0
               st.state = if (st.state < 7) 9 else 11
               val src = dict.len - st.rep0 - 1
-              if (src < dictStart || dict.len >= limit) return false
+              if (src < dictStart || dict.len >= limit ||
+                (!known && !dict.ensure(1))) return false
               dict.a(dict.len) = dict.a(src)
               dict.len += 1
               len = -1 // handled; skip the copy below
@@ -332,7 +337,8 @@ object Xz {
         }
         if (len > 0) {
           val src = dict.len - st.rep0 - 1
-          if (st.rep0 < 0 || src < dictStart || dict.len + len > limit)
+          if (st.rep0 < 0 || src < dictStart || dict.len + len > limit ||
+            (!known && !dict.ensure(len)))
             return false
           var s2 = src
           var k = 0
@@ -345,7 +351,7 @@ object Xz {
         }
       }
     }
-    r.ok && dict.len == limit
+    r.ok && (known && dict.len == limit) // unknown size REQUIRES EOS
   }
 
   // (FrameBuf shared shape with Zstd — local copy keeps the files
@@ -437,6 +443,38 @@ object Xz {
       } else return None
     }
     Some(p - off)
+  }
+
+  // ---------------------------------------------------------------
+  // LZMA-alone (.lzma — the legacy single-stream container)
+  // ---------------------------------------------------------------
+
+  /** Decode a legacy `.lzma` file: 13-byte header (props byte,
+    * dictionary size LE32, uncompressed size LE64 — all-ones =
+    * unknown, EOS-terminated) + one raw LZMA stream. None on any
+    * malformation or output beyond maxOut. */
+  def decodeAlone(data: Array[Byte], maxOut: Int = 1 << 26)
+      : Option[Array[Byte]] = {
+    if (data.length < 13 + 5) return None
+    val props = data(0) & 0xff
+    if (props >= 225) return None
+    val lc = props % 9
+    val lp = (props / 9) % 5
+    val pb = props / 45
+    if (lc + lp > 4) return None
+    var size = 0L
+    var i = 0
+    while (i < 8) { size |= (data(5 + i) & 0xffL) << (8 * i); i += 1 }
+    val known = size != -1L
+    if (known && (size < 0 || size > maxOut)) return None
+    val out = new FrameBuf(if (known) size.toInt + 16 else 1 << 12,
+      maxOut)
+    val st = new LzmaState(lc, lp, pb)
+    val r = new RangeDec(data, 13, data.length)
+    if (!r.ok) return None
+    if (!lzmaDecode(r, st, out, 0, if (known) size.toInt else -1))
+      return None
+    Some(java.util.Arrays.copyOf(out.a, out.len))
   }
 
   // ---------------------------------------------------------------

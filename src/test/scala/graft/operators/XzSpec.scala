@@ -99,6 +99,33 @@ class XzSpec extends AnyFunSuite {
     assert(got.isDefined && got.get.sameElements(data))
   }
 
+  test("differential: legacy .lzma (tukaani LZMAOutputStream) decodes") {
+    for (data <- fixtures if data.nonEmpty) {
+      // known-size header (no EOS marker)
+      val b1 = new java.io.ByteArrayOutputStream()
+      val z1 = new org.tukaani.xz.LZMAOutputStream(b1,
+        new org.tukaani.xz.LZMA2Options(4), data.length.toLong)
+      z1.write(data); z1.close()
+      val got1 = Xz.decodeAlone(b1.toByteArray)
+      assert(got1.isDefined && got1.get.sameElements(data),
+        s"known-size .lzma failed (${data.length} bytes)")
+      // unknown-size header (EOS-terminated)
+      val b2 = new java.io.ByteArrayOutputStream()
+      val z2 = new org.tukaani.xz.LZMAOutputStream(b2,
+        new org.tukaani.xz.LZMA2Options(4), -1L)
+      z2.write(data); z2.close()
+      val got2 = Xz.decodeAlone(b2.toByteArray)
+      assert(got2.isDefined && got2.get.sameElements(data),
+        s"EOS-terminated .lzma failed (${data.length} bytes)")
+    }
+    // garbage fuzz on the alone form
+    val rnd = new scala.util.Random(0x17a)
+    for (_ <- 0 until 2000) {
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      Xz.decodeAlone(junk)
+    }
+  }
+
   test("concatenated streams with 4-byte stream padding") {
     val a = xzCompress("first ".getBytes, 6)
     val b = Xz.encodeStore("second".getBytes)
