@@ -465,10 +465,61 @@ object Zstd {
   // Frame decoding
   // ---------------------------------------------------------------
 
+  /** A parsed zstd dictionary (RFC 8878 §5): entropy tables +
+    * repeated offsets + history content. A RAW-CONTENT dictionary
+    * (no magic) carries content only. */
+  final class Dict private[Zstd] (private[Zstd] val id: Long,
+      private[Zstd] val huf: HufTable, private[Zstd] val ll: FseTable,
+      private[Zstd] val ml: FseTable, private[Zstd] val of: FseTable,
+      private[Zstd] val reps: Array[Long],
+      private[Zstd] val content: Array[Byte])
+
+  /** Parse a dictionary blob: the structured format behind magic
+    * 0xEC30A437, or anything else as a raw-content dictionary. */
+  def parseDict(b: Array[Byte]): Option[Dict] = {
+    if (b.length > (1 << 24)) return None // dictionary bomb guard
+    val hasMagic = b.length >= 8 && (b(0) & 0xff) == 0x37 &&
+      (b(1) & 0xff) == 0xa4 && (b(2) & 0xff) == 0x30 &&
+      (b(3) & 0xff) == 0xec
+    if (!hasMagic)
+      return Some(new Dict(0L, null, null, null, null,
+        Array(1L, 4L, 8L), b))
+    val id = le32(b, 4)
+    var off = 8
+    val (huf, used) = readHufTree(b, off, b.length).getOrElse(return None)
+    off += used
+    def fse(maxSym: Int, maxLog: Int): Option[FseTable] = {
+      val f = new FwdBits(b, off, b.length)
+      readNCount(f, maxSym, maxLog).flatMap { case (norm, log) =>
+        off += f.byteLen
+        fseTable(norm, log)
+      }
+    }
+    val of_ = fse(31, 8).getOrElse(return None)
+    val ml_ = fse(52, 9).getOrElse(return None)
+    val ll_ = fse(35, 9).getOrElse(return None)
+    if (off + 12 > b.length) return None
+    val reps = Array(le32(b, off), le32(b, off + 4), le32(b, off + 8))
+    off += 12
+    val content = java.util.Arrays.copyOfRange(b, off, b.length)
+    if (reps.exists(r => r <= 0 || r > content.length + 1)) return None
+    Some(new Dict(id, huf, ll_, ml_, of_, reps, content))
+  }
+
   /** Decompress a .zst file: every frame (skippables skipped),
-    * outputs concatenated. None on any malformation, dictionary
-    * requirement, checksum mismatch, or output beyond `maxOut`. */
-  def decode(data: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    * outputs concatenated. None on any malformation, a dictionary
+    * requirement this call can't meet, checksum mismatch, or output
+    * beyond `maxOut`. */
+  def decode(data: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] =
+    decodeDict(data, None, maxOut)
+
+  /** [[decode]] with a dictionary (structured or raw-content). */
+  def decodeWithDict(data: Array[Byte], dict: Array[Byte],
+      maxOut: Int = 1 << 26): Option[Array[Byte]] =
+    parseDict(dict).flatMap(d => decodeDict(data, Some(d), maxOut))
+
+  private def decodeDict(data: Array[Byte], dict: Option[Dict],
+      maxOut: Int): Option[Array[Byte]] = {
     if (data.isEmpty) return None
     val out = new java.io.ByteArrayOutputStream()
     var off = 0
@@ -480,7 +531,8 @@ object Zstd {
         if (off + 8 + sz > data.length) return None
         off = off + 8 + sz.toInt
       } else {
-        off = decodeFrame(data, off, out, maxOut).getOrElse(return None)
+        off = decodeFrame(data, off, out, maxOut, dict)
+          .getOrElse(return None)
         sawFrame = true
       }
     }
@@ -489,7 +541,8 @@ object Zstd {
 
   /** One zstd frame at `off`; appends to `out`, returns next offset. */
   private def decodeFrame(data: Array[Byte], off0: Int,
-      out: java.io.ByteArrayOutputStream, maxOut: Int): Option[Int] = {
+      out: java.io.ByteArrayOutputStream, maxOut: Int,
+      dict: Option[Dict]): Option[Int] = {
     var p = off0
     if (p + 4 > data.length ||
       !isZstd(java.util.Arrays.copyOfRange(data, p, p + 4))) return None
@@ -516,7 +569,10 @@ object Zstd {
     var i = 0
     while (i < dictBytes) { dictId |= (data(p + i) & 0xffL) << (8 * i); i += 1 }
     p += dictBytes
-    if (dictId != 0) return None // dictionaries unsupported by policy
+    // a frame naming a dictionary needs one with the matching id
+    // (raw-content dictionaries carry id 0 and match any frame)
+    if (dictId != 0 && !dict.exists(d => d.id == 0 || d.id == dictId))
+      return None
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2
@@ -540,15 +596,20 @@ object Zstd {
     val blockMax = math.min(if (window > 0) window else (1L << 17), 1L << 17).toInt
 
     // frame-local output in ONE growable array: matches may reach
-    // anywhere in the frame, so history and current block share it
+    // anywhere in the frame (and into the dictionary content, which
+    // seeds the buffer as history), so everything shares it
+    val dictLen = dict.map(_.content.length).getOrElse(0)
     val frame = new FrameBuf(
-      if (contentSize >= 0) contentSize.toInt + 16 else 1 << 16,
-      maxOut - out.size())
-    var hufPrev: HufTable = null
-    var llPrev: FseTable = null
-    var mlPrev: FseTable = null
-    var ofPrev: FseTable = null
-    val rep = Array(1L, 4L, 8L)
+      (if (contentSize >= 0) contentSize.toInt + 16 else 1 << 16) +
+        dictLen,
+      math.max(maxOut - out.size(), 0) + dictLen)
+    dict.foreach(d => frame.write(d.content, 0, d.content.length))
+    val base = frame.len // history/output boundary
+    var hufPrev: HufTable = dict.map(_.huf).orNull
+    var llPrev: FseTable = dict.map(_.ll).orNull
+    var mlPrev: FseTable = dict.map(_.ml).orNull
+    var ofPrev: FseTable = dict.map(_.of).orNull
+    val rep = dict.map(_.reps.clone()).getOrElse(Array(1L, 4L, 8L))
 
     var last = false
     while (!last) {
@@ -581,15 +642,16 @@ object Zstd {
         case _ => return None // reserved
       }
     }
-    if (contentSize >= 0 && frame.len != contentSize) return None
+    val produced = frame.len - base
+    if (contentSize >= 0 && produced != contentSize) return None
     if (hasChecksum) {
       if (p + 4 > data.length) return None
       val want = le32(data, p)
       p += 4
-      if ((xxh64(frame.a, 0, frame.len) & 0xffffffffL) != want)
+      if ((xxh64(frame.a, base, produced) & 0xffffffffL) != want)
         return None
     }
-    out.write(frame.a, 0, frame.len)
+    out.write(frame.a, base, produced)
     Some(p)
   }
 

@@ -115,18 +115,54 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(a :+ 0x00.toByte).isEmpty)
   }
 
-  test("dictionary frames reject (unsupported by policy)") {
-    val cdict = new com.github.luben.zstd.ZstdDictTrainer(1 << 16, 1 << 12)
+  test("differential: trained-dictionary frames decode with the dict") {
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 16, 1 << 12)
     for (i <- 0 until 64)
-      cdict.addSample(s"sample text number $i with shared structure"
+      trainer.addSample(s"sample text number $i with shared structure"
         .getBytes)
-    val dict = cdict.trainSamples()
+    val dict = trainer.trainSamples()
+    assert(Zstd.parseDict(dict).isDefined, "trained dict must parse")
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     ctx.setLevel(3)
     ctx.loadDict(dict)
-    val comp = ctx.compress("sample text number 99 with shared structure"
-      .getBytes)
-    assert(Zstd.decode(comp).isEmpty, "dictionary frame must reject")
+    for (i <- Seq(99, 7, 1000)) {
+      val data = (s"sample text number $i with shared structure " +
+        "and a longer tail so matches reach into the dictionary " * 3)
+        .getBytes
+      val comp = ctx.compress(data)
+      // without the dictionary: reject (the frame names a dict id)
+      assert(Zstd.decode(comp).isEmpty,
+        "dictionary frame must reject without the dictionary")
+      // with it: decode exactly
+      val got = Zstd.decodeWithDict(comp, dict)
+      assert(got.isDefined && got.get.sameElements(data),
+        s"dictionary decode failed for sample $i")
+    }
+    // dictionary mutation fuzz: a corrupted dict must never make
+    // decodeWithDict throw (reject or decode-exact are both fine —
+    // content-region corruption changes history bytes, which the
+    // frame checksum then catches when present)
+    val rnd = new scala.util.Random(0xd1c7)
+    val data = "sample text number 5 with shared structure".getBytes
+    val comp = ctx.compress(data)
+    for (_ <- 0 until 800) {
+      val bad = dict.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      Zstd.decodeWithDict(comp, bad) // must not throw
+    }
+  }
+
+  test("raw-content dictionaries work as history") {
+    val dictContent =
+      "the quick brown fox jumps over the lazy dog repeatedly".getBytes
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(19)
+    ctx.loadDict(dictContent) // zstd-jni auto-detects raw content
+    val data = ("the quick brown fox jumps over the lazy dog " * 4)
+      .getBytes
+    val comp = ctx.compress(data)
+    val got = Zstd.decodeWithDict(comp, dictContent)
+    assert(got.isDefined && got.get.sameElements(data))
   }
 
   test("mutation fuzz: single-byte corruptions reject or decode exactly") {
