@@ -6927,6 +6927,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** 7z archive walk (operators/SevenZ): 8-document archives — a
+    * `{id}.txt` per doc plus one `{shard}.meta` — written by
+    * commons-compress (which runs LZMA2 through the same bundled
+    * tukaani our decoder replaces; content method rotates LZMA2/COPY
+    * by shard), read back by OUR pure-JVM header walk + LZMA core,
+    * every per-substream CRC verified. Facts are codec-independent
+    * (true size, md5 of the EXTRACTED content), so the oracle
+    * predicts them from `documents` without touching a compressed
+    * byte. Same shuffle shape as tar_parse. */
+  private def sevenzParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        import org.apache.commons.compress.archivers.sevenz._
+        val docs = it.toSeq.sortBy(_._2)
+        val tmp = java.nio.file.Files.createTempFile("gsz", ".7z")
+        val arch =
+          try {
+            val w = new SevenZOutputFile(tmp.toFile)
+            w.setContentCompression(
+              if (sid % 2 == 0) SevenZMethod.LZMA2 else SevenZMethod.COPY)
+            (docs.map { case (_, id, t) =>
+              (s"$id.txt", t.getBytes("UTF-8"))
+            } :+ (f"$sid%06d.meta",
+              s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8")))
+              .foreach { case (name, content) =>
+                val e = new SevenZArchiveEntry()
+                e.setName(name)
+                e.setSize(content.length.toLong)
+                w.putArchiveEntry(e)
+                w.write(content)
+                w.closeArchiveEntry()
+              }
+            w.finish(); w.close()
+            java.nio.file.Files.readAllBytes(tmp)
+          } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+        graft.operators.SevenZ.parseWithData(arch)
+          .getOrElse(sys.error(s"7z walk rejected shard $sid"))
+          .collect { case (e, _) if e.name.endsWith(".txt") =>
+            (e.name.stripSuffix(".txt").toLong, sid,
+              if (sid % 2 == 0) "lzma2" else "copy", e.size, e.md5)
+          }
+      }
+      .toDF("doc_id", "shard_id", "method", "size", "md5")
+      .orderBy("doc_id")
+  }
+
   /** zstd-jni compresses 8-doc JSONL shards, OUR decoder reads; lang
     * is omitted from every 7th line (NULL on both sides). */
   private def jsonlZstOracleSql: String =
@@ -8068,6 +8118,7 @@ object Pipeline {
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
+    "sevenz_parse"      -> sevenzParse _,
     "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
     "tfrecord_parse_files" -> tfrecordParseFiles _,
@@ -9989,6 +10040,18 @@ object Pipeline {
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,
+    "sevenz_parse" -> {
+      // commons-compress writes (LZMA2/COPY by shard parity), OUR
+      // header walk + LZMA core reads; facts are codec-independent
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'lzma2' ELSE 'copy' END
+        |    AS method,
+        |  strlen(text) AS size, md5(text) AS md5
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     // same facts through the written .zip fixture tree + binaryFile
     "zip_parse_files" -> zipParseOracleSql,
     // Avro container: every fact re-derived from PARSED values, so

@@ -356,7 +356,7 @@ object Xz {
 
   // (FrameBuf shared shape with Zstd — local copy keeps the files
   // independent)
-  private final class FrameBuf(initial: Int, capIn: Int) {
+  private[operators] final class FrameBuf(initial: Int, capIn: Int) {
     val cap: Int = math.max(capIn, 0)
     var a = new Array[Byte](
       math.max(16, math.min(math.max(initial, 16), math.max(cap, 16))))
@@ -383,7 +383,7 @@ object Xz {
 
   /** Decode an LZMA2 sequence at [off, end); appends to `out`.
     * Returns bytes consumed on success. */
-  private def lzma2Decode(b: Array[Byte], off: Int, end: Int,
+  private[operators] def lzma2Decode(b: Array[Byte], off: Int, end: Int,
       out: FrameBuf): Option[Int] = {
     var p = off
     var st: LzmaState = null
@@ -475,6 +475,21 @@ object Xz {
     if (!lzmaDecode(r, st, out, 0, if (known) size.toInt else -1))
       return None
     Some(java.util.Arrays.copyOf(out.a, out.len))
+  }
+
+  /** Decode one RAW LZMA stream (the 7z coder shape): `props` is the
+    * (pb·5+lp)·9+lc byte, the packed bytes live in [off, end), and
+    * exactly `unpacked` bytes are produced into `out`. */
+  private[operators] def lzmaRawDecode(b: Array[Byte], off: Int,
+      end: Int, props: Int, out: FrameBuf, unpacked: Int): Boolean = {
+    if (props >= 225 || unpacked < 0) return false
+    val lc = props % 9
+    val lp = (props / 9) % 5
+    val pb = props / 45
+    if (lc + lp > 4) return false
+    val st = new LzmaState(lc, lp, pb)
+    val r = new RangeDec(b, off, end)
+    r.ok && lzmaDecode(r, st, out, out.len, unpacked)
   }
 
   // ---------------------------------------------------------------
