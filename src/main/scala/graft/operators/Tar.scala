@@ -154,17 +154,25 @@ object Tar {
     out.toByteArray
   }
 
-  /** Walk an archive: verify each header checksum, read the octal
-    * size, emit entry facts; the walk ends at the zero terminator, a
-    * failed checksum, a bad magic, or truncation. */
+  /** Walk an archive: verify each header checksum, read the size
+    * (octal OR GNU base-256 for >8 GiB fields), emit FILE entry
+    * facts; the walk ends at the zero terminator, a failed checksum,
+    * a bad magic, or truncation. Real-tarball metadata is handled,
+    * not mis-read as files: PAX extended headers (`x` — `path` and
+    * `size` records override the next entry; `g` globals skip), GNU
+    * long names (`L`), the ustar `prefix` field, and non-file
+    * typeflags (directories, links, devices) are consumed silently.
+    * Both POSIX (`ustar\0`) and GNU (`ustar  `) magics accepted. */
   def parse(data: Array[Byte]): Seq[TarEntry] = {
     val out = Seq.newBuilder[TarEntry]
     var p = 0
     var ok = true
+    var pendingName: String = null
+    var pendingSize: Long = -1L
     while (ok && p + Block <= data.length) {
       if (data.slice(p, p + Block).forall(_ == 0)) ok = false // terminator
       else {
-        val magic = cString(data, p + 257, 6)
+        val magic = cString(data, p + 257, 6).trim
         val stored = octal(data, p + 148, 8)
         var sum = 0L
         var i = 0
@@ -173,13 +181,67 @@ object Tar {
             else data(p + i) & 0xff)
           i += 1
         }
-        val size = octal(data, p + 124, 12)
+        // GNU base-256: high bit of the size field's first byte
+        val size =
+          if ((data(p + 124) & 0x80) != 0) {
+            var v = (data(p + 124) & 0x7fL)
+            var k = 1
+            while (k < 12) { v = (v << 8) | (data(p + 124 + k) & 0xffL); k += 1 }
+            v
+          } else octal(data, p + 124, 12)
         if (magic != "ustar" || stored != sum || size < 0 ||
           p + Block + size > data.length) ok = false
         else {
-          out += TarEntry(cString(data, p, 100), size,
-            md5hex(data, p + Block, size.toInt), p + Block)
-          p += Block + ((size + Block - 1) / Block * Block).toInt
+          val flag = data(p + 156).toChar
+          var advance = size // PAX size overrides the data length too
+          flag match {
+            case '0' | '\u0000' | '7' => // regular file
+              val prefix = cString(data, p + 345, 155)
+              val base = cString(data, p, 100)
+              val name =
+                if (pendingName != null) pendingName
+                else if (prefix.nonEmpty) s"$prefix/$base"
+                else base
+              val sz = if (pendingSize >= 0) pendingSize else size
+              advance = sz
+              if (p + Block + sz > data.length) ok = false
+              else out += TarEntry(name, sz,
+                md5hex(data, p + Block, sz.toInt), p + Block)
+              pendingName = null
+              pendingSize = -1L
+            case 'L' => // GNU long name: applies to the NEXT entry
+              pendingName = cString(data, p + Block, size.toInt)
+            case 'x' => // PAX extended header: "len key=value\n"
+              val body = new String(data, p + Block, size.toInt,
+                "UTF-8")
+              var q = 0
+              while (q < body.length && ok) {
+                val sp = body.indexOf(' ', q)
+                if (sp < 0) ok = false
+                else body.substring(q, sp).toIntOption match {
+                  case Some(recLen) if recLen > 0 &&
+                      q + recLen <= body.length &&
+                      body.charAt(q + recLen - 1) == '\n' =>
+                    val rec = body.substring(sp + 1, q + recLen - 1)
+                    val eq = rec.indexOf('=')
+                    if (eq > 0) rec.substring(0, eq) match {
+                      case "path" => pendingName = rec.substring(eq + 1)
+                      case "size" =>
+                        pendingSize = rec.substring(eq + 1).toLongOption
+                          .getOrElse(-1L)
+                        if (pendingSize < 0) ok = false
+                      case _ => // mtime/uid/...: irrelevant to facts
+                    }
+                    q += recLen
+                  case _ => ok = false
+                }
+              }
+            case 'g' => // PAX globals: consumed, not applied
+            case _ => // dirs/links/devices: consume, never a file row
+              pendingName = null
+              pendingSize = -1L
+          }
+          p += Block + ((advance + Block - 1) / Block * Block).toInt
         }
       }
     }
