@@ -6945,27 +6945,34 @@ object Pipeline {
       .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
         import org.apache.commons.compress.archivers.sevenz._
         val docs = it.toSeq.sortBy(_._2)
-        val tmp = java.nio.file.Files.createTempFile("gsz", ".7z")
-        val arch =
-          try {
-            val w = new SevenZOutputFile(tmp.toFile)
-            w.setContentCompression(
-              if (sid % 2 == 0) SevenZMethod.LZMA2 else SevenZMethod.COPY)
-            (docs.map { case (_, id, t) =>
-              (s"$id.txt", t.getBytes("UTF-8"))
-            } :+ (f"$sid%06d.meta",
-              s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8")))
-              .foreach { case (name, content) =>
-                val e = new SevenZArchiveEntry()
-                e.setName(name)
-                e.setSize(content.length.toLong)
-                w.putArchiveEntry(e)
-                w.write(content)
-                w.closeArchiveEntry()
-              }
-            w.finish(); w.close()
-            java.nio.file.Files.readAllBytes(tmp)
-          } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+        // in-memory channel (no temp files) + a SHARD-SIZED LZMA2
+        // dictionary: the default preset allocates a ~40 MB match
+        // finder PER SHARD (the tarParseXz lesson — 183 s vs ~3 s)
+        val chan = new org.apache.commons.compress.utils
+          .SeekableInMemoryByteChannel()
+        val arch = {
+          val w = new SevenZOutputFile(chan)
+          if (sid % 2 == 0) {
+            val opt = new org.tukaani.xz.LZMA2Options(3)
+            opt.setDictSize(1 << 16)
+            w.setContentMethods(java.util.Collections.singletonList(
+              new SevenZMethodConfiguration(SevenZMethod.LZMA2, opt)))
+          } else w.setContentCompression(SevenZMethod.COPY)
+          (docs.map { case (_, id, t) =>
+            (s"$id.txt", t.getBytes("UTF-8"))
+          } :+ (f"$sid%06d.meta",
+            s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8")))
+            .foreach { case (name, content) =>
+              val e = new SevenZArchiveEntry()
+              e.setName(name)
+              e.setSize(content.length.toLong)
+              w.putArchiveEntry(e)
+              w.write(content)
+              w.closeArchiveEntry()
+            }
+          w.finish(); w.close()
+          java.util.Arrays.copyOf(chan.array(), chan.size().toInt)
+        }
         graft.operators.SevenZ.parseWithData(arch)
           .getOrElse(sys.error(s"7z walk rejected shard $sid"))
           .collect { case (e, _) if e.name.endsWith(".txt") =>

@@ -87,6 +87,8 @@ object Multimodal {
     else if (ascii(0, "YUV4MPEG2 ")) "video/x-yuv4mpeg"
     else if (ascii(0, "WEBVTT")) "text/vtt"
     else if (ascii(0, "%PDF-")) "application/pdf"
+    else if (ascii(0, "7z") && at(2) == 0xbc && at(3) == 0xaf &&
+      at(4) == 0x27 && at(5) == 0x1c) "application/x-7z-compressed"
     else "application/octet-stream"
   }
 

@@ -39,6 +39,8 @@ class SniffSpec extends AnyFunSuite {
       Seq(("", 0L, 1000L, "", "x"))).getBytes("UTF-8")) == "text/vtt")
     assert(M.sniffKind(Pdf.build(Seq(("H", "pdf body")),
       flate = false)) == "application/pdf")
+    assert(M.sniffKind("7z".getBytes ++ Array[Byte](0xbc.toByte,
+      0xaf.toByte, 0x27, 0x1c)) == "application/x-7z-compressed")
   }
 
   test("short, empty and text buffers fall through") {
