@@ -6984,6 +6984,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** MIME email round trip (operators/Mime): each doc becomes a
+    * multipart/mixed message — the WHOLE text as a quoted-printable
+    * text/plain part, a 10-char slice wrapped in HTML as a base64
+    * text/html part, an attachment on every 3rd doc — built, parsed
+    * back through the real header/multipart/transfer-decoding walk,
+    * and the html part additionally runs the HtmlText extractor. The
+    * oracle reconstructs every fact analytically, so QP escaping,
+    * base64 wrapping, boundary framing and header folding must all
+    * be value-transparent. Pure map pass. */
+  private def emlParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val st = (id * 3 % t.length).toInt
+        val slice = t.substring(st, math.min(st + 10, t.length))
+        val att =
+          if (id % 3 == 0) Seq(("a.bin",
+            t.substring(0, math.min(16, t.length)).getBytes("UTF-8")))
+          else Seq.empty
+        val raw = graft.operators.Mime.buildMessage(
+          s"doc$id@corpus", s"Doc $id", t, s"<p>$slice</p>", att,
+          s"B$id")
+        val m = graft.operators.Mime.parseMessage(raw)
+        val plain = m.parts.find(_.mediaType == "text/plain")
+          .getOrElse(sys.error(s"no plain part for $id"))
+        val html = m.parts.find(_.mediaType == "text/html")
+          .getOrElse(sys.error(s"no html part for $id"))
+        val attBytes = m.parts
+          .filter(_.mediaType == "application/octet-stream")
+          .map(_.data.length.toLong).sum
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (id, m.header("Subject").contains(s"Doc $id"),
+          m.parts.length,
+          plain.text.length.toLong,
+          d.digest(plain.text.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString,
+          graft.operators.HtmlText.extractText(html.text),
+          attBytes)
+      }
+      .toDF("doc_id", "subject_ok", "n_parts", "plain_len",
+        "plain_md5", "html_text", "att_bytes")
+      .orderBy("doc_id")
+  }
+
   /** zstd-jni compresses 8-doc JSONL shards, OUR decoder reads; lang
     * is omitted from every 7th line (NULL on both sides). */
   private def jsonlZstOracleSql: String =
@@ -8126,6 +8171,7 @@ object Pipeline {
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
+    "eml_parse"         -> emlParse _,
     "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
     "tfrecord_parse_files" -> tfrecordParseFiles _,
@@ -10047,6 +10093,24 @@ object Pipeline {
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,
+    "eml_parse" -> {
+      // QP/base64/multipart must be value-transparent: plain part ==
+      // the whole text; html slice at 3·id mod len; attachment on
+      // every 3rd doc carries min(16, len) bytes
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, TRUE AS subject_ok,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
+        |    AS n_parts,
+        |  CAST(len AS BIGINT) AS plain_len, md5(text) AS plain_md5,
+        |  trim(regexp_replace(
+        |    substr(text, CAST((doc_id * 3) % len AS INT) + 1, 10),
+        |    '\s+', ' ', 'g')) AS html_text,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN least(16, len) ELSE 0 END
+        |    AS BIGINT) AS att_bytes
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     "sevenz_parse" -> {
       // commons-compress writes (LZMA2/COPY by shard parity), OUR
       // header walk + LZMA core reads; facts are codec-independent
