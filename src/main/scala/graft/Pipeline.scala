@@ -7680,6 +7680,38 @@ object Pipeline {
   private def warcParseGzip(s: SparkSession, dir: String): DataFrame =
     warcParse(s, dir, gzip = true)
 
+  /** The `.warc.zst` twin (Common Crawl's newer transport): each
+    * record zstd-framed by zstd-jni (level 9 — real entropy coding),
+    * frames concatenated, OUR RFC 8878 decoder unwraps inside the
+    * record walk. Identical oracle — the transport must be invisible
+    * to every record fact. */
+  private def warcParseZst(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir).select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id / 16, id, com.github.luben.zstd.Zstd.compress(
+          graft.operators.Warc.buildRecord(
+            id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")),
+          9))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._2).foreach(r => out.write(r._3))
+        graft.operators.Warc.parseArchive(out.toByteArray)
+          .zipWithIndex.map { case (r, i) =>
+            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
+              aid, i.toLong, r.uri, r.warcType, r.contentLength,
+              r.httpStatus, r.bodyLen, r.bodyMd5)
+          }
+      }
+      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
+        "content_length", "http_status", "body_len", "body_md5")
+      .orderBy("doc_id")
+  }
+
   /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
     * containers cycling ALL THREE dimension-bearing chunk layouts by
     * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
@@ -8156,6 +8188,7 @@ object Pipeline {
     "warc_parse"        -> warcParsePlain _,
     "warc_cdx"          -> warcCdx _,
     "warc_parse_gzip"   -> warcParseGzip _,
+    "warc_parse_zst"    -> warcParseZst _,
     "warc_parse_files"  -> warcParseFiles _,
     "tar_parse"         -> tarParse _,
     "tar_parse_gz"      -> tarParseGz _,
@@ -9993,6 +10026,22 @@ object Pipeline {
     "warc_parse_gzip" -> {
       // identical facts — the per-record-gzip-member layout must be
       // transparent to the record walk
+      """SELECT doc_id,
+        |  doc_id // 16 AS arch_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
+        |    - 1 AS rec_pos,
+        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
+        |    AS content_length,
+        |  CAST(200 AS INT) AS http_status,
+        |  strlen(text) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "warc_parse_zst" -> {
+      // identical facts — the per-record zstd-frame layout (the
+      // Common Crawl .warc.zst shape) must be transparent too
       """SELECT doc_id,
         |  doc_id // 16 AS arch_id,
         |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)

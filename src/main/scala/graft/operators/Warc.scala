@@ -95,7 +95,14 @@ object Warc {
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
-      } else bytes
+      } else if (Zstd.isZstd(bytes))
+        // the `.warc.zst` layout (Common Crawl's newer transport):
+        // one zstd frame per record, frames concatenated — exactly
+        // the concatenated-frame shape operators/Zstd decodes.
+        // Dictionary-bearing variants reject there (no dict supplied),
+        // which ends the walk with zero records — drop, never invent.
+        Zstd.decode(bytes).getOrElse(Array.emptyByteArray)
+      else bytes
     val recs = Seq.newBuilder[WarcRecord]
     var p = 0
     var ok = true
