@@ -524,31 +524,58 @@ object Bzip2 {
   }
 
   /** Rotation sort by prefix doubling: ranks over the block, doubled
-    * modulo n each round — O(n log² n), deterministic. */
+    * modulo n each round — O(n log² n), deterministic. Each round
+    * sorts ONE primitive long array (rank pair packed above a 24-bit
+    * index: 20+20+24 bits; blocks are ≤ 900 000 so every field fits)
+    * — java.util.Arrays.sort on longs, no boxing, ~4× the boxed
+    * sortBy this replaced (Bzip2PerfProbe pins the numbers). */
   private[operators] def rotationSort(b: Array[Byte]): Array[Int] = {
     val n = b.length
     if (n == 0) return Array.empty
-    var rank = b.map(_ & 0xff)
-    var sa = (0 until n).toArray
+    require(n < (1 << 24)) // blockMax is 900 000
+    var rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = b(i) & 0xff; i += 1 }
+    val packed = new Array[Long](n)
+    val sa = new Array[Int](n)
     var k = 1
     var distinct = false
     while (k < n && !distinct) {
-      val key = (i: Int) => (rank(i).toLong << 32) | rank((i + k) % n).toLong
-      sa = sa.sortBy(key)
-      val nr = new Array[Int](n)
-      nr(sa(0)) = 0
-      var i = 1
-      var r = 0
+      i = 0
       while (i < n) {
-        if (key(sa(i)) != key(sa(i - 1))) r += 1
-        nr(sa(i)) = r
+        val j = i + k
+        val r2 = rank(if (j >= n) j - n else j)
+        packed(i) = (rank(i).toLong << 44) | (r2.toLong << 24) | i.toLong
+        i += 1
+      }
+      java.util.Arrays.sort(packed)
+      val nr = new Array[Int](n)
+      var r = 0
+      sa(0) = (packed(0) & 0xffffff).toInt
+      nr(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        if ((packed(i) >>> 24) != (packed(i - 1) >>> 24)) r += 1
+        val idx = (packed(i) & 0xffffff).toInt
+        sa(i) = idx
+        nr(idx) = r
         i += 1
       }
       rank = nr
       distinct = r == n - 1
       k <<= 1
     }
-    if (!distinct) sa = sa.sortBy(i => rank(i)) // fully periodic block
+    if (!distinct) {
+      // fully periodic block: order by final rank, ties by index
+      i = 0
+      while (i < n) {
+        packed(i) = (rank(i).toLong << 24) | i.toLong
+        i += 1
+      }
+      java.util.Arrays.sort(packed)
+      i = 0
+      while (i < n) { sa(i) = (packed(i) & 0xffffff).toInt; i += 1 }
+    }
     sa
   }
 
