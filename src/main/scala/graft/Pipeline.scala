@@ -7029,6 +7029,148 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The composed DOCUMENT-ingest DAG — the document twin of
+    * media_ingest_dag and the capstone of the round-11 document
+    * wave: every doc becomes a REAL FILE in one of FIVE formats
+    * (PDF rotating classic/modern forms, EPUB, DOCX, MIME email,
+    * HTML — by doc_id mod 5), written once per corpus to a fixture
+    * tree, read back through the distributed binaryFile source,
+    * MAGIC-SNIFFED (PDF and the two ZIP-based formats verify their
+    * magic; eml/html route by extension, as real pipelines do), and
+    * extracted through the matching REAL extractor chain (Pdf walk,
+    * Zip+HtmlText, Mime+QP/base64, the HTML state machine). The
+    * oracle rebuilds every format's extracted text analytically with
+    * one CASE, so all five writer→parser→extractor stacks must be
+    * value-transparent at once. Per-file map work after the scan. */
+  private def docIngestDag(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = docFixtureRoot(s, dir)
+    docFileRows(
+      s.read.format("binaryFile").load(s"$root/doc-*")
+        .repartition(col("path"))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
+      .orderBy("doc_id")
+  }
+
+  /** Builds (idempotently) and returns the mixed-document fixture
+    * tree — shared with the streaming parity spec. */
+  private[graft] def docFixtureRoot(s: SparkSession, dir: String)
+      : String = {
+    val spark = s
+    import spark.implicits._
+    formatFixtureDir(dir, "docshard", "documents") { out =>
+      asciiDocs(s, dir)
+        .map { case (id, t) =>
+          val (ext, bytes) = buildDocFile(id, t)
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"doc-$id%08d.$ext"), bytes)
+          id
+        }
+        .count(): Unit
+    }
+  }
+
+  /** Shared sniff+dispatch+extract stage over (path, bytes) rows —
+    * reused verbatim by the batch and streaming paths. */
+  private[graft] def docFileRows(
+      files: org.apache.spark.sql.Dataset[(String, Array[Byte])])
+      : DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val id = name.stripPrefix("doc-").takeWhile(_.isDigit).toLong
+        val ext = name.substring(name.lastIndexOf('.') + 1)
+        val M = graft.operators.Multimodal
+        val extracted = ext match {
+          case "pdf" =>
+            require(M.sniffKind(bytes) == "application/pdf")
+            graft.operators.Pdf.extractText(bytes)
+              .getOrElse(sys.error(s"pdf rejected $id"))
+          case "epub" =>
+            require(M.sniffKind(bytes) == "application/zip")
+            graft.operators.Zip.parseWithData(bytes)
+              .filter(_._1.name.endsWith(".xhtml"))
+              .sortBy(_._1.name)
+              .map { case (_, c) => graft.operators.HtmlText
+                .extractText(new String(c, "UTF-8")) }
+              .mkString(" ")
+          case "docx" =>
+            require(M.sniffKind(bytes) == "application/zip")
+            graft.operators.Zip.parseWithData(bytes)
+              .collectFirst { case (e, c)
+                  if e.name == "word/document.xml" =>
+                graft.operators.HtmlText.extractText(
+                  new String(c, "UTF-8"))
+              }.getOrElse(sys.error(s"docx lost document.xml for $id"))
+          case "eml" =>
+            graft.operators.Mime
+              .parseMessage(new String(bytes, "ISO-8859-1"))
+              .parts.find(_.mediaType == "text/plain")
+              .map(_.text)
+              .getOrElse(sys.error(s"eml lost plain part for $id"))
+          case _ => // html
+            graft.operators.HtmlText.extractText(
+              new String(bytes, "UTF-8"))
+        }
+        (id, ext, extracted, extracted.length)
+      }
+      .toDF("doc_id", "fmt", "extracted", "n_chars")
+  }
+
+  /** One document file for [[docIngestDag]]: (extension, bytes),
+    * format by doc_id mod 5, each format reusing ITS standalone
+    * gate's fixture arithmetic so the oracle stays one CASE. */
+  private def buildDocFile(id: Long, t: String): (String, Array[Byte]) =
+    (id % 5) match {
+      case 0 => // PDF — the pdf_text_extract construction
+        val np = 1 + (t.length % 3)
+        val pages = (0 until np).map { j =>
+          val st = (j * 13) % t.length
+          (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
+        }
+        ("pdf",
+          if (id % 2 == 0) graft.operators.Pdf.build(pages, flate = true)
+          else graft.operators.Pdf.buildModern(pages,
+            xrefPredictor = id % 3 == 0))
+      case 1 => // EPUB — the epub_text_extract construction
+        val nch = 1 + (t.length % 3)
+        val chapters = (0 until nch).map { i =>
+          val st = (i * 7) % t.length
+          val slice = t.substring(st, math.min(st + 10, t.length))
+          (f"OEBPS/ch$i%03d.xhtml",
+            ("<?xml version=\"1.0\"?><html><body><h1>Ch " + i +
+              s"</h1><p>$slice</p></body></html>").getBytes("UTF-8"),
+            true)
+        }
+        ("epub", graft.operators.Zip.buildArchive(Seq(
+          ("mimetype", "application/epub+zip".getBytes("UTF-8"), false))
+          ++ chapters))
+      case 2 => // DOCX — the docx_text_extract construction
+        val np = 1 + (t.length % 4)
+        val paras = (0 until np).map { j =>
+          val st = (j * 11) % t.length
+          val slice = t.substring(st, math.min(st + 8, t.length))
+          s"<w:p><w:r><w:t>$slice</w:t></w:r></w:p>"
+        }
+        ("docx", graft.operators.Zip.buildArchive(Seq(
+          ("word/document.xml",
+            ("<?xml version=\"1.0\"?><w:document><w:body>" +
+              paras.mkString + "</w:body></w:document>")
+              .getBytes("UTF-8"), true))))
+      case 3 => // MIME email — plain part carries the WHOLE text
+        ("eml", graft.operators.Mime.buildMessage(
+          s"doc$id@corpus", s"Doc $id", t, "<p>x</p>", Seq.empty,
+          s"B$id").getBytes("ISO-8859-1"))
+      case _ => // HTML — the html_extract page construction
+        ("html",
+          (s"<html><body><h1>Doc $id</h1><h2>Header ${id % 10}</h2>" +
+            s"<p>$t</p></body></html>").getBytes("UTF-8"))
+    }
+
   /** zstd-jni compresses 8-doc JSONL shards, OUR decoder reads; lang
     * is omitted from every 7th line (NULL on both sides). */
   private def jsonlZstOracleSql: String =
@@ -8205,6 +8347,7 @@ object Pipeline {
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
     "eml_parse"         -> emlParse _,
+    "doc_ingest_dag"    -> docIngestDag _,
     "zip_parse_files"   -> zipParseFiles _,
     "tfrecord_parse"    -> tfrecordParse _,
     "tfrecord_parse_files" -> tfrecordParseFiles _,
@@ -10142,6 +10285,41 @@ object Pipeline {
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,
+    "doc_ingest_dag" -> {
+      // one CASE rebuilds every format's extracted text: pdf pages
+      // join with \n (byte-exact literal strings, no collapse), the
+      // html-derived formats collapse whitespace, eml is the raw text
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |e AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'epub' WHEN 2 THEN 'docx'
+        |    WHEN 3 THEN 'eml' ELSE 'html' END AS fmt,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN array_to_string(
+        |      list_transform(range(0, CAST(1 + len % 3 AS BIGINT)),
+        |        j -> 'Pg ' || j || ' ' ||
+        |          substr(text, CAST((j * 13) % len AS INT) + 1, 12)),
+        |      chr(10))
+        |    WHEN 1 THEN trim(regexp_replace(array_to_string(
+        |      list_transform(range(0, CAST(1 + len % 3 AS BIGINT)),
+        |        i -> 'Ch ' || i || ' ' ||
+        |          substr(text, CAST((i * 7) % len AS INT) + 1, 10)),
+        |      ' '), '\s+', ' ', 'g'))
+        |    WHEN 2 THEN trim(regexp_replace(array_to_string(
+        |      list_transform(range(0, CAST(1 + len % 4 AS BIGINT)),
+        |        j -> substr(text, CAST((j * 11) % len AS INT) + 1, 8)),
+        |      ' '), '\s+', ' ', 'g'))
+        |    WHEN 3 THEN text
+        |    ELSE trim(regexp_replace(
+        |      'Doc ' || doc_id || ' Header ' || (doc_id % 10) || ' '
+        |        || text, '\s+', ' ', 'g')) END AS extracted
+        |  FROM d)
+        |SELECT doc_id, fmt, extracted,
+        |  CAST(length(extracted) AS INT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin
+    },
     "eml_parse" -> {
       // QP/base64/multipart must be value-transparent: plain part ==
       // the whole text; html slice at 3·id mod len; attachment on
