@@ -7046,9 +7046,13 @@ object Pipeline {
     val spark = s
     import spark.implicits._
     val root = docFixtureRoot(s, dir)
+    // NO repartition here: unlike the 8-doc shard fixtures, this tree
+    // is per-document (12 500 tiny files at sf0.1) and binaryFile's
+    // partition packing already spreads them; a path repartition would
+    // shuffle every byte for nothing (measured: it was most of the
+    // query's 10 s)
     docFileRows(
       s.read.format("binaryFile").load(s"$root/doc-*")
-        .repartition(col("path"))
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])])
       .orderBy("doc_id")
