@@ -532,7 +532,11 @@ object Bzip2 {
   private[operators] def rotationSort(b: Array[Byte]): Array[Int] = {
     val n = b.length
     if (n == 0) return Array.empty
-    require(n < (1 << 24)) // blockMax is 900 000
+    // the packed-long layout is rank(20) | rank2(20) | idx(24): ranks
+    // must stay < 2^20 for the fields not to collide, so the guard
+    // protects THAT invariant, not just the 24-bit index (blockMax is
+    // 900 000, comfortably inside)
+    require(n <= (1 << 20))
     var rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = b(i) & 0xff; i += 1 }

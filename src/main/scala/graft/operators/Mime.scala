@@ -198,7 +198,25 @@ object Mime {
     val raw = headers.collectFirst {
       case (k, v) if k.equalsIgnoreCase("Content-Type") => v
     }.getOrElse("text/plain; charset=us-ascii")
-    val segs = raw.split(";").toSeq
+    // quote-aware ';' split: ';' is a tspecial, legal INSIDE a quoted
+    // parameter value per RFC 2045 — boundary="a;b" is one parameter,
+    // not two. Quoted-pair (\x) is honoured so \" does not end the
+    // quoted string.
+    val segsB = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (inQ && c == '\\' && i + 1 < raw.length) {
+        sb += c; sb += raw.charAt(i + 1); i += 1
+      } else if (c == '"') { inQ = !inQ; sb += c }
+      else if (c == ';' && !inQ) { segsB += sb.toString; sb.clear() }
+      else sb += c
+      i += 1
+    }
+    segsB += sb.toString
+    val segs = segsB.result()
     val mt = segs.head.trim.toLowerCase
     val params = segs.tail.flatMap { s =>
       val eq = s.indexOf('=')
@@ -206,8 +224,20 @@ object Mime {
       else {
         val k = s.substring(0, eq).trim.toLowerCase
         var v = s.substring(eq + 1).trim
-        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\"")) {
           v = v.substring(1, v.length - 1)
+          // undo quoted-pair escapes inside the quoted string
+          if (v.contains('\\')) {
+            val ub = new StringBuilder
+            var j = 0
+            while (j < v.length) {
+              if (v.charAt(j) == '\\' && j + 1 < v.length) {
+                ub += v.charAt(j + 1); j += 2
+              } else { ub += v.charAt(j); j += 1 }
+            }
+            v = ub.toString
+          }
+        }
         Some(k -> v)
       }
     }.toMap

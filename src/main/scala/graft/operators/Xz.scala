@@ -474,6 +474,12 @@ object Xz {
     if (!r.ok) return None
     if (!lzmaDecode(r, st, out, 0, if (known) size.toInt else -1))
       return None
+    // the stream must consume the whole file — trailing garbage after
+    // the LZMA payload rejects (the repo-wide trailing-bytes rule:
+    // Qoi, Msgpack, bzip2 all enforce it); EOS-terminated streams
+    // must additionally land with a zeroed range code
+    if (r.pos != data.length) return None
+    if (!known && !r.finishedOk) return None
     Some(java.util.Arrays.copyOf(out.a, out.len))
   }
 

@@ -129,10 +129,20 @@ object Zstd {
         v
       }
     }
+    /** Zero-fills past the limit instead of latching `ok` — readNCount
+      * peeks `nbBits` but may consume only `nbBits-1`, so a valid
+      * table ending exactly at the region boundary must not be
+      * rejected by the peek itself (the subsequent read/skip still
+      * bounds-checks what is actually consumed). */
     def peek(n: Int): Int = {
-      val save = pos
-      val v = read(n)
-      if (ok) pos = save
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val bit = pos + k
+        if (bit < lim)
+          v |= ((b(start + (bit >>> 3).toInt) >>> (bit & 7).toInt) & 1) << k
+        k += 1
+      }
       v
     }
     def skip(n: Int): Unit = { pos += n; if (pos > lim) ok = false }

@@ -95,4 +95,30 @@ class MimeSpec extends AnyFunSuite {
         "Content-Type: multipart/mixed; boundary=Q\n\n" + junk)
     }
   }
+
+  test("quoted boundary containing ';' (RFC 2045 tspecial) walks") {
+    // foreign mail: our builder never emits such boundaries, but ';'
+    // inside a QUOTED parameter value is legal and must not truncate
+    // the Content-Type parameter scan (r11 advice)
+    val raw =
+      "From: x@y.z\r\n" +
+      "Content-Type: multipart/mixed; boundary=\"a;b\"; charset=utf-8\r\n" +
+      "\r\n" +
+      "--a;b\r\n" +
+      "Content-Type: text/plain\r\n\r\n" +
+      "first part\r\n" +
+      "--a;b\r\n" +
+      "Content-Type: text/plain\r\n\r\n" +
+      "second part\r\n" +
+      "--a;b--\r\n"
+    val m = Mime.parseMessage(raw)
+    assert(m.parts.length == 2, s"expected 2 parts, got ${m.parts.length}")
+    assert(m.parts(0).text.trim == "first part")
+    assert(m.parts(1).text.trim == "second part")
+    // quoted-pair inside the quoted value must not end the string
+    val raw2 = "Content-Type: multipart/mixed; " +
+      "boundary=\"q\\\";x\"\r\n\r\n--q\";x\r\n\r\nbody\r\n--q\";x--\r\n"
+    val m2 = Mime.parseMessage(raw2)
+    assert(m2.parts.length == 1)
+  }
 }

@@ -173,4 +173,21 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.isXz(comp) && Xz.isXz(Xz.encodeStore("x".getBytes)))
     assert(!Xz.isXz("PK".getBytes))
   }
+
+  test(".lzma with trailing garbage rejects (whole-input rule)") {
+    // the repo-wide trailing-bytes discipline (Qoi, Msgpack, bzip2):
+    // a stream that does not consume the whole file is malformed
+    val data = ("the quick brown fox " * 40).getBytes
+    for (size <- Seq(data.length.toLong, -1L)) { // known + EOS forms
+      val b = new java.io.ByteArrayOutputStream()
+      val z = new org.tukaani.xz.LZMAOutputStream(b,
+        new org.tukaani.xz.LZMA2Options(4), size)
+      z.write(data); z.close()
+      val good = b.toByteArray
+      assert(Xz.decodeAlone(good).exists(_.sameElements(data)))
+      assert(Xz.decodeAlone(good ++ Array[Byte](0x42)).isEmpty,
+        s"trailing garbage accepted (size=$size)")
+      assert(Xz.decodeAlone(good ++ "junk".getBytes).isEmpty)
+    }
+  }
 }

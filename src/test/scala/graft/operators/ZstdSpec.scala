@@ -220,4 +220,30 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.isZstd(com.github.luben.zstd.Zstd.compress("x".getBytes, 1)))
     assert(!Zstd.isZstd("PK".getBytes))
   }
+
+  test("differential: 9 MiB at level 19 — long-range window matches") {
+    // r11 verdict #7: exercise window-wrap match copies well beyond
+    // the small fixtures. Level 19 on a multi-MiB input uses a large
+    // window (8 MiB class) and emits matches whose offsets reach
+    // megabytes back; the payload repeats a 1 MiB pseudo-random base
+    // with per-copy point mutations so long-range matches are the
+    // dominant encoding.
+    val rnd = new scala.util.Random(0xd1f5)
+    val base = Array.fill[Byte](1 << 20)(rnd.nextInt().toByte)
+    val out = new java.io.ByteArrayOutputStream(9 << 20)
+    for (copy <- 0 until 9) {
+      val blk = base.clone()
+      var i = 0
+      while (i < 64) { blk(rnd.nextInt(blk.length)) = rnd.nextInt().toByte
+        i += 1 }
+      out.write(blk, 0, if (copy == 8) blk.length / 3 else blk.length)
+    }
+    val data = out.toByteArray
+    assert(data.length > (8 << 20))
+    val comp = com.github.luben.zstd.Zstd.compress(data, 19)
+    assert(comp.length < data.length / 4) // long matches actually fired
+    val got = Zstd.decode(comp)
+    assert(got.isDefined, "level-19 large-window frame rejected")
+    assert(java.util.Arrays.equals(got.get, data))
+  }
 }
