@@ -4896,7 +4896,7 @@ object Pipeline {
   private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
     val root = mediaFixtureRoot(s, dir)
     parseMediaShardRows(
-      s.read.format("binaryFile").load(s"$root/shard-*")
+      s.read.format("binaryFile").option("pathGlobFilter", "shard-*").load(root)
         .repartition(col("path"))) // spread the packed small-file split
       .orderBy("media_id")
   }
@@ -6429,7 +6429,7 @@ object Pipeline {
         .count(): Unit
     }
     parseTarFileRows(
-      s.read.format("binaryFile").load(s"$root/*.tar")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(root)
         .repartition(col("path")))
       .orderBy("doc_id", "name")
   }
@@ -6601,7 +6601,7 @@ object Pipeline {
     import spark.implicits._
     val root = arrowFixtureRoot(s, dir)
     arrowShardRows(
-      s.read.format("binaryFile").load(s"$root/*.arrow")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(root)
         .repartition(col("path"))
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
@@ -6642,6 +6642,121 @@ object Pipeline {
           if (id % 11 == 10) lab.setNull(i)
           else lab.setSafe(i, s"label${id % 4}".getBytes("UTF-8"))
           sc.setSafe(i, t.length * 0.25)
+        }
+        root.setRowCount(docs.length)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          null, java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
+
+  /** Nested Arrow IPC decode (r12) — the shapes HuggingFace-datasets
+    * shards actually carry: a `list<int64>` token column (nullable at
+    * BOTH levels) and a `struct<n_chars,lang>` metadata column. The
+    * write side is arrow-java ListVector/StructVector; the read side
+    * is OUR recursive flatbuffer walker (operators/ArrowIpc), so list
+    * offsets, child validity bitmaps and struct child ordering must
+    * all be value-transparent. Every fact below is re-derived from
+    * DECODED nested values. Same shuffle shape as arrow_ipc_parse. */
+  private def arrowIpcNested(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    arrowNestedShards(s, dir)
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow nested parse rejected shard $sid"))
+        require(cols.map(_.tag) == Seq("int64", "list", "struct") &&
+          cols(1).children.map(_.tag) == Seq("int64") &&
+          cols(2).children.map(_.tag) == Seq("int64", "utf8"))
+        rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val toks = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
+          val st = r(2).get.asInstanceOf[Seq[Option[Any]]]
+          (id, sid,
+            toks.map(_.length.toLong),
+            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
+            toks.map(ts => ts.count(_.isEmpty).toLong),
+            st(1).map(_.asInstanceOf[String]),
+            st(0).get.asInstanceOf[Long])
+        }
+      }
+      .toDF("doc_id", "shard_id", "n_tokens", "token_sum", "null_tokens",
+        "lang", "meta_len")
+      .orderBy("doc_id")
+  }
+
+  /** The per-shard nested `.arrow` files: (shard_id, bytes). */
+  private def arrowNestedShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, t, lang) => (id / 8, id, t, lang) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        (sid, buildArrowNestedShard(docs.map {
+          case (_, id, t, l) => (id, t, l) }))
+      }
+  }
+
+  /** One 8-doc nested Arrow file via arrow-java: tokens are the word
+    * lengths of the whitespace split (element null when the length is
+    * a multiple of 5; whole list null every 13th doc), meta carries
+    * n_chars + lang (lang null every 11th doc — the label rule). */
+  private def buildArrowNestedShard(
+      docs: Seq[(Long, String, String)]): Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType, Schema => ASchema}
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
+    import scala.jdk.CollectionConverters._
+    def f(name: String, t: ArrowType, nullable: Boolean,
+        kids: Field*): Field =
+      new Field(name, new FieldType(nullable, t, null),
+        if (kids.isEmpty) null else kids.asJava)
+    val schema = new ASchema(Seq(
+      f("id", new ArrowType.Int(64, true), nullable = false),
+      f("tokens", ArrowType.List.INSTANCE, nullable = true,
+        f("item", new ArrowType.Int(64, true), nullable = true)),
+      f("meta", ArrowType.Struct.INSTANCE, nullable = false,
+        f("n_chars", new ArrowType.Int(64, true), nullable = false),
+        f("lang", ArrowType.Utf8.INSTANCE, nullable = true))).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector("id").asInstanceOf[BigIntVector]
+        val toks = root.getVector("tokens").asInstanceOf[ListVector]
+        val tokData = toks.getDataVector.asInstanceOf[BigIntVector]
+        val meta = root.getVector("meta").asInstanceOf[StructVector]
+        val mChars = meta.getChild("n_chars").asInstanceOf[BigIntVector]
+        val mLang = meta.getChild("lang").asInstanceOf[VarCharVector]
+        var off = 0
+        docs.zipWithIndex.foreach { case ((id, t, lang), i) =>
+          ids.setSafe(i, id)
+          if (id % 13 == 9) toks.setNull(i)
+          else {
+            toks.startNewValue(i)
+            val ws = t.split(" ").filter(_.nonEmpty)
+            ws.zipWithIndex.foreach { case (w, j) =>
+              if (w.length % 5 == 0) tokData.setNull(off + j)
+              else tokData.setSafe(off + j, w.length.toLong)
+            }
+            toks.endValue(i, ws.length)
+            off += ws.length
+          }
+          meta.setIndexDefined(i)
+          mChars.setSafe(i, t.length.toLong)
+          if (id % 11 == 10) mLang.setNull(i)
+          else mLang.setSafe(i, lang.getBytes("UTF-8"))
         }
         root.setRowCount(docs.length)
         val buf = new java.io.ByteArrayOutputStream()
@@ -6749,7 +6864,7 @@ object Pipeline {
     import spark.implicits._
     val root = jsonlZstFixtureRoot(s, dir)
     jsonlZstRows(
-      s.read.format("binaryFile").load(s"$root/*.zst")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.zst").load(root)
         .repartition(col("path"))
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
@@ -7052,7 +7167,7 @@ object Pipeline {
     // shuffle every byte for nothing (measured: it was most of the
     // query's 10 s)
     docFileRows(
-      s.read.format("binaryFile").load(s"$root/doc-*")
+      s.read.format("binaryFile").option("pathGlobFilter", "doc-*").load(root)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])])
       .orderBy("doc_id")
@@ -7426,7 +7541,7 @@ object Pipeline {
         .count(): Unit
     }
     parseZipFileRows(
-      s.read.format("binaryFile").load(s"$root/*.zip")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(root)
         .repartition(col("path")))
       .orderBy("doc_id", "name")
   }
@@ -7517,7 +7632,7 @@ object Pipeline {
         .count(): Unit
     }
     avroShardRows(
-      s.read.format("binaryFile").load(s"$root/*.avro")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(root)
         .repartition(col("path"))
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
@@ -7583,7 +7698,7 @@ object Pipeline {
         .count(): Unit
     }
     parseTfRecordFileRows(
-      s.read.format("binaryFile").load(s"$root/*.tfrecord")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.tfrecord").load(root)
         .repartition(col("path")))
       .orderBy("shard_id", "pos")
   }
@@ -7791,7 +7906,7 @@ object Pipeline {
     // parallelizes — on a real crawl the archives are ≥ 1 GB each and
     // arrive one-per-split, making this a no-op cost
     parseWarcFileRows(
-      s.read.format("binaryFile").load(s"$files/*.warc.gz")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz").load(files)
         .repartition(col("path")))
       .orderBy("doc_id")
   }
@@ -8347,6 +8462,7 @@ object Pipeline {
     "avro_parse"        -> avroParse _,
     "arrow_ipc_parse"   -> arrowIpcParse _,
     "arrow_ipc_files"   -> arrowIpcFiles _,
+    "arrow_ipc_nested"  -> arrowIpcNested _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -10436,6 +10552,31 @@ object Pipeline {
     "arrow_ipc_parse" -> arrowIpcOracleSql,
     // same facts through the written .arrow fixture tree + binaryFile
     "arrow_ipc_files" -> arrowIpcOracleSql,
+    // nested columns (list<int64> tokens + struct meta): every fact
+    // re-derived from OUR recursive decode of arrow-java output,
+    // predicted here straight from documents
+    "arrow_ipc_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id, lang, strlen(text) AS meta_len,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(list_sum(list_transform(
+        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
+        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
+        |    END AS token_sum,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
+        |      AS BIGINT) END AS null_tokens,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END AS lang,
+        |  CAST(meta_len AS BIGINT) AS meta_len
+        |FROM t ORDER BY doc_id""".stripMargin,
     // same facts through the written .avro fixture tree + binaryFile
     "avro_parse_files" -> avroParseOracleSql,
     "tfrecord_parse_files" -> {

@@ -11,12 +11,16 @@ package graft.operators
   * generated code, no flatbuffers runtime; the field slots below are
   * the public .fbs declaration orders.
   *
-  * Column-type subset — the tabular shard shape an ingest engine
+  * Column-type subset — the dataset shard shapes an ingest engine
   * routes (same policy cut as [[Avro]]): Bool, Int 8/16/32/64
   * signed/unsigned, Float32/64, Utf8, Binary, each nullable via the
-  * validity bitmap (LSB bit order per spec). Nested types (List/
-  * Struct/Map/Union), dictionary encoding, body compression and big-
-  * endian streams REJECT cleanly (None) — drop, never invent. Every
+  * validity bitmap (LSB bit order per spec), plus the two NESTED
+  * shapes real corpora carry — List (HuggingFace-datasets token
+  * columns are `list<int64>`) and Struct, recursive to depth 8,
+  * nullable at every level (list offsets verified monotone, child
+  * lengths verified against the final offset). Map/Union, dictionary
+  * encoding, body compression and big-endian streams REJECT cleanly
+  * (None) — drop, never invent. Every
   * structural invariant is checked: continuation marker, 8-byte
   * alignment, bodyLength bounds, node/buffer counts against the
   * schema's buffer layout, offsets monotonicity, null-count
@@ -123,11 +127,72 @@ object ArrowIpc {
   // ---------------------------------------------------------------
 
   /** One column: Arrow type folded to a tag — "bool", "int8/16/32/64",
-    * "uint8/16/32/64", "float32/64", "utf8", "binary". */
-  final case class Col(name: String, nullable: Boolean, tag: String)
+    * "uint8/16/32/64", "float32/64", "utf8", "binary", plus the two
+    * nested shapes real dataset shards carry: "list" (exactly one
+    * child — HuggingFace token columns are `list<int64>`) and
+    * "struct" (≥1 children). `children` is empty for scalars. */
+  final case class Col(name: String, nullable: Boolean, tag: String,
+      children: Seq[Col] = Nil)
 
-  /** Decoded value row: None = null (the [[Avro.Row]] convention). */
+  /** Decoded value row: None = null (the [[Avro.Row]] convention).
+    * A "list" value is a `Seq[Option[Any]]` of element values; a
+    * "struct" value is a `Seq[Option[Any]]` of field values in
+    * schema order. */
   type Row = Seq[Option[Any]]
+
+  private final val MaxNestDepth = 8
+
+  private def parseField(fb: Fb, ft: Int, depth: Int): Option[Col] = {
+    if (depth > MaxNestDepth) return None
+    // Field { name(0), nullable(1), type_type(2), type(3),
+    //         dictionary(4), children(5) }
+    val name = fb.str(fb.fieldRef(ft, 0)).getOrElse(return None)
+    val nullable = fb.fieldBool(ft, 1, dflt = false)
+    if (fb.field(ft, 4) >= 0) return None // dictionary-encoded
+    val kidsV = fb.fieldRef(ft, 5)
+    val nKids = if (kidsV < 0) 0 else math.max(fb.vecLen(kidsV), 0)
+    def kids(): Option[Seq[Col]] = {
+      val out = Seq.newBuilder[Col]
+      var i = 0
+      while (i < nKids) {
+        val kt = fb.vecRef(kidsV, i)
+        if (kt < 0) return None
+        out += parseField(fb, kt, depth + 1).getOrElse(return None)
+        i += 1
+      }
+      Some(out.result())
+    }
+    val typeType = fb.fieldU8(ft, 2, 0)
+    val tt = fb.fieldRef(ft, 3)
+    typeType match {
+      case 12 => // List { } — exactly one child carries the element type
+        if (nKids != 1) return None
+        kids().map(k => Col(name, nullable, "list", k))
+      case 13 => // Struct_ { } — flat record of named children
+        if (nKids < 1 || nKids > 1024) return None
+        kids().map(k => Col(name, nullable, "struct", k))
+      case _ =>
+        if (nKids > 0) return None // scalar types carry no children
+        val tag = typeType match {
+          case 2 => // Int { bitWidth(0), is_signed(1) }
+            val bits = fb.fieldI32(tt, 0, 0)
+            val signed = fb.fieldBool(tt, 1, dflt = false)
+            if (!Set(8, 16, 32, 64)(bits)) return None
+            (if (signed) "int" else "uint") + bits
+          case 3 => // FloatingPoint { precision(0) }: 1=single 2=double
+            fb.fieldI16(tt, 0, 0) match {
+              case 1 => "float32"
+              case 2 => "float64"
+              case _ => return None // half
+            }
+          case 4 => "binary"
+          case 5 => "utf8"
+          case 6 => "bool"
+          case _ => return None // Null/Map/Union/decimal/temporal/...
+        }
+        Some(Col(name, nullable, tag))
+    }
+  }
 
   private def parseSchema(fb: Fb, t: Int): Option[Seq[Col]] = {
     // Schema { endianness(0), fields(1), ... } — big-endian rejects
@@ -140,37 +205,25 @@ object ArrowIpc {
     while (i < n) {
       val ft = fb.vecRef(fv, i)
       if (ft < 0) return None
-      // Field { name(0), nullable(1), type_type(2), type(3),
-      //         dictionary(4), children(5) }
-      val name = fb.str(fb.fieldRef(ft, 0)).getOrElse(return None)
-      val nullable = fb.fieldBool(ft, 1, dflt = false)
-      if (fb.field(ft, 4) >= 0) return None // dictionary-encoded
-      val kids = fb.fieldRef(ft, 5)
-      if (kids >= 0 && fb.vecLen(kids) > 0) return None // nested
-      val typeType = fb.fieldU8(ft, 2, 0)
-      val tt = fb.fieldRef(ft, 3)
-      val tag = typeType match {
-        case 2 => // Int { bitWidth(0), is_signed(1) }
-          val bits = fb.fieldI32(tt, 0, 0)
-          val signed = fb.fieldBool(tt, 1, dflt = false)
-          if (!Set(8, 16, 32, 64)(bits)) return None
-          (if (signed) "int" else "uint") + bits
-        case 3 => // FloatingPoint { precision(0) }: 1=single 2=double
-          fb.fieldI16(tt, 0, 0) match {
-            case 1 => "float32"
-            case 2 => "float64"
-            case _ => return None // half
-          }
-        case 4 => "binary"
-        case 5 => "utf8"
-        case 6 => "bool"
-        case _ => return None // Null/nested/decimal/temporal/...
-      }
-      cols += Col(name, nullable, tag)
+      cols += parseField(fb, ft, 0).getOrElse(return None)
       i += 1
     }
     Some(cols.result())
   }
+
+  /** RecordBatch buffer count for a column, per the spec's fixed
+    * type-determined layout (validity is always present regardless of
+    * the nullable flag). */
+  private def bufCount(c: Col): Int = c.tag match {
+    case "utf8" | "binary" => 3 // validity + offsets + data
+    case "list"            => 2 + bufCount(c.children.head)
+    case "struct"          => 1 + c.children.map(bufCount).sum
+    case _                 => 2 // validity + data (bool data = bitmap)
+  }
+
+  /** FieldNode count: one per field, depth-first preorder. */
+  private def nodeCount(c: Col): Int =
+    1 + c.children.map(nodeCount).sum
 
   // ---------------------------------------------------------------
   // Encapsulated messages
@@ -239,7 +292,13 @@ object ArrowIpc {
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
-  /** Decode one RecordBatch body into rows. */
+  /** Decode one RecordBatch body into rows. Nodes and buffers are
+    * consumed depth-first in schema order (the spec's flattened
+    * layout); each column — scalar or nested — yields a positional
+    * accessor, and nested columns recurse: a list reads its offsets
+    * then its child at the child's own length (verified against the
+    * final offset), a struct reads one validity buffer then each
+    * child at the parent length. */
   private def parseBatch(fb: Fb, t: Int, body: Array[Byte],
       bodyOff: Int, bodyLen: Long, cols: Seq[Col]): Option[Seq[Row]] = {
     // RecordBatch { length(0), nodes(1), buffers(2), compression(3) }
@@ -248,78 +307,104 @@ object ArrowIpc {
     if (n < 0 || n > (1L << 24)) return None
     val nodesV = fb.fieldRef(t, 1)
     val bufsV = fb.fieldRef(t, 2)
-    val nNodes = fb.vecLen(nodesV)
-    val nBufs = fb.vecLen(bufsV)
-    if (nNodes != cols.length) return None
-    // per column: validity + (offsets for var-width) + data
-    val wantBufs = cols.map(c =>
-      if (c.tag == "utf8" || c.tag == "binary") 3 else 2).sum
-    if (nBufs != wantBufs) return None
-    val rows = Array.fill(n.toInt)(Seq.newBuilder[Option[Any]])
+    if (fb.vecLen(nodesV) != cols.map(nodeCount).sum) return None
+    if (fb.vecLen(bufsV) != cols.map(bufCount).sum) return None
+    var ni = 0
     var bi = 0
-    var ci = 0
-    while (ci < cols.length) {
-      val c = cols(ci)
-      val node = fb.vecStruct(nodesV, ci, 16)
-      if (node < 0) return None
-      val nodeLen = fb.i64(node)
-      val nullCount = fb.i64(node + 8)
-      if (nodeLen != n || nullCount < 0 || nullCount > n) return None
-      def buffer(idx: Int): Option[(Long, Long)] = {
-        val s = fb.vecStruct(bufsV, idx, 16)
-        if (s < 0) return None
-        val off = fb.i64(s)
-        val len = fb.i64(s + 8)
-        if (off < 0 || len < 0 || off + len > bodyLen) None
-        else Some((off, len))
+    def nextNode(): Option[(Long, Long)] = {
+      val s = fb.vecStruct(nodesV, ni, 16)
+      ni += 1
+      if (s < 0) None else Some((fb.i64(s), fb.i64(s + 8)))
+    }
+    def nextBuf(): Option[(Long, Long)] = {
+      val s = fb.vecStruct(bufsV, bi, 16)
+      bi += 1
+      if (s < 0) return None
+      val off = fb.i64(s)
+      val len = fb.i64(s + 8)
+      if (off < 0 || len < 0 || off + len > bodyLen) None
+      else Some((off, len))
+    }
+    /** Read one vector (and its children) expecting `want` slots;
+      * returns the positional accessor, or None on malformation. */
+    def readVec(c: Col, want: Long): Option[Int => Option[Any]] = {
+      val (len, nullCount) = nextNode().getOrElse(return None)
+      if (len != want || nullCount < 0 || nullCount > len) return None
+      val m = len.toInt
+      val (vOff, vLen) = nextBuf().getOrElse(return None)
+      if (nullCount > 0 && vLen < (m + 7) / 8) return None
+      val noNulls = nullCount == 0 || vLen == 0
+      def isValid(i: Int): Boolean = noNulls || {
+        ((body(bodyOff + vOff.toInt + (i >> 3)) >>> (i & 7)) & 1) != 0
       }
-      val (vOff, vLen) = buffer(bi).getOrElse(return None)
-      def isValid(i: Int): Boolean = {
-        if (nullCount == 0 || vLen == 0) true
-        else {
-          val byteI = bodyOff + vOff.toInt + (i >> 3)
-          ((body(byteI) >>> (i & 7)) & 1) != 0
-        }
-      }
-      if (nullCount > 0 && vLen < (n + 7) / 8) return None
-      if (c.tag == "utf8" || c.tag == "binary") {
-        val (oOff, oLen) = buffer(bi + 1).getOrElse(return None)
-        val (dOff, dLen) = buffer(bi + 2).getOrElse(return None)
-        if (oLen < 4L * (n + 1)) return None
-        var i = 0
-        var prev = 0L
-        while (i < n) {
-          val s = le32(body, bodyOff + oOff.toInt + 4 * i)
-          val e = le32(body, bodyOff + oOff.toInt + 4 * (i + 1))
-          if (s < prev || e < s || e > dLen) return None
-          prev = s
-          if (isValid(i)) {
-            val bytes = java.util.Arrays.copyOfRange(body,
-              bodyOff + dOff.toInt + s.toInt,
-              bodyOff + dOff.toInt + e.toInt)
-            rows(i) += (if (c.tag == "utf8")
-              Some(new String(bytes, "UTF-8")) else Some(bytes))
-          } else rows(i) += None
-          i += 1
-        }
-        bi += 3
-      } else {
-        val (dOff, dLen) = buffer(bi + 1).getOrElse(return None)
-        val width = c.tag match {
-          case "bool" => 0 // bitmap
-          case "int8" | "uint8" => 1
-          case "int16" | "uint16" => 2
-          case "int32" | "uint32" | "float32" => 4
-          case _ => 8
-        }
-        if (width == 0) { if (dLen < (n + 7) / 8) return None }
-        else if (dLen < width.toLong * n) return None
-        var i = 0
-        while (i < n) {
-          if (!isValid(i)) rows(i) += None
-          else {
-            val base = bodyOff + dOff.toInt
-            val v: Any = c.tag match {
+      c.tag match {
+        case "utf8" | "binary" =>
+          val (oOff, oLen) = nextBuf().getOrElse(return None)
+          val (dOff, dLen) = nextBuf().getOrElse(return None)
+          if (oLen < 4L * (m + 1)) return None
+          var i = 0
+          var prev = 0L
+          while (i < m) { // offsets monotone and inside the data buffer
+            val s = le32(body, bodyOff + oOff.toInt + 4 * i)
+            val e = le32(body, bodyOff + oOff.toInt + 4 * (i + 1))
+            if (s < prev || e < s || e > dLen) return None
+            prev = s
+            i += 1
+          }
+          val utf8 = c.tag == "utf8"
+          Some { (i: Int) =>
+            if (!isValid(i)) None
+            else {
+              val s = le32(body, bodyOff + oOff.toInt + 4 * i).toInt
+              val e = le32(body, bodyOff + oOff.toInt + 4 * (i + 1)).toInt
+              val bytes = java.util.Arrays.copyOfRange(body,
+                bodyOff + dOff.toInt + s, bodyOff + dOff.toInt + e)
+              if (utf8) Some(new String(bytes, "UTF-8")) else Some(bytes)
+            }
+          }
+        case "list" =>
+          val (oOff, oLen) = nextBuf().getOrElse(return None)
+          if (oLen < 4L * (m + 1)) return None
+          val offs = new Array[Int](m + 1)
+          var i = 0
+          var prev = 0L
+          while (i <= m) {
+            val v = le32(body, bodyOff + oOff.toInt + 4 * i)
+            if (v < prev || v > (1L << 26)) return None // monotone + bomb cap
+            prev = v
+            offs(i) = v.toInt
+            i += 1
+          }
+          val child = readVec(c.children.head, offs(m).toLong)
+            .getOrElse(return None)
+          Some { (i: Int) =>
+            if (!isValid(i)) None
+            else Some((offs(i) until offs(i + 1))
+              .map(child): Seq[Option[Any]])
+          }
+        case "struct" =>
+          val kids = c.children.map(k =>
+            readVec(k, len).getOrElse(return None))
+          Some { (i: Int) =>
+            if (!isValid(i)) None
+            else Some(kids.map(_(i)): Seq[Option[Any]])
+          }
+        case _ =>
+          val (dOff, dLen) = nextBuf().getOrElse(return None)
+          val width = c.tag match {
+            case "bool" => 0 // bitmap
+            case "int8" | "uint8" => 1
+            case "int16" | "uint16" => 2
+            case "int32" | "uint32" | "float32" => 4
+            case _ => 8
+          }
+          if (width == 0) { if (dLen < (m + 7) / 8) return None }
+          else if (dLen < width.toLong * m) return None
+          val base = bodyOff + dOff.toInt
+          val tag = c.tag
+          Some { (i: Int) =>
+            if (!isValid(i)) None
+            else Some(tag match {
               case "bool" =>
                 ((body(base + (i >> 3)) >>> (i & 7)) & 1) != 0
               case "int8"  => body(base + i)
@@ -333,16 +418,12 @@ object ArrowIpc {
                 java.lang.Float.intBitsToFloat(fbI32(body, base + 4 * i))
               case _ =>
                 java.lang.Double.longBitsToDouble(fbI64(body, base + 8 * i))
-            }
-            rows(i) += Some(v)
+            })
           }
-          i += 1
-        }
-        bi += 2
       }
-      ci += 1
     }
-    Some(rows.toSeq.map(_.result()))
+    val accessors = cols.map(c => readVec(c, n).getOrElse(return None))
+    Some(Seq.tabulate(n.toInt)(i => accessors.map(_(i))))
   }
 
   private def fbI16(b: Array[Byte], o: Int): Short =
