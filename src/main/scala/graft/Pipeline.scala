@@ -7589,6 +7589,83 @@ object Pipeline {
       }
   }
 
+  /** Avro COMPLEX types (r12) — the shapes Hadoop-lineage corpora use
+    * freely: a nullable `array<long?>` token column, a `map<string,
+    * long>`, an enum class label, and a nested record. Build side is
+    * OUR nested writer (avro-java reads it back in AvroSpec); parse
+    * side is OUR recursive decoder; every fact re-derived from
+    * DECODED values with the oracle predicting them from documents.
+    * Same shard shuffle + flatMap shape as avro_parse. */
+  private def avroParseNested(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Avro
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, t, lang) => (id / 8, id, t, lang) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val nf = Seq(
+          Avro.NField("id", Avro.NPrim("long"), nullable = false),
+          Avro.NField("toks",
+            Avro.NArr(Avro.NPrim("long"), itemsNullable = true),
+            nullable = true),
+          Avro.NField("props",
+            Avro.NMap(Avro.NPrim("long"), valuesNullable = false),
+            nullable = false),
+          Avro.NField("cls", Avro.NEnum("cls",
+            Seq("alpha", "beta", "gamma", "delta")), nullable = false),
+          Avro.NField("meta", Avro.NRec("meta", Seq(
+            Avro.NField("lang", Avro.NPrim("string"), nullable = true),
+            Avro.NField("n", Avro.NPrim("long"), nullable = false))),
+            nullable = false))
+        val rows = docs.map { case (_, id, t, lang) =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          Seq[Option[Any]](
+            Some(id),
+            if (id % 13 == 9) None
+            else Some(ws.toSeq.map(w =>
+              if (w.length % 5 == 0) None
+              else Some(w.length.toLong)): Seq[Option[Any]]),
+            Some(Seq("n" -> Some(t.length.toLong),
+              "w" -> Some(ws.length.toLong)): Seq[(String, Option[Any])]),
+            Some(Seq("alpha", "beta", "gamma", "delta")((id % 4).toInt)),
+            Some(Seq(
+              if (id % 11 == 10) None else Some(lang),
+              Some(t.length.toLong)): Avro.Row))
+        }
+        val codec = if (sid % 2 == 0) "deflate" else "null"
+        (sid, Avro.buildNested("docn", nf, rows, codec, blockRows = 4))
+      }
+      .flatMap { case (sid, bytes) =>
+        val f = graft.operators.Avro.parse(bytes)
+          .getOrElse(sys.error(s"avro nested parse rejected shard $sid"))
+        require(f.fields.map(_.tpe) ==
+          Seq("long", "array", "map", "enum", "record"))
+        f.rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val toks = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
+          val props = r(2).get.asInstanceOf[Seq[(String, Option[Any])]]
+            .map { case (k, v) => k -> v.get.asInstanceOf[Long] }.toMap
+          val meta = r(4).get.asInstanceOf[Seq[Option[Any]]]
+          (id, sid, f.codec,
+            toks.map(_.length.toLong),
+            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
+            toks.map(ts => ts.count(_.isEmpty).toLong),
+            props("n"), props("w"),
+            r(3).get.asInstanceOf[String],
+            meta(0).map(_.asInstanceOf[String]),
+            meta(1).get.asInstanceOf[Long])
+        }
+      }
+      .toDF("doc_id", "shard_id", "codec", "n_toks", "tok_sum",
+        "null_toks", "map_n", "map_w", "cls", "lang", "meta_n")
+      .orderBy("doc_id")
+  }
+
   /** The per-container parse shared by the batch query, the file
     * query and the binaryFile STREAM twin: parse, re-derive every
     * fact from the decoded values. */
@@ -8460,6 +8537,7 @@ object Pipeline {
     "tar_parse_xz"      -> tarParseXz _,
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
+    "avro_parse_nested" -> avroParseNested _,
     "arrow_ipc_parse"   -> arrowIpcParse _,
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "arrow_ipc_nested"  -> arrowIpcNested _,
@@ -10475,6 +10553,36 @@ object Pipeline {
     // Avro container: every fact re-derived from PARSED values, so
     // the zigzag/union/sync/deflate stack must be value-transparent
     "avro_parse" -> avroParseOracleSql,
+    // complex types (array/map/enum/nested record): our nested writer
+    // → our recursive decoder, every fact predicted from documents
+    "avro_parse_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id, lang, strlen(text) AS n_chars,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'deflate'
+        |    ELSE 'null' END AS codec,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(ws) AS BIGINT) END AS n_toks,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(list_sum(list_transform(
+        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
+        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
+        |    END AS tok_sum,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
+        |      AS BIGINT) END AS null_toks,
+        |  CAST(n_chars AS BIGINT) AS map_n,
+        |  CAST(len(ws) AS BIGINT) AS map_w,
+        |  CASE doc_id % 4 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |    WHEN 2 THEN 'gamma' ELSE 'delta' END AS cls,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END AS lang,
+        |  CAST(n_chars AS BIGINT) AS meta_n
+        |FROM t ORDER BY doc_id""".stripMargin,
     "jsonl_zst_ingest" -> jsonlZstOracleSql,
     // same facts through real .jsonl.zst files + binaryFile
     "jsonl_zst_files" -> jsonlZstOracleSql,

@@ -9,10 +9,12 @@ package graft.operators
   * `deflate` codecs (raw deflate, nowrap, per spec).
   *
   * Schema subset: one top-level RECORD whose fields are primitives —
-  * `boolean int long float double bytes string` — or the nullable
-  * union `["null", <prim>]` (how tabular writers encode optional
-  * columns). That is the tabular-shard shape an ingest engine routes;
-  * nested records/arrays/maps/enums reject cleanly (None), never
+  * `boolean int long float double bytes string` — or the complex
+  * types Hadoop-lineage corpora use freely: ARRAYS, MAPS, ENUMS and
+  * NESTED RECORDS, recursive to depth 8, with the nullable union
+  * `["null", X]` legal at every position (fields, array items, map
+  * values). `fixed`, non-null-first unions, 3-branch unions and
+  * named-type references still reject cleanly (None), never
   * mis-decode. The embedded schema JSON is parsed by a minimal
   * recursive-descent walk (objects, arrays, strings with escapes,
   * numbers, literals) — enough for any legal schema document.
@@ -32,12 +34,49 @@ object Avro {
   def isAvro(b: Array[Byte]): Boolean =
     b.length >= 4 && (0 until 4).forall(i => b(i) == Magic(i))
 
-  /** One field of the supported tabular subset. `nullable` encodes
-    * the `["null", t]` union (branch 0 = null, branch 1 = value). */
+  /** One field of the flat tabular subset. `nullable` encodes the
+    * `["null", t]` union (branch 0 = null, branch 1 = value). */
   final case class Field(name: String, tpe: String, nullable: Boolean)
 
   /** A decoded value row: None = the null union branch. */
   type Row = Seq[Option[Any]]
+
+  // ---------------------------------------------------------------
+  // Recursive type model (r12): the complex types Hadoop-lineage
+  // corpora use freely — array, map, enum, nested records — on top
+  // of the primitive set. Depth-capped at 8; `fixed`, non-null
+  // unions, 3-branch unions and named-type references still reject.
+  // ---------------------------------------------------------------
+
+  sealed trait NType
+  /** boolean int long float double bytes string */
+  final case class NPrim(p: String) extends NType
+  /** Avro array; `itemsNullable` = items schema is ["null", X]. A
+    * decoded array value is Seq[Option[Any]]. */
+  final case class NArr(items: NType, itemsNullable: Boolean)
+      extends NType
+  /** Avro map (string keys per spec); decoded as Seq[(String,
+    * Option[Any])] in FILE ORDER (builds sort keys for determinism). */
+  final case class NMap(values: NType, valuesNullable: Boolean)
+      extends NType
+  /** Avro enum: value decodes to the symbol string. */
+  final case class NEnum(name: String, symbols: Seq[String])
+      extends NType
+  /** Nested record: value decodes to a Row in field order. */
+  final case class NRec(name: String, fields: Seq[NField]) extends NType
+
+  final case class NField(name: String, tpe: NType, nullable: Boolean)
+
+  private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
+    case NPrim(p)      => p
+    case _: NArr       => "array"
+    case _: NMap       => "map"
+    case _: NEnum      => "enum"
+    case _: NRec       => "record"
+  }, f.nullable)
+
+  private def toNested(f: Field): NField =
+    NField(f.name, NPrim(f.tpe), f.nullable)
 
   // ---------------------------------------------------------------
   // Binary primitives (Avro "Binary Encoding")
@@ -86,6 +125,59 @@ object Avro {
       else { val r = java.util.Arrays.copyOfRange(b, p, p + n); p += n; r }
   }
 
+  /** Write one value of a (possibly complex) type. Collection values
+    * are written as a single count-prefixed block + 0 terminator (the
+    * canonical writer shape); nullable items/values take the union
+    * branch prefix. */
+  private def writeNValue(out: java.io.ByteArrayOutputStream, tpe: NType,
+      v: Any): Unit = tpe match {
+    case NPrim(p) => writeValue(out, p, v)
+    case NArr(items, itemsNullable) =>
+      val xs = v.asInstanceOf[Seq[Option[Any]]]
+      if (xs.nonEmpty) {
+        writeVarLong(out, xs.length.toLong)
+        xs.foreach { x =>
+          if (itemsNullable) x match {
+            case None => writeVarLong(out, 0)
+            case Some(e) => writeVarLong(out, 1); writeNValue(out, items, e)
+          } else writeNValue(out, items, x.getOrElse(
+            throw new IllegalArgumentException("null in non-null array")))
+        }
+      }
+      writeVarLong(out, 0)
+    case NMap(values, valuesNullable) =>
+      val kv = v.asInstanceOf[Seq[(String, Option[Any])]]
+        .sortBy(_._1) // deterministic build order
+      if (kv.nonEmpty) {
+        writeVarLong(out, kv.length.toLong)
+        kv.foreach { case (k, x) =>
+          val kb = k.getBytes("UTF-8")
+          writeVarLong(out, kb.length.toLong); out.write(kb, 0, kb.length)
+          if (valuesNullable) x match {
+            case None => writeVarLong(out, 0)
+            case Some(e) => writeVarLong(out, 1); writeNValue(out, values, e)
+          } else writeNValue(out, values, x.getOrElse(
+            throw new IllegalArgumentException("null in non-null map")))
+        }
+      }
+      writeVarLong(out, 0)
+    case NEnum(_, symbols) =>
+      val idx = symbols.indexOf(v.asInstanceOf[String])
+      require(idx >= 0, s"enum symbol $v not in $symbols")
+      writeVarLong(out, idx.toLong)
+    case NRec(_, fields) =>
+      val row = v.asInstanceOf[Row]
+      require(row.length == fields.length, "nested row arity != schema")
+      fields.zip(row).foreach { case (f, x) =>
+        if (f.nullable) x match {
+          case None => writeVarLong(out, 0)
+          case Some(e) => writeVarLong(out, 1); writeNValue(out, f.tpe, e)
+        } else writeNValue(out, f.tpe, x.getOrElse(
+          throw new IllegalArgumentException(
+            s"null in non-nullable ${f.name}")))
+      }
+  }
+
   private def writeValue(out: java.io.ByteArrayOutputStream, tpe: String,
       v: Any): Unit = tpe match {
     case "boolean" => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
@@ -104,6 +196,73 @@ object Avro {
       val b = v.asInstanceOf[String].getBytes("UTF-8")
       writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
     case t => throw new IllegalArgumentException(s"unsupported type $t")
+  }
+
+  /** Read one value of a (possibly complex) type. Collection blocks
+    * follow the spec: count-prefixed runs, 0-terminated; a NEGATIVE
+    * count means |count| items preceded by the block's byte size
+    * (readers must handle it). Counts are bomb-capped; every loop
+    * also terminates on cursor failure, so runaway counts cannot
+    * spin past the input. */
+  private def readNValue(c: Cursor, tpe: NType): Any = tpe match {
+    case NPrim(p) => readValue(c, p)
+    case NArr(items, itemsNullable) =>
+      val out = Seq.newBuilder[Option[Any]]
+      var total = 0L
+      var n = c.readLong()
+      while (c.ok && n != 0) {
+        val cnt = if (n < 0) { c.readLong(); -n } else n
+        total += cnt
+        if (cnt < 0 || total > (1 << 24)) { c.ok = false; n = 0 }
+        else {
+          var i = 0L
+          while (c.ok && i < cnt) {
+            if (itemsNullable) c.readLong() match {
+              case 0 => out += None
+              case 1 => out += Some(readNValue(c, items))
+              case _ => c.ok = false
+            } else out += Some(readNValue(c, items))
+            i += 1
+          }
+          n = c.readLong()
+        }
+      }
+      out.result()
+    case NMap(values, valuesNullable) =>
+      val out = Seq.newBuilder[(String, Option[Any])]
+      var total = 0L
+      var n = c.readLong()
+      while (c.ok && n != 0) {
+        val cnt = if (n < 0) { c.readLong(); -n } else n
+        total += cnt
+        if (cnt < 0 || total > (1 << 24)) { c.ok = false; n = 0 }
+        else {
+          var i = 0L
+          while (c.ok && i < cnt) {
+            val k = new String(c.readBytes(1 << 24), "UTF-8")
+            if (valuesNullable) c.readLong() match {
+              case 0 => out += (k -> None)
+              case 1 => out += (k -> Some(readNValue(c, values)))
+              case _ => c.ok = false
+            } else out += (k -> Some(readNValue(c, values)))
+            i += 1
+          }
+          n = c.readLong()
+        }
+      }
+      out.result()
+    case NEnum(_, symbols) =>
+      val idx = c.readLong()
+      if (idx < 0 || idx >= symbols.length) { c.ok = false; "" }
+      else symbols(idx.toInt)
+    case NRec(_, fields) =>
+      fields.map { f =>
+        if (f.nullable) c.readLong() match {
+          case 0 => None
+          case 1 => Some(readNValue(c, f.tpe))
+          case _ => c.ok = false; None
+        } else Some(readNValue(c, f.tpe))
+      }: Row
   }
 
   private def readValue(c: Cursor, tpe: String): Any = tpe match {
@@ -141,14 +300,37 @@ object Avro {
       case c => c.toString
     } + "\""
 
-  /** The schema JSON a [[build]] call embeds. */
-  def schemaJson(recordName: String, fields: Seq[Field]): String =
-    s"""{"type":"record","name":${jsonStr(recordName)},"fields":[""" +
+  private def typeJson(t: NType): String = t match {
+    case NPrim(p) => jsonStr(p)
+    case NArr(items, nullable) =>
+      val it = if (nullable) s"""["null",${typeJson(items)}]"""
+        else typeJson(items)
+      s"""{"type":"array","items":$it}"""
+    case NMap(values, nullable) =>
+      val vt = if (nullable) s"""["null",${typeJson(values)}]"""
+        else typeJson(values)
+      s"""{"type":"map","values":$vt}"""
+    case NEnum(name, symbols) =>
+      s"""{"type":"enum","name":${jsonStr(name)},"symbols":[""" +
+        symbols.map(jsonStr).mkString(",") + "]}"
+    case NRec(name, fields) => recordJson(name, fields)
+  }
+
+  private def recordJson(name: String, fields: Seq[NField]): String =
+    s"""{"type":"record","name":${jsonStr(name)},"fields":[""" +
       fields.map { f =>
-        val t = if (f.nullable) s"""["null",${jsonStr(f.tpe)}]"""
-          else jsonStr(f.tpe)
+        val t = if (f.nullable) s"""["null",${typeJson(f.tpe)}]"""
+          else typeJson(f.tpe)
         s"""{"name":${jsonStr(f.name)},"type":$t}"""
       }.mkString(",") + "]}"
+
+  /** The schema JSON a [[build]] call embeds. */
+  def schemaJson(recordName: String, fields: Seq[Field]): String =
+    recordJson(recordName, fields.map(toNested))
+
+  /** [[schemaJson]] for the full recursive type model. */
+  def schemaJsonNested(recordName: String, fields: Seq[NField]): String =
+    recordJson(recordName, fields)
 
   /** One container file: header (magic, metadata map with schema +
     * codec, sync marker), then blocks of `blockRows` rows each. The
@@ -156,9 +338,15 @@ object Avro {
     * derived deterministically from the schema and row count (MD5) —
     * no randomness, so builds are reproducible bit-for-bit. */
   def build(recordName: String, fields: Seq[Field], rows: Seq[Row],
+      codec: String = "null", blockRows: Int = 1000): Array[Byte] =
+    buildNested(recordName, fields.map(toNested), rows, codec, blockRows)
+
+  /** [[build]] for the full recursive type model (arrays, maps,
+    * enums, nested records). */
+  def buildNested(recordName: String, fields: Seq[NField], rows: Seq[Row],
       codec: String = "null", blockRows: Int = 1000): Array[Byte] = {
     require(codec == "null" || codec == "deflate", s"codec $codec")
-    val schema = schemaJson(recordName, fields)
+    val schema = recordJson(recordName, fields)
     val sync = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$schema#${rows.length}".getBytes("UTF-8"))
     val out = new java.io.ByteArrayOutputStream()
@@ -178,8 +366,8 @@ object Avro {
         for ((f, v) <- fields.zip(row)) {
           if (f.nullable) v match {
             case None => writeVarLong(body, 0) // union branch: null
-            case Some(x) => writeVarLong(body, 1); writeValue(body, f.tpe, x)
-          } else writeValue(body, f.tpe,
+            case Some(x) => writeVarLong(body, 1); writeNValue(body, f.tpe, x)
+          } else writeNValue(body, f.tpe,
             v.getOrElse(throw new IllegalArgumentException(
               s"null in non-nullable ${f.name}")))
         }
@@ -295,42 +483,97 @@ object Avro {
   private final val Prims =
     Set("boolean", "int", "long", "float", "double", "bytes", "string")
 
-  /** Interpret a parsed schema document as the supported tabular
-    * subset; None for anything else (nested records, arrays, maps,
-    * enums, fixed, non-null-first unions, 3-branch unions). */
-  def interpretSchema(json: String): Option[(String, Seq[Field])] = {
+  private final val MaxDepth = 8
+
+  /** A field/items/values type position: either a bare type or the
+    * nullable union ["null", X]. Returns (type, nullable). */
+  private def posType(v: Any, depth: Int): Option[(NType, Boolean)] =
+    v match {
+      case s: Seq[_] =>
+        if (s.length != 2 || s.head != "null") None // only ["null", X]
+        else bareType(s(1), depth).map(t => (t, true))
+      case other => bareType(other, depth).map(t => (t, false))
+    }
+
+  /** A non-union type: primitive name, or a complex type object.
+    * `fixed` and named-type REFERENCES (a bare non-primitive string)
+    * reject — we keep no name registry. */
+  private def bareType(v: Any, depth: Int): Option[NType] = {
+    if (depth > MaxDepth) return None
+    v match {
+      case s: String if Prims(s) => Some(NPrim(s))
+      case m0: Map[_, _] =>
+        val m = m0.asInstanceOf[Map[String, Any]]
+        m.get("type") match {
+          case Some("array") =>
+            posType(m.getOrElse("items", return None), depth + 1)
+              .map { case (t, n) => NArr(t, n) }
+          case Some("map") =>
+            posType(m.getOrElse("values", return None), depth + 1)
+              .map { case (t, n) => NMap(t, n) }
+          case Some("enum") =>
+            val name = m.get("name") match {
+              case Some(s: String) => s
+              case _ => return None
+            }
+            m.get("symbols") match {
+              case Some(ss: Seq[_])
+                  if ss.nonEmpty && ss.size <= 1024 &&
+                    ss.forall(_.isInstanceOf[String]) &&
+                    ss.distinct.size == ss.size =>
+                Some(NEnum(name, ss.asInstanceOf[Seq[String]]))
+              case _ => None
+            }
+          case Some("record") => recordType(m, depth + 1)
+          case Some(s: String) if Prims(s) =>
+            Some(NPrim(s)) // the {"type":"string"} spelled-out form
+          case _ => None // fixed/union-in-type/unknown
+        }
+      case _ => None
+    }
+  }
+
+  private def recordType(m: Map[String, Any], depth: Int)
+      : Option[NRec] = {
+    if (depth > MaxDepth) return None
+    val name = m.get("name") match {
+      case Some(s: String) => s
+      case _ => return None
+    }
+    m.get("fields") match {
+      case Some(fs: Seq[_]) if fs.size <= 4096 =>
+        val fields = fs.map {
+          case fm: Map[_, _] =>
+            val f = fm.asInstanceOf[Map[String, Any]]
+            val fname = f.get("name") match {
+              case Some(s: String) => s
+              case _ => return None
+            }
+            val (t, nullable) = posType(
+              f.getOrElse("type", return None), depth + 1)
+              .getOrElse(return None)
+            NField(fname, t, nullable)
+          case _ => return None
+        }
+        Some(NRec(name, fields))
+      case _ => None
+    }
+  }
+
+  /** Interpret a parsed schema document: one top-level record whose
+    * fields are primitives, arrays, maps, enums or nested records
+    * (depth ≤ 8), each position optionally the ["null", X] union.
+    * None for anything else (fixed, non-null-first unions, 3-branch
+    * unions, named-type references). */
+  def interpretSchema(json: String): Option[(String, Seq[NField])] = {
     val j = new Json(json)
     val v = j.value()
     if (!j.ok) return None
     v match {
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
-        if (mm.get("type") != Some("record")) return None
-        val name = mm.get("name") match {
-          case Some(s: String) => s
-          case _ => return None
-        }
-        mm.get("fields") match {
-          case Some(fs: Seq[_]) =>
-            val fields = fs.map {
-              case fm: Map[_, _] =>
-                val f = fm.asInstanceOf[Map[String, Any]]
-                val fname = f.get("name") match {
-                  case Some(s: String) => s
-                  case _ => return None
-                }
-                f.get("type") match {
-                  case Some(t: String) if Prims(t) =>
-                    Field(fname, t, nullable = false)
-                  case Some(Seq("null", t: String)) if Prims(t) =>
-                    Field(fname, t, nullable = true)
-                  case _ => return None // outside the tabular subset
-                }
-              case _ => return None
-            }
-            Some((name, fields))
-          case _ => None
-        }
+        if (!mm.get("type").contains("record")) return None
+        recordType(mm, 0).map(r => (r.name, r.fields))
       case _ => None
     }
   }
@@ -339,10 +582,13 @@ object Avro {
   // Reader
   // ---------------------------------------------------------------
 
-  /** A parsed container: record name, fields, codec, and the rows of
-    * every sync-verified block. */
-  final case class AvroFile(recordName: String, fields: Seq[Field],
-      codec: String, rows: Seq[Row], blocks: Int)
+  /** A parsed container: record name, typed fields, codec, and the
+    * rows of every sync-verified block. `fields` is the flat view
+    * (complex types fold to their category name). */
+  final case class AvroFile(recordName: String, nfields: Seq[NField],
+      codec: String, rows: Seq[Row], blocks: Int) {
+    def fields: Seq[Field] = nfields.map(toFlat)
+  }
 
   private def inflateRaw(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater(true) // nowrap, per spec
@@ -420,9 +666,9 @@ object Avro {
             val row = fields.map { f =>
               if (f.nullable) bc.readLong() match {
                 case 0 => None
-                case 1 => Some(readValue(bc, f.tpe))
+                case 1 => Some(readNValue(bc, f.tpe))
                 case _ => bc.ok = false; None
-              } else Some(readValue(bc, f.tpe))
+              } else Some(readNValue(bc, f.tpe))
             }
             if (bc.ok) rows += row
             i += 1

@@ -123,32 +123,162 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
-  test("schema subset: nested/array/map/enum schemas reject, never lie") {
+  test("schema subset: complex types accept; unions/fixed/refs reject") {
+    // r12: arrays, maps, enums and nested records now interpret
     val nested = """{"type":"record","name":"r","fields":[
       {"name":"x","type":{"type":"record","name":"q","fields":[]}}]}"""
     val arr = """{"type":"record","name":"r","fields":[
       {"name":"x","type":{"type":"array","items":"long"}}]}"""
+    assert(Avro.interpretSchema(nested).contains(
+      ("r", Seq(Avro.NField("x", Avro.NRec("q", Nil), nullable = false)))))
+    assert(Avro.interpretSchema(arr).contains(
+      ("r", Seq(Avro.NField("x",
+        Avro.NArr(Avro.NPrim("long"), itemsNullable = false),
+        nullable = false)))))
+    // the permanent rejections: 3-branch unions, top-level non-record,
+    // fixed, named-type references, value-first unions
     val tri = """{"type":"record","name":"r","fields":[
       {"name":"x","type":["null","long","string"]}]}"""
     val topArr = """["null","long"]"""
-    for (s <- Seq(nested, arr, tri, topArr))
+    val fixed = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":{"type":"fixed","name":"f","size":4}}]}"""
+    val ref = """{"type":"record","name":"r","fields":[
+      {"name":"a","type":{"type":"enum","name":"e","symbols":["s"]}},
+      {"name":"b","type":"e"}]}"""
+    val valueFirst = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":["long","null"]}]}"""
+    for (s <- Seq(tri, topArr, fixed, ref, valueFirst))
       assert(Avro.interpretSchema(s).isEmpty, s)
-    // and via a real container: avro-java writes an array-typed file,
-    // our parse returns None rather than mis-reading it
+  }
+
+  test("differential: avro-java complex types -> our reader") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
-    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    import scala.jdk.CollectionConverters._
     val schema: Schema = SchemaBuilder.record("r").fields()
-      .name("x").`type`().array().items().longType().noDefault()
+      .name("id").`type`().longType().noDefault()
+      .name("xs").`type`().array().items().unionOf().nullType().and()
+        .longType().endUnion().noDefault()
+      .name("m").`type`().map().values().longType().noDefault()
+      .name("e").`type`().enumeration("color")
+        .symbols("red", "green", "blue").noDefault()
+      .name("sub").`type`().record("inner").fields()
+        .name("a").`type`().longType().noDefault()
+        .name("b").`type`().unionOf().nullType().and().stringType()
+          .endUnion().noDefault()
+        .endRecord().noDefault()
       .endRecord()
     val bos = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, bos)
-    val rec = new GenericData.Record(schema)
-    rec.put("x", java.util.Arrays.asList(1L, 2L))
-    w.append(rec); w.close()
-    assert(Avro.parse(bos.toByteArray).isEmpty)
+    val n = 23
+    for (i <- 0 until n) {
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("xs", (0 until i % 4).map(j =>
+        if ((i + j) % 3 == 0) null
+        else java.lang.Long.valueOf(i * 10L + j)).asJava)
+      val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+      for (j <- 0 until i % 3) m.put(s"k$j", i * 100L + j)
+      rec.put("m", m)
+      rec.put("e", new GenericData.EnumSymbol(
+        schema.getField("e").schema(), Seq("red", "green", "blue")(i % 3)))
+      val inner = new GenericData.Record(
+        schema.getField("sub").schema())
+      inner.put("a", i * 7L)
+      inner.put("b", if (i % 5 == 2) null else s"v$i")
+      rec.put("sub", inner)
+      w.append(rec)
+    }
+    w.close()
+    val got = Avro.parse(bos.toByteArray)
+    assert(got.isDefined, "complex-typed container rejected")
+    val f = got.get
+    assert(f.fields.map(_.tpe) ==
+      Seq("long", "array", "map", "enum", "record"))
+    assert(f.rows.length == n)
+    for (i <- 0 until n) {
+      val r = f.rows(i)
+      assert(r(0) == Some(i.toLong))
+      val xs = r(1).get.asInstanceOf[Seq[Option[Any]]]
+      assert(xs == (0 until i % 4).map(j =>
+        if ((i + j) % 3 == 0) None else Some(i * 10L + j)))
+      val m = r(2).get.asInstanceOf[Seq[(String, Option[Any])]]
+      assert(m.toMap.view.mapValues(_.get).toMap ==
+        (0 until i % 3).map(j => s"k$j" -> (i * 100L + j)).toMap)
+      assert(r(3) == Some(Seq("red", "green", "blue")(i % 3)))
+      val sub = r(4).get.asInstanceOf[Avro.Row]
+      assert(sub(0) == Some(i * 7L))
+      assert(sub(1) == (if (i % 5 == 2) None else Some(s"v$i")))
+    }
+  }
+
+  test("round trip: our nested writer -> avro-java reader") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val nf = Seq(
+      Avro.NField("id", Avro.NPrim("long"), nullable = false),
+      Avro.NField("xs",
+        Avro.NArr(Avro.NPrim("long"), itemsNullable = true),
+        nullable = true),
+      Avro.NField("m",
+        Avro.NMap(Avro.NPrim("string"), valuesNullable = false),
+        nullable = false),
+      Avro.NField("e", Avro.NEnum("shade", Seq("dark", "light")),
+        nullable = false),
+      Avro.NField("sub", Avro.NRec("inner2", Seq(
+        Avro.NField("a", Avro.NPrim("long"), nullable = false))),
+        nullable = false))
+    val rows: Seq[Avro.Row] = (0 until 17).map { i =>
+      Seq(
+        Some(i.toLong),
+        if (i % 6 == 3) None
+        else Some((0 until i % 3).map(j =>
+          if (j == 1) None else Some(i * 2L + j)): Seq[Option[Any]]),
+        Some(Seq("k" -> Some(s"v$i"),
+          "z" -> Some(i.toString)): Seq[(String, Option[Any])]),
+        Some(Seq("dark", "light")(i % 2)),
+        Some(Seq(Some(i * 3L)): Avro.Row))
+    }
+    for (codec <- Seq("null", "deflate")) {
+      val bytes = Avro.buildNested("top", nf, rows, codec)
+      // our own reader round-trips
+      val back = Avro.parse(bytes)
+      assert(back.isDefined && back.get.rows.length == rows.length)
+      assert(back.get.rows == rows)
+      // avro-java agrees
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0
+      while (rd.hasNext) {
+        val rec = rd.next()
+        assert(rec.get("id") == i.toLong)
+        val xs = rec.get("xs")
+        if (i % 6 == 3) assert(xs == null)
+        else {
+          val got = xs.asInstanceOf[java.util.List[AnyRef]].asScala
+          val want = (0 until i % 3).map(j =>
+            if (j == 1) null else java.lang.Long.valueOf(i * 2L + j))
+          assert(got == want, s"row $i xs")
+        }
+        val m = rec.get("m").asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        assert(m.size == 2)
+        assert(m.asScala.map { case (k, v) =>
+          k.toString -> v.toString }.toMap ==
+          Map("k" -> s"v$i", "z" -> i.toString))
+        assert(rec.get("e").toString == Seq("dark", "light")(i % 2))
+        assert(rec.get("sub").asInstanceOf[GenericRecord]
+          .get("a") == i * 3L)
+        i += 1
+      }
+      rd.close()
+      assert(i == rows.length)
+    }
   }
 
   test("mutation fuzz: corruption rejects or stays in-shape, no throw") {
