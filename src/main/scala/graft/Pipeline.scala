@@ -7476,6 +7476,72 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** tf.train.SequenceExample through TFRecord framing (r12) — the
+    * standard shape for speech/video training data: per-document
+    * context features (id, lang, n_chars) plus two aligned
+    * feature_lists, one Feature per WORD step ("words" = bytes,
+    * "lens" = [len, len%7] int64s). Build and parse are both OUR
+    * closed-form walkers (operators/Protobuf, runtime-differential
+    * in ProtobufSpec); every fact re-derived from decoded steps.
+    * Same shard shuffle + flatMap shape as tfexample_parse. */
+  private def tfsequenceParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Protobuf
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, t, lang) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toSeq
+        val se = Protobuf.buildSequenceExample(
+          context = Seq(
+            "id" -> Protobuf.IntVals(Seq(id)),
+            "lang" -> Protobuf.BytesVals(Seq(lang.getBytes("UTF-8"))),
+            "n" -> Protobuf.IntVals(Seq(t.length.toLong))),
+          featureLists = Seq(
+            "words" -> ws.map(w =>
+              Protobuf.BytesVals(Seq(w.getBytes("UTF-8")))),
+            "lens" -> ws.map(w => Protobuf.IntVals(
+              Seq(w.length.toLong, (w.length % 7).toLong)))))
+        (id / 8, id, graft.operators.TfRecord.buildRecord(se))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        val recs = it.toSeq.sortBy(_._2)
+        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
+        graft.operators.TfRecord.parse(shard).zipWithIndex.map {
+          case (r, i) =>
+            val payload = java.util.Arrays.copyOfRange(
+              shard, r.dataOff, r.dataOff + r.length.toInt)
+            val (ctx, lists) = Protobuf.parseSequenceExample(payload)
+              .getOrElse(sys.error(
+                s"bad SequenceExample in shard $sid pos $i"))
+            val cm = ctx.toMap
+            val docId = cm("id").asInstanceOf[Protobuf.IntVals].vs.head
+            val lang = new String(
+              cm("lang").asInstanceOf[Protobuf.BytesVals].vs.head, "UTF-8")
+            val lm = lists.toMap
+            val words = lm("words").map(
+              _.asInstanceOf[Protobuf.BytesVals].vs.head)
+            val lens = lm("lens").map(
+              _.asInstanceOf[Protobuf.IntVals].vs)
+            require(words.length == lens.length,
+              "feature_lists misaligned")
+            val joined = words.map(new String(_, "UTF-8")).mkString(" ")
+            val d = java.security.MessageDigest.getInstance("MD5")
+            (docId, sid, i.toLong, lang, ctx.length,
+              words.length.toLong,
+              d.digest(joined.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString,
+              lens.map(_.head).sum, lens.map(_(1)).sum)
+        }
+      }
+      .toDF("doc_id", "shard_id", "pos", "lang", "n_ctx", "n_steps",
+        "words_md5", "len_sum", "mod_sum")
+      .orderBy("doc_id")
+  }
+
   /** ZIP archive walk (operators/Zip): 8-document archives, each doc
     * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
     * must locate the end-of-central-directory record, walk the
@@ -8550,6 +8616,7 @@ object Pipeline {
     "tfrecord_parse"    -> tfrecordParse _,
     "tfrecord_parse_files" -> tfrecordParseFiles _,
     "tfexample_parse"   -> tfexampleParse _,
+    "tfsequence_parse"  -> tfsequenceParse _,
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -10481,6 +10548,30 @@ object Pipeline {
         |  doc_id + strlen(text) + doc_id % 7 AS marks_sum,
         |  CAST(doc_id % 256 AS DOUBLE) / 2 AS score
         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "tfsequence_parse" -> {
+      // SequenceExample: context map + two word-aligned feature_lists;
+      // words_md5 re-joins the decoded steps so list ORDER must be
+      // preserved end-to-end through the map-entry/FeatureList walk
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    - 1 AS pos,
+        |  lang, CAST(3 AS INT) AS n_ctx,
+        |  CAST(len(ws) AS BIGINT) AS n_steps,
+        |  md5(array_to_string(ws, ' ')) AS words_md5,
+        |  CAST(coalesce(list_sum(list_transform(ws,
+        |    w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT) AS len_sum,
+        |  CAST(coalesce(list_sum(list_transform(ws,
+        |    w -> CAST(strlen(w) % 7 AS BIGINT))), 0) AS BIGINT)
+        |    AS mod_sum
+        |FROM t ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,
     "doc_ingest_dag" -> {

@@ -24,6 +24,11 @@ package graft.operators
   *   FloatList { repeated float value = 1 [packed]; }
   *   Int64List { repeated int64 value = 1 [packed]; }
   *
+  *   SequenceExample { Features context = 1;
+  *                     FeatureLists feature_lists = 2; }
+  *   FeatureLists { map<string, FeatureList> feature_list = 1; }
+  *   FeatureList  { repeated Feature feature = 1; }
+  *
   * The builder emits packed numeric lists (proto3 default); the
   * parser accepts BOTH packed and per-element encodings, as the spec
   * requires of every conforming reader. Unknown field numbers are
@@ -133,39 +138,78 @@ object Protobuf {
     * builder makes shards byte-reproducible); numeric lists are
     * packed. */
   def buildExample(features: Seq[(String, FeatureVal)]): Array[Byte] = {
+    val ex = new java.io.ByteArrayOutputStream()
+    writeLen(ex, 1, buildFeatures(features)) // Example.features = 1
+    ex.toByteArray
+  }
+
+  /** One Feature message (the oneof payload). */
+  private def buildFeature(fv: FeatureVal): Array[Byte] = {
+    val kind = new java.io.ByteArrayOutputStream()
+    fv match {
+      case BytesVals(vs) => // BytesList{repeated bytes value=1} @ field 1
+        val bl = new java.io.ByteArrayOutputStream()
+        vs.foreach(v => writeLen(bl, 1, v))
+        writeLen(kind, 1, bl.toByteArray)
+      case FloatVals(vs) => // FloatList{packed float value=1} @ field 2
+        val fl = new java.io.ByteArrayOutputStream()
+        val packed = new java.io.ByteArrayOutputStream()
+        vs.foreach { f =>
+          val bits = java.lang.Float.floatToIntBits(f)
+          var i = 0
+          while (i < 4) { packed.write((bits >>> (8 * i)) & 0xff); i += 1 }
+        }
+        writeLen(fl, 1, packed.toByteArray)
+        writeLen(kind, 2, fl.toByteArray)
+      case IntVals(vs) => // Int64List{packed int64 value=1} @ field 3
+        val il = new java.io.ByteArrayOutputStream()
+        val packed = new java.io.ByteArrayOutputStream()
+        vs.foreach(writeVarint(packed, _))
+        writeLen(il, 1, packed.toByteArray)
+        writeLen(kind, 3, il.toByteArray)
+    }
+    kind.toByteArray
+  }
+
+  /** A Features message body (the map<string,Feature> framing). */
+  private def buildFeatures(
+      features: Seq[(String, FeatureVal)]): Array[Byte] = {
     val feats = new java.io.ByteArrayOutputStream()
     features.foreach { case (name, fv) =>
-      val kind = new java.io.ByteArrayOutputStream()
-      fv match {
-        case BytesVals(vs) => // BytesList{repeated bytes value=1} @ field 1
-          val bl = new java.io.ByteArrayOutputStream()
-          vs.foreach(v => writeLen(bl, 1, v))
-          writeLen(kind, 1, bl.toByteArray)
-        case FloatVals(vs) => // FloatList{packed float value=1} @ field 2
-          val fl = new java.io.ByteArrayOutputStream()
-          val packed = new java.io.ByteArrayOutputStream()
-          vs.foreach { f =>
-            val bits = java.lang.Float.floatToIntBits(f)
-            var i = 0
-            while (i < 4) { packed.write((bits >>> (8 * i)) & 0xff); i += 1 }
-          }
-          writeLen(fl, 1, packed.toByteArray)
-          writeLen(kind, 2, fl.toByteArray)
-        case IntVals(vs) => // Int64List{packed int64 value=1} @ field 3
-          val il = new java.io.ByteArrayOutputStream()
-          val packed = new java.io.ByteArrayOutputStream()
-          vs.foreach(writeVarint(packed, _))
-          writeLen(il, 1, packed.toByteArray)
-          writeLen(kind, 3, il.toByteArray)
-      }
       // map entry {key=1 string, value=2 Feature}
       val entry = new java.io.ByteArrayOutputStream()
       writeLen(entry, 1, name.getBytes("UTF-8"))
-      writeLen(entry, 2, kind.toByteArray)
+      writeLen(entry, 2, buildFeature(fv))
       writeLen(feats, 1, entry.toByteArray)
     }
+    feats.toByteArray
+  }
+
+  /** Serialize a tf.train.SequenceExample (the standard shape for
+    * speech/video training data — example.proto):
+    *
+    *   SequenceExample { Features context = 1;
+    *                     FeatureLists feature_lists = 2; }
+    *   FeatureLists { map<string, FeatureList> feature_list = 1; }
+    *   FeatureList  { repeated Feature feature = 1; }
+    *
+    * Context features and each list's steps are emitted in the given
+    * order (deterministic builder, byte-reproducible shards). */
+  def buildSequenceExample(context: Seq[(String, FeatureVal)],
+      featureLists: Seq[(String, Seq[FeatureVal])]): Array[Byte] = {
+    val fls = new java.io.ByteArrayOutputStream()
+    featureLists.foreach { case (name, steps) =>
+      val fl = new java.io.ByteArrayOutputStream()
+      steps.foreach(fv => writeLen(fl, 1, buildFeature(fv)))
+      // map entry {key=1 string, value=2 FeatureList}
+      val entry = new java.io.ByteArrayOutputStream()
+      writeLen(entry, 1, name.getBytes("UTF-8"))
+      writeLen(entry, 2, fl.toByteArray)
+      writeLen(fls, 1, entry.toByteArray)
+    }
     val ex = new java.io.ByteArrayOutputStream()
-    writeLen(ex, 1, feats.toByteArray) // Example.features = 1
+    writeLen(ex, 1, buildFeatures(context)) // context = 1
+    writeLen(ex, 2, fls.toByteArray)        // feature_lists = 2
     ex.toByteArray
   }
 
@@ -291,6 +335,74 @@ object Protobuf {
       }
     }
     if (c.ok) Some(IntVals(vs.result())) else None
+  }
+
+  /** Parse a tf.train.SequenceExample: (context features, feature
+    * lists — each name → the per-step Feature values in order). None
+    * on ANY malformation; unknown fields skip cleanly at every
+    * level; an absent context or feature_lists yields empty seqs
+    * (both fields are optional in the proto). */
+  def parseSequenceExample(bytes: Array[Byte])
+      : Option[(Seq[(String, FeatureVal)],
+                Seq[(String, Seq[FeatureVal])])] = {
+    val top = new Cursor(bytes, 0, bytes.length)
+    val ctx = Seq.newBuilder[(String, FeatureVal)]
+    val lists = Seq.newBuilder[(String, Seq[FeatureVal])]
+    while (top.hasMore) {
+      val tag = top.varint()
+      if (top.ok) {
+        val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+        if (field == 1 && wire == 2) parseFeatures(top.lenSlice(), ctx)
+        else if (field == 2 && wire == 2)
+          parseFeatureLists(top.lenSlice(), lists)
+        else top.skip(wire)
+      }
+    }
+    if (top.ok) Some((ctx.result(), lists.result())) else None
+  }
+
+  private def parseFeatureLists(c: Cursor,
+      out: scala.collection.mutable.Builder[(String, Seq[FeatureVal]),
+        Seq[(String, Seq[FeatureVal])]]): Unit = {
+    while (c.hasMore) {
+      val tag = c.varint()
+      if (c.ok) {
+        val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+        if (field == 1 && wire == 2) { // one map entry
+          val e = c.lenSlice()
+          var name: Option[String] = None
+          val steps = Seq.newBuilder[FeatureVal]
+          while (e.hasMore) {
+            val t2 = e.varint()
+            if (e.ok) {
+              val (f2, w2) = ((t2 >>> 3).toInt, (t2 & 7).toInt)
+              if (f2 == 1 && w2 == 2) {
+                val s = e.lenSlice()
+                name = Some(new String(s.b, s.p, s.end - s.p, "UTF-8"))
+              } else if (f2 == 2 && w2 == 2) {
+                // FeatureList { repeated Feature feature = 1 }
+                val fl = e.lenSlice()
+                while (fl.hasMore) {
+                  val t3 = fl.varint()
+                  if (fl.ok) {
+                    val (f3, w3) = ((t3 >>> 3).toInt, (t3 & 7).toInt)
+                    if (f3 == 1 && w3 == 2) {
+                      parseFeature(fl.lenSlice()) match {
+                        case Some(fv) => steps += fv
+                        case None     => fl.fail()
+                      }
+                    } else fl.skip(w3)
+                  }
+                }
+                if (!fl.ok) e.fail()
+              } else e.skip(w2)
+            }
+          }
+          if (!e.ok) c.fail()
+          else for (n <- name) out += ((n, steps.result()))
+        } else c.skip(wire)
+      }
+    }
   }
 
   // ---------------------------------------------------------------

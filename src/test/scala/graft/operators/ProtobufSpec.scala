@@ -224,4 +224,89 @@ class ProtobufSpec extends AnyFunSuite {
     }
     assertSame(got.result(), fsIn)
   }
+
+  test("SequenceExample: round trip, empty parts, step order") {
+    val ctx = Seq(
+      "id" -> IntVals(Seq(42L)),
+      "tag" -> BytesVals(Seq("xy".getBytes("UTF-8"))))
+    val lists = Seq(
+      "words" -> Seq(BytesVals(Seq("a".getBytes)),
+        BytesVals(Seq("bb".getBytes)), BytesVals(Seq("ccc".getBytes))),
+      "scores" -> Seq(FloatVals(Seq(1.5f, 2f)), FloatVals(Seq(-3f))),
+      "empty" -> Seq.empty[FeatureVal])
+    val bytes = buildSequenceExample(ctx, lists)
+    val (gotCtx, gotLists) = parseSequenceExample(bytes).get
+    assertSame(gotCtx, ctx)
+    assert(gotLists.map(_._1) == Seq("words", "scores", "empty"))
+    assert(gotLists(0)._2.map(
+      _.asInstanceOf[BytesVals].vs.head.toSeq) ==
+      Seq("a", "bb", "ccc").map(_.getBytes.toSeq))
+    assert(gotLists(1)._2 ==
+      Seq(FloatVals(Seq(1.5f, 2f)), FloatVals(Seq(-3f))))
+    assert(gotLists(2)._2.isEmpty)
+    // both halves optional: an Example body is a valid (context-only)
+    // SequenceExample prefix shape and vice versa
+    val (c2, l2) = parseSequenceExample(
+      buildSequenceExample(Nil, Nil)).get
+    assert(c2.isEmpty && l2.isEmpty)
+  }
+
+  test("SequenceExample differential: our builder -> their reader") {
+    import org.apache.orc.protobuf.CodedInputStream
+    val bytes = buildSequenceExample(
+      Seq("id" -> IntVals(Seq(7L))),
+      Seq("steps" -> Seq(IntVals(Seq(10L)), IntVals(Seq(20L, 30L)))))
+    val top = CodedInputStream.newInstance(bytes)
+    // context = 1: Features with one entry "id"
+    assert(top.readTag() == ((1 << 3) | 2))
+    val feats = CodedInputStream.newInstance(top.readByteArray())
+    assert(feats.readTag() == ((1 << 3) | 2))
+    val entry = CodedInputStream.newInstance(feats.readByteArray())
+    assert(entry.readTag() == ((1 << 3) | 2))
+    assert(entry.readString() == "id")
+    // feature_lists = 2: one entry "steps" with two Features
+    assert(top.readTag() == ((2 << 3) | 2))
+    val fls = CodedInputStream.newInstance(top.readByteArray())
+    assert(fls.readTag() == ((1 << 3) | 2))
+    val flEntry = CodedInputStream.newInstance(fls.readByteArray())
+    assert(flEntry.readTag() == ((1 << 3) | 2))
+    assert(flEntry.readString() == "steps")
+    assert(flEntry.readTag() == ((2 << 3) | 2))
+    val fl = CodedInputStream.newInstance(flEntry.readByteArray())
+    val stepSums = Seq.newBuilder[Long]
+    while (!fl.isAtEnd) {
+      assert(fl.readTag() == ((1 << 3) | 2))
+      val feat = CodedInputStream.newInstance(fl.readByteArray())
+      assert(feat.readTag() == ((3 << 3) | 2)) // int64_list
+      val il = CodedInputStream.newInstance(feat.readByteArray())
+      assert(il.readTag() == ((1 << 3) | 2)) // packed
+      val packed = CodedInputStream.newInstance(il.readByteArray())
+      var sum = 0L
+      while (!packed.isAtEnd) sum += packed.readInt64()
+      stepSums += sum
+    }
+    assert(stepSums.result() == Seq(10L, 50L))
+  }
+
+  test("SequenceExample: unknown fields skip, garbage rejects") {
+    val good = buildSequenceExample(
+      Seq("a" -> IntVals(Seq(1L))),
+      Seq("l" -> Seq(IntVals(Seq(2L)))))
+    // prepend an unknown top-level field 9 (varint)
+    val withUnknown = Array[Byte]((9 << 3).toByte, 0x2a) ++ good
+    val (c, l) = parseSequenceExample(withUnknown).get
+    assert(c.map(_._1) == Seq("a") && l.map(_._1) == Seq("l"))
+    // group tag rejects
+    assert(parseSequenceExample(Array[Byte]((1 << 3 | 3).toByte)).isEmpty)
+    val rnd = new scala.util.Random(0x5e07e)
+    for (_ <- 0 until 2000) {
+      val junk = Array.fill(rnd.nextInt(48))(rnd.nextInt().toByte)
+      parseSequenceExample(junk) // must not throw
+    }
+    for (_ <- 0 until 500) {
+      val bad = good.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      parseSequenceExample(bad) // reject or in-shape, never throw
+    }
+  }
 }
