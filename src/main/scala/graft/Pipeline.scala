@@ -7542,6 +7542,38 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Encoding-repair curation pass (r12, functions/FixEncoding): the
+    * ftfy core case — UTF-8 text that was decoded as CP1252 (and
+    * sometimes re-damaged a second time) is detected and inverted;
+    * clean ASCII and legitimate Latin-1 pass through untouched. The
+    * fixture corrupts analytically (suffix with é/ï, mojibake every
+    * 2nd doc, DOUBLE mojibake every 10th), so the oracle predicts the
+    * repaired text, the round count and the changed flag exactly.
+    * Pure map — no shuffle at all. */
+  private def textFixEncoding(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.functions.FixEncoding
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val suffix =
+          if (id % 3 == 0) " café"
+          else if (id % 3 == 1) " naïve"
+          else ""
+        val orig = t + suffix
+        val corruptRounds =
+          if (id % 2 != 0) 0 else if (id % 10 == 4) 2 else 1
+        val corrupted = FixEncoding.mojibake(orig, corruptRounds)
+        val (repaired, rounds) = FixEncoding.repair(corrupted)
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (id, rounds, repaired != corrupted,
+          d.digest(repaired.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+      .toDF("doc_id", "fixed_rounds", "changed", "text_md5")
+      .orderBy("doc_id")
+  }
+
   /** ZIP archive walk (operators/Zip): 8-document archives, each doc
     * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
     * must locate the end-of-central-directory record, walk the
@@ -8617,6 +8649,7 @@ object Pipeline {
     "tfrecord_parse_files" -> tfrecordParseFiles _,
     "tfexample_parse"   -> tfexampleParse _,
     "tfsequence_parse"  -> tfsequenceParse _,
+    "text_fix_encoding" -> textFixEncoding _,
     "csv_ingest"        -> csvIngest _,
     "hist_file_rollup"  -> histFileRollup _,
     "jsonl_ingest"      -> jsonlIngest _,
@@ -10572,6 +10605,27 @@ object Pipeline {
         |    w -> CAST(strlen(w) % 7 AS BIGINT))), 0) AS BIGINT)
         |    AS mod_sum
         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "text_fix_encoding" -> {
+      // the repaired text must equal the analytically-built original
+      // byte-for-byte (md5 over UTF-8), the round count must match
+      // the injected damage depth, and untouched docs must not change
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233)
+        |         WHEN doc_id % 3 = 1 THEN ' na' || chr(239) || 've'
+        |         ELSE '' END AS orig
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 OR doc_id % 2 = 1 THEN 0
+        |       WHEN doc_id % 10 = 4 THEN 2 ELSE 1 END AS INT)
+        |    AS fixed_rounds,
+        |  (doc_id % 2 = 0 AND doc_id % 3 <> 2) AS changed,
+        |  md5(orig) AS text_md5
+        |FROM s ORDER BY doc_id""".stripMargin
     },
     "zip_parse" -> zipParseOracleSql,
     "doc_ingest_dag" -> {
