@@ -6688,6 +6688,88 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Dictionary-encoded Arrow IPC decode (r12) — how dataset shards
+    * store low-cardinality string columns: arrow-java's
+    * DictionaryEncoder writes a DictionaryBatch plus int32 index
+    * columns, OUR reader decodes the value batch and resolves the
+    * indices (bounds-checked) through it. Facts from RESOLVED values
+    * only. Same shard shuffle + flatMap shape as arrow_ipc_parse. */
+  private def arrowIpcDict(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t.length.toLong) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        (sid, buildArrowDictShard(docs.map { case (_, id, n) => (id, n) }))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow dict parse rejected shard $sid"))
+        require(cols.map(_.tag) == Seq("int64", "utf8") &&
+          cols(1).dict.isDefined, "expected a dictionary-encoded label")
+        rows.map { r =>
+          (r(0).get.asInstanceOf[Long], sid,
+            r(1).map(_.asInstanceOf[String]))
+        }
+      }
+      .toDF("doc_id", "shard_id", "label")
+      .orderBy("doc_id")
+  }
+
+  /** One 8-doc Arrow file with a dictionary-encoded label column:
+    * 4 shared label values, indices int32, label null every 11th doc
+    * (the arrow_ipc_parse rule — but resolved through a
+    * DictionaryBatch this time). */
+  private def buildArrowDictShard(docs: Seq[(Long, Long)]): Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType,
+      DictionaryEncoding, Field, FieldType}
+    import org.apache.arrow.vector.dictionary.{Dictionary,
+      DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector._
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val dictVec = new VarCharVector("dictv", alloc)
+      val raw = new VarCharVector(new Field("label",
+        new FieldType(true, ArrowType.Utf8.INSTANCE, null), null), alloc)
+      val ids = new BigIntVector("id", alloc)
+      try {
+        dictVec.allocateNew()
+        (0 until 4).foreach(i =>
+          dictVec.setSafe(i, s"label$i".getBytes("UTF-8")))
+        dictVec.setValueCount(4)
+        val enc = new DictionaryEncoding(1L, false,
+          new ArrowType.Int(32, true))
+        val dictionary = new Dictionary(dictVec, enc)
+        val provider =
+          new DictionaryProvider.MapDictionaryProvider(dictionary)
+        raw.allocateNew()
+        ids.allocateNew()
+        docs.zipWithIndex.foreach { case ((id, _), i) =>
+          ids.setSafe(i, id)
+          if (id % 11 == 10) raw.setNull(i)
+          else raw.setSafe(i, s"label${id % 4}".getBytes("UTF-8"))
+        }
+        raw.setValueCount(docs.length)
+        ids.setValueCount(docs.length)
+        val encoded = DictionaryEncoder.encode(raw, dictionary)
+          .asInstanceOf[IntVector]
+        try {
+          val root = new VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, encoded.getField),
+            java.util.Arrays.asList[FieldVector](ids, encoded),
+            docs.length)
+          val buf = new java.io.ByteArrayOutputStream()
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            provider, java.nio.channels.Channels.newChannel(buf))
+          w.start(); w.writeBatch(); w.end(); w.close()
+          buf.toByteArray
+        } finally encoded.close()
+      } finally { raw.close(); ids.close(); dictVec.close() }
+    } finally alloc.close()
+  }
+
   /** The per-shard nested `.arrow` files: (shard_id, bytes). */
   private def arrowNestedShards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
@@ -7922,6 +8004,14 @@ object Pipeline {
     * identity; the marker makes it idempotent; the key folds the
     * source table's recursive (length + mtime) signature so a
     * driver-side testdata regeneration invalidates the fixture. */
+  /** Count of fixture trees actually BUILT this JVM (cache hits do
+    * not count) — Bench reads the delta around each query to report
+    * the one-off build cost under first_touch instead of billing it
+    * to the query's steady-state time (r11 verdict #3: doc_ingest_dag
+    * was 22 s with the 12 500-file tree build inside the timed run). */
+  private[graft] val fixtureBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def formatFixtureDir(dir: String, tag: String, table: String)(
       build: String => Unit): String = {
     def sig(f: java.io.File): Long =
@@ -7938,6 +8028,7 @@ object Pipeline {
         root.mkdirs()
         build(root.getAbsolutePath)
         java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        fixtureBuilds.incrementAndGet(): Unit
       }
     }
     root.getAbsolutePath
@@ -8639,6 +8730,7 @@ object Pipeline {
     "arrow_ipc_parse"   -> arrowIpcParse _,
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "arrow_ipc_nested"  -> arrowIpcNested _,
+    "arrow_ipc_dict"    -> arrowIpcDict _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -10805,6 +10897,16 @@ object Pipeline {
     "arrow_ipc_parse" -> arrowIpcOracleSql,
     // same facts through the written .arrow fixture tree + binaryFile
     "arrow_ipc_files" -> arrowIpcOracleSql,
+    // dictionary-encoded label column resolved through OUR
+    // DictionaryBatch decode (indices never surface)
+    "arrow_ipc_dict" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL
+        |    ELSE 'label' || (doc_id % 4) END AS label
+        |FROM d ORDER BY doc_id""".stripMargin,
     // nested columns (list<int64> tokens + struct meta): every fact
     // re-derived from OUR recursive decode of arrow-java output,
     // predicted here straight from documents

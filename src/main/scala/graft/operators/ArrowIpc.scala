@@ -18,9 +18,14 @@ package graft.operators
   * shapes real corpora carry — List (HuggingFace-datasets token
   * columns are `list<int64>`) and Struct, recursive to depth 8,
   * nullable at every level (list offsets verified monotone, child
-  * lengths verified against the final offset). Map/Union, dictionary
-  * encoding, body compression and big-endian streams REJECT cleanly
-  * (None) — drop, never invent. Every
+  * lengths verified against the final offset), plus DICTIONARY
+  * ENCODING over scalar value types (DictionaryBatch messages decode
+  * the value column; record-batch index columns — int 8/16/32/64,
+  * signed/unsigned — resolve through the id's dictionary with eager
+  * bounds checks; stream replacement allowed, delta dictionaries
+  * reject). Map/Union, dictionaries over nested types, body
+  * compression and big-endian streams REJECT cleanly (None) — drop,
+  * never invent. Every
   * structural invariant is checked: continuation marker, 8-byte
   * alignment, bodyLength bounds, node/buffer counts against the
   * schema's buffer layout, offsets monotonicity, null-count
@@ -132,7 +137,12 @@ object ArrowIpc {
     * child — HuggingFace token columns are `list<int64>`) and
     * "struct" (≥1 children). `children` is empty for scalars. */
   final case class Col(name: String, nullable: Boolean, tag: String,
-      children: Seq[Col] = Nil)
+      children: Seq[Col] = Nil,
+      /** (dictionary id, index bit width, index signed) when the
+        * column is dictionary-encoded: `tag` is then the VALUE type
+        * (what the serialized schema carries per spec) and the record
+        * batch holds indices of this width into the dictionary. */
+      dict: Option[(Long, Int, Boolean)] = None)
 
   /** Decoded value row: None = null (the [[Avro.Row]] convention).
     * A "list" value is a `Seq[Option[Any]]` of element values; a
@@ -148,7 +158,23 @@ object ArrowIpc {
     //         dictionary(4), children(5) }
     val name = fb.str(fb.fieldRef(ft, 0)).getOrElse(return None)
     val nullable = fb.fieldBool(ft, 1, dflt = false)
-    if (fb.field(ft, 4) >= 0) return None // dictionary-encoded
+    // DictionaryEncoding { id(0), indexType(1), isOrdered(2), kind(3) }
+    // — the field's `type` stays the VALUE type per spec; the batch
+    // column holds indices. Supported over scalar value types with
+    // int 8/16/32/64 indices (32 signed is the spec default).
+    val dict: Option[(Long, Int, Boolean)] =
+      if (fb.field(ft, 4) < 0) None
+      else {
+        val dp = fb.fieldRef(ft, 4)
+        if (dp < 0) return None
+        val id = fb.fieldI64(dp, 0, 0L)
+        val it = fb.fieldRef(dp, 1)
+        val (bits, signed) =
+          if (it < 0) (32, true)
+          else (fb.fieldI32(it, 0, 0), fb.fieldBool(it, 1, dflt = false))
+        if (!Set(8, 16, 32, 64)(bits)) return None
+        Some((id, bits, signed))
+      }
     val kidsV = fb.fieldRef(ft, 5)
     val nKids = if (kidsV < 0) 0 else math.max(fb.vecLen(kidsV), 0)
     def kids(): Option[Seq[Col]] = {
@@ -166,10 +192,10 @@ object ArrowIpc {
     val tt = fb.fieldRef(ft, 3)
     typeType match {
       case 12 => // List { } — exactly one child carries the element type
-        if (nKids != 1) return None
+        if (nKids != 1 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "list", k))
       case 13 => // Struct_ { } — flat record of named children
-        if (nKids < 1 || nKids > 1024) return None
+        if (nKids < 1 || nKids > 1024 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "struct", k))
       case _ =>
         if (nKids > 0) return None // scalar types carry no children
@@ -190,7 +216,7 @@ object ArrowIpc {
           case 6 => "bool"
           case _ => return None // Null/Map/Union/decimal/temporal/...
         }
-        Some(Col(name, nullable, tag))
+        Some(Col(name, nullable, tag, Nil, dict))
     }
   }
 
@@ -214,12 +240,14 @@ object ArrowIpc {
   /** RecordBatch buffer count for a column, per the spec's fixed
     * type-determined layout (validity is always present regardless of
     * the nullable flag). */
-  private def bufCount(c: Col): Int = c.tag match {
-    case "utf8" | "binary" => 3 // validity + offsets + data
-    case "list"            => 2 + bufCount(c.children.head)
-    case "struct"          => 1 + c.children.map(bufCount).sum
-    case _                 => 2 // validity + data (bool data = bitmap)
-  }
+  private def bufCount(c: Col): Int =
+    if (c.dict.isDefined) 2 // validity + indices; values live in the dict
+    else c.tag match {
+      case "utf8" | "binary" => 3 // validity + offsets + data
+      case "list"            => 2 + bufCount(c.children.head)
+      case "struct"          => 1 + c.children.map(bufCount).sum
+      case _                 => 2 // validity + data (bool data = bitmap)
+    }
 
   /** FieldNode count: one per field, depth-first preorder. */
   private def nodeCount(c: Col): Int =
@@ -237,6 +265,8 @@ object ArrowIpc {
     var p = off
     var cols: Seq[Col] = null
     val rows = Seq.newBuilder[Row]
+    val dicts = scala.collection.mutable.Map.empty[
+      Long, IndexedSeq[Option[Any]]]
     var total = 0L
     var done = false
     while (!done) {
@@ -269,14 +299,30 @@ object ArrowIpc {
               case 1 => // Schema
                 if (cols != null) return None
                 cols = parseSchema(fb, header).getOrElse(return None)
+              case 2 => // DictionaryBatch { id(0), data(1), isDelta(2) }
+                if (cols == null) return None
+                if (fb.fieldBool(header, 2, dflt = false))
+                  return None // delta dictionaries: honest rejection
+                val id = fb.fieldI64(header, 0, 0L)
+                val data = fb.fieldRef(header, 1)
+                if (data < 0) return None
+                // decode the single-column value batch with the value
+                // type the schema declares for this dictionary id
+                val valCol = dictValueCol(cols, id).getOrElse(return None)
+                val vals = parseBatch(fb, data, b, q, bodyLen,
+                  Seq(valCol), Map.empty).getOrElse(return None)
+                if (vals.length > (1 << 22)) return None // bomb cap
+                // replacement (same id re-sent) is legal in streams:
+                // last one wins, matching reader semantics
+                dicts(id) = vals.map(_.head).toIndexedSeq
               case 3 => // RecordBatch
                 if (cols == null) return None
-                val got = parseBatch(fb, header, b, q, bodyLen, cols)
-                  .getOrElse(return None)
+                val got = parseBatch(fb, header, b, q, bodyLen, cols,
+                  dicts.toMap).getOrElse(return None)
                 total += got.length
                 if (total > maxRows) return None
                 rows ++= got
-              case _ => return None // DictionaryBatch/Tensor/...
+              case _ => return None // Tensor/SparseTensor/...
             }
             p = (q + bodyLen).toInt
             p = ((p + 7) / 8) * 8
@@ -286,6 +332,18 @@ object ArrowIpc {
       }
     }
     if (cols == null) None else Some((cols, rows.result(), p - off))
+  }
+
+  /** The VALUE-typed pseudo-column for dictionary `id` — the type the
+    * schema declares on (any) field encoded against that id. */
+  private def dictValueCol(cols: Seq[Col], id: Long): Option[Col] = {
+    cols.foreach { c =>
+      if (c.dict.exists(_._1 == id))
+        return Some(Col(c.name, nullable = true, c.tag))
+      val sub = dictValueCol(c.children, id)
+      if (sub.isDefined) return sub
+    }
+    None
   }
 
   private def le32(b: Array[Byte], o: Int): Long =
@@ -300,7 +358,8 @@ object ArrowIpc {
     * final offset), a struct reads one validity buffer then each
     * child at the parent length. */
   private def parseBatch(fb: Fb, t: Int, body: Array[Byte],
-      bodyOff: Int, bodyLen: Long, cols: Seq[Col]): Option[Seq[Row]] = {
+      bodyOff: Int, bodyLen: Long, cols: Seq[Col],
+      dicts: Map[Long, IndexedSeq[Option[Any]]]): Option[Seq[Row]] = {
     // RecordBatch { length(0), nodes(1), buffers(2), compression(3) }
     if (fb.field(t, 3) >= 0) return None // body compression
     val n = fb.fieldI64(t, 0, -1L)
@@ -336,6 +395,37 @@ object ArrowIpc {
       val noNulls = nullCount == 0 || vLen == 0
       def isValid(i: Int): Boolean = noNulls || {
         ((body(bodyOff + vOff.toInt + (i >> 3)) >>> (i & 7)) & 1) != 0
+      }
+      if (c.dict.isDefined) {
+        // dictionary-encoded: one index buffer; values resolve through
+        // the id's dictionary (which MUST precede this batch). Every
+        // valid index is bounds-checked eagerly.
+        val (id, bits, signed) = c.dict.get
+        val values = dicts.getOrElse(id, return None)
+        val (dOff, dLen) = nextBuf().getOrElse(return None)
+        val width = bits / 8
+        if (dLen < width.toLong * m) return None
+        val base = bodyOff + dOff.toInt
+        def idxAt(i: Int): Long = bits match {
+          case 8  => if (signed) body(base + i).toLong
+                     else (body(base + i) & 0xff).toLong
+          case 16 => if (signed) fbI16(body, base + 2 * i).toLong
+                     else (fbI16(body, base + 2 * i) & 0xffff).toLong
+          case 32 => if (signed) fbI32(body, base + 4 * i).toLong
+                     else fbI32(body, base + 4 * i) & 0xffffffffL
+          case _  => fbI64(body, base + 8 * i)
+        }
+        var i = 0
+        while (i < m) {
+          if (isValid(i)) {
+            val ix = idxAt(i)
+            if (ix < 0 || ix >= values.length) return None
+          }
+          i += 1
+        }
+        return Some { (i: Int) =>
+          if (!isValid(i)) None else values(idxAt(i).toInt)
+        }
       }
       c.tag match {
         case "utf8" | "binary" =>

@@ -296,6 +296,60 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: dictionary-encoded utf8 column (arrow-java)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding,
+      Field, FieldType}
+    import org.apache.arrow.vector.dictionary.{Dictionary,
+      DictionaryEncoder, DictionaryProvider}
+    val alloc = new RootAllocator()
+    // dictionary values: 4 labels
+    val dictVec = new VarCharVector("dictv", alloc)
+    dictVec.allocateNew()
+    val labels = Seq("alpha", "beta", "gamma", "delta")
+    labels.zipWithIndex.foreach { case (s, i) =>
+      dictVec.setSafe(i, s.getBytes("UTF-8")) }
+    dictVec.setValueCount(labels.length)
+    val enc = new DictionaryEncoding(7L, false,
+      new ArrowType.Int(32, true))
+    val dictionary = new Dictionary(dictVec, enc)
+    val provider = new DictionaryProvider.MapDictionaryProvider(dictionary)
+    // unencoded column with nulls, then encode to indices
+    val raw = new VarCharVector(
+      new Field("label", new FieldType(true, ArrowType.Utf8.INSTANCE,
+        null), null), alloc)
+    raw.allocateNew()
+    val n = 33
+    for (i <- 0 until n) {
+      if (i % 7 == 5) raw.setNull(i)
+      else raw.setSafe(i, labels(i % 4).getBytes("UTF-8"))
+    }
+    raw.setValueCount(n)
+    val encoded = DictionaryEncoder.encode(raw, dictionary)
+      .asInstanceOf[IntVector]
+    val ids = new BigIntVector("id", alloc)
+    ids.allocateNew()
+    for (i <- 0 until n) ids.setSafe(i, i * 3L)
+    ids.setValueCount(n)
+    val root = new VectorSchemaRoot(
+      java.util.Arrays.asList(ids.getField, encoded.getField),
+      java.util.Arrays.asList(ids, encoded), n)
+    val buf = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, provider,
+      java.nio.channels.Channels.newChannel(buf))
+    w.start(); w.writeBatch(); w.end(); w.close()
+    root.close(); raw.close(); dictVec.close(); alloc.close()
+    val (cols, rows) = ArrowIpc.parseFile(buf.toByteArray)
+      .getOrElse(fail("dictionary-encoded file rejected"))
+    assert(cols(1).tag == "utf8" && cols(1).dict.isDefined)
+    assert(cols(1).dict.get._1 == 7L)
+    assert(rows.length == n)
+    for (i <- 0 until n) {
+      assert(rows(i)(0) == Some(i * 3L))
+      if (i % 7 == 5) assert(rows(i)(1).isEmpty)
+      else assert(rows(i)(1) == Some(labels(i % 4)), s"row $i")
+    }
+  }
+
   test("map type still rejects cleanly") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     val alloc = new RootAllocator()
