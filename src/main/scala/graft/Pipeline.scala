@@ -6612,8 +6612,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** One 8-doc Arrow file via the bundled arrow-java writer. */
-  private def buildArrowShard(docs: Seq[(Long, String)]): Array[Byte] = {
+  /** [[arrowIpcParse]] with BODY-COMPRESSED shards (r12): arrow-java
+    * writes with BodyCompression — ZSTD on even shards, LZ4_FRAME on
+    * odd (the pyarrow Feather-v2 compression shapes) — and OUR
+    * reader decodes every buffer envelope through the repo's own
+    * pure-JVM Zstd / LZ4-frame decoders. Identical oracle to
+    * arrow_ipc_parse: the compression layer must be invisible. */
+  private def arrowIpcCompressed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    arrowShardRows(
+      asciiDocs(s, dir)
+        .map { case (id, t) => (id / 8, id, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          (sid, buildArrowShard(docs.map { case (_, id, t) => (id, t) },
+            compressEvenZstd = Some(sid % 2 == 0)))
+        })
+      .orderBy("doc_id")
+  }
+
+  /** One 8-doc Arrow file via the bundled arrow-java writer.
+    * `compressEvenZstd`: None = uncompressed; Some(true) = ZSTD body
+    * compression; Some(false) = LZ4_FRAME. */
+  private def buildArrowShard(docs: Seq[(Long, String)],
+      compressEvenZstd: Option[Boolean] = None): Array[Byte] = {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
       FieldType, Schema => ASchema}
     import org.apache.arrow.vector.types.FloatingPointPrecision
@@ -6645,8 +6670,20 @@ object Pipeline {
         }
         root.setRowCount(docs.length)
         val buf = new java.io.ByteArrayOutputStream()
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-          null, java.nio.channels.Channels.newChannel(buf))
+        val ch = java.nio.channels.Channels.newChannel(buf)
+        val w = compressEvenZstd match {
+          case None =>
+            new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+          case Some(zstd) =>
+            import org.apache.arrow.vector.compression.CompressionUtil
+            new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+              ch, null,
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              org.apache.arrow.compression.CommonsCompressionFactory
+                .INSTANCE,
+              if (zstd) CompressionUtil.CodecType.ZSTD
+              else CompressionUtil.CodecType.LZ4_FRAME)
+        }
         w.start(); w.writeBatch(); w.end(); w.close()
         buf.toByteArray
       } finally root.close()
@@ -7769,6 +7806,40 @@ object Pipeline {
       }
   }
 
+  /** avro_parse through the FULL spec codec set (r12): the same
+    * 8-doc shards and facts as avro_parse, but the codec rotates
+    * through all six — null, deflate, bzip2, snappy (+CRC32 verify),
+    * xz, zstandard — so every compressed path decodes through OUR
+    * pure-JVM codec stack inside the same shard walk. */
+  private def avroParseCodecs(s: SparkSession, dir: String): DataFrame =
+    avroShardRows(avroCodecShards(s, dir)).orderBy("doc_id")
+
+  private def avroCodecShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val fields = Seq(
+          graft.operators.Avro.Field("id", "long", nullable = false),
+          graft.operators.Avro.Field("text", "string", nullable = false),
+          graft.operators.Avro.Field("label", "string", nullable = true),
+          graft.operators.Avro.Field("score", "double", nullable = false))
+        val rows = docs.map { case (_, id, t) =>
+          Seq[Option[Any]](Some(id), Some(t),
+            if (id % 11 == 10) None else Some(s"label${id % 4}"),
+            Some(t.length * 0.25))
+        }
+        val codec = Seq("null", "deflate", "bzip2", "snappy", "xz",
+          "zstandard")((sid % 6).toInt)
+        (sid, graft.operators.Avro.build("doc", fields, rows, codec,
+          blockRows = 4))
+      }
+  }
+
   /** Avro COMPLEX types (r12) — the shapes Hadoop-lineage corpora use
     * freely: a nullable `array<long?>` token column, a `map<string,
     * long>`, an enum class label, and a nested record. Build side is
@@ -8727,10 +8798,12 @@ object Pipeline {
     "tar_parse_files"   -> tarParseFiles _,
     "avro_parse"        -> avroParse _,
     "avro_parse_nested" -> avroParseNested _,
+    "avro_parse_codecs" -> avroParseCodecs _,
     "arrow_ipc_parse"   -> arrowIpcParse _,
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "arrow_ipc_nested"  -> arrowIpcNested _,
     "arrow_ipc_dict"    -> arrowIpcDict _,
+    "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -10790,6 +10863,21 @@ object Pipeline {
     // Avro container: every fact re-derived from PARSED values, so
     // the zigzag/union/sync/deflate stack must be value-transparent
     "avro_parse" -> avroParseOracleSql,
+    // full codec rotation: same facts as avro_parse, codec by sid%6
+    "avro_parse_codecs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE (doc_id // 8) % 6 WHEN 0 THEN 'null'
+        |    WHEN 1 THEN 'deflate' WHEN 2 THEN 'bzip2'
+        |    WHEN 3 THEN 'snappy' WHEN 4 THEN 'xz'
+        |    ELSE 'zstandard' END AS codec,
+        |  strlen(text) AS len, md5(text) AS md5,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL
+        |    ELSE 'label' || (doc_id % 4) END AS label,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin,
     // complex types (array/map/enum/nested record): our nested writer
     // → our recursive decoder, every fact predicted from documents
     "avro_parse_nested" ->
@@ -10897,6 +10985,9 @@ object Pipeline {
     "arrow_ipc_parse" -> arrowIpcOracleSql,
     // same facts through the written .arrow fixture tree + binaryFile
     "arrow_ipc_files" -> arrowIpcOracleSql,
+    // same facts through ZSTD/LZ4_FRAME body compression — the
+    // compression envelope must be invisible to every decoded value
+    "arrow_ipc_compressed" -> arrowIpcOracleSql,
     // dictionary-encoded label column resolved through OUR
     // DictionaryBatch decode (indices never surface)
     "arrow_ipc_dict" ->

@@ -23,9 +23,13 @@ package graft.operators
   * the value column; record-batch index columns — int 8/16/32/64,
   * signed/unsigned — resolve through the id's dictionary with eager
   * bounds checks; stream replacement allowed, delta dictionaries
-  * reject). Map/Union, dictionaries over nested types, body
-  * compression and big-endian streams REJECT cleanly (None) — drop,
-  * never invent. Every
+  * reject), plus BODY COMPRESSION (BodyCompression codecs LZ4_FRAME
+  * and ZSTD, buffer method — the pyarrow Feather-v2 compression
+  * shapes): each body buffer's [int64 uncompressed length | -1]
+  * [frame] envelope decodes through this repo's own pure-JVM
+  * LZ4-frame / Zstd decoders, length-verified. Map/Union,
+  * dictionaries over nested types and big-endian streams REJECT
+  * cleanly (None) — drop, never invent. Every
   * structural invariant is checked: continuation marker, 8-byte
   * alignment, bodyLength bounds, node/buffer counts against the
   * schema's buffer layout, offsets monotonicity, null-count
@@ -357,11 +361,31 @@ object ArrowIpc {
     * then its child at the child's own length (verified against the
     * final offset), a struct reads one validity buffer then each
     * child at the parent length. */
+  /** One body buffer, possibly decompressed: reads go through
+    * (arr, base) so compressed and plain bodies share every code
+    * path below. */
+  private final class BufV(val arr: Array[Byte], val base: Int,
+      val len: Long)
+
   private def parseBatch(fb: Fb, t: Int, body: Array[Byte],
       bodyOff: Int, bodyLen: Long, cols: Seq[Col],
       dicts: Map[Long, IndexedSeq[Option[Any]]]): Option[Seq[Row]] = {
     // RecordBatch { length(0), nodes(1), buffers(2), compression(3) }
-    if (fb.field(t, 3) >= 0) return None // body compression
+    // BodyCompression { codec(0): 0=LZ4_FRAME 1=ZSTD, method(1): 0 } —
+    // when present, each non-empty buffer is [int64 LE uncompressed
+    // length | -1][frame bytes], decoded here through OUR pure-JVM
+    // LZ4-frame / Zstd decoders (the pyarrow Feather-v2 compression
+    // default is exactly this LZ4 form).
+    val codec: Int =
+      if (fb.field(t, 3) < 0) -1
+      else {
+        val cp = fb.fieldRef(t, 3)
+        if (cp < 0) return None
+        val cd = fb.fieldU8(cp, 0, 0)
+        if (fb.fieldU8(cp, 1, 0) != 0) return None // method must be BUFFER
+        if (cd != 0 && cd != 1) return None
+        cd
+      }
     val n = fb.fieldI64(t, 0, -1L)
     if (n < 0 || n > (1L << 24)) return None
     val nodesV = fb.fieldRef(t, 1)
@@ -375,14 +399,30 @@ object ArrowIpc {
       ni += 1
       if (s < 0) None else Some((fb.i64(s), fb.i64(s + 8)))
     }
-    def nextBuf(): Option[(Long, Long)] = {
+    def nextBuf(): Option[BufV] = {
       val s = fb.vecStruct(bufsV, bi, 16)
       bi += 1
       if (s < 0) return None
       val off = fb.i64(s)
       val len = fb.i64(s + 8)
-      if (off < 0 || len < 0 || off + len > bodyLen) None
-      else Some((off, len))
+      if (off < 0 || len < 0 || off + len > bodyLen) return None
+      if (codec < 0 || len == 0)
+        return Some(new BufV(body, bodyOff + off.toInt, len))
+      if (len < 8) return None
+      val uncomp = fbI64(body, bodyOff + off.toInt)
+      if (uncomp == -1L) // spec: -1 marks a buffer stored uncompressed
+        return Some(new BufV(body, bodyOff + off.toInt + 8, len - 8))
+      if (uncomp < 0 || uncomp > (1L << 26)) return None
+      val frame = java.util.Arrays.copyOfRange(body,
+        bodyOff + off.toInt + 8, bodyOff + off.toInt + len.toInt)
+      val dec =
+        if (codec == 0) Lz4.frameDecompress(frame)
+        else Zstd.decode(frame, 1 << 26)
+      dec match {
+        case Some(d) if d.length.toLong == uncomp =>
+          Some(new BufV(d, 0, uncomp))
+        case _ => None
+      }
     }
     /** Read one vector (and its children) expecting `want` slots;
       * returns the positional accessor, or None on malformation. */
@@ -390,11 +430,11 @@ object ArrowIpc {
       val (len, nullCount) = nextNode().getOrElse(return None)
       if (len != want || nullCount < 0 || nullCount > len) return None
       val m = len.toInt
-      val (vOff, vLen) = nextBuf().getOrElse(return None)
-      if (nullCount > 0 && vLen < (m + 7) / 8) return None
-      val noNulls = nullCount == 0 || vLen == 0
+      val vb = nextBuf().getOrElse(return None)
+      if (nullCount > 0 && vb.len < (m + 7) / 8) return None
+      val noNulls = nullCount == 0 || vb.len == 0
       def isValid(i: Int): Boolean = noNulls || {
-        ((body(bodyOff + vOff.toInt + (i >> 3)) >>> (i & 7)) & 1) != 0
+        ((vb.arr(vb.base + (i >> 3)) >>> (i & 7)) & 1) != 0
       }
       if (c.dict.isDefined) {
         // dictionary-encoded: one index buffer; values resolve through
@@ -402,18 +442,19 @@ object ArrowIpc {
         // valid index is bounds-checked eagerly.
         val (id, bits, signed) = c.dict.get
         val values = dicts.getOrElse(id, return None)
-        val (dOff, dLen) = nextBuf().getOrElse(return None)
+        val db = nextBuf().getOrElse(return None)
         val width = bits / 8
-        if (dLen < width.toLong * m) return None
-        val base = bodyOff + dOff.toInt
+        if (db.len < width.toLong * m) return None
+        val arr = db.arr
+        val base = db.base
         def idxAt(i: Int): Long = bits match {
-          case 8  => if (signed) body(base + i).toLong
-                     else (body(base + i) & 0xff).toLong
-          case 16 => if (signed) fbI16(body, base + 2 * i).toLong
-                     else (fbI16(body, base + 2 * i) & 0xffff).toLong
-          case 32 => if (signed) fbI32(body, base + 4 * i).toLong
-                     else fbI32(body, base + 4 * i) & 0xffffffffL
-          case _  => fbI64(body, base + 8 * i)
+          case 8  => if (signed) arr(base + i).toLong
+                     else (arr(base + i) & 0xff).toLong
+          case 16 => if (signed) fbI16(arr, base + 2 * i).toLong
+                     else (fbI16(arr, base + 2 * i) & 0xffff).toLong
+          case 32 => if (signed) fbI32(arr, base + 4 * i).toLong
+                     else fbI32(arr, base + 4 * i) & 0xffffffffL
+          case _  => fbI64(arr, base + 8 * i)
         }
         var i = 0
         while (i < m) {
@@ -429,37 +470,37 @@ object ArrowIpc {
       }
       c.tag match {
         case "utf8" | "binary" =>
-          val (oOff, oLen) = nextBuf().getOrElse(return None)
-          val (dOff, dLen) = nextBuf().getOrElse(return None)
-          if (oLen < 4L * (m + 1)) return None
+          val ob = nextBuf().getOrElse(return None)
+          val db = nextBuf().getOrElse(return None)
+          if (ob.len < 4L * (m + 1)) return None
           var i = 0
           var prev = 0L
           while (i < m) { // offsets monotone and inside the data buffer
-            val s = le32(body, bodyOff + oOff.toInt + 4 * i)
-            val e = le32(body, bodyOff + oOff.toInt + 4 * (i + 1))
-            if (s < prev || e < s || e > dLen) return None
-            prev = s
+            val st = le32(ob.arr, ob.base + 4 * i)
+            val e = le32(ob.arr, ob.base + 4 * (i + 1))
+            if (st < prev || e < st || e > db.len) return None
+            prev = st
             i += 1
           }
           val utf8 = c.tag == "utf8"
           Some { (i: Int) =>
             if (!isValid(i)) None
             else {
-              val s = le32(body, bodyOff + oOff.toInt + 4 * i).toInt
-              val e = le32(body, bodyOff + oOff.toInt + 4 * (i + 1)).toInt
-              val bytes = java.util.Arrays.copyOfRange(body,
-                bodyOff + dOff.toInt + s, bodyOff + dOff.toInt + e)
+              val st = le32(ob.arr, ob.base + 4 * i).toInt
+              val e = le32(ob.arr, ob.base + 4 * (i + 1)).toInt
+              val bytes = java.util.Arrays.copyOfRange(db.arr,
+                db.base + st, db.base + e)
               if (utf8) Some(new String(bytes, "UTF-8")) else Some(bytes)
             }
           }
         case "list" =>
-          val (oOff, oLen) = nextBuf().getOrElse(return None)
-          if (oLen < 4L * (m + 1)) return None
+          val ob = nextBuf().getOrElse(return None)
+          if (ob.len < 4L * (m + 1)) return None
           val offs = new Array[Int](m + 1)
           var i = 0
           var prev = 0L
           while (i <= m) {
-            val v = le32(body, bodyOff + oOff.toInt + 4 * i)
+            val v = le32(ob.arr, ob.base + 4 * i)
             if (v < prev || v > (1L << 26)) return None // monotone + bomb cap
             prev = v
             offs(i) = v.toInt
@@ -480,7 +521,7 @@ object ArrowIpc {
             else Some(kids.map(_(i)): Seq[Option[Any]])
           }
         case _ =>
-          val (dOff, dLen) = nextBuf().getOrElse(return None)
+          val db = nextBuf().getOrElse(return None)
           val width = c.tag match {
             case "bool" => 0 // bitmap
             case "int8" | "uint8" => 1
@@ -488,26 +529,27 @@ object ArrowIpc {
             case "int32" | "uint32" | "float32" => 4
             case _ => 8
           }
-          if (width == 0) { if (dLen < (m + 7) / 8) return None }
-          else if (dLen < width.toLong * m) return None
-          val base = bodyOff + dOff.toInt
+          if (width == 0) { if (db.len < (m + 7) / 8) return None }
+          else if (db.len < width.toLong * m) return None
+          val arr = db.arr
+          val base = db.base
           val tag = c.tag
           Some { (i: Int) =>
             if (!isValid(i)) None
             else Some(tag match {
               case "bool" =>
-                ((body(base + (i >> 3)) >>> (i & 7)) & 1) != 0
-              case "int8"  => body(base + i)
-              case "uint8" => (body(base + i) & 0xff).toShort
-              case "int16" => fbI16(body, base + 2 * i)
-              case "uint16" => (fbI16(body, base + 2 * i) & 0xffff)
-              case "int32" => fbI32(body, base + 4 * i)
-              case "uint32" => fbI32(body, base + 4 * i) & 0xffffffffL
-              case "int64" | "uint64" => fbI64(body, base + 8 * i)
+                ((arr(base + (i >> 3)) >>> (i & 7)) & 1) != 0
+              case "int8"  => arr(base + i)
+              case "uint8" => (arr(base + i) & 0xff).toShort
+              case "int16" => fbI16(arr, base + 2 * i)
+              case "uint16" => (fbI16(arr, base + 2 * i) & 0xffff)
+              case "int32" => fbI32(arr, base + 4 * i)
+              case "uint32" => fbI32(arr, base + 4 * i) & 0xffffffffL
+              case "int64" | "uint64" => fbI64(arr, base + 8 * i)
               case "float32" =>
-                java.lang.Float.intBitsToFloat(fbI32(body, base + 4 * i))
+                java.lang.Float.intBitsToFloat(fbI32(arr, base + 4 * i))
               case _ =>
-                java.lang.Double.longBitsToDouble(fbI64(body, base + 8 * i))
+                java.lang.Double.longBitsToDouble(fbI64(arr, base + 8 * i))
             })
           }
       }

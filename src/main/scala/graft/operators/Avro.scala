@@ -5,8 +5,11 @@ package graft.operators
   * shard format half the Hadoop-lineage training corpora ship in.
   * Pure-JVM build + parse, entirely closed-form: magic `Obj\x01`, a
   * metadata map carrying the JSON schema and codec, zigzag-varint
-  * primitives, 16-byte sync markers between blocks, and the `null` /
-  * `deflate` codecs (raw deflate, nowrap, per spec).
+  * primitives, 16-byte sync markers between blocks, and ALL SIX
+  * spec codecs (r12): `null`, `deflate` (raw nowrap), `bzip2`,
+  * `snappy` (raw block + big-endian CRC32 of the uncompressed data,
+  * verified), `xz` and `zstandard` — the compressed paths decode
+  * through this repo's own pure-JVM codec stack.
   *
   * Schema subset: one top-level RECORD whose fields are primitives —
   * `boolean int long float double bytes string` — or the complex
@@ -343,9 +346,19 @@ object Avro {
 
   /** [[build]] for the full recursive type model (arrays, maps,
     * enums, nested records). */
+  /** The spec's full optional-codec set (Avro 1.x "Required/Optional
+    * Codecs"): deflate is raw-nowrap JDK; bzip2/xz/zstandard are one
+    * standard stream per block (OUR encoders write — bzip2 full
+    * entropy coding, xz/zstd store mode, all of which any conforming
+    * reader accepts — and OUR decoders read); snappy is one raw
+    * snappy block followed by the 4-byte big-endian CRC32 of the
+    * UNCOMPRESSED data, verified on read. */
+  final val Codecs: Set[String] =
+    Set("null", "deflate", "bzip2", "snappy", "xz", "zstandard")
+
   def buildNested(recordName: String, fields: Seq[NField], rows: Seq[Row],
       codec: String = "null", blockRows: Int = 1000): Array[Byte] = {
-    require(codec == "null" || codec == "deflate", s"codec $codec")
+    require(Codecs(codec), s"codec $codec")
     val schema = recordJson(recordName, fields)
     val sync = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$schema#${rows.length}".getBytes("UTF-8"))
@@ -373,16 +386,29 @@ object Avro {
         }
       }
       val raw = body.toByteArray
-      val enc = if (codec == "null") raw else {
-        val d = new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap
-        try {
-          d.setInput(raw); d.finish()
-          val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          bos.toByteArray
-        } finally d.end()
+      val enc = codec match {
+        case "null" => raw
+        case "deflate" =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap
+          try {
+            d.setInput(raw); d.finish()
+            val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            bos.toByteArray
+          } finally d.end()
+        case "bzip2" => Bzip2.encode(raw)
+        case "xz" => Xz.encodeStore(raw)
+        case "zstandard" => Zstd.encodeStore(raw)
+        case "snappy" => // raw block + BE CRC32 of the UNCOMPRESSED data
+          val c = new java.util.zip.CRC32
+          c.update(raw, 0, raw.length)
+          val crc = c.getValue
+          val blockBytes = SnappyCodec.compress(raw)
+          blockBytes ++ Array[Byte](
+            (crc >>> 24).toByte, (crc >>> 16).toByte,
+            (crc >>> 8).toByte, crc.toByte)
       }
       writeVarLong(out, block.length.toLong)
       writeVarLong(out, enc.length.toLong)
@@ -638,7 +664,7 @@ object Avro {
       .map(new String(_, "UTF-8")).getOrElse(return None)
     val codec = metaMap.get("avro.codec")
       .map(new String(_, "UTF-8")).getOrElse("null")
-    if (codec != "null" && codec != "deflate") return None
+    if (!Codecs(codec)) return None
     val (recName, fields) = interpretSchema(schema).getOrElse(return None)
     val sync = c.readFixed(16)
     if (!c.ok) return None
@@ -654,7 +680,26 @@ object Avro {
       if (total > (1 << 24)) return None // bomb guard
       val body0 = c.readFixed(size.toInt)
       if (!c.ok) return None
-      val body = if (codec == "null") Some(body0) else inflateRaw(body0)
+      val body: Option[Array[Byte]] = codec match {
+        case "null" => Some(body0)
+        case "deflate" => inflateRaw(body0)
+        case "bzip2" => Bzip2.decode(body0, 1 << 28)
+        case "xz" => Xz.decode(body0, 1 << 28)
+        case "zstandard" => Zstd.decode(body0, 1 << 28)
+        case _ => // snappy: raw block + BE CRC32 of uncompressed
+          if (body0.length < 4) None
+          else SnappyCodec.decompress(
+            java.util.Arrays.copyOfRange(body0, 0, body0.length - 4))
+            .filter { dec =>
+              val cc = new java.util.zip.CRC32
+              cc.update(dec, 0, dec.length)
+              val o = body0.length - 4
+              val want =
+                ((body0(o) & 0xffL) << 24) | ((body0(o + 1) & 0xffL) << 16) |
+                ((body0(o + 2) & 0xffL) << 8) | (body0(o + 3) & 0xffL)
+              cc.getValue == want && dec.length <= (1 << 28)
+            }
+      }
       val blockSync = c.readFixed(16)
       if (!c.ok || !java.util.Arrays.equals(blockSync, sync)) return None
       body match {

@@ -350,6 +350,28 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: LZ4_FRAME and ZSTD compressed bodies") {
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    for (codec <- Seq(CompressionUtil.CodecType.LZ4_FRAME,
+        CompressionUtil.CodecType.ZSTD)) {
+      val alloc = new RootAllocator()
+      val root = mkSchema(alloc)
+      val buf = new java.io.ByteArrayOutputStream()
+      val w = new ArrowFileWriter(root, null,
+        java.nio.channels.Channels.newChannel(buf), null,
+        IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+      w.start()
+      fill(root, 0); w.writeBatch()
+      fill(root, 1); w.writeBatch()
+      w.end(); w.close(); root.close(); alloc.close()
+      val (cols, rows) = ArrowIpc.parseFile(buf.toByteArray)
+        .getOrElse(fail(s"$codec-compressed file rejected"))
+      checkRows(cols, rows, batches = 2)
+    }
+  }
+
   test("map type still rejects cleanly") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     val alloc = new RootAllocator()

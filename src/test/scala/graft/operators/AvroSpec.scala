@@ -123,6 +123,74 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: all six spec codecs, both directions") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.{CodecFactory, DataFileReader,
+      DataFileWriter, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("c").fields()
+      .name("id").`type`().longType().noDefault()
+      .name("t").`type`().stringType().noDefault()
+      .endRecord()
+    val codecs = Seq(
+      "null" -> CodecFactory.nullCodec(),
+      "deflate" -> CodecFactory.deflateCodec(6),
+      "bzip2" -> CodecFactory.bzip2Codec(),
+      "snappy" -> CodecFactory.snappyCodec(),
+      "xz" -> CodecFactory.xzCodec(6),
+      "zstandard" -> CodecFactory.zstandardCodec(3))
+    for ((name, cf) <- codecs) {
+      // avro-java writes with the real codec → OUR decoder reads
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(cf)
+      w.create(schema, bos)
+      for (i <- 0 until 200) {
+        val r = new GenericData.Record(schema)
+        r.put("id", i.toLong)
+        r.put("t", s"text-$i-" + ("pad" * (i % 9)))
+        w.append(r)
+      }
+      w.close()
+      val got = Avro.parse(bos.toByteArray)
+      assert(got.isDefined, s"their $name output rejected")
+      assert(got.get.codec == name && got.get.rows.length == 200)
+      assert(got.get.rows(7)(1) == Some("text-7-" + ("pad" * 7)))
+      // OUR writer with the same codec → avro-java reads it back
+      val fields = Seq(Avro.Field("id", "long", nullable = false),
+        Avro.Field("t", "string", nullable = false))
+      val rows: Seq[Avro.Row] = (0 until 120).map(i =>
+        Seq(Some(i.toLong), Some(s"r$i")))
+      val ours = Avro.build("c", fields, rows, name, blockRows = 16)
+      assert(Avro.parse(ours).exists(_.rows == rows), s"our $name")
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(ours),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0
+      while (rd.hasNext) {
+        val rec = rd.next()
+        assert(rec.get("id") == i.toLong &&
+          rec.get("t").toString == s"r$i")
+        i += 1
+      }
+      rd.close()
+      assert(i == 120, s"avro-java read ${i} rows of our $name file")
+    }
+    // snappy CRC is VERIFIED: flip one payload byte → reject
+    val fields = Seq(Avro.Field("t", "string", nullable = false))
+    val one = Avro.build("c", fields,
+      Seq(Seq(Some("crc-pinned payload xxxxxxxx"))), "snappy")
+    var rejected = 0
+    for (p <- (one.length - 40) until (one.length - 20)) {
+      val bad = one.clone()
+      bad(p) = (bad(p) ^ 0x11).toByte
+      if (Avro.parse(bad).isEmpty) rejected += 1
+    }
+    assert(rejected > 0, "no snappy corruption was rejected")
+  }
+
   test("schema subset: complex types accept; unions/fixed/refs reject") {
     // r12: arrays, maps, enums and nested records now interpret
     val nested = """{"type":"record","name":"r","fields":[
