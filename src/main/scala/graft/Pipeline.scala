@@ -7682,7 +7682,11 @@ object Pipeline {
         val orig = t + suffix
         val corruptRounds =
           if (id % 2 != 0) 0 else if (id % 10 == 4) 2 else 1
-        val corrupted = FixEncoding.mojibake(orig, corruptRounds)
+        // every 7th corrupted doc takes the LATIN-1 damage family
+        // (C1 controls) instead of CP1252 — repair inverts both, so
+        // the oracle is unchanged
+        val corrupted = FixEncoding.mojibake(orig, corruptRounds,
+          latin1 = id % 7 == 1)
         val (repaired, rounds) = FixEncoding.repair(corrupted)
         val d = java.security.MessageDigest.getInstance("MD5")
         (id, rounds, repaired != corrupted,

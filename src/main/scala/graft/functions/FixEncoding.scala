@@ -75,6 +75,31 @@ object FixEncoding {
     Some(out)
   }
 
+  /** Encode to ISO-8859-1 (chars ≤ 0xFF are their own byte); None
+    * when any char is outside. The second classic mojibake family:
+    * UTF-8 decoded as LATIN-1 yields C1 controls (U+0080–U+009F)
+    * where CP1252 damage yields €‚ƒ… punctuation — "â€™" vs
+    * "â" for the same right quote. */
+  def latin1Encode(s: String): Option[Array[Byte]] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xff) return None
+      out(i) = c.toByte
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Decode bytes as ISO-8859-1 (total). */
+  def latin1Decode(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append((bytes(i) & 0xff).toChar); i += 1 }
+    sb.toString
+  }
+
   /** Strict UTF-8 validation: returns the number of MULTIBYTE
     * sequences when valid, or -1 on any malformation (truncated or
     * stray continuation, overlong form, surrogate, > U+10FFFF). */
@@ -121,25 +146,35 @@ object FixEncoding {
     var rounds = 0
     var go = true
     while (go && rounds < maxRounds) {
-      cp1252Encode(cur) match {
-        case Some(bytes) if utf8MultibyteCount(bytes) > 0 =>
-          cur = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      // CP1252 first (the common scrape damage); when a char has no
+      // CP1252 byte — e.g. the C1 controls LATIN-1 damage leaves —
+      // fall back to the Latin-1 inverse. Where both succeed they
+      // produce identical bytes (the encodings agree outside
+      // 0x80–0x9F, and the five shared control slots map the same),
+      // so the order cannot change a result, only extend coverage.
+      val bytes = cp1252Encode(cur)
+        .filter(utf8MultibyteCount(_) > 0)
+        .orElse(latin1Encode(cur).filter(utf8MultibyteCount(_) > 0))
+      bytes match {
+        case Some(b) =>
+          cur = new String(b, java.nio.charset.StandardCharsets.UTF_8)
           rounds += 1
-        case _ => go = false
+        case None => go = false
       }
     }
     (cur, rounds)
   }
 
   /** The corruption [[repair]] inverts: UTF-8 bytes read back as
-    * CP1252 (identity on pure-ASCII text). Fixture builder for the
-    * gate query and specs. */
-  def mojibake(s: String, rounds: Int = 1): String = {
+    * CP1252 — or as LATIN-1 when `latin1` (identity on pure-ASCII
+    * text either way). Fixture builder for the gate query and specs. */
+  def mojibake(s: String, rounds: Int = 1, latin1: Boolean = false)
+      : String = {
     var cur = s
     var i = 0
     while (i < rounds) {
-      cur = cp1252Decode(
-        cur.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bytes = cur.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      cur = if (latin1) latin1Decode(bytes) else cp1252Decode(bytes)
       i += 1
     }
     cur

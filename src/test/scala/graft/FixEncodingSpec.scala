@@ -22,6 +22,22 @@ class FixEncodingSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("latin-1 damage family (C1 controls) repairs too") {
+    // UTF-8 decoded as ISO-8859-1: ’ becomes â + U+0080 + U+0099
+    val damaged = "itâs cafÃ©"
+    assert(FixEncoding.repair(damaged) == ("it’s café", 1))
+    // double latin-1 damage unwinds in two rounds
+    val orig = "déjà — vu"
+    val twice = FixEncoding.mojibake(orig, rounds = 2, latin1 = true)
+    assert(FixEncoding.repair(twice) == ((orig, 2)))
+    // mojibake(latin1) differs from mojibake(cp1252) exactly on the
+    // 0x80-0x9F image bytes, and repair inverts both
+    val a = FixEncoding.mojibake("’", latin1 = false) // â€™
+    val b = FixEncoding.mojibake("’", latin1 = true)  // â[U+0080][U+0099]
+    assert(a == "â€™" && b == "â" && a != b)
+    assert(FixEncoding.repair(a)._1 == "’" && FixEncoding.repair(b)._1 == "’")
+  }
+
   test("double encoding unwinds in two rounds") {
     val orig = "déjà vu — twice"
     val twice = FixEncoding.mojibake(orig, rounds = 2)
