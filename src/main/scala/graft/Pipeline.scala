@@ -6807,6 +6807,100 @@ object Pipeline {
     } finally alloc.close()
   }
 
+  /** Embedding-shard Arrow decode (r12) — the EXACT shape vector
+    * datasets ship in: `fixed_size_list<float32, 64>` embedding
+    * columns (null every 13th vec) beside a LargeUtf8 label, built
+    * by arrow-java FixedSizeListVector/LargeVarCharVector over the
+    * REAL embeddings table, decoded by OUR reader. The quantized
+    * per-vector sum (the repo's round(x·1000) convention) makes
+    * every float32 lane value-transparent. */
+  private def arrowIpcEmbeddings(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        (sid, buildArrowEmbShard(vecs.map {
+          case (_, id, e, l) => (id, e, l) }))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow emb parse rejected shard $sid"))
+        require(cols.map(_.tag) ==
+          Seq("int64", "fixed_list", "large_utf8") &&
+          cols(1).fixedSize == 64 &&
+          cols(1).children.head.tag == "float32")
+        rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val emb = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
+          (id, sid,
+            emb.map(_.length),
+            emb.map(_.map(v => math.round(
+              v.get.asInstanceOf[Float].toDouble * 1000)).sum),
+            r(2).map(_.asInstanceOf[String]))
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
+      .orderBy("vec_id")
+  }
+
+  /** One 8-vector Arrow file: fixed_size_list<float32,64> + LargeUtf8. */
+  private def buildArrowEmbShard(
+      vecs: Seq[(Long, Array[Float], Int)]): Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.FixedSizeListVector
+    import scala.jdk.CollectionConverters._
+    val schema = new ASchema(Seq(
+      new Field("vec_id", new FieldType(false,
+        new ArrowType.Int(64, true), null), null),
+      new Field("emb", new FieldType(true,
+        new ArrowType.FixedSizeList(64), null),
+        Seq(new Field("item", new FieldType(false,
+          new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE),
+          null), null)).asJava),
+      new Field("label", new FieldType(true,
+        ArrowType.LargeUtf8.INSTANCE, null), null)).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector("vec_id").asInstanceOf[BigIntVector]
+        val emb = root.getVector("emb").asInstanceOf[FixedSizeListVector]
+        val embData = emb.getDataVector.asInstanceOf[Float4Vector]
+        val lab = root.getVector("label")
+          .asInstanceOf[LargeVarCharVector]
+        vecs.zipWithIndex.foreach { case ((id, e, l), i) =>
+          require(e.length == 64, s"vec $id dim ${e.length}")
+          ids.setSafe(i, id)
+          if (id % 13 == 9) emb.setNull(i)
+          else {
+            emb.setNotNull(i)
+            var j = 0
+            while (j < 64) { embData.setSafe(i * 64 + j, e(j)); j += 1 }
+          }
+          if (id % 11 == 10) lab.setNull(i)
+          else lab.setSafe(i, s"cls-$l".getBytes("UTF-8"))
+        }
+        root.setRowCount(vecs.length)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          null, java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
+
   /** The per-shard nested `.arrow` files: (shard_id, bytes). */
   private def arrowNestedShards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
@@ -8808,6 +8902,7 @@ object Pipeline {
     "arrow_ipc_nested"  -> arrowIpcNested _,
     "arrow_ipc_dict"    -> arrowIpcDict _,
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
+    "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -10992,6 +11087,23 @@ object Pipeline {
     // same facts through ZSTD/LZ4_FRAME body compression — the
     // compression envelope must be invisible to every decoded value
     "arrow_ipc_compressed" -> arrowIpcOracleSql,
+    // fixed_size_list<float32,64> + LargeUtf8 over the REAL
+    // embeddings table: every float32 lane surfaces through the
+    // repo's round(x·1000) quantization convention
+    "arrow_ipc_embeddings" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CASE WHEN vec_id % 13 = 9 THEN NULL
+        |    ELSE CAST(dim AS INT) END AS dim,
+        |  CASE WHEN vec_id % 13 = 9 THEN NULL ELSE s END AS emb_q,
+        |  CASE WHEN vec_id % 11 = 10 THEN NULL
+        |    ELSE 'cls-' || label END AS label
+        |FROM q ORDER BY vec_id""".stripMargin,
     // dictionary-encoded label column resolved through OUR
     // DictionaryBatch decode (indices never surface)
     "arrow_ipc_dict" ->

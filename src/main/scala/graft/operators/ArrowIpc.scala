@@ -13,10 +13,13 @@ package graft.operators
   *
   * Column-type subset — the dataset shard shapes an ingest engine
   * routes (same policy cut as [[Avro]]): Bool, Int 8/16/32/64
-  * signed/unsigned, Float32/64, Utf8, Binary, each nullable via the
-  * validity bitmap (LSB bit order per spec), plus the two NESTED
-  * shapes real corpora carry — List (HuggingFace-datasets token
-  * columns are `list<int64>`) and Struct, recursive to depth 8,
+  * signed/unsigned, Float32/64, Utf8, Binary, the 64-bit-offset
+  * LargeUtf8/LargeBinary variants, each nullable via the
+  * validity bitmap (LSB bit order per spec), plus the NESTED
+  * shapes real corpora carry — List and LargeList (HuggingFace-
+  * datasets token columns are `list<int64>`), FixedSizeList
+  * (embedding columns are `fixed_size_list<float32, d>`) and
+  * Struct, recursive to depth 8,
   * nullable at every level (list offsets verified monotone, child
   * lengths verified against the final offset), plus DICTIONARY
   * ENCODING over scalar value types (DictionaryBatch messages decode
@@ -146,7 +149,10 @@ object ArrowIpc {
         * column is dictionary-encoded: `tag` is then the VALUE type
         * (what the serialized schema carries per spec) and the record
         * batch holds indices of this width into the dictionary. */
-      dict: Option[(Long, Int, Boolean)] = None)
+      dict: Option[(Long, Int, Boolean)] = None,
+      /** Element count per slot for tag == "fixed_list" (the shape
+        * embedding columns ship in: fixed_size_list<float32, d>). */
+      fixedSize: Int = 0)
 
   /** Decoded value row: None = null (the [[Avro.Row]] convention).
     * A "list" value is a `Seq[Option[Any]]` of element values; a
@@ -198,6 +204,15 @@ object ArrowIpc {
       case 12 => // List { } — exactly one child carries the element type
         if (nKids != 1 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "list", k))
+      case 21 => // LargeList { } — 64-bit offsets, same shape
+        if (nKids != 1 || dict.isDefined) return None
+        kids().map(k => Col(name, nullable, "large_list", k))
+      case 16 => // FixedSizeList { listSize(0) } — embedding columns
+        if (nKids != 1 || dict.isDefined) return None
+        val size = fb.fieldI32(tt, 0, 0)
+        if (size < 1 || size > (1 << 16)) return None
+        kids().map(k =>
+          Col(name, nullable, "fixed_list", k, None, size))
       case 13 => // Struct_ { } — flat record of named children
         if (nKids < 1 || nKids > 1024 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "struct", k))
@@ -218,6 +233,8 @@ object ArrowIpc {
           case 4 => "binary"
           case 5 => "utf8"
           case 6 => "bool"
+          case 19 => "large_binary" // 64-bit offsets
+          case 20 => "large_utf8"
           case _ => return None // Null/Map/Union/decimal/temporal/...
         }
         Some(Col(name, nullable, tag, Nil, dict))
@@ -247,10 +264,12 @@ object ArrowIpc {
   private def bufCount(c: Col): Int =
     if (c.dict.isDefined) 2 // validity + indices; values live in the dict
     else c.tag match {
-      case "utf8" | "binary" => 3 // validity + offsets + data
-      case "list"            => 2 + bufCount(c.children.head)
-      case "struct"          => 1 + c.children.map(bufCount).sum
-      case _                 => 2 // validity + data (bool data = bitmap)
+      case "utf8" | "binary" |
+           "large_utf8" | "large_binary" => 3 // validity + offsets + data
+      case "list" | "large_list" => 2 + bufCount(c.children.head)
+      case "fixed_list"          => 1 + bufCount(c.children.head)
+      case "struct"              => 1 + c.children.map(bufCount).sum
+      case _                     => 2 // validity + data (bool = bitmap)
     }
 
   /** FieldNode count: one per field, depth-first preorder. */
@@ -468,39 +487,45 @@ object ArrowIpc {
           if (!isValid(i)) None else values(idxAt(i).toInt)
         }
       }
+      // 32- vs 64-bit offset reads share one shape
+      def offAt(b: BufV, w: Int, i: Int): Long =
+        if (w == 4) le32(b.arr, b.base + 4 * i)
+        else fbI64(b.arr, b.base + 8 * i)
       c.tag match {
-        case "utf8" | "binary" =>
+        case "utf8" | "binary" | "large_utf8" | "large_binary" =>
+          val w = if (c.tag.startsWith("large")) 8 else 4
           val ob = nextBuf().getOrElse(return None)
           val db = nextBuf().getOrElse(return None)
-          if (ob.len < 4L * (m + 1)) return None
+          if (ob.len < w.toLong * (m + 1)) return None
           var i = 0
           var prev = 0L
           while (i < m) { // offsets monotone and inside the data buffer
-            val st = le32(ob.arr, ob.base + 4 * i)
-            val e = le32(ob.arr, ob.base + 4 * (i + 1))
+            val st = offAt(ob, w, i)
+            val e = offAt(ob, w, i + 1)
             if (st < prev || e < st || e > db.len) return None
             prev = st
             i += 1
           }
-          val utf8 = c.tag == "utf8"
+          val utf8 = c.tag == "utf8" || c.tag == "large_utf8"
           Some { (i: Int) =>
             if (!isValid(i)) None
             else {
-              val st = le32(ob.arr, ob.base + 4 * i).toInt
-              val e = le32(ob.arr, ob.base + 4 * (i + 1)).toInt
+              val st = offAt(ob, w, i).toInt
+              val e = offAt(ob, w, i + 1).toInt
               val bytes = java.util.Arrays.copyOfRange(db.arr,
                 db.base + st, db.base + e)
               if (utf8) Some(new String(bytes, "UTF-8")) else Some(bytes)
             }
           }
-        case "list" =>
+        case "list" | "large_list" =>
+          val w = if (c.tag == "large_list") 8 else 4
           val ob = nextBuf().getOrElse(return None)
-          if (ob.len < 4L * (m + 1)) return None
+          if (ob.len < w.toLong * (m + 1)) return None
           val offs = new Array[Int](m + 1)
           var i = 0
           var prev = 0L
           while (i <= m) {
-            val v = le32(ob.arr, ob.base + 4 * i)
+            val v = offAt(ob, w, i)
             if (v < prev || v > (1L << 26)) return None // monotone + bomb cap
             prev = v
             offs(i) = v.toInt
@@ -511,6 +536,17 @@ object ArrowIpc {
           Some { (i: Int) =>
             if (!isValid(i)) None
             else Some((offs(i) until offs(i + 1))
+              .map(child): Seq[Option[Any]])
+          }
+        case "fixed_list" =>
+          // no offsets buffer: child holds exactly m * fixedSize slots
+          val sz = c.fixedSize
+          if (len * sz > (1L << 26)) return None // bomb cap
+          val child = readVec(c.children.head, len * sz)
+            .getOrElse(return None)
+          Some { (i: Int) =>
+            if (!isValid(i)) None
+            else Some((i * sz until (i + 1) * sz)
               .map(child): Seq[Option[Any]])
           }
         case "struct" =>

@@ -350,6 +350,71 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: fixed_size_list<float32> and Large* types") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.complex.{FixedSizeListVector,
+      LargeListVector}
+    val alloc = new RootAllocator()
+    val schema = new ASchema(Seq(
+      new Field("emb", new FieldType(true,
+        new ArrowType.FixedSizeList(4), null),
+        Seq(new Field("item", new FieldType(false,
+          new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE),
+          null), null)).asJava),
+      new Field("lt", new FieldType(true,
+        ArrowType.LargeUtf8.INSTANCE, null), null),
+      new Field("ll", new FieldType(false,
+        ArrowType.LargeList.INSTANCE, null),
+        Seq(new Field("item", new FieldType(true,
+          new ArrowType.Int(64, true), null), null)).asJava)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    root.allocateNew()
+    val emb = root.getVector("emb").asInstanceOf[FixedSizeListVector]
+    val embData = emb.getDataVector.asInstanceOf[Float4Vector]
+    val lt = root.getVector("lt").asInstanceOf[LargeVarCharVector]
+    val ll = root.getVector("ll").asInstanceOf[LargeListVector]
+    val llData = ll.getDataVector.asInstanceOf[BigIntVector]
+    val n = 19
+    var lOff = 0
+    for (i <- 0 until n) {
+      if (i % 6 == 3) emb.setNull(i)
+      else {
+        emb.setNotNull(i)
+        for (j <- 0 until 4) embData.setSafe(i * 4 + j, i * 10f + j)
+      }
+      if (i % 5 == 2) lt.setNull(i)
+      else lt.setSafe(i, s"large-$i".getBytes("UTF-8"))
+      ll.startNewValue(i)
+      val cnt = i % 3
+      for (j <- 0 until cnt) {
+        if ((i + j) % 4 == 1) llData.setNull(lOff + j)
+        else llData.setSafe(lOff + j, i * 100L + j)
+      }
+      ll.endValue(i, cnt)
+      lOff += cnt
+    }
+    root.setRowCount(n)
+    val bytes = writeFile(root)
+    root.close(); alloc.close()
+    val (cols, rows) = ArrowIpc.parseFile(bytes)
+      .getOrElse(fail("fixed/large-typed file rejected"))
+    assert(cols.map(_.tag) == Seq("fixed_list", "large_utf8",
+      "large_list"))
+    assert(cols(0).fixedSize == 4 &&
+      cols(0).children.head.tag == "float32")
+    for (i <- 0 until n) {
+      if (i % 6 == 3) assert(rows(i)(0).isEmpty)
+      else assert(rows(i)(0).get.asInstanceOf[Seq[Option[Any]]] ==
+        (0 until 4).map(j => Some(i * 10f + j)))
+      if (i % 5 == 2) assert(rows(i)(1).isEmpty)
+      else assert(rows(i)(1) == Some(s"large-$i"))
+      val got = rows(i)(2).get.asInstanceOf[Seq[Option[Any]]]
+      assert(got == (0 until i % 3).map(j =>
+        if ((i + j) % 4 == 1) None else Some(i * 100L + j)))
+    }
+  }
+
   test("differential: LZ4_FRAME and ZSTD compressed bodies") {
     import org.apache.arrow.compression.CommonsCompressionFactory
     import org.apache.arrow.vector.compression.CompressionUtil
