@@ -6901,6 +6901,85 @@ object Pipeline {
     } finally alloc.close()
   }
 
+  /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
+    * duration[ms] — the metadata columns dataset shards carry beside
+    * the payload. arrow-java writes (its Date/Time/Duration tables
+    * OMIT unit fields equal to the .fbs defaults, which is exactly
+    * the vtable subtlety this pins); OUR reader surfaces the raw
+    * counts, oracle-predicted from documents. */
+  private def arrowIpcTemporal(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t.length.toLong) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        (sid, buildArrowTemporalShard(docs.map {
+          case (_, id, n) => (id, n) }))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow temporal rejected shard $sid"))
+        require(cols.map(_.tag) ==
+          Seq("int64", "date32", "timestamp_us", "duration_ms"))
+        rows.map { r =>
+          (r(0).get.asInstanceOf[Long], sid,
+            r(1).get.asInstanceOf[Int],
+            r(2).map(_.asInstanceOf[Long]),
+            r(3).get.asInstanceOf[Long])
+        }
+      }
+      .toDF("doc_id", "shard_id", "day", "ts_us", "dur_ms")
+      .orderBy("doc_id")
+  }
+
+  /** One 8-doc shard of temporal columns; ts null every 7th doc. */
+  private def buildArrowTemporalShard(
+      docs: Seq[(Long, Long)]): Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    import org.apache.arrow.vector._
+    import scala.jdk.CollectionConverters._
+    val schema = new ASchema(Seq(
+      new Field("id", new FieldType(false,
+        new ArrowType.Int(64, true), null), null),
+      new Field("day", new FieldType(false,
+        new ArrowType.Date(DateUnit.DAY), null), null),
+      new Field("ts", new FieldType(true,
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"), null),
+        null),
+      new Field("dur", new FieldType(false,
+        new ArrowType.Duration(TimeUnit.MILLISECOND), null), null))
+      .asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector("id").asInstanceOf[BigIntVector]
+        val day = root.getVector("day").asInstanceOf[DateDayVector]
+        val ts = root.getVector("ts").asInstanceOf[TimeStampMicroTZVector]
+        val dur = root.getVector("dur").asInstanceOf[DurationVector]
+        docs.zipWithIndex.foreach { case ((id, n), i) =>
+          ids.setSafe(i, id)
+          day.setSafe(i, (19000 + id % 1000).toInt)
+          if (id % 7 == 3) ts.setNull(i)
+          else ts.setSafe(i, 1700000000000000L + id * 1000003L)
+          dur.setSafe(i, n * 250L)
+        }
+        root.setRowCount(docs.length)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          null, java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
+
   /** The per-shard nested `.arrow` files: (shard_id, bytes). */
   private def arrowNestedShards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
@@ -8903,6 +8982,7 @@ object Pipeline {
     "arrow_ipc_dict"    -> arrowIpcDict _,
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,
+    "arrow_ipc_temporal" -> arrowIpcTemporal _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -11087,6 +11167,18 @@ object Pipeline {
     // same facts through ZSTD/LZ4_FRAME body compression — the
     // compression envelope must be invisible to every decoded value
     "arrow_ipc_compressed" -> arrowIpcOracleSql,
+    // date32 / timestamp[us] / duration[ms] surfaced as raw counts —
+    // pins the .fbs default-unit vtable omission among other things
+    "arrow_ipc_temporal" ->
+      """WITH d AS (
+        |  SELECT doc_id, strlen(text) AS n FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CAST(19000 + doc_id % 1000 AS INT) AS day,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE 1700000000000000 + doc_id * 1000003 END AS ts_us,
+        |  n * 250 AS dur_ms
+        |FROM d ORDER BY doc_id""".stripMargin,
     // fixed_size_list<float32,64> + LargeUtf8 over the REAL
     // embeddings table: every float32 lane surfaces through the
     // repo's round(x·1000) quantization convention

@@ -235,7 +235,42 @@ object ArrowIpc {
           case 6 => "bool"
           case 19 => "large_binary" // 64-bit offsets
           case 20 => "large_utf8"
-          case _ => return None // Null/Map/Union/decimal/temporal/...
+          case 8 => // Date { unit(0): 0=DAY(int32) 1=MILLISECOND(int64);
+            // .fbs default is MILLISECOND, so an absent field means 1 }
+            fb.fieldI16(tt, 0, 1) match {
+              case 0 => "date32"
+              case 1 => "date64"
+              case _ => return None
+            }
+          case 9 => // Time { unit(0) dflt MILLISECOND, bitWidth(1) dflt 32 }
+            val unit = fb.fieldI16(tt, 0, 1)
+            val bits = fb.fieldI32(tt, 1, 32)
+            (unit, bits) match {
+              case (0, 32) => "time32_s"
+              case (1, 32) => "time32_ms"
+              case (2, 64) => "time64_us"
+              case (3, 64) => "time64_ns"
+              case _ => return None
+            }
+          case 10 => // Timestamp { unit(0), timezone(1) } — raw int64;
+            // the timezone string is display metadata, not a value
+            // transform, so it does not change decoding
+            fb.fieldI16(tt, 0, 0) match {
+              case 0 => "timestamp_s"
+              case 1 => "timestamp_ms"
+              case 2 => "timestamp_us"
+              case 3 => "timestamp_ns"
+              case _ => return None
+            }
+          case 18 => // Duration { unit(0) dflt MILLISECOND } — raw int64
+            fb.fieldI16(tt, 0, 1) match {
+              case 0 => "duration_s"
+              case 1 => "duration_ms"
+              case 2 => "duration_us"
+              case 3 => "duration_ns"
+              case _ => return None
+            }
+          case _ => return None // Null/Map/Union/decimal/interval/...
         }
         Some(Col(name, nullable, tag, Nil, dict))
     }
@@ -562,7 +597,8 @@ object ArrowIpc {
             case "bool" => 0 // bitmap
             case "int8" | "uint8" => 1
             case "int16" | "uint16" => 2
-            case "int32" | "uint32" | "float32" => 4
+            case "int32" | "uint32" | "float32" |
+                 "date32" | "time32_s" | "time32_ms" => 4
             case _ => 8
           }
           if (width == 0) { if (db.len < (m + 7) / 8) return None }
@@ -579,13 +615,15 @@ object ArrowIpc {
               case "uint8" => (arr(base + i) & 0xff).toShort
               case "int16" => fbI16(arr, base + 2 * i)
               case "uint16" => (fbI16(arr, base + 2 * i) & 0xffff)
-              case "int32" => fbI32(arr, base + 4 * i)
+              case "int32" | "date32" | "time32_s" | "time32_ms" =>
+                fbI32(arr, base + 4 * i)
               case "uint32" => fbI32(arr, base + 4 * i) & 0xffffffffL
-              case "int64" | "uint64" => fbI64(arr, base + 8 * i)
               case "float32" =>
                 java.lang.Float.intBitsToFloat(fbI32(arr, base + 4 * i))
-              case _ =>
+              case "float64" =>
                 java.lang.Double.longBitsToDouble(fbI64(arr, base + 8 * i))
+              case _ => // int64/uint64 + the 8-byte temporals, raw
+                fbI64(arr, base + 8 * i)
             })
           }
       }

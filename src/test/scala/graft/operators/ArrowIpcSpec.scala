@@ -415,6 +415,56 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: temporal columns decode as raw counts") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    val alloc = new RootAllocator()
+    val schema = new ASchema(Seq(
+      new Field("d32", new FieldType(false,
+        new ArrowType.Date(DateUnit.DAY), null), null),
+      new Field("ts", new FieldType(true,
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"), null),
+        null),
+      new Field("tns", new FieldType(false,
+        new ArrowType.Timestamp(TimeUnit.NANOSECOND, null), null), null),
+      new Field("t64", new FieldType(false,
+        new ArrowType.Time(TimeUnit.MICROSECOND, 64), null), null),
+      new Field("dur", new FieldType(false,
+        new ArrowType.Duration(TimeUnit.MILLISECOND), null), null))
+      .asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    root.allocateNew()
+    val d32 = root.getVector("d32").asInstanceOf[DateDayVector]
+    val ts = root.getVector("ts").asInstanceOf[TimeStampMicroTZVector]
+    val tns = root.getVector("tns").asInstanceOf[TimeStampNanoVector]
+    val t64 = root.getVector("t64").asInstanceOf[TimeMicroVector]
+    val dur = root.getVector("dur").asInstanceOf[DurationVector]
+    val n = 23
+    for (i <- 0 until n) {
+      d32.setSafe(i, 19000 + i)
+      if (i % 7 == 2) ts.setNull(i)
+      else ts.setSafe(i, 1700000000000000L + i * 1000003L)
+      tns.setSafe(i, 1700000000000000000L + i)
+      t64.setSafe(i, 86399000000L - i)
+      dur.setSafe(i, i * 250L)
+    }
+    root.setRowCount(n)
+    val bytes = writeFile(root)
+    root.close(); alloc.close()
+    val (cols, rows) = ArrowIpc.parseFile(bytes)
+      .getOrElse(fail("temporal-typed file rejected"))
+    assert(cols.map(_.tag) == Seq("date32", "timestamp_us",
+      "timestamp_ns", "time64_us", "duration_ms"))
+    for (i <- 0 until n) {
+      assert(rows(i)(0) == Some(19000 + i))
+      if (i % 7 == 2) assert(rows(i)(1).isEmpty)
+      else assert(rows(i)(1) == Some(1700000000000000L + i * 1000003L))
+      assert(rows(i)(2) == Some(1700000000000000000L + i))
+      assert(rows(i)(3) == Some(86399000000L - i))
+      assert(rows(i)(4) == Some(i * 250L))
+    }
+  }
+
   test("differential: LZ4_FRAME and ZSTD compressed bodies") {
     import org.apache.arrow.compression.CommonsCompressionFactory
     import org.apache.arrow.vector.compression.CompressionUtil
