@@ -270,6 +270,10 @@ object ArrowIpc {
               case 3 => "duration_ns"
               case _ => return None
             }
+          case 15 => // FixedSizeBinary { byteWidth(0) } — UUID/hash cols
+            val w = fb.fieldI32(tt, 0, 0)
+            if (w < 1 || w > (1 << 16)) return None
+            s"fixed_binary_$w"
           case _ => return None // Null/Map/Union/decimal/interval/...
         }
         Some(Col(name, nullable, tag, Nil, dict))
@@ -599,6 +603,8 @@ object ArrowIpc {
             case "int16" | "uint16" => 2
             case "int32" | "uint32" | "float32" |
                  "date32" | "time32_s" | "time32_ms" => 4
+            case t if t.startsWith("fixed_binary_") =>
+              t.stripPrefix("fixed_binary_").toInt
             case _ => 8
           }
           if (width == 0) { if (db.len < (m + 7) / 8) return None }
@@ -622,6 +628,9 @@ object ArrowIpc {
                 java.lang.Float.intBitsToFloat(fbI32(arr, base + 4 * i))
               case "float64" =>
                 java.lang.Double.longBitsToDouble(fbI64(arr, base + 8 * i))
+              case t if t.startsWith("fixed_binary_") =>
+                java.util.Arrays.copyOfRange(arr,
+                  base + width * i, base + width * (i + 1))
               case _ => // int64/uint64 + the 8-byte temporals, raw
                 fbI64(arr, base + 8 * i)
             })

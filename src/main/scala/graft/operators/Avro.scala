@@ -14,9 +14,10 @@ package graft.operators
   * Schema subset: one top-level RECORD whose fields are primitives —
   * `boolean int long float double bytes string` — or the complex
   * types Hadoop-lineage corpora use freely: ARRAYS, MAPS, ENUMS and
-  * NESTED RECORDS, recursive to depth 8, with the nullable union
+  * NESTED RECORDS plus FIXED (exact-size raw bytes — UUID/hash
+  * columns), recursive to depth 8, with the nullable union
   * `["null", X]` legal at every position (fields, array items, map
-  * values). `fixed`, non-null-first unions, 3-branch unions and
+  * values). Non-null-first unions, 3-branch unions and
   * named-type references still reject cleanly (None), never
   * mis-decode. The embedded schema JSON is parsed by a minimal
   * recursive-descent walk (objects, arrays, strings with escapes,
@@ -46,8 +47,8 @@ object Avro {
 
   // ---------------------------------------------------------------
   // Recursive type model (r12): the complex types Hadoop-lineage
-  // corpora use freely — array, map, enum, nested records — on top
-  // of the primitive set. Depth-capped at 8; `fixed`, non-null
+  // corpora use freely — array, map, enum, fixed, nested records —
+  // on top of the primitive set. Depth-capped at 8; non-null
   // unions, 3-branch unions and named-type references still reject.
   // ---------------------------------------------------------------
 
@@ -68,6 +69,10 @@ object Avro {
   /** Nested record: value decodes to a Row in field order. */
   final case class NRec(name: String, fields: Seq[NField]) extends NType
 
+  /** Avro fixed: exactly `size` raw bytes (UUIDs, hashes); value
+    * decodes to Array[Byte]. */
+  final case class NFixed(name: String, size: Int) extends NType
+
   final case class NField(name: String, tpe: NType, nullable: Boolean)
 
   private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
@@ -76,6 +81,7 @@ object Avro {
     case _: NMap       => "map"
     case _: NEnum      => "enum"
     case _: NRec       => "record"
+    case _: NFixed     => "fixed"
   }, f.nullable)
 
   private def toNested(f: Field): NField =
@@ -168,6 +174,10 @@ object Avro {
       val idx = symbols.indexOf(v.asInstanceOf[String])
       require(idx >= 0, s"enum symbol $v not in $symbols")
       writeVarLong(out, idx.toLong)
+    case NFixed(_, size) =>
+      val b = v.asInstanceOf[Array[Byte]]
+      require(b.length == size, s"fixed size ${b.length} != $size")
+      out.write(b, 0, size)
     case NRec(_, fields) =>
       val row = v.asInstanceOf[Row]
       require(row.length == fields.length, "nested row arity != schema")
@@ -258,6 +268,7 @@ object Avro {
       val idx = c.readLong()
       if (idx < 0 || idx >= symbols.length) { c.ok = false; "" }
       else symbols(idx.toInt)
+    case NFixed(_, size) => c.readFixed(size)
     case NRec(_, fields) =>
       fields.map { f =>
         if (f.nullable) c.readLong() match {
@@ -317,6 +328,8 @@ object Avro {
       s"""{"type":"enum","name":${jsonStr(name)},"symbols":[""" +
         symbols.map(jsonStr).mkString(",") + "]}"
     case NRec(name, fields) => recordJson(name, fields)
+    case NFixed(name, size) =>
+      s"""{"type":"fixed","name":${jsonStr(name)},"size":$size}"""
   }
 
   private def recordJson(name: String, fields: Seq[NField]): String =
@@ -551,6 +564,17 @@ object Avro {
               case _ => None
             }
           case Some("record") => recordType(m, depth + 1)
+          case Some("fixed") =>
+            val name = m.get("name") match {
+              case Some(x: String) => x
+              case _ => return None
+            }
+            m.get("size") match {
+              case Some(d: Double)
+                  if d == d.floor && d >= 1 && d <= (1 << 20) =>
+                Some(NFixed(name, d.toInt))
+              case _ => None
+            }
           case Some(s: String) if Prims(s) =>
             Some(NPrim(s)) // the {"type":"string"} spelled-out form
           case _ => None // fixed/union-in-type/unknown

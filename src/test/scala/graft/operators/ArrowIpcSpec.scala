@@ -367,7 +367,9 @@ class ArrowIpcSpec extends AnyFunSuite {
       new Field("ll", new FieldType(false,
         ArrowType.LargeList.INSTANCE, null),
         Seq(new Field("item", new FieldType(true,
-          new ArrowType.Int(64, true), null), null)).asJava)).asJava)
+          new ArrowType.Int(64, true), null), null)).asJava),
+      new Field("fb", new FieldType(true,
+        new ArrowType.FixedSizeBinary(6), null), null)).asJava)
     val root = VectorSchemaRoot.create(schema, alloc)
     root.allocateNew()
     val emb = root.getVector("emb").asInstanceOf[FixedSizeListVector]
@@ -375,9 +377,12 @@ class ArrowIpcSpec extends AnyFunSuite {
     val lt = root.getVector("lt").asInstanceOf[LargeVarCharVector]
     val ll = root.getVector("ll").asInstanceOf[LargeListVector]
     val llData = ll.getDataVector.asInstanceOf[BigIntVector]
+    val fbv = root.getVector("fb").asInstanceOf[FixedSizeBinaryVector]
     val n = 19
     var lOff = 0
     for (i <- 0 until n) {
+      if (i % 4 == 1) fbv.setNull(i)
+      else fbv.setSafe(i, Array.tabulate[Byte](6)(j => (i * 7 + j).toByte))
       if (i % 6 == 3) emb.setNull(i)
       else {
         emb.setNotNull(i)
@@ -400,7 +405,7 @@ class ArrowIpcSpec extends AnyFunSuite {
     val (cols, rows) = ArrowIpc.parseFile(bytes)
       .getOrElse(fail("fixed/large-typed file rejected"))
     assert(cols.map(_.tag) == Seq("fixed_list", "large_utf8",
-      "large_list"))
+      "large_list", "fixed_binary_6"))
     assert(cols(0).fixedSize == 4 &&
       cols(0).children.head.tag == "float32")
     for (i <- 0 until n) {
@@ -412,6 +417,9 @@ class ArrowIpcSpec extends AnyFunSuite {
       val got = rows(i)(2).get.asInstanceOf[Seq[Option[Any]]]
       assert(got == (0 until i % 3).map(j =>
         if ((i + j) % 4 == 1) None else Some(i * 100L + j)))
+      if (i % 4 == 1) assert(rows(i)(3).isEmpty)
+      else assert(rows(i)(3).get.asInstanceOf[Array[Byte]].sameElements(
+        Array.tabulate[Byte](6)(j => (i * 7 + j).toByte)))
     }
   }
 

@@ -203,20 +203,90 @@ class AvroSpec extends AnyFunSuite {
       ("r", Seq(Avro.NField("x",
         Avro.NArr(Avro.NPrim("long"), itemsNullable = false),
         nullable = false)))))
+    // fixed accepts as of r12 (UUID/hash columns)
+    val fixed = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":{"type":"fixed","name":"f","size":4}}]}"""
+    assert(Avro.interpretSchema(fixed).contains(
+      ("r", Seq(Avro.NField("x", Avro.NFixed("f", 4),
+        nullable = false)))))
     // the permanent rejections: 3-branch unions, top-level non-record,
-    // fixed, named-type references, value-first unions
+    // named-type references, value-first unions, absurd fixed sizes
     val tri = """{"type":"record","name":"r","fields":[
       {"name":"x","type":["null","long","string"]}]}"""
     val topArr = """["null","long"]"""
-    val fixed = """{"type":"record","name":"r","fields":[
-      {"name":"x","type":{"type":"fixed","name":"f","size":4}}]}"""
     val ref = """{"type":"record","name":"r","fields":[
       {"name":"a","type":{"type":"enum","name":"e","symbols":["s"]}},
       {"name":"b","type":"e"}]}"""
     val valueFirst = """{"type":"record","name":"r","fields":[
       {"name":"x","type":["long","null"]}]}"""
-    for (s <- Seq(tri, topArr, fixed, ref, valueFirst))
+    val hugeFixed = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":{"type":"fixed","name":"f","size":99999999}}]}"""
+    for (s <- Seq(tri, topArr, ref, valueFirst, hugeFixed))
       assert(Avro.interpretSchema(s).isEmpty, s)
+  }
+
+  test("differential: fixed type both directions (avro-java)") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.{DataFileReader, DataFileWriter,
+      SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("r").fields()
+      .name("id").`type`().longType().noDefault()
+      .name("h").`type`().fixed("md5x").size(16).noDefault()
+      .endRecord()
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    val n = 17
+    for (i <- 0 until n) {
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("h", new GenericData.Fixed(schema.getField("h").schema(),
+        Array.tabulate[Byte](16)(j => (i * 16 + j).toByte)))
+      w.append(rec)
+    }
+    w.close()
+    val got = Avro.parse(bos.toByteArray)
+    assert(got.isDefined, "fixed-typed container rejected")
+    assert(got.get.fields.map(_.tpe) == Seq("long", "fixed"))
+    for (i <- 0 until n) {
+      val h = got.get.rows(i)(1).get.asInstanceOf[Array[Byte]]
+      assert(h.sameElements(Array.tabulate[Byte](16)(j =>
+        (i * 16 + j).toByte)), s"row $i")
+    }
+    // ours → avro-java
+    val nf = Seq(
+      Avro.NField("id", Avro.NPrim("long"), nullable = false),
+      Avro.NField("h", Avro.NFixed("md5y", 8), nullable = true))
+    val rows: Seq[Avro.Row] = (0 until 9).map(i => Seq(
+      Some(i.toLong),
+      if (i % 4 == 2) None
+      else Some(Array.tabulate[Byte](8)(j => (i + j).toByte))))
+    val ours = Avro.buildNested("r2", nf, rows)
+    val back = Avro.parse(ours).get
+    for (i <- 0 until 9) {
+      (rows(i)(1), back.rows(i)(1)) match {
+        case (None, None) =>
+        case (Some(a: Array[Byte]), Some(b)) =>
+          assert(b.asInstanceOf[Array[Byte]].sameElements(a))
+        case other => fail(s"row $i: $other")
+      }
+    }
+    val rd = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(ours),
+      new GenericDatumReader[GenericRecord]())
+    var i = 0
+    while (rd.hasNext) {
+      val rec = rd.next()
+      if (i % 4 == 2) assert(rec.get("h") == null)
+      else assert(rec.get("h").asInstanceOf[GenericData.Fixed].bytes()
+        .sameElements(Array.tabulate[Byte](8)(j => (i + j).toByte)))
+      i += 1
+    }
+    rd.close()
+    assert(i == 9)
   }
 
   test("differential: avro-java complex types -> our reader") {
