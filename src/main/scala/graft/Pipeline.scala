@@ -8148,6 +8148,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The user-facing DataFrame source over `.arrow` trees (r12,
+    * sources/ArrowSource): the shard columns surface as REAL typed
+    * Spark columns, so the facts here are derived with plain SQL
+    * expressions over the DataFrame — no hand-decoding in the query.
+    * Same oracle as arrow_ipc_parse: the source layer must be
+    * value-transparent end to end. */
+  private def arrowSourceRead(s: SparkSession, dir: String): DataFrame = {
+    val root = arrowFixtureRoot(s, dir)
+    graft.sources.ArrowSource.read(s, root)
+      .selectExpr("id AS doc_id", "id DIV 8 AS shard_id",
+        "CAST(length(text) AS BIGINT) AS len",
+        "md5(CAST(text AS BINARY)) AS md5", "label", "score")
+      .orderBy("doc_id")
+  }
+
+  /** [[arrowSourceRead]]'s Avro sibling (sources/AvroSource) over the
+    * codec-rotating `.avro` fixture tree — arrays/maps/enums/records
+    * would surface as ArrayType/MapType/StringType/StructType; this
+    * tree is the flat tabular shape, and the codec rotation is
+    * invisible through the API by design. */
+  private def avroSourceRead(s: SparkSession, dir: String): DataFrame = {
+    val root = avroFixtureRoot(s, dir)
+    graft.sources.AvroSource.read(s, root)
+      .selectExpr("id AS doc_id", "id DIV 8 AS shard_id",
+        "CAST(length(text) AS BIGINT) AS len",
+        "md5(CAST(text AS BINARY)) AS md5", "label", "score")
+      .orderBy("doc_id")
+  }
+
   private[graft] def avroFixtureRoot(s: SparkSession, dir: String): String = {
     avroParseFiles(s, dir) // constructing the query builds the fixture
     formatFixtureDir(dir, "avroshard", "documents")(_ => ())
@@ -8983,6 +9012,8 @@ object Pipeline {
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,
     "arrow_ipc_temporal" -> arrowIpcTemporal _,
+    "arrow_source_read" -> arrowSourceRead _,
+    "avro_source_read"  -> avroSourceRead _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -11167,6 +11198,10 @@ object Pipeline {
     // same facts through ZSTD/LZ4_FRAME body compression — the
     // compression envelope must be invisible to every decoded value
     "arrow_ipc_compressed" -> arrowIpcOracleSql,
+    // same facts through the user-facing DataFrame sources: typed
+    // columns derived with plain SQL, the source layer transparent
+    "arrow_source_read" -> arrowIpcOracleSql,
+    "avro_source_read" -> arrowIpcOracleSql,
     // date32 / timestamp[us] / duration[ms] surfaced as raw counts —
     // pins the .fbs default-unit vtable omission among other things
     "arrow_ipc_temporal" ->

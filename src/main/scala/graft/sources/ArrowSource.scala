@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.operators.ArrowIpc
+
+/** `.arrow` shard trees as REAL Spark DataFrames — the user-facing
+  * read path over [[graft.operators.ArrowIpc]]: list columns become
+  * `ArrayType`, structs become `StructType`, dictionary-encoded
+  * columns surface as their VALUE type (indices never escape),
+  * temporal columns surface as their raw counts (documented on the
+  * tag names), unsigned ints surface raw in the next-wider signed
+  * slot Spark has. Schema comes from ONE driver-side file read (the
+  * lexicographically first — the same one-file inference Spark's own
+  * json/csv readers do); every executor-side file must then match it
+  * exactly or the read fails loudly (mixed-schema trees are a
+  * corruption signal in shard corpora, not a merge opportunity).
+  *
+  * Distribution shape: one binaryFile scan, a flatMap parse per
+  * file, zero shuffles — the RDD hop exists only because the row
+  * schema is dynamic (Dataset encoders are compile-time). At 100 TB
+  * this is the same embarrassingly-parallel walk as every other
+  * container source here. */
+object ArrowSource {
+
+  /** Spark type for one decoded column. */
+  def sparkType(c: ArrowIpc.Col): DataType =
+    if (c.tag.startsWith("fixed_binary_")) BinaryType
+    else c.tag match {
+      case "bool" => BooleanType
+      case "int8" => ByteType
+      case "uint8" => ShortType // raw, widened
+      case "int16" => ShortType
+      case "uint16" => IntegerType
+      case "int32" | "date32" | "time32_s" | "time32_ms" => IntegerType
+      case "uint32" => LongType
+      case "int64" | "uint64" => LongType
+      case t if t.startsWith("timestamp_") || t.startsWith("time64_") ||
+        t.startsWith("duration_") || t == "date64" => LongType
+      case "float32" => FloatType
+      case "float64" => DoubleType
+      case "utf8" | "large_utf8" => StringType
+      case "binary" | "large_binary" => BinaryType
+      case "list" | "large_list" | "fixed_list" =>
+        val k = c.children.head
+        ArrayType(sparkType(k), containsNull = k.nullable)
+      case "struct" => StructType(c.children.map(k =>
+        StructField(k.name, sparkType(k), nullable = k.nullable)))
+      case t => throw new IllegalArgumentException(s"unmapped tag $t")
+    }
+
+  def schemaOf(cols: Seq[ArrowIpc.Col]): StructType =
+    StructType(cols.map(c =>
+      StructField(c.name, sparkType(c), nullable = c.nullable)))
+
+  /** One decoded value → the Spark-facing value (Options unwrapped,
+    * nested Seq[Option[_]] → Seq / Row). */
+  private def toSpark(c: ArrowIpc.Col, v: Option[Any]): Any = v match {
+    case None => null
+    case Some(x) => c.tag match {
+      case "list" | "large_list" | "fixed_list" =>
+        val k = c.children.head
+        x.asInstanceOf[Seq[Option[Any]]].map(e => toSpark(k, e))
+      case "struct" =>
+        Row.fromSeq(c.children.zip(x.asInstanceOf[Seq[Option[Any]]])
+          .map { case (k, e) => toSpark(k, e) })
+      case _ => x
+    }
+  }
+
+  private[graft] def toRow(cols: Seq[ArrowIpc.Col],
+      r: ArrowIpc.Row): Row =
+    Row.fromSeq(cols.zip(r).map { case (c, v) => toSpark(c, v) })
+
+  /** Read a directory of `.arrow` files as one DataFrame. */
+  def read(spark: SparkSession, dir: String,
+      glob: String = "*.arrow"): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+    // schema from the first file (driver-side, one file only)
+    val firstPath = bin.select("path").as[String]
+      .orderBy("path").head()
+    val firstBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(firstPath)))
+    val cols = ArrowIpc.parseFile(firstBytes) match {
+      case Some((cs, _)) => cs
+      case None => throw new IllegalArgumentException(
+        s"not a readable Arrow file: $firstPath")
+    }
+    val schema = schemaOf(cols)
+    val rowRdd = bin.rdd.flatMap { case (path, bytes) =>
+      val (cs, rows) = ArrowIpc.parseFile(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a readable Arrow file: $path"))
+      require(cs == cols,
+        s"schema mismatch in $path: $cs vs expected $cols")
+      rows.map(r => toRow(cs, r))
+    }
+    spark.createDataFrame(rowRdd, schema)
+  }
+}
