@@ -557,4 +557,73 @@ class ArrowIpcSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mutation fuzz over nested + dictionary + compressed fixtures") {
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
+    // fixture 1: nested list+struct; fixture 2: same but ZSTD-compressed
+    def nestedBytes(codec: Option[CompressionUtil.CodecType])
+        : Array[Byte] = {
+      val alloc = new RootAllocator()
+      val schema = new ASchema(Seq(
+        new Field("xs", new FieldType(true, ArrowType.List.INSTANCE,
+          null), Seq(new Field("item", new FieldType(true,
+          new ArrowType.Int(64, true), null), null)).asJava),
+        new Field("sub", new FieldType(false,
+          ArrowType.Struct.INSTANCE, null), Seq(
+          new Field("a", new FieldType(false,
+            new ArrowType.Int(64, true), null), null),
+          new Field("b", new FieldType(true, ArrowType.Utf8.INSTANCE,
+            null), null)).asJava)).asJava)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      root.allocateNew()
+      val xs = root.getVector("xs").asInstanceOf[ListVector]
+      val data = xs.getDataVector.asInstanceOf[BigIntVector]
+      val sub = root.getVector("sub").asInstanceOf[StructVector]
+      val a = sub.getChild("a").asInstanceOf[BigIntVector]
+      val b = sub.getChild("b").asInstanceOf[VarCharVector]
+      var off = 0
+      for (i <- 0 until 21) {
+        if (i % 5 == 4) xs.setNull(i)
+        else {
+          xs.startNewValue(i)
+          for (k <- 0 until i % 4) data.setSafe(off + k, i * 10L + k)
+          xs.endValue(i, i % 4)
+          off += i % 4
+        }
+        sub.setIndexDefined(i)
+        a.setSafe(i, i.toLong)
+        b.setSafe(i, s"v$i".getBytes("UTF-8"))
+      }
+      root.setRowCount(21)
+      val buf = new java.io.ByteArrayOutputStream()
+      val w = codec match {
+        case None => new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(buf))
+        case Some(c) => new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(buf), null,
+          IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, c)
+      }
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); alloc.close()
+      buf.toByteArray
+    }
+    val rnd = new scala.util.Random(0xfe57)
+    for (good <- Seq(nestedBytes(None),
+        nestedBytes(Some(CompressionUtil.CodecType.ZSTD)))) {
+      assert(ArrowIpc.parseFile(good).isDefined)
+      for (_ <- 0 until 1200) {
+        val bad = good.clone()
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+        // never throws; anything accepted keeps the column contract
+        ArrowIpc.parseFile(bad).foreach { case (cols, rows) =>
+          assert(cols.length == 2)
+          rows.foreach(r => assert(r.length == 2))
+        }
+      }
+    }
+  }
 }

@@ -445,6 +445,43 @@ class AvroSpec extends AnyFunSuite {
     assert(rejected > 100, s"only $rejected/300 rejected")
   }
 
+  test("mutation fuzz: nested schema + every codec, no throw") {
+    val r = new java.util.Random(0x9e3779b9L)
+    val nf = Seq(
+      Avro.NField("id", Avro.NPrim("long"), nullable = false),
+      Avro.NField("xs",
+        Avro.NArr(Avro.NPrim("long"), itemsNullable = true),
+        nullable = true),
+      Avro.NField("m",
+        Avro.NMap(Avro.NPrim("string"), valuesNullable = false),
+        nullable = false),
+      Avro.NField("e", Avro.NEnum("en", Seq("x", "y")),
+        nullable = false),
+      Avro.NField("fx", Avro.NFixed("fx", 4), nullable = false))
+    val rows: Seq[Avro.Row] = (0 until 40).map { i =>
+      Seq(
+        Some(i.toLong),
+        if (i % 6 == 3) None
+        else Some((0 until i % 3).map(k =>
+          Some(i * 2L + k): Option[Any]): Seq[Option[Any]]),
+        Some(Seq("k" -> Some(s"v$i")): Seq[(String, Option[Any])]),
+        Some(Seq("x", "y")(i % 2)),
+        Some(Array.tabulate[Byte](4)(j => (i + j).toByte)))
+    }
+    for (codec <- Avro.Codecs.toSeq.sorted) {
+      val bytes = Avro.buildNested("n", nf, rows, codec, blockRows = 8)
+      assert(Avro.parse(bytes).exists(_.rows.length == 40), codec)
+      for (_ <- 1 to 250) {
+        val m = bytes.clone()
+        m(r.nextInt(m.length)) =
+          (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+        // never throws; anything accepted keeps arity
+        Avro.parse(m).foreach(f =>
+          assert(f.rows.forall(_.length == nf.length)))
+      }
+    }
+  }
+
   test("garbage fuzz: arbitrary bytes never throw") {
     val r = new java.util.Random(0x165667b1L)
     for (_ <- 1 to 400) {
