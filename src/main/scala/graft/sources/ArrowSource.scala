@@ -72,24 +72,32 @@ object ArrowSource {
       r: ArrowIpc.Row): Row =
     Row.fromSeq(cols.zip(r).map { case (c, v) => toSpark(c, v) })
 
-  /** Read a directory of `.arrow` files as one DataFrame. */
-  def read(spark: SparkSession, dir: String,
-      glob: String = "*.arrow"): DataFrame = {
+  /** Schema inference: parse ONE existing file (lexicographically
+    * first) on the driver. */
+  private def inferCols(spark: SparkSession, dir: String,
+      glob: String): Seq[ArrowIpc.Col] = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile")
+    val firstPath = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
-      .select("path", "content").as[(String, Array[Byte])]
-    // schema from the first file (driver-side, one file only)
-    val firstPath = bin.select("path").as[String]
-      .orderBy("path").head()
+      .select("path").as[String].orderBy("path").head()
     val firstBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(new java.net.URI(firstPath)))
-    val cols = ArrowIpc.parseFile(firstBytes) match {
+    ArrowIpc.parseFile(firstBytes) match {
       case Some((cs, _)) => cs
       case None => throw new IllegalArgumentException(
         s"not a readable Arrow file: $firstPath")
     }
+  }
+
+  /** Read a directory of `.arrow` files as one DataFrame. */
+  def read(spark: SparkSession, dir: String,
+      glob: String = "*.arrow"): DataFrame = {
+    import spark.implicits._
+    val cols = inferCols(spark, dir, glob)
     val schema = schemaOf(cols)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
     val rowRdd = bin.rdd.flatMap { case (path, bytes) =>
       val (cs, rows) = ArrowIpc.parseFile(bytes).getOrElse(
         throw new IllegalArgumentException(
@@ -99,5 +107,35 @@ object ArrowSource {
       rows.map(r => toRow(cs, r))
     }
     spark.createDataFrame(rowRdd, schema)
+  }
+
+  /** Streaming twin of [[read]]: the schema is inferred ONCE from an
+    * existing file at call time (a streaming query needs its schema
+    * up front), then every arriving file parses through the same
+    * conversion; a schema-mismatched arrival fails the stream
+    * loudly. */
+  def readStream(spark: SparkSession, dir: String,
+      glob: String = "*.arrow"): DataFrame = {
+    import spark.implicits._
+    val cols = inferCols(spark, dir, glob)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schemaOf(cols))
+    val binSchema = new StructType()
+      .add("path", StringType)
+      .add("modificationTime", TimestampType)
+      .add("length", LongType)
+      .add("content", BinaryType)
+    spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", glob).load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val (cs, rows) = ArrowIpc.parseFile(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"not a readable Arrow file: $path"))
+        require(cs == cols,
+          s"schema mismatch in $path: $cs vs expected $cols")
+        rows.map(r => toRow(cs, r))
+      }
+      .toDF()
   }
 }

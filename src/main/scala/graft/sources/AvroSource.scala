@@ -57,23 +57,31 @@ object AvroSource {
     Row.fromSeq(fields.zip(r).map { case (f, v) =>
       v.map(toSpark(f.tpe, _)).orNull })
 
-  /** Read a directory of `.avro` container files as one DataFrame. */
-  def read(spark: SparkSession, dir: String,
-      glob: String = "*.avro"): DataFrame = {
+  /** Schema inference: parse ONE existing file on the driver. */
+  private def inferFields(spark: SparkSession, dir: String,
+      glob: String): Seq[Avro.NField] = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile")
+    val firstPath = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
-      .select("path", "content").as[(String, Array[Byte])]
-    val firstPath = bin.select("path").as[String]
-      .orderBy("path").head()
+      .select("path").as[String].orderBy("path").head()
     val firstBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(new java.net.URI(firstPath)))
-    val nfields = Avro.parse(firstBytes) match {
+    Avro.parse(firstBytes) match {
       case Some(f) => f.nfields
       case None => throw new IllegalArgumentException(
         s"not a readable Avro container: $firstPath")
     }
+  }
+
+  /** Read a directory of `.avro` container files as one DataFrame. */
+  def read(spark: SparkSession, dir: String,
+      glob: String = "*.avro"): DataFrame = {
+    import spark.implicits._
+    val nfields = inferFields(spark, dir, glob)
     val schema = schemaOf(nfields)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
     val rowRdd = bin.rdd.flatMap { case (path, bytes) =>
       val f = Avro.parse(bytes).getOrElse(
         throw new IllegalArgumentException(
@@ -83,5 +91,32 @@ object AvroSource {
       f.rows.map(r => toRow(f.nfields, r))
     }
     spark.createDataFrame(rowRdd, schema)
+  }
+
+  /** Streaming twin of [[read]] — see
+    * [[ArrowSource.readStream]] for the design. */
+  def readStream(spark: SparkSession, dir: String,
+      glob: String = "*.avro"): DataFrame = {
+    import spark.implicits._
+    val nfields = inferFields(spark, dir, glob)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schemaOf(nfields))
+    val binSchema = new StructType()
+      .add("path", StringType)
+      .add("modificationTime", TimestampType)
+      .add("length", LongType)
+      .add("content", BinaryType)
+    spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", glob).load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val f = Avro.parse(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"not a readable Avro container: $path"))
+        require(f.nfields == nfields,
+          s"schema mismatch in $path: ${f.nfields} vs $nfields")
+        f.rows.map(r => toRow(f.nfields, r))
+      }
+      .toDF()
   }
 }

@@ -180,6 +180,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(n == (0 until 12).filter(_ % 5 != 4).map(_ * 2L).sum)
   }
 
+  test("readStream == read on the same tree (both sources)") {
+    val dir = tmpDir("srcstream")
+    val nf = Seq(
+      Avro.NField("id", Avro.NPrim("long"), nullable = false),
+      Avro.NField("xs",
+        Avro.NArr(Avro.NPrim("long"), itemsNullable = false),
+        nullable = false))
+    for (shard <- 0 until 4) {
+      val rows: Seq[Avro.Row] = (0 until 7).map { j =>
+        val i = shard * 7 + j
+        Seq(Some(i.toLong),
+          Some((0 until i % 4).map(k =>
+            Some(i * 5L + k): Option[Any]): Seq[Option[Any]]))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"p-$shard%02d.avro").toPath,
+        Avro.buildNested("d", nf, rows))
+    }
+    val batch = AvroSource.read(spark, dir.getAbsolutePath)
+      .selectExpr("id", "size(xs) AS n", "aggregate(xs, 0L, (a,x) -> a + x) AS sx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(batch.length == 28)
+    val q = AvroSource.readStream(spark, dir.getAbsolutePath)
+      .selectExpr("id", "size(xs) AS n", "aggregate(xs, 0L, (a,x) -> a + x) AS sx")
+      .writeStream.format("memory").queryName("avro_src_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM avro_src_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mixed-schema trees fail loudly, not silently merge") {
     val dir = tmpDir("avromix")
     val f1 = Seq(Avro.NField("id", Avro.NPrim("long"), nullable = false))
