@@ -6088,7 +6088,7 @@ object Pipeline {
         val w = 1 + (t.length % 16)
         val h = 1 + ((t.length / 16) % 16)
         val M = graft.operators.Multimodal
-        val (declared, bytes) = (id % 17) match {
+        val (declared, bytes) = (id % 19) match {
           case 0 => ("image/bmp", M.encodeBmp(w, h, b))
           case 1 => ("image/png", M.encodePng(w, h, b))
           case 2 => ("image/gif", M.encodeGif(w, h, b))
@@ -6116,8 +6116,12 @@ object Pipeline {
             graft.operators.SnappyCodec.frameCompress(b))
           case 15 => ("audio/flac", graft.operators.Flac.encode(
             8000, b.map(v => ((v & 0xff) - 128) * 256)))
-          case _ => ("application/ogg", graft.operators.Ogg.build(
+          case 16 => ("application/ogg", graft.operators.Ogg.build(
             1L, Seq(b), Seq(0L)))
+          case 17 => ("application/vnd.apache.arrow.file",
+            buildArrowShard(Seq((id, t))))
+          case _ => ("application/x-xz",
+            graft.operators.Xz.encodeStore(b))
         }
         val sniffed = M.sniffKind(bytes)
         (id, declared, sniffed, declared == sniffed)
@@ -10631,9 +10635,10 @@ object Pipeline {
     "content_sniff" -> {
       // sniffed type predicted purely from the container rotation;
       // class 10 is the deliberate mislabel (raw text declared png);
-      // classes 11-16 are the round-11 container/codec formats
+      // classes 11-16 are the round-11 container/codec formats,
+      // 17-18 the round-12 additions (Arrow file magic, xz)
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 17 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |  CASE doc_id % 19 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
@@ -10643,8 +10648,10 @@ object Pipeline {
         |    WHEN 13 THEN 'application/x-lz4'
         |    WHEN 14 THEN 'application/x-snappy-framed'
         |    WHEN 15 THEN 'audio/flac'
-        |    ELSE 'application/ogg' END AS declared,
-        |  CASE doc_id % 17 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 16 THEN 'application/ogg'
+        |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
+        |    ELSE 'application/x-xz' END AS declared,
+        |  CASE doc_id % 19 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
@@ -10654,8 +10661,10 @@ object Pipeline {
         |    WHEN 13 THEN 'application/x-lz4'
         |    WHEN 14 THEN 'application/x-snappy-framed'
         |    WHEN 15 THEN 'audio/flac'
-        |    ELSE 'application/ogg' END AS sniffed,
-        |  doc_id % 17 <> 10 AS label_ok
+        |    WHEN 16 THEN 'application/ogg'
+        |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
+        |    ELSE 'application/x-xz' END AS sniffed,
+        |  doc_id % 19 <> 10 AS label_ok
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin

@@ -89,6 +89,8 @@ object Multimodal {
     else if (ascii(0, "%PDF-")) "application/pdf"
     else if (ascii(0, "7z") && at(2) == 0xbc && at(3) == 0xaf &&
       at(4) == 0x27 && at(5) == 0x1c) "application/x-7z-compressed"
+    else if (ascii(0, "ARROW1") && at(6) == 0 && at(7) == 0)
+      "application/vnd.apache.arrow.file"
     else "application/octet-stream"
   }
 
