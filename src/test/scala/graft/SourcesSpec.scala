@@ -10,7 +10,15 @@ import graft.sources.{ArrowSource, AvroSource}
   * back as REAL typed Spark columns — nested list/struct/map/enum
   * shapes included — with one-file schema inference and a loud
   * mixed-schema failure. */
+object SourcesSpec {
+  final case class Sub(a: Long, b: Option[String])
+  final case class Doc(id: Long, text: String, toks: Seq[Long],
+    tags: Option[Seq[String]], sub: Sub, score: Double,
+    flag: Boolean, blob: Array[Byte])
+}
+
 class SourcesSpec extends AnyFunSuite {
+  import SourcesSpec.{Doc, Sub}
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -214,6 +222,56 @@ class SourcesSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("ArrowSink round trip: DataFrame -> .arrow tree -> DataFrame") {
+    import spark.implicits._
+    val dir = tmpDir("arrowsink")
+    val docs = (0 until 257).map { i => // crosses a 128-row batch edge
+      Doc(i.toLong, s"text-$i-" + ("x" * (i % 7)),
+        (0 until i % 5).map(k => i * 10L + k),
+        if (i % 6 == 3) None else Some((0 until i % 3).map(k => s"t$k")),
+        Sub(i * 2L, if (i % 4 == 1) None else Some(s"s$i")),
+        i * 0.25, i % 3 == 0,
+        Array.tabulate[Byte](i % 9)(k => (i + k).toByte))
+    }
+    val df = spark.createDataset(docs).toDF().repartition(3)
+    graft.sources.ArrowSink.write(df, dir.getAbsolutePath,
+      rowsPerBatch = 128)
+    val files = dir.listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 3)
+    // our reader consumes the tree
+    val back = ArrowSource.read(spark, dir.getAbsolutePath)
+      .orderBy("id").collect()
+    assert(back.length == 257)
+    for (i <- 0 until 257) {
+      val r = back(i)
+      val d = docs(i)
+      assert(r.getLong(0) == d.id && r.getString(1) == d.text)
+      assert(r.getSeq[Long](2) == d.toks)
+      if (d.tags.isEmpty) assert(r.isNullAt(3))
+      else assert(r.getSeq[String](3) == d.tags.get)
+      val sub = r.getStruct(4)
+      assert(sub.getLong(0) == d.sub.a)
+      assert(Option(sub.getString(1)) == d.sub.b)
+      assert(r.getDouble(5) == d.score && r.getBoolean(6) == d.flag)
+      assert(r.getAs[Array[Byte]](7).sameElements(d.blob))
+    }
+    // arrow-java's own reader also consumes the tree (independent)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(
+      files.sortBy(_.getName).head.toPath)
+    val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+    var total = 0
+    while (rd.loadNextBatch()) total += rd.getVectorSchemaRoot.getRowCount
+    rd.close(); ch.close(); alloc.close()
+    assert(total > 0 && total <= 257)
+    // MapType rejects loudly at schema time
+    val bad = spark.createDataset(Seq((1L, Map("k" -> 2L)))).toDF("i", "m")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.ArrowSink.write(bad, tmpDir("x").getAbsolutePath)
+    }
+    assert(ex.getMessage.contains("cannot write column"))
   }
 
   test("mixed-schema trees fail loudly, not silently merge") {
