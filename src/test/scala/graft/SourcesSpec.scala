@@ -274,6 +274,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot write column"))
   }
 
+  test("AvroSink round trip: DataFrame -> .avro tree -> both readers") {
+    import spark.implicits._
+    val dir = tmpDir("avrosink")
+    val docs = (0 until 123).map { i =>
+      Doc(i.toLong, s"d-$i", (0 until i % 4).map(k => i + k.toLong),
+        if (i % 5 == 2) None else Some(Seq(s"a$i", "b")),
+        Sub(i.toLong * 3, if (i % 3 == 1) None else Some(s"z$i")),
+        i * 0.5, i % 2 == 0,
+        Array.tabulate[Byte](i % 5)(k => (i - k).toByte))
+    }
+    val df = spark.createDataset(docs).toDF().repartition(2)
+    graft.sources.AvroSink.write(df, dir.getAbsolutePath,
+      codec = "zstandard", blockRows = 16)
+    assert(dir.listFiles().count(_.getName.endsWith(".avro")) == 2)
+    // our source reads it back
+    val back = AvroSource.read(spark, dir.getAbsolutePath)
+      .orderBy("id").collect()
+    assert(back.length == 123)
+    for (i <- 0 until 123) {
+      val r = back(i); val d = docs(i)
+      assert(r.getLong(0) == d.id && r.getString(1) == d.text)
+      assert(r.getSeq[Long](2) == d.toks)
+      if (d.tags.isEmpty) assert(r.isNullAt(3))
+      else assert(r.getSeq[String](3) == d.tags.get)
+      val sub = r.getStruct(4)
+      assert(sub.getLong(0) == d.sub.a &&
+        Option(sub.getString(1)) == d.sub.b)
+      assert(r.getAs[Array[Byte]](7).sameElements(d.blob))
+    }
+    // avro-java reads our containers too (independent reader)
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val bytes = java.nio.file.Files.readAllBytes(
+      dir.listFiles().filter(_.getName.endsWith(".avro"))
+        .sortBy(_.getName).head.toPath)
+    val rd = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    var n = 0
+    while (rd.hasNext) { rd.next(); n += 1 }
+    rd.close()
+    assert(n > 0 && n <= 123)
+  }
+
   test("mixed-schema trees fail loudly, not silently merge") {
     val dir = tmpDir("avromix")
     val f1 = Seq(Avro.NField("id", Avro.NPrim("long"), nullable = false))
