@@ -7610,6 +7610,24 @@ object Pipeline {
       |  strlen(text) * 0.25 AS score
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** arrow/avro_sink_roundtrip shared oracle. */
+  private def sinkRoundtripOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0),
+      |t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM d)
+      |SELECT doc_id, strlen(text) AS len, md5(text) AS md5,
+      |  CASE WHEN doc_id % 11 = 10 THEN NULL
+      |    ELSE 'label' || (doc_id % 4) END AS label,
+      |  strlen(text) * 0.25 AS score,
+      |  CAST(len(ws) AS BIGINT) AS n_toks,
+      |  CAST(coalesce(list_sum(list_transform(ws,
+      |    w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT) AS tok_sum
+      |FROM t ORDER BY doc_id""".stripMargin
+
   private def avroParseOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -8183,6 +8201,62 @@ object Pipeline {
       .selectExpr("id AS doc_id", "id DIV 8 AS shard_id",
         "CAST(length(text) AS BIGINT) AS len",
         "md5(CAST(text AS BINARY)) AS md5", "label", "score")
+      .orderBy("doc_id")
+  }
+
+  /** Sink→source round trip under the oracle (r12): a documents
+    * projection — including a NESTED token-length array built with
+    * plain Spark SQL — is written by [[sources.ArrowSink]] (one
+    * `.arrow` file per partition) and read back by
+    * [[sources.ArrowSource]]; every fact is re-derived from the
+    * read-back DataFrame with SQL, and DuckDB predicts them from
+    * documents. Any sink-side vector fill bug, batch-boundary bug or
+    * source-side decode bug flips the hash. */
+  private def arrowSinkRoundtrip(s: SparkSession, dir: String)
+      : DataFrame =
+    sinkRoundtripFacts(s,
+      formatFixtureDir(dir, "arrowsink", "documents") { out =>
+        graft.sources.ArrowSink.write(
+          sinkRoundtripInput(s, dir).repartition(8), out,
+          rowsPerBatch = 256)
+      }, arrow = true)
+
+  /** [[arrowSinkRoundtrip]]'s Avro sibling: our pure-JVM container
+    * writer under zstandard, read back through AvroSource. */
+  private def avroSinkRoundtrip(s: SparkSession, dir: String)
+      : DataFrame =
+    sinkRoundtripFacts(s,
+      formatFixtureDir(dir, "avrosink", "documents") { out =>
+        graft.sources.AvroSink.write(
+          sinkRoundtripInput(s, dir).repartition(8), out,
+          codec = "zstandard", blockRows = 64)
+      }, arrow = false)
+
+  /** The projection both sinks write: id, text, nullable label,
+    * score, and a token-length array (the nested column). */
+  private def sinkRoundtripInput(s: SparkSession, dir: String)
+      : DataFrame =
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
+      .selectExpr(
+        "doc_id AS id", "text",
+        "CASE WHEN doc_id % 11 = 10 THEN NULL " +
+          "ELSE concat('label', doc_id % 4) END AS label",
+        "CAST(length(text) * 0.25 AS DOUBLE) AS score",
+        "transform(filter(split(text, ' '), w -> w <> ''), " +
+          "w -> CAST(length(w) AS BIGINT)) AS toks")
+
+  private def sinkRoundtripFacts(s: SparkSession, root: String,
+      arrow: Boolean): DataFrame = {
+    val df = if (arrow) graft.sources.ArrowSource.read(s, root)
+      else graft.sources.AvroSource.read(s, root)
+    df.selectExpr(
+        "id AS doc_id",
+        "CAST(length(text) AS BIGINT) AS len",
+        "md5(CAST(text AS BINARY)) AS md5",
+        "label", "score",
+        "CAST(size(toks) AS BIGINT) AS n_toks",
+        "aggregate(toks, 0L, (a, x) -> a + x) AS tok_sum")
       .orderBy("doc_id")
   }
 
@@ -9023,6 +9097,8 @@ object Pipeline {
     "arrow_ipc_temporal" -> arrowIpcTemporal _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
+    "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
+    "avro_sink_roundtrip"  -> avroSinkRoundtrip _,
     "avro_parse_files"  -> avroParseFiles _,
     "zip_parse"         -> zipParse _,
     "sevenz_parse"      -> sevenzParse _,
@@ -11216,6 +11292,10 @@ object Pipeline {
     // columns derived with plain SQL, the source layer transparent
     "arrow_source_read" -> arrowIpcOracleSql,
     "avro_source_read" -> arrowIpcOracleSql,
+    // sink→source round trip incl. a NESTED token-length array:
+    // the whole write-read stack must be value-transparent
+    "arrow_sink_roundtrip" -> sinkRoundtripOracleSql,
+    "avro_sink_roundtrip" -> sinkRoundtripOracleSql,
     // date32 / timestamp[us] / duration[ms] surfaced as raw counts —
     // pins the .fbs default-unit vtable omission among other things
     "arrow_ipc_temporal" ->
