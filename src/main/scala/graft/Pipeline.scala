@@ -6910,6 +6910,187 @@ object Pipeline {
     } finally alloc.close()
   }
 
+  /** Embedding-shard safetensors decode (r12) — the OTHER shape
+    * vector dumps ship in: a `.safetensors` file per shard with an
+    * F32 [n,64] `emb` matrix, an I64 [n] `vec_id` vector and an
+    * I32 [n] `label` vector beside a string metadata map, built by
+    * OUR encoder over the REAL embeddings table and read back by
+    * OUR parser (operators/Safetensors — 8-byte LE header length,
+    * JSON tensor directory, flat LE buffer). The quantized
+    * per-vector sum makes every F32 lane value-transparent; shard
+    * membership and metadata round-trip are asserted in-flight.
+    * Pure map pass; no shuffle beyond the 8-vector grouping and the
+    * presentation sort. */
+  private def safetensorsParse(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Safetensors._
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach { case (_, id, e, l) =>
+          e.foreach(embBuf.putFloat)
+          idBuf.putLong(id); labBuf.putInt(l)
+        }
+        (sid, build(Seq(
+          Tensor("emb", "F32", Seq(n.toLong, dim.toLong),
+            embBuf.array()),
+          Tensor("vec_id", "I64", Seq(n.toLong), idBuf.array()),
+          Tensor("label", "I32", Seq(n.toLong), labBuf.array())),
+          Map("format" -> "graft-emb", "shard" -> sid.toString)))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (md, ts) = parse(bytes).getOrElse(
+          sys.error(s"safetensors rejected shard $sid"))
+        require(md("format") == "graft-emb" &&
+          md("shard") == sid.toString)
+        val byName = ts.map(t => t.name -> t).toMap
+        val emb = byName("emb"); val ids = byName("vec_id")
+        val lab = byName("label")
+        require(emb.dtype == "F32" && ids.dtype == "I64" &&
+          lab.dtype == "I32" && emb.shape.length == 2)
+        val n = emb.shape.head.toInt
+        val dim = emb.shape(1).toInt
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            q += math.round(f32At(emb, i * dim + j).toDouble * 1000)
+            j += 1
+          }
+          (i64At(ids, i), sid, dim, q, i32At(lab, i))
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
+      .orderBy("vec_id")
+  }
+
+  /** NumPy `.npy` decode (r12) across ALL FOUR layout combos — the
+    * raw array dumps scientific pipelines hand over: per 8-vector
+    * shard one f4 matrix [n, 65] (col 0 = vec_id, cols 1..64 = the
+    * embedding), with memory order and byte order rotating by shard
+    * id (C/LE, C/BE, Fortran/LE, Fortran/BE) so the index mapping
+    * and both endians are all value-transparent in one gate. The
+    * `fortran`/`big_endian` columns surface from the PARSED header,
+    * oracle-predicted from the shard id. */
+  private def npyParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Npy
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id / 8, id, emb) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float])]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val cols = dim + 1
+        val fortran = sid % 4 >= 2
+        val big = sid % 2 == 1
+        def cell(r: Int, c: Int): Float =
+          if (c == 0) vecs(r)._2.toFloat else vecs(r)._3(c - 1)
+        val buf = java.nio.ByteBuffer.allocate(n * cols * 4)
+          .order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (fortran) // column-major: first axis varies fastest
+          (0 until cols).foreach(c => (0 until n).foreach(r =>
+            buf.putFloat(cell(r, c))))
+        else
+          (0 until n).foreach(r => (0 until cols).foreach(c =>
+            buf.putFloat(cell(r, c))))
+        (sid, Npy.build("f4", Seq(n, cols), buf.array(),
+          fortran = fortran, bigEndian = big))
+      }
+      .flatMap { case (sid, bytes) =>
+        val a = Npy.parse(bytes).getOrElse(
+          sys.error(s"npy rejected shard $sid"))
+        require(a.descr == "f4" && a.shape.length == 2)
+        val n = a.shape.head
+        val dim = a.shape(1) - 1
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 1
+          while (j <= dim) {
+            q += math.round(a.at(i, j) * 1000); j += 1
+          }
+          (a.at(i, 0).toLong, sid, dim, q, a.fortran, a.bigEndian)
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "fortran",
+        "big_endian")
+      .orderBy("vec_id")
+  }
+
+  /** NumPy `.npz` decode (r12) — `np.savez`'s ZIP-of-`.npy` layout
+    * over the REAL embeddings table: per shard `emb.npy` f4 [n,64],
+    * `vec_id.npy` i8 [n] and `label.npy` i4 [n], STORED on even
+    * shards and DEFLATE (`savez_compressed`) on odd ones, walked by
+    * the verified [[graft.operators.Zip]] central directory and the
+    * `.npy` parser. Every fact from DECODED values. */
+  private def npzParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Npy
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val emb = Npy.buildF4(Seq(n, dim),
+          vecs.flatMap(_._3).toArray)
+        val ids = Npy.buildI8(Seq(n), vecs.map(_._2).toArray)
+        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => labBuf.putInt(v._4))
+        val lab = Npy.build("i4", Seq(n), labBuf.array())
+        (sid, Npy.buildNpz(
+          Seq("emb" -> emb, "vec_id" -> ids, "label" -> lab),
+          deflate = sid % 2 == 1))
+      }
+      .flatMap { case (sid, bytes) =>
+        val m = Npy.parseNpz(bytes).getOrElse(
+          sys.error(s"npz rejected shard $sid")).toMap
+        val emb = m("emb"); val ids = m("vec_id")
+        val lab = m("label")
+        require(emb.descr == "f4" && ids.descr == "i8" &&
+          lab.descr == "i4" && emb.shape.length == 2)
+        val n = emb.shape.head
+        val dim = emb.shape(1)
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            q += math.round(emb.at(i, j) * 1000); j += 1
+          }
+          (ids.longAt(i), sid, dim, q, lab.at(i).toInt)
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9095,6 +9276,9 @@ object Pipeline {
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,
     "arrow_ipc_temporal" -> arrowIpcTemporal _,
+    "safetensors_parse" -> safetensorsParse _,
+    "npy_parse"         -> npyParse _,
+    "npz_parse"         -> npzParse _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
     "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
@@ -11324,6 +11508,48 @@ object Pipeline {
         |  CASE WHEN vec_id % 13 = 9 THEN NULL ELSE s END AS emb_q,
         |  CASE WHEN vec_id % 11 = 10 THEN NULL
         |    ELSE 'cls-' || label END AS label
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // OUR safetensors encoder + parser over the REAL embeddings
+    // table: every F32 lane surfaces through the repo's
+    // round(x·1000) quantization; ids/labels via I64/I32 tensors
+    "safetensors_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
+    // rotating by shard id; order flags surface from the PARSED
+    // header and are predicted analytically
+    "npy_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  (vec_id // 8) % 4 >= 2 AS fortran,
+        |  (vec_id // 8) % 2 = 1 AS big_endian
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // np.savez layout: ZIP members emb/vec_id/label, STORED on
+    // even shards, DEFLATE on odd — the file layer must vanish
+    "npz_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label
         |FROM q ORDER BY vec_id""".stripMargin,
     // dictionary-encoded label column resolved through OUR
     // DictionaryBatch decode (indices never surface)

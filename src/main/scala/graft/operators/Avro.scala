@@ -432,92 +432,9 @@ object Avro {
   }
 
   // ---------------------------------------------------------------
-  // Schema JSON parse (minimal recursive descent)
+  // Schema JSON parse — delegated to the shared JsonMini reader
   // ---------------------------------------------------------------
 
-  private final class Json(s: String) {
-    var p = 0
-    var ok = true
-    private def ws(): Unit =
-      while (p < s.length && s(p).isWhitespace) p += 1
-    def value(): Any = {
-      ws()
-      if (p >= s.length) { ok = false; null }
-      else s(p) match {
-        case '{' =>
-          p += 1; ws()
-          val m = Map.newBuilder[String, Any]
-          if (p < s.length && s(p) == '}') { p += 1 }
-          else {
-            var more = true
-            while (more && ok) {
-              val k = str(); ws()
-              if (p >= s.length || s(p) != ':') ok = false
-              else { p += 1; m += (k -> value()); ws()
-                if (p < s.length && s(p) == ',') { p += 1; ws() }
-                else if (p < s.length && s(p) == '}') { p += 1; more = false }
-                else ok = false }
-            }
-          }
-          m.result()
-        case '[' =>
-          p += 1; ws()
-          val a = Seq.newBuilder[Any]
-          if (p < s.length && s(p) == ']') { p += 1 }
-          else {
-            var more = true
-            while (more && ok) {
-              a += value(); ws()
-              if (p < s.length && s(p) == ',') { p += 1; ws() }
-              else if (p < s.length && s(p) == ']') { p += 1; more = false }
-              else ok = false
-            }
-          }
-          a.result()
-        case '"' => str()
-        case 't' if s.startsWith("true", p) => p += 4; true
-        case 'f' if s.startsWith("false", p) => p += 5; false
-        case 'n' if s.startsWith("null", p) => p += 4; null
-        case c if c == '-' || c.isDigit =>
-          val st = p
-          p += 1
-          while (p < s.length && (s(p).isDigit || "+-.eE".contains(s(p))))
-            p += 1
-          try java.lang.Double.parseDouble(s.substring(st, p))
-          catch { case _: NumberFormatException => ok = false; null }
-        case _ => ok = false; null
-      }
-    }
-    private def str(): String = {
-      ws()
-      if (p >= s.length || s(p) != '"') { ok = false; return "" }
-      p += 1
-      val sb = new StringBuilder
-      while (ok && p < s.length && s(p) != '"') {
-        if (s(p) == '\\') {
-          if (p + 1 >= s.length) ok = false
-          else {
-            s(p + 1) match {
-              case '"' => sb += '"'; case '\\' => sb += '\\'
-              case '/' => sb += '/'; case 'b' => sb += '\b'
-              case 'f' => sb += '\f'; case 'n' => sb += '\n'
-              case 'r' => sb += '\r'; case 't' => sb += '\t'
-              case 'u' =>
-                if (p + 5 >= s.length) ok = false
-                else try {
-                  sb += Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar
-                  p += 4
-                } catch { case _: NumberFormatException => ok = false }
-              case _ => ok = false
-            }
-            p += 2
-          }
-        } else { sb += s(p); p += 1 }
-      }
-      if (p >= s.length) ok = false else p += 1 // closing quote
-      sb.toString
-    }
-  }
 
   private final val Prims =
     Set("boolean", "int", "long", "float", "double", "bytes", "string")
@@ -616,7 +533,7 @@ object Avro {
     * None for anything else (fixed, non-null-first unions, 3-branch
     * unions, named-type references). */
   def interpretSchema(json: String): Option[(String, Seq[NField])] = {
-    val j = new Json(json)
+    val j = new JsonMini.Parser(json)
     val v = j.value()
     if (!j.ok) return None
     v match {

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NumPy `.npy`/`.npz` pins: the spec's exact v1.0 header layout
+  * (magic, version, LE u16 length, dict literal, 64-alignment,
+  * `\n` terminator), every dtype, both byte orders, Fortran-order
+  * index mapping, the v2.0 u32-length escape, 0-d/1-d/3-d shapes,
+  * rejection of pickle-bearing dtypes and malformed headers, `.npz`
+  * round trips over STORED and DEFLATE members, and mutation fuzz. */
+class NpySpec extends AnyFunSuite {
+
+  import Npy._
+
+  test("hand-pinned v1.0 layout: f4 (2,3) C order") {
+    val xs = Array(1f, 2f, 3f, 4f, 5f, 6f)
+    val bytes = buildF4(Seq(2, 3), xs)
+    assert(new String(bytes, 0, 6, "ISO-8859-1") == "NUMPY")
+    assert(bytes(6) == 1 && bytes(7) == 0)
+    val hlen = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    assert((10 + hlen) % 64 == 0) // data start is 64-aligned
+    assert(bytes(10 + hlen - 1) == '\n')
+    val header = new String(bytes, 10, hlen, "ASCII")
+    assert(header.startsWith(
+      "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }"))
+    val a = parse(bytes).get
+    assert(a.descr == "f4" && !a.bigEndian && !a.fortran &&
+      a.shape == Seq(2, 3))
+    assert(a.floatAt(0, 0) == 1f && a.floatAt(1, 2) == 6f)
+    assert(a.at(1, 0) == 4.0)
+  }
+
+  test("1-elem tuple shape renders as (n,) and round-trips") {
+    val bytes = buildI8(Seq(3), Array(7L, -8L, 9L))
+    val header = new String(bytes, 10,
+      (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8), "ASCII")
+    assert(header.contains("'shape': (3,)"))
+    val a = parse(bytes).get
+    assert(a.shape == Seq(3) && a.longAt(1) == -8L)
+  }
+
+  test("0-d scalar: shape () and a single element") {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5)
+    val a = parse(build("f8", Seq(), b.array())).get
+    assert(a.shape.isEmpty && a.at() == 2.5)
+  }
+
+  test("every dtype round-trips; integer widening is exact") {
+    val rnd = new scala.util.Random(3)
+    ItemSize.foreach { case (descr, isz) =>
+      val data = Array.fill(4 * isz)(rnd.nextInt().toByte)
+      val a = parse(build(descr, Seq(4), data)).get
+      assert(a.descr == descr && a.data.sameElements(data))
+      (0 until 4).foreach(i => a.at(i)) // decodes, never throws
+    }
+    val i2 = parse(build("i2", Seq(2),
+      Array[Byte](0xff.toByte, 0x7f, 0x00, 0x80.toByte))).get
+    assert(i2.at(0) == 32767.0 && i2.at(1) == -32768.0)
+    val u2 = parse(build("u2", Seq(1),
+      Array[Byte](0xff.toByte, 0xff.toByte))).get
+    assert(u2.at(0) == 65535.0)
+  }
+
+  test("big-endian and Fortran order parse with correct indexing") {
+    // hand-build a >i4 fortran (2,3) array holding 0..5 in LOGICAL
+    // row-major order: memory order is column-major
+    val logical = Array(0, 1, 2, 3, 4, 5)
+    val mem = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // fortran memory layout: (0,0)(1,0)(0,1)(1,1)(0,2)(1,2)
+    Seq((0, 0), (1, 0), (0, 1), (1, 1), (0, 2), (1, 2)).foreach {
+      case (r, c) => mem.putInt(logical(r * 3 + c))
+    }
+    val dict =
+      "{'descr': '>i4', 'fortran_order': True, 'shape': (2, 3), }"
+    val d = dict.getBytes("ASCII")
+    val pad = (64 - ((10 + d.length + 1) % 64)) % 64
+    val header = d ++ Array.fill(pad)(' '.toByte) :+ '\n'.toByte
+    val bytes = "NUMPY".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, (header.length & 0xff).toByte,
+        ((header.length >> 8) & 0xff).toByte) ++ header ++ mem.array()
+    val a = parse(bytes).get
+    assert(a.bigEndian && a.fortran)
+    (0 until 2).foreach(r => (0 until 3).foreach(c =>
+      assert(a.at(r, c) == logical(r * 3 + c).toDouble)))
+  }
+
+  test("v2.0 u32 header length parses (and build escalates when needed)") {
+    // hand-build a v2 file with a small header — the length field
+    // width is what's under test
+    val dict =
+      "{'descr': '<u1', 'fortran_order': False, 'shape': (2,), }"
+    val d = dict.getBytes("ASCII")
+    val pad = (64 - ((12 + d.length + 1) % 64)) % 64
+    val header = d ++ Array.fill(pad)(' '.toByte) :+ '\n'.toByte
+    val bytes = "NUMPY".getBytes("ISO-8859-1") ++
+      Array[Byte](2, 0,
+        (header.length & 0xff).toByte,
+        ((header.length >> 8) & 0xff).toByte, 0, 0) ++
+      header ++ Array[Byte](7, 9)
+    val a = parse(bytes).get
+    assert(a.descr == "u1" && a.at(1) == 9.0)
+  }
+
+  test("malformed inputs reject, never throw") {
+    val ok = buildF4(Seq(2), Array(1f, 2f))
+    assert(parse(Array.emptyByteArray).isEmpty)
+    assert(parse(ok.take(9)).isEmpty)
+    assert(parse(ok.dropRight(1)).isEmpty)          // truncated body
+    assert(parse(ok :+ 0.toByte).isEmpty)           // trailing bytes
+    val wrongMagic = ok.clone(); wrongMagic(0) = 0x42
+    assert(parse(wrongMagic).isEmpty)
+    val badVer = ok.clone(); badVer(6) = 9
+    assert(parse(badVer).isEmpty)
+    def withDict(dict: String, body: Array[Byte]): Array[Byte] = {
+      val d = dict.getBytes("ASCII")
+      val header = d :+ '\n'.toByte
+      "NUMPY".getBytes("ISO-8859-1") ++
+        Array[Byte](1, 0, (header.length & 0xff).toByte,
+          ((header.length >> 8) & 0xff).toByte) ++ header ++ body
+    }
+    // object dtype (pickle) rejects
+    assert(parse(withDict(
+      "{'descr': '|O', 'fortran_order': False, 'shape': (1,), }",
+      Array[Byte](0))).isEmpty)
+    // structured dtype rejects (descr not a quoted scalar)
+    assert(parse(withDict(
+      "{'descr': [('a', '<i4')], 'fortran_order': False, " +
+        "'shape': (1,), }", Array[Byte](0, 0, 0, 0))).isEmpty)
+    // '=' order mark rejects
+    assert(parse(withDict(
+      "{'descr': '=f4', 'fortran_order': False, 'shape': (1,), }",
+      Array[Byte](0, 0, 0, 0))).isEmpty)
+    // '|' on a multi-byte type rejects
+    assert(parse(withDict(
+      "{'descr': '|f4', 'fortran_order': False, 'shape': (1,), }",
+      Array[Byte](0, 0, 0, 0))).isEmpty)
+    // missing key rejects
+    assert(parse(withDict(
+      "{'descr': '<f4', 'shape': (1,), }",
+      Array[Byte](0, 0, 0, 0))).isEmpty)
+    // shape/size mismatch rejects
+    assert(parse(withDict(
+      "{'descr': '<f4', 'fortran_order': False, 'shape': (2,), }",
+      Array[Byte](0, 0, 0, 0))).isEmpty)
+    // unknown key rejects
+    assert(parse(withDict(
+      "{'descr': '<f4', 'fortran_order': False, 'shape': (1,), " +
+        "'pad': 1, }", Array[Byte](0, 0, 0, 0))).isEmpty)
+  }
+
+  test(".npz round trip over STORED and DEFLATE members") {
+    val emb = buildF4(Seq(2, 2), Array(1f, 2f, 3f, 4f))
+    val ids = buildI8(Seq(2), Array(10L, 20L))
+    val stored = buildNpz(Seq("emb" -> emb, "ids" -> ids))
+    val got = parseNpz(stored).get.toMap
+    assert(got.keySet == Set("emb", "ids"))
+    assert(got("emb").floatAt(1, 0) == 3f)
+    assert(got("ids").longAt(1) == 20L)
+    // DEFLATE members through the same walk
+    val deflated = Zip.buildArchive(Seq(
+      ("emb.npy", emb, true), ("ids.npy", ids, true)))
+    val got2 = parseNpz(deflated).get.toMap
+    assert(got2("emb").data.sameElements(got("emb").data))
+    // a non-npy member rejects the whole archive
+    assert(parseNpz(Zip.buildArchive(Seq(
+      ("emb.npy", emb, false),
+      ("junk.txt", "hi".getBytes("UTF-8"), false)))).isEmpty)
+    // duplicate names after suffix-strip reject
+    assert(parseNpz(Zip.buildArchive(Seq(
+      ("a.npy", emb, false), ("a", ids, false)))).isEmpty)
+    assert(parseNpz(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mutation fuzz: corruptions never throw") {
+    val base = buildNpz(Seq(
+      "x" -> buildF4(Seq(3), Array(1f, 2f, 3f)),
+      "y" -> buildI8(Seq(2), Array(4L, 5L))))
+    val rnd = new scala.util.Random(17)
+    (0 until 300).foreach { _ =>
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      parseNpz(m)
+    }
+    val npy = buildF4(Seq(4), Array(1f, 2f, 3f, 4f))
+    (0 until 300).foreach { _ =>
+      val m = npy.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      parse(m)
+    }
+  }
+}
