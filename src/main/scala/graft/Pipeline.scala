@@ -7403,6 +7403,115 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** CBOR record round trip (operators/Cbor, RFC 8949): each doc
+    * renders to the map {"id": int, "text": str, "tags": [int,
+    * int], "note": null | str, "ts": tag1(int), "score": float64},
+    * encodes in the deterministic core encoding, decodes back, and
+    * every fact is re-derived from the DECODED value tree — the
+    * shortest-form integer heads, UTF-8 strings, nested arrays, the
+    * null branch and the epoch tag must all be value-transparent.
+    * Pure map pass; no shuffle beyond the presentation sort. */
+  private def cborParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Cbor._
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val v = CbMap(Seq(
+          CbStr("id") -> CbInt(id * 1000003L),
+          CbStr("text") -> CbStr(t),
+          CbStr("tags") -> CbArr(Seq(CbInt(id % 7),
+            CbInt(t.length.toLong))),
+          CbStr("note") -> (if (id % 7 == 0) CbNull
+            else CbStr(s"n${id % 5}")),
+          CbStr("ts") -> CbTag(1, CbInt(1363896240L + id)),
+          CbStr("score") -> CbDouble(t.length * 0.25)))
+        val CbMap(kvs) = decode(encode(v)).getOrElse(
+          sys.error(s"cbor rejected doc $id")): @unchecked
+        val m = kvs.map { case (CbStr(k), x) => (k, x)
+          case _ => sys.error("non-string key") }.toMap
+        val CbInt(bigId) = m("id"): @unchecked
+        val CbStr(text) = m("text"): @unchecked
+        val CbArr(tags) = m("tags"): @unchecked
+        val tagSum = tags.map { case CbInt(x) => x
+          case _ => sys.error("tag type") }.sum
+        val note = m("note") match {
+          case CbNull => null
+          case CbStr(x) => x
+          case _ => sys.error("note type")
+        }
+        val CbTag(tagNo, CbInt(epoch)) = m("ts"): @unchecked
+        require(tagNo == 1L)
+        val CbDouble(score) = m("score"): @unchecked
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (bigId / 1000003L, kvs.length, text.length.toLong,
+          d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+            .mkString,
+          tagSum, note, epoch - 1363896240L, score)
+      }
+      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
+        "note", "ts_off", "score")
+      .orderBy("doc_id")
+  }
+
+  /** BSON mongodump walk (operators/Bson, bsonspec.org): docs render
+    * to {"_id": int64, "text": str, "tags": ["0": int32, "1":
+    * int32], "note": null | str, "dt": utc-datetime, "score":
+    * double}, 4 docs concatenate into one `.bson` stream chunk (the
+    * mongodump file shape), [[graft.operators.Bson.decodeStream]]
+    * walks it back and every fact is re-derived from the DECODED
+    * documents — length prefixes, canonical array keys, the null
+    * branch and the ms datetime must all be value-transparent. */
+  private def bsonParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Bson._
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 4, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val stream = docs.map { case (_, id, t) =>
+          encode(BsDoc(Seq(
+            "_id" -> BsInt64(id * 1000003L),
+            "text" -> BsStr(t),
+            "tags" -> BsArr(Seq(BsInt32((id % 7).toInt),
+              BsInt32(t.length))),
+            "note" -> (if (id % 7 == 0) BsNull
+              else BsStr(s"n${id % 5}")),
+            "dt" -> BsDateTime(1363896240000L + id),
+            "score" -> BsDouble(t.length * 0.25))))
+        }.reduce(_ ++ _)
+        (cid, stream)
+      }
+      .flatMap { case (cid, stream) =>
+        decodeStream(stream).getOrElse(
+          sys.error(s"bson rejected chunk $cid")).map { d =>
+          val m = d.kvs.toMap
+          val BsInt64(bigId) = m("_id"): @unchecked
+          val BsStr(text) = m("text"): @unchecked
+          val BsArr(tags) = m("tags"): @unchecked
+          val tagSum = tags.map { case BsInt32(x) => x.toLong
+            case _ => sys.error("tag type") }.sum
+          val note = m("note") match {
+            case BsNull => null
+            case BsStr(x) => x
+            case _ => sys.error("note type")
+          }
+          val BsDateTime(ms) = m("dt"): @unchecked
+          val BsDouble(score) = m("score"): @unchecked
+          val dg = java.security.MessageDigest.getInstance("MD5")
+          (bigId / 1000003L, d.kvs.length, text.length.toLong,
+            dg.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+              .mkString,
+            tagSum, note, ms - 1363896240000L, score)
+        }
+      }
+      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
+        "note", "dt_off", "score")
+      .orderBy("doc_id")
+  }
+
   /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
     * ebooks are a standard corpus source and an EPUB is exactly a ZIP
     * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
@@ -9300,6 +9409,8 @@ object Pipeline {
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
     "jsonl_zst_files"   -> jsonlZstFiles _,
     "msgpack_parse"     -> msgpackParse _,
+    "cbor_parse"        -> cborParse _,
+    "bson_parse"        -> bsonParse _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
     "pdf_text_extract"  -> pdfTextExtract _,
@@ -11461,6 +11572,36 @@ object Pipeline {
         |  doc_id % 7 + strlen(text) AS tag_sum,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |    ELSE 'n' || (doc_id % 5) END AS note,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "cbor_parse" -> {
+      // every fact from the DECODED value tree; note null on every
+      // 7th; the tag-1 epoch surfaces as its doc_id offset
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, CAST(6 AS INT) AS n_fields,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id % 7 + strlen(text) AS tag_sum,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE 'n' || (doc_id % 5) END AS note,
+        |  doc_id AS ts_off,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "bson_parse" -> {
+      // 4-doc mongodump stream chunks; every fact from the DECODED
+      // documents; note null on every 7th; datetime as doc offset
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, CAST(6 AS INT) AS n_fields,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id % 7 + strlen(text) AS tag_sum,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE 'n' || (doc_id % 5) END AS note,
+        |  doc_id AS dt_off,
         |  strlen(text) * 0.25 AS score
         |FROM d ORDER BY doc_id""".stripMargin
     },
