@@ -7091,6 +7091,96 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** GGUF shard decode (r12) — the llama.cpp single-file container
+    * (operators/Gguf): per 8-vector shard one GGUF v3 file holding
+    * an F32 `emb` tensor in GGML dim order (ne[0] = innermost =
+    * dim), an I64 `vec_id` tensor, a Q8_0-quantized twin of the
+    * embedding matrix, and metadata (architecture string, shard id
+    * i64, a per-shard label i32 array — the tokenizer-vocab shape).
+    * OUR writer builds it, OUR parser reads it back; F32 lanes and
+    * the metadata label array surface to the oracle, and the Q8_0
+    * twin is held to its closed-form error bound in-flight
+    * (|deq − x| ≤ d/2 per lane — a wrong scale or block walk
+    * fails the run, no oracle needed). */
+  private def ggufParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Gguf._
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val flat = vecs.flatMap(_._3).toArray
+        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        flat.foreach(embBuf.putFloat)
+        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => idBuf.putLong(v._2))
+        (sid, build(
+          Seq(
+            "general.architecture" -> GvStr("graft"),
+            "shard.id" -> GvI64(sid),
+            "shard.labels" -> GvArr(5,
+              vecs.map(v => GvI32(v._4)))),
+          Seq(
+            GTensor("emb", Seq(dim.toLong, n.toLong), "F32",
+              embBuf.array()),
+            GTensor("vec_id", Seq(n.toLong), "I64", idBuf.array()),
+            GTensor("emb_q8", Seq(dim.toLong, n.toLong), "Q8_0",
+              quantizeQ8_0(flat)))))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (kvs, ts) = parse(bytes).getOrElse(
+          sys.error(s"gguf rejected shard $sid"))
+        val md = kvs.toMap
+        require(md("general.architecture") == GvStr("graft") &&
+          md("shard.id") == GvI64(sid))
+        val GvArr(5, labels) = md("shard.labels"): @unchecked
+        val byName = ts.map(t => t.name -> t).toMap
+        val emb = byName("emb"); val ids = byName("vec_id")
+        val q8 = byName("emb_q8")
+        require(emb.tpe == "F32" && q8.tpe == "Q8_0" &&
+          emb.dims == q8.dims && emb.dims.length == 2)
+        val dim = emb.dims.head.toInt // ne[0] = innermost
+        val n = emb.dims(1).toInt
+        val deq = dequantizeQ8_0(q8.data)
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            val x = f32At(emb, i * dim + j)
+            q += math.round(x.toDouble * 1000)
+            // Q8_0 twin: closed-form error bound per 32-lane block
+            val blockBase = (i * dim + j) / 32 * 32
+            var amax = 0f
+            var k = 0
+            while (k < 32) {
+              val a = math.abs(f32At(emb, blockBase + k))
+              if (a > amax) amax = a
+              k += 1
+            }
+            val d = graft.operators.Safetensors.halfToFloat(
+              graft.operators.Safetensors.floatToHalf(amax / 127f)
+                & 0xffff)
+            require(math.abs(deq(i * dim + j) - x) <=
+              d * 0.51 + 1e-7, s"Q8_0 bound broken at $i/$j")
+            j += 1
+          }
+          val GvI32(label) = labels(i): @unchecked
+          (i64At(ids, i), sid, dim, q, label, "graft")
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "arch")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9388,6 +9478,7 @@ object Pipeline {
     "safetensors_parse" -> safetensorsParse _,
     "npy_parse"         -> npyParse _,
     "npz_parse"         -> npzParse _,
+    "gguf_parse"        -> ggufParse _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
     "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
@@ -11678,6 +11769,20 @@ object Pipeline {
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  (vec_id // 8) % 4 >= 2 AS fortran,
         |  (vec_id // 8) % 2 = 1 AS big_endian
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
+    // metadata array surface; the Q8_0 twin is bound-checked
+    // in-flight (closed-form block quantization, oracle-free)
+    "gguf_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label, 'graft' AS arch
         |FROM q ORDER BY vec_id""".stripMargin,
     // np.savez layout: ZIP members emb/vec_id/label, STORED on
     // even shards, DEFLATE on odd — the file layer must vanish
