@@ -7181,6 +7181,85 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Delta-table fixture (operators/DeltaLog): a 3-version
+    * partitioned lakehouse table derived from lineitem, built ONCE
+    * per sf dir —
+    *   v0  create, partitioned by `bucket = l_orderkey % 4`
+    *   v1  rewrite of bucket=1: rows with l_quantity ≤ 10 deleted
+    *       (remove + filtered add — the standard DELETE shape)
+    *   checkpoint at v1 (+ `_last_checkpoint`)
+    *   v2  append duplicating bucket=2 rows with l_quantity > 40
+    * so the LATEST snapshot must reconstruct through checkpoint +
+    * tail replay and v0 through pure JSON replay. */
+  private def deltaFixtureRoot(s: SparkSession, dir: String): String =
+    formatFixtureDir(dir, "delta", "lineitem") { out =>
+      import graft.operators.DeltaLog
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_orderkey % 4 AS bucket")
+      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"))
+      // v1: DELETE FROM bucket=1 WHERE l_quantity <= 10, as a
+      // remove-files + add-rewrite commit
+      val snap0 = DeltaLog.snapshot(s, t)
+      val victims = snap0.files.filter(
+        _.partitionValues.get("bucket").contains("1"))
+      base.filter("bucket = 1 AND l_quantity > 10")
+        .drop("bucket")
+        .write.parquet(s"$t/bucket=1/rw")
+      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
+        .filter(_.path.startsWith("bucket=1/rw/"))
+      DeltaLog.commit(s, t, 1L,
+        victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+          rewrite.map(DeltaLog.addJson))
+      DeltaLog.writeCheckpoint(s, t, 1L)
+      // v2: append a duplicate slice of bucket=2
+      base.filter("bucket = 2 AND l_quantity > 40")
+        .drop("bucket")
+        .write.parquet(s"$t/bucket=2/app")
+      val app = DeltaLog.listDataFiles(s, t, Seq("bucket"))
+        .filter(_.path.startsWith("bucket=2/app/"))
+      DeltaLog.commit(s, t, 2L, app.map(DeltaLog.addJson))
+    }
+
+  /** Delta lakehouse scan (r12) — the LATEST snapshot of the
+    * fixture table read through OUR transaction-log reconstruction
+    * (checkpoint at v1 + the v2 JSON tail; add/remove replay;
+    * partition values injected from the log as typed columns) and
+    * aggregated per return flag. The oracle recomputes the same
+    * table state analytically from lineitem, so a wrong file list,
+    * a missed remove, a mis-typed partition column or a torn replay
+    * all flip counts. Scan + agg shape: pushdown survives per
+    * partition-group branch; the log walk is O(#commits) driver
+    * metadata, the DATA never leaves executor parquet scans. */
+  private def deltaScan(s: SparkSession, dir: String): DataFrame = {
+    val root = deltaFixtureRoot(s, dir)
+    graft.operators.DeltaLog.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
+  /** Delta time travel (r12) — the SAME table at version 0, which
+    * must reconstruct through pure JSON replay (ignoring the later
+    * checkpoint) and equal plain lineitem. */
+  private def deltaTimeTravel(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = deltaFixtureRoot(s, dir)
+    graft.operators.DeltaLog.read(s, s"$root/tbl", Some(0L))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9479,6 +9558,8 @@ object Pipeline {
     "npy_parse"         -> npyParse _,
     "npz_parse"         -> npzParse _,
     "gguf_parse"        -> ggufParse _,
+    "delta_scan"        -> deltaScan _,
+    "delta_time_travel" -> deltaTimeTravel _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
     "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
@@ -11784,6 +11865,37 @@ object Pipeline {
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  CAST(label AS INT) AS label, 'graft' AS arch
         |FROM q ORDER BY vec_id""".stripMargin,
+    // Delta lakehouse: OUR log reconstruction (checkpoint + JSON
+    // tail, add/remove replay, log-injected partition columns) must
+    // equal the analytically recomputed table state — v0 create,
+    // v1 delete-rewrite of bucket 1 (qty ≤ 10 gone), v2 append
+    // duplicating bucket 2 rows with qty > 40
+    "delta_scan" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
+        |  UNION ALL
+        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
+        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+        |FROM live GROUP BY rf ORDER BY rf""".stripMargin,
+    // the same table at version 0: pure JSON replay (the checkpoint
+    // at v1 must be IGNORED) equals plain lineitem
+    "delta_time_travel" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+        |  FROM lineitem)
+        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+        |FROM base GROUP BY rf ORDER BY rf""".stripMargin,
     // np.savez layout: ZIP members emb/vec_id/label, STORED on
     // even shards, DEFLATE on odd — the file layer must vanish
     "npz_parse" ->

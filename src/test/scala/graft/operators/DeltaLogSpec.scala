@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta transaction log pins: create → multi-version replay
+  * (add/remove upsert semantics), time travel to every version,
+  * checkpoint equivalence (snapshot from checkpoint+tail == pure
+  * JSON replay, and a checkpoint-only log with the early commits
+  * deleted still reads), partitioned tables with typed partition
+  * values injected from the log, torn-log and unsupported-protocol
+  * rejections, and pushdown surviving the per-partition union. */
+class DeltaLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      .toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tbl"
+  }
+
+  private def seed(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"row$i", i % 3)).toDF(
+      "id", "txt", "bucket")
+  }
+
+  test("create + read round-trips; versions replay add/remove") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_basic")
+    DeltaLog.create(spark, seed(20), t)
+    assert(DeltaLog.read(spark, t).count() == 20)
+
+    // v1: rewrite — remove every file, add a filtered rewrite
+    val snap0 = DeltaLog.snapshot(spark, t)
+    val rewriteDir = s"$t/rw"
+    seed(20).filter($"id" >= 5).write.parquet(rewriteDir)
+    val newAdds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("rw/"))
+    DeltaLog.commit(spark, t, 1L,
+      snap0.files.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+        newAdds.map(DeltaLog.addJson))
+    assert(DeltaLog.read(spark, t).count() == 15)
+    assert(DeltaLog.read(spark, t)
+      .agg(min($"id")).head.getLong(0) == 5L)
+
+    // v2: append 5 more rows in a new file
+    val appDir = s"$t/app"
+    seed(25).filter($"id" >= 20).write.parquet(appDir)
+    val appAdds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("app/"))
+    DeltaLog.commit(spark, t, 2L, appAdds.map(DeltaLog.addJson))
+    assert(DeltaLog.read(spark, t).count() == 20)
+
+    // time travel: every version is reconstructible
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 20)
+    assert(DeltaLog.read(spark, t, Some(1L)).count() == 15)
+    assert(DeltaLog.read(spark, t, Some(2L)).count() == 20)
+    assert(DeltaLog.read(spark, t, Some(0L))
+      .agg(min($"id")).head.getLong(0) == 0L)
+  }
+
+  test("checkpoint: equivalent snapshot, and survives pruned commits") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_cp")
+    DeltaLog.create(spark, seed(12), t)
+    val snap0 = DeltaLog.snapshot(spark, t)
+    val rwDir = s"$t/rw"
+    seed(12).filter($"id" % 2 === 0).write.parquet(rwDir)
+    val adds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("rw/"))
+    DeltaLog.commit(spark, t, 1L,
+      snap0.files.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+        adds.map(DeltaLog.addJson))
+
+    val before = DeltaLog.snapshot(spark, t)
+    DeltaLog.writeCheckpoint(spark, t, 1L)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.version == before.version &&
+      after.files.map(_.path).sorted ==
+        before.files.map(_.path).sorted &&
+      after.meta.schemaString == before.meta.schemaString)
+
+    // v2 appends on top of the checkpoint
+    val appDir = s"$t/app"
+    seed(14).filter($"id" >= 12).write.parquet(appDir)
+    val appAdds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("app/"))
+    DeltaLog.commit(spark, t, 2L, appAdds.map(DeltaLog.addJson))
+    assert(DeltaLog.read(spark, t).count() == 6 + 2)
+
+    // delete the pre-checkpoint commits: the table must still read
+    // (checkpoint + tail), and time travel BEFORE it must now fail
+    Seq(0L, 1L).foreach { v =>
+      new java.io.File(f"$t/_delta_log/$v%020d.json").delete(): Unit
+    }
+    assert(DeltaLog.read(spark, t).count() == 8)
+    assertThrows[IllegalArgumentException](
+      DeltaLog.snapshot(spark, t, Some(0L)))
+  }
+
+  test("partitioned table: typed partition columns injected from the log") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_part")
+    DeltaLog.create(spark, seed(30), t, partitionBy = Seq("bucket"))
+    val got = DeltaLog.read(spark, t)
+    assert(got.count() == 30)
+    // bucket comes back as its declared INT type with right values
+    assert(got.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.filter($"bucket" === 1).count() == 10)
+    assert(got.groupBy($"bucket").count().count() == 3)
+    // the snapshot's partitionValues drove it, not the file paths
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.forall(_.partitionValues.keySet == Set("bucket")))
+    // filter pushdown reaches the parquet scan in each branch
+    val plan = got.filter($"id" > 10).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(id,10)"))
+  }
+
+  test("torn log and unsupported protocol reject") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_torn")
+    DeltaLog.create(spark, seed(6), t)
+    DeltaLog.commit(spark, t, 2L, Seq.empty) // gap: no v1
+    assertThrows[IllegalArgumentException](
+      DeltaLog.snapshot(spark, t))
+    // still fine at v0
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 6)
+
+    val t2 = tmpTable("delta_proto")
+    DeltaLog.create(spark, seed(4), t2)
+    DeltaLog.commit(spark, t2, 1L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7))))
+    assertThrows[IllegalArgumentException](
+      DeltaLog.snapshot(spark, t2))
+    assert(DeltaLog.read(spark, t2, Some(0L)).count() == 4)
+
+    assertThrows[RuntimeException](
+      DeltaLog.snapshot(spark, tmpTable("delta_missing")))
+  }
+}
