@@ -7260,6 +7260,79 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** Iceberg-table fixture (operators/Iceberg): the SAME 3-step
+    * story as [[deltaFixtureRoot]] told in the other lakehouse
+    * format — snapshot 1 create, snapshot 2 delete-rewrite of
+    * bucket 1 (l_quantity ≤ 10 gone), snapshot 3 appending the
+    * duplicate bucket-2 slice — so both formats answer to ONE
+    * analytic oracle. Data files are written bucket-pure (Iceberg
+    * files carry all columns; the manifests track file lists), the
+    * manifest + manifest-list layer is OUR Avro codec. */
+  private def icebergFixtureRoot(s: SparkSession, dir: String)
+      : String =
+    formatFixtureDir(dir, "iceberg", "lineitem") { out =>
+      import graft.operators.Iceberg
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_orderkey % 4 AS bucket")
+      val sch = base.schema
+      val byBucket = (0 to 3).map { b =>
+        base.filter(s"bucket = $b")
+          .write.parquet(s"$t/data/s1/b$b")
+        b -> Iceberg.countsByFile(s, sch, s"$t/data/s1/b$b")
+      }.toMap
+      val files1 = byBucket.values.flatten.toSeq.sortBy(_._1)
+      Iceberg.commit(s, t, 1L, 1L, sch, files1, prior = Seq.empty)
+      // snapshot 2: DELETE FROM bucket=1 WHERE l_quantity <= 10
+      base.filter("bucket = 1 AND l_quantity > 10")
+        .write.parquet(s"$t/data/s2")
+      val files2 = (byBucket - 1).values.flatten.toSeq ++
+        Iceberg.countsByFile(s, sch, s"$t/data/s2")
+      Iceberg.commit(s, t, 2L, 2L, sch, files2.sortBy(_._1),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro")))
+      // snapshot 3: append the duplicate bucket-2 slice
+      base.filter("bucket = 2 AND l_quantity > 40")
+        .write.parquet(s"$t/data/s3")
+      val files3 = files2 ++
+        Iceberg.countsByFile(s, sch, s"$t/data/s3")
+      Iceberg.commit(s, t, 3L, 3L, sch, files3.sortBy(_._1),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro"),
+          (2L, s"$t/metadata/snap-2.avro")))
+    }
+
+  /** Iceberg lakehouse scan (r12) — the current snapshot through
+    * the metadata-json → manifest-list → manifest chain (OUR Avro
+    * decoder at both Avro layers), aggregated per return flag
+    * against the same analytic oracle as [[deltaScan]]: one table
+    * state, two formats, one truth. */
+  private def icebergScan(s: SparkSession, dir: String): DataFrame = {
+    val root = icebergFixtureRoot(s, dir)
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
+  /** Iceberg time travel (r12) — snapshot 1 by id (a metadata
+    * lookup, not a replay) must equal plain lineitem. */
+  private def icebergTimeTravel(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = icebergFixtureRoot(s, dir)
+    graft.operators.Iceberg.read(s, s"$root/tbl", Some(1L))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -8057,6 +8130,36 @@ object Pipeline {
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** delta_scan / iceberg_scan shared oracle: the 3-step lakehouse
+    * story recomputed analytically from lineitem. */
+  private def lakehouseScanOracleSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+      |  FROM lineitem),
+      |live AS (
+      |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
+      |  UNION ALL
+      |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
+      |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+      |FROM live GROUP BY rf ORDER BY rf""".stripMargin
+
+  /** delta/iceberg_time_travel shared oracle: the first version is
+    * plain lineitem. */
+  private def lakehouseTimeTravelOracleSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+      |  FROM lineitem)
+      |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+      |FROM base GROUP BY rf ORDER BY rf""".stripMargin
 
   private def arrowIpcOracleSql: String =
     """WITH d AS (
@@ -9560,6 +9663,8 @@ object Pipeline {
     "gguf_parse"        -> ggufParse _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
+    "iceberg_scan"      -> icebergScan _,
+    "iceberg_time_travel" -> icebergTimeTravel _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
     "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
@@ -11865,37 +11970,18 @@ object Pipeline {
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  CAST(label AS INT) AS label, 'graft' AS arch
         |FROM q ORDER BY vec_id""".stripMargin,
-    // Delta lakehouse: OUR log reconstruction (checkpoint + JSON
-    // tail, add/remove replay, log-injected partition columns) must
-    // equal the analytically recomputed table state — v0 create,
-    // v1 delete-rewrite of bucket 1 (qty ≤ 10 gone), v2 append
-    // duplicating bucket 2 rows with qty > 40
-    "delta_scan" ->
-      """WITH base AS (
-        |  SELECT l_returnflag AS rf,
-        |    CAST(l_quantity AS BIGINT) AS qty,
-        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-        |  FROM lineitem),
-        |live AS (
-        |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
-        |  UNION ALL
-        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
-        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-        |FROM live GROUP BY rf ORDER BY rf""".stripMargin,
-    // the same table at version 0: pure JSON replay (the checkpoint
-    // at v1 must be IGNORED) equals plain lineitem
-    "delta_time_travel" ->
-      """WITH base AS (
-        |  SELECT l_returnflag AS rf,
-        |    CAST(l_quantity AS BIGINT) AS qty,
-        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-        |  FROM lineitem)
-        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-        |FROM base GROUP BY rf ORDER BY rf""".stripMargin,
+    // Lakehouse formats: OUR snapshot reconstruction (Delta log
+    // replay / Iceberg manifest chain) must equal the analytically
+    // recomputed table state — create, delete-rewrite of bucket 1
+    // (qty ≤ 10 gone), append duplicating bucket 2 rows with
+    // qty > 40. ONE oracle, both formats.
+    "delta_scan" -> lakehouseScanOracleSql,
+    "iceberg_scan" -> lakehouseScanOracleSql,
+    // the same table at its first version: Delta via pure JSON
+    // replay (the later checkpoint must be IGNORED), Iceberg via
+    // snapshot-id lookup — both equal plain lineitem
+    "delta_time_travel" -> lakehouseTimeTravelOracleSql,
+    "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
     // np.savez layout: ZIP members emb/vec_id/label, STORED on
     // even shards, DEFLATE on odd — the file layer must vanish
     "npz_parse" ->
