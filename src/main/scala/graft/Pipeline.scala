@@ -7754,6 +7754,61 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** SQLite database walk (operators/Sqlite): per 16-doc chunk one
+    * real `.sqlite` database is BUILT (512-byte pages, so longer
+    * texts spill to overflow chains and the table b-tree grows an
+    * interior level) with table docs(id INTEGER PRIMARY KEY, text,
+    * tag, score, note) — id stored as NULL per the rowid-alias
+    * rule — then read back through the header → sqlite_schema →
+    * b-tree → record walk, every fact from DECODED values. The
+    * oracle recomputes the same facts from `documents` directly, so
+    * a wrong varint, serial type, overflow stitch or rowid-alias
+    * fill flips a value. */
+  private def sqliteParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Sqlite
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 16, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val rows = docs.map { case (_, id, t) =>
+          // rowid = doc_id + 1 (sqlite rowids start at 1)
+          (id + 1L, Seq[Any](id, t, id % 7,
+            t.length * 0.25,
+            if (id % 7 == 0) null else s"n${id % 5}"))
+        }
+        (cid, Sqlite.build("docs",
+          Seq("id", "text", "tag", "score", "note"), rows,
+          pageSize = 512, ipkColumn = 0))
+      }
+      .flatMap { case (cid, db) =>
+        val t = Sqlite.tables(db).getOrElse(
+          sys.error(s"sqlite rejected chunk $cid")).head
+        require(t.name == "docs" && t.ipkColumn == 0 &&
+          t.columns == Seq("id", "text", "tag", "score", "note"))
+        Sqlite.rows(db, "docs").getOrElse(
+          sys.error(s"sqlite rows rejected chunk $cid")).map { r =>
+          // the ipk column IS the rowid (stored NULL, filled on
+          // read); rowid = doc_id + 1
+          require(r.values(0) == r.rowid, "alias fill broken")
+          val id = r.rowid - 1L
+          val text = r.values(1).asInstanceOf[String]
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (id, r.values.length, text.length.toLong,
+            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+              .mkString,
+            r.values(2).asInstanceOf[Long],
+            r.values(4).asInstanceOf[String],
+            r.values(3).asInstanceOf[Double])
+        }
+      }
+      .toDF("doc_id", "n_cols", "text_len", "text_md5", "tag",
+        "note", "score")
+      .orderBy("doc_id")
+  }
+
   /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
     * ebooks are a standard corpus source and an EPUB is exactly a ZIP
     * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
@@ -9688,6 +9743,7 @@ object Pipeline {
     "msgpack_parse"     -> msgpackParse _,
     "cbor_parse"        -> cborParse _,
     "bson_parse"        -> bsonParse _,
+    "sqlite_parse"      -> sqliteParse _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
     "pdf_text_extract"  -> pdfTextExtract _,
@@ -11864,6 +11920,20 @@ object Pipeline {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |    ELSE 'n' || (doc_id % 5) END AS note,
         |  doc_id AS ts_off,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "sqlite_parse" -> {
+      // 16-doc sqlite databases at 512-byte pages; every fact from
+      // the decoded b-tree records; note null on every 7th
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, CAST(5 AS INT) AS n_cols,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id % 7 AS tag,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE 'n' || (doc_id % 5) END AS note,
         |  strlen(text) * 0.25 AS score
         |FROM d ORDER BY doc_id""".stripMargin
     },

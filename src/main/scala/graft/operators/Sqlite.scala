@@ -1,0 +1,651 @@
+package graft.operators
+
+/** SQLite database files (the public file-format spec,
+  * sqlite.org/fileformat2.html) — the single-file databases real
+  * corpora keep shipping as (app exports, scraped datasets,
+  * annotation dumps). Read-only table access plus a conforming
+  * single-table writer, pure-JVM:
+  *
+  *  - [[parse]]/[[tables]]/[[rows]]: the 100-byte header (magic,
+  *    page size incl. the 1→65536 encoding, reserved bytes, UTF-8
+  *    text encoding required — UTF-16 rejects), the `sqlite_schema`
+  *    catalog rooted at page 1, interior/leaf TABLE b-tree walks
+  *    (left children + rightmost pointer, key order preserved),
+  *    the record serial-type codec (NULL, 1/2/3/4/6/8-byte
+  *    big-endian ints, float64, the constant 0/1 forms, text and
+  *    blob), and OVERFLOW page chains via the spec's exact local-
+  *    payload formula. WITHOUT ROWID tables (index b-trees as
+  *    primary storage) and virtual tables reject honestly.
+  *  - [[build]]: a conforming database for one declared table —
+  *    header, schema page, and a table b-tree that packs leaf
+  *    pages bottom-up into interior levels as needed, spilling
+  *    long payloads to overflow chains; readable by any sqlite3.
+  *
+  * Column NAMES come from the catalog's CREATE TABLE sql, parsed
+  * by a minimal paren/quote-aware splitter (good for the
+  * `CREATE TABLE t(a TYPE, ...)` shape this writer and common
+  * exports emit; unparseable DDL → an empty column-name list,
+  * never a wrong name — values stay addressable by position via
+  * [[Row.values]]). An INTEGER PRIMARY KEY column is the rowid
+  * alias (serial type NULL in the record, value = rowid) — handled
+  * both directions.
+  *
+  * Validation: page/cell offsets bounds-checked, varints capped at
+  * 9 bytes, page-type bytes enforced, cycle guard on page walks
+  * (visited set — a crafted loop must not spin), overflow chains
+  * length-bounded by the declared payload, trailing/truncated
+  * files reject. None on any malformation — drop, never invent.
+  * Validation: SqliteSpec (hand-pinned header/record layouts,
+  * round trips incl. multi-level b-trees and overflow, fuzz) and
+  * an oracle-gated query. */
+object Sqlite {
+
+  final case class Table(name: String, rootPage: Int,
+      columns: Seq[String], sql: String, ipkColumn: Int)
+  /** One decoded row: rowid + column values (null / Long / Double /
+    * String / Array[Byte]). */
+  final case class Row(rowid: Long, values: Seq[Any])
+
+  private final val Magic =
+    ("SQLite format 3" + "\u0000").getBytes("ISO-8859-1")
+  private final val MaxPages = 1 << 20
+
+  // ---------------------------------------------------------------
+  // Low-level helpers
+  // ---------------------------------------------------------------
+
+  private def u16(d: Array[Byte], o: Int): Int =
+    ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+  private def u32(d: Array[Byte], o: Int): Long =
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+
+  /** (value, bytesRead) — spec varint: 1-9 bytes, 9th byte carries
+    * 8 full bits. */
+  private def varint(d: Array[Byte], o: Int): Option[(Long, Int)] = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      if (o + i >= d.length) return None
+      val b = d(o + i) & 0xff
+      v = (v << 7) | (b & 0x7f)
+      if ((b & 0x80) == 0) return Some((v, i + 1))
+      i += 1
+    }
+    if (o + 8 >= d.length) return None
+    Some(((v << 8) | (d(o + 8) & 0xff), 9))
+  }
+
+  private def putVarint(out: java.io.ByteArrayOutputStream,
+      v: Long): Unit = {
+    if (v >>> 63 != 0 || v >>> 56 != 0) { // needs all 9 bytes
+      var i = 0
+      val top = v >>> 8
+      val bytes = new Array[Byte](8)
+      var x = top
+      i = 7
+      while (i >= 0) { bytes(i) = ((x & 0x7f) | 0x80).toByte
+        x >>= 7; i -= 1 }
+      out.write(bytes, 0, 8)
+      out.write((v & 0xff).toInt)
+    } else {
+      val stack = new Array[Int](9)
+      var n = 0
+      var x = v
+      while ({ stack(n) = (x & 0x7f).toInt; x >>= 7; n += 1; x != 0 })
+        ()
+      var i = n - 1
+      while (i > 0) { out.write(stack(i) | 0x80); i -= 1 }
+      out.write(stack(0))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Parse
+  // ---------------------------------------------------------------
+
+  final case class Db(data: Array[Byte], pageSize: Int,
+      usable: Int, nPages: Int) {
+    /** Page p (1-based) as (array, startOffset). */
+    def page(p: Int): Option[Int] =
+      if (p < 1 || p > nPages) None
+      else Some((p - 1) * pageSize)
+  }
+
+  def open(data: Array[Byte]): Option[Db] = {
+    if (data.length < 512) return None
+    var i = 0
+    while (i < 16) { if (data(i) != Magic(i)) return None; i += 1 }
+    val psRaw = u16(data, 16)
+    val pageSize = if (psRaw == 1) 65536 else psRaw
+    if (pageSize < 512 || pageSize > 65536 ||
+      (pageSize & (pageSize - 1)) != 0) return None
+    val reserved = data(20) & 0xff
+    val usable = pageSize - reserved
+    if (usable < 480) return None
+    val enc = u32(data, 56)
+    if (enc != 1L && enc != 0L) return None // UTF-8 only (0: legacy empty)
+    val declared = u32(data, 28).toInt
+    val byLen = data.length / pageSize
+    if (data.length % pageSize != 0) return None
+    val nPages = if (declared > 0 && declared <= byLen) declared
+      else byLen
+    if (nPages < 1 || nPages > MaxPages) return None
+    Some(Db(data, pageSize, usable, nPages))
+  }
+
+  /** Serial-type content size in bytes. */
+  private def serialSize(t: Long): Option[Long] = t match {
+    case 0 | 8 | 9 => Some(0L)
+    case 1 => Some(1L)
+    case 2 => Some(2L)
+    case 3 => Some(3L)
+    case 4 => Some(4L)
+    case 5 => Some(6L)
+    case 6 | 7 => Some(8L)
+    case 10 | 11 => None // reserved
+    case n if n >= 12 => Some((n - 12) / 2)
+    case _ => None
+  }
+
+  private def readSerial(t: Long, d: Array[Byte], o: Int): Any =
+    t match {
+      case 0 => null
+      case 8 => 0L
+      case 9 => 1L
+      case 7 =>
+        java.lang.Double.longBitsToDouble(
+          ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+            ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+            ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+            ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL))
+      case n if n >= 1 && n <= 6 =>
+        val len = serialSize(n).get.toInt
+        var v = if ((d(o) & 0x80) != 0) -1L else 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (d(o + i) & 0xffL); i += 1 }
+        v
+      case n if n >= 12 && n % 2 == 0 =>
+        java.util.Arrays.copyOfRange(d, o, o + ((n - 12) / 2).toInt)
+      case n =>
+        new String(d, o, ((n - 13) / 2).toInt, "UTF-8")
+    }
+
+  /** Decode one record payload into column values. */
+  private def record(payload: Array[Byte]): Option[Seq[Any]] = {
+    val (hlen, n0) = varint(payload, 0).getOrElse(return None)
+    if (hlen < n0 || hlen > payload.length) return None
+    val types = Seq.newBuilder[Long]
+    var p = n0
+    while (p < hlen) {
+      val (t, n) = varint(payload, p).getOrElse(return None)
+      types += t
+      p += n
+    }
+    if (p != hlen) return None
+    var o = hlen.toInt
+    val out = Seq.newBuilder[Any]
+    types.result().foreach { t =>
+      val sz = serialSize(t).getOrElse(return None)
+      if (o + sz > payload.length) return None
+      out += readSerial(t, payload, o)
+      o += sz.toInt
+    }
+    if (o != payload.length) return None
+    Some(out.result())
+  }
+
+  /** Full cell payload, following overflow chains per the spec's
+    * local-payload formula for TABLE leaves. */
+  private def leafPayload(db: Db, pageOff: Int, cellOff: Int)
+      : Option[(Long, Array[Byte], Int)] = {
+    val d = db.data
+    val (plen, n1) = varint(d, cellOff).getOrElse(return None)
+    val (rowid, n2) = varint(d, cellOff + n1).getOrElse(return None)
+    if (plen < 0 || plen > (1L << 31)) return None
+    val u = db.usable
+    val maxLocal = u - 35
+    val start = cellOff + n1 + n2
+    if (plen <= maxLocal) {
+      if (start + plen > d.length) return None
+      Some((rowid,
+        java.util.Arrays.copyOfRange(d, start, start + plen.toInt),
+        n1 + n2 + plen.toInt))
+    } else {
+      val minLocal = (u - 12) * 32 / 255 - 23
+      var local = minLocal + ((plen - minLocal) % (u - 4)).toInt
+      if (local > maxLocal) local = minLocal
+      if (start + local + 4 > d.length) return None
+      val out = new java.io.ByteArrayOutputStream(plen.toInt)
+      out.write(d, start, local)
+      var next = u32(d, start + local).toInt
+      var remaining = plen - local
+      val seen = scala.collection.mutable.Set[Int]()
+      while (remaining > 0) {
+        if (next == 0 || !seen.add(next)) return None
+        val off = db.page(next).getOrElse(return None)
+        val chunk = math.min(remaining, (u - 4).toLong).toInt
+        if (off + 4 + chunk > d.length) return None
+        out.write(d, off + 4, chunk)
+        remaining -= chunk
+        next = u32(d, off).toInt
+      }
+      Some((rowid, out.toByteArray, n1 + n2 + local + 4))
+    }
+  }
+
+  /** Walk a TABLE b-tree rooted at `root`, in key order. */
+  private def walkTable(db: Db, root: Int)
+      : Option[Seq[(Long, Array[Byte])]] = {
+    val d = db.data
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    val seen = scala.collection.mutable.Set[Int]()
+    def go(p: Int): Boolean = {
+      if (!seen.add(p)) return false // cycle
+      val base = db.page(p).getOrElse(return false)
+      val hdr = base + (if (p == 1) 100 else 0)
+      if (hdr >= d.length) return false
+      val tpe = d(hdr) & 0xff
+      val nCells = u16(d, hdr + 3)
+      val cellPtrs = hdr + (if (tpe == 5) 12 else 8)
+      tpe match {
+        case 13 => // leaf table
+          var i = 0
+          while (i < nCells) {
+            val off = base + u16(d, cellPtrs + 2 * i)
+            if (off < base || off >= base + db.pageSize) return false
+            val (rowid, payload, _) =
+              leafPayload(db, base, off).getOrElse(return false)
+            out += ((rowid, payload))
+            i += 1
+          }
+          true
+        case 5 => // interior table
+          var i = 0
+          while (i < nCells) {
+            val off = base + u16(d, cellPtrs + 2 * i)
+            if (off < base || off + 4 > d.length) return false
+            val child = u32(d, off).toInt
+            if (!go(child)) return false
+            i += 1
+          }
+          go(u32(d, hdr + 8).toInt) // rightmost
+        case 2 | 10 =>
+          false // index b-tree as table storage (WITHOUT ROWID)
+        case _ => false
+      }
+    }
+    if (go(root)) Some(out.result()) else None
+  }
+
+  /** Column names from `CREATE TABLE name (col1 T1, col2 T2, …)`;
+    * None → the caller falls back to positional names. */
+  private[operators] def columnsFromSql(sql: String)
+      : Option[(Seq[String], Int)] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return None
+    val body = sql.substring(open + 1, close)
+    // split on top-level commas (parens for e.g. DECIMAL(10,2),
+    // quotes for names)
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var q = '\u0000'
+    val cur = new StringBuilder
+    body.foreach { ch =>
+      if (q != '\u0000') { cur += ch; if (ch == q) q = '\u0000' }
+      else ch match {
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case '\'' | '"' | '`' => q = ch; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    parts += cur.toString
+    val constraintKw = Set("primary", "unique", "check", "foreign",
+      "constraint")
+    var ipk = -1
+    val cols = parts.result().map(_.trim).filter(_.nonEmpty)
+      .filterNot(p =>
+        constraintKw(p.split("\\s+").head.toLowerCase))
+      .zipWithIndex.map { case (p, i) =>
+        // quoted names may contain spaces: "a b" TEXT
+        val name = p.head match {
+          case q0 @ ('"' | '`' | '\'') =>
+            val end = p.indexOf(q0, 1)
+            if (end > 0) p.substring(1, end)
+            else p.split("\\s+").head
+          case '[' =>
+            val end = p.indexOf(']', 1)
+            if (end > 0) p.substring(1, end)
+            else p.split("\\s+").head
+          case _ => p.split("\\s+").head
+        }
+        if (p.toLowerCase.matches(
+          """(?s).*\bint\w*\s+primary\s+key.*""")) ipk = i
+        name
+      }
+    if (cols.isEmpty) None else Some((cols, ipk))
+  }
+
+  /** The catalog: every rowid TABLE in sqlite_schema. */
+  def tables(data: Array[Byte]): Option[Seq[Table]] = {
+    val db = open(data).getOrElse(return None)
+    val schemaRows = walkTable(db, 1).getOrElse(return None)
+    val out = Seq.newBuilder[Table]
+    schemaRows.foreach { case (_, payload) =>
+      val vals = record(payload).getOrElse(return None)
+      if (vals.length >= 5 && vals(0) == "table") {
+        val name = vals(1) match {
+          case s: String => s
+          case _ => return None
+        }
+        val root = vals(3) match {
+          case l: Long => l.toInt
+          case _ => return None
+        }
+        val sql = vals(4) match {
+          case s: String => s
+          case _ => ""
+        }
+        if (sql.toLowerCase.contains("without rowid") ||
+          sql.toLowerCase.startsWith("create virtual"))
+          return None // honest rejection: we'd walk it wrongly
+        val (cols, ipk) = columnsFromSql(sql).getOrElse((Seq.empty, -1))
+        out += Table(name, root, cols, sql, ipk)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** All rows of `table`, in rowid order, with the INTEGER PRIMARY
+    * KEY alias column (NULL in the record) filled from the rowid. */
+  def rows(data: Array[Byte], table: String): Option[Seq[Row]] = {
+    val db = open(data).getOrElse(return None)
+    val t = tables(data).getOrElse(return None)
+      .find(_.name == table).getOrElse(return None)
+    val raw = walkTable(db, t.rootPage).getOrElse(return None)
+    val out = raw.map { case (rowid, payload) =>
+      val vals = record(payload).getOrElse(return None)
+      val fixed =
+        if (t.ipkColumn >= 0 && t.ipkColumn < vals.length &&
+          vals(t.ipkColumn) == null)
+          vals.updated(t.ipkColumn, rowid)
+        else vals
+      Row(rowid, fixed)
+    }
+    Some(out)
+  }
+
+  // ---------------------------------------------------------------
+  // Build: one declared table, bottom-up b-tree
+  // ---------------------------------------------------------------
+
+  private def serialOf(v: Any): (Long, Array[Byte]) = v match {
+    case null => (0L, Array.emptyByteArray)
+    case l: Long =>
+      if (l == 0) (8L, Array.emptyByteArray)
+      else if (l == 1) (9L, Array.emptyByteArray)
+      else {
+        val need =
+          if (l >= -128 && l <= 127) 1
+          else if (l >= -32768 && l <= 32767) 2
+          else if (l >= -8388608 && l <= 8388607) 3
+          else if (l >= Int.MinValue && l <= Int.MaxValue) 4
+          else if (l >= -140737488355328L && l <= 140737488355327L) 6
+          else 8
+        val t = need match {
+          case 1 => 1L; case 2 => 2L; case 3 => 3L; case 4 => 4L
+          case 6 => 5L; case _ => 6L
+        }
+        val b = new Array[Byte](need)
+        var i = 0
+        while (i < need) {
+          b(i) = ((l >>> (8 * (need - 1 - i))) & 0xff).toByte; i += 1
+        }
+        (t, b)
+      }
+    case d: Double =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((bits >>> (8 * (7 - i))) & 0xff).toByte
+        i += 1 }
+      (7L, b)
+    case s: String =>
+      val b = s.getBytes("UTF-8")
+      (13L + 2L * b.length, b)
+    case b: Array[Byte] => (12L + 2L * b.length, b)
+    case other => sys.error(s"unsupported sqlite value $other")
+  }
+
+  /** Record payload for one row of values. */
+  private def encodeRecord(values: Seq[Any]): Array[Byte] = {
+    val enc = values.map(serialOf)
+    val types = new java.io.ByteArrayOutputStream()
+    enc.foreach { case (t, _) => putVarint(types, t) }
+    // header length varint includes itself: iterate to fixpoint
+    var hlen = types.size() + 1
+    if (hlen > 127) {
+      val probe = new java.io.ByteArrayOutputStream()
+      putVarint(probe, (types.size() + 2).toLong)
+      hlen = types.size() + probe.size()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    putVarint(out, hlen.toLong)
+    types.writeTo(out)
+    enc.foreach { case (_, b) => out.write(b, 0, b.length) }
+    out.toByteArray
+  }
+
+  /** Build a single-table database. `rows` are (rowid, values);
+    * an `ipk` column (INTEGER PRIMARY KEY alias) is stored as NULL
+    * per the spec. Page size is a build knob so tests can force
+    * overflow + multi-level trees cheaply. */
+  def build(tableName: String, columns: Seq[String],
+      tableRows: Seq[(Long, Seq[Any])], pageSize: Int = 4096,
+      ipkColumn: Int = -1): Array[Byte] = {
+    require(pageSize >= 512 && pageSize <= 65536 &&
+      (pageSize & (pageSize - 1)) == 0, "bad page size")
+    val u = pageSize // reserved = 0
+    val maxLocal = u - 35
+    val minLocal = (u - 12) * 32 / 255 - 23
+
+    // pages are accumulated here; index = pageNo - 1, page 1 is
+    // patched last (header + schema leaf)
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def newPage(): Int = { pages += new Array[Byte](pageSize)
+      pages.length }
+    def put16(p: Array[Byte], o: Int, v: Int): Unit = {
+      p(o) = ((v >> 8) & 0xff).toByte; p(o + 1) = (v & 0xff).toByte
+    }
+    def put32(p: Array[Byte], o: Int, v: Long): Unit = {
+      p(o) = ((v >> 24) & 0xff).toByte
+      p(o + 1) = ((v >> 16) & 0xff).toByte
+      p(o + 2) = ((v >> 8) & 0xff).toByte
+      p(o + 3) = (v & 0xff).toByte
+    }
+
+    /** A leaf-table cell (with overflow spill if needed), returning
+      * the LOCAL cell bytes. */
+    def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      putVarint(out, payload.length.toLong)
+      putVarint(out, rowid)
+      if (payload.length <= maxLocal) {
+        out.write(payload, 0, payload.length)
+      } else {
+        var local = minLocal +
+          ((payload.length - minLocal) % (u - 4))
+        if (local > maxLocal) local = minLocal
+        out.write(payload, 0, local)
+        // overflow chain
+        var off = local
+        var firstPage = 0
+        var prev: (Int, Array[Byte]) = null
+        while (off < payload.length) {
+          val pno = newPage()
+          val pg = pages(pno - 1)
+          if (prev != null) put32(prev._2, 0, pno.toLong)
+          else firstPage = pno
+          val chunk = math.min(payload.length - off, u - 4)
+          System.arraycopy(payload, off, pg, 4, chunk)
+          off += chunk
+          prev = (pno, pg)
+        }
+        val ptr = new Array[Byte](4)
+        ptr(0) = ((firstPage >> 24) & 0xff).toByte
+        ptr(1) = ((firstPage >> 16) & 0xff).toByte
+        ptr(2) = ((firstPage >> 8) & 0xff).toByte
+        ptr(3) = (firstPage & 0xff).toByte
+        out.write(ptr, 0, 4)
+      }
+      out.toByteArray
+    }
+
+    /** Pack (key, cell) leaf cells into pages; returns
+      * (pageNo, maxRowid) per leaf, in order. `page1` leaves 100
+      * header bytes free (for the schema page). */
+    def packLeaves(cells: Seq[(Long, Array[Byte])],
+        intoPage1: Boolean): Seq[(Int, Long)] = {
+      val out = Seq.newBuilder[(Int, Long)]
+      var cur = scala.collection.mutable.ArrayBuffer[(Long,
+        Array[Byte])]()
+      var curBytes = 0
+      def headerSpace(first: Boolean) =
+        (if (first && intoPage1) 100 else 0) + 8
+      var first = true
+      def flush(): Unit = if (cur.nonEmpty) {
+        val pno = newPage()
+        val pg = pages(pno - 1)
+        val hdrOff = if (first && intoPage1) 100 else 0
+        pg(hdrOff) = 13
+        put16(pg, hdrOff + 3, cur.length)
+        var content = pageSize
+        cur.zipWithIndex.foreach { case ((_, cell), i) =>
+          content -= cell.length
+          System.arraycopy(cell, 0, pg, content, cell.length)
+          put16(pg, hdrOff + 8 + 2 * i, content)
+        }
+        put16(pg, hdrOff + 5, content)
+        out += ((pno, cur.last._1))
+        cur = scala.collection.mutable.ArrayBuffer()
+        curBytes = 0
+        first = false
+      }
+      cells.foreach { case (rowid, cell) =>
+        val space = pageSize - headerSpace(first) -
+          (curBytes + 2 * (cur.length + 1) + cell.length)
+        if (cur.nonEmpty && space < 0) flush()
+        cur += ((rowid, cell))
+        curBytes += cell.length
+      }
+      flush()
+      val r = out.result()
+      if (r.nonEmpty) r
+      else { // zero-row table: one empty leaf
+        val pno = newPage()
+        val pg = pages(pno - 1)
+        pg(0) = 13
+        put16(pg, 5, pageSize)
+        Seq((pno, 0L))
+      }
+    }
+
+    /** Build interior levels above `children` until one root. */
+    def packInterior(children: Seq[(Int, Long)]): Int = {
+      if (children.length == 1) return children.head._1
+      val out = Seq.newBuilder[(Int, Long)]
+      var cur = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      var curBytes = 0
+      def flush(): Unit = if (cur.nonEmpty) {
+        val pno = newPage()
+        val pg = pages(pno - 1)
+        pg(0) = 5
+        val n = cur.length - 1 // last child → rightmost pointer
+        put16(pg, 3, n)
+        var content = pageSize
+        (0 until n).foreach { i =>
+          val (child, key) = cur(i)
+          val cell = new java.io.ByteArrayOutputStream()
+          val cb = new Array[Byte](4)
+          cb(0) = ((child >> 24) & 0xff).toByte
+          cb(1) = ((child >> 16) & 0xff).toByte
+          cb(2) = ((child >> 8) & 0xff).toByte
+          cb(3) = (child & 0xff).toByte
+          cell.write(cb, 0, 4)
+          putVarint(cell, key)
+          val bytes = cell.toByteArray
+          content -= bytes.length
+          System.arraycopy(bytes, 0, pg, content, bytes.length)
+          put16(pg, 12 + 2 * i, content)
+        }
+        put16(pg, 5, content)
+        put32(pg, 8, cur.last._1.toLong)
+        out += ((pno, cur.last._2))
+        cur = scala.collection.mutable.ArrayBuffer()
+        curBytes = 0
+      }
+      children.foreach { case (child, key) =>
+        // 4-byte child + ≤9-byte key varint + 2-byte ptr, keep a
+        // conservative 16-per-cell budget under the 12-byte header
+        if (cur.length >= (pageSize - 12 - 8) / 16) flush()
+        cur += ((child, key)); curBytes += 15
+      }
+      flush()
+      packInterior(out.result())
+    }
+
+    // --- schema leaf goes on page 1 (created first) ---
+    val p1 = newPage()
+    require(p1 == 1)
+
+    // --- data b-tree ---
+    val dataCells = tableRows.map { case (rowid, values) =>
+      val stored = if (ipkColumn >= 0)
+        values.updated(ipkColumn, null) else values
+      (rowid, leafCell(rowid, encodeRecord(stored)))
+    }
+    val leaves = packLeaves(dataCells, intoPage1 = false)
+    val rootPage = packInterior(leaves)
+
+    // --- schema record on page 1 ---
+    val colDdl = columns.zipWithIndex.map { case (c, i) =>
+      if (i == ipkColumn) s""""$c" INTEGER PRIMARY KEY"""
+      else s""""$c""""
+    }.mkString(", ")
+    val createSql = s"""CREATE TABLE "$tableName" ($colDdl)"""
+    val schemaRec = encodeRecord(Seq(
+      "table", tableName, tableName, rootPage.toLong, createSql))
+    val schemaCell = leafCell(1L, schemaRec)
+    require(schemaCell.length <= pageSize - 100 - 8 - 2,
+      "schema record too large for one page")
+    val pg1 = pages(0)
+    pg1(100) = 13
+    put16(pg1, 103, 1)
+    val content = pageSize - schemaCell.length
+    System.arraycopy(schemaCell, 0, pg1, content, schemaCell.length)
+    put16(pg1, 108, content)
+    put16(pg1, 105, content)
+
+    // --- 100-byte header ---
+    System.arraycopy(Magic, 0, pg1, 0, 16)
+    put16(pg1, 16, if (pageSize == 65536) 1 else pageSize)
+    pg1(18) = 1; pg1(19) = 1 // legacy read/write versions
+    pg1(20) = 0              // reserved per page
+    pg1(21) = 64; pg1(22) = 32 // max/min embedded payload fraction
+    pg1(23) = 32             // leaf payload fraction
+    put32(pg1, 24, 1L)       // file change counter
+    put32(pg1, 28, pages.length.toLong)
+    put32(pg1, 40, 0L)       // schema cookie
+    put32(pg1, 44, 4L)       // schema format number
+    put32(pg1, 56, 1L)       // text encoding: UTF-8
+    put32(pg1, 92, 1L)       // version-valid-for
+    put32(pg1, 96, 3037000L) // sqlite version number
+    val out = new java.io.ByteArrayOutputStream(
+      pages.length * pageSize)
+    pages.foreach(p => out.write(p, 0, pageSize))
+    out.toByteArray
+  }
+}

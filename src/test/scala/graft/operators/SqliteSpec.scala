@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQLite file-format pins: the spec's header layout byte for
+  * byte, serial-type codec across every value class (incl. the
+  * 0/1 constant forms and all int widths), the INTEGER PRIMARY KEY
+  * rowid alias, multi-level table b-trees at a small page size,
+  * overflow chains (spec local-payload formula both directions),
+  * column-name extraction from CREATE TABLE, zero-row tables,
+  * WITHOUT ROWID / UTF-16 / truncation rejections, cycle guards,
+  * and mutation fuzz. */
+class SqliteSpec extends AnyFunSuite {
+
+  import Sqlite._
+
+  private def simpleRows(n: Int): Seq[(Long, Seq[Any])] =
+    (1 to n).map(i => (i.toLong,
+      Seq(i.toLong, s"name$i", if (i % 5 == 0) null else i * 0.5,
+        Array.tabulate(i % 7)(j => (i + j).toByte))))
+
+  test("hand-pinned header: magic, page size, encoding, page count") {
+    val db = build("t", Seq("id", "s", "x", "b"), simpleRows(3),
+      pageSize = 512, ipkColumn = 0)
+    assert(new String(db, 0, 15, "ISO-8859-1") == "SQLite format 3")
+    assert(db(15) == 0)
+    assert(((db(16) & 0xff) << 8 | (db(17) & 0xff)) == 512)
+    assert(db.length % 512 == 0)
+    // text encoding UTF-8 at offset 56
+    assert(db(59) == 1)
+    val opened = open(db)
+    assert(opened.isDefined && opened.get.pageSize == 512)
+  }
+
+  test("round trip: every value class + the rowid alias") {
+    val rows = Seq(
+      (1L, Seq(1L, "hello", 2.5, Array[Byte](1, 2))),
+      (2L, Seq(2L, "", 0.0, Array.emptyByteArray)),
+      (3L, Seq(3L, "héllo wörld", -1.0, Array[Byte](-1))),
+      (7L, Seq(7L, null, null, null)))
+    val db = build("t", Seq("id", "s", "x", "b"), rows,
+      pageSize = 512, ipkColumn = 0)
+    val ts = tables(db).get
+    assert(ts.map(_.name) == Seq("t"))
+    assert(ts.head.columns == Seq("id", "s", "x", "b"))
+    assert(ts.head.ipkColumn == 0)
+    val got = Sqlite.rows(db, "t").get
+    assert(got.map(_.rowid) == Seq(1L, 2L, 3L, 7L))
+    // the ipk column comes back as the rowid, not NULL
+    assert(got.head.values(0) == 1L && got.last.values(0) == 7L)
+    assert(got.head.values(1) == "hello")
+    assert(got(2).values(1) == "héllo wörld")
+    assert(got.head.values(2) == 2.5)
+    assert(got(1).values(2) == 0.0) // serial type 8/7 both decode
+    assert(got.head.values(3).asInstanceOf[Array[Byte]]
+      .sameElements(Array[Byte](1, 2)))
+    assert(got.last.values(1) == null)
+  }
+
+  test("integer widths: every serial-int form survives") {
+    val vals = Seq(0L, 1L, 2L, -1L, 127L, -128L, 128L, 32767L,
+      -32768L, 8388607L, -8388608L, 8388608L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, 1L << 40, -(1L << 40), Long.MaxValue,
+      Long.MinValue)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, Seq(v): Seq[Any]) }
+    val db = build("ints", Seq("v"), rows, pageSize = 512)
+    val got = Sqlite.rows(db, "ints").get
+    assert(got.map(_.values.head) == vals)
+  }
+
+  test("multi-level b-tree: thousands of rows at 512-byte pages") {
+    val rows = (1 to 3000).map(i =>
+      (i.toLong, Seq(s"row-$i-${"x" * (i % 40)}"): Seq[Any]))
+    val db = build("big", Seq("s"), rows, pageSize = 512)
+    // must have produced interior pages: > 80 pages of data
+    assert(db.length / 512 > 80)
+    val got = Sqlite.rows(db, "big").get
+    assert(got.length == 3000)
+    assert(got.map(_.rowid) == (1L to 3000L))
+    assert(got(1499).values.head ==
+      s"row-1500-${"x" * (1500 % 40)}")
+  }
+
+  test("overflow chains: payloads far beyond one page") {
+    val big1 = "A" * 5000
+    val big2 = ("B" * 1300) + ("C" * 1300) // > 2 overflow pages at 512
+    val blob = Array.tabulate(4096)(i => (i * 31).toByte)
+    val rows = Seq(
+      (1L, Seq(big1, null): Seq[Any]),
+      (2L, Seq(big2, blob): Seq[Any]),
+      (3L, Seq("small", Array[Byte](9)): Seq[Any]))
+    val db = build("of", Seq("s", "b"), rows, pageSize = 512)
+    val got = Sqlite.rows(db, "of").get
+    assert(got.length == 3)
+    assert(got(0).values(0) == big1)
+    assert(got(1).values(0) == big2)
+    assert(got(1).values(1).asInstanceOf[Array[Byte]]
+      .sameElements(blob))
+    assert(got(2).values(0) == "small")
+  }
+
+  test("zero-row tables and column-name parsing") {
+    val db = build("empty", Seq("a", "b"), Seq.empty, pageSize = 512)
+    assert(Sqlite.rows(db, "empty").get.isEmpty)
+    // ddl parsing shapes
+    assert(columnsFromSql(
+      "CREATE TABLE t(a INTEGER, b TEXT NOT NULL, c)").get._1 ==
+      Seq("a", "b", "c"))
+    assert(columnsFromSql(
+      """CREATE TABLE "q t"("a b" TEXT, price DECIMAL(10,2),
+        |PRIMARY KEY (price))""".stripMargin).get._1 ==
+      Seq("a b", "price"))
+    val (cols, ipk) = columnsFromSql(
+      "CREATE TABLE t(id INTEGER PRIMARY KEY, v TEXT)").get
+    assert(cols == Seq("id", "v") && ipk == 0)
+    assert(columnsFromSql("CREATE VIRTUAL TABLE x USING fts5").isEmpty)
+  }
+
+  test("rejections: WITHOUT ROWID, UTF-16, truncation, bad magic") {
+    val db = build("t", Seq("v"), Seq((1L, Seq("x"): Seq[Any])),
+      pageSize = 512)
+    assert(tables(db.take(511)).isEmpty)           // truncated
+    assert(tables(db ++ Array[Byte](0)).isEmpty)   // not page-aligned
+    val badMagic = db.clone(); badMagic(0) = 'X'
+    assert(tables(badMagic).isEmpty)
+    val utf16 = db.clone(); utf16(59) = 2
+    assert(tables(utf16).isEmpty)
+    // splice WITHOUT ROWID into the schema sql text
+    val db2 = build("t", Seq("v"),
+      Seq((1L, Seq("WITHOUT ROWID bait"): Seq[Any])), pageSize = 512)
+    assert(Sqlite.rows(db2, "t").isDefined) // data text is NOT ddl
+    // a self-referencing interior page must not spin: patch root
+    // type to interior pointing at itself via the rightmost pointer
+    val loop = db.clone()
+    // page 2 is the data root (leaf): make it interior with
+    // rightmost pointer to itself, 0 cells
+    loop(512) = 5
+    loop(512 + 3) = 0; loop(512 + 4) = 0
+    loop(512 + 8) = 0; loop(512 + 9) = 0
+    loop(512 + 10) = 0; loop(512 + 11) = 2
+    assert(Sqlite.rows(loop, "t").isEmpty)
+  }
+
+  test("mutation fuzz: corruptions never throw") {
+    val base = build("t", Seq("s", "x"),
+      (1 to 40).map(i => (i.toLong,
+        Seq(s"v$i" * (i % 9), i * 1.5): Seq[Any])), pageSize = 512)
+    val rnd = new scala.util.Random(47)
+    (0 until 400).foreach { _ =>
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      try { tables(m).foreach(_ => Sqlite.rows(m, "t")) }
+      catch { case _: OutOfMemoryError => fail("oom") }
+    }
+    (0 until 200).foreach { _ =>
+      tables(Array.fill(rnd.nextInt(1200))(rnd.nextInt().toByte))
+    }
+  }
+}
