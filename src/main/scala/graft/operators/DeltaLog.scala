@@ -130,6 +130,58 @@ object DeltaLog {
     writeText(spark, s"${logDir(table)}/${commitFile(version)}",
       actions.mkString("", "\n", "\n"))
 
+  /** One parsed commit's actions (the log-tail unit of work). */
+  final case class CommitActions(adds: Seq[AddFile],
+      removes: Seq[String], meta: Option[Meta],
+      protocol: Option[Protocol])
+
+  /** Parse one commit file's text (JSON action per line). None on
+    * any malformed line — a torn commit must fail, not drop. */
+  def parseCommit(text: String): Option[CommitActions] = {
+    val actions = JsonMini.parseLines(text).getOrElse(return None)
+    val adds = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[String]
+    var meta: Option[Meta] = None
+    var protocol: Option[Protocol] = None
+    actions.foreach { a =>
+      val m = JsonMini.obj(a).getOrElse(return None)
+      m.get("add").flatMap(JsonMini.obj).foreach { ad =>
+        adds += AddFile(
+          JsonMini.str(ad.getOrElse("path", return None))
+            .getOrElse(return None),
+          JsonMini.obj(ad.getOrElse("partitionValues", Map.empty))
+            .getOrElse(Map.empty).map { case (k, v2) =>
+              (k, JsonMini.str(v2).orNull) },
+          JsonMini.long(ad.getOrElse("size", 0.0)).getOrElse(0L),
+          JsonMini.long(ad.getOrElse("modificationTime", 0.0))
+            .getOrElse(0L),
+          ad.get("dataChange").contains(true))
+      }
+      m.get("remove").flatMap(JsonMini.obj).foreach { rm =>
+        removes += JsonMini.str(rm.getOrElse("path", return None))
+          .getOrElse(return None)
+      }
+      m.get("metaData").flatMap(JsonMini.obj).foreach { md =>
+        meta = Some(Meta(
+          JsonMini.str(md.getOrElse("id", "")).getOrElse(""),
+          JsonMini.str(md.getOrElse("schemaString", return None))
+            .getOrElse(return None),
+          JsonMini.arr(md.getOrElse("partitionColumns", Seq.empty))
+            .getOrElse(Seq.empty)
+            .map(x => JsonMini.str(x).getOrElse(return None))))
+      }
+      m.get("protocol").flatMap(JsonMini.obj).foreach { pr =>
+        protocol = Some(Protocol(
+          JsonMini.long(pr.getOrElse("minReaderVersion", return None))
+            .getOrElse(return None).toInt,
+          JsonMini.long(pr.getOrElse("minWriterVersion", return None))
+            .getOrElse(return None).toInt))
+      }
+    }
+    Some(CommitActions(adds.result(), removes.result(), meta,
+      protocol))
+  }
+
   // ---------------------------------------------------------------
   // Snapshot reconstruction
   // ---------------------------------------------------------------
@@ -210,40 +262,12 @@ object DeltaLog {
     need.foreach { v =>
       val text = readText(spark,
         s"${logDir(table)}/${commitFile(v)}")
-      val actions = JsonMini.parseLines(text).getOrElse(
+      val c = parseCommit(text).getOrElse(
         sys.error(s"malformed commit $v in $table"))
-      actions.foreach { a =>
-        val m = JsonMini.obj(a).getOrElse(
-          sys.error(s"non-object action in commit $v"))
-        m.get("add").flatMap(JsonMini.obj).foreach { ad =>
-          val a = AddFile(
-            JsonMini.str(ad("path")).get,
-            JsonMini.obj(ad.getOrElse("partitionValues", Map.empty))
-              .getOrElse(Map.empty).map { case (k, v2) =>
-                (k, JsonMini.str(v2).orNull) },
-            JsonMini.long(ad.getOrElse("size", 0.0)).getOrElse(0L),
-            JsonMini.long(ad.getOrElse("modificationTime", 0.0))
-              .getOrElse(0L),
-            ad.get("dataChange").contains(true))
-          files(a.path) = a
-        }
-        m.get("remove").flatMap(JsonMini.obj).foreach { rm =>
-          files.remove(JsonMini.str(rm("path")).get): Unit
-        }
-        m.get("metaData").flatMap(JsonMini.obj).foreach { md =>
-          meta = Some(Meta(
-            JsonMini.str(md.getOrElse("id", "")).getOrElse(""),
-            JsonMini.str(md("schemaString")).get,
-            JsonMini.arr(md.getOrElse("partitionColumns", Seq.empty))
-              .getOrElse(Seq.empty)
-              .map(x => JsonMini.str(x).get)))
-        }
-        m.get("protocol").flatMap(JsonMini.obj).foreach { pr =>
-          protocol = Some(Protocol(
-            JsonMini.long(pr("minReaderVersion")).get.toInt,
-            JsonMini.long(pr("minWriterVersion")).get.toInt))
-        }
-      }
+      c.adds.foreach(a => files(a.path) = a)
+      c.removes.foreach(p => files.remove(p): Unit)
+      c.meta.foreach(m => meta = Some(m))
+      c.protocol.foreach(p => protocol = Some(p))
     }
     val p = protocol.getOrElse(sys.error(s"no protocol in $table"))
     require(p.minReader <= 2,
@@ -259,18 +283,25 @@ object DeltaLog {
   def read(spark: SparkSession, table: String,
       versionOpt: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, versionOpt)
-    val schema = DataType.fromJson(snap.meta.schemaString)
+    readFiles(spark, table, snap.meta, snap.files)
+  }
+
+  /** A file SUBSET of a table as a DataFrame — the scan-building
+    * half of [[read]], shared with the log-tail streaming twin:
+    * one pruned scan per partition-value combination, partition
+    * columns injected as typed literals (protocol: values live in
+    * the log, not the files). */
+  def readFiles(spark: SparkSession, table: String, meta: Meta,
+      files: Seq[AddFile]): DataFrame = {
+    val schema = DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
-    val partCols = snap.meta.partitionColumns
+    val partCols = meta.partitionColumns
     val dataSchema = StructType(
       schema.fields.filterNot(f => partCols.contains(f.name)))
-    if (snap.files.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    // one pruned scan per partition-value combination, partition
-    // columns injected as typed literals (protocol: values live in
-    // the log, not the files)
-    val groups = snap.files.groupBy(_.partitionValues).toSeq
+    val groups = files.groupBy(_.partitionValues).toSeq
     groups.map { case (pv, fs0) =>
       val base = spark.read.schema(dataSchema)
         .parquet(fs0.map(f => s"$table/${f.path}"): _*)
