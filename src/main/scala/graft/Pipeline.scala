@@ -7333,6 +7333,36 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** The user-facing tensor-shard DataFrame API under the oracle
+    * (r12): [[graft.sources.TensorSink]] writes the REAL embeddings
+    * table as a `.safetensors` shard tree (one file per partition —
+    * vec_id I64, embedding F32 [n,64], label I32), then
+    * [[graft.sources.TensorSource]] reads the tree back as a typed
+    * DataFrame and the facts are derived with PLAIN SQL over it —
+    * the whole write-read stack must be value-transparent. Shard
+    * membership is partitioning-dependent and deliberately absent
+    * from the result. */
+  private def tensorSourceRead(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = formatFixtureDir(dir, "safetensors", "embeddings") {
+      out =>
+        graft.sources.TensorSink.write(
+          Tables.embeddings(s, dir)
+            .selectExpr("vec_id", "embedding", "label")
+            .repartition(8, col("vec_id")),
+          out, Map("format" -> "graft-emb"))
+    }
+    graft.sources.TensorSource.read(s, root)
+      .selectExpr(
+        "vec_id",
+        "CAST(size(embedding) AS INT) AS dim",
+        "aggregate(transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), " +
+          "0L, (a, x) -> a + x) AS emb_q",
+        "label")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9716,6 +9746,7 @@ object Pipeline {
     "npy_parse"         -> npyParse _,
     "npz_parse"         -> npzParse _,
     "gguf_parse"        -> ggufParse _,
+    "tensor_source_read" -> tensorSourceRead _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12009,6 +12040,20 @@ object Pipeline {
         |  FROM embeddings)
         |SELECT vec_id, vec_id // 8 AS shard_id,
         |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // sink→source round trip of the user-facing tensor-shard API:
+    // TensorSink writes a .safetensors tree, TensorSource reads it
+    // back typed, facts via plain SQL (no shard column — shard
+    // membership is partitioning-dependent)
+    "tensor_source_read" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(dim AS INT) AS dim, s AS emb_q,
         |  CAST(label AS INT) AS label
         |FROM q ORDER BY vec_id""".stripMargin,
     // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
