@@ -7363,6 +7363,88 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Zarr v2 store read (r12) — the chunked-array DIRECTORY format
+    * (operators/Zarr): the fixture writes the REAL embeddings table
+    * as a three-array store with the knobs deliberately rotated —
+    * `emb` f4 [N,64] in FORTRAN chunk order under zstd, `ids` i8
+    * [N,1] under zlib, `labels` i4 [N,1] BIG-ENDIAN under the
+    * numcodecs lz4 framing — with chunk rows of 7 so an edge chunk
+    * (fill-padded, never surfaced) exists at every sf. The query
+    * reads each grid through binaryFile + per-chunk decode (zarr's
+    * native layout IS a distributed scan: one independent decode
+    * per chunk file, no shuffle until the final index join) and
+    * reassembles per-vector facts under the same oracle as the
+    * safetensors source. */
+  private def zarrRead(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Zarr
+    val root = formatFixtureDir(dir, "zarr", "embeddings") { out =>
+      val rows = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      val n = rows.length.toLong
+      def putIn(sub: String)(name: String, bytes: Array[Byte]) = {
+        val d = new java.io.File(out, sub)
+        d.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(d, name).toPath, bytes): Unit
+      }
+      Zarr.write2d(
+        Zarr.Meta(Seq(n, 64L), Seq(7, 64), "f4", bigEndian = false,
+          fortran = true, Some("zstd"), 1, 0.0, "."),
+        n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
+        putIn("emb"))
+      Zarr.write2d(
+        Zarr.Meta(Seq(n, 1L), Seq(7, 1), "i8", bigEndian = false,
+          fortran = false, Some("zlib"), 5, -1.0, "."),
+        n, 1, (r, _) => rows(r.toInt)._1.toDouble,
+        putIn("ids"))
+      Zarr.write2d(
+        Zarr.Meta(Seq(n, 1L), Seq(7, 1), "i4", bigEndian = true,
+          fortran = false, Some("lz4"), 1, -1.0, "."),
+        n, 1, (r, _) => rows(r.toInt)._3.toDouble,
+        putIn("labels"))
+    }
+    def grid(sub: String, factName: String)(
+        fact: (graft.operators.Npy.Arr, Int) => Long): DataFrame = {
+      val metaJson = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/$sub/.zarray")), "UTF-8")
+      val meta = Zarr.parseMeta(metaJson).getOrElse(
+        sys.error(s"bad .zarray in $sub"))
+      val n = meta.shape.head
+      val cr = meta.chunks.head
+      s.read.format("binaryFile").load(s"$root/$sub")
+        .filter(!col("path").endsWith(".zarray"))
+        .select("path", "content").as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val idx = Zarr.chunkIndex(meta, name).getOrElse(
+            sys.error(s"unexpected chunk file $name in $sub"))
+          val arr = Zarr.decodeChunk(meta, bytes).getOrElse(
+            sys.error(s"chunk $name in $sub rejected"))
+          (0 until cr).flatMap { r =>
+            val row = idx.head.toLong * cr + r
+            if (row < n) Some((row, fact(arr, r))) else None
+          }
+        }
+        .toDF("row", factName)
+    }
+    val emb = grid("emb", "emb_q") { (arr, r) =>
+      var q = 0L
+      var c = 0
+      while (c < 64) { q += math.round(arr.at(r, c) * 1000); c += 1 }
+      q
+    }
+    val ids = grid("ids", "vec_id")((arr, r) => arr.longAt(r, 0))
+    val labels = grid("labels", "label")((arr, r) =>
+      arr.at(r, 0).toLong)
+    emb.join(ids, "row").join(labels, "row")
+      .select(col("vec_id"), lit(64).as("dim"), col("emb_q"),
+        col("label").cast("int").as("label"))
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -8215,6 +8297,19 @@ object Pipeline {
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** tensor_source_read / zarr_read shared oracle: the per-vector
+    * quantized facts straight off the embeddings table. */
+  private def embVectorOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, len(embedding) AS dim,
+      |    CAST(coalesce(list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+      |      0) AS BIGINT) AS s
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(dim AS INT) AS dim, s AS emb_q,
+      |  CAST(label AS INT) AS label
+      |FROM q ORDER BY vec_id""".stripMargin
 
   /** delta_scan / iceberg_scan shared oracle: the 3-step lakehouse
     * story recomputed analytically from lineitem. */
@@ -9747,6 +9842,7 @@ object Pipeline {
     "npz_parse"         -> npzParse _,
     "gguf_parse"        -> ggufParse _,
     "tensor_source_read" -> tensorSourceRead _,
+    "zarr_read"         -> zarrRead _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12046,16 +12142,11 @@ object Pipeline {
     // TensorSink writes a .safetensors tree, TensorSource reads it
     // back typed, facts via plain SQL (no shard column — shard
     // membership is partitioning-dependent)
-    "tensor_source_read" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label
-        |FROM q ORDER BY vec_id""".stripMargin,
+    "tensor_source_read" -> embVectorOracleSql,
+    // the same per-vector truth reassembled from a THREE-ARRAY zarr
+    // v2 store (per-array compressor/order/endian rotation; edge
+    // chunks padded) — chunk grid decode must be value-transparent
+    "zarr_read" -> embVectorOracleSql,
     // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
     // rotating by shard id; order flags surface from the PARSED
     // header and are predicted analytically

@@ -1,0 +1,325 @@
+package graft.operators
+
+/** Zarr v2 (the public spec, zarr-specs v2) — the chunked N-d array
+  * DIRECTORY format scientific pipelines and embedding stores ship:
+  * a `.zarray` JSON document (shape, chunk shape, numpy dtype
+  * string, C/F order, compressor, fill_value) beside chunk files
+  * named by their grid index (`0.0`, `1.0`, … with `.` or `/` as
+  * the dimension separator). Unlike the single-file formats, zarr
+  * IS a partitioned layout — each chunk file is an independent
+  * decode unit, which is exactly the shape a distributed scan
+  * wants: binaryFile over the chunk tree, one flatMap decode per
+  * chunk, zero shuffles until the caller joins grids.
+  *
+  * Pure-JVM, both directions:
+  *  - metadata: [[parseMeta]]/[[metaJson]] via [[JsonMini]] —
+  *    `zarr_format` must be 2, dtype reuses the `.npy` descr
+  *    grammar (both byte orders; object/structured dtypes reject
+  *    like [[Npy]]), `order` C or F, `fill_value` numeric / null /
+  *    the IEEE strings "NaN"/"Infinity"/"-Infinity", `filters`
+  *    must be null/absent (numcodecs filter chains reject
+  *    honestly), `dimension_separator` "." (default) or "/".
+  *  - chunks: [[decodeChunk]] decompresses (numcodecs ids: `zlib`,
+  *    `gzip`, `zstd` and `lz4` — the latter two through this
+  *    repo's own codecs; lz4 is the numcodecs framing: u32 LE
+  *    original size + one LZ4 block; `blosc` rejects honestly —
+  *    its internal block split/shuffle is a separate format),
+  *    verifies the exact chunk byte size, and hands back an
+  *    [[Npy.Arr]] so logical row-major indexing over C/F memory
+  *    order reuses the verified `.npy` accessor. [[encodeChunk]]
+  *    writes the same envelope. Edge chunks are stored FULL-SIZE,
+  *    padded with fill_value, per the spec.
+  *
+  * Validation: chunk byte size must equal prod(chunks)·itemsize
+  * exactly after decompression, grid indices must be in range,
+  * decompression is bomb-capped by the declared chunk size. None
+  * on any malformation — drop, never invent. ZarrSpec pins the
+  * metadata grammar, all four compressors, C/F chunk indexing,
+  * edge-chunk padding, and fuzz; the `zarr_read` gate query
+  * reassembles the REAL embeddings table from a three-array zarr
+  * store (different compressor per array) under the DuckDB
+  * oracle. */
+object Zarr {
+
+  final case class Meta(shape: Seq[Long], chunks: Seq[Int],
+      descr: String, bigEndian: Boolean, fortran: Boolean,
+      compressor: Option[String], level: Int,
+      fillValue: Double, dimSep: String) {
+    def itemSize: Int = Npy.ItemSize(descr)
+    def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
+    /** Number of chunks along each dim (ceil division). */
+    def grid: Seq[Long] =
+      shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+  }
+
+  private final val Compressors = Set("zlib", "gzip", "zstd", "lz4")
+  private final val MaxChunkBytes = 1 << 26
+
+  // ---------------------------------------------------------------
+  // Metadata
+  // ---------------------------------------------------------------
+
+  def parseMeta(json: String): Option[Meta] = {
+    val m = JsonMini.parse(json).flatMap(JsonMini.obj)
+      .getOrElse(return None)
+    if (!JsonMini.long(m.getOrElse("zarr_format", return None))
+      .contains(2L)) return None
+    val shape = JsonMini.arr(m.getOrElse("shape", return None))
+      .getOrElse(return None)
+      .map(d => JsonMini.long(d).getOrElse(return None))
+    val chunks = JsonMini.arr(m.getOrElse("chunks", return None))
+      .getOrElse(return None)
+      .map(d => JsonMini.long(d).getOrElse(return None))
+    if (shape.isEmpty || shape.length != chunks.length) return None
+    if (shape.exists(_ < 0) || chunks.exists(c => c <= 0 ||
+      c > Int.MaxValue)) return None
+    val dtype = JsonMini.str(m.getOrElse("dtype", return None))
+      .getOrElse(return None)
+    if (dtype.length < 3) return None
+    val mark = dtype.head
+    val descr = dtype.tail
+    val isz = Npy.ItemSize.getOrElse(descr, return None)
+    val big = mark match {
+      case '<' => false
+      case '>' => true
+      case '|' if isz == 1 => false
+      case _ => return None
+    }
+    val order = JsonMini.str(m.getOrElse("order", "C"))
+      .getOrElse(return None)
+    if (order != "C" && order != "F") return None
+    // filters must be null/absent
+    if (m.get("filters").exists(_ != null)) return None
+    val (comp, level) = m.getOrElse("compressor", null) match {
+      case null => (None, 0)
+      case c =>
+        val cm = JsonMini.obj(c).getOrElse(return None)
+        val id = JsonMini.str(cm.getOrElse("id", return None))
+          .getOrElse(return None)
+        if (!Compressors(id)) return None // blosc et al: honest reject
+        (Some(id), JsonMini.long(cm.getOrElse("level", 1.0))
+          .getOrElse(1L).toInt)
+    }
+    val fill = m.getOrElse("fill_value", null) match {
+      case null => 0.0
+      case d: Double => d
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case b: Boolean => if (b) 1.0 else 0.0
+      case _ => return None
+    }
+    val sep = m.get("dimension_separator") match {
+      case None => "."
+      case Some(s: String) if s == "." || s == "/" => s
+      case _ => return None
+    }
+    var chunkBytes = isz.toLong
+    chunks.foreach { c =>
+      chunkBytes *= c
+      if (chunkBytes > MaxChunkBytes) return None
+    }
+    Some(Meta(shape, chunks.map(_.toInt), descr, big,
+      order == "F", comp, level, fill, sep))
+  }
+
+  def metaJson(meta: Meta): String = {
+    val mark = if (meta.itemSize == 1) "|"
+      else if (meta.bigEndian) ">" else "<"
+    val comp = meta.compressor match {
+      case None => "null"
+      case Some(id) =>
+        s"""{"id":${JsonMini.quote(id)},"level":${meta.level}}"""
+    }
+    val fill =
+      if (meta.fillValue.isNaN) "\"NaN\""
+      else if (meta.fillValue == Double.PositiveInfinity) "\"Infinity\""
+      else if (meta.fillValue == Double.NegativeInfinity)
+        "\"-Infinity\""
+      else if (meta.fillValue == math.rint(meta.fillValue) &&
+        math.abs(meta.fillValue) < (1L << 53).toDouble)
+        meta.fillValue.toLong.toString
+      else meta.fillValue.toString
+    s"""{"zarr_format":2,"shape":[${meta.shape.mkString(",")}],""" +
+      s""""chunks":[${meta.chunks.mkString(",")}],""" +
+      s""""dtype":${JsonMini.quote(mark + meta.descr)},""" +
+      s""""compressor":$comp,"fill_value":$fill,""" +
+      s""""order":${JsonMini.quote(if (meta.fortran) "F" else "C")},""" +
+      s""""filters":null,""" +
+      s""""dimension_separator":${JsonMini.quote(meta.dimSep)}}"""
+  }
+
+  /** Chunk file name for a grid index. */
+  def chunkName(meta: Meta, idx: Seq[Int]): String =
+    idx.mkString(meta.dimSep)
+
+  /** Grid index from a chunk file name; None if malformed or out
+    * of range. */
+  def chunkIndex(meta: Meta, name: String): Option[Seq[Int]] = {
+    val parts = name.split(
+      java.util.regex.Pattern.quote(meta.dimSep), -1)
+    if (parts.length != meta.shape.length) return None
+    val idx = parts.map { p =>
+      if (p.isEmpty || !p.forall(_.isDigit)) return None
+      try p.toInt catch {
+        case _: NumberFormatException => return None }
+    }
+    val grid = meta.grid
+    if (idx.zip(grid).exists { case (i, g) => i >= g }) return None
+    Some(idx.toSeq)
+  }
+
+  // ---------------------------------------------------------------
+  // Chunk codec
+  // ---------------------------------------------------------------
+
+  /** Raw full-size chunk bytes → the stored (compressed) form. */
+  def encodeChunk(meta: Meta, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length.toLong == meta.chunkElems * meta.itemSize,
+      s"chunk is ${raw.length} bytes, want " +
+        s"${meta.chunkElems * meta.itemSize}")
+    meta.compressor match {
+      case None => raw
+      case Some("zlib") =>
+        val d = new java.util.zip.Deflater(
+          math.max(1, math.min(9, meta.level)))
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      case Some("gzip") =>
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(raw); g.close()
+        out.toByteArray
+      case Some("zstd") => Zstd.encodeStore(raw)
+      case Some("lz4") =>
+        // numcodecs lz4 framing: u32 LE original size + one block
+        val block = Lz4.compressBlock(raw)
+        val out = new Array[Byte](4 + block.length)
+        out(0) = (raw.length & 0xff).toByte
+        out(1) = ((raw.length >> 8) & 0xff).toByte
+        out(2) = ((raw.length >> 16) & 0xff).toByte
+        out(3) = ((raw.length >> 24) & 0xff).toByte
+        System.arraycopy(block, 0, out, 4, block.length)
+        out
+      case Some(c) => sys.error(s"compressor $c")
+    }
+  }
+
+  /** Stored chunk bytes → an [[Npy.Arr]] over the FULL chunk shape
+    * (logical row-major indexing handles C/F order). None on any
+    * malformation or size mismatch. */
+  def decodeChunk(meta: Meta, stored: Array[Byte])
+      : Option[Npy.Arr] = {
+    val want = (meta.chunkElems * meta.itemSize).toInt
+    val raw: Array[Byte] = meta.compressor match {
+      case None =>
+        if (stored.length != want) return None
+        stored
+      case Some("zlib") =>
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(stored)
+          val out = new Array[Byte](want)
+          var done = 0
+          while (done < want && !inf.finished()) {
+            val n = inf.inflate(out, done, want - done)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              return None
+            done += n
+          }
+          if (done != want || !inf.finished()) return None
+          out
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inf.end()
+      case Some("gzip") =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(stored))
+          val out = new Array[Byte](want)
+          var done = 0
+          var n = 0
+          while (done < want && n >= 0) {
+            n = in.read(out, done, want - done)
+            if (n > 0) done += n
+          }
+          val extra = in.read()
+          in.close()
+          if (done != want || extra != -1) return None
+          out
+        } catch { case _: java.io.IOException => return None }
+      case Some("zstd") =>
+        val out = Zstd.decode(stored, maxOut = want)
+          .getOrElse(return None)
+        if (out.length != want) return None
+        out
+      case Some("lz4") =>
+        if (stored.length < 4) return None
+        val orig = (stored(0) & 0xff) | ((stored(1) & 0xff) << 8) |
+          ((stored(2) & 0xff) << 16) | ((stored(3) & 0xff) << 24)
+        if (orig != want) return None
+        val out = new Array[Byte](want)
+        val n = Lz4.decompressBlock(stored, 4, stored.length - 4, out)
+        if (n != want) return None
+        out
+      case Some(_) => return None
+    }
+    Some(Npy.Arr(meta.descr, meta.bigEndian, meta.fortran,
+      meta.chunks, raw))
+  }
+
+  // ---------------------------------------------------------------
+  // Store-level helpers
+  // ---------------------------------------------------------------
+
+  /** Write a 2-d array [n, d] (row-major values) as a zarr store
+    * under `dir`: `.zarray` + full-size chunk files, edge chunks
+    * padded with fill_value. `put(name, bytes)` is the store's
+    * write primitive (a filesystem in practice; injectable for
+    * tests). Values are read through `value(row, col)`. */
+  def write2d(meta: Meta, n: Long, d: Int,
+      value: (Long, Int) => Double,
+      put: (String, Array[Byte]) => Unit): Unit = {
+    require(meta.shape == Seq(n, d.toLong), "meta/shape mismatch")
+    require(meta.chunks.length == 2, "write2d wants a 2-d meta")
+    val (cr, cc) = (meta.chunks(0), meta.chunks(1))
+    put(".zarray", metaJson(meta).getBytes("UTF-8"))
+    val grid = meta.grid
+    (0L until grid(0)).foreach { gi =>
+      (0L until grid(1)).foreach { gj =>
+        val buf = java.nio.ByteBuffer.allocate(
+          cr * cc * meta.itemSize)
+          .order(if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cell(r: Int, c: Int): Double = {
+          val row = gi * cr + r
+          val col = gj * cc + c
+          if (row < n && col < d) value(row, col.toInt)
+          else meta.fillValue
+        }
+        def putOne(r: Int, c: Int): Unit = meta.descr match {
+          case "f4" => buf.putFloat(cell(r, c).toFloat): Unit
+          case "f8" => buf.putDouble(cell(r, c)): Unit
+          case "i4" => buf.putInt(cell(r, c).toInt): Unit
+          case "i8" => buf.putLong(cell(r, c).toLong): Unit
+          case "i2" => buf.putShort(cell(r, c).toShort): Unit
+          case "i1" | "u1" | "b1" =>
+            buf.put(cell(r, c).toByte): Unit
+          case o => sys.error(s"write2d dtype $o")
+        }
+        if (meta.fortran)
+          (0 until cc).foreach(c => (0 until cr).foreach(r =>
+            putOne(r, c)))
+        else
+          (0 until cr).foreach(r => (0 until cc).foreach(c =>
+            putOne(r, c)))
+        put(chunkName(meta, Seq(gi.toInt, gj.toInt)),
+          encodeChunk(meta, buf.array()))
+      }
+    }
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zarr v2 pins: the `.zarray` metadata grammar both directions
+  * (dtype marks, fill_value forms incl. NaN strings, dimension
+  * separators, filters rejection, blosc rejection), all four
+  * chunk compressors round-tripping byte-exact, C and F chunk
+  * indexing through the shared Npy accessor, edge-chunk fill
+  * padding, chunk-name grid mapping, size-mismatch rejections,
+  * and fuzz. */
+class ZarrSpec extends AnyFunSuite {
+
+  import Zarr._
+
+  private def meta2d(comp: Option[String], fortran: Boolean = false,
+      big: Boolean = false, descr: String = "f4",
+      fill: Double = 0.0): Meta =
+    Meta(Seq(10L, 4L), Seq(3, 4), descr, big, fortran, comp,
+      1, fill, ".")
+
+  test("metadata round-trips through its own JSON") {
+    val ms = Seq(
+      meta2d(None),
+      meta2d(Some("zlib")),
+      meta2d(Some("zstd"), fortran = true),
+      meta2d(Some("lz4"), big = true, descr = "i4"),
+      meta2d(Some("gzip"), fill = Double.NaN),
+      Meta(Seq(7L), Seq(2), "i8", bigEndian = false,
+        fortran = false, None, 0, -1.0, "/"))
+    ms.foreach { m =>
+      val back = parseMeta(metaJson(m)).getOrElse(
+        fail(s"rejected own json: ${metaJson(m)}"))
+      // NaN != NaN — compare rendered forms
+      assert(metaJson(back) == metaJson(m))
+    }
+  }
+
+  test("metadata rejections: format, dtype, filters, blosc, order") {
+    val ok = metaJson(meta2d(None))
+    assert(parseMeta(ok).isDefined)
+    assert(parseMeta(ok.replace("\"zarr_format\":2",
+      "\"zarr_format\":3")).isEmpty)
+    assert(parseMeta(ok.replace("<f4", "<f3")).isEmpty)
+    assert(parseMeta(ok.replace("<f4", "|O")).isEmpty)
+    assert(parseMeta(ok.replace("\"filters\":null",
+      "\"filters\":[{\"id\":\"shuffle\"}]")).isEmpty)
+    assert(parseMeta(ok.replace("\"compressor\":null",
+      "\"compressor\":{\"id\":\"blosc\",\"cname\":\"lz4\"}"))
+      .isEmpty)
+    assert(parseMeta(ok.replace("\"order\":\"C\"",
+      "\"order\":\"X\"")).isEmpty)
+    assert(parseMeta("{}").isEmpty)
+    assert(parseMeta("not json").isEmpty)
+  }
+
+  test("every compressor round-trips a chunk byte-exact") {
+    val rnd = new scala.util.Random(3)
+    Seq(None, Some("zlib"), Some("gzip"), Some("zstd"), Some("lz4"))
+      .foreach { comp =>
+        val m = meta2d(comp)
+        val raw = Array.fill(3 * 4 * 4)(rnd.nextInt().toByte)
+        val arr = decodeChunk(m, encodeChunk(m, raw)).getOrElse(
+          fail(s"chunk rejected under $comp"))
+        assert(arr.data.sameElements(raw), s"$comp")
+        // wrong-size stored data rejects
+        assert(decodeChunk(m,
+          encodeChunk(m, raw).dropRight(1)).isEmpty)
+      }
+  }
+
+  test("C and F chunks index identically in logical coordinates") {
+    Seq(false, true).foreach { fortran =>
+      val m = meta2d(Some("zstd"), fortran = fortran)
+      val buf = java.nio.ByteBuffer.allocate(3 * 4 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // memory order depends on the flag; values = r*10+c logically
+      if (fortran)
+        (0 until 4).foreach(c => (0 until 3).foreach(r =>
+          buf.putFloat(r * 10f + c)))
+      else
+        (0 until 3).foreach(r => (0 until 4).foreach(c =>
+          buf.putFloat(r * 10f + c)))
+      val arr = decodeChunk(m, encodeChunk(m, buf.array())).get
+      (0 until 3).foreach(r => (0 until 4).foreach(c =>
+        assert(arr.at(r, c) == r * 10.0 + c, s"f=$fortran $r,$c")))
+    }
+  }
+
+  test("write2d: edge chunks pad with fill_value; store reassembles") {
+    val store = scala.collection.mutable.Map[String, Array[Byte]]()
+    val m = Meta(Seq(10L, 4L), Seq(3, 4), "f4", bigEndian = false,
+      fortran = false, Some("zlib"), 5, -1.5, ".")
+    write2d(m, 10L, 4, (r, c) => r * 100.0 + c,
+      (name, bytes) => { store(name) = bytes; () })
+    // grid is ceil(10/3)=4 × ceil(4/4)=1 chunks + .zarray
+    assert(store.keySet == Set(".zarray", "0.0", "1.0", "2.0", "3.0"))
+    val back = parseMeta(new String(store(".zarray"), "UTF-8")).get
+    assert(metaJson(back) == metaJson(m))
+    // reassemble and check every logical cell incl. the edge pad
+    val grid = back.grid
+    assert(grid == Seq(4L, 1L))
+    (0 until 4).foreach { gi =>
+      val arr = decodeChunk(back, store(s"$gi.0")).get
+      (0 until 3).foreach { r =>
+        val row = gi * 3 + r
+        (0 until 4).foreach { c =>
+          val want = if (row < 10) row * 100.0 + c else -1.5
+          assert(arr.at(r, c) == want, s"chunk $gi cell $r,$c")
+        }
+      }
+    }
+    // chunk-name mapping agrees
+    assert(chunkIndex(m, "2.0").contains(Seq(2, 0)))
+    assert(chunkIndex(m, "4.0").isEmpty) // out of grid
+    assert(chunkIndex(m, "a.0").isEmpty)
+    assert(chunkIndex(m, "1").isEmpty)   // rank mismatch
+  }
+
+  test("fuzz: corrupted chunks and metadata never throw") {
+    val rnd = new scala.util.Random(7)
+    val m = meta2d(Some("zstd"))
+    val raw = Array.fill(48)(rnd.nextInt().toByte)
+    val stored = encodeChunk(m, raw)
+    (0 until 300).foreach { _ =>
+      val x = stored.clone()
+      x(rnd.nextInt(x.length)) = rnd.nextInt().toByte
+      decodeChunk(m, x)
+    }
+    (0 until 200).foreach { _ =>
+      decodeChunk(m, Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte))
+      parseMeta(new String(
+        Array.fill(rnd.nextInt(64))((rnd.nextInt(94) + 32).toByte),
+        "UTF-8"))
+    }
+  }
+}
