@@ -7445,6 +7445,75 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** ONNX model decode (r12) — per 8-vector shard one ModelProto
+    * (operators/Onnx, on the same wire machinery as the tf.train
+    * family): a 2-node MatMul→Relu graph whose initializers carry
+    * the REAL embedding matrix (F32 [n,64]), ids (I64) and labels
+    * (I32), with the tensor STORAGE PATH rotating by shard parity —
+    * raw_data bytes on even shards, the typed packed fields
+    * (float_data/int64_data/int32_data) on odd ones — so both wire
+    * forms every reader must accept stay live in the gate. Facts
+    * from DECODED initializers + the graph structure. */
+  private def onnxParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Onnx._
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(_._3.foreach(embBuf.putFloat))
+        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => idBuf.putLong(v._2))
+        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => labBuf.putInt(v._4))
+        val m = OModel(8L, "graft", Seq(("", 17L)), s"shard$sid",
+          Seq(ONode("mm", "MatMul", Seq("x", "emb"), Seq("h")),
+            ONode("act", "Relu", Seq("h"), Seq("y"))),
+          Seq(OTensor("emb", Seq(n.toLong, dim.toLong), 1,
+            embBuf.array()),
+            OTensor("vec_id", Seq(n.toLong), 7, idBuf.array()),
+            OTensor("label", Seq(n.toLong), 6, labBuf.array())),
+          Seq("x"), Seq("y"))
+        (sid, buildModel(m, rawData = sid % 2 == 0))
+      }
+      .flatMap { case (sid, bytes) =>
+        val m = parseModel(bytes).getOrElse(
+          sys.error(s"onnx rejected shard $sid"))
+        require(m.producer == "graft" && m.graphName == s"shard$sid"
+          && m.opsets == Seq(("", 17L)))
+        val ops = m.nodes.map(_.opType).mkString(",")
+        val byName = m.initializers.map(t => t.name -> t).toMap
+        val emb = byName("emb"); val ids = byName("vec_id")
+        val lab = byName("label")
+        require(emb.dataType == 1 && ids.dataType == 7 &&
+          lab.dataType == 6 && emb.dims.length == 2)
+        val n = emb.dims.head.toInt
+        val dim = emb.dims(1).toInt
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            q += math.round(f32At(emb, i * dim + j).toDouble * 1000)
+            j += 1
+          }
+          (i64At(ids, i), sid, dim, q, i32At(lab, i), ops)
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "ops")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9843,6 +9912,7 @@ object Pipeline {
     "gguf_parse"        -> ggufParse _,
     "tensor_source_read" -> tensorSourceRead _,
     "zarr_read"         -> zarrRead _,
+    "onnx_parse"        -> onnxParse _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12147,6 +12217,21 @@ object Pipeline {
     // v2 store (per-array compressor/order/endian rotation; edge
     // chunks padded) — chunk grid decode must be value-transparent
     "zarr_read" -> embVectorOracleSql,
+    // ...and from ONNX ModelProto initializers, storage path
+    // rotating raw_data/typed-packed by shard parity; graph facts
+    // (shard id, MatMul→Relu ops) ride along
+    "onnx_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label,
+        |  'MatMul,Relu' AS ops
+        |FROM q ORDER BY vec_id""".stripMargin,
     // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
     // rotating by shard id; order flags surface from the PARSED
     // header and are predicted analytically

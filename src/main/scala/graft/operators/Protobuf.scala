@@ -43,18 +43,18 @@ object Protobuf {
   // Wire primitives
   // ---------------------------------------------------------------
 
-  private def writeVarint(out: java.io.ByteArrayOutputStream,
+  private[operators] def writeVarint(out: java.io.ByteArrayOutputStream,
       value: Long): Unit = {
     var v = value
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
   }
 
-  private def writeTag(out: java.io.ByteArrayOutputStream,
+  private[operators] def writeTag(out: java.io.ByteArrayOutputStream,
       field: Int, wire: Int): Unit =
     writeVarint(out, (field.toLong << 3) | wire)
 
-  private def writeLen(out: java.io.ByteArrayOutputStream,
+  private[operators] def writeLen(out: java.io.ByteArrayOutputStream,
       field: Int, payload: Array[Byte]): Unit = {
     writeTag(out, field, 2)
     writeVarint(out, payload.length.toLong)
@@ -63,7 +63,7 @@ object Protobuf {
 
   /** Mutable cursor; `ok` latches false on any malformation and
     * every read checks it (the [[Avro]] idiom). */
-  private final class Cursor(val b: Array[Byte], var p: Int,
+  private[operators] final class Cursor(val b: Array[Byte], var p: Int,
       val end: Int) {
     var ok = true
     def fail(): Unit = ok = false
