@@ -7514,6 +7514,49 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Parquet footer audit (r12) — the storage-layout readout
+    * (operators/ParquetFooter): a 4-file lineitem projection is
+    * written by Spark's own parquet-mr path, then OUR from-scratch
+    * Thrift-compact footer reader audits every file — per-column
+    * value counts summed across files must equal the row count,
+    * physical types and codec must be what the writer was
+    * configured for, and the file count is pinned by the explicit
+    * repartition. A live differential against parquet-mr's
+    * serializer, under the DuckDB oracle. */
+  private def parquetFooter(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "pqfooter", "lineitem") { out =>
+      Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+        .repartition(4)
+        .write.parquet(s"$out/t")
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(s"$root/t")
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val f = graft.operators.ParquetFooter.parse(bytes)
+          .getOrElse(sys.error(s"footer rejected: $path"))
+        require(f.rowGroups.map(_.numRows).sum == f.numRows,
+          s"row-group rows disagree with numRows in $path")
+        f.rowGroups.flatMap(_.columns).map { c =>
+          (c.path,
+            c.numValues,
+            graft.operators.ParquetFooter.CodecNames(c.codecId),
+            graft.operators.ParquetFooter.TypeNames(c.typeId))
+        }
+      }
+      .toDF("col_name", "n_values", "codec", "ptype")
+      .groupBy("col_name", "codec", "ptype")
+      .agg(sum(col("n_values")).as("total_values"))
+      .select(col("col_name"), col("total_values"), col("codec"),
+        col("ptype"))
+      .orderBy("col_name")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -9913,6 +9956,7 @@ object Pipeline {
     "tensor_source_read" -> tensorSourceRead _,
     "zarr_read"         -> zarrRead _,
     "onnx_parse"        -> onnxParse _,
+    "parquet_footer"    -> parquetFooter _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12217,6 +12261,18 @@ object Pipeline {
     // v2 store (per-array compressor/order/endian rotation; edge
     // chunks padded) — chunk grid decode must be value-transparent
     "zarr_read" -> embVectorOracleSql,
+    // OUR Thrift-compact footer reader audits Spark-written parquet
+    // (live differential against parquet-mr's serializer): summed
+    // per-column value counts must equal the table's row count
+    "parquet_footer" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        |cols(col_name, ptype) AS (VALUES
+        |  ('l_orderkey', 'INT64'), ('l_partkey', 'INT64'),
+        |  ('l_quantity', 'DOUBLE'), ('l_returnflag', 'BYTE_ARRAY'))
+        |SELECT col_name, n AS total_values,
+        |  'SNAPPY' AS codec, ptype
+        |FROM cols, c ORDER BY col_name""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts
     // (shard id, MatMul→Relu ops) ride along
