@@ -8033,6 +8033,91 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Feed ingestion (operators/Feed): per 8-doc chunk one rendered
+    * feed document — RSS 2.0 on even chunks, Atom on odd — whose
+    * items carry the doc text (XML-escaped) as description/summary,
+    * a guid/id, an RFC 822 / RFC 3339 timestamp offset by doc_id,
+    * an enclosure on every 3rd doc and a category; parsed back by
+    * the attribute-aware scanner and every fact re-derived from the
+    * PARSED entries — escaping, both date grammars, rel-link
+    * selection and the guid rule must all be value-transparent.
+    * The crawl family's discovery input beside sitemaps. */
+  private def feedParse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Feed
+    val base = 1055217600L
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val xml = if (cid % 2 == 0) {
+          val items = docs.map { case (_, id, t) =>
+            val when = java.time.format.DateTimeFormatter
+              .RFC_1123_DATE_TIME.format(java.time.ZonedDateTime
+                .ofInstant(java.time.Instant.ofEpochSecond(base + id),
+                  java.time.ZoneOffset.UTC))
+            val enc = if (id % 3 == 0)
+              s"""<enclosure url="https://ex.com/$id.mp3" """ +
+                s"""length="${id * 10 + 1}" type="audio/mpeg"/>"""
+            else ""
+            s"""<item><title>doc $id</title>""" +
+              s"""<link>https://ex.com/$id</link>""" +
+              s"""<guid>urn:doc:$id</guid>""" +
+              s"""<pubDate>$when</pubDate>""" +
+              s"""<description>${esc(t)}</description>""" +
+              enc + s"""<category>c${id % 5}</category></item>"""
+          }
+          s"""<?xml version="1.0"?><rss version="2.0"><channel>""" +
+            s"""<title>chunk $cid</title>${items.mkString}""" +
+            "</channel></rss>"
+        } else {
+          val entries = docs.map { case (_, id, t) =>
+            val when = java.time.Instant.ofEpochSecond(base + id)
+              .toString
+            val enc = if (id % 3 == 0)
+              s"""<link rel="enclosure" href="https://ex.com/$id.mp3" """ +
+                s"""length="${id * 10 + 1}" type="audio/mpeg"/>"""
+            else ""
+            s"""<entry><title>doc $id</title>""" +
+              s"""<link rel="alternate" href="https://ex.com/$id"/>""" +
+              enc +
+              s"""<id>urn:doc:$id</id>""" +
+              s"""<published>$when</published>""" +
+              s"""<summary>${esc(t)}</summary>""" +
+              s"""<category term="c${id % 5}"/></entry>"""
+          }
+          s"""<?xml version="1.0"?>""" +
+            s"""<feed xmlns="http://www.w3.org/2005/Atom">""" +
+            s"""<title>chunk $cid</title>${entries.mkString}</feed>"""
+        }
+        (cid, xml)
+      }
+      .flatMap { case (cid, xml) =>
+        val f = Feed.parse(xml).getOrElse(
+          sys.error(s"feed rejected chunk $cid"))
+        require(f.title == s"chunk $cid" &&
+          f.kind == (if (cid % 2 == 0) "rss" else "atom"))
+        f.entries.map { e =>
+          val id = e.id.stripPrefix("urn:doc:").toLong
+          require(e.title == s"doc $id" &&
+            e.link == s"https://ex.com/$id")
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (id, f.kind, e.epochS - base,
+            d.digest(e.summary.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString,
+            if (e.enclosureUrl.nonEmpty) e.enclosureBytes else -1L,
+            e.categories.mkString(","))
+        }
+      }
+      .toDF("doc_id", "feed_type", "ts_off", "text_md5",
+        "enclosure_bytes", "cats")
+      .orderBy("doc_id")
+  }
+
   /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
     * ebooks are a standard corpus source and an EPUB is exactly a ZIP
     * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
@@ -9985,6 +10070,7 @@ object Pipeline {
     "cbor_parse"        -> cborParse _,
     "bson_parse"        -> bsonParse _,
     "sqlite_parse"      -> sqliteParse _,
+    "feed_parse"        -> feedParse _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
     "pdf_text_extract"  -> pdfTextExtract _,
@@ -12176,6 +12262,22 @@ object Pipeline {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |    ELSE 'n' || (doc_id % 5) END AS note,
         |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "feed_parse" -> {
+      // 8-doc RSS/Atom chunks by parity; every fact from PARSED
+      // entries (escaped text md5, date-grammar offsets, enclosure
+      // on every 3rd doc, category)
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'rss'
+        |    ELSE 'atom' END AS feed_type,
+        |  doc_id AS ts_off, md5(text) AS text_md5,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id * 10 + 1
+        |    ELSE -1 END AS enclosure_bytes,
+        |  'c' || (doc_id % 5) AS cats
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "bson_parse" -> {
