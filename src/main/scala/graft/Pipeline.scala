@@ -6088,7 +6088,7 @@ object Pipeline {
         val w = 1 + (t.length % 16)
         val h = 1 + ((t.length / 16) % 16)
         val M = graft.operators.Multimodal
-        val (declared, bytes) = (id % 19) match {
+        val (declared, bytes) = (id % 22) match {
           case 0 => ("image/bmp", M.encodeBmp(w, h, b))
           case 1 => ("image/png", M.encodePng(w, h, b))
           case 2 => ("image/gif", M.encodeGif(w, h, b))
@@ -6120,8 +6120,17 @@ object Pipeline {
             1L, Seq(b), Seq(0L)))
           case 17 => ("application/vnd.apache.arrow.file",
             buildArrowShard(Seq((id, t))))
-          case _ => ("application/x-xz",
+          case 18 => ("application/x-xz",
             graft.operators.Xz.encodeStore(b))
+          case 19 => ("application/x-npy", graft.operators.Npy
+            .build("u1", Seq(b.length), b))
+          case 20 => ("application/x-gguf", graft.operators.Gguf
+            .build(Seq("doc.id" -> graft.operators.Gguf.GvI64(id)),
+              Seq(graft.operators.Gguf.GTensor("text",
+                Seq(b.length.toLong), "I8", b))))
+          case _ => ("application/vnd.sqlite3",
+            graft.operators.Sqlite.build("doc", Seq("text"),
+              Seq((1L, Seq[Any](t)))))
         }
         val sniffed = M.sniffKind(bytes)
         (id, declared, sniffed, declared == sniffed)
@@ -11667,9 +11676,9 @@ object Pipeline {
       // sniffed type predicted purely from the container rotation;
       // class 10 is the deliberate mislabel (raw text declared png);
       // classes 11-16 are the round-11 container/codec formats,
-      // 17-18 the round-12 additions (Arrow file magic, xz)
+      // 17-21 the round-12 additions (Arrow, xz, npy, gguf, sqlite)
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 19 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |  CASE doc_id % 22 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
@@ -11681,8 +11690,11 @@ object Pipeline {
         |    WHEN 15 THEN 'audio/flac'
         |    WHEN 16 THEN 'application/ogg'
         |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
-        |    ELSE 'application/x-xz' END AS declared,
-        |  CASE doc_id % 19 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 18 THEN 'application/x-xz'
+        |    WHEN 19 THEN 'application/x-npy'
+        |    WHEN 20 THEN 'application/x-gguf'
+        |    ELSE 'application/vnd.sqlite3' END AS declared,
+        |  CASE doc_id % 22 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
         |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
         |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
@@ -11694,8 +11706,11 @@ object Pipeline {
         |    WHEN 15 THEN 'audio/flac'
         |    WHEN 16 THEN 'application/ogg'
         |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
-        |    ELSE 'application/x-xz' END AS sniffed,
-        |  doc_id % 19 <> 10 AS label_ok
+        |    WHEN 18 THEN 'application/x-xz'
+        |    WHEN 19 THEN 'application/x-npy'
+        |    WHEN 20 THEN 'application/x-gguf'
+        |    ELSE 'application/vnd.sqlite3' END AS sniffed,
+        |  doc_id % 22 <> 10 AS label_ok
         |FROM documents
         |WHERE length(text) = strlen(text) AND length(text) > 0
         |ORDER BY media_id""".stripMargin

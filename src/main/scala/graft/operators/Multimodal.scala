@@ -91,6 +91,11 @@ object Multimodal {
       at(4) == 0x27 && at(5) == 0x1c) "application/x-7z-compressed"
     else if (ascii(0, "ARROW1") && at(6) == 0 && at(7) == 0)
       "application/vnd.apache.arrow.file"
+    else if (at(0) == 0x93 && ascii(1, "NUMPY")) "application/x-npy"
+    else if (ascii(0, "GGUF")) "application/x-gguf"
+    else if (ascii(0, "SQLite format 3") && at(15) == 0)
+      "application/vnd.sqlite3"
+    else if (ascii(0, "PAR1")) "application/vnd.apache.parquet"
     else "application/octet-stream"
   }
 

@@ -41,6 +41,16 @@ class SniffSpec extends AnyFunSuite {
       flate = false)) == "application/pdf")
     assert(M.sniffKind("7z".getBytes ++ Array[Byte](0xbc.toByte,
       0xaf.toByte, 0x27, 0x1c)) == "application/x-7z-compressed")
+    assert(M.sniffKind(Npy.build("u1", Seq(b.length), b)) ==
+      "application/x-npy")
+    assert(M.sniffKind(Gguf.build(Seq("k" -> Gguf.GvStr("v")),
+      Seq(Gguf.GTensor("t", Seq(b.length.toLong), "I8", b)))) ==
+      "application/x-gguf")
+    assert(M.sniffKind(Sqlite.build("t", Seq("v"),
+      Seq((1L, Seq[Any]("x"))))) == "application/vnd.sqlite3")
+    // a real parquet footer-framed file leads with PAR1
+    assert(M.sniffKind("PAR1".getBytes ++ b) ==
+      "application/vnd.apache.parquet")
   }
 
   test("short, empty and text buffers fall through") {
