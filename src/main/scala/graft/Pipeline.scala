@@ -7566,6 +7566,43 @@ object Pipeline {
       .orderBy("col_name")
   }
 
+  /** Lakehouse ingest capstone (r12) — the composed migration DAG a
+    * curation pipeline actually runs, chaining FOUR of this round's
+    * systems live in one gate row: (1) read the Delta fixture at
+    * its LATEST version through checkpoint+tail reconstruction,
+    * (2) curate — keep l_quantity > 5 and DISTINCT away the rows
+    * the v2 append duplicated, (3) write the result as a NEW
+    * Iceberg table through OUR manifest writer (fresh temp store
+    * each run — the write is part of the operator under test),
+    * (4) read it back through OUR metadata→manifest-list→manifest
+    * chain and aggregate. The oracle recomputes the end state
+    * analytically from lineitem, so a fault ANYWHERE in the chain —
+    * delta replay, the distinct, manifest round trip, final scan —
+    * flips the hash. */
+  private def lakehouseIngestDag(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.{DeltaLog, Iceberg}
+    val deltaRoot = deltaFixtureRoot(s, dir)
+    val curated = DeltaLog.read(s, s"$deltaRoot/tbl")
+      .filter("l_quantity > 5")
+      .select("l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag", "bucket")
+      .distinct()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_lakedag").toFile
+    out.deleteOnExit()
+    val t = s"${out.getAbsolutePath}/tbl"
+    Iceberg.create(s, curated, t)
+    graft.operators.Iceberg.read(s, t)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -10055,6 +10092,7 @@ object Pipeline {
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
+    "lakehouse_ingest_dag" -> lakehouseIngestDag _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
     "arrow_sink_roundtrip" -> arrowSinkRoundtrip _,
@@ -12446,6 +12484,26 @@ object Pipeline {
     // snapshot-id lookup — both equal plain lineitem
     "delta_time_travel" -> lakehouseTimeTravelOracleSql,
     "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
+    // the composed migration DAG: delta latest → qty>5 + DISTINCT
+    // (the v2 duplicates collapse) → iceberg write → iceberg read;
+    // the analytic end state, straight from lineitem
+    "lakehouse_ingest_dag" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf, l_partkey AS pkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
+        |  UNION ALL
+        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40),
+        |cur AS (
+        |  SELECT DISTINCT okey, pkey, qty, rf, bucket
+        |  FROM live WHERE qty > 5)
+        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+        |FROM cur GROUP BY rf ORDER BY rf""".stripMargin,
     // np.savez layout: ZIP members emb/vec_id/label, STORED on
     // even shards, DEFLATE on odd — the file layer must vanish
     "npz_parse" ->
