@@ -7612,7 +7612,12 @@ object Pipeline {
     * (local heap + B-tree v1 + SNOD) → object headers → layouts.
     * Facts from DECODED datasets under the shared embeddings
     * oracle. */
-  private def hdf5Parse(s: SparkSession, dir: String): DataFrame = {
+  private def hdf5Parse(s: SparkSession, dir: String): DataFrame =
+    hdf5ShardRows(hdf5Shards(s, dir)).orderBy("vec_id")
+
+  /** One `.h5` file per 8-vector shard (all three layouts). */
+  private[graft] def hdf5Shards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
     import spark.implicits._
     import graft.operators.Hdf5
@@ -7643,6 +7648,17 @@ object Pipeline {
           Hdf5.WDataset("label", Seq(n.toLong), "i4",
             labBuf.array(), compact = true))))
       }
+  }
+
+  /** Decode (shardId, h5 bytes) rows — shared by the in-memory,
+    * real-file and file-stream paths. */
+  private[graft] def hdf5ShardRows(
+      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    import graft.operators.Hdf5
+    shards
       .flatMap { case (sid, bytes) =>
         val ds = Hdf5.read(bytes).getOrElse(
           sys.error(s"hdf5 rejected shard $sid"))
@@ -7664,6 +7680,43 @@ object Pipeline {
         }
       }
       .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
+  }
+
+  /** The shards as REAL `.h5` FILES (cached fixture tree). */
+  private[graft] def hdf5FixtureRoot(s: SparkSession, dir: String)
+      : String = {
+    val spark = s
+    import spark.implicits._
+    formatFixtureDir(dir, "hdf5", "embeddings") { out =>
+      hdf5Shards(s, dir)
+        .map { case (sid, bytes) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.h5"), bytes)
+          sid
+        }
+        .count(): Unit
+    }
+  }
+
+  /** [[hdf5Parse]] through REAL `.h5` files + binaryFile — the
+    * layout scientific corpora actually arrive in. Identical
+    * oracle: the file layer must be transparent. */
+  private def hdf5ParseFiles(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = hdf5FixtureRoot(s, dir)
+    hdf5ShardRows(
+      s.read.format("binaryFile").option("pathGlobFilter", "*.h5")
+        .load(root)
+        .repartition(col("path"))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          (name.stripPrefix("shard-").stripSuffix(".h5").toLong,
+            bytes)
+        })
       .orderBy("vec_id")
   }
 
@@ -8604,6 +8657,20 @@ object Pipeline {
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** hdf5_parse / hdf5_parse_files shared oracle (per-vector facts
+    * with the 8-vector shard id). */
+  private def hdf5OracleSqlShared: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, len(embedding) AS dim,
+      |    CAST(coalesce(list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+      |      0) AS BIGINT) AS s
+      |  FROM embeddings)
+      |SELECT vec_id, vec_id // 8 AS shard_id,
+      |  CAST(dim AS INT) AS dim, s AS emb_q,
+      |  CAST(label AS INT) AS label
+      |FROM q ORDER BY vec_id""".stripMargin
 
   /** tensor_source_read / zarr_read shared oracle: the per-vector
     * quantized facts straight off the embeddings table. */
@@ -10153,6 +10220,7 @@ object Pipeline {
     "onnx_parse"        -> onnxParse _,
     "parquet_footer"    -> parquetFooter _,
     "hdf5_parse"        -> hdf5Parse _,
+    "hdf5_parse_files"  -> hdf5ParseFiles _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12524,18 +12592,10 @@ object Pipeline {
         |  (vec_id // 8) % 2 = 1 AS big_endian
         |FROM q ORDER BY vec_id""".stripMargin,
     // HDF5 classic machinery: all three data layouts live
-    // (deflate-chunked with edge clipping, contiguous, compact)
-    "hdf5_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label
-        |FROM q ORDER BY vec_id""".stripMargin,
+    // (deflate-chunked with edge clipping, contiguous, compact);
+    // the _files twin reads the same shards as REAL .h5 files
+    "hdf5_parse_files" -> hdf5OracleSqlShared,
+    "hdf5_parse" -> hdf5OracleSqlShared,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
     // metadata array surface; the Q8_0 twin is bound-checked
     // in-flight (closed-form block quantization, oracle-free)
