@@ -8281,6 +8281,73 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** WET + WAT derivative ingestion (operators/Warc +
+    * [[graft.operators.JsonMini]]): Common Crawl publishes each
+    * crawl THREE ways — the raw `.warc`, the extracted-text `.wet`
+    * (WARC `conversion` records, text body, no HTTP envelope) and
+    * the metadata `.wat` (WARC `metadata` records, JSON envelope).
+    * Per 16-doc chunk both derivative archives are built (gzip
+    * members on even chunks), walked back by the SAME record walker
+    * as the raw path (status −1 marks no-HTTP-envelope bodies), the
+    * WAT JSON parsed by the shared reader, and the two record
+    * streams JOIN on the target URI — text facts from WET, title +
+    * link count from WAT. Any framing, non-HTTP body-offset or JSON
+    * fault flips a fact. */
+  private def wetWatExtract(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.{JsonMini, Warc}
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 16, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val gz = cid % 2 == 0
+        val wet = Warc.buildArchive(docs.map { case (_, id, t) =>
+          Warc.buildConversionRecord(id, s"http://ex.com/$id", t)
+        }, gzip = gz)
+        val wat = Warc.buildArchive(docs.map { case (_, id, t) =>
+          val links = (0L until id % 4).map(k =>
+            s"""{"url":${JsonMini.quote(s"http://ex.com/$id/$k")}}""")
+            .mkString("[", ",", "]")
+          val json =
+            s"""{"Envelope":{"Payload-Metadata":{"HTML-Metadata":""" +
+              s"""{"Head":{"Title":${JsonMini.quote(s"doc $id")}},""" +
+              s""""Links":$links}}}}"""
+          Warc.buildMetadataRecord(id, s"http://ex.com/$id", json)
+        }, gzip = gz)
+        (cid, wet, wat)
+      }
+      .flatMap { case (cid, wetBytes, watBytes) =>
+        val wet = Warc.parseArchiveBodies(wetBytes)
+        val watRecs = Warc.parseArchive(watBytes)
+        require(watRecs.forall(r => r.warcType == "metadata" &&
+          r.httpStatus == -1), s"wat framing broke in chunk $cid")
+        val wat = Warc.parseArchiveBodies(watBytes).toMap
+        wet.map { case (uri, text) =>
+          val id = uri.stripPrefix("http://ex.com/").toLong
+          val json = wat.getOrElse(uri,
+            sys.error(s"no wat record for $uri"))
+          val env = JsonMini.parse(json).flatMap(JsonMini.obj)
+            .getOrElse(sys.error(s"wat json rejected for $uri"))
+          val htmlMd = JsonMini.obj(env("Envelope")).get
+          val payload = JsonMini.obj(htmlMd("Payload-Metadata")).get
+          val html = JsonMini.obj(payload("HTML-Metadata")).get
+          val title = JsonMini.str(JsonMini.obj(html("Head")).get
+            .apply("Title")).get
+          val nLinks = JsonMini.arr(html("Links")).get.length
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (id, text.length.toLong,
+            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+              .mkString,
+            title, nLinks)
+        }
+      }
+      .toDF("doc_id", "text_len", "text_md5", "title", "n_links")
+      .orderBy("doc_id")
+  }
+
   /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
     * ebooks are a standard corpus source and an EPUB is exactly a ZIP
     * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
@@ -10251,6 +10318,7 @@ object Pipeline {
     "bson_parse"        -> bsonParse _,
     "sqlite_parse"      -> sqliteParse _,
     "feed_parse"        -> feedParse _,
+    "wet_wat_extract"   -> wetWatExtract _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
     "pdf_text_extract"  -> pdfTextExtract _,
@@ -12448,6 +12516,19 @@ object Pipeline {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |    ELSE 'n' || (doc_id % 5) END AS note,
         |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "wet_wat_extract" -> {
+      // both Common Crawl derivatives joined on the target URI:
+      // text facts from WET conversion records, title/link-count
+      // from WAT JSON envelopes
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, strlen(text) AS text_len,
+        |  md5(text) AS text_md5,
+        |  'doc ' || doc_id AS title,
+        |  CAST(doc_id % 4 AS INT) AS n_links
         |FROM d ORDER BY doc_id""".stripMargin
     },
     "feed_parse" -> {

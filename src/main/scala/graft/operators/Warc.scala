@@ -38,6 +38,35 @@ object Warc {
     hdr ++ http ++ s"$Crlf$Crlf".getBytes("UTF-8")
   }
 
+  /** One WET-style `conversion` record (the Common Crawl text
+    * derivative: extracted text as the record body directly, no
+    * HTTP envelope). */
+  def buildConversionRecord(docId: Long, uri: String,
+      text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val hdr = (s"WARC/1.0${Crlf}WARC-Type: conversion$Crlf" +
+      s"WARC-Target-URI: $uri$Crlf" +
+      s"WARC-Record-ID: <urn:graft:wet:$docId>$Crlf" +
+      s"WARC-Refers-To: <urn:graft:$docId>$Crlf" +
+      s"Content-Type: text/plain$Crlf" +
+      s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("UTF-8")
+    hdr ++ body ++ s"$Crlf$Crlf".getBytes("UTF-8")
+  }
+
+  /** One WAT-style `metadata` record (the Common Crawl metadata
+    * derivative: a JSON envelope as the record body). */
+  def buildMetadataRecord(docId: Long, uri: String,
+      json: String): Array[Byte] = {
+    val body = json.getBytes("UTF-8")
+    val hdr = (s"WARC/1.0${Crlf}WARC-Type: metadata$Crlf" +
+      s"WARC-Target-URI: $uri$Crlf" +
+      s"WARC-Record-ID: <urn:graft:wat:$docId>$Crlf" +
+      s"WARC-Refers-To: <urn:graft:$docId>$Crlf" +
+      s"Content-Type: application/json$Crlf" +
+      s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("UTF-8")
+    hdr ++ body ++ s"$Crlf$Crlf".getBytes("UTF-8")
+  }
+
   /** Concatenate records into one archive; `gzip = true` produces the
     * `.warc.gz` layout (one gzip member per record, members
     * concatenated). */
