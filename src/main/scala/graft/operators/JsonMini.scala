@@ -61,10 +61,12 @@ private[graft] object JsonMini {
   }
 
   /** A number field as an exact Long: Doubles are integral-checked
-    * (2^53 guard — a tensor offset must never round). */
+    * and bounded STRICTLY below 2^53 — at exactly 2^53 the value is
+    * ambiguous (2^53+1 parses to the same Double), and a tensor
+    * offset must never round. */
   def long(v: Any): Option[Long] = v match {
     case d: Double
-        if d == math.rint(d) && math.abs(d) <= (1L << 53).toDouble =>
+        if d == math.rint(d) && math.abs(d) < (1L << 53).toDouble =>
       Some(d.toLong)
     case _ => None
   }
