@@ -7720,6 +7720,91 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Cross-format tensor differential (r12) — the SAME embedding
+    * shard encoded into FOUR independent containers implemented in
+    * this repo (safetensors, GGUF, ONNX, HDF5: different headers,
+    * different layout machinery, different chunking/quantization
+    * paths) and decoded by their four independent readers, which
+    * must agree LANE-FOR-LANE in-flight before one agreed fact row
+    * ships to the oracle. A bug in any one codec breaks the
+    * agreement even if it would round-trip through itself — the
+    * strongest self-differential four from-scratch implementations
+    * can give each other. */
+  private def tensorCrossCheck(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) => (id / 8, id, emb, label) }
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long,
+          it: Iterator[(Long, Long, Array[Float], Int)]) =>
+        val vecs = it.toSeq.sortBy(_._2)
+        val n = vecs.length
+        val dim = vecs.head._3.length
+        val flat = vecs.flatMap(_._3).toArray
+        def le(f: Array[Float]): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(f.length * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          f.foreach(b.putFloat); b.array()
+        }
+        // four encodes
+        val st = graft.operators.Safetensors.build(Seq(
+          graft.operators.Safetensors.Tensor("emb", "F32",
+            Seq(n.toLong, dim.toLong), le(flat))))
+        val gg = graft.operators.Gguf.build(Seq.empty, Seq(
+          graft.operators.Gguf.GTensor("emb",
+            Seq(dim.toLong, n.toLong), "F32", le(flat))))
+        val on = graft.operators.Onnx.buildModel(
+          graft.operators.Onnx.OModel(8L, "graft", Seq(("", 17L)),
+            "x", Seq.empty, Seq(graft.operators.Onnx.OTensor("emb",
+              Seq(n.toLong, dim.toLong), 1, le(flat))),
+            Seq.empty, Seq.empty),
+          rawData = sid % 2 == 0)
+        val h5 = graft.operators.Hdf5.build(Seq(
+          graft.operators.Hdf5.WDataset("emb",
+            Seq(n.toLong, dim.toLong), "f4", le(flat),
+            chunkDims = Seq(3, dim))))
+        // four decodes
+        val stT = graft.operators.Safetensors.parse(st)
+          .getOrElse(sys.error(s"st rejected $sid"))._2.head
+        val ggT = graft.operators.Gguf.parse(gg)
+          .getOrElse(sys.error(s"gguf rejected $sid"))._2.head
+        val onT = graft.operators.Onnx.parseModel(on)
+          .getOrElse(sys.error(s"onnx rejected $sid"))
+          .initializers.head
+        val h5T = graft.operators.Hdf5.read(h5)
+          .getOrElse(sys.error(s"hdf5 rejected $sid")).head
+        // lane-for-lane agreement, then ONE agreed fact row per vec
+        vecs.indices.map { i =>
+          var q = 0L
+          var j = 0
+          while (j < dim) {
+            val k = i * dim + j
+            val a = graft.operators.Safetensors.f32At(stT, k)
+            val b = graft.operators.Gguf.f32At(ggT, k)
+            val c = graft.operators.Onnx.f32At(onT, k)
+            val d = h5T.arr.floatAt(i, j)
+            require(
+              java.lang.Float.floatToIntBits(a) ==
+                java.lang.Float.floatToIntBits(b) &&
+              java.lang.Float.floatToIntBits(b) ==
+                java.lang.Float.floatToIntBits(c) &&
+              java.lang.Float.floatToIntBits(c) ==
+                java.lang.Float.floatToIntBits(d),
+              s"codec disagreement at shard $sid vec $i lane $j")
+            q += math.round(a.toDouble * 1000)
+            j += 1
+          }
+          (vecs(i)._2, sid, dim, q, 4)
+        }
+      }
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "n_formats")
+      .orderBy("vec_id")
+  }
+
   /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
     * duration[ms] — the metadata columns dataset shards carry beside
     * the payload. arrow-java writes (its Date/Time/Duration tables
@@ -10288,6 +10373,7 @@ object Pipeline {
     "parquet_footer"    -> parquetFooter _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
+    "tensor_cross_check" -> tensorCrossCheck _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
@@ -12677,6 +12763,19 @@ object Pipeline {
     // the _files twin reads the same shards as REAL .h5 files
     "hdf5_parse_files" -> hdf5OracleSqlShared,
     "hdf5_parse" -> hdf5OracleSqlShared,
+    // four independent containers (safetensors/GGUF/ONNX/HDF5) must
+    // agree lane-for-lane in-flight; the oracle pins the agreed facts
+    "tensor_cross_check" ->
+      """WITH q AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+        |      0) AS BIGINT) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, vec_id // 8 AS shard_id,
+        |  CAST(dim AS INT) AS dim, s AS emb_q,
+        |  CAST(4 AS INT) AS n_formats
+        |FROM q ORDER BY vec_id""".stripMargin,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
     // metadata array surface; the Q8_0 twin is bound-checked
     // in-flight (closed-form block quantization, oracle-free)
