@@ -18,13 +18,25 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    (default 32) and the tensor data, each tensor's offset
   *    aligned.
   *  - types: all 13 metadata value types; tensor types F32, F16,
-  *    BF16, F64, I8/I16/I32/I64 and the closed-form Q8_0
-  *    quantization (34-byte blocks of 32: an f16 scale
-  *    `d = max|x|/127` + 32 signed bytes `round(x/d)`) via
-  *    [[quantizeQ8_0]]/[[dequantizeQ8_0]] on the shared half-float
-  *    arithmetic in [[Safetensors]]. The table-driven K-quants
-  *    (Q4_K…) reject honestly — their layouts are defined by
-  *    hundreds of tabulated constants this repo's policy excludes.
+  *    BF16, F64, I8/I16/I32/I64 and the CLOSED-FORM block
+  *    quantizations — the whole family whose layout is pure
+  *    arithmetic, no tabulated constants:
+  *      Q8_0 (34 B / 32 elems: f16 scale `d = max|x|/127` + 32
+  *        signed bytes `round(x/d)`),
+  *      Q4_0 (18 B: f16 `d = signedmax/-8` + 16 nibble bytes, first
+  *        half of the block in LOW nibbles, second half in HIGH —
+  *        the ggml split layout),
+  *      Q4_1 (20 B: f16 `d = (max-min)/15`, f16 `m = min`, 16
+  *        nibble bytes, `x = q·d + m`),
+  *      Q5_0 (22 B: f16 `d = signedmax/-16`, u32 LE `qh` carrying
+  *        each lane's 5th bit, 16 nibble bytes),
+  *      Q5_1 (24 B: f16 d, f16 m, u32 qh, 16 nibble bytes),
+  *    via [[quantizeQ8_0]]/[[dequantizeQ8_0]] and the
+  *    [[quantizeQ4_0]]…[[dequantizeQ5_1]] family on the shared
+  *    half-float arithmetic in [[Safetensors]]. The TABLE-DRIVEN
+  *    K-quants (Q4_K…) and IQ types reject honestly — their
+  *    layouts are defined by hundreds of tabulated constants this
+  *    repo's policy excludes.
   *
   * Validation mirrors gguf.py's reader rules: counts and string
   * lengths bounded, metadata value types must be known (arrays
@@ -83,7 +95,8 @@ object Gguf {
   /** ggml type id ↔ tag for the supported (non-table-quantized)
     * set; Q8_0 is the one block type (34 bytes / 32 elems). */
   private val TypeIds: Map[String, Int] = Map(
-    "F32" -> 0, "F16" -> 1, "Q8_0" -> 8, "I8" -> 24, "I16" -> 25,
+    "F32" -> 0, "F16" -> 1, "Q4_0" -> 2, "Q4_1" -> 3, "Q5_0" -> 6,
+    "Q5_1" -> 7, "Q8_0" -> 8, "I8" -> 24, "I16" -> 25,
     "I32" -> 26, "I64" -> 27, "F64" -> 28, "BF16" -> 30)
   private val TypeTags: Map[Int, String] = TypeIds.map(_.swap)
 
@@ -96,6 +109,10 @@ object Gguf {
     case "I16" => Some(n * 2)
     case "I8" => Some(n)
     case "Q8_0" => if (n % 32 == 0) Some(n / 32 * 34) else None
+    case "Q4_0" => if (n % 32 == 0) Some(n / 32 * 18) else None
+    case "Q4_1" => if (n % 32 == 0) Some(n / 32 * 20) else None
+    case "Q5_0" => if (n % 32 == 0) Some(n / 32 * 22) else None
+    case "Q5_1" => if (n % 32 == 0) Some(n / 32 * 24) else None
     case _ => None
   }
 
@@ -388,6 +405,240 @@ object Gguf {
       val d = Safetensors.halfToFloat(in.getShort() & 0xffff)
       var j = 0
       while (j < 32) { out(b + j) = in.get() * d; j += 1 }
+      b += 32
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // Q4_0 / Q4_1 / Q5_0 / Q5_1 — the rest of the closed-form family.
+  // Shared split layout: within each 32-block the FIRST 16 lanes go
+  // in the low nibbles of qs[0..15] and the SECOND 16 in the high
+  // nibbles (ggml's SIMD-friendly split, not interleaved pairs).
+  // ---------------------------------------------------------------
+
+  private def half(x: Float): (Short, Float) = {
+    val h = Safetensors.floatToHalf(x)
+    (h, Safetensors.halfToFloat(h & 0xffff))
+  }
+
+  /** Q4_0: d = signedmax/-8 (the max-|x| element keeps its sign so
+    * the extreme lane lands exactly on code 0), q = trunc(x/d+8.5)
+    * clamped to 15, x back = (q-8)·d. 18-byte blocks of 32. */
+  def quantizeQ4_0(xs: Array[Float]): Array[Byte] = {
+    require(xs.length % 32 == 0, "Q4_0 needs 32-element blocks")
+    val out = ByteBuffer.allocate(xs.length / 32 * 18)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < xs.length) {
+      var amax = 0f; var smax = 0f
+      var j = 0
+      while (j < 32) {
+        val v = xs(b + j)
+        if (math.abs(v) > amax) { amax = math.abs(v); smax = v }
+        j += 1
+      }
+      val (dh, d) = half(smax / -8f)
+      val id = if (d == 0f) 0f else 1f / d
+      out.putShort(dh)
+      j = 0
+      while (j < 16) {
+        val q0 = math.min(15, (xs(b + j) * id + 8.5f).toInt)
+        val q1 = math.min(15, (xs(b + 16 + j) * id + 8.5f).toInt)
+        out.put(((q0 & 0x0f) | ((q1 & 0x0f) << 4)).toByte)
+        j += 1
+      }
+      b += 32
+    }
+    out.array()
+  }
+
+  def dequantizeQ4_0(data: Array[Byte]): Array[Float] = {
+    require(data.length % 18 == 0, "Q4_0 data is 18-byte blocks")
+    val in = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](data.length / 18 * 32)
+    var b = 0
+    while (b < out.length) {
+      val d = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      var j = 0
+      while (j < 16) {
+        val q = in.get() & 0xff
+        out(b + j) = ((q & 0x0f) - 8) * d
+        out(b + 16 + j) = ((q >>> 4) - 8) * d
+        j += 1
+      }
+      b += 32
+    }
+    out
+  }
+
+  /** Q4_1: affine — d = (max-min)/15, m = min, q = trunc((x-m)/d
+    * + 0.5), x back = q·d + m. 20-byte blocks of 32. */
+  def quantizeQ4_1(xs: Array[Float]): Array[Byte] = {
+    require(xs.length % 32 == 0, "Q4_1 needs 32-element blocks")
+    val out = ByteBuffer.allocate(xs.length / 32 * 20)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < xs.length) {
+      var mn = xs(b); var mx = xs(b)
+      var j = 1
+      while (j < 32) {
+        val v = xs(b + j)
+        if (v < mn) mn = v; if (v > mx) mx = v
+        j += 1
+      }
+      val (dh, d) = half((mx - mn) / 15f)
+      val (mh, _) = half(mn)
+      val id = if (d == 0f) 0f else 1f / d
+      out.putShort(dh); out.putShort(mh)
+      j = 0
+      while (j < 16) {
+        val q0 = math.min(15, ((xs(b + j) - mn) * id + 0.5f).toInt)
+        val q1 = math.min(15,
+          ((xs(b + 16 + j) - mn) * id + 0.5f).toInt)
+        out.put(((q0 & 0x0f) | ((q1 & 0x0f) << 4)).toByte)
+        j += 1
+      }
+      b += 32
+    }
+    out.array()
+  }
+
+  def dequantizeQ4_1(data: Array[Byte]): Array[Float] = {
+    require(data.length % 20 == 0, "Q4_1 data is 20-byte blocks")
+    val in = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](data.length / 20 * 32)
+    var b = 0
+    while (b < out.length) {
+      val d = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      val m = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      var j = 0
+      while (j < 16) {
+        val q = in.get() & 0xff
+        out(b + j) = (q & 0x0f) * d + m
+        out(b + 16 + j) = (q >>> 4) * d + m
+        j += 1
+      }
+      b += 32
+    }
+    out
+  }
+
+  /** Q5_0: d = signedmax/-16, q = trunc(x/d+16.5) clamped to 31;
+    * low 4 bits in the nibble plane, 5th bit of lane j at qh bit j
+    * (second half at bit j+16). 22-byte blocks of 32. */
+  def quantizeQ5_0(xs: Array[Float]): Array[Byte] = {
+    require(xs.length % 32 == 0, "Q5_0 needs 32-element blocks")
+    val out = ByteBuffer.allocate(xs.length / 32 * 22)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < xs.length) {
+      var amax = 0f; var smax = 0f
+      var j = 0
+      while (j < 32) {
+        val v = xs(b + j)
+        if (math.abs(v) > amax) { amax = math.abs(v); smax = v }
+        j += 1
+      }
+      val (dh, d) = half(smax / -16f)
+      val id = if (d == 0f) 0f else 1f / d
+      out.putShort(dh)
+      var qh = 0
+      val qs = new Array[Byte](16)
+      j = 0
+      while (j < 16) {
+        val q0 = math.min(31, (xs(b + j) * id + 16.5f).toInt)
+        val q1 = math.min(31, (xs(b + 16 + j) * id + 16.5f).toInt)
+        qs(j) = ((q0 & 0x0f) | ((q1 & 0x0f) << 4)).toByte
+        qh |= ((q0 & 0x10) >>> 4) << j
+        qh |= ((q1 & 0x10) >>> 4) << (j + 16)
+        j += 1
+      }
+      out.putInt(qh)
+      out.put(qs)
+      b += 32
+    }
+    out.array()
+  }
+
+  def dequantizeQ5_0(data: Array[Byte]): Array[Float] = {
+    require(data.length % 22 == 0, "Q5_0 data is 22-byte blocks")
+    val in = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](data.length / 22 * 32)
+    var b = 0
+    while (b < out.length) {
+      val d = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      val qh = in.getInt()
+      var j = 0
+      while (j < 16) {
+        val q = in.get() & 0xff
+        val h0 = ((qh >>> j) << 4) & 0x10
+        val h1 = (qh >>> (j + 12)) & 0x10
+        out(b + j) = (((q & 0x0f) | h0) - 16) * d
+        out(b + 16 + j) = (((q >>> 4) | h1) - 16) * d
+        j += 1
+      }
+      b += 32
+    }
+    out
+  }
+
+  /** Q5_1: affine 5-bit — d = (max-min)/31, m = min, same qh bit
+    * plane as Q5_0, x back = q·d + m. 24-byte blocks of 32. */
+  def quantizeQ5_1(xs: Array[Float]): Array[Byte] = {
+    require(xs.length % 32 == 0, "Q5_1 needs 32-element blocks")
+    val out = ByteBuffer.allocate(xs.length / 32 * 24)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < xs.length) {
+      var mn = xs(b); var mx = xs(b)
+      var j = 1
+      while (j < 32) {
+        val v = xs(b + j)
+        if (v < mn) mn = v; if (v > mx) mx = v
+        j += 1
+      }
+      val (dh, d) = half((mx - mn) / 31f)
+      val (mh, _) = half(mn)
+      val id = if (d == 0f) 0f else 1f / d
+      out.putShort(dh); out.putShort(mh)
+      var qh = 0
+      val qs = new Array[Byte](16)
+      j = 0
+      while (j < 16) {
+        val q0 = math.min(31, ((xs(b + j) - mn) * id + 0.5f).toInt)
+        val q1 = math.min(31,
+          ((xs(b + 16 + j) - mn) * id + 0.5f).toInt)
+        qs(j) = ((q0 & 0x0f) | ((q1 & 0x0f) << 4)).toByte
+        qh |= ((q0 & 0x10) >>> 4) << j
+        qh |= ((q1 & 0x10) >>> 4) << (j + 16)
+        j += 1
+      }
+      out.putInt(qh)
+      out.put(qs)
+      b += 32
+    }
+    out.array()
+  }
+
+  def dequantizeQ5_1(data: Array[Byte]): Array[Float] = {
+    require(data.length % 24 == 0, "Q5_1 data is 24-byte blocks")
+    val in = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](data.length / 24 * 32)
+    var b = 0
+    while (b < out.length) {
+      val d = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      val m = Safetensors.halfToFloat(in.getShort() & 0xffff)
+      val qh = in.getInt()
+      var j = 0
+      while (j < 16) {
+        val q = in.get() & 0xff
+        val h0 = ((qh >>> j) << 4) & 0x10
+        val h1 = (qh >>> (j + 12)) & 0x10
+        out(b + j) = ((q & 0x0f) | h0) * d + m
+        out(b + 16 + j) = ((q >>> 4) | h1) * d + m
+        j += 1
+      }
       b += 32
     }
     out

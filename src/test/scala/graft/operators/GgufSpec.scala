@@ -124,6 +124,116 @@ class GgufSpec extends AnyFunSuite {
       dequantizeQ8_0(ts.head.data).sameElements(back))
   }
 
+  private def halfBytes(x: Float): (Byte, Byte) = {
+    val h = Safetensors.floatToHalf(x) & 0xffff
+    ((h & 0xff).toByte, ((h >> 8) & 0xff).toByte)
+  }
+
+  test("Q4_0: hand-pinned block layout (split nibbles, -8 offset)") {
+    // d = 1.0, qs[0] = 0x21 → lane0 = (1-8)·1 = -7, lane16 = (2-8)
+    // = -6; qs[1..15] = 0x88 → exact zeros in both halves
+    val (dl, dh) = halfBytes(1f)
+    val block = Array[Byte](dl, dh, 0x21.toByte) ++
+      Array.fill(15)(0x88.toByte)
+    val xs = dequantizeQ4_0(block)
+    assert(xs.length == 32)
+    assert(xs(0) == -7f && xs(16) == -6f)
+    assert((1 until 16).forall(j => xs(j) == 0f && xs(16 + j) == 0f))
+  }
+
+  test("Q5_0: hand-pinned block layout (qh 5th-bit plane)") {
+    // d = 1.0; qh bits 0 and 16 set → lanes 0/16 get the high bit:
+    // lane0 = ((1|0x10)-16)·1 = 1, lane16 = ((2|0x10)-16) = 2;
+    // all other lanes qs=0, qh=0 → (0-16)·1 = -16
+    val (dl, dh) = halfBytes(1f)
+    val block = Array[Byte](dl, dh,
+      0x01, 0x00, 0x01, 0x00, // qh = 0x00010001 LE
+      0x21.toByte) ++ Array.fill(15)(0.toByte)
+    val xs = dequantizeQ5_0(block)
+    assert(xs(0) == 1f && xs(16) == 2f)
+    assert((1 until 16).forall(j =>
+      xs(j) == -16f && xs(16 + j) == -16f))
+  }
+
+  test("Q4_1/Q5_1: hand-pinned affine blocks (d·q + m)") {
+    val (dl, dh) = halfBytes(0.5f)
+    val (ml, mh) = halfBytes(2f)
+    // Q4_1: qs[0] = 0x31 → lane0 = 1·0.5+2 = 2.5, lane16 = 3·0.5+2
+    val b41 = Array[Byte](dl, dh, ml, mh, 0x31.toByte) ++
+      Array.fill(15)(0.toByte)
+    val x41 = dequantizeQ4_1(b41)
+    assert(x41(0) == 2.5f && x41(16) == 3.5f && x41(1) == 2f)
+    // Q5_1: qh bit 1 set → lane1 = (0|0x10)·0.5+2 = 10
+    val b51 = Array[Byte](dl, dh, ml, mh,
+      0x02, 0x00, 0x00, 0x00) ++ Array.fill(16)(0.toByte)
+    val x51 = dequantizeQ5_1(b51)
+    assert(x51(0) == 2f && x51(1) == 10f && x51(16) == 2f)
+  }
+
+  test("Q4/Q5 family: round-trip error bounds over random blocks") {
+    val rnd = new scala.util.Random(17)
+    val xs = Array.fill(256)((rnd.nextFloat() - 0.5f) * 16f)
+    def check(tag: String, deq: Array[Float],
+        blockLen: Int, data: Array[Byte]): Unit = {
+      assert(data.length == 256 / 32 * blockLen, tag)
+      var b = 0
+      while (b < 256) {
+        val d = math.abs(Safetensors.halfToFloat(
+          ((data(b / 32 * blockLen) & 0xff) |
+            ((data(b / 32 * blockLen + 1) & 0xff) << 8))))
+        val mn = (b until b + 32).map(xs).min
+        val mx = (b until b + 32).map(xs).max
+        val affine = tag == "Q4_1" || tag == "Q5_1"
+        val bound = if (affine)
+          d * 0.52 + math.max(math.abs(mn), math.abs(mx)) * 1e-3 +
+            1e-6
+        else d * 1.01 + 1e-7
+        (b until b + 32).foreach { i =>
+          assert(math.abs(deq(i) - xs(i)) <= bound,
+            s"$tag lane $i: ${xs(i)} -> ${deq(i)} (d=$d)")
+        }
+        b += 32
+      }
+    }
+    check("Q4_0", dequantizeQ4_0(quantizeQ4_0(xs)), 18,
+      quantizeQ4_0(xs))
+    check("Q4_1", dequantizeQ4_1(quantizeQ4_1(xs)), 20,
+      quantizeQ4_1(xs))
+    check("Q5_0", dequantizeQ5_0(quantizeQ5_0(xs)), 22,
+      quantizeQ5_0(xs))
+    check("Q5_1", dequantizeQ5_1(quantizeQ5_1(xs)), 24,
+      quantizeQ5_1(xs))
+    // constant blocks: affine forms reproduce the value exactly
+    // (d = 0, m = the value); symmetric forms land on a code
+    val const = Array.fill(32)(3.25f)
+    assert(dequantizeQ4_1(quantizeQ4_1(const)).forall(_ == 3.25f))
+    assert(dequantizeQ5_1(quantizeQ5_1(const)).forall(_ == 3.25f))
+    assert(dequantizeQ4_0(quantizeQ4_0(new Array[Float](32)))
+      .forall(_ == 0f))
+    assert(dequantizeQ5_0(quantizeQ5_0(new Array[Float](32)))
+      .forall(_ == 0f))
+  }
+
+  test("quant tensors travel the container with correct sizes") {
+    val rnd = new scala.util.Random(29)
+    val xs = Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)
+    val ts = Seq(
+      GTensor("a", Seq(32L, 2L), "Q4_0", quantizeQ4_0(xs)),
+      GTensor("b", Seq(64L), "Q4_1", quantizeQ4_1(xs)),
+      GTensor("c", Seq(64L), "Q5_0", quantizeQ5_0(xs)),
+      GTensor("d", Seq(64L), "Q5_1", quantizeQ5_1(xs)))
+    val (_, back) = parse(build(Seq.empty, ts)).get
+    assert(back.map(_.tpe) == Seq("Q4_0", "Q4_1", "Q5_0", "Q5_1"))
+    assert(back.map(_.data.length) == Seq(36, 40, 44, 48))
+    assert(dequantizeQ5_1(back(3).data)
+      .sameElements(dequantizeQ5_1(ts(3).data)))
+    // non-multiple-of-32 element counts reject for every block type
+    Seq("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0").foreach { t =>
+      assert(byteSize(t, 33).isEmpty)
+      assert(byteSize(t, 64).isDefined)
+    }
+  }
+
   test("malformed inputs reject, never throw") {
     val ok = build(Seq("k" -> GvI32(1)),
       Seq(GTensor("w", Seq(2L), "F32", f32Bytes(1f, 2f))))
