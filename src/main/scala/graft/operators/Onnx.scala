@@ -27,8 +27,12 @@ package graft.operators
   *
   * Supported tensor element types: FLOAT(1), UINT8(2), INT8(3),
   * INT32(6), INT64(7), BOOL(9), FLOAT16(10), DOUBLE(11),
-  * BFLOAT16(16) — F16/BF16 through the shared closed-form
-  * half-float arithmetic. Anything else rejects honestly.
+  * BFLOAT16(16), FLOAT8E4M3FN(17), FLOAT8E5M2(19) — F16/BF16
+  * through the shared closed-form half-float arithmetic and the F8
+  * pair through [[Safetensors.f8e4m3ToFloat]]/[[Safetensors
+  * .f8e5m2ToFloat]] (closed form, no table). Anything else —
+  * including the FNUZ float8 variants (18/20), which real
+  * exporters do not emit — rejects honestly.
   * External-data tensors (data_location = 1) reject — their bytes
   * live outside the file. Validation: OnnxSpec (hand-pinned wire
   * layouts, both storage paths, packed/per-element acceptance,
@@ -41,7 +45,7 @@ object Onnx {
   /** data_type → bytes per element (the supported set). */
   val ItemSize: Map[Int, Int] = Map(
     1 -> 4, 2 -> 1, 3 -> 1, 6 -> 4, 7 -> 8, 9 -> 1, 10 -> 2,
-    11 -> 8, 16 -> 2)
+    11 -> 8, 16 -> 2, 17 -> 1, 19 -> 1)
 
   /** One initializer: dims, ONNX data_type id, and the payload
     * normalized to little-endian raw bytes. */
@@ -377,5 +381,13 @@ object Onnx {
     require(t.dataType == 16)
     java.lang.Float.intBitsToFloat(
       (bb(t).getShort(i * 2) & 0xffff) << 16)
+  }
+  def f8e4m3At(t: OTensor, i: Int): Float = {
+    require(t.dataType == 17)
+    Safetensors.f8e4m3ToFloat(t.data(i) & 0xff)
+  }
+  def f8e5m2At(t: OTensor, i: Int): Float = {
+    require(t.dataType == 19)
+    Safetensors.f8e5m2ToFloat(t.data(i) & 0xff)
   }
 }

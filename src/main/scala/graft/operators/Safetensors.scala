@@ -203,6 +203,84 @@ object Safetensors {
   def bf16At(t: Tensor, i: Int): Float =
     java.lang.Float.intBitsToFloat((bb(t).getShort(i * 2) & 0xffff) << 16)
 
+  /** float8 E4M3 lane (the FN variant the format ships — torch
+    * float8_e4m3fn): no infinities, NaN only at S.1111.111. */
+  def f8e4m3At(t: Tensor, i: Int): Float =
+    f8e4m3ToFloat(t.data(i) & 0xff)
+
+  /** float8 E5M2 lane: IEEE-style, exp 31 carries inf/NaN. */
+  def f8e5m2At(t: Tensor, i: Int): Float =
+    f8e5m2ToFloat(t.data(i) & 0xff)
+
+  /** E4M3(FN) bits → Float. 1-4-3, bias 7; exponent 15 codes are
+    * NORMAL numbers up to 448 except mantissa 111 (NaN); there is
+    * no infinity. Subnormals: f/8 · 2^-6. Closed form — no table. */
+  def f8e4m3ToFloat(b: Int): Float = {
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val e = (b >>> 3) & 0x0f
+    val f = b & 0x07
+    if (e == 0x0f && f == 0x07) Float.NaN
+    else if (e == 0) sign * f / 8f * math.pow(2, -6).toFloat
+    else sign * (1f + f / 8f) *
+      java.lang.Math.scalb(1f, e - 7)
+  }
+
+  /** E5M2 bits → Float. 1-5-2, bias 15; exponent 31 is inf (f=0)
+    * or NaN. Subnormals: f/4 · 2^-14. */
+  def f8e5m2ToFloat(b: Int): Float = {
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val e = (b >>> 2) & 0x1f
+    val f = b & 0x03
+    if (e == 0x1f) {
+      if (f == 0) sign * Float.PositiveInfinity else Float.NaN
+    }
+    else if (e == 0) sign * f / 4f * math.pow(2, -14).toFloat
+    else sign * (1f + f / 4f) *
+      java.lang.Math.scalb(1f, e - 15)
+  }
+
+  /** Float → E4M3(FN) bits, round-to-nearest-even; values past the
+    * max finite 448 SATURATE (the FN convention — there is no inf
+    * to overflow into); NaN → 0x7f. */
+  def floatToF8E4M3(x: Float): Byte = {
+    if (x.isNaN) return 0x7f.toByte
+    val sign = if (x < 0f ||
+      (x == 0f && (java.lang.Float.floatToIntBits(x) < 0))) 0x80
+      else 0
+    val a = math.abs(x)
+    if (a > 448f || a.isInfinite) return (sign | 0x7e).toByte
+    if (a < math.pow(2, -10)) return sign.toByte // below half-min
+    // scaled integer round: find e with 1 ≤ a/2^e < 2 (or subnormal)
+    var e = math.getExponent(a)
+    if (e < -6) e = -6 // subnormal plane
+    val scaled = a / java.lang.Math.scalb(1f, e) * 8f
+    var m = math.rint(scaled).toInt // ties-to-even
+    if (m >= 16) { m = 8; e += 1 } // mantissa carry
+    if (e > 8 || (e == 8 && m > 14)) (sign | 0x7e).toByte // saturate
+    else if (m < 8) (sign | (m & 0x07)).toByte // stayed subnormal
+    else (sign | ((e + 7) << 3) | (m & 0x07)).toByte
+  }
+
+  /** Float → E5M2 bits, round-to-nearest-even; overflow → ±inf,
+    * NaN → 0x7f. */
+  def floatToF8E5M2(x: Float): Byte = {
+    if (x.isNaN) return 0x7f.toByte
+    val sign = if (x < 0f ||
+      (x == 0f && (java.lang.Float.floatToIntBits(x) < 0))) 0x80
+      else 0
+    val a = math.abs(x)
+    if (a.isInfinite) return (sign | 0x7c).toByte
+    if (a < math.pow(2, -17)) return sign.toByte
+    var e = math.getExponent(a)
+    if (e < -14) e = -14
+    val scaled = a / java.lang.Math.scalb(1f, e) * 4f
+    var m = math.rint(scaled).toInt
+    if (m >= 8) { m = 4; e += 1 }
+    if (e > 15) (sign | 0x7c).toByte // overflow → inf
+    else if (m < 4) (sign | (m & 0x03)).toByte
+    else (sign | ((e + 15) << 2) | (m & 0x03)).toByte
+  }
+
   def halfToFloat(h: Int): Float = {
     val sign = (h >>> 15) & 1
     val exp = (h >>> 10) & 0x1f

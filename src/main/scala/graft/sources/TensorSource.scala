@@ -15,9 +15,11 @@ import graft.operators.Safetensors.Tensor
   * FIRST dimension is the row count (they must all agree), a rank-1
   * tensor is a scalar column, a rank-2 `[n, d]` tensor is an
   * `ArrayType` column of its element type (embedding matrices).
-  * Rank ≥ 3 and the F8 dtypes reject loudly (no silent flattening,
-  * no approximate decode). F16/BF16 decode to Float via the shared
-  * closed-form half-float arithmetic. Column order is the file's
+  * Rank ≥ 3 rejects loudly (no silent flattening). F16/BF16 decode
+  * to Float via the shared closed-form half-float arithmetic, and
+  * the F8 pair (E4M3-FN / E5M2) through the closed-form float8
+  * conversions beside it — quantized activation dumps read as
+  * ordinary Float columns. Column order is the file's
   * data-buffer order; safetensors has no null notion, so every
   * column is non-nullable.
   *
@@ -41,7 +43,7 @@ object TensorSource {
     case "I32" => IntegerType
     case "U32" => LongType
     case "I64" | "U64" => LongType // u64 raw bits
-    case "F16" | "BF16" | "F32" => FloatType
+    case "F16" | "BF16" | "F32" | "F8_E4M3" | "F8_E5M2" => FloatType
     case "F64" => DoubleType
     case t => throw new IllegalArgumentException(
       s"no Spark mapping for safetensors dtype $t")
@@ -84,6 +86,8 @@ object TensorSource {
     case "I64" | "U64" => Safetensors.i64At(t, i)
     case "F16" => Safetensors.f16At(t, i)
     case "BF16" => Safetensors.bf16At(t, i)
+    case "F8_E4M3" => Safetensors.f8e4m3At(t, i)
+    case "F8_E5M2" => Safetensors.f8e5m2At(t, i)
     case "F32" => Safetensors.f32At(t, i)
     case "F64" => Safetensors.f64At(t, i)
     case d => throw new IllegalArgumentException(s"dtype $d")

@@ -75,6 +75,25 @@ class TensorSourceSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == bfs.toSet)
   }
 
+  test("F8 shards read back as Float columns (E4M3-FN and E5M2)") {
+    val dir = tmpDir("tsrc_f8")
+    // E4M3-FN: 0x38=1.0 0xc0=-2.0 0x7e=448 0x01=2^-9
+    // E5M2:    0x3c=1.0 0xc0=-2.0 0x7b=57344 0x01=2^-16
+    val bytes = Safetensors.build(Seq(
+      Safetensors.Tensor("a", "F8_E4M3", Seq(4),
+        Array(0x38, 0xc0, 0x7e, 0x01).map(_.toByte)),
+      Safetensors.Tensor("b", "F8_E5M2", Seq(4),
+        Array(0x3c, 0xc0, 0x7b, 0x01).map(_.toByte))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "a.safetensors"), bytes)
+    val got = TensorSource.read(spark, dir)
+      .collect().map(r => (r.getFloat(0), r.getFloat(1)))
+    assert(got.map(_._1).toSet ==
+      Set(1f, -2f, 448f, math.pow(2, -9).toFloat))
+    assert(got.map(_._2).toSet ==
+      Set(1f, -2f, 57344f, math.pow(2, -16).toFloat))
+  }
+
   test("streaming twin equals the batch read") {
     val s = spark
     import s.implicits._

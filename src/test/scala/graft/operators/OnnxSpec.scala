@@ -96,6 +96,38 @@ class OnnxSpec extends AnyFunSuite {
     assert(bf16At(got.initializers(1), 1) == -2.0f)
   }
 
+  test("F8 initializers decode; FNUZ variants reject honestly") {
+    // E4M3-FN 0x38 = 1.0, 0xc0 = -2.0; E5M2 0x3c = 1.0, 0x44 = 4.0
+    val m = OModel(8L, "g", Seq(("", 17L)), "g",
+      Seq.empty,
+      Seq(OTensor("a", Seq(2L), 17,
+          Array(0x38, 0xc0).map(_.toByte)),
+        OTensor("b", Seq(2L), 19,
+          Array(0x3c, 0x44).map(_.toByte))),
+      Seq.empty, Seq.empty)
+    val got = parseModel(buildModel(m)).get
+    assert(f8e4m3At(got.initializers(0), 0) == 1f)
+    assert(f8e4m3At(got.initializers(0), 1) == -2f)
+    assert(f8e5m2At(got.initializers(1), 0) == 1f)
+    assert(f8e5m2At(got.initializers(1), 1) == 4f)
+    // FLOAT8E4M3FNUZ (18) has a different bias/NaN plane — reject
+    val bytes = buildModel(OModel(8L, "g", Seq.empty, "g",
+      Seq.empty,
+      Seq(OTensor("a", Seq(1L), 17, Array(0x38.toByte))),
+      Seq.empty, Seq.empty))
+    // patch the data_type varint 17 → 18 (single-byte varint)
+    var i = 0
+    var patched: Array[Byte] = null
+    while (patched == null && i < bytes.length) {
+      if (bytes(i) == 17) {
+        val c = bytes.clone(); c(i) = 18
+        if (parseModel(c).isEmpty) patched = c
+      }
+      i += 1
+    }
+    assert(patched != null)
+  }
+
   test("malformed models reject; unknown fields skip") {
     val ok = buildModel(model(rawData = true))
     assert(parseModel(ok).isDefined)

@@ -109,6 +109,62 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(bf16At(t, 1) == -3.140625f)
   }
 
+  test("F8 E4M3(FN)/E5M2: exhaustive decode vs the analytic form") {
+    // independent formula: sign · (e==0 ? f/2^m · 2^(1-bias)
+    //   : (1+f/2^m) · 2^(e-bias)) — computed here in Double
+    def ref(b: Int, ebits: Int, mbits: Int, bias: Int): Double = {
+      val sign = if ((b & 0x80) != 0) -1.0 else 1.0
+      val e = (b >>> mbits) & ((1 << ebits) - 1)
+      val f = b & ((1 << mbits) - 1)
+      if (e == 0) sign * f / (1 << mbits).toDouble *
+        math.pow(2, 1 - bias)
+      else sign * (1.0 + f / (1 << mbits).toDouble) *
+        math.pow(2, e - bias)
+    }
+    (0 until 256).foreach { b =>
+      // E4M3-FN: only S.1111.111 is NaN, everything else a number
+      val x = f8e4m3ToFloat(b)
+      if ((b & 0x7f) == 0x7f) assert(x.isNaN, f"e4m3 $b%02x")
+      else {
+        assert(x.toDouble == ref(b, 4, 3, 7), f"e4m3 $b%02x")
+        // encode(decode) is the identity on every non-NaN pattern
+        // (−0 comes back as −0)
+        assert((floatToF8E4M3(x) & 0xff) == b, f"e4m3 rt $b%02x")
+      }
+      // E5M2: exp 31 → inf (f=0) / NaN
+      val y = f8e5m2ToFloat(b)
+      if ((b & 0x7c) == 0x7c && (b & 0x03) != 0)
+        assert(y.isNaN, f"e5m2 $b%02x")
+      else if ((b & 0x7f) == 0x7c)
+        assert(y.isInfinite, f"e5m2 $b%02x")
+      else {
+        assert(y.toDouble == ref(b, 5, 2, 15), f"e5m2 $b%02x")
+        assert((floatToF8E5M2(y) & 0xff) == b, f"e5m2 rt $b%02x")
+      }
+    }
+    // landmark values
+    assert(f8e4m3ToFloat(0x38) == 1f)
+    assert(f8e4m3ToFloat(0x7e) == 448f)        // max finite
+    assert(f8e4m3ToFloat(0x01) == math.pow(2, -9).toFloat)
+    assert(f8e5m2ToFloat(0x3c) == 1f)
+    assert(f8e5m2ToFloat(0x7b) == 57344f)      // max finite
+    assert(f8e5m2ToFloat(0x01) == math.pow(2, -16).toFloat)
+    // rounding: ties to even, saturation semantics
+    assert((floatToF8E4M3(449f) & 0xff) == 0x7e)  // FN saturates
+    assert((floatToF8E4M3(1e10f) & 0xff) == 0x7e)
+    assert((floatToF8E5M2(1e10f) & 0xff) == 0x7c) // E5M2 overflows
+    assert(floatToF8E4M3(Float.NaN) == 0x7f.toByte)
+    // halfway between 1.0 (0x38) and 1.125 (0x39): ties to even
+    assert((floatToF8E4M3(1.0625f) & 0xff) == 0x38)
+    // lanes through a built file
+    val t = Tensor("q", "F8_E4M3", Seq(2),
+      Array(0x38, 0xc0).map(_.toByte)) // 1.0, -2.0
+    val (_, ts) = parse(build(Seq(t))).get
+    assert(f8e4m3At(ts.head, 0) == 1f && f8e4m3At(ts.head, 1) == -2f)
+    val t2 = Tensor("r", "F8_E5M2", Seq(1), Array(0xc0.toByte))
+    assert(f8e5m2At(parse(build(Seq(t2))).get._2.head, 0) == -2f)
+  }
+
   test("non-canonical and malformed headers reject") {
     val t = Tensor("w", "F32", Seq(2), f32s(1, 2))
     val ok = build(Seq(t))
