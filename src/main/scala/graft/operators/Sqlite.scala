@@ -14,12 +14,24 @@ package graft.operators
   *    the record serial-type codec (NULL, 1/2/3/4/6/8-byte
   *    big-endian ints, float64, the constant 0/1 forms, text and
   *    blob), and OVERFLOW page chains via the spec's exact local-
-  *    payload formula. WITHOUT ROWID tables (index b-trees as
-  *    primary storage) and virtual tables reject honestly.
+  *    payload formulas (X = U-35 for table leaves,
+  *    X = ((U-12)·64/255)-23 for index pages — they differ).
+  *    WITHOUT ROWID tables read for real: their primary storage is
+  *    an INDEX b-tree (page types 2/10) whose records carry the
+  *    PRIMARY KEY columns first then the rest in declared order,
+  *    each key appearing exactly ONCE in the whole tree (interior
+  *    cells are rows too — the walk is an in-order traversal, not
+  *    a leaf scan); [[rows]] inverse-permutes back to declared
+  *    column order using the PK parsed from the DDL. Virtual
+  *    tables still reject honestly.
   *  - [[build]]: a conforming database for one declared table —
   *    header, schema page, and a table b-tree that packs leaf
   *    pages bottom-up into interior levels as needed, spilling
   *    long payloads to overflow chains; readable by any sqlite3.
+  *    With `pkColumns` set it writes the WITHOUT ROWID form
+  *    instead: records permuted PK-first into an index b-tree with
+  *    separator keys PULLED UP into interior cells (never
+  *    duplicated), `PRIMARY KEY(...)  ... WITHOUT ROWID` DDL.
   *
   * Column NAMES come from the catalog's CREATE TABLE sql, parsed
   * by a minimal paren/quote-aware splitter (good for the
@@ -41,9 +53,12 @@ package graft.operators
 object Sqlite {
 
   final case class Table(name: String, rootPage: Int,
-      columns: Seq[String], sql: String, ipkColumn: Int)
+      columns: Seq[String], sql: String, ipkColumn: Int,
+      withoutRowid: Boolean = false,
+      pkColumns: Seq[Int] = Seq.empty)
   /** One decoded row: rowid + column values (null / Long / Double /
-    * String / Array[Byte]). */
+    * String / Array[Byte]). For WITHOUT ROWID tables there is no
+    * rowid — `rowid` is the 1-based position in key order. */
   final case class Row(rowid: Long, values: Seq[Any])
 
   private final val Magic =
@@ -195,22 +210,19 @@ object Sqlite {
     Some(out.result())
   }
 
-  /** Full cell payload, following overflow chains per the spec's
-    * local-payload formula for TABLE leaves. */
-  private def leafPayload(db: Db, pageOff: Int, cellOff: Int)
-      : Option[(Long, Array[Byte], Int)] = {
+  /** Assemble a cell payload of declared length `plen` starting at
+    * `start`, spilling to overflow chains when it exceeds
+    * `maxLocal` (the caller supplies the page-family X formula).
+    * Returns (payload, localBytesConsumed). */
+  private def assemblePayload(db: Db, start: Int, plen: Long,
+      maxLocal: Int): Option[(Array[Byte], Int)] = {
     val d = db.data
-    val (plen, n1) = varint(d, cellOff).getOrElse(return None)
-    val (rowid, n2) = varint(d, cellOff + n1).getOrElse(return None)
     if (plen < 0 || plen > (1L << 31)) return None
     val u = db.usable
-    val maxLocal = u - 35
-    val start = cellOff + n1 + n2
     if (plen <= maxLocal) {
       if (start + plen > d.length) return None
-      Some((rowid,
-        java.util.Arrays.copyOfRange(d, start, start + plen.toInt),
-        n1 + n2 + plen.toInt))
+      Some((java.util.Arrays.copyOfRange(d, start,
+        start + plen.toInt), plen.toInt))
     } else {
       val minLocal = (u - 12) * 32 / 255 - 23
       var local = minLocal + ((plen - minLocal) % (u - 4)).toInt
@@ -230,8 +242,30 @@ object Sqlite {
         remaining -= chunk
         next = u32(d, off).toInt
       }
-      Some((rowid, out.toByteArray, n1 + n2 + local + 4))
+      Some((out.toByteArray, local + 4))
     }
+  }
+
+  /** Full cell payload, following overflow chains per the spec's
+    * local-payload formula for TABLE leaves (X = U-35). */
+  private def leafPayload(db: Db, pageOff: Int, cellOff: Int)
+      : Option[(Long, Array[Byte], Int)] = {
+    val d = db.data
+    val (plen, n1) = varint(d, cellOff).getOrElse(return None)
+    val (rowid, n2) = varint(d, cellOff + n1).getOrElse(return None)
+    val (payload, consumed) = assemblePayload(db, cellOff + n1 + n2,
+      plen, db.usable - 35).getOrElse(return None)
+    Some((rowid, payload, n1 + n2 + consumed))
+  }
+
+  /** INDEX cell payload (leaf cells, or interior cells with the
+    * 4-byte child already skipped): X = ((U-12)·64/255)-23. */
+  private def indexPayload(db: Db, cellOff: Int)
+      : Option[Array[Byte]] = {
+    val d = db.data
+    val (plen, n1) = varint(d, cellOff).getOrElse(return None)
+    assemblePayload(db, cellOff + n1, plen,
+      (db.usable - 12) * 64 / 255 - 23).map(_._1)
   }
 
   /** Walk a TABLE b-tree rooted at `root`, in key order. */
@@ -271,17 +305,63 @@ object Sqlite {
           }
           go(u32(d, hdr + 8).toInt) // rightmost
         case 2 | 10 =>
-          false // index b-tree as table storage (WITHOUT ROWID)
+          false // index b-tree: use walkIndex (WITHOUT ROWID)
         case _ => false
       }
     }
     if (go(root)) Some(out.result()) else None
   }
 
-  /** Column names from `CREATE TABLE name (col1 T1, col2 T2, …)`;
+  /** Walk an INDEX b-tree (WITHOUT ROWID primary storage) rooted at
+    * `root` as an IN-ORDER traversal: each key lives exactly once
+    * in the tree, so interior cells are emitted between their left
+    * child and the next cell. Returns record payloads in key
+    * order. */
+  private def walkIndex(db: Db, root: Int)
+      : Option[Seq[Array[Byte]]] = {
+    val d = db.data
+    val out = Seq.newBuilder[Array[Byte]]
+    val seen = scala.collection.mutable.Set[Int]()
+    def go(p: Int): Boolean = {
+      if (!seen.add(p)) return false // cycle
+      val base = db.page(p).getOrElse(return false)
+      val hdr = base + (if (p == 1) 100 else 0)
+      if (hdr + 8 > d.length) return false
+      val tpe = d(hdr) & 0xff
+      val nCells = u16(d, hdr + 3)
+      tpe match {
+        case 10 => // leaf index
+          var i = 0
+          while (i < nCells) {
+            val off = base + u16(d, hdr + 8 + 2 * i)
+            if (off < base || off >= base + db.pageSize) return false
+            out += indexPayload(db, off).getOrElse(return false)
+            i += 1
+          }
+          true
+        case 2 => // interior index: child, THEN the cell's own key
+          var i = 0
+          while (i < nCells) {
+            val off = base + u16(d, hdr + 12 + 2 * i)
+            if (off < base || off + 4 > d.length) return false
+            if (!go(u32(d, off).toInt)) return false
+            out += indexPayload(db, off + 4).getOrElse(return false)
+            i += 1
+          }
+          go(u32(d, hdr + 8).toInt) // rightmost
+        case _ => false
+      }
+    }
+    if (go(root)) Some(out.result()) else None
+  }
+
+  /** Column names, INTEGER-PRIMARY-KEY alias index, and PRIMARY
+    * KEY column indices (column-level or the table-level
+    * `PRIMARY KEY(a, b)` constraint) from
+    * `CREATE TABLE name (col1 T1, col2 T2, …)`;
     * None → the caller falls back to positional names. */
   private[operators] def columnsFromSql(sql: String)
-      : Option[(Seq[String], Int)] = {
+      : Option[(Seq[String], Int, Seq[Int])] = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     if (open < 0 || close <= open) return None
@@ -306,10 +386,11 @@ object Sqlite {
     val constraintKw = Set("primary", "unique", "check", "foreign",
       "constraint")
     var ipk = -1
-    val cols = parts.result().map(_.trim).filter(_.nonEmpty)
-      .filterNot(p =>
-        constraintKw(p.split("\\s+").head.toLowerCase))
-      .zipWithIndex.map { case (p, i) =>
+    val pk = Seq.newBuilder[Int]
+    val (constraintParts, colParts) = parts.result().map(_.trim)
+      .filter(_.nonEmpty)
+      .partition(p => constraintKw(p.split("\\s+").head.toLowerCase))
+    val cols = colParts.zipWithIndex.map { case (p, i) =>
         // quoted names may contain spaces: "a b" TEXT
         val name = p.head match {
           case q0 @ ('"' | '`' | '\'') =>
@@ -324,9 +405,38 @@ object Sqlite {
         }
         if (p.toLowerCase.matches(
           """(?s).*\bint\w*\s+primary\s+key.*""")) ipk = i
+        if (p.toLowerCase.matches(
+          """(?s).*\bprimary\s+key\b.*""")) pk += i
         name
       }
-    if (cols.isEmpty) None else Some((cols, ipk))
+    // the table-level constraint: PRIMARY KEY ("a", b DESC, …)
+    constraintParts
+      .filter(_.toLowerCase.startsWith("primary")).foreach { p =>
+        val o = p.indexOf('(')
+        val cl = p.lastIndexOf(')')
+        if (o > 0 && cl > o) {
+          p.substring(o + 1, cl).split(",").foreach { raw =>
+            val w = raw.trim
+            if (w.nonEmpty) {
+              val nm = w.head match {
+                case q0 @ ('"' | '`' | '\'') =>
+                  val end = w.indexOf(q0, 1)
+                  if (end > 0) w.substring(1, end)
+                  else w.split("\\s+").head
+                case '[' =>
+                  val end = w.indexOf(']', 1)
+                  if (end > 0) w.substring(1, end)
+                  else w.split("\\s+").head
+                case _ => w.split("\\s+").head // strip ASC/DESC
+              }
+              val idx = cols.indexWhere(_.equalsIgnoreCase(nm))
+              if (idx >= 0) pk += idx
+            }
+          }
+        }
+      }
+    if (cols.isEmpty) None
+    else Some((cols, ipk, pk.result().distinct))
   }
 
   /** The catalog: every rowid TABLE in sqlite_schema. */
@@ -349,22 +459,49 @@ object Sqlite {
           case s: String => s
           case _ => ""
         }
-        if (sql.toLowerCase.contains("without rowid") ||
-          sql.toLowerCase.startsWith("create virtual"))
+        if (sql.toLowerCase.startsWith("create virtual"))
           return None // honest rejection: we'd walk it wrongly
-        val (cols, ipk) = columnsFromSql(sql).getOrElse((Seq.empty, -1))
-        out += Table(name, root, cols, sql, ipk)
+        val wr = sql.toLowerCase.contains("without rowid")
+        val (cols, ipk, pk) = columnsFromSql(sql)
+          .getOrElse((Seq.empty[String], -1, Seq.empty[Int]))
+        // in a WITHOUT ROWID table INTEGER PRIMARY KEY is NOT a
+        // rowid alias — the PK is stored for real
+        out += Table(name, root, cols, sql,
+          if (wr) -1 else ipk, wr, if (wr) pk else Seq.empty)
       }
     }
     Some(out.result())
   }
 
   /** All rows of `table`, in rowid order, with the INTEGER PRIMARY
-    * KEY alias column (NULL in the record) filled from the rowid. */
+    * KEY alias column (NULL in the record) filled from the rowid.
+    * WITHOUT ROWID tables come back in primary-key order with
+    * values inverse-permuted to DECLARED column order (the stored
+    * records are PK-first); if the DDL was unparseable the layout
+    * is unknowable → None, never a silently wrong permutation. */
   def rows(data: Array[Byte], table: String): Option[Seq[Row]] = {
     val db = open(data).getOrElse(return None)
     val t = tables(data).getOrElse(return None)
       .find(_.name == table).getOrElse(return None)
+    if (t.withoutRowid) {
+      if (t.columns.isEmpty || t.pkColumns.isEmpty) return None
+      val n = t.columns.length
+      // record position → declared column index
+      val order = t.pkColumns ++
+        (0 until n).filterNot(t.pkColumns.contains)
+      val recs = walkIndex(db, t.rootPage).getOrElse(return None)
+      val out = recs.zipWithIndex.map { case (payload, i) =>
+        val vals0 = record(payload).getOrElse(return None)
+        if (vals0.length > n) return None
+        // records may be short of trailing (non-PK) columns
+        val vals = vals0 ++ Seq.fill(n - vals0.length)(null)
+        val declared = new Array[Any](n)
+        order.zipWithIndex.foreach { case (dst, pos) =>
+          declared(dst) = vals(pos) }
+        Row(i + 1L, declared.toSeq)
+      }
+      return Some(out)
+    }
     val raw = walkTable(db, t.rootPage).getOrElse(return None)
     val out = raw.map { case (rowid, payload) =>
       val vals = record(payload).getOrElse(return None)
@@ -442,14 +579,24 @@ object Sqlite {
   /** Build a single-table database. `rows` are (rowid, values);
     * an `ipk` column (INTEGER PRIMARY KEY alias) is stored as NULL
     * per the spec. Page size is a build knob so tests can force
-    * overflow + multi-level trees cheaply. */
+    * overflow + multi-level trees cheaply. With `pkColumns`
+    * non-empty the table is written WITHOUT ROWID instead: rows
+    * (which must already be in primary-key order) are stored
+    * PK-columns-first in an index b-tree whose separator keys are
+    * pulled up into interior cells, and rowids are ignored. */
   def build(tableName: String, columns: Seq[String],
       tableRows: Seq[(Long, Seq[Any])], pageSize: Int = 4096,
-      ipkColumn: Int = -1): Array[Byte] = {
+      ipkColumn: Int = -1, pkColumns: Seq[Int] = Seq.empty)
+      : Array[Byte] = {
     require(pageSize >= 512 && pageSize <= 65536 &&
       (pageSize & (pageSize - 1)) == 0, "bad page size")
+    require(pkColumns.isEmpty || ipkColumn < 0,
+      "pkColumns (WITHOUT ROWID) and ipkColumn are exclusive")
+    require(pkColumns.forall(i => i >= 0 && i < columns.length),
+      "pkColumns out of range")
     val u = pageSize // reserved = 0
     val maxLocal = u - 35
+    val maxLocalIdx = (u - 12) * 64 / 255 - 23
     val minLocal = (u - 12) * 32 / 255 - 23
 
     // pages are accumulated here; index = pageNo - 1, page 1 is
@@ -467,6 +614,33 @@ object Sqlite {
       p(o + 3) = (v & 0xff).toByte
     }
 
+    /** Spill `payload` bytes past `local` to an overflow chain;
+      * returns the first overflow page number. */
+    def spill(payload: Array[Byte], local: Int): Int = {
+      var off = local
+      var firstPage = 0
+      var prev: Array[Byte] = null
+      while (off < payload.length) {
+        val pno = newPage()
+        val pg = pages(pno - 1)
+        if (prev != null) put32(prev, 0, pno.toLong)
+        else firstPage = pno
+        val chunk = math.min(payload.length - off, u - 4)
+        System.arraycopy(payload, off, pg, 4, chunk)
+        off += chunk
+        prev = pg
+      }
+      firstPage
+    }
+
+    /** Local payload size for a spilled cell given the page
+      * family's X. */
+    def localFor(plen: Int, xMax: Int): Int = {
+      var local = minLocal + ((plen - minLocal) % (u - 4))
+      if (local > xMax) local = minLocal
+      local
+    }
+
     /** A leaf-table cell (with overflow spill if needed), returning
       * the LOCAL cell bytes. */
     def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
@@ -476,24 +650,9 @@ object Sqlite {
       if (payload.length <= maxLocal) {
         out.write(payload, 0, payload.length)
       } else {
-        var local = minLocal +
-          ((payload.length - minLocal) % (u - 4))
-        if (local > maxLocal) local = minLocal
+        val local = localFor(payload.length, maxLocal)
         out.write(payload, 0, local)
-        // overflow chain
-        var off = local
-        var firstPage = 0
-        var prev: (Int, Array[Byte]) = null
-        while (off < payload.length) {
-          val pno = newPage()
-          val pg = pages(pno - 1)
-          if (prev != null) put32(prev._2, 0, pno.toLong)
-          else firstPage = pno
-          val chunk = math.min(payload.length - off, u - 4)
-          System.arraycopy(payload, off, pg, 4, chunk)
-          off += chunk
-          prev = (pno, pg)
-        }
+        val firstPage = spill(payload, local)
         val ptr = new Array[Byte](4)
         ptr(0) = ((firstPage >> 24) & 0xff).toByte
         ptr(1) = ((firstPage >> 16) & 0xff).toByte
@@ -502,6 +661,132 @@ object Sqlite {
         out.write(ptr, 0, 4)
       }
       out.toByteArray
+    }
+
+    /** An INDEX cell: optional 4-byte left child (interior), then
+      * varint payload length + local payload (+ overflow pointer),
+      * under the index-page X formula. */
+    def indexCell(payload: Array[Byte], leftChild: Int)
+        : Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (leftChild > 0) {
+        out.write((leftChild >> 24) & 0xff)
+        out.write((leftChild >> 16) & 0xff)
+        out.write((leftChild >> 8) & 0xff)
+        out.write(leftChild & 0xff)
+      }
+      putVarint(out, payload.length.toLong)
+      if (payload.length <= maxLocalIdx) {
+        out.write(payload, 0, payload.length)
+      } else {
+        val local = localFor(payload.length, maxLocalIdx)
+        out.write(payload, 0, local)
+        val firstPage = spill(payload, local)
+        out.write((firstPage >> 24) & 0xff)
+        out.write((firstPage >> 16) & 0xff)
+        out.write((firstPage >> 8) & 0xff)
+        out.write(firstPage & 0xff)
+      }
+      out.toByteArray
+    }
+
+    /** Write one index page (leaf: `rightmost` < 0, cells carry no
+      * child; interior: type 2 with the rightmost pointer). */
+    def writeIndexPage(cells: Seq[Array[Byte]], rightmost: Int)
+        : Int = {
+      val pno = newPage()
+      val pg = pages(pno - 1)
+      val interior = rightmost > 0
+      pg(0) = if (interior) 2 else 10
+      put16(pg, 3, cells.length)
+      val ptrBase = if (interior) 12 else 8
+      var content = pageSize
+      cells.zipWithIndex.foreach { case (cell, i) =>
+        content -= cell.length
+        System.arraycopy(cell, 0, pg, content, cell.length)
+        put16(pg, ptrBase + 2 * i, content)
+      }
+      put16(pg, 5, content)
+      if (interior) put32(pg, 8, rightmost.toLong)
+      pno
+    }
+
+    /** Pack index records into a b-tree: leaves first, separator
+      * keys PULLED UP between adjacent leaves (each key appears
+      * exactly once in the tree), then interior levels the same
+      * way until a single root. Records must already be in key
+      * order. Returns the root page. */
+    def buildIndexTree(records: Seq[Array[Byte]]): Int = {
+      if (records.isEmpty) return writeIndexPage(Seq.empty, -1)
+      // level 0: leaves
+      val leaves = scala.collection.mutable.ArrayBuffer[Int]()
+      val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var i = 0
+      while (i < records.length) {
+        val cur = scala.collection.mutable
+          .ArrayBuffer[Array[Byte]]()
+        var bytes = 0
+        var full = false
+        while (i < records.length && !full) {
+          val cell = indexCell(records(i), 0)
+          if (cur.isEmpty ||
+            8 + bytes + cell.length + 2 * (cur.length + 1)
+              <= pageSize) {
+            cur += cell; bytes += cell.length; i += 1
+          } else full = true
+        }
+        if (i < records.length) {
+          if (i == records.length - 1) {
+            // exactly one record would remain: it must be a LEAF
+            // key (a separator needs a following child), so the
+            // separator is pulled from the end of this leaf
+            // instead. Index cells cap at ~U/4 local bytes, so a
+            // full leaf always holds ≥ 2 cells.
+            require(cur.length > 1, "leaf too small to split")
+            cur.remove(cur.length - 1)
+            seps += records(i - 1)
+          } else { // pulled-up separator between adjacent leaves
+            seps += records(i); i += 1
+          }
+        }
+        leaves += writeIndexPage(cur.toSeq, -1)
+      }
+      def interiorLevel(children: Seq[Int],
+          ss: Seq[Array[Byte]]): Int = {
+        if (children.length == 1) return children.head
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        val up = scala.collection.mutable
+          .ArrayBuffer[Array[Byte]]()
+        var j = 0
+        while (j < children.length) {
+          val cur = scala.collection.mutable
+            .ArrayBuffer[Array[Byte]]()
+          var bytes = 0
+          var rightmost = -1
+          var done = false
+          while (!done) {
+            if (j == children.length - 1) {
+              rightmost = children(j); j += 1; done = true
+            } else {
+              val cell = indexCell(ss(j), children(j))
+              if (cur.isEmpty ||
+                12 + bytes + cell.length + 2 * (cur.length + 1)
+                  <= pageSize) {
+                cur += cell; bytes += cell.length; j += 1
+              } else { // page full: child becomes rightmost, its
+                       // separator moves up a level
+                rightmost = children(j)
+                up += ss(j)
+                j += 1
+                done = true
+              }
+            }
+          }
+          out += writeIndexPage(cur.toSeq, rightmost)
+        }
+        interiorLevel(out.toSeq, up.toSeq)
+      }
+      interiorLevel(leaves.toSeq, seps.toSeq)
     }
 
     /** Pack (key, cell) leaf cells into pages; returns
@@ -602,20 +887,38 @@ object Sqlite {
     require(p1 == 1)
 
     // --- data b-tree ---
-    val dataCells = tableRows.map { case (rowid, values) =>
-      val stored = if (ipkColumn >= 0)
-        values.updated(ipkColumn, null) else values
-      (rowid, leafCell(rowid, encodeRecord(stored)))
+    val rootPage = if (pkColumns.nonEmpty) {
+      // WITHOUT ROWID: records permuted PK-first, index b-tree
+      val order = pkColumns ++
+        columns.indices.filterNot(pkColumns.contains)
+      buildIndexTree(tableRows.map { case (_, values) =>
+        require(values.length == columns.length,
+          "WITHOUT ROWID rows must carry every column")
+        encodeRecord(order.map(values))
+      })
+    } else {
+      val dataCells = tableRows.map { case (rowid, values) =>
+        val stored = if (ipkColumn >= 0)
+          values.updated(ipkColumn, null) else values
+        (rowid, leafCell(rowid, encodeRecord(stored)))
+      }
+      packInterior(packLeaves(dataCells, intoPage1 = false))
     }
-    val leaves = packLeaves(dataCells, intoPage1 = false)
-    val rootPage = packInterior(leaves)
 
     // --- schema record on page 1 ---
     val colDdl = columns.zipWithIndex.map { case (c, i) =>
       if (i == ipkColumn) s""""$c" INTEGER PRIMARY KEY"""
       else s""""$c""""
     }.mkString(", ")
-    val createSql = s"""CREATE TABLE "$tableName" ($colDdl)"""
+    val createSql =
+      if (pkColumns.isEmpty)
+        s"""CREATE TABLE "$tableName" ($colDdl)"""
+      else {
+        val pkDdl = pkColumns.map(i => s""""${columns(i)}"""")
+          .mkString(", ")
+        s"""CREATE TABLE "$tableName" ($colDdl, """ +
+          s"""PRIMARY KEY($pkDdl)) WITHOUT ROWID"""
+      }
     val schemaRec = encodeRecord(Seq(
       "table", tableName, tableName, rootPage.toLong, createSql))
     val schemaCell = leafCell(1L, schemaRec)

@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * byte, serial-type codec across every value class (incl. the
   * 0/1 constant forms and all int widths), the INTEGER PRIMARY KEY
   * rowid alias, multi-level table b-trees at a small page size,
-  * overflow chains (spec local-payload formula both directions),
-  * column-name extraction from CREATE TABLE, zero-row tables,
-  * WITHOUT ROWID / UTF-16 / truncation rejections, cycle guards,
+  * overflow chains (spec local-payload formula both directions —
+  * note index pages use a DIFFERENT X than table leaves), WITHOUT
+  * ROWID tables both directions (index b-tree in-order walk,
+  * PK-first record permutation, pulled-up separators, composite
+  * keys), column-name + PRIMARY KEY extraction from CREATE TABLE,
+  * zero-row tables, UTF-16 / truncation rejections, cycle guards,
   * and mutation fuzz. */
 class SqliteSpec extends AnyFunSuite {
 
@@ -111,13 +114,67 @@ class SqliteSpec extends AnyFunSuite {
       """CREATE TABLE "q t"("a b" TEXT, price DECIMAL(10,2),
         |PRIMARY KEY (price))""".stripMargin).get._1 ==
       Seq("a b", "price"))
-    val (cols, ipk) = columnsFromSql(
+    val (cols, ipk, pk) = columnsFromSql(
       "CREATE TABLE t(id INTEGER PRIMARY KEY, v TEXT)").get
-    assert(cols == Seq("id", "v") && ipk == 0)
+    assert(cols == Seq("id", "v") && ipk == 0 && pk == Seq(0))
     assert(columnsFromSql("CREATE VIRTUAL TABLE x USING fts5").isEmpty)
+    // table-level composite PK, quoted + DESC + case-insensitive
+    val (c2, i2, p2) = columnsFromSql(
+      """CREATE TABLE t(a TEXT, b INT, c REAL,
+        |PRIMARY KEY ("B" DESC, a)) WITHOUT ROWID""".stripMargin).get
+    assert(c2 == Seq("a", "b", "c") && i2 == -1 && p2 == Seq(1, 0))
   }
 
-  test("rejections: WITHOUT ROWID, UTF-16, truncation, bad magic") {
+  test("WITHOUT ROWID: round trip, declared-order values, big tree") {
+    // composite PK (k2, k1) — stored PK-first, read back declared
+    val rows = (1 to 1200).map { i =>
+      (0L, Seq(s"v$i" * (i % 5), i.toLong, i * 0.25,
+        s"k${1200 - i}"): Seq[Any])
+    }
+    // key order = (k2 asc): rows must be pre-sorted by the PK —
+    // pk columns are (3, 1) = (text k, long id)
+    val sorted = rows.sortBy(_._2(3).asInstanceOf[String])
+    val db = build("wr", Seq("payload", "id", "x", "k"), sorted,
+      pageSize = 512, pkColumns = Seq(3, 1))
+    val ts = tables(db).get
+    assert(ts.head.withoutRowid && ts.head.pkColumns == Seq(3, 1))
+    assert(ts.head.ipkColumn == -1)
+    assert(db.length / 512 > 20) // multi-level: separators pulled up
+    val got = Sqlite.rows(db, "wr").get
+    assert(got.length == 1200)
+    // values come back in DECLARED order, key order preserved
+    assert(got.map(_.values(3)) ==
+      sorted.map(_._2(3)))
+    assert(got.map(_.values(1)) == sorted.map(_._2(1)))
+    assert(got.map(_.values(0)) == sorted.map(_._2(0)))
+    assert(got.map(_.rowid) == (1L to 1200L)) // positional
+    // every row of the in-order walk exists exactly once (the
+    // pulled-up interior keys are rows too)
+    assert(got.map(_.values(1)).toSet == rows.map(_._2(1)).toSet)
+  }
+
+  test("WITHOUT ROWID: overflow payloads under the INDEX X formula") {
+    // payloads straddling the index maxLocal at 512-byte pages:
+    // X_index = (500·64/255)-23 = 102, X_table = 477 — a payload of
+    // ~200 bytes overflows on an index page but NOT a table leaf,
+    // which is exactly the formula difference worth pinning
+    val rows = (1 to 30).map { i =>
+      (0L, Seq(s"k%03d".format(i), "p" * (i * 37)): Seq[Any])
+    }
+    val db = build("ov", Seq("k", "body"), rows, pageSize = 512,
+      pkColumns = Seq(0))
+    val got = Sqlite.rows(db, "ov").get
+    assert(got.length == 30)
+    assert(got.map(_.values(1)) == rows.map(_._2(1)))
+    // a single giant row (multi-page overflow chain)
+    val big = build("big1", Seq("k", "body"),
+      Seq((0L, Seq("k", "z" * 5000): Seq[Any])), pageSize = 512,
+      pkColumns = Seq(0))
+    assert(Sqlite.rows(big, "big1").get.head.values(1) ==
+      "z" * 5000)
+  }
+
+  test("rejections: UTF-16, truncation, bad magic") {
     val db = build("t", Seq("v"), Seq((1L, Seq("x"): Seq[Any])),
       pageSize = 512)
     assert(tables(db.take(511)).isEmpty)           // truncated
@@ -151,6 +208,17 @@ class SqliteSpec extends AnyFunSuite {
       val m = base.clone()
       m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
       try { tables(m).foreach(_ => Sqlite.rows(m, "t")) }
+      catch { case _: OutOfMemoryError => fail("oom") }
+    }
+    // the index b-tree walk under the same hammer
+    val wr = build("w", Seq("k", "v"),
+      (1 to 40).map(i => (0L,
+        Seq(f"k$i%03d", s"v$i" * (i % 9)): Seq[Any])),
+      pageSize = 512, pkColumns = Seq(0))
+    (0 until 400).foreach { _ =>
+      val m = wr.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      try { tables(m).foreach(_ => Sqlite.rows(m, "w")) }
       catch { case _: OutOfMemoryError => fail("oom") }
     }
     (0 until 200).foreach { _ =>
