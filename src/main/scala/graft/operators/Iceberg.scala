@@ -48,9 +48,170 @@ import org.apache.spark.sql.types._
 object Iceberg {
 
   final case class DataFileEntry(path: String, format: String,
-      recordCount: Long, fileSize: Long)
+      recordCount: Long, fileSize: Long,
+      partition: Map[String, Any] = Map.empty)
+  /** One partition-spec field: the derived field's name, its
+    * transform ("identity", "bucket[N]", "truncate[W]", "year",
+    * "month", "day", "hour"), and the SOURCE column (spec field id
+    * + resolved name). */
+  final case class PartField(name: String, transform: String,
+      sourceId: Int, sourceName: String)
   final case class IceSnapshot(snapshotId: Long, schema: StructType,
-      files: Seq[DataFileEntry])
+      files: Seq[DataFileEntry], spec: Seq[PartField] = Seq.empty)
+
+  // ---------------------------------------------------------------
+  // Partition transforms (spec §Partitioning + Appendix B)
+  // ---------------------------------------------------------------
+
+  /** Murmur3 x86 32-bit, seed 0 — the spec's bucket hash (Appendix
+    * B publishes test vectors; IcebergSpec pins them: int/long 34 →
+    * 2017239379, "iceberg" → 1210000089, bytes 00010203 →
+    * -188683207). Closed-form, public algorithm. */
+  def murmur3(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    val n4 = data.length & ~3
+    var i = 0
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    var j = data.length - 1
+    while (j >= n4) { k = (k << 8) | (data(j) & 0xff); j -= 1 }
+    if (k != 0 || n4 != data.length) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  /** The bucket-transform hash of a single value: ints hash AS
+    * LONGS (8 LE bytes — the spec's rule so int/long columns
+    * bucket identically), strings as UTF-8, binary as-is. */
+  def bucketHash(v: Any): Int = v match {
+    case i: Int => bucketHash(i.toLong)
+    case l: Long =>
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((l >>> (8 * i)) & 0xff).toByte; i += 1 }
+      murmur3(b)
+    case s: String => murmur3(s.getBytes("UTF-8"))
+    case b: Array[Byte] => murmur3(b)
+    case other => sys.error(s"bucket transform over $other")
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+  private final val EpochDay = java.time.LocalDate.of(1970, 1, 1)
+
+  private def toLocalDate(v: Any): java.time.LocalDate = v match {
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
+    case other => sys.error(s"time transform over $other")
+  }
+
+  private def toInstant(v: Any): java.time.Instant = v match {
+    case t: java.sql.Timestamp => t.toInstant
+    case t: java.time.Instant => t
+    case other => sys.error(s"time transform over $other")
+  }
+
+  /** Apply a partition transform to one literal — the pruning
+    * side's twin of [[transformColumn]]. */
+  def applyTransform(transform: String, v: Any): Any =
+    transform match {
+      case "identity" => v
+      case BucketRe(n) => (bucketHash(v) & Int.MaxValue) % n.toInt
+      case TruncRe(w) => v match {
+        case s: String => s.substring(0, math.min(w.toInt, s.length))
+        case i: Int =>
+          val wi = w.toInt; i - (((i % wi) + wi) % wi)
+        case l: Long =>
+          val wl = w.toLong; l - (((l % wl) + wl) % wl)
+        case other => sys.error(s"truncate over $other")
+      }
+      case "year" => v match {
+        case t: java.sql.Timestamp =>
+          toInstant(t).atZone(java.time.ZoneOffset.UTC)
+            .getYear - 1970
+        case d => toLocalDate(d).getYear - 1970
+      }
+      case "month" => v match {
+        case t: java.sql.Timestamp =>
+          val z = toInstant(t).atZone(java.time.ZoneOffset.UTC)
+          (z.getYear - 1970) * 12 + z.getMonthValue - 1
+        case d =>
+          val ld = toLocalDate(d)
+          (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+      }
+      case "day" => v match {
+        case t: java.sql.Timestamp =>
+          math.floorDiv(toInstant(t).getEpochSecond, 86400L).toInt
+        case d => toLocalDate(d).toEpochDay.toInt
+      }
+      case "hour" =>
+        math.floorDiv(toInstant(v).getEpochSecond, 3600L).toInt
+      case other => sys.error(s"unknown transform $other")
+    }
+
+  /** The Spark Column computing a transform over a source column —
+    * the write side. Bucket goes through a UDF (the murmur3 above);
+    * everything else stays native (codegen'd). */
+  def transformColumn(tr: String,
+      src: org.apache.spark.sql.Column, srcType: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    tr match {
+      case "identity" => src
+      case BucketRe(n) =>
+        val nb = n.toInt
+        srcType match {
+          case IntegerType =>
+            udf((v: Int) => (bucketHash(v) & Int.MaxValue) % nb)
+              .apply(src)
+          case LongType =>
+            udf((v: Long) => (bucketHash(v) & Int.MaxValue) % nb)
+              .apply(src)
+          case StringType =>
+            udf((v: String) => (bucketHash(v) & Int.MaxValue) % nb)
+              .apply(src)
+          case other => sys.error(s"bucket over $other")
+        }
+      case TruncRe(w) => srcType match {
+        case StringType => substring(src, 1, w.toInt)
+        case IntegerType | LongType =>
+          src - (((src % w.toLong) + w.toLong) % w.toLong)
+        case other => sys.error(s"truncate over $other")
+      }
+      case "year" => year(src) - 1970
+      case "month" => (year(src) - 1970) * 12 + month(src) - 1
+      case "day" => srcType match {
+        case DateType => datediff(src, to_date(lit("1970-01-01")))
+        case _ => floor(src.cast(LongType) / 86400L).cast(IntegerType)
+      }
+      case "hour" =>
+        floor(src.cast(LongType) / 3600L).cast(IntegerType)
+      case other => sys.error(s"unknown transform $other")
+    }
+  }
+
+  /** Spark type of a transform RESULT (also the manifest partition
+    * field's Avro type). */
+  def transformResultType(transform: String, srcType: DataType)
+      : DataType = transform match {
+    case "identity" => srcType
+    case BucketRe(_) => IntegerType
+    case TruncRe(_) => srcType
+    case "year" | "month" | "day" | "hour" => IntegerType
+  }
 
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -179,20 +340,32 @@ object Iceberg {
 
   import Avro.{NField, NPrim, NRec}
 
-  private val dataFileRec = NRec("r2", Seq(
-    NField("content", NPrim("int"), nullable = false),
-    NField("file_path", NPrim("string"), nullable = false),
-    NField("file_format", NPrim("string"), nullable = false),
-    NField("partition", NRec("r102", Seq.empty), nullable = false),
-    NField("record_count", NPrim("long"), nullable = false),
-    NField("file_size_in_bytes", NPrim("long"), nullable = false)))
+  /** Avro prim name for a partition-field Spark type. */
+  private def avroPrim(t: DataType): String = t match {
+    case IntegerType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case other => sys.error(s"partition field type $other")
+  }
 
-  private val manifestEntryFields = Seq(
+  private def dataFileRec(partFields: Seq[(String, DataType)]) =
+    NRec("r2", Seq(
+      NField("content", NPrim("int"), nullable = false),
+      NField("file_path", NPrim("string"), nullable = false),
+      NField("file_format", NPrim("string"), nullable = false),
+      NField("partition", NRec("r102", partFields.map { case (n, t) =>
+        NField(n, NPrim(avroPrim(t)), nullable = false)
+      }), nullable = false),
+      NField("record_count", NPrim("long"), nullable = false),
+      NField("file_size_in_bytes", NPrim("long"), nullable = false)))
+
+  private def manifestEntryFields(
+      partFields: Seq[(String, DataType)]) = Seq(
     NField("status", NPrim("int"), nullable = false),
     NField("snapshot_id", NPrim("long"), nullable = true),
     NField("sequence_number", NPrim("long"), nullable = true),
     NField("file_sequence_number", NPrim("long"), nullable = true),
-    NField("data_file", dataFileRec, nullable = false))
+    NField("data_file", dataFileRec(partFields), nullable = false))
 
   private val manifestListFields = Seq(
     NField("manifest_path", NPrim("string"), nullable = false),
@@ -286,6 +459,43 @@ object Iceberg {
         "(time/uuid/fixed/map reject honestly)")
     }
 
+    // partition spec: default-spec-id row of partition-specs,
+    // source ids resolved to column names via the schema JSON's own
+    // field ids (top-level fields — the supported source set)
+    val idToName: Map[Int, String] = (for {
+      sm <- JsonMini.obj(schemaJson).toSeq
+      fs <- JsonMini.arr(sm.getOrElse("fields", Seq.empty)).toSeq
+      f <- fs
+      fm <- JsonMini.obj(f)
+      id <- JsonMini.long(fm.getOrElse("id", -1.0))
+      nm <- JsonMini.str(fm.getOrElse("name", ""))
+    } yield id.toInt -> nm).toMap
+    val specId = JsonMini.long(md.getOrElse("default-spec-id", 0.0))
+      .getOrElse(0L)
+    val spec: Seq[PartField] =
+      JsonMini.arr(md.getOrElse("partition-specs", Seq.empty))
+        .getOrElse(Seq.empty)
+        .flatMap(JsonMini.obj)
+        .find(s => JsonMini.long(s.getOrElse("spec-id", -1.0))
+          .contains(specId))
+        .map { s =>
+          JsonMini.arr(s.getOrElse("fields", Seq.empty))
+            .getOrElse(Seq.empty)
+            .flatMap(JsonMini.obj)
+            .map { f =>
+              val nm = JsonMini.str(f.getOrElse("name",
+                sys.error("spec field without name"))).get
+              val tr = JsonMini.str(f.getOrElse("transform",
+                sys.error("spec field without transform"))).get
+              val sid = JsonMini.long(f.getOrElse("source-id", -1.0))
+                .getOrElse(-1L).toInt
+              PartField(nm, tr, sid,
+                idToName.getOrElse(sid,
+                  sys.error(s"spec source-id $sid not a top-level " +
+                    "column")))
+            }
+        }.getOrElse(Seq.empty)
+
     val listPath = JsonMini.str(snap.getOrElse("manifest-list",
       sys.error("snapshot without manifest-list (v1 `manifests` " +
         "inline form not supported)"))).get
@@ -320,6 +530,13 @@ object Iceberg {
       val rcIdx = fieldIdx(dRec.fields, "record_count")
       val szIdx = fieldIdx(dRec.fields, "file_size_in_bytes")
       val dcIdx = dRec.fields.indexWhere(_.name == "content")
+      val ptIdx = dRec.fields.indexWhere(_.name == "partition")
+      val ptFields: Seq[String] =
+        if (ptIdx < 0) Seq.empty
+        else dRec.fields(ptIdx).tpe match {
+          case r: NRec => r.fields.map(_.name)
+          case _ => Seq.empty
+        }
       mf.rows.flatMap { r =>
         val status = r(sIdx).get.asInstanceOf[Int]
         if (status == 2) None // DELETED
@@ -332,13 +549,60 @@ object Iceberg {
           val fmt = df(ffIdx).get.asInstanceOf[String]
           require(fmt.equalsIgnoreCase("parquet"),
             s"non-parquet data file format $fmt")
+          val part: Map[String, Any] =
+            if (ptIdx < 0 || ptFields.isEmpty) Map.empty
+            else {
+              val pr = df(ptIdx).get.asInstanceOf[Avro.Row]
+              ptFields.zip(pr.map(_.orNull)).toMap
+            }
           Some(DataFileEntry(df(fpIdx).get.asInstanceOf[String], fmt,
             df(rcIdx).get.asInstanceOf[Long],
-            df(szIdx).get.asInstanceOf[Long]))
+            df(szIdx).get.asInstanceOf[Long], part))
         }
       }
     }
-    IceSnapshot(wantId, schema, files)
+    IceSnapshot(wantId, schema, files, spec)
+  }
+
+  /** PRUNED file planning (the spec's "partition pruning"): keep
+    * only files whose stored partition values are COMPATIBLE with
+    * `col = value` — every spec field derived from `col` must carry
+    * exactly `transform(value)`. This is metadata-only work: at
+    * 100 TB the file list shrinks by the partition fan-out BEFORE
+    * any scan is planned. Fields from other sources don't prune
+    * (they stay wildcards). */
+  def prunedFiles(snap: IceSnapshot, colName: String, value: Any)
+      : Seq[DataFileEntry] = {
+    val relevant = snap.spec.filter(_.sourceName == colName)
+    if (relevant.isEmpty) snap.files
+    else snap.files.filter { f =>
+      relevant.forall { pf =>
+        f.partition.get(pf.name) match {
+          case Some(stored) =>
+            stored == applyTransform(pf.transform, value)
+          case None => true // unknown partition value: keep (safe)
+        }
+      }
+    }
+  }
+
+  /** The table filtered to `col = value`, scanning ONLY the files
+    * partition pruning keeps, with the exact filter applied on top
+    * (pruning is a superset guarantee, the residual filter makes it
+    * exact — same contract as Iceberg's own scan planning). */
+  def readWhere(spark: SparkSession, table: String, colName: String,
+      value: Any, snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, table, snapshotId)
+    val keep = prunedFiles(snap, colName, value)
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    else
+      spark.read.schema(snap.schema)
+        .parquet(keep.map(_.path): _*)
+        .filter(col(colName) === lit(value))
   }
 
   /** The table as a DataFrame (latest, or a time-travel snapshot
@@ -374,21 +638,34 @@ object Iceberg {
 
   /** Write snapshot `snapshotId`: one manifest with the FULL live
     * set, a manifest list, and v<version>.metadata.json (carrying
-    * the whole snapshot history `prior` + this one). */
+    * the whole snapshot history `prior` + this one). With a
+    * partition `spec`, each file's transformed partition values go
+    * into the manifest's r102 record (typed Avro fields) and the
+    * spec is rendered into `partition-specs`. */
   def commit(spark: SparkSession, table: String, version: Long,
       snapshotId: Long, schema: StructType,
       files: Seq[(String, Long, Long)], // (path, rows, bytes)
-      prior: Seq[(Long, String)]): Unit = {
+      prior: Seq[(Long, String)],
+      spec: Seq[PartField] = Seq.empty,
+      partitions: Map[String, Seq[Any]] = Map.empty): Unit = {
     val metaDir = s"$table/metadata"
     val manifestPath = s"$metaDir/m-$snapshotId.avro"
+    val partFieldTypes: Seq[(String, DataType)] = spec.map { pf =>
+      val srcType = schema(pf.sourceName).dataType
+      (pf.name, transformResultType(pf.transform, srcType))
+    }
     val entries: Seq[Avro.Row] = files.map { case (p, rows, bytes) =>
+      val pvals: Avro.Row =
+        if (spec.isEmpty) Seq.empty
+        else partitions.getOrElse(p,
+          sys.error(s"no partition values for $p")).map(Some(_))
       Seq(Some(1), Some(snapshotId), Some(version), Some(version),
         Some(Seq(Some(0), Some(p), Some("PARQUET"),
-          Some(Seq.empty: Avro.Row), Some(rows), Some(bytes))
+          Some(pvals), Some(rows), Some(bytes))
           : Avro.Row))
     }
     val manifestBytes = Avro.buildNested("manifest_entry",
-      manifestEntryFields, entries)
+      manifestEntryFields(partFieldTypes), entries)
     writeBytes(spark, manifestPath, manifestBytes)
 
     val listPath = s"$metaDir/snap-$snapshotId.avro"
@@ -407,6 +684,24 @@ object Iceberg {
           s""""timestamp-ms":0,"manifest-list":${JsonMini.quote(lp)},""" +
           s""""schema-id":0,"summary":{"operation":"overwrite"}}"""
     }.mkString("[", ",", "]")
+    // source ids come from the emitted schema JSON itself (one
+    // source of truth for id assignment)
+    val nameToId: Map[String, Int] = (for {
+      sm <- JsonMini.parse(schemaWithId(schema))
+        .flatMap(JsonMini.obj).toSeq
+      fs <- JsonMini.arr(sm.getOrElse("fields", Seq.empty)).toSeq
+      f <- fs
+      fm <- JsonMini.obj(f)
+      id <- JsonMini.long(fm.getOrElse("id", -1.0))
+      nm <- JsonMini.str(fm.getOrElse("name", ""))
+    } yield nm -> id.toInt).toMap
+    val specFieldsJson = spec.zipWithIndex.map { case (pf, i) =>
+      s"""{"name":${JsonMini.quote(pf.name)},"transform":${
+        JsonMini.quote(pf.transform)},"source-id":${
+        nameToId.getOrElse(pf.sourceName,
+          sys.error(s"unknown partition source ${pf.sourceName}"))
+      },"field-id":${1000 + i}}"""
+    }.mkString(",")
     val metaJson =
       s"""{"format-version":2,"table-uuid":${JsonMini.quote(
         java.util.UUID.nameUUIDFromBytes(
@@ -416,7 +711,8 @@ object Iceberg {
         s""""last-column-id":99,"current-schema-id":0,""" +
         s""""schemas":[${schemaWithId(schema)}],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        s""""fields":[]}],"last-partition-id":999,""" +
+        s""""fields":[$specFieldsJson]}],"last-partition-id":${
+          999 + spec.length},""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,""" +
         s""""fields":[]}],"current-snapshot-id":$snapshotId,""" +
         s""""snapshots":$snapsJson}"""
@@ -434,14 +730,107 @@ object Iceberg {
 
   /** Create an iceberg table at `table` from `df` (snapshot 1,
     * metadata v1). Returns the data-file list for follow-up
-    * commits. */
-  def create(spark: SparkSession, df: DataFrame, table: String)
+    * commits. With `partitionBy` ((fieldName, transform,
+    * sourceColumn) triples) the data lands hive-laid-out by the
+    * TRANSFORMED values — data files still carry every source
+    * column (the derived partition columns are directory-only) —
+    * and the manifest records typed partition values per file, so
+    * [[readWhere]] can prune. */
+  def create(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[(String, String, String)] = Seq.empty)
       : Seq[(String, Long, Long)] = {
-    df.write.mode("overwrite").parquet(s"$table/data/s1")
-    val rowsByFile = countsByFile(spark, df.schema,
-      s"$table/data/s1")
-    commit(spark, table, 1L, 1L, df.schema, rowsByFile, Seq.empty)
-    rowsByFile
+    val dataDir = s"$table/data/s1"
+    if (partitionBy.isEmpty) {
+      df.write.mode("overwrite").parquet(dataDir)
+      val rowsByFile = countsByFile(spark, df.schema, dataDir)
+      commit(spark, table, 1L, 1L, df.schema, rowsByFile, Seq.empty)
+      rowsByFile
+    } else {
+      val spec = partitionBy.map { case (nm, tr, src) =>
+        PartField(nm, tr, -1, src) // source-id resolved at commit
+      }
+      val pcols = partitionBy.map { case (nm, tr, src) =>
+        transformColumn(tr, df(src), df.schema(src).dataType).as(nm)
+      }
+      val pnames = partitionBy.map(_._1)
+      // cluster by the partition values first (the required write
+      // distribution — one file per partition dir instead of one
+      // per (task × value); at scale this shuffle is what keeps
+      // the manifest O(#partitions), not O(#tasks·#partitions))
+      val withP = df.select(df.columns.map(df(_)) ++ pcols: _*)
+      withP
+        .repartition(pnames.map(withP(_)): _*)
+        .write.mode("overwrite")
+        .partitionBy(pnames: _*).parquet(dataDir)
+      val partTypes: Seq[DataType] = partitionBy.map {
+        case (_, tr, src) =>
+          transformResultType(tr, df.schema(src).dataType)
+      }
+      val listed = listParquetPartitioned(spark, dataDir, pnames,
+        partTypes)
+      val counts = rowCountsUnder(spark, dataDir)
+      val files = listed.map { case (p, bytes, _) =>
+        (p, counts.getOrElse(normPath(p), 0L), bytes) }
+      val partitions: Map[String, Seq[Any]] =
+        listed.map { case (p, _, pvals) => p -> pvals }.toMap
+      commit(spark, table, 1L, 1L, df.schema, files, Seq.empty,
+        spec, partitions)
+      files
+    }
+  }
+
+  private def normPath(s: String): String =
+    new java.net.URI(s).getPath
+
+  /** Recursive parquet listing under a hive-partitioned tree:
+    * (absolutePath, bytes, typed partition values parsed from the
+    * `name=value` path segments in `pnames` order). */
+  def listParquetPartitioned(spark: SparkSession, dir: String,
+      pnames: Seq[String], ptypes: Seq[DataType])
+      : Seq[(String, Long, Seq[Any])] = {
+    val (f, root) = fs(spark, dir)
+    val out = Seq.newBuilder[(String, Long, Seq[Any])]
+    def walk(p: org.apache.hadoop.fs.Path,
+        vals: Map[String, String]): Unit = {
+      f.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory) {
+          val eq = nm.indexOf('=')
+          val add = if (eq > 0)
+            Map(nm.substring(0, eq) ->
+              java.net.URLDecoder.decode(
+                nm.substring(eq + 1), "UTF-8"))
+          else Map.empty[String, String]
+          walk(st.getPath, vals ++ add)
+        } else if (nm.endsWith(".parquet")) {
+          val typed = pnames.zip(ptypes).map { case (n, t) =>
+            val raw = vals.getOrElse(n,
+              sys.error(s"file ${st.getPath} missing partition $n"))
+            t match {
+              case IntegerType => raw.toInt
+              case LongType => raw.toLong
+              case StringType => raw
+              case other => sys.error(s"partition type $other")
+            }
+          }
+          out += ((f.makeQualified(st.getPath).toUri.toString,
+            st.getLen, typed))
+        }
+      }
+    }
+    walk(root, Map.empty)
+    out.result().sortBy(_._1)
+  }
+
+  /** Row count per parquet file under `dir` (recursive — hive
+    * partition dirs welcome), keyed by bare URI path. */
+  def rowCountsUnder(spark: SparkSession, dir: String)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("basePath", dir).parquet(dir)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => (normPath(r.getString(0)), r.getLong(1)))
+      .toMap
   }
 
   /** (path, rowCount, bytes) per parquet file under `dir` — the

@@ -111,6 +111,96 @@ class IcebergSpec extends AnyFunSuite {
       Iceberg.snapshot(spark, tmpTable("ice_missing")))
   }
 
+  test("bucket hash matches the spec's own Appendix B vectors") {
+    // iceberg.apache.org/spec Appendix B publishes these — they pin
+    // the murmur3_x86_32 implementation AND the hash-ints-as-longs
+    // rule without any external library
+    assert(Iceberg.bucketHash(34) == 2017239379)
+    assert(Iceberg.bucketHash(34L) == 2017239379)
+    assert(Iceberg.bucketHash("iceberg") == 1210000089)
+    assert(Iceberg.bucketHash(
+      Array[Byte](0, 1, 2, 3)) == -188683207)
+    // int and long of the same value land in the same bucket
+    (0 until 50).foreach { i =>
+      assert(Iceberg.applyTransform("bucket[7]", i) ==
+        Iceberg.applyTransform("bucket[7]", i.toLong))
+    }
+  }
+
+  test("transform arithmetic: truncate, year/month/day/hour") {
+    import Iceberg.applyTransform
+    assert(applyTransform("truncate[10]", 37L) == 30L)
+    assert(applyTransform("truncate[10]", -7L) == -10L) // floor
+    assert(applyTransform("truncate[10]", -7) == -10)
+    assert(applyTransform("truncate[3]", "iceberg") == "ice")
+    assert(applyTransform("truncate[99]", "ab") == "ab")
+    val d = java.sql.Date.valueOf("2017-11-16")
+    assert(applyTransform("year", d) == 47)
+    assert(applyTransform("month", d) == 47 * 12 + 10)
+    assert(applyTransform("day", d) ==
+      java.time.LocalDate.of(2017, 11, 16).toEpochDay.toInt)
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2017-11-16T22:31:08Z"))
+    assert(applyTransform("hour", ts) ==
+      java.time.Instant.parse("2017-11-16T22:00:00Z")
+        .getEpochSecond / 3600)
+    assert(applyTransform("identity", "x") == "x")
+  }
+
+  test("partitioned create: pruning shrinks the file list, " +
+      "pruned read == filtered full read") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_part")
+    val df = (0 until 400).map(i =>
+      (i.toLong, s"row$i", s"cat${i % 3}")).toDF("id", "txt", "cat")
+    Iceberg.create(spark, df, t, partitionBy = Seq(
+      ("cat_p", "identity", "cat"),
+      ("id_b", "bucket[4]", "id")))
+    val snap = Iceberg.snapshot(spark, t)
+    // spec + typed partition values survived the manifest chain
+    assert(snap.spec.map(f => (f.name, f.transform, f.sourceName))
+      == Seq(("cat_p", "identity", "cat"), ("id_b", "bucket[4]",
+        "id")))
+    assert(snap.files.forall(f =>
+      f.partition.keySet == Set("cat_p", "id_b")))
+    // stored partition values re-derive from the transforms: every
+    // row in every file must agree with its file's stored values
+    snap.files.foreach { f =>
+      val rows = spark.read.parquet(f.path)
+        .select("cat", "id").as[(String, Long)].collect()
+      rows.foreach { case (cat, id) =>
+        assert(f.partition("cat_p") == cat)
+        assert(f.partition("id_b") ==
+          Iceberg.applyTransform("bucket[4]", id))
+      }
+    }
+    // pruning: a cat predicate keeps only its identity partition
+    val kept = Iceberg.prunedFiles(snap, "cat", "cat1")
+    assert(kept.nonEmpty && kept.length < snap.files.length)
+    assert(kept.forall(_.partition("cat_p") == "cat1"))
+    // an id predicate prunes to one bucket (≤ 1/4 of files + the
+    // residual filter makes it exact)
+    val keptId = Iceberg.prunedFiles(snap, "id", 123L)
+    assert(keptId.length < snap.files.length)
+    // end to end: pruned read == full read + filter
+    val pruned = Iceberg.readWhere(spark, t, "cat", "cat2")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val full = Iceberg.read(spark, t).filter($"cat" === "cat2")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(pruned == full && pruned.nonEmpty)
+    val prunedId = Iceberg.readWhere(spark, t, "id", 123L)
+      .as[(Long, String, String)].collect().toSeq
+    assert(prunedId == Seq((123L, "row123", "cat0")))
+    // a predicate on a non-partition column keeps everything (safe)
+    assert(Iceberg.prunedFiles(snap, "txt", "row5").length ==
+      snap.files.length)
+    // data files still carry EVERY source column (partition dirs
+    // are derived, not dropped columns)
+    assert(spark.read.parquet(snap.files.head.path)
+      .schema.fieldNames.toSet == Set("id", "txt", "cat"))
+  }
+
   test("pushdown reaches the parquet scan") {
     val s = spark
     import s.implicits._
