@@ -7104,13 +7104,18 @@ object Pipeline {
     * (operators/Gguf): per 8-vector shard one GGUF v3 file holding
     * an F32 `emb` tensor in GGML dim order (ne[0] = innermost =
     * dim), an I64 `vec_id` tensor, a Q8_0-quantized twin of the
-    * embedding matrix, and metadata (architecture string, shard id
-    * i64, a per-shard label i32 array — the tokenizer-vocab shape).
-    * OUR writer builds it, OUR parser reads it back; F32 lanes and
-    * the metadata label array surface to the oracle, and the Q8_0
-    * twin is held to its closed-form error bound in-flight
-    * (|deq − x| ≤ d/2 per lane — a wrong scale or block walk
-    * fails the run, no oracle needed). */
+    * embedding matrix PLUS a second twin in one of the other four
+    * closed-form block quants rotated by shard id (Q4_0, Q4_1,
+    * Q5_0, Q5_1 — the whole non-tabulated family), and metadata
+    * (architecture string, shard id i64, a per-shard label i32
+    * array — the tokenizer-vocab shape). OUR writer builds it, OUR
+    * parser reads it back; F32 lanes, the metadata label array and
+    * the rotated quant tag surface to the oracle, and both quant
+    * twins are held to their closed-form error bounds in-flight
+    * (Q8_0: |deq − x| ≤ d/2; 4/5-bit: ≤ |d| for the symmetric
+    * forms whose clamp can cost one level, ≤ 0.52·d + f16(m) slop
+    * for the affine forms — a wrong scale, offset plane or block
+    * walk fails the run, no oracle needed). */
   private def ggufParse(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -7132,6 +7137,14 @@ object Pipeline {
         val idBuf = java.nio.ByteBuffer.allocate(n * 8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         vecs.foreach(v => idBuf.putLong(v._2))
+        val qtag = Seq("Q4_0", "Q4_1", "Q5_0", "Q5_1")(
+          (sid % 4).toInt)
+        val qdata = qtag match {
+          case "Q4_0" => quantizeQ4_0(flat)
+          case "Q4_1" => quantizeQ4_1(flat)
+          case "Q5_0" => quantizeQ5_0(flat)
+          case _ => quantizeQ5_1(flat)
+        }
         (sid, build(
           Seq(
             "general.architecture" -> GvStr("graft"),
@@ -7143,7 +7156,9 @@ object Pipeline {
               embBuf.array()),
             GTensor("vec_id", Seq(n.toLong), "I64", idBuf.array()),
             GTensor("emb_q8", Seq(dim.toLong, n.toLong), "Q8_0",
-              quantizeQ8_0(flat)))))
+              quantizeQ8_0(flat)),
+            GTensor("emb_qx", Seq(dim.toLong, n.toLong), qtag,
+              qdata))))
       }
       .flatMap { case (sid, bytes) =>
         val (kvs, ts) = parse(bytes).getOrElse(
@@ -7154,12 +7169,58 @@ object Pipeline {
         val GvArr(5, labels) = md("shard.labels"): @unchecked
         val byName = ts.map(t => t.name -> t).toMap
         val emb = byName("emb"); val ids = byName("vec_id")
-        val q8 = byName("emb_q8")
+        val q8 = byName("emb_q8"); val qx = byName("emb_qx")
         require(emb.tpe == "F32" && q8.tpe == "Q8_0" &&
-          emb.dims == q8.dims && emb.dims.length == 2)
+          emb.dims == q8.dims && emb.dims == qx.dims &&
+          emb.dims.length == 2)
         val dim = emb.dims.head.toInt // ne[0] = innermost
         val n = emb.dims(1).toInt
         val deq = dequantizeQ8_0(q8.data)
+        // the rotated 4/5-bit twin: dequantize and hold every lane
+        // to its closed-form bound (symmetric forms pay up to one
+        // level at the clamped extreme; affine forms pay half a
+        // level plus the f16 rounding of the stored min)
+        val qtag = qx.tpe
+        val deqX = qtag match {
+          case "Q4_0" => dequantizeQ4_0(qx.data)
+          case "Q4_1" => dequantizeQ4_1(qx.data)
+          case "Q5_0" => dequantizeQ5_0(qx.data)
+          case "Q5_1" => dequantizeQ5_1(qx.data)
+          case t => sys.error(s"unexpected quant tag $t")
+        }
+        val blockBytes = Map("Q4_0" -> 18, "Q4_1" -> 20,
+          "Q5_0" -> 22, "Q5_1" -> 24)(qtag)
+        var blk = 0
+        while (blk * 32 < n * dim) {
+          val base = blk * 32
+          var mn = f32At(emb, base); var mx = mn
+          var k = 1
+          while (k < 32) {
+            val v = f32At(emb, base + k)
+            if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          val bb = java.nio.ByteBuffer.wrap(qx.data,
+            blk * blockBytes, blockBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val d = math.abs(graft.operators.Safetensors.halfToFloat(
+            bb.getShort() & 0xffff))
+          val affine = qtag == "Q4_1" || qtag == "Q5_1"
+          val bound =
+            if (affine)
+              d * 0.52 +
+                math.max(math.abs(mn), math.abs(mx)) * 1e-3 + 1e-6
+            else d * 1.01 + 1e-7
+          k = 0
+          while (k < 32) {
+            val x = f32At(emb, base + k)
+            require(math.abs(deqX(base + k) - x) <= bound,
+              s"$qtag bound broken at block $blk lane $k: " +
+                s"$x -> ${deqX(base + k)} (d=$d)")
+            k += 1
+          }
+          blk += 1
+        }
         (0 until n).map { i =>
           var q = 0L
           var j = 0
@@ -7183,10 +7244,11 @@ object Pipeline {
             j += 1
           }
           val GvI32(label) = labels(i): @unchecked
-          (i64At(ids, i), sid, dim, q, label, "graft")
+          (i64At(ids, i), sid, dim, q, label, "graft", qtag)
         }
       }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "arch")
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "arch",
+        "qtag")
       .orderBy("vec_id")
   }
 
@@ -7325,6 +7387,65 @@ object Pipeline {
         sum(col("l_orderkey") * col("bucket").cast("long"))
           .as("okb_sum"))
       .orderBy("rf")
+  }
+
+  /** Partitioned-iceberg fixture (r12): lineitem written ONCE with
+    * a real partition spec — identity(l_returnflag) ×
+    * bucket[16](l_orderkey) — through [[Iceberg.create]]'s
+    * partitioned path: clustered write, hive-laid data dirs, typed
+    * partition values in OUR Avro manifests, the spec JSON in
+    * `partition-specs`. */
+  private def icebergPartFixtureRoot(s: SparkSession, dir: String)
+      : String =
+    formatFixtureDir(dir, "iceberg_part", "lineitem") { out =>
+      import graft.operators.Iceberg
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+      Iceberg.create(s, base, s"$out/tbl", partitionBy = Seq(
+        ("rf_p", "identity", "l_returnflag"),
+        ("ok_b", "bucket[16]", "l_orderkey")))
+    }
+
+  /** Iceberg PARTITION PRUNING (r12) — the scale path the plain
+    * scan leaves on the table: `readWhere` plans from MANIFEST
+    * METADATA ONLY, keeping just the files whose stored partition
+    * values match the transformed literal (identity flags keep
+    * ~1/3 of files, a bucket[16] orderkey keeps ~1/16), then makes
+    * the result exact with the residual filter. Each facet
+    * REQUIRES in-flight that pruning actually shrank the file list
+    * — at 100 TB this is the difference between planning 48 files
+    * and scanning everything. The oracle recomputes every facet
+    * from raw lineitem, so wrong bucket hashing (murmur3), a wrong
+    * transform, or over-pruning (lost rows) all flip values. */
+  private def icebergPartitionPrune(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = icebergPartFixtureRoot(s, dir)
+    val t = s"$root/tbl"
+    val snap = Iceberg.snapshot(s, t)
+    val total = snap.files.length
+    def facetAgg(df: DataFrame, facet: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+        .select(lit(facet).as("facet"), col("n_rows"),
+          col("qty_sum"), col("ok_sum"))
+    val flagFacets = Seq("A", "N", "R").map { f =>
+      val kept = Iceberg.prunedFiles(snap, "l_returnflag", f)
+      require(kept.nonEmpty && kept.length < total,
+        s"identity pruning did not shrink for flag $f " +
+          s"(${kept.length}/$total)")
+      facetAgg(Iceberg.readWhere(s, t, "l_returnflag", f),
+        s"rf=$f")
+    }
+    val keptOk = Iceberg.prunedFiles(snap, "l_orderkey", 1L)
+    require(keptOk.length * 8 <= total,
+      s"bucket pruning kept ${keptOk.length}/$total files")
+    val okFacet = facetAgg(
+      Iceberg.readWhere(s, t, "l_orderkey", 1L), "ok=1")
+    (flagFacets :+ okFacet).reduce(_.unionAll(_)).orderBy("facet")
   }
 
   /** Iceberg time travel (r12) — snapshot 1 by id (a metadata
@@ -8278,6 +8399,58 @@ object Pipeline {
       }
       .toDF("doc_id", "n_cols", "text_len", "text_md5", "tag",
         "note", "score")
+      .orderBy("doc_id")
+  }
+
+  /** SQLite WITHOUT ROWID walk (r12, operators/Sqlite): the same
+    * per-16-doc databases but written WITHOUT ROWID with a
+    * COMPOSITE primary key (tag, id) — primary storage is an INDEX
+    * b-tree whose records are PK-first permuted and whose interior
+    * cells are rows too (each key lives exactly once), so the read
+    * is an in-order traversal, not a leaf scan. The surfaced `pos`
+    * column is each row's 1-based position in key order within its
+    * database; the oracle recomputes it with a window function —
+    * a wrong traversal order, permutation or separator handling
+    * flips it. 512-byte pages force multi-level trees and INDEX-
+    * formula overflow chains (X = (U-12)·64/255-23, not U-35). */
+  private def sqliteParseWr(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Sqlite
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 16, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        // rows pre-sorted by the composite PK (tag, id)
+        val docs = it.toSeq.sortBy { case (_, id, _) => (id % 7, id) }
+        val rows = docs.map { case (_, id, t) =>
+          (0L, Seq[Any](id, t, id % 7,
+            if (id % 7 == 0) null else s"n${id % 5}"))
+        }
+        (cid, Sqlite.build("docs", Seq("id", "text", "tag", "note"),
+          rows, pageSize = 512, pkColumns = Seq(2, 0)))
+      }
+      .flatMap { case (cid, db) =>
+        val t = Sqlite.tables(db).getOrElse(
+          sys.error(s"sqlite rejected chunk $cid")).head
+        require(t.withoutRowid && t.pkColumns == Seq(2, 0) &&
+          t.ipkColumn == -1 &&
+          t.columns == Seq("id", "text", "tag", "note"))
+        Sqlite.rows(db, "docs").getOrElse(
+          sys.error(s"sqlite rows rejected chunk $cid")).map { r =>
+          // values are back in DECLARED order; rowid = key-order pos
+          val id = r.values(0).asInstanceOf[Long]
+          val text = r.values(1).asInstanceOf[String]
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (id, r.rowid, text.length.toLong,
+            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
+              .mkString,
+            r.values(2).asInstanceOf[Long],
+            r.values(3).asInstanceOf[String])
+        }
+      }
+      .toDF("doc_id", "pos", "text_len", "text_md5", "tag", "note")
       .orderBy("doc_id")
   }
 
@@ -10378,6 +10551,7 @@ object Pipeline {
     "delta_time_travel" -> deltaTimeTravel _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
+    "iceberg_partition_prune" -> icebergPartitionPrune _,
     "lakehouse_ingest_dag" -> lakehouseIngestDag _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
@@ -10403,6 +10577,7 @@ object Pipeline {
     "cbor_parse"        -> cborParse _,
     "bson_parse"        -> bsonParse _,
     "sqlite_parse"      -> sqliteParse _,
+    "sqlite_parse_wr"   -> sqliteParseWr _,
     "feed_parse"        -> feedParse _,
     "wet_wat_extract"   -> wetWatExtract _,
     "epub_text_extract" -> epubTextExtract _,
@@ -12604,6 +12779,22 @@ object Pipeline {
         |  strlen(text) * 0.25 AS score
         |FROM d ORDER BY doc_id""".stripMargin
     },
+    "sqlite_parse_wr" -> {
+      // WITHOUT ROWID: composite PK (tag, id); pos = in-order
+      // traversal position within each 16-doc database — pins the
+      // index b-tree walk order and the PK-first permutation
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16
+        |    ORDER BY doc_id % 7, doc_id) AS pos,
+        |  strlen(text) AS text_len, md5(text) AS text_md5,
+        |  doc_id % 7 AS tag,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE 'n' || (doc_id % 5) END AS note
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     "wet_wat_extract" -> {
       // both Common Crawl derivatives joined on the target URI:
       // text facts from WET conversion records, title/link-count
@@ -12777,8 +12968,10 @@ object Pipeline {
         |  CAST(4 AS INT) AS n_formats
         |FROM q ORDER BY vec_id""".stripMargin,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
-    // metadata array surface; the Q8_0 twin is bound-checked
-    // in-flight (closed-form block quantization, oracle-free)
+    // metadata array + the per-shard rotated quant tag surface;
+    // the Q8_0 twin and the rotated Q4_0/Q4_1/Q5_0/Q5_1 twin are
+    // bound-checked in-flight (closed-form block quantizations,
+    // oracle-free)
     "gguf_parse" ->
       """WITH q AS (
         |  SELECT vec_id, label, len(embedding) AS dim,
@@ -12788,7 +12981,10 @@ object Pipeline {
         |  FROM embeddings)
         |SELECT vec_id, vec_id // 8 AS shard_id,
         |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label, 'graft' AS arch
+        |  CAST(label AS INT) AS label, 'graft' AS arch,
+        |  CASE CAST((vec_id // 8) % 4 AS INT)
+        |    WHEN 0 THEN 'Q4_0' WHEN 1 THEN 'Q4_1'
+        |    WHEN 2 THEN 'Q5_0' ELSE 'Q5_1' END AS qtag
         |FROM q ORDER BY vec_id""".stripMargin,
     // Lakehouse formats: OUR snapshot reconstruction (Delta log
     // replay / Iceberg manifest chain) must equal the analytically
@@ -12802,6 +12998,26 @@ object Pipeline {
     // snapshot-id lookup — both equal plain lineitem
     "delta_time_travel" -> lakehouseTimeTravelOracleSql,
     "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
+    // partition pruning: per-flag facets (identity transform) + one
+    // orderkey facet (bucket[16] — murmur3 pruning); pruned-scan
+    // results must equal the raw-lineitem recomputation, and the
+    // query REQUIRES in-flight that each facet's file list shrank
+    "iceberg_partition_prune" ->
+      """WITH f AS (
+        |  SELECT 'rf=' || l_returnflag AS facet,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS qty_sum,
+        |    CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |  FROM lineitem GROUP BY l_returnflag),
+        |o AS (
+        |  SELECT 'ok=1' AS facet, count(*) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS qty_sum,
+        |    CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |  FROM lineitem WHERE l_orderkey = 1)
+        |SELECT * FROM f UNION ALL SELECT * FROM o
+        |ORDER BY facet""".stripMargin,
     // the composed migration DAG: delta latest → qty>5 + DISTINCT
     // (the v2 duplicates collapse) → iceberg write → iceberg read;
     // the analytic end state, straight from lineitem
