@@ -7496,20 +7496,21 @@ object Pipeline {
   /** Zarr v2 store read (r12) — the chunked-array DIRECTORY format
     * (operators/Zarr): the fixture writes the REAL embeddings table
     * as a three-array store with the knobs deliberately rotated —
-    * `emb` f4 [N,64] in FORTRAN chunk order under zstd, `ids` i8
-    * [N,1] under zlib, `labels` i4 [N,1] BIG-ENDIAN under the
-    * numcodecs lz4 framing — with chunk rows of 7 so an edge chunk
-    * (fill-padded, never surfaced) exists at every sf. The query
-    * reads each grid through binaryFile + per-chunk decode (zarr's
-    * native layout IS a distributed scan: one independent decode
-    * per chunk file, no shuffle until the final index join) and
-    * reassembles per-vector facts under the same oracle as the
-    * safetensors source. */
+    * `emb` f4 [N,64] in FORTRAN chunk order under BLOSC with inner
+    * lz4 + byte-shuffle + split streams (zarr's real-world DEFAULT
+    * compressor, late-r12), `ids` i8 [N,1] under zlib, `labels` i4
+    * [N,1] BIG-ENDIAN under the numcodecs lz4 framing — with chunk
+    * rows of 7 so an edge chunk (fill-padded, never surfaced)
+    * exists at every sf. The query reads each grid through
+    * binaryFile + per-chunk decode (zarr's native layout IS a
+    * distributed scan: one independent decode per chunk file, no
+    * shuffle until the final index join) and reassembles per-vector
+    * facts under the same oracle as the safetensors source. */
   private def zarrRead(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     import graft.operators.Zarr
-    val root = formatFixtureDir(dir, "zarr", "embeddings") { out =>
+    val root = formatFixtureDir(dir, "zarrb", "embeddings") { out =>
       val rows = Tables.embeddings(s, dir)
         .selectExpr("vec_id", "embedding", "label")
         .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
@@ -7522,7 +7523,8 @@ object Pipeline {
       }
       Zarr.write2d(
         Zarr.Meta(Seq(n, 64L), Seq(7, 64), "f4", bigEndian = false,
-          fortran = true, Some("zstd"), 1, 0.0, "."),
+          fortran = true, Some("blosc"), 5, 0.0, ".",
+          bloscCname = "lz4", bloscShuffle = 1),
         n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
         putIn("emb"))
       Zarr.write2d(

@@ -20,10 +20,12 @@ package graft.operators
   *    must be null/absent (numcodecs filter chains reject
   *    honestly), `dimension_separator` "." (default) or "/".
   *  - chunks: [[decodeChunk]] decompresses (numcodecs ids: `zlib`,
-  *    `gzip`, `zstd` and `lz4` — the latter two through this
-  *    repo's own codecs; lz4 is the numcodecs framing: u32 LE
-  *    original size + one LZ4 block; `blosc` rejects honestly —
-  *    its internal block split/shuffle is a separate format),
+  *    `gzip`, `zstd`, `lz4` — the latter two through this repo's
+  *    own codecs; lz4 is the numcodecs framing: u32 LE original
+  *    size + one LZ4 block — and `blosc`, zarr's DEFAULT
+  *    compressor, through [[Blosc]]'s frame walk with inner
+  *    lz4/zlib/zstd/snappy + byte-shuffle; blosc cname `blosclz`
+  *    and bit-shuffle reject honestly, see [[Blosc]]),
   *    verifies the exact chunk byte size, and hands back an
   *    [[Npy.Arr]] so logical row-major indexing over C/F memory
   *    order reuses the verified `.npy` accessor. [[encodeChunk]]
@@ -44,7 +46,10 @@ object Zarr {
   final case class Meta(shape: Seq[Long], chunks: Seq[Int],
       descr: String, bigEndian: Boolean, fortran: Boolean,
       compressor: Option[String], level: Int,
-      fillValue: Double, dimSep: String) {
+      fillValue: Double, dimSep: String,
+      /** blosc only: the inner codec + shuffle flag (numcodecs
+        * `cname`/`shuffle`; shuffle 1 = byte, 2 = bit → reject). */
+      bloscCname: String = "lz4", bloscShuffle: Int = 1) {
     def itemSize: Int = Npy.ItemSize(descr)
     def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
     /** Number of chunks along each dim (ceil division). */
@@ -52,7 +57,10 @@ object Zarr {
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
 
-  private final val Compressors = Set("zlib", "gzip", "zstd", "lz4")
+  private final val Compressors =
+    Set("zlib", "gzip", "zstd", "lz4", "blosc")
+  private final val BloscCnames =
+    Set("lz4", "lz4hc", "snappy", "zlib", "zstd")
   private final val MaxChunkBytes = 1 << 26
 
   // ---------------------------------------------------------------
@@ -90,16 +98,31 @@ object Zarr {
     if (order != "C" && order != "F") return None
     // filters must be null/absent
     if (m.get("filters").exists(_ != null)) return None
-    val (comp, level) = m.getOrElse("compressor", null) match {
-      case null => (None, 0)
-      case c =>
-        val cm = JsonMini.obj(c).getOrElse(return None)
-        val id = JsonMini.str(cm.getOrElse("id", return None))
-          .getOrElse(return None)
-        if (!Compressors(id)) return None // blosc et al: honest reject
-        (Some(id), JsonMini.long(cm.getOrElse("level", 1.0))
-          .getOrElse(1L).toInt)
-    }
+    val (comp, level, cname, bshuf) =
+      m.getOrElse("compressor", null) match {
+        case null => (None, 0, "lz4", 1)
+        case c =>
+          val cm = JsonMini.obj(c).getOrElse(return None)
+          val id = JsonMini.str(cm.getOrElse("id", return None))
+            .getOrElse(return None)
+          if (!Compressors(id)) return None // unknown: honest reject
+          if (id == "blosc") {
+            val cn = JsonMini.str(cm.getOrElse("cname", "lz4"))
+              .getOrElse(return None)
+            // blosclz would need an offline-unverifiable LZ; bit
+            // shuffle (2) is its own transpose format — both reject
+            if (!BloscCnames(cn)) return None
+            val sh = JsonMini.long(cm.getOrElse("shuffle", 1.0))
+              .getOrElse(return None).toInt
+            if (sh != 0 && sh != 1) return None
+            (Some(id),
+              JsonMini.long(cm.getOrElse("clevel", 5.0))
+                .getOrElse(5L).toInt,
+              if (cn == "lz4hc") "lz4" else cn, sh)
+          } else
+            (Some(id), JsonMini.long(cm.getOrElse("level", 1.0))
+              .getOrElse(1L).toInt, "lz4", 1)
+      }
     val fill = m.getOrElse("fill_value", null) match {
       case null => 0.0
       case d: Double => d
@@ -120,7 +143,7 @@ object Zarr {
       if (chunkBytes > MaxChunkBytes) return None
     }
     Some(Meta(shape, chunks.map(_.toInt), descr, big,
-      order == "F", comp, level, fill, sep))
+      order == "F", comp, level, fill, sep, cname, bshuf))
   }
 
   def metaJson(meta: Meta): String = {
@@ -128,6 +151,10 @@ object Zarr {
       else if (meta.bigEndian) ">" else "<"
     val comp = meta.compressor match {
       case None => "null"
+      case Some("blosc") =>
+        s"""{"id":"blosc","cname":${JsonMini.quote(meta.bloscCname)
+          },"clevel":${meta.level},"shuffle":${meta.bloscShuffle
+          },"blocksize":0}"""
       case Some(id) =>
         s"""{"id":${JsonMini.quote(id)},"level":${meta.level}}"""
     }
@@ -195,6 +222,11 @@ object Zarr {
         g.write(raw); g.close()
         out.toByteArray
       case Some("zstd") => Zstd.encodeStore(raw)
+      case Some("blosc") =>
+        Blosc.encode(raw, meta.itemSize, meta.bloscCname,
+          level = meta.level,
+          shuffle = meta.bloscShuffle == 1,
+          split = meta.itemSize <= 16)
       case Some("lz4") =>
         // numcodecs lz4 framing: u32 LE original size + one block
         val block = Lz4.compressBlock(raw)
@@ -254,6 +286,11 @@ object Zarr {
         } catch { case _: java.io.IOException => return None }
       case Some("zstd") =>
         val out = Zstd.decode(stored, maxOut = want)
+          .getOrElse(return None)
+        if (out.length != want) return None
+        out
+      case Some("blosc") =>
+        val out = Blosc.decode(stored, maxOut = want)
           .getOrElse(return None)
         if (out.length != want) return None
         out

@@ -45,9 +45,18 @@ class ZarrSpec extends AnyFunSuite {
     assert(parseMeta(ok.replace("<f4", "|O")).isEmpty)
     assert(parseMeta(ok.replace("\"filters\":null",
       "\"filters\":[{\"id\":\"shuffle\"}]")).isEmpty)
+    // blosc ACCEPTS since late r12 (zarr's default compressor) —
+    // but blosclz / bit-shuffle inside it still reject honestly
     assert(parseMeta(ok.replace("\"compressor\":null",
       "\"compressor\":{\"id\":\"blosc\",\"cname\":\"lz4\"}"))
+      .exists(m => m.compressor.contains("blosc") &&
+        m.bloscCname == "lz4"))
+    assert(parseMeta(ok.replace("\"compressor\":null",
+      "\"compressor\":{\"id\":\"blosc\",\"cname\":\"blosclz\"}"))
       .isEmpty)
+    assert(parseMeta(ok.replace("\"compressor\":null",
+      "\"compressor\":{\"id\":\"blosc\",\"cname\":\"lz4\"," +
+        "\"shuffle\":2}")).isEmpty)
     assert(parseMeta(ok.replace("\"order\":\"C\"",
       "\"order\":\"X\"")).isEmpty)
     assert(parseMeta("{}").isEmpty)
