@@ -31,10 +31,18 @@ import org.apache.spark.sql.types._
   *    ONLY in the log — the data files don't carry the columns).
   *    `schemaString` is Spark schema JSON by protocol definition,
   *    so the scan schema is exact, not inferred.
-  *  - protocol gate: `minReaderVersion` ≤ 2 read; ≥ 3 (reader
-  *    features — deletion vectors, column mapping, v2 checkpoints)
-  *    rejects honestly rather than mis-reading rows that a feature
-  *    would have masked.
+  *  - protocol gate: `minReaderVersion` ≤ 2 reads plainly; 3 reads
+  *    when every listed reader feature is HONOURED — and since late
+  *    r12 the two that matter are: DELETION VECTORS (the descriptor
+  *    on `add` resolves through [[Roaring]] — inline Z85, UUID-named
+  *    `.bin` files with CRC framing, or absolute paths — decoded
+  *    driver-side, broadcast, and applied as a `_metadata.row_index`
+  *    mask so deleted rows never resurrect) and COLUMN MAPPING mode
+  *    "name" (files scanned under their physical parquet names from
+  *    the schema's `delta.columnMapping.physicalName` metadata,
+  *    renamed back to logical; partition values are keyed by
+  *    physical name too). Mode "id", v2 checkpoints and any unknown
+  *    feature still reject honestly rather than mis-read.
   *
   * Writing ([[create]] / [[commit]] / [[writeCheckpoint]]): commits
   * render one action per line in the protocol's field order;
@@ -53,14 +61,31 @@ import org.apache.spark.sql.types._
   * table. */
 object DeltaLog {
 
+  /** A deletion-vector descriptor (PROTOCOL.md): `storageType` is
+    * "i" (inline — pathOrInlineDv is the Z85-encoded
+    * RoaringBitmapArray), "u" (a UUID-named `.bin` under the table,
+    * pathOrInlineDv = [randomPrefix]z85(UUID), `offset` points at
+    * the u32-BE size field inside the file) or "p" (absolute
+    * path). */
+  final case class DvDescriptor(storageType: String,
+      pathOrInlineDv: String, offset: Option[Int],
+      sizeInBytes: Int, cardinality: Long)
   final case class AddFile(path: String,
       partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, dataChange: Boolean)
+      modificationTime: Long, dataChange: Boolean,
+      deletionVector: Option[DvDescriptor] = None)
   final case class Meta(id: String, schemaString: String,
-      partitionColumns: Seq[String])
-  final case class Protocol(minReader: Int, minWriter: Int)
+      partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty)
+  final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String] = Seq.empty)
   final case class Snapshot(version: Long, meta: Meta,
       protocol: Protocol, files: Seq[AddFile])
+
+  /** Reader features this implementation actually honours.
+    * Anything else in a v3 protocol rejects honestly. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   private def logDir(table: String) = s"$table/_delta_log"
   private def commitFile(v: Long) = f"$v%020d.json"
@@ -104,11 +129,19 @@ object DeltaLog {
     m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
 
-  def addJson(a: AddFile): String =
+  def addJson(a: AddFile): String = {
+    val dv = a.deletionVector.map { d =>
+      s""","deletionVector":{"storageType":${q(d.storageType)},""" +
+        s""""pathOrInlineDv":${q(d.pathOrInlineDv)}""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},""" +
+        s""""cardinality":${d.cardinality}}"""
+    }.getOrElse("")
     s"""{"add":{"path":${q(a.path)},"partitionValues":${
       mapJson(a.partitionValues)},"size":${a.size},""" +
       s""""modificationTime":${a.modificationTime},""" +
-      s""""dataChange":${a.dataChange}}}"""
+      s""""dataChange":${a.dataChange}$dv}}"""
+  }
 
   def removeJson(path: String, deletionTimestamp: Long): String =
     s"""{"remove":{"path":${q(path)},"deletionTimestamp":${
@@ -118,11 +151,18 @@ object DeltaLog {
     s"""{"metaData":{"id":${q(m.id)},"format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":${q(m.schemaString)},""" +
       s""""partitionColumns":[${m.partitionColumns.map(q).mkString(",")}],""" +
-      s""""configuration":{},"createdTime":0}}"""
+      s""""configuration":${mapJson(m.configuration)},"createdTime":0}}"""
 
-  def protocolJson(p: Protocol): String =
+  def protocolJson(p: Protocol): String = {
+    val feats =
+      if (p.readerFeatures.isEmpty) ""
+      else s""","readerFeatures":[${
+        p.readerFeatures.map(q).mkString(",")}],""" +
+        s""""writerFeatures":[${
+          p.readerFeatures.map(q).mkString(",")}]"""
     s"""{"protocol":{"minReaderVersion":${p.minReader},""" +
-      s""""minWriterVersion":${p.minWriter}}}"""
+      s""""minWriterVersion":${p.minWriter}$feats}}"""
+  }
 
   /** Write one commit: actions, one JSON per line. */
   def commit(spark: SparkSession, table: String, version: Long,
@@ -146,6 +186,20 @@ object DeltaLog {
     actions.foreach { a =>
       val m = JsonMini.obj(a).getOrElse(return None)
       m.get("add").flatMap(JsonMini.obj).foreach { ad =>
+        val dv = ad.get("deletionVector").map { dvj =>
+          val dm = JsonMini.obj(dvj).getOrElse(return None)
+          DvDescriptor(
+            JsonMini.str(dm.getOrElse("storageType", return None))
+              .getOrElse(return None),
+            JsonMini.str(dm.getOrElse("pathOrInlineDv", return None))
+              .getOrElse(return None),
+            dm.get("offset").map(o =>
+              JsonMini.long(o).getOrElse(return None).toInt),
+            JsonMini.long(dm.getOrElse("sizeInBytes", return None))
+              .getOrElse(return None).toInt,
+            JsonMini.long(dm.getOrElse("cardinality", return None))
+              .getOrElse(return None))
+        }
         adds += AddFile(
           JsonMini.str(ad.getOrElse("path", return None))
             .getOrElse(return None),
@@ -155,7 +209,8 @@ object DeltaLog {
           JsonMini.long(ad.getOrElse("size", 0.0)).getOrElse(0L),
           JsonMini.long(ad.getOrElse("modificationTime", 0.0))
             .getOrElse(0L),
-          ad.get("dataChange").contains(true))
+          ad.get("dataChange").contains(true),
+          dv)
       }
       m.get("remove").flatMap(JsonMini.obj).foreach { rm =>
         removes += JsonMini.str(rm.getOrElse("path", return None))
@@ -168,14 +223,20 @@ object DeltaLog {
             .getOrElse(return None),
           JsonMini.arr(md.getOrElse("partitionColumns", Seq.empty))
             .getOrElse(Seq.empty)
-            .map(x => JsonMini.str(x).getOrElse(return None))))
+            .map(x => JsonMini.str(x).getOrElse(return None)),
+          JsonMini.obj(md.getOrElse("configuration", Map.empty))
+            .getOrElse(Map.empty).map { case (k, v2) =>
+              (k, JsonMini.str(v2).orNull) }))
       }
       m.get("protocol").flatMap(JsonMini.obj).foreach { pr =>
         protocol = Some(Protocol(
           JsonMini.long(pr.getOrElse("minReaderVersion", return None))
             .getOrElse(return None).toInt,
           JsonMini.long(pr.getOrElse("minWriterVersion", return None))
-            .getOrElse(return None).toInt))
+            .getOrElse(return None).toInt,
+          JsonMini.arr(pr.getOrElse("readerFeatures", Seq.empty))
+            .getOrElse(Seq.empty)
+            .map(x => JsonMini.str(x).getOrElse(return None))))
       }
     }
     Some(CommitActions(adds.result(), removes.result(), meta,
@@ -232,22 +293,42 @@ object DeltaLog {
         else Seq.empty
       takeStruct("protocol").foreach { r =>
         protocol = Some(Protocol(r.getAs[Int]("minReaderVersion"),
-          r.getAs[Int]("minWriterVersion")))
+          r.getAs[Int]("minWriterVersion"),
+          if (r.schema.fieldNames.contains("readerFeatures"))
+            Option(r.getAs[scala.collection.Seq[String]](
+              "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
+          else Seq.empty))
       }
       takeStruct("metaData").foreach { r =>
         meta = Some(Meta(r.getAs[String]("id"),
           r.getAs[String]("schemaString"),
           // Row arrays surface as mutable.ArraySeq in 2.13
           r.getAs[scala.collection.Seq[String]]("partitionColumns")
-            .toSeq))
+            .toSeq,
+          if (r.schema.fieldNames.contains("configuration"))
+            Option(r.getAs[Map[String, String]]("configuration"))
+              .getOrElse(Map.empty)
+          else Map.empty))
       }
       takeStruct("add").foreach { r =>
+        val dv =
+          if (r.schema.fieldNames.contains("deletionVector"))
+            Option(r.getAs[Row]("deletionVector")).map { d =>
+              DvDescriptor(d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[java.lang.Integer]("offset"))
+                  .map(_.toInt),
+                d.getAs[Int]("sizeInBytes"),
+                d.getAs[Long]("cardinality"))
+            }
+          else None
         val a = AddFile(r.getAs[String]("path"),
           Option(r.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty),
           r.getAs[Long]("size"),
           r.getAs[Long]("modificationTime"),
-          r.getAs[Boolean]("dataChange"))
+          r.getAs[Boolean]("dataChange"),
+          dv)
         files(a.path) = a
       }
       // remove rows in a checkpoint are expired tombstones — they
@@ -270,10 +351,28 @@ object DeltaLog {
       c.protocol.foreach(p => protocol = Some(p))
     }
     val p = protocol.getOrElse(sys.error(s"no protocol in $table"))
-    require(p.minReader <= 2,
-      s"unsupported delta reader version ${p.minReader} (reader " +
-        "features such as deletion vectors are not supported — " +
-        "refusing to mis-read)")
+    // protocol gate: ≤ 2 always readable; 3 readable iff every
+    // listed reader feature is one we HONOUR (deletion vectors are
+    // applied, column mapping resolved) — an unknown feature would
+    // mis-read, so it rejects
+    if (p.minReader == 3) {
+      require(p.readerFeatures.nonEmpty,
+        "protocol v3 without readerFeatures — cannot know what " +
+          "the table needs, refusing to mis-read")
+      val unsupported =
+        p.readerFeatures.filterNot(SupportedReaderFeatures)
+      require(unsupported.isEmpty,
+        s"unsupported delta reader features $unsupported — " +
+          "refusing to mis-read")
+    } else require(p.minReader <= 2,
+      s"unsupported delta reader version ${p.minReader} — " +
+        "refusing to mis-read")
+    val cmMode = meta.flatMap(
+      _.configuration.get("delta.columnMapping.mode"))
+      .getOrElse("none")
+    require(cmMode == "none" || cmMode == "name",
+      s"unsupported column mapping mode $cmMode ('id' would need " +
+        "parquet field-id resolution — refusing to mis-name)")
     Snapshot(version,
       meta.getOrElse(sys.error(s"no metaData in $table")), p,
       files.values.toSeq)
@@ -286,28 +385,134 @@ object DeltaLog {
     readFiles(spark, table, snap.meta, snap.files)
   }
 
+  /** Load one descriptor's bitmap — inline Z85, a UUID-named file
+    * under the table, or an absolute path. */
+  def loadDeletionVector(spark: SparkSession, table: String,
+      dv: DvDescriptor): Roaring.Bitmap64 = dv.storageType match {
+    case "i" =>
+      // Z85 works in 4-byte groups, so the encoder zero-pads;
+      // sizeInBytes is the TRUE length
+      val padded = Roaring.z85Decode(dv.pathOrInlineDv).getOrElse(
+        sys.error("inline deletion vector is not valid z85"))
+      require(padded.length >= dv.sizeInBytes &&
+        padded.length - dv.sizeInBytes < 4 &&
+        padded.drop(dv.sizeInBytes).forall(_ == 0),
+        "inline deletion vector size mismatch")
+      Roaring.parseArray(padded.take(dv.sizeInBytes)).getOrElse(
+        sys.error("inline deletion vector is not a roaring array"))
+    case "u" | "p" =>
+      val path =
+        if (dv.storageType == "p") dv.pathOrInlineDv
+        else {
+          // [randomPrefix/]z85(UUID) — the LAST 20 chars encode the
+          // 16 UUID bytes; anything before is a directory prefix
+          val s = dv.pathOrInlineDv
+          require(s.length >= 20, "malformed uuid dv path")
+          val prefix = s.dropRight(20)
+          val uuidBytes = Roaring.z85Decode(s.takeRight(20))
+            .getOrElse(sys.error("dv uuid is not valid z85"))
+          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val dir = if (prefix.isEmpty) table
+            else s"$table/${prefix.stripSuffix("/")}"
+          s"$dir/deletion_vector_$uuid.bin"
+        }
+      val (f, p) = fs(spark, path)
+      val in = f.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+      Roaring.readDvFile(bytes,
+        dv.offset.getOrElse(sys.error("dv file without offset")),
+        dv.sizeInBytes).getOrElse(
+        sys.error(s"deletion vector at $path failed to verify"))
+    case other => sys.error(s"unknown dv storage type $other")
+  }
+
   /** A file SUBSET of a table as a DataFrame — the scan-building
     * half of [[read]], shared with the log-tail streaming twin:
     * one pruned scan per partition-value combination, partition
     * columns injected as typed literals (protocol: values live in
-    * the log, not the files). */
+    * the log, not the files). Reader-version-3 features applied
+    * here: column-mapping mode "name" reads the files under their
+    * PHYSICAL names and renames to logical, and files carrying
+    * deletion vectors are scanned with `_metadata.row_index` and
+    * masked through the (broadcast) decoded bitmaps — rows never
+    * resurrect, and DV-less files keep the plain pruned scan. */
   def readFiles(spark: SparkSession, table: String, meta: Meta,
       files: Seq[AddFile]): DataFrame = {
     val schema = DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
+    val cmName =
+      meta.configuration.get("delta.columnMapping.mode")
+        .contains("name")
+    /** logical field name → physical parquet column name. */
+    def phys(f: StructField): String =
+      if (!cmName) f.name
+      else {
+        require(f.metadata.contains(
+          "delta.columnMapping.physicalName"),
+          s"column-mapped table but ${f.name} has no physicalName")
+        f.metadata.getString("delta.columnMapping.physicalName")
+      }
     val partCols = meta.partitionColumns
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val dataSchemaPhys = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name))
+        .map(f => StructField(phys(f), f.dataType, f.nullable)))
+    val logicalDataNames = schema.fields
+      .filterNot(f => partCols.contains(f.name)).map(_.name)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
+
+    // deletion vectors: decode driver-side (bitmaps are metadata-
+    // sized), broadcast path→bitmap for the executor-side mask.
+    // Paths normalize scheme-free on both sides (the metadata
+    // column renders file:///x, the log holds relative paths).
+    def normP(p: String): String = {
+      val i = p.indexOf(':')
+      val s = if (i > 0 && p.take(i).forall(_.isLetter))
+        p.substring(i + 1) else p
+      if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
+    }
+    val dvByPath: Map[String, Roaring.Bitmap64] =
+      files.flatMap(a => a.deletionVector.map(dv =>
+        normP(s"$table/${a.path}") ->
+          loadDeletionVector(spark, table, dv))).toMap
+    val dvB = spark.sparkContext.broadcast(dvByPath)
+    val keep = udf((path: String, idx: Long) =>
+      !dvB.value.get(normP(path)).exists(_.contains(idx)))
+
     val groups = files.groupBy(_.partitionValues).toSeq
     groups.map { case (pv, fs0) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fs0.map(f => s"$table/${f.path}"): _*)
+      val (withDv, plain) = fs0.partition(_.deletionVector.nonEmpty)
+      val scans = Seq(
+        if (plain.nonEmpty)
+          Some(spark.read.schema(dataSchemaPhys)
+            .parquet(plain.map(f => s"$table/${f.path}"): _*))
+        else None,
+        if (withDv.nonEmpty)
+          Some(spark.read.schema(dataSchemaPhys)
+            .parquet(withDv.map(f => s"$table/${f.path}"): _*)
+            .withColumn("__dv_path", col("_metadata.file_path"))
+            .withColumn("__dv_idx", col("_metadata.row_index"))
+            .filter(keep(col("__dv_path"), col("__dv_idx")))
+            .drop("__dv_path", "__dv_idx"))
+        else None).flatten
+      val base0 = scans.reduce(_ union _)
+      // physical → logical rename (column mapping "name" mode)
+      val base = logicalDataNames.zip(dataSchemaPhys.fieldNames)
+        .foldLeft(base0) { case (df, (log, ph)) =>
+          if (log == ph) df else df.withColumnRenamed(ph, log) }
       partCols.foldLeft(base) { (df, c) =>
         val f = schema(c)
-        val raw = pv.get(c).orNull
+        // partition values are keyed by PHYSICAL name in
+        // column-mapped tables
+        val raw = pv.get(phys(f)).orElse(pv.get(c)).orNull
         df.withColumn(c,
           (if (raw == null) lit(null) else lit(raw))
             .cast(f.dataType))
@@ -369,37 +574,93 @@ object DeltaLog {
     out.result().sortBy(_.path)
   }
 
+  /** Build the actions of a DV DELETE commit: for each (file,
+    * sorted-distinct row indices) pair, serialize the bitmap and
+    * re-add the SAME data file with a deletion-vector descriptor —
+    * inline ("i", Z85) when the blob is small, a UUID-named `.bin`
+    * under the table ("u") otherwise. This is the protocol's
+    * row-level delete: no data file is rewritten. */
+  def dvDeleteActions(spark: SparkSession, table: String,
+      files: Seq[AddFile], deleted: Map[String, Array[Long]],
+      inlineMax: Int = 64): Seq[String] = {
+    files.filter(f => deleted.get(f.path).exists(_.nonEmpty))
+      .map { f =>
+        val idx = deleted(f.path)
+        val data = Roaring.serializeArray(idx)
+        val dv =
+          if (data.length <= inlineMax) {
+            val padded = data ++
+              new Array[Byte]((4 - data.length % 4) % 4)
+            DvDescriptor("i", Roaring.z85Encode(padded), None,
+              data.length, idx.length.toLong)
+          }
+          else {
+            val uuid = java.util.UUID.nameUUIDFromBytes(
+              s"dv:${f.path}".getBytes("UTF-8"))
+            val (blob, off) = Roaring.wrapDvFile(data)
+            val (fsys, p) = fs(spark,
+              s"$table/deletion_vector_$uuid.bin")
+            val out = fsys.create(p, true)
+            try out.write(blob) finally out.close()
+            val bb = java.nio.ByteBuffer.allocate(16)
+            bb.putLong(uuid.getMostSignificantBits)
+            bb.putLong(uuid.getLeastSignificantBits)
+            DvDescriptor("u", Roaring.z85Encode(bb.array()),
+              Some(off), data.length, idx.length.toLong)
+          }
+        addJson(f.copy(deletionVector = Some(dv)))
+      }
+  }
+
   /** Classic single-file checkpoint at `version` + the
     * `_last_checkpoint` pointer. */
   def writeCheckpoint(spark: SparkSession, table: String,
       version: Long): Unit = {
     val snap = snapshot(spark, table, Some(version))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues",
         MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration",
+        MapType(StringType, StringType))))
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType))))
     val cpType = StructType(Seq(
       StructField("protocol", protoType),
       StructField("metaData", metaType),
       StructField("add", addType)))
+    def dvRow(dv: Option[DvDescriptor]): Row = dv.map { d =>
+      Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Integer.valueOf).orNull,
+        d.sizeInBytes, d.cardinality)
+    }.orNull
     val rows =
-      Row(Row(snap.protocol.minReader, snap.protocol.minWriter),
+      Row(Row(snap.protocol.minReader, snap.protocol.minWriter,
+        if (snap.protocol.readerFeatures.isEmpty) null
+        else snap.protocol.readerFeatures),
         null, null) +:
       Row(null, Row(snap.meta.id, snap.meta.schemaString,
-        snap.meta.partitionColumns), null) +:
+        snap.meta.partitionColumns, snap.meta.configuration),
+        null) +:
       snap.files.map(a => Row(null, null,
         Row(a.path, a.partitionValues, a.size, a.modificationTime,
-          a.dataChange)))
+          a.dataChange, dvRow(a.deletionVector))))
     val tmp = s"${logDir(table)}/.cp_$version.tmp"
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpType)

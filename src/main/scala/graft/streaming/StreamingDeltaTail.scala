@@ -67,6 +67,10 @@ object StreamingDeltaTail {
               "append-only (a skipped delete would diverge from " +
               "the batch read; re-emitting a rewrite would " +
               "duplicate)")
+          require(c.adds.forall(_.deletionVector.isEmpty),
+            s"commit $version adds a deletion vector — a row-level " +
+              "delete breaks the append-only tail the same way a " +
+              "remove does")
           c.meta.foreach(m => meta = Some(m))
           val m = meta.getOrElse(sys.error(
             s"no metaData at or before commit $version"))

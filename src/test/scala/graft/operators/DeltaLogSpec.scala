@@ -131,6 +131,118 @@ class DeltaLogSpec extends AnyFunSuite {
       plan.contains("GreaterThan(id,10)"))
   }
 
+  test("deletion vectors: inline + file DVs mask rows, survive " +
+      "checkpoints, never resurrect") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_dv")
+    DeltaLog.create(spark, seed(100).repartition(4), t)
+    val snap0 = DeltaLog.snapshot(spark, t)
+    // which row indices hold id % 7 == 0, per file
+    val byFile = spark.read.parquet(s"$t")
+      .select(col("id"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .filter($"id" % 7 === 0)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).map { case (fp, rows) =>
+        val rel = fp.substring(fp.indexOf(t) + t.length + 1)
+        rel -> rows.map(_._3).sorted
+      }
+    // v1: the DV delete commit — protocol upgrade + descriptors:
+    // half the files through the inline-Z85 form, half through
+    // UUID-named .bin files (forced by the inline threshold)
+    val ordered = byFile.toSeq.sortBy(_._1)
+    val (fileSide, inlineSide) =
+      (ordered.take(ordered.length / 2).toMap,
+        ordered.drop(ordered.length / 2).toMap)
+    assert(fileSide.nonEmpty && inlineSide.nonEmpty)
+    val actions =
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+        Seq("deletionVectors")))) ++
+      DeltaLog.dvDeleteActions(spark, t, snap0.files,
+        fileSide, inlineMax = 0) ++
+      DeltaLog.dvDeleteActions(spark, t, snap0.files,
+        inlineSide, inlineMax = 1 << 20)
+    DeltaLog.commit(spark, t, 1L, actions)
+    val got = DeltaLog.read(spark, t).select($"id")
+      .as[Long].collect().sorted
+    val want = (0L until 100L).filter(_ % 7 != 0).toArray
+    assert(got.sameElements(want))
+    // descriptors chose both storage types
+    val snap1 = DeltaLog.snapshot(spark, t)
+    val types = snap1.files.flatMap(_.deletionVector)
+      .map(_.storageType).toSet
+    assert(types == Set("i", "u"))
+    // time travel to v0 still sees everything
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 100)
+    // the DV state survives a checkpoint round trip (commits
+    // pruned away so the checkpoint alone must carry it)
+    DeltaLog.writeCheckpoint(spark, t, 1L)
+    (0L to 1L).foreach(v => new java.io.File(
+      s"$t/_delta_log", f"$v%020d.json").delete())
+    val got2 = DeltaLog.read(spark, t).select($"id")
+      .as[Long].collect().sorted
+    assert(got2.sameElements(want))
+  }
+
+  test("column mapping 'name': physical parquet names resolve; " +
+      "'id' rejects") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_cm")
+    // data files under PHYSICAL names
+    seed(30).toDF("col-aaa", "col-bbb", "col-ccc")
+      .write.parquet(t)
+    val adds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+    def field(log: String, ph: String, tpe: String) =
+      s"""{"name":"$log","type":"$tpe","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.id":1,""" +
+        s""""delta.columnMapping.physicalName":"$ph"}}"""
+    val schemaJson =
+      s"""{"type":"struct","fields":[${field("id", "col-aaa",
+        "long")},${field("txt", "col-bbb", "string")},${
+        field("bucket", "col-ccc", "integer")}]}"""
+    val meta = DeltaLog.Meta("cm-test", schemaJson, Seq.empty,
+      Map("delta.columnMapping.mode" -> "name"))
+    DeltaLog.commit(spark, t, 0L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+        Seq("columnMapping"))), DeltaLog.metaJson(meta)) ++
+        adds.map(DeltaLog.addJson))
+    val df = DeltaLog.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "txt", "bucket"))
+    assert(df.filter($"id" === 7L).select($"txt")
+      .head.getString(0) == "row7")
+    assert(df.count() == 30)
+    // mode "id" rejects honestly
+    val t2 = tmpTable("delta_cm_id")
+    seed(5).write.parquet(t2)
+    val adds2 = DeltaLog.listDataFiles(spark, t2, Seq.empty)
+    DeltaLog.commit(spark, t2, 0L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+        Seq("columnMapping"))),
+        DeltaLog.metaJson(DeltaLog.Meta("x", seed(5).schema.json,
+          Seq.empty, Map("delta.columnMapping.mode" -> "id")))) ++
+        adds2.map(DeltaLog.addJson))
+    assertThrows[IllegalArgumentException](
+      DeltaLog.read(spark, t2).count())
+  }
+
+  test("reader features: unknown v3 features reject, known pass") {
+    val t = tmpTable("delta_feat")
+    DeltaLog.create(spark, seed(5), t)
+    val adds = DeltaLog.snapshot(spark, t).files
+    DeltaLog.commit(spark, t, 1L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+        Seq("deletionVectors", "v2Checkpoint")))))
+    assertThrows[IllegalArgumentException](
+      DeltaLog.snapshot(spark, t))
+    DeltaLog.commit(spark, t, 2L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+        Seq("deletionVectors", "timestampNtz")))))
+    assert(DeltaLog.snapshot(spark, t).files.map(_.path).toSet ==
+      adds.map(_.path).toSet)
+  }
+
   test("torn log and unsupported protocol reject") {
     val s = spark
     import s.implicits._
