@@ -22,8 +22,15 @@ import org.apache.spark.sql.types._
   *    snapshot in the metadata, so travel is a lookup, not a
   *    replay).
   *  - the manifest list yields manifest paths; `content = 1`
-  *    (delete manifests, v2 row-level deletes) REJECTS honestly —
-  *    applying them wrongly would resurrect deleted rows.
+  *    DELETE manifests (v2 row-level deletes) are read for real
+  *    since late r12: POSITION-delete files (parquet, file_path +
+  *    pos) collect with their sequence numbers (entry field,
+  *    inherited from the list row when null — the spec's rule) and
+  *    the scan applies them as a LEFT ANTI join on
+  *    (file_path, `_metadata.row_index`) to every data file whose
+  *    sequence number admits them — merge-on-read in its Spark-
+  *    native form, shuffling only delete-row volume. EQUALITY
+  *    deletes (data_file content = 2) still reject honestly.
   *  - manifest entries with `status = 2` (DELETED) drop; data files
   *    must be `content = 0` PARQUET. Iceberg data files carry ALL
   *    columns (partition values are in the files, unlike Delta), so
@@ -49,7 +56,15 @@ object Iceberg {
 
   final case class DataFileEntry(path: String, format: String,
       recordCount: Long, fileSize: Long,
-      partition: Map[String, Any] = Map.empty)
+      partition: Map[String, Any] = Map.empty,
+      /** data sequence number (entry field, inherited from the
+        * manifest-list row when null — the spec's rule). */
+      seq: Long = 0L)
+  /** One POSITION-delete file (v2 row-level deletes): parquet with
+    * `file_path` + `pos` columns; applies to data files whose
+    * sequence number is ≤ its own. */
+  final case class DeleteFileEntry(path: String, recordCount: Long,
+      seq: Long)
   /** One partition-spec field: the derived field's name, its
     * transform ("identity", "bucket[N]", "truncate[W]", "year",
     * "month", "day", "hour"), and the SOURCE column (spec field id
@@ -57,7 +72,8 @@ object Iceberg {
   final case class PartField(name: String, transform: String,
       sourceId: Int, sourceName: String)
   final case class IceSnapshot(snapshotId: Long, schema: StructType,
-      files: Seq[DataFileEntry], spec: Seq[PartField] = Seq.empty)
+      files: Seq[DataFileEntry], spec: Seq[PartField] = Seq.empty,
+      deletes: Seq[DeleteFileEntry] = Seq.empty)
 
   // ---------------------------------------------------------------
   // Partition transforms (spec §Partitioning + Appendix B)
@@ -503,20 +519,63 @@ object Iceberg {
       sys.error(s"manifest list is not readable avro: $listPath"))
     val pIdx = fieldIdx(listFile.nfields, "manifest_path")
     val cIdx = listFile.nfields.indexWhere(_.name == "content")
+    val qIdx = listFile.nfields.indexWhere(_.name ==
+      "sequence_number")
     val manifests = listFile.rows.map { r =>
       val path = r(pIdx).get.asInstanceOf[String]
       val content =
         if (cIdx < 0) 0
         else r(cIdx).map(_.asInstanceOf[Int]).getOrElse(0)
-      (path, content)
+      val seq =
+        if (qIdx < 0) 0L
+        else r(qIdx).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (path, content, seq)
     }
-    manifests.foreach { case (path, content) =>
-      require(content == 0,
-        s"delete manifest $path (v2 row-level deletes) — refusing " +
-          "to read a table whose rows we would resurrect")
+    manifests.foreach { case (path, content, _) =>
+      require(content == 0 || content == 1,
+        s"unknown manifest content $content at $path — refusing")
     }
 
-    val files = manifests.flatMap { case (mPath, _) =>
+    // v2 POSITION-delete manifests (content = 1): their entries
+    // reference parquet delete files (file_path + pos columns);
+    // equality deletes (data_file content = 2) still reject —
+    // applying them needs value comparison semantics we don't
+    // guess at
+    val deletes: Seq[DeleteFileEntry] = manifests
+      .filter(_._2 == 1).flatMap { case (mPath, _, mSeq) =>
+        val mf = Avro.parse(readBytes(spark, mPath)).getOrElse(
+          sys.error(s"delete manifest is not readable avro: $mPath"))
+        val sIdx = fieldIdx(mf.nfields, "status")
+        val dIdx = fieldIdx(mf.nfields, "data_file")
+        val eqIdx = mf.nfields.indexWhere(_.name ==
+          "sequence_number")
+        val dRec = mf.nfields(dIdx).tpe match {
+          case r: NRec => r
+          case _ => sys.error(s"data_file not a record in $mPath")
+        }
+        val fpIdx = fieldIdx(dRec.fields, "file_path")
+        val rcIdx = fieldIdx(dRec.fields, "record_count")
+        val dcIdx = dRec.fields.indexWhere(_.name == "content")
+        mf.rows.flatMap { r =>
+          if (r(sIdx).get.asInstanceOf[Int] == 2) None // DELETED
+          else {
+            val df = r(dIdx).get.asInstanceOf[Avro.Row]
+            val dContent = if (dcIdx < 0) 0
+              else df(dcIdx).map(_.asInstanceOf[Int]).getOrElse(0)
+            require(dContent == 1,
+              s"non-position delete file (content $dContent) in " +
+                s"$mPath — equality deletes reject honestly")
+            val seq = (if (eqIdx < 0) None else r(eqIdx))
+              .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+            Some(DeleteFileEntry(
+              df(fpIdx).get.asInstanceOf[String],
+              df(rcIdx).get.asInstanceOf[Long], seq))
+          }
+        }
+      }
+
+    val files = manifests.filter(_._2 == 0).flatMap {
+      case (mPath, _, mSeq) =>
       val mf = Avro.parse(readBytes(spark, mPath)).getOrElse(
         sys.error(s"manifest is not readable avro: $mPath"))
       val sIdx = fieldIdx(mf.nfields, "status")
@@ -531,6 +590,7 @@ object Iceberg {
       val szIdx = fieldIdx(dRec.fields, "file_size_in_bytes")
       val dcIdx = dRec.fields.indexWhere(_.name == "content")
       val ptIdx = dRec.fields.indexWhere(_.name == "partition")
+      val eqIdx = mf.nfields.indexWhere(_.name == "sequence_number")
       val ptFields: Seq[String] =
         if (ptIdx < 0) Seq.empty
         else dRec.fields(ptIdx).tpe match {
@@ -541,6 +601,8 @@ object Iceberg {
         val status = r(sIdx).get.asInstanceOf[Int]
         if (status == 2) None // DELETED
         else {
+          val seq = (if (eqIdx < 0) None else r(eqIdx))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           val df = r(dIdx).get.asInstanceOf[Avro.Row]
           val dContent = if (dcIdx < 0) 0
             else df(dcIdx).map(_.asInstanceOf[Int]).getOrElse(0)
@@ -557,11 +619,11 @@ object Iceberg {
             }
           Some(DataFileEntry(df(fpIdx).get.asInstanceOf[String], fmt,
             df(rcIdx).get.asInstanceOf[Long],
-            df(szIdx).get.asInstanceOf[Long], part))
+            df(szIdx).get.asInstanceOf[Long], part, seq))
         }
       }
     }
-    IceSnapshot(wantId, schema, files, spec)
+    IceSnapshot(wantId, schema, files, spec, deletes)
   }
 
   /** PRUNED file planning (the spec's "partition pruning"): keep
@@ -595,29 +657,71 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = snapshot(spark, table, snapshotId)
     val keep = prunedFiles(snap, colName, value)
-    if (keep.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        snap.schema)
-    else
-      spark.read.schema(snap.schema)
-        .parquet(keep.map(_.path): _*)
-        .filter(col(colName) === lit(value))
+    scanFiles(spark, snap, keep)
+      .filter(col(colName) === lit(value))
   }
 
   /** The table as a DataFrame (latest, or a time-travel snapshot
     * id). Iceberg data files carry every column, so this is one
-    * schema-exact multi-file parquet scan — pushdown intact. */
+    * schema-exact multi-file parquet scan — pushdown intact. With
+    * v2 POSITION deletes present, the scan becomes the Spark-
+    * natural form of the spec's merge-on-read: data files whose
+    * sequence number admits deletes are LEFT ANTI joined against
+    * the delete-file rows on (file_path, pos) via
+    * `_metadata.row_index` — the join shuffles only the delete
+    * rows' volume (or broadcasts when small, AQE's call), never
+    * buffers data rows. */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, snapshotId)
-    if (snap.files.isEmpty)
-      spark.createDataFrame(
+    scanFiles(spark, snap, snap.files)
+  }
+
+  /** Scheme-free path form shared by both join sides. */
+  private def pathNorm(p: String): String = {
+    val i = p.indexOf(':')
+    val s = if (i > 0 && p.take(i).forall(_.isLetter))
+      p.substring(i + 1) else p
+    if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
+  }
+
+  /** The spec's delete-applicability rule: a position-delete file
+    * applies to a data file iff its sequence number is ≥ the data
+    * file's (deletes never mask rows added after them). */
+  def deletesFor(snap: IceSnapshot, f: DataFileEntry): Seq[String] =
+    snap.deletes.filter(_.seq >= f.seq).map(_.path).sorted
+
+  private def scanFiles(spark: SparkSession, snap: IceSnapshot,
+      files: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    if (files.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
-    else
-      spark.read.schema(snap.schema)
-        .parquet(snap.files.map(_.path): _*)
+    if (snap.deletes.isEmpty)
+      return spark.read.schema(snap.schema)
+        .parquet(files.map(_.path): _*)
+    val norm = udf(pathNorm _)
+    // group data files by the SET of delete files that apply to
+    // them (seq rule) — usually one group; each group is one scan
+    // + one anti-join
+    files.groupBy(f => deletesFor(snap, f))
+      .toSeq.map { case (delPaths, fs0) =>
+        val scan = spark.read.schema(snap.schema)
+          .parquet(fs0.map(_.path): _*)
+        if (delPaths.isEmpty) scan
+        else {
+          val del = spark.read.parquet(delPaths: _*)
+            .select(norm(col("file_path")).as("__del_path"),
+              col("pos").as("__del_pos"))
+          scan
+            .withColumn("__path", norm(col("_metadata.file_path")))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(del, col("__path") === col("__del_path") &&
+              col("__pos") === col("__del_pos"), "left_anti")
+            .drop("__path", "__pos")
+        }
+      }.reduce(_ unionAll _)
   }
 
   // ---------------------------------------------------------------
@@ -647,36 +751,58 @@ object Iceberg {
       files: Seq[(String, Long, Long)], // (path, rows, bytes)
       prior: Seq[(Long, String)],
       spec: Seq[PartField] = Seq.empty,
-      partitions: Map[String, Seq[Any]] = Map.empty): Unit = {
+      partitions: Map[String, Seq[Any]] = Map.empty,
+      // v2 position-delete files (path, rows, bytes) — written as
+      // a SECOND manifest with content = 1 at this sequence number
+      deleteFiles: Seq[(String, Long, Long)] = Seq.empty): Unit = {
     val metaDir = s"$table/metadata"
     val manifestPath = s"$metaDir/m-$snapshotId.avro"
     val partFieldTypes: Seq[(String, DataType)] = spec.map { pf =>
       val srcType = schema(pf.sourceName).dataType
       (pf.name, transformResultType(pf.transform, srcType))
     }
-    val entries: Seq[Avro.Row] = files.map { case (p, rows, bytes) =>
+    def entriesFor(fs0: Seq[(String, Long, Long)], content: Int)
+        : Seq[Avro.Row] = fs0.map { case (p, rows, bytes) =>
       val pvals: Avro.Row =
-        if (spec.isEmpty) Seq.empty
+        if (spec.isEmpty || content == 1) Seq.empty
         else partitions.getOrElse(p,
           sys.error(s"no partition values for $p")).map(Some(_))
       Seq(Some(1), Some(snapshotId), Some(version), Some(version),
-        Some(Seq(Some(0), Some(p), Some("PARQUET"),
+        Some(Seq(Some(content), Some(p), Some("PARQUET"),
           Some(pvals), Some(rows), Some(bytes))
           : Avro.Row))
     }
     val manifestBytes = Avro.buildNested("manifest_entry",
-      manifestEntryFields(partFieldTypes), entries)
+      manifestEntryFields(partFieldTypes),
+      entriesFor(files, content = 0))
     writeBytes(spark, manifestPath, manifestBytes)
+    val delManifest: Option[(String, Array[Byte])] =
+      if (deleteFiles.isEmpty) None
+      else {
+        val p = s"$metaDir/m-$snapshotId-del.avro"
+        val b = Avro.buildNested("manifest_entry",
+          manifestEntryFields(Seq.empty),
+          entriesFor(deleteFiles, content = 1))
+        writeBytes(spark, p, b)
+        Some((p, b))
+      }
 
     val listPath = s"$metaDir/snap-$snapshotId.avro"
-    val listRow: Avro.Row = Seq(
-      Some(manifestPath), Some(manifestBytes.length.toLong),
-      Some(0), Some(0), Some(version), Some(version),
-      Some(snapshotId), Some(files.length),
+    def listRow(mPath: String, mLen: Int, content: Int,
+        rowsN: Long, nFiles: Int): Avro.Row = Seq(
+      Some(mPath), Some(mLen.toLong),
+      Some(0), Some(content), Some(version), Some(version),
+      Some(snapshotId), Some(nFiles),
       Some(0), Some(0),
-      Some(files.map(_._2).sum), Some(0L), Some(0L))
+      Some(rowsN), Some(0L), Some(0L))
+    val listRows = Seq(
+      listRow(manifestPath, manifestBytes.length, 0,
+        files.map(_._2).sum, files.length)) ++
+      delManifest.map { case (p, b) =>
+        listRow(p, b.length, 1, deleteFiles.map(_._2).sum,
+          deleteFiles.length) }
     writeBytes(spark, listPath, Avro.buildNested("manifest_file",
-      manifestListFields, Seq(listRow)))
+      manifestListFields, listRows))
 
     val snapsJson = (prior :+ (snapshotId, listPath)).map {
       case (id, lp) =>

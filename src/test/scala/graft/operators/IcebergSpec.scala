@@ -89,11 +89,13 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.toSparkType(Map("type" -> "map")).isEmpty)
   }
 
-  test("delete manifests and torn tables reject") {
+  test("malformed delete manifests and torn tables reject") {
     val t = tmpTable("ice_del")
     Iceberg.create(spark, seed(6), t)
-    // flip the manifest-list content field to 1 (delete manifest):
-    // rewrite the list avro with content=1
+    // flip the manifest-list content field to 1: the manifest is
+    // now claimed to be a DELETE manifest, but its entries carry
+    // data_file content = 0 — a malformed (or equality-delete)
+    // shape that must reject, never resurrect/mis-apply
     val lst = s"$t/metadata/snap-1.avro"
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(lst))
@@ -109,6 +111,54 @@ class IcebergSpec extends AnyFunSuite {
     // a missing table rejects loudly
     assertThrows[IllegalArgumentException](
       Iceberg.snapshot(spark, tmpTable("ice_missing")))
+  }
+
+  test("v2 position deletes: anti-join masking, seq rule, " +
+      "time travel unaffected") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_posdel")
+    Iceberg.create(spark, seed(60).repartition(3), t)
+    val snap1 = Iceberg.snapshot(spark, t)
+    // snapshot 2: position-delete every row with id % 5 == 0
+    val victims = spark.read.parquet(s"$t/data/s1")
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter($"id" % 5 === 0)
+      .drop("id")
+    victims.coalesce(1).write.parquet(s"$t/data/del2")
+    val delFiles = Iceberg.countsByFile(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))), s"$t/data/del2")
+    Iceberg.commit(spark, t, 2L, 2L, seed(60).schema,
+      snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+      prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+      deleteFiles = delFiles)
+    val snap2 = Iceberg.snapshot(spark, t)
+    assert(snap2.deletes.nonEmpty)
+    assert(snap2.deletes.head.seq == 2L)
+    assert(snap2.files.forall(_.seq == 2L))
+    val got = Iceberg.read(spark, t).select($"id")
+      .as[Long].collect().sorted
+    assert(got.sameElements((0L until 60L).filter(_ % 5 != 0)))
+    // time travel to snapshot 1: nothing deleted
+    assert(Iceberg.read(spark, t, Some(1L)).count() == 60)
+    // the spec's sequence rule, pinned on the pure applicability
+    // function: a delete at seq 2 applies to data at seq ≤ 2 and
+    // NOT to data added later
+    val synth = Iceberg.IceSnapshot(9L, seed(1).schema,
+      files = Seq.empty,
+      deletes = Seq(Iceberg.DeleteFileEntry("d.parquet", 5L, 2L)))
+    def fileAt(seq: Long) = Iceberg.DataFileEntry(
+      "f.parquet", "PARQUET", 1L, 1L, Map.empty, seq)
+    assert(Iceberg.deletesFor(synth, fileAt(1L)) ==
+      Seq("d.parquet"))
+    assert(Iceberg.deletesFor(synth, fileAt(2L)) ==
+      Seq("d.parquet"))
+    assert(Iceberg.deletesFor(synth, fileAt(3L)).isEmpty)
   }
 
   test("bucket hash matches the spec's own Appendix B vectors") {
