@@ -7331,6 +7331,110 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** Reader-version-3 delta fixture (late r12): lineitem written
+    * ONCE, then one DV DELETE commit — every row with
+    * l_quantity ≤ 5 masked through REAL deletion vectors (roaring
+    * bitmaps over `_metadata.row_index`), half the files inline-Z85
+    * descriptors, half UUID-named `.bin` blobs with CRC framing;
+    * no data file is rewritten. */
+  private def deltaDvFixtureRoot(s: SparkSession, dir: String)
+      : String =
+    formatFixtureDir(dir, "delta_dv", "lineitem") { out =>
+      import graft.operators.DeltaLog
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+      DeltaLog.create(s, base.repartition(8), t)
+      val snap0 = DeltaLog.snapshot(s, t)
+      // row indices to delete, per file (executor scan, small
+      // collect — only the deleted side comes back)
+      val victims = s.read.parquet(t)
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"))
+        .filter(col("l_quantity") <= 5)
+        .collect()
+        .groupBy(r => {
+          val fp = r.getString(0)
+          fp.substring(fp.indexOf(t) + t.length + 1)
+        })
+        .map { case (rel, rows) =>
+          rel -> rows.map(_.getLong(1)).sorted }
+      val ordered = victims.toSeq.sortBy(_._1)
+      val (fileSide, inlineSide) =
+        (ordered.take(ordered.length / 2).toMap,
+          ordered.drop(ordered.length / 2).toMap)
+      DeltaLog.commit(s, t, 1L,
+        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+          Seq("deletionVectors")))) ++
+          DeltaLog.dvDeleteActions(s, t, snap0.files, fileSide,
+            inlineMax = 0) ++
+          DeltaLog.dvDeleteActions(s, t, snap0.files, inlineSide,
+            inlineMax = 1 << 20))
+    }
+
+  /** Delta DELETION-VECTOR scan (late r12) — the latest snapshot
+    * reads through the v3 protocol gate, decodes every DV (both
+    * storage forms live in the fixture), and masks rows via the
+    * broadcast bitmaps + `_metadata.row_index`; the oracle
+    * recomputes the surviving rows from raw lineitem, so a wrong
+    * roaring container walk, Z85 slip, CRC miss or off-by-one row
+    * index resurrects or loses rows and flips the hash. */
+  private def deltaDvScan(s: SparkSession, dir: String): DataFrame = {
+    val root = deltaDvFixtureRoot(s, dir)
+    graft.operators.DeltaLog.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy("rf")
+  }
+
+  /** Column-mapped delta fixture + scan (late r12): the SAME
+    * lineitem columns stored in parquet under opaque PHYSICAL
+    * names (`col-<n>`), resolved back to logical names through the
+    * schema's `delta.columnMapping.physicalName` metadata under
+    * mode "name" — the layout modern writers produce after any
+    * RENAME COLUMN. A wrong mapping mis-names every value; the
+    * oracle is plain lineitem. */
+  private def deltaColumnMapping(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.DeltaLog
+    val root = formatFixtureDir(dir, "delta_cm", "lineitem") { out =>
+      val t = s"$out/tbl"
+      val logical = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag")
+      val base = Tables.lineitem(s, dir).selectExpr(logical: _*)
+      val physical = logical.zipWithIndex.map { case (_, i) =>
+        s"col-${i + 1}" }
+      base.toDF(physical: _*).write.parquet(t)
+      val adds = DeltaLog.listDataFiles(s, t, Seq.empty)
+      val fieldsJson = base.schema.fields.zip(physical).map {
+        case (f, ph) =>
+          s"""{"name":${graft.operators.JsonMini.quote(f.name)},""" +
+            s""""type":"${f.dataType.typeName}","nullable":true,""" +
+            s""""metadata":{"delta.columnMapping.id":1,""" +
+            s""""delta.columnMapping.physicalName":"$ph"}}"""
+      }.mkString(",")
+      DeltaLog.commit(s, t, 0L,
+        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+          Seq("columnMapping"))),
+          DeltaLog.metaJson(DeltaLog.Meta("cm",
+            s"""{"type":"struct","fields":[$fieldsJson]}""",
+            Seq.empty,
+            Map("delta.columnMapping.mode" -> "name")))) ++
+          adds.map(DeltaLog.addJson))
+    }
+    graft.operators.DeltaLog.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy("rf")
+  }
+
   /** Iceberg-table fixture (operators/Iceberg): the SAME 3-step
     * story as [[deltaFixtureRoot]] told in the other lakehouse
     * format — snapshot 1 create, snapshot 2 delete-rewrite of
@@ -7386,6 +7490,54 @@ object Pipeline {
         sum(col("l_quantity").cast("long")).as("qty_sum"),
         sum(col("l_orderkey") * col("bucket").cast("long"))
           .as("okb_sum"))
+      .orderBy("rf")
+  }
+
+  /** Iceberg v2 POSITION-DELETE scan (late r12) — the same
+    * row-level-delete story as [[deltaDvScan]] told in the other
+    * lakehouse format: snapshot 1 creates the table, snapshot 2
+    * commits a parquet delete file (file_path + pos rows gathered
+    * via `_metadata.row_index`) through a content=1 delete
+    * manifest; the read applies it as a LEFT ANTI join, and the
+    * ORACLE is the identical survivor recomputation — one truth,
+    * two formats, two delete mechanisms (roaring masks vs
+    * anti-join). */
+  private def icebergPosDelete(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = formatFixtureDir(dir, "iceberg_pd", "lineitem") {
+      out =>
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+      Iceberg.create(s, base.repartition(8), t)
+      val snap1 = Iceberg.snapshot(s, t)
+      s.read.parquet(s"$t/data/s1")
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"),
+          col("l_quantity"))
+        .filter(col("l_quantity") <= 5)
+        .drop("l_quantity")
+        .coalesce(1).write.parquet(s"$t/data/del2")
+      val delFiles = Iceberg.countsByFile(s,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType))),
+        s"$t/data/del2")
+      Iceberg.commit(s, t, 2L, 2L, base.schema,
+        snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+        deleteFiles = delFiles)
+    }
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
       .orderBy("rf")
   }
 
@@ -10551,9 +10703,12 @@ object Pipeline {
     "tensor_cross_check" -> tensorCrossCheck _,
     "delta_scan"        -> deltaScan _,
     "delta_time_travel" -> deltaTimeTravel _,
+    "delta_dv_scan"     -> deltaDvScan _,
+    "delta_column_mapping" -> deltaColumnMapping _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
+    "iceberg_pos_delete" -> icebergPosDelete _,
     "lakehouse_ingest_dag" -> lakehouseIngestDag _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
@@ -12999,6 +13154,34 @@ object Pipeline {
     // replay (the later checkpoint must be IGNORED), Iceberg via
     // snapshot-id lookup — both equal plain lineitem
     "delta_time_travel" -> lakehouseTimeTravelOracleSql,
+    // reader-version-3 features: rows masked by REAL deletion
+    // vectors (roaring bitmaps, both storage forms) must equal the
+    // analytic survivor set; the column-mapped table must aggregate
+    // identically to plain lineitem despite opaque physical names
+    "delta_dv_scan" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    "delta_column_mapping" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    // iceberg v2 position deletes: the SAME survivor truth as
+    // delta_dv_scan — one oracle pins both formats' row-level
+    // delete mechanisms (roaring masks vs anti-join)
+    "iceberg_pos_delete" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
     // partition pruning: per-flag facets (identity transform) + one
     // orderkey facet (bucket[16] — murmur3 pruning); pruned-scan
