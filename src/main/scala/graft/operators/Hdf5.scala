@@ -22,8 +22,13 @@ package graft.operators
   *    classes — COMPACT (inline), CONTIGUOUS (one slice) and
   *    CHUNKED (B-tree v1 node type 1 walked recursively, chunk
   *    offsets checked, edge chunks clipped) — with the filter
-  *    pipeline supporting DEFLATE (id 1, the JDK inflater) and
-  *    rejecting shuffle/fletcher/szip rather than mis-reading.
+  *    pipeline supporting DEFLATE (id 1, the JDK inflater),
+  *    SHUFFLE (id 2, the byte-plane transpose shared with
+  *    [[Blosc]]) and FLETCHER32 (id 3, HDF5's big-endian-word
+  *    Fletcher checksum verified and stripped, the byte-swapped
+  *    pre-1.6.3 trailer accepted like the library does) applied in
+  *    reverse write order; szip/nbit/scaleoffset still reject
+  *    rather than mis-read.
   *  - object header CONTINUATION blocks (0x0010) follow; NIL /
   *    fill-value / attribute / mod-time messages skip.
   *
@@ -90,7 +95,10 @@ object Hdf5 {
 
   private final case class ObjInfo(dims: Seq[Long],
       dtype: Option[Dtype], layout: Option[Layout],
-      deflate: Boolean, deflateOnly: Boolean,
+      /** filter pipeline in WRITE order: (fid, client values) —
+        * 1 deflate, 2 shuffle, 3 fletcher32. */
+      pipeline: Seq[(Int, Seq[Long])],
+      unsupportedFilter: Boolean,
       group: Option[(Long, Long)]) // (btreeAddr, heapAddr)
 
   /** Parse an object header (v1) at `addr`, following
@@ -107,7 +115,7 @@ object Hdf5 {
     var dims: Seq[Long] = Seq.empty
     var dtype: Option[Dtype] = None
     var layout: Option[Layout] = None
-    var deflate = false
+    val pipeline = Seq.newBuilder[(Int, Seq[Long])]
     var unsupportedFilter = false
     var group: Option[(Long, Long)] = None
 
@@ -203,7 +211,13 @@ object Hdf5 {
               val fid = u16(d, fp)
               val nameLen = u16(d, fp + 2)
               val nValues = u16(d, fp + 6)
-              if (fid == 1) deflate = true
+              if (fp + 8 + nameLen + 4 * nValues > end) return None
+              val values = (0 until nValues).map(j =>
+                u32(d, fp + 8 + nameLen + 4 * j))
+              // deflate, shuffle and fletcher32 decode for real;
+              // szip/nbit/scaleoffset would mis-read → reject
+              if (fid == 1 || fid == 2 || fid == 3)
+                pipeline += ((fid, values))
               else unsupportedFilter = true
               fp += 8 + nameLen + 4 * nValues
               if (nValues % 2 == 1) fp += 4
@@ -223,8 +237,72 @@ object Hdf5 {
         p += adv
       }
     }
-    Some(ObjInfo(dims, dtype, layout, deflate, unsupportedFilter,
-      group))
+    Some(ObjInfo(dims, dtype, layout, pipeline.result(),
+      unsupportedFilter, group))
+  }
+
+  /** HDF5's H5_checksum_fletcher32: 16-bit BIG-endian words,
+    * modulo-reduced every 360 words, odd tail high-padded. */
+  private[operators] def fletcher32(d: Array[Byte], off: Int,
+      len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var words = len / 2
+    var p = off
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((d(p) & 0xffL) << 8) | (d(p + 1) & 0xffL)
+        sum2 += sum1
+        p += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (d(off + len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 & 0xffff) << 16) | (sum1 & 0xffff)
+  }
+
+  /** Undo the filter pipeline on one stored chunk (reverse write
+    * order): fletcher32 verifies + strips its little-endian
+    * trailer (the pre-1.6.3 byte-swapped form accepted too, as the
+    * library does), deflate inflates to exactly the chunk size,
+    * shuffle un-transposes byte planes. None on any mismatch. */
+  private def unfilterChunk(stored: Array[Byte],
+      pipeline: Seq[(Int, Seq[Long])], chunkBytes: Int,
+      typesize: Int): Option[Array[Byte]] = {
+    var cur = stored
+    pipeline.reverse.foreach {
+      case (3, _) => // fletcher32: 4-byte LE checksum trailer
+        if (cur.length < 4) return None
+        val n = cur.length - 4
+        val want = fletcher32(cur, 0, n)
+        val le = (cur(n) & 0xffL) | ((cur(n + 1) & 0xffL) << 8) |
+          ((cur(n + 2) & 0xffL) << 16) | ((cur(n + 3) & 0xffL) << 24)
+        val be = (cur(n + 3) & 0xffL) | ((cur(n + 2) & 0xffL) << 8) |
+          ((cur(n + 1) & 0xffL) << 16) | ((cur(n) & 0xffL) << 24)
+        if (want != le && want != be) return None
+        cur = java.util.Arrays.copyOfRange(cur, 0, n)
+      case (1, _) => // deflate: everything inside is size-preserving
+        cur = inflate(cur, 0, cur.length, chunkBytes)
+          .getOrElse(return None)
+      case (2, values) => // shuffle: client value = element size
+        val esz = values.headOption.map(_.toInt).getOrElse(typesize)
+        if (esz <= 0 || esz > 256) return None
+        cur = Blosc.unshuffleBytes(esz, cur)
+      case _ => return None
+    }
+    if (cur.length != chunkBytes) return None
+    Some(cur)
   }
 
   /** Local-heap string at `heapAddr` data segment + `offset`. */
@@ -364,7 +442,7 @@ object Hdf5 {
       if (elems > MaxElems) return None
     }
     val want = (elems * dt.size).toInt
-    if (info.deflateOnly) return None // unsupported filter present
+    if (info.unsupportedFilter) return None // szip/nbit/… present
     lay.clazz match {
       case 0 =>
         if (lay.compact.length != want) return None
@@ -400,15 +478,14 @@ object Hdf5 {
             k0 += 1
           }
           if (!r.check(addr, stored.toLong)) return None
+          val storedBytes = java.util.Arrays.copyOfRange(r.d,
+            addr.toInt, addr.toInt + stored)
           val raw =
-            if (info.deflate)
-              inflate(r.d, addr.toInt, stored, chunkBytes)
-                .getOrElse(return None)
-            else {
+            if (info.pipeline.isEmpty) {
               if (stored != chunkBytes) return None
-              java.util.Arrays.copyOfRange(r.d, addr.toInt,
-                addr.toInt + stored)
-            }
+              storedBytes
+            } else unfilterChunk(storedBytes, info.pipeline,
+              chunkBytes, dt.size).getOrElse(return None)
           scatter(raw, out, lay.chunkDims, info.dims, offs, dt.size)
         }
         Some(out)
@@ -520,7 +597,10 @@ object Hdf5 {
     * `compact` → inline in the layout message (small datasets). */
   final case class WDataset(name: String, dims: Seq[Long],
       descr: String, data: Array[Byte],
-      chunkDims: Seq[Int] = Seq.empty, compact: Boolean = false)
+      chunkDims: Seq[Int] = Seq.empty, compact: Boolean = false,
+      /** chunked only: byte-shuffle before deflate, fletcher32
+        * checksum trailer after — the h5py pipeline order. */
+      shuffle: Boolean = false, fletcher: Boolean = false)
 
   final class Writer {
     private val buf = new java.io.ByteArrayOutputStream(4096)
@@ -720,14 +800,24 @@ object Hdf5 {
           if (dim == rank) {
             val chunk = new Array[Byte](chunkBytes)
             gather(chunk, offs.reverse)
+            // pipeline order: shuffle → deflate → fletcher32
+            val sh = if (ds.shuffle)
+              Blosc.shuffleBytes(isz, chunk) else chunk
             val defl = new java.util.zip.Deflater(6)
-            defl.setInput(chunk); defl.finish()
+            defl.setInput(sh); defl.finish()
             val co = new java.io.ByteArrayOutputStream(
               chunkBytes / 2 + 64)
             val tmp = new Array[Byte](8192)
             while (!defl.finished())
               co.write(tmp, 0, defl.deflate(tmp))
             defl.end()
+            if (ds.fletcher) {
+              val body = co.toByteArray
+              val ck = fletcher32(body, 0, body.length)
+              var i = 0
+              while (i < 4) { co.write(((ck >>> (8 * i)) & 0xff)
+                .toInt); i += 1 }
+            }
             pad8()
             val addr = pos
             val cb = co.toByteArray
@@ -829,17 +919,32 @@ object Hdf5 {
       }
       msgs += ((0x0008, lay.toByteArray))
       if (chunked) {
-        // filter pipeline: deflate level 6
+        // filter pipeline, write order: (shuffle), deflate,
+        // (fletcher32) — the h5py arrangement
         val fp = new java.io.ByteArrayOutputStream()
-        fp.write(1); fp.write(1)
+        def entry(fid: Int, flags: Int, values: Seq[Int]): Unit = {
+          fp.write(fid & 0xff); fp.write((fid >> 8) & 0xff)
+          fp.write(0); fp.write(0)           // name length 0
+          fp.write(flags & 0xff); fp.write((flags >> 8) & 0xff)
+          fp.write(values.length & 0xff)
+          fp.write((values.length >> 8) & 0xff)
+          values.foreach { v =>
+            var i = 0
+            while (i < 4) { fp.write((v >>> (8 * i)) & 0xff)
+              i += 1 }
+          }
+          if (values.length % 2 == 1) { // pad to even values
+            fp.write(0); fp.write(0); fp.write(0); fp.write(0)
+          }
+        }
+        val nf = 1 + (if (ds.shuffle) 1 else 0) +
+          (if (ds.fletcher) 1 else 0)
+        fp.write(1); fp.write(nf)
         fp.write(0); fp.write(0); fp.write(0); fp.write(0)
         fp.write(0); fp.write(0)
-        fp.write(1); fp.write(0)      // id 1
-        fp.write(0); fp.write(0)      // name length 0
-        fp.write(1); fp.write(0)      // flags: optional
-        fp.write(1); fp.write(0)      // 1 client value
-        fp.write(6); fp.write(0); fp.write(0); fp.write(0) // level
-        fp.write(0); fp.write(0); fp.write(0); fp.write(0) // odd pad
+        if (ds.shuffle) entry(2, 0, Seq(isz))
+        entry(1, 1, Seq(6)) // deflate level 6, optional flag
+        if (ds.fletcher) entry(3, 0, Seq.empty)
         msgs += ((0x000b, fp.toByteArray))
       }
       val bodySize = msgs.map { case (_, m) =>
