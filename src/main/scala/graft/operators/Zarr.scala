@@ -17,8 +17,14 @@ package graft.operators
   *    grammar (both byte orders; object/structured dtypes reject
   *    like [[Npy]]), `order` C or F, `fill_value` numeric / null /
   *    the IEEE strings "NaN"/"Infinity"/"-Infinity", `filters`
-  *    must be null/absent (numcodecs filter chains reject
-  *    honestly), `dimension_separator` "." (default) or "/".
+  *    chains of numcodecs `delta` (per-element difference, INTEGER
+  *    dtypes only — float cumsum is not exactly invertible, and a
+  *    mismatched dtype/astype would mis-decode: both reject) and
+  *    `shuffle` (byte-plane transpose), applied in write order
+  *    before the compressor and undone in reverse on read; other
+  *    ids (bitround, quantize, fixedscaleoffset — lossy
+  *    transforms) reject honestly,
+  *    `dimension_separator` "." (default) or "/".
   *  - chunks: [[decodeChunk]] decompresses (numcodecs ids: `zlib`,
   *    `gzip`, `zstd`, `lz4` — the latter two through this repo's
   *    own codecs; lz4 is the numcodecs framing: u32 LE original
@@ -49,7 +55,11 @@ object Zarr {
       fillValue: Double, dimSep: String,
       /** blosc only: the inner codec + shuffle flag (numcodecs
         * `cname`/`shuffle`; shuffle 1 = byte, 2 = bit → reject). */
-      bloscCname: String = "lz4", bloscShuffle: Int = 1) {
+      bloscCname: String = "lz4", bloscShuffle: Int = 1,
+      /** numcodecs pre-compression filters in WRITE order:
+        * ("delta", 0) — per-element difference in the chunk dtype —
+        * or ("shuffle", elementSize). Anything else rejects. */
+      filters: Seq[(String, Int)] = Seq.empty) {
     def itemSize: Int = Npy.ItemSize(descr)
     def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
     /** Number of chunks along each dim (ceil division). */
@@ -96,8 +106,40 @@ object Zarr {
     val order = JsonMini.str(m.getOrElse("order", "C"))
       .getOrElse(return None)
     if (order != "C" && order != "F") return None
-    // filters must be null/absent
-    if (m.get("filters").exists(_ != null)) return None
+    // numcodecs filter chain: delta (dtype must equal the array's)
+    // and shuffle decode for real; anything else — bitround,
+    // quantize, fixedscaleoffset … — rejects honestly
+    val filters: Seq[(String, Int)] =
+      m.getOrElse("filters", null) match {
+        case null => Seq.empty
+        case fs =>
+          JsonMini.arr(fs).getOrElse(return None).map { f =>
+            val fm = JsonMini.obj(f).getOrElse(return None)
+            JsonMini.str(fm.getOrElse("id", return None))
+              .getOrElse(return None) match {
+              case "delta" =>
+                // dtype/astype must match the array dtype — a
+                // different accumulation width would mis-decode —
+                // and FLOAT delta rejects: subtract/cumsum is not
+                // exactly invertible in float arithmetic (the
+                // lossy-transform class)
+                val dt = JsonMini.str(fm.getOrElse("dtype", dtype))
+                  .getOrElse(return None)
+                val at = JsonMini.str(fm.getOrElse("astype", dt))
+                  .getOrElse(return None)
+                if (dt != dtype || at != dtype) return None
+                if (descr.startsWith("f")) return None
+                ("delta", 0)
+              case "shuffle" =>
+                val esz = JsonMini.long(
+                  fm.getOrElse("elementsize", isz.toDouble))
+                  .getOrElse(return None).toInt
+                if (esz < 1 || esz > 256) return None
+                ("shuffle", esz)
+              case _ => return None
+            }
+          }
+      }
     val (comp, level, cname, bshuf) =
       m.getOrElse("compressor", null) match {
         case null => (None, 0, "lz4", 1)
@@ -143,7 +185,58 @@ object Zarr {
       if (chunkBytes > MaxChunkBytes) return None
     }
     Some(Meta(shape, chunks.map(_.toInt), descr, big,
-      order == "F", comp, level, fill, sep, cname, bshuf))
+      order == "F", comp, level, fill, sep, cname, bshuf, filters))
+  }
+
+  // ---------------------------------------------------------------
+  // numcodecs filters (delta / shuffle), both directions
+  // ---------------------------------------------------------------
+
+  /** Apply ("delta") or undo ("delta" inverse = cumulative sum) in
+    * the chunk's dtype arithmetic; shuffle is the byte-plane
+    * transpose shared with [[Blosc]]. */
+  private def applyFilter(meta: Meta, f: (String, Int),
+      data: Array[Byte], forward: Boolean): Array[Byte] = f match {
+    case ("shuffle", esz) =>
+      if (forward) Blosc.shuffleBytes(esz, data)
+      else Blosc.unshuffleBytes(esz, data)
+    case ("delta", _) =>
+      val isz = meta.itemSize
+      val n = data.length / isz
+      val order0 = if (meta.bigEndian)
+        java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+      val in = java.nio.ByteBuffer.wrap(data).order(order0)
+      val out = java.nio.ByteBuffer.allocate(data.length)
+        .order(order0)
+      meta.descr match {
+        case d0 if d0.startsWith("f") =>
+          // unreachable via parseMeta (float delta rejects — not
+          // exactly invertible); guard direct construction too
+          sys.error("delta filter over float dtypes")
+        case _ => // integer lanes: wrap-around arithmetic
+          var acc = 0L
+          var i = 0
+          while (i < n) {
+            val v = isz match {
+              case 1 => in.get(i).toLong
+              case 2 => in.getShort(i * 2).toLong
+              case 4 => in.getInt(i * 4).toLong
+              case _ => in.getLong(i * 8)
+            }
+            val w = if (forward) { val d0 = v - acc; acc = v; d0 }
+              else { acc += v; acc }
+            isz match {
+              case 1 => out.put(i, w.toByte)
+              case 2 => out.putShort(i * 2, w.toShort)
+              case 4 => out.putInt(i * 4, w.toInt)
+              case _ => out.putLong(i * 8, w)
+            }
+            i += 1
+          }
+      }
+      out.array()
+    case (other, _) => sys.error(s"zarr filter $other")
   }
 
   def metaJson(meta: Meta): String = {
@@ -167,12 +260,22 @@ object Zarr {
         math.abs(meta.fillValue) < (1L << 53).toDouble)
         meta.fillValue.toLong.toString
       else meta.fillValue.toString
+    val filt =
+      if (meta.filters.isEmpty) "null"
+      else meta.filters.map {
+        case ("delta", _) =>
+          s"""{"id":"delta","dtype":${JsonMini.quote(
+            mark + meta.descr)}}"""
+        case ("shuffle", esz) =>
+          s"""{"id":"shuffle","elementsize":$esz}"""
+        case (o, _) => sys.error(s"zarr filter $o")
+      }.mkString("[", ",", "]")
     s"""{"zarr_format":2,"shape":[${meta.shape.mkString(",")}],""" +
       s""""chunks":[${meta.chunks.mkString(",")}],""" +
       s""""dtype":${JsonMini.quote(mark + meta.descr)},""" +
       s""""compressor":$comp,"fill_value":$fill,""" +
       s""""order":${JsonMini.quote(if (meta.fortran) "F" else "C")},""" +
-      s""""filters":null,""" +
+      s""""filters":$filt,""" +
       s""""dimension_separator":${JsonMini.quote(meta.dimSep)}}"""
   }
 
@@ -200,11 +303,14 @@ object Zarr {
   // Chunk codec
   // ---------------------------------------------------------------
 
-  /** Raw full-size chunk bytes → the stored (compressed) form. */
-  def encodeChunk(meta: Meta, raw: Array[Byte]): Array[Byte] = {
-    require(raw.length.toLong == meta.chunkElems * meta.itemSize,
-      s"chunk is ${raw.length} bytes, want " +
+  /** Raw full-size chunk bytes → the stored (compressed) form:
+    * filters in write order, then the compressor. */
+  def encodeChunk(meta: Meta, raw0: Array[Byte]): Array[Byte] = {
+    require(raw0.length.toLong == meta.chunkElems * meta.itemSize,
+      s"chunk is ${raw0.length} bytes, want " +
         s"${meta.chunkElems * meta.itemSize}")
+    val raw = meta.filters.foldLeft(raw0)((d, f) =>
+      applyFilter(meta, f, d, forward = true))
     meta.compressor match {
       case None => raw
       case Some("zlib") =>
@@ -305,8 +411,11 @@ object Zarr {
         out
       case Some(_) => return None
     }
+    // undo the filter chain (reverse write order)
+    val plain = meta.filters.reverse.foldLeft(raw)((d, f) =>
+      applyFilter(meta, f, d, forward = false))
     Some(Npy.Arr(meta.descr, meta.bigEndian, meta.fortran,
-      meta.chunks, raw))
+      meta.chunks, plain))
   }
 
   // ---------------------------------------------------------------

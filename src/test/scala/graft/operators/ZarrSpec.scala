@@ -43,8 +43,20 @@ class ZarrSpec extends AnyFunSuite {
       "\"zarr_format\":3")).isEmpty)
     assert(parseMeta(ok.replace("<f4", "<f3")).isEmpty)
     assert(parseMeta(ok.replace("<f4", "|O")).isEmpty)
+    // lossy/unknown filters reject; delta with a MISMATCHED dtype
+    // rejects (a different accumulation width would mis-decode)
     assert(parseMeta(ok.replace("\"filters\":null",
-      "\"filters\":[{\"id\":\"shuffle\"}]")).isEmpty)
+      "\"filters\":[{\"id\":\"fixedscaleoffset\"}]")).isEmpty)
+    assert(parseMeta(ok.replace("\"filters\":null",
+      "\"filters\":[{\"id\":\"delta\",\"dtype\":\"<i8\"}]"))
+      .isEmpty) // array dtype is <f4
+    // float delta rejects (not exactly invertible); shuffle parses
+    assert(parseMeta(ok.replace("\"filters\":null",
+      "\"filters\":[{\"id\":\"delta\",\"dtype\":\"<f4\"}]"))
+      .isEmpty)
+    assert(parseMeta(ok.replace("\"filters\":null",
+      "\"filters\":[{\"id\":\"shuffle\",\"elementsize\":4}]"))
+      .exists(_.filters == Seq(("shuffle", 4))))
     // blosc ACCEPTS since late r12 (zarr's default compressor) —
     // but blosclz / bit-shuffle inside it still reject honestly
     assert(parseMeta(ok.replace("\"compressor\":null",
@@ -61,6 +73,50 @@ class ZarrSpec extends AnyFunSuite {
       "\"order\":\"X\"")).isEmpty)
     assert(parseMeta("{}").isEmpty)
     assert(parseMeta("not json").isEmpty)
+  }
+
+  test("numcodecs filter chains: delta + shuffle round-trip") {
+    val rnd = new scala.util.Random(23)
+    // every integer dtype through a delta→shuffle chain under
+    // zlib; floats go shuffle-only (float delta rejects — cumsum
+    // is not exactly invertible in float arithmetic)
+    Seq("i1", "i2", "i4", "i8", "f4", "f8").foreach { descr =>
+      val isz = Npy.ItemSize(descr)
+      val meta = Meta(Seq(6L, 4L), Seq(3, 4), descr,
+        bigEndian = descr == "i4", fortran = false,
+        compressor = Some("zlib"), level = 5, fillValue = 0.0,
+        dimSep = ".",
+        filters =
+          (if (descr.startsWith("f")) Seq.empty
+           else Seq(("delta", 0))) ++ Seq(("shuffle", isz)))
+      // metadata renders + parses the chain
+      val back = parseMeta(metaJson(meta)).get
+      assert(back.filters == meta.filters, descr)
+      val raw = Array.fill(12 * isz)(rnd.nextInt().toByte)
+      val arr = decodeChunk(back, encodeChunk(back, raw)).get
+      assert(arr.data.sameElements(raw), descr)
+    }
+    // delta on monotone i8 data actually shrinks under the codec
+    // (the chain is live, not a no-op)
+    val m8 = Meta(Seq(512L), Seq(512), "i8", bigEndian = false,
+      fortran = false, Some("zlib"), 9, 0.0, ".",
+      filters = Seq(("delta", 0)))
+    val mono = java.nio.ByteBuffer.allocate(512 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 512).foreach(i => mono.putLong(1000000L + i * 7))
+    val plainMeta = m8.copy(filters = Seq.empty)
+    val withDelta = encodeChunk(m8, mono.array())
+    val without = encodeChunk(plainMeta, mono.array())
+    assert(withDelta.length < without.length)
+    assert(decodeChunk(m8, withDelta).get.longAt(511) ==
+      1000000L + 511 * 7)
+    // integer wrap: deltas that overflow the width still decode
+    val mw = Meta(Seq(3L), Seq(3), "i1", bigEndian = false,
+      fortran = false, None, 0, 0.0, ".",
+      filters = Seq(("delta", 0)))
+    val wrapped = Array[Byte](100, -100, 100) // diffs wrap ±200
+    assert(decodeChunk(mw, encodeChunk(mw, wrapped)).get
+      .data.sameElements(wrapped))
   }
 
   test("every compressor round-trips a chunk byte-exact") {
