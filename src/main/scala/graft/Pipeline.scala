@@ -7650,10 +7650,12 @@ object Pipeline {
     * as a three-array store with the knobs deliberately rotated —
     * `emb` f4 [N,64] in FORTRAN chunk order under BLOSC with inner
     * lz4 + byte-shuffle + split streams (zarr's real-world DEFAULT
-    * compressor, late-r12), `ids` i8 [N,1] under zlib, `labels` i4
-    * [N,1] BIG-ENDIAN under the numcodecs lz4 framing — with chunk
-    * rows of 7 so an edge chunk (fill-padded, never surfaced)
-    * exists at every sf. The query reads each grid through
+    * compressor, late-r12), `ids` i8 [N,1] under zlib BEHIND a
+    * numcodecs delta→shuffle FILTER CHAIN (late r12 — monotone ids
+    * are the textbook delta case; a wrong filter order or width
+    * scrambles every id), `labels` i4 [N,1] BIG-ENDIAN under the
+    * numcodecs lz4 framing — with chunk rows of 7 so an edge chunk
+    * (fill-padded, never surfaced) exists at every sf. The query reads each grid through
     * binaryFile + per-chunk decode (zarr's native layout IS a
     * distributed scan: one independent decode per chunk file, no
     * shuffle until the final index join) and reassembles per-vector
@@ -7662,7 +7664,7 @@ object Pipeline {
     val spark = s
     import spark.implicits._
     import graft.operators.Zarr
-    val root = formatFixtureDir(dir, "zarrb", "embeddings") { out =>
+    val root = formatFixtureDir(dir, "zarrc", "embeddings") { out =>
       val rows = Tables.embeddings(s, dir)
         .selectExpr("vec_id", "embedding", "label")
         .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
@@ -7681,7 +7683,8 @@ object Pipeline {
         putIn("emb"))
       Zarr.write2d(
         Zarr.Meta(Seq(n, 1L), Seq(7, 1), "i8", bigEndian = false,
-          fortran = false, Some("zlib"), 5, -1.0, "."),
+          fortran = false, Some("zlib"), 5, -1.0, ".",
+          filters = Seq(("delta", 0), ("shuffle", 8))),
         n, 1, (r, _) => rows(r.toInt)._1.toDouble,
         putIn("ids"))
       Zarr.write2d(
@@ -7890,7 +7893,11 @@ object Pipeline {
   private def hdf5Parse(s: SparkSession, dir: String): DataFrame =
     hdf5ShardRows(hdf5Shards(s, dir)).orderBy("vec_id")
 
-  /** One `.h5` file per 8-vector shard (all three layouts). */
+  /** One `.h5` file per 8-vector shard (all three layouts; the
+    * chunked `emb` dataset rotates its filter pipeline by shard id
+    * — plain deflate, shuffle+deflate, deflate+fletcher32,
+    * shuffle+deflate+fletcher32 — so every decode combination the
+    * reader supports stays live in the gate). */
   private[graft] def hdf5Shards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
@@ -7917,7 +7924,8 @@ object Pipeline {
         vecs.foreach(v => labBuf.putInt(v._4))
         (sid, Hdf5.build(Seq(
           Hdf5.WDataset("emb", Seq(n.toLong, dim.toLong), "f4",
-            embBuf.array(), chunkDims = Seq(3, dim)),
+            embBuf.array(), chunkDims = Seq(3, dim),
+            shuffle = sid % 2 == 1, fletcher = (sid / 2) % 2 == 1),
           Hdf5.WDataset("vec_id", Seq(n.toLong), "i8",
             idBuf.array()),
           Hdf5.WDataset("label", Seq(n.toLong), "i4",
@@ -7962,7 +7970,7 @@ object Pipeline {
       : String = {
     val spark = s
     import spark.implicits._
-    formatFixtureDir(dir, "hdf5", "embeddings") { out =>
+    formatFixtureDir(dir, "hdf5flt", "embeddings") { out =>
       hdf5Shards(s, dir)
         .map { case (sid, bytes) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(
