@@ -7896,8 +7896,12 @@ object Pipeline {
   /** One `.h5` file per 8-vector shard (all three layouts; the
     * chunked `emb` dataset rotates its filter pipeline by shard id
     * — plain deflate, shuffle+deflate, deflate+fletcher32,
-    * shuffle+deflate+fletcher32 — so every decode combination the
-    * reader supports stays live in the gate). */
+    * shuffle+deflate+fletcher32 — and the FILE FORMAT itself
+    * rotates by a second axis: even shards write the CLASSIC
+    * superblock-v0/v1-header form, odd shards the LIBVER-LATEST
+    * form (superblock v3 + OHDR link messages + layout v4 fixed-
+    * array chunk index, late r12) — so every decode combination
+    * AND both format generations stay live in the gate). */
   private[graft] def hdf5Shards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
@@ -7922,14 +7926,16 @@ object Pipeline {
         val labBuf = java.nio.ByteBuffer.allocate(n * 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         vecs.foreach(v => labBuf.putInt(v._4))
-        (sid, Hdf5.build(Seq(
+        val dsets = Seq(
           Hdf5.WDataset("emb", Seq(n.toLong, dim.toLong), "f4",
             embBuf.array(), chunkDims = Seq(3, dim),
             shuffle = sid % 2 == 1, fletcher = (sid / 2) % 2 == 1),
           Hdf5.WDataset("vec_id", Seq(n.toLong), "i8",
             idBuf.array()),
           Hdf5.WDataset("label", Seq(n.toLong), "i4",
-            labBuf.array(), compact = true))))
+            labBuf.array(), compact = true))
+        (sid, if (sid % 2 == 0) Hdf5.build(dsets)
+          else Hdf5.buildLatest(dsets))
       }
   }
 
@@ -7970,7 +7976,7 @@ object Pipeline {
       : String = {
     val spark = s
     import spark.implicits._
-    formatFixtureDir(dir, "hdf5flt", "embeddings") { out =>
+    formatFixtureDir(dir, "hdf5v23", "embeddings") { out =>
       hdf5Shards(s, dir)
         .map { case (sid, bytes) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(

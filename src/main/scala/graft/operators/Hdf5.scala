@@ -87,11 +87,65 @@ object Hdf5 {
     }
   }
 
+  /** Bob Jenkins lookup3 hashlittle (public domain; HDF5's
+    * H5_checksum_lookup3 with initval 0) — the checksum the v2/v3
+    * superblock, OHDR/OCHK object headers and the v4 chunk-index
+    * structures all carry. */
+  private[operators] def lookup3(d: Array[Byte], off: Int,
+      len: Int): Long = {
+    def rot(x: Int, k: Int) = Integer.rotateLeft(x, k)
+    var a = 0xdeadbeef + len
+    var b = a
+    var c = a
+    var p = off
+    var rem = len
+    while (rem > 12) {
+      a += (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8) |
+        ((d(p + 2) & 0xff) << 16) | ((d(p + 3) & 0xff) << 24)
+      b += (d(p + 4) & 0xff) | ((d(p + 5) & 0xff) << 8) |
+        ((d(p + 6) & 0xff) << 16) | ((d(p + 7) & 0xff) << 24)
+      c += (d(p + 8) & 0xff) | ((d(p + 9) & 0xff) << 8) |
+        ((d(p + 10) & 0xff) << 16) | ((d(p + 11) & 0xff) << 24)
+      // mix
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; rem -= 12
+    }
+    if (rem > 0) {
+      var i = 0
+      while (i < rem) {
+        val v = (d(p + i) & 0xff) << (8 * (i % 4))
+        if (i < 4) a += v
+        else if (i < 8) b += v
+        else c += v
+        i += 1
+      }
+      // final
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c.toLong & 0xffffffffL
+  }
+
   private final case class Dtype(descr: String, big: Boolean,
       size: Int)
 
+  /** `chunkIndex`: 0 = v1 B-tree (layout v3), 1 = single chunk,
+    * 2 = implicit, 3 = fixed array (layout v4 index types). For
+    * single-chunk layouts `size` carries the FILTERED stored size
+    * when the filtered flag was set (else 0). */
   private final case class Layout(clazz: Int, addr: Long,
-      size: Long, chunkDims: Seq[Int], compact: Array[Byte])
+      size: Long, chunkDims: Seq[Int], compact: Array[Byte],
+      chunkIndex: Int = 0)
 
   private final case class ObjInfo(dims: Seq[Long],
       dtype: Option[Dtype], layout: Option[Layout],
@@ -99,7 +153,219 @@ object Hdf5 {
         * 1 deflate, 2 shuffle, 3 fletcher32. */
       pipeline: Seq[(Int, Seq[Long])],
       unsupportedFilter: Boolean,
-      group: Option[(Long, Long)]) // (btreeAddr, heapAddr)
+      group: Option[(Long, Long)], // v1 groups: (btreeAddr, heapAddr)
+      /** v2 groups: compact link-message children (name, oha);
+        * `v2Group` also set when only a Link Info message marks an
+        * (empty) group. */
+      links: Seq[(String, Long)] = Seq.empty,
+      v2Group: Boolean = false)
+
+  /** Mutable accumulator shared by both object-header framers. */
+  private final class MsgAcc {
+    var dims: Seq[Long] = Seq.empty
+    var dtype: Option[Dtype] = None
+    var layout: Option[Layout] = None
+    val pipeline = Seq.newBuilder[(Int, Seq[Long])]
+    var unsupportedFilter = false
+    var group: Option[(Long, Long)] = None
+    val links = Seq.newBuilder[(String, Long)]
+    var v2Group = false
+    def result: ObjInfo = ObjInfo(dims, dtype, layout,
+      pipeline.result(), unsupportedFilter, group, links.result(),
+      v2Group)
+  }
+
+  /** One message body shared by the v1 and v2 framers; returns
+    * false on malformation. Continuations are framer-specific and
+    * NOT handled here. */
+  private def handleMsg(d: Array[Byte], mType: Int, body: Int,
+      mSize: Int, end: Int, acc: MsgAcc): Boolean = {
+    mType match {
+      case 0x0001 => // dataspace v1 or v2
+        if (mSize < 4) return false
+        val ver = d(body) & 0xff
+        val rank = d(body + 1) & 0xff
+        if (rank > MaxRank) return false
+        val off = ver match {
+          case 1 => if (mSize < 8) return false; body + 8
+          case 2 => // version, rank, flags, TYPE byte, dims
+            val tpe = d(body + 3) & 0xff
+            if (tpe > 1) return false // null dataspace rejects
+            body + 4
+          case _ => return false
+        }
+        if (off + rank * 8 > end) return false
+        acc.dims = (0 until rank).map(i => u64(d, off + 8 * i))
+      case 0x0003 => // datatype
+        if (mSize < 8) return false
+        val cv = d(body) & 0xff
+        val ver = cv >> 4
+        val clazz = cv & 0xf
+        if (ver < 1 || ver > 3) return false
+        val bits0 = d(body + 1) & 0xff
+        val size = u32(d, body + 4).toInt
+        val big = (bits0 & 1) == 1
+        clazz match {
+          case 0 => // fixed-point
+            val signed = (bits0 & 0x08) != 0
+            val tag = size match {
+              case 1 => if (signed) "i1" else "u1"
+              case 2 => if (signed) "i2" else "u2"
+              case 4 => if (signed) "i4" else "u4"
+              case 8 => if (signed) "i8" else "u8"
+              case _ => return false
+            }
+            acc.dtype = Some(Dtype(tag, big, size))
+          case 1 => // IEEE float
+            val tag = size match {
+              case 4 => "f4"
+              case 8 => "f8"
+              case _ => return false
+            }
+            acc.dtype = Some(Dtype(tag, big, size))
+          case _ => return false // honest rejection
+        }
+      case 0x0008 => // data layout v3 / v4
+        if (mSize < 2) return false
+        val ver = d(body) & 0xff
+        if (ver != 3 && ver != 4) return false
+        val clazz = d(body + 1) & 0xff
+        clazz match {
+          case 0 => // compact (same fields in v3 and v4)
+            val sz = u16(d, body + 2)
+            if (body + 4 + sz > end) return false
+            acc.layout = Some(Layout(0, 0L, sz.toLong, Seq.empty,
+              java.util.Arrays.copyOfRange(d, body + 4,
+                body + 4 + sz)))
+          case 1 => // contiguous (same fields)
+            acc.layout = Some(Layout(1, u64(d, body + 2),
+              u64(d, body + 10), Seq.empty, null))
+          case 2 if ver == 3 => // chunked, v1-btree indexed
+            val dimensionality = d(body + 2) & 0xff
+            val bt = u64(d, body + 3)
+            val nd = dimensionality - 1
+            if (nd < 0 || nd > MaxRank) return false
+            val cd = (0 until nd).map(i =>
+              u32(d, body + 11 + 4 * i).toInt)
+            // last u32 is the element size; cross-checked later
+            acc.layout = Some(Layout(2, bt, 0L, cd, null))
+          case 2 => // v4 chunked: flags, dims, chunk-index type
+            if (mSize < 5) return false
+            val flags = d(body + 2) & 0xff
+            val nd = d(body + 3) & 0xff
+            val encLen = d(body + 4) & 0xff
+            if (nd < 1 || nd - 1 > MaxRank) return false
+            if (encLen < 1 || encLen > 8) return false
+            var p = body + 5
+            if (p + nd * encLen > end) return false
+            // v4 dims include NO trailing element-size dim (unlike
+            // v3) per spec… except they DO: dimensionality counts
+            // only the dataset rank here
+            val cd = (0 until nd).map { i =>
+              var v = 0L
+              var j = 0
+              while (j < encLen) {
+                v |= (d(p + i * encLen + j) & 0xffL) << (8 * j)
+                j += 1
+              }
+              v.toInt
+            }
+            p += nd * encLen
+            if (p >= end) return false
+            val idxType = d(p) & 0xff
+            p += 1
+            idxType match {
+              case 1 => // single chunk
+                var filteredSize = 0L
+                if ((flags & 0x02) != 0) { // filtered single chunk
+                  if (p + 12 > end) return false
+                  filteredSize = u64(d, p)
+                  p += 8 + 4 // size + filter mask
+                }
+                if (p + 8 > end) return false
+                acc.layout = Some(Layout(2, u64(d, p), filteredSize,
+                  cd, null, chunkIndex = 1))
+              case 2 => // implicit: chunks contiguous, unfiltered
+                if (p + 8 > end) return false
+                acc.layout = Some(Layout(2, u64(d, p), 0L, cd, null,
+                  chunkIndex = 2))
+              case 3 => // fixed array: page bits byte + header addr
+                if (p + 9 > end) return false
+                acc.layout = Some(Layout(2, u64(d, p + 1), 0L, cd,
+                  null, chunkIndex = 3))
+              case _ => return false // ext array / btree2: reject
+            }
+          case _ => return false // virtual storage etc.
+        }
+      case 0x000b => // filter pipeline v1 / v2
+        if (mSize < 2) return false
+        val ver = d(body) & 0xff
+        if (ver != 1 && ver != 2) return false
+        val nf = d(body + 1) & 0xff
+        var fp = if (ver == 1) body + 8 else body + 2
+        var i = 0
+        while (i < nf) {
+          if (fp + 4 > end) return false
+          val fid = u16(d, fp)
+          fp += 2
+          val nameLen =
+            if (ver == 1 || fid >= 256) {
+              if (fp + 2 > end) return false
+              val n0 = u16(d, fp); fp += 2; n0
+            } else 0
+          if (fp + 4 > end) return false
+          val nValues = u16(d, fp + 2)
+          fp += 4
+          if (fp + nameLen + 4 * nValues > end) return false
+          val values = (0 until nValues).map(j =>
+            u32(d, fp + nameLen + 4 * j))
+          // deflate, shuffle and fletcher32 decode for real;
+          // szip/nbit/scaleoffset would mis-read → reject
+          if (fid == 1 || fid == 2 || fid == 3)
+            acc.pipeline += ((fid, values))
+          else acc.unsupportedFilter = true
+          fp += nameLen + 4 * nValues
+          if (ver == 1 && nValues % 2 == 1) fp += 4
+          i += 1
+        }
+      case 0x0011 => // symbol table (v1 group)
+        if (mSize < 16) return false
+        acc.group = Some((u64(d, body), u64(d, body + 8)))
+      case 0x0002 => // link info (v2 group marker)
+        if (mSize < 2) return false
+        val flags = d(body + 1) & 0xff
+        var p = body + 2
+        if ((flags & 0x01) != 0) p += 8 // max creation index
+        if (p + 16 > end) return false
+        val fheap = u64(d, p)
+        if (fheap != Undef) return false // dense links: reject
+        acc.v2Group = true
+      case 0x0006 => // link message (v2 compact link)
+        if (mSize < 3) return false
+        if ((d(body) & 0xff) != 1) return false
+        val flags = d(body + 1) & 0xff
+        var p = body + 2
+        var linkType = 0
+        if ((flags & 0x08) != 0) { linkType = d(p) & 0xff; p += 1 }
+        if (linkType != 0) return false // soft/external: reject
+        if ((flags & 0x04) != 0) p += 8 // creation order
+        if ((flags & 0x10) != 0) p += 1 // charset
+        val lenSz = 1 << (flags & 0x03)
+        if (p + lenSz > end) return false
+        var nameLen = 0L
+        var j = 0
+        while (j < lenSz) { nameLen |= (d(p + j) & 0xffL) << (8 * j)
+          j += 1 }
+        p += lenSz
+        if (nameLen < 0 || nameLen > 4096 ||
+          p + nameLen + 8 > end) return false
+        val name = new String(d, p, nameLen.toInt, "UTF-8")
+        acc.links += ((name, u64(d, p + nameLen.toInt)))
+        acc.v2Group = true
+      case _ => () // NIL, fill value, group info, attributes, …
+    }
+    true
+  }
 
   /** Parse an object header (v1) at `addr`, following
     * continuations. */
@@ -111,13 +377,7 @@ object Hdf5 {
     val nMsgs = u16(d, base + 2)
     if (nMsgs > 4096) return None
     val hdrSize = u32(d, base + 8)
-
-    var dims: Seq[Long] = Seq.empty
-    var dtype: Option[Dtype] = None
-    var layout: Option[Layout] = None
-    val pipeline = Seq.newBuilder[(Int, Seq[Long])]
-    var unsupportedFilter = false
-    var group: Option[(Long, Long)] = None
+    val acc = new MsgAcc
 
     // message blocks: (start, length); continuations append
     var blocks = List((addr + 16, hdrSize))
@@ -135,110 +395,90 @@ object Hdf5 {
         val mSize = u16(d, p + 2)
         val body = p + 8
         if (body + mSize > end) return None
-        mType match {
-          case 0x0001 => // dataspace
-            if (mSize < 8) return None
-            val ver = d(body) & 0xff
-            val rank = d(body + 1) & 0xff
-            if (ver != 1 || rank > MaxRank) return None
-            val flags = d(body + 2) & 0xff
-            val off = body + 8
-            if (off + rank * 8 > end) return None
-            dims = (0 until rank).map(i => u64(d, off + 8 * i))
-            val _ = flags // maxdims ignored
-          case 0x0003 => // datatype
-            if (mSize < 8) return None
-            val cv = d(body) & 0xff
-            val ver = cv >> 4
-            val clazz = cv & 0xf
-            if (ver < 1 || ver > 3) return None
-            val bits0 = d(body + 1) & 0xff
-            val size = u32(d, body + 4).toInt
-            val big = (bits0 & 1) == 1
-            clazz match {
-              case 0 => // fixed-point
-                val signed = (bits0 & 0x08) != 0
-                val tag = size match {
-                  case 1 => if (signed) "i1" else "u1"
-                  case 2 => if (signed) "i2" else "u2"
-                  case 4 => if (signed) "i4" else "u4"
-                  case 8 => if (signed) "i8" else "u8"
-                  case _ => return None
-                }
-                dtype = Some(Dtype(tag, big, size))
-              case 1 => // IEEE float
-                val tag = size match {
-                  case 4 => "f4"
-                  case 8 => "f8"
-                  case _ => return None
-                }
-                dtype = Some(Dtype(tag, big, size))
-              case _ => return None // honest rejection
-            }
-          case 0x0008 => // data layout v3
-            if (mSize < 2) return None
-            if ((d(body) & 0xff) != 3) return None
-            val clazz = d(body + 1) & 0xff
-            clazz match {
-              case 0 => // compact
-                val sz = u16(d, body + 2)
-                if (body + 4 + sz > end) return None
-                layout = Some(Layout(0, 0L, sz.toLong, Seq.empty,
-                  java.util.Arrays.copyOfRange(d, body + 4,
-                    body + 4 + sz)))
-              case 1 => // contiguous
-                layout = Some(Layout(1, u64(d, body + 2),
-                  u64(d, body + 10), Seq.empty, null))
-              case 2 => // chunked
-                val dimensionality = d(body + 2) & 0xff
-                val bt = u64(d, body + 3)
-                val nd = dimensionality - 1
-                if (nd < 0 || nd > MaxRank) return None
-                val cd = (0 until nd).map(i =>
-                  u32(d, body + 11 + 4 * i).toInt)
-                // last u32 is the element size; cross-checked later
-                layout = Some(Layout(2, bt, 0L, cd, null))
-              case _ => return None
-            }
-          case 0x000b => // filter pipeline v1
-            if (mSize < 2) return None
-            if ((d(body) & 0xff) != 1) return None
-            val nf = d(body + 1) & 0xff
-            var fp = body + 8
-            var i = 0
-            while (i < nf) {
-              if (fp + 8 > end) return None
-              val fid = u16(d, fp)
-              val nameLen = u16(d, fp + 2)
-              val nValues = u16(d, fp + 6)
-              if (fp + 8 + nameLen + 4 * nValues > end) return None
-              val values = (0 until nValues).map(j =>
-                u32(d, fp + 8 + nameLen + 4 * j))
-              // deflate, shuffle and fletcher32 decode for real;
-              // szip/nbit/scaleoffset would mis-read → reject
-              if (fid == 1 || fid == 2 || fid == 3)
-                pipeline += ((fid, values))
-              else unsupportedFilter = true
-              fp += 8 + nameLen + 4 * nValues
-              if (nValues % 2 == 1) fp += 4
-              i += 1
-            }
-          case 0x0010 => // continuation
-            if (mSize < 16) return None
-            blocks = (u64(d, body), u64(d, body + 8)) :: blocks
-          case 0x0011 => // symbol table (this object is a group)
-            if (mSize < 16) return None
-            group = Some((u64(d, body), u64(d, body + 8)))
-          case _ => () // NIL, fill value, attributes, mod time …
-        }
+        if (mType == 0x0010) { // continuation (framer-specific)
+          if (mSize < 16) return None
+          blocks = (u64(d, body), u64(d, body + 8)) :: blocks
+        } else if (!handleMsg(d, mType, body, mSize, end, acc))
+          return None
         seen += 1
         // messages are 8-byte aligned
         val adv = 8 + ((mSize + 7) / 8) * 8
         p += adv
       }
     }
-    Some(ObjInfo(dims, dtype, layout, pipeline.result(),
-      unsupportedFilter, group))
+    Some(acc.result)
+  }
+
+  /** Parse a VERSION 2 object header ("OHDR") at `addr`, following
+    * OCHK continuation blocks — the libver-latest layout. Every
+    * chunk's lookup3 checksum is verified. */
+  private def objectHeaderV2(r: Rd, addr: Long): Option[ObjInfo] = {
+    val d = r.d
+    if (!r.check(addr, 12)) return None
+    val base = addr.toInt
+    if (d(base) != 'O' || d(base + 1) != 'H' || d(base + 2) != 'D' ||
+      d(base + 3) != 'R') return None
+    if ((d(base + 4) & 0xff) != 2) return None
+    val flags = d(base + 5) & 0xff
+    var p = base + 6
+    if ((flags & 0x20) != 0) p += 16 // times
+    if ((flags & 0x10) != 0) p += 4  // phase-change values
+    val szBytes = 1 << (flags & 0x03)
+    if (!r.check(p.toLong, szBytes.toLong)) return None
+    var chunk0 = 0L
+    var j = 0
+    while (j < szBytes) { chunk0 |= (d(p + j) & 0xffL) << (8 * j)
+      j += 1 }
+    p += szBytes
+    if (chunk0 < 0 || chunk0 > (1 << 24)) return None
+    // chunk 0 = messages; checksum covers OHDR start..end-of-msgs
+    if (!r.check(p.toLong, chunk0 + 4)) return None
+    val acc = new MsgAcc
+    val trackOrder = (flags & 0x04) != 0
+    // (msgStart, msgEnd, checksumBase) per chunk
+    var chunks = List((p, p + chunk0.toInt, base))
+    var guard = 0
+    while (chunks.nonEmpty && guard < 10000) {
+      val (cs, ce, ckBase) = chunks.head
+      chunks = chunks.tail
+      val want = lookup3(d, ckBase, ce - ckBase)
+      if (u32(d, ce) != want) return None // chunk checksum
+      var q = cs
+      val msgHdr = if (trackOrder) 6 else 4
+      while (q + msgHdr <= ce) {
+        guard += 1
+        val mType = d(q) & 0xff
+        val mSize = u16(d, q + 1)
+        // byte 3 = message flags; +2 creation order if tracked
+        val body = q + msgHdr
+        if (body + mSize > ce) return None
+        if (mType == 0x10) { // continuation → OCHK block
+          if (mSize < 16) return None
+          val off = u64(d, body)
+          val len = u64(d, body + 8)
+          if (len < 12 || !r.check(off, len)) return None
+          val ob = off.toInt
+          if (d(ob) != 'O' || d(ob + 1) != 'C' || d(ob + 2) != 'H' ||
+            d(ob + 3) != 'K') return None
+          // messages span: after "OCHK" to before the checksum
+          chunks = (ob + 4, ob + len.toInt - 4, ob) :: chunks
+        } else if (!handleMsg(d, mType, body, mSize, ce, acc))
+          return None
+        q = body + mSize // v2 messages are unaligned
+      }
+      // ≤ msgHdr-1 trailing gap bytes are legal
+    }
+    Some(acc.result)
+  }
+
+  /** Dispatch on the header format at `addr`. */
+  private def objectHeaderAny(r: Rd, addr: Long): Option[ObjInfo] = {
+    if (!r.check(addr, 4)) return None
+    val d = r.d
+    val b = addr.toInt
+    if (d(b) == 'O' && d(b + 1) == 'H' && d(b + 2) == 'D' &&
+      d(b + 3) == 'R') objectHeaderV2(r, addr)
+    else objectHeader(r, addr)
   }
 
   /** HDF5's H5_checksum_fletcher32: 16-bit BIG-endian words,
@@ -431,6 +671,85 @@ object Hdf5 {
     } finally inf.end()
   }
 
+  /** Row-major chunk-grid offsets (element coordinates). */
+  private def gridOffsets(grid: Seq[Long], cd: Seq[Int])
+      : Seq[Seq[Long]] = {
+    val total = grid.product
+    (0L until total).map { lin =>
+      var rem = lin
+      val coords = new Array[Long](grid.length)
+      var k = grid.length - 1
+      while (k >= 0) {
+        coords(k) = (rem % grid(k)) * cd(k)
+        rem /= grid(k)
+        k -= 1
+      }
+      coords.toSeq
+    }
+  }
+
+  /** The v4 FIXED ARRAY chunk index (spec IV.A.2: "FAHD" header +
+    * "FADB" data block, lookup3-checksummed): entries in row-major
+    * grid order — address only (client 0, unfiltered) or
+    * address + stored size + filter mask (client 1). Paged data
+    * blocks (> 2^pageBits entries) reject honestly. */
+  private def fixedArrayEntries(r: Rd, hdrAddr: Long,
+      grid: Seq[Long], cd: Seq[Int], chunkBytes: Int,
+      filtered: Boolean)
+      : Option[Seq[(Seq[Long], Int, Long, Long)]] = {
+    if (hdrAddr == Undef) return Some(Seq.empty)
+    val d = r.d
+    if (!r.check(hdrAddr, 28)) return None
+    val h = hdrAddr.toInt
+    if (d(h) != 'F' || d(h + 1) != 'A' || d(h + 2) != 'H' ||
+      d(h + 3) != 'D') return None
+    if ((d(h + 4) & 0xff) != 0) return None // version
+    val clientId = d(h + 5) & 0xff
+    if (clientId != (if (filtered) 1 else 0)) return None
+    val entrySize = d(h + 6) & 0xff
+    val pageBits = d(h + 7) & 0xff
+    val maxEntries = u64(d, h + 8)
+    val dbAddr = u64(d, h + 16)
+    if (u32(d, h + 24) != lookup3(d, h, 24)) return None
+    val nChunks = grid.product
+    if (maxEntries != nChunks) return None
+    if (pageBits > 62 || maxEntries > (1L << pageBits))
+      return None // paged fixed arrays reject honestly
+    if (entrySize < 8 || entrySize > 32) return None
+    if (dbAddr == Undef) return Some(Seq.empty)
+    val dbLen = 14L + maxEntries * entrySize + 4
+    if (!r.check(dbAddr, dbLen)) return None
+    val b = dbAddr.toInt
+    if (d(b) != 'F' || d(b + 1) != 'A' || d(b + 2) != 'D' ||
+      d(b + 3) != 'B') return None
+    if ((d(b + 4) & 0xff) != 0) return None
+    if ((d(b + 5) & 0xff) != clientId) return None
+    if (u64(d, b + 6) != hdrAddr) return None
+    if (u32(d, (dbAddr + dbLen - 4).toInt) !=
+      lookup3(d, b, (dbLen - 4).toInt)) return None
+    val offs = gridOffsets(grid, cd)
+    val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
+    var i = 0L
+    while (i < maxEntries) {
+      val e = (b + 14 + i * entrySize).toInt
+      val addr = u64(d, e)
+      if (addr != Undef) {
+        val (stored, mask) =
+          if (clientId == 1) {
+            val szBytes = entrySize - 12
+            var sz = 0L
+            var j = 0
+            while (j < szBytes) { sz |= (d(e + 8 + j) & 0xffL) <<
+              (8 * j); j += 1 }
+            (sz.toInt, u32(d, e + 8 + szBytes))
+          } else (chunkBytes, 0L)
+        out += ((offs(i.toInt), stored, mask, addr))
+      }
+      i += 1
+    }
+    Some(out.result())
+  }
+
   /** Assemble a dataset's element bytes from its layout. */
   private def datasetBytes(r: Rd, info: ObjInfo): Option[Array[Byte]] = {
     val dt = info.dtype.getOrElse(return None)
@@ -463,8 +782,29 @@ object Hdf5 {
           if (chunkElems * dt.size > (1L << 26)) return None
         }
         val chunkBytes = (chunkElems * dt.size).toInt
-        val entries = chunkEntries(r, lay.addr, rank,
-          scala.collection.mutable.Set.empty).getOrElse(return None)
+        val grid = info.dims.zip(lay.chunkDims).map {
+          case (s, c) => (s + c - 1) / c }
+        val entries = (lay.chunkIndex match {
+          case 0 => chunkEntries(r, lay.addr, rank,
+            scala.collection.mutable.Set.empty)
+          case 1 => // v4 single chunk
+            if (grid.exists(_ > 1)) None
+            else if (lay.addr == Undef) Some(Seq.empty)
+            else Some(Seq((Seq.fill(rank)(0L),
+              if (lay.size > 0) lay.size.toInt else chunkBytes,
+              0L, lay.addr)))
+          case 2 => // v4 implicit: contiguous row-major, unfiltered
+            if (info.pipeline.nonEmpty) None
+            else if (lay.addr == Undef) Some(Seq.empty)
+            else Some(gridOffsets(grid, lay.chunkDims).zipWithIndex
+              .map { case (offs, i) =>
+                (offs, chunkBytes, 0L,
+                  lay.addr + i.toLong * chunkBytes) })
+          case 3 => // v4 fixed array
+            fixedArrayEntries(r, lay.addr, grid, lay.chunkDims,
+              chunkBytes, filtered = info.pipeline.nonEmpty)
+          case _ => None
+        }).getOrElse(return None)
         val out = new Array[Byte](want)
         entries.foreach { case (offs, stored, mask, addr) =>
           if (mask != 0L) return None // partially-filtered chunks
@@ -546,23 +886,40 @@ object Hdf5 {
   /** Read every dataset in the file (recursing groups). None on any
     * malformation or unsupported feature. */
   def read(data: Array[Byte]): Option[Seq[Dataset]] = {
-    if (data.length < 96) return None
+    if (data.length < 48) return None
     var i = 0
     while (i < 8) { if (data(i) != Sig(i)) return None; i += 1 }
-    if ((data(8) & 0xff) != 0) return None // superblock v0 only
-    if ((data(13) & 0xff) != 8 || (data(14) & 0xff) != 8)
-      return None // 8-byte offsets/lengths only
+    val sbVer = data(8) & 0xff
     val r = new Rd(data)
-    // superblock v0: root symbol table entry at offset 56, its
-    // object header address 8 bytes in
-    val rootOha = u64(data, 56 + 8)
+    val rootOha = sbVer match {
+      case 0 =>
+        if (data.length < 96) return None
+        if ((data(13) & 0xff) != 8 || (data(14) & 0xff) != 8)
+          return None // 8-byte offsets/lengths only
+        // root symbol table entry at offset 56, oha 8 bytes in
+        u64(data, 56 + 8)
+      case 2 | 3 =>
+        // v2/v3: fixed 48-byte layout, lookup3-checksummed; the
+        // root is addressed by OBJECT HEADER directly
+        if ((data(9) & 0xff) != 8 || (data(10) & 0xff) != 8)
+          return None
+        if (u32(data, 44) != lookup3(data, 0, 44)) return None
+        u64(data, 36)
+      case _ => return None // v1 (never written by libhdf5) rejects
+    }
     val out = Seq.newBuilder[Dataset]
     val seenObj = scala.collection.mutable.Set[Long]()
 
     def walk(oha: Long, prefix: String, depth: Int): Boolean = {
       if (depth > 16 || !seenObj.add(oha)) return false
-      val info = objectHeader(r, oha).getOrElse(return false)
-      info.group match {
+      val info = objectHeaderAny(r, oha).getOrElse(return false)
+      if (info.v2Group) {
+        // a v2 group: compact link-message children
+        info.links.forall { case (name, childOha) =>
+          walk(childOha, if (prefix.isEmpty) name
+            else s"$prefix/$name", depth + 1)
+        }
+      } else info.group match {
         case Some((bt, heap)) =>
           val entries = groupEntries(r, bt, heap,
             scala.collection.mutable.Set.empty)
@@ -962,28 +1319,296 @@ object Hdf5 {
       oha
     }
 
-    private def fixedProps(size: Int): Array[Byte] =
-      Array[Byte](0, 0, (size * 8).toByte, ((size * 8) >> 8).toByte)
-    private val f32Props: Array[Byte] = {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0); b.write(0)      // bit offset
-      b.write(32); b.write(0)     // precision
-      b.write(23); b.write(8)     // exp location, size
-      b.write(0); b.write(23)     // mantissa location, size
-      b.write(127); b.write(0); b.write(0); b.write(0) // bias
-      b.toByteArray
-    }
-    private val f64Props: Array[Byte] = {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0); b.write(0)
-      b.write(64); b.write(0)
-      b.write(52); b.write(11)
-      b.write(0); b.write(52)
-      b.write(255); b.write(3); b.write(0); b.write(0) // bias 1023
-      b.toByteArray
-    }
+  }
+
+  private def fixedProps(size: Int): Array[Byte] =
+    Array[Byte](0, 0, (size * 8).toByte, ((size * 8) >> 8).toByte)
+  private val f32Props: Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(0); b.write(0)      // bit offset
+    b.write(32); b.write(0)     // precision
+    b.write(23); b.write(8)     // exp location, size
+    b.write(0); b.write(23)     // mantissa location, size
+    b.write(127); b.write(0); b.write(0); b.write(0) // bias
+    b.toByteArray
+  }
+  private val f64Props: Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(0); b.write(0)
+    b.write(64); b.write(0)
+    b.write(52); b.write(11)
+    b.write(0); b.write(52)
+    b.write(255); b.write(3); b.write(0); b.write(0) // bias 1023
+    b.toByteArray
   }
 
   def build(datasets: Seq[WDataset]): Array[Byte] =
     new Writer().build(datasets)
+
+  /** Pull one full-size (zero-padded) chunk out of a C-order
+    * logical array — the writer-side inverse of [[scatter]]. */
+  private def gatherChunk(data: Array[Byte], dims: Seq[Long],
+      cd: Seq[Int], offs: Seq[Long], isz: Int): Array[Byte] = {
+    val rank = dims.length
+    var chunkElems = 1L
+    cd.foreach(chunkElems *= _)
+    val out = new Array[Byte]((chunkElems * isz).toInt)
+    val inner = cd(rank - 1)
+    val innerN = math.max(0L, math.min(inner.toLong,
+      dims(rank - 1) - offs(rank - 1)))
+    if (innerN <= 0) return out
+    val idx = new Array[Long](math.max(0, rank - 1))
+    var done = false
+    while (!done) {
+      var inBounds = true
+      var k = 0
+      while (k < rank - 1) {
+        if (offs(k) + idx(k) >= dims(k)) inBounds = false
+        k += 1
+      }
+      if (inBounds) {
+        var src = 0L
+        k = 0
+        while (k < rank - 1) {
+          src = src * dims(k) + (offs(k) + idx(k)); k += 1 }
+        src = src * dims(rank - 1) + offs(rank - 1)
+        var dst = 0L
+        k = 0
+        while (k < rank - 1) { dst = dst * cd(k) + idx(k); k += 1 }
+        dst = dst * inner
+        System.arraycopy(data, (src * isz).toInt, out,
+          (dst * isz).toInt, (innerN * isz).toInt)
+      }
+      var k2 = rank - 2
+      done = true
+      while (k2 >= 0 && done) {
+        idx(k2) += 1
+        if (idx(k2) < cd(k2)) done = false
+        else { idx(k2) = 0; k2 -= 1 }
+      }
+      if (rank == 1) done = true
+    }
+    out
+  }
+
+  /** The libver-latest writer twin: superblock VERSION 3 with its
+    * lookup3 checksum, VERSION 2 ("OHDR") object headers (unaligned
+    * messages, per-chunk checksums), the root group as compact LINK
+    * messages behind Link Info + Group Info, dataspace v2, filter
+    * pipeline v2, and data layout v4 — contiguous/compact classes
+    * plus chunked behind a FIXED ARRAY index ("FAHD" header +
+    * "FADB" data block, filtered client entries). Everything the
+    * v2 read path accepts is emitted here, so round trips pin both
+    * directions without libhdf5. */
+  def buildLatest(datasets: Seq[WDataset]): Array[Byte] = {
+    require(datasets.nonEmpty, "empty file")
+    require(datasets.map(_.name).distinct.length == datasets.length)
+    val buf = new java.io.ByteArrayOutputStream(4096)
+    (0 until 48).foreach(_ => buf.write(0)) // superblock slot
+    def pos: Long = buf.size().toLong
+    def w64b(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { b.write(((v >>> (8 * i)) & 0xff).toInt)
+        i += 1 } }
+    def w32b(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { b.write(((v >>> (8 * i)) & 0xff).toInt)
+        i += 1 } }
+    def w16b(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff) }
+
+    /** Emit one OHDR object header; returns its address. */
+    def ohdr(msgs: Seq[(Int, Array[Byte])]): Long = {
+      val addr = pos
+      val h = new java.io.ByteArrayOutputStream(256)
+      h.write('O'); h.write('H'); h.write('D'); h.write('R')
+      h.write(2)
+      h.write(0x02) // flags: 4-byte chunk-0 size, nothing else
+      val msgBytes = msgs.map { case (_, m) => 4 + m.length }.sum
+      w32b(h, msgBytes.toLong)
+      msgs.foreach { case (t, m) =>
+        h.write(t & 0xff)
+        w16b(h, m.length)
+        h.write(0) // message flags
+        h.write(m, 0, m.length)
+      }
+      val hb = h.toByteArray
+      val ck = lookup3(hb, 0, hb.length)
+      buf.write(hb, 0, hb.length)
+      w32b(buf, ck)
+      addr
+    }
+
+    val children = datasets.map { ds =>
+      val isz = Npy.ItemSize(ds.descr)
+      val elems = ds.dims.foldLeft(1L)(_ * _)
+      require(ds.data.length.toLong == elems * isz,
+        s"${ds.name}: ${ds.data.length} bytes for $elems")
+      val rank = ds.dims.length
+      val chunked = ds.chunkDims.nonEmpty
+      require(!(chunked && ds.compact), "chunked xor compact")
+
+      val msgs = scala.collection.mutable.ArrayBuffer[
+        (Int, Array[Byte])]()
+      // dataspace v2
+      val dsp = new java.io.ByteArrayOutputStream()
+      dsp.write(2); dsp.write(rank); dsp.write(0); dsp.write(1)
+      ds.dims.foreach(w64b(dsp, _))
+      msgs += ((0x0001, dsp.toByteArray))
+      // datatype (same rendering as the classic writer)
+      val dt = new java.io.ByteArrayOutputStream()
+      val (clazz, bits, props) = ds.descr match {
+        case "f4" => (1, 0x20, f32Props)
+        case "f8" => (1, 0x20, f64Props)
+        case d0 =>
+          val signed = d0.startsWith("i")
+          (0, if (signed) 0x08 else 0x00,
+            fixedProps(Npy.ItemSize(d0)))
+      }
+      dt.write((1 << 4) | clazz)
+      dt.write(bits)
+      dt.write(0); dt.write(0)
+      dt.write(isz); dt.write(0); dt.write(0); dt.write(0)
+      dt.write(props, 0, props.length)
+      msgs += ((0x0003, dt.toByteArray))
+
+      if (ds.compact) {
+        val lay = new java.io.ByteArrayOutputStream()
+        lay.write(4); lay.write(0)
+        w16b(lay, ds.data.length)
+        lay.write(ds.data, 0, ds.data.length)
+        msgs += ((0x0008, lay.toByteArray))
+      } else if (!chunked) {
+        val dataAddr = pos
+        buf.write(ds.data, 0, ds.data.length)
+        val lay = new java.io.ByteArrayOutputStream()
+        lay.write(4); lay.write(1)
+        w64b(lay, dataAddr)
+        w64b(lay, ds.data.length.toLong)
+        msgs += ((0x0008, lay.toByteArray))
+      } else {
+        // chunks: shuffle→deflate→fletcher per the knobs, then the
+        // fixed-array index (filtered client, 4-byte sizes)
+        val cd = ds.chunkDims
+        var chunkElems = 1L
+        cd.foreach(chunkElems *= _)
+        val grid = ds.dims.zip(cd).map { case (s, c) =>
+          (s + c - 1) / c }
+        val entries = gridOffsets(grid, cd).map { offs =>
+          val chunk = gatherChunk(ds.data, ds.dims, cd, offs, isz)
+          val sh = if (ds.shuffle) Blosc.shuffleBytes(isz, chunk)
+            else chunk
+          val defl = new java.util.zip.Deflater(6)
+          defl.setInput(sh); defl.finish()
+          val co = new java.io.ByteArrayOutputStream(
+            chunk.length / 2 + 64)
+          val tmp = new Array[Byte](8192)
+          while (!defl.finished()) co.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          if (ds.fletcher) {
+            val body = co.toByteArray
+            val ck = fletcher32(body, 0, body.length)
+            w32b(co, ck)
+          }
+          val cb = co.toByteArray
+          val addr = pos
+          buf.write(cb, 0, cb.length)
+          (addr, cb.length)
+        }
+        // FADB then FAHD (so both addresses are known up front)
+        val entrySize = 16 // addr(8) + size(4) + filter mask(4)
+        val dbAddr = pos
+        val dbLen = 14L + entries.length * entrySize + 4
+        val fahdAddr = dbAddr + dbLen
+        val db = new java.io.ByteArrayOutputStream()
+        db.write('F'); db.write('A'); db.write('D'); db.write('B')
+        db.write(0); db.write(1) // version, client 1 (filtered)
+        w64b(db, fahdAddr)
+        entries.foreach { case (addr, stored) =>
+          w64b(db, addr)
+          w32b(db, stored.toLong)
+          w32b(db, 0L) // filter mask
+        }
+        val dbb = db.toByteArray
+        buf.write(dbb, 0, dbb.length)
+        w32b(buf, lookup3(dbb, 0, dbb.length))
+        val hd = new java.io.ByteArrayOutputStream()
+        hd.write('F'); hd.write('A'); hd.write('H'); hd.write('D')
+        hd.write(0); hd.write(1)
+        hd.write(entrySize); hd.write(12) // page bits: 4096 entries
+        w64b(hd, entries.length.toLong)
+        w64b(hd, dbAddr)
+        val hdb = hd.toByteArray
+        require(entries.length <= (1 << 12), "paged fixed array")
+        buf.write(hdb, 0, hdb.length)
+        w32b(buf, lookup3(hdb, 0, hdb.length))
+        // layout v4 chunked message
+        val lay = new java.io.ByteArrayOutputStream()
+        lay.write(4); lay.write(2)
+        lay.write(0)         // flags
+        lay.write(rank)      // dimensionality
+        lay.write(8)         // dim encode length
+        cd.foreach(c => w64b(lay, c.toLong))
+        lay.write(3)         // fixed array index
+        lay.write(12)        // page bits
+        w64b(lay, fahdAddr)
+        msgs += ((0x0008, lay.toByteArray))
+        // filter pipeline v2
+        val fp = new java.io.ByteArrayOutputStream()
+        val nf = 1 + (if (ds.shuffle) 1 else 0) +
+          (if (ds.fletcher) 1 else 0)
+        fp.write(2); fp.write(nf)
+        def fentry(fid: Int, values: Seq[Int]): Unit = {
+          w16b(fp, fid)
+          w16b(fp, 0) // flags
+          w16b(fp, values.length)
+          values.foreach(v => w32b(fp, v.toLong))
+        }
+        if (ds.shuffle) fentry(2, Seq(isz))
+        fentry(1, Seq(6))
+        if (ds.fletcher) fentry(3, Seq.empty)
+        msgs += ((0x000b, fp.toByteArray))
+      }
+      (ds.name, ohdr(msgs.toSeq))
+    }
+
+    // root group: link info + group info + one link per child
+    val rootMsgs = scala.collection.mutable.ArrayBuffer[
+      (Int, Array[Byte])]()
+    val li = new java.io.ByteArrayOutputStream()
+    li.write(0); li.write(0)
+    w64b(li, Undef); w64b(li, Undef)
+    rootMsgs += ((0x0002, li.toByteArray))
+    rootMsgs += ((0x000a, Array[Byte](0, 0)))
+    children.foreach { case (name, oha) =>
+      val nb = name.getBytes("UTF-8")
+      require(nb.length >= 1 && nb.length <= 255,
+        s"link name length ${nb.length}")
+      val lk = new java.io.ByteArrayOutputStream()
+      lk.write(1)    // version
+      lk.write(0)    // flags: 1-byte name length, hard link
+      lk.write(nb.length)
+      lk.write(nb, 0, nb.length)
+      w64b(lk, oha)
+      rootMsgs += ((0x0006, lk.toByteArray))
+    }
+    val rootOha = ohdr(rootMsgs.toSeq)
+
+    // superblock v3 into the reserved slot
+    val out = buf.toByteArray
+    System.arraycopy(Sig, 0, out, 0, 8)
+    out(8) = 3; out(9) = 8; out(10) = 8; out(11) = 0
+    def put64(at: Int, v: Long): Unit = { var i = 0
+      while (i < 8) { out(at + i) = ((v >>> (8 * i)) & 0xff).toByte
+        i += 1 } }
+    put64(12, 0L)               // base address
+    put64(20, Undef)            // superblock extension
+    put64(28, out.length.toLong) // EOF
+    put64(36, rootOha)
+    val ck = lookup3(out, 0, 44)
+    var i = 0
+    while (i < 4) { out(44 + i) = ((ck >>> (8 * i)) & 0xff).toByte
+      i += 1 }
+    out
+  }
 }

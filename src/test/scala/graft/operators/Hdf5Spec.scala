@@ -161,6 +161,73 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.fletcher32(vals, 0, 94))
   }
 
+  test("libver-latest twin: superblock v3 + OHDR round-trips " +
+      "every layout and filter combination") {
+    val f4s = java.nio.ByteBuffer.allocate(24 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(i => f4s.putFloat(i * 1.5f))
+    val i8s = java.nio.ByteBuffer.allocate(5 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 5).foreach(i => i8s.putLong(i * 1000L - 7))
+    val file = buildLatest(Seq(
+      WDataset("emb", Seq(6L, 4L), "f4", f4s.array(),
+        chunkDims = Seq(4, 4), shuffle = true, fletcher = true),
+      WDataset("ids", Seq(5L), "i8", i8s.array()),
+      WDataset("tag", Seq(2L), "i4",
+        Array[Byte](9, 0, 0, 0, 7, 0, 0, 0), compact = true)))
+    // superblock v3 structure
+    assert((file(8) & 0xff) == 3)
+    assert(Hdf5.lookup3(file, 0, 44) ==
+      ((file(44) & 0xffL) | ((file(45) & 0xffL) << 8) |
+        ((file(46) & 0xffL) << 16) | ((file(47) & 0xffL) << 24)))
+    val ds = read(file).get
+    assert(ds.map(_.path) == Seq("emb", "ids", "tag"))
+    assert(ds.head.dims == Seq(6L, 4L))
+    assert(ds.head.arr.at(5, 3) == 23 * 1.5f)
+    assert(ds(1).arr.longAt(4) == 4 * 1000L - 7)
+    assert(ds(2).arr.at(1) == 7.0)
+    // chunked-only and plain-deflate variants
+    val plain = buildLatest(Seq(WDataset("x", Seq(6L, 4L), "f4",
+      f4s.array(), chunkDims = Seq(2, 3))))
+    assert(read(plain).get.head.arr.at(3, 2) == 14 * 1.5f)
+    // a v2 group file under an 8+-deep name set (many links)
+    val many = buildLatest((0 until 20).map(i =>
+      WDataset(f"d$i%02d", Seq(1L), "i4",
+        Array[Byte](i.toByte, 0, 0, 0))))
+    assert(read(many).get.length == 20)
+  }
+
+  test("libver-latest rejections: checksums, paged arrays, " +
+      "unknown indexes") {
+    val base = buildLatest(Seq(WDataset("x", Seq(8L), "i4",
+      Array.tabulate(32)(_.toByte), chunkDims = Seq(3))))
+    assert(read(base).isDefined)
+    // flip a superblock byte: the lookup3 checksum must catch it
+    val sb = base.clone(); sb(40) = (sb(40) ^ 1).toByte
+    assert(read(sb).isEmpty)
+    // flip the stored superblock checksum itself
+    val sc = base.clone(); sc(44) = (sc(44) ^ 1).toByte
+    assert(read(sc).isEmpty)
+    // corrupt any OHDR byte → its chunk checksum rejects
+    val ohdrAt = {
+      var i = 48
+      var found = -1
+      while (found < 0 && i < base.length - 4) {
+        if (base(i) == 'O' && base(i + 1) == 'H' &&
+          base(i + 2) == 'D' && base(i + 3) == 'R') found = i
+        i += 1
+      }
+      found
+    }
+    assert(ohdrAt > 0)
+    val oc = base.clone()
+    oc(ohdrAt + 5) = (oc(ohdrAt + 5) ^ 0x20).toByte // flags bit
+    assert(read(oc).isEmpty)
+    // superblock v1 (never written by libhdf5) rejects
+    val v1 = base.clone(); v1(8) = 1
+    assert(read(v1).isEmpty)
+  }
+
   test("mutation fuzz: corruptions never throw") {
     val base = build(Seq(
       WDataset("a", Seq(6L), "i4",
@@ -174,6 +241,21 @@ class Hdf5Spec extends AnyFunSuite {
     val rnd = new scala.util.Random(83)
     (0 until 500).foreach { _ =>
       val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      read(m)
+    }
+    // the libver-latest parse paths under the same hammer
+    val latest = buildLatest(Seq(
+      WDataset("a", Seq(6L), "i4",
+        Array.tabulate(24)(i => (i * 3).toByte)),
+      WDataset("b", Seq(3L, 2L), "f8", {
+        val bb = java.nio.ByteBuffer.allocate(48)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 6).foreach(i => bb.putDouble(i * 0.25))
+        bb.array()
+      }, chunkDims = Seq(2, 2), shuffle = true, fletcher = true)))
+    (0 until 500).foreach { _ =>
+      val m = latest.clone()
       m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
       read(m)
     }
