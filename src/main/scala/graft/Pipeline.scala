@@ -6988,6 +6988,61 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Structured `.npy` record arrays (late r12, operators/Npy):
+    * per 16-doc chunk one PACKED recarray with five fields across
+    * every kind the parser supports — i8, u4 (unsigned read-back
+    * pinned), f8, S (latin-1 bytes) and U (UCS-4 text) — built by
+    * OUR writer, parsed by [[Npy.parseStructured]], every fact from
+    * DECODED field lanes. A wrong field offset, width or string
+    * strip flips values; the oracle recomputes from documents. */
+  private def npyStructured(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Npy
+    asciiDocs(s, dir)
+      .map { case (id, t) => (id / 16, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val fields = Seq(("doc_id", "<i8"), ("text_len", "<u4"),
+          ("score", "<f8"), ("tag", "|S6"), ("mark", "<U4"))
+        val itemSize = 8 + 4 + 8 + 6 + 16
+        val buf = java.nio.ByteBuffer
+          .allocate(docs.length * itemSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        docs.foreach { case (_, id, t) =>
+          buf.putLong(id)
+          buf.putInt(t.length)
+          buf.putDouble(t.length * 0.25)
+          val tag = s"t${id % 100}".getBytes("ISO-8859-1")
+          buf.put(tag)
+          (tag.length until 6).foreach(_ => buf.put(0.toByte))
+          val mark = s"m${id % 7}"
+          mark.foreach(c => buf.putInt(c.toInt))
+          (mark.length until 4).foreach(_ => buf.putInt(0))
+        }
+        (cid, Npy.buildStructured(fields, Seq(docs.length),
+          buf.array()))
+      }
+      .flatMap { case (cid, npy) =>
+        val rec = Npy.parseStructured(npy).getOrElse(
+          sys.error(s"structured npy rejected chunk $cid"))
+        require(rec.fields.map(_.name) ==
+          Seq("doc_id", "text_len", "score", "tag", "mark"))
+        val f = rec.fields.map(x => x.name -> x).toMap
+        (0 until rec.elems).map { i =>
+          (rec.longAt(f("doc_id"), i),
+            rec.longAt(f("text_len"), i),
+            rec.doubleAt(f("score"), i),
+            rec.stringAt(f("tag"), i),
+            rec.stringAt(f("mark"), i))
+        }
+      }
+      .toDF("doc_id", "text_len", "score", "tag", "mark")
+      .orderBy("doc_id")
+  }
+
   /** NumPy `.npy` decode (r12) across ALL FOUR layout combos — the
     * raw array dumps scientific pipelines hand over: per 8-vector
     * shard one f4 matrix [n, 65] (col 0 = vec_id, cols 1..64 = the
@@ -10706,6 +10761,7 @@ object Pipeline {
     "arrow_ipc_temporal" -> arrowIpcTemporal _,
     "safetensors_parse" -> safetensorsParse _,
     "npy_parse"         -> npyParse _,
+    "npy_structured"    -> npyStructured _,
     "npz_parse"         -> npzParse _,
     "gguf_parse"        -> ggufParse _,
     "tensor_source_read" -> tensorSourceRead _,
@@ -13108,6 +13164,17 @@ object Pipeline {
     // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
     // rotating by shard id; order flags surface from the PARSED
     // header and are predicted analytically
+    // structured recarray: every field kind (i8/u4/f8/S/U) decoded
+    // from OUR packed layout; strings NUL-stripped per numpy
+    "npy_structured" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, strlen(text) AS text_len,
+        |  strlen(text) * 0.25 AS score,
+        |  't' || (doc_id % 100) AS tag,
+        |  'm' || (doc_id % 7) AS mark
+        |FROM d ORDER BY doc_id""".stripMargin,
     "npy_parse" ->
       """WITH q AS (
         |  SELECT vec_id, len(embedding) AS dim,

@@ -311,6 +311,282 @@ object Npy {
   }
 
   // ---------------------------------------------------------------
+  // Structured dtypes (record arrays) — the `descr` LIST form
+  // ---------------------------------------------------------------
+
+  /** One record field: kind ∈ i/u/f/b (numeric), S (bytes),
+    * U (UCS-4 text); `size` is the field's byte width (U counts
+    * 4 bytes per character), `offset` its packed position. */
+  final case class Field(name: String, kind: Char, size: Int,
+      big: Boolean, offset: Int)
+
+  /** A parsed record array (C order only — numpy recarrays are
+    * row-major in practice and a fortran structured array would
+    * need coordinate mapping per field; it rejects honestly). */
+  final case class Rec(fields: Seq[Field], itemSize: Int,
+      shape: Seq[Int], data: Array[Byte]) {
+    def elems: Int = shape.product
+    private def base(f: Field, i: Int): Int =
+      i * itemSize + f.offset
+    private def order(f: Field) =
+      if (f.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    def longAt(f: Field, i: Int): Long = {
+      require("iub".contains(f.kind), s"longAt on ${f.kind}")
+      val bb = ByteBuffer.wrap(data, base(f, i), f.size)
+        .order(order(f))
+      val raw = f.size match {
+        case 1 => bb.get().toLong
+        case 2 => bb.getShort().toLong
+        case 4 => bb.getInt().toLong
+        case 8 => bb.getLong()
+      }
+      if (f.kind == 'u' && f.size < 8)
+        raw & ((1L << (8 * f.size)) - 1)
+      else raw
+    }
+    def doubleAt(f: Field, i: Int): Double = {
+      require(f.kind == 'f', s"doubleAt on ${f.kind}")
+      val bb = ByteBuffer.wrap(data, base(f, i), f.size)
+        .order(order(f))
+      if (f.size == 4) bb.getFloat().toDouble else bb.getDouble()
+    }
+    /** S fields as Latin-1, U fields as UCS-4, trailing NULs
+      * stripped (numpy's convention). */
+    def stringAt(f: Field, i: Int): String = {
+      require(f.kind == 'S' || f.kind == 'U',
+        s"stringAt on ${f.kind}")
+      val b = base(f, i)
+      if (f.kind == 'S') {
+        var n = f.size
+        while (n > 0 && data(b + n - 1) == 0) n -= 1
+        new String(data, b, n, "ISO-8859-1")
+      } else {
+        val cs = if (f.big) "UTF-32BE" else "UTF-32LE"
+        val s = new String(data, b, f.size, cs)
+        var n = s.length
+        while (n > 0 && s(n - 1) == '\u0000') n -= 1
+        s.substring(0, n)
+      }
+    }
+  }
+
+  /** Parse one marked field format ('<i8', '|S5', '<U4', …) →
+    * (kind, byteSize, big). None on anything outside the supported
+    * set — object ('O'), f2, sub-arrays and nesting reject. */
+  private def fieldFormat(fmt: String)
+      : Option[(Char, Int, Boolean)] = {
+    if (fmt.length < 3) return None
+    val mark = fmt.head
+    val kind = fmt(1)
+    val numTxt = fmt.substring(2)
+    if (!numTxt.forall(_.isDigit)) return None
+    val num = try numTxt.toInt catch {
+      case _: NumberFormatException => return None }
+    val big = mark match {
+      case '<' => false
+      case '>' => true
+      case '|' if kind == 'S' || num == 1 => false
+      case _ => return None
+    }
+    kind match {
+      case 'i' | 'u' if Set(1, 2, 4, 8)(num) => Some((kind, num, big))
+      case 'f' if num == 4 || num == 8 => Some((kind, num, big))
+      case 'b' if num == 1 => Some(('b', 1, false))
+      case 'S' if num >= 1 && num <= 4096 => Some(('S', num, false))
+      case 'U' if num >= 1 && num <= 4096 =>
+        Some(('U', 4 * num, big))
+      case _ => None // 'O', 'V', 'M', f2, …: honest rejection
+    }
+  }
+
+  /** Parse a structured `.npy` (descr as a list of (name, format)
+    * tuples — the PACKED layout numpy emits for align=False
+    * dtypes; the dict form with explicit offsets, sub-array
+    * shapes, nesting, fortran order and object fields all reject
+    * honestly). */
+  def parseStructured(bytes: Array[Byte]): Option[Rec] = {
+    val (header, hoff, hlen) = rawHeader(bytes).getOrElse(
+      return None)
+    val (descrSide, fortran, shape) = parseDictEither(header.trim)
+      .getOrElse(return None)
+    val fieldsTxt = descrSide match {
+      case Right(list) => list
+      case Left(_) => return None // plain dtype: use parse()
+    }
+    if (fortran) return None
+    if (fieldsTxt.isEmpty) return None
+    var off = 0
+    val fields = fieldsTxt.map { case (name, fmt) =>
+      val (kind, size, big) = fieldFormat(fmt).getOrElse(
+        return None)
+      val f = Field(name, kind, size, big, off)
+      off += size
+      f
+    }
+    if (fields.map(_.name).distinct.length != fields.length)
+      return None
+    val itemSize = off
+    if (shape.exists(_ < 0)) return None
+    var elems = 1L
+    shape.foreach { d =>
+      elems *= d
+      if (elems > MaxElems) return None
+    }
+    if (bytes.length - hoff - hlen != elems * itemSize) return None
+    Some(Rec(fields, itemSize, shape,
+      java.util.Arrays.copyOfRange(bytes, hoff + hlen,
+        bytes.length)))
+  }
+
+  /** Render + write a structured `.npy` (v1 header, packed
+    * fields). `data` must already be packed in field order. */
+  def buildStructured(fields: Seq[(String, String)],
+      shape: Seq[Int], data: Array[Byte]): Array[Byte] = {
+    val parsed = fields.map { case (n, fmt) =>
+      (n, fieldFormat(fmt).getOrElse(
+        sys.error(s"field format $fmt")))
+    }
+    val itemSize = parsed.map(_._2._2).sum
+    val elems = shape.foldLeft(1L)(_ * _.toLong)
+    require(data.length.toLong == elems * itemSize,
+      s"${data.length} bytes for $elems records of $itemSize")
+    val descr = fields.map { case (n, fmt) =>
+      s"('$n', '$fmt')" }.mkString("[", ", ", "]")
+    val shapeTxt = shape match {
+      case Seq() => "()"
+      case Seq(d) => s"($d,)"
+      case ds => ds.mkString("(", ", ", ")")
+    }
+    val dict = s"{'descr': $descr, 'fortran_order': False, " +
+      s"'shape': $shapeTxt, }"
+    val d = dict.getBytes("ASCII")
+    val raw = 10 + d.length + 1
+    val pad = (64 - (raw % 64)) % 64
+    val h = d ++ Array.fill(pad)(' '.toByte) :+ '\n'.toByte
+    require(h.length <= 0xffff, "header too large")
+    val out = new java.io.ByteArrayOutputStream(
+      128 + h.length + data.length)
+    out.write(Magic)
+    out.write(1); out.write(0)
+    out.write(h.length & 0xff); out.write((h.length >> 8) & 0xff)
+    out.write(h)
+    out.write(data)
+    out.toByteArray
+  }
+
+  /** Shared magic/version/header-length walk → (headerText,
+    * headerOffset, headerLen). */
+  private def rawHeader(bytes: Array[Byte])
+      : Option[(String, Int, Int)] = {
+    if (bytes.length < 10) return None
+    var i = 0
+    while (i < 6) {
+      if (bytes(i) != Magic(i)) return None
+      i += 1
+    }
+    val major = bytes(6) & 0xff
+    val minor = bytes(7) & 0xff
+    if (major < 1 || major > 3 || minor != 0) return None
+    val (hlen, hoff) =
+      if (major == 1)
+        (((bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)).toLong, 10)
+      else {
+        if (bytes.length < 12) return None
+        var v = 0L
+        var j = 0
+        while (j < 4) { v |= (bytes(8 + j).toLong & 0xff) << (8 * j)
+          j += 1 }
+        (v, 12)
+      }
+    if (hlen <= 0 || hlen > MaxHeader ||
+      hoff + hlen > bytes.length) return None
+    if (bytes(hoff + hlen.toInt - 1) != '\n') return None
+    Some((new String(bytes, hoff, hlen.toInt, "ASCII"), hoff,
+      hlen.toInt))
+  }
+
+  /** [[parseDict]] with the descr side split: Left(plain dtype
+    * string) or Right(field list). */
+  private def parseDictEither(s: String)
+      : Option[(Either[String, Seq[(String, String)]], Boolean,
+        Seq[Int])] = {
+    // the plain grammar first (fast path, unchanged semantics)
+    parseDict(s) match {
+      case Some((d, f, sh)) => return Some((Left(d), f, sh))
+      case None => ()
+    }
+    // list-form descr: tokenize [('name', 'fmt'), …] then reuse
+    // the plain parser on the dict with the list spliced out
+    val di = s.indexOf("'descr':")
+    if (di < 0) return None
+    var p = di + 8
+    while (p < s.length && s(p) == ' ') p += 1
+    if (p >= s.length || s(p) != '[') return None
+    val lStart = p
+    var depth = 0
+    var q = ' '
+    var lEnd = -1
+    while (p < s.length && lEnd < 0) {
+      val c = s(p)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0 && c == ']') lEnd = p
+        case _ => ()
+      }
+      p += 1
+    }
+    if (lEnd < 0) return None
+    val listTxt = s.substring(lStart, lEnd + 1)
+    // parse the tuples
+    val fields = Seq.newBuilder[(String, String)]
+    var t = 1
+    def ws(): Unit =
+      while (t < listTxt.length && listTxt(t) == ' ') t += 1
+    def sep(): Unit = { // between tuples: optional comma
+      ws()
+      if (t < listTxt.length && listTxt(t) == ',') { t += 1; ws() }
+    }
+    while ({ sep(); t < listTxt.length && listTxt(t) == '(' }) {
+      t += 1
+      def quoted(): Option[String] = {
+        ws()
+        if (t >= listTxt.length || (listTxt(t) != '\'' &&
+          listTxt(t) != '"')) return None
+        val qc = listTxt(t); t += 1
+        val st = t
+        while (t < listTxt.length && listTxt(t) != qc) t += 1
+        if (t >= listTxt.length) return None
+        val r = listTxt.substring(st, t); t += 1
+        Some(r)
+      }
+      val name = quoted().getOrElse(return None)
+      ws()
+      if (t >= listTxt.length || listTxt(t) != ',') return None
+      t += 1
+      val fmt = quoted().getOrElse(return None)
+      ws()
+      // a third tuple element = sub-array shape → reject honestly
+      if (t < listTxt.length && listTxt(t) != ')') return None
+      if (t >= listTxt.length) return None
+      t += 1
+      fields += ((name, fmt))
+    }
+    sep()
+    if (t != listTxt.length - 1 && t != listTxt.length) return None
+    // splice: replace the list with a placeholder the plain parser
+    // accepts, then reuse it for fortran_order/shape
+    val spliced = s.substring(0, lStart) + "'<i1'" +
+      s.substring(lEnd + 1)
+    parseDict(spliced).map { case (_, f, sh) =>
+      (Right(fields.result()), f, sh)
+    }
+  }
+
+  // ---------------------------------------------------------------
   // .npz — a ZIP of .npy members
   // ---------------------------------------------------------------
 

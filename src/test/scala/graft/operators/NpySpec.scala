@@ -103,6 +103,72 @@ class NpySpec extends AnyFunSuite {
     assert(a.descr == "u1" && a.at(1) == 9.0)
   }
 
+  test("structured dtypes: packed record arrays round-trip") {
+    // (id i8, w u2, x f8, tag S4, title U3) — packed, no padding
+    val fields = Seq(("id", "<i8"), ("w", "<u2"), ("x", "<f8"),
+      ("tag", "|S4"), ("title", "<U3"))
+    val itemSize = 8 + 2 + 8 + 4 + 12
+    val n = 5
+    val buf = java.nio.ByteBuffer.allocate(n * itemSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      buf.putLong(i * 1000L - 3)
+      buf.putShort((60000 + i).toShort) // u2 above Short.MaxValue
+      buf.putDouble(i * 0.25)
+      val tag = s"t$i".getBytes("ISO-8859-1")
+      buf.put(tag); (tag.length until 4).foreach(_ =>
+        buf.put(0.toByte))
+      val title = s"d$i"
+      title.foreach(c => buf.putInt(c.toInt))
+      (title.length until 3).foreach(_ => buf.putInt(0))
+    }
+    val npy = buildStructured(fields, Seq(n), buf.array())
+    // the plain parser refuses (it is not a plain dtype)
+    assert(parse(npy).isEmpty)
+    val rec = parseStructured(npy).get
+    assert(rec.itemSize == itemSize && rec.elems == n)
+    assert(rec.fields.map(_.name) ==
+      Seq("id", "w", "x", "tag", "title"))
+    val byName = rec.fields.map(f => f.name -> f).toMap
+    (0 until n).foreach { i =>
+      assert(rec.longAt(byName("id"), i) == i * 1000L - 3)
+      assert(rec.longAt(byName("w"), i) == 60000L + i) // unsigned
+      assert(rec.doubleAt(byName("x"), i) == i * 0.25)
+      assert(rec.stringAt(byName("tag"), i) == s"t$i")
+      assert(rec.stringAt(byName("title"), i) == s"d$i")
+    }
+    // rejections: object fields, sub-array shapes, fortran order,
+    // dup names, truncation
+    val objNpy = new String(npy.map(_.toChar))
+    assert(parseStructured(npy.dropRight(1)).isEmpty)
+    val withObj = npy.clone()
+    // patch '<i8' (id field) to '|O8' in the header text
+    val hdr = objNpy.indexOf("'<i8'")
+    assert(hdr > 0)
+    withObj(hdr + 1) = '|'; withObj(hdr + 2) = 'O'
+    assert(parseStructured(withObj).isEmpty)
+    assertThrows[RuntimeException](
+      buildStructured(Seq(("a", "<O8")), Seq(1), Array[Byte](0)))
+    // a sub-array tuple in the descr rejects
+    val sub = ("{'descr': [('a', '<i4', (2,))], 'fortran_order': " +
+      "False, 'shape': (1,), }")
+    val subHdr = sub.getBytes("ASCII") ++
+      Array.fill((64 - (10 + sub.length + 1) % 64) % 64)(' '.toByte) :+
+      '\n'.toByte
+    val subNpy = npy.take(6) ++ // the \x93NUMPY magic
+      Array[Byte](1, 0, (subHdr.length & 0xff).toByte,
+        ((subHdr.length >> 8) & 0xff).toByte) ++ subHdr ++
+      new Array[Byte](8)
+    assert(parseStructured(subNpy).isEmpty)
+    // fuzz the structured parser too
+    val rnd = new scala.util.Random(67)
+    (0 until 300).foreach { _ =>
+      val m = npy.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      parseStructured(m)
+    }
+  }
+
   test("malformed inputs reject, never throw") {
     val ok = buildF4(Seq(2), Array(1f, 2f))
     assert(parse(Array.emptyByteArray).isEmpty)
