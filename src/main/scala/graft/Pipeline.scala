@@ -7791,11 +7791,14 @@ object Pipeline {
     * (operators/Onnx, on the same wire machinery as the tf.train
     * family): a 2-node MatMul→Relu graph whose initializers carry
     * the REAL embedding matrix (F32 [n,64]), ids (I64) and labels
-    * (I32), with the tensor STORAGE PATH rotating by shard parity —
-    * raw_data bytes on even shards, the typed packed fields
-    * (float_data/int64_data/int32_data) on odd ones — so both wire
-    * forms every reader must accept stay live in the gate. Facts
-    * from DECODED initializers + the graph structure. */
+    * (I32), with the tensor STORAGE PATH rotating three ways by
+    * shard id — raw_data bytes, the typed packed fields
+    * (float_data/int64_data/int32_data), and (late r12) EXTERNAL
+    * data: the embedding matrix externalized to a side blob with
+    * offset/length entries, resolved by the reader's location →
+    * bytes function — so every wire form a reader must accept
+    * stays live in the gate. Facts from DECODED initializers + the
+    * graph structure. */
   private def onnxParse(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -7827,11 +7830,23 @@ object Pipeline {
             OTensor("vec_id", Seq(n.toLong), 7, idBuf.array()),
             OTensor("label", Seq(n.toLong), 6, labBuf.array())),
           Seq("x"), Seq("y"))
-        (sid, buildModel(m, rawData = sid % 2 == 0))
+        sid % 3 match {
+          case 2 => // external: emb's bytes live in a side blob
+            (sid, buildModel(m, externalize = Map(
+              "emb" -> ((s"shard$sid.weights", 0L)))),
+              embBuf.array())
+          case r =>
+            (sid, buildModel(m, rawData = r == 0),
+              Array.emptyByteArray)
+        }
       }
-      .flatMap { case (sid, bytes) =>
-        val m = parseModel(bytes).getOrElse(
+      .flatMap { case (sid, bytes, side) =>
+        val resolver = (loc: String) =>
+          if (loc == s"shard$sid.weights" && side.nonEmpty)
+            Some(side) else None
+        val m = parseModel(bytes, resolver).getOrElse(
           sys.error(s"onnx rejected shard $sid"))
+        require(sid % 3 != 2 || side.nonEmpty)
         require(m.producer == "graft" && m.graphName == s"shard$sid"
           && m.opsets == Seq(("", 17L)))
         val ops = m.nodes.map(_.opType).mkString(",")

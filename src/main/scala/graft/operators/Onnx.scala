@@ -33,11 +33,16 @@ package graft.operators
   * .f8e5m2ToFloat]] (closed form, no table). Anything else —
   * including the FNUZ float8 variants (18/20), which real
   * exporters do not emit — rejects honestly.
-  * External-data tensors (data_location = 1) reject — their bytes
-  * live outside the file. Validation: OnnxSpec (hand-pinned wire
-  * layouts, both storage paths, packed/per-element acceptance,
+  * EXTERNAL-data tensors (data_location = 1, the layout every
+  * model over 2 GiB uses) resolve through a caller-supplied
+  * `location → bytes` function honouring the external_data
+  * offset/length entries; with no resolver they reject honestly —
+  * their bytes live outside the file. [[buildTensorExternal]]
+  * writes the externalized form. Validation: OnnxSpec (hand-pinned
+  * wire layouts, both storage paths, packed/per-element
+  * acceptance, external round trip + offset/length rejections,
   * truncation/unknown-type rejections, fuzz) + the `onnx_parse`
-  * gate query. */
+  * gate query (external storage rotating in). */
 object Onnx {
 
   import Protobuf.{Cursor, writeVarint, writeTag, writeLen}
@@ -140,12 +145,20 @@ object Onnx {
     out.toByteArray
   }
 
-  def buildModel(m: OModel, rawData: Boolean = true): Array[Byte] = {
+  /** `externalize`: tensor name → (location, offset) for
+    * initializers stored OUTSIDE the model file (the caller writes
+    * their `data` into the side file); everything else embeds. */
+  def buildModel(m: OModel, rawData: Boolean = true,
+      externalize: Map[String, (String, Long)] = Map.empty)
+      : Array[Byte] = {
     val g = new java.io.ByteArrayOutputStream(1024)
     m.nodes.foreach(n => writeLen(g, 1, buildNode(n)))
     strField(g, 2, m.graphName)
-    m.initializers.foreach(t =>
-      writeLen(g, 5, buildTensor(t, rawData)))
+    m.initializers.foreach(t => externalize.get(t.name) match {
+      case Some((loc, off)) =>
+        writeLen(g, 5, buildTensorExternal(t, loc, off))
+      case None => writeLen(g, 5, buildTensor(t, rawData))
+    })
     m.inputs.foreach(n => writeLen(g, 11, buildValueInfo(n)))
     m.outputs.foreach(n => writeLen(g, 12, buildValueInfo(n)))
     val out = new java.io.ByteArrayOutputStream(g.size() + 128)
@@ -187,11 +200,16 @@ object Onnx {
     } else into += read(c)
   }
 
-  private def parseTensor(c: Cursor): Option[OTensor] = {
+  private def parseTensor(c: Cursor,
+      resolve: String => Option[Array[Byte]]): Option[OTensor] = {
     val dims = scala.collection.mutable.ArrayBuffer[Long]()
     var dataType = 0
     var name = ""
     var raw: Array[Byte] = null
+    var external = false
+    var extLocation: String = null
+    var extOffset = 0L
+    var extLength = -1L
     val floats = scala.collection.mutable.ArrayBuffer[Int]()
     val i32s = scala.collection.mutable.ArrayBuffer[Int]()
     val i64s = scala.collection.mutable.ArrayBuffer[Long]()
@@ -213,8 +231,31 @@ object Onnx {
           if (!c.ok) return None
           raw = java.util.Arrays.copyOfRange(s.b, s.p, s.end)
         case 10 => repeated(c, wire, f64s, (x: Cursor) => x.fixed64())
-        case 13 => // data_location: 1 = external → reject
-          if (c.varint() != 0L) return None
+        case 13 => // external_data: StringStringEntryProto pairs
+          val s = c.lenSlice()
+          if (!c.ok) return None
+          var k = ""; var v = ""
+          while (s.hasMore) {
+            val t2 = s.varint()
+            (t2 >>> 3).toInt match {
+              case 1 => k = str(s).getOrElse(return None)
+              case 2 => v = str(s).getOrElse(return None)
+              case _ => s.skip((t2 & 7).toInt)
+            }
+            if (!s.ok) return None
+          }
+          k match {
+            case "location" => extLocation = v
+            case "offset" =>
+              extOffset = try v.toLong catch {
+                case _: NumberFormatException => return None }
+            case "length" =>
+              extLength = try v.toLong catch {
+                case _: NumberFormatException => return None }
+            case _ => () // checksum etc: informational
+          }
+        case 14 => // data_location: 1 = EXTERNAL
+          external = c.varint() == 1L
         case _ => c.skip(wire)
       }
       if (!c.ok) return None
@@ -225,6 +266,19 @@ object Onnx {
     dims.foreach { d =>
       elems *= d
       if (elems > MaxElems) return None
+    }
+    if (external) {
+      // bytes live in a side file next to the model: the caller's
+      // resolver supplies them (no resolver → honest rejection)
+      if (extLocation == null || raw != null) return None
+      val file = resolve(extLocation).getOrElse(return None)
+      val want = elems * isz
+      val len = if (extLength >= 0) extLength
+        else file.length - extOffset
+      if (extOffset < 0 || len != want ||
+        extOffset + len > file.length) return None
+      raw = java.util.Arrays.copyOfRange(file, extOffset.toInt,
+        (extOffset + len).toInt)
     }
     // normalize whichever storage was used to LE raw bytes
     val data: Array[Byte] =
@@ -254,6 +308,31 @@ object Onnx {
       }
     if (data.length.toLong != elems * isz) return None
     Some(OTensor(name, dims.toSeq, dataType, data))
+  }
+
+  /** Render `t` as an EXTERNALIZED TensorProto: dims/type/name +
+    * external_data entries (location/offset/length) +
+    * data_location = 1 — the payload itself is NOT embedded; the
+    * caller writes `t.data` into the side file at `offset`. */
+  def buildTensorExternal(t: OTensor, location: String,
+      offset: Long): Array[Byte] = {
+    require(ItemSize.contains(t.dataType),
+      s"tensor ${t.name}: data_type ${t.dataType}")
+    val out = new java.io.ByteArrayOutputStream(128)
+    t.dims.foreach { d => writeTag(out, 1, 0); writeVarint(out, d) }
+    writeTag(out, 2, 0); writeVarint(out, t.dataType.toLong)
+    strField(out, 8, t.name)
+    def entry(k: String, v: String): Unit = {
+      val e = new java.io.ByteArrayOutputStream()
+      writeLen(e, 1, k.getBytes("UTF-8"))
+      writeLen(e, 2, v.getBytes("UTF-8"))
+      writeLen(out, 13, e.toByteArray)
+    }
+    entry("location", location)
+    entry("offset", offset.toString)
+    entry("length", t.data.length.toString)
+    writeTag(out, 14, 0); writeVarint(out, 1L) // EXTERNAL
+    out.toByteArray
   }
 
   private def parseNode(c: Cursor): Option[ONode] = {
@@ -290,7 +369,13 @@ object Onnx {
     Some(name)
   }
 
-  def parseModel(bytes: Array[Byte]): Option[OModel] = {
+  /** Parse a ModelProto. `resolve` supplies the bytes of EXTERNAL
+    * data files by their `location` (relative path next to the
+    * model, per the spec); the default refuses, so external
+    * tensors reject honestly unless the caller opts in. */
+  def parseModel(bytes: Array[Byte],
+      resolve: String => Option[Array[Byte]] = _ => None)
+      : Option[OModel] = {
     val c = new Cursor(bytes, 0, bytes.length)
     var ir = 0L
     var producer = ""
@@ -320,7 +405,7 @@ object Onnx {
               case 1 => nodes += parseNode(g.lenSlice())
                 .getOrElse(return None)
               case 2 => graphName = str(g).getOrElse(return None)
-              case 5 => inits += parseTensor(g.lenSlice())
+              case 5 => inits += parseTensor(g.lenSlice(), resolve)
                 .getOrElse(return None)
               case 11 => ins += valueInfoName(g.lenSlice())
                 .getOrElse(return None)

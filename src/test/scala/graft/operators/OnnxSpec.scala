@@ -128,6 +128,41 @@ class OnnxSpec extends AnyFunSuite {
     assert(patched != null)
   }
 
+  test("external-data tensors resolve through the caller; no " +
+      "resolver rejects") {
+    // two tensors share one side file at different offsets — the
+    // layout ONNX's own externalizer produces for >2 GiB models
+    val aBytes = f32Bytes(1f, 2f, 3f, 4f)
+    val bBytes = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(10L, -20L).foreach(bb.putLong); bb.array()
+    }
+    val side = aBytes ++ bBytes
+    val m = OModel(8L, "g", Seq(("", 17L)), "g",
+      Seq.empty,
+      Seq(OTensor("a", Seq(4L), 1, aBytes),
+        OTensor("b", Seq(2L), 7, bBytes)),
+      Seq.empty, Seq.empty)
+    val bytes = buildModel(m, externalize = Map(
+      "a" -> (("weights.bin", 0L)),
+      "b" -> (("weights.bin", 16L))))
+    // without a resolver: honest rejection
+    assert(parseModel(bytes).isEmpty)
+    // with one: lanes decode from the side file
+    val resolver = (loc: String) =>
+      if (loc == "weights.bin") Some(side) else None
+    val got = parseModel(bytes, resolver).get
+    assert(f32At(got.initializers(0), 3) == 4f)
+    assert(i64At(got.initializers(1), 1) == -20L)
+    // a short side file rejects (offset+length must fit; the
+    // declared length must equal dims·itemsize — no zero-fill)
+    assert(parseModel(bytes,
+      _ => Some(side.dropRight(1))).isEmpty)
+    // unknown location rejects
+    assert(parseModel(bytes, _ => None).isEmpty)
+  }
+
   test("malformed models reject; unknown fields skip") {
     val ok = buildModel(model(rawData = true))
     assert(parseModel(ok).isDefined)
