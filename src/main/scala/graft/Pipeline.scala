@@ -7787,6 +7787,94 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Zarr V3 store read (late r12, operators/Zarr): the SAME
+    * three-array embeddings story told in the NEW spec generation —
+    * `zarr.json` metadata, codec chains, `c/…` chunk keys:
+    * `emb` f4 under bytes→blosc with the v2-style dotted keys,
+    * `ids` i8 under bytes→zstd→crc32c (the checksum codec live in
+    * the gate), `labels` i4 BIG-endian bytes under gzip. One
+    * binaryFile scan per grid with recursive lookup (default keys
+    * nest directories), per-chunk decode, same per-vector oracle
+    * as the v2 store. */
+  private def zarr3Read(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Zarr
+    val root = formatFixtureDir(dir, "zarr3", "embeddings") { out =>
+      val rows = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      val n = rows.length.toLong
+      def putIn(sub: String)(name: String, bytes: Array[Byte]) = {
+        val f = new java.io.File(new java.io.File(out, sub), name)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, bytes): Unit
+      }
+      Zarr.write2dV3(
+        Zarr.Meta3(Seq(n, 64L), Seq(7, 64), "f4",
+          bigEndian = false, 0.0, Seq(("blosc", 5)), ".", "v2"),
+        n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
+        putIn("emb"))
+      Zarr.write2dV3(
+        Zarr.Meta3(Seq(n, 1L), Seq(7, 1), "i8",
+          bigEndian = false, -1.0,
+          Seq(("zstd", 3), ("crc32c", 0)), "/", "default"),
+        n, 1, (r, _) => rows(r.toInt)._1.toDouble,
+        putIn("ids"))
+      Zarr.write2dV3(
+        Zarr.Meta3(Seq(n, 1L), Seq(7, 1), "i4",
+          bigEndian = true, -1.0, Seq(("gzip", 5)), "/",
+          "default"),
+        n, 1, (r, _) => rows(r.toInt)._3.toDouble,
+        putIn("labels"))
+    }
+    def grid(sub: String, factName: String)(
+        fact: (graft.operators.Npy.Arr, Int) => Long): DataFrame = {
+      val metaJson = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/$sub/zarr.json")), "UTF-8")
+      val meta = Zarr.parseMetaV3(metaJson).getOrElse(
+        sys.error(s"bad zarr.json in $sub"))
+      val n = meta.shape.head
+      val cr = meta.chunks.head
+      val base = s"$root/$sub"
+      s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(base)
+        .filter(!col("path").endsWith("zarr.json"))
+        .select("path", "content").as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          // chunk KEY = the path below the array root, with the
+          // default encoding's directory separators intact
+          val rel = path.substring(
+            path.indexOf(base) + base.length + 1)
+          val key = rel // '/' separators match the key encoding
+          val idx = Zarr.chunkIndexV3(meta,
+            if (meta.sep == ".") rel.replace("/", ".") else key)
+            .getOrElse(
+              sys.error(s"unexpected chunk file $rel in $sub"))
+          val arr = Zarr.decodeChunkV3(meta, bytes).getOrElse(
+            sys.error(s"chunk $rel in $sub rejected"))
+          (0 until cr).flatMap { r =>
+            val row = idx.head.toLong * cr + r
+            if (row < n) Some((row, fact(arr, r))) else None
+          }
+        }
+        .toDF("row", factName)
+    }
+    val emb = grid("emb", "emb_q") { (arr, r) =>
+      var q = 0L
+      var c = 0
+      while (c < 64) { q += math.round(arr.at(r, c) * 1000); c += 1 }
+      q
+    }
+    val ids = grid("ids", "vec_id")((arr, r) => arr.longAt(r, 0))
+    val labels = grid("labels", "label")((arr, r) =>
+      arr.at(r, 0).toLong)
+    emb.join(ids, "row").join(labels, "row")
+      .select(col("vec_id"), lit(64).as("dim"), col("emb_q"),
+        col("label").cast("int").as("label"))
+      .orderBy("vec_id")
+  }
+
   /** ONNX model decode (r12) — per 8-vector shard one ModelProto
     * (operators/Onnx, on the same wire machinery as the tf.train
     * family): a 2-node MatMul→Relu graph whose initializers carry
@@ -10781,6 +10869,7 @@ object Pipeline {
     "gguf_parse"        -> ggufParse _,
     "tensor_source_read" -> tensorSourceRead _,
     "zarr_read"         -> zarrRead _,
+    "zarr3_read"        -> zarr3Read _,
     "onnx_parse"        -> onnxParse _,
     "parquet_footer"    -> parquetFooter _,
     "hdf5_parse"        -> hdf5Parse _,
@@ -13149,6 +13238,7 @@ object Pipeline {
     // v2 store (per-array compressor/order/endian rotation; edge
     // chunks padded) — chunk grid decode must be value-transparent
     "zarr_read" -> embVectorOracleSql,
+    "zarr3_read" -> embVectorOracleSql,
     // OUR Thrift-compact footer reader audits Spark-written parquet
     // (live differential against parquet-mr's serializer): summed
     // per-column value counts must equal the table's row count

@@ -422,6 +422,333 @@ object Zarr {
   // Store-level helpers
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Zarr v3 (zarr-specs v3): zarr.json + codec chains + c/… keys
+  // ---------------------------------------------------------------
+
+  /** v3 array metadata: npy-style descr, the codec chain SPLIT
+    * into the array→bytes endian and the bytes→bytes tail
+    * ((name, level) pairs in WRITE order: gzip, zstd, blosc —
+    * carrying its own cname/shuffle —, crc32c). Sharding and
+    * transpose codecs reject honestly. */
+  final case class Meta3(shape: Seq[Long], chunks: Seq[Int],
+      descr: String, bigEndian: Boolean, fillValue: Double,
+      codecs: Seq[(String, Int)], sep: String,
+      keyEncoding: String, // "default" (c/…) or "v2" (dotted)
+      bloscCname: String = "lz4", bloscShuffle: Int = 1) {
+    def itemSize: Int = Npy.ItemSize(descr)
+    def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
+    def grid: Seq[Long] =
+      shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+  }
+
+  private val V3Types: Map[String, String] = Map(
+    "bool" -> "b1", "int8" -> "i1", "uint8" -> "u1",
+    "int16" -> "i2", "uint16" -> "u2", "float16" -> "f2",
+    "int32" -> "i4", "uint32" -> "u4", "float32" -> "f4",
+    "int64" -> "i8", "uint64" -> "u8", "float64" -> "f8")
+  private val V3TypeNames = V3Types.map(_.swap)
+
+  def parseMetaV3(json: String): Option[Meta3] = {
+    val m = JsonMini.parse(json).flatMap(JsonMini.obj)
+      .getOrElse(return None)
+    if (!JsonMini.long(m.getOrElse("zarr_format", return None))
+      .contains(3L)) return None
+    if (!JsonMini.str(m.getOrElse("node_type", return None))
+      .contains("array")) return None
+    val shape = JsonMini.arr(m.getOrElse("shape", return None))
+      .getOrElse(return None)
+      .map(d => JsonMini.long(d).getOrElse(return None))
+    if (shape.isEmpty || shape.exists(_ < 0)) return None
+    val descr = JsonMini.str(m.getOrElse("data_type", return None))
+      .flatMap(V3Types.get).getOrElse(return None)
+    val isz = Npy.ItemSize(descr)
+    // chunk grid: regular only
+    val cg = JsonMini.obj(m.getOrElse("chunk_grid", return None))
+      .getOrElse(return None)
+    if (!JsonMini.str(cg.getOrElse("name", "")).contains("regular"))
+      return None
+    val chunks = JsonMini.obj(cg.getOrElse("configuration",
+      return None)).getOrElse(return None)
+      .get("chunk_shape").flatMap(JsonMini.arr)
+      .getOrElse(return None)
+      .map(d => JsonMini.long(d).getOrElse(return None))
+    if (chunks.length != shape.length ||
+      chunks.exists(c => c <= 0 || c > Int.MaxValue)) return None
+    var chunkBytes = isz.toLong
+    chunks.foreach { c =>
+      chunkBytes *= c
+      if (chunkBytes > MaxChunkBytes) return None
+    }
+    // chunk key encoding
+    val (keyEnc, sep) = m.get("chunk_key_encoding") match {
+      case None => ("default", "/")
+      case Some(ke) =>
+        val km = JsonMini.obj(ke).getOrElse(return None)
+        val nm = JsonMini.str(km.getOrElse("name", return None))
+          .getOrElse(return None)
+        if (nm != "default" && nm != "v2") return None
+        val s0 = km.get("configuration").flatMap(JsonMini.obj)
+          .flatMap(_.get("separator")).flatMap(JsonMini.str)
+          .getOrElse(if (nm == "default") "/" else ".")
+        if (s0 != "." && s0 != "/") return None
+        (nm, s0)
+    }
+    val fill = m.getOrElse("fill_value", null) match {
+      case null => 0.0
+      case d: Double => d
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case b: Boolean => if (b) 1.0 else 0.0
+      case _ => return None
+    }
+    // codec chain: exactly one leading array→bytes "bytes" codec,
+    // then bytes→bytes members
+    val codecList = JsonMini.arr(m.getOrElse("codecs", return None))
+      .getOrElse(return None).flatMap(JsonMini.obj)
+    if (codecList.isEmpty) return None
+    val head = codecList.head
+    if (!JsonMini.str(head.getOrElse("name", "")).contains("bytes"))
+      return None // sharding_indexed / transpose first: reject
+    val big = head.get("configuration").flatMap(JsonMini.obj)
+      .flatMap(_.get("endian")).flatMap(JsonMini.str) match {
+      case Some("little") | None => false
+      case Some("big") => true
+      case _ => return None
+    }
+    // (endian on 1-byte types is a no-op; accept either)
+    var cname = "lz4"
+    var shuf = 1
+    val tail = codecList.tail.map { c =>
+      val nm = JsonMini.str(c.getOrElse("name", return None))
+        .getOrElse(return None)
+      val cfg = c.get("configuration").flatMap(JsonMini.obj)
+        .getOrElse(Map.empty)
+      nm match {
+        case "gzip" =>
+          ("gzip", JsonMini.long(cfg.getOrElse("level", 5.0))
+            .getOrElse(5L).toInt)
+        case "zstd" =>
+          ("zstd", JsonMini.long(cfg.getOrElse("level", 3.0))
+            .getOrElse(3L).toInt)
+        case "blosc" =>
+          val cn = JsonMini.str(cfg.getOrElse("cname", "lz4"))
+            .getOrElse(return None)
+          if (!BloscCnames(cn)) return None
+          cname = if (cn == "lz4hc") "lz4" else cn
+          shuf = JsonMini.str(cfg.getOrElse("shuffle", "shuffle"))
+            .getOrElse(return None) match {
+            case "noshuffle" => 0
+            case "shuffle" => 1
+            case _ => return None // bitshuffle: honest reject
+          }
+          ("blosc", JsonMini.long(cfg.getOrElse("clevel", 5.0))
+            .getOrElse(5L).toInt)
+        case "crc32c" => ("crc32c", 0)
+        case _ => return None // sharding/transpose/unknown: reject
+      }
+    }
+    Some(Meta3(shape, chunks.map(_.toInt), descr, big, fill, tail,
+      sep, keyEnc, cname, shuf))
+  }
+
+  def metaJsonV3(meta: Meta3): String = {
+    val codecs = Seq(
+      s"""{"name":"bytes","configuration":{"endian":${
+        JsonMini.quote(if (meta.bigEndian) "big" else "little")}}}""") ++
+      meta.codecs.map {
+        case ("gzip", lvl) =>
+          s"""{"name":"gzip","configuration":{"level":$lvl}}"""
+        case ("zstd", lvl) =>
+          s"""{"name":"zstd","configuration":{"level":$lvl,""" +
+            s""""checksum":false}}"""
+        case ("blosc", lvl) =>
+          s"""{"name":"blosc","configuration":{"cname":${
+            JsonMini.quote(meta.bloscCname)},"clevel":$lvl,""" +
+            s""""shuffle":${JsonMini.quote(
+              if (meta.bloscShuffle == 1) "shuffle"
+              else "noshuffle")},"typesize":${meta.itemSize},""" +
+            s""""blocksize":0}}"""
+        case ("crc32c", _) => """{"name":"crc32c"}"""
+        case (o, _) => sys.error(s"v3 codec $o")
+      }
+    val fill =
+      if (meta.fillValue.isNaN) "\"NaN\""
+      else if (meta.fillValue == Double.PositiveInfinity)
+        "\"Infinity\""
+      else if (meta.fillValue == Double.NegativeInfinity)
+        "\"-Infinity\""
+      else if (meta.fillValue == math.rint(meta.fillValue) &&
+        math.abs(meta.fillValue) < (1L << 53).toDouble)
+        meta.fillValue.toLong.toString
+      else meta.fillValue.toString
+    s"""{"zarr_format":3,"node_type":"array",""" +
+      s""""shape":[${meta.shape.mkString(",")}],""" +
+      s""""data_type":${JsonMini.quote(V3TypeNames(meta.descr))},""" +
+      s""""chunk_grid":{"name":"regular","configuration":""" +
+      s"""{"chunk_shape":[${meta.chunks.mkString(",")}]}},""" +
+      s""""chunk_key_encoding":{"name":${JsonMini.quote(
+        meta.keyEncoding)},"configuration":{"separator":${
+        JsonMini.quote(meta.sep)}}},""" +
+      s""""fill_value":$fill,""" +
+      s""""codecs":[${codecs.mkString(",")}],""" +
+      s""""attributes":{}}"""
+  }
+
+  /** Chunk key for a grid index: default = `c/0/1`; v2 = the
+    * dotted v2 name. */
+  def chunkKeyV3(meta: Meta3, idx: Seq[Int]): String =
+    if (meta.keyEncoding == "default")
+      ("c" +: idx.map(_.toString)).mkString(meta.sep)
+    else idx.mkString(meta.sep)
+
+  def chunkIndexV3(meta: Meta3, key: String): Option[Seq[Int]] = {
+    val parts = key.split(
+      java.util.regex.Pattern.quote(meta.sep), -1)
+    val digits =
+      if (meta.keyEncoding == "default") {
+        if (parts.isEmpty || parts.head != "c") return None
+        parts.tail
+      } else parts
+    if (digits.length != meta.shape.length) return None
+    val idx = digits.map { p =>
+      if (p.isEmpty || !p.forall(_.isDigit)) return None
+      try p.toInt catch {
+        case _: NumberFormatException => return None }
+    }
+    if (idx.toSeq.zip(meta.grid).exists { case (i, g) => i >= g })
+      return None
+    Some(idx.toSeq)
+  }
+
+  /** Stored v3 chunk → full-size raw bytes (codec chain undone in
+    * reverse: crc32c verified+stripped, zstd/gzip/blosc
+    * decompressed, endian left AS-STORED for the Npy accessor). */
+  def decodeChunkV3(meta: Meta3, stored: Array[Byte])
+      : Option[Npy.Arr] = {
+    val want = (meta.chunkElems * meta.itemSize).toInt
+    var cur = stored
+    meta.codecs.reverse.foreach {
+      case ("crc32c", _) =>
+        if (cur.length < 4) return None
+        val n = cur.length - 4
+        val crc = new java.util.zip.CRC32C()
+        crc.update(cur, 0, n)
+        var got = 0L
+        var i = 0
+        while (i < 4) { got |= (cur(n + i) & 0xffL) << (8 * i)
+          i += 1 }
+        if (crc.getValue != got) return None
+        cur = java.util.Arrays.copyOfRange(cur, 0, n)
+      case ("gzip", _) =>
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(cur)
+          val out = new Array[Byte](want)
+          var done = 0
+          while (done < want && !inf.finished()) {
+            val k = inf.inflate(out, done, want - done)
+            if (k == 0 && (inf.needsInput() ||
+              inf.needsDictionary())) return None
+            done += k
+          }
+          if (done != want || !inf.finished()) return None
+          cur = out
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inf.end()
+      case ("zstd", _) =>
+        cur = Zstd.decode(cur, maxOut = want).getOrElse(return None)
+      case ("blosc", _) =>
+        cur = Blosc.decode(cur, maxOut = want).getOrElse(return None)
+      case _ => return None
+    }
+    if (cur.length != want) return None
+    Some(Npy.Arr(meta.descr, meta.bigEndian, fortran = false,
+      meta.chunks, cur))
+  }
+
+  def encodeChunkV3(meta: Meta3, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length.toLong == meta.chunkElems * meta.itemSize,
+      s"chunk is ${raw.length} bytes")
+    var cur = raw
+    meta.codecs.foreach {
+      case ("crc32c", _) =>
+        val crc = new java.util.zip.CRC32C()
+        crc.update(cur, 0, cur.length)
+        val v = crc.getValue
+        val out = java.util.Arrays.copyOf(cur, cur.length + 4)
+        var i = 0
+        while (i < 4) { out(cur.length + i) =
+          ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+        cur = out
+      case ("gzip", lvl) =>
+        val d = new java.util.zip.Deflater(
+          math.max(1, math.min(9, lvl)))
+        d.setInput(cur); d.finish()
+        val out = new java.io.ByteArrayOutputStream(
+          cur.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        cur = out.toByteArray
+      case ("zstd", lvl) =>
+        cur = com.github.luben.zstd.Zstd.compress(cur,
+          math.max(1, math.min(19, lvl)))
+      case ("blosc", lvl) =>
+        cur = Blosc.encode(cur, meta.itemSize, meta.bloscCname,
+          level = lvl, shuffle = meta.bloscShuffle == 1,
+          split = meta.itemSize <= 16)
+      case (o, _) => sys.error(s"v3 codec $o")
+    }
+    cur
+  }
+
+  /** Write a 2-d array [n, d] as a zarr V3 store under `put`:
+    * `zarr.json` + codec-chained chunk files under the key
+    * encoding, edge chunks fill-padded (same contract as
+    * [[write2d]]). */
+  def write2dV3(meta: Meta3, n: Long, d: Int,
+      value: (Long, Int) => Double,
+      put: (String, Array[Byte]) => Unit): Unit = {
+    require(meta.shape == Seq(n, d.toLong), "meta/shape mismatch")
+    require(meta.chunks.length == 2, "write2dV3 wants a 2-d meta")
+    val (cr, cc) = (meta.chunks(0), meta.chunks(1))
+    put("zarr.json", metaJsonV3(meta).getBytes("UTF-8"))
+    val grid = meta.grid
+    (0L until grid(0)).foreach { gi =>
+      (0L until grid(1)).foreach { gj =>
+        val buf = java.nio.ByteBuffer.allocate(
+          cr * cc * meta.itemSize)
+          .order(if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cell(r: Int, c: Int): Double = {
+          val row = gi * cr + r
+          val col = gj * cc + c
+          if (row < n && col < d) value(row, col.toInt)
+          else meta.fillValue
+        }
+        (0 until cr).foreach { r =>
+          (0 until cc).foreach { c =>
+            meta.descr match {
+              case "f4" => buf.putFloat(cell(r, c).toFloat): Unit
+              case "f8" => buf.putDouble(cell(r, c)): Unit
+              case "i4" => buf.putInt(cell(r, c).toInt): Unit
+              case "i8" => buf.putLong(cell(r, c).toLong): Unit
+              case "i2" => buf.putShort(cell(r, c).toShort): Unit
+              case "i1" | "u1" | "b1" =>
+                buf.put(cell(r, c).toByte): Unit
+              case o => sys.error(s"write2dV3 dtype $o")
+            }
+          }
+        }
+        put(chunkKeyV3(meta, Seq(gi.toInt, gj.toInt)),
+          encodeChunkV3(meta, buf.array()))
+      }
+    }
+  }
+
   /** Write a 2-d array [n, d] (row-major values) as a zarr store
     * under `dir`: `.zarray` + full-size chunk files, edge chunks
     * padded with fill_value. `put(name, bytes)` is the store's

@@ -119,6 +119,92 @@ class ZarrSpec extends AnyFunSuite {
       .data.sameElements(wrapped))
   }
 
+  test("zarr v3: metadata grammar, chunk keys, codec chains") {
+    val m3 = Meta3(Seq(10L, 4L), Seq(4, 4), "f4",
+      bigEndian = false, fillValue = 0.0,
+      codecs = Seq(("gzip", 5)), sep = "/",
+      keyEncoding = "default")
+    val json = metaJsonV3(m3)
+    assert(json.contains(""""zarr_format":3""") &&
+      json.contains(""""data_type":"float32"""") &&
+      json.contains(""""chunk_shape":[4,4]"""))
+    val back = parseMetaV3(json).get
+    assert(back == m3)
+    // chunk keys: default c/0/1 vs the dotted v2 name
+    assert(chunkKeyV3(m3, Seq(0, 1)) == "c/0/1")
+    assert(chunkIndexV3(m3, "c/2/0").contains(Seq(2, 0)))
+    assert(chunkIndexV3(m3, "2/0").isEmpty)   // missing c prefix
+    assert(chunkIndexV3(m3, "c/9/0").isEmpty) // off the grid
+    val mv2 = m3.copy(keyEncoding = "v2", sep = ".")
+    assert(chunkKeyV3(mv2, Seq(1, 0)) == "1.0")
+    assert(parseMetaV3(metaJsonV3(mv2)).contains(mv2))
+    // rejections: sharding codec, bitshuffle blosc, v2 format,
+    // group nodes, transpose-first chains
+    assert(parseMetaV3(json.replace(""""zarr_format":3""",
+      """"zarr_format":2""")).isEmpty)
+    assert(parseMetaV3(json.replace(""""node_type":"array"""",
+      """"node_type":"group"""")).isEmpty)
+    assert(parseMetaV3(json.replace(""""name":"gzip"""",
+      """"name":"sharding_indexed"""")).isEmpty)
+    assert(parseMetaV3(json.replace(""""name":"bytes"""",
+      """"name":"transpose"""")).isEmpty)
+    val blosc3 = m3.copy(codecs = Seq(("blosc", 5)))
+    assert(parseMetaV3(metaJsonV3(blosc3).replace(
+      """"shuffle":"shuffle"""", """"shuffle":"bitshuffle""""))
+      .isEmpty)
+  }
+
+  test("zarr v3: chunks round-trip through every codec chain") {
+    val rnd = new scala.util.Random(31)
+    // gzip / zstd+crc32c / blosc / bare-bytes chains, both endians
+    val chains = Seq(
+      (Seq(("gzip", 6)), false),
+      (Seq(("zstd", 3), ("crc32c", 0)), false),
+      (Seq(("blosc", 5)), false),
+      (Seq.empty[(String, Int)], true))
+    chains.foreach { case (chain, big) =>
+      val m = Meta3(Seq(6L, 4L), Seq(3, 4), "f8", big, -1.0,
+        chain, "/", "default")
+      val raw = java.nio.ByteBuffer.allocate(12 * 8)
+        .order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 12).foreach(i => raw.putDouble(i * 0.5))
+      val stored = encodeChunkV3(m, raw.array())
+      val arr = decodeChunkV3(m, stored).get
+      assert(arr.at(1, 1) == 0.5 * 5, s"chain $chain")
+      // a flipped byte under crc32c rejects
+      if (chain.exists(_._1 == "crc32c")) {
+        val bad = stored.clone()
+        bad(2) = (bad(2) ^ 1).toByte
+        assert(decodeChunkV3(m, bad).isEmpty)
+      }
+    }
+    // a whole store through write2dV3 + fuzz
+    val store = scala.collection.mutable.Map[String, Array[Byte]]()
+    val m = Meta3(Seq(9L, 3L), Seq(4, 3), "i8", bigEndian = false,
+      fillValue = -1.0, Seq(("zstd", 3), ("crc32c", 0)), "/",
+      "default")
+    write2dV3(m, 9L, 3, (r, c) => (r * 3 + c).toDouble,
+      (k, b) => store(k) = b)
+    assert(store.contains("zarr.json") && store.contains("c/0/0") &&
+      store.contains("c/2/0"))
+    val meta = parseMetaV3(new String(store("zarr.json"),
+      "UTF-8")).get
+    (0L until 9L).foreach { r =>
+      val gi = (r / 4).toInt
+      val arr = decodeChunkV3(meta,
+        store(chunkKeyV3(meta, Seq(gi, 0)))).get
+      (0 until 3).foreach(c =>
+        assert(arr.at((r - gi * 4).toInt, c) == (r * 3 + c).toDouble))
+    }
+    (0 until 400).foreach { _ =>
+      val k = Seq("c/0/0", "c/1/0", "c/2/0")(rnd.nextInt(3))
+      val mangled = store(k).clone()
+      mangled(rnd.nextInt(mangled.length)) = rnd.nextInt().toByte
+      decodeChunkV3(meta, mangled) // never throws
+    }
+  }
+
   test("every compressor round-trips a chunk byte-exact") {
     val rnd = new scala.util.Random(3)
     Seq(None, Some("zlib"), Some("gzip"), Some("zstd"), Some("lz4"))
