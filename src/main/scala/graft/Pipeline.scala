@@ -7490,6 +7490,56 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** Column-mapping mode "id" (late r12): the same lineitem story
+    * but the parquet files carry THROWAWAY physical names + field
+    * IDs — id mode must resolve by ID alone (the post-rename state
+    * where physical names have drifted). Same plain-lineitem
+    * oracle as the "name"-mode query. */
+  private def deltaColumnMappingId(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.DeltaLog
+    import org.apache.spark.sql.types._
+    val root = formatFixtureDir(dir, "delta_cmid", "lineitem") {
+      out =>
+      val t = s"$out/tbl"
+      val logical = Seq(("l_orderkey", "long", 11L),
+        ("l_partkey", "long", 22L), ("l_quantity", "double", 33L),
+        ("l_returnflag", "string", 44L))
+      val base = Tables.lineitem(s, dir)
+        .selectExpr(logical.map(_._1): _*)
+      val physSchema = StructType(base.schema.fields.zip(logical)
+        .map { case (f, (_, _, id)) =>
+          StructField(s"junk$id", f.dataType, nullable = true,
+            new MetadataBuilder().putLong("parquet.field.id", id)
+              .build())
+        })
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      s.createDataFrame(base.rdd, physSchema).write.parquet(t)
+      val adds = DeltaLog.listDataFiles(s, t, Seq.empty)
+      val fieldsJson = logical.map { case (nm, tpe, id) =>
+        s"""{"name":${graft.operators.JsonMini.quote(nm)},""" +
+          s""""type":"$tpe","nullable":true,"metadata":{""" +
+          s""""delta.columnMapping.id":$id,""" +
+          s""""delta.columnMapping.physicalName":"col-$id"}}"""
+      }.mkString(",")
+      DeltaLog.commit(s, t, 0L,
+        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+          Seq("columnMapping"))),
+          DeltaLog.metaJson(DeltaLog.Meta("cmid",
+            s"""{"type":"struct","fields":[$fieldsJson]}""",
+            Seq.empty,
+            Map("delta.columnMapping.mode" -> "id")))) ++
+          adds.map(DeltaLog.addJson))
+    }
+    graft.operators.DeltaLog.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy("rf")
+  }
+
   /** Iceberg-table fixture (operators/Iceberg): the SAME 3-step
     * story as [[deltaFixtureRoot]] told in the other lakehouse
     * format — snapshot 1 create, snapshot 2 delete-rewrite of
@@ -10879,6 +10929,7 @@ object Pipeline {
     "delta_time_travel" -> deltaTimeTravel _,
     "delta_dv_scan"     -> deltaDvScan _,
     "delta_column_mapping" -> deltaColumnMapping _,
+    "delta_column_mapping_id" -> deltaColumnMappingId _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
@@ -13352,6 +13403,15 @@ object Pipeline {
         |FROM lineitem WHERE l_quantity > 5
         |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "delta_column_mapping" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    // id-mode column mapping: files with throwaway names + field
+    // IDs must aggregate identically to plain lineitem
+    "delta_column_mapping_id" ->
       """SELECT l_returnflag AS rf, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
         |    AS qty_sum,

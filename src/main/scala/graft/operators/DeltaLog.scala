@@ -41,8 +41,12 @@ import org.apache.spark.sql.types._
   *    "name" (files scanned under their physical parquet names from
   *    the schema's `delta.columnMapping.physicalName` metadata,
   *    renamed back to logical; partition values are keyed by
-  *    physical name too). Mode "id", v2 checkpoints and any unknown
-  *    feature still reject honestly rather than mis-read.
+  *    physical name too) and COLUMN MAPPING mode "id" (the scan
+  *    schema carries `parquet.field.id` metadata from the delta
+  *    ids and Spark's field-ID reader resolves columns regardless
+  *    of the files' drifted physical names). v2 checkpoints and
+  *    any unknown feature still reject honestly rather than
+  *    mis-read.
   *
   * Writing ([[create]] / [[commit]] / [[writeCheckpoint]]): commits
   * render one action per line in the protocol's field order;
@@ -370,9 +374,9 @@ object DeltaLog {
     val cmMode = meta.flatMap(
       _.configuration.get("delta.columnMapping.mode"))
       .getOrElse("none")
-    require(cmMode == "none" || cmMode == "name",
-      s"unsupported column mapping mode $cmMode ('id' would need " +
-        "parquet field-id resolution — refusing to mis-name)")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"unsupported column mapping mode $cmMode — refusing to " +
+        "mis-name")
     Snapshot(version,
       meta.getOrElse(sys.error(s"no metaData in $table")), p,
       files.values.toSeq)
@@ -447,12 +451,12 @@ object DeltaLog {
       files: Seq[AddFile]): DataFrame = {
     val schema = DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
-    val cmName =
-      meta.configuration.get("delta.columnMapping.mode")
-        .contains("name")
-    /** logical field name → physical parquet column name. */
+    val cmMode = meta.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    /** logical field name → physical parquet column name (also the
+      * key partition values are stored under in mapped tables). */
     def phys(f: StructField): String =
-      if (!cmName) f.name
+      if (cmMode == "none") f.name
       else {
         require(f.metadata.contains(
           "delta.columnMapping.physicalName"),
@@ -460,11 +464,33 @@ object DeltaLog {
         f.metadata.getString("delta.columnMapping.physicalName")
       }
     val partCols = meta.partitionColumns
-    val dataSchemaPhys = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name))
-        .map(f => StructField(phys(f), f.dataType, f.nullable)))
-    val logicalDataNames = schema.fields
-      .filterNot(f => partCols.contains(f.name)).map(_.name)
+    val dataFields = schema.fields
+      .filterNot(f => partCols.contains(f.name))
+    val dataSchemaPhys = cmMode match {
+      case "id" =>
+        // field-ID matching: the scan schema keeps LOGICAL names
+        // but carries parquet.field.id metadata — Spark's reader
+        // resolves columns by id, so the files' physical names
+        // (which drift across renames) never matter
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+          "true")
+        StructType(dataFields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"id-mapped table but ${f.name} has no columnMapping.id")
+          StructField(f.name, f.dataType, f.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id"))
+              .build())
+        })
+      case "name" =>
+        StructType(dataFields.map(f =>
+          StructField(phys(f), f.dataType, f.nullable)))
+      case _ =>
+        StructType(dataFields.map(f =>
+          StructField(f.name, f.dataType, f.nullable)))
+    }
+    val logicalDataNames = dataFields.map(_.name)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)

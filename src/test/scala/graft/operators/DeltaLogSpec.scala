@@ -185,8 +185,8 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(got2.sameElements(want))
   }
 
-  test("column mapping 'name': physical parquet names resolve; " +
-      "'id' rejects") {
+  test("column mapping 'name': physical parquet names resolve " +
+      "back to logical") {
     val s = spark
     import s.implicits._
     val t = tmpTable("delta_cm")
@@ -213,18 +213,56 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(df.filter($"id" === 7L).select($"txt")
       .head.getString(0) == "row7")
     assert(df.count() == 30)
-    // mode "id" rejects honestly
-    val t2 = tmpTable("delta_cm_id")
-    seed(5).write.parquet(t2)
-    val adds2 = DeltaLog.listDataFiles(spark, t2, Seq.empty)
-    DeltaLog.commit(spark, t2, 0L,
+  }
+
+  test("column mapping 'id': field-ID matching survives renamed " +
+      "physical columns") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val t = tmpTable("delta_cm_id")
+    // files under THROWAWAY physical names, with parquet field ids
+    // — in id mode the names must not matter at all
+    val physSchema = StructType(Seq(
+      ("junkA", LongType, 11L), ("junkB", StringType, 22L),
+      ("junkC", IntegerType, 33L)).map { case (nm, tp, id) =>
+      StructField(nm, tp, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id)
+          .build())
+    })
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      seed(25).toDF("junkA", "junkB", "junkC").rdd, physSchema)
+      .write.parquet(t)
+    val adds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+    def field(log: String, id: Long, tpe: String) =
+      s"""{"name":"$log","type":"$tpe","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.id":$id,""" +
+        s""""delta.columnMapping.physicalName":"col-$id"}}"""
+    val schemaJson =
+      s"""{"type":"struct","fields":[${field("id", 11, "long")},${
+        field("txt", 22, "string")},${field("bucket", 33,
+        "integer")}]}"""
+    DeltaLog.commit(spark, t, 0L,
       Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
         Seq("columnMapping"))),
-        DeltaLog.metaJson(DeltaLog.Meta("x", seed(5).schema.json,
+        DeltaLog.metaJson(DeltaLog.Meta("cmid", schemaJson,
           Seq.empty, Map("delta.columnMapping.mode" -> "id")))) ++
-        adds2.map(DeltaLog.addJson))
+        adds.map(DeltaLog.addJson))
+    val df = DeltaLog.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "txt", "bucket"))
+    assert(df.filter($"id" === 9L).select($"txt")
+      .head.getString(0) == "row9")
+    assert(df.count() == 25)
+    // a schema field without columnMapping.id rejects
+    val noId =
+      s"""{"type":"struct","fields":[{"name":"id","type":"long",""" +
+        s""""nullable":true,"metadata":{}}]}"""
+    DeltaLog.commit(spark, t, 1L,
+      Seq(DeltaLog.metaJson(DeltaLog.Meta("cmid", noId,
+        Seq.empty, Map("delta.columnMapping.mode" -> "id")))))
     assertThrows[IllegalArgumentException](
-      DeltaLog.read(spark, t2).count())
+      DeltaLog.read(spark, t).count())
   }
 
   test("reader features: unknown v3 features reject, known pass") {
