@@ -671,10 +671,18 @@ object Hdf5 {
     } finally inf.end()
   }
 
+  /** Bomb guard for grid-driven chunk enumeration: unlike the v1
+    * B-tree walk (bounded by the file's actual entries), the v4
+    * implicit/fixed-array indexes enumerate the LOGICAL grid — a
+    * crafted header with tiny chunks over huge dims must not
+    * materialize it. */
+  private final val MaxChunkGrid = 1L << 22
+
   /** Row-major chunk-grid offsets (element coordinates). */
   private def gridOffsets(grid: Seq[Long], cd: Seq[Int])
       : Seq[Seq[Long]] = {
     val total = grid.product
+    require(total <= MaxChunkGrid, "chunk grid too large")
     (0L until total).map { lin =>
       var rem = lin
       val coords = new Array[Long](grid.length)
@@ -713,6 +721,7 @@ object Hdf5 {
     if (u32(d, h + 24) != lookup3(d, h, 24)) return None
     val nChunks = grid.product
     if (maxEntries != nChunks) return None
+    if (nChunks > (1L << 22)) return None // crafted-grid bomb
     if (pageBits > 62 || maxEntries > (1L << pageBits))
       return None // paged fixed arrays reject honestly
     if (entrySize < 8 || entrySize > 32) return None
@@ -796,6 +805,7 @@ object Hdf5 {
           case 2 => // v4 implicit: contiguous row-major, unfiltered
             if (info.pipeline.nonEmpty) None
             else if (lay.addr == Undef) Some(Seq.empty)
+            else if (grid.product > (1L << 22)) None // crafted bomb
             else Some(gridOffsets(grid, lay.chunkDims).zipWithIndex
               .map { case (offs, i) =>
                 (offs, chunkBytes, 0L,
