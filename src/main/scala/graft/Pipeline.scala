@@ -7646,6 +7646,53 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** Iceberg v2 EQUALITY-DELETE scan (late r12): the delete file
+    * carries (l_orderkey, l_partkey) VALUE pairs taken from rows
+    * with l_quantity ≤ 3 — and per the spec a row dies when its
+    * values match, so rows with qty > 3 sharing a deleted pair die
+    * TOO (value-wide deletion, the semantic that distinguishes
+    * equality from position deletes). Data files keep their v1
+    * sequence number through `fileSeqs` so the delete at seq 2
+    * strictly post-dates them; the oracle is the NOT-EXISTS
+    * recomputation over raw lineitem. */
+  private def icebergEqDelete(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = formatFixtureDir(dir, "iceberg_eqd", "lineitem") {
+      out =>
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+      Iceberg.create(s, base.repartition(8), t)
+      val snap1 = Iceberg.snapshot(s, t)
+      base.filter(col("l_quantity") <= 3)
+        .select("l_orderkey", "l_partkey").dropDuplicates()
+        .coalesce(1).write.parquet(s"$t/data/eq2")
+      val delFiles = Iceberg.countsByFile(s,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_partkey",
+            org.apache.spark.sql.types.LongType))),
+        s"$t/data/eq2")
+      // schema ids assign depth-first: l_orderkey=1, l_partkey=2
+      Iceberg.commit(s, t, 2L, 2L, base.schema,
+        snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+        equalityDeletes = delFiles.map(f =>
+          (f._1, f._2, f._3, Seq(1, 2))),
+        fileSeqs = snap1.files.map(f => f.path -> 1L).toMap)
+    }
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy("rf")
+  }
+
   /** Partitioned-iceberg fixture (r12): lineitem written ONCE with
     * a real partition spec — identity(l_returnflag) ×
     * bucket[16](l_orderkey) — through [[Iceberg.create]]'s
@@ -10934,6 +10981,7 @@ object Pipeline {
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
     "iceberg_pos_delete" -> icebergPosDelete _,
+    "iceberg_eq_delete" -> icebergEqDelete _,
     "lakehouse_ingest_dag" -> lakehouseIngestDag _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
@@ -13427,6 +13475,21 @@ object Pipeline {
         |    AS qty_sum,
         |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
         |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    // equality deletes are VALUE-wide: any row sharing a deleted
+    // (orderkey, partkey) pair dies, even with qty > 3
+    "iceberg_eq_delete" ->
+      """WITH del AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem WHERE l_quantity <= 3)
+        |SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM del d
+        |  WHERE d.l_orderkey = l.l_orderkey
+        |    AND d.l_partkey = l.l_partkey)
         |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
     // partition pruning: per-flag facets (identity transform) + one

@@ -60,11 +60,16 @@ object Iceberg {
       /** data sequence number (entry field, inherited from the
         * manifest-list row when null — the spec's rule). */
       seq: Long = 0L)
-  /** One POSITION-delete file (v2 row-level deletes): parquet with
-    * `file_path` + `pos` columns; applies to data files whose
-    * sequence number is ≤ its own. */
+  /** One v2 row-level delete file. POSITION deletes
+    * (`equalityCols` empty): parquet with `file_path` + `pos`,
+    * applying to data files with sequence number ≤ its own.
+    * EQUALITY deletes: parquet whose columns are the resolved
+    * `equality_ids` fields — a data row is deleted when EVERY
+    * listed column matches null-safely — applying STRICTLY to
+    * older data (seq <, the spec's rule: an equality delete can
+    * never mask rows written with it or after it). */
   final case class DeleteFileEntry(path: String, recordCount: Long,
-      seq: Long)
+      seq: Long, equalityCols: Seq[String] = Seq.empty)
   /** One partition-spec field: the derived field's name, its
     * transform ("identity", "bucket[N]", "truncate[W]", "year",
     * "month", "day", "hour"), and the SOURCE column (spec field id
@@ -373,7 +378,11 @@ object Iceberg {
         NField(n, NPrim(avroPrim(t)), nullable = false)
       }), nullable = false),
       NField("record_count", NPrim("long"), nullable = false),
-      NField("file_size_in_bytes", NPrim("long"), nullable = false)))
+      NField("file_size_in_bytes", NPrim("long"), nullable = false),
+      // spec field 135: the field ids an EQUALITY delete matches on
+      NField("equality_ids",
+        Avro.NArr(NPrim("int"), itemsNullable = false),
+        nullable = true)))
 
   private def manifestEntryFields(
       partFields: Seq[(String, DataType)]) = Seq(
@@ -536,11 +545,11 @@ object Iceberg {
         s"unknown manifest content $content at $path — refusing")
     }
 
-    // v2 POSITION-delete manifests (content = 1): their entries
-    // reference parquet delete files (file_path + pos columns);
-    // equality deletes (data_file content = 2) still reject —
-    // applying them needs value comparison semantics we don't
-    // guess at
+    // v2 delete manifests (content = 1): POSITION delete files
+    // (data_file content 1: file_path + pos columns) and EQUALITY
+    // delete files (content 2: the equality_ids columns, field ids
+    // resolved against the schema's own ids; matching is null-safe
+    // per the spec). Anything else rejects.
     val deletes: Seq[DeleteFileEntry] = manifests
       .filter(_._2 == 1).flatMap { case (mPath, _, mSeq) =>
         val mf = Avro.parse(readBytes(spark, mPath)).getOrElse(
@@ -556,20 +565,35 @@ object Iceberg {
         val fpIdx = fieldIdx(dRec.fields, "file_path")
         val rcIdx = fieldIdx(dRec.fields, "record_count")
         val dcIdx = dRec.fields.indexWhere(_.name == "content")
+        val eidIdx = dRec.fields.indexWhere(_.name == "equality_ids")
         mf.rows.flatMap { r =>
           if (r(sIdx).get.asInstanceOf[Int] == 2) None // DELETED
           else {
             val df = r(dIdx).get.asInstanceOf[Avro.Row]
             val dContent = if (dcIdx < 0) 0
               else df(dcIdx).map(_.asInstanceOf[Int]).getOrElse(0)
-            require(dContent == 1,
-              s"non-position delete file (content $dContent) in " +
-                s"$mPath — equality deletes reject honestly")
+            require(dContent == 1 || dContent == 2,
+              s"unknown delete-file content $dContent in $mPath")
             val seq = (if (eqIdx < 0) None else r(eqIdx))
               .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+            val eqCols =
+              if (dContent != 2) Seq.empty[String]
+              else {
+                val ids = (if (eidIdx < 0) None else df(eidIdx))
+                  .map(_.asInstanceOf[Seq[Option[Any]]])
+                  .getOrElse(sys.error(
+                    s"equality delete without equality_ids in " +
+                      s"$mPath"))
+                  .map(_.get.asInstanceOf[Int])
+                require(ids.nonEmpty,
+                  s"empty equality_ids in $mPath")
+                ids.map(id => idToName.getOrElse(id, sys.error(
+                  s"equality field id $id is not a top-level " +
+                    s"column")))
+              }
             Some(DeleteFileEntry(
               df(fpIdx).get.asInstanceOf[String],
-              df(rcIdx).get.asInstanceOf[Long], seq))
+              df(rcIdx).get.asInstanceOf[Long], seq, eqCols))
           }
         }
       }
@@ -685,11 +709,16 @@ object Iceberg {
     if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
   }
 
-  /** The spec's delete-applicability rule: a position-delete file
-    * applies to a data file iff its sequence number is ≥ the data
-    * file's (deletes never mask rows added after them). */
-  def deletesFor(snap: IceSnapshot, f: DataFileEntry): Seq[String] =
-    snap.deletes.filter(_.seq >= f.seq).map(_.path).sorted
+  /** The spec's delete-applicability rules: a POSITION delete
+    * applies to data files with sequence number ≤ its own; an
+    * EQUALITY delete applies STRICTLY to older data (seq <) —
+    * deletes never mask rows added after them, and an equality
+    * delete cannot mask rows committed with it. */
+  def deletesFor(snap: IceSnapshot, f: DataFileEntry)
+      : Seq[DeleteFileEntry] =
+    snap.deletes.filter(d =>
+      if (d.equalityCols.isEmpty) d.seq >= f.seq
+      else d.seq > f.seq).sortBy(_.path)
 
   private def scanFiles(spark: SparkSession, snap: IceSnapshot,
       files: Seq[DataFileEntry]): DataFrame = {
@@ -703,24 +732,41 @@ object Iceberg {
         .parquet(files.map(_.path): _*)
     val norm = udf(pathNorm _)
     // group data files by the SET of delete files that apply to
-    // them (seq rule) — usually one group; each group is one scan
-    // + one anti-join
+    // them (seq rules) — usually one group; each group is one scan
+    // + one anti-join per delete kind
     files.groupBy(f => deletesFor(snap, f))
-      .toSeq.map { case (delPaths, fs0) =>
+      .toSeq.map { case (dels, fs0) =>
         val scan = spark.read.schema(snap.schema)
           .parquet(fs0.map(_.path): _*)
-        if (delPaths.isEmpty) scan
-        else {
-          val del = spark.read.parquet(delPaths: _*)
-            .select(norm(col("file_path")).as("__del_path"),
-              col("pos").as("__del_pos"))
-          scan
-            .withColumn("__path", norm(col("_metadata.file_path")))
-            .withColumn("__pos", col("_metadata.row_index"))
-            .join(del, col("__path") === col("__del_path") &&
-              col("__pos") === col("__del_pos"), "left_anti")
-            .drop("__path", "__pos")
-        }
+        val (eqDels, posDels) =
+          dels.partition(_.equalityCols.nonEmpty)
+        val afterPos =
+          if (posDels.isEmpty) scan
+          else {
+            val del = spark.read
+              .parquet(posDels.map(_.path): _*)
+              .select(norm(col("file_path")).as("__del_path"),
+                col("pos").as("__del_pos"))
+            scan
+              .withColumn("__path",
+                norm(col("_metadata.file_path")))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(del, col("__path") === col("__del_path") &&
+                col("__pos") === col("__del_pos"), "left_anti")
+              .drop("__path", "__pos")
+          }
+        // equality deletes, one anti-join per distinct column set:
+        // a row dies when EVERY listed column matches null-safely
+        eqDels.groupBy(_.equalityCols).toSeq
+          .foldLeft(afterPos) { case (cur, (cols, efs)) =>
+            val del = spark.read.parquet(efs.map(_.path): _*)
+              .select(cols.map(c =>
+                col(c).as(s"__eq_$c")): _*)
+              .dropDuplicates()
+            cur.join(del,
+              cols.map(c => cur(c) <=> del(s"__eq_$c"))
+                .reduce(_ && _), "left_anti")
+          }
       }.reduce(_ unionAll _)
   }
 
@@ -754,35 +800,51 @@ object Iceberg {
       partitions: Map[String, Seq[Any]] = Map.empty,
       // v2 position-delete files (path, rows, bytes) — written as
       // a SECOND manifest with content = 1 at this sequence number
-      deleteFiles: Seq[(String, Long, Long)] = Seq.empty): Unit = {
+      deleteFiles: Seq[(String, Long, Long)] = Seq.empty,
+      // v2 EQUALITY-delete files (path, rows, bytes, field ids) —
+      // same delete manifest, data_file content = 2
+      equalityDeletes: Seq[(String, Long, Long, Seq[Int])] =
+        Seq.empty,
+      // per-path DATA sequence numbers for carried-forward files
+      // (the spec keeps a file's original seq when a new snapshot
+      // re-lists it; files absent here stamp at `version`) — this
+      // is what makes the strict equality-delete rule observable
+      fileSeqs: Map[String, Long] = Map.empty): Unit = {
     val metaDir = s"$table/metadata"
     val manifestPath = s"$metaDir/m-$snapshotId.avro"
     val partFieldTypes: Seq[(String, DataType)] = spec.map { pf =>
       val srcType = schema(pf.sourceName).dataType
       (pf.name, transformResultType(pf.transform, srcType))
     }
-    def entriesFor(fs0: Seq[(String, Long, Long)], content: Int)
-        : Seq[Avro.Row] = fs0.map { case (p, rows, bytes) =>
-      val pvals: Avro.Row =
-        if (spec.isEmpty || content == 1) Seq.empty
-        else partitions.getOrElse(p,
-          sys.error(s"no partition values for $p")).map(Some(_))
-      Seq(Some(1), Some(snapshotId), Some(version), Some(version),
-        Some(Seq(Some(content), Some(p), Some("PARQUET"),
-          Some(pvals), Some(rows), Some(bytes))
-          : Avro.Row))
-    }
+    def entriesFor(fs0: Seq[(String, Long, Long, Option[Seq[Int]])],
+        content: Int): Seq[Avro.Row] =
+      fs0.map { case (p, rows, bytes, eqIds) =>
+        val pvals: Avro.Row =
+          if (spec.isEmpty || content != 0) Seq.empty
+          else partitions.getOrElse(p,
+            sys.error(s"no partition values for $p")).map(Some(_))
+        val seq = fileSeqs.getOrElse(p, version)
+        Seq(Some(1), Some(snapshotId), Some(seq), Some(seq),
+          Some(Seq(Some(content), Some(p), Some("PARQUET"),
+            Some(pvals), Some(rows), Some(bytes),
+            eqIds.map(ids => ids.map(Some(_)): Seq[Option[Any]]))
+            : Avro.Row))
+      }
     val manifestBytes = Avro.buildNested("manifest_entry",
       manifestEntryFields(partFieldTypes),
-      entriesFor(files, content = 0))
+      entriesFor(files.map(f => (f._1, f._2, f._3, None)),
+        content = 0))
     writeBytes(spark, manifestPath, manifestBytes)
     val delManifest: Option[(String, Array[Byte])] =
-      if (deleteFiles.isEmpty) None
+      if (deleteFiles.isEmpty && equalityDeletes.isEmpty) None
       else {
         val p = s"$metaDir/m-$snapshotId-del.avro"
         val b = Avro.buildNested("manifest_entry",
           manifestEntryFields(Seq.empty),
-          entriesFor(deleteFiles, content = 1))
+          entriesFor(deleteFiles.map(f => (f._1, f._2, f._3, None)),
+            content = 1) ++
+          entriesFor(equalityDeletes.map(f =>
+            (f._1, f._2, f._3, Some(f._4))), content = 2))
         writeBytes(spark, p, b)
         Some((p, b))
       }
@@ -799,8 +861,9 @@ object Iceberg {
       listRow(manifestPath, manifestBytes.length, 0,
         files.map(_._2).sum, files.length)) ++
       delManifest.map { case (p, b) =>
-        listRow(p, b.length, 1, deleteFiles.map(_._2).sum,
-          deleteFiles.length) }
+        listRow(p, b.length, 1,
+          deleteFiles.map(_._2).sum + equalityDeletes.map(_._2).sum,
+          deleteFiles.length + equalityDeletes.length) }
     writeBytes(spark, listPath, Avro.buildNested("manifest_file",
       manifestListFields, listRows))
 

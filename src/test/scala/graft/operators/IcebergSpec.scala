@@ -146,19 +146,59 @@ class IcebergSpec extends AnyFunSuite {
     assert(got.sameElements((0L until 60L).filter(_ % 5 != 0)))
     // time travel to snapshot 1: nothing deleted
     assert(Iceberg.read(spark, t, Some(1L)).count() == 60)
-    // the spec's sequence rule, pinned on the pure applicability
-    // function: a delete at seq 2 applies to data at seq ≤ 2 and
-    // NOT to data added later
+    // the spec's sequence rules, pinned on the pure applicability
+    // function: a POSITION delete at seq 2 applies to data at
+    // seq ≤ 2; an EQUALITY delete applies STRICTLY to older data
     val synth = Iceberg.IceSnapshot(9L, seed(1).schema,
       files = Seq.empty,
-      deletes = Seq(Iceberg.DeleteFileEntry("d.parquet", 5L, 2L)))
+      deletes = Seq(
+        Iceberg.DeleteFileEntry("d.parquet", 5L, 2L),
+        Iceberg.DeleteFileEntry("e.parquet", 5L, 2L,
+          equalityCols = Seq("id"))))
     def fileAt(seq: Long) = Iceberg.DataFileEntry(
       "f.parquet", "PARQUET", 1L, 1L, Map.empty, seq)
-    assert(Iceberg.deletesFor(synth, fileAt(1L)) ==
-      Seq("d.parquet"))
-    assert(Iceberg.deletesFor(synth, fileAt(2L)) ==
-      Seq("d.parquet"))
+    assert(Iceberg.deletesFor(synth, fileAt(1L)).map(_.path) ==
+      Seq("d.parquet", "e.parquet"))
+    assert(Iceberg.deletesFor(synth, fileAt(2L)).map(_.path) ==
+      Seq("d.parquet")) // equality: strict <, excludes same-seq
     assert(Iceberg.deletesFor(synth, fileAt(3L)).isEmpty)
+  }
+
+  test("v2 equality deletes: value-wide deletion, seq preserved " +
+      "for carried-forward files") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_eqdel")
+    // bucket repeats across ids — deleting by bucket VALUE must
+    // take every row carrying it, not just one
+    Iceberg.create(spark, seed(30).repartition(2), t)
+    val snap1 = Iceberg.snapshot(spark, t)
+    // delete buckets 0 and 2 by equality (schema ids: id=1, txt=2,
+    // bucket=3 — depth-first assignment)
+    Seq(0, 2).toDF("bucket").coalesce(1)
+      .write.parquet(s"$t/data/eq2")
+    val delFiles = Iceberg.countsByFile(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType))),
+      s"$t/data/eq2")
+    // the carried-forward data files KEEP their v1 sequence number
+    // (fileSeqs) so the delete at seq 2 strictly post-dates them
+    Iceberg.commit(spark, t, 2L, 2L, seed(30).schema,
+      snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+      prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+      equalityDeletes = delFiles.map(f => (f._1, f._2, f._3,
+        Seq(3))),
+      fileSeqs = snap1.files.map(f => f.path -> 1L).toMap)
+    val snap2 = Iceberg.snapshot(spark, t)
+    assert(snap2.deletes.head.equalityCols == Seq("bucket"))
+    assert(snap2.files.forall(_.seq == 1L))
+    assert(snap2.deletes.head.seq == 2L)
+    val got = Iceberg.read(spark, t).select($"id")
+      .as[Long].collect().sorted
+    assert(got.sameElements((0L until 30L).filter(_ % 3 == 1)))
+    // time travel to snapshot 1: nothing deleted
+    assert(Iceberg.read(spark, t, Some(1L)).count() == 30)
   }
 
   test("bucket hash matches the spec's own Appendix B vectors") {
