@@ -7887,7 +7887,10 @@ object Pipeline {
   /** Zarr V3 store read (late r12, operators/Zarr): the SAME
     * three-array embeddings story told in the NEW spec generation —
     * `zarr.json` metadata, codec chains, `c/…` chunk keys:
-    * `emb` f4 under bytes→blosc with the v2-style dotted keys,
+    * `emb` f4 SHARDED (sharding_indexed — 14-row shards holding
+    * two 7-row inner chunks each behind bytes→blosc, the
+    * crc32c-guarded offset index at the shard end — the v3 layout
+    * big arrays actually use) with the v2-style dotted keys,
     * `ids` i8 under bytes→zstd→crc32c (the checksum codec live in
     * the gate), `labels` i4 BIG-endian bytes under gzip. One
     * binaryFile scan per grid with recursive lookup (default keys
@@ -7897,7 +7900,7 @@ object Pipeline {
     val spark = s
     import spark.implicits._
     import graft.operators.Zarr
-    val root = formatFixtureDir(dir, "zarr3", "embeddings") { out =>
+    val root = formatFixtureDir(dir, "zarr3s", "embeddings") { out =>
       val rows = Tables.embeddings(s, dir)
         .selectExpr("vec_id", "embedding", "label")
         .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
@@ -7908,8 +7911,11 @@ object Pipeline {
         java.nio.file.Files.write(f.toPath, bytes): Unit
       }
       Zarr.write2dV3(
-        Zarr.Meta3(Seq(n, 64L), Seq(7, 64), "f4",
-          bigEndian = false, 0.0, Seq(("blosc", 5)), ".", "v2"),
+        Zarr.Meta3(Seq(n, 64L), Seq(14, 64), "f4",
+          bigEndian = false, 0.0, Seq.empty, ".", "v2",
+          sharding = Some(Zarr.Shard3(Seq(7, 64),
+            innerBig = false, Seq(("blosc", 5)),
+            indexCrc = true, indexAtEnd = true))),
         n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
         putIn("emb"))
       Zarr.write2dV3(

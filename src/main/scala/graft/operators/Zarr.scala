@@ -426,16 +426,27 @@ object Zarr {
   // Zarr v3 (zarr-specs v3): zarr.json + codec chains + c/… keys
   // ---------------------------------------------------------------
 
+  /** The v3 `sharding_indexed` codec: a stored chunk (the SHARD)
+    * packs a grid of INNER chunks plus an (offset, nbytes) u64-LE
+    * index (crc32c-guarded, at the shard's end or start); missing
+    * inner chunks are all-ones pairs and read as fill value. */
+  final case class Shard3(innerChunks: Seq[Int],
+      innerBig: Boolean, innerCodecs: Seq[(String, Int)],
+      indexCrc: Boolean, indexAtEnd: Boolean,
+      bloscCname: String = "lz4", bloscShuffle: Int = 1)
+
   /** v3 array metadata: npy-style descr, the codec chain SPLIT
     * into the array→bytes endian and the bytes→bytes tail
     * ((name, level) pairs in WRITE order: gzip, zstd, blosc —
-    * carrying its own cname/shuffle —, crc32c). Sharding and
-    * transpose codecs reject honestly. */
+    * carrying its own cname/shuffle —, crc32c); `sharding`
+    * carries the sharding_indexed configuration when the array's
+    * chunks are shards. Transpose codecs reject honestly. */
   final case class Meta3(shape: Seq[Long], chunks: Seq[Int],
       descr: String, bigEndian: Boolean, fillValue: Double,
       codecs: Seq[(String, Int)], sep: String,
       keyEncoding: String, // "default" (c/…) or "v2" (dotted)
-      bloscCname: String = "lz4", bloscShuffle: Int = 1) {
+      bloscCname: String = "lz4", bloscShuffle: Int = 1,
+      sharding: Option[Shard3] = None) {
     def itemSize: Int = Npy.ItemSize(descr)
     def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
     def grid: Seq[Long] =
@@ -503,14 +514,65 @@ object Zarr {
       case b: Boolean => if (b) 1.0 else 0.0
       case _ => return None
     }
-    // codec chain: exactly one leading array→bytes "bytes" codec,
-    // then bytes→bytes members
+    // codec chain: either a plain chain (leading array→bytes
+    // "bytes" codec + bytes→bytes tail) or sharding_indexed
     val codecList = JsonMini.arr(m.getOrElse("codecs", return None))
       .getOrElse(return None).flatMap(JsonMini.obj)
     if (codecList.isEmpty) return None
+    val headName = JsonMini.str(codecList.head.getOrElse("name", ""))
+      .getOrElse(return None)
+    if (headName == "sharding_indexed") {
+      val cfg = codecList.head.get("configuration")
+        .flatMap(JsonMini.obj).getOrElse(return None)
+      if (codecList.length != 1) return None
+      val inner = JsonMini.arr(cfg.getOrElse("chunk_shape",
+        return None)).getOrElse(return None)
+        .map(d => JsonMini.long(d).getOrElse(return None))
+      if (inner.length != chunks.length) return None
+      if (chunks.zip(inner).exists { case (c, i) =>
+        i <= 0 || c % i != 0 }) return None
+      val innerChain = JsonMini.arr(cfg.getOrElse("codecs",
+        return None)).getOrElse(return None).flatMap(JsonMini.obj)
+      val (iBig, iTail, iCname, iShuf) =
+        parseCodecChain(innerChain).getOrElse(return None)
+      // index codecs: bytes (little) + optional crc32c
+      val idxChain = JsonMini.arr(cfg.getOrElse("index_codecs",
+        Seq.empty)).getOrElse(Seq.empty).flatMap(JsonMini.obj)
+      val idxNames = idxChain.map(c =>
+        JsonMini.str(c.getOrElse("name", "")).getOrElse(return None))
+      val idxCrc = idxNames match {
+        case Seq() | Seq("bytes") => false
+        case Seq("bytes", "crc32c") => true
+        case _ => return None
+      }
+      val atEnd = JsonMini.str(cfg.getOrElse("index_location",
+        "end")).getOrElse(return None) match {
+        case "end" => true
+        case "start" => false
+        case _ => return None
+      }
+      Some(Meta3(shape, chunks.map(_.toInt), descr, iBig, fill,
+        Seq.empty, sep, keyEnc, iCname, iShuf,
+        Some(Shard3(inner.map(_.toInt), iBig, iTail, idxCrc,
+          atEnd, iCname, iShuf))))
+    } else {
+      val (big, tail, cname, shuf) = parseCodecChain(codecList)
+        .getOrElse(return None)
+      Some(Meta3(shape, chunks.map(_.toInt), descr, big, fill,
+        tail, sep, keyEnc, cname, shuf))
+    }
+  }
+
+  /** A plain v3 codec chain: one leading array→bytes "bytes"
+    * codec, then bytes→bytes members → (big-endian, tail codecs,
+    * blosc cname, blosc shuffle). None on transpose/unknown/
+    * bitshuffle. */
+  private def parseCodecChain(codecList: Seq[Map[String, Any]])
+      : Option[(Boolean, Seq[(String, Int)], String, Int)] = {
+    if (codecList.isEmpty) return None
     val head = codecList.head
     if (!JsonMini.str(head.getOrElse("name", "")).contains("bytes"))
-      return None // sharding_indexed / transpose first: reject
+      return None // transpose first etc: reject
     val big = head.get("configuration").flatMap(JsonMini.obj)
       .flatMap(_.get("endian")).flatMap(JsonMini.str) match {
       case Some("little") | None => false
@@ -546,18 +608,18 @@ object Zarr {
           ("blosc", JsonMini.long(cfg.getOrElse("clevel", 5.0))
             .getOrElse(5L).toInt)
         case "crc32c" => ("crc32c", 0)
-        case _ => return None // sharding/transpose/unknown: reject
+        case _ => return None // nested sharding/transpose: reject
       }
     }
-    Some(Meta3(shape, chunks.map(_.toInt), descr, big, fill, tail,
-      sep, keyEnc, cname, shuf))
+    Some((big, tail, cname, shuf))
   }
 
   def metaJsonV3(meta: Meta3): String = {
-    val codecs = Seq(
+    def chainJson(big: Boolean, tail: Seq[(String, Int)],
+        cname: String, shuffle: Int): Seq[String] = Seq(
       s"""{"name":"bytes","configuration":{"endian":${
-        JsonMini.quote(if (meta.bigEndian) "big" else "little")}}}""") ++
-      meta.codecs.map {
+        JsonMini.quote(if (big) "big" else "little")}}}""") ++
+      tail.map {
         case ("gzip", lvl) =>
           s"""{"name":"gzip","configuration":{"level":$lvl}}"""
         case ("zstd", lvl) =>
@@ -565,14 +627,29 @@ object Zarr {
             s""""checksum":false}}"""
         case ("blosc", lvl) =>
           s"""{"name":"blosc","configuration":{"cname":${
-            JsonMini.quote(meta.bloscCname)},"clevel":$lvl,""" +
+            JsonMini.quote(cname)},"clevel":$lvl,""" +
             s""""shuffle":${JsonMini.quote(
-              if (meta.bloscShuffle == 1) "shuffle"
+              if (shuffle == 1) "shuffle"
               else "noshuffle")},"typesize":${meta.itemSize},""" +
             s""""blocksize":0}}"""
         case ("crc32c", _) => """{"name":"crc32c"}"""
         case (o, _) => sys.error(s"v3 codec $o")
       }
+    val codecs = meta.sharding match {
+      case None =>
+        chainJson(meta.bigEndian, meta.codecs, meta.bloscCname,
+          meta.bloscShuffle)
+      case Some(sh) =>
+        Seq(s"""{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":[${sh.innerChunks.mkString(",")}],""" +
+          s""""codecs":[${chainJson(sh.innerBig, sh.innerCodecs,
+            sh.bloscCname, sh.bloscShuffle).mkString(",")}],""" +
+          s""""index_codecs":[{"name":"bytes","configuration":""" +
+          s"""{"endian":"little"}}${
+            if (sh.indexCrc) """,{"name":"crc32c"}""" else ""}],""" +
+          s""""index_location":${JsonMini.quote(
+            if (sh.indexAtEnd) "end" else "start")}}}""")
+    }
     val fill =
       if (meta.fillValue.isNaN) "\"NaN\""
       else if (meta.fillValue == Double.PositiveInfinity)
@@ -622,14 +699,75 @@ object Zarr {
     Some(idx.toSeq)
   }
 
-  /** Stored v3 chunk → full-size raw bytes (codec chain undone in
-    * reverse: crc32c verified+stripped, zstd/gzip/blosc
-    * decompressed, endian left AS-STORED for the Npy accessor). */
-  def decodeChunkV3(meta: Meta3, stored: Array[Byte])
-      : Option[Npy.Arr] = {
-    val want = (meta.chunkElems * meta.itemSize).toInt
+  /** One element of fill value as raw bytes in the given order. */
+  private def fillElem(meta: Meta3): Array[Byte] = {
+    val isz = meta.itemSize
+    if (meta.fillValue == 0.0 &&
+      !(1.0 / meta.fillValue < 0)) // not -0.0
+      return new Array[Byte](isz)
+    val bb = java.nio.ByteBuffer.allocate(isz)
+      .order(if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+    meta.descr match {
+      case "f4" => bb.putFloat(meta.fillValue.toFloat)
+      case "f8" => bb.putDouble(meta.fillValue)
+      case "f2" => bb.putShort(
+        Safetensors.floatToHalf(meta.fillValue.toFloat))
+      case "i2" | "u2" => bb.putShort(meta.fillValue.toShort)
+      case "i4" | "u4" => bb.putInt(meta.fillValue.toInt)
+      case "i8" | "u8" => bb.putLong(meta.fillValue.toLong)
+      case _ => bb.put(meta.fillValue.toByte)
+    }
+    bb.array()
+  }
+
+  /** Copy one inner block between a shard-shaped buffer and a
+    * block-shaped buffer (row-major both; `toShard` picks the
+    * direction). */
+  private def copyBlock(shardBuf: Array[Byte],
+      blockBuf: Array[Byte], outer: Seq[Int], inner: Seq[Int],
+      gIdx: Seq[Int], isz: Int, toShard: Boolean): Unit = {
+    val rank = outer.length
+    val run = inner(rank - 1) * isz
+    val idx = new Array[Int](math.max(0, rank - 1))
+    var done = false
+    while (!done) {
+      var srcOff = 0L
+      var k = 0
+      while (k < rank - 1) { srcOff = srcOff * inner(k) + idx(k)
+        k += 1 }
+      srcOff = srcOff * inner(rank - 1) * isz
+      var dstOff = 0L
+      k = 0
+      while (k < rank - 1) {
+        dstOff = dstOff * outer(k) +
+          (gIdx(k).toLong * inner(k) + idx(k))
+        k += 1
+      }
+      dstOff = (dstOff * outer(rank - 1) +
+        gIdx(rank - 1).toLong * inner(rank - 1)) * isz
+      if (toShard)
+        System.arraycopy(blockBuf, srcOff.toInt, shardBuf,
+          dstOff.toInt, run)
+      else
+        System.arraycopy(shardBuf, dstOff.toInt, blockBuf,
+          srcOff.toInt, run)
+      var k2 = rank - 2
+      done = true
+      while (k2 >= 0 && done) {
+        idx(k2) += 1
+        if (idx(k2) < inner(k2)) done = false
+        else { idx(k2) = 0; k2 -= 1 }
+      }
+      if (rank == 1) done = true
+    }
+  }
+
+  /** Undo a bytes→bytes codec tail on one buffer. */
+  private def undoChain(codecs: Seq[(String, Int)],
+      stored: Array[Byte], want: Int): Option[Array[Byte]] = {
     var cur = stored
-    meta.codecs.reverse.foreach {
+    codecs.reverse.foreach {
       case ("crc32c", _) =>
         if (cur.length < 4) return None
         val n = cur.length - 4
@@ -665,15 +803,92 @@ object Zarr {
       case _ => return None
     }
     if (cur.length != want) return None
-    Some(Npy.Arr(meta.descr, meta.bigEndian, fortran = false,
-      meta.chunks, cur))
+    Some(cur)
   }
 
-  def encodeChunkV3(meta: Meta3, raw: Array[Byte]): Array[Byte] = {
-    require(raw.length.toLong == meta.chunkElems * meta.itemSize,
-      s"chunk is ${raw.length} bytes")
+  /** Stored v3 chunk → full-size raw bytes. Plain chains undo in
+    * reverse; SHARDED chunks parse the (offset, nbytes) index
+    * (crc32c verified when declared), decode each present inner
+    * chunk through the inner chain, scatter into the shard, and
+    * fill missing inner chunks with fill_value. */
+  def decodeChunkV3(meta: Meta3, stored: Array[Byte])
+      : Option[Npy.Arr] = {
+    val want = (meta.chunkElems * meta.itemSize).toInt
+    meta.sharding match {
+      case None =>
+        undoChain(meta.codecs, stored, want).map(raw =>
+          Npy.Arr(meta.descr, meta.bigEndian, fortran = false,
+            meta.chunks, raw))
+      case Some(sh) =>
+        val isz = meta.itemSize
+        val grid = meta.chunks.zip(sh.innerChunks)
+          .map { case (c, i) => c / i }
+        val nInner = grid.product
+        if (nInner > (1 << 20)) return None // crafted-grid bomb
+        val innerBytes =
+          sh.innerChunks.foldLeft(1L)(_ * _.toLong) * isz
+        if (innerBytes > MaxChunkBytes) return None
+        val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+        if (stored.length < idxLen) return None
+        val idxStored =
+          if (sh.indexAtEnd)
+            java.util.Arrays.copyOfRange(stored,
+              stored.length - idxLen, stored.length)
+          else java.util.Arrays.copyOfRange(stored, 0, idxLen)
+        val idx = undoChain(
+          if (sh.indexCrc) Seq(("crc32c", 0)) else Seq.empty,
+          idxStored, nInner * 16).getOrElse(return None)
+        def u64(o: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < 8) { v |= (idx(o + i) & 0xffL) << (8 * i)
+            i += 1 }
+          v
+        }
+        val out = new Array[Byte](want)
+        // missing inner chunks read as fill value
+        val fe = fillElem(meta)
+        if (fe.exists(_ != 0)) {
+          var p = 0
+          while (p < want) { System.arraycopy(fe, 0, out, p, isz)
+            p += isz }
+        }
+        val block = new Array[Byte](innerBytes.toInt)
+        var li = 0
+        val gIdx = new Array[Int](grid.length)
+        while (li < nInner) {
+          val off = u64(li * 16)
+          val nb = u64(li * 16 + 8)
+          if (!(off == -1L && nb == -1L)) {
+            if (off < 0 || nb < 0 ||
+              off + nb > stored.length) return None
+            val inner = undoChain(sh.innerCodecs,
+              java.util.Arrays.copyOfRange(stored, off.toInt,
+                (off + nb).toInt), innerBytes.toInt)
+              .getOrElse(return None)
+            System.arraycopy(inner, 0, block, 0, inner.length)
+            copyBlock(out, block, meta.chunks, sh.innerChunks,
+              gIdx.toSeq, isz, toShard = true)
+          }
+          // odometer over the inner grid, row-major
+          var k = grid.length - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            gIdx(k) += 1
+            if (gIdx(k) < grid(k)) carry = false
+            else { gIdx(k) = 0; k -= 1 }
+          }
+          li += 1
+        }
+        Some(Npy.Arr(meta.descr, meta.bigEndian, fortran = false,
+          meta.chunks, out))
+    }
+  }
+
+  /** Apply a bytes→bytes codec tail forward. */
+  private def applyChain(codecs: Seq[(String, Int)], raw: Array[Byte],
+      itemSize: Int, cname: String, shuffle: Int): Array[Byte] = {
     var cur = raw
-    meta.codecs.foreach {
+    codecs.foreach {
       case ("crc32c", _) =>
         val crc = new java.util.zip.CRC32C()
         crc.update(cur, 0, cur.length)
@@ -697,12 +912,72 @@ object Zarr {
         cur = com.github.luben.zstd.Zstd.compress(cur,
           math.max(1, math.min(19, lvl)))
       case ("blosc", lvl) =>
-        cur = Blosc.encode(cur, meta.itemSize, meta.bloscCname,
-          level = lvl, shuffle = meta.bloscShuffle == 1,
-          split = meta.itemSize <= 16)
+        cur = Blosc.encode(cur, itemSize, cname,
+          level = lvl, shuffle = shuffle == 1,
+          split = itemSize <= 16)
       case (o, _) => sys.error(s"v3 codec $o")
     }
     cur
+  }
+
+  def encodeChunkV3(meta: Meta3, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length.toLong == meta.chunkElems * meta.itemSize,
+      s"chunk is ${raw.length} bytes")
+    meta.sharding match {
+      case None =>
+        applyChain(meta.codecs, raw, meta.itemSize,
+          meta.bloscCname, meta.bloscShuffle)
+      case Some(sh) =>
+        val isz = meta.itemSize
+        val grid = meta.chunks.zip(sh.innerChunks)
+          .map { case (c, i) => c / i }
+        val nInner = grid.product
+        val innerBytes =
+          sh.innerChunks.foldLeft(1L)(_ * _.toLong) * isz
+        val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+        val blocks = new Array[Array[Byte]](nInner)
+        val block = new Array[Byte](innerBytes.toInt)
+        val gIdx = new Array[Int](grid.length)
+        var li = 0
+        while (li < nInner) {
+          copyBlock(raw, block, meta.chunks, sh.innerChunks,
+            gIdx.toSeq, isz, toShard = false)
+          blocks(li) = applyChain(sh.innerCodecs, block.clone(),
+            isz, sh.bloscCname, sh.bloscShuffle)
+          var k = grid.length - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            gIdx(k) += 1
+            if (gIdx(k) < grid(k)) carry = false
+            else { gIdx(k) = 0; k -= 1 }
+          }
+          li += 1
+        }
+        val dataStart = if (sh.indexAtEnd) 0L else idxLen.toLong
+        val idx = new Array[Byte](nInner * 16)
+        var off = dataStart
+        var i = 0
+        while (i < nInner) {
+          var j = 0
+          while (j < 8) {
+            idx(i * 16 + j) = ((off >>> (8 * j)) & 0xff).toByte
+            idx(i * 16 + 8 + j) =
+              ((blocks(i).length.toLong >>> (8 * j)) & 0xff).toByte
+            j += 1
+          }
+          off += blocks(i).length
+          i += 1
+        }
+        val idxBytes = applyChain(
+          if (sh.indexCrc) Seq(("crc32c", 0)) else Seq.empty,
+          idx, 8, "lz4", 0)
+        val out = new java.io.ByteArrayOutputStream(
+          (off + idxLen).toInt)
+        if (!sh.indexAtEnd) out.write(idxBytes, 0, idxBytes.length)
+        blocks.foreach(b => out.write(b, 0, b.length))
+        if (sh.indexAtEnd) out.write(idxBytes, 0, idxBytes.length)
+        out.toByteArray
+    }
   }
 
   /** Write a 2-d array [n, d] as a zarr V3 store under `put`:

@@ -205,6 +205,71 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("zarr v3 sharding: inner grids, index locations, missing " +
+      "inner chunks read as fill") {
+    // a 2-d shard of 6×4 holding 3×2 inner chunks (grid 2×2),
+    // inner chain zstd, index crc32c-guarded at both locations
+    Seq(true, false).foreach { atEnd =>
+      val m = Meta3(Seq(12L, 4L), Seq(6, 4), "f8",
+        bigEndian = false, fillValue = -5.0,
+        codecs = Seq.empty, "/", "default",
+        sharding = Some(Shard3(Seq(3, 2), innerBig = false,
+          Seq(("zstd", 3)), indexCrc = true, indexAtEnd = atEnd)))
+      // metadata renders + parses the sharding configuration
+      val json = metaJsonV3(m)
+      assert(json.contains(""""name":"sharding_indexed"""") &&
+        json.contains(""""chunk_shape":[3,2]""") &&
+        json.contains("\"index_location\":\"" +
+          (if (atEnd) "end" else "start") + "\""), s"atEnd=$atEnd")
+      val back = parseMetaV3(json).get
+      assert(back == m, s"atEnd=$atEnd")
+      val raw = java.nio.ByteBuffer.allocate(24 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 24).foreach(i => raw.putDouble(i * 0.5))
+      val stored = encodeChunkV3(back, raw.array())
+      val arr = decodeChunkV3(back, stored).get
+      (0 until 6).foreach(r => (0 until 4).foreach(c =>
+        assert(arr.at(r, c) == (r * 4 + c) * 0.5,
+          s"($r,$c) atEnd=$atEnd")))
+      // drop one inner chunk from the index (all-ones pair): its
+      // cells read as fill value, the rest stay intact
+      val nInner = 4
+      val idxLen = nInner * 16 + 4
+      val idxOff = if (atEnd) stored.length - idxLen else 0
+      val mangled = stored.clone()
+      // blank inner chunk 3 (grid (1,1) — rows 3..5, cols 2..3)
+      (0 until 16).foreach(j =>
+        mangled(idxOff + 3 * 16 + j) = 0xff.toByte)
+      // re-checksum the index
+      val crc = new java.util.zip.CRC32C()
+      crc.update(mangled, idxOff, nInner * 16)
+      val v = crc.getValue
+      (0 until 4).foreach(j => mangled(idxOff + nInner * 16 + j) =
+        ((v >>> (8 * j)) & 0xff).toByte)
+      val holey = decodeChunkV3(back, mangled).get
+      assert(holey.at(0, 0) == 0.0 && holey.at(2, 1) == 9 * 0.5)
+      assert(holey.at(3, 2) == -5.0 && holey.at(5, 3) == -5.0)
+      assert(holey.at(3, 0) == 12 * 0.5) // grid (1,0) untouched
+      // a flipped index byte without re-checksumming rejects
+      val bad = stored.clone()
+      bad(idxOff) = (bad(idxOff) ^ 1).toByte
+      assert(decodeChunkV3(back, bad).isEmpty)
+    }
+    // fuzz the shard parser
+    val m = Meta3(Seq(8L), Seq(8), "i4", bigEndian = false, 0.0,
+      Seq.empty, "/", "default",
+      sharding = Some(Shard3(Seq(2), innerBig = false,
+        Seq(("gzip", 5)), indexCrc = true, indexAtEnd = true)))
+    val stored = encodeChunkV3(m,
+      Array.tabulate(32)(i => (i * 3).toByte))
+    val rnd = new scala.util.Random(59)
+    (0 until 400).foreach { _ =>
+      val x = stored.clone()
+      x(rnd.nextInt(x.length)) = rnd.nextInt().toByte
+      decodeChunkV3(m, x) // never throws
+    }
+  }
+
   test("every compressor round-trips a chunk byte-exact") {
     val rnd = new scala.util.Random(3)
     Seq(None, Some("zlib"), Some("gzip"), Some("zstd"), Some("lz4"))
