@@ -446,7 +446,10 @@ object Zarr {
       codecs: Seq[(String, Int)], sep: String,
       keyEncoding: String, // "default" (c/…) or "v2" (dotted)
       bloscCname: String = "lz4", bloscShuffle: Int = 1,
-      sharding: Option[Shard3] = None) {
+      sharding: Option[Shard3] = None,
+      /** the TRANSPOSE array→array codec's order (empty = none) —
+        * what zarr-python emits for any Fortran-order v3 array. */
+      perm: Seq[Int] = Seq.empty) {
     def itemSize: Int = Npy.ItemSize(descr)
     def chunkElems: Long = chunks.foldLeft(1L)(_ * _.toLong)
     def grid: Seq[Long] =
@@ -533,8 +536,9 @@ object Zarr {
         i <= 0 || c % i != 0 }) return None
       val innerChain = JsonMini.arr(cfg.getOrElse("codecs",
         return None)).getOrElse(return None).flatMap(JsonMini.obj)
-      val (iBig, iTail, iCname, iShuf) =
+      val (iPerm, iBig, iTail, iCname, iShuf) =
         parseCodecChain(innerChain).getOrElse(return None)
+      if (iPerm.nonEmpty) return None // transpose inside shards: reject
       // index codecs: bytes (little) + optional crc32c
       val idxChain = JsonMini.arr(cfg.getOrElse("index_codecs",
         Seq.empty)).getOrElse(Seq.empty).flatMap(JsonMini.obj)
@@ -556,23 +560,38 @@ object Zarr {
         Some(Shard3(inner.map(_.toInt), iBig, iTail, idxCrc,
           atEnd, iCname, iShuf))))
     } else {
-      val (big, tail, cname, shuf) = parseCodecChain(codecList)
-        .getOrElse(return None)
+      val (perm, big, tail, cname, shuf) =
+        parseCodecChain(codecList).getOrElse(return None)
+      if (perm.nonEmpty && perm.length != chunks.length) return None
       Some(Meta3(shape, chunks.map(_.toInt), descr, big, fill,
-        tail, sep, keyEnc, cname, shuf))
+        tail, sep, keyEnc, cname, shuf, perm = perm))
     }
   }
 
-  /** A plain v3 codec chain: one leading array→bytes "bytes"
-    * codec, then bytes→bytes members → (big-endian, tail codecs,
-    * blosc cname, blosc shuffle). None on transpose/unknown/
-    * bitshuffle. */
-  private def parseCodecChain(codecList: Seq[Map[String, Any]])
-      : Option[(Boolean, Seq[(String, Int)], String, Int)] = {
+  /** A plain v3 codec chain: an optional leading TRANSPOSE
+    * array→array codec, one array→bytes "bytes" codec, then
+    * bytes→bytes members → (perm, big-endian, tail codecs, blosc
+    * cname, blosc shuffle). None on unknown/bitshuffle. */
+  private def parseCodecChain(codecList0: Seq[Map[String, Any]])
+      : Option[(Seq[Int], Boolean, Seq[(String, Int)], String,
+        Int)] = {
+    if (codecList0.isEmpty) return None
+    val (perm, codecList) =
+      if (JsonMini.str(codecList0.head.getOrElse("name", ""))
+        .contains("transpose")) {
+        val cfg = codecList0.head.get("configuration")
+          .flatMap(JsonMini.obj).getOrElse(return None)
+        val order = JsonMini.arr(cfg.getOrElse("order",
+          return None)).getOrElse(return None)
+          .map(d => JsonMini.long(d).getOrElse(return None).toInt)
+        // must be a permutation of 0..rank-1
+        if (order.sorted != order.indices) return None
+        (order, codecList0.tail)
+      } else (Seq.empty[Int], codecList0)
     if (codecList.isEmpty) return None
     val head = codecList.head
     if (!JsonMini.str(head.getOrElse("name", "")).contains("bytes"))
-      return None // transpose first etc: reject
+      return None // a second array→array codec: reject
     val big = head.get("configuration").flatMap(JsonMini.obj)
       .flatMap(_.get("endian")).flatMap(JsonMini.str) match {
       case Some("little") | None => false
@@ -611,12 +630,15 @@ object Zarr {
         case _ => return None // nested sharding/transpose: reject
       }
     }
-    Some((big, tail, cname, shuf))
+    Some((perm, big, tail, cname, shuf))
   }
 
   def metaJsonV3(meta: Meta3): String = {
     def chainJson(big: Boolean, tail: Seq[(String, Int)],
-        cname: String, shuffle: Int): Seq[String] = Seq(
+        cname: String, shuffle: Int): Seq[String] =
+      (if (meta.perm.isEmpty || meta.sharding.nonEmpty) Seq.empty
+       else Seq(s"""{"name":"transpose","configuration":""" +
+         s"""{"order":[${meta.perm.mkString(",")}]}}""")) ++ Seq(
       s"""{"name":"bytes","configuration":{"endian":${
         JsonMini.quote(if (big) "big" else "little")}}}""") ++
       tail.map {
@@ -763,6 +785,44 @@ object Zarr {
     }
   }
 
+  /** The TRANSPOSE codec's element permutation: the STORED chunk
+    * has dims(order(i)) along axis i and stored[y] = chunk[x] with
+    * y(i) = x(order(i)). `forward` builds the stored layout from
+    * C-order chunk bytes; otherwise it inverts. */
+  private def permuteBytes(data: Array[Byte], dims: Seq[Int],
+      order: Seq[Int], isz: Int, forward: Boolean): Array[Byte] = {
+    val rank = dims.length
+    val sd = order.map(dims) // stored dims
+    val out = new Array[Byte](data.length)
+    val y = new Array[Int](rank)
+    val x = new Array[Int](rank)
+    var done = dims.exists(_ == 0)
+    var storedOff = 0
+    while (!done) {
+      var i = 0
+      while (i < rank) { x(order(i)) = y(i); i += 1 }
+      var chunkOff = 0L
+      i = 0
+      while (i < rank) { chunkOff = chunkOff * dims(i) + x(i)
+        i += 1 }
+      if (forward)
+        System.arraycopy(data, chunkOff.toInt * isz, out,
+          storedOff * isz, isz)
+      else
+        System.arraycopy(data, storedOff * isz, out,
+          chunkOff.toInt * isz, isz)
+      storedOff += 1
+      var k = rank - 1
+      done = true
+      while (k >= 0 && done) {
+        y(k) += 1
+        if (y(k) < sd(k)) done = false
+        else { y(k) = 0; k -= 1 }
+      }
+    }
+    out
+  }
+
   /** Undo a bytes→bytes codec tail on one buffer. */
   private def undoChain(codecs: Seq[(String, Int)],
       stored: Array[Byte], want: Int): Option[Array[Byte]] = {
@@ -816,9 +876,13 @@ object Zarr {
     val want = (meta.chunkElems * meta.itemSize).toInt
     meta.sharding match {
       case None =>
-        undoChain(meta.codecs, stored, want).map(raw =>
+        undoChain(meta.codecs, stored, want).map { raw0 =>
+          val raw = if (meta.perm.isEmpty) raw0
+            else permuteBytes(raw0, meta.chunks, meta.perm,
+              meta.itemSize, forward = false)
           Npy.Arr(meta.descr, meta.bigEndian, fortran = false,
-            meta.chunks, raw))
+            meta.chunks, raw)
+        }
       case Some(sh) =>
         val isz = meta.itemSize
         val grid = meta.chunks.zip(sh.innerChunks)
@@ -925,7 +989,10 @@ object Zarr {
       s"chunk is ${raw.length} bytes")
     meta.sharding match {
       case None =>
-        applyChain(meta.codecs, raw, meta.itemSize,
+        val pre = if (meta.perm.isEmpty) raw
+          else permuteBytes(raw, meta.chunks, meta.perm,
+            meta.itemSize, forward = true)
+        applyChain(meta.codecs, pre, meta.itemSize,
           meta.bloscCname, meta.bloscShuffle)
       case Some(sh) =>
         val isz = meta.itemSize

@@ -205,6 +205,45 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("zarr v3 transpose codec: the F-order layout round-trips") {
+    // zarr-python stores any Fortran-order array with a leading
+    // transpose codec in v3 — order [1,0] for 2-d
+    val m = Meta3(Seq(4L, 6L), Seq(4, 6), "i4",
+      bigEndian = false, 0.0, Seq(("gzip", 5)), "/", "default",
+      perm = Seq(1, 0))
+    val json = metaJsonV3(m)
+    assert(json.contains(""""name":"transpose"""") &&
+      json.contains(""""order":[1,0]"""))
+    assert(parseMetaV3(json).contains(m))
+    val raw = java.nio.ByteBuffer.allocate(24 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(raw.putInt)
+    val stored = encodeChunkV3(m, raw.array())
+    val arr = decodeChunkV3(m, stored).get
+    (0 until 4).foreach(r => (0 until 6).foreach(c =>
+      assert(arr.at(r, c) == (r * 6 + c).toDouble, s"($r,$c)")))
+    // the stored layout really is transposed: decode it as a PLAIN
+    // chunk of the permuted dims and check column-major placement
+    val plain = m.copy(chunks = Seq(6, 4), perm = Seq.empty)
+    val t = decodeChunkV3(plain, stored).get
+    assert(t.at(0, 0) == 0.0 && t.at(1, 0) == 1.0 &&
+      t.at(0, 1) == 6.0)
+    // a 3-d rotation permutation
+    val m3 = Meta3(Seq(2L, 3L, 4L), Seq(2, 3, 4), "i2",
+      bigEndian = false, 0.0, Seq.empty, "/", "default",
+      perm = Seq(2, 0, 1))
+    val raw3 = java.nio.ByteBuffer.allocate(24 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(i => raw3.putShort(i.toShort))
+    val arr3 = decodeChunkV3(m3, encodeChunkV3(m3, raw3.array())).get
+    (0 until 2).foreach(a => (0 until 3).foreach(b =>
+      (0 until 4).foreach(c =>
+        assert(arr3.at(a, b, c) == (a * 12 + b * 4 + c).toDouble))))
+    // a non-permutation order rejects
+    assert(parseMetaV3(json.replace(""""order":[1,0]""",
+      """"order":[1,1]""")).isEmpty)
+  }
+
   test("zarr v3 sharding: inner grids, index locations, missing " +
       "inner chunks read as fill") {
     // a 2-d shard of 6×4 holding 3×2 inner chunks (grid 2×2),
