@@ -409,23 +409,41 @@ object Npy {
       return None)
     val (descrSide, fortran, shape) = parseDictEither(header.trim)
       .getOrElse(return None)
-    val fieldsTxt = descrSide match {
-      case Right(list) => list
+    val sd = descrSide match {
+      case Right(d) => d
       case Left(_) => return None // plain dtype: use parse()
     }
     if (fortran) return None
-    if (fieldsTxt.isEmpty) return None
-    var off = 0
-    val fields = fieldsTxt.map { case (name, fmt) =>
-      val (kind, size, big) = fieldFormat(fmt).getOrElse(
-        return None)
-      val f = Field(name, kind, size, big, off)
-      off += size
-      f
+    if (sd.fields.isEmpty) return None
+    val parsedFmts = sd.fields.map { case (name, fmt) =>
+      (name, fieldFormat(fmt).getOrElse(return None))
+    }
+    val (fields, itemSize) = sd.layout match {
+      case None => // packed (list form): offsets are implicit
+        var off = 0
+        val fs = parsedFmts.map { case (name, (kind, size, big)) =>
+          val f = Field(name, kind, size, big, off)
+          off += size
+          f
+        }
+        (fs, off)
+      case Some((offs, isz)) => // aligned dict form: explicit
+        val fs = parsedFmts.zip(offs).map {
+          case ((name, (kind, size, big)), o) =>
+            if (o < 0 || o + size > isz) return None
+            Field(name, kind, size, big, o)
+        }
+        // fields must not overlap (union dtypes reject)
+        val sorted = fs.sortBy(_.offset)
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (a.offset + a.size > b.offset) return None
+          case _ => ()
+        }
+        (fs, isz)
     }
     if (fields.map(_.name).distinct.length != fields.length)
       return None
-    val itemSize = off
     if (shape.exists(_ < 0)) return None
     var elems = 1L
     shape.foreach { d =>
@@ -505,23 +523,34 @@ object Npy {
       hlen.toInt))
   }
 
+  /** A structured descr: fields in order, plus explicit offsets +
+    * itemsize when the ALIGNED dict form was used (None = packed,
+    * offsets implicit). */
+  private[operators] final case class StructDescr(
+      fields: Seq[(String, String)],
+      layout: Option[(Seq[Int], Int)])
+
   /** [[parseDict]] with the descr side split: Left(plain dtype
-    * string) or Right(field list). */
+    * string) or Right(structured descr — the list form OR the
+    * aligned dict-with-offsets form). */
   private def parseDictEither(s: String)
-      : Option[(Either[String, Seq[(String, String)]], Boolean,
+      : Option[(Either[String, StructDescr], Boolean,
         Seq[Int])] = {
     // the plain grammar first (fast path, unchanged semantics)
     parseDict(s) match {
       case Some((d, f, sh)) => return Some((Left(d), f, sh))
       case None => ()
     }
-    // list-form descr: tokenize [('name', 'fmt'), …] then reuse
-    // the plain parser on the dict with the list spliced out
+    // structured descr: tokenize [('name', 'fmt'), …] or the dict
+    // {'names': …, 'formats': …, 'offsets': …, 'itemsize': …},
+    // then reuse the plain parser with the literal spliced out
     val di = s.indexOf("'descr':")
     if (di < 0) return None
     var p = di + 8
     while (p < s.length && s(p) == ' ') p += 1
-    if (p >= s.length || s(p) != '[') return None
+    if (p >= s.length) return None
+    if (s(p) == '{') return parseDictDescr(s, p)
+    if (s(p) != '[') return None
     val lStart = p
     var depth = 0
     var q = ' '
@@ -582,7 +611,126 @@ object Npy {
     val spliced = s.substring(0, lStart) + "'<i1'" +
       s.substring(lEnd + 1)
     parseDict(spliced).map { case (_, f, sh) =>
-      (Right(fields.result()), f, sh)
+      (Right(StructDescr(fields.result(), None)), f, sh)
+    }
+  }
+
+  /** The aligned dict-with-offsets descr form numpy emits for
+    * align=True dtypes:
+    * {'names': ['a','b'], 'formats': ['<i8','<f4'],
+    *  'offsets': [0,8], 'itemsize': 16}. */
+  private def parseDictDescr(s: String, dStart: Int)
+      : Option[(Either[String, StructDescr], Boolean, Seq[Int])] = {
+    // find the balanced end of the dict literal (quote-aware)
+    var p = dStart
+    var depth = 0
+    var q = ' '
+    var dEnd = -1
+    while (p < s.length && dEnd < 0) {
+      val c = s(p)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '{' | '[' | '(' => depth += 1
+        case '}' | ']' | ')' =>
+          depth -= 1
+          if (depth == 0 && c == '}') dEnd = p
+        case _ => ()
+      }
+      p += 1
+    }
+    if (dEnd < 0) return None
+    val body = s.substring(dStart + 1, dEnd)
+    var t = 0
+    def ws(): Unit =
+      while (t < body.length && (body(t) == ' ' ||
+        body(t) == ',')) t += 1
+    def quoted(): Option[String] = {
+      ws()
+      if (t >= body.length || (body(t) != '\'' && body(t) != '"'))
+        return None
+      val qc = body(t); t += 1
+      val st = t
+      while (t < body.length && body(t) != qc) t += 1
+      if (t >= body.length) return None
+      val r = body.substring(st, t); t += 1
+      Some(r)
+    }
+    def strList(): Option[Seq[String]] = {
+      ws()
+      if (t >= body.length || body(t) != '[') return None
+      t += 1
+      val out = Seq.newBuilder[String]
+      var more = true
+      while (more) {
+        ws()
+        if (t < body.length && body(t) == ']') { t += 1
+          more = false }
+        else out += quoted().getOrElse(return None)
+      }
+      Some(out.result())
+    }
+    def intList(): Option[Seq[Int]] = {
+      ws()
+      if (t >= body.length || body(t) != '[') return None
+      t += 1
+      val out = Seq.newBuilder[Int]
+      var more = true
+      while (more) {
+        ws()
+        if (t < body.length && body(t) == ']') { t += 1
+          more = false }
+        else {
+          val st = t
+          while (t < body.length && body(t).isDigit) t += 1
+          if (t == st) return None
+          out += (try body.substring(st, t).toInt catch {
+            case _: NumberFormatException => return None })
+        }
+      }
+      Some(out.result())
+    }
+    var names: Option[Seq[String]] = None
+    var formats: Option[Seq[String]] = None
+    var offsets: Option[Seq[Int]] = None
+    var itemsize: Option[Int] = None
+    while ({ ws(); t < body.length }) {
+      val k = quoted().getOrElse(return None)
+      ws()
+      if (t >= body.length || body(t) != ':') return None
+      t += 1
+      k match {
+        case "names" => names = Some(strList().getOrElse(
+          return None))
+        case "formats" => formats = Some(strList().getOrElse(
+          return None))
+        case "offsets" => offsets = Some(intList().getOrElse(
+          return None))
+        case "itemsize" =>
+          ws()
+          val st = t
+          while (t < body.length && body(t).isDigit) t += 1
+          if (t == st) return None
+          itemsize = Some(try body.substring(st, t).toInt catch {
+            case _: NumberFormatException => return None })
+        case "aligned" => // informational boolean
+          ws()
+          if (s"True" == body.slice(t, t + 4)) t += 4
+          else if ("False" == body.slice(t, t + 5)) t += 5
+          else return None
+        case _ => return None
+      }
+    }
+    val nm = names.getOrElse(return None)
+    val fm = formats.getOrElse(return None)
+    val off = offsets.getOrElse(return None)
+    val isz = itemsize.getOrElse(return None)
+    if (nm.length != fm.length || nm.length != off.length ||
+      nm.isEmpty) return None
+    val spliced = s.substring(0, dStart) + "'<i1'" +
+      s.substring(dEnd + 1)
+    parseDict(spliced).map { case (_, f, sh) =>
+      (Right(StructDescr(nm.zip(fm), Some((off, isz)))), f, sh)
     }
   }
 

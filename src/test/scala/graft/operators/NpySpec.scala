@@ -160,6 +160,42 @@ class NpySpec extends AnyFunSuite {
         ((subHdr.length >> 8) & 0xff).toByte) ++ subHdr ++
       new Array[Byte](8)
     assert(parseStructured(subNpy).isEmpty)
+    // the ALIGNED dict form: explicit offsets with padding gaps
+    // (i8 at 0, i2 at 8, f8 at 16 — 6 pad bytes —, itemsize 24)
+    val adict = ("{'descr': {'names': ['a','b','c'], " +
+      "'formats': ['<i8','<i2','<f8'], 'offsets': [0,8,16], " +
+      "'itemsize': 24}, 'fortran_order': False, 'shape': (3,), }")
+    val ahdr = adict.getBytes("ASCII") ++
+      Array.fill((64 - (10 + adict.length + 1) % 64) % 64)(
+        ' '.toByte) :+ '\n'.toByte
+    val abody = java.nio.ByteBuffer.allocate(3 * 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 3).foreach { i =>
+      abody.putLong(i * 100L)
+      abody.putShort((i + 7).toShort)
+      abody.position(abody.position() + 6) // alignment pad
+      abody.putDouble(i * 0.5)
+    }
+    val anpy = npy.take(6) ++
+      Array[Byte](1, 0, (ahdr.length & 0xff).toByte,
+        ((ahdr.length >> 8) & 0xff).toByte) ++ ahdr ++ abody.array()
+    val arec = parseStructured(anpy).get
+    assert(arec.itemSize == 24 && arec.elems == 3)
+    val af = arec.fields.map(f => f.name -> f).toMap
+    assert(af("b").offset == 8 && af("c").offset == 16)
+    (0 until 3).foreach { i =>
+      assert(arec.longAt(af("a"), i) == i * 100L)
+      assert(arec.longAt(af("b"), i) == i + 7L)
+      assert(arec.doubleAt(af("c"), i) == i * 0.5)
+    }
+    // overlapping offsets (a union dtype) reject
+    val union = anpy.clone()
+    val ustr = new String(union.map(_.toChar))
+    val oi = ustr.indexOf("'offsets': [0,8,16]")
+    assert(oi > 0)
+    // patch 16 → 04 (overlaps the i8 at 0)
+    union(oi + 16) = '0'; union(oi + 17) = '4'
+    assert(parseStructured(union).isEmpty)
     // fuzz the structured parser too
     val rnd = new scala.util.Random(67)
     (0 until 300).foreach { _ =>
