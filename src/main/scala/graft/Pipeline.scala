@@ -8270,16 +8270,17 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
-  /** Cross-format tensor differential (r12) — the SAME embedding
-    * shard encoded into FOUR independent containers implemented in
-    * this repo (safetensors, GGUF, ONNX, HDF5: different headers,
-    * different layout machinery, different chunking/quantization
-    * paths) and decoded by their four independent readers, which
-    * must agree LANE-FOR-LANE in-flight before one agreed fact row
-    * ships to the oracle. A bug in any one codec breaks the
-    * agreement even if it would round-trip through itself — the
-    * strongest self-differential four from-scratch implementations
-    * can give each other. */
+  /** Cross-format tensor differential (r12, widened late-r12 to
+    * SIX lanes) — the SAME embedding shard encoded into six
+    * independent container paths implemented in this repo
+    * (safetensors, GGUF, ONNX, HDF5 classic, HDF5 libver-latest
+    * with OHDR/fixed-array/shuffle/fletcher32, and a SHARDED zarr
+    * v3 chunk behind blosc + a crc32c index: different headers,
+    * different layout machinery, different chunking paths) and
+    * decoded by their independent readers, which must agree
+    * LANE-FOR-LANE in-flight before one agreed fact row ships to
+    * the oracle. A bug in any one codec breaks the agreement even
+    * if it would round-trip through itself. */
   private def tensorCrossCheck(s: SparkSession, dir: String)
       : DataFrame = {
     val spark = s
@@ -8317,7 +8318,24 @@ object Pipeline {
           graft.operators.Hdf5.WDataset("emb",
             Seq(n.toLong, dim.toLong), "f4", le(flat),
             chunkDims = Seq(3, dim))))
-        // four decodes
+        // lane 5: the libver-latest generation (OHDR, layout v4
+        // fixed-array index, shuffle+fletcher32 filters)
+        val h5l = graft.operators.Hdf5.buildLatest(Seq(
+          graft.operators.Hdf5.WDataset("emb",
+            Seq(n.toLong, dim.toLong), "f4", le(flat),
+            chunkDims = Seq(3, dim), shuffle = true,
+            fletcher = true)))
+        // lane 6: one SHARDED zarr v3 chunk (1-row inner chunks
+        // behind blosc, crc32c-guarded index)
+        val z3meta = graft.operators.Zarr.Meta3(
+          Seq(n.toLong, dim.toLong), Seq(n, dim), "f4",
+          bigEndian = false, 0.0, Seq.empty, "/", "default",
+          sharding = Some(graft.operators.Zarr.Shard3(
+            Seq(1, dim), innerBig = false, Seq(("blosc", 5)),
+            indexCrc = true, indexAtEnd = true)))
+        val z3 = graft.operators.Zarr.encodeChunkV3(z3meta,
+          le(flat))
+        // six decodes
         val stT = graft.operators.Safetensors.parse(st)
           .getOrElse(sys.error(s"st rejected $sid"))._2.head
         val ggT = graft.operators.Gguf.parse(gg)
@@ -8327,6 +8345,10 @@ object Pipeline {
           .initializers.head
         val h5T = graft.operators.Hdf5.read(h5)
           .getOrElse(sys.error(s"hdf5 rejected $sid")).head
+        val h5lT = graft.operators.Hdf5.read(h5l)
+          .getOrElse(sys.error(s"hdf5-latest rejected $sid")).head
+        val z3T = graft.operators.Zarr.decodeChunkV3(z3meta, z3)
+          .getOrElse(sys.error(s"zarr3 rejected $sid"))
         // lane-for-lane agreement, then ONE agreed fact row per vec
         vecs.indices.map { i =>
           var q = 0L
@@ -8337,18 +8359,20 @@ object Pipeline {
             val b = graft.operators.Gguf.f32At(ggT, k)
             val c = graft.operators.Onnx.f32At(onT, k)
             val d = h5T.arr.floatAt(i, j)
+            val e = h5lT.arr.floatAt(i, j)
+            val f = z3T.floatAt(i, j)
+            val bits = java.lang.Float.floatToIntBits(a)
             require(
-              java.lang.Float.floatToIntBits(a) ==
-                java.lang.Float.floatToIntBits(b) &&
-              java.lang.Float.floatToIntBits(b) ==
-                java.lang.Float.floatToIntBits(c) &&
-              java.lang.Float.floatToIntBits(c) ==
-                java.lang.Float.floatToIntBits(d),
+              bits == java.lang.Float.floatToIntBits(b) &&
+              bits == java.lang.Float.floatToIntBits(c) &&
+              bits == java.lang.Float.floatToIntBits(d) &&
+              bits == java.lang.Float.floatToIntBits(e) &&
+              bits == java.lang.Float.floatToIntBits(f),
               s"codec disagreement at shard $sid vec $i lane $j")
             q += math.round(a.toDouble * 1000)
             j += 1
           }
-          (vecs(i)._2, sid, dim, q, 4)
+          (vecs(i)._2, sid, dim, q, 6)
         }
       }
       .toDF("vec_id", "shard_id", "dim", "emb_q", "n_formats")
@@ -13402,8 +13426,9 @@ object Pipeline {
     // the _files twin reads the same shards as REAL .h5 files
     "hdf5_parse_files" -> hdf5OracleSqlShared,
     "hdf5_parse" -> hdf5OracleSqlShared,
-    // four independent containers (safetensors/GGUF/ONNX/HDF5) must
-    // agree lane-for-lane in-flight; the oracle pins the agreed facts
+    // six independent container paths (safetensors/GGUF/ONNX/HDF5
+    // classic + latest/zarr-v3 sharded) must agree lane-for-lane
+    // in-flight; the oracle pins the agreed facts
     "tensor_cross_check" ->
       """WITH q AS (
         |  SELECT vec_id, len(embedding) AS dim,
@@ -13413,7 +13438,7 @@ object Pipeline {
         |  FROM embeddings)
         |SELECT vec_id, vec_id // 8 AS shard_id,
         |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(4 AS INT) AS n_formats
+        |  CAST(6 AS INT) AS n_formats
         |FROM q ORDER BY vec_id""".stripMargin,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
     // metadata array + the per-shard rotated quant tag surface;
