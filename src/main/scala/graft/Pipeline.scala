@@ -7386,6 +7386,68 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** V2-checkpoint delta fixture (late r12): the SAME 3-step story
+    * as [[deltaFixtureRoot]], but the v1 commit also upgrades the
+    * protocol to reader v3 + `v2Checkpoint`, the checkpoint at v1
+    * is a V2 one — a UUID-named parquet MANIFEST whose add actions
+    * live in two `_sidecars/` parquet files — and commits 0..1 are
+    * pruned away (log cleanup), so the read MUST reconstruct
+    * through the manifest + sidecars + the v2 JSON tail. */
+  private def deltaV2CpFixtureRoot(s: SparkSession, dir: String)
+      : String =
+    formatFixtureDir(dir, "delta_v2cp", "lineitem") { out =>
+      import graft.operators.DeltaLog
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_orderkey % 4 AS bucket")
+      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"))
+      val snap0 = DeltaLog.snapshot(s, t)
+      val victims = snap0.files.filter(
+        _.partitionValues.get("bucket").contains("1"))
+      base.filter("bucket = 1 AND l_quantity > 10")
+        .drop("bucket")
+        .write.parquet(s"$t/bucket=1/rw")
+      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
+        .filter(_.path.startsWith("bucket=1/rw/"))
+      DeltaLog.commit(s, t, 1L,
+        DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+          Seq("v2Checkpoint"))) +:
+          (victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+            rewrite.map(DeltaLog.addJson)))
+      DeltaLog.writeCheckpointV2(s, t, 1L, sidecarParts = 2)
+      // log cleanup: the pre-checkpoint commits go away, so only
+      // the v2 manifest can supply the v1 state
+      Seq(0L, 1L).foreach(v => new java.io.File(
+        s"$t/_delta_log", f"$v%020d.json").delete())
+      base.filter("bucket = 2 AND l_quantity > 40")
+        .drop("bucket")
+        .write.parquet(s"$t/bucket=2/app")
+      val app = DeltaLog.listDataFiles(s, t, Seq("bucket"))
+        .filter(_.path.startsWith("bucket=2/app/"))
+      DeltaLog.commit(s, t, 2L, app.map(DeltaLog.addJson))
+    }
+
+  /** Delta V2-CHECKPOINT scan (late r12) — the latest snapshot can
+    * ONLY be reconstructed through the v2 checkpoint (UUID-named
+    * parquet manifest, self-identifying `checkpointMetadata`, adds
+    * in `_sidecars/` files) because the fixture pruned the early
+    * commits; the same aggregate + analytic oracle as
+    * [[deltaScan]], so a missed sidecar, a manifest/version
+    * mismatch or a mis-read add row flips counts. */
+  private def deltaCheckpointV2(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = deltaV2CpFixtureRoot(s, dir)
+    graft.operators.DeltaLog.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
   /** Reader-version-3 delta fixture (late r12): lineitem written
     * ONCE, then one DV DELETE commit — every row with
     * l_quantity ≤ 5 masked through REAL deletion vectors (roaring
@@ -11007,6 +11069,7 @@ object Pipeline {
     "delta_dv_scan"     -> deltaDvScan _,
     "delta_column_mapping" -> deltaColumnMapping _,
     "delta_column_mapping_id" -> deltaColumnMappingId _,
+    "delta_checkpoint_v2" -> deltaCheckpointV2 _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
@@ -13470,6 +13533,10 @@ object Pipeline {
     // replay (the later checkpoint must be IGNORED), Iceberg via
     // snapshot-id lookup — both equal plain lineitem
     "delta_time_travel" -> lakehouseTimeTravelOracleSql,
+    // v2 checkpoint: the latest state is reachable ONLY through the
+    // UUID-named manifest + _sidecars files (early commits pruned) —
+    // the final table equals the classic delta_scan story
+    "delta_checkpoint_v2" -> lakehouseScanOracleSql,
     // reader-version-3 features: rows masked by REAL deletion
     // vectors (roaring bitmaps, both storage forms) must equal the
     // analytic survivor set; the column-mapped table must aggregate

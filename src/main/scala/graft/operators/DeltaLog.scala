@@ -44,9 +44,14 @@ import org.apache.spark.sql.types._
   *    physical name too) and COLUMN MAPPING mode "id" (the scan
   *    schema carries `parquet.field.id` metadata from the delta
   *    ids and Spark's field-ID reader resolves columns regardless
-  *    of the files' drifted physical names). v2 checkpoints and
-  *    any unknown feature still reject honestly rather than
-  *    mis-read.
+  *    of the files' drifted physical names) — and since this
+  *    session V2 CHECKPOINTS (UUID-named json/parquet manifests
+  *    whose `checkpointMetadata` must self-identify the version and
+  *    whose file actions arrive inline or through `_sidecars/`
+  *    parquet files) plus classic MULTI-PART checkpoints (complete
+  *    `<v>.checkpoint.<k>.<n>.parquet` sets only — a torn upload
+  *    must not read as a smaller table). Any unknown feature still
+  *    rejects honestly rather than mis-reads.
   *
   * Writing ([[create]] / [[commit]] / [[writeCheckpoint]]): commits
   * render one action per line in the protocol's field order;
@@ -89,11 +94,22 @@ object DeltaLog {
   /** Reader features this implementation actually honours.
     * Anything else in a v3 protocol rejects honestly. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "v2Checkpoint")
 
   private def logDir(table: String) = s"$table/_delta_log"
   private def commitFile(v: Long) = f"$v%020d.json"
   private def checkpointFile(v: Long) = f"$v%020d.checkpoint.parquet"
+  private def multipartFile(v: Long, part: Int, parts: Int) =
+    f"$v%020d.checkpoint.$part%010d.$parts%010d.parquet"
+
+  /** One readable checkpoint: `files` are log-dir file NAMES —
+    * classic single (one parquet), classic multi-part (all N parts,
+    * only listed when the set is COMPLETE), or a v2 manifest
+    * (`<v>.checkpoint.<uuid>.{json|parquet}` whose file actions may
+    * live in `_sidecars/` parquet files). */
+  final case class Checkpoint(version: Long, files: Seq[String],
+      v2: Boolean)
 
   // ---------------------------------------------------------------
   // Hadoop FS helpers (work on any Spark-visible filesystem)
@@ -251,8 +267,13 @@ object DeltaLog {
   // Snapshot reconstruction
   // ---------------------------------------------------------------
 
+  private val MultipartRe =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  private val V2CpRe =
+    """^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)$""".r
+
   private def listLog(spark: SparkSession, table: String)
-      : (Seq[Long], Seq[Long]) = {
+      : (Seq[Long], Seq[Checkpoint]) = {
     val (f, p) = fs(spark, logDir(table))
     if (!f.exists(p)) sys.error(s"not a delta table: $table")
     val names = f.listStatus(p).map(_.getPath.getName).toSeq
@@ -260,39 +281,69 @@ object DeltaLog {
       case n if n.length == 25 && n.endsWith(".json") &&
         n.take(20).forall(_.isDigit) => n.take(20).toLong
     }.sorted
-    val checkpoints = names.collect {
+    val classic = names.collect {
       case n if n.endsWith(".checkpoint.parquet") &&
-        n.take(20).forall(_.isDigit) => n.take(20).toLong
-    }.sorted
-    (commits, checkpoints)
+        n.length == 39 && n.take(20).forall(_.isDigit) =>
+        Checkpoint(n.take(20).toLong, Seq(n), v2 = false)
+    }
+    // multi-part sets surface only when COMPLETE — a torn upload
+    // must not read as a smaller table
+    val multipart = names.collect {
+      case n @ MultipartRe(v, k, of) => (v.toLong, of.toInt,
+        k.toInt, n)
+    }.groupBy(t => (t._1, t._2)).collect {
+      case ((v, of), parts)
+          if parts.map(_._3).sorted == (1 to of) =>
+        Checkpoint(v, parts.sortBy(_._3).map(_._4), v2 = false)
+    }
+    val v2 = names.collect {
+      case n @ V2CpRe(v, _, _) => Checkpoint(v.toLong, Seq(n),
+        v2 = true)
+    }
+    // selection preference at equal version: classic single, then
+    // complete multi-part, then v2 (any complete form is valid per
+    // the protocol; the order only pins determinism)
+    val all = (classic ++ multipart ++ v2)
+      .sortBy(c => (c.version, if (c.v2) 2 else c.files.length.min(2) - 1))
+    (commits, all)
   }
 
-  /** State reconstruction at `versionOpt` (None = latest). */
-  def snapshot(spark: SparkSession, table: String,
-      versionOpt: Option[Long] = None): Snapshot = {
-    val (commits, checkpoints) = listLog(spark, table)
-    require(commits.nonEmpty || checkpoints.nonEmpty,
-      s"empty delta log: $table")
-    val latest = (commits ++ checkpoints).max
-    val version = versionOpt.getOrElse(latest)
-    require(version >= 0 && version <= latest,
-      s"version $version out of range [0,$latest]")
-
-    val cpv = checkpoints.filter(_ <= version) match {
-      case Seq() => None
-      case cs => Some(cs.max)
-    }
+  /** Load one checkpoint's state rows — classic parts are a direct
+    * parquet scan; a v2 manifest contributes protocol/metaData/
+    * checkpointMetadata itself and its file actions come inline or
+    * through `_sidecars/` parquet files. Returns
+    * (protocol, meta, adds in file order). */
+  private def loadCheckpoint(spark: SparkSession, table: String,
+      cp: Checkpoint): (Option[Protocol], Option[Meta], Seq[AddFile]) = {
     var meta: Option[Meta] = None
     var protocol: Option[Protocol] = None
-    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val adds = Seq.newBuilder[AddFile]
+    var cpMetaVersion: Option[Long] = None
+    val sidecars = Seq.newBuilder[String]
 
-    cpv.foreach { v =>
-      val cp = spark.read.parquet(
-        s"${logDir(table)}/${checkpointFile(v)}")
-      val cols = cp.columns.toSet
+    def rowDv(r: Row): Option[DvDescriptor] =
+      if (r.schema.fieldNames.contains("deletionVector"))
+        Option(r.getAs[Row]("deletionVector")).map { d =>
+          DvDescriptor(d.getAs[String]("storageType"),
+            d.getAs[String]("pathOrInlineDv"),
+            Option(d.getAs[java.lang.Integer]("offset")).map(_.toInt),
+            d.getAs[Int]("sizeInBytes"),
+            d.getAs[Long]("cardinality"))
+        }
+      else None
+    def addFromRow(r: Row): AddFile = AddFile(
+      r.getAs[String]("path"),
+      Option(r.getAs[Map[String, String]]("partitionValues"))
+        .getOrElse(Map.empty),
+      r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
+      r.getAs[Boolean]("dataChange"), rowDv(r))
+
+    def scanParquet(paths: Seq[String]): Unit = {
+      val cp0 = spark.read.parquet(paths: _*)
+      val cols = cp0.columns.toSet
       def takeStruct(name: String): Seq[Row] =
         if (cols(name))
-          cp.filter(col(name).isNotNull).select(col(name + ".*"))
+          cp0.filter(col(name).isNotNull).select(col(name + ".*"))
             .collect().toSeq
         else Seq.empty
       takeStruct("protocol").foreach { r =>
@@ -306,7 +357,6 @@ object DeltaLog {
       takeStruct("metaData").foreach { r =>
         meta = Some(Meta(r.getAs[String]("id"),
           r.getAs[String]("schemaString"),
-          // Row arrays surface as mutable.ArraySeq in 2.13
           r.getAs[scala.collection.Seq[String]]("partitionColumns")
             .toSeq,
           if (r.schema.fieldNames.contains("configuration"))
@@ -314,32 +364,97 @@ object DeltaLog {
               .getOrElse(Map.empty)
           else Map.empty))
       }
-      takeStruct("add").foreach { r =>
-        val dv =
-          if (r.schema.fieldNames.contains("deletionVector"))
-            Option(r.getAs[Row]("deletionVector")).map { d =>
-              DvDescriptor(d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                Option(d.getAs[java.lang.Integer]("offset"))
-                  .map(_.toInt),
-                d.getAs[Int]("sizeInBytes"),
-                d.getAs[Long]("cardinality"))
-            }
-          else None
-        val a = AddFile(r.getAs[String]("path"),
-          Option(r.getAs[Map[String, String]]("partitionValues"))
-            .getOrElse(Map.empty),
-          r.getAs[Long]("size"),
-          r.getAs[Long]("modificationTime"),
-          r.getAs[Boolean]("dataChange"),
-          dv)
-        files(a.path) = a
+      takeStruct("checkpointMetadata").foreach { r =>
+        cpMetaVersion = Some(r.getAs[Long]("version"))
       }
+      takeStruct("sidecar").foreach { r =>
+        sidecars += r.getAs[String]("path")
+      }
+      takeStruct("add").foreach(r => adds += addFromRow(r))
       // remove rows in a checkpoint are expired tombstones — they
       // carry no live state; nothing to apply
     }
 
-    val replayFrom = cpv.map(_ + 1).getOrElse(0L)
+    if (cp.v2 && cp.files.head.endsWith(".json")) {
+      // v2 JSON manifest: one action per line
+      val text = readText(spark,
+        s"${logDir(table)}/${cp.files.head}")
+      val lines = JsonMini.parseLines(text).getOrElse(
+        sys.error(s"malformed v2 checkpoint ${cp.files.head}"))
+      val asCommit = parseCommit(text).getOrElse(
+        sys.error(s"malformed v2 checkpoint ${cp.files.head}"))
+      adds ++= asCommit.adds
+      meta = asCommit.meta
+      protocol = asCommit.protocol
+      lines.foreach { a =>
+        val m = JsonMini.obj(a).getOrElse(Map.empty)
+        m.get("checkpointMetadata").flatMap(JsonMini.obj).foreach {
+          cm => cpMetaVersion = JsonMini.long(
+            cm.getOrElse("version", -1L))
+        }
+        m.get("sidecar").flatMap(JsonMini.obj).foreach { sc =>
+          sidecars += JsonMini.str(sc.getOrElse("path",
+            sys.error("sidecar without path"))).getOrElse(
+            sys.error("sidecar path is not a string"))
+        }
+      }
+    } else scanParquet(
+      cp.files.map(n => s"${logDir(table)}/$n"))
+
+    if (cp.v2) {
+      // the manifest must self-identify (a mis-named or truncated
+      // manifest must not read as this version's state)
+      require(cpMetaVersion.contains(cp.version),
+        s"v2 checkpoint ${cp.files.head}: checkpointMetadata " +
+          s"version $cpMetaVersion != ${cp.version}")
+      val scs = sidecars.result()
+      if (scs.nonEmpty) {
+        val paths = scs.map(p =>
+          if (p.contains("/")) p
+          else s"${logDir(table)}/_sidecars/$p")
+        val sc = spark.read.parquet(paths: _*)
+        val cols = sc.columns.toSet
+        require(cols("add"), "v2 sidecars carry no add column")
+        sc.filter(col("add").isNotNull).select(col("add.*"))
+          .collect().foreach(r => adds += addFromRow(r))
+      }
+    }
+    (protocol, meta, adds.result())
+  }
+
+  /** State reconstruction at `versionOpt` (None = latest). */
+  def snapshot(spark: SparkSession, table: String,
+      versionOpt: Option[Long] = None): Snapshot = {
+    val (commits, checkpoints) = listLog(spark, table)
+    require(commits.nonEmpty || checkpoints.nonEmpty,
+      s"empty delta log: $table")
+    val latest = (commits ++ checkpoints.map(_.version)).max
+    val version = versionOpt.getOrElse(latest)
+    require(version >= 0 && version <= latest,
+      s"version $version out of range [0,$latest]")
+
+    // newest complete checkpoint at-or-below the target; at equal
+    // version the listing's preference order picks the form
+    val cpSel = {
+      val cands = checkpoints.filter(_.version <= version)
+      if (cands.isEmpty) None
+      else {
+        val vmax = cands.map(_.version).max
+        cands.find(_.version == vmax) // listing is pref-sorted
+      }
+    }
+    var meta: Option[Meta] = None
+    var protocol: Option[Protocol] = None
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+
+    cpSel.foreach { cp =>
+      val (p0, m0, adds) = loadCheckpoint(spark, table, cp)
+      protocol = p0
+      meta = m0
+      adds.foreach(a => files(a.path) = a)
+    }
+
+    val replayFrom = cpSel.map(_.version + 1).getOrElse(0L)
     val need = (replayFrom to version)
     val have = commits.filter(v => v >= replayFrom && v <= version)
     require(have == need,
@@ -638,70 +753,197 @@ object DeltaLog {
       }
   }
 
+  /** Write `rows` as ONE parquet file at `dst` (tmp dir + rename —
+    * parquet writers emit part files, checkpoint names are exact). */
+  private def writeOneParquet(spark: SparkSession, dst: String,
+      rows: Seq[Row], schema: StructType): Unit = {
+    val tmp = s"$dst.tmp"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val (f, tmpP) = fs(spark, tmp)
+    val part = f.listStatus(tmpP).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("checkpoint write produced no parquet"))
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    if (f.exists(dstP)) f.delete(dstP, false)
+    f.rename(part, dstP)
+    f.delete(tmpP, true)
+  }
+
+  // checkpoint parquet schemas + row builders (shared by the
+  // classic/multi-part/v2 writers)
+  private val dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues",
+      MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("deletionVector", dvType)))
+  private val metaType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration",
+      MapType(StringType, StringType))))
+  private val protoType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType))))
+  private val cpType = StructType(Seq(
+    StructField("protocol", protoType),
+    StructField("metaData", metaType),
+    StructField("add", addType)))
+
+  private def dvRow(dv: Option[DvDescriptor]): Row = dv.map { d =>
+    Row(d.storageType, d.pathOrInlineDv,
+      d.offset.map(Integer.valueOf).orNull,
+      d.sizeInBytes, d.cardinality)
+  }.orNull
+  private def protoRow(p: Protocol): Row =
+    Row(p.minReader, p.minWriter,
+      if (p.readerFeatures.isEmpty) null else p.readerFeatures)
+  private def metaRow(m: Meta): Row =
+    Row(m.id, m.schemaString, m.partitionColumns, m.configuration)
+  private def addRow(a: AddFile): Row =
+    Row(a.path, a.partitionValues, a.size, a.modificationTime,
+      a.dataChange, dvRow(a.deletionVector))
+
   /** Classic single-file checkpoint at `version` + the
     * `_last_checkpoint` pointer. */
   def writeCheckpoint(spark: SparkSession, table: String,
       version: Long): Unit = {
     val snap = snapshot(spark, table, Some(version))
-    val dvType = StructType(Seq(
-      StructField("storageType", StringType),
-      StructField("pathOrInlineDv", StringType),
-      StructField("offset", IntegerType),
-      StructField("sizeInBytes", IntegerType),
-      StructField("cardinality", LongType)))
-    val addType = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues",
-        MapType(StringType, StringType)),
-      StructField("size", LongType),
-      StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType),
-      StructField("deletionVector", dvType)))
-    val metaType = StructType(Seq(
-      StructField("id", StringType),
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration",
-        MapType(StringType, StringType))))
-    val protoType = StructType(Seq(
-      StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType))))
-    val cpType = StructType(Seq(
-      StructField("protocol", protoType),
-      StructField("metaData", metaType),
-      StructField("add", addType)))
-    def dvRow(dv: Option[DvDescriptor]): Row = dv.map { d =>
-      Row(d.storageType, d.pathOrInlineDv,
-        d.offset.map(Integer.valueOf).orNull,
-        d.sizeInBytes, d.cardinality)
-    }.orNull
     val rows =
-      Row(Row(snap.protocol.minReader, snap.protocol.minWriter,
-        if (snap.protocol.readerFeatures.isEmpty) null
-        else snap.protocol.readerFeatures),
-        null, null) +:
-      Row(null, Row(snap.meta.id, snap.meta.schemaString,
-        snap.meta.partitionColumns, snap.meta.configuration),
-        null) +:
-      snap.files.map(a => Row(null, null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime,
-          a.dataChange, dvRow(a.deletionVector))))
-    val tmp = s"${logDir(table)}/.cp_$version.tmp"
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), cpType)
-      .write.mode("overwrite").parquet(tmp)
-    // single part file → the protocol's one-file checkpoint name
-    val (f, tmpP) = fs(spark, tmp)
-    val part = f.listStatus(tmpP).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(sys.error("checkpoint write produced no parquet"))
-    val dst = new org.apache.hadoop.fs.Path(
-      s"${logDir(table)}/${checkpointFile(version)}")
-    if (f.exists(dst)) f.delete(dst, false)
-    f.rename(part, dst)
-    f.delete(tmpP, true)
+      Row(protoRow(snap.protocol), null, null) +:
+      Row(null, metaRow(snap.meta), null) +:
+      snap.files.map(a => Row(null, null, addRow(a)))
+    writeOneParquet(spark,
+      s"${logDir(table)}/${checkpointFile(version)}", rows, cpType)
     writeText(spark, s"${logDir(table)}/_last_checkpoint",
       s"""{"version":$version,"size":${rows.length}}""")
+  }
+
+  /** Classic MULTI-PART checkpoint at `version`
+    * (`<v>.checkpoint.<k>.<n>.parquet`, 1-based parts): protocol +
+    * metaData land in part 1, add actions round-robin across all
+    * parts — the union of the parts is the checkpoint, which is all
+    * the protocol requires. */
+  def writeCheckpointMultipart(spark: SparkSession, table: String,
+      version: Long, parts: Int): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    val snap = snapshot(spark, table, Some(version))
+    val grouped = snap.files.zipWithIndex
+      .groupBy(_._2 % parts).view.mapValues(_.map(_._1)).toMap
+    (1 to parts).foreach { k =>
+      val adds = grouped.getOrElse(k - 1, Seq.empty)
+        .map(a => Row(null, null, addRow(a)))
+      val rows = if (k == 1)
+        Row(protoRow(snap.protocol), null, null) +:
+          Row(null, metaRow(snap.meta), null) +: adds
+      else adds
+      writeOneParquet(spark,
+        s"${logDir(table)}/${multipartFile(version, k, parts)}",
+        rows, cpType)
+    }
+    writeText(spark, s"${logDir(table)}/_last_checkpoint",
+      s"""{"version":$version,"size":${snap.files.length + 2},""" +
+        s""""parts":$parts}""")
+  }
+
+  /** V2 checkpoint at `version` (reader feature `v2Checkpoint`):
+    * a UUID-named manifest (`<v>.checkpoint.<uuid>.parquet`, or
+    * `.json` when `jsonManifest`) holding protocol + metaData + the
+    * self-identifying `checkpointMetadata`, with the add actions
+    * split round-robin into `sidecarParts` parquet files under
+    * `_delta_log/_sidecars/` referenced by `sidecar` actions
+    * (`sidecarParts = 0` inlines the adds in the manifest — legal
+    * for small tables). Requires the table's protocol to already
+    * carry the `v2Checkpoint` reader feature — writing one for a
+    * v1-protocol table would strand readers that trust the
+    * feature list. */
+  def writeCheckpointV2(spark: SparkSession, table: String,
+      version: Long, sidecarParts: Int = 2,
+      jsonManifest: Boolean = false): Unit = {
+    val snap = snapshot(spark, table, Some(version))
+    require(snap.protocol.minReader >= 3 &&
+      snap.protocol.readerFeatures.contains("v2Checkpoint"),
+      "table protocol does not carry the v2Checkpoint feature")
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"v2cp:$table:$version".getBytes("UTF-8"))
+
+    // sidecars first (a manifest must never reference a file that
+    // is not yet durable)
+    val sidecarActions: Seq[(String, Long)] =
+      if (sidecarParts <= 0) Seq.empty
+      else {
+        val grouped = snap.files.zipWithIndex
+          .groupBy(_._2 % sidecarParts).view.mapValues(_.map(_._1))
+          .toMap
+        (0 until sidecarParts).flatMap { k =>
+          val adds = grouped.getOrElse(k, Seq.empty)
+          if (adds.isEmpty && k > 0) None
+          else {
+            val scName = java.util.UUID.nameUUIDFromBytes(
+              s"v2sc:$table:$version:$k".getBytes("UTF-8"))
+              .toString + ".parquet"
+            val dst = s"${logDir(table)}/_sidecars/$scName"
+            writeOneParquet(spark, dst,
+              adds.map(a => Row(addRow(a))),
+              StructType(Seq(StructField("add", addType))))
+            val (f, p) = fs(spark, dst)
+            Some((scName, f.getFileStatus(p).getLen))
+          }
+        }
+      }
+
+    val manifestName =
+      f"$version%020d.checkpoint.$uuid." +
+        (if (jsonManifest) "json" else "parquet")
+    if (jsonManifest) {
+      val lines = Seq(protocolJson(snap.protocol),
+        metaJson(snap.meta),
+        s"""{"checkpointMetadata":{"version":$version}}""") ++
+        sidecarActions.map { case (n, sz) =>
+          s"""{"sidecar":{"path":${q(n)},"sizeInBytes":$sz,""" +
+            s""""modificationTime":0}}""" } ++
+        (if (sidecarParts <= 0) snap.files.map(addJson)
+         else Seq.empty)
+      writeText(spark, s"${logDir(table)}/$manifestName",
+        lines.mkString("", "\n", "\n"))
+    } else {
+      val cpMetaType = StructType(Seq(
+        StructField("version", LongType)))
+      val sidecarType = StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val v2Type = StructType(Seq(
+        StructField("protocol", protoType),
+        StructField("metaData", metaType),
+        StructField("checkpointMetadata", cpMetaType),
+        StructField("sidecar", sidecarType),
+        StructField("add", addType)))
+      val rows =
+        Seq(Row(protoRow(snap.protocol), null, null, null, null),
+          Row(null, metaRow(snap.meta), null, null, null),
+          Row(null, null, Row(version), null, null)) ++
+        sidecarActions.map { case (n, sz) =>
+          Row(null, null, null, Row(n, sz, 0L), null) } ++
+        (if (sidecarParts <= 0)
+           snap.files.map(a => Row(null, null, null, null, addRow(a)))
+         else Seq.empty)
+      writeOneParquet(spark, s"${logDir(table)}/$manifestName",
+        rows, v2Type)
+    }
+    writeText(spark, s"${logDir(table)}/_last_checkpoint",
+      s"""{"version":$version}""")
   }
 }

@@ -271,7 +271,7 @@ class DeltaLogSpec extends AnyFunSuite {
     val adds = DeltaLog.snapshot(spark, t).files
     DeltaLog.commit(spark, t, 1L,
       Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
-        Seq("deletionVectors", "v2Checkpoint")))))
+        Seq("deletionVectors", "typeWidening")))))
     assertThrows[IllegalArgumentException](
       DeltaLog.snapshot(spark, t))
     DeltaLog.commit(spark, t, 2L,
@@ -279,6 +279,105 @@ class DeltaLogSpec extends AnyFunSuite {
         Seq("deletionVectors", "timestampNtz")))))
     assert(DeltaLog.snapshot(spark, t).files.map(_.path).toSet ==
       adds.map(_.path).toSet)
+  }
+
+  test("multi-part checkpoint: union of parts == single; torn " +
+      "part set is invisible") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_mp")
+    DeltaLog.create(spark, seed(40).repartition(5), t)
+    val appDir = s"$t/app"
+    seed(44).filter($"id" >= 40).write.parquet(appDir)
+    val appAdds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("app/"))
+    DeltaLog.commit(spark, t, 1L, appAdds.map(DeltaLog.addJson))
+
+    val single = DeltaLog.snapshot(spark, t)
+    DeltaLog.writeCheckpointMultipart(spark, t, 1L, parts = 3)
+    // commits pruned: only the 3-part checkpoint can supply state
+    (0L to 1L).foreach(v => new java.io.File(
+      s"$t/_delta_log", f"$v%020d.json").delete())
+    val viaMp = DeltaLog.snapshot(spark, t)
+    assert(viaMp.version == 1L)
+    assert(viaMp.files.map(_.path).sorted ==
+      single.files.map(_.path).sorted)
+    assert(viaMp.meta.schemaString == single.meta.schemaString)
+    assert(DeltaLog.read(spark, t).count() == 44)
+
+    // tear the set: with part 2 of 3 gone the checkpoint must stop
+    // existing (NOT read as a smaller table) — and with no commits
+    // left the log is unreadable, which is the honest outcome
+    new java.io.File(s"$t/_delta_log",
+      f"${1L}%020d.checkpoint.${2}%010d.${3}%010d.parquet")
+      .delete()
+    assertThrows[Exception](DeltaLog.snapshot(spark, t))
+  }
+
+  test("v2 checkpoint: parquet manifest + sidecars reconstructs; " +
+      "inline and json forms agree; version mismatch rejects") {
+    val s = spark
+    import s.implicits._
+    def build(tag: String): (String, Long) = {
+      val t = tmpTable(tag)
+      DeltaLog.create(spark, seed(36).repartition(4), t)
+      // protocol upgrade: the table itself must carry the feature
+      val appDir = s"$t/app"
+      seed(40).filter($"id" >= 36).write.parquet(appDir)
+      val appAdds = DeltaLog.listDataFiles(spark, t, Seq.empty)
+        .filter(_.path.startsWith("app/"))
+      DeltaLog.commit(spark, t, 1L,
+        DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
+          Seq("v2Checkpoint"))) +: appAdds.map(DeltaLog.addJson))
+      (t, 40L)
+    }
+
+    // parquet manifest, adds through 2 sidecar files
+    val (t1, n) = build("delta_v2p")
+    val want = DeltaLog.snapshot(spark, t1).files.map(_.path).sorted
+    DeltaLog.writeCheckpointV2(spark, t1, 1L, sidecarParts = 2)
+    (0L to 1L).foreach(v => new java.io.File(
+      s"$t1/_delta_log", f"$v%020d.json").delete())
+    assert(new java.io.File(s"$t1/_delta_log/_sidecars")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 2)
+    val snap1 = DeltaLog.snapshot(spark, t1)
+    assert(snap1.files.map(_.path).sorted == want)
+    assert(DeltaLog.read(spark, t1).count() == n)
+
+    // json manifest with inline adds (no sidecars)
+    val (t2, n2) = build("delta_v2j")
+    val want2 = DeltaLog.snapshot(spark, t2).files.map(_.path).sorted
+    DeltaLog.writeCheckpointV2(spark, t2, 1L, sidecarParts = 0,
+      jsonManifest = true)
+    (0L to 1L).foreach(v => new java.io.File(
+      s"$t2/_delta_log", f"$v%020d.json").delete())
+    assert(DeltaLog.snapshot(spark, t2).files.map(_.path).sorted
+      == want2)
+    assert(DeltaLog.read(spark, t2).count() == n2)
+
+    // a manifest whose checkpointMetadata names the WRONG version
+    // must reject (mis-named manifests must not read as state)
+    val (t3, _) = build("delta_v2bad")
+    DeltaLog.writeCheckpointV2(spark, t3, 1L, sidecarParts = 0,
+      jsonManifest = true)
+    val mf = new java.io.File(s"$t3/_delta_log").listFiles()
+      .find(f => f.getName.contains(".checkpoint.") &&
+        f.getName.endsWith(".json")).get
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath, txt.replace(
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"checkpointMetadata":{"version":7}}""").getBytes("UTF-8"))
+    (0L to 1L).foreach(v => new java.io.File(
+      s"$t3/_delta_log", f"$v%020d.json").delete())
+    assertThrows[Exception](DeltaLog.snapshot(spark, t3))
+
+    // writing a v2 checkpoint for a table without the feature
+    // refuses (readers trusting the feature list would be stranded)
+    val t4 = tmpTable("delta_v2nofeat")
+    DeltaLog.create(spark, seed(5), t4)
+    assertThrows[IllegalArgumentException](
+      DeltaLog.writeCheckpointV2(spark, t4, 0L))
   }
 
   test("torn log and unsupported protocol reject") {
