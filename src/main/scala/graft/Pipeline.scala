@@ -8050,7 +8050,10 @@ object Pipeline {
     * data: the embedding matrix externalized to a side blob with
     * offset/length entries, resolved by the reader's location →
     * bytes function — so every wire form a reader must accept
-    * stays live in the gate. Facts from DECODED initializers + the
+    * stays live in the gate. A float8 FNUZ twin of the embedding
+    * (E4M3FNUZ/E5M2FNUZ rotating by shard) decodes through the
+    * closed-form converters and is held to its half-step error
+    * bound in-flight. Facts from DECODED initializers + the
     * graph structure. */
   private def onnxParse(s: SparkSession, dir: String): DataFrame = {
     val spark = s
@@ -8075,13 +8078,30 @@ object Pipeline {
         val labBuf = java.nio.ByteBuffer.allocate(n * 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         vecs.foreach(v => labBuf.putInt(v._4))
+        // FNUZ float8 twin (late r12): the embedding quantized to
+        // FLOAT8E4M3FNUZ(18) / FLOAT8E5M2FNUZ(20) rotating by shard
+        // — held to its closed-form error bound at decode
+        val f8Type = if (sid % 2 == 0) 18 else 20
+        val f8 = new Array[Byte](n * dim)
+        locally {
+          var z = 0
+          vecs.foreach(_._3.foreach { x =>
+            f8(z) =
+              if (f8Type == 18)
+                graft.operators.Safetensors.floatToF8E4M3Fnuz(x)
+              else graft.operators.Safetensors.floatToF8E5M2Fnuz(x)
+            z += 1
+          })
+        }
         val m = OModel(8L, "graft", Seq(("", 17L)), s"shard$sid",
           Seq(ONode("mm", "MatMul", Seq("x", "emb"), Seq("h")),
             ONode("act", "Relu", Seq("h"), Seq("y"))),
           Seq(OTensor("emb", Seq(n.toLong, dim.toLong), 1,
             embBuf.array()),
             OTensor("vec_id", Seq(n.toLong), 7, idBuf.array()),
-            OTensor("label", Seq(n.toLong), 6, labBuf.array())),
+            OTensor("label", Seq(n.toLong), 6, labBuf.array()),
+            OTensor("emb_f8", Seq(n.toLong, dim.toLong), f8Type,
+              f8)),
           Seq("x"), Seq("y"))
         sid % 3 match {
           case 2 => // external: emb's bytes live in a side blob
@@ -8110,6 +8130,33 @@ object Pipeline {
           lab.dataType == 6 && emb.dims.length == 2)
         val n = emb.dims.head.toInt
         val dim = emb.dims(1).toInt
+        // FNUZ twin: decode every lane through the closed-form
+        // converter and hold it to the format's half-step bound
+        // (normal: half a mantissa step of the binade; subnormal
+        // plane: half the subnormal step) — a wrong bias, NaN
+        // plane or rounding slip breaks the run in-flight
+        val f8t = byName("emb_f8")
+        val wantF8 = if (sid % 2 == 0) 18 else 20
+        require(f8t.dataType == wantF8 && f8t.dims == emb.dims,
+          s"shard $sid: f8 twin type ${f8t.dataType}")
+        val f8tag = if (wantF8 == 18) "E4M3FNUZ" else "E5M2FNUZ"
+        locally {
+          var k = 0
+          val total = n * dim
+          while (k < total) {
+            val x = f32At(emb, k)
+            val dq =
+              if (wantF8 == 18) f8e4m3fnuzAt(f8t, k)
+              else f8e5m2fnuzAt(f8t, k)
+            val bound =
+              if (wantF8 == 18) math.abs(x) / 16f + math.pow(2, -11)
+              else math.abs(x) / 8f + math.pow(2, -18)
+            require(math.abs(dq - x) <= bound + 1e-9,
+              s"$f8tag bound broken at shard $sid lane $k: " +
+                s"$x -> $dq")
+            k += 1
+          }
+        }
         (0 until n).map { i =>
           var q = 0L
           var j = 0
@@ -8117,10 +8164,11 @@ object Pipeline {
             q += math.round(f32At(emb, i * dim + j).toDouble * 1000)
             j += 1
           }
-          (i64At(ids, i), sid, dim, q, i32At(lab, i), ops)
+          (i64At(ids, i), sid, dim, q, i32At(lab, i), ops, f8tag)
         }
       }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "ops")
+      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "ops",
+        "f8tag")
       .orderBy("vec_id")
   }
 
@@ -13456,7 +13504,9 @@ object Pipeline {
         |SELECT vec_id, vec_id // 8 AS shard_id,
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  CAST(label AS INT) AS label,
-        |  'MatMul,Relu' AS ops
+        |  'MatMul,Relu' AS ops,
+        |  CASE WHEN (vec_id // 8) % 2 = 0 THEN 'E4M3FNUZ'
+        |    ELSE 'E5M2FNUZ' END AS f8tag
         |FROM q ORDER BY vec_id""".stripMargin,
     // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
     // rotating by shard id; order flags surface from the PARSED

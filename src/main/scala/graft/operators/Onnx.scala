@@ -27,12 +27,13 @@ package graft.operators
   *
   * Supported tensor element types: FLOAT(1), UINT8(2), INT8(3),
   * INT32(6), INT64(7), BOOL(9), FLOAT16(10), DOUBLE(11),
-  * BFLOAT16(16), FLOAT8E4M3FN(17), FLOAT8E5M2(19) — F16/BF16
-  * through the shared closed-form half-float arithmetic and the F8
-  * pair through [[Safetensors.f8e4m3ToFloat]]/[[Safetensors
-  * .f8e5m2ToFloat]] (closed form, no table). Anything else —
-  * including the FNUZ float8 variants (18/20), which real
-  * exporters do not emit — rejects honestly.
+  * BFLOAT16(16), FLOAT8E4M3FN(17), FLOAT8E4M3FNUZ(18),
+  * FLOAT8E5M2(19), FLOAT8E5M2FNUZ(20) — F16/BF16 through the
+  * shared closed-form half-float arithmetic and all four F8 lanes
+  * through the [[Safetensors]] closed forms (the FNUZ pair — the
+  * AMD/ROCm convention, bias +1, NaN only at 0x80, no inf/−0 —
+  * exhaustively pinned over all 256 patterns, both directions).
+  * Anything else rejects honestly.
   * EXTERNAL-data tensors (data_location = 1, the layout every
   * model over 2 GiB uses) resolve through a caller-supplied
   * `location → bytes` function honouring the external_data
@@ -50,7 +51,7 @@ object Onnx {
   /** data_type → bytes per element (the supported set). */
   val ItemSize: Map[Int, Int] = Map(
     1 -> 4, 2 -> 1, 3 -> 1, 6 -> 4, 7 -> 8, 9 -> 1, 10 -> 2,
-    11 -> 8, 16 -> 2, 17 -> 1, 19 -> 1)
+    11 -> 8, 16 -> 2, 17 -> 1, 18 -> 1, 19 -> 1, 20 -> 1)
 
   /** One initializer: dims, ONNX data_type id, and the payload
     * normalized to little-endian raw bytes. */
@@ -474,5 +475,13 @@ object Onnx {
   def f8e5m2At(t: OTensor, i: Int): Float = {
     require(t.dataType == 19)
     Safetensors.f8e5m2ToFloat(t.data(i) & 0xff)
+  }
+  def f8e4m3fnuzAt(t: OTensor, i: Int): Float = {
+    require(t.dataType == 18)
+    Safetensors.f8e4m3fnuzToFloat(t.data(i) & 0xff)
+  }
+  def f8e5m2fnuzAt(t: OTensor, i: Int): Float = {
+    require(t.dataType == 20)
+    Safetensors.f8e5m2fnuzToFloat(t.data(i) & 0xff)
   }
 }

@@ -281,6 +281,73 @@ object Safetensors {
     else (sign | ((e + 15) << 2) | (m & 0x03)).toByte
   }
 
+  /** E4M3FNUZ bits → Float (ONNX data_type 18; the AMD/ROCm float8
+    * convention). 1-4-3 with bias 8 — one more than FN, buying an
+    * extra low binade; NO infinities and NaN ONLY at 0x80 (the
+    * would-be −0 pattern), so there is no negative zero. Max finite
+    * = 1.875·2^7 = 240. Subnormals: f/8 · 2^-7. Closed form. */
+  def f8e4m3fnuzToFloat(b: Int): Float = {
+    if (b == 0x80) return Float.NaN
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val e = (b >>> 3) & 0x0f
+    val f = b & 0x07
+    if (e == 0) sign * f / 8f * java.lang.Math.scalb(1f, -7)
+    else sign * (1f + f / 8f) * java.lang.Math.scalb(1f, e - 8)
+  }
+
+  /** E5M2FNUZ bits → Float (ONNX data_type 20). 1-5-2 with bias 16;
+    * NaN only at 0x80, no infinities, no −0. Max finite =
+    * 1.75·2^15 = 57344. Subnormals: f/4 · 2^-15. */
+  def f8e5m2fnuzToFloat(b: Int): Float = {
+    if (b == 0x80) return Float.NaN
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val e = (b >>> 2) & 0x1f
+    val f = b & 0x03
+    if (e == 0) sign * f / 4f * java.lang.Math.scalb(1f, -15)
+    else sign * (1f + f / 4f) * java.lang.Math.scalb(1f, e - 16)
+  }
+
+  /** Float → E4M3FNUZ bits, round-to-nearest-even; the FNUZ
+    * convention saturates overflow to ±240 (no inf exists), maps
+    * NaN to 0x80 and BOTH zeros to +0 (there is no −0 pattern —
+    * it means NaN). */
+  def floatToF8E4M3Fnuz(x: Float): Byte = {
+    if (x.isNaN) return 0x80.toByte
+    val sign = if (x < 0f) 0x80 else 0 // −0 folds to +0 by design
+    val a = math.abs(x)
+    if (a > 240f || a.isInfinite)
+      return (sign | 0x7f).toByte // saturate to max finite
+    if (a == 0f) return 0x00.toByte
+    var e = math.getExponent(a)
+    if (e < -7) e = -7 // subnormal plane
+    val scaled = a / java.lang.Math.scalb(1f, e) * 8f
+    var m = math.rint(scaled).toInt // ties-to-even
+    if (m >= 16) { m = 8; e += 1 } // mantissa carry
+    if (m == 0) return 0x00.toByte // rounded to zero: +0 always
+    if (e > 7 || (e == 7 && m > 15)) (sign | 0x7f).toByte
+    else if (m < 8) (sign | (m & 0x07)).toByte // stayed subnormal
+    else (sign | ((e + 8) << 3) | (m & 0x07)).toByte
+  }
+
+  /** Float → E5M2FNUZ bits, round-to-nearest-even; overflow
+    * saturates to ±57344, NaN → 0x80, both zeros → +0. */
+  def floatToF8E5M2Fnuz(x: Float): Byte = {
+    if (x.isNaN) return 0x80.toByte
+    val sign = if (x < 0f) 0x80 else 0
+    val a = math.abs(x)
+    if (a > 57344f || a.isInfinite) return (sign | 0x7f).toByte
+    if (a == 0f) return 0x00.toByte
+    var e = math.getExponent(a)
+    if (e < -15) e = -15
+    val scaled = a / java.lang.Math.scalb(1f, e) * 4f
+    var m = math.rint(scaled).toInt
+    if (m >= 8) { m = 4; e += 1 }
+    if (m == 0) return 0x00.toByte
+    if (e > 15 || (e == 15 && m > 7)) (sign | 0x7f).toByte
+    else if (m < 4) (sign | (m & 0x03)).toByte
+    else (sign | ((e + 16) << 2) | (m & 0x03)).toByte
+  }
+
   def halfToFloat(h: Int): Float = {
     val sign = (h >>> 15) & 1
     val exp = (h >>> 10) & 0x1f

@@ -96,36 +96,48 @@ class OnnxSpec extends AnyFunSuite {
     assert(bf16At(got.initializers(1), 1) == -2.0f)
   }
 
-  test("F8 initializers decode; FNUZ variants reject honestly") {
+  test("F8 initializers decode — FN/E5M2 and both FNUZ variants") {
     // E4M3-FN 0x38 = 1.0, 0xc0 = -2.0; E5M2 0x3c = 1.0, 0x44 = 4.0
     val m = OModel(8L, "g", Seq(("", 17L)), "g",
       Seq.empty,
       Seq(OTensor("a", Seq(2L), 17,
           Array(0x38, 0xc0).map(_.toByte)),
         OTensor("b", Seq(2L), 19,
-          Array(0x3c, 0x44).map(_.toByte))),
+          Array(0x3c, 0x44).map(_.toByte)),
+        // FNUZ bias is ONE MORE than the IEEE-ish pair: 1.0 sits at
+        // 0x40 (not 0x38/0x3c) in both, and 0x80 is NaN, not −0
+        OTensor("c", Seq(4L), 18,
+          Array(0x40, 0xc8, 0x7f, 0x80).map(_.toByte)),
+        OTensor("d", Seq(3L), 20,
+          Array(0x40, 0x48, 0x7f).map(_.toByte))),
       Seq.empty, Seq.empty)
     val got = parseModel(buildModel(m)).get
     assert(f8e4m3At(got.initializers(0), 0) == 1f)
     assert(f8e4m3At(got.initializers(0), 1) == -2f)
     assert(f8e5m2At(got.initializers(1), 0) == 1f)
     assert(f8e5m2At(got.initializers(1), 1) == 4f)
-    // FLOAT8E4M3FNUZ (18) has a different bias/NaN plane — reject
+    assert(f8e4m3fnuzAt(got.initializers(2), 0) == 1f)
+    assert(f8e4m3fnuzAt(got.initializers(2), 1) == -2f)
+    assert(f8e4m3fnuzAt(got.initializers(2), 2) == 240f) // max
+    assert(f8e4m3fnuzAt(got.initializers(2), 3).isNaN)
+    assert(f8e5m2fnuzAt(got.initializers(3), 0) == 1f)
+    assert(f8e5m2fnuzAt(got.initializers(3), 1) == 4f)
+    assert(f8e5m2fnuzAt(got.initializers(3), 2) == 57344f)
+    // an actually-unknown element type still rejects (FLOAT4E2M1=23)
     val bytes = buildModel(OModel(8L, "g", Seq.empty, "g",
       Seq.empty,
       Seq(OTensor("a", Seq(1L), 17, Array(0x38.toByte))),
       Seq.empty, Seq.empty))
-    // patch the data_type varint 17 → 18 (single-byte varint)
     var i = 0
-    var patched: Array[Byte] = null
-    while (patched == null && i < bytes.length) {
+    var sawReject = false
+    while (!sawReject && i < bytes.length) {
       if (bytes(i) == 17) {
-        val c = bytes.clone(); c(i) = 18
-        if (parseModel(c).isEmpty) patched = c
+        val c = bytes.clone(); c(i) = 23
+        if (parseModel(c).isEmpty) sawReject = true
       }
       i += 1
     }
-    assert(patched != null)
+    assert(sawReject)
   }
 
   test("external-data tensors resolve through the caller; no " +

@@ -142,6 +142,43 @@ class SafetensorsSpec extends AnyFunSuite {
         assert((floatToF8E5M2(y) & 0xff) == b, f"e5m2 rt $b%02x")
       }
     }
+    (0 until 256).foreach { b =>
+      // FNUZ pair (ONNX 18/20): NaN ONLY at 0x80, no inf, no −0,
+      // bias one more than the IEEE-ish pair
+      val z3 = f8e4m3fnuzToFloat(b)
+      if (b == 0x80) assert(z3.isNaN, f"e4m3fnuz $b%02x")
+      else {
+        assert(z3.toDouble == ref(b, 4, 3, 8), f"e4m3fnuz $b%02x")
+        assert((floatToF8E4M3Fnuz(z3) & 0xff) == b,
+          f"e4m3fnuz rt $b%02x")
+      }
+      val z5 = f8e5m2fnuzToFloat(b)
+      if (b == 0x80) assert(z5.isNaN, f"e5m2fnuz $b%02x")
+      else {
+        assert(z5.toDouble == ref(b, 5, 2, 16), f"e5m2fnuz $b%02x")
+        assert((floatToF8E5M2Fnuz(z5) & 0xff) == b,
+          f"e5m2fnuz rt $b%02x")
+      }
+    }
+    // FNUZ landmarks + conventions: 1.0 at 0x40, saturating
+    // overflow (no inf to overflow into), NaN → 0x80, −0 folds to +0
+    assert(f8e4m3fnuzToFloat(0x40) == 1f)
+    assert(f8e4m3fnuzToFloat(0x7f) == 240f)    // max finite
+    assert(f8e4m3fnuzToFloat(0x01) == math.pow(2, -10).toFloat)
+    assert(f8e5m2fnuzToFloat(0x40) == 1f)
+    assert(f8e5m2fnuzToFloat(0x7f) == 57344f)
+    assert(f8e5m2fnuzToFloat(0x01) == math.pow(2, -17).toFloat)
+    assert((floatToF8E4M3Fnuz(1e10f) & 0xff) == 0x7f)
+    assert((floatToF8E4M3Fnuz(-1e10f) & 0xff) == 0xff)
+    assert((floatToF8E5M2Fnuz(Float.PositiveInfinity) & 0xff)
+      == 0x7f)
+    assert(floatToF8E4M3Fnuz(Float.NaN) == 0x80.toByte)
+    assert(floatToF8E5M2Fnuz(Float.NaN) == 0x80.toByte)
+    assert(floatToF8E4M3Fnuz(-0f) == 0x00.toByte)
+    assert(floatToF8E5M2Fnuz(-0f) == 0x00.toByte)
+    // a negative value rounding to zero must come back +0, never
+    // 0x80 (which would be NaN)
+    assert(floatToF8E4M3Fnuz(-1e-20f) == 0x00.toByte)
     // landmark values
     assert(f8e4m3ToFloat(0x38) == 1f)
     assert(f8e4m3ToFloat(0x7e) == 448f)        // max finite
