@@ -6989,12 +6989,15 @@ object Pipeline {
   }
 
   /** Structured `.npy` record arrays (late r12, operators/Npy):
-    * per 16-doc chunk one PACKED recarray with five fields across
-    * every kind the parser supports — i8, u4 (unsigned read-back
-    * pinned), f8, S (latin-1 bytes) and U (UCS-4 text) — built by
-    * OUR writer, parsed by [[Npy.parseStructured]], every fact from
-    * DECODED field lanes. A wrong field offset, width or string
-    * strip flips values; the oracle recomputes from documents. */
+    * per 16-doc chunk one PACKED recarray with fields across every
+    * kind the parser supports — i8, u4 (unsigned read-back
+    * pinned), f8, S (latin-1 bytes), U (UCS-4 text), PLUS a
+    * sub-array field (`u4[3]`, C-ordered lanes inside the record)
+    * and a NESTED record group (`rng{lo i4, hi i4}`, flattened to
+    * dot names) — built by OUR writer, parsed by
+    * [[Npy.parseStructured]], every fact from DECODED field lanes.
+    * A wrong field offset, width, sub-array stride or string strip
+    * flips values; the oracle recomputes from documents. */
   private def npyStructured(s: SparkSession, dir: String)
       : DataFrame = {
     val spark = s
@@ -7005,9 +7008,14 @@ object Pipeline {
       .groupByKey(_._1)
       .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
         val docs = it.toSeq.sortBy(_._2)
-        val fields = Seq(("doc_id", "<i8"), ("text_len", "<u4"),
-          ("score", "<f8"), ("tag", "|S6"), ("mark", "<U4"))
-        val itemSize = 8 + 4 + 8 + 6 + 16
+        val spec = Seq(
+          Npy.FLeaf("doc_id", "<i8"), Npy.FLeaf("text_len", "<u4"),
+          Npy.FLeaf("score", "<f8"), Npy.FLeaf("tag", "|S6"),
+          Npy.FLeaf("mark", "<U4"),
+          Npy.FLeaf("tl3", "<u4", Seq(3)),
+          Npy.FGroup("rng", Seq(Npy.FLeaf("lo", "<i4"),
+            Npy.FLeaf("hi", "<i4"))))
+        val itemSize = 8 + 4 + 8 + 6 + 16 + 12 + 8
         val buf = java.nio.ByteBuffer
           .allocate(docs.length * itemSize)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -7021,25 +7029,39 @@ object Pipeline {
           val mark = s"m${id % 7}"
           mark.foreach(c => buf.putInt(c.toInt))
           (mark.length until 4).foreach(_ => buf.putInt(0))
+          // tl3: the u4[3] sub-array lanes
+          buf.putInt(t.length)
+          buf.putInt(t.length * 2)
+          buf.putInt(t.length % 7)
+          // rng: the nested group
+          buf.putInt((id % 11).toInt)
+          buf.putInt((id % 13).toInt)
         }
-        (cid, Npy.buildStructured(fields, Seq(docs.length),
+        (cid, Npy.buildStructuredTree(spec, Seq(docs.length),
           buf.array()))
       }
       .flatMap { case (cid, npy) =>
         val rec = Npy.parseStructured(npy).getOrElse(
           sys.error(s"structured npy rejected chunk $cid"))
         require(rec.fields.map(_.name) ==
-          Seq("doc_id", "text_len", "score", "tag", "mark"))
+          Seq("doc_id", "text_len", "score", "tag", "mark",
+            "tl3", "rng.lo", "rng.hi"))
         val f = rec.fields.map(x => x.name -> x).toMap
+        require(f("tl3").count == 3 && f("tl3").subShape == Seq(3))
         (0 until rec.elems).map { i =>
           (rec.longAt(f("doc_id"), i),
             rec.longAt(f("text_len"), i),
             rec.doubleAt(f("score"), i),
             rec.stringAt(f("tag"), i),
-            rec.stringAt(f("mark"), i))
+            rec.stringAt(f("mark"), i),
+            rec.longAt(f("tl3"), i, 1),
+            rec.longAt(f("tl3"), i, 2),
+            rec.longAt(f("rng.lo"), i),
+            rec.longAt(f("rng.hi"), i))
         }
       }
-      .toDF("doc_id", "text_len", "score", "tag", "mark")
+      .toDF("doc_id", "text_len", "score", "tag", "mark",
+        "len2", "len_mod7", "rng_lo", "rng_hi")
       .orderBy("doc_id")
   }
 
@@ -13520,7 +13542,11 @@ object Pipeline {
         |SELECT doc_id, strlen(text) AS text_len,
         |  strlen(text) * 0.25 AS score,
         |  't' || (doc_id % 100) AS tag,
-        |  'm' || (doc_id % 7) AS mark
+        |  'm' || (doc_id % 7) AS mark,
+        |  strlen(text) * 2 AS len2,
+        |  strlen(text) % 7 AS len_mod7,
+        |  doc_id % 11 AS rng_lo,
+        |  doc_id % 13 AS rng_hi
         |FROM d ORDER BY doc_id""".stripMargin,
     "npy_parse" ->
       """WITH q AS (

@@ -315,10 +315,16 @@ object Npy {
   // ---------------------------------------------------------------
 
   /** One record field: kind ∈ i/u/f/b (numeric), S (bytes),
-    * U (UCS-4 text); `size` is the field's byte width (U counts
-    * 4 bytes per character), `offset` its packed position. */
+    * U (UCS-4 text); `size` is the byte width of ONE element (U
+    * counts 4 bytes per character), `offset` its packed position.
+    * Sub-array fields (`('a', '<f4', (3, 2))`) carry `subShape`
+    * and `count` = its product — `count` C-ordered elements of
+    * `size` bytes each, so the field spans `size * count` bytes.
+    * Fields from NESTED records surface flattened with
+    * dot-joined names (`pos.x`). */
   final case class Field(name: String, kind: Char, size: Int,
-      big: Boolean, offset: Int)
+      big: Boolean, offset: Int, count: Int = 1,
+      subShape: Seq[Int] = Seq.empty)
 
   /** A parsed record array (C order only — numpy recarrays are
     * row-major in practice and a fortran structured array would
@@ -326,13 +332,18 @@ object Npy {
   final case class Rec(fields: Seq[Field], itemSize: Int,
       shape: Seq[Int], data: Array[Byte]) {
     def elems: Int = shape.product
-    private def base(f: Field, i: Int): Int =
-      i * itemSize + f.offset
+    private def base(f: Field, i: Int, j: Int): Int = {
+      require(j >= 0 && j < f.count,
+        s"sub-element $j out of [0,${f.count}) for ${f.name}")
+      i * itemSize + f.offset + j * f.size
+    }
     private def order(f: Field) =
       if (f.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-    def longAt(f: Field, i: Int): Long = {
+    def longAt(f: Field, i: Int): Long = longAt(f, i, 0)
+    /** record i, flat (C-order) sub-array element j. */
+    def longAt(f: Field, i: Int, j: Int): Long = {
       require("iub".contains(f.kind), s"longAt on ${f.kind}")
-      val bb = ByteBuffer.wrap(data, base(f, i), f.size)
+      val bb = ByteBuffer.wrap(data, base(f, i, j), f.size)
         .order(order(f))
       val raw = f.size match {
         case 1 => bb.get().toLong
@@ -344,18 +355,20 @@ object Npy {
         raw & ((1L << (8 * f.size)) - 1)
       else raw
     }
-    def doubleAt(f: Field, i: Int): Double = {
+    def doubleAt(f: Field, i: Int): Double = doubleAt(f, i, 0)
+    def doubleAt(f: Field, i: Int, j: Int): Double = {
       require(f.kind == 'f', s"doubleAt on ${f.kind}")
-      val bb = ByteBuffer.wrap(data, base(f, i), f.size)
+      val bb = ByteBuffer.wrap(data, base(f, i, j), f.size)
         .order(order(f))
       if (f.size == 4) bb.getFloat().toDouble else bb.getDouble()
     }
     /** S fields as Latin-1, U fields as UCS-4, trailing NULs
       * stripped (numpy's convention). */
-    def stringAt(f: Field, i: Int): String = {
+    def stringAt(f: Field, i: Int): String = stringAt(f, i, 0)
+    def stringAt(f: Field, i: Int, j: Int): String = {
       require(f.kind == 'S' || f.kind == 'U',
         s"stringAt on ${f.kind}")
-      val b = base(f, i)
+      val b = base(f, i, j)
       if (f.kind == 'S') {
         var n = f.size
         while (n > 0 && data(b + n - 1) == 0) n -= 1
@@ -399,11 +412,12 @@ object Npy {
     }
   }
 
-  /** Parse a structured `.npy` (descr as a list of (name, format)
-    * tuples — the PACKED layout numpy emits for align=False
-    * dtypes; the dict form with explicit offsets, sub-array
-    * shapes, nesting, fortran order and object fields all reject
-    * honestly). */
+  /** Parse a structured `.npy`: the PACKED list form — including
+    * SUB-ARRAY fields (`('a', '<f4', (3, 2))`, count C-ordered
+    * elements inside the record) and NESTED records (flattened to
+    * dot-joined field names, depth ≤ 4) — and the aligned
+    * dict-with-offsets form (scalar fields). Fortran order,
+    * object fields and sub-arrays OF records reject honestly. */
   def parseStructured(bytes: Array[Byte]): Option[Rec] = {
     val (header, hoff, hlen) = rawHeader(bytes).getOrElse(
       return None)
@@ -415,21 +429,21 @@ object Npy {
     }
     if (fortran) return None
     if (sd.fields.isEmpty) return None
-    val parsedFmts = sd.fields.map { case (name, fmt) =>
-      (name, fieldFormat(fmt).getOrElse(return None))
-    }
     val (fields, itemSize) = sd.layout match {
       case None => // packed (list form): offsets are implicit
-        var off = 0
-        val fs = parsedFmts.map { case (name, (kind, size, big)) =>
-          val f = Field(name, kind, size, big, off)
-          off += size
-          f
-        }
-        (fs, off)
+        flattenFields(sd.fields, "", 0).getOrElse(return None)
       case Some((offs, isz)) => // aligned dict form: explicit
-        val fs = parsedFmts.zip(offs).map {
-          case ((name, (kind, size, big)), o) =>
+        // scalar leaves only (numpy renders sub-array formats in
+        // the dict form as tuples, which the formats list parser
+        // already rejects)
+        val leaves = sd.fields.map {
+          case RawLeaf(n, f, Seq()) => (n, f)
+          case _ => return None
+        }
+        val fs = leaves.zip(offs).map {
+          case ((name, fmt), o) =>
+            val (kind, size, big) = fieldFormat(fmt).getOrElse(
+              return None)
             if (o < 0 || o + size > isz) return None
             Field(name, kind, size, big, o)
         }
@@ -456,20 +470,48 @@ object Npy {
         bytes.length)))
   }
 
+  /** Builder-side descr tree: a leaf format (optionally with a
+    * sub-array shape) or a nested record group. */
+  sealed trait FSpec { def name: String }
+  final case class FLeaf(name: String, fmt: String,
+      sub: Seq[Int] = Seq.empty) extends FSpec
+  final case class FGroup(name: String, children: Seq[FSpec])
+      extends FSpec
+
   /** Render + write a structured `.npy` (v1 header, packed
     * fields). `data` must already be packed in field order. */
   def buildStructured(fields: Seq[(String, String)],
-      shape: Seq[Int], data: Array[Byte]): Array[Byte] = {
-    val parsed = fields.map { case (n, fmt) =>
-      (n, fieldFormat(fmt).getOrElse(
-        sys.error(s"field format $fmt")))
+      shape: Seq[Int], data: Array[Byte]): Array[Byte] =
+    buildStructuredTree(
+      fields.map { case (n, f) => FLeaf(n, f) }, shape, data)
+
+  /** [[buildStructured]] over a full descr TREE: sub-array leaves
+    * render as 3-tuples (`('a', '<f4', (3,))` — numpy's form) and
+    * groups as nested lists. The rendered descr is re-parsed by
+    * [[parseFieldList]] via the same flattening the reader uses,
+    * which is both the itemsize computation and a self-check. */
+  def buildStructuredTree(fields: Seq[FSpec], shape: Seq[Int],
+      data: Array[Byte]): Array[Byte] = {
+    def toRaw(f: FSpec): RawF = f match {
+      case FLeaf(n, fmt, sub) => RawLeaf(n, fmt, sub)
+      case FGroup(n, cs) => RawGroup(n, cs.map(toRaw))
     }
-    val itemSize = parsed.map(_._2._2).sum
+    val (_, itemSize) = flattenFields(fields.map(toRaw), "", 0)
+      .getOrElse(sys.error("unsupported structured descr"))
     val elems = shape.foldLeft(1L)(_ * _.toLong)
     require(data.length.toLong == elems * itemSize,
       s"${data.length} bytes for $elems records of $itemSize")
-    val descr = fields.map { case (n, fmt) =>
-      s"('$n', '$fmt')" }.mkString("[", ", ", "]")
+    def render(f: FSpec): String = f match {
+      case FLeaf(n, fmt, Seq()) => s"('$n', '$fmt')"
+      case FLeaf(n, fmt, sub) =>
+        val sh =
+          if (sub.length == 1) s"(${sub.head},)"
+          else sub.mkString("(", ", ", ")")
+        s"('$n', '$fmt', $sh)"
+      case FGroup(n, cs) =>
+        s"('$n', ${cs.map(render).mkString("[", ", ", "]")})"
+    }
+    val descr = fields.map(render).mkString("[", ", ", "]")
     val shapeTxt = shape match {
       case Seq() => "()"
       case Seq(d) => s"($d,)"
@@ -526,8 +568,16 @@ object Npy {
   /** A structured descr: fields in order, plus explicit offsets +
     * itemsize when the ALIGNED dict form was used (None = packed,
     * offsets implicit). */
+  /** One node of a structured descr: a leaf format (optionally
+    * with a sub-array shape) or a nested record. */
+  private[operators] sealed trait RawF { def name: String }
+  private[operators] final case class RawLeaf(name: String,
+      fmt: String, sub: Seq[Int]) extends RawF
+  private[operators] final case class RawGroup(name: String,
+      children: Seq[RawF]) extends RawF
+
   private[operators] final case class StructDescr(
-      fields: Seq[(String, String)],
+      fields: Seq[RawF],
       layout: Option[(Seq[Int], Int)])
 
   /** [[parseDict]] with the descr side split: Left(plain dtype
@@ -570,49 +620,145 @@ object Npy {
     }
     if (lEnd < 0) return None
     val listTxt = s.substring(lStart, lEnd + 1)
-    // parse the tuples
-    val fields = Seq.newBuilder[(String, String)]
-    var t = 1
-    def ws(): Unit =
-      while (t < listTxt.length && listTxt(t) == ' ') t += 1
-    def sep(): Unit = { // between tuples: optional comma
-      ws()
-      if (t < listTxt.length && listTxt(t) == ',') { t += 1; ws() }
-    }
-    while ({ sep(); t < listTxt.length && listTxt(t) == '(' }) {
-      t += 1
-      def quoted(): Option[String] = {
-        ws()
-        if (t >= listTxt.length || (listTxt(t) != '\'' &&
-          listTxt(t) != '"')) return None
-        val qc = listTxt(t); t += 1
-        val st = t
-        while (t < listTxt.length && listTxt(t) != qc) t += 1
-        if (t >= listTxt.length) return None
-        val r = listTxt.substring(st, t); t += 1
-        Some(r)
-      }
-      val name = quoted().getOrElse(return None)
-      ws()
-      if (t >= listTxt.length || listTxt(t) != ',') return None
-      t += 1
-      val fmt = quoted().getOrElse(return None)
-      ws()
-      // a third tuple element = sub-array shape → reject honestly
-      if (t < listTxt.length && listTxt(t) != ')') return None
-      if (t >= listTxt.length) return None
-      t += 1
-      fields += ((name, fmt))
-    }
-    sep()
-    if (t != listTxt.length - 1 && t != listTxt.length) return None
+    val (fields, fEnd) = parseFieldList(listTxt, 0, 0)
+      .getOrElse(return None)
+    var t = fEnd
+    while (t < listTxt.length && listTxt(t) == ' ') t += 1
+    if (t != listTxt.length) return None
     // splice: replace the list with a placeholder the plain parser
     // accepts, then reuse it for fortran_order/shape
     val spliced = s.substring(0, lStart) + "'<i1'" +
       s.substring(lEnd + 1)
     parseDict(spliced).map { case (_, f, sh) =>
-      (Right(StructDescr(fields.result(), None)), f, sh)
+      (Right(StructDescr(fields, None)), f, sh)
     }
+  }
+
+  /** Recursive descent over a descr field list starting at
+    * `txt(start) == '['` → (fields, index just past the `]`).
+    * Tuples are `('name', 'fmt')`, `('name', 'fmt', (shape))` —
+    * the sub-array form — or `('name', [nested...])`; a shape on a
+    * NESTED record (legal in numpy, a sub-array of records) is
+    * rejected honestly rather than flattened wrongly. Depth is
+    * capped at 4 (numpy nests rarely; unbounded recursion on
+    * untrusted headers is a bomb). */
+  private def parseFieldList(txt: String, start: Int, depth: Int)
+      : Option[(Seq[RawF], Int)] = {
+    if (depth > 4) return None
+    if (start >= txt.length || txt(start) != '[') return None
+    var t = start + 1
+    def ws(): Unit =
+      while (t < txt.length && txt(t) == ' ') t += 1
+    def sep(): Unit = { // between tuples: optional comma
+      ws()
+      if (t < txt.length && txt(t) == ',') { t += 1; ws() }
+    }
+    def quoted(): Option[String] = {
+      ws()
+      if (t >= txt.length || (txt(t) != '\'' && txt(t) != '"'))
+        return None
+      val qc = txt(t); t += 1
+      val st = t
+      while (t < txt.length && txt(t) != qc) t += 1
+      if (t >= txt.length) return None
+      val r = txt.substring(st, t); t += 1
+      Some(r)
+    }
+    def int(): Option[Int] = {
+      ws()
+      val st = t
+      while (t < txt.length && txt(t).isDigit) t += 1
+      if (t == st) return None
+      try Some(txt.substring(st, t).toInt) catch {
+        case _: NumberFormatException => None }
+    }
+    /** `(3,)` / `(3, 2)` / bare `3` — the sub-array shape forms. */
+    def shapeTuple(): Option[Seq[Int]] = {
+      ws()
+      if (t < txt.length && txt(t).isDigit)
+        return int().map(Seq(_))
+      if (t >= txt.length || txt(t) != '(') return None
+      t += 1
+      val out = Seq.newBuilder[Int]
+      var more = true
+      while (more) {
+        ws()
+        if (t < txt.length && txt(t) == ')') { t += 1; more = false }
+        else {
+          out += int().getOrElse(return None)
+          ws()
+          if (t < txt.length && txt(t) == ',') t += 1
+          else if (t >= txt.length || txt(t) != ')') return None
+        }
+      }
+      Some(out.result())
+    }
+    val fields = Seq.newBuilder[RawF]
+    while ({ sep(); t < txt.length && txt(t) == '(' }) {
+      t += 1
+      val name = quoted().getOrElse(return None)
+      ws()
+      if (t >= txt.length || txt(t) != ',') return None
+      t += 1
+      ws()
+      val field: RawF =
+        if (t < txt.length && txt(t) == '[') {
+          val (children, e) = parseFieldList(txt, t, depth + 1)
+            .getOrElse(return None)
+          t = e
+          ws()
+          // a shape here would make a sub-array OF RECORDS
+          if (t < txt.length && txt(t) == ',') return None
+          RawGroup(name, children)
+        } else {
+          val fmt = quoted().getOrElse(return None)
+          ws()
+          val sub =
+            if (t < txt.length && txt(t) == ',') {
+              t += 1
+              shapeTuple().getOrElse(return None)
+            } else Seq.empty
+          ws()
+          RawLeaf(name, fmt, sub)
+        }
+      if (t >= txt.length || txt(t) != ')') return None
+      t += 1
+      fields += field
+    }
+    sep()
+    if (t >= txt.length || txt(t) != ']') return None
+    Some((fields.result(), t + 1))
+  }
+
+  /** Flatten a descr tree into packed [[Field]]s: leaves take
+    * `size · count` bytes (count = sub-shape product), groups
+    * recurse with dot-joined names. → (fields, packed byte
+    * width). */
+  private def flattenFields(rs: Seq[RawF], prefix: String,
+      off0: Int): Option[(Seq[Field], Int)] = {
+    var off = off0
+    val out = Seq.newBuilder[Field]
+    rs.foreach {
+      case RawLeaf(name, fmt, sub) =>
+        val (kind, size, big) = fieldFormat(fmt).getOrElse(
+          return None)
+        if (sub.exists(_ <= 0)) return None
+        var count = 1L
+        sub.foreach { d =>
+          count *= d
+          if (count > 65536) return None // header-driven bomb cap
+        }
+        out += Field(prefix + name, kind, size, big, off,
+          count.toInt, sub)
+        off += size * count.toInt
+      case RawGroup(name, children) =>
+        if (children.isEmpty) return None
+        val (fs, end) = flattenFields(children, s"$prefix$name.",
+          off).getOrElse(return None)
+        out ++= fs
+        off = end
+    }
+    Some((out.result(), off))
   }
 
   /** The aligned dict-with-offsets descr form numpy emits for
@@ -730,7 +876,9 @@ object Npy {
     val spliced = s.substring(0, dStart) + "'<i1'" +
       s.substring(dEnd + 1)
     parseDict(spliced).map { case (_, f, sh) =>
-      (Right(StructDescr(nm.zip(fm), Some((off, isz)))), f, sh)
+      (Right(StructDescr(
+        nm.zip(fm).map { case (n, fm2) => RawLeaf(n, fm2, Seq.empty) },
+        Some((off, isz)))), f, sh)
     }
   }
 

@@ -149,7 +149,8 @@ class NpySpec extends AnyFunSuite {
     assert(parseStructured(withObj).isEmpty)
     assertThrows[RuntimeException](
       buildStructured(Seq(("a", "<O8")), Seq(1), Array[Byte](0)))
-    // a sub-array tuple in the descr rejects
+    // a sub-array tuple in the descr DECODES (late r12): 1 record
+    // of i4[2]
     val sub = ("{'descr': [('a', '<i4', (2,))], 'fortran_order': " +
       "False, 'shape': (1,), }")
     val subHdr = sub.getBytes("ASCII") ++
@@ -158,8 +159,13 @@ class NpySpec extends AnyFunSuite {
     val subNpy = npy.take(6) ++ // the \x93NUMPY magic
       Array[Byte](1, 0, (subHdr.length & 0xff).toByte,
         ((subHdr.length >> 8) & 0xff).toByte) ++ subHdr ++
-      new Array[Byte](8)
-    assert(parseStructured(subNpy).isEmpty)
+      Array[Byte](5, 0, 0, 0, -1, -1, -1, -1)
+    val subRec = parseStructured(subNpy).get
+    assert(subRec.itemSize == 8 && subRec.elems == 1)
+    assert(subRec.fields.head.count == 2 &&
+      subRec.fields.head.subShape == Seq(2))
+    assert(subRec.longAt(subRec.fields.head, 0, 0) == 5L)
+    assert(subRec.longAt(subRec.fields.head, 0, 1) == -1L)
     // the ALIGNED dict form: explicit offsets with padding gaps
     // (i8 at 0, i2 at 8, f8 at 16 — 6 pad bytes —, itemsize 24)
     val adict = ("{'descr': {'names': ['a','b','c'], " +
@@ -198,6 +204,83 @@ class NpySpec extends AnyFunSuite {
     assert(parseStructured(union).isEmpty)
     // fuzz the structured parser too
     val rnd = new scala.util.Random(67)
+    (0 until 300).foreach { _ =>
+      val m = npy.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      parseStructured(m)
+    }
+  }
+
+  test("structured sub-array fields and nested records (late r12)") {
+    // record: (id i8, m f4[2,3], pos{ x f4, y f4, tag S2 }, n u2)
+    // — the token-matrix-in-a-record shape HuggingFace-adjacent
+    // dumps carry, plus one nested group flattened to pos.*
+    val spec = Seq(
+      FLeaf("id", "<i8"),
+      FLeaf("m", "<f4", Seq(2, 3)),
+      FGroup("pos", Seq(FLeaf("x", "<f4"), FLeaf("y", ">f4"),
+        FLeaf("tag", "|S2"))),
+      FLeaf("n", "<u2"))
+    val itemSize = 8 + 4 * 6 + (4 + 4 + 2) + 2
+    val n = 4
+    val buf = java.nio.ByteBuffer.allocate(n * itemSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      buf.putLong(i * 10L)
+      // m in C order: m[r][c] = i + r*10 + c*100
+      (0 until 2).foreach(r => (0 until 3).foreach(c =>
+        buf.putFloat(i + r * 10 + c * 100f)))
+      buf.putFloat(i * 0.5f)
+      // pos.y is BIG-endian inside a little-endian record
+      val be = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      be.putFloat(i * 0.25f)
+      buf.put(be.array())
+      buf.put(s"p$i".getBytes("ISO-8859-1"))
+      buf.putShort((i + 60000).toShort)
+    }
+    val npy = buildStructuredTree(spec, Seq(n), buf.array())
+    // numpy's own header grammar: shape tuple renders single-dim
+    assert(new String(npy.map(_.toChar)).contains(
+      "('m', '<f4', (2, 3))"))
+    val rec = parseStructured(npy).get
+    assert(rec.itemSize == itemSize)
+    assert(rec.fields.map(_.name) ==
+      Seq("id", "m", "pos.x", "pos.y", "pos.tag", "n"))
+    val f = rec.fields.map(x => x.name -> x).toMap
+    assert(f("m").count == 6 && f("m").subShape == Seq(2, 3))
+    assert(f("pos.x").offset == 8 + 24 && f("n").offset ==
+      itemSize - 2)
+    (0 until n).foreach { i =>
+      assert(rec.longAt(f("id"), i) == i * 10L)
+      (0 until 2).foreach(r => (0 until 3).foreach(c =>
+        assert(rec.doubleAt(f("m"), i, r * 3 + c) ==
+          i + r * 10 + c * 100d)))
+      assert(rec.doubleAt(f("pos.x"), i) == i * 0.5)
+      assert(rec.doubleAt(f("pos.y"), i) == i * 0.25)
+      assert(rec.stringAt(f("pos.tag"), i) == s"p$i")
+      assert(rec.longAt(f("n"), i) == i + 60000L)
+    }
+    // out-of-range sub-element throws (never silently reads the
+    // next field)
+    assertThrows[IllegalArgumentException](
+      rec.doubleAt(f("m"), 0, 6))
+    // a sub-array OF RECORDS (shape on a nested group) rejects
+    val hdrTxt = ("{'descr': [('g', [('a', '<i2')], (2,))], " +
+      "'fortran_order': False, 'shape': (1,), }")
+    val h = hdrTxt.getBytes("ASCII") ++
+      Array.fill((64 - (10 + hdrTxt.length + 1) % 64) % 64)(
+        ' '.toByte) :+ '\n'.toByte
+    val bad = npy.take(6) ++
+      Array[Byte](1, 0, (h.length & 0xff).toByte,
+        ((h.length >> 8) & 0xff).toByte) ++ h ++ new Array[Byte](4)
+    assert(parseStructured(bad).isEmpty)
+    // a header-driven count bomb rejects (sub-shape product cap)
+    assertThrows[RuntimeException](buildStructuredTree(
+      Seq(FLeaf("a", "<i4", Seq(100000))), Seq(1),
+      new Array[Byte](400000)))
+    // fuzz: corruptions never throw
+    val rnd = new scala.util.Random(68)
     (0 until 300).foreach { _ =>
       val m = npy.clone()
       m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
