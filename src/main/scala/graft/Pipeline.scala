@@ -8458,13 +8458,16 @@ object Pipeline {
             chunkDims = Seq(3, dim), shuffle = true,
             fletcher = true)))
         // lane 6: one SHARDED zarr v3 chunk (1-row inner chunks
-        // behind blosc, crc32c-guarded index)
+        // behind blosc, crc32c-guarded index; odd shards store the
+        // inner blocks TRANSPOSED — the order='F' sharded form)
         val z3meta = graft.operators.Zarr.Meta3(
           Seq(n.toLong, dim.toLong), Seq(n, dim), "f4",
           bigEndian = false, 0.0, Seq.empty, "/", "default",
           sharding = Some(graft.operators.Zarr.Shard3(
             Seq(1, dim), innerBig = false, Seq(("blosc", 5)),
-            indexCrc = true, indexAtEnd = true)))
+            indexCrc = true, indexAtEnd = true,
+            innerPerm = if (sid % 2 == 0) Seq.empty
+              else Seq(1, 0))))
         val z3 = graft.operators.Zarr.encodeChunkV3(z3meta,
           le(flat))
         // six decodes

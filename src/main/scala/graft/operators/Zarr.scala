@@ -433,14 +433,19 @@ object Zarr {
   final case class Shard3(innerChunks: Seq[Int],
       innerBig: Boolean, innerCodecs: Seq[(String, Int)],
       indexCrc: Boolean, indexAtEnd: Boolean,
-      bloscCname: String = "lz4", bloscShuffle: Int = 1)
+      bloscCname: String = "lz4", bloscShuffle: Int = 1,
+      /** a TRANSPOSE codec leading the INNER chain (late r12):
+        * each inner chunk is stored permuted; empty = none. */
+      innerPerm: Seq[Int] = Seq.empty)
 
   /** v3 array metadata: npy-style descr, the codec chain SPLIT
     * into the array→bytes endian and the bytes→bytes tail
     * ((name, level) pairs in WRITE order: gzip, zstd, blosc —
     * carrying its own cname/shuffle —, crc32c); `sharding`
     * carries the sharding_indexed configuration when the array's
-    * chunks are shards. Transpose codecs reject honestly. */
+    * chunks are shards. TRANSPOSE leads either chain: the plain
+    * chain via `perm`, the sharded INNER chain via
+    * `Shard3.innerPerm` (late r12). */
   final case class Meta3(shape: Seq[Long], chunks: Seq[Int],
       descr: String, bigEndian: Boolean, fillValue: Double,
       codecs: Seq[(String, Int)], sep: String,
@@ -538,7 +543,8 @@ object Zarr {
         return None)).getOrElse(return None).flatMap(JsonMini.obj)
       val (iPerm, iBig, iTail, iCname, iShuf) =
         parseCodecChain(innerChain).getOrElse(return None)
-      if (iPerm.nonEmpty) return None // transpose inside shards: reject
+      if (iPerm.nonEmpty && iPerm.length != inner.length)
+        return None
       // index codecs: bytes (little) + optional crc32c
       val idxChain = JsonMini.arr(cfg.getOrElse("index_codecs",
         Seq.empty)).getOrElse(Seq.empty).flatMap(JsonMini.obj)
@@ -558,7 +564,7 @@ object Zarr {
       Some(Meta3(shape, chunks.map(_.toInt), descr, iBig, fill,
         Seq.empty, sep, keyEnc, iCname, iShuf,
         Some(Shard3(inner.map(_.toInt), iBig, iTail, idxCrc,
-          atEnd, iCname, iShuf))))
+          atEnd, iCname, iShuf, iPerm))))
     } else {
       val (perm, big, tail, cname, shuf) =
         parseCodecChain(codecList).getOrElse(return None)
@@ -635,10 +641,11 @@ object Zarr {
 
   def metaJsonV3(meta: Meta3): String = {
     def chainJson(big: Boolean, tail: Seq[(String, Int)],
-        cname: String, shuffle: Int): Seq[String] =
-      (if (meta.perm.isEmpty || meta.sharding.nonEmpty) Seq.empty
+        cname: String, shuffle: Int,
+        perm: Seq[Int] = Seq.empty): Seq[String] =
+      (if (perm.isEmpty) Seq.empty
        else Seq(s"""{"name":"transpose","configuration":""" +
-         s"""{"order":[${meta.perm.mkString(",")}]}}""")) ++ Seq(
+         s"""{"order":[${perm.mkString(",")}]}}""")) ++ Seq(
       s"""{"name":"bytes","configuration":{"endian":${
         JsonMini.quote(if (big) "big" else "little")}}}""") ++
       tail.map {
@@ -660,12 +667,13 @@ object Zarr {
     val codecs = meta.sharding match {
       case None =>
         chainJson(meta.bigEndian, meta.codecs, meta.bloscCname,
-          meta.bloscShuffle)
+          meta.bloscShuffle, meta.perm)
       case Some(sh) =>
         Seq(s"""{"name":"sharding_indexed","configuration":{""" +
           s""""chunk_shape":[${sh.innerChunks.mkString(",")}],""" +
           s""""codecs":[${chainJson(sh.innerBig, sh.innerCodecs,
-            sh.bloscCname, sh.bloscShuffle).mkString(",")}],""" +
+            sh.bloscCname, sh.bloscShuffle, sh.innerPerm)
+            .mkString(",")}],""" +
           s""""index_codecs":[{"name":"bytes","configuration":""" +
           s"""{"endian":"little"}}${
             if (sh.indexCrc) """,{"name":"crc32c"}""" else ""}],""" +
@@ -925,10 +933,13 @@ object Zarr {
           if (!(off == -1L && nb == -1L)) {
             if (off < 0 || nb < 0 ||
               off + nb > stored.length) return None
-            val inner = undoChain(sh.innerCodecs,
+            val inner0 = undoChain(sh.innerCodecs,
               java.util.Arrays.copyOfRange(stored, off.toInt,
                 (off + nb).toInt), innerBytes.toInt)
               .getOrElse(return None)
+            val inner = if (sh.innerPerm.isEmpty) inner0
+              else permuteBytes(inner0, sh.innerChunks,
+                sh.innerPerm, isz, forward = false)
             System.arraycopy(inner, 0, block, 0, inner.length)
             copyBlock(out, block, meta.chunks, sh.innerChunks,
               gIdx.toSeq, isz, toShard = true)
@@ -1009,7 +1020,10 @@ object Zarr {
         while (li < nInner) {
           copyBlock(raw, block, meta.chunks, sh.innerChunks,
             gIdx.toSeq, isz, toShard = false)
-          blocks(li) = applyChain(sh.innerCodecs, block.clone(),
+          val pre = if (sh.innerPerm.isEmpty) block.clone()
+            else permuteBytes(block, sh.innerChunks, sh.innerPerm,
+              isz, forward = true)
+          blocks(li) = applyChain(sh.innerCodecs, pre,
             isz, sh.bloscCname, sh.bloscShuffle)
           var k = grid.length - 1
           var carry = true

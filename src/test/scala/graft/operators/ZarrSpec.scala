@@ -309,6 +309,50 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("zarr v3 transpose INSIDE the sharded inner chain (late r12)") {
+    // each 3×2 inner chunk stored F-order (transpose [1,0]) behind
+    // blosc, crc32c index — the chain zarr-python emits for an
+    // order='F' sharded v3 array
+    val m = Meta3(Seq(6L, 4L), Seq(6, 4), "i4",
+      bigEndian = false, fillValue = -1.0,
+      codecs = Seq.empty, "/", "default",
+      sharding = Some(Shard3(Seq(3, 2), innerBig = false,
+        Seq(("blosc", 5)), indexCrc = true, indexAtEnd = true,
+        innerPerm = Seq(1, 0))))
+    val json = metaJsonV3(m)
+    assert(json.contains(""""name":"transpose"""") &&
+      json.contains(""""name":"sharding_indexed""""))
+    assert(parseMetaV3(json).contains(m))
+    val raw = java.nio.ByteBuffer.allocate(24 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(raw.putInt)
+    val stored = encodeChunkV3(m, raw.array())
+    val arr = decodeChunkV3(m, stored).get
+    (0 until 6).foreach(r => (0 until 4).foreach(c =>
+      assert(arr.at(r, c) == (r * 4 + c).toDouble, s"($r,$c)")))
+    // the inner blocks really are permuted: decode the same shard
+    // with innerPerm dropped and PERMUTED inner dims — inner chunk
+    // (0,0) holds rows 0..2 × cols 0..1 column-major
+    val plain = m.copy(sharding = m.sharding.map(_.copy(
+      innerPerm = Seq.empty, innerChunks = Seq(2, 3))))
+    val t = decodeChunkV3(plain.copy(chunks = Seq(4, 6),
+      shape = Seq(4L, 6L)), stored).get
+    // stored inner block layout: [c][r] of the logical 3×2 block —
+    // first stored element is logical (0,0)=0, second (1,0)=4
+    assert(t.at(0, 0) == 0.0 && t.at(0, 1) == 4.0 &&
+      t.at(0, 2) == 8.0 && t.at(1, 0) == 1.0)
+    // a wrong-rank inner order rejects
+    assert(parseMetaV3(json.replace(""""order":[1,0]""",
+      """"order":[0]""")).isEmpty)
+    // fuzz: corrupted shards with inner transpose never throw
+    val rnd = new scala.util.Random(61)
+    (0 until 300).foreach { _ =>
+      val x = stored.clone()
+      x(rnd.nextInt(x.length)) = rnd.nextInt().toByte
+      decodeChunkV3(m, x)
+    }
+  }
+
   test("every compressor round-trips a chunk byte-exact") {
     val rnd = new scala.util.Random(3)
     Seq(None, Some("zlib"), Some("gzip"), Some("zstd"), Some("lz4"))
