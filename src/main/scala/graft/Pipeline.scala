@@ -7682,6 +7682,40 @@ object Pipeline {
       .orderBy("rf")
   }
 
+  /** Iceberg MAP column type (late r12) — a table whose schema
+    * carries `map<string,long>` through the full metadata-json →
+    * manifest → parquet chain: the schema JSON renders Iceberg's
+    * map grammar (key-id/value-id/value-required), [[Iceberg
+    * .toSparkType]] maps it back, and the DATA flows through
+    * Spark's native parquet map encoding. Facts read the map BY
+    * KEY after the round trip, so a mis-mapped key/value type or a
+    * lost value-required flag flips values. */
+  private def icebergMapType(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = formatFixtureDir(dir, "iceberg_map", "lineitem") {
+      out =>
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_returnflag",
+          "map('qty', CAST(l_quantity AS BIGINT), " +
+            "'okmod', l_orderkey % 97) AS attrs")
+      base.write.parquet(s"$t/data/s1")
+      val files = Iceberg.countsByFile(s, base.schema,
+        s"$t/data/s1")
+      Iceberg.commit(s, t, 1L, 1L, base.schema, files,
+        prior = Seq.empty)
+    }
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("attrs").getItem("qty")).as("qty_sum"),
+        sum(col("attrs").getItem("okmod")).as("okmod_sum"),
+        sum(size(col("attrs")).cast("long")).as("nkeys"))
+      .orderBy("rf")
+  }
+
   /** Iceberg v2 POSITION-DELETE scan (late r12) — the same
     * row-level-delete story as [[deltaDvScan]] told in the other
     * lakehouse format: snapshot 1 creates the table, snapshot 2
@@ -11148,6 +11182,7 @@ object Pipeline {
     "iceberg_partition_prune" -> icebergPartitionPrune _,
     "iceberg_pos_delete" -> icebergPosDelete _,
     "iceberg_eq_delete" -> icebergEqDelete _,
+    "iceberg_map_type"  -> icebergMapType _,
     "lakehouse_ingest_dag" -> lakehouseIngestDag _,
     "arrow_source_read" -> arrowSourceRead _,
     "avro_source_read"  -> avroSourceRead _,
@@ -13646,6 +13681,15 @@ object Pipeline {
     // iceberg v2 position deletes: the SAME survivor truth as
     // delta_dv_scan — one oracle pins both formats' row-level
     // delete mechanisms (roaring masks vs anti-join)
+    // map<string,long> column through the full metadata chain:
+    // facts read the round-tripped map BY KEY
+    "iceberg_map_type" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey % 97) AS BIGINT) AS okmod_sum,
+        |  CAST(count(*) * 2 AS BIGINT) AS nkeys
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "iceberg_pos_delete" ->
       """SELECT l_returnflag AS rf, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)

@@ -36,8 +36,10 @@ import org.apache.spark.sql.types._
   *    columns (partition values are in the files, unlike Delta), so
   *    the scan is one `spark.read.schema(...).parquet(files)` with
   *    pushdown intact; the schema comes from the metadata's own
-  *    schema JSON, mapped to Spark types ([[toSparkType]] — struct
-  *    and list nest; `time`/`uuid`/`fixed`/`map` reject honestly).
+  *    schema JSON, mapped to Spark types ([[toSparkType]] — struct,
+  *    list and map nest; `time`/`uuid`/`fixed` reject honestly:
+  *    Spark has no TIME type and cannot produce the
+  *    fixed_len_byte_array physical form the other two require).
   *
   * Writing ([[create]] / [[commit]]): each snapshot writes one
   * manifest holding the complete live-file set (the spec-legal
@@ -278,7 +280,9 @@ object Iceberg {
   private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
 
   /** Iceberg type JSON → Spark type; None on the honest-rejection
-    * set (time, uuid, fixed, map — mis-typing would mis-read). */
+    * set (time, uuid, fixed — Spark has no TIME type and cannot
+    * write the fixed_len_byte_array physical form those require;
+    * mis-typing would mis-read). */
   def toSparkType(t: Any): Option[DataType] = t match {
     case s: String => s match {
       case "boolean" => Some(BooleanType)
@@ -304,6 +308,14 @@ object Iceberg {
             et <- toSparkType(el)
           } yield ArrayType(et,
             !mm.get("element-required").contains(true))
+        case Some("map") =>
+          for {
+            k <- mm.get("key")
+            kt <- toSparkType(k)
+            v <- mm.get("value")
+            vt <- toSparkType(v)
+          } yield MapType(kt, vt,
+            !mm.get("value-required").contains(true))
         case _ => None
       }
     case _ => None
@@ -344,6 +356,10 @@ object Iceberg {
       case ArrayType(et, nullable) =>
         s"""{"type":"list","element-id":${id()},"element":${tpe(et)},""" +
           s""""element-required":${!nullable}}"""
+      case MapType(kt, vt, valueNullable) =>
+        s"""{"type":"map","key-id":${id()},"key":${tpe(kt)},""" +
+          s""""value-id":${id()},"value":${tpe(vt)},""" +
+          s""""value-required":${!valueNullable}}"""
       case st: StructType => struct(st)
       case other => sys.error(s"unsupported iceberg type $other")
     }
@@ -481,7 +497,7 @@ object Iceberg {
     val schema = toSparkType(schemaJson) match {
       case Some(st: StructType) => st
       case _ => sys.error(s"unsupported schema types in $table " +
-        "(time/uuid/fixed/map reject honestly)")
+        "(time/uuid/fixed reject honestly)")
     }
 
     // partition spec: default-spec-id row of partition-specs,

@@ -78,8 +78,14 @@ class IcebergSpec extends AnyFunSuite {
         StructField("x", DoubleType),
         StructField("y", DecimalType(10, 2))))),
       StructField("e", TimestampType),
-      StructField("f", DateType)))
+      StructField("f", DateType),
+      StructField("g", MapType(StringType, LongType,
+        valueContainsNull = true)),
+      StructField("h", MapType(IntegerType,
+        ArrayType(DoubleType), valueContainsNull = false))))
     val json = Iceberg.toIcebergSchemaJson(schema)
+    assert(json.contains(""""type":"map"""") &&
+      json.contains(""""value-required":true"""))
     val back = Iceberg.toSparkType(
       JsonMini.parse(json).get).get
     assert(back == schema)
@@ -87,6 +93,27 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.toSparkType("uuid").isEmpty)
     assert(Iceberg.toSparkType("time").isEmpty)
     assert(Iceberg.toSparkType(Map("type" -> "map")).isEmpty)
+    assert(Iceberg.toSparkType(Map("type" -> "map",
+      "key" -> "string", "value" -> "uuid")).isEmpty)
+  }
+
+  test("map columns flow through the full metadata chain") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_map")
+    val df = seed(18).selectExpr("id", "txt",
+      "map('b', CAST(bucket AS BIGINT), 'i2', id * 2) AS attrs")
+    Iceberg.create(spark, df, t)
+    val got = Iceberg.read(spark, t)
+    assert(got.schema("attrs").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    assert(got.count() == 18)
+    assert(got.selectExpr("sum(attrs['i2'])").head.getLong(0) ==
+      (0 until 18).map(_ * 2L).sum)
+    assert(got.selectExpr("sum(attrs['b'])").head.getLong(0) ==
+      (0 until 18).map(_ % 3).sum)
   }
 
   test("malformed delete manifests and torn tables reject") {
