@@ -8271,6 +8271,138 @@ object Pipeline {
       .orderBy("col_name")
   }
 
+  /** Parquet PAGE INDEX audit (r12) — the pruning surface a 100 TB
+    * scan planner reads before touching any data page: OUR compact-
+    * thrift readers walk the OffsetIndex (page locations, first-row
+    * indexes) and ColumnIndex (per-page PLAIN min/max bounds, null
+    * counts) of a file written with an exact 5000-row page limit,
+    * and every fact is VALUE-transparent — page counts are
+    * analytically ceil(rows/5000) (the row limit binds long before
+    * the 1 MiB size limit on these narrow columns), the decoded
+    * bound bytes must reproduce the table's true min/max, and the
+    * offset-index row spans must tile the row group exactly. A slip
+    * anywhere — field ids, zigzag, bool-list elements, PLAIN bound
+    * decode — flips the hash. */
+  private def parquetPageIndex(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "pqpageidx", "lineitem") { out =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity")
+        .coalesce(1)
+        .write.option("parquet.page.row.count.limit", 5000)
+        .parquet(s"$out/t")
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(s"$root/t")
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        import graft.operators.ParquetFooter
+        val f = ParquetFooter.parse(bytes)
+          .getOrElse(sys.error(s"footer rejected: $path"))
+        f.rowGroups.flatMap { rg =>
+          rg.columns.map { c =>
+            val pages = ParquetFooter.parseOffsetIndex(bytes,
+              c.offsetIndex.getOrElse(sys.error(
+                s"no offset index for ${c.path}"))).getOrElse(
+              sys.error(s"offset index rejected for ${c.path}"))
+            // page row spans must tile the row group
+            val spans = pages.map(_.firstRow) :+ rg.numRows
+            val rows = spans.sliding(2).map {
+              case Seq(a, b) => b - a
+              case _ => 0L
+            }.sum
+            val ci = ParquetFooter.parseColumnIndex(bytes,
+              c.columnIndex.getOrElse(sys.error(
+                s"no column index for ${c.path}"))).getOrElse(
+              sys.error(s"column index rejected for ${c.path}"))
+            require(ci.nullPages.length == pages.length,
+              s"page count disagreement for ${c.path}")
+            val (vmin, vmax) =
+              if (ParquetFooter.TypeNames(c.typeId) == "INT64")
+                (ci.minValues.flatMap(ParquetFooter.boundI64)
+                  .min.toDouble,
+                  ci.maxValues.flatMap(ParquetFooter.boundI64)
+                    .max.toDouble)
+              else
+                (ci.minValues.flatMap(ParquetFooter.boundF64).min,
+                  ci.maxValues.flatMap(ParquetFooter.boundF64).max)
+            (c.path, pages.length.toLong, rows, vmin, vmax,
+              ci.nullCounts.map(_.sum).getOrElse(-1L))
+          }
+        }
+      }
+      .toDF("col_name", "n_pages", "total_rows", "vmin", "vmax",
+        "null_sum")
+      .groupBy("col_name")
+      .agg(sum("n_pages").as("n_pages"),
+        sum("total_rows").as("total_rows"),
+        min("vmin").as("vmin"), max("vmax").as("vmax"),
+        sum("null_sum").as("null_sum"))
+      .orderBy("col_name")
+  }
+
+  /** Parquet SPLIT-BLOCK BLOOM probe (r12) — the skip-scan gate a
+    * point-lookup join uses at 100 TB: OUR reader locates the
+    * filter via ColumnMetaData.bloom_filter_offset, parses the
+    * header with the same compact walker, and probes the 256-bit
+    * block bitset with the spec's eight salted lanes over xxHash64
+    * of the PLAIN value encoding (shared with the zstd frame
+    * checksum kernel). Every supplier key and name probed MUST hit
+    * — the oracle counts them — so a wrong salt, lane, block pick
+    * or hash flips the result; the false-positive differential
+    * lives in ParquetFooterSpec, bit-exact vs parquet-mr's own
+    * BlockSplitBloomFilter. The filter bytes broadcast to the
+    * probe side as a plan-visible literal, never a shuffle. */
+  private def parquetBloomProbe(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetFooter
+    val root = formatFixtureDir(dir, "pqbloom", "supplier") { out =>
+      Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name")
+        .coalesce(1)
+        .write
+        .option("parquet.bloom.filter.enabled#s_suppkey", "true")
+        .option("parquet.bloom.filter.enabled#s_name", "true")
+        .parquet(s"$out/t")
+    }
+    // one part file by construction: its blooms are dimension-sized
+    // driver state, broadcast into the distributed probe below
+    val file = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val footer = ParquetFooter.parse(bytes)
+      .getOrElse(sys.error("footer rejected"))
+    def bloomFor(col: String): ParquetFooter.BloomBits = {
+      val c = footer.rowGroups.head.columns.find(_.path == col)
+        .getOrElse(sys.error(s"no column $col"))
+      ParquetFooter.parseBloom(bytes, c.bloomOffset.getOrElse(
+        sys.error(s"no bloom for $col"))).getOrElse(
+        sys.error(s"bloom rejected for $col"))
+    }
+    val keyBloom = s.sparkContext.broadcast(bloomFor("s_suppkey"))
+    val nameBloom = s.sparkContext.broadcast(bloomFor("s_name"))
+    Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name").as[(Long, String)]
+      .map { case (k, n) =>
+        (k % 8,
+          if (keyBloom.value.mightContain(
+            ParquetFooter.bloomHashLong(k))) 1L else 0L,
+          if (nameBloom.value.mightContain(
+            ParquetFooter.bloomHashBinary(
+              n.getBytes("UTF-8")))) 1L else 0L)
+      }
+      .toDF("bucket", "key_hit", "name_hit")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_probed"),
+        sum("key_hit").as("n_key_found"),
+        sum("name_hit").as("n_name_found"))
+      .orderBy("bucket")
+  }
+
   /** Lakehouse ingest capstone (r12) — the composed migration DAG a
     * curation pipeline actually runs, chaining FOUR of this round's
     * systems live in one gate row: (1) read the Delta fixture at
@@ -11168,6 +11300,8 @@ object Pipeline {
     "zarr3_read"        -> zarr3Read _,
     "onnx_parse"        -> onnxParse _,
     "parquet_footer"    -> parquetFooter _,
+    "parquet_page_index" -> parquetPageIndex _,
+    "parquet_bloom_probe" -> parquetBloomProbe _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
@@ -13551,6 +13685,36 @@ object Pipeline {
         |SELECT col_name, n AS total_values,
         |  'SNAPPY' AS codec, ptype
         |FROM cols, c ORDER BY col_name""".stripMargin,
+    // OUR OffsetIndex/ColumnIndex readers: page counts are the
+    // exact 5000-row writer limit, decoded PLAIN bounds reproduce
+    // the true min/max, spans tile the row count
+    "parquet_page_index" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    min(l_orderkey) AS ko, max(l_orderkey) AS kx,
+        |    min(l_quantity) AS qo, max(l_quantity) AS qx
+        |  FROM lineitem)
+        |SELECT col_name,
+        |  CAST(ceil(n / 5000.0) AS BIGINT) AS n_pages,
+        |  n AS total_rows, vmin, vmax,
+        |  CAST(0 AS BIGINT) AS null_sum
+        |FROM c, (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST((SELECT ko FROM c) AS DOUBLE) AS vmin,
+        |    CAST((SELECT kx FROM c) AS DOUBLE) AS vmax
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |    CAST((SELECT qo FROM c) AS DOUBLE),
+        |    CAST((SELECT qx FROM c) AS DOUBLE))
+        |ORDER BY col_name""".stripMargin,
+    // OUR split-block bloom probe: every present supplier key and
+    // name must hit through footer offset -> header -> salted lanes
+    "parquet_bloom_probe" ->
+      """SELECT s_suppkey % 8 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_probed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_key_found,
+        |  CAST(COUNT(*) AS BIGINT) AS n_name_found
+        |FROM supplier GROUP BY 1 ORDER BY bucket""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts
     // (shard id, MatMul→Relu ops) ride along

@@ -123,4 +123,151 @@ class ParquetFooterSpec extends AnyFunSuite {
         Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte))
     }
   }
+
+  test("page index parses and matches parquet-mr's own readers") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("pqf_pi")
+    (0 until 30000).map(i => (i.toLong, i * 0.25, s"s$i"))
+      .toDF("id", "score", "txt").coalesce(1)
+      .write.option("parquet.page.row.count.limit", 5000)
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val footer = ParquetFooter.parse(bytes).get
+    val cols = footer.rowGroups.head.columns
+    assert(cols.forall(_.offsetIndex.isDefined))
+    assert(cols.forall(_.columnIndex.isDefined))
+
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = rdr.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      block.getColumns.asScala.foreach { cc =>
+        val mine = cols.find(_.path == cc.getPath.toDotString).get
+        val oi = rdr.readOffsetIndex(cc)
+        val pages = ParquetFooter
+          .parseOffsetIndex(bytes, mine.offsetIndex.get).get
+        assert(pages.length == oi.getPageCount)
+        pages.zipWithIndex.foreach { case (p, i) =>
+          assert(p.offset == oi.getOffset(i))
+          assert(p.compressedSize == oi.getCompressedPageSize(i))
+          assert(p.firstRow == oi.getFirstRowIndex(i))
+        }
+        // the row-count limit binds before the size limit here
+        assert(pages.length == 6)
+        assert(pages.map(_.firstRow) ==
+          (0 until 6).map(_ * 5000L))
+        val ci = rdr.readColumnIndex(cc)
+        val mci = ParquetFooter
+          .parseColumnIndex(bytes, mine.columnIndex.get).get
+        assert(mci.nullPages ==
+          ci.getNullPages.asScala.map(Boolean.unbox).toSeq)
+        assert(mci.nullCounts.get ==
+          ci.getNullCounts.asScala.map(Long.unbox).toSeq)
+        def bb(x: java.nio.ByteBuffer): Seq[Byte] = {
+          val a = new Array[Byte](x.remaining()); x.duplicate().get(a)
+          a.toSeq
+        }
+        assert(mci.minValues.map(_.toSeq) ==
+          ci.getMinValues.asScala.map(bb).toSeq)
+        assert(mci.maxValues.map(_.toSeq) ==
+          ci.getMaxValues.asScala.map(bb).toSeq)
+      }
+    } finally rdr.close()
+
+    // decoded INT64/DOUBLE bounds reproduce the global min/max
+    val idCol = cols.find(_.path == "id").get
+    val ids = ParquetFooter
+      .parseColumnIndex(bytes, idCol.columnIndex.get).get
+    assert(ids.minValues.flatMap(ParquetFooter.boundI64).min == 0L)
+    assert(ids.maxValues.flatMap(ParquetFooter.boundI64).max ==
+      29999L)
+    val scCol = cols.find(_.path == "score").get
+    val scs = ParquetFooter
+      .parseColumnIndex(bytes, scCol.columnIndex.get).get
+    assert(scs.maxValues.flatMap(ParquetFooter.boundF64).max ==
+      29999 * 0.25)
+  }
+
+  test("bloom probe is bit-exact vs parquet-mr's own filter") {
+    import org.apache.parquet.column.values.bloomfilter.
+      BlockSplitBloomFilter
+    val bf = new BlockSplitBloomFilter(4096)
+    val rnd = new scala.util.Random(62)
+    val members = (0 until 2000).map(_ => rnd.nextLong())
+    members.foreach(v => bf.insertHash(bf.hash(v)))
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val mine = ParquetFooter.BloomBits(baos.toByteArray)
+    // the hash itself agrees lane for lane
+    (members.take(200) ++ Seq(0L, -1L, Long.MinValue)).foreach { v =>
+      assert(ParquetFooter.bloomHashLong(v) == bf.hash(v))
+    }
+    // membership agrees on members AND on arbitrary probes
+    members.foreach(v =>
+      assert(mine.mightContain(ParquetFooter.bloomHashLong(v))))
+    (0 until 5000).foreach { _ =>
+      val h = rnd.nextLong()
+      assert(mine.mightContain(h) == bf.findHash(h))
+    }
+  }
+
+  test("a Spark-written bloom filter parses and probes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("pqf_bl")
+    (0 until 4000).map(i => (i * 3L, s"k${i * 3}"))
+      .toDF("id", "key").coalesce(1)
+      .write
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(dir)
+    val bytes = onePart(dir)
+    val footer = ParquetFooter.parse(bytes).get
+    val idCol = footer.rowGroups.head.columns
+      .find(_.path == "id").get
+    assert(idCol.bloomOffset.isDefined)
+    val bloom = ParquetFooter.parseBloom(bytes,
+      idCol.bloomOffset.get).get
+    // every present value answers true
+    (0 until 4000).foreach { i =>
+      assert(bloom.mightContain(
+        ParquetFooter.bloomHashLong(i * 3L)))
+    }
+    // absent values answer mostly false (default FPP is 1%)
+    val fp = (0 until 4000).count { i =>
+      bloom.mightContain(ParquetFooter.bloomHashLong(i * 3L + 1))
+    }
+    assert(fp < 400, s"false-positive rate too high: $fp/4000")
+    // the BYTE_ARRAY column probes over raw bytes
+    val keyCol = footer.rowGroups.head.columns
+      .find(_.path == "key").get
+    val kb = ParquetFooter.parseBloom(bytes,
+      keyCol.bloomOffset.get).get
+    assert(kb.mightContain(ParquetFooter.bloomHashBinary(
+      "k300".getBytes("UTF-8"))))
+    val kfp = (0 until 2000).count { i =>
+      kb.mightContain(ParquetFooter.bloomHashBinary(
+        s"absent$i".getBytes("UTF-8")))
+    }
+    assert(kfp < 200)
+    // fuzz: mutating the index/bloom regions never throws
+    val rnd = new scala.util.Random(63)
+    (0 until 300).foreach { _ =>
+      val m = bytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      ParquetFooter.parse(m).foreach { f =>
+        f.rowGroups.flatMap(_.columns).foreach { c =>
+          c.offsetIndex.foreach(ParquetFooter.parseOffsetIndex(m, _))
+          c.columnIndex.foreach(ParquetFooter.parseColumnIndex(m, _))
+          c.bloomOffset.foreach(ParquetFooter.parseBloom(m, _))
+        }
+      }
+    }
+  }
 }
