@@ -8403,6 +8403,101 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** ORC tail audit (r12) — [[graft.operators.OrcTail]]'s
+    * from-scratch PostScript→Footer walk over a REAL Spark-written
+    * ORC file (zstd chunked streams decoded by OUR codec), every
+    * fact value-level: per-column non-null counts, hasNull flags,
+    * and the typed min/max/sum statistics must reproduce the
+    * table's true aggregates. One row per audited column with the
+    * stat family matching its ORC type (int/double/string). */
+  private def orcFooter(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "orcfooter", "lineitem") { out =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .coalesce(1)
+        .write.option("compression", "zstd").orc(s"$out/t")
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.orc").load(s"$root/t")
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        import graft.operators.OrcTail
+        val t = OrcTail.parseTail(bytes)
+          .getOrElse(sys.error(s"orc tail rejected: $path"))
+        require(t.compressionName == "ZSTD", "fixture codec")
+        require(t.stripes.map(_.numRows).sum == t.numRows,
+          "stripe rows disagree with numRows")
+        val root = t.types.head
+        root.fieldNames.zip(root.subtypes).map { case (nm, ix) =>
+          val st = t.fileStats(ix)
+          (nm, st.numValues, st.hasNull.getOrElse(true),
+            st.ints.flatMap(_.min), st.ints.flatMap(_.max),
+            st.ints.flatMap(_.sum),
+            st.dbls.flatMap(_.min), st.dbls.flatMap(_.max),
+            st.strs.flatMap(_.min), st.strs.flatMap(_.max))
+        }
+      }
+      .toDF("col_name", "n_values", "has_null", "imin", "imax",
+        "isum", "dmin", "dmax", "smin", "smax")
+      .orderBy("col_name")
+  }
+
+  /** ORC row-index audit (r12) — the sub-stripe pruning grain: OUR
+    * reader walks stripe footer stream directories to the
+    * ROW_INDEX stream and decodes one RowIndexEntry per 1000-row
+    * group. The fixture sorts a UNIQUE key so every group's
+    * min/max/count is analytic — the oracle recomputes them from
+    * row_number arithmetic, making the whole chain (chunked-stream
+    * decode, stream-offset walk, packed-position parse, zigzag
+    * stats) value-transparent. */
+  private def orcRowIndex(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "orcrowidx", "lineitem") { out =>
+      Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey * 10 + l_linenumber AS sk")
+        .coalesce(1)
+        .sortWithinPartitions("sk")
+        .write.option("compression", "zstd")
+        .option("orc.row.index.stride", "1000")
+        .orc(s"$out/t")
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.orc").load(s"$root/t")
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        import graft.operators.OrcTail
+        val t = OrcTail.parseTail(bytes)
+          .getOrElse(sys.error(s"orc tail rejected: $path"))
+        require(t.rowIndexStride == 1000, "stride option lost")
+        require(t.stripes.length == 1,
+          s"row-group oracle needs one stripe, got ${t.stripes.length}")
+        val stripe = t.stripes.head
+        val sf = OrcTail.parseStripeFooter(bytes, stripe,
+          t.compression, t.blockSize)
+          .getOrElse(sys.error("stripe footer rejected"))
+        val skCol = t.types.head.subtypes(
+          t.types.head.fieldNames.indexOf("sk"))
+        val entries = OrcTail.readRowIndex(bytes, stripe, sf, skCol,
+          t.compression, t.blockSize)
+          .getOrElse(sys.error("row index rejected"))
+        entries.zipWithIndex.map { case (e, g) =>
+          require(e.positions.nonEmpty, "row-group positions missing")
+          val st = e.stats.getOrElse(
+            sys.error(s"row group $g has no stats"))
+          val is = st.ints.getOrElse(
+            sys.error(s"row group $g has no int stats"))
+          (g.toLong, st.numValues,
+            is.min.getOrElse(sys.error("no min")),
+            is.max.getOrElse(sys.error("no max")))
+        }
+      }
+      .toDF("grp", "n", "vmin", "vmax")
+      .orderBy("grp")
+  }
+
   /** Lakehouse ingest capstone (r12) — the composed migration DAG a
     * curation pipeline actually runs, chaining FOUR of this round's
     * systems live in one gate row: (1) read the Delta fixture at
@@ -11302,6 +11397,8 @@ object Pipeline {
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
+    "orc_footer"        -> orcFooter _,
+    "orc_row_index"     -> orcRowIndex _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
@@ -13715,6 +13812,37 @@ object Pipeline {
         |  CAST(COUNT(*) AS BIGINT) AS n_key_found,
         |  CAST(COUNT(*) AS BIGINT) AS n_name_found
         |FROM supplier GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // OUR ORC PostScript->Footer walk: typed column statistics must
+    // reproduce the table's true aggregates per stat family
+    "orc_footer" ->
+      """SELECT 'l_orderkey' AS col_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_values, false AS has_null,
+        |  min(l_orderkey) AS imin, max(l_orderkey) AS imax,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS isum,
+        |  CAST(NULL AS DOUBLE) AS dmin, CAST(NULL AS DOUBLE) AS dmax,
+        |  CAST(NULL AS VARCHAR) AS smin, CAST(NULL AS VARCHAR) AS smax
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT), false,
+        |  NULL, NULL, NULL,
+        |  min(l_quantity), max(l_quantity), NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT), false,
+        |  NULL, NULL, NULL, NULL, NULL,
+        |  min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+    // OUR ROW_INDEX stream decode: per-1000-row-group min/max/count
+    // on a sorted unique key, recomputed from row_number arithmetic
+    "orc_row_index" ->
+      """WITH s AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS sk FROM lineitem),
+        |r AS (
+        |  SELECT sk, row_number() OVER (ORDER BY sk) - 1 AS rn FROM s)
+        |SELECT rn // 1000 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  min(sk) AS vmin, max(sk) AS vmax
+        |FROM r GROUP BY 1 ORDER BY grp""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts
     // (shard id, MatMul→Relu ops) ride along
