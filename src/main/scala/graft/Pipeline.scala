@@ -8498,6 +8498,43 @@ object Pipeline {
       .orderBy("grp")
   }
 
+  /** Hudi COW snapshot (r12) — [[graft.operators.Hudi]] completes
+    * the lakehouse trio: the fixture lives a real table history
+    * (create → key-level upsert that rewrites exactly the touched
+    * file groups → insert-overwrite of one partition through a
+    * replacecommit → a PENDING commit whose base file exists on
+    * disk but must stay invisible), and the oracle recomputes the
+    * end state analytically from lineitem. The max commit-time
+    * fact per partition pins WHICH file group generation each
+    * partition reads — a reader that picks a stale or pending base
+    * file flips the hash. */
+  private def hudiSnapshot(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Hudi
+    val root = formatFixtureDir(dir, "huditbl", "lineitem") { out =>
+      val base = Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey * 10 + l_linenumber AS sk",
+        "cast(l_orderkey % 4 as string) AS pb",
+        "l_quantity AS qty")
+      val tbl = s"$out/tbl"
+      Hudi.create(s, base, tbl, "sk", "pb")
+      val upd = base.where("(sk div 10) % 10 = 0")
+        .withColumn("qty", expr("qty + 100"))
+      Hudi.upsert(s, upd, tbl, "sk", "pb")
+      val ov = base.where("pb = '3' and qty > 25")
+      Hudi.insertOverwrite(s, ov, tbl, "sk", "3")
+      Hudi.pendingCommit(s, base.where("pb = '1'")
+        .withColumn("qty", expr("qty + 1000")), tbl, "sk", "1")
+    }
+    Hudi.read(s, s"$root/tbl")
+      .groupBy("pb")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("sk").as("nk"),
+        max("_hoodie_commit_time").as("mct"))
+      .orderBy("pb")
+  }
+
   /** Lakehouse ingest capstone (r12) — the composed migration DAG a
     * curation pipeline actually runs, chaining FOUR of this round's
     * systems live in one gate row: (1) read the Delta fixture at
@@ -11399,6 +11436,7 @@ object Pipeline {
     "parquet_bloom_probe" -> parquetBloomProbe _,
     "orc_footer"        -> orcFooter _,
     "orc_row_index"     -> orcRowIndex _,
+    "hudi_snapshot"     -> hudiSnapshot _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
@@ -13843,6 +13881,32 @@ object Pipeline {
         |SELECT rn // 1000 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
         |  min(sk) AS vmin, max(sk) AS vmax
         |FROM r GROUP BY 1 ORDER BY grp""".stripMargin,
+    // OUR Hudi COW reader after a lived history: create -> upsert
+    // (keys with l_orderkey%10=0, partitions 0/2 rewritten at
+    // instant 2) -> replacecommit overwriting partition 3 ->
+    // pending commit on partition 1 that must stay invisible
+    "hudi_snapshot" ->
+      """WITH b AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
+        |    l_quantity AS qty
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT sk, pb,
+        |    CASE WHEN (sk // 10) % 10 = 0 THEN qty + 100
+        |      ELSE qty END AS qty
+        |  FROM b),
+        |f AS (
+        |  SELECT sk, pb, qty FROM u WHERE pb <> '3'
+        |  UNION ALL
+        |  SELECT sk, pb, qty FROM b WHERE pb = '3' AND qty > 25)
+        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(qty), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
+        |  CASE pb WHEN '1' THEN '00000000000001'
+        |    WHEN '3' THEN '00000000000003'
+        |    ELSE '00000000000002' END AS mct
+        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts
     // (shard id, MatMul→Relu ops) ride along
