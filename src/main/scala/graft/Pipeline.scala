@@ -9579,6 +9579,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** XLSX extraction (r12, operators/Xlsx) — the office container
+    * tabular corpora arrive in: per doc a two-sheet workbook (text
+    * slices + numbers + a boolean) is BUILT through the shared-
+    * string-pooling writer and read back through the REAL parser
+    * (ZIP walk, workbook→rels→worksheet resolution, shared-string
+    * pool, typed cells); every fact comes from the PARSED cells —
+    * the string md5 crosses the entity-escape/pool layers, the
+    * numeric sum the `<v>` number grammar, the boolean the `t="b"`
+    * lane. Pure map pass; the oracle rebuilds each workbook's
+    * content analytically. */
+  private def xlsxExtract(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Xlsx
+    asciiDocs(s, dir)
+      .map { case (id, t) =>
+        val len = t.length
+        val nr = 1 + (len % 3)
+        val rows1: Seq[Seq[Xlsx.CellVal]] = (0 until nr).map { j =>
+          val st = (j * 7) % len
+          Seq(Xlsx.StrVal(t.substring(st, math.min(st + 6, len))),
+            Xlsx.NumVal((st + j).toDouble))
+        }
+        val rows2: Seq[Seq[Xlsx.CellVal]] = Seq(Seq(
+          Xlsx.NumVal(len.toDouble), Xlsx.NumVal(len * 0.25),
+          Xlsx.BoolVal(len % 2 == 0)))
+        val wb = Xlsx.parse(
+          Xlsx.build(Seq(("text", rows1), ("stats", rows2))))
+          .getOrElse(sys.error(s"xlsx rejected for doc $id"))
+        val sh1 = wb.sheets.find(_.name == "text").getOrElse(
+          sys.error(s"sheet lost for doc $id"))
+        val strs = sh1.cells.collect {
+          case Xlsx.Cell(_, 1, Xlsx.StrVal(v)) => v }
+        val numSum = sh1.cells.collect {
+          case Xlsx.Cell(_, 2, Xlsx.NumVal(v)) => v }.sum
+        val sh2 = wb.sheets.find(_.name == "stats").getOrElse(
+          sys.error(s"stats sheet lost for doc $id"))
+        val quarter = sh2.cells.collectFirst {
+          case Xlsx.Cell(1, 2, Xlsx.NumVal(v)) => v }.getOrElse(
+          sys.error(s"quarter cell lost for doc $id"))
+        val isEven = sh2.cells.collectFirst {
+          case Xlsx.Cell(1, 3, Xlsx.BoolVal(b)) => b }.getOrElse(
+          sys.error(s"bool cell lost for doc $id"))
+        (id, wb.sheets.length, sh1.cells.length.toLong,
+          md5utf(strs.mkString("|")), math.round(numSum),
+          quarter, isEven)
+      }
+      .toDF("doc_id", "n_sheets", "n_cells", "s_md5", "nsum",
+        "quarter", "is_even")
+      .orderBy("doc_id")
+  }
+
   /** PDF text extraction (operators/Pdf): per doc a multi-page PDF —
     * page j shows `Pg {j}` via `Tj` and a 12-char slice via a
     * kerned `TJ` array; even docs Flate-compress every content
@@ -11482,6 +11534,7 @@ object Pipeline {
     "wet_wat_extract"   -> wetWatExtract _,
     "epub_text_extract" -> epubTextExtract _,
     "docx_text_extract" -> docxTextExtract _,
+    "xlsx_extract"      -> xlsxExtract _,
     "pdf_text_extract"  -> pdfTextExtract _,
     "orc_roundtrip"     -> orcRoundtrip _,
     "webdataset_pairs"  -> webdatasetPairs _,
@@ -13636,6 +13689,27 @@ object Pipeline {
         |  CAST(np AS BIGINT) AS n_paras,
         |  doc AS doc_text, CAST(length(doc) AS INT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin
+    },
+    "xlsx_extract" -> {
+      // every fact from the PARSED typed cells: the string md5
+      // crosses entity escapes + shared-string pooling, the sums
+      // the number grammar, the boolean the t="b" lane
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 3 AS nr FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, CAST(2 AS INT) AS n_sheets,
+        |  CAST(nr * 2 AS BIGINT) AS n_cells,
+        |  md5(array_to_string(
+        |    list_transform(range(0, CAST(nr AS BIGINT)), j ->
+        |      substr(text, CAST((j * 7) % len AS INT) + 1, 6)),
+        |    '|')) AS s_md5,
+        |  CAST(list_sum(
+        |    list_transform(range(0, CAST(nr AS BIGINT)), j ->
+        |      (j * 7) % len + j)) AS BIGINT) AS nsum,
+        |  len * 0.25 AS quarter,
+        |  len % 2 = 0 AS is_even
+        |FROM d ORDER BY doc_id""".stripMargin
     },
     "msgpack_parse" -> {
       // every fact from the DECODED value tree; note nil on every 7th

@@ -74,6 +74,9 @@ object Zip {
         done += n
       }
       if (done == size) out else null
+    } catch {
+      // corrupt (not merely truncated) streams: reject, never throw
+      case _: java.util.zip.DataFormatException => null
     } finally inf.end() // release native memory on the truncated path too
   }
 
