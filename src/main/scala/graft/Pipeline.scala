@@ -8535,6 +8535,55 @@ object Pipeline {
       .orderBy("pb")
   }
 
+  /** Hudi MERGE_ON_READ through OUR log-block format (round 12):
+    * createMor writes base parquet under a deltacommit, then the
+    * history runs entirely through log appends — an AVRO_DATA
+    * upsert wave (our own Avro datum codec inside HudiLog blocks),
+    * a typed DELETE block wave, a second upsert wave, and a PENDING
+    * deltacommit whose blocks exist on disk but whose INSTANT_TIME
+    * never completes. The merge (base ∪ decoded log records, newest
+    * per key, deletes dropping keys, uncommitted blocks gated out)
+    * happens at read; the oracle recomputes the end state
+    * analytically from lineitem, so a fault anywhere — block
+    * framing, datum decode, instant gating, merge ordering, delete
+    * application — flips the hash. Scale: one task per file group's
+    * log chain (Hudi's own merge parallelism), shuffle = slice row
+    * volume on the record key. */
+  private def hudiMorSnapshot(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Hudi
+    val root = formatFixtureDir(dir, "huditblmor", "lineitem") { out =>
+      // keyed aggregate: hudi record keys must be UNIQUE (the
+      // driver's synthetic lineitem repeats (orderkey, linenumber)
+      // pairs, and a MOR merge would rightly collapse them)
+      val base = Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey * 10 + l_linenumber AS sk",
+        "cast(l_orderkey % 4 as string) AS pb",
+        "l_quantity")
+        .groupBy("sk", "pb")
+        .agg(sum("l_quantity").as("qty"))
+      val tbl = s"$out/tbl"
+      Hudi.createMor(s, base, tbl, "sk", "pb") // deltacommit 1: base
+      val upd1 = base.where("(sk div 10) % 10 = 0")
+        .withColumn("qty", expr("qty + 100"))
+      Hudi.upsertMorLog(s, upd1, tbl, "sk", "pb") // dc 2: avro blocks
+      Hudi.deleteMor(s, base.where("pb = '2' and qty < 10"),
+        tbl, "sk", "pb") // dc 3: delete blocks
+      val upd2 = base.where("pb = '3' and qty > 40")
+        .withColumn("qty", expr("qty + 7"))
+      Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4
+      Hudi.pendingDeltaCommit(s, base.where("pb = '1'")
+        .withColumn("qty", expr("qty + 1000")), tbl, "sk", "pb")
+    }
+    Hudi.read(s, s"$root/tbl")
+      .groupBy("pb")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("sk").as("nk"),
+        max("_hoodie_commit_time").as("mct"))
+      .orderBy("pb")
+  }
+
   /** Lakehouse ingest capstone (r12) — the composed migration DAG a
     * curation pipeline actually runs, chaining FOUR of this round's
     * systems live in one gate row: (1) read the Delta fixture at
@@ -11489,6 +11538,7 @@ object Pipeline {
     "orc_footer"        -> orcFooter _,
     "orc_row_index"     -> orcRowIndex _,
     "hudi_snapshot"     -> hudiSnapshot _,
+    "hudi_mor_snapshot" -> hudiMorSnapshot _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
@@ -13980,6 +14030,31 @@ object Pipeline {
         |  CASE pb WHEN '1' THEN '00000000000001'
         |    WHEN '3' THEN '00000000000003'
         |    ELSE '00000000000002' END AS mct
+        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
+    // MERGE_ON_READ: base deltacommit + two avro-log upsert waves +
+    // a delete-block wave + a pending (invisible) deltacommit; the
+    // oracle replays the same history analytically. The surviving
+    // row set and each survivor's winning commit time both pin the
+    // merge ordering.
+    "hudi_mor_snapshot" ->
+      """WITH b AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
+        |    sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT sk, pb,
+        |    CASE WHEN pb = '3' AND qty > 40 THEN qty + 7
+        |      WHEN (sk // 10) % 10 = 0 THEN qty + 100
+        |      ELSE qty END AS qty2,
+        |    CASE WHEN pb = '3' AND qty > 40 THEN '00000000000004'
+        |      WHEN (sk // 10) % 10 = 0 THEN '00000000000002'
+        |      ELSE '00000000000001' END AS ct
+        |  FROM b WHERE NOT (pb = '2' AND qty < 10))
+        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(qty2), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
+        |  max(ct) AS mct
         |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts

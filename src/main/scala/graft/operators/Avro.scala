@@ -357,6 +357,53 @@ object Avro {
       codec: String = "null", blockRows: Int = 1000): Array[Byte] =
     buildNested(recordName, fields.map(toNested), rows, codec, blockRows)
 
+  // ---------------------------------------------------------------
+  // Datum-level encoding (round 12): single records with NO
+  // container framing — the shape log-embedded records use (Hudi
+  // log blocks carry length-prefixed binary datums with the writer
+  // schema in a block header). Same encode/decode core as the OCF
+  // paths above, so every type the container accepts works here.
+  // ---------------------------------------------------------------
+
+  /** Binary-encode one record against `fields` (datum only, no
+    * container framing, no schema). */
+  def encodeDatum(fields: Seq[NField], row: Row): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeDatum(out, fields, row)
+    out.toByteArray
+  }
+
+  private def writeDatum(out: java.io.ByteArrayOutputStream,
+      fields: Seq[NField], row: Row): Unit = {
+    require(row.length == fields.length, "row arity != schema")
+    for ((f, v) <- fields.zip(row)) {
+      if (f.nullable) v match {
+        case None => writeVarLong(out, 0) // union branch: null
+        case Some(x) => writeVarLong(out, 1); writeNValue(out, f.tpe, x)
+      } else writeNValue(out, f.tpe,
+        v.getOrElse(throw new IllegalArgumentException(
+          s"null in non-nullable ${f.name}")))
+    }
+  }
+
+  /** Decode one record datum; None unless the bytes decode cleanly
+    * and are consumed EXACTLY (a partial consume means the schema
+    * disagrees with the writer — drop, never invent). */
+  def decodeDatum(fields: Seq[NField], bytes: Array[Byte]): Option[Row] = {
+    val c = new Cursor(bytes)
+    val row = readDatum(c, fields)
+    if (c.ok && c.p == bytes.length) Some(row) else None
+  }
+
+  private def readDatum(c: Cursor, fields: Seq[NField]): Row =
+    fields.map { f =>
+      if (f.nullable) c.readLong() match {
+        case 0 => None
+        case 1 => Some(readNValue(c, f.tpe))
+        case _ => c.ok = false; None
+      } else Some(readNValue(c, f.tpe))
+    }
+
   /** [[build]] for the full recursive type model (arrays, maps,
     * enums, nested records). */
   /** The spec's full optional-codec set (Avro 1.x "Required/Optional
@@ -387,17 +434,7 @@ object Avro {
     out.write(sync, 0, 16)
     for (block <- rows.grouped(blockRows)) {
       val body = new java.io.ByteArrayOutputStream()
-      for (row <- block) {
-        require(row.length == fields.length, "row arity != schema")
-        for ((f, v) <- fields.zip(row)) {
-          if (f.nullable) v match {
-            case None => writeVarLong(body, 0) // union branch: null
-            case Some(x) => writeVarLong(body, 1); writeNValue(body, f.tpe, x)
-          } else writeNValue(body, f.tpe,
-            v.getOrElse(throw new IllegalArgumentException(
-              s"null in non-nullable ${f.name}")))
-        }
-      }
+      for (row <- block) writeDatum(body, fields, row)
       val raw = body.toByteArray
       val enc = codec match {
         case "null" => raw
@@ -649,13 +686,7 @@ object Avro {
           val bc = new Cursor(raw)
           var i = 0L
           while (bc.ok && i < cnt) {
-            val row = fields.map { f =>
-              if (f.nullable) bc.readLong() match {
-                case 0 => None
-                case 1 => Some(readNValue(bc, f.tpe))
-                case _ => bc.ok = false; None
-              } else Some(readNValue(bc, f.tpe))
-            }
+            val row = readDatum(bc, fields)
             if (bc.ok) rows += row
             i += 1
           }

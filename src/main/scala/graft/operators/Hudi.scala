@@ -134,9 +134,9 @@ object Hudi {
     }
   } yield Instant(time, action, stats, replaced)
 
-  /** List completed commit/replacecommit instants, instant order.
-    * sys.error on malformed commit JSON or a non-COW table. */
-  def timeline(tablePath: String): Seq[Instant] = {
+  /** Table type from hoodie.properties; sys.error unless the table
+    * is COPY_ON_WRITE or MERGE_ON_READ (both read for real). */
+  def tableTypeOf(tablePath: String): String = {
     val hoodie = new java.io.File(tablePath, ".hoodie")
     require(hoodie.isDirectory, s"not a hudi table: $tablePath")
     val props = readProps(new java.io.File(hoodie,
@@ -144,16 +144,27 @@ object Hudi {
       sys.error("hoodie.properties missing or unreadable"))
     val tpe = props.getOrElse("hoodie.table.type",
       sys.error("hoodie.table.type missing"))
-    require(tpe == "COPY_ON_WRITE",
-      s"unsupported hudi table type $tpe (MERGE_ON_READ needs " +
-        "log-block merging; honest rejection)")
+    require(tpe == "COPY_ON_WRITE" || tpe == "MERGE_ON_READ",
+      s"unsupported hudi table type $tpe")
+    tpe
+  }
+
+  /** List completed instants in instant order — commit/replacecommit
+    * for COW, plus deltacommit for MOR. sys.error on malformed
+    * commit JSON or an unknown table type. */
+  def timeline(tablePath: String): Seq[Instant] = {
+    val actions: Set[String] =
+      if (tableTypeOf(tablePath) == "MERGE_ON_READ")
+        Set("commit", "replacecommit", "deltacommit")
+      else Set("commit", "replacecommit")
+    val hoodie = new java.io.File(tablePath, ".hoodie")
     val completed = hoodie.listFiles().toSeq
       .filter(_.isFile)
       .flatMap { f =>
         f.getName.split('.') match {
           case Array(ts, action)
             if ts.nonEmpty && ts.forall(_.isDigit) &&
-              (action == "commit" || action == "replacecommit") =>
+              actions(action) =>
             Some((ts, action, f))
           case _ => None // pending states, properties, other actions
         }
@@ -168,9 +179,14 @@ object Hudi {
     }
   }
 
-  /** Replay the timeline to the live file-group map; returns the
-    * selected base-file paths (absolute). */
-  def snapshotFiles(tablePath: String): Seq[String] = {
+  /** Replay the timeline to the live file-group map:
+    * group -> (baseInstant, relBasePath). Log-file writeStats (MOR
+    * deltacommits) validate their names but do not move the base —
+    * log DISCOVERY is listing-based, like Hudi's own
+    * FileSystemView (blocks from uncommitted appends are filtered
+    * by the INSTANT_TIME header instead). */
+  private def baseGroups(tablePath: String)
+      : Seq[((String, String), (String, String))] = {
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), (String, String)] // group -> (instant, path)
     timeline(tablePath).foreach { ins =>
@@ -179,31 +195,257 @@ object Hudi {
       }
       ins.writeStats.foreach { st =>
         val name = st.path.split('/').last
-        val (fid, fInstant) = parseBaseFileName(name).getOrElse(
-          sys.error(s"bad base file name in commit: ${st.path}"))
-        require(fid == st.fileId,
-          s"fileId ${st.fileId} disagrees with file name $name")
-        require(fInstant == ins.time,
-          s"file instant $fInstant disagrees with commit ${ins.time}")
-        groups((st.partition, st.fileId)) = (ins.time, st.path)
+        if (name.contains(".log.")) {
+          val (fid, _, _) = parseLogFileName(name).getOrElse(
+            sys.error(s"bad log file name in commit: ${st.path}"))
+          require(fid == st.fileId,
+            s"fileId ${st.fileId} disagrees with log name $name")
+        } else {
+          val (fid, fInstant) = parseBaseFileName(name).getOrElse(
+            sys.error(s"bad base file name in commit: ${st.path}"))
+          require(fid == st.fileId,
+            s"fileId ${st.fileId} disagrees with file name $name")
+          require(fInstant == ins.time,
+            s"file instant $fInstant disagrees with commit ${ins.time}")
+          groups((st.partition, st.fileId)) = (ins.time, st.path)
+        }
       }
     }
-    groups.values.toSeq.map { case (_, rel) =>
+    groups.toSeq
+  }
+
+  /** Live base-file paths (absolute), COW and MOR alike. */
+  def snapshotFiles(tablePath: String): Seq[String] =
+    baseGroups(tablePath).map { case (_, (_, rel)) =>
       val f = new java.io.File(tablePath, rel)
       require(f.isFile, s"committed base file missing: $rel")
       f.getAbsolutePath
     }
+
+  /** Snapshot read. COW: one parquet scan over the live base files
+    * (full rows live in the files — pushdown intact). MOR: the
+    * merge-on-read path ([[morRead]]). Empty snapshot of a valid
+    * table reads as an empty DataFrame only when a schema source
+    * exists; we reject instead (no live files means nothing to
+    * infer from — honest). */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    if (tableTypeOf(tablePath) == "MERGE_ON_READ")
+      morRead(spark, tablePath)
+    else {
+      val files = snapshotFiles(tablePath)
+      require(files.nonEmpty, s"no live file groups in $tablePath")
+      spark.read.parquet(files: _*)
+    }
+
+  // ---------------------------------------------------------------
+  // MERGE_ON_READ (round 12): file slices + log-block merging over
+  // the [[HudiLog]] block format and our own Avro datum codec.
+  // ---------------------------------------------------------------
+
+  /** `.<fileId>_<baseInstant>.log.<version>_<writeToken>` →
+    * (fileId, baseInstant, version). Log files are dot-hidden. */
+  def parseLogFileName(name: String): Option[(String, String, Int)] = {
+    if (!name.startsWith(".")) return None
+    val i = name.indexOf(".log.")
+    if (i <= 1) return None
+    val left = name.substring(1, i) // fileId_baseInstant
+    val right = name.substring(i + 5) // version_writeToken
+    val u = left.lastIndexOf('_')
+    if (u <= 0) return None
+    val baseInstant = left.substring(u + 1)
+    if (baseInstant.isEmpty || !baseInstant.forall(_.isDigit))
+      return None
+    val v = right.indexOf('_')
+    if (v <= 0 || right.length == v + 1) return None
+    val verStr = right.substring(0, v)
+    if (!verStr.forall(_.isDigit) || verStr.length > 9) return None
+    Some((left.substring(0, u), baseInstant, verStr.toInt))
   }
 
-  /** Snapshot read: one parquet scan over the live base files
-    * (full rows live in the files — pushdown intact). Empty
-    * snapshot of a valid table reads as an empty DataFrame only
-    * when a schema source exists; we reject instead (no live
-    * files means nothing to infer from — honest). */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val files = snapshotFiles(tablePath)
-    require(files.nonEmpty, s"no live file groups in $tablePath")
-    spark.read.parquet(files: _*)
+  /** One MOR file slice: a base file plus the ordered log files
+    * attached to its base instant. `logs` = (version, absPath). */
+  final case class Slice(partition: String, fileId: String,
+      baseInstant: String, basePath: String,
+      logs: Seq[(Int, String)])
+
+  /** Current file slices: base selection replays the timeline
+    * (driver metadata, O(#file groups) — the FileSystemView
+    * contract); the slice's log files come from LISTING the
+    * partition directory for names matching (fileId, baseInstant),
+    * version order. Compaction advances baseInstant, so superseded
+    * logs drop out of the listing match. */
+  def slices(tablePath: String): Seq[Slice] =
+    baseGroups(tablePath).map { case ((part, fid), (bi, rel)) =>
+      val base = new java.io.File(tablePath, rel)
+      require(base.isFile, s"committed base file missing: $rel")
+      val dir = if (part.isEmpty) new java.io.File(tablePath)
+        else new java.io.File(tablePath, part)
+      val logs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .toSeq.filter(_.isFile)
+        .flatMap { f =>
+          parseLogFileName(f.getName) match {
+            case Some((lfid, lbi, ver))
+              if lfid == fid && lbi == bi =>
+              Some((ver, f.getAbsolutePath))
+            case _ => None
+          }
+        }
+        .sortBy(_._1)
+      Slice(part, fid, bi, base.getAbsolutePath, logs)
+    }
+
+  private val SparkToAvroPrim
+      : Map[org.apache.spark.sql.types.DataType, String] = {
+    import org.apache.spark.sql.types._
+    Map(LongType -> "long", IntegerType -> "int",
+      DoubleType -> "double", FloatType -> "float",
+      StringType -> "string", BooleanType -> "boolean",
+      BinaryType -> "bytes")
+  }
+
+  /** Avro record fields for a flat Spark schema (primitives only —
+    * MOR log records with nested columns reject honestly). */
+  def avroFieldsFor(schema: org.apache.spark.sql.types.StructType)
+      : Seq[Avro.NField] =
+    schema.fields.toSeq.map { f =>
+      val prim = SparkToAvroPrim.getOrElse(f.dataType,
+        sys.error(s"MOR log schema: unsupported column type " +
+          s"${f.dataType.simpleString} for ${f.name}"))
+      Avro.NField(f.name, Avro.NPrim(prim), f.nullable)
+    }
+
+  /** MOR snapshot: base parquet scan unioned with executor-side
+    * log-block decode, merged per (partition, record key) by the
+    * newest (instant, logVersion, blockIdx, recordIdx) — the
+    * OverwriteWithLatestAvroPayload rule — with DELETE blocks (and
+    * `_hoodie_is_deleted` markers) dropping their keys.
+    *
+    * Scale: the driver holds only slice METADATA; each task reads
+    * one file group's log chain (Hudi's own merge parallelism) and
+    * the merge shuffles exactly the slice row volume on the record
+    * key — no global structure. Blocks gate on the INSTANT_TIME
+    * header against the completed timeline (uncommitted appends
+    * invisible) and COMMAND rollback blocks void their target
+    * instant's earlier blocks within the file group. */
+  private def morRead(spark: SparkSession, tablePath: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val sls = slices(tablePath)
+    require(sls.nonEmpty, s"no live file groups in $tablePath")
+    val base = spark.read.parquet(sls.map(_.basePath): _*)
+    val withLogs = sls.filter(_.logs.nonEmpty)
+    if (withLogs.isEmpty) return base
+
+    val baseSchema = base.schema
+    val completed: Set[String] = timeline(tablePath).map(_.time).toSet
+    val ordT = StructType(Seq(
+      StructField("i", StringType, nullable = false),
+      StructField("v", IntegerType, nullable = false),
+      StructField("b", IntegerType, nullable = false),
+      StructField("r", IntegerType, nullable = false)))
+    val unionSchema = StructType(
+      baseSchema.fields.map(_.copy(nullable = true)).toSeq ++
+        Seq(StructField("__del", BooleanType, nullable = false),
+          StructField("__ord", ordT, nullable = false)))
+    val baseCols = baseSchema.fieldNames.toSeq
+    val keyIdx = baseCols.indexOf("_hoodie_record_key")
+    val partIdx = baseCols.indexOf("_hoodie_partition_path")
+    require(keyIdx >= 0 && partIdx >= 0,
+      "MOR base files missing hudi meta columns")
+
+    // one task per file group: its ordered log chain is one merge unit
+    val groupLogs: Seq[Seq[(Int, String)]] = withLogs.map(_.logs)
+    val rdd = spark.sparkContext
+      .parallelize(groupLogs, math.min(groupLogs.length, 256))
+      .flatMap { chain =>
+        // gather the group's blocks in (version, blockIdx) order
+        val blocks = chain.flatMap { case (ver, path) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration()).open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          HudiLog.parse(bytes).zipWithIndex
+            .map { case (blk, bi) => (ver, bi, blk) }
+        }
+        // COMMAND rollback: void earlier blocks of the target instant
+        val rolledBack: Set[String] = blocks.collect {
+          case (_, _, blk) if blk.tpe == HudiLog.Command =>
+            blk.header.getOrElse(HudiLog.TargetInstantTime,
+              sys.error("hudi command block without target instant"))
+        }.toSet
+        blocks.iterator.flatMap { case (ver, bi, blk) =>
+          blk.tpe match {
+            case HudiLog.Corrupt | HudiLog.Command =>
+              Iterator.empty // torn append / handled above
+            case HudiLog.AvroData =>
+              val instant = blk.header.getOrElse(HudiLog.InstantTime,
+                sys.error("hudi data block without instant time"))
+              if (!completed(instant) || rolledBack(instant))
+                Iterator.empty
+              else {
+                val schemaJson = blk.header.getOrElse(HudiLog.SchemaKey,
+                  sys.error("hudi data block without schema header"))
+                val (_, nfields) = Avro.interpretSchema(schemaJson)
+                  .getOrElse(sys.error("hudi log schema unparseable"))
+                val byName = nfields.zipWithIndex
+                  .map { case (f, i) => (f.name, i) }.toMap
+                val colIdx = baseCols.map(c => byName.getOrElse(c,
+                  sys.error(s"hudi log schema missing column $c")))
+                val delIdx = byName.get("_hoodie_is_deleted")
+                val datums = HudiLog.parseAvroDataContent(blk.content)
+                  .getOrElse(sys.error("malformed hudi avro data block"))
+                datums.iterator.zipWithIndex.map { case (d, ri) =>
+                  val rec = Avro.decodeDatum(nfields, d).getOrElse(
+                    sys.error("hudi log record does not match schema"))
+                  val vals = colIdx.map(i => rec(i).orNull)
+                  val del = delIdx.exists(i =>
+                    rec(i).contains(true))
+                  Row.fromSeq(vals ++
+                    Seq(del, Row(instant, ver, bi, ri)))
+                }
+              }
+            case HudiLog.Delete =>
+              val instant = blk.header.getOrElse(HudiLog.InstantTime,
+                sys.error("hudi delete block without instant time"))
+              if (!completed(instant) || rolledBack(instant))
+                Iterator.empty
+              else {
+                val keys = HudiLog.parseDeleteContent(blk.content)
+                  .getOrElse(sys.error(
+                    "malformed hudi delete block (or a non-null " +
+                      "orderingVal — honest rejection)"))
+                keys.iterator.zipWithIndex.map { case ((part, k), ri) =>
+                  val vals = baseCols.indices.map { i =>
+                    if (i == keyIdx) k
+                    else if (i == partIdx) part
+                    else null
+                  }
+                  Row.fromSeq(vals ++
+                    Seq(true, Row(instant, ver, bi, ri)))
+                }
+              }
+            case t => sys.error(
+              s"unsupported hudi log block type $t (HFile/Parquet/" +
+                "CDC data blocks; honest rejection)")
+          }
+        }
+      }
+    val logsDf = spark.createDataFrame(rdd, unionSchema)
+    val baseAug = base
+      .withColumn("__del", lit(false))
+      .withColumn("__ord",
+        struct(lit("").as("i"), lit(0).as("v"),
+          lit(0).as("b"), lit(0).as("r")))
+    val all = baseAug.unionByName(logsDf)
+    val payload = struct(
+      (baseCols.map(col) :+ col("__del")): _*)
+    all.groupBy(col("_hoodie_partition_path"),
+        col("_hoodie_record_key"))
+      .agg(max_by(payload, col("__ord")).as("__r"))
+      .select(col("__r.*"))
+      .where(!col("__del"))
+      .drop("__del")
   }
 
   // ---------------------------------------------------------------
@@ -427,5 +669,183 @@ object Hudi {
       s"$instant.commit.requested").toPath, Array.emptyByteArray)
     java.nio.file.Files.write(new java.io.File(hoodie,
       s"$instant.commit.inflight").toPath, Array.emptyByteArray)
+  }
+
+  // ---------------------------------------------------------------
+  // MOR writer (fixtures + migration): base files via deltacommit,
+  // updates/deletes as log-file appends, compaction as a commit.
+  // The per-group row gather mirrors the one-log-append-per-file-
+  // group contract of Hudi's own writer (a group's slice is one
+  // merge unit); groups are partition-value-sized here.
+  // ---------------------------------------------------------------
+
+  /** Create a MERGE_ON_READ table: base parquet file groups through
+    * an initial deltacommit (the bulk-insert shape). */
+  def createMor(spark: SparkSession, df: DataFrame, tablePath: String,
+      keyExpr: String, partitionExpr: String,
+      tableName: String = "graft_tbl"): Unit = {
+    val hoodie = new java.io.File(tablePath, ".hoodie")
+    require(!hoodie.exists(), s"table exists: $tablePath")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      (s"#graft hudi writer\nhoodie.table.name=$tableName\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n" +
+        "hoodie.timeline.layout.version=1\n").getBytes("UTF-8"))
+    commitGroups(spark, df, tablePath, keyExpr, partitionExpr,
+      pad14(1L), "deltacommit", Map.empty)
+  }
+
+  /** Full table schema (meta + data columns) from any live base
+    * file — the writer stamps log records against it. */
+  private def tableSchema(spark: SparkSession, tablePath: String)
+      : org.apache.spark.sql.types.StructType = {
+    val files = snapshotFiles(tablePath)
+    require(files.nonEmpty, s"no live file groups in $tablePath")
+    spark.read.parquet(files.head).schema
+  }
+
+  private def sparkRowToAvro(r: org.apache.spark.sql.Row)
+      : Avro.Row =
+    (0 until r.length).map(i => Option(r.get(i)))
+
+  /** Append one AVRO_DATA (or DELETE) log block per touched file
+    * group under `instant`; returns the delta write stats. */
+  private def appendLogBlocks(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String,
+      instant: String, delete: Boolean): Seq[WriteStat] = {
+    val schema = tableSchema(spark, tablePath)
+    val dataCols = schema.fieldNames.toSeq.filterNot(MetaCols.contains)
+    require(df.columns.toSeq == dataCols,
+      s"MOR write schema ${df.columns.toSeq} != table $dataCols")
+    val byPartition = slices(tablePath)
+      .groupBy(_.partition).view.mapValues { ss =>
+        require(ss.length == 1,
+          "multiple file groups per partition not supported by " +
+            "this writer")
+        ss.head
+      }.toMap
+    partitions(df, partitionExpr).map { p =>
+      val slice = byPartition.getOrElse(p, sys.error(
+        s"MOR log write into unknown partition $p (log appends " +
+          "cannot create file groups)"))
+      val ver = slice.logs.map(_._1).maxOption.getOrElse(0) + 1
+      val logName =
+        s".${slice.fileId}_${slice.baseInstant}.log.${ver}_0-0-0"
+      val rel = if (p.isEmpty) logName else s"$p/$logName"
+      val part = df.where(
+        expr(s"cast(($partitionExpr) as string) = '$p'"))
+      val block =
+        if (delete) {
+          val keys = part
+            .selectExpr(s"cast(($keyExpr) as string)")
+            .collect().map(r => (p, r.getString(0))).toSeq
+          HudiLog.Block(HudiLog.Delete,
+            Map(HudiLog.InstantTime -> instant), Map.empty,
+            HudiLog.deleteContent(keys))
+        } else {
+          val stamped = part
+            .withColumn("_hoodie_commit_time", lit(instant))
+            .withColumn("_hoodie_commit_seqno",
+              concat(lit(s"${instant}_0_"),
+                monotonically_increasing_id().cast("string")))
+            .withColumn("_hoodie_record_key",
+              expr(keyExpr).cast("string"))
+            .withColumn("_hoodie_partition_path", lit(p))
+            .withColumn("_hoodie_file_name", lit(logName))
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          val nfields = avroFieldsFor(org.apache.spark.sql.types
+            .StructType(schema.fields.map(_.copy(nullable = true))))
+          val schemaJson =
+            Avro.schemaJsonNested("graft_hudi_record", nfields)
+          val datums = stamped.collect().toSeq
+            .map(r => Avro.encodeDatum(nfields, sparkRowToAvro(r)))
+          HudiLog.Block(HudiLog.AvroData,
+            Map(HudiLog.InstantTime -> instant,
+              HudiLog.SchemaKey -> schemaJson), Map.empty,
+            HudiLog.avroDataContent(datums))
+        }
+      val dst = new java.io.File(tablePath, rel)
+      dst.getParentFile.mkdirs()
+      HudiLog.append(dst, Seq(block))
+      WriteStat(p, slice.fileId, rel, part.count())
+    }
+  }
+
+  /** MOR upsert: one log-file append per touched file group, under
+    * a completed deltacommit. */
+  def upsertMorLog(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String)
+      : Unit = {
+    val instant = nextInstant(tablePath)
+    val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
+      partitionExpr, instant, delete = false)
+    writeInstant(tablePath,
+      Instant(instant, "deltacommit", stats, Map.empty))
+  }
+
+  /** MOR hard delete: DELETE blocks carrying the keys of `df`'s
+    * rows, under a completed deltacommit. */
+  def deleteMor(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String)
+      : Unit = {
+    val instant = nextInstant(tablePath)
+    val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
+      partitionExpr, instant, delete = true)
+    writeInstant(tablePath,
+      Instant(instant, "deltacommit", stats, Map.empty))
+  }
+
+  /** Append log blocks for a deltacommit that never completes —
+    * the blocks' INSTANT_TIME gates them out of every snapshot. */
+  def pendingDeltaCommit(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String)
+      : Unit = {
+    val instant = nextInstant(tablePath)
+    appendLogBlocks(spark, df, tablePath, keyExpr, partitionExpr,
+      instant, delete = false): Unit
+    val hoodie = new java.io.File(tablePath, ".hoodie")
+    java.nio.file.Files.write(new java.io.File(hoodie,
+      s"$instant.deltacommit.requested").toPath, Array.emptyByteArray)
+    java.nio.file.Files.write(new java.io.File(hoodie,
+      s"$instant.deltacommit.inflight").toPath, Array.emptyByteArray)
+  }
+
+  /** Compaction: merge every slice into a fresh base file at a
+    * `commit` instant, PRESERVING record-level meta columns (the
+    * compactor rewrites files, not history — only
+    * `_hoodie_file_name` moves). Superseded log files fall out of
+    * the slice listing because the base instant advances. */
+  def compactMor(spark: SparkSession, tablePath: String): Unit = {
+    require(tableTypeOf(tablePath) == "MERGE_ON_READ",
+      "compaction is a MOR operation")
+    val instant = nextInstant(tablePath)
+    val merged = read(spark, tablePath).cache()
+    try {
+      val stats = slices(tablePath).map { sl =>
+        val name = s"${sl.fileId}_0-0-0_$instant.parquet"
+        val rel = if (sl.partition.isEmpty) name
+          else s"${sl.partition}/$name"
+        val rows = merged
+          .where(col("_hoodie_partition_path") === sl.partition)
+          .withColumn("_hoodie_file_name", lit(name))
+        val n = rows.count()
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_hudi_c")
+        rows.coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toAbsolutePath.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tablePath, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(tmp.toFile)
+        WriteStat(sl.partition, sl.fileId, rel, n)
+      }
+      writeInstant(tablePath,
+        Instant(instant, "commit", stats, Map.empty))
+    } finally merged.unpersist(): Unit
   }
 }

@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hudi MERGE_ON_READ pins: the log-block byte layout (magic,
+  * big-endian lengths, header maps, the reverse-traversal trailer),
+  * corrupt-block resync, AVRO_DATA / DELETE content codecs, and the
+  * table-level merge semantics — upserts override base rows by key,
+  * delete blocks drop keys, uncommitted appends stay invisible,
+  * command blocks roll back their target instant, and compaction
+  * advances the slice so superseded logs fall out. */
+class HudiLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      .toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tbl"
+  }
+
+  private def baseDf(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, (i % 3).toString, i * 1.5))
+      .toDF("k", "p", "v")
+  }
+
+  private def dataBlock(instant: String): HudiLog.Block =
+    HudiLog.Block(HudiLog.AvroData,
+      Map(HudiLog.InstantTime -> instant,
+        HudiLog.SchemaKey -> "{}"),
+      Map.empty,
+      HudiLog.avroDataContent(Seq(Array[Byte](1, 2, 3))))
+
+  // ---------------------------------------------------------------
+  // Block layout
+  // ---------------------------------------------------------------
+
+  test("block byte layout: magic, BE lengths, reverse pointer") {
+    val b = HudiLog.Block(HudiLog.AvroData,
+      Map(HudiLog.InstantTime -> "001"), Map.empty,
+      Array[Byte](9, 8, 7))
+    val bytes = HudiLog.renderBlock(b)
+    // magic
+    assert(bytes.take(6).sameElements("#HUDI#".getBytes("UTF-8")))
+    def be32(p: Int) = ((bytes(p) & 0xff) << 24) |
+      ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+      (bytes(p + 3) & 0xff)
+    def be64(p: Int) = ((be32(p) & 0xffffffffL) << 32) |
+      (be32(p + 4) & 0xffffffffL)
+    // blockSize excludes magic and itself
+    assert(be64(6) == bytes.length - 6 - 8)
+    assert(be32(14) == 1) // log format version
+    assert(be32(18) == HudiLog.AvroData) // type ordinal 3
+    // header map: 1 entry, key ordinal 0, len 3, "001"
+    assert(be32(22) == 1 && be32(26) == 0 && be32(30) == 3)
+    assert(new String(bytes, 34, 3, "UTF-8") == "001")
+    // content length + content
+    assert(be64(37) == 3L)
+    assert(bytes.slice(45, 48).toSeq == Seq[Byte](9, 8, 7))
+    // empty footer map
+    assert(be32(48) == 0)
+    // reverse pointer: total block length INCLUDING magic
+    assert(be64(bytes.length - 8) == bytes.length.toLong)
+    // round trip
+    val parsed = HudiLog.parse(bytes)
+    assert(parsed.length == 1)
+    assert(parsed.head.tpe == HudiLog.AvroData)
+    assert(parsed.head.header == Map(HudiLog.InstantTime -> "001"))
+    assert(parsed.head.content.toSeq == Seq[Byte](9, 8, 7))
+  }
+
+  test("corrupt stretch resyncs at the next magic") {
+    val good1 = HudiLog.renderBlock(dataBlock("001"))
+    val good2 = HudiLog.renderBlock(dataBlock("002"))
+    val torn = good1.take(good1.length - 11) // torn append
+    val stream = torn ++ good2
+    val parsed = HudiLog.parse(stream)
+    assert(parsed.length == 2)
+    assert(parsed(0).corrupt)
+    assert(!parsed(1).corrupt &&
+      parsed(1).header(HudiLog.InstantTime) == "002")
+    // garbage prefix also resyncs
+    val parsed2 = HudiLog.parse("JUNK".getBytes ++ good1)
+    assert(parsed2.length == 2 && parsed2(0).corrupt &&
+      parsed2(1).header(HudiLog.InstantTime) == "001")
+  }
+
+  test("avro data content: round trip, v1 and truncation reject") {
+    val ds = Seq(Array[Byte](1), Array[Byte](2, 3), Array.emptyByteArray)
+    val c = HudiLog.avroDataContent(ds)
+    val back = HudiLog.parseAvroDataContent(c).get
+    assert(back.map(_.toSeq) == ds.map(_.toSeq))
+    // version pins at 3
+    assert(((c(0) << 24) | c(3)) == 3)
+    // v1 (no length prefixes) rejects
+    val v1 = c.clone(); v1(3) = 1
+    assert(HudiLog.parseAvroDataContent(v1).isEmpty)
+    // truncation rejects (exact consumption)
+    assert(HudiLog.parseAvroDataContent(c.dropRight(1)).isEmpty)
+    assert(HudiLog.parseAvroDataContent(c ++ Array[Byte](0)).isEmpty)
+  }
+
+  test("delete content: round trip, non-null orderingVal rejects") {
+    val keys = Seq(("p0", "k1"), ("p1", "k2"))
+    val c = HudiLog.deleteContent(keys)
+    assert(HudiLog.parseDeleteContent(c).contains(keys))
+    assert(HudiLog.parseDeleteContent(
+      HudiLog.deleteContent(Nil)).contains(Nil))
+    // flip the orderingVal union branch of the last record from the
+    // null branch (varint 0) to branch 1: honest rejection. Layout
+    // ends ..., orderingVal branch (0x00), array terminator (0x00).
+    val c2 = c.clone()
+    assert(c2(c2.length - 1) == 0 && c2(c2.length - 2) == 0)
+    c2(c2.length - 2) = 2 // zigzag(1): orderingVal branch 1
+    assert(HudiLog.parseDeleteContent(c2).isEmpty)
+    // torn content rejects
+    assert(HudiLog.parseDeleteContent(c.dropRight(1)).isEmpty)
+  }
+
+  test("avro datum codec: round trip and exact consumption") {
+    val fields = Seq(
+      Avro.NField("a", Avro.NPrim("long"), nullable = false),
+      Avro.NField("b", Avro.NPrim("string"), nullable = true),
+      Avro.NField("c", Avro.NPrim("double"), nullable = false))
+    val row: Avro.Row = Seq(Some(42L), None, Some(1.5))
+    val enc = Avro.encodeDatum(fields, row)
+    assert(Avro.decodeDatum(fields, enc).contains(row))
+    val row2: Avro.Row = Seq(Some(-7L), Some("hé"), Some(-0.25))
+    val enc2 = Avro.encodeDatum(fields, row2)
+    assert(Avro.decodeDatum(fields, enc2).contains(row2))
+    // trailing garbage / truncation reject
+    assert(Avro.decodeDatum(fields, enc ++ Array[Byte](0)).isEmpty)
+    assert(Avro.decodeDatum(fields, enc.dropRight(1)).isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // Table-level MOR semantics
+  // ---------------------------------------------------------------
+
+  test("MOR: log upserts merge over base by key") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("mor_up")
+    Hudi.createMor(s, baseDf(90), t, "k", "p")
+    val got0 = Hudi.read(s, t)
+    assert(got0.count() == 90)
+    // update keys divisible by 6 (all in partition "0") via a log
+    val upd = baseDf(90).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p")
+    // base files untouched, a log file appeared
+    val sl = Hudi.slices(t)
+    assert(sl.length == 3)
+    assert(sl.filter(_.partition == "0").head.logs.length == 1)
+    assert(sl.filter(_.partition == "1").head.logs.isEmpty)
+    val got = Hudi.read(s, t)
+    assert(got.count() == 90)
+    assert(got.where("k % 6 = 0 and v != k * 1.5 + 100").count() == 0)
+    assert(got.where("k % 6 != 0 and v != k * 1.5").count() == 0)
+    // updated rows carry the log's commit time, others the base's
+    assert(got.where("k % 6 = 0 and " +
+      "_hoodie_commit_time != '00000000000002'").count() == 0)
+    assert(got.where("k % 6 != 0 and " +
+      "_hoodie_commit_time != '00000000000001'").count() == 0)
+    // a second upsert bumps the log version in the SAME slice
+    Hudi.upsertMorLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 1")), t, "k", "p")
+    val sl2 = Hudi.slices(t).filter(_.partition == "0").head
+    assert(sl2.logs.map(_._1) == Seq(1, 2))
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
+  }
+
+  test("MOR: delete blocks drop keys; pending append is invisible") {
+    val s = spark
+    val t = tmpTable("mor_del")
+    Hudi.createMor(s, baseDf(90), t, "k", "p")
+    Hudi.deleteMor(s, baseDf(90).where("k < 30"), t, "k", "p")
+    val got = Hudi.read(s, t)
+    assert(got.count() == 60)
+    assert(got.where("k < 30").count() == 0)
+    // pending deltacommit: log blocks exist on disk but don't read
+    Hudi.pendingDeltaCommit(s, baseDf(90).where("k >= 60"), t, "k", "p")
+    assert(Hudi.slices(t).map(_.logs.length).sum >= 4)
+    assert(Hudi.read(s, t).count() == 60)
+  }
+
+  test("MOR: command block rolls back its target instant") {
+    val s = spark
+    val t = tmpTable("mor_rb")
+    Hudi.createMor(s, baseDf(30), t, "k", "p")
+    val upd = baseDf(30).where("k % 3 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p") // instant 2
+    assert(Hudi.read(s, t).where("v >= 100").count() == 10)
+    // append a ROLLBACK command block targeting instant 2
+    val slice = Hudi.slices(t).filter(_.partition == "0").head
+    val logFile = new java.io.File(slice.logs.head._2)
+    HudiLog.append(logFile, Seq(HudiLog.Block(HudiLog.Command,
+      Map(HudiLog.TargetInstantTime -> "00000000000002",
+        HudiLog.CommandBlockType -> "0"),
+      Map.empty, Array.emptyByteArray)))
+    val got = Hudi.read(s, t)
+    assert(got.count() == 30)
+    assert(got.where("v >= 100").count() == 0) // rolled back
+  }
+
+  test("MOR: compaction advances the slice, preserving meta") {
+    val s = spark
+    val t = tmpTable("mor_cp")
+    Hudi.createMor(s, baseDf(90), t, "k", "p")
+    val upd = baseDf(90).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p") // instant 2
+    val before = Hudi.read(s, t).selectExpr(
+      "k", "v", "_hoodie_commit_time").collect().sortBy(_.getLong(0))
+    Hudi.compactMor(s, t) // instant 3
+    val sl = Hudi.slices(t)
+    assert(sl.forall(_.baseInstant == "00000000000003"))
+    assert(sl.forall(_.logs.isEmpty))
+    val after = Hudi.read(s, t).selectExpr(
+      "k", "v", "_hoodie_commit_time").collect().sortBy(_.getLong(0))
+    // record-level history preserved through the rewrite
+    assert(before.map(r => (r.getLong(0), r.getDouble(1),
+      r.getString(2))).toSeq ==
+      after.map(r => (r.getLong(0), r.getDouble(1),
+        r.getString(2))).toSeq)
+    // post-compaction logs attach to the NEW base instant
+    Hudi.upsertMorLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 1")), t, "k", "p")
+    val sl2 = Hudi.slices(t).filter(_.partition == "0").head
+    assert(sl2.baseInstant == "00000000000003" &&
+      sl2.logs.length == 1)
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
+  }
+
+  test("MOR rejections: unknown partition, HFile block, bad schema") {
+    val s = spark
+    val t = tmpTable("mor_bad")
+    Hudi.createMor(s, baseDf(30), t, "k", "p")
+    // log append into a partition with no file group
+    assertThrows[RuntimeException](Hudi.upsertMorLog(s,
+      baseDf(30).withColumn("p",
+        org.apache.spark.sql.functions.lit("9")), t, "k", "p"))
+    // an HFILE data block in the chain fails the read loudly
+    val slice = Hudi.slices(t).head
+    val logFile = new java.io.File(
+      new java.io.File(t, slice.partition),
+      s".${slice.fileId}_${slice.baseInstant}.log.1_0-0-0")
+    HudiLog.append(logFile, Seq(HudiLog.Block(HudiLog.HFileData,
+      Map(HudiLog.InstantTime -> "00000000000001"), Map.empty,
+      Array[Byte](1))))
+    assertThrows[org.apache.spark.SparkException](
+      Hudi.read(s, t).count())
+  }
+}

@@ -7,9 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * upsert replaces whole file groups (key-level merge, untouched
   * partitions keep their instant), replacecommit kills replaced
   * groups even though their files remain on disk, pending instants
-  * stay invisible, and the rejection surface (MERGE_ON_READ, torn
-  * commit JSON, fileId/instant disagreements, missing base files)
-  * errors instead of shrinking the table. */
+  * stay invisible, and the rejection surface (unknown table types,
+  * torn commit JSON, fileId/instant disagreements, missing base
+  * files) errors instead of shrinking the table. MERGE_ON_READ
+  * semantics are pinned in HudiLogSpec. */
 class HudiSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -106,12 +107,13 @@ class HudiSpec extends AnyFunSuite {
     Hudi.create(s, baseDf(30), t, "k", "p")
     assert(Hudi.read(s, t).count() == 30)
 
-    // MERGE_ON_READ rejects
+    // an unknown table type rejects (MERGE_ON_READ reads for real
+    // as of round 12 — see HudiLogSpec)
     val props = new java.io.File(t, ".hoodie/hoodie.properties")
     val orig = new String(
       java.nio.file.Files.readAllBytes(props.toPath), "UTF-8")
     java.nio.file.Files.write(props.toPath, orig.replace(
-      "COPY_ON_WRITE", "MERGE_ON_READ").getBytes("UTF-8"))
+      "COPY_ON_WRITE", "SOME_FUTURE_TYPE").getBytes("UTF-8"))
     assertThrows[IllegalArgumentException](Hudi.read(s, t))
     java.nio.file.Files.write(props.toPath, orig.getBytes("UTF-8"))
 
