@@ -6743,6 +6743,45 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Arrow MAP + DECIMAL128 decode (r12): arrow-java writes
+    * map<utf8,int64> word-length histograms and a decimal(20,4)
+    * column; OUR reader decodes entries (offsets + entry struct,
+    * key non-nullness checked against the WIRE bitmaps) and
+    * 16-byte two's-complement decimals. Every fact — entry counts,
+    * non-null value sums, null-value counts, max key, the decimal's
+    * exact plain string — comes from DECODED values. */
+  private def arrowIpcMap(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    arrowMapShards(s, dir)
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow map parse rejected shard $sid"))
+        require(cols.map(_.tag) == Seq("int64", "map", "decimal128_20_4"))
+        require(cols(1).children.head.children.map(_.tag) ==
+          Seq("utf8", "int64"))
+        rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val m = r(1).map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
+            val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+            (kv(0).get.asInstanceOf[String],
+              kv(1).map(_.asInstanceOf[Long]))
+          })
+          val price = r(2)
+            .map(_.asInstanceOf[java.math.BigDecimal].toPlainString)
+          (id, sid,
+            m.map(_.length.toLong),
+            m.map(_.flatMap(_._2).sum),
+            m.map(_.count(_._2.isEmpty).toLong),
+            m.flatMap(_.map(_._1.toLong).maxOption),
+            price)
+        }
+      }
+      .toDF("doc_id", "shard_id", "m_size", "v_sum", "n_nullv",
+        "k_max", "price_s")
+      .orderBy("doc_id")
+  }
+
   /** Dictionary-encoded Arrow IPC decode (r12) — how dataset shards
     * store low-cardinality string columns: arrow-java's
     * DictionaryEncoder writes a DictionaryBatch plus int32 index
@@ -8941,6 +8980,98 @@ object Pipeline {
   }
 
   /** The per-shard nested `.arrow` files: (shard_id, bytes). */
+  /** Per-shard Arrow files carrying a MAP column and a DECIMAL128
+    * column (r12): the remaining HuggingFace-datasets shapes after
+    * list/struct/dictionary — feature dictionaries ship as
+    * map<utf8,int64>, currency/score columns as decimal. The map is
+    * the word-length histogram of the whitespace split (key = the
+    * length as a string, value = its count, value NULL when the
+    * length is a multiple of 7, whole map NULL every 13th doc); the
+    * decimal is analytic from doc_id (unscaled (id*137+41) %
+    * 1000003 at scale 4, NULL every 11th doc). */
+  private def arrowMapShards(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        (sid, buildArrowMapShard(docs.map { case (_, id, t) => (id, t) }))
+      }
+  }
+
+  private def buildArrowMapShard(docs: Seq[(Long, String)])
+      : Array[Byte] = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType, Schema => ASchema}
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{MapVector, StructVector}
+    import scala.jdk.CollectionConverters._
+    def f(name: String, t: ArrowType, nullable: Boolean,
+        kids: Field*): Field =
+      new Field(name, new FieldType(nullable, t, null),
+        if (kids.isEmpty) null else kids.asJava)
+    val schema = new ASchema(Seq(
+      f("id", new ArrowType.Int(64, true), nullable = false),
+      f("wlen", new ArrowType.Map(false), nullable = true,
+        f(MapVector.DATA_VECTOR_NAME, ArrowType.Struct.INSTANCE,
+          nullable = false,
+          f(MapVector.KEY_NAME, ArrowType.Utf8.INSTANCE,
+            nullable = false),
+          f(MapVector.VALUE_NAME, new ArrowType.Int(64, true),
+            nullable = true))),
+      f("price", new ArrowType.Decimal(20, 4, 128),
+        nullable = true)).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector("id").asInstanceOf[BigIntVector]
+        val mv = root.getVector("wlen").asInstanceOf[MapVector]
+        val ev = mv.getDataVector.asInstanceOf[StructVector]
+        val keys = ev.getChild(MapVector.KEY_NAME)
+          .asInstanceOf[VarCharVector]
+        val vals = ev.getChild(MapVector.VALUE_NAME)
+          .asInstanceOf[BigIntVector]
+        val price = root.getVector("price").asInstanceOf[DecimalVector]
+        var off = 0
+        docs.zipWithIndex.foreach { case ((id, t), i) =>
+          ids.setSafe(i, id)
+          if (id % 13 == 9) mv.setNull(i)
+          else {
+            mv.startNewValue(i)
+            val hist = t.split(" ").filter(_.nonEmpty)
+              .groupBy(_.length).view.mapValues(_.length.toLong)
+              .toSeq.sortBy(_._1)
+            hist.foreach { case (len, cnt) =>
+              ev.setIndexDefined(off)
+              keys.setSafe(off, len.toString.getBytes("UTF-8"))
+              if (len % 7 == 0) vals.setNull(off)
+              else vals.setSafe(off, cnt)
+              off += 1
+            }
+            mv.endValue(i, hist.length)
+          }
+          if (id % 11 == 10) price.setNull(i)
+          else price.setSafe(i, new java.math.BigDecimal(
+            java.math.BigInteger.valueOf((id * 137 + 41) % 1000003), 4))
+        }
+        root.setRowCount(docs.length)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          null, java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
+
   private def arrowNestedShards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
@@ -11519,6 +11650,7 @@ object Pipeline {
     "arrow_ipc_parse"   -> arrowIpcParse _,
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "arrow_ipc_nested"  -> arrowIpcNested _,
+    "arrow_ipc_map"     -> arrowIpcMap _,
     "arrow_ipc_dict"    -> arrowIpcDict _,
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,
@@ -14306,6 +14438,37 @@ object Pipeline {
         |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END AS lang,
         |  CAST(meta_len AS BIGINT) AS meta_len
         |FROM t ORDER BY doc_id""".stripMargin,
+    // ...map<utf8,int64> word-length histograms + decimal(20,4)
+    // through OUR map/decimal decode; the oracle recomputes the
+    // histogram facts and renders the decimal's exact plain string
+    "arrow_ipc_map" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, ws,
+        |    list_distinct(list_transform(ws, w -> strlen(w))) AS lens
+        |  FROM t)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(lens) AS BIGINT) END AS m_size,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(len(list_filter(ws,
+        |      w -> strlen(w) % 7 <> 0)), 0) AS BIGINT) END AS v_sum,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(len(list_filter(lens,
+        |      l -> l % 7 = 0)), 0) AS BIGINT) END AS n_nullv,
+        |  CASE WHEN doc_id % 13 = 9 OR len(lens) = 0 THEN NULL
+        |    ELSE CAST(list_max(lens) AS BIGINT) END AS k_max,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL
+        |    ELSE printf('%d.%04d',
+        |      (doc_id * 137 + 41) % 1000003 // 10000,
+        |      (doc_id * 137 + 41) % 1000003 % 10000) END AS price_s
+        |FROM h ORDER BY doc_id""".stripMargin,
     // same facts through the written .avro fixture tree + binaryFile
     "avro_parse_files" -> avroParseOracleSql,
     "tfrecord_parse_files" -> {

@@ -21,7 +21,11 @@ package graft.operators
   * (embedding columns are `fixed_size_list<float32, d>`) and
   * Struct, recursive to depth 8,
   * nullable at every level (list offsets verified monotone, child
-  * lengths verified against the final offset), plus DICTIONARY
+  * lengths verified against the final offset), MAP columns
+  * (physically list<struct<key, value>> with offsets; entry and key
+  * non-nullness checked eagerly, never trusted from flags) and
+  * DECIMAL 128/256 (little-endian two's complement at the schema's
+  * scale → java BigDecimal), plus DICTIONARY
   * ENCODING over scalar value types (DictionaryBatch messages decode
   * the value column; record-batch index columns — int 8/16/32/64,
   * signed/unsigned — resolve through the id's dictionary with eager
@@ -30,7 +34,7 @@ package graft.operators
   * and ZSTD, buffer method — the pyarrow Feather-v2 compression
   * shapes): each body buffer's [int64 uncompressed length | -1]
   * [frame] envelope decodes through this repo's own pure-JVM
-  * LZ4-frame / Zstd decoders, length-verified. Map/Union,
+  * LZ4-frame / Zstd decoders, length-verified. Union,
   * dictionaries over nested types and big-endian streams REJECT
   * cleanly (None) — drop, never invent. Every
   * structural invariant is checked: continuation marker, 8-byte
@@ -216,6 +220,16 @@ object ArrowIpc {
       case 13 => // Struct_ { } — flat record of named children
         if (nKids < 1 || nKids > 1024 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "struct", k))
+      case 17 => // Map { keysSorted(0) } — physically a list of
+        // struct<key, value> entries; keys must be non-null (checked
+        // eagerly at decode, not trusted from the flag)
+        if (nKids != 1 || dict.isDefined) return None
+        kids().flatMap { k =>
+          val entries = k.head
+          if (entries.tag != "struct" || entries.children.length != 2)
+            None
+          else Some(Col(name, nullable, "map", k))
+        }
       case _ =>
         if (nKids > 0) return None // scalar types carry no children
         val tag = typeType match {
@@ -274,6 +288,14 @@ object ArrowIpc {
             val w = fb.fieldI32(tt, 0, 0)
             if (w < 1 || w > (1 << 16)) return None
             s"fixed_binary_$w"
+          case 7 => // Decimal { precision(0), scale(1), bitWidth(2)
+            // dflt 128 } — 16/32-byte little-endian two's complement
+            val prec = fb.fieldI32(tt, 0, 0)
+            val scale = fb.fieldI32(tt, 1, 0)
+            val bits = fb.fieldI32(tt, 2, 128)
+            if (prec < 1 || prec > 76 || scale < -128 || scale > 128 ||
+              (bits != 128 && bits != 256)) return None
+            s"decimal${bits}_${prec}_$scale"
           case _ => return None // Null/Map/Union/decimal/interval/...
         }
         Some(Col(name, nullable, tag, Nil, dict))
@@ -305,7 +327,7 @@ object ArrowIpc {
     else c.tag match {
       case "utf8" | "binary" |
            "large_utf8" | "large_binary" => 3 // validity + offsets + data
-      case "list" | "large_list" => 2 + bufCount(c.children.head)
+      case "list" | "large_list" | "map" => 2 + bufCount(c.children.head)
       case "fixed_list"          => 1 + bufCount(c.children.head)
       case "struct"              => 1 + c.children.map(bufCount).sum
       case _                     => 2 // validity + data (bool = bitmap)
@@ -535,6 +557,10 @@ object ArrowIpc {
           val w = if (c.tag.startsWith("large")) 8 else 4
           val ob = nextBuf().getOrElse(return None)
           val db = nextBuf().getOrElse(return None)
+          // spec: a zero-length array may carry an EMPTY offsets
+          // buffer (arrow-java writes one for 0-length children)
+          if (m == 0 && ob.len == 0)
+            return Some((_: Int) => None)
           if (ob.len < w.toLong * (m + 1)) return None
           var i = 0
           var prev = 0L
@@ -556,22 +582,40 @@ object ArrowIpc {
               if (utf8) Some(new String(bytes, "UTF-8")) else Some(bytes)
             }
           }
-        case "list" | "large_list" =>
+        case "list" | "large_list" | "map" =>
           val w = if (c.tag == "large_list") 8 else 4
           val ob = nextBuf().getOrElse(return None)
-          if (ob.len < w.toLong * (m + 1)) return None
-          val offs = new Array[Int](m + 1)
-          var i = 0
-          var prev = 0L
-          while (i <= m) {
-            val v = offAt(ob, w, i)
-            if (v < prev || v > (1L << 26)) return None // monotone + bomb cap
-            prev = v
-            offs(i) = v.toInt
-            i += 1
+          val offs = new Array[Int](m + 1) // all-zero when empty
+          // spec: a zero-length array may carry an EMPTY offsets
+          // buffer (children must still be walked for their nodes)
+          if (!(m == 0 && ob.len == 0)) {
+            if (ob.len < w.toLong * (m + 1)) return None
+            var i = 0
+            var prev = 0L
+            while (i <= m) {
+              val v = offAt(ob, w, i)
+              if (v < prev || v > (1L << 26)) return None // monotone+cap
+              prev = v
+              offs(i) = v.toInt
+              i += 1
+            }
           }
           val child = readVec(c.children.head, offs(m).toLong)
             .getOrElse(return None)
+          if (c.tag == "map") {
+            // every entry must exist with a non-null key (spec: map
+            // entries and keys are non-nullable)
+            var j = 0
+            while (j < offs(m)) {
+              child(j) match {
+                case Some(entry: Seq[_])
+                  if entry.headOption.exists(
+                    _.asInstanceOf[Option[Any]].isDefined) => ()
+                case _ => return None
+              }
+              j += 1
+            }
+          }
           Some { (i: Int) =>
             if (!isValid(i)) None
             else Some((offs(i) until offs(i + 1))
@@ -605,6 +649,8 @@ object ArrowIpc {
                  "date32" | "time32_s" | "time32_ms" => 4
             case t if t.startsWith("fixed_binary_") =>
               t.stripPrefix("fixed_binary_").toInt
+            case t if t.startsWith("decimal128_") => 16
+            case t if t.startsWith("decimal256_") => 32
             case _ => 8
           }
           if (width == 0) { if (db.len < (m + 7) / 8) return None }
@@ -631,6 +677,16 @@ object ArrowIpc {
               case t if t.startsWith("fixed_binary_") =>
                 java.util.Arrays.copyOfRange(arr,
                   base + width * i, base + width * (i + 1))
+              case t if t.startsWith("decimal") =>
+                // little-endian two's complement -> BigDecimal
+                val raw = java.util.Arrays.copyOfRange(arr,
+                  base + width * i, base + width * (i + 1))
+                val be = new Array[Byte](width)
+                var j = 0
+                while (j < width) { be(j) = raw(width - 1 - j); j += 1 }
+                val scale = t.substring(t.lastIndexOf('_') + 1).toInt
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(be), scale)
               case _ => // int64/uint64 + the 8-byte temporals, raw
                 fbI64(arr, base + 8 * i)
             })

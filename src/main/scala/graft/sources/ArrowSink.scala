@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * already bundles (entropy-correct by construction; our own reader
   * differential-checks the round trip in SourcesSpec).
   *
-  * Type subset: numeric/bool/string/binary scalars, ArrayType and
-  * StructType recursively. MapType and exotic scalars reject loudly
-  * at schema-mapping time — never a silently-dropped column.
+  * Type subset: numeric/bool/string/binary/decimal scalars,
+  * ArrayType, StructType and MapType recursively (map entries sort
+  * by key string for reproducible files). Exotic scalars reject
+  * loudly at schema-mapping time — never a silently-dropped
+  * column.
   *
   * Distribution shape: pure foreachPartition, zero shuffles; writers
   * hold one batch of vectors in memory, so executor footprint is
@@ -49,6 +51,18 @@ object ArrowSink {
           ArrowType.Struct.INSTANCE, null),
           fs.map(f => arrowField(f.name, f.dataType, f.nullable))
             .toSeq.asJava)
+      case MapType(kt, vt, valueContainsNull) =>
+        import org.apache.arrow.vector.complex.MapVector
+        new Field(name, new FieldType(nullable,
+          new ArrowType.Map(false), null),
+          Seq(new Field(MapVector.DATA_VECTOR_NAME,
+            new FieldType(false, ArrowType.Struct.INSTANCE, null),
+            Seq(arrowField(MapVector.KEY_NAME, kt, nullable = false),
+              arrowField(MapVector.VALUE_NAME, vt, valueContainsNull))
+              .asJava)).asJava)
+      case dt: DecimalType =>
+        leaf(name, new ArrowType.Decimal(dt.precision, dt.scale, 128),
+          nullable)
       case other => throw new IllegalArgumentException(
         s"ArrowSink cannot write column '$name' of type $other")
     }
@@ -60,7 +74,7 @@ object ArrowSink {
     * startNewValue, so no external offset state is needed. */
   private def fill(vec: FieldVector, idx: Int, v: Any): Unit =
     if (v == null) vec match {
-      case lv: ListVector   => lv.setNull(idx)
+      case lv: ListVector   => lv.setNull(idx) // MapVector included
       case sv: StructVector => sv.setNull(idx)
       case bv: BaseFixedWidthVector    => bv.setNull(idx)
       case bv: BaseVariableWidthVector => bv.setNull(idx)
@@ -79,6 +93,25 @@ object ArrowSink {
         x.setSafe(idx, v.asInstanceOf[String].getBytes("UTF-8"))
       case x: VarBinaryVector =>
         x.setSafe(idx, v.asInstanceOf[Array[Byte]])
+      case x: DecimalVector =>
+        x.setSafe(idx, v.asInstanceOf[java.math.BigDecimal])
+      case mv: org.apache.arrow.vector.complex.MapVector =>
+        // MapVector IS a ListVector of entry structs; this case must
+        // precede the ListVector one. Entries sort by key string for
+        // reproducible files (Spark maps are unordered).
+        val kvs = v.asInstanceOf[scala.collection.Map[Any, Any]]
+          .toSeq.sortBy(_._1.toString)
+        val ev = mv.getDataVector.asInstanceOf[StructVector]
+        val start = mv.startNewValue(idx)
+        var k = 0
+        val kids = ev.getChildrenFromFields
+        while (k < kvs.length) {
+          ev.setIndexDefined(start + k)
+          fill(kids.get(0), start + k, kvs(k)._1)
+          fill(kids.get(1), start + k, kvs(k)._2)
+          k += 1
+        }
+        mv.endValue(idx, kvs.length)
       case lv: ListVector =>
         val xs = v.asInstanceOf[scala.collection.Seq[Any]]
         val start = lv.startNewValue(idx)

@@ -46,6 +46,21 @@ object ArrowSource {
         ArrayType(sparkType(k), containsNull = k.nullable)
       case "struct" => StructType(c.children.map(k =>
         StructField(k.name, sparkType(k), nullable = k.nullable)))
+      case "map" =>
+        val entries = c.children.head
+        val key = entries.children(0)
+        val value = entries.children(1)
+        MapType(sparkType(key), sparkType(value),
+          valueContainsNull = value.nullable)
+      case t if t.startsWith("decimal") =>
+        // tag is decimal<bits>_<precision>_<scale>
+        val parts = t.split('_')
+        val prec = parts(1).toInt
+        val scale = parts(2).toInt
+        if (prec > DecimalType.MAX_PRECISION)
+          throw new IllegalArgumentException(
+            s"decimal precision $prec exceeds Spark's maximum")
+        DecimalType(prec, scale)
       case t => throw new IllegalArgumentException(s"unmapped tag $t")
     }
 
@@ -64,6 +79,14 @@ object ArrowSource {
       case "struct" =>
         Row.fromSeq(c.children.zip(x.asInstanceOf[Seq[Option[Any]]])
           .map { case (k, e) => toSpark(k, e) })
+      case "map" =>
+        val entries = c.children.head
+        val key = entries.children(0)
+        val value = entries.children(1)
+        x.asInstanceOf[Seq[Option[Any]]].map { e =>
+          val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+          (toSpark(key, kv(0)), toSpark(value, kv(1)))
+        }.toMap
       case _ => x
     }
   }

@@ -266,12 +266,50 @@ class SourcesSpec extends AnyFunSuite {
     while (rd.loadNextBatch()) total += rd.getVectorSchemaRoot.getRowCount
     rd.close(); ch.close(); alloc.close()
     assert(total > 0 && total <= 257)
-    // MapType rejects loudly at schema time
-    val bad = spark.createDataset(Seq((1L, Map("k" -> 2L)))).toDF("i", "m")
+    // an exotic scalar still rejects loudly at schema time
+    val bad = spark.createDataset(Seq((1L, "x")))
+      .toDF("i", "s")
+      .withColumn("c", org.apache.spark.sql.functions
+        .expr("current_timestamp()"))
     val ex = intercept[IllegalArgumentException] {
       graft.sources.ArrowSink.write(bad, tmpDir("x").getAbsolutePath)
     }
     assert(ex.getMessage.contains("cannot write column"))
+  }
+
+  test("ArrowSink round trip: MapType + DecimalType columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val dir = tmpDir("arrowsinkmap")
+    val df = spark.createDataset((0 until 67).map { i =>
+      (i.toLong,
+        if (i % 9 == 4) null
+        else (0 until i % 4).map(k => (s"k$k", i * 10L + k)).toMap,
+        (i * 13 + 7).toString)
+    }).toDF("id", "m", "ds")
+      .withColumn("dec", expr("cast(ds as decimal(12,3)) / 100"))
+      .drop("ds")
+    graft.sources.ArrowSink.write(df, dir.getAbsolutePath,
+      rowsPerBatch = 16)
+    val back = ArrowSource.read(spark, dir.getAbsolutePath)
+      .orderBy("id").collect()
+    assert(back.length == 67)
+    for (i <- 0 until 67) {
+      val r = back(i)
+      if (i % 9 == 4) assert(r.isNullAt(1))
+      else assert(r.getMap[String, Long](1).toMap ==
+        (0 until i % 4).map(k => (s"k$k", i * 10L + k)).toMap)
+      // decimal survives with exact scale: (i*13+7)/100 at scale 3+
+      val d = r.getDecimal(2)
+      assert(d.compareTo(new java.math.BigDecimal(i * 13 + 7)
+        .movePointLeft(2)) == 0)
+    }
+    // the read-back schema carries real Spark Map/Decimal types
+    val sch = ArrowSource.read(spark, dir.getAbsolutePath).schema
+    assert(sch("m").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    assert(sch("dec").dataType.isInstanceOf[
+      org.apache.spark.sql.types.DecimalType])
   }
 
   test("AvroSink round trip: DataFrame -> .avro tree -> both readers") {

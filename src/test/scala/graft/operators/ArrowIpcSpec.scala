@@ -495,21 +495,118 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
-  test("map type still rejects cleanly") {
+  test("differential: map<utf8,int64> column (arrow-java)") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.complex.{MapVector, StructVector}
     val alloc = new RootAllocator()
-    val entries = new Field("entries", new FieldType(false,
-      ArrowType.Struct.INSTANCE, null), Seq(
-      new Field("key", new FieldType(false, ArrowType.Utf8.INSTANCE,
-        null), null),
-      new Field("value", new FieldType(true, new ArrowType.Int(64, true),
-        null), null)).asJava)
+    val entries = new Field(MapVector.DATA_VECTOR_NAME,
+      new FieldType(false, ArrowType.Struct.INSTANCE, null), Seq(
+        new Field(MapVector.KEY_NAME, new FieldType(false,
+          ArrowType.Utf8.INSTANCE, null), null),
+        new Field(MapVector.VALUE_NAME, new FieldType(true,
+          new ArrowType.Int(64, true), null), null)).asJava)
     val mapF = new Field("m", new FieldType(true,
       new ArrowType.Map(false), null), Seq(entries).asJava)
     val schema = new ASchema(Seq(mapF).asJava)
     val root = VectorSchemaRoot.create(schema, alloc)
     root.allocateNew()
-    root.setRowCount(0)
+    val mv = root.getVector("m").asInstanceOf[MapVector]
+    val ev = mv.getDataVector.asInstanceOf[StructVector]
+    val keys = ev.getChild(MapVector.KEY_NAME)
+      .asInstanceOf[VarCharVector]
+    val vals = ev.getChild(MapVector.VALUE_NAME)
+      .asInstanceOf[BigIntVector]
+    // row 0: {a->1, b->null}; row 1: null map; row 2: {}; row 3: {c->-7}
+    val data: Seq[Option[Seq[(String, Option[Long])]]] = Seq(
+      Some(Seq("a" -> Some(1L), "b" -> None)), None, Some(Nil),
+      Some(Seq("c" -> Some(-7L))))
+    var off = 0
+    data.zipWithIndex.foreach {
+      case (None, i) => mv.setNull(i)
+      case (Some(kvs), i) =>
+        mv.startNewValue(i)
+        kvs.foreach { case (k, v) =>
+          ev.setIndexDefined(off)
+          keys.setSafe(off, k.getBytes("UTF-8"))
+          v match {
+            case Some(x) => vals.setSafe(off, x)
+            case None => vals.setNull(off)
+          }
+          off += 1
+        }
+        mv.endValue(i, kvs.length)
+    }
+    root.setRowCount(data.length)
+    val bytes = writeFile(root)
+    root.close(); alloc.close()
+    val (cols, rows) = ArrowIpc.parseFile(bytes).get
+    assert(cols.map(_.tag) == Seq("map"))
+    assert(cols.head.children.head.children.map(_.tag) ==
+      Seq("utf8", "int64"))
+    def asMap(v: Option[Any]): Option[Seq[(String, Option[Long])]] =
+      v.map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
+        val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+        (kv(0).get.asInstanceOf[String],
+          kv(1).map(_.asInstanceOf[Long]))
+      })
+    assert(rows.map(r => asMap(r(0))) == data)
+  }
+
+  test("differential: decimal128 column (arrow-java)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val alloc = new RootAllocator()
+    val decF = new Field("d", new FieldType(true,
+      new ArrowType.Decimal(20, 4, 128), null), null)
+    val schema = new ASchema(Seq(decF).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    root.allocateNew()
+    val dv = root.getVector("d").asInstanceOf[DecimalVector]
+    val values = Seq(
+      Some(new java.math.BigDecimal("12345.6789")),
+      None,
+      Some(new java.math.BigDecimal("-0.0001")),
+      Some(new java.math.BigDecimal("99999999999999.9999")),
+      Some(java.math.BigDecimal.ZERO.setScale(4)))
+    values.zipWithIndex.foreach {
+      case (Some(x), i) => dv.setSafe(i, x)
+      case (None, i) => dv.setNull(i)
+    }
+    root.setRowCount(values.length)
+    val bytes = writeFile(root)
+    root.close(); alloc.close()
+    val (cols, rows) = ArrowIpc.parseFile(bytes).get
+    assert(cols.map(_.tag) == Seq("decimal128_20_4"))
+    assert(rows.map(_(0).map(_.asInstanceOf[java.math.BigDecimal]))
+      == values)
+  }
+
+  test("map with a null key rejects (never trusted from flags)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.complex.{MapVector, StructVector}
+    val alloc = new RootAllocator()
+    // the schema FLAG says non-nullable key (arrow-java enforces
+    // that much) — but the wire bitmap can still carry a null; the
+    // reader must check the bits, not the flag
+    val entries = new Field(MapVector.DATA_VECTOR_NAME,
+      new FieldType(false, ArrowType.Struct.INSTANCE, null), Seq(
+        new Field(MapVector.KEY_NAME, new FieldType(false,
+          ArrowType.Utf8.INSTANCE, null), null),
+        new Field(MapVector.VALUE_NAME, new FieldType(true,
+          new ArrowType.Int(64, true), null), null)).asJava)
+    val mapF = new Field("m", new FieldType(true,
+      new ArrowType.Map(false), null), Seq(entries).asJava)
+    val schema = new ASchema(Seq(mapF).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    root.allocateNew()
+    val mv = root.getVector("m").asInstanceOf[MapVector]
+    val ev = mv.getDataVector.asInstanceOf[StructVector]
+    val vals = ev.getChild(MapVector.VALUE_NAME)
+      .asInstanceOf[BigIntVector]
+    mv.startNewValue(0)
+    ev.setIndexDefined(0) // entry exists but its KEY is never set
+    vals.setSafe(0, 5L)
+    mv.endValue(0, 1)
+    root.setRowCount(1)
     val bytes = writeFile(root)
     root.close(); alloc.close()
     assert(ArrowIpc.parseFile(bytes).isEmpty)
