@@ -37,9 +37,12 @@ import org.apache.spark.sql.types._
   *    the scan is one `spark.read.schema(...).parquet(files)` with
   *    pushdown intact; the schema comes from the metadata's own
   *    schema JSON, mapped to Spark types ([[toSparkType]] — struct,
-  *    list and map nest; `time`/`uuid`/`fixed` reject honestly:
-  *    Spark has no TIME type and cannot produce the
-  *    fixed_len_byte_array physical form the other two require).
+  *    list and map nest; `time` maps to Spark 4.1's TIME(6) (micros
+  *    since midnight — needs spark.sql.timeType.enabled, else the
+  *    scan fails loudly), `fixed[L]` reads as binary (its
+  *    fixed_len_byte_array physical form surfaces that way from the
+  *    parquet reader); `uuid` rejects honestly: Spark's parquet
+  *    reader cannot scan the UUID logical annotation).
   *
   * Writing ([[create]] / [[commit]]): each snapshot writes one
   * manifest holding the complete live-file set (the spec-legal
@@ -278,6 +281,7 @@ object Iceberg {
   // ---------------------------------------------------------------
 
   private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
 
   /** Iceberg type JSON → Spark type; None on the honest-rejection
     * set (time, uuid, fixed — Spark has no TIME type and cannot
@@ -295,8 +299,16 @@ object Iceberg {
       case "timestamptz" => Some(TimestampType)
       case "string" => Some(StringType)
       case "binary" => Some(BinaryType)
+      // micros-since-midnight; Spark 4.1's TIME type (needs
+      // spark.sql.timeType.enabled — absent, the scan fails LOUDLY
+      // with UNSUPPORTED_TIME_TYPE, never mis-reads)
+      case "time" => Some(TimeType(6))
+      // fixed[L] is FIXED_LEN_BYTE_ARRAY in the data files, which
+      // Spark's parquet reader surfaces as binary
+      case FixedRe(_) => Some(BinaryType)
       case DecimalRe(p, sc) => Some(DecimalType(p.toInt, sc.toInt))
-      case _ => None
+      case _ => None // uuid: Spark parquet cannot scan the UUID
+      // logical annotation — honest rejection beats a garbage read
     }
     case m: Map[_, _] =>
       val mm = m.asInstanceOf[Map[String, Any]]
@@ -352,6 +364,7 @@ object Iceberg {
       case TimestampType => "\"timestamptz\""
       case StringType => "\"string\""
       case BinaryType => "\"binary\""
+      case TimeType(6) => "\"time\""
       case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
       case ArrayType(et, nullable) =>
         s"""{"type":"list","element-id":${id()},"element":${tpe(et)},""" +
@@ -497,7 +510,7 @@ object Iceberg {
     val schema = toSparkType(schemaJson) match {
       case Some(st: StructType) => st
       case _ => sys.error(s"unsupported schema types in $table " +
-        "(time/uuid/fixed reject honestly)")
+        "(uuid rejects honestly)")
     }
 
     // partition spec: default-spec-id row of partition-specs,

@@ -89,12 +89,37 @@ class IcebergSpec extends AnyFunSuite {
     val back = Iceberg.toSparkType(
       JsonMini.parse(json).get).get
     assert(back == schema)
+    // time maps to Spark 4.1's TIME(6); fixed[L] reads as binary
+    assert(Iceberg.toSparkType("time").contains(TimeType(6)))
+    assert(Iceberg.toSparkType("fixed[16]").contains(BinaryType))
+    assert(Iceberg.toIcebergSchemaJson(StructType(Seq(
+      StructField("t", TimeType(6))))).contains("\"time\""))
     // honest rejections
     assert(Iceberg.toSparkType("uuid").isEmpty)
-    assert(Iceberg.toSparkType("time").isEmpty)
+    assert(Iceberg.toSparkType("fixed[x]").isEmpty)
     assert(Iceberg.toSparkType(Map("type" -> "map")).isEmpty)
     assert(Iceberg.toSparkType(Map("type" -> "map",
       "key" -> "string", "value" -> "uuid")).isEmpty)
+  }
+
+  test("time columns flow through the full metadata chain") {
+    val s = spark
+    // runtime SQL conf: Spark 4.1's TIME type is flag-gated
+    s.conf.set("spark.sql.timeType.enabled", "true")
+    try {
+      val df = s.sql("SELECT id, cast(concat('07:0', cast(id % 10 " +
+        "as string), ':30.5') as time(6)) AS tod FROM range(12)")
+      val t = tmpTable("ice_time")
+      Iceberg.create(s, df, t)
+      val got = Iceberg.read(s, t)
+      assert(got.schema("tod").dataType ==
+        org.apache.spark.sql.types.TimeType(6))
+      assert(got.count() == 12)
+      val back = got.selectExpr("id",
+        "cast(tod as string) AS ts").orderBy("id").collect()
+      assert(back(3).getString(1) == "07:03:30.5")
+      assert(back.map(_.getString(1)).distinct.length == 10)
+    } finally s.conf.unset("spark.sql.timeType.enabled")
   }
 
   test("map columns flow through the full metadata chain") {
