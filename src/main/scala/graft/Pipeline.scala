@@ -8574,6 +8574,65 @@ object Pipeline {
       .orderBy("pb")
   }
 
+  /** Parquet DATA-PAGE decode from raw bytes (r12): the driver's
+    * own parquet-cpp-written lineitem file read end to end by OUR
+    * page walker — footer → dictionary pages → RLE/bit-packed
+    * hybrid → PLAIN/dictionary values, snappy inflated in place —
+    * with COLUMN PRUNING in our own reader (only the four needed
+    * column chunks are touched). The oracle aggregates the same
+    * table through DuckDB's reader, so any framing, codec, level or
+    * value bug flips the hash. Scale: a per-file flatMap like every
+    * container walk here; per-column-chunk decode is the unit a
+    * 1000-executor audit would parallelize on. */
+  private def parquetDataDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/lineitem.parquet")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        import graft.operators.{ParquetData => PD,
+          ParquetFooter => PF}
+        val footer = PF.parse(bytes).getOrElse(
+          sys.error("parquet footer unparseable"))
+        val leaves = PD.flatLeaves(footer).getOrElse(
+          sys.error("nested schema"))
+        def colVals(name: String): IndexedSeq[Option[Any]] = {
+          val li = leaves.indexWhere(_.name == name)
+          require(li >= 0, s"missing column $name")
+          footer.rowGroups.flatMap { rg =>
+            val cm = rg.columns.find(_.path == name).getOrElse(
+              sys.error(s"row group without $name"))
+            PD.decodeColumn(bytes, cm, leaves(li)).getOrElse(
+              sys.error(s"data pages of $name do not decode"))
+          }.toIndexedSeq
+        }
+        def asLong(v: Any): Long = v match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => sys.error(s"not an int column: $other")
+        }
+        val ok = colVals("l_orderkey")
+        val qty = colVals("l_quantity")
+        val rf = colVals("l_returnflag")
+        val ln = colVals("l_linenumber")
+        ok.indices.iterator.map { i =>
+          (asLong(ok(i).get),
+            qty(i).get.asInstanceOf[Double],
+            new String(rf(i).get.asInstanceOf[Array[Byte]], "UTF-8"),
+            asLong(ln(i).get))
+        }
+      }
+      .toDF("okey", "qty", "rflag", "lnum")
+      .groupBy("rflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("okey").as("nk"),
+        max("lnum").as("max_ln"),
+        sum(col("okey") * col("lnum")).as("wsum"))
+      .orderBy("rflag")
+  }
+
   /** Hudi MERGE_ON_READ through OUR log-block format (round 12):
     * createMor writes base parquet under a deltacommit, then the
     * history runs entirely through log appends — an AVRO_DATA
@@ -11666,6 +11725,7 @@ object Pipeline {
     "onnx_parse"        -> onnxParse _,
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
+    "parquet_data_decode" -> parquetDataDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
     "orc_footer"        -> orcFooter _,
     "orc_row_index"     -> orcRowIndex _,
@@ -14076,6 +14136,17 @@ object Pipeline {
         |SELECT col_name, n AS total_values,
         |  'SNAPPY' AS codec, ptype
         |FROM cols, c ORDER BY col_name""".stripMargin,
+    // OUR data-page decoder reads the driver's own parquet-cpp
+    // lineitem file from raw bytes (footer -> dict pages -> RLE
+    // hybrid -> values, snappy inflated in place); the oracle runs
+    // DuckDB's own reader over the same table
+    "parquet_data_decode" ->
+      """SELECT l_returnflag AS rflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk,
+        |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+        |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // OUR OffsetIndex/ColumnIndex readers: page counts are the
     // exact 5000-row writer limit, decoded PLAIN bounds reproduce
     // the true min/max, spans tile the row count

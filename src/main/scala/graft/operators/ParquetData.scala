@@ -1,0 +1,602 @@
+package graft.operators
+
+/** Parquet DATA PAGE decode (the public parquet-format spec:
+  * Encodings.md + the PageHeader Thrift layout) — the last layer of
+  * the columnar audit surface: after the footer
+  * ([[ParquetFooter]]), page index and bloom filters, this decodes
+  * the VALUES themselves, pure-JVM, no parquet-mr on the read path.
+  * With it the engine can read the pipeline's flagship format from
+  * raw bytes end to end — the independent cross-check that what
+  * Spark's vectorized reader returns is what the file actually
+  * says, and a from-scratch recovery path for torn files.
+  *
+  * Scope — the FLAT-schema shapes the TPC-H-style corpus tables and
+  * most dataset shards use (nested schemas reject honestly):
+  *  - Page types: DATA_PAGE (v1), DATA_PAGE_V2, DICTIONARY_PAGE;
+  *    INDEX_PAGE skipped.
+  *  - Encodings: PLAIN (0) for all seven physical types (BOOLEAN is
+  *    LSB bit-packed; BYTE_ARRAY is u32-length-prefixed; INT96 and
+  *    FIXED_LEN_BYTE_ARRAY surface as raw bytes),
+  *    PLAIN_DICTIONARY (2) / RLE_DICTIONARY (8) via a
+  *    DICTIONARY_PAGE + the RLE/bit-packed hybrid with a leading
+  *    bit-width byte (per-page dictionary FALLBACK to PLAIN — what
+  *    parquet-cpp does when a dict outgrows its cap — just works,
+  *    encodings are per page), RLE (3) for BOOLEAN, and the DELTA
+  *    family the v2 writer emits for non-dictionary columns:
+  *    DELTA_BINARY_PACKED (5, int32 wrap arithmetic per spec),
+  *    DELTA_LENGTH_BYTE_ARRAY (6) and DELTA_BYTE_ARRAY (7,
+  *    shared-prefix reconstruction). BYTE_STREAM_SPLIT rejects
+  *    honestly.
+  *  - Definition levels: the RLE/bit-packed hybrid (u32
+  *    length-prefixed in v1 pages, bare and always-uncompressed in
+  *    v2 pages); max definition level 1 (optional) or 0 (required).
+  *  - Codecs: UNCOMPRESSED, SNAPPY, GZIP, ZSTD, LZ4_RAW — all
+  *    through this repo's own decoders, decoded length verified
+  *    against the header. LZO/BROTLI/legacy-LZ4 (Hadoop-framed)
+  *    reject honestly.
+  *
+  * Every size is bounds-checked (2^26 values / 2^28 bytes caps);
+  * None on any malformation — truncated pages, codec failures,
+  * dictionary indices out of range, level/value count disagreements
+  * all reject, never invent.
+  *
+  * Scale: one column chunk decodes independently of every other —
+  * at 100 TB this is a per-file (or per-chunk) flatMap like every
+  * other container walk here; the gate query decodes the driver's
+  * own parquet tables (written by parquet-cpp) and must reproduce
+  * DuckDB's aggregates from raw bytes. Validation: ParquetDataSpec
+  * differentials REAL Spark-written files (all types, nulls,
+  * dictionary + fallback, all four codecs, both page versions)
+  * against Spark's own reader, plus mutation fuzz. */
+object ParquetData {
+
+  import ParquetFooter.{Footer, ColumnMeta, TCompact, struct}
+
+  private final val MaxValues = 1 << 26
+  private final val MaxBytes = 1 << 28
+
+  /** One flat-schema leaf: physical type id (parquet.thrift Type),
+    * FLBA length, nullability. */
+  final case class LeafInfo(name: String, typeId: Int,
+      typeLength: Int, optional: Boolean)
+
+  /** The leaves of a FLAT schema (root + leaf fields only); None if
+    * any field is a group or repeated (nested — honest rejection). */
+  def flatLeaves(f: Footer): Option[Seq[LeafInfo]] = {
+    val es = f.schemaElems
+    if (es.length < 2) return None
+    val root = es.head
+    if (root.numChildren != es.length - 1) return None // groups
+    val out = es.tail.map { e =>
+      if (e.numChildren != 0 || e.typeId < 0 || e.typeId > 7 ||
+        e.repetition == 2) return None
+      if (e.typeId == 7 && e.typeLength <= 0) return None
+      LeafInfo(e.name, e.typeId, e.typeLength, e.repetition == 1)
+    }
+    Some(out)
+  }
+
+  // ---------------------------------------------------------------
+  // PageHeader (Thrift compact)
+  // ---------------------------------------------------------------
+
+  private final case class PageHdr(tpe: Int, uncomp: Int, comp: Int,
+      numValues: Int, encoding: Int,
+      // v2 extras: numNulls, defLen, repLen, isCompressed
+      numNulls: Int, defLen: Int, repLen: Int, v2Compressed: Boolean,
+      headerLen: Int)
+
+  private def pageHeader(data: Array[Byte], off: Long)
+      : Option[PageHdr] = {
+    if (off < 0 || off >= data.length) return None
+    val c = new TCompact(data, off.toInt, data.length)
+    var tpe = -1
+    var uncomp = -1
+    var comp = -1
+    var nv = -1
+    var enc = -1
+    var nNulls = 0
+    var defLen = 0
+    var repLen = 0
+    var v2comp = true
+    struct(c, 0) { (fid, t) =>
+      fid match {
+        case 1 => tpe = c.zigzag().toInt; true
+        case 2 => uncomp = c.zigzag().toInt; true
+        case 3 => comp = c.zigzag().toInt; true
+        case 5 if t == 12 => // DataPageHeader (v1)
+          struct(c, 1) { (sf, _) =>
+            sf match {
+              case 1 => nv = c.zigzag().toInt; true
+              case 2 => enc = c.zigzag().toInt; true
+              case _ => false
+            }
+          }
+          true
+        case 7 if t == 12 => // DictionaryPageHeader
+          struct(c, 1) { (sf, _) =>
+            sf match {
+              case 1 => nv = c.zigzag().toInt; true
+              case 2 => enc = c.zigzag().toInt; true
+              case _ => false
+            }
+          }
+          true
+        case 8 if t == 12 => // DataPageHeaderV2
+          struct(c, 1) { (sf, st) =>
+            sf match {
+              case 1 => nv = c.zigzag().toInt; true
+              case 2 => nNulls = c.zigzag().toInt; true
+              case 4 => enc = c.zigzag().toInt; true
+              case 5 => defLen = c.zigzag().toInt; true
+              case 6 => repLen = c.zigzag().toInt; true
+              case 7 => v2comp = st == 1; true // bool true/false
+              case _ => false
+            }
+          }
+          true
+        case _ => false
+      }
+    }
+    if (!c.ok || tpe < 0 || uncomp < 0 || comp < 0) return None
+    if (comp > MaxBytes || uncomp > MaxBytes) return None
+    if (off + (c.p - off.toInt) + comp > data.length) return None
+    Some(PageHdr(tpe, uncomp, comp, nv, enc, nNulls, defLen, repLen,
+      v2comp, c.p - off.toInt))
+  }
+
+  // ---------------------------------------------------------------
+  // Codecs (parquet.thrift CompressionCodec ids)
+  // ---------------------------------------------------------------
+
+  private def decompress(codecId: Int, raw: Array[Byte],
+      uncomp: Int): Option[Array[Byte]] =
+    if (uncomp < 0 || uncomp > MaxBytes) None
+    else codecId match {
+      case 0 => if (raw.length == uncomp) Some(raw) else None
+      case 1 => SnappyCodec.decompress(raw)
+        .filter(_.length == uncomp)
+      case 2 => Tar.gunzip(raw).filter(_.length == uncomp)
+      case 6 => Zstd.decode(raw, MaxBytes)
+        .filter(_.length == uncomp)
+      case 7 => // LZ4_RAW: one raw LZ4 block
+        val dst = new Array[Byte](uncomp)
+        val n = Lz4.decompressBlock(raw, 0, raw.length, dst)
+        if (n == uncomp) Some(dst) else None
+      case _ => None // LZO / BROTLI / Hadoop-framed LZ4
+    }
+
+  // ---------------------------------------------------------------
+  // RLE / bit-packed hybrid (Encodings.md §RLE)
+  // ---------------------------------------------------------------
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Decode `count` values from the hybrid stream in
+    * [off, off+len); trailing bit-packed padding is legal. None on
+    * any overrun. */
+  private def rleHybrid(b: Array[Byte], off: Int, len: Int,
+      bitWidth: Int, count: Int): Option[Array[Int]] = {
+    if (bitWidth < 0 || bitWidth > 32 || count < 0 ||
+      count > MaxValues) return None
+    val out = new Array[Int](count)
+    if (bitWidth == 0) return Some(out) // all zero
+    var p = off
+    val end = off + len
+    if (end > b.length) return None
+    var n = 0
+    val byteW = (bitWidth + 7) / 8
+    while (n < count) {
+      // unsigned LEB128 header
+      var hdr = 0L
+      var shift = 0
+      var done = false
+      while (!done) {
+        if (p >= end || shift > 35) return None
+        val x = b(p) & 0xff
+        p += 1
+        hdr |= (x & 0x7fL) << shift
+        shift += 7
+        done = (x & 0x80) == 0
+      }
+      if ((hdr & 1) == 0) { // RLE run
+        val run = hdr >>> 1
+        if (run <= 0 || run > MaxValues || p + byteW > end)
+          return None
+        var v = 0
+        var i = 0
+        while (i < byteW) { v |= (b(p + i) & 0xff) << (8 * i); i += 1 }
+        p += byteW
+        if (n + run > count) return None
+        var k = 0L
+        while (k < run) { out(n) = v; n += 1; k += 1 }
+      } else { // bit-packed groups of 8
+        val groups = hdr >>> 1
+        if (groups <= 0 || groups > (MaxValues >> 3)) return None
+        val nbytes = (groups * 8 * bitWidth / 8).toInt
+        if (p + nbytes > end) return None
+        var k = 0L
+        val total = groups * 8
+        var bitPos = p.toLong * 8
+        while (k < total && n < count) {
+          var v = 0L
+          var got = 0
+          while (got < bitWidth) {
+            val byteI = (bitPos >> 3).toInt
+            val bitI = (bitPos & 7).toInt
+            val take = math.min(8 - bitI, bitWidth - got)
+            v |= (((b(byteI) >> bitI) & ((1 << take) - 1)).toLong
+              << got)
+            got += take
+            bitPos += take
+          }
+          out(n) = v.toInt
+          n += 1
+          k += 1
+        }
+        p += nbytes
+      }
+    }
+    Some(out)
+  }
+
+  // ---------------------------------------------------------------
+  // DELTA encodings (Encodings.md) — what the v2 writer emits when
+  // a column is not (or no longer) dictionary-encoded.
+  // ---------------------------------------------------------------
+
+  /** DELTA_BINARY_PACKED: (values, bytesConsumed) or None. The
+    * last block's unused miniblocks carry width bytes but no data
+    * (the parquet-mr layout the spec describes). */
+  private def deltaBinaryPacked(b: Array[Byte], off: Int, limit: Int,
+      expect: Int): Option[(Array[Long], Int)] = {
+    var p = off
+    var ok = true
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var done = false
+      while (ok && !done) {
+        if (p >= limit || shift > 63) { ok = false; done = true }
+        else {
+          val x = b(p) & 0xff
+          p += 1
+          v |= (x & 0x7fL) << shift
+          shift += 7
+          done = (x & 0x80) == 0
+        }
+      }
+      v
+    }
+    def zz(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    val blockSize = varint()
+    val numMini = varint()
+    val total = varint()
+    val first = zz()
+    if (!ok || blockSize <= 0 || blockSize > (1 << 20) ||
+      numMini <= 0 || numMini > 512 ||
+      blockSize % (numMini * 32) != 0) return None
+    if (total != expect || total > MaxValues) return None
+    val miniSize = (blockSize / numMini).toInt
+    val out = new Array[Long](total.toInt)
+    if (total == 0) return Some((out, p - off))
+    out(0) = first
+    var n = 1
+    var prev = first
+    while (n < total) {
+      val minDelta = zz()
+      if (!ok || p + numMini > limit) return None
+      val widths = new Array[Int](numMini.toInt)
+      var w = 0
+      while (w < numMini) {
+        widths(w) = b(p) & 0xff
+        if (widths(w) > 64) return None
+        p += 1
+        w += 1
+      }
+      var mb = 0
+      while (mb < numMini && n < total) {
+        val bw = widths(mb)
+        val nbytes = miniSize * bw / 8
+        if (p + nbytes > limit) return None
+        var bitPos = p.toLong * 8
+        var i = 0
+        while (i < miniSize && n < total) {
+          var v = 0L
+          var got = 0
+          while (got < bw) {
+            val byteI = (bitPos >> 3).toInt
+            val bitI = (bitPos & 7).toInt
+            val take = math.min(8 - bitI, bw - got)
+            v |= (((b(byteI) >> bitI) & ((1 << take) - 1)).toLong
+              << got)
+            got += take
+            bitPos += take
+          }
+          prev = prev + minDelta + v
+          out(n) = prev
+          n += 1
+          i += 1
+        }
+        p += nbytes
+        mb += 1
+      }
+    }
+    Some((out, p - off))
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + concatenated
+    * bytes; (values, bytesConsumed) or None. */
+  private def deltaLengthByteArray(b: Array[Byte], off: Int,
+      limit: Int, n: Int): Option[(IndexedSeq[Array[Byte]], Int)] = {
+    val (lens, used) = deltaBinaryPacked(b, off, limit, n)
+      .getOrElse(return None)
+    var p = off + used
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      val len = lens(i)
+      if (len < 0 || len > MaxBytes || p + len > limit) return None
+      out += java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      i += 1
+    }
+    Some((out.result(), p - off))
+  }
+
+  /** DELTA_BYTE_ARRAY: delta-packed shared-prefix lengths +
+    * DELTA_LENGTH suffixes. */
+  private def deltaByteArray(b: Array[Byte], off: Int, limit: Int,
+      n: Int): Option[IndexedSeq[Array[Byte]]] = {
+    val (prefixes, used) = deltaBinaryPacked(b, off, limit, n)
+      .getOrElse(return None)
+    val (suffixes, _) = deltaLengthByteArray(b, off + used, limit, n)
+      .getOrElse(return None)
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val pre = prefixes(i)
+      if (pre < 0 || (i == 0 && pre != 0) ||
+        (i > 0 && pre > out(i - 1).length)) return None
+      out(i) =
+        if (pre == 0) suffixes(i)
+        else java.util.Arrays.copyOfRange(out(i - 1), 0,
+          pre.toInt) ++ suffixes(i)
+      i += 1
+    }
+    Some(out.toIndexedSeq)
+  }
+
+  // ---------------------------------------------------------------
+  // PLAIN decoding per physical type
+  // ---------------------------------------------------------------
+
+  /** Decode `n` PLAIN values of `typeId` from [off, limit);
+    * (values, bytesConsumed) or None. */
+  private def plainValues(b: Array[Byte], off: Int, limit: Int,
+      typeId: Int, typeLength: Int, n: Int)
+      : Option[(IndexedSeq[Any], Int)] = {
+    if (n < 0 || n > MaxValues || limit > b.length) return None
+    typeId match {
+      case 0 => // BOOLEAN: LSB bit-packed
+        val nbytes = (n + 7) / 8
+        if (off + nbytes > limit) return None
+        val out = (0 until n).map(i =>
+          ((b(off + (i >> 3)) >> (i & 7)) & 1) != 0)
+        Some((out, nbytes))
+      case 1 => // INT32
+        if (off + 4L * n > limit) return None
+        Some(((0 until n).map(i => le32(b, off + 4 * i)), 4 * n))
+      case 2 => // INT64
+        if (off + 8L * n > limit) return None
+        Some(((0 until n).map(i => le64(b, off + 8 * i)), 8 * n))
+      case 3 => // INT96 (legacy timestamps): raw 12 bytes
+        if (off + 12L * n > limit) return None
+        Some(((0 until n).map(i => java.util.Arrays.copyOfRange(
+          b, off + 12 * i, off + 12 * (i + 1))), 12 * n))
+      case 4 => // FLOAT
+        if (off + 4L * n > limit) return None
+        Some(((0 until n).map(i =>
+          java.lang.Float.intBitsToFloat(le32(b, off + 4 * i))),
+          4 * n))
+      case 5 => // DOUBLE
+        if (off + 8L * n > limit) return None
+        Some(((0 until n).map(i =>
+          java.lang.Double.longBitsToDouble(le64(b, off + 8 * i))),
+          8 * n))
+      case 6 => // BYTE_ARRAY: u32 length + bytes
+        var p = off
+        val out = IndexedSeq.newBuilder[Any]
+        var i = 0
+        while (i < n) {
+          if (p + 4 > limit) return None
+          val len = le32(b, p)
+          p += 4
+          if (len < 0 || p + len > limit) return None
+          out += java.util.Arrays.copyOfRange(b, p, p + len)
+          p += len
+          i += 1
+        }
+        Some((out.result(), p - off))
+      case 7 => // FIXED_LEN_BYTE_ARRAY
+        val w = typeLength
+        if (w <= 0 || off + w.toLong * n > limit) return None
+        Some(((0 until n).map(i => java.util.Arrays.copyOfRange(
+          b, off + w * i, off + w * (i + 1))), w * n))
+      case _ => None
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Column chunk decode
+  // ---------------------------------------------------------------
+
+  /** Decode one column chunk's values in row order; None = null.
+    * Flat schemas only (maxDef ≤ 1, no repetition). */
+  def decodeColumn(data: Array[Byte], col: ColumnMeta,
+      leaf: LeafInfo): Option[IndexedSeq[Option[Any]]] = {
+    if (col.numValues < 0 || col.numValues > MaxValues) return None
+    val out = IndexedSeq.newBuilder[Option[Any]]
+    var dict: IndexedSeq[Any] = null
+    var off = col.dictPageOffset
+      .map(d => math.min(d, col.dataPageOffset))
+      .getOrElse(col.dataPageOffset)
+    var remaining = col.numValues
+
+    def decodeValues(bytes: Array[Byte], pos0: Int, limit: Int,
+        enc: Int, defs: Array[Int], maxDef: Int, nv: Int)
+        : Boolean = {
+      val nNonNull =
+        if (maxDef == 0) nv else defs.count(_ == maxDef)
+      val vals: IndexedSeq[Any] = enc match {
+        case 0 => // PLAIN
+          plainValues(bytes, pos0, limit, leaf.typeId,
+            leaf.typeLength, nNonNull) match {
+            case Some((vs, _)) => vs
+            case None => return false
+          }
+        case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY
+          if (dict == null || pos0 >= limit) return false
+          val bw = bytes(pos0) & 0xff
+          if (bw > 32) return false
+          val idx = rleHybrid(bytes, pos0 + 1, limit - pos0 - 1,
+            bw, nNonNull).getOrElse(return false)
+          if (idx.exists(i => i < 0 || i >= dict.length))
+            return false
+          idx.toIndexedSeq.map(dict)
+        case 3 => // RLE (booleans): u32 length prefix
+          if (leaf.typeId != 0 || pos0 + 4 > limit) return false
+          val len = le32(bytes, pos0)
+          if (len < 0 || pos0 + 4 + len > limit) return false
+          val bits = rleHybrid(bytes, pos0 + 4, len, 1, nNonNull)
+            .getOrElse(return false)
+          bits.toIndexedSeq.map(_ != 0)
+        case 5 => // DELTA_BINARY_PACKED (INT32/INT64)
+          val longs = deltaBinaryPacked(bytes, pos0, limit, nNonNull)
+            .getOrElse(return false)._1
+          leaf.typeId match {
+            // int32 delta arithmetic wraps mod 2^32 by spec — the
+            // low 32 bits ARE the value, no range check
+            case 1 => longs.toIndexedSeq.map(_.toInt)
+            case 2 => longs.toIndexedSeq
+            case _ => return false
+          }
+        case 6 => // DELTA_LENGTH_BYTE_ARRAY
+          if (leaf.typeId != 6) return false
+          deltaLengthByteArray(bytes, pos0, limit, nNonNull)
+            .getOrElse(return false)._1
+        case 7 => // DELTA_BYTE_ARRAY
+          if (leaf.typeId != 6) return false
+          deltaByteArray(bytes, pos0, limit, nNonNull)
+            .getOrElse(return false)
+        case _ => return false // BYTE_STREAM_SPLIT / unknown
+      }
+      if (vals.length != nNonNull) return false
+      if (maxDef == 0) vals.foreach(v => out += Some(v))
+      else {
+        var vi = 0
+        var i = 0
+        while (i < nv) {
+          if (defs(i) == maxDef) { out += Some(vals(vi)); vi += 1 }
+          else out += None
+          i += 1
+        }
+      }
+      true
+    }
+
+    while (remaining > 0) {
+      val h = pageHeader(data, off).getOrElse(return None)
+      val bodyOff = off.toInt + h.headerLen
+      val raw = java.util.Arrays.copyOfRange(data, bodyOff,
+        bodyOff + h.comp)
+      h.tpe match {
+        case 2 => // DICTIONARY_PAGE (PLAIN / PLAIN_DICTIONARY)
+          if (dict != null) return None // one dict per chunk
+          if (h.encoding != 0 && h.encoding != 2) return None
+          if (h.numValues < 0 || h.numValues > MaxValues) return None
+          val bytes = decompress(col.codecId, raw, h.uncomp)
+            .getOrElse(return None)
+          dict = plainValues(bytes, 0, bytes.length, leaf.typeId,
+            leaf.typeLength, h.numValues)
+            .getOrElse(return None)._1
+        case 0 => // DATA_PAGE v1
+          if (h.numValues < 0 || h.numValues > remaining) return None
+          val bytes = decompress(col.codecId, raw, h.uncomp)
+            .getOrElse(return None)
+          var pos = 0
+          val defs: Array[Int] =
+            if (!leaf.optional) null
+            else {
+              if (pos + 4 > bytes.length) return None
+              val len = le32(bytes, pos)
+              pos += 4
+              if (len < 0 || pos + len > bytes.length) return None
+              val d = rleHybrid(bytes, pos, len, 1, h.numValues)
+                .getOrElse(return None)
+              pos += len
+              d
+            }
+          if (!decodeValues(bytes, pos, bytes.length, h.encoding,
+            defs, if (leaf.optional) 1 else 0, h.numValues))
+            return None
+          remaining -= h.numValues
+        case 3 => // DATA_PAGE_V2: levels uncompressed, values maybe
+          if (h.numValues < 0 || h.numValues > remaining) return None
+          if (h.repLen != 0) return None // flat schemas only
+          if (h.defLen < 0 || h.defLen > raw.length) return None
+          val defs: Array[Int] =
+            if (!leaf.optional) {
+              if (h.defLen != 0) return None
+              null
+            } else rleHybrid(raw, 0, h.defLen, 1, h.numValues)
+              .getOrElse(return None)
+          val valRaw = java.util.Arrays.copyOfRange(raw, h.defLen,
+            raw.length)
+          val valBytes =
+            if (h.v2Compressed)
+              decompress(col.codecId, valRaw,
+                h.uncomp - h.defLen - h.repLen)
+                .getOrElse(return None)
+            else valRaw
+          if (!decodeValues(valBytes, 0, valBytes.length,
+            h.encoding, defs, if (leaf.optional) 1 else 0,
+            h.numValues)) return None
+          remaining -= h.numValues
+        case 1 => // INDEX_PAGE: skip
+        case _ => return None
+      }
+      off += h.headerLen + h.comp
+    }
+    val res = out.result()
+    if (res.length != col.numValues) None else Some(res)
+  }
+
+  /** Decode a whole flat-schema file: (leaves, column-major values
+    * with all row groups concatenated). */
+  def decodeFile(data: Array[Byte])
+      : Option[(Seq[LeafInfo], Seq[IndexedSeq[Option[Any]]])] = {
+    val footer = ParquetFooter.parse(data).getOrElse(return None)
+    val leaves = flatLeaves(footer).getOrElse(return None)
+    val cols = leaves.indices.map { i =>
+      val parts = footer.rowGroups.map { rg =>
+        val cm = rg.columns.find(_.path == leaves(i).name)
+          .getOrElse(return None)
+        decodeColumn(data, cm, leaves(i)).getOrElse(return None)
+      }
+      if (parts.map(_.length.toLong).sum > MaxValues) return None
+      parts.flatten.toIndexedSeq
+    }
+    if (cols.exists(_.length != footer.numRows)) return None
+    Some((leaves, cols))
+  }
+}

@@ -54,12 +54,19 @@ object ParquetFooter {
       offsetIndex: Option[IndexRef] = None,
       columnIndex: Option[IndexRef] = None,
       bloomOffset: Option[Long] = None,
-      bloomLength: Option[Int] = None)
+      bloomLength: Option[Int] = None,
+      dictPageOffset: Option[Long] = None)
   final case class RowGroupMeta(numRows: Long, totalByteSize: Long,
       columns: Seq[ColumnMeta])
+  /** One SchemaElement row (flattened depth-first, root included):
+    * `typeId` -1 for group nodes, `typeLength` for FLBA,
+    * `repetition` 0=required 1=optional 2=repeated. */
+  final case class SchemaElem(name: String, typeId: Int,
+      typeLength: Int, repetition: Int, numChildren: Int)
   final case class Footer(version: Int, numRows: Long,
       createdBy: String, schemaLeaves: Seq[String],
-      rowGroups: Seq[RowGroupMeta])
+      rowGroups: Seq[RowGroupMeta],
+      schemaElems: Seq[SchemaElem] = Seq.empty)
 
   /** OffsetIndex.page_locations entry: where a data page starts,
     * its size including the page header, and the row-group-relative
@@ -201,7 +208,7 @@ object ParquetFooter {
   /** Walk one compact struct, dispatching absolute field ids to
     * `onField(id, type)`; unhandled fields are skipped by the
     * CALLER returning false. */
-  private def struct(c: TCompact, depth: Int)(
+  private[operators] def struct(c: TCompact, depth: Int)(
       onField: (Int, Int) => Boolean): Unit = {
     if (depth > MaxDepth) { c.fail(); return }
     var fid = 0
@@ -231,6 +238,7 @@ object ParquetFooter {
     var comp = 0L
     var uncomp = 0L
     var dataOff = 0L
+    var dictOff: Option[Long] = None
     var bloomOff: Option[Long] = None
     var bloomLen: Option[Int] = None
     struct(c, 0) { (fid, t) =>
@@ -259,6 +267,7 @@ object ParquetFooter {
         case 6 => uncomp = c.zigzag(); true
         case 7 => comp = c.zigzag(); true
         case 9 => dataOff = c.zigzag(); true
+        case 11 => dictOff = Some(c.zigzag()); true
         case 14 => bloomOff = Some(c.zigzag()); true
         case 15 => bloomLen = Some(c.zigzag().toInt); true
         case _ => false
@@ -267,7 +276,8 @@ object ParquetFooter {
     if (!c.ok || typeId < 0 || codec < 0) return None
     Some(ColumnMeta(path.result().mkString("."), typeId, codec,
       encodings.result(), numValues, comp, uncomp, dataOff,
-      bloomOffset = bloomOff, bloomLength = bloomLen))
+      bloomOffset = bloomOff, bloomLength = bloomLen,
+      dictPageOffset = dictOff))
   }
 
   private def columnChunk(c: TCompact): Option[ColumnMeta] = {
@@ -337,6 +347,7 @@ object ParquetFooter {
     var numRows = 0L
     var createdBy = ""
     val leaves = Seq.newBuilder[String]
+    val elems = Seq.newBuilder[SchemaElem]
     val groups = Seq.newBuilder[RowGroupMeta]
     struct(c, 0) { (fid, t) =>
       fid match {
@@ -346,17 +357,26 @@ object ParquetFooter {
           var i = 0L
           while (c.ok && i < n) {
             if (et == 12) {
-              // SchemaElement: 4 = name, 5 = num_children
+              // SchemaElement: 1 = type, 2 = type_length,
+              // 3 = repetition_type, 4 = name, 5 = num_children
               var name = ""
               var children = 0L
+              var tpe = -1
+              var tlen = 0
+              var rep = 0
               struct(c, 1) { (sf, st) =>
                 sf match {
+                  case 1 => tpe = c.zigzag().toInt; true
+                  case 2 => tlen = c.zigzag().toInt; true
+                  case 3 => rep = c.zigzag().toInt; true
                   case 4 => name = c.string(); true
                   case 5 => children = c.zigzag(); true
                   case _ => false
                 }
               }
               if (children == 0L && i > 0) leaves += name
+              elems += SchemaElem(name, tpe, tlen, rep,
+                children.toInt)
             } else c.skipElem(et, 1)
             i += 1
           }
@@ -378,7 +398,7 @@ object ParquetFooter {
     }
     if (!c.ok) return None
     Some(Footer(version, numRows, createdBy, leaves.result(),
-      groups.result()))
+      groups.result(), elems.result()))
   }
 
   // ---------------------------------------------------------------
