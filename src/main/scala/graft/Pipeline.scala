@@ -8633,6 +8633,59 @@ object Pipeline {
       .orderBy("rflag")
   }
 
+  /** ORC stripe-data decode from raw bytes (r12): lineitem
+    * re-materialized as zstd ORC by Spark's writer (fixture, built
+    * once), then read end to end by OUR walker — tail → stripe
+    * footers → byte-RLE present bits → RLEv2 integer runs →
+    * dictionary/direct strings — and aggregated to the SAME oracle
+    * as `parquet_data_decode`: one truth, both columnar formats,
+    * two independent from-scratch value decoders. Scale: stripes
+    * decode independently; per-file flatMap. */
+  private def orcDataDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "orcdata", "lineitem") { out =>
+      Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_quantity", "l_returnflag",
+          "l_linenumber")
+        .coalesce(2)
+        .write.option("compression", "zstd").orc(s"$out/li")
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.orc")
+      .load(s"$root/li")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        import graft.operators.{OrcData => OD}
+        val (leaves, cols) = OD.decodeFile(bytes).getOrElse(
+          sys.error("orc data pages do not decode"))
+        def idxOf(n: String) = {
+          val i = leaves.indexWhere(_.name == n)
+          require(i >= 0, s"missing column $n")
+          i
+        }
+        val ok = cols(idxOf("l_orderkey"))
+        val qty = cols(idxOf("l_quantity"))
+        val rf = cols(idxOf("l_returnflag"))
+        val ln = cols(idxOf("l_linenumber"))
+        ok.indices.iterator.map { i =>
+          (ok(i).get.asInstanceOf[Long],
+            qty(i).get.asInstanceOf[Double],
+            rf(i).get.asInstanceOf[String],
+            ln(i).get.asInstanceOf[Long])
+        }
+      }
+      .toDF("okey", "qty", "rflag", "lnum")
+      .groupBy("rflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("okey").as("nk"),
+        max("lnum").as("max_ln"),
+        sum(col("okey") * col("lnum")).as("wsum"))
+      .orderBy("rflag")
+  }
+
   /** Hudi MERGE_ON_READ through OUR log-block format (round 12):
     * createMor writes base parquet under a deltacommit, then the
     * history runs entirely through log appends — an AVRO_DATA
@@ -11726,6 +11779,7 @@ object Pipeline {
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,
+    "orc_data_decode"   -> orcDataDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
     "orc_footer"        -> orcFooter _,
     "orc_row_index"     -> orcRowIndex _,
@@ -14141,6 +14195,16 @@ object Pipeline {
     // hybrid -> values, snappy inflated in place); the oracle runs
     // DuckDB's own reader over the same table
     "parquet_data_decode" ->
+      """SELECT l_returnflag AS rflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk,
+        |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+        |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OUR ORC stripe-data decoder over a Spark-written zstd ORC
+    // copy of lineitem — the SAME truth as parquet_data_decode,
+    // through the other columnar format's from-scratch read path
+    "orc_data_decode" ->
       """SELECT l_returnflag AS rflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(sum(l_quantity), 4) AS qsum,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk,

@@ -1,0 +1,513 @@
+package graft.operators
+
+/** ORC stripe DATA decode (the public ORCv1 specification, "Run
+  * Length Encoding" + "Column Encodings" sections) — the values
+  * themselves, pure-JVM, no orc-core on the read path: the
+  * companion of [[ParquetData]] for the other columnar format,
+  * completing the audit story ([[OrcTail]] reads the metadata, this
+  * reads the columns).
+  *
+  * Scope — flat struct schemas (nested types reject honestly):
+  *  - Integer runs: RLEv1 (run/literal with delta bytes) and RLEv2
+  *    with ALL FOUR sub-encodings — SHORT_REPEAT, DIRECT (MSB-first
+  *    bit packing, the 5-bit closest-fixed-width table),
+  *    PATCHED_BASE (sign-magnitude base, gap+patch list OR-ing high
+  *    bits) and DELTA (zigzag base + signed delta base, unsigned
+  *    remaining deltas in the base delta's direction).
+  *  - Booleans and PRESENT streams: byte-RLE over MSB-first
+  *    bitmaps; TINYINT is byte-RLE directly.
+  *  - FLOAT/DOUBLE: IEEE little-endian raw.
+  *  - STRING/CHAR/VARCHAR: DIRECT(_V2) via DATA + LENGTH, or
+  *    DICTIONARY(_V2) via index DATA + DICTIONARY_DATA + LENGTH
+  *    (indices bounds-checked); BINARY like direct strings, raw.
+  *  - DATE: signed days since epoch.
+  *  - TIMESTAMP/DECIMAL/nested kinds reject honestly (None).
+  *
+  * Streams decompress through [[OrcTail.decodeStream]] (the chunked
+  * codec framing — zlib/snappy/lz4/zstd/none); stream offsets
+  * accumulate in directory order per the spec (index region first,
+  * then data). Every count is bounds-checked (2^26 values cap);
+  * None on any malformation — never invent.
+  *
+  * Scale: stripes decode independently (the natural 1000-executor
+  * split), columns within a stripe prune by stream directory.
+  * Validation: OrcDataSpec differentials REAL Spark-written ORC
+  * files against Spark's own reader across types, nulls,
+  * dictionary + direct strings, the RLEv2 sub-encodings (forced by
+  * data shape) and all four codecs, plus mutation fuzz. */
+object OrcData {
+
+  import OrcTail.{Tail, StripeInfo, OrcStream}
+
+  private final val MaxValues = 1 << 26
+
+  /** One flat-schema column: ORC type kind + name. */
+  final case class OrcLeaf(name: String, kind: Int)
+
+  // ---------------------------------------------------------------
+  // Byte-RLE + MSB-first bit reader (booleans, PRESENT, TINYINT)
+  // ---------------------------------------------------------------
+
+  /** Byte-RLE: header 0..127 = run of (header+3) copies of the next
+    * byte; 128..255 = (256-header) literal bytes. */
+  private def byteRle(b: Array[Byte], count: Int)
+      : Option[Array[Byte]] = {
+    if (count < 0 || count > MaxValues) return None
+    val out = new Array[Byte](count)
+    var n = 0
+    var p = 0
+    while (n < count) {
+      if (p >= b.length) return None
+      val h = b(p) & 0xff
+      p += 1
+      if (h < 128) {
+        val run = h + 3
+        if (p >= b.length || n + run > count) return None
+        java.util.Arrays.fill(out, n, n + run, b(p))
+        p += 1
+        n += run
+      } else {
+        val lit = 256 - h
+        if (p + lit > b.length || n + lit > count) return None
+        System.arraycopy(b, p, out, n, lit)
+        p += lit
+        n += lit
+      }
+    }
+    Some(out)
+  }
+
+  /** Boolean stream: byte-RLE bytes, bits MSB-first. */
+  private def boolRle(b: Array[Byte], count: Int)
+      : Option[Array[Boolean]] = {
+    if (count < 0 || count > MaxValues) return None
+    val bytes = byteRle(b, (count + 7) / 8).getOrElse(return None)
+    Some(Array.tabulate(count)(i =>
+      ((bytes(i >> 3) >> (7 - (i & 7))) & 1) != 0))
+  }
+
+  // ---------------------------------------------------------------
+  // Integer runs
+  // ---------------------------------------------------------------
+
+  private def zz(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  /** Base-128 varint (unsigned). */
+  private final class VarCur(val b: Array[Byte]) {
+    var p = 0
+    var ok = true
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var done = false
+      while (ok && !done) {
+        if (p >= b.length || shift > 63) { ok = false; done = true }
+        else {
+          val x = b(p) & 0xff
+          p += 1
+          v |= (x & 0x7fL) << shift
+          shift += 7
+          done = (x & 0x80) == 0
+        }
+      }
+      v
+    }
+  }
+
+  /** RLEv1: run = header 0..127 (run of header+3, next byte signed
+    * delta, then base varint), literal = 128..255 (256-header
+    * varints). */
+  private def rleV1(b: Array[Byte], count: Int, signed: Boolean)
+      : Option[Array[Long]] = {
+    if (count < 0 || count > MaxValues) return None
+    val out = new Array[Long](count)
+    val c = new VarCur(b)
+    var n = 0
+    while (n < count) {
+      if (!c.ok || c.p >= b.length) return None
+      val h = b(c.p) & 0xff
+      c.p += 1
+      if (h < 128) {
+        val run = h + 3
+        if (c.p >= b.length || n + run > count) return None
+        val delta = b(c.p).toLong // signed byte
+        c.p += 1
+        val raw = c.varint()
+        if (!c.ok) return None
+        var v = if (signed) zz(raw) else raw
+        var i = 0
+        while (i < run) { out(n) = v; n += 1; v += delta; i += 1 }
+      } else {
+        val lit = 256 - h
+        if (n + lit > count) return None
+        var i = 0
+        while (i < lit) {
+          val raw = c.varint()
+          if (!c.ok) return None
+          out(n) = if (signed) zz(raw) else raw
+          n += 1
+          i += 1
+        }
+      }
+    }
+    Some(out)
+  }
+
+  /** The RLEv2 5-bit width code table ("closest fixed bit"). */
+  private def widthOf(code: Int): Int =
+    if (code < 24) code + 1
+    else code match {
+      case 24 => 26
+      case 25 => 28
+      case 26 => 30
+      case 27 => 32
+      case 28 => 40
+      case 29 => 48
+      case 30 => 56
+      case _ => 64
+    }
+
+  /** DELTA-mode width code: 0 means literally zero bits. */
+  private def deltaWidthOf(code: Int): Int =
+    if (code == 0) 0 else widthOf(code)
+
+  /** Closest width the 5-bit table can represent (the writer's
+    * getClosestFixedBits — patch entries pack at this width). */
+  private def closestFixedBits(n: Int): Int =
+    if (n <= 1) 1
+    else if (n <= 24) n
+    else if (n <= 26) 26
+    else if (n <= 28) 28
+    else if (n <= 30) 30
+    else if (n <= 32) 32
+    else if (n <= 40) 40
+    else if (n <= 48) 48
+    else if (n <= 56) 56
+    else 64
+
+  /** MSB-first bit unpacking of `n` values at `width` bits starting
+    * at bit position p*8; returns new byte position. */
+  private def unpackMsb(b: Array[Byte], p0: Int, width: Int, n: Int,
+      out: Array[Long], outOff: Int): Option[Int] = {
+    val totalBits = width.toLong * n
+    val nbytes = ((totalBits + 7) / 8).toInt
+    if (p0 + nbytes > b.length) return None
+    var bitPos = p0.toLong * 8
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var got = 0
+      while (got < width) {
+        val byteI = (bitPos >> 3).toInt
+        val bitI = (bitPos & 7).toInt
+        val avail = 8 - bitI
+        val take = math.min(avail, width - got)
+        val bits = (b(byteI) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | bits
+        got += take
+        bitPos += take
+      }
+      out(outOff + i) = v
+      i += 1
+    }
+    Some(p0 + nbytes)
+  }
+
+  /** RLEv2, all four sub-encodings. */
+  private def rleV2(b: Array[Byte], count: Int, signed: Boolean)
+      : Option[Array[Long]] = {
+    if (count < 0 || count > MaxValues) return None
+    val out = new Array[Long](count)
+    var n = 0
+    var p = 0
+    while (n < count) {
+      if (p >= b.length) return None
+      val h0 = b(p) & 0xff
+      p += 1
+      (h0 >>> 6) match {
+        case 0 => // SHORT_REPEAT: width bytes (bits 5-3)+1, rep (2-0)+3
+          val w = ((h0 >>> 3) & 7) + 1
+          val rep = (h0 & 7) + 3
+          if (p + w > b.length || n + rep > count) return None
+          var v = 0L
+          var i = 0
+          while (i < w) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+          p += w
+          val sv = if (signed) zz(v) else v
+          i = 0
+          while (i < rep) { out(n) = sv; n += 1; i += 1 }
+        case 1 => // DIRECT
+          if (p >= b.length) return None
+          val w = widthOf((h0 >>> 1) & 0x1f)
+          val len = (((h0 & 1) << 8) | (b(p) & 0xff)) + 1
+          p += 1
+          if (n + len > count) return None
+          p = unpackMsb(b, p, w, len, out, n).getOrElse(return None)
+          if (signed) {
+            var i = n
+            while (i < n + len) { out(i) = zz(out(i)); i += 1 }
+          }
+          n += len
+        case 2 => // PATCHED_BASE
+          if (p + 3 > b.length) return None
+          val w = widthOf((h0 >>> 1) & 0x1f)
+          val len = (((h0 & 1) << 8) | (b(p) & 0xff)) + 1
+          val h3 = b(p + 1) & 0xff
+          val bw = ((h3 >>> 5) & 7) + 1 // base width bytes
+          val pwCode = h3 & 0x1f // patch value width code
+          val pw = widthOf(pwCode)
+          val h4 = b(p + 2) & 0xff
+          val pgw = ((h4 >>> 5) & 7) + 1 // patch gap width bits
+          val pll = h4 & 0x1f // patch list length
+          p += 3
+          if (n + len > count) return None
+          // base: sign-magnitude, MSB of first byte is the sign
+          if (p + bw > b.length) return None
+          var base = 0L
+          var i = 0
+          while (i < bw) { base = (base << 8) | (b(p + i) & 0xffL)
+            i += 1 }
+          p += bw
+          val signBit = 1L << (bw * 8 - 1)
+          if ((base & signBit) != 0) base = -(base & (signBit - 1))
+          p = unpackMsb(b, p, w, len, out, n).getOrElse(return None)
+          if (pll > 0) {
+            // patch entries pack at closestFixedBits(gap width +
+            // patch width), gaps cumulative; a (gap=255, patch=0)
+            // entry extends the gap past 255
+            val entryW = closestFixedBits(pgw + pw)
+            val patches = new Array[Long](pll)
+            p = unpackMsb(b, p, entryW, pll, patches, 0)
+              .getOrElse(return None)
+            val patchMask = if (pw == 64) -1L else (1L << pw) - 1
+            var idx = 0
+            var k = 0
+            while (k < pll) {
+              var gap = (patches(k) >>> pw).toInt
+              var patch = patches(k) & patchMask
+              while (gap == 255 && patch == 0 && k + 1 < pll) {
+                idx += 255
+                k += 1
+                gap = (patches(k) >>> pw).toInt
+                patch = patches(k) & patchMask
+              }
+              idx += gap
+              if (idx >= len) return None
+              out(n + idx) |= patch << w
+              k += 1
+            }
+          }
+          var j = n
+          while (j < n + len) { out(j) = out(j) + base; j += 1 }
+          n += len
+        case _ => // DELTA
+          val wCode = (h0 >>> 1) & 0x1f
+          val w = deltaWidthOf(wCode)
+          if (p >= b.length) return None
+          val len = (((h0 & 1) << 8) | (b(p) & 0xff)) + 1
+          p += 1
+          if (n + len > count) return None
+          val c = new VarCur(b)
+          c.p = p
+          val baseRaw = c.varint()
+          if (!c.ok) return None
+          val base = if (signed) zz(baseRaw) else baseRaw
+          val deltaBase = zz(c.varint()) // always signed
+          if (!c.ok) return None
+          p = c.p
+          out(n) = base
+          if (len > 1) out(n + 1) = base + deltaBase
+          var prev = if (len > 1) out(n + 1) else base
+          if (len > 2) {
+            val deltas = new Array[Long](len - 2)
+            if (w > 0) {
+              p = unpackMsb(b, p, w, len - 2, deltas, 0)
+                .getOrElse(return None)
+            } // w == 0: fixed delta, all deltaBase
+            val dir = if (deltaBase < 0) -1L else 1L
+            var i = 0
+            while (i < len - 2) {
+              val d = if (w == 0) deltaBase else dir * deltas(i)
+              prev += d
+              out(n + 2 + i) = prev
+              i += 1
+            }
+          }
+          n += len
+      }
+    }
+    Some(out)
+  }
+
+  /** Integer stream by column encoding kind (0/1 = v1, 2/3 = v2). */
+  private def intRun(b: Array[Byte], count: Int, signed: Boolean,
+      encKind: Int): Option[Array[Long]] =
+    if (encKind == 0 || encKind == 1) rleV1(b, count, signed)
+    else rleV2(b, count, signed)
+
+  // ---------------------------------------------------------------
+  // File decode
+  // ---------------------------------------------------------------
+
+  /** Flat leaves of the root struct; None when nested or an
+    * unsupported kind appears. Kinds: 0 bool, 1 byte, 2 short,
+    * 3 int, 4 long, 5 float, 6 double, 7 string, 8 binary, 15 date,
+    * 16 varchar, 17 char. */
+  def flatLeaves(tail: Tail): Option[Seq[OrcLeaf]] = {
+    val types = tail.types
+    if (types.isEmpty || types.head.kind != 12) return None
+    val root = types.head
+    if (root.subtypes.length != types.length - 1 ||
+      root.subtypes != (1 until types.length)) return None
+    val ok = Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 17)
+    Some(root.subtypes.zipWithIndex.map { case (st, i) =>
+      val t = types(st)
+      if (!ok(t.kind) || t.subtypes.nonEmpty) return None
+      OrcLeaf(root.fieldNames.lift(i).getOrElse(return None), t.kind)
+    })
+  }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Decode one column of one stripe. */
+  private def decodeStripeColumn(data: Array[Byte], tail: Tail,
+      stripe: StripeInfo, streams: Seq[(OrcStream, Long)],
+      encKind: Int, dictSize: Int, col: Int, leaf: OrcLeaf)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val rows = stripe.numRows.toInt
+    if (rows < 0 || stripe.numRows > MaxValues) return None
+    def streamBytes(kind: Int): Option[Array[Byte]] =
+      streams.find { case (s, _) =>
+        s.column == col && s.kind == kind
+      }.map { case (s, off) =>
+        OrcTail.decodeStream(data, off, s.length, tail.compression,
+          tail.blockSize).getOrElse(return None)
+      }
+    val present: Array[Boolean] = streamBytes(0) match {
+      case Some(pb) => boolRle(pb, rows).getOrElse(return None)
+      case None => null
+    }
+    val nNonNull =
+      if (present == null) rows else present.count(identity)
+    def assemble(vals: Int => Any): IndexedSeq[Option[Any]] =
+      if (present == null) IndexedSeq.tabulate(rows)(i =>
+        Some(vals(i)))
+      else {
+        var vi = 0
+        IndexedSeq.tabulate(rows) { i =>
+          if (present(i)) { val v = Some(vals(vi)); vi += 1; v }
+          else None
+        }
+      }
+    leaf.kind match {
+      case 0 => // boolean
+        val d = streamBytes(1).getOrElse(return None)
+        val bits = boolRle(d, nNonNull).getOrElse(return None)
+        Some(assemble(bits(_)))
+      case 1 => // tinyint: byte-RLE
+        val d = streamBytes(1).getOrElse(return None)
+        val bytes = byteRle(d, nNonNull).getOrElse(return None)
+        Some(assemble(i => bytes(i).toLong))
+      case 2 | 3 | 4 | 15 => // short/int/long/date: signed runs
+        val d = streamBytes(1).getOrElse(return None)
+        val vs = intRun(d, nNonNull, signed = true, encKind)
+          .getOrElse(return None)
+        Some(assemble(vs(_)))
+      case 5 => // float
+        val d = streamBytes(1).getOrElse(return None)
+        if (d.length < 4L * nNonNull) return None
+        Some(assemble(i =>
+          java.lang.Float.intBitsToFloat(le32(d, 4 * i))))
+      case 6 => // double
+        val d = streamBytes(1).getOrElse(return None)
+        if (d.length < 8L * nNonNull) return None
+        Some(assemble(i =>
+          java.lang.Double.longBitsToDouble(le64(d, 8 * i))))
+      case 7 | 8 | 16 | 17 => // string/binary/varchar/char
+        val asString = leaf.kind != 8
+        def cut(blob: Array[Byte], lens: Array[Long])
+            : Option[IndexedSeq[Any]] = {
+          var off = 0L
+          val out = IndexedSeq.newBuilder[Any]
+          var i = 0
+          while (i < lens.length) {
+            val l = lens(i)
+            if (l < 0 || off + l > blob.length) return None
+            val bytes = java.util.Arrays.copyOfRange(blob,
+              off.toInt, (off + l).toInt)
+            out += (if (asString) new String(bytes, "UTF-8")
+              else bytes)
+            off += l
+            i += 1
+          }
+          Some(out.result())
+        }
+        if (encKind == 0 || encKind == 2) { // DIRECT(_V2)
+          val d = streamBytes(1).getOrElse(return None)
+          val lb = streamBytes(2).getOrElse(return None)
+          val lens = intRun(lb, nNonNull, signed = false, encKind)
+            .getOrElse(return None)
+          val vs = cut(d, lens).getOrElse(return None)
+          Some(assemble(vs(_)))
+        } else { // DICTIONARY(_V2)
+          val idxB = streamBytes(1).getOrElse(return None)
+          val dictB = streamBytes(3).getOrElse(return None)
+          val lb = streamBytes(2).getOrElse(return None)
+          if (dictSize < 0 || dictSize > MaxValues) return None
+          val lens = intRun(lb, dictSize, signed = false, encKind)
+            .getOrElse(return None)
+          val dict = cut(dictB, lens).getOrElse(return None)
+          val idx = intRun(idxB, nNonNull, signed = false, encKind)
+            .getOrElse(return None)
+          if (idx.exists(i => i < 0 || i >= dict.length))
+            return None
+          Some(assemble(i => dict(idx(i).toInt)))
+        }
+      case _ => None // timestamp/decimal/nested: honest rejection
+    }
+  }
+
+  /** Decode a whole flat-schema file: (leaves, column-major values,
+    * stripes concatenated). */
+  def decodeFile(data: Array[Byte])
+      : Option[(Seq[OrcLeaf], Seq[IndexedSeq[Option[Any]]])] = {
+    val tail = OrcTail.parseTail(data).getOrElse(return None)
+    val leaves = flatLeaves(tail).getOrElse(return None)
+    if (tail.numRows > MaxValues) return None
+    val cols = Array.fill(leaves.length)(
+      IndexedSeq.newBuilder[Option[Any]])
+    tail.stripes.foreach { stripe =>
+      val sf = OrcTail.parseStripeFooter(data, stripe,
+        tail.compression, tail.blockSize).getOrElse(return None)
+      // stream offsets accumulate in directory order from the
+      // stripe start (index region first, then data)
+      var off = stripe.offset
+      val withOff = sf.streams.map { s =>
+        val o = off
+        off += s.length
+        (s, o)
+      }
+      if (off > stripe.offset + stripe.indexLength +
+        stripe.dataLength) return None
+      leaves.indices.foreach { i =>
+        val col = i + 1 // root struct is column 0
+        val enc = sf.encodings.lift(col).getOrElse(return None)
+        cols(i) ++= decodeStripeColumn(data, tail, stripe, withOff,
+          enc.kind, enc.dictionarySize, col, leaves(i))
+          .getOrElse(return None)
+      }
+    }
+    val res = cols.map(_.result()).toSeq
+    if (res.exists(_.length != tail.numRows)) None
+    else Some((leaves, res))
+  }
+}

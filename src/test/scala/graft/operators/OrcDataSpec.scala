@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ORC stripe-data decode pins: REAL Spark-written ORC files across
+  * types, nulls, dictionary + direct strings, data shapes that
+  * force each RLEv2 sub-encoding (constant runs → SHORT_REPEAT,
+  * monotone → DELTA, random → DIRECT, skewed-with-outliers →
+  * PATCHED_BASE) and all four codecs — decoded from raw bytes by
+  * [[OrcData]] and compared value-exactly against Spark's own ORC
+  * reader. Plus nested rejection and mutation fuzz. */
+class OrcDataSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame,
+      codec: String): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orcd")
+    df.coalesce(1).write.mode("overwrite")
+      .option("compression", codec).orc(dir.toString)
+    val f = dir.toFile.listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    rm(dir.toFile)
+    bytes
+  }
+
+  private def mkDf(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong, // monotone -> DELTA runs
+        rnd.nextLong(), // random -> DIRECT
+        if (i % 97 == 13) 1000000000L + i else (i % 30).toLong,
+        // ^ skewed with outliers -> PATCHED_BASE
+        7L, // constant -> SHORT_REPEAT
+        if (i % 7 == 3) None else Some(i - 500), // int + nulls
+        i * 0.25 - 3.0,
+        if (i % 5 == 2) None else Some(i / 3f),
+        i % 3 == 0,
+        if (i % 7 == 3) None else Some(s"v${i % 11}"), // dict
+        s"unique-$i-${rnd.nextInt(1000)}", // direct strings
+        Array.tabulate[Byte](i % 6)(j => (i + j).toByte))
+    }.toDF("mono", "rand", "skew", "const", "i32", "f64", "f32",
+      "flag", "dict_s", "uniq_s", "blob")
+  }
+
+  private def compare(bytes: Array[Byte]): Unit = {
+    val (leaves, cols) = OrcData.decodeFile(bytes).getOrElse(
+      fail("OrcData rejected a valid Spark file"))
+    // Spark's own reader on a temp copy of the same bytes
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcr")
+    val f = new java.io.File(tmp.toFile, "x.orc")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val viaSpark = spark.read.orc(f.getAbsolutePath)
+    val names = viaSpark.schema.fieldNames.toSeq
+    assert(leaves.map(_.name) == names)
+    val sparkRows = viaSpark.collect()
+      .map(r => names.indices.map(i => Option(r.get(i)).map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }))
+      .sortBy(_.head.get.asInstanceOf[Long])
+    val ours = cols.head.indices.map(r => leaves.indices.map { c =>
+      cols(c)(r).map {
+        case i: Long if viaSpark.schema(c).dataType ==
+          org.apache.spark.sql.types.IntegerType => i.toInt
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }
+    }).sortBy(_.head.get.asInstanceOf[Long])
+    f.delete(); tmp.toFile.delete()
+    assert(ours.length == sparkRows.length)
+    assert(ours == sparkRows.toSeq)
+  }
+
+  test("differential: Spark ORC, all types + nulls + RLEv2 " +
+    "shapes, 4 codecs") {
+    val df = mkDf(3000)
+    for (codec <- Seq("zstd", "snappy", "zlib", "none"))
+      compare(writeOne(df, codec))
+  }
+
+  test("differential: lz4 codec") {
+    compare(writeOne(mkDf(500), "lz4"))
+  }
+
+  test("forced sub-encodings actually appeared (sanity)") {
+    // 3000 monotone + constant + skewed rows make the writer emit
+    // DELTA, SHORT_REPEAT and PATCHED_BASE runs; decode already
+    // proves correctness — this pins that skew produces outliers
+    // larger than 2^28 so PATCHED_BASE is genuinely exercised
+    val df = mkDf(3000)
+    val bytes = writeOne(df, "none")
+    val (leaves, cols) = OrcData.decodeFile(bytes).get
+    val si = leaves.indexWhere(_.name == "skew")
+    val vals = cols(si).flatten.map(_.asInstanceOf[Long])
+    assert(vals.max > (1L << 29) && vals.count(_ < 30) > 2000)
+  }
+
+  test("dictionary disabled -> direct strings still decode") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 800).map(i => (i.toLong, s"k${i % 5}"))
+      .toDF("id", "txt")
+    // force DIRECT_V2 even for low-cardinality strings
+    spark.conf.set("orc.dictionary.key.threshold", "0.0")
+    try compare(writeOne(df, "zstd"))
+    finally spark.conf.unset("orc.dictionary.key.threshold")
+  }
+
+  test("nested schemas reject honestly; tail still parses") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i => (i.toLong, Seq(i, i + 1)))
+      .toDF("id", "xs")
+    val bytes = writeOne(df, "zstd")
+    assert(OrcData.decodeFile(bytes).isEmpty)
+    assert(OrcTail.parseTail(bytes).isDefined)
+  }
+
+  test("mutation fuzz: corrupted files never throw") {
+    val bytes = writeOne(mkDf(300), "zlib")
+    assert(OrcData.decodeFile(bytes).isDefined)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val m = bytes.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      OrcData.decodeFile(m): Unit // None or in-shape, never throws
+    }
+  }
+}
