@@ -21,7 +21,13 @@ package graft.operators
   *    DICTIONARY(_V2) via index DATA + DICTIONARY_DATA + LENGTH
   *    (indices bounds-checked); BINARY like direct strings, raw.
   *  - DATE: signed days since epoch.
-  *  - TIMESTAMP/DECIMAL/nested kinds reject honestly (None).
+  *  - TIMESTAMP: seconds relative to 2015-01-01 (signed runs) plus
+  *    the SECONDARY nanos stream with its trailing-zero packing →
+  *    epoch micros; non-UTC writer timezones reject honestly (the
+  *    base epoch shifts with the stripe timezone).
+  *  - DECIMAL: unbounded zigzag-varint unscaled DATA + SECONDARY
+  *    scale runs → java BigDecimal.
+  *  - Nested kinds and unions reject honestly (None).
   *
   * Streams decompress through [[OrcTail.decodeStream]] (the chunked
   * codec framing — zlib/snappy/lz4/zstd/none); stream offsets
@@ -359,7 +365,7 @@ object OrcData {
     val root = types.head
     if (root.subtypes.length != types.length - 1 ||
       root.subtypes != (1 until types.length)) return None
-    val ok = Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 17)
+    val ok = Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17)
     Some(root.subtypes.zipWithIndex.map { case (st, i) =>
       val t = types(st)
       if (!ok(t.kind) || t.subtypes.nonEmpty) return None
@@ -381,8 +387,12 @@ object OrcData {
   /** Decode one column of one stripe. */
   private def decodeStripeColumn(data: Array[Byte], tail: Tail,
       stripe: StripeInfo, streams: Seq[(OrcStream, Long)],
-      encKind: Int, dictSize: Int, col: Int, leaf: OrcLeaf)
+      encKind: Int, dictSize: Int, col: Int, leaf: OrcLeaf,
+      stripeTz: String)
       : Option[IndexedSeq[Option[Any]]] = {
+    if (leaf.kind == 9 &&
+      !Set("", "UTC", "GMT", "Etc/UTC")(stripeTz))
+      return None // base epoch shifts with the writer tz — honest
     val rows = stripe.numRows.toInt
     if (rows < 0 || stripe.numRows > MaxValues) return None
     def streamBytes(kind: Int): Option[Array[Byte]] =
@@ -432,6 +442,48 @@ object OrcData {
         if (d.length < 8L * nNonNull) return None
         Some(assemble(i =>
           java.lang.Double.longBitsToDouble(le64(d, 8 * i))))
+      case 9 => // timestamp: DATA = seconds rel 2015-01-01 (signed
+        // runs), SECONDARY = nanos with the trailing-zero packing.
+        // Non-UTC writer timezones reject honestly (the base epoch
+        // shifts with the stripe timezone; this engine runs UTC).
+        val d = streamBytes(1).getOrElse(return None)
+        val sec = intRun(d, nNonNull, signed = true, encKind)
+          .getOrElse(return None)
+        val nb = streamBytes(5).getOrElse(return None)
+        val nanosRaw = intRun(nb, nNonNull, signed = false, encKind)
+          .getOrElse(return None)
+        val base = 1420070400L // 2015-01-01T00:00:00Z
+        Some(assemble { i =>
+          var nanos = nanosRaw(i) >>> 3
+          val zeros = (nanosRaw(i) & 7).toInt
+          if (zeros != 0) {
+            var k = 0
+            while (k <= zeros) { nanos *= 10; k += 1 }
+          }
+          if (nanos < 0 || nanos > 999999999L) sys.error("orc nanos")
+          // nanos count FORWARD from the (possibly negative) second
+          (sec(i) + base) * 1000000L + nanos / 1000
+        })
+      case 14 => // decimal: DATA = unbounded zigzag varint unscaled,
+        // SECONDARY = scale (signed runs)
+        val d = streamBytes(1).getOrElse(return None)
+        val sb = streamBytes(5).getOrElse(return None)
+        val scales = intRun(sb, nNonNull, signed = true, encKind)
+          .getOrElse(return None)
+        val c = new VarCur(d)
+        val unscaled = new Array[Long](nNonNull)
+        var i = 0
+        while (i < nNonNull) {
+          val raw = c.varint()
+          if (!c.ok) return None
+          unscaled(i) = zz(raw)
+          i += 1
+        }
+        Some(assemble { i =>
+          val s = scales(i)
+          if (s < 0 || s > 38) sys.error("orc decimal scale")
+          java.math.BigDecimal.valueOf(unscaled(i), s.toInt)
+        })
       case 7 | 8 | 16 | 17 => // string/binary/varchar/char
         val asString = leaf.kind != 8
         def cut(blob: Array[Byte], lens: Array[Long])
@@ -502,7 +554,7 @@ object OrcData {
         val col = i + 1 // root struct is column 0
         val enc = sf.encodings.lift(col).getOrElse(return None)
         cols(i) ++= decodeStripeColumn(data, tail, stripe, withOff,
-          enc.kind, enc.dictionarySize, col, leaves(i))
+          enc.kind, enc.dictionarySize, col, leaves(i), sf.timezone)
           .getOrElse(return None)
       }
     }

@@ -119,6 +119,46 @@ class OrcDataSpec extends AnyFunSuite {
     finally spark.conf.unset("orc.dictionary.key.threshold")
   }
 
+  test("differential: timestamp (nanos packing) and decimal") {
+    val s = spark
+    import s.implicits._
+    val n = 1200
+    val df = (0 until n).map(i => (i.toLong, i)).toDF("id", "i")
+      .selectExpr("id",
+        // sub-second fractions exercise the trailing-zero nanos
+        // packing at several magnitudes, incl. exact zero
+        "timestamp_micros(cast(id * 86400000000 + " +
+          "(id % 5) * 123450 + (id % 3) * 7 as long)) AS ts",
+        "cast(cast(id as string) || '.' || " +
+          "lpad(cast(id % 100 as string), 2, '0') " +
+          "as decimal(14,2)) AS dec")
+    val bytes = writeOne(df, "zstd")
+    val (leaves, cols) = OrcData.decodeFile(bytes).get
+    assert(leaves.map(_.kind) == Seq(4, 9, 14))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orct")
+    val f = new java.io.File(tmp.toFile, "x.orc")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val viaSpark = spark.read.orc(f.getAbsolutePath).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant,
+        r.getDecimal(2)))
+      .sortBy(_._1)
+    f.delete(); tmp.toFile.delete()
+    val ours = cols(0).indices.map { r =>
+      val micros = cols(1)(r).get.asInstanceOf[Long]
+      (cols(0)(r).get.asInstanceOf[Long],
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L),
+        cols(2)(r).get.asInstanceOf[java.math.BigDecimal])
+    }.sortBy(_._1)
+    assert(ours.length == viaSpark.length)
+    ours.zip(viaSpark).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2, s"ts mismatch $a vs $b")
+      assert(a._3.compareTo(b._3) == 0, s"dec mismatch $a vs $b")
+    }
+  }
+
   test("nested schemas reject honestly; tail still parses") {
     val s = spark
     import s.implicits._
