@@ -72,11 +72,20 @@ object Avro {
   /** Avro fixed: exactly `size` raw bytes (UUIDs, hashes); value
     * decodes to Array[Byte]. */
   final case class NFixed(name: String, size: Int) extends NType
+  /** A logical-type-annotated primitive (Avro 1.x "Logical
+    * Types"): the BINARY encoding is exactly `prim`'s — the
+    * annotation rides along so sources can surface typed columns
+    * (date/timestamps/decimal/uuid). Unknown annotations drop to
+    * the bare primitive at parse, the spec's reader rule.
+    * `precision`/`scale` only for decimal (over bytes). */
+  final case class NLogical(prim: String, logical: String,
+      precision: Int = 0, scale: Int = 0) extends NType
 
   final case class NField(name: String, tpe: NType, nullable: Boolean)
 
   private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
     case NPrim(p)      => p
+    case NLogical(p, _, _, _) => p
     case _: NArr       => "array"
     case _: NMap       => "map"
     case _: NEnum      => "enum"
@@ -141,6 +150,7 @@ object Avro {
   private def writeNValue(out: java.io.ByteArrayOutputStream, tpe: NType,
       v: Any): Unit = tpe match {
     case NPrim(p) => writeValue(out, p, v)
+    case NLogical(p, _, _, _) => writeValue(out, p, v)
     case NArr(items, itemsNullable) =>
       val xs = v.asInstanceOf[Seq[Option[Any]]]
       if (xs.nonEmpty) {
@@ -219,6 +229,7 @@ object Avro {
     * spin past the input. */
   private def readNValue(c: Cursor, tpe: NType): Any = tpe match {
     case NPrim(p) => readValue(c, p)
+    case NLogical(p, _, _, _) => readValue(c, p)
     case NArr(items, itemsNullable) =>
       val out = Seq.newBuilder[Option[Any]]
       var total = 0L
@@ -316,6 +327,10 @@ object Avro {
 
   private def typeJson(t: NType): String = t match {
     case NPrim(p) => jsonStr(p)
+    case NLogical(p, l, prec, sc) =>
+      val ext = if (l == "decimal")
+        s""","precision":$prec,"scale":$sc""" else ""
+      s"""{"type":${jsonStr(p)},"logicalType":${jsonStr(l)}$ext}"""
     case NArr(items, nullable) =>
       val it = if (nullable) s"""["null",${typeJson(items)}]"""
         else typeJson(items)
@@ -530,11 +545,39 @@ object Avro {
               case _ => None
             }
           case Some(s: String) if Prims(s) =>
-            Some(NPrim(s)) // the {"type":"string"} spelled-out form
+            // the {"type":"string"} spelled-out form — possibly
+            // carrying a logicalType annotation
+            m.get("logicalType") match {
+              case Some(lt: String) => Some(logicalOf(s, lt, m))
+              case _ => Some(NPrim(s))
+            }
           case _ => None // fixed/union-in-type/unknown
         }
       case _ => None
     }
+  }
+
+  /** The spec's logical-type table over the prim set; unknown or
+    * mis-based annotations drop to the bare primitive (the reader
+    * rule: "ignore and use the underlying type"). */
+  private def logicalOf(prim: String, lt: String,
+      m: Map[String, Any]): NType = (prim, lt) match {
+    case ("int", "date") | ("int", "time-millis") |
+         ("long", "time-micros") |
+         ("long", "timestamp-millis") | ("long", "timestamp-micros") |
+         ("long", "local-timestamp-millis") |
+         ("long", "local-timestamp-micros") |
+         ("string", "uuid") =>
+      NLogical(prim, lt)
+    case ("bytes", "decimal") =>
+      val prec = m.get("precision").flatMap(JsonMini.long)
+        .getOrElse(-1L)
+      val scale = m.get("scale").flatMap(JsonMini.long)
+        .getOrElse(0L)
+      if (prec < 1 || prec > 38 || scale < 0 || scale > prec)
+        NPrim(prim) // out-of-range annotation: bare bytes
+      else NLogical(prim, lt, prec.toInt, scale.toInt)
+    case _ => NPrim(prim)
   }
 
   private def recordType(m: Map[String, Any], depth: Int)

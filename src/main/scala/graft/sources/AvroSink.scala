@@ -27,6 +27,12 @@ object AvroSink {
     case StringType  => Avro.NPrim("string")
     case BinaryType  => Avro.NPrim("bytes")
     case ByteType | ShortType => Avro.NPrim("int") // avro has no narrow ints
+    case DateType => Avro.NLogical("int", "date")
+    case TimestampType => Avro.NLogical("long", "timestamp-micros")
+    case TimestampNTZType =>
+      Avro.NLogical("long", "local-timestamp-micros")
+    case dt: DecimalType =>
+      Avro.NLogical("bytes", "decimal", dt.precision, dt.scale)
     case ArrayType(et, containsNull) =>
       Avro.NArr(avroType(s"${name}_item", et), containsNull)
     case MapType(StringType, vt, valueContainsNull) =>
@@ -61,6 +67,31 @@ object AvroSink {
       case s: Short => s.toInt
       case i        => i
     }
+    case Avro.NLogical(_, "date", _, _) => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case other => other
+    }
+    case Avro.NLogical(_, "timestamp-micros", _, _) => v match {
+      case t: java.sql.Timestamp =>
+        Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L) +
+          t.toInstant.getNano / 1000L
+      case t: java.time.Instant =>
+        Math.multiplyExact(t.getEpochSecond, 1000000L) +
+          t.getNano / 1000L
+      case other => other
+    }
+    case Avro.NLogical(_, "local-timestamp-micros", _, _) => v match {
+      case t: java.time.LocalDateTime =>
+        Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          t.getNano / 1000L
+      case other => other
+    }
+    case Avro.NLogical(_, "decimal", _, s) =>
+      // unscaled big-endian two's complement at the DECLARED scale
+      v.asInstanceOf[java.math.BigDecimal]
+        .setScale(s).unscaledValue.toByteArray
     case _ => v
   }
 

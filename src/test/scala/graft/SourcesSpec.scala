@@ -356,6 +356,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(n > 0 && n <= 123)
   }
 
+  test("AvroSink/AvroSource: logical types round trip as Spark " +
+    "Date/Timestamp/Decimal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val dir = tmpDir("avrological")
+    val df = spark.createDataset((0 until 90).map(i => i.toLong))
+      .toDF("id")
+      .withColumn("d", expr("date_add(date'2020-01-01', " +
+        "cast(id as int))"))
+      .withColumn("ts", expr(
+        "timestamp_micros(id * 86400000000 + id * 123457)"))
+      .withColumn("dec", expr(
+        "cast(cast(id * 13 + 7 as string) as decimal(14,3)) / 100"))
+    graft.sources.AvroSink.write(df, dir.getAbsolutePath,
+      codec = "deflate")
+    val back = AvroSource.read(spark, dir.getAbsolutePath)
+    val sch = back.schema
+    assert(sch("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(sch("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // division widened the declared type — the round trip must
+    // carry whatever precision/scale the frame really has
+    assert(sch("dec").dataType == df.schema("dec").dataType)
+    // value-exact: the round trip must be the identity
+    assert(back.exceptAll(df).count() == 0 &&
+      df.exceptAll(back).count() == 0)
+    // the independent avro-java reader sees the logical types too
+    val f = dir.listFiles().filter(_.getName.endsWith(".avro"))
+      .sortBy(_.getName).head
+    val rd = new org.apache.avro.file.DataFileReader(
+      f, new org.apache.avro.generic.GenericDatumReader[Any]())
+    val schema = rd.getSchema
+    def lt(field: String): String = {
+      val s0 = schema.getField(field).schema()
+      val s = if (s0.getType ==
+        org.apache.avro.Schema.Type.UNION)
+        s0.getTypes.get(1) else s0
+      Option(s.getLogicalType).map(_.getName).getOrElse("none")
+    }
+    assert(lt("d") == "date" && lt("ts") == "timestamp-micros" &&
+      lt("dec") == "decimal")
+    rd.close()
+  }
+
   test("mixed-schema trees fail loudly, not silently merge") {
     val dir = tmpDir("avromix")
     val f1 = Seq(Avro.NField("id", Avro.NPrim("long"), nullable = false))
