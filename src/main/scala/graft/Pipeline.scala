@@ -8633,6 +8633,53 @@ object Pipeline {
       .orderBy("rflag")
   }
 
+  /** Parquet LIST columns from raw bytes (r12): the
+    * HuggingFace-token-column shape — a Spark-written parquet
+    * fixture with a nullable list<int64> column (null lists, null
+    * elements) decoded by OUR repetition-level walker
+    * (decodeFileNested: 3-level list schema, rep/def streams,
+    * record assembly across page boundaries). Facts from DECODED
+    * rows only; the oracle recomputes them from documents. */
+  private def parquetListDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "pqlist", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+            "transform(filter(split(text, ' '), w -> w <> ''), " +
+            "w -> CASE WHEN length(w) % 5 = 0 THEN NULL " +
+            "ELSE CAST(length(w) AS BIGINT) END) END AS toks")
+        .coalesce(2)
+        .write.option("compression", "zstd").parquet(s"$out/docs")
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(s"$root/docs")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        import graft.operators.{ParquetData => PD}
+        val (shapes, cols) = PD.decodeFileNested(bytes).getOrElse(
+          sys.error("parquet list file does not decode"))
+        require(shapes.map(_.name) == Seq("doc_id", "toks") &&
+          shapes(1).isList)
+        cols(0).indices.iterator.map { r =>
+          val id = cols(0)(r).get.asInstanceOf[Long]
+          val toks = cols(1)(r)
+            .map(_.asInstanceOf[Seq[Option[Any]]])
+          (id,
+            toks.map(_.length.toLong),
+            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
+            toks.map(_.count(_.isEmpty).toLong))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "token_sum", "null_tokens")
+      .orderBy("doc_id")
+  }
+
   /** ORC stripe-data decode from raw bytes (r12): lineitem
     * re-materialized as zstd ORC by Spark's writer (fixture, built
     * once), then read end to end by OUR walker — tail → stripe
@@ -11779,6 +11826,7 @@ object Pipeline {
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,
+    "parquet_list_decode" -> parquetListDecode _,
     "orc_data_decode"   -> orcDataDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
     "orc_footer"        -> orcFooter _,
@@ -14201,6 +14249,29 @@ object Pipeline {
         |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
         |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OUR repetition-level walker decodes a nullable list<int64>
+    // column (null lists + null elements) from raw parquet bytes;
+    // the oracle recomputes the token facts from documents
+    "parquet_list_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(list_sum(list_transform(
+        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
+        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
+        |    END AS token_sum,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
+        |      AS BIGINT) END AS null_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
     // OUR ORC stripe-data decoder over a Spark-written zstd ORC
     // copy of lineitem — the SAME truth as parquet_data_decode,
     // through the other columnar format's from-scratch read path

@@ -76,6 +76,68 @@ object ParquetData {
     Some(out)
   }
 
+  /** One column of a schema that may mix flat fields and
+    * 3-level LIST fields (the shape Spark/parquet-mr/parquet-cpp
+    * write for array columns — HuggingFace token columns are
+    * `list<int64>`). For lists, `path` is the full dotted column
+    * path and the def-level thresholds encode the spec's meaning:
+    * def < defPresent → null list, def == defPresent → empty list,
+    * def == maxDef → element present (== maxDef-1 → null element
+    * when elements are optional). */
+  final case class ColShape(name: String, path: String, typeId: Int,
+      typeLength: Int, isList: Boolean, maxRep: Int, maxDef: Int,
+      defPresent: Int, leaf: LeafInfo)
+
+  /** Schema shapes for flat + one-level-list schemas; None when a
+    * field is any other group shape (deeper nesting — honest
+    * rejection). */
+  def columnShapes(f: Footer): Option[Seq[ColShape]] = {
+    val es = f.schemaElems
+    if (es.length < 2) return None
+    val root = es.head
+    // walk top-level fields depth-first
+    val out = Seq.newBuilder[ColShape]
+    var i = 1
+    var fields = 0
+    while (i < es.length) {
+      val e = es(i)
+      fields += 1
+      if (e.numChildren == 0) { // flat leaf
+        if (e.typeId < 0 || e.typeId > 7 || e.repetition == 2)
+          return None
+        if (e.typeId == 7 && e.typeLength <= 0) return None
+        val opt = e.repetition == 1
+        out += ColShape(e.name, e.name, e.typeId, e.typeLength,
+          isList = false, maxRep = 0, maxDef = if (opt) 1 else 0,
+          defPresent = if (opt) 1 else 0,
+          LeafInfo(e.name, e.typeId, e.typeLength, opt))
+        i += 1
+      } else if (e.numChildren == 1 && i + 2 < es.length &&
+        es(i + 1).repetition == 2 && es(i + 1).numChildren == 1 &&
+        es(i + 2).numChildren == 0) {
+        // the 3-level LIST pattern: group > repeated group > leaf
+        val rep = es(i + 1)
+        val el = es(i + 2)
+        if (el.typeId < 0 || el.typeId > 7 || el.repetition == 2)
+          return None
+        if (el.typeId == 7 && el.typeLength <= 0) return None
+        val fieldOpt = e.repetition == 1
+        val elemOpt = el.repetition == 1
+        val dPresent = if (fieldOpt) 1 else 0
+        val dNonEmpty = dPresent + 1 // the repeated level
+        val maxDef = dNonEmpty + (if (elemOpt) 1 else 0)
+        out += ColShape(e.name,
+          s"${e.name}.${rep.name}.${el.name}", el.typeId,
+          el.typeLength, isList = true, maxRep = 1, maxDef = maxDef,
+          defPresent = dPresent,
+          LeafInfo(el.name, el.typeId, el.typeLength, elemOpt))
+        i += 3
+      } else return None // deeper nesting / maps / legacy 2-level
+    }
+    if (fields != root.numChildren) return None
+    Some(out.result())
+  }
+
   // ---------------------------------------------------------------
   // PageHeader (Thrift compact)
   // ---------------------------------------------------------------
@@ -440,12 +502,27 @@ object ParquetData {
   // Column chunk decode
   // ---------------------------------------------------------------
 
-  /** Decode one column chunk's values in row order; None = null.
-    * Flat schemas only (maxDef ≤ 1, no repetition). */
-  def decodeColumn(data: Array[Byte], col: ColumnMeta,
-      leaf: LeafInfo): Option[IndexedSeq[Option[Any]]] = {
+  private def bitsFor(maxLevel: Int): Int = {
+    var b = 0
+    while ((1 << b) <= maxLevel) b += 1
+    b
+  }
+
+  /** Walk one column chunk's pages into level + value streams:
+    * (reps — null when maxRep == 0, defs — null when maxDef == 0,
+    * values for the def == maxDef slots). Cross-page accumulation,
+    * so list rows may span page boundaries. */
+  private def walkChunk(data: Array[Byte], col: ColumnMeta,
+      leaf: LeafInfo, maxRep: Int, maxDef: Int)
+      : Option[(Array[Int], Array[Int], IndexedSeq[Any])] = {
     if (col.numValues < 0 || col.numValues > MaxValues) return None
-    val out = IndexedSeq.newBuilder[Option[Any]]
+    val total = col.numValues.toInt
+    val reps = if (maxRep > 0) new Array[Int](total) else null
+    val defs = if (maxDef > 0) new Array[Int](total) else null
+    val repW = bitsFor(maxRep)
+    val defW = bitsFor(maxDef)
+    val valsOut = IndexedSeq.newBuilder[Any]
+    var filled = 0 // level entries consumed so far
     var dict: IndexedSeq[Any] = null
     var off = col.dictPageOffset
       .map(d => math.min(d, col.dataPageOffset))
@@ -453,10 +530,9 @@ object ParquetData {
     var remaining = col.numValues
 
     def decodeValues(bytes: Array[Byte], pos0: Int, limit: Int,
-        enc: Int, defs: Array[Int], maxDef: Int, nv: Int)
-        : Boolean = {
+        enc: Int, pageDefs: Array[Int], nv: Int): Boolean = {
       val nNonNull =
-        if (maxDef == 0) nv else defs.count(_ == maxDef)
+        if (maxDef == 0) nv else pageDefs.count(_ == maxDef)
       val vals: IndexedSeq[Any] = enc match {
         case 0 => // PLAIN
           plainValues(bytes, pos0, limit, leaf.typeId,
@@ -501,16 +577,7 @@ object ParquetData {
         case _ => return false // BYTE_STREAM_SPLIT / unknown
       }
       if (vals.length != nNonNull) return false
-      if (maxDef == 0) vals.foreach(v => out += Some(v))
-      else {
-        var vi = 0
-        var i = 0
-        while (i < nv) {
-          if (defs(i) == maxDef) { out += Some(vals(vi)); vi += 1 }
-          else out += None
-          i += 1
-        }
-      }
+      valsOut ++= vals
       true
     }
 
@@ -534,34 +601,50 @@ object ParquetData {
           val bytes = decompress(col.codecId, raw, h.uncomp)
             .getOrElse(return None)
           var pos = 0
-          val defs: Array[Int] =
-            if (!leaf.optional) null
+          def levels(width: Int, into: Array[Int]): Boolean = {
+            if (pos + 4 > bytes.length) return false
+            val len = le32(bytes, pos)
+            pos += 4
+            if (len < 0 || pos + len > bytes.length) return false
+            val d = rleHybrid(bytes, pos, len, width, h.numValues)
+              .getOrElse(return false)
+            pos += len
+            System.arraycopy(d, 0, into, filled, h.numValues)
+            true
+          }
+          if (reps != null && !levels(repW, reps)) return None
+          val pageDefs: Array[Int] =
+            if (defs == null) null
             else {
-              if (pos + 4 > bytes.length) return None
-              val len = le32(bytes, pos)
-              pos += 4
-              if (len < 0 || pos + len > bytes.length) return None
-              val d = rleHybrid(bytes, pos, len, 1, h.numValues)
-                .getOrElse(return None)
-              pos += len
-              d
+              if (!levels(defW, defs)) return None
+              java.util.Arrays.copyOfRange(defs, filled,
+                filled + h.numValues)
             }
           if (!decodeValues(bytes, pos, bytes.length, h.encoding,
-            defs, if (leaf.optional) 1 else 0, h.numValues))
-            return None
+            pageDefs, h.numValues)) return None
+          filled += h.numValues
           remaining -= h.numValues
-        case 3 => // DATA_PAGE_V2: levels uncompressed, values maybe
+        case 3 => // DATA_PAGE_V2: levels uncompressed + unprefixed
           if (h.numValues < 0 || h.numValues > remaining) return None
-          if (h.repLen != 0) return None // flat schemas only
-          if (h.defLen < 0 || h.defLen > raw.length) return None
-          val defs: Array[Int] =
-            if (!leaf.optional) {
-              if (h.defLen != 0) return None
-              null
-            } else rleHybrid(raw, 0, h.defLen, 1, h.numValues)
+          if (h.repLen < 0 || h.defLen < 0 ||
+            h.repLen + h.defLen > raw.length) return None
+          if (maxRep == 0 && h.repLen != 0) return None
+          if (maxDef == 0 && h.defLen != 0) return None
+          if (reps != null) {
+            val r = rleHybrid(raw, 0, h.repLen, repW, h.numValues)
               .getOrElse(return None)
-          val valRaw = java.util.Arrays.copyOfRange(raw, h.defLen,
-            raw.length)
+            System.arraycopy(r, 0, reps, filled, h.numValues)
+          }
+          val pageDefs: Array[Int] =
+            if (defs == null) null
+            else {
+              val d = rleHybrid(raw, h.repLen, h.defLen, defW,
+                h.numValues).getOrElse(return None)
+              System.arraycopy(d, 0, defs, filled, h.numValues)
+              d
+            }
+          val valRaw = java.util.Arrays.copyOfRange(raw,
+            h.repLen + h.defLen, raw.length)
           val valBytes =
             if (h.v2Compressed)
               decompress(col.codecId, valRaw,
@@ -569,16 +652,107 @@ object ParquetData {
                 .getOrElse(return None)
             else valRaw
           if (!decodeValues(valBytes, 0, valBytes.length,
-            h.encoding, defs, if (leaf.optional) 1 else 0,
-            h.numValues)) return None
+            h.encoding, pageDefs, h.numValues)) return None
+          filled += h.numValues
           remaining -= h.numValues
         case 1 => // INDEX_PAGE: skip
         case _ => return None
       }
       off += h.headerLen + h.comp
     }
-    val res = out.result()
-    if (res.length != col.numValues) None else Some(res)
+    if (filled != total) return None
+    Some((reps, defs, valsOut.result()))
+  }
+
+  /** Decode one FLAT column chunk's values in row order;
+    * None = null (maxDef ≤ 1, no repetition). */
+  def decodeColumn(data: Array[Byte], col: ColumnMeta,
+      leaf: LeafInfo): Option[IndexedSeq[Option[Any]]] = {
+    val maxDef = if (leaf.optional) 1 else 0
+    val (_, defs, vals) = walkChunk(data, col, leaf, 0, maxDef)
+      .getOrElse(return None)
+    if (defs == null) Some(vals.map(Some(_)))
+    else {
+      var vi = 0
+      val out = IndexedSeq.newBuilder[Option[Any]]
+      var i = 0
+      while (i < defs.length) {
+        if (defs(i) == maxDef) { out += Some(vals(vi)); vi += 1 }
+        else out += None
+        i += 1
+      }
+      if (vi != vals.length) None else Some(out.result())
+    }
+  }
+
+  /** Decode one LIST column chunk into rows: None = null list,
+    * Some(elements) with None = null element. One repeated level
+    * (the 3-level list shape); rows may span pages. */
+  def decodeListColumn(data: Array[Byte], col: ColumnMeta,
+      shape: ColShape): Option[IndexedSeq[Option[Seq[Option[Any]]]]] = {
+    require(shape.isList, "not a list column")
+    val (reps, defs, vals) = walkChunk(data, col, shape.leaf,
+      shape.maxRep, shape.maxDef).getOrElse(return None)
+    if (reps == null || defs == null) return None
+    val dNonEmpty = shape.defPresent + 1
+    val out = IndexedSeq.newBuilder[Option[Seq[Option[Any]]]]
+    var vi = 0
+    var cur: scala.collection.mutable.Builder[Option[Any],
+      Seq[Option[Any]]] = null
+    var curNull = false
+    def flush(): Unit =
+      if (cur != null) out += Some(cur.result())
+      else if (curNull) out += None
+    var i = 0
+    var started = false
+    while (i < reps.length) {
+      val r = reps(i)
+      val d = defs(i)
+      if (r == 0) {
+        if (started) flush()
+        started = true
+        if (d < shape.defPresent) { cur = null; curNull = true }
+        else {
+          curNull = false
+          cur = Seq.newBuilder[Option[Any]]
+          if (d >= dNonEmpty) {
+            if (d == shape.maxDef) { cur += Some(vals(vi)); vi += 1 }
+            else cur += None // null element
+          } // d == defPresent: empty list
+        }
+      } else { // r == 1: next element of the current list
+        if (cur == null) return None // continuation without a list
+        if (d == shape.maxDef) { cur += Some(vals(vi)); vi += 1 }
+        else if (d >= dNonEmpty) cur += None
+        else return None // an element entry below the element level
+      }
+      i += 1
+    }
+    if (started) flush()
+    if (vi != vals.length) None else Some(out.result())
+  }
+
+  /** Decode a file whose schema mixes flat and one-level LIST
+    * columns: (shapes, column-major values — list columns carry
+    * Option[Seq[Option[Any]]] rows). */
+  def decodeFileNested(data: Array[Byte])
+      : Option[(Seq[ColShape], Seq[IndexedSeq[Option[Any]]])] = {
+    val footer = ParquetFooter.parse(data).getOrElse(return None)
+    val shapes = columnShapes(footer).getOrElse(return None)
+    val cols = shapes.map { sh =>
+      val parts = footer.rowGroups.map { rg =>
+        val cm = rg.columns.find(_.path == sh.path)
+          .getOrElse(return None)
+        if (sh.isList)
+          decodeListColumn(data, cm, sh).getOrElse(return None)
+            .map(x => x: Option[Any])
+        else decodeColumn(data, cm, sh.leaf).getOrElse(return None)
+      }
+      if (parts.map(_.length.toLong).sum > MaxValues) return None
+      parts.flatten.toIndexedSeq
+    }
+    if (cols.exists(_.length != footer.numRows)) return None
+    Some((shapes, cols))
   }
 
   /** Decode a whole flat-schema file: (leaves, column-major values

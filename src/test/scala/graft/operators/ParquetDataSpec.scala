@@ -225,15 +225,74 @@ class ParquetDataSpec extends AnyFunSuite {
     assert(ours == viaSpark)
   }
 
-  test("nested schemas reject honestly") {
+  test("differential: list columns (3-level shape, rep levels)") {
     val s = spark
     import s.implicits._
-    val df = (0 until 10).map(i => (i.toLong, Seq(i, i + 1)))
-      .toDF("id", "xs")
+    val n = 2500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) None // null list
+        else Some((0 until i % 5).map { k =>
+          if ((i + k) % 6 == 5) None // null element
+          else Some(i * 100L + k)
+        }),
+        s"pad-$i")
+    }
+    val df = docs
+      .toDF("id", "toks", "txt")
+    for (codec <- Seq("snappy", "zstd")) {
+      val bytes = writeOne(df, codec)
+      val (shapes, cols) = ParquetData.decodeFileNested(bytes)
+        .getOrElse(fail("decodeFileNested rejected a list file"))
+      assert(shapes.map(_.name) == Seq("id", "toks", "txt"))
+      assert(shapes(1).isList && shapes(1).maxRep == 1 &&
+        shapes(1).maxDef == 3)
+      val ours = cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]]
+            .map(_.map(_.asInstanceOf[Long]))),
+          new String(cols(2)(r).get.asInstanceOf[Array[Byte]],
+            "UTF-8"))
+      }.sortBy(_._1)
+      assert(ours == docs.map(d =>
+        (d._1, d._2.map(_.toSeq), d._3)))
+    }
+  }
+
+  test("differential: list columns in DATA_PAGE_V2") {
+    val s = spark
+    import s.implicits._
+    val n = 1500
+    val docs = (0 until n).map { i =>
+      (i.toLong, (0 until i % 4).map(k => (i * 10 + k).toLong))
+    }
+    val df = docs.toDF("id", "xs")
+    val bytes = writeOne(df, "zstd",
+      Map("parquet.writer.version" -> "v2"))
+    val (shapes, cols) = ParquetData.decodeFileNested(bytes).get
+    assert(shapes(1).isList)
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).get.asInstanceOf[Seq[Option[Any]]]
+          .map(_.get.asInstanceOf[Long]))
+    }.sortBy(_._1)
+    assert(ours == docs)
+  }
+
+  test("deeper nesting rejects honestly") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i => (i.toLong, Seq(Seq(i, i + 1))))
+      .toDF("id", "xs") // list<list<int>>: two repeated levels
     val bytes = writeOne(df, "snappy")
     assert(ParquetData.decodeFile(bytes).isEmpty)
+    assert(ParquetData.decodeFileNested(bytes).isEmpty)
     // footer itself still parses (the audit layer is independent)
     assert(ParquetFooter.parse(bytes).isDefined)
+    // the FLAT decoder still rejects one-level lists too
+    val one = writeOne((0 until 10).map(i => (i.toLong, Seq(i)))
+      .toDF("id", "xs"), "snappy")
+    assert(ParquetData.decodeFile(one).isEmpty)
   }
 
   test("mutation fuzz: corrupted files never throw, never invent") {
