@@ -8680,6 +8680,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** ORC LIST columns from raw bytes (r12): the SAME token-column
+    * fixture story as `parquet_list_decode`, re-materialized as
+    * zstd ORC — length runs on the list column, child column decode
+    * and per-row slicing. One oracle, both columnar formats' nested
+    * read paths. */
+  private def orcListDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "orclist", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+            "transform(filter(split(text, ' '), w -> w <> ''), " +
+            "w -> CASE WHEN length(w) % 5 = 0 THEN NULL " +
+            "ELSE CAST(length(w) AS BIGINT) END) END AS toks")
+        .coalesce(2)
+        .write.option("compression", "zstd").orc(s"$out/docs")
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.orc")
+      .load(s"$root/docs")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        import graft.operators.{OrcData => OD}
+        val (shapes, cols) = OD.decodeFileNested(bytes).getOrElse(
+          sys.error("orc list file does not decode"))
+        require(shapes.map(_.name) == Seq("doc_id", "toks") &&
+          shapes(1).isList)
+        cols(0).indices.iterator.map { r =>
+          val id = cols(0)(r).get.asInstanceOf[Long]
+          val toks = cols(1)(r)
+            .map(_.asInstanceOf[Seq[Option[Any]]])
+          (id,
+            toks.map(_.length.toLong),
+            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
+            toks.map(_.count(_.isEmpty).toLong))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "token_sum", "null_tokens")
+      .orderBy("doc_id")
+  }
+
   /** ORC stripe-data decode from raw bytes (r12): lineitem
     * re-materialized as zstd ORC by Spark's writer (fixture, built
     * once), then read end to end by OUR walker — tail → stripe
@@ -11828,6 +11873,7 @@ object Pipeline {
     "parquet_data_decode" -> parquetDataDecode _,
     "parquet_list_decode" -> parquetListDecode _,
     "orc_data_decode"   -> orcDataDecode _,
+    "orc_list_decode"   -> orcListDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
     "orc_footer"        -> orcFooter _,
     "orc_row_index"     -> orcRowIndex _,
@@ -14253,6 +14299,28 @@ object Pipeline {
     // column (null lists + null elements) from raw parquet bytes;
     // the oracle recomputes the token facts from documents
     "parquet_list_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(coalesce(list_sum(list_transform(
+        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
+        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
+        |    END AS token_sum,
+        |  CASE WHEN doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
+        |      AS BIGINT) END AS null_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // ...and the SAME list fixture through ORC length runs — one
+    // oracle pins both columnar formats' nested read paths
+    "orc_list_decode" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE length(text) = strlen(text) AND length(text) > 0),

@@ -27,7 +27,11 @@ package graft.operators
   *    base epoch shifts with the stripe timezone).
   *  - DECIMAL: unbounded zigzag-varint unscaled DATA + SECONDARY
   *    scale runs → java BigDecimal.
-  *  - Nested kinds and unions reject honestly (None).
+  *  - LIST of scalars: PRESENT + LENGTH runs on the list column,
+  *    the child column decoded for the total element count and
+  *    sliced per row (the token-column shape, symmetric with
+  *    [[ParquetData]]'s list support).
+  *  - Maps, structs, unions and deeper nesting reject honestly.
   *
   * Streams decompress through [[OrcTail.decodeStream]] (the chunked
   * codec framing — zlib/snappy/lz4/zstd/none); stream offsets
@@ -359,19 +363,7 @@ object OrcData {
     * unsupported kind appears. Kinds: 0 bool, 1 byte, 2 short,
     * 3 int, 4 long, 5 float, 6 double, 7 string, 8 binary, 15 date,
     * 16 varchar, 17 char. */
-  def flatLeaves(tail: Tail): Option[Seq[OrcLeaf]] = {
-    val types = tail.types
-    if (types.isEmpty || types.head.kind != 12) return None
-    val root = types.head
-    if (root.subtypes.length != types.length - 1 ||
-      root.subtypes != (1 until types.length)) return None
-    val ok = Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17)
-    Some(root.subtypes.zipWithIndex.map { case (st, i) =>
-      val t = types(st)
-      if (!ok(t.kind) || t.subtypes.nonEmpty) return None
-      OrcLeaf(root.fieldNames.lift(i).getOrElse(return None), t.kind)
-    })
-  }
+  // flatLeaves lives below, as the flat-only view over columnShapes.
 
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -386,15 +378,15 @@ object OrcData {
 
   /** Decode one column of one stripe. */
   private def decodeStripeColumn(data: Array[Byte], tail: Tail,
-      stripe: StripeInfo, streams: Seq[(OrcStream, Long)],
+      count: Long, streams: Seq[(OrcStream, Long)],
       encKind: Int, dictSize: Int, col: Int, leaf: OrcLeaf,
       stripeTz: String)
       : Option[IndexedSeq[Option[Any]]] = {
     if (leaf.kind == 9 &&
       !Set("", "UTC", "GMT", "Etc/UTC")(stripeTz))
       return None // base epoch shifts with the writer tz — honest
-    val rows = stripe.numRows.toInt
-    if (rows < 0 || stripe.numRows > MaxValues) return None
+    val rows = count.toInt
+    if (rows < 0 || count > MaxValues) return None
     def streamBytes(kind: Int): Option[Array[Byte]] =
       streams.find { case (s, _) =>
         s.column == col && s.kind == kind
@@ -528,14 +520,111 @@ object OrcData {
     }
   }
 
-  /** Decode a whole flat-schema file: (leaves, column-major values,
+  /** One top-level column: a scalar leaf, or a LIST of a scalar
+    * leaf (kind 10 with one scalar subtype — the token-column
+    * shape). `colId` is the type-tree id; a list's child sits at
+    * `childId`. */
+  final case class OrcShape(name: String, colId: Int, kind: Int,
+      isList: Boolean, childId: Int = -1, childKind: Int = -1)
+
+  private final val ScalarKinds =
+    Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17)
+
+  /** Shapes for flat + one-level-list schemas; None on anything
+    * deeper (honest rejection). */
+  def columnShapes(tail: Tail): Option[Seq[OrcShape]] = {
+    val types = tail.types
+    if (types.isEmpty || types.head.kind != 12) return None
+    val root = types.head
+    Some(root.subtypes.zipWithIndex.map { case (st, i) =>
+      val name = root.fieldNames.lift(i).getOrElse(return None)
+      if (st < 0 || st >= types.length) return None
+      val t = types(st)
+      if (ScalarKinds(t.kind) && t.subtypes.isEmpty)
+        OrcShape(name, st, t.kind, isList = false)
+      else if (t.kind == 10 && t.subtypes.length == 1) {
+        val cid = t.subtypes.head
+        if (cid < 0 || cid >= types.length) return None
+        val ct = types(cid)
+        if (!ScalarKinds(ct.kind) || ct.subtypes.nonEmpty)
+          return None
+        OrcShape(name, st, t.kind, isList = true, cid, ct.kind)
+      } else return None // map/struct/union/deeper lists
+    })
+  }
+
+  /** Flat-only view over [[columnShapes]] (the original API). */
+  def flatLeaves(tail: Tail): Option[Seq[OrcLeaf]] =
+    columnShapes(tail).flatMap { shapes =>
+      if (shapes.exists(_.isList)) None
+      else Some(shapes.map(s => OrcLeaf(s.name, s.kind)))
+    }
+
+  /** Decode one LIST column of one stripe: PRESENT + LENGTH on the
+    * list column, then the child column decoded for the total
+    * element count and sliced per row. */
+  private def decodeStripeList(data: Array[Byte], tail: Tail,
+      count: Long, streams: Seq[(OrcStream, Long)],
+      sf: OrcTail.StripeFooter, shape: OrcShape)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val rows = count.toInt
+    if (rows < 0 || count > MaxValues) return None
+    val col = shape.colId
+    def streamBytes(kind: Int): Option[Array[Byte]] =
+      streams.find { case (s, _) =>
+        s.column == col && s.kind == kind
+      }.map { case (s, off) =>
+        OrcTail.decodeStream(data, off, s.length, tail.compression,
+          tail.blockSize).getOrElse(return None)
+      }
+    val present: Array[Boolean] = streamBytes(0) match {
+      case Some(pb) => boolRle(pb, rows).getOrElse(return None)
+      case None => null
+    }
+    val nNonNull =
+      if (present == null) rows else present.count(identity)
+    val encKind = sf.encodings.lift(col).getOrElse(return None).kind
+    val lb = streamBytes(2).getOrElse(return None)
+    val lens = intRun(lb, nNonNull, signed = false, encKind)
+      .getOrElse(return None)
+    var totalElems = 0L
+    lens.foreach { l =>
+      if (l < 0) return None
+      totalElems += l
+      if (totalElems > MaxValues) return None
+    }
+    val cenc = sf.encodings.lift(shape.childId)
+      .getOrElse(return None)
+    val child = decodeStripeColumn(data, tail, totalElems, streams,
+      cenc.kind, cenc.dictionarySize, shape.childId,
+      OrcLeaf("item", shape.childKind), sf.timezone)
+      .getOrElse(return None)
+    val out = IndexedSeq.newBuilder[Option[Any]]
+    var li = 0
+    var off = 0
+    var r = 0
+    while (r < rows) {
+      if (present != null && !present(r)) out += None
+      else {
+        val n = lens(li).toInt
+        li += 1
+        out += Some(child.slice(off, off + n): Seq[Option[Any]])
+        off += n
+      }
+      r += 1
+    }
+    if (off != totalElems) None else Some(out.result())
+  }
+
+  /** Decode a file of flat + one-level-list columns: (shapes,
+    * column-major values; list rows are Option[Seq[Option[Any]]],
     * stripes concatenated). */
-  def decodeFile(data: Array[Byte])
-      : Option[(Seq[OrcLeaf], Seq[IndexedSeq[Option[Any]]])] = {
+  def decodeFileNested(data: Array[Byte])
+      : Option[(Seq[OrcShape], Seq[IndexedSeq[Option[Any]]])] = {
     val tail = OrcTail.parseTail(data).getOrElse(return None)
-    val leaves = flatLeaves(tail).getOrElse(return None)
+    val shapes = columnShapes(tail).getOrElse(return None)
     if (tail.numRows > MaxValues) return None
-    val cols = Array.fill(leaves.length)(
+    val cols = Array.fill(shapes.length)(
       IndexedSeq.newBuilder[Option[Any]])
     tail.stripes.foreach { stripe =>
       val sf = OrcTail.parseStripeFooter(data, stripe,
@@ -550,16 +639,32 @@ object OrcData {
       }
       if (off > stripe.offset + stripe.indexLength +
         stripe.dataLength) return None
-      leaves.indices.foreach { i =>
-        val col = i + 1 // root struct is column 0
-        val enc = sf.encodings.lift(col).getOrElse(return None)
-        cols(i) ++= decodeStripeColumn(data, tail, stripe, withOff,
-          enc.kind, enc.dictionarySize, col, leaves(i), sf.timezone)
-          .getOrElse(return None)
+      shapes.indices.foreach { i =>
+        val sh = shapes(i)
+        cols(i) ++= (if (sh.isList)
+          decodeStripeList(data, tail, stripe.numRows, withOff,
+            sf, sh).getOrElse(return None)
+        else {
+          val enc = sf.encodings.lift(sh.colId)
+            .getOrElse(return None)
+          decodeStripeColumn(data, tail, stripe.numRows, withOff,
+            enc.kind, enc.dictionarySize, sh.colId,
+            OrcLeaf(sh.name, sh.kind), sf.timezone)
+            .getOrElse(return None)
+        })
       }
     }
     val res = cols.map(_.result()).toSeq
     if (res.exists(_.length != tail.numRows)) None
-    else Some((leaves, res))
+    else Some((shapes, res))
+  }
+
+  /** Decode a whole flat-schema file: (leaves, column-major values,
+    * stripes concatenated). */
+  def decodeFile(data: Array[Byte])
+      : Option[(Seq[OrcLeaf], Seq[IndexedSeq[Option[Any]]])] = {
+    val tail = OrcTail.parseTail(data).getOrElse(return None)
+    val leaves = flatLeaves(tail).getOrElse(return None)
+    decodeFileNested(data).map { case (_, cols) => (leaves, cols) }
   }
 }

@@ -159,14 +159,50 @@ class OrcDataSpec extends AnyFunSuite {
     }
   }
 
-  test("nested schemas reject honestly; tail still parses") {
+  test("differential: list columns (length runs + child slicing)") {
     val s = spark
     import s.implicits._
-    val df = (0 until 10).map(i => (i.toLong, Seq(i, i + 1)))
-      .toDF("id", "xs")
+    val n = 2500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) None // null list
+        else Some((0 until i % 5).map { k =>
+          if ((i + k) % 6 == 5) None // null element
+          else Some(i * 100L + k)
+        }),
+        s"pad-$i")
+    }
+    val df = docs.toDF("id", "toks", "txt")
+    for (codec <- Seq("zstd", "snappy")) {
+      val bytes = writeOne(df, codec)
+      val (shapes, cols) = OrcData.decodeFileNested(bytes)
+        .getOrElse(fail("OrcData rejected a list file"))
+      assert(shapes.map(_.name) == Seq("id", "toks", "txt"))
+      assert(shapes(1).isList && shapes(1).childKind == 4)
+      val ours = cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]]
+            .map(_.map(_.asInstanceOf[Long]))),
+          cols(2)(r).get.asInstanceOf[String])
+      }.sortBy(_._1)
+      assert(ours == docs.map(d => (d._1, d._2.map(_.toSeq), d._3)))
+    }
+  }
+
+  test("deeper nesting rejects honestly; tail still parses") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i => (i.toLong, Seq(Seq(i, i + 1))))
+      .toDF("id", "xs") // list<list<long>>
     val bytes = writeOne(df, "zstd")
     assert(OrcData.decodeFile(bytes).isEmpty)
+    assert(OrcData.decodeFileNested(bytes).isEmpty)
     assert(OrcTail.parseTail(bytes).isDefined)
+    // the FLAT decoder still rejects one-level lists
+    val one = writeOne((0 until 10).map(i => (i.toLong, Seq(i)))
+      .toDF("id", "xs"), "zstd")
+    assert(OrcData.decodeFile(one).isEmpty)
+    assert(OrcData.decodeFileNested(one).isDefined)
   }
 
   test("mutation fuzz: corrupted files never throw") {
