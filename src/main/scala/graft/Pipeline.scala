@@ -8665,7 +8665,7 @@ object Pipeline {
         val (shapes, cols) = PD.decodeFileNested(bytes).getOrElse(
           sys.error("parquet list file does not decode"))
         require(shapes.map(_.name) == Seq("doc_id", "toks") &&
-          shapes(1).isList)
+          shapes(1).asInstanceOf[PD.ColShape].isList)
         cols(0).indices.iterator.map { r =>
           val id = cols(0)(r).get.asInstanceOf[Long]
           val toks = cols(1)(r)

@@ -84,9 +84,19 @@ object ParquetData {
     * def < defPresent → null list, def == defPresent → empty list,
     * def == maxDef → element present (== maxDef-1 → null element
     * when elements are optional). */
+  sealed trait Shape { def name: String }
+
   final case class ColShape(name: String, path: String, typeId: Int,
       typeLength: Int, isList: Boolean, maxRep: Int, maxDef: Int,
-      defPresent: Int, leaf: LeafInfo)
+      defPresent: Int, leaf: LeafInfo) extends Shape
+
+  /** A flat STRUCT of primitive fields (no repetition): each field
+    * is its own column chunk whose def levels carry both the
+    * group's and the field's nullability; a row's struct is null
+    * iff def < defPresent on every field (they agree by
+    * construction). */
+  final case class StructShape(name: String, optional: Boolean,
+      fields: Seq[ColShape]) extends Shape
 
   /** Schema shapes for flat + one-level-list schemas; None when a
     * field is any other group shape (deeper nesting — honest
@@ -133,6 +143,71 @@ object ParquetData {
           LeafInfo(el.name, el.typeId, el.typeLength, elemOpt))
         i += 3
       } else return None // deeper nesting / maps / legacy 2-level
+    }
+    if (fields != root.numChildren) return None
+    Some(out.result())
+  }
+
+  /** Shapes for schemas mixing flat fields, one-level lists and
+    * flat STRUCTS of primitives; None on anything deeper. */
+  def fileShapes(f: Footer): Option[Seq[Shape]] = {
+    val es = f.schemaElems
+    if (es.length < 2) return None
+    val root = es.head
+    val out = Seq.newBuilder[Shape]
+    var i = 1
+    var fields = 0
+    def leafShape(e: ParquetFooter.SchemaElem, path: String,
+        extraDef: Int): Option[ColShape] = {
+      if (e.typeId < 0 || e.typeId > 7 || e.repetition == 2)
+        return None
+      if (e.typeId == 7 && e.typeLength <= 0) return None
+      val opt = e.repetition == 1
+      val maxDef = extraDef + (if (opt) 1 else 0)
+      Some(ColShape(e.name, path, e.typeId, e.typeLength,
+        isList = false, maxRep = 0, maxDef = maxDef,
+        defPresent = extraDef,
+        LeafInfo(e.name, e.typeId, e.typeLength, opt)))
+    }
+    while (i < es.length) {
+      val e = es(i)
+      fields += 1
+      if (e.numChildren == 0) {
+        out += leafShape(e, e.name, 0).getOrElse(return None)
+        i += 1
+      } else if (e.numChildren == 1 && i + 2 < es.length &&
+        es(i + 1).repetition == 2 && es(i + 1).numChildren == 1 &&
+        es(i + 2).numChildren == 0) {
+        // 3-level LIST (same rules as columnShapes)
+        val rep = es(i + 1)
+        val el = es(i + 2)
+        if (el.typeId < 0 || el.typeId > 7 || el.repetition == 2)
+          return None
+        if (el.typeId == 7 && el.typeLength <= 0) return None
+        val fieldOpt = e.repetition == 1
+        val elemOpt = el.repetition == 1
+        val dPresent = if (fieldOpt) 1 else 0
+        val maxDef = dPresent + 1 + (if (elemOpt) 1 else 0)
+        out += ColShape(e.name,
+          s"${e.name}.${rep.name}.${el.name}", el.typeId,
+          el.typeLength, isList = true, maxRep = 1, maxDef = maxDef,
+          defPresent = dPresent,
+          LeafInfo(el.name, el.typeId, el.typeLength, elemOpt))
+        i += 3
+      } else if (e.repetition != 2 && e.numChildren >= 1 &&
+        i + e.numChildren < es.length &&
+        (1 to e.numChildren).forall(k =>
+          es(i + k).numChildren == 0 && es(i + k).repetition != 2)) {
+        // flat STRUCT of primitives
+        val groupOpt = e.repetition == 1
+        val dGroup = if (groupOpt) 1 else 0
+        val kids = (1 to e.numChildren).map { k =>
+          leafShape(es(i + k), s"${e.name}.${es(i + k).name}",
+            dGroup).getOrElse(return None)
+        }
+        out += StructShape(e.name, groupOpt, kids)
+        i += 1 + e.numChildren
+      } else return None
     }
     if (fields != root.numChildren) return None
     Some(out.result())
@@ -732,21 +807,76 @@ object ParquetData {
     if (vi != vals.length) None else Some(out.result())
   }
 
-  /** Decode a file whose schema mixes flat and one-level LIST
-    * columns: (shapes, column-major values — list columns carry
-    * Option[Seq[Option[Any]]] rows). */
+  /** Decode one row group's STRUCT column: every field chunk's def
+    * levels carry group presence (they must agree row by row). */
+  private def decodeStructColumn(data: Array[Byte],
+      rg: ParquetFooter.RowGroupMeta, shape: StructShape)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val dGroup = if (shape.optional) 1 else 0
+    val fieldVals = shape.fields.map { fs =>
+      val cm = rg.columns.find(_.path == fs.path)
+        .getOrElse(return None)
+      if (cm.numValues != rg.numRows) return None
+      val (_, defs, vals) = walkChunk(data, cm, fs.leaf, 0,
+        fs.maxDef).getOrElse(return None)
+      (fs, defs, vals)
+    }
+    val n = rg.numRows.toInt
+    val vis = new Array[Int](shape.fields.length)
+    val out = IndexedSeq.newBuilder[Option[Any]]
+    var i = 0
+    while (i < n) {
+      val present = !shape.optional || {
+        val d0 = fieldVals.head._2
+        (if (d0 == null) fieldVals.head._1.maxDef else d0(i)) >=
+          dGroup
+      }
+      // group presence must AGREE across fields
+      if (shape.optional && fieldVals.exists { case (fs, ds, _) =>
+        ((if (ds == null) fs.maxDef else ds(i)) >= dGroup) != present
+      }) return None
+      if (!present) {
+        // value indices don't advance (no entries below the group)
+        out += None
+      } else {
+        val row = fieldVals.zipWithIndex.map {
+          case ((fs, ds, vals), fi) =>
+            val d = if (ds == null) fs.maxDef else ds(i)
+            if (d == fs.maxDef) {
+              val v = vals(vis(fi)); vis(fi) += 1; Some(v)
+            } else None
+        }
+        out += Some(row: Seq[Option[Any]])
+      }
+      i += 1
+    }
+    if (fieldVals.zipWithIndex.exists { case ((_, _, vals), fi) =>
+      vis(fi) != vals.length
+    }) return None
+    Some(out.result())
+  }
+
+  /** Decode a file whose schema mixes flat fields, one-level LIST
+    * columns (rows of Option[Seq[Option[Any]]]) and flat STRUCT
+    * columns (rows of Option[Seq[Option[Any]]] in field order). */
   def decodeFileNested(data: Array[Byte])
-      : Option[(Seq[ColShape], Seq[IndexedSeq[Option[Any]]])] = {
+      : Option[(Seq[Shape], Seq[IndexedSeq[Option[Any]]])] = {
     val footer = ParquetFooter.parse(data).getOrElse(return None)
-    val shapes = columnShapes(footer).getOrElse(return None)
+    val shapes = fileShapes(footer).getOrElse(return None)
     val cols = shapes.map { sh =>
       val parts = footer.rowGroups.map { rg =>
-        val cm = rg.columns.find(_.path == sh.path)
-          .getOrElse(return None)
-        if (sh.isList)
-          decodeListColumn(data, cm, sh).getOrElse(return None)
-            .map(x => x: Option[Any])
-        else decodeColumn(data, cm, sh.leaf).getOrElse(return None)
+        sh match {
+          case st: StructShape =>
+            decodeStructColumn(data, rg, st).getOrElse(return None)
+          case cs: ColShape =>
+            val cm = rg.columns.find(_.path == cs.path)
+              .getOrElse(return None)
+            if (cs.isList)
+              decodeListColumn(data, cm, cs).getOrElse(return None)
+                .map(x => x: Option[Any])
+            else decodeColumn(data, cm, cs.leaf)
+              .getOrElse(return None)
+        }
       }
       if (parts.map(_.length.toLong).sum > MaxValues) return None
       parts.flatten.toIndexedSeq

@@ -11,7 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * differential available (the reference implementation the whole
   * stack already trusts). Plus nested-schema rejection and mutation
   * fuzz (never throw, never invent). */
+object ParquetDataSpec {
+  /** Struct fixture shape (top level for the Spark encoder). */
+  final case class Sub(a: Long, b: Option[String])
+}
+
 class ParquetDataSpec extends AnyFunSuite {
+  import ParquetDataSpec.Sub
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -245,8 +251,8 @@ class ParquetDataSpec extends AnyFunSuite {
       val (shapes, cols) = ParquetData.decodeFileNested(bytes)
         .getOrElse(fail("decodeFileNested rejected a list file"))
       assert(shapes.map(_.name) == Seq("id", "toks", "txt"))
-      assert(shapes(1).isList && shapes(1).maxRep == 1 &&
-        shapes(1).maxDef == 3)
+      val lsh = shapes(1).asInstanceOf[ParquetData.ColShape]
+      assert(lsh.isList && lsh.maxRep == 1 && lsh.maxDef == 3)
       val ours = cols(0).indices.map { r =>
         (cols(0)(r).get.asInstanceOf[Long],
           cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]]
@@ -270,11 +276,41 @@ class ParquetDataSpec extends AnyFunSuite {
     val bytes = writeOne(df, "zstd",
       Map("parquet.writer.version" -> "v2"))
     val (shapes, cols) = ParquetData.decodeFileNested(bytes).get
-    assert(shapes(1).isList)
+    assert(shapes(1).asInstanceOf[ParquetData.ColShape].isList)
     val ours = cols(0).indices.map { r =>
       (cols(0)(r).get.asInstanceOf[Long],
         cols(1)(r).get.asInstanceOf[Seq[Option[Any]]]
           .map(_.get.asInstanceOf[Long]))
+    }.sortBy(_._1)
+    assert(ours == docs)
+  }
+
+  test("differential: flat struct columns (shared def levels)") {
+    val s = spark
+    import s.implicits._
+    val n = 1800
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 11 == 7) None // null struct
+        else Some(Sub(i * 3L,
+          if (i % 4 == 1) None else Some(s"s${i % 9}"))))
+    }
+    val df = docs.toDF("id", "meta")
+    val bytes = writeOne(df, "zstd")
+    val (shapes, cols) = ParquetData.decodeFileNested(bytes)
+      .getOrElse(fail("decodeFileNested rejected a struct file"))
+    assert(shapes.map(_.name) == Seq("id", "meta"))
+    val st = shapes(1).asInstanceOf[ParquetData.StructShape]
+    assert(st.optional && st.fields.map(_.name) == Seq("a", "b"))
+    assert(st.fields(0).maxDef == 1 && st.fields(1).maxDef == 2)
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          Sub(fs(0).get.asInstanceOf[Long],
+            fs(1).map(b => new String(
+              b.asInstanceOf[Array[Byte]], "UTF-8")))
+        })
     }.sortBy(_._1)
     assert(ours == docs)
   }
