@@ -525,7 +525,11 @@ object OrcData {
     * shape). `colId` is the type-tree id; a list's child sits at
     * `childId`. */
   final case class OrcShape(name: String, colId: Int, kind: Int,
-      isList: Boolean, childId: Int = -1, childKind: Int = -1)
+      isList: Boolean, childId: Int = -1, childKind: Int = -1,
+      /** (fieldName, colId, kind) for non-root STRUCT columns. */
+      structFields: Seq[(String, Int, Int)] = Nil) {
+    def isStruct: Boolean = structFields.nonEmpty
+  }
 
   private final val ScalarKinds =
     Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17)
@@ -549,16 +553,69 @@ object OrcData {
         if (!ScalarKinds(ct.kind) || ct.subtypes.nonEmpty)
           return None
         OrcShape(name, st, t.kind, isList = true, cid, ct.kind)
-      } else return None // map/struct/union/deeper lists
+      } else if (t.kind == 12 && t.subtypes.nonEmpty &&
+        t.subtypes.length == t.fieldNames.length) {
+        // flat STRUCT of scalars
+        val kids = t.subtypes.zip(t.fieldNames).map {
+          case (cid, cname) =>
+            if (cid < 0 || cid >= types.length) return None
+            val ct = types(cid)
+            if (!ScalarKinds(ct.kind) || ct.subtypes.nonEmpty)
+              return None
+            (cname, cid, ct.kind)
+        }
+        OrcShape(name, st, t.kind, isList = false,
+          structFields = kids)
+      } else return None // map/union/deeper nesting
     })
   }
 
   /** Flat-only view over [[columnShapes]] (the original API). */
   def flatLeaves(tail: Tail): Option[Seq[OrcLeaf]] =
     columnShapes(tail).flatMap { shapes =>
-      if (shapes.exists(_.isList)) None
+      if (shapes.exists(s => s.isList || s.isStruct)) None
       else Some(shapes.map(s => OrcLeaf(s.name, s.kind)))
     }
+
+  /** Decode one non-root STRUCT column of one stripe: the struct's
+    * PRESENT bits gate rows; each child column carries one entry
+    * per present row (with its own present stream for null
+    * fields). */
+  private def decodeStripeStruct(data: Array[Byte], tail: Tail,
+      count: Long, streams: Seq[(OrcStream, Long)],
+      sf: OrcTail.StripeFooter, shape: OrcShape)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val rows = count.toInt
+    if (rows < 0 || count > MaxValues) return None
+    val col = shape.colId
+    val present: Array[Boolean] = streams.find { case (s, _) =>
+      s.column == col && s.kind == 0
+    }.map { case (s, off) =>
+      val pb = OrcTail.decodeStream(data, off, s.length,
+        tail.compression, tail.blockSize).getOrElse(return None)
+      boolRle(pb, rows).getOrElse(return None)
+    }.orNull
+    val nNonNull =
+      if (present == null) rows else present.count(identity)
+    val kids = shape.structFields.map { case (fn, cid, ck) =>
+      val cenc = sf.encodings.lift(cid).getOrElse(return None)
+      decodeStripeColumn(data, tail, nNonNull.toLong, streams,
+        cenc.kind, cenc.dictionarySize, cid, OrcLeaf(fn, ck),
+        sf.timezone).getOrElse(return None)
+    }
+    val out = IndexedSeq.newBuilder[Option[Any]]
+    var vi = 0
+    var r = 0
+    while (r < rows) {
+      if (present != null && !present(r)) out += None
+      else {
+        out += Some(kids.map(_(vi)): Seq[Option[Any]])
+        vi += 1
+      }
+      r += 1
+    }
+    Some(out.result())
+  }
 
   /** Decode one LIST column of one stripe: PRESENT + LENGTH on the
     * list column, then the child column decoded for the total
@@ -643,6 +700,9 @@ object OrcData {
         val sh = shapes(i)
         cols(i) ++= (if (sh.isList)
           decodeStripeList(data, tail, stripe.numRows, withOff,
+            sf, sh).getOrElse(return None)
+        else if (sh.isStruct)
+          decodeStripeStruct(data, tail, stripe.numRows, withOff,
             sf, sh).getOrElse(return None)
         else {
           val enc = sf.encodings.lift(sh.colId)

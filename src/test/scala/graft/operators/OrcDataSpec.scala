@@ -189,6 +189,33 @@ class OrcDataSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: flat struct columns (present-gated children)") {
+    val s = spark
+    import s.implicits._
+    val n = 1800
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 11 == 7) None
+        else Some((i * 3L,
+          if (i % 4 == 1) None else Some(s"s${i % 9}"))))
+    }
+    val df = docs.toDF("id", "meta")
+    val bytes = writeOne(df, "zstd")
+    val (shapes, cols) = OrcData.decodeFileNested(bytes)
+      .getOrElse(fail("OrcData rejected a struct file"))
+    assert(shapes(1).isStruct &&
+      shapes(1).structFields.map(_._1) == Seq("_1", "_2"))
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          (fs(0).get.asInstanceOf[Long],
+            fs(1).map(_.asInstanceOf[String]))
+        })
+    }.sortBy(_._1)
+    assert(ours == docs)
+  }
+
   test("deeper nesting rejects honestly; tail still parses") {
     val s = spark
     import s.implicits._
