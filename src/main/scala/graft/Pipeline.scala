@@ -8633,6 +8633,51 @@ object Pipeline {
       .orderBy("rflag")
   }
 
+  /** MediaWiki dump ingest (r12): the canonical public text-corpus
+    * source — per-shard `pages-articles-multistream.xml.bz2` blobs
+    * (OUR bzip2 writes several concatenated streams per shard, the
+    * real dumps' layout) parsed back by the strict export-schema
+    * scanner: page id/title/ns, redirect targets, the revision's
+    * wikitext with XML entities decoded. Every fact from PARSED
+    * pages; the revision's own <id> must not leak into the page id
+    * (the first-id rule). One shard-keyed shuffle + flatMap decode —
+    * the WARC shape. */
+  private def wikidumpParse(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .filter(expr(
+        "length(text) = octet_length(text) AND length(text) > 0"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id / 8, id, t) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val pages = docs.map { case (_, id, t) =>
+          graft.operators.WikiDump.Page(id, s"Doc $id",
+            (id % 3).toInt,
+            if (id % 13 == 9) Some("Doc 0") else None, t)
+        }
+        (sid, graft.operators.WikiDump
+          .buildMultistream(pages, groupPages = 3))
+      }
+      .flatMap { case (sid, blob) =>
+        val pages = graft.operators.WikiDump.parseBz2(blob)
+          .getOrElse(sys.error(s"wikidump shard $sid unparseable"))
+        pages.iterator.map { pg =>
+          (pg.id, sid, pg.ns.toLong, pg.redirect.isDefined,
+            pg.title,
+            pg.text.length.toLong,
+            pg.text.split(' ').count(_.nonEmpty).toLong)
+        }
+      }
+      .toDF("doc_id", "shard_id", "ns", "is_redirect", "title",
+        "n_chars", "n_words")
+      .orderBy("doc_id")
+  }
+
   /** Parquet LIST columns from raw bytes (r12): the
     * HuggingFace-token-column shape — a Spark-written parquet
     * fixture with a nullable list<int64> column (null lists, null
@@ -11872,6 +11917,7 @@ object Pipeline {
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,
     "parquet_list_decode" -> parquetListDecode _,
+    "wikidump_parse"    -> wikidumpParse _,
     "orc_data_decode"   -> orcDataDecode _,
     "orc_list_decode"   -> orcListDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
@@ -14295,6 +14341,20 @@ object Pipeline {
         |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
         |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OUR bzip2 multistream + MediaWiki export-schema scanner: ids,
+    // namespaces, redirects and wikitext all from PARSED pages
+    "wikidump_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CAST(doc_id % 3 AS BIGINT) AS ns,
+        |  doc_id % 13 = 9 AS is_redirect,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS BIGINT) AS n_words
+        |FROM d ORDER BY doc_id""".stripMargin,
     // OUR repetition-level walker decodes a nullable list<int64>
     // column (null lists + null elements) from raw parquet bytes;
     // the oracle recomputes the token facts from documents
