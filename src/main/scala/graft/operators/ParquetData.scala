@@ -296,11 +296,39 @@ object ParquetData {
       case 2 => Tar.gunzip(raw).filter(_.length == uncomp)
       case 6 => Zstd.decode(raw, MaxBytes)
         .filter(_.length == uncomp)
+      case 5 => // legacy LZ4: the Hadoop block framing parquet-mr
+        // writes — [u32 BE originalLen][u32 BE chunkLen + raw LZ4
+        // block]* per block, blocks repeated until the page ends
+        val out = new Array[Byte](uncomp)
+        var p = 0
+        var d = 0
+        def be32(o: Int): Int = ((raw(o) & 0xff) << 24) |
+          ((raw(o + 1) & 0xff) << 16) | ((raw(o + 2) & 0xff) << 8) |
+          (raw(o + 3) & 0xff)
+        while (p < raw.length) {
+          if (p + 4 > raw.length) return None
+          val orig = be32(p); p += 4
+          if (orig < 0 || d + orig > uncomp) return None
+          var produced = 0
+          while (produced < orig) {
+            if (p + 4 > raw.length) return None
+            val clen = be32(p); p += 4
+            if (clen <= 0 || p + clen > raw.length) return None
+            val tmp = new Array[Byte](orig - produced)
+            val n = Lz4.decompressBlock(raw, p, clen, tmp)
+            if (n <= 0) return None
+            System.arraycopy(tmp, 0, out, d, n)
+            d += n
+            produced += n
+            p += clen
+          }
+        }
+        if (d == uncomp) Some(out) else None
       case 7 => // LZ4_RAW: one raw LZ4 block
         val dst = new Array[Byte](uncomp)
         val n = Lz4.decompressBlock(raw, 0, raw.length, dst)
         if (n == uncomp) Some(dst) else None
-      case _ => None // LZO / BROTLI / Hadoop-framed LZ4
+      case _ => None // LZO / BROTLI
     }
 
   // ---------------------------------------------------------------

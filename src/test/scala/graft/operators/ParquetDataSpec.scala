@@ -104,6 +104,15 @@ class ParquetDataSpec extends AnyFunSuite {
     compare(writeOne(df, "lz4_raw"), expRows(500))
   }
 
+  test("differential: legacy Hadoop-framed LZ4 codec") {
+    val df = mkDf(1500) // several blocks
+    val bytes = writeOne(df, "lz4")
+    // really the legacy codec id 5, not LZ4_RAW
+    val footer = ParquetFooter.parse(bytes).get
+    assert(footer.rowGroups.head.columns.head.codecId == 5)
+    compare(bytes, expRows(1500))
+  }
+
   test("differential: dictionary fallback to PLAIN mid-chunk") {
     val s = spark
     import s.implicits._
