@@ -359,21 +359,37 @@ object Hudi {
     val rdd = spark.sparkContext
       .parallelize(groupLogs, math.min(groupLogs.length, 256))
       .flatMap { chain =>
-        // gather the group's blocks in (version, blockIdx) order
+        // gather the group's blocks in (version, blockIdx) order.
+        // Table paths are a shared filesystem by this module's
+        // contract (every listing above is java.io.File), so the
+        // executor read uses the same local-FS API — no Hadoop
+        // default-FS resolution mismatch.
         val blocks = chain.flatMap { case (ver, path) =>
-          val p = new org.apache.hadoop.fs.Path(path)
-          val in = p.getFileSystem(
-            new org.apache.hadoop.conf.Configuration()).open(p)
-          val bytes = try in.readAllBytes() finally in.close()
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path))
           HudiLog.parse(bytes).zipWithIndex
             .map { case (blk, bi) => (ver, bi, blk) }
         }
-        // COMMAND rollback: void earlier blocks of the target instant
-        val rolledBack: Set[String] = blocks.collect {
-          case (_, _, blk) if blk.tpe == HudiLog.Command =>
-            blk.header.getOrElse(HudiLog.TargetInstantTime,
-              sys.error("hudi command block without target instant"))
-        }.toSet
+        // COMMAND rollback: void the PRECEDING blocks of the target
+        // instant only — blocks re-appended after the rollback (a
+        // retried write) must stay visible
+        val rolledBack: Set[(String, Int, Int)] = {
+          val out = Set.newBuilder[(String, Int, Int)]
+          blocks.zipWithIndex.foreach { case ((cv, cb, blk), ci) =>
+            if (blk.tpe == HudiLog.Command) {
+              val target = blk.header.getOrElse(
+                HudiLog.TargetInstantTime, sys.error(
+                  "hudi command block without target instant"))
+              blocks.take(ci).foreach { case (v, b, earlier) =>
+                if (earlier.header.get(HudiLog.InstantTime)
+                  .contains(target)) out += ((target, v, b))
+              }
+            }
+          }
+          out.result()
+        }
+        def voided(instant: String, ver: Int, bi: Int): Boolean =
+          rolledBack(((instant, ver, bi)))
         blocks.iterator.flatMap { case (ver, bi, blk) =>
           blk.tpe match {
             case HudiLog.Corrupt | HudiLog.Command =>
@@ -381,7 +397,7 @@ object Hudi {
             case HudiLog.AvroData =>
               val instant = blk.header.getOrElse(HudiLog.InstantTime,
                 sys.error("hudi data block without instant time"))
-              if (!completed(instant) || rolledBack(instant))
+              if (!completed(instant) || voided(instant, ver, bi))
                 Iterator.empty
               else {
                 val schemaJson = blk.header.getOrElse(HudiLog.SchemaKey,
@@ -408,7 +424,7 @@ object Hudi {
             case HudiLog.Delete =>
               val instant = blk.header.getOrElse(HudiLog.InstantTime,
                 sys.error("hudi delete block without instant time"))
-              if (!completed(instant) || rolledBack(instant))
+              if (!completed(instant) || voided(instant, ver, bi))
                 Iterator.empty
               else {
                 val keys = HudiLog.parseDeleteContent(blk.content)
@@ -587,9 +603,19 @@ object Hudi {
     writeInstant(tablePath, Instant(instant, action, stats, replaced))
   }
 
+  /** The next unused instant time. MUST scan ALL timeline files —
+    * pending (.requested/.inflight) included — not just completed
+    * instants: reusing a pending instant number would retroactively
+    * complete it and resurrect its uncommitted blocks/files. */
   private def nextInstant(tablePath: String): String = {
-    val last = timeline(tablePath).lastOption.map(_.time.toLong)
-      .getOrElse(0L)
+    val hoodie = new java.io.File(tablePath, ".hoodie")
+    require(hoodie.isDirectory, s"not a hudi table: $tablePath")
+    val last = hoodie.listFiles().toSeq
+      .flatMap { f =>
+        val ts = f.getName.takeWhile(_.isDigit)
+        if (ts.nonEmpty && ts.length <= 18) Some(ts.toLong) else None
+      }
+      .maxOption.getOrElse(0L)
     pad14(last + 1)
   }
 

@@ -445,17 +445,23 @@ object OrcData {
         val nanosRaw = intRun(nb, nNonNull, signed = false, encKind)
           .getOrElse(return None)
         val base = 1420070400L // 2015-01-01T00:00:00Z
-        Some(assemble { i =>
-          var nanos = nanosRaw(i) >>> 3
-          val zeros = (nanosRaw(i) & 7).toInt
+        // validate EAGERLY: a malformed stream must yield None, not
+        // a task-killing throw from inside the accessor
+        val micros = new Array[Long](nNonNull)
+        var ti = 0
+        while (ti < nNonNull) {
+          var nanos = nanosRaw(ti) >>> 3
+          val zeros = (nanosRaw(ti) & 7).toInt
           if (zeros != 0) {
             var k = 0
             while (k <= zeros) { nanos *= 10; k += 1 }
           }
-          if (nanos < 0 || nanos > 999999999L) sys.error("orc nanos")
+          if (nanos < 0 || nanos > 999999999L) return None
           // nanos count FORWARD from the (possibly negative) second
-          (sec(i) + base) * 1000000L + nanos / 1000
-        })
+          micros(ti) = (sec(ti) + base) * 1000000L + nanos / 1000
+          ti += 1
+        }
+        Some(assemble(micros(_)))
       case 14 => // decimal: DATA = unbounded zigzag varint unscaled,
         // SECONDARY = scale (signed runs)
         val d = streamBytes(1).getOrElse(return None)
@@ -471,11 +477,9 @@ object OrcData {
           unscaled(i) = zz(raw)
           i += 1
         }
-        Some(assemble { i =>
-          val s = scales(i)
-          if (s < 0 || s > 38) sys.error("orc decimal scale")
-          java.math.BigDecimal.valueOf(unscaled(i), s.toInt)
-        })
+        if (scales.exists(s => s < 0 || s > 38)) return None
+        Some(assemble(i =>
+          java.math.BigDecimal.valueOf(unscaled(i), scales(i).toInt)))
       case 7 | 8 | 16 | 17 => // string/binary/varchar/char
         val asString = leaf.kind != 8
         def cut(blob: Array[Byte], lens: Array[Long])
@@ -516,7 +520,7 @@ object OrcData {
             return None
           Some(assemble(i => dict(idx(i).toInt)))
         }
-      case _ => None // timestamp/decimal/nested: honest rejection
+      case _ => None // nested/union kinds: honest rejection
     }
   }
 

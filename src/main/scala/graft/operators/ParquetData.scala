@@ -10,8 +10,10 @@ package graft.operators
   * Spark's vectorized reader returns is what the file actually
   * says, and a from-scratch recovery path for torn files.
   *
-  * Scope — the FLAT-schema shapes the TPC-H-style corpus tables and
-  * most dataset shards use (nested schemas reject honestly):
+  * Scope — the shapes corpus tables and dataset shards actually
+  * use: flat fields, one-level LIST columns (repetition levels +
+  * record assembly) and flat STRUCTS of primitives; deeper nesting
+  * rejects honestly. Specifically:
   *  - Page types: DATA_PAGE (v1), DATA_PAGE_V2, DICTIONARY_PAGE;
   *    INDEX_PAGE skipped.
   *  - Encodings: PLAIN (0) for all seven physical types (BOOLEAN is
@@ -30,9 +32,10 @@ package graft.operators
   *  - Definition levels: the RLE/bit-packed hybrid (u32
   *    length-prefixed in v1 pages, bare and always-uncompressed in
   *    v2 pages); max definition level 1 (optional) or 0 (required).
-  *  - Codecs: UNCOMPRESSED, SNAPPY, GZIP, ZSTD, LZ4_RAW — all
-  *    through this repo's own decoders, decoded length verified
-  *    against the header. LZO/BROTLI/legacy-LZ4 (Hadoop-framed)
+  *  - Codecs: UNCOMPRESSED, SNAPPY, GZIP, ZSTD, LZ4_RAW, and the
+  *    legacy Hadoop-framed LZ4 (codec 5 — what "lz4" still means
+  *    to parquet-mr) — all through this repo's own decoders,
+  *    decoded lengths verified against the header. LZO/BROTLI
   *    reject honestly.
   *
   * Every size is bounds-checked (2^26 values / 2^28 bytes caps);
@@ -61,20 +64,15 @@ object ParquetData {
       typeLength: Int, optional: Boolean)
 
   /** The leaves of a FLAT schema (root + leaf fields only); None if
-    * any field is a group or repeated (nested — honest rejection). */
-  def flatLeaves(f: Footer): Option[Seq[LeafInfo]] = {
-    val es = f.schemaElems
-    if (es.length < 2) return None
-    val root = es.head
-    if (root.numChildren != es.length - 1) return None // groups
-    val out = es.tail.map { e =>
-      if (e.numChildren != 0 || e.typeId < 0 || e.typeId > 7 ||
-        e.repetition == 2) return None
-      if (e.typeId == 7 && e.typeLength <= 0) return None
-      LeafInfo(e.name, e.typeId, e.typeLength, e.repetition == 1)
+    * any field is a group or repeated (nested — honest rejection).
+    * A filtered view over [[fileShapes]] — one schema walk. */
+  def flatLeaves(f: Footer): Option[Seq[LeafInfo]] =
+    fileShapes(f).flatMap { shapes =>
+      val leaves = shapes.collect {
+        case cs: ColShape if !cs.isList => cs.leaf
+      }
+      if (leaves.length == shapes.length) Some(leaves) else None
     }
-    Some(out)
-  }
 
   /** One column of a schema that may mix flat fields and
     * 3-level LIST fields (the shape Spark/parquet-mr/parquet-cpp
@@ -97,56 +95,6 @@ object ParquetData {
     * construction). */
   final case class StructShape(name: String, optional: Boolean,
       fields: Seq[ColShape]) extends Shape
-
-  /** Schema shapes for flat + one-level-list schemas; None when a
-    * field is any other group shape (deeper nesting — honest
-    * rejection). */
-  def columnShapes(f: Footer): Option[Seq[ColShape]] = {
-    val es = f.schemaElems
-    if (es.length < 2) return None
-    val root = es.head
-    // walk top-level fields depth-first
-    val out = Seq.newBuilder[ColShape]
-    var i = 1
-    var fields = 0
-    while (i < es.length) {
-      val e = es(i)
-      fields += 1
-      if (e.numChildren == 0) { // flat leaf
-        if (e.typeId < 0 || e.typeId > 7 || e.repetition == 2)
-          return None
-        if (e.typeId == 7 && e.typeLength <= 0) return None
-        val opt = e.repetition == 1
-        out += ColShape(e.name, e.name, e.typeId, e.typeLength,
-          isList = false, maxRep = 0, maxDef = if (opt) 1 else 0,
-          defPresent = if (opt) 1 else 0,
-          LeafInfo(e.name, e.typeId, e.typeLength, opt))
-        i += 1
-      } else if (e.numChildren == 1 && i + 2 < es.length &&
-        es(i + 1).repetition == 2 && es(i + 1).numChildren == 1 &&
-        es(i + 2).numChildren == 0) {
-        // the 3-level LIST pattern: group > repeated group > leaf
-        val rep = es(i + 1)
-        val el = es(i + 2)
-        if (el.typeId < 0 || el.typeId > 7 || el.repetition == 2)
-          return None
-        if (el.typeId == 7 && el.typeLength <= 0) return None
-        val fieldOpt = e.repetition == 1
-        val elemOpt = el.repetition == 1
-        val dPresent = if (fieldOpt) 1 else 0
-        val dNonEmpty = dPresent + 1 // the repeated level
-        val maxDef = dNonEmpty + (if (elemOpt) 1 else 0)
-        out += ColShape(e.name,
-          s"${e.name}.${rep.name}.${el.name}", el.typeId,
-          el.typeLength, isList = true, maxRep = 1, maxDef = maxDef,
-          defPresent = dPresent,
-          LeafInfo(el.name, el.typeId, el.typeLength, elemOpt))
-        i += 3
-      } else return None // deeper nesting / maps / legacy 2-level
-    }
-    if (fields != root.numChildren) return None
-    Some(out.result())
-  }
 
   /** Shapes for schemas mixing flat fields, one-level lists and
     * flat STRUCTS of primitives; None on anything deeper. */
@@ -178,7 +126,7 @@ object ParquetData {
       } else if (e.numChildren == 1 && i + 2 < es.length &&
         es(i + 1).repetition == 2 && es(i + 1).numChildren == 1 &&
         es(i + 2).numChildren == 0) {
-        // 3-level LIST (same rules as columnShapes)
+        // the 3-level LIST pattern: group > repeated group > leaf
         val rep = es(i + 1)
         val el = es(i + 2)
         if (el.typeId < 0 || el.typeId > 7 || el.repetition == 2)
@@ -586,7 +534,9 @@ object ParquetData {
           if (p + 4 > limit) return None
           val len = le32(b, p)
           p += 4
-          if (len < 0 || p + len > limit) return None
+          // Long compare: a crafted huge length must not wrap the
+          // Int bounds check into a copyOfRange throw
+          if (len < 0 || p.toLong + len > limit) return None
           out += java.util.Arrays.copyOfRange(b, p, p + len)
           p += len
           i += 1

@@ -243,6 +243,53 @@ class HudiLogSpec extends AnyFunSuite {
       .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
   }
 
+  test("a write AFTER a pending deltacommit must not reuse its " +
+    "instant (would resurrect uncommitted blocks)") {
+    val s = spark
+    val t = tmpTable("mor_pend2")
+    Hudi.createMor(s, baseDf(30), t, "k", "p") // instant 1
+    // pending instant 2: blocks on disk, never completed
+    Hudi.pendingDeltaCommit(s, baseDf(30).where("k < 9")
+      .withColumn("v", org.apache.spark.sql.functions
+        .expr("v + 1000")), t, "k", "p")
+    assert(Hudi.read(s, t).where("v >= 1000").count() == 0)
+    // a NEW completed write must take instant 3, not 2
+    Hudi.upsertMorLog(s, baseDf(30).where("k % 3 = 1")
+      .withColumn("v", org.apache.spark.sql.functions
+        .expr("v + 10")), t, "k", "p")
+    val got = Hudi.read(s, t)
+    // the pending qty+1000 wave must STAY invisible
+    assert(got.where("v >= 1000").count() == 0)
+    assert(got.where("k % 3 = 1 and v != k * 1.5 + 10").count() == 0)
+    assert(Hudi.timeline(t).map(_.time).max == "00000000000003")
+  }
+
+  test("rollback only voids blocks BEFORE the command (a retried " +
+    "instant's re-appended blocks stay visible)") {
+    val s = spark
+    val t = tmpTable("mor_retry")
+    Hudi.createMor(s, baseDf(30), t, "k", "p")
+    val upd = baseDf(30).where("k % 3 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p") // instant 2, attempt 1
+    val slice = Hudi.slices(t).filter(_.partition == "0").head
+    val logFile = new java.io.File(slice.logs.head._2)
+    // rollback attempt 1, then RE-APPEND the same instant's blocks
+    // (the retry layout hudi's own reader must honor)
+    val attempt1 = HudiLog.parse(
+      java.nio.file.Files.readAllBytes(logFile.toPath))
+    HudiLog.append(logFile, Seq(HudiLog.Block(HudiLog.Command,
+      Map(HudiLog.TargetInstantTime -> "00000000000002",
+        HudiLog.CommandBlockType -> "0"),
+      Map.empty, Array.emptyByteArray)))
+    HudiLog.append(logFile, attempt1.filter(!_.corrupt))
+    val got = Hudi.read(s, t)
+    assert(got.count() == 30)
+    // the retry's blocks are visible: the update survives
+    assert(got.where("k % 3 = 0 and v != k * 1.5 + 100").count() == 0)
+    assert(got.where("k % 3 != 0 and v != k * 1.5").count() == 0)
+  }
+
   test("MOR rejections: unknown partition, HFile block, bad schema") {
     val s = spark
     val t = tmpTable("mor_bad")
