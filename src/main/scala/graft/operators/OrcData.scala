@@ -31,7 +31,8 @@ package graft.operators
   *    the child column decoded for the total element count and
   *    sliced per row (the token-column shape, symmetric with
   *    [[ParquetData]]'s list support).
-  *  - Maps, structs, unions and deeper nesting reject honestly.
+  *  - MAP of scalars: LENGTH runs + zipped key/value children.
+  *  - Unions and deeper nesting reject honestly.
   *
   * Streams decompress through [[OrcTail.decodeStream]] (the chunked
   * codec framing — zlib/snappy/lz4/zstd/none); stream offsets
@@ -530,9 +531,11 @@ object OrcData {
     * `childId`. */
   final case class OrcShape(name: String, colId: Int, kind: Int,
       isList: Boolean, childId: Int = -1, childKind: Int = -1,
-      /** (fieldName, colId, kind) for non-root STRUCT columns. */
-      structFields: Seq[(String, Int, Int)] = Nil) {
-    def isStruct: Boolean = structFields.nonEmpty
+      /** (fieldName, colId, kind) for non-root STRUCT columns —
+        * and, with `isMap`, the (key, value) pair of a MAP. */
+      structFields: Seq[(String, Int, Int)] = Nil,
+      isMap: Boolean = false) {
+    def isStruct: Boolean = structFields.nonEmpty && !isMap
   }
 
   private final val ScalarKinds =
@@ -557,6 +560,20 @@ object OrcData {
         if (!ScalarKinds(ct.kind) || ct.subtypes.nonEmpty)
           return None
         OrcShape(name, st, t.kind, isList = true, cid, ct.kind)
+      } else if (t.kind == 11 && t.subtypes.length == 2) {
+        // MAP of scalars: LENGTH runs + two child columns zipped
+        val kid = t.subtypes(0)
+        val vid = t.subtypes(1)
+        if (kid < 0 || kid >= types.length || vid < 0 ||
+          vid >= types.length) return None
+        val kt = types(kid)
+        val vt = types(vid)
+        if (!ScalarKinds(kt.kind) || kt.subtypes.nonEmpty ||
+          !ScalarKinds(vt.kind) || vt.subtypes.nonEmpty)
+          return None
+        OrcShape(name, st, t.kind, isList = false,
+          structFields = Seq(("key", kid, kt.kind),
+            ("value", vid, vt.kind)), isMap = true)
       } else if (t.kind == 12 && t.subtypes.nonEmpty &&
         t.subtypes.length == t.fieldNames.length) {
         // flat STRUCT of scalars
@@ -577,7 +594,8 @@ object OrcData {
   /** Flat-only view over [[columnShapes]] (the original API). */
   def flatLeaves(tail: Tail): Option[Seq[OrcLeaf]] =
     columnShapes(tail).flatMap { shapes =>
-      if (shapes.exists(s => s.isList || s.isStruct)) None
+      if (shapes.exists(s => s.isList || s.structFields.nonEmpty))
+        None
       else Some(shapes.map(s => OrcLeaf(s.name, s.kind)))
     }
 
@@ -677,6 +695,66 @@ object OrcData {
     if (off != totalElems) None else Some(out.result())
   }
 
+  /** Decode one MAP column of one stripe: PRESENT + LENGTH on the
+    * map column, then the key and value child columns decoded for
+    * the total entry count and zipped per row (arrow-style entry
+    * rows: Some(Seq(key, value))). */
+  private def decodeStripeMap(data: Array[Byte], tail: Tail,
+      count: Long, streams: Seq[(OrcStream, Long)],
+      sf: OrcTail.StripeFooter, shape: OrcShape)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val rows = count.toInt
+    if (rows < 0 || count > MaxValues) return None
+    val col = shape.colId
+    val present: Array[Boolean] = streams.find { case (s, _) =>
+      s.column == col && s.kind == 0
+    }.map { case (s, off) =>
+      val pb = OrcTail.decodeStream(data, off, s.length,
+        tail.compression, tail.blockSize).getOrElse(return None)
+      boolRle(pb, rows).getOrElse(return None)
+    }.orNull
+    val nNonNull =
+      if (present == null) rows else present.count(identity)
+    val encKind = sf.encodings.lift(col).getOrElse(return None).kind
+    val lb = streams.find { case (s, _) =>
+      s.column == col && s.kind == 2
+    }.map { case (s, off) =>
+      OrcTail.decodeStream(data, off, s.length, tail.compression,
+        tail.blockSize).getOrElse(return None)
+    }.getOrElse(return None)
+    val lens = intRun(lb, nNonNull, signed = false, encKind)
+      .getOrElse(return None)
+    var totalElems = 0L
+    lens.foreach { l =>
+      if (l < 0) return None
+      totalElems += l
+      if (totalElems > MaxValues) return None
+    }
+    val kids = shape.structFields.map { case (fn, cid, ck) =>
+      val cenc = sf.encodings.lift(cid).getOrElse(return None)
+      decodeStripeColumn(data, tail, totalElems, streams,
+        cenc.kind, cenc.dictionarySize, cid, OrcLeaf(fn, ck),
+        sf.timezone).getOrElse(return None)
+    }
+    val out = IndexedSeq.newBuilder[Option[Any]]
+    var li = 0
+    var off = 0
+    var r = 0
+    while (r < rows) {
+      if (present != null && !present(r)) out += None
+      else {
+        val n = lens(li).toInt
+        li += 1
+        out += Some((off until off + n).map(e =>
+          Some(Seq(kids(0)(e), kids(1)(e)): Seq[Option[Any]]))
+          : Seq[Option[Any]])
+        off += n
+      }
+      r += 1
+    }
+    if (off != totalElems) None else Some(out.result())
+  }
+
   /** Decode a file of flat + one-level-list columns: (shapes,
     * column-major values; list rows are Option[Seq[Option[Any]]],
     * stripes concatenated). */
@@ -704,6 +782,9 @@ object OrcData {
         val sh = shapes(i)
         cols(i) ++= (if (sh.isList)
           decodeStripeList(data, tail, stripe.numRows, withOff,
+            sf, sh).getOrElse(return None)
+        else if (sh.isMap)
+          decodeStripeMap(data, tail, stripe.numRows, withOff,
             sf, sh).getOrElse(return None)
         else if (sh.isStruct)
           decodeStripeStruct(data, tail, stripe.numRows, withOff,

@@ -96,6 +96,12 @@ object ParquetData {
   final case class StructShape(name: String, optional: Boolean,
       fields: Seq[ColShape]) extends Shape
 
+  /** A MAP of primitive key/value (the 3-level
+    * group > repeated key_value > (key, value) shape): two leaf
+    * chunks sharing the repetition structure, zipped per row. */
+  final case class MapShape(name: String, optional: Boolean,
+      key: ColShape, value: ColShape) extends Shape
+
   /** Shapes for schemas mixing flat fields, one-level lists and
     * flat STRUCTS of primitives; None on anything deeper. */
   def fileShapes(f: Footer): Option[Seq[Shape]] = {
@@ -142,6 +148,32 @@ object ParquetData {
           defPresent = dPresent,
           LeafInfo(el.name, el.typeId, el.typeLength, elemOpt))
         i += 3
+      } else if (e.numChildren == 1 && i + 3 < es.length &&
+        es(i + 1).repetition == 2 && es(i + 1).numChildren == 2 &&
+        es(i + 2).numChildren == 0 && es(i + 3).numChildren == 0 &&
+        es(i + 2).repetition != 2 && es(i + 3).repetition != 2) {
+        // the MAP pattern: group > repeated key_value > (key, value)
+        val rep = es(i + 1)
+        val ke = es(i + 2)
+        val ve = es(i + 3)
+        val fieldOpt = e.repetition == 1
+        val dPresent = if (fieldOpt) 1 else 0
+        def entryLeaf(el: ParquetFooter.SchemaElem)
+            : Option[ColShape] = {
+          if (el.typeId < 0 || el.typeId > 7) return None
+          if (el.typeId == 7 && el.typeLength <= 0) return None
+          val elemOpt = el.repetition == 1
+          val maxDef = dPresent + 1 + (if (elemOpt) 1 else 0)
+          Some(ColShape(el.name,
+            s"${e.name}.${rep.name}.${el.name}", el.typeId,
+            el.typeLength, isList = true, maxRep = 1,
+            maxDef = maxDef, defPresent = dPresent,
+            LeafInfo(el.name, el.typeId, el.typeLength, elemOpt)))
+        }
+        val k = entryLeaf(ke).getOrElse(return None)
+        val v = entryLeaf(ve).getOrElse(return None)
+        out += MapShape(e.name, fieldOpt, k, v)
+        i += 4
       } else if (e.repetition != 2 && e.numChildren >= 1 &&
         i + e.numChildren < es.length &&
         (1 to e.numChildren).forall(k =>
@@ -846,6 +878,25 @@ object ParquetData {
         sh match {
           case st: StructShape =>
             decodeStructColumn(data, rg, st).getOrElse(return None)
+          case mp: MapShape =>
+            def side(cs: ColShape)
+                : Option[IndexedSeq[Option[Seq[Option[Any]]]]] =
+              rg.columns.find(_.path == cs.path)
+                .flatMap(cm => decodeListColumn(data, cm, cs))
+            val ks = side(mp.key).getOrElse(return None)
+            val vs = side(mp.value).getOrElse(return None)
+            if (ks.length != vs.length) return None
+            ks.indices.map { r =>
+              (ks(r), vs(r)) match {
+                case (None, None) => None
+                case (Some(k), Some(v)) if k.length == v.length =>
+                  // arrow-style entry rows: Some(Seq(key, value))
+                  Some(k.indices.map(e =>
+                    Some(Seq(k(e), v(e)): Seq[Option[Any]]))
+                    : Seq[Option[Any]]): Option[Any]
+                case _ => return None // sides disagree: corrupt
+              }
+            }
           case cs: ColShape =>
             val cm = rg.columns.find(_.path == cs.path)
               .getOrElse(return None)

@@ -216,6 +216,32 @@ class OrcDataSpec extends AnyFunSuite {
     assert(ours == docs)
   }
 
+  test("differential: map columns (length runs + zipped children)") {
+    val s = spark
+    import s.implicits._
+    val n = 1600
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) null
+        else (0 until i % 4).map(k =>
+          (s"k$k", i * 10L + k)).toMap)
+    }
+    val df = docs.toDF("id", "m")
+    val bytes = writeOne(df, "zstd")
+    val (shapes, cols) = OrcData.decodeFileNested(bytes)
+      .getOrElse(fail("OrcData rejected a map file"))
+    assert(shapes(1).isMap && !shapes(1).isStruct)
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
+          val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+          (kv(0).get.asInstanceOf[String],
+            kv(1).get.asInstanceOf[Long])
+        }.toMap).orNull)
+    }.sortBy(_._1)
+    assert(ours == docs)
+  }
+
   test("deeper nesting rejects honestly; tail still parses") {
     val s = spark
     import s.implicits._
