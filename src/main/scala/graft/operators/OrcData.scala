@@ -7,7 +7,8 @@ package graft.operators
   * completing the audit story ([[OrcTail]] reads the metadata, this
   * reads the columns).
   *
-  * Scope — flat struct schemas (nested types reject honestly):
+  * Scope — flat fields plus one level of LIST/MAP/STRUCT (deeper
+  * nesting and unions reject honestly):
   *  - Integer runs: RLEv1 (run/literal with delta bytes) and RLEv2
   *    with ALL FOUR sub-encodings — SHORT_REPEAT, DIRECT (MSB-first
   *    bit packing, the 5-bit closest-fixed-width table),
