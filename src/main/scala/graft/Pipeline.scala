@@ -8633,6 +8633,72 @@ object Pipeline {
       .orderBy("rflag")
   }
 
+  /** Struct columns from raw bytes, BOTH columnar formats (r12):
+    * one fixture (doc_id + a nullable struct<n_chars, lang> with a
+    * nullable field) written as zstd parquet AND zstd ORC, decoded
+    * by the two from-scratch struct readers — parquet's shared def
+    * levels, ORC's present-gated children — and unioned under one
+    * oracle with a format column. Either reader drifting flips the
+    * hash. */
+  private def columnarStructDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "colstruct", "documents") { out =>
+      val df = Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 17 = 3 THEN NULL ELSE named_struct(" +
+            "'n_chars', CAST(length(text) AS BIGINT), " +
+            "'lang', CASE WHEN doc_id % 11 = 10 THEN NULL " +
+            "ELSE lang END) END AS meta")
+        .coalesce(2)
+      df.write.option("compression", "zstd").parquet(s"$out/pq")
+      df.write.option("compression", "zstd").orc(s"$out/orc")
+    }
+    def facts(fmt: String, glob: String, sub: String,
+        decode: Array[Byte] => Seq[(Long, Option[(Long, Option[String])])])
+        : DataFrame =
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(s"$root/$sub")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => decode(b).iterator.map { case (id, m) =>
+          (fmt, id, m.map(_._1), m.flatMap(_._2))
+        })
+        .toDF("fmt", "doc_id", "m_chars", "lang")
+    val pq = facts("parquet", "*.parquet", "pq", { bytes =>
+      import graft.operators.{ParquetData => PD}
+      val (shapes, cols) = PD.decodeFileNested(bytes).getOrElse(
+        sys.error("parquet struct file does not decode"))
+      require(shapes(1).isInstanceOf[PD.StructShape])
+      cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map { x =>
+            val fs = x.asInstanceOf[Seq[Option[Any]]]
+            (fs(0).get.asInstanceOf[Long],
+              fs(1).map(v => new String(
+                v.asInstanceOf[Array[Byte]], "UTF-8")))
+          })
+      }
+    })
+    val orc = facts("orc", "*.orc", "orc", { bytes =>
+      import graft.operators.{OrcData => OD}
+      val (shapes, cols) = OD.decodeFileNested(bytes).getOrElse(
+        sys.error("orc struct file does not decode"))
+      require(shapes(1).isStruct)
+      cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map { x =>
+            val fs = x.asInstanceOf[Seq[Option[Any]]]
+            (fs(0).get.asInstanceOf[Long],
+              fs(1).map(_.asInstanceOf[String]))
+          })
+      }
+    })
+    pq.unionByName(orc).orderBy("fmt", "doc_id")
+  }
+
   /** MediaWiki dump ingest (r12): the canonical public text-corpus
     * source — per-shard `pages-articles-multistream.xml.bz2` blobs
     * (OUR bzip2 writes several concatenated streams per shard, the
@@ -11918,6 +11984,7 @@ object Pipeline {
     "parquet_data_decode" -> parquetDataDecode _,
     "parquet_list_decode" -> parquetListDecode _,
     "wikidump_parse"    -> wikidumpParse _,
+    "columnar_struct_decode" -> columnarStructDecode _,
     "orc_data_decode"   -> orcDataDecode _,
     "orc_list_decode"   -> orcListDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
@@ -14341,6 +14408,20 @@ object Pipeline {
         |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
         |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SAME struct fixture through BOTH from-scratch columnar
+    // struct readers (parquet shared-def-levels, ORC present-gated
+    // children), unioned under one oracle with a format column
+    "columnar_struct_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |f(fmt) AS (VALUES ('orc'), ('parquet'))
+        |SELECT fmt, doc_id,
+        |  CASE WHEN doc_id % 17 = 3 THEN NULL
+        |    ELSE CAST(strlen(text) AS BIGINT) END AS m_chars,
+        |  CASE WHEN doc_id % 17 = 3 OR doc_id % 11 = 10 THEN NULL
+        |    ELSE lang END AS lang
+        |FROM d, f ORDER BY fmt, doc_id""".stripMargin,
     // OUR bzip2 multistream + MediaWiki export-schema scanner: ids,
     // namespaces, redirects and wikitext all from PARSED pages
     "wikidump_parse" ->

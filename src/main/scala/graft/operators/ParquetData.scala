@@ -63,6 +63,24 @@ object ParquetData {
   final case class LeafInfo(name: String, typeId: Int,
       typeLength: Int, optional: Boolean)
 
+  /** INT96 (the legacy Hive/Impala timestamp physical type —
+    * 8-byte LE nanos-of-day + 4-byte LE Julian day) → epoch micros.
+    * None when the 12 bytes are not a plausible timestamp (nanos
+    * outside a day, Julian day outside ±10k years — raw INT96 that
+    * is NOT a timestamp should stay raw). */
+  def int96ToMicros(b: Array[Byte]): Option[Long] = {
+    if (b.length != 12) return None
+    var nanos = 0L
+    var i = 0
+    while (i < 8) { nanos |= (b(i) & 0xffL) << (8 * i); i += 1 }
+    val julian = (b(8) & 0xff) | ((b(9) & 0xff) << 8) |
+      ((b(10) & 0xff) << 16) | ((b(11) & 0xff) << 24)
+    if (nanos < 0 || nanos >= 86400L * 1000000000L) return None
+    if (julian < 2440588 - 4000000 || julian > 2440588 + 4000000)
+      return None
+    Some((julian - 2440588L) * 86400000000L + nanos / 1000L)
+  }
+
   /** The leaves of a FLAT schema (root + leaf fields only); None if
     * any field is a group or repeated (nested — honest rejection).
     * A filtered view over [[fileShapes]] — one schema walk. */

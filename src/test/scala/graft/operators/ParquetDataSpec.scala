@@ -195,6 +195,41 @@ class ParquetDataSpec extends AnyFunSuite {
         s"prefix-shared-${i / 10}-tail-$i")))
   }
 
+  test("differential: INT96 legacy timestamps convert to micros") {
+    val s = spark
+    import s.implicits._
+    val n = 400
+    val df = (0 until n).map(i => (i.toLong, i)).toDF("id", "i")
+      .selectExpr("id",
+        "timestamp_micros(cast(id * 98765432109 + id % 997 " +
+          "as long)) AS ts")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    val bytes = try writeOne(df, "snappy")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val (leaves, cols) = ParquetData.decodeFile(bytes).get
+    assert(leaves(1).typeId == 3) // really INT96
+    // Spark's own reader on the same bytes: the true differential
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i96")
+    val f = new java.io.File(tmp.toFile, "x.parquet")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val viaSpark = spark.read.parquet(f.getAbsolutePath)
+      .selectExpr("id",
+        "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    f.delete(); tmp.toFile.delete()
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        ParquetData.int96ToMicros(
+          cols(1)(r).get.asInstanceOf[Array[Byte]]).get)
+    }.sortBy(_._1)
+    assert(ours == viaSpark)
+    assert(ours.map(_._2) == (0 until n).map(i =>
+      i * 98765432109L + i % 997))
+    // non-timestamp INT96 bytes stay raw
+    assert(ParquetData.int96ToMicros(Array.fill[Byte](12)(-1)).isEmpty)
+    assert(ParquetData.int96ToMicros(Array.fill[Byte](4)(0)).isEmpty)
+  }
+
   test("decimal surfaces as raw physical values at the right scale") {
     val s = spark
     import s.implicits._
