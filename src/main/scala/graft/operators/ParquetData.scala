@@ -27,8 +27,8 @@ package graft.operators
   *    family the v2 writer emits for non-dictionary columns:
   *    DELTA_BINARY_PACKED (5, int32 wrap arithmetic per spec),
   *    DELTA_LENGTH_BYTE_ARRAY (6) and DELTA_BYTE_ARRAY (7,
-  *    shared-prefix reconstruction). BYTE_STREAM_SPLIT rejects
-  *    honestly.
+  *    shared-prefix reconstruction), and BYTE_STREAM_SPLIT (9) for
+  *    FLOAT/DOUBLE (byte-plane transposition).
   *  - Definition levels: the RLE/bit-packed hybrid (u32
   *    length-prefixed in v1 pages, bare and always-uncompressed in
   *    v2 pages); max definition level 1 (optional) or 0 (required).
@@ -677,7 +677,26 @@ object ParquetData {
           if (leaf.typeId != 6) return false
           deltaByteArray(bytes, pos0, limit, nNonNull)
             .getOrElse(return false)
-        case _ => return false // BYTE_STREAM_SPLIT / unknown
+        case 9 => // BYTE_STREAM_SPLIT (FLOAT/DOUBLE): byte plane k
+          // of value i lives at plane*n + i
+          val w = leaf.typeId match {
+            case 4 => 4
+            case 5 => 8
+            case _ => return false
+          }
+          if (pos0 + w.toLong * nNonNull > limit) return false
+          val n = nNonNull
+          (0 until n).map { i =>
+            var v = 0L
+            var k = 0
+            while (k < w) {
+              v |= (bytes(pos0 + k * n + i) & 0xffL) << (8 * k)
+              k += 1
+            }
+            if (w == 4) java.lang.Float.intBitsToFloat(v.toInt)
+            else java.lang.Double.longBitsToDouble(v)
+          }
+        case _ => return false // unknown encodings
       }
       if (vals.length != nNonNull) return false
       valsOut ++= vals

@@ -385,6 +385,76 @@ class ParquetDataSpec extends AnyFunSuite {
     assert(ours == docs)
   }
 
+  test("differential: BYTE_STREAM_SPLIT (patched file read back " +
+    "by Spark itself)") {
+    val s = spark
+    import s.implicits._
+    // no writer emits BSS here, so CONSTRUCT one: take a real
+    // uncompressed PLAIN double page, transpose its value bytes
+    // into byte planes and flip the encoding varint (same length).
+    // parquet-mr READS BSS, so Spark is a true differential for
+    // both the construction and our decoder.
+    val n = 700
+    val df = (0 until n).map(i => (i.toLong, i * 0.37 - 9.5))
+      .toDF("id", "d")
+    val bytes = writeOne(df, "uncompressed",
+      Map("parquet.enable.dictionary" -> "false"))
+    val footer = ParquetFooter.parse(bytes).get
+    val cm = footer.rowGroups.head.columns.find(_.path == "d").get
+    assert(cm.codecId == 0 && cm.numValues == n)
+    // locate the encoding byte inside the v1 DataPageHeader: walk
+    // the thrift-compact header (type/sizes varints, then the
+    // field-5 struct: num_values varint, then field 2 = encoding)
+    val off = cm.dataPageOffset.toInt
+    var p = off
+    def skipFieldVarint(): Unit = {
+      assert((bytes(p) & 0x0f) == 5) // i32 field
+      p += 1
+      while ((bytes(p) & 0x80) != 0) p += 1
+      p += 1
+    }
+    skipFieldVarint() // 1: page type
+    // skip remaining i32 fields (sizes, optional crc) to field 5
+    while ((bytes(p) & 0x0f) == 5) skipFieldVarint()
+    assert((bytes(p) & 0x0f) == 12) // field 5: DataPageHeader struct
+    p += 1
+    skipFieldVarint() // inner 1: num_values
+    assert((bytes(p) & 0x0f) == 5)
+    p += 1
+    assert(bytes(p) == 0x00, "expected PLAIN") // encoding varint
+    val patched = bytes.clone()
+    patched(p) = 0x12 // zigzag(9) = BYTE_STREAM_SPLIT
+    // the page body is the chunk's tail: values only (required
+    // column, no levels), so the final 8*n bytes of the chunk
+    val bodyStart = (cm.dataPageOffset + cm.totalCompressed).toInt -
+      8 * n
+    for (i <- 0 until n; k <- 0 until 8)
+      patched(bodyStart + k * n + i) = bytes(bodyStart + 8 * i + k)
+    // Spark's own reader accepts the construction
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bss")
+    val f = new java.io.File(tmp.toFile, "x.parquet")
+    java.nio.file.Files.write(f.toPath, patched)
+    // Spark's VECTORIZED reader lacks BSS; parquet-mr's row reader
+    // (the library Spark bundles) is the differential
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+      "false")
+    val viaSpark = try spark.read.parquet(f.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    finally spark.conf
+      .unset("spark.sql.parquet.enableVectorizedReader")
+    f.delete(); tmp.toFile.delete()
+    assert(viaSpark == (0 until n).map(i =>
+      (i.toLong, i * 0.37 - 9.5)))
+    // ...and so does ours
+    val (leaves, cols) = ParquetData.decodeFile(patched).get
+    assert(leaves(1).typeId == 5)
+    val ours = cols(0).indices.map(r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).get.asInstanceOf[Double])).sortBy(_._1)
+    assert(ours == viaSpark)
+  }
+
   test("deeper nesting rejects honestly") {
     val s = spark
     import s.implicits._
