@@ -79,13 +79,16 @@ object Avro {
     * the bare primitive at parse, the spec's reader rule.
     * `precision`/`scale` only for decimal (over bytes). */
   final case class NLogical(prim: String, logical: String,
-      precision: Int = 0, scale: Int = 0) extends NType
+      precision: Int = 0, scale: Int = 0,
+      /** fixed size when `prim` == "fixed" (decimal-over-fixed,
+        * the spark-avro layout); 0 otherwise. */
+      fixedSize: Int = 0) extends NType
 
   final case class NField(name: String, tpe: NType, nullable: Boolean)
 
   private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
     case NPrim(p)      => p
-    case NLogical(p, _, _, _) => p
+    case NLogical(p, _, _, _, _) => p
     case _: NArr       => "array"
     case _: NMap       => "map"
     case _: NEnum      => "enum"
@@ -150,7 +153,11 @@ object Avro {
   private def writeNValue(out: java.io.ByteArrayOutputStream, tpe: NType,
       v: Any): Unit = tpe match {
     case NPrim(p) => writeValue(out, p, v)
-    case NLogical(p, _, _, _) => writeValue(out, p, v)
+    case NLogical("fixed", _, _, _, size) =>
+      val b = v.asInstanceOf[Array[Byte]]
+      require(b.length == size, s"fixed size ${b.length} != $size")
+      out.write(b, 0, size)
+    case NLogical(p, _, _, _, _) => writeValue(out, p, v)
     case NArr(items, itemsNullable) =>
       val xs = v.asInstanceOf[Seq[Option[Any]]]
       if (xs.nonEmpty) {
@@ -229,7 +236,8 @@ object Avro {
     * spin past the input. */
   private def readNValue(c: Cursor, tpe: NType): Any = tpe match {
     case NPrim(p) => readValue(c, p)
-    case NLogical(p, _, _, _) => readValue(c, p)
+    case NLogical("fixed", _, _, _, size) => c.readFixed(size)
+    case NLogical(p, _, _, _, _) => readValue(c, p)
     case NArr(items, itemsNullable) =>
       val out = Seq.newBuilder[Option[Any]]
       var total = 0L
@@ -327,7 +335,11 @@ object Avro {
 
   private def typeJson(t: NType): String = t match {
     case NPrim(p) => jsonStr(p)
-    case NLogical(p, l, prec, sc) =>
+    case NLogical("fixed", l, prec, sc, size) =>
+      s"""{"type":"fixed","name":"dec_fixed_$size","size":$size,""" +
+        s""""logicalType":${jsonStr(l)},"precision":$prec,""" +
+        s""""scale":$sc}"""
+    case NLogical(p, l, prec, sc, _) =>
       val ext = if (l == "decimal")
         s""","precision":$prec,"scale":$sc""" else ""
       s"""{"type":${jsonStr(p)},"logicalType":${jsonStr(l)}$ext}"""
@@ -541,7 +553,21 @@ object Avro {
             m.get("size") match {
               case Some(d: Double)
                   if d == d.floor && d >= 1 && d <= (1 << 20) =>
-                Some(NFixed(name, d.toInt))
+                // decimal-over-fixed (the spark-avro layout):
+                // fixed-size BE two's complement at the annotation's
+                // scale; malformed annotations fall back to raw
+                m.get("logicalType") match {
+                  case Some("decimal") =>
+                    val prec = m.get("precision")
+                      .flatMap(JsonMini.long).getOrElse(-1L)
+                    val scale = m.get("scale")
+                      .flatMap(JsonMini.long).getOrElse(0L)
+                    if (prec < 1 || prec > 38 || scale < 0 ||
+                      scale > prec) Some(NFixed(name, d.toInt))
+                    else Some(NLogical("fixed", "decimal",
+                      prec.toInt, scale.toInt, d.toInt))
+                  case _ => Some(NFixed(name, d.toInt))
+                }
               case _ => None
             }
           case Some(s: String) if Prims(s) =>

@@ -67,12 +67,12 @@ object AvroSink {
       case s: Short => s.toInt
       case i        => i
     }
-    case Avro.NLogical(_, "date", _, _) => v match {
+    case Avro.NLogical(_, "date", _, _, _) => v match {
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
       case d: java.time.LocalDate => d.toEpochDay.toInt
       case other => other
     }
-    case Avro.NLogical(_, "timestamp-micros", _, _) => v match {
+    case Avro.NLogical(_, "timestamp-micros", _, _, _) => v match {
       case t: java.sql.Timestamp =>
         Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L) +
           t.toInstant.getNano / 1000L
@@ -81,14 +81,14 @@ object AvroSink {
           t.getNano / 1000L
       case other => other
     }
-    case Avro.NLogical(_, "local-timestamp-micros", _, _) => v match {
+    case Avro.NLogical(_, "local-timestamp-micros", _, _, _) => v match {
       case t: java.time.LocalDateTime =>
         Math.multiplyExact(
           t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
           t.getNano / 1000L
       case other => other
     }
-    case Avro.NLogical(_, "decimal", _, s) =>
+    case Avro.NLogical(_, "decimal", _, s, _) =>
       // unscaled big-endian two's complement at the DECLARED scale
       v.asInstanceOf[java.math.BigDecimal]
         .setScale(s).unscaledValue.toByteArray

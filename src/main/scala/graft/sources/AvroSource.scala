@@ -23,15 +23,15 @@ object AvroSource {
     case Avro.NPrim("string")  => StringType
     case Avro.NPrim(p) =>
       throw new IllegalArgumentException(s"unmapped prim $p")
-    case Avro.NLogical(_, "date", _, _) => DateType
-    case Avro.NLogical(_, "timestamp-millis", _, _) |
-         Avro.NLogical(_, "timestamp-micros", _, _) => TimestampType
-    case Avro.NLogical(_, "local-timestamp-millis", _, _) |
-         Avro.NLogical(_, "local-timestamp-micros", _, _) =>
+    case Avro.NLogical(_, "date", _, _, _) => DateType
+    case Avro.NLogical(_, "timestamp-millis", _, _, _) |
+         Avro.NLogical(_, "timestamp-micros", _, _, _) => TimestampType
+    case Avro.NLogical(_, "local-timestamp-millis", _, _, _) |
+         Avro.NLogical(_, "local-timestamp-micros", _, _, _) =>
       TimestampNTZType
-    case Avro.NLogical(_, "uuid", _, _) => StringType
-    case Avro.NLogical(_, "decimal", p, s) => DecimalType(p, s)
-    case Avro.NLogical(prim, _, _, _) =>
+    case Avro.NLogical(_, "uuid", _, _, _) => StringType
+    case Avro.NLogical(_, "decimal", p, s, _) => DecimalType(p, s)
+    case Avro.NLogical(prim, _, _, _, _) =>
       sparkType(Avro.NPrim(prim)) // time-millis/micros: raw counts
     case Avro.NArr(items, itemsNullable) =>
       ArrayType(sparkType(items), containsNull = itemsNullable)
@@ -59,26 +59,26 @@ object AvroSource {
     case Avro.NRec(_, fields) =>
       Row.fromSeq(fields.zip(v.asInstanceOf[Avro.Row]).map {
         case (f, x) => x.map(toSpark(f.tpe, _)).orNull })
-    case Avro.NLogical(_, "date", _, _) =>
+    case Avro.NLogical(_, "date", _, _, _) =>
       java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
-    case Avro.NLogical(_, "timestamp-millis", _, _) =>
+    case Avro.NLogical(_, "timestamp-millis", _, _, _) =>
       java.time.Instant.ofEpochMilli(v.asInstanceOf[Long])
-    case Avro.NLogical(_, "timestamp-micros", _, _) =>
+    case Avro.NLogical(_, "timestamp-micros", _, _, _) =>
       val us = v.asInstanceOf[Long]
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-    case Avro.NLogical(_, "local-timestamp-millis", _, _) =>
+    case Avro.NLogical(_, "local-timestamp-millis", _, _, _) =>
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(v.asInstanceOf[Long], 1000L),
         Math.floorMod(v.asInstanceOf[Long], 1000L).toInt * 1000000,
         java.time.ZoneOffset.UTC)
-    case Avro.NLogical(_, "local-timestamp-micros", _, _) =>
+    case Avro.NLogical(_, "local-timestamp-micros", _, _, _) =>
       val us = v.asInstanceOf[Long]
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(us, 1000000L),
         Math.floorMod(us, 1000000L).toInt * 1000,
         java.time.ZoneOffset.UTC)
-    case Avro.NLogical(_, "decimal", _, s) =>
+    case Avro.NLogical(_, "decimal", _, s, _) =>
       // big-endian two's-complement unscaled bytes at the schema's
       // scale (the spec's bytes-decimal form)
       new java.math.BigDecimal(

@@ -510,4 +510,51 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.parse(m).isEmpty)
     assert(sync.length == 16)
   }
+
+  test("differential: avro-java fixed-decimal (the spark-avro " +
+    "layout) -> our reader") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    val fixedSchema = Schema.createFixed("dec8", null, null, 8)
+    LogicalTypes.decimal(16, 3).addToSchema(fixedSchema)
+    val schema: Schema = SchemaBuilder.record("r").fields()
+      .name("id").`type`().longType().noDefault()
+      .name("price").`type`(fixedSchema).noDefault()
+      .endRecord()
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    val n = 40
+    val expected = (0 until n).map(i =>
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(i * 98765L - 1234567L), 3))
+    for (i <- 0 until n) {
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      // fixed-size big-endian two's complement, left-padded
+      val un = expected(i).unscaledValue.toByteArray
+      val buf = new Array[Byte](8)
+      val sign: Byte = if (expected(i).signum < 0) -1 else 0
+      java.util.Arrays.fill(buf, sign)
+      System.arraycopy(un, 0, buf, 8 - un.length, un.length)
+      rec.put("price", new GenericData.Fixed(fixedSchema, buf))
+      w.append(rec)
+    }
+    w.close()
+    val f = Avro.parse(bos.toByteArray).get
+    assert(f.nfields(1).tpe ==
+      Avro.NLogical("fixed", "decimal", 16, 3, 8))
+    // the user-facing source surfaces real BigDecimals
+    val rows = f.rows.map(r => graft.sources.AvroSource
+      .toRow(f.nfields, r))
+    val got = rows.map(r => (r.getLong(0),
+      r.getAs[java.math.BigDecimal](1)))
+    assert(got.map(_._1) == (0 until n).map(_.toLong))
+    got.map(_._2).zip(expected).foreach { case (a, b) =>
+      assert(a.compareTo(b) == 0, s"$a != $b")
+    }
+  }
 }
