@@ -333,10 +333,19 @@ object Avro {
       case c => c.toString
     } + "\""
 
-  private def typeJson(t: NType): String = t match {
+  /** Avro named types (fixed/enum/record) are GLOBAL to a schema —
+    * two fixed-decimal fields of the same byte size must not both
+    * define `dec_fixed_<size>` or conforming parsers reject the
+    * header with "Can't redefine". `ctr` is one counter per
+    * schemaJson call, making every generated fixed name unique. */
+  private def typeJson(t: NType,
+      ctr: java.util.concurrent.atomic.AtomicInteger): String =
+    t match {
     case NPrim(p) => jsonStr(p)
     case NLogical("fixed", l, prec, sc, size) =>
-      s"""{"type":"fixed","name":"dec_fixed_$size","size":$size,""" +
+      val n = ctr.getAndIncrement()
+      s"""{"type":"fixed","name":"dec_fixed_${n}_$size",""" +
+        s""""size":$size,""" +
         s""""logicalType":${jsonStr(l)},"precision":$prec,""" +
         s""""scale":$sc}"""
     case NLogical(p, l, prec, sc, _) =>
@@ -344,36 +353,40 @@ object Avro {
         s""","precision":$prec,"scale":$sc""" else ""
       s"""{"type":${jsonStr(p)},"logicalType":${jsonStr(l)}$ext}"""
     case NArr(items, nullable) =>
-      val it = if (nullable) s"""["null",${typeJson(items)}]"""
-        else typeJson(items)
+      val it = if (nullable) s"""["null",${typeJson(items, ctr)}]"""
+        else typeJson(items, ctr)
       s"""{"type":"array","items":$it}"""
     case NMap(values, nullable) =>
-      val vt = if (nullable) s"""["null",${typeJson(values)}]"""
-        else typeJson(values)
+      val vt = if (nullable) s"""["null",${typeJson(values, ctr)}]"""
+        else typeJson(values, ctr)
       s"""{"type":"map","values":$vt}"""
     case NEnum(name, symbols) =>
       s"""{"type":"enum","name":${jsonStr(name)},"symbols":[""" +
         symbols.map(jsonStr).mkString(",") + "]}"
-    case NRec(name, fields) => recordJson(name, fields)
+    case NRec(name, fields) => recordJson(name, fields, ctr)
     case NFixed(name, size) =>
       s"""{"type":"fixed","name":${jsonStr(name)},"size":$size}"""
   }
 
-  private def recordJson(name: String, fields: Seq[NField]): String =
+  private def recordJson(name: String, fields: Seq[NField],
+      ctr: java.util.concurrent.atomic.AtomicInteger): String =
     s"""{"type":"record","name":${jsonStr(name)},"fields":[""" +
       fields.map { f =>
-        val t = if (f.nullable) s"""["null",${typeJson(f.tpe)}]"""
-          else typeJson(f.tpe)
+        val t = if (f.nullable)
+            s"""["null",${typeJson(f.tpe, ctr)}]"""
+          else typeJson(f.tpe, ctr)
         s"""{"name":${jsonStr(f.name)},"type":$t}"""
       }.mkString(",") + "]}"
 
   /** The schema JSON a [[build]] call embeds. */
   def schemaJson(recordName: String, fields: Seq[Field]): String =
-    recordJson(recordName, fields.map(toNested))
+    recordJson(recordName, fields.map(toNested),
+      new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** [[schemaJson]] for the full recursive type model. */
   def schemaJsonNested(recordName: String, fields: Seq[NField]): String =
-    recordJson(recordName, fields)
+    recordJson(recordName, fields,
+      new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** One container file: header (magic, metadata map with schema +
     * codec, sync marker), then blocks of `blockRows` rows each. The
@@ -446,7 +459,8 @@ object Avro {
   def buildNested(recordName: String, fields: Seq[NField], rows: Seq[Row],
       codec: String = "null", blockRows: Int = 1000): Array[Byte] = {
     require(Codecs(codec), s"codec $codec")
-    val schema = recordJson(recordName, fields)
+    val schema = recordJson(recordName, fields,
+      new java.util.concurrent.atomic.AtomicInteger(0))
     val sync = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$schema#${rows.length}".getBytes("UTF-8"))
     val out = new java.io.ByteArrayOutputStream()

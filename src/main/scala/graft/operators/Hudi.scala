@@ -291,6 +291,18 @@ object Hudi {
           }
         }
         .sortBy(_._1)
+      // A retried writer can leave two log files with the same
+      // version but different write tokens (Hudi's marker
+      // reconciliation normally deletes the loser). Merging both
+      // would double-apply records with an ambiguous order — fail
+      // loudly instead of guessing which token won.
+      val dupVers = logs.groupBy(_._1).collect {
+        case (v, fs) if fs.size > 1 => v
+      }
+      require(dupVers.isEmpty,
+        s"duplicate hudi log version(s) ${dupVers.toSeq.sorted
+          .mkString(",")} for file group $fid@$bi (retried writer " +
+          "left multiple write tokens; honest rejection)")
       Slice(part, fid, bi, base.getAbsolutePath, logs)
     }
 

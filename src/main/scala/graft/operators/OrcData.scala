@@ -461,6 +461,14 @@ object OrcData {
           if (nanos < 0 || nanos > 999999999L) return None
           // nanos count FORWARD from the (possibly negative) second
           micros(ti) = (sec(ti) + base) * 1000000L + nanos / 1000
+          // Writers compute the stored second as millis/1000, which
+          // TRUNCATES toward zero for pre-1970 values — the stored
+          // second is one too high whenever a negative timestamp has
+          // a fractional part >= 1 ms. orc-core's readers compensate
+          // (TimestampTreeReader / C++ TimestampColumnReader); so do
+          // we, or pre-1970 sub-second values decode 1 s late.
+          if (sec(ti) + base < 0 && nanos > 999999L)
+            micros(ti) -= 1000000L
           ti += 1
         }
         Some(assemble(micros(_)))

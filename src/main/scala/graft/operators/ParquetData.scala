@@ -219,7 +219,13 @@ object ParquetData {
       numValues: Int, encoding: Int,
       // v2 extras: numNulls, defLen, repLen, isCompressed
       numNulls: Int, defLen: Int, repLen: Int, v2Compressed: Boolean,
-      headerLen: Int)
+      headerLen: Int,
+      // v1 level encodings (DataPageHeader fields 3/4). parquet-mr
+      // records BIT_PACKED(4) when the max level is 0 (zero level
+      // bytes on the wire) and RLE(3) otherwise; walkChunk only
+      // parses levels when the max level is > 0, so the gate lives
+      // there, not here.
+      defEnc: Int, repEnc: Int)
 
   private def pageHeader(data: Array[Byte], off: Long)
       : Option[PageHdr] = {
@@ -234,6 +240,8 @@ object ParquetData {
     var defLen = 0
     var repLen = 0
     var v2comp = true
+    var defEnc = 3 // RLE unless the v1 header says otherwise
+    var repEnc = 3
     struct(c, 0) { (fid, t) =>
       fid match {
         case 1 => tpe = c.zigzag().toInt; true
@@ -244,6 +252,13 @@ object ParquetData {
             sf match {
               case 1 => nv = c.zigzag().toInt; true
               case 2 => enc = c.zigzag().toInt; true
+              // walkChunk parses v1 levels as the u32-length-
+              // prefixed RLE hybrid unconditionally; a legacy
+              // BIT_PACKED(4) level encoding would be MISparsed
+              // (its first bytes consumed as a bogus length), so
+              // anything but RLE(3) must reject at the header.
+              case 3 => defEnc = c.zigzag().toInt; true
+              case 4 => repEnc = c.zigzag().toInt; true
               case _ => false
             }
           }
@@ -277,7 +292,7 @@ object ParquetData {
     if (comp > MaxBytes || uncomp > MaxBytes) return None
     if (off + (c.p - off.toInt) + comp > data.length) return None
     Some(PageHdr(tpe, uncomp, comp, nv, enc, nNulls, defLen, repLen,
-      v2comp, c.p - off.toInt))
+      v2comp, c.p - off.toInt, defEnc, repEnc))
   }
 
   // ---------------------------------------------------------------
@@ -720,6 +735,14 @@ object ParquetData {
             .getOrElse(return None)._1
         case 0 => // DATA_PAGE v1
           if (h.numValues < 0 || h.numValues > remaining) return None
+          // levels() below parses the u32-length-prefixed RLE
+          // hybrid; a legacy BIT_PACKED level run would be
+          // MISparsed (its first bytes read as a bogus length), so
+          // reject any non-RLE level encoding that will actually
+          // be consumed. With max level 0 there are no level bytes
+          // and the recorded encoding is irrelevant.
+          if (reps != null && h.repEnc != 3) return None
+          if (defs != null && h.defEnc != 3) return None
           val bytes = decompress(col.codecId, raw, h.uncomp)
             .getOrElse(return None)
           var pos = 0

@@ -159,6 +159,45 @@ class OrcDataSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: pre-1970 sub-second timestamps (writer's " +
+    "truncating millis/1000 needs the one-second read repair)") {
+    val s = spark
+    import s.implicits._
+    // negative epochs with fractional seconds at several magnitudes:
+    // exactly the shape where the stored second is one too high and
+    // orc-core's readers subtract a second on decode
+    val micros = Seq(
+      -1L, -999999L, -1000000L, -1500000L, -1000001L,
+      -86400000000L - 123000L, // 1969-12-31 with .123 s
+      -86400000000L, 0L, 1L, 999999L,
+      -2208988800000000L + 250000L, // 1900-01-01 + .25 s
+      1500000L)
+    val df = micros.zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }.toDF("id", "m")
+      .selectExpr("id", "timestamp_micros(m) AS ts")
+    val bytes = writeOne(df, "zstd")
+    val (leaves, cols) = OrcData.decodeFile(bytes).get
+    assert(leaves.map(_.kind) == Seq(4, 9))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orcn")
+    val f = new java.io.File(tmp.toFile, "x.orc")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val viaSpark = spark.read.orc(f.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant))
+      .sortBy(_._1)
+    f.delete(); tmp.toFile.delete()
+    val ours = cols(0).indices.map { r =>
+      val mi = cols(1)(r).get.asInstanceOf[Long]
+      (cols(0)(r).get.asInstanceOf[Long],
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(mi, 1000000L),
+          Math.floorMod(mi, 1000000L) * 1000L))
+    }.sortBy(_._1)
+    assert(ours.length == viaSpark.length)
+    ours.zip(viaSpark).foreach { case (a, b) =>
+      assert(a == b, s"pre-1970 ts mismatch: ours $a vs spark $b")
+    }
+  }
+
   test("differential: list columns (length runs + child slicing)") {
     val s = spark
     import s.implicits._
