@@ -7409,6 +7409,85 @@ object Pipeline {
       DeltaLog.commit(s, t, 2L, app.map(DeltaLog.addJson))
     }
 
+  /** Delta Change Data Feed fixture: CDF-enabled table, v0 create
+    * (inserts), v1 UPDATE carrying real `cdc` actions + a
+    * `_change_data` parquet file (pre/postimage rows), v2 DELETE
+    * with plain remove actions (no cdc — the reader must DERIVE
+    * delete rows from the removed files' prior-version content). */
+  private def deltaCdfFixtureRoot(s: SparkSession, dir: String)
+      : String =
+    formatFixtureDir(dir, "deltacdf", "lineitem") { out =>
+      import graft.operators.DeltaLog
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_orderkey % 4 AS bucket")
+      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"),
+        configuration =
+          Map("delta.enableChangeDataFeed" -> "true"))
+      // v1: UPDATE bucket=3 rows with l_quantity > 45 (qty += 5),
+      // rewriting the partition and recording pre/postimages as a
+      // cdc file
+      val snap0 = DeltaLog.snapshot(s, t)
+      val victims = snap0.files.filter(
+        _.partitionValues.get("bucket").contains("3"))
+      val b3new = base.filter("bucket = 3").drop("bucket")
+        .withColumn("l_quantity",
+          expr("CASE WHEN l_quantity > 45 THEN l_quantity + 5 " +
+            "ELSE l_quantity END"))
+      b3new.write.parquet(s"$t/bucket=3/rw")
+      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
+        .filter(_.path.startsWith("bucket=3/rw/"))
+      val touched = base.filter("bucket = 3 AND l_quantity > 45")
+        .drop("bucket")
+      val cdcDf = touched
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(touched
+          .withColumn("l_quantity", expr("l_quantity + 5"))
+          .withColumn("_change_type", lit("update_postimage")))
+      cdcDf.coalesce(1).write.parquet(s"$t/_change_data/b3")
+      val cdcFiles = Option(new java.io.File(s"$t/_change_data/b3")
+        .listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      require(cdcFiles.nonEmpty, "cdc fixture wrote no parquet")
+      DeltaLog.commit(s, t, 1L,
+        victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+          rewrite.map(DeltaLog.addJson) ++
+          cdcFiles.map(f => DeltaLog.cdcJson(
+            s"_change_data/b3/${f.getName}",
+            Map("bucket" -> "3"), f.length())))
+      // v2: DELETE the whole bucket=0 partition — remove actions
+      // only, no cdc; CDF must derive the delete rows
+      val snap1 = DeltaLog.snapshot(s, t)
+      val victims0 = snap1.files.filter(
+        _.partitionValues.get("bucket").contains("0"))
+      DeltaLog.commit(s, t, 2L,
+        victims0.map(f => DeltaLog.removeJson(f.path, 2L)))
+    }
+
+  /** Delta Change Data Feed read (r13): `table_changes(0, 2)` over
+    * the CDF fixture — v0 inserts from add actions, v1
+    * update pre/postimages from REAL `cdc` actions + `_change_data`
+    * files, v2 deletes DERIVED from remove actions against the
+    * prior snapshot — aggregated per (change type, version,
+    * bucket). The oracle replays the same history analytically, so
+    * a wrong change classification, a missed preimage, a cdc file
+    * leaking into snapshots or a mis-derived delete flips the
+    * hash. */
+  private def deltaCdfScan(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = deltaCdfFixtureRoot(s, dir)
+    graft.operators.DeltaLog.tableChanges(s, s"$root/tbl", 0L, 2L)
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("qsum"),
+        sum("l_orderkey").as("oksum"))
+      .orderBy("change_type", "commit_version", "bucket")
+  }
+
   /** Delta lakehouse scan (r12) — the LATEST snapshot of the
     * fixture table read through OUR transaction-log reconstruction
     * (checkpoint at v1 + the v2 JSON tail; add/remove replay;
@@ -8699,6 +8778,104 @@ object Pipeline {
     pq.unionByName(orc).orderBy("fmt", "doc_id")
   }
 
+  /** Recursively nested columns from raw bytes, BOTH columnar
+    * formats (r13): one fixture with a `list<struct<n, lang>>`
+    * column (the annotation-span shape — null lists, empty lists,
+    * null elements, null fields) and a `struct<struct>` column,
+    * written as zstd parquet AND zstd ORC and decoded by the two
+    * from-scratch DEEP readers — parquet's full Dremel record
+    * assembly over (rep, def) level streams, ORC's type-tree
+    * recursion over present/length streams — then reduced to per-doc
+    * facts under one oracle with a format column. Any level-
+    * arithmetic, record-assembly or slicing bug in either reader
+    * flips the hash. */
+  private def columnarNestedDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val root = formatFixtureDir(dir, "colnested", "documents") { out =>
+      val df = Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+            "transform(slice(sequence(0L, 3L), 1, " +
+            "CAST(doc_id % 4 AS INT)), k -> " +
+            "CASE WHEN (doc_id + k) % 7 = 6 THEN NULL ELSE " +
+            "named_struct('n', (doc_id * 10 + k) % 1000, " +
+            "'lang', CASE WHEN (doc_id + k) % 5 = 4 THEN NULL " +
+            "ELSE lang END) END) END AS spans",
+          "CASE WHEN doc_id % 11 = 7 THEN NULL ELSE named_struct(" +
+            "'a', doc_id * 3, " +
+            "'inner', CASE WHEN doc_id % 6 = 2 THEN NULL ELSE " +
+            "named_struct('lang', lang, " +
+            "'b', CASE WHEN doc_id % 4 = 1 THEN NULL " +
+            "ELSE doc_id * 7 END) END) END AS meta2")
+        .coalesce(2)
+      df.write.option("compression", "zstd").parquet(s"$out/pq")
+      df.write.option("compression", "zstd").orc(s"$out/orc")
+    }
+    // (doc_id, spans facts, meta2 facts) from DECODED rows; both
+    // readers share the Seq[Option[Any]] value conventions, only
+    // the string representation differs (parquet: utf8 bytes)
+    type Facts = (Long, Option[Long], Option[Long], Option[Long],
+      Option[Long], Option[Long], Option[String], Option[Long])
+    def reduce(ids: IndexedSeq[Option[Any]],
+        spans: IndexedSeq[Option[Any]],
+        metas: IndexedSeq[Option[Any]],
+        str: Any => String): Seq[Facts] =
+      ids.indices.map { r =>
+        val id = ids(r).get.asInstanceOf[Long]
+        val sp = spans(r).map(_.asInstanceOf[Seq[Option[Any]]])
+        val nSpans = sp.map(_.length.toLong)
+        val nSum = sp.map(_.flatten.map(e =>
+          e.asInstanceOf[Seq[Option[Any]]].head.get
+            .asInstanceOf[Long]).sum)
+        val nNull = sp.map(_.count(_.isEmpty).toLong)
+        val nLang = sp.map(_.flatten.count(e =>
+          e.asInstanceOf[Seq[Option[Any]]](1).isDefined).toLong)
+        val mt = metas(r).map(_.asInstanceOf[Seq[Option[Any]]])
+        val a = mt.map(_.head.get.asInstanceOf[Long])
+        val inner = mt.flatMap(_(1))
+          .map(_.asInstanceOf[Seq[Option[Any]]])
+        val iLang = inner.map(i => str(i.head.get))
+        val iB = inner.flatMap(_(1)).map(_.asInstanceOf[Long])
+        (id, nSpans, nSum, nNull, nLang, a, iLang, iB)
+      }
+    def facts(fmt: String, glob: String, sub: String,
+        decode: Array[Byte] => Seq[Facts]): DataFrame =
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(s"$root/$sub")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => decode(b).iterator.map { f =>
+          (fmt, f._1, f._2, f._3, f._4, f._5, f._6, f._7, f._8)
+        })
+        .toDF("fmt", "doc_id", "n_spans", "span_n_sum",
+          "n_null_spans", "n_lang", "a", "inner_lang", "inner_b")
+    val pq = facts("parquet", "*.parquet", "pq", { bytes =>
+      import graft.operators.{ParquetData => PD}
+      val (nodes, cols) = PD.decodeFileDeep(bytes).getOrElse(
+        sys.error("parquet nested file does not deep-decode"))
+      require(nodes(1).isInstanceOf[PD.DeepList] &&
+        nodes(1).asInstanceOf[PD.DeepList].elem
+          .isInstanceOf[PD.DeepStruct],
+        "fixture shape drifted: spans is not list<struct>")
+      reduce(cols(0), cols(1), cols(2),
+        v => new String(v.asInstanceOf[Array[Byte]], "UTF-8"))
+    })
+    val orc = facts("orc", "*.orc", "orc", { bytes =>
+      import graft.operators.{OrcData => OD}
+      val (nodes, cols) = OD.decodeFileDeep(bytes).getOrElse(
+        sys.error("orc nested file does not deep-decode"))
+      require(nodes(1).isInstanceOf[OD.OrcListNode] &&
+        nodes(1).asInstanceOf[OD.OrcListNode].elem
+          .isInstanceOf[OD.OrcStructNode],
+        "fixture shape drifted: spans is not list<struct>")
+      reduce(cols(0), cols(1), cols(2), _.asInstanceOf[String])
+    })
+    pq.unionByName(orc).orderBy("fmt", "doc_id")
+  }
+
   /** MediaWiki dump ingest (r12): the canonical public text-corpus
     * source — per-shard `pages-articles-multistream.xml.bz2` blobs
     * (OUR bzip2 writes several concatenated streams per shard, the
@@ -8928,6 +9105,48 @@ object Pipeline {
       Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4
       Hudi.pendingDeltaCommit(s, base.where("pb = '1'")
         .withColumn("qty", expr("qty + 1000")), tbl, "sk", "pb")
+    }
+    Hudi.read(s, s"$root/tbl")
+      .groupBy("pb")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("sk").as("nk"),
+        max("_hoodie_commit_time").as("mct"))
+      .orderBy("pb")
+  }
+
+  /** Hudi MOR with PARQUET log blocks (r13): the
+    * `hoodie.logfile.data.block.format=parquet` shape (also what
+    * compaction with parquet log output leaves behind) — log blocks
+    * whose content IS a complete parquet file, decoded by the
+    * repo's own from-scratch page walker inside the merge, MIXED
+    * with avro blocks and a delete wave in one log chain. The
+    * oracle replays the history analytically; survivors' winning
+    * commit times pin the cross-format merge ordering. */
+  private def hudiMorParquetLog(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Hudi
+    val root = formatFixtureDir(dir, "huditblmorpq", "lineitem") {
+      out =>
+      val base = Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey * 10 + l_linenumber AS sk",
+        "cast(l_orderkey % 4 as string) AS pb",
+        "l_quantity")
+        .groupBy("sk", "pb")
+        .agg(sum("l_quantity").as("qty"))
+      val tbl = s"$out/tbl"
+      Hudi.createMor(s, base, tbl, "sk", "pb") // dc 1: base files
+      val upd1 = base.where("(sk div 10) % 10 = 0")
+        .withColumn("qty", expr("qty + 100"))
+      Hudi.upsertMorParquetLog(s, upd1, tbl, "sk", "pb") // dc 2
+      Hudi.deleteMor(s, base.where("pb = '2' and qty < 10"),
+        tbl, "sk", "pb") // dc 3: delete blocks
+      val upd2 = base.where("pb = '3' and qty > 40")
+        .withColumn("qty", expr("qty + 7"))
+      Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4: avro
+      val upd3 = base.where("pb = '0' and qty > 30")
+        .withColumn("qty", expr("qty + 11"))
+      Hudi.upsertMorParquetLog(s, upd3, tbl, "sk", "pb") // dc 5
     }
     Hudi.read(s, s"$root/tbl")
       .groupBy("pb")
@@ -11985,6 +12204,7 @@ object Pipeline {
     "parquet_list_decode" -> parquetListDecode _,
     "wikidump_parse"    -> wikidumpParse _,
     "columnar_struct_decode" -> columnarStructDecode _,
+    "columnar_nested_decode" -> columnarNestedDecode _,
     "orc_data_decode"   -> orcDataDecode _,
     "orc_list_decode"   -> orcListDecode _,
     "parquet_bloom_probe" -> parquetBloomProbe _,
@@ -11992,10 +12212,12 @@ object Pipeline {
     "orc_row_index"     -> orcRowIndex _,
     "hudi_snapshot"     -> hudiSnapshot _,
     "hudi_mor_snapshot" -> hudiMorSnapshot _,
+    "hudi_mor_parquet_log" -> hudiMorParquetLog _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
     "delta_scan"        -> deltaScan _,
+    "delta_cdf_scan"    -> deltaCdfScan _,
     "delta_time_travel" -> deltaTimeTravel _,
     "delta_dv_scan"     -> deltaDvScan _,
     "delta_column_mapping" -> deltaColumnMapping _,
@@ -14422,6 +14644,55 @@ object Pipeline {
         |  CASE WHEN doc_id % 17 = 3 OR doc_id % 11 = 10 THEN NULL
         |    ELSE lang END AS lang
         |FROM d, f ORDER BY fmt, doc_id""".stripMargin,
+    // the SAME recursively-nested fixture (list<struct> spans +
+    // struct<struct> metadata) through BOTH from-scratch DEEP
+    // readers (parquet Dremel assembly, ORC type-tree recursion),
+    // reduced to per-doc facts under one oracle
+    "columnar_nested_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0),
+        |sp AS (
+        |  SELECT d.doc_id AS sid, g.k,
+        |    CASE WHEN (d.doc_id + g.k) % 7 = 6 THEN NULL
+        |      ELSE (d.doc_id * 10 + g.k) % 1000 END AS n,
+        |    CASE WHEN (d.doc_id + g.k) % 7 = 6
+        |        OR (d.doc_id + g.k) % 5 = 4
+        |      THEN NULL ELSE d.lang END AS slang
+        |  FROM d, generate_series(0, 3) g(k)
+        |  WHERE g.k < d.doc_id % 4 AND d.doc_id % 13 <> 9),
+        |agg AS (
+        |  SELECT sid,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS span_n_sum,
+        |    CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_spans,
+        |    CAST(SUM(CASE WHEN slang IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_lang
+        |  FROM sp GROUP BY 1),
+        |f(fmt) AS (VALUES ('orc'), ('parquet'))
+        |SELECT f.fmt, d.doc_id,
+        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(COALESCE(a.n_spans, 0) AS BIGINT)
+        |    END AS n_spans,
+        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(COALESCE(a.span_n_sum, 0) AS BIGINT)
+        |    END AS span_n_sum,
+        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(COALESCE(a.n_null_spans, 0) AS BIGINT)
+        |    END AS n_null_spans,
+        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
+        |    ELSE CAST(COALESCE(a.n_lang, 0) AS BIGINT)
+        |    END AS n_lang,
+        |  CASE WHEN d.doc_id % 11 = 7 THEN NULL
+        |    ELSE d.doc_id * 3 END AS a,
+        |  CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 6 = 2 THEN NULL
+        |    ELSE d.lang END AS inner_lang,
+        |  CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 6 = 2
+        |      OR d.doc_id % 4 = 1
+        |    THEN NULL ELSE d.doc_id * 7 END AS inner_b
+        |FROM d CROSS JOIN f LEFT JOIN agg a ON a.sid = d.doc_id
+        |ORDER BY fmt, doc_id""".stripMargin,
     // OUR bzip2 multistream + MediaWiki export-schema scanner: ids,
     // namespaces, redirects and wikitext all from PARSED pages
     "wikidump_parse" ->
@@ -14603,6 +14874,32 @@ object Pipeline {
         |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
         |  max(ct) AS mct
         |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
+    // MOR again with PARQUET log blocks (the
+    // logfile.data.block.format=parquet shape) MIXED with avro
+    // blocks + deletes in one chain; our own page walker decodes
+    // the block contents inside the merge
+    "hudi_mor_parquet_log" ->
+      """WITH b AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
+        |    sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT sk, pb,
+        |    CASE WHEN pb = '0' AND qty > 30 THEN qty + 11
+        |      WHEN pb = '3' AND qty > 40 THEN qty + 7
+        |      WHEN (sk // 10) % 10 = 0 THEN qty + 100
+        |      ELSE qty END AS qty2,
+        |    CASE WHEN pb = '0' AND qty > 30 THEN '00000000000005'
+        |      WHEN pb = '3' AND qty > 40 THEN '00000000000004'
+        |      WHEN (sk // 10) % 10 = 0 THEN '00000000000002'
+        |      ELSE '00000000000001' END AS ct
+        |  FROM b WHERE NOT (pb = '2' AND qty < 10))
+        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(qty2), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
+        |  max(ct) AS mct
+        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
     // ...and from ONNX ModelProto initializers, storage path
     // rotating raw_data/typed-packed by shard parity; graph facts
     // (shard id, MatMul→Relu ops) ride along
@@ -14694,6 +14991,31 @@ object Pipeline {
     // (qty ≤ 10 gone), append duplicating bucket 2 rows with
     // qty > 40. ONE oracle, both formats.
     "delta_scan" -> lakehouseScanOracleSql,
+    // Change Data Feed: v0 inserts (add actions), v1 update
+    // pre/postimages (REAL cdc actions + _change_data files), v2
+    // deletes DERIVED from remove actions vs the prior snapshot
+    "delta_cdf_scan" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_quantity,
+        |    l_orderkey % 4 AS bucket FROM lineitem),
+        |ch AS (
+        |  SELECT 'insert' AS change_type, 0 AS commit_version,
+        |    bucket, l_quantity, l_orderkey FROM b
+        |  UNION ALL
+        |  SELECT 'update_preimage', 1, bucket, l_quantity,
+        |    l_orderkey FROM b WHERE bucket = 3 AND l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'update_postimage', 1, bucket, l_quantity + 5,
+        |    l_orderkey FROM b WHERE bucket = 3 AND l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'delete', 2, bucket, l_quantity, l_orderkey
+        |  FROM b WHERE bucket = 0)
+        |SELECT change_type,
+        |  CAST(commit_version AS BIGINT) AS commit_version, bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS qsum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS oksum
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "iceberg_scan" -> lakehouseScanOracleSql,
     // the same table at its first version: Delta via pure JSON
     // replay (the later checkpoint must be IGNORED), Iceberg via

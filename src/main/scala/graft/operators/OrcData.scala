@@ -7,8 +7,11 @@ package graft.operators
   * completing the audit story ([[OrcTail]] reads the metadata, this
   * reads the columns).
   *
-  * Scope — flat fields plus one level of LIST/MAP/STRUCT (deeper
-  * nesting and unions reject honestly):
+  * Scope — flat fields plus one level of LIST/MAP/STRUCT via the
+  * fast-path entry points, and ARBITRARY nesting depth
+  * (list<struct>, struct<struct>, list<list>, maps of nested
+  * values) via [[decodeFileDeep]]'s type-tree recursion; unions
+  * reject honestly:
   *  - Integer runs: RLEv1 (run/literal with delta bytes) and RLEv2
   *    with ALL FOUR sub-encodings — SHORT_REPEAT, DIRECT (MSB-first
   *    bit packing, the 5-bit closest-fixed-width table),
@@ -33,7 +36,8 @@ package graft.operators
   *    sliced per row (the token-column shape, symmetric with
   *    [[ParquetData]]'s list support).
   *  - MAP of scalars: LENGTH runs + zipped key/value children.
-  *  - Unions and deeper nesting reject honestly.
+  *  - Nested containers recurse ([[decodeFileDeep]]); unions
+  *    reject honestly.
   *
   * Streams decompress through [[OrcTail.decodeStream]] (the chunked
   * codec framing — zlib/snappy/lz4/zstd/none); stream offsets
@@ -820,5 +824,223 @@ object OrcData {
     val tail = OrcTail.parseTail(data).getOrElse(return None)
     val leaves = flatLeaves(tail).getOrElse(return None)
     decodeFileNested(data).map { case (_, cols) => (leaves, cols) }
+  }
+
+  // ---------------------------------------------------------------
+  // Recursive nested decode (round 13): arbitrary depth —
+  // list<struct>, struct<struct>, list<list>, maps of nested
+  // values. ORC nests naturally: every column has its own PRESENT
+  // stream, containers carry LENGTH runs, and a child column's
+  // row count is the parent's non-null (or total-element) count —
+  // so the decode is a plain recursion over the type tree, leaf
+  // decode unchanged.
+  // ---------------------------------------------------------------
+
+  /** Recursive ORC schema node (mirrors the footer's type tree). */
+  sealed trait OrcNode {
+    def name: String
+    def colId: Int
+    def kind: Int
+  }
+  final case class OrcScalar(name: String, colId: Int, kind: Int)
+    extends OrcNode
+  final case class OrcStructNode(name: String, colId: Int,
+      fields: Seq[OrcNode]) extends OrcNode {
+    def kind: Int = 12
+  }
+  final case class OrcListNode(name: String, colId: Int,
+      elem: OrcNode) extends OrcNode {
+    def kind: Int = 10
+  }
+  final case class OrcMapNode(name: String, colId: Int,
+      key: OrcNode, value: OrcNode) extends OrcNode {
+    def kind: Int = 11
+  }
+
+  /** The full recursive schema; None on unions or malformed type
+    * trees (honest rejection). */
+  def deepShapes(tail: Tail): Option[Seq[OrcNode]] = {
+    val types = tail.types
+    if (types.isEmpty || types.head.kind != 12) return None
+    def parse(id: Int, name: String, depth: Int): Option[OrcNode] = {
+      if (id < 0 || id >= types.length || depth > 32) return None
+      val t = types(id)
+      if (ScalarKinds(t.kind) && t.subtypes.isEmpty)
+        Some(OrcScalar(name, id, t.kind))
+      else if (t.kind == 10 && t.subtypes.length == 1)
+        parse(t.subtypes.head, "item", depth + 1)
+          .map(OrcListNode(name, id, _))
+      else if (t.kind == 11 && t.subtypes.length == 2)
+        for {
+          k <- parse(t.subtypes(0), "key", depth + 1)
+          v <- parse(t.subtypes(1), "value", depth + 1)
+        } yield OrcMapNode(name, id, k, v)
+      else if (t.kind == 12 &&
+        t.subtypes.length == t.fieldNames.length &&
+        t.subtypes.nonEmpty) {
+        val fs = t.subtypes.zip(t.fieldNames).map {
+          case (cid, cname) =>
+            parse(cid, cname, depth + 1).getOrElse(return None)
+        }
+        Some(OrcStructNode(name, id, fs))
+      } else None // union / malformed
+    }
+    val root = types.head
+    if (root.subtypes.length != root.fieldNames.length) return None
+    Some(root.subtypes.zip(root.fieldNames).map {
+      case (id, name) => parse(id, name, 0).getOrElse(return None)
+    })
+  }
+
+  /** Decode one node of one stripe for `count` slots (rows for
+    * top-level nodes, parent non-null/element counts below). */
+  private def decodeStripeNode(data: Array[Byte], tail: Tail,
+      count: Long, streams: Seq[(OrcStream, Long)],
+      sf: OrcTail.StripeFooter, node: OrcNode)
+      : Option[IndexedSeq[Option[Any]]] = {
+    val rows = count.toInt
+    if (rows < 0 || count > MaxValues) return None
+    def streamBytes(colId: Int, kind: Int): Option[Array[Byte]] =
+      streams.find { case (s, _) =>
+        s.column == colId && s.kind == kind
+      }.map { case (s, off) =>
+        OrcTail.decodeStream(data, off, s.length, tail.compression,
+          tail.blockSize).getOrElse(return None)
+      }
+    // Some(null) = no PRESENT stream (all rows present); None =
+    // the stream exists but is malformed
+    def presentOf(colId: Int): Option[Array[Boolean]] =
+      streamBytes(colId, 0) match {
+        case Some(pb) => boolRle(pb, rows) match {
+          case Some(a) => Some(a)
+          case None => None
+        }
+        case None => Some(null)
+      }
+    def lengthsOf(colId: Int, nNonNull: Int)
+        : Option[(Array[Long], Long)] = {
+      val encKind = sf.encodings.lift(colId)
+        .getOrElse(return None).kind
+      val lb = streamBytes(colId, 2).getOrElse(return None)
+      val lens = intRun(lb, nNonNull, signed = false, encKind)
+        .getOrElse(return None)
+      var total = 0L
+      lens.foreach { l =>
+        if (l < 0) return None
+        total += l
+        if (total > MaxValues) return None
+      }
+      Some((lens, total))
+    }
+    node match {
+      case sc: OrcScalar =>
+        val enc = sf.encodings.lift(sc.colId).getOrElse(return None)
+        decodeStripeColumn(data, tail, count, streams, enc.kind,
+          enc.dictionarySize, sc.colId, OrcLeaf(sc.name, sc.kind),
+          sf.timezone)
+      case st: OrcStructNode =>
+        val present = presentOf(st.colId).getOrElse(return None)
+        val nNonNull =
+          if (present == null) rows else present.count(identity)
+        val kids = st.fields.map { f =>
+          decodeStripeNode(data, tail, nNonNull.toLong, streams,
+            sf, f).getOrElse(return None)
+        }
+        val out = IndexedSeq.newBuilder[Option[Any]]
+        var vi = 0
+        var r = 0
+        while (r < rows) {
+          if (present != null && !present(r)) out += None
+          else {
+            out += Some(kids.map(_(vi)): Seq[Option[Any]])
+            vi += 1
+          }
+          r += 1
+        }
+        Some(out.result())
+      case ls: OrcListNode =>
+        val present = presentOf(ls.colId).getOrElse(return None)
+        val nNonNull =
+          if (present == null) rows else present.count(identity)
+        val (lens, totalElems) = lengthsOf(ls.colId, nNonNull)
+          .getOrElse(return None)
+        val child = decodeStripeNode(data, tail, totalElems,
+          streams, sf, ls.elem).getOrElse(return None)
+        val out = IndexedSeq.newBuilder[Option[Any]]
+        var li = 0
+        var off = 0
+        var r = 0
+        while (r < rows) {
+          if (present != null && !present(r)) out += None
+          else {
+            val n = lens(li).toInt
+            li += 1
+            out += Some(child.slice(off, off + n)
+              : Seq[Option[Any]])
+            off += n
+          }
+          r += 1
+        }
+        if (off != totalElems) None else Some(out.result())
+      case mp: OrcMapNode =>
+        val present = presentOf(mp.colId).getOrElse(return None)
+        val nNonNull =
+          if (present == null) rows else present.count(identity)
+        val (lens, totalElems) = lengthsOf(mp.colId, nNonNull)
+          .getOrElse(return None)
+        val ks = decodeStripeNode(data, tail, totalElems, streams,
+          sf, mp.key).getOrElse(return None)
+        val vs = decodeStripeNode(data, tail, totalElems, streams,
+          sf, mp.value).getOrElse(return None)
+        val out = IndexedSeq.newBuilder[Option[Any]]
+        var li = 0
+        var off = 0
+        var r = 0
+        while (r < rows) {
+          if (present != null && !present(r)) out += None
+          else {
+            val n = lens(li).toInt
+            li += 1
+            out += Some((off until off + n).map(e =>
+              Some(Seq(ks(e), vs(e)): Seq[Option[Any]]))
+              : Seq[Option[Any]])
+            off += n
+          }
+          r += 1
+        }
+        if (off != totalElems) None else Some(out.result())
+    }
+  }
+
+  /** Decode a file of ANY supported nesting depth (structs as
+    * field-order Seq[Option[Any]], lists/maps as element/entry
+    * seqs, None at every null depth — the [[decodeFileNested]]
+    * conventions, recursively). */
+  def decodeFileDeep(data: Array[Byte])
+      : Option[(Seq[OrcNode], Seq[IndexedSeq[Option[Any]]])] = {
+    val tail = OrcTail.parseTail(data).getOrElse(return None)
+    val nodes = deepShapes(tail).getOrElse(return None)
+    if (tail.numRows > MaxValues) return None
+    val cols = Array.fill(nodes.length)(
+      IndexedSeq.newBuilder[Option[Any]])
+    tail.stripes.foreach { stripe =>
+      val sf = OrcTail.parseStripeFooter(data, stripe,
+        tail.compression, tail.blockSize).getOrElse(return None)
+      var off = stripe.offset
+      val withOff = sf.streams.map { s =>
+        val o = off
+        off += s.length
+        (s, o)
+      }
+      if (off > stripe.offset + stripe.indexLength +
+        stripe.dataLength) return None
+      nodes.indices.foreach { i =>
+        cols(i) ++= decodeStripeNode(data, tail, stripe.numRows,
+          withOff, sf, nodes(i)).getOrElse(return None)
+      }
+    }
+    val res = cols.map(_.result()).toSeq
+    if (res.exists(_.length != tail.numRows)) None
+    else Some((nodes, res))
   }
 }

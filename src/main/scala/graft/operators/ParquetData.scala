@@ -12,8 +12,11 @@ package graft.operators
   *
   * Scope — the shapes corpus tables and dataset shards actually
   * use: flat fields, one-level LIST columns (repetition levels +
-  * record assembly) and flat STRUCTS of primitives; deeper nesting
-  * rejects honestly. Specifically:
+  * record assembly) and flat STRUCTS of primitives via the
+  * fast-path entry points, and ARBITRARY nesting depth
+  * (list<struct>, struct<struct>, list<list>, maps of nested
+  * values) via [[decodeFileDeep]]'s full Dremel record assembly;
+  * only the legacy 2-level list shape rejects. Specifically:
   *  - Page types: DATA_PAGE (v1), DATA_PAGE_V2, DICTIONARY_PAGE;
   *    INDEX_PAGE skipped.
   *  - Encodings: PLAIN (0) for all seven physical types (BOOLEAN is
@@ -972,6 +975,269 @@ object ParquetData {
     }
     if (cols.exists(_.length != footer.numRows)) return None
     Some((shapes, cols))
+  }
+
+  // ---------------------------------------------------------------
+  // Recursive nested decode (round 13): arbitrary nesting depth —
+  // list<struct<...>>, struct<struct>, list<list>, struct<list>,
+  // maps of nested values — via full Dremel record assembly over
+  // each leaf's (repetition, definition) level streams. The flat /
+  // one-level entry points above stay as the fast paths; this is
+  // the general one.
+  // ---------------------------------------------------------------
+
+  /** Recursive schema node. Definition levels follow the spec: +1
+    * for every optional node, +1 for every repeated node along the
+    * path; repetition levels: +1 per repeated node. */
+  sealed trait DeepNode {
+    def name: String
+    def optional: Boolean
+  }
+
+  /** A primitive leaf: `defLvl` = the level meaning "value
+    * present", `repLvl` = the number of repeated ancestors, `path`
+    * = the dotted column-chunk path. */
+  final case class DeepLeaf(name: String, optional: Boolean,
+      typeId: Int, typeLength: Int, path: String,
+      defLvl: Int, repLvl: Int) extends DeepNode
+
+  /** A group (struct): null iff def < defLvl on every descendant
+    * leaf (they agree by construction). */
+  final case class DeepStruct(name: String, optional: Boolean,
+      defLvl: Int, fields: Seq[DeepNode]) extends DeepNode
+
+  /** A 3-level LIST (or MAP when `isMap` — the element is then the
+    * key_value struct): `outerDefLvl` = the outer group present
+    * (def below ⇒ null list, equal ⇒ empty list), `defLvl` =
+    * outerDefLvl + 1 = an element slot exists, `repLvl` = the
+    * repeated group's repetition level. */
+  final case class DeepList(name: String, optional: Boolean,
+      outerDefLvl: Int, defLvl: Int, repLvl: Int,
+      elem: DeepNode, isMap: Boolean) extends DeepNode
+
+  /** The full recursive schema; None on shapes that are not plain
+    * Spark/parquet-mr output (bare repeated fields — the legacy
+    * 2-level list — reject honestly). */
+  def deepSchema(f: Footer): Option[Seq[DeepNode]] = {
+    val es = f.schemaElems
+    if (es.length < 2) return None
+    // (node, nextIndex) over the preorder element list
+    def parse(i: Int, d0: Int, r0: Int, prefix: String, depth: Int)
+        : Option[(DeepNode, Int)] = {
+      if (i >= es.length || depth > 32) return None
+      val e = es(i)
+      if (e.repetition == 2) return None // legacy 2-level repeated
+      val opt = e.repetition == 1
+      val d1 = d0 + (if (opt) 1 else 0)
+      val path = if (prefix.isEmpty) e.name else s"$prefix.${e.name}"
+      if (e.numChildren == 0) {
+        if (e.typeId < 0 || e.typeId > 7) return None
+        if (e.typeId == 7 && e.typeLength <= 0) return None
+        Some((DeepLeaf(e.name, opt, e.typeId, e.typeLength, path,
+          d1, r0), i + 1))
+      } else if (e.numChildren == 1 && i + 1 < es.length &&
+        es(i + 1).repetition == 2 && es(i + 1).numChildren >= 1) {
+        // 3-level LIST (repeated group, 1 child) / MAP (2 children)
+        val rg = es(i + 1)
+        val dRep = d1 + 1
+        val rep = r0 + 1
+        val rpath = s"$path.${rg.name}"
+        if (rg.numChildren == 1) {
+          val (elem, next) = parse(i + 2, dRep, rep, rpath,
+            depth + 1).getOrElse(return None)
+          Some((DeepList(e.name, opt, d1, dRep, rep, elem,
+            isMap = false), next))
+        } else {
+          // key_value (MAP) or a legacy repeated record: either
+          // way, a list whose element is the repeated group itself
+          var j = i + 2
+          val fs = Seq.newBuilder[DeepNode]
+          var k = 0
+          while (k < rg.numChildren) {
+            val (n, nx) = parse(j, dRep, rep, rpath, depth + 1)
+              .getOrElse(return None)
+            fs += n; j = nx; k += 1
+          }
+          val st = DeepStruct(rg.name, optional = false, dRep,
+            fs.result())
+          Some((DeepList(e.name, opt, d1, dRep, rep, st,
+            isMap = rg.numChildren == 2), j))
+        }
+      } else {
+        // plain struct group
+        var j = i + 1
+        val fs = Seq.newBuilder[DeepNode]
+        var k = 0
+        while (k < e.numChildren) {
+          val (n, nx) = parse(j, d1, r0, path, depth + 1)
+            .getOrElse(return None)
+          fs += n; j = nx; k += 1
+        }
+        Some((DeepStruct(e.name, opt, d1, fs.result()), j))
+      }
+    }
+    var i = 1
+    val out = Seq.newBuilder[DeepNode]
+    var fields = 0
+    while (i < es.length) {
+      val (n, nx) = parse(i, 0, 0, "", 0).getOrElse(return None)
+      out += n
+      fields += 1
+      i = nx
+    }
+    if (fields != es.head.numChildren) return None
+    Some(out.result())
+  }
+
+  private def deepLeaves(n: DeepNode): Seq[DeepLeaf] = n match {
+    case l: DeepLeaf => Seq(l)
+    case s: DeepStruct => s.fields.flatMap(deepLeaves)
+    case l: DeepList => deepLeaves(l.elem)
+  }
+
+  /** One leaf's decoded streams with a read position: `p` indexes
+    * the (rep, def) entries, `vi` the present values. */
+  private final class LeafCur(val leaf: DeepLeaf,
+      reps: Array[Int], defs: Array[Int],
+      val vals: IndexedSeq[Any]) {
+    var p = 0
+    var vi = 0
+    val n: Int = if (defs != null) defs.length
+      else if (reps != null) reps.length else vals.length
+    def hasNext: Boolean = p < n
+    def rep: Int = if (reps == null) 0 else reps(p)
+    def dfn: Int = if (defs == null) leaf.defLvl else defs(p)
+  }
+
+  /** Dremel record assembly: one `value(node)` call consumes
+    * exactly one instance slot of `node` — including every nested
+    * entry below it — from all of the node's leaf cursors. `ok`
+    * latches false on any malformation (level disagreements,
+    * stream exhaustion, values out of step); never invents. */
+  private final class DeepAsm(curs: Map[String, LeafCur]) {
+    var ok = true
+
+    private def cursorsOf(n: DeepNode): Seq[LeafCur] =
+      deepLeaves(n).map(l => curs(l.path))
+
+    /** Consume one entry from every leaf below `n` — a null/empty
+      * marker slot; every def must equal the peeked `d`. */
+    private def consumeMarker(n: DeepNode, d: Int): Unit =
+      cursorsOf(n).foreach { c =>
+        if (!c.hasNext || c.dfn != d) ok = false
+        else c.p += 1
+      }
+
+    def value(node: DeepNode): Option[Any] = {
+      if (!ok) return None
+      node match {
+        case l: DeepLeaf =>
+          val c = curs(l.path)
+          if (!c.hasNext) { ok = false; return None }
+          val d = c.dfn
+          c.p += 1
+          if (d == l.defLvl) {
+            if (c.vi >= c.vals.length) { ok = false; None }
+            else { val v = c.vals(c.vi); c.vi += 1; Some(v) }
+          } else if (l.optional && d == l.defLvl - 1) None
+          else { ok = false; None }
+        case s: DeepStruct =>
+          val cs = cursorsOf(s)
+          if (cs.isEmpty || !cs.head.hasNext) {
+            ok = false; return None
+          }
+          val d = cs.head.dfn
+          if (s.optional && d < s.defLvl) {
+            if (d != s.defLvl - 1) { ok = false; return None }
+            consumeMarker(s, d)
+            None
+          } else {
+            val row = s.fields.map(value)
+            if (!ok) None else Some(row: Seq[Option[Any]])
+          }
+        case l: DeepList =>
+          val cs = cursorsOf(l)
+          if (cs.isEmpty || !cs.head.hasNext) {
+            ok = false; return None
+          }
+          val d = cs.head.dfn
+          if (d < l.outerDefLvl) {
+            if (!(l.optional && d == l.outerDefLvl - 1)) {
+              ok = false; return None
+            }
+            consumeMarker(l, d)
+            None // null list
+          } else if (d == l.outerDefLvl) {
+            consumeMarker(l, d)
+            Some(Seq.empty[Option[Any]]) // empty list
+          } else {
+            val out = Seq.newBuilder[Option[Any]]
+            out += value(l.elem)
+            var more = ok && cs.head.hasNext &&
+              cs.head.rep == l.repLvl
+            while (ok && more) {
+              // every leaf must agree this list continues
+              if (cs.exists(c => !c.hasNext || c.rep != l.repLvl))
+                ok = false
+              else {
+                out += value(l.elem)
+                more = ok && cs.head.hasNext &&
+                  cs.head.rep == l.repLvl
+              }
+            }
+            if (!ok) None
+            else Some(out.result(): Seq[Option[Any]])
+          }
+      }
+    }
+  }
+
+  /** Decode a file of ANY supported nesting depth. Column-major:
+    * one value per row per top-level field — structs are
+    * Seq[Option[Any]] in field order, lists (and maps, as
+    * key_value entry structs) are Seq[Option[Any]] of elements,
+    * nulls are None at every depth. */
+  def decodeFileDeep(data: Array[Byte])
+      : Option[(Seq[DeepNode], Seq[IndexedSeq[Option[Any]]])] = {
+    val footer = ParquetFooter.parse(data).getOrElse(return None)
+    val nodes = deepSchema(footer).getOrElse(return None)
+    val cols = nodes.map { node =>
+      val leaves = deepLeaves(node)
+      if (leaves.isEmpty) return None
+      val parts = footer.rowGroups.map { rg =>
+        if (rg.numRows < 0 || rg.numRows > MaxValues) return None
+        val curs = leaves.map { lf =>
+          val cm = rg.columns.find(_.path == lf.path)
+            .getOrElse(return None)
+          val li = LeafInfo(lf.name, lf.typeId, lf.typeLength,
+            lf.optional)
+          val (reps, defs, vals) =
+            walkChunk(data, cm, li, lf.repLvl, lf.defLvl)
+              .getOrElse(return None)
+          lf.path -> new LeafCur(lf, reps, defs, vals)
+        }.toMap
+        val asm = new DeepAsm(curs)
+        val n = rg.numRows.toInt
+        val out = IndexedSeq.newBuilder[Option[Any]]
+        var r = 0
+        while (r < n) {
+          // every leaf's next entry must start a record
+          if (curs.values.exists(c => !c.hasNext || c.rep != 0))
+            return None
+          out += asm.value(node)
+          if (!asm.ok) return None
+          r += 1
+        }
+        // nothing left over: levels and values fully consumed
+        if (curs.values.exists(c =>
+          c.p != c.n || c.vi != c.vals.length)) return None
+        out.result()
+      }
+      if (parts.map(_.length.toLong).sum > MaxValues) return None
+      parts.flatten.toIndexedSeq
+    }
+    if (cols.exists(_.length != footer.numRows)) return None
+    Some((nodes, cols))
   }
 
   /** Decode a whole flat-schema file: (leaves, column-major values

@@ -198,6 +198,160 @@ class OrcDataSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------
+  // decodeFileDeep: recursive nesting (round 13)
+  // ------------------------------------------------------------
+
+  test("deep differential: list<struct<long, string>> with null " +
+    "lists/elements/fields") {
+    val s = spark
+    import s.implicits._
+    val n = 2000
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) None
+        else Some((0 until i % 4).map { k =>
+          if ((i + k) % 7 == 6) None
+          else Some((i * 10L + k,
+            if ((i + k) % 5 == 4) None
+            else Some(s"v${(i + k) % 9}")))
+        }))
+    }
+    val df = docs.toDF("id", "spans")
+    for (codec <- Seq("zstd", "snappy")) {
+      val bytes = writeOne(df, codec)
+      val (nodes, cols) = OrcData.decodeFileDeep(bytes)
+        .getOrElse(fail("OrcData rejected list<struct>"))
+      assert(nodes.map(_.name) == Seq("id", "spans"))
+      val lst = nodes(1).asInstanceOf[OrcData.OrcListNode]
+      assert(lst.elem.isInstanceOf[OrcData.OrcStructNode])
+      val ours = cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map(
+            _.map { e =>
+              val fs = e.asInstanceOf[Seq[Option[Any]]]
+              (fs(0).get.asInstanceOf[Long],
+                fs(1).map(_.asInstanceOf[String]))
+            })))
+      }.sortBy(_._1)
+      assert(ours == docs.map(d => (d._1, d._2.map(_.toSeq))))
+    }
+  }
+
+  test("deep differential: struct<struct> and struct<list>") {
+    val s = spark
+    import s.implicits._
+    val n = 1500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 11 == 7) None
+        else Some((i * 3L,
+          if (i % 6 == 2) None
+          else Some((s"s${i % 9}",
+            if (i % 4 == 1) None else Some(i * 7L))))),
+        if (i % 9 == 5) None
+        else Some((i % 50L,
+          if (i % 7 == 3) None
+          else Some((0 until i % 4).map(m => i * 2L + m)))))
+    }
+    val df = docs.toDF("id", "meta", "sl")
+    val bytes = writeOne(df, "zstd")
+    val (nodes, cols) = OrcData.decodeFileDeep(bytes)
+      .getOrElse(fail("OrcData rejected struct<struct>"))
+    val st = nodes(1).asInstanceOf[OrcData.OrcStructNode]
+    assert(st.fields(1).isInstanceOf[OrcData.OrcStructNode])
+    val ourMeta = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          (fs(0).get.asInstanceOf[Long],
+            fs(1).map { y =>
+              val gs = y.asInstanceOf[Seq[Option[Any]]]
+              (gs(0).get.asInstanceOf[String],
+                gs(1).map(_.asInstanceOf[Long]))
+            })
+        })
+    }.sortBy(_._1)
+    assert(ourMeta == docs.map(d => (d._1, d._2)))
+    val ourSl = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(2)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          (fs(0).get.asInstanceOf[Long],
+            fs(1).map(_.asInstanceOf[Seq[Option[Any]]]
+              .map(_.get.asInstanceOf[Long])))
+        })
+    }.sortBy(_._1)
+    assert(ourSl == docs.map(d => (d._1, d._3.map(t =>
+      (t._1, t._2.map(_.toSeq))))))
+  }
+
+  test("deep differential: list<list<long>> and map<string, " +
+    "struct>") {
+    val s = spark
+    import s.implicits._
+    val n = 1500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 17 == 5) None
+        else Some((0 until i % 4).map { k =>
+          if ((i + k) % 9 == 8) None
+          else Some((0 until (i + k) % 3).map { m =>
+            if ((i + k + m) % 11 == 10) None
+            else Some(i * 100L + k * 10L + m)
+          })
+        }),
+        if (i % 13 == 9) null
+        else (0 until i % 3).map(k =>
+          (s"k$k", (i * 10L + k, s"w${(i + k) % 5}"))).toMap)
+    }
+    val df = docs.toDF("id", "mat", "m")
+    val bytes = writeOne(df, "zstd")
+    val (nodes, cols) = OrcData.decodeFileDeep(bytes)
+      .getOrElse(fail("OrcData rejected list<list>/map<struct>"))
+    val outer = nodes(1).asInstanceOf[OrcData.OrcListNode]
+    assert(outer.elem.isInstanceOf[OrcData.OrcListNode])
+    assert(nodes(2).isInstanceOf[OrcData.OrcMapNode])
+    val ourMat = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map(
+          _.map(_.asInstanceOf[Seq[Option[Any]]]
+            .map(_.map(_.asInstanceOf[Long]))))))
+    }.sortBy(_._1)
+    assert(ourMat == docs.map(d =>
+      (d._1, d._2.map(_.map(_.map(_.toSeq)).toSeq))))
+    val ourMaps = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(2)(r).map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
+          val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+          val vs = kv(1).get.asInstanceOf[Seq[Option[Any]]]
+          kv(0).get.asInstanceOf[String] ->
+            (vs(0).get.asInstanceOf[Long],
+              vs(1).get.asInstanceOf[String])
+        }.toMap))
+    }.sortBy(_._1)
+    assert(ourMaps == docs.map(d => (d._1, Option(d._3))))
+  }
+
+  test("deep decode agrees with the one-level decoder") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 900).map { i =>
+      (i.toLong,
+        if (i % 7 == 3) None else Some(i - 500),
+        if (i % 13 == 9) None
+        else Some((0 until i % 5).map(k => i * 100L + k)),
+        s"v${i % 11}")
+    }.toDF("id", "i32", "toks", "txt")
+    val bytes = writeOne(df, "zstd")
+    val (_, flatish) = OrcData.decodeFileNested(bytes).get
+    val (_, deep) = OrcData.decodeFileDeep(bytes).get
+    (0 until 4).foreach { c =>
+      assert(deep(c) == flatish(c),
+        s"column $c disagrees between deep and one-level decode")
+    }
+  }
+
   test("differential: list columns (length runs + child slicing)") {
     val s = spark
     import s.implicits._

@@ -455,6 +455,212 @@ class ParquetDataSpec extends AnyFunSuite {
     assert(ours == viaSpark)
   }
 
+  // ------------------------------------------------------------
+  // decodeFileDeep: recursive nesting (round 13)
+  // ------------------------------------------------------------
+
+  private def asStr(v: Any): String =
+    new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+
+  test("deep differential: list<struct<long, string>> (the " +
+    "annotation-span shape) with null lists/elements/fields") {
+    val s = spark
+    import s.implicits._
+    val n = 2000
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) None // null list
+        else Some((0 until i % 4).map { k =>
+          if ((i + k) % 7 == 6) None // null struct element
+          else Some((i * 10L + k,
+            if ((i + k) % 5 == 4) None
+            else Some(s"v${(i + k) % 9}")))
+        }))
+    }
+    val df = docs.toDF("id", "spans")
+    for (codec <- Seq("snappy", "zstd")) {
+      val bytes = writeOne(df, codec)
+      val (nodes, cols) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected list<struct>"))
+      assert(nodes.map(_.name) == Seq("id", "spans"))
+      val lst = nodes(1).asInstanceOf[ParquetData.DeepList]
+      assert(lst.elem.isInstanceOf[ParquetData.DeepStruct])
+      val ours = cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map(
+            _.map { e =>
+              val fs = e.asInstanceOf[Seq[Option[Any]]]
+              (fs(0).get.asInstanceOf[Long], fs(1).map(asStr))
+            })))
+      }.sortBy(_._1)
+      assert(ours == docs.map(d => (d._1, d._2.map(_.toSeq))))
+    }
+  }
+
+  test("deep differential: struct<struct> (nested metadata)") {
+    val s = spark
+    import s.implicits._
+    val n = 1500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 11 == 7) None // null outer struct
+        else Some((i * 3L,
+          if (i % 6 == 2) None // null inner struct
+          else Some((s"s${i % 9}",
+            if (i % 4 == 1) None else Some(i * 7L))))))
+    }
+    val df = docs.toDF("id", "meta")
+    val bytes = writeOne(df, "zstd")
+    val (nodes, cols) = ParquetData.decodeFileDeep(bytes)
+      .getOrElse(fail("decodeFileDeep rejected struct<struct>"))
+    val st = nodes(1).asInstanceOf[ParquetData.DeepStruct]
+    assert(st.fields(1).isInstanceOf[ParquetData.DeepStruct])
+    val ours = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          (fs(0).get.asInstanceOf[Long],
+            fs(1).map { y =>
+              val gs = y.asInstanceOf[Seq[Option[Any]]]
+              (asStr(gs(0).get),
+                gs(1).map(_.asInstanceOf[Long]))
+            })
+        })
+    }.sortBy(_._1)
+    assert(ours == docs)
+  }
+
+  test("deep differential: list<list<long>> (two repetition " +
+    "levels) incl. empty and null inner lists") {
+    val s = spark
+    import s.implicits._
+    val n = 1500
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 17 == 5) None // null outer
+        else Some((0 until i % 4).map { k =>
+          if ((i + k) % 9 == 8) None // null inner list
+          else Some((0 until (i + k) % 3).map { m =>
+            if ((i + k + m) % 11 == 10) None // null element
+            else Some(i * 100L + k * 10L + m)
+          })
+        }))
+    }
+    val df = docs.toDF("id", "mat")
+    for (codec <- Seq("snappy", "zstd")) {
+      val bytes = writeOne(df, codec)
+      val (nodes, cols) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected list<list>"))
+      val outer = nodes(1).asInstanceOf[ParquetData.DeepList]
+      val inner = outer.elem.asInstanceOf[ParquetData.DeepList]
+      assert(outer.repLvl == 1 && inner.repLvl == 2)
+      val ours = cols(0).indices.map { r =>
+        (cols(0)(r).get.asInstanceOf[Long],
+          cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map(
+            _.map(_.asInstanceOf[Seq[Option[Any]]]
+              .map(_.map(_.asInstanceOf[Long]))))))
+      }.sortBy(_._1)
+      assert(ours == docs.map(d =>
+        (d._1, d._2.map(_.map(_.map(_.toSeq)).toSeq))))
+    }
+  }
+
+  test("deep differential: map<string, struct> and struct<list>") {
+    val s = spark
+    import s.implicits._
+    val n = 1200
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) null
+        else (0 until i % 3).map(k =>
+          (s"k$k", (i * 10L + k, s"w${(i + k) % 5}"))).toMap,
+        if (i % 11 == 7) None
+        else Some((i % 50L,
+          if (i % 7 == 3) None
+          else Some((0 until i % 4).map(m => i * 2L + m)))))
+    }
+    val df = docs.toDF("id", "m", "sl")
+    val bytes = writeOne(df, "zstd")
+    val (nodes, cols) = ParquetData.decodeFileDeep(bytes)
+      .getOrElse(fail("decodeFileDeep rejected map<_, struct>"))
+    val mp = nodes(1).asInstanceOf[ParquetData.DeepList]
+    assert(mp.isMap)
+    val ourMaps = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(1)(r).map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
+          val kv = e.get.asInstanceOf[Seq[Option[Any]]]
+          val vs = kv(1).get.asInstanceOf[Seq[Option[Any]]]
+          asStr(kv(0).get) ->
+            (vs(0).get.asInstanceOf[Long], asStr(vs(1).get))
+        }.toMap))
+    }.sortBy(_._1)
+    assert(ourMaps == docs.map(d =>
+      (d._1, Option(d._2))).sortBy(_._1))
+    val ourSl = cols(0).indices.map { r =>
+      (cols(0)(r).get.asInstanceOf[Long],
+        cols(2)(r).map { x =>
+          val fs = x.asInstanceOf[Seq[Option[Any]]]
+          (fs(0).get.asInstanceOf[Long],
+            fs(1).map(_.asInstanceOf[Seq[Option[Any]]]
+              .map(_.get.asInstanceOf[Long])))
+        })
+    }.sortBy(_._1)
+    assert(ourSl == docs.map(d => (d._1, d._3.map(t =>
+      (t._1, t._2.map(_.toSeq))))))
+  }
+
+  test("deep decode agrees with the flat and one-level decoders") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 900).map { i =>
+      (i.toLong,
+        if (i % 7 == 3) None else Some(i - 500),
+        if (i % 13 == 9) None
+        else Some((0 until i % 5).map(k => i * 100L + k)),
+        s"v${i % 11}")
+    }.toDF("id", "i32", "toks", "txt")
+    val bytes = writeOne(df, "snappy")
+    val (_, flatish) = ParquetData.decodeFileNested(bytes).get
+    val (_, deep) = ParquetData.decodeFileDeep(bytes).get
+    // byte arrays compare by reference — normalize recursively
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case o: Option[_] => o.map(norm)
+      case s: Seq[_] => s.map(norm)
+      case other => other
+    }
+    (0 until 4).foreach { c =>
+      assert(deep(c).map(norm) == flatish(c).map(norm),
+        s"column $c disagrees between deep and one-level decode")
+    }
+  }
+
+  test("deep decode mutation fuzz: never throws, never invents") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map { i =>
+      (i.toLong,
+        if (i % 13 == 9) None
+        else Some((0 until i % 4).map(k =>
+          Some((i * 10L + k, s"v${(i + k) % 9}")))))
+    }.toDF("id", "spans")
+    val bytes = writeOne(df, "none")
+    val base = ParquetData.decodeFileDeep(bytes)
+    assert(base.isDefined)
+    val rnd = new scala.util.Random(31)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val m = bytes.clone()
+      val at = rnd.nextInt(m.length - 12) // keep footer len+magic
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      ParquetData.decodeFileDeep(m) match {
+        case None => rejected += 1
+        case Some(_) => () // flipped a dead byte (padding, stats)
+      }
+    }
+    assert(rejected > 0)
+  }
+
   test("deeper nesting rejects honestly") {
     val s = spark
     import s.implicits._
