@@ -167,6 +167,14 @@ object DeltaLog {
     s"""{"remove":{"path":${q(path)},"deletionTimestamp":${
       deletionTimestamp},"dataChange":true}}"""
 
+  /** A `cdc` action: a change-data file under `_change_data/`
+    * (PROTOCOL.md "Add CDC File"); dataChange is false by spec —
+    * cdc files never participate in snapshot reconstruction. */
+  def cdcJson(path: String, partitionValues: Map[String, String],
+      size: Long): String =
+    s"""{"cdc":{"path":${q(path)},"partitionValues":${
+      mapJson(partitionValues)},"size":$size,"dataChange":false}}"""
+
   def metaJson(m: Meta): String =
     s"""{"metaData":{"id":${q(m.id)},"format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":${q(m.schemaString)},""" +
@@ -193,7 +201,14 @@ object DeltaLog {
   /** One parsed commit's actions (the log-tail unit of work). */
   final case class CommitActions(adds: Seq[AddFile],
       removes: Seq[String], meta: Option[Meta],
-      protocol: Option[Protocol])
+      protocol: Option[Protocol],
+      /** Change-data files (`cdc` actions) — AddFile-shaped:
+        * path + partitionValues + size; dataChange is always
+        * false on the wire. */
+      cdcs: Seq[AddFile] = Nil,
+      /** Paths of removes carrying dataChange=true — the inputs
+        * to CDF derivation for commits without cdc actions. */
+      removesDataChange: Seq[String] = Nil)
 
   /** Parse one commit file's text (JSON action per line). None on
     * any malformed line — a torn commit must fail, not drop. */
@@ -201,6 +216,8 @@ object DeltaLog {
     val actions = JsonMini.parseLines(text).getOrElse(return None)
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
+    val removesDc = Seq.newBuilder[String]
+    val cdcs = Seq.newBuilder[AddFile]
     var meta: Option[Meta] = None
     var protocol: Option[Protocol] = None
     actions.foreach { a =>
@@ -233,8 +250,20 @@ object DeltaLog {
           dv)
       }
       m.get("remove").flatMap(JsonMini.obj).foreach { rm =>
-        removes += JsonMini.str(rm.getOrElse("path", return None))
+        val p = JsonMini.str(rm.getOrElse("path", return None))
           .getOrElse(return None)
+        removes += p
+        if (rm.get("dataChange").contains(true)) removesDc += p
+      }
+      m.get("cdc").flatMap(JsonMini.obj).foreach { cd =>
+        cdcs += AddFile(
+          JsonMini.str(cd.getOrElse("path", return None))
+            .getOrElse(return None),
+          JsonMini.obj(cd.getOrElse("partitionValues", Map.empty))
+            .getOrElse(Map.empty).map { case (k, v2) =>
+              (k, JsonMini.str(v2).orNull) },
+          JsonMini.long(cd.getOrElse("size", 0.0)).getOrElse(0L),
+          0L, dataChange = false, None)
       }
       m.get("metaData").flatMap(JsonMini.obj).foreach { md =>
         meta = Some(Meta(
@@ -260,7 +289,7 @@ object DeltaLog {
       }
     }
     Some(CommitActions(adds.result(), removes.result(), meta,
-      protocol))
+      protocol, cdcs.result(), removesDc.result()))
   }
 
   // ---------------------------------------------------------------
@@ -504,6 +533,69 @@ object DeltaLog {
     readFiles(spark, table, snap.meta, snap.files)
   }
 
+  /** Change Data Feed read — `table_changes(fromV, toV)`, both
+    * inclusive: one row per change with `_change_type`
+    * (insert / update_preimage / update_postimage / delete) and
+    * `_commit_version` columns (PROTOCOL.md "Change Data Files").
+    * Per spec, a commit WITH `cdc` actions is described by exactly
+    * those files (they carry `_change_type` themselves); a commit
+    * WITHOUT them derives its feed from the data-changing actions —
+    * adds are inserts, removes are deletes of the removed files'
+    * rows as of the PREVIOUS version. Scale: the log walk is
+    * O(#commits) driver metadata; every change file reads as a
+    * pruned executor parquet scan through the same partition-value
+    * injection as the snapshot path. */
+  def tableChanges(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad CDF range [$fromVersion,$toVersion]")
+    val snap = snapshot(spark, table, Some(toVersion)) // runs gates
+    val meta = snap.meta
+    require(meta.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"),
+      s"change data feed not enabled on $table")
+    val schema = DataType.fromJson(meta.schemaString)
+      .asInstanceOf[StructType]
+    val ct = StructField("_change_type", StringType,
+      nullable = false)
+    val metaCt = meta.copy(
+      schemaString = StructType(schema.fields :+ ct).json)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(schema.fields :+ ct))
+    val parts = (fromVersion to toVersion).map { v =>
+      val c = parseCommit(readText(spark,
+        s"${logDir(table)}/${commitFile(v)}")).getOrElse(
+        sys.error(s"malformed commit $v in $table"))
+      val df =
+        if (c.cdcs.nonEmpty)
+          readFiles(spark, table, metaCt, c.cdcs)
+        else {
+          val ins = c.adds.filter(_.dataChange)
+          val insDf =
+            if (ins.isEmpty) None
+            else Some(readFiles(spark, table, meta, ins)
+              .withColumn("_change_type", lit("insert")))
+          val delDf =
+            if (c.removesDataChange.isEmpty) None
+            else {
+              // the removed files' rows as of the prior version
+              val prev = snapshot(spark, table, Some(v - 1))
+              val byPath = prev.files.map(f => f.path -> f).toMap
+              val gone = c.removesDataChange.map(p =>
+                byPath.getOrElse(p, sys.error(
+                  s"CDF: commit $v removes unknown file $p")))
+              Some(readFiles(spark, table, meta, gone)
+                .withColumn("_change_type", lit("delete")))
+            }
+          (insDf.toSeq ++ delDf.toSeq)
+            .reduceOption(_ unionByName _).getOrElse(empty)
+        }
+      df.withColumn("_commit_version", lit(v))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Load one descriptor's bitmap — inline Z85, a UUID-named file
     * under the table, or an absolute path. */
   def loadDeletionVector(spark: SparkSession, table: String,
@@ -670,14 +762,16 @@ object DeltaLog {
     * partition column, hive-style) and commit 0. Returns the add
     * actions for callers composing further commits. */
   def create(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Seq.empty): Seq[AddFile] = {
+      partitionBy: Seq[String] = Seq.empty,
+      configuration: Map[String, String] = Map.empty)
+      : Seq[AddFile] = {
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val adds = listDataFiles(spark, table, partitionBy)
     val meta = Meta(java.util.UUID.nameUUIDFromBytes(
       table.getBytes("UTF-8")).toString,
-      df.schema.json, partitionBy)
+      df.schema.json, partitionBy, configuration)
     commit(spark, table, 0L,
       Seq(protocolJson(Protocol(1, 2)), metaJson(meta)) ++
         adds.map(addJson))
@@ -696,7 +790,8 @@ object DeltaLog {
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (name != "_delta_log") {
+          // _change_data holds CDF files, never table data
+          if (name != "_delta_log" && name != "_change_data") {
             val kv = name.split("=", 2)
             walk(st.getPath,
               if (kv.length == 2) pv + (kv(0) ->

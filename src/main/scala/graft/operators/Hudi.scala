@@ -433,6 +433,40 @@ object Hudi {
                     Seq(del, Row(instant, ver, bi, ri)))
                 }
               }
+            case HudiLog.ParquetData =>
+              // what `hoodie.logfile.data.block.format=parquet` (and
+              // compaction with parquet log output) writes: the
+              // block content IS a complete parquet file — decode it
+              // with the repo's own from-scratch page walker
+              val instant = blk.header.getOrElse(HudiLog.InstantTime,
+                sys.error("hudi data block without instant time"))
+              if (!completed(instant) || voided(instant, ver, bi))
+                Iterator.empty
+              else {
+                val (leaves, pcols) = graft.operators.ParquetData
+                  .decodeFile(blk.content).getOrElse(sys.error(
+                    "malformed hudi parquet data block (or nested " +
+                      "schema — honest rejection)"))
+                val byName = leaves.zipWithIndex
+                  .map { case (l, i) => (l.name, i) }.toMap
+                val colIdx = baseCols.map(c => byName.getOrElse(c,
+                  sys.error(s"hudi parquet log block missing " +
+                    s"column $c")))
+                val delIdx = byName.get("_hoodie_is_deleted")
+                val nRows =
+                  pcols.headOption.map(_.length).getOrElse(0)
+                (0 until nRows).iterator.map { ri =>
+                  val vals = colIdx.zipWithIndex.map {
+                    case (ci, fi) => pcols(ci)(ri)
+                      .map(v => physicalToSpark(v,
+                        baseSchema(fi).dataType)).orNull
+                  }
+                  val del = delIdx.exists(ci =>
+                    pcols(ci)(ri).contains(true))
+                  Row.fromSeq(vals ++
+                    Seq(del, Row(instant, ver, bi, ri)))
+                }
+              }
             case HudiLog.Delete =>
               val instant = blk.header.getOrElse(HudiLog.InstantTime,
                 sys.error("hudi delete block without instant time"))
@@ -454,8 +488,8 @@ object Hudi {
                 }
               }
             case t => sys.error(
-              s"unsupported hudi log block type $t (HFile/Parquet/" +
-                "CDC data blocks; honest rejection)")
+              s"unsupported hudi log block type $t (HFile/CDC " +
+                "data blocks; honest rejection)")
           }
         }
       }
@@ -748,11 +782,34 @@ object Hudi {
       : Avro.Row =
     (0 until r.length).map(i => Option(r.get(i)))
 
+  /** Parquet PHYSICAL value (what [[ParquetData.decodeFile]]
+    * surfaces) → the Spark value the table schema expects. Flat
+    * primitive columns only — the MOR log write contract. */
+  private def physicalToSpark(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (LongType, l: Long) => l
+      case (LongType, i: Int) => i.toLong
+      case (IntegerType, l: Long) => l.toInt
+      case (IntegerType, i: Int) => i
+      case (DoubleType, d: Double) => d
+      case (FloatType, f: Float) => f
+      case (BooleanType, b: Boolean) => b
+      case (StringType, b: Array[Byte]) => new String(b, "UTF-8")
+      case (BinaryType, b: Array[Byte]) => b
+      case _ => sys.error(
+        s"hudi parquet log block: unsupported column type " +
+          s"${dt.simpleString} for physical ${v.getClass.getName}")
+    }
+  }
+
   /** Append one AVRO_DATA (or DELETE) log block per touched file
     * group under `instant`; returns the delta write stats. */
   private def appendLogBlocks(spark: SparkSession, df: DataFrame,
       tablePath: String, keyExpr: String, partitionExpr: String,
-      instant: String, delete: Boolean): Seq[WriteStat] = {
+      instant: String, delete: Boolean,
+      parquetPayload: Boolean = false): Seq[WriteStat] = {
     val schema = tableSchema(spark, tablePath)
     val dataCols = schema.fieldNames.toSeq.filterNot(MetaCols.contains)
     require(df.columns.toSeq == dataCols,
@@ -793,16 +850,33 @@ object Hudi {
             .withColumn("_hoodie_partition_path", lit(p))
             .withColumn("_hoodie_file_name", lit(logName))
             .select(schema.fieldNames.map(col).toSeq: _*)
-          val nfields = avroFieldsFor(org.apache.spark.sql.types
-            .StructType(schema.fields.map(_.copy(nullable = true))))
-          val schemaJson =
-            Avro.schemaJsonNested("graft_hudi_record", nfields)
-          val datums = stamped.collect().toSeq
-            .map(r => Avro.encodeDatum(nfields, sparkRowToAvro(r)))
-          HudiLog.Block(HudiLog.AvroData,
-            Map(HudiLog.InstantTime -> instant,
-              HudiLog.SchemaKey -> schemaJson), Map.empty,
-            HudiLog.avroDataContent(datums))
+          if (parquetPayload) {
+            // PARQUET_DATA block: the content IS a complete parquet
+            // file of the stamped records (what
+            // `hoodie.logfile.data.block.format=parquet` writes)
+            val tmp = java.nio.file.Files
+              .createTempDirectory("graft_hudi_plog")
+            stamped.coalesce(1).write.mode("overwrite")
+              .option("compression", "snappy")
+              .parquet(tmp.toAbsolutePath.toString)
+            val pf = tmp.toFile.listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val bytes = java.nio.file.Files.readAllBytes(pf.toPath)
+            deleteRec(tmp.toFile)
+            HudiLog.Block(HudiLog.ParquetData,
+              Map(HudiLog.InstantTime -> instant), Map.empty, bytes)
+          } else {
+            val nfields = avroFieldsFor(org.apache.spark.sql.types
+              .StructType(schema.fields.map(_.copy(nullable = true))))
+            val schemaJson =
+              Avro.schemaJsonNested("graft_hudi_record", nfields)
+            val datums = stamped.collect().toSeq
+              .map(r => Avro.encodeDatum(nfields, sparkRowToAvro(r)))
+            HudiLog.Block(HudiLog.AvroData,
+              Map(HudiLog.InstantTime -> instant,
+                HudiLog.SchemaKey -> schemaJson), Map.empty,
+              HudiLog.avroDataContent(datums))
+          }
         }
       val dst = new java.io.File(tablePath, rel)
       dst.getParentFile.mkdirs()
@@ -819,6 +893,22 @@ object Hudi {
     val instant = nextInstant(tablePath)
     val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
       partitionExpr, instant, delete = false)
+    writeInstant(tablePath,
+      Instant(instant, "deltacommit", stats, Map.empty))
+  }
+
+  /** MOR upsert whose log blocks carry PARQUET payloads
+    * (HoodieLogBlockType PARQUET_DATA_BLOCK — what
+    * `hoodie.logfile.data.block.format=parquet` and compaction
+    * with parquet log output write): one block per touched file
+    * group, each block a complete in-content parquet file, under a
+    * completed deltacommit. */
+  def upsertMorParquetLog(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String)
+      : Unit = {
+    val instant = nextInstant(tablePath)
+    val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
+      partitionExpr, instant, delete = false, parquetPayload = true)
     writeInstant(tablePath,
       Instant(instant, "deltacommit", stats, Map.empty))
   }

@@ -380,6 +380,76 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLog.writeCheckpointV2(spark, t4, 0L))
   }
 
+  test("change data feed: cdc actions, derived inserts/deletes, " +
+    "cdc files invisible to snapshots (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_cdf")
+    DeltaLog.create(spark, seed(20), t,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    // v1: update ids 0-4 (txt -> upd) with REAL cdc actions
+    val snap0 = DeltaLog.snapshot(spark, t)
+    seed(20).withColumn("txt",
+      expr("CASE WHEN id < 5 THEN 'upd' ELSE txt END"))
+      .write.parquet(s"$t/rw")
+    val rw = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("rw/"))
+    val touched = seed(20).filter($"id" < 5)
+    touched.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(touched.withColumn("txt", lit("upd"))
+        .withColumn("_change_type", lit("update_postimage")))
+      .coalesce(1).write.parquet(s"$t/_change_data/c1")
+    val cdcFile = new java.io.File(s"$t/_change_data/c1")
+      .listFiles().filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_")).head
+    DeltaLog.commit(spark, t, 1L,
+      snap0.files.map(f => DeltaLog.removeJson(f.path, 1L)) ++
+        rw.map(DeltaLog.addJson) :+
+        DeltaLog.cdcJson(s"_change_data/c1/${cdcFile.getName}",
+          Map.empty, cdcFile.length()))
+    // v2: delete ids >= 15 by removing + rewriting (NO cdc action:
+    // the feed must derive deletes + inserts)
+    val snap1 = DeltaLog.snapshot(spark, t)
+    seed(20).withColumn("txt",
+      expr("CASE WHEN id < 5 THEN 'upd' ELSE txt END"))
+      .filter($"id" < 15).write.parquet(s"$t/rw2")
+    val rw2 = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("rw2/"))
+    DeltaLog.commit(spark, t, 2L,
+      snap1.files.map(f => DeltaLog.removeJson(f.path, 2L)) ++
+        rw2.map(DeltaLog.addJson))
+    // snapshots never see cdc files (path filter + dataChange)
+    assert(DeltaLog.read(spark, t).count() == 15)
+    assert(DeltaLog.read(spark, t).where("txt = 'upd'").count() == 5)
+    val ch = DeltaLog.tableChanges(spark, t, 0L, 2L)
+    // v0: 20 inserts; v1: 5 pre + 5 post; v2 (derived): 20 deletes
+    // + 15 re-inserts (the rewrite is remove-all + add-remaining)
+    val byTv = ch.groupBy("_commit_version", "_change_type")
+      .count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(byTv == Map(
+      (0L, "insert") -> 20L,
+      (1L, "update_preimage") -> 5L,
+      (1L, "update_postimage") -> 5L,
+      (2L, "delete") -> 20L,
+      (2L, "insert") -> 15L))
+    // postimages carry the new values, preimages the old
+    assert(ch.where("_change_type = 'update_postimage' " +
+      "and txt != 'upd'").count() == 0)
+    assert(ch.where("_change_type = 'update_preimage' " +
+      "and txt = 'upd'").count() == 0)
+    // derived deletes reflect the PRIOR version's content
+    assert(ch.where("_change_type = 'delete' and id < 5 " +
+      "and txt != 'upd'").count() == 0)
+    // CDF gate: a table without the flag refuses
+    val t2 = tmpTable("delta_nocdf")
+    DeltaLog.create(spark, seed(5), t2)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.tableChanges(spark, t2, 0L, 0L))
+    assert(e.getMessage.contains("change data feed not enabled"))
+  }
+
   test("torn log and unsupported protocol reject") {
     val s = spark
     import s.implicits._

@@ -179,6 +179,85 @@ class HudiLogSpec extends AnyFunSuite {
       .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
   }
 
+  test("MOR: PARQUET log blocks merge like avro blocks, mixed in " +
+    "one chain (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("mor_pq")
+    Hudi.createMor(s, baseDf(90), t, "k", "p")
+    // wave 1: parquet-payload block (instant 2)
+    val upd = baseDf(90).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorParquetLog(s, upd, t, "k", "p")
+    // the block on disk really is PARQUET_DATA with a decodable
+    // parquet file as content
+    val sl = Hudi.slices(t).filter(_.partition == "0").head
+    assert(sl.logs.length == 1)
+    val blocks = HudiLog.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sl.logs.head._2)))
+    assert(blocks.map(_.tpe) == Seq(HudiLog.ParquetData))
+    assert(graft.operators.ParquetData
+      .decodeFile(blocks.head.content).isDefined)
+    val got = Hudi.read(s, t)
+    assert(got.count() == 90)
+    assert(got.where("k % 6 = 0 and v != k * 1.5 + 100").count() == 0)
+    assert(got.where("k % 6 != 0 and v != k * 1.5").count() == 0)
+    assert(got.where("k % 6 = 0 and " +
+      "_hoodie_commit_time != '00000000000002'").count() == 0)
+    // wave 2: an AVRO block on top of the parquet one — the newer
+    // instant must win regardless of the payload format
+    Hudi.upsertMorLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 1")), t, "k", "p")
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
+    // ...and a parquet block back on top of the avro one
+    Hudi.upsertMorParquetLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 2")), t, "k", "p")
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 102").count() == 0)
+  }
+
+  test("MOR: duplicate log version (two write tokens) rejects " +
+    "loudly (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("mor_dup")
+    Hudi.createMor(s, baseDf(30), t, "k", "p")
+    val upd = baseDf(30).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 1"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p")
+    val sl = Hudi.slices(t).filter(_.partition == "0").head
+    val log = new java.io.File(sl.logs.head._2)
+    // a retried writer's leftover: same version, different token
+    val twin = new java.io.File(log.getParentFile,
+      log.getName.stripSuffix("0-0-0") + "1-0-0")
+    java.nio.file.Files.copy(log.toPath, twin.toPath)
+    val e = intercept[IllegalArgumentException](Hudi.slices(t))
+    assert(e.getMessage.contains("duplicate hudi log version"))
+    assert(twin.delete())
+    assert(Hudi.slices(t).nonEmpty) // clean again
+  }
+
+  test("MOR: HFILE/CDC payload blocks still reject loudly (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("mor_hf")
+    Hudi.createMor(s, baseDf(30), t, "k", "p")
+    val upd = baseDf(30).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 1"))
+    Hudi.upsertMorLog(s, upd, t, "k", "p") // instant 2, completed
+    val sl = Hudi.slices(t).filter(_.partition == "0").head
+    HudiLog.append(new java.io.File(sl.logs.head._2), Seq(
+      HudiLog.Block(HudiLog.HFileData,
+        Map(HudiLog.InstantTime -> "00000000000002"), Map.empty,
+        Array[Byte](1, 2, 3))))
+    val e = intercept[Exception](Hudi.read(s, t).count())
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("unsupported hudi log block")))
+  }
+
   test("MOR: delete blocks drop keys; pending append is invisible") {
     val s = spark
     val t = tmpTable("mor_del")
