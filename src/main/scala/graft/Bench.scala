@@ -214,12 +214,47 @@ object Bench {
     val pairsJson = s"""{"stations":$nSt,"all_pairs":${nSt * (nSt - 1) / 2},""" +
       s""""in_range_5km":$cand5}"""
     val oo = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sf-scaling probe (r13 verdict #8): the heaviest idle-pinned
+    // queries re-run at sf0.01, and the sf0.1/sf0.01 wall ratio ships
+    // in the artifact. On a 10× corpus a plan with the right
+    // asymptotics lands well under ~10×; a ≫10× ratio is the earliest
+    // cheap warning for a super-linear (next scale-killer) plan. Runs
+    // min-of-2 at the small scale so fixture/cache first-touch noise
+    // doesn't contaminate the denominator.
+    val probeNames = Seq("bfs_hops", "ams_join_size",
+      "containment_pairs", "minhash_recall", "embedding_pq")
+    val smallDir = "/root/testdata/sf0.01"
+    val scaleProbe =
+      if (!sfDir.endsWith("sf0.1") ||
+        !new java.io.File(smallDir).isDirectory) "{}"
+      else {
+        val bigTimes = results.collect {
+          case (k, v, true, _, _, _, _, _) => k -> v
+        }.toMap
+        probeNames.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            def one(): Option[Double] = {
+              val t0 = System.nanoTime()
+              try { fn(spark, smallDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+              catch { case _: Throwable => None }
+            }
+            for {
+              a <- one(); b <- one()
+              big <- bigTimes.get(name)
+              small = math.min(a, b) if small > 0
+            } yield "\"" + name + "\":{\"sf001\":" +
+              fmt(small, 3) + ",\"sf01\":" + fmt(big, 3) +
+              ",\"ratio\":" + fmt(big / small, 2) + "}"
+          }
+        }.mkString("{", ",", "}")
+      }
     // Full evidence record → repo file (the driver's stdout capture keeps
     // only a 2000-char tail, which the rich line overflows — BENCH_r04's
     // parsed:null). The file carries ms precision + errors + pruning counts.
     val loadJson = s"""{"before":${fmt(loadBefore, 2)},""" +
       s""""after":${fmt(loadavg1, 2)}}"""
-    val full = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsLine(3)},"errors":$errs,"oracle_only":$oo,"first_touch":$firstTouch,"first_touch_total":${fmt(firstTouchTotal, 3)},"reran":$reranList,"recovered":$recoveredList,"attempt_errors":$attemptErrs,"log_events":$logEvents,"pinned_ratio":$pinnedDeltas,"loadavg":$loadJson,"pair_candidates":$pairsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsLine(3)},"errors":$errs,"oracle_only":$oo,"first_touch":$firstTouch,"first_touch_total":${fmt(firstTouchTotal, 3)},"reran":$reranList,"recovered":$recoveredList,"attempt_errors":$attemptErrs,"log_events":$logEvents,"pinned_ratio":$pinnedDeltas,"scale_probe":$scaleProbe,"loadavg":$loadJson,"pair_candidates":$pairsJson,"sf":"$sfDir"}"""
     val wrote = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))

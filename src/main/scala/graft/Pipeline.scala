@@ -7783,6 +7783,47 @@ object Pipeline {
           (2L, s"$t/metadata/snap-2.avro")))
     }
 
+  /** Iceberg with an AVRO data file (r13): the spec's second
+    * content format — snapshot 1 is plain parquet, snapshot 2
+    * appends a data file whose `file_format` is AVRO, written by
+    * OUR OCF codec and read back through OUR OCF reader inside the
+    * manifest scan (the spec allows avro/orc/parquet data files;
+    * a real table mixing engines hits this). The oracle recomputes
+    * the union analytically, so a format dispatch, schema mapping
+    * or datum decode bug flips the hash. */
+  private def icebergAvroScan(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = formatFixtureDir(dir, "iceavro", "lineitem") { out =>
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_orderkey % 4 AS bucket")
+      val files1 = Iceberg.create(s, base, t) // snapshot 1: parquet
+      // snapshot 2: append the duplicate bucket-2 slice as ONE
+      // avro data file
+      val app = base.filter("bucket = 2 AND l_quantity > 40")
+      graft.sources.AvroSink.write(app.coalesce(1),
+        s"$t/data/s2", codec = "deflate")
+      val af = new java.io.File(s"$t/data/s2").listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val n = app.count()
+      Iceberg.commit(s, t, 2L, 2L, base.schema,
+        files1 ++ Seq((af.getAbsolutePath, n, af.length())),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+        fileSeqs = files1.map(f => f._1 -> 1L).toMap,
+        fileFormats = Map(af.getAbsolutePath -> "AVRO"))
+    }
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey") * col("bucket").cast("long"))
+          .as("okb_sum"))
+      .orderBy("rf")
+  }
+
   /** Iceberg lakehouse scan (r12) — the current snapshot through
     * the metadata-json → manifest-list → manifest chain (OUR Avro
     * decoder at both Avro layers), aggregated per return flag
@@ -12224,6 +12265,7 @@ object Pipeline {
     "delta_column_mapping_id" -> deltaColumnMappingId _,
     "delta_checkpoint_v2" -> deltaCheckpointV2 _,
     "iceberg_scan"      -> icebergScan _,
+    "iceberg_avro_scan" -> icebergAvroScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
     "iceberg_pos_delete" -> icebergPosDelete _,
@@ -15017,6 +15059,23 @@ object Pipeline {
         |  CAST(sum(l_orderkey) AS BIGINT) AS oksum
         |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "iceberg_scan" -> lakehouseScanOracleSql,
+    // snapshot 1 parquet + snapshot 2 appends an AVRO data file
+    // (file_format=AVRO, our OCF codec both directions): the final
+    // state is base plus the duplicated bucket-2 qty>40 slice
+    "iceberg_avro_scan" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
+        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
+        |FROM live GROUP BY rf ORDER BY rf""".stripMargin,
     // the same table at its first version: Delta via pure JSON
     // replay (the later checkpoint must be IGNORED), Iceberg via
     // snapshot-id lookup — both equal plain lineitem

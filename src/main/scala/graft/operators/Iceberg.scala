@@ -32,9 +32,13 @@ import org.apache.spark.sql.types._
   *    native form, shuffling only delete-row volume. EQUALITY
   *    deletes (data_file content = 2) still reject honestly.
   *  - manifest entries with `status = 2` (DELETED) drop; data files
-  *    must be `content = 0` PARQUET. Iceberg data files carry ALL
+  *    must be `content = 0`; PARQUET scans through Spark's reader,
+  *    AVRO (r13) through the repo's own OCF codec, ORC (r13)
+  *    through Spark's ORC reader — row-level deletes over
+  *    non-parquet files reject honestly (position deletes address
+  *    parquet row indexes). Iceberg data files carry ALL
   *    columns (partition values are in the files, unlike Delta), so
-  *    the scan is one `spark.read.schema(...).parquet(files)` with
+  *    the parquet scan is one `spark.read.schema(...).parquet(files)` with
   *    pushdown intact; the schema comes from the metadata's own
   *    schema JSON, mapped to Spark types ([[toSparkType]] — struct,
   *    list and map nest; `time` maps to Spark 4.1's TIME(6) (micros
@@ -662,8 +666,10 @@ object Iceberg {
           require(dContent == 0,
             s"delete data file in $mPath — refusing")
           val fmt = df(ffIdx).get.asInstanceOf[String]
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"non-parquet data file format $fmt")
+          require(fmt.equalsIgnoreCase("parquet") ||
+            fmt.equalsIgnoreCase("avro") ||
+            fmt.equalsIgnoreCase("orc"),
+            s"unsupported data file format $fmt")
           val part: Map[String, Any] =
             if (ptIdx < 0 || ptFields.isEmpty) Map.empty
             else {
@@ -749,6 +755,34 @@ object Iceberg {
       if (d.equalityCols.isEmpty) d.seq >= f.seq
       else d.seq > f.seq).sortBy(_.path)
 
+  /** Avro data files (the spec's second content format) through
+    * the repo's own OCF reader: binaryFile rows → per-file datum
+    * decode on executors → typed Rows. The file's Avro schema must
+    * map to exactly the table schema (names + Spark types) — a
+    * drifted file fails loudly, never mis-columns. */
+  private def avroScan(spark: SparkSession,
+      schema: StructType, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val first = Avro.parse(readBytes(spark, paths.head)).getOrElse(
+      sys.error(s"iceberg avro data file unreadable: ${paths.head}"))
+    val got = graft.sources.AvroSource.schemaOf(first.nfields)
+    require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"avro data file schema ${got.simpleString} != table " +
+        s"schema ${schema.simpleString}")
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select("path", "content").as[(String, Array[Byte])]
+    val expect = first.nfields
+    val rowRdd = bin.rdd.flatMap { case (p, bytes) =>
+      val f = Avro.parse(bytes).getOrElse(sys.error(
+        s"iceberg avro data file unreadable: $p"))
+      require(f.nfields == expect,
+        s"avro data file schema drift in $p")
+      f.rows.map(r => graft.sources.AvroSource.toRow(f.nfields, r))
+    }
+    spark.createDataFrame(rowRdd, schema)
+  }
+
   private def scanFiles(spark: SparkSession, snap: IceSnapshot,
       files: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{col, udf}
@@ -756,14 +790,36 @@ object Iceberg {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
+    // non-parquet content formats scan through their own branches;
+    // row-level deletes over them reject honestly (position deletes
+    // need parquet's _metadata.row_index to stay exact)
+    val (pqFiles, otherFiles) =
+      files.partition(_.format.equalsIgnoreCase("parquet"))
+    val otherDfs = otherFiles.groupBy(_.format.toLowerCase).toSeq
+      .sortBy(_._1).map { case (fmt, fs0) =>
+        require(fs0.forall(f => deletesFor(snap, f).isEmpty),
+          s"row-level deletes over $fmt data files — refusing " +
+            "to mis-apply (delete files address parquet rows)")
+        fmt match {
+          case "avro" => avroScan(spark, snap.schema,
+            fs0.map(_.path))
+          case "orc" => spark.read.schema(snap.schema)
+            .orc(fs0.map(_.path): _*)
+          case f => sys.error(s"unsupported data file format $f")
+        }
+      }
+    if (pqFiles.isEmpty)
+      return otherDfs.reduce(_ unionAll _)
     if (snap.deletes.isEmpty)
-      return spark.read.schema(snap.schema)
-        .parquet(files.map(_.path): _*)
+      return (Seq(spark.read.schema(snap.schema)
+        .parquet(pqFiles.map(_.path): _*)) ++ otherDfs)
+        .reduce(_ unionAll _)
+    val files0 = pqFiles
     val norm = udf(pathNorm _)
     // group data files by the SET of delete files that apply to
     // them (seq rules) — usually one group; each group is one scan
     // + one anti-join per delete kind
-    files.groupBy(f => deletesFor(snap, f))
+    val pqDfs = files0.groupBy(f => deletesFor(snap, f))
       .toSeq.map { case (dels, fs0) =>
         val scan = spark.read.schema(snap.schema)
           .parquet(fs0.map(_.path): _*)
@@ -796,7 +852,8 @@ object Iceberg {
               cols.map(c => cur(c) <=> del(s"__eq_$c"))
                 .reduce(_ && _), "left_anti")
           }
-      }.reduce(_ unionAll _)
+      }
+    (pqDfs ++ otherDfs).reduce(_ unionAll _)
   }
 
   // ---------------------------------------------------------------
@@ -838,7 +895,10 @@ object Iceberg {
       // (the spec keeps a file's original seq when a new snapshot
       // re-lists it; files absent here stamp at `version`) — this
       // is what makes the strict equality-delete rule observable
-      fileSeqs: Map[String, Long] = Map.empty): Unit = {
+      fileSeqs: Map[String, Long] = Map.empty,
+      // per-path content format override (the spec allows avro and
+      // orc data files beside parquet); absent paths are PARQUET
+      fileFormats: Map[String, String] = Map.empty): Unit = {
     val metaDir = s"$table/metadata"
     val manifestPath = s"$metaDir/m-$snapshotId.avro"
     val partFieldTypes: Seq[(String, DataType)] = spec.map { pf =>
@@ -854,7 +914,8 @@ object Iceberg {
             sys.error(s"no partition values for $p")).map(Some(_))
         val seq = fileSeqs.getOrElse(p, version)
         Seq(Some(1), Some(snapshotId), Some(seq), Some(seq),
-          Some(Seq(Some(content), Some(p), Some("PARQUET"),
+          Some(Seq(Some(content), Some(p),
+            Some(fileFormats.getOrElse(p, "PARQUET").toUpperCase),
             Some(pvals), Some(rows), Some(bytes),
             eqIds.map(ids => ids.map(Some(_)): Seq[Option[Any]]))
             : Avro.Row))

@@ -48,6 +48,56 @@ class IcebergSpec extends AnyFunSuite {
     assert(snap.files.map(_.recordCount).sum == 20)
   }
 
+  test("AVRO data files scan through our OCF codec; deletes over " +
+    "them reject (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_avro")
+    val base = seed(20)
+    val files1 = Iceberg.create(spark, base, t)
+    // snapshot 2: append 10 more rows as ONE avro data file
+    val app = (20 until 30).map(i => (i.toLong, s"row$i", i % 3))
+      .toDF("id", "txt", "bucket")
+    graft.sources.AvroSink.write(app.coalesce(1), s"$t/data/s2",
+      codec = "null")
+    val af = new java.io.File(s"$t/data/s2").listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    Iceberg.commit(spark, t, 2L, 2L, base.schema,
+      files1 ++ Seq((af.getAbsolutePath, 10L, af.length())),
+      prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+      fileSeqs = files1.map(f => f._1 -> 1L).toMap,
+      fileFormats = Map(af.getAbsolutePath -> "AVRO"))
+    val snap = Iceberg.snapshot(spark, t)
+    assert(snap.files.map(_.format).toSet == Set("PARQUET", "AVRO"))
+    val got = Iceberg.read(spark, t)
+    assert(got.count() == 30)
+    assert(got.where("id >= 20").count() == 10)
+    assert(got.schema == base.schema ||
+      got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        base.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // typed values survive the avro path
+    assert(got.where("id = 25 and txt = 'row25' and bucket = 1")
+      .count() == 1)
+    // a position delete whose seq admits the avro file must reject
+    // (delete files address parquet row indexes)
+    Seq(("x", 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(s"$t/data/del3")
+    val delF = graft.operators.Iceberg
+      .countsByFile(spark,
+        Seq(("x", 0L)).toDF("file_path", "pos").schema,
+        s"$t/data/del3")
+    Iceberg.commit(spark, t, 3L, 3L, base.schema,
+      files1 ++ Seq((af.getAbsolutePath, 10L, af.length())),
+      prior = Seq((1L, s"$t/metadata/snap-1.avro"),
+        (2L, s"$t/metadata/snap-2.avro")),
+      fileSeqs = files1.map(f => f._1 -> 1L).toMap ++
+        Map(af.getAbsolutePath -> 2L),
+      fileFormats = Map(af.getAbsolutePath -> "AVRO"),
+      deleteFiles = delF)
+    val e = intercept[Exception](Iceberg.read(spark, t).count())
+    assert(e.getMessage.contains("row-level deletes over avro"))
+  }
+
   test("multi-snapshot commits + time travel by snapshot id") {
     val s = spark
     import s.implicits._
