@@ -9253,9 +9253,13 @@ object Pipeline {
     * shuffle+deflate+fletcher32 — and the FILE FORMAT itself
     * rotates by a second axis: even shards write the CLASSIC
     * superblock-v0/v1-header form, odd shards the LIBVER-LATEST
-    * form (superblock v3 + OHDR link messages + layout v4 fixed-
-    * array chunk index, late r12) — so every decode combination
-    * AND both format generations stay live in the gate). */
+    * form (superblock v3 + OHDR link messages + layout v4 chunk
+    * indexes, late r12) — and the latest shards rotate the v4
+    * CHUNK INDEX itself through fixed array / extensible array /
+    * v2 b-tree (r13: the appendable `maxshape=` shapes h5py
+    * writes), so every decode combination, both format
+    * generations AND all three chunk indexes stay live in the
+    * gate. */
   private[graft] def hdf5Shards(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
@@ -9283,7 +9287,10 @@ object Pipeline {
         val dsets = Seq(
           Hdf5.WDataset("emb", Seq(n.toLong, dim.toLong), "f4",
             embBuf.array(), chunkDims = Seq(3, dim),
-            shuffle = sid % 2 == 1, fletcher = (sid / 2) % 2 == 1),
+            shuffle = sid % 2 == 1, fletcher = (sid / 2) % 2 == 1,
+            // latest shards rotate the v4 chunk index: fixed
+            // array, extensible array, v2 b-tree (r13)
+            chunkIndexKind = 3 + ((sid / 2) % 3).toInt),
           Hdf5.WDataset("vec_id", Seq(n.toLong), "i8",
             idBuf.array()),
           Hdf5.WDataset("label", Seq(n.toLong), "i4",
@@ -9330,7 +9337,7 @@ object Pipeline {
       : String = {
     val spark = s
     import spark.implicits._
-    formatFixtureDir(dir, "hdf5v23", "embeddings") { out =>
+    formatFixtureDir(dir, "hdf5v24", "embeddings") { out =>
       hdf5Shards(s, dir)
         .map { case (sid, bytes) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(

@@ -140,7 +140,8 @@ object Hdf5 {
       size: Int)
 
   /** `chunkIndex`: 0 = v1 B-tree (layout v3), 1 = single chunk,
-    * 2 = implicit, 3 = fixed array (layout v4 index types). For
+    * 2 = implicit, 3 = fixed array, 4 = extensible array,
+    * 5 = version-2 b-tree (layout v4 index types). For
     * single-chunk layouts `size` carries the FILTERED stored size
     * when the filtered flag was set (else 0). */
   private final case class Layout(clazz: Int, addr: Long,
@@ -293,7 +294,19 @@ object Hdf5 {
                 if (p + 9 > end) return false
                 acc.layout = Some(Layout(2, u64(d, p + 1), 0L, cd,
                   null, chunkIndex = 3))
-              case _ => return false // ext array / btree2: reject
+              case 4 => // extensible array (one unlimited dim):
+                // max bits, index elems, min ptrs, min elems,
+                // page bits — all live in the EAHD too; the
+                // header is authoritative on read
+                if (p + 13 > end) return false
+                acc.layout = Some(Layout(2, u64(d, p + 5), 0L, cd,
+                  null, chunkIndex = 4))
+              case 5 => // v2 b-tree (several unlimited dims):
+                // node size(4) + split(1) + merge(1) + addr
+                if (p + 14 > end) return false
+                acc.layout = Some(Layout(2, u64(d, p + 6), 0L, cd,
+                  null, chunkIndex = 5))
+              case _ => return false // unknown index: reject
             }
           case _ => return false // virtual storage etc.
         }
@@ -759,6 +772,306 @@ object Hdf5 {
     Some(out.result())
   }
 
+  /** The v4 EXTENSIBLE ARRAY chunk index (spec III.B: "EAHD"
+    * header → "EAIB" index block → "EADB" data blocks; what h5py
+    * writes for datasets with ONE unlimited `maxshape` dimension —
+    * the appendable embeddings-dump shape). The index block holds
+    * the first `idxBlkElems` elements directly plus the data-block
+    * addresses of the first `2·log2(sblkMinDataPtrs)` super blocks
+    * (super block s: `2^(s/2)` blocks of `2^((s+1)/2)·minElems`
+    * elements); deeper growth moves to secondary blocks ("EASB")
+    * and PAGED data blocks — both reject honestly here (a fixture
+    * never reaches them; a real huge array fails loudly rather
+    * than mis-indexing). Elements: chunk address (client 0) or
+    * address + stored size + filter mask (client 1), in row-major
+    * chunk-grid order like the fixed array. */
+  private def extArrayEntries(r: Rd, hdrAddr: Long,
+      grid: Seq[Long], cd: Seq[Int], chunkBytes: Int,
+      filtered: Boolean)
+      : Option[Seq[(Seq[Long], Int, Long, Long)]] = {
+    if (hdrAddr == Undef) return Some(Seq.empty)
+    val d = r.d
+    if (!r.check(hdrAddr, 72)) return None
+    val h = hdrAddr.toInt
+    if (d(h) != 'E' || d(h + 1) != 'A' || d(h + 2) != 'H' ||
+      d(h + 3) != 'D') return None
+    if ((d(h + 4) & 0xff) != 0) return None // version
+    val clientId = d(h + 5) & 0xff
+    if (clientId != (if (filtered) 1 else 0)) return None
+    val elemSize = d(h + 6) & 0xff
+    val maxBits = d(h + 7) & 0xff
+    val idxBlkElems = d(h + 8) & 0xff
+    val minElems = d(h + 9) & 0xff
+    val minPtrs = d(h + 10) & 0xff
+    val pageBits = d(h + 11) & 0xff
+    // 6 × u64 stats skipped (reader derives everything), then the
+    // index block address
+    val iblkAddr = u64(d, h + 60)
+    if (u32(d, h + 68) != lookup3(d, h, 68)) return None
+    if (elemSize < 8 || elemSize > 32) return None
+    if (maxBits < 1 || maxBits > 64) return None
+    if (minElems < 1 || !isPow2(minElems)) return None
+    if (minPtrs < 2 || !isPow2(minPtrs)) return None
+    val arrOffSize = (maxBits + 7) / 8
+    val nChunks = grid.product
+    if (nChunks > (1L << 22)) return None // crafted-grid bomb
+    if (iblkAddr == Undef) return Some(Seq.empty)
+    // super-block geometry (the H5EA scheme)
+    val nsblksTotal = 1 + (maxBits - log2of2(minElems))
+    val iblkNsblks = math.min(2 * log2of2(minPtrs), nsblksTotal)
+    val ndblkAddrs = (0 until iblkNsblks).map(s => 1L << (s / 2)).sum
+    val nsblkAddrs = nsblksTotal - iblkNsblks
+    val sblkStartIdx = new Array[Long](nsblksTotal)
+    val sblkStartDblk = new Array[Long](nsblksTotal)
+    var accIdx = 0L
+    var accDblk = 0L
+    (0 until nsblksTotal).foreach { s =>
+      sblkStartIdx(s) = accIdx
+      sblkStartDblk(s) = accDblk
+      accIdx += (1L << (s / 2)) * ((1L << ((s + 1) / 2)) * minElems)
+      accDblk += 1L << (s / 2)
+    }
+    // index block
+    val iblkLen = 14L + idxBlkElems.toLong * elemSize +
+      (ndblkAddrs + nsblkAddrs) * 8L + 4L
+    if (!r.check(iblkAddr, iblkLen)) return None
+    val ib = iblkAddr.toInt
+    if (d(ib) != 'E' || d(ib + 1) != 'A' || d(ib + 2) != 'I' ||
+      d(ib + 3) != 'B') return None
+    if ((d(ib + 4) & 0xff) != 0 ||
+      (d(ib + 5) & 0xff) != clientId) return None
+    if (u64(d, ib + 6) != hdrAddr) return None
+    if (u32(d, (iblkAddr + iblkLen - 4).toInt) !=
+      lookup3(d, ib, (iblkLen - 4).toInt)) return None
+    val elemsOff = ib + 14
+    val dblkAddrsOff = elemsOff + idxBlkElems * elemSize
+    val sblkAddrsOff = dblkAddrsOff + ndblkAddrs.toInt * 8
+    // any realized secondary block → honest rejection
+    var sb = 0
+    while (sb < nsblkAddrs) {
+      if (u64(d, sblkAddrsOff + sb * 8) != Undef) return None
+      sb += 1
+    }
+    def decodeElem(at: Int): Option[(Long, Int, Long)] = {
+      val addr = u64(d, at)
+      if (addr == Undef) None
+      else if (clientId == 1) {
+        val szBytes = elemSize - 12
+        var sz = 0L
+        var j = 0
+        while (j < szBytes) {
+          sz |= (d(at + 8 + j) & 0xffL) << (8 * j); j += 1 }
+        Some((addr, sz.toInt, u32(d, at + 8 + szBytes)))
+      } else Some((addr, chunkBytes, 0L))
+    }
+    // data blocks decode lazily, once each
+    val dblkCache = scala.collection.mutable.Map[Long, Option[Int]]()
+    def dataBlockElems(dbIdx: Long, nelmts: Long, startAbs: Long)
+        : Option[Int] = dblkCache.getOrElseUpdate(dbIdx, {
+      if (dbIdx >= ndblkAddrs) return None // secondary-block range
+      val addr = u64(d, dblkAddrsOff + dbIdx.toInt * 8)
+      if (addr == Undef) Some(-1)
+      else {
+        if (nelmts > (1L << pageBits))
+          return None // paged data block: honest rejection
+        val len = 14L + arrOffSize + nelmts * elemSize + 4L
+        if (!r.check(addr, len)) return None
+        val b = addr.toInt
+        if (d(b) != 'E' || d(b + 1) != 'A' || d(b + 2) != 'D' ||
+          d(b + 3) != 'B') return None
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != clientId) return None
+        if (u64(d, b + 6) != hdrAddr) return None
+        var off = 0L
+        var j = 0
+        while (j < arrOffSize) {
+          off |= (d(b + 14 + j) & 0xffL) << (8 * j); j += 1 }
+        if (off != startAbs) return None
+        if (u32(d, (addr + len - 4).toInt) !=
+          lookup3(d, b, (len - 4).toInt)) return None
+        Some(b + 14 + arrOffSize)
+      }
+    })
+    val offs = gridOffsets(grid, cd)
+    val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
+    var i = 0L
+    while (i < nChunks) {
+      val loc: Option[(Long, Int, Long)] =
+        if (i < idxBlkElems)
+          decodeElem(elemsOff + i.toInt * elemSize)
+        else {
+          val u = i - idxBlkElems
+          val s = log2gen(u / minElems + 1)
+          if (s >= nsblksTotal) return None
+          val nel = (1L << ((s + 1) / 2)) * minElems
+          val dblkIdx = (u - sblkStartIdx(s)) / nel
+          val inBlk = (u - sblkStartIdx(s)) % nel
+          val startAbs = sblkStartIdx(s) + dblkIdx * nel +
+            idxBlkElems
+          dataBlockElems(sblkStartDblk(s) + dblkIdx, nel, startAbs)
+            .getOrElse(return None) match {
+            case -1 => None // whole data block absent
+            case base =>
+              decodeElem(base + (inBlk * elemSize).toInt)
+          }
+        }
+      loc.foreach { case (addr, stored, mask) =>
+        out += ((offs(i.toInt), stored, mask, addr))
+      }
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  private def isPow2(n: Int): Boolean = n > 0 && (n & (n - 1)) == 0
+  private def log2of2(n: Int): Int =
+    java.lang.Integer.numberOfTrailingZeros(n)
+  private def log2gen(n: Long): Int =
+    if (n <= 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(n)
+  /** H5VM_limit_enc_size: bytes needed to encode values ≤ limit. */
+  private def encSize(limit: Long): Int = log2gen(limit) / 8 + 1
+
+  /** The v4 VERSION 2 B-TREE chunk index (spec III.A.2: "BTHD"
+    * header, "BTIN" internal and "BTLF" leaf nodes; what h5py
+    * writes for datasets with MORE THAN ONE unlimited dimension).
+    * Record type 10 = unfiltered chunks (address + scaled offsets),
+    * 11 = filtered (+ stored size + filter mask). Node checksums
+    * cover the USED bytes only; child-pointer record counts encode
+    * in `encSize(leaf capacity)` bytes and depth>1 pointers carry
+    * cumulative totals — the H5B2 geometry, derived here from
+    * (nodeSize, recordSize, depth) exactly as the library does. */
+  private def btree2Entries(r: Rd, hdrAddr: Long, rank: Int,
+      dims: Seq[Long], cd: Seq[Int], chunkBytes: Int,
+      filtered: Boolean)
+      : Option[Seq[(Seq[Long], Int, Long, Long)]] = {
+    if (hdrAddr == Undef) return Some(Seq.empty)
+    val d = r.d
+    if (!r.check(hdrAddr, 36)) return None
+    val h = hdrAddr.toInt
+    if (d(h) != 'B' || d(h + 1) != 'T' || d(h + 2) != 'H' ||
+      d(h + 3) != 'D') return None
+    if ((d(h + 4) & 0xff) != 0) return None // version
+    val recType = d(h + 5) & 0xff
+    if (recType != (if (filtered) 11 else 10)) return None
+    val nodeSize = u32(d, h + 6)
+    val recSize = (d(h + 10) & 0xff) | ((d(h + 11) & 0xff) << 8)
+    val depth = (d(h + 12) & 0xff) | ((d(h + 13) & 0xff) << 8)
+    // split(1) + merge(1) percents — replay-irrelevant
+    val rootAddr = u64(d, h + 16)
+    val rootNrec = (d(h + 24) & 0xff) | ((d(h + 25) & 0xff) << 8)
+    val totalNrec = u64(d, h + 26)
+    if (u32(d, h + 34) != lookup3(d, h, 34)) return None
+    if (nodeSize < 64 || nodeSize > (1 << 24)) return None
+    if (depth > 16) return None
+    val minRec = 8 + 8 * rank
+    if (recSize < minRec || recSize > 4096) return None
+    val szBytes = recSize - 8 - 4 - 8 * rank // filtered only
+    if (filtered && (szBytes < 1 || szBytes > 8)) return None
+    if (!filtered && recSize != minRec) return None
+    if (totalNrec > (1L << 22)) return None // crafted bomb
+    // node capacities (H5B2 geometry)
+    val leafMax = ((nodeSize - 10) / recSize).toInt
+    if (leafMax < 1) return None
+    val maxNrecSize = encSize(leafMax.toLong)
+    val cum = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    cum(0) = leafMax.toLong
+    cumSize(0) = 0
+    var u = 1
+    while (u <= depth) {
+      val ptr = 8 + maxNrecSize + cumSize(u - 1)
+      val intMax = ((nodeSize - (10 + ptr)) / (recSize + ptr)).toInt
+      if (intMax < 1) return None
+      cum(u) = (intMax + 1).toLong * cum(u - 1) + intMax
+      cumSize(u) = encSize(cum(u))
+      u += 1
+    }
+    val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
+    var seen = 0L
+    def record(at: Int): Boolean = {
+      val addr = u64(d, at)
+      val (stored, mask, offBase) =
+        if (filtered) {
+          var sz = 0L
+          var j = 0
+          while (j < szBytes) {
+            sz |= (d(at + 8 + j) & 0xffL) << (8 * j); j += 1 }
+          (sz.toInt, u32(d, at + 8 + szBytes),
+            at + 8 + szBytes + 4)
+        } else (chunkBytes, 0L, at + 8)
+      val offs = (0 until rank).map { k =>
+        val scaled = u64(d, offBase + k * 8)
+        if (scaled < 0 || scaled > Long.MaxValue / cd(k))
+          return false
+        scaled * cd(k)
+      }
+      out += ((offs, stored, mask, addr))
+      seen += 1
+      true
+    }
+    def walk(addr: Long, nrec: Int, dep: Int, budget: Int)
+        : Boolean = {
+      if (budget <= 0 || nrec < 0) return false
+      if (addr == Undef) return nrec == 0
+      if (dep == 0) {
+        val used = 6L + nrec.toLong * recSize
+        if (nrec > leafMax || !r.check(addr, used + 4)) return false
+        val b = addr.toInt
+        if (d(b) != 'B' || d(b + 1) != 'T' || d(b + 2) != 'L' ||
+          d(b + 3) != 'F') return false
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != recType) return false
+        if (u32(d, (addr + used).toInt) !=
+          lookup3(d, b, used.toInt)) return false
+        var i = 0
+        while (i < nrec) {
+          if (!record(b + 6 + i * recSize)) return false
+          i += 1
+        }
+        true
+      } else {
+        val ptrSize = 8 + maxNrecSize +
+          (if (dep > 1) cumSize(dep - 1) else 0)
+        val used = 6L + nrec.toLong * recSize +
+          (nrec + 1).toLong * ptrSize
+        if (!r.check(addr, used + 4)) return false
+        val b = addr.toInt
+        if (d(b) != 'B' || d(b + 1) != 'T' || d(b + 2) != 'I' ||
+          d(b + 3) != 'N') return false
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != recType) return false
+        if (u32(d, (addr + used).toInt) !=
+          lookup3(d, b, used.toInt)) return false
+        val ptrs0 = b + 6 + nrec * recSize
+        var i = 0
+        while (i <= nrec) {
+          val p0 = ptrs0 + i * ptrSize
+          val cAddr = u64(d, p0)
+          var cNrec = 0L
+          var j = 0
+          while (j < maxNrecSize) {
+            cNrec |= (d(p0 + 8 + j) & 0xffL) << (8 * j); j += 1 }
+          if (!walk(cAddr, cNrec.toInt, dep - 1, budget - 1))
+            return false
+          // the separator record AFTER child i (except past-last)
+          if (i < nrec && !record(b + 6 + i * recSize))
+            return false
+          i += 1
+        }
+        true
+      }
+    }
+    if (!walk(rootAddr, rootNrec, depth, 1 << 20)) return None
+    if (seen != totalNrec) return None
+    // every decoded offset must land on the chunk grid in range
+    val res = out.result()
+    if (res.exists { case (offs, _, _, _) =>
+      offs.zipWithIndex.exists { case (o, k) =>
+        o < 0 || o >= dims(k) || o % cd(k) != 0 }
+    }) return None
+    Some(res)
+  }
+
   /** Assemble a dataset's element bytes from its layout. */
   private def datasetBytes(r: Rd, info: ObjInfo): Option[Array[Byte]] = {
     val dt = info.dtype.getOrElse(return None)
@@ -813,6 +1126,13 @@ object Hdf5 {
           case 3 => // v4 fixed array
             fixedArrayEntries(r, lay.addr, grid, lay.chunkDims,
               chunkBytes, filtered = info.pipeline.nonEmpty)
+          case 4 => // v4 extensible array (one unlimited dim)
+            extArrayEntries(r, lay.addr, grid, lay.chunkDims,
+              chunkBytes, filtered = info.pipeline.nonEmpty)
+          case 5 => // v4 version-2 b-tree (several unlimited dims)
+            btree2Entries(r, lay.addr, rank, info.dims,
+              lay.chunkDims, chunkBytes,
+              filtered = info.pipeline.nonEmpty)
           case _ => None
         }).getOrElse(return None)
         val out = new Array[Byte](want)
@@ -967,7 +1287,15 @@ object Hdf5 {
       chunkDims: Seq[Int] = Seq.empty, compact: Boolean = false,
       /** chunked only: byte-shuffle before deflate, fletcher32
         * checksum trailer after — the h5py pipeline order. */
-      shuffle: Boolean = false, fletcher: Boolean = false)
+      shuffle: Boolean = false, fletcher: Boolean = false,
+      /** [[buildLatest]] chunked only: which v4 chunk index to
+        * emit — 3 fixed array (default), 4 extensible array (the
+        * one-unlimited-dim h5py shape), 5 version-2 b-tree (the
+        * several-unlimited-dims shape). */
+      chunkIndexKind: Int = 3,
+      /** [[buildLatest]] b-tree index only: node size (small
+        * values force multi-level trees in tests). */
+      btreeNodeSize: Int = 2048)
 
   final class Writer {
     private val buf = new java.io.ByteArrayOutputStream(4096)
@@ -1525,43 +1853,256 @@ object Hdf5 {
           buf.write(cb, 0, cb.length)
           (addr, cb.length)
         }
-        // FADB then FAHD (so both addresses are known up front)
-        val entrySize = 16 // addr(8) + size(4) + filter mask(4)
-        val dbAddr = pos
-        val dbLen = 14L + entries.length * entrySize + 4
-        val fahdAddr = dbAddr + dbLen
-        val db = new java.io.ByteArrayOutputStream()
-        db.write('F'); db.write('A'); db.write('D'); db.write('B')
-        db.write(0); db.write(1) // version, client 1 (filtered)
-        w64b(db, fahdAddr)
-        entries.foreach { case (addr, stored) =>
-          w64b(db, addr)
-          w32b(db, stored.toLong)
-          w32b(db, 0L) // filter mask
-        }
-        val dbb = db.toByteArray
-        buf.write(dbb, 0, dbb.length)
-        w32b(buf, lookup3(dbb, 0, dbb.length))
-        val hd = new java.io.ByteArrayOutputStream()
-        hd.write('F'); hd.write('A'); hd.write('H'); hd.write('D')
-        hd.write(0); hd.write(1)
-        hd.write(entrySize); hd.write(12) // page bits: 4096 entries
-        w64b(hd, entries.length.toLong)
-        w64b(hd, dbAddr)
-        val hdb = hd.toByteArray
-        require(entries.length <= (1 << 12), "paged fixed array")
-        buf.write(hdb, 0, hdb.length)
-        w32b(buf, lookup3(hdb, 0, hdb.length))
-        // layout v4 chunked message
+        // index structure per chunkIndexKind, then the layout msg
         val lay = new java.io.ByteArrayOutputStream()
         lay.write(4); lay.write(2)
         lay.write(0)         // flags
         lay.write(rank)      // dimensionality
         lay.write(8)         // dim encode length
         cd.foreach(c => w64b(lay, c.toLong))
-        lay.write(3)         // fixed array index
-        lay.write(12)        // page bits
-        w64b(lay, fahdAddr)
+        ds.chunkIndexKind match {
+          case 3 =>
+            // FADB then FAHD (both addresses known up front)
+            val entrySize = 16 // addr(8) + size(4) + mask(4)
+            val dbAddr = pos
+            val dbLen = 14L + entries.length * entrySize + 4
+            val fahdAddr = dbAddr + dbLen
+            val db = new java.io.ByteArrayOutputStream()
+            db.write('F'); db.write('A'); db.write('D'); db.write('B')
+            db.write(0); db.write(1) // version, client 1 (filtered)
+            w64b(db, fahdAddr)
+            entries.foreach { case (addr, stored) =>
+              w64b(db, addr)
+              w32b(db, stored.toLong)
+              w32b(db, 0L) // filter mask
+            }
+            val dbb = db.toByteArray
+            buf.write(dbb, 0, dbb.length)
+            w32b(buf, lookup3(dbb, 0, dbb.length))
+            val hd = new java.io.ByteArrayOutputStream()
+            hd.write('F'); hd.write('A'); hd.write('H'); hd.write('D')
+            hd.write(0); hd.write(1)
+            hd.write(entrySize); hd.write(12) // page bits
+            w64b(hd, entries.length.toLong)
+            w64b(hd, dbAddr)
+            val hdb = hd.toByteArray
+            require(entries.length <= (1 << 12), "paged fixed array")
+            buf.write(hdb, 0, hdb.length)
+            w32b(buf, lookup3(hdb, 0, hdb.length))
+            lay.write(3)  // fixed array index
+            lay.write(12) // page bits
+            w64b(lay, fahdAddr)
+          case 4 =>
+            // extensible array: data blocks, index block, header —
+            // addresses computed up front (blocks point at EAHD)
+            val elemSize = 16 // filtered: addr(8)+size(4)+mask(4)
+            val maxBits = 32
+            val idxElems = 4
+            val minElems = 16
+            val minPtrs = 4
+            val pageBits = 10
+            val arrOffSize = (maxBits + 7) / 8
+            val n = entries.length
+            val iblkNsblks = 2 * log2of2(minPtrs)
+            val nsblksTotal = 1 + (maxBits - log2of2(minElems))
+            val ndblkAddrs = (0 until iblkNsblks)
+              .map(s => 1L << (s / 2)).sum.toInt
+            val nsblkAddrs = nsblksTotal - iblkNsblks
+            // which data blocks exist, and their geometry
+            final case class Db(dbIdx: Int, nel: Long, startAbs: Long)
+            val dbs = scala.collection.mutable.LinkedHashMap[Int, Db]()
+            var maxCover = idxElems.toLong
+            (0 until iblkNsblks).foreach { s =>
+              maxCover += (1L << (s / 2)) *
+                ((1L << ((s + 1) / 2)) * minElems)
+            }
+            require(n <= maxCover,
+              s"extensible-array writer: $n chunks exceed the " +
+                s"index-block-direct coverage $maxCover")
+            var i = idxElems
+            while (i < n) {
+              val uu = (i - idxElems).toLong
+              val s = log2gen(uu / minElems + 1)
+              val nel = (1L << ((s + 1) / 2)) * minElems
+              var startIdx = 0L
+              var startDblk = 0L
+              (0 until s).foreach { t =>
+                startIdx += (1L << (t / 2)) *
+                  ((1L << ((t + 1) / 2)) * minElems)
+                startDblk += 1L << (t / 2)
+              }
+              val dblkIdx = ((uu - startIdx) / nel).toInt
+              val key = startDblk.toInt + dblkIdx
+              if (!dbs.contains(key))
+                dbs(key) = Db(key, nel,
+                  startIdx + dblkIdx * nel + idxElems)
+              i += 1
+            }
+            // sizes known → header address after dblks + iblock
+            val dblkLens = dbs.values.map(db =>
+              14L + arrOffSize + db.nel * elemSize + 4L).toSeq
+            val iblkLen = 14L + idxElems.toLong * elemSize +
+              (ndblkAddrs + nsblkAddrs).toLong * 8 + 4L
+            val dblkAddrs0 = pos
+            val iblkAddr = dblkAddrs0 + dblkLens.sum
+            val eahdAddr = iblkAddr + iblkLen
+            def elemBytes(b: java.io.ByteArrayOutputStream,
+                idx: Long): Unit =
+              if (idx < n) {
+                val (addr, stored) = entries(idx.toInt)
+                w64b(b, addr); w32b(b, stored.toLong); w32b(b, 0L)
+              } else {
+                w64b(b, Undef); w32b(b, 0L); w32b(b, 0L)
+              }
+            val dbAddrByIdx =
+              scala.collection.mutable.Map[Int, Long]()
+            var wrote = 0L
+            dbs.values.foreach { dbk =>
+              dbAddrByIdx(dbk.dbIdx) = dblkAddrs0 + wrote
+              val b = new java.io.ByteArrayOutputStream()
+              b.write('E'); b.write('A'); b.write('D'); b.write('B')
+              b.write(0); b.write(1)
+              w64b(b, eahdAddr)
+              var j = 0
+              while (j < arrOffSize) {
+                b.write(((dbk.startAbs >>> (8 * j)) & 0xff).toInt)
+                j += 1
+              }
+              (0L until dbk.nel).foreach(e =>
+                elemBytes(b, dbk.startAbs + e))
+              val bb = b.toByteArray
+              buf.write(bb, 0, bb.length)
+              w32b(buf, lookup3(bb, 0, bb.length))
+              wrote += bb.length + 4L
+            }
+            // index block
+            val ib = new java.io.ByteArrayOutputStream()
+            ib.write('E'); ib.write('A'); ib.write('I'); ib.write('B')
+            ib.write(0); ib.write(1)
+            w64b(ib, eahdAddr)
+            (0 until idxElems).foreach(e => elemBytes(ib, e.toLong))
+            (0 until ndblkAddrs).foreach(k =>
+              w64b(ib, dbAddrByIdx.getOrElse(k, Undef)))
+            (0 until nsblkAddrs).foreach(_ => w64b(ib, Undef))
+            val ibb = ib.toByteArray
+            require(iblkAddr == pos && ibb.length + 4L == iblkLen)
+            buf.write(ibb, 0, ibb.length)
+            w32b(buf, lookup3(ibb, 0, ibb.length))
+            // header
+            val hd = new java.io.ByteArrayOutputStream()
+            hd.write('E'); hd.write('A'); hd.write('H'); hd.write('D')
+            hd.write(0); hd.write(1)
+            hd.write(elemSize); hd.write(maxBits)
+            hd.write(idxElems); hd.write(minElems)
+            hd.write(minPtrs); hd.write(pageBits)
+            w64b(hd, 0L) // secondary blocks
+            w64b(hd, 0L) // secondary block bytes
+            w64b(hd, dbs.size.toLong)
+            w64b(hd, dblkLens.sum)
+            w64b(hd, n.toLong) // max index set
+            w64b(hd, n.toLong) // elements
+            w64b(hd, iblkAddr)
+            val hdb = hd.toByteArray
+            require(eahdAddr == pos)
+            buf.write(hdb, 0, hdb.length)
+            w32b(buf, lookup3(hdb, 0, hdb.length))
+            lay.write(4) // extensible array index
+            lay.write(maxBits); lay.write(idxElems)
+            lay.write(minPtrs); lay.write(minElems)
+            lay.write(pageBits)
+            w64b(lay, eahdAddr)
+          case 5 =>
+            // v2 b-tree: leaves, then the root (leaf or internal),
+            // then BTHD
+            val nodeSize = ds.btreeNodeSize
+            val szBytes = 4
+            val recSize = 8 + szBytes + 4 + 8 * rank
+            val leafCap = (nodeSize - 10) / recSize
+            require(leafCap >= 1, "b-tree node size too small")
+            val maxNrecSize = encSize(leafCap.toLong)
+            val n = entries.length
+            val recs = entries.zip(gridOffsets(grid, cd))
+            def writeRecord(b: java.io.ByteArrayOutputStream,
+                rec: ((Long, Int), Seq[Long])): Unit = {
+              val ((addr, stored), offs) = rec
+              w64b(b, addr)
+              w32b(b, stored.toLong)
+              w32b(b, 0L) // filter mask
+              offs.zipWithIndex.foreach { case (o, k) =>
+                w64b(b, o / cd(k)) } // SCALED offsets
+            }
+            def writeLeaf(rs: Seq[((Long, Int), Seq[Long])])
+                : Long = {
+              val addr = pos
+              val b = new java.io.ByteArrayOutputStream()
+              b.write('B'); b.write('T'); b.write('L'); b.write('F')
+              b.write(0); b.write(11) // version, record type 11
+              rs.foreach(writeRecord(b, _))
+              val bb = b.toByteArray
+              buf.write(bb, 0, bb.length)
+              w32b(buf, lookup3(bb, 0, bb.length))
+              addr
+            }
+            val (rootAddr, rootNrec, depth) =
+              if (n <= leafCap) (writeLeaf(recs), n, 0)
+              else {
+                // depth 1: k leaves + (k-1) separator records
+                val k = ((n + 1) + leafCap) / (leafCap + 1)
+                val perLeaf = (n - (k - 1)) / k
+                var extra = (n - (k - 1)) % k
+                var at = 0
+                val leaves = Seq.newBuilder[(Long, Int, Int)]
+                val seps = Seq.newBuilder[Int]
+                (0 until k).foreach { li =>
+                  val take = perLeaf + (if (extra > 0) 1 else 0)
+                  if (extra > 0) extra -= 1
+                  val la = writeLeaf(recs.slice(at, at + take))
+                  leaves += ((la, take, at))
+                  at += take
+                  if (li < k - 1) { seps += at; at += 1 }
+                }
+                val ptrSize = 8 + maxNrecSize
+                val intCap = (nodeSize - (10 + ptrSize)) /
+                  (recSize + ptrSize)
+                require(k - 1 <= intCap,
+                  "b-tree writer: depth > 1 not emitted")
+                val ra = pos
+                val b = new java.io.ByteArrayOutputStream()
+                b.write('B'); b.write('T'); b.write('I'); b.write('N')
+                b.write(0); b.write(11)
+                seps.result().foreach(s => writeRecord(b, recs(s)))
+                leaves.result().foreach { case (la, cnt, _) =>
+                  w64b(b, la)
+                  var j = 0
+                  while (j < maxNrecSize) {
+                    b.write(((cnt >>> (8 * j)) & 0xff)); j += 1 }
+                }
+                val bb = b.toByteArray
+                buf.write(bb, 0, bb.length)
+                w32b(buf, lookup3(bb, 0, bb.length))
+                (ra, k - 1, 1)
+              }
+            val bthdAddr = pos
+            val hd = new java.io.ByteArrayOutputStream()
+            hd.write('B'); hd.write('T'); hd.write('H'); hd.write('D')
+            hd.write(0); hd.write(11)
+            w32b(hd, nodeSize.toLong)
+            w16b(hd, recSize)
+            w16b(hd, depth)
+            hd.write(100); hd.write(40) // split/merge percents
+            w64b(hd, rootAddr)
+            w16b(hd, rootNrec)
+            w64b(hd, n.toLong)
+            val hdb = hd.toByteArray
+            buf.write(hdb, 0, hdb.length)
+            w32b(buf, lookup3(hdb, 0, hdb.length))
+            lay.write(5) // v2 b-tree index
+            w32b(lay, nodeSize.toLong)
+            lay.write(100); lay.write(40)
+            w64b(lay, bthdAddr)
+          case other =>
+            sys.error(s"unsupported chunk index kind $other")
+        }
         msgs += ((0x0008, lay.toByteArray))
         // filter pipeline v2
         val fp = new java.io.ByteArrayOutputStream()

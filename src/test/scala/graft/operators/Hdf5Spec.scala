@@ -197,6 +197,90 @@ class Hdf5Spec extends AnyFunSuite {
     assert(read(many).get.length == 20)
   }
 
+  test("extensible-array chunk index: iblock-direct, multi-super-" +
+    "block and filter combinations round-trip (r13)") {
+    def data(n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putFloat(i * 0.5f))
+      b.array()
+    }
+    // 1-D appendable shape: rows in {8 (2 chunks: iblock-direct),
+    // 100 (25 chunks: super blocks 0-2), 900 (225 chunks: into
+    // super block 3 — the deepest iblock-direct range)}
+    for ((rows, shuffle, fletcher) <- Seq((8, false, false),
+      (100, true, false), (900, true, true))) {
+      val f = buildLatest(Seq(WDataset("a", Seq(rows.toLong), "f4",
+        data(rows), chunkDims = Seq(4), shuffle = shuffle,
+        fletcher = fletcher, chunkIndexKind = 4)))
+      val ds = read(f).getOrElse(fail(s"EA rows=$rows rejected"))
+      assert(ds.head.dims == Seq(rows.toLong))
+      (0 until rows by math.max(1, rows / 17)).foreach { i =>
+        assert(ds.head.arr.at(i) == i * 0.5f, s"rows=$rows at $i")
+      }
+    }
+    // rank 2 (one unlimited dim in practice; grid still row-major)
+    val f2 = buildLatest(Seq(WDataset("m", Seq(10L, 6L), "f4",
+      data(60), chunkDims = Seq(3, 4), chunkIndexKind = 4)))
+    val m = read(f2).get.head
+    assert(m.arr.at(9, 5) == 59 * 0.5f)
+    assert(m.arr.at(0, 0) == 0f)
+  }
+
+  test("v2 b-tree chunk index: leaf root AND forced internal " +
+    "root round-trip; corruption rejects (r13)") {
+    def data(n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putLong(i * 31L - 4))
+      b.array()
+    }
+    // depth 0: all records in the root leaf
+    val f0 = buildLatest(Seq(WDataset("g", Seq(12L, 8L), "i8",
+      data(96), chunkDims = Seq(4, 4), chunkIndexKind = 5)))
+    val g0 = read(f0).get.head
+    assert(g0.arr.longAt(11, 7) == 95 * 31L - 4)
+    // depth 1: a tiny node size forces leaves under an internal
+    // root (record size 32 at rank 2 → leaf capacity 7 at 240B)
+    val f1 = buildLatest(Seq(WDataset("g", Seq(40L, 12L), "i8",
+      data(480), chunkDims = Seq(4, 4), chunkIndexKind = 5,
+      btreeNodeSize = 240),
+      WDataset("h", Seq(6L), "i8", data(6),
+        chunkDims = Seq(4), chunkIndexKind = 5,
+        shuffle = true, fletcher = true)))
+    val ds1 = read(f1).get
+    val g1 = ds1.head
+    (0 until 480 by 37).foreach { i =>
+      assert(g1.arr.longAt(i / 12, i % 12) == i * 31L - 4)
+    }
+    assert(ds1(1).arr.longAt(5) == 5 * 31L - 4)
+    // structural sanity: the file really contains BTIN + BTLF
+    def count(sig: String): Int = {
+      val s = sig.getBytes("UTF-8")
+      (0 to f1.length - 4).count(i => (0 until 4)
+        .forall(k => f1(i + k) == s(k)))
+    }
+    assert(count("BTIN") == 1 && count("BTLF") >= 5)
+    // flipping a bit inside a leaf's used bytes must reject
+    val idx = (0 to f1.length - 4).find(i =>
+      f1(i) == 'B' && f1(i + 1) == 'T' && f1(i + 2) == 'L' &&
+        f1(i + 3) == 'F').get
+    val bad = f1.clone()
+    bad(idx + 8) = (bad(idx + 8) ^ 0x40).toByte
+    assert(read(bad).isEmpty ||
+      read(bad).get.forall(_.path != "g"))
+    // EA corruption: a flipped index-block byte rejects too
+    val fe = buildLatest(Seq(WDataset("a", Seq(100L), "f4",
+      java.nio.ByteBuffer.allocate(400).array(),
+      chunkDims = Seq(4), chunkIndexKind = 4)))
+    val ei = (0 to fe.length - 4).find(i =>
+      fe(i) == 'E' && fe(i + 1) == 'A' && fe(i + 2) == 'I' &&
+        fe(i + 3) == 'B').get
+    val bade = fe.clone()
+    bade(ei + 20) = (bade(ei + 20) ^ 0x01).toByte
+    assert(read(bade).isEmpty)
+  }
+
   test("libver-latest rejections: checksums, paged arrays, " +
       "unknown indexes") {
     val base = buildLatest(Seq(WDataset("x", Seq(8L), "i4",
