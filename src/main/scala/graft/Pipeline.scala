@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   * Note Spark's `split(s, '')` keeps a trailing '' (Java regex, limit -1)
   * while DuckDB's `string_split(s, '')` does not — char folds filter it.
   */
-object Pipeline {
-
+object Pipeline
+  extends PipelineTextPart
+  with PipelineEmbedPart
+  with PipelineMediaPart
+  with PipelineWebPart
+  with PipelineLakehousePart
+  with PipelineColumnarPart
+  with PipelineTensorPart
+  with PipelineDocPart {
   final val P = 1000000007L
-
   /** documents with the native poly_hash function registered. */
-  private def registered(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def registered(s: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(s)
     graft.functions.PolyHashWindows.register(s)
     graft.functions.JaccardSorted.register(s)
@@ -32,7 +38,6 @@ object Pipeline {
     graft.functions.NfcNormalize.register(s)
     Tables.documents(s, dir)
   }
-
   /** Shared `(doc_id, term) → tf` table — ONE token-explode +
     * map-side-combined aggregate serving the whole retrieval family
     * (tfidf_terms, inverted_index, token_pmi's df/presence,
@@ -40,25 +45,22 @@ object Pipeline {
     * the r8 bench showed this chain re-deriving per query
     * (token_pmi 3.9 s, tfidf_terms 3.6 s at sf0.1 — all explode cost).
     * First touch is billed separately by Bench's cold accounting. */
-  private def docTermTf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docTermTf(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"doc-term-tf:$dir") {
       registered(s, dir)
         .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     }
-
   /** embeddings with the native dot_p function registered. */
-  private def registeredVecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def registeredVecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     Tables.embeddings(s, dir)
   }
-
   /** Polynomial hash of a string column (Spark side): the native
     * codegen'd expression functions.PolyHash — byte-fold identical to the
     * portable char fold for ASCII corpora (the DuckDB oracle keeps the
     * char-fold form). */
-  private def charFold(colName: String): String = s"poly_hash($colName)"
-
+  private[graft] def charFold(colName: String): String = s"poly_hash($colName)"
   /** Shingle start indices 1..size-2, EMPTY for <3 tokens. Spark's
     * sequence(1, n) with n < 1 generates a DESCENDING [1, 0, ...] (and
     * element_at(, 0) then throws), while the DuckDB oracle's
@@ -67,11438 +69,11 @@ object Pipeline {
   private[graft] def shingleIdx(tk: String): String =
     s"filter(sequence(1, greatest(size($tk) - 2, 1)), " +
       s"i -> i <= size($tk) - 2)"
-
   /** Same fold in DuckDB SQL. */
-  private def charFoldDuck(colName: String): String =
+  private[graft] def charFoldDuck(colName: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($colName, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $P)"
-
-  // ---- text analysis ---------------------------------------------------
-
-  /** Exact deduplication, shuffle-lean AND truly exact: phase 1 groups a
-    * 32-byte compound fingerprint (forward poly-hash, reverse poly-hash,
-    * byte length) — the full documents never shuffle for the singleton
-    * majority (the naive partitionBy(text) ships and sorts entire
-    * documents). Phase 2 joins text back ONLY for multi-member
-    * fingerprint groups (true-duplicate-sized) and re-keys on the content
-    * itself, so a fingerprint collision can never merge distinct texts —
-    * the result is identical to partitioning by raw text, which is
-    * exactly what the oracle does. */
-  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val docs = registered(s, dir)
-    val wf = Window.partitionBy("h1", "h2", "len")
-    val fp = docs
-      .select(col("doc_id"), expr("poly_hash(text)").as("h1"),
-        expr("poly_hash(reverse(text))").as("h2"),
-        length(col("text")).as("len"))
-      .withColumn("gsize", count(lit(1)).over(wf))
-    val singles = fp.filter(col("gsize") === 1)
-      .select(col("doc_id"), col("doc_id").as("keeper"),
-        lit(false).as("is_dup"))
-    val wt = Window.partitionBy("h1", "h2", "len", "text")
-    val multis = fp.filter(col("gsize") > 1)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .withColumn("keeper", min("doc_id").over(wt))
-      .select(col("doc_id"), col("keeper"),
-        (col("doc_id") =!= col("keeper")).as("is_dup"))
-    singles.unionByName(multis).orderBy("doc_id")
-  }
-
-  /** Incremental cross-snapshot deduplication — the shape a GROWING
-    * corpus runs nightly: an arriving batch (here the lexicographically
-    * last source, a deterministic stand-in for "today's crawl") is
-    * checked against the EXISTING store without ever re-deduplicating
-    * the store against itself. Same exactness contract as
-    * [[dedupExact]]: the join key is the 24-byte compound fingerprint
-    * (forward + reverse poly-hash + length) so neither side shuffles
-    * text; actual text travels ONLY for fingerprint-equal candidate
-    * pairs (true-duplicate-sized) and a full text-equality verify makes
-    * collisions unable to fabricate matches — which is why the oracle
-    * can join on raw text. Each new doc reports its smallest matching
-    * store doc, or −1 when genuinely new.
-    *
-    * 100 TB shape: the store's fingerprint table is what a production
-    * run would keep materialized between snapshots (the streaming twin
-    * [[streaming.StreamingDedup]] holds exactly this as state); the
-    * batch-side scan is the only per-snapshot corpus touch. */
-  /** The incremental-dedup core over (doc_id, text) frames — separated
-    * so the spec can drive it with planted duplicates (the real corpus
-    * has cross-source exact dups only at sf0.1, where the real-corpus
-    * spec run finds them; the gate SF proves the no-dup path). */
-  private[graft] def incrementalVerdicts(batch: DataFrame,
-      store: DataFrame): DataFrame = {
-    def fp(df: DataFrame): DataFrame =
-      df.selectExpr("doc_id", "text", "poly_hash(text) AS h1",
-        "poly_hash(reverse(text)) AS h2", "length(text) AS len")
-    val cand = fp(batch)
-      .join(fp(store).select(col("h1"), col("h2"), col("len"),
-        col("doc_id").as("store_id"), col("text").as("store_text")),
-        Seq("h1", "h2", "len"))
-      .filter(col("text") === col("store_text"))
-      .groupBy("doc_id").agg(min("store_id").as("dup_of"))
-    batch.select("doc_id")
-      .join(cand, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "dup_of IS NOT NULL AS is_dup",
-        "coalesce(dup_of, CAST(-1 AS BIGINT)) AS dup_of")
-      .orderBy("doc_id")
-  }
-
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = registered(s, dir)
-    val lastSource = docs.agg(max("source").as("batch_src"))
-    val tagged = docs.crossJoin(broadcast(lastSource))
-      .selectExpr("doc_id", "text", "source = batch_src AS is_batch")
-    incrementalVerdicts(tagged.filter(col("is_batch")),
-      tagged.filter(!col("is_batch")))
-  }
-
-  /** Near-duplicate CLUSTERING with keeper assignment — the step a
-    * dedup pipeline runs after pair generation: transitive closure over
-    * the MinHash-LSH near-dup pairs (a chain A~B~C collapses to ONE
-    * keeper even when A~C itself scores below τ), every document mapped
-    * to its component's minimum doc_id.
-    *
-    * Scale shape: iterative min-label propagation restricted to the
-    * nodes the near-dup graph actually touches — per round, one join of
-    * the (near-dup-pair-sized) label set to the edge list and a
-    * min-aggregate; rounds needed = component diameter (near-dup chains
-    * are shallow), each round is shuffle-on-key work with no driver-side
-    * graph and NO pass over the full corpus (isolated documents join the
-    * result exactly once at the end, as their own keeper). The classic
-    * alternative (collect + union-find) dies at 100 TB; the
-    * recursive-CTE oracle proves this converges to exactly the
-    * connected components. */
-  /** Near-dup component labels (min-label CC over the MinHash+LSH pair
-    * graph), shared by dedup_clusters and dedup_keep_best through the
-    * session scan cache — the iterative propagation runs once per
-    * (session, corpus). */
-  private def dedupLabels(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"dedup-lbl:$dir") {
-      minLabelComponents(minhashLsh(s, dir).select("doc_a", "doc_b"))
-    }
-
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val lbl = dedupLabels(s, dir)
-    // no broadcast hint: in a real web corpus the near-dup node set can
-    // be a large fraction of the corpus — let AQE pick the join side
-    registered(s, dir).select(col("doc_id"))
-      .join(lbl, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("keeper"),
-        coalesce(col("doc_id") =!= col("lbl"), lit(false)).as("is_dup"))
-      .orderBy("doc_id")
-  }
-
-  /** Quality-retaining dedup — the keeper policy production pipelines
-    * actually use: within each near-dup cluster keep the BEST document
-    * (longest by token count, doc_id tie-break), not the arbitrary
-    * min-id (Lee et al. 2022 keep the longest of each duplicate pair;
-    * min-id keepers silently bias the surviving corpus toward whatever
-    * crawled first). Composes the shared component labels with a
-    * quality metric; swap `n_tokens` for any scored column
-    * (quality_classifier's llr, textQualityFull's panel) without
-    * touching the cluster side.
-    *
-    * 100 TB shape: same pair graph + label propagation as
-    * dedup_clusters (shared via [[dedupLabels]] — the iteration runs
-    * once per session), then one cluster-keyed first_value window;
-    * cluster sizes are near-dup-bounded, so no skew beyond what LSH
-    * banding already caps. */
-  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val lbl = dedupLabels(s, dir)
-    registered(s, dir)
-      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
-      .join(lbl, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster"))
-      .selectExpr("doc_id", "n_tokens", "cluster",
-        "first_value(doc_id) OVER (PARTITION BY cluster " +
-          "ORDER BY n_tokens DESC, doc_id) AS best_doc")
-      .selectExpr("doc_id", "cluster", "n_tokens", "best_doc",
-        "doc_id = best_doc AS keep")
-      .orderBy("doc_id")
-  }
-
-  /** Connected components over an undirected pair list by min-label
-    * propagation WITH pointer jumping: each round a node takes the
-    * minimum of its neighbors' labels (one edge step) AND its label's
-    * label (the doubling step — distance to the component minimum
-    * halves), so convergence is O(log diameter), not O(diameter): 25
-    * rounds cover any graph a real corpus can produce (2^25 diameter).
-    * State stays (node, lbl) rows — no driver-side graph; still fails
-    * loudly rather than return an unconverged labeling. Returns one
-    * (node, lbl) row per touched node, lbl = component minimum. */
-  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("doc_a", "doc_b")
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.toDF("doc_a", "doc_b")
-        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    // edges carry both directions, so distinct src covers every touched
-    // node; the propagation state never exceeds 2×|pairs| rows.
-    var lbl = edges.select(col("src").as("node"))
-      .distinct().withColumn("lbl", col("node"))
-    var changed = 1L
-    var rounds = 0
-    val maxRounds = 25
-    // Each round's localCheckpoint pins corpus-scale (node, lbl) blocks
-    // in executor storage; release the previous round's blocks as soon
-    // as the new round has materialized (the count below), so at most
-    // one round of state stays pinned instead of all 25. The FINAL
-    // round's checkpoint must stay: truncated lineage means its blocks
-    // are the only copy of the returned labeling.
-    var prevCkpt: DataFrame = null
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(lbl, edges("src") === lbl("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      // pointer jump: labels are always node ids of the same component,
-      // so the inner self-join is total
-      val ptr = lbl.join(
-          lbl.select(col("node").as("pnode"), col("lbl").as("plbl")),
-          col("lbl") === col("pnode"))
-        .select(col("node"), col("plbl").as("lbl"))
-      // change detection rides INSIDE the round's aggregation: every node
-      // has exactly one row in lbl (prop targets are edge nodes), so
-      // min(old) recovers the previous label without a second join/action.
-      // localCheckpoint (eager) TRUNCATES LINEAGE: the round's plan
-      // references the previous round three times, so without truncation
-      // the logical tree grows 3^rounds and the driver, not the data,
-      // becomes the bottleneck.
-      val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
-        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
-        .unionByName(ptr.withColumn("old", lit(Long.MaxValue)))
-        .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
-        .localCheckpoint()
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      if (prevCkpt != null) prevCkpt.unpersist()
-      prevCkpt = next
-      lbl = next.select("node", "lbl")
-      rounds += 1
-    }
-    edges.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"minLabelComponents: still moving after $maxRounds doubling " +
-          "rounds (diameter > 2^25) — refusing to return an unconverged " +
-          "labeling")
-    lbl
-  }
-
-  /** Deterministic content-hash sampling — the reproducible corpus
-    * subsample a training pipeline uses: keep a document iff its
-    * scrambled content hash lands under the rate threshold (seed-free
-    * Bernoulli that survives re-sharding, replays, and engine moves —
-    * unlike RNG-based TABLESAMPLE, two runs and two engines always keep
-    * the same documents). Aggregated per source so the oracle checks the
-    * kept counts and the realized rate; the same scramble as the KMV
-    * sketch de-biases the short-token poly hashes. */
-  private def sampleHash(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir)
-      .selectExpr("source",
-        s"CASE WHEN poly_hash(text) * 2654435761L % ${P}L % 1000 < 100 " +
-          "THEN 1L ELSE 0L END AS kept")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
-      .selectExpr("source", "n_docs", "n_kept",
-        "n_kept / CAST(n_docs AS DOUBLE) AS rate")
-      .orderBy("source")
-
-  /** Postings kept per term in the inverted-index artifact. */
-  final val IdxPostings = 4
-
-  /** Inverted-index build — the retrieval-index ARTIFACT a corpus
-    * pipeline materializes (BM25 answers queries; this emits the index
-    * itself): per term its document frequency, total term frequency,
-    * and the top-[[IdxPostings]] postings by tf (doc_id-tiebroken),
-    * exploded to scalar rows so the gate hash-compares exactly.
-    *
-    * Shape: ONE token-explode pass → (term, doc) tf with map-side
-    * combine; term stats aggregate OVER the tf table (no second corpus
-    * pass — the tfidf_terms move); the postings cap is a rank window
-    * partitioned by term, never a global sort. */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val tf = docTermTf(s, dir)
-    val stats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
-    tf.withColumn("rank", row_number().over(
-        Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id")))
-        .cast("long"))
-      .filter(col("rank") <= IdxPostings)
-      .join(stats, "term")
-      .select("term", "df", "total_tf", "rank", "doc_id", "tf")
-      .orderBy("term", "rank")
-  }
-
-  /** KL panel width: the top-N corpus tokens. */
-  final val KlVocab = 64
-
-  /** Per-source distribution drift: KL(source ‖ corpus) over the
-    * restricted distribution on the top-[[KlVocab]] corpus tokens —
-    * the curator's "which source stopped looking like the corpus"
-    * readout (CCNet measures exactly this against a reference corpus).
-    *
-    * Exactness: the source side is add-one smoothed over the panel
-    * (p_s(w) = (c_s+1)/(n_s+64), a proper distribution, no ln(0));
-    * both logs are rounded to 6 dp pre-multiply (the bm25 convention)
-    * and each term's contribution lands in 1e-9 fixed point BEFORE the
-    * per-source sum, so the total is BIGINT and order-independent.
-    *
-    * Shape: one vocab-keyed count picks the panel (TakeOrdered); the
-    * corpus re-scan probes the 64-token panel by broadcast hash join —
-    * per-source counts then live on a (sources × 64) key space. */
-  private def sourceKl(s: SparkSession, dir: String): DataFrame = {
-    val toks = registered(s, dir)
-      .selectExpr("source", "explode(split(text, ' ')) AS tok")
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("tok")).limit(KlVocab)
-    val tot = top.agg(sum("c").as("ct"))
-    val probed = toks.join(broadcast(top.select("tok")), Seq("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-    // the FULL sources × panel grid: a panel token a source never emits
-    // still contributes its smoothed (0+1)/(n_s+64) mass — dropping
-    // those rows would understate the divergence exactly where it is
-    // largest
-    val sc = toks.select("source").distinct()
-      .crossJoin(broadcast(top))
-      .join(probed, Seq("source", "tok"), "left")
-      .na.fill(0L, Seq("cs"))
-    val ns = sc.groupBy("source").agg(sum("cs").as("n_s"))
-    sc.join(broadcast(ns), Seq("source"))
-      .crossJoin(broadcast(tot))
-      .selectExpr("source", "n_s",
-        s"CAST(round((cs + 1) / (n_s + $KlVocab.0D) * " +
-          s"(round(ln((cs + 1) / (n_s + $KlVocab.0D)), 6) - " +
-          "round(ln(c / CAST(ct AS DOUBLE)), 6)) * 1000000000) AS BIGINT) " +
-          "AS contrib")
-      .groupBy("source", "n_s").agg(sum("contrib").as("kl_e9"))
-      .select("source", "n_s", "kl_e9")
-      .orderBy("source")
-  }
-
-  /** PMI panel width: the top-N document-frequency tokens. */
-  final val PmiTop = 16
-
-  /** Pointwise mutual information of token co-occurrence within
-    * documents, over the [[PmiTop]] highest-df tokens — the
-    * collocation/association readout of a text pipeline (which heavy
-    * terms travel together, which repel).
-    *
-    * Shape: df is a count over the shared [[docTermTf]] table (rows
-    * are already distinct per doc) + a TakeOrdered head picks the
-    * panel; the 16-row panel broadcast HASH-joins the tf table on the
-    * term key (N×16 presence rows, never N×V — r9: replaced the
-    * array_contains nested-loop, the panel probe is now an equi-join);
-    * pair counts self-join presence on doc_id (≤ C(16,2)=120 rows per
-    * doc) and aggregate onto the constant 120-pair key space. PMI's
-    * lone libm call is rounded to 6 dp pre-emission (the bm25/tfidf
-    * cross-engine convention). Only co-occurring pairs emit. */
-  private def tokenPmi(s: SparkSession, dir: String): DataFrame = {
-    val tf = docTermTf(s, dir)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), asc("term")).limit(PmiTop)
-      .withColumn("i", row_number().over(
-        Window.orderBy(desc("df"), asc("term"))).cast("long"))
-    val pres = tf.join(broadcast(df), Seq("term"))
-      .select(col("doc_id"), col("term").as("tok"), col("i"), col("df"))
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val a = pres.select(col("doc_id"), col("tok").as("tok_a"),
-      col("i").as("ia"), col("df").as("n_a"))
-    val b = pres.select(col("doc_id"), col("tok").as("tok_b"),
-      col("i").as("ib"), col("df").as("n_b"))
-    a.join(b, Seq("doc_id")).filter(col("ia") < col("ib"))
-      .groupBy("tok_a", "tok_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_ab"))
-      .crossJoin(broadcast(nDocs))
-      .selectExpr("tok_a", "tok_b", "n_a", "n_b", "n_ab",
-        "round(ln(CAST(n_docs AS DOUBLE) * n_ab / (n_a * n_b)), 6) AS pmi")
-      .orderBy("tok_a", "tok_b")
-  }
-
-  /** Priority-sampling size. */
-  final val WsK = 100
-
-  /** Weighted sampling without replacement — Duffield–Lund–Thorup
-    * priority sampling, integer-exact and seed-free: each document gets
-    * priority `h div w` (h = scrambled content hash, uniform on [0, P);
-    * w = token count), and the sample is the K smallest priorities.
-    * Inclusion probability rises with w (a document of twice the weight
-    * halves its priority), the estimator properties are DLT's, and the
-    * selection is a pure function of content — reproducible across
-    * re-sharding, replays, and engines, the sample_hash property.
-    *
-    * 100 TB shape: priorities are a map pass over the scan; the K-pick
-    * is TakeOrdered (per-partition heads + driver merge of K rows),
-    * never a global sort. */
-  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir)
-      .selectExpr("doc_id",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
-        s"poly_hash(text) * 2654435761L % ${P}L AS h")
-      .selectExpr("doc_id", "w", "h div w AS pri")
-      .orderBy(asc("pri"), asc("doc_id")).limit(WsK)
-
-  /** Balanced per-source resampling: keep each source's K documents with
-    * the lowest scrambled content hash — a deterministic reservoir that
-    * caps any one source's share of the training mixture. Hash order
-    * (not doc_id order) keeps the selection stable under re-sharding and
-    * corpus growth: a newly-arrived document displaces at most one kept
-    * document, instead of shifting the whole prefix. */
-  private def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-    registered(s, dir)
-      .selectExpr("doc_id", "source",
-        s"poly_hash(text) * 2654435761L % ${P}L AS h")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("source"), col("rk").cast("long").as("rk"),
-        col("doc_id"), col("h"))
-      .orderBy("source", "rk")
-  }
-
-  /** Deterministic train/val/test assignment (80/10/10) from the
-    * scrambled content hash: the split is a property of the DOCUMENT,
-    * not of file layout or arrival order — re-sharding, replays, and
-    * corpus growth never move a document across splits (a new document
-    * adds one row to one side and disturbs nothing), and any engine
-    * computing the same fold lands it in the same split. Pure map over
-    * the scan — zero shuffle, unlike a per-source rank split (which
-    * needs a global sort per source and collapses each source onto one
-    * partition at 100 TB). Same hash family as [[sampleHash]], but a
-    * different multiplier path (bucket, not threshold) so the two
-    * selections are independent. */
-  private def corpusSplit(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir)
-      .selectExpr("doc_id", "source",
-        s"poly_hash(text) * 2654435761L % ${P}L % 1000 AS bucket")
-      .selectExpr("doc_id", "source", "bucket",
-        "CASE WHEN bucket < 800 THEN 'train' " +
-          "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split")
-      .orderBy("doc_id")
-
-  /** Mergeable equi-width histogram quantiles over the per-document
-    * token count — what a 100 TB corpus profiler runs instead of a
-    * global sort. The corpus is touched ONCE: a (value → count)
-    * histogram aggregate with full map-side combine, whose output is
-    * DOMAIN-sized (distinct token-count values), not corpus-sized.
-    * Everything downstream reads that histogram: the (min, max, n)
-    * bounds are one broadcast single-row aggregate over it, the
-    * [[QsBins]]-bin equi-width sketch is a second domain-sized
-    * aggregate (the mergeable-by-addition state a shard/stream would
-    * keep), each quantile estimate is the upper edge of the first bin
-    * whose cumulative count reaches ceil(q·n), and the EXACT quantile
-    * is the first VALUE whose cumulative count reaches it — exact
-    * because the values are integers, and scale-safe because the
-    * cumulative windows run over the domain, never the corpus (no
-    * corpus-sized collect, no global sort). All arithmetic is
-    * integer, so both columns are engine-exact and `err` is a
-    * measured column bounded by one bin width by construction. */
-  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val B = QsBins
-    // the ONE corpus pass: value histogram, domain-sized output —
-    // persisted per (session, dir) so the three consumers below (bounds,
-    // exact cumulative, bin cumulative) read the cached histogram
-    // instead of re-deriving it from the scan (PlanAuditSpec pins the
-    // single corpus read)
-    val vh = ScanCache.get(s, s"qsketch-vh:$dir") {
-      Tables.documents(s, dir)
-        .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS x")
-        .groupBy("x").agg(count(lit(1)).as("c"))
-    }
-    val bounds = vh.agg(min("x").as("mn"), max("x").as("mx"),
-      sum("c").as("n"))
-    // domain-sized windows: cumulative count by value (exact side) and
-    // by bin (sketch side)
-    val wx = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumV = vh.withColumn("cum", sum("c").over(wx))
-    val wb = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumB = vh.crossJoin(broadcast(bounds.select("mn", "mx")))
-      .selectExpr(s"(x - mn) * $B DIV (mx - mn + 1) AS bin", "c")
-      .groupBy("bin").agg(sum("c").as("c"))
-      .withColumn("cum", sum("c").over(wb))
-    val k = Seq(500000L, 900000L, 990000L).toDF("q_ppm")
-      .crossJoin(broadcast(bounds.select("n")))
-      .selectExpr("q_ppm", "(q_ppm * n + 999999) DIV 1000000 AS kidx")
-    val est = k.join(cumB, col("cum") >= col("kidx"))
-      .groupBy("q_ppm", "kidx").agg(min("bin").as("qbin"))
-    val exact = k.select("q_ppm", "kidx")
-      .join(cumV, col("cum") >= col("kidx"))
-      .groupBy("q_ppm").agg(min("x").as("exact"))
-    est.join(exact, Seq("q_ppm"))
-      .crossJoin(broadcast(bounds.select("mn", "mx")))
-      .selectExpr("q_ppm",
-        s"mn + ((qbin + 1) * (mx - mn + 1) + ${B - 1}) DIV $B - 1 AS est",
-        "exact")
-      .selectExpr("q_ppm", "est", "exact", "est - exact AS err")
-      .orderBy("q_ppm")
-  }
-
-  /** Histogram resolution of [[quantileSketch]]. */
-  final val QsBins = 64
-
-  /** Per-source corpus report — the dashboard a curator reads before a
-    * training run, as ONE query: volume (docs/tokens/chars), the
-    * quality-label mix of the text_quality classifier, language
-    * spread, and the exact-duplicate rate. Dup detection uses the
-    * compound fingerprint of [[dedupExact]] (forward + reverse hash +
-    * length) so the report shuffles 24-byte keys, never text — a
-    * report is fingerprint-grade; `dedup_exact` remains the
-    * collision-proof path. One fingerprint window + one groupBy
-    * source; token/char/label columns fold map-side. */
-  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val base = registered(s, dir)
-      .selectExpr("doc_id", "source", "lang",
-        "size(split(text, ' ')) AS n_tokens",
-        "length(text) AS n_chars",
-        "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop",
-        "poly_hash(text) AS h1", "poly_hash(reverse(text)) AS h2")
-    val wf = Window.partitionBy("h1", "h2", "n_chars")
-    base
-      .withColumn("is_dup", col("doc_id") =!= min("doc_id").over(wf))
-      .selectExpr("source", "lang", "n_tokens", "n_chars", "is_dup",
-        "CASE WHEN n_tokens < 20 THEN 'short' " +
-          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
-          "ELSE 'good' END AS q")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        sum("n_chars").as("n_chars"),
-        countDistinct("lang").as("n_langs"),
-        sum(when(col("q") === "good", 1L).otherwise(0L)).as("n_good"),
-        sum(when(col("q") === "short", 1L).otherwise(0L)).as("n_short"),
-        sum(when(col("q") === "stopwordy", 1L).otherwise(0L))
-          .as("n_stopwordy"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
-      .withColumn("dup_rate", col("n_dups") / col("n_docs"))
-      .orderBy("source")
-  }
-
-  /** HELD-OUT perplexity gate — the composition a quality pipeline
-    * actually runs: the bigram model trains ONLY on [[corpusSplit]]'s
-    * train bucket and scores the val bucket, so the score measures
-    * generalization instead of memorization (bigram_lm's self-scoring
-    * twin). Unseen val bigrams/unigrams survive via LEFT joins with
-    * zero counts — exactly what add-one smoothing is for; the split
-    * predicate is a map-side filter on the same scan (no extra pass),
-    * and the model tables keep bigram_lm's deliberate shuffle-join
-    * shape (vocabulary-sized, corpus-growing, never broadcast). */
-  private def bigramLmHeldout(s: SparkSession, dir: String): DataFrame = {
-    val docs = registered(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk",
-        s"poly_hash(text) * 2654435761L % ${P}L % 1000 AS bucket")
-    val train = docs.filter(col("bucket") < 800)
-    val valD = docs.filter(col("bucket") >= 800 && col("bucket") < 900)
-    def bigramsOf(d: DataFrame): DataFrame = d.selectExpr("doc_id",
-      "explode(transform(sequence(1, greatest(size(tk) - 1, 1)), " +
-        "i -> IF(i <= size(tk) - 1, struct(element_at(tk, CAST(i AS INT)) AS w1, " +
-        "element_at(tk, CAST(i + 1 AS INT)) AS w2), NULL))) AS bg")
-      .filter(col("bg").isNotNull)
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val uni = train.selectExpr("explode(tk) AS w")
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("vocab"))
-    val bi = bigramsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    bigramsOf(valD)
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .selectExpr("doc_id",
-        "CAST(round(ln((coalesce(c2, CAST(0 AS BIGINT)) + CAST(1 AS DOUBLE)) " +
-          "/ (coalesce(c1, CAST(0 AS BIGINT)) + CAST(vocab AS DOUBLE))) " +
-          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
-      .selectExpr("doc_id", "n_bigrams",
-        "round(CAST(slp AS DOUBLE) / n_bigrams / CAST(1000000 AS DOUBLE), 4) " +
-          "AS avg_logp")
-      .orderBy("doc_id")
-  }
-
-  /** Token counting: whitespace tokens, distinct tokens, characters. */
-  private def tokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      "size(split(text, ' ')) AS n_tokens",
-      "size(array_distinct(split(text, ' '))) AS n_unique",
-      "length(text) AS n_chars_m")
-      .orderBy("doc_id")
-
-  /** Quality scoring: stopword ratio, mean token length, class label —
-    * the length/punctuation/stopword heuristics of a pretraining filter. */
-  private def textQuality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      "size(split(text, ' ')) AS n_tokens",
-      "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
-      .selectExpr(
-        "doc_id", "n_tokens",
-        "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio",
-        "CASE WHEN n_tokens < 20 THEN 'short' " +
-          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
-          "ELSE 'good' END AS quality")
-      .orderBy("doc_id")
-
-  /** Full quality panel — the length/punct/stopword triad of a
-    * pretraining filter (the compact `text_quality` stays as the oracle
-    * for the classifier shape): token count, mean token length,
-    * punctuation ratio (non-alphanumeric-non-space chars over all
-    * chars), stopword ratio, and the resulting keep/flag label. */
-  private def textQualityFull(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      "size(split(text, ' ')) AS n_tokens",
-      "length(text) AS n_chars",
-      "length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_punct",
-      "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
-      // n_chars guarded by greatest(...,1): an empty document must yield
-      // ratio 0, not Spark-NULL-vs-DuckDB-NaN (engines disagree on 0/0)
-      .selectExpr("doc_id", "n_tokens", "n_chars",
-        "n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio",
-        "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio",
-        "(n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)" +
-          " AS mean_tok_len",
-        "CASE WHEN n_tokens < 20 THEN 'short' " +
-          "WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1 " +
-          "THEN 'punct_heavy' " +
-          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
-          "ELSE 'keep' END AS label")
-      .orderBy("doc_id")
-
-  /** Per-document character-distribution Shannon entropy — the classic
-    * gibberish/encoded-blob detector beside the ratio panel: natural
-    * text sits near the language's characteristic ~2.5-4 nats/char
-    * band, base64/hex blobs and repeated-char spam fall far outside it.
-    * H = Σ (cnt/n)·ln(n/cnt) over the document's character histogram,
-    * accumulated in integer micro-nats with the repo's round-to-6dp ln
-    * convention (a last-ulp libm difference between engines dies in the
-    * rounding), one double division at the end.
-    *
-    * 100 TB shape: a pure map over the scan — the histogram is built
-    * per row with array expressions (O(len·|alphabet|) per document,
-    * alphabet-bounded), ZERO shuffle, and the output is one narrow row
-    * per document. */
-  private def charEntropy(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "length(text) AS n", "split(text, '') AS chs")
-      .selectExpr("doc_id", "n",
-        "transform(array_distinct(chs), ch -> " +
-          "size(filter(chs, c -> c = ch))) AS cnts")
-      .selectExpr("doc_id", "n", "size(cnts) AS n_distinct",
-        // integer round BEFORE the cast: round(x·1e6, 0) is an exact
-        // integer-valued double, so Spark's truncating and DuckDB's
-        // rounding long-cast agree by construction (round(x,6)·1e6 can
-        // land a hair under the integer and split the engines)
-        "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * " +
-          "CAST(round(ln(n / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)) " +
-          "AS micro_nats")
-      .selectExpr("doc_id", "n", "n_distinct",
-        "round(CAST(micro_nats AS DOUBLE) / n / 1000000.0, 4) AS entropy")
-      .orderBy("doc_id")
-
-  /** Winnowing fingerprints (the rolling-hash document signature of
-    * Schleimer et al.'s MOSS): k-gram ROLLING hashes over the char
-    * stream, then each sliding window of w consecutive hashes
-    * contributes its minimum — near-identical documents share most
-    * selected fingerprints even under edits, which a whole-document
-    * fold (doc_fingerprint) cannot offer. Selected set presented as
-    * distinct count + min/max for the engine-neutral compare. */
-  private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val k = 8  // k-gram length
-    val w = 4  // winnowing window
-    registered(s, dir)
-      .selectExpr("doc_id",
-        // rolling k-gram hashes in one O(len) pass (same values as the
-        // per-substring poly_hash fold — PolyHashWindowsSpec pins it);
-        // sub-k documents keep the legacy whole-text hash the oracle's
-        // clamped range produces
-        s"CASE WHEN length(text) >= $k THEN poly_hash_windows(text, $k) " +
-          "ELSE array(poly_hash(text)) END AS kg")
-      .selectExpr("doc_id",
-        s"array_distinct(transform(sequence(1, greatest(size(kg) - ${w - 1}, 1)), " +
-          s"j -> array_min(slice(kg, cast(j AS int), $w)))) AS fps")
-      .selectExpr("doc_id", "size(fps) AS n_fps",
-        "array_min(fps) AS min_fp", "array_max(fps) AS max_fp")
-      .orderBy("doc_id")
-  }
-
-  // ---- retrieval / corpus prep ------------------------------------------
-
-  /** BM25 keyword retrieval (Robertson/Sparck Jones, the Okapi form used
-    * by every pretraining-corpus search index): score each document
-    * against a fixed query-term set, return the top 20.
-    *
-    * 100 TB shape: per-document term frequencies are array folds over the
-    * token list (codegen, zero shuffle); the corpus statistics (N, Σdl,
-    * per-term document frequency) are ONE single-row aggregate broadcast
-    * back via cross join; the top-k is a TakeOrdered, not a global sort.
-    * No explode, no token-level shuffle — the inverted-index build is
-    * deliberately avoided because the query set is a handful of terms.
-    *
-    * Cross-engine determinism: the only libm call (ln in idf) is rounded
-    * to 6 dp before scoring, so a last-ulp ln difference between the JVM
-    * and DuckDB cannot propagate; everything else is IEEE +,*,/ on
-    * integer-derived doubles (exactly rounded, engine-identical). Final
-    * score rounded to 4 dp with doc_id tiebreak. */
-  private val Bm25Terms = Seq("spark", "join", "window")
-
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
-    // explicit DOUBLE literals: a bare 1.2 parses as DECIMAL in both
-    // engines, and decimal-vs-double intermediates round differently
-    val k1 = "CAST(1.2 AS DOUBLE)"
-    val b  = "CAST(0.75 AS DOUBLE)"
-    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"size(filter(tk, x -> x = '$t')) AS tf$i" }
-    val d = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-      .selectExpr(Seq("doc_id", "size(tk) AS dl") ++ tfCols: _*)
-    val statAggs = Seq("count(*) AS n_docs", "sum(dl) AS sum_dl") ++
-      Bm25Terms.indices.map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-    val stats = d.selectExpr(statAggs: _*)
-    val idfCols = Bm25Terms.indices.map(i =>
-      s"round(ln(1.0d + (n_docs - df$i + 0.5d) / (df$i + 0.5d)), 6) AS idf$i")
-    val scoreTerms = Bm25Terms.indices.map(i =>
-      s"idf$i * (tf$i * ($k1 + 1)) / " +
-        s"(tf$i + $k1 * (1 - $b + $b * dl / avgdl))").mkString(" + ")
-    d.crossJoin(broadcast(
-        stats.selectExpr(
-          Seq("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl") ++
-            idfCols: _*)))
-      .selectExpr("doc_id", "dl AS n_tokens",
-        s"round($scoreTerms, 4) AS score")
-      .where("score > 0")
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(20)
-  }
-
-  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60) and
-    * the fixed-point scale: each list contributes `1e9 div (60 + rank)`,
-    * an exact BIGINT, so fused scores and the final ordering are
-    * engine-identical with no float summation anywhere. */
-  final val RrfK = 60L
-  final val RrfScale = 1000000000L
-
-  /** Reciprocal-rank fusion of two retrieval signals over the SAME
-    * corpus and query (the [[Bm25Terms]]): the saturating BM25 ranker
-    * and a plain tf·idf dot-product ranker. RRF is the standard way to
-    * merge heterogeneous rankers without score calibration — only RANKS
-    * cross lists, so the two incomparable score scales never meet.
-    *
-    * Both input rankers are top-20 TakeOrdered heads over broadcast
-    * corpus stats (the bm25 plan shape); the fusion itself is a full
-    * outer join of two ≤20-row lists — driver-trivial, corpus-free.
-    * Documents missing from one list contribute nothing for it (the
-    * rank term is 0, the RRF convention), surfacing documents that
-    * only one signal found. */
-  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
-    def ranked(df: DataFrame, rankCol: String): DataFrame =
-      df.withColumn(rankCol, row_number().over(
-        Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
-        .select("doc_id", rankCol)
-    val bm = ranked(bm25(s, dir), "rank_bm")
-    // tf·idf ranker over the same terms: Σ tf·round(ln(N/df), 6),
-    // rounded idf for cross-engine ln stability (the tfidf_terms move)
-    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"size(filter(tk, x -> x = '$t')) AS tf$i" }
-    val d = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-      .selectExpr("doc_id" +: tfCols: _*)
-    val statAggs = Seq("count(*) AS n_docs") ++ Bm25Terms.indices.map(i =>
-      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-    val idfCols = Bm25Terms.indices.map(i =>
-      s"round(ln(CAST(n_docs AS DOUBLE) / df$i), 6) AS idf$i")
-    val score = Bm25Terms.indices.map(i => s"tf$i * idf$i").mkString(" + ")
-    val tfidf = d.crossJoin(broadcast(
-        d.selectExpr(statAggs: _*).selectExpr(idfCols: _*)))
-      .selectExpr("doc_id", s"round($score, 4) AS score")
-      .where("score > 0")
-      .orderBy(desc("score"), asc("doc_id")).limit(20)
-    bm.join(ranked(tfidf, "rank_tf"), Seq("doc_id"), "full_outer")
-      .selectExpr("doc_id",
-        "coalesce(rank_bm, CAST(0 AS BIGINT)) AS rank_bm",
-        "coalesce(rank_tf, CAST(0 AS BIGINT)) AS rank_tf",
-        s"coalesce(CAST($RrfScale AS BIGINT) div ($RrfK + rank_bm), " +
-          "CAST(0 AS BIGINT)) " +
-          s"+ coalesce(CAST($RrfScale AS BIGINT) div ($RrfK + rank_tf), " +
-          "CAST(0 AS BIGINT)) AS rrf_fp")
-      .orderBy(desc("rrf_fp"), asc("doc_id"))
-  }
-
-  /** Token-window chunking — the context-window prep step of a training
-    * pipeline: each document becomes fixed 64-token windows with a
-    * 16-token overlap (stride 48); the tail window may be short.
-    * Embarrassingly parallel: sequence+explode per row, no shuffle. */
-  private def docChunks(s: SparkSession, dir: String): DataFrame = {
-    val (win, stride, overlap) = (64, 48, 16)
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-      .selectExpr("doc_id", "tk", "size(tk) AS n")
-      .selectExpr("doc_id", "tk",
-        s"explode(sequence(0, greatest(CAST(ceil((n - $overlap) / $stride.0) AS INT), 1) - 1)) AS chunk_id")
-      .selectExpr("doc_id", "chunk_id",
-        s"chunk_id * $stride AS start_tok",
-        s"size(slice(tk, chunk_id * $stride + 1, $win)) AS n_tok",
-        s"array_join(slice(tk, chunk_id * $stride + 1, $win), ' ') AS chunk_text")
-      .orderBy("doc_id", "chunk_id")
-  }
-
-  /** T5/UL2-style span corruption — the denoising-objective example
-    * builder: tokens group into spans of 3, every 5th span (20% token
-    * mask rate at span length 3, the T5 regime) is replaced in the
-    * INPUT by a numbered `<extra_id_k>` sentinel, and the TARGET is
-    * the sentinel-prefixed concatenation of the masked spans. The
-    * schedule is positional and deterministic — reproducible across
-    * engines, replays and re-sharding (the corpus_split property,
-    * which a random mask cannot give). Per doc: token/mask/span counts
-    * and md5s of both sides. Pure map pass, zero shuffle. */
-  private def spanCorrupt(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id", "ws",
-        "sequence(0, CAST((size(ws) - 1) div 3 AS INT)) AS gs")
-      .selectExpr("doc_id",
-        "CAST(size(ws) AS BIGINT) AS n_tokens",
-        "aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + " +
-          "(CASE WHEN g % 5 = 0 THEN size(slice(ws, g * 3 + 1, 3)) " +
-          "ELSE 0 END)) AS n_masked",
-        "CAST(size(filter(gs, g -> g % 5 = 0)) AS BIGINT) AS n_spans",
-        "md5(array_join(transform(gs, g -> CASE WHEN g % 5 = 0 " +
-          "THEN concat('<extra_id_', CAST(g div 5 AS STRING), '>') " +
-          "ELSE array_join(slice(ws, g * 3 + 1, 3), ' ') END), ' ')) " +
-          "AS input_md5",
-        "md5(array_join(transform(filter(gs, g -> g % 5 = 0), " +
-          "g -> concat('<extra_id_', CAST(g div 5 AS STRING), '> ', " +
-          "array_join(slice(ws, g * 3 + 1, 3), ' '))), ' ')) " +
-          "AS target_md5")
-      .orderBy("doc_id")
-
-  /** Cap on the MLM replacement vocabulary: top-K tokens by corpus
-    * frequency (deterministic tie-break on the token). Keeps the
-    * driver-side collect model-sized on ANY corpus — a web-scale
-    * corpus has billions of distinct tokens, so an uncapped
-    * `distinct().collect()` is a driver OOM; the cap is mirrored in
-    * the DuckDB oracle. */
-  val MlmVocabCap = 4096
-
-  /** BERT-style MLM masking with the 80/10/10 rule — the third
-    * objective builder beside [[spanCorrupt]] and [[fimTransform]]:
-    * every 7th token masks (≈14%); of the masked, positions cycle
-    * 8-1-1 between `[MASK]`, a vocabulary replacement (picked
-    * deterministically from the alphabetically SORTED top-K-by-
-    * frequency vocabulary by `(pos + doc_id) mod V` — reproducible,
-    * unlike a sampled token) and left-unchanged. Labels are the
-    * original tokens at masked positions. The vocabulary collect is
-    * bounded at [[MlmVocabCap]] rows (the NB-gate pattern —
-    * frequency ranking is a partial-combine groupBy, never a full
-    * distinct to the driver); everything else is a map pass. */
-  private def mlmMask(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val voc = Tables.documents(s, dir)
-      .selectExpr("explode(split(text, ' ')) AS w")
-      .filter("w <> ''")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(MlmVocabCap)
-      .select("w").as[String].collect().sorted
-    val v = voc.length
-    Tables.documents(s, dir).selectExpr("doc_id", "text")
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        val ws = t.split(" ", -1)
-        var nMask = 0L
-        var nRep = 0L
-        var nSame = 0L
-        val labels = Seq.newBuilder[String]
-        val out = ws.zipWithIndex.map { case (w, i0) =>
-          val pos = i0 + 1
-          if (pos % 7 != 0) w
-          else {
-            labels += w
-            val r = (pos / 7) % 10
-            if (r < 8) { nMask += 1; "[MASK]" }
-            else if (r == 8) { nRep += 1; voc(((pos + id) % v).toInt) }
-            else { nSame += 1; w }
-          }
-        }
-        (id, ws.length.toLong, nMask + nRep + nSame, nMask, nRep, nSame,
-          md5utf(out.mkString(" ")), md5utf(labels.result().mkString(" ")))
-      }
-      .toDF("doc_id", "n_tokens", "n_masked", "n_mask_tok", "n_replaced",
-        "n_unchanged", "input_md5", "labels_md5")
-      .orderBy("doc_id")
-  }
-
-  private def md5utf(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** Fill-in-middle transform (code-LM preprocessing): deterministic
-    * thirds split at ⌊n/3⌋ and ⌊2n/3⌋, emitted in both PSM
-    * (prefix-suffix-middle) and SPM sentinel orders. Same
-    * reproducibility contract as [[spanCorrupt]]; pure map pass. */
-  private def fimTransform(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id", "ws", "size(ws) AS n",
-        "size(ws) div 3 AS p1", "(2 * size(ws)) div 3 AS p2")
-      .selectExpr("doc_id", "CAST(n AS BIGINT) AS n_tokens",
-        "p1 AS prefix_len",
-        "p2 - p1 AS middle_len",
-        "md5(concat('<fim_pre> ', " +
-          "array_join(slice(ws, 1, CAST(p1 AS INT)), ' '), " +
-          "' <fim_suf> ', " +
-          "array_join(slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)), ' '), " +
-          "' <fim_mid> ', " +
-          "array_join(slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)), ' '))) " +
-          "AS psm_md5",
-        "md5(concat('<fim_suf> ', " +
-          "array_join(slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)), ' '), " +
-          "' <fim_pre> ', " +
-          "array_join(slice(ws, 1, CAST(p1 AS INT)), ' '), " +
-          "' <fim_mid> ', " +
-          "array_join(slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)), ' '))) " +
-          "AS spm_md5")
-      .orderBy("doc_id")
-
-  /** Greedy sequence packing, GPT-style concat-then-split: documents are
-    * concatenated in deterministic order within each source shard and cut
-    * at a 256-token budget; a document whose token span crosses a cut
-    * belongs to the sequence where it starts and is flagged
-    * `spans_boundary` (the split the trainer will make).
-    *
-    * 100 TB shape: the running offset is a prefix sum windowed PER SOURCE
-    * SHARD (partitionBy source), so packing is embarrassingly parallel
-    * across shards — never a global unpartitioned window. */
-  private def seqPack(s: SparkSession, dir: String): DataFrame = {
-    val budget = 256
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(s, dir)
-      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tokens")
-      .withColumn("end_off", sum("n_tokens").over(w))
-      .selectExpr("source", "doc_id", "n_tokens",
-        "end_off - n_tokens AS start_off")
-      .selectExpr("source", "doc_id", "n_tokens", "start_off",
-        s"start_off div $budget AS seq_id",
-        s"(start_off + n_tokens - 1) div $budget <> start_off div $budget AS spans_boundary")
-      .orderBy("source", "doc_id")
-  }
-
-  /** Composite corpus filter — the keep/drop verdict a pretraining
-    * ingest applies, with the FIRST failing rule as the drop reason:
-    * exact-duplicate (poly-hash fingerprint keeper), language allowlist,
-    * length floor, punctuation ceiling, stopword ceiling. One fingerprint
-    * shuffle; every other signal is a per-row expression. */
-  private def corpusFilter(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("fp")
-    registered(s, dir)
-      .selectExpr("doc_id", "lang", s"${charFold("text")} AS fp",
-        "size(split(text, ' ')) AS n_tokens",
-        "length(text) AS n_chars",
-        "length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_punct",
-        "size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop")
-      .withColumn("keeper", min("doc_id").over(w))
-      .selectExpr("doc_id",
-        "CASE WHEN doc_id <> keeper THEN 'duplicate' " +
-          "WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang' " +
-          "WHEN n_tokens < 20 THEN 'too_short' " +
-          "WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1 THEN 'punct_heavy' " +
-          "WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy' " +
-          "ELSE 'keep' END AS reason")
-      .selectExpr("doc_id", "reason = 'keep' AS keep", "reason")
-      .orderBy("doc_id")
-  }
-
-  /** Bigram language-model quality score — perplexity filtering, the
-    * KenLM-style gate of a pretraining pipeline, self-trained on the
-    * corpus: per-document mean log-probability of its token bigrams under
-    * an add-one-smoothed bigram model estimated from the whole corpus.
-    * Low-probability documents (gibberish, boilerplate soup, wrong-domain
-    * text) score far below the corpus mode.
-    *
-    * 100 TB shape: bigram/unigram counts are ONE token-explode shuffle
-    * each; scoring joins each document's bigrams to the count tables on
-    * the bigram/unigram key (shuffle joins — the model tables are
-    * corpus-vocabulary-sized, deliberately NOT broadcast). Per-document
-    * aggregation sums FIXED-POINT log-probs (round(ln·1e6) as LONG), so
-    * the mean is order-independent and the DuckDB twin is exact. */
-  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-    val bigrams = docs.selectExpr("doc_id",
-      "explode(transform(sequence(1, greatest(size(tk) - 1, 1)), " +
-        "i -> IF(i <= size(tk) - 1, struct(element_at(tk, CAST(i AS INT)) AS w1, " +
-        "element_at(tk, CAST(i + 1 AS INT)) AS w2), NULL))) AS bg")
-      .filter(col("bg").isNotNull)
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val uni = docs.selectExpr("explode(tk) AS w")
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    // vocab rides a broadcast single-row aggregate (the bm25 stats
-    // shape) — an eager uni.count() here would run a full corpus job at
-    // plan-CONSTRUCTION time, even for explain-only callers
-    val vocab = uni.agg(count(lit(1)).as("vocab"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    bigrams
-      .join(bi, Seq("w1", "w2"))
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .selectExpr("doc_id",
-        "CAST(round(ln((c2 + CAST(1 AS DOUBLE)) / (c1 + CAST(vocab AS DOUBLE))) " +
-          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
-      .selectExpr("doc_id", "n_bigrams",
-        "round(CAST(slp AS DOUBLE) / n_bigrams / CAST(1000000 AS DOUBLE), 4) " +
-          "AS avg_logp")
-      .orderBy("doc_id")
-  }
-
-  /** Naive-Bayes quality classifier — the reference-corpus similarity
-    * filter of GPT-3/LLaMA-style pipelines (score every crawl document by
-    * how much it looks like a trusted corpus), here self-contained: the
-    * "reference" class is the deterministic source split `src#%4 == 0`
-    * and the model is multinomial NB with add-one smoothing over
-    * whitespace tokens. Each document gets the total log-likelihood
-    * ratio `ln P(doc|ref) − ln P(doc|rest)` plus the class-prior term;
-    * `pred_ref` is the NB decision `score > 0`.
-    *
-    * 100 TB shape: training is ONE token-explode shuffle (two
-    * conditional sums per word — the bigram_lm unigram pass with a class
-    * axis); token totals / vocabulary and the doc-count prior are
-    * single-row broadcast aggregates; scoring joins tokens to the model
-    * on the word key (shuffle join — the model is corpus-vocabulary-
-    * sized and corpus-growing, deliberately NOT broadcast, exactly
-    * bigram_lm's justification). Per-word lns are rounded to 1e-6
-    * FIXED-POINT before the class subtraction and per-doc sums run on
-    * BIGINTs, so scores are order-independent and the DuckDB twin is
-    * exact. */
-  private def nbModelParts(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk",
-        "CAST(substring(source, 4) AS INT) % 4 = 0 AS ref")
-    // ScanCached per (session, dir): the token explode and the trained
-    // model serve four query families (quality gate, calibration, the
-    // funnel's stage 4, the frozen streaming gate) — r9 bench showed
-    // each re-deriving the corpus token counts
-    val tok = ScanCache.get(s, s"nb-tok:$dir") {
-      docs.selectExpr("doc_id", "ref", "explode(tk) AS w") }
-    val cnt = tok.groupBy("w").agg(
-      sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("cp"),
-      sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("cn"))
-    val tot = cnt.agg(sum("cp").as("tp"), sum("cn").as("tn"),
-      count(lit(1)).as("vocab"))
-    val pri = docs.groupBy().agg(
-      sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("np"),
-      sum(expr("CASE WHEN ref THEN 0 ELSE 1 END")).as("nn"))
-      // add-one on BOTH class doc counts: a corpus with an empty class
-      // (every crafted single-source fixture) must yield a finite prior,
-      // not ±Inf → BIGINT overflow
-      .selectExpr("CAST(round(ln((np + CAST(1 AS DOUBLE)) " +
-        "/ (nn + CAST(1 AS DOUBLE))) " +
-        "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp")
-    val model = ScanCache.get(s, s"nb-model:$dir") {
-      cnt.crossJoin(broadcast(tot)).selectExpr("w",
-        "CAST(round(ln((cp + CAST(1 AS DOUBLE)) / (tp + CAST(vocab AS DOUBLE))) " +
-          "* CAST(1000000 AS DOUBLE)) AS BIGINT) " +
-          "- CAST(round(ln((cn + CAST(1 AS DOUBLE)) / (tn + CAST(vocab AS DOUBLE))) " +
-          "* CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr") }
-    (tok, model, pri)
-  }
-
-  /** Frozen NB model for the streaming gate: the (word → fixed-point
-    * llr) table plus the prior, collected. Shipping a trained scorer to
-    * ingest workers is how every deployed quality filter works (CCNet
-    * ships its KenLM); the collect is of the MODEL, not the corpus —
-    * deployment caps the vocabulary at the top [[QcGateVocab]] words by
-    * |llr| (the most discriminative ones), the same capped-broadcast
-    * move as decontaminate's eval gram set. Absent words score 0
-    * (neutral) at the gate. */
-  final val QcGateVocab = 1 << 20
-  def nbFrozen(s: SparkSession, dir: String): (Map[String, Long], Long) = {
-    val (_, model, pri) = nbModelParts(s, dir)
-    val m = model.orderBy(abs(col("llr")).desc, col("w")).limit(QcGateVocab)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (m, pri.collect().head.getLong(0))
-  }
-
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val (tok, model, pri) = nbModelParts(s, dir)
-    tok.join(model, Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sllr"))
-      .crossJoin(broadcast(pri))
-      // Round to 4 decimals ON THE INTEGER SIDE: fp/100.0 is exact at the
-      // only ambiguous points (an integer ending in 50 gives an exactly
-      // representable x.5), so Spark's decimal-string HALF_UP and DuckDB's
-      // binary-double round agree; round(fp/1e6, 4) does NOT (the double
-      // nearest -2.45055 prints as -2.4505499…, splitting the engines —
-      // observed at sf0.001).
-      .selectExpr("doc_id", "n_tokens",
-        "round(CAST(sllr + prior_fp AS DOUBLE) / CAST(100 AS DOUBLE)) " +
-          "/ CAST(10000 AS DOUBLE) AS score",
-        "sllr + prior_fp > 0 AS pred_ref")
-      .orderBy("doc_id")
-  }
-
-  /** THE CURATOR FUNNEL — four dedup/quality stages COMPOSED, each
-    * running on the previous stage's survivors (the composition is
-    * the point: line-level boilerplate frequencies CHANGE once exact
-    * dups are gone, and the funnel measures the real marginal cost of
-    * every stage):
-    *   1. exact    — compound-fingerprint keeper (forward + reverse
-    *                 char fold + length, the dedup_exact key)
-    *   2. boiler   — drop docs retaining < 50% of their lines after
-    *                 the df≥3 boilerplate rule ON SURVIVORS
-    *   3. short    — ≥ 20 tokens
-    *   4. quality  — NB log-odds > 0 (model trained on the FULL
-    *                 corpus — deployment freezes the model before
-    *                 filtering, so survivors are scored, not
-    *                 retrained)
-    * One row per stage: docs in/out and surviving token volume — the
-    * readout every corpus curation meeting starts from. */
-  /** Temperature-scaled source mixture weights — the sampling-weight
-    * computation every multi-source training mix runs (α = 0.5
-    * square-root scaling: large sources are down-weighted, small
-    * sources up-weighted, the standard multilingual/multi-corpus
-    * move): per source the token count, the α-scaled mass in 1e-6
-    * fixed point (ONE IEEE sqrt, rounded before anything sums — both
-    * engines produce the identical BIGINT), and the normalized
-    * sampling weight in exact ppm via positive-operand integer
-    * division. One map-combinable aggregate on the source dimension +
-    * a single-row broadcast total. */
-  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    val perSource = Tables.documents(s, dir)
-      .selectExpr("source",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
-      .selectExpr("source", "n_docs", "n_tokens",
-        "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) " +
-          "AS BIGINT) AS mass_fp")
-    val total = perSource.agg(sum("mass_fp").as("total_fp"))
-    perSource.crossJoin(broadcast(total))
-      .selectExpr("source", "n_docs", "n_tokens", "mass_fp",
-        "mass_fp * 1000000 div total_fp AS weight_ppm")
-      .orderBy("source")
-  }
-
-  /** Epochs measured by the reshuffle readout. */
-  final val ShuffleEpochs = 3
-
-  /** Deterministic per-epoch reshuffle — the reproducible loader
-    * shuffle (a torn run must resume with the SAME epoch order, so
-    * real loaders derive it from a seed, never from partition
-    * arrival): within each source shard, epoch e orders documents by
-    * the scrambled mix of (doc_id, e), and the readout emits each
-    * (epoch, source)'s order fingerprint (md5 chain) plus the rank
-    * displacement of the first document — proof the epochs genuinely
-    * differ while each is exactly reproducible. Windows partition by
-    * (epoch, source): shard-local shuffling, the loader reality, and
-    * the parallelism key at any scale. */
-  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("epoch", "source").orderBy("h", "doc_id")
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "source",
-        s"explode(sequence(0, ${ShuffleEpochs - 1})) AS epoch")
-      // the epoch must enter BEFORE the multiply: an additive term
-      // after the scramble shifts every hash by a constant, which
-      // preserves the order except at the rare mod wrap (caught by
-      // Round9Spec — epochs came out identical)
-      .selectExpr("doc_id", "source", "epoch",
-        s"((doc_id + epoch * 40503L) * 2654435761L) % ${P}L AS h")
-      .withColumn("rk", row_number().over(w))
-      .groupBy("epoch", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("md5(array_join(transform(array_sort(" +
-          "collect_list(struct(rk, doc_id))), x -> x.doc_id), ' '))")
-          .as("order_md5"),
-        max(when(col("rk") === 1, col("doc_id"))).as("first_doc"))
-      .selectExpr("CAST(epoch AS BIGINT) AS epoch", "source", "n_docs",
-        "order_md5", "first_doc")
-      .orderBy("epoch", "source")
-  }
-
-  /** Rendezvous (highest-random-weight) sharding — the STABLE shard
-    * assignment an incremental pipeline needs: each doc goes to the
-    * shard whose (doc, shard) hash scores highest, so growing the
-    * fleet from 8 to 9 shards moves ONLY the docs whose new argmax is
-    * the added shard — an expected 1/9 of the corpus, and every moved
-    * doc lands on the NEW shard (hash-partitioning `fp % n` would
-    * reshuffle ~8/9 of everything). The gate emits the full 8→9
-    * TRANSITION MATRIX, so the hash compare pins both the assignment
-    * arithmetic and the minimal-disruption property itself: any row
-    * with shard_8 ≠ shard_9 must have shard_9 = 8. Content-keyed
-    * (the dedup fingerprint), pure map — no shuffle until the
-    * matrix count. Scores need a NONLINEAR (fp, shard) mix — a linear
-    * scramble makes every shard's score the same rotation of fp, which
-    * skews the argmax badly (measured: 22 vs 93 docs/shard, all moves
-    * from one shard) — so the score reuses the AMS sign hash's
-    * quadratic mod-P mix (h²·M + h, [[amsJoinSize]]'s signExpr shape);
-    * measured on 200k uniform keys: shard loads within ±7% of uniform,
-    * 9.8% moved on 8→9 vs the ideal 1/9. */
-  private def shardRendezvous(s: SparkSession, dir: String): DataFrame = {
-    def score(k: String): String =
-      s"((fp + $k * 99991L) % ${P}L * ((fp + $k * 99991L) % ${P}L) " +
-        s"% ${P}L * 2654435761L + (fp + $k * 99991L) % ${P}L) % ${P}L"
-    def argmax(n: Int): String =
-      s"aggregate(sequence(0, ${n - 1}), " +
-        "named_struct('k', -1L, 's', -1L), " +
-        s"(acc, k) -> CASE WHEN ${score("k")} " +
-        s"> acc.s THEN named_struct('k', CAST(k AS BIGINT), " +
-        s"'s', ${score("k")}) ELSE acc END).k"
-    registered(s, dir)
-      .selectExpr(s"poly_hash(text) * 2654435761L % ${P}L AS fp")
-      .selectExpr(s"${argmax(8)} AS shard_8", s"${argmax(9)} AS shard_9")
-      .groupBy("shard_8", "shard_9")
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("moved", col("shard_8") =!= col("shard_9"))
-      .orderBy("shard_8", "shard_9")
-  }
-
-  /** Batch size for length-bucketed assembly. */
-  final val LenBatch = 16
-
-  /** Power-of-two CASE ladder shared verbatim by both engines —
-    * integer-exact (a float log2 flips at exact powers). */
-  private def pow2CaseSql(col: String): String =
-    (0 to 11).map(k => s"WHEN $col <= ${1 << k} THEN ${1 << k}")
-      .mkString("CASE ", " ", " ELSE 4096 END")
-
-  /** Length-bucketed batch assembly — the padding-efficiency step of
-    * a training loader (batches of similar-length sequences waste the
-    * least pad): documents bucket by next-power-of-two token count,
-    * batches of [[LenBatch]] assemble within (source, bucket) in
-    * (ntok, doc_id) order, and each batch reports its padded-token
-    * waste in exact ppm. Batches never cross sources — writer-local
-    * assembly, so the rank window partitions by (source, bucket) and
-    * parallelism scales with shards, never a corpus-wide rank. */
-  private def lengthBucketBatches(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source", "bucket").orderBy("ntok", "doc_id")
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "source",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok")
-      .selectExpr("doc_id", "source", "ntok",
-        s"${pow2CaseSql("ntok")} AS bucket")
-      .withColumn("batch_id", ((row_number().over(w) - 1) /
-        LenBatch).cast("long"))
-      .groupBy("source", "bucket", "batch_id")
-      .agg(count(lit(1)).as("n_docs"), max("ntok").as("max_len"),
-        sum("ntok").as("sum_len"))
-      .selectExpr("source", "bucket", "batch_id", "n_docs", "max_len",
-        "sum_len",
-        "(n_docs * max_len - sum_len) * 1000000 div (n_docs * max_len) " +
-          "AS pad_ppm")
-      .orderBy("source", "bucket", "batch_id")
-  }
-
-  /** The four funnel stages (docs → exact → boilerplate → short →
-    * quality), shared by [[dedupFunnel]]'s stage stats and the
-    * [[webdatasetExport]] composition. */
-  private def funnelStages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val spark = s
-    import spark.implicits._
-    val docs = registered(s, dir).selectExpr("doc_id", "text",
-      "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
-      s"${charFold("text")} AS h1",
-      s"${charFold("reverse(text)")} AS h2",
-      "length(text) AS len")
-    // stage 1: exact (stages ScanCached: the funnel and the export
-    // composition branch off the same chain)
-    val keep1 = ScanCache.get(s, s"funnel-keep1:$dir") { docs
-      .withColumn("keeper",
-        min("doc_id").over(Window.partitionBy("h1", "h2", "len")))
-      .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "ntok") }
-    // stage 2: boilerplate lines over SURVIVORS
-    val lines1 = keep1.selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id",
-        s"""posexplode(transform(
-           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
-           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
-           |    ' '))) AS (line_no, line)""".stripMargin)
-    val df1 = lines1.groupBy("line").agg(countDistinct("doc_id").as("df"))
-    val keep2 = ScanCache.get(s, s"funnel-keep2:$dir") {
-      lines1.join(df1, "line")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nl"),
-          sum(when(col("df") < 3, 1L).otherwise(0L)).as("nk"))
-        .filter(col("nk") * 2 >= col("nl"))
-        .join(keep1, "doc_id")
-        .select("doc_id", "text", "ntok") }
-    // stage 3: short-doc filter
-    val keep3 = keep2.filter(col("ntok") >= 20)
-    // stage 4: NB quality (full-corpus model scores the survivors)
-    val (tok, model, pri) = nbModelParts(s, dir)
-    val scored = tok.join(model, Seq("w"))
-      .groupBy("doc_id").agg(sum("llr").as("sllr"))
-      .crossJoin(broadcast(pri))
-      .filter(expr("sllr + prior_fp > 0"))
-      .select("doc_id")
-    val keep4 = ScanCache.get(s, s"funnel-survivors:$dir") {
-      keep3.join(scored, "doc_id") }
-    (docs, keep1, keep2, keep3, keep4)
-  }
-
-  private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
-    val (docs, keep1, keep2, keep3, keep4) = funnelStages(s, dir)
-    def stat(name: String, in: DataFrame, out: DataFrame): DataFrame =
-      in.agg(count(lit(1)).as("docs_in")).crossJoin(
-        out.agg(count(lit(1)).as("docs_out"),
-          coalesce(sum("ntok"), lit(0L)).as("tokens_out")))
-        .selectExpr(s"'$name' AS stage", "docs_in", "docs_out",
-          "tokens_out")
-    stat("1_exact", docs, keep1)
-      .unionAll(stat("2_boiler", keep1, keep2))
-      .unionAll(stat("3_short", keep2, keep3))
-      .unionAll(stat("4_quality", keep3, keep4))
-      .orderBy("stage")
-  }
-
-  /** THE EXPORT COMPOSITION — curated corpus to training shards as
-    * one query: the four-stage funnel's survivors shard by id range
-    * (doc_id div 64 — writer-local assignment, no global rank; real
-    * exporters shard per writer partition the same way), each sample
-    * becomes the `{id}.txt` + `{id}.cls` WebDataset pair inside a
-    * real ustar archive, and the emitted facts come from PARSING the
-    * archive back (checksum-verified walk) — so a funnel bug, a
-    * framing bug, or a walk-order bug each flips the per-shard md5
-    * chain the oracle replays analytically.
-    *
-    * Shape: the funnel's shuffles + ONE shard-keyed assembly shuffle;
-    * survivors are ScanCached (dedup_funnel branches off the same
-    * chain). */
-  private def webdatasetExport(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val survivors = funnelStages(s, dir)._5 // ScanCached inside
-    survivors.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) =>
-        (id / 64, id,
-          graft.operators.Tar.buildEntry(s"$id.txt", t.getBytes("UTF-8")),
-          graft.operators.Tar.buildEntry(s"$id.cls",
-            s"label${id % 10}".getBytes("UTF-8")))
-      }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Byte], Array[Byte])]) =>
-        val samples = it.toSeq.sortBy(_._2)
-        val arch = graft.operators.Tar.buildArchive(
-          samples.flatMap(x => Seq(x._3, x._4)))
-        val entries = graft.operators.Tar.parse(arch)
-        val md5s = entries.map(_.md5).mkString(" ")
-        (sid, samples.length.toLong, entries.length.toLong,
-          entries.map(_.size).sum,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(md5s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      }
-      .toDF("shard_id", "n_docs", "n_entries", "total_bytes",
-        "entries_md5")
-      .orderBy("shard_id")
-  }
-
-  /** Calibration curve of the NB quality classifier — the evaluation
-    * every deployed filter needs before its threshold is trusted: docs
-    * bin by their fixed-point log-odds (ten one-nat bins clamped to
-    * [−5, +5)), and each bin reports its EMPIRICAL reference rate in
-    * exact ppm beside the count. A calibrated scorer shows ref_ppm
-    * rising monotonically through the bins; the clamp happens BEFORE
-    * the integer division so trunc-vs-floor never bites on negative
-    * log-odds. Model-sized arithmetic over [[nbModelParts]]'s existing
-    * aggregates — the corpus is touched once, by the same token join
-    * the classifier already pays. */
-  private def classifierCalibration(s: SparkSession, dir: String)
-      : DataFrame = {
-    val (tok, model, pri) = nbModelParts(s, dir)
-    tok.join(model, Seq("w"))
-      .groupBy("doc_id")
-      .agg(first("ref").as("ref"), sum("llr").as("sllr"))
-      .crossJoin(broadcast(pri))
-      .selectExpr(
-        "(least(greatest(sllr + prior_fp, -5000000), 4999999) " +
-          "+ 5000000) div 1000000 AS bin",
-        "ref")
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(expr("CASE WHEN ref THEN 1 ELSE 0 END")).as("n_ref"))
-      .selectExpr("bin", "n_docs", "CAST(n_ref AS BIGINT) AS n_ref",
-        "CAST(n_ref AS BIGINT) * 1000000 div n_docs AS ref_ppm")
-      .orderBy("bin")
-  }
-
-  /** Document fingerprint (rolling char hash) + fingerprint-level dedup. */
-  private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("fp")
-    registered(s, dir)
-      .selectExpr("doc_id", s"${charFold("text")} AS fp")
-      .withColumn("keeper", min("doc_id").over(w))
-      .select(col("doc_id"), col("fp"),
-        (col("doc_id") =!= col("keeper")).as("is_dup"))
-      .orderBy("doc_id")
-  }
-
-  // ---- corpus quality / safety -------------------------------------------
-
-  /** Token n-gram string array (Spark side): grams of `n` consecutive
-    * tokens joined by a space; EMPTY for documents shorter than n tokens
-    * (same clamp-and-filter move as [[shingleIdx]]). */
-  private def gramsExpr(tk: String, n: Int): String =
-    s"transform(filter(sequence(1, greatest(size($tk) - ${n - 1}, 1)), " +
-      s"i -> i <= size($tk) - ${n - 1}), " +
-      s"i -> array_join(slice($tk, i, $n), ' '))"
-
-  /** Same n-gram array in DuckDB SQL (range end is exclusive; list slice
-    * is inclusive 1-based). */
-  private def gramsDuck(tk: String, n: Int): String =
-    s"list_transform(range(1, greatest(len($tk) - ${n - 2}, 1)), " +
-      s"i -> array_to_string($tk[i:i+${n - 1}], ' '))"
-
-  /** Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): the
-    * fraction of characters inside the most frequent REPEATED 2-gram
-    * (flag above 0.12) and duplicated 3-grams (ANY duplicated 3-gram
-    * flags — dup3_frac is reported as a diagnostic, not thresholded).
-    * Both calibrated so the rules fire on this corpus (the paper's
-    * dup-10-gram rule is vacuously zero on short synthetic documents —
-    * 3-grams carry the same signal here). The streaming mirror is
-    * `StreamingSafetyGate.repetitionFlagged`; change all three
-    * implementations (Spark, oracle SQL, Scala) together.
-    *
-    * 100 TB shape: both statistics are computed ENTIRELY within the row
-    * via higher-order functions — no explode, no shuffle, a pure map over
-    * the document scan. Per row the cost is O(n log n) in the document's
-    * token count (sort the gram array, then one linear run-fold), NOT the
-    * naive n² count-each-gram-in-place form — a 100k-token real-world
-    * document is ~10⁶ comparisons here, not ~10¹⁰. */
-  private def gopherRepetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "length(text) AS n_chars", "split(text, ' ') AS tk")
-      .selectExpr("doc_id", "n_chars", "size(tk) AS n_tokens",
-        s"array_sort(${gramsExpr("tk", 2)}) AS sg2",
-        s"array_sort(${gramsExpr("tk", 3)}) AS sg3")
-      .selectExpr("doc_id", "n_tokens", "n_chars",
-        // chars covered by the top REPEATED 2-gram (count × gram chars);
-        // a document whose 2-grams are all unique scores 0 — the rule
-        // measures repetition, so singletons must not contribute (a long
-        // once-only gram in a short doc would otherwise trip the flag).
-        // Equal grams are ADJACENT in the sorted array, so one linear
-        // fold tracks the current run and the best count·len among runs
-        // of length ≥ 2; max over count·len is deterministic under ties.
-        "CAST(aggregate(sg2, " +
-          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
-          "(a, x) -> named_struct('prev', x, " +
-          "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L), " +
-          "'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, " +
-          "(a.run + 1L) * length(x), 0L))), " +
-          "a -> a.best) AS BIGINT) AS top2_chars",
-        "CAST(size(sg3) AS BIGINT) AS n_3grams",
-        // a sorted gram is duplicated iff it equals a neighbor
-        // (element_at is 1-based; the lambda index i is 0-based)
-        "CAST(size(filter(sg3, (x, i) -> " +
-          "(i > 0 AND x = element_at(sg3, i)) OR " +
-          "(i < size(sg3) - 1 AND x = element_at(sg3, i + 2)))) AS BIGINT) " +
-          "AS dup3_pos")
-      .selectExpr("doc_id", "n_tokens", "n_chars", "top2_chars",
-        "top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS top2_frac",
-        "n_3grams", "dup3_pos",
-        "dup3_pos / CAST(greatest(n_3grams, 1) AS DOUBLE) AS dup3_frac",
-        "top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.12 " +
-          "OR dup3_pos > 0 AS flagged")
-      .orderBy("doc_id")
-
-  /** Exact-substring window length (chars). Any substring shared between
-    * two documents with length ≥ 2·EsK − 1 is guaranteed detected: the
-    * lower-id document's copy then contains a fully-aligned stride-EsK
-    * anchor window, which equals some stride-1 probe window of the other
-    * document. */
-  final val EsK = 48
-
-  /** Boilerplate guard for the exact-substring join: an anchor window
-    * present in more than this many distinct documents is excluded —
-    * its candidate pairs grow quadratically in document frequency (the
-    * classic hot-key blowup: a license header shared by 1 M documents is
-    * 10¹² join rows), and "which documents share boilerplate" is
-    * [[boilerplateNgrams]]'s job, not pair detection's. Grouped by the
-    * window STRING, not its hash, so a hash collision can't push a
-    * near-cap window over the edge in one engine only. */
-  final val EsDocCap = 64
-
-  /** Cross-document EXACT substring detection — the dedup signal of
-    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    * Better"), re-expressed as a Spark hash join instead of a distributed
-    * suffix array: the lower-id side contributes stride-EsK ANCHOR windows
-    * (with payload), every document contributes stride-1 PROBE windows
-    * projected to (doc, pos, poly_hash) ONLY, and candidates from the
-    * hash equi-join are verified by re-reading the probe document and
-    * comparing the actual substring — hash collisions cannot produce a
-    * false pair.
-    *
-    * 100 TB shape: the probe side shuffles one (id, pos, hash) row per
-    * character — the inherent cost of exactness at stride 1 (a suffix
-    * array pays the same Θ(corpus) index); widening the probe stride to s
-    * trades that volume for a 2·EsK+s−1 minimum detectable length. The
-    * verify re-join touches only candidate rows, so collision verification
-    * is output-sized, not corpus-sized. Anchor windows in more than
-    * [[EsDocCap]] distinct documents are excluded as boilerplate before
-    * the join — see the cap's scaladoc for the quadratic-hot-key rationale. */
-  private def exactSubstring(s: SparkSession, dir: String): DataFrame = {
-    val docs = registered(s, dir).select(col("doc_id"), col("text"))
-    // persisted per session: the anchor scan feeds both the boilerplate
-    // df-aggregation and the candidate join — two physical subtrees that
-    // would otherwise each pay the scan + substring + hash pass
-    val anchors = ScanCache.get(s, s"es-anchors:$dir") {
-      docs
-        .selectExpr("doc_id AS doc_a", "text AS ta")
-        .selectExpr("doc_a", "ta",
-          s"explode(filter(sequence(0, greatest(CAST(length(ta) / $EsK AS INT), 1)), " +
-            s"i -> (i + 1) * $EsK <= length(ta))) AS ia")
-        .selectExpr("doc_a", s"ia * $EsK + 1 AS pos_a",
-          s"substring(ta, CAST(ia * $EsK + 1 AS INT), $EsK) AS w")
-        .withColumn("h", expr("poly_hash(w)"))
-    }
-    val boiler = anchors.groupBy("w")
-      .agg(countDistinct("doc_a").as("df"))
-      .filter(col("df") > EsDocCap).select("w")
-    // stride-1 probes via the ROLLING kernel: one O(len) pass per doc
-    // (poly_hash_windows(s,k)[i] == poly_hash(substring(s,i+1,k)), so the
-    // hash-join keys agree with the anchor side's per-window folds)
-    val probes = docs
-      .selectExpr("doc_id AS doc_b",
-        s"posexplode(poly_hash_windows(text, $EsK)) AS (p0, h)")
-      .selectExpr("doc_b", "p0 + 1 AS pos_b", "h")
-    val verified = anchors.join(boiler, Seq("w"), "left_anti")
-      .join(probes, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .join(docs.selectExpr("doc_id AS doc_b", "text AS tb"), Seq("doc_b"))
-      .filter(expr(s"substring(tb, CAST(pos_b AS INT), $EsK) = w"))
-    verified.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_matches"),
-        min(struct(col("pos_a"), col("pos_b"), col("w"))).as("f"))
-      .selectExpr("doc_a", "doc_b", "n_matches",
-        "CAST(f.pos_a AS BIGINT) AS pos_a", "CAST(f.pos_b AS BIGINT) AS pos_b",
-        "f.w AS win")
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** The whole ingest DAG as ONE plan — what "a user of the reference
-    * switches their pipeline to": corpus_filter's keep verdict gates the
-    * documents, survivors chunk into 64/16 training windows, and chunks
-    * pack greedily into 256-token sequences per source shard. Composes
-    * the three operators' exact semantics (same constants, same oracles'
-    * CTEs composed on the DuckDB side).
-    *
-    * 100 TB shape: one fingerprint shuffle (the dup rule), one inner
-    * join on doc_id (AQE picks the side), chunking stays inside the map
-    * stage, and the pack offset is a per-source-shard prefix sum — no
-    * global window anywhere; the output's (source, seq_id) is the
-    * training shard key downstream. */
-  private def prepareCorpus(s: SparkSession, dir: String): DataFrame = {
-    val (win, stride, overlap, budget) = (64, 48, 16, 256)
-    val kept = corpusFilter(s, dir).filter(col("keep")).select("doc_id")
-    val chunks = Tables.documents(s, dir)
-      .join(kept, Seq("doc_id"))
-      .selectExpr("source", "doc_id", "split(text, ' ') AS tk")
-      .selectExpr("source", "doc_id", "tk", "size(tk) AS n")
-      .selectExpr("source", "doc_id", "tk",
-        s"explode(sequence(0, greatest(CAST(ceil((n - $overlap) / $stride.0) AS INT), 1) - 1)) AS chunk_id")
-      .selectExpr("source", "doc_id", "chunk_id",
-        s"size(slice(tk, chunk_id * $stride + 1, $win)) AS n_tok")
-    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
-    chunks.withColumn("end_off", sum("n_tok").over(w))
-      .selectExpr("source", "doc_id", "chunk_id", "n_tok",
-        "end_off - n_tok AS start_off")
-      .selectExpr("source", "doc_id", "chunk_id", "n_tok", "start_off",
-        s"start_off div $budget AS seq_id",
-        s"(start_off + n_tok - 1) div $budget <> start_off div $budget " +
-          "AS spans_boundary")
-      .orderBy("source", "doc_id", "chunk_id")
-  }
-
-  /** Data mixing — the source-weighting stage of corpus assembly
-    * ("webtext 60 %, code 20 %, ..."): given per-source target weights,
-    * resample each source down so the kept corpus realizes the mixture.
-    * Weights here derive deterministically from the source name (the
-    * stand-in for a declared mixture config); the feasible total is set
-    * by the SCARCEST source (T = min over sources of n/w), per-source
-    * keep targets are w·T, and selection is the same seed-free
-    * scrambled-hash threshold as sample_hash — reproducible across
-    * re-sharding, replays and engines, no RNG.
-    *
-    * Everything is INTEGER arithmetic (ppm rates, floor divisions), so
-    * the DuckDB twin is exact. 100 TB shape: two source-cardinality
-    * aggregates broadcast back; the corpus side is one map-side
-    * hash-threshold filter — no shuffle of documents, no per-source
-    * sort (an exact-k variant would need a rank window per source; the
-    * threshold form trades ±binomial-noise counts for a pure scan). */
-  private def mixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val docs = registered(s, dir)
-    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_raw", expr(s"1 + ${charFold("source")} % 5"))
-    val tot = bySrc.agg(sum("w_raw").as("sum_raw"))
-    val withT = bySrc.crossJoin(broadcast(tot))
-      .withColumn("cap", expr("n_docs * sum_raw div w_raw"))
-    val t = withT.agg(min("cap").as("t_total"))
-    // persisted per session: `rates` is referenced twice below (the
-    // corpus-side filter join and the final right join); without the
-    // cache each reference re-runs the per-source corpus aggregates
-    val rates = ScanCache.get(s, s"mixture-rates:$dir") {
-      withT.crossJoin(broadcast(t))
-        .selectExpr("source", "n_docs", "w_raw", "sum_raw",
-          "w_raw * t_total div sum_raw AS k_target")
-        .selectExpr("source", "n_docs", "w_raw",
-          "w_raw * 1000000L div sum_raw AS w_ppm", "k_target",
-          "k_target * 1000000L div n_docs AS rate_ppm")
-    }
-    docs.select("source", "text")
-      .join(broadcast(rates), Seq("source"))
-      .filter(s"poly_hash(text) * 2654435761L % ${P}L % 1000000 < rate_ppm")
-      .groupBy("source").agg(count(lit(1)).as("n_kept"))
-      .join(rates, Seq("source"), "right")
-      .selectExpr("source", "n_docs", "w_ppm", "k_target", "rate_ppm",
-        "coalesce(n_kept, 0L) AS n_kept")
-      .orderBy("source")
-  }
-
-  /** Number of BPE merges bpe_train learns. */
-  final val BpeMerges = 6
-
-  /** Exact greedy application of merge pair `mp` ("X Y") to the
-    * space-separated symbol string `repr`: a left-to-right fold that
-    * merges when the last accumulated symbol is X and the incoming one
-    * is Y. try_element_at keeps the empty-accumulator probe NULL-safe
-    * under ANSI mode (the IF condition then falls through to append).
-    * Exposed for BpeMergeSpec; [[bpeTrain]] uses it per step. */
-  private[graft] val BpeMergeExpr: String =
-    "array_join(aggregate(split(repr, ' '), " +
-      "cast(array() as array<string>), " +
-      "(acc, s) -> IF(size(acc) > 0 " +
-      "AND try_element_at(acc, -1) = split(mp, ' ')[0] " +
-      "AND s = split(mp, ' ')[1], " +
-      "concat(slice(acc, 1, size(acc) - 1), array(replace(mp, ' ', ''))), " +
-      "concat(acc, array(s)))), ' ')"
-
-  /** BPE vocabulary induction — tokenizer TRAINING, the step upstream of
-    * token_stats_bpe's tokenization: learn the first BpeMerges byte-pair
-    * merges from corpus word frequencies (Sennrich et al. 2016). Each
-    * step counts adjacent symbol pairs weighted by word frequency, takes
-    * the argmax (ties to the lexicographically smallest pair, so both
-    * engines agree), and applies the merge to every word
-    * representation.
-    *
-    * Merge application is EXACT greedy (Sennrich semantics): leftmost,
-    * non-overlapping, one left-to-right pass — a fold over the symbol
-    * list that merges when the accumulator's last symbol is X and the
-    * incoming one is Y. A merged token never re-participates in the
-    * same step (XY = X would need an empty Y), so the fold equals the
-    * reference scan on every input, including the XYXY reduplication
-    * runs ('coco', 'murmur') the earlier padded-string replace
-    * under-merged and the X=Y runs ('a a a a a' → 'aa aa a') where
-    * replace-to-fixpoint picks the wrong positions. The DuckDB twin
-    * iterates leftmost single-occurrence replacement to fixpoint via a
-    * per-step recursive CTE — repeated leftmost merge is greedy by
-    * induction (each step merges the leftmost remaining adjacency,
-    * exactly what the one-pass scan does first). BpeMergeSpec pins the
-    * parity cases on both engines' semantics.
-    *
-    * 100 TB shape: the state is the WORD FREQUENCY table (vocabulary-
-    * sized, not corpus-sized — one explode+groupBy over the corpus,
-    * after which iterations never touch the corpus again); each step is
-    * one pair-count aggregation over the vocab plus a broadcast of the
-    * single winning pair. */
-  /** One trained-BPE state per (session, dir): the 6-step loop runs
-    * once and BOTH its outputs (merge list, per-word repr) land in the
-    * ScanCache from the same call, sharing the loop's checkpointed
-    * lineage — bpe_train and bpe_encode split one training pass the
-    * same way the ANN family splits one vecs scan. */
-  private def bpeState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    lazy val st = bpeTrainState(Tables.documents(s, dir)
-      .selectExpr("explode(split(text, ' ')) AS word")
-      .filter("word <> ''")
-      .groupBy("word").agg(count(lit(1)).as("c")))
-    (ScanCache.get(s, s"bpe-merges:$dir")(st._1),
-      ScanCache.get(s, s"bpe-repr:$dir")(st._2))
-  }
-
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeState(s, dir)._1
-
-  /** Corpus-wide tokenizer APPLICATION — the step after [[bpeTrain]]:
-    * per-document token counts under the trained vocabulary (whitespace
-    * words before merging, BPE symbols after). The expensive greedy
-    * merge fold runs once per unique WORD (the trained repr table is
-    * vocabulary-sized); documents contribute only (doc_id, word, k)
-    * count rows — pre-aggregated so the join input is distinct words
-    * per document, not raw occurrences, and the Zipf head ("the" in
-    * every document) arrives as ONE row per document, not hundreds.
-    * The vocab join carries NO hint on purpose: the checkpointed repr
-    * table reports accurate size statistics, so Catalyst broadcasts
-    * while the trained vocabulary fits (it does at test scale) and
-    * degrades to a shuffle join exactly when a corpus-scale vocabulary
-    * outgrows the threshold — the bigram_lm situation — with AQE's
-    * skew split covering the Zipf head. */
-  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
-      .filter("word <> ''")
-    val reprN = bpeState(s, dir)._2
-      .selectExpr("word", "size(split(repr, ' ')) AS n_sym")
-    words.groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
-      .join(reprN, Seq("word"))
-      .groupBy("doc_id")
-      .agg(sum("k").as("n_words"),
-        sum(col("k") * col("n_sym")).as("n_bpe"))
-      .orderBy("doc_id")
-  }
-
-  /** Unigram-LM tokenizer (SentencePiece-style inference) — the OTHER
-    * tokenizer family beside BPE: a vocabulary of scored pieces and a
-    * per-word Viterbi segmentation maximizing the summed piece
-    * log-probs. Vocabulary is deterministic and corpus-derived: every
-    * single character plus the top-[[UnigramTopPieces]] substrings of
-    * length 2..[[UnigramMaxPiece]] by occurrence count (occurrences
-    * weighted by word frequency, ties cut lexicographically — a
-    * TakeOrdered, never a vocab-wide sort). Scores are fixed-point
-    * integer micro-nats (`round(ln(cnt/total)·10⁶, 0)` — the repo's
-    * cast-stable convention), so DP sums compare exactly across
-    * engines.
-    *
-    * 100 TB shape: counting shuffles are (piece)-keyed map-combinable
-    * aggregates over the DISTINCT-WORD table (vocabulary-sized, the
-    * bpe move); the vocab itself is model-sized and collected like the
-    * NB gate's model; Viterbi runs once per unique word. Documents are
-    * only touched by `unigram_doc_tokens`, which joins PRE-AGGREGATED
-    * (doc_id, word, k) rows against the word-level DP results. */
-  final val UnigramMaxPiece = 4
-
-  /** Score charged for a character absent from the tokenizer
-    * vocabulary (the `<unk>` piece) — keeps [[greedyPieces]] total on
-    * out-of-corpus input instead of throwing; same-corpus callers
-    * never hit it (every corpus character is in the vocabulary by
-    * construction). */
-  final val UnkScore = -1000000L
-  final val UnigramTopPieces = 16
-
-  private def unigramVocabDf(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"unigram-vocab:$dir") {
-      val wc = Tables.documents(s, dir)
-        .selectExpr("explode(split(text, ' ')) AS w")
-        .filter("w <> ''")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val chars = wc.selectExpr(
-        "explode(transform(sequence(1, length(w)), i -> substring(w, i, 1))) AS p",
-        "c")
-        .groupBy("p").agg(sum("c").as("cnt"))
-      val multi = wc.selectExpr("w", "c",
-        "explode(flatten(transform(sequence(1, length(w)), i -> " +
-          s"transform(sequence(2, $UnigramMaxPiece), k -> " +
-          "struct(i AS i, k AS k))))) AS ik")
-        .filter(expr("ik.i + ik.k - 1 <= length(w)"))
-        .selectExpr("substring(w, ik.i, ik.k) AS p", "c")
-        .groupBy("p").agg(sum("c").as("cnt"))
-        .orderBy(col("cnt").desc, col("p")).limit(UnigramTopPieces)
-      val voc = chars.unionAll(multi)
-      voc.crossJoin(broadcast(voc.agg(sum("cnt").as("t"))))
-        .selectExpr("p", "cnt",
-          "CAST(round(ln(cnt / CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT) " +
-            "AS score")
-    }
-
-  private def unigramVocab(s: SparkSession, dir: String): DataFrame =
-    unigramVocabDf(s, dir).orderBy("p")
-
-  /** Packed Viterbi DP value: P = 64·Σscore − #pieces. Scores are ≥ 1
-    * apart when they differ, so maximizing P maximizes the score sum
-    * first and minimizes the piece count on ties; both engines decode
-    * `np = (−P) mod 64` (piece counts stay < 64 — words would need
-    * ≥ 64 chars to exceed it, and the vocab always contains every
-    * single character, so a word of length L segments into ≤ L
-    * pieces). */
-  private[graft] def viterbiPacked(w: String,
-      score: collection.Map[String, Long]): Long = {
-    val n = w.length
-    val dp = Array.fill(n + 1)(Long.MinValue)
-    dp(0) = 0L
-    var i = 1
-    while (i <= n) {
-      var k = 1
-      val kMax = math.min(UnigramMaxPiece, i)
-      while (k <= kMax) {
-        if (dp(i - k) != Long.MinValue) {
-          score.get(w.substring(i - k, i)).foreach { sc =>
-            val cand = dp(i - k) + 64L * sc - 1L
-            if (cand > dp(i)) dp(i) = cand
-          }
-        }
-        k += 1
-      }
-      i += 1
-    }
-    dp(n)
-  }
-
-  /** Word-level DP results: (word, corpus count, best score sum,
-    * piece count of the best segmentation). */
-  private def unigramWordTable(s: SparkSession, dir: String)
-      : DataFrame =
-    ScanCache.get(s, s"unigram-words:$dir") {
-      val spark = s
-      import spark.implicits._
-      // model-sized collect — chars + UnigramTopPieces rows, the NB-gate
-      // pattern (the MODEL is collected, never the corpus)
-      val voc = unigramVocabDf(s, dir).select("p", "score")
-        .as[(String, Long)].collect().toMap
-      Tables.documents(s, dir)
-        .selectExpr("explode(split(text, ' ')) AS w")
-        .filter("w <> ''")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .as[(String, Long)]
-        .map { case (w, c) =>
-          val pk = viterbiPacked(w, voc)
-          val np = java.lang.Math.floorMod(-pk, 64L)
-          (w, c, (pk + np) / 64L, np)
-        }
-        .toDF("word", "wcnt", "best_score", "n_pieces")
-    }
-
-  private def unigramEncode(s: SparkSession, dir: String): DataFrame =
-    unigramWordTable(s, dir).orderBy("word")
-
-  /** Greedy longest-match-first segmentation (WordPiece-style
-    * inference, maximal munch) over the SAME scored vocabulary —
-    * the third tokenizer family beside BPE's learned merges and
-    * unigram's optimal DP: at each position take the longest piece in
-    * the vocabulary, fall back to the single character. [[UnigramSpec]]
-    * proves greedy ⊑ optimal on the shared score. */
-  private[graft] def greedyPieces(w: String,
-      score: collection.Map[String, Long]): (Long, Long) = {
-    var pos = 0
-    var np = 0L
-    var sc = 0L
-    while (pos < w.length) {
-      var k = math.min(UnigramMaxPiece, w.length - pos)
-      while (k > 1 && !score.contains(w.substring(pos, pos + k))) k -= 1
-      // the k == 1 fallback may still be out-of-vocabulary for
-      // out-of-corpus input — charge the <unk> score, never throw
-      sc += score.getOrElse(w.substring(pos, pos + k), UnkScore)
-      np += 1
-      pos += k
-    }
-    (np, sc)
-  }
-
-  private def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val voc = unigramVocabDf(s, dir).select("p", "score")
-      .as[(String, Long)].collect().toMap
-    Tables.documents(s, dir)
-      .selectExpr("explode(split(text, ' ')) AS w")
-      .filter("w <> ''")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .as[(String, Long)]
-      .map { case (w, c) =>
-        val (np, sc) = greedyPieces(w, voc)
-        (w, c, np, sc)
-      }
-      .toDF("word", "wcnt", "n_pieces_wp", "score_wp")
-      .orderBy("word")
-  }
-
-  /** Per-document unigram token counts — the [[bpeEncode]] shape over
-    * the unigram segmentation: documents contribute pre-aggregated
-    * (doc_id, word, k) rows; the word-level DP table joins broadcast
-    * while vocabulary-sized. */
-  private def unigramDocTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
-      .filter("word <> ''")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
-      .join(unigramWordTable(s, dir), Seq("word"))
-      .groupBy("doc_id")
-      .agg(sum(col("k") * col("n_pieces")).as("n_tokens"),
-        sum(col("k") * col("best_score")).as("score_sum"))
-      .orderBy("doc_id")
-
-  /** Per-document token counts under the GREEDY segmentation — the
-    * [[unigramDocTokens]] shape for WordPiece, so the two tokenizer
-    * families compare at the granularity that matters for a context
-    * budget: tokens per document. */
-  private def wordpieceDocTokens(s: SparkSession, dir: String)
-      : DataFrame = {
-    val wp = wordpieceEncode(s, dir)
-      .selectExpr("word", "n_pieces_wp", "score_wp")
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
-      .filter("word <> ''")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
-      .join(wp, Seq("word"))
-      .groupBy("doc_id")
-      .agg(sum(col("k") * col("n_pieces_wp")).as("n_tokens_wp"),
-        sum(col("k") * col("score_wp")).as("score_sum_wp"))
-      .orderBy("doc_id")
-  }
-
-  /** Training loop on a (word, c) frequency table — factored out so
-    * BpeMergeSpec can drive it on synthetic corpora against a plain-Scala
-    * reference-BPE model. */
-  private[graft] def bpeTrainFromWords(words: DataFrame): DataFrame =
-    bpeTrainState(words)._1
-
-  /** The training loop's full state: (merge list, final per-word
-    * symbolization). The repr table is what ENCODING needs — the greedy
-    * merge fold runs once per unique WORD (vocabulary-sized work), never
-    * per occurrence. */
-  private[graft] def bpeTrainState(words: DataFrame): (DataFrame, DataFrame) = {
-    // LAZY localCheckpoint per step: the training loop is inherently
-    // iterative — without truncation each step re-derives the corpus
-    // explode through every previous step's lineage. Lazy (not eager)
-    // keeps plan construction job-free for explain-only callers while
-    // still flattening the Catalyst plan; the checkpointed state is the
-    // vocabulary-sized repr table plus a 1-row winner, cached on first
-    // action.
-    var repr = words
-      .selectExpr("word", "c", "array_join(split(word, ''), ' ') AS repr")
-      .localCheckpoint(false)
-    var merges: DataFrame = null
-    for (step <- 1 to BpeMerges) {
-      val pairs = repr.selectExpr("c", "split(repr, ' ') AS sym")
-        .selectExpr("c",
-          "explode(transform(filter(sequence(1, greatest(size(sym) - 1, 1)), " +
-            "i -> i <= size(sym) - 1), " +
-            "i -> concat(element_at(sym, CAST(i AS INT)), ' ', " +
-            "element_at(sym, CAST(i + 1 AS INT))))) AS pair")
-        .groupBy("pair").agg(sum("c").as("pc"))
-      val top = pairs.orderBy(col("pc").desc, col("pair")).limit(1)
-        .withColumn("step", lit(step))
-        .localCheckpoint(false)
-      merges = if (merges == null) top else merges.unionByName(top)
-      repr = repr.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .selectExpr("word", "c", s"$BpeMergeExpr AS repr")
-        .localCheckpoint(false)
-    }
-    (merges.select(col("step"), col("pair"), col("pc")).orderBy("step"), repr)
-  }
-
-  /** SemDeDup cosine threshold — matches the corpus's near-duplicate
-    * τ (embedding_neardup / embedding_neardup_lsh use the same 0.3), so
-    * the within-cluster prune is non-vacuous on this embedding table. */
-  final val SemTau = 0.3
-
-  /** SemDeDup (Abbas et al. 2023): semantic deduplication inside the
-    * cells of the TRAINED coarse quantizer — a vector is dropped when a
-    * lower-id vector in the SAME cell is closer than cos τ (the
-    * deterministic min-id variant of the paper's keep-one-per-ε-ball).
-    *
-    * 100 TB shape: this is the whole point of SemDeDup — the quadratic
-    * similarity test runs per-CELL, not per-corpus; the k-means assignment
-    * is the same broadcast N×K pass as IVF search, and the within-cell
-    * self-join is bounded by (N/K)² per cell. Reuses [[ivfTrainedCents]]
-    * (shared ScanCache entry with ann_ivf_trained). */
-  private def semdedup(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val assigned = assignCells(all, ivfTrainedCents(s, dir))
-    val m = assigned.join(all, Seq("vec_id"))
-    val a = m.select(col("cell"), col("vec_id"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = m.select(col("cell"), col("vec_id").as("nn_id"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dups = a.join(b, Seq("cell"))
-      .filter(col("nn_id") < col("vec_id"))
-      .filter(expr(s"$cosExpr > $SemTau"))
-      .select("vec_id").distinct()
-      .withColumn("dup", lit(true))
-    assigned.join(dups, Seq("vec_id"), "left")
-      .selectExpr("vec_id", "cell", "dup IS NULL AS kept")
-      .orderBy("vec_id")
-  }
-
-  /** Decontamination n-gram length and the deterministic eval-set rule
-    * (doc_id ≡ EvalRes mod EvalMod, bounded by EvalMaxId, plays the
-    * held-out benchmark). */
-  final val DecontN = 8
-  final val EvalMod = 17L
-  final val EvalRes = 3L
-  /** Upper doc_id bound of the eval universe. Without it the residue
-    * rule makes the eval set 1/17 OF THE CORPUS — a broadcast side that
-    * grows linearly with the data and eventually OOMs the driver. A real
-    * eval set is a FIXED benchmark; the cap models that: beyond id
-    * 10 000 the eval set stops growing no matter how large the corpus
-    * gets (both test scale factors sit entirely below the cap, so
-    * results there are unchanged). */
-  final val EvalMaxId = 10000L
-
-  /** Eval-set decontamination — the n-gram overlap check every training
-    * pipeline runs before a corpus ships (PaLM/GPT-3 style 8-gram rule):
-    * a training document is contaminated when any of its DecontN-gram
-    * hashes appears in the eval set's gram set. Documents shorter than
-    * DecontN tokens have no grams and drop out (both engines agree).
-    *
-    * 100 TB shape: the eval gram set is benchmark-sized (tiny) and
-    * BROADCASTS — the corpus side is one map-side hash probe per gram,
-    * no shuffle of training text at all; the per-doc aggregation groups
-    * on the already-partitioned doc_id. */
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = registered(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-      .selectExpr("doc_id", s"explode(${gramsExpr("tk", DecontN)}) AS g")
-      .selectExpr("doc_id", "poly_hash(g) AS gh")
-    val evalSet = grams
-      .filter(s"doc_id % $EvalMod = $EvalRes AND doc_id <= $EvalMaxId")
-      .select("gh").distinct().withColumn("hit", lit(1))
-    grams.filter(s"doc_id % $EvalMod <> $EvalRes OR doc_id > $EvalMaxId")
-      .join(broadcast(evalSet), Seq("gh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .selectExpr("doc_id", "n_grams", "CAST(hits AS BIGINT) AS n_hit",
-        "hits / CAST(n_grams AS DOUBLE) AS contam_frac",
-        "hits > 0 AS contaminated")
-      .orderBy("doc_id")
-  }
-
-  /** PII detection + redaction: emails, NANP-style phone numbers, and
-    * private-range IPv4 literals, counted and replaced with typed
-    * placeholder tags. The corpus is synthetic prose with no PII, so each
-    * document deterministically injects its own (presence varies by
-    * doc_id residue — absent-PII rows are part of the check); patterns
-    * avoid regex escapes so the Spark (java.util.regex) and DuckDB (RE2)
-    * forms are char-identical.
-    *
-    * 100 TB shape: pure per-row map over the scan — regexp_extract_all /
-    * regexp_replace are codegen'd built-ins, no UDF, no shuffle. */
-  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9]+@[a-z0-9.]+"
-    val phone = "[+]1-555-[0-9]{4}"
-    val ip = "10[.][0-9]{1,3}[.]0[.]1"
-    Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        "concat(text, " +
-          "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', " +
-          "  CAST(doc_id AS STRING), '@mail.example.com') ELSE '' END, " +
-          "CASE WHEN doc_id % 4 = 1 THEN concat(' call +1-555-', " +
-          "  lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END, " +
-          "CASE WHEN doc_id % 5 = 2 THEN concat(' from 10.', " +
-          "  CAST(doc_id % 256 AS STRING), '.0.1') ELSE '' END) AS t2")
-      .selectExpr("doc_id",
-        s"CAST(size(regexp_extract_all(t2, '$email', 0)) AS BIGINT) AS n_emails",
-        s"CAST(size(regexp_extract_all(t2, '$phone', 0)) AS BIGINT) AS n_phones",
-        s"CAST(size(regexp_extract_all(t2, '$ip', 0)) AS BIGINT) AS n_ips",
-        s"regexp_replace(regexp_replace(regexp_replace(t2, " +
-          s"'$email', '<EMAIL>'), '$phone', '<PHONE>'), '$ip', '<IP>') " +
-          "AS redacted")
-      .selectExpr("doc_id", "n_emails", "n_phones", "n_ips",
-        "CAST(length(redacted) AS BIGINT) AS red_len", "redacted")
-      .orderBy("doc_id")
-  }
-
-  // ---- embedding similarity ---------------------------------------------
-
-  /** embeddings + double-cast vector and L2 norm. dot_p is the native
-    * codegen'd in-order dot product (functions.DotProduct) — bit-identical
-    * to the DuckDB list_reduce fold, ~10× faster than the interpreted
-    * higher-order-function form.
-    *
-    * PERSISTED per (session, dir): six similarity queries branch off this
-    * scan (topk, the near-dup pair, both LSH variants, IVF, recall), so
-    * the cast + norm pass runs once per Verify/Bench session. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"vecs:$dir") {
-      // spread BEFORE the persist: the driver's single-row-group parquet
-      // would otherwise pin every downstream N×K scoring pass and
-      // candidate join to one core (one tiny exchange here, paid once per
-      // session, parallelizes the whole similarity family; on a real
-      // multi-file corpus the scan arrives pre-split and this is a no-op
-      // cost — the shuffle ships each vector exactly once, far below the
-      // K-fold scoring work it unlocks)
-      registeredVecs(s, dir).repartition(col("vec_id")).selectExpr(
-        "vec_id",
-        "cast(embedding AS array<double>) AS v")
-        .selectExpr("vec_id", "v", "sqrt(dot_p(v, v)) AS nrm")
-    }
-
-  private def cosExpr: String = "dot_p(va, vb) / (na * nb)"
-
-  /** Brute-force cosine top-k: the exact baseline for similarity search.
-    * The (tiny) query set broadcasts; the scan side stays partitioned —
-    * at 100 TB this is one pass over the corpus per query batch. */
-  private def embeddingTopk(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val q = all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
-    val c = all
-      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(q).join(c, col("qid") =!= col("vec_id"))
-      .withColumn("cosine", expr(cosExpr))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("qid", "rank", "vec_id", "cosine")
-      .orderBy("qid", "rank")
-  }
-
-  /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
-    * (Exact quadratic form — the LSH-bucketed scale path is `ann_lsh`.) */
-  private def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val a = all.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(cosExpr))
-      .filter(col("cosine") >= 0.3)
-      .select("id_a", "id_b", "cosine")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Reduced dimension of [[embeddingRp]]. */
-  final val RpDim = 16
-
-  /** Sparse random projection 64 → [[RpDim]] dims (Achlioptas 2003:
-    * entries −1/0/+1 with density 1/3, here drawn DETERMINISTICALLY
-    * from the scrambled hash of the matrix cell index, so both engines
-    * — and every re-run at any parallelism — materialize the identical
-    * projection with no stored matrix and no RNG state). The reduced
-    * vector is a pure per-row map (RpDim × 64 fused multiply-adds
-    * inside codegen, no shuffle) — the standard cheapening step in
-    * front of ANN indexing at 100 TB, where scoring cost is linear in
-    * dimension. Cosine distortion is MEASURED on the all-pairs panel
-    * of the first 16 vectors (120 pairs): `cos_full` vs `cos_rp` per
-    * pair, both engine-exact (fixed left-fold order), so the
-    * Johnson–Lindenstrauss error this budget buys is a query result,
-    * not a prose claim. Measured: mean |cos_full − cos_rp| 0.247 at
-    * sf0.01 (0.299 at sf0.001), corr 0.38 — the JL noise std at K=16
-    * (~0.3 after the 1/3-density inflation) DOMINATES this corpus's
-    * near-orthogonal pairs (cos_full std 0.12), exactly as the analytic
-    * predicts; on a corpus with real near-dup structure (|cos| near 1)
-    * the same budget preserves ranking. PipelineSpec pins the regime. */
-  /** s(i,j) ∈ {−1, 0, +1} w.p. {1/6, 1/6, 2/3} from the cell hash —
-    * the deterministic Achlioptas sign draw (Spark side). */
-  private def rpSignExpr(i: String, j: String): String =
-    s"CAST(CASE (($i * $RpDim + $j + 1) * 2654435761L) % ${P}L % 6 " +
-      "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)"
-
-  /** The 64 → RpDim projection of column `v` (Spark side). */
-  private def rpProjExpr: String =
-    s"transform(sequence(0, ${RpDim - 1}), j -> " +
-      "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
-      s"(acc, i) -> acc + element_at(v, i + 1) * ${rpSignExpr("i", "j")}))"
-
-  /** Reduced vectors for the WHOLE corpus — the pure-map projection the
-    * RP search path scores against; persisted per (session, dir). */
-  private def rpVecs(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"rpvecs:$dir") {
-      vecs(s, dir).selectExpr("vec_id", s"$rpProjExpr AS r")
-        .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
-    }
-
-  // ---- PCA: covariance + fixed-point power iteration --------------------
-
-  /** Half-away-from-zero rounding — the semantics of SQL `round` in
-    * BOTH engines (Spark HALF_UP / DuckDB away-from-zero agree on all
-    * signs), so driver-side math can mirror oracle arithmetic
-    * exactly. */
-  /** Signed positive-operand integer division: both engines divide
-    * positive operands (where truncation and floor agree) and re-apply
-    * the sign — Scala truncates toward zero while DuckDB's `//` floors,
-    * so a bare `/` on a negative numerator diverges cross-engine. The
-    * oracle mirrors this as `CASE WHEN num >= 0 THEN num // den ELSE
-    * -((-num) // den) END` (denominators here are sums of squares /
-    * traces, always positive). */
-  private def divSigned(num: Long, den: Long): Long =
-    if (num >= 0) num / den else -((-num) / den)
-
-  private def rndAway(d: Double): Long =
-    (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
-
-  /** One-pass corpus moments for the embedding covariance: values
-    * quantize to integer milli-units with the SQL `round` (the
-    * IvfScale convention), partitions accumulate (n, Σq, Σq·qᵀ) upper
-    * triangles locally, and the driver folds the ≤ #partitions partial
-    * rows — the corpus is never exploded to d² rows and nothing wider
-    * than a 2 144-long array crosses the wire per partition. Integer
-    * sums are exact while per-pair Σq_iq_j < 2⁶³ (~3·10¹³ rows at
-    * milli-scale); beyond, widen the accumulators — the skew_report
-    * move. */
-  private def embMoments(s: SparkSession, dir: String)
-      : (Long, Array[Long], Array[Long]) = {
-    val spark = s
-    import spark.implicits._
-    val parts = vecs(s, dir)
-      .selectExpr("transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q")
-      .as[Seq[Long]]
-      .mapPartitions { it =>
-        var n = 0L
-        val sx = new Array[Long](64)
-        val sxy = new Array[Long](2080)
-        it.foreach { qs =>
-          val a = qs.toArray
-          n += 1
-          var i = 0
-          var idx = 0
-          while (i < 64) {
-            sx(i) += a(i)
-            var j = i
-            while (j < 64) { sxy(idx) += a(i) * a(j); idx += 1; j += 1 }
-            i += 1
-          }
-        }
-        if (n == 0) Iterator.empty
-        else Iterator.single((n, sx.toSeq, sxy.toSeq))
-      }.collect()
-    val sx = new Array[Long](64)
-    val sxy = new Array[Long](2080)
-    var n = 0L
-    parts.foreach { case (pn, psx, psxy) =>
-      n += pn
-      var i = 0
-      while (i < 64) { sx(i) += psx(i); i += 1 }
-      var k = 0
-      while (k < 2080) { sxy(k) += psxy(k); k += 1 }
-    }
-    (n, sx, sxy)
-  }
-
-  /** Mean-centered covariance in integer micro-units:
-    * c_ij = round((n·Σq_iq_j − Σq_iΣq_j) / n²) — the milli-scale
-    * quantization squares to exactly the 10⁶ output scale. Model-sized
-    * (2 080 rows) driver arithmetic over the one-pass moments. */
-  private def embCovRows(s: SparkSession, dir: String)
-      : (Long, Array[Array[Long]]) = {
-    val (n, sx, sxy) = embMoments(s, dir)
-    val c = Array.ofDim[Long](64, 64)
-    var idx = 0
-    var i = 0
-    while (i < 64) {
-      var j = i
-      while (j < 64) {
-        val num = n * sxy(idx) - sx(i) * sx(j)
-        val v = rndAway(num.toDouble / (n * n).toDouble)
-        c(i)(j) = v
-        c(j)(i) = v
-        idx += 1
-        j += 1
-      }
-      i += 1
-    }
-    (n, c)
-  }
-
-  /** Embedding covariance matrix — PCA's scalable half and the
-    * data-driven decorrelation readout beside [[embeddingRp]]'s
-    * oblivious projection. 2 080 upper-triangle rows in exact integer
-    * micro-units; the oracle recomputes every entry from its own
-    * d²-exploded self-join (quadratic only oracle-side). */
-  private def embeddingCovariance(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val (_, c) = embCovRows(s, dir)
-    val rows = for (i <- 0 until 64; j <- i until 64)
-      yield (i + 1L, j + 1L, c(i)(j))
-    rows.toDF("i", "j", "cov_micro").orderBy("i", "j")
-  }
-
-  /** Top principal component via THREE fixed-point power iterations
-    * over the integer covariance — every step is exact cross-engine
-    * arithmetic: w = C·v in integers, ∞-norm renormalization to
-    * milli-units via the shared `round(w·1000/max|w|)` (max is
-    * order-independent, unlike a float L2 sum), and a Rayleigh
-    * quotient in pure integer division. The oracle unrolls the same
-    * three iterations as CTEs (the Lloyd-oracle pattern). Driver-side
-    * model math; the corpus is touched once by the moments pass. */
-  private def embeddingTopEig(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val (_, c) = embCovRows(s, dir)
-    def mul(v: Array[Long]): Array[Long] =
-      Array.tabulate(64) { i =>
-        var acc = 0L
-        var j = 0
-        while (j < 64) { acc += c(i)(j) * v(j); j += 1 }
-        acc
-      }
-    var v = Array.fill(64)(1000L)
-    for (_ <- 1 to 3) {
-      val w = mul(v)
-      val m = w.map(math.abs).max
-      v = w.map(x => rndAway(x * 1000.0 / m))
-    }
-    val w4 = mul(v)
-    val lambda = divSigned((0 until 64).map(i => v(i) * w4(i)).sum,
-      (0 until 64).map(i => v(i) * v(i)).sum)
-    // explained-variance share: λ/trace in ppm — on this corpus's
-    // near-isotropic spectrum an honest "no dominant axis" readout
-    // (the RP-distortion honesty pattern); 3 rounds make the Rayleigh
-    // a documented LOWER bound of λ₁ (gap ratio ~0.93 at sf0.001 —
-    // PcaSpec pins the envelope, the crafted-fixture eig is exact)
-    val trace = (0 until 64).map(i => c(i)(i)).sum
-    val share = divSigned(lambda * 1000000L, trace)
-    (0 until 64).map(i => (i + 1L, v(i), lambda, share))
-      .toDF("pos", "v_milli", "lambda_micro", "share_ppm").orderBy("pos")
-  }
-
-  /** Second principal component via integer Hotelling deflation:
-    * C' = C − round(λ·v·vᵀ / ‖v‖²-scale) entry-by-entry in the same
-    * micro-unit fixed point, then the SAME three power iterations on
-    * C'. Every deflation entry is one IEEE multiply-divide-round on
-    * integers both engines share, so the second eigenpair is
-    * engine-exact too. Output adds the v₁ᵀv₂ alignment in ppm — the
-    * orthogonality readout (exactly 0 only in exact arithmetic; the
-    * fixed-point residual is REPORTED, not asserted away). */
-  private def embeddingEig2(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val (_, c) = embCovRows(s, dir)
-    def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
-      Array.tabulate(64) { i =>
-        var acc = 0L
-        var j = 0
-        while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
-        acc
-      }
-    def power(m: Array[Array[Long]]): (Array[Long], Long) = {
-      var v = Array.fill(64)(1000L)
-      for (_ <- 1 to 3) {
-        val w = mul(m, v)
-        val mx = w.map(math.abs).max
-        v = w.map(x => rndAway(x * 1000.0 / mx))
-      }
-      val w4 = mul(m, v)
-      val lam = divSigned((0 until 64).map(i => v(i) * w4(i)).sum,
-        (0 until 64).map(i => v(i) * v(i)).sum)
-      (v, lam)
-    }
-    val (v1, lam1) = power(c)
-    val vv = (0 until 64).map(i => v1(i) * v1(i)).sum
-    // deflate: c2_ij = c_ij − round(lam1·v1_i·v1_j / ‖v1‖²) — the
-    // numerator is an EXACT Long (≤ ~2.5e11), so both engines perform
-    // one identical double division + round
-    val c2 = Array.tabulate(64, 64)((i, j) =>
-      c(i)(j) - rndAway((lam1 * v1(i) * v1(j)).toDouble / vv.toDouble))
-    val (v2, lam2) = power(c2)
-    val alignNum = (0 until 64).map(i => v1(i) * v2(i)).sum * 1000000L
-    // signed positive-operand division — Spark/Scala truncation vs
-    // DuckDB floor differ on negatives
-    val align = if (alignNum >= 0) alignNum / vv else -((-alignNum) / vv)
-    (0 until 64).map(i => (i + 1L, v2(i), lam2, lam1, align))
-      .toDF("pos", "v2_milli", "lambda2_micro", "lambda1_micro",
-        "align_ppm")
-      .orderBy("pos")
-  }
-
-  /** PCA APPLIED — the 64→2 projection every pipeline actually runs
-    * with its components: each vector's exact integer dot products
-    * with the two fixed-point axes (milli-quantized vector × milli
-    * axes → coordinates in micro-units of the original scale). The
-    * axes are model-sized driver state; the projection is one map
-    * pass. The 2-D result is what feeds visualization, coarse
-    * bucketing, or a first-stage ANN partition — the data-driven twin
-    * of embedding_rp's 64→16 oblivious reduce. */
-  private def embeddingProject2(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val (_, c) = embCovRows(s, dir)
-    def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
-      Array.tabulate(64) { i =>
-        var acc = 0L
-        var j = 0
-        while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
-        acc
-      }
-    def power(m: Array[Array[Long]]): (Array[Long], Long) = {
-      var v = Array.fill(64)(1000L)
-      for (_ <- 1 to 3) {
-        val w = mul(m, v)
-        val mx = w.map(math.abs).max
-        v = w.map(x => rndAway(x * 1000.0 / mx))
-      }
-      val w4 = mul(m, v)
-      ((v, (0 until 64).map(i => v(i) * w4(i)).sum /
-        (0 until 64).map(i => v(i) * v(i)).sum))
-    }
-    val (v1, lam1) = power(c)
-    val vv = (0 until 64).map(i => v1(i) * v1(i)).sum
-    val c2 = Array.tabulate(64, 64)((i, j) =>
-      c(i)(j) - rndAway((lam1 * v1(i) * v1(j)).toDouble / vv.toDouble))
-    val (v2, _) = power(c2)
-    val a1 = v1.toSeq
-    val a2 = v2.toSeq
-    vecs(s, dir)
-      .selectExpr("vec_id",
-        "transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q")
-      .as[(Long, Seq[Long])]
-      .map { case (id, q) =>
-        (id,
-          (0 until 64).map(i => q(i) * a1(i)).sum,
-          (0 until 64).map(i => q(i) * a2(i)).sum)
-      }
-      .toDF("vec_id", "c1_micro", "c2_micro")
-      .orderBy("vec_id")
-  }
-
-  private def embeddingRp(s: SparkSession, dir: String): DataFrame = {
-    val panel = vecs(s, dir).filter(col("vec_id") < 16)
-      .selectExpr("vec_id", "v", "nrm", s"$rpProjExpr AS r")
-      .selectExpr("vec_id", "v", "nrm", "r", "sqrt(dot_p(r, r)) AS rn")
-    val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
-    val b = panel.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("r").as("rb"), col("rn").as("rnb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .selectExpr("id_a", "id_b",
-        "dot_p(va, vb) / (na * nb) AS cos_full",
-        "CASE WHEN rna * rnb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-          "ELSE dot_p(ra, rb) / (rna * rnb) END AS cos_rp")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Scalar int8 quantization of the embedding column with MEASURED
-    * cosine distortion — the vector-index compression step of a serving
-    * pipeline (4× memory: 64 bytes + the shared per-dimension grid vs
-    * 256 bytes float32; what FAISS calls SQ8).
-    *
-    * Quantizer: per-DIMENSION affine — q_j = round((v_j − lo_j) /
-    * (hi_j − lo_j) · 255) with corpus-wide [lo_j, hi_j]; reconstruction
-    * de-quantizes onto the same grid, so the whole round trip is
-    * deterministic double arithmetic (identical op order in the oracle,
-    * the embedding_rp convention). Distortion is reported per panel
-    * pair (the embedding_rp 16-vector panel): exact cosine beside the
-    * reconstructed-int8 cosine.
-    *
-    * Shape: ONE (dim, value) pass — posexplode keyed on the constant
-    * 64-dim space with map-side combine — collapses to a single-row
-    * broadcast of the [lo, hi] grids; quantize/reconstruct is a pure
-    * map; the 120-pair panel join is dimension-bounded.
-    *
-    * Measured at sf0.01 (PipelineSpec pins with margin): mean abs
-    * cosine error 0.0009, max 0.0033, correlation 0.99995 — the 4×
-    * compression costs ~nothing on this corpus's geometry (unlike the
-    * 64→16 random projection, where JL noise dominates: SQ8 keeps all
-    * 64 dimensions and only coarsens the grid). */
-  /** SQ8 de-quantized reconstruction (expects `v` plus the broadcast
-    * `lo`/`hi` grid arrays in scope). */
-  private val q8RecSql: String = "transform(sequence(1, 64), i -> CASE " +
-    "WHEN element_at(hi, i) = element_at(lo, i) THEN element_at(lo, i) " +
-    "ELSE element_at(lo, i) + round((element_at(v, i) - " +
-    "element_at(lo, i)) / (element_at(hi, i) - element_at(lo, i)) " +
-    "* 255) / 255.0D * (element_at(hi, i) - element_at(lo, i)) END)"
-
-  /** One-row per-dimension [lo, hi] quantization grid. */
-  private def q8Grid(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).selectExpr("posexplode(v) AS (i, x)")
-      .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
-      .agg(expr("array_sort(collect_list(struct(i, lo, hi)))").as("g"))
-      .selectExpr("transform(g, e -> e.lo) AS lo",
-        "transform(g, e -> e.hi) AS hi")
-
-  /** SQ8-reconstructed vectors + norms, persisted per (session, dir) —
-    * shared by the distortion panel and the q8_brute recall row. */
-  private def q8Vecs(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"q8vecs:$dir") {
-      vecs(s, dir).crossJoin(broadcast(q8Grid(s, dir)))
-        .selectExpr("vec_id", s"$q8RecSql AS r")
-        .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
-    }
-
-  /** Product-quantization geometry: M = 8 subspaces × 8 dims, K = 16
-    * centroids each (4-bit codes — 8 codes = 4 bytes/vector, 64×
-    * compression), PqIters fixed-point Lloyd rounds per subspace. Seeds
-    * are the first K vectors under a scramble constant DIFFERENT from
-    * the recall panel's (2246822519 vs 2654435761), so the measurement
-    * panel never coincides with quantizer construction (the round-5
-    * ADVICE trap). */
-  final val PqM = 8
-  final val PqSub = 8
-  final val PqK = 16
-  final val PqIters = 2
-
-  /** Codebook TRAINING-SAMPLE cap: the Lloyd rounds never touch more
-    * than this many vectors. At the test scale factors the corpus is
-    * smaller than the cap (sample ≡ corpus, so the DuckDB twin's
-    * numbers are unchanged); at 100 TB the cap is what makes PQ
-    * training a constant-size job while the encode pass stays a
-    * broadcast map over the full corpus. */
-  final val PqTrain = 4096
-
-  /** Per-subspace squared-L2 between two 8-dim arrays — zip_with then a
-    * left fold, the op order the DuckDB twin replays exactly. */
-  private val pqDist =
-    "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS DOUBLE), (a, b) -> a + b)"
-
-  /** (vec_id, j, sv): every vector split into its M subvectors. */
-  private def pqSubvectors(all: DataFrame): DataFrame =
-    all.selectExpr("vec_id",
-      s"explode(transform(sequence(0, ${PqM - 1}), " +
-        s"j -> struct(j AS j, slice(v, j * $PqSub + 1, $PqSub) AS sv))) " +
-        "AS e")
-      .selectExpr("vec_id", "CAST(e.j AS BIGINT) AS j", "e.sv AS sv")
-
-  /** Trained per-subspace codebooks (j, k, c) — k-means with the
-    * ivf_trained discipline: deterministic seeds, argmin assignment
-    * with ties to the lowest code, per-(subspace, code, dim)
-    * FIXED-POINT member sums so both engines land on bit-identical
-    * centroids; codes that lose all members drop out.
-    *
-    * Scale shape (both r10-verdict items): the Lloyd rounds train on
-    * the [[PqTrain]]-capped scrambled-hash SAMPLE — a distributed
-    * TakeOrdered (`orderBy` + `limit`, map-side partial top-K), never
-    * a pass over the corpus — and the 16 seeds are the sample's
-    * lowest-hash prefix, ranked on the driver from a 16-row
-    * model-sized readout instead of a corpus-frame `row_number`
-    * window (the r7-named scale-killer class this method previously
-    * smuggled behind the ScanCache boundary). Encoding stays a
-    * broadcast map pass over the full corpus in every caller. */
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"pq-books:$dir") {
-      val all = vecs(s, dir)
-      val hashed = all.select(col("vec_id"),
-        expr(s"vec_id * 2246822519L % ${P}L").as("_h"))
-      val trainIds = hashed.orderBy("_h", "vec_id").limit(PqTrain)
-        .select("vec_id")
-      // 16-row TakeOrdered readout, ranked driver-side — no WindowExec
-      val seed16 = hashed.orderBy("_h", "vec_id").limit(PqK).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy { case (id, h) => (h, id) }
-      import s.implicits._
-      val seedIds = broadcast(seed16.zipWithIndex
-        .map { case ((id, _), k) => (id, k.toLong) }
-        .toSeq.toDF("vec_id", "k"))
-      val sub = pqSubvectors(all.join(broadcast(trainIds), Seq("vec_id")))
-      var books = pqSubvectors(all.join(seedIds, Seq("vec_id")))
-        .join(seedIds, Seq("vec_id"))
-        .select(col("j"), col("k"), col("sv").as("c"))
-      for (_ <- 1 to PqIters) {
-        val assign = sub.join(broadcast(books), Seq("j"))
-          .withColumn("_d", expr(pqDist))
-          .groupBy("vec_id", "j")
-          .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
-        books = sub.join(assign, Seq("vec_id", "j"))
-          .select(col("j"), col("k"), posexplode(col("sv"))
-            .as(Seq("pos", "x")))
-          .groupBy("j", "k", "pos")
-          .agg(sum(expr(
-            s"CAST(round(x * CAST($IvfScale AS DOUBLE)) AS BIGINT)"))
-            .as("sx"), count(lit(1)).as("cnt"))
-          .groupBy("j", "k")
-          .agg(expr("transform(array_sort(collect_list(" +
-            "struct(pos, sx, cnt))), " +
-            s"p -> CAST(p.sx AS DOUBLE) / p.cnt " +
-            s"/ CAST($IvfScale AS DOUBLE))").as("c"))
-      }
-      books
-    }
-
-  /** PQ-reconstructed vectors + norms (decode of the 4-byte code) for
-    * ONE bounded panel of ids. The codebooks stay corpus-trained
-    * ([[pqCodebooks]]), but the decode is pruned to the measurement
-    * panel BEFORE the assignment join — a fixed-size readout must
-    * never trigger a full-corpus reconstruction at 100 TB, and a
-    * cache around the full decode would have blocked Catalyst from
-    * pushing the panel filter into the scan. */
-  private def pqVecsFor(s: SparkSession, dir: String,
-      panelMax: Int): DataFrame = {
-    val sub = pqSubvectors(vecs(s, dir).filter(col("vec_id") < panelMax))
-    sub.join(broadcast(pqCodebooks(s, dir)), Seq("j"))
-      .withColumn("_d", expr(pqDist))
-      .groupBy("vec_id", "j")
-      .agg(max_by(col("c"), struct(-col("_d"), -col("k"))).as("c"))
-      .groupBy("vec_id")
-      .agg(expr("flatten(transform(array_sort(collect_list(" +
-        "struct(j, c))), p -> p.c))").as("r"))
-      .selectExpr("vec_id", "r", "sqrt(dot_p(r, r)) AS rn")
-  }
-
-  /** Product quantization with MEASURED cosine distortion — the deep
-    * end of the compression ladder beside [[embeddingQ8]]: 4 bytes per
-    * vector (64×) instead of SQ8's 64 bytes (4×). Same panel, same
-    * readout: exact cosine vs the PQ-reconstructed cosine per pair —
-    * the number an ANN serving tier trades against memory when it
-    * stores codes and runs asymmetric-distance scans.
-    *
-    * Measured at sf0.01 (PipelineSpec pins the regime): mean abs
-    * cosine error 0.108, max 0.383, corr 0.34 — the compression
-    * ladder's honest far end on THIS corpus: i.i.d.-random vectors are
-    * PQ's worst case (no cluster structure for the per-subspace
-    * codebooks to exploit; real embedding manifolds sit far closer to
-    * the SQ8 end). Between SQ8 (4×, err 0.0009) and PQ (64×,
-    * err 0.108) the ladder brackets the serving design space. */
-  private def embeddingPq(s: SparkSession, dir: String): DataFrame = {
-    val panel = vecs(s, dir).filter(col("vec_id") < 16)
-      .join(pqVecsFor(s, dir, 16), Seq("vec_id"))
-    val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
-    val b = panel.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("r").as("rb"), col("rn").as("rnb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .selectExpr("id_a", "id_b",
-        "dot_p(va, vb) / (na * nb) AS cos_full",
-        "CASE WHEN rna * rnb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-          "ELSE dot_p(ra, rb) / (rna * rnb) END AS cos_pq")
-      .orderBy("id_a", "id_b")
-  }
-
-  private def embeddingQ8(s: SparkSession, dir: String): DataFrame = {
-    val panel = vecs(s, dir).filter(col("vec_id") < 16)
-      .join(q8Vecs(s, dir), Seq("vec_id"))
-    val a = panel.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("r").as("ra"), col("rn").as("rna"))
-    val b = panel.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("r").as("rb"), col("rn").as("rnb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .selectExpr("id_a", "id_b",
-        "dot_p(va, vb) / (na * nb) AS cos_full",
-        "CASE WHEN rna * rnb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-          "ELSE dot_p(ra, rb) / (rna * rnb) END AS cos_q8")
-      .orderBy("id_a", "id_b")
-  }
-
-  // ---- MinHash / SimHash / n-gram dedup --------------------------------
-
-  /** documents → distinct-token polynomial hash sets (the MinHash input). */
-  private def tokenHashSets(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir).selectExpr(
-      "doc_id",
-      "sort_array(array_distinct(transform(array_distinct(split(text, ' ')), " +
-        "t -> poly_hash(t)))) AS th")
-
-  /** Token 3-gram shingle hash sets — the MinHash input. (Unigram token
-    * sets are degenerate on this corpus: the vocabulary is ~30 words, so
-    * every long document's token SET converges to the full vocabulary and
-    * all-pairs similarity ≈ 1. Shingles keep the space sparse, which is
-    * also the realistic choice for web-scale dedup.)
-    *
-    * PERSISTED per (session, dir): minhash_lsh, dedup_clusters, and
-    * boilerplate_ngrams (twice — df aggregation and the per-doc join
-    * back) all branch off this scan. */
-  private def shingleHashSets(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"shingles:$dir") {
-      registered(s, dir).selectExpr("doc_id",
-        "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
-        .selectExpr("doc_id",
-          s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +
-            s"i -> ((element_at(tk, cast(i AS int)) * 31 " +
-            s"+ element_at(tk, cast(i + 1 AS int))) % $P * 31 " +
-            s"+ element_at(tk, cast(i + 2 AS int))) % $P))) AS th")
-    }
-
-  /** MinHash + LSH banding near-dup detection over shingle sets: K=16
-    * permutations (affine (2k+3)·h + 99991k + 7 mod P), 2 bands × 8 rows,
-    * band-bucket join for candidates, exact Jaccard verification at
-    * τ = 0.5. Candidates are deduped on bare id pairs BEFORE re-attaching
-    * the hash sets — array columns never go through the distinct shuffle.
-    * This is the shape that scales: no all-pairs comparison anywhere. */
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"minhash-pairs:$dir") {
-      val th = shingleHashSets(s, dir)
-      val sig = th.selectExpr("doc_id", "minhash16(th) AS sig")
-      val bands = sig.selectExpr("doc_id",
-        s"explode(transform(sequence(0, 1), b -> struct(b AS band, " +
-          s"aggregate(slice(sig, cast(b * 8 + 1 AS int), 8), 0L, " +
-          s"(a, x) -> (a * 31 + x) % $P) AS bv))) AS e")
-        .selectExpr("doc_id", "e.band AS band", "e.bv AS bv")
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bv")),
-          Seq("band", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(th.select(col("doc_id").as("doc_a"), col("th").as("tha")), Seq("doc_a"))
-        .join(th.select(col("doc_id").as("doc_b"), col("th").as("thb")), Seq("doc_b"))
-        .withColumn("jaccard", expr("jaccard_sorted(tha, thb)"))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    }.orderBy("doc_a", "doc_b")
-
-  /** Measured MinHash-LSH recall — the dedup twin of `ann_recall`: how
-    * many TRUE near-dup pairs (exact shingle Jaccard ≥ τ) does the
-    * banded index actually surface? Truth shares the inverted-index
-    * shape of source_overlap: distinct (doc, shingle) rows group BY
-    * SHINGLE and explode only the doc pairs sharing that shingle (a
-    * pair with J ≥ 0.5 always shares one), so truth is linear in
-    * Σ C(df, 2), never an all-pairs join — at web scale the boilerplate
-    * df-cap (exact_substring's EsDocCap move) bounds the hot shingles;
-    * uncapped here where df tops out at 1.4%. The verified LSH pair set
-    * rides its ScanCache entry. `expected_recall` is the banding
-    * analytic E[1 − (1 − J^rows)^bands] averaged over true pairs —
-    * powers computed by exact IEEE multiply chains (no libm pow) and
-    * averaged in 1e-6 fixed point, so both engines agree bit-for-bit. */
-  private def minhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val th = shingleHashSets(s, dir)
-    // r9: the posting-list pair explode COUNTS shared shingles per
-    // pair inside the same map-side-combinable shuffle that generates
-    // the candidates (the containment_pairs move) — th is a SET, so
-    // the occurrence count IS |A∩B| and jaccard = i/(|A|+|B|−i); the
-    // per-pair jaccard_sorted over re-attached shingle ARRAYS (two
-    // corpus-array shuffles) disappears, leaving two doc-dimension
-    // size joins (4.3 → 2.6 s at sf0.1)
-    val sizes = th.selectExpr("doc_id", "size(th) AS n")
-    val inter = th.selectExpr("doc_id", "explode(th) AS sh")
-      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
-      .selectExpr("explode(flatten(transform(ds, " +
-        "a -> transform(filter(ds, b -> b > a), " +
-        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
-      .select("p.doc_a", "p.doc_b")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val truth = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b",
-        "inter / CAST(na + nb - inter AS DOUBLE) AS jaccard")
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-    val lsh = minhashLsh(s, dir).select("doc_a", "doc_b")
-      .withColumn("hit", lit(1L))
-    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
-      .withColumn("j2", col("jaccard") * col("jaccard"))
-      .withColumn("j4", col("j2") * col("j2"))
-      .withColumn("j8", col("j4") * col("j4"))
-      .selectExpr("coalesce(hit, 0L) AS hit",
-        "CAST(round((CAST(1 AS DOUBLE) - (CAST(1 AS DOUBLE) - j8) " +
-          "* (CAST(1 AS DOUBLE) - j8)) * CAST(1000000 AS DOUBLE)) " +
-          "AS BIGINT) AS p_fp")
-      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_caught"),
-        sum("p_fp").as("sp"))
-      .selectExpr("n_true", "n_caught",
-        "round(n_caught / CAST(n_true AS DOUBLE), 4) AS recall",
-        "round(CAST(sp AS DOUBLE) / n_true / CAST(1000000 AS DOUBLE), 4) " +
-          "AS expected_recall")
-  }
-
-  /** Containment panel size. */
-  final val CtTop = 20
-
-  /** Asymmetric containment pairs — the quote/subset case symmetric
-    * near-dup misses: a short document living INSIDE a long one scores
-    * high containment C(A,B) = |A∩B| / min(|A|,|B|) while its Jaccard
-    * stays low (the union is dominated by the long side), so a τ = 0.5
-    * Jaccard dedup never sees it (Broder's containment vs resemblance
-    * distinction). Reports the top-[[CtTop]] shingle-set containments
-    * ordered most-Jaccard-missed first; all ratios exact ppm.
-    *
-    * Shape: the [[shingleHashSets]] inverted index explodes pairs per
-    * shingle — linear in Σ C(df,2), never all-pairs (the minhash_recall
-    * truth machinery; a production corpus runs boilerplate_ngrams'
-    * heavy-shingle cap first, same argument as exact_substring's
-    * EsDocCap). `th` is a SET (array_distinct), so |A∩B| is exactly the
-    * number of shingles whose posting list contains both docs — the
-    * pair COUNT aggregation computes every intersection in the same
-    * map-side-combinable shuffle that dedupes the candidates, and the
-    * per-pair array_intersect over re-attached shingle arrays
-    * disappears; only the two tiny size joins touch the doc dimension
-    * (2.8 → 2.0 s at sf0.1 — the residual is the Σ C(df,2) candidate
-    * explosion itself, which the boilerplate cap governs). */
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val th = shingleHashSets(s, dir)
-    val inter = th.selectExpr("doc_id", "explode(th) AS sh")
-      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
-      .selectExpr("explode(flatten(transform(ds, " +
-        "a -> transform(filter(ds, b -> b > a), " +
-        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sizes = th.selectExpr("doc_id", "CAST(size(th) AS BIGINT) AS n")
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b", "n_a", "n_b", "inter",
-        "inter * CAST(1000000 AS BIGINT) div least(n_a, n_b) AS cont_ppm",
-        "inter * CAST(1000000 AS BIGINT) div (n_a + n_b - inter) " +
-          "AS jac_ppm")
-      .orderBy(desc("cont_ppm"), asc("jac_ppm"), asc("doc_a"),
-        asc("doc_b"))
-      .limit(CtTop)
-  }
-
-  /** Boilerplate shingle detection — the heavy-hitter quality filter a
-    * pretraining pipeline runs before dedup: a token 3-gram shared by
-    * many documents is boilerplate (headers, footers, templates); each
-    * document reports its boilerplate fraction and a flag. Thresholds
-    * are scaled to the synthetic corpus like the other scaled constants
-    * (real web corpora use ~5% df): df ≥ max(5, 1% of docs) — the
-    * measured df distribution tops out at 1.4% here — and flag at
-    * fraction > 0.1 (11 genuinely template-heavy docs at sf0.01, so the
-    * check validates real rows, not an empty set).
-    *
-    * Exact document frequency (not a sketch): two grouped aggregations —
-    * shingle→df, then doc→overlap — both order-independent integer
-    * counts, so the result is parallelism-invariant and exactly
-    * oracle-able. The explode stays on DISTINCT per-doc shingles, so
-    * shuffle volume is corpus vocabulary, not corpus length. */
-  private def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    val th = shingleHashSets(s, dir)
-    val exploded = th.selectExpr("doc_id", "explode(th) AS sh")
-    val nDocs = Tables.documents(s, dir).count() // plain count-star scan
-    val minDf = math.max(5L, math.ceil(nDocs * 0.01).toLong)
-    val boiler = exploded.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select("sh")
-    exploded
-      .join(broadcast(boiler).withColumn("hit", lit(1L)), Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
-      .selectExpr("doc_id", "n_shingles", "n_boiler",
-        "n_boiler / CAST(n_shingles AS DOUBLE) AS boiler_frac",
-        "n_boiler / CAST(n_shingles AS DOUBLE) > 0.1 AS flagged")
-      .orderBy("doc_id")
-  }
-
-  /** SimHash (16-bit) signatures from token-hash sets: bit b set iff the
-    * ±1 vote over member hashes is positive. */
-  private def simhash(s: SparkSession, dir: String): DataFrame =
-    tokenHashSets(s, dir)
-      .selectExpr("doc_id", "simhash_sig(th, 16) AS simhash16")
-      .orderBy("doc_id")
-
-  /** SimHash near-dup via BANDING — the scale path the signature enables:
-    * a FREQUENCY-WEIGHTED 30-bit signature (votes fold over the full
-    * token list, not the distinct set — unweighted signatures converge to
-    * the shared-vocabulary average and stop discriminating, measured:
-    * 3.9k hamming-0 pairs unweighted vs 171 weighted on this corpus; 30
-    * bits because the token poly-hashes carry ~30 bits of entropy) splits
-    * into two 15-bit bands; docs sharing either band become candidates
-    * (shuffle on the tiny (band, key) space), deduped as id pairs, then
-    * verified by Hamming distance ≤ 1 (the Manku 64-bit/≤3 rule scaled to
-    * 30 bits). Sub-quadratic the same way minhash_lsh is: only same-band
-    * pairs ever meet. The 16-bit `simhash` query stays as the signature
-    * oracle. */
-  private def simhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sig = registered(s, dir).selectExpr("doc_id",
-      "transform(split(text, ' '), t -> poly_hash(t)) AS th")
-      .selectExpr("doc_id", "simhash_sig(th, 30) AS sig30")
-    val bands = sig.selectExpr("doc_id", "sig30",
-      "explode(array(" +
-        "struct(0 AS band, sig30 & 32767L AS key), " +
-        "struct(1 AS band, shiftright(sig30, 15) & 32767L AS key))) AS b")
-      .select(col("doc_id"), col("sig30"), col("b.band"), col("b.key"))
-    val a = bands.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("sig30").as("sa"))
-    val bb = bands.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sig30").as("sb"))
-    a.join(bb, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").distinct()
-      .selectExpr("doc_a", "doc_b",
-        "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
-      .filter(col("hamming") <= 1)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Token 3-gram (shingle) Jaccard within a source block: top-20 most
-    * similar pairs. Blocking bounds the pair count; shingle hashes are
-    * combined from the per-token fold, so no re-hash of characters. */
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // shingle sets come from the SHARED persisted scan; only the source
-    // block key is joined on (doc_id → source is a tiny projection)
-    val sh = shingleHashSets(s, dir)
-      .join(registered(s, dir).select("doc_id", "source"), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("th").as("sh"))
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"),
-      col("sh").as("sha"))
-    val b = sh.select(col("source"), col("doc_id").as("doc_b"),
-      col("sh").as("shb"))
-    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", expr("jaccard_sorted(sha, shb)"))
-      .select("source", "doc_a", "doc_b", "jaccard")
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
-  }
-
-  /** LSH-bucketed approximate nearest neighbor — the scale path for
-    * similarity search: 8 deterministic hyperplanes → 256 buckets →
-    * within-bucket top-1 by cosine. One shuffle on the bucket key instead
-    * of an all-pairs join. */
-  private def annLsh(s: SparkSession, dir: String): DataFrame = {
-    // 8 deterministic hyperplanes as array literals; each bit is a native
-    // dot_p sign test (same accumulation order as the previous fold).
-    val bucketExpr = (0 until 8).map { k =>
-      val hp = (1 to 64)
-        .map(d => ((k.toLong * 64 + d - 1) * 2654435761L % 1000 - 500).toDouble)
-        .map(w => s"${w}D")  // D suffix: bare -500.0 parses as DECIMAL(4,1)
-        .mkString("array(", ", ", ")")
-      s"IF(dot_p(v, $hp) >= 0, ${1L << k}L, 0L)"
-    }.mkString(" + ")
-    val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
-    val a = bucketed.select(col("bucket"), col("vec_id"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("nn_id"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("nn_cosine").desc, col("nn_id"))
-    a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("nn_cosine", expr(cosExpr))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("vec_id", "bucket", "nn_id", "nn_cosine")
-      .orderBy("vec_id")
-  }
-
-  /** Independent hash tables for the widened ANN (ann_lsh_multi). */
-  final val AnnTables = 2
-  /** Build-side bucket membership cap (skew bound). */
-  final val AnnBucketCap = 32
-  /** Max hyperplane bits per table; plane ids index t*AnnMaxBits + k so
-    * planes are stable as the adaptive bit count grows. */
-  final val AnnMaxBits = 24
-
-  /** Smallest b in [8, AnnMaxBits] with 4·2^b ≥ n — expected bucket
-    * population ≤ 4 at any corpus size. Pure integer compares so the
-    * DuckDB oracle (a generated CASE chain) lands on the identical value
-    * (a float log2 could differ by 1 ulp at exact powers of two). */
-  private[graft] def annBits(n: Long): Int =
-    (8 to AnnMaxBits).find(b => n <= (4L << b)).getOrElse(AnnMaxBits)
-
-  private def planeWeight(plane: Int, d: Int): Double =
-    ((plane.toLong * 64 + d - 1) * 2654435761L % 1000 - 500).toDouble
-
-  /** Widened LSH ANN — the 100 TB-shape similarity search:
-    *
-    *   - bit count ADAPTS to the corpus (annBits), so expected bucket
-    *     population stays ~4 and within-bucket candidate pairs grow
-    *     LINEARLY with the corpus, never quadratically (the fixed 8-bit
-    *     `ann_lsh` keeps its O(N²/256) buckets and remains as the simple
-    *     oracle variant);
-    *   - AnnTables independent hyperplane tables, unioned, recover the
-    *     recall a single fine-grained table loses;
-    *   - Hamming-1 multi-probe: each vector probes its own bucket plus
-    *     all bits-flipped-by-one neighbors, catching near-boundary misses
-    *     without extra tables;
-    *   - candidate (vec_id, nn_id) pairs are DEDUPED as bare 16-byte id
-    *     rows before the 64-dim vectors re-attach for scoring — the same
-    *     shuffle-volume move as minhash_lsh;
-    *   - the BUILD side of each bucket is capped at AnnBucketCap members
-    *     (deterministic: lowest vec_ids) — embedding clusters make bucket
-    *     population skewed at any bit count (measured: max bucket grew
-    *     3.2× for a 4× corpus), and without a cap the hot buckets alone
-    *     push total candidates superlinear. Every vector still PROBES, so
-    *     nothing loses its nearest-neighbor row; dense near-dup clusters
-    *     just score against their cluster's lowest-id representatives.
-    */
-  /** Candidate (vec_id, nn_id) pairs from the multi-table adaptive-bit
-    * LSH index — the shared front half of `ann_lsh_multi` and
-    * `embedding_neardup_lsh`: bucket per table, Hamming-1 multi-probe,
-    * skew-capped build side, id-pair dedup before any vector re-attach. */
-  private def annCandidates(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ann-candidates:$dir") {
-    val all = vecs(s, dir)
-    val bits = annBits(all.count())
-    def bucketExpr(t: Int): String = (0 until bits).map { k =>
-      val hp = (1 to 64).map(d => s"${planeWeight(t * AnnMaxBits + k, d)}D")
-        .mkString("array(", ", ", ")")
-      s"IF(dot_p(v, $hp) >= 0, ${1L << k}L, 0L)"
-    }.mkString(" + ")
-    val bucketed = (0 until AnnTables).map { t =>
-      all.withColumn("tbl", lit(t)).withColumn("bucket", expr(bucketExpr(t)))
-    }.reduce(_ unionByName _)
-    val probeList = ("bucket" +: (0 until bits)
-      .map(j => s"bucket ^ ${1L << j}L")).mkString(", ")
-    val probes = bucketed.selectExpr("tbl", "vec_id",
-      s"explode(array($probeList)) AS pk")
-    val wb = Window.partitionBy("tbl", "bucket").orderBy("nn_id")
-    val ids = bucketed.select(col("tbl"), col("vec_id").as("nn_id"),
-      col("bucket"))
-      .withColumn("br", row_number().over(wb))
-      .filter(col("br") <= AnnBucketCap)
-      .drop("br")
-    probes
-      .join(ids, probes("pk") === ids("bucket") &&
-        probes("tbl") === ids("tbl") && col("vec_id") =!= col("nn_id"))
-      .select("vec_id", "nn_id").distinct()
-    }
-
-  /** PERSISTED per (session, dir): the scored top-1 result feeds both the
-    * `ann_lsh_multi` query and `ann_recall`. */
-  private def annLshMulti(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ann-lsh-multi:$dir") {
-      val all = vecs(s, dir)
-      val cand = annCandidates(s, dir)
-      val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      // top-1 via max_by (partial-aggregating shuffle), not a sort
-      // window: candidate rows combine map-side, nothing global sorts
-      cand.join(a, Seq("vec_id")).join(b, Seq("nn_id"))
-        .withColumn("nn_cosine", expr(cosExpr))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("nn_id"), col("nn_cosine")),
-          struct(col("nn_cosine"), -col("nn_id"))).as("top"))
-        .select(col("vec_id"), col("top.nn_id").as("nn_id"),
-          col("top.nn_cosine").as("nn_cosine"))
-    }.orderBy("vec_id")
-
-  /** KMV sketch size — small enough that this corpus's ~31-token
-    * per-source vocabularies exercise the ESTIMATION branch, not just the
-    * exact small-set path. */
-  final val KmvK = 16
-
-  /** The bounded K-minimum-values aggregator (shared by kmv_distinct,
-    * source_overlap): per-group state is at most KmvK sorted longs with
-    * map-side combine — see [[graft.functions.KMinValues]]. */
-  private lazy val kminAgg =
-    udaf(new graft.functions.KMinValues(KmvK),
-      org.apache.spark.sql.Encoders.scalaLong)
-
-  /** K-minimum-values distinct-count sketch — a sketch with an EXACT
-    * cross-engine oracle (HLL estimates are engine-specific; KMV is a
-    * pure function of the hash set): per group keep the K smallest
-    * distinct hashes; estimate = (K−1)·P / h_K, exact count when the
-    * group has fewer than K distinct values. The sketch build is the
-    * BOUNDED [[graft.functions.KMinValues]] aggregator — K longs per
-    * group at every stage including the map side, mergeable like any
-    * partial aggregate, so at 100 TB no executor ever holds a group's
-    * full distinct set. True distinct is computed alongside to expose
-    * the estimation error. */
-  private def kmvDistinct(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir)
-      .selectExpr("source",
-        // scramble the fold: raw poly hashes of SHORT tokens are small
-        // (bounded by 31^len·255), nowhere near uniform in [0, P) — and
-        // KMV's estimator needs uniformity (measured: 135× off unmixed)
-        "explode(transform(split(text, ' '), " +
-          s"t -> poly_hash(t) * 2654435761L % ${P}L)) AS h")
-      .groupBy("source")
-      .agg(countDistinct("h").as("true_distinct"),
-        kminAgg(col("h")).as("ks"))
-      .selectExpr("source", "true_distinct",
-        s"CASE WHEN size(ks) < $KmvK THEN CAST(size(ks) AS DOUBLE) " +
-          s"ELSE ${KmvK - 1}.0D * ${P}L " +
-          s"/ greatest(element_at(ks, $KmvK), 1L) END AS kmv_estimate")
-      .orderBy("source")
-
-  /** Count-min sketch geometry: d=4 rows × w=512 buckets — 2048 BIGINT
-    * counters total, at ANY corpus size. Row multipliers are the public
-    * xxhash/Knuth mixing primes; bucket_r(t) = h·M_r mod P mod w over the
-    * scrambled token fold h. */
-  final val CmsD = 4
-  final val CmsW = 512
-  final val CmsMul = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-
-  /** Heavy hitters with a count-min sketch beside the exact truth — the
-    * point-query companion of [[kmvDistinct]] (KMV answers "how many
-    * distinct", CMS answers "how often is THIS one").
-    *
-    * The sketch is built from the RAW token stream: each occurrence
-    * increments d=4 (row, bucket) cells, so the corpus collapses onto
-    * d·w = 2048 counters with map-side combine — no vocabulary-keyed
-    * shuffle, mergeable by addition across shards/batches (the property
-    * the streaming twin exploits). The exact top-20 panel (one
-    * vocab-keyed count — the shuffle the sketch exists to avoid at
-    * corpus scale) is kept as measured truth: each panel token's
-    * estimate is the min of its d cells, `err` the overestimate. CMS
-    * never underestimates (est ≥ n by construction, spec-pinned); with
-    * ~58k occurrences over 2048 cells the expected collision mass per
-    * cell is ~n_tot/w per row, and the min over 4 independent rows
-    * drives the observed error to ≈0 on heavy tokens.
-    *
-    * The oracle builds the same cells from the per-token counts (cell
-    * count = Σ n over tokens landing there — the same sum by
-    * associativity), which keeps the SQL linear in the vocabulary. */
-  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = registered(s, dir)
-      .selectExpr("explode(split(text, ' ')) AS tok")
-    val cells = CmsMul.zipWithIndex.map { case (m, i) =>
-      s"named_struct('r', ${i}L, " +
-        s"'b', poly_hash(tok) % ${P}L * ${m}L % ${P}L % $CmsW)" }
-    val sketch = toks
-      .selectExpr(s"explode(array(${cells.mkString(", ")})) AS cell")
-      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val mulArr = s"array(${CmsMul.map(m => s"${m}L").mkString(", ")})"
-    val probes = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("tok")).limit(20)
-      .selectExpr("tok", "n", "poly_hash(tok) % " + P + "L AS h",
-        s"explode(sequence(0L, ${CmsD - 1}L)) AS r")
-      .selectExpr("tok", "n", "r",
-        s"h * element_at($mulArr, CAST(r + 1 AS INT)) % ${P}L % $CmsW AS b")
-    probes.join(broadcast(sketch), Seq("r", "b"))
-      .groupBy("tok", "n").agg(min("c").as("cms_est"))
-      .selectExpr("tok", "n", "cms_est", "cms_est - n AS err")
-      .orderBy(desc("n"), asc("tok"))
-  }
-
-  /** Bloom-filter geometries for [[bloomDedup]]: a deliberately
-    * UNDERSIZED 1024-bit filter next to a right-sized 65536-bit one
-    * (8 KiB at ANY corpus size), k = 4 probes reusing the CMS row
-    * multipliers over the scrambled content fingerprint. */
-  final val BloomMs = Seq(1024, 65536)
-
-  /** Bloom membership pre-filter for incremental dedup — the third
-    * sketch in the family (KMV: how many distinct; CMS: how often is
-    * this one; Bloom: might THIS key already exist?), applying
-    * [[graft.operators.BloomPrune]]'s bitset to the dedup problem.
-    * Docs split into an existing corpus (doc_id % 10 < 8) and an
-    * incoming batch (doc_id % 10 ≥ 6 — the {6,7} overlap guarantees
-    * real duplicates); the corpus's content fingerprints build one
-    * bitset PER GEOMETRY through the BOUNDED
-    * [[graft.functions.BloomBits]] typed Aggregator (m/64 longs per
-    * state at every stage incl. the map side, merge = OR — at 100 TB
-    * the corpus collapses map-side onto a single 1-row array with no
-    * fingerprint shuffle), and every incoming doc probes its k = 4
-    * bit positions against the BROADCAST bitsets — pure codegen'd
-    * bit arithmetic, no UDF. The exact fingerprint join (what the
-    * filter exists to avoid at scale) is kept as measured truth, so
-    * the panel reads like a sizing meeting: the undersized 1024-bit
-    * row shows real measured false positives (saturating as the
-    * corpus grows), the 8 KiB row stays clean, and the
-    * no-false-negative guarantee is pinned IN the gate (`false_neg`
-    * must hash-compare as 0 on BOTH rows). The oracle mirrors each
-    * bitset as its distinct position set — identical membership
-    * semantics by construction. */
-  private def bloomDedup(s: SparkSession, dir: String): DataFrame = {
-    // persisted per session: referenced three times below (corpus
-    // bitset build, exact-truth distinct, incoming probe) — without
-    // the cache each reference re-runs the full-text poly_hash pass
-    val fp = ScanCache.get(s, s"bloom-fp:$dir") {
-      registered(s, dir).selectExpr(
-        "doc_id", "source",
-        s"poly_hash(text) * 2654435761L % ${P}L AS h",
-        "doc_id % 10 < 8 AS in_corpus",
-        "doc_id % 10 >= 6 AS incoming")
-    }
-    val aggs = BloomMs.map { m =>
-      udaf(new graft.functions.BloomBits(m, CmsMul, P),
-        org.apache.spark.sql.Encoders.scalaLong)(col("h"))
-        .as(s"bits_$m")
-    }
-    val bits = fp.where("in_corpus").agg(aggs.head, aggs.tail: _*)
-    val corpusFp = fp.where("in_corpus").select("h").distinct()
-      .withColumn("dup", lit(1L))
-    def probe(m: Int): String = CmsMul.map { mu =>
-      val e = s"h * ${mu}L % ${P}L % $m"
-      s"(shiftright(element_at(bits_$m, CAST($e / 64 AS INT) + 1), " +
-        s"CAST($e % 64 AS INT)) & 1L) = 1L"
-    }.mkString(" AND ")
-    val probed = fp.where("incoming")
-      .crossJoin(broadcast(bits)) // 1-row bitsets ride every probe
-      .join(corpusFp, Seq("h"), "left")
-      .na.fill(0L, Seq("dup"))
-    val panels = BloomMs.map { m =>
-      probed
-        .withColumn("bloom_hit", expr(probe(m)))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_in"),
-          sum("dup").as("true_dup"),
-          sum(expr("CAST(bloom_hit AS BIGINT)")).as("bloom_pos"),
-          sum(expr("CASE WHEN bloom_hit AND dup = 0 THEN 1L ELSE 0L END"))
-            .as("false_pos"),
-          sum(expr(
-            "CASE WHEN NOT bloom_hit AND dup = 1 THEN 1L ELSE 0L END"))
-            .as("false_neg"))
-        .selectExpr("source", s"${m}L AS m_bits", "n_in", "true_dup",
-          "bloom_pos", "false_pos", "false_neg",
-          "false_pos * 1000000L DIV greatest(n_in - true_dup, 1L)" +
-            " AS fp_ppm")
-    }
-    panels.reduce(_.unionAll(_)).orderBy("m_bits", "source")
-  }
-
-  /** Cross-source overlap matrix — the contamination panel a curator
-    * reads before mixing corpora: for every source pair with any shared
-    * vocabulary, the EXACT token-hash Jaccard next to its KMV
-    * union-sketch estimate (K smallest of the union, counted against
-    * both sketches — Beyer et al.'s K-minimum-values estimator), so the
-    * sketch's quality is measured, not asserted (the quantile_sketch /
-    * ann_recall pattern).
-    *
-    * 100 TB shape: the exact intersection NEVER self-joins the corpus —
-    * distinct (source, hash) rows group by hash and each hash explodes
-    * only the pairs of sources containing it (bounded by S² per hash, S
-    * = dozens of sources), so truth is linear in distinct hashes; the
-    * per-source sketches come from the same distinct pass through the
-    * BOUNDED [[graft.functions.KMinValues]] aggregator (K longs per
-    * group, map-side combine) and the final pair join touches
-    * source-cardinality tables only (broadcast). At real scale only
-    * the exact columns retire, with the truth harness. */
-  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val e = registered(s, dir).selectExpr("source",
-      "explode(transform(split(text, ' '), " +
-        s"t -> poly_hash(t) * 2654435761L % ${P}L)) AS h")
-      .distinct()
-    val perSrc = e.groupBy("source").agg(
-      count(lit(1)).as("nd"),
-      kminAgg(col("h")).as("ks"))
-    val inter = e.groupBy("h")
-      .agg(expr("array_sort(collect_set(source))").as("ss"))
-      .selectExpr("explode(flatten(transform(ss, " +
-        "a -> transform(filter(ss, b -> b > a), " +
-        "b -> struct(a AS src_a, b AS src_b))))) AS p")
-      .groupBy("p.src_a", "p.src_b").agg(count(lit(1)).as("common"))
-    val pa = perSrc.selectExpr("source AS src_a", "nd AS nd_a", "ks AS ks_a")
-    val pb = perSrc.selectExpr("source AS src_b", "nd AS nd_b", "ks AS ks_b")
-    inter.join(broadcast(pa), Seq("src_a")).join(broadcast(pb), Seq("src_b"))
-      .selectExpr("src_a", "src_b", "common", "nd_a", "nd_b", "ks_a", "ks_b",
-        s"slice(array_sort(array_union(ks_a, ks_b)), 1, $KmvK) AS uk")
-      .selectExpr("src_a", "src_b", "common", "nd_a", "nd_b", "size(uk) AS kmv_k",
-        "size(filter(uk, x -> array_contains(ks_a, x) " +
-          "AND array_contains(ks_b, x))) AS kmv_common")
-      .selectExpr("src_a", "src_b",
-        "round(CAST(common AS DOUBLE) / (nd_a + nd_b - common), 4) " +
-          "AS jacc_exact",
-        "kmv_common", "kmv_k",
-        "round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est")
-      .orderBy("src_a", "src_b")
-  }
-
-  /** TF-IDF top terms — per-document keyword extraction, the classic
-    * tf·idf ranking (Sparck Jones idf, raw tf) with the top 3 terms per
-    * document; the per-doc keyword panel a corpus browser or topic
-    * labeler reads.
-    *
-    * 100 TB shape: term frequencies are ONE (doc, word) shuffle;
-    * document frequency is a second aggregation OVER THE TF TABLE (rows
-    * are already distinct per doc, so df = count, no second corpus
-    * pass); N rides a single-row broadcast; scoring joins tf to the
-    * vocab-sized df table on the word key (shuffle join, corpus-growing,
-    * not broadcast); top-k is a rank window partitioned by doc_id —
-    * per-group size bounded by the doc's vocabulary, massive
-    * parallelism, never a global sort. idf is rounded to 6 dp before the
-    * tf multiply (the bm25 move) so the one libm call cannot drift
-    * across engines; (score, term) is unique per doc so the rank is
-    * fully deterministic. */
-  private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = docTermTf(s, dir)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(nd))
-      .selectExpr("doc_id", "term", "tf",
-        "round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 4) AS score")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))))
-      .where("rnk <= 3")
-      .orderBy("doc_id", "rnk")
-  }
-
-  /** Decomposed probe (NFC-sensitive): "café Å" with the accents as
-    * COMBINING characters (e+U+0301, A+U+030A) — canonical composition
-    * rewrites both to precomposed forms, shrinking the string by 2. */
-  private val NfcProbe = " caf" + "é" + " Å"
-
-  /** Unicode NFC normalization — the canonicalization pass a text
-    * pipeline runs before any hashing or dedup (decomposed e+◌́ and
-    * precomposed é must not count as distinct content). The corpus is
-    * ASCII by construction, so NFC-sensitive sequences are INJECTED by
-    * doc_id residue (the pii_scrub move — absent-case rows stay part of
-    * the check) and the normalized text itself is emitted, making the
-    * cross-engine comparison a full content equality, not just counts.
-    *
-    * 100 TB shape: a pure map over the scan — the [[graft.functions
-    * .NfcNormalize]] expression runs inside whole-stage codegen with an
-    * allocation-free already-normalized fast path (the common case).
-    * DuckDB's nfc_normalize implements the same canonical algorithm. */
-  private def textNormalize(s: SparkSession, dir: String): DataFrame =
-    registered(s, dir)
-      .selectExpr("doc_id",
-        s"concat(text, CASE WHEN doc_id % 5 = 0 THEN '$NfcProbe' " +
-          "ELSE '' END) AS txt")
-      .selectExpr("doc_id", "doc_id % 5 = 0 AS injected",
-        "length(txt) AS n_before", "nfc_normalize(txt) AS norm_text")
-      .selectExpr("doc_id", "injected", "n_before",
-        "length(norm_text) AS n_after",
-        "n_before <> length(norm_text) AS changed", "norm_text")
-      .orderBy("doc_id")
-
-  /** Deflate compression ratio — the repetitive-junk signal of
-    * RefinedWeb/FineWeb-class pipelines (machine-generated boilerplate
-    * compresses far better than natural text; a ratio near 0 flags it).
-    * No SQL twin exists (DuckDB has no compression function), so this
-    * deliberately lives OUTSIDE the `SparkEntry.queries` gate — every
-    * gate entry promises a DuckDB-checkable oracle, and this one
-    * structurally can't. Coverage instead: TextKernelsSpec replays the
-    * query against a plain-Scala recompute plus crafted
-    * repetitive-vs-diverse monotonicity cases, and PlanAuditSpec pins
-    * the pure-map plan. The function remains a first-class corpus
-    * filter signal (COVERAGE.md).
-    *
-    * 100 TB shape: a pure map — [[graft.functions.DeflateLen]] runs the
-    * JDK Deflater per row inside codegen, no shuffle, no state. */
-  private[graft] def compressionRatio(s: SparkSession, dir: String): DataFrame =
-    registered2(s, dir)
-      .selectExpr("doc_id",
-        "CAST(length(text) AS BIGINT) AS n_bytes",
-        "CAST(deflate_len(text) AS BIGINT) AS n_deflate")
-      .selectExpr("doc_id", "n_bytes", "n_deflate",
-        "round(n_deflate / CAST(greatest(n_bytes, 1) AS DOUBLE), 4) " +
-          "AS ratio")
-      .orderBy("doc_id")
-
-  /** documents with the deflate_len kernel registered. */
-  private def registered2(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.DeflateLen.register(s)
-    Tables.documents(s, dir)
-  }
-
-  /** Vocabulary coverage curve — the tokenizer-sizing readout (what
-    * fraction of all token occurrences do the top-N vocabulary entries
-    * cover?), read before choosing a BPE vocab budget.
-    *
-    * 100 TB shape: unigram counts are one token-explode shuffle; the
-    * curve only needs the TOP-64 entries, so the global order is a
-    * TakeOrderedAndProject (64 rows), never a vocab-wide sort; the
-    * cumulative window then runs over those ≤64 rows and the corpus
-    * total rides a single-row broadcast. Ranks beyond the vocabulary
-    * simply don't appear — identically in both engines. */
-  private val VocabRanks = Seq(1, 2, 4, 8, 16, 32, 64)
-  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    val uni = docTermTf(s, dir)
-      .groupBy("term").agg(sum("tf").as("c"))
-    val tot = uni.agg(sum("c").as("total"))
-    val w = Window.orderBy(desc("c"), asc("term"))
-    uni.orderBy(desc("c"), asc("term")).limit(VocabRanks.max)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum", sum("c").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("rk").isin(VocabRanks.map(Integer.valueOf): _*))
-      .crossJoin(broadcast(tot))
-      .selectExpr("rk AS vocab_rank", "cum AS covered_tokens",
-        "total AS total_tokens",
-        "round(CAST(cum AS DOUBLE) / total, 4) AS coverage")
-      .orderBy("vocab_rank")
-  }
-
-  /** BPE-ish pretokenizer regex (the GPT-2 pattern family, restricted to
-    * constructs Java regex and RE2 treat identically — no lookarounds, no
-    * \\s class): contraction suffixes, space-prefixed letter/digit runs,
-    * punctuation runs. */
-  private val BpePattern =
-    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
-
-  /** Token counting, BPE-ish: pretokenize with the regex (vs the plain
-    * whitespace split of token_stats) — the shape a tokenizer-aware
-    * pipeline counts with. */
-  private def tokenStatsBpe(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
-      .selectExpr("doc_id", "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_unique")
-      .orderBy("doc_id")
-
-  /** IVF coarse-quantizer cell floor — the ladder bottoms out here at
-    * N ≤ 1024 (~sf0.001 and below). At sf0.01 (N = 5000) the ladder
-    * yields 128 cells; that is where the quoted recall numbers were
-    * measured. */
-  final val IvfCells = 16
-  /** Target posting-list size: cells scale as ~n/64 so the per-cell
-    * candidate join stays CONSTANT-sized as the corpus grows — a fixed
-    * cell count makes total candidates N²·post·probes/K, i.e. quadratic
-    * (measured: 16 cells at N=5000 ⇒ 12.5 M cosine evaluations where
-    * 128 cells ⇒ 1.6 M). Same corpus-adaptive move as [[annBits]]. */
-  final val IvfBucketTarget = 64L
-  final val IvfMaxCells = 4096
-  /** Smallest power-of-two cell count ≥ 16 with expected bucket ≤
-    * IvfBucketTarget; the oracle computes the identical ladder in SQL
-    * ([[ivfCellsCase]]). */
-  def ivfCellsFor(n: Long): Int =
-    (0 to 8).map(IvfCells << _)
-      .find(c => n <= c * IvfBucketTarget).getOrElse(IvfMaxCells)
-  /** Probed cells per query vector (multi-probe recall lever). */
-  final val IvfProbes = 4
-  /** Cells each vector is POSTED to (multi-assignment recall lever —
-    * boundary vectors appear in both their near cells, so a probe from
-    * either side finds them). Measured recall@1 vs brute-force truth at
-    * sf0.01 (the `ann_recall` query, scrambled-hash 128-query panel):
-    * post=1/probes=2 landed near 0.33 in earlier tuning; post=2/probes=4
-    * → 0.758 — past the 0.7 bar while scanning ~half the posting volume;
-    * the untrained first-K centroids, not the probe budget, are the
-    * remaining recall ceiling. */
-  final val IvfPost = 2
-
-  /** IVF-style ANN — the third similarity-search family (brute force /
-    * LSH / inverted-file): a deterministic coarse quantizer (the first
-    * IvfCells vectors stand in for trained centroids — k-means is a
-    * refinement, not a structural change) assigns every vector to its
-    * IvfPost best cells by cosine; a query probes its IvfProbes best
-    * cells and scores only the vectors POSTED to those cells. The
-    * posting-list join is the scale shape: assignment is one broadcast
-    * N×K pass, and search touches probes/cells of the corpus instead of
-    * all of it. */
-  private def annIvf(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ann-ivf:$dir") {
-      val all = vecs(s, dir)
-      ivfSearch(all, seedCents(all))
-    }.orderBy("vec_id")
-
-  /** Deterministic first-K seed centroids, K from the [[ivfCellsFor]]
-    * ladder — computed LAZILY as a broadcast single-row count joined
-    * into the filter (the bigram_lm vocab move), so building the
-    * DataFrame runs no corpus job for explain-only callers; the SQL
-    * twin is [[ivfPrmCte]]'s CASE over count(*). */
-  private def seedCents(all: DataFrame): DataFrame =
-    all.crossJoin(broadcast(all.agg(count(lit(1)).as("cnt"))))
-      .filter(expr(s"vec_id < ($ivfCellsCase)"))
-      .select(col("vec_id").as("cell"), col("v").as("cv"),
-        col("nrm").as("cn"))
-
-  /** The IVF search half, parameterized by the centroid set: assign ranks
-    * (one broadcast N×K pass), post to IvfPost cells, probe IvfProbes
-    * cells, score only co-posted vectors, top-1 via max_by. */
-  private def ivfSearch(all: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("_cs").desc, col("cell"))
-    // rank over BARE (vec_id, cell, score) rows — the 64-dim payload
-    // stays out of the rank shuffle and re-attaches by id afterwards
-    // (the same shuffle-volume move as the LSH candidate front)
-    val ranked = all.join(broadcast(cents))
-      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
-      .select("vec_id", "cell", "_cs")
-      .withColumn("rk", row_number().over(w))
-    val posted = ranked.filter(col("rk") <= IvfPost)
-      .select(col("cell"), col("vec_id").as("nn_id"))
-    val probes = ranked.filter(col("rk") <= IvfProbes)
-      .select("cell", "vec_id")
-    val a = all.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    probes.join(posted, Seq("cell"))
-      .filter(col("vec_id") =!= col("nn_id"))
-      .join(a, Seq("vec_id")).join(b, Seq("nn_id"))
-      .withColumn("nn_cosine", expr(cosExpr))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("nn_id"), col("nn_cosine")),
-        struct(col("nn_cosine"), -col("nn_id"))).as("top"))
-      .select(col("vec_id"), col("top.nn_id").as("nn_id"),
-        col("top.nn_cosine").as("nn_cosine"))
-  }
-
-  /** Lloyd iterations for the trained quantizer. */
-  final val IvfIters = 2
-  /** Fixed-point scale for centroid means: per-dimension member sums are
-    * Σ round(x·1e6) over LONGS, so the mean is order-independent and the
-    * DuckDB twin lands on the identical centroid — a raw double sum
-    * would drift with partition order and break the oracle. */
-  final val IvfScale = 1000000L
-
-  /** Trained coarse quantizer: k-means from the deterministic first-K
-    * seed, IvfIters Lloyd rounds. Assignment is the same broadcast N×K
-    * cosine pass as search; the update step computes per-cell
-    * per-dimension FIXED-POINT sums (posexplode → one shuffle on
-    * (cell, dim) ≤ K·64 groups) and reassembles the mean vector ordered
-    * by dimension. Cells that lose all members drop out (both engines
-    * agree deterministically). At 100 TB one trains on a hash-sample of
-    * the corpus — the iteration shape is unchanged, only `all` shrinks. */
-  private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ivf-trained-cents:$dir") {
-      val all = vecs(s, dir)
-      var cents = seedCents(all)
-      for (_ <- 1 to IvfIters) {
-        val assign = assignCells(all, cents)
-        cents = all.join(assign, Seq("vec_id"))
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(sum(expr(s"CAST(round(x * CAST($IvfScale AS DOUBLE)) AS BIGINT)"))
-            .as("sx"), count(lit(1)).as("cnt"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-            s"p -> CAST(p.sx AS DOUBLE) / p.cnt / CAST($IvfScale AS DOUBLE))")
-            .as("cv"))
-          .withColumn("cn", expr("sqrt(dot_p(cv, cv))"))
-      }
-      cents
-    }
-
-  /** Nearest-cell assignment: one broadcast N×K scoring pass, ties to
-    * the LOWEST cell — the single source of the max_by tiebreak that the
-    * Lloyd loop, semdedup and both SQL twins must mirror exactly. */
-  private def assignCells(all: DataFrame, cents: DataFrame): DataFrame =
-    all.join(broadcast(cents))
-      .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("_cs"), -col("cell"))).as("cell"))
-
-  /** IVF with the TRAINED quantizer — same search, better cells; recall
-    * lift is measured by `ann_recall` (ivf_trained row). */
-  private def annIvfTrained(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ann-ivf-trained:$dir") {
-      ivfSearch(vecs(s, dir), ivfTrainedCents(s, dir))
-    }.orderBy("vec_id")
-
-  /** IVF-PQ — the FAISS "IVFADC" serving shape, composing the two
-    * halves this library already measures separately: the TRAINED
-    * coarse quantizer prunes candidates to the probed cells
-    * ([[ivfTrainedCents]], the ann_ivf_trained machinery), and the
-    * candidates are scored by PQ ASYMMETRIC distance over their
-    * 4-byte codes ([[pqCodebooks]], the pq_adc machinery) instead of
-    * exact cosine. This is THE 100 TB ANN architecture: raw vectors
-    * never enter the scan — the cell index bounds the candidate set,
-    * the codes bound memory (4 B/vector), and the per-query distance
-    * table (M×K = 128 doubles) turns each candidate into M lookups.
-    * Recall vs the exact truth is measured by `ann_recall` (ivfpq
-    * row); this query emits the served top-1 with its ADC score.
-    *
-    * Plan shape: one broadcast N×K rank pass (bounded by the cell
-    * ladder), candidate join keyed on cell, a (query, j, k)-keyed
-    * equi-join against the LUT, and j-ordered folds so both engines
-    * accumulate identically. */
-  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ann-ivfpq:$dir") {
-      val all = vecs(s, dir)
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("_cs").desc, col("cell"))
-      val ranked = all.join(broadcast(ivfTrainedCents(s, dir)))
-        .withColumn("_cs", expr("dot_p(v, cv) / (nrm * cn)"))
-        .select("vec_id", "cell", "_cs")
-        .withColumn("rk", row_number().over(w))
-      val posted = ranked.filter(col("rk") <= IvfPost)
-        .select(col("cell"), col("vec_id").as("nn_id"))
-      val probes = ranked.filter(col("rk") <= IvfProbes)
-        .select("cell", "vec_id")
-      val cand = probes.join(posted, Seq("cell"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .select("vec_id", "nn_id")
-      val books = pqCodebooks(s, dir)
-      val codes = pqCodes(s, dir)
-      val lut = pqSubvectors(all)
-        .select(col("vec_id").as("qid"), col("j"), col("sv"))
-        .join(broadcast(books), Seq("j"))
-        .selectExpr("qid", "j AS lj", "k AS lk", "dot_p(sv, c) AS qd",
-          "dot_p(c, c) AS cn2")
-      val qn = all.select(col("vec_id").as("qid"), col("nrm").as("qn"))
-      cand.join(codes, Seq("nn_id"))
-        .join(lut, col("vec_id") === col("qid") &&
-          col("j") === col("lj") && col("k") === col("lk"))
-        .groupBy("vec_id", "nn_id")
-        .agg(
-          expr("aggregate(array_sort(collect_list(struct(j, qd))), " +
-            "CAST(0 AS DOUBLE), (s, p) -> s + p.qd)").as("ip"),
-          expr("aggregate(array_sort(collect_list(struct(j, cn2))), " +
-            "CAST(0 AS DOUBLE), (s, p) -> s + p.cn2)").as("rn2"))
-        .join(qn, col("vec_id") === col("qid"))
-        .withColumn("nn_adc",
-          expr("CASE WHEN rn2 <= CAST(0 AS DOUBLE) " +
-            "OR qn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-            "ELSE ip / (qn * sqrt(rn2)) END"))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("nn_id"), col("nn_adc")),
-          struct(col("nn_adc"), -col("nn_id"))).as("top"))
-        .select(col("vec_id"), col("top.nn_id").as("nn_id"),
-          col("top.nn_adc").as("nn_adc"))
-    }.orderBy("vec_id")
-
-  /** Embedding near-duplicate pairs, LSH-BUCKETED — the 100 TB scale path
-    * for `embedding_neardup` (which stays a deliberately-quadratic
-    * oracle-only baseline): candidates come from the shared multi-table
-    * index ([[annCandidates]] — linear in the corpus), then the exact
-    * cosine verifies at the same τ = 0.3. Found pairs are exact (the
-    * verify step guarantees no false positives); coverage against the
-    * exact baseline is asserted in PipelineSpec rather than prose. */
-  private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val pairs = annCandidates(s, dir)
-      .filter(col("vec_id") < col("nn_id"))
-      .select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
-    val a = all.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("cosine", expr(cosExpr))
-      .filter(col("cosine") >= 0.3)
-      .select("id_a", "id_b", "cosine")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Query-sample size for the recall measurement: brute-force truth is
-    * O(N) PER QUERY, so truth over all N queries is quadratic and the
-    * measurement would outgrow the algorithms it measures. A fixed
-    * 128-query panel keeps truth linear in the corpus. The panel is
-    * drawn by SCRAMBLED ID HASH (the sample_hash idiom, a distributed
-    * TakeOrdered — no global sort), NOT by first-K ids: ivfCellsFor
-    * lands on exactly 128 at sf0.01, so a `vec_id < 128` panel would
-    * coincide with the IVF quantizer's seed vectors and measure index
-    * construction, not representative recall. */
-  final val RecallQueries = 128
-
-  /** Measured ANN quality: recall@1 of each approximate index
-    * (`ann_lsh_multi`, `ann_ivf`) against the brute-force nearest
-    * neighbor of each of the [[RecallQueries]] panel queries — the
-    * number the prose claims, computed and oracle-checked instead of
-    * asserted. A LEFT join keeps panel queries the index returned no
-    * candidate for (they count as misses), so the recall cannot be
-    * flattered by dropped queries.
-    *
-    * Measured at sf0.01 over the scrambled-hash 128-query panel: ivf
-    * 0.758 (the IvfPost/IvfProbes levers), ivf_trained 0.867 (two Lloyd
-    * rounds on the same post/probe budget),
-    * lsh_multi 0.242. The LSH number is the corpus, not a bug: the mean
-    * true-NN cosine is 0.37 (68°) and NO query has a neighbor above 0.6,
-    * so per-bit sign-collision probability is 1−θ/π ≈ 0.62 and the
-    * 2-table Hamming-1 index analytically lands at ≈0.25 — raising it
-    * means scanning the corpus (4 tables + Hamming-2 probing measured
-    * 0.646 while touching 38% of all vectors). Sign-LSH earns its keep in
-    * the near-duplicate regime (cosine ≳ 0.9) that this synthetic table
-    * deliberately lacks; IVF, which partitions by region instead of by
-    * angle-collision, is the right index for mid-similarity corpora —
-    * exactly what the measured split shows. */
-  private def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c", expr(cosExpr))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("true_nn"))
-    def recallOf(res: DataFrame, method: String): DataFrame =
-      truth.join(res.select(col("vec_id"), col("nn_id")), Seq("vec_id"),
-          "left")
-        .agg(count(lit(1)).as("n_queries"),
-          sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L))
-            .as("n_hits"))
-        .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
-          (col("n_hits") / col("n_queries")).as("recall_at_1"))
-    recallOf(annLshMulti(s, dir), "lsh_multi")
-      .unionByName(recallOf(annIvf(s, dir), "ivf"))
-      .unionByName(recallOf(annIvfTrained(s, dir), "ivf_trained"))
-      .unionByName(recallOf(annRpBrute(s, dir), "rp_brute"))
-      .unionByName(recallOf(annQ8Brute(s, dir), "q8_brute"))
-      .unionByName(recallOf(annPqAdc(s, dir), "pq_adc"))
-      .unionByName(recallOf(annIvfPq(s, dir), "ivfpq"))
-      .orderBy("method")
-  }
-
-  /** Near-dup recall thresholds (cosine, in percent). */
-  final val NeardupTauPcts = Seq(30, 35, 40)
-
-  /** Measured recall ladder for the embedding NEAR-DUP index — the
-    * `ann_recall` measurement applied to [[embeddingNeardupLsh]]'s
-    * coverage question (image_neardup_recall's twin, so the
-    * similarity family's recall story is uniform): over the
-    * [[RecallQueries]] scrambled-hash panel, the exact-verify truth is
-    * every (panel, corpus) pair with cosine ≥ τ, and the index's catch
-    * is the [[annCandidates]] candidate set, measured at each τ of
-    * [[NeardupTauPcts]]. LEFT joins both ways: uncaught truth pairs
-    * count as misses and a τ with an empty truth set still emits its
-    * row (recall 0/0 → 0.0 deterministically).
-    *
-    * 100 TB shape: truth is panel-bounded (128 × N broadcast probe,
-    * the ann_recall move — never all-pairs); the τ ladder is a 3-row
-    * dimension broadcast. */
-  private def embeddingNeardupRecall(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val all = vecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("cosine", expr(cosExpr))
-      .filter(col("cosine") >= lit(NeardupTauPcts.min) / 100.0)
-      .select("vec_id", "nn_id", "cosine")
-    val caught = annCandidates(s, dir).withColumn("hit", lit(1L))
-    val j = truth.join(caught, Seq("vec_id", "nn_id"), "left")
-      .select(col("cosine"), coalesce(col("hit"), lit(0L)).as("hit"))
-    val taus = NeardupTauPcts.toDF("tau_pct")
-    broadcast(taus)
-      .join(j, j("cosine") >= taus("tau_pct") / 100.0, "left")
-      .groupBy("tau_pct")
-      .agg(count(col("cosine")).as("n_true"), sum("hit").as("n_caught"))
-      .selectExpr("tau_pct", "n_true",
-        "coalesce(n_caught, CAST(0 AS BIGINT)) AS n_caught",
-        "round(coalesce(n_caught, CAST(0 AS BIGINT)) " +
-          "/ CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall")
-      .orderBy("tau_pct")
-  }
-
-  /** Brute-force top-1 in the SQ8-reconstructed space over the same
-    * panel — what serving from the 4×-compressed index costs in recall
-    * (the rp_brute measurement applied to [[embeddingQ8]]'s quantizer;
-    * with mean cosine distortion ~1e-3 the cost is near zero —
-    * MEASURED recall@1 0.984 at sf0.01, topping the fidelity ladder
-    * ann_recall now reports in full: q8 0.984 ≫ ivf_trained 0.867 >
-    * ivf 0.758 ≫ lsh 0.242 ≫ rp 0.031). */
-  private def annQ8Brute(s: SparkSession, dir: String): DataFrame = {
-    val all = q8Vecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("r").as("ra"), col("rn").as("rna"))
-    val b = all.select(col("vec_id").as("nn_id"), col("r").as("rb"),
-      col("rn").as("rnb"))
-    broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c",
-        expr("CASE WHEN rna * rnb = CAST(0 AS DOUBLE) " +
-          "THEN CAST(0 AS DOUBLE) ELSE dot_p(ra, rb) / (rna * rnb) END"))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("nn_id"))
-  }
-
-  /** Brute-force top-1 by PQ ASYMMETRIC distance (ADC) over the same
-    * panel — how a serving tier actually scans PQ codes: the query
-    * stays full-precision, each subspace's dot products against all
-    * [[PqK]] centroids are tabulated ONCE per query (an M×K lookup
-    * table, 128 doubles), and scoring a corpus vector is M table
-    * lookups summed — no reconstruction. Completes the compression
-    * ladder's recall story beside `q8_brute` (distortion alone only
-    * implied PQ's recall). Approximate cosine = ADC inner product
-    * / (‖q‖ · ‖reconstruction‖), where the reconstructed norm is
-    * exact from centroid energies (subspaces are disjoint
-    * coordinates, so ‖r‖² = Σ_j ‖c_{j,code_j}‖²).
-    *
-    * 100 TB shape: codes are the serving index (4 B/vector); the LUT
-    * is panel×M×K (tiny, broadcast); the scan is one map-side join +
-    * a (query, vector) partial-aggregable groupBy — linear in the
-    * corpus like any ADC scan, never a reconstruction. Folds are
-    * j-ordered so both engines accumulate identically. */
-  /** The PQ SERVING INDEX — 1 code per (vector, subspace), the 4 B/vec
-    * artifact an ADC scan reads. Built once per (session, dir) and
-    * shared by [[annPqAdc]] and [[annIvfPq]], which previously each
-    * re-ran the corpus-wide encode (the round-11 bench's largest
-    * remaining first-touch). */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"pq-codes:$dir") {
-      pqSubvectors(vecs(s, dir))
-        .join(broadcast(pqCodebooks(s, dir)), Seq("j"))
-        .withColumn("_d", expr(pqDist))
-        .groupBy("vec_id", "j")
-        .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
-        .select(col("vec_id").as("nn_id"), col("j"), col("k"))
-    }
-
-  private def annPqAdc(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val books = pqCodebooks(s, dir)
-    // the serving index: 1 code per (vector, subspace)
-    val codes = pqCodes(s, dir)
-    // per-query distance table: dot(q_j, c_jk) + centroid energy
-    val lut = pqSubvectors(all.join(broadcast(panel), Seq("vec_id")))
-      .select(col("vec_id").as("qid"), col("j"), col("sv"))
-      .join(broadcast(books), Seq("j"))
-      .selectExpr("qid", "j", "k", "dot_p(sv, c) AS qd",
-        "dot_p(c, c) AS cn2")
-    val qn = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("nrm").as("qn"))
-    codes.join(broadcast(lut), Seq("j", "k"))
-      .groupBy("qid", "nn_id")
-      .agg(
-        expr("aggregate(array_sort(collect_list(struct(j, qd))), " +
-          "CAST(0 AS DOUBLE), (s, p) -> s + p.qd)").as("ip"),
-        expr("aggregate(array_sort(collect_list(struct(j, cn2))), " +
-          "CAST(0 AS DOUBLE), (s, p) -> s + p.cn2)").as("rn2"))
-      .filter(col("nn_id") =!= col("qid"))
-      .join(broadcast(qn), Seq("qid"))
-      .withColumn("c",
-        expr("CASE WHEN rn2 <= CAST(0 AS DOUBLE) OR qn = CAST(0 AS DOUBLE) " +
-          "THEN CAST(0 AS DOUBLE) ELSE ip / (qn * sqrt(rn2)) END"))
-      .groupBy(col("qid").as("vec_id"))
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("nn_id"))
-  }
-
-  /** 1-NN label accuracy over the embedding space — the intrinsic
-    * quality eval an embedding pipeline runs against labeled data (here
-    * the table's ground-truth `label` column): for each of the 128
-    * scrambled-panel queries, does the exact nearest neighbor carry the
-    * same label? Reported per true label with exact-ppm accuracy, so
-    * class-level structure (or its absence) is visible, not averaged
-    * away.
-    *
-    * Shape: the ann_recall truth machinery — the 128-query panel
-    * broadcasts against the corpus (bounded-dim N×128 scoring, bare
-    * triples into the rank shuffle), argmax by (cos, −id) is
-    * deterministic; labels join on the tiny panel and NN ids.
-    *
-    * Measured at sf0.01: overall ≈ 0.10 — chance for 10 balanced
-    * labels, correctly read: the synthetic embeddings are drawn
-    * label-independently (the lang_confusion situation — the eval
-    * measures the data, and on this corpus the truth is "no label
-    * geometry exists"). */
-  private def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val labels = registeredVecs(s, dir).select(col("vec_id"),
-      col("label").cast("long").as("label"))
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c", expr(cosExpr))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("true_nn"))
-    // the label table is corpus-sized — the 128-row truth side carries
-    // the broadcast hint, twice (query label, then NN label)
-    val withQ = labels.join(broadcast(truth), Seq("vec_id"))
-    labels.select(col("vec_id").as("true_nn"),
-        col("label").as("nn_label"))
-      .join(broadcast(withQ), Seq("true_nn"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_q"),
-        sum(when(col("nn_label") === col("label"), 1L).otherwise(0L))
-          .as("n_correct"))
-      .selectExpr("label", "n_q", "n_correct",
-        "n_correct * CAST(1000000 AS BIGINT) div n_q AS acc_ppm")
-      .orderBy("label")
-  }
-
-  /** Brute-force top-1 search in the REDUCED (RpDim-dim) space over the
-    * same panel — not a new index, a measurement: what the 4× cheaper
-    * per-candidate scoring arithmetic of [[embeddingRp]]'s projection
-    * costs in recall when it replaces the full 64-dim cosine. Feeds
-    * `ann_recall` as the `rp_brute` method row.
-    *
-    * Measured: recall@1 0.031 at sf0.01 — 150× chance (1/4999) yet far
-    * below the index methods, and exactly what the distortion analytic
-    * predicts: winning top-1 needs the true NN's cosine MARGIN over the
-    * runner-up to exceed the JL noise, and this corpus's margins
-    * (~0.01–0.05 on near-orthogonal vectors) sit far inside the ~0.3
-    * noise std at K=16. The honest conclusion, measured rather than
-    * asserted: RP at this budget is a pre-filter/bucketing device
-    * (candidate generation, where its 150× lift over chance is the
-    * relevant number), not a scoring replacement — rank candidates in
-    * the full space, as embedding_neardup_lsh's verify step does. */
-  private def annRpBrute(s: SparkSession, dir: String): DataFrame = {
-    val all = rpVecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("r").as("ra"), col("rn").as("rna"))
-    val b = all.select(col("vec_id").as("nn_id"), col("r").as("rb"),
-      col("rn").as("rnb"))
-    broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c",
-        expr("CASE WHEN rna * rnb = CAST(0 AS DOUBLE) " +
-          "THEN CAST(0 AS DOUBLE) ELSE dot_p(ra, rb) / (rna * rnb) END"))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("nn_id"))
-  }
-
-  /** Frame sampling over media payloads (the video → keyframe pattern):
-    * one row fans out to its every-3rd 64-byte frame with per-frame
-    * features — generator semantics inside the partition, so decode
-    * runs where the bytes live (operators.Multimodal.frameSample). */
-  private def frameSampleQ(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
-    graft.operators.Multimodal.frameSample(media, 3).toDF()
-      .orderBy("media_id", "frame_idx")
-  }
-
-  /** Language ID: char-trigram profile classifier (library kernel; the
-    * synthetic corpus text is English-shaped regardless of its `lang`
-    * label, so the prediction column is the deliverable, not accuracy).
-    * No SQL oracle — driver records the rows-only check. */
-  private def langId(s: SparkSession, dir: String): DataFrame = {
-    val detect = udf((t: String) => graft.functions.TextFunctions.detectLang(t))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), detect(col("text")).as("predicted"))
-      .orderBy("doc_id")
-  }
-
-  /** Language-ID confusion matrix — the classifier's MEASURED quality
-    * against the corpus's ground-truth `lang` column (the ann_recall /
-    * minhash_recall move applied to text classification): per
-    * (true, predicted) cell the count and the exact-ppm row fraction,
-    * so per-class recall sits on the diagonal. One classify pass + an
-    * aggregation over the ≤ |langs|² key space.
-    *
-    * Measured at sf0.01: en recall 0.73, other labels near-chance with
-    * mass pulled toward en — correct behavior, honestly read: the
-    * synthetic corpus draws TEXT from one English-like word model for
-    * every `lang` label, so there is no cross-language trigram signal
-    * to find (the ann_lsh-recall situation: the measurement documents a
-    * property of the data, not a defect of the classifier — which the
-    * crafted-text spec in PipelineSpec shows detecting real language
-    * profiles correctly). */
-  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    val detect = udf((t: String) => graft.functions.TextFunctions.detectLang(t))
-    val cm = Tables.documents(s, dir)
-      .select(col("lang"), detect(col("text")).as("predicted"))
-      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-    cm.withColumn("n_true", sum("n").over(
-        Window.partitionBy("lang")))
-      .selectExpr("lang", "predicted", "n", "n_true",
-        "n * CAST(1000000 AS BIGINT) div n_true AS frac_ppm")
-      .orderBy("lang", "predicted")
-  }
-
-  /** Text → media-payload bytes for the multimodal fixtures. The engine
-    * slices and hashes BYTES while the DuckDB oracle slices characters
-    * (substr) — identical only for ASCII, so the assumption is enforced
-    * here at the query boundary rather than left coincidental. */
-  /** ASCII-safe media fixture source: multimodal payloads are built by
-    * byte-slicing text while the oracles mirror them with per-CHARACTER
-    * arithmetic, so both sides restrict to rows where chars and bytes
-    * coincide (Spark: `length = octet_length`; DuckDB `length =
-    * strlen`). On ASCII corpora the filter keeps every row; a future
-    * data rotation to non-ASCII text narrows the fixture set on BOTH
-    * engines identically instead of throwing mid-stage. */
-  /** ASCII, NON-EMPTY documents — the multimodal fixture base. The
-    * `length > 0` guard keeps both engines' narrowing identical: a
-    * zero-length payload would zero-pad on the Spark side while the
-    * oracle's `% len` sampling turns NULL (advisor-flagged parity
-    * hazard), so empty docs are excluded from the media corpus
-    * outright. */
-  private def asciiDocs(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, String)] = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-  }
-
-  private def asciiBytes(id: Long, t: String): Array[Byte] = {
-    val b = t.getBytes("UTF-8")
-    require(b.length == t.length,
-      s"multimodal text fixture doc_id=$id is non-ASCII: byte slicing " +
-        "would diverge from the character-based oracle")
-    b
-  }
-
-  /** Multimodal feature extraction: text bytes stand in for media payloads
-    * (decode step stubbed — operators.Multimodal); byte plumbing, per-
-    * partition batching and the feature schema are real. */
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "text/plain", asciiBytes(id, t)) }
-    graft.operators.Multimodal.extractFeatures(media)
-      .toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder image path: documents encode into actual 24-bit BMP
-    * containers (dims derived from text length), and the extractor
-    * parses the real BITMAPINFOHEADER back out — the oracle predicts
-    * dims and container size arithmetically, so a header-layout bug
-    * fails the hash check. */
-  private def multimodalDecodeBmp(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "image/bmp",
-          graft.operators.Multimodal.encodeBmp(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** Perceptual image hash (aHash) over REAL decoded BMP containers —
-    * the image-side near-dup primitive (pHash/aHash dedup is the
-    * multimodal twin of minhash/simhash for text): 8×8
-    * nearest-neighbor luminance samples, mean-thresholded into a 64-bit
-    * signature, emitted as two 32-bit halves (bit 63 in one BIGINT
-    * would wrap signed on both engines). The Spark side walks the real
-    * container (magic, pixel-array offset and dims read from the
-    * BITMAPINFOHEADER it just encoded; samples fetched from the actual
-    * pixel bytes, rows in file order); the oracle reproduces every
-    * sampled byte arithmetically from the text fixture, so a header,
-    * stride, or sampling bug fails the hash check. Luminance is the
-    * integer mean of the three channels; the threshold compare
-    * `64·lum > Σlum` stays in exact integers.
-    *
-    * 100 TB shape: pure map over the media scan (constant 64 samples
-    * per image regardless of resolution), hash-equality or band joins
-    * downstream — never pixel joins. */
-  private def imageAhash(s: SparkSession, dir: String): DataFrame =
-    ahashRows(s, dir).orderBy("media_id")
-
-  /** The unordered aHash table (media_id, dims, hi/lo halves) shared by
-    * the per-image readout and the banded near-dup join. */
-  private def ahashRows(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        val bmp = graft.operators.Multimodal.encodeBmp(w, h,
-          asciiBytes(id, t))
-        val bb = java.nio.ByteBuffer.wrap(bmp)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        require(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte, s"bad BMP $id")
-        val off = bb.getInt(10)
-        val dw = bb.getInt(18)
-        val dh = math.abs(bb.getInt(22))
-        val rowSize = ((dw * 3 + 3) / 4) * 4
-        val lum = Array.tabulate(64) { k =>
-          val x = (k % 8) * dw / 8
-          val y = (k / 8) * dh / 8
-          val base = off + y * rowSize + x * 3
-          ((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
-            (bmp(base + 2) & 0xff)) / 3
-        }
-        val tot = lum.map(_.toLong).sum
-        var hi = 0L; var lo = 0L
-        var k = 0
-        while (k < 64) {
-          val bit = if (64L * lum(k) > tot) 1L else 0L
-          if (k < 32) lo |= bit << k else hi |= bit << (k - 32)
-          k += 1
-        }
-        (id, dw, dh, hi, lo)
-      }
-      .toDF("media_id", "decoded_w", "decoded_h", "ahash_hi", "ahash_lo")
-  }
-
-  /** How many of the 64 aHash bits may differ for a candidate pair to
-    * surface in the near-dup panel (random signatures center on 32,
-    * σ = 4 — the panel reports the left tail). */
-  final val AhashPanelTop = 20
-
-  /** Shared oracle CTE chain ending in
-    * `hx(media_id, decoded_w, decoded_h, ahash_hi, ahash_lo)` — the
-    * DuckDB twin of [[ahashRows]]: sampled pixel byte c of grid cell k
-    * is text byte (y·rowSize + x·3 + c) mod len, with x = (k%8)·w//8,
-    * y = (k//8)·h//8, rowSize = 4-padded 3·w. */
-  private def ahashOracleCtes: String = {
-    def lumK: String =
-      """(ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-        |      + ((k % 8) * w // 8) * 3 + 0)) % len AS INT) + 1, 1))
-        | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-        |      + ((k % 8) * w // 8) * 3 + 1)) % len AS INT) + 1, 1))
-        | + ascii(substr(text, CAST(((((k // 8) * h // 8) * (((w * 3 + 3) // 4) * 4)
-        |      + ((k % 8) * w // 8) * 3 + 2)) % len AS INT) + 1, 1))) // 3"""
-        .stripMargin
-    s"""WITH d AS (
-       |  SELECT doc_id, text, length(text) AS len,
-       |    1 + length(text) % 32 AS w,
-       |    1 + (length(text) // 32) % 32 AS h
-       |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
-       |p AS (
-       |  SELECT doc_id, w, h,
-       |    list_transform(range(0, 64), k -> $lumK) AS lum
-       |  FROM d),
-       |s AS (
-       |  SELECT doc_id, w, h, lum,
-       |    CAST(list_sum(lum) AS BIGINT) AS tot FROM p),
-       |b AS (
-       |  SELECT doc_id, w, h,
-       |    list_transform(range(0, 64), k ->
-       |      CASE WHEN 64 * lum[CAST(k AS INT) + 1] > tot
-       |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
-       |  FROM s),
-       |hx AS (
-       |  SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
-       |    CAST(h AS INT) AS decoded_h,
-       |    CAST(list_sum(list_transform(range(32, 64), k ->
-       |      bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << (k - 32))))
-       |      AS BIGINT) AS ahash_hi,
-       |    CAST(list_sum(list_transform(range(0, 32), k ->
-       |      bits[CAST(k AS INT) + 1] * (CAST(1 AS BIGINT) << k)))
-       |      AS BIGINT) AS ahash_lo
-       |  FROM b)""".stripMargin
-  }
-
-  /** Banded aHash near-dup — the image twin of [[minhashLsh]]'s
-    * band-bucket candidate generation: the 64-bit signature splits into
-    * four 16-bit bands; images sharing ANY band value become
-    * candidates (a shuffle on (band, value) buckets — sub-quadratic by
-    * construction, candidates ∝ Σ C(bucket, 2), never C(N, 2)), and
-    * each candidate pair is verified by exact Hamming distance
-    * (`bit_count(xor)` on the two halves — codegen'd integer ops). The
-    * top-[[AhashPanelTop]] closest pairs ship as the review panel via
-    * TakeOrdered, never a global sort. On this corpus the signatures
-    * are effectively random (distinct images), so the panel documents
-    * the EXPECTED collision background — distances cluster at 32±4 —
-    * exactly what a curator needs to see before trusting a threshold. */
-  /** The production 4×16-bit band candidate pairs with their
-    * signatures, deduped on bare id pairs. PERSISTED per (session,
-    * dir): the near-dup panel and the recall readout both ride it. */
-  private def ahashCandPairs(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"ahash-cands:$dir") {
-      val h = ahashRows(s, dir).selectExpr("media_id", "ahash_hi", "ahash_lo")
-      val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
-        posexplode(array(
-          expr("ahash_lo & 65535"), expr("shiftright(ahash_lo, 16) & 65535"),
-          expr("ahash_hi & 65535"), expr("shiftright(ahash_hi, 16) & 65535")))
-          .as(Seq("band", "bv")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-          col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
-          col("b.ahash_hi").as("hi_b"), col("b.ahash_lo").as("lo_b"))
-        .distinct()
-    }
-
-  private def imageNeardupAhash(s: SparkSession, dir: String): DataFrame =
-    ahashCandPairs(s, dir)
-      .selectExpr("id_a", "id_b",
-        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT) " +
-          "AS hamming")
-      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
-      .limit(AhashPanelTop)
-
-  /** Exact-truth radius for the recall readout: 8 bands of 8 bits make
-    * the truth candidate set COMPLETE for Hamming ≤ 7 by pigeonhole
-    * (7 differing bits cannot touch all 8 bands). */
-  final val AhashRecallRadius = 7
-
-  /** Analytic recall of the 4×16 banding per Hamming distance d, under
-    * uniform random placement of the d differing bits, in exact ppm:
-    * P(≥1 band clean) = Σ_{k=1..4} (−1)^(k+1)·C(4,k)·C(64−16k,d)/C(64,d)
-    * (inclusion–exclusion over clean-band subsets). Computed once in
-    * BigInt rationals and embedded as the same literal CASE table in
-    * BOTH engines, so no runtime arithmetic can diverge. */
-  private lazy val ahashRecallCase: String = {
-    def comb(n: Int, k: Int): BigInt =
-      if (k < 0 || k > n) BigInt(0)
-      else (0 until k).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
-    val ppm = (0 to AhashRecallRadius).map { d =>
-      val den = comb(64, d)
-      val num = (1 to 4).foldLeft(BigInt(0)) { (a, k) =>
-        val t = comb(4, k) * comb(64 - 16 * k, d)
-        if (k % 2 == 1) a + t else a - t
-      }
-      ((num * 1000000 + den / 2) / den).toLong
-    }
-    "CASE hamming " + ppm.zipWithIndex.map { case (p, d) =>
-      s"WHEN $d THEN CAST($p AS BIGINT) " }.mkString +
-      "ELSE CAST(0 AS BIGINT) END"
-  }
-
-  /** MEASURED recall of the banded image near-dup — the
-    * [[minhashRecall]] twin for the multimodal family: how many TRUE
-    * close pairs (exact Hamming ≤ [[AhashRecallRadius]]) does the
-    * production 4×16 banding actually surface? Truth candidates come
-    * from a FINER 8×8-bit banding, which pigeonhole makes complete at
-    * this radius — a band-bucket shuffle, never an all-pairs join
-    * (candidates ∝ Σ C(bucket, 2); at corpus scale 8-bit buckets run
-    * hot, so a production measurement would sample the table first —
-    * the minhash_recall df-cap argument). `expected_recall` is the
-    * inclusion–exclusion analytic averaged over true pairs, embedded
-    * as an identical literal table in both engines
-    * ([[ahashRecallCase]]); the measured number sits beside it exactly
-    * as minhash_recall's does. */
-  private def imageNeardupRecall(s: SparkSession, dir: String): DataFrame = {
-    val h = ahashRows(s, dir).selectExpr("media_id", "ahash_hi", "ahash_lo")
-    val tBands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
-      posexplode(array((0 until 8).map { b =>
-        if (b < 4) expr(s"shiftright(ahash_lo, ${8 * b}) & 255")
-        else expr(s"shiftright(ahash_hi, ${8 * (b - 4)}) & 255")
-      }: _*)).as(Seq("band", "bv")))
-    val truth = tBands.as("a").join(tBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
-        col("b.ahash_hi").as("hi_b"), col("b.ahash_lo").as("lo_b"))
-      .distinct()
-      .selectExpr("id_a", "id_b",
-        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT) " +
-          "AS hamming")
-      .filter(col("hamming") <= AhashRecallRadius)
-    val found = ahashCandPairs(s, dir).select("id_a", "id_b")
-      .withColumn("hit", lit(1L))
-    truth.join(found, Seq("id_a", "id_b"), "left")
-      .selectExpr("hamming", "coalesce(hit, CAST(0 AS BIGINT)) AS hit",
-        s"$ahashRecallCase AS p_ppm")
-      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_caught"),
-        sum("p_ppm").as("sp"))
-      // greatest(n_true, 1): an empty truth set reads 0/0 → 0.0
-      // deterministically on both engines, never NaN
-      .selectExpr("n_true", "coalesce(n_caught, CAST(0 AS BIGINT)) AS n_caught",
-        "round(coalesce(n_caught, CAST(0 AS BIGINT)) " +
-          "/ CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall",
-        "round(CAST(coalesce(sp, CAST(0 AS BIGINT)) AS DOUBLE) " +
-          "/ greatest(n_true, 1) / 1000000.0, 4) AS expected_recall")
-  }
-
-  /** REAL-decoder compressed-image path: documents encode into real
-    * JPEG containers (SOI/APP0/COM/SOF0/SOS/EOI marker stream; the COM
-    * segment carries the text bytes, so the SOF sits after a
-    * variable-length segment) and the extractor walks the marker list to
-    * the frame header — JPEG DIMENSIONS without a codec library. The
-    * oracle predicts dims and container size arithmetically, so a
-    * marker-walk bug fails the hash check. */
-  private def multimodalDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "image/jpeg",
-          graft.operators.Multimodal.encodeJpegHeader(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder PNG path: documents encode into real PNG containers
-    * (signature → IHDR with true CRC32s → a payload-carrying ancillary
-    * chunk → IEND) and the extractor validates the signature + first
-    * chunk and reads the big-endian IHDR dims. Oracle predicts dims and
-    * the 57 + len container size arithmetically. */
-  private def multimodalDecodePng(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "image/png",
-          graft.operators.Multimodal.encodePng(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder GIF path: documents encode into real GIF89a streams
-    * (logical screen descriptor + a comment extension carrying the text
-    * in ≤255-byte sub-blocks) and the extractor reads the little-endian
-    * screen dims. Container size is 17 + len + ceil(len/255) — the
-    * sub-block framing makes the size prediction non-trivial on both
-    * sides. */
-  private def multimodalDecodeGif(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "image/gif",
-          graft.operators.Multimodal.encodeGif(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** FULL-pixel-decode path: documents encode into real DEFLATE-
-    * compressed truecolor PNGs whose scanlines cycle through all five
-    * PNG filter types, and the extractor actually inflates (JDK
-    * java.util.zip) and defilters to recover the pixels. The oracle
-    * predicts the per-channel sums from first principles (pixel bytes
-    * are the text bytes cycled over w×3×h positions), so any filter or
-    * inflate bug fails the hash check — the container size itself is
-    * compression-dependent and deliberately NOT part of the contract. */
-  private def multimodalDecodePngPixels(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.operators.MediaRow(id, "image/png",
-          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** Adam7-INTERLACED PNG decode path: the same raster content as
-    * multimodal_decode_png_pixels, emitted as the seven progressive
-    * passes — the decoder must walk the pass geometry, defilter each
-    * sub-image independently (filters reference only the pass's own
-    * scanlines) and scatter pixels back into the full raster. The
-    * oracle is IDENTICAL to the sequential query's: the decoded
-    * raster must not depend on the interlace layout. ImageIO
-    * cross-validates exactness (ImageIoDifferentialSpec). */
-  private def multimodalDecodePngAdam7(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.operators.MediaRow(id, "image/png",
-          graft.operators.Multimodal.encodePngPixelsAdam7(w, h,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL GIF pixel decode path: documents become real GIF89a images —
-    * 256-entry global color table on three different affine ramps
-    * (index i → (i, 2i mod 256, 3i mod 256)), indexed pixels = the text
-    * bytes cycled, LZW-compressed by a REAL greedy encoder — and the
-    * extractor runs the full GIF LZW decoder (variable-width codes,
-    * table growth, KwKwK) plus the palette map. The oracle predicts the
-    * per-channel sums from first principles through the palette ramps,
-    * so an LZW or color-table bug fails the hash check; a grayscale
-    * table would hide a channel swap, the ramps don't. */
-  private def multimodalDecodeGifPixels(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.operators.MediaRow(id, "image/gif",
-          graft.operators.Multimodal.encodeGifPixels(w, h, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL TIFF pixel decode path: documents become real baseline
-    * Compression=1 RGB TIFFs (IFD with the nine baseline tags, external
-    * value arrays, 4-row strips so every fixture beyond 4 rows walks
-    * multiple StripOffsets/ByteCounts) — ENDIANNESS ALTERNATES by
-    * document parity — and the extractor re-walks the IFD, validates
-    * the format tags and reassembles the strips. Pixel bytes cycle the
-    * text over (3k+c) positions, the PNG-pixels convention, so the same
-    * first-principles channel-sum oracle applies. */
-  private def multimodalDecodeTiffPixels(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.operators.MediaRow(id, "image/tiff",
-          graft.operators.Multimodal.encodeTiffPixels(w, h, id % 2 == 0,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL JPEG pixel decode path: documents become real interleaved
-    * baseline JPEGs (SOF0, 4:4:4, quantizer 1, generated canonical
-    * Huffman tables) whose Y blocks are the text bytes as per-8×8-block
-    * constants, Cb=128, Cr=133 — the operators.Jpeg scaladoc proves the
-    * round trip is bit-exact with no FP rounding ties, so the oracle
-    * predicts per-channel sums as 64·Σ(v+7 | v−4 | v) in pure integer
-    * arithmetic while the decoder runs the whole baseline pipeline:
-    * marker walk, DHT canonical Huffman, DC prediction, byte
-    * unstuffing, dequant, IDCT, BT.601 color convert. A Huffman, IDCT,
-    * predictor or channel-order bug fails the hash check. */
-  private def multimodalDecodeJpegPixels(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    // spread before the full encode+Huffman-decode+IDCT chain (the
-    // videoFrameSample note applies)
-    val media = asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val bw = 1 + (t.length % 8)
-        val bh = 1 + ((t.length / 8) % 8)
-        graft.operators.MediaRow(id, "image/jpeg",
-          graft.operators.Jpeg.encodePixels(bw, bh, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL PROGRESSIVE JPEG pixel decode path: the same constant-block
-    * color construction as the baseline twin but re-encoded as an
-    * 8-scan SOF2 stream — DC quantizer 8 keeps live low bits flowing
-    * through TWO successive-approximation DC refinement scans, and the
-    * split AC bands decode as spectral-selection EOBn runs. Decoded
-    * pixels are exactly (v+7, v−4, v), so the oracle stays pure
-    * integer arithmetic while the decoder exercises the whole
-    * progressive path: multi-scan coefficient accumulation, DC
-    * first/refine, AC first with EOBRUN, dequant, IDCT, color
-    * convert. Dims run on /6 arithmetic so the two JPEG fixtures
-    * don't share shapes. */
-  private def multimodalDecodeJpegProgressive(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    // spread before the multi-scan progressive decode (the
-    // videoFrameSample note applies)
-    val media = asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val bw = 1 + (t.length % 6)
-        val bh = 1 + ((t.length / 6) % 6)
-        graft.operators.MediaRow(id, "image/jpeg",
-          graft.operators.Jpeg.encodeProgressivePixels(bw, bh,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder compressed-audio path: documents encode into valid
-    * MPEG1 Layer III frame streams (1 + len % 16 frames at
-    * 128 kbps / 44100 Hz; bodies carry the text bytes) and the
-    * extractor walks the frame headers — stream format, frame count
-    * and exact integer duration without a codec library. The oracle
-    * predicts every field arithmetically (frame length 417, duration
-    * frames × 1152000 // 44100). */
-  private def multimodalDecodeMp3(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/mpeg",
-          graft.operators.Multimodal.encodeMp3(
-            1 + (t.length % 16), asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractMp3Features(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder TIFF path: documents encode into valid baseline TIFF
-    * (byte-order mark, magic 42, one IFD with LONG-typed dimension
-    * tags) — ENDIANNESS ALTERNATES by document parity, so every corpus
-    * pass exercises both II and MM reads of the same IFD walk. */
-  private def multimodalDecodeTiff(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "image/tiff",
-          graft.operators.Multimodal.encodeTiff(w, h, id % 2 == 0,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder video-container path: documents encode into valid
-    * ISO-BMFF (MP4) structures — ftyp → moov(mvhd + trak(tkhd)) →
-    * mdat carrying the text — and the extractor walks the box tree for
-    * the movie facts: mvhd timescale/duration, tkhd 16.16 fixed-point
-    * dimensions. The oracle predicts every field arithmetically
-    * (container size 240 + len; duration len × 40 ms at timescale
-    * 1000). */
-  private def multimodalDecodeMp4(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        graft.operators.MediaRow(id, "video/mp4",
-          graft.operators.Multimodal.encodeMp4(w, h, 1000, t.length * 40,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractMp4Features(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL-decoder audio path: documents encode into actual RIFF/WAVE
-    * 8-bit mono PCM (one sample per char), and the extractor walks the
-    * chunk list and folds whole-stream amplitude statistics. */
-  private def multimodalDecodeWav(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/wav",
-          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractAudioFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL µ-law sample decode path: documents become companded G.711
-    * WAVs (format code 7, the text bytes as the code stream) and the
-    * extractor expands every byte to linear PCM through the real
-    * complement/bias/segment-shift formula. The expansion is closed-
-    * form per byte, so the oracle recomputes the identical arithmetic
-    * in DuckDB — exact signed sum, abs sum and peak, no tolerance. */
-  private def multimodalDecodeUlaw(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/basic",
-          graft.operators.Multimodal.encodeWavG711(8000, aLaw = false,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractG711Features(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** FULL A-law sample decode path: the G.711 twin with format code 6
-    * and the even-bit-inversion segment expansion. */
-  private def multimodalDecodeAlaw(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/basic",
-          graft.operators.Multimodal.encodeWavG711(8000, aLaw = true,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractG711Features(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL image resize path: PNG pixel fixtures → full pixel decode →
-    * 2×2 floor-average box downsample → PNG re-encode → decode AGAIN
-    * for the feature row, so the query proves the whole resize round
-    * trip (two codec passes bracketing the kernel). Images without a
-    * complete 2×2 block drop out on both engines. The oracle recomputes
-    * every output pixel from first principles: the four cycled text
-    * bytes of each box, floor-averaged in integer arithmetic. */
-  private def imageResizeBox(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.operators.MediaRow(id, "image/png",
-          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
-      }
-    val resized = graft.operators.Multimodal.resizeBox(media, 2)
-    graft.operators.Multimodal.extractPixelFeatures(resized).toDF()
-      .orderBy("media_id")
-  }
-
-  /** TYPED METADATA path (images): fixtures carry a real EXIF APP1
-    * segment (Exif header + embedded TIFF IFD with the Orientation
-    * SHORT) and the extractor walks marker → APP1 → IFD under either
-    * byte order. Orientation drives mirror/rotate decisions in any
-    * image ingest; the oracle predicts it arithmetically. */
-  private def multimodalExifOrientation(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        val bytes = graft.operators.Multimodal.encodeJpegExif(
-          w, h, 1 + (t.length % 8), asciiBytes(id, t))
-        val (dw, dh) = graft.operators.Multimodal.decodeJpegDims(bytes)
-          .getOrElse((-1, -1))
-        val ori = graft.operators.Multimodal.jpegExifOrientation(bytes)
-          .getOrElse(-1)
-        (id, ori, dw, dh)
-      }
-      .toDF("media_id", "orientation", "decoded_w", "decoded_h")
-      .orderBy("media_id")
-  }
-
-  /** TYPED METADATA path (audio): fixtures prepend a real ID3v2.3 block
-    * (syncsafe size, ISO-8859-1 T-frames) to a real MPEG frame stream;
-    * the extractor walks the frame list for TIT2/TPE1 while the
-    * EXISTING mp3 frame walk still sees the audio through the ID3 skip
-    * — one fixture, two independent decoders. */
-  private def multimodalId3Tags(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val title = t.substring(0, math.min(16, t.length))
-        val artist = t.substring(math.max(0, t.length - 8))
-        val bytes = graft.operators.Multimodal.encodeId3v2(
-          Seq("TIT2" -> title, "TPE1" -> artist),
-          graft.operators.Multimodal.encodeMp3(
-            1 + (t.length % 16), asciiBytes(id, t)))
-        val tags = graft.operators.Multimodal.id3v2TextFrames(bytes)
-        val frames = graft.operators.Multimodal.mp3Stats(bytes)
-          .map(_.nFrames).getOrElse(-1)
-        (id, tags.getOrElse("TIT2", ""), tags.getOrElse("TPE1", ""), frames)
-      }
-      .toDF("media_id", "title", "artist", "n_frames")
-      .orderBy("media_id")
-  }
-
-  /** VAD-style activity gate: 256-sample frame energies over decoded
-    * PCM, integer activity rule (mean |amplitude| > 20), so the oracle
-    * reproduces the gate exactly. The corpus-filter shape: a pure map
-    * emitting per-document activity stats a training pipeline keys
-    * retention on. */
-  /** Pitch detection over REAL WAV containers
-    * (operators/Multimodal.extractPitchAutocorr): each doc becomes a
-    * 128-sample 8-bit PCM square wave of period 2·(1 + len mod 8),
-    * and the extractor must recover that period as the smallest even
-    * lag with PERFECT integer autocorrelation (exact: a square wave
-    * is lag-invariant iff the lag is a multiple of its period). The
-    * oracle predicts the period and the correlation mass at it in
-    * closed form. Pure map pass. */
-  private def audioPitchAutocorr(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .selectExpr("doc_id", "length(text) AS len").as[(Long, Long)]
-      .map { case (id, len) =>
-        val q = (1 + len % 8).toInt
-        val pcm = Array.tabulate(128)(i =>
-          (if ((i / q) % 2 == 0) 228 else 28).toByte)
-        graft.operators.MediaRow(id, "audio/wav",
-          graft.operators.Multimodal.encodeWavPcm8(8000, pcm))
-      }
-    graft.operators.Multimodal.extractPitchAutocorr(media, 16).toDF()
-      .orderBy("media_id")
-  }
-
-  private def audioFrameEnergy(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/wav",
-          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFrameEnergy(media, 256).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL FLAC round trip: documents become 16-bit mono PCM (sample
-    * i = (byte−79)·400, exercising negative values and both FIXED
-    * predictors and Rice parameters across docs), encode to a real
-    * .flac stream (STREAMINFO + fixed-blocksize frames, CRC-8/16),
-    * and decode back through the full frame walk. The codec is
-    * LOSSLESS, so the oracle computes every readout straight from the
-    * text — any bit-layout, predictor, Rice or CRC bug breaks the
-    * round trip and fails the hash. One map pass per row. */
-  private def multimodalDecodeFlac(s: SparkSession,
-                                   dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val b = asciiBytes(id, t)
-        val samples = Array.tabulate(b.length)(i => ((b(i) & 0xff) - 79) * 400)
-        val flac = graft.operators.Flac.encode(8000, samples)
-        graft.operators.Flac.decode(flac) match {
-          case Some((info, out)) =>
-            (id, info.sampleRate, out.length.toLong,
-              out.map(_.toLong).sum,
-              if (out.isEmpty) 0L else out.min.toLong,
-              if (out.isEmpty) 0L else out.max.toLong)
-          case None => (id, -1, -1L, -1L, -1L, -1L)
-        }
-      }
-      .toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s",
-        "max_s")
-      .orderBy("media_id")
-  }
-
-  /** Composed MEDIA-INGEST DAG — the multimodal counterpart of
-    * web_ingest_dag: docs become REAL media files (PNG / GIF /
-    * TIFF-LZW / WAV rotating by id mod 4), pack into WebDataset-style
-    * shards of 8 under a compression wrapper rotating by SHARD
-    * (`.tgz` / `.tar.lz4` / `.tar.sz` — [[mediaWrap]]), and ONE pass
-    * walks everything back — magic-byte unwrap
-    * ([[unwrapMediaShard]]) → checksum-verified tar walk → MAGIC-BYTE sniff
-    * (trust the bytes, not the extension) → kind-dispatched FULL
-    * decode (PNG defilter, GIF LZW+palette, TIFF LZW, WAV PCM) →
-    * per-doc keep verdict (decoded ∧ ≥ 64 pixels-or-samples). The
-    * oracle recomputes the whole chain analytically per kind, so a
-    * container, sniff or codec bug anywhere flips sums or verdicts
-    * and fails the hash. Archives build and decode inside one
-    * flatMapGroups — only readout rows shuffle. */
-  private def mediaIngestDag(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => mediaEntry(id, t) }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val shard = mediaWrap(sid,
-          graft.operators.Tar.buildArchive(it.toSeq.sortBy(_._2).map(_._3)))
-        mediaShardReadout(unwrapMediaShard(shard))
-      }
-      .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
-        "sum_b", "keep")
-      .orderBy("media_id")
-  }
-
-  /** Shard wrapper rotation: gzip / LZ4 frame / Snappy framing by
-    * shard id — the three compression wrappers real WebDataset-style
-    * corpora ship under. The readout facts are wrapper-independent,
-    * so the SAME oracle pins all three codecs as jointly transparent
-    * end-to-end (wrap here, sniff+unwrap in [[unwrapMediaShard]]). */
-  private def mediaWrap(sid: Long, tar: Array[Byte]): Array[Byte] =
-    (sid % 6) match {
-      case 0 => graft.operators.Tar.gzipArchive(tar)
-      case 1 => graft.operators.Tar.lz4Archive(tar)
-      case 2 => graft.operators.Tar.snappyArchive(tar)
-      case 3 => graft.operators.Tar.bzip2Archive(tar)
-      // the zstd/xz wraps compress with the PLATFORM libraries so the
-      // unwrap exercises our decoders on real entropy-coded streams
-      case 4 => com.github.luben.zstd.Zstd.compress(tar, 3)
-      case _ =>
-        val buf = new java.io.ByteArrayOutputStream()
-        // shard-sized dict — the tarParseXz allocation lesson
-        val opt = new org.tukaani.xz.LZMA2Options(3)
-        opt.setDictSize(math.max(1 << 16,
-          java.lang.Integer.highestOneBit(math.max(tar.length - 1, 1)) * 2))
-        val z = new org.tukaani.xz.XZOutputStream(buf, opt)
-        z.write(tar); z.finish(); z.close()
-        buf.toByteArray
-    }
-
-  /** The wrapper extension [[mediaWrap]] implies (fixture naming). */
-  private def mediaWrapExt(sid: Long): String =
-    (sid % 6) match {
-      case 0 => "tgz"
-      case 1 => "tar.lz4"
-      case 2 => "tar.sz"
-      case 3 => "tar.bz2"
-      case 4 => "tar.zst"
-      case _ => "tar.xz"
-    }
-
-  /** Magic-byte sniff + unwrap of one media shard back to plain tar
-    * bytes; empty on a corrupt wrapper (the walk then yields no
-    * entries — drop, never invent). */
-  private[graft] def unwrapMediaShard(bytes: Array[Byte]): Array[Byte] = {
-    val T = graft.operators.Tar
-    if (T.isGzip(bytes)) T.gunzip(bytes).getOrElse(Array.emptyByteArray)
-    else if (graft.operators.Lz4.isLz4(bytes))
-      graft.operators.Lz4.frameDecompress(bytes)
-        .getOrElse(Array.emptyByteArray)
-    else if (graft.operators.SnappyCodec.isFramed(bytes))
-      graft.operators.SnappyCodec.frameDecompress(bytes)
-        .getOrElse(Array.emptyByteArray)
-    else if (graft.operators.Bzip2.isBzip2(bytes))
-      graft.operators.Bzip2.decode(bytes).getOrElse(Array.emptyByteArray)
-    else if (graft.operators.Zstd.isZstd(bytes))
-      graft.operators.Zstd.decode(bytes).getOrElse(Array.emptyByteArray)
-    else if (graft.operators.Xz.isXz(bytes))
-      graft.operators.Xz.decode(bytes).getOrElse(Array.emptyByteArray)
-    else bytes
-  }
-
-  /** The sniff → decode → verdict readout over one PLAIN media shard,
-    * shared by [[mediaIngestDag]] and [[mediaIngestFiles]]. */
-  private def mediaShardReadout(plain: Array[Byte])
-      : Seq[(Long, String, String, Long, Long, Long, Long, Long)] = {
-    val M = graft.operators.Multimodal
-    graft.operators.Tar.parse(plain).map { e =>
-      val docId = e.name.takeWhile(_ != '.').toLong
-      val ext = e.name.dropWhile(_ != '.').drop(1)
-      val bytes = java.util.Arrays.copyOfRange(plain, e.dataOff,
-        e.dataOff + e.size.toInt)
-      val sniffed = M.sniffKind(bytes)
-      sniffed match {
-        case "image/png" | "image/gif" | "image/tiff" =>
-          M.decodePixels(sniffed, bytes) match {
-            case Some((w, h, px)) =>
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var i = 0
-              while (i < px.length) {
-                sr += px(i) & 0xff; sg += px(i + 1) & 0xff
-                sb += px(i + 2) & 0xff
-                i += 3
-              }
-              (docId, ext, sniffed, w.toLong * h, sr, sg, sb,
-                if (w.toLong * h >= 64L) 1L else 0L)
-            case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-          }
-        case "audio/wav" =>
-          M.wavStats(bytes) match {
-            case Some(wi) =>
-              (docId, ext, sniffed, wi.nSamples, wi.sumAbs, 0L, 0L,
-                if (wi.nSamples >= 64L) 1L else 0L)
-            case None => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-          }
-        case _ => (docId, ext, sniffed, -1L, -1L, -1L, -1L, 0L)
-      }
-    }
-  }
-
-  /** One media entry's tar bytes (the mediaIngestDag construction),
-    * shared with the `.tgz`-file fixture. */
-  private def mediaEntry(id: Long, t: String): (Long, Long, Array[Byte]) = {
-    val b = asciiBytes(id, t)
-    val w = 1 + (t.length % 16)
-    val h = 1 + ((t.length / 16) % 16)
-    val M = graft.operators.Multimodal
-    val (ext, bytes) = (id % 4) match {
-      case 0 => ("png", M.encodePngPixels(w, h,
-        Array.tabulate(w * h * 3)(k => b(k % b.length))))
-      case 1 => ("gif", M.encodeGifPixels(w, h,
-        Array.tabulate(w * h)(k => b(k % b.length))))
-      case 2 => ("tiff", M.encodeTiffPixelsLzw(w, h, id % 2 == 0,
-        Array.tabulate(w * h * 3)(k => b(k % b.length))))
-      case _ => ("wav", M.encodeWavPcm8(8000, b))
-    }
-    (id / 8, id, graft.operators.Tar.buildEntry(s"$id.$ext", bytes))
-  }
-
-  /** [[mediaIngestDag]] through REAL `.tgz` shard FILES: the fixture
-    * writes the identical shards from the executors (the
-    * warc/tar_parse_files pattern), the query reads them back through
-    * `binaryFile` → gunzip → the shared readout — the file AND
-    * compression layers must be transparent, so the oracle is
-    * IDENTICAL to media_ingest_dag. */
-  /** Builds (idempotently) and returns the `.tgz` media-shard fixture
-    * directory — shared with the streaming parity spec. */
-  private[graft] def mediaFixtureRoot(s: SparkSession, dir: String): String = {
-    val spark = s
-    import spark.implicits._
-    // tag v3: six-way wrapper rotation (gzip/lz4/snappy/bzip2/zstd/xz
-    // by shard) — a new tag regenerates fixtures built before it
-    formatFixtureDir(dir, "mediashard3", "documents") { out =>
-      asciiDocs(s, dir)
-        .map { case (id, t) => mediaEntry(id, t) }
-        .groupByKey(_._1)
-        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-          val shard = mediaWrap(sid, graft.operators.Tar.buildArchive(
-            it.toSeq.sortBy(_._2).map(_._3)))
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.${mediaWrapExt(sid)}"), shard)
-          sid
-        }
-        .count(): Unit
-    }
-  }
-
-  /** gunzip + the shared media readout over `binaryFile` rows — the
-    * stage both the batch file query and its streaming twin run. */
-  private[graft] def parseMediaShardRows(files: DataFrame): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (_, bytes) =>
-        mediaShardReadout(unwrapMediaShard(bytes)) }
-      .toDF("media_id", "ext", "sniffed", "units", "sum_r", "sum_g",
-        "sum_b", "keep")
-  }
-
-  private def mediaIngestFiles(s: SparkSession, dir: String): DataFrame = {
-    val root = mediaFixtureRoot(s, dir)
-    parseMediaShardRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "shard-*").load(root)
-        .repartition(col("path"))) // spread the packed small-file split
-      .orderBy("media_id")
-  }
-
-  /** Opus METADATA extraction through the full Ogg stack — the
-    * license/language metadata read a curation pipeline runs before
-    * admitting audio (RFC 7845: the OpusHead identification packet
-    * and the OpusTags Vorbis-comment packet are the first two packets
-    * of the stream): each doc builds a real Ogg whose head/tags
-    * derive from the doc (a LICENSE=CC0 tag on ids ≡ 0 mod 3 — the
-    * filterable-license case), plus opaque audio packets, and the
-    * readout goes CRC-verified pages → packet reassembly → header
-    * parses. Closed-form oracle; a framing or field-layout bug
-    * anywhere flips the facts. */
-  private def oggOpusMeta(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val O = graft.operators.Ogg
-        val b = asciiBytes(id, t)
-        val head = O.buildOpusHead(1 + (id % 2).toInt, 312,
-          if (t.length % 2 == 0) 48000L else 24000L, 0)
-        val title = t.substring(0, math.min(8, t.length))
-        val tags = Seq(s"LANGUAGE=l${t.length % 3}", s"TITLE=$title") ++
-          (if (id % 3 == 0) Seq("LICENSE=CC0") else Nil)
-        val opusTags = O.buildOpusTags("graft 1.0", tags)
-        val audio = (0 until 2).map(i =>
-          Array.tabulate(40 + (t.length % 50))(k => b((k + i) % b.length)))
-        val ogg = O.build(id, Seq(head, opusTags) ++ audio,
-          Seq(0L, 0L, 960L, 1920L))
-        val pkts = O.parsePackets(ogg)
-        (O.parseOpusHead(pkts.head._1), O.parseOpusTags(pkts(1)._1)) match {
-          case (Some(h), Some((vendor, tg))) =>
-            (id, h.channels, h.preSkip, h.inputRate, vendor,
-              tg.size.toLong,
-              if (tg.exists(_.startsWith("LICENSE="))) 1L else 0L,
-              tg.find(_.startsWith("TITLE="))
-                .map(_.length - 6L).getOrElse(-1L))
-          case _ => (id, -1, -1, -1L, "", -1L, -1L, -1L)
-        }
-      }
-      .toDF("media_id", "channels", "pre_skip", "input_rate", "vendor",
-        "n_tags", "has_license", "title_chars")
-      .orderBy("media_id")
-  }
-
-  /** PNG COLOR-TYPE rotation: docs cycle through the three 8-bit
-    * color types — grayscale (ids ≡ 0 mod 3: pixel = (v, v, v)),
-    * truecolor (≡ 1), palette (≡ 2: 64 ramp entries (e, 2e mod 256,
-    * 3e mod 256) — the gifPaletteEntry ramps, so a channel swap or
-    * palette-indexing bug shows in the sums) — encoded by the real
-    * writers and decoded back through the shared defilter at each
-    * type's bytes-per-pixel. Channel sums over the DECODED raster
-    * must equal the oracle's closed-form arithmetic per type. */
-  private def multimodalDecodePngTypes(s: SparkSession,
-                                       dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 24)
-        val h = 1 + ((t.length / 24) % 24)
-        val b = asciiBytes(id, t)
-        val M = graft.operators.Multimodal
-        val png = (id % 3) match {
-          case 0 =>
-            M.encodePngGray(w, h,
-              Array.tabulate(w * h)(k => b(k % b.length)))
-          case 1 =>
-            M.encodePngPixels(w, h,
-              Array.tabulate(w * h * 3)(k => b(k % b.length)))
-          case _ =>
-            val pal = Array.tabulate[Byte](64 * 3) { k =>
-              val e = k / 3
-              (k % 3 match {
-                case 0 => e
-                case 1 => (2 * e) % 256
-                case _ => (3 * e) % 256
-              }).toByte
-            }
-            M.encodePngPalette(w, h, pal,
-              Array.tabulate(w * h)(k => ((b(k % b.length) & 0xff) % 64)
-                .toByte))
-        }
-        val (dw, dh, rgb) = M.decodePngPixels(png).get
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var p = 0
-        while (p + 2 < rgb.length) {
-          sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
-          sb += rgb(p + 2) & 0xff
-          p += 3
-        }
-        (id, (id % 3).toInt, dw, dh, dw.toLong * dh, sr, sg, sb)
-      }
-      .toDF("media_id", "color_type", "width", "height", "n_pixels",
-        "sum_r", "sum_g", "sum_b")
-      .orderBy("media_id")
-  }
-
-  /** REAL Ogg container round trip: each doc becomes a single-stream
-    * Ogg (one packet per page, the Opus layout) whose packet sizes
-    * derive from the text — with a 70 000-byte packet on ids ≡ 0
-    * mod 7 forcing true multi-page CONTINUATION (a 255×255-byte page
-    * plus the remainder page) — built, then walked back through the
-    * CRC-verifying page parse and the cross-page packet reassembly.
-    * The oracle predicts page counts, continuation counts, payload
-    * volume and the final granule in closed form, so a lacing, CRC
-    * or continuation bug fails the hash. One map pass per row. */
-  private def oggParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val b = asciiBytes(id, t)
-        val np = 1 + (t.length % 5)
-        val packets = (0 until np).map { i =>
-          val li = if (i == 0 && id % 7 == 0) 70000
-                   else 1 + ((t.length + i * 13) % 300)
-          Array.tabulate(li)(k => b((k + i) % b.length))
-        }
-        val granules = (0 until np).map(i => (i + 1) * 960L)
-        val ogg = graft.operators.Ogg.build(id, packets, granules)
-        val pages = graft.operators.Ogg.parsePages(ogg)
-        val got = graft.operators.Ogg.parsePackets(ogg)
-        val intact = got.size == np &&
-          got.zipWithIndex.forall { case ((pb, g), i) =>
-            java.util.Arrays.equals(pb, packets(i)) && g == granules(i)
-          }
-        (id, pages.size.toLong, got.size.toLong,
-          pages.map(_.payloadLen.toLong).sum,
-          if (got.isEmpty) -1L else got.last._2,
-          pages.count(_.continued).toLong,
-          if (intact) 1L else 0L)
-      }
-      .toDF("media_id", "n_pages", "n_packets", "total_payload",
-        "last_granule", "continued_pages", "intact")
-      .orderBy("media_id")
-  }
-
-  /** Voice-activity SEGMENTATION over the same real 8 kHz WAVs as
-    * audio_frame_energy — the utterance-level readout a speech-corpus
-    * curation pass keeps (how many utterances, the longest one, the
-    * speech ratio), with single-frame dips bridged so one quiet frame
-    * doesn't split an utterance. The oracle replays the 4-int fold
-    * state verbatim as a list_reduce, so every segment boundary is
-    * hash-pinned. */
-  private def audioVadSegments(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/wav",
-          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractVadSegments(media, 256).toDF()
-      .orderBy("media_id")
-  }
-
-  /** ANIMATED GIF path: documents become real multi-frame GIF89a
-    * streams (per-frame graphic-control extensions with centisecond
-    * delays, full-rect frames whose indices shift by one text position
-    * per frame, the standard 256-ramp palette) and the extractor runs
-    * the full animation walk — LZW per frame, compositing, delay fold.
-    * The oracle recomputes frame count, total delay and the per-frame
-    * channel sums through the palette ramps in nested integer list
-    * arithmetic. */
-  private def multimodalGifFrames(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        val nf = 1 + (t.length % 8)
-        val bytes0 = asciiBytes(id, t)
-        val gif = graft.operators.Multimodal.encodeGifFrames(w, h, nf,
-          (f, k) => bytes0((k + f) % bytes0.length) & 0xff,
-          f => 2 + f % 5)
-        val a = graft.operators.Multimodal.decodeGifFrames(gif)
-          .getOrElse(graft.operators.Multimodal.GifAnim(-1, -1, -1, -1L,
-            -1L, -1L, -1L))
-        (id, a.width, a.height, a.nFrames, a.totalDelayCs,
-          a.sumR, a.sumG, a.sumB)
-      }
-      .toDF("media_id", "width", "height", "n_frames", "total_delay_cs",
-        "sum_r", "sum_g", "sum_b")
-      .orderBy("media_id")
-  }
-
-  /** REAL video frame sampling: documents become Motion-JPEG AVI files
-    * (RIFF hdrl/avih/strl + movi of complete baseline JPEGs — 1+len%5
-    * frames, frame f's Y blocks = the text bytes rotated by f) and the
-    * sampler walks the container, decodes every 2nd frame through the
-    * FULL baseline JPEG pipeline and folds per-channel raster sums —
-    * the video twin of multimodal_gif_frames, with a real inter-frame
-    * stride like a vision-encoder ingest pipeline. The constant-block
-    * construction keeps decoded pixels at exactly (v+7, v−4, v), so
-    * the oracle predicts every sampled frame's sums in pure integer
-    * arithmetic; a container-walk, stride or JPEG bug fails the hash.
-    *
-    * 100 TB shape: one flatMap over the binary scan — narrow per-frame
-    * rows out, zero shuffle; decode cost is embarrassingly parallel. */
-  private def videoFrameSample(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    // spread the single-row-group driver parquet before the per-frame
-    // JPEG encode/decode (the cdcChunked move): one tiny exchange of
-    // the text table parallelizes ~25k full codec runs across every
-    // core; a real multi-file corpus arrives pre-split and this is a
-    // no-op cost
-    val media = asciiDocs(s, dir).repartition(col("doc_id"))
-      .map { case (id, t) =>
-        val bw = 1 + (t.length % 8)
-        val bh = 1 + ((t.length / 8) % 8)
-        val nf = 1 + (t.length % 5)
-        val b = asciiBytes(id, t)
-        val frames = (0 until nf).map { f =>
-          val rot = Array.tabulate(b.length)(i => b((i + f) % b.length))
-          graft.operators.Jpeg.encodePixels(bw, bh, rot)
-        }
-        graft.operators.MediaRow(id, "video/x-msvideo",
-          graft.operators.Multimodal.encodeAviMjpeg(8 * bw, 8 * bh,
-            40000, frames))
-      }
-    graft.operators.Multimodal.sampleVideoFrames(media, 2).toDF()
-      .orderBy("media_id", "frame_idx")
-  }
-
-  /** Shot-boundary detection over real MJPEG AVI: frames hold STATIC
-    * SCENES (blocks shift by 7 text positions every 3 frames), so
-    * within a scene the inter-frame L1 delta is exactly 0 and at each
-    * scene boundary it is 192·Σ|b(k+7s)−b(k+7s′)| — the channel
-    * offsets of the DC-only JPEG arithmetic cancel in the diff. The
-    * decode path is the full AVI walk + JPEG decode per frame; the
-    * oracle recomputes every boundary delta from the text, so a codec
-    * or container bug flips cut flags and fails the hash. */
-  /** Shared MJPEG scene fixture: static scenes shifting every 3
-    * frames at 1 s/frame. The per-frame JPEG ENCODE runs once per
-    * (session, dir) through the ScanCache — video_shot_cuts and
-    * caption_scene_align both decode from the same cached bytes (the
-    * r11 bench's two heaviest new entries were each paying the full
-    * encode pass). */
-  private def videoSceneMedia(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    ScanCache.get(s, s"video-scenes:$dir") {
-      asciiDocs(s, dir).repartition(col("doc_id"))
-        .map { case (id, t) =>
-          val bw = 1 + (t.length % 8)
-          val bh = 1 + ((t.length / 8) % 8)
-          val nf = 4 + (t.length % 5)
-          val b = asciiBytes(id, t)
-          val frames = (0 until nf).map { f =>
-            val sc = f / 3
-            val payload = Array.tabulate(b.length)(i =>
-              b((i + sc * 7) % b.length))
-            graft.operators.Jpeg.encodePixels(bw, bh, payload)
-          }
-          (id, graft.operators.Multimodal.encodeAviMjpeg(
-            8 * bw, 8 * bh, 1000000, frames), t)
-        }
-        .toDF("media_id", "avi", "text")
-    }
-  }
-
-  private def videoShotCuts(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    videoSceneMedia(s, dir).select("media_id", "avi")
-      .as[(Long, Array[Byte])]
-      .map { case (id, avi) =>
-        graft.operators.Multimodal.aviShotCuts(id, avi, 0L)
-      }
-      .toDF()
-      .orderBy("media_id")
-  }
-
-  /** Caption sidecar QA over real SubRip files (operators/Srt): each
-    * doc renders a deterministic .srt (cue i at [1700i,
-    * 1700i + 1200 + len%800), text cycled from the doc), the REAL
-    * parser walks it back, and the readout is what a captions QA pass
-    * checks — cue count, talk time, span, text volume, and the
-    * OVERLAP count (cues starting before the previous one ends — the
-    * classic broken-subtitle defect; by construction present exactly
-    * when len%800 > 500, so both engines predict it). Any timestamp
-    * format/parse bug shifts talk/span/overlap and fails the hash. */
-  private def srtParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val nc = 1 + (t.length % 6)
-        val cues = (0 until nc).map { i =>
-          val start = i * 1700L
-          val dur = 1200L + (t.length % 800)
-          val txt = t.substring(
-            (i * 5) % t.length,
-            math.min((i * 5) % t.length + 4, t.length))
-          (start, start + dur, txt)
-        }
-        val parsed = graft.operators.Srt.parse(
-          graft.operators.Srt.build(cues))
-        val overlaps = parsed.sliding(2).count {
-          case Seq(a, b) => b.startMs < a.endMs
-          case _ => false
-        }
-        (id, parsed.size.toLong,
-          parsed.map(c => c.endMs - c.startMs).sum,
-          if (parsed.isEmpty) 0L
-          else parsed.last.endMs - parsed.head.startMs,
-          parsed.map(_.text.length.toLong).sum,
-          if (parsed.isEmpty) 0L else parsed.map(_.text.length.toLong).max,
-          overlaps.toLong)
-      }
-      .toDF("media_id", "n_cues", "talk_ms", "span_ms", "total_chars",
-        "max_cue_chars", "overlap_cues")
-      .orderBy("media_id")
-  }
-
-  /** Caption-to-scene alignment — the CROSS-MODAL composition a video
-    * curation pipeline actually runs (which captions belong to which
-    * shot): per doc, a 1 s-per-frame MJPEG AVI with static scenes
-    * (the video_shot_cuts construction) is decoded to SCENE INTERVALS
-    * through the real cut detector ([[graft.operators.Multimodal
-    * .aviScenes]] — scenes with identical boundary content MERGE, as
-    * a real detector would), a deterministic SubRip file is parsed
-    * back through the real [[graft.operators.Srt]] walk, and cues
-    * interval-join onto scenes (strict overlap). Both modalities ride
-    * their full decode paths inside ONE flatMap — no shuffle — and
-    * the oracle recomputes scene merging, cue framing and the
-    * interval join analytically, so a bug in either decoder OR the
-    * overlap logic fails the hash. */
-  private def captionSceneAlign(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    videoSceneMedia(s, dir)
-      .as[(Long, Array[Byte], String)]
-      .flatMap { case (id, avi, t) =>
-        val scenes = graft.operators.Multimodal.aviScenes(id, avi, 0L)
-        val nc = 1 + (t.length % 6)
-        val dur = 1200L + (t.length % 800)
-        val cues = graft.operators.Srt.parse(graft.operators.Srt.build(
-          (0 until nc).map { i =>
-            val at = (i * 5) % t.length
-            (i * 1700L, i * 1700L + dur,
-              t.substring(at, math.min(at + 4, t.length)))
-          }))
-        scenes.map { sc =>
-          val ov = cues.filter(c =>
-            c.startMs < sc.end_ms && sc.start_ms < c.endMs)
-          (id, sc.scene_idx.toLong, sc.start_ms, sc.end_ms,
-            ov.size.toLong, ov.map(_.text.length.toLong).sum)
-        }
-      }
-      .toDF("media_id", "scene_idx", "start_ms", "end_ms", "n_cues",
-        "cue_chars")
-      .orderBy("media_id", "scene_idx")
-  }
-
-  /** URL canonicalization (operators/UrlNorm): every document gets a
-    * deliberately messy URL — uppercase scheme/host, explicit default
-    * or non-default port, ./ and ../ dot-segments, a %61 escape of an
-    * unreserved char, unsorted query with a utm_ tracking param, a
-    * fragment — and the normalizer must produce the exact canonical
-    * form the oracle constructs analytically: scheme/host lowercased,
-    * :80 dropped but :8080 kept, dot-segments removed, %61→a, params
-    * sorted with utm_ dropped, fragment gone. The web-dedup key op. */
-  private def urlNormalize(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val port = if (id % 2 == 0) ":80" else ":8080"
-        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
-          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
-        (id, graft.operators.UrlNorm.normalize(messy),
-          graft.operators.UrlNorm.hostKey(messy))
-      }
-      .toDF("doc_id", "norm_url", "host_key")
-      .orderBy("doc_id")
-  }
-
-  /** Per-site quota readout over the canonical keys: URL dedup's
-    * aggregation shape — group by registered-domain key, count pages
-    * and distinct canonical URLs. One hash shuffle on the (tiny) host
-    * dimension; the canonicalization itself stays map-side. */
-  private def urlHostCounts(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val port = if (id % 2 == 0) ":80" else ":8080"
-        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
-          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
-        (graft.operators.UrlNorm.hostKey(messy),
-          graft.operators.UrlNorm.normalize(messy))
-      }
-      .toDF("host_key", "norm_url")
-      .groupBy("host_key")
-      .agg(count("*").as("n_urls"),
-        countDistinct("norm_url").as("n_unique"))
-      .orderBy("host_key")
-  }
-
-  /** SURT ordering keys (operators/UrlNorm.surtKey) over the same
-    * messy-URL fixture as [[urlNormalize]]: host labels reversed and
-    * comma-joined so sorting clusters each domain's pages contiguously
-    * — the CDX web-archive index convention. The query ORDERS BY the
-    * SURT itself (the key's whole point); the oracle constructs every
-    * key analytically and applies the same ordering. */
-  private def urlSurt(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val port = if (id % 2 == 0) ":80" else ":8080"
-        val messy = s"HTTP://WWW.Ex${id % 7}.COM$port/Dir${t.length % 5}" +
-          s"/./skip/../p%61ge?utm_campaign=c&b=${t.length % 9}&a=1#top"
-        (id, graft.operators.UrlNorm.surtKey(messy))
-      }
-      .toDF("doc_id", "surt")
-      .orderBy("surt", "doc_id")
-  }
-
-  /** robots.txt decisions (operators/Robots, RFC 9309): every doc
-    * carries a crawl policy with a `*` group and a GraftBot group
-    * (comments, stacked user-agents, a wildcard+anchor Allow), and the
-    * evaluator must pick the right group and apply
-    * most-specific-wins — the oracle enumerates the closed-form
-    * outcome per path class. Exercises: group selection shadowing the
-    * `*` rules, longest-match with `*`/`$` patterns, Allow-beats-
-    * Disallow on specificity. */
-  private def robotsDecisions(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir).selectExpr("doc_id", "length(text) AS len")
-      .as[(Long, Long)]
-      .map { case (id, len) =>
-        val robots =
-          s"""# crawl policy for ex${id % 7}
-             |User-agent: *
-             |Disallow: /Dir2
-             |Disallow: /Dir4
-             |
-             |User-agent: GraftBot
-             |Disallow: /Dir1
-             |Disallow: /Dir3
-             |Allow: /Dir3/pa*e$$""".stripMargin
-        val groups = graft.operators.Robots.parse(robots)
-        val path = s"/Dir${len % 5}/page"
-        (id, path,
-          graft.operators.Robots.allowed(groups, "graftbot/1.0", path),
-          graft.operators.Robots.allowed(groups, "otherbot", path))
-      }
-      .toDF("doc_id", "path", "graft_allowed", "other_allowed")
-      .orderBy("doc_id")
-  }
-
-  /** Content-defined chunking (Rabin-style CDC) — the storage-dedup /
-    * delta-sync operator: chunk boundaries land where the rolling
-    * 8-byte window hash ([[functions.PolyHashWindows]], the
-    * exact-substring kernel) is divisible by 64, so INSERTIONS SHIFT
-    * BYTES BUT NOT BOUNDARIES beyond the touched chunk — the property
-    * fixed-size blocking lacks and the reason every dedup store (and
-    * rsync) chunks this way. Basic Rabin form: no min/max clamp
-    * (FastCDC's clamps add a sequential dependency; the pure
-    * divisibility rule keeps both engines closed-form). Boundary
-    * detection, chunk slicing and per-chunk fingerprints are ALL
-    * map-side higher-order array ops — zero shuffle for the per-doc
-    * readout. */
-  /** The CDC chunk rule in plain Scala (shared with [[cdcDelta]] and
-    * CdcSpec): cuts where the 8-byte rolling hash divides 64. */
-  private[graft] def cdcChunksOf(t: String): Seq[String] = {
-    // whole pipeline in BYTE space: the rolling-hash windows index
-    // UTF-8 bytes, so the slices must too (a char-indexed substring
-    // would mis-cut any non-ASCII input). Chunks come back as
-    // ISO-8859-1 strings — the lossless byte↔char mapping — so the
-    // multiset matching and length arithmetic stay byte-exact;
-    // identical to the old char path on the ASCII corpus.
-    val bytes = t.getBytes("UTF-8")
-    val hs = functions.PolyHashWindows.windows(bytes, 8)
-    val cuts = hs.zipWithIndex.collect {
-      case (h, i) if h % 64 == 0 => i + 8 }
-    val bs = (0 +: cuts.toSeq :+ bytes.length).distinct
-    bs.sliding(2)
-      .map(p => new String(bytes, p(0), p(1) - p(0), "ISO-8859-1")).toSeq
-  }
-
-  /** CDC DELTA — the incremental-sync readout the chunking exists
-    * for: version 2 of every third document gains a 4-byte HEAD
-    * insertion (the worst case for fixed-size blocking), and the
-    * delta counts, per doc, how many v2 chunks already exist in v1
-    * (multiset match) and how many bytes actually need transferring.
-    * Unchanged docs transfer zero; edited docs transfer ONLY their
-    * head chunk(s) — the shift-invariance property measured
-    * corpus-wide, not just asserted on a fixture. Pure map pass. */
-  private def cdcDelta(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    graft.functions.PolyHashWindows.register(s)
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val t2 = if (id % 3 == 0) "upd " + t else t
-        val c1 = cdcChunksOf(t).groupBy(identity)
-          .map { case (c, xs) => (c, xs.size) }
-        val c2 = cdcChunksOf(t2)
-        val counts = scala.collection.mutable.Map[String, Int]()
-        var shared = 0L
-        var transfer = 0L
-        c2.foreach { c =>
-          val used = counts.getOrElse(c, 0)
-          if (used < c1.getOrElse(c, 0)) { shared += 1; counts(c) = used + 1 }
-          else transfer += c.length
-        }
-        (id, id % 3 == 0, c2.size.toLong, shared, transfer)
-      }
-      .toDF("doc_id", "changed", "n_chunks_v2", "shared_chunks",
-        "transfer_bytes")
-      .orderBy("doc_id")
-  }
-
-  private def cdcChunked(s: SparkSession, dir: String): DataFrame =
-    ScanCache.get(s, s"cdc-chunked:$dir") {
-    graft.functions.PolyHashWindows.register(s)
-    // spread the single-row-group driver parquet before the per-char
-    // array work (the vecs move): one tiny exchange parallelizes the
-    // whole chunking pass; a real multi-file corpus arrives pre-split
-    // and this is a no-op cost. Persisted: cdc_chunks and cdc_dedup
-    // both branch off this chunk table
-    asciiDocs(s, dir).toDF("doc_id", "text")
-      .repartition(col("doc_id"))
-      .withColumn("hw", expr("poly_hash_windows(text, 8)"))
-      .selectExpr("doc_id", "text",
-        """array_distinct(concat(array(CAST(0 AS BIGINT)),
-          |  filter(transform(hw,
-          |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), NULL)),
-          |    x -> x IS NOT NULL),
-          |  array(CAST(length(text) AS BIGINT)))) AS bs""".stripMargin)
-      .selectExpr("doc_id",
-        """transform(sequence(0, size(bs) - 2), j -> substring(text,
-          |  CAST(element_at(bs, j + 1) + 1 AS INT),
-          |  CAST(element_at(bs, j + 2) - element_at(bs, j + 1) AS INT)))
-          |  AS chunks""".stripMargin)
-  }
-
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
-    cdcChunked(s, dir)
-      .selectExpr("doc_id",
-        "CAST(size(chunks) AS BIGINT) AS n_chunks",
-        "CAST(aggregate(chunks, 0, (a, c) -> a + length(c)) AS BIGINT) " +
-          "AS total_bytes",
-        "md5(array_join(transform(chunks, c -> md5(c)), ' ')) " +
-          "AS chunks_md5")
-      .orderBy("doc_id")
-
-  /** Corpus-wide CDC dedup summary — the storage readout: total vs
-    * distinct chunks and bytes. One map-combinable shuffle on the
-    * chunk dimension. */
-  private def cdcDedup(s: SparkSession, dir: String): DataFrame =
-    cdcChunked(s, dir)
-      .selectExpr("explode(chunks) AS chunk")
-      .groupBy("chunk").agg(count(lit(1)).as("copies"))
-      .selectExpr("chunk", "copies")
-      .agg(sum("copies").as("total_chunks"),
-        count(lit(1)).as("unique_chunks"),
-        sum(expr("copies * length(chunk)")).as("total_bytes"),
-        sum(expr("length(chunk)")).as("unique_bytes"))
-      .selectExpr("total_chunks", "unique_chunks",
-        "CAST(total_bytes AS BIGINT) AS total_bytes",
-        "CAST(unique_bytes AS BIGINT) AS unique_bytes")
-
-  /** Crawl frontier — the crawler-side composition of the web family:
-    * every document "discovers" three messy URLs (two canonicalize to
-    * the SAME target — the dup the frontier must catch, including
-    * cross-document collisions — and one to a sibling page), each URL
-    * canonicalizes (UrlNorm), passes the robots gate
-    * (operators/Robots, the robots_decisions policy) and dedups by
-    * FIRST discovery under the total order (doc_id, variant); fetch =
-    * allowed ∧ first-seen. The oracle constructs canonical forms and
-    * robots outcomes analytically and replays the keeper walk.
-    *
-    * 100 TB shape: canonicalization and robots are map-side; the only
-    * shuffle is the first-seen keeper aggregate on the canonical-URL
-    * dimension (the line_dedup packed-decimal move — hash-mode,
-    * map-combinable, hot URLs cannot skew it). */
-  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val urls = asciiDocs(s, dir)
-      .flatMap { case (id, t) =>
-        val port = if (id % 2 == 0) ":80" else ":8080"
-        val k = id % 7
-        val m = t.length % 5
-        val q = t.length % 9
-        Seq(
-          (id, 0L, s"HTTP://WWW.Ex$k.COM$port/Dir$m" +
-            s"/./skip/../p%61ge?utm_campaign=c&b=$q&a=1#top"),
-          (id, 1L, s"http://www.ex$k.com$port/Dir$m/page?a=1&b=$q&utm_source=z"),
-          (id, 2L, s"http://www.ex$k.com$port/Dir$m/page2?a=1&b=$q"))
-      }
-      .map { case (id, v, messy) =>
-        val canon = graft.operators.UrlNorm.normalize(messy)
-        val path = canon.substring(canon.indexOf('/', 8))
-          .takeWhile(c => c != '?' && c != '#')
-        val robots = graft.operators.Robots.parse(
-          s"""User-agent: *
-             |Disallow: /Dir2
-             |Disallow: /Dir4
-             |User-agent: GraftBot
-             |Disallow: /Dir1
-             |Disallow: /Dir3
-             |Allow: /Dir3/pa*e$$""".stripMargin)
-        (id, v, canon,
-          graft.operators.Robots.allowed(robots, "graftbot/1.0", path))
-      }
-      .toDF("doc_id", "variant", "canon", "allowed")
-    val keeper = urls
-      .selectExpr("canon",
-        "CAST(doc_id AS DECIMAL(28,0)) * 4 + variant AS pk")
-      .groupBy("canon").agg(min("pk").as("pk"))
-    urls.join(keeper, "canon")
-      .selectExpr("doc_id", "variant", "canon", "allowed",
-        "CAST(doc_id AS DECIMAL(28,0)) * 4 + variant <> pk AS is_dup",
-        "allowed AND CAST(doc_id AS DECIMAL(28,0)) * 4 + variant = pk " +
-          "AS fetch")
-      .orderBy("doc_id", "variant")
-  }
-
-  /** THE COMPOSED CRAWLER LOOP — frontier ∘ politeness as one query:
-    * discovered URLs canonicalize, pass robots, dedup by first
-    * discovery (the [[crawlFrontier]] stage), and the surviving
-    * fetches schedule under the per-host Crawl-delay closed form
-    * (the [[politeSchedule]] window). The oracle recomputes the whole
-    * chain. Shuffles: the frontier's canonical-URL keeper + one
-    * host-partitioned window — nothing beyond the parts composed. */
-  private def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("host_key")
-      .orderBy("t_ms", "doc_id", "variant")
-    crawlFrontier(s, dir).filter(col("fetch"))
-      .selectExpr("doc_id", "variant",
-        "concat('ex', doc_id % 7, '.com') AS host_key",
-        "(doc_id div 7) * 800 + variant * 50 AS t_ms")
-      .withColumn("rn", row_number().over(w) - lit(1))
-      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
-      .withColumn("sched_ms",
-        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
-      .selectExpr("doc_id", "variant", "host_key", "t_ms", "sched_ms")
-      .orderBy("doc_id", "variant")
-  }
-
-  /** THE CRAWLER LOOP WITH DISCOVERY — sitemap ∘ frontier ∘
-    * politeness, the three-stage composition a crawler actually runs:
-    * every document carries a 3-entry sitemap (one messy loc that
-    * canonicalizes onto its sibling — the dup the frontier must
-    * catch — plus a sibling-directory loc), discovery parses the
-    * urlset ([[operators.Sitemap]]), each loc canonicalizes
-    * (UrlNorm), passes the robots gate, dedups by first discovery,
-    * and the surviving fetches schedule under the per-host
-    * Crawl-delay closed form. The oracle replays the entire chain
-    * analytically.
-    *
-    * 100 TB shape: discovery + canonicalization + robots are one
-    * map-side flatMap; then exactly the [[crawlSchedule]] shuffles —
-    * the canonical-URL keeper aggregate and one host-partitioned
-    * window. Nothing beyond the parts composed. */
-  private def crawlLoopSitemap(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val urls = Tables.documents(s, dir)
-      .selectExpr("doc_id", "length(text) AS len")
-      .as[(Long, Long)]
-      .flatMap { case (id, len) =>
-        val k = id % 7
-        val m = len % 5
-        val m2 = (m + 1) % 5
-        val q = len % 9
-        val xml =
-          s"""<?xml version="1.0" encoding="UTF-8"?>
-             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
-             |<url><loc>http://ex$k.com/Dir$m/page?b=$q&amp;a=1</loc></url>
-             |<url><loc>HTTP://Ex$k.COM:80/Dir$m/./page?a=1&amp;b=$q</loc></url>
-             |<url><loc>http://ex$k.com/Dir$m2/page?a=1&amp;b=$q</loc></url>
-             |</urlset>""".stripMargin
-        graft.operators.Sitemap.parseUrlset(xml).zipWithIndex.map {
-          case (u, i) =>
-            val canon = graft.operators.UrlNorm.normalize(u.loc)
-            val path = canon.substring(canon.indexOf('/', 8))
-              .takeWhile(c => c != '?' && c != '#')
-            val robots = graft.operators.Robots.parse(
-              s"""User-agent: *
-                 |Disallow: /Dir2
-                 |Disallow: /Dir4
-                 |User-agent: GraftBot
-                 |Disallow: /Dir1
-                 |Disallow: /Dir3
-                 |Allow: /Dir3/pa*e$$""".stripMargin)
-            (id, i.toLong, canon,
-              graft.operators.Robots.allowed(robots, "graftbot/1.0", path))
-        }
-      }
-      .toDF("doc_id", "pos", "canon", "allowed")
-    val keeper = urls
-      .selectExpr("canon",
-        "CAST(doc_id AS DECIMAL(28,0)) * 4 + pos AS pk")
-      .groupBy("canon").agg(min("pk").as("pk"))
-    val w = Window.partitionBy("host_key").orderBy("t_ms", "doc_id", "pos")
-    urls.join(keeper, "canon")
-      .filter(col("allowed") &&
-        expr("CAST(doc_id AS DECIMAL(28,0)) * 4 + pos = pk"))
-      .selectExpr("doc_id", "pos", "canon",
-        "concat('ex', doc_id % 7, '.com') AS host_key",
-        "(doc_id div 7) * 800 + pos * 50 AS t_ms")
-      .withColumn("rn", row_number().over(w) - lit(1))
-      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
-      .withColumn("sched_ms",
-        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
-      .selectExpr("doc_id", "pos", "host_key", "canon", "t_ms", "sched_ms")
-      .orderBy("doc_id", "pos")
-  }
-
-  /** Sitemap parsing (operators/Sitemap): every doc carries a 3-entry
-    * urlset — one loc with an `&amp;`-escaped query (the decode the
-    * protocol requires), one with lastmod + priority, one bare — and
-    * the parser must extract loc/lastmod/changefreq/priority with the
-    * spec defaults (priority absent → 0.5). The oracle rebuilds every
-    * field analytically; priorities parse with integer arithmetic so
-    * ppm values are engine-exact. */
-  private def sitemapParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir).selectExpr("doc_id", "length(text) AS len")
-      .as[(Long, Long)]
-      .flatMap { case (id, len) =>
-        val k = id % 7
-        val d = 1 + (len % 28)
-        val pr = (len % 10).toInt
-        val xml =
-          s"""<?xml version="1.0" encoding="UTF-8"?>
-             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
-             |<url><loc>http://ex$k.com/p?a=1&amp;b=$len</loc></url>
-             |<url><loc>http://ex$k.com/q</loc><lastmod>2026-01-${"%02d".format(d)}</lastmod><priority>0.$pr</priority></url>
-             |<url><loc>http://ex$k.com/r</loc><changefreq>daily</changefreq></url>
-             |</urlset>""".stripMargin
-        graft.operators.Sitemap.parseUrlset(xml).zipWithIndex.map {
-          case (u, i) =>
-            (id, i.toLong, u.loc, u.lastmod, u.changefreq, u.priorityPpm)
-        }
-      }
-      .toDF("doc_id", "pos", "loc", "lastmod", "changefreq",
-        "priority_ppm")
-      .orderBy("doc_id", "pos")
-  }
-
-  /** Per-host politeness scheduling (Crawl-delay) — the last crawler
-    * op beside the frontier: each host's fetches must be ≥ D ms
-    * apart, so request i (in desired-time order) schedules at
-    * `s_i = max(t_i, s_{i−1} + D)`. The recurrence has the closed
-    * form `s_i = D·i + prefixmax(t_j − D·j)`, which turns the
-    * sequential dependency into ONE running-max window per host —
-    * exact integers, no recursion, and the window partitions by host
-    * (the politeness key IS the parallelism key; no host's schedule
-    * depends on another's). */
-  final val CrawlDelayMs = 1000L
-  private def politeSchedule(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("host_key")
-      .orderBy("t_ms", "doc_id")
-    Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        "concat('ex', doc_id % 7, '.com') AS host_key",
-        "(doc_id div 7) * 800 + (length(text) % 400) AS t_ms")
-      .withColumn("rn", row_number().over(w) - lit(1))
-      .withColumn("x", col("t_ms") - lit(CrawlDelayMs) * col("rn"))
-      .withColumn("sched_ms",
-        lit(CrawlDelayMs) * col("rn") + max("x").over(w))
-      .selectExpr("doc_id", "host_key", "t_ms", "sched_ms",
-        "sched_ms - t_ms AS delay_ms")
-      .orderBy("doc_id")
-  }
-
-  /** The line dimension for C4/RefinedWeb-style line-level dedup: the
-    * corpus has no newlines, so "lines" are deterministic 3-word
-    * chunks of each document (the fixture defines the boundary; the
-    * dedup machinery is what's under test). Chunking is pure map-side
-    * array slicing — `sequence` over chunk indices + `slice` — no
-    * explode-regroup shuffle. */
-  private val LineWords = 3
-  private def docLines(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id",
-        s"""posexplode(transform(
-           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
-           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
-           |    ' '))) AS (line_no, line)""".stripMargin)
-
-  /** C4-style GLOBAL exact line dedup: every distinct line survives
-    * only at its first occurrence under the total order
-    * (doc_id, line_no); all later copies are dropped, and each doc is
-    * reconstructed from its surviving lines in order. The keeper is a
-    * `min(struct(doc_id, line_no))` aggregate per distinct line — the
-    * keeper ROW IS the kept instance, so no re-join of the line text
-    * back onto the corpus is needed. Output per doc: line counts and
-    * the md5 of the reconstructed text, which the oracle recomputes
-    * from its own first-occurrence walk — any keeper-policy or
-    * reconstruction-order bug flips the hash.
-    *
-    * 100 TB shape: one map-combinable min-aggregate shuffled on the
-    * line dimension (hot boilerplate lines partial-combine to one row
-    * per map task — no skew), one doc_id shuffle for reconstruction,
-    * and a broadcast-size NOTHING: the corpus text is shuffled once as
-    * (line, keeper) pairs, never re-attached. The per-doc left join is
-    * doc-dimension sized on both sides. */
-  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val lines = docLines(s, dir)
-    // keeper key packed as doc_id·10¹⁰ + line_no in DECIMAL(38,0):
-    // min over a struct falls back to SortAggregate (per-partition
-    // corpus sort of the exploded lines), while a fixed-width decimal
-    // min stays in hash aggregation with map-side combine. Safe for
-    // any i64 doc_id (≤ 9.2·10¹⁸ · 10¹⁰ < 10³⁸) and any document
-    // under 10¹⁰ lines (a 3-word line is ≥ ~6 bytes — that is a
-    // ≥ 60 GB single document before the bound bites).
-    val kept = lines
-      .selectExpr("line",
-        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + line_no AS pk")
-      .groupBy("line").agg(min("pk").as("pk"))
-      .selectExpr("CAST(pk div 10000000000 AS BIGINT) AS doc_id",
-        "CAST(pk % 10000000000 AS BIGINT) AS line_no", "line")
-    val keptAgg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(concat_ws("\n", expr(
-        "transform(array_sort(collect_list(struct(line_no, line))), " +
-          "x -> x.line)"))).as("out_md5"))
-    Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        s"((size(split(text, ' ')) - 1) div $LineWords) + 1 AS n_lines")
-      .join(keptAgg, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "n_lines",
-        "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
-        "coalesce(out_md5, md5('')) AS out_md5")
-      .orderBy("doc_id")
-  }
-
-  /** RefinedWeb-style boilerplate line removal: any line appearing in
-    * ≥ 3 DISTINCT documents is boilerplate and is removed from EVERY
-    * document (unlike [[lineDedup]], which keeps the first copy).
-    * Per doc: total lines, removed count, md5 of the remaining text.
-    *
-    * 100 TB shape: the line-frequency table is a map-side
-    * partial-distinct aggregate on the line dimension; re-attaching
-    * the verdict is a self-join on the SAME line key, so the shuffle
-    * partitioning is reused, then one doc_id shuffle reconstructs.
-    * Only (line, doc-frequency) pairs cross the wire twice — the doc
-    * frequency table is distinct-line sized, not corpus sized. */
-  private def lineBoilerplate(s: SparkSession, dir: String): DataFrame = {
-    val lines = docLines(s, dir)
-    val freq = lines.groupBy("line")
-      .agg(countDistinct("doc_id").as("df"))
-    lines.join(freq, "line")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_removed"),
-        md5(concat_ws("\n", expr(
-          "transform(array_sort(collect_list(" +
-            "CASE WHEN df < 3 THEN struct(line_no, line) END)), " +
-            "x -> x.line)"))).as("out_md5"))
-      .orderBy("doc_id")
-  }
-
-  /** THE COMPOSED WEB-INGEST DAG — the whole round-8 web family as
-    * one query, the CorpusApp/DetectorApp move for the web side:
-    * documents wrap into full HTML pages (the html_extract fixture,
-    * entity-escaped, script/style/comment traps), pack into 16-record
-    * per-record-gzip WARC archives (the Common Crawl layout), then the
-    * pipeline runs archives → record walk → HTML text extraction →
-    * token gate → GLOBAL line-level dedup, ending in a per-document
-    * keep verdict: `n_tokens ≥ 24 AND n_kept·2 ≥ n_lines`. The oracle
-    * recomputes the whole chain analytically (the wrap+extract pair
-    * must be exactly invertible — any WARC framing, gzip, entity,
-    * collapse or keeper bug flips a verdict).
-    *
-    * 100 TB shape: build side pays the one archive-assembly shuffle;
-    * from archives on, it is the warc_parse flatMap + the line_dedup
-    * shuffle pair — nothing new beyond the parts it composes. */
-  private def webIngestDag(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    // persisted: the WARC-build → parse → extract chain feeds BOTH the
-    // keeper aggregate and the per-doc stats branch — without the
-    // cache the whole gzip/extract chain would compute twice
-    val extracted = ScanCache.get(s, s"web-ingest-extracted:$dir") {
-      webIngestExtracted(s, dir) }
-    webIngestVerdicts(extracted)
-  }
-
-  private def webIngestExtracted(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val html =
-          s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
-        (id / 16, id, graft.operators.Warc.buildRecord(
-          id, s"http://ex${id % 7}.com/doc/$id", html.getBytes("UTF-8")))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val archive = graft.operators.Warc.buildArchive(
-          it.toSeq.sortBy(_._2).map(_._3), gzip = true)
-        graft.operators.Warc.parseArchiveBodies(archive).map {
-          case (uri, body) =>
-            (uri.substring(uri.lastIndexOf('/') + 1).toLong,
-              graft.operators.HtmlText.extractText(body))
-        }
-      }
-      .toDF("doc_id", "xt")
-  }
-
-  private def webIngestVerdicts(extracted: DataFrame): DataFrame = {
-    val lines = extracted
-      .selectExpr("doc_id", "split(xt, ' ') AS ws")
-      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens",
-        s"""posexplode(transform(
-           |  sequence(0, CAST((size(ws) - 1) div $LineWords AS INT)),
-           |  j -> array_join(slice(ws, j * $LineWords + 1, $LineWords),
-           |    ' '))) AS (line_no, line)""".stripMargin)
-    val kept = lines
-      .selectExpr("line",
-        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + line_no AS pk")
-      .groupBy("line").agg(min("pk").as("pk"))
-      .selectExpr("CAST(pk div 10000000000 AS BIGINT) AS doc_id")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
-    lines.groupBy("doc_id")
-      .agg(first("n_tokens").as("n_tokens"), count(lit(1)).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "n_tokens", "n_lines",
-        "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
-        "n_tokens >= 24 AND coalesce(n_kept, CAST(0 AS BIGINT)) * 2 " +
-          ">= n_lines AS keep")
-      .orderBy("doc_id")
-  }
-
-  /** MPEG-1 Audio Layer I REAL bitstream decode
-    * (operators/MpegAudio): per doc a multi-frame mono stream encodes
-    * with per-subband allocations (2–4 sample bits), power-of-two
-    * scalefactors (indices at multiples of 3 — the closed-form
-    * geometric table needs no spec data) and text-derived sample
-    * codes; the decoder walks headers, allocations, scalefactors and
-    * the interleaved 12×32 sample grid, requantizing with the Layer I
-    * formula. The oracle recomputes EVERYTHING analytically from the
-    * document text — frame/subband schedules, raw code sums and the
-    * per-sample requantized micro-unit amplitudes (every factor a
-    * power of two or a single IEEE division, so both engines agree
-    * bit-for-bit). One flatMap over the scan, zero shuffle. */
-  private def multimodalDecodeMp1(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val bl = t.length
-        val b = asciiBytes(id, t)
-        val frames = (0 until (1 + bl % 3)).map { f =>
-          val nsb = 1 + ((bl + f) % 4)
-          val allocs = Array.tabulate(32)(sb =>
-            if (sb < nsb) 1 + (sb % 3) else 0)
-          val scf = Array.tabulate(32)(sb => 3 * ((sb + f) % 5))
-          val codes = Array.tabulate(32)(sb => Array.tabulate(12)(s0 =>
-            if (sb < nsb)
-              (b((f * 97 + sb * 12 + s0) % bl) & 0xff) %
-                (1 << (2 + sb % 3))
-            else 0))
-          graft.operators.MpegAudio.encodeFrame(allocs, scf, codes)
-        }
-        val dec = graft.operators.MpegAudio.decode(
-          frames.foldLeft(Array.emptyByteArray)(_ ++ _))
-        (id, dec.length.toLong, dec.map(_.nActive.toLong).sum,
-          dec.map(_.sumCodes).sum, dec.map(_.ampMicro).sum)
-      }
-      .toDF("media_id", "n_frames", "n_active", "sum_codes", "amp_micro")
-      .orderBy("media_id")
-  }
-
-  /** MPEG-1 Audio Layer II REAL bitstream decode
-    * (operators/MpegAudio.decodeL2) — the dominant broadcast layer,
-    * extending the Layer I walk with everything Layer II adds: the
-    * Table 3-B.2a bit allocation (active subbands 0/4/12/24 hit all
-    * four nbal classes), SCFSI scalefactor sharing (the fixture
-    * cycles all four modes), GROUPED quantizers (3/5/9-step triples
-    * in one 5/7/10-bit codeword) and the C·(s+D) requantization with
-    * closed-form constants. Scalefactor indices stay at multiples of
-    * 3 (power-of-two factors), so every amplitude is the same
-    * exact-or-single-rounded IEEE chain the oracle reproduces. One
-    * flatMap over the scan, zero shuffle. */
-  private def multimodalDecodeMp2(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val Mp = graft.operators.MpegAudio
-        val bl = t.length
-        val b = asciiBytes(id, t)
-        val activeSbs = Array(0, 4, 12, 24)
-        val frames = (0 until (1 + bl % 3)).map { f =>
-          val act = activeSbs.take(1 + ((bl + f) % 4))
-          val allocIdx = Array.fill(Mp.L2SbLimit)(0)
-          val scfsi = Array.fill(Mp.L2SbLimit)(0)
-          val scf = Array.ofDim[Int](Mp.L2SbLimit, 3)
-          val samples = Array.ofDim[Int](Mp.L2SbLimit, 36)
-          act.foreach { sb =>
-            val cap = if (sb == 24) 2 else 4
-            allocIdx(sb) = 1 + ((bl + sb + f) % cap)
-            scfsi(sb) = (bl + sb + f) % 4
-            for (k <- 0 until 3) scf(sb)(k) = 3 * ((sb + f + k) % 5)
-            val m = Mp.l2Steps(sb, allocIdx(sb))
-            for (i <- 0 until 36)
-              samples(sb)(i) = (b((f * 89 + sb * 36 + i) % bl) & 0xff) % m
-          }
-          Mp.encodeFrameL2(allocIdx, scfsi, scf, samples)
-        }
-        val dec = Mp.decodeL2(
-          frames.foldLeft(Array.emptyByteArray)(_ ++ _))
-        (id, dec.length.toLong, dec.map(_.nActive.toLong).sum,
-          dec.map(_.nGrouped).sum, dec.map(_.sumCodes).sum,
-          dec.map(_.ampMicro).sum)
-      }
-      .toDF("media_id", "n_frames", "n_active", "n_grouped",
-        "sum_codes", "amp_micro")
-      .orderBy("media_id")
-  }
-
-  /** H.264 Annex B stream walk + REAL SPS parse
-    * (operators/H264): per doc a baseline-profile elementary stream —
-    * SPS (Exp-Golomb frame-size fields with 4:2:0 cropping for
-    * non-multiple-of-16 dims), PPS, one IDR and a text-derived count
-    * of non-IDR slices — and the parser start-code-walks the NAL
-    * units, strips emulation-prevention bytes and Exp-Golomb-decodes
-    * the SPS down to the cropped dimensions. ASCII payload bytes are
-    * never 0x00, so no false start codes arise and the oracle
-    * predicts every fact arithmetically. Pixel reconstruction
-    * (CAVLC/CABAC) stays out of scope — the WebP/MP4 honesty level.
-    * Pure map pass, zero shuffle. */
-  private def multimodalDecodeH264(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val H = graft.operators.H264
-        val bl = t.length
-        val b = asciiBytes(id, t)
-        val w = 2 * (1 + bl % 32)
-        val h = 2 * (1 + (bl / 64) % 32)
-        val nVcl = 1 + bl % 7
-        val stream = H.buildNal(3, 7, H.buildSps(w, h)) ++
-          H.buildNal(3, 8, H.buildPps()) ++
-          (0 until nVcl).toArray.flatMap { i =>
-            val payload = Array.tabulate(8)(j => b((i * 13 + j) % bl))
-            H.buildNal(if (i == 0) 3 else 2, if (i == 0) 5 else 1,
-              payload)
-          }
-        val f = H.parse(stream)
-        (id, f.width, f.height, f.nNals, f.nIdr, f.nVcl)
-      }
-      .toDF("media_id", "decoded_w", "decoded_h", "n_nals", "n_idr",
-        "n_vcl")
-      .orderBy("media_id")
-  }
-
-  /** WebP lossless PIXEL decode (operators/Vp8l) — the full VP8L
-    * bitstream round trip upgrading WebP from "dims only" to real
-    * rasters: per doc a text-derived RGBA image (first row solid to
-    * force an LZ77 run, the rest cycled text bytes) is encoded into a
-    * REAL `.webp` file — canonical prefix codes, distance-1 AND 2-D
-    * mapped backreferences, and per-id feature rotation
-    * (subtract-green on even ids, a 16-entry color cache on ids ≡ 0
-    * mod 3, the PREDICTOR transform cycling all 14 modes on ids ≡ 0
-    * mod 5, the COLOR transform with id-derived signed multipliers
-    * on ids ≡ 0 mod 7, a META-PREFIX entropy image with 1–4 prefix
-    * groups on ids ≡ 0 mod 11) — and decoded back through the real
-    * bit parse
-    * (code-length codes, LZ77 copy, cache state, transform-image
-    * decode, inverse transforms). Channel sums over the DECODED
-    * raster must equal the oracle's arithmetic over the text. Pure
-    * map pass, zero shuffle. */
-  private def multimodalDecodeWebpPixels(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val bl = t.length
-        val b = asciiBytes(id, t)
-        val w = 1 + bl % 32
-        val h = 1 + (bl / 32) % 32
-        val px = Array.tabulate(w * h) { k =>
-          def ch(c: Int): Int =
-            if (k < w) b(c % bl) & 0xff
-            else b((3 * (k - w) + c) % bl) & 0xff
-          0xff000000 | (ch(0) << 16) | (ch(1) << 8) | ch(2)
-        }
-        val webp = graft.operators.Vp8l.encode(w, h, px,
-          subtractGreen = id % 2 == 0,
-          cacheBits = if (id % 3 == 0) 4 else 0,
-          predictorMode = if (id % 5 == 0) (id % 14).toInt else -1,
-          colorCte = if (id % 7 == 0) ((id * 0x9e3779b1L) & 0xffffff).toInt
-                     else -1,
-          metaBits = if (id % 11 == 0) 3 else -1,
-          metaGroups = if (id % 11 == 0) 1 + (id % 4).toInt else 1)
-        val (dw, dh, out) = graft.operators.Vp8l.decode(webp).get
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        out.foreach { p =>
-          sr += (p >>> 16) & 0xff
-          sg += (p >>> 8) & 0xff
-          sb += p & 0xff
-        }
-        (id, dw, dh, out.length.toLong, sr, sg, sb)
-      }
-      .toDF("media_id", "decoded_w", "decoded_h", "n_pixels",
-        "sum_r", "sum_g", "sum_b")
-      .orderBy("media_id")
-  }
-
-  /** H.264 I_PCM PIXEL decode (operators/H264.decodeIPcmPixels) — the
-    * one entropy-free pixel path in the codec (§7.3.5: mb_type 25,
-    * byte-aligned raw 4:2:0 samples), upgrading the h264 row from
-    * facts-only to real reconstructed planes: per doc an IDR frame of
-    * text-derived I_PCM macroblocks is built, streamed through Annex B
-    * (start codes + emulation prevention), and decoded back through
-    * the REAL slice-header + macroblock bit parse into raster planes.
-    * The position-weighted luma checksum pins the MB→plane scatter
-    * (a transposed or mis-tiled plane flips it); plain sums pin the
-    * sample values. CAVLC intra prediction remains the documented
-    * honest gap (COVERAGE.md). Pure map pass, zero shuffle. */
-  private def multimodalDecodeH264Pixels(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val H = graft.operators.H264
-        val bl = t.length
-        val b = asciiBytes(id, t)
-        val wMbs = 1 + bl % 4
-        val hMbs = 1 + (bl / 4) % 4
-        val slice = H.buildIPcmSlice(wMbs, hMbs,
-          k => b((k * 31 + 7) % bl) & 0xff,
-          (m, j) => b(((m * 64 + j) * 13) % bl) & 0xff,
-          (m, j) => b(((m * 64 + j) * 17 + 3) % bl) & 0xff)
-        val stream = H.buildNal(3, 7, H.buildSps(16 * wMbs, 16 * hMbs)) ++
-          H.buildNal(3, 8, H.buildPps()) ++
-          H.buildNal(3, 5, slice)
-        val f = H.decodeIPcmPixels(stream).get
-        // checksums over the DECODED planes, not the write stream
-        var sumY = 0L
-        var wsumY = 0L
-        var px = 0
-        while (px < f.y.length) {
-          val v = f.y(px) & 0xff
-          sumY += v
-          wsumY += (px % f.width + 3L * (px / f.width) + 1L) * v
-          px += 1
-        }
-        (id, f.width, f.height, sumY, wsumY,
-          f.cb.map(v => (v & 0xff).toLong).sum,
-          f.cr.map(v => (v & 0xff).toLong).sum)
-      }
-      .toDF("media_id", "decoded_w", "decoded_h", "sum_y", "wsum_y",
-        "sum_cb", "sum_cr")
-      .orderBy("media_id")
-  }
-
-  /** Content sniffing over every container this library encodes: each
-    * document encodes into one of ten REAL containers by id rotation —
-    * plus one deliberately MISLABELED class (raw text declared as
-    * image/png) — and [[operators.Multimodal.sniffKind]] must dispatch
-    * on magic bytes alone. The oracle predicts the sniffed type (and
-    * the mismatch flag) purely from `doc_id % 11`. The
-    * trust-the-bytes-not-the-label gate of a multimodal pipeline;
-    * pure map pass. */
-  private def contentSniff(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val b = asciiBytes(id, t)
-        val w = 1 + (t.length % 16)
-        val h = 1 + ((t.length / 16) % 16)
-        val M = graft.operators.Multimodal
-        val (declared, bytes) = (id % 22) match {
-          case 0 => ("image/bmp", M.encodeBmp(w, h, b))
-          case 1 => ("image/png", M.encodePng(w, h, b))
-          case 2 => ("image/gif", M.encodeGif(w, h, b))
-          case 3 => ("image/jpeg", M.encodeJpegHeader(w, h, b))
-          case 4 => ("image/tiff", M.encodeTiff(w, h, id % 2 == 0, b))
-          case 5 => ("audio/wav", M.encodeWavPcm8(8000, b))
-          case 6 => ("image/webp", M.encodeWebp("VP8 ", w, h, b))
-          case 7 => ("video/mp4", M.encodeMp4(w, h, 1000, 400, b))
-          case 8 => ("audio/mpeg", M.encodeMp3(2, b))
-          case 9 => ("application/warc", graft.operators.Warc
-            .buildRecord(id, s"http://ex.com/$id", b))
-          // mislabeled raw text; the 0x20 prefix matches no container
-          // magic, so the sniff verdict cannot depend on whether the
-          // fixture text happens to start with 'BM', 'RIFF', 'ID3', …
-          case 10 => ("image/png", 0x20.toByte +: b)
-          case 11 => ("application/avro", graft.operators.Avro.build(
-            "doc", Seq(graft.operators.Avro.Field(
-              "text", "string", nullable = false)),
-            Seq(Seq(Some(t))), "deflate"))
-          case 12 => ("application/zip", graft.operators.Zip
-            .buildArchive(Seq((s"$id.txt", b, true))))
-          case 13 => ("application/x-lz4",
-            graft.operators.Lz4.frameCompress(b))
-          case 14 => ("application/x-snappy-framed",
-            graft.operators.SnappyCodec.frameCompress(b))
-          case 15 => ("audio/flac", graft.operators.Flac.encode(
-            8000, b.map(v => ((v & 0xff) - 128) * 256)))
-          case 16 => ("application/ogg", graft.operators.Ogg.build(
-            1L, Seq(b), Seq(0L)))
-          case 17 => ("application/vnd.apache.arrow.file",
-            buildArrowShard(Seq((id, t))))
-          case 18 => ("application/x-xz",
-            graft.operators.Xz.encodeStore(b))
-          case 19 => ("application/x-npy", graft.operators.Npy
-            .build("u1", Seq(b.length), b))
-          case 20 => ("application/x-gguf", graft.operators.Gguf
-            .build(Seq("doc.id" -> graft.operators.Gguf.GvI64(id)),
-              Seq(graft.operators.Gguf.GTensor("text",
-                Seq(b.length.toLong), "I8", b))))
-          case _ => ("application/vnd.sqlite3",
-            graft.operators.Sqlite.build("doc", Seq("text"),
-              Seq((1L, Seq[Any](t)))))
-        }
-        val sniffed = M.sniffKind(bytes)
-        (id, declared, sniffed, declared == sniffed)
-      }
-      .toDF("media_id", "declared", "sniffed", "label_ok")
-      .orderBy("media_id")
-  }
-
-  /** WARC (ISO 28500) build + parse — the Common Crawl ingestion path.
-    * Documents become WARC/1.0 response records (HTTP 200 envelope,
-    * exact Content-Length framing), 16 records concatenate into each
-    * archive in doc_id order, and [[operators.Warc.parseArchive]]
-    * walks the archives back out: header block, Content-Length payload
-    * read, HTTP status + body extraction, `\r\n\r\n` separator. The
-    * oracle predicts every output — record position within the
-    * archive, the WARC Content-Length (63-byte envelope + digits +
-    * body), body byte length and body md5 — purely from `documents`,
-    * so any framing, walk-order or payload-boundary bug flips a row.
-    *
-    * 100 TB shape: in production the archives are the INPUT — the
-    * parse side is a flatMap over binary file rows, embarrassingly
-    * parallel, payloads fingerprinted in place and never shuffled.
-    * The build side here adds the one archive-keyed shuffle that
-    * archive ASSEMBLY inherently needs (16-record groups). */
-  private def warcParse(s: SparkSession, dir: String, gzip: Boolean)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir).select("doc_id", "text")
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id / 16, id, graft.operators.Warc.buildRecord(
-          id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val archive = graft.operators.Warc.buildArchive(
-          it.toSeq.sortBy(_._2).map(_._3), gzip)
-        graft.operators.Warc.parseArchive(archive).zipWithIndex.map {
-          case (r, i) =>
-            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
-              aid, i.toLong, r.uri, r.warcType, r.contentLength,
-              r.httpStatus, r.bodyLen, r.bodyMd5)
-        }
-      }
-      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
-        "content_length", "http_status", "body_len", "body_md5")
-      .orderBy("doc_id")
-  }
-
-  private def warcParsePlain(s: SparkSession, dir: String): DataFrame =
-    warcParse(s, dir, gzip = false)
-
-  /** CDX index build over the real WARC archives — the web-archive
-    * LOOKUP artifact (what wayback-style replay and per-domain scans
-    * seek through): per record, the SURT ordering key, archive id,
-    * byte offset and length of the WHOLE record within the archive,
-    * payload digest and HTTP status. Offsets come from the record
-    * WALK (`WarcRecord.recOff`/`recLen`), so a framing bug anywhere —
-    * header arithmetic, envelope parse, separator handling — shifts
-    * every subsequent offset in the archive and fails the hash
-    * against the oracle's closed-form envelope sums. Ordered by SURT,
-    * the convention that makes a domain's records one contiguous
-    * range. Same scale shape as warc_parse: archives build and parse
-    * inside one flatMapGroups pass, only index rows shuffle. */
-  private def warcCdx(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir).select("doc_id", "text")
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id / 16, id, graft.operators.Warc.buildRecord(
-          id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val archive = graft.operators.Warc.buildArchive(
-          it.toSeq.sortBy(_._2).map(_._3), gzip = false)
-        graft.operators.Warc.parseArchive(archive).map { r =>
-          (graft.operators.UrlNorm.surtKey(r.uri), aid,
-            r.recOff.toLong, r.recLen.toLong, r.bodyMd5,
-            r.httpStatus)
-        }
-      }
-      .toDF("surt", "arch_id", "rec_off", "rec_len", "digest",
-        "http_status")
-      .orderBy("surt", "arch_id")
-  }
-
-  /** Once-per-corpus materialization of REAL `.warc.gz` archive files
-    * (one file per id-div-16 group, the warc_parse_gzip layout) under
-    * the JVM temp dir; returns the directory. Files are written from
-    * the EXECUTORS (mapGroups side effect — the production writer
-    * shape; on a cluster the same code writes to any mounted shared
-    * store), never collected to the driver. The directory is keyed by
-    * the corpus dir plus a recursive (length + mtime) signature of
-    * documents.parquet, so a driver-side testdata regeneration
-    * invalidates the fixture; a _SUCCESS marker makes the build
-    * idempotent across queries and sessions. */
-  private[graft] def warcFixtureDir(s: SparkSession, dir: String): String = {
-    val spark = s
-    import spark.implicits._
-    def sig(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(sig).sum
-      else f.length() + f.lastModified()
-    val ident = s"$dir:${sig(new java.io.File(s"$dir/documents.parquet"))}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_warc_$key")
-    val marker = new java.io.File(root, "_SUCCESS")
-    if (!marker.exists()) Pipeline.synchronized {
-      if (!marker.exists()) {
-        root.mkdirs()
-        val outPath = root.getAbsolutePath
-        Tables.documents(s, dir).select("doc_id", "text")
-          .as[(Long, String)]
-          .map { case (id, t) =>
-            (id / 16, id, graft.operators.Warc.buildRecord(
-              id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")))
-          }
-          .groupByKey(_._1)
-          .mapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-            val archive = graft.operators.Warc.buildArchive(
-              it.toSeq.sortBy(_._2).map(_._3), gzip = true)
-            java.nio.file.Files.write(java.nio.file.Paths.get(
-              outPath, f"arch-$aid%06d.warc.gz"), archive)
-            aid
-          }
-          .count()
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
-      }
-    }
-    root.getAbsolutePath
-  }
-
-  /** WebDataset-style tar shards (operators/Tar): 8 documents per
-    * shard, each sample a basename-keyed file group — `{id}.txt` (the
-    * text), `{id}.cls` (the label) and `{id}.json` (metadata) as
-    * adjacent ustar entries; every 11th document OMITS its `.cls`
-    * (the incomplete sample a loader must drop). The parse walk
-    * verifies every header checksum and emits per-entry facts the
-    * oracle predicts entirely from `documents` — names, octal-coded
-    * sizes, payload md5s and entry positions (which SHIFT at each
-    * missing file, so a walk bug flips rows corpus-wide).
-    *
-    * 100 TB shape: the build side pays the one shard-keyed shuffle
-    * archive assembly inherently needs; the parse side is a flatMap
-    * over shard rows — in production the shards are the INPUT (the
-    * warc_parse_files pattern applies verbatim). */
-  private def tarShardEntries(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val files = Seq(
-          Some(s"$id.txt" -> t.getBytes("UTF-8")),
-          if (id % 11 == 10) None
-          else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
-          Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
-        ).flatten
-        (id / 8, id,
-          files.map { case (n, d) => graft.operators.Tar.buildEntry(n, d) })
-      }
-      .groupByKey(_._1)
-      .flatMapGroups {
-        (sid: Long, it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
-          val entries = it.toSeq.sortBy(_._2).flatMap(_._3)
-          graft.operators.Tar.parse(
-              graft.operators.Tar.buildArchive(entries))
-            .zipWithIndex.map { case (e, i) =>
-              (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
-                e.name, e.size, e.md5)
-            }
-      }
-      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
-  }
-
-  private def tarParse(s: SparkSession, dir: String): DataFrame =
-    tarShardEntries(s, dir).orderBy("doc_id", "name")
-
-  /** The `.tgz` twin of [[tarParse]]: the same 8-document shards
-    * gzip-wrapped whole (the `.tar.gz` convention) and walked back
-    * through the sniffing [[graft.operators.Tar.parseAuto]] — the
-    * compression layer must be transparent to every entry fact, so
-    * the oracle is IDENTICAL to tar_parse. */
-  private def tarParseGz(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir, graft.operators.Tar.gzipArchive)
-
-  /** The `.tar.lz4` twin: the same shards wrapped in our own
-    * LZ4 FRAME (operators/Lz4 — 64 KiB independent blocks, content
-    * checksum) and walked back through the sniffing parseAuto. The
-    * oracle is IDENTICAL to tar_parse: the lz4 layer — compressor,
-    * frame writer, frame reader, block decoder, xxh32 — must be
-    * jointly invisible to every entry fact. */
-  private def tarParseLz4(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir, graft.operators.Tar.lz4Archive)
-
-  /** The `.tar.sz` twin: the same shards through our Snappy FRAMING
-    * wrap (operators/SnappyCodec — 64 KiB chunks, masked CRC-32C per
-    * chunk). Identical oracle, same transparency contract. */
-  private def tarParseSnappy(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir, graft.operators.Tar.snappyArchive)
-
-  /** The `.tar.bz2` twin: the same shards through our bzip2 codec
-    * (operators/Bzip2 — BWT + MTF + Huffman, block and stream CRCs
-    * verified on the way back). Identical oracle, same transparency
-    * contract: every byte of the tar must survive the round trip. */
-  private def tarParseBz2(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir, graft.operators.Tar.bzip2Archive)
-
-  /** The `.tar.zst` twin, and a live differential in the gate: the
-    * wrap side is zstd-jni (the C zstd Spark itself loads, level 9 —
-    * REAL entropy-coded frames: FSE tables, 4-stream Huffman,
-    * repeated offsets), the decode side is OUR pure-JVM RFC 8878
-    * walk (operators/Zstd). Identical oracle: the whole codec must
-    * be byte-transparent or every downstream fact shifts. */
-  private def tarParseZst(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir,
-      tar => com.github.luben.zstd.Zstd.compress(tar, 9))
-
-  /** The `.tar.xz` twin, and the second live in-gate differential:
-    * the wrap side is the tukaani xz library Spark bundles (preset 6
-    * — REAL LZMA2 range-coded chunks, CRC64 block checks), the
-    * decode side is OUR pure-JVM LZMA/XZ walk (operators/Xz).
-    * Identical oracle: the codec must be byte-transparent. */
-  private def tarParseXz(s: SparkSession, dir: String): DataFrame =
-    tarParseWrapped(s, dir, { tar =>
-      val buf = new java.io.ByteArrayOutputStream()
-      // preset 6 coding with a SHARD-SIZED dictionary: the default
-      // 8 MiB dict allocates a ~40 MB match finder PER SHARD (measured
-      // 58 ms/shard of pure allocation — 8× the whole compress at
-      // 64 KiB; XzPerfProbe pins the split). Matches still span the
-      // entire archive, so the coded stream our decoder reads is as
-      // real as the default's.
-      val opt = new org.tukaani.xz.LZMA2Options(6)
-      opt.setDictSize(math.max(1 << 16,
-        java.lang.Integer.highestOneBit(math.max(tar.length - 1, 1)) * 2))
-      val z = new org.tukaani.xz.XZOutputStream(buf, opt)
-      z.write(tar); z.finish(); z.close()
-      buf.toByteArray
-    })
-
-  /** Shared walk for the compressed-tar twins: build the tar_parse
-    * shards, wrap each whole archive with `wrap`, parse back through
-    * [[graft.operators.Tar.parseAuto]]'s magic-byte sniff. */
-  private def tarParseWrapped(s: SparkSession, dir: String,
-      wrap: Array[Byte] => Array[Byte]): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val files = Seq(
-          Some(s"$id.txt" -> t.getBytes("UTF-8")),
-          if (id % 11 == 10) None
-          else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
-          Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
-        ).flatten
-        (id / 8, id,
-          files.map { case (n, d) => graft.operators.Tar.buildEntry(n, d) })
-      }
-      .groupByKey(_._1)
-      .flatMapGroups {
-        (sid: Long, it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
-          val entries = it.toSeq.sortBy(_._2).flatMap(_._3)
-          graft.operators.Tar.parseAuto(
-              wrap(graft.operators.Tar.buildArchive(entries)))
-            .zipWithIndex.map { case (e, i) =>
-              (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
-                e.name, e.size, e.md5)
-            }
-      }
-      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
-      .orderBy("doc_id", "name")
-  }
-
-  /** The WebDataset deployment shape made real: the same 8-document
-    * tar shards as [[tarShardEntries]], materialized as `.tar` FILES
-    * (executor-written, signature-keyed) and read back through
-    * `binaryFile` → the checksum-verifying parse flatMap. Identical
-    * oracle to tar_parse — the file layer must be transparent. Spread
-    * by path (binaryFile packs small files into one split; real
-    * WebDataset shards are ~1 GB and split-sized). */
-  private def tarParseFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "tarshard", "documents") { out =>
-      asciiDocs(s, dir)
-        .map { case (id, t) =>
-          val files = Seq(
-            Some(s"$id.txt" -> t.getBytes("UTF-8")),
-            if (id % 11 == 10) None
-            else Some(s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8")),
-            Some(s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
-          ).flatten
-          (id / 8, id,
-            files.map { case (n, d) =>
-              graft.operators.Tar.buildEntry(n, d) })
-        }
-        .groupByKey(_._1)
-        .mapGroups { (sid: Long,
-            it: Iterator[(Long, Long, Seq[Array[Byte]])]) =>
-          val arch = graft.operators.Tar.buildArchive(
-            it.toSeq.sortBy(_._2).flatMap(_._3))
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.tar"), arch)
-          sid
-        }
-        .count(): Unit
-    }
-    parseTarFileRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(root)
-        .repartition(col("path")))
-      .orderBy("doc_id", "name")
-  }
-
-  /** Shared oracle for the sequential and Adam7 PNG pixel
-    * queries — identical raster, identical facts. */
-  private def pngPixelsOracleSql: String = {
-      // channel c pixels sit at byte positions ≡ c (mod 3) of the
-      // cycled text bytes: sum_c = Σ_{k<w·h} ascii(text[(3k+c) mod len])
-      def chSum(c: Int): String =
-        s"""CAST(list_sum(list_transform(range(0, n),
-           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
-           |  AS BIGINT)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, n AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-  }
-
-  private def funnelCtesSql: String =
-    s"""WITH docs AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-        |    ${charFoldDuck("text")} AS h1,
-        |    ${charFoldDuck("reverse(text)")} AS h2,
-        |    length(text) AS len
-        |  FROM documents),
-        |k1 AS MATERIALIZED (
-        |  SELECT doc_id, text, ntok FROM (
-        |    SELECT *, min(doc_id) OVER (PARTITION BY h1, h2, len) AS kp
-        |    FROM docs) WHERE doc_id = kp),
-        |l1 AS MATERIALIZED (
-        |  SELECT doc_id, array_to_string(
-        |    ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM k1) d,
-        |  LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
-        |f1 AS (SELECT line, count(DISTINCT doc_id) AS df
-        |       FROM l1 GROUP BY line),
-        |k2 AS MATERIALIZED (
-        |  SELECT k1.doc_id, k1.text, k1.ntok FROM k1 JOIN (
-        |    SELECT l1.doc_id FROM l1 JOIN f1 USING (line)
-        |    GROUP BY l1.doc_id
-        |    HAVING CAST(sum(CASE WHEN f1.df < 3 THEN 1 ELSE 0 END)
-        |      AS BIGINT) * 2 >= count(*)) sv USING (doc_id)),
-        |k3 AS MATERIALIZED (SELECT * FROM k2 WHERE ntok >= 20),
-        |dq AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |       FROM documents),
-        |tq AS (SELECT doc_id, unnest(tk) AS w FROM dq),
-        |dr AS (SELECT doc_id,
-        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
-        |  FROM documents),
-        |cq AS (
-        |  SELECT w,
-        |    CAST(sum(CASE WHEN dr.ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-        |    CAST(sum(CASE WHEN dr.ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
-        |  FROM tq JOIN dr USING (doc_id) GROUP BY w),
-        |tt AS (
-        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
-        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab FROM cq),
-        |pq AS (
-        |  SELECT CAST(round(ln(
-        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
-        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
-        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp FROM dr),
-        |mq AS (
-        |  SELECT w,
-        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
-        |        / (tp + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
-        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
-        |        / (tn + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
-        |  FROM cq CROSS JOIN tt),
-        |pos AS MATERIALIZED (
-        |  SELECT tq.doc_id FROM tq JOIN mq ON tq.w = mq.w
-        |  CROSS JOIN pq GROUP BY tq.doc_id, pq.prior_fp
-        |  HAVING CAST(sum(mq.llr) AS BIGINT) + pq.prior_fp > 0),
-        |k4 AS (SELECT k3.* FROM k3 JOIN pos USING (doc_id))""".stripMargin
-
-  /** avro_parse / avro_parse_files shared oracle: every fact the
-    * Spark side re-derives from decoded rows, predicted straight
-    * from `documents` — the codec rotation by shard, the null union
-    * branch every 11th doc, the quarter-step score (exact in binary,
-    * no rounding needed). */
-  /** Arrow IPC shard walk (operators/ArrowIpc) — the HuggingFace-
-    * datasets interchange format as a live in-gate differential: the
-    * WRITE side is arrow-java (the columnar runtime Spark itself uses
-    * for pandas interop), 8-doc files with int64/utf8/nullable-utf8/
-    * float64 columns; the READ side is OUR from-scratch flatbuffer
-    * walker + columnar decode. Every fact re-derived from DECODED
-    * values, so vtables, validity bitmaps, offset buffers and IEEE
-    * floats must all be value-transparent. Same shuffle shape as
-    * tar_parse. */
-  private def arrowIpcParse(s: SparkSession, dir: String): DataFrame =
-    arrowShardRows(arrowShards(s, dir)).orderBy("doc_id")
-
-  /** The per-shard Arrow files: (shard_id, bytes), arrow-java-built. */
-  private def arrowShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowShard(docs.map { case (_, id, t) => (id, t) }))
-      }
-  }
-
-  /** Shared parse stage: our flatbuffer walker over (shard, bytes)
-    * rows — reused verbatim by the batch, file and streaming paths. */
-  private[graft] def arrowShardRows(
-      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
-      : DataFrame = {
-    val spark = shards.sparkSession
-    import spark.implicits._
-    shards
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow parse rejected shard $sid"))
-        require(cols.map(_.tag) ==
-          Seq("int64", "utf8", "utf8", "float64"))
-        rows.map { r =>
-          val id = r(0).get.asInstanceOf[Long]
-          val text = r(1).get.asInstanceOf[String]
-          val d = java.security.MessageDigest.getInstance("MD5")
-          (id, sid, text.length.toLong,
-            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-              .mkString,
-            r(2).map(_.asInstanceOf[String]),
-            r(3).get.asInstanceOf[Double])
-        }
-      }
-      .toDF("doc_id", "shard_id", "len", "md5", "label", "score")
-  }
-
-  /** Builds (idempotently) and returns the `.arrow` shard fixture
-    * directory — shared with the streaming parity spec. */
-  private[graft] def arrowFixtureRoot(s: SparkSession, dir: String)
-      : String = {
-    val spark = s
-    import spark.implicits._
-    formatFixtureDir(dir, "arrowshard", "documents") { out =>
-      arrowShards(s, dir)
-        .map { case (sid, bytes) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.arrow"), bytes)
-          sid
-        }
-        .count(): Unit
-    }
-  }
-
-  /** [[arrowIpcParse]] through REAL `.arrow` FILES: written once per
-    * corpus to a fixture tree (executor-side), read back through the
-    * distributed binaryFile source and walked per file. Identical
-    * oracle — the file layer must be transparent. */
-  private def arrowIpcFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = arrowFixtureRoot(s, dir)
-    arrowShardRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(root)
-        .repartition(col("path"))
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .map { case (path, bytes) =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          (name.stripPrefix("shard-").stripSuffix(".arrow").toLong, bytes)
-        })
-      .orderBy("doc_id")
-  }
-
-  /** [[arrowIpcParse]] with BODY-COMPRESSED shards (r12): arrow-java
-    * writes ZSTD BodyCompression (the pyarrow Feather-v2 compression
-    * shape) and OUR reader decodes every buffer envelope through the
-    * repo's own pure-JVM Zstd decoder; identical oracle — the
-    * compression layer must be invisible. LZ4_FRAME bodies are
-    * covered by the ArrowIpcSpec differential instead of the gate:
-    * the only available independent WRITE side (commons-compress
-    * FramedLZ4 via arrow-java) allocates per tiny frame badly enough
-    * to dominate the suite (measured 5-9 s vs 0.66 s for the same
-    * shards under zstd-jni — the r11 per-shard-codec-setup lesson on
-    * the write side). */
-  private def arrowIpcCompressed(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    arrowShardRows(
-      asciiDocs(s, dir)
-        .map { case (id, t) => (id / 8, id, t) }
-        .groupByKey(_._1)
-        .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-          val docs = it.toSeq.sortBy(_._2)
-          (sid, buildArrowShard(docs.map { case (_, id, t) => (id, t) },
-            compressEvenZstd = Some(true)))
-        })
-      .orderBy("doc_id")
-  }
-
-  /** One 8-doc Arrow file via the bundled arrow-java writer.
-    * `compressEvenZstd`: None = uncompressed; Some(true) = ZSTD body
-    * compression; Some(false) = LZ4_FRAME. */
-  private def buildArrowShard(docs: Seq[(Long, String)],
-      compressEvenZstd: Option[Boolean] = None): Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
-      FieldType, Schema => ASchema}
-    import org.apache.arrow.vector.types.FloatingPointPrecision
-    import org.apache.arrow.vector._
-    import scala.jdk.CollectionConverters._
-    def f(name: String, t: ArrowType, nullable: Boolean) =
-      new Field(name, new FieldType(nullable, t, null), null)
-    val schema = new ASchema(Seq(
-      f("id", new ArrowType.Int(64, true), nullable = false),
-      f("text", ArrowType.Utf8.INSTANCE, nullable = false),
-      f("label", ArrowType.Utf8.INSTANCE, nullable = true),
-      f("score", new ArrowType.FloatingPoint(
-        FloatingPointPrecision.DOUBLE), nullable = false)).asJava)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        root.allocateNew()
-        val ids = root.getVector("id").asInstanceOf[BigIntVector]
-        val txt = root.getVector("text").asInstanceOf[VarCharVector]
-        val lab = root.getVector("label").asInstanceOf[VarCharVector]
-        val sc = root.getVector("score").asInstanceOf[Float8Vector]
-        docs.zipWithIndex.foreach { case ((id, t), i) =>
-          ids.setSafe(i, id)
-          txt.setSafe(i, t.getBytes("UTF-8"))
-          if (id % 11 == 10) lab.setNull(i)
-          else lab.setSafe(i, s"label${id % 4}".getBytes("UTF-8"))
-          sc.setSafe(i, t.length * 0.25)
-        }
-        root.setRowCount(docs.length)
-        val buf = new java.io.ByteArrayOutputStream()
-        val ch = java.nio.channels.Channels.newChannel(buf)
-        val w = compressEvenZstd match {
-          case None =>
-            new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
-          case Some(zstd) =>
-            import org.apache.arrow.vector.compression.CompressionUtil
-            new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
-              ch, null,
-              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-              org.apache.arrow.compression.CommonsCompressionFactory
-                .INSTANCE,
-              if (zstd) CompressionUtil.CodecType.ZSTD
-              else CompressionUtil.CodecType.LZ4_FRAME)
-        }
-        w.start(); w.writeBatch(); w.end(); w.close()
-        buf.toByteArray
-      } finally root.close()
-    } finally alloc.close()
-  }
-
-  /** Nested Arrow IPC decode (r12) — the shapes HuggingFace-datasets
-    * shards actually carry: a `list<int64>` token column (nullable at
-    * BOTH levels) and a `struct<n_chars,lang>` metadata column. The
-    * write side is arrow-java ListVector/StructVector; the read side
-    * is OUR recursive flatbuffer walker (operators/ArrowIpc), so list
-    * offsets, child validity bitmaps and struct child ordering must
-    * all be value-transparent. Every fact below is re-derived from
-    * DECODED nested values. Same shuffle shape as arrow_ipc_parse. */
-  private def arrowIpcNested(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    arrowNestedShards(s, dir)
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow nested parse rejected shard $sid"))
-        require(cols.map(_.tag) == Seq("int64", "list", "struct") &&
-          cols(1).children.map(_.tag) == Seq("int64") &&
-          cols(2).children.map(_.tag) == Seq("int64", "utf8"))
-        rows.map { r =>
-          val id = r(0).get.asInstanceOf[Long]
-          val toks = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
-          val st = r(2).get.asInstanceOf[Seq[Option[Any]]]
-          (id, sid,
-            toks.map(_.length.toLong),
-            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
-            toks.map(ts => ts.count(_.isEmpty).toLong),
-            st(1).map(_.asInstanceOf[String]),
-            st(0).get.asInstanceOf[Long])
-        }
-      }
-      .toDF("doc_id", "shard_id", "n_tokens", "token_sum", "null_tokens",
-        "lang", "meta_len")
-      .orderBy("doc_id")
-  }
-
-  /** Arrow MAP + DECIMAL128 decode (r12): arrow-java writes
-    * map<utf8,int64> word-length histograms and a decimal(20,4)
-    * column; OUR reader decodes entries (offsets + entry struct,
-    * key non-nullness checked against the WIRE bitmaps) and
-    * 16-byte two's-complement decimals. Every fact — entry counts,
-    * non-null value sums, null-value counts, max key, the decimal's
-    * exact plain string — comes from DECODED values. */
-  private def arrowIpcMap(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    arrowMapShards(s, dir)
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow map parse rejected shard $sid"))
-        require(cols.map(_.tag) == Seq("int64", "map", "decimal128_20_4"))
-        require(cols(1).children.head.children.map(_.tag) ==
-          Seq("utf8", "int64"))
-        rows.map { r =>
-          val id = r(0).get.asInstanceOf[Long]
-          val m = r(1).map(_.asInstanceOf[Seq[Option[Any]]].map { e =>
-            val kv = e.get.asInstanceOf[Seq[Option[Any]]]
-            (kv(0).get.asInstanceOf[String],
-              kv(1).map(_.asInstanceOf[Long]))
-          })
-          val price = r(2)
-            .map(_.asInstanceOf[java.math.BigDecimal].toPlainString)
-          (id, sid,
-            m.map(_.length.toLong),
-            m.map(_.flatMap(_._2).sum),
-            m.map(_.count(_._2.isEmpty).toLong),
-            m.flatMap(_.map(_._1.toLong).maxOption),
-            price)
-        }
-      }
-      .toDF("doc_id", "shard_id", "m_size", "v_sum", "n_nullv",
-        "k_max", "price_s")
-      .orderBy("doc_id")
-  }
-
-  /** Dictionary-encoded Arrow IPC decode (r12) — how dataset shards
-    * store low-cardinality string columns: arrow-java's
-    * DictionaryEncoder writes a DictionaryBatch plus int32 index
-    * columns, OUR reader decodes the value batch and resolves the
-    * indices (bounds-checked) through it. Facts from RESOLVED values
-    * only. Same shard shuffle + flatMap shape as arrow_ipc_parse. */
-  private def arrowIpcDict(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t.length.toLong) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowDictShard(docs.map { case (_, id, n) => (id, n) }))
-      }
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow dict parse rejected shard $sid"))
-        require(cols.map(_.tag) == Seq("int64", "utf8") &&
-          cols(1).dict.isDefined, "expected a dictionary-encoded label")
-        rows.map { r =>
-          (r(0).get.asInstanceOf[Long], sid,
-            r(1).map(_.asInstanceOf[String]))
-        }
-      }
-      .toDF("doc_id", "shard_id", "label")
-      .orderBy("doc_id")
-  }
-
-  /** One 8-doc Arrow file with a dictionary-encoded label column:
-    * 4 shared label values, indices int32, label null every 11th doc
-    * (the arrow_ipc_parse rule — but resolved through a
-    * DictionaryBatch this time). */
-  private def buildArrowDictShard(docs: Seq[(Long, Long)]): Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType,
-      DictionaryEncoding, Field, FieldType}
-    import org.apache.arrow.vector.dictionary.{Dictionary,
-      DictionaryEncoder, DictionaryProvider}
-    import org.apache.arrow.vector._
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val dictVec = new VarCharVector("dictv", alloc)
-      val raw = new VarCharVector(new Field("label",
-        new FieldType(true, ArrowType.Utf8.INSTANCE, null), null), alloc)
-      val ids = new BigIntVector("id", alloc)
-      try {
-        dictVec.allocateNew()
-        (0 until 4).foreach(i =>
-          dictVec.setSafe(i, s"label$i".getBytes("UTF-8")))
-        dictVec.setValueCount(4)
-        val enc = new DictionaryEncoding(1L, false,
-          new ArrowType.Int(32, true))
-        val dictionary = new Dictionary(dictVec, enc)
-        val provider =
-          new DictionaryProvider.MapDictionaryProvider(dictionary)
-        raw.allocateNew()
-        ids.allocateNew()
-        docs.zipWithIndex.foreach { case ((id, _), i) =>
-          ids.setSafe(i, id)
-          if (id % 11 == 10) raw.setNull(i)
-          else raw.setSafe(i, s"label${id % 4}".getBytes("UTF-8"))
-        }
-        raw.setValueCount(docs.length)
-        ids.setValueCount(docs.length)
-        val encoded = DictionaryEncoder.encode(raw, dictionary)
-          .asInstanceOf[IntVector]
-        try {
-          val root = new VectorSchemaRoot(
-            java.util.Arrays.asList(ids.getField, encoded.getField),
-            java.util.Arrays.asList[FieldVector](ids, encoded),
-            docs.length)
-          val buf = new java.io.ByteArrayOutputStream()
-          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-            provider, java.nio.channels.Channels.newChannel(buf))
-          w.start(); w.writeBatch(); w.end(); w.close()
-          buf.toByteArray
-        } finally encoded.close()
-      } finally { raw.close(); ids.close(); dictVec.close() }
-    } finally alloc.close()
-  }
-
-  /** Embedding-shard Arrow decode (r12) — the EXACT shape vector
-    * datasets ship in: `fixed_size_list<float32, 64>` embedding
-    * columns (null every 13th vec) beside a LargeUtf8 label, built
-    * by arrow-java FixedSizeListVector/LargeVarCharVector over the
-    * REAL embeddings table, decoded by OUR reader. The quantized
-    * per-vector sum (the repo's round(x·1000) convention) makes
-    * every float32 lane value-transparent. */
-  private def arrowIpcEmbeddings(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowEmbShard(vecs.map {
-          case (_, id, e, l) => (id, e, l) }))
-      }
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow emb parse rejected shard $sid"))
-        require(cols.map(_.tag) ==
-          Seq("int64", "fixed_list", "large_utf8") &&
-          cols(1).fixedSize == 64 &&
-          cols(1).children.head.tag == "float32")
-        rows.map { r =>
-          val id = r(0).get.asInstanceOf[Long]
-          val emb = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
-          (id, sid,
-            emb.map(_.length),
-            emb.map(_.map(v => math.round(
-              v.get.asInstanceOf[Float].toDouble * 1000)).sum),
-            r(2).map(_.asInstanceOf[String]))
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
-      .orderBy("vec_id")
-  }
-
-  /** One 8-vector Arrow file: fixed_size_list<float32,64> + LargeUtf8. */
-  private def buildArrowEmbShard(
-      vecs: Seq[(Long, Array[Float], Int)]): Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
-      FieldType, Schema => ASchema}
-    import org.apache.arrow.vector.types.FloatingPointPrecision
-    import org.apache.arrow.vector._
-    import org.apache.arrow.vector.complex.FixedSizeListVector
-    import scala.jdk.CollectionConverters._
-    val schema = new ASchema(Seq(
-      new Field("vec_id", new FieldType(false,
-        new ArrowType.Int(64, true), null), null),
-      new Field("emb", new FieldType(true,
-        new ArrowType.FixedSizeList(64), null),
-        Seq(new Field("item", new FieldType(false,
-          new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE),
-          null), null)).asJava),
-      new Field("label", new FieldType(true,
-        ArrowType.LargeUtf8.INSTANCE, null), null)).asJava)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        root.allocateNew()
-        val ids = root.getVector("vec_id").asInstanceOf[BigIntVector]
-        val emb = root.getVector("emb").asInstanceOf[FixedSizeListVector]
-        val embData = emb.getDataVector.asInstanceOf[Float4Vector]
-        val lab = root.getVector("label")
-          .asInstanceOf[LargeVarCharVector]
-        vecs.zipWithIndex.foreach { case ((id, e, l), i) =>
-          require(e.length == 64, s"vec $id dim ${e.length}")
-          ids.setSafe(i, id)
-          if (id % 13 == 9) emb.setNull(i)
-          else {
-            emb.setNotNull(i)
-            var j = 0
-            while (j < 64) { embData.setSafe(i * 64 + j, e(j)); j += 1 }
-          }
-          if (id % 11 == 10) lab.setNull(i)
-          else lab.setSafe(i, s"cls-$l".getBytes("UTF-8"))
-        }
-        root.setRowCount(vecs.length)
-        val buf = new java.io.ByteArrayOutputStream()
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-          null, java.nio.channels.Channels.newChannel(buf))
-        w.start(); w.writeBatch(); w.end(); w.close()
-        buf.toByteArray
-      } finally root.close()
-    } finally alloc.close()
-  }
-
-  /** Embedding-shard safetensors decode (r12) — the OTHER shape
-    * vector dumps ship in: a `.safetensors` file per shard with an
-    * F32 [n,64] `emb` matrix, an I64 [n] `vec_id` vector and an
-    * I32 [n] `label` vector beside a string metadata map, built by
-    * OUR encoder over the REAL embeddings table and read back by
-    * OUR parser (operators/Safetensors — 8-byte LE header length,
-    * JSON tensor directory, flat LE buffer). The quantized
-    * per-vector sum makes every F32 lane value-transparent; shard
-    * membership and metadata round-trip are asserted in-flight.
-    * Pure map pass; no shuffle beyond the 8-vector grouping and the
-    * presentation sort. */
-  private def safetensorsParse(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Safetensors._
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach { case (_, id, e, l) =>
-          e.foreach(embBuf.putFloat)
-          idBuf.putLong(id); labBuf.putInt(l)
-        }
-        (sid, build(Seq(
-          Tensor("emb", "F32", Seq(n.toLong, dim.toLong),
-            embBuf.array()),
-          Tensor("vec_id", "I64", Seq(n.toLong), idBuf.array()),
-          Tensor("label", "I32", Seq(n.toLong), labBuf.array())),
-          Map("format" -> "graft-emb", "shard" -> sid.toString)))
-      }
-      .flatMap { case (sid, bytes) =>
-        val (md, ts) = parse(bytes).getOrElse(
-          sys.error(s"safetensors rejected shard $sid"))
-        require(md("format") == "graft-emb" &&
-          md("shard") == sid.toString)
-        val byName = ts.map(t => t.name -> t).toMap
-        val emb = byName("emb"); val ids = byName("vec_id")
-        val lab = byName("label")
-        require(emb.dtype == "F32" && ids.dtype == "I64" &&
-          lab.dtype == "I32" && emb.shape.length == 2)
-        val n = emb.shape.head.toInt
-        val dim = emb.shape(1).toInt
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            q += math.round(f32At(emb, i * dim + j).toDouble * 1000)
-            j += 1
-          }
-          (i64At(ids, i), sid, dim, q, i32At(lab, i))
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
-      .orderBy("vec_id")
-  }
-
-  /** Structured `.npy` record arrays (late r12, operators/Npy):
-    * per 16-doc chunk one PACKED recarray with fields across every
-    * kind the parser supports — i8, u4 (unsigned read-back
-    * pinned), f8, S (latin-1 bytes), U (UCS-4 text), PLUS a
-    * sub-array field (`u4[3]`, C-ordered lanes inside the record)
-    * and a NESTED record group (`rng{lo i4, hi i4}`, flattened to
-    * dot names) — built by OUR writer, parsed by
-    * [[Npy.parseStructured]], every fact from DECODED field lanes.
-    * A wrong field offset, width, sub-array stride or string strip
-    * flips values; the oracle recomputes from documents. */
-  private def npyStructured(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Npy
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 16, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val spec = Seq(
-          Npy.FLeaf("doc_id", "<i8"), Npy.FLeaf("text_len", "<u4"),
-          Npy.FLeaf("score", "<f8"), Npy.FLeaf("tag", "|S6"),
-          Npy.FLeaf("mark", "<U4"),
-          Npy.FLeaf("tl3", "<u4", Seq(3)),
-          Npy.FGroup("rng", Seq(Npy.FLeaf("lo", "<i4"),
-            Npy.FLeaf("hi", "<i4"))))
-        val itemSize = 8 + 4 + 8 + 6 + 16 + 12 + 8
-        val buf = java.nio.ByteBuffer
-          .allocate(docs.length * itemSize)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        docs.foreach { case (_, id, t) =>
-          buf.putLong(id)
-          buf.putInt(t.length)
-          buf.putDouble(t.length * 0.25)
-          val tag = s"t${id % 100}".getBytes("ISO-8859-1")
-          buf.put(tag)
-          (tag.length until 6).foreach(_ => buf.put(0.toByte))
-          val mark = s"m${id % 7}"
-          mark.foreach(c => buf.putInt(c.toInt))
-          (mark.length until 4).foreach(_ => buf.putInt(0))
-          // tl3: the u4[3] sub-array lanes
-          buf.putInt(t.length)
-          buf.putInt(t.length * 2)
-          buf.putInt(t.length % 7)
-          // rng: the nested group
-          buf.putInt((id % 11).toInt)
-          buf.putInt((id % 13).toInt)
-        }
-        (cid, Npy.buildStructuredTree(spec, Seq(docs.length),
-          buf.array()))
-      }
-      .flatMap { case (cid, npy) =>
-        val rec = Npy.parseStructured(npy).getOrElse(
-          sys.error(s"structured npy rejected chunk $cid"))
-        require(rec.fields.map(_.name) ==
-          Seq("doc_id", "text_len", "score", "tag", "mark",
-            "tl3", "rng.lo", "rng.hi"))
-        val f = rec.fields.map(x => x.name -> x).toMap
-        require(f("tl3").count == 3 && f("tl3").subShape == Seq(3))
-        (0 until rec.elems).map { i =>
-          (rec.longAt(f("doc_id"), i),
-            rec.longAt(f("text_len"), i),
-            rec.doubleAt(f("score"), i),
-            rec.stringAt(f("tag"), i),
-            rec.stringAt(f("mark"), i),
-            rec.longAt(f("tl3"), i, 1),
-            rec.longAt(f("tl3"), i, 2),
-            rec.longAt(f("rng.lo"), i),
-            rec.longAt(f("rng.hi"), i))
-        }
-      }
-      .toDF("doc_id", "text_len", "score", "tag", "mark",
-        "len2", "len_mod7", "rng_lo", "rng_hi")
-      .orderBy("doc_id")
-  }
-
-  /** NumPy `.npy` decode (r12) across ALL FOUR layout combos — the
-    * raw array dumps scientific pipelines hand over: per 8-vector
-    * shard one f4 matrix [n, 65] (col 0 = vec_id, cols 1..64 = the
-    * embedding), with memory order and byte order rotating by shard
-    * id (C/LE, C/BE, Fortran/LE, Fortran/BE) so the index mapping
-    * and both endians are all value-transparent in one gate. The
-    * `fortran`/`big_endian` columns surface from the PARSED header,
-    * oracle-predicted from the shard id. */
-  private def npyParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Npy
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding")
-      .as[(Long, Array[Float])]
-      .map { case (id, emb) => (id / 8, id, emb) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float])]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val cols = dim + 1
-        val fortran = sid % 4 >= 2
-        val big = sid % 2 == 1
-        def cell(r: Int, c: Int): Float =
-          if (c == 0) vecs(r)._2.toFloat else vecs(r)._3(c - 1)
-        val buf = java.nio.ByteBuffer.allocate(n * cols * 4)
-          .order(if (big) java.nio.ByteOrder.BIG_ENDIAN
-            else java.nio.ByteOrder.LITTLE_ENDIAN)
-        if (fortran) // column-major: first axis varies fastest
-          (0 until cols).foreach(c => (0 until n).foreach(r =>
-            buf.putFloat(cell(r, c))))
-        else
-          (0 until n).foreach(r => (0 until cols).foreach(c =>
-            buf.putFloat(cell(r, c))))
-        (sid, Npy.build("f4", Seq(n, cols), buf.array(),
-          fortran = fortran, bigEndian = big))
-      }
-      .flatMap { case (sid, bytes) =>
-        val a = Npy.parse(bytes).getOrElse(
-          sys.error(s"npy rejected shard $sid"))
-        require(a.descr == "f4" && a.shape.length == 2)
-        val n = a.shape.head
-        val dim = a.shape(1) - 1
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 1
-          while (j <= dim) {
-            q += math.round(a.at(i, j) * 1000); j += 1
-          }
-          (a.at(i, 0).toLong, sid, dim, q, a.fortran, a.bigEndian)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "fortran",
-        "big_endian")
-      .orderBy("vec_id")
-  }
-
-  /** NumPy `.npz` decode (r12) — `np.savez`'s ZIP-of-`.npy` layout
-    * over the REAL embeddings table: per shard `emb.npy` f4 [n,64],
-    * `vec_id.npy` i8 [n] and `label.npy` i4 [n], STORED on even
-    * shards and DEFLATE (`savez_compressed`) on odd ones, walked by
-    * the verified [[graft.operators.Zip]] central directory and the
-    * `.npy` parser. Every fact from DECODED values. */
-  private def npzParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Npy
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val emb = Npy.buildF4(Seq(n, dim),
-          vecs.flatMap(_._3).toArray)
-        val ids = Npy.buildI8(Seq(n), vecs.map(_._2).toArray)
-        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => labBuf.putInt(v._4))
-        val lab = Npy.build("i4", Seq(n), labBuf.array())
-        (sid, Npy.buildNpz(
-          Seq("emb" -> emb, "vec_id" -> ids, "label" -> lab),
-          deflate = sid % 2 == 1))
-      }
-      .flatMap { case (sid, bytes) =>
-        val m = Npy.parseNpz(bytes).getOrElse(
-          sys.error(s"npz rejected shard $sid")).toMap
-        val emb = m("emb"); val ids = m("vec_id")
-        val lab = m("label")
-        require(emb.descr == "f4" && ids.descr == "i8" &&
-          lab.descr == "i4" && emb.shape.length == 2)
-        val n = emb.shape.head
-        val dim = emb.shape(1)
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            q += math.round(emb.at(i, j) * 1000); j += 1
-          }
-          (ids.longAt(i), sid, dim, q, lab.at(i).toInt)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
-      .orderBy("vec_id")
-  }
-
-  /** GGUF shard decode (r12) — the llama.cpp single-file container
-    * (operators/Gguf): per 8-vector shard one GGUF v3 file holding
-    * an F32 `emb` tensor in GGML dim order (ne[0] = innermost =
-    * dim), an I64 `vec_id` tensor, a Q8_0-quantized twin of the
-    * embedding matrix PLUS a second twin in one of the other four
-    * closed-form block quants rotated by shard id (Q4_0, Q4_1,
-    * Q5_0, Q5_1 — the whole non-tabulated family), and metadata
-    * (architecture string, shard id i64, a per-shard label i32
-    * array — the tokenizer-vocab shape). OUR writer builds it, OUR
-    * parser reads it back; F32 lanes, the metadata label array and
-    * the rotated quant tag surface to the oracle, and both quant
-    * twins are held to their closed-form error bounds in-flight
-    * (Q8_0: |deq − x| ≤ d/2; 4/5-bit: ≤ |d| for the symmetric
-    * forms whose clamp can cost one level, ≤ 0.52·d + f16(m) slop
-    * for the affine forms — a wrong scale, offset plane or block
-    * walk fails the run, no oracle needed). */
-  private def ggufParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Gguf._
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val flat = vecs.flatMap(_._3).toArray
-        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        flat.foreach(embBuf.putFloat)
-        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => idBuf.putLong(v._2))
-        val qtag = Seq("Q4_0", "Q4_1", "Q5_0", "Q5_1")(
-          (sid % 4).toInt)
-        val qdata = qtag match {
-          case "Q4_0" => quantizeQ4_0(flat)
-          case "Q4_1" => quantizeQ4_1(flat)
-          case "Q5_0" => quantizeQ5_0(flat)
-          case _ => quantizeQ5_1(flat)
-        }
-        (sid, build(
-          Seq(
-            "general.architecture" -> GvStr("graft"),
-            "shard.id" -> GvI64(sid),
-            "shard.labels" -> GvArr(5,
-              vecs.map(v => GvI32(v._4)))),
-          Seq(
-            GTensor("emb", Seq(dim.toLong, n.toLong), "F32",
-              embBuf.array()),
-            GTensor("vec_id", Seq(n.toLong), "I64", idBuf.array()),
-            GTensor("emb_q8", Seq(dim.toLong, n.toLong), "Q8_0",
-              quantizeQ8_0(flat)),
-            GTensor("emb_qx", Seq(dim.toLong, n.toLong), qtag,
-              qdata))))
-      }
-      .flatMap { case (sid, bytes) =>
-        val (kvs, ts) = parse(bytes).getOrElse(
-          sys.error(s"gguf rejected shard $sid"))
-        val md = kvs.toMap
-        require(md("general.architecture") == GvStr("graft") &&
-          md("shard.id") == GvI64(sid))
-        val GvArr(5, labels) = md("shard.labels"): @unchecked
-        val byName = ts.map(t => t.name -> t).toMap
-        val emb = byName("emb"); val ids = byName("vec_id")
-        val q8 = byName("emb_q8"); val qx = byName("emb_qx")
-        require(emb.tpe == "F32" && q8.tpe == "Q8_0" &&
-          emb.dims == q8.dims && emb.dims == qx.dims &&
-          emb.dims.length == 2)
-        val dim = emb.dims.head.toInt // ne[0] = innermost
-        val n = emb.dims(1).toInt
-        val deq = dequantizeQ8_0(q8.data)
-        // the rotated 4/5-bit twin: dequantize and hold every lane
-        // to its closed-form bound (symmetric forms pay up to one
-        // level at the clamped extreme; affine forms pay half a
-        // level plus the f16 rounding of the stored min)
-        val qtag = qx.tpe
-        val deqX = qtag match {
-          case "Q4_0" => dequantizeQ4_0(qx.data)
-          case "Q4_1" => dequantizeQ4_1(qx.data)
-          case "Q5_0" => dequantizeQ5_0(qx.data)
-          case "Q5_1" => dequantizeQ5_1(qx.data)
-          case t => sys.error(s"unexpected quant tag $t")
-        }
-        val blockBytes = Map("Q4_0" -> 18, "Q4_1" -> 20,
-          "Q5_0" -> 22, "Q5_1" -> 24)(qtag)
-        var blk = 0
-        while (blk * 32 < n * dim) {
-          val base = blk * 32
-          var mn = f32At(emb, base); var mx = mn
-          var k = 1
-          while (k < 32) {
-            val v = f32At(emb, base + k)
-            if (v < mn) mn = v; if (v > mx) mx = v
-            k += 1
-          }
-          val bb = java.nio.ByteBuffer.wrap(qx.data,
-            blk * blockBytes, blockBytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val d = math.abs(graft.operators.Safetensors.halfToFloat(
-            bb.getShort() & 0xffff))
-          val affine = qtag == "Q4_1" || qtag == "Q5_1"
-          val bound =
-            if (affine)
-              d * 0.52 +
-                math.max(math.abs(mn), math.abs(mx)) * 1e-3 + 1e-6
-            else d * 1.01 + 1e-7
-          k = 0
-          while (k < 32) {
-            val x = f32At(emb, base + k)
-            require(math.abs(deqX(base + k) - x) <= bound,
-              s"$qtag bound broken at block $blk lane $k: " +
-                s"$x -> ${deqX(base + k)} (d=$d)")
-            k += 1
-          }
-          blk += 1
-        }
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            val x = f32At(emb, i * dim + j)
-            q += math.round(x.toDouble * 1000)
-            // Q8_0 twin: closed-form error bound per 32-lane block
-            val blockBase = (i * dim + j) / 32 * 32
-            var amax = 0f
-            var k = 0
-            while (k < 32) {
-              val a = math.abs(f32At(emb, blockBase + k))
-              if (a > amax) amax = a
-              k += 1
-            }
-            val d = graft.operators.Safetensors.halfToFloat(
-              graft.operators.Safetensors.floatToHalf(amax / 127f)
-                & 0xffff)
-            require(math.abs(deq(i * dim + j) - x) <=
-              d * 0.51 + 1e-7, s"Q8_0 bound broken at $i/$j")
-            j += 1
-          }
-          val GvI32(label) = labels(i): @unchecked
-          (i64At(ids, i), sid, dim, q, label, "graft", qtag)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "arch",
-        "qtag")
-      .orderBy("vec_id")
-  }
-
-  /** Delta-table fixture (operators/DeltaLog): a 3-version
-    * partitioned lakehouse table derived from lineitem, built ONCE
-    * per sf dir —
-    *   v0  create, partitioned by `bucket = l_orderkey % 4`
-    *   v1  rewrite of bucket=1: rows with l_quantity ≤ 10 deleted
-    *       (remove + filtered add — the standard DELETE shape)
-    *   checkpoint at v1 (+ `_last_checkpoint`)
-    *   v2  append duplicating bucket=2 rows with l_quantity > 40
-    * so the LATEST snapshot must reconstruct through checkpoint +
-    * tail replay and v0 through pure JSON replay. */
-  private def deltaFixtureRoot(s: SparkSession, dir: String): String =
-    formatFixtureDir(dir, "delta", "lineitem") { out =>
-      import graft.operators.DeltaLog
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag", "l_orderkey % 4 AS bucket")
-      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"))
-      // v1: DELETE FROM bucket=1 WHERE l_quantity <= 10, as a
-      // remove-files + add-rewrite commit
-      val snap0 = DeltaLog.snapshot(s, t)
-      val victims = snap0.files.filter(
-        _.partitionValues.get("bucket").contains("1"))
-      base.filter("bucket = 1 AND l_quantity > 10")
-        .drop("bucket")
-        .write.parquet(s"$t/bucket=1/rw")
-      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
-        .filter(_.path.startsWith("bucket=1/rw/"))
-      DeltaLog.commit(s, t, 1L,
-        victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
-          rewrite.map(DeltaLog.addJson))
-      DeltaLog.writeCheckpoint(s, t, 1L)
-      // v2: append a duplicate slice of bucket=2
-      base.filter("bucket = 2 AND l_quantity > 40")
-        .drop("bucket")
-        .write.parquet(s"$t/bucket=2/app")
-      val app = DeltaLog.listDataFiles(s, t, Seq("bucket"))
-        .filter(_.path.startsWith("bucket=2/app/"))
-      DeltaLog.commit(s, t, 2L, app.map(DeltaLog.addJson))
-    }
-
-  /** Delta Change Data Feed fixture: CDF-enabled table, v0 create
-    * (inserts), v1 UPDATE carrying real `cdc` actions + a
-    * `_change_data` parquet file (pre/postimage rows), v2 DELETE
-    * with plain remove actions (no cdc — the reader must DERIVE
-    * delete rows from the removed files' prior-version content). */
-  private def deltaCdfFixtureRoot(s: SparkSession, dir: String)
-      : String =
-    formatFixtureDir(dir, "deltacdf", "lineitem") { out =>
-      import graft.operators.DeltaLog
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag", "l_orderkey % 4 AS bucket")
-      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"),
-        configuration =
-          Map("delta.enableChangeDataFeed" -> "true"))
-      // v1: UPDATE bucket=3 rows with l_quantity > 45 (qty += 5),
-      // rewriting the partition and recording pre/postimages as a
-      // cdc file
-      val snap0 = DeltaLog.snapshot(s, t)
-      val victims = snap0.files.filter(
-        _.partitionValues.get("bucket").contains("3"))
-      val b3new = base.filter("bucket = 3").drop("bucket")
-        .withColumn("l_quantity",
-          expr("CASE WHEN l_quantity > 45 THEN l_quantity + 5 " +
-            "ELSE l_quantity END"))
-      b3new.write.parquet(s"$t/bucket=3/rw")
-      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
-        .filter(_.path.startsWith("bucket=3/rw/"))
-      val touched = base.filter("bucket = 3 AND l_quantity > 45")
-        .drop("bucket")
-      val cdcDf = touched
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(touched
-          .withColumn("l_quantity", expr("l_quantity + 5"))
-          .withColumn("_change_type", lit("update_postimage")))
-      cdcDf.coalesce(1).write.parquet(s"$t/_change_data/b3")
-      val cdcFiles = Option(new java.io.File(s"$t/_change_data/b3")
-        .listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      require(cdcFiles.nonEmpty, "cdc fixture wrote no parquet")
-      DeltaLog.commit(s, t, 1L,
-        victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
-          rewrite.map(DeltaLog.addJson) ++
-          cdcFiles.map(f => DeltaLog.cdcJson(
-            s"_change_data/b3/${f.getName}",
-            Map("bucket" -> "3"), f.length())))
-      // v2: DELETE the whole bucket=0 partition — remove actions
-      // only, no cdc; CDF must derive the delete rows
-      val snap1 = DeltaLog.snapshot(s, t)
-      val victims0 = snap1.files.filter(
-        _.partitionValues.get("bucket").contains("0"))
-      DeltaLog.commit(s, t, 2L,
-        victims0.map(f => DeltaLog.removeJson(f.path, 2L)))
-    }
-
-  /** Delta Change Data Feed read (r13): `table_changes(0, 2)` over
-    * the CDF fixture — v0 inserts from add actions, v1
-    * update pre/postimages from REAL `cdc` actions + `_change_data`
-    * files, v2 deletes DERIVED from remove actions against the
-    * prior snapshot — aggregated per (change type, version,
-    * bucket). The oracle replays the same history analytically, so
-    * a wrong change classification, a missed preimage, a cdc file
-    * leaking into snapshots or a mis-derived delete flips the
-    * hash. */
-  private def deltaCdfScan(s: SparkSession, dir: String)
-      : DataFrame = {
-    val root = deltaCdfFixtureRoot(s, dir)
-    graft.operators.DeltaLog.tableChanges(s, s"$root/tbl", 0L, 2L)
-      .groupBy(col("_change_type").as("change_type"),
-        col("_commit_version").as("commit_version"),
-        col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        round(sum("l_quantity"), 4).as("qsum"),
-        sum("l_orderkey").as("oksum"))
-      .orderBy("change_type", "commit_version", "bucket")
-  }
-
-  /** Delta lakehouse scan (r12) — the LATEST snapshot of the
-    * fixture table read through OUR transaction-log reconstruction
-    * (checkpoint at v1 + the v2 JSON tail; add/remove replay;
-    * partition values injected from the log as typed columns) and
-    * aggregated per return flag. The oracle recomputes the same
-    * table state analytically from lineitem, so a wrong file list,
-    * a missed remove, a mis-typed partition column or a torn replay
-    * all flip counts. Scan + agg shape: pushdown survives per
-    * partition-group branch; the log walk is O(#commits) driver
-    * metadata, the DATA never leaves executor parquet scans. */
-  private def deltaScan(s: SparkSession, dir: String): DataFrame = {
-    val root = deltaFixtureRoot(s, dir)
-    graft.operators.DeltaLog.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** Delta time travel (r12) — the SAME table at version 0, which
-    * must reconstruct through pure JSON replay (ignoring the later
-    * checkpoint) and equal plain lineitem. */
-  private def deltaTimeTravel(s: SparkSession, dir: String)
-      : DataFrame = {
-    val root = deltaFixtureRoot(s, dir)
-    graft.operators.DeltaLog.read(s, s"$root/tbl", Some(0L))
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** V2-checkpoint delta fixture (late r12): the SAME 3-step story
-    * as [[deltaFixtureRoot]], but the v1 commit also upgrades the
-    * protocol to reader v3 + `v2Checkpoint`, the checkpoint at v1
-    * is a V2 one — a UUID-named parquet MANIFEST whose add actions
-    * live in two `_sidecars/` parquet files — and commits 0..1 are
-    * pruned away (log cleanup), so the read MUST reconstruct
-    * through the manifest + sidecars + the v2 JSON tail. */
-  private def deltaV2CpFixtureRoot(s: SparkSession, dir: String)
-      : String =
-    formatFixtureDir(dir, "delta_v2cp", "lineitem") { out =>
-      import graft.operators.DeltaLog
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag", "l_orderkey % 4 AS bucket")
-      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"))
-      val snap0 = DeltaLog.snapshot(s, t)
-      val victims = snap0.files.filter(
-        _.partitionValues.get("bucket").contains("1"))
-      base.filter("bucket = 1 AND l_quantity > 10")
-        .drop("bucket")
-        .write.parquet(s"$t/bucket=1/rw")
-      val rewrite = DeltaLog.listDataFiles(s, t, Seq("bucket"))
-        .filter(_.path.startsWith("bucket=1/rw/"))
-      DeltaLog.commit(s, t, 1L,
-        DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
-          Seq("v2Checkpoint"))) +:
-          (victims.map(f => DeltaLog.removeJson(f.path, 1L)) ++
-            rewrite.map(DeltaLog.addJson)))
-      DeltaLog.writeCheckpointV2(s, t, 1L, sidecarParts = 2)
-      // log cleanup: the pre-checkpoint commits go away, so only
-      // the v2 manifest can supply the v1 state
-      Seq(0L, 1L).foreach(v => new java.io.File(
-        s"$t/_delta_log", f"$v%020d.json").delete())
-      base.filter("bucket = 2 AND l_quantity > 40")
-        .drop("bucket")
-        .write.parquet(s"$t/bucket=2/app")
-      val app = DeltaLog.listDataFiles(s, t, Seq("bucket"))
-        .filter(_.path.startsWith("bucket=2/app/"))
-      DeltaLog.commit(s, t, 2L, app.map(DeltaLog.addJson))
-    }
-
-  /** Delta V2-CHECKPOINT scan (late r12) — the latest snapshot can
-    * ONLY be reconstructed through the v2 checkpoint (UUID-named
-    * parquet manifest, self-identifying `checkpointMetadata`, adds
-    * in `_sidecars/` files) because the fixture pruned the early
-    * commits; the same aggregate + analytic oracle as
-    * [[deltaScan]], so a missed sidecar, a manifest/version
-    * mismatch or a mis-read add row flips counts. */
-  private def deltaCheckpointV2(s: SparkSession, dir: String)
-      : DataFrame = {
-    val root = deltaV2CpFixtureRoot(s, dir)
-    graft.operators.DeltaLog.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** Reader-version-3 delta fixture (late r12): lineitem written
-    * ONCE, then one DV DELETE commit — every row with
-    * l_quantity ≤ 5 masked through REAL deletion vectors (roaring
-    * bitmaps over `_metadata.row_index`), half the files inline-Z85
-    * descriptors, half UUID-named `.bin` blobs with CRC framing;
-    * no data file is rewritten. */
-  private def deltaDvFixtureRoot(s: SparkSession, dir: String)
-      : String =
-    formatFixtureDir(dir, "delta_dv", "lineitem") { out =>
-      import graft.operators.DeltaLog
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag")
-      DeltaLog.create(s, base.repartition(8), t)
-      val snap0 = DeltaLog.snapshot(s, t)
-      // row indices to delete, per file (executor scan, small
-      // collect — only the deleted side comes back)
-      val victims = s.read.parquet(t)
-        .select(col("_metadata.file_path").as("fp"),
-          col("_metadata.row_index").as("ri"))
-        .filter(col("l_quantity") <= 5)
-        .collect()
-        .groupBy(r => {
-          val fp = r.getString(0)
-          fp.substring(fp.indexOf(t) + t.length + 1)
-        })
-        .map { case (rel, rows) =>
-          rel -> rows.map(_.getLong(1)).sorted }
-      val ordered = victims.toSeq.sortBy(_._1)
-      val (fileSide, inlineSide) =
-        (ordered.take(ordered.length / 2).toMap,
-          ordered.drop(ordered.length / 2).toMap)
-      DeltaLog.commit(s, t, 1L,
-        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
-          Seq("deletionVectors")))) ++
-          DeltaLog.dvDeleteActions(s, t, snap0.files, fileSide,
-            inlineMax = 0) ++
-          DeltaLog.dvDeleteActions(s, t, snap0.files, inlineSide,
-            inlineMax = 1 << 20))
-    }
-
-  /** Delta DELETION-VECTOR scan (late r12) — the latest snapshot
-    * reads through the v3 protocol gate, decodes every DV (both
-    * storage forms live in the fixture), and masks rows via the
-    * broadcast bitmaps + `_metadata.row_index`; the oracle
-    * recomputes the surviving rows from raw lineitem, so a wrong
-    * roaring container walk, Z85 slip, CRC miss or off-by-one row
-    * index resurrects or loses rows and flips the hash. */
-  private def deltaDvScan(s: SparkSession, dir: String): DataFrame = {
-    val root = deltaDvFixtureRoot(s, dir)
-    graft.operators.DeltaLog.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-      .orderBy("rf")
-  }
-
-  /** Column-mapped delta fixture + scan (late r12): the SAME
-    * lineitem columns stored in parquet under opaque PHYSICAL
-    * names (`col-<n>`), resolved back to logical names through the
-    * schema's `delta.columnMapping.physicalName` metadata under
-    * mode "name" — the layout modern writers produce after any
-    * RENAME COLUMN. A wrong mapping mis-names every value; the
-    * oracle is plain lineitem. */
-  private def deltaColumnMapping(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.DeltaLog
-    val root = formatFixtureDir(dir, "delta_cm", "lineitem") { out =>
-      val t = s"$out/tbl"
-      val logical = Seq("l_orderkey", "l_partkey", "l_quantity",
-        "l_returnflag")
-      val base = Tables.lineitem(s, dir).selectExpr(logical: _*)
-      val physical = logical.zipWithIndex.map { case (_, i) =>
-        s"col-${i + 1}" }
-      base.toDF(physical: _*).write.parquet(t)
-      val adds = DeltaLog.listDataFiles(s, t, Seq.empty)
-      val fieldsJson = base.schema.fields.zip(physical).map {
-        case (f, ph) =>
-          s"""{"name":${graft.operators.JsonMini.quote(f.name)},""" +
-            s""""type":"${f.dataType.typeName}","nullable":true,""" +
-            s""""metadata":{"delta.columnMapping.id":1,""" +
-            s""""delta.columnMapping.physicalName":"$ph"}}"""
-      }.mkString(",")
-      DeltaLog.commit(s, t, 0L,
-        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
-          Seq("columnMapping"))),
-          DeltaLog.metaJson(DeltaLog.Meta("cm",
-            s"""{"type":"struct","fields":[$fieldsJson]}""",
-            Seq.empty,
-            Map("delta.columnMapping.mode" -> "name")))) ++
-          adds.map(DeltaLog.addJson))
-    }
-    graft.operators.DeltaLog.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-      .orderBy("rf")
-  }
-
-  /** Column-mapping mode "id" (late r12): the same lineitem story
-    * but the parquet files carry THROWAWAY physical names + field
-    * IDs — id mode must resolve by ID alone (the post-rename state
-    * where physical names have drifted). Same plain-lineitem
-    * oracle as the "name"-mode query. */
-  private def deltaColumnMappingId(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.DeltaLog
-    import org.apache.spark.sql.types._
-    val root = formatFixtureDir(dir, "delta_cmid", "lineitem") {
-      out =>
-      val t = s"$out/tbl"
-      val logical = Seq(("l_orderkey", "long", 11L),
-        ("l_partkey", "long", 22L), ("l_quantity", "double", 33L),
-        ("l_returnflag", "string", 44L))
-      val base = Tables.lineitem(s, dir)
-        .selectExpr(logical.map(_._1): _*)
-      val physSchema = StructType(base.schema.fields.zip(logical)
-        .map { case (f, (_, _, id)) =>
-          StructField(s"junk$id", f.dataType, nullable = true,
-            new MetadataBuilder().putLong("parquet.field.id", id)
-              .build())
-        })
-      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      s.createDataFrame(base.rdd, physSchema).write.parquet(t)
-      val adds = DeltaLog.listDataFiles(s, t, Seq.empty)
-      val fieldsJson = logical.map { case (nm, tpe, id) =>
-        s"""{"name":${graft.operators.JsonMini.quote(nm)},""" +
-          s""""type":"$tpe","nullable":true,"metadata":{""" +
-          s""""delta.columnMapping.id":$id,""" +
-          s""""delta.columnMapping.physicalName":"col-$id"}}"""
-      }.mkString(",")
-      DeltaLog.commit(s, t, 0L,
-        Seq(DeltaLog.protocolJson(DeltaLog.Protocol(3, 7,
-          Seq("columnMapping"))),
-          DeltaLog.metaJson(DeltaLog.Meta("cmid",
-            s"""{"type":"struct","fields":[$fieldsJson]}""",
-            Seq.empty,
-            Map("delta.columnMapping.mode" -> "id")))) ++
-          adds.map(DeltaLog.addJson))
-    }
-    graft.operators.DeltaLog.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-      .orderBy("rf")
-  }
-
-  /** Iceberg-table fixture (operators/Iceberg): the SAME 3-step
-    * story as [[deltaFixtureRoot]] told in the other lakehouse
-    * format — snapshot 1 create, snapshot 2 delete-rewrite of
-    * bucket 1 (l_quantity ≤ 10 gone), snapshot 3 appending the
-    * duplicate bucket-2 slice — so both formats answer to ONE
-    * analytic oracle. Data files are written bucket-pure (Iceberg
-    * files carry all columns; the manifests track file lists), the
-    * manifest + manifest-list layer is OUR Avro codec. */
-  private def icebergFixtureRoot(s: SparkSession, dir: String)
-      : String =
-    formatFixtureDir(dir, "iceberg", "lineitem") { out =>
-      import graft.operators.Iceberg
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag", "l_orderkey % 4 AS bucket")
-      val sch = base.schema
-      val byBucket = (0 to 3).map { b =>
-        base.filter(s"bucket = $b")
-          .write.parquet(s"$t/data/s1/b$b")
-        b -> Iceberg.countsByFile(s, sch, s"$t/data/s1/b$b")
-      }.toMap
-      val files1 = byBucket.values.flatten.toSeq.sortBy(_._1)
-      Iceberg.commit(s, t, 1L, 1L, sch, files1, prior = Seq.empty)
-      // snapshot 2: DELETE FROM bucket=1 WHERE l_quantity <= 10
-      base.filter("bucket = 1 AND l_quantity > 10")
-        .write.parquet(s"$t/data/s2")
-      val files2 = (byBucket - 1).values.flatten.toSeq ++
-        Iceberg.countsByFile(s, sch, s"$t/data/s2")
-      Iceberg.commit(s, t, 2L, 2L, sch, files2.sortBy(_._1),
-        prior = Seq((1L, s"$t/metadata/snap-1.avro")))
-      // snapshot 3: append the duplicate bucket-2 slice
-      base.filter("bucket = 2 AND l_quantity > 40")
-        .write.parquet(s"$t/data/s3")
-      val files3 = files2 ++
-        Iceberg.countsByFile(s, sch, s"$t/data/s3")
-      Iceberg.commit(s, t, 3L, 3L, sch, files3.sortBy(_._1),
-        prior = Seq((1L, s"$t/metadata/snap-1.avro"),
-          (2L, s"$t/metadata/snap-2.avro")))
-    }
-
-  /** Iceberg with an AVRO data file (r13): the spec's second
-    * content format — snapshot 1 is plain parquet, snapshot 2
-    * appends a data file whose `file_format` is AVRO, written by
-    * OUR OCF codec and read back through OUR OCF reader inside the
-    * manifest scan (the spec allows avro/orc/parquet data files;
-    * a real table mixing engines hits this). The oracle recomputes
-    * the union analytically, so a format dispatch, schema mapping
-    * or datum decode bug flips the hash. */
-  private def icebergAvroScan(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Iceberg
-    val root = formatFixtureDir(dir, "iceavro", "lineitem") { out =>
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag", "l_orderkey % 4 AS bucket")
-      val files1 = Iceberg.create(s, base, t) // snapshot 1: parquet
-      // snapshot 2: append the duplicate bucket-2 slice as ONE
-      // avro data file
-      val app = base.filter("bucket = 2 AND l_quantity > 40")
-      graft.sources.AvroSink.write(app.coalesce(1),
-        s"$t/data/s2", codec = "deflate")
-      val af = new java.io.File(s"$t/data/s2").listFiles()
-        .filter(_.getName.endsWith(".avro")).head
-      val n = app.count()
-      Iceberg.commit(s, t, 2L, 2L, base.schema,
-        files1 ++ Seq((af.getAbsolutePath, n, af.length())),
-        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
-        fileSeqs = files1.map(f => f._1 -> 1L).toMap,
-        fileFormats = Map(af.getAbsolutePath -> "AVRO"))
-    }
-    graft.operators.Iceberg.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** Iceberg lakehouse scan (r12) — the current snapshot through
-    * the metadata-json → manifest-list → manifest chain (OUR Avro
-    * decoder at both Avro layers), aggregated per return flag
-    * against the same analytic oracle as [[deltaScan]]: one table
-    * state, two formats, one truth. */
-  private def icebergScan(s: SparkSession, dir: String): DataFrame = {
-    val root = icebergFixtureRoot(s, dir)
-    graft.operators.Iceberg.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** Iceberg MAP column type (late r12) — a table whose schema
-    * carries `map<string,long>` through the full metadata-json →
-    * manifest → parquet chain: the schema JSON renders Iceberg's
-    * map grammar (key-id/value-id/value-required), [[Iceberg
-    * .toSparkType]] maps it back, and the DATA flows through
-    * Spark's native parquet map encoding. Facts read the map BY
-    * KEY after the round trip, so a mis-mapped key/value type or a
-    * lost value-required flag flips values. */
-  private def icebergMapType(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Iceberg
-    val root = formatFixtureDir(dir, "iceberg_map", "lineitem") {
-      out =>
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_returnflag",
-          "map('qty', CAST(l_quantity AS BIGINT), " +
-            "'okmod', l_orderkey % 97) AS attrs")
-      base.write.parquet(s"$t/data/s1")
-      val files = Iceberg.countsByFile(s, base.schema,
-        s"$t/data/s1")
-      Iceberg.commit(s, t, 1L, 1L, base.schema, files,
-        prior = Seq.empty)
-    }
-    graft.operators.Iceberg.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("attrs").getItem("qty")).as("qty_sum"),
-        sum(col("attrs").getItem("okmod")).as("okmod_sum"),
-        sum(size(col("attrs")).cast("long")).as("nkeys"))
-      .orderBy("rf")
-  }
-
-  /** Iceberg v2 POSITION-DELETE scan (late r12) — the same
-    * row-level-delete story as [[deltaDvScan]] told in the other
-    * lakehouse format: snapshot 1 creates the table, snapshot 2
-    * commits a parquet delete file (file_path + pos rows gathered
-    * via `_metadata.row_index`) through a content=1 delete
-    * manifest; the read applies it as a LEFT ANTI join, and the
-    * ORACLE is the identical survivor recomputation — one truth,
-    * two formats, two delete mechanisms (roaring masks vs
-    * anti-join). */
-  private def icebergPosDelete(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Iceberg
-    val root = formatFixtureDir(dir, "iceberg_pd", "lineitem") {
-      out =>
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag")
-      Iceberg.create(s, base.repartition(8), t)
-      val snap1 = Iceberg.snapshot(s, t)
-      s.read.parquet(s"$t/data/s1")
-        .select(col("_metadata.file_path").as("file_path"),
-          col("_metadata.row_index").as("pos"),
-          col("l_quantity"))
-        .filter(col("l_quantity") <= 5)
-        .drop("l_quantity")
-        .coalesce(1).write.parquet(s"$t/data/del2")
-      val delFiles = Iceberg.countsByFile(s,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("file_path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("pos",
-            org.apache.spark.sql.types.LongType))),
-        s"$t/data/del2")
-      Iceberg.commit(s, t, 2L, 2L, base.schema,
-        snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
-        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
-        deleteFiles = delFiles)
-    }
-    graft.operators.Iceberg.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-      .orderBy("rf")
-  }
-
-  /** Iceberg v2 EQUALITY-DELETE scan (late r12): the delete file
-    * carries (l_orderkey, l_partkey) VALUE pairs taken from rows
-    * with l_quantity ≤ 3 — and per the spec a row dies when its
-    * values match, so rows with qty > 3 sharing a deleted pair die
-    * TOO (value-wide deletion, the semantic that distinguishes
-    * equality from position deletes). Data files keep their v1
-    * sequence number through `fileSeqs` so the delete at seq 2
-    * strictly post-dates them; the oracle is the NOT-EXISTS
-    * recomputation over raw lineitem. */
-  private def icebergEqDelete(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Iceberg
-    val root = formatFixtureDir(dir, "iceberg_eqd", "lineitem") {
-      out =>
-      val t = s"$out/tbl"
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag")
-      Iceberg.create(s, base.repartition(8), t)
-      val snap1 = Iceberg.snapshot(s, t)
-      base.filter(col("l_quantity") <= 3)
-        .select("l_orderkey", "l_partkey").dropDuplicates()
-        .coalesce(1).write.parquet(s"$t/data/eq2")
-      val delFiles = Iceberg.countsByFile(s,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l_orderkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("l_partkey",
-            org.apache.spark.sql.types.LongType))),
-        s"$t/data/eq2")
-      // schema ids assign depth-first: l_orderkey=1, l_partkey=2
-      Iceberg.commit(s, t, 2L, 2L, base.schema,
-        snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
-        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
-        equalityDeletes = delFiles.map(f =>
-          (f._1, f._2, f._3, Seq(1, 2))),
-        fileSeqs = snap1.files.map(f => f.path -> 1L).toMap)
-    }
-    graft.operators.Iceberg.read(s, s"$root/tbl")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-      .orderBy("rf")
-  }
-
-  /** Partitioned-iceberg fixture (r12): lineitem written ONCE with
-    * a real partition spec — identity(l_returnflag) ×
-    * bucket[16](l_orderkey) — through [[Iceberg.create]]'s
-    * partitioned path: clustered write, hive-laid data dirs, typed
-    * partition values in OUR Avro manifests, the spec JSON in
-    * `partition-specs`. */
-  private def icebergPartFixtureRoot(s: SparkSession, dir: String)
-      : String =
-    formatFixtureDir(dir, "iceberg_part", "lineitem") { out =>
-      import graft.operators.Iceberg
-      val base = Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag")
-      Iceberg.create(s, base, s"$out/tbl", partitionBy = Seq(
-        ("rf_p", "identity", "l_returnflag"),
-        ("ok_b", "bucket[16]", "l_orderkey")))
-    }
-
-  /** Iceberg PARTITION PRUNING (r12) — the scale path the plain
-    * scan leaves on the table: `readWhere` plans from MANIFEST
-    * METADATA ONLY, keeping just the files whose stored partition
-    * values match the transformed literal (identity flags keep
-    * ~1/3 of files, a bucket[16] orderkey keeps ~1/16), then makes
-    * the result exact with the residual filter. Each facet
-    * REQUIRES in-flight that pruning actually shrank the file list
-    * — at 100 TB this is the difference between planning 48 files
-    * and scanning everything. The oracle recomputes every facet
-    * from raw lineitem, so wrong bucket hashing (murmur3), a wrong
-    * transform, or over-pruning (lost rows) all flip values. */
-  private def icebergPartitionPrune(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Iceberg
-    val root = icebergPartFixtureRoot(s, dir)
-    val t = s"$root/tbl"
-    val snap = Iceberg.snapshot(s, t)
-    val total = snap.files.length
-    def facetAgg(df: DataFrame, facet: String): DataFrame =
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey")).as("ok_sum"))
-        .select(lit(facet).as("facet"), col("n_rows"),
-          col("qty_sum"), col("ok_sum"))
-    val flagFacets = Seq("A", "N", "R").map { f =>
-      val kept = Iceberg.prunedFiles(snap, "l_returnflag", f)
-      require(kept.nonEmpty && kept.length < total,
-        s"identity pruning did not shrink for flag $f " +
-          s"(${kept.length}/$total)")
-      facetAgg(Iceberg.readWhere(s, t, "l_returnflag", f),
-        s"rf=$f")
-    }
-    val keptOk = Iceberg.prunedFiles(snap, "l_orderkey", 1L)
-    require(keptOk.length * 8 <= total,
-      s"bucket pruning kept ${keptOk.length}/$total files")
-    val okFacet = facetAgg(
-      Iceberg.readWhere(s, t, "l_orderkey", 1L), "ok=1")
-    (flagFacets :+ okFacet).reduce(_.unionAll(_)).orderBy("facet")
-  }
-
-  /** Iceberg time travel (r12) — snapshot 1 by id (a metadata
-    * lookup, not a replay) must equal plain lineitem. */
-  private def icebergTimeTravel(s: SparkSession, dir: String)
-      : DataFrame = {
-    val root = icebergFixtureRoot(s, dir)
-    graft.operators.Iceberg.read(s, s"$root/tbl", Some(1L))
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** The user-facing tensor-shard DataFrame API under the oracle
-    * (r12): [[graft.sources.TensorSink]] writes the REAL embeddings
-    * table as a `.safetensors` shard tree (one file per partition —
-    * vec_id I64, embedding F32 [n,64], label I32), then
-    * [[graft.sources.TensorSource]] reads the tree back as a typed
-    * DataFrame and the facts are derived with PLAIN SQL over it —
-    * the whole write-read stack must be value-transparent. Shard
-    * membership is partitioning-dependent and deliberately absent
-    * from the result. */
-  private def tensorSourceRead(s: SparkSession, dir: String)
-      : DataFrame = {
-    val root = formatFixtureDir(dir, "safetensors", "embeddings") {
-      out =>
-        graft.sources.TensorSink.write(
-          Tables.embeddings(s, dir)
-            .selectExpr("vec_id", "embedding", "label")
-            .repartition(8, col("vec_id")),
-          out, Map("format" -> "graft-emb"))
-    }
-    graft.sources.TensorSource.read(s, root)
-      .selectExpr(
-        "vec_id",
-        "CAST(size(embedding) AS INT) AS dim",
-        "aggregate(transform(embedding, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), " +
-          "0L, (a, x) -> a + x) AS emb_q",
-        "label")
-      .orderBy("vec_id")
-  }
-
-  /** Zarr v2 store read (r12) — the chunked-array DIRECTORY format
-    * (operators/Zarr): the fixture writes the REAL embeddings table
-    * as a three-array store with the knobs deliberately rotated —
-    * `emb` f4 [N,64] in FORTRAN chunk order under BLOSC with inner
-    * lz4 + byte-shuffle + split streams (zarr's real-world DEFAULT
-    * compressor, late-r12), `ids` i8 [N,1] under zlib BEHIND a
-    * numcodecs delta→shuffle FILTER CHAIN (late r12 — monotone ids
-    * are the textbook delta case; a wrong filter order or width
-    * scrambles every id), `labels` i4 [N,1] BIG-ENDIAN under the
-    * numcodecs lz4 framing — with chunk rows of 7 so an edge chunk
-    * (fill-padded, never surfaced) exists at every sf. The query reads each grid through
-    * binaryFile + per-chunk decode (zarr's native layout IS a
-    * distributed scan: one independent decode per chunk file, no
-    * shuffle until the final index join) and reassembles per-vector
-    * facts under the same oracle as the safetensors source. */
-  private def zarrRead(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Zarr
-    val root = formatFixtureDir(dir, "zarrc", "embeddings") { out =>
-      val rows = Tables.embeddings(s, dir)
-        .selectExpr("vec_id", "embedding", "label")
-        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
-      val n = rows.length.toLong
-      def putIn(sub: String)(name: String, bytes: Array[Byte]) = {
-        val d = new java.io.File(out, sub)
-        d.mkdirs()
-        java.nio.file.Files.write(
-          new java.io.File(d, name).toPath, bytes): Unit
-      }
-      Zarr.write2d(
-        Zarr.Meta(Seq(n, 64L), Seq(7, 64), "f4", bigEndian = false,
-          fortran = true, Some("blosc"), 5, 0.0, ".",
-          bloscCname = "lz4", bloscShuffle = 1),
-        n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
-        putIn("emb"))
-      Zarr.write2d(
-        Zarr.Meta(Seq(n, 1L), Seq(7, 1), "i8", bigEndian = false,
-          fortran = false, Some("zlib"), 5, -1.0, ".",
-          filters = Seq(("delta", 0), ("shuffle", 8))),
-        n, 1, (r, _) => rows(r.toInt)._1.toDouble,
-        putIn("ids"))
-      Zarr.write2d(
-        Zarr.Meta(Seq(n, 1L), Seq(7, 1), "i4", bigEndian = true,
-          fortran = false, Some("lz4"), 1, -1.0, "."),
-        n, 1, (r, _) => rows(r.toInt)._3.toDouble,
-        putIn("labels"))
-    }
-    def grid(sub: String, factName: String)(
-        fact: (graft.operators.Npy.Arr, Int) => Long): DataFrame = {
-      val metaJson = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/$sub/.zarray")), "UTF-8")
-      val meta = Zarr.parseMeta(metaJson).getOrElse(
-        sys.error(s"bad .zarray in $sub"))
-      val n = meta.shape.head
-      val cr = meta.chunks.head
-      s.read.format("binaryFile").load(s"$root/$sub")
-        .filter(!col("path").endsWith(".zarray"))
-        .select("path", "content").as[(String, Array[Byte])]
-        .flatMap { case (path, bytes) =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          val idx = Zarr.chunkIndex(meta, name).getOrElse(
-            sys.error(s"unexpected chunk file $name in $sub"))
-          val arr = Zarr.decodeChunk(meta, bytes).getOrElse(
-            sys.error(s"chunk $name in $sub rejected"))
-          (0 until cr).flatMap { r =>
-            val row = idx.head.toLong * cr + r
-            if (row < n) Some((row, fact(arr, r))) else None
-          }
-        }
-        .toDF("row", factName)
-    }
-    val emb = grid("emb", "emb_q") { (arr, r) =>
-      var q = 0L
-      var c = 0
-      while (c < 64) { q += math.round(arr.at(r, c) * 1000); c += 1 }
-      q
-    }
-    val ids = grid("ids", "vec_id")((arr, r) => arr.longAt(r, 0))
-    val labels = grid("labels", "label")((arr, r) =>
-      arr.at(r, 0).toLong)
-    emb.join(ids, "row").join(labels, "row")
-      .select(col("vec_id"), lit(64).as("dim"), col("emb_q"),
-        col("label").cast("int").as("label"))
-      .orderBy("vec_id")
-  }
-
-  /** Zarr V3 store read (late r12, operators/Zarr): the SAME
-    * three-array embeddings story told in the NEW spec generation —
-    * `zarr.json` metadata, codec chains, `c/…` chunk keys:
-    * `emb` f4 SHARDED (sharding_indexed — 14-row shards holding
-    * two 7-row inner chunks each behind bytes→blosc, the
-    * crc32c-guarded offset index at the shard end — the v3 layout
-    * big arrays actually use) with the v2-style dotted keys,
-    * `ids` i8 under bytes→zstd→crc32c (the checksum codec live in
-    * the gate), `labels` i4 BIG-endian bytes under gzip. One
-    * binaryFile scan per grid with recursive lookup (default keys
-    * nest directories), per-chunk decode, same per-vector oracle
-    * as the v2 store. */
-  private def zarr3Read(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Zarr
-    val root = formatFixtureDir(dir, "zarr3s", "embeddings") { out =>
-      val rows = Tables.embeddings(s, dir)
-        .selectExpr("vec_id", "embedding", "label")
-        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
-      val n = rows.length.toLong
-      def putIn(sub: String)(name: String, bytes: Array[Byte]) = {
-        val f = new java.io.File(new java.io.File(out, sub), name)
-        f.getParentFile.mkdirs()
-        java.nio.file.Files.write(f.toPath, bytes): Unit
-      }
-      Zarr.write2dV3(
-        Zarr.Meta3(Seq(n, 64L), Seq(14, 64), "f4",
-          bigEndian = false, 0.0, Seq.empty, ".", "v2",
-          sharding = Some(Zarr.Shard3(Seq(7, 64),
-            innerBig = false, Seq(("blosc", 5)),
-            indexCrc = true, indexAtEnd = true))),
-        n, 64, (r, c) => rows(r.toInt)._2(c).toDouble,
-        putIn("emb"))
-      Zarr.write2dV3(
-        Zarr.Meta3(Seq(n, 1L), Seq(7, 1), "i8",
-          bigEndian = false, -1.0,
-          Seq(("zstd", 3), ("crc32c", 0)), "/", "default"),
-        n, 1, (r, _) => rows(r.toInt)._1.toDouble,
-        putIn("ids"))
-      Zarr.write2dV3(
-        Zarr.Meta3(Seq(n, 1L), Seq(7, 1), "i4",
-          bigEndian = true, -1.0, Seq(("gzip", 5)), "/",
-          "default"),
-        n, 1, (r, _) => rows(r.toInt)._3.toDouble,
-        putIn("labels"))
-    }
-    def grid(sub: String, factName: String)(
-        fact: (graft.operators.Npy.Arr, Int) => Long): DataFrame = {
-      val metaJson = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/$sub/zarr.json")), "UTF-8")
-      val meta = Zarr.parseMetaV3(metaJson).getOrElse(
-        sys.error(s"bad zarr.json in $sub"))
-      val n = meta.shape.head
-      val cr = meta.chunks.head
-      val base = s"$root/$sub"
-      s.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(base)
-        .filter(!col("path").endsWith("zarr.json"))
-        .select("path", "content").as[(String, Array[Byte])]
-        .flatMap { case (path, bytes) =>
-          // chunk KEY = the path below the array root, with the
-          // default encoding's directory separators intact
-          val rel = path.substring(
-            path.indexOf(base) + base.length + 1)
-          val key = rel // '/' separators match the key encoding
-          val idx = Zarr.chunkIndexV3(meta,
-            if (meta.sep == ".") rel.replace("/", ".") else key)
-            .getOrElse(
-              sys.error(s"unexpected chunk file $rel in $sub"))
-          val arr = Zarr.decodeChunkV3(meta, bytes).getOrElse(
-            sys.error(s"chunk $rel in $sub rejected"))
-          (0 until cr).flatMap { r =>
-            val row = idx.head.toLong * cr + r
-            if (row < n) Some((row, fact(arr, r))) else None
-          }
-        }
-        .toDF("row", factName)
-    }
-    val emb = grid("emb", "emb_q") { (arr, r) =>
-      var q = 0L
-      var c = 0
-      while (c < 64) { q += math.round(arr.at(r, c) * 1000); c += 1 }
-      q
-    }
-    val ids = grid("ids", "vec_id")((arr, r) => arr.longAt(r, 0))
-    val labels = grid("labels", "label")((arr, r) =>
-      arr.at(r, 0).toLong)
-    emb.join(ids, "row").join(labels, "row")
-      .select(col("vec_id"), lit(64).as("dim"), col("emb_q"),
-        col("label").cast("int").as("label"))
-      .orderBy("vec_id")
-  }
-
-  /** ONNX model decode (r12) — per 8-vector shard one ModelProto
-    * (operators/Onnx, on the same wire machinery as the tf.train
-    * family): a 2-node MatMul→Relu graph whose initializers carry
-    * the REAL embedding matrix (F32 [n,64]), ids (I64) and labels
-    * (I32), with the tensor STORAGE PATH rotating three ways by
-    * shard id — raw_data bytes, the typed packed fields
-    * (float_data/int64_data/int32_data), and (late r12) EXTERNAL
-    * data: the embedding matrix externalized to a side blob with
-    * offset/length entries, resolved by the reader's location →
-    * bytes function — so every wire form a reader must accept
-    * stays live in the gate. A float8 FNUZ twin of the embedding
-    * (E4M3FNUZ/E5M2FNUZ rotating by shard) decodes through the
-    * closed-form converters and is held to its half-step error
-    * bound in-flight. Facts from DECODED initializers + the
-    * graph structure. */
-  private def onnxParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Onnx._
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(_._3.foreach(embBuf.putFloat))
-        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => idBuf.putLong(v._2))
-        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => labBuf.putInt(v._4))
-        // FNUZ float8 twin (late r12): the embedding quantized to
-        // FLOAT8E4M3FNUZ(18) / FLOAT8E5M2FNUZ(20) rotating by shard
-        // — held to its closed-form error bound at decode
-        val f8Type = if (sid % 2 == 0) 18 else 20
-        val f8 = new Array[Byte](n * dim)
-        locally {
-          var z = 0
-          vecs.foreach(_._3.foreach { x =>
-            f8(z) =
-              if (f8Type == 18)
-                graft.operators.Safetensors.floatToF8E4M3Fnuz(x)
-              else graft.operators.Safetensors.floatToF8E5M2Fnuz(x)
-            z += 1
-          })
-        }
-        val m = OModel(8L, "graft", Seq(("", 17L)), s"shard$sid",
-          Seq(ONode("mm", "MatMul", Seq("x", "emb"), Seq("h")),
-            ONode("act", "Relu", Seq("h"), Seq("y"))),
-          Seq(OTensor("emb", Seq(n.toLong, dim.toLong), 1,
-            embBuf.array()),
-            OTensor("vec_id", Seq(n.toLong), 7, idBuf.array()),
-            OTensor("label", Seq(n.toLong), 6, labBuf.array()),
-            OTensor("emb_f8", Seq(n.toLong, dim.toLong), f8Type,
-              f8)),
-          Seq("x"), Seq("y"))
-        sid % 3 match {
-          case 2 => // external: emb's bytes live in a side blob
-            (sid, buildModel(m, externalize = Map(
-              "emb" -> ((s"shard$sid.weights", 0L)))),
-              embBuf.array())
-          case r =>
-            (sid, buildModel(m, rawData = r == 0),
-              Array.emptyByteArray)
-        }
-      }
-      .flatMap { case (sid, bytes, side) =>
-        val resolver = (loc: String) =>
-          if (loc == s"shard$sid.weights" && side.nonEmpty)
-            Some(side) else None
-        val m = parseModel(bytes, resolver).getOrElse(
-          sys.error(s"onnx rejected shard $sid"))
-        require(sid % 3 != 2 || side.nonEmpty)
-        require(m.producer == "graft" && m.graphName == s"shard$sid"
-          && m.opsets == Seq(("", 17L)))
-        val ops = m.nodes.map(_.opType).mkString(",")
-        val byName = m.initializers.map(t => t.name -> t).toMap
-        val emb = byName("emb"); val ids = byName("vec_id")
-        val lab = byName("label")
-        require(emb.dataType == 1 && ids.dataType == 7 &&
-          lab.dataType == 6 && emb.dims.length == 2)
-        val n = emb.dims.head.toInt
-        val dim = emb.dims(1).toInt
-        // FNUZ twin: decode every lane through the closed-form
-        // converter and hold it to the format's half-step bound
-        // (normal: half a mantissa step of the binade; subnormal
-        // plane: half the subnormal step) — a wrong bias, NaN
-        // plane or rounding slip breaks the run in-flight
-        val f8t = byName("emb_f8")
-        val wantF8 = if (sid % 2 == 0) 18 else 20
-        require(f8t.dataType == wantF8 && f8t.dims == emb.dims,
-          s"shard $sid: f8 twin type ${f8t.dataType}")
-        val f8tag = if (wantF8 == 18) "E4M3FNUZ" else "E5M2FNUZ"
-        locally {
-          var k = 0
-          val total = n * dim
-          while (k < total) {
-            val x = f32At(emb, k)
-            val dq =
-              if (wantF8 == 18) f8e4m3fnuzAt(f8t, k)
-              else f8e5m2fnuzAt(f8t, k)
-            val bound =
-              if (wantF8 == 18) math.abs(x) / 16f + math.pow(2, -11)
-              else math.abs(x) / 8f + math.pow(2, -18)
-            require(math.abs(dq - x) <= bound + 1e-9,
-              s"$f8tag bound broken at shard $sid lane $k: " +
-                s"$x -> $dq")
-            k += 1
-          }
-        }
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            q += math.round(f32At(emb, i * dim + j).toDouble * 1000)
-            j += 1
-          }
-          (i64At(ids, i), sid, dim, q, i32At(lab, i), ops, f8tag)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "ops",
-        "f8tag")
-      .orderBy("vec_id")
-  }
-
-  /** Parquet footer audit (r12) — the storage-layout readout
-    * (operators/ParquetFooter): a 4-file lineitem projection is
-    * written by Spark's own parquet-mr path, then OUR from-scratch
-    * Thrift-compact footer reader audits every file — per-column
-    * value counts summed across files must equal the row count,
-    * physical types and codec must be what the writer was
-    * configured for, and the file count is pinned by the explicit
-    * repartition. A live differential against parquet-mr's
-    * serializer, under the DuckDB oracle. */
-  private def parquetFooter(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "pqfooter", "lineitem") { out =>
-      Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
-          "l_returnflag")
-        .repartition(4)
-        .write.parquet(s"$out/t")
-    }
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.parquet").load(s"$root/t")
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val f = graft.operators.ParquetFooter.parse(bytes)
-          .getOrElse(sys.error(s"footer rejected: $path"))
-        require(f.rowGroups.map(_.numRows).sum == f.numRows,
-          s"row-group rows disagree with numRows in $path")
-        f.rowGroups.flatMap(_.columns).map { c =>
-          (c.path,
-            c.numValues,
-            graft.operators.ParquetFooter.CodecNames(c.codecId),
-            graft.operators.ParquetFooter.TypeNames(c.typeId))
-        }
-      }
-      .toDF("col_name", "n_values", "codec", "ptype")
-      .groupBy("col_name", "codec", "ptype")
-      .agg(sum(col("n_values")).as("total_values"))
-      .select(col("col_name"), col("total_values"), col("codec"),
-        col("ptype"))
-      .orderBy("col_name")
-  }
-
-  /** Parquet PAGE INDEX audit (r12) — the pruning surface a 100 TB
-    * scan planner reads before touching any data page: OUR compact-
-    * thrift readers walk the OffsetIndex (page locations, first-row
-    * indexes) and ColumnIndex (per-page PLAIN min/max bounds, null
-    * counts) of a file written with an exact 5000-row page limit,
-    * and every fact is VALUE-transparent — page counts are
-    * analytically ceil(rows/5000) (the row limit binds long before
-    * the 1 MiB size limit on these narrow columns), the decoded
-    * bound bytes must reproduce the table's true min/max, and the
-    * offset-index row spans must tile the row group exactly. A slip
-    * anywhere — field ids, zigzag, bool-list elements, PLAIN bound
-    * decode — flips the hash. */
-  private def parquetPageIndex(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "pqpageidx", "lineitem") { out =>
-      Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_quantity")
-        .coalesce(1)
-        .write.option("parquet.page.row.count.limit", 5000)
-        .parquet(s"$out/t")
-    }
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.parquet").load(s"$root/t")
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        import graft.operators.ParquetFooter
-        val f = ParquetFooter.parse(bytes)
-          .getOrElse(sys.error(s"footer rejected: $path"))
-        f.rowGroups.flatMap { rg =>
-          rg.columns.map { c =>
-            val pages = ParquetFooter.parseOffsetIndex(bytes,
-              c.offsetIndex.getOrElse(sys.error(
-                s"no offset index for ${c.path}"))).getOrElse(
-              sys.error(s"offset index rejected for ${c.path}"))
-            // page row spans must tile the row group
-            val spans = pages.map(_.firstRow) :+ rg.numRows
-            val rows = spans.sliding(2).map {
-              case Seq(a, b) => b - a
-              case _ => 0L
-            }.sum
-            val ci = ParquetFooter.parseColumnIndex(bytes,
-              c.columnIndex.getOrElse(sys.error(
-                s"no column index for ${c.path}"))).getOrElse(
-              sys.error(s"column index rejected for ${c.path}"))
-            require(ci.nullPages.length == pages.length,
-              s"page count disagreement for ${c.path}")
-            val (vmin, vmax) =
-              if (ParquetFooter.TypeNames(c.typeId) == "INT64")
-                (ci.minValues.flatMap(ParquetFooter.boundI64)
-                  .min.toDouble,
-                  ci.maxValues.flatMap(ParquetFooter.boundI64)
-                    .max.toDouble)
-              else
-                (ci.minValues.flatMap(ParquetFooter.boundF64).min,
-                  ci.maxValues.flatMap(ParquetFooter.boundF64).max)
-            (c.path, pages.length.toLong, rows, vmin, vmax,
-              ci.nullCounts.map(_.sum).getOrElse(-1L))
-          }
-        }
-      }
-      .toDF("col_name", "n_pages", "total_rows", "vmin", "vmax",
-        "null_sum")
-      .groupBy("col_name")
-      .agg(sum("n_pages").as("n_pages"),
-        sum("total_rows").as("total_rows"),
-        min("vmin").as("vmin"), max("vmax").as("vmax"),
-        sum("null_sum").as("null_sum"))
-      .orderBy("col_name")
-  }
-
-  /** Parquet SPLIT-BLOCK BLOOM probe (r12) — the skip-scan gate a
-    * point-lookup join uses at 100 TB: OUR reader locates the
-    * filter via ColumnMetaData.bloom_filter_offset, parses the
-    * header with the same compact walker, and probes the 256-bit
-    * block bitset with the spec's eight salted lanes over xxHash64
-    * of the PLAIN value encoding (shared with the zstd frame
-    * checksum kernel). Every supplier key and name probed MUST hit
-    * — the oracle counts them — so a wrong salt, lane, block pick
-    * or hash flips the result; the false-positive differential
-    * lives in ParquetFooterSpec, bit-exact vs parquet-mr's own
-    * BlockSplitBloomFilter. The filter bytes broadcast to the
-    * probe side as a plan-visible literal, never a shuffle. */
-  private def parquetBloomProbe(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.ParquetFooter
-    val root = formatFixtureDir(dir, "pqbloom", "supplier") { out =>
-      Tables.supplier(s, dir)
-        .select("s_suppkey", "s_name")
-        .coalesce(1)
-        .write
-        .option("parquet.bloom.filter.enabled#s_suppkey", "true")
-        .option("parquet.bloom.filter.enabled#s_name", "true")
-        .parquet(s"$out/t")
-    }
-    // one part file by construction: its blooms are dimension-sized
-    // driver state, broadcast into the distributed probe below
-    val file = new java.io.File(s"$root/t").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
-    val footer = ParquetFooter.parse(bytes)
-      .getOrElse(sys.error("footer rejected"))
-    def bloomFor(col: String): ParquetFooter.BloomBits = {
-      val c = footer.rowGroups.head.columns.find(_.path == col)
-        .getOrElse(sys.error(s"no column $col"))
-      ParquetFooter.parseBloom(bytes, c.bloomOffset.getOrElse(
-        sys.error(s"no bloom for $col"))).getOrElse(
-        sys.error(s"bloom rejected for $col"))
-    }
-    val keyBloom = s.sparkContext.broadcast(bloomFor("s_suppkey"))
-    val nameBloom = s.sparkContext.broadcast(bloomFor("s_name"))
-    Tables.supplier(s, dir)
-      .select("s_suppkey", "s_name").as[(Long, String)]
-      .map { case (k, n) =>
-        (k % 8,
-          if (keyBloom.value.mightContain(
-            ParquetFooter.bloomHashLong(k))) 1L else 0L,
-          if (nameBloom.value.mightContain(
-            ParquetFooter.bloomHashBinary(
-              n.getBytes("UTF-8")))) 1L else 0L)
-      }
-      .toDF("bucket", "key_hit", "name_hit")
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_probed"),
-        sum("key_hit").as("n_key_found"),
-        sum("name_hit").as("n_name_found"))
-      .orderBy("bucket")
-  }
-
-  /** ORC tail audit (r12) — [[graft.operators.OrcTail]]'s
-    * from-scratch PostScript→Footer walk over a REAL Spark-written
-    * ORC file (zstd chunked streams decoded by OUR codec), every
-    * fact value-level: per-column non-null counts, hasNull flags,
-    * and the typed min/max/sum statistics must reproduce the
-    * table's true aggregates. One row per audited column with the
-    * stat family matching its ORC type (int/double/string). */
-  private def orcFooter(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "orcfooter", "lineitem") { out =>
-      Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_quantity", "l_returnflag")
-        .coalesce(1)
-        .write.option("compression", "zstd").orc(s"$out/t")
-    }
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.orc").load(s"$root/t")
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        import graft.operators.OrcTail
-        val t = OrcTail.parseTail(bytes)
-          .getOrElse(sys.error(s"orc tail rejected: $path"))
-        require(t.compressionName == "ZSTD", "fixture codec")
-        require(t.stripes.map(_.numRows).sum == t.numRows,
-          "stripe rows disagree with numRows")
-        val root = t.types.head
-        root.fieldNames.zip(root.subtypes).map { case (nm, ix) =>
-          val st = t.fileStats(ix)
-          (nm, st.numValues, st.hasNull.getOrElse(true),
-            st.ints.flatMap(_.min), st.ints.flatMap(_.max),
-            st.ints.flatMap(_.sum),
-            st.dbls.flatMap(_.min), st.dbls.flatMap(_.max),
-            st.strs.flatMap(_.min), st.strs.flatMap(_.max))
-        }
-      }
-      .toDF("col_name", "n_values", "has_null", "imin", "imax",
-        "isum", "dmin", "dmax", "smin", "smax")
-      .orderBy("col_name")
-  }
-
-  /** ORC row-index audit (r12) — the sub-stripe pruning grain: OUR
-    * reader walks stripe footer stream directories to the
-    * ROW_INDEX stream and decodes one RowIndexEntry per 1000-row
-    * group. The fixture sorts a UNIQUE key so every group's
-    * min/max/count is analytic — the oracle recomputes them from
-    * row_number arithmetic, making the whole chain (chunked-stream
-    * decode, stream-offset walk, packed-position parse, zigzag
-    * stats) value-transparent. */
-  private def orcRowIndex(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "orcrowidx", "lineitem") { out =>
-      Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey * 10 + l_linenumber AS sk")
-        .coalesce(1)
-        .sortWithinPartitions("sk")
-        .write.option("compression", "zstd")
-        .option("orc.row.index.stride", "1000")
-        .orc(s"$out/t")
-    }
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.orc").load(s"$root/t")
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        import graft.operators.OrcTail
-        val t = OrcTail.parseTail(bytes)
-          .getOrElse(sys.error(s"orc tail rejected: $path"))
-        require(t.rowIndexStride == 1000, "stride option lost")
-        require(t.stripes.length == 1,
-          s"row-group oracle needs one stripe, got ${t.stripes.length}")
-        val stripe = t.stripes.head
-        val sf = OrcTail.parseStripeFooter(bytes, stripe,
-          t.compression, t.blockSize)
-          .getOrElse(sys.error("stripe footer rejected"))
-        val skCol = t.types.head.subtypes(
-          t.types.head.fieldNames.indexOf("sk"))
-        val entries = OrcTail.readRowIndex(bytes, stripe, sf, skCol,
-          t.compression, t.blockSize)
-          .getOrElse(sys.error("row index rejected"))
-        entries.zipWithIndex.map { case (e, g) =>
-          require(e.positions.nonEmpty, "row-group positions missing")
-          val st = e.stats.getOrElse(
-            sys.error(s"row group $g has no stats"))
-          val is = st.ints.getOrElse(
-            sys.error(s"row group $g has no int stats"))
-          (g.toLong, st.numValues,
-            is.min.getOrElse(sys.error("no min")),
-            is.max.getOrElse(sys.error("no max")))
-        }
-      }
-      .toDF("grp", "n", "vmin", "vmax")
-      .orderBy("grp")
-  }
-
-  /** Hudi COW snapshot (r12) — [[graft.operators.Hudi]] completes
-    * the lakehouse trio: the fixture lives a real table history
-    * (create → key-level upsert that rewrites exactly the touched
-    * file groups → insert-overwrite of one partition through a
-    * replacecommit → a PENDING commit whose base file exists on
-    * disk but must stay invisible), and the oracle recomputes the
-    * end state analytically from lineitem. The max commit-time
-    * fact per partition pins WHICH file group generation each
-    * partition reads — a reader that picks a stale or pending base
-    * file flips the hash. */
-  private def hudiSnapshot(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Hudi
-    val root = formatFixtureDir(dir, "huditbl", "lineitem") { out =>
-      val base = Tables.lineitem(s, dir).selectExpr(
-        "l_orderkey * 10 + l_linenumber AS sk",
-        "cast(l_orderkey % 4 as string) AS pb",
-        "l_quantity AS qty")
-      val tbl = s"$out/tbl"
-      Hudi.create(s, base, tbl, "sk", "pb")
-      val upd = base.where("(sk div 10) % 10 = 0")
-        .withColumn("qty", expr("qty + 100"))
-      Hudi.upsert(s, upd, tbl, "sk", "pb")
-      val ov = base.where("pb = '3' and qty > 25")
-      Hudi.insertOverwrite(s, ov, tbl, "sk", "3")
-      Hudi.pendingCommit(s, base.where("pb = '1'")
-        .withColumn("qty", expr("qty + 1000")), tbl, "sk", "1")
-    }
-    Hudi.read(s, s"$root/tbl")
-      .groupBy("pb")
-      .agg(count(lit(1)).as("n"),
-        round(sum("qty"), 4).as("qsum"),
-        countDistinct("sk").as("nk"),
-        max("_hoodie_commit_time").as("mct"))
-      .orderBy("pb")
-  }
-
-  /** Parquet DATA-PAGE decode from raw bytes (r12): the driver's
-    * own parquet-cpp-written lineitem file read end to end by OUR
-    * page walker — footer → dictionary pages → RLE/bit-packed
-    * hybrid → PLAIN/dictionary values, snappy inflated in place —
-    * with COLUMN PRUNING in our own reader (only the four needed
-    * column chunks are touched). The oracle aggregates the same
-    * table through DuckDB's reader, so any framing, codec, level or
-    * value bug flips the hash. Scale: a per-file flatMap like every
-    * container walk here; per-column-chunk decode is the unit a
-    * 1000-executor audit would parallelize on. */
-  private def parquetDataDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/lineitem.parquet")
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        import graft.operators.{ParquetData => PD,
-          ParquetFooter => PF}
-        val footer = PF.parse(bytes).getOrElse(
-          sys.error("parquet footer unparseable"))
-        val leaves = PD.flatLeaves(footer).getOrElse(
-          sys.error("nested schema"))
-        def colVals(name: String): IndexedSeq[Option[Any]] = {
-          val li = leaves.indexWhere(_.name == name)
-          require(li >= 0, s"missing column $name")
-          footer.rowGroups.flatMap { rg =>
-            val cm = rg.columns.find(_.path == name).getOrElse(
-              sys.error(s"row group without $name"))
-            PD.decodeColumn(bytes, cm, leaves(li)).getOrElse(
-              sys.error(s"data pages of $name do not decode"))
-          }.toIndexedSeq
-        }
-        def asLong(v: Any): Long = v match {
-          case i: Int => i.toLong
-          case l: Long => l
-          case other => sys.error(s"not an int column: $other")
-        }
-        val ok = colVals("l_orderkey")
-        val qty = colVals("l_quantity")
-        val rf = colVals("l_returnflag")
-        val ln = colVals("l_linenumber")
-        ok.indices.iterator.map { i =>
-          (asLong(ok(i).get),
-            qty(i).get.asInstanceOf[Double],
-            new String(rf(i).get.asInstanceOf[Array[Byte]], "UTF-8"),
-            asLong(ln(i).get))
-        }
-      }
-      .toDF("okey", "qty", "rflag", "lnum")
-      .groupBy("rflag")
-      .agg(count(lit(1)).as("n"),
-        round(sum("qty"), 4).as("qsum"),
-        countDistinct("okey").as("nk"),
-        max("lnum").as("max_ln"),
-        sum(col("okey") * col("lnum")).as("wsum"))
-      .orderBy("rflag")
-  }
-
-  /** Struct columns from raw bytes, BOTH columnar formats (r12):
-    * one fixture (doc_id + a nullable struct<n_chars, lang> with a
-    * nullable field) written as zstd parquet AND zstd ORC, decoded
-    * by the two from-scratch struct readers — parquet's shared def
-    * levels, ORC's present-gated children — and unioned under one
-    * oracle with a format column. Either reader drifting flips the
-    * hash. */
-  private def columnarStructDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "colstruct", "documents") { out =>
-      val df = Tables.documents(s, dir)
-        .filter(expr(
-          "length(text) = octet_length(text) AND length(text) > 0"))
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 17 = 3 THEN NULL ELSE named_struct(" +
-            "'n_chars', CAST(length(text) AS BIGINT), " +
-            "'lang', CASE WHEN doc_id % 11 = 10 THEN NULL " +
-            "ELSE lang END) END AS meta")
-        .coalesce(2)
-      df.write.option("compression", "zstd").parquet(s"$out/pq")
-      df.write.option("compression", "zstd").orc(s"$out/orc")
-    }
-    def facts(fmt: String, glob: String, sub: String,
-        decode: Array[Byte] => Seq[(Long, Option[(Long, Option[String])])])
-        : DataFrame =
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob).load(s"$root/$sub")
-        .select("content").as[Array[Byte]]
-        .flatMap(b => decode(b).iterator.map { case (id, m) =>
-          (fmt, id, m.map(_._1), m.flatMap(_._2))
-        })
-        .toDF("fmt", "doc_id", "m_chars", "lang")
-    val pq = facts("parquet", "*.parquet", "pq", { bytes =>
-      import graft.operators.{ParquetData => PD}
-      val (shapes, cols) = PD.decodeFileNested(bytes).getOrElse(
-        sys.error("parquet struct file does not decode"))
-      require(shapes(1).isInstanceOf[PD.StructShape])
-      cols(0).indices.map { r =>
-        (cols(0)(r).get.asInstanceOf[Long],
-          cols(1)(r).map { x =>
-            val fs = x.asInstanceOf[Seq[Option[Any]]]
-            (fs(0).get.asInstanceOf[Long],
-              fs(1).map(v => new String(
-                v.asInstanceOf[Array[Byte]], "UTF-8")))
-          })
-      }
-    })
-    val orc = facts("orc", "*.orc", "orc", { bytes =>
-      import graft.operators.{OrcData => OD}
-      val (shapes, cols) = OD.decodeFileNested(bytes).getOrElse(
-        sys.error("orc struct file does not decode"))
-      require(shapes(1).isStruct)
-      cols(0).indices.map { r =>
-        (cols(0)(r).get.asInstanceOf[Long],
-          cols(1)(r).map { x =>
-            val fs = x.asInstanceOf[Seq[Option[Any]]]
-            (fs(0).get.asInstanceOf[Long],
-              fs(1).map(_.asInstanceOf[String]))
-          })
-      }
-    })
-    pq.unionByName(orc).orderBy("fmt", "doc_id")
-  }
-
-  /** Recursively nested columns from raw bytes, BOTH columnar
-    * formats (r13): one fixture with a `list<struct<n, lang>>`
-    * column (the annotation-span shape — null lists, empty lists,
-    * null elements, null fields) and a `struct<struct>` column,
-    * written as zstd parquet AND zstd ORC and decoded by the two
-    * from-scratch DEEP readers — parquet's full Dremel record
-    * assembly over (rep, def) level streams, ORC's type-tree
-    * recursion over present/length streams — then reduced to per-doc
-    * facts under one oracle with a format column. Any level-
-    * arithmetic, record-assembly or slicing bug in either reader
-    * flips the hash. */
-  private def columnarNestedDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "colnested", "documents") { out =>
-      val df = Tables.documents(s, dir)
-        .filter(expr(
-          "length(text) = octet_length(text) AND length(text) > 0"))
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
-            "transform(slice(sequence(0L, 3L), 1, " +
-            "CAST(doc_id % 4 AS INT)), k -> " +
-            "CASE WHEN (doc_id + k) % 7 = 6 THEN NULL ELSE " +
-            "named_struct('n', (doc_id * 10 + k) % 1000, " +
-            "'lang', CASE WHEN (doc_id + k) % 5 = 4 THEN NULL " +
-            "ELSE lang END) END) END AS spans",
-          "CASE WHEN doc_id % 11 = 7 THEN NULL ELSE named_struct(" +
-            "'a', doc_id * 3, " +
-            "'inner', CASE WHEN doc_id % 6 = 2 THEN NULL ELSE " +
-            "named_struct('lang', lang, " +
-            "'b', CASE WHEN doc_id % 4 = 1 THEN NULL " +
-            "ELSE doc_id * 7 END) END) END AS meta2")
-        .coalesce(2)
-      df.write.option("compression", "zstd").parquet(s"$out/pq")
-      df.write.option("compression", "zstd").orc(s"$out/orc")
-    }
-    // (doc_id, spans facts, meta2 facts) from DECODED rows; both
-    // readers share the Seq[Option[Any]] value conventions, only
-    // the string representation differs (parquet: utf8 bytes)
-    type Facts = (Long, Option[Long], Option[Long], Option[Long],
-      Option[Long], Option[Long], Option[String], Option[Long])
-    def reduce(ids: IndexedSeq[Option[Any]],
-        spans: IndexedSeq[Option[Any]],
-        metas: IndexedSeq[Option[Any]],
-        str: Any => String): Seq[Facts] =
-      ids.indices.map { r =>
-        val id = ids(r).get.asInstanceOf[Long]
-        val sp = spans(r).map(_.asInstanceOf[Seq[Option[Any]]])
-        val nSpans = sp.map(_.length.toLong)
-        val nSum = sp.map(_.flatten.map(e =>
-          e.asInstanceOf[Seq[Option[Any]]].head.get
-            .asInstanceOf[Long]).sum)
-        val nNull = sp.map(_.count(_.isEmpty).toLong)
-        val nLang = sp.map(_.flatten.count(e =>
-          e.asInstanceOf[Seq[Option[Any]]](1).isDefined).toLong)
-        val mt = metas(r).map(_.asInstanceOf[Seq[Option[Any]]])
-        val a = mt.map(_.head.get.asInstanceOf[Long])
-        val inner = mt.flatMap(_(1))
-          .map(_.asInstanceOf[Seq[Option[Any]]])
-        val iLang = inner.map(i => str(i.head.get))
-        val iB = inner.flatMap(_(1)).map(_.asInstanceOf[Long])
-        (id, nSpans, nSum, nNull, nLang, a, iLang, iB)
-      }
-    def facts(fmt: String, glob: String, sub: String,
-        decode: Array[Byte] => Seq[Facts]): DataFrame =
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob).load(s"$root/$sub")
-        .select("content").as[Array[Byte]]
-        .flatMap(b => decode(b).iterator.map { f =>
-          (fmt, f._1, f._2, f._3, f._4, f._5, f._6, f._7, f._8)
-        })
-        .toDF("fmt", "doc_id", "n_spans", "span_n_sum",
-          "n_null_spans", "n_lang", "a", "inner_lang", "inner_b")
-    val pq = facts("parquet", "*.parquet", "pq", { bytes =>
-      import graft.operators.{ParquetData => PD}
-      val (nodes, cols) = PD.decodeFileDeep(bytes).getOrElse(
-        sys.error("parquet nested file does not deep-decode"))
-      require(nodes(1).isInstanceOf[PD.DeepList] &&
-        nodes(1).asInstanceOf[PD.DeepList].elem
-          .isInstanceOf[PD.DeepStruct],
-        "fixture shape drifted: spans is not list<struct>")
-      reduce(cols(0), cols(1), cols(2),
-        v => new String(v.asInstanceOf[Array[Byte]], "UTF-8"))
-    })
-    val orc = facts("orc", "*.orc", "orc", { bytes =>
-      import graft.operators.{OrcData => OD}
-      val (nodes, cols) = OD.decodeFileDeep(bytes).getOrElse(
-        sys.error("orc nested file does not deep-decode"))
-      require(nodes(1).isInstanceOf[OD.OrcListNode] &&
-        nodes(1).asInstanceOf[OD.OrcListNode].elem
-          .isInstanceOf[OD.OrcStructNode],
-        "fixture shape drifted: spans is not list<struct>")
-      reduce(cols(0), cols(1), cols(2), _.asInstanceOf[String])
-    })
-    pq.unionByName(orc).orderBy("fmt", "doc_id")
-  }
-
-  /** MediaWiki dump ingest (r12): the canonical public text-corpus
-    * source — per-shard `pages-articles-multistream.xml.bz2` blobs
-    * (OUR bzip2 writes several concatenated streams per shard, the
-    * real dumps' layout) parsed back by the strict export-schema
-    * scanner: page id/title/ns, redirect targets, the revision's
-    * wikitext with XML entities decoded. Every fact from PARSED
-    * pages; the revision's own <id> must not leak into the page id
-    * (the first-id rule). One shard-keyed shuffle + flatMap decode —
-    * the WARC shape. */
-  private def wikidumpParse(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir)
-      .filter(expr(
-        "length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val pages = docs.map { case (_, id, t) =>
-          graft.operators.WikiDump.Page(id, s"Doc $id",
-            (id % 3).toInt,
-            if (id % 13 == 9) Some("Doc 0") else None, t)
-        }
-        (sid, graft.operators.WikiDump
-          .buildMultistream(pages, groupPages = 3))
-      }
-      .flatMap { case (sid, blob) =>
-        val pages = graft.operators.WikiDump.parseBz2(blob)
-          .getOrElse(sys.error(s"wikidump shard $sid unparseable"))
-        pages.iterator.map { pg =>
-          (pg.id, sid, pg.ns.toLong, pg.redirect.isDefined,
-            pg.title,
-            pg.text.length.toLong,
-            pg.text.split(' ').count(_.nonEmpty).toLong)
-        }
-      }
-      .toDF("doc_id", "shard_id", "ns", "is_redirect", "title",
-        "n_chars", "n_words")
-      .orderBy("doc_id")
-  }
-
-  /** Parquet LIST columns from raw bytes (r12): the
-    * HuggingFace-token-column shape — a Spark-written parquet
-    * fixture with a nullable list<int64> column (null lists, null
-    * elements) decoded by OUR repetition-level walker
-    * (decodeFileNested: 3-level list schema, rep/def streams,
-    * record assembly across page boundaries). Facts from DECODED
-    * rows only; the oracle recomputes them from documents. */
-  private def parquetListDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "pqlist", "documents") { out =>
-      Tables.documents(s, dir)
-        .filter(expr(
-          "length(text) = octet_length(text) AND length(text) > 0"))
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
-            "transform(filter(split(text, ' '), w -> w <> ''), " +
-            "w -> CASE WHEN length(w) % 5 = 0 THEN NULL " +
-            "ELSE CAST(length(w) AS BIGINT) END) END AS toks")
-        .coalesce(2)
-        .write.option("compression", "zstd").parquet(s"$out/docs")
-    }
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.parquet")
-      .load(s"$root/docs")
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        import graft.operators.{ParquetData => PD}
-        val (shapes, cols) = PD.decodeFileNested(bytes).getOrElse(
-          sys.error("parquet list file does not decode"))
-        require(shapes.map(_.name) == Seq("doc_id", "toks") &&
-          shapes(1).asInstanceOf[PD.ColShape].isList)
-        cols(0).indices.iterator.map { r =>
-          val id = cols(0)(r).get.asInstanceOf[Long]
-          val toks = cols(1)(r)
-            .map(_.asInstanceOf[Seq[Option[Any]]])
-          (id,
-            toks.map(_.length.toLong),
-            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
-            toks.map(_.count(_.isEmpty).toLong))
-        }
-      }
-      .toDF("doc_id", "n_tokens", "token_sum", "null_tokens")
-      .orderBy("doc_id")
-  }
-
-  /** ORC LIST columns from raw bytes (r12): the SAME token-column
-    * fixture story as `parquet_list_decode`, re-materialized as
-    * zstd ORC — length runs on the list column, child column decode
-    * and per-row slicing. One oracle, both columnar formats' nested
-    * read paths. */
-  private def orcListDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "orclist", "documents") { out =>
-      Tables.documents(s, dir)
-        .filter(expr(
-          "length(text) = octet_length(text) AND length(text) > 0"))
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
-            "transform(filter(split(text, ' '), w -> w <> ''), " +
-            "w -> CASE WHEN length(w) % 5 = 0 THEN NULL " +
-            "ELSE CAST(length(w) AS BIGINT) END) END AS toks")
-        .coalesce(2)
-        .write.option("compression", "zstd").orc(s"$out/docs")
-    }
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.orc")
-      .load(s"$root/docs")
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        import graft.operators.{OrcData => OD}
-        val (shapes, cols) = OD.decodeFileNested(bytes).getOrElse(
-          sys.error("orc list file does not decode"))
-        require(shapes.map(_.name) == Seq("doc_id", "toks") &&
-          shapes(1).isList)
-        cols(0).indices.iterator.map { r =>
-          val id = cols(0)(r).get.asInstanceOf[Long]
-          val toks = cols(1)(r)
-            .map(_.asInstanceOf[Seq[Option[Any]]])
-          (id,
-            toks.map(_.length.toLong),
-            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
-            toks.map(_.count(_.isEmpty).toLong))
-        }
-      }
-      .toDF("doc_id", "n_tokens", "token_sum", "null_tokens")
-      .orderBy("doc_id")
-  }
-
-  /** ORC stripe-data decode from raw bytes (r12): lineitem
-    * re-materialized as zstd ORC by Spark's writer (fixture, built
-    * once), then read end to end by OUR walker — tail → stripe
-    * footers → byte-RLE present bits → RLEv2 integer runs →
-    * dictionary/direct strings — and aggregated to the SAME oracle
-    * as `parquet_data_decode`: one truth, both columnar formats,
-    * two independent from-scratch value decoders. Scale: stripes
-    * decode independently; per-file flatMap. */
-  private def orcDataDecode(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "orcdata", "lineitem") { out =>
-      Tables.lineitem(s, dir)
-        .selectExpr("l_orderkey", "l_quantity", "l_returnflag",
-          "l_linenumber")
-        .coalesce(2)
-        .write.option("compression", "zstd").orc(s"$out/li")
-    }
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.orc")
-      .load(s"$root/li")
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        import graft.operators.{OrcData => OD}
-        val (leaves, cols) = OD.decodeFile(bytes).getOrElse(
-          sys.error("orc data pages do not decode"))
-        def idxOf(n: String) = {
-          val i = leaves.indexWhere(_.name == n)
-          require(i >= 0, s"missing column $n")
-          i
-        }
-        val ok = cols(idxOf("l_orderkey"))
-        val qty = cols(idxOf("l_quantity"))
-        val rf = cols(idxOf("l_returnflag"))
-        val ln = cols(idxOf("l_linenumber"))
-        ok.indices.iterator.map { i =>
-          (ok(i).get.asInstanceOf[Long],
-            qty(i).get.asInstanceOf[Double],
-            rf(i).get.asInstanceOf[String],
-            ln(i).get.asInstanceOf[Long])
-        }
-      }
-      .toDF("okey", "qty", "rflag", "lnum")
-      .groupBy("rflag")
-      .agg(count(lit(1)).as("n"),
-        round(sum("qty"), 4).as("qsum"),
-        countDistinct("okey").as("nk"),
-        max("lnum").as("max_ln"),
-        sum(col("okey") * col("lnum")).as("wsum"))
-      .orderBy("rflag")
-  }
-
-  /** Hudi MERGE_ON_READ through OUR log-block format (round 12):
-    * createMor writes base parquet under a deltacommit, then the
-    * history runs entirely through log appends — an AVRO_DATA
-    * upsert wave (our own Avro datum codec inside HudiLog blocks),
-    * a typed DELETE block wave, a second upsert wave, and a PENDING
-    * deltacommit whose blocks exist on disk but whose INSTANT_TIME
-    * never completes. The merge (base ∪ decoded log records, newest
-    * per key, deletes dropping keys, uncommitted blocks gated out)
-    * happens at read; the oracle recomputes the end state
-    * analytically from lineitem, so a fault anywhere — block
-    * framing, datum decode, instant gating, merge ordering, delete
-    * application — flips the hash. Scale: one task per file group's
-    * log chain (Hudi's own merge parallelism), shuffle = slice row
-    * volume on the record key. */
-  private def hudiMorSnapshot(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Hudi
-    val root = formatFixtureDir(dir, "huditblmor", "lineitem") { out =>
-      // keyed aggregate: hudi record keys must be UNIQUE (the
-      // driver's synthetic lineitem repeats (orderkey, linenumber)
-      // pairs, and a MOR merge would rightly collapse them)
-      val base = Tables.lineitem(s, dir).selectExpr(
-        "l_orderkey * 10 + l_linenumber AS sk",
-        "cast(l_orderkey % 4 as string) AS pb",
-        "l_quantity")
-        .groupBy("sk", "pb")
-        .agg(sum("l_quantity").as("qty"))
-      val tbl = s"$out/tbl"
-      Hudi.createMor(s, base, tbl, "sk", "pb") // deltacommit 1: base
-      val upd1 = base.where("(sk div 10) % 10 = 0")
-        .withColumn("qty", expr("qty + 100"))
-      Hudi.upsertMorLog(s, upd1, tbl, "sk", "pb") // dc 2: avro blocks
-      Hudi.deleteMor(s, base.where("pb = '2' and qty < 10"),
-        tbl, "sk", "pb") // dc 3: delete blocks
-      val upd2 = base.where("pb = '3' and qty > 40")
-        .withColumn("qty", expr("qty + 7"))
-      Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4
-      Hudi.pendingDeltaCommit(s, base.where("pb = '1'")
-        .withColumn("qty", expr("qty + 1000")), tbl, "sk", "pb")
-    }
-    Hudi.read(s, s"$root/tbl")
-      .groupBy("pb")
-      .agg(count(lit(1)).as("n"),
-        round(sum("qty"), 4).as("qsum"),
-        countDistinct("sk").as("nk"),
-        max("_hoodie_commit_time").as("mct"))
-      .orderBy("pb")
-  }
-
-  /** Hudi MOR with PARQUET log blocks (r13): the
-    * `hoodie.logfile.data.block.format=parquet` shape (also what
-    * compaction with parquet log output leaves behind) — log blocks
-    * whose content IS a complete parquet file, decoded by the
-    * repo's own from-scratch page walker inside the merge, MIXED
-    * with avro blocks and a delete wave in one log chain. The
-    * oracle replays the history analytically; survivors' winning
-    * commit times pin the cross-format merge ordering. */
-  private def hudiMorParquetLog(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.Hudi
-    val root = formatFixtureDir(dir, "huditblmorpq", "lineitem") {
-      out =>
-      val base = Tables.lineitem(s, dir).selectExpr(
-        "l_orderkey * 10 + l_linenumber AS sk",
-        "cast(l_orderkey % 4 as string) AS pb",
-        "l_quantity")
-        .groupBy("sk", "pb")
-        .agg(sum("l_quantity").as("qty"))
-      val tbl = s"$out/tbl"
-      Hudi.createMor(s, base, tbl, "sk", "pb") // dc 1: base files
-      val upd1 = base.where("(sk div 10) % 10 = 0")
-        .withColumn("qty", expr("qty + 100"))
-      Hudi.upsertMorParquetLog(s, upd1, tbl, "sk", "pb") // dc 2
-      Hudi.deleteMor(s, base.where("pb = '2' and qty < 10"),
-        tbl, "sk", "pb") // dc 3: delete blocks
-      val upd2 = base.where("pb = '3' and qty > 40")
-        .withColumn("qty", expr("qty + 7"))
-      Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4: avro
-      val upd3 = base.where("pb = '0' and qty > 30")
-        .withColumn("qty", expr("qty + 11"))
-      Hudi.upsertMorParquetLog(s, upd3, tbl, "sk", "pb") // dc 5
-    }
-    Hudi.read(s, s"$root/tbl")
-      .groupBy("pb")
-      .agg(count(lit(1)).as("n"),
-        round(sum("qty"), 4).as("qsum"),
-        countDistinct("sk").as("nk"),
-        max("_hoodie_commit_time").as("mct"))
-      .orderBy("pb")
-  }
-
-  /** Lakehouse ingest capstone (r12) — the composed migration DAG a
-    * curation pipeline actually runs, chaining FOUR of this round's
-    * systems live in one gate row: (1) read the Delta fixture at
-    * its LATEST version through checkpoint+tail reconstruction,
-    * (2) curate — keep l_quantity > 5 and DISTINCT away the rows
-    * the v2 append duplicated, (3) write the result as a NEW
-    * Iceberg table through OUR manifest writer (fresh temp store
-    * each run — the write is part of the operator under test),
-    * (4) read it back through OUR metadata→manifest-list→manifest
-    * chain and aggregate. The oracle recomputes the end state
-    * analytically from lineitem, so a fault ANYWHERE in the chain —
-    * delta replay, the distinct, manifest round trip, final scan —
-    * flips the hash. */
-  private def lakehouseIngestDag(s: SparkSession, dir: String)
-      : DataFrame = {
-    import graft.operators.{DeltaLog, Iceberg}
-    val deltaRoot = deltaFixtureRoot(s, dir)
-    val curated = DeltaLog.read(s, s"$deltaRoot/tbl")
-      .filter("l_quantity > 5")
-      .select("l_orderkey", "l_partkey", "l_quantity",
-        "l_returnflag", "bucket")
-      .distinct()
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_lakedag").toFile
-    out.deleteOnExit()
-    val t = s"${out.getAbsolutePath}/tbl"
-    Iceberg.create(s, curated, t)
-    graft.operators.Iceberg.read(s, t)
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("qty_sum"),
-        sum(col("l_orderkey") * col("bucket").cast("long"))
-          .as("okb_sum"))
-      .orderBy("rf")
-  }
-
-  /** HDF5 decode (r12) — THE scientific-corpus container
-    * (operators/Hdf5): per 8-vector shard one `.h5` file holding
-    * the embedding matrix f4 [n,64] DEFLATE-CHUNKED at [3,64] (so
-    * edge chunks clip in the gate), ids i8 contiguous and labels i4
-    * COMPACT (inline in the layout message) — all three data
-    * layouts live — walked back through superblock v0 → root group
-    * (local heap + B-tree v1 + SNOD) → object headers → layouts.
-    * Facts from DECODED datasets under the shared embeddings
-    * oracle. */
-  private def hdf5Parse(s: SparkSession, dir: String): DataFrame =
-    hdf5ShardRows(hdf5Shards(s, dir)).orderBy("vec_id")
-
-  /** One `.h5` file per 8-vector shard (all three layouts; the
-    * chunked `emb` dataset rotates its filter pipeline by shard id
-    * — plain deflate, shuffle+deflate, deflate+fletcher32,
-    * shuffle+deflate+fletcher32 — and the FILE FORMAT itself
-    * rotates by a second axis: even shards write the CLASSIC
-    * superblock-v0/v1-header form, odd shards the LIBVER-LATEST
-    * form (superblock v3 + OHDR link messages + layout v4 chunk
-    * indexes, late r12) — and the latest shards rotate the v4
-    * CHUNK INDEX itself through fixed array / extensible array /
-    * v2 b-tree (r13: the appendable `maxshape=` shapes h5py
-    * writes), so every decode combination, both format
-    * generations AND all three chunk indexes stay live in the
-    * gate. */
-  private[graft] def hdf5Shards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Hdf5
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val embBuf = java.nio.ByteBuffer.allocate(n * dim * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(_._3.foreach(embBuf.putFloat))
-        val idBuf = java.nio.ByteBuffer.allocate(n * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => idBuf.putLong(v._2))
-        val labBuf = java.nio.ByteBuffer.allocate(n * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vecs.foreach(v => labBuf.putInt(v._4))
-        val dsets = Seq(
-          Hdf5.WDataset("emb", Seq(n.toLong, dim.toLong), "f4",
-            embBuf.array(), chunkDims = Seq(3, dim),
-            shuffle = sid % 2 == 1, fletcher = (sid / 2) % 2 == 1,
-            // latest shards rotate the v4 chunk index: fixed
-            // array, extensible array, v2 b-tree (r13)
-            chunkIndexKind = 3 + ((sid / 2) % 3).toInt),
-          Hdf5.WDataset("vec_id", Seq(n.toLong), "i8",
-            idBuf.array()),
-          Hdf5.WDataset("label", Seq(n.toLong), "i4",
-            labBuf.array(), compact = true))
-        (sid, if (sid % 2 == 0) Hdf5.build(dsets)
-          else Hdf5.buildLatest(dsets))
-      }
-  }
-
-  /** Decode (shardId, h5 bytes) rows — shared by the in-memory,
-    * real-file and file-stream paths. */
-  private[graft] def hdf5ShardRows(
-      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
-      : DataFrame = {
-    val spark = shards.sparkSession
-    import spark.implicits._
-    import graft.operators.Hdf5
-    shards
-      .flatMap { case (sid, bytes) =>
-        val ds = Hdf5.read(bytes).getOrElse(
-          sys.error(s"hdf5 rejected shard $sid"))
-        val byName = ds.map(d => d.path -> d).toMap
-        require(byName.keySet == Set("emb", "vec_id", "label"))
-        val emb = byName("emb"); val ids = byName("vec_id")
-        val lab = byName("label")
-        require(emb.arr.descr == "f4" && ids.arr.descr == "i8" &&
-          lab.arr.descr == "i4" && emb.dims.length == 2)
-        val n = emb.dims.head.toInt
-        val dim = emb.dims(1).toInt
-        (0 until n).map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            q += math.round(emb.arr.at(i, j) * 1000); j += 1
-          }
-          (ids.arr.longAt(i), sid, dim, q, lab.arr.at(i).toInt)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
-  }
-
-  /** The shards as REAL `.h5` FILES (cached fixture tree). */
-  private[graft] def hdf5FixtureRoot(s: SparkSession, dir: String)
-      : String = {
-    val spark = s
-    import spark.implicits._
-    formatFixtureDir(dir, "hdf5v24", "embeddings") { out =>
-      hdf5Shards(s, dir)
-        .map { case (sid, bytes) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.h5"), bytes)
-          sid
-        }
-        .count(): Unit
-    }
-  }
-
-  /** [[hdf5Parse]] through REAL `.h5` files + binaryFile — the
-    * layout scientific corpora actually arrive in. Identical
-    * oracle: the file layer must be transparent. */
-  private def hdf5ParseFiles(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = hdf5FixtureRoot(s, dir)
-    hdf5ShardRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.h5")
-        .load(root)
-        .repartition(col("path"))
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .map { case (path, bytes) =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          (name.stripPrefix("shard-").stripSuffix(".h5").toLong,
-            bytes)
-        })
-      .orderBy("vec_id")
-  }
-
-  /** Cross-format tensor differential (r12, widened late-r12 to
-    * SIX lanes) — the SAME embedding shard encoded into six
-    * independent container paths implemented in this repo
-    * (safetensors, GGUF, ONNX, HDF5 classic, HDF5 libver-latest
-    * with OHDR/fixed-array/shuffle/fletcher32, and a SHARDED zarr
-    * v3 chunk behind blosc + a crc32c index: different headers,
-    * different layout machinery, different chunking paths) and
-    * decoded by their independent readers, which must agree
-    * LANE-FOR-LANE in-flight before one agreed fact row ships to
-    * the oracle. A bug in any one codec breaks the agreement even
-    * if it would round-trip through itself. */
-  private def tensorCrossCheck(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "embedding", "label")
-      .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) => (id / 8, id, emb, label) }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Array[Float], Int)]) =>
-        val vecs = it.toSeq.sortBy(_._2)
-        val n = vecs.length
-        val dim = vecs.head._3.length
-        val flat = vecs.flatMap(_._3).toArray
-        def le(f: Array[Float]): Array[Byte] = {
-          val b = java.nio.ByteBuffer.allocate(f.length * 4)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          f.foreach(b.putFloat); b.array()
-        }
-        // four encodes
-        val st = graft.operators.Safetensors.build(Seq(
-          graft.operators.Safetensors.Tensor("emb", "F32",
-            Seq(n.toLong, dim.toLong), le(flat))))
-        val gg = graft.operators.Gguf.build(Seq.empty, Seq(
-          graft.operators.Gguf.GTensor("emb",
-            Seq(dim.toLong, n.toLong), "F32", le(flat))))
-        val on = graft.operators.Onnx.buildModel(
-          graft.operators.Onnx.OModel(8L, "graft", Seq(("", 17L)),
-            "x", Seq.empty, Seq(graft.operators.Onnx.OTensor("emb",
-              Seq(n.toLong, dim.toLong), 1, le(flat))),
-            Seq.empty, Seq.empty),
-          rawData = sid % 2 == 0)
-        val h5 = graft.operators.Hdf5.build(Seq(
-          graft.operators.Hdf5.WDataset("emb",
-            Seq(n.toLong, dim.toLong), "f4", le(flat),
-            chunkDims = Seq(3, dim))))
-        // lane 5: the libver-latest generation (OHDR, layout v4
-        // fixed-array index, shuffle+fletcher32 filters)
-        val h5l = graft.operators.Hdf5.buildLatest(Seq(
-          graft.operators.Hdf5.WDataset("emb",
-            Seq(n.toLong, dim.toLong), "f4", le(flat),
-            chunkDims = Seq(3, dim), shuffle = true,
-            fletcher = true)))
-        // lane 6: one SHARDED zarr v3 chunk (1-row inner chunks
-        // behind blosc, crc32c-guarded index; odd shards store the
-        // inner blocks TRANSPOSED — the order='F' sharded form)
-        val z3meta = graft.operators.Zarr.Meta3(
-          Seq(n.toLong, dim.toLong), Seq(n, dim), "f4",
-          bigEndian = false, 0.0, Seq.empty, "/", "default",
-          sharding = Some(graft.operators.Zarr.Shard3(
-            Seq(1, dim), innerBig = false, Seq(("blosc", 5)),
-            indexCrc = true, indexAtEnd = true,
-            innerPerm = if (sid % 2 == 0) Seq.empty
-              else Seq(1, 0))))
-        val z3 = graft.operators.Zarr.encodeChunkV3(z3meta,
-          le(flat))
-        // six decodes
-        val stT = graft.operators.Safetensors.parse(st)
-          .getOrElse(sys.error(s"st rejected $sid"))._2.head
-        val ggT = graft.operators.Gguf.parse(gg)
-          .getOrElse(sys.error(s"gguf rejected $sid"))._2.head
-        val onT = graft.operators.Onnx.parseModel(on)
-          .getOrElse(sys.error(s"onnx rejected $sid"))
-          .initializers.head
-        val h5T = graft.operators.Hdf5.read(h5)
-          .getOrElse(sys.error(s"hdf5 rejected $sid")).head
-        val h5lT = graft.operators.Hdf5.read(h5l)
-          .getOrElse(sys.error(s"hdf5-latest rejected $sid")).head
-        val z3T = graft.operators.Zarr.decodeChunkV3(z3meta, z3)
-          .getOrElse(sys.error(s"zarr3 rejected $sid"))
-        // lane-for-lane agreement, then ONE agreed fact row per vec
-        vecs.indices.map { i =>
-          var q = 0L
-          var j = 0
-          while (j < dim) {
-            val k = i * dim + j
-            val a = graft.operators.Safetensors.f32At(stT, k)
-            val b = graft.operators.Gguf.f32At(ggT, k)
-            val c = graft.operators.Onnx.f32At(onT, k)
-            val d = h5T.arr.floatAt(i, j)
-            val e = h5lT.arr.floatAt(i, j)
-            val f = z3T.floatAt(i, j)
-            val bits = java.lang.Float.floatToIntBits(a)
-            require(
-              bits == java.lang.Float.floatToIntBits(b) &&
-              bits == java.lang.Float.floatToIntBits(c) &&
-              bits == java.lang.Float.floatToIntBits(d) &&
-              bits == java.lang.Float.floatToIntBits(e) &&
-              bits == java.lang.Float.floatToIntBits(f),
-              s"codec disagreement at shard $sid vec $i lane $j")
-            q += math.round(a.toDouble * 1000)
-            j += 1
-          }
-          (vecs(i)._2, sid, dim, q, 6)
-        }
-      }
-      .toDF("vec_id", "shard_id", "dim", "emb_q", "n_formats")
-      .orderBy("vec_id")
-  }
-
-  /** Temporal Arrow columns (r12): date32 / timestamp[us, UTC] /
-    * duration[ms] — the metadata columns dataset shards carry beside
-    * the payload. arrow-java writes (its Date/Time/Duration tables
-    * OMIT unit fields equal to the .fbs defaults, which is exactly
-    * the vtable subtlety this pins); OUR reader surfaces the raw
-    * counts, oracle-predicted from documents. */
-  private def arrowIpcTemporal(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t.length.toLong) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowTemporalShard(docs.map {
-          case (_, id, n) => (id, n) }))
-      }
-      .flatMap { case (sid, bytes) =>
-        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
-          .getOrElse(sys.error(s"arrow temporal rejected shard $sid"))
-        require(cols.map(_.tag) ==
-          Seq("int64", "date32", "timestamp_us", "duration_ms"))
-        rows.map { r =>
-          (r(0).get.asInstanceOf[Long], sid,
-            r(1).get.asInstanceOf[Int],
-            r(2).map(_.asInstanceOf[Long]),
-            r(3).get.asInstanceOf[Long])
-        }
-      }
-      .toDF("doc_id", "shard_id", "day", "ts_us", "dur_ms")
-      .orderBy("doc_id")
-  }
-
-  /** One 8-doc shard of temporal columns; ts null every 7th doc. */
-  private def buildArrowTemporalShard(
-      docs: Seq[(Long, Long)]): Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
-      FieldType, Schema => ASchema}
-    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
-    import org.apache.arrow.vector._
-    import scala.jdk.CollectionConverters._
-    val schema = new ASchema(Seq(
-      new Field("id", new FieldType(false,
-        new ArrowType.Int(64, true), null), null),
-      new Field("day", new FieldType(false,
-        new ArrowType.Date(DateUnit.DAY), null), null),
-      new Field("ts", new FieldType(true,
-        new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"), null),
-        null),
-      new Field("dur", new FieldType(false,
-        new ArrowType.Duration(TimeUnit.MILLISECOND), null), null))
-      .asJava)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        root.allocateNew()
-        val ids = root.getVector("id").asInstanceOf[BigIntVector]
-        val day = root.getVector("day").asInstanceOf[DateDayVector]
-        val ts = root.getVector("ts").asInstanceOf[TimeStampMicroTZVector]
-        val dur = root.getVector("dur").asInstanceOf[DurationVector]
-        docs.zipWithIndex.foreach { case ((id, n), i) =>
-          ids.setSafe(i, id)
-          day.setSafe(i, (19000 + id % 1000).toInt)
-          if (id % 7 == 3) ts.setNull(i)
-          else ts.setSafe(i, 1700000000000000L + id * 1000003L)
-          dur.setSafe(i, n * 250L)
-        }
-        root.setRowCount(docs.length)
-        val buf = new java.io.ByteArrayOutputStream()
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-          null, java.nio.channels.Channels.newChannel(buf))
-        w.start(); w.writeBatch(); w.end(); w.close()
-        buf.toByteArray
-      } finally root.close()
-    } finally alloc.close()
-  }
-
-  /** The per-shard nested `.arrow` files: (shard_id, bytes). */
-  /** Per-shard Arrow files carrying a MAP column and a DECIMAL128
-    * column (r12): the remaining HuggingFace-datasets shapes after
-    * list/struct/dictionary — feature dictionaries ship as
-    * map<utf8,int64>, currency/score columns as decimal. The map is
-    * the word-length histogram of the whitespace split (key = the
-    * length as a string, value = its count, value NULL when the
-    * length is a multiple of 7, whole map NULL every 13th doc); the
-    * decimal is analytic from doc_id (unscaled (id*137+41) %
-    * 1000003 at scale 4, NULL every 11th doc). */
-  private def arrowMapShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowMapShard(docs.map { case (_, id, t) => (id, t) }))
-      }
-  }
-
-  private def buildArrowMapShard(docs: Seq[(Long, String)])
-      : Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
-      FieldType, Schema => ASchema}
-    import org.apache.arrow.vector._
-    import org.apache.arrow.vector.complex.{MapVector, StructVector}
-    import scala.jdk.CollectionConverters._
-    def f(name: String, t: ArrowType, nullable: Boolean,
-        kids: Field*): Field =
-      new Field(name, new FieldType(nullable, t, null),
-        if (kids.isEmpty) null else kids.asJava)
-    val schema = new ASchema(Seq(
-      f("id", new ArrowType.Int(64, true), nullable = false),
-      f("wlen", new ArrowType.Map(false), nullable = true,
-        f(MapVector.DATA_VECTOR_NAME, ArrowType.Struct.INSTANCE,
-          nullable = false,
-          f(MapVector.KEY_NAME, ArrowType.Utf8.INSTANCE,
-            nullable = false),
-          f(MapVector.VALUE_NAME, new ArrowType.Int(64, true),
-            nullable = true))),
-      f("price", new ArrowType.Decimal(20, 4, 128),
-        nullable = true)).asJava)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        root.allocateNew()
-        val ids = root.getVector("id").asInstanceOf[BigIntVector]
-        val mv = root.getVector("wlen").asInstanceOf[MapVector]
-        val ev = mv.getDataVector.asInstanceOf[StructVector]
-        val keys = ev.getChild(MapVector.KEY_NAME)
-          .asInstanceOf[VarCharVector]
-        val vals = ev.getChild(MapVector.VALUE_NAME)
-          .asInstanceOf[BigIntVector]
-        val price = root.getVector("price").asInstanceOf[DecimalVector]
-        var off = 0
-        docs.zipWithIndex.foreach { case ((id, t), i) =>
-          ids.setSafe(i, id)
-          if (id % 13 == 9) mv.setNull(i)
-          else {
-            mv.startNewValue(i)
-            val hist = t.split(" ").filter(_.nonEmpty)
-              .groupBy(_.length).view.mapValues(_.length.toLong)
-              .toSeq.sortBy(_._1)
-            hist.foreach { case (len, cnt) =>
-              ev.setIndexDefined(off)
-              keys.setSafe(off, len.toString.getBytes("UTF-8"))
-              if (len % 7 == 0) vals.setNull(off)
-              else vals.setSafe(off, cnt)
-              off += 1
-            }
-            mv.endValue(i, hist.length)
-          }
-          if (id % 11 == 10) price.setNull(i)
-          else price.setSafe(i, new java.math.BigDecimal(
-            java.math.BigInteger.valueOf((id * 137 + 41) % 1000003), 4))
-        }
-        root.setRowCount(docs.length)
-        val buf = new java.io.ByteArrayOutputStream()
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-          null, java.nio.channels.Channels.newChannel(buf))
-        w.start(); w.writeBatch(); w.end(); w.close()
-        buf.toByteArray
-      } finally root.close()
-    } finally alloc.close()
-  }
-
-  private def arrowNestedShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-      .map { case (id, t, lang) => (id / 8, id, t, lang) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        (sid, buildArrowNestedShard(docs.map {
-          case (_, id, t, l) => (id, t, l) }))
-      }
-  }
-
-  /** One 8-doc nested Arrow file via arrow-java: tokens are the word
-    * lengths of the whitespace split (element null when the length is
-    * a multiple of 5; whole list null every 13th doc), meta carries
-    * n_chars + lang (lang null every 11th doc — the label rule). */
-  private def buildArrowNestedShard(
-      docs: Seq[(Long, String, String)]): Array[Byte] = {
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
-      FieldType, Schema => ASchema}
-    import org.apache.arrow.vector._
-    import org.apache.arrow.vector.complex.{ListVector, StructVector}
-    import scala.jdk.CollectionConverters._
-    def f(name: String, t: ArrowType, nullable: Boolean,
-        kids: Field*): Field =
-      new Field(name, new FieldType(nullable, t, null),
-        if (kids.isEmpty) null else kids.asJava)
-    val schema = new ASchema(Seq(
-      f("id", new ArrowType.Int(64, true), nullable = false),
-      f("tokens", ArrowType.List.INSTANCE, nullable = true,
-        f("item", new ArrowType.Int(64, true), nullable = true)),
-      f("meta", ArrowType.Struct.INSTANCE, nullable = false,
-        f("n_chars", new ArrowType.Int(64, true), nullable = false),
-        f("lang", ArrowType.Utf8.INSTANCE, nullable = true))).asJava)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        root.allocateNew()
-        val ids = root.getVector("id").asInstanceOf[BigIntVector]
-        val toks = root.getVector("tokens").asInstanceOf[ListVector]
-        val tokData = toks.getDataVector.asInstanceOf[BigIntVector]
-        val meta = root.getVector("meta").asInstanceOf[StructVector]
-        val mChars = meta.getChild("n_chars").asInstanceOf[BigIntVector]
-        val mLang = meta.getChild("lang").asInstanceOf[VarCharVector]
-        var off = 0
-        docs.zipWithIndex.foreach { case ((id, t, lang), i) =>
-          ids.setSafe(i, id)
-          if (id % 13 == 9) toks.setNull(i)
-          else {
-            toks.startNewValue(i)
-            val ws = t.split(" ").filter(_.nonEmpty)
-            ws.zipWithIndex.foreach { case (w, j) =>
-              if (w.length % 5 == 0) tokData.setNull(off + j)
-              else tokData.setSafe(off + j, w.length.toLong)
-            }
-            toks.endValue(i, ws.length)
-            off += ws.length
-          }
-          meta.setIndexDefined(i)
-          mChars.setSafe(i, t.length.toLong)
-          if (id % 11 == 10) mLang.setNull(i)
-          else mLang.setSafe(i, lang.getBytes("UTF-8"))
-        }
-        root.setRowCount(docs.length)
-        val buf = new java.io.ByteArrayOutputStream()
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
-          null, java.nio.channels.Channels.newChannel(buf))
-        w.start(); w.writeBatch(); w.end(); w.close()
-        buf.toByteArray
-      } finally root.close()
-    } finally alloc.close()
-  }
-
-  /** `.jsonl.zst` corpus ingest — the EXACT shape public text
-    * corpora ship in (one JSON object per line, zstd frames): 8-doc
-    * JSONL shards are compressed by zstd-jni (level 3) and read back
-    * through OUR RFC 8878 decoder, line-split, and strictly parsed
-    * (the fields are rendered in a fixed order, so the parse is a
-    * byte-exact walk, not a lenient JSON guess — any codec or
-    * framing bug corrupts a line and fails the oracle hash). All
-    * distributed: one shard-keyed shuffle, flatMap decode. */
-  private def jsonlZstIngest(s: SparkSession, dir: String): DataFrame =
-    jsonlZstRows(jsonlZstShards(s, dir)).orderBy("doc_id")
-
-  /** The per-shard `.jsonl.zst` blobs: (shard_id, zstd bytes),
-    * compressed by zstd-jni (the write side of the differential). */
-  private def jsonlZstShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "lang", "n_chars")
-      .as[(Long, String, Long)]
-      .map { case (id, lang, n) =>
-        val line =
-          if (id % 7 == 0) s"""{"doc_id":$id,"n_chars":$n}"""
-          else s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
-        (id / 8, id, line)
-      }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val jsonl = it.toSeq.sortBy(_._2).map(_._3)
-          .mkString("", "\n", "\n")
-        (sid, com.github.luben.zstd.Zstd.compress(
-          jsonl.getBytes("UTF-8"), 3))
-      }
-  }
-
-  /** Shared decode+parse stage: OUR RFC 8878 walk, line split, strict
-    * fixed-order field parse — reused by batch, file and streaming. */
-  private[graft] def jsonlZstRows(
-      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
-      : DataFrame = {
-    val spark = shards.sparkSession
-    import spark.implicits._
-    shards
-      .flatMap { case (sid, zst) =>
-        val back = graft.operators.Zstd.decode(zst)
-          .getOrElse(sys.error(s"zstd rejected shard $sid"))
-        new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
-          .map { line =>
-            // strict parse of the fixed field order
-            def grab(key: String): Option[String] = {
-              val k = "\"" + key + "\":"
-              val i = line.indexOf(k)
-              if (i < 0) None
-              else {
-                val v0 = i + k.length
-                val raw =
-                  if (line.charAt(v0) == '"') {
-                    val e = line.indexOf('"', v0 + 1)
-                    line.substring(v0 + 1, e)
-                  } else line.substring(v0).takeWhile(c =>
-                    c != ',' && c != '}')
-                Some(raw)
-              }
-            }
-            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
-              grab("n_chars").get.toLong)
-          }
-      }
-      .toDF("doc_id", "shard_id", "lang", "n_chars")
-  }
-
-  /** Builds (idempotently) and returns the `.jsonl.zst` fixture
-    * directory — shared with the streaming parity spec. */
-  private[graft] def jsonlZstFixtureRoot(s: SparkSession, dir: String)
-      : String = {
-    val spark = s
-    import spark.implicits._
-    formatFixtureDir(dir, "jsonlzst", "documents") { out =>
-      jsonlZstShards(s, dir)
-        .map { case (sid, bytes) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.jsonl.zst"), bytes)
-          sid
-        }
-        .count(): Unit
-    }
-  }
-
-  /** [[jsonlZstIngest]] through REAL `.jsonl.zst` FILES — the exact
-    * layout public corpora publish — read back through binaryFile.
-    * Identical oracle: the file layer must be transparent. */
-  private def jsonlZstFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = jsonlZstFixtureRoot(s, dir)
-    jsonlZstRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.zst").load(root)
-        .repartition(col("path"))
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .map { case (path, bytes) =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          (name.stripPrefix("shard-").stripSuffix(".jsonl.zst").toLong,
-            bytes)
-        })
-      .orderBy("doc_id")
-  }
-
-  /** MessagePack record round trip (operators/Msgpack): each doc
-    * renders to the map {"id": int, "text": str, "tags": [int, int],
-    * "note": nil | str, "score": float64}, encodes minimal-size,
-    * decodes back, and every fact is re-derived from the DECODED
-    * value tree — int-width selection, UTF-8 strings, nested arrays
-    * and the nil branch must all be value-transparent. Pure map
-    * pass; no shuffle beyond the presentation sort. */
-  private def msgpackParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Msgpack._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val v = MpMap(Seq(
-          MpStr("id") -> MpInt(id * 1000003L),
-          MpStr("text") -> MpStr(t),
-          MpStr("tags") -> MpArr(Seq(MpInt(id % 7), MpInt(t.length.toLong))),
-          MpStr("note") -> (if (id % 7 == 0) MpNil
-            else MpStr(s"n${id % 5}")),
-          MpStr("score") -> MpDouble(t.length * 0.25)))
-        val MpMap(kvs) = decode(encode(v)).getOrElse(
-          sys.error(s"msgpack rejected doc $id")): @unchecked
-        val m = kvs.map { case (MpStr(k), x) => (k, x) }.toMap
-        val MpInt(bigId) = m("id"): @unchecked
-        val MpStr(text) = m("text"): @unchecked
-        val MpArr(tags) = m("tags"): @unchecked
-        val tagSum = tags.map { case MpInt(x) => x
-          case _ => sys.error("tag type") }.sum
-        val note = m("note") match {
-          case MpNil => null
-          case MpStr(x) => x
-          case _ => sys.error("note type")
-        }
-        val MpDouble(score) = m("score"): @unchecked
-        val d = java.security.MessageDigest.getInstance("MD5")
-        (bigId / 1000003L, kvs.length, text.length.toLong,
-          d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-            .mkString,
-          tagSum, note, score)
-      }
-      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
-        "note", "score")
-      .orderBy("doc_id")
-  }
-
-  /** CBOR record round trip (operators/Cbor, RFC 8949): each doc
-    * renders to the map {"id": int, "text": str, "tags": [int,
-    * int], "note": null | str, "ts": tag1(int), "score": float64},
-    * encodes in the deterministic core encoding, decodes back, and
-    * every fact is re-derived from the DECODED value tree — the
-    * shortest-form integer heads, UTF-8 strings, nested arrays, the
-    * null branch and the epoch tag must all be value-transparent.
-    * Pure map pass; no shuffle beyond the presentation sort. */
-  private def cborParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Cbor._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val v = CbMap(Seq(
-          CbStr("id") -> CbInt(id * 1000003L),
-          CbStr("text") -> CbStr(t),
-          CbStr("tags") -> CbArr(Seq(CbInt(id % 7),
-            CbInt(t.length.toLong))),
-          CbStr("note") -> (if (id % 7 == 0) CbNull
-            else CbStr(s"n${id % 5}")),
-          CbStr("ts") -> CbTag(1, CbInt(1363896240L + id)),
-          CbStr("score") -> CbDouble(t.length * 0.25)))
-        val CbMap(kvs) = decode(encode(v)).getOrElse(
-          sys.error(s"cbor rejected doc $id")): @unchecked
-        val m = kvs.map { case (CbStr(k), x) => (k, x)
-          case _ => sys.error("non-string key") }.toMap
-        val CbInt(bigId) = m("id"): @unchecked
-        val CbStr(text) = m("text"): @unchecked
-        val CbArr(tags) = m("tags"): @unchecked
-        val tagSum = tags.map { case CbInt(x) => x
-          case _ => sys.error("tag type") }.sum
-        val note = m("note") match {
-          case CbNull => null
-          case CbStr(x) => x
-          case _ => sys.error("note type")
-        }
-        val CbTag(tagNo, CbInt(epoch)) = m("ts"): @unchecked
-        require(tagNo == 1L)
-        val CbDouble(score) = m("score"): @unchecked
-        val d = java.security.MessageDigest.getInstance("MD5")
-        (bigId / 1000003L, kvs.length, text.length.toLong,
-          d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-            .mkString,
-          tagSum, note, epoch - 1363896240L, score)
-      }
-      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
-        "note", "ts_off", "score")
-      .orderBy("doc_id")
-  }
-
-  /** BSON mongodump walk (operators/Bson, bsonspec.org): docs render
-    * to {"_id": int64, "text": str, "tags": ["0": int32, "1":
-    * int32], "note": null | str, "dt": utc-datetime, "score":
-    * double}, 4 docs concatenate into one `.bson` stream chunk (the
-    * mongodump file shape), [[graft.operators.Bson.decodeStream]]
-    * walks it back and every fact is re-derived from the DECODED
-    * documents — length prefixes, canonical array keys, the null
-    * branch and the ms datetime must all be value-transparent. */
-  private def bsonParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Bson._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 4, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val stream = docs.map { case (_, id, t) =>
-          encode(BsDoc(Seq(
-            "_id" -> BsInt64(id * 1000003L),
-            "text" -> BsStr(t),
-            "tags" -> BsArr(Seq(BsInt32((id % 7).toInt),
-              BsInt32(t.length))),
-            "note" -> (if (id % 7 == 0) BsNull
-              else BsStr(s"n${id % 5}")),
-            "dt" -> BsDateTime(1363896240000L + id),
-            "score" -> BsDouble(t.length * 0.25))))
-        }.reduce(_ ++ _)
-        (cid, stream)
-      }
-      .flatMap { case (cid, stream) =>
-        decodeStream(stream).getOrElse(
-          sys.error(s"bson rejected chunk $cid")).map { d =>
-          val m = d.kvs.toMap
-          val BsInt64(bigId) = m("_id"): @unchecked
-          val BsStr(text) = m("text"): @unchecked
-          val BsArr(tags) = m("tags"): @unchecked
-          val tagSum = tags.map { case BsInt32(x) => x.toLong
-            case _ => sys.error("tag type") }.sum
-          val note = m("note") match {
-            case BsNull => null
-            case BsStr(x) => x
-            case _ => sys.error("note type")
-          }
-          val BsDateTime(ms) = m("dt"): @unchecked
-          val BsDouble(score) = m("score"): @unchecked
-          val dg = java.security.MessageDigest.getInstance("MD5")
-          (bigId / 1000003L, d.kvs.length, text.length.toLong,
-            dg.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-              .mkString,
-            tagSum, note, ms - 1363896240000L, score)
-        }
-      }
-      .toDF("doc_id", "n_fields", "text_len", "text_md5", "tag_sum",
-        "note", "dt_off", "score")
-      .orderBy("doc_id")
-  }
-
-  /** SQLite database walk (operators/Sqlite): per 16-doc chunk one
-    * real `.sqlite` database is BUILT (512-byte pages, so longer
-    * texts spill to overflow chains and the table b-tree grows an
-    * interior level) with table docs(id INTEGER PRIMARY KEY, text,
-    * tag, score, note) — id stored as NULL per the rowid-alias
-    * rule — then read back through the header → sqlite_schema →
-    * b-tree → record walk, every fact from DECODED values. The
-    * oracle recomputes the same facts from `documents` directly, so
-    * a wrong varint, serial type, overflow stitch or rowid-alias
-    * fill flips a value. */
-  private def sqliteParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Sqlite
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 16, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val rows = docs.map { case (_, id, t) =>
-          // rowid = doc_id + 1 (sqlite rowids start at 1)
-          (id + 1L, Seq[Any](id, t, id % 7,
-            t.length * 0.25,
-            if (id % 7 == 0) null else s"n${id % 5}"))
-        }
-        (cid, Sqlite.build("docs",
-          Seq("id", "text", "tag", "score", "note"), rows,
-          pageSize = 512, ipkColumn = 0))
-      }
-      .flatMap { case (cid, db) =>
-        val t = Sqlite.tables(db).getOrElse(
-          sys.error(s"sqlite rejected chunk $cid")).head
-        require(t.name == "docs" && t.ipkColumn == 0 &&
-          t.columns == Seq("id", "text", "tag", "score", "note"))
-        Sqlite.rows(db, "docs").getOrElse(
-          sys.error(s"sqlite rows rejected chunk $cid")).map { r =>
-          // the ipk column IS the rowid (stored NULL, filled on
-          // read); rowid = doc_id + 1
-          require(r.values(0) == r.rowid, "alias fill broken")
-          val id = r.rowid - 1L
-          val text = r.values(1).asInstanceOf[String]
-          val d = java.security.MessageDigest.getInstance("MD5")
-          (id, r.values.length, text.length.toLong,
-            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-              .mkString,
-            r.values(2).asInstanceOf[Long],
-            r.values(4).asInstanceOf[String],
-            r.values(3).asInstanceOf[Double])
-        }
-      }
-      .toDF("doc_id", "n_cols", "text_len", "text_md5", "tag",
-        "note", "score")
-      .orderBy("doc_id")
-  }
-
-  /** SQLite WITHOUT ROWID walk (r12, operators/Sqlite): the same
-    * per-16-doc databases but written WITHOUT ROWID with a
-    * COMPOSITE primary key (tag, id) — primary storage is an INDEX
-    * b-tree whose records are PK-first permuted and whose interior
-    * cells are rows too (each key lives exactly once), so the read
-    * is an in-order traversal, not a leaf scan. The surfaced `pos`
-    * column is each row's 1-based position in key order within its
-    * database; the oracle recomputes it with a window function —
-    * a wrong traversal order, permutation or separator handling
-    * flips it. 512-byte pages force multi-level trees and INDEX-
-    * formula overflow chains (X = (U-12)·64/255-23, not U-35). */
-  private def sqliteParseWr(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Sqlite
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 16, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        // rows pre-sorted by the composite PK (tag, id)
-        val docs = it.toSeq.sortBy { case (_, id, _) => (id % 7, id) }
-        val rows = docs.map { case (_, id, t) =>
-          (0L, Seq[Any](id, t, id % 7,
-            if (id % 7 == 0) null else s"n${id % 5}"))
-        }
-        (cid, Sqlite.build("docs", Seq("id", "text", "tag", "note"),
-          rows, pageSize = 512, pkColumns = Seq(2, 0)))
-      }
-      .flatMap { case (cid, db) =>
-        val t = Sqlite.tables(db).getOrElse(
-          sys.error(s"sqlite rejected chunk $cid")).head
-        require(t.withoutRowid && t.pkColumns == Seq(2, 0) &&
-          t.ipkColumn == -1 &&
-          t.columns == Seq("id", "text", "tag", "note"))
-        Sqlite.rows(db, "docs").getOrElse(
-          sys.error(s"sqlite rows rejected chunk $cid")).map { r =>
-          // values are back in DECLARED order; rowid = key-order pos
-          val id = r.values(0).asInstanceOf[Long]
-          val text = r.values(1).asInstanceOf[String]
-          val d = java.security.MessageDigest.getInstance("MD5")
-          (id, r.rowid, text.length.toLong,
-            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-              .mkString,
-            r.values(2).asInstanceOf[Long],
-            r.values(3).asInstanceOf[String])
-        }
-      }
-      .toDF("doc_id", "pos", "text_len", "text_md5", "tag", "note")
-      .orderBy("doc_id")
-  }
-
-  /** Feed ingestion (operators/Feed): per 8-doc chunk one rendered
-    * feed document — RSS 2.0 on even chunks, Atom on odd — whose
-    * items carry the doc text (XML-escaped) as description/summary,
-    * a guid/id, an RFC 822 / RFC 3339 timestamp offset by doc_id,
-    * an enclosure on every 3rd doc and a category; parsed back by
-    * the attribute-aware scanner and every fact re-derived from the
-    * PARSED entries — escaping, both date grammars, rel-link
-    * selection and the guid rule must all be value-transparent.
-    * The crawl family's discovery input beside sitemaps. */
-  private def feedParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Feed
-    val base = 1055217600L
-    def esc(t: String): String = t.replace("&", "&amp;")
-      .replace("<", "&lt;").replace(">", "&gt;")
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val xml = if (cid % 2 == 0) {
-          val items = docs.map { case (_, id, t) =>
-            val when = java.time.format.DateTimeFormatter
-              .RFC_1123_DATE_TIME.format(java.time.ZonedDateTime
-                .ofInstant(java.time.Instant.ofEpochSecond(base + id),
-                  java.time.ZoneOffset.UTC))
-            val enc = if (id % 3 == 0)
-              s"""<enclosure url="https://ex.com/$id.mp3" """ +
-                s"""length="${id * 10 + 1}" type="audio/mpeg"/>"""
-            else ""
-            s"""<item><title>doc $id</title>""" +
-              s"""<link>https://ex.com/$id</link>""" +
-              s"""<guid>urn:doc:$id</guid>""" +
-              s"""<pubDate>$when</pubDate>""" +
-              s"""<description>${esc(t)}</description>""" +
-              enc + s"""<category>c${id % 5}</category></item>"""
-          }
-          s"""<?xml version="1.0"?><rss version="2.0"><channel>""" +
-            s"""<title>chunk $cid</title>${items.mkString}""" +
-            "</channel></rss>"
-        } else {
-          val entries = docs.map { case (_, id, t) =>
-            val when = java.time.Instant.ofEpochSecond(base + id)
-              .toString
-            val enc = if (id % 3 == 0)
-              s"""<link rel="enclosure" href="https://ex.com/$id.mp3" """ +
-                s"""length="${id * 10 + 1}" type="audio/mpeg"/>"""
-            else ""
-            s"""<entry><title>doc $id</title>""" +
-              s"""<link rel="alternate" href="https://ex.com/$id"/>""" +
-              enc +
-              s"""<id>urn:doc:$id</id>""" +
-              s"""<published>$when</published>""" +
-              s"""<summary>${esc(t)}</summary>""" +
-              s"""<category term="c${id % 5}"/></entry>"""
-          }
-          s"""<?xml version="1.0"?>""" +
-            s"""<feed xmlns="http://www.w3.org/2005/Atom">""" +
-            s"""<title>chunk $cid</title>${entries.mkString}</feed>"""
-        }
-        (cid, xml)
-      }
-      .flatMap { case (cid, xml) =>
-        val f = Feed.parse(xml).getOrElse(
-          sys.error(s"feed rejected chunk $cid"))
-        require(f.title == s"chunk $cid" &&
-          f.kind == (if (cid % 2 == 0) "rss" else "atom"))
-        f.entries.map { e =>
-          val id = e.id.stripPrefix("urn:doc:").toLong
-          require(e.title == s"doc $id" &&
-            e.link == s"https://ex.com/$id")
-          val d = java.security.MessageDigest.getInstance("MD5")
-          (id, f.kind, e.epochS - base,
-            d.digest(e.summary.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString,
-            if (e.enclosureUrl.nonEmpty) e.enclosureBytes else -1L,
-            e.categories.mkString(","))
-        }
-      }
-      .toDF("doc_id", "feed_type", "ts_off", "text_md5",
-        "enclosure_bytes", "cats")
-      .orderBy("doc_id")
-  }
-
-  /** WET + WAT derivative ingestion (operators/Warc +
-    * [[graft.operators.JsonMini]]): Common Crawl publishes each
-    * crawl THREE ways — the raw `.warc`, the extracted-text `.wet`
-    * (WARC `conversion` records, text body, no HTTP envelope) and
-    * the metadata `.wat` (WARC `metadata` records, JSON envelope).
-    * Per 16-doc chunk both derivative archives are built (gzip
-    * members on even chunks), walked back by the SAME record walker
-    * as the raw path (status −1 marks no-HTTP-envelope bodies), the
-    * WAT JSON parsed by the shared reader, and the two record
-    * streams JOIN on the target URI — text facts from WET, title +
-    * link count from WAT. Any framing, non-HTTP body-offset or JSON
-    * fault flips a fact. */
-  private def wetWatExtract(s: SparkSession, dir: String)
-      : DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.{JsonMini, Warc}
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 16, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val gz = cid % 2 == 0
-        val wet = Warc.buildArchive(docs.map { case (_, id, t) =>
-          Warc.buildConversionRecord(id, s"http://ex.com/$id", t)
-        }, gzip = gz)
-        val wat = Warc.buildArchive(docs.map { case (_, id, t) =>
-          val links = (0L until id % 4).map(k =>
-            s"""{"url":${JsonMini.quote(s"http://ex.com/$id/$k")}}""")
-            .mkString("[", ",", "]")
-          val json =
-            s"""{"Envelope":{"Payload-Metadata":{"HTML-Metadata":""" +
-              s"""{"Head":{"Title":${JsonMini.quote(s"doc $id")}},""" +
-              s""""Links":$links}}}}"""
-          Warc.buildMetadataRecord(id, s"http://ex.com/$id", json)
-        }, gzip = gz)
-        (cid, wet, wat)
-      }
-      .flatMap { case (cid, wetBytes, watBytes) =>
-        val wet = Warc.parseArchiveBodies(wetBytes)
-        val watRecs = Warc.parseArchive(watBytes)
-        require(watRecs.forall(r => r.warcType == "metadata" &&
-          r.httpStatus == -1), s"wat framing broke in chunk $cid")
-        val wat = Warc.parseArchiveBodies(watBytes).toMap
-        wet.map { case (uri, text) =>
-          val id = uri.stripPrefix("http://ex.com/").toLong
-          val json = wat.getOrElse(uri,
-            sys.error(s"no wat record for $uri"))
-          val env = JsonMini.parse(json).flatMap(JsonMini.obj)
-            .getOrElse(sys.error(s"wat json rejected for $uri"))
-          val htmlMd = JsonMini.obj(env("Envelope")).get
-          val payload = JsonMini.obj(htmlMd("Payload-Metadata")).get
-          val html = JsonMini.obj(payload("HTML-Metadata")).get
-          val title = JsonMini.str(JsonMini.obj(html("Head")).get
-            .apply("Title")).get
-          val nLinks = JsonMini.arr(html("Links")).get.length
-          val d = java.security.MessageDigest.getInstance("MD5")
-          (id, text.length.toLong,
-            d.digest(text.getBytes("UTF-8")).map("%02x".format(_))
-              .mkString,
-            title, nLinks)
-        }
-      }
-      .toDF("doc_id", "text_len", "text_md5", "title", "n_links")
-      .orderBy("doc_id")
-  }
-
-  /** EPUB text extraction (operators/Zip.parseWithData + HtmlText) —
-    * ebooks are a standard corpus source and an EPUB is exactly a ZIP
-    * with a STORED `mimetype`, `META-INF/container.xml`, and XHTML
-    * chapters: the composition runs the verified central-directory
-    * walk, checks the mimetype contract, extracts every chapter
-    * through the real HTML state machine and re-joins the book text.
-    * Chapter i reduces to `Ch {i} {slice}` under extraction, so the
-    * oracle rebuilds the full book string analytically. */
-  private def epubTextExtract(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val nch = 1 + (t.length % 3)
-        val chapters = (0 until nch).map { i =>
-          val st = (i * 7) % t.length
-          val slice = t.substring(st, math.min(st + 10, t.length))
-          (f"OEBPS/ch$i%03d.xhtml",
-            ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-              s"<html><body><h1>Ch $i</h1><p>$slice</p></body></html>")
-              .getBytes("UTF-8"), true)
-        }
-        val files = Seq(
-          ("mimetype", "application/epub+zip".getBytes("UTF-8"), false),
-          ("META-INF/container.xml",
-            ("<?xml version=\"1.0\"?><container version=\"1.0\">" +
-              "<rootfiles><rootfile full-path=\"OEBPS/content.opf\"/>" +
-              "</rootfiles></container>").getBytes("UTF-8"), true)
-        ) ++ chapters
-        val entries = graft.operators.Zip.parseWithData(
-          graft.operators.Zip.buildArchive(files))
-        val mimeOk = entries.headOption.exists { case (e, c) =>
-          e.name == "mimetype" && e.method == 0 &&
-            new String(c, "UTF-8") == "application/epub+zip"
-        }
-        val chaps = entries.filter(_._1.name.endsWith(".xhtml"))
-          .sortBy(_._1.name)
-        val book = chaps.map { case (_, c) =>
-          graft.operators.HtmlText.extractText(new String(c, "UTF-8"))
-        }.mkString(" ")
-        (id, entries.length, mimeOk, chaps.length.toLong, book,
-          book.length)
-      }
-      .toDF("doc_id", "n_entries", "mimetype_ok", "n_chapters",
-        "book_text", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** DOCX text extraction — the other office container corpora carry:
-    * a ZIP whose `word/document.xml` holds the text in `<w:t>` runs.
-    * The composition walks the verified ZIP, counts paragraphs in the
-    * raw XML, and extracts the text through the same tag-stripping
-    * state machine (the XML declaration and every `w:` element drop
-    * as tags). */
-  private def docxTextExtract(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val np = 1 + (t.length % 4)
-        val paras = (0 until np).map { j =>
-          val st = (j * 11) % t.length
-          val slice = t.substring(st, math.min(st + 8, t.length))
-          s"<w:p><w:r><w:t>$slice</w:t></w:r></w:p>"
-        }
-        val docXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-          "<w:document><w:body>" + paras.mkString + "</w:body></w:document>"
-        val files = Seq(
-          ("[Content_Types].xml",
-            ("<?xml version=\"1.0\"?><Types><Default Extension=\"xml\"" +
-              " ContentType=\"application/xml\"/></Types>")
-              .getBytes("UTF-8"), true),
-          ("word/document.xml", docXml.getBytes("UTF-8"), true))
-        val entries = graft.operators.Zip.parseWithData(
-          graft.operators.Zip.buildArchive(files))
-        val doc = entries.collectFirst {
-          case (e, c) if e.name == "word/document.xml" =>
-            new String(c, "UTF-8")
-        }.getOrElse(sys.error(s"docx walk lost document.xml for $id"))
-        val nParas = "<w:p>".r.findAllIn(doc).length.toLong
-        val text = graft.operators.HtmlText.extractText(doc)
-        (id, entries.length, nParas, text, text.length)
-      }
-      .toDF("doc_id", "n_entries", "n_paras", "doc_text", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** XLSX extraction (r12, operators/Xlsx) — the office container
-    * tabular corpora arrive in: per doc a two-sheet workbook (text
-    * slices + numbers + a boolean) is BUILT through the shared-
-    * string-pooling writer and read back through the REAL parser
-    * (ZIP walk, workbook→rels→worksheet resolution, shared-string
-    * pool, typed cells); every fact comes from the PARSED cells —
-    * the string md5 crosses the entity-escape/pool layers, the
-    * numeric sum the `<v>` number grammar, the boolean the `t="b"`
-    * lane. Pure map pass; the oracle rebuilds each workbook's
-    * content analytically. */
-  private def xlsxExtract(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Xlsx
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val len = t.length
-        val nr = 1 + (len % 3)
-        val rows1: Seq[Seq[Xlsx.CellVal]] = (0 until nr).map { j =>
-          val st = (j * 7) % len
-          Seq(Xlsx.StrVal(t.substring(st, math.min(st + 6, len))),
-            Xlsx.NumVal((st + j).toDouble))
-        }
-        val rows2: Seq[Seq[Xlsx.CellVal]] = Seq(Seq(
-          Xlsx.NumVal(len.toDouble), Xlsx.NumVal(len * 0.25),
-          Xlsx.BoolVal(len % 2 == 0)))
-        val wb = Xlsx.parse(
-          Xlsx.build(Seq(("text", rows1), ("stats", rows2))))
-          .getOrElse(sys.error(s"xlsx rejected for doc $id"))
-        val sh1 = wb.sheets.find(_.name == "text").getOrElse(
-          sys.error(s"sheet lost for doc $id"))
-        val strs = sh1.cells.collect {
-          case Xlsx.Cell(_, 1, Xlsx.StrVal(v)) => v }
-        val numSum = sh1.cells.collect {
-          case Xlsx.Cell(_, 2, Xlsx.NumVal(v)) => v }.sum
-        val sh2 = wb.sheets.find(_.name == "stats").getOrElse(
-          sys.error(s"stats sheet lost for doc $id"))
-        val quarter = sh2.cells.collectFirst {
-          case Xlsx.Cell(1, 2, Xlsx.NumVal(v)) => v }.getOrElse(
-          sys.error(s"quarter cell lost for doc $id"))
-        val isEven = sh2.cells.collectFirst {
-          case Xlsx.Cell(1, 3, Xlsx.BoolVal(b)) => b }.getOrElse(
-          sys.error(s"bool cell lost for doc $id"))
-        (id, wb.sheets.length, sh1.cells.length.toLong,
-          md5utf(strs.mkString("|")), math.round(numSum),
-          quarter, isEven)
-      }
-      .toDF("doc_id", "n_sheets", "n_cells", "s_md5", "nsum",
-        "quarter", "is_even")
-      .orderBy("doc_id")
-  }
-
-  /** PDF text extraction (operators/Pdf): per doc a multi-page PDF —
-    * page j shows `Pg {j}` via `Tj` and a 12-char slice via a
-    * kerned `TJ` array; even docs Flate-compress every content
-    * stream — built, then extracted through the REAL parser (xref
-    * walk, object resolution, page tree, stream decode, content
-    * tokenizer). The oracle rebuilds the extracted text EXACTLY
-    * (PDF literal strings round-trip byte-exact; no whitespace
-    * collapse), so the full writer→parser stack must be value-
-    * transparent. Pure map pass. */
-  private def pdfTextExtract(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val np = 1 + (t.length % 3)
-        val pages = (0 until np).map { j =>
-          val st = (j * 13) % t.length
-          (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
-        }
-        val pdf = (id % 3) match {
-          case 0 => graft.operators.Pdf.build(pages, flate = false)
-          case 1 => graft.operators.Pdf.build(pages, flate = true)
-          case _ => // PDF 1.5: ObjStm + xref stream, predictor rotating
-            graft.operators.Pdf.buildModern(pages,
-              xrefPredictor = id % 2 == 0)
-        }
-        val text = graft.operators.Pdf.extractText(pdf)
-          .getOrElse(sys.error(s"pdf extract rejected doc $id"))
-        (id, np.toLong, text, text.length)
-      }
-      .toDF("doc_id", "n_pages", "doc_text", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** 7z archive walk (operators/SevenZ): 8-document archives — a
-    * `{id}.txt` per doc plus one `{shard}.meta` — written by
-    * commons-compress (which runs LZMA2 through the same bundled
-    * tukaani our decoder replaces; content method rotates LZMA2/COPY
-    * by shard), read back by OUR pure-JVM header walk + LZMA core,
-    * every per-substream CRC verified. Facts are codec-independent
-    * (true size, md5 of the EXTRACTED content), so the oracle
-    * predicts them from `documents` without touching a compressed
-    * byte. Same shuffle shape as tar_parse. */
-  private def sevenzParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        import org.apache.commons.compress.archivers.sevenz._
-        val docs = it.toSeq.sortBy(_._2)
-        // in-memory channel (no temp files) + a SHARD-SIZED LZMA2
-        // dictionary: the default preset allocates a ~40 MB match
-        // finder PER SHARD (the tarParseXz lesson — 183 s vs ~3 s)
-        val chan = new org.apache.commons.compress.utils
-          .SeekableInMemoryByteChannel()
-        val arch = {
-          val w = new SevenZOutputFile(chan)
-          if (sid % 2 == 0) {
-            val opt = new org.tukaani.xz.LZMA2Options(3)
-            opt.setDictSize(1 << 16)
-            w.setContentMethods(java.util.Collections.singletonList(
-              new SevenZMethodConfiguration(SevenZMethod.LZMA2, opt)))
-          } else w.setContentCompression(SevenZMethod.COPY)
-          (docs.map { case (_, id, t) =>
-            (s"$id.txt", t.getBytes("UTF-8"))
-          } :+ (f"$sid%06d.meta",
-            s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8")))
-            .foreach { case (name, content) =>
-              val e = new SevenZArchiveEntry()
-              e.setName(name)
-              e.setSize(content.length.toLong)
-              w.putArchiveEntry(e)
-              w.write(content)
-              w.closeArchiveEntry()
-            }
-          w.finish(); w.close()
-          java.util.Arrays.copyOf(chan.array(), chan.size().toInt)
-        }
-        graft.operators.SevenZ.parseWithData(arch)
-          .getOrElse(sys.error(s"7z walk rejected shard $sid"))
-          .collect { case (e, _) if e.name.endsWith(".txt") =>
-            (e.name.stripSuffix(".txt").toLong, sid,
-              if (sid % 2 == 0) "lzma2" else "copy", e.size, e.md5)
-          }
-      }
-      .toDF("doc_id", "shard_id", "method", "size", "md5")
-      .orderBy("doc_id")
-  }
-
-  /** MIME email round trip (operators/Mime): each doc becomes a
-    * multipart/mixed message — the WHOLE text as a quoted-printable
-    * text/plain part, a 10-char slice wrapped in HTML as a base64
-    * text/html part, an attachment on every 3rd doc — built, parsed
-    * back through the real header/multipart/transfer-decoding walk,
-    * and the html part additionally runs the HtmlText extractor. The
-    * oracle reconstructs every fact analytically, so QP escaping,
-    * base64 wrapping, boundary framing and header folding must all
-    * be value-transparent. Pure map pass. */
-  private def emlParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val st = (id * 3 % t.length).toInt
-        val slice = t.substring(st, math.min(st + 10, t.length))
-        val att =
-          if (id % 3 == 0) Seq(("a.bin",
-            t.substring(0, math.min(16, t.length)).getBytes("UTF-8")))
-          else Seq.empty
-        val raw = graft.operators.Mime.buildMessage(
-          s"doc$id@corpus", s"Doc $id", t, s"<p>$slice</p>", att,
-          s"B$id")
-        val m = graft.operators.Mime.parseMessage(raw)
-        val plain = m.parts.find(_.mediaType == "text/plain")
-          .getOrElse(sys.error(s"no plain part for $id"))
-        val html = m.parts.find(_.mediaType == "text/html")
-          .getOrElse(sys.error(s"no html part for $id"))
-        val attBytes = m.parts
-          .filter(_.mediaType == "application/octet-stream")
-          .map(_.data.length.toLong).sum
-        val d = java.security.MessageDigest.getInstance("MD5")
-        (id, m.header("Subject").contains(s"Doc $id"),
-          m.parts.length,
-          plain.text.length.toLong,
-          d.digest(plain.text.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString,
-          graft.operators.HtmlText.extractText(html.text),
-          attBytes)
-      }
-      .toDF("doc_id", "subject_ok", "n_parts", "plain_len",
-        "plain_md5", "html_text", "att_bytes")
-      .orderBy("doc_id")
-  }
-
-  /** The composed DOCUMENT-ingest DAG — the document twin of
-    * media_ingest_dag and the capstone of the round-11 document
-    * wave: every doc becomes a REAL FILE in one of FIVE formats
-    * (PDF rotating classic/modern forms, EPUB, DOCX, MIME email,
-    * HTML — by doc_id mod 5), written once per corpus to a fixture
-    * tree, read back through the distributed binaryFile source,
-    * MAGIC-SNIFFED (PDF and the two ZIP-based formats verify their
-    * magic; eml/html route by extension, as real pipelines do), and
-    * extracted through the matching REAL extractor chain (Pdf walk,
-    * Zip+HtmlText, Mime+QP/base64, the HTML state machine). The
-    * oracle rebuilds every format's extracted text analytically with
-    * one CASE, so all five writer→parser→extractor stacks must be
-    * value-transparent at once. Per-file map work after the scan. */
-  private def docIngestDag(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = docFixtureRoot(s, dir)
-    // NO repartition here: unlike the 8-doc shard fixtures, this tree
-    // is per-document (12 500 tiny files at sf0.1) and binaryFile's
-    // partition packing already spreads them; a path repartition would
-    // shuffle every byte for nothing (measured: it was most of the
-    // query's 10 s)
-    docFileRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "doc-*").load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])])
-      .orderBy("doc_id")
-  }
-
-  /** Builds (idempotently) and returns the mixed-document fixture
-    * tree — shared with the streaming parity spec. */
-  private[graft] def docFixtureRoot(s: SparkSession, dir: String)
-      : String = {
-    val spark = s
-    import spark.implicits._
-    formatFixtureDir(dir, "docshard", "documents") { out =>
-      asciiDocs(s, dir)
-        .map { case (id, t) =>
-          val (ext, bytes) = buildDocFile(id, t)
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"doc-$id%08d.$ext"), bytes)
-          id
-        }
-        .count(): Unit
-    }
-  }
-
-  /** Shared sniff+dispatch+extract stage over (path, bytes) rows —
-    * reused verbatim by the batch and streaming paths. */
-  private[graft] def docFileRows(
-      files: org.apache.spark.sql.Dataset[(String, Array[Byte])])
-      : DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files
-      .map { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val id = name.stripPrefix("doc-").takeWhile(_.isDigit).toLong
-        val ext = name.substring(name.lastIndexOf('.') + 1)
-        val M = graft.operators.Multimodal
-        val extracted = ext match {
-          case "pdf" =>
-            require(M.sniffKind(bytes) == "application/pdf")
-            graft.operators.Pdf.extractText(bytes)
-              .getOrElse(sys.error(s"pdf rejected $id"))
-          case "epub" =>
-            require(M.sniffKind(bytes) == "application/zip")
-            graft.operators.Zip.parseWithData(bytes)
-              .filter(_._1.name.endsWith(".xhtml"))
-              .sortBy(_._1.name)
-              .map { case (_, c) => graft.operators.HtmlText
-                .extractText(new String(c, "UTF-8")) }
-              .mkString(" ")
-          case "docx" =>
-            require(M.sniffKind(bytes) == "application/zip")
-            graft.operators.Zip.parseWithData(bytes)
-              .collectFirst { case (e, c)
-                  if e.name == "word/document.xml" =>
-                graft.operators.HtmlText.extractText(
-                  new String(c, "UTF-8"))
-              }.getOrElse(sys.error(s"docx lost document.xml for $id"))
-          case "eml" =>
-            graft.operators.Mime
-              .parseMessage(new String(bytes, "ISO-8859-1"))
-              .parts.find(_.mediaType == "text/plain")
-              .map(_.text)
-              .getOrElse(sys.error(s"eml lost plain part for $id"))
-          case _ => // html
-            graft.operators.HtmlText.extractText(
-              new String(bytes, "UTF-8"))
-        }
-        (id, ext, extracted, extracted.length)
-      }
-      .toDF("doc_id", "fmt", "extracted", "n_chars")
-  }
-
-  /** One document file for [[docIngestDag]]: (extension, bytes),
-    * format by doc_id mod 5, each format reusing ITS standalone
-    * gate's fixture arithmetic so the oracle stays one CASE. */
-  private def buildDocFile(id: Long, t: String): (String, Array[Byte]) =
-    (id % 5) match {
-      case 0 => // PDF — the pdf_text_extract construction
-        val np = 1 + (t.length % 3)
-        val pages = (0 until np).map { j =>
-          val st = (j * 13) % t.length
-          (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
-        }
-        ("pdf",
-          if (id % 2 == 0) graft.operators.Pdf.build(pages, flate = true)
-          else graft.operators.Pdf.buildModern(pages,
-            xrefPredictor = id % 3 == 0))
-      case 1 => // EPUB — the epub_text_extract construction
-        val nch = 1 + (t.length % 3)
-        val chapters = (0 until nch).map { i =>
-          val st = (i * 7) % t.length
-          val slice = t.substring(st, math.min(st + 10, t.length))
-          (f"OEBPS/ch$i%03d.xhtml",
-            ("<?xml version=\"1.0\"?><html><body><h1>Ch " + i +
-              s"</h1><p>$slice</p></body></html>").getBytes("UTF-8"),
-            true)
-        }
-        ("epub", graft.operators.Zip.buildArchive(Seq(
-          ("mimetype", "application/epub+zip".getBytes("UTF-8"), false))
-          ++ chapters))
-      case 2 => // DOCX — the docx_text_extract construction
-        val np = 1 + (t.length % 4)
-        val paras = (0 until np).map { j =>
-          val st = (j * 11) % t.length
-          val slice = t.substring(st, math.min(st + 8, t.length))
-          s"<w:p><w:r><w:t>$slice</w:t></w:r></w:p>"
-        }
-        ("docx", graft.operators.Zip.buildArchive(Seq(
-          ("word/document.xml",
-            ("<?xml version=\"1.0\"?><w:document><w:body>" +
-              paras.mkString + "</w:body></w:document>")
-              .getBytes("UTF-8"), true))))
-      case 3 => // MIME email — plain part carries the WHOLE text
-        ("eml", graft.operators.Mime.buildMessage(
-          s"doc$id@corpus", s"Doc $id", t, "<p>x</p>", Seq.empty,
-          s"B$id").getBytes("ISO-8859-1"))
-      case _ => // HTML — the html_extract page construction
-        ("html",
-          (s"<html><body><h1>Doc $id</h1><h2>Header ${id % 10}</h2>" +
-            s"<p>$t</p></body></html>").getBytes("UTF-8"))
-    }
-
-  /** zstd-jni compresses 8-doc JSONL shards, OUR decoder reads; lang
-    * is omitted from every 7th line (NULL on both sides). */
-  private def jsonlZstOracleSql: String =
-    """SELECT doc_id, doc_id // 8 AS shard_id,
-      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
-      |  n_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** hdf5_parse / hdf5_parse_files shared oracle (per-vector facts
-    * with the 8-vector shard id). */
-  private def hdf5OracleSqlShared: String =
-    """WITH q AS (
-      |  SELECT vec_id, label, len(embedding) AS dim,
-      |    CAST(coalesce(list_sum(list_transform(embedding,
-      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-      |      0) AS BIGINT) AS s
-      |  FROM embeddings)
-      |SELECT vec_id, vec_id // 8 AS shard_id,
-      |  CAST(dim AS INT) AS dim, s AS emb_q,
-      |  CAST(label AS INT) AS label
-      |FROM q ORDER BY vec_id""".stripMargin
-
-  /** tensor_source_read / zarr_read shared oracle: the per-vector
-    * quantized facts straight off the embeddings table. */
-  private def embVectorOracleSql: String =
-    """WITH q AS (
-      |  SELECT vec_id, label, len(embedding) AS dim,
-      |    CAST(coalesce(list_sum(list_transform(embedding,
-      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-      |      0) AS BIGINT) AS s
-      |  FROM embeddings)
-      |SELECT vec_id, CAST(dim AS INT) AS dim, s AS emb_q,
-      |  CAST(label AS INT) AS label
-      |FROM q ORDER BY vec_id""".stripMargin
-
-  /** delta_scan / iceberg_scan shared oracle: the 3-step lakehouse
-    * story recomputed analytically from lineitem. */
-  private def lakehouseScanOracleSql: String =
-    """WITH base AS (
-      |  SELECT l_returnflag AS rf,
-      |    CAST(l_quantity AS BIGINT) AS qty,
-      |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-      |  FROM lineitem),
-      |live AS (
-      |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
-      |  UNION ALL
-      |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
-      |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-      |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-      |FROM live GROUP BY rf ORDER BY rf""".stripMargin
-
-  /** delta/iceberg_time_travel shared oracle: the first version is
-    * plain lineitem. */
-  private def lakehouseTimeTravelOracleSql: String =
-    """WITH base AS (
-      |  SELECT l_returnflag AS rf,
-      |    CAST(l_quantity AS BIGINT) AS qty,
-      |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-      |  FROM lineitem)
-      |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-      |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-      |FROM base GROUP BY rf ORDER BY rf""".stripMargin
-
-  private def arrowIpcOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0)
-      |SELECT doc_id, doc_id // 8 AS shard_id,
-      |  strlen(text) AS len, md5(text) AS md5,
-      |  CASE WHEN doc_id % 11 = 10 THEN NULL
-      |    ELSE 'label' || (doc_id % 4) END AS label,
-      |  strlen(text) * 0.25 AS score
-      |FROM d ORDER BY doc_id""".stripMargin
-
-  /** arrow/avro_sink_roundtrip shared oracle. */
-  private def sinkRoundtripOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |t AS (
-      |  SELECT doc_id, text,
-      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      |  FROM d)
-      |SELECT doc_id, strlen(text) AS len, md5(text) AS md5,
-      |  CASE WHEN doc_id % 11 = 10 THEN NULL
-      |    ELSE 'label' || (doc_id % 4) END AS label,
-      |  strlen(text) * 0.25 AS score,
-      |  CAST(len(ws) AS BIGINT) AS n_toks,
-      |  CAST(coalesce(list_sum(list_transform(ws,
-      |    w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT) AS tok_sum
-      |FROM t ORDER BY doc_id""".stripMargin
-
-  private def avroParseOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0)
-      |SELECT doc_id, doc_id // 8 AS shard_id,
-      |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'deflate' ELSE 'null' END
-      |    AS codec,
-      |  strlen(text) AS len, md5(text) AS md5,
-      |  CASE WHEN doc_id % 11 = 10 THEN NULL
-      |    ELSE 'label' || (doc_id % 4) END AS label,
-      |  strlen(text) * 0.25 AS score
-      |FROM d ORDER BY doc_id""".stripMargin
-
-  /** tar_parse / tar_parse_files shared oracle: names/sizes/md5s
-    * predicted per file class; positions are the shard-local rank
-    * over EXISTING files (they shift at every omitted .cls, so the
-    * walk order is fully pinned). */
-  private def tarParseOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |e AS (
-      |  SELECT doc_id, doc_id || '.txt' AS name,
-      |    strlen(text) AS size, md5(text) AS md5, 0 AS rk FROM d
-      |  UNION ALL
-      |  SELECT doc_id, doc_id || '.cls', 6,
-      |    md5('label' || (doc_id % 10)), 1 FROM d
-      |  WHERE doc_id % 11 <> 10
-      |  UNION ALL
-      |  SELECT doc_id, doc_id || '.json',
-      |    length('{"id":' || doc_id || '}'),
-      |    md5('{"id":' || doc_id || '}'), 2 FROM d)
-      |SELECT doc_id, doc_id // 8 AS shard_id,
-      |  row_number() OVER (PARTITION BY doc_id // 8
-      |    ORDER BY doc_id, rk) - 1 AS pos,
-      |  name, CAST(size AS BIGINT) AS size, md5
-      |FROM e ORDER BY doc_id, name""".stripMargin
-
-  /** zip_parse / zip_parse_files shared oracle: compressor-independent
-    * facts (method, true size, md5 of the INFLATED content — the
-    * deflated byte stream is Deflater-specific; the CRC verify happens
-    * engine-side). */
-  private def zipParseOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |e AS (
-      |  SELECT doc_id, doc_id || '.txt' AS name, 0 AS method,
-      |    strlen(text) AS size, md5(text) AS md5 FROM d
-      |  UNION ALL
-      |  SELECT doc_id, doc_id || '.meta', 8, length(j), md5(j)
-      |  FROM (SELECT doc_id,
-      |    '{"id":' || doc_id || ',"n":' || strlen(text) || '}' AS j
-      |    FROM d))
-      |SELECT doc_id, doc_id // 8 AS shard_id, name,
-      |  CAST(method AS INT) AS method, CAST(size AS BIGINT) AS size,
-      |  md5
-      |FROM e ORDER BY doc_id, name""".stripMargin
-
-  /** Test access (TarFileStreamSpec): the shard-file fixture root the
-    * batch query materializes — building it if absent. */
-  private[graft] def tarFixtureRoot(s: SparkSession, dir: String): String = {
-    tarParseFiles(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "tarshard", "documents")(_ => ())
-  }
-
-  /** The shard-file parse stage shared by the batch query and its
-    * file-streaming twin (TarFileStreamSpec): (path, content) binary
-    * rows → per-entry facts, one flatMap. */
-  private[graft] def parseTarFileRows(files: DataFrame): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val sid = name.stripPrefix("shard-").stripSuffix(".tar").toLong
-        graft.operators.Tar.parse(bytes).zipWithIndex.map {
-          case (e, i) =>
-            (e.name.takeWhile(_ != '.').toLong, sid, i.toLong,
-              e.name, e.size, e.md5)
-        }
-      }
-      .toDF("doc_id", "shard_id", "pos", "name", "size", "md5")
-  }
-
-  /** TFRecord shard walk (operators/TfRecord) — the third standard
-    * training-shard container beside WebDataset tar and ZIP: 8
-    * documents frame into one shard, the parse verifies BOTH masked
-    * CRC32Cs per record, and record positions identify samples (the
-    * format carries no names — order IS identity, which is why the
-    * oracle pins pos exactly). Same shuffle shape as tar_parse. */
-  private def tfrecordParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        (id / 8, id, graft.operators.TfRecord.buildRecord(
-          t.getBytes("UTF-8")))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val recs = it.toSeq.sortBy(_._2)
-        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
-        graft.operators.TfRecord.parse(shard).zipWithIndex.map {
-          case (r, i) => (recs(i)._2, sid, i.toLong, r.length, r.md5)
-        }
-      }
-      .toDF("doc_id", "shard_id", "pos", "length", "md5")
-      .orderBy("doc_id")
-  }
-
-  /** tf.train.Example payloads INSIDE TFRecord framing
-    * (operators/Protobuf + operators/TfRecord) — the full training-
-    * shard stack as TensorFlow ships it: each document serializes to
-    * an Example proto (int64 `id`, bytes `text`, a packed 3-element
-    * int64 list `marks`, a float `score`), frames into a
-    * double-CRC32C TFRecord, and 8-doc shards are parsed back —
-    * framing CRCs verified, then the protobuf wire walk re-derives
-    * every fact from the DECODED feature values, so varints, packed
-    * lists, map entries and IEEE-754 floats must all be
-    * value-transparent. `score` is (id % 256)/2 — exactly
-    * representable in float32, so the float→double widening matches
-    * the oracle's DOUBLE arithmetic bit-for-bit. Same shuffle shape
-    * as tar_parse: one shard-keyed shuffle to assemble, flatMap to
-    * parse. */
-  private def tfexampleParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Protobuf
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val ex = Protobuf.buildExample(Seq(
-          "id" -> Protobuf.IntVals(Seq(id)),
-          "text" -> Protobuf.BytesVals(Seq(t.getBytes("UTF-8"))),
-          "marks" -> Protobuf.IntVals(Seq(id, t.length.toLong, id % 7)),
-          "score" -> Protobuf.FloatVals(Seq((id % 256).toFloat / 2f))))
-        (id / 8, id, graft.operators.TfRecord.buildRecord(ex))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val recs = it.toSeq.sortBy(_._2)
-        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
-        val bytes = shard // one pass: framing walk, then proto walk
-        graft.operators.TfRecord.parse(bytes).zipWithIndex.map {
-          case (r, i) =>
-            val payload = java.util.Arrays.copyOfRange(
-              bytes, r.dataOff, r.dataOff + r.length.toInt)
-            val feats = Protobuf.parseExample(payload)
-              .getOrElse(sys.error(s"bad Example in shard $sid pos $i"))
-            val m = feats.toMap
-            val docId = m("id").asInstanceOf[Protobuf.IntVals].vs.head
-            val text = m("text").asInstanceOf[Protobuf.BytesVals].vs.head
-            val marks = m("marks").asInstanceOf[Protobuf.IntVals].vs
-            val score = m("score").asInstanceOf[Protobuf.FloatVals].vs.head
-            val d = java.security.MessageDigest.getInstance("MD5")
-            (docId, sid, i.toLong, feats.length,
-              text.length.toLong,
-              d.digest(text).map("%02x".format(_)).mkString,
-              marks.sum, score.toDouble)
-        }
-      }
-      .toDF("doc_id", "shard_id", "pos", "n_feats", "text_len",
-        "text_md5", "marks_sum", "score")
-      .orderBy("doc_id")
-  }
-
-  /** tf.train.SequenceExample through TFRecord framing (r12) — the
-    * standard shape for speech/video training data: per-document
-    * context features (id, lang, n_chars) plus two aligned
-    * feature_lists, one Feature per WORD step ("words" = bytes,
-    * "lens" = [len, len%7] int64s). Build and parse are both OUR
-    * closed-form walkers (operators/Protobuf, runtime-differential
-    * in ProtobufSpec); every fact re-derived from decoded steps.
-    * Same shard shuffle + flatMap shape as tfexample_parse. */
-  private def tfsequenceParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Protobuf
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-      .map { case (id, t, lang) =>
-        val ws = t.split(" ").filter(_.nonEmpty).toSeq
-        val se = Protobuf.buildSequenceExample(
-          context = Seq(
-            "id" -> Protobuf.IntVals(Seq(id)),
-            "lang" -> Protobuf.BytesVals(Seq(lang.getBytes("UTF-8"))),
-            "n" -> Protobuf.IntVals(Seq(t.length.toLong))),
-          featureLists = Seq(
-            "words" -> ws.map(w =>
-              Protobuf.BytesVals(Seq(w.getBytes("UTF-8")))),
-            "lens" -> ws.map(w => Protobuf.IntVals(
-              Seq(w.length.toLong, (w.length % 7).toLong)))))
-        (id / 8, id, graft.operators.TfRecord.buildRecord(se))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val recs = it.toSeq.sortBy(_._2)
-        val shard = graft.operators.TfRecord.buildShard(recs.map(_._3))
-        graft.operators.TfRecord.parse(shard).zipWithIndex.map {
-          case (r, i) =>
-            val payload = java.util.Arrays.copyOfRange(
-              shard, r.dataOff, r.dataOff + r.length.toInt)
-            val (ctx, lists) = Protobuf.parseSequenceExample(payload)
-              .getOrElse(sys.error(
-                s"bad SequenceExample in shard $sid pos $i"))
-            val cm = ctx.toMap
-            val docId = cm("id").asInstanceOf[Protobuf.IntVals].vs.head
-            val lang = new String(
-              cm("lang").asInstanceOf[Protobuf.BytesVals].vs.head, "UTF-8")
-            val lm = lists.toMap
-            val words = lm("words").map(
-              _.asInstanceOf[Protobuf.BytesVals].vs.head)
-            val lens = lm("lens").map(
-              _.asInstanceOf[Protobuf.IntVals].vs)
-            require(words.length == lens.length,
-              "feature_lists misaligned")
-            val joined = words.map(new String(_, "UTF-8")).mkString(" ")
-            val d = java.security.MessageDigest.getInstance("MD5")
-            (docId, sid, i.toLong, lang, ctx.length,
-              words.length.toLong,
-              d.digest(joined.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString,
-              lens.map(_.head).sum, lens.map(_(1)).sum)
-        }
-      }
-      .toDF("doc_id", "shard_id", "pos", "lang", "n_ctx", "n_steps",
-        "words_md5", "len_sum", "mod_sum")
-      .orderBy("doc_id")
-  }
-
-  /** Encoding-repair curation pass (r12, functions/FixEncoding): the
-    * ftfy core case — UTF-8 text that was decoded as CP1252 (and
-    * sometimes re-damaged a second time) is detected and inverted;
-    * clean ASCII and legitimate Latin-1 pass through untouched. The
-    * fixture corrupts analytically (suffix with é/ï, mojibake every
-    * 2nd doc, DOUBLE mojibake every 10th), so the oracle predicts the
-    * repaired text, the round count and the changed flag exactly.
-    * Pure map — no shuffle at all. */
-  private def textFixEncoding(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.functions.FixEncoding
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val suffix =
-          if (id % 3 == 0) " café"
-          else if (id % 3 == 1) " naïve"
-          else ""
-        val orig = t + suffix
-        val corruptRounds =
-          if (id % 2 != 0) 0 else if (id % 10 == 4) 2 else 1
-        // every 7th corrupted doc takes the LATIN-1 damage family
-        // (C1 controls) instead of CP1252 — repair inverts both, so
-        // the oracle is unchanged
-        val corrupted = FixEncoding.mojibake(orig, corruptRounds,
-          latin1 = id % 7 == 1)
-        val (repaired, rounds) = FixEncoding.repair(corrupted)
-        val d = java.security.MessageDigest.getInstance("MD5")
-        (id, rounds, repaired != corrupted,
-          d.digest(repaired.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString)
-      }
-      .toDF("doc_id", "fixed_rounds", "changed", "text_md5")
-      .orderBy("doc_id")
-  }
-
-  /** ZIP archive walk (operators/Zip): 8-document archives, each doc
-    * a STORED `{id}.txt` plus a DEFLATED `{id}.meta` — the parse
-    * must locate the end-of-central-directory record, walk the
-    * central directory, inflate the deflated payloads and verify
-    * every CRC-32. Facts are compressor-independent (method, true
-    * size, md5 of the INFLATED content), so the oracle predicts them
-    * from `documents` even though the deflated byte stream itself is
-    * Deflater-version-specific. Same shuffle shape as tar_parse. */
-  private def zipParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val meta = s"""{"id":$id,"n":${t.length}}"""
-        (id / 8, id, Seq(
-          (s"$id.txt", t.getBytes("UTF-8"), false),
-          (s"$id.meta", meta.getBytes("UTF-8"), true)))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (sid: Long,
-          it: Iterator[(Long, Long, Seq[(String, Array[Byte], Boolean)])]) =>
-        val files = it.toSeq.sortBy(_._2).flatMap(_._3)
-        graft.operators.Zip.parse(
-            graft.operators.Zip.buildArchive(files))
-          .map { e =>
-            (e.name.takeWhile(_ != '.').toLong, sid, e.name,
-              e.method, e.size, e.md5)
-          }
-      }
-      .toDF("doc_id", "shard_id", "name", "method", "size", "md5")
-      .orderBy("doc_id", "name")
-  }
-
-  /** ZIP shards through REAL FILES — [[zipParse]]'s build+parse walk
-    * upgraded to the tar_parse_files shape: 8-document `.zip` archives
-    * are written once per corpus to a fixture tree, read back through
-    * the distributed binaryFile source, and walked per file on
-    * executors ([[parseZipFileRows]], shared verbatim with the
-    * streaming twin in ZipFileStreamSpec). Facts are compressor-
-    * independent (method, true size, md5 of INFLATED content), so the
-    * oracle predicts them from `documents` without touching a byte of
-    * the Deflater-specific stream. */
-  private def zipParseFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "zipshard", "documents") { out =>
-      asciiDocs(s, dir)
-        .map { case (id, t) =>
-          val meta = s"""{"id":$id,"n":${t.length}}"""
-          (id / 8, id, Seq(
-            (s"$id.txt", t.getBytes("UTF-8"), false),
-            (s"$id.meta", meta.getBytes("UTF-8"), true)))
-        }
-        .groupByKey(_._1)
-        .mapGroups { (sid: Long,
-            it: Iterator[(Long, Long, Seq[(String, Array[Byte], Boolean)])]) =>
-          val arch = graft.operators.Zip.buildArchive(
-            it.toSeq.sortBy(_._2).flatMap(_._3))
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.zip"), arch)
-          sid
-        }
-        .count(): Unit
-    }
-    parseZipFileRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(root)
-        .repartition(col("path")))
-      .orderBy("doc_id", "name")
-  }
-
-  /** Avro Object Container walk (operators/Avro): 8-document
-    * containers — fields `id` long / `text` string / `label` nullable
-    * string (every 11th doc takes the null union branch) / `score`
-    * double — 4-row blocks so every shard crosses a sync boundary,
-    * codec rotating deflate/null by shard. The walk builds, parses
-    * back (sync markers verified, schema re-interpreted from the
-    * embedded JSON) and emits facts computed from the PARSED values,
-    * so the whole encode→decode stack must be value-transparent; the
-    * oracle predicts every fact from `documents`. Same shuffle shape
-    * as tar_parse: build pays the one shard-keyed shuffle archive
-    * assembly needs, parse is flatMap work. */
-  private def avroParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    avroShardRows(avroShards(s, dir)).orderBy("doc_id")
-  }
-
-  /** The per-shard Avro containers: (shard_id, bytes). */
-  private def avroShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val fields = Seq(
-          graft.operators.Avro.Field("id", "long", nullable = false),
-          graft.operators.Avro.Field("text", "string", nullable = false),
-          graft.operators.Avro.Field("label", "string", nullable = true),
-          graft.operators.Avro.Field("score", "double", nullable = false))
-        val rows = docs.map { case (_, id, t) =>
-          Seq[Option[Any]](Some(id), Some(t),
-            if (id % 11 == 10) None else Some(s"label${id % 4}"),
-            Some(t.length * 0.25))
-        }
-        val codec = if (sid % 2 == 0) "deflate" else "null"
-        (sid, graft.operators.Avro.build("doc", fields, rows, codec,
-          blockRows = 4))
-      }
-  }
-
-  /** avro_parse through the FULL spec codec set (r12): the same
-    * 8-doc shards and facts as avro_parse, but the codec rotates
-    * through all six — null, deflate, bzip2, snappy (+CRC32 verify),
-    * xz, zstandard — so every compressed path decodes through OUR
-    * pure-JVM codec stack inside the same shard walk. */
-  private def avroParseCodecs(s: SparkSession, dir: String): DataFrame =
-    avroShardRows(avroCodecShards(s, dir)).orderBy("doc_id")
-
-  private def avroCodecShards(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) => (id / 8, id, t) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val fields = Seq(
-          graft.operators.Avro.Field("id", "long", nullable = false),
-          graft.operators.Avro.Field("text", "string", nullable = false),
-          graft.operators.Avro.Field("label", "string", nullable = true),
-          graft.operators.Avro.Field("score", "double", nullable = false))
-        val rows = docs.map { case (_, id, t) =>
-          Seq[Option[Any]](Some(id), Some(t),
-            if (id % 11 == 10) None else Some(s"label${id % 4}"),
-            Some(t.length * 0.25))
-        }
-        val codec = Seq("null", "deflate", "bzip2", "snappy", "xz",
-          "zstandard")((sid % 6).toInt)
-        (sid, graft.operators.Avro.build("doc", fields, rows, codec,
-          blockRows = 4))
-      }
-  }
-
-  /** Avro COMPLEX types (r12) — the shapes Hadoop-lineage corpora use
-    * freely: a nullable `array<long?>` token column, a `map<string,
-    * long>`, an enum class label, and a nested record. Build side is
-    * OUR nested writer (avro-java reads it back in AvroSpec); parse
-    * side is OUR recursive decoder; every fact re-derived from
-    * DECODED values with the oracle predicting them from documents.
-    * Same shard shuffle + flatMap shape as avro_parse. */
-  private def avroParseNested(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    import graft.operators.Avro
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-      .map { case (id, t, lang) => (id / 8, id, t, lang) }
-      .groupByKey(_._1)
-      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String, String)]) =>
-        val docs = it.toSeq.sortBy(_._2)
-        val nf = Seq(
-          Avro.NField("id", Avro.NPrim("long"), nullable = false),
-          Avro.NField("toks",
-            Avro.NArr(Avro.NPrim("long"), itemsNullable = true),
-            nullable = true),
-          Avro.NField("props",
-            Avro.NMap(Avro.NPrim("long"), valuesNullable = false),
-            nullable = false),
-          Avro.NField("cls", Avro.NEnum("cls",
-            Seq("alpha", "beta", "gamma", "delta")), nullable = false),
-          Avro.NField("meta", Avro.NRec("meta", Seq(
-            Avro.NField("lang", Avro.NPrim("string"), nullable = true),
-            Avro.NField("n", Avro.NPrim("long"), nullable = false))),
-            nullable = false))
-        val rows = docs.map { case (_, id, t, lang) =>
-          val ws = t.split(" ").filter(_.nonEmpty)
-          Seq[Option[Any]](
-            Some(id),
-            if (id % 13 == 9) None
-            else Some(ws.toSeq.map(w =>
-              if (w.length % 5 == 0) None
-              else Some(w.length.toLong)): Seq[Option[Any]]),
-            Some(Seq("n" -> Some(t.length.toLong),
-              "w" -> Some(ws.length.toLong)): Seq[(String, Option[Any])]),
-            Some(Seq("alpha", "beta", "gamma", "delta")((id % 4).toInt)),
-            Some(Seq(
-              if (id % 11 == 10) None else Some(lang),
-              Some(t.length.toLong)): Avro.Row))
-        }
-        val codec = if (sid % 2 == 0) "deflate" else "null"
-        (sid, Avro.buildNested("docn", nf, rows, codec, blockRows = 4))
-      }
-      .flatMap { case (sid, bytes) =>
-        val f = graft.operators.Avro.parse(bytes)
-          .getOrElse(sys.error(s"avro nested parse rejected shard $sid"))
-        require(f.fields.map(_.tpe) ==
-          Seq("long", "array", "map", "enum", "record"))
-        f.rows.map { r =>
-          val id = r(0).get.asInstanceOf[Long]
-          val toks = r(1).map(_.asInstanceOf[Seq[Option[Any]]])
-          val props = r(2).get.asInstanceOf[Seq[(String, Option[Any])]]
-            .map { case (k, v) => k -> v.get.asInstanceOf[Long] }.toMap
-          val meta = r(4).get.asInstanceOf[Seq[Option[Any]]]
-          (id, sid, f.codec,
-            toks.map(_.length.toLong),
-            toks.map(_.flatten.map(_.asInstanceOf[Long]).sum),
-            toks.map(ts => ts.count(_.isEmpty).toLong),
-            props("n"), props("w"),
-            r(3).get.asInstanceOf[String],
-            meta(0).map(_.asInstanceOf[String]),
-            meta(1).get.asInstanceOf[Long])
-        }
-      }
-      .toDF("doc_id", "shard_id", "codec", "n_toks", "tok_sum",
-        "null_toks", "map_n", "map_w", "cls", "lang", "meta_n")
-      .orderBy("doc_id")
-  }
-
-  /** The per-container parse shared by the batch query, the file
-    * query and the binaryFile STREAM twin: parse, re-derive every
-    * fact from the decoded values. */
-  private[graft] def avroShardRows(
-      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
-      : DataFrame = {
-    val spark = shards.sparkSession
-    import spark.implicits._
-    shards
-      .flatMap { case (sid, bytes) =>
-        graft.operators.Avro.parse(bytes).toSeq.flatMap { f =>
-          f.rows.map { r =>
-            val id = r(0).get.asInstanceOf[Long]
-            val text = r(1).get.asInstanceOf[String]
-            val d = java.security.MessageDigest.getInstance("MD5")
-            (id, sid, f.codec, text.length.toLong,
-              d.digest(text.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString,
-              r(2).map(_.asInstanceOf[String]),
-              r(3).get.asInstanceOf[Double])
-          }
-        }
-      }
-      .toDF("doc_id", "shard_id", "codec", "len", "md5", "label", "score")
-  }
-
-  /** [[avroParse]] through REAL `.avro` FILES: the containers written
-    * once per corpus to a fixture tree (executor-side), read back
-    * through the distributed binaryFile source and parsed per file.
-    * Identical oracle — the file layer must be transparent. */
-  private def avroParseFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "avroshard", "documents") { out =>
-      avroShards(s, dir)
-        .map { case (sid, bytes) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.avro"), bytes)
-          sid
-        }
-        .count(): Unit
-    }
-    avroShardRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(root)
-        .repartition(col("path"))
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .map { case (path, bytes) =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          (name.stripPrefix("shard-").stripSuffix(".avro").toLong, bytes)
-        })
-      .orderBy("doc_id")
-  }
-
-  /** The user-facing DataFrame source over `.arrow` trees (r12,
-    * sources/ArrowSource): the shard columns surface as REAL typed
-    * Spark columns, so the facts here are derived with plain SQL
-    * expressions over the DataFrame — no hand-decoding in the query.
-    * Same oracle as arrow_ipc_parse: the source layer must be
-    * value-transparent end to end. */
-  private def arrowSourceRead(s: SparkSession, dir: String): DataFrame = {
-    val root = arrowFixtureRoot(s, dir)
-    graft.sources.ArrowSource.read(s, root)
-      .selectExpr("id AS doc_id", "id DIV 8 AS shard_id",
-        "CAST(length(text) AS BIGINT) AS len",
-        "md5(CAST(text AS BINARY)) AS md5", "label", "score")
-      .orderBy("doc_id")
-  }
-
-  /** [[arrowSourceRead]]'s Avro sibling (sources/AvroSource) over the
-    * codec-rotating `.avro` fixture tree — arrays/maps/enums/records
-    * would surface as ArrayType/MapType/StringType/StructType; this
-    * tree is the flat tabular shape, and the codec rotation is
-    * invisible through the API by design. */
-  private def avroSourceRead(s: SparkSession, dir: String): DataFrame = {
-    val root = avroFixtureRoot(s, dir)
-    graft.sources.AvroSource.read(s, root)
-      .selectExpr("id AS doc_id", "id DIV 8 AS shard_id",
-        "CAST(length(text) AS BIGINT) AS len",
-        "md5(CAST(text AS BINARY)) AS md5", "label", "score")
-      .orderBy("doc_id")
-  }
-
-  /** Sink→source round trip under the oracle (r12): a documents
-    * projection — including a NESTED token-length array built with
-    * plain Spark SQL — is written by [[sources.ArrowSink]] (one
-    * `.arrow` file per partition) and read back by
-    * [[sources.ArrowSource]]; every fact is re-derived from the
-    * read-back DataFrame with SQL, and DuckDB predicts them from
-    * documents. Any sink-side vector fill bug, batch-boundary bug or
-    * source-side decode bug flips the hash. */
-  private def arrowSinkRoundtrip(s: SparkSession, dir: String)
-      : DataFrame =
-    sinkRoundtripFacts(s,
-      formatFixtureDir(dir, "arrowsink", "documents") { out =>
-        graft.sources.ArrowSink.write(
-          sinkRoundtripInput(s, dir).repartition(8), out,
-          rowsPerBatch = 256)
-      }, arrow = true)
-
-  /** [[arrowSinkRoundtrip]]'s Avro sibling: our pure-JVM container
-    * writer under zstandard, read back through AvroSource. */
-  private def avroSinkRoundtrip(s: SparkSession, dir: String)
-      : DataFrame =
-    sinkRoundtripFacts(s,
-      formatFixtureDir(dir, "avrosink", "documents") { out =>
-        graft.sources.AvroSink.write(
-          sinkRoundtripInput(s, dir).repartition(8), out,
-          codec = "zstandard", blockRows = 64)
-      }, arrow = false)
-
-  /** The projection both sinks write: id, text, nullable label,
-    * score, and a token-length array (the nested column). */
-  private def sinkRoundtripInput(s: SparkSession, dir: String)
-      : DataFrame =
-    Tables.documents(s, dir)
-      .filter(expr("length(text) = octet_length(text) AND length(text) > 0"))
-      .selectExpr(
-        "doc_id AS id", "text",
-        "CASE WHEN doc_id % 11 = 10 THEN NULL " +
-          "ELSE concat('label', doc_id % 4) END AS label",
-        "CAST(length(text) * 0.25 AS DOUBLE) AS score",
-        "transform(filter(split(text, ' '), w -> w <> ''), " +
-          "w -> CAST(length(w) AS BIGINT)) AS toks")
-
-  private def sinkRoundtripFacts(s: SparkSession, root: String,
-      arrow: Boolean): DataFrame = {
-    val df = if (arrow) graft.sources.ArrowSource.read(s, root)
-      else graft.sources.AvroSource.read(s, root)
-    df.selectExpr(
-        "id AS doc_id",
-        "CAST(length(text) AS BIGINT) AS len",
-        "md5(CAST(text AS BINARY)) AS md5",
-        "label", "score",
-        "CAST(size(toks) AS BIGINT) AS n_toks",
-        "aggregate(toks, 0L, (a, x) -> a + x) AS tok_sum")
-      .orderBy("doc_id")
-  }
-
-  private[graft] def avroFixtureRoot(s: SparkSession, dir: String): String = {
-    avroParseFiles(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "avroshard", "documents")(_ => ())
-  }
-
-  private[graft] def zipFixtureRoot(s: SparkSession, dir: String): String = {
-    zipParseFiles(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "zipshard", "documents")(_ => ())
-  }
-
-  /** The per-file ZIP walk shared by the batch query and the
-    * binaryFile STREAM twin (ZipFileStreamSpec): central-directory
-    * walk + inflate + CRC verify per archive row. */
-  private[graft] def parseZipFileRows(files: DataFrame): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val sid = name.stripPrefix("shard-").stripSuffix(".zip").toLong
-        graft.operators.Zip.parse(bytes).map { e =>
-          (e.name.takeWhile(_ != '.').toLong, sid, e.name,
-            e.method, e.size, e.md5)
-        }
-      }
-      .toDF("doc_id", "shard_id", "name", "method", "size", "md5")
-  }
-
-  /** TFRecord shards through REAL FILES — the [[tfrecordParse]] walk
-    * over a written `.tfrecord` fixture tree via the binaryFile
-    * source. TFRecord carries no names, so order IS identity: the
-    * query reports (shard, pos, length, md5) and the oracle predicts
-    * pos by rank within the 8-doc shard. Parse verifies both masked
-    * CRC32Cs per record ([[graft.operators.TfRecord]]). */
-  private def tfrecordParseFiles(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val root = formatFixtureDir(dir, "tfrecshard", "documents") { out =>
-      asciiDocs(s, dir)
-        .map { case (id, t) =>
-          (id / 8, id,
-            graft.operators.TfRecord.buildRecord(t.getBytes("UTF-8")))
-        }
-        .groupByKey(_._1)
-        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-          val shard = graft.operators.TfRecord.buildShard(
-            it.toSeq.sortBy(_._2).map(_._3))
-          java.nio.file.Files.write(java.nio.file.Paths.get(
-            out, f"shard-$sid%06d.tfrecord"), shard)
-          sid
-        }
-        .count(): Unit
-    }
-    parseTfRecordFileRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.tfrecord").load(root)
-        .repartition(col("path")))
-      .orderBy("shard_id", "pos")
-  }
-
-  private[graft] def tfrecordFixtureRoot(s: SparkSession, dir: String)
-      : String = {
-    tfrecordParseFiles(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "tfrecshard", "documents")(_ => ())
-  }
-
-  /** The per-file TFRecord walk shared by the batch query and the
-    * binaryFile STREAM twin (TfRecordFileStreamSpec). */
-  private[graft] def parseTfRecordFileRows(files: DataFrame): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val sid = name.stripPrefix("shard-")
-          .stripSuffix(".tfrecord").toLong
-        graft.operators.TfRecord.parse(bytes).zipWithIndex.map {
-          case (r, i) => (sid, i.toLong, r.length, r.md5)
-        }
-      }
-      .toDF("shard_id", "pos", "length", "md5")
-  }
-
-  /** WebDataset SAMPLE assembly over the parsed shard entries: group
-    * by the basename key, count modalities and bytes, and emit the
-    * completeness verdict (the drop-incomplete gate every WebDataset
-    * loader runs). One map-combinable aggregate on the sample key. */
-  private def webdatasetPairs(s: SparkSession, dir: String): DataFrame =
-    tarShardEntries(s, dir)
-      .withColumn("ext", expr("substring_index(name, '.', -1)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_files"), sum("size").as("total_bytes"),
-        max(when(col("ext") === "cls", 1L).otherwise(0L)).as("has_cls"))
-      .selectExpr("doc_id", "n_files", "total_bytes",
-        "n_files = 3 AS complete")
-      .orderBy("doc_id")
-
   /** Signature-keyed once-per-corpus fixture directory under the JVM
     * temp dir (the warcFixtureDir pattern, generalized for the
     * CSV/JSONL/ORC source fixtures): `build` runs once per corpus
@@ -11512,8 +87,7 @@ object Pipeline {
     * was 22 s with the 12 500-file tree build inside the timed run). */
   private[graft] val fixtureBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
-
-  private def formatFixtureDir(dir: String, tag: String, table: String)(
+  private[graft] def formatFixtureDir(dir: String, tag: String, table: String)(
       build: String => Unit): String = {
     def sig(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(sig).sum
@@ -11534,613 +108,6 @@ object Pipeline {
     }
     root.getAbsolutePath
   }
-
-  /** S6/A8 through REAL FILES — the reference's `.hist` text format
-    * (`<bin> <count>` lines, one snapshot directory per period,
-    * aggregation.cpp's recursive walk) materialized as an actual
-    * partitioned text-file tree (two snapshot generations per
-    * station, day-parity split) and ROLLED UP through the csv scan +
-    * grouped sum, gate-checked against the oracle recomputing the
-    * same histogram from `events` directly. Upgrades the
-    * spec-pinned histogram file ops to an oracle-green row: any
-    * formatting, scan, partition-discovery or summing bug flips
-    * counts. */
-  private def histFileRollup(s: SparkSession, dir: String): DataFrame = {
-    // file-count discipline: partition dirs are station BUCKETS (×2
-    // snapshot generations = 32 dirs), one file per dir via the
-    // pre-write repartition on the partition keys, with the station
-    // in the line — per-station dirs measured 6 849 tiny files and a
-    // 70 s listing+read at sf0.1 (1 500 stations), the small-files
-    // anti-pattern this library's own SCALE.md warns about
-    val root = formatFixtureDir(dir, "histv2", "events") { out =>
-      Tables.events(s, dir)
-        .selectExpr("user_id AS station",
-          "CAST(floor(value) AS INT) AS bin",
-          "CAST((ts div 86400000000000) % 2 AS INT) AS snap")
-        .groupBy("station", "snap", "bin")
-        .agg(count(lit(1)).as("cnt"))
-        .selectExpr("CAST(station % 16 AS INT) AS bucket", "snap",
-          "concat(station, ' ', bin, ' ', cnt) AS value")
-        .repartition(col("bucket"), col("snap"))
-        .write.partitionBy("bucket", "snap").mode("overwrite").text(out)
-    }
-    s.read.option("delimiter", " ")
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "station LONG, bin INT, cnt LONG"))
-      .csv(root)
-      .groupBy("station", "bin")
-      .agg(sum("cnt").as("cnt"))
-      .orderBy("station", "bin")
-  }
-
-  /** CSV ingest with PERMISSIVE malformed-row handling — the messy-
-    * delivery reality of ad-hoc corpora: every 13th row carries a
-    * non-numeric n_chars (a type violation the schema rejects), and
-    * the reader must route it to the corrupt-record column instead of
-    * failing the job or silently nulling. Facts: row/corrupt/good
-    * counts and the good-row n_chars sum; the oracle predicts all
-    * four from `documents`. The fixture writes REAL .csv text files
-    * through Spark's text writer (executor-side). */
-  private def csvIngest(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val p = formatFixtureDir(dir, "csv", "documents") { root =>
-      Tables.documents(s, dir)
-        .selectExpr("doc_id", "lang", "n_chars")
-        .as[(Long, String, Long)]
-        .map { case (id, lang, n) =>
-          if (id % 13 == 0) s"$id,$lang,NOTANUMBER" else s"$id,$lang,$n"
-        }
-        .write.mode("overwrite").text(root)
-    }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
-    s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_bad")
-      .csv(p)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
-        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
-        sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L))
-          .as("sum_chars"))
-  }
-
-  /** Test access (CsvStreamIngestSpec): the csv fixture root the
-    * batch query materializes — building it if absent. */
-  private[graft] def csvFixtureRoot(s: SparkSession, dir: String): String = {
-    csvIngest(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "csv", "documents")(_ => ())
-  }
-
-  /** JSONL ingest with schema-on-read — the interchange format most
-    * corpora actually arrive in: every 7th row omits the `lang` field
-    * (schema evolution in the wild), and the explicit-schema read
-    * must surface it as a null, not an error. The fixture writes REAL
-    * .jsonl text files; the oracle predicts the counts and the
-    * per-language sums from `documents`. */
-  private def jsonlIngest(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val p = formatFixtureDir(dir, "jsonl", "documents") { root =>
-      Tables.documents(s, dir)
-        .selectExpr("doc_id", "lang", "n_chars")
-        .as[(Long, String, Long)]
-        .map { case (id, lang, n) =>
-          if (id % 7 == 0) s"""{"doc_id":$id,"n_chars":$n}"""
-          else s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
-        }
-        .write.mode("overwrite").text(root)
-    }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, lang STRING, n_chars LONG")
-    s.read.schema(schema).json(p)
-      .groupBy(coalesce(col("lang"), lit("<missing>")).as("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-      .orderBy("lang")
-  }
-
-  /** ORC round trip — the OTHER columnar warehouse format Spark ships
-    * natively: documents (minus text) write once as ORC, and a
-    * filtered aggregate reads back through the ORC scan, whose
-    * predicate pushdown the plan audit pins (PushedFilters reach the
-    * ORC reader exactly as they do parquet). Oracle answers off the
-    * parquet table — format transparency proven by value equality. */
-  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val p = formatFixtureDir(dir, "orc", "documents") { root =>
-      Tables.documents(s, dir)
-        .selectExpr("doc_id", "lang", "source", "n_chars")
-        .write.mode("overwrite").orc(root)
-    }
-    s.read.orc(p)
-      .filter(col("lang") === "en")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-      .orderBy("source")
-  }
-
-  /** The PRODUCTION WARC input path, end-to-end: real `.warc.gz` files
-    * on disk → `spark.read.format("binaryFile")` → [[operators.Warc
-    * .parseArchive]] flatMap. Identical output contract (and oracle) to
-    * warc_parse_gzip — proving the file layer is transparent — but here
-    * the archives are genuine FILES, the Common Crawl shape: one task
-    * per archive file, payloads parsed and fingerprinted in place,
-    * never shuffled. */
-  private def warcParseFiles(s: SparkSession, dir: String): DataFrame = {
-    val files = warcFixtureDir(s, dir)
-    // binaryFile packs all the small archives into one input split
-    // (size-based packing); spread by path so the gunzip+md5 walk
-    // parallelizes — on a real crawl the archives are ≥ 1 GB each and
-    // arrive one-per-split, making this a no-op cost
-    parseWarcFileRows(
-      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz").load(files)
-        .repartition(col("path")))
-      .orderBy("doc_id")
-  }
-
-  /** The archive-file parse stage shared by the batch query and its
-    * file-streaming twin (WarcFileStreamSpec): (path, content) binary
-    * rows → per-record facts, one flatMap, archives never shuffled.
-    * Works unchanged on a `readStream` input — the streaming source
-    * shares the plan. */
-  private[graft] def parseWarcFileRows(files: DataFrame): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val aid = name.stripPrefix("arch-").stripSuffix(".warc.gz").toLong
-        graft.operators.Warc.parseArchive(bytes).zipWithIndex.map {
-          case (r, i) =>
-            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
-              aid, i.toLong, r.uri, r.warcType, r.contentLength,
-              r.httpStatus, r.bodyLen, r.bodyMd5)
-        }
-      }
-      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
-        "content_length", "http_status", "body_len", "body_md5")
-  }
-
-  /** The `.warc.gz` layout: every record its own gzip member, members
-    * concatenated — identical parsed output proves the decompression
-    * layer is transparent to the record walk. */
-  private def warcParseGzip(s: SparkSession, dir: String): DataFrame =
-    warcParse(s, dir, gzip = true)
-
-  /** The `.warc.zst` twin (Common Crawl's newer transport): each
-    * record zstd-framed by zstd-jni (level 9 — real entropy coding),
-    * frames concatenated, OUR RFC 8878 decoder unwraps inside the
-    * record walk. Identical oracle — the transport must be invisible
-    * to every record fact. */
-  private def warcParseZst(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    Tables.documents(s, dir).select("doc_id", "text")
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id / 16, id, com.github.luben.zstd.Zstd.compress(
-          graft.operators.Warc.buildRecord(
-            id, s"http://ex${id % 7}.com/doc/$id", t.getBytes("UTF-8")),
-          9))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
-        val out = new java.io.ByteArrayOutputStream()
-        it.toSeq.sortBy(_._2).foreach(r => out.write(r._3))
-        graft.operators.Warc.parseArchive(out.toByteArray)
-          .zipWithIndex.map { case (r, i) =>
-            (r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong,
-              aid, i.toLong, r.uri, r.warcType, r.contentLength,
-              r.httpStatus, r.bodyLen, r.bodyMd5)
-          }
-      }
-      .toDF("doc_id", "arch_id", "rec_pos", "uri", "warc_type",
-        "content_length", "http_status", "body_len", "body_md5")
-      .orderBy("doc_id")
-  }
-
-  /** REAL-decoder WebP path: documents encode into valid RIFF/WEBP
-    * containers cycling ALL THREE dimension-bearing chunk layouts by
-    * doc parity — VP8 lossy (keyframe tag + 0x9D012A start code +
-    * 14-bit dims), VP8L lossless (0x2F + packed dims−1) and VP8X
-    * extended (24-bit canvas dims−1) — and the extractor walks the
-    * chunk list and reads whichever header it finds. The oracle
-    * predicts dims and the variant-dependent container size
-    * arithmetically. */
-  private def multimodalDecodeWebp(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 64)
-        val h = 1 + ((t.length / 64) % 64)
-        val variant = (id % 3) match {
-          case 0 => "VP8 "
-          case 1 => "VP8L"
-          case _ => "VP8X"
-        }
-        graft.operators.MediaRow(id, "image/webp",
-          graft.operators.Multimodal.encodeWebp(variant, w, h,
-            asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("decoded_w"), col("decoded_h"))
-      .orderBy("media_id")
-  }
-
-  /** PACKBITS TIFF pixel decode path: pixels repeat each text byte 4×
-    * (real runs, so the run-length coder genuinely compresses) and the
-    * strips are PackBits-compressed — StripByteCounts now carry the
-    * COMPRESSED sizes, so the decoder must decompress each strip to
-    * exactly rows·w·3 bytes; endianness still alternates by document
-    * parity. The oracle predicts channel sums via the (3k+c)/4 index
-    * map in integer list arithmetic; an RLE, strip-size or IFD bug
-    * fails the hash. */
-  private def multimodalDecodeTiffPackbits(s: SparkSession,
-                                           dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 24)
-        val h = 1 + ((t.length / 24) % 24)
-        val b = asciiBytes(id, t)
-        val px = Array.tabulate(w * h * 3)(k => b((k / 4) % b.length))
-        graft.operators.MediaRow(id, "image/tiff",
-          graft.operators.Multimodal.encodeTiffPixelsPackBits(w, h,
-            id % 2 == 0, px))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** QOI raster round trip (operators/Qoi): pixel p channel c =
-    * text[(3p+c) mod len]; the greedy op ladder (run/index/diff/
-    * luma/rgb) must be invisible after decode — the readout is
-    * [[graft.operators.Multimodal.extractPixelFeatures]]'s channel
-    * sums over the DECODED raster, the same contract as the
-    * PNG/GIF/TIFF/WebP decode gates. */
-  private def multimodalDecodeQoiPixels(s: SparkSession,
-                                        dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 24)
-        val h = 1 + ((t.length / 24) % 24)
-        val b = asciiBytes(id, t)
-        val px = Array.tabulate(w * h * 3)(k => b(k % b.length))
-        graft.operators.MediaRow(id, "image/qoi",
-          graft.operators.Qoi.encode(w, h, px))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** WebVTT caption QA (operators/WebVtt) — the [[srtParse]] twin in
-    * the format web caption tracks actually arrive in: cue i at
-    * [2100i, 2100i + 1500 + len%900), odd cues carry an id, every
-    * third cue carries settings, and a NOTE block is spliced in
-    * front so the walk must skip non-cue blocks. Readout counts
-    * cues, ids, settings, talk/span time, text volume and OVERLAPS
-    * (present exactly when len%900 > 600). */
-  private def vttParse(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val nc = 1 + (t.length % 5)
-        val dur = 1500L + (t.length % 900)
-        val cues = (0 until nc).map { i =>
-          val start = i * 2100L
-          val txt = t.substring(
-            (i * 5) % t.length,
-            math.min((i * 5) % t.length + 4, t.length))
-          val cid = if (i % 2 == 1) s"c$i" else ""
-          val set = if (i % 3 == 0) "align:start" else ""
-          (cid, start, start + dur, set, txt)
-        }
-        val doc = "WEBVTT\n\nNOTE machine generated\n\n" +
-          graft.operators.WebVtt.build(cues).stripPrefix("WEBVTT\n\n")
-        val parsed = graft.operators.WebVtt.parse(doc)
-          .getOrElse(sys.error(s"vtt parse rejected doc $id"))
-        val overlaps = parsed.sliding(2).count {
-          case Seq(a, b) => b.startMs < a.endMs
-          case _ => false
-        }
-        (id, parsed.size.toLong,
-          parsed.count(_.id.nonEmpty).toLong,
-          parsed.count(_.settings.nonEmpty).toLong,
-          parsed.map(c => c.endMs - c.startMs).sum,
-          if (parsed.isEmpty) 0L
-          else parsed.last.endMs - parsed.head.startMs,
-          parsed.map(_.text.length.toLong).sum,
-          overlaps.toLong)
-      }
-      .toDF("media_id", "n_cues", "id_cues", "settings_cues", "talk_ms",
-        "span_ms", "total_chars", "overlap_cues")
-      .orderBy("media_id")
-  }
-
-  /** Y4M raw-video readout (operators/Y4m): per doc a Cmono stream —
-    * frame f's luma byte j = text[(j + 11f) mod len] — is built,
-    * parsed back (sizes verified), and the readout is what a raw
-    * video QA pass computes: frame count, dims, total luma, and the
-    * INTER-FRAME absolute delta sum (the scene-cut signal the AVI
-    * shot detector thresholds). Any header/frame-walk bug shifts
-    * every fact. */
-  private def y4mFrameStats(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 16)
-        val h = 1 + ((t.length / 16) % 16)
-        val nf = 2 + (t.length % 4)
-        val b = asciiBytes(id, t)
-        val n = w * h
-        val frames = (0 until nf).map { f =>
-          graft.operators.Y4m.Y4mFrame("",
-            Array.tabulate(n)(j => b((j + 11 * f) % b.length)))
-        }
-        val hdr = graft.operators.Y4m.Y4mHeader(w, h, 25, 1, "p", "",
-          "mono")
-        val (gh, gf) = graft.operators.Y4m.parse(
-          graft.operators.Y4m.build(hdr, frames))
-          .getOrElse(sys.error(s"y4m parse rejected doc $id"))
-        val luma = gf.map(_.planes.map(x => (x & 0xff).toLong).sum).sum
-        val delta = gf.sliding(2).collect {
-          case Seq(a, c) =>
-            a.planes.zip(c.planes)
-              .map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)).toLong }
-              .sum
-        }.sum
-        (id, gh.w, gh.h, gf.size.toLong, luma, delta)
-      }
-      .toDF("media_id", "width", "height", "n_frames", "luma_sum",
-        "delta_sum")
-      .orderBy("media_id")
-  }
-
-  /** The LZW twin of [[multimodalDecodeTiffPackbits]]: the same
-    * text-derived pixel rasters encoded as Compression=5 TIFFs
-    * through the real TIFF-variant LZW coder (MSB-first, early
-    * width change, 4094-entry clears), with the horizontal-
-    * differencing predictor on ids ≡ 0 mod 3 and byte order
-    * rotating on id parity — then decoded back through the real
-    * strip walk + LZW + inverse predictor. Channel sums over the
-    * DECODED raster must equal the oracle's arithmetic over the
-    * text (lossless round trip), so a bit-order, width-schedule or
-    * predictor bug fails the hash. One map pass per row. */
-  private def multimodalDecodeTiffLzw(s: SparkSession,
-                                      dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 24)
-        val h = 1 + ((t.length / 24) % 24)
-        val b = asciiBytes(id, t)
-        val px = Array.tabulate(w * h * 3)(k => b((k / 4) % b.length))
-        graft.operators.MediaRow(id, "image/tiff",
-          graft.operators.Multimodal.encodeTiffPixelsLzw(w, h,
-            id % 2 == 0, px, predictor = if (id % 3 == 0) 2 else 1))
-      }
-    graft.operators.Multimodal.extractPixelFeatures(media).toDF()
-      .orderBy("media_id")
-  }
-
-  /** REAL audio resample path: documents become 8 kHz 8-bit PCM WAV
-    * files and resample to 6 kHz through exact rational linear
-    * interpolation — output i at source position i·4/3, sample =
-    * (a·(d−f) + b·f)/d in pure integer arithmetic — so the oracle
-    * recomputes every interpolated value from the text bytes; an
-    * index, weight or rounding bug fails the hash. The audio twin of
-    * image_resize_box: one map pass over the binary scan, no
-    * shuffle. */
-  private def audioResample(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        graft.operators.MediaRow(id, "audio/wav",
-          graft.operators.Multimodal.encodeWavPcm8(8000, asciiBytes(id, t)))
-      }
-    graft.operators.Multimodal.resampleWav(media, 6000).toDF()
-      .orderBy("media_id")
-  }
-
-  /** HTML → text extraction (operators/HtmlText): documents are
-    * embedded — entity-escaped — in a full HTML page with a title, a
-    * style block, a script whose STRING LITERALS contain close tags,
-    * a quoted attribute containing '>', a comment containing markup
-    * and heading/paragraph structure; the extractor's state machine
-    * must drop script/style content and comments, treat tags as word
-    * boundaries, decode the entities back and collapse whitespace to
-    * recover exactly `Doc {id} Header {id%10} {text}` — which the
-    * oracle rebuilds with one `\s+` collapse. A tag-scan, raw-text,
-    * entity or collapse bug breaks the string hash. */
-  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val html =
-          s"""<html><head><title>Doc $id</title><style type="text/css">p { margin: 0; }</style><script type="text/javascript">if (1 < 2) { var s = "</p>"; }</script></head><body data-note="a > b"><h1>Header ${id % 10}</h1><!-- hidden <b>note</b> --><p>${graft.operators.HtmlText.escape(t)}</p></body></html>"""
-        val x = graft.operators.HtmlText.extractText(html)
-        (id, x, x.length, x.count(_ == ' ') + 1)
-      }
-      .toDF("doc_id", "extracted", "n_chars", "n_words")
-      .orderBy("doc_id")
-  }
-
-  /** Batch audit pass of the streaming media gate: the SAME verdict
-    * function (streaming/StreamingMediaGate — full pixel decode +
-    * integer luma/contrast gate) over PNG pixel fixtures, with the
-    * DuckDB oracle recomputing the whole gate from first principles.
-    * keep = decoded ∧ w≥8 ∧ h≥8 ∧ 16≤mean≤240 ∧ contrast≥8. */
-  private def imageQualityGate(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val media = asciiDocs(s, dir)
-      .map { case (id, t) =>
-        val w = 1 + (t.length % 32)
-        val h = 1 + ((t.length / 32) % 32)
-        graft.streaming.MediaDoc(id, 0L, "image/png",
-          graft.operators.Multimodal.encodePngPixels(w, h, asciiBytes(id, t)))
-      }
-    graft.streaming.StreamingMediaGate.verdicts(media).toDF()
-      .withColumnRenamed("mediaId", "media_id")
-      .orderBy("media_id")
-  }
-
-  /** CDC chunk-extraction CTE chain for oracle SQL: chunks of column
-    * `col` of CTE `d`, emitted as `{p}ch(doc_id, j, chunk)`. The
-    * rolling-hash, cut and slicing conventions of the cdc_chunks
-    * oracle, parameterized for multi-version deltas. */
-  private def cdcChunkSql(col: String, p: String): String =
-    s"""${p}w AS (
-       |  SELECT doc_id, u.i,
-       |    ${charFoldDuck(s"substr($col, CAST(u.i + 1 AS INT), 8)")} AS h
-       |  FROM d, LATERAL unnest(range(0,
-       |    greatest(length($col) - 7, 0))) AS u(i)),
-       |${p}c AS (SELECT doc_id, i + 8 AS cut FROM ${p}w WHERE h % 64 = 0),
-       |${p}b AS (
-       |  SELECT d.doc_id, d.$col AS t,
-       |    list_sort(list_distinct(list_append(list_prepend(
-       |      CAST(0 AS BIGINT),
-       |      coalesce(list(${p}c.cut ORDER BY ${p}c.cut), [])),
-       |      CAST(length(d.$col) AS BIGINT)))) AS bs
-       |  FROM d LEFT JOIN ${p}c USING (doc_id)
-       |  GROUP BY d.doc_id, d.$col),
-       |${p}ch AS (
-       |  SELECT doc_id, u.j,
-       |    substr(t, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
-       |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
-       |        AS INT)) AS chunk
-       |  FROM ${p}b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j))"""
-      .stripMargin
-
-  /** Shared oracle CTE block for the PCA family: milli-quantized
-    * embedding entries (the Spark-side `round(x·1000)` convention),
-    * per-dimension sums, the d²-exploded pair products (quadratic
-    * ORACLE-side only — the engine accumulates upper triangles
-    * map-side), and the mean-centered covariance in integer
-    * micro-units. */
-  private def pcaCovCtes: String =
-    """WITH e AS (
-      |  SELECT vec_id, u.i AS i,
-      |    CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000)
-      |      AS BIGINT) AS q
-      |  FROM embeddings, LATERAL unnest(range(1, 65)) AS u(i)),
-      |st AS (
-      |  SELECT i, CAST(sum(q) AS BIGINT) AS sx, count(*) AS n
-      |  FROM e GROUP BY i),
-      |pr AS (
-      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
-      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-      |  GROUP BY a.i, b.i),
-      |cv AS MATERIALIZED (
-      |  SELECT pr.i, pr.j,
-      |    CAST(round((sa.n * pr.sxy - sa.sx * sb.sx)
-      |      / CAST(sa.n * sa.n AS DOUBLE)) AS BIGINT) AS cov_micro
-      |  FROM pr JOIN st sa ON pr.i = sa.i JOIN st sb ON pr.j = sb.i)"""
-      .stripMargin
-      // cv is MATERIALIZED: DuckDB inlines plain CTEs, and the
-      // power-iteration chains reference the covariance many times —
-      // inlined, each reference re-expands the d²-exploded self-join
-      // down to the parquet scan (observed: fd exhaustion on the
-      // deflation oracle)
-
-  /** One power-iteration round in SQL: integer matrix·vector, ∞-norm
-    * renormalization to milli-units — the [[pcaCovCtes]] twin of the
-    * Spark driver loop. */
-  private def pcaIterSql(t: Int, mat: String = "cm",
-      vp: String = "v"): String = {
-    val prev = s"$vp${t - 1}"
-    s"""${vp}w$t AS (
-       |  SELECT $mat.i AS pos, CAST(sum($mat.c * $prev.v) AS BIGINT) AS w
-       |  FROM $mat JOIN $prev ON $mat.j = $prev.pos GROUP BY $mat.i),
-       |${vp}m$t AS (SELECT max(abs(w)) AS m FROM ${vp}w$t),
-       |$vp$t AS (
-       |  SELECT pos, CAST(round(w * 1000.0 / m) AS BIGINT) AS v
-       |  FROM ${vp}w$t, ${vp}m$t)""".stripMargin
-  }
-
-  /** Shared first-eigenpair CTE chain (cm, v0..v3, w4, ray) on top of
-    * [[pcaCovCtes]]. */
-  private def pcaEig1Ctes: String =
-    s"""cm AS MATERIALIZED (
-       |  SELECT i, j, cov_micro AS c FROM cv
-       |  UNION ALL
-       |  SELECT j AS i, i AS j, cov_micro AS c FROM cv WHERE i <> j),
-       |v0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
-       |${pcaIterSql(1)},
-       |${pcaIterSql(2)},
-       |${pcaIterSql(3)},
-       |w4 AS (
-       |  SELECT cm.i AS pos, CAST(sum(cm.c * v3.v) AS BIGINT) AS w
-       |  FROM cm JOIN v3 ON cm.j = v3.pos GROUP BY cm.i),
-       |ray AS (
-       |  SELECT CASE WHEN num >= 0 THEN num // den
-       |    ELSE -((-num) // den) END AS lambda_micro
-       |  FROM (SELECT CAST(sum(v3.v * w4.w) AS BIGINT) AS num,
-       |      CAST(sum(v3.v * v3.v) AS BIGINT) AS den
-       |    FROM v3 JOIN w4 ON v3.pos = w4.pos))""".stripMargin
-
-  /** Shared oracle CTE block for the unigram tokenizer family: the
-    * deterministic vocabulary (chars + top-16 scored pieces) and the
-    * per-word Viterbi DP as a recursive CTE — positions advance one
-    * per iteration, the dp vector rides along as a list, and the four
-    * bounded-lookback candidates (piece length 1..4) compare through
-    * the same packed `64·score − pieces` value the Spark side
-    * maximizes. An absent piece coalesces to a −2⁶² sentinel; single
-    * characters are always in the vocabulary, so every position stays
-    * reachable and the sentinel never wins. */
-  private def unigramCtes: String =
-    """WITH RECURSIVE
-      |wc AS (
-      |  SELECT w, count(*) AS c FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE w <> '' GROUP BY w),
-      |ch AS (
-      |  SELECT substr(w, CAST(u.i AS INT), 1) AS p,
-      |    CAST(sum(c) AS BIGINT) AS cnt
-      |  FROM wc, LATERAL unnest(range(1, length(w) + 1)) AS u(i)
-      |  GROUP BY 1),
-      |mu AS (
-      |  SELECT p, cnt FROM (
-      |    SELECT substr(w, CAST(u.i AS INT), CAST(v.k AS INT)) AS p,
-      |      CAST(sum(c) AS BIGINT) AS cnt
-      |    FROM wc, LATERAL unnest(range(1, length(w) + 1)) AS u(i),
-      |      LATERAL unnest(range(2, 5)) AS v(k)
-      |    WHERE u.i + v.k - 1 <= length(w) GROUP BY 1)
-      |  ORDER BY cnt DESC, p LIMIT 16),
-      |voc AS (SELECT * FROM ch UNION ALL SELECT * FROM mu),
-      |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc),
-      |sv AS (
-      |  SELECT p, cnt,
-      |    CAST(round(ln(cnt / t) * 1000000, 0) AS BIGINT) AS score
-      |  FROM voc, tt),
-      |dp AS (
-      |  SELECT w, c, 0 AS i, [CAST(0 AS BIGINT)] AS ps FROM wc
-      |  UNION ALL
-      |  SELECT w, c, i + 1, list_append(ps, greatest(
-      |    coalesce((SELECT ps[i + 1] + 64 * score - 1 FROM sv
-      |      WHERE p = substr(w, i + 1, 1)), -4611686018427387904),
-      |    coalesce(CASE WHEN i >= 1 THEN (SELECT ps[i] + 64 * score - 1
-      |      FROM sv WHERE p = substr(w, i, 2)) END, -4611686018427387904),
-      |    coalesce(CASE WHEN i >= 2 THEN (SELECT ps[i - 1] + 64 * score - 1
-      |      FROM sv WHERE p = substr(w, i - 1, 3)) END, -4611686018427387904),
-      |    coalesce(CASE WHEN i >= 3 THEN (SELECT ps[i - 2] + 64 * score - 1
-      |      FROM sv WHERE p = substr(w, i - 2, 4)) END, -4611686018427387904)))
-      |  FROM dp WHERE i < length(w)),
-      |res AS (
-      |  SELECT w, c, ps[CAST(length(w) AS INT) + 1] AS pk
-      |  FROM dp WHERE i = length(w))""".stripMargin
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"             -> langId _,
     "lang_confusion"      -> langConfusion _,
@@ -12272,6 +239,7 @@ object Pipeline {
     "delta_column_mapping_id" -> deltaColumnMappingId _,
     "delta_checkpoint_v2" -> deltaCheckpointV2 _,
     "iceberg_scan"      -> icebergScan _,
+    "iceberg_manifest_prune" -> icebergManifestPrune _,
     "iceberg_avro_scan" -> icebergAvroScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
@@ -12396,4929 +364,15 @@ object Pipeline {
     "decontaminate"     -> decontaminate _,
     "pii_scrub"         -> piiScrub _
   )
-
-  // ---- oracles ---------------------------------------------------------
-
-  /** The trigram language classifier transliterated to SQL from the
-    * SAME profile data (functions.TextFunctions.Profiles): integer rank
-    * scores, argmax folded in sorted-language order with the > 0 /
-    * strictly-greater tie rule of detectLang. Shared by the lang_id and
-    * lang_confusion oracles. */
-  private lazy val langIdProfiles =
-    graft.functions.TextFunctions.Profiles.toSeq.sortBy(_._1)
-
-  private lazy val langIdArgmax: String =
-    langIdProfiles.foldLeft(("'und'", "0")) {
-      case ((bestExpr, valExpr), (lang, _)) =>
-        (s"CASE WHEN s_$lang > $valExpr THEN '$lang' ELSE $bestExpr END",
-          s"greatest($valExpr, s_$lang)")
-    }._1
-
-  private lazy val langIdSqlCtes: String = {
-    val scoreCols = langIdProfiles.map { case (lang, p) =>
-      val terms = p.zipWithIndex.map { case (g, r) =>
-        s"CASE WHEN list_contains(grams, '${g.replace("'", "''")}') " +
-          s"THEN ${p.size - r} ELSE 0 END"
-      }.mkString(" + ")
-      s"($terms) AS s_$lang"
-    }.mkString(",\n    ")
-    s"""WITH p AS (
-       |  SELECT doc_id, lang, text,
-       |    ' ' || lower(text) || ' ' AS pad
-       |  FROM documents),
-       |g AS (
-       |  SELECT doc_id, lang,
-       |    list_distinct(list_concat(
-       |      list_transform(range(0, greatest(length(pad) - 2, 0)),
-       |        i -> substr(pad, CAST(i AS INT) + 1, 3)),
-       |      string_split(text, ''))) AS grams
-       |  FROM p),
-       |sc AS (
-       |  SELECT doc_id, lang,
-       |    $scoreCols
-       |  FROM g)""".stripMargin
-  }
-
-  private val vecsCte =
-    """WITH e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, v,
-      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |      list_transform(v, x -> x * x)), (s, t) -> s + t)) AS nrm
-      |  FROM e)""".stripMargin
-
-  /** documents → distinct token-hash sets (DuckDB side). */
-  private val thCte =
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-       |  FROM documents),
-       |th AS (
-       |  SELECT doc_id, list_distinct(list_transform(toks,
-       |    t -> ${charFoldDuck("t")})) AS th
-       |  FROM t)""".stripMargin
-
-  /** documents → distinct shingle-hash sets (DuckDB side). */
-  private val shCte =
-    s"""WITH t AS (
-       |  SELECT doc_id, list_transform(string_split(text, ' '),
-       |    t -> ${charFoldDuck("t")}) AS tk
-       |  FROM documents),
-       |th AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, length(tk) - 1), i ->
-       |      ((tk[i] * 31 + tk[i + 1]) % $P * 31 + tk[i + 2]) % $P)) AS th
-       |  FROM t)""".stripMargin
-
-  /** MinHash-LSH near-dup pair CTEs through `v` (scored candidates) and
-    * `mp` (kept pairs) — shared by the minhash_lsh and dedup_clusters
-    * oracles. */
-  private def minhashPairsCtes: String =
-    s"""$shCte,
-       |sig AS (
-       |  SELECT doc_id, th,
-       |    list_transform(range(0, 16), k -> list_min(list_transform(th,
-       |      h -> ((2 * k + 3) * h + k * 99991 + 7) % $P))) AS sig
-       |  FROM th),
-       |bands AS (
-       |  SELECT doc_id, b,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      sig[b * 8 + 1 : b * 8 + 8]), (a, x) -> (a * 31 + x) % $P) AS bv
-       |  FROM sig, range(0, 2) r(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |v AS (
-       |  SELECT doc_a, doc_b,
-       |    length(list_intersect(ta.th, tb.th))
-       |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE) AS jaccard
-       |  FROM cand JOIN th ta ON cand.doc_a = ta.doc_id
-       |            JOIN th tb ON cand.doc_b = tb.doc_id),
-       |mp AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5)""".stripMargin
-
-  /** 16-bit simhash fold in DuckDB SQL (shared by simhash +
-    * simhash_neardup oracles). */
-  private val simhashDuck: String =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(range(0, 16), b ->
-      |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(th, h ->
-      |          CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
-      |               ELSE CAST(-1 AS BIGINT) END)),
-      |        (s, t) -> s + t) > 0
-      |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-      |    (a, x) -> a + x)""".stripMargin
-
-  /** The 64 → RpDim Achlioptas projection of list column `src`
-    * (DuckDB side — identical fold order to [[rpProjExpr]]). */
-  private def rpListDuck(src: String): String =
-    s"list_transform(range(0, $RpDim), j -> " +
-      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(0, 64), i -> $src[CAST(i + 1 AS INT)] * " +
-      s"CAST(CASE ((i * $RpDim + j + 1) * 2654435761) % $P % 6 " +
-      "WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE))), " +
-      "(s, t) -> s + t))"
-
-  private val cosDuck =
-    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
-      |    (s, t) -> s + t) / (a.nrm * b.nrm)""".stripMargin
-
-  /** Corpus-filter verdict CTEs through `r(doc_id, reason)` — shared by
-    * the corpus_filter and prepare_corpus oracles. */
-  private def corpusFilterCtes: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, lang, ${charFoldDuck("text")} AS fp,
-       |    length(string_split(text, ' ')) AS n_tokens,
-       |    length(text) AS n_chars,
-       |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
-       |    length(list_filter(string_split(text, ' '),
-       |      t -> t IN ('the', 'a'))) AS n_stop
-       |  FROM documents),
-       |k AS (
-       |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d),
-       |r AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id <> keeper THEN 'duplicate'
-       |      WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
-       |      WHEN n_tokens < 20 THEN 'too_short'
-       |      WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
-       |        THEN 'punct_heavy'
-       |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15 THEN 'stopwordy'
-       |      ELSE 'keep' END AS reason
-       |  FROM k)""".stripMargin
-
-  /** One BPE step in SQL: pair counts over r{t−1}, argmax with the
-    * lex-smallest tiebreak, EXACT greedy merge — the twin of one
-    * [[bpeTrain]] loop iteration. The merge iterates leftmost
-    * single-occurrence replacement to fixpoint (recursive CTE x$t):
-    * repeated leftmost merge equals the reference's one-pass greedy
-    * scan (each iteration merges the leftmost remaining adjacency —
-    * precisely what the scan does first — and the inserted token XY can
-    * never form a new (X, Y) adjacency since XY ≠ X and XY ≠ Y). The
-    * remainder substring starts AT the matched trailing space so
-    * delimiters are preserved; each merge shrinks the string by one
-    * char, so the recursion terminates. */
-  private def bpeStepSql(t: Int): String = {
-    val prev = s"r${t - 1}"
-    s"""p$t AS (
-       |  SELECT pair, sum(c) AS pc FROM (
-       |    SELECT c, sym[i] || ' ' || sym[i+1] AS pair
-       |    FROM (SELECT c, string_split(repr, ' ') AS sym FROM $prev),
-       |      LATERAL unnest(range(1, greatest(len(sym), 1))) AS u(i))
-       |  GROUP BY pair),
-       |m$t AS (SELECT $t AS step, pair, pc FROM p$t
-       |  ORDER BY pc DESC, pair LIMIT 1),
-       |x$t AS (
-       |  SELECT word, c, ' ' || repr || ' ' AS s, false AS done FROM $prev
-       |  UNION ALL
-       |  SELECT word, c,
-       |    CASE WHEN p = 0 THEN s
-       |      ELSE substr(s, 1, p - 1) || ' ' || replace(mp, ' ', '') ||
-       |        substr(s, p + length(mp) + 1) END,
-       |    p = 0
-       |  FROM (
-       |    SELECT word, c, s, strpos(s, ' ' || mp || ' ') AS p, mp
-       |    FROM x$t, (SELECT pair AS mp FROM m$t) WHERE NOT done) z$t),
-       |r$t AS (SELECT word, c, trim(s) AS repr FROM x$t WHERE done)""".stripMargin
-  }
-
-  /** Shared oracle for the batch and file-backed media-ingest DAG
-    * (the file and gzip layers must be invisible to every fact). */
-  private lazy val MediaDagOracle: String = {
-      // kind = doc_id%4: png/tiff pixel byte j = text[j mod len]
-      // (channel c of pixel p is byte 3p+c); gif palette ramps
-      // (e, 2e mod 256, 3e mod 256) on index text[k mod len]; wav is
-      // Σ|v−128| over the raw bytes; keep = ≥64 pixels-or-samples
-      def s3(c: Int): String =
-        s"""list_sum(list_transform(range(0, n), k ->
-           |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))"""
-          .stripMargin
-      def gifS(mul: Int): String =
-        s"""list_sum(list_transform(range(0, n), k ->
-           |  ($mul * ascii(substr(text, CAST(k % len AS INT) + 1, 1)))
-           |  % 256))""".stripMargin
-      val wavS =
-        """list_sum(list_transform(range(0, len), i ->
-          |  abs(128 - ascii(substr(text, CAST(i AS INT) + 1, 1)))))"""
-          .stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 16 AS w,
-         |    1 + (length(text) // 16) % 16 AS h,
-         |    doc_id % 4 AS kind
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id,
-         |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-         |    WHEN 2 THEN 'tiff' ELSE 'wav' END AS ext,
-         |  CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-         |    WHEN 2 THEN 'image/tiff' ELSE 'audio/wav' END AS sniffed,
-         |  CAST(CASE WHEN kind = 3 THEN len ELSE n END AS BIGINT)
-         |    AS units,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(1)} WHEN 3 THEN $wavS
-         |    ELSE ${s3(0)} END AS BIGINT) AS sum_r,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(2)} WHEN 3 THEN 0
-         |    ELSE ${s3(1)} END AS BIGINT) AS sum_g,
-         |  CAST(CASE kind WHEN 1 THEN ${gifS(3)} WHEN 3 THEN 0
-         |    ELSE ${s3(2)} END AS BIGINT) AS sum_b,
-         |  CAST(CASE WHEN (CASE WHEN kind = 3 THEN len ELSE n END) >= 64
-         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM e ORDER BY media_id""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "mixture_sample" ->
-      s"""WITH b AS (
-         |  SELECT source, count(*) AS n_docs,
-         |    1 + ${charFoldDuck("source")} % 5 AS w_raw
-         |  FROM documents GROUP BY source),
-         |tt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS sum_raw FROM b),
-         |wt AS (
-         |  SELECT b.*, tt.sum_raw,
-         |    n_docs * tt.sum_raw // w_raw AS cap
-         |  FROM b, tt),
-         |t AS (SELECT min(cap) AS t_total FROM wt),
-         |rates AS (
-         |  SELECT source, n_docs, w_raw,
-         |    w_raw * 1000000 // sum_raw AS w_ppm,
-         |    w_raw * t_total // sum_raw AS k_target,
-         |    (w_raw * t_total // sum_raw) * 1000000 // n_docs AS rate_ppm
-         |  FROM wt, t),
-         |kept AS (
-         |  SELECT d.source, count(*) AS n_kept
-         |  FROM documents d JOIN rates r ON d.source = r.source
-         |  WHERE ${charFoldDuck("text")} * 2654435761 % $P % 1000000
-         |    < r.rate_ppm
-         |  GROUP BY d.source)
-         |SELECT r.source, r.n_docs, r.w_ppm, r.k_target, r.rate_ppm,
-         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
-         |FROM rates r LEFT JOIN kept k ON r.source = k.source
-         |ORDER BY r.source""".stripMargin,
-    "bpe_train" ->
-      s"""WITH RECURSIVE w AS (
-         |  SELECT t AS word, count(*) AS c FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-         |  WHERE t <> '' GROUP BY t),
-         |r0 AS (
-         |  SELECT word, c,
-         |    array_to_string(string_split(word, ''), ' ') AS repr
-         |  FROM w),
-         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
-         |SELECT step, pair, CAST(pc AS BIGINT) AS pc FROM (
-         |  ${(1 to BpeMerges).map(t => s"SELECT * FROM m$t")
-              .mkString(" UNION ALL ")})
-         |ORDER BY step""".stripMargin,
-    "bpe_encode" ->
-      s"""WITH RECURSIVE w AS (
-         |  SELECT t AS word, count(*) AS c FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-         |  WHERE t <> '' GROUP BY t),
-         |r0 AS (
-         |  SELECT word, c,
-         |    array_to_string(string_split(word, ''), ' ') AS repr
-         |  FROM w),
-         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")},
-         |dw AS (
-         |  SELECT doc_id, word, count(*) AS k FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |    FROM documents)
-         |  WHERE word <> '' GROUP BY doc_id, word)
-         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
-         |  CAST(sum(k * len(string_split(repr, ' '))) AS BIGINT) AS n_bpe
-         |FROM dw JOIN r$BpeMerges USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "gopher_repetition" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, length(text) AS n_chars,
-         |    string_split(text, ' ') AS tk FROM documents),
-         |g AS (
-         |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
-         |    ${gramsDuck("tk", 2)} AS g2,
-         |    ${gramsDuck("tk", 3)} AS g3
-         |  FROM t),
-         |m AS (
-         |  SELECT doc_id, n_tokens, n_chars,
-         |    CAST(coalesce(list_max(list_transform(g2,
-         |      g -> CASE WHEN len(list_filter(g2, x -> x = g)) >= 2
-         |        THEN len(list_filter(g2, x -> x = g)) * length(g)
-         |        ELSE 0 END)), 0)
-         |      AS BIGINT) AS top2_chars,
-         |    CAST(len(g3) AS BIGINT) AS n_3grams,
-         |    CAST(len(list_filter(g3,
-         |      g -> len(list_filter(g3, x -> x = g)) >= 2)) AS BIGINT)
-         |      AS dup3_pos
-         |  FROM g)
-         |SELECT doc_id, n_tokens, n_chars, top2_chars,
-         |  top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS top2_frac,
-         |  n_3grams, dup3_pos,
-         |  dup3_pos / CAST(greatest(n_3grams, 1) AS DOUBLE) AS dup3_frac,
-         |  top2_chars / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.12
-         |    OR dup3_pos > 0 AS flagged
-         |FROM m ORDER BY doc_id""".stripMargin,
-    "exact_substring" ->
-      s"""WITH d AS (SELECT doc_id, text FROM documents),
-         |a AS (
-         |  SELECT doc_id AS doc_a, CAST(i * $EsK + 1 AS BIGINT) AS pos_a,
-         |    substr(text, CAST(i * $EsK + 1 AS INT), $EsK) AS w
-         |  FROM d, LATERAL unnest(range(0,
-         |    greatest((length(text) - $EsK) // $EsK + 1, 0))) AS u(i)
-         |  WHERE length(text) >= $EsK),
-         |boil AS (
-         |  SELECT w FROM (
-         |    SELECT w, count(DISTINCT doc_a) AS df FROM a GROUP BY w)
-         |  WHERE df > $EsDocCap),
-         |a2 AS (
-         |  SELECT a.* FROM a LEFT JOIN boil ON a.w = boil.w
-         |  WHERE boil.w IS NULL),
-         |p AS (
-         |  SELECT doc_id AS doc_b, CAST(i AS BIGINT) AS pos_b,
-         |    substr(text, CAST(i AS INT), $EsK) AS w
-         |  FROM d, LATERAL unnest(range(1,
-         |    greatest(length(text) - $EsK + 2, 1))) AS u(i)
-         |  WHERE length(text) >= $EsK),
-         |mm AS (
-         |  SELECT a2.doc_a, p.doc_b, a2.pos_a, p.pos_b, a2.w
-         |  FROM a2 JOIN p ON a2.w = p.w AND a2.doc_a < p.doc_b),
-         |gg AS (
-         |  SELECT doc_a, doc_b, count(*) AS n_matches
-         |  FROM mm GROUP BY doc_a, doc_b),
-         |f AS (
-         |  SELECT doc_a, doc_b, pos_a, pos_b, w,
-         |    row_number() OVER (PARTITION BY doc_a, doc_b
-         |      ORDER BY pos_a, pos_b, w) AS rk
-         |  FROM mm)
-         |SELECT gg.doc_a, gg.doc_b, gg.n_matches,
-         |  f.pos_a, f.pos_b, f.w AS win
-         |FROM gg JOIN f ON gg.doc_a = f.doc_a AND gg.doc_b = f.doc_b
-         |  AND f.rk = 1
-         |ORDER BY gg.doc_a, gg.doc_b""".stripMargin,
-    "semdedup" -> semdedupOracle,
-    "decontaminate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |g AS (
-         |  SELECT doc_id, ${charFoldDuck("g")} AS gh FROM (
-         |    SELECT doc_id, unnest(${gramsDuck("tk", DecontN)}) AS g
-         |    FROM t)),
-         |ev AS (SELECT DISTINCT gh FROM g
-         |  WHERE doc_id % $EvalMod = $EvalRes AND doc_id <= $EvalMaxId),
-         |tr AS (
-         |  SELECT g.doc_id, count(*) AS n_grams,
-         |    CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_hit
-         |  FROM g LEFT JOIN ev ON g.gh = ev.gh
-         |  WHERE g.doc_id % $EvalMod <> $EvalRes OR g.doc_id > $EvalMaxId
-         |  GROUP BY g.doc_id)
-         |SELECT doc_id, n_grams, n_hit,
-         |  n_hit / CAST(n_grams AS DOUBLE) AS contam_frac,
-         |  n_hit > 0 AS contaminated
-         |FROM tr ORDER BY doc_id""".stripMargin,
-    "pii_scrub" ->
-      """WITH t AS (
-        |  SELECT doc_id, concat(text,
-        |    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
-        |      CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
-        |    CASE WHEN doc_id % 4 = 1 THEN concat(' call +1-555-',
-        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
-        |    CASE WHEN doc_id % 5 = 2 THEN concat(' from 10.',
-        |      CAST(doc_id % 256 AS VARCHAR), '.0.1') ELSE '' END) AS t2
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, t2,
-        |    regexp_replace(regexp_replace(regexp_replace(t2,
-        |      '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-        |      '[+]1-555-[0-9]{4}', '<PHONE>', 'g'),
-        |      '10[.][0-9]{1,3}[.]0[.]1', '<IP>', 'g') AS redacted
-        |  FROM t)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t2, '[a-z0-9]+@[a-z0-9.]+'))
-        |    AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t2, '[+]1-555-[0-9]{4}'))
-        |    AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(t2, '10[.][0-9]{1,3}[.]0[.]1'))
-        |    AS BIGINT) AS n_ips,
-        |  CAST(length(redacted) AS BIGINT) AS red_len, redacted
-        |FROM r ORDER BY doc_id""".stripMargin,
-    "multimodal_features" ->
-      s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
-         |  length(text) AS n_bytes,
-         |  substring(text, 1, 8) AS head8,
-         |  ${charFoldDuck("text")} AS content_hash,
-         |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-         |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "image_ahash" ->
-      s"""$ahashOracleCtes
-         |SELECT media_id, decoded_w, decoded_h, ahash_hi, ahash_lo
-         |FROM hx ORDER BY media_id""".stripMargin,
-    "image_neardup_ahash" ->
-      s"""$ahashOracleCtes,
-         |bands AS (
-         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
-         |    unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
-         |      ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bv,
-         |    unnest([0, 1, 2, 3]) AS band
-         |  FROM hx),
-         |cand AS (
-         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-         |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
-         |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-         |    AS BIGINT) AS hamming
-         |FROM cand ORDER BY hamming, id_a, id_b LIMIT $AhashPanelTop"""
-        .stripMargin,
-    "image_neardup_recall" ->
-      s"""$ahashOracleCtes,
-         |bands AS (
-         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
-         |    unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
-         |      ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bv,
-         |    unnest([0, 1, 2, 3]) AS band
-         |  FROM hx),
-         |cand AS (
-         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
-         |tb AS (
-         |  SELECT media_id, ahash_hi AS hi, ahash_lo AS lo,
-         |    unnest([ahash_lo & 255, (ahash_lo >> 8) & 255,
-         |      (ahash_lo >> 16) & 255, (ahash_lo >> 24) & 255,
-         |      ahash_hi & 255, (ahash_hi >> 8) & 255,
-         |      (ahash_hi >> 16) & 255, (ahash_hi >> 24) & 255]) AS bv,
-         |    unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band
-         |  FROM hx),
-         |tpairs AS (
-         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-         |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-         |  FROM tb a JOIN tb b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
-         |truth AS (
-         |  SELECT id_a, id_b,
-         |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-         |      AS BIGINT) AS hamming
-         |  FROM tpairs
-         |  WHERE CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-         |    AS BIGINT) <= $AhashRecallRadius),
-         |scored AS (
-         |  SELECT t.hamming,
-         |    CASE WHEN c.id_a IS NULL THEN CAST(0 AS BIGINT)
-         |      ELSE CAST(1 AS BIGINT) END AS hit,
-         |    $ahashRecallCase AS p_ppm
-         |  FROM truth t LEFT JOIN cand c
-         |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
-         |agg AS (
-         |  SELECT count(*) AS n_true,
-         |    CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_caught,
-         |    CAST(coalesce(sum(p_ppm), 0) AS BIGINT) AS sp
-         |  FROM scored)
-         |SELECT n_true, n_caught,
-         |  round(n_caught / CAST(greatest(n_true, 1) AS DOUBLE), 4) AS recall,
-         |  round(CAST(sp AS DOUBLE) / greatest(n_true, 1) / 1000000.0, 4)
-         |    AS expected_recall
-         |FROM agg""".stripMargin,
-    "multimodal_decode_bmp" ->
-      """SELECT doc_id AS media_id, 'image/bmp' AS kind,
-        |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
-        |  CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h
-        |FROM (SELECT doc_id, 1 + length(text) % 64 AS w,
-        |        1 + (length(text) // 64) % 64 AS h FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0)
-        |ORDER BY media_id""".stripMargin,
-    "multimodal_decode_jpeg" ->
-      """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
-        |  CAST(59 + length(text) AS BIGINT) AS n_bytes,
-        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_png" ->
-      """SELECT doc_id AS media_id, 'image/png' AS kind,
-        |  CAST(57 + length(text) AS BIGINT) AS n_bytes,
-        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_gif" ->
-      """SELECT doc_id AS media_id, 'image/gif' AS kind,
-        |  CAST(17 + length(text) + (length(text) + 254) // 255 AS BIGINT)
-        |    AS n_bytes,
-        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_tiff" ->
-      """SELECT doc_id AS media_id, 'image/tiff' AS kind,
-        |  CAST(38 + length(text) AS BIGINT) AS n_bytes,
-        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    // the Adam7 layout must be invisible in the decoded raster:
-    // identical oracle to the sequential PNG query
-    "multimodal_decode_png_adam7" -> pngPixelsOracleSql,
-    "multimodal_decode_png_pixels" -> pngPixelsOracleSql,
-    "multimodal_decode_gif_pixels" -> {
-      // pixel k's color index is text byte (k mod len); the palette
-      // ramps map index i → (i, 2i mod 256, 3i mod 256)
-      def chSum(mul: Int): String = {
-        val a = s"ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
-        val term = if (mul == 1) a else s"($mul * $a) % 256"
-        s"""CAST(list_sum(list_transform(range(0, n), k -> $term))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, n AS n_pixels,
-         |  ${chSum(1)} AS sum_r,
-         |  ${chSum(2)} AS sum_g,
-         |  ${chSum(3)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_tiff_pixels" -> {
-      // raw RGB bytes cycle the text: channel c of pixel k is text byte
-      // (3k+c) mod len — the png_pixels convention
-      def chSum(c: Int): String =
-        s"""CAST(list_sum(list_transform(range(0, n),
-           |    k -> ascii(substr(text, CAST((3*k + $c) % len AS INT) + 1, 1))))
-           |  AS BIGINT)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, n AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_jpeg_pixels" -> {
-      // Y block k (raster) is the constant text byte k mod len; fixed
-      // chroma (Cb=128, Cr=133) makes every decoded pixel exactly
-      // (v+7, v−4, v), so each channel sum is 64·Σ_blocks(v+off)
-      def chSum(off: Int): String = {
-        val v = "ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
-        val term = if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
-        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 8 AS wb,
-         |    1 + (length(text) // 8) % 8 AS hb
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d)
-         |SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
-         |  CAST(8 * hb AS INT) AS height, CAST(64 * nb AS BIGINT) AS n_pixels,
-         |  ${chSum(7)} AS sum_r,
-         |  ${chSum(-4)} AS sum_g,
-         |  ${chSum(0)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_mp3" ->
-      """SELECT doc_id AS media_id,
-        |  CAST((1 + length(text) % 16) * 417 AS BIGINT) AS n_bytes,
-        |  CAST(3 AS INT) AS version,
-        |  CAST(44100 AS INT) AS sample_rate,
-        |  CAST(128 AS INT) AS bitrate_kbps,
-        |  CAST(1 + length(text) % 16 AS INT) AS n_frames,
-        |  CAST((1 + length(text) % 16) * 1152000 // 44100 AS BIGINT)
-        |    AS duration_ms
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_mp4" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(240 + length(text) AS BIGINT) AS n_bytes,
-        |  CAST(1000 AS INT) AS timescale,
-        |  CAST(length(text) * 40 AS BIGINT) AS duration_ms,
-        |  CAST(1 + length(text) % 64 AS INT) AS width,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_wav" ->
-      """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
-        |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
-        |  CAST(length(text) AS BIGINT) AS n_samples,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(list_filter(string_split(text, ''),
-        |      ch -> ch <> ''), ch -> CAST(128 - ascii(ch) AS BIGINT))),
-        |    (a, x) -> a + x)
-        |    / CAST(greatest(length(text), 1) AS BIGINT) AS mean_abs
-        |FROM documents
-         |WHERE length(text) = strlen(text) AND length(text) > 0 ORDER BY media_id""".stripMargin,
-    "multimodal_decode_ulaw" -> {
-      // the G.711 µ-law magnitude of code byte b: complement, bias 132,
-      // segment shift — recomputed per byte in DuckDB integer bit math.
-      // ASCII codes all carry the complemented sign bit, so every
-      // sample is −magnitude.
-      val mag =
-        """(((((255 - b) & 15) * 8 + 132) << (((255 - b) >> 4) & 7)) - 132)"""
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |m AS (SELECT doc_id, len,
-         |  list_transform(
-         |    list_transform(range(0, len),
-         |      k -> ascii(substr(text, CAST(k AS INT) + 1, 1))),
-         |    b -> $mag) AS mags
-         |  FROM d)
-         |SELECT doc_id AS media_id, CAST(7 AS INT) AS format,
-         |  CAST(8000 AS INT) AS sample_rate,
-         |  CAST(len AS BIGINT) AS n_samples,
-         |  CAST(-list_sum(mags) AS BIGINT) AS sum_pcm,
-         |  CAST(list_sum(mags) AS BIGINT) AS sum_abs,
-         |  CAST(list_max(mags) AS INT) AS peak
-         |FROM m ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_alaw" -> {
-      // A-law: even-bit inversion then the three-branch segment expand;
-      // ASCII codes have the positive bit clear, so samples are −t.
-      val mag =
-        """CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
-          |     WHEN ((a >> 4) & 7) = 1 THEN ((a & 15) << 4) + 264
-          |     ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1)
-          |END""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |m AS (SELECT doc_id, len,
-         |  list_transform(
-         |    list_transform(range(0, len),
-         |      k -> xor(ascii(substr(text, CAST(k AS INT) + 1, 1)), 85)),
-         |    a -> $mag) AS mags
-         |  FROM d)
-         |SELECT doc_id AS media_id, CAST(6 AS INT) AS format,
-         |  CAST(8000 AS INT) AS sample_rate,
-         |  CAST(len AS BIGINT) AS n_samples,
-         |  CAST(-list_sum(mags) AS BIGINT) AS sum_pcm,
-         |  CAST(list_sum(mags) AS BIGINT) AS sum_abs,
-         |  CAST(list_max(mags) AS INT) AS peak
-         |FROM m ORDER BY media_id""".stripMargin
-    },
-    "image_resize_box" -> {
-      // output pixel (x2,y2) channel c = floor-average of the four
-      // cycled text bytes at (2x2..2x2+1, 2y2..2y2+1); source pixel
-      // byte (x,y,c) = text[(3(yw+x)+c) mod len] (the PNG convention)
-      def px(xe: String, ye: String, c: Int): String =
-        s"ascii(substr(text, CAST((3 * (($ye) * w + ($xe)) + $c) % len AS INT) + 1, 1))"
-      def chSum(c: Int): String = {
-        val x0 = "2 * (k % w2)"
-        val y0 = "2 * (k // w2)"
-        s"""CAST(list_sum(list_transform(range(0, CAST(w2 * h2 AS BIGINT)),
-           |  k -> (${px(x0, y0, c)} + ${px(s"$x0 + 1", y0, c)}
-           |      + ${px(x0, s"$y0 + 1", c)} + ${px(s"$x0 + 1", s"$y0 + 1", c)}) // 4))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, w // 2 AS w2, h // 2 AS h2 FROM d
-         |  WHERE w >= 2 AND h >= 2)
-         |SELECT doc_id AS media_id, CAST(w2 AS INT) AS width,
-         |  CAST(h2 AS INT) AS height, CAST(w2 * h2 AS BIGINT) AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_jpeg_progressive" -> {
-      // identical pixel arithmetic to the baseline JPEG oracle, on the
-      // /6 block grid of the progressive fixture
-      def chSum(off: Int): String = {
-        val v = "ascii(substr(text, CAST(k % len AS INT) + 1, 1))"
-        val term = if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
-        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 6 AS wb,
-         |    1 + (length(text) // 6) % 6 AS hb
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d)
-         |SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
-         |  CAST(8 * hb AS INT) AS height, CAST(64 * nb AS BIGINT) AS n_pixels,
-         |  ${chSum(7)} AS sum_r,
-         |  ${chSum(-4)} AS sum_g,
-         |  ${chSum(0)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_gif_frames" -> {
-      // frame f pixel k has color index text[(k+f) mod len]; palette
-      // ramps i → (i, 2i mod 256, 3i mod 256); delays 2 + f mod 5
-      def chSum(mul: Int): String = {
-        val a = "ascii(substr(text, CAST((k + f) % len AS INT) + 1, 1))"
-        val term = if (mul == 1) a else s"($mul * $a) % 256"
-        s"""CAST(list_sum(list_transform(range(0, CAST(nf AS BIGINT)),
-           |  f -> list_sum(list_transform(range(0, n), k -> $term))))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h,
-         |    1 + length(text) % 8 AS nf
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
-         |  CAST(list_sum(list_transform(range(0, CAST(nf AS BIGINT)),
-         |    f -> 2 + f % 5)) AS BIGINT) AS total_delay_cs,
-         |  ${chSum(1)} AS sum_r,
-         |  ${chSum(2)} AS sum_g,
-         |  ${chSum(3)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "caption_scene_align" -> {
-      // scene boundaries at f ∈ {3,6,…} whose block content actually
-      // differs (the video_shot_cuts delta > 0); scenes = runs between
-      // real cuts, timed at 1 s/frame; cues as in srt_parse; strict
-      // interval overlap joins them
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 8 AS wb,
-         |    1 + (length(text) // 8) % 8 AS hb,
-         |    4 + length(text) % 5 AS nf,
-         |    1 + length(text) % 6 AS nc,
-         |    1200 + length(text) % 800 AS dur
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
-         |fr AS (SELECT doc_id, text, len, nb, u.f
-         |  FROM e, LATERAL unnest(range(0, CAST(nf AS BIGINT))) AS u(f)),
-         |fl AS (SELECT doc_id, f,
-         |  CASE WHEN f > 0 AND f % 3 = 0 AND
-         |    list_sum(list_transform(range(0, nb), k ->
-         |      abs(ascii(substr(text,
-         |            CAST((k + 7 * (f // 3)) % len AS INT) + 1, 1))
-         |        - ascii(substr(text,
-         |            CAST((k + 7 * (f // 3 - 1)) % len AS INT) + 1, 1)))))
-         |    > 0 THEN 1 ELSE 0 END AS cut
-         |  FROM fr),
-         |g AS (SELECT doc_id, f,
-         |  sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS grp FROM fl),
-         |sc AS (SELECT doc_id, CAST(grp AS BIGINT) AS scene_idx,
-         |  CAST(min(f) * 1000 AS BIGINT) AS start_ms,
-         |  CAST((max(f) + 1) * 1000 AS BIGINT) AS end_ms
-         |  FROM g GROUP BY doc_id, grp),
-         |cu AS (SELECT doc_id, u.i AS i,
-         |  CAST(u.i * 1700 AS BIGINT) AS cs,
-         |  CAST(u.i * 1700 + dur AS BIGINT) AS ce,
-         |  CAST(length(substr(text, CAST((u.i * 5) % len AS INT) + 1, 4))
-         |    AS BIGINT) AS chars
-         |  FROM d, LATERAL unnest(range(0, CAST(nc AS BIGINT))) AS u(i))
-         |SELECT sc.doc_id AS media_id, sc.scene_idx, sc.start_ms,
-         |  sc.end_ms,
-         |  CAST(count(cu.i) AS BIGINT) AS n_cues,
-         |  CAST(COALESCE(sum(cu.chars), 0) AS BIGINT) AS cue_chars
-         |FROM sc LEFT JOIN cu
-         |  ON cu.doc_id = sc.doc_id AND cu.cs < sc.end_ms
-         |  AND sc.start_ms < cu.ce
-         |GROUP BY sc.doc_id, sc.scene_idx, sc.start_ms, sc.end_ms
-         |ORDER BY media_id, scene_idx""".stripMargin
-    },
-    "srt_parse" -> {
-      // cue i: [1700i, 1700i + dur), dur = 1200 + len%800; text =
-      // 4 chars cycled from position 5i mod len; overlaps exist
-      // exactly when dur > 1700 (len%800 > 500) — nc−1 of them
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 6 AS nc,
-         |    1200 + length(text) % 800 AS dur
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |c AS (SELECT *, list_transform(range(0, CAST(nc AS BIGINT)),
-         |    i -> CAST(length(substr(text,
-         |      CAST((i * 5) % len AS INT) + 1, 4)) AS BIGINT)) AS cl
-         |  FROM d)
-         |SELECT doc_id AS media_id, CAST(nc AS BIGINT) AS n_cues,
-         |  CAST(nc * dur AS BIGINT) AS talk_ms,
-         |  CAST((nc - 1) * 1700 + dur AS BIGINT) AS span_ms,
-         |  CAST(list_sum(cl) AS BIGINT) AS total_chars,
-         |  CAST(list_max(cl) AS BIGINT) AS max_cue_chars,
-         |  CAST(CASE WHEN len % 800 > 500 THEN nc - 1 ELSE 0 END
-         |    AS BIGINT) AS overlap_cues
-         |FROM c ORDER BY media_id""".stripMargin
-    },
-    "vtt_parse" -> {
-      // cue i: [2100i, 2100i + dur), dur = 1500 + len%900; ids on odd
-      // cues (nc//2 of them), settings on every third (ceil(nc/3));
-      // overlaps exist exactly when dur > 2100 (len%900 > 600)
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 5 AS nc,
-         |    1500 + length(text) % 900 AS dur
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |c AS (SELECT *, list_transform(range(0, CAST(nc AS BIGINT)),
-         |    i -> CAST(length(substr(text,
-         |      CAST((i * 5) % len AS INT) + 1, 4)) AS BIGINT)) AS cl
-         |  FROM d)
-         |SELECT doc_id AS media_id, CAST(nc AS BIGINT) AS n_cues,
-         |  CAST(nc // 2 AS BIGINT) AS id_cues,
-         |  CAST((nc + 2) // 3 AS BIGINT) AS settings_cues,
-         |  CAST(nc * dur AS BIGINT) AS talk_ms,
-         |  CAST((nc - 1) * 2100 + dur AS BIGINT) AS span_ms,
-         |  CAST(list_sum(cl) AS BIGINT) AS total_chars,
-         |  CAST(CASE WHEN len % 900 > 600 THEN nc - 1 ELSE 0 END
-         |    AS BIGINT) AS overlap_cues
-         |FROM c ORDER BY media_id""".stripMargin
-    },
-    "y4m_frame_stats" -> {
-      // frame f's luma byte j = text[(j + 11f) mod len]; luma_sum
-      // folds all nf frames, delta_sum the nf−1 inter-frame |diff|s
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 16 AS w,
-         |    1 + (length(text) // 16) % 16 AS h,
-         |    2 + length(text) % 4 AS nf
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, CAST(nf AS BIGINT) AS n_frames,
-         |  CAST(list_sum(list_prepend(0, list_transform(
-         |    range(0, nf * n), k ->
-         |      ascii(substr(text,
-         |        CAST((k % n + 11 * (k // n)) % len AS INT) + 1, 1)))))
-         |    AS BIGINT) AS luma_sum,
-         |  CAST(list_sum(list_prepend(0, list_transform(
-         |    range(0, (nf - 1) * n), k ->
-         |      abs(ascii(substr(text,
-         |          CAST((k % n + 11 * (k // n + 1)) % len AS INT) + 1, 1))
-         |        - ascii(substr(text,
-         |          CAST((k % n + 11 * (k // n)) % len AS INT) + 1, 1))))))
-         |    AS BIGINT) AS delta_sum
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_qoi_pixels" -> {
-      // pixel byte k = text[k mod len]; channel c of pixel p is byte
-      // 3p+c — the QOI op ladder must be invisible after decode
-      {
-        def chSum(c: Int): String =
-          s"""CAST(list_sum(list_transform(range(0, n), k ->
-             |  ascii(substr(text, CAST((3 * k + $c) % len AS INT) + 1, 1))))
-             |  AS BIGINT)""".stripMargin
-        s"""WITH d AS (
-           |  SELECT doc_id, text, length(text) AS len,
-           |    1 + length(text) % 24 AS w,
-           |    1 + (length(text) // 24) % 24 AS h
-           |  FROM documents
-           |  WHERE length(text) = strlen(text) AND length(text) > 0),
-           |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-           |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-           |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
-           |  ${chSum(0)} AS sum_r,
-           |  ${chSum(1)} AS sum_g,
-           |  ${chSum(2)} AS sum_b
-           |FROM e ORDER BY media_id""".stripMargin
-      }
-    },
-    "video_shot_cuts" -> {
-      // frame f's block k decodes to (v+7, v−4, v) with
-      // v = text[(k + 7·(f div 3)) mod len]; the offsets cancel in the
-      // inter-frame diff, so boundary delta = 192·Σ_k |v_f − v_f′|
-      // over the wb·hb blocks (64 pixels × 3 channels), 0 within a
-      // scene
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 8 AS wb,
-         |    1 + (length(text) // 8) % 8 AS hb,
-         |    4 + length(text) % 5 AS nf
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
-         |del AS (
-         |  SELECT doc_id, nf, f,
-         |    CASE WHEN f // 3 = (f - 1) // 3 THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(192 * list_sum(list_transform(range(0, nb), k ->
-         |      abs(ascii(substr(text,
-         |            CAST((k + 7 * (f // 3)) % len AS INT) + 1, 1))
-         |        - ascii(substr(text,
-         |            CAST((k + 7 * ((f - 1) // 3)) % len AS INT) + 1, 1)))))
-         |      AS BIGINT) END AS delta
-         |  FROM e, LATERAL unnest(range(1, CAST(nf AS BIGINT))) AS u(f))
-         |SELECT doc_id AS media_id, CAST(any_value(nf) AS INT) AS n_frames,
-         |  CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS INT)
-         |    AS n_cuts,
-         |  CAST(COALESCE(min(CASE WHEN delta > 0 THEN f END), -1) AS INT)
-         |    AS first_cut,
-         |  CAST(max(delta) AS BIGINT) AS max_delta,
-         |  CAST(sum(delta) AS BIGINT) AS total_delta
-         |FROM del GROUP BY doc_id ORDER BY media_id""".stripMargin
-    },
-    "video_frame_sample" -> {
-      // sampled frame fi (stride 2): Y block k = text[(k+fi) mod len],
-      // decoded pixels (v+7, v−4, v) per 64-pixel block — the baseline
-      // JPEG oracle arithmetic, once per sampled frame
-      def chSum(off: Int): String = {
-        val v = "ascii(substr(text, CAST((k + fi) % len AS INT) + 1, 1))"
-        val term =
-          if (off == 0) v else if (off > 0) s"$v + $off" else s"$v - ${-off}"
-        s"""CAST(64 * list_sum(list_transform(range(0, nb), k -> $term))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 8 AS wb,
-         |    1 + (length(text) // 8) % 8 AS hb,
-         |    1 + length(text) % 5 AS nf
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(wb * hb AS BIGINT) AS nb FROM d),
-         |f AS (SELECT doc_id, text, len, wb, hb, nb, nf,
-         |        unnest(range(0, CAST(nf AS BIGINT))) AS fi FROM e)
-         |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
-         |  CAST(nf AS INT) AS n_frames,
-         |  CAST(nf * 40 AS BIGINT) AS duration_ms,
-         |  CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
-         |  ${chSum(7)} AS sum_r,
-         |  ${chSum(-4)} AS sum_g,
-         |  ${chSum(0)} AS sum_b
-         |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin
-    },
-    "url_normalize" -> {
-      // the canonical form constructed analytically from the fixture
-      """SELECT doc_id,
-        |  'http://www.ex' || (doc_id % 7) || '.com' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
-        |    '/Dir' || (length(text) % 5) || '/page?a=1&b=' ||
-        |    (length(text) % 9) AS norm_url,
-        |  'ex' || (doc_id % 7) || '.com' AS host_key
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY doc_id""".stripMargin
-    },
-    "url_surt" -> {
-      // SURT of the canonical form: reversed host labels, non-default
-      // port kept, ')' then path?query — ordered by the key itself
-      """SELECT doc_id,
-        |  'com,ex' || (doc_id % 7) || ',www' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
-        |    ')/dir' || (length(text) % 5) || '/page?a=1&b=' ||
-        |    (length(text) % 9) AS surt
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY surt, doc_id""".stripMargin
-    },
-    "url_host_counts" -> {
-      """WITH u AS (
-        |  SELECT 'ex' || (doc_id % 7) || '.com' AS host_key,
-        |    'http://www.ex' || (doc_id % 7) || '.com' ||
-        |      (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
-        |      '/Dir' || (length(text) % 5) || '/page?a=1&b=' ||
-        |      (length(text) % 9) AS norm_url
-        |  FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT host_key, count(*) AS n_urls,
-        |  count(DISTINCT norm_url) AS n_unique
-        |FROM u GROUP BY host_key ORDER BY host_key""".stripMargin
-    },
-    "line_dedup" -> {
-      // the oracle's first-occurrence walk: row_number over each line's
-      // occurrences under (doc_id, line_no); rn=1 is the keeper
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |l AS (
-        |  SELECT doc_id, u.j AS line_no,
-        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
-        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
-        |k AS (
-        |  SELECT doc_id, line_no, line FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY line
-        |      ORDER BY doc_id, line_no) AS rn FROM l) WHERE rn = 1),
-        |ka AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(line, chr(10) ORDER BY line_no) AS txt
-        |  FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, (len(ws) - 1) // 3 + 1 AS n_lines,
-        |  coalesce(ka.n_kept, 0) AS n_kept,
-        |  md5(coalesce(ka.txt, '')) AS out_md5
-        |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
-        |ORDER BY d.doc_id""".stripMargin
-    },
-    "line_boilerplate" -> {
-      // boilerplate = a line present in >= 3 DISTINCT docs, removed
-      // from every doc
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |l AS (
-        |  SELECT doc_id, u.j AS line_no,
-        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
-        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
-        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
-        |SELECT l.doc_id, count(*) AS n_lines,
-        |  CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_removed,
-        |  md5(coalesce(string_agg(CASE WHEN f.df < 3 THEN l.line END,
-        |    chr(10) ORDER BY l.line_no), '')) AS out_md5
-        |FROM l JOIN f ON l.line = f.line
-        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
-    },
-    "sitemap_parse" -> {
-      // each entry rebuilt analytically: pos 0 has the entity-decoded
-      // query, pos 1 lastmod+priority, pos 2 the changefreq default
-      """WITH d AS (
-        |  SELECT doc_id, length(text) AS len FROM documents),
-        |u AS (
-        |  SELECT doc_id, len, v.pos
-        |  FROM d, LATERAL unnest(range(0, 3)) AS v(pos))
-        |SELECT doc_id, pos,
-        |  CASE pos
-        |    WHEN 0 THEN 'http://ex' || (doc_id % 7) || '.com/p?a=1&b='
-        |      || len
-        |    WHEN 1 THEN 'http://ex' || (doc_id % 7) || '.com/q'
-        |    ELSE 'http://ex' || (doc_id % 7) || '.com/r' END AS loc,
-        |  CASE pos WHEN 1 THEN '2026-01-' ||
-        |    lpad(CAST(1 + len % 28 AS VARCHAR), 2, '0')
-        |    ELSE '' END AS lastmod,
-        |  CASE pos WHEN 2 THEN 'daily' ELSE '' END AS changefreq,
-        |  CASE pos WHEN 1 THEN (len % 10) * 100000
-        |    ELSE 500000 END AS priority_ppm
-        |FROM u ORDER BY doc_id, pos""".stripMargin
-    },
-    "crawl_schedule" -> {
-      // the frontier walk (fetchable survivors) feeding the per-host
-      // closed-form schedule
-      """WITH d AS (
-        |  SELECT doc_id, length(text) AS len FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |u AS (
-        |  SELECT doc_id, v.v AS variant, len,
-        |    'http://www.ex' || (doc_id % 7) || '.com' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
-        |    '/Dir' || (len % 5) ||
-        |    (CASE WHEN v.v = 2 THEN '/page2' ELSE '/page' END) ||
-        |    '?a=1&b=' || (len % 9) AS canon
-        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY canon
-        |    ORDER BY doc_id, variant) AS rn FROM u),
-        |f AS (
-        |  SELECT doc_id, variant,
-        |    'ex' || (doc_id % 7) || '.com' AS host_key,
-        |    (doc_id // 7) * 800 + variant * 50 AS t_ms
-        |  FROM r
-        |  WHERE NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2))
-        |    AND rn = 1),
-        |g AS (
-        |  SELECT *, row_number() OVER (PARTITION BY host_key
-        |    ORDER BY t_ms, doc_id, variant) - 1 AS k FROM f),
-        |m AS (
-        |  SELECT *, 1000 * k + max(t_ms - 1000 * k)
-        |    OVER (PARTITION BY host_key
-        |      ORDER BY t_ms, doc_id, variant) AS sched_ms FROM g)
-        |SELECT doc_id, variant, host_key, t_ms, sched_ms
-        |FROM m ORDER BY doc_id, variant""".stripMargin
-    },
-    "crawl_loop_sitemap" -> {
-      // the whole discovery chain replayed analytically: canonical
-      // forms (v0/v1 collide by design, v2 lands in the sibling dir),
-      // robots per dir class (GraftBot's group shadows '*'; /page
-      // always re-allowed in Dir3), keeper = first (doc_id, pos) per
-      // canonical, then the per-host closed-form schedule
-      """WITH d AS (
-        |  SELECT doc_id, length(text) AS len FROM documents),
-        |u AS (
-        |  SELECT doc_id, v.v AS pos, len,
-        |    CASE WHEN v.v = 2 THEN (len % 5 + 1) % 5 ELSE len % 5 END
-        |      AS dir,
-        |    'http://ex' || (doc_id % 7) || '.com/Dir' ||
-        |    (CASE WHEN v.v = 2 THEN (len % 5 + 1) % 5 ELSE len % 5 END) ||
-        |    '/page?a=1&b=' || (len % 9) AS canon
-        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY canon
-        |    ORDER BY doc_id, pos) AS rn FROM u),
-        |f AS (
-        |  SELECT doc_id, pos, canon,
-        |    'ex' || (doc_id % 7) || '.com' AS host_key,
-        |    (doc_id // 7) * 800 + pos * 50 AS t_ms
-        |  FROM r WHERE rn = 1 AND dir <> 1),
-        |g AS (
-        |  SELECT *, row_number() OVER (PARTITION BY host_key
-        |    ORDER BY t_ms, doc_id, pos) - 1 AS k FROM f),
-        |m AS (
-        |  SELECT *, 1000 * k + max(t_ms - 1000 * k)
-        |    OVER (PARTITION BY host_key
-        |      ORDER BY t_ms, doc_id, pos) AS sched_ms FROM g)
-        |SELECT doc_id, pos, host_key, canon, t_ms, sched_ms
-        |FROM m ORDER BY doc_id, pos""".stripMargin
-    },
-    "polite_schedule" -> {
-      // s_i = max(t_i, s_{i-1} + D) via the closed form
-      // D*i + prefixmax(t_j - D*j)
-      """WITH d AS (
-        |  SELECT doc_id, 'ex' || (doc_id % 7) || '.com' AS host_key,
-        |    (doc_id // 7) * 800 + (length(text) % 400) AS t_ms
-        |  FROM documents),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY host_key
-        |    ORDER BY t_ms, doc_id) - 1 AS rn FROM d),
-        |m AS (
-        |  SELECT *, 1000 * rn + max(t_ms - 1000 * rn)
-        |    OVER (PARTITION BY host_key ORDER BY t_ms, doc_id)
-        |    AS sched_ms FROM r)
-        |SELECT doc_id, host_key, t_ms, sched_ms,
-        |  sched_ms - t_ms AS delay_ms
-        |FROM m ORDER BY doc_id""".stripMargin
-    },
-    "crawl_frontier" -> {
-      // canonical forms constructed analytically (v0/v1 collide by
-      // design), robots outcome per path class (GraftBot's group
-      // shadows '*'), keeper = first (doc_id, variant) per canonical
-      """WITH d AS (
-        |  SELECT doc_id, length(text) AS len FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |u AS (
-        |  SELECT doc_id, v.v AS variant, len,
-        |    'http://www.ex' || (doc_id % 7) || '.com' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
-        |    '/Dir' || (len % 5) ||
-        |    (CASE WHEN v.v = 2 THEN '/page2' ELSE '/page' END) ||
-        |    '?a=1&b=' || (len % 9) AS canon
-        |  FROM d, LATERAL unnest(range(0, 3)) AS v(v)),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY canon
-        |    ORDER BY doc_id, variant) AS rn FROM u)
-        |SELECT doc_id, variant, canon,
-        |  NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2)) AS allowed,
-        |  rn > 1 AS is_dup,
-        |  NOT (len % 5 = 1 OR (len % 5 = 3 AND variant = 2)) AND rn = 1
-        |    AS fetch
-        |FROM r ORDER BY doc_id, variant""".stripMargin
-    },
-    "robots_decisions" -> {
-      // closed-form outcomes: GraftBot's group shadows '*' entirely —
-      // /Dir1,/Dir3 disallowed but /Dir3/page re-allowed by the longer
-      // wildcard Allow; otherbot sees only the '*' group (/Dir2,/Dir4)
-      """SELECT doc_id,
-        |  '/Dir' || (length(text) % 5) || '/page' AS path,
-        |  (length(text) % 5) <> 1 AS graft_allowed,
-        |  (length(text) % 5) NOT IN (2, 4) AS other_allowed
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "span_corrupt" -> {
-      // every 5th 3-token span masked; input carries numbered
-      // sentinels, target carries sentinel-prefixed masked spans
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (
-        |  SELECT doc_id, ws, u.g
-        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(g)),
-        |parts AS (
-        |  SELECT doc_id, g,
-        |    CASE WHEN g % 5 = 0 THEN '<extra_id_' || (g // 5) || '>'
-        |      ELSE array_to_string(ws[(g * 3 + 1):(g * 3 + 3)], ' ')
-        |      END AS inp,
-        |    CASE WHEN g % 5 = 0 THEN '<extra_id_' || (g // 5) || '> '
-        |      || array_to_string(ws[(g * 3 + 1):(g * 3 + 3)], ' ')
-        |      END AS tgt,
-        |    CASE WHEN g % 5 = 0 THEN len(ws[(g * 3 + 1):(g * 3 + 3)])
-        |      ELSE 0 END AS msk
-        |  FROM g),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(msk) AS BIGINT) AS n_masked,
-        |    CAST(sum(CASE WHEN g % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_spans,
-        |    md5(string_agg(inp, ' ' ORDER BY g)) AS input_md5,
-        |    md5(coalesce(string_agg(tgt, ' ' ORDER BY g), ''))
-        |      AS target_md5
-        |  FROM parts GROUP BY doc_id)
-        |SELECT d.doc_id, len(d.ws) AS n_tokens, agg.n_masked,
-        |  agg.n_spans, agg.input_md5, agg.target_md5
-        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
-    "fim_transform" -> {
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |f AS (
-        |  SELECT doc_id, ws, len(ws) AS n, len(ws) // 3 AS p1,
-        |    (2 * len(ws)) // 3 AS p2 FROM d)
-        |SELECT doc_id, n AS n_tokens, p1 AS prefix_len,
-        |  p2 - p1 AS middle_len,
-        |  md5('<fim_pre> ' || array_to_string(ws[1:p1], ' ')
-        |    || ' <fim_suf> ' || array_to_string(ws[(p2 + 1):n], ' ')
-        |    || ' <fim_mid> ' || array_to_string(ws[(p1 + 1):p2], ' '))
-        |    AS psm_md5,
-        |  md5('<fim_suf> ' || array_to_string(ws[(p2 + 1):n], ' ')
-        |    || ' <fim_pre> ' || array_to_string(ws[1:p1], ' ')
-        |    || ' <fim_mid> ' || array_to_string(ws[(p1 + 1):p2], ' '))
-        |    AS spm_md5
-        |FROM f ORDER BY doc_id""".stripMargin
-    },
-    "mlm_mask" -> {
-      // every 7th token; the per-doc mask counter cycles 8-1-1 between
-      // [MASK], a sorted-vocab replacement at (pos+doc_id) mod V, and
-      // left-unchanged; labels = originals at masked positions
-      s"""WITH voc AS MATERIALIZED (
-        |  SELECT list(w ORDER BY w) AS vs FROM (
-        |    SELECT w FROM (
-        |      SELECT w, count(*) AS c FROM (
-        |        SELECT unnest(string_split(text, ' ')) AS w
-        |        FROM documents) WHERE w <> '' GROUP BY w)
-        |    ORDER BY c DESC, w LIMIT ${MlmVocabCap})),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |tk AS (
-        |  SELECT doc_id, u.pos, ws[CAST(u.pos AS INT)] AS w
-        |  FROM d, LATERAL unnest(range(1, len(ws) + 1)) AS u(pos)),
-        |o AS (
-        |  SELECT doc_id, pos, w,
-        |    CASE WHEN pos % 7 <> 0 THEN w
-        |      WHEN (pos // 7) % 10 < 8 THEN '[MASK]'
-        |      WHEN (pos // 7) % 10 = 8 THEN (SELECT
-        |        vs[CAST((pos + doc_id) % len(vs) + 1 AS INT)] FROM voc)
-        |      ELSE w END AS ow,
-        |    pos % 7 = 0 AS msk,
-        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 < 8
-        |      THEN 1 ELSE 0 END AS c_mask,
-        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 = 8
-        |      THEN 1 ELSE 0 END AS c_rep,
-        |    CASE WHEN pos % 7 = 0 AND (pos // 7) % 10 = 9
-        |      THEN 1 ELSE 0 END AS c_same
-        |  FROM tk)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(c_mask + c_rep + c_same) AS BIGINT) AS n_masked,
-        |  CAST(sum(c_mask) AS BIGINT) AS n_mask_tok,
-        |  CAST(sum(c_rep) AS BIGINT) AS n_replaced,
-        |  CAST(sum(c_same) AS BIGINT) AS n_unchanged,
-        |  md5(string_agg(ow, ' ' ORDER BY pos)) AS input_md5,
-        |  md5(coalesce(string_agg(CASE WHEN msk THEN w END, ' '
-        |    ORDER BY pos), '')) AS labels_md5
-        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-    "embedding_covariance" ->
-      s"$pcaCovCtes SELECT i, j, cov_micro FROM cv ORDER BY i, j",
-    "embedding_top_eig" -> s"""$pcaCovCtes,
-      |$pcaEig1Ctes,
-      |tr AS (
-      |  SELECT CAST(sum(cov_micro) AS BIGINT) AS trace
-      |  FROM cv WHERE i = j)
-      |SELECT v3.pos, v3.v AS v_milli, ray.lambda_micro,
-      |  CASE WHEN ray.lambda_micro >= 0
-      |    THEN ray.lambda_micro * 1000000 // tr.trace
-      |    ELSE -((-(ray.lambda_micro * 1000000)) // tr.trace)
-      |    END AS share_ppm
-      |FROM v3, ray, tr ORDER BY pos""".stripMargin,
-    "embedding_eig2" -> s"""$pcaCovCtes,
-      |$pcaEig1Ctes,
-      |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
-      |cm2 AS (
-      |  SELECT cm.i, cm.j, cm.c - CAST(round(
-      |    CAST(ray.lambda_micro * a.v * b.v AS DOUBLE) / vv.vv)
-      |    AS BIGINT) AS c
-      |  FROM cm JOIN v3 a ON cm.i = a.pos JOIN v3 b ON cm.j = b.pos,
-      |    ray, vv),
-      |u0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
-      |${pcaIterSql(1, "cm2", "u")},
-      |${pcaIterSql(2, "cm2", "u")},
-      |${pcaIterSql(3, "cm2", "u")},
-      |x4 AS (
-      |  SELECT cm2.i AS pos, CAST(sum(cm2.c * u3.v) AS BIGINT) AS w
-      |  FROM cm2 JOIN u3 ON cm2.j = u3.pos GROUP BY cm2.i),
-      |ray2 AS (
-      |  SELECT CASE WHEN num >= 0 THEN num // den
-      |    ELSE -((-num) // den) END AS lambda_micro
-      |  FROM (SELECT CAST(sum(u3.v * x4.w) AS BIGINT) AS num,
-      |      CAST(sum(u3.v * u3.v) AS BIGINT) AS den
-      |    FROM u3 JOIN x4 ON u3.pos = x4.pos)),
-      |al AS (
-      |  SELECT CAST(sum(a.v * b.v) AS BIGINT) * 1000000 AS num
-      |  FROM v3 a JOIN u3 b ON a.pos = b.pos)
-      |SELECT u3.pos, u3.v AS v2_milli,
-      |  ray2.lambda_micro AS lambda2_micro,
-      |  ray.lambda_micro AS lambda1_micro,
-      |  CASE WHEN al.num >= 0 THEN al.num // vv.vv
-      |    ELSE -((-al.num) // vv.vv) END AS align_ppm
-      |FROM u3, ray, ray2, al, vv ORDER BY pos""".stripMargin,
-    "wordpiece_encode" -> s"""$unigramCtes,
-      |wp AS (
-      |  SELECT w, c, 1 AS pos, CAST(0 AS BIGINT) AS np,
-      |    CAST(0 AS BIGINT) AS sc
-      |  FROM wc
-      |  UNION ALL
-      |  SELECT w, c, pos + k, np + 1,
-      |    sc + (SELECT score FROM sv WHERE p = substr(w, pos, k))
-      |  FROM (
-      |    SELECT w, c, pos, np, sc,
-      |      CASE
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 4)
-      |          AND length(p) > 1) THEN least(4, length(w) - pos + 1)
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 3)
-      |          AND length(p) > 1) THEN least(3, length(w) - pos + 1)
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 2)
-      |          AND length(p) > 1) THEN least(2, length(w) - pos + 1)
-      |        ELSE 1 END AS k
-      |    FROM wp WHERE pos <= length(w))),
-      |done AS (SELECT w, c, np, sc FROM wp WHERE pos = length(w) + 1)
-      |SELECT w AS word, c AS wcnt, np AS n_pieces_wp, sc AS score_wp
-      |FROM done ORDER BY word""".stripMargin,
-    "wordpiece_doc_tokens" -> s"""$unigramCtes,
-      |wp AS (
-      |  SELECT w, c, 1 AS pos, CAST(0 AS BIGINT) AS np,
-      |    CAST(0 AS BIGINT) AS sc
-      |  FROM wc
-      |  UNION ALL
-      |  SELECT w, c, pos + k, np + 1,
-      |    sc + (SELECT score FROM sv WHERE p = substr(w, pos, k))
-      |  FROM (
-      |    SELECT w, c, pos, np, sc,
-      |      CASE
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 4)
-      |          AND length(p) > 1) THEN least(4, length(w) - pos + 1)
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 3)
-      |          AND length(p) > 1) THEN least(3, length(w) - pos + 1)
-      |        WHEN EXISTS (SELECT 1 FROM sv WHERE p = substr(w, pos, 2)
-      |          AND length(p) > 1) THEN least(2, length(w) - pos + 1)
-      |        ELSE 1 END AS k
-      |    FROM wp WHERE pos <= length(w))),
-      |done AS (SELECT w, np, sc FROM wp WHERE pos = length(w) + 1),
-      |dw AS (
-      |  SELECT doc_id, w, count(*) AS k FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w)
-      |SELECT doc_id,
-      |  CAST(sum(dw.k * done.np) AS BIGINT) AS n_tokens_wp,
-      |  CAST(sum(dw.k * done.sc) AS BIGINT) AS score_sum_wp
-      |FROM dw JOIN done ON dw.w = done.w
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "embedding_project2" -> s"""$pcaCovCtes,
-      |$pcaEig1Ctes,
-      |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
-      |cm2 AS (
-      |  SELECT cm.i, cm.j, cm.c - CAST(round(
-      |    CAST(ray.lambda_micro * a.v * b.v AS DOUBLE) / vv.vv)
-      |    AS BIGINT) AS c
-      |  FROM cm JOIN v3 a ON cm.i = a.pos JOIN v3 b ON cm.j = b.pos,
-      |    ray, vv),
-      |u0 AS (SELECT unnest(range(1, 65)) AS pos, CAST(1000 AS BIGINT) AS v),
-      |${pcaIterSql(1, "cm2", "u")},
-      |${pcaIterSql(2, "cm2", "u")},
-      |${pcaIterSql(3, "cm2", "u")}
-      |SELECT e.vec_id,
-      |  CAST(sum(e.q * v3.v) AS BIGINT) AS c1_micro,
-      |  CAST(sum(e.q * u3.v) AS BIGINT) AS c2_micro
-      |FROM e JOIN v3 ON e.i = v3.pos JOIN u3 ON e.i = u3.pos
-      |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
-    "unigram_vocab" -> s"$unigramCtes SELECT p, cnt, score FROM sv ORDER BY p",
-    "unigram_encode" -> s"""$unigramCtes
-      |SELECT w AS word, c AS wcnt,
-      |  (pk + (-pk) % 64) // 64 AS best_score,
-      |  (-pk) % 64 AS n_pieces
-      |FROM res ORDER BY word""".stripMargin,
-    "unigram_doc_tokens" -> s"""$unigramCtes,
-      |dw AS (
-      |  SELECT doc_id, w, count(*) AS k FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
-      |enc AS (
-      |  SELECT w, (-pk) % 64 AS np,
-      |    (pk + (-pk) % 64) // 64 AS s FROM res)
-      |SELECT doc_id,
-      |  CAST(sum(k * np) AS BIGINT) AS n_tokens,
-      |  CAST(sum(k * s) AS BIGINT) AS score_sum
-      |FROM dw JOIN enc USING (w)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "web_ingest_dag" -> {
-      // analytic recompute of the whole chain: the wrap+extract pair
-      // is exactly invertible, so the extracted text is
-      // 'Doc {id} Header {id%10} {text}' and the rest is the
-      // line_dedup walk plus the token/retention gate
-      """WITH x AS (
-        |  SELECT doc_id, 'Doc ' || doc_id || ' Header ' || (doc_id % 10)
-        |    || ' ' || text AS xt
-        |  FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |d AS (SELECT doc_id, string_split(xt, ' ') AS ws FROM x),
-        |l AS (
-        |  SELECT doc_id, u.j AS line_no,
-        |    array_to_string(ws[(u.j * 3 + 1):(u.j * 3 + 3)], ' ') AS line
-        |  FROM d, LATERAL unnest(range(0, (len(ws) - 1) // 3 + 1)) AS u(j)),
-        |k AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (PARTITION BY line
-        |      ORDER BY doc_id, line_no) AS rn FROM l) WHERE rn = 1),
-        |ka AS (SELECT doc_id, count(*) AS n_kept FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, len(ws) AS n_tokens,
-        |  (len(ws) - 1) // 3 + 1 AS n_lines,
-        |  coalesce(ka.n_kept, 0) AS n_kept,
-        |  (len(ws) >= 24 AND coalesce(ka.n_kept, 0) * 2
-        |    >= (len(ws) - 1) // 3 + 1) AS keep
-        |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
-    "cdc_delta" -> s"""WITH d AS (
-      |  SELECT doc_id, text,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'upd ' || text ELSE text END
-      |      AS text2
-      |  FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |${cdcChunkSql("text", "a")},
-      |${cdcChunkSql("text2", "b")},
-      |g1 AS (SELECT doc_id, chunk, count(*) AS n1 FROM ach
-      |       GROUP BY doc_id, chunk),
-      |g2 AS (SELECT doc_id, chunk, count(*) AS n2 FROM bch
-      |       GROUP BY doc_id, chunk),
-      |j AS (
-      |  SELECT g2.doc_id, g2.chunk, g2.n2, coalesce(g1.n1, 0) AS n1
-      |  FROM g2 LEFT JOIN g1 USING (doc_id, chunk))
-      |SELECT doc_id, doc_id % 3 = 0 AS changed,
-      |  CAST(sum(n2) AS BIGINT) AS n_chunks_v2,
-      |  CAST(sum(least(n1, n2)) AS BIGINT) AS shared_chunks,
-      |  CAST(sum((n2 - least(n1, n2)) * length(chunk)) AS BIGINT)
-      |    AS transfer_bytes
-      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "cdc_chunks" -> s"""WITH d AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |w AS (
-      |  SELECT doc_id, u.i,
-      |    ${charFoldDuck("substr(text, CAST(u.i + 1 AS INT), 8)")} AS h
-      |  FROM d, LATERAL unnest(range(0, greatest(n - 7, 0))) AS u(i)),
-      |c AS (SELECT doc_id, i + 8 AS cut FROM w WHERE h % 64 = 0),
-      |b AS (
-      |  SELECT d.doc_id, d.text,
-      |    list_sort(list_distinct(list_append(list_prepend(
-      |      CAST(0 AS BIGINT),
-      |      coalesce(list(c.cut ORDER BY c.cut), [])),
-      |      CAST(d.n AS BIGINT)))) AS bs
-      |  FROM d LEFT JOIN c USING (doc_id) GROUP BY d.doc_id, d.text, d.n),
-      |ch AS (
-      |  SELECT doc_id, u.j,
-      |    substr(text, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
-      |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
-      |        AS INT)) AS chunk
-      |  FROM b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j))
-      |SELECT doc_id, count(*) AS n_chunks,
-      |  CAST(sum(length(chunk)) AS BIGINT) AS total_bytes,
-      |  md5(string_agg(md5(chunk), ' ' ORDER BY j)) AS chunks_md5
-      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "cdc_dedup" -> s"""WITH d AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE length(text) = strlen(text) AND length(text) > 0),
-      |w AS (
-      |  SELECT doc_id, u.i,
-      |    ${charFoldDuck("substr(text, CAST(u.i + 1 AS INT), 8)")} AS h
-      |  FROM d, LATERAL unnest(range(0, greatest(n - 7, 0))) AS u(i)),
-      |c AS (SELECT doc_id, i + 8 AS cut FROM w WHERE h % 64 = 0),
-      |b AS (
-      |  SELECT d.doc_id, d.text,
-      |    list_sort(list_distinct(list_append(list_prepend(
-      |      CAST(0 AS BIGINT),
-      |      coalesce(list(c.cut ORDER BY c.cut), [])),
-      |      CAST(d.n AS BIGINT)))) AS bs
-      |  FROM d LEFT JOIN c USING (doc_id) GROUP BY d.doc_id, d.text, d.n),
-      |ch AS (
-      |  SELECT substr(text, CAST(bs[CAST(u.j + 1 AS INT)] + 1 AS INT),
-      |      CAST(bs[CAST(u.j + 2 AS INT)] - bs[CAST(u.j + 1 AS INT)]
-      |        AS INT)) AS chunk
-      |  FROM b, LATERAL unnest(range(0, len(bs) - 1)) AS u(j)),
-      |g AS (SELECT chunk, count(*) AS copies FROM ch GROUP BY chunk)
-      |SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
-      |  count(*) AS unique_chunks,
-      |  CAST(sum(copies * length(chunk)) AS BIGINT) AS total_bytes,
-      |  CAST(sum(length(chunk)) AS BIGINT) AS unique_bytes
-      |FROM g""".stripMargin,
-    "content_sniff" -> {
-      // sniffed type predicted purely from the container rotation;
-      // class 10 is the deliberate mislabel (raw text declared png);
-      // classes 11-16 are the round-11 container/codec formats,
-      // 17-21 the round-12 additions (Arrow, xz, npy, gguf, sqlite)
-      """SELECT doc_id AS media_id,
-        |  CASE doc_id % 22 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
-        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
-        |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
-        |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
-        |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
-        |    WHEN 10 THEN 'image/png'
-        |    WHEN 11 THEN 'application/avro' WHEN 12 THEN 'application/zip'
-        |    WHEN 13 THEN 'application/x-lz4'
-        |    WHEN 14 THEN 'application/x-snappy-framed'
-        |    WHEN 15 THEN 'audio/flac'
-        |    WHEN 16 THEN 'application/ogg'
-        |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
-        |    WHEN 18 THEN 'application/x-xz'
-        |    WHEN 19 THEN 'application/x-npy'
-        |    WHEN 20 THEN 'application/x-gguf'
-        |    ELSE 'application/vnd.sqlite3' END AS declared,
-        |  CASE doc_id % 22 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
-        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
-        |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
-        |    WHEN 6 THEN 'image/webp' WHEN 7 THEN 'video/mp4'
-        |    WHEN 8 THEN 'audio/mpeg' WHEN 9 THEN 'application/warc'
-        |    WHEN 10 THEN 'application/octet-stream'
-        |    WHEN 11 THEN 'application/avro' WHEN 12 THEN 'application/zip'
-        |    WHEN 13 THEN 'application/x-lz4'
-        |    WHEN 14 THEN 'application/x-snappy-framed'
-        |    WHEN 15 THEN 'audio/flac'
-        |    WHEN 16 THEN 'application/ogg'
-        |    WHEN 17 THEN 'application/vnd.apache.arrow.file'
-        |    WHEN 18 THEN 'application/x-xz'
-        |    WHEN 19 THEN 'application/x-npy'
-        |    WHEN 20 THEN 'application/x-gguf'
-        |    ELSE 'application/vnd.sqlite3' END AS sniffed,
-        |  doc_id % 22 <> 10 AS label_ok
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_mp1" -> {
-      // full analytic recompute of the Layer I decode: frame/subband
-      // schedules from the text length, codes from text bytes, and the
-      // requantization chain in exact power-of-two arithmetic
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS bl FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |fr AS (
-        |  SELECT doc_id, text, bl, u.f
-        |  FROM d, LATERAL unnest(range(0, 1 + bl % 3)) AS u(f)),
-        |sbv AS (
-        |  SELECT doc_id, text, bl, f, v.sb
-        |  FROM fr, LATERAL unnest(range(0, 1 + (bl + f) % 4)) AS v(sb)),
-        |smp AS (
-        |  SELECT doc_id, f, sb, w.s, 2 + sb % 3 AS nb, (sb + f) % 5 AS k,
-        |    ascii(substr(text,
-        |      CAST((f * 97 + sb * 12 + w.s) % bl + 1 AS INT), 1)) AS byte
-        |  FROM sbv, LATERAL unnest(range(0, 12)) AS w(s)),
-        |val AS (
-        |  SELECT doc_id,
-        |    byte % (CASE nb WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS c,
-        |    CASE nb WHEN 2 THEN 4.0 WHEN 3 THEN 8.0 ELSE 16.0 END AS p2,
-        |    CASE k WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
-        |      WHEN 3 THEN 0.25 ELSE 0.125 END AS sf
-        |  FROM smp),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_codes,
-        |    CAST(sum(CAST(round((c / (p2 / 2) - 1 + 2 / p2)
-        |      * (p2 / (p2 - 1)) * sf * 1000000) AS BIGINT)) AS BIGINT)
-        |      AS amp_micro
-        |  FROM val GROUP BY doc_id),
-        |act AS (
-        |  SELECT doc_id, count(*) AS n_active FROM sbv GROUP BY doc_id)
-        |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
-        |  act.n_active, agg.sum_codes, agg.amp_micro
-        |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
-        |ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_h264" -> {
-      // dims are the fixture's even targets (SPS cropping recovers
-      // them exactly); NAL counts from the text-driven slice schedule
-      """SELECT doc_id AS media_id,
-        |  CAST(2 * (1 + length(text) % 32) AS INT) AS decoded_w,
-        |  CAST(2 * (1 + (length(text) // 64) % 32) AS INT) AS decoded_h,
-        |  CAST(3 + length(text) % 7 AS INT) AS n_nals,
-        |  CAST(1 AS INT) AS n_idr,
-        |  CAST(1 + length(text) % 7 AS INT) AS n_vcl
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_h264_pixels" -> {
-      // every sample is predicted from its WRITE index; the weighted
-      // luma sum replays the MB raster scatter: sample k lands at
-      // x = (mb % wmb)·16 + k%16, y = (mb // wmb)·16 + (k%256)//16
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 4 AS wmb,
-        |    1 + (length(text) // 4) % 4 AS hmb
-        |  FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (
-        |  SELECT *, CAST(16 * wmb AS INT) AS w, CAST(16 * hmb AS INT) AS h,
-        |    CAST(256 * wmb * hmb AS BIGINT) AS ny,
-        |    CAST(64 * wmb * hmb AS BIGINT) AS nc
-        |  FROM d)
-        |SELECT doc_id AS media_id, w AS decoded_w, h AS decoded_h,
-        |  CAST(list_sum(list_transform(range(0, ny), k ->
-        |    ascii(substr(text, CAST((k * 31 + 7) % len AS INT) + 1, 1))))
-        |    AS BIGINT) AS sum_y,
-        |  CAST(list_sum(list_transform(range(0, ny), k ->
-        |    (((k // 256) % wmb) * 16 + (k % 256) % 16
-        |      + 3 * (((k // 256) // wmb) * 16 + (k % 256) // 16) + 1)
-        |    * ascii(substr(text, CAST((k * 31 + 7) % len AS INT) + 1, 1))))
-        |    AS BIGINT) AS wsum_y,
-        |  CAST(list_sum(list_transform(range(0, nc), u ->
-        |    ascii(substr(text, CAST((u * 13) % len AS INT) + 1, 1))))
-        |    AS BIGINT) AS sum_cb,
-        |  CAST(list_sum(list_transform(range(0, nc), u ->
-        |    ascii(substr(text, CAST((u * 17 + 3) % len AS INT) + 1, 1))))
-        |    AS BIGINT) AS sum_cr
-        |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_mp2" -> {
-      // full analytic recompute of the Layer II decode: the fixture's
-      // active subbands 0/4/12/24 map into Table 3-B.2a step lists,
-      // scfsi selects the effective per-part scalefactor slot, and the
-      // requantization chain is the same power-of-two-exact arithmetic
-      // as mp1 with C = g/m and D = 0.5 (grouped) / 2/g (ungrouped)
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS bl FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |fr AS (
-        |  SELECT doc_id, text, bl, u.f
-        |  FROM d, LATERAL unnest(range(0, 1 + bl % 3)) AS u(f)),
-        |sbv AS (
-        |  SELECT doc_id, text, bl, f, v.sb,
-        |    1 + (bl + v.sb + f) % (CASE WHEN v.sb = 24 THEN 2 ELSE 4 END)
-        |      AS idx,
-        |    (bl + v.sb + f) % 4 AS scfsi
-        |  FROM fr, LATERAL unnest([0, 4, 12, 24]) AS v(sb)
-        |  WHERE v.sb < CASE (bl + f) % 4 WHEN 0 THEN 1 WHEN 1 THEN 5
-        |    WHEN 2 THEN 13 ELSE 25 END),
-        |sbq AS (
-        |  SELECT *, CASE WHEN sb = 0 THEN ([3, 7, 15, 31])[idx]
-        |      WHEN sb = 24 THEN ([3, 5])[idx]
-        |      ELSE ([3, 5, 7, 9])[idx] END AS m
-        |  FROM sbv),
-        |smp AS (
-        |  SELECT doc_id, f, sb, m, scfsi, w.i, w.i // 12 AS part,
-        |    ascii(substr(text,
-        |      CAST((f * 89 + sb * 36 + w.i) % bl + 1 AS INT), 1)) % m
-        |      AS c
-        |  FROM sbq, LATERAL unnest(range(0, 36)) AS w(i)),
-        |val AS (
-        |  SELECT doc_id, c, m,
-        |    CASE m WHEN 3 THEN 4.0 WHEN 5 THEN 8.0 WHEN 7 THEN 8.0
-        |      WHEN 9 THEN 16.0 WHEN 15 THEN 16.0 ELSE 32.0 END AS g,
-        |    CASE (sb + f + (CASE scfsi
-        |        WHEN 0 THEN part
-        |        WHEN 1 THEN CASE WHEN part = 2 THEN 2 ELSE 0 END
-        |        WHEN 2 THEN 0
-        |        ELSE CASE WHEN part = 0 THEN 0 ELSE 1 END END)) % 5
-        |      WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
-        |      WHEN 3 THEN 0.25 ELSE 0.125 END AS sf
-        |  FROM smp),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_codes,
-        |    CAST(sum(CAST(round((c / (g / 2) - 1
-        |      + CASE WHEN m IN (3, 5, 9) THEN 0.5 ELSE 2 / g END)
-        |      * (g / m) * sf * 1000000) AS BIGINT)) AS BIGINT)
-        |      AS amp_micro
-        |  FROM val GROUP BY doc_id),
-        |act AS (
-        |  SELECT doc_id, count(*) AS n_active,
-        |    CAST(sum(CASE WHEN m IN (3, 5, 9) THEN 12 ELSE 0 END)
-        |      AS BIGINT) AS n_grouped
-        |  FROM sbq GROUP BY doc_id)
-        |SELECT d.doc_id AS media_id, 1 + d.bl % 3 AS n_frames,
-        |  act.n_active, act.n_grouped, agg.sum_codes, agg.amp_micro
-        |FROM d JOIN act USING (doc_id) JOIN agg USING (doc_id)
-        |ORDER BY media_id""".stripMargin
-    },
-    "warc_parse" -> {
-      // WARC Content-Length = HTTP envelope (63 fixed bytes + the
-      // body-length digits) + body bytes; rec_pos = doc rank within
-      // its 16-doc archive
-      """SELECT doc_id,
-        |  doc_id // 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
-        |    - 1 AS rec_pos,
-        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
-        |  'response' AS warc_type,
-        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
-        |    AS content_length,
-        |  CAST(200 AS INT) AS http_status,
-        |  strlen(text) AS body_len,
-        |  md5(text) AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "warc_cdx" -> {
-      // closed-form record framing (verified byte-exact against the
-      // builder): http envelope = 63 + digits(body) + body bytes;
-      // whole record = 173 + 2*digits(doc_id) + digits(clen) + clen;
-      // offsets are the running sum of earlier records in the archive
-      """WITH r AS (
-        |  SELECT doc_id, doc_id // 16 AS arch_id, text,
-        |    63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
-        |      AS clen
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, arch_id, text,
-        |    173 + 2 * length(CAST(doc_id AS VARCHAR))
-        |      + length(CAST(clen AS VARCHAR)) + clen AS rec_len
-        |  FROM r)
-        |SELECT 'com,ex' || (doc_id % 7) || ')/doc/' || doc_id AS surt,
-        |  arch_id,
-        |  CAST(COALESCE(sum(rec_len) OVER (PARTITION BY arch_id
-        |    ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) AS rec_off,
-        |  rec_len, md5(text) AS digest, CAST(200 AS INT) AS http_status
-        |FROM f ORDER BY surt, arch_id""".stripMargin
-    },
-    "warc_parse_gzip" -> {
-      // identical facts — the per-record-gzip-member layout must be
-      // transparent to the record walk
-      """SELECT doc_id,
-        |  doc_id // 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
-        |    - 1 AS rec_pos,
-        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
-        |  'response' AS warc_type,
-        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
-        |    AS content_length,
-        |  CAST(200 AS INT) AS http_status,
-        |  strlen(text) AS body_len,
-        |  md5(text) AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "warc_parse_zst" -> {
-      // identical facts — the per-record zstd-frame layout (the
-      // Common Crawl .warc.zst shape) must be transparent too
-      """SELECT doc_id,
-        |  doc_id // 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
-        |    - 1 AS rec_pos,
-        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
-        |  'response' AS warc_type,
-        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
-        |    AS content_length,
-        |  CAST(200 AS INT) AS http_status,
-        |  strlen(text) AS body_len,
-        |  md5(text) AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "tar_parse" -> tarParseOracleSql,
-    // .tgz transparency: identical facts through the gzip wrap
-    "tar_parse_gz" -> tarParseOracleSql,
-    // .tar.lz4 / .tar.sz transparency: identical facts through our
-    // own LZ4 frame and Snappy framing codecs (operators/Lz4,
-    // operators/SnappyCodec) — compressor, checksums and decoder
-    // must be jointly invisible
-    "tar_parse_lz4" -> tarParseOracleSql,
-    "tar_parse_snappy" -> tarParseOracleSql,
-    // the .tar.bz2 twin: BWT/MTF/Huffman must be byte-transparent
-    "tar_parse_bz2" -> tarParseOracleSql,
-    // the .tar.zst twin: zstd-jni compresses, OUR RFC 8878 decoder
-    // reads — a full-codec differential inside the gate
-    "tar_parse_zst" -> tarParseOracleSql,
-    // the .tar.xz twin: tukaani compresses (real LZMA2), OUR decoder
-    // reads — the second in-gate codec differential
-    "tar_parse_xz" -> tarParseOracleSql,
-    // the file layer must be transparent: identical facts through
-    // real .tar shard files + the binaryFile scan
-    "tar_parse_files" -> tarParseOracleSql,
-    "hist_file_rollup" -> {
-      // the same histogram recomputed straight off events — the file
-      // tree, partition discovery and snapshot summing must be
-      // transparent
-      """SELECT user_id AS station,
-        |  CAST(floor(value) AS INT) AS bin,
-        |  count(*) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY station, bin""".stripMargin
-    },
-    "csv_ingest" -> {
-      // every 13th row's n_chars is the type-violating token → routed
-      // to the corrupt-record column, excluded from the good sums
-      """SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_corrupt,
-        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS n_good,
-        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END)
-        |    AS BIGINT) AS sum_chars
-        |FROM documents""".stripMargin
-    },
-    "jsonl_ingest" -> {
-      // every 7th row omits lang → the schema-on-read null bucket
-      """SELECT CASE WHEN doc_id % 7 = 0 THEN '<missing>' ELSE lang END
-        |    AS lang,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
-    },
-    "orc_roundtrip" -> {
-      // format transparency: the ORC-side answer must equal the flat
-      // parquet answer
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin
-    },
-    "tfrecord_parse" -> {
-      // order IS identity in TFRecord: pos = rank within the 8-doc
-      // shard over EXISTING (ascii) docs
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
-        |    - 1 AS pos,
-        |  strlen(text) AS length, md5(text) AS md5
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "tfexample_parse" -> {
-      // every fact re-derived from DECODED tf.train.Example features,
-      // so the varint/packed-list/map-entry/IEEE-float stack must be
-      // value-transparent; score = (id % 256)/2 is float32-exact so
-      // DOUBLE arithmetic agrees bit-for-bit
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
-        |    - 1 AS pos,
-        |  CAST(4 AS INT) AS n_feats,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id + strlen(text) + doc_id % 7 AS marks_sum,
-        |  CAST(doc_id % 256 AS DOUBLE) / 2 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "tfsequence_parse" -> {
-      // SequenceExample: context map + two word-aligned feature_lists;
-      // words_md5 re-joins the decoded steps so list ORDER must be
-      // preserved end-to-end through the map-entry/FeatureList walk
-      """WITH d AS (
-        |  SELECT doc_id, text, lang FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
-        |    - 1 AS pos,
-        |  lang, CAST(3 AS INT) AS n_ctx,
-        |  CAST(len(ws) AS BIGINT) AS n_steps,
-        |  md5(array_to_string(ws, ' ')) AS words_md5,
-        |  CAST(coalesce(list_sum(list_transform(ws,
-        |    w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT) AS len_sum,
-        |  CAST(coalesce(list_sum(list_transform(ws,
-        |    w -> CAST(strlen(w) % 7 AS BIGINT))), 0) AS BIGINT)
-        |    AS mod_sum
-        |FROM t ORDER BY doc_id""".stripMargin
-    },
-    "text_fix_encoding" -> {
-      // the repaired text must equal the analytically-built original
-      // byte-for-byte (md5 over UTF-8), the round count must match
-      // the injected damage depth, and untouched docs must not change
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |s AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233)
-        |         WHEN doc_id % 3 = 1 THEN ' na' || chr(239) || 've'
-        |         ELSE '' END AS orig
-        |  FROM d)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 3 = 2 OR doc_id % 2 = 1 THEN 0
-        |       WHEN doc_id % 10 = 4 THEN 2 ELSE 1 END AS INT)
-        |    AS fixed_rounds,
-        |  (doc_id % 2 = 0 AND doc_id % 3 <> 2) AS changed,
-        |  md5(orig) AS text_md5
-        |FROM s ORDER BY doc_id""".stripMargin
-    },
-    "zip_parse" -> zipParseOracleSql,
-    "doc_ingest_dag" -> {
-      // one CASE rebuilds every format's extracted text: pdf pages
-      // join with \n (byte-exact literal strings, no collapse), the
-      // html-derived formats collapse whitespace, eml is the raw text
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (SELECT doc_id,
-        |  CASE doc_id % 5
-        |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'epub' WHEN 2 THEN 'docx'
-        |    WHEN 3 THEN 'eml' ELSE 'html' END AS fmt,
-        |  CASE doc_id % 5
-        |    WHEN 0 THEN array_to_string(
-        |      list_transform(range(0, CAST(1 + len % 3 AS BIGINT)),
-        |        j -> 'Pg ' || j || ' ' ||
-        |          substr(text, CAST((j * 13) % len AS INT) + 1, 12)),
-        |      chr(10))
-        |    WHEN 1 THEN trim(regexp_replace(array_to_string(
-        |      list_transform(range(0, CAST(1 + len % 3 AS BIGINT)),
-        |        i -> 'Ch ' || i || ' ' ||
-        |          substr(text, CAST((i * 7) % len AS INT) + 1, 10)),
-        |      ' '), '\s+', ' ', 'g'))
-        |    WHEN 2 THEN trim(regexp_replace(array_to_string(
-        |      list_transform(range(0, CAST(1 + len % 4 AS BIGINT)),
-        |        j -> substr(text, CAST((j * 11) % len AS INT) + 1, 8)),
-        |      ' '), '\s+', ' ', 'g'))
-        |    WHEN 3 THEN text
-        |    ELSE trim(regexp_replace(
-        |      'Doc ' || doc_id || ' Header ' || (doc_id % 10) || ' '
-        |        || text, '\s+', ' ', 'g')) END AS extracted
-        |  FROM d)
-        |SELECT doc_id, fmt, extracted,
-        |  CAST(length(extracted) AS INT) AS n_chars
-        |FROM e ORDER BY doc_id""".stripMargin
-    },
-    "eml_parse" -> {
-      // QP/base64/multipart must be value-transparent: plain part ==
-      // the whole text; html slice at 3·id mod len; attachment on
-      // every 3rd doc carries min(16, len) bytes
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, TRUE AS subject_ok,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
-        |    AS n_parts,
-        |  CAST(len AS BIGINT) AS plain_len, md5(text) AS plain_md5,
-        |  trim(regexp_replace(
-        |    substr(text, CAST((doc_id * 3) % len AS INT) + 1, 10),
-        |    '\s+', ' ', 'g')) AS html_text,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN least(16, len) ELSE 0 END
-        |    AS BIGINT) AS att_bytes
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "sevenz_parse" -> {
-      // commons-compress writes (LZMA2/COPY by shard parity), OUR
-      // header walk + LZMA core reads; facts are codec-independent
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'lzma2' ELSE 'copy' END
-        |    AS method,
-        |  strlen(text) AS size, md5(text) AS md5
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    // same facts through the written .zip fixture tree + binaryFile
-    "zip_parse_files" -> zipParseOracleSql,
-    // Avro container: every fact re-derived from PARSED values, so
-    // the zigzag/union/sync/deflate stack must be value-transparent
-    "avro_parse" -> avroParseOracleSql,
-    // full codec rotation: same facts as avro_parse, codec by sid%6
-    "avro_parse_codecs" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE (doc_id // 8) % 6 WHEN 0 THEN 'null'
-        |    WHEN 1 THEN 'deflate' WHEN 2 THEN 'bzip2'
-        |    WHEN 3 THEN 'snappy' WHEN 4 THEN 'xz'
-        |    ELSE 'zstandard' END AS codec,
-        |  strlen(text) AS len, md5(text) AS md5,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL
-        |    ELSE 'label' || (doc_id % 4) END AS label,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // complex types (array/map/enum/nested record): our nested writer
-    // → our recursive decoder, every fact predicted from documents
-    "avro_parse_nested" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, lang FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id, lang, strlen(text) AS n_chars,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'deflate'
-        |    ELSE 'null' END AS codec,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(ws) AS BIGINT) END AS n_toks,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(list_sum(list_transform(
-        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
-        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
-        |    END AS tok_sum,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
-        |      AS BIGINT) END AS null_toks,
-        |  CAST(n_chars AS BIGINT) AS map_n,
-        |  CAST(len(ws) AS BIGINT) AS map_w,
-        |  CASE doc_id % 4 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-        |    WHEN 2 THEN 'gamma' ELSE 'delta' END AS cls,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END AS lang,
-        |  CAST(n_chars AS BIGINT) AS meta_n
-        |FROM t ORDER BY doc_id""".stripMargin,
-    "jsonl_zst_ingest" -> jsonlZstOracleSql,
-    // same facts through real .jsonl.zst files + binaryFile
-    "jsonl_zst_files" -> jsonlZstOracleSql,
-    "pdf_text_extract" -> {
-      // page j reduces to 'Pg {j} {slice_j}'; pages join with \n;
-      // literal strings round-trip byte-exact so NO collapse is
-      // applied — the reconstruction is exact string arithmetic
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 3 AS np FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (SELECT doc_id, np,
-        |  array_to_string(
-        |    list_transform(range(0, CAST(np AS BIGINT)), j ->
-        |      'Pg ' || j || ' ' ||
-        |      substr(text, CAST((j * 13) % len AS INT) + 1, 12)),
-        |    chr(10)) AS doc
-        |  FROM d)
-        |SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
-        |  doc AS doc_text, CAST(length(doc) AS INT) AS n_chars
-        |FROM e ORDER BY doc_id""".stripMargin
-    },
-    "epub_text_extract" -> {
-      // chapter i reduces to 'Ch {i} {slice_i}' under extraction;
-      // array_to_string rebuilds the book, one \s+ collapse + trim
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 3 AS nch FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (SELECT doc_id, nch,
-        |  trim(regexp_replace(array_to_string(
-        |    list_transform(range(0, CAST(nch AS BIGINT)), i ->
-        |      'Ch ' || i || ' ' ||
-        |      substr(text, CAST((i * 7) % len AS INT) + 1, 10)),
-        |    ' '), '\s+', ' ', 'g')) AS book
-        |  FROM d)
-        |SELECT doc_id, CAST(nch + 2 AS INT) AS n_entries,
-        |  TRUE AS mimetype_ok, CAST(nch AS BIGINT) AS n_chapters,
-        |  book AS book_text, CAST(length(book) AS INT) AS n_chars
-        |FROM e ORDER BY doc_id""".stripMargin
-    },
-    "docx_text_extract" -> {
-      // paragraph j reduces to 'slice_j'; the XML declaration and all
-      // w: elements drop as tags
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 4 AS np FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (SELECT doc_id, np,
-        |  trim(regexp_replace(array_to_string(
-        |    list_transform(range(0, CAST(np AS BIGINT)), j ->
-        |      substr(text, CAST((j * 11) % len AS INT) + 1, 8)),
-        |    ' '), '\s+', ' ', 'g')) AS doc
-        |  FROM d)
-        |SELECT doc_id, CAST(2 AS INT) AS n_entries,
-        |  CAST(np AS BIGINT) AS n_paras,
-        |  doc AS doc_text, CAST(length(doc) AS INT) AS n_chars
-        |FROM e ORDER BY doc_id""".stripMargin
-    },
-    "xlsx_extract" -> {
-      // every fact from the PARSED typed cells: the string md5
-      // crosses entity escapes + shared-string pooling, the sums
-      // the number grammar, the boolean the t="b" lane
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 3 AS nr FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, CAST(2 AS INT) AS n_sheets,
-        |  CAST(nr * 2 AS BIGINT) AS n_cells,
-        |  md5(array_to_string(
-        |    list_transform(range(0, CAST(nr AS BIGINT)), j ->
-        |      substr(text, CAST((j * 7) % len AS INT) + 1, 6)),
-        |    '|')) AS s_md5,
-        |  CAST(list_sum(
-        |    list_transform(range(0, CAST(nr AS BIGINT)), j ->
-        |      (j * 7) % len + j)) AS BIGINT) AS nsum,
-        |  len * 0.25 AS quarter,
-        |  len % 2 = 0 AS is_even
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "msgpack_parse" -> {
-      // every fact from the DECODED value tree; note nil on every 7th
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, CAST(5 AS INT) AS n_fields,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id % 7 + strlen(text) AS tag_sum,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL
-        |    ELSE 'n' || (doc_id % 5) END AS note,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "cbor_parse" -> {
-      // every fact from the DECODED value tree; note null on every
-      // 7th; the tag-1 epoch surfaces as its doc_id offset
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, CAST(6 AS INT) AS n_fields,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id % 7 + strlen(text) AS tag_sum,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL
-        |    ELSE 'n' || (doc_id % 5) END AS note,
-        |  doc_id AS ts_off,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "sqlite_parse" -> {
-      // 16-doc sqlite databases at 512-byte pages; every fact from
-      // the decoded b-tree records; note null on every 7th
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, CAST(5 AS INT) AS n_cols,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id % 7 AS tag,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL
-        |    ELSE 'n' || (doc_id % 5) END AS note,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "sqlite_parse_wr" -> {
-      // WITHOUT ROWID: composite PK (tag, id); pos = in-order
-      // traversal position within each 16-doc database — pins the
-      // index b-tree walk order and the PK-first permutation
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  row_number() OVER (PARTITION BY doc_id // 16
-        |    ORDER BY doc_id % 7, doc_id) AS pos,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id % 7 AS tag,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL
-        |    ELSE 'n' || (doc_id % 5) END AS note
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "wet_wat_extract" -> {
-      // both Common Crawl derivatives joined on the target URI:
-      // text facts from WET conversion records, title/link-count
-      // from WAT JSON envelopes
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, strlen(text) AS text_len,
-        |  md5(text) AS text_md5,
-        |  'doc ' || doc_id AS title,
-        |  CAST(doc_id % 4 AS INT) AS n_links
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "feed_parse" -> {
-      // 8-doc RSS/Atom chunks by parity; every fact from PARSED
-      // entries (escaped text md5, date-grammar offsets, enclosure
-      // on every 3rd doc, category)
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN (doc_id // 8) % 2 = 0 THEN 'rss'
-        |    ELSE 'atom' END AS feed_type,
-        |  doc_id AS ts_off, md5(text) AS text_md5,
-        |  CASE WHEN doc_id % 3 = 0 THEN doc_id * 10 + 1
-        |    ELSE -1 END AS enclosure_bytes,
-        |  'c' || (doc_id % 5) AS cats
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    "bson_parse" -> {
-      // 4-doc mongodump stream chunks; every fact from the DECODED
-      // documents; note null on every 7th; datetime as doc offset
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, CAST(6 AS INT) AS n_fields,
-        |  strlen(text) AS text_len, md5(text) AS text_md5,
-        |  doc_id % 7 + strlen(text) AS tag_sum,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL
-        |    ELSE 'n' || (doc_id % 5) END AS note,
-        |  doc_id AS dt_off,
-        |  strlen(text) * 0.25 AS score
-        |FROM d ORDER BY doc_id""".stripMargin
-    },
-    // arrow-java writes, our flatbuffer walker reads; facts from
-    // DECODED values only (no codec column — Arrow IPC is uncoded)
-    "arrow_ipc_parse" -> arrowIpcOracleSql,
-    // same facts through the written .arrow fixture tree + binaryFile
-    "arrow_ipc_files" -> arrowIpcOracleSql,
-    // same facts through ZSTD body compression — the compression
-    // envelope must be invisible to every decoded value
-    "arrow_ipc_compressed" -> arrowIpcOracleSql,
-    // same facts through the user-facing DataFrame sources: typed
-    // columns derived with plain SQL, the source layer transparent
-    "arrow_source_read" -> arrowIpcOracleSql,
-    "avro_source_read" -> arrowIpcOracleSql,
-    // sink→source round trip incl. a NESTED token-length array:
-    // the whole write-read stack must be value-transparent
-    "arrow_sink_roundtrip" -> sinkRoundtripOracleSql,
-    "avro_sink_roundtrip" -> sinkRoundtripOracleSql,
-    // date32 / timestamp[us] / duration[ms] surfaced as raw counts —
-    // pins the .fbs default-unit vtable omission among other things
-    "arrow_ipc_temporal" ->
-      """WITH d AS (
-        |  SELECT doc_id, strlen(text) AS n FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CAST(19000 + doc_id % 1000 AS INT) AS day,
-        |  CASE WHEN doc_id % 7 = 3 THEN NULL
-        |    ELSE 1700000000000000 + doc_id * 1000003 END AS ts_us,
-        |  n * 250 AS dur_ms
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // fixed_size_list<float32,64> + LargeUtf8 over the REAL
-    // embeddings table: every float32 lane surfaces through the
-    // repo's round(x·1000) quantization convention
-    "arrow_ipc_embeddings" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CASE WHEN vec_id % 13 = 9 THEN NULL
-        |    ELSE CAST(dim AS INT) END AS dim,
-        |  CASE WHEN vec_id % 13 = 9 THEN NULL ELSE s END AS emb_q,
-        |  CASE WHEN vec_id % 11 = 10 THEN NULL
-        |    ELSE 'cls-' || label END AS label
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // OUR safetensors encoder + parser over the REAL embeddings
-    // table: every F32 lane surfaces through the repo's
-    // round(x·1000) quantization; ids/labels via I64/I32 tensors
-    "safetensors_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // sink→source round trip of the user-facing tensor-shard API:
-    // TensorSink writes a .safetensors tree, TensorSource reads it
-    // back typed, facts via plain SQL (no shard column — shard
-    // membership is partitioning-dependent)
-    "tensor_source_read" -> embVectorOracleSql,
-    // the same per-vector truth reassembled from a THREE-ARRAY zarr
-    // v2 store (per-array compressor/order/endian rotation; edge
-    // chunks padded) — chunk grid decode must be value-transparent
-    "zarr_read" -> embVectorOracleSql,
-    "zarr3_read" -> embVectorOracleSql,
-    // OUR Thrift-compact footer reader audits Spark-written parquet
-    // (live differential against parquet-mr's serializer): summed
-    // per-column value counts must equal the table's row count
-    "parquet_footer" ->
-      """WITH c AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
-        |cols(col_name, ptype) AS (VALUES
-        |  ('l_orderkey', 'INT64'), ('l_partkey', 'INT64'),
-        |  ('l_quantity', 'DOUBLE'), ('l_returnflag', 'BYTE_ARRAY'))
-        |SELECT col_name, n AS total_values,
-        |  'SNAPPY' AS codec, ptype
-        |FROM cols, c ORDER BY col_name""".stripMargin,
-    // OUR data-page decoder reads the driver's own parquet-cpp
-    // lineitem file from raw bytes (footer -> dict pages -> RLE
-    // hybrid -> values, snappy inflated in place); the oracle runs
-    // DuckDB's own reader over the same table
-    "parquet_data_decode" ->
-      """SELECT l_returnflag AS rflag, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(l_quantity), 4) AS qsum,
-        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk,
-        |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
-        |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the SAME struct fixture through BOTH from-scratch columnar
-    // struct readers (parquet shared-def-levels, ORC present-gated
-    // children), unioned under one oracle with a format column
-    "columnar_struct_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, lang FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |f(fmt) AS (VALUES ('orc'), ('parquet'))
-        |SELECT fmt, doc_id,
-        |  CASE WHEN doc_id % 17 = 3 THEN NULL
-        |    ELSE CAST(strlen(text) AS BIGINT) END AS m_chars,
-        |  CASE WHEN doc_id % 17 = 3 OR doc_id % 11 = 10 THEN NULL
-        |    ELSE lang END AS lang
-        |FROM d, f ORDER BY fmt, doc_id""".stripMargin,
-    // the SAME recursively-nested fixture (list<struct> spans +
-    // struct<struct> metadata) through BOTH from-scratch DEEP
-    // readers (parquet Dremel assembly, ORC type-tree recursion),
-    // reduced to per-doc facts under one oracle
-    "columnar_nested_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |sp AS (
-        |  SELECT d.doc_id AS sid, g.k,
-        |    CASE WHEN (d.doc_id + g.k) % 7 = 6 THEN NULL
-        |      ELSE (d.doc_id * 10 + g.k) % 1000 END AS n,
-        |    CASE WHEN (d.doc_id + g.k) % 7 = 6
-        |        OR (d.doc_id + g.k) % 5 = 4
-        |      THEN NULL ELSE d.lang END AS slang
-        |  FROM d, generate_series(0, 3) g(k)
-        |  WHERE g.k < d.doc_id % 4 AND d.doc_id % 13 <> 9),
-        |agg AS (
-        |  SELECT sid,
-        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS span_n_sum,
-        |    CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_null_spans,
-        |    CAST(SUM(CASE WHEN slang IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_lang
-        |  FROM sp GROUP BY 1),
-        |f(fmt) AS (VALUES ('orc'), ('parquet'))
-        |SELECT f.fmt, d.doc_id,
-        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(COALESCE(a.n_spans, 0) AS BIGINT)
-        |    END AS n_spans,
-        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(COALESCE(a.span_n_sum, 0) AS BIGINT)
-        |    END AS span_n_sum,
-        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(COALESCE(a.n_null_spans, 0) AS BIGINT)
-        |    END AS n_null_spans,
-        |  CASE WHEN d.doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(COALESCE(a.n_lang, 0) AS BIGINT)
-        |    END AS n_lang,
-        |  CASE WHEN d.doc_id % 11 = 7 THEN NULL
-        |    ELSE d.doc_id * 3 END AS a,
-        |  CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 6 = 2 THEN NULL
-        |    ELSE d.lang END AS inner_lang,
-        |  CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 6 = 2
-        |      OR d.doc_id % 4 = 1
-        |    THEN NULL ELSE d.doc_id * 7 END AS inner_b
-        |FROM d CROSS JOIN f LEFT JOIN agg a ON a.sid = d.doc_id
-        |ORDER BY fmt, doc_id""".stripMargin,
-    // OUR bzip2 multistream + MediaWiki export-schema scanner: ids,
-    // namespaces, redirects and wikitext all from PARSED pages
-    "wikidump_parse" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CAST(doc_id % 3 AS BIGINT) AS ns,
-        |  doc_id % 13 = 9 AS is_redirect,
-        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-        |  CAST(strlen(text) AS BIGINT) AS n_chars,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    w -> w <> '')) AS BIGINT) AS n_words
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // OUR repetition-level walker decodes a nullable list<int64>
-    // column (null lists + null elements) from raw parquet bytes;
-    // the oracle recomputes the token facts from documents
-    "parquet_list_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(list_sum(list_transform(
-        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
-        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
-        |    END AS token_sum,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
-        |      AS BIGINT) END AS null_tokens
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // ...and the SAME list fixture through ORC length runs — one
-    // oracle pins both columnar formats' nested read paths
-    "orc_list_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(list_sum(list_transform(
-        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
-        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
-        |    END AS token_sum,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
-        |      AS BIGINT) END AS null_tokens
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // OUR ORC stripe-data decoder over a Spark-written zstd ORC
-    // copy of lineitem — the SAME truth as parquet_data_decode,
-    // through the other columnar format's from-scratch read path
-    "orc_data_decode" ->
-      """SELECT l_returnflag AS rflag, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(l_quantity), 4) AS qsum,
-        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk,
-        |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
-        |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS wsum
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    // OUR OffsetIndex/ColumnIndex readers: page counts are the
-    // exact 5000-row writer limit, decoded PLAIN bounds reproduce
-    // the true min/max, spans tile the row count
-    "parquet_page_index" ->
-      """WITH c AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    min(l_orderkey) AS ko, max(l_orderkey) AS kx,
-        |    min(l_quantity) AS qo, max(l_quantity) AS qx
-        |  FROM lineitem)
-        |SELECT col_name,
-        |  CAST(ceil(n / 5000.0) AS BIGINT) AS n_pages,
-        |  n AS total_rows, vmin, vmax,
-        |  CAST(0 AS BIGINT) AS null_sum
-        |FROM c, (
-        |  SELECT 'l_orderkey' AS col_name,
-        |    CAST((SELECT ko FROM c) AS DOUBLE) AS vmin,
-        |    CAST((SELECT kx FROM c) AS DOUBLE) AS vmax
-        |  UNION ALL
-        |  SELECT 'l_quantity',
-        |    CAST((SELECT qo FROM c) AS DOUBLE),
-        |    CAST((SELECT qx FROM c) AS DOUBLE))
-        |ORDER BY col_name""".stripMargin,
-    // OUR split-block bloom probe: every present supplier key and
-    // name must hit through footer offset -> header -> salted lanes
-    "parquet_bloom_probe" ->
-      """SELECT s_suppkey % 8 AS bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS n_probed,
-        |  CAST(COUNT(*) AS BIGINT) AS n_key_found,
-        |  CAST(COUNT(*) AS BIGINT) AS n_name_found
-        |FROM supplier GROUP BY 1 ORDER BY bucket""".stripMargin,
-    // OUR ORC PostScript->Footer walk: typed column statistics must
-    // reproduce the table's true aggregates per stat family
-    "orc_footer" ->
-      """SELECT 'l_orderkey' AS col_name,
-        |  CAST(COUNT(*) AS BIGINT) AS n_values, false AS has_null,
-        |  min(l_orderkey) AS imin, max(l_orderkey) AS imax,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS isum,
-        |  CAST(NULL AS DOUBLE) AS dmin, CAST(NULL AS DOUBLE) AS dmax,
-        |  CAST(NULL AS VARCHAR) AS smin, CAST(NULL AS VARCHAR) AS smax
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT), false,
-        |  NULL, NULL, NULL,
-        |  min(l_quantity), max(l_quantity), NULL, NULL
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT), false,
-        |  NULL, NULL, NULL, NULL, NULL,
-        |  min(l_returnflag), max(l_returnflag)
-        |FROM lineitem
-        |ORDER BY col_name""".stripMargin,
-    // OUR ROW_INDEX stream decode: per-1000-row-group min/max/count
-    // on a sorted unique key, recomputed from row_number arithmetic
-    "orc_row_index" ->
-      """WITH s AS (
-        |  SELECT l_orderkey * 10 + l_linenumber AS sk FROM lineitem),
-        |r AS (
-        |  SELECT sk, row_number() OVER (ORDER BY sk) - 1 AS rn FROM s)
-        |SELECT rn // 1000 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
-        |  min(sk) AS vmin, max(sk) AS vmax
-        |FROM r GROUP BY 1 ORDER BY grp""".stripMargin,
-    // OUR Hudi COW reader after a lived history: create -> upsert
-    // (keys with l_orderkey%10=0, partitions 0/2 rewritten at
-    // instant 2) -> replacecommit overwriting partition 3 ->
-    // pending commit on partition 1 that must stay invisible
-    "hudi_snapshot" ->
-      """WITH b AS (
-        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
-        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
-        |    l_quantity AS qty
-        |  FROM lineitem),
-        |u AS (
-        |  SELECT sk, pb,
-        |    CASE WHEN (sk // 10) % 10 = 0 THEN qty + 100
-        |      ELSE qty END AS qty
-        |  FROM b),
-        |f AS (
-        |  SELECT sk, pb, qty FROM u WHERE pb <> '3'
-        |  UNION ALL
-        |  SELECT sk, pb, qty FROM b WHERE pb = '3' AND qty > 25)
-        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(qty), 4) AS qsum,
-        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
-        |  CASE pb WHEN '1' THEN '00000000000001'
-        |    WHEN '3' THEN '00000000000003'
-        |    ELSE '00000000000002' END AS mct
-        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
-    // MERGE_ON_READ: base deltacommit + two avro-log upsert waves +
-    // a delete-block wave + a pending (invisible) deltacommit; the
-    // oracle replays the same history analytically. The surviving
-    // row set and each survivor's winning commit time both pin the
-    // merge ordering.
-    "hudi_mor_snapshot" ->
-      """WITH b AS (
-        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
-        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
-        |    sum(l_quantity) AS qty
-        |  FROM lineitem GROUP BY 1, 2),
-        |f AS (
-        |  SELECT sk, pb,
-        |    CASE WHEN pb = '3' AND qty > 40 THEN qty + 7
-        |      WHEN (sk // 10) % 10 = 0 THEN qty + 100
-        |      ELSE qty END AS qty2,
-        |    CASE WHEN pb = '3' AND qty > 40 THEN '00000000000004'
-        |      WHEN (sk // 10) % 10 = 0 THEN '00000000000002'
-        |      ELSE '00000000000001' END AS ct
-        |  FROM b WHERE NOT (pb = '2' AND qty < 10))
-        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(qty2), 4) AS qsum,
-        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
-        |  max(ct) AS mct
-        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
-    // MOR again with PARQUET log blocks (the
-    // logfile.data.block.format=parquet shape) MIXED with avro
-    // blocks + deletes in one chain; our own page walker decodes
-    // the block contents inside the merge
-    "hudi_mor_parquet_log" ->
-      """WITH b AS (
-        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
-        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
-        |    sum(l_quantity) AS qty
-        |  FROM lineitem GROUP BY 1, 2),
-        |f AS (
-        |  SELECT sk, pb,
-        |    CASE WHEN pb = '0' AND qty > 30 THEN qty + 11
-        |      WHEN pb = '3' AND qty > 40 THEN qty + 7
-        |      WHEN (sk // 10) % 10 = 0 THEN qty + 100
-        |      ELSE qty END AS qty2,
-        |    CASE WHEN pb = '0' AND qty > 30 THEN '00000000000005'
-        |      WHEN pb = '3' AND qty > 40 THEN '00000000000004'
-        |      WHEN (sk // 10) % 10 = 0 THEN '00000000000002'
-        |      ELSE '00000000000001' END AS ct
-        |  FROM b WHERE NOT (pb = '2' AND qty < 10))
-        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(qty2), 4) AS qsum,
-        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
-        |  max(ct) AS mct
-        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
-    // ...and from ONNX ModelProto initializers, storage path
-    // rotating raw_data/typed-packed by shard parity; graph facts
-    // (shard id, MatMul→Relu ops) ride along
-    "onnx_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label,
-        |  'MatMul,Relu' AS ops,
-        |  CASE WHEN (vec_id // 8) % 2 = 0 THEN 'E4M3FNUZ'
-        |    ELSE 'E5M2FNUZ' END AS f8tag
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // OUR .npy writer + parser, layout combos (C/Fortran × LE/BE)
-    // rotating by shard id; order flags surface from the PARSED
-    // header and are predicted analytically
-    // structured recarray: every field kind (i8/u4/f8/S/U) decoded
-    // from OUR packed layout; strings NUL-stripped per numpy
-    "npy_structured" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, strlen(text) AS text_len,
-        |  strlen(text) * 0.25 AS score,
-        |  't' || (doc_id % 100) AS tag,
-        |  'm' || (doc_id % 7) AS mark,
-        |  strlen(text) * 2 AS len2,
-        |  strlen(text) % 7 AS len_mod7,
-        |  doc_id % 11 AS rng_lo,
-        |  doc_id % 13 AS rng_hi
-        |FROM d ORDER BY doc_id""".stripMargin,
-    "npy_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  (vec_id // 8) % 4 >= 2 AS fortran,
-        |  (vec_id // 8) % 2 = 1 AS big_endian
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // HDF5 classic machinery: all three data layouts live
-    // (deflate-chunked with edge clipping, contiguous, compact);
-    // the _files twin reads the same shards as REAL .h5 files
-    "hdf5_parse_files" -> hdf5OracleSqlShared,
-    "hdf5_parse" -> hdf5OracleSqlShared,
-    // six independent container paths (safetensors/GGUF/ONNX/HDF5
-    // classic + latest/zarr-v3 sharded) must agree lane-for-lane
-    // in-flight; the oracle pins the agreed facts
-    "tensor_cross_check" ->
-      """WITH q AS (
-        |  SELECT vec_id, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(6 AS INT) AS n_formats
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
-    // metadata array + the per-shard rotated quant tag surface;
-    // the Q8_0 twin and the rotated Q4_0/Q4_1/Q5_0/Q5_1 twin are
-    // bound-checked in-flight (closed-form block quantizations,
-    // oracle-free)
-    "gguf_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label, 'graft' AS arch,
-        |  CASE CAST((vec_id // 8) % 4 AS INT)
-        |    WHEN 0 THEN 'Q4_0' WHEN 1 THEN 'Q4_1'
-        |    WHEN 2 THEN 'Q5_0' ELSE 'Q5_1' END AS qtag
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // Lakehouse formats: OUR snapshot reconstruction (Delta log
-    // replay / Iceberg manifest chain) must equal the analytically
-    // recomputed table state — create, delete-rewrite of bucket 1
-    // (qty ≤ 10 gone), append duplicating bucket 2 rows with
-    // qty > 40. ONE oracle, both formats.
-    "delta_scan" -> lakehouseScanOracleSql,
-    // Change Data Feed: v0 inserts (add actions), v1 update
-    // pre/postimages (REAL cdc actions + _change_data files), v2
-    // deletes DERIVED from remove actions vs the prior snapshot
-    "delta_cdf_scan" ->
-      """WITH b AS (
-        |  SELECT l_orderkey, l_quantity,
-        |    l_orderkey % 4 AS bucket FROM lineitem),
-        |ch AS (
-        |  SELECT 'insert' AS change_type, 0 AS commit_version,
-        |    bucket, l_quantity, l_orderkey FROM b
-        |  UNION ALL
-        |  SELECT 'update_preimage', 1, bucket, l_quantity,
-        |    l_orderkey FROM b WHERE bucket = 3 AND l_quantity > 45
-        |  UNION ALL
-        |  SELECT 'update_postimage', 1, bucket, l_quantity + 5,
-        |    l_orderkey FROM b WHERE bucket = 3 AND l_quantity > 45
-        |  UNION ALL
-        |  SELECT 'delete', 2, bucket, l_quantity, l_orderkey
-        |  FROM b WHERE bucket = 0)
-        |SELECT change_type,
-        |  CAST(commit_version AS BIGINT) AS commit_version, bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(sum(l_quantity), 4) AS qsum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS oksum
-        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-    "iceberg_scan" -> lakehouseScanOracleSql,
-    // snapshot 1 parquet + snapshot 2 appends an AVRO data file
-    // (file_format=AVRO, our OCF codec both directions): the final
-    // state is base plus the duplicated bucket-2 qty>40 slice
-    "iceberg_avro_scan" ->
-      """WITH base AS (
-        |  SELECT l_returnflag AS rf,
-        |    CAST(l_quantity AS BIGINT) AS qty,
-        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-        |  FROM lineitem),
-        |live AS (
-        |  SELECT * FROM base
-        |  UNION ALL
-        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40)
-        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-        |FROM live GROUP BY rf ORDER BY rf""".stripMargin,
-    // the same table at its first version: Delta via pure JSON
-    // replay (the later checkpoint must be IGNORED), Iceberg via
-    // snapshot-id lookup — both equal plain lineitem
-    "delta_time_travel" -> lakehouseTimeTravelOracleSql,
-    // v2 checkpoint: the latest state is reachable ONLY through the
-    // UUID-named manifest + _sidecars files (early commits pruned) —
-    // the final table equals the classic delta_scan story
-    "delta_checkpoint_v2" -> lakehouseScanOracleSql,
-    // reader-version-3 features: rows masked by REAL deletion
-    // vectors (roaring bitmaps, both storage forms) must equal the
-    // analytic survivor set; the column-mapped table must aggregate
-    // identically to plain lineitem despite opaque physical names
-    "delta_dv_scan" ->
-      """SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |FROM lineitem WHERE l_quantity > 5
-        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    "delta_column_mapping" ->
-      """SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |FROM lineitem
-        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    // id-mode column mapping: files with throwaway names + field
-    // IDs must aggregate identically to plain lineitem
-    "delta_column_mapping_id" ->
-      """SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |FROM lineitem
-        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    // iceberg v2 position deletes: the SAME survivor truth as
-    // delta_dv_scan — one oracle pins both formats' row-level
-    // delete mechanisms (roaring masks vs anti-join)
-    // map<string,long> column through the full metadata chain:
-    // facts read the round-tripped map BY KEY
-    "iceberg_map_type" ->
-      """SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey % 97) AS BIGINT) AS okmod_sum,
-        |  CAST(count(*) * 2 AS BIGINT) AS nkeys
-        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    "iceberg_pos_delete" ->
-      """SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |FROM lineitem WHERE l_quantity > 5
-        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    // equality deletes are VALUE-wide: any row sharing a deleted
-    // (orderkey, partkey) pair dies, even with qty > 3
-    "iceberg_eq_delete" ->
-      """WITH del AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey
-        |  FROM lineitem WHERE l_quantity <= 3)
-        |SELECT l_returnflag AS rf, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |    AS qty_sum,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |FROM lineitem l
-        |WHERE NOT EXISTS (SELECT 1 FROM del d
-        |  WHERE d.l_orderkey = l.l_orderkey
-        |    AND d.l_partkey = l.l_partkey)
-        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
-    "iceberg_time_travel" -> lakehouseTimeTravelOracleSql,
-    // partition pruning: per-flag facets (identity transform) + one
-    // orderkey facet (bucket[16] — murmur3 pruning); pruned-scan
-    // results must equal the raw-lineitem recomputation, and the
-    // query REQUIRES in-flight that each facet's file list shrank
-    "iceberg_partition_prune" ->
-      """WITH f AS (
-        |  SELECT 'rf=' || l_returnflag AS facet,
-        |    count(*) AS n_rows,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |      AS qty_sum,
-        |    CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |  FROM lineitem GROUP BY l_returnflag),
-        |o AS (
-        |  SELECT 'ok=1' AS facet, count(*) AS n_rows,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-        |      AS qty_sum,
-        |    CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
-        |  FROM lineitem WHERE l_orderkey = 1)
-        |SELECT * FROM f UNION ALL SELECT * FROM o
-        |ORDER BY facet""".stripMargin,
-    // the composed migration DAG: delta latest → qty>5 + DISTINCT
-    // (the v2 duplicates collapse) → iceberg write → iceberg read;
-    // the analytic end state, straight from lineitem
-    "lakehouse_ingest_dag" ->
-      """WITH base AS (
-        |  SELECT l_returnflag AS rf, l_partkey AS pkey,
-        |    CAST(l_quantity AS BIGINT) AS qty,
-        |    l_orderkey AS okey, l_orderkey % 4 AS bucket
-        |  FROM lineitem),
-        |live AS (
-        |  SELECT * FROM base WHERE bucket <> 1 OR qty > 10
-        |  UNION ALL
-        |  SELECT * FROM base WHERE bucket = 2 AND qty > 40),
-        |cur AS (
-        |  SELECT DISTINCT okey, pkey, qty, rf, bucket
-        |  FROM live WHERE qty > 5)
-        |SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
-        |  CAST(SUM(okey * bucket) AS BIGINT) AS okb_sum
-        |FROM cur GROUP BY rf ORDER BY rf""".stripMargin,
-    // np.savez layout: ZIP members emb/vec_id/label, STORED on
-    // even shards, DEFLATE on odd — the file layer must vanish
-    "npz_parse" ->
-      """WITH q AS (
-        |  SELECT vec_id, label, len(embedding) AS dim,
-        |    CAST(coalesce(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
-        |  FROM embeddings)
-        |SELECT vec_id, vec_id // 8 AS shard_id,
-        |  CAST(dim AS INT) AS dim, s AS emb_q,
-        |  CAST(label AS INT) AS label
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // dictionary-encoded label column resolved through OUR
-    // DictionaryBatch decode (indices never surface)
-    "arrow_ipc_dict" ->
-      """WITH d AS (
-        |  SELECT doc_id FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL
-        |    ELSE 'label' || (doc_id % 4) END AS label
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // nested columns (list<int64> tokens + struct meta): every fact
-    // re-derived from OUR recursive decode of arrow-java output,
-    // predicted here straight from documents
-    "arrow_ipc_nested" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, lang FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id, lang, strlen(text) AS meta_len,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(list_sum(list_transform(
-        |      list_filter(ws, w -> strlen(w) % 5 <> 0),
-        |      w -> CAST(strlen(w) AS BIGINT))), 0) AS BIGINT)
-        |    END AS token_sum,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(list_filter(ws, w -> strlen(w) % 5 = 0))
-        |      AS BIGINT) END AS null_tokens,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END AS lang,
-        |  CAST(meta_len AS BIGINT) AS meta_len
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // ...map<utf8,int64> word-length histograms + decimal(20,4)
-    // through OUR map/decimal decode; the oracle recomputes the
-    // histogram facts and renders the decimal's exact plain string
-    "arrow_ipc_map" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM d),
-        |h AS (
-        |  SELECT doc_id, ws,
-        |    list_distinct(list_transform(ws, w -> strlen(w))) AS lens
-        |  FROM t)
-        |SELECT doc_id, doc_id // 8 AS shard_id,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(len(lens) AS BIGINT) END AS m_size,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(len(list_filter(ws,
-        |      w -> strlen(w) % 7 <> 0)), 0) AS BIGINT) END AS v_sum,
-        |  CASE WHEN doc_id % 13 = 9 THEN NULL
-        |    ELSE CAST(coalesce(len(list_filter(lens,
-        |      l -> l % 7 = 0)), 0) AS BIGINT) END AS n_nullv,
-        |  CASE WHEN doc_id % 13 = 9 OR len(lens) = 0 THEN NULL
-        |    ELSE CAST(list_max(lens) AS BIGINT) END AS k_max,
-        |  CASE WHEN doc_id % 11 = 10 THEN NULL
-        |    ELSE printf('%d.%04d',
-        |      (doc_id * 137 + 41) % 1000003 // 10000,
-        |      (doc_id * 137 + 41) % 1000003 % 10000) END AS price_s
-        |FROM h ORDER BY doc_id""".stripMargin,
-    // same facts through the written .avro fixture tree + binaryFile
-    "avro_parse_files" -> avroParseOracleSql,
-    "tfrecord_parse_files" -> {
-      // no names in the format and no build-side doc list available to
-      // the FILE walk, so identity is (shard, pos) — rank within the
-      // 8-doc shard
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id // 8 AS shard_id,
-        |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
-        |    - 1 AS pos,
-        |  strlen(text) AS length, md5(text) AS md5
-        |FROM d ORDER BY shard_id, pos""".stripMargin
-    },
-    "webdataset_pairs" -> {
-      // completeness = the .cls file exists; byte totals fold the
-      // three file classes
-      """SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 11 = 10 THEN 2 ELSE 3 END AS BIGINT)
-        |    AS n_files,
-        |  CAST(strlen(text) + length('{"id":' || doc_id || '}')
-        |    + CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 6 END AS BIGINT)
-        |    AS total_bytes,
-        |  doc_id % 11 <> 10 AS complete
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY doc_id""".stripMargin
-    },
-    "warc_parse_files" -> {
-      // identical facts again — real .warc.gz FILES through the
-      // binaryFile source must parse exactly like in-query archives
-      """SELECT doc_id,
-        |  doc_id // 16 AS arch_id,
-        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
-        |    - 1 AS rec_pos,
-        |  'http://ex' || (doc_id % 7) || '.com/doc/' || doc_id AS uri,
-        |  'response' AS warc_type,
-        |  63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text)
-        |    AS content_length,
-        |  CAST(200 AS INT) AS http_status,
-        |  strlen(text) AS body_len,
-        |  md5(text) AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "multimodal_decode_webp" -> {
-      // chunk body = variant header (10 B for VP8 /VP8X, 5 B for VP8L)
-      // + text; container = 12 B RIFF/WEBP + 8 B chunk header + body,
-      // word-aligned
-      """WITH d AS (
-        |  SELECT doc_id, length(text) AS len,
-        |    CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 10 END + length(text)
-        |      AS chunk
-        |  FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id AS media_id, 'image/webp' AS kind,
-        |  CAST(20 + chunk + (chunk % 2) AS BIGINT) AS n_bytes,
-        |  CAST(1 + len % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (len // 64) % 64 AS INT) AS decoded_h
-        |FROM d ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_webp_pixels" -> {
-      // channel c of pixel k: first row repeats text[c], the rest
-      // cycle the text bytes 3-at-a-time — the encode features
-      // (subtract-green / cache / LZ77) must be invisible after decode
-      def chSum(c: Int): String =
-        s"""CAST(w * ascii(substr(text, CAST($c % len AS INT) + 1, 1))
-           |  + list_sum(list_prepend(0, list_transform(range(0, n - w),
-           |      j -> ascii(substr(text,
-           |        CAST((3 * j + $c) % len AS INT) + 1, 1)))))
-           |  AS BIGINT)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS decoded_w,
-         |  CAST(h AS INT) AS decoded_h, n AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_tiff_packbits" -> {
-      // pixel byte k = text[(k/4) mod len]; channel c of pixel p is
-      // byte 3p+c, so sum_c = Σ_p text[((3p+c)/4) mod len]
-      def chSum(c: Int): String = {
-        val idx = if (c == 0) "(3*k)//4" else s"(3*k + $c)//4"
-        s"""CAST(list_sum(list_transform(range(0, n), k ->
-           |  ascii(substr(text, CAST(($idx) % len AS INT) + 1, 1))))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 24 AS w,
-         |    1 + (length(text) // 24) % 24 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_tiff_lzw" -> {
-      // the LZW round trip is lossless, so the oracle is the same
-      // raster arithmetic as the packbits twin — any LZW bit-order /
-      // width-schedule / predictor bug breaks the channel sums
-      def chSum(c: Int): String = {
-        val idx = if (c == 0) "(3*k)//4" else s"(3*k + $c)//4"
-        s"""CAST(list_sum(list_transform(range(0, n), k ->
-           |  ascii(substr(text, CAST(($idx) % len AS INT) + 1, 1))))
-           |  AS BIGINT)""".stripMargin
-      }
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 24 AS w,
-         |    1 + (length(text) // 24) % 24 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d)
-         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
-         |  CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
-         |  ${chSum(0)} AS sum_r,
-         |  ${chSum(1)} AS sum_g,
-         |  ${chSum(2)} AS sum_b
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "audio_resample" -> {
-      // output i at source position i·8000/6000: idx/frac from exact
-      // rational division, clamped at the tail; every value integer
-      val v =
-        """((ascii(substr(text, CAST(least((i*8000)//6000, len-1) AS INT) + 1, 1))
-          |    * (6000 - (i*8000)%6000)
-          |  + ascii(substr(text, CAST(least((i*8000)//6000 + 1, len-1) AS INT) + 1, 1))
-          |    * ((i*8000)%6000)) // 6000)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |r AS (SELECT doc_id, text, len,
-         |  greatest(len * 6000 // 8000, 1) AS n_out FROM d),
-         |x AS (SELECT doc_id, len, n_out,
-         |  list_transform(range(0, n_out), i -> $v) AS vals FROM r)
-         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS src_rate,
-         |  CAST(6000 AS INT) AS dst_rate, CAST(len AS BIGINT) AS n_in,
-         |  CAST(n_out AS BIGINT) AS n_out,
-         |  CAST(list_sum(vals) AS BIGINT) AS sum_out,
-         |  CAST(list_max(vals) AS INT) AS peak_out
-         |FROM x ORDER BY media_id""".stripMargin
-    },
-    "html_extract" -> {
-      // the fixture page reduces to 'Doc {id} Header {id%10} {text}'
-      // under extraction; one \s+ collapse + trim rebuilds it exactly
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0),
-        |e AS (SELECT doc_id,
-        |  trim(regexp_replace(
-        |    'Doc ' || doc_id || ' Header ' || (doc_id % 10) || ' ' || text,
-        |    '\s+', ' ', 'g')) AS extracted
-        |  FROM d)
-        |SELECT doc_id, extracted,
-        |  CAST(length(extracted) AS INT) AS n_chars,
-        |  CAST(length(extracted)
-        |    - length(replace(extracted, ' ', '')) + 1 AS INT) AS n_words
-        |FROM e ORDER BY doc_id""".stripMargin
-    },
-    "image_quality_gate" -> {
-      // per-pixel luma = (r+g+b)//3 over the cycled text bytes; mean,
-      // contrast and the keep rule all in integer arithmetic
-      val lumas =
-        """list_transform(range(0, n), k ->
-          |  ( ascii(substr(text, CAST((3*k)     % len AS INT) + 1, 1))
-          |  + ascii(substr(text, CAST((3*k + 1) % len AS INT) + 1, 1))
-          |  + ascii(substr(text, CAST((3*k + 2) % len AS INT) + 1, 1))) // 3)"""
-          .stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 32 AS w,
-         |    1 + (length(text) // 32) % 32 AS h
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d),
-         |m AS (SELECT doc_id, w, h,
-         |  CAST(list_sum(l) // n AS INT) AS mean_luma,
-         |  CAST(list_max(l) - list_min(l) AS INT) AS contrast
-         |  FROM (SELECT *, $lumas AS l FROM e))
-         |SELECT doc_id AS media_id, 'image/png' AS kind,
-         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-         |  mean_luma, contrast, TRUE AS decode_ok,
-         |  (w >= 8 AND h >= 8 AND mean_luma BETWEEN 16 AND 240
-         |    AND contrast >= 8) AS keep
-         |FROM m ORDER BY media_id""".stripMargin
-    },
-    "multimodal_exif_orientation" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(1 + length(text) % 8 AS INT) AS orientation,
-        |  CAST(1 + length(text) % 64 AS INT) AS decoded_w,
-        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS decoded_h
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY media_id""".stripMargin,
-    "multimodal_id3_tags" ->
-      """SELECT doc_id AS media_id,
-        |  substr(text, 1, 16) AS title,
-        |  substr(text, greatest(length(text) - 8, 0) + 1, 8) AS artist,
-        |  CAST(1 + length(text) % 16 AS INT) AS n_frames
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY media_id""".stripMargin,
-    // the file + gzip layers must be transparent: identical facts
-    "media_ingest_files" -> MediaDagOracle,
-    "media_ingest_dag" -> MediaDagOracle,
-    "multimodal_decode_png_types" -> {
-      // gray (id%3=0): v = text[k mod len] replicated; truecolor (1):
-      // rgb byte j = text[j mod len]; palette (2): e = v mod 64 →
-      // (e, 2e mod 256, 3e mod 256)
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    1 + length(text) % 24 AS w,
-         |    1 + (length(text) // 24) % 24 AS h,
-         |    doc_id % 3 AS ct
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *, CAST(w * h AS BIGINT) AS n FROM d),
-         |v AS (SELECT doc_id, ct, w, h, n,
-         |  CASE WHEN ct = 1 THEN NULL
-         |       ELSE list_transform(range(0, n), k ->
-         |         ascii(substr(text, CAST(k % len AS INT) + 1, 1))) END
-         |    AS px,
-         |  text, len FROM e)
-         |SELECT doc_id AS media_id, CAST(ct AS INT) AS color_type,
-         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-         |  n AS n_pixels,
-         |  CAST(CASE ct
-         |    WHEN 0 THEN list_sum(px)
-         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
-         |      ascii(substr(text, CAST((3 * k) % len AS INT) + 1, 1))))
-         |    ELSE list_sum(list_transform(px, x -> x % 64)) END
-         |    AS BIGINT) AS sum_r,
-         |  CAST(CASE ct
-         |    WHEN 0 THEN list_sum(px)
-         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
-         |      ascii(substr(text, CAST((3 * k + 1) % len AS INT) + 1, 1))))
-         |    ELSE list_sum(list_transform(px, x -> (2 * (x % 64)) % 256))
-         |    END AS BIGINT) AS sum_g,
-         |  CAST(CASE ct
-         |    WHEN 0 THEN list_sum(px)
-         |    WHEN 1 THEN list_sum(list_transform(range(0, n), k ->
-         |      ascii(substr(text, CAST((3 * k + 2) % len AS INT) + 1, 1))))
-         |    ELSE list_sum(list_transform(px, x -> (3 * (x % 64)) % 256))
-         |    END AS BIGINT) AS sum_b
-         |FROM v ORDER BY media_id""".stripMargin
-    },
-    "ogg_opus_meta" -> {
-      // closed-form header facts: channels = 1 + id%2, preskip 312,
-      // rate by len parity, 2 tags + LICENSE on ids ≡ 0 (mod 3),
-      // title = first min(8, len) chars
-      """SELECT doc_id AS media_id,
-        |  CAST(1 + doc_id % 2 AS INT) AS channels,
-        |  CAST(312 AS INT) AS pre_skip,
-        |  CAST(CASE WHEN length(text) % 2 = 0 THEN 48000 ELSE 24000 END
-        |    AS BIGINT) AS input_rate,
-        |  'graft 1.0' AS vendor,
-        |  CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS n_tags,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS has_license,
-        |  CAST(least(8, length(text)) AS BIGINT) AS title_chars
-        |FROM documents
-        |WHERE length(text) = strlen(text) AND length(text) > 0
-        |ORDER BY media_id""".stripMargin
-    },
-    "ogg_parse" -> {
-      // np = 1 + len%5 packets; packet i is 1 + (len + 13i) % 300
-      // bytes — except packet 0 on doc_id ≡ 0 (mod 7), which is
-      // 70 000 bytes and spans 2 pages (65 025 + 4 975); granule of
-      // packet i is 960(i+1); reassembly is lossless → intact = 1
-      s"""WITH d AS (
-         |  SELECT doc_id, length(text) AS len,
-         |    1 + length(text) % 5 AS np,
-         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS big
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |e AS (SELECT *,
-         |  CAST(list_sum(list_transform(range(0, CAST(np AS BIGINT)),
-         |    i -> CASE WHEN i = 0 AND big = 1 THEN 70000
-         |         ELSE 1 + (len + i * 13) % 300 END)) AS BIGINT)
-         |    AS total_payload
-         |  FROM d)
-         |SELECT doc_id AS media_id,
-         |  CAST(np + big AS BIGINT) AS n_pages,
-         |  CAST(np AS BIGINT) AS n_packets,
-         |  total_payload,
-         |  CAST(np * 960 AS BIGINT) AS last_granule,
-         |  CAST(big AS BIGINT) AS continued_pages,
-         |  CAST(1 AS BIGINT) AS intact
-         |FROM e ORDER BY media_id""".stripMargin
-    },
-    "multimodal_decode_flac" -> {
-      // lossless round trip: sample i = (ascii − 79)·400, so every
-      // readout computes straight from the text
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len,
-         |    list_transform(range(0, length(text)), i ->
-         |      (ascii(substr(text, CAST(i AS INT) + 1, 1)) - 79) * 400)
-         |      AS sm
-         |  FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0)
-         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
-         |  CAST(len AS BIGINT) AS n_samples,
-         |  CAST(list_sum(sm) AS BIGINT) AS sum_s,
-         |  CAST(list_min(sm) AS BIGINT) AS min_s,
-         |  CAST(list_max(sm) AS BIGINT) AS max_s
-         |FROM d ORDER BY media_id""".stripMargin
-    },
-    "audio_vad_segments" -> {
-      // activity per frame as in audio_frame_energy; then the bridge-1
-      // fold replayed verbatim: state [n_segs, cur_len, max_len, gap]
-      val acts =
-        """list_transform(range(0, (len + 255) // 256), f ->
-          |  CASE WHEN 2 * list_sum(list_transform(
-          |    range(f * 256, least((f + 1) * 256, len)),
-          |    k -> abs(128 - ascii(substr(text, CAST(k AS INT) + 1, 1)))))
-          |    > 40 * least(256, len - f * 256) THEN 1 ELSE 0 END)"""
-          .stripMargin
-      // list_reduce's seed must share the element type, so each
-      // activity rides as a 1-element BIGINT list and the state is a
-      // 4-element one
-      val fold =
-        """list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
-          |  list_transform(acts, a -> [CAST(a AS BIGINT)])), (st, e) ->
-          |  CASE
-          |    WHEN e[1] = 1 THEN
-          |      [st[1] + CASE WHEN st[2] = 0 THEN 1 ELSE 0 END,
-          |       st[2] + st[4] + 1, st[3], CAST(0 AS BIGINT)]
-          |    WHEN st[2] > 0 AND st[4] = 0 THEN
-          |      [st[1], st[2], st[3], CAST(1 AS BIGINT)]
-          |    WHEN st[2] > 0 THEN
-          |      [st[1], CAST(0 AS BIGINT), greatest(st[3], st[2]),
-          |       CAST(0 AS BIGINT)]
-          |    ELSE st END)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |m AS (SELECT doc_id, len, (len + 255) // 256 AS nf,
-         |  $acts AS acts FROM d),
-         |f AS (SELECT doc_id, nf, acts, $fold AS st FROM m)
-         |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
-         |  CAST(st[1] AS INT) AS n_segments,
-         |  CAST(greatest(st[3], st[2]) AS INT) AS max_seg_frames,
-         |  CAST(list_sum(acts) AS INT) AS active_frames,
-         |  CAST(list_sum(acts) * 1000000 // nf AS BIGINT) AS speech_ppm
-         |FROM f ORDER BY media_id""".stripMargin
-    },
-    "audio_frame_energy" -> {
-      // frame f covers samples [256f, min(256(f+1), len)); energy =
-      // Σ|v−128|; a frame is active when 2·energy > 40·samples
-      val frames =
-        """list_transform(range(0, (len + 255) // 256), f ->
-          |  {'fl': least(256, len - f * 256),
-          |   'e': list_sum(list_transform(
-          |     range(f * 256, least((f + 1) * 256, len)),
-          |     k -> abs(128 - ascii(substr(text, CAST(k AS INT) + 1, 1)))))})"""
-          .stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS len FROM documents
-         |  WHERE length(text) = strlen(text) AND length(text) > 0),
-         |m AS (SELECT doc_id, len, $frames AS fr FROM d)
-         |SELECT doc_id AS media_id,
-         |  CAST((len + 255) // 256 AS INT) AS n_frames,
-         |  CAST(list_sum(list_transform(fr,
-         |    s -> CASE WHEN 2 * s.e > 40 * s.fl THEN 1 ELSE 0 END))
-         |    AS INT) AS active_frames,
-         |  CAST(list_max(list_transform(fr, s -> s.e)) AS BIGINT)
-         |    AS max_energy,
-         |  CAST(list_sum(list_transform(fr, s -> s.e)) AS BIGINT)
-         |    AS total_energy
-         |FROM m ORDER BY media_id""".stripMargin
-    },
-    "boilerplate_ngrams" ->
-      s"""$shCte,
-         |ex AS (SELECT doc_id, unnest(th) AS sh FROM th),
-         |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
-         |bo AS (SELECT sh FROM df
-         |  WHERE df >= greatest(5,
-         |    ceil((SELECT count(*) FROM documents) * 0.01))),
-         |agg AS (
-         |  SELECT ex.doc_id AS doc_id, count(*) AS n_shingles,
-         |    CAST(sum(CASE WHEN bo.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_boiler
-         |  FROM ex LEFT JOIN bo ON ex.sh = bo.sh
-         |  GROUP BY ex.doc_id)
-         |SELECT doc_id, n_shingles, n_boiler,
-         |  n_boiler / CAST(n_shingles AS DOUBLE) AS boiler_frac,
-         |  n_boiler / CAST(n_shingles AS DOUBLE) > 0.1 AS flagged
-         |FROM agg ORDER BY doc_id""".stripMargin,
-    "sample_balanced" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, source,
-         |    ${charFoldDuck("text")} * 2654435761 % 1000000007 AS h
-         |  FROM documents),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY source
-         |    ORDER BY h, doc_id) AS rk
-         |  FROM h)
-         |SELECT source, rk, doc_id, h FROM r
-         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
-    "containment_pairs" ->
-      s"""$shCte,
-         |e2 AS (SELECT doc_id, unnest(th) AS sh FROM th),
-         |tp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM e2 a JOIN e2 b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |m AS (
-         |  SELECT tp.doc_a, tp.doc_b,
-         |    CAST(length(ta.th) AS BIGINT) AS n_a,
-         |    CAST(length(tb.th) AS BIGINT) AS n_b,
-         |    CAST(length(list_intersect(ta.th, tb.th)) AS BIGINT) AS inter
-         |  FROM tp JOIN th ta ON tp.doc_a = ta.doc_id
-         |          JOIN th tb ON tp.doc_b = tb.doc_id)
-         |SELECT doc_a, doc_b, n_a, n_b, inter,
-         |  inter * 1000000 // least(n_a, n_b) AS cont_ppm,
-         |  inter * 1000000 // (n_a + n_b - inter) AS jac_ppm
-         |FROM m
-         |ORDER BY cont_ppm DESC, jac_ppm, doc_a, doc_b LIMIT $CtTop""".stripMargin,
-    "inverted_index" ->
-      s"""WITH tf AS (
-         |  SELECT term, doc_id, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |    FROM documents)
-         |  GROUP BY 1, 2),
-         |st AS (
-         |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
-         |  FROM tf GROUP BY 1),
-         |rk AS (
-         |  SELECT term, doc_id, tf, CAST(row_number() OVER (
-         |    PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
-         |  FROM tf)
-         |SELECT r.term, s.df, s.total_tf, r.rank, r.doc_id, r.tf
-         |FROM rk r JOIN st s USING (term)
-         |WHERE r.rank <= $IdxPostings
-         |ORDER BY term, rank""".stripMargin,
-    "source_kl" ->
-      s"""WITH tk AS (
-         |  SELECT source, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |top AS (
-         |  SELECT tok, count(*) AS c FROM tk GROUP BY 1
-         |  ORDER BY c DESC, tok LIMIT $KlVocab),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM top),
-         |probed AS (
-         |  SELECT source, tok, count(*) AS cs FROM tk
-         |  WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT s.source, t.tok, t.c,
-         |    CAST(coalesce(p.cs, 0) AS BIGINT) AS cs
-         |  FROM (SELECT DISTINCT source FROM tk) s
-         |  CROSS JOIN top t
-         |  LEFT JOIN probed p ON p.source = s.source AND p.tok = t.tok),
-         |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s
-         |  FROM grid GROUP BY 1),
-         |ctr AS (
-         |  SELECT g.source, n.n_s,
-         |    CAST(round((g.cs + 1) / (n.n_s + $KlVocab.0) *
-         |      (round(ln((g.cs + 1) / (n.n_s + $KlVocab.0)), 6) -
-         |       round(ln(g.c / CAST(t.ct AS DOUBLE)), 6))
-         |      * 1000000000) AS BIGINT) AS contrib
-         |  FROM grid g JOIN ns n USING (source), tot t)
-         |SELECT source, n_s, CAST(sum(contrib) AS BIGINT) AS kl_e9
-         |FROM ctr GROUP BY 1, 2 ORDER BY source""".stripMargin,
-    "dedup_incremental" ->
-      """WITH b AS (SELECT max(source) AS batch_src FROM documents),
-        |n AS (
-        |  SELECT doc_id, text FROM documents, b WHERE source = b.batch_src),
-        |st AS (
-        |  SELECT doc_id, text FROM documents, b WHERE source <> b.batch_src),
-        |m AS (
-        |  SELECT n.doc_id, min(st.doc_id) AS dup_of
-        |  FROM n JOIN st ON n.text = st.text
-        |  GROUP BY n.doc_id)
-        |SELECT n.doc_id, m.dup_of IS NOT NULL AS is_dup,
-        |  coalesce(m.dup_of, -1) AS dup_of
-        |FROM n LEFT JOIN m ON m.doc_id = n.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
-    "token_pmi" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |df AS (
-         |  SELECT tok, count(*) AS df FROM (
-         |    SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk)
-         |  GROUP BY 1),
-         |top AS (
-         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS i
-         |  FROM df ORDER BY df DESC, tok LIMIT $PmiTop),
-         |pres AS (
-         |  SELECT t.doc_id, p.tok, p.i, p.df
-         |  FROM tk t JOIN top p ON list_contains(t.toks, p.tok)),
-         |n AS (SELECT count(*) AS n_docs FROM tk),
-         |pair AS (
-         |  SELECT a.tok AS tok_a, b.tok AS tok_b,
-         |    a.df AS n_a, b.df AS n_b, count(*) AS n_ab
-         |  FROM pres a JOIN pres b
-         |    ON a.doc_id = b.doc_id AND a.i < b.i
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT tok_a, tok_b, n_a, n_b, n_ab,
-         |  round(ln(CAST(n.n_docs AS DOUBLE) * n_ab / (n_a * n_b)), 6)
-         |    AS pmi
-         |FROM pair, n ORDER BY tok_a, tok_b""".stripMargin,
-    "sample_weighted" ->
-      s"""SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-         |  (${charFoldDuck("text")} * 2654435761 % $P)
-         |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS pri
-         |FROM documents
-         |ORDER BY pri, doc_id LIMIT $WsK""".stripMargin,
-    "sample_hash" ->
-      s"""SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761
-         |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_kept,
-         |  CAST(sum(CASE WHEN ${charFoldDuck("text")} * 2654435761
-         |    % 1000000007 % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
-         |    / CAST(count(*) AS BIGINT) AS rate
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "bigram_lm_heldout" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk,
-         |    ${charFoldDuck("text")} * 2654435761 % $P % 1000 AS bucket
-         |  FROM documents),
-         |tr AS (SELECT doc_id, tk FROM d WHERE bucket < 800),
-         |va AS (SELECT doc_id, tk FROM d
-         |  WHERE bucket >= 800 AND bucket < 900),
-         |bgt AS (
-         |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
-         |    tk[CAST(i + 1 AS INT)] AS w2
-         |  FROM tr, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
-         |bgv AS (
-         |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
-         |    tk[CAST(i + 1 AS INT)] AS w2
-         |  FROM va, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
-         |uni AS (
-         |  SELECT w, count(*) AS c1
-         |  FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
-         |v AS (SELECT count(*) AS vocab FROM uni),
-         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY w1, w2),
-         |lp AS (
-         |  SELECT bgv.doc_id,
-         |    CAST(round(ln((coalesce(bi.c2, 0) + CAST(1 AS DOUBLE))
-         |      / (coalesce(uni.c1, 0) + CAST(v.vocab AS DOUBLE)))
-         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
-         |  FROM bgv
-         |  LEFT JOIN bi ON bgv.w1 = bi.w1 AND bgv.w2 = bi.w2
-         |  LEFT JOIN uni ON bgv.w1 = uni.w
-         |  CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / count(*)
-         |    / CAST(1000000 AS DOUBLE), 4) AS avg_logp
-         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "quality_classifier" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
-        |  FROM documents),
-        |tok AS (SELECT doc_id, ref, unnest(tk) AS w FROM d),
-        |cnt AS (
-        |  SELECT w,
-        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-        |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
-        |  FROM tok GROUP BY w),
-        |tot AS (
-        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
-        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab
-        |  FROM cnt),
-        |pri AS (
-        |  SELECT CAST(round(ln(
-        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
-        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
-        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp
-        |  FROM d),
-        |m AS (
-        |  SELECT w,
-        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
-        |        / (tp + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
-        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
-        |        / (tn + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
-        |  FROM cnt CROSS JOIN tot),
-        |sc AS (
-        |  SELECT tok.doc_id, count(*) AS n_tokens,
-        |    CAST(sum(m.llr) AS BIGINT) AS sllr
-        |  FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id)
-        |SELECT doc_id, n_tokens,
-        |  round(CAST(sllr + pri.prior_fp AS DOUBLE)
-        |    / CAST(100 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS score,
-        |  sllr + pri.prior_fp > 0 AS pred_ref
-        |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin,
-    "audio_pitch_autocorr" -> {
-      // square wave of period p = 2(1 + len%8): the smallest perfect
-      // lag IS p, and every centered sample squares to 100² = 10000
-      """SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_samples,
-        |  CAST(2 * (1 + length(text) % 8) AS INT) AS period,
-        |  CAST((128 - 2 * (1 + length(text) % 8)) * 10000 AS BIGINT)
-        |    AS corr_at_period
-        |FROM documents ORDER BY media_id""".stripMargin
-    },
-    "mixture_weights" -> {
-      // α=0.5 scaling: mass = round(sqrt(tokens)·1e6) BIGINT before
-      // any summation, weights in exact ppm off the BIGINT total
-      """WITH p AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents GROUP BY source),
-        |m AS (
-        |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
-        |    AS BIGINT) AS mass_fp FROM p),
-        |t AS (SELECT CAST(sum(mass_fp) AS BIGINT) AS total_fp FROM m)
-        |SELECT source, n_docs, n_tokens, mass_fp,
-        |  mass_fp * 1000000 // total_fp AS weight_ppm
-        |FROM m, t ORDER BY source""".stripMargin
-    },
-    "shard_rendezvous" -> {
-      // same strict-> fold as the Spark aggregate: first (lowest-k)
-      // max wins ties; the same quadratic mod-P score (h²·M + h)
-      def am(n: Int): String =
-        s"""list_reduce(list_prepend([CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
-           |  list_transform(range(0, $n), k ->
-           |    [k, ((fp + k * 99991) % $P * ((fp + k * 99991) % $P)
-           |      % $P * 2654435761 + (fp + k * 99991) % $P) % $P])),
-           |  (acc, e) -> CASE WHEN e[2] > acc[2] THEN e ELSE acc END)[1]"""
-          .stripMargin
-      s"""WITH f AS (
-         |  SELECT ${charFoldDuck("text")} * 2654435761 % $P AS fp
-         |  FROM documents),
-         |a AS (SELECT ${am(8)} AS shard_8, ${am(9)} AS shard_9 FROM f)
-         |SELECT shard_8, shard_9, count(*) AS n_docs,
-         |  shard_8 <> shard_9 AS moved
-         |FROM a GROUP BY shard_8, shard_9
-         |ORDER BY shard_8, shard_9""".stripMargin
-    },
-    "epoch_shuffle" -> {
-      s"""WITH d AS (
-        |  SELECT doc_id, source, u.e AS epoch
-        |  FROM documents, LATERAL unnest(range(0, $ShuffleEpochs))
-        |    AS u(e)),
-        |h AS (
-        |  SELECT *, ((doc_id + epoch * 40503) * 2654435761) % $P AS h
-        |  FROM d),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY epoch, source
-        |    ORDER BY h, doc_id) AS rk FROM h)
-        |SELECT epoch, source, count(*) AS n_docs,
-        |  md5(string_agg(doc_id, ' ' ORDER BY rk)) AS order_md5,
-        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
-        |    AS first_doc
-        |FROM r GROUP BY epoch, source
-        |ORDER BY epoch, source""".stripMargin
-    },
-    "length_bucket_batches" -> {
-      s"""WITH d AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, source, ntok,
-        |    ${pow2CaseSql("ntok")} AS bucket
-        |  FROM d),
-        |r AS (
-        |  SELECT *, (row_number() OVER (PARTITION BY source, bucket
-        |    ORDER BY ntok, doc_id) - 1) // $LenBatch AS batch_id
-        |  FROM b)
-        |SELECT source, bucket, batch_id, count(*) AS n_docs,
-        |  CAST(max(ntok) AS BIGINT) AS max_len,
-        |  CAST(sum(ntok) AS BIGINT) AS sum_len,
-        |  CAST((count(*) * max(ntok) - sum(ntok)) * 1000000
-        |    // (count(*) * max(ntok)) AS BIGINT) AS pad_ppm
-        |FROM r GROUP BY source, bucket, batch_id
-        |ORDER BY source, bucket, batch_id""".stripMargin
-    },
-    "webdataset_export" ->
-      // the funnel survivors re-derived, then the per-shard facts:
-      // entries walk txt-then-cls per doc in ascending id order, so
-      // the md5 chain is string_agg over that exact order
-      s"""$funnelCtesSql,
-        |ex AS (
-        |  SELECT doc_id, strlen(text) AS tlen, md5(text) AS m1,
-        |    md5('label' || (doc_id % 10)) AS m2
-        |  FROM k4)
-        |SELECT doc_id // 64 AS shard_id,
-        |  count(*) AS n_docs,
-        |  CAST(2 * count(*) AS BIGINT) AS n_entries,
-        |  CAST(sum(tlen + 6) AS BIGINT) AS total_bytes,
-        |  md5(string_agg(m1 || ' ' || m2, ' ' ORDER BY doc_id))
-        |    AS entries_md5
-        |FROM ex GROUP BY 1 ORDER BY shard_id""".stripMargin,
-    "dedup_funnel" ->
-      s"""$funnelCtesSql
-        |SELECT '1_exact' AS stage,
-        |  (SELECT count(*) FROM docs) AS docs_in,
-        |  (SELECT count(*) FROM k1) AS docs_out,
-        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k1)
-        |    AS tokens_out
-        |UNION ALL SELECT '2_boiler',
-        |  (SELECT count(*) FROM k1), (SELECT count(*) FROM k2),
-        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k2)
-        |UNION ALL SELECT '3_short',
-        |  (SELECT count(*) FROM k2), (SELECT count(*) FROM k3),
-        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k3)
-        |UNION ALL SELECT '4_quality',
-        |  (SELECT count(*) FROM k3), (SELECT count(*) FROM k4),
-        |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM k4)
-        |ORDER BY stage""".stripMargin,
-    "classifier_calibration" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    CAST(substring(source, 4) AS INT) % 4 = 0 AS ref
-        |  FROM documents),
-        |tok AS (SELECT doc_id, ref, unnest(tk) AS w FROM d),
-        |cnt AS (
-        |  SELECT w,
-        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-        |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
-        |  FROM tok GROUP BY w),
-        |tot AS (
-        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
-        |    CAST(sum(cn) AS BIGINT) AS tn, count(*) AS vocab
-        |  FROM cnt),
-        |pri AS (
-        |  SELECT CAST(round(ln(
-        |      (sum(CASE WHEN ref THEN 1 ELSE 0 END) + CAST(1 AS DOUBLE))
-        |      / (sum(CASE WHEN ref THEN 0 ELSE 1 END) + CAST(1 AS DOUBLE)))
-        |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS prior_fp
-        |  FROM d),
-        |m AS (
-        |  SELECT w,
-        |    CAST(round(ln((cp + CAST(1 AS DOUBLE))
-        |        / (tp + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
-        |    - CAST(round(ln((cn + CAST(1 AS DOUBLE))
-        |        / (tn + CAST(vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS llr
-        |  FROM cnt CROSS JOIN tot),
-        |sc AS (
-        |  SELECT tok.doc_id, bool_or(tok.ref) AS ref,
-        |    CAST(sum(m.llr) AS BIGINT) AS sllr
-        |  FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id),
-        |bn AS (
-        |  SELECT (least(greatest(sllr + pri.prior_fp, -5000000), 4999999)
-        |    + 5000000) // 1000000 AS bin, ref
-        |  FROM sc CROSS JOIN pri)
-        |SELECT bin, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000000 // count(*) AS ref_ppm
-        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
-    "corpus_report" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, lang,
-         |    length(string_split(text, ' ')) AS n_tokens,
-         |    length(text) AS n_chars,
-         |    length(list_filter(string_split(text, ' '),
-         |      t -> t IN ('the', 'a'))) AS n_stop,
-         |    ${charFoldDuck("text")} AS h1,
-         |    ${charFoldDuck("reverse(text)")} AS h2
-         |  FROM documents),
-         |e AS (
-         |  SELECT source, lang, n_tokens, n_chars,
-         |    doc_id <> min(doc_id) OVER (PARTITION BY h1, h2, n_chars)
-         |      AS is_dup,
-         |    CASE WHEN n_tokens < 20 THEN 'short'
-         |      WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15
-         |        THEN 'stopwordy'
-         |      ELSE 'good' END AS q
-         |  FROM d)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         |  CAST(sum(CASE WHEN q = 'good' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_good,
-         |  CAST(sum(CASE WHEN q = 'short' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_short,
-         |  CAST(sum(CASE WHEN q = 'stopwordy' THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_stopwordy,
-         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dups,
-         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-         |    / CAST(count(*) AS BIGINT) AS dup_rate
-         |FROM e GROUP BY source ORDER BY source""".stripMargin,
-    "corpus_split" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source,
-         |    CAST(${charFoldDuck("text")} * 2654435761 % $P % 1000
-         |      AS BIGINT) AS bucket
-         |  FROM documents)
-         |SELECT doc_id, source, bucket,
-         |  CASE WHEN bucket < 800 THEN 'train'
-         |    WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
-         |FROM d ORDER BY doc_id""".stripMargin,
-    "quantile_sketch" ->
-      s"""WITH v AS (
-         |  SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS x
-         |  FROM documents),
-         |b AS (
-         |  SELECT min(x) AS mn, max(x) AS mx,
-         |    CAST(count(*) AS BIGINT) AS n, list_sort(list(x)) AS srt
-         |  FROM v),
-         |h AS (
-         |  SELECT (x - mn) * $QsBins // (mx - mn + 1) AS bin, count(*) AS c
-         |  FROM v, b GROUP BY 1),
-         |cm AS (
-         |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
-         |q(q_ppm) AS (VALUES (CAST(500000 AS BIGINT)), (900000), (990000)),
-         |k AS (
-         |  SELECT q_ppm, (q_ppm * n + 999999) // 1000000 AS kidx FROM q, b),
-         |e AS (
-         |  SELECT q_ppm, kidx, min(bin) AS qbin
-         |  FROM k JOIN cm ON cm.cum >= k.kidx GROUP BY 1, 2)
-         |SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
-         |  CAST(mn + ((qbin + 1) * (mx - mn + 1) + ${QsBins - 1})
-         |    // $QsBins - 1 AS BIGINT) AS est,
-         |  CAST(srt[CAST(kidx AS INT)] AS BIGINT) AS exact,
-         |  CAST(mn + ((qbin + 1) * (mx - mn + 1) + ${QsBins - 1})
-         |    // $QsBins - 1 - srt[CAST(kidx AS INT)] AS BIGINT) AS err
-         |FROM e, b ORDER BY q_ppm""".stripMargin,
-    "embedding_rp" -> {
-      s"""$vecsCte,
-         |rp AS (
-         |  SELECT vec_id, v, nrm, ${rpListDuck("v")} AS r
-         |  FROM n WHERE vec_id < 16),
-         |rr AS (
-         |  SELECT vec_id, v, nrm, r,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(r, x -> x * x)), (s, t) -> s + t)) AS rn
-         |  FROM rp)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
-         |    (s, t) -> s + t) / (a.nrm * b.nrm) AS cos_full,
-         |  CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, ${RpDim + 1}),
-         |        i -> a.r[i] * b.r[i])),
-         |      (s, t) -> s + t) / (a.rn * b.rn) END AS cos_rp
-         |FROM rr a JOIN rr b ON a.vec_id < b.vec_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-    "embedding_pq" -> {
-      s"""$vecsCte,
-         |${pqAfCtes()},
-         |rec AS (
-         |  SELECT af.vec_id, flatten(list(b.c ORDER BY af.j)) AS r
-         |  FROM af JOIN b$PqIters b ON b.j = af.j AND b.k = af.k
-         |  GROUP BY af.vec_id),
-         |rr AS (
-         |  SELECT n.vec_id, n.v, n.nrm, rec.r,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(rec.r, x -> x * x)), (s, t) -> s + t)) AS rn
-         |  FROM n JOIN rec USING (vec_id) WHERE n.vec_id < 16)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
-         |    (s, t) -> s + t) / (a.nrm * b.nrm) AS cos_full,
-         |  CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65), i -> a.r[i] * b.r[i])),
-         |      (s, t) -> s + t) / (a.rn * b.rn) END AS cos_pq
-         |FROM rr a JOIN rr b ON a.vec_id < b.vec_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-    "embedding_q8" -> {
-      val recDuck = "list_transform(range(1, 65), i -> CASE " +
-        "WHEN g.hi[i] = g.lo[i] THEN g.lo[i] " +
-        "ELSE g.lo[i] + round((v[i] - g.lo[i]) / (g.hi[i] - g.lo[i]) " +
-        "* 255) / 255.0 * (g.hi[i] - g.lo[i]) END)"
-      s"""$vecsCte,
-         |dimstats AS (
-         |  SELECT u.i, min(v[u.i]) AS lo, max(v[u.i]) AS hi
-         |  FROM n, LATERAL unnest(range(1, 65)) AS u(i)
-         |  GROUP BY u.i),
-         |g AS (
-         |  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
-         |  FROM dimstats),
-         |rp AS (
-         |  SELECT vec_id, v, nrm, $recDuck AS r
-         |  FROM n, g WHERE vec_id < 16),
-         |rr AS (
-         |  SELECT vec_id, v, nrm, r,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(r, x -> x * x)), (s, t) -> s + t)) AS rn
-         |  FROM rp)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
-         |    (s, t) -> s + t) / (a.nrm * b.nrm) AS cos_full,
-         |  CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65), i -> a.r[i] * b.r[i])),
-         |      (s, t) -> s + t) / (a.rn * b.rn) END AS cos_q8
-         |FROM rr a JOIN rr b ON a.vec_id < b.vec_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-    "dedup_exact" ->
-      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
-        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "frame_sample" ->
-      s"""WITH f AS (
-         |  SELECT doc_id AS media_id, i AS frame_idx,
-         |    substr(text, CAST(i AS INT) * 64 + 1, 64) AS frame
-         |  FROM documents,
-         |    LATERAL unnest(range(0, (length(text) + 63) // 64)) AS u(i)
-         |  WHERE i % 3 = 0 AND length(text) = strlen(text) AND length(text) > 0)
-         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-         |  CAST(length(frame) AS INT) AS frame_len,
-         |  ${charFoldDuck("frame")} AS frame_hash,
-         |  substr(frame, 1, 8) AS frame_head
-         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    "lang_id" ->
-      s"""$langIdSqlCtes
-         |SELECT doc_id, lang, $langIdArgmax AS predicted
-         |FROM sc ORDER BY doc_id""".stripMargin,
-    "lang_confusion" ->
-      s"""$langIdSqlCtes,
-         |pred AS (
-         |  SELECT lang, $langIdArgmax AS predicted FROM sc),
-         |cm AS (
-         |  SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
-         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
-         |  FROM cm GROUP BY 1)
-         |SELECT cm.lang, cm.predicted, cm.n, tot.n_true,
-         |  cm.n * 1000000 // tot.n_true AS frac_ppm
-         |FROM cm JOIN tot USING (lang)
-         |ORDER BY lang, predicted""".stripMargin,
-    "token_stats" ->
-      """SELECT doc_id,
-        |  length(string_split(text, ' ')) AS n_tokens,
-        |  length(list_distinct(string_split(text, ' '))) AS n_unique,
-        |  length(text) AS n_chars_m
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_quality_full" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    length(string_split(text, ' ')) AS n_tokens,
-        |    length(text) AS n_chars,
-        |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
-        |    length(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the', 'a'))) AS n_stop
-        |  FROM documents)
-        |SELECT doc_id, n_tokens, n_chars,
-        |  n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
-        |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-        |  (n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)
-        |    AS mean_tok_len,
-        |  CASE WHEN n_tokens < 20 THEN 'short'
-        |       WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.1
-        |         THEN 'punct_heavy'
-        |       WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.15
-        |         THEN 'stopwordy'
-        |       ELSE 'keep' END AS label
-        |FROM q ORDER BY doc_id""".stripMargin,
-    "winnow_fingerprint" ->
-      s"""WITH kg AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, greatest(length(text) - 6, 2)),
-         |      i -> ${charFoldDuck("substr(text, CAST(i AS INT), 8)")})
-         |      AS kg
-         |  FROM documents),
-         |fp AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(length(kg) - 2, 2)),
-         |      j -> list_min(kg[CAST(j AS INT):CAST(j + 3 AS INT)])))
-         |      AS fps
-         |  FROM kg)
-         |SELECT doc_id, length(fps) AS n_fps,
-         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
-         |FROM fp ORDER BY doc_id""".stripMargin,
-    "bm25" -> {
-      val tf = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"length(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n|    ")
-      val df = Bm25Terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n|    ")
-      val idf = Bm25Terms.indices.map(i =>
-        s"round(ln(CAST(1 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / " +
-          s"(df$i + CAST(0.5 AS DOUBLE))), 6) AS idf$i").mkString(",\n|    ")
-      val score = Bm25Terms.indices.map(i =>
-        s"idf$i * (tf$i * (CAST(1.2 AS DOUBLE) + 1)) / " +
-          s"(tf$i + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))")
-        .mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk,
-         |    length(string_split(text, ' ')) AS dl
-         |  FROM documents),
-         |t AS (
-         |  SELECT doc_id, dl,
-         |    $tf
-         |  FROM d),
-         |raw AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |    $df
-         |  FROM t),
-         |st AS (
-         |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
-         |    $idf
-         |  FROM raw),
-         |scored AS (
-         |  SELECT doc_id, dl AS n_tokens,
-         |    round($score, 4) AS score
-         |  FROM t, st)
-         |SELECT doc_id, n_tokens, score FROM scored
-         |WHERE score > 0
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
-    "rrf_fusion" -> {
-      val tf = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"length(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n|    ")
-      val df = Bm25Terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n|    ")
-      val bmIdf = Bm25Terms.indices.map(i =>
-        s"round(ln(CAST(1 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / " +
-          s"(df$i + CAST(0.5 AS DOUBLE))), 6) AS idf$i").mkString(",\n|    ")
-      val bmScore = Bm25Terms.indices.map(i =>
-        s"idf$i * (tf$i * (CAST(1.2 AS DOUBLE) + 1)) / " +
-          s"(tf$i + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))")
-        .mkString(" + ")
-      val tfIdf = Bm25Terms.indices.map(i =>
-        s"round(ln(CAST(n_docs AS DOUBLE) / df$i), 6) AS jdf$i").mkString(",\n|    ")
-      val tfScore = Bm25Terms.indices.map(i => s"tf$i * jdf$i").mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk,
-         |    length(string_split(text, ' ')) AS dl
-         |  FROM documents),
-         |t AS (
-         |  SELECT doc_id, dl,
-         |    $tf
-         |  FROM d),
-         |raw AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |    $df
-         |  FROM t),
-         |st AS (
-         |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
-         |    $bmIdf,
-         |    $tfIdf
-         |  FROM raw),
-         |bm AS (
-         |  SELECT doc_id, rank_bm FROM (
-         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-         |      AS rank_bm
-         |    FROM (SELECT doc_id, round($bmScore, 4) AS score FROM t, st
-         |          WHERE round($bmScore, 4) > 0
-         |          ORDER BY score DESC, doc_id LIMIT 20))),
-         |tfr AS (
-         |  SELECT doc_id, rank_tf FROM (
-         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-         |      AS rank_tf
-         |    FROM (SELECT doc_id, round($tfScore, 4) AS score FROM t, st
-         |          WHERE round($tfScore, 4) > 0
-         |          ORDER BY score DESC, doc_id LIMIT 20)))
-         |SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
-         |  coalesce(bm.rank_bm, 0) AS rank_bm,
-         |  coalesce(tfr.rank_tf, 0) AS rank_tf,
-         |  coalesce($RrfScale // ($RrfK + bm.rank_bm), 0)
-         |    + coalesce($RrfScale // ($RrfK + tfr.rank_tf), 0) AS rrf_fp
-         |FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id
-         |ORDER BY rrf_fp DESC, doc_id""".stripMargin
-    },
-    "bigram_lm" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |bg AS (
-        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1,
-        |    tk[CAST(i + 1 AS INT)] AS w2
-        |  FROM d, UNNEST(range(1, greatest(length(tk), 1))) r(i)),
-        |uni AS (
-        |  SELECT w, count(*) AS c1
-        |  FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
-        |v AS (SELECT count(*) AS vocab FROM uni),
-        |lp AS (
-        |  SELECT bg.doc_id,
-        |    CAST(round(ln((bi.c2 + CAST(1 AS DOUBLE))
-        |      / (uni.c1 + CAST(v.vocab AS DOUBLE)))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
-        |  FROM bg
-        |  JOIN (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2) bi
-        |    ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
-        |  JOIN uni ON bg.w1 = uni.w
-        |  CROSS JOIN v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / count(*)
-        |    / CAST(1000000 AS DOUBLE), 4) AS avg_logp
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "doc_chunks" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    length(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, tk,
-        |    UNNEST(range(0, greatest(CAST(ceil((n - 16) / 48.0) AS BIGINT), 1)))
-        |      AS chunk_id
-        |  FROM d)
-        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
-        |  length(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tok,
-        |  array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
-        |    AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-    "seq_pack" ->
-      """WITH d AS (
-        |  SELECT source, doc_id,
-        |    length(string_split(text, ' ')) AS n_tokens
-        |  FROM documents),
-        |o AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
-        |  FROM d)
-        |SELECT source, doc_id, n_tokens, start_off,
-        |  start_off // 256 AS seq_id,
-        |  (start_off + n_tokens - 1) // 256 <> start_off // 256 AS spans_boundary
-        |FROM o ORDER BY source, doc_id""".stripMargin,
-    "corpus_filter" ->
-      s"""$corpusFilterCtes
-         |SELECT doc_id, reason = 'keep' AS keep, reason
-         |FROM r ORDER BY doc_id""".stripMargin,
-    "prepare_corpus" ->
-      s"""$corpusFilterCtes,
-         |kept AS (
-         |  SELECT d2.doc_id, d2.source, string_split(d2.text, ' ') AS tk
-         |  FROM documents d2 JOIN r ON d2.doc_id = r.doc_id
-         |  WHERE r.reason = 'keep'),
-         |ch AS (
-         |  SELECT source, doc_id, CAST(i AS INT) AS chunk_id,
-         |    CAST(len(tk[CAST(i * 48 + 1 AS INT) : CAST(i * 48 + 64 AS INT)])
-         |      AS INT) AS n_tok
-         |  FROM kept, LATERAL unnest(range(0,
-         |    greatest(CAST(ceil((len(tk) - 16) / 48.0) AS INT), 1))) AS u(i)),
-         |p AS (
-         |  SELECT source, doc_id, chunk_id, n_tok,
-         |    CAST(sum(n_tok) OVER (PARTITION BY source
-         |      ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
-         |      AS BIGINT) - n_tok AS start_off
-         |  FROM ch)
-         |SELECT source, doc_id, chunk_id, n_tok, start_off,
-         |  start_off // 256 AS seq_id,
-         |  (start_off + n_tok - 1) // 256 <> start_off // 256
-         |    AS spans_boundary
-         |FROM p ORDER BY source, doc_id, chunk_id""".stripMargin,
-    "cms_heavy_hitters" ->
-      s"""WITH tk AS (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-         |c AS (
-         |  SELECT tok, count(*) AS n, ${charFoldDuck("tok")} % $P AS h
-         |  FROM tk GROUP BY tok),
-         |cell AS (
-         |  SELECT u.r,
-         |    c.h * CASE u.r ${CmsMul.zipWithIndex.map { case (m, i) =>
-                 s"WHEN $i THEN $m" }.mkString(" ")} ELSE 0 END
-         |      % $P % $CmsW AS b,
-         |    c.n
-         |  FROM c, (VALUES (0), (1), (2), (3)) u(r)),
-         |sk AS (
-         |  SELECT r, b, CAST(sum(n) AS BIGINT) AS cnt
-         |  FROM cell GROUP BY r, b),
-         |top AS (
-         |  SELECT tok, n, h FROM c ORDER BY n DESC, tok LIMIT 20),
-         |probe AS (
-         |  SELECT t.tok, t.n, u.r,
-         |    t.h * CASE u.r ${CmsMul.zipWithIndex.map { case (m, i) =>
-                 s"WHEN $i THEN $m" }.mkString(" ")} ELSE 0 END
-         |      % $P % $CmsW AS b
-         |  FROM top t, (VALUES (0), (1), (2), (3)) u(r))
-         |SELECT p.tok, p.n, min(sk.cnt) AS cms_est,
-         |  min(sk.cnt) - p.n AS err
-         |FROM probe p JOIN sk USING (r, b)
-         |GROUP BY p.tok, p.n
-         |ORDER BY n DESC, tok""".stripMargin,
-    "bloom_dedup" -> {
-      def panelSql(m: Int): String =
-        s"""SELECT source, CAST($m AS BIGINT) AS m_bits,
-           |  count(*) AS n_in,
-           |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS true_dup,
-           |  CAST(sum(CASE WHEN hit_$m THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS bloom_pos,
-           |  CAST(sum(CASE WHEN hit_$m AND NOT dup THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS false_pos,
-           |  CAST(sum(CASE WHEN dup AND NOT hit_$m THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS false_neg,
-           |  CAST(sum(CASE WHEN hit_$m AND NOT dup THEN 1 ELSE 0 END)
-           |    * 1000000 // greatest(count(*) -
-           |    sum(CASE WHEN dup THEN 1 ELSE 0 END), 1) AS BIGINT)
-           |    AS fp_ppm
-           |FROM inc GROUP BY source""".stripMargin
-      s"""WITH fp AS (
-         |  SELECT doc_id, source,
-         |    ${charFoldDuck("text")} * 2654435761 % $P AS h,
-         |    doc_id % 10 < 8 AS in_corpus,
-         |    doc_id % 10 >= 6 AS incoming
-         |  FROM documents),
-         |${BloomMs.map(m =>
-            s"""pos_$m AS (
-               |  SELECT DISTINCT p FROM (
-               |    SELECT unnest([${CmsMul.map(mu =>
-                      s"h * $mu % $P % $m").mkString(", ")}]) AS p
-               |    FROM fp WHERE in_corpus))""".stripMargin)
-            .mkString(",\n")},
-         |cset AS (SELECT DISTINCT h FROM fp WHERE in_corpus),
-         |inc AS (
-         |  SELECT source, h,
-         |    ${BloomMs.map(m => CmsMul.map(mu =>
-                s"(h * $mu % $P % $m IN (SELECT p FROM pos_$m))")
-                .mkString("(", " AND ", s") AS hit_$m")).mkString(",\n    ")},
-         |    h IN (SELECT h FROM cset) AS dup
-         |  FROM fp WHERE incoming)
-         |${BloomMs.map(panelSql).mkString("\nUNION ALL\n")}
-         |ORDER BY m_bits, source""".stripMargin
-    },
-    "kmv_distinct" ->
-      s"""WITH e AS (
-         |  SELECT source, unnest(list_transform(string_split(text, ' '),
-         |    t -> ${charFoldDuck("t")} * 2654435761 % $P)) AS h
-         |  FROM documents),
-         |g AS (
-         |  SELECT source, count(DISTINCT h) AS true_distinct,
-         |    list_sort(list_distinct(list(h))) AS hs
-         |  FROM e GROUP BY source)
-         |SELECT source, true_distinct,
-         |  CASE WHEN length(hs) < $KmvK THEN CAST(length(hs) AS DOUBLE)
-         |    ELSE ${KmvK - 1}.0 * $P / greatest(hs[$KmvK], 1) END
-         |    AS kmv_estimate
-         |FROM g ORDER BY source""".stripMargin,
-    "source_overlap" ->
-      s"""WITH e AS (
-         |  SELECT DISTINCT source, h FROM (
-         |    SELECT source, unnest(list_transform(string_split(text, ' '),
-         |      t -> ${charFoldDuck("t")} * 2654435761 % $P)) AS h
-         |    FROM documents)),
-         |ps AS (
-         |  SELECT source, count(*) AS nd,
-         |    (list_sort(list(h)))[1:$KmvK] AS ks
-         |  FROM e GROUP BY source),
-         |it AS (
-         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
-         |  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
-         |  GROUP BY 1, 2),
-         |kv AS (
-         |  SELECT it.src_a, it.src_b, it.common, pa.nd AS nd_a,
-         |    pb.nd AS nd_b, pa.ks AS ks_a, pb.ks AS ks_b,
-         |    (list_sort(list_distinct(list_concat(pa.ks, pb.ks))))[1:$KmvK]
-         |      AS uk
-         |  FROM it JOIN ps pa ON it.src_a = pa.source
-         |          JOIN ps pb ON it.src_b = pb.source),
-         |k2 AS (
-         |  SELECT src_a, src_b, common, nd_a, nd_b, length(uk) AS kmv_k,
-         |    length(list_filter(uk, x -> list_contains(ks_a, x)
-         |      AND list_contains(ks_b, x))) AS kmv_common
-         |  FROM kv)
-         |SELECT src_a, src_b,
-         |  round(CAST(common AS DOUBLE) / (nd_a + nd_b - common), 4)
-         |    AS jacc_exact,
-         |  kmv_common, kmv_k,
-         |  round(kmv_common / CAST(kmv_k AS DOUBLE), 4) AS jacc_est
-         |FROM k2 ORDER BY src_a, src_b""".stripMargin,
-    "text_normalize" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    text || CASE WHEN doc_id % 5 = 0 THEN '$NfcProbe'
-         |      ELSE '' END AS txt
-         |  FROM documents)
-         |SELECT doc_id, doc_id % 5 = 0 AS injected,
-         |  length(txt) AS n_before,
-         |  length(nfc_normalize(txt)) AS n_after,
-         |  length(txt) <> length(nfc_normalize(txt)) AS changed,
-         |  nfc_normalize(txt) AS norm_text
-         |FROM t ORDER BY doc_id""".stripMargin,
-    "vocab_coverage" ->
-      """WITH uni AS (
-        |  SELECT w, count(*) AS c
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
-        |top AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
-        |r AS (
-        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk,
-        |    CAST(sum(c) OVER (ORDER BY c DESC, w
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM top)
-        |SELECT rk AS vocab_rank, cum AS covered_tokens,
-        |  total AS total_tokens,
-        |  round(CAST(cum AS DOUBLE) / total, 4) AS coverage
-        |FROM r CROSS JOIN tot
-        |WHERE rk IN (1, 2, 4, 8, 16, 32, 64) ORDER BY rk""".stripMargin,
-    "tfidf_terms" ->
-      """WITH tf AS (
-        |  SELECT doc_id, w, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |  GROUP BY doc_id, w),
-        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.w AS term, tf.tf,
-        |    round(tf.tf * round(ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6), 4)
-        |      AS score
-        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN nd)
-        |SELECT doc_id, term, tf, score, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, term) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
-    "token_stats_bpe" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    regexp_extract_all(text, '${BpePattern.replace("'", "''")}')
-         |      AS toks
-         |  FROM documents)
-         |SELECT doc_id, length(toks) AS n_tokens,
-         |  length(list_distinct(toks)) AS n_unique
-         |FROM t ORDER BY doc_id""".stripMargin,
-    "char_entropy" ->
-      """WITH t AS (
-        |  SELECT doc_id, length(text) AS n, string_split(text, '') AS chs
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, n,
-        |    list_transform(list_distinct(chs), ch ->
-        |      len(list_filter(chs, c -> c = ch))) AS cnts
-        |  FROM t)
-        |SELECT doc_id, n, len(cnts) AS n_distinct,
-        |  round(CAST(list_sum(list_transform(cnts, c -> c *
-        |    CAST(round(ln(n / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)))
-        |    AS DOUBLE) / n / 1000000.0, 4) AS entropy
-        |FROM h ORDER BY doc_id""".stripMargin,
-    "text_quality" ->
-      """SELECT doc_id,
-        |  length(string_split(text, ' ')) AS n_tokens,
-        |  length(list_filter(string_split(text, ' '),
-        |    t -> t IN ('the', 'a'))) / CAST(length(string_split(text, ' '))
-        |    AS DOUBLE) AS stop_ratio,
-        |  CASE WHEN length(string_split(text, ' ')) < 20 THEN 'short'
-        |    WHEN length(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the', 'a'))) / CAST(length(string_split(text, ' '))
-        |      AS DOUBLE) > 0.15 THEN 'stopwordy'
-        |    ELSE 'good' END AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "doc_fingerprint" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, ${charFoldDuck("text")} AS fp FROM documents)
-         |SELECT doc_id, fp,
-         |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
-         |FROM f ORDER BY doc_id""".stripMargin,
-    "embedding_topk" ->
-      s"""$vecsCte,
-         |p AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-         |    $cosDuck AS cosine
-         |  FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
-         |r AS (
-         |  SELECT qid, vec_id, cosine,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM p)
-         |SELECT qid, rank, vec_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-    "embedding_neardup" ->
-      s"""$vecsCte
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosDuck AS cosine
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE $cosDuck >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-    "minhash_recall" ->
-      s"""$minhashPairsCtes,
-         |e2 AS (SELECT doc_id, unnest(th) AS sh FROM th),
-         |tp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM e2 a JOIN e2 b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |tr AS (
-         |  SELECT tp.doc_a, tp.doc_b,
-         |    length(list_intersect(ta.th, tb.th))
-         |      / CAST(length(list_distinct(ta.th || tb.th)) AS DOUBLE)
-         |      AS jaccard
-         |  FROM tp JOIN th ta ON tp.doc_a = ta.doc_id
-         |          JOIN th tb ON tp.doc_b = tb.doc_id),
-         |tj AS (SELECT * FROM tr WHERE jaccard >= 0.5),
-         |sc AS (
-         |  SELECT t.jaccard,
-         |    CASE WHEN mp.doc_a IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM tj t LEFT JOIN mp
-         |    ON t.doc_a = mp.doc_a AND t.doc_b = mp.doc_b),
-         |pw AS (
-         |  SELECT hit, jaccard * jaccard AS j2 FROM sc),
-         |pw2 AS (SELECT hit, j2 * j2 AS j4 FROM pw),
-         |pw3 AS (SELECT hit, j4 * j4 AS j8 FROM pw2),
-         |fp AS (
-         |  SELECT hit,
-         |    CAST(round((CAST(1 AS DOUBLE) - (CAST(1 AS DOUBLE) - j8)
-         |      * (CAST(1 AS DOUBLE) - j8)) * CAST(1000000 AS DOUBLE))
-         |      AS BIGINT) AS p_fp
-         |  FROM pw3)
-         |SELECT CAST(count(*) AS BIGINT) AS n_true,
-         |  CAST(sum(hit) AS BIGINT) AS n_caught,
-         |  round(CAST(sum(hit) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
-         |    AS recall,
-         |  round(CAST(CAST(sum(p_fp) AS BIGINT) AS DOUBLE) / count(*)
-         |    / CAST(1000000 AS DOUBLE), 4) AS expected_recall
-         |FROM fp""".stripMargin,
-    "minhash_lsh" ->
-      s"""$minhashPairsCtes
-         |SELECT doc_a, doc_b, jaccard FROM v
-         |WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_keep_best" ->
-      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
-         |e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM mp
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM mp),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
-         |  WHERE r.lbl < e.dst),
-         |c AS (
-         |  SELECT node AS doc_id, min(lbl) AS cluster
-         |  FROM reach GROUP BY node),
-         |q AS (
-         |  SELECT doc_id, length(string_split(text, ' ')) AS n_tokens
-         |  FROM documents),
-         |j AS (
-         |  SELECT q.doc_id, q.n_tokens, c.cluster
-         |  FROM q JOIN c ON q.doc_id = c.doc_id)
-         |SELECT doc_id, cluster, n_tokens,
-         |  first_value(doc_id) OVER (PARTITION BY cluster
-         |    ORDER BY n_tokens DESC, doc_id) AS best_doc,
-         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster
-         |    ORDER BY n_tokens DESC, doc_id) AS keep
-         |FROM j ORDER BY doc_id""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
-         |e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM mp
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM mp),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON r.node = e.src
-         |  WHERE r.lbl < e.dst)
-         |SELECT node AS doc_id, min(lbl) AS keeper,
-         |  min(lbl) <> node AS is_dup
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-    "simhash" ->
-      s"""$thCte
-         |SELECT doc_id, $simhashDuck AS simhash16
-         |FROM th ORDER BY doc_id""".stripMargin,
-    "simhash_neardup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, list_transform(string_split(text, ' '),
-         |    t -> ${charFoldDuck("t")}) AS th
-         |  FROM documents),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(0, 30), b ->
-         |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |          list_transform(th, h ->
-         |            CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
-         |                 ELSE CAST(-1 AS BIGINT) END)),
-         |          (s, t) -> s + t) > 0
-         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, x) -> a + x) AS sig30
-         |  FROM t),
-         |bands AS (
-         |  SELECT doc_id, sig30, 0 AS band, sig30 & 32767 AS key
-         |  FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, sig30, 1 AS band, (sig30 >> 15) & 32767
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.sig30 AS sa, b.sig30 AS sb
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |    AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    "ngram_jaccard" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |    list_transform(string_split(text, ' '),
-         |      t -> ${charFoldDuck("t")}) AS th
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, source,
-         |    list_distinct(list_transform(range(1, length(th) - 1), i ->
-         |      ((th[i] * 31 + th[i + 1]) % $P * 31 + th[i + 2]) % $P)) AS sh
-         |  FROM t)
-         |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  length(list_intersect(a.sh, b.sh))
-         |    / CAST(length(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-         |FROM sh a JOIN sh b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
-    "ann_ivf" -> annIvfOracle,
-    "ann_ivf_trained" -> annIvfTrainedOracle,
-    "ann_ivfpq" -> annIvfPqOracle,
-    "ann_lsh_multi" -> annLshMultiOracle,
-    "embedding_neardup_lsh" -> embeddingNeardupLshOracle,
-    "embedding_neardup_recall" -> embeddingNeardupRecallOracle,
-    "knn_label_acc" ->
-      s"""$vecsCte,
-         |lb AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-         |panel AS (
-         |  SELECT vec_id FROM n
-         |  ORDER BY vec_id * 2654435761 % $P, vec_id
-         |  LIMIT $RecallQueries),
-         |p0 AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cosDuck AS c
-         |  FROM (SELECT n.* FROM n JOIN panel USING (vec_id)) a
-         |  JOIN n b ON a.vec_id <> b.vec_id),
-         |tr AS (
-         |  SELECT vec_id, nn_id AS true_nn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, nn_id) AS rk FROM p0)
-         |  WHERE rk = 1),
-         |j AS (
-         |  SELECT ql.label,
-         |    CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS ok
-         |  FROM tr JOIN lb ql ON ql.vec_id = tr.vec_id
-         |          JOIN lb nl ON nl.vec_id = tr.true_nn)
-         |SELECT label, count(*) AS n_q, CAST(sum(ok) AS BIGINT) AS n_correct,
-         |  CAST(sum(ok) AS BIGINT) * 1000000 // count(*) AS acc_ppm
-         |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
-    "ann_recall" ->
-      s"""$vecsCte,
-         |panel AS (
-         |  SELECT vec_id FROM n
-         |  ORDER BY vec_id * 2654435761 % $P, vec_id
-         |  LIMIT $RecallQueries),
-         |p0 AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cosDuck AS c
-         |  FROM (SELECT n.* FROM n JOIN panel USING (vec_id)) a
-         |  JOIN n b ON a.vec_id <> b.vec_id),
-         |tr AS (
-         |  SELECT vec_id, nn_id AS true_nn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, nn_id) AS rk FROM p0)
-         |  WHERE rk = 1),
-         |lsh AS (SELECT vec_id, nn_id FROM ($annLshMultiOracle)),
-         |ivf AS (SELECT vec_id, nn_id FROM ($annIvfOracle)),
-         |ivft AS (SELECT vec_id, nn_id FROM ($annIvfTrainedOracle)),
-         |rpv AS (SELECT vec_id, ${rpListDuck("v")} AS r FROM n),
-         |rpn AS (
-         |  SELECT vec_id, r,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(r, x -> x * x)), (s, t) -> s + t)) AS rn
-         |  FROM rpv),
-         |rp0 AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         |    CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
-         |      ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(range(1, ${RpDim + 1}),
-         |          i -> a.r[i] * b.r[i])), (s, t) -> s + t)
-         |        / (a.rn * b.rn) END AS c
-         |  FROM (SELECT rpn.* FROM rpn JOIN panel USING (vec_id)) a
-         |  JOIN rpn b ON a.vec_id <> b.vec_id),
-         |rp AS (
-         |  SELECT vec_id, nn_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, nn_id) AS rk FROM rp0)
-         |  WHERE rk = 1),
-         |q8d AS (
-         |  SELECT u.i, min(v[u.i]) AS lo, max(v[u.i]) AS hi
-         |  FROM n, LATERAL unnest(range(1, 65)) AS u(i)
-         |  GROUP BY u.i),
-         |q8g AS (
-         |  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
-         |  FROM q8d),
-         |q8v AS (
-         |  SELECT vec_id, list_transform(range(1, 65), i -> CASE
-         |    WHEN q8g.hi[i] = q8g.lo[i] THEN q8g.lo[i]
-         |    ELSE q8g.lo[i] + round((v[i] - q8g.lo[i])
-         |      / (q8g.hi[i] - q8g.lo[i]) * 255) / 255.0
-         |      * (q8g.hi[i] - q8g.lo[i]) END) AS r
-         |  FROM n, q8g),
-         |q8n AS (
-         |  SELECT vec_id, r,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(r, x -> x * x)), (s, t) -> s + t)) AS rn
-         |  FROM q8v),
-         |q80 AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         |    CASE WHEN a.rn * b.rn = 0 THEN CAST(0 AS DOUBLE)
-         |      ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(range(1, 65),
-         |          i -> a.r[i] * b.r[i])), (s, t) -> s + t)
-         |        / (a.rn * b.rn) END AS c
-         |  FROM (SELECT q8n.* FROM q8n JOIN panel USING (vec_id)) a
-         |  JOIN q8n b ON a.vec_id <> b.vec_id),
-         |q8 AS (
-         |  SELECT vec_id, nn_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, nn_id) AS rk FROM q80)
-         |  WHERE rk = 1),
-         |${pqAfCtes()},
-         |adclut AS (
-         |  SELECT q.vec_id AS qid, q.j, b.k,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 9),
-         |        i -> q.sv[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
-         |      (s, t) -> s + t) AS qd,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 9),
-         |        i -> b.c[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
-         |      (s, t) -> s + t) AS cn2
-         |  FROM (SELECT sv.* FROM sv JOIN panel USING (vec_id)) q
-         |  JOIN b$PqIters b USING (j)),
-         |adc0 AS (
-         |  SELECT l.qid, af.vec_id AS nn_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(l.qd ORDER BY l.j)), (s, t) -> s + t) AS ip,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(l.cn2 ORDER BY l.j)), (s, t) -> s + t) AS rn2
-         |  FROM af JOIN adclut l ON l.j = af.j AND l.k = af.k
-         |  GROUP BY l.qid, af.vec_id),
-         |adc1 AS (
-         |  SELECT adc0.qid AS vec_id, adc0.nn_id,
-         |    CASE WHEN adc0.rn2 <= 0 OR qn.nrm = 0 THEN CAST(0 AS DOUBLE)
-         |      ELSE adc0.ip / (qn.nrm * sqrt(adc0.rn2)) END AS c
-         |  FROM adc0 JOIN n qn ON qn.vec_id = adc0.qid
-         |  WHERE adc0.nn_id <> adc0.qid),
-         |pqa AS (
-         |  SELECT vec_id, nn_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, nn_id) AS rk FROM adc1)
-         |  WHERE rk = 1)
-         |SELECT 'ivf' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN i.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN i.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN ivf i USING (vec_id)
-         |UNION ALL
-         |SELECT 'ivf_trained' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN t2.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN t2.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN ivft t2 USING (vec_id)
-         |UNION ALL
-         |SELECT 'lsh_multi' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN l.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN l.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN lsh l USING (vec_id)
-         |UNION ALL
-         |SELECT 'rp_brute' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN r3.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN r3.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN rp r3 USING (vec_id)
-         |UNION ALL
-         |SELECT 'q8_brute' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN q4.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN q4.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN q8 q4 USING (vec_id)
-         |UNION ALL
-         |SELECT 'pq_adc' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN p5.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN p5.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN pqa p5 USING (vec_id)
-         |UNION ALL
-         |SELECT 'ivfpq' AS method, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN p6.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN p6.nn_id = tr.true_nn THEN 1 ELSE 0 END)
-         |    AS BIGINT) / count(*) AS recall_at_1
-         |FROM tr LEFT JOIN
-         |  (SELECT vec_id, nn_id FROM ($annIvfPqOracle)) p6 USING (vec_id)
-         |ORDER BY method""".stripMargin,
-    "ann_lsh" ->
-      s"""$vecsCte,
-         |bk AS (
-         |  SELECT vec_id, v, nrm,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(0, 8), k ->
-         |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(range(1, 65), d ->
-         |            CAST((k * 64 + d - 1) * 2654435761 % 1000 - 500
-         |              AS DOUBLE) * v[CAST(d AS INT)])),
-         |          (s, t) -> s + t) >= 0
-         |        THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, x) -> a + x) AS bucket
-         |  FROM n),
-         |p AS (
-         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
-         |    b.vec_id AS nn_id, $cosDuck AS nn_cosine
-         |  FROM bk a JOIN bk b
-         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
-         |SELECT vec_id, bucket, nn_id, nn_cosine FROM r
-         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
-  )
-
-  /** ann_ivf oracle (also a derived table inside ann_recall). */
-  /** In-order dot-product fold of `n.v` against a centroid column —
-    * the SQL twin of dot_p (identical accumulation order). */
-  private def ivfDotFold(cv: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |        list_transform(range(1, 65), i ->
-       |          n.v[CAST(i AS INT)] * $cv[CAST(i AS INT)])),
-       |        (s, t) -> s + t)""".stripMargin
-
-  /** IVF search SQL — expects CTEs `n` (vectors) and `cents(cell,cv,cn)`
-    * in scope; the twin of [[ivfSearch]]. */
-  private def ivfSearchSql: String =
-    s"""rk AS (
-         |  SELECT n.vec_id, cents.cell,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${ivfDotFold("cents.cv")} / (n.nrm * cents.cn) DESC,
-         |      cents.cell) AS rk
-         |  FROM n, cents),
-         |posted AS (
-         |  SELECT cell, vec_id AS nn_id FROM rk WHERE rk <= $IvfPost),
-         |probes AS (
-         |  SELECT cell, vec_id FROM rk WHERE rk <= $IvfProbes),
-         |p AS (
-         |  SELECT pr.vec_id AS vec_id, po.nn_id AS nn_id,
-         |    $cosDuck AS nn_cosine
-         |  FROM probes pr JOIN posted po ON pr.cell = po.cell
-         |    AND pr.vec_id <> po.nn_id
-         |    JOIN n a ON pr.vec_id = a.vec_id
-         |    JOIN n b ON po.nn_id = b.vec_id),
-         |r2 AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
-         |SELECT vec_id, nn_id, nn_cosine FROM r2
-         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
-
-  /** The [[ivfCellsFor]] ladder in SQL (0 to 7 then the cap — the i = 8
-    * rung and the ELSE coincide at IvfMaxCells). */
-  private def ivfCellsCase: String =
-    (0 to 7).map(IvfCells << _)
-      .map(c => s"WHEN cnt <= ${c * IvfBucketTarget} THEN $c")
-      .mkString("CASE ", " ", s" ELSE $IvfMaxCells END")
-
-  private def ivfPrmCte: String =
-    s"""prm AS (
-       |  SELECT ($ivfCellsCase) AS cells
-       |  FROM (SELECT count(*) AS cnt FROM n))""".stripMargin
-
-  /** PQ codebook training + final per-(vector, subspace) assignment as
-    * a DuckDB CTE chain (`sv`, `ts`/`tv` the [[PqTrain]]-capped
-    * scrambled-hash training sample, `sd`, `b0`, `a1..b$PqIters`,
-    * `af`) — the SQL twin of [[pqCodebooks]] + the code-assignment step,
-    * shared by the `embedding_pq` and `ann_recall` (pq_adc row)
-    * oracles. Expects the `n` CTE from `vecsCte` in scope; uses the
-    * same zip_with-then-left-fold op order as the Spark [[pqDist]]. */
-  private def pqAfCtes(p: String = ""): String = {
-    def dist(svc: String, cc: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(1, 9), i -> ($svc[CAST(i AS INT)] - " +
-        s"$cc[CAST(i AS INT)]) * ($svc[CAST(i AS INT)] - " +
-        s"$cc[CAST(i AS INT)]))), (a, b) -> a + b)"
-    val iters = (1 to PqIters).map { t =>
-      val prev = s"${p}b${t - 1}"
-      s"""${p}a$t AS (
-         |  SELECT vec_id, j, k FROM (
-         |    SELECT sv.vec_id, sv.j, b.k,
-         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
-         |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-         |    FROM ${p}tv sv JOIN $prev b USING (j)) WHERE rk = 1),
-         |${p}s$t AS (
-         |  SELECT a.j, a.k, r.i,
-         |    CAST(sum(CAST(round(sv.sv[CAST(r.i AS INT)]
-         |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
-         |    count(*) AS cnt
-         |  FROM ${p}a$t a JOIN ${p}tv sv
-         |    ON sv.vec_id = a.vec_id AND sv.j = a.j,
-         |    range(1, 9) r(i)
-         |  GROUP BY a.j, a.k, r.i),
-         |${p}b$t AS (
-         |  SELECT j, k, list(CAST(sx AS DOUBLE) / cnt
-         |    / CAST($IvfScale AS DOUBLE) ORDER BY i) AS c
-         |  FROM ${p}s$t GROUP BY j, k)""".stripMargin
-    }.mkString(",\n")
-    s"""${p}sv AS (
-       |  SELECT vec_id, jj.j AS j,
-       |    list_transform(range(1, 9),
-       |      i -> v[CAST(8 * jj.j + i AS INT)]) AS sv
-       |  FROM n, range(0, $PqM) jj(j)),
-       |${p}ts AS (
-       |  SELECT vec_id FROM n
-       |  ORDER BY vec_id * 2246822519 % $P, vec_id LIMIT $PqTrain),
-       |${p}tv AS (
-       |  SELECT sv.* FROM ${p}sv sv JOIN ${p}ts USING (vec_id)),
-       |${p}sd AS (
-       |  SELECT vec_id, k FROM (
-       |    SELECT vec_id, row_number() OVER (
-       |      ORDER BY vec_id * 2246822519 % $P, vec_id) - 1 AS k
-       |    FROM n) WHERE k < $PqK),
-       |${p}b0 AS (
-       |  SELECT s.j, sd.k, s.sv AS c
-       |  FROM ${p}sv s JOIN ${p}sd sd ON sd.vec_id = s.vec_id),
-       |$iters,
-       |${p}af AS (
-       |  SELECT vec_id, j, k FROM (
-       |    SELECT sv.vec_id, sv.j, b.k,
-       |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
-       |        ORDER BY ${dist("sv.sv", "b.c")} ASC, b.k) AS rk
-       |    FROM ${p}sv sv JOIN ${p}b$PqIters b USING (j)) WHERE rk = 1)""".stripMargin
-  }
-
-  private def annIvfOracle: String =
-    s"""$vecsCte,
-       |$ivfPrmCte,
-       |cents AS (
-         |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id < (SELECT cells FROM prm)),
-         |$ivfSearchSql""".stripMargin
-
-  /** One Lloyd round in SQL: assignment (same fold/tiebreak as Spark's
-    * max_by) then fixed-point per-dimension means — Σ round(x·1e6) over
-    * BIGINTs, so both engines land on bit-identical centroids. */
-  private def ivfIterSql(t: Int): String = {
-    val prev = s"c${t - 1}"
-    s"""a$t AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT n.vec_id, $prev.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        ${ivfDotFold(s"$prev.cv")} / (n.nrm * $prev.cn) DESC,
-         |        $prev.cell) AS ark
-         |    FROM n, $prev) WHERE ark = 1),
-         |s$t AS (
-         |  SELECT a$t.cell, i,
-         |    CAST(sum(CAST(round(n.v[CAST(i AS INT)]
-         |      * CAST($IvfScale AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
-         |    count(*) AS cnt
-         |  FROM a$t JOIN n USING (vec_id), range(1, 65) r(i)
-         |  GROUP BY a$t.cell, i),
-         |c$t AS (
-         |  SELECT cell, cv,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(cv, x -> x * x)), (s, u) -> s + u)) AS cn
-         |  FROM (
-         |    SELECT cell, list(CAST(sx AS DOUBLE) / cnt
-         |      / CAST($IvfScale AS DOUBLE) ORDER BY i) AS cv
-         |    FROM s$t GROUP BY cell))""".stripMargin
-  }
-
-  /** Trained-quantizer CTEs through `cents` — shared by the
-    * ann_ivf_trained and semdedup oracles. */
-  private def ivfTrainedCentsCtes: String =
-    s"""$vecsCte,
-       |$ivfPrmCte,
-       |c0 AS (
-         |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id < (SELECT cells FROM prm)),
-         |${(1 to IvfIters).map(ivfIterSql).mkString(",\n")},
-         |cents AS (SELECT cell, cv, cn FROM c$IvfIters)""".stripMargin
-
-  private def annIvfTrainedOracle: String =
-    s"""$ivfTrainedCentsCtes,
-       |$ivfSearchSql""".stripMargin
-
-  /** IVF-PQ oracle — the SQL twin of [[annIvfPq]]: trained coarse
-    * cells (`cents`, the ann_ivf_trained chain), the same
-    * post/probe candidate generation, but candidates scored by PQ
-    * ASYMMETRIC distance over the `paf` codes (the pq_adc chain,
-    * `p`-prefixed so its `a1`/`s1` iteration CTEs don't collide with
-    * the Lloyd CTEs of the coarse quantizer). Folds are j-ordered to
-    * match the Spark side's array_sort-then-aggregate accumulation. */
-  private def annIvfPqOracle: String =
-    s"""$ivfTrainedCentsCtes,
-       |${pqAfCtes("p")},
-       |irk AS (
-       |  SELECT n.vec_id, cents.cell,
-       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |      ${ivfDotFold("cents.cv")} / (n.nrm * cents.cn) DESC,
-       |      cents.cell) AS rk
-       |  FROM n, cents),
-       |iposted AS (
-       |  SELECT cell, vec_id AS nn_id FROM irk WHERE rk <= $IvfPost),
-       |iprobes AS (
-       |  SELECT cell, vec_id FROM irk WHERE rk <= $IvfProbes),
-       |icand AS (
-       |  SELECT pr.vec_id AS vec_id, po.nn_id AS nn_id
-       |  FROM iprobes pr JOIN iposted po
-       |    ON pr.cell = po.cell AND pr.vec_id <> po.nn_id),
-       |ilut AS (
-       |  SELECT q.vec_id AS qid, q.j, b.k,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, 9),
-       |        i -> q.sv[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
-       |      (s, t) -> s + t) AS qd,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, 9),
-       |        i -> b.c[CAST(i AS INT)] * b.c[CAST(i AS INT)])),
-       |      (s, t) -> s + t) AS cn2
-       |  FROM psv q JOIN pb$PqIters b USING (j)),
-       |iadc0 AS (
-       |  SELECT c.vec_id AS vec_id, c.nn_id AS nn_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list(l.qd ORDER BY l.j)), (s, t) -> s + t) AS ip,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list(l.cn2 ORDER BY l.j)), (s, t) -> s + t) AS rn2
-       |  FROM icand c JOIN paf af ON af.vec_id = c.nn_id
-       |    JOIN ilut l ON l.qid = c.vec_id AND l.j = af.j AND l.k = af.k
-       |  GROUP BY c.vec_id, c.nn_id),
-       |iadc1 AS (
-       |  SELECT iadc0.vec_id, iadc0.nn_id,
-       |    CASE WHEN iadc0.rn2 <= 0 OR qn.nrm = 0 THEN CAST(0 AS DOUBLE)
-       |      ELSE iadc0.ip / (qn.nrm * sqrt(iadc0.rn2)) END AS nn_adc
-       |  FROM iadc0 JOIN n qn ON qn.vec_id = iadc0.vec_id)
-       |SELECT vec_id, nn_id, nn_adc FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY nn_adc DESC, nn_id) AS rrk FROM iadc1)
-       |WHERE rrk = 1 ORDER BY vec_id""".stripMargin
-
-  /** semdedup oracle: trained cents → min-id-wins assignment (the same
-    * fold/tiebreak as Spark's max_by) → within-cell lower-id cos prune. */
-  private def semdedupOracle: String =
-    s"""$ivfTrainedCentsCtes,
-       |asn AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, cents.cell,
-       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        ${ivfDotFold("cents.cv")} / (n.nrm * cents.cn) DESC,
-       |        cents.cell) AS ark
-       |    FROM n, cents) WHERE ark = 1),
-       |m AS (
-       |  SELECT asn.vec_id, asn.cell, n.v, n.nrm
-       |  FROM asn JOIN n USING (vec_id)),
-       |d AS (
-       |  SELECT DISTINCT a.vec_id AS vec_id
-       |  FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
-       |  WHERE $cosDuck > $SemTau)
-       |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
-       |FROM m LEFT JOIN d ON m.vec_id = d.vec_id
-       |ORDER BY m.vec_id""".stripMargin
-
-  /** Shared LSH candidate CTEs (through `cand`) — the SQL twin of
-    * [[annCandidates]], used by the ann_lsh_multi and
-    * embedding_neardup_lsh oracles. */
-  private def annCandCtes: String = {
-    val bitsCase = (8 to AnnMaxBits).map(b => s"WHEN cnt <= ${4L << b} THEN $b")
-      .mkString("CASE ", " ", s" ELSE $AnnMaxBits END")
-    s"""$vecsCte,
-         |params AS (
-         |  SELECT ($bitsCase) AS bits
-         |  FROM (SELECT count(*) AS cnt FROM n)),
-         |bk AS (
-         |  SELECT vec_id, t, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, bits), k ->
-         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(range(1, 65), d ->
-         |          CAST(((t * $AnnMaxBits + k) * 64 + d - 1) * 2654435761
-         |            % 1000 - 500 AS DOUBLE) * v[CAST(d AS INT)])),
-         |        (s, u) -> s + u) >= 0
-         |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
-         |      ELSE CAST(0 AS BIGINT) END)),
-         |    (a, x) -> a + x) AS bucket
-         |  FROM n, params, range(0, $AnnTables) r(t)),
-         |pr AS (
-         |  SELECT vec_id, t, unnest(list_prepend(bucket,
-         |    list_transform(range(0, bits), j ->
-         |      xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))))) AS pk
-         |  FROM bk, params),
-         |bkc AS (
-         |  SELECT vec_id, t, bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY t, bucket
-         |      ORDER BY vec_id) AS br FROM bk)
-         |  WHERE br <= $AnnBucketCap),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
-         |  FROM pr a JOIN bkc b ON a.t = b.t AND a.pk = b.bucket
-         |    AND a.vec_id <> b.vec_id)""".stripMargin
-  }
-
-  /** ann_lsh_multi oracle (also a derived table inside ann_recall). */
-  private def annLshMultiOracle: String =
-    s"""$annCandCtes,
-       |p AS (
-       |  SELECT c.vec_id AS vec_id, c.nn_id AS nn_id,
-       |    $cosDuck AS nn_cosine
-       |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
-       |    JOIN n b ON c.nn_id = b.vec_id),
-       |r2 AS (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY nn_cosine DESC, nn_id) AS rk FROM p)
-       |SELECT vec_id, nn_id, nn_cosine FROM r2
-       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
-
-  /** embedding_neardup_lsh oracle: bucketed candidates + exact verify. */
-  private def embeddingNeardupLshOracle: String =
-    s"""$annCandCtes,
-       |pp AS (
-       |  SELECT c.vec_id AS id_a, c.nn_id AS id_b, $cosDuck AS cosine
-       |  FROM cand c JOIN n a ON c.vec_id = a.vec_id
-       |    JOIN n b ON c.nn_id = b.vec_id
-       |  WHERE c.vec_id < c.nn_id)
-       |SELECT id_a, id_b, cosine FROM pp
-       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
-
-  /** embedding_neardup_recall oracle: panel truth pairs at the lowest
-    * τ once, then the 3-row τ dimension re-filters them. */
-  private def embeddingNeardupRecallOracle: String =
-    s"""$annCandCtes,
-       |pan AS (
-       |  SELECT vec_id FROM n
-       |  ORDER BY vec_id * 2654435761 % $P, vec_id
-       |  LIMIT $RecallQueries),
-       |tr AS (
-       |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-       |    $cosDuck AS cosine
-       |  FROM n a JOIN pan USING (vec_id), n b
-       |  WHERE a.vec_id <> b.vec_id
-       |    AND $cosDuck >= ${NeardupTauPcts.min} / 100.0),
-       |j AS (
-       |  SELECT tr.cosine,
-       |    CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS hit
-       |  FROM tr LEFT JOIN cand c
-       |    ON tr.vec_id = c.vec_id AND tr.nn_id = c.nn_id),
-       |taus AS (SELECT unnest([${NeardupTauPcts.mkString(", ")}])
-       |  AS tau_pct)
-       |SELECT taus.tau_pct, count(j.cosine) AS n_true,
-       |  CAST(coalesce(sum(j.hit), 0) AS BIGINT) AS n_caught,
-       |  round(coalesce(sum(j.hit), 0)
-       |    / CAST(greatest(count(j.cosine), 1) AS DOUBLE), 4) AS recall
-       |FROM taus LEFT JOIN j ON j.cosine >= taus.tau_pct / 100.0
-       |GROUP BY taus.tau_pct ORDER BY taus.tau_pct""".stripMargin
+  /** Every query's DuckDB oracle — composed from the
+    * per-domain part slices (round-13 split). */
+  def oracleSql: Map[String, String] =
+    textOracleSql ++
+      embedOracleSql ++
+      mediaOracleSql ++
+      webOracleSql ++
+      lakehouseOracleSql ++
+      columnarOracleSql ++
+      tensorOracleSql ++
+      docOracleSql
 }
