@@ -425,6 +425,16 @@ object Iceberg {
     NField("file_sequence_number", NPrim("long"), nullable = true),
     NField("data_file", dataFileRec(partFields), nullable = false))
 
+  /** Manifest-list field 507 `partitions`: per-spec-field value
+    * summaries (contains_null, lower/upper bound in the Appendix-D
+    * single-value binary form) — what lets a reader skip WHOLE
+    * manifests before opening them. */
+  private val fieldSummaryRec = NRec("r508", Seq(
+    NField("contains_null", NPrim("boolean"), nullable = false),
+    NField("contains_nan", NPrim("boolean"), nullable = true),
+    NField("lower_bound", NPrim("bytes"), nullable = true),
+    NField("upper_bound", NPrim("bytes"), nullable = true)))
+
   private val manifestListFields = Seq(
     NField("manifest_path", NPrim("string"), nullable = false),
     NField("manifest_length", NPrim("long"), nullable = false),
@@ -438,7 +448,47 @@ object Iceberg {
     NField("deleted_files_count", NPrim("int"), nullable = false),
     NField("added_rows_count", NPrim("long"), nullable = false),
     NField("existing_rows_count", NPrim("long"), nullable = false),
-    NField("deleted_rows_count", NPrim("long"), nullable = false))
+    NField("deleted_rows_count", NPrim("long"), nullable = false),
+    NField("partitions",
+      Avro.NArr(fieldSummaryRec, itemsNullable = false),
+      nullable = true))
+
+  /** Appendix D single-value binary serialization of a partition
+    * value — the form `field_summary` bounds are stored in. */
+  def singleValueBytes(v: Any): Array[Byte] = v match {
+    case i: Int =>
+      val b = new Array[Byte](4)
+      var k = 0
+      while (k < 4) { b(k) = ((i >>> (8 * k)) & 0xff).toByte; k += 1 }
+      b
+    case l: Long =>
+      val b = new Array[Byte](8)
+      var k = 0
+      while (k < 8) { b(k) = ((l >>> (8 * k)) & 0xff).toByte; k += 1 }
+      b
+    case st: String => st.getBytes("UTF-8")
+    case other => sys.error(s"single-value serialization of $other")
+  }
+
+  /** Order of two serialized bounds under the VALUE's type. */
+  private def svCompare(t: DataType, a: Array[Byte],
+      b: Array[Byte]): Int = t match {
+    case IntegerType =>
+      java.lang.Integer.compare(
+        java.nio.ByteBuffer.wrap(a)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt,
+        java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    case LongType =>
+      java.lang.Long.compare(
+        java.nio.ByteBuffer.wrap(a)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong,
+        java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    case StringType =>
+      java.util.Arrays.compareUnsigned(a, b)
+    case other => sys.error(s"summary bound comparison over $other")
+  }
 
   // ---------------------------------------------------------------
   // Read path
@@ -478,8 +528,28 @@ object Iceberg {
     i
   }
 
+  /** Manifest-level planning evidence: how many content-0
+    * manifests were opened vs listed. */
+  final case class ManifestPrune(kept: Int, total: Int)
+
   def snapshot(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): IceSnapshot = {
+      snapshotId: Option[Long] = None): IceSnapshot =
+    snapshotImpl(spark, table, snapshotId, None)._1
+
+  /** [[snapshot]] restricted by `colName = value`: manifests whose
+    * field summaries exclude the transformed value are skipped
+    * WITHOUT being read. Returns the snapshot plus the prune
+    * evidence (kept vs total data manifests). */
+  def snapshotWhere(spark: SparkSession, table: String,
+      colName: String, value: Any,
+      snapshotId: Option[Long] = None)
+      : (IceSnapshot, ManifestPrune) =
+    snapshotImpl(spark, table, snapshotId, Some((colName, value)))
+
+  private def snapshotImpl(spark: SparkSession, table: String,
+      snapshotId: Option[Long],
+      predicate: Option[(String, Any)])
+      : (IceSnapshot, ManifestPrune) = {
     val md = currentMetadata(spark, table)
     val fv = JsonMini.long(md.getOrElse("format-version", 1.0))
       .getOrElse(1L)
@@ -563,6 +633,7 @@ object Iceberg {
     val cIdx = listFile.nfields.indexWhere(_.name == "content")
     val qIdx = listFile.nfields.indexWhere(_.name ==
       "sequence_number")
+    val suIdx = listFile.nfields.indexWhere(_.name == "partitions")
     val manifests = listFile.rows.map { r =>
       val path = r(pIdx).get.asInstanceOf[String]
       val content =
@@ -571,12 +642,54 @@ object Iceberg {
       val seq =
         if (qIdx < 0) 0L
         else r(qIdx).map(_.asInstanceOf[Long]).getOrElse(0L)
-      (path, content, seq)
+      // field summaries (spec-field order): (containsNull, lo, up)
+      val summaries: Seq[(Boolean, Option[Array[Byte]],
+          Option[Array[Byte]])] =
+        (if (suIdx < 0) None else r(suIdx)) match {
+          case Some(xs) => xs.asInstanceOf[Seq[Option[Any]]].map {
+            e =>
+              val fs = e.getOrElse(sys.error(
+                s"null field_summary in $listPath"))
+                .asInstanceOf[Avro.Row]
+              (fs(0).get.asInstanceOf[Boolean],
+                fs(2).map(_.asInstanceOf[Array[Byte]]),
+                fs(3).map(_.asInstanceOf[Array[Byte]]))
+          }
+          case None => Seq.empty
+        }
+      (path, content, seq, summaries)
     }
-    manifests.foreach { case (path, content, _) =>
+    manifests.foreach { case (path, content, _, _) =>
       require(content == 0 || content == 1,
         s"unknown manifest content $content at $path — refusing")
     }
+    // manifest-level pruning: with a `colName = value` predicate
+    // and summaries present, a manifest whose [lower, upper] range
+    // cannot contain the transformed value is never even OPENED —
+    // the planning step that keeps a 100 TB table's metadata walk
+    // proportional to the touched partitions, not the table
+    val keepManifest: (Seq[(Boolean, Option[Array[Byte]],
+        Option[Array[Byte]])]) => Boolean = summaries =>
+      predicate match {
+        case None => true
+        case Some((colName, value)) =>
+          val relevant = spec.zipWithIndex
+            .filter(_._1.sourceName == colName)
+          relevant.forall { case (pf, i) =>
+            if (i >= summaries.length) true // no summary: keep
+            else {
+              val (_, lo, up) = summaries(i)
+              val tv = singleValueBytes(
+                applyTransform(pf.transform, value))
+              val t = transformResultType(pf.transform,
+                schema(colName).dataType)
+              lo.forall(l => svCompare(t, tv, l) >= 0) &&
+                up.forall(u => svCompare(t, tv, u) <= 0)
+            }
+          }
+      }
+    var manifestsKept = 0
+    var manifestsTotal = 0
 
     // v2 delete manifests (content = 1): POSITION delete files
     // (data_file content 1: file_path + pos columns) and EQUALITY
@@ -584,7 +697,7 @@ object Iceberg {
     // resolved against the schema's own ids; matching is null-safe
     // per the spec). Anything else rejects.
     val deletes: Seq[DeleteFileEntry] = manifests
-      .filter(_._2 == 1).flatMap { case (mPath, _, mSeq) =>
+      .filter(_._2 == 1).flatMap { case (mPath, _, mSeq, _) =>
         val mf = Avro.parse(readBytes(spark, mPath)).getOrElse(
           sys.error(s"delete manifest is not readable avro: $mPath"))
         val sIdx = fieldIdx(mf.nfields, "status")
@@ -632,7 +745,11 @@ object Iceberg {
       }
 
     val files = manifests.filter(_._2 == 0).flatMap {
-      case (mPath, _, mSeq) =>
+      case (mPath, _, mSeq, summaries) =>
+      manifestsTotal += 1
+      if (!keepManifest(summaries)) Seq.empty
+      else {
+      manifestsKept += 1
       val mf = Avro.parse(readBytes(spark, mPath)).getOrElse(
         sys.error(s"manifest is not readable avro: $mPath"))
       val sIdx = fieldIdx(mf.nfields, "status")
@@ -681,8 +798,10 @@ object Iceberg {
             df(szIdx).get.asInstanceOf[Long], part, seq))
         }
       }
+      }
     }
-    IceSnapshot(wantId, schema, files, spec, deletes)
+    (IceSnapshot(wantId, schema, files, spec, deletes),
+      ManifestPrune(manifestsKept, manifestsTotal))
   }
 
   /** PRUNED file planning (the spec's "partition pruning"): keep
@@ -714,7 +833,8 @@ object Iceberg {
   def readWhere(spark: SparkSession, table: String, colName: String,
       value: Any, snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val snap = snapshot(spark, table, snapshotId)
+    val (snap, _) = snapshotWhere(spark, table, colName, value,
+      snapshotId)
     val keep = prunedFiles(snap, colName, value)
     scanFiles(spark, snap, keep)
       .filter(col(colName) === lit(value))
@@ -898,9 +1018,12 @@ object Iceberg {
       fileSeqs: Map[String, Long] = Map.empty,
       // per-path content format override (the spec allows avro and
       // orc data files beside parquet); absent paths are PARQUET
-      fileFormats: Map[String, String] = Map.empty): Unit = {
+      fileFormats: Map[String, String] = Map.empty,
+      // one manifest per distinct partition tuple instead of one
+      // for the whole snapshot — the shape that makes the manifest
+      // list's field summaries (written either way) actually prune
+      splitManifests: Boolean = false): Unit = {
     val metaDir = s"$table/metadata"
-    val manifestPath = s"$metaDir/m-$snapshotId.avro"
     val partFieldTypes: Seq[(String, DataType)] = spec.map { pf =>
       val srcType = schema(pf.sourceName).dataType
       (pf.name, transformResultType(pf.transform, srcType))
@@ -920,11 +1043,40 @@ object Iceberg {
             eqIds.map(ids => ids.map(Some(_)): Seq[Option[Any]]))
             : Avro.Row))
       }
-    val manifestBytes = Avro.buildNested("manifest_entry",
-      manifestEntryFields(partFieldTypes),
-      entriesFor(files.map(f => (f._1, f._2, f._3, None)),
-        content = 0))
-    writeBytes(spark, manifestPath, manifestBytes)
+    // data manifests: one (default) or one per partition tuple
+    val groups: Seq[(String, Seq[(String, Long, Long)])] =
+      if (!splitManifests || spec.isEmpty) Seq(("", files))
+      else files.groupBy(f => partitions.getOrElse(f._1,
+          sys.error(s"no partition values for ${f._1}")))
+        .toSeq.sortBy(_._1.map(String.valueOf(_)).mkString("/"))
+        .zipWithIndex
+        .map { case ((_, fs0), gi) => (s"-g$gi", fs0) }
+    /** `partitions` field (507) for one group of files. */
+    def summariesFor(fs0: Seq[(String, Long, Long)]): Option[Any] =
+      if (spec.isEmpty) None
+      else Some(partFieldTypes.indices.map { i =>
+        val t = partFieldTypes(i)._2
+        val vals = fs0.map(f => partitions.getOrElse(f._1,
+          sys.error(s"no partition values for ${f._1}"))(i))
+        val nonNull = vals.filter(_ != null)
+        val bs = nonNull.map(singleValueBytes)
+        val lo = bs.reduceOption((a, b) =>
+          if (svCompare(t, a, b) <= 0) a else b)
+        val up = bs.reduceOption((a, b) =>
+          if (svCompare(t, a, b) >= 0) a else b)
+        Some(Seq(Some(vals.exists(_ == null)), None,
+          lo, up): Avro.Row): Option[Any]
+      }: Seq[Option[Any]])
+    val dataManifests: Seq[(String, Array[Byte], Seq[(String, Long,
+        Long)])] = groups.map { case (sfx, fs0) =>
+      val mp = s"$metaDir/m-$snapshotId$sfx.avro"
+      val b = Avro.buildNested("manifest_entry",
+        manifestEntryFields(partFieldTypes),
+        entriesFor(fs0.map(f => (f._1, f._2, f._3, None)),
+          content = 0))
+      writeBytes(spark, mp, b)
+      (mp, b, fs0)
+    }
     val delManifest: Option[(String, Array[Byte])] =
       if (deleteFiles.isEmpty && equalityDeletes.isEmpty) None
       else {
@@ -941,19 +1093,20 @@ object Iceberg {
 
     val listPath = s"$metaDir/snap-$snapshotId.avro"
     def listRow(mPath: String, mLen: Int, content: Int,
-        rowsN: Long, nFiles: Int): Avro.Row = Seq(
+        rowsN: Long, nFiles: Int,
+        summaries: Option[Any]): Avro.Row = Seq(
       Some(mPath), Some(mLen.toLong),
       Some(0), Some(content), Some(version), Some(version),
       Some(snapshotId), Some(nFiles),
       Some(0), Some(0),
-      Some(rowsN), Some(0L), Some(0L))
-    val listRows = Seq(
-      listRow(manifestPath, manifestBytes.length, 0,
-        files.map(_._2).sum, files.length)) ++
+      Some(rowsN), Some(0L), Some(0L), summaries)
+    val listRows = dataManifests.map { case (mp, b, fs0) =>
+      listRow(mp, b.length, 0, fs0.map(_._2).sum, fs0.length,
+        summariesFor(fs0)) } ++
       delManifest.map { case (p, b) =>
         listRow(p, b.length, 1,
           deleteFiles.map(_._2).sum + equalityDeletes.map(_._2).sum,
-          deleteFiles.length + equalityDeletes.length) }
+          deleteFiles.length + equalityDeletes.length, None) }
     writeBytes(spark, listPath, Avro.buildNested("manifest_file",
       manifestListFields, listRows))
 
@@ -1016,7 +1169,8 @@ object Iceberg {
     * and the manifest records typed partition values per file, so
     * [[readWhere]] can prune. */
   def create(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[(String, String, String)] = Seq.empty)
+      partitionBy: Seq[(String, String, String)] = Seq.empty,
+      splitManifests: Boolean = false)
       : Seq[(String, Long, Long)] = {
     val dataDir = s"$table/data/s1"
     if (partitionBy.isEmpty) {
@@ -1053,7 +1207,7 @@ object Iceberg {
       val partitions: Map[String, Seq[Any]] =
         listed.map { case (p, _, pvals) => p -> pvals }.toMap
       commit(spark, table, 1L, 1L, df.schema, files, Seq.empty,
-        spec, partitions)
+        spec, partitions, splitManifests = splitManifests)
       files
     }
   }

@@ -98,6 +98,43 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("row-level deletes over avro"))
   }
 
+  test("manifest-list field summaries: per-partition manifests " +
+    "prune without being opened (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_mprune")
+    Iceberg.create(spark, seed(60), t,
+      partitionBy = Seq(("b", "identity", "bucket")),
+      splitManifests = true)
+    // one data manifest per bucket value (0, 1, 2)
+    val (snapAll, prAll) = Iceberg.snapshotWhere(spark, t,
+      "bucket", 1)
+    assert(prAll.total == 3 && prAll.kept == 1)
+    assert(snapAll.files.forall(
+      _.partition.get("b").contains(1)))
+    // the restricted snapshot + residual filter equals the full
+    // filtered read
+    val got = Iceberg.readWhere(spark, t, "bucket", 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0 until 60).filter(_ % 3 == 1).map(_.toLong))
+    // full read unaffected (no predicate = all manifests)
+    assert(Iceberg.read(spark, t).count() == 60)
+    val (_, prNone) = Iceberg.snapshotWhere(spark, t,
+      "id", 999L) // not a partition source: nothing prunable
+    assert(prNone.kept == prNone.total)
+    // a value outside every bound keeps zero manifests
+    val (snapNo, prNo) = Iceberg.snapshotWhere(spark, t,
+      "bucket", 7)
+    assert(prNo.kept == 0 && snapNo.files.isEmpty)
+    // single-manifest tables (no split) still read and never prune
+    val t2 = tmpTable("ice_mp_one")
+    Iceberg.create(spark, seed(30), t2,
+      partitionBy = Seq(("b", "identity", "bucket")))
+    val (_, pr2) = Iceberg.snapshotWhere(spark, t2, "bucket", 1)
+    assert(pr2.total == 1 && pr2.kept == 1)
+    assert(Iceberg.readWhere(spark, t2, "bucket", 1).count() == 10)
+  }
+
   test("multi-snapshot commits + time travel by snapshot id") {
     val s = spark
     import s.implicits._
