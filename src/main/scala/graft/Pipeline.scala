@@ -240,6 +240,7 @@ object Pipeline
     "delta_checkpoint_v2" -> deltaCheckpointV2 _,
     "iceberg_scan"      -> icebergScan _,
     "iceberg_manifest_prune" -> icebergManifestPrune _,
+    "iceberg_files_meta" -> icebergFilesMeta _,
     "iceberg_avro_scan" -> icebergAvroScan _,
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,

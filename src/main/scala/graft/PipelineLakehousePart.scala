@@ -56,13 +56,17 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
     * delete rows from the removed files' prior-version content). */
   private[graft] def deltaCdfFixtureRoot(s: SparkSession, dir: String)
       : String =
-    formatFixtureDir(dir, "deltacdf", "lineitem") { out =>
+    formatFixtureDir(dir, "deltacdf3", "lineitem") { out =>
       import graft.operators.DeltaLog
       val t = s"$out/tbl"
       val base = Tables.lineitem(s, dir)
         .selectExpr("l_orderkey", "l_partkey", "l_quantity",
           "l_returnflag", "l_orderkey % 4 AS bucket")
-      DeltaLog.create(s, base, t, partitionBy = Seq("bucket"),
+      // several data files per partition (repartition before the
+      // partitioned write) so the v3 compaction below has real
+      // bin-packing work at every scale factor
+      DeltaLog.create(s, base.repartition(4), t,
+        partitionBy = Seq("bucket"),
         configuration =
           Map("delta.enableChangeDataFeed" -> "true"))
       // v1: UPDATE bucket=3 rows with l_quantity > 45 (qty += 5),
@@ -104,20 +108,29 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
         _.partitionValues.get("bucket").contains("0"))
       DeltaLog.commit(s, t, 2L,
         victims0.map(f => DeltaLog.removeJson(f.path, 2L)))
+      // v3: OPTIMIZE-style compaction — dataChange=false actions,
+      // so the change feed across it must stay EMPTY
+      val before = DeltaLog.snapshot(s, t).files.length
+      val v = DeltaLog.compact(s, t)
+      require(v == 3L, s"compaction committed $v, expected 3")
+      require(DeltaLog.snapshot(s, t).files.length < before,
+        "compaction did not shrink the file list")
     }
-  /** Delta Change Data Feed read (r13): `table_changes(0, 2)` over
+  /** Delta Change Data Feed read (r13): `table_changes(0, 3)` over
     * the CDF fixture — v0 inserts from add actions, v1
     * update pre/postimages from REAL `cdc` actions + `_change_data`
     * files, v2 deletes DERIVED from remove actions against the
-    * prior snapshot — aggregated per (change type, version,
-    * bucket). The oracle replays the same history analytically, so
+    * prior snapshot, v3 an OPTIMIZE-style compaction whose
+    * dataChange=false actions must contribute NOTHING to the feed
+    * (the oracle does not know about v3 at all) — aggregated per
+    * (change type, version, bucket). The oracle replays the same history analytically, so
     * a wrong change classification, a missed preimage, a cdc file
     * leaking into snapshots or a mis-derived delete flips the
     * hash. */
   private[graft] def deltaCdfScan(s: SparkSession, dir: String)
       : DataFrame = {
     val root = deltaCdfFixtureRoot(s, dir)
-    graft.operators.DeltaLog.tableChanges(s, s"$root/tbl", 0L, 2L)
+    graft.operators.DeltaLog.tableChanges(s, s"$root/tbl", 0L, 3L)
       .groupBy(col("_change_type").as("change_type"),
         col("_commit_version").as("commit_version"),
         col("bucket"))
@@ -457,6 +470,33 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
     * decoder at both Avro layers), aggregated per return flag
     * against the same analytic oracle as [[deltaScan]]: one table
     * state, two formats, one truth. */
+  /** Iceberg METADATA TABLES (r13): the `snapshots` and `files`
+    * inspection surfaces every Iceberg engine exposes — snapshot
+    * ids + operations from the metadata document, and per-snapshot
+    * live-file rows (path/format/record_count/partition/seq) from
+    * the manifest chain. The gate walks EVERY snapshot of the
+    * 3-step fixture through filesMeta and pins each snapshot's
+    * total record count and distinct formats against the analytic
+    * history — a drifted manifest row, a wrong snapshot lookup or
+    * a broken sequence stamp flips the hash. */
+  private[graft] def icebergFilesMeta(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = icebergFixtureRoot(s, dir)
+    val tbl = s"$root/tbl"
+    val snapIds = Iceberg.snapshotsMeta(s, tbl)
+      .select("snapshot_id").collect().map(_.getLong(0)).sorted
+    require(snapIds.toSeq == Seq(1L, 2L, 3L),
+      s"fixture drifted: snapshots ${snapIds.toSeq}")
+    snapIds.map { id =>
+      Iceberg.filesMeta(s, tbl, Some(id))
+        .groupBy(lit(id).as("snapshot_id"))
+        .agg(sum("record_count").as("n_rows"),
+          countDistinct("file_format").as("n_formats"),
+          max("sequence_number").as("max_seq"))
+    }.reduce(_ unionByName _).orderBy("snapshot_id")
+  }
+
   /** Iceberg MANIFEST-LEVEL pruning (r13): a snapshot written as
     * one manifest PER PARTITION TUPLE, each manifest-list row
     * carrying the spec's field summaries (lower/upper bounds in
@@ -894,6 +934,27 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
 
   /** This part's oracle SQL entries (the `oracleSql` slice). */
   private[graft] def lakehouseOracleSql: Map[String, String] = Map(
+    // snapshots/files metadata tables: per-snapshot live row
+    // totals replayed analytically (v1 all, v2 minus the bucket-1
+    // qty<=10 delete, v3 plus the duplicated bucket-2 qty>40 slice)
+    "iceberg_files_meta" ->
+      """WITH b AS (
+        |  SELECT l_orderkey % 4 AS bucket,
+        |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+        |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b
+        |  WHERE bucket <> 1 OR qty > 10),
+        |v3 AS (SELECT v2.n + (SELECT COUNT(*) FROM b
+        |  WHERE bucket = 2 AND qty > 40) AS n FROM v2)
+        |SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |  (SELECT n FROM v1) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_formats,
+        |  CAST(1 AS BIGINT) AS max_seq
+        |UNION ALL
+        |SELECT 2, (SELECT n FROM v2), 1, 2
+        |UNION ALL
+        |SELECT 3, (SELECT CAST(n AS BIGINT) FROM v3), 1, 3
+        |ORDER BY snapshot_id""".stripMargin,
     // one manifest per partition tuple + field summaries: the
     // bucket=2 slice survives manifest-level pruning (pinned
     // in-flight) and must equal the analytic recomputation

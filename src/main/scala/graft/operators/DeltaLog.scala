@@ -163,9 +163,10 @@ object DeltaLog {
       s""""dataChange":${a.dataChange}$dv}}"""
   }
 
-  def removeJson(path: String, deletionTimestamp: Long): String =
+  def removeJson(path: String, deletionTimestamp: Long,
+      dataChange: Boolean = true): String =
     s"""{"remove":{"path":${q(path)},"deletionTimestamp":${
-      deletionTimestamp},"dataChange":true}}"""
+      deletionTimestamp},"dataChange":$dataChange}}"""
 
   /** A `cdc` action: a change-data file under `_change_data/`
     * (PROTOCOL.md "Add CDC File"); dataChange is false by spec —
@@ -808,6 +809,53 @@ object DeltaLog {
       }
     walk(root, Map.empty)
     out.result().sortBy(_.path)
+  }
+
+  /** OPTIMIZE-style bin-packing compaction: every partition's live
+    * plain files (2+) are rewritten into ONE file and committed as
+    * remove+add actions with `dataChange = false` — the protocol's
+    * compaction contract, which keeps the rewrite INVISIBLE to the
+    * change feed (a tableChanges over the compaction version yields
+    * zero rows) while shrinking the file count a 100 TB scan plans
+    * over. DV-carrying files are skipped (rewriting them would
+    * materialize the deletes) and column-mapped tables reject
+    * honestly (data files store physical names). Returns the
+    * committed version, or -1 when nothing needed compacting. */
+  def compact(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.meta.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "compaction of column-mapped tables not supported")
+    val schema = DataType.fromJson(snap.meta.schemaString)
+      .asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    val dataFields = StructType(schema.fields
+      .filterNot(f => partCols.contains(f.name)))
+    val groups = snap.files.filter(_.deletionVector.isEmpty)
+      .groupBy(_.partitionValues)
+      .filter(_._2.length >= 2).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return -1L
+    val version = snap.version + 1
+    val actions = Seq.newBuilder[String]
+    groups.zipWithIndex.foreach { case ((pv, fs0), gi) =>
+      val dstDir = s"$table/compact-v$version-g$gi"
+      spark.read.schema(dataFields)
+        .parquet(fs0.map(f => s"$table/${f.path}"): _*)
+        .coalesce(1)
+        .write.parquet(dstDir)
+      val adds = listDataFiles(spark, dstDir, Seq.empty)
+        .map(a => a.copy(
+          path = s"compact-v$version-g$gi/${a.path}",
+          partitionValues = pv, dataChange = false))
+      require(adds.length == 1,
+        s"compaction wrote ${adds.length} files for group $gi")
+      fs0.foreach(f =>
+        actions += removeJson(f.path, version, dataChange = false))
+      adds.foreach(a => actions += addJson(a))
+    }
+    commit(spark, table, version, actions.result())
+    version
   }
 
   /** Build the actions of a DV DELETE commit: for each (file,

@@ -856,6 +856,63 @@ object Iceberg {
     scanFiles(spark, snap, snap.files)
   }
 
+  /** The `files` metadata table (Iceberg's inspection surface):
+    * one row per live data file of a snapshot — path, format,
+    * record count, size, the partition tuple rendered `k=v/...`,
+    * and the data sequence number. Driver metadata only, same
+    * O(#files) contract as scan planning. */
+  def filesMeta(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val snap = snapshot(spark, table, snapshotId)
+    val rows = snap.files.map { f =>
+      val part = f.partition.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${String.valueOf(v)}" }
+        .mkString("/")
+      Row(f.path, f.format, f.recordCount, f.fileSize, part, f.seq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType,
+          nullable = false),
+        StructField("partition", StringType, nullable = false),
+        StructField("sequence_number", LongType,
+          nullable = false))))
+  }
+
+  /** The `snapshots` metadata table: every snapshot the metadata
+    * document carries — id, sequence number, manifest-list path,
+    * operation. */
+  def snapshotsMeta(spark: SparkSession, table: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    val md = currentMetadata(spark, table)
+    val rows = JsonMini.arr(md.getOrElse("snapshots", Seq.empty))
+      .getOrElse(Seq.empty).flatMap(JsonMini.obj).map { sn =>
+        Row(
+          JsonMini.long(sn.getOrElse("snapshot-id", -1.0))
+            .getOrElse(-1L),
+          JsonMini.long(sn.getOrElse("sequence-number", 0.0))
+            .getOrElse(0L),
+          JsonMini.str(sn.getOrElse("manifest-list", ""))
+            .getOrElse(""),
+          JsonMini.obj(sn.getOrElse("summary", Map.empty))
+            .flatMap(m => m.get("operation").flatMap(JsonMini.str))
+            .getOrElse(""))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("manifest_list", StringType, nullable = false),
+        StructField("operation", StringType, nullable = false))))
+  }
+
   /** Scheme-free path form shared by both join sides. */
   private def pathNorm(p: String): String = {
     val i = p.indexOf(':')

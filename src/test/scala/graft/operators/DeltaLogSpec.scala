@@ -450,6 +450,44 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("change data feed not enabled"))
   }
 
+  test("compaction: bin-packs partitions with dataChange=false, " +
+    "invisible to the change feed (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_opt")
+    // several files per partition: write each half separately
+    seed(20).repartition(4).write.partitionBy("bucket").parquet(t)
+    val adds = DeltaLog.listDataFiles(spark, t, Seq("bucket"))
+    val meta = DeltaLog.Meta(
+      java.util.UUID.nameUUIDFromBytes(t.getBytes).toString,
+      seed(20).schema.json, Seq("bucket"),
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.commit(spark, t, 0L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(1, 2)),
+        DeltaLog.metaJson(meta)) ++ adds.map(DeltaLog.addJson))
+    val before = DeltaLog.snapshot(spark, t)
+    assert(before.files.groupBy(_.partitionValues)
+      .exists(_._2.length >= 2), "fixture needs multi-file groups")
+    val v = DeltaLog.compact(spark, t)
+    assert(v == 1L)
+    val after = DeltaLog.snapshot(spark, t)
+    // one file per partition now, same rows and values
+    assert(after.files.length == 3 &&
+      after.files.length < before.files.length)
+    assert(DeltaLog.read(spark, t).count() == 20)
+    assert(DeltaLog.read(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L))
+    // the feed across the compaction version is EMPTY; v0 inserts
+    // are untouched
+    val ch = DeltaLog.tableChanges(spark, t, 0L, 1L)
+    assert(ch.where("_commit_version = 1").count() == 0)
+    assert(ch.where("_commit_version = 0 and " +
+      "_change_type = 'insert'").count() == 20)
+    // nothing left to compact
+    assert(DeltaLog.compact(spark, t) == -1L)
+  }
+
   test("torn log and unsupported protocol reject") {
     val s = spark
     import s.implicits._
