@@ -213,6 +213,7 @@ object Pipeline
     "zarr_read"         -> zarrRead _,
     "zarr3_read"        -> zarr3Read _,
     "onnx_parse"        -> onnxParse _,
+    "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,

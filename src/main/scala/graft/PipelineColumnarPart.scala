@@ -18,6 +18,63 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     * configured for, and the file count is pinned by the explicit
     * repartition. A live differential against parquet-mr's
     * serializer, under the DuckDB oracle. */
+  /** Parquet WRITE round trip (r13): per-shard files emitted by
+    * OUR from-scratch writer (operators/ParquetWrite — Thrift
+    * compact footer, PLAIN v1 pages, RLE def levels, codec
+    * rotating uncompressed/snappy/gzip by shard) on executors,
+    * then read back by SPARK'S OWN parquet-mr path — a live
+    * in-gate differential on the write direction; the oracle
+    * recomputes every fact from documents, so a footer framing,
+    * level run, value encoding or codec bug flips the hash. */
+  private[graft] def parquetWriteRoundtrip(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.WCol
+    val root = formatFixtureDir(dir, "pqwrite", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2)).toIndexedSeq),
+            WCol("lang", "string", optional = true,
+              docs.map(d => if (d._2 % 11 == 10) None
+                else Some(d._3)).toIndexedSeq),
+            WCol("n_chars", "i64", optional = false,
+              docs.map(d =>
+                Some(d._4.length.toLong)).toIndexedSeq),
+            WCol("flag", "boolean", optional = true,
+              docs.map(d => if (d._2 % 7 == 3) None
+                else Some(d._2 % 3 == 0)).toIndexedSeq),
+            WCol("score", "f64", optional = false,
+              docs.map(d =>
+                Some(d._4.length * 0.25)).toIndexedSeq))
+          val codec = Seq("uncompressed", "snappy", "gzip")(
+            (sid % 3).toInt)
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec))
+          sid
+        }.count(): Unit
+    }
+    spark.read.parquet(root)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        // nullable BOOLEAN stringifies differently across the two
+        // compare paths; surface it as nullable BIGINT (the file
+        // itself still carries the boolean column + def levels)
+        col("flag").cast("long").as("flag"), col("score"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def parquetFooter(s: SparkSession, dir: String)
       : DataFrame = {
     val spark = s
@@ -657,6 +714,20 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
 
   /** This part's oracle SQL entries (the `oracleSql` slice). */
   private[graft] def columnarOracleSql: Map[String, String] = Map(
+    // OUR writer's files read back by parquet-mr; facts recomputed
+    // from documents
+    "parquet_write_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin,
     "orc_roundtrip" -> {
       // format transparency: the ORC-side answer must equal the flat
       // parquet answer
