@@ -214,6 +214,7 @@ object Pipeline
     "zarr3_read"        -> zarr3Read _,
     "onnx_parse"        -> onnxParse _,
     "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
+    "orc_write_roundtrip" -> orcWriteRoundtrip _,
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,

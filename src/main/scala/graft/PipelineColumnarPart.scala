@@ -18,6 +18,59 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     * configured for, and the file count is pinned by the explicit
     * repartition. A live differential against parquet-mr's
     * serializer, under the DuckDB oracle. */
+  /** ORC WRITE round trip (r13): the [[parquetWriteRoundtrip]]
+    * story for the other columnar format — per-shard files emitted
+    * by OUR from-scratch ORC writer (operators/OrcWrite — protobuf
+    * tail, byte-RLE bitmaps, RLEv1 runs, zlib chunk framing; codec
+    * and stripe split rotating by shard) on executors, read back
+    * by SPARK'S OWN orc-core path under the same documents
+    * oracle. */
+  private[graft] def orcWriteRoundtrip(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.WCol
+    val root = formatFixtureDir(dir, "orcwrite", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2)).toIndexedSeq),
+            WCol("lang", "string", optional = true,
+              docs.map(d => if (d._2 % 11 == 10) None
+                else Some(d._3)).toIndexedSeq),
+            WCol("n_chars", "i64", optional = false,
+              docs.map(d =>
+                Some(d._4.length.toLong)).toIndexedSeq),
+            WCol("flag", "boolean", optional = true,
+              docs.map(d => if (d._2 % 7 == 3) None
+                else Some(d._2 % 3 == 0)).toIndexedSeq),
+            WCol("score", "f64", optional = false,
+              docs.map(d =>
+                Some(d._4.length * 0.25)).toIndexedSeq))
+          val codec = if (sid % 2 == 0) "zlib" else "none"
+          val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.orc"),
+            OrcWrite.build(cols, codec, rps))
+          sid
+        }.count(): Unit
+    }
+    spark.read.orc(root)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("flag").cast("long").as("flag"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Parquet WRITE round trip (r13): per-shard files emitted by
     * OUR from-scratch writer (operators/ParquetWrite — Thrift
     * compact footer, PLAIN v1 pages, RLE def levels, codec
@@ -714,6 +767,19 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
 
   /** This part's oracle SQL entries (the `oracleSql` slice). */
   private[graft] def columnarOracleSql: Map[String, String] = Map(
+    // the same facts through OUR ORC writer read back by orc-core
+    "orc_write_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin,
     // OUR writer's files read back by parquet-mr; facts recomputed
     // from documents
     "parquet_write_roundtrip" ->
