@@ -15,8 +15,9 @@ package graft.operators
   *  - Integers and string LENGTH runs as RLEv1 literal groups
   *    (encoding DIRECT — every ORC reader accepts v1), floats raw
   *    LE, strings/binary as DIRECT data+length.
-  *  - Codecs NONE and ZLIB (raw deflate inside the spec's 3-byte
-  *    chunk headers, sections split at the block size).
+  *  - Codecs NONE, ZLIB (raw deflate), SNAPPY and ZSTD
+  *    (stored-block frames) inside the spec's 3-byte chunk
+  *    headers, sections split at the block size.
   *  - Multi-stripe output via `rowsPerStripe` — stripes are the
   *    spec's parallel-scan unit, so fixtures can exercise stripe
   *    concatenation on read.
@@ -114,14 +115,21 @@ object OrcWrite {
     while (i < raw.length) {
       val n = math.min(BlockSize, raw.length - i)
       val chunk = java.util.Arrays.copyOfRange(raw, i, i + n)
-      val defl = new java.util.zip.Deflater(
-        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-      defl.setInput(chunk); defl.finish()
-      val comp = new java.io.ByteArrayOutputStream(n / 2 + 64)
-      val tmp = new Array[Byte](8192)
-      while (!defl.finished()) comp.write(tmp, 0, defl.deflate(tmp))
-      defl.end()
-      val cb = comp.toByteArray
+      val cb = codec match {
+        case 1 =>
+          val defl = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          defl.setInput(chunk); defl.finish()
+          val comp = new java.io.ByteArrayOutputStream(n / 2 + 64)
+          val tmp = new Array[Byte](8192)
+          while (!defl.finished())
+            comp.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          comp.toByteArray
+        case 2 => SnappyCodec.compress(chunk)
+        case 5 => Zstd.encodeStore(chunk)
+        case other => sys.error(s"unsupported orc codec $other")
+      }
       val (body, original) =
         if (cb.length < n) (cb, false) else (chunk, true)
       val h = (body.length << 1) | (if (original) 1 else 0)
@@ -164,6 +172,8 @@ object OrcWrite {
     val codecId = codec match {
       case "none" => 0
       case "zlib" => 1
+      case "snappy" => 2
+      case "zstd" => 5
       case c => sys.error(s"unsupported codec $c")
     }
     val buf = new java.io.ByteArrayOutputStream(4096)

@@ -18,10 +18,11 @@ package graft.operators
   *  - OPTIONAL columns: definition levels as the u32-prefixed
   *    RLE hybrid (pure RLE runs at bit width 1); REQUIRED columns
   *    write no level bytes.
-  *  - Codecs: UNCOMPRESSED, SNAPPY and GZIP — the first two
-  *    through this repo's own codec, all three verified on read by
-  *    four independent readers (parquet-mr via Spark, DuckDB in
-  *    the gate, [[ParquetData]], and the footer walk).
+  *  - Codecs: UNCOMPRESSED, SNAPPY, GZIP and ZSTD (stored-block
+  *    frames via [[Zstd.encodeStore]] — valid zstd, no entropy
+  *    coding) — verified on read by four independent readers
+  *    (parquet-mr via Spark, DuckDB in the gate, [[ParquetData]],
+  *    and the footer walk).
   *
   * The Thrift compact writer emits exactly the field set the spec
   * marks required (plus created_by), with delta field ids and
@@ -195,6 +196,8 @@ object ParquetWrite {
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(raw); gz.close()
       (2, bos.toByteArray)
+    case "zstd" => // stored-block frames: valid zstd, no entropy
+      (6, Zstd.encodeStore(raw))
     case c => sys.error(s"unsupported codec $c")
   }
 

@@ -43,7 +43,8 @@ class OrcWriteSpec extends AnyFunSuite {
     val n = 1500
     val cols = mkCols(n)
     for ((codec, rps) <- Seq(("none", Int.MaxValue),
-      ("zlib", Int.MaxValue), ("zlib", 400))) {
+      ("zlib", Int.MaxValue), ("zlib", 400),
+      ("snappy", Int.MaxValue), ("zstd", 500))) {
       val bytes = OrcWrite.build(cols, codec, rps)
       val tmp = java.nio.file.Files.createTempDirectory("graft_ow")
       val fl = new java.io.File(tmp.toFile, "x.orc")
@@ -78,7 +79,7 @@ class OrcWriteSpec extends AnyFunSuite {
     val n = 900
     val cols = mkCols(n)
     for ((codec, rps) <- Seq(("zlib", Int.MaxValue),
-      ("none", 250))) {
+      ("none", 250), ("snappy", 300), ("zstd", Int.MaxValue))) {
       val bytes = OrcWrite.build(cols, codec, rps)
       val tail = OrcTail.parseTail(bytes)
         .getOrElse(fail("our tail reader rejected our file"))

@@ -42,7 +42,7 @@ class ParquetWriteSpec extends AnyFunSuite {
     "all codecs") {
     val n = 1500
     val cols = mkCols(n)
-    for (codec <- Seq("uncompressed", "snappy", "gzip")) {
+    for (codec <- Seq("uncompressed", "snappy", "gzip", "zstd")) {
       val bytes = ParquetWrite.build(cols, codec)
       val tmp = java.nio.file.Files.createTempDirectory("graft_pw")
       val fl = new java.io.File(tmp.toFile, "x.parquet")
@@ -78,7 +78,7 @@ class ParquetWriteSpec extends AnyFunSuite {
   test("our OWN page walker and footer audit read our files") {
     val n = 800
     val cols = mkCols(n)
-    for (codec <- Seq("snappy", "gzip")) {
+    for (codec <- Seq("snappy", "gzip", "zstd")) {
       val bytes = ParquetWrite.build(cols, codec)
       val foot = ParquetFooter.parse(bytes)
         .getOrElse(fail("our footer reader rejected our file"))
