@@ -1211,6 +1211,102 @@ object Iceberg {
       version.toString.getBytes("UTF-8"))
   }
 
+  /** Snapshot EXPIRY (the spec's metadata-maintenance operation):
+    * keep the newest `keep` snapshots (the current one must be
+    * among them), write the next metadata version without the
+    * expired entries, and DELETE the expired snapshots' manifest
+    * lists plus any manifests no retained snapshot references —
+    * data files are never touched (they may be shared). Time
+    * travel to an expired id then fails loudly; the current
+    * snapshot reads unchanged. Returns the expired ids. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val metaDir = s"$table/metadata"
+    val md = currentMetadata(spark, table)
+    val curId = JsonMini.long(
+      md.getOrElse("current-snapshot-id", -1.0))
+      .getOrElse(sys.error("no current-snapshot-id"))
+    val snaps = JsonMini.arr(md.getOrElse("snapshots", Seq.empty))
+      .getOrElse(Seq.empty).flatMap(JsonMini.obj)
+    val ids = snaps.map(s => JsonMini.long(
+      s.getOrElse("snapshot-id", -1.0)).getOrElse(-1L))
+    require(ids.forall(id => id >= 0 && id < (1L << 53)),
+      "snapshot id out of the exactly-representable range")
+    if (snaps.length <= keep) return Seq.empty
+    val (expired, kept) = snaps.splitAt(snaps.length - keep)
+    val keptIds = kept.map(s => JsonMini.long(
+      s.getOrElse("snapshot-id", -1.0)).getOrElse(-1L))
+    require(keptIds.contains(curId),
+      s"expiry would drop the CURRENT snapshot $curId — refusing")
+    def listOf(s: Map[String, Any]): String =
+      JsonMini.str(s.getOrElse("manifest-list", ""))
+        .getOrElse(sys.error("snapshot without manifest-list"))
+    def manifestsOf(lp: String): Seq[String] = {
+      val lf = Avro.parse(readBytes(spark, lp)).getOrElse(
+        sys.error(s"manifest list unreadable during expiry: $lp"))
+      val pIdx = fieldIdx(lf.nfields, "manifest_path")
+      lf.rows.map(_(pIdx).get.asInstanceOf[String])
+    }
+    val retainedManifests = kept.flatMap(s =>
+      manifestsOf(listOf(s))).toSet
+    val (f, _) = fs(spark, table)
+    expired.foreach { s =>
+      val lp = listOf(s)
+      manifestsOf(lp).filterNot(retainedManifests).foreach { mp =>
+        f.delete(new org.apache.hadoop.fs.Path(mp), false): Unit
+      }
+      f.delete(new org.apache.hadoop.fs.Path(lp), false): Unit
+    }
+    // next metadata version: the current document with the expired
+    // snapshot entries spliced out of its `snapshots` array
+    val hintPath = s"$metaDir/version-hint.text"
+    val curVer = readText(spark, hintPath).trim.toLong
+    val text = readText(spark,
+      s"$metaDir/v$curVer.metadata.json")
+    val key = "\"snapshots\":"
+    val at = text.indexOf(key)
+    require(at >= 0, "metadata without snapshots array")
+    var p = text.indexOf('[', at)
+    var depth = 0
+    var end = -1
+    var inStr = false
+    var i = p
+    while (end < 0 && i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' =>
+          depth -= 1
+          if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(end > p, "unbalanced snapshots array")
+    val keptJson = kept.map { s =>
+      val id = JsonMini.long(s.getOrElse("snapshot-id", -1.0)).get
+      val seq = JsonMini.long(s.getOrElse("sequence-number", 0.0))
+        .getOrElse(0L)
+      s"""{"snapshot-id":$id,"sequence-number":$seq,""" +
+        s""""timestamp-ms":0,"manifest-list":${JsonMini.quote(
+          listOf(s))},"schema-id":0,""" +
+        s""""summary":{"operation":"overwrite"}}"""
+    }.mkString("[", ",", "]")
+    val next = text.substring(0, at) + key + keptJson +
+      text.substring(end + 1)
+    writeBytes(spark, s"$metaDir/v${curVer + 1}.metadata.json",
+      next.getBytes("UTF-8"))
+    writeBytes(spark, hintPath,
+      (curVer + 1).toString.getBytes("UTF-8"))
+    expired.map(s =>
+      JsonMini.long(s.getOrElse("snapshot-id", -1.0)).get)
+  }
+
   private def schemaWithId(schema: StructType): String = {
     val base = toIcebergSchemaJson(schema)
     s"""{"type":"struct","schema-id":0,${base.stripPrefix(

@@ -340,6 +340,47 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.read(spark, t, Some(1L)).count() == 30)
   }
 
+  test("snapshot expiry: old snapshots + unshared manifests go, " +
+    "current stays readable (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_expire")
+    val files1 = Iceberg.create(spark, seed(20), t)
+    (0 until 20).map(i => (100L + i, s"x$i", i % 3))
+      .toDF("id", "txt", "bucket")
+      .write.parquet(s"$t/data/s2")
+    val files2 = files1 ++
+      Iceberg.countsByFile(spark, seed(1).schema, s"$t/data/s2")
+    Iceberg.commit(spark, t, 2L, 2L, seed(1).schema,
+      files2, prior = Seq((1L, s"$t/metadata/snap-1.avro")))
+    Iceberg.commit(spark, t, 3L, 3L, seed(1).schema,
+      files2, prior = Seq((1L, s"$t/metadata/snap-1.avro"),
+        (2L, s"$t/metadata/snap-2.avro")),
+      fileSeqs = files2.map(f => f._1 -> 2L).toMap)
+    assert(Iceberg.read(spark, t, Some(1L)).count() == 20)
+    val expired = Iceberg.expireSnapshots(spark, t, keep = 2)
+    assert(expired == Seq(1L))
+    // the current snapshot still reads; the expired id is GONE
+    assert(Iceberg.read(spark, t).count() == 40)
+    assert(Iceberg.read(spark, t, Some(2L)).count() == 40)
+    val e = intercept[RuntimeException](
+      Iceberg.read(spark, t, Some(1L)))
+    assert(e.getMessage.contains("snapshot 1 not in"))
+    // snapshot 1's manifest list is deleted; its manifest too
+    // (m-1.avro is referenced by no retained snapshot)
+    assert(!new java.io.File(s"$t/metadata/snap-1.avro").exists())
+    assert(!new java.io.File(s"$t/metadata/m-1.avro").exists())
+    // retained snapshots' structures survive
+    assert(new java.io.File(s"$t/metadata/snap-2.avro").exists())
+    assert(new java.io.File(s"$t/metadata/m-2.avro").exists())
+    // data files are never touched (snapshot 2 shares files1)
+    assert(Iceberg.filesMeta(spark, t).count() == files2.length)
+    // nothing to expire with keep >= count; dropping the current
+    // snapshot refuses
+    assert(Iceberg.expireSnapshots(spark, t, keep = 5).isEmpty)
+    assert(Iceberg.snapshotsMeta(spark, t).count() == 2)
+  }
+
   test("bucket hash matches the spec's own Appendix B vectors") {
     // iceberg.apache.org/spec Appendix B publishes these — they pin
     // the murmur3_x86_32 implementation AND the hash-ints-as-longs
