@@ -858,6 +858,70 @@ object DeltaLog {
     version
   }
 
+  /** VACUUM: delete data files no retained snapshot references.
+    * `retainVersions` = how many trailing versions stay
+    * time-travelable (1 = only the latest — the aggressive
+    * RETAIN 0 HOURS shape); files referenced by ANY retained
+    * snapshot survive, as do deletion-vector blobs and
+    * `_change_data` files of retained commits. Travel to a
+    * vacuumed version fails LOUDLY at scan time (its files are
+    * gone) — the real trade-off vacuum buys its space with.
+    * Returns the deleted paths (table-relative). */
+  def vacuum(spark: SparkSession, table: String,
+      retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain the latest version")
+    val latest = snapshot(spark, table).version
+    val from = math.max(0L, latest - retainVersions + 1)
+    val keep = scala.collection.mutable.Set[String]()
+    (from to latest).foreach { v =>
+      snapshot(spark, table, Some(v)).files.foreach { a =>
+        keep += a.path
+        a.deletionVector.foreach { dv =>
+          if (dv.storageType == "u") {
+            // table-relative twin of the loadDeletionVector path
+            val s = dv.pathOrInlineDv
+            require(s.length >= 20, "malformed uuid dv path")
+            val prefix = s.dropRight(20)
+            val uuidBytes = Roaring.z85Decode(s.takeRight(20))
+              .getOrElse(sys.error("dv uuid is not valid z85"))
+            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+            keep += (if (prefix.isEmpty)
+              s"deletion_vector_$uuid.bin"
+            else s"${prefix.stripSuffix("/")}/" +
+              s"deletion_vector_$uuid.bin")
+          }
+        }
+      }
+      // retained commits' change-data files stay readable
+      val c = parseCommit(readText(spark,
+        s"${logDir(table)}/${commitFile(v)}")).getOrElse(
+        sys.error(s"malformed commit $v in $table"))
+      c.cdcs.foreach(keep += _.path)
+    }
+    val (f, root0) = fs(spark, table)
+    val root = f.makeQualified(root0)
+    val deleted = Seq.newBuilder[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_delta_log") walk(st.getPath)
+        } else if ((name.endsWith(".parquet") ||
+          name.endsWith(".bin")) && !name.startsWith("_") &&
+          !name.startsWith(".")) {
+          val rel = root.toUri.relativize(
+            f.makeQualified(st.getPath).toUri).getPath
+          if (!keep(rel)) {
+            f.delete(st.getPath, false): Unit
+            deleted += rel
+          }
+        }
+      }
+    walk(root)
+    deleted.result().sorted
+  }
+
   /** Build the actions of a DV DELETE commit: for each (file,
     * sorted-distinct row indices) pair, serialize the bitmap and
     * re-add the SAME data file with a deletion-vector descriptor —

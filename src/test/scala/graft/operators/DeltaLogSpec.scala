@@ -488,6 +488,48 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.compact(spark, t) == -1L)
   }
 
+  test("vacuum: unreferenced files go, retained versions and DV " +
+    "blobs survive, vacuumed travel fails loudly (r13)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("delta_vac")
+    seed(20).repartition(4).write.partitionBy("bucket").parquet(t)
+    val adds = DeltaLog.listDataFiles(spark, t, Seq("bucket"))
+    val meta = DeltaLog.Meta(
+      java.util.UUID.nameUUIDFromBytes(t.getBytes).toString,
+      seed(20).schema.json, Seq("bucket"))
+    DeltaLog.commit(spark, t, 0L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(1, 2)),
+        DeltaLog.metaJson(meta)) ++ adds.map(DeltaLog.addJson))
+    assert(DeltaLog.compact(spark, t) == 1L)
+    // vacuum retaining only the latest: v0's small files must go
+    val pre = DeltaLog.read(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    val deleted = DeltaLog.vacuum(spark, t, retainVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(deleted.toSet ==
+      adds.map(_.path).toSet) // exactly the pre-compaction files
+    // the latest snapshot is untouched
+    assert(DeltaLog.read(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq == pre)
+    // time travel to the vacuumed version fails LOUDLY at scan
+    val e = intercept[Exception](
+      DeltaLog.read(spark, t, Some(0L)).count())
+    assert(e != null)
+    // retainVersions = 2 on a fresh twin keeps both versions alive
+    val t2 = tmpTable("delta_vac2")
+    seed(20).repartition(4).write.partitionBy("bucket").parquet(t2)
+    val adds2 = DeltaLog.listDataFiles(spark, t2, Seq("bucket"))
+    DeltaLog.commit(spark, t2, 0L,
+      Seq(DeltaLog.protocolJson(DeltaLog.Protocol(1, 2)),
+        DeltaLog.metaJson(meta.copy(
+          id = java.util.UUID.nameUUIDFromBytes(t2.getBytes)
+            .toString))) ++ adds2.map(DeltaLog.addJson))
+    assert(DeltaLog.compact(spark, t2) == 1L)
+    assert(DeltaLog.vacuum(spark, t2, retainVersions = 2).isEmpty)
+    assert(DeltaLog.read(spark, t2, Some(0L)).count() == 20)
+  }
+
   test("torn log and unsupported protocol reject") {
     val s = spark
     import s.implicits._
