@@ -223,7 +223,11 @@ object Bench {
     // doesn't contaminate the denominator.
     val probeNames = Seq("bfs_hops", "ams_join_size",
       "containment_pairs", "minhash_recall", "embedding_pq")
-    val smallDir = "/root/testdata/sf0.01"
+    // the small corpus lives BESIDE the big one (same generation —
+    // a hardcoded path could silently probe a stale tree after a
+    // driver relocation)
+    val smallDir = sfDir.stripSuffix("/")
+      .replaceAll("sf0\\.1$", "sf0.01")
     val scaleProbe =
       if (!sfDir.endsWith("sf0.1") ||
         !new java.io.File(smallDir).isDirectory) "{}"

@@ -18,6 +18,28 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     * configured for, and the file count is pinned by the explicit
     * repartition. A live differential against parquet-mr's
     * serializer, under the DuckDB oracle. */
+  /** The shared write-roundtrip fixture shape: per-shard column
+    * tuples (name, kind, optional, values) both writer gates map
+    * into their own WCol type — one definition, two formats, so
+    * the null rotations can never silently diverge between the
+    * parquet and ORC twins (they answer to the same oracle). */
+  private def writeRoundtripCols(
+      docs: Seq[(Long, Long, String, String)])
+      : Seq[(String, String, Boolean, IndexedSeq[Option[Any]])] =
+    Seq(
+      ("doc_id", "i64", false,
+        docs.map(d => Some(d._2)).toIndexedSeq),
+      ("lang", "string", true,
+        docs.map(d => if (d._2 % 11 == 10) None
+          else Some(d._3)).toIndexedSeq),
+      ("n_chars", "i64", false,
+        docs.map(d => Some(d._4.length.toLong)).toIndexedSeq),
+      ("flag", "boolean", true,
+        docs.map(d => if (d._2 % 7 == 3) None
+          else Some(d._2 % 3 == 0)).toIndexedSeq),
+      ("score", "f64", false,
+        docs.map(d => Some(d._4.length * 0.25)).toIndexedSeq))
+
   /** ORC WRITE round trip (r13): the [[parquetWriteRoundtrip]]
     * story for the other columnar format — per-shard files emitted
     * by OUR from-scratch ORC writer (operators/OrcWrite — protobuf
@@ -42,21 +64,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .mapGroups { (sid: Long,
             it: Iterator[(Long, Long, String, String)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val cols = Seq(
-            WCol("doc_id", "i64", optional = false,
-              docs.map(d => Some(d._2)).toIndexedSeq),
-            WCol("lang", "string", optional = true,
-              docs.map(d => if (d._2 % 11 == 10) None
-                else Some(d._3)).toIndexedSeq),
-            WCol("n_chars", "i64", optional = false,
-              docs.map(d =>
-                Some(d._4.length.toLong)).toIndexedSeq),
-            WCol("flag", "boolean", optional = true,
-              docs.map(d => if (d._2 % 7 == 3) None
-                else Some(d._2 % 3 == 0)).toIndexedSeq),
-            WCol("score", "f64", optional = false,
-              docs.map(d =>
-                Some(d._4.length * 0.25)).toIndexedSeq))
+          val cols = writeRoundtripCols(docs).map {
+            case (n, k, o, vs) => WCol(n, k, o, vs) }
           val codec = if (sid % 2 == 0) "zlib" else "none"
           val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
           java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -96,21 +105,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .mapGroups { (sid: Long,
             it: Iterator[(Long, Long, String, String)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val cols = Seq(
-            WCol("doc_id", "i64", optional = false,
-              docs.map(d => Some(d._2)).toIndexedSeq),
-            WCol("lang", "string", optional = true,
-              docs.map(d => if (d._2 % 11 == 10) None
-                else Some(d._3)).toIndexedSeq),
-            WCol("n_chars", "i64", optional = false,
-              docs.map(d =>
-                Some(d._4.length.toLong)).toIndexedSeq),
-            WCol("flag", "boolean", optional = true,
-              docs.map(d => if (d._2 % 7 == 3) None
-                else Some(d._2 % 3 == 0)).toIndexedSeq),
-            WCol("score", "f64", optional = false,
-              docs.map(d =>
-                Some(d._4.length * 0.25)).toIndexedSeq))
+          val cols = writeRoundtripCols(docs).map {
+            case (n, k, o, vs) => WCol(n, k, o, vs) }
           val codec = Seq("uncompressed", "snappy", "gzip")(
             (sid % 3).toInt)
           java.nio.file.Files.write(java.nio.file.Paths.get(

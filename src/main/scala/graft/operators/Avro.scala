@@ -698,6 +698,34 @@ object Avro {
     * unsupported schema or codec, a block whose trailing sync marker
     * disagrees with the header's, counts/sizes out of bounds, or a
     * body that does not decode to exactly the declared row count. */
+  /** HEADER-ONLY parse: the schema's record name + fields, without
+    * decoding a single datum — the cheap driver-side schema probe
+    * ([[parse]] materializes every row; a multi-GB container would
+    * otherwise be decoded twice just to learn its shape). */
+  def parseHeader(data: Array[Byte]): Option[(String, Seq[NField])] = {
+    if (!isAvro(data)) return None
+    val c = new Cursor(data)
+    c.p = 4
+    val meta = Map.newBuilder[String, Array[Byte]]
+    var n = c.readLong()
+    var guard = 0
+    while (c.ok && n != 0 && guard < (1 << 20)) {
+      val cnt = if (n < 0) { c.readLong(); -n } else n
+      var i = 0L
+      while (c.ok && i < cnt && guard < (1 << 20)) {
+        val k = new String(c.readBytes(1 << 20), "UTF-8")
+        val v = c.readBytes(1 << 24)
+        meta += (k -> v)
+        i += 1; guard += 1
+      }
+      n = c.readLong()
+    }
+    if (!c.ok || guard >= (1 << 20)) return None
+    val schema = meta.result().get("avro.schema")
+      .map(new String(_, "UTF-8")).getOrElse(return None)
+    interpretSchema(schema)
+  }
+
   def parse(data: Array[Byte]): Option[AvroFile] = {
     if (!isAvro(data)) return None
     val c = new Cursor(data)

@@ -564,6 +564,15 @@ object DeltaLog {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(schema.fields :+ ct))
+    // ONE incremental path→AddFile map walked across the whole
+    // range (prior state for derived deletes); a per-version
+    // snapshot() replay here would make the scan O(V²) in commit
+    // count on long-history tables
+    val prior = scala.collection.mutable.LinkedHashMap[String,
+      AddFile]()
+    if (fromVersion > 0)
+      snapshot(spark, table, Some(fromVersion - 1)).files
+        .foreach(a => prior(a.path) = a)
     val parts = (fromVersion to toVersion).map { v =>
       val c = parseCommit(readText(spark,
         s"${logDir(table)}/${commitFile(v)}")).getOrElse(
@@ -573,6 +582,14 @@ object DeltaLog {
           readFiles(spark, table, metaCt, c.cdcs)
         else {
           val ins = c.adds.filter(_.dataChange)
+          // a deletion-vector add REWRITES rows of an existing
+          // file in place — deriving it as plain inserts would
+          // report surviving rows as new and say nothing about
+          // the deletions; with CDF enabled such commits must
+          // carry cdc actions, so their absence is malformed
+          require(ins.forall(_.deletionVector.isEmpty),
+            s"CDF: commit $v adds deletion-vector files without " +
+              "cdc actions — refusing to derive a wrong feed")
           val insDf =
             if (ins.isEmpty) None
             else Some(readFiles(spark, table, meta, ins)
@@ -581,10 +598,8 @@ object DeltaLog {
             if (c.removesDataChange.isEmpty) None
             else {
               // the removed files' rows as of the prior version
-              val prev = snapshot(spark, table, Some(v - 1))
-              val byPath = prev.files.map(f => f.path -> f).toMap
               val gone = c.removesDataChange.map(p =>
-                byPath.getOrElse(p, sys.error(
+                prior.getOrElse(p, sys.error(
                   s"CDF: commit $v removes unknown file $p")))
               Some(readFiles(spark, table, meta, gone)
                 .withColumn("_change_type", lit("delete")))
@@ -592,6 +607,8 @@ object DeltaLog {
           (insDf.toSeq ++ delDf.toSeq)
             .reduceOption(_ unionByName _).getOrElse(empty)
         }
+      c.adds.foreach(a => prior(a.path) = a)
+      c.removes.foreach(p => prior.remove(p): Unit)
       df.withColumn("_commit_version", lit(v))
     }
     parts.reduce(_ unionByName _)

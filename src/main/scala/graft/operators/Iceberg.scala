@@ -273,6 +273,26 @@ object Iceberg {
     } finally in.close()
   }
 
+  /** At most `cap` leading bytes of a file — enough for an Avro
+    * container header probe without pulling a multi-GB data file
+    * onto the driver. */
+  private def readBytesCapped(spark: SparkSession, path: String,
+      cap: Int): Array[Byte] = {
+    val (f, p) = fs(spark, path)
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(cap,
+        1 << 16))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0 && out.size() < cap) {
+        out.write(buf, 0, math.min(n, cap - out.size()))
+        n = if (out.size() < cap) in.read(buf) else -1
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
   private def writeBytes(spark: SparkSession, path: String,
       bytes: Array[Byte]): Unit = {
     val (f, p) = fs(spark, path)
@@ -634,6 +654,19 @@ object Iceberg {
     val qIdx = listFile.nfields.indexWhere(_.name ==
       "sequence_number")
     val suIdx = listFile.nfields.indexWhere(_.name == "partitions")
+    // the field_summary RECORD's own field positions, resolved BY
+    // NAME from the file's schema (contains_nan is optional in the
+    // wild — Iceberg < 0.10 and other engines omit it, so a
+    // positional read would crash on their 3-field layout)
+    val (suNullIdx, suLoIdx, suUpIdx) =
+      if (suIdx < 0) (-1, -1, -1)
+      else listFile.nfields(suIdx).tpe match {
+        case Avro.NArr(r: NRec, _) =>
+          (r.fields.indexWhere(_.name == "contains_null"),
+            r.fields.indexWhere(_.name == "lower_bound"),
+            r.fields.indexWhere(_.name == "upper_bound"))
+        case _ => (-1, -1, -1)
+      }
     val manifests = listFile.rows.map { r =>
       val path = r(pIdx).get.asInstanceOf[String]
       val content =
@@ -643,21 +676,26 @@ object Iceberg {
         if (qIdx < 0) 0L
         else r(qIdx).map(_.asInstanceOf[Long]).getOrElse(0L)
       // field summaries (spec-field order): (containsNull, lo, up)
-      val summaries: Seq[(Boolean, Option[Array[Byte]],
+      // — decoded LAZILY, only when a predicate will consult them
+      // (a malformed summary must not break unpredicated reads)
+      def summaries: Seq[(Boolean, Option[Array[Byte]],
           Option[Array[Byte]])] =
-        (if (suIdx < 0) None else r(suIdx)) match {
+        (if (suIdx < 0 || suNullIdx < 0 || suLoIdx < 0 ||
+          suUpIdx < 0) None
+        else r(suIdx)) match {
           case Some(xs) => xs.asInstanceOf[Seq[Option[Any]]].map {
             e =>
               val fs = e.getOrElse(sys.error(
                 s"null field_summary in $listPath"))
                 .asInstanceOf[Avro.Row]
-              (fs(0).get.asInstanceOf[Boolean],
-                fs(2).map(_.asInstanceOf[Array[Byte]]),
-                fs(3).map(_.asInstanceOf[Array[Byte]]))
+              (fs(suNullIdx).get.asInstanceOf[Boolean],
+                fs(suLoIdx).map(_.asInstanceOf[Array[Byte]]),
+                fs(suUpIdx).map(_.asInstanceOf[Array[Byte]]))
           }
           case None => Seq.empty
         }
-      (path, content, seq, summaries)
+      (path, content, seq,
+        if (predicate.isEmpty) Seq.empty else summaries)
     }
     manifests.foreach { case (path, content, _, _) =>
       require(content == 0 || content == 1,
@@ -940,16 +978,22 @@ object Iceberg {
   private def avroScan(spark: SparkSession,
       schema: StructType, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val first = Avro.parse(readBytes(spark, paths.head)).getOrElse(
-      sys.error(s"iceberg avro data file unreadable: ${paths.head}"))
-    val got = graft.sources.AvroSource.schemaOf(first.nfields)
+    // header-only schema probe over a CAPPED read: the driver
+    // never decodes datums nor pulls the whole file (a giant
+    // schema falls back to the full read before rejecting)
+    val (_, nfields) =
+      Avro.parseHeader(readBytesCapped(spark, paths.head, 1 << 20))
+        .orElse(Avro.parseHeader(readBytes(spark, paths.head)))
+        .getOrElse(sys.error(
+          s"iceberg avro data file unreadable: ${paths.head}"))
+    val got = graft.sources.AvroSource.schemaOf(nfields)
     require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
       schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"avro data file schema ${got.simpleString} != table " +
         s"schema ${schema.simpleString}")
     val bin = spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content").as[(String, Array[Byte])]
-    val expect = first.nfields
+    val expect = nfields
     val rowRdd = bin.rdd.flatMap { case (p, bytes) =>
       val f = Avro.parse(bytes).getOrElse(sys.error(
         s"iceberg avro data file unreadable: $p"))
@@ -1288,14 +1332,42 @@ object Iceberg {
       i += 1
     }
     require(end > p, "unbalanced snapshots array")
-    val keptJson = kept.map { s =>
-      val id = JsonMini.long(s.getOrElse("snapshot-id", -1.0)).get
-      val seq = JsonMini.long(s.getOrElse("sequence-number", 0.0))
-        .getOrElse(0L)
-      s"""{"snapshot-id":$id,"sequence-number":$seq,""" +
-        s""""timestamp-ms":0,"manifest-list":${JsonMini.quote(
-          listOf(s))},"schema-id":0,""" +
-        s""""summary":{"operation":"overwrite"}}"""
+    // splice out ONLY the expired elements' text — retained
+    // snapshot entries survive byte-for-byte (re-rendering them
+    // would drop fields this writer doesn't know about and corrupt
+    // timestamps/operations written by other engines)
+    val arrBody = text.substring(p + 1, end)
+    val elems = Seq.newBuilder[String]
+    locally {
+      var depth = 0
+      var inStr = false
+      var st = -1
+      var k = 0
+      while (k < arrBody.length) {
+        val ch = arrBody.charAt(k)
+        if (inStr) {
+          if (ch == '\\') k += 1
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '{' =>
+            if (depth == 0) st = k
+            depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) elems += arrBody.substring(st, k + 1)
+          case _ => ()
+        }
+        k += 1
+      }
+      require(depth == 0 && !inStr, "unbalanced snapshot entries")
+    }
+    val allElems = elems.result()
+    require(allElems.length == snaps.length,
+      "snapshot entry scan disagrees with the parsed array")
+    val keptIdSet = keptIds.toSet
+    val keptJson = allElems.zip(ids).collect {
+      case (txt, id) if keptIdSet(id) => txt
     }.mkString("[", ",", "]")
     val next = text.substring(0, at) + key + keptJson +
       text.substring(end + 1)

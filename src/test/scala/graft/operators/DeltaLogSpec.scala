@@ -448,6 +448,20 @@ class DeltaLogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaLog.tableChanges(spark, t2, 0L, 0L))
     assert(e.getMessage.contains("change data feed not enabled"))
+    // a deletion-vector commit WITHOUT cdc actions must refuse
+    // derivation (its adds rewrite rows in place — deriving them
+    // as inserts would be a silently wrong feed)
+    val t3 = tmpTable("delta_cdf_dv")
+    DeltaLog.create(spark, seed(12), t3,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val snapD = DeltaLog.snapshot(spark, t3)
+    val victim = snapD.files.head
+    val acts = DeltaLog.dvDeleteActions(spark, t3,
+      Seq(victim), Map(victim.path -> Array(0L)))
+    DeltaLog.commit(spark, t3, 1L, acts)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLog.tableChanges(spark, t3, 0L, 1L).count())
+    assert(e2.getMessage.contains("deletion-vector files without"))
   }
 
   test("compaction: bin-packs partitions with dataChange=false, " +

@@ -340,6 +340,47 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.read(spark, t, Some(1L)).count() == 30)
   }
 
+  test("foreign 3-field field_summary records (no contains_nan — " +
+    "the pre-0.10 layout) read and still prune (r13)") {
+    val s = spark
+    import s.implicits._
+    import Avro.{NField, NPrim, NRec}
+    val t = tmpTable("ice_sum3")
+    Iceberg.create(spark, seed(60), t,
+      partitionBy = Seq(("b", "identity", "bucket")),
+      splitManifests = true)
+    // rewrite the manifest list with the 3-field summary layout
+    val lp = s"$t/metadata/snap-1.avro"
+    val lf = Avro.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lp))).get
+    val fs3 = NRec("r508", Seq(
+      NField("contains_null", NPrim("boolean"), nullable = false),
+      NField("lower_bound", NPrim("bytes"), nullable = true),
+      NField("upper_bound", NPrim("bytes"), nullable = true)))
+    val pi = lf.nfields.indexWhere(_.name == "partitions")
+    assert(pi >= 0)
+    val newFields = lf.nfields.updated(pi,
+      lf.nfields(pi).copy(tpe =
+        Avro.NArr(fs3, itemsNullable = false)))
+    val rows2 = lf.rows.map { r =>
+      r.updated(pi, r(pi).map { xs =>
+        xs.asInstanceOf[Seq[Option[Any]]].map(_.map { e =>
+          val g = e.asInstanceOf[Avro.Row]
+          Seq(g(0), g(2), g(3)): Avro.Row
+        })
+      })
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(lp),
+      Avro.buildNested("manifest_file", newFields, rows2))
+    // the raw rewrite bypassed hadoop's LocalFS checksum sidecar
+    new java.io.File(s"$t/metadata/.snap-1.avro.crc").delete()
+    // unpredicated read unaffected; pruning still works
+    assert(Iceberg.read(spark, t).count() == 60)
+    val (snap1, pr) = Iceberg.snapshotWhere(spark, t, "bucket", 1)
+    assert(pr.total == 3 && pr.kept == 1)
+    assert(snap1.files.forall(_.partition.get("b").contains(1)))
+  }
+
   test("snapshot expiry: old snapshots + unshared manifests go, " +
     "current stays readable (r13)") {
     val s = spark
@@ -358,8 +399,30 @@ class IcebergSpec extends AnyFunSuite {
         (2L, s"$t/metadata/snap-2.avro")),
       fileSeqs = files2.map(f => f._1 -> 2L).toMap)
     assert(Iceberg.read(spark, t, Some(1L)).count() == 20)
+    // a retained entry must survive BYTE-FOR-BYTE — plant a field
+    // our writer doesn't know about and expect it preserved
+    val hint = s"$t/metadata/version-hint.text"
+    val ver = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hint)), "UTF-8").trim
+    val mp = java.nio.file.Paths.get(
+      s"$t/metadata/v$ver.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mp),
+      "UTF-8")
+    java.nio.file.Files.write(mp, txt.replace(
+      "{\"snapshot-id\":2,",
+      "{\"snapshot-id\":2,\"parent-snapshot-id\":1,")
+      .getBytes("UTF-8"))
+    new java.io.File(
+      s"$t/metadata/.v$ver.metadata.json.crc").delete()
     val expired = Iceberg.expireSnapshots(spark, t, keep = 2)
     assert(expired == Seq(1L))
+    val ver2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hint)), "UTF-8").trim
+    val txt2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$t/metadata/v$ver2.metadata.json")), "UTF-8")
+    assert(txt2.contains("\"parent-snapshot-id\":1"),
+      "retained snapshot entry was rewritten, not preserved")
     // the current snapshot still reads; the expired id is GONE
     assert(Iceberg.read(spark, t).count() == 40)
     assert(Iceberg.read(spark, t, Some(2L)).count() == 40)
