@@ -215,6 +215,7 @@ object Pipeline
     "onnx_parse"        -> onnxParse _,
     "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
     "orc_write_roundtrip" -> orcWriteRoundtrip _,
+    "parquet_raw_source" -> parquetRawSource _,
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,

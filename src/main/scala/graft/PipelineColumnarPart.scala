@@ -40,6 +40,25 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       ("score", "f64", false,
         docs.map(d => Some(d._4.length * 0.25)).toIndexedSeq))
 
+  /** Parquet RAW SOURCE (r13): the SAME fixture tree
+    * [[parquetWriteRoundtrip]] builds, read back through
+    * `sources/ParquetRawSource` — the from-scratch page walker
+    * surfaced as a typed DataFrame (the torn-file recovery path) —
+    * under the SAME oracle. Three independent readers now answer
+    * for these bytes: parquet-mr (the write gate), this source,
+    * and the analytic truth. */
+  private[graft] def parquetRawSource(s: SparkSession,
+      dir: String): DataFrame = {
+    // the write gate's fixture builder is idempotent — reuse it
+    parquetWriteRoundtrip(s, dir) // ensures the tree exists
+    val root = formatFixtureDir(dir, "pqwrite", "documents")(_ =>
+      sys.error("pqwrite fixture must already exist"))
+    graft.sources.ParquetRawSource.read(s, root)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("flag").cast("long").as("flag"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** ORC WRITE round trip (r13): the [[parquetWriteRoundtrip]]
     * story for the other columnar format — per-shard files emitted
     * by OUR from-scratch ORC writer (operators/OrcWrite — protobuf
@@ -763,6 +782,20 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
 
   /** This part's oracle SQL entries (the `oracleSql` slice). */
   private[graft] def columnarOracleSql: Map[String, String] = Map(
+    // ...and the same tree AGAIN through the from-scratch reader
+    // surfaced as a typed DataFrame (sources/ParquetRawSource)
+    "parquet_raw_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+        |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the same facts through OUR ORC writer read back by orc-core
     "orc_write_roundtrip" ->
       """WITH d AS (

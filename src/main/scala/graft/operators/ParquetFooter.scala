@@ -62,7 +62,11 @@ object ParquetFooter {
     * `typeId` -1 for group nodes, `typeLength` for FLBA,
     * `repetition` 0=required 1=optional 2=repeated. */
   final case class SchemaElem(name: String, typeId: Int,
-      typeLength: Int, repetition: Int, numChildren: Int)
+      typeLength: Int, repetition: Int, numChildren: Int,
+      /** parquet.thrift ConvertedType ordinal (-1 = absent):
+        * 0 UTF8, 6 DATE, 9/10 TIMESTAMP_MILLIS/_MICROS, 5 DECIMAL
+        * — what turns a physical BYTE_ARRAY into a string etc. */
+      convertedType: Int = -1)
   final case class Footer(version: Int, numRows: Long,
       createdBy: String, schemaLeaves: Seq[String],
       rowGroups: Seq[RowGroupMeta],
@@ -358,12 +362,14 @@ object ParquetFooter {
           while (c.ok && i < n) {
             if (et == 12) {
               // SchemaElement: 1 = type, 2 = type_length,
-              // 3 = repetition_type, 4 = name, 5 = num_children
+              // 3 = repetition_type, 4 = name, 5 = num_children,
+              // 6 = converted_type
               var name = ""
               var children = 0L
               var tpe = -1
               var tlen = 0
               var rep = 0
+              var conv = -1
               struct(c, 1) { (sf, st) =>
                 sf match {
                   case 1 => tpe = c.zigzag().toInt; true
@@ -371,12 +377,13 @@ object ParquetFooter {
                   case 3 => rep = c.zigzag().toInt; true
                   case 4 => name = c.string(); true
                   case 5 => children = c.zigzag(); true
+                  case 6 => conv = c.zigzag().toInt; true
                   case _ => false
                 }
               }
               if (children == 0L && i > 0) leaves += name
               elems += SchemaElem(name, tpe, tlen, rep,
-                children.toInt)
+                children.toInt, conv)
             } else c.skipElem(et, 1)
             i += 1
           }
