@@ -564,9 +564,8 @@ object Avro {
               case Some(x: String) => x
               case _ => return None
             }
-            m.get("size") match {
-              case Some(d: Double)
-                  if d == d.floor && d >= 1 && d <= (1 << 20) =>
+            m.get("size").flatMap(JsonMini.long) match {
+              case Some(sz) if sz >= 1 && sz <= (1 << 20) =>
                 // decimal-over-fixed (the spark-avro layout):
                 // fixed-size BE two's complement at the annotation's
                 // scale; malformed annotations fall back to raw
@@ -577,10 +576,10 @@ object Avro {
                     val scale = m.get("scale")
                       .flatMap(JsonMini.long).getOrElse(0L)
                     if (prec < 1 || prec > 38 || scale < 0 ||
-                      scale > prec) Some(NFixed(name, d.toInt))
+                      scale > prec) Some(NFixed(name, sz.toInt))
                     else Some(NLogical("fixed", "decimal",
-                      prec.toInt, scale.toInt, d.toInt))
-                  case _ => Some(NFixed(name, d.toInt))
+                      prec.toInt, scale.toInt, sz.toInt))
+                  case _ => Some(NFixed(name, sz.toInt))
                 }
               case _ => None
             }

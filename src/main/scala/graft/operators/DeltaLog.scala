@@ -254,7 +254,10 @@ object DeltaLog {
         val p = JsonMini.str(rm.getOrElse("path", return None))
           .getOrElse(return None)
         removes += p
-        if (rm.get("dataChange").contains(true)) removesDc += p
+        // protocol default for remove.dataChange is TRUE — writers
+        // may omit the field, and a derived change feed must still
+        // see those rows as deletes
+        if (rm.get("dataChange").forall(_ == true)) removesDc += p
       }
       m.get("cdc").flatMap(JsonMini.obj).foreach { cd =>
         cdcs += AddFile(
@@ -889,6 +892,8 @@ object DeltaLog {
     require(retainVersions >= 1, "must retain the latest version")
     val latest = snapshot(spark, table).version
     val from = math.max(0L, latest - retainVersions + 1)
+    val (f, root0) = fs(spark, table)
+    val root = f.makeQualified(root0)
     val keep = scala.collection.mutable.Set[String]()
     (from to latest).foreach { v =>
       snapshot(spark, table, Some(v)).files.foreach { a =>
@@ -907,6 +912,15 @@ object DeltaLog {
               s"deletion_vector_$uuid.bin"
             else s"${prefix.stripSuffix("/")}/" +
               s"deletion_vector_$uuid.bin")
+          } else if (dv.storageType == "p") {
+            // absolute-path DV: protect it when it lives under the
+            // table root (the walk only ever deletes under root, so
+            // an outside path needs no keep entry)
+            val abs = f.makeQualified(
+              new org.apache.hadoop.fs.Path(dv.pathOrInlineDv)).toUri
+            val rel = root.toUri.relativize(abs)
+            if (!rel.isAbsolute && rel.getPath.nonEmpty &&
+              !rel.getPath.startsWith("..")) keep += rel.getPath
           }
         }
       }
@@ -916,8 +930,6 @@ object DeltaLog {
         sys.error(s"malformed commit $v in $table"))
       c.cdcs.foreach(keep += _.path)
     }
-    val (f, root0) = fs(spark, table)
-    val root = f.makeQualified(root0)
     val deleted = Seq.newBuilder[String]
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       f.listStatus(p).foreach { st =>

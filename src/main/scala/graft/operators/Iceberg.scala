@@ -717,12 +717,20 @@ object Iceberg {
             if (i >= summaries.length) true // no summary: keep
             else {
               val (_, lo, up) = summaries(i)
-              val tv = singleValueBytes(
-                applyTransform(pf.transform, value))
-              val t = transformResultType(pf.transform,
-                schema(colName).dataType)
-              lo.forall(l => svCompare(t, tv, l) >= 0) &&
-                up.forall(u => svCompare(t, tv, u) <= 0)
+              // pruning may only ever skip PROVABLY-irrelevant
+              // manifests: a bound type the single-value codec
+              // doesn't cover degrades to keep, never to a crash
+              // the unpredicated scan wouldn't have had
+              try {
+                val tv = singleValueBytes(
+                  applyTransform(pf.transform, value))
+                val t = transformResultType(pf.transform,
+                  schema(colName).dataType)
+                lo.forall(l => svCompare(t, tv, l) >= 0) &&
+                  up.forall(u => svCompare(t, tv, u) <= 0)
+              } catch {
+                case _: RuntimeException => true // keep, no prune
+              }
             }
           }
       }
@@ -1268,46 +1276,32 @@ object Iceberg {
     require(keep >= 1, "must keep at least one snapshot")
     val metaDir = s"$table/metadata"
     val md = currentMetadata(spark, table)
-    val curId = JsonMini.long(
-      md.getOrElse("current-snapshot-id", -1.0))
-      .getOrElse(sys.error("no current-snapshot-id"))
     val snaps = JsonMini.arr(md.getOrElse("snapshots", Seq.empty))
       .getOrElse(Seq.empty).flatMap(JsonMini.obj)
-    val ids = snaps.map(s => JsonMini.long(
-      s.getOrElse("snapshot-id", -1.0)).getOrElse(-1L))
-    require(ids.forall(id => id >= 0 && id < (1L << 53)),
-      "snapshot id out of the exactly-representable range")
-    if (snaps.length <= keep) return Seq.empty
-    val (expired, kept) = snaps.splitAt(snaps.length - keep)
-    val keptIds = kept.map(s => JsonMini.long(
-      s.getOrElse("snapshot-id", -1.0)).getOrElse(-1L))
-    require(keptIds.contains(curId),
-      s"expiry would drop the CURRENT snapshot $curId — refusing")
-    def listOf(s: Map[String, Any]): String =
-      JsonMini.str(s.getOrElse("manifest-list", ""))
-        .getOrElse(sys.error("snapshot without manifest-list"))
-    def manifestsOf(lp: String): Seq[String] = {
-      val lf = Avro.parse(readBytes(spark, lp)).getOrElse(
-        sys.error(s"manifest list unreadable during expiry: $lp"))
-      val pIdx = fieldIdx(lf.nfields, "manifest_path")
-      lf.rows.map(_(pIdx).get.asInstanceOf[String])
-    }
-    val retainedManifests = kept.flatMap(s =>
-      manifestsOf(listOf(s))).toSet
-    val (f, _) = fs(spark, table)
-    expired.foreach { s =>
-      val lp = listOf(s)
-      manifestsOf(lp).filterNot(retainedManifests).foreach { mp =>
-        f.delete(new org.apache.hadoop.fs.Path(mp), false): Unit
-      }
-      f.delete(new org.apache.hadoop.fs.Path(lp), false): Unit
-    }
-    // next metadata version: the current document with the expired
-    // snapshot entries spliced out of its `snapshots` array
     val hintPath = s"$metaDir/version-hint.text"
     val curVer = readText(spark, hintPath).trim.toLong
     val text = readText(spark,
       s"$metaDir/v$curVer.metadata.json")
+    // snapshot ids are RANDOM 64-bit longs in the wild — JsonMini
+    // parses numbers as Double (exact only below 2^53), so ids are
+    // re-extracted from the raw token text and only ever compared
+    // for membership, never computed on
+    def exactLong(src: String, key: String): Long = {
+      val at = src.indexOf(s""""$key"""")
+      require(at >= 0, s"no $key in metadata")
+      var i = src.indexOf(':', at)
+      require(i >= 0, s"malformed $key")
+      i += 1
+      while (i < src.length && src.charAt(i).isWhitespace) i += 1
+      val st = i
+      if (i < src.length && src.charAt(i) == '-') i += 1
+      while (i < src.length && src.charAt(i).isDigit) i += 1
+      require(i > st, s"non-integer $key token")
+      java.lang.Long.parseLong(src.substring(st, i))
+    }
+    val curId = exactLong(text, "current-snapshot-id")
+    if (snaps.length <= keep) return Seq.empty
+    val (expired, kept) = snaps.splitAt(snaps.length - keep)
     val key = "\"snapshots\":"
     val at = text.indexOf(key)
     require(at >= 0, "metadata without snapshots array")
@@ -1365,6 +1359,34 @@ object Iceberg {
     val allElems = elems.result()
     require(allElems.length == snaps.length,
       "snapshot entry scan disagrees with the parsed array")
+    // exact ids from each element's own raw text; "snapshot-id"
+    // with its opening quote can't match "parent-snapshot-id"
+    val ids = allElems.map(exactLong(_, "snapshot-id"))
+    val (expiredIds, keptIds) = ids.splitAt(ids.length - keep)
+    require(keptIds.contains(curId),
+      s"expiry would drop the CURRENT snapshot $curId — refusing")
+    def listOf(s: Map[String, Any]): String =
+      JsonMini.str(s.getOrElse("manifest-list", ""))
+        .getOrElse(sys.error("snapshot without manifest-list"))
+    def manifestsOf(lp: String): Seq[String] = {
+      val lf = Avro.parse(readBytes(spark, lp)).getOrElse(
+        sys.error(s"manifest list unreadable during expiry: $lp"))
+      val pIdx = fieldIdx(lf.nfields, "manifest_path")
+      lf.rows.map(_(pIdx).get.asInstanceOf[String])
+    }
+    val retainedManifests = kept.flatMap(s =>
+      manifestsOf(listOf(s))).toSet
+    val (f, _) = fs(spark, table)
+    expired.foreach { s =>
+      val lp = listOf(s)
+      manifestsOf(lp).filterNot(retainedManifests).foreach { mp =>
+        f.delete(new org.apache.hadoop.fs.Path(mp), false): Unit
+      }
+      f.delete(new org.apache.hadoop.fs.Path(lp), false): Unit
+    }
+    // next metadata version: the current document with the expired
+    // snapshot entries spliced out of its `snapshots` array —
+    // retained entries survive byte-for-byte
     val keptIdSet = keptIds.toSet
     val keptJson = allElems.zip(ids).collect {
       case (txt, id) if keptIdSet(id) => txt
@@ -1375,8 +1397,7 @@ object Iceberg {
       next.getBytes("UTF-8"))
     writeBytes(spark, hintPath,
       (curVer + 1).toString.getBytes("UTF-8"))
-    expired.map(s =>
-      JsonMini.long(s.getOrElse("snapshot-id", -1.0)).get)
+    expiredIds
   }
 
   private def schemaWithId(schema: StructType): String = {

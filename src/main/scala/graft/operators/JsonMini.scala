@@ -5,9 +5,10 @@ package graft.operators
   * [[Avro]] container schemas, [[Safetensors]] headers, the Delta
   * transaction log ([[DeltaLog]]). Deliberately tiny and strict:
   * values parse to plain Scala shapes (`Map[String, Any]`,
-  * `Seq[Any]`, `String`, `Double`, `Boolean`, `null`), numbers all
-  * land as Double (callers needing exact 64-bit integers use
-  * [[longAt]] on the raw text span), malformed input flips `ok`
+  * `Seq[Any]`, `String`, `Long`/`Double`, `Boolean`, `null`) —
+  * pure-integer tokens land as exact `Long` (snapshot ids are
+  * random 64-bit values), everything else numeric as `Double`;
+  * callers read numbers through [[long]], malformed input flips `ok`
   * and never throws. Depth is capped at 64 so a crafted
   * `[[[[...` header cannot blow the stack — drop, never invent.
   */
@@ -60,11 +61,15 @@ private[graft] object JsonMini {
     case _ => None
   }
 
-  /** A number field as an exact Long: Doubles are integral-checked
-    * and bounded STRICTLY below 2^53 — at exactly 2^53 the value is
-    * ambiguous (2^53+1 parses to the same Double), and a tensor
-    * offset must never round. */
+  /** A number field as an exact Long. Integer tokens parse as Long
+    * directly (full 64-bit exactness — iceberg/delta snapshot ids
+    * are random longs); Doubles (from fraction/exponent tokens or
+    * caller defaults) are integral-checked and bounded STRICTLY
+    * below 2^53 — at exactly 2^53 the value is ambiguous (2^53+1
+    * parses to the same Double), and a tensor offset must never
+    * round. */
   def long(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
     case d: Double
         if d == math.rint(d) && math.abs(d) < (1L << 53).toDouble =>
       Some(d.toLong)
@@ -124,8 +129,22 @@ private[graft] object JsonMini {
           p += 1
           while (p < s.length && (s(p).isDigit || "+-.eE".contains(s(p))))
             p += 1
-          try java.lang.Double.parseDouble(s.substring(st, p))
-          catch { case _: NumberFormatException => ok = false; null }
+          val tok = s.substring(st, p)
+          // pure-integer tokens keep 64-bit exactness (iceberg/
+          // delta snapshot ids are random longs); everything else
+          // (fractions, exponents, >64-bit) is a Double
+          if (tok.forall(ch => ch.isDigit || ch == '-'))
+            try java.lang.Long.parseLong(tok)
+            catch {
+              case _: NumberFormatException =>
+                try java.lang.Double.parseDouble(tok)
+                catch {
+                  case _: NumberFormatException => ok = false; null
+                }
+            }
+          else
+            try java.lang.Double.parseDouble(tok)
+            catch { case _: NumberFormatException => ok = false; null }
         case _ => ok = false; null
       }
     }

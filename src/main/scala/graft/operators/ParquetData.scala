@@ -623,6 +623,12 @@ object ParquetData {
   // Column chunk decode
   // ---------------------------------------------------------------
 
+  /** Column chunks walked since JVM start — a test hook proving
+    * projection pushdown never touches unprojected columns' pages
+    * (local mode shares the JVM, so the counter sees executors). */
+  private[graft] val chunksDecoded =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def bitsFor(maxLevel: Int): Int = {
     var b = 0
     while ((1 << b) <= maxLevel) b += 1
@@ -636,6 +642,7 @@ object ParquetData {
   private def walkChunk(data: Array[Byte], col: ColumnMeta,
       leaf: LeafInfo, maxRep: Int, maxDef: Int)
       : Option[(Array[Int], Array[Int], IndexedSeq[Any])] = {
+    chunksDecoded.incrementAndGet(): Unit
     if (col.numValues < 0 || col.numValues > MaxValues) return None
     val total = col.numValues.toInt
     val reps = if (maxRep > 0) new Array[Int](total) else null
@@ -999,7 +1006,7 @@ object ParquetData {
     * = the dotted column-chunk path. */
   final case class DeepLeaf(name: String, optional: Boolean,
       typeId: Int, typeLength: Int, path: String,
-      defLvl: Int, repLvl: Int) extends DeepNode
+      defLvl: Int, repLvl: Int, conv: Int = -1) extends DeepNode
 
   /** A group (struct): null iff def < defLvl on every descendant
     * leaf (they agree by construction). */
@@ -1034,7 +1041,7 @@ object ParquetData {
         if (e.typeId < 0 || e.typeId > 7) return None
         if (e.typeId == 7 && e.typeLength <= 0) return None
         Some((DeepLeaf(e.name, opt, e.typeId, e.typeLength, path,
-          d1, r0), i + 1))
+          d1, r0, e.convertedType), i + 1))
       } else if (e.numChildren == 1 && i + 1 < es.length &&
         es(i + 1).repetition == 2 && es(i + 1).numChildren >= 1) {
         // 3-level LIST (repeated group, 1 child) / MAP (2 children)
@@ -1198,9 +1205,23 @@ object ParquetData {
     * key_value entry structs) are Seq[Option[Any]] of elements,
     * nulls are None at every depth. */
   def decodeFileDeep(data: Array[Byte])
+      : Option[(Seq[DeepNode], Seq[IndexedSeq[Option[Any]]])] =
+    decodeFileDeep(data, None)
+
+  /** As above, but decoding ONLY the named top-level columns (in
+    * schema order) — the other columns' chunks are never touched,
+    * the projection pushdown a recovery scan needs. Unknown names
+    * reject. `None` = all columns. */
+  def decodeFileDeep(data: Array[Byte], project: Option[Set[String]])
       : Option[(Seq[DeepNode], Seq[IndexedSeq[Option[Any]]])] = {
     val footer = ParquetFooter.parse(data).getOrElse(return None)
-    val nodes = deepSchema(footer).getOrElse(return None)
+    val all = deepSchema(footer).getOrElse(return None)
+    val nodes = project match {
+      case None => all
+      case Some(keep) =>
+        if (!keep.subsetOf(all.map(_.name).toSet)) return None
+        all.filter(n => keep(n.name))
+    }
     val cols = nodes.map { node =>
       val leaves = deepLeaves(node)
       if (leaves.isEmpty) return None

@@ -167,6 +167,7 @@ object Zarr {
       }
     val fill = m.getOrElse("fill_value", null) match {
       case null => 0.0
+      case l: Long => l.toDouble
       case d: Double => d
       case "NaN" => Double.NaN
       case "Infinity" => Double.PositiveInfinity
@@ -515,6 +516,7 @@ object Zarr {
     }
     val fill = m.getOrElse("fill_value", null) match {
       case null => 0.0
+      case l: Long => l.toDouble
       case d: Double => d
       case "NaN" => Double.NaN
       case "Infinity" => Double.PositiveInfinity

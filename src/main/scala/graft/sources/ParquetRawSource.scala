@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.operators.{ParquetData, ParquetFooter}
+import graft.operators.ParquetData
+import graft.operators.ParquetData.{DeepLeaf, DeepList, DeepNode, DeepStruct}
 
 /** Parquet through the FROM-SCRATCH reader as a typed DataFrame —
   * the user-facing face of the audit/recovery path ([[graft
@@ -14,25 +15,30 @@ import graft.operators.{ParquetData, ParquetFooter}
   * returns what the bytes actually say, and recovering data from
   * trees a library reader refuses.
   *
-  * Scope — flat schemas, the seven physical types; logical
-  * surfacing via the footer's ConvertedType: BYTE_ARRAY+UTF8 →
-  * StringType (else BinaryType), INT32+DATE → DateType,
+  * Scope (r14, was flat-only in r13) — the full
+  * [[ParquetData.decodeFileDeep]] surface: flat columns, structs,
+  * 3-level lists and maps at any supported depth, surfaced as real
+  * `StructType`/`ArrayType`/`MapType` columns. Logical surfacing
+  * via the footer's ConvertedType at every depth: BYTE_ARRAY+UTF8
+  * → StringType (else BinaryType), INT32+DATE → DateType,
   * INT64+TIMESTAMP_MICROS → TimestampType, everything else at its
-  * physical width. Nested shapes reject loudly with a pointer at
-  * [[ParquetData.decodeFileDeep]] (their typed surfacing is the
-  * engine's normal Spark reader's job). Schema comes from ONE
-  * driver-side footer probe; every file is then footer-checked on
-  * executors and decoded per file — the per-file flatMap unit a
-  * 1000-executor recovery job parallelizes on. */
+  * physical width. A `columns` projection decodes ONLY the named
+  * top-level columns — unprojected columns' chunks are never
+  * touched (pinned by a decode-counter spec), the pushdown a
+  * recovery scan of a wide table needs. Schema comes from ONE
+  * driver-side footer probe through the Hadoop FileSystem (so
+  * HDFS/S3 trees probe the same way local ones do); every file is
+  * then footer-checked on executors and decoded per file — the
+  * per-file flatMap unit a 1000-executor recovery job
+  * parallelizes on. */
 object ParquetRawSource {
 
   private final val ConvUtf8 = 0
   private final val ConvDate = 6
   private final val ConvTsMicros = 10
 
-  private[graft] def sparkField(l: ParquetData.LeafInfo,
-      conv: Int): StructField = {
-    val t = (l.typeId, conv) match {
+  private def leafType(typeId: Int, conv: Int): DataType =
+    (typeId, conv) match {
       case (0, _) => BooleanType
       case (1, ConvDate) => DateType
       case (1, _) => IntegerType
@@ -46,10 +52,32 @@ object ParquetRawSource {
       case (other, _) =>
         sys.error(s"unsupported physical type $other")
     }
-    StructField(l.name, t, nullable = l.optional)
+
+  /** The Spark field of one schema node, recursively. */
+  private[graft] def nodeField(n: DeepNode): StructField = n match {
+    case l: DeepLeaf =>
+      StructField(l.name, leafType(l.typeId, l.conv),
+        nullable = l.optional)
+    case s: DeepStruct =>
+      StructField(s.name, StructType(s.fields.map(nodeField)),
+        nullable = s.optional)
+    case l: DeepList if !l.isMap =>
+      val e = nodeField(l.elem)
+      StructField(l.name, ArrayType(e.dataType, e.nullable),
+        nullable = l.optional)
+    case m: DeepList =>
+      val kv = m.elem match {
+        case s: DeepStruct if s.fields.length == 2 => s
+        case _ => sys.error(s"malformed MAP group ${m.name}")
+      }
+      val k = nodeField(kv.fields.head)
+      val v = nodeField(kv.fields(1))
+      StructField(m.name,
+        MapType(k.dataType, v.dataType, v.nullable),
+        nullable = m.optional)
   }
 
-  private[graft] def toSpark(v: Any, dt: DataType): Any =
+  private def toSparkLeaf(v: Any, dt: DataType): Any =
     (dt, v) match {
       case (_, null) => null
       case (BooleanType, b: Boolean) => b
@@ -82,51 +110,92 @@ object ParquetRawSource {
         sys.error(s"value ${x.getClass.getName} for $t")
     }
 
-  /** (leaves, converted types) of one file, flat-or-reject. */
-  private def probe(bytes: Array[Byte], what: String)
-      : (Seq[ParquetData.LeafInfo], Seq[Int]) = {
-    val foot = ParquetFooter.parse(bytes).getOrElse(
-      sys.error(s"not a readable parquet file: $what"))
-    val leaves = ParquetData.flatLeaves(foot).getOrElse(
-      sys.error(s"nested schema in $what — this source surfaces " +
-        "FLAT files; decode nested shapes with " +
-        "ParquetData.decodeFileDeep"))
-    val convs = foot.schemaElems.tail
-      .filter(_.numChildren == 0).map(_.convertedType)
-    require(convs.length == leaves.length,
-      s"schema walk disagreement in $what")
-    (leaves, convs)
+  /** One decoded slot → the Spark-external value (Row / Seq / Map
+    * / boxed scalar), recursively. */
+  private[graft] def toSpark(v: Option[Any], n: DeepNode): Any =
+    v match {
+      case None => null
+      case Some(x) => n match {
+        case l: DeepLeaf =>
+          toSparkLeaf(x, leafType(l.typeId, l.conv))
+        case s: DeepStruct =>
+          val fvs = x.asInstanceOf[Seq[Option[Any]]]
+          require(fvs.length == s.fields.length,
+            s"struct ${s.name} arity drift")
+          Row.fromSeq(s.fields.zip(fvs).map {
+            case (f, fv) => toSpark(fv, f) })
+        case l: DeepList if !l.isMap =>
+          x.asInstanceOf[Seq[Option[Any]]].map(toSpark(_, l.elem))
+        case m: DeepList =>
+          val kv = m.elem.asInstanceOf[DeepStruct]
+          x.asInstanceOf[Seq[Option[Any]]].map { entry =>
+            val e = entry.getOrElse(
+              sys.error(s"null map entry in ${m.name}"))
+              .asInstanceOf[Seq[Option[Any]]]
+            val k = toSpark(e.head, kv.fields.head)
+            require(k != null, s"null map key in ${m.name}")
+            k -> toSpark(e(1), kv.fields(1))
+          }.toMap
+      }
+    }
+
+  /** Whole-file bytes through the Hadoop FileSystem — the probe
+    * works wherever the scan does (file:, hdfs:, s3a:, …). */
+  private def readFileBytes(spark: SparkSession, path: String)
+      : Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** Read a directory of parquet files as one DataFrame through
-    * the from-scratch decoder. */
+    * the from-scratch decoder. `columns` non-empty = decode only
+    * those top-level columns (returned in schema order); other
+    * columns' pages are never decoded. */
   def read(spark: SparkSession, dir: String,
-      glob: String = "*.parquet"): DataFrame = {
+      glob: String = "*.parquet",
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    val project: Option[Set[String]] =
+      if (columns.isEmpty) None else Some(columns.toSet)
     val firstPath = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
       .select("path").as[String].orderBy("path").head()
-    val firstBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(new java.net.URI(firstPath)))
-    val (leaves0, convs0) = probe(firstBytes, firstPath)
-    val schema = StructType(leaves0.zip(convs0).map {
-      case (l, cv) => sparkField(l, cv) })
-    val expect = leaves0.map(l => (l.name, l.typeId))
+    val foot = graft.operators.ParquetFooter
+      .parse(readFileBytes(spark, firstPath)).getOrElse(
+        sys.error(s"not a readable parquet file: $firstPath"))
+    val all = ParquetData.deepSchema(foot).getOrElse(
+      sys.error(s"unsupported schema shape in $firstPath"))
+    project.foreach { keep =>
+      val missing = keep -- all.map(_.name).toSet
+      require(missing.isEmpty,
+        s"projected columns not in $firstPath: " +
+          missing.toSeq.sorted.mkString(", "))
+    }
+    val nodes0 = project match {
+      case None => all
+      case Some(keep) => all.filter(n => keep(n.name))
+    }
+    val schema = StructType(nodes0.map(nodeField))
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
       .select("path", "content").as[(String, Array[Byte])]
     val rowRdd = bin.rdd.flatMap { case (path, bytes) =>
-      val (leaves, _) = probe(bytes, path)
-      require(leaves.map(l => (l.name, l.typeId)) == expect,
-        s"schema drift in $path")
-      val (_, cols) = ParquetData.decodeFile(bytes).getOrElse(
-        sys.error(s"data pages do not decode: $path"))
+      val (nodes, cols) = ParquetData
+        .decodeFileDeep(bytes, project).getOrElse(
+          sys.error(s"data pages do not decode: $path"))
+      require(nodes == nodes0, s"schema drift in $path")
       val n = cols.headOption.map(_.length).getOrElse(0)
       (0 until n).iterator.map { r =>
-        Row.fromSeq(schema.fields.indices.map { c =>
-          cols(c)(r).map(v =>
-            toSpark(v, schema.fields(c).dataType)).orNull
-        })
+        Row.fromSeq(nodes0.indices.map(c =>
+          toSpark(cols(c)(r), nodes0(c))))
       }
     }
     spark.createDataFrame(rowRdd, schema)

@@ -71,14 +71,6 @@ class SourcesRawSpec extends AnyFunSuite {
     assert(got.count() == 50)
     assert(got.where("s is null").count() == 10)
     assert(got.where("id = 7 and s = 'w7'").count() == 1)
-    // nested schema rejects with the deep-decode pointer
-    val dir2 = java.nio.file.Files
-      .createTempDirectory("graft_praw3").toString
-    (0 until 5).map(i => (i.toLong, Seq(i, i + 1)))
-      .toDF("id", "xs").write.mode("overwrite").parquet(dir2)
-    val e = intercept[Exception](
-      ParquetRawSource.read(spark, dir2))
-    assert(e.getMessage.contains("decodeFileDeep"))
     // schema drift across files rejects
     val dir3 = java.nio.file.Files
       .createTempDirectory("graft_praw4").toString
@@ -101,5 +93,94 @@ class SourcesRawSpec extends AnyFunSuite {
       if (x == null) Nil
       else Option(x.getMessage).toSeq ++ chain(x.getCause)
     assert(chain(e2).exists(_.contains("schema drift")))
+  }
+
+  test("nested schemas surface as real array/struct/map columns") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_praw_nested").toString
+    val df = (0 until 400).map { i =>
+      (i.toLong,
+        if (i % 9 == 4) None
+        else Some((0 until i % 4).map(j =>
+          if ((i + j) % 7 == 5) None else Some(i * 10 + j))),
+        if (i % 11 == 6) None
+        else Some((i.toLong * 3,
+          if (i % 5 == 2) None else Some(s"n$i"))),
+        if (i % 13 == 8) None
+        else Some(Map(s"k${i % 3}" -> i.toLong,
+          "fixed" -> (i % 17).toLong)))
+    }.toDF("id", "xs", "st", "m")
+    df.repartition(2).write.mode("overwrite").parquet(dir)
+    val got = ParquetRawSource.read(spark, dir)
+    assert(got.schema("xs").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    assert(got.schema("st").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    assert(got.schema("m").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    val exp = spark.read.parquet(dir)
+    def norm(r: org.apache.spark.sql.Row): Seq[Any] =
+      r.toSeq.map {
+        case xs: Seq[_] => xs.toList
+        case m: Map[_, _] => m.toList.sortBy(_._1.toString)
+        case st: org.apache.spark.sql.Row => st.toSeq.toList
+        case x => x
+      }
+    val a = got.collect().sortBy(_.getLong(0)).map(norm).toSeq
+    val b = exp.collect().sortBy(_.getLong(0)).map(norm).toSeq
+    assert(a.length == 400)
+    assert(a == b)
+  }
+
+  test("projection decodes ONLY the projected columns' chunks") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_praw_proj").toString
+    (0 until 200).map(i => (i.toLong, s"s$i", i * 0.5))
+      .toDF("id", "txt", "x")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // decode-counter pin: 1 file × 1 row group × 1 projected leaf
+    val before = graft.operators.ParquetData.chunksDecoded.get()
+    val got = ParquetRawSource.read(spark, dir,
+      columns = Seq("id")).collect()
+    val delta = graft.operators.ParquetData.chunksDecoded.get() -
+      before
+    assert(got.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 200L).toSeq)
+    assert(got.head.schema.fieldNames.toSeq == Seq("id"))
+    assert(delta == 1L,
+      s"projected read walked $delta chunks, expected 1")
+    // belt and braces: corrupt an UNPROJECTED column's pages —
+    // projected reads stay green, full reads fail loudly
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val foot = graft.operators.ParquetFooter.parse(bytes).get
+    val txtCol = foot.rowGroups.head.columns
+      .find(_.path == "txt").get
+    val off = txtCol.dictPageOffset
+      .map(d => math.min(d, txtCol.dataPageOffset))
+      .getOrElse(txtCol.dataPageOffset).toInt
+    java.util.Arrays.fill(bytes, off,
+      off + txtCol.totalCompressed.toInt, 0x5a.toByte)
+    java.nio.file.Files.write(file.toPath, bytes)
+    // the in-place edit invalidates Hadoop's local-FS .crc sidecar
+    new java.io.File(file.getParentFile,
+      s".${file.getName}.crc").delete(): Unit
+    assert(ParquetRawSource.read(spark, dir,
+      columns = Seq("id", "x")).count() == 200)
+    val e = intercept[Exception](
+      ParquetRawSource.read(spark, dir).count())
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("do not decode")))
+    // unknown projected names reject on the driver
+    val e2 = intercept[Exception](
+      ParquetRawSource.read(spark, dir, columns = Seq("nope")))
+    assert(e2.getMessage.contains("nope"))
   }
 }

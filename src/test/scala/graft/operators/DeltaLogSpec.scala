@@ -544,6 +544,57 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t2, Some(0L)).count() == 20)
   }
 
+  test("absent remove.dataChange defaults TRUE in the derived " +
+    "change feed; vacuum protects absolute-path DVs (r14)") {
+    val s = spark
+    import s.implicits._
+    // --- remove actions from writers that omit dataChange (the
+    // protocol default is true) must still derive CDF deletes
+    val t = tmpTable("delta_rm_default")
+    DeltaLog.create(spark, seed(10), t,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val snap0 = DeltaLog.snapshot(spark, t)
+    seed(10).filter($"id" < 6).write.parquet(s"$t/rw")
+    val rw = DeltaLog.listDataFiles(spark, t, Seq.empty)
+      .filter(_.path.startsWith("rw/"))
+    val removesNoDc = snap0.files.map(f =>
+      s"""{"remove":{"path":"${f.path}",""" +
+        """"deletionTimestamp":123}}""")
+    DeltaLog.commit(spark, t, 1L,
+      removesNoDc ++ rw.map(DeltaLog.addJson))
+    val byTv = DeltaLog.tableChanges(spark, t, 1L, 1L)
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byTv == Map("delete" -> 10L, "insert" -> 6L))
+
+    // --- a "p" (absolute-path) DV blob inside the table must
+    // survive vacuum exactly like its "u" twin
+    val t2 = tmpTable("delta_vac_pdv")
+    DeltaLog.create(spark, seed(12), t2)
+    val snapD = DeltaLog.snapshot(spark, t2)
+    val victim = snapD.files.head
+    val acts = DeltaLog.dvDeleteActions(spark, t2,
+      Seq(victim), Map(victim.path -> Array(0L, 2L)),
+      inlineMax = 0) // force a .bin blob ("u")
+    val binName = new java.io.File(t2).listFiles()
+      .map(_.getName).filter(_.startsWith("deletion_vector_"))
+      .head
+    // rewrite the descriptor to storageType "p" + absolute path
+    val acts2 = acts.map(_.replaceAll(
+      """"storageType":"u","pathOrInlineDv":"[^"]*"""",
+      s""""storageType":"p","pathOrInlineDv":"$t2/$binName""""))
+    assert(acts2 != acts, "descriptor rewrite must hit")
+    DeltaLog.commit(spark, t2, 1L, acts2)
+    val preRows = DeltaLog.read(spark, t2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(preRows.length == 10) // 2 rows masked by the DV
+    DeltaLog.vacuum(spark, t2, retainVersions = 1): Unit
+    assert(new java.io.File(s"$t2/$binName").exists(),
+      "vacuum deleted a retained snapshot's absolute-path DV blob")
+    assert(DeltaLog.read(spark, t2)
+      .select("id").as[Long].collect().sorted.toSeq == preRows)
+  }
+
   test("torn log and unsupported protocol reject") {
     val s = spark
     import s.implicits._

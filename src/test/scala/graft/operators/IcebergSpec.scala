@@ -444,6 +444,46 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.snapshotsMeta(spark, t).count() == 2)
   }
 
+  test("expiry handles random 64-bit snapshot ids exactly (r14)") {
+    val s = spark
+    import s.implicits._
+    // real engines stamp RANDOM 64-bit ids — none of these are
+    // exactly representable as a Double, so a Double-typed parse
+    // would corrupt them; expiry must compare the raw tokens
+    val idA = 9007199254740995L // 2^53 + 3
+    val idB = Long.MaxValue - 7L
+    val idC = Long.MaxValue - 3L
+    val t = tmpTable("ice_expire64")
+    seed(20).write.parquet(s"$t/data/s1")
+    val files1 = Iceberg.countsByFile(spark, seed(1).schema,
+      s"$t/data/s1")
+    Iceberg.commit(spark, t, 1L, idA, seed(1).schema, files1,
+      prior = Seq.empty)
+    Iceberg.commit(spark, t, 2L, idB, seed(1).schema, files1,
+      prior = Seq((idA, s"$t/metadata/snap-$idA.avro")),
+      fileSeqs = files1.map(f => f._1 -> 1L).toMap)
+    Iceberg.commit(spark, t, 3L, idC, seed(1).schema, files1,
+      prior = Seq((idA, s"$t/metadata/snap-$idA.avro"),
+        (idB, s"$t/metadata/snap-$idB.avro")),
+      fileSeqs = files1.map(f => f._1 -> 1L).toMap)
+    val expired = Iceberg.expireSnapshots(spark, t, keep = 1)
+    assert(expired == Seq(idA, idB))
+    // the retained entry carries the EXACT id token
+    val hint = s"$t/metadata/version-hint.text"
+    val ver = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hint)), "UTF-8").trim
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$t/metadata/v$ver.metadata.json")), "UTF-8")
+    assert(txt.contains(s""""snapshot-id":$idC"""))
+    assert(!txt.contains(s""""snapshot-id":$idA"""))
+    assert(Iceberg.read(spark, t).count() == 20)
+    assert(!new java.io.File(
+      s"$t/metadata/snap-$idA.avro").exists())
+    assert(new java.io.File(
+      s"$t/metadata/snap-$idC.avro").exists())
+  }
+
   test("bucket hash matches the spec's own Appendix B vectors") {
     // iceberg.apache.org/spec Appendix B publishes these — they pin
     // the murmur3_x86_32 implementation AND the hash-ints-as-longs
