@@ -214,8 +214,11 @@ object Pipeline
     "zarr3_read"        -> zarr3Read _,
     "onnx_parse"        -> onnxParse _,
     "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
+    "parquet_write_nested" -> parquetWriteNested _,
     "orc_write_roundtrip" -> orcWriteRoundtrip _,
+    "orc_write_rich" -> orcWriteRich _,
     "parquet_raw_source" -> parquetRawSource _,
+    "parquet_raw_nested" -> parquetRawNested _,
     "parquet_footer"    -> parquetFooter _,
     "parquet_page_index" -> parquetPageIndex _,
     "parquet_data_decode" -> parquetDataDecode _,

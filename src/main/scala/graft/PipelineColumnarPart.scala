@@ -87,15 +87,80 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
             case (n, k, o, vs) => WCol(n, k, o, vs) }
           val codec = if (sid % 2 == 0) "zlib" else "none"
           val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
+          // r14: integer RLEv2 (orc-core's default) and DICTIONARY
+          // strings rotate in beside the v1/DIRECT shards
+          val rle = if ((sid / 4) % 2 == 0) "v1" else "v2"
+          val dict: Set[String] =
+            if (sid % 3 == 0) Set("lang") else Set.empty
           java.nio.file.Files.write(java.nio.file.Paths.get(
             out, f"shard-$sid%06d.orc"),
-            OrcWrite.build(cols, codec, rps))
+            OrcWrite.build(cols, codec, rps, rle, dict))
           sid
         }.count(): Unit
     }
     spark.read.orc(root)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("flag").cast("long").as("flag"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** ORC WRITE round trip, RICH TYPES (r14): timestamp (micros,
+    * incl. pre-1970 sub-second values — the truncate-toward-zero
+    * writer quirk orc-core's readers compensate), date and
+    * decimal(14,3) columns emitted by OUR writer under rotating
+    * codec/RLE-version/stripe splits, read back by orc-core. The
+    * oracle recomputes each value analytically (timestamps as
+    * make_timestamp micros, decimals surfaced as unscaled
+    * BIGINT so the compare is representation-free). */
+  private[graft] def orcWriteRich(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.WCol
+    val root = formatFixtureDir(dir, "orcrich", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id / 8, id, t.length.toLong) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WCol("ts", "ts", optional = true,
+              docs.map { d =>
+                if (d._2 % 13 == 2) None
+                else Some(((d._2 - 500L) * 86400000000L +
+                  (d._2 % 7) * 123457L): Any)
+              }.toIndexedSeq),
+            WCol("day", "date", optional = true,
+              docs.map { d =>
+                if (d._2 % 17 == 5) None
+                else Some(((18000 + d._2 % 1000 - 400).toInt): Any)
+              }.toIndexedSeq),
+            WCol("amt", "decimal(14,3)", optional = true,
+              docs.map { d =>
+                if (d._2 % 7 == 1) None
+                else Some(java.math.BigDecimal.valueOf(
+                  d._2 * 12345L - d._3, 3): Any)
+              }.toIndexedSeq))
+          val codec = Seq("zlib", "none", "snappy")((sid % 3).toInt)
+          val rle = if (sid % 2 == 0) "v2" else "v1"
+          val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.orc"),
+            OrcWrite.build(cols, codec, rps, rle))
+          sid
+        }.count(): Unit
+    }
+    spark.read.orc(root)
+      .select(col("doc_id"), col("ts"),
+        col("day").cast("string").as("day"),
+        (col("amt") * 1000).cast("long").as("amt_milli"))
       .orderBy("doc_id")
   }
 
@@ -140,6 +205,91 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         // compare paths; surface it as nullable BIGINT (the file
         // itself still carries the boolean column + def levels)
         col("flag").cast("long").as("flag"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Parquet WRITE round trip, NESTED + DICTIONARY (r14): shard
+    * files carrying an RLE/bit-packed DICTIONARY string column
+    * (`lang`) and a 3-level list<int64> column (`toks` — null list
+    * / empty list / null element all rotated in by doc_id residue)
+    * emitted by OUR writer on executors, read back by parquet-mr.
+    * This is the corpus's dominant physical layout (dict-encoded
+    * low-cardinality strings + token lists) — the r13 writer could
+    * only emit flat PLAIN, so the audit surface was read-only for
+    * exactly these shapes. The oracle recomputes list size and
+    * element sum analytically from documents. */
+  private[graft] def parquetWriteNested(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.{WCol, WListCol}
+    val root = formatFixtureDir(dir, "pqnested", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val toks: IndexedSeq[Option[Seq[Option[Any]]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 7 == 3) None
+              else if (id % 5 == 4) Some(Seq.empty)
+              else Some(Seq(
+                Some(id: Any),
+                if (id % 3 == 1) None
+                else Some(d._4.length.toLong: Any),
+                Some((id % 10): Any)))
+            }.toIndexedSeq
+          val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2)).toIndexedSeq),
+            WCol("lang", "string", optional = true,
+              docs.map(d => if (d._2 % 11 == 10) None
+                else Some(d._3)).toIndexedSeq),
+            WListCol("toks", "i64", optional = true,
+              elemOptional = true, toks))
+          val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
+            (sid % 4).toInt)
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec, dict = Set("lang")))
+          sid
+        }.count(): Unit
+    }
+    spark.read.parquet(root)
+      .select(col("doc_id"), col("lang"),
+        when(col("toks").isNull, lit(-1L))
+          .otherwise(size(col("toks")).cast("long")).as("n_toks"),
+        expr("aggregate(filter(toks, x -> x is not null), " +
+          "0L, (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Parquet RAW SOURCE, NESTED + PROJECTED (r14): the SAME
+    * [[parquetWriteNested]] tree read back through
+    * `sources/ParquetRawSource` with a PROJECTION (doc_id, toks) —
+    * the from-scratch page walker surfacing a real ArrayType
+    * column while the dictionary `lang` chunks are never decoded
+    * (the decode-counter spec pins that). Three independent
+    * readers again answer for these nested bytes. */
+  private[graft] def parquetRawNested(s: SparkSession,
+      dir: String): DataFrame = {
+    parquetWriteNested(s, dir) // ensures the tree exists
+    val root = formatFixtureDir(dir, "pqnested", "documents")(_ =>
+      sys.error("pqnested fixture must already exist"))
+    graft.sources.ParquetRawSource
+      .read(s, root, columns = Seq("doc_id", "toks"))
+      .select(col("doc_id"),
+        when(col("toks").isNull, lit(-1L))
+          .otherwise(size(col("toks")).cast("long")).as("n_toks"),
+        expr("aggregate(filter(toks, x -> x is not null), " +
+          "0L, (a, x) -> a + x)").as("tok_sum"))
       .orderBy("doc_id")
   }
 
@@ -808,6 +958,59 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |  CASE WHEN doc_id % 7 = 3 THEN NULL
         |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
         |  strlen(text) * 0.25 AS score
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // OUR ORC writer's timestamp/date/decimal shards read back by
+    // orc-core; every value recomputed analytically
+    "orc_write_rich" ->
+      """WITH d AS (
+        |  SELECT doc_id, strlen(text) AS n FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 2 THEN NULL
+        |    ELSE make_timestamp((doc_id - 500) * 86400000000
+        |      + (doc_id % 7) * 123457) END AS ts,
+        |  CASE WHEN doc_id % 17 = 5 THEN NULL
+        |    ELSE CAST(DATE '1970-01-01' + CAST(
+        |      18000 + doc_id % 1000 - 400 AS INTEGER)
+        |      AS VARCHAR) END AS day,
+        |  CASE WHEN doc_id % 7 = 1 THEN NULL
+        |    ELSE doc_id * 12345 - n END AS amt_milli
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // OUR writer's DICTIONARY + 3-level-list files read back by
+    // parquet-mr; list size / element sum recomputed analytically
+    "parquet_write_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    WHEN doc_id % 5 = 4 THEN 0 ELSE 3 END AS BIGINT)
+        |    AS n_toks,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE doc_id
+        |      + (CASE WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE strlen(text) END)
+        |      + (doc_id % 10) END AS BIGINT) AS tok_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // ...the same nested tree through the from-scratch reader with
+    // a projection (lang chunks never decoded)
+    "parquet_raw_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    WHEN doc_id % 5 = 4 THEN 0 ELSE 3 END AS BIGINT)
+        |    AS n_toks,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE doc_id
+        |      + (CASE WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE strlen(text) END)
+        |      + (doc_id % 10) END AS BIGINT) AS tok_sum
         |FROM d ORDER BY doc_id""".stripMargin,
     // OUR writer's files read back by parquet-mr; facts recomputed
     // from documents

@@ -31,9 +31,13 @@ package graft.operators
 object OrcWrite {
 
   /** One flat column; `kind` ∈ boolean/i32/i64/f32/f64/string/
-    * binary. */
+    * binary/ts/date/decimal(p,s). `ts` values are epoch MICROS
+    * (Long), `date` values epoch days (Int), `decimal` values
+    * java.math.BigDecimal at exactly the declared scale. */
   final case class WCol(name: String, kind: String,
       optional: Boolean, values: IndexedSeq[Option[Any]])
+
+  private val DecimalKind = """decimal\((\d+),(\d+)\)""".r
 
   private def orcKind(kind: String): Int = kind match {
     case "boolean" => 0
@@ -43,6 +47,9 @@ object OrcWrite {
     case "f64" => 6
     case "string" => 7
     case "binary" => 8
+    case "ts" => 9
+    case DecimalKind(_, _) => 14
+    case "date" => 15
     case k => sys.error(s"unsupported column kind $k")
   }
 
@@ -98,6 +105,156 @@ object OrcWrite {
       i += n
     }
     out.toByteArray
+  }
+
+  /** The RLEv2 5-bit width table, writer side: the closest width
+    * the code table can express (getClosestFixedBits). */
+  private def closestFixedBits(n: Int): Int =
+    if (n <= 1) 1
+    else if (n <= 24) n
+    else if (n <= 26) 26
+    else if (n <= 28) 28
+    else if (n <= 30) 30
+    else if (n <= 32) 32
+    else if (n <= 40) 40
+    else if (n <= 48) 48
+    else if (n <= 56) 56
+    else 64
+
+  private def widthCode(w: Int): Int =
+    if (w <= 24) w - 1
+    else w match {
+      case 26 => 24
+      case 28 => 25
+      case 30 => 26
+      case 32 => 27
+      case 40 => 28
+      case 48 => 29
+      case 56 => 30
+      case 64 => 31
+      case other => sys.error(s"unencodable width $other")
+    }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  /** Integer RLEv2 (the default orc-core encoding — ORCv1 spec
+    * "Run Length Encoding version 2"): repeats of 3-10 as
+    * SHORT_REPEAT, longer repeats as fixed-delta DELTA runs, and
+    * everything else as DIRECT groups of ≤ 512 values MSB-packed
+    * at the closest table width. The reader twin is
+    * [[OrcData]]'s `rleV2`. */
+  private[graft] def intRleV2(vals: Seq[Long], signed: Boolean)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length + 16)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    def enc(v: Long): Long = if (signed) zigzag(v) else v
+    def bitsNeeded(v: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(v))
+    def packMsb(xs: Seq[Long], w: Int): Unit = {
+      var acc = 0L
+      var bits = 0
+      xs.foreach { x =>
+        var left = w
+        while (left > 0) {
+          val take = math.min(8 - bits, left)
+          val piece = (x >>> (left - take)) & ((1L << take) - 1)
+          acc = (acc << take) | piece
+          bits += take
+          left -= take
+          if (bits == 8) { out.write(acc.toInt & 0xff); acc = 0
+            bits = 0 }
+        }
+      }
+      if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    }
+    val n = vals.length
+    var i = 0
+    while (i < n) {
+      // length of the repeat run starting here
+      var j = i + 1
+      while (j < n && vals(j) == vals(i)) j += 1
+      val run = j - i
+      if (run >= 3 && run <= 10) {
+        // SHORT_REPEAT: 0b00 www lll, value big-endian w+1 bytes
+        val v = enc(vals(i))
+        val w = math.max(1, (bitsNeeded(v) + 7) / 8)
+        out.write(((w - 1) << 3) | (run - 3))
+        var k = w - 1
+        while (k >= 0) { out.write(((v >>> (8 * k)) & 0xff).toInt)
+          k -= 1 }
+        i = j
+      } else if (run > 10) {
+        // fixed-delta DELTA runs (width code 0), ≤ 512 each; never
+        // leave a length-1 tail (some readers require len ≥ 2)
+        var left = run
+        while (left > 0) {
+          var len = math.min(512, left)
+          if (left - len == 1) len -= 1
+          out.write(0xc0 | (((len - 1) >> 8) & 1))
+          out.write((len - 1) & 0xff)
+          varint(enc(vals(i))) // base (stream signedness)
+          varint(zigzag(0L)) // delta base, always signed
+          left -= len
+        }
+        i = j
+      } else {
+        // DIRECT: gather until 512 values or a run of > 10 starts
+        var end = i
+        var lim = math.min(n, i + 512)
+        var stop = false
+        while (end < lim && !stop) {
+          var k = end + 1
+          while (k < n && vals(k) == vals(end)) k += 1
+          if (k - end > 10) { // a long run begins — cut before it
+            if (end == i) { end = math.min(k, lim); stop = true }
+            else stop = true
+          } else end = math.min(k, lim)
+        }
+        val seg = (i until end).map(p => enc(vals(p)))
+        val w = closestFixedBits(seg.map(bitsNeeded).max)
+        val len = seg.length
+        out.write(0x40 | (widthCode(w) << 1) | (((len - 1) >> 8) & 1))
+        out.write((len - 1) & 0xff)
+        packMsb(seg, w)
+        i = end
+      }
+    }
+    out.toByteArray
+  }
+
+  /** DATA/SECONDARY streams of a TIMESTAMP column from epoch
+    * micros: orc-core's writer semantics — stored seconds truncate
+    * toward zero from millis (the pre-1970 quirk the readers
+    * compensate), nanos run forward from the floor second with the
+    * trailing-decimal-zero packing. */
+  private[graft] def timestampStreams(micros: Seq[Long])
+      : (Seq[Long], Seq[Long]) = {
+    val base = 1420070400L // 2015-01-01T00:00:00Z
+    val secs = micros.map { m =>
+      java.lang.Math.floorDiv(m, 1000L) / 1000L - base
+    }
+    val nanos = micros.map { m =>
+      var v = java.lang.Math.floorMod(m, 1000000L) * 1000L
+      if (v == 0) 0L
+      else {
+        var z = 0
+        while (z < 8 && v % 10 == 0) { v /= 10; z += 1 }
+        if (z >= 2) (v << 3) | (z - 1).toLong
+        else {
+          // fewer than 2 zeros: store undivided with flag 0
+          var k = 0
+          while (k < z) { v *= 10; k += 1 }
+          v << 3
+        }
+      }
+    }
+    (secs, nanos)
   }
 
   // ---------------------------------------------------------------
@@ -157,10 +314,25 @@ object OrcWrite {
   // Build
   // ---------------------------------------------------------------
 
-  /** One ORC file. `codec`: "none" | "zlib". */
+  /** One ORC file. `codec`: "none" | "zlib" | "snappy" | "zstd";
+    * `rle`: "v1" (RLEv1 literal runs, DIRECT encodings — every
+    * reader's lowest common denominator) or "v2" (integer RLEv2,
+    * orc-core's default, with DIRECT_V2 encodings); `dict`: string
+    * columns to DICTIONARY(_V2)-encode (sorted dictionary +
+    * index runs). */
   def build(cols: Seq[WCol], codec: String = "zlib",
-      rowsPerStripe: Int = Int.MaxValue): Array[Byte] = {
+      rowsPerStripe: Int = Int.MaxValue,
+      rle: String = "v1",
+      dict: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
+    require(rle == "v1" || rle == "v2", s"unknown rle $rle")
+    val v2 = rle == "v2"
+    dict.foreach { d =>
+      val c = cols.find(_.name == d).getOrElse(
+        sys.error(s"dict column $d not present"))
+      require(c.kind == "string",
+        s"dictionary encoding is for string columns (${c.name})")
+    }
     val nRows = cols.head.values.length
     require(cols.forall(_.values.length == nRows),
       "ragged column lengths")
@@ -169,6 +341,8 @@ object OrcWrite {
         s"null in required column ${c.name}")
     }
     require(rowsPerStripe > 0, "rowsPerStripe must be positive")
+    def intRun(vals: Seq[Long], signed: Boolean): Array[Byte] =
+      if (v2) intRleV2(vals, signed) else intRleV1(vals, signed)
     val codecId = codec match {
       case "none" => 0
       case "zlib" => 1
@@ -189,6 +363,8 @@ object OrcWrite {
       val offset = buf.size().toLong
       // (streamKind, column, bytes) in column order
       val streams = Seq.newBuilder[(Int, Int, Array[Byte])]
+      // per-column (encodingKind, dictionarySize)
+      val encodings = Array.fill(cols.length)((0, 0))
       cols.zipWithIndex.foreach { case (c, ci) =>
         val col = ci + 1
         val vals = c.values.slice(lo, hi)
@@ -197,16 +373,48 @@ object OrcWrite {
           streams += ((0, col, section(codecId,
             boolStream(present))))
         val nn = vals.flatten
+        val direct = if (v2) 2 else 0 // DIRECT / DIRECT_V2
         c.kind match {
           case "boolean" =>
             streams += ((1, col, section(codecId,
               boolStream(nn.map(_.asInstanceOf[Boolean])))))
           case "i32" =>
-            streams += ((1, col, section(codecId, intRleV1(
+            encodings(ci) = (direct, 0)
+            streams += ((1, col, section(codecId, intRun(
               nn.map(_.asInstanceOf[Int].toLong), signed = true))))
           case "i64" =>
-            streams += ((1, col, section(codecId, intRleV1(
+            encodings(ci) = (direct, 0)
+            streams += ((1, col, section(codecId, intRun(
               nn.map(_.asInstanceOf[Long]), signed = true))))
+          case "date" =>
+            encodings(ci) = (direct, 0)
+            streams += ((1, col, section(codecId, intRun(
+              nn.map(_.asInstanceOf[Int].toLong), signed = true))))
+          case "ts" =>
+            encodings(ci) = (direct, 0)
+            val (secs, nanos) = timestampStreams(
+              nn.map(_.asInstanceOf[Long]))
+            streams += ((1, col, section(codecId,
+              intRun(secs, signed = true))))
+            streams += ((5, col, section(codecId,
+              intRun(nanos, signed = false))))
+          case DecimalKind(_, sStr) =>
+            encodings(ci) = (direct, 0)
+            val scale = sStr.toInt
+            val data = new java.io.ByteArrayOutputStream()
+            nn.foreach { v =>
+              val bd = v.asInstanceOf[java.math.BigDecimal]
+              require(bd.scale == scale,
+                s"decimal scale drift in ${c.name}")
+              var z = zigzag(bd.unscaledValue.longValueExact)
+              while ((z & ~0x7fL) != 0) {
+                data.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+              }
+              data.write(z.toInt)
+            }
+            streams += ((1, col, section(codecId, data.toByteArray)))
+            streams += ((5, col, section(codecId, intRun(
+              nn.map(_ => scale.toLong), signed = true))))
           case "f32" =>
             val b = new java.io.ByteArrayOutputStream(nn.length * 4)
             nn.foreach { v =>
@@ -227,7 +435,26 @@ object OrcWrite {
                 b.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
             }
             streams += ((1, col, section(codecId, b.toByteArray)))
+          case "string" if dict(c.name) =>
+            // DICTIONARY(_V2): sorted dictionary + index runs
+            val ss = nn.map(_.asInstanceOf[String])
+            val sorted = ss.distinct.sorted
+            val index = sorted.zipWithIndex.toMap
+            encodings(ci) = (if (v2) 3 else 1, sorted.length)
+            streams += ((1, col, section(codecId, intRun(
+              ss.map(s => index(s).toLong), signed = false))))
+            val dictData = new java.io.ByteArrayOutputStream()
+            sorted.foreach { s =>
+              val b = s.getBytes("UTF-8")
+              dictData.write(b, 0, b.length)
+            }
+            streams += ((2, col, section(codecId, intRun(
+              sorted.map(_.getBytes("UTF-8").length.toLong),
+              signed = false))))
+            streams += ((3, col, section(codecId,
+              dictData.toByteArray)))
           case "string" | "binary" =>
+            encodings(ci) = (direct, 0)
             val bs = nn.map {
               case s: String => s.getBytes("UTF-8")
               case b: Array[Byte] => b
@@ -236,7 +463,7 @@ object OrcWrite {
             val data = new java.io.ByteArrayOutputStream()
             bs.foreach(b => data.write(b, 0, b.length))
             streams += ((1, col, section(codecId, data.toByteArray)))
-            streams += ((2, col, section(codecId, intRleV1(
+            streams += ((2, col, section(codecId, intRun(
               bs.map(_.length.toLong), signed = false))))
           case k => sys.error(s"unsupported column kind $k")
         }
@@ -253,9 +480,15 @@ object OrcWrite {
         vfield(st, 3, b.length.toLong)
         sfield(sf, 1, st.toByteArray)
       }
-      (0 to cols.length).foreach { _ =>
+      locally { // root struct encoding
         val enc = new java.io.ByteArrayOutputStream()
         vfield(enc, 1, 0L) // DIRECT
+        sfield(sf, 2, enc.toByteArray)
+      }
+      encodings.foreach { case (kind, dictSize) =>
+        val enc = new java.io.ByteArrayOutputStream()
+        vfield(enc, 1, kind.toLong)
+        if (dictSize > 0) vfield(enc, 2, dictSize.toLong)
         sfield(sf, 2, enc.toByteArray)
       }
       sfield(sf, 3, "UTC".getBytes("UTF-8"))
@@ -290,6 +523,12 @@ object OrcWrite {
       cols.foreach { c =>
         val t = new java.io.ByteArrayOutputStream()
         vfield(t, 1, orcKind(c.kind).toLong)
+        c.kind match {
+          case DecimalKind(pStr, sStr) =>
+            vfield(t, 5, pStr.toLong) // precision
+            vfield(t, 6, sStr.toLong) // scale
+          case _ => ()
+        }
         sfield(f, 4, t.toByteArray)
       }
     }

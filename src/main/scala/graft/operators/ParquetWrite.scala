@@ -2,22 +2,34 @@ package graft.operators
 
 /** Parquet FILE WRITER from scratch (the public parquet-format
   * spec: the Thrift compact footer layout, PageHeader framing,
-  * PLAIN encodings and the RLE/bit-packed level hybrid) — the
-  * write half of the columnar audit surface: [[ParquetFooter]] /
-  * [[ParquetData]] read parquet with no parquet-mr on the path;
-  * this emits it, so the engine can round-trip its flagship format
-  * from raw bytes in BOTH directions and materialize audit
-  * fixtures without any library writer.
+  * PLAIN + dictionary encodings and the RLE/bit-packed level
+  * hybrid) — the write half of the columnar audit surface:
+  * [[ParquetFooter]] / [[ParquetData]] read parquet with no
+  * parquet-mr on the path; this emits it, so the engine can
+  * round-trip its flagship format from raw bytes in BOTH
+  * directions and materialize audit fixtures without any library
+  * writer.
   *
-  * Scope — the flat shapes audit fixtures and recovery dumps need:
-  *  - One row group, one PLAIN data page (v1) per column chunk.
+  * Scope (r14 — was flat-and-PLAIN in r13):
+  *  - One row group; one v1 data page per column chunk, plus a
+  *    dictionary page for dictionary-encoded chunks.
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
   *    them as strings).
-  *  - OPTIONAL columns: definition levels as the u32-prefixed
-  *    RLE hybrid (pure RLE runs at bit width 1); REQUIRED columns
-  *    write no level bytes.
+  *  - DICTIONARY encoding ([[WCol]] names passed in `dict`): a
+  *    PLAIN_DICTIONARY dictionary page (first-occurrence order)
+  *    + data-page indices as the 1-byte-width RLE/bit-packed
+  *    hybrid — the corpus's dominant layout for low-cardinality
+  *    strings.
+  *  - NESTED 3-level LISTs ([[WListCol]]): `optional group
+  *    (LIST) { repeated group list { element } }` with real
+  *    repetition + definition level streams (null list / empty
+  *    list / null element all distinguishable) — the
+  *    list<int64> token-column shape.
+  *  - Level streams are the true RLE + bit-packed hybrid
+  *    (8-value groups, runs ≥ 8 collapse to RLE — the
+  *    parquet-mr heuristic), not RLE-only.
   *  - Codecs: UNCOMPRESSED, SNAPPY, GZIP and ZSTD (stored-block
   *    frames via [[Zstd.encodeStore]] — valid zstd, no entropy
   *    coding) — verified on read by four independent readers
@@ -29,15 +41,35 @@ package graft.operators
   * zigzag varints — the same wire layer [[ParquetFooter]]'s reader
   * walks, so a framing slip is caught by our own reader before any
   * external one. Validation: ParquetWriteSpec round-trips through
-  * Spark's reader AND [[ParquetData.decodeFile]]; the
-  * `parquet_write_roundtrip` gate has Spark's parquet-mr read
+  * Spark's reader AND [[ParquetData.decodeFile]]/
+  * [[ParquetData.decodeFileDeep]]; the `parquet_write_roundtrip`
+  * and `parquet_write_nested` gates have Spark's parquet-mr read
   * OUR executor-written shard files under the documents oracle. */
 object ParquetWrite {
+
+  sealed trait AnyWCol {
+    def name: String
+    def rows: Int
+  }
 
   /** One flat column: `kind` ∈ boolean/i32/i64/f32/f64/string/
     * binary; one Option per row (None only when `optional`). */
   final case class WCol(name: String, kind: String,
       optional: Boolean, values: IndexedSeq[Option[Any]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
+  /** One 3-level LIST column: outer None = null list (needs
+    * `optional`), inner None = null element (needs
+    * `elemOptional`); `elemKind` ∈ the [[WCol]] kinds minus
+    * boolean. */
+  final case class WListCol(name: String, elemKind: String,
+      optional: Boolean, elemOptional: Boolean,
+      values: IndexedSeq[Option[Seq[Option[Any]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
 
   private def physType(kind: String): Int = kind match {
     case "boolean" => 0
@@ -112,30 +144,105 @@ object ParquetWrite {
     while (i < 4) { b.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
-  /** u32-prefixed RLE hybrid at bit width 1: pure RLE runs over the
-    * 0/1 definition levels. */
-  private def defLevels(present: IndexedSeq[Boolean]): Array[Byte] = {
-    val body = new java.io.ByteArrayOutputStream()
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) {
-        body.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
-      }
-      body.write(v.toInt)
-    }
-    var i = 0
-    while (i < present.length) {
-      var j = i
-      while (j < present.length && present(j) == present(i)) j += 1
-      varint(((j - i).toLong << 1)) // RLE run header
-      body.write(if (present(i)) 1 else 0)
-      i = j
-    }
+  /** The RLE / bit-packed hybrid (parquet-format Encodings.md):
+    * values buffer in 8-value groups; a run of ≥ 8 identical
+    * values ends the current bit-packed run and becomes an RLE
+    * run `varint(count<<1) value-LE-bytes`; bit-packed runs are
+    * `varint(groups<<1|1)` + groups×width bytes (LSB-first
+    * packing), at most 63 groups per header (single-byte header
+    * patch). The encoder used for level streams AND dictionary
+    * indices. */
+  private[graft] def rleHybrid(vals: IndexedSeq[Int], width: Int)
+      : Array[Byte] = {
+    require(width >= 1 && width <= 16, s"bad hybrid width $width")
     val out = new java.io.ByteArrayOutputStream()
-    val bb = body.toByteArray
-    w32(out, bb.length.toLong)
-    out.write(bb, 0, bb.length)
+    val valBytes = (width + 7) / 8
+    val buffered = new Array[Int](8)
+    var nBuf = 0
+    var repeat = 0
+    var prev = -1
+    // current bit-packed run: packed group bytes accumulate in a
+    // side buffer; the single-byte header lands when the run ends
+    val bpBuf = new java.io.ByteArrayOutputStream()
+    var bpGroups = 0
+    def endBitPacked(): Unit = if (bpGroups > 0) {
+      out.write((bpGroups << 1) | 1)
+      val b = bpBuf.toByteArray
+      out.write(b, 0, b.length)
+      bpBuf.reset(); bpGroups = 0
+    }
+    def pack8(): Unit = {
+      if (bpGroups >= 63) endBitPacked()
+      var acc = 0L
+      var bits = 0
+      var i = 0
+      while (i < 8) {
+        acc |= (buffered(i).toLong & ((1L << width) - 1)) << bits
+        bits += width
+        while (bits >= 8) {
+          bpBuf.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8
+        }
+        i += 1
+      }
+      if (bits > 0) bpBuf.write((acc & 0xff).toInt)
+      bpGroups += 1
+      nBuf = 0
+      repeat = 0
+    }
+    def writeRle(): Unit = {
+      endBitPacked()
+      var v = repeat.toLong << 1
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+      var i = 0
+      while (i < valBytes) {
+        out.write((prev >>> (8 * i)) & 0xff); i += 1
+      }
+      repeat = 0
+      nBuf = 0
+    }
+    vals.foreach { value =>
+      require(value >= 0 && (width == 16 || value < (1 << width)),
+        s"value $value exceeds width $width")
+      var skip = false
+      if (value == prev) {
+        repeat += 1
+        if (repeat >= 8) skip = true // inside a growing RLE run
+      } else {
+        if (repeat >= 8) writeRle()
+        repeat = 1
+        prev = value
+      }
+      if (!skip) {
+        buffered(nBuf) = value; nBuf += 1
+        if (nBuf == 8) pack8()
+      }
+    }
+    if (repeat >= 8) writeRle()
+    else if (nBuf > 0) {
+      // pad the final group with zeros — the reader stops at the
+      // page's value count, padding is never surfaced
+      java.util.Arrays.fill(buffered, nBuf, 8, 0)
+      nBuf = 8
+      pack8()
+    }
+    endBitPacked()
     out.toByteArray
+  }
+
+  private def u32Prefixed(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 4)
+    w32(out, b.length.toLong)
+    out.write(b, 0, b.length)
+    out.toByteArray
+  }
+
+  private def bitsFor(maxValue: Int): Int = {
+    var b = 1
+    while ((1 << b) <= maxValue) b += 1
+    b
   }
 
   private def plainValues(kind: String, vals: Seq[Any])
@@ -202,68 +309,217 @@ object ParquetWrite {
   }
 
   // ---------------------------------------------------------------
+  // Per-column preparation (levels + present values + schema path)
+  // ---------------------------------------------------------------
+
+  private final case class PreparedCol(
+      col: AnyWCol,
+      kind: String, // the LEAF kind
+      path: Seq[String],
+      maxRep: Int, maxDef: Int,
+      reps: IndexedSeq[Int], defs: IndexedSeq[Int],
+      present: IndexedSeq[Any],
+      numValues: Int)
+
+  private def prepare(c: AnyWCol): PreparedCol = c match {
+    case fc: WCol =>
+      fc.values.foreach(v => require(fc.optional || v.isDefined,
+        s"null in required column ${fc.name}"))
+      val maxDef = if (fc.optional) 1 else 0
+      PreparedCol(fc, fc.kind, Seq(fc.name), 0, maxDef,
+        IndexedSeq.empty,
+        if (fc.optional) fc.values.map(v => if (v.isDefined) 1 else 0)
+        else IndexedSeq.empty,
+        fc.values.flatten, fc.values.length)
+    case lc: WListCol =>
+      require(lc.elemKind != "boolean",
+        "boolean list elements unsupported")
+      val dOuter = if (lc.optional) 1 else 0
+      val maxDef = dOuter + 1 + (if (lc.elemOptional) 1 else 0)
+      val reps = IndexedSeq.newBuilder[Int]
+      val defs = IndexedSeq.newBuilder[Int]
+      val present = IndexedSeq.newBuilder[Any]
+      var n = 0
+      lc.values.foreach {
+        case None =>
+          require(lc.optional,
+            s"null list in required column ${lc.name}")
+          reps += 0; defs += dOuter - 1; n += 1
+        case Some(xs) if xs.isEmpty =>
+          reps += 0; defs += dOuter; n += 1
+        case Some(xs) =>
+          xs.zipWithIndex.foreach { case (e, i) =>
+            reps += (if (i == 0) 0 else 1)
+            e match {
+              case Some(v) => defs += maxDef; present += v
+              case None =>
+                require(lc.elemOptional,
+                  s"null element in ${lc.name}")
+                defs += maxDef - 1
+            }
+            n += 1
+          }
+      }
+      PreparedCol(lc, lc.elemKind,
+        Seq(lc.name, "list", "element"), 1, maxDef,
+        reps.result(), defs.result(), present.result(), n)
+  }
+
+  // ---------------------------------------------------------------
   // Build
   // ---------------------------------------------------------------
 
-  /** One parquet file: PAR1, one PLAIN v1 data page per column,
-    * one row group, Thrift-compact footer, length, PAR1. */
-  def build(cols: Seq[WCol], codec: String = "snappy",
-      createdBy: String = "graft parquet writer"): Array[Byte] = {
+  /** One parquet file: PAR1, one row group, one v1 data page per
+    * column chunk (a PLAIN_DICTIONARY dictionary page first for
+    * columns named in `dict`), Thrift-compact footer, length,
+    * PAR1. */
+  def build(cols: Seq[AnyWCol], codec: String = "snappy",
+      createdBy: String = "graft parquet writer",
+      dict: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
-    val nRows = cols.head.values.length
-    require(cols.forall(_.values.length == nRows),
-      "ragged column lengths")
-    cols.foreach { c =>
-      require(c.optional || c.values.forall(_.isDefined),
-        s"null in required column ${c.name}")
+    val nRows = cols.head.rows
+    require(cols.forall(_.rows == nRows), "ragged column lengths")
+    dict.foreach { d =>
+      val c = cols.find(_.name == d).getOrElse(
+        sys.error(s"dict column $d not present"))
+      val k = c match {
+        case fc: WCol => fc.kind
+        case lc: WListCol => lc.elemKind
+      }
+      require(k != "boolean", "boolean dictionaries unsupported")
     }
     val buf = new java.io.ByteArrayOutputStream(4096)
     buf.write('P'); buf.write('A'); buf.write('R'); buf.write('1')
 
-    final case class ChunkMeta(col: WCol, codecId: Int,
-        pageOffset: Long, comp: Long, uncomp: Long)
-    val chunks = cols.map { c =>
-      val present = c.values.map(_.isDefined)
-      val levels =
-        if (c.optional) defLevels(present) else Array.emptyByteArray
-      val vals = plainValues(c.kind, c.values.flatten)
-      val raw = levels ++ vals
+    final case class ChunkMeta(pc: PreparedCol, codecId: Int,
+        chunkOffset: Long, dataPageOffset: Long,
+        dictPageOffset: Option[Long], comp: Long, uncomp: Long,
+        useDict: Boolean)
+    val chunks = cols.map(prepare).map { pc =>
+      val useDict = dict(pc.col.name)
+      val chunkOffset = buf.size().toLong
+      var comp = 0L
+      var uncomp = 0L
+      // optional dictionary page
+      val (dictOff, dictIndex) =
+        if (!useDict) (None, null)
+        else {
+          val order = IndexedSeq.newBuilder[Any]
+          val idx = new java.util.LinkedHashMap[Any, Integer]()
+          def key(v: Any): Any = v match {
+            case b: Array[Byte] => b.toSeq
+            case x => x
+          }
+          pc.present.foreach { v =>
+            if (!idx.containsKey(key(v))) {
+              idx.put(key(v), idx.size()); order += v
+            }
+          }
+          val entries = order.result()
+          val raw = plainValues(pc.kind, entries)
+          val (codecId, body) = compress(codec, raw)
+          val h = new TWriter
+          h.i32(1, 2L) // DICTIONARY_PAGE
+          h.i32(2, raw.length.toLong)
+          h.i32(3, body.length.toLong)
+          h.structBegin(7) // DictionaryPageHeader
+          h.i32(1, entries.length.toLong)
+          h.i32(2, 2L) // PLAIN_DICTIONARY
+          h.structEnd()
+          h.stop()
+          val hb = h.bytes
+          buf.write(hb, 0, hb.length)
+          buf.write(body, 0, body.length)
+          comp += hb.length.toLong + body.length
+          uncomp += hb.length.toLong + raw.length
+          (Some(chunkOffset), idx)
+        }
+      // data page: rep levels ++ def levels ++ values
+      val sections = new java.io.ByteArrayOutputStream()
+      if (pc.maxRep > 0) {
+        val b = u32Prefixed(rleHybrid(pc.reps, bitsFor(pc.maxRep)))
+        sections.write(b, 0, b.length)
+      }
+      if (pc.maxDef > 0) {
+        val b = u32Prefixed(rleHybrid(pc.defs, bitsFor(pc.maxDef)))
+        sections.write(b, 0, b.length)
+      }
+      if (useDict) {
+        def key(v: Any): Any = v match {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
+        val width = math.max(1,
+          bitsFor(math.max(0, dictIndex.size() - 1)))
+        sections.write(width)
+        val idxs = pc.present.map(v => dictIndex.get(key(v)).toInt)
+        val b = rleHybrid(idxs, width)
+        sections.write(b, 0, b.length)
+      } else {
+        val b = plainValues(pc.kind, pc.present)
+        sections.write(b, 0, b.length)
+      }
+      val raw = sections.toByteArray
       val (codecId, body) = compress(codec, raw)
-      // PageHeader
       val h = new TWriter
       h.i32(1, 0L) // DATA_PAGE
       h.i32(2, raw.length.toLong)
       h.i32(3, body.length.toLong)
       h.structBegin(5) // DataPageHeader
-      h.i32(1, nRows.toLong)
-      h.i32(2, 0L) // PLAIN
+      h.i32(1, pc.numValues.toLong)
+      h.i32(2, if (useDict) 2L else 0L) // PLAIN_DICTIONARY / PLAIN
       h.i32(3, 3L) // def levels: RLE
-      h.i32(4, 3L) // rep levels: RLE (none written; max level 0)
+      h.i32(4, 3L) // rep levels: RLE
       h.structEnd()
       h.stop()
       val hb = h.bytes
-      val off = buf.size().toLong
+      val dataOff = buf.size().toLong
       buf.write(hb, 0, hb.length)
       buf.write(body, 0, body.length)
-      ChunkMeta(c, codecId, off,
-        hb.length.toLong + body.length, hb.length.toLong + raw.length)
+      comp += hb.length.toLong + body.length
+      uncomp += hb.length.toLong + raw.length
+      ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
+        comp, uncomp, useDict)
     }
 
     // footer
     val f = new TWriter
     f.i32(1, 1L) // version
-    f.listBegin(2, 12, cols.length + 1) // schema
+    val schemaElemCount = 1 + cols.map {
+      case _: WCol => 1
+      case _: WListCol => 3
+    }.sum
+    f.listBegin(2, 12, schemaElemCount) // schema
     f.elemStructBegin() // root
     f.str(4, "schema")
     f.i32(5, cols.length.toLong) // num_children
     f.elemStructEnd()
-    cols.foreach { c =>
-      f.elemStructBegin()
-      f.i32(1, physType(c.kind).toLong)
-      f.i32(3, if (c.optional) 1L else 0L) // repetition
-      f.str(4, c.name)
-      if (c.kind == "string") f.i32(6, 0L) // converted_type UTF8
-      f.elemStructEnd()
+    cols.foreach {
+      case c: WCol =>
+        f.elemStructBegin()
+        f.i32(1, physType(c.kind).toLong)
+        f.i32(3, if (c.optional) 1L else 0L) // repetition
+        f.str(4, c.name)
+        if (c.kind == "string") f.i32(6, 0L) // converted_type UTF8
+        f.elemStructEnd()
+      case c: WListCol =>
+        f.elemStructBegin() // outer group, converted LIST
+        f.i32(3, if (c.optional) 1L else 0L)
+        f.str(4, c.name)
+        f.i32(5, 1L)
+        f.i32(6, 3L) // converted_type LIST
+        f.elemStructEnd()
+        f.elemStructBegin() // repeated group "list"
+        f.i32(3, 2L)
+        f.str(4, "list")
+        f.i32(5, 1L)
+        f.elemStructEnd()
+        f.elemStructBegin() // element leaf
+        f.i32(1, physType(c.elemKind).toLong)
+        f.i32(3, if (c.elemOptional) 1L else 0L)
+        f.str(4, "element")
+        if (c.elemKind == "string") f.i32(6, 0L)
+        f.elemStructEnd()
     }
     f.i64(3, nRows.toLong)
     f.listBegin(4, 12, 1) // row_groups
@@ -271,19 +527,23 @@ object ParquetWrite {
     f.listBegin(1, 12, chunks.length) // columns
     chunks.foreach { cm =>
       f.elemStructBegin() // ColumnChunk
-      f.i64(2, cm.pageOffset) // file_offset
+      f.i64(2, cm.chunkOffset) // file_offset
       f.structBegin(3) // ColumnMetaData
-      f.i32(1, physType(cm.col.kind).toLong)
-      f.listBegin(2, 5, 1) // encodings
-      f.varint(0L << 1) // zigzag(PLAIN = 0)
-      f.listBegin(3, 8, 1) // path_in_schema
-      val nb = cm.col.name.getBytes("UTF-8")
-      f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+      f.i32(1, physType(cm.pc.kind).toLong)
+      f.listBegin(2, 5, 2) // encodings
+      f.varint((if (cm.useDict) 2L else 0L) << 1) // value encoding
+      f.varint(3L << 1) // zigzag(RLE = 3) for levels
+      f.listBegin(3, 8, cm.pc.path.length) // path_in_schema
+      cm.pc.path.foreach { seg =>
+        val nb = seg.getBytes("UTF-8")
+        f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+      }
       f.i32(4, cm.codecId.toLong)
-      f.i64(5, nRows.toLong)
+      f.i64(5, cm.pc.numValues.toLong)
       f.i64(6, cm.uncomp)
       f.i64(7, cm.comp)
-      f.i64(9, cm.pageOffset) // data_page_offset
+      f.i64(9, cm.dataPageOffset) // data_page_offset
+      cm.dictPageOffset.foreach(o => f.i64(11, o))
       f.structEnd()
       f.elemStructEnd()
     }

@@ -99,6 +99,146 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("RLEv2: short-repeat / fixed-delta / direct byte forms " +
+    "pin, and every sub-encoding round-trips (r14)") {
+    // 5 × 7 signed → SHORT_REPEAT: header (w-1)<<3 | (run-3),
+    // value zigzag(7)=14 big-endian 1 byte
+    assert(OrcWrite.intRleV2(Seq.fill(5)(7L), signed = true)
+      .toSeq == Seq[Byte](2, 14))
+    // 20 × 9 unsigned → fixed-delta DELTA: 0b11, w=0, len=20
+    assert(OrcWrite.intRleV2(Seq.fill(20)(9L), signed = false)
+      .toSeq == Seq[Byte](0xc0.toByte, 19, 9, 0))
+    // mixed values → DIRECT (0b01 header)
+    val direct = OrcWrite.intRleV2(Seq(1L, 5L, 2L, 7L), signed = false)
+    assert((direct(0) & 0xc0) == 0x40)
+    // a column concatenating all the patterns round-trips through
+    // BOTH readers at rle=v2
+    val vals: IndexedSeq[Long] =
+      (IndexedSeq.fill(700)(42L) ++ // long run → DELTA chunks
+        IndexedSeq.tabulate(600)(i => (i % 2).toLong) ++ // DIRECT
+        IndexedSeq.fill(7)(-3L) ++ // SHORT_REPEAT (signed)
+        IndexedSeq.tabulate(500)(i => i.toLong * 977 - 9999) ++
+        IndexedSeq.fill(513)(Long.MaxValue - 1)) // 512+1 split
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        vals.indices.map(i => Some(i.toLong))),
+      OrcWrite.WCol("v", "i64", optional = true,
+        vals.indices.map(i =>
+          if (i % 19 == 11) None else Some(vals(i)))))
+    for (codec <- Seq("none", "zlib")) {
+      val bytes = OrcWrite.build(cols, codec, 800, rle = "v2")
+      val (_, got) = OrcData.decodeFile(bytes)
+        .getOrElse(fail("our decoder rejected our v2 file"))
+      vals.indices.foreach { i =>
+        assert(got(1)(i) == cols(1).values(i), s"at $i ($codec)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ow2")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val rows = spark.read.orc(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      vals.indices.foreach { i =>
+        assert(Option(rows(i).get(1)) == cols(1).values(i),
+          s"spark at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
+  test("dictionary strings (v1 + v2): value-exact via Spark and " +
+    "our decoder, and the dictionary actually engages (r14)") {
+    val n = 1400
+    val langs = Seq("en", "de", "fr", "pt", "ja", "ko", "zh")
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WCol("lang", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 11 == 6) None else Some(langs(i % 7)))))
+    for (rle <- Seq("v1", "v2")) {
+      val dictBytes = OrcWrite.build(cols, "none", 500, rle,
+        dict = Set("lang"))
+      val directBytes = OrcWrite.build(cols, "none", 500, rle)
+      assert(dictBytes.length < directBytes.length,
+        s"dictionary did not shrink the file ($rle)")
+      val (_, got) = OrcData.decodeFile(dictBytes)
+        .getOrElse(fail(s"our decoder rejected dict $rle"))
+      (0 until n).foreach { i =>
+        assert(got(1)(i) == cols(1).values(i), s"at $i ($rle)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owd")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, dictBytes)
+      val rows = spark.read.orc(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        assert(Option(rows(i).get(1)) == cols(1).values(i),
+          s"spark at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
+  test("timestamp / date / decimal columns round-trip via Spark " +
+    "and our decoder — incl. pre-1970 sub-second (r14)") {
+    val n = 1000
+    val micros: IndexedSeq[Long] = (0 until n).map {
+      case i if i % 9 == 4 => -1500000L - i * 777L // pre-1970 frac
+      case i if i % 9 == 7 => -2000000L * i // pre-1970 whole
+      case i => 1600000000000000L + i * 1000003L
+    }
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WCol("t", "ts", optional = true,
+        (0 until n).map(i =>
+          if (i % 13 == 2) None else Some(micros(i)))),
+      OrcWrite.WCol("day", "date", optional = true,
+        (0 until n).map(i =>
+          if (i % 17 == 5) None else Some(18000 + i % 900 - 400))),
+      OrcWrite.WCol("amt", "decimal(12,3)", optional = true,
+        (0 until n).map(i =>
+          if (i % 7 == 1) None
+          else Some(java.math.BigDecimal.valueOf(
+            i.toLong * 12345 - 999999, 3)))))
+    for ((codec, rle) <- Seq(("zlib", "v1"), ("none", "v2"),
+      ("zlib", "v2"))) {
+      val bytes = OrcWrite.build(cols, codec, 300, rle)
+      // our decoder: ts as micros, date as days, decimal exact
+      val (_, got) = OrcData.decodeFile(bytes)
+        .getOrElse(fail(s"our decoder rejected $codec/$rle"))
+      (0 until n).foreach { i =>
+        assert(got(1)(i) == cols(1).values(i), s"ts at $i ($rle)")
+        assert(got(2)(i).map(_.asInstanceOf[Long].toInt) ==
+          cols(2).values(i), s"day at $i ($rle)")
+        assert(got(3)(i) == cols(3).values(i), s"amt at $i ($rle)")
+      }
+      // spark (session tz = UTC via build.sbt javaOptions)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owt")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.orc(fl.getAbsolutePath)
+      assert(df.schema("amt").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 3))
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val ts = Option(rows(i).get(1)).map { x =>
+          val inst = x.asInstanceOf[java.sql.Timestamp].toInstant
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        }
+        assert(ts == cols(1).values(i), s"spark ts at $i ($rle)")
+        val day = Option(rows(i).get(2)).map(
+          _.asInstanceOf[java.sql.Date].toLocalDate
+            .toEpochDay.toInt)
+        assert(day == cols(2).values(i), s"spark day at $i ($rle)")
+        val amt = Option(rows(i).get(3)).map(
+          _.asInstanceOf[java.math.BigDecimal].setScale(3))
+        assert(amt == cols(3).values(i), s"spark amt at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(

@@ -116,6 +116,146 @@ class ParquetWriteSpec extends AnyFunSuite {
       WCol("a", "i128", optional = false, IndexedSeq(Some(1L))))))
   }
 
+  test("RLE/bit-packed hybrid: runs collapse to RLE, mixed values " +
+    "bit-pack, groups cap at 63 (r14)") {
+    // 16 × 3 at width 2: one RLE run — varint(16<<1), value byte
+    assert(ParquetWrite.rleHybrid(
+      IndexedSeq.fill(16)(3), 2).toSeq == Seq[Byte](32, 3))
+    // 8 alternating bits: one bit-packed group — header (1<<1)|1,
+    // LSB-first 01010101... = 0xAA
+    assert(ParquetWrite.rleHybrid(
+      IndexedSeq.tabulate(8)(_ % 2), 1).toSeq ==
+      Seq[Byte](3, 0xAA.toByte))
+    // 63-group cap: 520 distinct-ish values at width 1 → two
+    // bit-packed headers (63 groups + 2 groups)
+    val many = IndexedSeq.tabulate(520)(i => (i / 2) % 2)
+    val enc = ParquetWrite.rleHybrid(many, 1)
+    assert((enc(0) & 1) == 1 && (enc(0) >> 1) == 63)
+    val second = 1 + 63
+    assert((enc(second) & 1) == 1 && (enc(second) >> 1) == 2)
+  }
+
+  test("dictionary-encoded columns read back through all three " +
+    "readers; footer carries the dict encoding (r14)") {
+    import ParquetWrite.WCol
+    val n = 1200
+    val langs = Seq("en", "de", "fr", "pt", "ja")
+    val cols = Seq(
+      WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      WCol("lang", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 11 == 6) None else Some(langs(i % 5)))),
+      WCol("bucket", "i64", optional = false,
+        (0 until n).map(i => Some((i % 7).toLong))),
+      WCol("allnull", "string", optional = true,
+        (0 until n).map(_ => None: Option[Any])))
+    for (codec <- Seq("uncompressed", "snappy", "gzip", "zstd")) {
+      val bytes = ParquetWrite.build(cols, codec,
+        dict = Set("lang", "bucket", "allnull"))
+      // footer: dict chunks advertise PLAIN_DICTIONARY + a dict
+      // page offset; plain chunks don't
+      val foot = ParquetFooter.parse(bytes).getOrElse(
+        fail("footer rejected"))
+      val byName = foot.rowGroups.head.columns
+        .map(c => c.path -> c).toMap
+      assert(byName("lang").encodings.contains(2))
+      assert(byName("lang").dictPageOffset.isDefined)
+      assert(byName("id").dictPageOffset.isEmpty)
+      // our own page walker
+      val (leaves, vals) = ParquetData.decodeFile(bytes).getOrElse(
+        fail("page walker rejected dict file"))
+      assert(leaves.map(_.name) ==
+        Seq("id", "lang", "bucket", "allnull"))
+      (0 until n by 7).foreach { i =>
+        assert(vals(1)(i).map(v => new String(
+          v.asInstanceOf[Array[Byte]], "UTF-8")) ==
+          cols(1).values(i))
+        assert(vals(2)(i).contains((i % 7).toLong))
+        assert(vals(3)(i).isEmpty)
+      }
+      // parquet-mr
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwd")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val rows = spark.read.parquet(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      assert(rows.length == n, codec)
+      (0 until n by 13).foreach { i =>
+        assert(Option(rows(i).get(1)) == cols(1).values(i))
+        assert(rows(i).getLong(2) == (i % 7).toLong)
+        assert(rows(i).get(3) == null)
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
+  test("3-level LIST columns: null list / empty list / null " +
+    "element round-trip via parquet-mr AND decodeFileDeep (r14)") {
+    import ParquetWrite.{WCol, WListCol}
+    val n = 900
+    val toks: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 4) + 1).map(j =>
+          if ((i + j) % 9 == 8) None
+          else Some((i.toLong * 10 + j): Any)))
+      }
+    val words: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 6 == 5) None
+        else Some((0 until i % 3).map(j =>
+          Some(s"w${(i + j) % 13}": Any)))
+      }
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      WListCol("toks", "i64", optional = true,
+        elemOptional = true, toks),
+      WListCol("words", "string", optional = true,
+        elemOptional = false, words))
+    for (codec <- Seq("uncompressed", "snappy", "gzip")) {
+      val bytes = ParquetWrite.build(cols, codec,
+        dict = Set("words"))
+      // parquet-mr surfaces real array columns
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwl")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.parquet(fl.getAbsolutePath)
+      assert(df.schema("toks").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))
+      val rows = df.collect().sortBy(_.getLong(0))
+      assert(rows.length == n, codec)
+      (0 until n).foreach { i =>
+        val got = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(Option(_)))
+        assert(got == toks(i).map(_.map(_.map(_.asInstanceOf[Any]))),
+          s"toks at $i ($codec)")
+        val gotW = Option(rows(i).get(2)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(Option(_)))
+        assert(gotW == words(i), s"words at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+      // our own deep decoder
+      val (nodes, vals) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected our list file"))
+      assert(nodes(1).isInstanceOf[ParquetData.DeepList])
+      (0 until n by 11).foreach { i =>
+        val got = vals(1)(i).map(_.asInstanceOf[Seq[Option[Any]]])
+        assert(got == toks(i), s"deep toks at $i")
+        val gotW = vals(2)(i)
+          .map(_.asInstanceOf[Seq[Option[Any]]]
+            .map(_.map(b => new String(
+              b.asInstanceOf[Array[Byte]], "UTF-8"))))
+        assert(gotW == words(i), s"deep words at $i")
+      }
+    }
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
