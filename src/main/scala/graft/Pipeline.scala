@@ -274,6 +274,7 @@ object Pipeline
     "jsonl_ingest"      -> jsonlIngest _,
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
     "jsonl_zst_files"   -> jsonlZstFiles _,
+    "jsonl_zst_write"   -> jsonlZstWrite _,
     "msgpack_parse"     -> msgpackParse _,
     "cbor_parse"        -> cborParse _,
     "bson_parse"        -> bsonParse _,

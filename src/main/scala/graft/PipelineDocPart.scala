@@ -230,9 +230,13 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
     * distributed: one shard-keyed shuffle, flatMap decode. */
   private[graft] def jsonlZstIngest(s: SparkSession, dir: String): DataFrame =
     jsonlZstRows(jsonlZstShards(s, dir)).orderBy("doc_id")
-  /** The per-shard `.jsonl.zst` blobs: (shard_id, zstd bytes),
-    * compressed by zstd-jni (the write side of the differential). */
-  private[graft] def jsonlZstShards(s: SparkSession, dir: String)
+  /** The per-shard `.jsonl.zst` blobs: (shard_id, zstd bytes) —
+    * compressed by zstd-jni (the jsonl_zst_ingest write side), or
+    * with `own = true` by OUR entropy-coded encoder
+    * ([[graft.operators.ZstdEncode]], the jsonl_zst_write side;
+    * compression asserted to actually engage). */
+  private[graft] def jsonlZstShards(s: SparkSession, dir: String,
+      own: Boolean = false)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = s
     import spark.implicits._
@@ -249,8 +253,15 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
       .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
         val jsonl = it.toSeq.sortBy(_._2).map(_._3)
           .mkString("", "\n", "\n")
-        (sid, com.github.luben.zstd.Zstd.compress(
-          jsonl.getBytes("UTF-8"), 3))
+        val bytes = jsonl.getBytes("UTF-8")
+        if (own) {
+          val enc = graft.operators.ZstdEncode.encode(bytes)
+          require(bytes.length < 64 || enc.length <
+            graft.operators.Zstd.encodeStore(bytes).length,
+            s"entropy coding did not engage on shard $sid")
+          (sid, enc)
+        } else
+          (sid, com.github.luben.zstd.Zstd.compress(bytes, 3))
       }
   }
   /** Shared decode+parse stage: OUR RFC 8878 walk, line split, strict
@@ -288,6 +299,61 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
       }
       .toDF("doc_id", "shard_id", "lang", "n_chars")
   }
+  /** `.jsonl.zst` corpus WRITE (r14): the REVERSE differential of
+    * [[jsonlZstIngest]] — the same shards compressed by OUR
+    * entropy-coded encoder ([[graft.operators.ZstdEncode]]: greedy
+    * LZ77 + predefined-FSE sequence streams + canonical Huffman
+    * literals, real compression rather than r13's store mode) and
+    * decompressed by ZSTD-JNI, the C library, on the read side. A
+    * bitstream, FSE-state or Huffman-table slip in our writer makes
+    * the foreign decoder reject or corrupt a line and the oracle
+    * hash flips. The writer also asserts real compression engaged
+    * (output strictly smaller than a store-mode frame). */
+  private[graft] def jsonlZstWrite(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    jsonlZstRowsJni(jsonlZstShards(s, dir, own = true))
+      .orderBy("doc_id")
+  }
+  /** The jsonlZstRows twin with ZSTD-JNI on the decode side. */
+  private[graft] def jsonlZstRowsJni(
+      shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards
+      .flatMap { case (sid, zst) =>
+        val size = com.github.luben.zstd.Zstd
+          .getFrameContentSize(zst)
+        require(size >= 0 && size <= (1 << 26),
+          s"jni rejected shard $sid frame header")
+        val back = com.github.luben.zstd.Zstd
+          .decompress(zst, size.toInt)
+        new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
+          .map { line =>
+            def grab(key: String): Option[String] = {
+              val k = "\"" + key + "\":"
+              val i = line.indexOf(k)
+              if (i < 0) None
+              else {
+                val v0 = i + k.length
+                val raw =
+                  if (line.charAt(v0) == '"') {
+                    val e = line.indexOf('"', v0 + 1)
+                    line.substring(v0 + 1, e)
+                  } else line.substring(v0).takeWhile(c =>
+                    c != ',' && c != '}')
+                Some(raw)
+              }
+            }
+            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
+              grab("n_chars").get.toLong)
+          }
+      }
+      .toDF("doc_id", "shard_id", "lang", "n_chars")
+  }
+
   /** Builds (idempotently) and returns the `.jsonl.zst` fixture
     * directory — shared with the streaming parity spec. */
   private[graft] def jsonlZstFixtureRoot(s: SparkSession, dir: String)
@@ -1737,6 +1803,8 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
     "jsonl_zst_ingest" -> jsonlZstOracleSql,
     // same facts through real .jsonl.zst files + binaryFile
     "jsonl_zst_files" -> jsonlZstOracleSql,
+    // same facts AGAIN: our entropy-coded writer, jni's reader
+    "jsonl_zst_write" -> jsonlZstOracleSql,
     "pdf_text_extract" -> {
       // page j reduces to 'Pg {j} {slice_j}'; pages join with \n;
       // literal strings round-trip byte-exact so NO collapse is

@@ -22,10 +22,12 @@ package graft.operators
   * VLC rows that keep MP3 Layer III out); the differential tests
   * exercise every one of them against two INDEPENDENT bundled
   * implementations: zstd-jni (the C library Spark itself loads) and
-  * aircompressor (airlift's pure-Java port). Our ENCODER emits the
-  * spec's store mode (raw/RLE blocks + checksum) — valid frames any
-  * zstd reads; entropy-coded compression stays on the C side where
-  * Spark already runs it.
+  * aircompressor (airlift's pure-Java port). The write side:
+  * [[encodeStore]] here emits the spec's store mode (raw/RLE blocks
+  * + checksum), and [[ZstdEncode.encode]] (r14) emits REAL
+  * entropy-coded frames — LZ77 sequences under the predefined FSE
+  * tables plus canonical-Huffman literals — differentially verified
+  * against both bundled decoders.
   *
   * No reference analogue (north-star ingestion surface); validated
   * in ZstdSpec by both differentials at several levels (high levels
@@ -416,27 +418,27 @@ object Zstd {
   // Sequence code tables (RFC 8878 §3.1.1.3.2.1)
   // ---------------------------------------------------------------
 
-  private val LlBase: Array[Int] = (0 to 15).toArray ++ Array(
+  private[graft] val LlBase: Array[Int] = (0 to 15).toArray ++ Array(
     16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
     4096, 8192, 16384, 32768, 65536)
-  private val LlBits: Array[Int] = Array.fill(16)(0) ++ Array(
+  private[graft] val LlBits: Array[Int] = Array.fill(16)(0) ++ Array(
     1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
-  private val MlBase: Array[Int] = (3 to 34).toArray ++ Array(
+  private[graft] val MlBase: Array[Int] = (3 to 34).toArray ++ Array(
     35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
     2051, 4099, 8195, 16387, 32771, 65539)
-  private val MlBits: Array[Int] = Array.fill(32)(0) ++ Array(
+  private[graft] val MlBits: Array[Int] = Array.fill(32)(0) ++ Array(
     1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
   // predefined distributions (RFC 8878 §3.1.1.3.2.2)
-  private val LlDefault: Array[Int] = Array(
+  private[graft] val LlDefault: Array[Int] = Array(
     4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
-  private val MlDefault: Array[Int] = Array(
+  private[graft] val MlDefault: Array[Int] = Array(
     1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, -1, -1, -1, -1, -1, -1, -1)
-  private val OfDefault: Array[Int] = Array(
+  private[graft] val OfDefault: Array[Int] = Array(
     1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, -1, -1, -1, -1, -1)
 

@@ -103,6 +103,98 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("our COMPRESSING writer -> zstd-jni, aircompressor and our " +
+    "own reader; entropy coding actually engages (r14)") {
+    val rnd = new java.util.Random(7)
+    def roundtrip(data: Array[Byte], mustShrink: Boolean): Unit = {
+      val enc = ZstdEncode.encode(data)
+      if (mustShrink)
+        assert(enc.length < Zstd.encodeStore(data).length,
+          s"no compression on ${data.length} bytes")
+      // ours
+      assert(Zstd.decode(enc).exists(_.sameElements(data)),
+        s"our reader failed on ${data.length} bytes")
+      // the C library
+      val jni = com.github.luben.zstd.Zstd.decompress(enc,
+        math.max(data.length, 1))
+      assert(jni.sameElements(data), "zstd-jni mismatch")
+      // airlift's independent Java port
+      val dec = new io.airlift.compress.zstd.ZstdDecompressor()
+      val out = new Array[Byte](data.length + 8)
+      val n = dec.decompress(enc, 0, enc.length, out, 0, out.length)
+      assert(n == data.length &&
+        java.util.Arrays.equals(out, 0, n, data, 0, n),
+        "aircompressor mismatch")
+    }
+    // repetitive text: LZ matches + Huffman literals (multi-block)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val text = {
+      val sb = new StringBuilder
+      while (sb.length < 400000)
+        { sb ++= words(rnd.nextInt(5)); sb += ' ' }
+      sb.toString.getBytes
+    }
+    roundtrip(text, mustShrink = true)
+    // skewed no-match literals ≤ 1023: the 1-STREAM Huffman layout
+    val skew1 = Array.tabulate(700)(_ =>
+      ("eeeeeeeettaaoinshr" (rnd.nextInt(18))).toByte)
+    roundtrip(skew1, mustShrink = true)
+    // skewed no-match literals > 1023: the 4-STREAM jump-table form
+    val skew4 = Array.tabulate(60000)(_ =>
+      ("eeeeeeeeeeeettttaaaoinshrdlu" (rnd.nextInt(28))).toByte)
+    roundtrip(skew4, mustShrink = true)
+    // super-exponential frequencies force the depth-11 limit repair
+    val deep = {
+      val b = new java.io.ByteArrayOutputStream()
+      (0 until 20).foreach { s =>
+        val cnt = math.max(1, (math.pow(1.9, s) / 1.9).toInt)
+        (0 until cnt).foreach(_ => b.write('a' + s))
+      }
+      val a = b.toByteArray; shuffle(a, rnd); a
+    }
+    roundtrip(deep, mustShrink = false)
+    // bytes above 128: direct Huffman weights can't list them —
+    // raw-literal fallback must stay correct
+    val high = Array.tabulate(5000)(i => (170 + i % 50).toByte)
+    roundtrip(high, mustShrink = true) // LZ still compresses it
+    // incompressible: raw-block fallback
+    val noise = new Array[Byte](30000); rnd.nextBytes(noise)
+    roundtrip(noise, mustShrink = false)
+    // structured fuzz: random mixes of runs, text and noise
+    (0 until 25).foreach { _ =>
+      val b = new java.io.ByteArrayOutputStream()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val c = rnd.nextInt(256).toByte
+            (0 until rnd.nextInt(3000)).foreach(_ => b.write(c))
+          case 1 =>
+            (0 until rnd.nextInt(3000)).foreach(_ =>
+              b.write(words(rnd.nextInt(5)).getBytes))
+          case _ =>
+            val x = new Array[Byte](rnd.nextInt(3000))
+            rnd.nextBytes(x); b.write(x)
+        }
+      }
+      roundtrip(b.toByteArray, mustShrink = false)
+    }
+    // size boundaries around block/format splits
+    Seq(0, 1, 31, 32, 63, 64, 1023, 1024, 4095, 4096,
+      (1 << 17) - 1, 1 << 17, (1 << 17) + 1).foreach { sz =>
+      val d = Array.tabulate(sz)(i => ("abcdef" (i % 6)).toByte)
+      roundtrip(d, mustShrink = false)
+    }
+  }
+
+  private def shuffle(a: Array[Byte], rnd: java.util.Random): Unit = {
+    var i = a.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+  }
+
   test("skippable frames and concatenation") {
     val a = com.github.luben.zstd.Zstd.compress("first ".getBytes, 3)
     val b = Zstd.encodeStore("second".getBytes)
