@@ -235,6 +235,7 @@ object Pipeline
     "hudi_mor_snapshot" -> hudiMorSnapshot _,
     "hudi_mor_parquet_log" -> hudiMorParquetLog _,
     "hdf5_parse"        -> hdf5Parse _,
+    "hdf5_parse_deep"   -> hdf5ParseDeep _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,
     "tensor_cross_check" -> tensorCrossCheck _,
     "delta_scan"        -> deltaScan _,

@@ -1262,6 +1262,66 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
       }
       .toDF("vec_id", "shard_id", "dim", "emb_q", "label")
   }
+  /** HDF5 extensible-array GROWTH lane (r14): one `.h5` whose 1-D
+    * dataset carries one element per chunk, far past the 244-chunk
+    * index-block-direct cliff — the walk exercises real SECONDARY
+    * blocks ("EASB") and, with 64-element pages (eaPageBits 6),
+    * PAGED data blocks with per-page checksums and the page-init
+    * bitmap. Facts re-derived from the decoded array under the
+    * documents oracle. */
+  private[graft] def hdf5ParseDeep(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.Hdf5
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "n_chars")
+      .as[(Long, Long)]
+      .groupByKey(_ => 0L)
+      .mapGroups { (_, it) =>
+        val docs = it.toSeq.sortBy(_._1)
+        val n = docs.length
+        // 4 lanes per doc: at gate scale (sf0.01, ~500 docs) the
+        // 4n one-element chunks reach super block 6, whose data
+        // blocks (128 elems > the 64-elem pages) are PAGED
+        val vals = java.nio.ByteBuffer.allocate(n * 16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        docs.foreach { d =>
+          (0 until 4).foreach(_ => vals.putFloat(d._2.toFloat))
+        }
+        val ids = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        docs.foreach(d => ids.putLong(d._1))
+        Hdf5.buildLatest(Seq(
+          Hdf5.WDataset("n_chars", Seq(4L * n), "f4",
+            vals.array(), chunkDims = Seq(1),
+            chunkIndexKind = 4, eaPageBits = 6,
+            shuffle = true, fletcher = true),
+          Hdf5.WDataset("doc_id", Seq(n.toLong), "i8",
+            ids.array())))
+      }
+      .flatMap { bytes =>
+        val ds = Hdf5.read(bytes).getOrElse(
+          sys.error("hdf5 rejected the deep-growth file"))
+        val byName = ds.map(d => d.path -> d).toMap
+        val nc = byName("n_chars"); val ids = byName("doc_id")
+        val n = byName("doc_id").dims.head.toInt
+        require(nc.dims.head == 4L * n)
+        // paged data blocks start past chunk 500 (super block 5,
+        // 128-element blocks > the 64-element pages)
+        require(4 * n > 500,
+          s"growth lane must reach the paged range (4n=${4 * n})")
+        (0 until n).map { i =>
+          val v = nc.arr.at(4 * i).toLong
+          require((1 until 4).forall(k =>
+            nc.arr.at(4 * i + k).toLong == v), s"lane drift at $i")
+          (ids.arr.longAt(i), v)
+        }
+      }
+      .toDF("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** The shards as REAL `.h5` FILES (cached fixture tree). */
   private[graft] def hdf5FixtureRoot(s: SparkSession, dir: String)
       : String = {
@@ -2121,6 +2181,11 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
     // the _files twin reads the same shards as REAL .h5 files
     "hdf5_parse_files" -> hdf5OracleSqlShared,
     "hdf5_parse" -> hdf5OracleSqlShared,
+    // the extensible-array growth lane: secondary blocks + paged
+    // data blocks; facts recomputed from documents
+    "hdf5_parse_deep" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // six independent container paths (safetensors/GGUF/ONNX/HDF5
     // classic + latest/zarr-v3 sharded) must agree lane-for-lane
     // in-flight; the oracle pins the agreed facts

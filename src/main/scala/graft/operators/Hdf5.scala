@@ -779,10 +779,12 @@ object Hdf5 {
     * the first `idxBlkElems` elements directly plus the data-block
     * addresses of the first `2·log2(sblkMinDataPtrs)` super blocks
     * (super block s: `2^(s/2)` blocks of `2^((s+1)/2)·minElems`
-    * elements); deeper growth moves to secondary blocks ("EASB")
-    * and PAGED data blocks — both reject honestly here (a fixture
-    * never reaches them; a real huge array fails loudly rather
-    * than mis-indexing). Elements: chunk address (client 0) or
+    * elements); deeper growth (r14) walks SECONDARY blocks
+    * ("EASB": per-super-block data-block address tables + the
+    * page-init bitmap, H5VM MSB-first bit order) and PAGED data
+    * blocks (prefix + per-page element runs, each page with its
+    * own checksum; an uninitialized page's chunks are absent, a
+    * corrupt one rejects). Elements: chunk address (client 0) or
     * address + stored size + filter mask (client 1), in row-major
     * chunk-grid order like the fixed array. */
   private def extArrayEntries(r: Rd, hdrAddr: Long,
@@ -846,12 +848,7 @@ object Hdf5 {
     val elemsOff = ib + 14
     val dblkAddrsOff = elemsOff + idxBlkElems * elemSize
     val sblkAddrsOff = dblkAddrsOff + ndblkAddrs.toInt * 8
-    // any realized secondary block → honest rejection
-    var sb = 0
-    while (sb < nsblkAddrs) {
-      if (u64(d, sblkAddrsOff + sb * 8) != Undef) return None
-      sb += 1
-    }
+    val pageElems = 1L << pageBits
     def decodeElem(at: Int): Option[(Long, Int, Long)] = {
       val addr = u64(d, at)
       if (addr == Undef) None
@@ -864,16 +861,101 @@ object Hdf5 {
         Some((addr, sz.toInt, u32(d, at + 8 + szBytes)))
       } else Some((addr, chunkBytes, 0L))
     }
-    // data blocks decode lazily, once each
-    val dblkCache = scala.collection.mutable.Map[Long, Option[Int]]()
-    def dataBlockElems(dbIdx: Long, nelmts: Long, startAbs: Long)
-        : Option[Int] = dblkCache.getOrElseUpdate(dbIdx, {
-      if (dbIdx >= ndblkAddrs) return None // secondary-block range
-      val addr = u64(d, dblkAddrsOff + dbIdx.toInt * 8)
-      if (addr == Undef) Some(-1)
-      else {
-        if (nelmts > (1L << pageBits))
-          return None // paged data block: honest rejection
+    // SECONDARY blocks ("EASB", r14): super block s ≥ iblkNsblks
+    // keeps its data-block addresses (and, when those data blocks
+    // are PAGED, the page-init bitmap — H5VM bit order, MSB first)
+    // in its own block. Cache: s → (dblkAddrsOff, bitmapOff).
+    final case class SblkInfo(dblkOff: Int, bmpOff: Int,
+      ndblks: Long, npages: Long)
+    // cache value None = sblock genuinely ABSENT (all its data
+    // blocks unallocated); a malformed sblock returns outer None
+    // so the whole index rejects instead of dropping chunks
+    val sblkCache =
+      scala.collection.mutable.Map[Int, Option[SblkInfo]]()
+    def sblock(s: Int): Option[Option[SblkInfo]] =
+      sblkCache.get(s).map(Some(_)).getOrElse {
+        val slot = s - iblkNsblks
+        if (slot < 0 || slot >= nsblkAddrs) return None
+        val addr = u64(d, sblkAddrsOff + slot * 8)
+        if (addr == Undef) {
+          sblkCache(s) = None
+          return Some(None)
+        }
+        val ndblks = 1L << (s / 2)
+        val nel = (1L << ((s + 1) / 2)) * minElems
+        val npages = if (nel > pageElems) nel / pageElems else 0L
+        val bmpBytes =
+          if (npages > 0) (ndblks * npages + 7) / 8 else 0L
+        val len = 14L + arrOffSize + bmpBytes + ndblks * 8L + 4L
+        if (!r.check(addr, len)) return None
+        val b = addr.toInt
+        if (d(b) != 'E' || d(b + 1) != 'A' || d(b + 2) != 'S' ||
+          d(b + 3) != 'B') return None
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != clientId) return None
+        if (u64(d, b + 6) != hdrAddr) return None
+        var off = 0L
+        var j = 0
+        while (j < arrOffSize) {
+          off |= (d(b + 14 + j) & 0xffL) << (8 * j); j += 1 }
+        if (off != sblkStartIdx(s) + idxBlkElems) return None
+        if (u32(d, (addr + len - 4).toInt) !=
+          lookup3(d, b, (len - 4).toInt)) return None
+        val bmpOff = b + 14 + arrOffSize
+        val info = SblkInfo(bmpOff + bmpBytes.toInt, bmpOff,
+          ndblks, npages)
+        sblkCache(s) = Some(info)
+        Some(Some(info))
+      }
+    // data blocks decode lazily, once each: value = element base
+    // offset (unpaged), or the block address (paged; elements
+    // resolve per page), or absent
+    sealed trait Dblk
+    case object DbAbsent extends Dblk
+    final case class DbFlat(base: Int) extends Dblk
+    final case class DbPaged(addr: Long, sblk: SblkInfo,
+      dblkSlot: Long) extends Dblk
+    val dblkCache = scala.collection.mutable.Map[Long, Option[Dblk]]()
+    def dataBlock(dbIdx: Long, nelmts: Long, startAbs: Long,
+        s: Int): Option[Dblk] = dblkCache.getOrElseUpdate(dbIdx, {
+      val (addr, sbInfo) =
+        if (dbIdx < ndblkAddrs)
+          (u64(d, dblkAddrsOff + dbIdx.toInt * 8), null)
+        else {
+          val sb = sblock(s).getOrElse(return None) match {
+            case None => return Some(DbAbsent) // whole sblock absent
+            case Some(x) => x
+          }
+          val slot = dbIdx - sblkStartDblk(s)
+          if (slot < 0 || slot >= sb.ndblks) return None
+          (u64(d, sb.dblkOff + slot.toInt * 8), sb)
+        }
+      if (addr == Undef) Some(DbAbsent)
+      else if (nelmts > pageElems) {
+        // PAGED data block: prefix (no elements) + own checksum,
+        // then npages × (pageElems·elemSize + checksum)
+        if (sbInfo == null) return None // iblk-direct paged: never
+        val preLen = 14L + arrOffSize
+        if (!r.check(addr, preLen + 4)) return None
+        val b = addr.toInt
+        if (d(b) != 'E' || d(b + 1) != 'A' || d(b + 2) != 'D' ||
+          d(b + 3) != 'B') return None
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != clientId) return None
+        if (u64(d, b + 6) != hdrAddr) return None
+        var off = 0L
+        var j = 0
+        while (j < arrOffSize) {
+          off |= (d(b + 14 + j) & 0xffL) << (8 * j); j += 1 }
+        if (off != startAbs) return None
+        if (u32(d, (addr + preLen).toInt) !=
+          lookup3(d, b, preLen.toInt)) return None
+        val npages = nelmts / pageElems
+        val pagesLen = npages * (pageElems * elemSize + 4L)
+        if (!r.check(addr + preLen + 4, pagesLen)) return None
+        Some(DbPaged(addr + preLen + 4, sbInfo,
+          dbIdx - sblkStartDblk(s)))
+      } else {
         val len = 14L + arrOffSize + nelmts * elemSize + 4L
         if (!r.check(addr, len)) return None
         val b = addr.toInt
@@ -889,9 +971,27 @@ object Hdf5 {
         if (off != startAbs) return None
         if (u32(d, (addr + len - 4).toInt) !=
           lookup3(d, b, (len - 4).toInt)) return None
-        Some(b + 14 + arrOffSize)
+        Some(DbFlat(b + 14 + arrOffSize))
       }
     })
+    // verified pages, once each: (dblk base, page) → elems offset
+    val pageCache =
+      scala.collection.mutable.Map[(Long, Long), Option[Int]]()
+    def pageBase(db: DbPaged, page: Long): Option[Int] =
+      pageCache.getOrElseUpdate((db.addr, page), {
+        // the sblock's page-init bitmap (MSB-first per byte): an
+        // uninitialized page holds no elements
+        val bit = db.dblkSlot * db.sblk.npages + page
+        val by = d(db.sblk.bmpOff + (bit / 8).toInt) & 0xff
+        if (((by >> (7 - (bit % 8)).toInt) & 1) == 0)
+          return Some(-1) // page never written
+        val pLen = pageElems * elemSize
+        val at = db.addr + page * (pLen + 4L)
+        if (!r.check(at, pLen + 4)) return None
+        if (u32(d, (at + pLen).toInt) !=
+          lookup3(d, at.toInt, pLen.toInt)) return None
+        Some(at.toInt)
+      })
     val offs = gridOffsets(grid, cd)
     val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
     var i = 0L
@@ -908,11 +1008,18 @@ object Hdf5 {
           val inBlk = (u - sblkStartIdx(s)) % nel
           val startAbs = sblkStartIdx(s) + dblkIdx * nel +
             idxBlkElems
-          dataBlockElems(sblkStartDblk(s) + dblkIdx, nel, startAbs)
+          dataBlock(sblkStartDblk(s) + dblkIdx, nel, startAbs, s)
             .getOrElse(return None) match {
-            case -1 => None // whole data block absent
-            case base =>
+            case DbAbsent => None // whole data block absent
+            case DbFlat(base) =>
               decodeElem(base + (inBlk * elemSize).toInt)
+            case dp: DbPaged =>
+              pageBase(dp, inBlk / pageElems)
+                .getOrElse(return None) match {
+                case -1 => None // uninitialized page
+                case base => decodeElem(base +
+                  ((inBlk % pageElems) * elemSize).toInt)
+              }
           }
         }
       loc.foreach { case (addr, stored, mask) =>
@@ -1295,7 +1402,11 @@ object Hdf5 {
       chunkIndexKind: Int = 3,
       /** [[buildLatest]] b-tree index only: node size (small
         * values force multi-level trees in tests). */
-      btreeNodeSize: Int = 2048)
+      btreeNodeSize: Int = 2048,
+      /** [[buildLatest]] extensible-array index only: max
+        * data-block page nelmts bits (libhdf5 default 10; small
+        * values force PAGED data blocks in tests). */
+      eaPageBits: Int = 10)
 
   final class Writer {
     private val buf = new java.io.ByteArrayOutputStream(4096)
@@ -1893,14 +2004,20 @@ object Hdf5 {
             lay.write(12) // page bits
             w64b(lay, fahdAddr)
           case 4 =>
-            // extensible array: data blocks, index block, header —
-            // addresses computed up front (blocks point at EAHD)
+            // extensible array: data blocks, secondary blocks,
+            // index block, header — addresses computed up front
+            // (blocks point at EAHD). r14: growth past the
+            // index-block-direct range emits real EASB secondary
+            // blocks, and data blocks larger than 2^pageBits
+            // elements emit the PAGED layout (per-page checksums +
+            // the sblock page-init bitmap, H5VM MSB-first bits).
             val elemSize = 16 // filtered: addr(8)+size(4)+mask(4)
             val maxBits = 32
             val idxElems = 4
             val minElems = 16
             val minPtrs = 4
-            val pageBits = 10
+            val pageBits = ds.eaPageBits
+            val pageElems = 1L << pageBits
             val arrOffSize = (maxBits + 7) / 8
             val n = entries.length
             val iblkNsblks = 2 * log2of2(minPtrs)
@@ -1908,43 +2025,59 @@ object Hdf5 {
             val ndblkAddrs = (0 until iblkNsblks)
               .map(s => 1L << (s / 2)).sum.toInt
             val nsblkAddrs = nsblksTotal - iblkNsblks
+            def sblkStartIdx(s: Int): Long =
+              (0 until s).map(t => (1L << (t / 2)) *
+                ((1L << ((t + 1) / 2)) * minElems)).sum
+            def sblkStartDblk(s: Int): Long =
+              (0 until s).map(t => 1L << (t / 2)).sum
+            // index-block-direct data blocks must never page (the
+            // reader matches libhdf5: paging starts with sblocks)
+            require((0 until iblkNsblks).forall(s =>
+              (1L << ((s + 1) / 2)) * minElems <= pageElems),
+              "eaPageBits too small for the iblock-direct range")
             // which data blocks exist, and their geometry
-            final case class Db(dbIdx: Int, nel: Long, startAbs: Long)
+            final case class Db(dbIdx: Int, s: Int, nel: Long,
+              startAbs: Long)
             val dbs = scala.collection.mutable.LinkedHashMap[Int, Db]()
-            var maxCover = idxElems.toLong
-            (0 until iblkNsblks).foreach { s =>
-              maxCover += (1L << (s / 2)) *
-                ((1L << ((s + 1) / 2)) * minElems)
-            }
-            require(n <= maxCover,
-              s"extensible-array writer: $n chunks exceed the " +
-                s"index-block-direct coverage $maxCover")
             var i = idxElems
             while (i < n) {
               val uu = (i - idxElems).toLong
               val s = log2gen(uu / minElems + 1)
+              require(s < nsblksTotal, "array exceeds maxBits")
               val nel = (1L << ((s + 1) / 2)) * minElems
-              var startIdx = 0L
-              var startDblk = 0L
-              (0 until s).foreach { t =>
-                startIdx += (1L << (t / 2)) *
-                  ((1L << ((t + 1) / 2)) * minElems)
-                startDblk += 1L << (t / 2)
-              }
-              val dblkIdx = ((uu - startIdx) / nel).toInt
-              val key = startDblk.toInt + dblkIdx
+              val dblkIdx = ((uu - sblkStartIdx(s)) / nel).toInt
+              val key = sblkStartDblk(s).toInt + dblkIdx
               if (!dbs.contains(key))
-                dbs(key) = Db(key, nel,
-                  startIdx + dblkIdx * nel + idxElems)
+                dbs(key) = Db(key, s, nel,
+                  sblkStartIdx(s) + dblkIdx * nel + idxElems)
               i += 1
             }
-            // sizes known → header address after dblks + iblock
-            val dblkLens = dbs.values.map(db =>
-              14L + arrOffSize + db.nel * elemSize + 4L).toSeq
+            // which SECONDARY blocks exist (any dblock at s ≥
+            // iblkNsblks realizes its sblock)
+            val sblks = dbs.values.map(_.s)
+              .filter(_ >= iblkNsblks).toSeq.distinct.sorted
+            def dblkLen(db: Db): Long =
+              if (db.nel > pageElems)
+                14L + arrOffSize + 4L + // prefix + own checksum
+                  (db.nel / pageElems) *
+                  (pageElems * elemSize + 4L)
+              else 14L + arrOffSize + db.nel * elemSize + 4L
+            def sblkLen(s: Int): Long = {
+              val ndblks = 1L << (s / 2)
+              val nel = (1L << ((s + 1) / 2)) * minElems
+              val npages =
+                if (nel > pageElems) nel / pageElems else 0L
+              val bmp =
+                if (npages > 0) (ndblks * npages + 7) / 8 else 0L
+              14L + arrOffSize + bmp + ndblks * 8L + 4L
+            }
+            // layout: data blocks, then sblocks, iblock, header
+            val dblkAddrs0 = pos
+            val sblk0 = dblkAddrs0 +
+              dbs.values.map(dblkLen).sum
             val iblkLen = 14L + idxElems.toLong * elemSize +
               (ndblkAddrs + nsblkAddrs).toLong * 8 + 4L
-            val dblkAddrs0 = pos
-            val iblkAddr = dblkAddrs0 + dblkLens.sum
+            val iblkAddr = sblk0 + sblks.map(sblkLen).sum
             val eahdAddr = iblkAddr + iblkLen
             def elemBytes(b: java.io.ByteArrayOutputStream,
                 idx: Long): Unit =
@@ -1968,12 +2101,73 @@ object Hdf5 {
                 b.write(((dbk.startAbs >>> (8 * j)) & 0xff).toInt)
                 j += 1
               }
-              (0L until dbk.nel).foreach(e =>
-                elemBytes(b, dbk.startAbs + e))
+              if (dbk.nel > pageElems) {
+                // PAGED: prefix gets its own checksum; pages
+                // follow, each with a checksum of its elements
+                val bb = b.toByteArray
+                buf.write(bb, 0, bb.length)
+                w32b(buf, lookup3(bb, 0, bb.length))
+                var page = 0L
+                while (page < dbk.nel / pageElems) {
+                  val pb = new java.io.ByteArrayOutputStream()
+                  (0L until pageElems).foreach(e => elemBytes(pb,
+                    dbk.startAbs + page * pageElems + e))
+                  val pbb = pb.toByteArray
+                  buf.write(pbb, 0, pbb.length)
+                  w32b(buf, lookup3(pbb, 0, pbb.length))
+                  page += 1
+                }
+              } else {
+                (0L until dbk.nel).foreach(e =>
+                  elemBytes(b, dbk.startAbs + e))
+                val bb = b.toByteArray
+                buf.write(bb, 0, bb.length)
+                w32b(buf, lookup3(bb, 0, bb.length))
+              }
+              wrote += dblkLen(dbk)
+            }
+            // secondary blocks
+            val sbAddrByS =
+              scala.collection.mutable.Map[Int, Long]()
+            sblks.foreach { s =>
+              sbAddrByS(s) = pos
+              val ndblks = (1L << (s / 2)).toInt
+              val nel = (1L << ((s + 1) / 2)) * minElems
+              val npages =
+                if (nel > pageElems) (nel / pageElems).toInt else 0
+              val b = new java.io.ByteArrayOutputStream()
+              b.write('E'); b.write('A'); b.write('S'); b.write('B')
+              b.write(0); b.write(1)
+              w64b(b, eahdAddr)
+              val off0 = sblkStartIdx(s) + idxElems
+              var j = 0
+              while (j < arrOffSize) {
+                b.write(((off0 >>> (8 * j)) & 0xff).toInt)
+                j += 1
+              }
+              if (npages > 0) {
+                // page-init bitmap: MSB-first; every page of an
+                // existing dblock is initialized
+                val bits = ndblks * npages
+                val bmp = new Array[Byte]((bits + 7) / 8)
+                (0 until ndblks).foreach { k =>
+                  if (dbs.contains(sblkStartDblk(s).toInt + k))
+                    (0 until npages).foreach { pg =>
+                      val bit = k * npages + pg
+                      bmp(bit / 8) = (bmp(bit / 8) |
+                        (1 << (7 - (bit % 8)))).toByte
+                    }
+                }
+                b.write(bmp, 0, bmp.length)
+              }
+              (0 until ndblks).foreach { k =>
+                w64b(b, dbAddrByIdx.getOrElse(
+                  sblkStartDblk(s).toInt + k, Undef))
+              }
               val bb = b.toByteArray
+              require(bb.length + 4L == sblkLen(s))
               buf.write(bb, 0, bb.length)
               w32b(buf, lookup3(bb, 0, bb.length))
-              wrote += bb.length + 4L
             }
             // index block
             val ib = new java.io.ByteArrayOutputStream()
@@ -1983,7 +2177,9 @@ object Hdf5 {
             (0 until idxElems).foreach(e => elemBytes(ib, e.toLong))
             (0 until ndblkAddrs).foreach(k =>
               w64b(ib, dbAddrByIdx.getOrElse(k, Undef)))
-            (0 until nsblkAddrs).foreach(_ => w64b(ib, Undef))
+            (0 until nsblkAddrs).foreach(slot =>
+              w64b(ib, sbAddrByS.getOrElse(iblkNsblks + slot,
+                Undef)))
             val ibb = ib.toByteArray
             require(iblkAddr == pos && ibb.length + 4L == iblkLen)
             buf.write(ibb, 0, ibb.length)
@@ -1995,10 +2191,10 @@ object Hdf5 {
             hd.write(elemSize); hd.write(maxBits)
             hd.write(idxElems); hd.write(minElems)
             hd.write(minPtrs); hd.write(pageBits)
-            w64b(hd, 0L) // secondary blocks
-            w64b(hd, 0L) // secondary block bytes
+            w64b(hd, sblks.length.toLong) // secondary blocks
+            w64b(hd, sblks.map(sblkLen).sum) // secondary block bytes
             w64b(hd, dbs.size.toLong)
-            w64b(hd, dblkLens.sum)
+            w64b(hd, dbs.values.map(dblkLen).sum)
             w64b(hd, n.toLong) // max index set
             w64b(hd, n.toLong) // elements
             w64b(hd, iblkAddr)

@@ -227,6 +227,66 @@ class Hdf5Spec extends AnyFunSuite {
     assert(m.arr.at(0, 0) == 0f)
   }
 
+  test("extensible-array growth: SECONDARY blocks past the " +
+    "244-chunk cliff, and PAGED data blocks round-trip (r14)") {
+    def data(n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putFloat(i * 0.5f))
+      b.array()
+    }
+    // default geometry covers 244 chunks iblock-direct; 2000
+    // chunks (8000 rows / chunk 4) realize super blocks 4-6 via
+    // EASB secondary blocks, data blocks unpaged (nel ≤ 1024)
+    val rows = 8000
+    val f = buildLatest(Seq(WDataset("a", Seq(rows.toLong), "f4",
+      data(rows), chunkDims = Seq(4), chunkIndexKind = 4)))
+    def count(hay: Array[Byte], sig: String): Int = {
+      val s = sig.getBytes("UTF-8")
+      (0 to hay.length - 4).count(i => (0 until 4)
+        .forall(k => hay(i + k) == s(k)))
+    }
+    assert(count(f, "EASB") >= 2, "no secondary blocks emitted")
+    val ds = read(f).getOrElse(fail("EASB file rejected"))
+    assert(ds.head.dims == Seq(rows.toLong))
+    (0 until rows by 379).foreach { i =>
+      assert(ds.head.arr.at(i) == i * 0.5f, s"at $i")
+    }
+    assert(ds.head.arr.at(rows - 1) == (rows - 1) * 0.5f)
+    // small page bits (6 → 64 elements/page) force PAGED data
+    // blocks inside the secondary-block range
+    val fp = buildLatest(Seq(WDataset("p", Seq(rows.toLong), "f4",
+      data(rows), chunkDims = Seq(4), chunkIndexKind = 4,
+      eaPageBits = 6, shuffle = true, fletcher = true)))
+    assert(count(fp, "EASB") >= 2)
+    val dp = read(fp).getOrElse(fail("paged EA file rejected"))
+    (0 until rows by 211).foreach { i =>
+      assert(dp.head.arr.at(i) == i * 0.5f, s"paged at $i")
+    }
+    // corrupting a page's bytes flips that page's checksum →
+    // the whole dataset rejects (never silently mis-reads)
+    val lastEadb = {
+      val s = "EADB".getBytes("UTF-8")
+      (0 to fp.length - 4).lastIndexWhere(i => (0 until 4)
+        .forall(k => fp(i + k) == s(k)))
+    }
+    assert(lastEadb > 0)
+    val bad = fp.clone()
+    // the paged block's pages start after prefix(18)+checksum(4)
+    bad(lastEadb + 30) = (bad(lastEadb + 30) ^ 0x10).toByte
+    assert(read(bad).isEmpty ||
+      read(bad).get.forall(_.path != "p"))
+    // corrupting an EASB byte rejects too
+    val easbAt = {
+      val s = "EASB".getBytes("UTF-8")
+      (0 to fp.length - 4).indexWhere(i => (0 until 4)
+        .forall(k => fp(i + k) == s(k)))
+    }
+    val bad2 = fp.clone()
+    bad2(easbAt + 16) = (bad2(easbAt + 16) ^ 0x01).toByte
+    assert(read(bad2).isEmpty || read(bad2).get.forall(_.path != "p"))
+  }
+
   test("v2 b-tree chunk index: leaf root AND forced internal " +
     "root round-trip; corruption rejects (r13)") {
     def data(n: Int): Array[Byte] = {
