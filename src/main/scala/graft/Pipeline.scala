@@ -252,6 +252,7 @@ object Pipeline
     "iceberg_time_travel" -> icebergTimeTravel _,
     "iceberg_partition_prune" -> icebergPartitionPrune _,
     "iceberg_pos_delete" -> icebergPosDelete _,
+    "iceberg_dv_scan"   -> icebergDvScan _,
     "iceberg_eq_delete" -> icebergEqDelete _,
     "iceberg_map_type"  -> icebergMapType _,
     "lakehouse_ingest_dag" -> lakehouseIngestDag _,

@@ -625,6 +625,50 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
         sum(col("l_orderkey")).as("ok_sum"))
       .orderBy("rf")
   }
+  /** Iceberg v3 DELETION-VECTOR scan (r14): the deleted rows ride
+    * in a PUFFIN file — one `deletion-vector-v1` blob per data
+    * file (big-endian framing + magic + portable-64 roaring
+    * bitmap + CRC-32, all verified on read) — referenced from the
+    * delete manifest by (referenced_data_file, content_offset,
+    * content_size_in_bytes) with file_format PUFFIN. Same
+    * analytic truth as the v2 position-delete lane, through the
+    * v3 row-delete machinery. */
+  private[graft] def icebergDvScan(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Iceberg
+    val root = formatFixtureDir(dir, "iceberg_dv", "lineitem") {
+      out =>
+      val t = s"$out/tbl"
+      val base = Tables.lineitem(s, dir)
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag")
+      Iceberg.create(s, base.repartition(8), t)
+      val snap1 = Iceberg.snapshot(s, t)
+      val spark = s
+      import spark.implicits._
+      val victims = s.read.parquet(s"$t/data/s1")
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"),
+          col("l_quantity"))
+        .filter(col("l_quantity") <= 5)
+        .select(col("fp"), col("pos")).as[(String, Long)]
+        .collect()
+        .groupBy(_._1).map { case (f, ps) =>
+          f -> ps.map(_._2).sorted }
+      val dvs = Iceberg.writeDvPuffin(s, t, 2L, 2L, victims)
+      Iceberg.commit(s, t, 2L, 2L, base.schema,
+        snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+        prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+        dvDeletes = dvs)
+    }
+    graft.operators.Iceberg.read(s, s"$root/tbl")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy("rf")
+  }
   /** Iceberg v2 EQUALITY-DELETE scan (late r12): the delete file
     * carries (l_orderkey, l_partkey) VALUE pairs taken from rows
     * with l_quantity ≤ 3 — and per the spec a row dies when its
@@ -1140,6 +1184,15 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
         |  CAST(count(*) * 2 AS BIGINT) AS nkeys
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "iceberg_pos_delete" ->
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    // v3 deletion vectors: same truth as the pos-delete lane,
+    // through puffin blobs
+    "iceberg_dv_scan" ->
       """SELECT l_returnflag AS rf, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
         |    AS qty_sum,

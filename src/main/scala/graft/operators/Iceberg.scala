@@ -78,7 +78,11 @@ object Iceberg {
     * older data (seq <, the spec's rule: an equality delete can
     * never mask rows written with it or after it). */
   final case class DeleteFileEntry(path: String, recordCount: Long,
-      seq: Long, equalityCols: Seq[String] = Seq.empty)
+      seq: Long, equalityCols: Seq[String] = Seq.empty,
+      /** v3 DELETION VECTOR (puffin): (referenced data file,
+        * content offset, content size); `path` is the puffin
+        * file. */
+      dvRef: Option[(String, Long, Long)] = None)
   /** One partition-spec field: the derived field's name, its
     * transform ("identity", "bucket[N]", "truncate[W]", "year",
     * "month", "day", "hour"), and the SOURCE column (spec field id
@@ -435,6 +439,13 @@ object Iceberg {
       // spec field 135: the field ids an EQUALITY delete matches on
       NField("equality_ids",
         Avro.NArr(NPrim("int"), itemsNullable = false),
+        nullable = true),
+      // v3 deletion-vector fields (143/144/145): the data file a
+      // puffin DV masks, and the blob's byte range
+      NField("referenced_data_file", NPrim("string"),
+        nullable = true),
+      NField("content_offset", NPrim("long"), nullable = true),
+      NField("content_size_in_bytes", NPrim("long"),
         nullable = true)))
 
   private def manifestEntryFields(
@@ -758,6 +769,13 @@ object Iceberg {
         val rcIdx = fieldIdx(dRec.fields, "record_count")
         val dcIdx = dRec.fields.indexWhere(_.name == "content")
         val eidIdx = dRec.fields.indexWhere(_.name == "equality_ids")
+        val ffIdx = dRec.fields.indexWhere(_.name == "file_format")
+        val rdfIdx = dRec.fields.indexWhere(_.name ==
+          "referenced_data_file")
+        val coIdx = dRec.fields.indexWhere(_.name ==
+          "content_offset")
+        val csIdx = dRec.fields.indexWhere(_.name ==
+          "content_size_in_bytes")
         mf.rows.flatMap { r =>
           if (r(sIdx).get.asInstanceOf[Int] == 2) None // DELETED
           else {
@@ -768,6 +786,29 @@ object Iceberg {
               s"unknown delete-file content $dContent in $mPath")
             val seq = (if (eqIdx < 0) None else r(eqIdx))
               .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+            val fmt = (if (ffIdx < 0) None else df(ffIdx))
+              .map(_.asInstanceOf[String]).getOrElse("PARQUET")
+            if (fmt.equalsIgnoreCase("puffin")) {
+              // v3 DELETION VECTOR: one blob masking exactly one
+              // data file; the byte range comes from the entry
+              require(dContent == 1,
+                s"puffin delete with content $dContent in $mPath")
+              val rdf = (if (rdfIdx < 0) None else df(rdfIdx))
+                .map(_.asInstanceOf[String]).getOrElse(sys.error(
+                  s"puffin DV without referenced_data_file in " +
+                    s"$mPath"))
+              val co = (if (coIdx < 0) None else df(coIdx))
+                .map(_.asInstanceOf[Long]).getOrElse(sys.error(
+                  s"puffin DV without content_offset in $mPath"))
+              val cs = (if (csIdx < 0) None else df(csIdx))
+                .map(_.asInstanceOf[Long]).getOrElse(sys.error(
+                  s"puffin DV without content_size_in_bytes in " +
+                    s"$mPath"))
+              Some(DeleteFileEntry(
+                df(fpIdx).get.asInstanceOf[String],
+                df(rcIdx).get.asInstanceOf[Long], seq, Seq.empty,
+                Some((rdf, co, cs))))
+            } else {
             val eqCols =
               if (dContent != 2) Seq.empty[String]
               else {
@@ -786,6 +827,7 @@ object Iceberg {
             Some(DeleteFileEntry(
               df(fpIdx).get.asInstanceOf[String],
               df(rcIdx).get.asInstanceOf[Long], seq, eqCols))
+            }
           }
         }
       }
@@ -1052,15 +1094,46 @@ object Iceberg {
       .toSeq.map { case (dels, fs0) =>
         val scan = spark.read.schema(snap.schema)
           .parquet(fs0.map(_.path): _*)
-        val (eqDels, posDels) =
+        val (eqDels, posDels0) =
           dels.partition(_.equalityCols.nonEmpty)
+        val (dvDels, posDels) = posDels0.partition(_.dvRef.isDefined)
+        // v3 deletion vectors: decode each puffin blob ONCE on the
+        // driver (bitmaps are metadata-sized) into (file, pos) rows
+        // and anti-join alongside parquet position deletes
+        val dvRows: Seq[(String, Long)] = {
+          val byPuffin = dvDels.groupBy(_.path)
+          byPuffin.toSeq.sortBy(_._1).flatMap { case (pp, es) =>
+            val bytes = readBytes(spark, pp)
+            require(Puffin.parse(bytes).isDefined,
+              s"unreadable puffin file $pp")
+            es.flatMap { e =>
+              val (rdf, co, cs) = e.dvRef.get
+              require(co >= 0 && cs > 0 && co + cs <= bytes.length,
+                s"DV blob range out of bounds in $pp")
+              val blob = java.util.Arrays.copyOfRange(bytes,
+                co.toInt, (co + cs).toInt)
+              val pos = Puffin.parseDvBlob(blob).getOrElse(
+                sys.error(s"malformed deletion-vector blob in $pp"))
+              require(pos.length == e.recordCount,
+                s"DV cardinality ${pos.length} != manifest " +
+                  s"record_count ${e.recordCount} in $pp")
+              pos.map(p => (pathNorm(rdf), p))
+            }
+          }
+        }
         val afterPos =
-          if (posDels.isEmpty) scan
+          if (posDels.isEmpty && dvRows.isEmpty) scan
           else {
-            val del = spark.read
-              .parquet(posDels.map(_.path): _*)
-              .select(norm(col("file_path")).as("__del_path"),
-                col("pos").as("__del_pos"))
+            import spark.implicits._
+            val parts = Seq.newBuilder[DataFrame]
+            if (posDels.nonEmpty)
+              parts += spark.read
+                .parquet(posDels.map(_.path): _*)
+                .select(norm(col("file_path")).as("__del_path"),
+                  col("pos").as("__del_pos"))
+            if (dvRows.nonEmpty)
+              parts += dvRows.toDF("__del_path", "__del_pos")
+            val del = parts.result().reduce(_ unionAll _)
             scan
               .withColumn("__path",
                 norm(col("_metadata.file_path")))
@@ -1101,6 +1174,29 @@ object Iceberg {
       .sortBy(_._1)
   }
 
+  /** Write one puffin file holding a v3 deletion-vector blob per
+    * (data file → sorted deleted positions) pair; returns
+    * commit-ready `dvDeletes` tuples (path, cardinality, fileSize,
+    * referencedDataFile, contentOffset, contentSize). */
+  def writeDvPuffin(spark: SparkSession, table: String,
+      snapshotId: Long, seq: Long,
+      deletes: Map[String, Array[Long]])
+      : Seq[(String, Long, Long, String, Long, Long)] = {
+    val ordered = deletes.toSeq.sortBy(_._1)
+    val blobs = ordered.map { case (f, pos) =>
+      (Puffin.DvBlobType, Seq.empty[Int], snapshotId, seq,
+        Map("referenced-data-file" -> f,
+          "cardinality" -> pos.length.toString),
+        Puffin.dvBlobBytes(pos))
+    }
+    val (bytes, ranges) = Puffin.build(blobs)
+    val path = s"$table/data/dv-$snapshotId.puffin"
+    writeBytes(spark, path, bytes)
+    ordered.zip(ranges).map { case ((f, pos), (off, len)) =>
+      (path, pos.length.toLong, bytes.length.toLong, f, off, len)
+    }
+  }
+
   /** Write snapshot `snapshotId`: one manifest with the FULL live
     * set, a manifest list, and v<version>.metadata.json (carrying
     * the whole snapshot history `prior` + this one). With a
@@ -1120,6 +1216,11 @@ object Iceberg {
       // same delete manifest, data_file content = 2
       equalityDeletes: Seq[(String, Long, Long, Seq[Int])] =
         Seq.empty,
+      // v3 DELETION VECTORS (path, cardinality, puffinFileSize,
+      // referencedDataFile, contentOffset, contentSize) — same
+      // delete manifest, content = 1, file_format PUFFIN
+      dvDeletes: Seq[(String, Long, Long, String, Long, Long)] =
+        Seq.empty,
       // per-path DATA sequence numbers for carried-forward files
       // (the spec keeps a file's original seq when a new snapshot
       // re-lists it; files absent here stamp at `version`) — this
@@ -1138,18 +1239,26 @@ object Iceberg {
       (pf.name, transformResultType(pf.transform, srcType))
     }
     def entriesFor(fs0: Seq[(String, Long, Long, Option[Seq[Int]])],
-        content: Int): Seq[Avro.Row] =
-      fs0.map { case (p, rows, bytes, eqIds) =>
+        content: Int,
+        // one per entry, positionally (several DV entries share
+        // one puffin file path, so a path-keyed map cannot work)
+        dvInfo: Seq[Option[(String, Long, Long)]] = Seq.empty)
+        : Seq[Avro.Row] =
+      fs0.zipAll(dvInfo, null, None).map {
+        case ((p, rows, bytes, eqIds), dv) =>
         val pvals: Avro.Row =
           if (spec.isEmpty || content != 0) Seq.empty
           else partitions.getOrElse(p,
             sys.error(s"no partition values for $p")).map(Some(_))
         val seq = fileSeqs.getOrElse(p, version)
+        val fmt =
+          if (dv.isDefined) "PUFFIN"
+          else fileFormats.getOrElse(p, "PARQUET").toUpperCase
         Seq(Some(1), Some(snapshotId), Some(seq), Some(seq),
-          Some(Seq(Some(content), Some(p),
-            Some(fileFormats.getOrElse(p, "PARQUET").toUpperCase),
+          Some(Seq(Some(content), Some(p), Some(fmt),
             Some(pvals), Some(rows), Some(bytes),
-            eqIds.map(ids => ids.map(Some(_)): Seq[Option[Any]]))
+            eqIds.map(ids => ids.map(Some(_)): Seq[Option[Any]]),
+            dv.map(_._1), dv.map(_._2), dv.map(_._3))
             : Avro.Row))
       }
     // data manifests: one (default) or one per partition tuple
@@ -1187,13 +1296,18 @@ object Iceberg {
       (mp, b, fs0)
     }
     val delManifest: Option[(String, Array[Byte])] =
-      if (deleteFiles.isEmpty && equalityDeletes.isEmpty) None
+      if (deleteFiles.isEmpty && equalityDeletes.isEmpty &&
+        dvDeletes.isEmpty) None
       else {
         val p = s"$metaDir/m-$snapshotId-del.avro"
         val b = Avro.buildNested("manifest_entry",
           manifestEntryFields(Seq.empty),
           entriesFor(deleteFiles.map(f => (f._1, f._2, f._3, None)),
             content = 1) ++
+          entriesFor(dvDeletes.map(f =>
+            (f._1, f._2, f._3, None)), content = 1,
+            dvInfo = dvDeletes.map(f =>
+              Some((f._4, f._5, f._6)))) ++
           entriesFor(equalityDeletes.map(f =>
             (f._1, f._2, f._3, Some(f._4))), content = 2))
         writeBytes(spark, p, b)
@@ -1214,8 +1328,10 @@ object Iceberg {
         summariesFor(fs0)) } ++
       delManifest.map { case (p, b) =>
         listRow(p, b.length, 1,
-          deleteFiles.map(_._2).sum + equalityDeletes.map(_._2).sum,
-          deleteFiles.length + equalityDeletes.length, None) }
+          deleteFiles.map(_._2).sum + equalityDeletes.map(_._2).sum
+            + dvDeletes.map(_._2).sum,
+          deleteFiles.length + equalityDeletes.length +
+            dvDeletes.length, None) }
     writeBytes(spark, listPath, Avro.buildNested("manifest_file",
       manifestListFields, listRows))
 

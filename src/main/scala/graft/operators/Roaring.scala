@@ -281,6 +281,75 @@ object Roaring {
   }
 
   // ---------------------------------------------------------------
+  // The RoaringFormatSpec 64-bit PORTABLE extension (what Iceberg
+  // v3 deletion vectors ship inside puffin blobs): u64 LE count of
+  // non-empty 32-bit buckets, then per bucket a u32 LE high key +
+  // the standard 32-bit portable serialization. Unlike Delta's
+  // envelope this is a sparse MAP (only non-empty keys appear).
+  // ---------------------------------------------------------------
+
+  /** Parse at `off`; returns (sorted member values, bytes
+    * consumed). Caps total cardinality (bomb guard). */
+  def parsePortable64(data: Array[Byte], off: Int)
+      : Option[(Array[Long], Int)] = {
+    val c = new Cur(data, off)
+    val n = c.u64()
+    if (!c.ok || n < 0 || n > (1 << 20)) return None
+    val out = Array.newBuilder[Long]
+    var total = 0L
+    var p = c.p
+    var i = 0L
+    var prevKey = -1L
+    while (i < n) {
+      if (p + 4 > data.length) return None
+      var key = 0L
+      var k = 0
+      while (k < 4) { key |= (data(p + k) & 0xffL) << (8 * k)
+        k += 1 }
+      if (key <= prevKey) return None // keys ascending, distinct
+      prevKey = key
+      p += 4
+      val (bm, len) = parse(data, p).getOrElse(return None)
+      total += bm.cardinality
+      if (total > (1L << 26)) return None
+      bm.values.foreach(v => out += (key << 32) | v)
+      p += len
+      i += 1
+    }
+    Some((out.result(), p - off))
+  }
+
+  /** Serialize sorted-distinct non-negative members in the 64-bit
+    * portable format. */
+  def serializePortable64(values: Array[Long]): Array[Byte] = {
+    var i = 0
+    while (i < values.length) {
+      require(values(i) >= 0, "negative member")
+      require(i == 0 || values(i) > values(i - 1),
+        "values must be sorted distinct")
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64)
+    def u32(v: Long): Unit = { var b = 0
+      while (b < 4) { out.write(((v >>> (8 * b)) & 0xff).toInt)
+        b += 1 } }
+    val keys = values.map(_ >>> 32).distinct
+    u32(keys.length.toLong); u32(keys.length.toLong >>> 32)
+    i = 0
+    keys.foreach { key =>
+      u32(key)
+      val g = Array.newBuilder[Long]
+      while (i < values.length && (values(i) >>> 32) == key) {
+        g += values(i) & 0xffffffffL
+        i += 1
+      }
+      val bytes = serialize(g.result())
+      out.write(bytes, 0, bytes.length)
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // Z85 (ZeroMQ spec 32) — delta's inline/UUID base85
   // ---------------------------------------------------------------
 

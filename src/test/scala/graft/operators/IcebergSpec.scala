@@ -303,6 +303,57 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.deletesFor(synth, fileAt(3L)).isEmpty)
   }
 
+  test("v3 deletion vectors: puffin blobs mask rows, corruption " +
+    "rejects, travel unaffected (r14)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("ice_dv")
+    Iceberg.create(spark, seed(60).repartition(3), t)
+    val snap1 = Iceberg.snapshot(spark, t)
+    // deleted positions per physical file: rows with id % 4 == 1
+    val victims = spark.read.parquet(s"$t/data/s1")
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter($"id" % 4 === 1)
+      .select("fp", "pos").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (f, ps) =>
+        f -> ps.map(_._2).sorted }
+    val dvs = Iceberg.writeDvPuffin(spark, t, 2L, 2L, victims)
+    assert(dvs.nonEmpty && dvs.forall(_._1.endsWith(".puffin")))
+    Iceberg.commit(spark, t, 2L, 2L, seed(60).schema,
+      snap1.files.map(f => (f.path, f.recordCount, f.fileSize)),
+      prior = Seq((1L, s"$t/metadata/snap-1.avro")),
+      dvDeletes = dvs)
+    val snap2 = Iceberg.snapshot(spark, t)
+    assert(snap2.deletes.nonEmpty &&
+      snap2.deletes.forall(_.dvRef.isDefined))
+    val got = Iceberg.read(spark, t).select($"id")
+      .as[Long].collect().sorted
+    assert(got.sameElements((0L until 60L).filter(_ % 4 != 1)))
+    // time travel to snapshot 1: nothing deleted
+    assert(Iceberg.read(spark, t, Some(1L)).count() == 60)
+    // the puffin container parses standalone; blob round-trips
+    val pp = dvs.head._1
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pp))
+    val blobs = Puffin.parse(bytes).getOrElse(
+      fail("our puffin file does not parse"))
+    assert(blobs.forall(_.tpe == Puffin.DvBlobType))
+    assert(blobs.map(_.properties("cardinality").toLong).sum == 15)
+    // a flipped byte inside a DV blob breaks its CRC → loud reject
+    val (off, len) = (dvs.head._5, dvs.head._6)
+    val bad = bytes.clone()
+    bad(off.toInt + 9) = (bad(off.toInt + 9) ^ 0x04).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(pp), bad)
+    new java.io.File(new java.io.File(pp).getParentFile,
+      s".${new java.io.File(pp).getName}.crc").delete()
+    val e = intercept[Exception](Iceberg.read(spark, t).count())
+    assert(e.getMessage.contains("deletion-vector") ||
+      e.getMessage.contains("puffin"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(pp), bytes)
+    assert(len > 0)
+  }
+
   test("v2 equality deletes: value-wide deletion, seq preserved " +
       "for carried-forward files") {
     val s = spark
