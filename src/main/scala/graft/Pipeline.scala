@@ -234,6 +234,7 @@ object Pipeline
     "hudi_snapshot"     -> hudiSnapshot _,
     "hudi_mor_snapshot" -> hudiMorSnapshot _,
     "hudi_mor_parquet_log" -> hudiMorParquetLog _,
+    "hudi_mor_hfile_log" -> hudiMorHFileLog _,
     "hdf5_parse"        -> hdf5Parse _,
     "hdf5_parse_deep"   -> hdf5ParseDeep _,
     "hdf5_parse_files"  -> hdf5ParseFiles _,

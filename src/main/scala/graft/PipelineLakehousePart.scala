@@ -911,6 +911,46 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
         max("_hoodie_commit_time").as("mct"))
       .orderBy("pb")
   }
+  /** MOR with HFILE log blocks (r14): the chain above again, but
+    * the update blocks at dc2/dc5 carry complete in-content HFILES
+    * (HoodieLogBlockType HFILE_DATA_BLOCK — the metadata-table
+    * payload kind): key-sorted KeyValue cells, CRC32C chunk
+    * checksums, root data index, gz/none codecs rotating by log
+    * version — decoded by operators/HFile inside the merge,
+    * MIXED with avro + delete blocks. Same analytic oracle. */
+  private[graft] def hudiMorHFileLog(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.Hudi
+    val root = formatFixtureDir(dir, "huditblmorhf", "lineitem") {
+      out =>
+      val base = Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey * 10 + l_linenumber AS sk",
+        "cast(l_orderkey % 4 as string) AS pb",
+        "l_quantity")
+        .groupBy("sk", "pb")
+        .agg(sum("l_quantity").as("qty"))
+      val tbl = s"$out/tbl"
+      Hudi.createMor(s, base, tbl, "sk", "pb") // dc 1: base files
+      val upd1 = base.where("(sk div 10) % 10 = 0")
+        .withColumn("qty", expr("qty + 100"))
+      Hudi.upsertMorHFileLog(s, upd1, tbl, "sk", "pb") // dc 2
+      Hudi.deleteMor(s, base.where("pb = '2' and qty < 10"),
+        tbl, "sk", "pb") // dc 3: delete blocks
+      val upd2 = base.where("pb = '3' and qty > 40")
+        .withColumn("qty", expr("qty + 7"))
+      Hudi.upsertMorLog(s, upd2, tbl, "sk", "pb") // dc 4: avro
+      val upd3 = base.where("pb = '0' and qty > 30")
+        .withColumn("qty", expr("qty + 11"))
+      Hudi.upsertMorHFileLog(s, upd3, tbl, "sk", "pb") // dc 5
+    }
+    Hudi.read(s, s"$root/tbl")
+      .groupBy("pb")
+      .agg(count(lit(1)).as("n"),
+        round(sum("qty"), 4).as("qsum"),
+        countDistinct("sk").as("nk"),
+        max("_hoodie_commit_time").as("mct"))
+      .orderBy("pb")
+  }
   /** Lakehouse ingest capstone (r12) — the composed migration DAG a
     * curation pipeline actually runs, chaining FOUR of this round's
     * systems live in one gate row: (1) read the Delta fixture at
@@ -1066,6 +1106,30 @@ private[graft] trait PipelineLakehousePart extends Serializable { this: Pipeline
     // blocks + deletes in one chain; our own page walker decodes
     // the block contents inside the merge
     "hudi_mor_parquet_log" ->
+      """WITH b AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS sk,
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,
+        |    sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT sk, pb,
+        |    CASE WHEN pb = '0' AND qty > 30 THEN qty + 11
+        |      WHEN pb = '3' AND qty > 40 THEN qty + 7
+        |      WHEN (sk // 10) % 10 = 0 THEN qty + 100
+        |      ELSE qty END AS qty2,
+        |    CASE WHEN pb = '0' AND qty > 30 THEN '00000000000005'
+        |      WHEN pb = '3' AND qty > 40 THEN '00000000000004'
+        |      WHEN (sk // 10) % 10 = 0 THEN '00000000000002'
+        |      ELSE '00000000000001' END AS ct
+        |  FROM b WHERE NOT (pb = '2' AND qty < 10))
+        |SELECT pb, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(sum(qty2), 4) AS qsum,
+        |  CAST(COUNT(DISTINCT sk) AS BIGINT) AS nk,
+        |  max(ct) AS mct
+        |FROM f GROUP BY pb ORDER BY pb""".stripMargin,
+    // MOR once more with HFILE log blocks mixed into the chain
+    // (same analytic end state as the parquet-log lane)
+    "hudi_mor_hfile_log" ->
       """WITH b AS (
         |  SELECT l_orderkey * 10 + l_linenumber AS sk,
         |    CAST(l_orderkey % 4 AS VARCHAR) AS pb,

@@ -487,8 +487,41 @@ object Hudi {
                     Seq(true, Row(instant, ver, bi, ri)))
                 }
               }
+            case HudiLog.HFileData =>
+              // HFILE_DATA_BLOCK (r14): the content is a complete
+              // HFile whose cells map record keys to avro-encoded
+              // records under the block header's schema
+              val instant = blk.header.getOrElse(HudiLog.InstantTime,
+                sys.error("hudi data block without instant time"))
+              if (!completed(instant) || voided(instant, ver, bi))
+                Iterator.empty
+              else {
+                val schemaJson = blk.header.getOrElse(HudiLog.SchemaKey,
+                  sys.error("hudi hfile block without schema header"))
+                val (_, nfields) = Avro.interpretSchema(schemaJson)
+                  .getOrElse(sys.error("hudi log schema unparseable"))
+                val byName = nfields.zipWithIndex
+                  .map { case (f, i) => (f.name, i) }.toMap
+                val colIdx = baseCols.map(c => byName.getOrElse(c,
+                  sys.error(s"hudi hfile block schema missing " +
+                    s"column $c")))
+                val delIdx = byName.get("_hoodie_is_deleted")
+                val cells = graft.operators.HFile.parse(blk.content)
+                  .getOrElse(sys.error(
+                    "malformed hudi hfile data block"))
+                cells.iterator.zipWithIndex.map { case (cell, ri) =>
+                  val rec = Avro.decodeDatum(nfields, cell.value)
+                    .getOrElse(sys.error(
+                      "hudi hfile record does not match schema"))
+                  val vals = colIdx.map(i => rec(i).orNull)
+                  val del = delIdx.exists(i =>
+                    rec(i).contains(true))
+                  Row.fromSeq(vals ++
+                    Seq(del, Row(instant, ver, bi, ri)))
+                }
+              }
             case t => sys.error(
-              s"unsupported hudi log block type $t (HFile/CDC " +
+              s"unsupported hudi log block type $t (CDC " +
                 "data blocks; honest rejection)")
           }
         }
@@ -809,7 +842,9 @@ object Hudi {
   private def appendLogBlocks(spark: SparkSession, df: DataFrame,
       tablePath: String, keyExpr: String, partitionExpr: String,
       instant: String, delete: Boolean,
-      parquetPayload: Boolean = false): Seq[WriteStat] = {
+      payload: String = "avro"): Seq[WriteStat] = {
+    require(Set("avro", "parquet", "hfile")(payload),
+      s"unknown log payload kind $payload")
     val schema = tableSchema(spark, tablePath)
     val dataCols = schema.fieldNames.toSeq.filterNot(MetaCols.contains)
     require(df.columns.toSeq == dataCols,
@@ -850,7 +885,7 @@ object Hudi {
             .withColumn("_hoodie_partition_path", lit(p))
             .withColumn("_hoodie_file_name", lit(logName))
             .select(schema.fieldNames.map(col).toSeq: _*)
-          if (parquetPayload) {
+          if (payload == "parquet") {
             // PARQUET_DATA block: the content IS a complete parquet
             // file of the stamped records (what
             // `hoodie.logfile.data.block.format=parquet` writes)
@@ -865,6 +900,27 @@ object Hudi {
             deleteRec(tmp.toFile)
             HudiLog.Block(HudiLog.ParquetData,
               Map(HudiLog.InstantTime -> instant), Map.empty, bytes)
+          } else if (payload == "hfile") {
+            // HFILE_DATA_BLOCK: cells keyed by record key (sorted),
+            // values = avro datums under the header schema
+            val nfields = avroFieldsFor(org.apache.spark.sql.types
+              .StructType(schema.fields.map(_.copy(nullable = true))))
+            val schemaJson =
+              Avro.schemaJsonNested("graft_hudi_record", nfields)
+            val keyIdxLocal = schema.fieldNames
+              .indexOf("_hoodie_record_key")
+            val cells = stamped.collect().toSeq
+              .map { r =>
+                (r.getString(keyIdxLocal).getBytes("UTF-8"),
+                  Avro.encodeDatum(nfields, sparkRowToAvro(r)))
+              }
+              .sortBy(c => new String(c._1, "UTF-8"))
+            val hf = graft.operators.HFile.build(cells,
+              codec = if (ver % 2 == 0) "gz" else "none",
+              blockSize = 256)
+            HudiLog.Block(HudiLog.HFileData,
+              Map(HudiLog.InstantTime -> instant,
+                HudiLog.SchemaKey -> schemaJson), Map.empty, hf)
           } else {
             val nfields = avroFieldsFor(org.apache.spark.sql.types
               .StructType(schema.fields.map(_.copy(nullable = true))))
@@ -908,7 +964,22 @@ object Hudi {
       : Unit = {
     val instant = nextInstant(tablePath)
     val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
-      partitionExpr, instant, delete = false, parquetPayload = true)
+      partitionExpr, instant, delete = false, payload = "parquet")
+    writeInstant(tablePath,
+      Instant(instant, "deltacommit", stats, Map.empty))
+  }
+
+  /** MOR upsert whose log blocks carry HFILE payloads
+    * (HoodieLogBlockType HFILE_DATA_BLOCK — the metadata-table /
+    * record-index payload kind): each block a complete in-content
+    * HFile of key-sorted cells whose values are avro records,
+    * under a completed deltacommit. */
+  def upsertMorHFileLog(spark: SparkSession, df: DataFrame,
+      tablePath: String, keyExpr: String, partitionExpr: String)
+      : Unit = {
+    val instant = nextInstant(tablePath)
+    val stats = appendLogBlocks(spark, df, tablePath, keyExpr,
+      partitionExpr, instant, delete = false, payload = "hfile")
     writeInstant(tablePath,
       Instant(instant, "deltacommit", stats, Map.empty))
   }

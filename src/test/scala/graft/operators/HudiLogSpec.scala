@@ -238,24 +238,69 @@ class HudiLogSpec extends AnyFunSuite {
     assert(Hudi.slices(t).nonEmpty) // clean again
   }
 
-  test("MOR: HFILE/CDC payload blocks still reject loudly (r13)") {
+  test("MOR: HFILE log blocks merge like avro blocks, mixed in " +
+    "one chain (r14)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("mor_hfile")
+    Hudi.createMor(s, baseDf(90), t, "k", "p")
+    // wave 1: hfile-payload block (instant 2)
+    val upd = baseDf(90).where("k % 6 = 0")
+      .withColumn("v", org.apache.spark.sql.functions.expr("v + 100"))
+    Hudi.upsertMorHFileLog(s, upd, t, "k", "p")
+    // the block on disk really is HFILE_DATA with a decodable
+    // hfile as content, cells keyed by record key
+    val sl = Hudi.slices(t).filter(_.partition == "0").head
+    assert(sl.logs.length == 1)
+    val blocks = HudiLog.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sl.logs.head._2)))
+    assert(blocks.map(_.tpe) == Seq(HudiLog.HFileData))
+    val cells = graft.operators.HFile.parse(blocks.head.content)
+      .getOrElse(fail("hfile block content does not parse"))
+    assert(cells.nonEmpty)
+    val keys = cells.map(c => new String(c.row, "UTF-8"))
+    assert(keys == keys.sorted)
+    val got = Hudi.read(s, t)
+    assert(got.count() == 90)
+    assert(got.where("k % 6 = 0 and v != k * 1.5 + 100").count() == 0)
+    assert(got.where("k % 6 != 0 and v != k * 1.5").count() == 0)
+    assert(got.where("k % 6 = 0 and " +
+      "_hoodie_commit_time != '00000000000002'").count() == 0)
+    // wave 2: an AVRO block on top — newer instant wins regardless
+    Hudi.upsertMorLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 1")), t, "k", "p")
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 101").count() == 0)
+    // ...and an hfile block back on top of the avro one
+    Hudi.upsertMorHFileLog(s, upd.withColumn("v",
+      org.apache.spark.sql.functions.expr("v + 2")), t, "k", "p")
+    assert(Hudi.read(s, t)
+      .where("k % 6 = 0 and v != k * 1.5 + 102").count() == 0)
+  }
+
+  test("MOR: garbage HFILE content and CDC blocks reject loudly " +
+    "(r14)") {
     val s = spark
     import s.implicits._
     val t = tmpTable("mor_hf")
     Hudi.createMor(s, baseDf(30), t, "k", "p")
     val upd = baseDf(30).where("k % 6 = 0")
       .withColumn("v", org.apache.spark.sql.functions.expr("v + 1"))
-    Hudi.upsertMorLog(s, upd, t, "k", "p") // instant 2, completed
+    Hudi.upsertMorHFileLog(s, upd, t, "k", "p") // instant 2, done
     val sl = Hudi.slices(t).filter(_.partition == "0").head
-    HudiLog.append(new java.io.File(sl.logs.head._2), Seq(
-      HudiLog.Block(HudiLog.HFileData,
-        Map(HudiLog.InstantTime -> "00000000000002"), Map.empty,
-        Array[Byte](1, 2, 3))))
-    val e = intercept[Exception](Hudi.read(s, t).count())
     def chain(x: Throwable): Seq[String] =
       if (x == null) Nil
       else Option(x.getMessage).toSeq ++ chain(x.getCause)
-    assert(chain(e).exists(_.contains("unsupported hudi log block")))
+    // an HFILE block whose content is not an hfile (schema header
+    // borrowed from the real block): loud reject
+    val real = HudiLog.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sl.logs.head._2))).head
+    HudiLog.append(new java.io.File(sl.logs.head._2), Seq(
+      HudiLog.Block(HudiLog.HFileData, real.header, Map.empty,
+        Array[Byte](1, 2, 3))))
+    val e = intercept[Exception](Hudi.read(s, t).count())
+    assert(chain(e).exists(
+      _.contains("malformed hudi hfile data block")))
   }
 
   test("MOR: delete blocks drop keys; pending append is invisible") {
