@@ -46,13 +46,30 @@ class JsonMiniSpec extends AnyFunSuite {
     assert(parse("[" * 50 + "]" * 50).isDefined)
   }
 
-  test("long() enforces integrality and the 2^53 bound") {
-    assert(long(parse("9007199254740992").get).isEmpty)  // 2^53
+  test("long(): integer tokens are EXACT 64-bit (r14); the 2^53 " +
+    "ambiguity bound applies only to Double-sourced values") {
+    // pure-integer tokens parse as Long — random iceberg/delta
+    // snapshot ids survive at any magnitude
+    assert(long(parse("9007199254740992").get)
+      .contains(1L << 53))
+    assert(long(parse("9007199254740993").get)
+      .contains((1L << 53) + 1))
+    assert(long(parse(Long.MaxValue.toString).get)
+      .contains(Long.MaxValue))
+    assert(long(parse(Long.MinValue.toString).get)
+      .contains(Long.MinValue))
     assert(long(parse("9007199254740991").get)
       .contains((1L << 53) - 1))
     assert(long(parse("-9007199254740991").get)
       .contains(-((1L << 53) - 1)))
+    // beyond 64 bits the token falls back to Double → rejected
+    assert(long(parse("92233720368547758080").get).isEmpty)
+    // Double-sourced values (caller defaults, fraction/exponent
+    // tokens) keep the strict 2^53 ambiguity bound
+    assert(long(9007199254740992.0).isEmpty) // exactly 2^53
+    assert(long(9007199254740991.0).contains((1L << 53) - 1))
     assert(long(parse("1.5").get).isEmpty)
+    assert(long(parse("1e3").get).contains(1000L)) // exponent→Double
     assert(long("nope").isEmpty)
   }
 
