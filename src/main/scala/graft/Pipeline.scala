@@ -217,6 +217,7 @@ object Pipeline
     "parquet_write_nested" -> parquetWriteNested _,
     "orc_write_roundtrip" -> orcWriteRoundtrip _,
     "orc_write_rich" -> orcWriteRich _,
+    "orc_write_nested" -> orcWriteNested _,
     "parquet_raw_source" -> parquetRawSource _,
     "parquet_raw_nested" -> parquetRawNested _,
     "parquet_footer"    -> parquetFooter _,

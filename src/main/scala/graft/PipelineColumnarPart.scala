@@ -164,6 +164,69 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       .orderBy("doc_id")
   }
 
+  /** ORC WRITE round trip, NESTED + DICTIONARY (r14): the
+    * [[parquetWriteNested]] story for the other columnar format —
+    * shard files carrying a DICTIONARY(_V2) string column and a
+    * LIST<i64> token column (parent PRESENT + LENGTH runs, child
+    * column; null list / empty list / null element all rotated),
+    * emitted by OUR ORC writer with codec/RLE-version rotation,
+    * read back by orc-core. SAME analytic oracle as the parquet
+    * twin — the two formats' nested write paths answer to one
+    * truth. */
+  private[graft] def orcWriteNested(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.{WCol, WListCol}
+    val root = formatFixtureDir(dir, "orcnested", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val toks: IndexedSeq[Option[Seq[Option[Any]]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 7 == 3) None
+              else if (id % 5 == 4) Some(Seq.empty)
+              else Some(Seq(
+                Some(id: Any),
+                if (id % 3 == 1) None
+                else Some(d._4.length.toLong: Any),
+                Some((id % 10): Any)))
+            }.toIndexedSeq
+          val cols: Seq[OrcWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WCol("lang", "string", optional = true,
+              docs.map(d => if (d._2 % 11 == 10) None
+                else Some(d._3): Option[Any]).toIndexedSeq),
+            WListCol("toks", "i64", optional = true,
+              elemOptional = true, toks))
+          val codec = Seq("zlib", "none", "snappy")((sid % 3).toInt)
+          val rle = if (sid % 2 == 0) "v2" else "v1"
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.orc"),
+            OrcWrite.build(cols, codec, Int.MaxValue, rle,
+              dict = Set("lang")))
+          sid
+        }.count(): Unit
+    }
+    spark.read.orc(root)
+      .select(col("doc_id"), col("lang"),
+        when(col("toks").isNull, lit(-1L))
+          .otherwise(size(col("toks")).cast("long")).as("n_toks"),
+        expr("aggregate(filter(toks, x -> x is not null), " +
+          "0L, (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Parquet WRITE round trip (r13): per-shard files emitted by
     * OUR from-scratch writer (operators/ParquetWrite — Thrift
     * compact footer, PLAIN v1 pages, RLE def levels, codec
@@ -979,6 +1042,25 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     // OUR writer's DICTIONARY + 3-level-list files read back by
     // parquet-mr; list size / element sum recomputed analytically
     "parquet_write_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    WHEN doc_id % 5 = 4 THEN 0 ELSE 3 END AS BIGINT)
+        |    AS n_toks,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE doc_id
+        |      + (CASE WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE strlen(text) END)
+        |      + (doc_id % 10) END AS BIGINT) AS tok_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the ORC twin of parquet_write_nested: one truth, both
+    // formats' nested write paths
+    "orc_write_nested" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text FROM documents
         |  WHERE length(text) = strlen(text) AND length(text) > 0)

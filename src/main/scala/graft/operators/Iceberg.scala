@@ -1104,12 +1104,20 @@ object Iceberg {
           val byPuffin = dvDels.groupBy(_.path)
           byPuffin.toSeq.sortBy(_._1).flatMap { case (pp, es) =>
             val bytes = readBytes(spark, pp)
-            require(Puffin.parse(bytes).isDefined,
-              s"unreadable puffin file $pp")
+            val footerBlobs = Puffin.parse(bytes).getOrElse(
+              sys.error(s"unreadable puffin file $pp"))
             es.flatMap { e =>
               val (rdf, co, cs) = e.dvRef.get
               require(co >= 0 && cs > 0 && co + cs <= bytes.length,
                 s"DV blob range out of bounds in $pp")
+              // the v3 spec forbids compressed DV blobs — a footer
+              // entry declaring a codec would mis-decode: refuse
+              footerBlobs.find(fb =>
+                fb.offset == co && fb.length == cs).foreach { fb =>
+                require(fb.compressionCodec.isEmpty,
+                  s"compressed deletion-vector blob in $pp — " +
+                    "refusing")
+              }
               val blob = java.util.Arrays.copyOfRange(bytes,
                 co.toInt, (co + cs).toInt)
               val pos = Puffin.parseDvBlob(blob).getOrElse(

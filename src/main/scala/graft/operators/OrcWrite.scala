@@ -7,14 +7,18 @@ package graft.operators
   * [[ParquetWrite]] for the other columnar format so both
   * flagship formats round-trip from raw bytes in BOTH directions.
   *
-  * Scope — flat columns, the shapes audit fixtures need:
-  *  - Kinds boolean/int/long/float/double/string/binary (ORC type
-  *    kinds 0/3/4/5/6/7/8) under the root struct.
+  * Scope (extended r14):
+  *  - Kinds boolean/int/long/float/double/string/binary/timestamp/
+  *    date/decimal(p,s) (ORC type kinds 0/3/4/5/6/7/8/9/15/14)
+  *    under the root struct, plus LIST columns of any non-boolean
+  *    scalar kind (parent PRESENT + LENGTH runs, child column —
+  *    the token-column shape).
   *  - OPTIONAL columns via PRESENT streams (byte-RLE over
   *    MSB-first bitmaps); booleans the same way.
-  *  - Integers and string LENGTH runs as RLEv1 literal groups
-  *    (encoding DIRECT — every ORC reader accepts v1), floats raw
-  *    LE, strings/binary as DIRECT data+length.
+  *  - BOTH integer RLE generations: RLEv1 literal groups, and
+  *    RLEv2 (SHORT_REPEAT / fixed-delta DELTA / DIRECT at the
+  *    closest-fixed-bits widths) under DIRECT_V2 encodings —
+  *    orc-core's default; sorted DICTIONARY(_V2) strings.
   *  - Codecs NONE, ZLIB (raw deflate), SNAPPY and ZSTD
   *    (stored-block frames) inside the spec's 3-byte chunk
   *    headers, sections split at the block size.
@@ -30,12 +34,32 @@ package graft.operators
   * executor-written shards under the documents oracle. */
 object OrcWrite {
 
+  sealed trait AnyWCol {
+    def name: String
+    def optional: Boolean
+    def rows: Int
+  }
+
   /** One flat column; `kind` ∈ boolean/i32/i64/f32/f64/string/
     * binary/ts/date/decimal(p,s). `ts` values are epoch MICROS
     * (Long), `date` values epoch days (Int), `decimal` values
     * java.math.BigDecimal at exactly the declared scale. */
   final case class WCol(name: String, kind: String,
       optional: Boolean, values: IndexedSeq[Option[Any]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
+  /** One LIST column (r14 — the token-column shape): outer None =
+    * null list (needs `optional`), inner None = null element
+    * (needs `elemOptional`); `elemKind` ∈ the scalar [[WCol]]
+    * kinds minus boolean. */
+  final case class WListCol(name: String, elemKind: String,
+      optional: Boolean, elemOptional: Boolean,
+      values: IndexedSeq[Option[Seq[Option[Any]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
 
   private val DecimalKind = """decimal\((\d+),(\d+)\)""".r
 
@@ -320,7 +344,7 @@ object OrcWrite {
     * orc-core's default, with DIRECT_V2 encodings); `dict`: string
     * columns to DICTIONARY(_V2)-encode (sorted dictionary +
     * index runs). */
-  def build(cols: Seq[WCol], codec: String = "zlib",
+  def build(cols: Seq[AnyWCol], codec: String = "zlib",
       rowsPerStripe: Int = Int.MaxValue,
       rle: String = "v1",
       dict: Set[String] = Set.empty): Array[Byte] = {
@@ -328,19 +352,46 @@ object OrcWrite {
     require(rle == "v1" || rle == "v2", s"unknown rle $rle")
     val v2 = rle == "v2"
     dict.foreach { d =>
-      val c = cols.find(_.name == d).getOrElse(
-        sys.error(s"dict column $d not present"))
-      require(c.kind == "string",
-        s"dictionary encoding is for string columns (${c.name})")
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(c.kind == "string",
+          s"dictionary encoding is for string columns (${c.name})")
+        case Some(l: WListCol) => require(l.elemKind == "string",
+          s"dictionary encoding is for string columns (${l.name})")
+        case _ => sys.error(s"dict column $d not present")
+      }
     }
-    val nRows = cols.head.values.length
-    require(cols.forall(_.values.length == nRows),
-      "ragged column lengths")
-    cols.foreach { c =>
-      require(c.optional || c.values.forall(_.isDefined),
-        s"null in required column ${c.name}")
+    val nRows = cols.head.rows
+    require(cols.forall(_.rows == nRows), "ragged column lengths")
+    cols.foreach {
+      case c: WCol =>
+        require(c.optional || c.values.forall(_.isDefined),
+          s"null in required column ${c.name}")
+      case l: WListCol =>
+        require(l.elemKind != "boolean",
+          "boolean list elements unsupported")
+        l.values.foreach {
+          case None => require(l.optional,
+            s"null list in required column ${l.name}")
+          case Some(xs) => xs.foreach(e =>
+            require(l.elemOptional || e.isDefined,
+              s"null element in ${l.name}"))
+        }
     }
     require(rowsPerStripe > 0, "rowsPerStripe must be positive")
+    // type-tree column ids: root 0, then depth-first (a list's
+    // child follows its parent)
+    val selfId = new Array[Int](cols.length)
+    val childId = new Array[Int](cols.length)
+    var nextId = 1
+    cols.zipWithIndex.foreach { case (c, i) =>
+      selfId(i) = nextId
+      nextId += 1
+      c match {
+        case _: WListCol => childId(i) = nextId; nextId += 1
+        case _ => childId(i) = -1
+      }
+    }
+    val treeSize = nextId // root + every column + list children
     def intRun(vals: Seq[Long], signed: Boolean): Array[Byte] =
       if (v2) intRleV2(vals, signed) else intRleV1(vals, signed)
     val codecId = codec match {
@@ -363,35 +414,32 @@ object OrcWrite {
       val offset = buf.size().toLong
       // (streamKind, column, bytes) in column order
       val streams = Seq.newBuilder[(Int, Int, Array[Byte])]
-      // per-column (encodingKind, dictionarySize)
-      val encodings = Array.fill(cols.length)((0, 0))
-      cols.zipWithIndex.foreach { case (c, ci) =>
-        val col = ci + 1
-        val vals = c.values.slice(lo, hi)
-        val present = vals.map(_.isDefined)
-        if (c.optional)
-          streams += ((0, col, section(codecId,
-            boolStream(present))))
-        val nn = vals.flatten
-        val direct = if (v2) 2 else 0 // DIRECT / DIRECT_V2
-        c.kind match {
+      // per-type-tree-column (encodingKind, dictionarySize),
+      // indexed by column id - 1
+      val encodings = Array.fill(treeSize - 1)((0, 0))
+      val direct = if (v2) 2 else 0 // DIRECT / DIRECT_V2
+      /** Append one scalar column's streams (no PRESENT — the
+        * caller owns presence) and record its encoding. */
+      def writeScalar(col: Int, colName: String, kind: String,
+          nn: Seq[Any], useDict: Boolean): Unit = {
+        kind match {
           case "boolean" =>
             streams += ((1, col, section(codecId,
               boolStream(nn.map(_.asInstanceOf[Boolean])))))
           case "i32" =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             streams += ((1, col, section(codecId, intRun(
               nn.map(_.asInstanceOf[Int].toLong), signed = true))))
           case "i64" =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             streams += ((1, col, section(codecId, intRun(
               nn.map(_.asInstanceOf[Long]), signed = true))))
           case "date" =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             streams += ((1, col, section(codecId, intRun(
               nn.map(_.asInstanceOf[Int].toLong), signed = true))))
           case "ts" =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             val (secs, nanos) = timestampStreams(
               nn.map(_.asInstanceOf[Long]))
             streams += ((1, col, section(codecId,
@@ -399,13 +447,13 @@ object OrcWrite {
             streams += ((5, col, section(codecId,
               intRun(nanos, signed = false))))
           case DecimalKind(_, sStr) =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             val scale = sStr.toInt
             val data = new java.io.ByteArrayOutputStream()
             nn.foreach { v =>
               val bd = v.asInstanceOf[java.math.BigDecimal]
               require(bd.scale == scale,
-                s"decimal scale drift in ${c.name}")
+                s"decimal scale drift in $colName")
               var z = zigzag(bd.unscaledValue.longValueExact)
               while ((z & ~0x7fL) != 0) {
                 data.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
@@ -435,12 +483,12 @@ object OrcWrite {
                 b.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
             }
             streams += ((1, col, section(codecId, b.toByteArray)))
-          case "string" if dict(c.name) =>
+          case "string" if useDict =>
             // DICTIONARY(_V2): sorted dictionary + index runs
             val ss = nn.map(_.asInstanceOf[String])
             val sorted = ss.distinct.sorted
             val index = sorted.zipWithIndex.toMap
-            encodings(ci) = (if (v2) 3 else 1, sorted.length)
+            encodings(col - 1) = (if (v2) 3 else 1, sorted.length)
             streams += ((1, col, section(codecId, intRun(
               ss.map(s => index(s).toLong), signed = false))))
             val dictData = new java.io.ByteArrayOutputStream()
@@ -454,7 +502,7 @@ object OrcWrite {
             streams += ((3, col, section(codecId,
               dictData.toByteArray)))
           case "string" | "binary" =>
-            encodings(ci) = (direct, 0)
+            encodings(col - 1) = (direct, 0)
             val bs = nn.map {
               case s: String => s.getBytes("UTF-8")
               case b: Array[Byte] => b
@@ -466,6 +514,35 @@ object OrcWrite {
             streams += ((2, col, section(codecId, intRun(
               bs.map(_.length.toLong), signed = false))))
           case k => sys.error(s"unsupported column kind $k")
+        }
+      }
+      cols.zipWithIndex.foreach { case (c, ci) =>
+        val col = selfId(ci)
+        c match {
+          case fc: WCol =>
+            val vals = fc.values.slice(lo, hi)
+            if (fc.optional)
+              streams += ((0, col, section(codecId,
+                boolStream(vals.map(_.isDefined)))))
+            writeScalar(col, fc.name, fc.kind, vals.flatten,
+              dict(fc.name))
+          case lc: WListCol =>
+            // LIST column: PRESENT + LENGTH on the parent, the
+            // element values on the child column
+            val vals = lc.values.slice(lo, hi)
+            encodings(col - 1) = (direct, 0)
+            if (lc.optional)
+              streams += ((0, col, section(codecId,
+                boolStream(vals.map(_.isDefined)))))
+            streams += ((2, col, section(codecId, intRun(
+              vals.flatten.map(_.length.toLong), signed = false))))
+            val child = childId(ci)
+            val elems: Seq[Option[Any]] = vals.flatten.flatten
+            if (lc.elemOptional)
+              streams += ((0, child, section(codecId,
+                boolStream(elems.map(_.isDefined)))))
+            writeScalar(child, s"${lc.name}.elem", lc.elemKind,
+              elems.flatten, dict(lc.name))
         }
       }
       val ss = streams.result()
@@ -516,20 +593,29 @@ object OrcWrite {
     locally {
       val root = new java.io.ByteArrayOutputStream()
       vfield(root, 1, 12L) // STRUCT
-      cols.indices.foreach(i => vfield(root, 2, (i + 1).toLong))
+      cols.indices.foreach(i => vfield(root, 2, selfId(i).toLong))
       cols.foreach(c =>
         sfield(root, 3, c.name.getBytes("UTF-8")))
       sfield(f, 4, root.toByteArray)
-      cols.foreach { c =>
+      def scalarType(kind: String): Array[Byte] = {
         val t = new java.io.ByteArrayOutputStream()
-        vfield(t, 1, orcKind(c.kind).toLong)
-        c.kind match {
+        vfield(t, 1, orcKind(kind).toLong)
+        kind match {
           case DecimalKind(pStr, sStr) =>
             vfield(t, 5, pStr.toLong) // precision
             vfield(t, 6, sStr.toLong) // scale
           case _ => ()
         }
-        sfield(f, 4, t.toByteArray)
+        t.toByteArray
+      }
+      cols.zipWithIndex.foreach {
+        case (c: WCol, _) => sfield(f, 4, scalarType(c.kind))
+        case (l: WListCol, ci) =>
+          val t = new java.io.ByteArrayOutputStream()
+          vfield(t, 1, 10L) // LIST
+          vfield(t, 2, childId(ci).toLong)
+          sfield(f, 4, t.toByteArray)
+          sfield(f, 4, scalarType(l.elemKind))
       }
     }
     vfield(f, 6, nRows.toLong)

@@ -5,9 +5,10 @@ package graft.operators
   * VECTORS in. Layout: `Magic Blob₁ … Blobₙ Footer` with
   * `Footer = Magic FooterPayload FooterPayloadSize(u32 LE)
   * Flags(4) Magic`; the payload is a JSON document listing each
-  * blob's type, field ids, snapshot/sequence numbers, byte range
-  * and properties. Flag bit 0 of byte 0 marks an lz4-compressed
-  * payload — rejected honestly here (drop, never mis-parse).
+  * blob's type, field ids, snapshot/sequence numbers, byte range,
+  * properties and optional compression-codec. Flag bit 0 of byte 0
+  * marks an lz4-FRAME-compressed payload — decoded through the
+  * repo's own [[Lz4]] codec (both directions).
   *
   * The v3 `deletion-vector-v1` blob body (iceberg spec
   * "Deletion vectors"): u32 BIG-endian combined length of magic +
@@ -31,18 +32,21 @@ object Puffin {
 
   final case class Blob(tpe: String, fields: Seq[Int],
       snapshotId: Long, sequenceNumber: Long, offset: Long,
-      length: Long, properties: Map[String, String])
+      length: Long, properties: Map[String, String],
+      compressionCodec: Option[String] = None)
 
   private def magicAt(b: Array[Byte], o: Int): Boolean =
     o >= 0 && o + 4 <= b.length &&
       (0 until 4).forall(k => b(o + k) == Magic(k))
 
-  /** Footer parse → blob list (file-level properties ignored). */
+  /** Footer parse → blob list (file-level properties ignored).
+    * Flag bit 0 = lz4-FRAME-compressed footer payload — decoded
+    * through [[Lz4.frameDecompress]] (r14; was a rejection). */
   def parse(b: Array[Byte]): Option[Seq[Blob]] = {
     if (b.length < 20) return None
     if (!magicAt(b, 0) || !magicAt(b, b.length - 4)) return None
     val flagsAt = b.length - 8
-    if ((b(flagsAt) & 1) != 0) return None // lz4 footer: reject
+    val lz4Footer = (b(flagsAt) & 1) != 0
     if ((b(flagsAt) & 0xfe) != 0 || b(flagsAt + 1) != 0 ||
       b(flagsAt + 2) != 0 || b(flagsAt + 3) != 0) return None
     var sz = 0L
@@ -51,7 +55,11 @@ object Puffin {
     if (sz < 2 || sz > b.length - 20) return None
     val payloadAt = flagsAt - 4 - sz.toInt
     if (!magicAt(b, payloadAt - 4)) return None
-    val json = new String(b, payloadAt, sz.toInt, "UTF-8")
+    val json =
+      if (!lz4Footer) new String(b, payloadAt, sz.toInt, "UTF-8")
+      else new String(Lz4.frameDecompress(
+        java.util.Arrays.copyOfRange(b, payloadAt,
+          payloadAt + sz.toInt)).getOrElse(return None), "UTF-8")
     val m = JsonMini.parse(json).flatMap(JsonMini.obj)
       .getOrElse(return None)
     val blobs = JsonMini.arr(m.getOrElse("blobs", Seq.empty))
@@ -78,15 +86,18 @@ object Puffin {
         JsonMini.obj(bm.getOrElse("properties", Map.empty))
           .getOrElse(Map.empty)
           .flatMap { case (k, v) =>
-            JsonMini.str(v).map(k -> _) })
+            JsonMini.str(v).map(k -> _) },
+        bm.get("compression-codec").flatMap(JsonMini.str)
+          .filter(_.nonEmpty))
     }
     Some(out.result())
   }
 
   /** Build a puffin file; returns (bytes, per-blob (offset,
-    * length)). */
+    * length)). `lz4Footer` emits the compressed-footer form. */
   def build(blobs: Seq[(String, Seq[Int], Long, Long,
-      Map[String, String], Array[Byte])]): (Array[Byte],
+      Map[String, String], Array[Byte])],
+      lz4Footer: Boolean = false): (Array[Byte],
       Seq[(Long, Long)]) = {
     val out = new java.io.ByteArrayOutputStream(256)
     out.write(Magic, 0, 4)
@@ -106,13 +117,16 @@ object Puffin {
           s""""sequence-number":$seq,"offset":$off,""" +
           s""""length":$len,"properties":$propJson}"""
     }
-    val payload =
+    val json =
       s"""{"blobs":[${entries.mkString(",")}]}""".getBytes("UTF-8")
+    val payload =
+      if (lz4Footer) Lz4.frameCompress(json) else json
     out.write(Magic, 0, 4)
     out.write(payload, 0, payload.length)
     (0 until 4).foreach(k =>
       out.write((payload.length >> (8 * k)) & 0xff))
-    (0 until 4).foreach(_ => out.write(0)) // flags: uncompressed
+    out.write(if (lz4Footer) 1 else 0) // flags
+    (0 until 3).foreach(_ => out.write(0))
     out.write(Magic, 0, 4)
     (out.toByteArray, ranges)
   }

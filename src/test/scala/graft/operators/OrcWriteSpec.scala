@@ -239,6 +239,65 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("LIST columns: null list / empty list / null element " +
+    "round-trip via Spark and our decoder, dict elements (r14)") {
+    val n = 700
+    val toks: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 4) + 1).map(j =>
+          if ((i + j) % 9 == 8) None
+          else Some((i.toLong * 10 + j): Any)))
+      }
+    val words: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 6 == 5) None
+        else Some((0 until i % 3).map(j =>
+          Some(s"w${(i + j) % 13}": Any)))
+      }
+    val cols: Seq[OrcWrite.AnyWCol] = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WListCol("toks", "i64", optional = true,
+        elemOptional = true, toks),
+      OrcWrite.WListCol("words", "string", optional = true,
+        elemOptional = false, words))
+    for ((codec, rle, rps) <- Seq(("none", "v1", Int.MaxValue),
+      ("zlib", "v2", 250), ("none", "v2", Int.MaxValue))) {
+      val bytes = OrcWrite.build(cols, codec, rps, rle,
+        dict = Set("words"))
+      // our own decoder (lists surface through the deep walk)
+      val (_, got) = OrcData.decodeFileDeep(bytes)
+        .getOrElse(fail(s"our decoder rejected lists $codec/$rle"))
+      (0 until n).foreach { i =>
+        assert(got(1)(i) == toks(i), s"toks at $i ($rle)")
+        assert(got(2)(i) == words(i), s"words at $i ($rle)")
+      }
+      // Spark's orc-core
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owl")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.orc(fl.getAbsolutePath)
+      assert(df.schema("toks").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val gt = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(Option(_)))
+        assert(gt == toks(i).map(_.map(_.map(_.asInstanceOf[Any]))),
+          s"spark toks at $i ($rle)")
+        val gw = Option(rows(i).get(2)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(Option(_)))
+        assert(gw == words(i), s"spark words at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(

@@ -51,6 +51,36 @@ class PuffinSpec extends AnyFunSuite {
     assert(Puffin.parseDvBlob(Array.emptyByteArray).isEmpty)
   }
 
+  test("lz4-frame-compressed footers round-trip (r14)") {
+    val blobs = (0 until 30).map { i =>
+      (Puffin.DvBlobType, Seq.empty[Int], i.toLong, 1L,
+        Map("referenced-data-file" -> s"part-$i.parquet",
+          "cardinality" -> "2"),
+        Puffin.dvBlobBytes(Array(i.toLong, i + 100L)))
+    }
+    val (plain, rp) = Puffin.build(blobs)
+    val (packed, rc) = Puffin.build(blobs, lz4Footer = true)
+    assert(rp == rc)
+    assert(packed.length < plain.length,
+      "lz4 footer did not shrink a 30-entry payload")
+    assert((packed(packed.length - 8) & 1) == 1)
+    val got = Puffin.parse(packed).getOrElse(
+      fail("compressed footer did not parse"))
+    assert(got == Puffin.parse(plain).get)
+    assert(got.length == 30 &&
+      got(7).properties("referenced-data-file") == "part-7.parquet")
+    // a corrupted compressed payload rejects (frame checksum)
+    val bad = packed.clone()
+    val payloadAt = packed.length - 8 - 4 - {
+      var sz = 0L
+      (0 until 4).foreach(k => sz |=
+        (packed(packed.length - 12 + k) & 0xffL) << (8 * k))
+      sz.toInt
+    }
+    bad(payloadAt + 12) = (bad(payloadAt + 12) ^ 0x20).toByte
+    assert(Puffin.parse(bad).isEmpty)
+  }
+
   test("container rejections: magic, flags, truncation, ranges") {
     val (bytes, _) = Puffin.build(Seq((Puffin.DvBlobType,
       Seq.empty, 1L, 1L, Map.empty,
