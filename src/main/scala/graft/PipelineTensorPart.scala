@@ -1297,6 +1297,12 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
             vals.array(), chunkDims = Seq(1),
             chunkIndexKind = 4, eaPageBits = 6,
             shuffle = true, fletcher = true),
+          // the SAME values again behind a PAGED FIXED ARRAY
+          // (2000 one-element chunks at 64-entry pages) — both v4
+          // paging shapes live in one gate file
+          Hdf5.WDataset("n_chars_fa", Seq(4L * n), "f4",
+            vals.array(), chunkDims = Seq(1),
+            chunkIndexKind = 3, eaPageBits = 6),
           Hdf5.WDataset("doc_id", Seq(n.toLong), "i8",
             ids.array())))
       }
@@ -1305,8 +1311,13 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
           sys.error("hdf5 rejected the deep-growth file"))
         val byName = ds.map(d => d.path -> d).toMap
         val nc = byName("n_chars"); val ids = byName("doc_id")
+        val fa = byName("n_chars_fa")
         val n = byName("doc_id").dims.head.toInt
         require(nc.dims.head == 4L * n)
+        // the paged-fixed-array twin must agree lane for lane
+        require(fa.dims.head == 4L * n &&
+          (0 until 4 * n).forall(k => fa.arr.at(k) == nc.arr.at(k)),
+          "fixed-array twin disagrees with the extensible array")
         // paged data blocks start past chunk 500 (super block 5,
         // 128-element blocks > the 64-element pages)
         require(4 * n > 500,

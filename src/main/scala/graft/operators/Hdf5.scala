@@ -712,8 +712,11 @@ object Hdf5 {
   /** The v4 FIXED ARRAY chunk index (spec IV.A.2: "FAHD" header +
     * "FADB" data block, lookup3-checksummed): entries in row-major
     * grid order — address only (client 0, unfiltered) or
-    * address + stored size + filter mask (client 1). Paged data
-    * blocks (> 2^pageBits entries) reject honestly. */
+    * address + stored size + filter mask (client 1). PAGED data
+    * blocks (> 2^pageBits entries, r14): prefix + page-init
+    * bitmask (H5VM MSB-first) with its own checksum, then pages of
+    * 2^pageBits entries (last partial), each page checksummed —
+    * uninitialized pages' chunks are absent, never mis-read. */
   private def fixedArrayEntries(r: Rd, hdrAddr: Long,
       grid: Seq[Long], cd: Seq[Int], chunkBytes: Int,
       filtered: Boolean)
@@ -735,11 +738,21 @@ object Hdf5 {
     val nChunks = grid.product
     if (maxEntries != nChunks) return None
     if (nChunks > (1L << 22)) return None // crafted-grid bomb
-    if (pageBits > 62 || maxEntries > (1L << pageBits))
-      return None // paged fixed arrays reject honestly
+    if (pageBits < 1 || pageBits > 62) return None
     if (entrySize < 8 || entrySize > 32) return None
     if (dbAddr == Undef) return Some(Seq.empty)
-    val dbLen = 14L + maxEntries * entrySize + 4
+    val paged = maxEntries > (1L << pageBits)
+    val pageElems = 1L << pageBits
+    val npages =
+      if (paged) (maxEntries + pageElems - 1) / pageElems else 0L
+    val bmpBytes = if (paged) (npages + 7) / 8 else 0L
+    val preLen = 14L + bmpBytes // sig..hdrAddr + page-init bitmask
+    val dbLen =
+      if (!paged) 14L + maxEntries * entrySize + 4
+      else preLen + 4 + (0L until npages).map { p =>
+        math.min(pageElems, maxEntries - p * pageElems) *
+          entrySize + 4
+      }.sum
     if (!r.check(dbAddr, dbLen)) return None
     val b = dbAddr.toInt
     if (d(b) != 'F' || d(b + 1) != 'A' || d(b + 2) != 'D' ||
@@ -747,25 +760,64 @@ object Hdf5 {
     if ((d(b + 4) & 0xff) != 0) return None
     if ((d(b + 5) & 0xff) != clientId) return None
     if (u64(d, b + 6) != hdrAddr) return None
-    if (u32(d, (dbAddr + dbLen - 4).toInt) !=
-      lookup3(d, b, (dbLen - 4).toInt)) return None
+    if (!paged) {
+      if (u32(d, (dbAddr + dbLen - 4).toInt) !=
+        lookup3(d, b, (dbLen - 4).toInt)) return None
+    } else {
+      // prefix (incl. bitmask) carries its own checksum
+      if (u32(d, (dbAddr + preLen).toInt) !=
+        lookup3(d, b, preLen.toInt)) return None
+    }
+    // page base offsets + lazy per-page checksum verification
+    val pageBase = new Array[Long](math.max(npages.toInt, 0))
+    if (paged) {
+      var acc = dbAddr + preLen + 4
+      var p = 0
+      while (p < npages) {
+        pageBase(p) = acc
+        acc += math.min(pageElems, maxEntries - p * pageElems) *
+          entrySize + 4
+        p += 1
+      }
+    }
+    val pageOk = new Array[Int](math.max(npages.toInt, 0)) // 0 =
+    // unchecked, 1 = verified
+    def entryAt(i: Long): Option[Int] =
+      if (!paged) Some((b + 14 + i * entrySize).toInt)
+      else {
+        val p = (i / pageElems).toInt
+        val bit = b + 14 + p / 8
+        if (((d(bit) >> (7 - (p % 8))) & 1) == 0)
+          return Some(-1) // page never written
+        if (pageOk(p) == 0) {
+          val pLen = math.min(pageElems,
+            maxEntries - p.toLong * pageElems) * entrySize
+          if (u32(d, (pageBase(p) + pLen).toInt) !=
+            lookup3(d, pageBase(p).toInt, pLen.toInt)) return None
+          pageOk(p) = 1
+        }
+        Some((pageBase(p) + (i % pageElems) * entrySize).toInt)
+      }
     val offs = gridOffsets(grid, cd)
     val out = Seq.newBuilder[(Seq[Long], Int, Long, Long)]
     var i = 0L
     while (i < maxEntries) {
-      val e = (b + 14 + i * entrySize).toInt
-      val addr = u64(d, e)
-      if (addr != Undef) {
-        val (stored, mask) =
-          if (clientId == 1) {
-            val szBytes = entrySize - 12
-            var sz = 0L
-            var j = 0
-            while (j < szBytes) { sz |= (d(e + 8 + j) & 0xffL) <<
-              (8 * j); j += 1 }
-            (sz.toInt, u32(d, e + 8 + szBytes))
-          } else (chunkBytes, 0L)
-        out += ((offs(i.toInt), stored, mask, addr))
+      val eOpt = entryAt(i).getOrElse(return None)
+      if (eOpt >= 0) {
+        val e = eOpt
+        val addr = u64(d, e)
+        if (addr != Undef) {
+          val (stored, mask) =
+            if (clientId == 1) {
+              val szBytes = entrySize - 12
+              var sz = 0L
+              var j = 0
+              while (j < szBytes) { sz |= (d(e + 8 + j) & 0xffL) <<
+                (8 * j); j += 1 }
+              (sz.toInt, u32(d, e + 8 + szBytes))
+            } else (chunkBytes, 0L)
+          out += ((offs(i.toInt), stored, mask, addr))
+        }
       }
       i += 1
     }
@@ -1403,9 +1455,9 @@ object Hdf5 {
       /** [[buildLatest]] b-tree index only: node size (small
         * values force multi-level trees in tests). */
       btreeNodeSize: Int = 2048,
-      /** [[buildLatest]] extensible-array index only: max
-        * data-block page nelmts bits (libhdf5 default 10; small
-        * values force PAGED data blocks in tests). */
+      /** [[buildLatest]] v4 chunk indexes (extensible + fixed
+        * array): max data-block page nelmts bits (libhdf5 default
+        * 10; small values force PAGED data blocks in tests). */
       eaPageBits: Int = 10)
 
   final class Writer {
@@ -1973,35 +2025,76 @@ object Hdf5 {
         cd.foreach(c => w64b(lay, c.toLong))
         ds.chunkIndexKind match {
           case 3 =>
-            // FADB then FAHD (both addresses known up front)
+            // FADB then FAHD (both addresses known up front);
+            // entry counts past 2^pageBits emit the PAGED layout
+            // (prefix + page-init bitmask + per-page checksums)
             val entrySize = 16 // addr(8) + size(4) + mask(4)
+            val faPageBits = math.max(ds.eaPageBits, 1)
+            val pageElems = 1L << faPageBits
+            val n = entries.length.toLong
+            val paged = n > pageElems
+            val npages =
+              if (paged) ((n + pageElems - 1) / pageElems).toInt
+              else 0
+            val bmpBytes = if (paged) (npages + 7) / 8 else 0
             val dbAddr = pos
-            val dbLen = 14L + entries.length * entrySize + 4
+            val dbLen =
+              if (!paged) 14L + n * entrySize + 4
+              else 14L + bmpBytes + 4 + (0 until npages).map { p =>
+                math.min(pageElems, n - p.toLong * pageElems) *
+                  entrySize + 4
+              }.sum
             val fahdAddr = dbAddr + dbLen
             val db = new java.io.ByteArrayOutputStream()
             db.write('F'); db.write('A'); db.write('D'); db.write('B')
             db.write(0); db.write(1) // version, client 1 (filtered)
             w64b(db, fahdAddr)
-            entries.foreach { case (addr, stored) =>
-              w64b(db, addr)
-              w32b(db, stored.toLong)
-              w32b(db, 0L) // filter mask
+            def entryBytes(b: java.io.ByteArrayOutputStream,
+                i: Long): Unit = {
+              val (addr, stored) = entries(i.toInt)
+              w64b(b, addr)
+              w32b(b, stored.toLong)
+              w32b(b, 0L) // filter mask
             }
-            val dbb = db.toByteArray
-            buf.write(dbb, 0, dbb.length)
-            w32b(buf, lookup3(dbb, 0, dbb.length))
+            if (!paged) {
+              (0L until n).foreach(entryBytes(db, _))
+              val dbb = db.toByteArray
+              buf.write(dbb, 0, dbb.length)
+              w32b(buf, lookup3(dbb, 0, dbb.length))
+            } else {
+              // page-init bitmask: every page written (MSB-first)
+              val bmp = new Array[Byte](bmpBytes)
+              (0 until npages).foreach(p =>
+                bmp(p / 8) = (bmp(p / 8) |
+                  (1 << (7 - (p % 8)))).toByte)
+              db.write(bmp, 0, bmp.length)
+              val dbb = db.toByteArray
+              buf.write(dbb, 0, dbb.length)
+              w32b(buf, lookup3(dbb, 0, dbb.length))
+              var p = 0
+              while (p < npages) {
+                val lo = p.toLong * pageElems
+                val hi = math.min(lo + pageElems, n)
+                val pg = new java.io.ByteArrayOutputStream()
+                (lo until hi).foreach(entryBytes(pg, _))
+                val pgb = pg.toByteArray
+                buf.write(pgb, 0, pgb.length)
+                w32b(buf, lookup3(pgb, 0, pgb.length))
+                p += 1
+              }
+            }
             val hd = new java.io.ByteArrayOutputStream()
             hd.write('F'); hd.write('A'); hd.write('H'); hd.write('D')
             hd.write(0); hd.write(1)
-            hd.write(entrySize); hd.write(12) // page bits
-            w64b(hd, entries.length.toLong)
+            hd.write(entrySize); hd.write(faPageBits)
+            w64b(hd, n)
             w64b(hd, dbAddr)
             val hdb = hd.toByteArray
-            require(entries.length <= (1 << 12), "paged fixed array")
+            require(fahdAddr == pos, "fixed-array layout math")
             buf.write(hdb, 0, hdb.length)
             w32b(buf, lookup3(hdb, 0, hdb.length))
             lay.write(3)  // fixed array index
-            lay.write(12) // page bits
+            lay.write(faPageBits)
             w64b(lay, fahdAddr)
           case 4 =>
             // extensible array: data blocks, secondary blocks,

@@ -396,7 +396,23 @@ object ParquetWrite {
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
         useDict: Boolean)
     val chunks = cols.map(prepare).map { pc =>
-      val useDict = dict(pc.col.name)
+      // oversized dictionaries fall back to PLAIN (the hybrid
+      // index width caps at 16 bits; real writers spill the same
+      // way when a dictionary stops paying)
+      val useDict = dict(pc.col.name) && {
+        def key(v: Any): Any = v match {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
+        val distinct = scala.collection.mutable.HashSet[Any]()
+        var ok = true
+        val it = pc.present.iterator
+        while (ok && it.hasNext) {
+          distinct += key(it.next())
+          if (distinct.size > (1 << 16)) ok = false
+        }
+        ok
+      }
       val chunkOffset = buf.size().toLong
       var comp = 0L
       var uncomp = 0L

@@ -287,6 +287,44 @@ class Hdf5Spec extends AnyFunSuite {
     assert(read(bad2).isEmpty || read(bad2).get.forall(_.path != "p"))
   }
 
+  test("PAGED fixed-array chunk index round-trips; page " +
+    "corruption rejects (r14)") {
+    def data(n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putFloat(i * 0.25f))
+      b.array()
+    }
+    // 300 chunks at 16-entry pages (bits 4) → 19 pages, last
+    // partial
+    val rows = 1200
+    val f = buildLatest(Seq(WDataset("a", Seq(rows.toLong), "f4",
+      data(rows), chunkDims = Seq(4), chunkIndexKind = 3,
+      eaPageBits = 4, shuffle = true, fletcher = true)))
+    val ds = read(f).getOrElse(fail("paged fixed array rejected"))
+    assert(ds.head.dims == Seq(rows.toLong))
+    (0 until rows by 97).foreach { i =>
+      assert(ds.head.arr.at(i) == i * 0.25f, s"at $i")
+    }
+    assert(ds.head.arr.at(rows - 1) == (rows - 1) * 0.25f)
+    // flipping a byte inside a PAGE flips that page's checksum
+    val fadbAt = {
+      val s = "FADB".getBytes("UTF-8")
+      (0 to f.length - 4).indexWhere(i => (0 until 4)
+        .forall(k => f(i + k) == s(k)))
+    }
+    assert(fadbAt > 0)
+    val bad = f.clone()
+    // prefix = 14 + bitmask(3) + checksum(4); +25 is inside page 0
+    bad(fadbAt + 25) = (bad(fadbAt + 25) ^ 0x02).toByte
+    assert(read(bad).isEmpty || read(bad).get.forall(_.path != "a"))
+    // the unpaged shape still round-trips at the same page bits
+    val f2 = buildLatest(Seq(WDataset("b", Seq(40L), "f4",
+      data(40), chunkDims = Seq(4), chunkIndexKind = 3,
+      eaPageBits = 4)))
+    assert(read(f2).exists(_.head.arr.at(39) == 39 * 0.25f))
+  }
+
   test("v2 b-tree chunk index: leaf root AND forced internal " +
     "root round-trip; corruption rejects (r13)") {
     def data(n: Int): Array[Byte] = {

@@ -190,6 +190,27 @@ class ParquetWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized dictionaries fall back to PLAIN (width cap) " +
+    "(r14)") {
+    import ParquetWrite.WCol
+    val n = 70000 // > 2^16 distinct values
+    val cols = Seq(
+      WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      WCol("s", "string", optional = false,
+        (0 until n).map(i => Some(s"unique-$i"))))
+    val bytes = ParquetWrite.build(cols, "snappy",
+      dict = Set("s"))
+    val foot = ParquetFooter.parse(bytes).getOrElse(
+      fail("footer rejected"))
+    val sCol = foot.rowGroups.head.columns.find(_.path == "s").get
+    assert(sCol.dictPageOffset.isEmpty, "fallback did not engage")
+    val (_, vals) = ParquetData.decodeFile(bytes).getOrElse(
+      fail("page walker rejected the fallback file"))
+    assert(vals(1)(12345).map(v => new String(
+      v.asInstanceOf[Array[Byte]], "UTF-8")).contains("unique-12345"))
+  }
+
   test("3-level LIST columns: null list / empty list / null " +
     "element round-trip via parquet-mr AND decodeFileDeep (r14)") {
     import ParquetWrite.{WCol, WListCol}
