@@ -283,7 +283,11 @@ object Bench {
     // artifact itself saying so (per-query load_at_start ships as
     // evidence; it includes the bench's own executors, so it never
     // decides the flag)
-    val contended = loadBefore > loadThreshold
+    // null (unknown) when the loadavg probe failed — the field
+    // must never claim an idle host without evidence
+    val contended =
+      if (loadBefore < 0) "null"
+      else (loadBefore > loadThreshold).toString
     val loadStarts = results.map { case (k, _, _, _, _, _, _, _, l) =>
       "\"" + k + "\":" + fmt(l, 2) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsLine(3)},"errors":$errs,"oracle_only":$oo,"first_touch":$firstTouch,"first_touch_total":${fmt(firstTouchTotal, 3)},"reran":$reranList,"recovered":$recoveredList,"attempt_errors":$attemptErrs,"log_events":$logEvents,"pinned_ratio":$pinnedDeltas,"scale_probe":$scaleProbe,"loadavg":$loadJson,"contended":$contended,"load_threshold":${fmt(loadThreshold, 2)},"load_at_start":$loadStarts,"pair_candidates":$pairsJson,"sf":"$sfDir"}"""

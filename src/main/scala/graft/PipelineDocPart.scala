@@ -256,8 +256,14 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
         val bytes = jsonl.getBytes("UTF-8")
         if (own) {
           val enc = graft.operators.ZstdEncode.encode(bytes)
-          require(bytes.length < 64 || enc.length <
-            graft.operators.Zstd.encodeStore(bytes).length,
+          // closed-form store-frame length (magic + header + fcs
+          // + 3-byte block headers + content + checksum) — no
+          // need to BUILD a store frame just to compare sizes
+          val n = bytes.length
+          val fcsLen = if (n < 256) 1 else if (n < 65792) 2 else 4
+          val storeLen = 5 + fcsLen +
+            math.max(1, (n + (1 << 17) - 1) / (1 << 17)) * 3 + n + 4
+          require(n < 64 || enc.length < storeLen,
             s"entropy coding did not engage on shard $sid")
           (sid, enc)
         } else

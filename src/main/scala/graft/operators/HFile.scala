@@ -94,19 +94,23 @@ object HFile {
   /** Read + verify one block at `off`; returns (uncompressed
     * payload, block end offset). */
   private def readBlock(b: Array[Byte], off: Int,
-      magic: Array[Byte], gz: Boolean): Option[(Array[Byte], Int)] = {
+      magic: Array[Byte], gz: Boolean)
+      : Option[(Array[Byte], Long)] = {
     if (off < 0 || off + HeaderSize > b.length) return None
     if (!magicIs(b, off, magic)) return None
-    val onDiskNoHdr = be32(b, off + 8)
+    // LONG arithmetic throughout: crafted 0x7fffffff-class sizes
+    // must fail the bounds checks, not wrap into throws (the
+    // None-on-malformation contract every parser here keeps)
+    val onDiskNoHdr = be32(b, off + 8).toLong
     val uncompNoHdr = be32(b, off + 12)
     val checksumType = b(off + 24) & 0xff
-    val bytesPerChecksum = be32(b, off + 25)
-    val onDiskDataWithHdr = be32(b, off + 29)
+    val bytesPerChecksum = be32(b, off + 25).toLong
+    val onDiskDataWithHdr = be32(b, off + 29).toLong
     if (onDiskNoHdr < 0 || uncompNoHdr < 0 ||
       onDiskDataWithHdr < HeaderSize) return None
     val end = off + HeaderSize + onDiskNoHdr
     if (end > b.length) return None
-    val dataLen = onDiskDataWithHdr - HeaderSize
+    val dataLen = (onDiskDataWithHdr - HeaderSize).toInt
     if (off + onDiskDataWithHdr > end) return None
     // checksums: chunks of bytesPerChecksum over header + data
     if (checksumType != 0) {
@@ -114,7 +118,7 @@ object HFile {
       val nChunks =
         (onDiskDataWithHdr + bytesPerChecksum - 1) / bytesPerChecksum
       if (off + onDiskDataWithHdr + 4 * nChunks != end) return None
-      var c = 0
+      var c = 0L
       while (c < nChunks) {
         val cs = off + c * bytesPerChecksum
         val ce = math.min(cs + bytesPerChecksum,
@@ -124,9 +128,10 @@ object HFile {
           case 2 => new java.util.zip.CRC32C()
           case _ => return None
         }
-        crc.update(b, cs, ce - cs)
+        crc.update(b, cs.toInt, (ce - cs).toInt)
         if (crc.getValue.toInt !=
-          be32(b, off + onDiskDataWithHdr + 4 * c)) return None
+          be32(b, (off + onDiskDataWithHdr + 4 * c).toInt))
+          return None
         c += 1
       }
     } else if (off + onDiskDataWithHdr != end) return None
@@ -356,7 +361,8 @@ object HFile {
     locally {
       var i = 1
       while (i < cells.length) {
-        require(java.util.Arrays.compare(cells(i - 1)._1,
+        // HBase key order is UNSIGNED byte order
+        require(java.util.Arrays.compareUnsigned(cells(i - 1)._1,
           cells(i)._1) <= 0, "cells must be key-sorted")
         i += 1
       }

@@ -914,7 +914,10 @@ object Hudi {
                 (r.getString(keyIdxLocal).getBytes("UTF-8"),
                   Avro.encodeDatum(nfields, sparkRowToAvro(r)))
               }
-              .sortBy(c => new String(c._1, "UTF-8"))
+              // HBase key order is UNSIGNED byte order — a UTF-16
+              // String sort diverges on non-ASCII keys
+              .sortWith((a, b) => java.util.Arrays
+                .compareUnsigned(a._1, b._1) < 0)
             val hf = graft.operators.HFile.build(cells,
               codec = if (ver % 2 == 0) "gz" else "none",
               blockSize = 256)

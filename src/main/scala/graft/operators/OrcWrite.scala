@@ -366,6 +366,16 @@ object OrcWrite {
       case c: WCol =>
         require(c.optional || c.values.forall(_.isDefined),
           s"null in required column ${c.name}")
+        c.kind match {
+          case DecimalKind(pStr, sStr) =>
+            // the varint DATA stream here carries the unscaled
+            // value as a LONG — bound precision up front instead
+            // of an uncontrolled overflow mid-stripe
+            require(pStr.toInt >= 1 && pStr.toInt <= 18 &&
+              sStr.toInt >= 0 && sStr.toInt <= pStr.toInt,
+              s"decimal precision 1..18 supported (${c.kind})")
+          case _ => ()
+        }
       case l: WListCol =>
         require(l.elemKind != "boolean",
           "boolean list elements unsupported")
