@@ -319,9 +319,13 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
               elemOptional = true, toks))
           val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
             (sid % 4).toInt)
+          // odd shards split into 3-row ROW GROUPS (r14) so the
+          // multi-group footer shape stays gate-live
+          val rpg = if (sid % 2 == 1) 3 else Int.MaxValue
           java.nio.file.Files.write(java.nio.file.Paths.get(
             out, f"shard-$sid%06d.parquet"),
-            ParquetWrite.build(cols, codec, dict = Set("lang")))
+            ParquetWrite.build(cols, codec, dict = Set("lang"),
+              rowsPerGroup = rpg))
           sid
         }.count(): Unit
     }

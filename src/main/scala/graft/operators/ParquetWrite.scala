@@ -11,8 +11,10 @@ package graft.operators
   * writer.
   *
   * Scope (r14 — was flat-and-PLAIN in r13):
-  *  - One row group; one v1 data page per column chunk, plus a
-  *    dictionary page for dictionary-encoded chunks.
+  *  - MULTIPLE row groups via `rowsPerGroup` (the unit a
+  *    multi-executor read parallelizes on); one v1 data page per
+  *    column chunk, plus a dictionary page (per group) for
+  *    dictionary-encoded chunks.
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
@@ -375,8 +377,12 @@ object ParquetWrite {
     * PAR1. */
   def build(cols: Seq[AnyWCol], codec: String = "snappy",
       createdBy: String = "graft parquet writer",
-      dict: Set[String] = Set.empty): Array[Byte] = {
+      dict: Set[String] = Set.empty,
+      // r14: multiple row groups — the unit a multi-executor read
+      // parallelizes on, and what bounds reader memory per task
+      rowsPerGroup: Int = Int.MaxValue): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
+    require(rowsPerGroup > 0, "rowsPerGroup must be positive")
     val nRows = cols.head.rows
     require(cols.forall(_.rows == nRows), "ragged column lengths")
     dict.foreach { d =>
@@ -391,11 +397,20 @@ object ParquetWrite {
     val buf = new java.io.ByteArrayOutputStream(4096)
     buf.write('P'); buf.write('A'); buf.write('R'); buf.write('1')
 
+    def sliceCol(c: AnyWCol, lo: Int, hi: Int): AnyWCol = c match {
+      case fc: WCol => fc.copy(values = fc.values.slice(lo, hi))
+      case lc: WListCol => lc.copy(values = lc.values.slice(lo, hi))
+    }
+    val groupRanges: Seq[(Int, Int)] =
+      if (nRows == 0) Seq((0, 0))
+      else (0 until nRows by math.min(rowsPerGroup, nRows))
+        .map(g => (g, math.min(g + rowsPerGroup, nRows)))
+
     final case class ChunkMeta(pc: PreparedCol, codecId: Int,
         chunkOffset: Long, dataPageOffset: Long,
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
         useDict: Boolean)
-    val chunks = cols.map(prepare).map { pc =>
+    def emitChunk(pc: PreparedCol): ChunkMeta = {
       // oversized dictionaries fall back to PLAIN (the hybrid
       // index width caps at 16 bits; real writers spill the same
       // way when a dictionary stops paying)
@@ -497,6 +512,11 @@ object ParquetWrite {
       ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
         comp, uncomp, useDict)
     }
+    val groups: Seq[(Int, Seq[ChunkMeta])] =
+      groupRanges.map { case (lo, hi) =>
+        (hi - lo,
+          cols.map(c => emitChunk(prepare(sliceCol(c, lo, hi)))))
+      }
 
     // footer
     val f = new TWriter
@@ -538,34 +558,36 @@ object ParquetWrite {
         f.elemStructEnd()
     }
     f.i64(3, nRows.toLong)
-    f.listBegin(4, 12, 1) // row_groups
-    f.elemStructBegin()
-    f.listBegin(1, 12, chunks.length) // columns
-    chunks.foreach { cm =>
-      f.elemStructBegin() // ColumnChunk
-      f.i64(2, cm.chunkOffset) // file_offset
-      f.structBegin(3) // ColumnMetaData
-      f.i32(1, physType(cm.pc.kind).toLong)
-      f.listBegin(2, 5, 2) // encodings
-      f.varint((if (cm.useDict) 2L else 0L) << 1) // value encoding
-      f.varint(3L << 1) // zigzag(RLE = 3) for levels
-      f.listBegin(3, 8, cm.pc.path.length) // path_in_schema
-      cm.pc.path.foreach { seg =>
-        val nb = seg.getBytes("UTF-8")
-        f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+    f.listBegin(4, 12, groups.length) // row_groups
+    groups.foreach { case (gRows, chunks) =>
+      f.elemStructBegin()
+      f.listBegin(1, 12, chunks.length) // columns
+      chunks.foreach { cm =>
+        f.elemStructBegin() // ColumnChunk
+        f.i64(2, cm.chunkOffset) // file_offset
+        f.structBegin(3) // ColumnMetaData
+        f.i32(1, physType(cm.pc.kind).toLong)
+        f.listBegin(2, 5, 2) // encodings
+        f.varint((if (cm.useDict) 2L else 0L) << 1) // value enc
+        f.varint(3L << 1) // zigzag(RLE = 3) for levels
+        f.listBegin(3, 8, cm.pc.path.length) // path_in_schema
+        cm.pc.path.foreach { seg =>
+          val nb = seg.getBytes("UTF-8")
+          f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+        }
+        f.i32(4, cm.codecId.toLong)
+        f.i64(5, cm.pc.numValues.toLong)
+        f.i64(6, cm.uncomp)
+        f.i64(7, cm.comp)
+        f.i64(9, cm.dataPageOffset) // data_page_offset
+        cm.dictPageOffset.foreach(o => f.i64(11, o))
+        f.structEnd()
+        f.elemStructEnd()
       }
-      f.i32(4, cm.codecId.toLong)
-      f.i64(5, cm.pc.numValues.toLong)
-      f.i64(6, cm.uncomp)
-      f.i64(7, cm.comp)
-      f.i64(9, cm.dataPageOffset) // data_page_offset
-      cm.dictPageOffset.foreach(o => f.i64(11, o))
-      f.structEnd()
+      f.i64(2, chunks.map(_.comp).sum) // total_byte_size
+      f.i64(3, gRows.toLong)
       f.elemStructEnd()
     }
-    f.i64(2, chunks.map(_.comp).sum) // total_byte_size
-    f.i64(3, nRows.toLong)
-    f.elemStructEnd()
     f.str(6, createdBy)
     f.stop()
     val fb = f.bytes

@@ -277,6 +277,55 @@ class ParquetWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("MULTIPLE row groups: dict + list chunks per group read " +
+    "back everywhere (r14)") {
+    import ParquetWrite.{WCol, WListCol}
+    val n = 1000
+    val langs = Seq("en", "de", "fr")
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      WCol("lang", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 11 == 6) None else Some(langs(i % 3)))),
+      WListCol("xs", "i64", optional = true, elemOptional = true,
+        (0 until n).map { i =>
+          if (i % 7 == 3) None
+          else Some((0 until i % 3).map(j =>
+            if ((i + j) % 5 == 4) None
+            else Some((i * 100 + j).toLong: Any)))
+        }))
+    val bytes = ParquetWrite.build(cols, "snappy",
+      dict = Set("lang"), rowsPerGroup = 300)
+    val foot = ParquetFooter.parse(bytes).getOrElse(
+      fail("footer rejected"))
+    assert(foot.rowGroups.length == 4) // 300+300+300+100
+    assert(foot.rowGroups.map(_.numRows) == Seq(300L, 300L, 300L,
+      100L))
+    assert(foot.numRows == n)
+    // every group's lang chunk has its own dictionary page
+    assert(foot.rowGroups.forall(
+      _.columns.find(_.path == "lang").get.dictPageOffset.isDefined))
+    // our deep decoder concatenates the groups
+    val (_, vals) = ParquetData.decodeFileDeep(bytes).getOrElse(
+      fail("decodeFileDeep rejected the multi-group file"))
+    (0 until n by 37).foreach { i =>
+      assert(vals(0)(i).contains(i.toLong), s"id at $i")
+    }
+    // parquet-mr
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pwg")
+    val fl = new java.io.File(tmp.toFile, "x.parquet")
+    java.nio.file.Files.write(fl.toPath, bytes)
+    val rows = spark.read.parquet(fl.getAbsolutePath)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == n)
+    (0 until n by 13).foreach { i =>
+      assert(Option(rows(i).get(1)) ==
+        cols(1).asInstanceOf[WCol].values(i), s"lang at $i")
+    }
+    fl.delete(); tmp.toFile.delete()
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
