@@ -73,6 +73,16 @@ object ParquetWrite {
     def rows: Int = values.length
   }
 
+  /** One flat STRUCT column (r14): `fields` = (name, kind,
+    * optional) per field; a row is None (null struct, needs
+    * `optional`) or the field values in order. */
+  final case class WStructCol(name: String, optional: Boolean,
+      fields: Seq[(String, String, Boolean)],
+      values: IndexedSeq[Option[Seq[Option[Any]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
   private def physType(kind: String): Int = kind match {
     case "boolean" => 0
     case "i32" => 1
@@ -333,6 +343,9 @@ object ParquetWrite {
         if (fc.optional) fc.values.map(v => if (v.isDefined) 1 else 0)
         else IndexedSeq.empty,
         fc.values.flatten, fc.values.length)
+    case sc: WStructCol =>
+      require(sc.fields.nonEmpty, "empty struct")
+      sys.error("structs expand via prepareAll")
     case lc: WListCol =>
       require(lc.elemKind != "boolean",
         "boolean list elements unsupported")
@@ -367,6 +380,38 @@ object ParquetWrite {
         reps.result(), defs.result(), present.result(), n)
   }
 
+  /** One column → its column CHUNKS (structs expand to one chunk
+    * per field; everything else is 1:1). */
+  private def prepareAll(c: AnyWCol): Seq[PreparedCol] = c match {
+    case sc: WStructCol =>
+      require(sc.fields.nonEmpty, "empty struct")
+      val oGroup = if (sc.optional) 1 else 0
+      sc.fields.zipWithIndex.map { case ((fn, fk, fOpt), fi) =>
+        val maxDef = oGroup + (if (fOpt) 1 else 0)
+        val defs = IndexedSeq.newBuilder[Int]
+        val present = IndexedSeq.newBuilder[Any]
+        sc.values.foreach {
+          case None =>
+            require(sc.optional,
+              s"null struct in required column ${sc.name}")
+            defs += oGroup - 1
+          case Some(fvs) =>
+            require(fvs.length == sc.fields.length,
+              s"struct arity drift in ${sc.name}")
+            fvs(fi) match {
+              case Some(v) => defs += maxDef; present += v
+              case None =>
+                require(fOpt, s"null field $fn in ${sc.name}")
+                defs += maxDef - 1
+            }
+        }
+        PreparedCol(sc, fk, Seq(sc.name, fn), 0, maxDef,
+          IndexedSeq.empty, defs.result(), present.result(),
+          sc.values.length)
+      }
+    case other => Seq(prepare(other))
+  }
+
   // ---------------------------------------------------------------
   // Build
   // ---------------------------------------------------------------
@@ -391,6 +436,8 @@ object ParquetWrite {
       val k = c match {
         case fc: WCol => fc.kind
         case lc: WListCol => lc.elemKind
+        case _: WStructCol =>
+          sys.error(s"dictionary on struct column $d unsupported")
       }
       require(k != "boolean", "boolean dictionaries unsupported")
     }
@@ -400,6 +447,8 @@ object ParquetWrite {
     def sliceCol(c: AnyWCol, lo: Int, hi: Int): AnyWCol = c match {
       case fc: WCol => fc.copy(values = fc.values.slice(lo, hi))
       case lc: WListCol => lc.copy(values = lc.values.slice(lo, hi))
+      case sc: WStructCol =>
+        sc.copy(values = sc.values.slice(lo, hi))
     }
     val groupRanges: Seq[(Int, Int)] =
       if (nRows == 0) Seq((0, 0))
@@ -514,8 +563,8 @@ object ParquetWrite {
     }
     val groups: Seq[(Int, Seq[ChunkMeta])] =
       groupRanges.map { case (lo, hi) =>
-        (hi - lo,
-          cols.map(c => emitChunk(prepare(sliceCol(c, lo, hi)))))
+        (hi - lo, cols.flatMap(c =>
+          prepareAll(sliceCol(c, lo, hi)).map(emitChunk)))
       }
 
     // footer
@@ -524,6 +573,7 @@ object ParquetWrite {
     val schemaElemCount = 1 + cols.map {
       case _: WCol => 1
       case _: WListCol => 3
+      case sc: WStructCol => 1 + sc.fields.length
     }.sum
     f.listBegin(2, 12, schemaElemCount) // schema
     f.elemStructBegin() // root
@@ -538,6 +588,20 @@ object ParquetWrite {
         f.str(4, c.name)
         if (c.kind == "string") f.i32(6, 0L) // converted_type UTF8
         f.elemStructEnd()
+      case c: WStructCol =>
+        f.elemStructBegin() // plain group
+        f.i32(3, if (c.optional) 1L else 0L)
+        f.str(4, c.name)
+        f.i32(5, c.fields.length.toLong)
+        f.elemStructEnd()
+        c.fields.foreach { case (fn, fk, fOpt) =>
+          f.elemStructBegin()
+          f.i32(1, physType(fk).toLong)
+          f.i32(3, if (fOpt) 1L else 0L)
+          f.str(4, fn)
+          if (fk == "string") f.i32(6, 0L)
+          f.elemStructEnd()
+        }
       case c: WListCol =>
         f.elemStructBegin() // outer group, converted LIST
         f.i32(3, if (c.optional) 1L else 0L)

@@ -326,6 +326,67 @@ class ParquetWriteSpec extends AnyFunSuite {
     fl.delete(); tmp.toFile.delete()
   }
 
+  test("flat STRUCT columns: null struct / null field round-trip " +
+    "via parquet-mr AND decodeFileDeep (r14)") {
+    import ParquetWrite.{WCol, WStructCol}
+    val n = 800
+    val sv: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 11 == 6) None
+        else Some(Seq(
+          Some(i.toLong * 3),
+          if (i % 5 == 2) None else Some(s"n$i"),
+          Some(i * 0.5)))
+      }
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      WStructCol("st", optional = true,
+        Seq(("a", "i64", false), ("b", "string", true),
+          ("c", "f64", false)), sv))
+    for (codec <- Seq("uncompressed", "snappy")) {
+      val bytes = ParquetWrite.build(cols, codec,
+        rowsPerGroup = 300)
+      // parquet-mr
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pws")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.parquet(fl.getAbsolutePath)
+      assert(df.schema("st").dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType])
+      val rows = df.collect().sortBy(_.getLong(0))
+      assert(rows.length == n, codec)
+      (0 until n).foreach { i =>
+        val got = Option(rows(i).get(1)).map { r0 =>
+          val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+          Seq(Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+        }
+        assert(got == sv(i).map(_.map(_.map(_.asInstanceOf[Any]))),
+          s"st at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+      // our deep decoder
+      val (nodes, vals) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected our struct file"))
+      assert(nodes(1).isInstanceOf[ParquetData.DeepStruct])
+      (0 until n by 7).foreach { i =>
+        val got = vals(1)(i).map(
+          _.asInstanceOf[Seq[Option[Any]]].map(_.map {
+            case b: Array[Byte] => new String(b, "UTF-8")
+            case x => x
+          }))
+        assert(got == sv(i), s"deep st at $i ($codec)")
+      }
+    }
+    // rejections: null struct in required col, null required field
+    intercept[IllegalArgumentException](ParquetWrite.build(Seq(
+      WStructCol("s", optional = false, Seq(("a", "i64", false)),
+        IndexedSeq(None)))))
+    intercept[IllegalArgumentException](ParquetWrite.build(Seq(
+      WStructCol("s", optional = true, Seq(("a", "i64", false)),
+        IndexedSeq(Some(Seq(None)))))))
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
