@@ -215,6 +215,9 @@ object Pipeline
     "onnx_parse"        -> onnxParse _,
     "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
     "parquet_write_nested" -> parquetWriteNested _,
+    "parquet_write_rich" -> parquetWriteRich _,
+    "parquet_write_struct" -> parquetWriteStruct _,
+    "orc_write_struct" -> orcWriteStruct _,
     "orc_write_roundtrip" -> orcWriteRoundtrip _,
     "orc_write_rich" -> orcWriteRich _,
     "orc_write_nested" -> orcWriteNested _,

@@ -164,6 +164,66 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       .orderBy("doc_id")
   }
 
+  /** Parquet WRITE round trip, RICH TYPES (late r14): the
+    * [[orcWriteRich]] fixture for the other columnar format —
+    * timestamp (INT64 + TIMESTAMP_MICROS, incl. pre-1970 values),
+    * date (INT32 + DATE) and decimal(14,3) (INT64 + DECIMAL)
+    * columns emitted by OUR parquet writer under rotating
+    * codec/row-group splits, read back by parquet-mr. SAME
+    * analytic oracle as the ORC twin — both formats' logical-type
+    * write paths answer to one truth. */
+  private[graft] def parquetWriteRich(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.WCol
+    val root = formatFixtureDir(dir, "pqrich", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id / 8, id, t.length.toLong) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WCol("ts", "ts", optional = true,
+              docs.map { d =>
+                if (d._2 % 13 == 2) None
+                else Some(((d._2 - 500L) * 86400000000L +
+                  (d._2 % 7) * 123457L): Any)
+              }.toIndexedSeq),
+            WCol("day", "date", optional = true,
+              docs.map { d =>
+                if (d._2 % 17 == 5) None
+                else Some(((18000 + d._2 % 1000 - 400).toInt): Any)
+              }.toIndexedSeq),
+            WCol("amt", "decimal(14,3)", optional = true,
+              docs.map { d =>
+                if (d._2 % 7 == 1) None
+                else Some(java.math.BigDecimal.valueOf(
+                  d._2 * 12345L - d._3, 3): Any)
+              }.toIndexedSeq))
+          val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
+            (sid % 4).toInt)
+          val rpg = if ((sid / 4) % 2 == 0) Int.MaxValue else 3
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec, rowsPerGroup = rpg))
+          sid
+        }.count(): Unit
+    }
+    spark.read.parquet(root)
+      .select(col("doc_id"), col("ts"),
+        col("day").cast("string").as("day"),
+        (col("amt") * 1000).cast("long").as("amt_milli"))
+      .orderBy("doc_id")
+  }
+
   /** ORC WRITE round trip, NESTED + DICTIONARY (r14): the
     * [[parquetWriteNested]] story for the other columnar format —
     * shard files carrying a DICTIONARY(_V2) string column and a
@@ -224,6 +284,132 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
           .otherwise(size(col("toks")).cast("long")).as("n_toks"),
         expr("aggregate(filter(toks, x -> x is not null), " +
           "0L, (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Parquet WRITE round trip, STRUCT columns (late r14): shard
+    * files carrying a flat `meta{n i64, lang string?, flag bool}`
+    * struct column (null struct / null field rotated by doc_id
+    * residue) emitted by OUR writer — plain-group SchemaElement +
+    * per-field def levels — read back by parquet-mr. The oracle
+    * recomputes every field analytically; null structs surface as
+    * all-null fields. */
+  private[graft] def parquetWriteStruct(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.{WCol, WStructCol}
+    val root = formatFixtureDir(dir, "pqstruct", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t.length) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, Int)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val metas: IndexedSeq[Option[Seq[Option[Any]]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 7 == 3) None
+              else Some(Seq(
+                Some(d._4.toLong: Any),
+                if (id % 11 == 10) None else Some(d._3: Any),
+                Some((id % 3 == 0): Any)))
+            }.toIndexedSeq
+          val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WStructCol("meta", optional = true,
+              fields = Seq(("n", "i64", false),
+                ("lang", "string", true), ("flag", "boolean", false)),
+              values = metas))
+          val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
+            (sid % 4).toInt)
+          val rpg = if ((sid / 4) % 2 == 0) Int.MaxValue else 5
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec, rowsPerGroup = rpg))
+          sid
+        }.count(): Unit
+    }
+    spark.read.parquet(root)
+      .select(col("doc_id"), col("meta.n").as("n"),
+        col("meta.lang").as("lang"),
+        col("meta.flag").cast("long").as("flag"))
+      .orderBy("doc_id")
+  }
+
+  /** ORC WRITE round trip, STRUCT + MAP columns (late r14): the
+    * [[parquetWriteStruct]] story for the other columnar format,
+    * plus a map<string,i64> column (LENGTH runs + key/value
+    * children) probed via element_at. The struct fields answer to
+    * the SAME analytic truth as the parquet twin. */
+  private[graft] def orcWriteStruct(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.{WCol, WStructCol, WMapCol}
+    val root = formatFixtureDir(dir, "orcstruct", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t.length) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, Int)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val metas: IndexedSeq[Option[Seq[Option[Any]]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 7 == 3) None
+              else Some(Seq(
+                Some(d._4.toLong: Any),
+                if (id % 11 == 10) None else Some(d._3: Any),
+                Some((id % 3 == 0): Any)))
+            }.toIndexedSeq
+          val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 13 == 2) None
+              else if (id % 5 == 4) Some(Seq.empty)
+              else Some(Seq(
+                ("n": Any, if (id % 9 == 8) None
+                  else Some(d._4.toLong: Any)),
+                ("id": Any, Some(id: Any))))
+            }.toIndexedSeq
+          val cols: Seq[OrcWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WStructCol("meta", optional = true,
+              fields = Seq(("n", "i64", false),
+                ("lang", "string", true), ("flag", "boolean", false)),
+              values = metas),
+            WMapCol("m", "string", "i64", optional = true,
+              valueOptional = true, values = maps))
+          val codec = Seq("zlib", "none", "snappy")((sid % 3).toInt)
+          val rle = if (sid % 2 == 0) "v2" else "v1"
+          val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 5
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.orc"),
+            OrcWrite.build(cols, codec, rps, rle))
+          sid
+        }.count(): Unit
+    }
+    spark.read.orc(root)
+      .select(col("doc_id"), col("meta.n").as("n"),
+        col("meta.lang").as("lang"),
+        col("meta.flag").cast("long").as("flag"),
+        // map probes: element_at gives NULL for absent key, null
+        // value and null map alike — the oracle mirrors that
+        element_at(col("m"), "n").as("m_n"),
+        element_at(col("m"), "id").as("m_id"))
       .orderBy("doc_id")
   }
 
@@ -1042,6 +1228,55 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |      AS VARCHAR) END AS day,
         |  CASE WHEN doc_id % 7 = 1 THEN NULL
         |    ELSE doc_id * 12345 - n END AS amt_milli
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // OUR parquet writer's ts/date/decimal files read back by
+    // parquet-mr — the IDENTICAL analytic truth as orc_write_rich
+    "parquet_write_rich" ->
+      """WITH d AS (
+        |  SELECT doc_id, strlen(text) AS n FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 2 THEN NULL
+        |    ELSE make_timestamp((doc_id - 500) * 86400000000
+        |      + (doc_id % 7) * 123457) END AS ts,
+        |  CASE WHEN doc_id % 17 = 5 THEN NULL
+        |    ELSE CAST(DATE '1970-01-01' + CAST(
+        |      18000 + doc_id % 1000 - 400 AS INTEGER)
+        |      AS VARCHAR) END AS day,
+        |  CASE WHEN doc_id % 7 = 1 THEN NULL
+        |    ELSE doc_id * 12345 - n END AS amt_milli
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // OUR parquet writer's flat-STRUCT files read back by
+    // parquet-mr; null struct = all-null fields, analytically
+    "parquet_write_struct" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, strlen(text) AS n FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n END AS n,
+        |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
+        |    ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the ORC twin plus map<string,i64> element_at probes (null
+    // map / empty map / null value all collapse to NULL, and the
+    // oracle mirrors the Scala residue order: %13 before %5)
+    "orc_write_struct" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, strlen(text) AS n FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n END AS n,
+        |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
+        |    ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4
+        |      OR doc_id % 9 = 8 THEN NULL
+        |    ELSE n END AS m_n,
+        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
+        |    ELSE doc_id END AS m_id
         |FROM d ORDER BY doc_id""".stripMargin,
     // OUR writer's DICTIONARY + 3-level-list files read back by
     // parquet-mr; list size / element sum recomputed analytically

@@ -12,7 +12,10 @@ package graft.operators
   *    date/decimal(p,s) (ORC type kinds 0/3/4/5/6/7/8/9/15/14)
   *    under the root struct, plus LIST columns of any non-boolean
   *    scalar kind (parent PRESENT + LENGTH runs, child column —
-  *    the token-column shape).
+  *    the token-column shape), flat STRUCT columns (late r14 —
+  *    present-gated children, one entry per non-null parent row)
+  *    and MAP columns (late r14 — LENGTH runs + key/value
+  *    children, keys never null).
   *  - OPTIONAL columns via PRESENT streams (byte-RLE over
   *    MSB-first bitmaps); booleans the same way.
   *  - BOTH integer RLE generations: RLEv1 literal groups, and
@@ -57,6 +60,32 @@ object OrcWrite {
   final case class WListCol(name: String, elemKind: String,
       optional: Boolean, elemOptional: Boolean,
       values: IndexedSeq[Option[Seq[Option[Any]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
+  /** One flat STRUCT column (late r14 — symmetric with
+    * [[ParquetWrite.WStructCol]]): `fields` = (name, kind,
+    * optional) per field, kinds from the scalar [[WCol]] set; a
+    * row is None (null struct, needs `optional`) or the field
+    * values in order. Children carry one entry per NON-NULL
+    * parent row, each behind its own PRESENT stream — the layout
+    * [[OrcData]]'s struct decode walks. */
+  final case class WStructCol(name: String, optional: Boolean,
+      fields: Seq[(String, String, Boolean)],
+      values: IndexedSeq[Option[Seq[Option[Any]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
+  /** One MAP column (late r14): LENGTH runs on the parent, the
+    * key/value children decoded for the total entry count and
+    * zipped per row. Keys are never null (the ORC/Spark map
+    * contract); values may be None when `valueOptional`. Kinds
+    * from the scalar [[WCol]] set minus boolean. */
+  final case class WMapCol(name: String, keyKind: String,
+      valueKind: String, optional: Boolean, valueOptional: Boolean,
+      values: IndexedSeq[Option[Seq[(Any, Option[Any])]]])
       extends AnyWCol {
     def rows: Int = values.length
   }
@@ -357,7 +386,9 @@ object OrcWrite {
           s"dictionary encoding is for string columns (${c.name})")
         case Some(l: WListCol) => require(l.elemKind == "string",
           s"dictionary encoding is for string columns (${l.name})")
-        case _ => sys.error(s"dict column $d not present")
+        case Some(_) => sys.error(
+          s"dictionary on struct/map column $d unsupported")
+        case None => sys.error(s"dict column $d not present")
       }
     }
     val nRows = cols.head.rows
@@ -386,22 +417,53 @@ object OrcWrite {
             require(l.elemOptional || e.isDefined,
               s"null element in ${l.name}"))
         }
+      case sc: WStructCol =>
+        require(sc.fields.nonEmpty, "empty struct")
+        sc.values.foreach {
+          case None => require(sc.optional,
+            s"null struct in required column ${sc.name}")
+          case Some(fvs) =>
+            require(fvs.length == sc.fields.length,
+              s"struct arity drift in ${sc.name}")
+            fvs.zip(sc.fields).foreach { case (v, (fn, _, fOpt)) =>
+              require(fOpt || v.isDefined,
+                s"null field $fn in ${sc.name}")
+            }
+        }
+      case mc: WMapCol =>
+        require(mc.keyKind != "boolean" &&
+          mc.valueKind != "boolean",
+          "boolean map keys/values unsupported")
+        mc.values.foreach {
+          case None => require(mc.optional,
+            s"null map in required column ${mc.name}")
+          case Some(kvs) => kvs.foreach { case (_, v) =>
+            require(mc.valueOptional || v.isDefined,
+              s"null value in ${mc.name}")
+          }
+        }
     }
     require(rowsPerStripe > 0, "rowsPerStripe must be positive")
     // type-tree column ids: root 0, then depth-first (a list's
     // child follows its parent)
     val selfId = new Array[Int](cols.length)
-    val childId = new Array[Int](cols.length)
+    val childIds = new Array[Seq[Int]](cols.length)
     var nextId = 1
     cols.zipWithIndex.foreach { case (c, i) =>
       selfId(i) = nextId
       nextId += 1
       c match {
-        case _: WListCol => childId(i) = nextId; nextId += 1
-        case _ => childId(i) = -1
+        case _: WListCol =>
+          childIds(i) = Seq(nextId); nextId += 1
+        case sc: WStructCol =>
+          childIds(i) = sc.fields.indices.map(_ + nextId)
+          nextId += sc.fields.length
+        case _: WMapCol =>
+          childIds(i) = Seq(nextId, nextId + 1); nextId += 2
+        case _ => childIds(i) = Nil
       }
     }
-    val treeSize = nextId // root + every column + list children
+    val treeSize = nextId // root + every column + its children
     def intRun(vals: Seq[Long], signed: Boolean): Array[Byte] =
       if (v2) intRleV2(vals, signed) else intRleV1(vals, signed)
     val codecId = codec match {
@@ -546,13 +608,54 @@ object OrcWrite {
                 boolStream(vals.map(_.isDefined)))))
             streams += ((2, col, section(codecId, intRun(
               vals.flatten.map(_.length.toLong), signed = false))))
-            val child = childId(ci)
+            val child = childIds(ci).head
             val elems: Seq[Option[Any]] = vals.flatten.flatten
             if (lc.elemOptional)
               streams += ((0, child, section(codecId,
                 boolStream(elems.map(_.isDefined)))))
             writeScalar(child, s"${lc.name}.elem", lc.elemKind,
               elems.flatten, dict(lc.name))
+          case sc: WStructCol =>
+            // STRUCT column: PRESENT on the parent; each child
+            // carries one entry per non-null parent row behind
+            // its own PRESENT stream
+            val vals = sc.values.slice(lo, hi)
+            encodings(col - 1) = (0, 0) // struct encoding: DIRECT
+            if (sc.optional)
+              streams += ((0, col, section(codecId,
+                boolStream(vals.map(_.isDefined)))))
+            val rowsNN = vals.flatten
+            sc.fields.zipWithIndex.foreach {
+              case ((fn, fk, fOpt), fi) =>
+                val child = childIds(ci)(fi)
+                val fvs = rowsNN.map(_(fi))
+                if (fOpt)
+                  streams += ((0, child, section(codecId,
+                    boolStream(fvs.map(_.isDefined)))))
+                writeScalar(child, s"${sc.name}.$fn", fk,
+                  fvs.flatten, useDict = false)
+            }
+          case mc: WMapCol =>
+            // MAP column: PRESENT + LENGTH on the parent, the
+            // key/value children sized by the total entry count
+            val vals = mc.values.slice(lo, hi)
+            encodings(col - 1) = (direct, 0)
+            if (mc.optional)
+              streams += ((0, col, section(codecId,
+                boolStream(vals.map(_.isDefined)))))
+            streams += ((2, col, section(codecId, intRun(
+              vals.flatten.map(_.length.toLong), signed = false))))
+            val entries = vals.flatten.flatten
+            val kidK = childIds(ci)(0)
+            val kidV = childIds(ci)(1)
+            writeScalar(kidK, s"${mc.name}.key", mc.keyKind,
+              entries.map(_._1), useDict = false)
+            val vops = entries.map(_._2)
+            if (mc.valueOptional)
+              streams += ((0, kidV, section(codecId,
+                boolStream(vops.map(_.isDefined)))))
+            writeScalar(kidV, s"${mc.name}.value", mc.valueKind,
+              vops.flatten, useDict = false)
         }
       }
       val ss = streams.result()
@@ -623,9 +726,25 @@ object OrcWrite {
         case (l: WListCol, ci) =>
           val t = new java.io.ByteArrayOutputStream()
           vfield(t, 1, 10L) // LIST
-          vfield(t, 2, childId(ci).toLong)
+          vfield(t, 2, childIds(ci).head.toLong)
           sfield(f, 4, t.toByteArray)
           sfield(f, 4, scalarType(l.elemKind))
+        case (sc: WStructCol, ci) =>
+          val t = new java.io.ByteArrayOutputStream()
+          vfield(t, 1, 12L) // STRUCT
+          childIds(ci).foreach(id => vfield(t, 2, id.toLong))
+          sc.fields.foreach { case (fn, _, _) =>
+            sfield(t, 3, fn.getBytes("UTF-8")) }
+          sfield(f, 4, t.toByteArray)
+          sc.fields.foreach { case (_, fk, _) =>
+            sfield(f, 4, scalarType(fk)) }
+        case (mc: WMapCol, ci) =>
+          val t = new java.io.ByteArrayOutputStream()
+          vfield(t, 1, 11L) // MAP
+          childIds(ci).foreach(id => vfield(t, 2, id.toLong))
+          sfield(f, 4, t.toByteArray)
+          sfield(f, 4, scalarType(mc.keyKind))
+          sfield(f, 4, scalarType(mc.valueKind))
       }
     }
     vfield(f, 6, nRows.toLong)

@@ -18,7 +18,11 @@ package graft.operators
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
-  *    them as strings).
+  *    them as strings), plus the RICH logical kinds (late r14,
+  *    symmetric with [[OrcWrite]]): `ts` (INT64 +
+  *    TIMESTAMP_MICROS), `date` (INT32 + DATE) and
+  *    `decimal(p≤18,s)` (INT64 + DECIMAL with scale/precision in
+  *    the SchemaElement).
   *  - DICTIONARY encoding ([[WCol]] names passed in `dict`): a
   *    PLAIN_DICTIONARY dictionary page (first-occurrence order)
   *    + data-page indices as the 1-byte-width RLE/bit-packed
@@ -55,7 +59,11 @@ object ParquetWrite {
   }
 
   /** One flat column: `kind` ∈ boolean/i32/i64/f32/f64/string/
-    * binary; one Option per row (None only when `optional`). */
+    * binary/ts/date/decimal(p,s); one Option per row (None only
+    * when `optional`). `ts` values are epoch MICROS (Long,
+    * TIMESTAMP_MICROS annotation), `date` epoch days (Int, DATE),
+    * `decimal` java.math.BigDecimal at exactly the declared scale
+    * (INT64 + DECIMAL(p≤18,s)). */
   final case class WCol(name: String, kind: String,
       optional: Boolean, values: IndexedSeq[Option[Any]])
       extends AnyWCol {
@@ -83,13 +91,22 @@ object ParquetWrite {
     def rows: Int = values.length
   }
 
+  private[graft] val DecimalKind = """decimal\((\d+),(\d+)\)""".r
+
   private def physType(kind: String): Int = kind match {
     case "boolean" => 0
-    case "i32" => 1
-    case "i64" => 2
+    case "i32" | "date" => 1
+    case "i64" | "ts" => 2
     case "f32" => 4
     case "f64" => 5
     case "string" | "binary" => 6
+    case DecimalKind(pStr, sStr) =>
+      // the plain stream carries the unscaled value as an INT64 —
+      // bound precision up front instead of overflowing mid-page
+      require(pStr.toInt >= 1 && pStr.toInt <= 18 &&
+        sStr.toInt >= 0 && sStr.toInt <= pStr.toInt,
+        s"decimal precision 1..18 supported ($kind)")
+      2
     case k => sys.error(s"unsupported column kind $k")
   }
 
@@ -270,11 +287,21 @@ object ParquetWrite {
           if (n == 8) { b.write(acc); acc = 0; n = 0 }
         }
         if (n > 0) b.write(acc)
-      case "i32" =>
+      case "i32" | "date" =>
         vals.foreach(v => w32(b, v.asInstanceOf[Int].toLong))
-      case "i64" =>
+      case "i64" | "ts" =>
         vals.foreach { v =>
           val l = v.asInstanceOf[Long]
+          var i = 0
+          while (i < 8) {
+            b.write(((l >>> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+      case DecimalKind(_, sStr) =>
+        val scale = sStr.toInt
+        vals.foreach { v =>
+          val bd = v.asInstanceOf[java.math.BigDecimal]
+          require(bd.scale == scale, s"decimal scale drift: $bd")
+          val l = bd.unscaledValue.longValueExact
           var i = 0
           while (i < 8) {
             b.write(((l >>> (8 * i)) & 0xff).toInt); i += 1 }
@@ -570,6 +597,21 @@ object ParquetWrite {
     // footer
     val f = new TWriter
     f.i32(1, 1L) // version
+    /** SchemaElement logical annotations past the physical type:
+      * converted_type (6), and scale/precision (7/8) for DECIMAL —
+      * the legacy annotation set every reader generation resolves
+      * (parquet-mr maps TIMESTAMP_MICROS/DATE/DECIMAL to the same
+      * logical types the new union would carry). */
+    def leafExtras(kind: String): Unit = kind match {
+      case "string" => f.i32(6, 0L) // UTF8
+      case "date" => f.i32(6, 6L) // DATE
+      case "ts" => f.i32(6, 10L) // TIMESTAMP_MICROS
+      case DecimalKind(pStr, sStr) =>
+        f.i32(6, 5L) // DECIMAL
+        f.i32(7, sStr.toLong) // scale
+        f.i32(8, pStr.toLong) // precision
+      case _ => ()
+    }
     val schemaElemCount = 1 + cols.map {
       case _: WCol => 1
       case _: WListCol => 3
@@ -586,7 +628,7 @@ object ParquetWrite {
         f.i32(1, physType(c.kind).toLong)
         f.i32(3, if (c.optional) 1L else 0L) // repetition
         f.str(4, c.name)
-        if (c.kind == "string") f.i32(6, 0L) // converted_type UTF8
+        leafExtras(c.kind)
         f.elemStructEnd()
       case c: WStructCol =>
         f.elemStructBegin() // plain group
@@ -599,7 +641,7 @@ object ParquetWrite {
           f.i32(1, physType(fk).toLong)
           f.i32(3, if (fOpt) 1L else 0L)
           f.str(4, fn)
-          if (fk == "string") f.i32(6, 0L)
+          leafExtras(fk)
           f.elemStructEnd()
         }
       case c: WListCol =>
@@ -618,7 +660,7 @@ object ParquetWrite {
         f.i32(1, physType(c.elemKind).toLong)
         f.i32(3, if (c.elemOptional) 1L else 0L)
         f.str(4, "element")
-        if (c.elemKind == "string") f.i32(6, 0L)
+        leafExtras(c.elemKind)
         f.elemStructEnd()
     }
     f.i64(3, nRows.toLong)

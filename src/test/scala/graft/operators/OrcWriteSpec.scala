@@ -298,6 +298,103 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("flat STRUCT columns: null struct / null field round-trip " +
+    "via Spark and our decoder (late r14)") {
+    val n = 600
+    val pts: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else Some(Seq(
+          Some(i.toLong * 3),
+          if (i % 5 == 4) None else Some(s"p${i % 17}"),
+          Some(i % 2 == 0)))
+      }
+    val cols: Seq[OrcWrite.AnyWCol] = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WStructCol("pt", optional = true,
+        fields = Seq(("x", "i64", false), ("tag", "string", true),
+          ("on", "boolean", false)),
+        values = pts))
+    for ((codec, rle, rps) <- Seq(("zlib", "v1", Int.MaxValue),
+      ("none", "v2", 130), ("snappy", "v2", Int.MaxValue))) {
+      val bytes = OrcWrite.build(cols, codec, rps, rle)
+      val (_, got) = OrcData.decodeFileDeep(bytes)
+        .getOrElse(fail(s"our decoder rejected structs $codec/$rle"))
+      (0 until n).foreach { i =>
+        assert(got(1)(i) == pts(i), s"pt at $i ($rle)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ows")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.orc(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      assert(df.schema("pt").dataType == StructType(Seq(
+        StructField("x", LongType),
+        StructField("tag", StringType),
+        StructField("on", BooleanType))))
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val g = Option(rows(i).get(1)).map { r0 =>
+          val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+          Seq(Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+        }
+        assert(g == pts(i), s"spark pt at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
+  test("MAP columns: null map / empty map / null value round-trip " +
+    "via Spark and our decoder (late r14)") {
+    val n = 500
+    val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 3) + 1).map { j =>
+          (s"k${(i + j) % 11}": Any,
+            if ((i + j) % 9 == 8) None
+            else Some((i.toLong * 10 + j): Any))
+        })
+      }
+    val cols: Seq[OrcWrite.AnyWCol] = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WMapCol("m", "string", "i64", optional = true,
+        valueOptional = true, values = maps))
+    for ((codec, rle, rps) <- Seq(("zlib", "v2", Int.MaxValue),
+      ("none", "v1", 120))) {
+      val bytes = OrcWrite.build(cols, codec, rps, rle)
+      // our decoder zips entries as Some(Seq(key, value)) rows
+      val (_, got) = OrcData.decodeFileDeep(bytes)
+        .getOrElse(fail(s"our decoder rejected maps $codec/$rle"))
+      (0 until n).foreach { i =>
+        val want = maps(i).map(_.map { case (k, v) =>
+          Some(Seq(Some(k), v): Seq[Option[Any]]): Option[Any]
+        }: Seq[Option[Any]])
+        assert(got(1)(i) == want, s"map at $i ($rle)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owm")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.orc(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      assert(df.schema("m").dataType ==
+        MapType(StringType, LongType, valueContainsNull = true))
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val g = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Map[Any, Any]]
+            .toSeq.map { case (k, v) => (k, Option(v)) }.sortBy(
+              _._1.toString))
+        val want = maps(i).map(_.sortBy(_._1.toString))
+        assert(g == want, s"spark map at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(

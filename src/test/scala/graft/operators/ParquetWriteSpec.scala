@@ -387,6 +387,95 @@ class ParquetWriteSpec extends AnyFunSuite {
         IndexedSeq(Some(Seq(None)))))))
   }
 
+  test("RICH logical kinds ts/date/decimal round-trip via " +
+    "parquet-mr AND our raw page walker (late r14)") {
+    val n = 600
+    val micros = (0 until n).map { i =>
+      if (i % 13 == 2) None
+      // pre-1970 for i < 500 — negative micros, the sign-sensitive
+      // edge orc-core needed a quirk for; parquet is plain i64
+      else Some((i - 500L) * 86400000000L + (i % 7) * 123457L)
+    }
+    val days = (0 until n).map { i =>
+      if (i % 17 == 5) None else Some(i - 400)
+    }
+    val amts = (0 until n).map { i =>
+      if (i % 7 == 1) None
+      else Some(java.math.BigDecimal.valueOf(i * 12345L - 99L, 3))
+    }
+    val cols = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WCol("ts", "ts", optional = true,
+        micros.map(_.map(v => v: Any))),
+      ParquetWrite.WCol("day", "date", optional = true,
+        days.map(_.map(v => v: Any))),
+      ParquetWrite.WCol("amt", "decimal(14,3)", optional = true,
+        amts.map(_.map(v => v: Any))))
+    for ((codec, rpg) <- Seq(("snappy", Int.MaxValue),
+      ("zstd", 128))) {
+      val bytes = ParquetWrite.build(cols, codec, rowsPerGroup = rpg)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwr")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.parquet(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.schema("day").dataType == DateType)
+      assert(df.schema("amt").dataType == DecimalType(14, 3))
+      val rows = df.collect().sortBy(_.getLong(0))
+      assert(rows.length == n)
+      (0 until n by 7).foreach { i =>
+        val r = rows(i)
+        micros(i) match {
+          case None => assert(r.isNullAt(1))
+          case Some(us) =>
+            // Timestamp.getTime is millis; compare at micros via
+            // the internal epoch-micros round trip
+            val got = r.getTimestamp(1)
+            // floorDiv: getTime truncates toward zero pre-1970
+            val gotUs = Math.floorDiv(got.getTime, 1000L) *
+              1000000L + got.getNanos / 1000
+            assert(gotUs == us, s"ts at $i")
+        }
+        days(i) match {
+          case None => assert(r.isNullAt(2))
+          case Some(d) =>
+            assert(r.getDate(2).toLocalDate.toEpochDay == d.toLong,
+              s"day at $i")
+        }
+        amts(i) match {
+          case None => assert(r.isNullAt(3))
+          case Some(a) =>
+            assert(r.getDecimal(3).compareTo(a) == 0, s"amt at $i")
+        }
+      }
+      // our own walker surfaces the raw physical values
+      val (leaves, vals) = ParquetData.decodeFile(bytes)
+        .getOrElse(fail("our page walker rejected the rich file"))
+      assert(leaves.map(_.name) == Seq("id", "ts", "day", "amt"))
+      val elems = ParquetFooter.parse(bytes).get.schemaElems
+      assert(elems.find(_.name == "ts")
+        .exists(_.convertedType == 10)) // TIMESTAMP_MICROS
+      assert(elems.find(_.name == "day")
+        .exists(_.convertedType == 6)) // DATE
+      assert(elems.find(_.name == "amt")
+        .exists(_.convertedType == 5)) // DECIMAL
+      (0 until n by 11).foreach { i =>
+        assert(vals(1)(i) == micros(i), s"raw micros at $i")
+        assert(vals(2)(i).map {
+          case l: Long => l.toInt
+          case x: Int => x
+        } == days(i), s"raw days at $i")
+        assert(vals(3)(i).map {
+          case l: Long => l
+          case x: Int => x.toLong
+        } == amts(i).map(_.unscaledValue.longValueExact),
+          s"raw unscaled at $i")
+      }
+    }
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
