@@ -1227,8 +1227,13 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
             idBuf.array()),
           Hdf5.WDataset("label", Seq(n.toLong), "i4",
             labBuf.array(), compact = true))
+        // latest shards also rotate DENSE root-group links (late
+        // r14: fractal heap + name-index v2 b-tree) — the values
+        // are link-storage-invariant, so the oracle pins that the
+        // dense walk resolves the same children
         (sid, if (sid % 2 == 0) Hdf5.build(dsets)
-          else Hdf5.buildLatest(dsets))
+          else Hdf5.buildLatest(dsets,
+            denseLinks = (sid / 2) % 2 == 1))
       }
   }
   /** Decode (shardId, h5 bytes) rows — shared by the in-memory,

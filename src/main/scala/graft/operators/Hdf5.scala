@@ -176,6 +176,34 @@ object Hdf5 {
       v2Group)
   }
 
+  /** One serialized LINK message (spec IV.A.2.g) — the same wire
+    * layout as a type-0x0006 header message AND as a dense-storage
+    * fractal-heap object. Hard links only (soft/external reject):
+    * (name, child object-header address). */
+  private def parseLinkBody(d: Array[Byte], body: Int, end: Int)
+      : Option[(String, Long)] = {
+    if (end - body < 3) return None
+    if ((d(body) & 0xff) != 1) return None
+    val flags = d(body + 1) & 0xff
+    var p = body + 2
+    var linkType = 0
+    if ((flags & 0x08) != 0) { linkType = d(p) & 0xff; p += 1 }
+    if (linkType != 0) return None // soft/external: reject
+    if ((flags & 0x04) != 0) p += 8 // creation order
+    if ((flags & 0x10) != 0) p += 1 // charset
+    val lenSz = 1 << (flags & 0x03)
+    if (p + lenSz > end) return None
+    var nameLen = 0L
+    var j = 0
+    while (j < lenSz) { nameLen |= (d(p + j) & 0xffL) << (8 * j)
+      j += 1 }
+    p += lenSz
+    if (nameLen < 1 || nameLen > 4096 ||
+      p + nameLen + 8 > end) return None
+    val name = new String(d, p, nameLen.toInt, "UTF-8")
+    Some((name, u64(d, p + nameLen.toInt)))
+  }
+
   /** One message body shared by the v1 and v2 framers; returns
     * false on malformation. Continuations are framer-specific and
     * NOT handled here. */
@@ -351,29 +379,20 @@ object Hdf5 {
         if ((flags & 0x01) != 0) p += 8 // max creation index
         if (p + 16 > end) return false
         val fheap = u64(d, p)
-        if (fheap != Undef) return false // dense links: reject
+        if (fheap != Undef) {
+          // DENSE link storage (late r14): the links live as
+          // fractal-heap objects indexed by a name-order v2
+          // b-tree — walk the index, resolve each heap id
+          val nameBt = u64(d, p + 8)
+          val ls = denseLinks(d, fheap, nameBt)
+            .getOrElse(return false)
+          ls.foreach(acc.links += _)
+        }
         acc.v2Group = true
       case 0x0006 => // link message (v2 compact link)
-        if (mSize < 3) return false
-        if ((d(body) & 0xff) != 1) return false
-        val flags = d(body + 1) & 0xff
-        var p = body + 2
-        var linkType = 0
-        if ((flags & 0x08) != 0) { linkType = d(p) & 0xff; p += 1 }
-        if (linkType != 0) return false // soft/external: reject
-        if ((flags & 0x04) != 0) p += 8 // creation order
-        if ((flags & 0x10) != 0) p += 1 // charset
-        val lenSz = 1 << (flags & 0x03)
-        if (p + lenSz > end) return false
-        var nameLen = 0L
-        var j = 0
-        while (j < lenSz) { nameLen |= (d(p + j) & 0xffL) << (8 * j)
-          j += 1 }
-        p += lenSz
-        if (nameLen < 0 || nameLen > 4096 ||
-          p + nameLen + 8 > end) return false
-        val name = new String(d, p, nameLen.toInt, "UTF-8")
-        acc.links += ((name, u64(d, p + nameLen.toInt)))
+        val parsed = parseLinkBody(d, body, end)
+          .getOrElse(return false)
+        acc.links += parsed
         acc.v2Group = true
       case _ => () // NIL, fill value, group info, attributes, …
     }
@@ -1089,6 +1108,273 @@ object Hdf5 {
     if (n <= 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(n)
   /** H5VM_limit_enc_size: bytes needed to encode values ≤ limit. */
   private def encSize(limit: Long): Int = log2gen(limit) / 8 + 1
+
+  /** Generic VERSION 2 B-TREE walk returning RAW record bytes in
+    * tree order ("BTHD" header, "BTIN"/"BTLF" nodes — the same
+    * H5B2 geometry as [[btree2Entries]], record layout left to the
+    * caller). Used for the dense-link NAME index (record type 5:
+    * u32 name hash + fractal-heap id). */
+  private def btree2RawRecords(r: Rd, hdrAddr: Long, recType: Int,
+      expRecSize: Int): Option[Seq[Array[Byte]]] = {
+    if (hdrAddr == Undef) return Some(Seq.empty)
+    val d = r.d
+    if (!r.check(hdrAddr, 36)) return None
+    val h = hdrAddr.toInt
+    if (d(h) != 'B' || d(h + 1) != 'T' || d(h + 2) != 'H' ||
+      d(h + 3) != 'D') return None
+    if ((d(h + 4) & 0xff) != 0) return None // version
+    if ((d(h + 5) & 0xff) != recType) return None
+    val nodeSize = u32(d, h + 6)
+    val recSize = (d(h + 10) & 0xff) | ((d(h + 11) & 0xff) << 8)
+    val depth = (d(h + 12) & 0xff) | ((d(h + 13) & 0xff) << 8)
+    val rootAddr = u64(d, h + 16)
+    val rootNrec = (d(h + 24) & 0xff) | ((d(h + 25) & 0xff) << 8)
+    val totalNrec = u64(d, h + 26)
+    if (u32(d, h + 34) != lookup3(d, h, 34)) return None
+    if (nodeSize < 64 || nodeSize > (1 << 24)) return None
+    if (depth > 16) return None
+    if (recSize != expRecSize) return None
+    if (totalNrec > (1L << 20)) return None // crafted bomb
+    val leafMax = ((nodeSize - 10) / recSize).toInt
+    if (leafMax < 1) return None
+    val maxNrecSize = encSize(leafMax.toLong)
+    val cum = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    cum(0) = leafMax.toLong
+    cumSize(0) = 0
+    var u = 1
+    while (u <= depth) {
+      val ptr = 8 + maxNrecSize + cumSize(u - 1)
+      val intMax = ((nodeSize - (10 + ptr)) / (recSize + ptr)).toInt
+      if (intMax < 1) return None
+      cum(u) = (intMax + 1).toLong * cum(u - 1) + intMax
+      cumSize(u) = encSize(cum(u))
+      u += 1
+    }
+    val out = Seq.newBuilder[Array[Byte]]
+    var seen = 0L
+    def walk(addr: Long, nrec: Int, dep: Int, budget: Int)
+        : Boolean = {
+      if (budget <= 0 || nrec < 0) return false
+      if (addr == Undef) return nrec == 0
+      if (dep == 0) {
+        val used = 6L + nrec.toLong * recSize
+        if (nrec > leafMax || !r.check(addr, used + 4)) return false
+        val b = addr.toInt
+        if (d(b) != 'B' || d(b + 1) != 'T' || d(b + 2) != 'L' ||
+          d(b + 3) != 'F') return false
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != recType) return false
+        if (u32(d, (addr + used).toInt) !=
+          lookup3(d, b, used.toInt)) return false
+        var i = 0
+        while (i < nrec) {
+          out += java.util.Arrays.copyOfRange(d,
+            b + 6 + i * recSize, b + 6 + (i + 1) * recSize)
+          seen += 1
+          i += 1
+        }
+        true
+      } else {
+        val ptrSize = 8 + maxNrecSize +
+          (if (dep > 1) cumSize(dep - 1) else 0)
+        val used = 6L + nrec.toLong * recSize +
+          (nrec + 1).toLong * ptrSize
+        if (!r.check(addr, used + 4)) return false
+        val b = addr.toInt
+        if (d(b) != 'B' || d(b + 1) != 'T' || d(b + 2) != 'I' ||
+          d(b + 3) != 'N') return false
+        if ((d(b + 4) & 0xff) != 0 ||
+          (d(b + 5) & 0xff) != recType) return false
+        if (u32(d, (addr + used).toInt) !=
+          lookup3(d, b, used.toInt)) return false
+        val ptrs0 = b + 6 + nrec * recSize
+        var i = 0
+        while (i <= nrec) {
+          val p0 = ptrs0 + i * ptrSize
+          val cAddr = u64(d, p0)
+          var cNrec = 0L
+          var j = 0
+          while (j < maxNrecSize) {
+            cNrec |= (d(p0 + 8 + j) & 0xffL) << (8 * j); j += 1 }
+          if (cNrec > Int.MaxValue) return false
+          if (!walk(cAddr, cNrec.toInt, dep - 1, budget - 1))
+            return false
+          if (i < nrec) {
+            out += java.util.Arrays.copyOfRange(d,
+              b + 6 + i * recSize, b + 6 + (i + 1) * recSize)
+            seen += 1
+          }
+          i += 1
+        }
+        true
+      }
+    }
+    if (!walk(rootAddr, rootNrec, depth, 64)) return None
+    if (seen != totalNrec) return None
+    Some(out.result())
+  }
+
+  /** DENSE link storage (late r14, spec IV.A.1 fractal heap +
+    * IV.A.2 v2 b-tree): resolve every link of a group whose Link
+    * Info message carries a fractal-heap address. The NAME-index
+    * b-tree (record type 5: u32 lookup3 name hash + 7-byte managed
+    * heap id) enumerates the links; each heap id resolves through
+    * the heap's doubling table into a direct block, where the
+    * object bytes are one serialized link message. Managed objects
+    * only (links are never huge/tiny at 4096-byte name caps);
+    * filtered heaps, indirect-block recursion past the direct rows
+    * and checksum failures all reject — never mis-read. */
+  private def denseLinks(d: Array[Byte], fheapAddr: Long,
+      btAddr: Long): Option[Seq[(String, Long)]] = {
+    val r = new Rd(d)
+    if (fheapAddr == Undef || btAddr == Undef) return None
+    if (!r.check(fheapAddr, 146)) return None
+    val h = fheapAddr.toInt
+    if (d(h) != 'F' || d(h + 1) != 'R' || d(h + 2) != 'H' ||
+      d(h + 3) != 'P') return None
+    if ((d(h + 4) & 0xff) != 0) return None // version
+    val idLen = u16(d, h + 5)
+    val ioFilterLen = u16(d, h + 7)
+    if (ioFilterLen != 0) return None // link heaps never filter
+    val flags = d(h + 9) & 0xff
+    val maxObj = u32(d, h + 10)
+    val nManaged = u64(d, h + 14 + 8 * 7)
+    val tblWidth = u16(d, h + 110)
+    val startSize = u64(d, h + 112)
+    val maxDirect = u64(d, h + 120)
+    val maxHeapBits = u16(d, h + 128)
+    val rootAddr = u64(d, h + 132)
+    val curRows = u16(d, h + 140)
+    if (u32(d, h + 142) != lookup3(d, h, 142)) return None
+    if (tblWidth < 1 || tblWidth > 1024) return None
+    if (startSize < 256 || maxDirect < startSize ||
+      maxDirect > (1L << 24) ||
+      java.lang.Long.bitCount(startSize) != 1 ||
+      java.lang.Long.bitCount(maxDirect) != 1) return None
+    if (maxHeapBits < 1 || maxHeapBits > 64) return None
+    if (maxObj < 1 || maxObj > (1L << 24)) return None
+    if (nManaged > (1L << 20)) return None
+    val offBytes = (maxHeapBits + 7) / 8
+    val lenBytes = encSize(maxObj)
+    if (idLen != 1 + offBytes + lenBytes) return None
+    val ckDblocks = (flags & 0x02) != 0
+    val prefix = 4 + 1 + 8 + offBytes + (if (ckDblocks) 4 else 0)
+    val maxDirectRows = (63 - java.lang.Long
+      .numberOfLeadingZeros(maxDirect)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(startSize)) + 2
+    def rowSize(row: Int): Long =
+      if (row < 2) startSize else startSize << (row - 1)
+    /** Direct block at `addr` covering heap offset `expOff`:
+      * signature/version/back-pointer/offset/checksum must all
+      * agree or the block is rejected. */
+    def checkDirect(addr: Long, expOff: Long, size: Long)
+        : Boolean = {
+      if (size > (1L << 24) || !r.in(addr, size)) return false
+      val b = addr.toInt
+      if (d(b) != 'F' || d(b + 1) != 'H' || d(b + 2) != 'D' ||
+        d(b + 3) != 'B') return false
+      if ((d(b + 4) & 0xff) != 0) return false
+      if (u64(d, b + 5) != fheapAddr) return false
+      var off = 0L
+      var j = 0
+      while (j < offBytes) {
+        off |= (d(b + 13 + j) & 0xffL) << (8 * j); j += 1 }
+      if (off != expOff) return false
+      if (ckDblocks) {
+        val copy = java.util.Arrays.copyOfRange(d, b,
+          b + size.toInt)
+        val ckAt = 13 + offBytes
+        val stored = u32(d, b + ckAt)
+        java.util.Arrays.fill(copy, ckAt, ckAt + 4, 0.toByte)
+        if (stored != lookup3(copy, 0, copy.length)) return false
+      }
+      true
+    }
+    // (heap offset, file addr, size) per direct block
+    val blocks = Seq.newBuilder[(Long, Long, Long)]
+    if (rootAddr != Undef) {
+      if (curRows == 0) {
+        // root IS a direct block; libhdf5 keeps it at the starting
+        // block size — if checksummed, a doubled root is still
+        // found by widening until the checksum matches
+        var size = startSize
+        var found = checkDirect(rootAddr, 0L, size)
+        while (!found && ckDblocks && size < maxDirect) {
+          size *= 2
+          found = checkDirect(rootAddr, 0L, size)
+        }
+        if (!found) return None
+        blocks += ((0L, rootAddr, size))
+      } else {
+        // root indirect block: direct rows only (a link heap deep
+        // enough for indirect children would exceed any real
+        // directory; reject rather than guess)
+        if (curRows > maxDirectRows) return None
+        val ibPrefix = 4 + 1 + 8 + offBytes
+        val nEntries = curRows * tblWidth
+        val used = ibPrefix.toLong + nEntries.toLong * 8
+        if (!r.check(rootAddr, used + 4)) return None
+        val ib = rootAddr.toInt
+        if (d(ib) != 'F' || d(ib + 1) != 'H' || d(ib + 2) != 'I' ||
+          d(ib + 3) != 'B') return None
+        if ((d(ib + 4) & 0xff) != 0) return None
+        if (u64(d, ib + 5) != fheapAddr) return None
+        var j = 0
+        var bOff = 0L
+        while (j < offBytes) {
+          bOff |= (d(ib + 13 + j) & 0xffL) << (8 * j); j += 1 }
+        if (bOff != 0L) return None
+        if (u32(d, (rootAddr + used).toInt) !=
+          lookup3(d, ib, used.toInt)) return None
+        var rowStart = 0L
+        var row = 0
+        while (row < curRows) {
+          val sz = rowSize(row)
+          var c = 0
+          while (c < tblWidth) {
+            val a = u64(d, ib + ibPrefix + (row * tblWidth + c) * 8)
+            if (a != Undef) {
+              val off = rowStart + c * sz
+              if (!checkDirect(a, off, sz)) return None
+              blocks += ((off, a, sz))
+            }
+            c += 1
+          }
+          rowStart += tblWidth * sz
+          row += 1
+        }
+      }
+    }
+    val blks = blocks.result()
+    val recs = btree2RawRecords(r, btAddr, 5, 4 + idLen)
+      .getOrElse(return None)
+    if (recs.length.toLong != nManaged) return None
+    val out = Seq.newBuilder[(String, Long)]
+    recs.foreach { rec =>
+      val b0 = rec(4) & 0xff
+      // managed, id version 0 (huge/tiny links don't happen under
+      // the 4096-byte name cap — reject, never mis-read)
+      if ((b0 & 0xf0) != 0) return None
+      var off = 0L
+      var j = 0
+      while (j < offBytes) {
+        off |= (rec(5 + j) & 0xffL) << (8 * j); j += 1 }
+      var len = 0L
+      j = 0
+      while (j < lenBytes) {
+        len |= (rec(5 + offBytes + j) & 0xffL) << (8 * j); j += 1 }
+      if (len < 3 || len > maxObj) return None
+      val blk = blks.find(bl =>
+        off >= bl._1 + prefix && off + len <= bl._1 + bl._3)
+        .getOrElse(return None)
+      val at = blk._2 + (off - blk._1)
+      if (!r.in(at, len)) return None
+      out += parseLinkBody(d, at.toInt, (at + len).toInt)
+        .getOrElse(return None)
+    }
+    Some(out.result())
+  }
 
   /** The v4 VERSION 2 B-TREE chunk index (spec III.A.2: "BTHD"
     * header, "BTIN" internal and "BTLF" leaf nodes; what h5py
@@ -1901,7 +2187,8 @@ object Hdf5 {
     * "FADB" data block, filtered client entries). Everything the
     * v2 read path accepts is emitted here, so round trips pin both
     * directions without libhdf5. */
-  def buildLatest(datasets: Seq[WDataset]): Array[Byte] = {
+  def buildLatest(datasets: Seq[WDataset],
+      denseLinks: Boolean = false): Array[Byte] = {
     require(datasets.nonEmpty, "empty file")
     require(datasets.map(_.name).distinct.length == datasets.length)
     val buf = new java.io.ByteArrayOutputStream(4096)
@@ -2412,15 +2699,11 @@ object Hdf5 {
       (ds.name, ohdr(msgs.toSeq))
     }
 
-    // root group: link info + group info + one link per child
-    val rootMsgs = scala.collection.mutable.ArrayBuffer[
-      (Int, Array[Byte])]()
-    val li = new java.io.ByteArrayOutputStream()
-    li.write(0); li.write(0)
-    w64b(li, Undef); w64b(li, Undef)
-    rootMsgs += ((0x0002, li.toByteArray))
-    rootMsgs += ((0x000a, Array[Byte](0, 0)))
-    children.foreach { case (name, oha) =>
+    // root group: link info + group info + links either COMPACT
+    // (one 0x0006 message per child) or DENSE (late r14: the links
+    // as fractal-heap objects behind a name-index v2 b-tree — the
+    // storage libhdf5 switches to past its compact thresholds)
+    def linkBody(name: String, oha: Long): Array[Byte] = {
       val nb = name.getBytes("UTF-8")
       require(nb.length >= 1 && nb.length <= 255,
         s"link name length ${nb.length}")
@@ -2430,7 +2713,168 @@ object Hdf5 {
       lk.write(nb.length)
       lk.write(nb, 0, nb.length)
       w64b(lk, oha)
-      rootMsgs += ((0x0006, lk.toByteArray))
+      lk.toByteArray
+    }
+    val rootMsgs = scala.collection.mutable.ArrayBuffer[
+      (Int, Array[Byte])]()
+    if (!denseLinks) {
+      val li = new java.io.ByteArrayOutputStream()
+      li.write(0); li.write(0)
+      w64b(li, Undef); w64b(li, Undef)
+      rootMsgs += ((0x0002, li.toByteArray))
+      rootMsgs += ((0x000a, Array[Byte](0, 0)))
+      children.foreach { case (name, oha) =>
+        rootMsgs += ((0x0006, linkBody(name, oha)))
+      }
+    } else {
+      // --- fractal heap: ONE checksummed direct block ---
+      val bodies = children.map { case (n, o) => linkBody(n, o) }
+      val offBytes = 4 // max heap size 32 bits
+      val lenBytes = 2 // max managed object size 4096
+      val dbPrefix = 4 + 1 + 8 + offBytes + 4 // incl. checksum
+      val total = dbPrefix + bodies.map(_.length).sum
+      var blockSize = 512
+      while (blockSize < total) blockSize *= 2
+      require(blockSize <= 65536, "dense-link heap overflow")
+      val dblockAddr = pos
+      val hdrAddr = dblockAddr + blockSize // FRHP follows the block
+      val db = new java.io.ByteArrayOutputStream(blockSize)
+      db.write('F'); db.write('H'); db.write('D'); db.write('B')
+      db.write(0) // version
+      w64b(db, hdrAddr)
+      (0 until offBytes).foreach(_ => db.write(0)) // block offset 0
+      w32b(db, 0L) // checksum slot (patched below)
+      // (heap offset, length) per object, objects packed in order
+      val ids = bodies.map { b =>
+        val off = db.size().toLong
+        db.write(b, 0, b.length)
+        (off, b.length)
+      }
+      while (db.size() < blockSize) db.write(0)
+      val dbb = db.toByteArray
+      val dbCk = lookup3(dbb, 0, blockSize)
+      var ci = 0
+      while (ci < 4) {
+        dbb(13 + offBytes + ci) = ((dbCk >>> (8 * ci)) & 0xff).toByte
+        ci += 1 }
+      buf.write(dbb, 0, blockSize)
+      // --- FRHP header ---
+      val fh = new java.io.ByteArrayOutputStream(160)
+      fh.write('F'); fh.write('R'); fh.write('H'); fh.write('P')
+      fh.write(0) // version
+      w16b(fh, 1 + offBytes + lenBytes) // heap id length (7)
+      w16b(fh, 0) // io filter encoded length
+      fh.write(0x02) // flags: direct blocks checksummed
+      w32b(fh, 4096L) // max size of managed objects
+      w64b(fh, 0L) // next huge id
+      w64b(fh, Undef) // huge-object b-tree
+      w64b(fh, blockSize.toLong - total) // free space
+      w64b(fh, Undef) // free-space manager
+      w64b(fh, blockSize.toLong) // managed space
+      w64b(fh, blockSize.toLong) // allocated managed space
+      w64b(fh, blockSize.toLong) // direct-block iterator offset
+      w64b(fh, bodies.length.toLong) // managed objects
+      w64b(fh, 0L); w64b(fh, 0L) // huge size / count
+      w64b(fh, 0L); w64b(fh, 0L) // tiny size / count
+      w16b(fh, 4) // table width
+      w64b(fh, blockSize.toLong) // starting block size
+      w64b(fh, 65536L) // max direct block size
+      w16b(fh, 32) // max heap size (bits)
+      w16b(fh, 1) // starting # rows in root indirect block
+      w64b(fh, dblockAddr) // root block (direct: curRows == 0)
+      w16b(fh, 0) // current # rows
+      val fhb = fh.toByteArray
+      require(hdrAddr == pos)
+      buf.write(fhb, 0, fhb.length)
+      w32b(buf, lookup3(fhb, 0, fhb.length))
+      // --- name-index v2 b-tree (record type 5) ---
+      val recSize = 4 + 1 + offBytes + lenBytes // hash + heap id
+      val nodeSize = 512
+      val leafCap = (nodeSize - 10) / recSize
+      val maxNrecSize = encSize(leafCap.toLong)
+      val recs = children.zip(ids).map { case ((name, _), (o, l)) =>
+        val nb = name.getBytes("UTF-8")
+        val rb = new java.io.ByteArrayOutputStream(recSize)
+        w32b(rb, lookup3(nb, 0, nb.length)) // name hash
+        rb.write(0) // managed heap id, version 0
+        var j = 0
+        while (j < offBytes) {
+          rb.write(((o >>> (8 * j)) & 0xff).toInt); j += 1 }
+        j = 0
+        while (j < lenBytes) {
+          rb.write(((l >>> (8 * j)) & 0xff).toInt); j += 1 }
+        rb.toByteArray
+      }.sortBy(rb => u32(rb, 0)) // hash order — the tree's key
+      def writeLeaf5(rs: Seq[Array[Byte]]): Long = {
+        val addr = pos
+        val b = new java.io.ByteArrayOutputStream()
+        b.write('B'); b.write('T'); b.write('L'); b.write('F')
+        b.write(0); b.write(5)
+        rs.foreach(rb => b.write(rb, 0, rb.length))
+        val bb = b.toByteArray
+        buf.write(bb, 0, bb.length)
+        w32b(buf, lookup3(bb, 0, bb.length))
+        addr
+      }
+      val n = recs.length
+      val (rootAddr, rootNrec, depth) =
+        if (n <= leafCap) (writeLeaf5(recs), n, 0)
+        else {
+          val k = ((n + 1) + leafCap) / (leafCap + 1)
+          val perLeaf = (n - (k - 1)) / k
+          var extra = (n - (k - 1)) % k
+          var at = 0
+          val leaves = Seq.newBuilder[(Long, Int)]
+          val seps = Seq.newBuilder[Int]
+          (0 until k).foreach { li0 =>
+            val take = perLeaf + (if (extra > 0) 1 else 0)
+            if (extra > 0) extra -= 1
+            val la = writeLeaf5(recs.slice(at, at + take))
+            leaves += ((la, take))
+            at += take
+            if (li0 < k - 1) { seps += at; at += 1 }
+          }
+          val ptrSize = 8 + maxNrecSize
+          val intCap = (nodeSize - (10 + ptrSize)) /
+            (recSize + ptrSize)
+          require(k - 1 <= intCap,
+            "dense-link b-tree writer: depth > 1 not emitted")
+          val ra = pos
+          val b = new java.io.ByteArrayOutputStream()
+          b.write('B'); b.write('T'); b.write('I'); b.write('N')
+          b.write(0); b.write(5)
+          seps.result().foreach(s => b.write(recs(s), 0, recSize))
+          leaves.result().foreach { case (la, cnt) =>
+            w64b(b, la)
+            var j = 0
+            while (j < maxNrecSize) {
+              b.write((cnt >>> (8 * j)) & 0xff); j += 1 }
+          }
+          val bb = b.toByteArray
+          buf.write(bb, 0, bb.length)
+          w32b(buf, lookup3(bb, 0, bb.length))
+          (ra, k - 1, 1)
+        }
+      val bthdAddr = pos
+      val hd = new java.io.ByteArrayOutputStream()
+      hd.write('B'); hd.write('T'); hd.write('H'); hd.write('D')
+      hd.write(0); hd.write(5)
+      w32b(hd, nodeSize.toLong)
+      w16b(hd, recSize)
+      w16b(hd, depth)
+      hd.write(100); hd.write(40) // split/merge percents
+      w64b(hd, rootAddr)
+      w16b(hd, rootNrec)
+      w64b(hd, n.toLong)
+      val hdb = hd.toByteArray
+      buf.write(hdb, 0, hdb.length)
+      w32b(buf, lookup3(hdb, 0, hdb.length))
+      // --- link info pointing at heap + name index ---
+      val li = new java.io.ByteArrayOutputStream()
+      li.write(0); li.write(0)
+      w64b(li, hdrAddr); w64b(li, bthdAddr)
+      rootMsgs += ((0x0002, li.toByteArray))
+      rootMsgs += ((0x000a, Array[Byte](0, 0)))
     }
     val rootOha = ohdr(rootMsgs.toSeq)
 

@@ -410,6 +410,63 @@ class Hdf5Spec extends AnyFunSuite {
     assert(read(v1).isEmpty)
   }
 
+  test("DENSE root-group links: fractal heap + name-index v2 " +
+    "b-tree round-trip, single-leaf and forced-internal (late r14)") {
+    def mk(n: Int): Seq[WDataset] = (0 until n).map { i =>
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(i * 31L - 4)
+      WDataset(f"node$i%03d", Seq(1L), "i8", b.array())
+    }
+    // 6 links: one b-tree leaf, one heap direct block
+    // 120 links: internal b-tree node (leafCap 45 at nodeSize 512)
+    //   and a heap block past the 512-byte start (doubles at build)
+    for (n <- Seq(1, 6, 120)) {
+      val f = buildLatest(mk(n), denseLinks = true)
+      val ds = read(f).getOrElse(fail(s"dense n=$n rejected"))
+      assert(ds.length == n, s"n=$n")
+      assert(ds.map(_.path) ==
+        (0 until n).map(i => f"node$i%03d"), s"names n=$n")
+      (0 until n).foreach { i =>
+        assert(ds(i).arr.longAt(0) == i * 31L - 4, s"val $i/$n")
+      }
+      // the same datasets compact vs dense: identical decode
+      val compact = read(buildLatest(mk(n))).get
+      assert(compact.map(d => (d.path, d.dims)) ==
+        ds.map(d => (d.path, d.dims)), s"compact twin n=$n")
+    }
+  }
+
+  test("DENSE links reject on any structural damage — heap/btree " +
+    "checksums, truncated ids, filtered heaps (late r14)") {
+    val f = buildLatest((0 until 30).map { i =>
+      WDataset(f"x$i%02d", Seq(1L), "i4",
+        Array[Byte](i.toByte, 0, 0, 0))
+    }, denseLinks = true)
+    assert(read(f).isDefined)
+    // locate FRHP and BTHD and corrupt each structure's bytes
+    def find(sig: String): Int = {
+      val s = sig.getBytes("US-ASCII")
+      (0 until f.length - 4).find(i => f(i) == s(0) &&
+        f(i + 1) == s(1) && f(i + 2) == s(2) && f(i + 3) == s(3))
+        .getOrElse(fail(s"$sig not found"))
+    }
+    for (sig <- Seq("FRHP", "FHDB", "BTHD", "BTLF")) {
+      val at = find(sig)
+      // damage a byte INSIDE the structure (past the signature)
+      for (off <- Seq(5, 9, 17, 40)) {
+        val c = f.clone()
+        c(at + off) = (c(at + off) ^ 0x5a).toByte
+        assert(read(c).isEmpty, s"$sig corrupt at +$off accepted")
+      }
+    }
+    // flipping the io-filter length on the heap header must reject
+    val c2 = f.clone()
+    val hp = find("FRHP")
+    c2(hp + 7) = 4
+    assert(read(c2).isEmpty, "filtered heap accepted")
+  }
+
   test("mutation fuzz: corruptions never throw") {
     val base = build(Seq(
       WDataset("a", Seq(6L), "i4",
