@@ -287,20 +287,22 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       .orderBy("doc_id")
   }
 
-  /** Parquet WRITE round trip, STRUCT columns (late r14): shard
-    * files carrying a flat `meta{n i64, lang string?, flag bool}`
-    * struct column (null struct / null field rotated by doc_id
-    * residue) emitted by OUR writer — plain-group SchemaElement +
-    * per-field def levels — read back by parquet-mr. The oracle
-    * recomputes every field analytically; null structs surface as
-    * all-null fields. */
+  /** Parquet WRITE round trip, STRUCT + MAP columns (late r14):
+    * shard files carrying a flat `meta{n i64, lang string?, flag
+    * bool}` struct column (null struct / null field rotated by
+    * doc_id residue) AND a map<string,i64> column (3-level
+    * key_value repetition, two leaves sharing one rep structure)
+    * emitted by OUR writer, read back by parquet-mr. SAME analytic
+    * oracle as [[orcWriteStruct]] — both formats' nested write
+    * paths answer to one truth; null structs surface as all-null
+    * fields, map probes via element_at. */
   private[graft] def parquetWriteStruct(s: SparkSession,
       dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     import graft.operators.ParquetWrite
-    import graft.operators.ParquetWrite.{WCol, WStructCol}
-    val root = formatFixtureDir(dir, "pqstruct", "documents") { out =>
+    import graft.operators.ParquetWrite.{WCol, WStructCol, WMapCol}
+    val root = formatFixtureDir(dir, "pqstruct2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -320,13 +322,25 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
                 if (id % 11 == 10) None else Some(d._3: Any),
                 Some((id % 3 == 0): Any)))
             }.toIndexedSeq
+          val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
+            docs.map { d =>
+              val id = d._2
+              if (id % 13 == 2) None
+              else if (id % 5 == 4) Some(Seq.empty)
+              else Some(Seq(
+                ("n": Any, if (id % 9 == 8) None
+                  else Some(d._4.toLong: Any)),
+                ("id": Any, Some(id: Any))))
+            }.toIndexedSeq
           val cols: Seq[ParquetWrite.AnyWCol] = Seq(
             WCol("doc_id", "i64", optional = false,
               docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
             WStructCol("meta", optional = true,
               fields = Seq(("n", "i64", false),
                 ("lang", "string", true), ("flag", "boolean", false)),
-              values = metas))
+              values = metas),
+            WMapCol("m", "string", "i64", optional = true,
+              valueOptional = true, values = maps))
           val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
             (sid % 4).toInt)
           val rpg = if ((sid / 4) % 2 == 0) Int.MaxValue else 5
@@ -339,7 +353,9 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     spark.read.parquet(root)
       .select(col("doc_id"), col("meta.n").as("n"),
         col("meta.lang").as("lang"),
-        col("meta.flag").cast("long").as("flag"))
+        col("meta.flag").cast("long").as("flag"),
+        element_at(col("m"), "n").as("m_n"),
+        element_at(col("m"), "id").as("m_id"))
       .orderBy("doc_id")
   }
 
@@ -1246,8 +1262,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |  CASE WHEN doc_id % 7 = 1 THEN NULL
         |    ELSE doc_id * 12345 - n END AS amt_milli
         |FROM d ORDER BY doc_id""".stripMargin,
-    // OUR parquet writer's flat-STRUCT files read back by
-    // parquet-mr; null struct = all-null fields, analytically
+    // OUR parquet writer's STRUCT + MAP files read back by
+    // parquet-mr — the IDENTICAL analytic truth as orc_write_struct
     "parquet_write_struct" ->
       """WITH d AS (
         |  SELECT doc_id, lang, strlen(text) AS n FROM documents
@@ -1257,7 +1273,12 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
         |    ELSE lang END AS lang,
         |  CASE WHEN doc_id % 7 = 3 THEN NULL
-        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag
+        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4
+        |      OR doc_id % 9 = 8 THEN NULL
+        |    ELSE n END AS m_n,
+        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
+        |    ELSE doc_id END AS m_id
         |FROM d ORDER BY doc_id""".stripMargin,
     // the ORC twin plus map<string,i64> element_at probes (null
     // map / empty map / null value all collapse to NULL, and the

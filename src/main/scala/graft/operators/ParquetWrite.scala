@@ -91,6 +91,20 @@ object ParquetWrite {
     def rows: Int = values.length
   }
 
+  /** One MAP column (late r14 — symmetric with
+    * [[OrcWrite.WMapCol]]): `optional group (MAP) { repeated group
+    * key_value { required key; value } }` — the key and value
+    * leaves are two column chunks sharing one repetition
+    * structure. Keys are never null (the parquet/Spark map
+    * contract); values may be None when `valueOptional`. Kinds
+    * from the scalar [[WCol]] set minus boolean. */
+  final case class WMapCol(name: String, keyKind: String,
+      valueKind: String, optional: Boolean, valueOptional: Boolean,
+      values: IndexedSeq[Option[Seq[(Any, Option[Any])]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
   private[graft] val DecimalKind = """decimal\((\d+),(\d+)\)""".r
 
   private def physType(kind: String): Int = kind match {
@@ -408,8 +422,54 @@ object ParquetWrite {
   }
 
   /** One column → its column CHUNKS (structs expand to one chunk
-    * per field; everything else is 1:1). */
+    * per field, maps to a key chunk + a value chunk; everything
+    * else is 1:1). */
   private def prepareAll(c: AnyWCol): Seq[PreparedCol] = c match {
+    case mc: WMapCol =>
+      require(mc.keyKind != "boolean" && mc.valueKind != "boolean",
+        "boolean map keys/values unsupported")
+      val dOuter = if (mc.optional) 1 else 0
+      // key leaf: dOuter + 1 (repeated group); value adds one more
+      // when optional. Both leaves share the repetition structure.
+      val kMaxDef = dOuter + 1
+      val vMaxDef = kMaxDef + (if (mc.valueOptional) 1 else 0)
+      val reps = IndexedSeq.newBuilder[Int]
+      val kDefs = IndexedSeq.newBuilder[Int]
+      val vDefs = IndexedSeq.newBuilder[Int]
+      val keys = IndexedSeq.newBuilder[Any]
+      val vals = IndexedSeq.newBuilder[Any]
+      var n = 0
+      mc.values.foreach {
+        case None =>
+          require(mc.optional,
+            s"null map in required column ${mc.name}")
+          reps += 0; kDefs += dOuter - 1; vDefs += dOuter - 1
+          n += 1
+        case Some(kvs) if kvs.isEmpty =>
+          reps += 0; kDefs += dOuter; vDefs += dOuter; n += 1
+        case Some(kvs) =>
+          kvs.zipWithIndex.foreach { case ((k, v), i) =>
+            reps += (if (i == 0) 0 else 1)
+            kDefs += kMaxDef
+            keys += k
+            v match {
+              case Some(x) => vDefs += vMaxDef; vals += x
+              case None =>
+                require(mc.valueOptional,
+                  s"null value in ${mc.name}")
+                vDefs += vMaxDef - 1
+            }
+            n += 1
+          }
+      }
+      val r = reps.result()
+      Seq(
+        PreparedCol(mc, mc.keyKind,
+          Seq(mc.name, "key_value", "key"), 1, kMaxDef,
+          r, kDefs.result(), keys.result(), n),
+        PreparedCol(mc, mc.valueKind,
+          Seq(mc.name, "key_value", "value"), 1, vMaxDef,
+          r, vDefs.result(), vals.result(), n))
     case sc: WStructCol =>
       require(sc.fields.nonEmpty, "empty struct")
       val oGroup = if (sc.optional) 1 else 0
@@ -463,8 +523,8 @@ object ParquetWrite {
       val k = c match {
         case fc: WCol => fc.kind
         case lc: WListCol => lc.elemKind
-        case _: WStructCol =>
-          sys.error(s"dictionary on struct column $d unsupported")
+        case _ =>
+          sys.error(s"dictionary on struct/map column $d unsupported")
       }
       require(k != "boolean", "boolean dictionaries unsupported")
     }
@@ -476,6 +536,7 @@ object ParquetWrite {
       case lc: WListCol => lc.copy(values = lc.values.slice(lo, hi))
       case sc: WStructCol =>
         sc.copy(values = sc.values.slice(lo, hi))
+      case mc: WMapCol => mc.copy(values = mc.values.slice(lo, hi))
     }
     val groupRanges: Seq[(Int, Int)] =
       if (nRows == 0) Seq((0, 0))
@@ -616,6 +677,7 @@ object ParquetWrite {
       case _: WCol => 1
       case _: WListCol => 3
       case sc: WStructCol => 1 + sc.fields.length
+      case _: WMapCol => 4
     }.sum
     f.listBegin(2, 12, schemaElemCount) // schema
     f.elemStructBegin() // root
@@ -644,6 +706,30 @@ object ParquetWrite {
           leafExtras(fk)
           f.elemStructEnd()
         }
+      case c: WMapCol =>
+        f.elemStructBegin() // outer group, converted MAP
+        f.i32(3, if (c.optional) 1L else 0L)
+        f.str(4, c.name)
+        f.i32(5, 1L)
+        f.i32(6, 1L) // converted_type MAP
+        f.elemStructEnd()
+        f.elemStructBegin() // repeated group "key_value"
+        f.i32(3, 2L)
+        f.str(4, "key_value")
+        f.i32(5, 2L)
+        f.elemStructEnd()
+        f.elemStructBegin() // key leaf (required)
+        f.i32(1, physType(c.keyKind).toLong)
+        f.i32(3, 0L)
+        f.str(4, "key")
+        leafExtras(c.keyKind)
+        f.elemStructEnd()
+        f.elemStructBegin() // value leaf
+        f.i32(1, physType(c.valueKind).toLong)
+        f.i32(3, if (c.valueOptional) 1L else 0L)
+        f.str(4, "value")
+        leafExtras(c.valueKind)
+        f.elemStructEnd()
       case c: WListCol =>
         f.elemStructBegin() // outer group, converted LIST
         f.i32(3, if (c.optional) 1L else 0L)

@@ -387,6 +387,65 @@ class ParquetWriteSpec extends AnyFunSuite {
         IndexedSeq(Some(Seq(None)))))))
   }
 
+  test("MAP columns: null map / empty map / null value round-trip " +
+    "via parquet-mr AND decodeFileDeep (late r14)") {
+    val n = 500
+    val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 3) + 1).map { j =>
+          (s"k${(i + j) % 11}": Any,
+            if ((i + j) % 9 == 8) None
+            else Some((i.toLong * 10 + j): Any))
+        })
+      }
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WMapCol("m", "string", "i64", optional = true,
+        valueOptional = true, values = maps))
+    for ((codec, rpg) <- Seq(("snappy", Int.MaxValue),
+      ("gzip", 120))) {
+      val bytes = ParquetWrite.build(cols, codec, rowsPerGroup = rpg)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwm")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.parquet(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      assert(df.schema("m").dataType ==
+        MapType(StringType, LongType, valueContainsNull = true))
+      val rows = df.collect().sortBy(_.getLong(0))
+      assert(rows.length == n)
+      (0 until n).foreach { i =>
+        val g = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Map[Any, Any]]
+            .toSeq.map { case (k, v) => (k, Option(v)) }
+            .sortBy(_._1.toString))
+        val want = maps(i).map(_.sortBy(_._1.toString))
+        assert(g == want, s"spark map at $i ($codec)")
+      }
+      // our own deep walker: each entry row Some(Seq(key, value)),
+      // string keys surfaced as raw BYTE_ARRAYs — stringify them
+      val (_, deepCols) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected the map file"))
+      (0 until n).foreach { i =>
+        val want = maps(i).map(_.map { case (k, v) =>
+          Some(Seq(Some(k), v): Seq[Option[Any]]): Option[Any]
+        }: Seq[Option[Any]])
+        val got = deepCols(1)(i).map(
+          _.asInstanceOf[Seq[Option[Any]]].map(_.map { entry =>
+            entry.asInstanceOf[Seq[Option[Any]]].map(_.map {
+              case b: Array[Byte] => new String(b, "UTF-8")
+              case x => x
+            })
+          }))
+        assert(got == want, s"deep map at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("RICH logical kinds ts/date/decimal round-trip via " +
     "parquet-mr AND our raw page walker (late r14)") {
     val n = 600
