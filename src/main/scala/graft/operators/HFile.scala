@@ -12,8 +12,7 @@ package graft.operators
   *    numbers from hbase-protocol's HFile.proto: file_info_offset
   *    1, load_on_open_data_offset 2, data_index_count 5,
   *    entry_count 7, num_data_index_levels 8, compression_codec
-  *    12). Multi-level indexes (num_data_index_levels > 1) and
-  *    encrypted files reject honestly.
+  *    12). Encrypted files reject honestly.
   *  - BLOCKS: the 33-byte v2 header (8-byte type magic, on-disk
   *    size without header, uncompressed size, prev offset,
   *    checksum type, bytes-per-checksum, on-disk data size with
@@ -22,7 +21,11 @@ package graft.operators
   *    checksum in this repo). Codecs: NONE (2) and GZ (1, gzip
   *    framing); others reject.
   *  - ROOT DATA INDEX (`IDXROOT2`): entry_count × (offset u64,
-  *    on-disk size u32, Hadoop-vint-prefixed first key).
+  *    on-disk size u32, Hadoop-vint-prefixed first key). MULTI-
+  *    LEVEL indexes (late r14): root entries resolve through
+  *    INTERMEDIATE (`IDXINTE2`) / LEAF (`IDXLEAF2`) index blocks
+  *    in the non-root secondary-offset format down to the data
+  *    blocks (up to 3 levels; deeper rejects).
   *  - DATA blocks (`DATABLK*`): KeyValue cells — key/value u32
   *    lengths, key = row-length u16 + row + family-length u8 +
   *    family + qualifier + timestamp u64 + type u8. Cells carry an
@@ -39,6 +42,8 @@ object HFile {
   private val TrailerMagic = "TRABLK\"$".getBytes("ISO-8859-1")
   private val DataMagic = "DATABLK*".getBytes("ISO-8859-1")
   private val RootIdxMagic = "IDXROOT2".getBytes("ISO-8859-1")
+  private val LeafIdxMagic = "IDXLEAF2".getBytes("ISO-8859-1")
+  private val InterIdxMagic = "IDXINTE2".getBytes("ISO-8859-1")
   private val FileInfoMagic = "FILEINF2".getBytes("ISO-8859-1")
   private val PbMagic = "PBUF".getBytes("ISO-8859-1")
   private final val HeaderSize = 33
@@ -250,7 +255,9 @@ object HFile {
       }
     }
     if (loadOnOpen < 0 || dataIndexCount < 0) return None
-    if (indexLevels != 1) return None // multi-level: honest reject
+    // root-only, root→leaf, root→intermediate→leaf (late r14);
+    // deeper trees would mean >10^12 cells in one log block
+    if (indexLevels < 1 || indexLevels > 3) return None
     if (encrypted) return None
     if (codec != 1 && codec != 2) return None // GZ / NONE only
     // memstore-TS flag from FILE INFO (when readable)
@@ -274,9 +281,41 @@ object HFile {
       entries += ((off, sz))
       e += 1
     }
+    // multi-level (late r14): root entries point at INTERMEDIATE /
+    // LEAF index blocks in HBase's non-root secondary-offset
+    // format (u32 count, (count+1) u32 entry offsets, then packed
+    // (u64 block offset, u32 on-disk size, key) entries) — resolve
+    // level by level down to the data blocks
+    var dataEntries: Seq[(Long, Int)] = entries.result()
+    var lvl = indexLevels
+    while (lvl > 1) {
+      val magic = if (lvl == 2) LeafIdxMagic else InterIdxMagic
+      val next = Seq.newBuilder[(Long, Int)]
+      var total = 0L
+      dataEntries.foreach { case (off, _) =>
+        val (blk, _) = readBlock(data, off.toInt, magic,
+          codec == 1L).getOrElse(return None)
+        if (blk.length < 8) return None
+        val n = be32(blk, 0)
+        if (n < 1 || n > (1 << 20)) return None
+        total += n
+        if (total > (1L << 20)) return None
+        val entBase = 4 + 4 * (n + 1)
+        var k = 0
+        while (k < n) {
+          val eo = be32(blk, 4 + 4 * k)
+          val at = entBase + eo
+          if (eo < 0 || at + 12 > blk.length) return None
+          next += ((be64(blk, at), be32(blk, at + 8)))
+          k += 1
+        }
+      }
+      dataEntries = next.result()
+      lvl -= 1
+    }
     // decode data blocks in index order
     val out = Seq.newBuilder[Cell]
-    entries.result().foreach { case (off, _) =>
+    dataEntries.foreach { case (off, _) =>
       val (blk, _) = readBlock(data, off.toInt, DataMagic,
         codec == 1L).getOrElse(return None)
       var q = 0
@@ -351,12 +390,19 @@ object HFile {
     start
   }
 
-  /** Build an HFile from KEY-SORTED (row, value) cells. */
+  /** Build an HFile from KEY-SORTED (row, value) cells.
+    * `indexLevels` 1 = root-only data index; 2 = root → LEAF index
+    * blocks (HBase's non-root secondary-offset format, late r14)
+    * with `leafIndexCap` data blocks per leaf. */
   def build(cells: Seq[(Array[Byte], Array[Byte])],
-      codec: String = "none", blockSize: Int = 65536)
+      codec: String = "none", blockSize: Int = 65536,
+      indexLevels: Int = 1, leafIndexCap: Int = 8)
       : Array[Byte] = {
     require(codec == "none" || codec == "gz",
       s"unsupported hfile codec $codec")
+    require(indexLevels == 1 || indexLevels == 2,
+      s"writer emits 1- or 2-level indexes, got $indexLevels")
+    require(leafIndexCap >= 1, "leafIndexCap must be positive")
     val gz = codec == "gz"
     locally {
       var i = 1
@@ -414,11 +460,34 @@ object HFile {
       if (cur.size() >= blockSize) flush()
     }
     flush()
-    // load-on-open: root data index, then file info
-    val loadOnOpen = buf.size().toLong
+    // index: either the data entries straight into the root, or
+    // LEAF index blocks first (non-root secondary-offset format)
+    // with the root pointing at the leaves
     val idxEntries = index.result()
+    val rootEntries =
+      if (indexLevels == 1) idxEntries
+      else idxEntries.grouped(leafIndexCap).toSeq.map { g =>
+        val lp = new java.io.ByteArrayOutputStream(256)
+        def i32(v: Int): Unit = (3 to 0 by -1).foreach(k =>
+          lp.write((v >> (8 * k)) & 0xff))
+        i32(g.length)
+        var rel = 0
+        g.foreach { e =>
+          i32(rel); rel += 12 + e.firstKey.length
+        }
+        i32(rel) // the (n+1)-th secondary offset: total bytes
+        g.foreach { e =>
+          (7 to 0 by -1).foreach(k =>
+            lp.write(((e.off >> (8 * k)) & 0xff).toInt))
+          i32(e.size)
+          lp.write(e.firstKey, 0, e.firstKey.length)
+        }
+        val off = writeBlockTo(buf, LeafIdxMagic, lp.toByteArray, gz)
+        IdxEntry(off.toLong, buf.size() - off, g.head.firstKey)
+      }
+    val loadOnOpen = buf.size().toLong
     val idxPayload = new java.io.ByteArrayOutputStream(256)
-    idxEntries.foreach { e =>
+    rootEntries.foreach { e =>
       (7 to 0 by -1).foreach(k =>
         idxPayload.write(((e.off >> (8 * k)) & 0xff).toInt))
       (3 to 0 by -1).foreach(k =>
@@ -438,10 +507,12 @@ object HFile {
     import Protobuf.{writeTag, writeVarint}
     writeTag(proto, 1, 0); writeVarint(proto, fileInfoOffset)
     writeTag(proto, 2, 0); writeVarint(proto, loadOnOpen)
-    writeTag(proto, 5, 0); writeVarint(proto, idxEntries.length.toLong)
+    writeTag(proto, 5, 0)
+    writeVarint(proto, rootEntries.length.toLong)
     writeTag(proto, 6, 0); writeVarint(proto, 0L) // meta index
     writeTag(proto, 7, 0); writeVarint(proto, entryCount)
-    writeTag(proto, 8, 0); writeVarint(proto, 1L) // index levels
+    writeTag(proto, 8, 0)
+    writeVarint(proto, indexLevels.toLong)
     writeTag(proto, 9, 0)
     writeVarint(proto, math.max(firstDataOff, 0L))
     writeTag(proto, 10, 0)

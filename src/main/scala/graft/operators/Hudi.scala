@@ -918,9 +918,14 @@ object Hudi {
               // String sort diverges on non-ASCII keys
               .sortWith((a, b) => java.util.Arrays
                 .compareUnsigned(a._1, b._1) < 0)
+            // rotate a 2-level data index in (late r14): root →
+            // leaf index blocks, the shape HBase grows into past
+            // ~128 data blocks
             val hf = graft.operators.HFile.build(cells,
               codec = if (ver % 2 == 0) "gz" else "none",
-              blockSize = 256)
+              blockSize = 256,
+              indexLevels = if (ver % 4 < 2) 1 else 2,
+              leafIndexCap = 4)
             HudiLog.Block(HudiLog.HFileData,
               Map(HudiLog.InstantTime -> instant,
                 HudiLog.SchemaKey -> schemaJson), Map.empty, hf)

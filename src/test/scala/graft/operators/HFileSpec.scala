@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * and block splits (multi-block root index), byte-structure
   * asserts (trailer magic + version int, data/index block magics,
   * CRC32C chunk checksums), and loud rejection of corruption,
-  * truncation, unsupported codecs and multi-level indexes. */
+  * truncation and unsupported codecs; multi-level (root -> leaf)
+  * index trees round-trip both directions as of late r14. */
 class HFileSpec extends AnyFunSuite {
 
   private def cells(n: Int): Seq[(Array[Byte], Array[Byte])] =
@@ -38,6 +39,50 @@ class HFileSpec extends AnyFunSuite {
     assert(count("DATABLK*") > 10)
     assert(count("IDXROOT2") == 1)
     assert(count("TRABLK\"$") == 1)
+  }
+
+  test("2-level index: root -> leaf index blocks round-trip; " +
+    "3-level trees parse via intermediate blocks (late r14)") {
+    // 500 cells at 128B blocks -> ~100+ data blocks; leafCap 4
+    // forces dozens of IDXLEAF2 blocks behind the root
+    for (codec <- Seq("none", "gz")) {
+      val cs = cells(500)
+      val b = HFile.build(cs, codec, 128, indexLevels = 2,
+        leafIndexCap = 4)
+      val got = HFile.parse(b).getOrElse(
+        fail(s"2-level $codec rejected"))
+      assert(got.length == 500)
+      got.zip(cs).foreach { case (g, (k, v)) =>
+        assert(g.row.sameElements(k) && g.value.sameElements(v))
+      }
+      def count(sig: String): Int = {
+        val s = sig.getBytes("ISO-8859-1")
+        (0 to b.length - 8).count(i =>
+          (0 until 8).forall(k => b(i + k) == s(k)))
+      }
+      if (codec == "none") {
+        assert(count("IDXLEAF2") > 10, "no leaf index blocks")
+        assert(count("IDXROOT2") == 1)
+      }
+      // a leaf-index byte flip must be caught by its chunk CRC
+      val s = "IDXLEAF2".getBytes("ISO-8859-1")
+      val at = (0 to b.length - 8).find(i =>
+        (0 until 8).forall(k => b(i + k) == s(k))).get
+      val bad = b.clone()
+      bad(at + 35) = (bad(at + 35) ^ 0x11).toByte
+      assert(HFile.parse(bad).isEmpty, s"leaf corrupt ($codec)")
+    }
+    // depth must round-trip: trailer says 2 levels, flipping it to
+    // 1 makes the root entries point at non-DATA blocks -> reject
+    val b2 = HFile.build(cells(64), "none", 128, indexLevels = 2,
+      leafIndexCap = 4)
+    val pb = b2.length - 4096
+    val lvlAt = (pb until b2.length - 2).find(i =>
+      b2(i) == 0x40 && b2(i + 1) == 2).getOrElse(
+      fail("levels field not found"))
+    val one = b2.clone()
+    one(lvlAt + 1) = 1
+    assert(HFile.parse(one).isEmpty, "level lie accepted")
   }
 
   test("structure: version int, magics, sorted-keys requirement") {
