@@ -209,8 +209,10 @@ object ZstdEncode {
     * of this block in order). */
   private def parse(data: Array[Byte], from: Int, until: Int,
       head: Array[Int], prev: Array[Int])
-      : (Seq[Seq3], Array[Byte]) = {
-    val seqs = Seq.newBuilder[Seq3]
+      : (IndexedSeq[Seq3], Array[Byte]) = {
+    // IndexedSeq: the sequence coder walks this BACKWARDS by index
+    // (FSE streams encode in reverse) — a List here is O(n^2)
+    val seqs = IndexedSeq.newBuilder[Seq3]
     val lits = new java.io.ByteArrayOutputStream(until - from)
     var litStart = from
     var i = from
@@ -222,13 +224,22 @@ object ZstdEncode {
         val h = hash4(data, i)
         var cand = head(h)
         var depth = 0
+        val maxL = matchLimit - i
         while (cand >= 0 && depth < ChainDepth) {
-          if (cand < i) {
-            var l = 0
-            val maxL = matchLimit - i
-            while (l < maxL && data(cand + l) == data(i + l)) l += 1
-            if (l >= MinMatch && l > bestLen) {
-              bestLen = l; bestOff = i - cand
+          // only rescan candidates that can BEAT the current best:
+          // the byte at bestLen must already match (cuts the chain
+          // walk from O(chain × matchLen) to ~one probe per loser)
+          if (cand < i && (bestLen == 0 ||
+            (bestLen < maxL &&
+              data(cand + bestLen) == data(i + bestLen)))) {
+            val l = java.util.Arrays.mismatch(data, cand,
+              cand + maxL, data, i, i + maxL)
+            val len = if (l < 0) maxL else l
+            if (len >= MinMatch && len > bestLen) {
+              bestLen = len; bestOff = i - cand
+              // good enough — further chain walking can only add
+              // a few bits of offset savings at real cost
+              if (bestLen >= 1024) depth = ChainDepth
             }
           }
           cand = prev(cand & (prev.length - 1))
