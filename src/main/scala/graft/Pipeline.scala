@@ -218,6 +218,8 @@ object Pipeline
     "parquet_write_rich" -> parquetWriteRich _,
     "parquet_write_struct" -> parquetWriteStruct _,
     "orc_write_struct" -> orcWriteStruct _,
+    "parquet_write_deep" -> parquetWriteDeep _,
+    "orc_write_deep" -> orcWriteDeep _,
     "orc_write_roundtrip" -> orcWriteRoundtrip _,
     "orc_write_rich" -> orcWriteRich _,
     "orc_write_nested" -> orcWriteNested _,

@@ -429,6 +429,148 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       .orderBy("doc_id")
   }
 
+  /** Parquet WRITE round trip, LIST<STRUCT> (late r14): shard
+    * files carrying an `anns list<struct{pos i64, tag string?}>`
+    * column — the token-annotation shape — with null list / empty
+    * list / null element / null field all rotated by doc_id
+    * residue, emitted by OUR writer (one chunk per struct field,
+    * all sharing one repetition structure), read back by
+    * parquet-mr. The oracle recomputes size / pos-sum / null-tag
+    * count analytically; SAME truth as [[orcWriteDeep]]. */
+  private[graft] def parquetWriteDeep(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.{WCol, WListStructCol}
+    val root = formatFixtureDir(dir, "pqdeep", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"))
+        .as[(Long, String)]
+        .map { case (id, lang) => (id / 8, id, lang) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WListStructCol("anns", optional = true,
+              elemOptional = true,
+              fields = Seq(("pos", "i64", false),
+                ("tag", "string", true)),
+              values = docs.map(d =>
+                deepAnns(d._2, d._3)).toIndexedSeq))
+          val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
+            (sid % 4).toInt)
+          val rpg = if ((sid / 4) % 2 == 0) Int.MaxValue else 5
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec, rowsPerGroup = rpg))
+          sid
+        }.count(): Unit
+    }
+    deepProbe(spark.read.parquet(root))
+  }
+
+  /** The [[deepAnns]]/[[deepProbe]] truth in DuckDB SQL — one
+    * oracle for BOTH formats' list<struct> write lanes. */
+  private[graft] val DeepOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 3 THEN -1
+      |    WHEN doc_id % 5 = 4 THEN 0 ELSE 3 END AS n_anns,
+      |  CASE WHEN doc_id % 7 = 3 THEN -1
+      |    WHEN doc_id % 5 = 4 THEN 0 ELSE
+      |      (CASE WHEN (doc_id + 0) % 11 <> 10
+      |         THEN doc_id * 10 + 0 ELSE 0 END
+      |     + CASE WHEN (doc_id + 1) % 11 <> 10
+      |         THEN doc_id * 10 + 1 ELSE 0 END
+      |     + CASE WHEN (doc_id + 2) % 11 <> 10
+      |         THEN doc_id * 10 + 2 ELSE 0 END) END AS pos_sum,
+      |  CASE WHEN doc_id % 7 = 3 THEN -1
+      |    WHEN doc_id % 5 = 4 THEN 0 ELSE
+      |      (CASE WHEN (doc_id + 0) % 11 <> 10
+      |         AND (doc_id + 0) % 4 = 3 THEN 1 ELSE 0 END
+      |     + CASE WHEN (doc_id + 1) % 11 <> 10
+      |         AND (doc_id + 1) % 4 = 3 THEN 1 ELSE 0 END
+      |     + CASE WHEN (doc_id + 2) % 11 <> 10
+      |         AND (doc_id + 2) % 4 = 3 THEN 1 ELSE 0 END)
+      |    END AS null_tags
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** The shared list<struct> fixture row: null list / empty list /
+    * 3 annotations with null-element and null-tag rotation. */
+  private[graft] def deepAnns(id: Long, lang: String)
+      : Option[Seq[Option[Seq[Option[Any]]]]] =
+    if (id % 7 == 3) None
+    else if (id % 5 == 4) Some(Seq.empty)
+    else Some((0 until 3).map { j =>
+      if ((id + j) % 11 == 10) None
+      else Some(Seq(
+        Some((id * 10 + j): Any),
+        if ((id + j) % 4 == 3) None else Some(lang: Any)))
+    })
+
+  /** The shared list<struct> read-back probe (both formats answer
+    * the same oracle through it). */
+  private[graft] def deepProbe(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      when(col("anns").isNull, lit(-1L))
+        .otherwise(size(col("anns")).cast("long")).as("n_anns"),
+      when(col("anns").isNull, lit(-1L))
+        .otherwise(expr("aggregate(filter(anns, x -> x is not " +
+          "null), 0L, (a, x) -> a + x.pos)")).as("pos_sum"),
+      when(col("anns").isNull, lit(-1L))
+        .otherwise(expr("cast(size(filter(anns, x -> x is not " +
+          "null and x.tag is null)) as long)")).as("null_tags"))
+      .orderBy("doc_id")
+
+  /** ORC WRITE round trip, LIST<STRUCT> (late r14): the
+    * [[parquetWriteDeep]] fixture through OUR ORC writer — list
+    * PRESENT + LENGTH runs, a present-gated STRUCT child, field
+    * columns over non-null elements — read back by orc-core under
+    * the SAME analytic oracle. */
+  private[graft] def orcWriteDeep(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.{WCol, WListStructCol}
+    val root = formatFixtureDir(dir, "orcdeep", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"))
+        .as[(Long, String)]
+        .map { case (id, lang) => (id / 8, id, lang) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols: Seq[OrcWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
+            WListStructCol("anns", optional = true,
+              elemOptional = true,
+              fields = Seq(("pos", "i64", false),
+                ("tag", "string", true)),
+              values = docs.map(d =>
+                deepAnns(d._2, d._3)).toIndexedSeq))
+          val codec = Seq("zlib", "none", "snappy")((sid % 3).toInt)
+          val rle = if (sid % 2 == 0) "v2" else "v1"
+          val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 5
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.orc"),
+            OrcWrite.build(cols, codec, rps, rle))
+          sid
+        }.count(): Unit
+    }
+    deepProbe(spark.read.orc(root))
+  }
+
   /** Parquet WRITE round trip (r13): per-shard files emitted by
     * OUR from-scratch writer (operators/ParquetWrite — Thrift
     * compact footer, PLAIN v1 pages, RLE def levels, codec
@@ -1280,6 +1422,11 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
         |    ELSE doc_id END AS m_id
         |FROM d ORDER BY doc_id""".stripMargin,
+    // OUR writers' LIST<STRUCT> files (both formats, one truth):
+    // size / pos-sum / null-tag probes recomputed analytically
+    // over the j=0..2 annotation residues
+    "parquet_write_deep" -> DeepOracleSql,
+    "orc_write_deep" -> DeepOracleSql,
     // the ORC twin plus map<string,i64> element_at probes (null
     // map / empty map / null value all collapse to NULL, and the
     // oracle mirrors the Scala residue order: %13 before %5)

@@ -78,6 +78,19 @@ object OrcWrite {
     def rows: Int = values.length
   }
 
+  /** One LIST-OF-STRUCT column (late r14): the list column carries
+    * PRESENT + LENGTH runs; its child is a STRUCT column whose
+    * PRESENT stream gates null elements, and each field column
+    * carries one entry per NON-NULL element. A row is None (null
+    * list), Some(Seq.empty) or a seq of elements, each None (null
+    * struct, needs `elemOptional`) or field values in order. */
+  final case class WListStructCol(name: String, optional: Boolean,
+      elemOptional: Boolean, fields: Seq[(String, String, Boolean)],
+      values: IndexedSeq[Option[Seq[Option[Seq[Option[Any]]]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
   /** One MAP column (late r14): LENGTH runs on the parent, the
     * key/value children decoded for the total entry count and
     * zipped per row. Keys are never null (the ORC/Spark map
@@ -442,6 +455,24 @@ object OrcWrite {
               s"null value in ${mc.name}")
           }
         }
+      case lsc: WListStructCol =>
+        require(lsc.fields.nonEmpty, "empty struct element")
+        lsc.values.foreach {
+          case None => require(lsc.optional,
+            s"null list in required column ${lsc.name}")
+          case Some(es) => es.foreach {
+            case None => require(lsc.elemOptional,
+              s"null element in ${lsc.name}")
+            case Some(fvs) =>
+              require(fvs.length == lsc.fields.length,
+                s"struct arity drift in ${lsc.name}")
+              fvs.zip(lsc.fields).foreach {
+                case (v, (fn, _, fOpt)) =>
+                  require(fOpt || v.isDefined,
+                    s"null field $fn in ${lsc.name}")
+              }
+          }
+        }
     }
     require(rowsPerStripe > 0, "rowsPerStripe must be positive")
     // type-tree column ids: root 0, then depth-first (a list's
@@ -460,6 +491,10 @@ object OrcWrite {
           nextId += sc.fields.length
         case _: WMapCol =>
           childIds(i) = Seq(nextId, nextId + 1); nextId += 2
+        case lsc: WListStructCol =>
+          // list child = the struct, then one id per field
+          childIds(i) = (0 to lsc.fields.length).map(_ + nextId)
+          nextId += 1 + lsc.fields.length
         case _ => childIds(i) = Nil
       }
     }
@@ -635,6 +670,35 @@ object OrcWrite {
                 writeScalar(child, s"${sc.name}.$fn", fk,
                   fvs.flatten, useDict = false)
             }
+          case lsc: WListStructCol =>
+            // LIST<STRUCT>: PRESENT + LENGTH on the list, PRESENT
+            // on the struct child per element, field columns over
+            // the non-null elements
+            val vals = lsc.values.slice(lo, hi)
+            encodings(col - 1) = (direct, 0)
+            if (lsc.optional)
+              streams += ((0, col, section(codecId,
+                boolStream(vals.map(_.isDefined)))))
+            streams += ((2, col, section(codecId, intRun(
+              vals.flatten.map(_.length.toLong), signed = false))))
+            val structId = childIds(ci).head
+            encodings(structId - 1) = (0, 0) // struct: DIRECT
+            val elems: Seq[Option[Seq[Option[Any]]]] =
+              vals.flatten.flatten
+            if (lsc.elemOptional)
+              streams += ((0, structId, section(codecId,
+                boolStream(elems.map(_.isDefined)))))
+            val rowsNN = elems.flatten
+            lsc.fields.zipWithIndex.foreach {
+              case ((fn, fk, fOpt), fi) =>
+                val child = childIds(ci)(fi + 1)
+                val fvs = rowsNN.map(_(fi))
+                if (fOpt)
+                  streams += ((0, child, section(codecId,
+                    boolStream(fvs.map(_.isDefined)))))
+                writeScalar(child, s"${lsc.name}.$fn", fk,
+                  fvs.flatten, useDict = false)
+            }
           case mc: WMapCol =>
             // MAP column: PRESENT + LENGTH on the parent, the
             // key/value children sized by the total entry count
@@ -745,6 +809,20 @@ object OrcWrite {
           sfield(f, 4, t.toByteArray)
           sfield(f, 4, scalarType(mc.keyKind))
           sfield(f, 4, scalarType(mc.valueKind))
+        case (lsc: WListStructCol, ci) =>
+          val t = new java.io.ByteArrayOutputStream()
+          vfield(t, 1, 10L) // LIST
+          vfield(t, 2, childIds(ci).head.toLong)
+          sfield(f, 4, t.toByteArray)
+          val st = new java.io.ByteArrayOutputStream()
+          vfield(st, 1, 12L) // STRUCT element
+          childIds(ci).drop(1).foreach(id =>
+            vfield(st, 2, id.toLong))
+          lsc.fields.foreach { case (fn, _, _) =>
+            sfield(st, 3, fn.getBytes("UTF-8")) }
+          sfield(f, 4, st.toByteArray)
+          lsc.fields.foreach { case (_, fk, _) =>
+            sfield(f, 4, scalarType(fk)) }
       }
     }
     vfield(f, 6, nRows.toLong)

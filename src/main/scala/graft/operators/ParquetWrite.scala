@@ -91,6 +91,19 @@ object ParquetWrite {
     def rows: Int = values.length
   }
 
+  /** One LIST-OF-STRUCT column (late r14): `optional group (LIST)
+    * { repeated group list { element { fields } } }` — one column
+    * chunk per struct field, all sharing one repetition structure.
+    * A row is None (null list), Some(Seq.empty) (empty list) or a
+    * seq of elements, each None (null struct, needs
+    * `elemOptional`) or the field values in order. */
+  final case class WListStructCol(name: String, optional: Boolean,
+      elemOptional: Boolean, fields: Seq[(String, String, Boolean)],
+      values: IndexedSeq[Option[Seq[Option[Seq[Option[Any]]]]]])
+      extends AnyWCol {
+    def rows: Int = values.length
+  }
+
   /** One MAP column (late r14 — symmetric with
     * [[OrcWrite.WMapCol]]): `optional group (MAP) { repeated group
     * key_value { required key; value } }` — the key and value
@@ -384,9 +397,8 @@ object ParquetWrite {
         if (fc.optional) fc.values.map(v => if (v.isDefined) 1 else 0)
         else IndexedSeq.empty,
         fc.values.flatten, fc.values.length)
-    case sc: WStructCol =>
-      require(sc.fields.nonEmpty, "empty struct")
-      sys.error("structs expand via prepareAll")
+    case _: WStructCol | _: WMapCol | _: WListStructCol =>
+      sys.error("multi-chunk columns expand via prepareAll")
     case lc: WListCol =>
       require(lc.elemKind != "boolean",
         "boolean list elements unsupported")
@@ -425,6 +437,63 @@ object ParquetWrite {
     * per field, maps to a key chunk + a value chunk; everything
     * else is 1:1). */
   private def prepareAll(c: AnyWCol): Seq[PreparedCol] = c match {
+    case lsc: WListStructCol =>
+      require(lsc.fields.nonEmpty, "empty struct element")
+      val dOuter = if (lsc.optional) 1 else 0
+      // element-group level: an element slot exists; +1 when the
+      // element group itself is optional (null structs in the list)
+      val dElem = dOuter + 1 + (if (lsc.elemOptional) 1 else 0)
+      val reps = IndexedSeq.newBuilder[Int]
+      val fDefs = lsc.fields.map(_ => IndexedSeq.newBuilder[Int])
+      val fVals = lsc.fields.map(_ => IndexedSeq.newBuilder[Any])
+      var n = 0
+      def slot(rep: Int, def0: Int): Unit = {
+        reps += rep
+        fDefs.foreach(_ += def0)
+        n += 1
+      }
+      lsc.values.foreach {
+        case None =>
+          require(lsc.optional,
+            s"null list in required column ${lsc.name}")
+          slot(0, dOuter - 1)
+        case Some(es) if es.isEmpty => slot(0, dOuter)
+        case Some(es) =>
+          es.zipWithIndex.foreach { case (e, i) =>
+            val rep = if (i == 0) 0 else 1
+            e match {
+              case None =>
+                require(lsc.elemOptional,
+                  s"null element in ${lsc.name}")
+                slot(rep, dElem - 1)
+              case Some(fvs) =>
+                require(fvs.length == lsc.fields.length,
+                  s"struct arity drift in ${lsc.name}")
+                reps += rep
+                n += 1
+                fvs.zip(lsc.fields).zipWithIndex.foreach {
+                  case ((v, (fn, _, fOpt)), fi) =>
+                    val maxDef = dElem + (if (fOpt) 1 else 0)
+                    v match {
+                      case Some(x) =>
+                        fDefs(fi) += maxDef
+                        fVals(fi) += x
+                      case None =>
+                        require(fOpt,
+                          s"null field $fn in ${lsc.name}")
+                        fDefs(fi) += maxDef - 1
+                    }
+                }
+            }
+          }
+      }
+      val r = reps.result()
+      lsc.fields.zipWithIndex.map { case ((fn, fk, fOpt), fi) =>
+        PreparedCol(lsc, fk,
+          Seq(lsc.name, "list", "element", fn), 1,
+          dElem + (if (fOpt) 1 else 0),
+          r, fDefs(fi).result(), fVals(fi).result(), n)
+      }
     case mc: WMapCol =>
       require(mc.keyKind != "boolean" && mc.valueKind != "boolean",
         "boolean map keys/values unsupported")
@@ -537,6 +606,8 @@ object ParquetWrite {
       case sc: WStructCol =>
         sc.copy(values = sc.values.slice(lo, hi))
       case mc: WMapCol => mc.copy(values = mc.values.slice(lo, hi))
+      case lsc: WListStructCol =>
+        lsc.copy(values = lsc.values.slice(lo, hi))
     }
     val groupRanges: Seq[(Int, Int)] =
       if (nRows == 0) Seq((0, 0))
@@ -678,6 +749,7 @@ object ParquetWrite {
       case _: WListCol => 3
       case sc: WStructCol => 1 + sc.fields.length
       case _: WMapCol => 4
+      case lsc: WListStructCol => 3 + lsc.fields.length
     }.sum
     f.listBegin(2, 12, schemaElemCount) // schema
     f.elemStructBegin() // root
@@ -696,6 +768,31 @@ object ParquetWrite {
         f.elemStructBegin() // plain group
         f.i32(3, if (c.optional) 1L else 0L)
         f.str(4, c.name)
+        f.i32(5, c.fields.length.toLong)
+        f.elemStructEnd()
+        c.fields.foreach { case (fn, fk, fOpt) =>
+          f.elemStructBegin()
+          f.i32(1, physType(fk).toLong)
+          f.i32(3, if (fOpt) 1L else 0L)
+          f.str(4, fn)
+          leafExtras(fk)
+          f.elemStructEnd()
+        }
+      case c: WListStructCol =>
+        f.elemStructBegin() // outer group, converted LIST
+        f.i32(3, if (c.optional) 1L else 0L)
+        f.str(4, c.name)
+        f.i32(5, 1L)
+        f.i32(6, 3L) // converted_type LIST
+        f.elemStructEnd()
+        f.elemStructBegin() // repeated group "list"
+        f.i32(3, 2L)
+        f.str(4, "list")
+        f.i32(5, 1L)
+        f.elemStructEnd()
+        f.elemStructBegin() // element: the struct group
+        f.i32(3, if (c.elemOptional) 1L else 0L)
+        f.str(4, "element")
         f.i32(5, c.fields.length.toLong)
         f.elemStructEnd()
         c.fields.foreach { case (fn, fk, fOpt) =>

@@ -395,6 +395,58 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("LIST<STRUCT> columns: null list / empty / null element / " +
+    "null field round-trip via Spark and our decoder (late r14)") {
+    val n = 400
+    val anns: IndexedSeq[Option[Seq[Option[Seq[Option[Any]]]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 3) + 1).map { j =>
+          if ((i + j) % 11 == 10) None
+          else Some(Seq(
+            Some((i.toLong * 10 + j): Any),
+            if ((i + j) % 4 == 3) None
+            else Some(s"t${(i + j) % 6}": Any)))
+        })
+      }
+    val cols: Seq[OrcWrite.AnyWCol] = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WListStructCol("anns", optional = true,
+        elemOptional = true,
+        fields = Seq(("pos", "i64", false), ("tag", "string", true)),
+        values = anns))
+    for ((codec, rle, rps) <- Seq(("zlib", "v2", Int.MaxValue),
+      ("none", "v1", 90))) {
+      val bytes = OrcWrite.build(cols, codec, rps, rle)
+      val (_, got) = OrcData.decodeFileDeep(bytes)
+        .getOrElse(fail(s"our decoder rejected list<struct> $rle"))
+      (0 until n).foreach { i =>
+        assert(got(1)(i) == anns(i), s"anns at $i ($rle)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owls")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.orc(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      assert(df.schema("anns").dataType == ArrayType(StructType(Seq(
+        StructField("pos", LongType),
+        StructField("tag", StringType)))))
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val g = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(e =>
+            Option(e).map { r0 =>
+              val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+              Seq(Option(r.get(0)), Option(r.get(1)))
+            }))
+        assert(g == anns(i), s"spark anns at $i ($rle)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(

@@ -446,6 +446,72 @@ class ParquetWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("LIST<STRUCT> columns: null list / empty / null element / " +
+    "null field round-trip via parquet-mr AND decodeFileDeep " +
+    "(late r14)") {
+    val n = 400
+    val anns: IndexedSeq[Option[Seq[Option[Seq[Option[Any]]]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 3) + 1).map { j =>
+          if ((i + j) % 11 == 10) None
+          else Some(Seq(
+            Some((i.toLong * 10 + j): Any),
+            if ((i + j) % 4 == 3) None
+            else Some(s"t${(i + j) % 6}": Any)))
+        })
+      }
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WListStructCol("anns", optional = true,
+        elemOptional = true,
+        fields = Seq(("pos", "i64", false), ("tag", "string", true)),
+        values = anns))
+    for ((codec, rpg) <- Seq(("snappy", Int.MaxValue),
+      ("zstd", 90))) {
+      val bytes = ParquetWrite.build(cols, codec, rowsPerGroup = rpg)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwls")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val df = spark.read.parquet(fl.getAbsolutePath)
+      import org.apache.spark.sql.types._
+      // nullability flags aside (parquet-mr hoists nullability
+      // through nullable containers), names and types must match
+      df.schema("anns").dataType match {
+        case ArrayType(st: StructType, true) =>
+          assert(st.fields.map(f => (f.name, f.dataType)).toSeq ==
+            Seq(("pos", LongType), ("tag", StringType)))
+        case other => fail(s"anns type $other")
+      }
+      val rows = df.collect().sortBy(_.getLong(0))
+      (0 until n).foreach { i =>
+        val g = Option(rows(i).get(1)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(e =>
+            Option(e).map { r0 =>
+              val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+              Seq(Option(r.get(0)), Option(r.get(1)))
+            }))
+        assert(g == anns(i), s"spark anns at $i ($codec)")
+      }
+      // our own deep walker, string fields as raw BYTE_ARRAYs
+      val (_, deepCols) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail("decodeFileDeep rejected list<struct>"))
+      (0 until n).foreach { i =>
+        val got = deepCols(1)(i).map(
+          _.asInstanceOf[Seq[Option[Any]]].map(_.map { st =>
+            st.asInstanceOf[Seq[Option[Any]]].map(_.map {
+              case b: Array[Byte] => new String(b, "UTF-8")
+              case x => x
+            })
+          }))
+        assert(got == anns(i), s"deep anns at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("RICH logical kinds ts/date/decimal round-trip via " +
     "parquet-mr AND our raw page walker (late r14)") {
     val n = 600
