@@ -40,6 +40,92 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       ("score", "f64", false,
         docs.map(d => Some(d._4.length * 0.25)).toIndexedSeq))
 
+  /** The shared RICH-TYPES fixture (ts/day/amt residues) — one
+    * definition for both formats' write_rich lanes, same reason as
+    * [[writeRoundtripCols]]. docs = (id, n_chars). */
+  private def richCols(docs: Seq[(Long, Long)])
+      : Seq[(String, String, Boolean, IndexedSeq[Option[Any]])] =
+    Seq(
+      ("doc_id", "i64", false,
+        docs.map(d => Some(d._1): Option[Any]).toIndexedSeq),
+      ("ts", "ts", true,
+        docs.map { d =>
+          if (d._1 % 13 == 2) None
+          else Some(((d._1 - 500L) * 86400000000L +
+            (d._1 % 7) * 123457L): Any)
+        }.toIndexedSeq),
+      ("day", "date", true,
+        docs.map { d =>
+          if (d._1 % 17 == 5) None
+          else Some(((18000 + d._1 % 1000 - 400).toInt): Any)
+        }.toIndexedSeq),
+      ("amt", "decimal(14,3)", true,
+        docs.map { d =>
+          if (d._1 % 7 == 1) None
+          else Some(java.math.BigDecimal.valueOf(
+            d._1 * 12345L - d._2, 3): Any)
+        }.toIndexedSeq))
+
+  /** [[richCols]]'s truth in DuckDB SQL — one oracle, both
+    * formats. */
+  private[graft] val RichOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 2 THEN NULL
+      |    ELSE make_timestamp((doc_id - 500) * 86400000000
+      |      + (doc_id % 7) * 123457) END AS ts,
+      |  CASE WHEN doc_id % 17 = 5 THEN NULL
+      |    ELSE CAST(DATE '1970-01-01' + CAST(
+      |      18000 + doc_id % 1000 - 400 AS INTEGER)
+      |      AS VARCHAR) END AS day,
+      |  CASE WHEN doc_id % 7 = 1 THEN NULL
+      |    ELSE doc_id * 12345 - n END AS amt_milli
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** The shared STRUCT + MAP fixture rows (meta / m residues) —
+    * one definition for both formats' write_struct lanes.
+    * docs = (id, lang, n_chars). */
+  private def structMetas(docs: Seq[(Long, String, Int)])
+      : IndexedSeq[Option[Seq[Option[Any]]]] =
+    docs.map { case (id, lang, n) =>
+      if (id % 7 == 3) None
+      else Some(Seq(
+        Some(n.toLong: Any),
+        if (id % 11 == 10) None else Some(lang: Any),
+        Some((id % 3 == 0): Any)))
+    }.toIndexedSeq
+
+  private def structMaps(docs: Seq[(Long, String, Int)])
+      : IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
+    docs.map { case (id, _, n) =>
+      if (id % 13 == 2) None
+      else if (id % 5 == 4) Some(Seq.empty)
+      else Some(Seq(
+        ("n": Any, if (id % 9 == 8) None else Some(n.toLong: Any)),
+        ("id": Any, Some(id: Any))))
+    }.toIndexedSeq
+
+  /** [[structMetas]]/[[structMaps]]'s truth in DuckDB SQL (the
+    * CASE order mirrors the Scala residue order: %13 before %5). */
+  private[graft] val StructOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, strlen(text) AS n FROM documents
+      |  WHERE length(text) = strlen(text) AND length(text) > 0)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n END AS n,
+      |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
+      |    ELSE lang END AS lang,
+      |  CASE WHEN doc_id % 7 = 3 THEN NULL
+      |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
+      |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4
+      |      OR doc_id % 9 = 8 THEN NULL
+      |    ELSE n END AS m_n,
+      |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
+      |    ELSE doc_id END AS m_id
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Parquet RAW SOURCE (r13): the SAME fixture tree
     * [[parquetWriteRoundtrip]] builds, read back through
     * `sources/ParquetRawSource` — the from-scratch page walker
@@ -128,26 +214,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .groupByKey(_._1)
         .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val cols = Seq(
-            WCol("doc_id", "i64", optional = false,
-              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
-            WCol("ts", "ts", optional = true,
-              docs.map { d =>
-                if (d._2 % 13 == 2) None
-                else Some(((d._2 - 500L) * 86400000000L +
-                  (d._2 % 7) * 123457L): Any)
-              }.toIndexedSeq),
-            WCol("day", "date", optional = true,
-              docs.map { d =>
-                if (d._2 % 17 == 5) None
-                else Some(((18000 + d._2 % 1000 - 400).toInt): Any)
-              }.toIndexedSeq),
-            WCol("amt", "decimal(14,3)", optional = true,
-              docs.map { d =>
-                if (d._2 % 7 == 1) None
-                else Some(java.math.BigDecimal.valueOf(
-                  d._2 * 12345L - d._3, 3): Any)
-              }.toIndexedSeq))
+          val cols = richCols(docs.map(d => (d._2, d._3))).map {
+            case (n, k, o, vs) => WCol(n, k, o, vs) }
           val codec = Seq("zlib", "none", "snappy")((sid % 3).toInt)
           val rle = if (sid % 2 == 0) "v2" else "v1"
           val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
@@ -188,26 +256,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .groupByKey(_._1)
         .mapGroups { (sid: Long, it: Iterator[(Long, Long, Long)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val cols = Seq(
-            WCol("doc_id", "i64", optional = false,
-              docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
-            WCol("ts", "ts", optional = true,
-              docs.map { d =>
-                if (d._2 % 13 == 2) None
-                else Some(((d._2 - 500L) * 86400000000L +
-                  (d._2 % 7) * 123457L): Any)
-              }.toIndexedSeq),
-            WCol("day", "date", optional = true,
-              docs.map { d =>
-                if (d._2 % 17 == 5) None
-                else Some(((18000 + d._2 % 1000 - 400).toInt): Any)
-              }.toIndexedSeq),
-            WCol("amt", "decimal(14,3)", optional = true,
-              docs.map { d =>
-                if (d._2 % 7 == 1) None
-                else Some(java.math.BigDecimal.valueOf(
-                  d._2 * 12345L - d._3, 3): Any)
-              }.toIndexedSeq))
+          val cols = richCols(docs.map(d => (d._2, d._3))).map {
+            case (n, k, o, vs) => WCol(n, k, o, vs) }
           val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
             (sid % 4).toInt)
           val rpg = if ((sid / 4) % 2 == 0) Int.MaxValue else 3
@@ -313,25 +363,9 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .mapGroups { (sid: Long,
             it: Iterator[(Long, Long, String, Int)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val metas: IndexedSeq[Option[Seq[Option[Any]]]] =
-            docs.map { d =>
-              val id = d._2
-              if (id % 7 == 3) None
-              else Some(Seq(
-                Some(d._4.toLong: Any),
-                if (id % 11 == 10) None else Some(d._3: Any),
-                Some((id % 3 == 0): Any)))
-            }.toIndexedSeq
-          val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
-            docs.map { d =>
-              val id = d._2
-              if (id % 13 == 2) None
-              else if (id % 5 == 4) Some(Seq.empty)
-              else Some(Seq(
-                ("n": Any, if (id % 9 == 8) None
-                  else Some(d._4.toLong: Any)),
-                ("id": Any, Some(id: Any))))
-            }.toIndexedSeq
+          val triples = docs.map(d => (d._2, d._3, d._4))
+          val metas = structMetas(triples)
+          val maps = structMaps(triples)
           val cols: Seq[ParquetWrite.AnyWCol] = Seq(
             WCol("doc_id", "i64", optional = false,
               docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
@@ -381,25 +415,9 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         .mapGroups { (sid: Long,
             it: Iterator[(Long, Long, String, Int)]) =>
           val docs = it.toSeq.sortBy(_._2)
-          val metas: IndexedSeq[Option[Seq[Option[Any]]]] =
-            docs.map { d =>
-              val id = d._2
-              if (id % 7 == 3) None
-              else Some(Seq(
-                Some(d._4.toLong: Any),
-                if (id % 11 == 10) None else Some(d._3: Any),
-                Some((id % 3 == 0): Any)))
-            }.toIndexedSeq
-          val maps: IndexedSeq[Option[Seq[(Any, Option[Any])]]] =
-            docs.map { d =>
-              val id = d._2
-              if (id % 13 == 2) None
-              else if (id % 5 == 4) Some(Seq.empty)
-              else Some(Seq(
-                ("n": Any, if (id % 9 == 8) None
-                  else Some(d._4.toLong: Any)),
-                ("id": Any, Some(id: Any))))
-            }.toIndexedSeq
+          val triples = docs.map(d => (d._2, d._3, d._4))
+          val metas = structMetas(triples)
+          val maps = structMaps(triples)
           val cols: Seq[OrcWrite.AnyWCol] = Seq(
             WCol("doc_id", "i64", optional = false,
               docs.map(d => Some(d._2): Option[Any]).toIndexedSeq),
@@ -1372,56 +1390,13 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
         |FROM d ORDER BY doc_id""".stripMargin,
     // OUR ORC writer's timestamp/date/decimal shards read back by
     // orc-core; every value recomputed analytically
-    "orc_write_rich" ->
-      """WITH d AS (
-        |  SELECT doc_id, strlen(text) AS n FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 2 THEN NULL
-        |    ELSE make_timestamp((doc_id - 500) * 86400000000
-        |      + (doc_id % 7) * 123457) END AS ts,
-        |  CASE WHEN doc_id % 17 = 5 THEN NULL
-        |    ELSE CAST(DATE '1970-01-01' + CAST(
-        |      18000 + doc_id % 1000 - 400 AS INTEGER)
-        |      AS VARCHAR) END AS day,
-        |  CASE WHEN doc_id % 7 = 1 THEN NULL
-        |    ELSE doc_id * 12345 - n END AS amt_milli
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "orc_write_rich" -> RichOracleSql,
     // OUR parquet writer's ts/date/decimal files read back by
     // parquet-mr — the IDENTICAL analytic truth as orc_write_rich
-    "parquet_write_rich" ->
-      """WITH d AS (
-        |  SELECT doc_id, strlen(text) AS n FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 2 THEN NULL
-        |    ELSE make_timestamp((doc_id - 500) * 86400000000
-        |      + (doc_id % 7) * 123457) END AS ts,
-        |  CASE WHEN doc_id % 17 = 5 THEN NULL
-        |    ELSE CAST(DATE '1970-01-01' + CAST(
-        |      18000 + doc_id % 1000 - 400 AS INTEGER)
-        |      AS VARCHAR) END AS day,
-        |  CASE WHEN doc_id % 7 = 1 THEN NULL
-        |    ELSE doc_id * 12345 - n END AS amt_milli
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "parquet_write_rich" -> RichOracleSql,
     // OUR parquet writer's STRUCT + MAP files read back by
     // parquet-mr — the IDENTICAL analytic truth as orc_write_struct
-    "parquet_write_struct" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, strlen(text) AS n FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n END AS n,
-        |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
-        |    ELSE lang END AS lang,
-        |  CASE WHEN doc_id % 7 = 3 THEN NULL
-        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
-        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4
-        |      OR doc_id % 9 = 8 THEN NULL
-        |    ELSE n END AS m_n,
-        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
-        |    ELSE doc_id END AS m_id
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "parquet_write_struct" -> StructOracleSql,
     // OUR writers' LIST<STRUCT> files (both formats, one truth):
     // size / pos-sum / null-tag probes recomputed analytically
     // over the j=0..2 annotation residues
@@ -1430,22 +1405,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     // the ORC twin plus map<string,i64> element_at probes (null
     // map / empty map / null value all collapse to NULL, and the
     // oracle mirrors the Scala residue order: %13 before %5)
-    "orc_write_struct" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, strlen(text) AS n FROM documents
-        |  WHERE length(text) = strlen(text) AND length(text) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n END AS n,
-        |  CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 10 THEN NULL
-        |    ELSE lang END AS lang,
-        |  CASE WHEN doc_id % 7 = 3 THEN NULL
-        |    ELSE CAST(doc_id % 3 = 0 AS BIGINT) END AS flag,
-        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4
-        |      OR doc_id % 9 = 8 THEN NULL
-        |    ELSE n END AS m_n,
-        |  CASE WHEN doc_id % 13 = 2 OR doc_id % 5 = 4 THEN NULL
-        |    ELSE doc_id END AS m_id
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "orc_write_struct" -> StructOracleSql,
     // OUR writer's DICTIONARY + 3-level-list files read back by
     // parquet-mr; list size / element sum recomputed analytically
     "parquet_write_nested" ->

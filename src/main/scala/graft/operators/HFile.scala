@@ -300,13 +300,16 @@ object HFile {
         if (n < 1 || n > (1 << 20)) return None
         total += n
         if (total > (1L << 20)) return None
-        val entBase = 4 + 4 * (n + 1)
+        // LONG arithmetic + up-front size check: a CRC-valid block
+        // lying about its entry count must reject, not throw
+        val entBase = 4L + 4L * (n + 1)
+        if (entBase > blk.length) return None
         var k = 0
         while (k < n) {
           val eo = be32(blk, 4 + 4 * k)
           val at = entBase + eo
           if (eo < 0 || at + 12 > blk.length) return None
-          next += ((be64(blk, at), be32(blk, at + 8)))
+          next += ((be64(blk, at.toInt), be32(blk, at.toInt + 8)))
           k += 1
         }
       }

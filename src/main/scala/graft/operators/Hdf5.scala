@@ -1118,7 +1118,7 @@ object Hdf5 {
       expRecSize: Int): Option[Seq[Array[Byte]]] = {
     if (hdrAddr == Undef) return Some(Seq.empty)
     val d = r.d
-    if (!r.check(hdrAddr, 36)) return None
+    if (!r.check(hdrAddr, 38)) return None
     val h = hdrAddr.toInt
     if (d(h) != 'B' || d(h + 1) != 'T' || d(h + 2) != 'H' ||
       d(h + 3) != 'D') return None
@@ -1391,7 +1391,7 @@ object Hdf5 {
       : Option[Seq[(Seq[Long], Int, Long, Long)]] = {
     if (hdrAddr == Undef) return Some(Seq.empty)
     val d = r.d
-    if (!r.check(hdrAddr, 36)) return None
+    if (!r.check(hdrAddr, 38)) return None
     val h = hdrAddr.toInt
     if (d(h) != 'B' || d(h + 1) != 'T' || d(h + 2) != 'H' ||
       d(h + 3) != 'D') return None
