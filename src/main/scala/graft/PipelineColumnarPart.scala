@@ -649,7 +649,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WListCol}
-    val root = formatFixtureDir(dir, "pqnested", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqnested2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -682,12 +682,15 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
           val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
             (sid % 4).toInt)
           // odd shards split into 3-row ROW GROUPS (r14) so the
-          // multi-group footer shape stays gate-live
+          // multi-group footer shape stays gate-live; every 4th
+          // pair rotates DATA_PAGE_V2 + DELTA doc_ids (late r14)
           val rpg = if (sid % 2 == 1) 3 else Int.MaxValue
+          val pv = if ((sid / 2) % 2 == 1) 2 else 1
           java.nio.file.Files.write(java.nio.file.Paths.get(
             out, f"shard-$sid%06d.parquet"),
             ParquetWrite.build(cols, codec, dict = Set("lang"),
-              rowsPerGroup = rpg))
+              rowsPerGroup = rpg, pageVersion = pv,
+              delta = if (pv == 2) Set("doc_id") else Set.empty))
           sid
         }.count(): Unit
     }
@@ -710,8 +713,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
   private[graft] def parquetRawNested(s: SparkSession,
       dir: String): DataFrame = {
     parquetWriteNested(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqnested", "documents")(_ =>
-      sys.error("pqnested fixture must already exist"))
+    val root = formatFixtureDir(dir, "pqnested2", "documents")(_ =>
+      sys.error("pqnested2 fixture must already exist"))
     graft.sources.ParquetRawSource
       .read(s, root, columns = Seq("doc_id", "toks"))
       .select(col("doc_id"),

@@ -12,9 +12,15 @@ package graft.operators
   *
   * Scope (r14 — was flat-and-PLAIN in r13):
   *  - MULTIPLE row groups via `rowsPerGroup` (the unit a
-  *    multi-executor read parallelizes on); one v1 data page per
-  *    column chunk, plus a dictionary page (per group) for
-  *    dictionary-encoded chunks.
+  *    multi-executor read parallelizes on); one data page per
+  *    column chunk — v1 or (late r14) DATA_PAGE_V2 framing via
+  *    `pageVersion` (bare uncompressed level runs, values-only
+  *    compression, null/row counts in the header) — plus a
+  *    dictionary page (per group) for dictionary-encoded chunks.
+  *  - DELTA_BINARY_PACKED (late r14, `delta` columns): 128-delta
+  *    blocks in 4 miniblocks, zigzag min-delta + per-miniblock
+  *    widths, modular 64-bit arithmetic at the extremes — the
+  *    sorted-id column layout real v2 writers emit.
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
@@ -285,6 +291,95 @@ object ParquetWrite {
       pack8()
     }
     endBitPacked()
+    out.toByteArray
+  }
+
+  /** DELTA_BINARY_PACKED (late r14): blocks of 128 deltas in 4
+    * miniblocks of 32, zigzag-varint min-delta + per-miniblock
+    * widths; the last block writes width bytes for ALL miniblocks
+    * but data only for those carrying values (the parquet-mr
+    * layout [[ParquetData]]'s decoder expects). Values as Longs —
+    * INT32 columns reconstruct by 32-bit wrap per spec. */
+  private[graft] def deltaBinaryPackedEnc(vals: Seq[Long])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    def zig(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    varint(128L); varint(4L); varint(vals.length.toLong)
+    zig(if (vals.isEmpty) 0L else vals.head)
+    var i = 1
+    while (i < vals.length) {
+      val n = math.min(128, vals.length - i)
+      val deltas = new Array[Long](128)
+      var minD = Long.MaxValue
+      var k = 0
+      while (k < n) {
+        deltas(k) = vals(i + k) - vals(i + k - 1)
+        if (deltas(k) < minD) minD = deltas(k)
+        k += 1
+      }
+      k = 0
+      while (k < n) { deltas(k) -= minD; k += 1 }
+      zig(minD)
+      val widths = new Array[Int](4)
+      var mb = 0
+      while (mb < 4) {
+        var maxV = 0L
+        var j = mb * 32
+        val hi = math.min((mb + 1) * 32, n)
+        while (j < hi) {
+          // UNSIGNED: delta − minDelta wraps mod 2^64 (the spec's
+          // modular arithmetic); a signed max under-sizes the width
+          if (java.lang.Long.compareUnsigned(deltas(j), maxV) > 0)
+            maxV = deltas(j)
+          j += 1 }
+        widths(mb) =
+          if (hi <= mb * 32 || maxV == 0) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(maxV)
+        out.write(widths(mb))
+        mb += 1
+      }
+      mb = 0
+      while (mb < 4 && mb * 32 < n) {
+        val bw = widths(mb)
+        if (bw > 0) {
+          // 32 values LSB-first at bw bits = 4*bw bytes; values
+          // add in ≤32-bit pieces so the accumulator never
+          // overflows at widths past 56
+          var acc = 0L
+          var bits = 0
+          def addBits(v: Long, w: Int): Unit = {
+            var rem = w
+            var x = v
+            while (rem > 0) {
+              val take = math.min(32, rem)
+              acc |= (x & ((1L << take) - 1)) << bits
+              bits += take
+              x >>>= take
+              rem -= take
+              while (bits >= 8) {
+                out.write((acc & 0xff).toInt); acc >>>= 8
+                bits -= 8
+              }
+            }
+          }
+          var j = mb * 32
+          while (j < (mb + 1) * 32) {
+            addBits(if (j < n) deltas(j) else 0L, bw)
+            j += 1
+          }
+          if (bits > 0) out.write((acc & 0xff).toInt)
+        }
+        mb += 1
+      }
+      i += n
+    }
     out.toByteArray
   }
 
@@ -581,9 +676,27 @@ object ParquetWrite {
       dict: Set[String] = Set.empty,
       // r14: multiple row groups — the unit a multi-executor read
       // parallelizes on, and what bounds reader memory per task
-      rowsPerGroup: Int = Int.MaxValue): Array[Byte] = {
+      rowsPerGroup: Int = Int.MaxValue,
+      // late r14: DATA_PAGE_V2 framing (bare uncompressed levels,
+      // values-only compression) and DELTA_BINARY_PACKED for the
+      // named int-physical WCols
+      pageVersion: Int = 1,
+      delta: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     require(rowsPerGroup > 0, "rowsPerGroup must be positive")
+    require(pageVersion == 1 || pageVersion == 2,
+      s"pageVersion 1 or 2, got $pageVersion")
+    delta.foreach { d =>
+      require(!dict(d), s"column $d cannot be both dict and delta")
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(physType(c.kind) == 1 ||
+          physType(c.kind) == 2,
+          s"DELTA_BINARY_PACKED is for int columns (${c.name})")
+        case Some(_) =>
+          sys.error(s"delta on non-scalar column $d unsupported")
+        case None => sys.error(s"delta column $d not present")
+      }
+    }
     val nRows = cols.head.rows
     require(cols.forall(_.rows == nRows), "ragged column lengths")
     dict.foreach { d =>
@@ -617,7 +730,7 @@ object ParquetWrite {
     final case class ChunkMeta(pc: PreparedCol, codecId: Int,
         chunkOffset: Long, dataPageOffset: Long,
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
-        useDict: Boolean)
+        useDict: Boolean, useDelta: Boolean)
     def emitChunk(pc: PreparedCol): ChunkMeta = {
       // oversized dictionaries fall back to PLAIN (the hybrid
       // index width caps at 16 bits; real writers spill the same
@@ -673,52 +786,104 @@ object ParquetWrite {
           uncomp += hb.length.toLong + raw.length
           (Some(chunkOffset), idx)
         }
-      // data page: rep levels ++ def levels ++ values
-      val sections = new java.io.ByteArrayOutputStream()
-      if (pc.maxRep > 0) {
-        val b = u32Prefixed(rleHybrid(pc.reps, bitsFor(pc.maxRep)))
-        sections.write(b, 0, b.length)
-      }
-      if (pc.maxDef > 0) {
-        val b = u32Prefixed(rleHybrid(pc.defs, bitsFor(pc.maxDef)))
-        sections.write(b, 0, b.length)
-      }
-      if (useDict) {
-        def key(v: Any): Any = v match {
-          case b: Array[Byte] => b.toSeq
-          case x => x
+      // the value bytes (dict indices / DELTA / PLAIN)
+      val useDelta = !useDict && delta(pc.col.name)
+      val valueBytes: Array[Byte] =
+        if (useDict) {
+          def key(v: Any): Any = v match {
+            case b: Array[Byte] => b.toSeq
+            case x => x
+          }
+          val width = math.max(1,
+            bitsFor(math.max(0, dictIndex.size() - 1)))
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(width)
+          val idxs = pc.present.map(v => dictIndex.get(key(v)).toInt)
+          val hb = rleHybrid(idxs, width)
+          b.write(hb, 0, hb.length)
+          b.toByteArray
+        } else if (useDelta) {
+          deltaBinaryPackedEnc(pc.present.map {
+            case i: Int => i.toLong
+            case l: Long => l
+            case bd: java.math.BigDecimal =>
+              bd.unscaledValue.longValueExact
+            case other => sys.error(s"bad delta value $other")
+          })
+        } else plainValues(pc.kind, pc.present)
+      val valueEnc: Long =
+        if (useDict) { if (pageVersion == 2) 8L else 2L }
+        else if (useDelta) 5L // DELTA_BINARY_PACKED
+        else 0L // PLAIN
+      val repBytes = if (pc.maxRep > 0)
+        rleHybrid(pc.reps, bitsFor(pc.maxRep))
+      else Array.emptyByteArray
+      val defBytes = if (pc.maxDef > 0)
+        rleHybrid(pc.defs, bitsFor(pc.maxDef))
+      else Array.emptyByteArray
+      val (hb, body, rawTotal) = if (pageVersion == 1) {
+        // v1: [u32+rep][u32+def][values], all compressed together
+        val sections = new java.io.ByteArrayOutputStream()
+        if (pc.maxRep > 0) {
+          val b = u32Prefixed(repBytes); sections.write(b, 0, b.length)
         }
-        val width = math.max(1,
-          bitsFor(math.max(0, dictIndex.size() - 1)))
-        sections.write(width)
-        val idxs = pc.present.map(v => dictIndex.get(key(v)).toInt)
-        val b = rleHybrid(idxs, width)
-        sections.write(b, 0, b.length)
+        if (pc.maxDef > 0) {
+          val b = u32Prefixed(defBytes); sections.write(b, 0, b.length)
+        }
+        sections.write(valueBytes, 0, valueBytes.length)
+        val raw = sections.toByteArray
+        val (_, comp0) = compress(codec, raw)
+        val h = new TWriter
+        h.i32(1, 0L) // DATA_PAGE
+        h.i32(2, raw.length.toLong)
+        h.i32(3, comp0.length.toLong)
+        h.structBegin(5) // DataPageHeader
+        h.i32(1, pc.numValues.toLong)
+        h.i32(2, valueEnc)
+        h.i32(3, 3L) // def levels: RLE
+        h.i32(4, 3L) // rep levels: RLE
+        h.structEnd()
+        h.stop()
+        (h.bytes, comp0, raw.length)
       } else {
-        val b = plainValues(pc.kind, pc.present)
-        sections.write(b, 0, b.length)
+        // v2: bare UNCOMPRESSED rep + def level runs, then the
+        // values (only they compress); null/row counts in the
+        // header instead of level prefixes
+        val (_, compVals) = compress(codec, valueBytes)
+        val numNulls = pc.numValues - pc.present.length
+        val numRows =
+          if (pc.maxRep == 0) pc.numValues
+          else pc.reps.count(_ == 0)
+        val raw = repBytes.length + defBytes.length +
+          valueBytes.length
+        val h = new TWriter
+        h.i32(1, 3L) // DATA_PAGE_V2
+        h.i32(2, raw.toLong)
+        h.i32(3, (repBytes.length + defBytes.length +
+          compVals.length).toLong)
+        h.structBegin(8) // DataPageHeaderV2
+        h.i32(1, pc.numValues.toLong)
+        h.i32(2, numNulls.toLong)
+        h.i32(3, numRows.toLong)
+        h.i32(4, valueEnc)
+        h.i32(5, defBytes.length.toLong)
+        h.i32(6, repBytes.length.toLong)
+        h.structEnd()
+        h.stop()
+        val payload = new java.io.ByteArrayOutputStream()
+        payload.write(repBytes, 0, repBytes.length)
+        payload.write(defBytes, 0, defBytes.length)
+        payload.write(compVals, 0, compVals.length)
+        (h.bytes, payload.toByteArray, raw)
       }
-      val raw = sections.toByteArray
-      val (codecId, body) = compress(codec, raw)
-      val h = new TWriter
-      h.i32(1, 0L) // DATA_PAGE
-      h.i32(2, raw.length.toLong)
-      h.i32(3, body.length.toLong)
-      h.structBegin(5) // DataPageHeader
-      h.i32(1, pc.numValues.toLong)
-      h.i32(2, if (useDict) 2L else 0L) // PLAIN_DICTIONARY / PLAIN
-      h.i32(3, 3L) // def levels: RLE
-      h.i32(4, 3L) // rep levels: RLE
-      h.structEnd()
-      h.stop()
-      val hb = h.bytes
+      val codecId = compress(codec, Array.emptyByteArray)._1
       val dataOff = buf.size().toLong
       buf.write(hb, 0, hb.length)
       buf.write(body, 0, body.length)
       comp += hb.length.toLong + body.length
-      uncomp += hb.length.toLong + raw.length
+      uncomp += hb.length.toLong + rawTotal
       ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
-        comp, uncomp, useDict)
+        comp, uncomp, useDict, useDelta)
     }
     val groups: Seq[(Int, Seq[ChunkMeta])] =
       groupRanges.map { case (lo, hi) =>
@@ -857,7 +1022,11 @@ object ParquetWrite {
         f.structBegin(3) // ColumnMetaData
         f.i32(1, physType(cm.pc.kind).toLong)
         f.listBegin(2, 5, 2) // encodings
-        f.varint((if (cm.useDict) 2L else 0L) << 1) // value enc
+        f.varint({ // value encoding, zigzagged
+          if (cm.useDict) { if (pageVersion == 2) 8L else 2L }
+          else if (cm.useDelta) 5L
+          else 0L
+        } << 1)
         f.varint(3L << 1) // zigzag(RLE = 3) for levels
         f.listBegin(3, 8, cm.pc.path.length) // path_in_schema
         cm.pc.path.foreach { seg =>

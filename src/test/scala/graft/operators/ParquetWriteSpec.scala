@@ -601,6 +601,90 @@ class ParquetWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("DATA_PAGE_V2 + DELTA_BINARY_PACKED: v2 framing with bare " +
+    "levels, delta ints, dict-in-v2 via parquet-mr AND our " +
+    "walker (late r14)") {
+    val n = 900
+    val toks: IndexedSeq[Option[Seq[Option[Any]]]] =
+      (0 until n).map { i =>
+        if (i % 7 == 3) None
+        else if (i % 5 == 4) Some(Seq.empty)
+        else Some((0 until (i % 3) + 1).map(j =>
+          if ((i + j) % 9 == 8) None
+          else Some((i.toLong * 7 + j): Any)))
+      }
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      // monotone-ish + jitter: exercises negative min-deltas
+      ParquetWrite.WCol("seq", "i64", optional = true,
+        (0 until n).map(i => if (i % 11 == 6) None
+          else Some(i.toLong * 1000 - (i % 13) * 77))),
+      ParquetWrite.WCol("small", "i32", optional = false,
+        (0 until n).map(i => Some(i - 450))),
+      ParquetWrite.WCol("lang", "string", optional = true,
+        (0 until n).map(i => if (i % 13 == 9) None
+          else Some(s"L${i % 7}"))),
+      ParquetWrite.WListCol("toks", "i64", optional = true,
+        elemOptional = true, toks))
+    for (codec <- Seq("uncompressed", "snappy", "zstd")) {
+      val bytes = ParquetWrite.build(cols, codec,
+        dict = Set("lang"), rowsPerGroup = 400, pageVersion = 2,
+        delta = Set("id", "seq", "small"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pwv2")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val rows = spark.read.parquet(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      assert(rows.length == n, codec)
+      (0 until n by 7).foreach { i =>
+        val r = rows(i)
+        assert(Option(r.get(1)).map(_.asInstanceOf[Long]) ==
+          (if (i % 11 == 6) None else Some(i.toLong * 1000 -
+            (i % 13) * 77)), s"seq at $i ($codec)")
+        assert(r.getInt(2) == i - 450, s"small at $i")
+        assert(Option(r.get(3)) ==
+          (if (i % 13 == 9) None else Some(s"L${i % 7}")),
+          s"lang at $i")
+        val gt = Option(r.get(4)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(Option(_)))
+        assert(gt == toks(i).map(_.map(_.map(_.asInstanceOf[Any]))),
+          s"toks at $i")
+      }
+      // our own deep walker decodes the v2 pages + DELTA values
+      // (the file carries a list column, so the flat walk defers)
+      val (_, vals) = ParquetData.decodeFileDeep(bytes)
+        .getOrElse(fail(s"our walker rejected v2/$codec"))
+      (0 until n by 11).foreach { i =>
+        assert(vals(0)(i).contains(i.toLong), s"id at $i")
+        assert(vals(2)(i).map {
+          case l: Long => l.toInt
+          case x: Int => x
+        }.contains(i - 450), s"raw small at $i")
+        assert(vals(4)(i) == toks(i), s"raw toks at $i")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+    // the DELTA encoder's byte form round-trips at width edges
+    for (vs <- Seq(
+      Seq.empty[Long], Seq(42L), (0 until 300).map(_.toLong * 3),
+      Seq(Long.MaxValue - 2, Long.MinValue + 5, 0L, -1L,
+        Long.MaxValue, Long.MinValue),
+      (0 until 257).map(i => if (i % 2 == 0) 0L else 1L << 40))) {
+      val enc = ParquetWrite.deltaBinaryPackedEnc(vs)
+      val cols2 = Seq(ParquetWrite.WCol("v", "i64",
+        optional = false, vs.map(v => Some(v): Option[Any])
+          .toIndexedSeq))
+      val b2 = ParquetWrite.build(cols2, "uncompressed",
+        pageVersion = 2, delta = Set("v"))
+      val (_, got) = ParquetData.decodeFile(b2)
+        .getOrElse(fail(s"delta edge rejected (${vs.length})"))
+      assert(got(0).flatten == vs, s"delta edge ${vs.take(3)}")
+      assert(enc.length >= 4)
+    }
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
