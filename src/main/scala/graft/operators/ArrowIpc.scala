@@ -29,8 +29,10 @@ package graft.operators
   * ENCODING over scalar value types (DictionaryBatch messages decode
   * the value column; record-batch index columns — int 8/16/32/64,
   * signed/unsigned — resolve through the id's dictionary with eager
-  * bounds checks; stream replacement allowed, delta dictionaries
-  * reject), plus BODY COMPRESSION (BodyCompression codecs LZ4_FRAME
+  * bounds checks; stream replacement allowed; DELTA dictionary
+  * batches (late r14) append to the id's existing values — a
+  * delta with no base rejects), plus BODY COMPRESSION
+  * (BodyCompression codecs LZ4_FRAME
   * and ZSTD, buffer method — the pyarrow Feather-v2 compression
   * shapes): each body buffer's [int64 uncompressed length | -1]
   * [frame] envelope decodes through this repo's own pure-JVM
@@ -385,8 +387,7 @@ object ArrowIpc {
                 cols = parseSchema(fb, header).getOrElse(return None)
               case 2 => // DictionaryBatch { id(0), data(1), isDelta(2) }
                 if (cols == null) return None
-                if (fb.fieldBool(header, 2, dflt = false))
-                  return None // delta dictionaries: honest rejection
+                val isDelta = fb.fieldBool(header, 2, dflt = false)
                 val id = fb.fieldI64(header, 0, 0L)
                 val data = fb.fieldRef(header, 1)
                 if (data < 0) return None
@@ -395,10 +396,21 @@ object ArrowIpc {
                 val valCol = dictValueCol(cols, id).getOrElse(return None)
                 val vals = parseBatch(fb, data, b, q, bodyLen,
                   Seq(valCol), Map.empty).getOrElse(return None)
-                if (vals.length > (1 << 22)) return None // bomb cap
-                // replacement (same id re-sent) is legal in streams:
-                // last one wins, matching reader semantics
-                dicts(id) = vals.map(_.head).toIndexedSeq
+                val newVals = vals.map(_.head).toIndexedSeq
+                if (isDelta) {
+                  // DELTA (late r14): appends to the id's existing
+                  // dictionary — a delta with no base is malformed
+                  val base = dicts.getOrElse(id, return None)
+                  if (base.length + newVals.length > (1 << 22))
+                    return None // bomb cap
+                  dicts(id) = base ++ newVals
+                } else {
+                  if (newVals.length > (1 << 22)) return None
+                  // replacement (same id re-sent) is legal in
+                  // streams: last one wins, matching reader
+                  // semantics
+                  dicts(id) = newVals
+                }
               case 3 => // RecordBatch
                 if (cols == null) return None
                 val got = parseBatch(fb, header, b, q, bodyLen, cols,

@@ -350,6 +350,114 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: DELTA dictionary batches append to the base " +
+    "(hand-serialized stream, arrow-java reader agrees) (late r14)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType,
+      DictionaryEncoding, Field, FieldType}
+    import org.apache.arrow.vector.dictionary.{Dictionary,
+      DictionaryProvider}
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch,
+      MessageSerializer}
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, WriteChannel}
+    val alloc = new RootAllocator()
+    val labels = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val enc = new DictionaryEncoding(7L, false,
+      new ArrowType.Int(32, true))
+    def dictBatchOf(ls: Seq[String], isDelta: Boolean)
+        : (ArrowDictionaryBatch, VectorSchemaRoot) = {
+      val v = new VarCharVector("dictv", alloc)
+      v.allocateNew()
+      ls.zipWithIndex.foreach { case (x, i) =>
+        v.setSafe(i, x.getBytes("UTF-8")) }
+      v.setValueCount(ls.length)
+      val r = new VectorSchemaRoot(
+        java.util.Arrays.asList(v.getField),
+        java.util.Arrays.asList(v), ls.length)
+      val rb = new VectorUnloader(r).getRecordBatch
+      (new ArrowDictionaryBatch(7L, rb, isDelta), r)
+    }
+    // encoded index column (int32 into the COMBINED dictionary);
+    // the WIRE schema carries the VALUE type + encoding (what
+    // ArrowStreamWriter's DictionaryUtility conversion emits)
+    val idxField = new Field("label",
+      new FieldType(true, new ArrowType.Int(32, true), enc), null)
+    val wireField = new Field("label",
+      new FieldType(true, ArrowType.Utf8.INSTANCE, enc), null)
+    val idx = new IntVector(idxField, alloc)
+    idx.allocateNew()
+    val n = 23
+    for (i <- 0 until n) {
+      if (i % 7 == 5) idx.setNull(i)
+      else idx.setSafe(i, i % labels.length) // 3,4 need the DELTA
+    }
+    idx.setValueCount(n)
+    val root = new VectorSchemaRoot(
+      java.util.Arrays.asList(idxField),
+      java.util.Arrays.asList[FieldVector](idx), n)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ch = new WriteChannel(
+      java.nio.channels.Channels.newChannel(buf))
+    MessageSerializer.serialize(ch,
+      new ASchema(java.util.Arrays.asList(wireField)))
+    val (base, r1) = dictBatchOf(labels.take(3), isDelta = false)
+    val (delta, r2) = dictBatchOf(labels.drop(3), isDelta = true)
+    MessageSerializer.serialize(ch, base)
+    MessageSerializer.serialize(ch, delta)
+    locally {
+      val rb = new VectorUnloader(root).getRecordBatch
+      MessageSerializer.serialize(ch, rb)
+      rb.close()
+    }
+    ch.writeIntLittleEndian(-1) // stream end marker
+    ch.writeIntLittleEndian(0)
+    base.close(); delta.close(); r1.close(); r2.close()
+    val bytes = buf.toByteArray
+    // arrow-java's own reader accepts the construction and resolves
+    // the combined dictionary — the legality witness
+    val rd = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    assert(rd.loadNextBatch())
+    val jr = rd.getVectorSchemaRoot
+    val dictVals = rd.getDictionaryVectors.get(7L).getVector
+      .asInstanceOf[VarCharVector]
+    assert(dictVals.getValueCount == labels.length)
+    val jidx = jr.getVector("label").asInstanceOf[IntVector]
+    val javaRows = (0 until n).map { i =>
+      if (jidx.isNull(i)) None
+      else Some(new String(dictVals.get(jidx.get(i)), "UTF-8"))
+    }
+    rd.close()
+    // our reader: same rows
+    val (cols, rows) = ArrowIpc.parseStream(bytes)
+      .getOrElse(fail("delta-dictionary stream rejected"))
+    assert(cols.head.dict.exists(_._1 == 7L))
+    assert(rows.length == n)
+    for (i <- 0 until n) {
+      val want = if (i % 7 == 5) None else Some(labels(i % 5))
+      assert(rows(i)(0) == want, s"row $i")
+      assert(javaRows(i) == want, s"java row $i")
+    }
+    // a DELTA with no base is malformed: strip the base batch out
+    // by re-serializing without it
+    val buf2 = new java.io.ByteArrayOutputStream()
+    val ch2 = new WriteChannel(
+      java.nio.channels.Channels.newChannel(buf2))
+    MessageSerializer.serialize(ch2,
+      new ASchema(java.util.Arrays.asList(wireField)))
+    val (orphan, r3) = dictBatchOf(labels.take(2), isDelta = true)
+    MessageSerializer.serialize(ch2, orphan)
+    locally {
+      val rb = new VectorUnloader(root).getRecordBatch
+      MessageSerializer.serialize(ch2, rb)
+      rb.close()
+    }
+    ch2.writeIntLittleEndian(-1); ch2.writeIntLittleEndian(0)
+    orphan.close(); r3.close()
+    assert(ArrowIpc.parseStream(buf2.toByteArray).isEmpty,
+      "orphan delta accepted")
+    root.close(); idx.close(); alloc.close()
+  }
+
   test("differential: fixed_size_list<float32> and Large* types") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     import org.apache.arrow.vector.types.FloatingPointPrecision
