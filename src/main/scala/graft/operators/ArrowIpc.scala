@@ -36,8 +36,13 @@ package graft.operators
   * and ZSTD, buffer method — the pyarrow Feather-v2 compression
   * shapes): each body buffer's [int64 uncompressed length | -1]
   * [frame] envelope decodes through this repo's own pure-JVM
-  * LZ4-frame / Zstd decoders, length-verified. Union,
-  * dictionaries over nested types and big-endian streams REJECT
+  * LZ4-frame / Zstd decoders, length-verified; and UNION columns
+  * (late r14, sparse AND dense): no validity bitmap — the int8
+  * types buffer selects a child through the declared type-id
+  * table (dense adds a 32-bit offsets buffer, eagerly
+  * bounds-checked against each child's own FieldNode length), the
+  * row surfacing the selected child's value. Dictionaries over
+  * nested types and big-endian streams REJECT
   * cleanly (None) — drop, never invent. Every
   * structural invariant is checked: continuation marker, 8-byte
   * alignment, bodyLength bounds, node/buffer counts against the
@@ -158,7 +163,11 @@ object ArrowIpc {
       dict: Option[(Long, Int, Boolean)] = None,
       /** Element count per slot for tag == "fixed_list" (the shape
         * embedding columns ship in: fixed_size_list<float32, d>). */
-      fixedSize: Int = 0)
+      fixedSize: Int = 0,
+      /** Union type-id table (late r14): typeIds(i) is the int8
+        * tag in the types buffer that selects child i; empty =
+        * identity mapping per spec. */
+      typeIds: Seq[Int] = Nil)
 
   /** Decoded value row: None = null (the [[Avro.Row]] convention).
     * A "list" value is a `Seq[Option[Any]]` of element values; a
@@ -222,6 +231,25 @@ object ArrowIpc {
       case 13 => // Struct_ { } — flat record of named children
         if (nKids < 1 || nKids > 1024 || dict.isDefined) return None
         kids().map(k => Col(name, nullable, "struct", k))
+      case 14 => // Union { mode(0), typeIds(1) } — late r14
+        if (nKids < 1 || nKids > 127 || dict.isDefined) return None
+        val mode = fb.fieldI16(tt, 0, 0)
+        if (mode != 0 && mode != 1) return None
+        val idsV = fb.fieldRef(tt, 1)
+        val idsLen = if (idsV < 0) -1 else fb.vecLen(idsV)
+        val ids: Seq[Int] =
+          if (idsV < 0 || idsLen <= 0) Nil
+          else {
+            if (idsLen != nKids) return None
+            (0 until idsLen).map { i =>
+              val at = fb.vecStruct(idsV, i, 4)
+              if (at < 0) return None
+              fb.i32(at)
+            }
+          }
+        kids().map(k => Col(name, nullable,
+          if (mode == 0) "union_sparse" else "union_dense", k,
+          None, 0, ids))
       case 17 => // Map { keysSorted(0) } — physically a list of
         // struct<key, value> entries; keys must be non-null (checked
         // eagerly at decode, not trusted from the flag)
@@ -298,7 +326,7 @@ object ArrowIpc {
             if (prec < 1 || prec > 76 || scale < -128 || scale > 128 ||
               (bits != 128 && bits != 256)) return None
             s"decimal${bits}_${prec}_$scale"
-          case _ => return None // Null/Map/Union/decimal/interval/...
+          case _ => return None // Null/interval/run-end/view/...
         }
         Some(Col(name, nullable, tag, Nil, dict))
     }
@@ -332,6 +360,9 @@ object ArrowIpc {
       case "list" | "large_list" | "map" => 2 + bufCount(c.children.head)
       case "fixed_list"          => 1 + bufCount(c.children.head)
       case "struct"              => 1 + c.children.map(bufCount).sum
+      // unions carry NO validity bitmap: types (+ offsets if dense)
+      case "union_sparse"        => 1 + c.children.map(bufCount).sum
+      case "union_dense"         => 2 + c.children.map(bufCount).sum
       case _                     => 2 // validity + data (bool = bitmap)
     }
 
@@ -516,12 +547,68 @@ object ArrowIpc {
         case _ => None
       }
     }
-    /** Read one vector (and its children) expecting `want` slots;
-      * returns the positional accessor, or None on malformation. */
-    def readVec(c: Col, want: Long): Option[Int => Option[Any]] = {
+    /** Read one vector (and its children) expecting `want` slots
+      * (`want < 0` = trust the FieldNode's own length — dense-union
+      * children are the one place the schema cannot predict it);
+      * returns (positional accessor, slot count). */
+    def readVecLen(c: Col, want: Long)
+        : Option[(Int => Option[Any], Int)] = {
       val (len, nullCount) = nextNode().getOrElse(return None)
-      if (len != want || nullCount < 0 || nullCount > len) return None
+      if (want >= 0 && len != want) return None
+      if (len < 0 || len > (1L << 26) ||
+        nullCount < 0 || nullCount > len) return None
       val m = len.toInt
+      def mk(f: Int => Option[Any]): Option[(Int => Option[Any], Int)] =
+        Some((f, m))
+      if (c.tag == "union_sparse" || c.tag == "union_dense") {
+        // UNIONS (late r14) carry NO validity bitmap — nulls live in
+        // the selected child. Buffers: types (int8/slot), plus a
+        // 32-bit offsets buffer when dense.
+        val tb = nextBuf().getOrElse(return None)
+        if (tb.len < m.toLong) return None
+        val dense = c.tag == "union_dense"
+        val offB: BufV =
+          if (!dense) null
+          else {
+            val ob = nextBuf().getOrElse(return None)
+            if (ob.len < 4L * m) return None
+            ob
+          }
+        val kidAcc = new Array[Int => Option[Any]](c.children.length)
+        val kidLen = new Array[Int](c.children.length)
+        c.children.zipWithIndex.foreach { case (k, ci) =>
+          val (a, l) = readVecLen(k,
+            if (dense) -1L else m.toLong).getOrElse(return None)
+          kidAcc(ci) = a
+          kidLen(ci) = l
+        }
+        // type id -> child index (identity when typeIds is absent)
+        val tid2child = Array.fill(128)(-1)
+        val ids =
+          if (c.typeIds.nonEmpty) c.typeIds else c.children.indices
+        if (ids.length != c.children.length) return None
+        ids.zipWithIndex.foreach { case (tid, ci) =>
+          if (tid < 0 || tid > 127 || tid2child(tid) >= 0) return None
+          tid2child(tid) = ci
+        }
+        // eager validation: every slot's type id must map, and every
+        // dense offset must land inside its child
+        var i = 0
+        while (i < m) {
+          val tid = tb.arr(tb.base + i).toInt
+          if (tid < 0 || tid > 127 || tid2child(tid) < 0) return None
+          if (dense) {
+            val o = fbI32(offB.arr, offB.base + 4 * i)
+            if (o < 0 || o >= kidLen(tid2child(tid))) return None
+          }
+          i += 1
+        }
+        return mk { (i: Int) =>
+          val ci = tid2child(tb.arr(tb.base + i).toInt)
+          val j = if (dense) fbI32(offB.arr, offB.base + 4 * i) else i
+          kidAcc(ci)(j)
+        }
+      }
       val vb = nextBuf().getOrElse(return None)
       if (nullCount > 0 && vb.len < (m + 7) / 8) return None
       val noNulls = nullCount == 0 || vb.len == 0
@@ -556,7 +643,7 @@ object ArrowIpc {
           }
           i += 1
         }
-        return Some { (i: Int) =>
+        return mk { (i: Int) =>
           if (!isValid(i)) None else values(idxAt(i).toInt)
         }
       }
@@ -572,7 +659,7 @@ object ArrowIpc {
           // spec: a zero-length array may carry an EMPTY offsets
           // buffer (arrow-java writes one for 0-length children)
           if (m == 0 && ob.len == 0)
-            return Some((_: Int) => None)
+            return mk((_: Int) => None)
           if (ob.len < w.toLong * (m + 1)) return None
           var i = 0
           var prev = 0L
@@ -584,7 +671,7 @@ object ArrowIpc {
             i += 1
           }
           val utf8 = c.tag == "utf8" || c.tag == "large_utf8"
-          Some { (i: Int) =>
+          mk { (i: Int) =>
             if (!isValid(i)) None
             else {
               val st = offAt(ob, w, i).toInt
@@ -628,7 +715,7 @@ object ArrowIpc {
               j += 1
             }
           }
-          Some { (i: Int) =>
+          mk { (i: Int) =>
             if (!isValid(i)) None
             else Some((offs(i) until offs(i + 1))
               .map(child): Seq[Option[Any]])
@@ -639,7 +726,7 @@ object ArrowIpc {
           if (len * sz > (1L << 26)) return None // bomb cap
           val child = readVec(c.children.head, len * sz)
             .getOrElse(return None)
-          Some { (i: Int) =>
+          mk { (i: Int) =>
             if (!isValid(i)) None
             else Some((i * sz until (i + 1) * sz)
               .map(child): Seq[Option[Any]])
@@ -647,7 +734,7 @@ object ArrowIpc {
         case "struct" =>
           val kids = c.children.map(k =>
             readVec(k, len).getOrElse(return None))
-          Some { (i: Int) =>
+          mk { (i: Int) =>
             if (!isValid(i)) None
             else Some(kids.map(_(i)): Seq[Option[Any]])
           }
@@ -670,7 +757,7 @@ object ArrowIpc {
           val arr = db.arr
           val base = db.base
           val tag = c.tag
-          Some { (i: Int) =>
+          mk { (i: Int) =>
             if (!isValid(i)) None
             else Some(tag match {
               case "bool" =>
@@ -705,6 +792,8 @@ object ArrowIpc {
           }
       }
     }
+    def readVec(c: Col, want: Long): Option[Int => Option[Any]] =
+      readVecLen(c, want).map(_._1)
     val accessors = cols.map(c => readVec(c, n).getOrElse(return None))
     Some(Seq.tabulate(n.toInt)(i => accessors.map(_(i))))
   }

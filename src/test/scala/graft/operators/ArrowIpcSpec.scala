@@ -458,6 +458,113 @@ class ArrowIpcSpec extends AnyFunSuite {
     root.close(); idx.close(); alloc.close()
   }
 
+  test("differential: SPARSE and DENSE union columns (arrow-java " +
+    "writers) (late r14)") {
+    import org.apache.arrow.vector.complex.{DenseUnionVector, UnionVector}
+    import org.apache.arrow.vector.holders.{NullableBigIntHolder,
+      NullableFloat8Holder}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType}
+    import org.apache.arrow.vector.types.Types.MinorType
+    val n = 29
+    // --- sparse: UnionVector (arrow-java's sparse union) ---
+    locally {
+      val alloc = new RootAllocator()
+      val uv = UnionVector.empty("u", alloc)
+      uv.allocateNew()
+      val hI = new NullableBigIntHolder
+      val hF = new NullableFloat8Holder
+      for (i <- 0 until n) {
+        if (i % 3 == 0) {
+          hI.isSet = if (i % 6 == 0) 1 else 0
+          hI.value = i.toLong * 11
+          uv.setType(i, MinorType.BIGINT)
+          uv.setSafe(i, hI)
+        } else {
+          hF.isSet = 1
+          hF.value = i * 0.5
+          uv.setType(i, MinorType.FLOAT8)
+          uv.setSafe(i, hF)
+        }
+      }
+      uv.setValueCount(n)
+      val ids = new BigIntVector("id", alloc)
+      ids.allocateNew()
+      for (i <- 0 until n) ids.setSafe(i, i.toLong)
+      ids.setValueCount(n)
+      val root = new VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, uv.getField),
+        java.util.Arrays.asList[FieldVector](ids, uv), n)
+      val buf = new java.io.ByteArrayOutputStream()
+      val w = new ArrowFileWriter(root,
+        new org.apache.arrow.vector.dictionary.DictionaryProvider
+          .MapDictionaryProvider(),
+        java.nio.channels.Channels.newChannel(buf))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); alloc.close()
+      val (cols, rows) = ArrowIpc.parseFile(buf.toByteArray)
+        .getOrElse(fail("sparse union file rejected"))
+      assert(cols(1).tag == "union_sparse", cols(1).tag)
+      assert(rows.length == n)
+      for (i <- 0 until n) {
+        val want: Option[Any] =
+          if (i % 3 == 0) {
+            if (i % 6 == 0) Some(i.toLong * 11) else None
+          } else Some(i * 0.5)
+        assert(rows(i)(1) == want, s"sparse row $i: ${rows(i)(1)}")
+      }
+    }
+    // --- dense: DenseUnionVector ---
+    locally {
+      val alloc = new RootAllocator()
+      val duv = DenseUnionVector.empty("u", alloc)
+      val tidI = duv.registerNewTypeId(new Field("i64",
+        FieldType.nullable(new ArrowType.Int(64, true)), null))
+      val tidF = duv.registerNewTypeId(new Field("f64",
+        FieldType.nullable(new ArrowType.FloatingPoint(
+          org.apache.arrow.vector.types.FloatingPointPrecision
+            .DOUBLE)), null))
+      duv.allocateNew()
+      val hI = new NullableBigIntHolder
+      val hF = new NullableFloat8Holder
+      for (i <- 0 until n) {
+        if (i % 4 == 1) {
+          hF.isSet = 1
+          hF.value = i * 0.25
+          duv.setTypeId(i, tidF)
+          duv.setSafe(i, hF)
+        } else {
+          hI.isSet = if (i % 5 == 2) 0 else 1
+          hI.value = i.toLong * 7
+          duv.setTypeId(i, tidI)
+          duv.setSafe(i, hI)
+        }
+      }
+      duv.setValueCount(n)
+      val root = new VectorSchemaRoot(
+        java.util.Arrays.asList(duv.getField),
+        java.util.Arrays.asList[FieldVector](duv), n)
+      val buf = new java.io.ByteArrayOutputStream()
+      val w = new ArrowFileWriter(root,
+        new org.apache.arrow.vector.dictionary.DictionaryProvider
+          .MapDictionaryProvider(),
+        java.nio.channels.Channels.newChannel(buf))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); alloc.close()
+      val (cols, rows) = ArrowIpc.parseFile(buf.toByteArray)
+        .getOrElse(fail("dense union file rejected"))
+      assert(cols(0).tag == "union_dense", cols(0).tag)
+      assert(rows.length == n)
+      for (i <- 0 until n) {
+        val want: Option[Any] =
+          if (i % 4 == 1) Some(i * 0.25)
+          else if (i % 5 == 2) None
+          else Some(i.toLong * 7)
+        assert(rows(i)(0) == want, s"dense row $i: ${rows(i)(0)}")
+      }
+    }
+  }
+
   test("differential: fixed_size_list<float32> and Large* types") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     import org.apache.arrow.vector.types.FloatingPointPrecision
