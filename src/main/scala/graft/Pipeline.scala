@@ -200,6 +200,7 @@ object Pipeline
     "arrow_ipc_files"   -> arrowIpcFiles _,
     "arrow_ipc_nested"  -> arrowIpcNested _,
     "arrow_ipc_map"     -> arrowIpcMap _,
+    "arrow_ipc_union"   -> arrowIpcUnion _,
     "arrow_ipc_dict"    -> arrowIpcDict _,
     "arrow_ipc_compressed" -> arrowIpcCompressed _,
     "arrow_ipc_embeddings" -> arrowIpcEmbeddings _,

@@ -252,6 +252,119 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
         "k_max", "price_s")
       .orderBy("doc_id")
   }
+  /** UNION-column Arrow IPC decode (late r14): arrow-java's
+    * UnionVector (sparse, even shards) and DenseUnionVector (dense,
+    * odd shards) write an i64/f64 union with nulls in the int
+    * branch; OUR reader resolves each slot through the type-id
+    * table (dense offsets bounds-checked) and the gate surfaces the
+    * value by its RUNTIME branch — the oracle re-derives both
+    * branches analytically, so a type-id, offset or child-null slip
+    * flips the hash. */
+  private[graft] def arrowIpcUnion(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asciiDocs(s, dir)
+      .map { case (id, _) => (id / 8, id) }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long)]) =>
+        val ids = it.map(_._2).toSeq.sorted
+        (sid, buildArrowUnionShard(ids, dense = sid % 2 == 1))
+      }
+      .flatMap { case (sid, bytes) =>
+        val (cols, rows) = graft.operators.ArrowIpc.parseFile(bytes)
+          .getOrElse(sys.error(s"arrow union parse rejected $sid"))
+        require(cols(1).tag ==
+          (if (sid % 2 == 1) "union_dense" else "union_sparse"),
+          s"union mode drift in shard $sid")
+        rows.map { r =>
+          val id = r(0).get.asInstanceOf[Long]
+          val (ui, uf) = r(1) match {
+            case Some(l: Long) => (Some(l), None)
+            case Some(d: Double) => (None, Some(d))
+            case None => (None, None)
+            case other => sys.error(s"unexpected union value $other")
+          }
+          (id, sid, ui, uf)
+        }
+      }
+      .toDF("doc_id", "shard_id", "u_i", "u_f")
+      .orderBy("doc_id")
+  }
+  /** One 8-doc Arrow file with an i64/f64 union column: float
+    * branch when id % 4 == 1 (id * 0.25), else int branch (null
+    * when id % 5 == 2, else id * 7). */
+  private[graft] def buildArrowUnionShard(ids: Seq[Long],
+      dense: Boolean): Array[Byte] = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{DenseUnionVector,
+      UnionVector}
+    import org.apache.arrow.vector.holders.{NullableBigIntHolder,
+      NullableFloat8Holder}
+    import org.apache.arrow.vector.types.Types.MinorType
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+      FieldType}
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val n = ids.length
+      val idv = new BigIntVector("id", alloc)
+      idv.allocateNew()
+      ids.zipWithIndex.foreach { case (id, i) => idv.setSafe(i, id) }
+      idv.setValueCount(n)
+      val hI = new NullableBigIntHolder
+      val hF = new NullableFloat8Holder
+      val uv: FieldVector =
+        if (!dense) {
+          val v = UnionVector.empty("u", alloc)
+          v.allocateNew()
+          ids.zipWithIndex.foreach { case (id, i) =>
+            if (id % 4 == 1) {
+              hF.isSet = 1; hF.value = id * 0.25
+              v.setType(i, MinorType.FLOAT8); v.setSafe(i, hF)
+            } else {
+              hI.isSet = if (id % 5 == 2) 0 else 1
+              hI.value = id * 7
+              v.setType(i, MinorType.BIGINT); v.setSafe(i, hI)
+            }
+          }
+          v.setValueCount(n)
+          v
+        } else {
+          val v = DenseUnionVector.empty("u", alloc)
+          val tidI = v.registerNewTypeId(new Field("i64",
+            FieldType.nullable(new ArrowType.Int(64, true)), null))
+          val tidF = v.registerNewTypeId(new Field("f64",
+            FieldType.nullable(new ArrowType.FloatingPoint(
+              org.apache.arrow.vector.types.FloatingPointPrecision
+                .DOUBLE)), null))
+          v.allocateNew()
+          ids.zipWithIndex.foreach { case (id, i) =>
+            if (id % 4 == 1) {
+              hF.isSet = 1; hF.value = id * 0.25
+              v.setTypeId(i, tidF); v.setSafe(i, hF)
+            } else {
+              hI.isSet = if (id % 5 == 2) 0 else 1
+              hI.value = id * 7
+              v.setTypeId(i, tidI); v.setSafe(i, hI)
+            }
+          }
+          v.setValueCount(n)
+          v
+        }
+      try {
+        val root = new VectorSchemaRoot(
+          java.util.Arrays.asList(idv.getField, uv.getField),
+          java.util.Arrays.asList[FieldVector](idv, uv), n)
+        val buf = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+          new org.apache.arrow.vector.dictionary.DictionaryProvider
+            .MapDictionaryProvider(),
+          java.nio.channels.Channels.newChannel(buf))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        buf.toByteArray
+      } finally { idv.close(); uv.close() }
+    } finally alloc.close()
+  }
   /** Dictionary-encoded Arrow IPC decode (r12) — how dataset shards
     * store low-cardinality string columns: arrow-java's
     * DictionaryEncoder writes a DictionaryBatch plus int32 index
@@ -2284,6 +2397,17 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
         |  CAST(meta_len AS BIGINT) AS meta_len
         |FROM t ORDER BY doc_id""".stripMargin,
     // ...map<utf8,int64> word-length histograms + decimal(20,4)
+    // the union column's two branches re-derived analytically —
+    // runtime-type surfacing means a type-id/offset slip flips it
+    "arrow_ipc_union" ->
+      """SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CASE WHEN doc_id % 4 = 1 OR doc_id % 5 = 2 THEN NULL
+        |    ELSE doc_id * 7 END AS u_i,
+        |  CASE WHEN doc_id % 4 = 1 THEN doc_id * 0.25
+        |    ELSE NULL END AS u_f
+        |FROM documents
+        |WHERE length(text) = strlen(text) AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
     // through OUR map/decimal decode; the oracle recomputes the
     // histogram facts and renders the decimal's exact plain string
     "arrow_ipc_map" ->
