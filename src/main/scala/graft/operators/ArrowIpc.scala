@@ -216,21 +216,22 @@ object ArrowIpc {
     val typeType = fb.fieldU8(ft, 2, 0)
     val tt = fb.fieldRef(ft, 3)
     typeType match {
-      case 12 => // List { } — exactly one child carries the element type
-        if (nKids != 1 || dict.isDefined) return None
-        kids().map(k => Col(name, nullable, "list", k))
+      case 12 => // List { } — exactly one child carries the element
+        // type; dict-encoded list VALUES allowed as of late r14
+        if (nKids != 1) return None
+        kids().map(k => Col(name, nullable, "list", k, dict))
       case 21 => // LargeList { } — 64-bit offsets, same shape
-        if (nKids != 1 || dict.isDefined) return None
-        kids().map(k => Col(name, nullable, "large_list", k))
+        if (nKids != 1) return None
+        kids().map(k => Col(name, nullable, "large_list", k, dict))
       case 16 => // FixedSizeList { listSize(0) } — embedding columns
-        if (nKids != 1 || dict.isDefined) return None
+        if (nKids != 1) return None
         val size = fb.fieldI32(tt, 0, 0)
         if (size < 1 || size > (1 << 16)) return None
         kids().map(k =>
-          Col(name, nullable, "fixed_list", k, None, size))
+          Col(name, nullable, "fixed_list", k, dict, size))
       case 13 => // Struct_ { } — flat record of named children
-        if (nKids < 1 || nKids > 1024 || dict.isDefined) return None
-        kids().map(k => Col(name, nullable, "struct", k))
+        if (nKids < 1 || nKids > 1024) return None
+        kids().map(k => Col(name, nullable, "struct", k, dict))
       case 14 => // Union { mode(0), typeIds(1) } — late r14
         if (nKids < 1 || nKids > 127 || dict.isDefined) return None
         val mode = fb.fieldI16(tt, 0, 0)
@@ -368,7 +369,11 @@ object ArrowIpc {
 
   /** FieldNode count: one per field, depth-first preorder. */
   private def nodeCount(c: Col): Int =
-    1 + c.children.map(nodeCount).sum
+    // a dictionary-encoded column's record batch carries ONLY the
+    // index vector — its value-type children live in the
+    // DictionaryBatch, not here
+    if (c.dict.isDefined) 1
+    else 1 + c.children.map(nodeCount).sum
 
   // ---------------------------------------------------------------
   // Encapsulated messages
@@ -466,7 +471,10 @@ object ArrowIpc {
   private def dictValueCol(cols: Seq[Col], id: Long): Option[Col] = {
     cols.foreach { c =>
       if (c.dict.exists(_._1 == id))
-        return Some(Col(c.name, nullable = true, c.tag))
+        // the VALUE column: same type shape (children included —
+        // late r14 allows nested value types), no dict marker
+        return Some(Col(c.name, nullable = true, c.tag,
+          c.children, None, c.fixedSize, c.typeIds))
       val sub = dictValueCol(c.children, id)
       if (sub.isDefined) return sub
     }

@@ -458,6 +458,99 @@ class ArrowIpcSpec extends AnyFunSuite {
     root.close(); idx.close(); alloc.close()
   }
 
+  test("differential: dictionary with LIST<int64> value type " +
+    "(hand-serialized, arrow-java reader agrees) (late r14)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType,
+      DictionaryEncoding, Field, FieldType}
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch,
+      MessageSerializer}
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, WriteChannel}
+    val alloc = new RootAllocator()
+    val enc = new DictionaryEncoding(9L, false,
+      new ArrowType.Int(32, true))
+    // dictionary VALUES: 3 distinct token lists (one with a null)
+    val dictLists: Seq[Seq[Option[Long]]] = Seq(
+      Seq(Some(1L), Some(2L)),
+      Seq(Some(10L), None, Some(30L)),
+      Seq.empty)
+    val lv = ListVector.empty("dictv", alloc)
+    val w = lv.getWriter
+    w.allocate()
+    dictLists.zipWithIndex.foreach { case (xs, i) =>
+      w.setPosition(i)
+      w.startList()
+      xs.foreach {
+        case Some(v) => w.bigInt().writeBigInt(v)
+        case None => w.bigInt().writeNull()
+      }
+      w.endList()
+    }
+    w.setValueCount(dictLists.length)
+    val dictRoot = new VectorSchemaRoot(
+      java.util.Arrays.asList(lv.getField),
+      java.util.Arrays.asList[FieldVector](lv), dictLists.length)
+    // wire schema: VALUE type (list<int64>) + the encoding
+    val wireField = new Field("toks",
+      new FieldType(true, ArrowType.List.INSTANCE, enc),
+      java.util.Arrays.asList(new Field("item",
+        FieldType.nullable(new ArrowType.Int(64, true)), null)))
+    // index column: int32 into the dictionary, null every 7th
+    val idxField = new Field("toks",
+      new FieldType(true, new ArrowType.Int(32, true), enc), null)
+    val idx = new IntVector(idxField, alloc)
+    idx.allocateNew()
+    val n = 19
+    for (i <- 0 until n) {
+      if (i % 7 == 5) idx.setNull(i)
+      else idx.setSafe(i, i % dictLists.length)
+    }
+    idx.setValueCount(n)
+    val root = new VectorSchemaRoot(
+      java.util.Arrays.asList(idxField),
+      java.util.Arrays.asList[FieldVector](idx), n)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ch = new WriteChannel(
+      java.nio.channels.Channels.newChannel(buf))
+    MessageSerializer.serialize(ch,
+      new ASchema(java.util.Arrays.asList(wireField)))
+    locally {
+      val rb = new VectorUnloader(dictRoot).getRecordBatch
+      val db = new ArrowDictionaryBatch(9L, rb, false)
+      MessageSerializer.serialize(ch, db)
+      db.close()
+    }
+    locally {
+      val rb = new VectorUnloader(root).getRecordBatch
+      MessageSerializer.serialize(ch, rb)
+      rb.close()
+    }
+    ch.writeIntLittleEndian(-1); ch.writeIntLittleEndian(0)
+    dictRoot.close()
+    val bytes = buf.toByteArray
+    // arrow-java legality witness
+    val rd = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    assert(rd.loadNextBatch())
+    val dictVec = rd.getDictionaryVectors.get(9L).getVector
+      .asInstanceOf[ListVector]
+    assert(dictVec.getValueCount == dictLists.length)
+    rd.close()
+    // our reader
+    val (cols, rows) = ArrowIpc.parseStream(bytes)
+      .getOrElse(fail("nested-dictionary stream rejected"))
+    assert(cols.head.tag == "list" && cols.head.dict.isDefined)
+    assert(rows.length == n)
+    for (i <- 0 until n) {
+      val want: Option[Any] =
+        if (i % 7 == 5) None
+        else Some(dictLists(i % 3).map(
+          _.map(_.asInstanceOf[Any])): Seq[Option[Any]])
+      assert(rows(i)(0) == want, s"row $i: ${rows(i)(0)}")
+    }
+    root.close(); idx.close(); alloc.close()
+  }
+
   test("differential: SPARSE and DENSE union columns (arrow-java " +
     "writers) (late r14)") {
     import org.apache.arrow.vector.complex.{DenseUnionVector, UnionVector}
