@@ -333,6 +333,31 @@ object ArrowIpc {
     }
   }
 
+  /** Structural shape of a column ignoring names/nullability — what
+    * a dictionary id's VALUE type must agree on when two fields
+    * share the id (legal per spec only with identical types). */
+  private def shapeOf(c: Col): String =
+    s"${c.tag}:${c.fixedSize}[" +
+      c.children.map(shapeOf).mkString(",") + "]"
+
+  /** Every dictionary id must resolve to ONE value shape — a stream
+    * declaring the same id at two different types would decode the
+    * second column through the first's dictionary. */
+  private def dictIdsConsistent(cols: Seq[Col]): Boolean = {
+    val seen = scala.collection.mutable.HashMap[Long, String]()
+    def walk(c: Col): Boolean = {
+      val ok = c.dict.forall { case (id, _, _) =>
+        val sh = shapeOf(c)
+        seen.get(id) match {
+          case Some(prev) => prev == sh
+          case None => seen(id) = sh; true
+        }
+      }
+      ok && c.children.forall(walk)
+    }
+    cols.forall(walk)
+  }
+
   private def parseSchema(fb: Fb, t: Int): Option[Seq[Col]] = {
     // Schema { endianness(0), fields(1), ... } — big-endian rejects
     if (fb.fieldI16(t, 0, 0) != 0) return None
@@ -347,7 +372,9 @@ object ArrowIpc {
       cols += parseField(fb, ft, 0).getOrElse(return None)
       i += 1
     }
-    Some(cols.result())
+    val out = cols.result()
+    if (!dictIdsConsistent(out)) return None
+    Some(out)
   }
 
   /** RecordBatch buffer count for a column, per the spec's fixed
@@ -430,8 +457,10 @@ object ArrowIpc {
                 // decode the single-column value batch with the value
                 // type the schema declares for this dictionary id
                 val valCol = dictValueCol(cols, id).getOrElse(return None)
+                // earlier dictionaries stay visible: a NESTED value
+                // type may itself carry dict-encoded children
                 val vals = parseBatch(fb, data, b, q, bodyLen,
-                  Seq(valCol), Map.empty).getOrElse(return None)
+                  Seq(valCol), dicts.toMap).getOrElse(return None)
                 val newVals = vals.map(_.head).toIndexedSeq
                 if (isDelta) {
                   // DELTA (late r14): appends to the id's existing

@@ -19,8 +19,10 @@ package graft.operators
   *    dictionary page (per group) for dictionary-encoded chunks.
   *  - DELTA_BINARY_PACKED (late r14, `delta` columns): 128-delta
   *    blocks in 4 miniblocks, zigzag min-delta + per-miniblock
-  *    widths, modular 64-bit arithmetic at the extremes — the
-  *    sorted-id column layout real v2 writers emit.
+  *    widths, modular arithmetic AT THE PHYSICAL WIDTH (INT32
+  *    deltas wrap to 32 bits — Arrow C++ rejects widths past the
+  *    type width; INT64 wraps at 64) — the sorted-id column
+  *    layout real v2 writers emit.
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
@@ -126,6 +128,17 @@ object ParquetWrite {
 
   private[graft] val DecimalKind = """decimal\((\d+),(\d+)\)""".r
 
+  /** Unsigned LEB128 — the one varint writer every encoder here
+    * shares (thrift compact, RLE headers, DELTA block headers). */
+  private def writeUvarint(out: java.io.ByteArrayOutputStream,
+      v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
   private def physType(kind: String): Int = kind match {
     case "boolean" => 0
     case "i32" | "date" => 1
@@ -151,13 +164,7 @@ object ParquetWrite {
     val out = new java.io.ByteArrayOutputStream(256)
     private var stack: List[Int] = List(0)
 
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) {
-        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
-      }
-      out.write(v.toInt)
-    }
+    def varint(v0: Long): Unit = writeUvarint(out, v0)
     private def zig(v: Long): Unit = varint((v << 1) ^ (v >> 63))
 
     def fieldBegin(id: Int, tpe: Int): Unit = {
@@ -300,16 +307,10 @@ object ParquetWrite {
     * but data only for those carrying values (the parquet-mr
     * layout [[ParquetData]]'s decoder expects). Values as Longs —
     * INT32 columns reconstruct by 32-bit wrap per spec. */
-  private[graft] def deltaBinaryPackedEnc(vals: Seq[Long])
-      : Array[Byte] = {
+  private[graft] def deltaBinaryPackedEnc(vals: Seq[Long],
+      bits32: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(vals.length)
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) {
-        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
-      }
-      out.write(v.toInt)
-    }
+    def varint(v0: Long): Unit = writeUvarint(out, v0)
     def zig(v: Long): Unit = varint((v << 1) ^ (v >> 63))
     varint(128L); varint(4L); varint(vals.length.toLong)
     zig(if (vals.isEmpty) 0L else vals.head)
@@ -320,12 +321,20 @@ object ParquetWrite {
       var minD = Long.MaxValue
       var k = 0
       while (k < n) {
-        deltas(k) = vals(i + k) - vals(i + k - 1)
+        // the spec's MODULAR arithmetic at the physical width:
+        // INT32 deltas wrap to 32 bits so miniblock widths never
+        // exceed 32 (Arrow C++ rejects width > type width)
+        val d = vals(i + k) - vals(i + k - 1)
+        deltas(k) = if (bits32) d.toInt.toLong else d
         if (deltas(k) < minD) minD = deltas(k)
         k += 1
       }
       k = 0
-      while (k < n) { deltas(k) -= minD; k += 1 }
+      while (k < n) {
+        val a = deltas(k) - minD
+        deltas(k) = if (bits32) a.toInt.toLong & 0xffffffffL else a
+        k += 1
+      }
       zig(minD)
       val widths = new Array[Int](4)
       var mb = 0
@@ -453,6 +462,14 @@ object ParquetWrite {
       case k => sys.error(s"unsupported column kind $k")
     }
     b.toByteArray
+  }
+
+  private def codecIdOf(codec: String): Int = codec match {
+    case "uncompressed" => 0
+    case "snappy" => 1
+    case "gzip" => 2
+    case "zstd" => 6
+    case c => sys.error(s"unsupported codec $c")
   }
 
   private def compress(codec: String, raw: Array[Byte])
@@ -732,14 +749,15 @@ object ParquetWrite {
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
         useDict: Boolean, useDelta: Boolean)
     def emitChunk(pc: PreparedCol): ChunkMeta = {
+      // dictionary keys: byte arrays compare by value, not identity
+      def key(v: Any): Any = v match {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }
       // oversized dictionaries fall back to PLAIN (the hybrid
       // index width caps at 16 bits; real writers spill the same
       // way when a dictionary stops paying)
       val useDict = dict(pc.col.name) && {
-        def key(v: Any): Any = v match {
-          case b: Array[Byte] => b.toSeq
-          case x => x
-        }
         val distinct = scala.collection.mutable.HashSet[Any]()
         var ok = true
         val it = pc.present.iterator
@@ -758,10 +776,6 @@ object ParquetWrite {
         else {
           val order = IndexedSeq.newBuilder[Any]
           val idx = new java.util.LinkedHashMap[Any, Integer]()
-          def key(v: Any): Any = v match {
-            case b: Array[Byte] => b.toSeq
-            case x => x
-          }
           pc.present.foreach { v =>
             if (!idx.containsKey(key(v))) {
               idx.put(key(v), idx.size()); order += v
@@ -790,10 +804,6 @@ object ParquetWrite {
       val useDelta = !useDict && delta(pc.col.name)
       val valueBytes: Array[Byte] =
         if (useDict) {
-          def key(v: Any): Any = v match {
-            case b: Array[Byte] => b.toSeq
-            case x => x
-          }
           val width = math.max(1,
             bitsFor(math.max(0, dictIndex.size() - 1)))
           val b = new java.io.ByteArrayOutputStream()
@@ -809,7 +819,7 @@ object ParquetWrite {
             case bd: java.math.BigDecimal =>
               bd.unscaledValue.longValueExact
             case other => sys.error(s"bad delta value $other")
-          })
+          }, bits32 = physType(pc.kind) == 1)
         } else plainValues(pc.kind, pc.present)
       val valueEnc: Long =
         if (useDict) { if (pageVersion == 2) 8L else 2L }
@@ -876,7 +886,7 @@ object ParquetWrite {
         payload.write(compVals, 0, compVals.length)
         (h.bytes, payload.toByteArray, raw)
       }
-      val codecId = compress(codec, Array.emptyByteArray)._1
+      val codecId = codecIdOf(codec)
       val dataOff = buf.size().toLong
       buf.write(hb, 0, hb.length)
       buf.write(body, 0, body.length)

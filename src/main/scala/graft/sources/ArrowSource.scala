@@ -61,6 +61,13 @@ object ArrowSource {
           throw new IllegalArgumentException(
             s"decimal precision $prec exceeds Spark's maximum")
         DecimalType(prec, scale)
+      case "union_sparse" | "union_dense" =>
+        // policy, not a parser gap: the raw ArrowIpc reader decodes
+        // unions (late r14), but Spark has no union type to carry
+        // them — fail with intent rather than a generic unmapped tag
+        throw new IllegalArgumentException(
+          "arrow union columns have no Spark type; decode them via " +
+            "ArrowIpc.parseFile/parseStream")
       case t => throw new IllegalArgumentException(s"unmapped tag $t")
     }
 

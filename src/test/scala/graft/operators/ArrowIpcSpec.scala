@@ -551,6 +551,32 @@ class ArrowIpcSpec extends AnyFunSuite {
     root.close(); idx.close(); alloc.close()
   }
 
+  test("two fields sharing a dictionary id at DIFFERENT value " +
+    "types reject (late r14)") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType,
+      DictionaryEncoding, Field, FieldType}
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    import org.apache.arrow.vector.ipc.WriteChannel
+    val enc = new DictionaryEncoding(1L, false,
+      new ArrowType.Int(32, true))
+    val fUtf8 = new Field("a",
+      new FieldType(true, ArrowType.Utf8.INSTANCE, enc), null)
+    val fList = new Field("b",
+      new FieldType(true, ArrowType.List.INSTANCE, enc),
+      java.util.Arrays.asList(new Field("item",
+        FieldType.nullable(new ArrowType.Int(64, true)), null)))
+    val buf = new java.io.ByteArrayOutputStream()
+    val ch = new WriteChannel(
+      java.nio.channels.Channels.newChannel(buf))
+    MessageSerializer.serialize(ch,
+      new ASchema(java.util.Arrays.asList(fUtf8, fList)))
+    ch.writeIntLittleEndian(-1); ch.writeIntLittleEndian(0)
+    // the schema alone must already reject — decoding column b
+    // through a's utf8 dictionary would invent values
+    assert(ArrowIpc.parseStream(buf.toByteArray).isEmpty,
+      "conflicting dictionary ids accepted")
+  }
+
   test("differential: SPARSE and DENSE union columns (arrow-java " +
     "writers) (late r14)") {
     import org.apache.arrow.vector.complex.{DenseUnionVector, UnionVector}

@@ -666,6 +666,45 @@ class ParquetWriteSpec extends AnyFunSuite {
       }
       fl.delete(); tmp.toFile.delete()
     }
+    // INT32 modular arithmetic: extreme int deltas wrap to 32 bits
+    // so every miniblock width stays <= 32 (Arrow C++ rejects
+    // widths past the physical type width)
+    locally {
+      val ints = Seq(0, Int.MinValue, Int.MaxValue, -7, 1 << 30)
+      val enc = ParquetWrite.deltaBinaryPackedEnc(
+        ints.map(_.toLong), bits32 = true)
+      // walk: varint(128) varint(4) varint(count) zig(first), then
+      // per block zig(minDelta) + 4 width bytes
+      var pos = 0
+      def varint(): Long = {
+        var v = 0L; var sh = 0; var done = false
+        while (!done) {
+          val x = enc(pos) & 0xff; pos += 1
+          v |= (x & 0x7fL) << sh; sh += 7; done = (x & 0x80) == 0
+        }
+        v
+      }
+      assert(varint() == 128 && varint() == 4 &&
+        varint() == ints.length)
+      varint() // first value (zigzag)
+      varint() // block min delta (zigzag)
+      (0 until 4).foreach { k =>
+        assert((enc(pos + k) & 0xff) <= 32,
+          s"miniblock width ${enc(pos + k) & 0xff} exceeds 32")
+      }
+      // and the values still round-trip through our reader
+      val cols3 = Seq(ParquetWrite.WCol("v", "i32",
+        optional = false,
+        ints.map(v => Some(v): Option[Any]).toIndexedSeq))
+      val b3 = ParquetWrite.build(cols3, "uncompressed",
+        pageVersion = 2, delta = Set("v"))
+      val (_, got3) = ParquetData.decodeFile(b3).getOrElse(
+        fail("i32 delta extremes rejected"))
+      assert(got3(0).flatten.map {
+        case l: Long => l.toInt
+        case x: Int => x
+      } == ints, s"i32 extremes: ${got3(0).flatten}")
+    }
     // the DELTA encoder's byte form round-trips at width edges
     for (vs <- Seq(
       Seq.empty[Long], Seq(42L), (0 until 300).map(_.toLong * 3),
