@@ -17,9 +17,11 @@ package graft.operators
   * NESTED RECORDS plus FIXED (exact-size raw bytes — UUID/hash
   * columns), recursive to depth 8, with the nullable union
   * `["null", X]` legal at every position (fields, array items, map
-  * values). Non-null-first unions, 3-branch unions and
-  * named-type references still reject cleanly (None), never
-  * mis-decode. The embedded schema JSON is parsed by a minimal
+  * values), and (late r14) GENERAL unions — any branch count and
+  * order, null anywhere, the wire index resolved against the
+  * positional branch list (decode-only: the writer keeps to the
+  * null-first form every reader accepts). Named-type references
+  * still reject cleanly (None), never mis-decode. The embedded schema JSON is parsed by a minimal
   * recursive-descent walk (objects, arrays, strings with escapes,
   * numbers, literals) — enough for any legal schema document.
   *
@@ -84,6 +86,12 @@ object Avro {
         * the spark-avro layout); 0 otherwise. */
       fixedSize: Int = 0) extends NType
 
+  /** GENERAL union (late r14 — beyond the ["null", X] fast path):
+    * branches kept in POSITION order (the wire index indexes this
+    * list); None = a "null" branch at that position. Decode-only:
+    * [[buildNested]] keeps to null-first unions. */
+  final case class NUnion(branches: Seq[Option[NType]]) extends NType
+
   final case class NField(name: String, tpe: NType, nullable: Boolean)
 
   private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
@@ -94,6 +102,7 @@ object Avro {
     case _: NEnum      => "enum"
     case _: NRec       => "record"
     case _: NFixed     => "fixed"
+    case _: NUnion     => "union"
   }, f.nullable)
 
   private def toNested(f: Field): NField =
@@ -152,6 +161,9 @@ object Avro {
     * branch prefix. */
   private def writeNValue(out: java.io.ByteArrayOutputStream, tpe: NType,
       v: Any): Unit = tpe match {
+    case _: NUnion => sys.error(
+      "general unions are decode-only; buildNested keeps to the " +
+        "null-first form")
     case NPrim(p) => writeValue(out, p, v)
     case NLogical("fixed", _, _, _, size) =>
       val b = v.asInstanceOf[Array[Byte]]
@@ -235,6 +247,7 @@ object Avro {
     * also terminates on cursor failure, so runaway counts cannot
     * spin past the input. */
   private def readNValue(c: Cursor, tpe: NType): Any = tpe match {
+    case _: NUnion => c.ok = false // only legal via readPos
     case NPrim(p) => readValue(c, p)
     case NLogical("fixed", _, _, _, size) => c.readFixed(size)
     case NLogical(p, _, _, _, _) => readValue(c, p)
@@ -249,11 +262,7 @@ object Avro {
         else {
           var i = 0L
           while (c.ok && i < cnt) {
-            if (itemsNullable) c.readLong() match {
-              case 0 => out += None
-              case 1 => out += Some(readNValue(c, items))
-              case _ => c.ok = false
-            } else out += Some(readNValue(c, items))
+            out += readPos(c, items, itemsNullable)
             i += 1
           }
           n = c.readLong()
@@ -272,11 +281,7 @@ object Avro {
           var i = 0L
           while (c.ok && i < cnt) {
             val k = new String(c.readBytes(1 << 24), "UTF-8")
-            if (valuesNullable) c.readLong() match {
-              case 0 => out += (k -> None)
-              case 1 => out += (k -> Some(readNValue(c, values)))
-              case _ => c.ok = false
-            } else out += (k -> Some(readNValue(c, values)))
+            out += (k -> readPos(c, values, valuesNullable))
             i += 1
           }
           n = c.readLong()
@@ -341,6 +346,8 @@ object Avro {
   private def typeJson(t: NType,
       ctr: java.util.concurrent.atomic.AtomicInteger): String =
     t match {
+    case _: NUnion => sys.error(
+      "general unions are decode-only; schemaJson never emits them")
     case NPrim(p) => jsonStr(p)
     case NLogical("fixed", l, prec, sc, size) =>
       val n = ctr.getAndIncrement()
@@ -436,12 +443,28 @@ object Avro {
   }
 
   private def readDatum(c: Cursor, fields: Seq[NField]): Row =
-    fields.map { f =>
-      if (f.nullable) c.readLong() match {
-        case 0 => None
-        case 1 => Some(readNValue(c, f.tpe))
-        case _ => c.ok = false; None
-      } else Some(readNValue(c, f.tpe))
+    fields.map(f => readPos(c, f.tpe, f.nullable))
+
+  /** One schema POSITION (field / array item / map value): the
+    * ["null", X] fast path reads its 0/1 branch; a general
+    * [[NUnion]] reads the wire branch index against its positional
+    * branch list (a "null" branch decodes to None). */
+  private def readPos(c: Cursor, tpe: NType, nullable: Boolean)
+      : Option[Any] =
+    if (nullable) c.readLong() match {
+      case 0 => None
+      case 1 => Some(readNValue(c, tpe))
+      case _ => c.ok = false; None
+    } else tpe match {
+      case u: NUnion =>
+        val idx = c.readLong()
+        if (!c.ok || idx < 0 || idx >= u.branches.length) {
+          c.ok = false; None
+        } else u.branches(idx.toInt) match {
+          case None => None
+          case Some(t) => Some(readNValue(c, t))
+        }
+      case t => Some(readNValue(c, t))
     }
 
   /** [[build]] for the full recursive type model (arrays, maps,
@@ -524,8 +547,18 @@ object Avro {
   private def posType(v: Any, depth: Int): Option[(NType, Boolean)] =
     v match {
       case s: Seq[_] =>
-        if (s.length != 2 || s.head != "null") None // only ["null", X]
-        else bareType(s(1), depth).map(t => (t, true))
+        if (s.length == 2 && s.head == "null")
+          bareType(s(1), depth).map(t => (t, true))
+        else if (s.length >= 2 && s.length <= 64) {
+          // GENERAL union (late r14): any branch count/order, null
+          // anywhere; kept positionally so the wire index resolves
+          val branches = s.map {
+            case "null" => None
+            case other =>
+              Some(bareType(other, depth + 1).getOrElse(return None))
+          }
+          Some((NUnion(branches), false))
+        } else None
       case other => bareType(other, depth).map(t => (t, false))
     }
 

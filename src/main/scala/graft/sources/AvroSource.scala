@@ -40,6 +40,12 @@ object AvroSource {
         valueContainsNull = valuesNullable)
     case _: Avro.NEnum => StringType
     case _: Avro.NFixed => BinaryType
+    case _: Avro.NUnion =>
+      // policy, not a parser gap: the raw Avro reader decodes
+      // general unions (late r14) but Spark has no union type
+      throw new IllegalArgumentException(
+        "avro general-union columns have no Spark type; decode " +
+          "them via Avro.parse")
     case Avro.NRec(_, fields) => StructType(fields.map(f =>
       StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
   }
