@@ -20,8 +20,10 @@ package graft.operators
   * values), and (late r14) GENERAL unions — any branch count and
   * order, null anywhere, the wire index resolved against the
   * positional branch list (decode-only: the writer keeps to the
-  * null-first form every reader accepts). Named-type references
-  * still reject cleanly (None), never mis-decode. The embedded schema JSON is parsed by a minimal
+  * null-first form every reader accepts), and (late r14)
+  * NAMED-TYPE references through a definition-order registry
+  * (forward/self references reject — a name is visible only after
+  * its definition completes). The embedded schema JSON is parsed by a minimal
   * recursive-descent walk (objects, arrays, strings with escapes,
   * numbers, literals) — enough for any legal schema document.
   *
@@ -544,39 +546,62 @@ object Avro {
 
   /** A field/items/values type position: either a bare type or the
     * nullable union ["null", X]. Returns (type, nullable). */
-  private def posType(v: Any, depth: Int): Option[(NType, Boolean)] =
+  /** Named types (record/enum/fixed) register here in DEFINITION
+    * order (late r14) so later positions may REFERENCE them by name
+    * — the spec's named-type reuse. A type is registered only after
+    * it parses completely, so self-recursive schemas reject
+    * naturally (the name is not yet visible inside its own body). */
+  private type TypeReg = scala.collection.mutable.HashMap[String, NType]
+
+  private def register(reg: TypeReg, m: Map[String, Any],
+      name: String, t: NType): Unit = {
+    reg(name) = t
+    m.get("namespace") match {
+      case Some(ns: String) if ns.nonEmpty => reg(s"$ns.$name") = t
+      case _ => ()
+    }
+  }
+
+  private def posType(v: Any, depth: Int, reg: TypeReg)
+      : Option[(NType, Boolean)] =
     v match {
       case s: Seq[_] =>
         if (s.length == 2 && s.head == "null")
-          bareType(s(1), depth).map(t => (t, true))
+          bareType(s(1), depth, reg).map(t => (t, true))
         else if (s.length >= 2 && s.length <= 64) {
           // GENERAL union (late r14): any branch count/order, null
           // anywhere; kept positionally so the wire index resolves
           val branches = s.map {
             case "null" => None
             case other =>
-              Some(bareType(other, depth + 1).getOrElse(return None))
+              Some(bareType(other, depth + 1, reg)
+                .getOrElse(return None))
           }
           Some((NUnion(branches), false))
         } else None
-      case other => bareType(other, depth).map(t => (t, false))
+      case other => bareType(other, depth, reg).map(t => (t, false))
     }
 
   /** A non-union type: primitive name, or a complex type object.
     * `fixed` and named-type REFERENCES (a bare non-primitive string)
     * reject — we keep no name registry. */
-  private def bareType(v: Any, depth: Int): Option[NType] = {
+  private def bareType(v: Any, depth: Int, reg: TypeReg)
+      : Option[NType] = {
     if (depth > MaxDepth) return None
     v match {
       case s: String if Prims(s) => Some(NPrim(s))
+      case s: String =>
+        // a NAMED-TYPE reference (late r14): resolvable only after
+        // its definition — forward/self references reject
+        reg.get(s)
       case m0: Map[_, _] =>
         val m = m0.asInstanceOf[Map[String, Any]]
         m.get("type") match {
           case Some("array") =>
-            posType(m.getOrElse("items", return None), depth + 1)
+            posType(m.getOrElse("items", return None), depth + 1, reg)
               .map { case (t, n) => NArr(t, n) }
           case Some("map") =>
-            posType(m.getOrElse("values", return None), depth + 1)
+            posType(m.getOrElse("values", return None), depth + 1, reg)
               .map { case (t, n) => NMap(t, n) }
           case Some("enum") =>
             val name = m.get("name") match {
@@ -588,10 +613,15 @@ object Avro {
                   if ss.nonEmpty && ss.size <= 1024 &&
                     ss.forall(_.isInstanceOf[String]) &&
                     ss.distinct.size == ss.size =>
-                Some(NEnum(name, ss.asInstanceOf[Seq[String]]))
+                val e = NEnum(name, ss.asInstanceOf[Seq[String]])
+                register(reg, m, name, e)
+                Some(e)
               case _ => None
             }
-          case Some("record") => recordType(m, depth + 1)
+          case Some("record") =>
+            recordType(m, depth + 1, reg).map { r =>
+              register(reg, m, r.name, r); r
+            }
           case Some("fixed") =>
             val name = m.get("name") match {
               case Some(x: String) => x
@@ -608,11 +638,17 @@ object Avro {
                       .flatMap(JsonMini.long).getOrElse(-1L)
                     val scale = m.get("scale")
                       .flatMap(JsonMini.long).getOrElse(0L)
-                    if (prec < 1 || prec > 38 || scale < 0 ||
-                      scale > prec) Some(NFixed(name, sz.toInt))
-                    else Some(NLogical("fixed", "decimal",
-                      prec.toInt, scale.toInt, sz.toInt))
-                  case _ => Some(NFixed(name, sz.toInt))
+                    val t: NType =
+                      if (prec < 1 || prec > 38 || scale < 0 ||
+                        scale > prec) NFixed(name, sz.toInt)
+                      else NLogical("fixed", "decimal",
+                        prec.toInt, scale.toInt, sz.toInt)
+                    register(reg, m, name, t)
+                    Some(t)
+                  case _ =>
+                    val t = NFixed(name, sz.toInt)
+                    register(reg, m, name, t)
+                    Some(t)
                 }
               case _ => None
             }
@@ -652,8 +688,8 @@ object Avro {
     case _ => NPrim(prim)
   }
 
-  private def recordType(m: Map[String, Any], depth: Int)
-      : Option[NRec] = {
+  private def recordType(m: Map[String, Any], depth: Int,
+      reg: TypeReg): Option[NRec] = {
     if (depth > MaxDepth) return None
     val name = m.get("name") match {
       case Some(s: String) => s
@@ -669,7 +705,7 @@ object Avro {
               case _ => return None
             }
             val (t, nullable) = posType(
-              f.getOrElse("type", return None), depth + 1)
+              f.getOrElse("type", return None), depth + 1, reg)
               .getOrElse(return None)
             NField(fname, t, nullable)
           case _ => return None
@@ -692,7 +728,9 @@ object Avro {
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
         if (!mm.get("type").contains("record")) return None
-        recordType(mm, 0).map(r => (r.name, r.fields))
+        recordType(mm, 0,
+          new scala.collection.mutable.HashMap[String, NType]())
+          .map(r => (r.name, r.fields))
       case _ => None
     }
   }

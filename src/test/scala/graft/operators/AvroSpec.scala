@@ -221,16 +221,82 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.interpretSchema(valueFirst).contains(
       ("r", Seq(Avro.NField("x", Avro.NUnion(Seq(
         Some(Avro.NPrim("long")), None)), nullable = false)))))
-    // the permanent rejections: top-level non-record, named-type
-    // references, absurd fixed sizes
-    val topArr = """["null","long"]"""
+    // NAMED-TYPE references resolve as of late r14 (definition
+    // order; the enum defined at field a is reusable at field b)
     val ref = """{"type":"record","name":"r","fields":[
       {"name":"a","type":{"type":"enum","name":"e","symbols":["s"]}},
       {"name":"b","type":"e"}]}"""
+    assert(Avro.interpretSchema(ref).contains(
+      ("r", Seq(
+        Avro.NField("a", Avro.NEnum("e", Seq("s")), nullable = false),
+        Avro.NField("b", Avro.NEnum("e", Seq("s")),
+          nullable = false)))))
+    // FORWARD and SELF references stay rejections (a name is only
+    // visible after its definition completes)
+    val fwd = """{"type":"record","name":"r","fields":[
+      {"name":"b","type":"e"},
+      {"name":"a","type":{"type":"enum","name":"e","symbols":["s"]}}]}"""
+    val selfRec = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":{"type":"record","name":"n","fields":[
+        {"name":"next","type":"n"}]}}]}"""
+    // the permanent rejections: top-level non-record, absurd sizes
+    val topArr = """["null","long"]"""
     val hugeFixed = """{"type":"record","name":"r","fields":[
       {"name":"x","type":{"type":"fixed","name":"f","size":99999999}}]}"""
-    for (s <- Seq(topArr, ref, hugeFixed))
+    for (s <- Seq(topArr, fwd, selfRec, hugeFixed))
       assert(Avro.interpretSchema(s).isEmpty, s)
+  }
+
+  test("differential: named-type REUSE decodes (avro-java writes " +
+    "one fixed + one enum used twice) (late r14)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"h1","type":{"type":"fixed","name":"h","size":4}},
+        |  {"name":"h2","type":"h"},
+        |  {"name":"e1","type":{"type":"enum","name":"lv",
+        |    "symbols":["lo","mid","hi"]}},
+        |  {"name":"e2","type":"lv"}
+        |]}""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, buf)
+    val hs = schema.getField("h1").schema()
+    val es = schema.getField("e1").schema()
+    val n = 25
+    for (i <- 0 until n) {
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("h1", new GenericData.Fixed(hs,
+        Array.tabulate[Byte](4)(j => (i + j).toByte)))
+      rec.put("h2", new GenericData.Fixed(hs,
+        Array.tabulate[Byte](4)(j => (i * 2 + j).toByte)))
+      rec.put("e1", new GenericData.EnumSymbol(es,
+        Seq("lo", "mid", "hi")(i % 3)))
+      rec.put("e2", new GenericData.EnumSymbol(es,
+        Seq("lo", "mid", "hi")((i + 1) % 3)))
+      w.append(rec)
+    }
+    w.close()
+    val f = Avro.parse(buf.toByteArray)
+      .getOrElse(fail("named-reuse file rejected"))
+    assert(f.fields.map(_.tpe) ==
+      Seq("long", "fixed", "fixed", "enum", "enum"))
+    for (i <- 0 until n) {
+      val r = f.rows(i)
+      assert(r(0) == Some(i.toLong))
+      assert(r(1).get.asInstanceOf[Array[Byte]].toSeq ==
+        Array.tabulate[Byte](4)(j => (i + j).toByte).toSeq)
+      assert(r(2).get.asInstanceOf[Array[Byte]].toSeq ==
+        Array.tabulate[Byte](4)(j => (i * 2 + j).toByte).toSeq)
+      assert(r(3) == Some(Seq("lo", "mid", "hi")(i % 3)))
+      assert(r(4) == Some(Seq("lo", "mid", "hi")((i + 1) % 3)))
+    }
   }
 
   test("differential: GENERAL unions decode (avro-java writes) " +
