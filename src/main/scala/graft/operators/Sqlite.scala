@@ -127,6 +127,111 @@ object Sqlite {
       else Some((p - 1) * pageSize)
   }
 
+  /** WAL SIDECAR recovery (late r14, the SQLite "Write-Ahead Log"
+    * file format): apply a `.db-wal` file's COMMITTED frames over
+    * the main database image and return the effective database
+    * bytes — what a SQLite reader sees before any checkpoint.
+    *
+    *  - 32-byte header (big-endian fields): magic 0x377F0682 /
+    *    0x377F0683 (the low bit picks the CHECKSUM word order:
+    *    little / big endian), format 3007000, page size, checkpoint
+    *    sequence, two salts, and a checksum over the first 24
+    *    bytes.
+    *  - 24-byte frame headers: page number, nTruncate (non-zero =
+    *    a COMMIT frame carrying the post-commit database page
+    *    count), the header's salts repeated, and a CUMULATIVE
+    *    checksum (seeded by the header's, folded over each frame's
+    *    first 8 header bytes + page image — SQLite's s1/s2 word
+    *    pair recurrence).
+    *  - Valid frames extend while salts match and the cumulative
+    *    checksum chains; the LAST commit frame bounds what's
+    *    applied (a torn tail beyond it is ignored, exactly the
+    *    recovery rule). The newest frame ≤ that commit wins per
+    *    page; the result is truncated/extended to nTruncate pages.
+    *
+    * Returns the merged image (the input `db` unchanged when the
+    * WAL holds no committed frames), or None on malformation —
+    * never a half-applied database. */
+  def applyWal(db: Array[Byte], wal: Array[Byte])
+      : Option[Array[Byte]] = {
+    if (wal.length < 32) return None
+    val magic = u32(wal, 0)
+    if (magic != 0x377f0682L && magic != 0x377f0683L) return None
+    val ckLittle = magic == 0x377f0682L
+    if (u32(wal, 4) != 3007000L) return None
+    val pageSize = u32(wal, 8).toInt
+    if (pageSize < 512 || pageSize > 65536 ||
+      (pageSize & (pageSize - 1)) != 0) return None
+    if (db.length % pageSize != 0) return None
+    val salt1 = u32(wal, 16)
+    val salt2 = u32(wal, 20)
+    // the s1/s2 recurrence over u32 word PAIRS in the magic's order
+    def fold(s: (Long, Long), b: Array[Byte], off: Int, len: Int)
+        : (Long, Long) = {
+      var (s1, s2) = s
+      var p = off
+      val end = off + len
+      while (p + 8 <= end) {
+        val x0 = if (ckLittle) u32le(b, p) else u32(b, p)
+        val x1 = if (ckLittle) u32le(b, p + 4) else u32(b, p + 4)
+        s1 = (s1 + x0 + s2) & 0xffffffffL
+        s2 = (s2 + x1 + s1) & 0xffffffffL
+        p += 8
+      }
+      (s1, s2)
+    }
+    val hdrCk = fold((0L, 0L), wal, 0, 24)
+    if (u32(wal, 24) != hdrCk._1 || u32(wal, 28) != hdrCk._2)
+      return None
+    val frameSize = 24 + pageSize
+    // walk frames: newest valid frame per page, last commit bounds
+    val latest = scala.collection.mutable.HashMap[Long, Int]()
+    val pending = scala.collection.mutable.HashMap[Long, Int]()
+    var nTruncate = -1L
+    var ck = hdrCk
+    var off = 32
+    var done = false
+    while (!done && off + frameSize <= wal.length) {
+      val pgno = u32(wal, off)
+      val trunc = u32(wal, off + 4)
+      if (u32(wal, off + 8) != salt1 ||
+        u32(wal, off + 12) != salt2) done = true
+      else {
+        val c1 = fold(ck, wal, off, 8)
+        val c2 = fold(c1, wal, off + 24, pageSize)
+        if (u32(wal, off + 16) != c2._1 ||
+          u32(wal, off + 20) != c2._2) done = true
+        else {
+          ck = c2
+          if (pgno < 1 || pgno > MaxPages) return None
+          pending(pgno) = off + 24
+          if (trunc != 0) {
+            // COMMIT: everything pending becomes visible
+            pending.foreach { case (p, o) => latest(p) = o }
+            pending.clear()
+            nTruncate = trunc
+          }
+          off += frameSize
+        }
+      }
+    }
+    if (nTruncate < 0) return Some(db) // no committed frames
+    if (nTruncate > MaxPages) return None
+    val out = new Array[Byte](nTruncate.toInt * pageSize)
+    val copyPages = math.min(nTruncate.toInt, db.length / pageSize)
+    System.arraycopy(db, 0, out, 0, copyPages * pageSize)
+    latest.foreach { case (pgno, o) =>
+      if (pgno <= nTruncate)
+        System.arraycopy(wal, o, out,
+          (pgno.toInt - 1) * pageSize, pageSize)
+    }
+    Some(out)
+  }
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
   def open(data: Array[Byte]): Option[Db] = {
     if (data.length < 512) return None
     var i = 0

@@ -225,4 +225,66 @@ class SqliteSpec extends AnyFunSuite {
       tables(Array.fill(rnd.nextInt(1200))(rnd.nextInt().toByte))
     }
   }
+
+  test("WAL sidecar: committed frames apply over the main image " +
+    "(REAL-sqlite fixture) (late r14)") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/wal/$name")
+      assert(in != null, s"missing resource $name")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+    val db = res("t.db")
+    val wal = res("t.db-wal")
+    def facts(rows: Seq[Sqlite.Row]): (Int, Long, Long, Long) = (
+      rows.length,
+      rows.map(_.values(2).asInstanceOf[Long]).sum,
+      rows.map(_.values(0).asInstanceOf[Long]).sum,
+      rows.map(_.values(1).asInstanceOf[String].length.toLong).sum)
+    // the main image alone: the pre-WAL checkpointed state
+    assert(facts(Sqlite.rows(db, "t").get) ==
+      ((60, 12810L, 1830L, 513L)))
+    // db + wal: both commits applied (inserts, updates, deletes,
+    // later frames overriding earlier ones on shared pages) —
+    // values pinned from the generating sqlite3 session
+    val merged = Sqlite.applyWal(db, wal).getOrElse(
+      fail("wal rejected"))
+    assert(facts(Sqlite.rows(merged, "t").get) ==
+      ((106, 63067L, 6581L, 1003L)))
+    // corrupting a frame AFTER the first commit rolls back to the
+    // first commit's state — the torn-tail recovery rule
+    val pageSize = 512
+    val frameSize = 24 + pageSize
+    val firstCommit = (0 until (wal.length - 32) / frameSize).find {
+      i =>
+        val off = 32 + i * frameSize
+        ((wal(off + 4) & 0xffL) << 24 | (wal(off + 5) & 0xffL) << 16 |
+          (wal(off + 6) & 0xffL) << 8 | (wal(off + 7) & 0xffL)) != 0
+    }.getOrElse(fail("no commit frame"))
+    val torn = wal.clone()
+    val tearAt = 32 + (firstCommit + 1) * frameSize + 40
+    torn(tearAt) = (torn(tearAt) ^ 0x2d).toByte
+    val mergedMid = Sqlite.applyWal(db, torn).getOrElse(
+      fail("torn wal rejected entirely"))
+    assert(facts(Sqlite.rows(mergedMid, "t").get) ==
+      ((86, 47597L, 4371L, 753L)))
+    // a salt flip on the FIRST frame: no committed frames at all —
+    // the main image comes back unchanged
+    val salted = wal.clone()
+    salted(32 + 8) = (salted(32 + 8) ^ 1).toByte
+    val unchanged = Sqlite.applyWal(db, salted).get
+    assert(facts(Sqlite.rows(unchanged, "t").get) ==
+      ((60, 12810L, 1830L, 513L)))
+    // header damage rejects; a header-only wal is a no-op
+    val badHdr = wal.clone()
+    badHdr(25) = (badHdr(25) ^ 0x10).toByte
+    assert(Sqlite.applyWal(db, badHdr).isEmpty)
+    assert(Sqlite.applyWal(db, wal.take(32)).exists(
+      _.sameElements(db)))
+    assert(Sqlite.applyWal(db, wal.take(16)).isEmpty)
+  }
 }
