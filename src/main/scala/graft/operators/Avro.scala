@@ -96,6 +96,17 @@ object Avro {
 
   final case class NField(name: String, tpe: NType, nullable: Boolean)
 
+  /** True when `t` contains a general union anywhere — call sites
+    * that surface rows into TYPED engines (Spark Rows) use this to
+    * reject loudly, since a multi-typed column has no Row type. */
+  def hasUnion(t: NType): Boolean = t match {
+    case _: NUnion => true
+    case NArr(items, _) => hasUnion(items)
+    case NMap(values, _) => hasUnion(values)
+    case NRec(_, fs) => fs.exists(f => hasUnion(f.tpe))
+    case _ => false
+  }
+
   private def toFlat(f: NField): Field = Field(f.name, f.tpe match {
     case NPrim(p)      => p
     case NLogical(p, _, _, _, _) => p
@@ -544,20 +555,28 @@ object Avro {
 
   private final val MaxDepth = 8
 
-  /** A field/items/values type position: either a bare type or the
-    * nullable union ["null", X]. Returns (type, nullable). */
   /** Named types (record/enum/fixed) register here in DEFINITION
     * order (late r14) so later positions may REFERENCE them by name
     * — the spec's named-type reuse. A type is registered only after
     * it parses completely, so self-recursive schemas reject
     * naturally (the name is not yet visible inside its own body). */
-  private type TypeReg = scala.collection.mutable.HashMap[String, NType]
+  private type TypeReg =
+    scala.collection.mutable.HashMap[String, Option[NType]]
 
+  /** None = POISONED: the same key was bound to two different
+    * shapes (legal across namespaces — "h" and "a.h" may both
+    * exist), so a bare reference to it is ambiguous here and must
+    * reject rather than risk decoding through the wrong one. */
   private def register(reg: TypeReg, m: Map[String, Any],
       name: String, t: NType): Unit = {
-    reg(name) = t
+    def bind(k: String): Unit = reg.get(k) match {
+      case Some(Some(prev)) if prev != t => reg(k) = None
+      case Some(None) => ()
+      case _ => reg(k) = Some(t)
+    }
+    bind(name)
     m.get("namespace") match {
-      case Some(ns: String) if ns.nonEmpty => reg(s"$ns.$name") = t
+      case Some(ns: String) if ns.nonEmpty => bind(s"$ns.$name")
       case _ => ()
     }
   }
@@ -582,9 +601,10 @@ object Avro {
       case other => bareType(other, depth, reg).map(t => (t, false))
     }
 
-  /** A non-union type: primitive name, or a complex type object.
-    * `fixed` and named-type REFERENCES (a bare non-primitive string)
-    * reject — we keep no name registry. */
+  /** A non-union type: a primitive name, a NAMED-TYPE reference (a
+    * bare non-primitive string, resolved through the definition-
+    * order registry — late r14), or a complex type object (which
+    * registers its name for later reuse). */
   private def bareType(v: Any, depth: Int, reg: TypeReg)
       : Option[NType] = {
     if (depth > MaxDepth) return None
@@ -592,8 +612,9 @@ object Avro {
       case s: String if Prims(s) => Some(NPrim(s))
       case s: String =>
         // a NAMED-TYPE reference (late r14): resolvable only after
-        // its definition — forward/self references reject
-        reg.get(s)
+        // its definition — forward/self references and AMBIGUOUS
+        // names (same simple name in two namespaces) reject
+        reg.get(s).flatten
       case m0: Map[_, _] =>
         val m = m0.asInstanceOf[Map[String, Any]]
         m.get("type") match {
@@ -716,10 +737,12 @@ object Avro {
   }
 
   /** Interpret a parsed schema document: one top-level record whose
-    * fields are primitives, arrays, maps, enums or nested records
-    * (depth ≤ 8), each position optionally the ["null", X] union.
-    * None for anything else (fixed, non-null-first unions, 3-branch
-    * unions, named-type references). */
+    * fields are primitives, fixed, arrays, maps, enums, nested
+    * records (depth ≤ 8), named-type references (definition order)
+    * or unions — the ["null", X] form folds to a nullable flag,
+    * anything else becomes a positional [[NUnion]]. None for
+    * top-level non-records, forward/self references and oversized
+    * structures. */
   def interpretSchema(json: String): Option[(String, Seq[NField])] = {
     val j = new JsonMini.Parser(json)
     val v = j.value()
@@ -729,7 +752,8 @@ object Avro {
         val mm = m.asInstanceOf[Map[String, Any]]
         if (!mm.get("type").contains("record")) return None
         recordType(mm, 0,
-          new scala.collection.mutable.HashMap[String, NType]())
+          new scala.collection.mutable.HashMap[String,
+            Option[NType]]())
           .map(r => (r.name, r.fields))
       case _ => None
     }

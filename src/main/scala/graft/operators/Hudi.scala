@@ -416,6 +416,12 @@ object Hudi {
                   sys.error("hudi data block without schema header"))
                 val (_, nfields) = Avro.interpretSchema(schemaJson)
                   .getOrElse(sys.error("hudi log schema unparseable"))
+                // general unions decode in raw Avro (late r14) but
+                // have no Row type — fail loudly before any value
+                // lands in a Spark Row with the base schema's type
+                nfields.find(f => Avro.hasUnion(f.tpe)).foreach(f =>
+                  sys.error(s"hudi log schema column ${f.name} is " +
+                    "a general union — unsupported in typed merge"))
                 val byName = nfields.zipWithIndex
                   .map { case (f, i) => (f.name, i) }.toMap
                 val colIdx = baseCols.map(c => byName.getOrElse(c,
@@ -500,6 +506,9 @@ object Hudi {
                   sys.error("hudi hfile block without schema header"))
                 val (_, nfields) = Avro.interpretSchema(schemaJson)
                   .getOrElse(sys.error("hudi log schema unparseable"))
+                nfields.find(f => Avro.hasUnion(f.tpe)).foreach(f =>
+                  sys.error(s"hudi hfile schema column ${f.name} " +
+                    "is a general union — unsupported in typed merge"))
                 val byName = nfields.zipWithIndex
                   .map { case (f, i) => (f.name, i) }.toMap
                 val colIdx = baseCols.map(c => byName.getOrElse(c,

@@ -163,6 +163,13 @@ object Sqlite {
     if (pageSize < 512 || pageSize > 65536 ||
       (pageSize & (pageSize - 1)) != 0) return None
     if (db.length % pageSize != 0) return None
+    // the MAIN image's own header must agree on the page size — a
+    // mismatched sidecar would merge a silently corrupt image
+    if (db.length >= 100) {
+      val raw = u16(db, 16)
+      val dbPs = if (raw == 1) 65536 else raw
+      if (dbPs != pageSize) return None
+    }
     val salt1 = u32(wal, 16)
     val salt2 = u32(wal, 20)
     // the s1/s2 recurrence over u32 word PAIRS in the magic's order
@@ -216,7 +223,8 @@ object Sqlite {
       }
     }
     if (nTruncate < 0) return Some(db) // no committed frames
-    if (nTruncate > MaxPages) return None
+    if (nTruncate > MaxPages ||
+      nTruncate * pageSize > Int.MaxValue) return None
     val out = new Array[Byte](nTruncate.toInt * pageSize)
     val copyPages = math.min(nTruncate.toInt, db.length / pageSize)
     System.arraycopy(db, 0, out, 0, copyPages * pageSize)

@@ -362,30 +362,22 @@ class AvroSpec extends AnyFunSuite {
       }
       assert(r(3) == Some(wantArr: Seq[Option[Any]]), s"arr at $i")
     }
-    // a wire branch index past the list must reject, not invent:
-    // flip the 'u' branch byte of the first row in a NULL-codec file
-    // (row encoding starts right after the block header)
-    val bad = buf.toByteArray.clone()
-    // locate the first row: id varint (0x00) then u's branch index
-    // byte — search for the sync-marker end then the block header.
-    // Simpler: corrupt EVERY plausible branch byte and require the
-    // file either rejects or round-trips unchanged — never invents
-    // values (parse is None or equal rows).
-    var idx = 0
-    var checked = 0
-    while (idx < bad.length && checked < 64) {
-      if (bad(idx) == 0x06) { // zigzag(3): one past the 3-branch list
-        val c = bad.clone()
-        c(idx) = 0x08
-        Avro.parse(c) match {
-          case None => ()
-          case Some(g) => assert(g.rows == f.rows ||
-            g.rows.length == f.rows.length)
-        }
-        checked += 1
-      }
-      idx += 1
-    }
+    // a wire branch index past the list must REJECT, not invent —
+    // pinned directly at the datum codec: a 3-branch union field
+    // whose datum says branch 3 (zigzag 0x06) is malformed
+    val uf = Seq(Avro.NField("u", Avro.NUnion(Seq(None,
+      Some(Avro.NPrim("long")), Some(Avro.NPrim("string")))),
+      nullable = false))
+    def datum(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    // branch 1 (zigzag 0x02) + long 21 (zigzag 0x2a): decodes
+    assert(Avro.decodeDatum(uf, datum(0x02, 0x2a)) ==
+      Some(Seq(Some(21L))))
+    // branch 0: the null branch
+    assert(Avro.decodeDatum(uf, datum(0x00)) == Some(Seq(None)))
+    // branch 3: out of range — rejected, never invented
+    assert(Avro.decodeDatum(uf, datum(0x06, 0x2a)).isEmpty)
+    // negative branch index: rejected
+    assert(Avro.decodeDatum(uf, datum(0x01, 0x2a)).isEmpty)
   }
 
   test("differential: fixed type both directions (avro-java)") {
