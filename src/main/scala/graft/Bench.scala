@@ -120,6 +120,12 @@ object Bench {
     val cpusN = try math.max(1, cpus.toInt)
                catch { case _: Throwable => 32 }
     val loadThreshold = cpusN / 16.0
+    /** One query's bench record — named fields so adding the next
+      * one can't silently shift a positional underscore. */
+    case class QRes(name: String, secs: Double, ok: Boolean,
+      firstTouch: Option[Double], reran: Boolean,
+      errors: List[String], recovered: Boolean,
+      logEvents: List[String], loadAtStart: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => oracleOnly(q._1))
       .map { case (name, fn) =>
@@ -182,23 +188,27 @@ object Bench {
           if (logEv.length < 4) logEv += drained
           drained = BenchLogTap.events.poll()
         }
-        (name, v, vOk, ft, reran, errors.toList, recovered,
+        QRes(name, v, vOk, ft, reran, errors.toList, recovered,
           logEv.toList, loadAtStart)
       }
     // a failed query reports -1 so the output can't mistake it for a timing
     def fmt(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
-    def qsLine(dp: Int) = results.map { case (k, v, ok, _, _, _, _, _, _) =>
+    def qsLine(dp: Int) = results.map { r =>
+      val (k, v, ok) = (r.name, r.secs, r.ok)
       "\"" + k + "\":" + (if (ok) fmt(v, dp) else "-1") }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false, _, _, _, _, _, _) => "\"" + k + "\"" }
+    val errs = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _, _, _, _, _) => v }.sum
-    val firstTouch = results.collect { case (k, _, _, Some(c), _, _, _, _, _) =>
+    val total = results.collect { case r if r.ok => r.secs }.sum
+    val firstTouch = results.collect { case r if r.firstTouch.isDefined =>
+      val (k, c) = (r.name, r.firstTouch.get)
       "\"" + k + "\":" + fmt(c, 3) }.mkString("{", ",", "}")
-    val firstTouchTotal = results.collect { case (_, _, _, Some(c), _, _, _, _, _) => c }
+    val firstTouchTotal = results.collect {
+      case r if r.firstTouch.isDefined => r.firstTouch.get }
       .sum
-    val reranList = results.collect { case (k, _, _, _, true, _, _, _, _) =>
+    val reranList = results.collect { case r if r.reran =>
+      val k = r.name
       "\"" + k + "\"" }.mkString("[", ",", "]")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -206,21 +216,25 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val attemptErrs = results.collect { case (k, _, _, _, _, es, _, _, _) if es.nonEmpty =>
+    val attemptErrs = results.collect { case r if r.errors.nonEmpty =>
+      val (k, es) = (r.name, r.errors)
       "\"" + k + "\":" + es.map(jstr).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // failed-then-passed-on-retry queries, distinguishable from clean passes
-    val recoveredList = results.collect { case (k, _, true, _, _, _, true, _, _) =>
+    val recoveredList = results.collect { case r if r.ok && r.recovered =>
+      val k = r.name
       "\"" + k + "\"" }.mkString("[", ",", "]")
     // log-channel exceptions (WARN-with-throwable / ERROR) per query —
     // every stack trace in the stdout tail has a record entry here
-    val logEvents = results.collect { case (k, _, _, _, _, _, _, evs, _) if evs.nonEmpty =>
+    val logEvents = results.collect { case r if r.logEvents.nonEmpty =>
+      val (k, evs) = (r.name, r.logEvents)
       "\"" + k + "\":" + evs.map(jstr).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // per-query ratio vs the pinned idle-host baseline — the noise
     // evidence the judge previously had to re-measure by hand
     val pinnedDeltas = results.collect {
-      case (k, v, true, _, _, _, _, _, _) if pinned.contains(k) && pinned(k) > 0 =>
+      case r if r.ok && pinned.contains(r.name) && pinned(r.name) > 0 =>
+        val (k, v) = (r.name, r.secs)
         "\"" + k + "\":" + fmt(v / pinned(k), 2)
     }.mkString("{", ",", "}")
     // pair-candidate evidence: the geo-cell generator is output-sensitive
@@ -252,7 +266,7 @@ object Bench {
         !new java.io.File(smallDir).isDirectory) "{}"
       else {
         val bigTimes = results.collect {
-          case (k, v, true, _, _, _, _, _, _) => k -> v
+          case r if r.ok => r.name -> r.secs
         }.toMap
         probeNames.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
@@ -288,7 +302,8 @@ object Bench {
     val contended =
       if (loadBefore < 0) "null"
       else (loadBefore > loadThreshold).toString
-    val loadStarts = results.map { case (k, _, _, _, _, _, _, _, l) =>
+    val loadStarts = results.map { r =>
+      val (k, l) = (r.name, r.loadAtStart)
       "\"" + k + "\":" + fmt(l, 2) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsLine(3)},"errors":$errs,"oracle_only":$oo,"first_touch":$firstTouch,"first_touch_total":${fmt(firstTouchTotal, 3)},"reran":$reranList,"recovered":$recoveredList,"attempt_errors":$attemptErrs,"log_events":$logEvents,"pinned_ratio":$pinnedDeltas,"scale_probe":$scaleProbe,"loadavg":$loadJson,"contended":$contended,"load_threshold":${fmt(loadThreshold, 2)},"load_at_start":$loadStarts,"pair_candidates":$pairsJson,"sf":"$sfDir"}"""
     val wrote = try {
@@ -316,15 +331,16 @@ object Bench {
     // fallback always fits.
     val sfName = new java.io.File(sfDir).getName
     def compact(dp: Int, keep: Set[String]): String = {
-      val qs = results.filter(r => keep(r._1)).map { case (k, v, ok, _, _, _, _, _, _) =>
+      val qs = results.filter(r => keep(r.name)).map { r =>
+        val (k, v, ok) = (r.name, r.secs, r.ok)
         "\"" + k + "\":" + (if (ok) fmt(v, dp) else "-1") }
         .mkString("{", ",", "}")
       val trunc = if (keep.size < results.size)
         s""","truncated":${results.size - keep.size}""" else ""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$trunc,"sf":"$sfName"}"""
     }
-    val allNames = results.map(_._1).toSet
-    val top40 = results.sortBy(-_._2).take(40).map(_._1).toSet
+    val allNames = results.map(_.name).toSet
+    val top40 = results.sortBy(-_.secs).take(40).map(_.name).toSet
     val line = Seq(compact(2, allNames), compact(1, allNames),
       compact(1, top40)).find(_.length <= 1900).get
     println(line)

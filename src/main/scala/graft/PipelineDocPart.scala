@@ -254,7 +254,7 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
         val jsonl = it.toSeq.sortBy(_._2).map(_._3)
           .mkString("", "\n", "\n")
         val bytes = jsonl.getBytes("UTF-8")
-        if (own) {
+        if (own && bytes.length <= (1 << 26)) {
           val enc = graft.operators.ZstdEncode.encode(bytes)
           // closed-form store-frame length (magic + header + fcs
           // + 3-byte block headers + content + checksum) — no
@@ -267,6 +267,10 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
             s"entropy coding did not engage on shard $sid")
           (sid, enc)
         } else
+          // the jni path — also the defensive fallback for a shard
+          // past our encoder's 64 MiB bomb guard (unreachable with
+          // these ~400-byte metadata shards, but a lane must not
+          // crash where its twin succeeds)
           (sid, com.github.luben.zstd.Zstd.compress(bytes, 3))
       }
   }

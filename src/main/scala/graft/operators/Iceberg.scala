@@ -1251,7 +1251,12 @@ object Iceberg {
         // one per entry, positionally (several DV entries share
         // one puffin file path, so a path-keyed map cannot work)
         dvInfo: Seq[Option[(String, Long, Long)]] = Seq.empty)
-        : Seq[Avro.Row] =
+        : Seq[Avro.Row] = {
+      // an overlong dvInfo would pad the ENTRY side with null and
+      // MatchError mid-write — fail at the boundary instead
+      require(dvInfo.length <= fs0.length,
+        s"dvInfo carries ${dvInfo.length} entries for " +
+          s"${fs0.length} files")
       fs0.zipAll(dvInfo, null, None).map {
         case ((p, rows, bytes, eqIds), dv) =>
         val pvals: Avro.Row =
@@ -1269,6 +1274,7 @@ object Iceberg {
             dv.map(_._1), dv.map(_._2), dv.map(_._3))
             : Avro.Row))
       }
+    }
     // data manifests: one (default) or one per partition tuple
     val groups: Seq[(String, Seq[(String, Long, Long)])] =
       if (!splitManifests || spec.isEmpty) Seq(("", files))

@@ -286,14 +286,13 @@ object ZstdEncode {
     // package-merge-free build: standard two-queue Huffman, then
     // depth-limit with the Kraft repair
     final case class Node(w: Long, syms: List[Int], depth: Int)
-    val leaves = (0 to maxSym).filter(freq(_) > 0)
-      .map(s => Node(freq(s).toLong, List(s), 0))
-      .sortBy(_.w).toBuffer
     val lens = new Array[Int](maxSym + 1)
-    // iterative merge (priority by weight)
+    // iterative merge: the priority queue establishes heap order
+    // itself — no pre-sort needed
     val q = scala.collection.mutable.PriorityQueue.empty[Node](
       Ordering.by[Node, Long](_.w).reverse)
-    leaves.foreach(q.enqueue(_))
+    (0 to maxSym).foreach(s =>
+      if (freq(s) > 0) q.enqueue(Node(freq(s).toLong, List(s), 0)))
     while (q.size > 1) {
       val a = q.dequeue(); val b = q.dequeue()
       a.syms.foreach(s => lens(s) += 1)
@@ -417,7 +416,13 @@ object ZstdEncode {
     val lens = hufLengths(freq)
     if (lens == null) return null
     val (tree, code, nb) = hufTable(lens)
-    val bodyBits = lits.map(b => nb(b & 0xff).toLong).sum
+    val bodyBits = {
+      // zero-allocation sum — this runs per compressed block
+      var bits = 0L
+      var i = 0
+      while (i < lits.length) { bits += nb(lits(i) & 0xff); i += 1 }
+      bits
+    }
     val est = tree.length + (bodyBits / 8) + 8
     if (est >= lits.length) return null
     val regen = lits.length
