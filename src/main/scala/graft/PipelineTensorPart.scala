@@ -796,8 +796,12 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
     * an F32 `emb` tensor in GGML dim order (ne[0] = innermost =
     * dim), an I64 `vec_id` tensor, a Q8_0-quantized twin of the
     * embedding matrix PLUS a second twin in one of the other four
-    * closed-form block quants rotated by shard id (Q4_0, Q4_1,
-    * Q5_0, Q5_1 — the whole non-tabulated family), and metadata
+    * 32-block quants rotated by shard id (Q4_0, Q4_1, Q5_0, Q5_1),
+    * PLUS — on shards whose n·dim tiles 256-element super-blocks —
+    * a K-QUANT twin rotated Q2_K…Q6_K by shard id (held in-flight
+    * to the analytic per-group bounds of
+    * [[graft.operators.Gguf.checkKQuantBounds]]; its tag surfaces
+    * as `qktag`), and metadata
     * (architecture string, shard id i64, a per-shard label i32
     * array — the tokenizer-vocab shape). OUR writer builds it, OUR
     * parser reads it back; F32 lanes, the metadata label array and
@@ -836,6 +840,23 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
           case "Q5_0" => quantizeQ5_0(flat)
           case _ => quantizeQ5_1(flat)
         }
+        // the K-quant twin needs 256-element super-blocks — a
+        // partial tail shard whose n·dim isn't a multiple of 256
+        // carries none (and says so in qktag)
+        val kTensor =
+          if (flat.length % 256 == 0) {
+            val ktag = Seq("Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K")(
+              (sid % 5).toInt)
+            val kdata = ktag match {
+              case "Q2_K" => quantizeQ2_K(flat)
+              case "Q3_K" => quantizeQ3_K(flat)
+              case "Q4_K" => quantizeQ4_K(flat)
+              case "Q5_K" => quantizeQ5_K(flat)
+              case _ => quantizeQ6_K(flat)
+            }
+            Seq(GTensor("emb_qk", Seq(dim.toLong, n.toLong), ktag,
+              kdata))
+          } else Seq.empty
         (sid, build(
           Seq(
             "general.architecture" -> GvStr("graft"),
@@ -849,7 +870,7 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
             GTensor("emb_q8", Seq(dim.toLong, n.toLong), "Q8_0",
               quantizeQ8_0(flat)),
             GTensor("emb_qx", Seq(dim.toLong, n.toLong), qtag,
-              qdata))))
+              qdata)) ++ kTensor))
       }
       .flatMap { case (sid, bytes) =>
         val (kvs, ts) = parse(bytes).getOrElse(
@@ -866,6 +887,25 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
           emb.dims.length == 2)
         val dim = emb.dims.head.toInt // ne[0] = innermost
         val n = emb.dims(1).toInt
+        // the K-quant twin (shards whose n·dim tiles 256-element
+        // super-blocks): dequantize and hold every lane to the
+        // analytic per-group bound — a wrong scale index, bit
+        // plane or byte walk fails the run, no oracle needed
+        val qktag = byName.get("emb_qk") match {
+          case Some(qk) =>
+            require(qk.dims == emb.dims, "emb_qk dims drifted")
+            val flatBack = new Array[Float](n * dim)
+            var fi = 0
+            while (fi < flatBack.length) {
+              flatBack(fi) = f32At(emb, fi); fi += 1
+            }
+            checkKQuantBounds(qk.tpe, flatBack, qk.data)
+            qk.tpe
+          case None =>
+            require((n * dim) % 256 != 0,
+              s"shard $sid should carry a K-quant twin")
+            "none"
+        }
         val deq = dequantizeQ8_0(q8.data)
         // the rotated 4/5-bit twin: dequantize and hold every lane
         // to its closed-form bound (symmetric forms pay up to one
@@ -935,11 +975,11 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
             j += 1
           }
           val GvI32(label) = labels(i): @unchecked
-          (i64At(ids, i), sid, dim, q, label, "graft", qtag)
+          (i64At(ids, i), sid, dim, q, label, "graft", qtag, qktag)
         }
       }
       .toDF("vec_id", "shard_id", "dim", "emb_q", "label", "arch",
-        "qtag")
+        "qtag", "qktag")
       .orderBy("vec_id")
   }
   /** The user-facing tensor-shard DataFrame API under the oracle
@@ -2330,23 +2370,30 @@ private[graft] trait PipelineTensorPart extends Serializable { this: Pipeline.ty
         |  CAST(6 AS INT) AS n_formats
         |FROM q ORDER BY vec_id""".stripMargin,
     // GGUF v3 (llama.cpp container): F32 lanes + the i32 label
-    // metadata array + the per-shard rotated quant tag surface;
-    // the Q8_0 twin and the rotated Q4_0/Q4_1/Q5_0/Q5_1 twin are
-    // bound-checked in-flight (closed-form block quantizations,
-    // oracle-free)
+    // metadata array + the per-shard rotated quant tags surface;
+    // the Q8_0 twin, the rotated Q4_0/Q4_1/Q5_0/Q5_1 twin and the
+    // rotated Q2_K…Q6_K twin (when the shard tiles 256-element
+    // super-blocks) are bound-checked in-flight (closed-form block
+    // quantizations, oracle-free)
     "gguf_parse" ->
       """WITH q AS (
         |  SELECT vec_id, label, len(embedding) AS dim,
         |    CAST(coalesce(list_sum(list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
-        |      0) AS BIGINT) AS s
+        |      0) AS BIGINT) AS s,
+        |    count(*) OVER (PARTITION BY vec_id // 8) AS shard_n
         |  FROM embeddings)
         |SELECT vec_id, vec_id // 8 AS shard_id,
         |  CAST(dim AS INT) AS dim, s AS emb_q,
         |  CAST(label AS INT) AS label, 'graft' AS arch,
         |  CASE CAST((vec_id // 8) % 4 AS INT)
         |    WHEN 0 THEN 'Q4_0' WHEN 1 THEN 'Q4_1'
-        |    WHEN 2 THEN 'Q5_0' ELSE 'Q5_1' END AS qtag
+        |    WHEN 2 THEN 'Q5_0' ELSE 'Q5_1' END AS qtag,
+        |  CASE WHEN (shard_n * dim) % 256 <> 0 THEN 'none'
+        |    ELSE CASE CAST((vec_id // 8) % 5 AS INT)
+        |      WHEN 0 THEN 'Q2_K' WHEN 1 THEN 'Q3_K'
+        |      WHEN 2 THEN 'Q4_K' WHEN 3 THEN 'Q5_K'
+        |      ELSE 'Q6_K' END END AS qktag
         |FROM q ORDER BY vec_id""".stripMargin,
     // np.savez layout: ZIP members emb/vec_id/label, STORED on
     // even shards, DEFLATE on odd — the file layer must vanish

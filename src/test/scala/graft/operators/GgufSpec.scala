@@ -245,17 +245,17 @@ class GgufSpec extends AnyFunSuite {
     assert(parse(magic).isEmpty)
     val ver = ok.clone(); ver(4) = 2       // v2 rejects honestly
     assert(parse(ver).isEmpty)
-    // table-quantized type id (Q4_K = 12) rejects
+    // table-quantized type id (IQ2_XXS = 16) rejects
     val bytes = build(Seq.empty,
       Seq(GTensor("w", Seq(32L), "Q8_0",
         quantizeQ8_0(new Array[Float](32)))))
     // find the type id 8 right before the u64 offset 0 at the end
-    // of the info record: patch it to 12
+    // of the info record: patch it to 16
     var i = bytes.length - 1
     var patched: Array[Byte] = null
     while (patched == null && i > 4) {
       if (bytes(i) == 8 && i + 12 <= bytes.length) {
-        val c = bytes.clone(); c(i) = 12
+        val c = bytes.clone(); c(i) = 16
         if (parse(c).isEmpty && parse(bytes).isDefined) patched = c
       }
       i -= 1
@@ -265,6 +265,156 @@ class GgufSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       build(Seq.empty, Seq(GTensor("w", Seq(0L), "F32",
         Array.emptyByteArray)))) // zero dim
+  }
+
+  // ---------------------------------------------------------------
+  // K-quants. The decoder pins below are computed BY HAND from the
+  // published ggml dequant formulas over hand-assembled block bytes
+  // — independent of our own quantizers, so an encode/decode pair
+  // that agreed on a wrong layout would still fail here.
+  // ---------------------------------------------------------------
+
+  test("Q6_K: hand-pinned block (nibble/2-bit planes, scale walk)") {
+    // d = 0.5; scales[g] = g-8; ql all 0xA7 (low nib 7, high 10);
+    // qh all 0x5C (2-bit fields 0,3,1,1) → q1 = 7|0<<4 -32 = -25,
+    // q2 = 7|3<<4 -32 = 23, q3 = 10|1<<4 -32 = -6, q4 = -6
+    val block = Array.fill[Byte](128)(0xA7.toByte) ++
+      Array.fill[Byte](64)(0x5C.toByte) ++
+      (0 until 16).map(g => (g - 8).toByte).toArray ++ {
+        val (l, h) = halfBytes(0.5f); Array(l, h)
+      }
+    assert(block.length == 210)
+    val xs = dequantizeQ6_K(block)
+    assert(xs(0) == 100f)     // 0.5 * -8 * -25
+    assert(xs(16) == 87.5f)   // 0.5 * -7 * -25
+    assert(xs(32) == -69f)    // 0.5 * -6 * 23
+    assert(xs(64) == 12f)     // 0.5 * -4 * -6
+    assert(xs(96) == 6f)      // 0.5 * -2 * -6
+    assert(xs(128) == 0f)     // scales[8] = 0
+    assert(xs(144) == -12.5f) // 0.5 * 1 * -25 (second 128-run)
+    assert(xs(255) == -21f)   // 0.5 * 7 * -6
+  }
+
+  private val kScalesPin = Array[Byte](0x81.toByte, 2, 3, 4, 2, 3,
+    4, 0xC5.toByte, 0x65, 0x76, 0x87.toByte, 0x28)
+  // decodes to sc = [1,2,3,4,37,6,7,8], m = [2,3,4,5,6,7,8,50] —
+  // exercises both the j<4 direct bytes and the j≥4 split-nibble +
+  // high-2-bit paths of the shared 12-byte packing
+
+  test("Q4_K: hand-pinned block (6-bit scale/min packing)") {
+    val (dl, dh) = halfBytes(0.5f)
+    val (ml, mh) = halfBytes(0.25f)
+    val block = Array[Byte](dl, dh, ml, mh) ++ kScalesPin ++
+      Array.fill[Byte](128)(0xB3.toByte) // low nib 3, high 11
+    assert(block.length == 144)
+    val xs = dequantizeQ4_K(block)
+    assert(xs(0) == 1f)       // 0.5*1*3 - 0.25*2
+    assert(xs(32) == 10.25f)  // 0.5*2*11 - 0.25*3
+    assert(xs(64) == 3.5f)    // 0.5*3*3 - 0.25*4
+    assert(xs(128) == 54f)    // 0.5*37*3 - 0.25*6 (high-2-bit sc)
+    assert(xs(255) == 31.5f)  // 0.5*8*11 - 0.25*50 (high-2-bit m)
+  }
+
+  test("Q5_K: hand-pinned block (qh bit plane per 32-group)") {
+    val (dl, dh) = halfBytes(0.5f)
+    val (ml, mh) = halfBytes(0.25f)
+    val block = Array[Byte](dl, dh, ml, mh) ++ kScalesPin ++
+      Array.fill[Byte](32)(0x0F.toByte) ++ // groups 0..3 get +16
+      Array.fill[Byte](128)(0xB3.toByte)
+    assert(block.length == 176)
+    val xs = dequantizeQ5_K(block)
+    assert(xs(0) == 9f)       // 0.5*1*(3+16) - 0.25*2
+    assert(xs(32) == 26.25f)  // 0.5*2*(11+16) - 0.25*3
+    assert(xs(128) == 54f)    // group 4: no high bit → q = 3
+    assert(xs(255) == 31.5f)
+  }
+
+  test("Q2_K: hand-pinned block (nibble scale+min, 2-bit planes)") {
+    // scales all 0x53 (sc 3, m 5) except group 5 = 0x27 (sc 7,
+    // m 2); qs all 0xE4 → q = (e>>5)&3; d = 1.5, dmin = 0.5
+    val scales = Array.fill[Byte](16)(0x53.toByte)
+    scales(5) = 0x27
+    val (dl, dh) = halfBytes(1.5f)
+    val (ml, mh) = halfBytes(0.5f)
+    val block = scales ++ Array.fill[Byte](64)(0xE4.toByte) ++
+      Array[Byte](dl, dh, ml, mh)
+    assert(block.length == 84)
+    val xs = dequantizeQ2_K(block)
+    assert(xs(0) == -2.5f)   // 1.5*3*0 - 0.5*5
+    assert(xs(32) == 2f)     // 4.5*1 - 2.5
+    assert(xs(80) == 20f)    // 1.5*7*2 - 0.5*2 (group 5)
+    assert(xs(96) == 11f)    // 4.5*3 - 2.5
+    assert(xs(128) == -2.5f) // second 128-run: shift restarts
+    assert(xs(255) == 11f)
+  }
+
+  test("Q3_K: hand-pinned block (hmask polarity, 6-bit scales)") {
+    // hmask 0x0F → elements 0..127 keep the +0 form, 128..255
+    // subtract 4; qs 0xE4 → q2 = (e>>5)&3; scales all 34 (→ 2)
+    // except scales[2] = 63 (→ 31); d = 0.5
+    val sc12 = Array.fill[Byte](8)(0x22.toByte) ++
+      Array.fill[Byte](4)(0xAA.toByte)
+    sc12(2) = 0x2F; sc12(10) = 0xAB.toByte
+    val (dl, dh) = halfBytes(0.5f)
+    val block = Array.fill[Byte](32)(0x0F.toByte) ++
+      Array.fill[Byte](64)(0xE4.toByte) ++ sc12 ++ Array[Byte](dl, dh)
+    assert(block.length == 110)
+    val xs = dequantizeQ3_K(block)
+    assert(xs(0) == 0f)     // v = 0
+    assert(xs(32) == 15.5f) // 0.5*31*1 (the 6-bit high-2 path)
+    assert(xs(64) == 2f)    // 0.5*2*2
+    assert(xs(96) == 3f)
+    assert(xs(128) == -4f)  // hbit clear → q2=0 becomes -4
+    assert(xs(160) == -3f)
+    assert(xs(255) == -1f)
+  }
+
+  test("K-quants: encode→decode stays within analytic bounds") {
+    val rnd = new scala.util.Random(53)
+    val xs = Array.fill(512)((rnd.nextFloat() - 0.5f) * 24f)
+    checkKQuantBounds("Q2_K", xs, quantizeQ2_K(xs))
+    checkKQuantBounds("Q3_K", xs, quantizeQ3_K(xs))
+    checkKQuantBounds("Q4_K", xs, quantizeQ4_K(xs))
+    checkKQuantBounds("Q5_K", xs, quantizeQ5_K(xs))
+    checkKQuantBounds("Q6_K", xs, quantizeQ6_K(xs))
+    // skewed data (one huge group per block) stresses the
+    // sub-scale rounding and the clamp terms
+    val skew = xs.clone()
+    (0 until 16).foreach(i => skew(i) = skew(i) * 1000f)
+    checkKQuantBounds("Q2_K", skew, quantizeQ2_K(skew))
+    checkKQuantBounds("Q3_K", skew, quantizeQ3_K(skew))
+    checkKQuantBounds("Q4_K", skew, quantizeQ4_K(skew))
+    checkKQuantBounds("Q5_K", skew, quantizeQ5_K(skew))
+    checkKQuantBounds("Q6_K", skew, quantizeQ6_K(skew))
+    // all-zero blocks: exact zeros back
+    val z = new Array[Float](256)
+    assert(dequantizeQ2_K(quantizeQ2_K(z)).forall(_ == 0f))
+    assert(dequantizeQ3_K(quantizeQ3_K(z)).forall(_ == 0f))
+    assert(dequantizeQ4_K(quantizeQ4_K(z)).forall(_ == 0f))
+    assert(dequantizeQ5_K(quantizeQ5_K(z)).forall(_ == 0f))
+    assert(dequantizeQ6_K(quantizeQ6_K(z)).forall(_ == 0f))
+  }
+
+  test("K-quant tensors travel the container; 256-block sizing") {
+    val rnd = new scala.util.Random(61)
+    val xs = Array.fill(512)((rnd.nextFloat() - 0.5f) * 4f)
+    val ts = Seq(
+      GTensor("a", Seq(256L, 2L), "Q2_K", quantizeQ2_K(xs)),
+      GTensor("b", Seq(512L), "Q3_K", quantizeQ3_K(xs)),
+      GTensor("c", Seq(512L), "Q4_K", quantizeQ4_K(xs)),
+      GTensor("d", Seq(512L), "Q5_K", quantizeQ5_K(xs)),
+      GTensor("e", Seq(512L), "Q6_K", quantizeQ6_K(xs)))
+    val (_, back) = parse(build(Seq.empty, ts)).get
+    assert(back.map(_.tpe) ==
+      Seq("Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"))
+    assert(back.map(_.data.length) == Seq(168, 220, 288, 352, 420))
+    assert(dequantizeQ6_K(back(4).data)
+      .sameElements(dequantizeQ6_K(ts(4).data)))
+    // K-quant element counts must be multiples of 256
+    Seq("Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K").foreach { t =>
+      assert(byteSize(t, 288).isEmpty)
+      assert(byteSize(t, 256).isDefined)
+    }
   }
 
   test("mutation fuzz: corruptions never throw") {
