@@ -793,10 +793,13 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
   }
   /** PDF text extraction (operators/Pdf): per doc a multi-page PDF —
     * page j shows `Pg {j}` via `Tj` and a 12-char slice via a
-    * kerned `TJ` array; even docs Flate-compress every content
-    * stream — built, then extracted through the REAL parser (xref
-    * walk, object resolution, page tree, stream decode, content
-    * tokenizer). The oracle rebuilds the extracted text EXACTLY
+    * kerned `TJ` array; the content-stream encoding rotates by doc
+    * id over the whole closed-form filter set — plain, Flate,
+    * modern (ObjStm + xref stream), LZW, and the two /Filter ARRAY
+    * chains [/ASCIIHexDecode /FlateDecode] and [/ASCII85Decode
+    * /RunLengthDecode] — built, then extracted through the REAL
+    * parser (xref walk, object resolution, page tree, stream
+    * decode, content tokenizer). The oracle rebuilds the extracted text EXACTLY
     * (PDF literal strings round-trip byte-exact; no whitespace
     * collapse), so the full writer→parser stack must be value-
     * transparent. Pure map pass. */
@@ -810,12 +813,18 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
           val st = (j * 13) % t.length
           (s"Pg $j", t.substring(st, math.min(st + 12, t.length)))
         }
-        val pdf = (id % 3) match {
-          case 0 => graft.operators.Pdf.build(pages, flate = false)
-          case 1 => graft.operators.Pdf.build(pages, flate = true)
-          case _ => // PDF 1.5: ObjStm + xref stream, predictor rotating
+        val pdf = (id % 6) match {
+          case 0 => graft.operators.Pdf.build(pages, "none")
+          case 1 => graft.operators.Pdf.build(pages, "flate")
+          case 2 => // PDF 1.5: ObjStm + xref stream, predictor rotating
             graft.operators.Pdf.buildModern(pages,
-              xrefPredictor = id % 2 == 0)
+              xrefPredictor = id % 4 == 2)
+          // the rest of the closed-form filter set (late r14):
+          // LZW content streams, and the two declaration-order
+          // /Filter ARRAY chains
+          case 3 => graft.operators.Pdf.build(pages, "lzw")
+          case 4 => graft.operators.Pdf.build(pages, "ahx-flate")
+          case _ => graft.operators.Pdf.build(pages, "a85-rl")
         }
         val text = graft.operators.Pdf.extractText(pdf)
           .getOrElse(sys.error(s"pdf extract rejected doc $id"))

@@ -9,12 +9,15 @@ package graft.operators
   * escape set incl. octal and line continuations, hex strings,
   * dicts, arrays, refs), `startxref` → xref TABLE chain (`/Prev`
   * walked, caps enforced), lazy object resolution, the Catalog →
-  * /Pages → /Kids tree walk, /Contents (single or array) with
-  * FlateDecode, and a content-stream walk that extracts the text
-  * operators — `Tj`, `'`, `"`, and `TJ` arrays (kern numbers
-  * dropped, strings concatenated, per the simple-extractor
-  * convention); text shows join with single spaces, pages with
-  * newlines.
+  * /Pages → /Kids tree walk, /Contents (single or array) through
+  * the whole CLOSED-FORM filter set — FlateDecode, LZWDecode
+  * (MSB-first 9→12-bit codes, /EarlyChange 0/1), ASCIIHexDecode,
+  * ASCII85Decode, RunLengthDecode, singly or as declaration-order
+  * /Filter ARRAY chains with per-filter /DecodeParms — and a
+  * content-stream walk that extracts the text operators — `Tj`,
+  * `'`, `"`, and `TJ` arrays (kern numbers dropped, strings
+  * concatenated, per the simple-extractor convention); text shows
+  * join with single spaces, pages with newlines.
   *
   * MODERN (PDF 1.5+) files are covered too: cross-reference STREAMS
   * (/Type /XRef, W-array typed entries, /Index, the PNG predictors
@@ -24,13 +27,16 @@ package graft.operators
   * builder has a `buildModern` twin so both forms round-trip.
   *
   * Honest-subset rejections (None, never mis-extract): encrypted
-  * documents (/Encrypt), filters beyond FlateDecode, inline images,
-  * and any malformation — bad offsets, missing endstream, unresolved
-  * refs, recursion/size caps. No bundled JVM PDF library exists to
-  * differential against; validation is build→parse round trips with
-  * an analytic oracle (`pdf_text_extract`, classic AND modern forms
-  * rotating per doc), hand-pinned byte constructs, and fuzz —
-  * PdfSpec. */
+  * documents (/Encrypt), the image-codec and Crypt filters
+  * (DCT/JPX/CCITT/JBIG2 are irrelevant to text extraction), inline
+  * images, and any malformation — bad offsets, missing endstream,
+  * unresolved refs, recursion/size caps. No bundled JVM PDF library
+  * exists to differential against; validation is build→parse round
+  * trips with an analytic oracle (`pdf_text_extract`, the filter
+  * rotation covering every supported coding), hand-pinned byte
+  * constructs (incl. the computable ASCII85 "Man " → `9jqo^`
+  * vector), an in-repo LZW differential against the independent
+  * TIFF encoder, and fuzz — PdfSpec. */
 object Pdf {
 
   /** `.pdf` sniff. */
@@ -57,6 +63,80 @@ object Pdf {
   // Builder
   // ---------------------------------------------------------------
 
+  /** ASCIIHexDecode's inverse: uppercase hex pairs, 64-pair lines,
+    * the `>` EOD marker. */
+  def ahxEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + data.length / 64 + 2)
+    var i = 0
+    while (i < data.length) {
+      sb.append(f"${data(i) & 0xff}%02X")
+      if (i % 64 == 63) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** ASCII85Decode's inverse: 4-byte groups to 5 chars '!'..'u',
+    * all-zero groups as 'z', the partial tail emitting n+1 chars,
+    * `~>` EOD. */
+  def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val rem = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) |
+          (if (j < rem) data(i + j) & 0xffL else 0L)
+        j += 1
+      }
+      if (v == 0L && rem == 4) out.write('z')
+      else {
+        val cs = new Array[Int](5)
+        var k = 4
+        while (k >= 0) { cs(k) = (v % 85).toInt; v /= 85; k -= 1 }
+        var c = 0
+        while (c < rem + 1) { out.write('!' + cs(c)); c += 1 }
+      }
+      i += 4
+    }
+    out.write('~'); out.write('>')
+    out.toByteArray
+  }
+
+  /** RunLengthDecode's inverse: repeats of ≥ 3 become (257−n, byte)
+    * runs, literals chunk at 128, EOD 128 closes. */
+  def rlEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i) & 0xff)
+        i += run
+      } else {
+        // literal chunk up to the next ≥3-repeat or 128 bytes
+        var end = i + 1
+        var reps = 1
+        while (end < data.length && end - i < 128 && reps < 3) {
+          if (data(end) == data(end - 1)) reps += 1 else reps = 1
+          end += 1
+        }
+        if (reps == 3) end -= 3 // leave the repeat for the next turn
+        val len = end - i
+        out.write(len - 1)
+        out.write(data, i, len)
+        i = end
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Escape a literal string's specials. */
   private def escapeLit(s: String): String =
     s.flatMap {
@@ -79,7 +159,17 @@ object Pdf {
   /** Build a deterministic PDF: page j shows `headings(j)` then
     * `bodies(j)` (split in two for the TJ path). `flate` compresses
     * every content stream. */
-  def build(pages: Seq[(String, String)], flate: Boolean): Array[Byte] = {
+  def build(pages: Seq[(String, String)], flate: Boolean): Array[Byte] =
+    build(pages, if (flate) "flate" else "none")
+
+  /** Filter-parameterized builder twin: `filter` picks the content
+    * streams' encoding — "none", "flate", "lzw" (TIFF-layout LZW
+    * via the independent [[Multimodal.tiffLzwEncode]]), "ahx-flate"
+    * (/Filter [/ASCIIHexDecode /FlateDecode] — the deflate bytes
+    * hex-armored, decoded in declaration order) or "a85-rl"
+    * (/Filter [/ASCII85Decode /RunLengthDecode]). */
+  def build(pages: Seq[(String, String)], filter: String)
+      : Array[Byte] = {
     require(pages.nonEmpty && pages.length <= 4096)
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -107,21 +197,29 @@ object Pdf {
       val half = body.length / 2
       val content = pageContent(heading, body.substring(0, half),
         body.substring(half)).getBytes("ISO-8859-1")
-      val payload =
-        if (!flate) content
-        else {
-          val d = new java.util.zip.Deflater()
-          d.setInput(content); d.finish()
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](4096)
-          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
-          d.end()
-          buf.toByteArray
-        }
+      def deflate(b: Array[Byte]): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(b); d.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        buf.toByteArray
+      }
+      val (payload, filterStr) = filter match {
+        case "none" => (content, "")
+        case "flate" => (deflate(content), " /Filter /FlateDecode")
+        case "lzw" => (Multimodal.tiffLzwEncode(content),
+          " /Filter /LZWDecode")
+        case "ahx-flate" => (ahxEncode(deflate(content)),
+          " /Filter [/ASCIIHexDecode /FlateDecode]")
+        case "a85-rl" => (a85Encode(rlEncode(content)),
+          " /Filter [/ASCII85Decode /RunLengthDecode]")
+        case other => sys.error(s"unknown pdf filter mode $other")
+      }
       obj {
-        val filter = if (flate) " /Filter /FlateDecode" else ""
-        w(s"$contNum 0 obj << /Length ${payload.length}$filter >> " +
-          "stream\n")
+        w(s"$contNum 0 obj << /Length ${payload.length}$filterStr" +
+          " >> stream\n")
         out.write(payload)
         w("\nendstream endobj\n")
       }
@@ -663,50 +761,270 @@ object Pdf {
     } else { l.p = save; body }
   }
 
-  /** Decode a stream's bytes: no filter or FlateDecode, plus the PNG
-    * predictors xref streams commonly carry (/DecodeParms
-    * /Predictor >= 10, /Columns; bpp = 1). Others reject. */
+  /** Decode a stream's bytes: the closed-form PDF filter set —
+    * FlateDecode, LZWDecode (MSB-first 9→12-bit codes, /EarlyChange
+    * 0 or 1), ASCIIHexDecode, ASCII85Decode, RunLengthDecode —
+    * singly or as a /Filter ARRAY chain applied in declaration
+    * order with per-filter /DecodeParms, plus the PNG predictors
+    * (/Predictor ≥ 10 at bpp 1) Flate/LZW streams commonly carry.
+    * DCT/JPX/CCITT/JBIG2 (image codecs, irrelevant to text
+    * extraction) and Crypt reject. */
   private def decodeStreamBytes(s: PStream,
       resolve: PVal => PVal): Array[Byte] = {
-    val raw = s.dict.m.get("Filter") match {
-      case None => s.raw
-      case Some(PName("FlateDecode")) =>
-        val inf = new java.util.zip.Inflater()
-        try {
-          inf.setInput(s.raw)
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val n = inf.inflate(buf)
-            if (n == 0 && inf.needsInput()) throw Bad
-            out.write(buf, 0, n)
-            if (out.size() > (1 << 26)) throw Bad
-          }
-          out.toByteArray
-        } catch {
-          case _: java.util.zip.DataFormatException => throw Bad
-        } finally inf.end()
-      case Some(_) => throw Bad // other filters: honest rejection
+    val filters: List[PVal] =
+      resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PNull => Nil
+        case n: PName => List(n)
+        case PArr(vs) =>
+          if (vs.length > 8) throw Bad
+          vs.toList.map(resolve)
+        case _ => throw Bad
+      }
+    val parms: List[PVal] =
+      resolve(s.dict.m.getOrElse("DecodeParms", PNull)) match {
+        case PNull => List.fill(filters.length)(PNull)
+        case d: PDict =>
+          if (filters.length == 1) List(d) else throw Bad
+        case PArr(vs) if vs.length == filters.length =>
+          vs.toList.map(resolve)
+        case _ => throw Bad
+      }
+    filters.zip(parms).foldLeft(s.raw) { case (data, (f, pm)) =>
+      applyFilter(f, pm, data, resolve)
     }
-    resolve(s.dict.m.getOrElse("DecodeParms", PNull)) match {
-      case PNull => raw
-      case d: PDict =>
-        val pred = d.m.get("Predictor") match {
-          case None          => 1
-          case Some(PNum(x)) => x.toInt
-          case _             => throw Bad
-        }
-        if (pred == 1) raw
-        else if (pred >= 10 && pred <= 15) {
-          val cols = d.m.get("Columns") match {
-            case None => 1
-            case Some(PNum(x)) if x >= 1 && x <= 65536 => x.toInt
-            case _ => throw Bad
-          }
-          pngDefilter(raw, cols)
-        } else throw Bad // TIFF predictor 2: not emitted for xref
+  }
+
+  private def applyFilter(f: PVal, pm: PVal, data: Array[Byte],
+      resolve: PVal => PVal): Array[Byte] = {
+    val parms: Map[String, PVal] = pm match {
+      case PNull => Map.empty
+      case d: PDict => d.m
       case _ => throw Bad
     }
+    def intParm(k: String, dflt: Int): Int =
+      resolve(parms.getOrElse(k, PNull)) match {
+        case PNull => dflt
+        case PNum(x) => x.toInt
+        case _ => throw Bad
+      }
+    val out = f match {
+      case PName("FlateDecode") => inflateBytes(data)
+      case PName("LZWDecode") =>
+        val ec = intParm("EarlyChange", 1)
+        if (ec != 0 && ec != 1) throw Bad
+        lzwDecodeBytes(data, ec)
+      case PName("ASCIIHexDecode") => asciiHexDecode(data)
+      case PName("ASCII85Decode") => ascii85Decode(data)
+      case PName("RunLengthDecode") => runLengthDecode(data)
+      case _ => throw Bad // image codecs / Crypt: honest rejection
+    }
+    val pred = intParm("Predictor", 1)
+    if (pred == 1) out
+    else if (pred >= 10 && pred <= 15 &&
+      (f == PName("FlateDecode") || f == PName("LZWDecode"))) {
+      // bpp must stay 1 (the xref-stream shape): defaults only
+      if (intParm("Colors", 1) != 1 ||
+        intParm("BitsPerComponent", 8) != 8) throw Bad
+      val cols = intParm("Columns", 1)
+      if (cols < 1 || cols > 65536) throw Bad
+      pngDefilter(out, cols)
+    } else throw Bad // TIFF predictor 2: not emitted for xref
+  }
+
+  private def inflateBytes(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw Bad
+        out.write(buf, 0, n)
+        if (out.size() > (1 << 26)) throw Bad
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => throw Bad
+    } finally inf.end()
+  }
+
+  /** PDF LZW (ISO 32000-1 §7.4.4 = TIFF 6.0 §13 bit layout):
+    * MSB-first codes, 9-bit initial width, Clear 256 / EOD 257,
+    * table cap 4096; with /EarlyChange 1 (the default) the width
+    * bumps one code early (next free slot reaching 2^w − 1), with
+    * 0 at exactly 2^w. Differential-tested in PdfSpec against the
+    * independent TIFF encoder in [[Multimodal.tiffLzwEncode]]. */
+  private[operators] def lzwDecodeBytes(data: Array[Byte],
+      earlyChange: Int): Array[Byte] = {
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream()
+    var width = 9
+    var next = 258
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        v = (v << 1) |
+          (((data((bp >> 3).toInt) & 0xff) >>> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def emitChain(code: Int): Unit = {
+      // expand via the chain; depth bounded by table size
+      val stack = new Array[Byte](4096)
+      var sp = 0
+      var c = code
+      while (c >= 258) {
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      if (out.size() > (1 << 26)) throw Bad
+    }
+    var code = read()
+    // leading Clears are legal; most writers emit exactly one
+    while (code == 256) code = read()
+    if (code == 257) return out.toByteArray
+    if (code < 0 || code > 255) throw Bad
+    out.write(code)
+    prev = code
+    var done = false
+    while (!done) {
+      // width bump happens BEFORE reading the next code when the
+      // next free slot crosses the boundary
+      if (width < 12 &&
+        next + (if (earlyChange == 1) 1 else 0) >= (1 << width))
+        width += 1
+      code = read()
+      if (code < 0) throw Bad // bits exhausted before EOD
+      else if (code == 257) done = true
+      else if (code == 256) {
+        width = 9; next = 258; prev = -1
+        var c2 = read()
+        while (c2 == 256) c2 = read()
+        if (c2 == 257) done = true
+        else if (c2 < 0 || c2 > 255) throw Bad
+        else { out.write(c2); prev = c2 }
+      } else {
+        if (code > next || (code >= 258 && code == next && prev < 0))
+          throw Bad
+        if (next < 4096 && prev >= 0) {
+          // new entry: prev ++ first-byte-of(code); for the KwKwK
+          // case (code == next) the first byte is prev's own
+          var c = if (code == next) prev else code
+          while (c >= 258) c = prefix(c)
+          prefix(next) = prev
+          suffix(next) = c.toByte
+          next += 1
+        } else if (prev >= 0 && code == next) throw Bad
+        emitChain(code)
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode: hex pairs, PDF whitespace skipped, `>` is EOD,
+    * an odd trailing digit is padded with 0. */
+  private[operators] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      val d = Character.digit(c, 16)
+      if (c == '>') done = true
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+        c == '\f' || c == 0) ()
+      else if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      } else throw Bad
+      i += 1
+    }
+    if (!done) throw Bad // the EOD marker is required
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars '!'..'u' → u32 → 4 bytes; 'z' alone is
+    * a zero group; `~>` is EOD; a partial group of n chars pads
+    * with 'u' and emits n − 1 bytes. */
+  private[operators] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      var j = n
+      while (j < 5) { grp(j) = 84; j += 1 } // pad with 'u'
+      var v = 0L
+      j = 0
+      while (j < 5) { v = v * 85 + grp(j); j += 1 }
+      if (v > 0xffffffffL) throw Bad
+      var k = 0
+      while (k < count) { out.write(((v >>> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+      if (out.size() > (1 << 26)) throw Bad
+      n = 0
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= data.length || data(i + 1) != '>') throw Bad
+        done = true
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+        c == '\f' || c == 0) ()
+      else if (c == 'z') {
+        if (n != 0) throw Bad // z only between groups
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) flush(4)
+      } else throw Bad
+      i += 1
+    }
+    if (!done) throw Bad
+    if (n == 1) throw Bad // a lone trailing char is malformed
+    if (n > 1) { val count = n - 1; flush(count) }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: length byte 0..127 copies the next len+1
+    * bytes, 129..255 repeats the next byte 257−len times, 128 is
+    * EOD (required). */
+  private[operators] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (true) {
+      if (i >= data.length) throw Bad
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) return out.toByteArray
+      else if (l < 128) {
+        if (i + l + 1 > data.length) throw Bad
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= data.length) throw Bad
+        val b = data(i) & 0xff
+        i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+      if (out.size() > (1 << 26)) throw Bad
+    }
+    out.toByteArray // unreachable
   }
 
   /** PNG row defilter at bpp=1 (the xref-stream shape): each row is
@@ -771,7 +1089,11 @@ object Pdf {
         case n: PNum => n
         case PNull   => PNull
         case d: PDict => d
-        case _       => throw Bad
+        case n: PName => n
+        case a: PArr => a
+        case _       => throw Bad // refs: an xref stream's own
+        // filter chain must be self-contained (no objects resolvable
+        // before it decodes)
       })
       val w = s.dict.m.get("W") match {
         case Some(PArr(Vector(PNum(a), PNum(b), PNum(c))))

@@ -110,12 +110,129 @@ class PdfSpec extends AnyFunSuite {
     // xref stream shape: startxref pointing at an object
     val xs = s.replaceAll("startxref\n\\d+", "startxref\n9")
     assert(Pdf.extractText(xs.getBytes("ISO-8859-1")).isEmpty)
-    // unknown filter
+    // image-codec filter: honest rejection
+    val dct = s.replace("<< /Length", "<< /Filter /DCTDecode /Length")
+    assert(Pdf.extractText(dct.getBytes("ISO-8859-1")).isEmpty)
+    // a supported filter name over bytes that are NOT that coding
+    // must fail the decode, not mis-extract
     val lzw = s.replace("<< /Length", "<< /Filter /LZWDecode /Length")
     assert(Pdf.extractText(lzw.getBytes("ISO-8859-1")).isEmpty)
     // truncation sweep never throws
     for (n <- 0 until good.length by 7)
       Pdf.extractText(good.take(n))
+  }
+
+  test("every filter mode extracts the same text") {
+    val pages = Seq(("Head one", "body text that repeats a bit"),
+      ("Head two", "zzzzzzzzzz run-length food zzzzz"))
+    val expect = Pdf.extractText(Pdf.build(pages, "none")).get
+    for (m <- Seq("flate", "lzw", "ahx-flate", "a85-rl")) {
+      assert(Pdf.extractText(Pdf.build(pages, m)).get == expect, m)
+    }
+    assert(Pdf.extractText(Pdf.buildModern(pages,
+      xrefPredictor = true)).get == expect)
+  }
+
+  test("ASCIIHexDecode pins: pairs, whitespace, odd digit, EOD") {
+    assert(Pdf.asciiHexDecode("4142>".getBytes("ISO-8859-1"))
+      .sameElements("AB".getBytes))
+    assert(Pdf.asciiHexDecode("4 1\n42\t4>".getBytes("ISO-8859-1"))
+      .sameElements(Array[Byte](0x41, 0x42, 0x40))) // odd → pad 0
+    intercept[Throwable](
+      Pdf.asciiHexDecode("4142".getBytes)) // EOD required
+    intercept[Throwable](Pdf.asciiHexDecode("4G>".getBytes))
+    // encoder round trip incl. the 64-pair line breaks
+    val rnd = new scala.util.Random(3)
+    val data = Array.fill(300)(rnd.nextInt().toByte)
+    assert(Pdf.asciiHexDecode(Pdf.ahxEncode(data)).sameElements(data))
+  }
+
+  test("ASCII85Decode pins: the computable 'Man ' vector, z, tail") {
+    // 'M','a','n',' ' → base-85 digits 24,73,80,78,61 → "9jqo^"
+    assert(Pdf.ascii85Decode("9jqo^~>".getBytes("ISO-8859-1"))
+      .sameElements("Man ".getBytes))
+    assert(Pdf.ascii85Decode("z~>".getBytes)
+      .sameElements(Array[Byte](0, 0, 0, 0)))
+    // partial tail: "AB" → 3 chars
+    assert(Pdf.ascii85Decode(Pdf.a85Encode("AB".getBytes))
+      .sameElements("AB".getBytes))
+    intercept[Throwable](Pdf.ascii85Decode("9jqo^".getBytes)) // no EOD
+    intercept[Throwable](Pdf.ascii85Decode("9z~>".getBytes)) // z mid-group
+    intercept[Throwable](Pdf.ascii85Decode("9~>".getBytes)) // lone char
+    intercept[Throwable](Pdf.ascii85Decode("vvvvv~>".getBytes)) // > 2^32
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 1000)) {
+      val data = Array.fill(len)(rnd.nextInt().toByte)
+      assert(Pdf.ascii85Decode(Pdf.a85Encode(data)).sameElements(data),
+        s"len $len")
+    }
+  }
+
+  test("RunLengthDecode pins and encoder round trip") {
+    assert(Pdf.runLengthDecode(
+      Array[Byte](2, 'a', 'b', 'c', 254.toByte, 'x', 128.toByte))
+      .sameElements("abcxxx".getBytes))
+    intercept[Throwable](
+      Pdf.runLengthDecode(Array[Byte](2, 'a', 'b', 'c'))) // no EOD
+    intercept[Throwable](
+      Pdf.runLengthDecode(Array[Byte](5, 'a', 128.toByte))) // short lit
+    val rnd = new scala.util.Random(11)
+    // mixed runs and literals, incl. >128 runs and >128 literals
+    val data = Array.tabulate(5000)(i =>
+      if ((i / 200) % 2 == 0) (i % 7).toByte else rnd.nextInt().toByte)
+    assert(Pdf.runLengthDecode(Pdf.rlEncode(data)).sameElements(data))
+  }
+
+  test("LZWDecode: differential against the independent TIFF encoder") {
+    val rnd = new scala.util.Random(13)
+    // repetitive data grows the table fast (width bumps + the 4094
+    // reset); 40k input crosses several Clear cycles
+    val data = Array.tabulate(40000)(i =>
+      if (i % 3 == 0) (i % 11).toByte else ((i * 7) % 23).toByte)
+    val enc = Multimodal.tiffLzwEncode(data)
+    assert(Pdf.lzwDecodeBytes(enc, 1).sameElements(data))
+    val rand = Array.fill(2000)(rnd.nextInt().toByte)
+    assert(Pdf.lzwDecodeBytes(Multimodal.tiffLzwEncode(rand), 1)
+      .sameElements(rand))
+    assert(Pdf.lzwDecodeBytes(
+      Multimodal.tiffLzwEncode(Array.emptyByteArray), 1).isEmpty)
+    // truncation (bits exhausted before EOD) rejects
+    intercept[Throwable](Pdf.lzwDecodeBytes(enc.dropRight(40), 1))
+  }
+
+  test("LZWDecode honours EarlyChange 0") {
+    // literal-only encoder with the LATE width schedule: the
+    // decoder still adds one table entry per code, so the width
+    // must bump at exactly 2^w (not 2^w − 1) for the bits to align
+    def ec0Encode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = 0L; var nbits = 0; var width = 9
+      def emit(code: Int): Unit = {
+        cur = (cur << width) | code; nbits += width
+        while (nbits >= 8) {
+          out.write(((cur >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+        }
+        cur &= (1L << nbits) - 1
+      }
+      emit(256)
+      var next = 258; var first = true
+      data.foreach { b =>
+        emit(b & 0xff)
+        if (first) first = false
+        else {
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+      }
+      emit(257)
+      if (nbits > 0) out.write(((cur << (8 - nbits)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(17)
+    // 600 literals push next past the 512 boundary where the two
+    // schedules diverge
+    val data = Array.fill(600)(rnd.nextInt().toByte)
+    assert(Pdf.lzwDecodeBytes(ec0Encode(data), 0).sameElements(data))
   }
 
   test("mutation and garbage fuzz never throw") {
