@@ -216,6 +216,7 @@ object Pipeline
     "onnx_parse"        -> onnxParse _,
     "parquet_write_roundtrip" -> parquetWriteRoundtrip _,
     "parquet_write_nested" -> parquetWriteNested _,
+    "parquet_write_split" -> parquetWriteSplit _,
     "parquet_write_rich" -> parquetWriteRich _,
     "parquet_write_struct" -> parquetWriteStruct _,
     "orc_write_struct" -> orcWriteStruct _,

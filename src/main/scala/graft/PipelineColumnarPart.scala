@@ -145,6 +145,66 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       .orderBy("doc_id")
   }
 
+  /** Parquet WRITE round trip, BYTE_STREAM_SPLIT + DELTA_BYTE_ARRAY
+    * (late r14): shard files whose FLOAT/DOUBLE columns are
+    * byte-plane split (encoding 9) and whose url column is
+    * shared-prefix delta-coded (encoding 7) — the last two value
+    * encodings [[graft.operators.ParquetData]] decodes that the
+    * writer could not emit. Read back through
+    * [[graft.sources.ParquetRawSource]] (the from-scratch walker);
+    * ParquetWriteSpec covers the parquet-mr ROW-reader path too
+    * (Spark's vectorized reader has no BYTE_STREAM_SPLIT decoder —
+    * the one bundled-reader gap, and exactly why the raw source is
+    * the gate's read path here). Every value recomputed
+    * analytically by the oracle. */
+  private[graft] def parquetWriteSplit(s: SparkSession,
+      dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.WCol
+    val root = formatFixtureDir(dir, "pqsplit", "documents") { out =>
+      Tables.documents(s, dir)
+        .filter(expr(
+          "length(text) = octet_length(text) AND length(text) > 0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id / 8, id, lang, t) }
+        .groupByKey(_._1)
+        .mapGroups { (sid: Long,
+            it: Iterator[(Long, Long, String, String)]) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+            WCol("doc_id", "i64", optional = false,
+              docs.map(d => Some(d._2)).toIndexedSeq),
+            // n/4 and n·1.5 are exact in binary — the oracle
+            // recomputes the identical bits
+            WCol("score", "f32", optional = true,
+              docs.map(d => if (d._2 % 9 == 5) None
+                else Some(d._4.length / 4f)).toIndexedSeq),
+            WCol("measure", "f64", optional = false,
+              docs.map(d => Some(d._4.length * 1.5d)).toIndexedSeq),
+            // shared URL prefixes: the DELTA_BYTE_ARRAY sweet spot
+            WCol("url", "string", optional = true,
+              docs.map(d => if (d._2 % 13 == 7) None
+                else Some(s"https://corpus.example/${d._3}/doc-${d._2}"))
+                .toIndexedSeq))
+          val codec = Seq("uncompressed", "snappy", "gzip", "zstd")(
+            (sid % 4).toInt)
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            out, f"shard-$sid%06d.parquet"),
+            ParquetWrite.build(cols, codec,
+              pageVersion = 1 + (sid % 2).toInt,
+              split = Set("score", "measure"),
+              deltaStr = Set("url")))
+          sid
+        }.count(): Unit
+    }
+    graft.sources.ParquetRawSource.read(s, root)
+      .select(col("doc_id"), col("score"), col("measure"), col("url"))
+      .orderBy("doc_id")
+  }
+
   /** ORC WRITE round trip (r13): the [[parquetWriteRoundtrip]]
     * story for the other columnar format — per-shard files emitted
     * by OUR from-scratch ORC writer (operators/OrcWrite — protobuf
@@ -1409,6 +1469,21 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     // map / empty map / null value all collapse to NULL, and the
     // oracle mirrors the Scala residue order: %13 before %5)
     "orc_write_struct" -> StructOracleSql,
+    // OUR writer's BYTE_STREAM_SPLIT float planes +
+    // DELTA_BYTE_ARRAY urls read back by the from-scratch raw
+    // source; n/4 and n*1.5 are exact in binary on both sides
+    "parquet_write_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(text) = strlen(text) AND length(text) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 5 THEN NULL
+        |    ELSE CAST(strlen(text) / 4.0 AS FLOAT) END AS score,
+        |  strlen(text) * 1.5 AS measure,
+        |  CASE WHEN doc_id % 13 = 7 THEN NULL
+        |    ELSE 'https://corpus.example/' || lang || '/doc-'
+        |      || doc_id END AS url
+        |FROM d ORDER BY doc_id""".stripMargin,
     // OUR writer's DICTIONARY + 3-level-list files read back by
     // parquet-mr; list size / element sum recomputed analytically
     "parquet_write_nested" ->

@@ -23,6 +23,11 @@ package graft.operators
   *    deltas wrap to 32 bits — Arrow C++ rejects widths past the
   *    type width; INT64 wraps at 64) — the sorted-id column
   *    layout real v2 writers emit.
+  *  - DELTA_BYTE_ARRAY (late r14, `deltaStr` columns): shared-
+  *    prefix lengths + DELTA_LENGTH suffixes, both delta-packed —
+  *    and BYTE_STREAM_SPLIT (late r14, `split` columns) for
+  *    FLOAT/DOUBLE byte planes; with these every value encoding
+  *    [[ParquetData]] decodes is also writable.
   *  - Physical types BOOLEAN (LSB bit-packed), INT32, INT64,
   *    FLOAT, DOUBLE, BYTE_ARRAY (u32-length-prefixed; `string`
   *    kinds carry the UTF8 converted_type so Spark/DuckDB surface
@@ -392,6 +397,58 @@ object ParquetWrite {
     out.toByteArray
   }
 
+  /** BYTE_STREAM_SPLIT (encoding 9, late r14): plane k holds byte
+    * k of every value — the FLOAT/DOUBLE layout that makes general
+    * compressors bite on similar exponents. `width` 4 or 8. */
+  private[graft] def byteStreamSplitEnc(plain: Array[Byte],
+      width: Int): Array[Byte] = {
+    require(plain.length % width == 0, "ragged split plane")
+    val n = plain.length / width
+    val out = new Array[Byte](plain.length)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < width) {
+        out(k * n + i) = plain(i * width + k); k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** DELTA_BYTE_ARRAY (encoding 7, late r14): delta-packed shared-
+    * prefix lengths, then DELTA_LENGTH_BYTE_ARRAY suffixes
+    * (delta-packed suffix lengths + concatenated suffix bytes) —
+    * the sorted-string layout real v2 writers emit. */
+  private[graft] def deltaByteArrayEnc(vals: Seq[Array[Byte]])
+      : Array[Byte] = {
+    val n = vals.length
+    val prefixLens = new Array[Long](n)
+    val suffixes = new Array[Array[Byte]](n)
+    var prev: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < n) {
+      val v = vals(i)
+      var p = 0
+      val maxP = math.min(prev.length, v.length)
+      while (p < maxP && prev(p) == v(p)) p += 1
+      prefixLens(i) = p.toLong
+      suffixes(i) = java.util.Arrays.copyOfRange(v, p, v.length)
+      prev = v
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val a = deltaBinaryPackedEnc(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(prefixLens),
+      bits32 = true)
+    out.write(a, 0, a.length)
+    val b = deltaBinaryPackedEnc(
+      suffixes.map(_.length.toLong).toIndexedSeq, bits32 = true)
+    out.write(b, 0, b.length)
+    suffixes.foreach(s => out.write(s, 0, s.length))
+    out.toByteArray
+  }
+
   private def u32Prefixed(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length + 4)
     w32(out, b.length.toLong)
@@ -689,7 +746,11 @@ object ParquetWrite {
     * columns named in `dict`), Thrift-compact footer, length,
     * PAR1. */
   def build(cols: Seq[AnyWCol], codec: String = "snappy",
-      createdBy: String = "graft parquet writer",
+      // the parquet-mr VersionParser form "app version v (build b)":
+      // an UNPARSEABLE created_by makes parquet-mr flag
+      // DELTA_BYTE_ARRAY files as PARQUET-246-corrupt (the bug was
+      // parquet-mr-specific; parsable non-parquet-mr apps are exempt)
+      createdBy: String = "graft version 1.0.0 (build graft)",
       dict: Set[String] = Set.empty,
       // r14: multiple row groups — the unit a multi-executor read
       // parallelizes on, and what bounds reader memory per task
@@ -698,7 +759,12 @@ object ParquetWrite {
       // values-only compression) and DELTA_BINARY_PACKED for the
       // named int-physical WCols
       pageVersion: Int = 1,
-      delta: Set[String] = Set.empty): Array[Byte] = {
+      delta: Set[String] = Set.empty,
+      // late r14: BYTE_STREAM_SPLIT for the named FLOAT/DOUBLE
+      // WCols and DELTA_BYTE_ARRAY for the named string/binary
+      // WCols — completing value-encoding symmetry with the reader
+      split: Set[String] = Set.empty,
+      deltaStr: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     require(rowsPerGroup > 0, "rowsPerGroup must be positive")
     require(pageVersion == 1 || pageVersion == 2,
@@ -712,6 +778,29 @@ object ParquetWrite {
         case Some(_) =>
           sys.error(s"delta on non-scalar column $d unsupported")
         case None => sys.error(s"delta column $d not present")
+      }
+    }
+    split.foreach { d =>
+      require(!dict(d) && !delta(d) && !deltaStr(d),
+        s"column $d: conflicting encodings")
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(physType(c.kind) == 4 ||
+          physType(c.kind) == 5,
+          s"BYTE_STREAM_SPLIT is for float columns (${c.name})")
+        case Some(_) =>
+          sys.error(s"split on non-scalar column $d unsupported")
+        case None => sys.error(s"split column $d not present")
+      }
+    }
+    deltaStr.foreach { d =>
+      require(!dict(d) && !delta(d),
+        s"column $d: conflicting encodings")
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(physType(c.kind) == 6,
+          s"DELTA_BYTE_ARRAY is for string/binary columns (${c.name})")
+        case Some(_) =>
+          sys.error(s"deltaStr on non-scalar column $d unsupported")
+        case None => sys.error(s"deltaStr column $d not present")
       }
     }
     val nRows = cols.head.rows
@@ -747,7 +836,7 @@ object ParquetWrite {
     final case class ChunkMeta(pc: PreparedCol, codecId: Int,
         chunkOffset: Long, dataPageOffset: Long,
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
-        useDict: Boolean, useDelta: Boolean)
+        useDict: Boolean, valueEnc: Long)
     def emitChunk(pc: PreparedCol): ChunkMeta = {
       // dictionary keys: byte arrays compare by value, not identity
       def key(v: Any): Any = v match {
@@ -800,8 +889,10 @@ object ParquetWrite {
           uncomp += hb.length.toLong + raw.length
           (Some(chunkOffset), idx)
         }
-      // the value bytes (dict indices / DELTA / PLAIN)
+      // the value bytes (dict indices / DELTA / SPLIT / PLAIN)
       val useDelta = !useDict && delta(pc.col.name)
+      val useSplit = !useDict && split(pc.col.name)
+      val useDeltaStr = !useDict && deltaStr(pc.col.name)
       val valueBytes: Array[Byte] =
         if (useDict) {
           val width = math.max(1,
@@ -820,10 +911,21 @@ object ParquetWrite {
               bd.unscaledValue.longValueExact
             case other => sys.error(s"bad delta value $other")
           }, bits32 = physType(pc.kind) == 1)
+        } else if (useSplit) {
+          byteStreamSplitEnc(plainValues(pc.kind, pc.present),
+            if (physType(pc.kind) == 4) 4 else 8)
+        } else if (useDeltaStr) {
+          deltaByteArrayEnc(pc.present.map {
+            case s: String => s.getBytes("UTF-8")
+            case b: Array[Byte] => b
+            case other => sys.error(s"bad deltaStr value $other")
+          })
         } else plainValues(pc.kind, pc.present)
       val valueEnc: Long =
         if (useDict) { if (pageVersion == 2) 8L else 2L }
         else if (useDelta) 5L // DELTA_BINARY_PACKED
+        else if (useSplit) 9L // BYTE_STREAM_SPLIT
+        else if (useDeltaStr) 7L // DELTA_BYTE_ARRAY
         else 0L // PLAIN
       val repBytes = if (pc.maxRep > 0)
         rleHybrid(pc.reps, bitsFor(pc.maxRep))
@@ -893,7 +995,7 @@ object ParquetWrite {
       comp += hb.length.toLong + body.length
       uncomp += hb.length.toLong + rawTotal
       ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
-        comp, uncomp, useDict, useDelta)
+        comp, uncomp, useDict, valueEnc)
     }
     val groups: Seq[(Int, Seq[ChunkMeta])] =
       groupRanges.map { case (lo, hi) =>
@@ -1032,11 +1134,7 @@ object ParquetWrite {
         f.structBegin(3) // ColumnMetaData
         f.i32(1, physType(cm.pc.kind).toLong)
         f.listBegin(2, 5, 2) // encodings
-        f.varint({ // value encoding, zigzagged
-          if (cm.useDict) { if (pageVersion == 2) 8L else 2L }
-          else if (cm.useDelta) 5L
-          else 0L
-        } << 1)
+        f.varint(cm.valueEnc << 1) // value encoding, zigzagged
         f.varint(3L << 1) // zigzag(RLE = 3) for levels
         f.listBegin(3, 8, cm.pc.path.length) // path_in_schema
         cm.pc.path.foreach { seg =>

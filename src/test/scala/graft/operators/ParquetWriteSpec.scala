@@ -724,6 +724,88 @@ class ParquetWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("BYTE_STREAM_SPLIT + DELTA_BYTE_ARRAY columns via " +
+    "parquet-mr AND our walker (late r14)") {
+    val n = 700
+    def urlAt(i: Int): String = s"https://example.com/p/${i / 10}/doc-$i"
+    def blobAt(i: Int): Array[Byte] =
+      Array.tabulate((i % 5) + 1)(j => (i + j).toByte)
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WCol("score", "f32", optional = true,
+        (0 until n).map(i =>
+          if (i % 9 == 5) None else Some(i * 0.25f - 30f))),
+      ParquetWrite.WCol("emb", "f64", optional = false,
+        (0 until n).map(i => Some(math.sin(i * 0.1) * 1e3))),
+      // shared URL prefixes: the DELTA_BYTE_ARRAY sweet spot
+      ParquetWrite.WCol("url", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 13 == 7) None else Some(urlAt(i)))),
+      ParquetWrite.WCol("blob", "binary", optional = false,
+        (0 until n).map(i => Some(blobAt(i): Any))))
+    // Spark's VECTORIZED reader has no BYTE_STREAM_SPLIT decoder;
+    // parquet-mr's own row reader (the non-vectorized path) does —
+    // that's the independent reader this differential wants
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+      "false")
+    try for ((codec, pv) <- Seq(("uncompressed", 1), ("snappy", 2),
+      ("zstd", 2))) {
+      val bytes = ParquetWrite.build(cols, codec, pageVersion = pv,
+        split = Set("score", "emb"), deltaStr = Set("url", "blob"),
+        rowsPerGroup = 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pbss")
+      val fl = new java.io.File(tmp.toFile, "x.parquet")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val rows = spark.read.parquet(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      assert(rows.length == n, s"$codec v$pv")
+      (0 until n by 7).foreach { i =>
+        val r = rows(i)
+        assert(Option(r.get(1)) ==
+          (if (i % 9 == 5) None else Some(i * 0.25f - 30f)),
+          s"score at $i ($codec v$pv)")
+        assert(r.getDouble(2) == math.sin(i * 0.1) * 1e3,
+          s"emb at $i")
+        assert(Option(r.get(3)) ==
+          (if (i % 13 == 7) None else Some(urlAt(i))),
+          s"url at $i")
+        assert(r.getAs[Array[Byte]](4).sameElements(blobAt(i)),
+          s"blob at $i")
+      }
+      // our own flat walker decodes both new encodings
+      val (_, vals) = ParquetData.decodeFile(bytes)
+        .getOrElse(fail(s"our walker rejected split/deltaStr " +
+          s"($codec v$pv)"))
+      (0 until n by 11).foreach { i =>
+        assert(vals(1)(i) ==
+          (if (i % 9 == 5) None else Some(i * 0.25f - 30f)),
+          s"raw score at $i")
+        assert(vals(2)(i).contains(math.sin(i * 0.1) * 1e3),
+          s"raw emb at $i")
+        // the raw walker surfaces BYTE_ARRAY as bytes
+        assert(vals(3)(i).map {
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case x => x
+        } == (if (i % 13 == 7) None else Some(urlAt(i))),
+          s"raw url at $i")
+        assert(vals(4)(i).exists {
+          case b: Array[Byte] => b.sameElements(blobAt(i))
+          case _ => false
+        }, s"raw blob at $i")
+      }
+      fl.delete(); tmp.toFile.delete()
+    } finally spark.conf.set(
+      "spark.sql.parquet.enableVectorizedReader", "true")
+    // misdeclared encodings fail loud at the boundary
+    intercept[IllegalArgumentException](ParquetWrite.build(
+      Seq(ParquetWrite.WCol("s", "string", optional = false,
+        IndexedSeq(Some("x")))), "uncompressed", split = Set("s")))
+    intercept[IllegalArgumentException](ParquetWrite.build(
+      Seq(ParquetWrite.WCol("f", "f32", optional = false,
+        IndexedSeq(Some(1f)))), "uncompressed", deltaStr = Set("f")))
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
