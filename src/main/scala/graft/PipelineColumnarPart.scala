@@ -137,7 +137,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       dir: String): DataFrame = {
     // the write gate's fixture builder is idempotent — reuse it
     parquetWriteRoundtrip(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqwrite", "documents")(_ =>
+    val root = formatFixtureDir(dir, "pqwrite2", "documents")(_ =>
       sys.error("pqwrite fixture must already exist"))
     graft.sources.ParquetRawSource.read(s, root)
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -218,7 +218,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.WCol
-    val root = formatFixtureDir(dir, "orcwrite", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcwrite2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -264,7 +264,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.WCol
-    val root = formatFixtureDir(dir, "orcrich", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcrich2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -306,7 +306,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqrich", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqrich2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -349,7 +349,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WListCol}
-    val root = formatFixtureDir(dir, "orcnested", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcnested2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -412,7 +412,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WStructCol, WMapCol}
-    val root = formatFixtureDir(dir, "pqstruct2", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqstruct3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -464,7 +464,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WStructCol, WMapCol}
-    val root = formatFixtureDir(dir, "orcstruct", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcstruct2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -521,7 +521,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WListStructCol}
-    val root = formatFixtureDir(dir, "pqdeep", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqdeep2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -618,7 +618,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WListStructCol}
-    val root = formatFixtureDir(dir, "orcdeep", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcdeep2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -663,7 +663,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqwrite", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqwrite2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -709,7 +709,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WListCol}
-    val root = formatFixtureDir(dir, "pqnested2", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqnested3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -773,7 +773,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
   private[graft] def parquetRawNested(s: SparkSession,
       dir: String): DataFrame = {
     parquetWriteNested(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqnested2", "documents")(_ =>
+    val root = formatFixtureDir(dir, "pqnested3", "documents")(_ =>
       sys.error("pqnested2 fixture must already exist"))
     graft.sources.ParquetRawSource
       .read(s, root, columns = Seq("doc_id", "toks"))

@@ -203,9 +203,105 @@ object OrcWrite {
 
   private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
 
+  /** PATCHED_BASE encode for one ≤512-value segment (late r14 —
+    * completing RLEv2 sub-encoding symmetry with [[OrcData]]):
+    * base-reduce at the min, bit-pack at the 95th-percentile
+    * width, and patch the ≤31 outliers' high bits through the
+    * (gap, patch) list with 255-gap chaining. Returns None when
+    * the segment doesn't profit (no outliers past the rounded
+    * width, too many patches after chaining, or subtract
+    * overflow) — the caller then emits DIRECT, so this can only
+    * ever improve on conformant output. Values are RAW (PB never
+    * zigzags; the sign lives in the sign-magnitude base). */
+  private def patchedBaseSeg(raw: Seq[Long]): Option[Array[Byte]] = {
+    val len = raw.length
+    if (len < 2 || len > 512) return None
+    def bitsNeeded(v: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(v))
+    var min = raw.head
+    raw.foreach(v => if (v < min) min = v)
+    if (min == Long.MinValue) return None
+    val deltas = new Array[Long](len)
+    var k = 0
+    while (k < len) {
+      val d = raw(k) - min
+      if (d < 0) return None // subtract overflow
+      deltas(k) = d
+      k += 1
+    }
+    // histogram of widths → 95th-percentile + max widths
+    val hist = new Array[Int](65)
+    deltas.foreach(d => hist(bitsNeeded(d)) += 1)
+    val need = math.ceil(len * 0.95).toInt
+    var cum = 0; var p95 = 0; var w100 = 1
+    var i = 1
+    while (i <= 64) {
+      cum += hist(i)
+      if (p95 == 0 && cum >= need) p95 = i
+      if (hist(i) > 0) w100 = i
+      i += 1
+    }
+    val w = closestFixedBits(p95)
+    if (w >= closestFixedBits(w100)) return None // no outliers
+    val patchIdx = (0 until len).filter(j => (deltas(j) >>> w) != 0)
+    if (patchIdx.isEmpty) return None
+    val maxPatch = patchIdx.map(deltas(_) >>> w).max
+    val pw = closestFixedBits(bitsNeeded(maxPatch))
+    // (gap, patch) entries; gaps past 255 chain via (255, 0)
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long)]
+    var prev = 0
+    patchIdx.foreach { j =>
+      var gap = j - prev
+      while (gap > 255) { entries += ((255, 0L)); gap -= 255 }
+      entries += ((gap, deltas(j) >>> w))
+      prev = j
+    }
+    if (entries.length > 31) return None // pll is a 5-bit field
+    val pgw = math.max(1, bitsNeeded(entries.map(_._1.toLong).max))
+    if (pgw + pw > 64) return None
+    val entryW = closestFixedBits(pgw + pw)
+    val neg = min < 0
+    val mag = if (neg) -min else min
+    val bw = math.max(1, (bitsNeeded(mag) + 1 + 7) / 8) // +sign bit
+    val out = new java.io.ByteArrayOutputStream(4 + bw + len)
+    out.write(0x80 | (widthCode(w) << 1) | (((len - 1) >> 8) & 1))
+    out.write((len - 1) & 0xff)
+    out.write(((bw - 1) << 5) | widthCode(pw))
+    out.write(((pgw - 1) << 5) | entries.length)
+    // base: big-endian sign-magnitude, MSB of the first byte
+    val baseBits = mag | (if (neg) 1L << (bw * 8 - 1) else 0L)
+    var b = bw - 1
+    while (b >= 0) {
+      out.write(((baseBits >>> (8 * b)) & 0xff).toInt); b -= 1
+    }
+    def packMsbTo(xs: Seq[Long], width: Int): Unit = {
+      var acc = 0L; var bits = 0
+      xs.foreach { x =>
+        var left = width
+        while (left > 0) {
+          val take = math.min(8 - bits, left)
+          val piece = (x >>> (left - take)) & ((1L << take) - 1)
+          acc = (acc << take) | piece
+          bits += take
+          left -= take
+          if (bits == 8) { out.write(acc.toInt & 0xff); acc = 0
+            bits = 0 }
+        }
+      }
+      if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    }
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    packMsbTo(deltas.toIndexedSeq.map(_ & mask), w)
+    packMsbTo(entries.toIndexedSeq.map { case (g, pv) =>
+      (g.toLong << pw) | pv }, entryW)
+    Some(out.toByteArray)
+  }
+
   /** Integer RLEv2 (the default orc-core encoding — ORCv1 spec
     * "Run Length Encoding version 2"): repeats of 3-10 as
-    * SHORT_REPEAT, longer repeats as fixed-delta DELTA runs, and
+    * SHORT_REPEAT, longer repeats as fixed-delta DELTA runs,
+    * outlier-carrying segments as PATCHED_BASE (late r14), and
     * everything else as DIRECT groups of ≤ 512 values MSB-packed
     * at the closest table width. The reader twin is
     * [[OrcData]]'s `rleV2`. */
@@ -282,12 +378,17 @@ object OrcWrite {
             else stop = true
           } else end = math.min(k, lim)
         }
-        val seg = (i until end).map(p => enc(vals(p)))
-        val w = closestFixedBits(seg.map(bitsNeeded).max)
-        val len = seg.length
-        out.write(0x40 | (widthCode(w) << 1) | (((len - 1) >> 8) & 1))
-        out.write((len - 1) & 0xff)
-        packMsb(seg, w)
+        patchedBaseSeg((i until end).map(vals)) match {
+          case Some(pb) => out.write(pb, 0, pb.length)
+          case None =>
+            val seg = (i until end).map(p => enc(vals(p)))
+            val w = closestFixedBits(seg.map(bitsNeeded).max)
+            val len = seg.length
+            out.write(0x40 | (widthCode(w) << 1) |
+              (((len - 1) >> 8) & 1))
+            out.write((len - 1) & 0xff)
+            packMsb(seg, w)
+        }
         i = end
       }
     }

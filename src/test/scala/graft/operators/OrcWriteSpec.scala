@@ -145,6 +145,61 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("RLEv2 PATCHED_BASE: outlier segments emit 0b10 headers " +
+    "and round-trip through BOTH readers (late r14)") {
+    // ~8 huge outliers over small values: 95th-percentile width 7,
+    // patches carry the high ~33 bits
+    val pbVals = IndexedSeq.tabulate(400)(i =>
+      if (i % 53 == 17) 1000000000000L + i
+      else (i * 7 % 127).toLong)
+    val encPb = OrcWrite.intRleV2(pbVals, signed = true)
+    assert(((encPb(0) & 0xff) >>> 6) == 2, "expected a PB header")
+    // negative min: the sign-magnitude base path
+    val pbNeg = IndexedSeq.tabulate(300)(i =>
+      if (i % 71 == 5) 800000000000L + i
+      else (i * 11 % 211).toLong - 100)
+    assert(((OrcWrite.intRleV2(pbNeg, signed = true)(0) & 0xff)
+      >>> 6) == 2)
+    // a 387-index gap between patches forces (255, 0) chaining
+    val pbGap = IndexedSeq.tabulate(512)(i =>
+      if (i == 3 || i == 390) 5000000000L else (i % 97).toLong)
+    assert(((OrcWrite.intRleV2(pbGap, signed = true)(0) & 0xff)
+      >>> 6) == 2)
+    // smooth data must NOT flip to PB (no outliers past the
+    // rounded width)
+    val smooth = IndexedSeq.tabulate(500)(i => i.toLong * 977 - 9999)
+    assert(((OrcWrite.intRleV2(smooth, signed = true)(0) & 0xff)
+      >>> 6) == 1)
+    // full files through Spark's orc-core AND our own decoder
+    val all = pbVals ++ pbNeg ++ pbGap
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        all.indices.map(i => Some(i.toLong))),
+      OrcWrite.WCol("v", "i64", optional = true,
+        all.indices.map(i =>
+          if (i % 23 == 9) None else Some(all(i)))))
+    for (codec <- Seq("none", "zlib", "zstd")) {
+      val bytes = OrcWrite.build(cols, codec, 600, rle = "v2")
+      val (_, got) = OrcData.decodeFile(bytes)
+        .getOrElse(fail(s"our decoder rejected the PB file ($codec)"))
+      all.indices.foreach { i =>
+        assert(got(1)(i) == cols(1).values(i), s"at $i ($codec)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_opb")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      val rows = spark.read.orc(fl.getAbsolutePath)
+        .collect().sortBy(_.getLong(0))
+      assert(rows.length == all.length)
+      all.indices.foreach { i =>
+        assert(Option(rows(i).get(1)) ==
+          (if (i % 23 == 9) None else Some(all(i))),
+          s"spark at $i ($codec)")
+      }
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("dictionary strings (v1 + v2): value-exact via Spark and " +
     "our decoder, and the dictionary actually engages (r14)") {
     val n = 1400
