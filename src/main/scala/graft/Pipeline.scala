@@ -286,6 +286,7 @@ object Pipeline
     "jsonl_zst_ingest"  -> jsonlZstIngest _,
     "jsonl_zst_files"   -> jsonlZstFiles _,
     "jsonl_zst_write"   -> jsonlZstWrite _,
+    "jsonl_xz_write"    -> jsonlXzWrite _,
     "msgpack_parse"     -> msgpackParse _,
     "cbor_parse"        -> cborParse _,
     "bson_parse"        -> bsonParse _,

@@ -326,6 +326,72 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
     jsonlZstRowsJni(jsonlZstShards(s, dir, own = true))
       .orderBy("doc_id")
   }
+  /** `.jsonl.xz` corpus shards written by OUR REAL LZMA2
+    * compressor (late r14, [[graft.operators.XzEncode]] — range
+    * coder, 12-state machine, LZMA2 chunking) and decoded back by
+    * TUKAANI XZ, the bundled reference implementation — the
+    * write-direction differential running live under the oracle.
+    * A per-shard ratio guard proves the entropy coder engaged
+    * (store-shape xz would be LARGER than the input). Same facts
+    * and oracle as jsonl_zst_write. */
+  private[graft] def jsonlXzWrite(s: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, lang, n) =>
+        val line =
+          if (id % 7 == 0) s"""{"doc_id":$id,"n_chars":$n}"""
+          else s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
+        (id / 8, id, line)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
+        val jsonl = it.toSeq.sortBy(_._2).map(_._3)
+          .mkString("", "\n", "\n")
+        val bytes = jsonl.getBytes("UTF-8")
+        val enc = graft.operators.XzEncode.encode(bytes)
+        require(bytes.length < 256 || enc.length < bytes.length,
+          s"lzma did not engage on shard $sid " +
+            s"(${enc.length} of ${bytes.length})")
+        (sid, enc)
+      }
+      .flatMap { case (sid, xz) =>
+        val in = new org.tukaani.xz.XZInputStream(
+          new java.io.ByteArrayInputStream(xz))
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        in.close()
+        new String(buf.toByteArray, "UTF-8").split("\n")
+          .filter(_.nonEmpty)
+          .map { line =>
+            def grab(key: String): Option[String] = {
+              val k = "\"" + key + "\":"
+              val i = line.indexOf(k)
+              if (i < 0) None
+              else {
+                val v0 = i + k.length
+                val raw =
+                  if (line.charAt(v0) == '"') {
+                    val e = line.indexOf('"', v0 + 1)
+                    line.substring(v0 + 1, e)
+                  } else line.substring(v0).takeWhile(c =>
+                    c != ',' && c != '}')
+                Some(raw)
+              }
+            }
+            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
+              grab("n_chars").get.toLong)
+          }
+      }
+      .toDF("doc_id", "shard_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** The jsonlZstRows twin with ZSTD-JNI on the decode side. */
   private[graft] def jsonlZstRowsJni(
       shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
@@ -1824,6 +1890,8 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
     "jsonl_zst_files" -> jsonlZstOracleSql,
     // same facts AGAIN: our entropy-coded writer, jni's reader
     "jsonl_zst_write" -> jsonlZstOracleSql,
+    // OUR LZMA2 compressor -> tukaani reader, same facts
+    "jsonl_xz_write" -> jsonlZstOracleSql,
     "pdf_text_extract" -> {
       // page j reduces to 'Pg {j} {slice_j}'; pages join with \n;
       // literal strings round-trip byte-exact so NO collapse is

@@ -69,7 +69,7 @@ object Xz {
     ~c
   }
 
-  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+  private[operators] def crc32(b: Array[Byte], off: Int, len: Int): Long = {
     val c = new java.util.zip.CRC32
     c.update(b, off, len)
     c.getValue

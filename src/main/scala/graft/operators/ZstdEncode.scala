@@ -633,4 +633,78 @@ object ZstdEncode {
     }
     out.toByteArray
   }
+
+  /** A zstd frame compressed AGAINST A RAW-CONTENT DICTIONARY
+    * (late r14 — the write twin of [[Zstd.decodeWithDict]]'s
+    * raw-content path): the dictionary bytes act as virtual
+    * preceding window content, so matches may reach past the frame
+    * start into the dictionary (RFC 8878 §3.1.1.1 allows offsets
+    * into dictionary content when one is in use). No Dictionary_ID
+    * is written — raw-content dictionaries carry none; the decoder
+    * must be handed the same bytes (zstd-jni `loadDict`, or
+    * [[Zstd.decodeWithDict]]). Small inputs that share material
+    * with the dictionary compress dramatically — the per-shard
+    * corpus metadata case. */
+  def encodeWithDict(data: Array[Byte], dict: Array[Byte],
+      withChecksum: Boolean = true): Array[Byte] = {
+    require(data.length <= (1 << 26) && dict.length <= (1 << 26),
+      "zstd encode bomb guard")
+    if (dict.isEmpty) return encode(data, withChecksum)
+    val n = data.length
+    if (n < 8) return Zstd.encodeStore(data, withChecksum)
+    val all = new Array[Byte](dict.length + n)
+    System.arraycopy(dict, 0, all, 0, dict.length)
+    System.arraycopy(data, 0, all, dict.length, n)
+    val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    val fcsFlag = if (n < 256) 0 else if (n < 65536 + 256) 1 else 2
+    out.write((fcsFlag << 6) | 0x20 | (if (withChecksum) 4 else 0))
+    fcsFlag match {
+      case 0 => out.write(n & 0xff)
+      case 1 =>
+        val v = n - 256
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      case _ =>
+        out.write(n & 0xff); out.write((n >>> 8) & 0xff)
+        out.write((n >>> 16) & 0xff); out.write((n >>> 24) & 0xff)
+    }
+    // index the whole dictionary into the hash chains so the first
+    // frame bytes can already match into it
+    val head = Array.fill(1 << HashLog)(-1)
+    val prev = Array.fill(1 << 18)(-1)
+    var k = 0
+    while (k + MinMatch <= dict.length) {
+      val h = hash4(all, k)
+      prev(k & (prev.length - 1)) = head(h)
+      head(h) = k
+      k += 1
+    }
+    val blockMax = 1 << 17
+    var off = dict.length
+    val end = all.length
+    while (off < end) {
+      val len = math.min(blockMax, end - off)
+      val lastBit = if (off + len >= end) 1 else 0
+      val comp = compressBlock(all, off, off + len, head, prev)
+      if (comp != null) {
+        val bh = lastBit | (2 << 1) | (comp.length << 3)
+        out.write(bh & 0xff); out.write((bh >>> 8) & 0xff)
+        out.write((bh >>> 16) & 0xff)
+        out.write(comp, 0, comp.length)
+      } else {
+        val bh = lastBit | (0 << 1) | (len << 3)
+        out.write(bh & 0xff); out.write((bh >>> 8) & 0xff)
+        out.write((bh >>> 16) & 0xff)
+        out.write(all, off, len)
+      }
+      off += len
+    }
+    if (withChecksum) {
+      val cs = Zstd.xxh64(data, 0, data.length) & 0xffffffffL
+      out.write((cs & 0xff).toInt); out.write(((cs >>> 8) & 0xff).toInt)
+      out.write(((cs >>> 16) & 0xff).toInt)
+      out.write(((cs >>> 24) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
 }

@@ -84,6 +84,58 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: OUR REAL COMPRESSOR -> tukaani reader AND " +
+    "our reader, all fixture shapes (late r14)") {
+    for (data <- fixtures) {
+      val comp = XzEncode.encode(data)
+      // tukaani — the reference implementation — must read it
+      val in = new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(comp))
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      in.close()
+      assert(buf.toByteArray.sameElements(data),
+        s"tukaani mis-read our frame (${data.length} bytes)")
+      // and our own decoder agrees
+      val ours = Xz.decode(comp)
+      assert(ours.exists(_.sameElements(data)),
+        s"our decoder rejected our frame (${data.length} bytes)")
+    }
+    // the entropy coder must actually engage: repetitive text
+    // compresses far below store shape
+    val text = ("the quick brown fox jumps over the lazy dog. " * 200)
+      .getBytes
+    val enc = XzEncode.encode(text)
+    assert(enc.length < text.length / 8,
+      s"lzma did not engage: ${enc.length} of ${text.length}")
+    // matches spanning 64 KiB chunk boundaries: data whose only
+    // repeats sit > 64 KiB apart
+    val rnd = new scala.util.Random(99)
+    val page = Array.fill(70000)(rnd.nextInt().toByte)
+    val spanning = page ++ page // second half matches 70000 back
+    val encSpan = XzEncode.encode(spanning)
+    assert(encSpan.length < spanning.length * 2 / 3)
+    val back = Xz.decode(encSpan)
+    assert(back.exists(_.sameElements(spanning)))
+    // incompressible data falls back to uncompressed chunks and a
+    // compressed chunk after a fallback carries the state reset
+    val noise = Array.fill(200000)(rnd.nextInt().toByte)
+    val mixed = noise.take(100000) ++ text ++ noise.drop(100000)
+    val encMix = XzEncode.encode(mixed)
+    val inMix = new org.tukaani.xz.XZInputStream(
+      new java.io.ByteArrayInputStream(encMix))
+    val bufMix = new java.io.ByteArrayOutputStream()
+    var m = inMix.read(tmpBuf)
+    while (m > 0) { bufMix.write(tmpBuf, 0, m); m = inMix.read(tmpBuf) }
+    inMix.close()
+    assert(bufMix.toByteArray.sameElements(mixed))
+    assert(Xz.decode(encMix).exists(_.sameElements(mixed)))
+  }
+
+  private val tmpBuf = new Array[Byte](8192)
+
   test("differential: tiny dictionary forces mid-stream LZMA2 resets") {
     // a 64 KiB dict over 150 KB of repetitive data makes tukaani cut
     // multiple LZMA2 chunks with dict/state resets — the chunk-layer

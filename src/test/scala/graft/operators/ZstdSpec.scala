@@ -257,6 +257,47 @@ class ZstdSpec extends AnyFunSuite {
     assert(got.isDefined && got.get.sameElements(data))
   }
 
+  test("encodeWithDict: raw-content dict frames decode via " +
+    "zstd-jni AND our decoder, and dict matches engage (late r14)") {
+    val rnd = new scala.util.Random(71)
+    val dict = new Array[Byte](4096)
+    rnd.nextBytes(dict)
+    for (len <- Seq(32, 500, 5000)) {
+      // shards interleaving dict slices with fresh noise
+      val data = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        val take = math.min(len - i, 16 + rnd.nextInt(48))
+        if (rnd.nextBoolean() && take < dict.length) {
+          val src = rnd.nextInt(dict.length - take)
+          System.arraycopy(dict, src, data, i, take)
+        } else (0 until take).foreach(j =>
+          data(i + j) = rnd.nextInt().toByte)
+        i += take
+      }
+      val enc = ZstdEncode.encodeWithDict(data, dict)
+      val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+      ctx.loadDict(dict)
+      assert(ctx.decompress(enc, len).sameElements(data),
+        s"zstd-jni at len $len")
+      val ours = Zstd.decodeWithDict(enc, dict)
+      assert(ours.exists(_.sameElements(data)), s"ours at len $len")
+    }
+    // dict matches must actually engage: a pure-dict-slice shard of
+    // incompressible bytes can only shrink via offsets into the dict
+    val slice = java.util.Arrays.copyOfRange(dict, 100, 3100)
+    val encS = ZstdEncode.encodeWithDict(slice, dict)
+    assert(encS.length < slice.length / 4,
+      s"dict history did not engage: ${encS.length} of ${slice.length}")
+    assert(Zstd.decodeWithDict(encS, dict)
+      .exists(_.sameElements(slice)))
+    // without the dict our decoder must refuse, never invent bytes
+    assert(Zstd.decode(encS).forall(_.sameElements(slice)))
+    // empty dict degrades to the plain encoder
+    val plain = ZstdEncode.encodeWithDict(slice, Array.emptyByteArray)
+    assert(Zstd.decode(plain).exists(_.sameElements(slice)))
+  }
+
   test("mutation fuzz: single-byte corruptions reject or decode exactly") {
     val data = ("banana banana banana! " * 50).getBytes
     val comp = com.github.luben.zstd.Zstd.compress(data, 3)
