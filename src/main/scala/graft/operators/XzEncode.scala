@@ -377,6 +377,31 @@ object XzEncode {
     prop
   }
 
+  /** The legacy `.lzma`-alone container (late r14): 13-byte header
+    * (props, dict size LE32, known uncompressed size LE64) + one
+    * raw LZMA stream — the write twin of [[Xz.decodeAlone]]'s
+    * known-size mode. */
+  def encodeAlone(data: Array[Byte]): Array[Byte] = {
+    require(data.length <= (1 << 26), "lzma encode bomb guard")
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(PropsByte)
+    val prop = dictProp(data.length)
+    val dictSize = (2L | (prop & 1)) << (prop / 2 + 11)
+    var i = 0
+    while (i < 4) { out.write(((dictSize >>> (8 * i)) & 0xff).toInt); i += 1 }
+    i = 0
+    while (i < 8) {
+      out.write(((data.length.toLong >>> (8 * i)) & 0xff).toInt)
+      i += 1
+    }
+    val st = new EncState(3, 0, 2)
+    val head = Array.fill(1 << HashLog)(-1)
+    val prev = Array.fill(1 << 18)(-1)
+    val packed = lzmaChunk(data, 0, data.length, st, head, prev)
+    out.write(packed, 0, packed.length)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------
   // XZ container
   // ---------------------------------------------------------------

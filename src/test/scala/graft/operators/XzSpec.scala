@@ -226,6 +226,24 @@ class XzSpec extends AnyFunSuite {
     assert(!Xz.isXz("PK".getBytes))
   }
 
+  test("our .lzma-alone writer: tukaani LZMAInputStream AND " +
+    "decodeAlone read it (late r14)") {
+    for (data <- fixtures) {
+      val enc = XzEncode.encodeAlone(data)
+      val in = new org.tukaani.xz.LZMAInputStream(
+        new java.io.ByteArrayInputStream(enc))
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      in.close()
+      assert(buf.toByteArray.sameElements(data),
+        s"tukaani mis-read our .lzma (${data.length} bytes)")
+      assert(Xz.decodeAlone(enc).exists(_.sameElements(data)),
+        s"decodeAlone rejected our .lzma (${data.length} bytes)")
+    }
+  }
+
   test(".lzma with trailing garbage rejects (whole-input rule)") {
     // the repo-wide trailing-bytes discipline (Qoi, Msgpack, bzip2):
     // a stream that does not consume the whole file is malformed
