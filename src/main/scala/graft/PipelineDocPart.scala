@@ -900,11 +900,14 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
       .orderBy("doc_id")
   }
   /** 7z archive walk (operators/SevenZ): 8-document archives — a
-    * `{id}.txt` per doc plus one `{shard}.meta` — written by
-    * commons-compress (which runs LZMA2 through the same bundled
-    * tukaani our decoder replaces; content method rotates LZMA2/COPY
-    * by shard), read back by OUR pure-JVM header walk + LZMA core,
-    * every per-substream CRC verified. Facts are codec-independent
+    * `{id}.txt` per doc plus one `{shard}.meta` — with the content
+    * method rotating LZMA2/COPY by shard parity and the WRITER
+    * rotating by (shard/2) parity (late r14): half the shards are
+    * written by commons-compress and read by OUR pure-JVM header
+    * walk + LZMA core (every per-substream CRC verified), half by
+    * OUR builder (+ our own LZMA2 compressor) and read back by
+    * commons-compress — every shard a true cross-implementation
+    * round trip in both directions. Facts are codec-independent
     * (true size, md5 of the EXTRACTED content), so the oracle
     * predicts them from `documents` without touching a compressed
     * byte. Same shuffle shape as tar_parse. */
@@ -917,24 +920,54 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
       .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, String)]) =>
         import org.apache.commons.compress.archivers.sevenz._
         val docs = it.toSeq.sortBy(_._2)
-        // in-memory channel (no temp files) + a SHARD-SIZED LZMA2
-        // dictionary: the default preset allocates a ~40 MB match
-        // finder PER SHARD (the tarParseXz lesson — 183 s vs ~3 s)
-        val chan = new org.apache.commons.compress.utils
-          .SeekableInMemoryByteChannel()
-        val arch = {
-          val w = new SevenZOutputFile(chan)
-          if (sid % 2 == 0) {
-            val opt = new org.tukaani.xz.LZMA2Options(3)
-            opt.setDictSize(1 << 16)
-            w.setContentMethods(java.util.Collections.singletonList(
-              new SevenZMethodConfiguration(SevenZMethod.LZMA2, opt)))
-          } else w.setContentCompression(SevenZMethod.COPY)
-          (docs.map { case (_, id, t) =>
-            (s"$id.txt", t.getBytes("UTF-8"))
-          } :+ (f"$sid%06d.meta",
-            s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8")))
-            .foreach { case (name, content) =>
+        val members = docs.map { case (_, id, t) =>
+          (s"$id.txt", t.getBytes("UTF-8"))
+        } :+ (f"$sid%06d.meta",
+          s"""{"shard":$sid,"n":${docs.length}}""".getBytes("UTF-8"))
+        val method = if (sid % 2 == 0) "lzma2" else "copy"
+        // writer rotates by (sid/2) parity so EVERY shard is a true
+        // cross-implementation round trip: commons-compress writes →
+        // OUR parser reads, or (late r14) OUR builder writes →
+        // commons-compress reads
+        val oursWrite = (sid / 2) % 2 == 1
+        val entries: Seq[(String, Long, String)] =
+          if (oursWrite) {
+            val arch = graft.operators.SevenZ.build(members, method)
+            val chan = new org.apache.commons.compress.utils
+              .SeekableInMemoryByteChannel(arch)
+            val z = new SevenZFile(chan)
+            val out = Seq.newBuilder[(String, Long, String)]
+            var e = z.getNextEntry
+            while (e != null) {
+              val buf = new Array[Byte](e.getSize.toInt)
+              var got = 0
+              while (got < buf.length) {
+                val n = z.read(buf, got, buf.length - got)
+                require(n > 0, s"short 7z read in shard $sid")
+                got += n
+              }
+              out += ((e.getName, e.getSize,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(buf).map("%02x".format(_)).mkString))
+              e = z.getNextEntry
+            }
+            z.close()
+            out.result()
+          } else {
+            // in-memory channel (no temp files) + a SHARD-SIZED
+            // LZMA2 dictionary: the default preset allocates a
+            // ~40 MB match finder PER SHARD (the tarParseXz lesson
+            // — 183 s vs ~3 s)
+            val chan = new org.apache.commons.compress.utils
+              .SeekableInMemoryByteChannel()
+            val w = new SevenZOutputFile(chan)
+            if (method == "lzma2") {
+              val opt = new org.tukaani.xz.LZMA2Options(3)
+              opt.setDictSize(1 << 16)
+              w.setContentMethods(java.util.Collections.singletonList(
+                new SevenZMethodConfiguration(SevenZMethod.LZMA2, opt)))
+            } else w.setContentCompression(SevenZMethod.COPY)
+            members.foreach { case (name, content) =>
               val e = new SevenZArchiveEntry()
               e.setName(name)
               e.setSize(content.length.toLong)
@@ -942,15 +975,17 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
               w.write(content)
               w.closeArchiveEntry()
             }
-          w.finish(); w.close()
-          java.util.Arrays.copyOf(chan.array(), chan.size().toInt)
-        }
-        graft.operators.SevenZ.parseWithData(arch)
-          .getOrElse(sys.error(s"7z walk rejected shard $sid"))
-          .collect { case (e, _) if e.name.endsWith(".txt") =>
-            (e.name.stripSuffix(".txt").toLong, sid,
-              if (sid % 2 == 0) "lzma2" else "copy", e.size, e.md5)
+            w.finish(); w.close()
+            val arch = java.util.Arrays.copyOf(
+              chan.array(), chan.size().toInt)
+            graft.operators.SevenZ.parseWithData(arch)
+              .getOrElse(sys.error(s"7z walk rejected shard $sid"))
+              .map { case (e, _) => (e.name, e.size, e.md5) }
           }
+        entries.collect { case (name, size, md5)
+            if name.endsWith(".txt") =>
+          (name.stripSuffix(".txt").toLong, sid, method, size, md5)
+        }
       }
       .toDF("doc_id", "shard_id", "method", "size", "md5")
       .orderBy("doc_id")

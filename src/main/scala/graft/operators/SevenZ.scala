@@ -2,8 +2,9 @@ package graft.operators
 
 /** 7-Zip archives (the public 7zFormat.txt specification shipped in
   * the 7-Zip/LZMA SDK sources) — the third general-purpose archive
-  * container corpora arrive in, after ZIP and tar. READ side only,
-  * pure JVM, built on the [[Xz]] LZMA core: signature + start-header
+  * container corpora arrive in, after ZIP and tar. BOTH directions
+  * (write side late r14), pure JVM, built on the [[Xz]] LZMA core:
+  * signature + start-header
   * CRC32s verified, the property-id header tree (PackInfo /
   * UnpackInfo / SubStreamsInfo / FilesInfo), ENCODED headers (the
   * header itself LZMA-compressed — what real 7z writers emit by
@@ -13,12 +14,16 @@ package graft.operators
   * UTF-16LE file names. Multi-coder folders (BCJ chains), encrypted
   * archives (AES coder 0x06F10701) and external streams reject
   * cleanly (None) — drop, never invent; every count/size is bomb-
-  * capped. Writing stays on commons-compress (which Spark bundles) —
-  * the same split as [[Zstd]]/[[Xz]]: platform entropy encode, pure
-  * decode. Validated in SevenZSpec by differentials against
-  * commons-compress's SevenZOutputFile/SevenZFile (LZMA2 and Copy
-  * content methods) and fuzz; the `sevenz_parse` gate walks real
-  * commons-compress archives. */
+  * capped. The WRITE side ([[build]], late r14): single-coder
+  * folders (Copy, or LZMA2 through [[XzEncode]]'s own compressor),
+  * folder CRC32s, an explicit one-substream-per-folder
+  * SubStreamsInfo (strict readers refuse to default the count), a
+  * plain header and UTF-16LE names — entries must be non-empty
+  * (loud rejection, never a dropped member). Validated in
+  * SevenZSpec by differentials against commons-compress's
+  * SevenZOutputFile/SevenZFile in BOTH directions and fuzz; the
+  * `sevenz_parse` gate rotates writers by shard so every shard is
+  * a live cross-implementation round trip. */
 object SevenZ {
 
   /** `.7z` sniff. */
@@ -408,6 +413,144 @@ object SevenZ {
   /** Entry facts only. */
   def parse(data: Array[Byte], maxOut: Int = 1 << 26): Seq[SzEntry] =
     parseWithData(data, maxOut).map(_.map(_._1)).getOrElse(Seq.empty)
+
+  // ---------------------------------------------------------------
+  // Builder (late r14 — the write twin)
+  // ---------------------------------------------------------------
+
+  /** 7z variable-length number: i leading one-bits in the first
+    * byte announce i extra little-endian bytes; the remaining
+    * (7 − i) low bits of the first byte are the value's high
+    * bits — the exact inverse of [[Rd.number]]. */
+  private def wnum(out: java.io.ByteArrayOutputStream,
+      value: Long): Unit = {
+    var i = 0
+    while (i < 8) {
+      val topBits = 7 - i
+      val high = value >>> (8 * i)
+      if (java.lang.Long.compareUnsigned(high,
+        (1L << topBits) - 1) <= 0) {
+        out.write((((0xff << (8 - i)) & 0xff) | high.toInt) & 0xff)
+        var k = 0
+        while (k < i) {
+          out.write(((value >>> (8 * k)) & 0xff).toInt); k += 1
+        }
+        return
+      }
+      i += 1
+    }
+    out.write(0xff)
+    var k = 0
+    while (k < 8) { out.write(((value >>> (8 * k)) & 0xff).toInt); k += 1 }
+  }
+
+  private def wle32(out: java.io.ByteArrayOutputStream,
+      v: Long): Unit = {
+    var i = 0
+    while (i < 4) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** Build a 7z archive (late r14): one single-coder folder per
+    * entry — Copy (0x00) or LZMA2 (0x21, [[XzEncode]]'s own
+    * compressor) — with folder CRC32s, a plain (unencoded) header
+    * and UTF-16LE names. Entries must be non-empty (the
+    * empty-stream bit vector is outside this writer's scope —
+    * loud rejection, never a silently-dropped member). Read back
+    * by commons-compress's SevenZFile AND [[parseWithData]] in
+    * SevenZSpec. */
+  def build(entries: Seq[(String, Array[Byte])],
+      codec: String = "lzma2"): Array[Byte] = {
+    require(entries.nonEmpty && entries.length <= 4096,
+      "1..4096 entries")
+    require(entries.forall(_._2.nonEmpty),
+      "empty entries unsupported — reject, never drop")
+    require(entries.forall(_._2.length <= (1 << 26)),
+      "7z build bomb guard")
+    require(codec == "copy" || codec == "lzma2",
+      s"unsupported 7z build codec $codec")
+    val packed: Seq[Array[Byte]] = entries.map { case (_, c) =>
+      if (codec == "copy") c else XzEncode.lzma2Compress(c)
+    }
+    val h = new java.io.ByteArrayOutputStream(256)
+    h.write(0x01) // kHeader
+    h.write(0x04) // kMainStreamsInfo
+    h.write(0x06) // kPackInfo
+    wnum(h, 0L) // packPos
+    wnum(h, entries.length.toLong)
+    h.write(0x09) // kSize
+    packed.foreach(p => wnum(h, p.length.toLong))
+    h.write(0x00) // end PackInfo
+    h.write(0x07) // kUnpackInfo
+    h.write(0x0b) // kFolder
+    wnum(h, entries.length.toLong)
+    h.write(0) // folders inline (not external)
+    entries.indices.foreach { _ =>
+      wnum(h, 1L) // one coder
+      if (codec == "copy") {
+        h.write(0x01) // flags: id size 1, no attributes
+        h.write(0x00) // Copy
+      } else {
+        h.write(0x21) // flags: id size 1 | has attributes
+        h.write(0x21) // LZMA2
+        wnum(h, 1L) // props size
+        h.write(XzEncode.dictProp(
+          entries.map(_._2.length).max)) // dict-size property
+      }
+    }
+    h.write(0x0c) // kCodersUnpackSize
+    entries.foreach(e => wnum(h, e._2.length.toLong))
+    h.write(0x0a) // kCRC
+    h.write(1) // all defined
+    entries.foreach(e => wle32(h, crc32(e._2, 0, e._2.length)))
+    h.write(0x00) // end UnpackInfo
+    // explicit SubStreamsInfo: one substream per folder (strict
+    // readers — commons-compress among them — refuse to default
+    // the count); sizes and CRCs then inherit from the folders
+    h.write(0x08) // kSubStreamsInfo
+    h.write(0x0d) // kNumUnpackStream
+    entries.indices.foreach(_ => wnum(h, 1L))
+    h.write(0x00) // end SubStreamsInfo
+    h.write(0x00) // end StreamsInfo
+    h.write(0x05) // kFilesInfo
+    wnum(h, entries.length.toLong)
+    h.write(0x11) // kName
+    val names = new java.io.ByteArrayOutputStream()
+    names.write(0) // names inline (not external)
+    entries.foreach { case (name, _) =>
+      name.foreach { ch =>
+        names.write(ch.toInt & 0xff); names.write((ch.toInt >> 8) & 0xff)
+      }
+      names.write(0); names.write(0)
+    }
+    wnum(h, names.size().toLong)
+    names.writeTo(h)
+    h.write(0x00) // end FilesInfo properties
+    h.write(0x00) // end Header
+    val header = h.toByteArray
+    val bodyLen = packed.map(_.length.toLong).sum
+    val out = new java.io.ByteArrayOutputStream(
+      (bodyLen + header.length + 32).toInt)
+    out.write('7'); out.write('z'); out.write(0xbc); out.write(0xaf)
+    out.write(0x27); out.write(0x1c)
+    out.write(0); out.write(4) // format version 0.4
+    val start = new java.io.ByteArrayOutputStream(20)
+    var i = 0
+    while (i < 8) {
+      start.write(((bodyLen >>> (8 * i)) & 0xff).toInt); i += 1
+    }
+    i = 0
+    while (i < 8) {
+      start.write(((header.length.toLong >>> (8 * i)) & 0xff).toInt)
+      i += 1
+    }
+    wle32(start, crc32(header, 0, header.length))
+    val startArr = start.toByteArray
+    wle32(out, crc32(startArr, 0, startArr.length))
+    out.write(startArr, 0, startArr.length)
+    packed.foreach(p => out.write(p, 0, p.length))
+    out.write(header, 0, header.length)
+    out.toByteArray
+  }
 
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -369,7 +369,7 @@ object XzEncode {
 
   /** The smallest LZMA2 dictionary-size property covering `n`
     * (format: size = (2 | (prop & 1)) << (prop / 2 + 11)). */
-  private def dictProp(n: Int): Int = {
+  private[operators] def dictProp(n: Int): Int = {
     var prop = 0
     while (prop < 40 &&
       ((2L | (prop & 1)) << (prop / 2 + 11)) < math.max(n, 1))

@@ -179,6 +179,61 @@ class SevenZSpec extends AnyFunSuite {
     } finally java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
+  test("OUR writer -> commons-compress SevenZFile AND our reader, " +
+    "both codecs (late r14)") {
+    val files = Seq(
+      ("a.txt", ("the quick brown fox " * 50).getBytes),
+      ("dir/β-unicode.json", """{"k":"v","n":42}""".getBytes),
+      ("c.bin", {
+        val rnd = new scala.util.Random(13)
+        Array.fill[Byte](70000)(rnd.nextInt(8).toByte)
+      }))
+    for (codec <- Seq("copy", "lzma2")) {
+      val arch = SevenZ.build(files, codec)
+      assert(SevenZ.isSevenZ(arch))
+      // our own reader first (CRCs verified inside)
+      locally {
+        val ours = SevenZ.parseWithData(arch)
+        assert(ours.isDefined, s"$codec: our reader rejected our archive")
+        assert(ours.get.map(_._1.name) == files.map(_._1))
+      }
+      // commons-compress — the independent reader
+      val tmp = java.nio.file.Files.createTempFile("szw", ".7z")
+      java.nio.file.Files.write(tmp, arch)
+      val z = new SevenZFile(tmp.toFile)
+      files.foreach { case (name, content) =>
+        val e = z.getNextEntry
+        assert(e != null && e.getName == name, s"$codec: $name")
+        assert(e.getSize == content.length.toLong)
+        val buf = new Array[Byte](content.length)
+        var got = 0
+        while (got < buf.length) {
+          val n = z.read(buf, got, buf.length - got)
+          assert(n > 0); got += n
+        }
+        assert(buf.sameElements(content), s"$codec content of $name")
+      }
+      assert(z.getNextEntry == null)
+      z.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+      // and our own reader agrees (CRCs verified inside)
+      val ours = SevenZ.parseWithData(arch)
+      assert(ours.isDefined, s"$codec: our reader rejected our archive")
+      assert(ours.get.map(_._1.name) == files.map(_._1))
+      ours.get.zip(files).foreach { case ((_, c), (n, want)) =>
+        assert(c.sameElements(want), s"$codec ours: $n")
+      }
+      // lzma2 must actually compress the repetitive member
+      if (codec == "lzma2")
+        assert(arch.length < files.map(_._2.length).sum)
+    }
+    // loud rejections: empty entries and unknown codecs
+    intercept[IllegalArgumentException](
+      SevenZ.build(Seq(("x", Array.emptyByteArray))))
+    intercept[IllegalArgumentException](
+      SevenZ.build(Seq(("x", Array[Byte](1))), "bzip2"))
+  }
+
   test("header CRC corruption rejects") {
     val arch = build(fixtures, SevenZMethod.LZMA2)
     // start-header CRC byte
