@@ -138,7 +138,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     // the write gate's fixture builder is idempotent — reuse it
     parquetWriteRoundtrip(s, dir) // ensures the tree exists
     val root = formatFixtureDir(dir, "pqwrite2", "documents")(_ =>
-      sys.error("pqwrite fixture must already exist"))
+      sys.error("pqwrite2 fixture must already exist"))
     graft.sources.ParquetRawSource.read(s, root)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("flag").cast("long").as("flag"), col("score"))
@@ -774,7 +774,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       dir: String): DataFrame = {
     parquetWriteNested(s, dir) // ensures the tree exists
     val root = formatFixtureDir(dir, "pqnested3", "documents")(_ =>
-      sys.error("pqnested2 fixture must already exist"))
+      sys.error("pqnested3 fixture must already exist"))
     graft.sources.ParquetRawSource
       .read(s, root, columns = Seq("doc_id", "toks"))
       .select(col("doc_id"),

@@ -276,6 +276,31 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
   }
   /** Shared decode+parse stage: OUR RFC 8878 walk, line split, strict
     * fixed-order field parse — reused by batch, file and streaming. */
+  /** The one strict parse of a jsonl metadata line (fixed field
+    * order; lang optional) — shared by every decode lane so the
+    * parsers cannot drift apart: (doc_id, lang-or-null, n_chars).
+    * Serializable so executor closures can carry it. */
+  private[graft] def parseJsonlDocLine(line: String)
+      : (Long, String, Long) = {
+    def grab(key: String): Option[String] = {
+      val k = "\"" + key + "\":"
+      val i = line.indexOf(k)
+      if (i < 0) None
+      else {
+        val v0 = i + k.length
+        val raw =
+          if (line.charAt(v0) == '"') {
+            val e = line.indexOf('"', v0 + 1)
+            line.substring(v0 + 1, e)
+          } else line.substring(v0).takeWhile(c =>
+            c != ',' && c != '}')
+        Some(raw)
+      }
+    }
+    (grab("doc_id").get.toLong, grab("lang").orNull,
+      grab("n_chars").get.toLong)
+  }
+
   private[graft] def jsonlZstRows(
       shards: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
       : DataFrame = {
@@ -287,24 +312,8 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
           .getOrElse(sys.error(s"zstd rejected shard $sid"))
         new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
           .map { line =>
-            // strict parse of the fixed field order
-            def grab(key: String): Option[String] = {
-              val k = "\"" + key + "\":"
-              val i = line.indexOf(k)
-              if (i < 0) None
-              else {
-                val v0 = i + k.length
-                val raw =
-                  if (line.charAt(v0) == '"') {
-                    val e = line.indexOf('"', v0 + 1)
-                    line.substring(v0 + 1, e)
-                  } else line.substring(v0).takeWhile(c =>
-                    c != ',' && c != '}')
-                Some(raw)
-              }
-            }
-            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
-              grab("n_chars").get.toLong)
+            val (id, lang, n) = parseJsonlDocLine(line)
+            (id, sid, lang, n)
           }
       }
       .toDF("doc_id", "shard_id", "lang", "n_chars")
@@ -369,23 +378,8 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
         new String(buf.toByteArray, "UTF-8").split("\n")
           .filter(_.nonEmpty)
           .map { line =>
-            def grab(key: String): Option[String] = {
-              val k = "\"" + key + "\":"
-              val i = line.indexOf(k)
-              if (i < 0) None
-              else {
-                val v0 = i + k.length
-                val raw =
-                  if (line.charAt(v0) == '"') {
-                    val e = line.indexOf('"', v0 + 1)
-                    line.substring(v0 + 1, e)
-                  } else line.substring(v0).takeWhile(c =>
-                    c != ',' && c != '}')
-                Some(raw)
-              }
-            }
-            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
-              grab("n_chars").get.toLong)
+            val (id, lang, n) = parseJsonlDocLine(line)
+            (id, sid, lang, n)
           }
       }
       .toDF("doc_id", "shard_id", "lang", "n_chars")
@@ -408,23 +402,8 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
           .decompress(zst, size.toInt)
         new String(back, "UTF-8").split("\n").filter(_.nonEmpty)
           .map { line =>
-            def grab(key: String): Option[String] = {
-              val k = "\"" + key + "\":"
-              val i = line.indexOf(k)
-              if (i < 0) None
-              else {
-                val v0 = i + k.length
-                val raw =
-                  if (line.charAt(v0) == '"') {
-                    val e = line.indexOf('"', v0 + 1)
-                    line.substring(v0 + 1, e)
-                  } else line.substring(v0).takeWhile(c =>
-                    c != ',' && c != '}')
-                Some(raw)
-              }
-            }
-            (grab("doc_id").get.toLong, sid, grab("lang").orNull,
-              grab("n_chars").get.toLong)
+            val (id, lang, n) = parseJsonlDocLine(line)
+            (id, sid, lang, n)
           }
       }
       .toDF("doc_id", "shard_id", "lang", "n_chars")

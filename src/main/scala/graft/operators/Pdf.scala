@@ -988,6 +988,7 @@ object Pdf {
       else if (c == 'z') {
         if (n != 0) throw Bad // z only between groups
         out.write(0); out.write(0); out.write(0); out.write(0)
+        if (out.size() > (1 << 26)) throw Bad // bomb cap
       } else if (c >= '!' && c <= 'u') {
         grp(n) = c - '!'; n += 1
         if (n == 5) flush(4)

@@ -179,58 +179,30 @@ object XzEncode {
   }
 
   // ---------------------------------------------------------------
-  // LZ77 (ZstdEncode's discipline, match cap 273)
+  // LZ77 (the shared Lz77 hash-chain walk, match cap 273)
   // ---------------------------------------------------------------
 
-  private final val MinMatch = 4
+  private final val MinMatch = Lz77.MinMatch
   private final val MaxMatch = 273
   private final val ChainDepth = 32
-  private final val HashLog = 17
-
-  private def hash4(b: Array[Byte], i: Int): Int = {
-    val v = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-    (v * -1640531535) >>> (32 - HashLog)
-  }
 
   /** Encode [from, until) as one LZMA chunk stream (its own range
     * coder); matches may reach back to byte 0. Probabilities in
     * `st` carry over from previous chunks (mode-0 continuation). */
   private def lzmaChunk(data: Array[Byte], from: Int, until: Int,
-      st: EncState, head: Array[Int], prev: Array[Int])
-      : Array[Byte] = {
+      st: EncState, head: Array[Int], prev: Array[Int],
+      hashLog: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream((until - from) / 2 + 32)
     val r = new RangeEnc(out)
     val pbMask = (1 << st.pb) - 1
     val lpMask = (1 << st.lp) - 1
     var i = from
     while (i < until) {
-      // find the best match at i (cap 273)
-      var bestLen = 0
-      var bestOff = 0
-      if (i + MinMatch <= until) {
-        val h = hash4(data, i)
-        var cand = head(h)
-        var depth = 0
-        val maxL = math.min(until - i, MaxMatch)
-        while (cand >= 0 && depth < ChainDepth) {
-          if (cand < i && (bestLen == 0 ||
-            (bestLen < maxL &&
-              data(cand + bestLen) == data(i + bestLen)))) {
-            val l = java.util.Arrays.mismatch(data, cand,
-              cand + maxL, data, i, i + maxL)
-            val len = if (l < 0) maxL else l
-            if (len >= MinMatch && len > bestLen) {
-              bestLen = len; bestOff = i - cand
-              if (bestLen >= MaxMatch) depth = ChainDepth
-            }
-          }
-          cand = prev(cand & (prev.length - 1))
-          depth += 1
-        }
-        prev(i & (prev.length - 1)) = head(h)
-        head(h) = i
-      }
+      // find the best match at i (cap 273) via the shared walk
+      val pm = Lz77.probe(data, i, until, MaxMatch, MaxMatch,
+        ChainDepth, head, prev, hashLog)
+      val bestLen = (pm >>> 32).toInt
+      val bestOff = (pm & 0xffffffffL).toInt
       val posState = i & pbMask
       if (bestLen >= MinMatch) {
         // match: isMatch=1, isRep=0, length, slot + position bits
@@ -260,15 +232,9 @@ object XzEncode {
           }
         }
         st.state = if (st.state < 7) 7 else 10
-        // index skipped positions sparsely (every 2nd)
-        var k = i + 1
-        val stop = math.min(i + bestLen, until - MinMatch)
-        while (k < stop) {
-          val h2 = hash4(data, k)
-          prev(k & (prev.length - 1)) = head(h2)
-          head(h2) = k
-          k += 2
-        }
+        Lz77.insertSkipped(data, i + 1,
+          math.min(i + bestLen, until - MinMatch), head, prev,
+          hashLog)
         i += bestLen
       } else {
         // literal
@@ -320,8 +286,7 @@ object XzEncode {
       : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     val st = new EncState(3, 0, 2)
-    val head = Array.fill(1 << HashLog)(-1)
-    val prev = Array.fill(1 << 18)(-1)
+    val (head, prev, hashLog) = Lz77.tables(data.length, 17)
     val chunkMax = 1 << 16
     var off = 0
     var first = true
@@ -329,7 +294,8 @@ object XzEncode {
     var needStateReset = false
     while (off < data.length) {
       val n = math.min(chunkMax, data.length - off)
-      val packed = lzmaChunk(data, off, off + n, st, head, prev)
+      val packed = lzmaChunk(data, off, off + n, st, head, prev,
+        hashLog)
       if (packed.length < n && packed.length <= (1 << 16)) {
         // compressed chunk: mode 3 on the very first (dict reset +
         // props), mode 2 when the props byte hasn't travelled yet
@@ -395,9 +361,9 @@ object XzEncode {
       i += 1
     }
     val st = new EncState(3, 0, 2)
-    val head = Array.fill(1 << HashLog)(-1)
-    val prev = Array.fill(1 << 18)(-1)
-    val packed = lzmaChunk(data, 0, data.length, st, head, prev)
+    val (head, prev, hashLog) = Lz77.tables(data.length, 17)
+    val packed = lzmaChunk(data, 0, data.length, st, head, prev,
+      hashLog)
     out.write(packed, 0, packed.length)
     out.toByteArray
   }

@@ -194,21 +194,15 @@ object ZstdEncode {
 
   private final case class Seq3(ll: Int, ml: Int, ofVal: Int)
 
-  private final val MinMatch = 4
+  private final val MinMatch = Lz77.MinMatch
   private final val ChainDepth = 32
-  private final val HashLog = 17
-
-  private def hash4(b: Array[Byte], i: Int): Int = {
-    val v = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-    (v * -1640531535) >>> (32 - HashLog)
-  }
 
   /** Parse [from, until) into sequences; matches may reach back to
     * byte 0 (single-segment window). Returns (sequences, literals
-    * of this block in order). */
+    * of this block in order). Match finding is the shared
+    * [[Lz77]] hash-chain walk. */
   private def parse(data: Array[Byte], from: Int, until: Int,
-      head: Array[Int], prev: Array[Int])
+      head: Array[Int], prev: Array[Int], hashLog: Int)
       : (IndexedSeq[Seq3], Array[Byte]) = {
     // IndexedSeq: the sequence coder walks this BACKWARDS by index
     // (FSE streams encode in reverse) — a List here is O(n^2)
@@ -218,50 +212,17 @@ object ZstdEncode {
     var i = from
     val matchLimit = until
     while (i < matchLimit) {
-      var bestLen = 0
-      var bestOff = 0
-      if (i + MinMatch <= matchLimit) {
-        val h = hash4(data, i)
-        var cand = head(h)
-        var depth = 0
-        val maxL = matchLimit - i
-        while (cand >= 0 && depth < ChainDepth) {
-          // only rescan candidates that can BEAT the current best:
-          // the byte at bestLen must already match (cuts the chain
-          // walk from O(chain × matchLen) to ~one probe per loser)
-          if (cand < i && (bestLen == 0 ||
-            (bestLen < maxL &&
-              data(cand + bestLen) == data(i + bestLen)))) {
-            val l = java.util.Arrays.mismatch(data, cand,
-              cand + maxL, data, i, i + maxL)
-            val len = if (l < 0) maxL else l
-            if (len >= MinMatch && len > bestLen) {
-              bestLen = len; bestOff = i - cand
-              // good enough — further chain walking can only add
-              // a few bits of offset savings at real cost
-              if (bestLen >= 1024) depth = ChainDepth
-            }
-          }
-          cand = prev(cand & (prev.length - 1))
-          depth += 1
-        }
-        // insert current position into the chain
-        prev(i & (prev.length - 1)) = head(h)
-        head(h) = i
-      }
+      val pm = Lz77.probe(data, i, matchLimit, Int.MaxValue, 1024,
+        ChainDepth, head, prev, hashLog)
+      val bestLen = (pm >>> 32).toInt
+      val bestOff = (pm & 0xffffffffL).toInt
       if (bestLen >= MinMatch) {
         val ll = i - litStart
         lits.write(data, litStart, ll)
         seqs += Seq3(ll, bestLen, bestOff + 3)
-        // index the skipped match positions sparsely (every 2nd)
-        var k = i + 1
-        val stop = math.min(i + bestLen, matchLimit - MinMatch)
-        while (k < stop) {
-          val h2 = hash4(data, k)
-          prev(k & (prev.length - 1)) = head(h2)
-          head(h2) = k
-          k += 2
-        }
+        Lz77.insertSkipped(data, i + 1,
+          math.min(i + bestLen, matchLimit - MinMatch), head, prev,
+          hashLog)
         i += bestLen
         litStart = i
       } else i += 1
@@ -512,9 +473,9 @@ object ZstdEncode {
     * header), or null when the compressed form isn't smaller than
     * `rawLen`. */
   private def compressBlock(data: Array[Byte], from: Int,
-      until: Int, head: Array[Int], prev: Array[Int])
-      : Array[Byte] = {
-    val (seqs, lits) = parse(data, from, until, head, prev)
+      until: Int, head: Array[Int], prev: Array[Int],
+      hashLog: Int): Array[Byte] = {
+    val (seqs, lits) = parse(data, from, until, head, prev, hashLog)
     val litSec = {
       val c = compressLiterals(lits)
       if (c != null) c else rawLiterals(lits)
@@ -588,8 +549,7 @@ object ZstdEncode {
         out.write(n & 0xff); out.write((n >>> 8) & 0xff)
         out.write((n >>> 16) & 0xff); out.write((n >>> 24) & 0xff)
     }
-    val head = Array.fill(1 << HashLog)(-1)
-    val prev = Array.fill(1 << 18)(-1)
+    val (head, prev, hashLog) = Lz77.tables(n, 17)
     val blockMax = 1 << 17
     var off = 0
     while (off < n) {
@@ -610,7 +570,8 @@ object ZstdEncode {
         out.write(data(off))
         off += len
       } else {
-      val comp = compressBlock(data, off, off + len, head, prev)
+      val comp = compressBlock(data, off, off + len, head, prev,
+        hashLog)
       if (comp != null) {
         val bh = lastBit | (2 << 1) | (comp.length << 3)
         out.write(bh & 0xff); out.write((bh >>> 8) & 0xff)
@@ -670,11 +631,10 @@ object ZstdEncode {
     }
     // index the whole dictionary into the hash chains so the first
     // frame bytes can already match into it
-    val head = Array.fill(1 << HashLog)(-1)
-    val prev = Array.fill(1 << 18)(-1)
+    val (head, prev, hashLog) = Lz77.tables(all.length, 17)
     var k = 0
     while (k + MinMatch <= dict.length) {
-      val h = hash4(all, k)
+      val h = Lz77.hash4(all, k, hashLog)
       prev(k & (prev.length - 1)) = head(h)
       head(h) = k
       k += 1
@@ -685,7 +645,8 @@ object ZstdEncode {
     while (off < end) {
       val len = math.min(blockMax, end - off)
       val lastBit = if (off + len >= end) 1 else 0
-      val comp = compressBlock(all, off, off + len, head, prev)
+      val comp = compressBlock(all, off, off + len, head, prev,
+        hashLog)
       if (comp != null) {
         val bh = lastBit | (2 << 1) | (comp.length << 3)
         out.write(bh & 0xff); out.write((bh >>> 8) & 0xff)
