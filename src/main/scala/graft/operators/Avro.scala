@@ -484,9 +484,9 @@ object Avro {
     * enums, nested records). */
   /** The spec's full optional-codec set (Avro 1.x "Required/Optional
     * Codecs"): deflate is raw-nowrap JDK; bzip2/xz/zstandard are one
-    * standard stream per block (OUR encoders write — bzip2 full
-    * entropy coding, xz/zstd store mode, all of which any conforming
-    * reader accepts — and OUR decoders read); snappy is one raw
+    * standard stream per block (OUR encoders write — bzip2, xz and
+    * zstd all FULL entropy coding as of late r14 — and OUR decoders
+    * read); snappy is one raw
     * snappy block followed by the 4-byte big-endian CRC32 of the
     * UNCOMPRESSED data, verified on read. */
   final val Codecs: Set[String] =
@@ -526,8 +526,14 @@ object Avro {
             bos.toByteArray
           } finally d.end()
         case "bzip2" => Bzip2.encode(raw)
-        case "xz" => Xz.encodeStore(raw)
-        case "zstandard" => Zstd.encodeStore(raw)
+        // real entropy-coded xz/zstd as of the second late-r14 wave
+        // (store-shape fallback only past the encoders' bomb guard)
+        case "xz" =>
+          if (raw.length <= (1 << 26)) XzEncode.encode(raw)
+          else Xz.encodeStore(raw)
+        case "zstandard" =>
+          if (raw.length <= (1 << 26)) ZstdEncode.encode(raw)
+          else Zstd.encodeStore(raw)
         case "snappy" => // raw block + BE CRC32 of the UNCOMPRESSED data
           val c = new java.util.zip.CRC32
           c.update(raw, 0, raw.length)
