@@ -1527,7 +1527,7 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
   private[graft] def avroParseFiles(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val root = formatFixtureDir(dir, "avroshard2", "documents") { out =>
+    val root = formatFixtureDir(dir, "avroshard3", "documents") { out =>
       avroShards(s, dir)
         .map { case (sid, bytes) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -1565,14 +1565,14 @@ private[graft] trait PipelineDocPart extends Serializable { this: Pipeline.type 
   private[graft] def avroSinkRoundtrip(s: SparkSession, dir: String)
       : DataFrame =
     sinkRoundtripFacts(s,
-      formatFixtureDir(dir, "avrosink2", "documents") { out =>
+      formatFixtureDir(dir, "avrosink3", "documents") { out =>
         graft.sources.AvroSink.write(
           sinkRoundtripInput(s, dir).repartition(8), out,
           codec = "zstandard", blockRows = 64)
       }, arrow = false)
   private[graft] def avroFixtureRoot(s: SparkSession, dir: String): String = {
     avroParseFiles(s, dir) // constructing the query builds the fixture
-    formatFixtureDir(dir, "avroshard2", "documents")(_ => ())
+    formatFixtureDir(dir, "avroshard3", "documents")(_ => ())
   }
   private[graft] def zipFixtureRoot(s: SparkSession, dir: String): String = {
     zipParseFiles(s, dir) // constructing the query builds the fixture

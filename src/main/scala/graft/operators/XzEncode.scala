@@ -19,9 +19,12 @@ package graft.operators
   *    through the length coder (choice/choice2/low/mid/high trees)
   *    and the distance model (6-bit pos-slot tree per length
   *    context, reverse special-position trees for slots < 14,
-  *    direct bits + 4-bit reverse align tree above). Rep matches
-  *    are never emitted — an encoder choice the format permits;
-  *    the rep registers still shift exactly as the decoder's do;
+  *    direct bits + 4-bit reverse align tree above) — and REP
+  *    MATCHES: the four distance registers are probed directly at
+  *    every position and a repeat within 2 of the best fresh match
+  *    wins (its distance costs ~2-5 bits against a full
+  *    slot+offset — the difference that matters on record-shaped
+  *    data where the same distances recur line after line);
   *  - greedy hash-chain LZ77 (the [[ZstdEncode]] discipline:
   *    4-byte hash, chain depth 32, mismatch-accelerated probes)
   *    with matches capped at the LZMA maximum of 273 and a window
@@ -146,19 +149,30 @@ object XzEncode {
     val lit = Array.fill[Short](0x300 << (lc + lp))(1024)
     val isMatch = Array.fill[Short](12 << 4)(1024)
     val isRep = Array.fill[Short](12)(1024)
+    val isRepG0 = Array.fill[Short](12)(1024)
+    val isRepG1 = Array.fill[Short](12)(1024)
+    val isRepG2 = Array.fill[Short](12)(1024)
+    val isRep0Long = Array.fill[Short](12 << 4)(1024)
     val posSlot = Array.fill[Short](4 * 64)(1024)
     val specPos = Array.fill[Short](115)(1024)
     val align = Array.fill[Short](16)(1024)
     val lenProbs = Array.fill[Short](2 + 16 * 8 + 16 * 8 + 256)(1024)
+    val repLenProbs =
+      Array.fill[Short](2 + 16 * 8 + 16 * 8 + 256)(1024)
     def resetState(): Unit = {
       state = 0; rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
       java.util.Arrays.fill(lit, 1024.toShort)
       java.util.Arrays.fill(isMatch, 1024.toShort)
       java.util.Arrays.fill(isRep, 1024.toShort)
+      java.util.Arrays.fill(isRepG0, 1024.toShort)
+      java.util.Arrays.fill(isRepG1, 1024.toShort)
+      java.util.Arrays.fill(isRepG2, 1024.toShort)
+      java.util.Arrays.fill(isRep0Long, 1024.toShort)
       java.util.Arrays.fill(posSlot, 1024.toShort)
       java.util.Arrays.fill(specPos, 1024.toShort)
       java.util.Arrays.fill(align, 1024.toShort)
       java.util.Arrays.fill(lenProbs, 1024.toShort)
+      java.util.Arrays.fill(repLenProbs, 1024.toShort)
     }
   }
 
@@ -204,7 +218,71 @@ object XzEncode {
       val bestLen = (pm >>> 32).toInt
       val bestOff = (pm & 0xffffffffL).toInt
       val posState = i & pbMask
-      if (bestLen >= MinMatch) {
+      // rep-match probe: the four distance registers get a direct
+      // scan — a rep distance costs ~2-5 bits against a full
+      // slot+offset, the difference that matters on record-shaped
+      // data where the same distances recur line after line
+      var repIdx = -1
+      var repLen = 0
+      locally {
+        val maxL = math.min(until - i, MaxMatch)
+        var ri = 0
+        while (ri < 4 && maxL >= 2) {
+          val dist = ri match {
+            case 0 => st.rep0
+            case 1 => st.rep1
+            case 2 => st.rep2
+            case _ => st.rep3
+          }
+          val src = i - dist - 1
+          if (src >= 0) {
+            val l = java.util.Arrays.mismatch(data, src, src + maxL,
+              data, i, i + maxL)
+            val len = if (l < 0) maxL else l
+            if (len > repLen) { repLen = len; repIdx = ri }
+          }
+          ri += 1
+        }
+      }
+      // a rep within 2 of the best normal match wins (the distance
+      // bits it saves outweigh up to ~2 length levels); with no
+      // normal match a rep of ≥ 2 still beats literals
+      val useRep = repLen >= 2 &&
+        (repLen + 2 >= bestLen || bestLen < MinMatch)
+      if (useRep) {
+        r.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
+        r.encodeBit(st.isRep, st.state, 1)
+        repIdx match {
+          case 0 =>
+            r.encodeBit(st.isRepG0, st.state, 0)
+            r.encodeBit(st.isRep0Long,
+              (st.state << 4) + posState, 1) // full length, not short-rep
+          case 1 =>
+            r.encodeBit(st.isRepG0, st.state, 1)
+            r.encodeBit(st.isRepG1, st.state, 0)
+            val d = st.rep1
+            st.rep1 = st.rep0; st.rep0 = d
+          case 2 =>
+            r.encodeBit(st.isRepG0, st.state, 1)
+            r.encodeBit(st.isRepG1, st.state, 1)
+            r.encodeBit(st.isRepG2, st.state, 0)
+            val d = st.rep2
+            st.rep2 = st.rep1; st.rep1 = st.rep0; st.rep0 = d
+          case _ =>
+            r.encodeBit(st.isRepG0, st.state, 1)
+            r.encodeBit(st.isRepG1, st.state, 1)
+            r.encodeBit(st.isRepG2, st.state, 1)
+            val d = st.rep3
+            st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+            st.rep0 = d
+        }
+        encodeLen(r, st.repLenProbs, posState, repLen)
+        st.state = if (st.state < 7) 8 else 11
+        Lz77.insertSkipped(data, i + 1,
+          math.min(i + repLen, until - MinMatch), head, prev,
+          hashLog)
+        i += repLen
+      } else if (bestLen >= MinMatch) {
         // match: isMatch=1, isRep=0, length, slot + position bits
         r.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
         r.encodeBit(st.isRep, st.state, 0)

@@ -35,4 +35,40 @@ class XzPerfProbe extends AnyFunSuite {
         f"decode=${(t2 - t1) / 1e7}%7.2f ms/shard")
     }
   }
+
+  test("OUR LZMA encoder vs tukaani: ratio within 1.6x of " +
+    "preset 3, decode parity (late r14)") {
+    // a jsonl-shaped corpus sample — repeated keys + varying values
+    val sb = new StringBuilder
+    for (i <- 0 until 2000)
+      sb.append(s"""{"id":$i,"label":"cat${i % 7}","lang":"${
+        Seq("en", "de", "fr")(i % 3)}","text":"sample body $i with shared phrasing"}\n""")
+    val data = sb.toString.getBytes
+    def tukaani(preset: Int): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val o = new org.tukaani.xz.LZMA2Options(preset)
+      o.setDictSize(1 << 18)
+      val z = new org.tukaani.xz.XZOutputStream(buf, o)
+      z.write(data); z.finish(); z.close()
+      buf.toByteArray
+    }
+    XzEncode.encode(data) // warm
+    val t0 = System.nanoTime()
+    var ours: Array[Byte] = null
+    for (_ <- 0 until 5) ours = XzEncode.encode(data)
+    val t1 = System.nanoTime()
+    val t3 = tukaani(3)
+    val t6 = tukaani(6)
+    info(f"input ${data.length}%d B — ours ${ours.length}%d B, " +
+      f"tukaani p3 ${t3.length}%d B, p6 ${t6.length}%d B; " +
+      f"our encode ${(t1 - t0) / 5e6}%.1f ms " +
+      f"(${data.length * 5e3 / (t1 - t0)}%.1f MB/s)")
+    // the greedy single-pass encoder must stay in the same league
+    // as the reference's level 3 (no rep-matches, no optimal parse
+    // — a structural slip like dead probability contexts would blow
+    // far past this bound)
+    assert(ours.length < t3.length * 1.6,
+      s"ratio fell off: ours ${ours.length} vs p3 ${t3.length}")
+    assert(Xz.decode(ours).exists(_.sameElements(data)))
+  }
 }
