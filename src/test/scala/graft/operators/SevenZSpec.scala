@@ -264,6 +264,21 @@ class SevenZSpec extends AnyFunSuite {
         }
       }
     }
+    // OUR writer's archives under the same mutation rule (late r14)
+    val nonEmpty = fixtures.filter(_._2.nonEmpty)
+    val ours = SevenZ.build(nonEmpty, "lzma2")
+    for (_ <- 0 until 1200) {
+      val bad = ours.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      SevenZ.parseWithData(bad).foreach { entries =>
+        entries.foreach { case (e, _) =>
+          want.get(e.name).foreach { md5 =>
+            assert(e.md5 == md5,
+              s"mutation of OUR archive survived CRC: ${e.name}")
+          }
+        }
+      }
+    }
     for (_ <- 0 until 2000) {
       val junk = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
       SevenZ.parseWithData(junk)

@@ -119,6 +119,27 @@ class XzSpec extends AnyFunSuite {
     assert(encSpan.length < spanning.length * 2 / 3)
     val back = Xz.decode(encSpan)
     assert(back.exists(_.sameElements(spanning)))
+    // >16 chunks of mode-0 continuation (probabilities persisting
+    // across 64 KiB chunk boundaries): a 2 MiB structured corpus
+    val big = {
+      val b = new StringBuilder
+      var i = 0
+      while (b.length < (2 << 20)) {
+        b.append(s"""{"row":$i,"val":"${i * 7919 % 1000}"}\n""")
+        i += 1
+      }
+      b.toString.getBytes
+    }
+    val encBig = XzEncode.encode(big)
+    assert(encBig.length < big.length / 4)
+    val inBig = new org.tukaani.xz.XZInputStream(
+      new java.io.ByteArrayInputStream(encBig))
+    val bufBig = new java.io.ByteArrayOutputStream()
+    var bn = inBig.read(tmpBuf)
+    while (bn > 0) { bufBig.write(tmpBuf, 0, bn); bn = inBig.read(tmpBuf) }
+    inBig.close()
+    assert(bufBig.toByteArray.sameElements(big))
+    assert(Xz.decode(encBig).exists(_.sameElements(big)))
     // incompressible data falls back to uncompressed chunks and a
     // compressed chunk after a fallback carries the state reset
     val noise = Array.fill(200000)(rnd.nextInt().toByte)
