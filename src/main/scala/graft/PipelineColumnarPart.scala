@@ -137,8 +137,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       dir: String): DataFrame = {
     // the write gate's fixture builder is idempotent — reuse it
     parquetWriteRoundtrip(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqwrite2", "documents")(_ =>
-      sys.error("pqwrite2 fixture must already exist"))
+    val root = formatFixtureDir(dir, "pqwrite3", "documents")(_ =>
+      sys.error("pqwrite3 fixture must already exist"))
     graft.sources.ParquetRawSource.read(s, root)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("flag").cast("long").as("flag"), col("score"))
@@ -163,7 +163,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqsplit", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqsplit2", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -306,7 +306,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqrich2", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqrich3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -412,7 +412,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WStructCol, WMapCol}
-    val root = formatFixtureDir(dir, "pqstruct3", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqstruct4", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -521,7 +521,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WListStructCol}
-    val root = formatFixtureDir(dir, "pqdeep2", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqdeep3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -663,7 +663,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqwrite2", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqwrite3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -709,7 +709,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.{WCol, WListCol}
-    val root = formatFixtureDir(dir, "pqnested3", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqnested4", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -773,8 +773,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
   private[graft] def parquetRawNested(s: SparkSession,
       dir: String): DataFrame = {
     parquetWriteNested(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqnested3", "documents")(_ =>
-      sys.error("pqnested3 fixture must already exist"))
+    val root = formatFixtureDir(dir, "pqnested4", "documents")(_ =>
+      sys.error("pqnested4 fixture must already exist"))
     graft.sources.ParquetRawSource
       .read(s, root, columns = Seq("doc_id", "toks"))
       .select(col("doc_id"),

@@ -556,6 +556,71 @@ object ParquetWrite {
       present: IndexedSeq[Any],
       numValues: Int)
 
+  /** Per-chunk (min, max, nullCount) for the ColumnIndex —
+    * PLAIN-encoded bounds per the page-index spec (raw value
+    * bytes, NO length prefix on byte arrays). None where an index
+    * doesn't apply: nested paths, booleans (a 1-bit domain prunes
+    * nothing) and float chunks carrying NaN (whose ordering the
+    * spec leaves to writers — omission is the safe choice). An
+    * all-null chunk gets empty bounds + nullPages=true. */
+  private def chunkStats(pc: PreparedCol)
+      : Option[(Array[Byte], Array[Byte], Long)] = {
+    if (pc.maxRep != 0 || pc.path.length != 1) return None
+    val nulls = pc.col.rows.toLong - pc.present.length
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long): Array[Byte] =
+      Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+    if (pc.present.isEmpty)
+      return Some((Array.emptyByteArray, Array.emptyByteArray, nulls))
+    pc.kind match {
+      case "boolean" => None
+      case "i32" | "date" =>
+        val vs = pc.present.map(_.asInstanceOf[Int])
+        Some((le32(vs.min), le32(vs.max), nulls))
+      case "i64" | "ts" =>
+        val vs = pc.present.map(_.asInstanceOf[Long])
+        Some((le64(vs.min), le64(vs.max), nulls))
+      case DecimalKind(_, _) =>
+        var mn = pc.present.head.asInstanceOf[java.math.BigDecimal]
+        var mx = mn
+        pc.present.foreach { v =>
+          val bd = v.asInstanceOf[java.math.BigDecimal]
+          if (bd.compareTo(mn) < 0) mn = bd
+          if (bd.compareTo(mx) > 0) mx = bd
+        }
+        Some((le64(mn.unscaledValue.longValueExact),
+          le64(mx.unscaledValue.longValueExact), nulls))
+      case "f32" =>
+        val vs = pc.present.map(_.asInstanceOf[Float])
+        if (vs.exists(_.isNaN)) None
+        else Some((le32(java.lang.Float.floatToIntBits(vs.min)),
+          le32(java.lang.Float.floatToIntBits(vs.max)), nulls))
+      case "f64" =>
+        val vs = pc.present.map(_.asInstanceOf[Double])
+        if (vs.exists(_.isNaN)) None
+        else Some((le64(java.lang.Double.doubleToLongBits(vs.min)),
+          le64(java.lang.Double.doubleToLongBits(vs.max)), nulls))
+      case "string" | "binary" =>
+        var mn: Array[Byte] = null
+        var mx: Array[Byte] = null
+        pc.present.foreach { v =>
+          val b = v match {
+            case s: String => s.getBytes("UTF-8")
+            case a: Array[Byte] => a
+            case other => sys.error(s"bad byte-array value $other")
+          }
+          if (mn == null ||
+            java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b
+          if (mx == null ||
+            java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
+        }
+        Some((mn, mx, nulls))
+      case _ => None
+    }
+  }
+
   private def prepare(c: AnyWCol): PreparedCol = c match {
     case fc: WCol =>
       fc.values.foreach(v => require(fc.optional || v.isDefined,
@@ -836,7 +901,8 @@ object ParquetWrite {
     final case class ChunkMeta(pc: PreparedCol, codecId: Int,
         chunkOffset: Long, dataPageOffset: Long,
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
-        useDict: Boolean, valueEnc: Long)
+        useDict: Boolean, valueEnc: Long, dataPageSize: Int,
+        stats: Option[(Array[Byte], Array[Byte], Long)])
     def emitChunk(pc: PreparedCol): ChunkMeta = {
       // dictionary keys: byte arrays compare by value, not identity
       def key(v: Any): Any = v match {
@@ -995,13 +1061,62 @@ object ParquetWrite {
       comp += hb.length.toLong + body.length
       uncomp += hb.length.toLong + rawTotal
       ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
-        comp, uncomp, useDict, valueEnc)
+        comp, uncomp, useDict, valueEnc, hb.length + body.length,
+        chunkStats(pc))
     }
-    val groups: Seq[(Int, Seq[ChunkMeta])] =
+    val groups0: Seq[(Int, Seq[ChunkMeta])] =
       groupRanges.map { case (lo, hi) =>
         (hi - lo, cols.flatMap(c =>
           prepareAll(sliceCol(c, lo, hi)).map(emitChunk)))
       }
+    // PAGE INDEX (late r14 — the write twin of ParquetFooter's
+    // parseColumnIndex/parseOffsetIndex): all ColumnIndexes, then
+    // all OffsetIndexes, between the data section and the footer
+    // (the parquet-mr layout); ColumnChunk fields 4-7 carry the
+    // refs. One page per chunk here, so each index is one entry —
+    // the structures page-skipping readers prune on.
+    final case class IndexedChunk(cm: ChunkMeta,
+        ci: Option[(Long, Int)], oi: (Long, Int))
+    val groups: Seq[(Int, Seq[IndexedChunk])] = {
+      val withCi = groups0.map { case (n, chunks) =>
+        (n, chunks.map { cm =>
+          val ci = cm.stats.map { case (mn, mx, nullCount) =>
+            val w = new TWriter
+            w.listBegin(1, 1, 1) // null_pages (bool elements)
+            w.out.write(if (cm.pc.present.isEmpty) 1 else 2)
+            w.listBegin(2, 8, 1) // min_values
+            w.varint(mn.length.toLong); w.out.write(mn, 0, mn.length)
+            w.listBegin(3, 8, 1) // max_values
+            w.varint(mx.length.toLong); w.out.write(mx, 0, mx.length)
+            w.i32(4, 0L) // boundary_order UNORDERED
+            w.listBegin(5, 6, 1) // null_counts (i64 elements)
+            w.varint((nullCount << 1) ^ (nullCount >> 63)) // zigzag
+            w.stop()
+            val bytes = w.bytes
+            val off = buf.size().toLong
+            buf.write(bytes, 0, bytes.length)
+            (off, bytes.length)
+          }
+          (cm, ci)
+        })
+      }
+      withCi.map { case (n, chunks) =>
+        (n, chunks.map { case (cm, ci) =>
+          val w = new TWriter
+          w.listBegin(1, 12, 1) // page_locations
+          w.elemStructBegin()
+          w.i64(1, cm.dataPageOffset)
+          w.i32(2, cm.dataPageSize.toLong)
+          w.i64(3, 0L) // first_row_index
+          w.elemStructEnd()
+          w.stop()
+          val bytes = w.bytes
+          val off = buf.size().toLong
+          buf.write(bytes, 0, bytes.length)
+          IndexedChunk(cm, ci, (off, bytes.length))
+        })
+      }
+    }
 
     // footer
     val f = new TWriter
@@ -1128,7 +1243,8 @@ object ParquetWrite {
     groups.foreach { case (gRows, chunks) =>
       f.elemStructBegin()
       f.listBegin(1, 12, chunks.length) // columns
-      chunks.foreach { cm =>
+      chunks.foreach { ic =>
+        val cm = ic.cm
         f.elemStructBegin() // ColumnChunk
         f.i64(2, cm.chunkOffset) // file_offset
         f.structBegin(3) // ColumnMetaData
@@ -1148,9 +1264,16 @@ object ParquetWrite {
         f.i64(9, cm.dataPageOffset) // data_page_offset
         cm.dictPageOffset.foreach(o => f.i64(11, o))
         f.structEnd()
+        // page-index refs (fields 4-7, late r14)
+        f.i64(4, ic.oi._1) // offset_index_offset
+        f.i32(5, ic.oi._2.toLong)
+        ic.ci.foreach { case (o, l) =>
+          f.i64(6, o) // column_index_offset
+          f.i32(7, l.toLong)
+        }
         f.elemStructEnd()
       }
-      f.i64(2, chunks.map(_.comp).sum) // total_byte_size
+      f.i64(2, chunks.map(_.cm.comp).sum) // total_byte_size
       f.i64(3, gRows.toLong)
       f.elemStructEnd()
     }

@@ -806,6 +806,95 @@ class ParquetWriteSpec extends AnyFunSuite {
         IndexedSeq(Some(1f)))), "uncompressed", deltaStr = Set("f")))
   }
 
+  test("PAGE INDEX: ColumnIndex/OffsetIndex written per chunk, " +
+    "read back by our walker AND consumed by parquet-mr's " +
+    "filter path (late r14)") {
+    val n = 900
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WCol("name", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 11 == 4) None else Some(f"doc-$i%05d"))),
+      ParquetWrite.WCol("score", "f64", optional = false,
+        (0 until n).map(i => Some(i * 0.5))),
+      // an all-null column: nullPages=true, empty bounds
+      ParquetWrite.WCol("gone", "i32", optional = true,
+        (0 until n).map(_ => None)),
+      // NaN float: the ColumnIndex is omitted (spec-safe), the
+      // OffsetIndex still present
+      ParquetWrite.WCol("nanny", "f32", optional = false,
+        (0 until n).map(i =>
+          Some(if (i == 7) Float.NaN else i * 1f))),
+      // bool + list: no ColumnIndex either
+      ParquetWrite.WCol("flag", "boolean", optional = false,
+        (0 until n).map(i => Some(i % 2 == 0))),
+      ParquetWrite.WListCol("toks", "i64", optional = true,
+        elemOptional = false,
+        (0 until n).map(i => Some(Seq(Some(i.toLong: Any))))))
+    val bytes = ParquetWrite.build(cols, "snappy",
+      rowsPerGroup = 300)
+    val foot = ParquetFooter.parse(bytes)
+      .getOrElse(fail("our footer walk rejected the file"))
+    assert(foot.rowGroups.length == 3)
+    foot.rowGroups.zipWithIndex.foreach { case (rg, g) =>
+      val byPath = rg.columns.map(c => c.path -> c).toMap
+      // every chunk carries an OffsetIndex locating its one page
+      rg.columns.foreach { c =>
+        val oi = c.offsetIndex.getOrElse(
+          fail(s"missing OffsetIndex on ${c.path} group $g"))
+        val locs = ParquetFooter.parseOffsetIndex(bytes, oi)
+          .getOrElse(fail(s"bad OffsetIndex on ${c.path}"))
+        assert(locs.length == 1 && locs.head.firstRow == 0L)
+        assert(locs.head.offset > 0 &&
+          locs.head.offset + locs.head.compressedSize <= bytes.length)
+      }
+      // id: exact per-group i64 bounds
+      val idCi = byPath("id").columnIndex.getOrElse(
+        fail(s"missing ColumnIndex on id group $g"))
+      val idx = ParquetFooter.parseColumnIndex(bytes, idCi)
+        .getOrElse(fail("bad id ColumnIndex"))
+      def le64(b: Array[Byte]): Long =
+        (0 until 8).map(k => (b(k) & 0xffL) << (8 * k)).sum
+      assert(!idx.nullPages.head)
+      assert(le64(idx.minValues.head) == g * 300L)
+      assert(le64(idx.maxValues.head) == g * 300L + 299L)
+      assert(idx.nullCounts.contains(Seq(0L)))
+      // name: string bounds + the real null count
+      val nameIdx = ParquetFooter.parseColumnIndex(bytes,
+        byPath("name").columnIndex.get).get
+      val expectNulls = (g * 300 until (g + 1) * 300)
+        .count(_ % 11 == 4).toLong
+      assert(nameIdx.nullCounts.contains(Seq(expectNulls)))
+      assert(new String(nameIdx.minValues.head, "UTF-8") ==
+        f"doc-${(g * 300 until (g + 1) * 300).filter(_ % 11 != 4).min}%05d")
+      // all-null column: nullPages=true with empty bounds
+      val goneIdx = ParquetFooter.parseColumnIndex(bytes,
+        byPath("gone").columnIndex.get).get
+      assert(goneIdx.nullPages.head &&
+        goneIdx.minValues.head.isEmpty)
+      // the NaN float chunk (group 0 only) omits its ColumnIndex;
+      // NaN-free groups of the same column keep theirs
+      assert(byPath("nanny").columnIndex.isEmpty == (g == 0))
+      // boolean / nested: never a ColumnIndex
+      assert(byPath("flag").columnIndex.isEmpty)
+      assert(rg.columns.find(_.path.contains("."))
+        .forall(_.columnIndex.isEmpty))
+    }
+    // parquet-mr CONSUMES the indexes: a pushed filter triggers
+    // its column-index page filtering (enabled by default) — wrong
+    // bounds would silently drop rows here
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pidx")
+    val fl = new java.io.File(tmp.toFile, "x.parquet")
+    java.nio.file.Files.write(fl.toPath, bytes)
+    val df = spark.read.parquet(fl.getAbsolutePath)
+    assert(df.filter("id >= 310 AND id < 590").count() == 280)
+    assert(df.filter("name = 'doc-00421'").count() == 1)
+    assert(df.filter("score > 440.0").count() == 19)
+    assert(df.count() == n)
+    fl.delete(); tmp.toFile.delete()
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
