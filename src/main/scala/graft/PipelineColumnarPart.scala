@@ -218,7 +218,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.WCol
-    val root = formatFixtureDir(dir, "orcwrite2", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcwrite3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -264,7 +264,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.WCol
-    val root = formatFixtureDir(dir, "orcrich2", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcrich3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -349,7 +349,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WListCol}
-    val root = formatFixtureDir(dir, "orcnested2", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcnested3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -464,7 +464,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WStructCol, WMapCol}
-    val root = formatFixtureDir(dir, "orcstruct2", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcstruct3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -618,7 +618,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.{WCol, WListStructCol}
-    val root = formatFixtureDir(dir, "orcdeep2", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcdeep3", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))

@@ -612,12 +612,17 @@ object OrcWrite {
     val buf = new java.io.ByteArrayOutputStream(4096)
     buf.write('O'); buf.write('R'); buf.write('C')
 
-    final case class StripeMeta(offset: Long, dataLen: Long,
-        footerLen: Long, nRows: Long)
+    final case class StripeMeta(offset: Long, indexLen: Long,
+        dataLen: Long, footerLen: Long, nRows: Long)
     val ranges =
       if (nRows == 0) Seq.empty[(Int, Int)] // no stripes at all
       else (0 until nRows by math.min(rowsPerStripe, nRows))
         .map(s => (s, math.min(s + rowsPerStripe, nRows)))
+    // ROW_INDEX streams (late r14) need one entry per 10k-row
+    // group; this writer emits single-entry indexes, so they ship
+    // only when every stripe fits one stride
+    val withIndexes = ranges.forall { case (lo, hi) =>
+      hi - lo <= 10000 }
     val stripes = ranges.map { case (lo, hi) =>
       val offset = buf.size().toLong
       // (streamKind, column, bytes) in column order
@@ -626,10 +631,20 @@ object OrcWrite {
       // indexed by column id - 1
       val encodings = Array.fill(treeSize - 1)((0, 0))
       val direct = if (v2) 2 else 0 // DIRECT / DIRECT_V2
+      // ROW_INDEX stats capture (late r14): scalar kinds + values
+      // recorded by writeScalar, container counts at their
+      // branches; root is the stripe row count
+      val statKind = new Array[String](treeSize)
+      val statVals = new Array[Seq[Any]](treeSize)
+      val statCount = new Array[Long](treeSize)
+      statCount(0) = (hi - lo).toLong
       /** Append one scalar column's streams (no PRESENT — the
         * caller owns presence) and record its encoding. */
       def writeScalar(col: Int, colName: String, kind: String,
           nn: Seq[Any], useDict: Boolean): Unit = {
+        statKind(col) = kind
+        statVals(col) = nn
+        statCount(col) = nn.length.toLong
         kind match {
           case "boolean" =>
             streams += ((1, col, section(codecId,
@@ -738,6 +753,7 @@ object OrcWrite {
             // LIST column: PRESENT + LENGTH on the parent, the
             // element values on the child column
             val vals = lc.values.slice(lo, hi)
+            statCount(col) = vals.count(_.isDefined).toLong
             encodings(col - 1) = (direct, 0)
             if (lc.optional)
               streams += ((0, col, section(codecId,
@@ -756,6 +772,7 @@ object OrcWrite {
             // carries one entry per non-null parent row behind
             // its own PRESENT stream
             val vals = sc.values.slice(lo, hi)
+            statCount(col) = vals.count(_.isDefined).toLong
             encodings(col - 1) = (0, 0) // struct encoding: DIRECT
             if (sc.optional)
               streams += ((0, col, section(codecId,
@@ -776,6 +793,7 @@ object OrcWrite {
             // on the struct child per element, field columns over
             // the non-null elements
             val vals = lsc.values.slice(lo, hi)
+            statCount(col) = vals.count(_.isDefined).toLong
             encodings(col - 1) = (direct, 0)
             if (lsc.optional)
               streams += ((0, col, section(codecId,
@@ -786,6 +804,7 @@ object OrcWrite {
             encodings(structId - 1) = (0, 0) // struct: DIRECT
             val elems: Seq[Option[Seq[Option[Any]]]] =
               vals.flatten.flatten
+            statCount(structId) = elems.count(_.isDefined).toLong
             if (lsc.elemOptional)
               streams += ((0, structId, section(codecId,
                 boolStream(elems.map(_.isDefined)))))
@@ -804,6 +823,7 @@ object OrcWrite {
             // MAP column: PRESENT + LENGTH on the parent, the
             // key/value children sized by the total entry count
             val vals = mc.values.slice(lo, hi)
+            statCount(col) = vals.count(_.isDefined).toLong
             encodings(col - 1) = (direct, 0)
             if (mc.optional)
               streams += ((0, col, section(codecId,
@@ -824,11 +844,134 @@ object OrcWrite {
         }
       }
       val ss = streams.result()
+      // ROW_INDEX streams (late r14): one RowIndexEntry per stripe
+      // (stride >= stripe rows) carrying real per-column statistics
+      // in orc-core's per-type families — the stripe-internal
+      // pruning surface sargs evaluate. Positions stay empty: with
+      // a single row group no reader ever seeks past entry 0.
+      val indexStreams: Seq[(Int, Int, Array[Byte])] =
+        if (!withIndexes) Seq.empty
+        else (0 until treeSize).map { colId =>
+          val cs = new java.io.ByteArrayOutputStream()
+          vfield(cs, 1, statCount(colId)) // numberOfValues
+          val kind = statKind(colId)
+          val nn = statVals(colId)
+          if (kind != null && nn != null && nn.nonEmpty) kind match {
+            case "i32" | "i64" =>
+              val vs = nn.map {
+                case i: Int => i.toLong
+                case l: Long => l
+                case other => sys.error(s"bad int value $other")
+              }
+              val st = new java.io.ByteArrayOutputStream()
+              def sint(id: Int, v: Long): Unit = {
+                writeTag(st, id, 0)
+                writeVarint(st, (v << 1) ^ (v >> 63))
+              }
+              sint(1, vs.min); sint(2, vs.max)
+              try {
+                var sum = 0L
+                vs.foreach(v => sum = Math.addExact(sum, v))
+                sint(3, sum)
+              } catch { case _: ArithmeticException => () }
+              sfield(cs, 2, st.toByteArray) // IntegerStatistics
+            case "f32" | "f64" =>
+              val vs = nn.map {
+                case f: Float => f.toDouble
+                case d: Double => d
+                case other => sys.error(s"bad float value $other")
+              }
+              if (!vs.exists(_.isNaN)) {
+                val st = new java.io.ByteArrayOutputStream()
+                def dbl(id: Int, v: Double): Unit = {
+                  writeTag(st, id, 1)
+                  val bits = java.lang.Double.doubleToLongBits(v)
+                  var k = 0
+                  while (k < 8) {
+                    st.write(((bits >>> (8 * k)) & 0xff).toInt)
+                    k += 1
+                  }
+                }
+                dbl(1, vs.min); dbl(2, vs.max); dbl(3, vs.sum)
+                sfield(cs, 3, st.toByteArray) // DoubleStatistics
+              }
+            case "string" =>
+              val vs = nn.map(_.asInstanceOf[String])
+              val st = new java.io.ByteArrayOutputStream()
+              sfield(st, 1, vs.min.getBytes("UTF-8"))
+              sfield(st, 2, vs.max.getBytes("UTF-8"))
+              val sum = vs.map(_.getBytes("UTF-8").length.toLong).sum
+              writeTag(st, 3, 0)
+              writeVarint(st, (sum << 1) ^ (sum >> 63))
+              sfield(cs, 4, st.toByteArray) // StringStatistics
+            case "boolean" =>
+              val trues = nn.count(_.asInstanceOf[Boolean]).toLong
+              val st = new java.io.ByteArrayOutputStream()
+              val packed = new java.io.ByteArrayOutputStream()
+              writeVarint(packed, trues)
+              sfield(st, 1, packed.toByteArray) // packed uint64
+              sfield(cs, 5, st.toByteArray) // BucketStatistics
+            case DecimalKind(_, _) =>
+              val vs = nn.map(_.asInstanceOf[java.math.BigDecimal])
+              var mn = vs.head; var mx = vs.head
+              vs.foreach { v =>
+                if (v.compareTo(mn) < 0) mn = v
+                if (v.compareTo(mx) > 0) mx = v
+              }
+              val st = new java.io.ByteArrayOutputStream()
+              sfield(st, 1, mn.toPlainString.getBytes("UTF-8"))
+              sfield(st, 2, mx.toPlainString.getBytes("UTF-8"))
+              sfield(cs, 6, st.toByteArray) // DecimalStatistics
+            case "date" =>
+              val vs = nn.map(_.asInstanceOf[Int])
+              val st = new java.io.ByteArrayOutputStream()
+              def sint32(id: Int, v: Int): Unit = {
+                writeTag(st, id, 0)
+                writeVarint(st, ((v << 1) ^ (v >> 31)).toLong
+                  & 0xffffffffL)
+              }
+              sint32(1, vs.min); sint32(2, vs.max)
+              sfield(cs, 7, st.toByteArray) // DateStatistics
+            case "binary" =>
+              val sum = nn.map {
+                case b: Array[Byte] => b.length.toLong
+                case other => sys.error(s"bad binary value $other")
+              }.sum
+              val st = new java.io.ByteArrayOutputStream()
+              writeTag(st, 1, 0)
+              writeVarint(st, (sum << 1) ^ (sum >> 63))
+              sfield(cs, 8, st.toByteArray) // BinaryStatistics
+            case "ts" =>
+              val ms = nn.map(v => Math.floorDiv(
+                v.asInstanceOf[Long], 1000L))
+              val st = new java.io.ByteArrayOutputStream()
+              def sint(id: Int, v: Long): Unit = {
+                writeTag(st, id, 0)
+                writeVarint(st, (v << 1) ^ (v >> 63))
+              }
+              sint(3, ms.min); sint(4, ms.max) // minimum/maximumUtc
+              sfield(cs, 9, st.toByteArray) // TimestampStatistics
+            case _ => ()
+          }
+          val colHasNull = ss.exists(st =>
+            st._1 == 0 && st._2 == colId)
+          writeTag(cs, 10, 0)
+          writeVarint(cs, if (colHasNull) 1L else 0L)
+          val entry = new java.io.ByteArrayOutputStream()
+          sfield(entry, 2, cs.toByteArray) // RowIndexEntry.statistics
+          val ri = new java.io.ByteArrayOutputStream()
+          sfield(ri, 1, entry.toByteArray) // RowIndex.entry
+          (6, colId, section(codecId, ri.toByteArray))
+        }
+      indexStreams.foreach { case (_, _, b) =>
+        buf.write(b, 0, b.length) }
+      val indexLen = buf.size().toLong - offset
       ss.foreach { case (_, _, b) => buf.write(b, 0, b.length) }
-      val dataLen = buf.size().toLong - offset
-      // stripe footer
+      val dataLen = buf.size().toLong - offset - indexLen
+      // stripe footer: index streams first, then data streams —
+      // the file order
       val sf = new java.io.ByteArrayOutputStream()
-      ss.foreach { case (kind, col, b) =>
+      (indexStreams ++ ss).foreach { case (kind, col, b) =>
         val st = new java.io.ByteArrayOutputStream()
         vfield(st, 1, kind.toLong)
         vfield(st, 2, col.toLong)
@@ -849,8 +992,8 @@ object OrcWrite {
       sfield(sf, 3, "UTC".getBytes("UTF-8"))
       val sfBytes = section(codecId, sf.toByteArray)
       buf.write(sfBytes, 0, sfBytes.length)
-      StripeMeta(offset, dataLen, sfBytes.length.toLong,
-        (hi - lo).toLong)
+      StripeMeta(offset, indexLen, dataLen,
+        sfBytes.length.toLong, (hi - lo).toLong)
     }
 
     val contentLength = buf.size().toLong
@@ -861,7 +1004,7 @@ object OrcWrite {
     stripes.foreach { sm =>
       val s = new java.io.ByteArrayOutputStream()
       vfield(s, 1, sm.offset)
-      vfield(s, 2, 0L) // indexLength (no row index)
+      vfield(s, 2, sm.indexLen)
       vfield(s, 3, sm.dataLen)
       vfield(s, 4, sm.footerLen)
       vfield(s, 5, sm.nRows)
@@ -927,7 +1070,9 @@ object OrcWrite {
       }
     }
     vfield(f, 6, nRows.toLong)
-    vfield(f, 8, 0L) // rowIndexStride: no indexes
+    // stride 10000 when every stripe fits one index entry (the
+    // emitted shape); 0 = no indexes otherwise
+    vfield(f, 8, if (withIndexes) 10000L else 0L)
     val fBytes = section(codecId, f.toByteArray)
     buf.write(fBytes, 0, fBytes.length)
 

@@ -502,6 +502,81 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("ROW INDEX: per-column statistics written per stripe, read " +
+    "back by OrcTail AND consumed by orc-core's sarg path (late r14)") {
+    val n = 900
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WCol("name", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 11 == 4) None else Some(f"doc-$i%05d"))),
+      OrcWrite.WCol("score", "f64", optional = false,
+        (0 until n).map(i => Some(i * 0.5))),
+      OrcWrite.WCol("flag", "boolean", optional = false,
+        (0 until n).map(i => Some(i % 3 == 0))))
+    for ((codec, rle) <- Seq(("none", "v1"), ("zlib", "v2"),
+      ("zstd", "v2"))) {
+      val bytes = OrcWrite.build(cols, codec, 300, rle)
+      // our own tail walk: stride, index streams, exact stats
+      val tail = OrcTail.parseTail(bytes)
+        .getOrElse(fail(s"tail rejected ($codec)"))
+      assert(tail.rowIndexStride == 10000)
+      assert(tail.stripes.length == 3)
+      tail.stripes.zipWithIndex.foreach { case (si, g) =>
+        assert(si.indexLength > 0, s"no index bytes in stripe $g")
+        val sf = OrcTail.parseStripeFooter(bytes, si,
+          tail.compression, tail.blockSize)
+          .getOrElse(fail(s"stripe footer rejected ($codec/$g)"))
+        // index streams lead the stream list, one per column
+        assert(sf.streams.take(5).forall(_.kind == 6))
+        // column 1 = id: one entry, exact i64 bounds per stripe
+        val idIdx = OrcTail.readRowIndex(bytes, si, sf, 1,
+          tail.compression, tail.blockSize)
+          .getOrElse(fail(s"id row index rejected ($codec/$g)"))
+        assert(idIdx.length == 1)
+        val idStats = idIdx.head.stats.getOrElse(
+          fail("id entry lacks statistics"))
+        assert(idStats.numValues == 300L)
+        assert(idStats.hasNull.contains(false))
+        assert(idStats.ints.exists(s =>
+          s.min.contains(g * 300L) && s.max.contains(g * 300L + 299L)))
+        // column 2 = name: string bounds + real null accounting
+        val nameIdx = OrcTail.readRowIndex(bytes, si, sf, 2,
+          tail.compression, tail.blockSize).get.head
+        val nameStats = nameIdx.stats.get
+        val present = (g * 300 until (g + 1) * 300)
+          .filter(_ % 11 != 4)
+        assert(nameStats.numValues == present.length.toLong)
+        assert(nameStats.hasNull.contains(true))
+        assert(nameStats.strs.exists(s =>
+          s.min.contains(f"doc-${present.min}%05d") &&
+          s.max.contains(f"doc-${present.max}%05d")))
+        // column 3 = score: double bounds
+        val scoreStats = OrcTail.readRowIndex(bytes, si, sf, 3,
+          tail.compression, tail.blockSize).get.head.stats.get
+        assert(scoreStats.dbls.exists(s =>
+          s.min.contains(g * 300 * 0.5) &&
+          s.max.contains((g * 300 + 299) * 0.5)))
+      }
+      // orc-core CONSUMES the statistics: pushed filters trigger
+      // its sarg row-group/stripe pruning — wrong bounds would
+      // silently drop rows
+      val tmp = java.nio.file.Files.createTempDirectory("graft_oidx")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      spark.conf.set("spark.sql.orc.filterPushdown", "true")
+      val df = spark.read.orc(fl.getAbsolutePath)
+      assert(df.filter("id >= 310 AND id < 590").count() == 280,
+        s"$codec id range")
+      assert(df.filter("name = 'doc-00421'").count() == 1)
+      assert(df.filter("score > 440.0").count() == 19)
+      assert(df.filter("id > 100000").count() == 0) // full prune
+      assert(df.count() == n)
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(
