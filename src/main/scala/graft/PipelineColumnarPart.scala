@@ -137,8 +137,8 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
       dir: String): DataFrame = {
     // the write gate's fixture builder is idempotent — reuse it
     parquetWriteRoundtrip(s, dir) // ensures the tree exists
-    val root = formatFixtureDir(dir, "pqwrite3", "documents")(_ =>
-      sys.error("pqwrite3 fixture must already exist"))
+    val root = formatFixtureDir(dir, "pqwrite4", "documents")(_ =>
+      sys.error("pqwrite4 fixture must already exist"))
     graft.sources.ParquetRawSource.read(s, root)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("flag").cast("long").as("flag"), col("score"))
@@ -663,7 +663,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.ParquetWrite
     import graft.operators.ParquetWrite.WCol
-    val root = formatFixtureDir(dir, "pqwrite3", "documents") { out =>
+    val root = formatFixtureDir(dir, "pqwrite4", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -680,7 +680,12 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
             (sid % 3).toInt)
           java.nio.file.Files.write(java.nio.file.Paths.get(
             out, f"shard-$sid%06d.parquet"),
-            ParquetWrite.build(cols, codec))
+            // late r14: split-block bloom filters ride along on
+            // odd shards (presence must stay transparent to every
+            // reader; consumption is pinned in ParquetWriteSpec)
+            ParquetWrite.build(cols, codec,
+              bloom = if (sid % 2 == 1) Set("lang", "doc_id")
+                else Set.empty))
           sid
         }.count(): Unit
     }

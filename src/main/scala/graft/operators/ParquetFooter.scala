@@ -545,7 +545,7 @@ object ParquetFooter {
   // (seed 0) over their PLAIN encoding — we reuse Zstd.xxh64.
   // ---------------------------------------------------------------
 
-  private final val BloomSalt: Array[Int] = Array(
+  private[operators] final val BloomSalt: Array[Int] = Array(
     0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
     0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
 

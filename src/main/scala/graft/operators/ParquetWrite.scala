@@ -449,6 +449,75 @@ object ParquetWrite {
     out.toByteArray
   }
 
+  /** Split-block bloom bitset (BloomFilter.md, late r14 — the
+    * write twin of [[ParquetFooter.parseBloom]]): 256-bit blocks of
+    * eight 32-bit words, block picked by the fixed-point scaling of
+    * the hash's high half, one salted bit per word from the low
+    * half. Byte-exact against parquet-mr's BlockSplitBloomFilter
+    * in the spec. */
+  private[operators] def bloomBuild(hashes: Seq[Long],
+      numBytes: Int): Array[Byte] = {
+    require(numBytes >= 32 && (numBytes & (numBytes - 1)) == 0,
+      s"bloom size $numBytes")
+    val bits = new Array[Byte](numBytes)
+    val numBlocks = numBytes / 32
+    hashes.foreach { h =>
+      val block = (((h >>> 32) * numBlocks.toLong) >>> 32).toInt
+      val key = h.toInt
+      var i = 0
+      while (i < 8) {
+        val bit = (key * ParquetFooter.BloomSalt(i)) >>> 27
+        val at = block * 32 + i * 4 + (bit >> 3)
+        bits(at) = (bits(at) | (1 << (bit & 7))).toByte
+        i += 1
+      }
+    }
+    bits
+  }
+
+  /** ~11 bits per distinct value (≈1% fpp), power-of-two bytes,
+    * floor 32, cap 1 MiB. */
+  private[operators] def bloomNumBytes(ndv: Int): Int = {
+    var n = 32
+    while (n < (1 << 20) && n.toLong * 8 < ndv.toLong * 11) n <<= 1
+    n
+  }
+
+  /** xxHash64 over the value's bloom encoding (PLAIN bytes; raw
+    * bytes for strings/binary). None for kinds blooms don't map
+    * onto. */
+  private def bloomHash(kind: String, v: Any): Option[Long] =
+    kind match {
+      case "i32" | "date" =>
+        val b = new Array[Byte](4)
+        val x = v.asInstanceOf[Int]
+        var i = 0
+        while (i < 4) { b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+        Some(Zstd.xxh64(b, 0, 4))
+      case "i64" | "ts" =>
+        Some(ParquetFooter.bloomHashLong(v.asInstanceOf[Long]))
+      case DecimalKind(_, _) =>
+        Some(ParquetFooter.bloomHashLong(
+          v.asInstanceOf[java.math.BigDecimal]
+            .unscaledValue.longValueExact))
+      case "f32" =>
+        val b = new Array[Byte](4)
+        val x = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+        var i = 0
+        while (i < 4) { b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+        Some(Zstd.xxh64(b, 0, 4))
+      case "f64" =>
+        Some(ParquetFooter.bloomHashLong(java.lang.Double
+          .doubleToLongBits(v.asInstanceOf[Double])))
+      case "string" =>
+        Some(ParquetFooter.bloomHashBinary(
+          v.asInstanceOf[String].getBytes("UTF-8")))
+      case "binary" =>
+        Some(ParquetFooter.bloomHashBinary(
+          v.asInstanceOf[Array[Byte]]))
+      case _ => None
+    }
+
   private def u32Prefixed(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length + 4)
     w32(out, b.length.toLong)
@@ -829,7 +898,10 @@ object ParquetWrite {
       // WCols and DELTA_BYTE_ARRAY for the named string/binary
       // WCols — completing value-encoding symmetry with the reader
       split: Set[String] = Set.empty,
-      deltaStr: Set[String] = Set.empty): Array[Byte] = {
+      deltaStr: Set[String] = Set.empty,
+      // late r14: split-block bloom filters for the named flat
+      // columns (equality-pruning for what min/max can't exclude)
+      bloom: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     require(rowsPerGroup > 0, "rowsPerGroup must be positive")
     require(pageVersion == 1 || pageVersion == 2,
@@ -868,6 +940,15 @@ object ParquetWrite {
         case None => sys.error(s"deltaStr column $d not present")
       }
     }
+    bloom.foreach { d =>
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(c.kind != "boolean",
+          s"a boolean bloom filter prunes nothing (${c.name})")
+        case Some(_) =>
+          sys.error(s"bloom on non-scalar column $d unsupported")
+        case None => sys.error(s"bloom column $d not present")
+      }
+    }
     val nRows = cols.head.rows
     require(cols.forall(_.rows == nRows), "ragged column lengths")
     dict.foreach { d =>
@@ -902,7 +983,8 @@ object ParquetWrite {
         chunkOffset: Long, dataPageOffset: Long,
         dictPageOffset: Option[Long], comp: Long, uncomp: Long,
         useDict: Boolean, valueEnc: Long, dataPageSize: Int,
-        stats: Option[(Array[Byte], Array[Byte], Long)])
+        stats: Option[(Array[Byte], Array[Byte], Long)],
+        bloomHashes: Option[Seq[Long]])
     def emitChunk(pc: PreparedCol): ChunkMeta = {
       // dictionary keys: byte arrays compare by value, not identity
       def key(v: Any): Any = v match {
@@ -1060,9 +1142,25 @@ object ParquetWrite {
       buf.write(body, 0, body.length)
       comp += hb.length.toLong + body.length
       uncomp += hb.length.toLong + rawTotal
+      // distinct-value hashes for the bloom (late r14): built on
+      // the byte key so binary values dedupe by content
+      val bloomHashes: Option[Seq[Long]] =
+        if (!bloom(pc.col.name) || pc.maxRep != 0 ||
+          pc.path.length != 1) None
+        else {
+          val hs = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var ok = true
+          pc.present.foreach { v =>
+            bloomHash(pc.kind, v) match {
+              case Some(h) => hs += h
+              case None => ok = false
+            }
+          }
+          if (ok) Some(hs.toSeq) else None
+        }
       ChunkMeta(pc, codecId, chunkOffset, dataOff, dictOff,
         comp, uncomp, useDict, valueEnc, hb.length + body.length,
-        chunkStats(pc))
+        chunkStats(pc), bloomHashes)
     }
     val groups0: Seq[(Int, Seq[ChunkMeta])] =
       groupRanges.map { case (lo, hi) =>
@@ -1076,10 +1174,34 @@ object ParquetWrite {
     // refs. One page per chunk here, so each index is one entry —
     // the structures page-skipping readers prune on.
     final case class IndexedChunk(cm: ChunkMeta,
-        ci: Option[(Long, Int)], oi: (Long, Int))
+        ci: Option[(Long, Int)], oi: (Long, Int),
+        bloomRef: Option[(Long, Int)])
     val groups: Seq[(Int, Seq[IndexedChunk])] = {
-      val withCi = groups0.map { case (n, chunks) =>
+      // bloom filters first (header + bitset per flagged chunk)
+      val withBloom = groups0.map { case (n, chunks) =>
         (n, chunks.map { cm =>
+          val ref = cm.bloomHashes.map { hs =>
+            val bits = bloomBuild(hs, bloomNumBytes(hs.length))
+            val h = new TWriter
+            h.i32(1, bits.length.toLong) // numBytes
+            h.structBegin(2); h.structBegin(1); h.structEnd()
+            h.structEnd() // algorithm = BLOCK
+            h.structBegin(3); h.structBegin(1); h.structEnd()
+            h.structEnd() // hash = XXHASH
+            h.structBegin(4); h.structBegin(1); h.structEnd()
+            h.structEnd() // compression = UNCOMPRESSED
+            h.stop()
+            val hb2 = h.bytes
+            val off = buf.size().toLong
+            buf.write(hb2, 0, hb2.length)
+            buf.write(bits, 0, bits.length)
+            (off, hb2.length + bits.length)
+          }
+          (cm, ref)
+        })
+      }
+      val withCi = withBloom.map { case (n, chunks) =>
+        (n, chunks.map { case (cm, bloomRef) =>
           val ci = cm.stats.map { case (mn, mx, nullCount) =>
             val w = new TWriter
             w.listBegin(1, 1, 1) // null_pages (bool elements)
@@ -1097,11 +1219,11 @@ object ParquetWrite {
             buf.write(bytes, 0, bytes.length)
             (off, bytes.length)
           }
-          (cm, ci)
+          (cm, ci, bloomRef)
         })
       }
       withCi.map { case (n, chunks) =>
-        (n, chunks.map { case (cm, ci) =>
+        (n, chunks.map { case (cm, ci, bloomRef) =>
           val w = new TWriter
           w.listBegin(1, 12, 1) // page_locations
           w.elemStructBegin()
@@ -1113,7 +1235,7 @@ object ParquetWrite {
           val bytes = w.bytes
           val off = buf.size().toLong
           buf.write(bytes, 0, bytes.length)
-          IndexedChunk(cm, ci, (off, bytes.length))
+          IndexedChunk(cm, ci, (off, bytes.length), bloomRef)
         })
       }
     }
@@ -1263,6 +1385,10 @@ object ParquetWrite {
         f.i64(7, cm.comp)
         f.i64(9, cm.dataPageOffset) // data_page_offset
         cm.dictPageOffset.foreach(o => f.i64(11, o))
+        ic.bloomRef.foreach { case (o, l) =>
+          f.i64(14, o) // bloom_filter_offset
+          f.i32(15, l.toLong)
+        }
         f.structEnd()
         // page-index refs (fields 4-7, late r14)
         f.i64(4, ic.oi._1) // offset_index_offset

@@ -895,6 +895,74 @@ class ParquetWriteSpec extends AnyFunSuite {
     fl.delete(); tmp.toFile.delete()
   }
 
+  test("BLOOM FILTERS: bit-exact vs parquet-mr's " +
+    "BlockSplitBloomFilter, probed by our reader, consumed by " +
+    "parquet-mr equality filters (late r14)") {
+    // 1. the bitset construction is byte-identical to parquet-mr's
+    val rnd = new scala.util.Random(83)
+    val hashes = Seq.fill(500)(rnd.nextLong())
+    val numBytes = ParquetWrite.bloomNumBytes(hashes.length)
+    val ours = ParquetWrite.bloomBuild(hashes, numBytes)
+    val theirs = new org.apache.parquet.column.values.bloomfilter
+      .BlockSplitBloomFilter(numBytes)
+    hashes.foreach(theirs.insertHash)
+    val theirBytes = new java.io.ByteArrayOutputStream()
+    theirs.writeTo(theirBytes)
+    assert(ours.sameElements(theirBytes.toByteArray),
+      "bitset diverged from BlockSplitBloomFilter")
+    // 2. a written file: our reader finds and probes the filters
+    val n = 700
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong * 13))),
+      ParquetWrite.WCol("url", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 9 == 5) None else Some(s"https://h$i.example/p"))))
+    val bytes = ParquetWrite.build(cols, "snappy",
+      rowsPerGroup = 350, bloom = Set("id", "url"))
+    val foot = ParquetFooter.parse(bytes).getOrElse(
+      fail("footer rejected the bloom file"))
+    foot.rowGroups.zipWithIndex.foreach { case (rg, g) =>
+      rg.columns.foreach { c =>
+        val off = c.bloomOffset.getOrElse(
+          fail(s"missing bloom on ${c.path} group $g"))
+        val bits = ParquetFooter.parseBloom(bytes, off).getOrElse(
+          fail(s"bloom header rejected on ${c.path}"))
+        val lo = g * 350
+        val hi = math.min(lo + 350, n)
+        if (c.path == "id") {
+          (lo until hi).foreach { i =>
+            assert(bits.mightContain(
+              ParquetFooter.bloomHashLong(i.toLong * 13)),
+              s"false negative id ${i * 13}")
+          }
+          val misses = (0 until 2000).count(k =>
+            bits.mightContain(ParquetFooter.bloomHashLong(
+              1000000L + k)))
+          assert(misses < 2000 * 5 / 100, s"fpp too high: $misses")
+        } else {
+          (lo until hi).filter(_ % 9 != 5).foreach { i =>
+            assert(bits.mightContain(ParquetFooter.bloomHashBinary(
+              s"https://h$i.example/p".getBytes("UTF-8"))),
+              s"false negative url $i")
+          }
+        }
+      }
+    }
+    // 3. parquet-mr consumes them: equality predicates on values
+    //    inside the min/max range force the bloom check — a false
+    //    negative would silently drop the row group
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pblm")
+    val fl = new java.io.File(tmp.toFile, "x.parquet")
+    java.nio.file.Files.write(fl.toPath, bytes)
+    val df = spark.read.parquet(fl.getAbsolutePath)
+    assert(df.filter("id = 4550").count() == 1) // 350*13
+    assert(df.filter("url = 'https://h421.example/p'").count() == 1)
+    assert(df.filter("id = 4551").count() == 0) // in-range miss
+    assert(df.count() == n)
+    fl.delete(); tmp.toFile.delete()
+  }
+
   test("an empty-but-valid file (0 rows) reads everywhere") {
     val cols = mkCols(0)
     val bytes = ParquetWrite.build(cols, "snappy")
