@@ -896,11 +896,24 @@ object OrcWrite {
                 sfield(cs, 3, st.toByteArray) // DoubleStatistics
               }
             case "string" =>
-              val vs = nn.map(_.asInstanceOf[String])
+              // bounds compare by UTF-8 BYTES (orc-core's Text
+              // ordering) — Java String order diverges above the
+              // BMP, where a surrogate pair sorts below \uFFFF
+              // while its UTF-8 bytes sort above
+              var mn: Array[Byte] = null
+              var mx: Array[Byte] = null
+              var sum = 0L
+              nn.foreach { v =>
+                val b = v.asInstanceOf[String].getBytes("UTF-8")
+                sum += b.length
+                if (mn == null ||
+                  java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b
+                if (mx == null ||
+                  java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
+              }
               val st = new java.io.ByteArrayOutputStream()
-              sfield(st, 1, vs.min.getBytes("UTF-8"))
-              sfield(st, 2, vs.max.getBytes("UTF-8"))
-              val sum = vs.map(_.getBytes("UTF-8").length.toLong).sum
+              sfield(st, 1, mn)
+              sfield(st, 2, mx)
               writeTag(st, 3, 0)
               writeVarint(st, (sum << 1) ^ (sum >> 63))
               sfield(cs, 4, st.toByteArray) // StringStatistics

@@ -501,14 +501,20 @@ object ParquetWrite {
           v.asInstanceOf[java.math.BigDecimal]
             .unscaledValue.longValueExact))
       case "f32" =>
+        // ±0.0 normalizes to +0.0 before hashing (the caller also
+        // inserts the -0.0 pattern when any zero is present, so a
+        // probe under EITHER convention hits)
+        val f = v.asInstanceOf[Float]
         val b = new Array[Byte](4)
-        val x = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+        val x = java.lang.Float.floatToIntBits(
+          if (f == 0f) 0f else f)
         var i = 0
         while (i < 4) { b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
         Some(Zstd.xxh64(b, 0, 4))
       case "f64" =>
+        val d = v.asInstanceOf[Double]
         Some(ParquetFooter.bloomHashLong(java.lang.Double
-          .doubleToLongBits(v.asInstanceOf[Double])))
+          .doubleToLongBits(if (d == 0d) 0d else d)))
       case "string" =>
         Some(ParquetFooter.bloomHashBinary(
           v.asInstanceOf[String].getBytes("UTF-8")))
@@ -664,13 +670,28 @@ object ParquetWrite {
       case "f32" =>
         val vs = pc.present.map(_.asInstanceOf[Float])
         if (vs.exists(_.isNaN)) None
-        else Some((le32(java.lang.Float.floatToIntBits(vs.min)),
-          le32(java.lang.Float.floatToIntBits(vs.max)), nulls))
+        else {
+          // the page-index spec's zero rule: a zero min publishes
+          // as -0.0 and a zero max as +0.0, so byte-order consumers
+          // can never prune the numerically-equal other zero
+          var mn = vs.min
+          var mx = vs.max
+          if (mn == 0f) mn = -0f
+          if (mx == 0f) mx = 0f
+          Some((le32(java.lang.Float.floatToIntBits(mn)),
+            le32(java.lang.Float.floatToIntBits(mx)), nulls))
+        }
       case "f64" =>
         val vs = pc.present.map(_.asInstanceOf[Double])
         if (vs.exists(_.isNaN)) None
-        else Some((le64(java.lang.Double.doubleToLongBits(vs.min)),
-          le64(java.lang.Double.doubleToLongBits(vs.max)), nulls))
+        else {
+          var mn = vs.min
+          var mx = vs.max
+          if (mn == 0d) mn = -0d
+          if (mx == 0d) mx = 0d
+          Some((le64(java.lang.Double.doubleToLongBits(mn)),
+            le64(java.lang.Double.doubleToLongBits(mx)), nulls))
+        }
       case "string" | "binary" =>
         var mn: Array[Byte] = null
         var mx: Array[Byte] = null
@@ -1152,7 +1173,25 @@ object ParquetWrite {
           var ok = true
           pc.present.foreach { v =>
             bloomHash(pc.kind, v) match {
-              case Some(h) => hs += h
+              case Some(h) =>
+                hs += h
+                // zero-safety: when a float zero is present, the
+                // -0.0 bit pattern goes in too, so raw-bit probes
+                // from either convention hit
+                v match {
+                  case f: Float if f == 0f =>
+                    val b = new Array[Byte](4)
+                    val x = java.lang.Float.floatToIntBits(-0f)
+                    var i = 0
+                    while (i < 4) {
+                      b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1
+                    }
+                    hs += Zstd.xxh64(b, 0, 4)
+                  case d: Double if d == 0d =>
+                    hs += ParquetFooter.bloomHashLong(
+                      java.lang.Double.doubleToLongBits(-0d))
+                  case _ => ()
+                }
               case None => ok = false
             }
           }

@@ -559,6 +559,23 @@ class OrcWriteSpec extends AnyFunSuite {
           s.min.contains(g * 300 * 0.5) &&
           s.max.contains((g * 300 + 299) * 0.5)))
       }
+      // string bounds compare by UTF-8 BYTES: a supplementary
+      // character's 4-byte sequence outranks ￿ even though
+      // Java String order says otherwise
+      if (codec == "none") {
+        val sc = Seq(OrcWrite.WCol("s", "string", optional = false,
+          IndexedSeq(Some("a"), Some("￿"),
+            Some(new String(Character.toChars(0x1F600))))))
+        val sb = OrcWrite.build(sc, "none", 10, rle)
+        val st = OrcTail.parseTail(sb).get
+        val ssf = OrcTail.parseStripeFooter(sb, st.stripes.head,
+          st.compression, st.blockSize).get
+        val sStats = OrcTail.readRowIndex(sb, st.stripes.head, ssf,
+          1, st.compression, st.blockSize).get.head.stats.get
+        assert(sStats.strs.exists(_.max.contains(
+          new String(Character.toChars(0x1F600)))),
+          "max must follow UTF-8 byte order")
+      }
       // orc-core CONSUMES the statistics: pushed filters trigger
       // its sarg row-group/stripe pruning — wrong bounds would
       // silently drop rows

@@ -881,6 +881,34 @@ class ParquetWriteSpec extends AnyFunSuite {
       assert(rg.columns.find(_.path.contains("."))
         .forall(_.columnIndex.isEmpty))
     }
+    // the spec's float-zero rule: a chunk holding both zeros must
+    // publish min as -0.0 and max as +0.0 (byte-order consumers
+    // could otherwise prune the numerically-equal other zero)
+    locally {
+      val zc = Seq(ParquetWrite.WCol("z", "f32", optional = false,
+        IndexedSeq(Some(0f), Some(-0f), Some(0f))))
+      val zb = ParquetWrite.build(zc, "uncompressed",
+        bloom = Set("z"))
+      val zf = ParquetFooter.parse(zb).get
+      val zi = ParquetFooter.parseColumnIndex(zb,
+        zf.rowGroups.head.columns.head.columnIndex.get).get
+      def bits(b: Array[Byte]): Int =
+        (0 until 4).map(k => (b(k) & 0xff) << (8 * k)).sum
+      assert(bits(zi.minValues.head) ==
+        java.lang.Float.floatToIntBits(-0f), "min must be -0.0")
+      assert(bits(zi.maxValues.head) ==
+        java.lang.Float.floatToIntBits(0f), "max must be +0.0")
+      // the bloom answers for BOTH zero bit patterns
+      val zbl = ParquetFooter.parseBloom(zb,
+        zf.rowGroups.head.columns.head.bloomOffset.get).get
+      def fh(f: Float): Long = {
+        val b = new Array[Byte](4)
+        val x = java.lang.Float.floatToIntBits(f)
+        (0 until 4).foreach(k => b(k) = ((x >>> (8 * k)) & 0xff).toByte)
+        Zstd.xxh64(b, 0, 4)
+      }
+      assert(zbl.mightContain(fh(0f)) && zbl.mightContain(fh(-0f)))
+    }
     // parquet-mr CONSUMES the indexes: a pushed filter triggers
     // its column-index page filtering (enabled by default) — wrong
     // bounds would silently drop rows here

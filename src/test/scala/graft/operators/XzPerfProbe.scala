@@ -63,10 +63,10 @@ class XzPerfProbe extends AnyFunSuite {
       f"tukaani p3 ${t3.length}%d B, p6 ${t6.length}%d B; " +
       f"our encode ${(t1 - t0) / 5e6}%.1f ms " +
       f"(${data.length * 5e3 / (t1 - t0)}%.1f MB/s)")
-    // the greedy single-pass encoder must stay in the same league
-    // as the reference's level 3 (no rep-matches, no optimal parse
-    // — a structural slip like dead probability contexts would blow
-    // far past this bound)
+    // the greedy single-pass encoder (with rep-match emission but
+    // no optimal parse) must stay in the same league as the
+    // reference's level 3 — a structural slip like dead probability
+    // contexts or a broken rep path would blow far past this bound
     assert(ours.length < t3.length * 1.6,
       s"ratio fell off: ours ${ours.length} vs p3 ${t3.length}")
     assert(Xz.decode(ours).exists(_.sameElements(data)))
