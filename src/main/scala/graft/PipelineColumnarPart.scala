@@ -218,7 +218,7 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
     import spark.implicits._
     import graft.operators.OrcWrite
     import graft.operators.OrcWrite.WCol
-    val root = formatFixtureDir(dir, "orcwrite3", "documents") { out =>
+    val root = formatFixtureDir(dir, "orcwrite4", "documents") { out =>
       Tables.documents(s, dir)
         .filter(expr(
           "length(text) = octet_length(text) AND length(text) > 0"))
@@ -234,13 +234,18 @@ private[graft] trait PipelineColumnarPart extends Serializable { this: Pipeline.
           val codec = if (sid % 2 == 0) "zlib" else "none"
           val rps = if ((sid / 2) % 2 == 0) Int.MaxValue else 3
           // r14: integer RLEv2 (orc-core's default) and DICTIONARY
-          // strings rotate in beside the v1/DIRECT shards
+          // strings rotate in beside the v1/DIRECT shards; late
+          // r14: BLOOM_FILTER_UTF8 streams ride along on odd
+          // shards (presence transparent; consumption pinned in
+          // OrcWriteSpec)
           val rle = if ((sid / 4) % 2 == 0) "v1" else "v2"
           val dict: Set[String] =
             if (sid % 3 == 0) Set("lang") else Set.empty
+          val blooms: Set[String] =
+            if (sid % 2 == 1) Set("lang", "doc_id") else Set.empty
           java.nio.file.Files.write(java.nio.file.Paths.get(
             out, f"shard-$sid%06d.orc"),
-            OrcWrite.build(cols, codec, rps, rle, dict))
+            OrcWrite.build(cols, codec, rps, rle, dict, blooms))
           sid
         }.count(): Unit
     }

@@ -548,4 +548,163 @@ object OrcTail {
     }
     if (!c.ok) None else Some(out.result())
   }
+
+  // ---------------------------------------------------------------
+  // Bloom filters (late r14 — BLOOM_FILTER_UTF8 streams, kind 8):
+  // orc-core's construction exactly — Murmur3 x64 64-bit (seed
+  // 104729) over UTF-8/raw bytes, the Thomas Wang mix for longs,
+  // k double-hashed (h1 + i·h2) probes over numBits = optimal(n,
+  // fpp) rounded up to a 64 multiple. The hash and bitset math are
+  // differential-pinned BIT-EXACTLY against the bundled
+  // org.apache.orc.util.{Murmur3, BloomFilterUtf8} in OrcWriteSpec.
+  // ---------------------------------------------------------------
+
+  private final val BloomFilterKind = 8
+  private final val Murmur3Seed = 104729L
+
+  /** orc-core's Murmur3 64-bit variant (util/Murmur3.hash64). */
+  private[operators] def murmur64(data: Array[Byte]): Long = {
+    val C1 = 0x87c37b91114253d5L
+    val C2 = 0x4cf5ad432745937fL
+    var h = Murmur3Seed
+    val nblocks = data.length >> 3
+    var i = 0
+    while (i < nblocks) {
+      val base = i << 3
+      var k = 0L
+      var j = 0
+      while (j < 8) {
+        k |= (data(base + j) & 0xffL) << (8 * j); j += 1
+      }
+      k *= C1
+      k = java.lang.Long.rotateLeft(k, 31)
+      k *= C2
+      h ^= k
+      h = java.lang.Long.rotateLeft(h, 27) * 5 + 0x52dce729L
+      i += 1
+    }
+    var k1 = 0L
+    val tail = nblocks << 3
+    var t = data.length - tail - 1
+    while (t >= 0) {
+      k1 ^= (data(tail + t) & 0xffL) << (8 * t); t -= 1
+    }
+    if (data.length != tail) {
+      k1 *= C1
+      k1 = java.lang.Long.rotateLeft(k1, 31)
+      k1 *= C2
+      h ^= k1
+    }
+    h ^= data.length.toLong
+    h ^= (h >>> 33)
+    h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33)
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
+  /** orc-core BloomFilter.getLongHash — the Thomas Wang mix with
+    * ARITHMETIC right shifts (the bytecode uses lshr, not lushr —
+    * an unsigned-shift port diverges on every negative key). */
+  private[operators] def orcLongHash(key0: Long): Long = {
+    var key = key0
+    key = (~key) + (key << 21)
+    key ^= (key >> 24)
+    key = (key + (key << 3)) + (key << 8)
+    key ^= (key >> 14)
+    key = (key + (key << 2)) + (key << 4)
+    key ^= (key >> 28)
+    key += (key << 31)
+    key
+  }
+
+  /** orc-core's sizing: optimal bits for (n, fpp) rounded UP to a
+    * 64 multiple, k = round(m/n · ln2) floored at 1. */
+  private[operators] def bloomSizing(expectedEntries: Int,
+      fpp: Double): (Int, Int) = {
+    val m0 = math.ceil(-expectedEntries * math.log(fpp) /
+      (math.log(2) * math.log(2))).toInt
+    val m = m0 + (64 - (m0 % 64)) % 64
+    val k = math.max(1,
+      math.round(m.toDouble / expectedEntries * math.log(2)).toInt)
+    (m, k)
+  }
+
+  /** One parsed bloom: k probes over the little-endian long-packed
+    * bitset. */
+  final case class OrcBloom(numHashFunctions: Int,
+      bits: Array[Long]) {
+    def mightContain(hash64: Long): Boolean = {
+      val numBits = bits.length * 64
+      if (numBits == 0) return false
+      val h1 = hash64.toInt
+      val h2 = (hash64 >>> 32).toInt
+      var i = 1
+      while (i <= numHashFunctions) {
+        var combined = h1 + i * h2
+        if (combined < 0) combined = ~combined
+        val pos = combined % numBits
+        if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Decode the BLOOM_FILTER_UTF8 stream of `column`: one
+    * [[OrcBloom]] per row group (BloomFilterIndex proto). */
+  def readBloomFilter(data: Array[Byte], stripe: StripeInfo,
+      sf: StripeFooter, column: Int, compression: Int,
+      blockSize: Long): Option[Seq[OrcBloom]] = {
+    var pos = stripe.offset
+    var found: Option[(Long, Long)] = None
+    sf.streams.foreach { st =>
+      if (st.kind == BloomFilterKind && st.column == column &&
+        found.isEmpty) found = Some((pos, st.length))
+      pos += st.length
+    }
+    val (off, len) = found.getOrElse(return None)
+    if (off + len > stripe.offset + stripe.indexLength) return None
+    val bytes = decodeStream(data, off, len, compression, blockSize)
+      .getOrElse(return None)
+    val c = new Protobuf.Cursor(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[OrcBloom]
+    while (c.hasMore) {
+      val tag = c.varint()
+      if ((tag >>> 3).toInt == 1 && (tag & 7).toInt == 2) {
+        val s = c.lenSlice()
+        var k = -1
+        var bits: Array[Long] = null
+        while (s.hasMore) {
+          val t = s.varint()
+          ((t >>> 3).toInt, (t & 7).toInt) match {
+            case (1, 0) => k = s.varint().toInt
+            case (3, 2) => // utf8bitset: LE-packed longs
+              val b = slice(s)
+              if (s.ok && b.length % 8 == 0) {
+                bits = new Array[Long](b.length / 8)
+                var i = 0
+                while (i < bits.length) {
+                  var v = 0L
+                  var j = 0
+                  while (j < 8) {
+                    v |= (b(i * 8 + j) & 0xffL) << (8 * j); j += 1
+                  }
+                  bits(i) = v
+                  i += 1
+                }
+              } else s.fail()
+            case (2, 1) => // legacy fixed64 bitset entries
+              if (bits == null) bits = Array.empty
+              bits = bits :+ s.fixed64()
+            case (_, w) => s.skip(w)
+          }
+        }
+        if (!s.ok || k <= 0 || bits == null) c.fail()
+        else out += OrcBloom(k, bits)
+      } else c.skip((tag & 7).toInt)
+    }
+    if (!c.ok) None else Some(out.result())
+  }
 }

@@ -490,9 +490,22 @@ object OrcWrite {
   def build(cols: Seq[AnyWCol], codec: String = "zlib",
       rowsPerStripe: Int = Int.MaxValue,
       rle: String = "v1",
-      dict: Set[String] = Set.empty): Array[Byte] = {
+      dict: Set[String] = Set.empty,
+      // late r14: BLOOM_FILTER_UTF8 streams for the named flat
+      // string/binary/int columns (orc-core's construction exactly)
+      bloom: Set[String] = Set.empty): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     require(rle == "v1" || rle == "v2", s"unknown rle $rle")
+    bloom.foreach { d =>
+      cols.find(_.name == d) match {
+        case Some(c: WCol) => require(Set("string", "binary", "i32",
+          "i64", "date")(c.kind),
+          s"bloom is for string/binary/int columns (${c.name})")
+        case Some(_) =>
+          sys.error(s"bloom on non-scalar column $d unsupported")
+        case None => sys.error(s"bloom column $d not present")
+      }
+    }
     val v2 = rle == "v2"
     dict.foreach { d =>
       cols.find(_.name == d) match {
@@ -976,7 +989,67 @@ object OrcWrite {
           sfield(ri, 1, entry.toByteArray) // RowIndex.entry
           (6, colId, section(codecId, ri.toByteArray))
         }
-      indexStreams.foreach { case (_, _, b) =>
+      // BLOOM_FILTER_UTF8 streams (late r14): orc-core's sizing,
+      // double-hashed probes, one BloomFilter message per stripe
+      // (one row group). Values hash like orc-core's
+      // BloomFilterUtf8: UTF-8/raw bytes through Murmur3 x64-64,
+      // longs through the Thomas Wang mix.
+      val bloomStreams: Seq[(Int, Int, Array[Byte])] =
+        if (!withIndexes) Seq.empty
+        else cols.zipWithIndex.flatMap {
+          case (fc: WCol, ci) if bloom(fc.name) =>
+            val nn = statVals(selfId(ci))
+            if (nn == null || nn.isEmpty) Seq.empty
+            else {
+              val hashes = nn.map { v =>
+                fc.kind match {
+                  case "string" => OrcTail.murmur64(
+                    v.asInstanceOf[String].getBytes("UTF-8"))
+                  case "binary" => OrcTail.murmur64(
+                    v.asInstanceOf[Array[Byte]])
+                  case "i32" | "date" => OrcTail.orcLongHash(
+                    v.asInstanceOf[Int].toLong)
+                  case _ => OrcTail.orcLongHash(
+                    v.asInstanceOf[Long])
+                }
+              }.distinct
+              val (numBits, k) =
+                OrcTail.bloomSizing(hashes.length, 0.05)
+              val bits = new Array[Long](numBits / 64)
+              hashes.foreach { h =>
+                val h1 = h.toInt
+                val h2 = (h >>> 32).toInt
+                var i = 1
+                while (i <= k) {
+                  var combined = h1 + i * h2
+                  if (combined < 0) combined = ~combined
+                  val pos = combined % numBits
+                  bits(pos >>> 6) |= 1L << (pos & 63)
+                  i += 1
+                }
+              }
+              // BloomFilter { 1: numHashFunctions, 3: utf8bitset }
+              val bf = new java.io.ByteArrayOutputStream()
+              vfield(bf, 1, k.toLong)
+              val packed = new Array[Byte](bits.length * 8)
+              var w = 0
+              while (w < bits.length) {
+                var j = 0
+                while (j < 8) {
+                  packed(w * 8 + j) =
+                    ((bits(w) >>> (8 * j)) & 0xff).toByte
+                  j += 1
+                }
+                w += 1
+              }
+              sfield(bf, 3, packed)
+              val idx = new java.io.ByteArrayOutputStream()
+              sfield(idx, 1, bf.toByteArray) // BloomFilterIndex.bloomFilter
+              Seq((8, selfId(ci), section(codecId, idx.toByteArray)))
+            }
+          case _ => Seq.empty
+        }
+      (indexStreams ++ bloomStreams).foreach { case (_, _, b) =>
         buf.write(b, 0, b.length) }
       val indexLen = buf.size().toLong - offset
       ss.foreach { case (_, _, b) => buf.write(b, 0, b.length) }
@@ -984,7 +1057,8 @@ object OrcWrite {
       // stripe footer: index streams first, then data streams —
       // the file order
       val sf = new java.io.ByteArrayOutputStream()
-      (indexStreams ++ ss).foreach { case (kind, col, b) =>
+      (indexStreams ++ bloomStreams ++ ss).foreach {
+        case (kind, col, b) =>
         val st = new java.io.ByteArrayOutputStream()
         vfield(st, 1, kind.toLong)
         vfield(st, 2, col.toLong)
@@ -996,10 +1070,16 @@ object OrcWrite {
         vfield(enc, 1, 0L) // DIRECT
         sfield(sf, 2, enc.toByteArray)
       }
-      encodings.foreach { case (kind, dictSize) =>
+      val bloomColIds: Set[Int] = cols.zipWithIndex.collect {
+        case (fc: WCol, ci) if bloom(fc.name) => selfId(ci)
+      }.toSet
+      encodings.zipWithIndex.foreach { case ((kind, dictSize), i) =>
         val enc = new java.io.ByteArrayOutputStream()
         vfield(enc, 1, kind.toLong)
         if (dictSize > 0) vfield(enc, 2, dictSize.toLong)
+        // bloomEncoding = UTF8 (1) on columns carrying kind-8 streams
+        if (withIndexes && bloomColIds(i + 1))
+          vfield(enc, 3, 1L)
         sfield(sf, 2, enc.toByteArray)
       }
       sfield(sf, 3, "UTC".getBytes("UTF-8"))

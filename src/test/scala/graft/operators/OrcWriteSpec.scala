@@ -594,6 +594,117 @@ class OrcWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("BLOOM FILTERS: hashes and bitsets bit-exact vs orc-core's " +
+    "Murmur3/BloomFilterUtf8, probed by OrcTail, consumed by the " +
+    "sarg path (late r14)") {
+    val rnd = new scala.util.Random(97)
+    // 1. Murmur3 x64-64 differential across lengths incl. tails
+    (0 until 60).foreach { len =>
+      val b = Array.fill(len)(rnd.nextInt().toByte)
+      assert(OrcTail.murmur64(b) ==
+        org.apache.orc.util.Murmur3.hash64(b),
+        s"murmur diverged at len $len")
+    }
+    // 2. the long mix + whole-bitset construction vs BloomFilterUtf8
+    val strs = (0 until 400).map(i => s"key-$i-${rnd.nextInt(1000)}")
+      .distinct
+    val longs = Seq.fill(300)(rnd.nextLong()).distinct
+    locally {
+      val theirs = new org.apache.orc.util.BloomFilterUtf8(
+        strs.length, 0.05)
+      strs.foreach(s => theirs.addBytes(s.getBytes("UTF-8"), 0,
+        s.getBytes("UTF-8").length))
+      val (numBits, k) = OrcTail.bloomSizing(strs.length, 0.05)
+      assert(k == theirs.getNumHashFunctions,
+        s"k $k vs ${theirs.getNumHashFunctions}")
+      val bits = new Array[Long](numBits / 64)
+      strs.foreach { str =>
+        val h = OrcTail.murmur64(str.getBytes("UTF-8"))
+        val h1 = h.toInt; val h2 = (h >>> 32).toInt
+        var i = 1
+        while (i <= k) {
+          var c = h1 + i * h2
+          if (c < 0) c = ~c
+          val pos = c % numBits
+          bits(pos >>> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      assert(bits.sameElements(theirs.getBitSet),
+        "string bitset diverged from BloomFilterUtf8")
+    }
+    locally {
+      val theirs = new org.apache.orc.util.BloomFilterUtf8(
+        longs.length, 0.05)
+      longs.foreach(theirs.addLong)
+      val (numBits, k) = OrcTail.bloomSizing(longs.length, 0.05)
+      val bits = new Array[Long](numBits / 64)
+      longs.foreach { v =>
+        val h = OrcTail.orcLongHash(v)
+        val h1 = h.toInt; val h2 = (h >>> 32).toInt
+        var i = 1
+        while (i <= k) {
+          var c = h1 + i * h2
+          if (c < 0) c = ~c
+          val pos = c % numBits
+          bits(pos >>> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      assert(bits.sameElements(theirs.getBitSet),
+        "long bitset diverged from BloomFilterUtf8")
+    }
+    // 3. a written file: OrcTail finds and probes the streams;
+    //    orc-core's sarg path consumes them
+    val n = 600
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong * 7))),
+      OrcWrite.WCol("name", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 13 == 6) None else Some(s"host-$i.example"))))
+    for (codec <- Seq("none", "zlib")) {
+      val bytes = OrcWrite.build(cols, codec, 200, "v2",
+        bloom = Set("id", "name"))
+      val tail = OrcTail.parseTail(bytes).get
+      tail.stripes.zipWithIndex.foreach { case (si, g) =>
+        val sf = OrcTail.parseStripeFooter(bytes, si,
+          tail.compression, tail.blockSize).get
+        val idBloom = OrcTail.readBloomFilter(bytes, si, sf, 1,
+          tail.compression, tail.blockSize)
+          .getOrElse(fail(s"id bloom missing ($codec/$g)"))
+        assert(idBloom.length == 1)
+        (g * 200 until (g + 1) * 200).foreach { i =>
+          assert(idBloom.head.mightContain(
+            OrcTail.orcLongHash(i.toLong * 7)),
+            s"false negative id ${i * 7}")
+        }
+        val misses = (0 until 1000).count(j =>
+          idBloom.head.mightContain(
+            OrcTail.orcLongHash(1000000L + j)))
+        assert(misses < 1000 / 10, s"fpp too high: $misses")
+        val nameBloom = OrcTail.readBloomFilter(bytes, si, sf, 2,
+          tail.compression, tail.blockSize).get.head
+        (g * 200 until (g + 1) * 200).filter(_ % 13 != 6)
+          .foreach { i =>
+            assert(nameBloom.mightContain(OrcTail.murmur64(
+              s"host-$i.example".getBytes("UTF-8"))),
+              s"false negative name $i")
+          }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_oblm")
+      val fl = new java.io.File(tmp.toFile, "x.orc")
+      java.nio.file.Files.write(fl.toPath, bytes)
+      spark.conf.set("spark.sql.orc.filterPushdown", "true")
+      val df = spark.read.orc(fl.getAbsolutePath)
+      assert(df.filter("id = 1400").count() == 1, codec) // 200*7
+      assert(df.filter("name = 'host-421.example'").count() == 1)
+      assert(df.filter("id = 1401").count() == 0) // in-range miss
+      assert(df.count() == n)
+      fl.delete(); tmp.toFile.delete()
+    }
+  }
+
   test("writer rejections and 0-row files") {
     import OrcWrite.WCol
     intercept[IllegalArgumentException](OrcWrite.build(Seq(
