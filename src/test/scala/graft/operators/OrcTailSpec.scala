@@ -136,6 +136,39 @@ class OrcTailSpec extends AnyFunSuite {
       tail.compression, tail.blockSize).isEmpty)
   }
 
+  test("row-index and bloom parsers survive mutation fuzz " +
+    "(late r14)") {
+    val n = 300
+    val cols = Seq(
+      OrcWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      OrcWrite.WCol("name", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 7 == 3) None else Some(s"v$i"))))
+    val bytes = OrcWrite.build(cols, "zlib", 100, "v2",
+      bloom = Set("id", "name"))
+    val rnd = new scala.util.Random(0x0b10)
+    (0 until 800).foreach { _ =>
+      val bad = bytes.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      // every layer must reject-or-succeed, never throw
+      OrcTail.parseTail(bad).foreach { t =>
+        t.stripes.foreach { si =>
+          OrcTail.parseStripeFooter(bad, si, t.compression,
+            t.blockSize).foreach { sf =>
+            (0 to 2).foreach { c =>
+              OrcTail.readRowIndex(bad, si, sf, c, t.compression,
+                t.blockSize)
+              OrcTail.readBloomFilter(bad, si, sf, c,
+                t.compression, t.blockSize).foreach(_.foreach(b =>
+                b.mightContain(OrcTail.orcLongHash(42L)): Unit))
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("malformed tails reject, never throw") {
     val s = spark
     import s.implicits._

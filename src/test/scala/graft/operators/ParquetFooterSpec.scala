@@ -97,6 +97,35 @@ class ParquetFooterSpec extends AnyFunSuite {
     assert(paths.exists(_.startsWith("xs.")))
   }
 
+  test("page-index and bloom parsers survive mutation fuzz over " +
+    "our writer's files (late r14)") {
+    val n = 300
+    val cols: Seq[ParquetWrite.AnyWCol] = Seq(
+      ParquetWrite.WCol("id", "i64", optional = false,
+        (0 until n).map(i => Some(i.toLong))),
+      ParquetWrite.WCol("name", "string", optional = true,
+        (0 until n).map(i =>
+          if (i % 7 == 3) None else Some(s"v$i"))))
+    val bytes = ParquetWrite.build(cols, "snappy",
+      rowsPerGroup = 100, bloom = Set("id", "name"))
+    val rnd = new scala.util.Random(0x91dc)
+    (0 until 800).foreach { _ =>
+      val bad = bytes.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt().toByte
+      ParquetFooter.parse(bad).foreach { foot =>
+        foot.rowGroups.foreach(_.columns.foreach { c =>
+          c.offsetIndex.foreach(r =>
+            ParquetFooter.parseOffsetIndex(bad, r): Unit)
+          c.columnIndex.foreach(r =>
+            ParquetFooter.parseColumnIndex(bad, r): Unit)
+          c.bloomOffset.foreach(o =>
+            ParquetFooter.parseBloom(bad, o).foreach(b =>
+              b.mightContain(ParquetFooter.bloomHashLong(42L)): Unit))
+        })
+      }
+    }
+  }
+
   test("malformed footers reject, never throw") {
     val s = spark
     import s.implicits._
