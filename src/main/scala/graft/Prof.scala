@@ -24,3 +24,33 @@ object Prof {
     spark.stop()
   }
 }
+
+/** Scratch phase-splitter: construction vs analysis/optimization vs
+  * execution for one query (where does a fixed per-run cost live?). */
+object PhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.get("q1_agg").foreach(f => f(spark, dir).count())
+    for (n <- names; pass <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, dir)
+      val tCons = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis + optimization + planning
+      val tPlan = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      df.count()
+      val tExec = (System.nanoTime() - t0) / 1e9
+      println(f"[phase] $n pass$pass cons=$tCons%.2f plan=$tPlan%.2f exec=$tExec%.2f")
+    }
+    spark.stop()
+  }
+}
