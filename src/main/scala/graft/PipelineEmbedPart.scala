@@ -647,24 +647,33 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * analytic E[1 − (1 − J^rows)^bands] averaged over true pairs —
     * powers computed by exact IEEE multiply chains (no libm pow) and
     * averaged in 1e-6 fixed point, so both engines agree bit-for-bit. */
+  /** (doc_a, doc_b, inter): pairwise shingle-set intersection sizes from
+    * the posting-list explode — r9: the pair explode COUNTS shared
+    * shingles per pair inside the same map-side-combinable shuffle that
+    * generates the candidates; th is a SET, so the occurrence count IS
+    * |A∩B|. Linear in Σ C(df,2), never all-pairs. PERSISTED per
+    * (session, dir) — r14 optimization: minhash_recall's truth side and
+    * containment_pairs ran this identical aggregation twice per session
+    * (guide §2.4: two operations keyed the same way share one
+    * exchange — here they share the whole build). */
+  private[graft] def shinglePairInter(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"shingle-inter:$dir") {
+      shingleHashSets(s, dir).selectExpr("doc_id", "explode(th) AS sh")
+        .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
+        .selectExpr("explode(flatten(transform(ds, " +
+          "a -> transform(filter(ds, b -> b > a), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    }
   private[graft] def minhashRecall(s: SparkSession, dir: String): DataFrame = {
     val th = shingleHashSets(s, dir)
-    // r9: the posting-list pair explode COUNTS shared shingles per
-    // pair inside the same map-side-combinable shuffle that generates
-    // the candidates (the containment_pairs move) — th is a SET, so
-    // the occurrence count IS |A∩B| and jaccard = i/(|A|+|B|−i); the
-    // per-pair jaccard_sorted over re-attached shingle ARRAYS (two
-    // corpus-array shuffles) disappears, leaving two doc-dimension
-    // size joins (4.3 → 2.6 s at sf0.1)
+    // jaccard = i/(|A|+|B|−i) from the SHARED pair-intersection build
+    // ([[shinglePairInter]]); the per-pair jaccard_sorted over
+    // re-attached shingle ARRAYS (two corpus-array shuffles)
+    // disappeared in r9 (4.3 → 2.6 s at sf0.1)
     val sizes = th.selectExpr("doc_id", "size(th) AS n")
-    val inter = th.selectExpr("doc_id", "explode(th) AS sh")
-      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
-      .selectExpr("explode(flatten(transform(ds, " +
-        "a -> transform(filter(ds, b -> b > a), " +
-        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
-      .select("p.doc_a", "p.doc_b")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val truth = inter
+    val truth = shinglePairInter(s, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
@@ -712,15 +721,8 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * explosion itself, which the boilerplate cap governs). */
   private[graft] def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val th = shingleHashSets(s, dir)
-    val inter = th.selectExpr("doc_id", "explode(th) AS sh")
-      .groupBy("sh").agg(expr("array_sort(collect_set(doc_id))").as("ds"))
-      .selectExpr("explode(flatten(transform(ds, " +
-        "a -> transform(filter(ds, b -> b > a), " +
-        "b -> struct(a AS doc_a, b AS doc_b))))) AS p")
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = th.selectExpr("doc_id", "CAST(size(th) AS BIGINT) AS n")
-    inter
+    shinglePairInter(s, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
