@@ -373,42 +373,65 @@ object Analytics {
     * truth (which the bench-scale truth columns here do pay, as
     * measurement). */
   private def amsJoinSize(s: SparkSession, dir: String): DataFrame = {
-    def signExpr(key: String, i: Int): String = {
-      val h1 = s"(($key % $AmsP) + ${i}L * 97561L) % $AmsP"
-      s"CAST(sum(CASE WHEN (($h1) * ($h1) % $AmsP * 2654435761L " +
-        s"+ ($h1)) % $AmsP % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z$i"
-    }
-    def signs(df: DataFrame, key: String): DataFrame =
-      df.selectExpr(key)
-        // spread the single-row-group scan before the 48-counter sign
-        // fold (~29M modular CASE evaluations on lineitem — otherwise
-        // one task); the shuffle moves bare 8-byte keys only
-        .repartition(col(key))
-        .selectExpr((0 until AmsN).map(i => signExpr(key, i)): _*)
-    val za = signs(Tables.lineitem(s, dir), "l_orderkey")
-    val zb = signs(Tables.orders(s, dir), "o_orderkey")
-    def mom(term: Int => String): String = {
-      val means = (0 until AmsN / AmsGroup).map { g =>
-        "(" + (g * AmsGroup until (g + 1) * AmsGroup)
-          .map(term).mkString(" + ") + s") div $AmsGroup"
+    // r14 optimization (guide §2.3/§2.4): every readout below is a
+    // function of the per-key FREQUENCY vectors, so collapse each side
+    // to (key, f) once — one map-side-combined groupBy per table —
+    // and derive sketch, F2 and the exact join size from those:
+    //   Z_i  = Σ_k f_k · sign_i(k)        (was: Σ over raw rows)
+    //   F2   = Σ_k f_k²                    (same aggregation as before)
+    //   |A⋈B| = Σ_k f_A(k) · f_B(k)        (was: row-level equi-join)
+    // The row-level repartition exchanges (8-byte keys, but full row
+    // COUNT) disappear; the 48 sign CASEs evaluate per DISTINCT key
+    // (~4× fewer rows on lineitem); and the exact-join shuffle reuses
+    // the groupBy's hash partitioning (no extra Exchange — guide §2.4).
+    // All arithmetic stays BIGINT, bit-identical to the row-level form.
+    // persisted per (session, dir): the sketch, F2 and exact-join
+    // readouts are three aggregation branches over the same frequency
+    // table — the static plan otherwise re-scans the parquet per branch
+    // (10 scan nodes measured before the persist).
+    def freq(name: String, df: => DataFrame, key: String): DataFrame =
+      ScanCache.get(s, s"ams-freq-$name:$dir") {
+        df.selectExpr(s"$key AS k").groupBy("k")
+          .agg(count(lit(1)).as("f"))
       }
-      val (m0, m1, m2) = (means(0), means(1), means(2))
-      s"($m0) + ($m1) + ($m2) - greatest($m0, $m1, $m2) " +
-        s"- least($m0, $m1, $m2)"
+    val freqL = freq("l", Tables.lineitem(s, dir), "l_orderkey")
+    val freqO = freq("o", Tables.orders(s, dir), "o_orderkey")
+    def signExpr(i: Int): String = {
+      val h1 = s"((k % $AmsP) + ${i}L * 97561L) % $AmsP"
+      s"CAST(sum(f * (CASE WHEN (($h1) * ($h1) % $AmsP * 2654435761L " +
+        s"+ ($h1)) % $AmsP % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS z$i"
     }
-    val joinExact = Tables.lineitem(s, dir).select("l_orderkey")
-      .join(Tables.orders(s, dir).select(
-        col("o_orderkey").as("l_orderkey")), "l_orderkey")
-      .agg(count(lit(1)).as("join_exact"))
-    val f2Exact = Tables.lineitem(s, dir).groupBy("l_orderkey")
-      .agg(count(lit(1)).as("f"))
-      .agg(sum(expr("f * f")).as("f2_exact"))
-    za.as("a").crossJoin(broadcast(zb.as("b")))
+    def signs(fdf: DataFrame): DataFrame =
+      fdf.selectExpr((0 until AmsN).map(i => signExpr(i)): _*)
+    val za = signs(freqL)
+    val zb = signs(freqO)
+    // median-of-3-means readout in ARRAY form (r14): the estimator
+    // z-vectors fold into one 48-element array each, the per-group
+    // means are an aggregate over a slice, and the median of three is
+    // the middle of array_sort — m0+m1+m2−max−min verbatim, but the
+    // expression tree shrinks from ~480 product leaves (×2 estimates,
+    // a measured codegen/planning cost on the cold run) to two
+    // zip_with lambdas over 48 elements.
+    def momA(arr: String): String =
+      s"element_at(array_sort(transform(sequence(0, " +
+        s"${AmsN / AmsGroup - 1}), g -> " +
+        s"aggregate(slice($arr, g * $AmsGroup + 1, $AmsGroup), " +
+        s"CAST(0 AS BIGINT), (a, x) -> a + x) div $AmsGroup)), 2)"
+    val zArr = s"array(${(0 until AmsN).map("z" + _).mkString(", ")})"
+    val joinExact = freqL.join(freqO.select(col("k"), col("f").as("g")), "k")
+      // coalesce keeps the old count()'s non-null contract on an
+      // empty join (sum alone would be NULL)
+      .agg(coalesce(sum(expr("f * g")), lit(0L)).as("join_exact"))
+    val f2Exact = freqL.agg(sum(expr("f * f")).as("f2_exact"))
+    za.selectExpr(s"$zArr AS za")
+      .crossJoin(broadcast(zb.selectExpr(s"$zArr AS zb")))
       .crossJoin(broadcast(joinExact))
       .crossJoin(broadcast(f2Exact))
-      .selectExpr(s"(${mom(i => s"a.z$i * b.z$i")}) AS join_est",
+      .selectExpr(
+        s"(${momA("zip_with(za, zb, (x, y) -> x * y)")}) AS join_est",
         "join_exact",
-        s"(${mom(i => s"a.z$i * a.z$i")}) AS f2_est", "f2_exact")
+        s"(${momA("zip_with(za, za, (x, y) -> x * y)")}) AS f2_est",
+        "f2_exact")
       .selectExpr(
         // signed ppm via positive-operand truncating div only — Spark's
         // div and DuckDB's // disagree on negative numerators
