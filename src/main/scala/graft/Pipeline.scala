@@ -47,7 +47,9 @@ object Pipeline
     * First touch is billed separately by Bench's cold accounting. */
   private[graft] def docTermTf(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"doc-term-tf:$dir") {
-      registered(s, dir)
+      // spread before the token explode (the vecs move): the split +
+      // explode otherwise runs in the scan's one task
+      registered(s, dir).repartition(col("doc_id"))
         .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     }

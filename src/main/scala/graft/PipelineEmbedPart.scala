@@ -599,7 +599,10 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * back) all branch off this scan. */
   private[graft] def shingleHashSets(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"shingles:$dir") {
-      registered(s, dir).selectExpr("doc_id",
+      // spread before the per-doc tokenize/shingle expressions AND so
+      // the PERSISTED set is multi-partition — a 1-partition cache pins
+      // every downstream explode to one core (the vecs move)
+      registered(s, dir).repartition(col("doc_id")).selectExpr("doc_id",
         "transform(split(text, ' '), t -> poly_hash(t)) AS tk")
         .selectExpr("doc_id",
           s"sort_array(array_distinct(transform(${shingleIdx("tk")}, " +

@@ -25,6 +25,13 @@ object Wire {
       col("event_id"), col("user_id"),
       (expr("ts div 1000") * 1000).as("start_ns"),
       col("event_type"), col("value"))
+      // spread the single-row-group driver parquet before the per-row
+      // line formatting + parse kernel (the vecs/cdcChunked move): the
+      // whole parse_hits pipeline is narrow, so without this exchange
+      // every format_string/parse_hit_payload evaluation runs in the
+      // scan's ONE task; a real multi-file corpus arrives pre-split and
+      // this is a no-op cost (5 narrow columns shipped once)
+      .repartition(col("event_id"))
       .withColumn("end_ns", col("start_ns") + (col("event_id") % 1000) * 1000)
       .withColumn("topic",
         when(col("event_id") % 89 === 0,
