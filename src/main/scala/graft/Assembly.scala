@@ -143,6 +143,13 @@ object Assembly {
 
   private def pairUptimeByRadius(s: SparkSession, dir: String,
                                  radiusMeters: Double): DataFrame = {
+    // Shape kept deliberately (r14 audit): the codegen'd double join +
+    // per-pair aggregation beat an array-per-station broadcast variant
+    // (sorted interval arrays + an in-expression overlap fold) by 16×
+    // measured — interpreted higher-order lambdas over the k_a × k_b
+    // interval product lose badly to whole-stage-codegen join rows, and
+    // the pair matrix is already broadcast so the event corpus never
+    // shuffles here.
     val intervals = reliabilityIntervals(s, dir)
     val pairs = rangedPairs(s, dir, radiusMeters).select("st_a", "st_b")
     val ia = intervals.select(col("station").as("st_a"),

@@ -390,12 +390,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("char_entropy and image_ahash are pure map passes") {
-    // both compute per-row from the document scan; the only exchange
-    // allowed is the presentation sort's range partitioning
+    // both compute per-row from the document scan; the allowed
+    // exchanges are the presentation sort's range partitioning and the
+    // ONE deliberate asciiDocs doc_id spread (REPARTITION_BY_COL — the
+    // r14 single-row-group parallelization; a pre-split corpus ships
+    // each row once through it and nothing else moves)
     for (n <- Seq("char_entropy", "image_ahash")) {
       val p = plan(n)
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
-        !l.contains("Exchange rangepartitioning"))
+        !l.contains("Exchange rangepartitioning") &&
+        !l.contains("REPARTITION_BY_COL"))
       assert(bad == 0, s"unexpected shuffle in $n:\n$p")
       assert(!p.contains("Join"), s"$n joined something")
     }
@@ -403,15 +407,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("round-8 media/text queries are pure map passes") {
     // fixture-encode → decode → fold, all per-row from the document
-    // scan; the only exchange allowed is the presentation sort's range
-    // partitioning — a join or hash shuffle here means the decode path
-    // stopped being embarrassingly parallel
+    // scan; the allowed exchanges are the presentation sort's range
+    // partitioning and the ONE deliberate asciiDocs doc_id spread
+    // (REPARTITION_BY_COL, see above) — a join or ENSURE_REQUIREMENTS
+    // hash shuffle here means the decode path stopped being
+    // embarrassingly parallel
     for (n <- Seq("html_extract", "audio_resample",
       "multimodal_decode_tiff_packbits", "multimodal_decode_webp",
       "span_corrupt", "fim_transform", "url_surt")) {
       val p = plan(n)
       val bad = p.linesIterator.count(l => l.contains("Exchange") &&
-        !l.contains("Exchange rangepartitioning"))
+        !l.contains("Exchange rangepartitioning") &&
+        !l.contains("REPARTITION_BY_COL"))
       assert(bad == 0, s"unexpected shuffle in $n:\n$p")
       assert(!p.contains("Join"), s"$n joined something")
     }
