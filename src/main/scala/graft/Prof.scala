@@ -32,8 +32,10 @@ object PhaseProbe {
     val dir = args(0)
     val names = args.drop(1)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PP_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PP_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("PP_COALESCE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",

@@ -14,8 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema cache, keyed by (path, nanosAsLong conf): every
+    * `spark.read.parquet` without a user schema re-lists the path and
+    * re-reads a footer at PLAN time, and the suite constructs each base
+    * table hundreds of times per session (r14: ~50-100 ms of fixed
+    * driver work per query). The schema of a given data directory is
+    * immutable for the life of the JVM here (driver test corpora;
+    * production jobs pin their table schemas the same way), so infer
+    * once and pass the schema explicitly — the scan itself is
+    * unchanged, including pushdown/pruning. The nanosAsLong conf is
+    * part of the key because it changes the INFERRED type of events.ts
+    * (sessions in one JVM may differ — the test suite does). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val nanos = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val st = schemaCache.computeIfAbsent((path, nanos),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(st).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
