@@ -495,29 +495,49 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
       val seedIds = broadcast(seed16.zipWithIndex
         .map { case ((id, _), k) => (id, k.toLong) }
         .toSeq.toDF("vec_id", "k"))
+      // r15: the same model-sized driver fold as [[ivfTrainedCents]] —
+      // codebooks are ≤ M×K rows of 8 doubles, so each Lloyd round
+      // collects the per-(subspace, code, dim) fixed-point sums and
+      // feeds the next round a LITERAL broadcast codebook table instead
+      // of a composed growing subtree. The training sample is persisted
+      // for the loop (two references per round) and released after.
+      // Sums/means/tiebreaks are arithmetic-identical to the composed
+      // form (exact BIGINT sums, same double-division chain).
       val sub = pqSubvectors(all.join(broadcast(trainIds), Seq("vec_id")))
-      var books = pqSubvectors(all.join(seedIds, Seq("vec_id")))
-        .join(seedIds, Seq("vec_id"))
-        .select(col("j"), col("k"), col("sv").as("c"))
+        .persist()
+      var books: Seq[(Long, Long, Seq[Double])] =
+        pqSubvectors(all.join(seedIds, Seq("vec_id")))
+          .join(seedIds, Seq("vec_id"))
+          .select(col("j"), col("k"), col("sv").as("c"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+          .sortBy(t => (t._1, t._2))
+      def booksDf(bs: Seq[(Long, Long, Seq[Double])]): DataFrame =
+        bs.toDF("j", "k", "c")
       for (_ <- 1 to PqIters) {
-        val assign = sub.join(broadcast(books), Seq("j"))
+        val assign = sub.join(broadcast(booksDf(books)), Seq("j"))
           .withColumn("_d", expr(pqDist))
           .groupBy("vec_id", "j")
           .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
-        books = sub.join(assign, Seq("vec_id", "j"))
+        val sums = sub.join(assign, Seq("vec_id", "j"))
           .select(col("j"), col("k"), posexplode(col("sv"))
             .as(Seq("pos", "x")))
           .groupBy("j", "k", "pos")
           .agg(sum(expr(
             s"CAST(round(x * CAST($IvfScale AS DOUBLE)) AS BIGINT)"))
             .as("sx"), count(lit(1)).as("cnt"))
-          .groupBy("j", "k")
-          .agg(expr("transform(array_sort(collect_list(" +
-            "struct(pos, sx, cnt))), " +
-            s"p -> CAST(p.sx AS DOUBLE) / p.cnt " +
-            s"/ CAST($IvfScale AS DOUBLE))").as("c"))
+          .collect()
+        books = sums.toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getLong(3).toDouble / r.getLong(4).toDouble /
+              IvfScale.toDouble))
+          .groupBy(t => (t._1, t._2)).toSeq
+          .map { case ((j, k), rows) =>
+            (j, k, rows.sortBy(_._3).map(_._4)) }
+          .sortBy(t => (t._1, t._2))
       }
-      books
+      sub.unpersist(blocking = false)
+      booksDf(books)
     }
   /** PQ-reconstructed vectors + norms (decode of the 4-byte code) for
     * ONE bounded panel of ids. The codebooks stay corpus-trained
@@ -1117,22 +1137,51 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * the corpus — the iteration shape is unchanged, only `all` shrinks. */
   private[graft] def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     ScanCache.get(s, s"ivf-trained-cents:$dir") {
+      val spark = s
+      import spark.implicits._
       val all = vecs(s, dir)
-      var cents = seedCents(all)
+      // r15: Lloyd state is MODEL-SIZED (≤ IvfMaxCells × 64 doubles), so
+      // each round COLLECTS the per-(cell, dim) fixed-point sums — a
+      // bounded control-plane read, the MLlib-KMeans / PQ-seeding
+      // discipline — and feeds the next round a LITERAL broadcast
+      // centroid table. Plan depth stays constant in IvfIters: the
+      // previous composed form inlined every earlier round's update
+      // subtree into round r's assignment, re-optimizing/re-codegen'ing
+      // a growing tree per round (~7 s of first-touch at sf0.1 for two
+      // rounds over 2000 vectors — almost all fixed per-stage overhead).
+      // Arithmetic unchanged and bit-identical: member sums stay exact
+      // BIGINTs computed distributed with map-side combine, the mean is
+      // the same double-division chain, and cn is the same
+      // sqrt(dot_p(cv, cv)) expression evaluated over identical values.
+      var cents: Seq[(Long, Seq[Double])] = {
+        val k = ivfCellsFor(all.count())
+        all.filter(col("vec_id") < k).select("vec_id", "v")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+      }
+      def centsDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+        cs.toDF("cell", "cv").withColumn("cn", expr("sqrt(dot_p(cv, cv))"))
       for (_ <- 1 to IvfIters) {
-        val assign = assignCells(all, cents)
-        cents = all.join(assign, Seq("vec_id"))
+        val sums = all.join(assignCells(all, centsDf(cents)), Seq("vec_id"))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg(sum(expr(s"CAST(round(x * CAST($IvfScale AS DOUBLE)) AS BIGINT)"))
             .as("sx"), count(lit(1)).as("cnt"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-            s"p -> CAST(p.sx AS DOUBLE) / p.cnt / CAST($IvfScale AS DOUBLE))")
-            .as("cv"))
-          .withColumn("cn", expr("sqrt(dot_p(cv, cv))"))
+          .collect()
+        // same value as the former SQL fold: CAST(sx AS DOUBLE) / cnt
+        // / CAST(scale AS DOUBLE), dims assembled in pos order; cells
+        // that lose all members drop out of the groupBy either way
+        cents = sums.toSeq
+          .map(r => (r.getLong(0), r.getInt(1),
+            r.getLong(2).toDouble / r.getLong(3).toDouble /
+              IvfScale.toDouble))
+          .groupBy(_._1).toSeq
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_._2).map(_._3)) }
+          .sortBy(_._1)
       }
-      cents
+      centsDf(cents)
     }
   /** Nearest-cell assignment: one broadcast N×K scoring pass, ties to
     * the LOWEST cell — the single source of the max_by tiebreak that the
@@ -1252,36 +1301,61 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * deliberately lacks; IVF, which partitions by region instead of by
     * angle-collision, is the right index for mid-similarity corpora —
     * exactly what the measured split shows. */
+  /** Exact brute-force top-1 truth over the scrambled-hash panel —
+    * (vec_id, true_nn). PERSISTED per (session, dir) — r15: ann_recall
+    * previously re-derived this identical panel×corpus scoring subtree
+    * once per method row (7× per run) and knn_label_acc once more
+    * (guide §2.4 — two operations keyed the same way share one build). */
+  private[graft] def annTruth(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ann-truth:$dir") {
+      val all = vecs(s, dir)
+      val panel = all
+        .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
+        .orderBy("_h", "vec_id").limit(RecallQueries)
+        .select("vec_id")
+      val a = all.join(broadcast(panel), Seq("vec_id"))
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
+        .withColumn("c", expr(cosExpr))
+        .groupBy("vec_id")
+        .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
+          .as("true_nn"))
+    }
   private[graft] def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c", expr(cosExpr))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("true_nn"))
-    def recallOf(res: DataFrame, method: String): DataFrame =
-      truth.join(res.select(col("vec_id"), col("nn_id")), Seq("vec_id"),
-          "left")
-        .agg(count(lit(1)).as("n_queries"),
-          sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L))
-            .as("n_hits"))
-        .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
-          (col("n_hits") / col("n_queries")).as("recall_at_1"))
-    recallOf(annLshMulti(s, dir), "lsh_multi")
-      .unionByName(recallOf(annIvf(s, dir), "ivf"))
-      .unionByName(recallOf(annIvfTrained(s, dir), "ivf_trained"))
-      .unionByName(recallOf(annRpBrute(s, dir), "rp_brute"))
-      .unionByName(recallOf(annQ8Brute(s, dir), "q8_brute"))
-      .unionByName(recallOf(annPqAdc(s, dir), "pq_adc"))
-      .unionByName(recallOf(annIvfPq(s, dir), "ivfpq"))
+    val spark = s
+    import spark.implicits._
+    // r15 shape: ONE tagged union + ONE aggregation instead of seven
+    // independent join+agg subtrees (each with its own exchanges and
+    // its own recomputation of the truth scan) — the per-method result
+    // tables and the truth are persisted ScanCache leaves, so the
+    // steady-state run is a small broadcast join over model-sized rows.
+    // Semantics unchanged: per method, count(*) over the 128 truth rows
+    // (LEFT join keeps queries the index returned no candidate for)
+    // and hits where the method's top-1 equals the true NN.
+    val truth = annTruth(s, dir)
+    val tagged = Seq(
+      "lsh_multi" -> annLshMulti(s, dir),
+      "ivf" -> annIvf(s, dir),
+      "ivf_trained" -> annIvfTrained(s, dir),
+      "rp_brute" -> annRpBrute(s, dir),
+      "q8_brute" -> annQ8Brute(s, dir),
+      "pq_adc" -> annPqAdc(s, dir),
+      "ivfpq" -> annIvfPq(s, dir))
+      .map { case (m, res) => res.select(lit(m).as("method"),
+        col("vec_id"), col("nn_id")) }
+      .reduce(_ unionByName _)
+    val methods = Seq("lsh_multi", "ivf", "ivf_trained", "rp_brute",
+      "q8_brute", "pq_adc", "ivfpq").toDF("method")
+    truth.crossJoin(broadcast(methods))
+      .join(tagged, Seq("method", "vec_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("method"), col("n_queries"), col("n_hits"),
+        (col("n_hits") / col("n_queries")).as("recall_at_1"))
       .orderBy("method")
   }
   /** Measured recall ladder for the embedding NEAR-DUP index — the
@@ -1336,7 +1410,8 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * MEASURED recall@1 0.984 at sf0.01, topping the fidelity ladder
     * ann_recall now reports in full: q8 0.984 ≫ ivf_trained 0.867 >
     * ivf 0.758 ≫ lsh 0.242 ≫ rp 0.031). */
-  private[graft] def annQ8Brute(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annQ8Brute(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ann-q8-brute:$dir") {
     val all = q8Vecs(s, dir)
     val panel = all
       .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
@@ -1353,7 +1428,7 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
       .groupBy("vec_id")
       .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
         .as("nn_id"))
-  }
+    }
   /** Brute-force top-1 by PQ ASYMMETRIC distance (ADC) over the same
     * panel — how a serving tier actually scans PQ codes: the query
     * stays full-precision, each subspace's dot products against all
@@ -1385,31 +1460,61 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
         .agg(max_by(col("k"), struct(-col("_d"), -col("k"))).as("k"))
         .select(col("vec_id").as("nn_id"), col("j"), col("k"))
     }
-  private[graft] def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annPqAdc(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ann-pq-adc:$dir") {
+    val spark = s
+    import spark.implicits._
     val all = vecs(s, dir)
     val panel = all
       .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
       .orderBy("_h", "vec_id").limit(RecallQueries)
       .select("vec_id")
     val books = pqCodebooks(s, dir)
-    // the serving index: 1 code per (vector, subspace)
-    val codes = pqCodes(s, dir)
-    // per-query distance table: dot(q_j, c_jk) + centroid energy
-    val lut = pqSubvectors(all.join(broadcast(panel), Seq("vec_id")))
+    // r15 shape: the per-query LUT is panel×M×K — MODEL-SIZED (≤ 16k
+    // rows), so it collects once (the dot products still computed by
+    // Spark's dot_p, value-identical) and ships as per-query k-complete
+    // M×K matrices; each corpus vector carries its j-ordered CODE ARRAY.
+    // Scoring is then one codegen'd chain of M indexed lookups per
+    // (query, vector) row — the previous form shuffled codes ⋈ (j,k)-LUT
+    // into an 8×-exploded sort-aggregate (collect_list + interpreted
+    // fold per pair). The fold order is preserved exactly: the old
+    // sorted list was the 8 j-ascending (qd, cn2) values, and the chain
+    // below adds the identical doubles left-to-right from 0.0.
+    val lutRows = pqSubvectors(all.join(broadcast(panel), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("j"), col("sv"))
       .join(broadcast(books), Seq("j"))
       .selectExpr("qid", "j", "k", "dot_p(sv, c) AS qd",
         "dot_p(c, c) AS cn2")
+      .collect()
+    val lutSeq = lutRows.groupBy(_.getLong(0)).toSeq.map {
+      case (qid, rows) =>
+        // dropped codebook entries keep the 0.0 placeholder — codes
+        // only ever reference surviving (j, k), so it is never read
+        val qda = Array.fill(PqM, PqK)(0.0)
+        val c2a = Array.fill(PqM, PqK)(0.0)
+        rows.foreach { r =>
+          val j = r.getLong(1).toInt
+          val k = r.getLong(2).toInt
+          qda(j)(k) = r.getDouble(3)
+          c2a(j)(k) = r.getDouble(4)
+        }
+        (qid, qda.map(_.toSeq).toSeq, c2a.map(_.toSeq).toSeq)
+    }.sortBy(_._1)
+    val lutArr = broadcast(lutSeq.toDF("qid", "qda", "c2a"))
+    // the serving index, reshaped to one j-ordered code array per vector
+    val codeArr = pqCodes(s, dir).groupBy("nn_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, k))), " +
+        "p -> p.k)").as("ca"))
+    def chain(m: String): String = (0 until PqM).map(j =>
+      s"element_at(element_at($m, ${j + 1}), " +
+        s"CAST(element_at(ca, ${j + 1}) AS INT) + 1)")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
     val qn = all.join(broadcast(panel), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("nrm").as("qn"))
-    codes.join(broadcast(lut), Seq("j", "k"))
-      .groupBy("qid", "nn_id")
-      .agg(
-        expr("aggregate(array_sort(collect_list(struct(j, qd))), " +
-          "CAST(0 AS DOUBLE), (s, p) -> s + p.qd)").as("ip"),
-        expr("aggregate(array_sort(collect_list(struct(j, cn2))), " +
-          "CAST(0 AS DOUBLE), (s, p) -> s + p.cn2)").as("rn2"))
+    codeArr.crossJoin(lutArr)
       .filter(col("nn_id") =!= col("qid"))
+      .withColumn("ip", expr(chain("qda")))
+      .withColumn("rn2", expr(chain("c2a")))
       .join(broadcast(qn), Seq("qid"))
       .withColumn("c",
         expr("CASE WHEN rn2 <= CAST(0 AS DOUBLE) OR qn = CAST(0 AS DOUBLE) " +
@@ -1417,7 +1522,7 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
       .groupBy(col("qid").as("vec_id"))
       .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
         .as("nn_id"))
-  }
+    }
   /** 1-NN label accuracy over the embedding space — the intrinsic
     * quality eval an embedding pipeline runs against labeled data (here
     * the table's ground-truth `label` column): for each of the 128
@@ -1437,22 +1542,12 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * measures the data, and on this corpus the truth is "no label
     * geometry exists"). */
   private[graft] def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
     val labels = registeredVecs(s, dir).select(col("vec_id"),
       col("label").cast("long").as("label"))
-    val panel = all
-      .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
-      .orderBy("_h", "vec_id").limit(RecallQueries)
-      .select("vec_id")
-    val a = all.join(broadcast(panel), Seq("vec_id"))
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val truth = broadcast(a).join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("c", expr(cosExpr))
-      .groupBy("vec_id")
-      .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
-        .as("true_nn"))
+    // the exact-NN truth is the SHARED persisted [[annTruth]] build
+    // (r15): previously this query re-ran the identical panel×corpus
+    // brute-force scoring pass ann_recall already pays for
+    val truth = annTruth(s, dir)
     // the label table is corpus-sized — the 128-row truth side carries
     // the broadcast hint, twice (query label, then NN label)
     val withQ = labels.join(broadcast(truth), Seq("vec_id"))
@@ -1483,7 +1578,8 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
     * (candidate generation, where its 150× lift over chance is the
     * relevant number), not a scoring replacement — rank candidates in
     * the full space, as embedding_neardup_lsh's verify step does. */
-  private[graft] def annRpBrute(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annRpBrute(s: SparkSession, dir: String): DataFrame =
+    ScanCache.get(s, s"ann-rp-brute:$dir") {
     val all = rpVecs(s, dir)
     val panel = all
       .select(col("vec_id"), expr(s"vec_id * 2654435761L % ${P}L").as("_h"))
@@ -1500,7 +1596,7 @@ private[graft] trait PipelineEmbedPart extends Serializable { this: Pipeline.typ
       .groupBy("vec_id")
       .agg(max_by(col("nn_id"), struct(col("c"), -col("nn_id")))
         .as("nn_id"))
-  }
+    }
   /** tensor_source_read / zarr_read shared oracle: the per-vector
     * quantized facts straight off the embeddings table. */
   private[graft] def embVectorOracleSql: String =
